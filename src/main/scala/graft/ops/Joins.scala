@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.cube.{Cube, CubeMeta, Dim, GridRef}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cube alignment operators — the reference's joins-in-disguise
+  * (SURVEY.md §2.5).
+  */
+object Joins {
+
+  /** `merge_cubes` (openeo_odc_driver.py:1134-1291). The reference's seven
+    * runtime dimension cases collapse to two physical shapes, chosen by
+    * compile-time analysis of the two cubes' dims + band order (CubeMeta):
+    *
+    *  - label-disjoint (different bands, or caller asserts disjoint times)
+    *    → `unionByName`, a zero-shuffle concat;
+    *  - overlapping labels → full-outer equi-join on the shared dims with a
+    *    resolver expression over the two value columns (`coalesce` when no
+    *    resolver, mirroring xarray's combine_first bias to cube1).
+    *
+    * The resolver receives the two sides as Columns — the graph compiler
+    * binds the overlap-resolver subgraph's `x`/`y` parameters to them
+    * (openeo_odc_driver.py:393-407).
+    */
+  def mergeCubes(a: Cube, b: Cube,
+      resolver: Option[(Column, Column) => Column] = None,
+      assumeDisjoint: Boolean = false): Cube = {
+    val bandsDisjoint = a.has(Dim.Band) && b.has(Dim.Band) &&
+      a.meta.bandOrder.nonEmpty && b.meta.bandOrder.nonEmpty &&
+      a.meta.bandOrder.intersect(b.meta.bandOrder).isEmpty
+    val mergedMeta = a.meta.copy(
+      bandOrder = (a.meta.bandOrder ++ b.meta.bandOrder).distinct)
+    if (assumeDisjoint || bandsDisjoint) {
+      require(a.dims == b.dims,
+        s"merge_cubes concat case needs equal dims: ${a.dims} vs ${b.dims}")
+      Cube(a.df.unionByName(b.df), mergedMeta)
+    } else {
+      val keys = a.dims.intersect(b.dims)
+      require(keys.nonEmpty, "merge_cubes: no shared dimensions")
+      val l = a.df.withColumnRenamed(Cube.ValueCol, "_v1")
+      val r = b.df.withColumnRenamed(Cube.ValueCol, "_v2")
+      val joined = l.join(r, keys, "full_outer")
+      val resolved = resolver
+        .map(f => f(col("_v1"), col("_v2")))
+        .getOrElse(coalesce(col("_v1"), col("_v2")))
+      Cube(joined.withColumn(Cube.ValueCol, resolved).drop("_v1", "_v2"),
+        mergedMeta)
+    }
+  }
+
+  /** `resample_cube_temporal` — nearest as-of alignment of `source` onto
+    * `target`'s time axis (openeo_odc_driver.py:360-380: per target
+    * timestamp, pick the source slice with min |Δt| and relabel).
+    *
+    * The time axes are tiny relative to the cube (thousands vs billions of
+    * rows at 100 TB), so the target→source mapping is computed driver-side
+    * from the two distinct-time sets and broadcast-joined back — one small
+    * shuffle-free pass over the source. */
+  def resampleCubeTemporal(source: Cube, target: Cube): Cube = {
+    val spark = source.df.sparkSession
+    import spark.implicits._
+    val srcTimes = source.df.select(Dim.Time).distinct()
+      .as[java.sql.Timestamp].collect().sortBy(_.getTime)
+    val tgtTimes = target.df.select(Dim.Time).distinct()
+      .as[java.sql.Timestamp].collect().sortBy(_.getTime)
+    require(srcTimes.nonEmpty && tgtTimes.nonEmpty, "empty time axis")
+    // nearest source time for each target time (ties → earlier source,
+    // matching argmin over ascending order)
+    val mapping = tgtTimes.map { t =>
+      val best = srcTimes.minBy(s => math.abs(s.getTime - t.getTime))
+      (best, t)
+    }
+    val mapDf = broadcast(mapping.toSeq.toDF("_src_time", Dim.Time))
+    val relabeled = source.df.withColumnRenamed(Dim.Time, "_src_time")
+      .join(mapDf, "_src_time")
+      .drop("_src_time")
+    Cube(relabeled, source.meta)
+  }
+
+  /** `resample_cube_spatial` nearest — regrid source onto target's grid
+    * (openeo_odc_driver.py:342-358, method near→nearest). Each source cell
+    * is binned to the nearest target cell index; among sources landing in
+    * one target cell the nearest-to-center wins (min_by on squared
+    * distance). Pure groupBy — shuffles once on the target key, no
+    * collect. */
+  def resampleCubeSpatialNearest(source: Cube, targetGrid: GridRef): Cube = {
+    val g = targetGrid
+    val tx = g.xIdx(col(Dim.X)); val ty = g.yIdx(col(Dim.Y))
+    val cx = g.xCoord(tx); val cy = g.yCoord(ty)
+    val d2 = (col(Dim.X) - cx) * (col(Dim.X) - cx) +
+      (col(Dim.Y) - cy) * (col(Dim.Y) - cy)
+    val others = source.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
+    val out = source.df
+      .withColumn("_tx", tx).withColumn("_ty", ty).withColumn("_d2", d2)
+      .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
+      // tie-break equal distances on (y, x) so the pick is deterministic
+      // across engines and partitionings
+      .agg(min_by(col(Cube.ValueCol),
+        struct(col("_d2"), col(Dim.Y), col(Dim.X))).as(Cube.ValueCol))
+      .withColumn(Dim.X, g.xCoord(col("_tx")))
+      .withColumn(Dim.Y, g.yCoord(col("_ty")))
+      .drop("_tx", "_ty")
+    Cube(out, source.meta.copy(grid = Some(g)))
+  }
+
+  /** `resample_cube_spatial` bilinear — 4-neighbor weighted regrid. For
+    * each target cell (driven from the source side to stay distributed):
+    * every source cell scatters its value into the up-to-4 target cells
+    * whose interpolation stencil it participates in, with the bilinear
+    * weight; groupBy target cell sums weights. Equivalent to gather-side
+    * bilinear when grids are axis-aligned. */
+  def resampleCubeSpatialBilinear(source: Cube, targetGrid: GridRef): Cube = {
+    val src = source.meta.requireGrid
+    val g = targetGrid
+    // fractional source index of each target cell center:
+    // fx = (xT - x0s)/dxs. A source cell (i,j) contributes to target cells
+    // whose fx ∈ [i-1, i+1]; enumerate candidate target cells per source
+    // cell via explode over the bounded index window.
+    val ratioX = g.dx / src.dx; val ratioY = g.dy / src.dy
+    val spanX = math.max(1, math.ceil(1.0 / math.min(1.0, ratioX)).toInt)
+    val spanY = math.max(1, math.ceil(1.0 / math.min(1.0, ratioY)).toInt)
+    // target index window around each source cell
+    val txLo = floor((col(Dim.X) - lit(src.dx) - lit(g.x0)) / lit(g.dx)).cast("long")
+    val tyLo = floor((col(Dim.Y) - lit(src.dy) - lit(g.y0)) / lit(g.dy)).cast("long")
+    val others = source.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
+    val candX = sequence(txLo, txLo + lit(2 * spanX))
+    val candY = sequence(tyLo, tyLo + lit(2 * spanY))
+    val exploded = source.df
+      .withColumn("_tx", explode(candX))
+      .withColumn("_ty", explode(candY))
+    val xT = g.xCoord(col("_tx")); val yT = g.yCoord(col("_ty"))
+    val fx = (xT - col(Dim.X)) / lit(src.dx)   // signed offset in cells
+    val fy = (yT - col(Dim.Y)) / lit(src.dy)
+    val wx = greatest(lit(0.0), lit(1.0) - abs(fx))
+    val wy = greatest(lit(0.0), lit(1.0) - abs(fy))
+    val w = wx * wy
+    val out = exploded.where(w > 0)
+      .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
+      .agg((sum(col(Cube.ValueCol) * w) / sum(w)).as(Cube.ValueCol))
+      .withColumn(Dim.X, g.xCoord(col("_tx")))
+      .withColumn(Dim.Y, g.yCoord(col("_ty")))
+      .drop("_tx", "_ty")
+    Cube(out, source.meta.copy(grid = Some(g)))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.cube.{Cube, CubeMeta, Dim, GridRef}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SAR2Cube domain operators (SURVEY.md §2.9).
+  *
+  * `geocode` in the reference regrids a radar-geometry cube (per-pixel
+  * lon/lat carried as `grid_lon`/`grid_lat` DATA bands) onto a regular
+  * Sentinel-2-aligned UTM grid via per-chunk Delaunay interpolation with a
+  * joblib pool and NetCDF reassembly (sar2cube/geocode.py:22-197). Here:
+  * project each pixel's lon/lat to UTM *inside the plan* (the Transverse
+  * Mercator series is plain arithmetic+trig, so it compiles to Column
+  * expressions and stays in whole-stage codegen — no UDF), bin to the
+  * target cell, and take the nearest sample per cell. One shuffle, no
+  * driver round-trips, no files.
+  */
+object Sar2Cube {
+
+  /** Snyder Transverse-Mercator forward as Column expressions. Mirrors
+    * [[Utm.fromLonLat]] term for term. */
+  def utmFromLonLatCols(lonDeg: Column, latDeg: Column, epsg: Int): (Column, Column) = {
+    val aa = 6378137.0; val ff = 1.0 / 298.257223563
+    val e2 = ff * (2 - ff); val ep2 = e2 / (1 - e2); val k0 = 0.9996
+    val (zone, north) = Utm.epsgToZone(epsg)
+    val lam0 = math.toRadians(zone * 6 - 183)
+    val phi = radians(latDeg); val lam = radians(lonDeg)
+    val sinp = sin(phi); val cosp = cos(phi); val tanp = tan(phi)
+    val n = lit(aa) / sqrt(lit(1.0) - lit(e2) * sinp * sinp)
+    val t = tanp * tanp
+    val c = lit(ep2) * cosp * cosp
+    val bigA = (lam - lit(lam0)) * cosp
+    val m = lit(aa) * (lit(1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi -
+      lit(3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * sin(phi * 2) +
+      lit(15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * sin(phi * 4) -
+      lit(35 * e2 * e2 * e2 / 3072) * sin(phi * 6))
+    val a3 = bigA * bigA * bigA; val a4 = a3 * bigA; val a5 = a4 * bigA; val a6 = a5 * bigA
+    val x = lit(k0) * n * (bigA + (lit(1.0) - t + c) * a3 / 6 +
+      (lit(5.0) - t * 18 + t * t + c * 72 - lit(58 * ep2)) * a5 / 120) + lit(500000.0)
+    val y = lit(k0) * (m + n * tanp * (bigA * bigA / 2 +
+      (lit(5.0) - t + c * 9 + c * c * 4) * a4 / 24 +
+      (lit(61.0) - t * 58 + t * t + c * 600 - lit(330 * ep2)) * a6 / 720))
+    (x, if (north) y else y + lit(10000000.0))
+  }
+
+  /** S2-grid alignment (sar2cube/utils.py:18-54): snap an extent outward to
+    * multiples of the resolution. */
+  def alignToGrid(v: Double, res: Double, up: Boolean): Double =
+    if (up) math.ceil(v / res) * res else math.floor(v / res) * res
+
+  /** `geocode`: cube carries grid_lon/grid_lat as bands; data bands are
+    * regridded to a regular UTM grid of `resolution` meters. Output grid
+    * is S2-aligned like create_S2grid (sar2cube/utils.py:56-82). Nearest
+    * sample per target cell (the reference's nearest-neighbor path with
+    * its linear-interpolation validity mask approximated by the bounded
+    * cell bin). */
+  def geocode(c: Cube, targetEpsg: Int, resolution: Double,
+      lonBand: String = "grid_lon", latBand: String = "grid_lat"): Cube = {
+    require(c.has(Dim.Band), "geocode needs band dimension with grid_lon/grid_lat")
+    // pivot ONLY the two geometry bands; keep data bands long. Join on the
+    // radar-geometry pixel key (y, x) — both sides come from the same scan,
+    // so this is a self-join Catalyst can plan with the narrow geometry
+    // side broadcast if small, or shuffle-hash on (y, x).
+    val geoKeys = c.dims.filter(d => d == Dim.Y || d == Dim.X)
+    val geom = c.df
+      .where(col(Dim.Band).isin(lonBand, latBand))
+      .groupBy(geoKeys.map(col): _*)
+      .pivot(Dim.Band, Seq(lonBand, latBand))
+      .agg(first(col(Cube.ValueCol)))
+    val data = c.df.where(!col(Dim.Band).isin(lonBand, latBand))
+    val joined = data.join(geom, geoKeys)
+    val (easting, northing) =
+      utmFromLonLatCols(col(lonBand).cast("double"), col(latBand).cast("double"), targetEpsg)
+    val tx = floor(easting / resolution).cast("long")
+    val ty = floor(northing / resolution).cast("long")
+    val cellCx = (tx.cast("double") + 0.5) * resolution
+    val cellCy = (ty.cast("double") + 0.5) * resolution
+    val d2 = (easting - cellCx) * (easting - cellCx) +
+      (northing - cellCy) * (northing - cellCy)
+    val others = c.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
+    val out = joined
+      .withColumn("_tx", tx).withColumn("_ty", ty).withColumn("_d2", d2)
+      .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
+      .agg(min_by(col(Cube.ValueCol), col("_d2")).as(Cube.ValueCol))
+      .withColumn(Dim.X, (col("_tx").cast("double") + 0.5) * resolution)
+      .withColumn(Dim.Y, (col("_ty").cast("double") + 0.5) * resolution)
+      .drop("_tx", "_ty")
+    Cube(out, c.meta.copy(
+      crs = Some(s"EPSG:$targetEpsg"),
+      grid = Some(GridRef(resolution / 2, resolution / 2, resolution, resolution)),
+      bandOrder = c.meta.bandOrder.filterNot(b => b == lonBand || b == latBand)))
+  }
+
+  /** SAR2Cube scan-path bbox filter: bbox is tested against the lon/lat
+    * DATA bands, not coordinates (load_odc_collection.py:159-173). Keeps
+    * pixels whose lon/lat fall in the bbox, across all bands. */
+  def filterBboxByLonLatBands(c: Cube, west: Double, south: Double,
+      east: Double, north: Double,
+      lonBand: String = "grid_lon", latBand: String = "grid_lat"): Cube = {
+    val geoKeys = c.dims.filter(d => d == Dim.Y || d == Dim.X)
+    val geom = c.df.where(col(Dim.Band).isin(lonBand, latBand))
+      .groupBy(geoKeys.map(col): _*)
+      .pivot(Dim.Band, Seq(lonBand, latBand))
+      .agg(first(col(Cube.ValueCol)))
+      .where(col(lonBand).between(west, east) && col(latBand).between(south, north))
+      .select(geoKeys.map(col): _*)
+    c.withDF(c.df.join(geom, geoKeys, "left_semi"))
+  }
+
+  /** `radar_mask` (openeo_odc_driver.py:1426-1504): layover /
+    * foreshortening / shadow masks from a DEM band and the scene-mean local
+    * incidence angle (LIA band). The four corner-neighbor DEM samples per
+    * pixel are gathered by scattering each DEM cell to its four diagonal
+    * neighbors (tagged), then pivoting — one shuffle on the pixel key; the
+    * LIA mean is a scalar agg. Border pixels (missing a corner) yield 0
+    * like the reference's zero-initialized output. Output bands "1"
+    * (layover), "2" (foreshortening), "3" (shadow).
+    */
+  def radarMask(c: Cube, foreshorteningTh: Double, layoverTh: Double,
+      orbitDirection: String): Cube = {
+    val g = c.meta.requireGrid
+    val dem = c.df.where(col(Dim.Band) === "DEM").drop(Dim.Band)
+    val liaMean = c.df.where(col(Dim.Band) === "LIA")
+      .agg(avg(col(Cube.ValueCol))).head().getDouble(0)
+    val heading = math.toRadians(if (orbitDirection == "DSC") 12.5 else -12.5)
+    val dx = g.dx; val dy = g.dy
+    val dxP = dx * math.tan(heading); val dyP = dy * math.tan(heading)
+    val drg = 2 * math.sqrt(dxP * dxP + dx * dx)
+    val rgSign = if (heading >= 0) -1.0 else 1.0
+    // scatter each DEM cell to the 4 diagonal neighbors that need it
+    val others = c.dims.filterNot(d => d == Dim.X || d == Dim.Y || d == Dim.Band).map(col)
+    val tags = Seq(("nw", 1, 1), ("ne", -1, 1), ("sw", 1, -1), ("se", -1, -1))
+    val tagArr = array(tags.map { case (t, sx, sy) =>
+      struct(lit(t).as("tag"), lit(sx).as("sx"), lit(sy).as("sy")) }: _*)
+    val scattered = dem
+      .withColumn("_ix", g.xIdx(col(Dim.X)))
+      .withColumn("_iy", g.yIdx(col(Dim.Y)))
+      .withColumn("_t", explode(tagArr))
+      .select(others ++ Seq(
+        (col("_ix") + col("_t.sx")).as("_tx"),
+        (col("_iy") + col("_t.sy")).as("_ty"),
+        col("_t.tag").as("_tag"), col(Cube.ValueCol)): _*)
+    val corners = scattered
+      .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
+      .pivot("_tag", Seq("nw", "ne", "sw", "se"))
+      .agg(first(col(Cube.ValueCol)))
+    val nw = col("nw").cast("double"); val ne = col("ne").cast("double")
+    val sw = col("sw").cast("double"); val se = col("se").cast("double")
+    // reference's range slope (openeo_odc_driver.py:1469-1471):
+    val hRg0 = nw + (sw - nw) / (2 * dy) * (dy - dyP)
+    val hRg2 = ne + (se - ne) / (2 * dy) * (dy + dyP)
+    val incHRg = hRg2 - hRg0
+    val resFDeg = atan(incHRg / drg) * lit(rgSign) * lit(180.0 / math.Pi)
+    val complete = nw.isNotNull && ne.isNotNull && sw.isNotNull && se.isNotNull
+    val f = when(complete, resFDeg).otherwise(lit(0.0))
+    val fore = when(f > 0 && f < liaMean, f / liaMean).otherwise(0.0)
+    val lay = when(f > 0 && f > liaMean, f / liaMean).otherwise(0.0)
+    val layMask = when(lay > layoverTh, 1.0).otherwise(0.0)
+    val foreMask = when(fore > foreshorteningTh, 1.0).otherwise(0.0)
+    val shadowMask = when(f < 0 && abs(f) > (90 - liaMean), 1.0).otherwise(0.0)
+    val base = corners
+      .withColumn(Dim.X, g.xCoord(col("_tx")))
+      .withColumn(Dim.Y, g.yCoord(col("_ty")))
+    val masks = base.select(
+      (others :+ col(Dim.Y) :+ col(Dim.X)) :+
+        explode(array(
+          struct(lit("1").as(Dim.Band), layMask.as(Cube.ValueCol)),
+          struct(lit("2").as(Dim.Band), foreMask.as(Cube.ValueCol)),
+          struct(lit("3").as(Dim.Band), shadowMask.as(Cube.ValueCol)))).as("_m"): _*)
+      .select((others :+ col(Dim.Y) :+ col(Dim.X) :+
+        col("_m.band") :+ col("_m.value")): _*)
+    Cube(masks, c.meta.copy(bandOrder = Seq("1", "2", "3")))
+  }
+}

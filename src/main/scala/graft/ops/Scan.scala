@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.cube.{Cube, CubeMeta, Dim, GridRef}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** `load_collection` — the scan (SURVEY.md §2.1 S1-S3).
+  *
+  * The reference builds an ODC query (bands → measurements, temporal extent
+  * with a -1 ms exclusive end, bbox) and lazily loads a Dask cube
+  * (load_odc_collection.py:81-173), then folds per-band scale/offset/nodata
+  * (107-126) and an optional polygon mask (190-226). Here a collection is a
+  * long-form parquet store; every filter below lands in the parquet scan as
+  * PushedFilters / partition pruning, and scale/offset/nodata are scan-level
+  * projections — Catalyst fuses them into the read stage.
+  *
+  * 100 TB layout contract: collections are written partitioned by date
+  * (and optionally by spatial tile), sorted within files by (band, y, x) so
+  * min/max row-group stats make x/y range predicates effective.
+  */
+object Scan {
+
+  final case class BandAdjust(nodata: Option[Double] = None,
+      scale: Double = 1.0, offset: Double = 0.0)
+
+  final case class CollectionSpec(
+      path: String,
+      crs: Option[String] = None,
+      bandOrder: Seq[String] = Nil,
+      grid: Option[GridRef] = None,
+      adjust: Map[String, BandAdjust] = Map.empty)
+
+  def loadCollection(spark: SparkSession, spec: CollectionSpec,
+      bands: Seq[String] = Nil,
+      temporalExtent: Option[(String, String)] = None,
+      bbox: Option[(Double, Double, Double, Double)] = None, // w, s, e, n
+      bboxEpsg: Int = 4326,
+      polygon: Option[Seq[Geo.Ring]] = None,
+      polygonEpsg: Int = 4326): Cube = {
+    var df = spark.read.parquet(spec.path)
+    val meta = CubeMeta(crs = spec.crs, grid = spec.grid,
+      bandOrder = if (bands.nonEmpty) bands else spec.bandOrder)
+    // band projection (pushed as In filter)
+    if (bands.nonEmpty) df = df.where(col(Dim.Band).isin(bands: _*))
+    // temporal extent: [start, end) via -1 ms like the reference scan
+    temporalExtent.foreach { case (t0, t1) =>
+      val from = Filters.parseTime(t0)
+      val to = new java.sql.Timestamp(Filters.parseTime(t1).getTime - 1)
+      df = df.where(col(Dim.Time) >= lit(from) && col(Dim.Time) <= lit(to))
+    }
+    var cube = Cube(df, meta)
+    bbox.foreach { case (w, s, e, n) =>
+      cube = Filters.filterBbox(cube, w, s, e, n, bboxEpsg)
+    }
+    polygon.foreach { rings =>
+      // bbox pre-filter + exact point-in-polygon, like rasterize+mask
+      cube = Filters.filterSpatial(cube, rings, polygonEpsg)
+    }
+    // per-band nodata→null, then value*scale+offset (scan-level projection)
+    if (spec.adjust.nonEmpty) {
+      val v = col(Cube.ValueCol)
+      val adjusted = spec.adjust.foldLeft(v) { case (acc, (band, a)) =>
+        val base = a.nodata.map(nd =>
+          when(v === nd, lit(null)).otherwise(v)).getOrElse(v)
+        when(col(Dim.Band) === band, base * a.scale + a.offset).otherwise(acc)
+      }
+      cube = cube.withDF(cube.df.withColumn(Cube.ValueCol, adjusted))
+    }
+    cube
+  }
+
+  /** `load_result` — previous job outputs are persisted as parquet cubes
+    * (openeo_odc_driver.py:1598-1609 reloads NetCDF). */
+  def loadResult(spark: SparkSession, resultDir: String, jobId: String): Cube =
+    Cube(spark.read.parquet(s"$resultDir/$jobId"))
+}

@@ -1,0 +1,128 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime:
+  *
+  *  - exact: hash-groupBy — one shuffle on a 256-bit digest, no text
+  *    comparison; the digest column is 32 bytes regardless of doc size.
+  *  - MinHash/LSH: shingle → minhash signature (map-side, codegen HOFs) →
+  *    band buckets → candidate pairs only within equal buckets (the
+  *    band-join prunes the O(n²) pair space) → exact Jaccard verify on the
+  *    candidates only.
+  *  - SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
+  *    16-bit bands (Hamming-style blocking) verified by popcount distance.
+  *  - n-gram Jaccard: the verify primitive, exposed standalone.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per content digest. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: array of k minima of seeded xxhash64 over shingles. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = TextAnalysis.shingles(text, shingleN)
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+  }
+
+  /** LSH band key rows: (band_id, band_hash) pairs for blocking. k must be
+    * divisible into `bands` of r = k/bands rows. */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          (0 until r).map(i => element_at(sig, b * r + i + 1)): _*)).as("bh"))): _*)
+  }
+
+  /** Candidate near-dup pairs via MinHash LSH, verified with exact shingle
+    * Jaccard >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val banded = withSig.select(col("id"), col("sh"),
+      explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Exact Jaccard of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** Pairwise n-gram Jaccard within blocking groups (`blockCols`) — the
+    * non-LSH variant for moderate group sizes. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        TextAnalysis.shingles(col(textCol), shingleN).as("sh")): _*)
+    val a = withSh.as("a"); val b = withSh.as("b")
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    a.join(b, joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token stream: per-token xxhash64, sum of ±1 per
+    * bit, sign → bit. Pure HOF fold, map-side only. */
+  def simhash(text: Column): Column = {
+    val tokens = TextAnalysis.shingles(text, 1)
+    val acc = aggregate(tokens,
+      array_repeat(lit(0), 64),
+      (vec, t) => {
+        val h = xxhash64(t)
+        zip_with(vec, sequence(lit(0), lit(63)),
+          (v, i) => v +
+            when(pmod(call_function("shiftright", h, i), lit(2)) === 1, 1).otherwise(-1))
+      })
+    aggregate(zip_with(acc, sequence(lit(0), lit(63)),
+      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (s, bit) => s.bitwiseOR(bit))
+  }
+
+  /** Hamming distance of two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit bands (any equal band →
+    * candidate), verify Hamming <= maxDist. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 6): DataFrame = {
+    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
+    val banded = withH.select(col("id"), col("h"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          (shiftright(col("h"), i * 16).bitwiseAND(lit(0xffffL))).as("bh"))): _*)).as("b"))
+      .select(col("id"), col("h"), col("b.band"), col("b.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.h"), col("b.h")).as("dist"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All are pure Column expressions (no UDFs) so they run inside
+  * whole-stage codegen and scale linearly — at 100 TB these are the
+  * map-side of the pipeline and must not leave codegen.
+  */
+object TextAnalysis {
+
+  /** Stopword-marker sets per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + deterministic: language score = total
+    * occurrences of its marker tokens; argmax with fixed tie order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " with "),
+    "de" -> Seq(" der ", " und ", " die ", " mit "),
+    "es" -> Seq(" el ", " los ", " con ", " por "),
+    "fr" -> Seq(" le ", " les ", " avec ", " dans "),
+    "zh" -> Seq(" de5 ", " he2 ", " shi4 ", " zai4 "))
+
+  /** Count non-overlapping occurrences of `needle` via length difference —
+    * replicable in any SQL dialect (the DuckDB oracle uses the same
+    * formula). */
+  def countOccurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** Language-ID: argmax of marker-token counts; null if no marker hits. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      (lang, ms.map(countOccurrences(padded, _)).reduce(_ + _))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit(null).cast("string")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: word runs + standalone punctuation marks. The
+    * pattern is RE2-compatible (no lookarounds) so the DuckDB oracle can
+    * evaluate the very same regex. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: blend of length band, punctuation density and
+    * stopword ratio (the classic C4/Gopher-style cheap filters). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words).cast("double")
+    val meanWordLen = nChars / greatest(nWords, lit(1.0))
+    val punct = Seq(".", ",", "!", "?", ";", ":").map(p =>
+      countOccurrences(text, p)).reduce(_ + _).cast("double")
+    val punctRatio = punct / greatest(nWords, lit(1.0))
+    val stop = Seq(" the ", " a ", " and ", " of ", " to ").map(s =>
+      countOccurrences(concat(lit(" "), text, lit(" ")), s)).reduce(_ + _).cast("double")
+    val stopRatio = stop / greatest(nWords, lit(1.0))
+    val lenScore = when(nWords >= 50 && nWords <= 100000, 1.0)
+      .when(nWords >= 10, 0.5).otherwise(0.0)
+    val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 10, 1.0).otherwise(0.0)
+    val punctScore = when(punctRatio <= 0.3, 1.0).otherwise(0.0)
+    val stopScore = when(stopRatio > 0.0, 1.0).otherwise(0.0)
+    round((lenScore + wordLenScore + punctScore + stopScore) / 4.0, 4)
+  }
+
+  /** Document fingerprint: 32-bit polynomial rolling hash of the
+    * lowercased, whitespace-normalized token stream. aggregate() keeps the
+    * fold inside the JVM expression engine. */
+  def fingerprint(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * 1000003L + abs(xxhash64(t)) % 1000000007L,
+        lit(2147483647L)))
+  }
+
+  /** Word n-gram shingles of size n (for Jaccard / MinHash). */
+  def shingles(text: Column, n: Int): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val idx = sequence(lit(0), greatest(size(tokens) - n, lit(0)))
+    array_distinct(filter(
+      transform(idx, i => concat_ws(" ", slice(tokens, i + 1, lit(n)))),
+      s => s =!= ""))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.cube.{Cube, Dim}
+import graft.ops.{Filters, Geo, Utm}
+import org.apache.spark.sql.functions._
+
+class FiltersSpec extends SparkSpec {
+
+  def base: graft.cube.Cube = cubeOf(
+    ("2024-01-01", "B04", 0, 0, 1.0), ("2024-01-01", "B08", 0, 0, 2.0),
+    ("2024-01-02", "B04", 0, 0, 3.0), ("2024-01-02", "B08", 0, 0, 4.0),
+    ("2024-01-03", "B04", 1, 1, 5.0), ("2024-01-03", "B08", 1, 1, 6.0))
+
+  test("filter_temporal is end-inclusive at day granularity (reference .loc slice)") {
+    val r = Filters.filterTemporal(base, "2024-01-01", "2024-01-02")
+    r.df.count() shouldBe 4
+    // exclusive-end contract (scan path, -1ms) drops the end day
+    val rx = Filters.filterTemporal(base, "2024-01-01", "2024-01-02", inclusiveEnd = false)
+    rx.df.count() shouldBe 2
+  }
+
+  test("filter_bands keeps listed bands and updates bandOrder") {
+    val r = Filters.filterBands(base, Seq("B08"))
+    r.df.select(Dim.Band).distinct().collect().map(_.getString(0)).toSet shouldBe Set("B08")
+    r.meta.bandOrder shouldBe Seq("B08")
+  }
+
+  test("array_element by label drops the band dimension") {
+    val r = Filters.arrayElement(base, Some("B04"), None)
+    r.has(Dim.Band) shouldBe false
+    r.df.count() shouldBe 3
+  }
+
+  test("array_element by positional index resolves through bandOrder") {
+    val r = Filters.arrayElement(base, None, Some(1)) // bandOrder=(B04,B08)
+    rowSet(r.df.select(Cube.ValueCol)).map(_.head) shouldBe Set(2.0, 4.0, 6.0)
+  }
+
+  test("mask nulls out where mask!=0, keeps elsewhere; replacement fills") {
+    val data = cubeOf(("2024-01-01", "B04", 0, 0, 10.0), ("2024-01-01", "B04", 0, 1, 20.0))
+    val m = Cube(
+      data.df.select(col(Dim.Time), col(Dim.Y), col(Dim.X),
+        when(col(Dim.X) === 1.0, 1.0).otherwise(0.0).as(Cube.ValueCol)),
+      data.meta.copy(bandOrder = Nil))
+    val r = Filters.mask(data, m, None).df.orderBy(Dim.X).collect()
+    r(0).getDouble(4) shouldBe 10.0
+    r(1).isNullAt(4) shouldBe true
+    val r2 = Filters.mask(data, m, Some(-9.0)).df.orderBy(Dim.X).collect()
+    r2(1).getDouble(4) shouldBe -9.0
+  }
+
+  test("filter_bbox slices x/y ranges") {
+    val r = Filters.filterBbox(base, west = 0.5, south = 0.5, east = 1.5, north = 1.5)
+    r.df.count() shouldBe 2 // only the (1,1) rows
+  }
+
+  test("filter_spatial point-in-polygon keeps inside points only") {
+    // unit square around (0,0) only
+    val r = Filters.filterSpatial(base,
+      Seq(Seq((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5))))
+    r.df.count() shouldBe 4
+    r.df.select(Dim.X).distinct().collect().map(_.getDouble(0)).toSet shouldBe Set(0.0)
+  }
+
+  test("point_in_ring even-odd rule: boundary-free interior test") {
+    import spark.implicits._
+    // triangle below the y=x diagonal: inside iff y < x within the box
+    val pts = Seq((0.5, 0.0), (-0.5, 0.5), (2.0, 0.0)).toDF("x", "y")
+    val tri: Geo.Ring = Seq((-1.0, -1.0), (1.0, -1.0), (1.0, 1.0))
+    val r = pts.withColumn("in", Geo.pointInRing(col("x"), col("y"), tri))
+      .orderBy("x").collect().map(_.getBoolean(2))
+    r shouldBe Array(false, true, false)
+  }
+
+  test("UTM round-trip accuracy ~1e-2 m (Snyder series)") {
+    val (e, n) = Utm.fromLonLat(11.35, 46.5, 32632) // Bolzano, zone 32N
+    val (lon, lat) = Utm.toLonLat(e, n, 32632)
+    math.abs(lon - 11.35) should be < 1e-6
+    math.abs(lat - 46.5) should be < 1e-6
+    // known fixed point: zone central meridian at equator → easting 500000
+    val (e0, n0) = Utm.fromLonLat(9.0, 0.0, 32632)
+    math.abs(e0 - 500000.0) should be < 1e-6
+    math.abs(n0) should be < 1e-6
+  }
+}

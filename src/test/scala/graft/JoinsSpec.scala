@@ -1,0 +1,68 @@
+package graft
+
+import graft.cube.{Cube, Dim, GridRef}
+import graft.ops.{Filters, Joins}
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+
+  test("merge_cubes band-disjoint → unionByName concat (no join)") {
+    val a = cubeOf(("2024-01-01", "B04", 0, 0, 1.0))
+    val b = cubeOf(("2024-01-01", "B08", 0, 0, 2.0))
+    val r = Joins.mergeCubes(a, b)
+    r.df.count() shouldBe 2
+    r.meta.bandOrder shouldBe Seq("B04", "B08")
+  }
+
+  test("merge_cubes overlap → full outer + coalesce (combine_first bias to cube1)") {
+    val a = cubeOf(("2024-01-01", "B", 0, 0, 1.0), ("2024-01-02", "B", 0, 0, 2.0))
+    val b = cubeOf(("2024-01-02", "B", 0, 0, 99.0), ("2024-01-03", "B", 0, 0, 3.0))
+    val r = Joins.mergeCubes(a, b)
+    val m = r.df.collect().map(row =>
+      row.getTimestamp(0).toString.take(10) -> row.getDouble(4)).toMap
+    m shouldBe Map("2024-01-01" -> 1.0, "2024-01-02" -> 2.0, "2024-01-03" -> 3.0)
+  }
+
+  test("merge_cubes custom overlap resolver receives (cube1, cube2) columns") {
+    val a = cubeOf(("2024-01-01", "B", 0, 0, 10.0))
+    val b = cubeOf(("2024-01-01", "B", 0, 0, 4.0))
+    val r = Joins.mergeCubes(a, b,
+      resolver = Some((x, y) => x - y)) // subtract resolver subgraph
+    r.df.head().getDouble(4) shouldBe 6.0
+  }
+
+  test("resample_cube_temporal: nearest as-of relabel onto the target axis") {
+    val src = cubeOf(
+      ("2024-01-01", "B", 0, 0, 1.0), ("2024-01-10", "B", 0, 0, 10.0))
+    val tgt = cubeOf(
+      ("2024-01-02", "B", 0, 0, 0.0), ("2024-01-09", "B", 0, 0, 0.0))
+    val r = Joins.resampleCubeTemporal(src, tgt)
+    val m = r.df.collect().map(row =>
+      row.getTimestamp(r.df.columns.indexOf(Dim.Time)).toString.take(10) ->
+        row.getDouble(r.df.columns.indexOf(Cube.ValueCol))).toMap
+    m shouldBe Map("2024-01-02" -> 1.0, "2024-01-09" -> 10.0)
+  }
+
+  test("resample_cube_spatial nearest: bin to target cell, nearest-to-center wins") {
+    // source 1m grid; target 2m grid with centers at 0.25, 2.25, ...
+    val c = cubeOf(
+      ("2024-01-01", "B", 0, 0, 1.0), ("2024-01-01", "B", 0, 1, 2.0),
+      ("2024-01-01", "B", 0, 2, 3.0), ("2024-01-01", "B", 0, 3, 4.0))
+    val r = Joins.resampleCubeSpatialNearest(c, GridRef(0.25, 0.25, 2.0, 2.0))
+    val m = r.df.collect().map(row =>
+      row.getAs[Double](Dim.X) -> row.getAs[Double](Cube.ValueCol)).toMap
+    // x=0 → cell 0 (center 0.25, d=0.25) beats x=1 (d=0.75);
+    // x=2 → cell 1 (center 2.25) beats x=3
+    m shouldBe Map(0.25 -> 1.0, 2.25 -> 3.0)
+  }
+
+  test("resample_cube_spatial bilinear: same-grid regrid is identity; midpoint averages") {
+    val c = cubeOf(
+      ("2024-01-01", "B", 0, 0, 1.0), ("2024-01-01", "B", 0, 1, 3.0))
+    // target grid offset by half a cell → each target center sits midway
+    val r = Joins.resampleCubeSpatialBilinear(c, GridRef(0.5, 0.0, 1.0, 1.0))
+    val m = r.df.collect().map(row =>
+      row.getAs[Double](Dim.X) -> row.getAs[Double](Cube.ValueCol)).toMap
+    m(0.5) shouldBe 2.0 +- 1e-12 // midway between 1 and 3
+  }
+}

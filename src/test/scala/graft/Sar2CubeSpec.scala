@@ -1,0 +1,74 @@
+package graft
+
+import graft.cube.{Cube, CubeMeta, Dim, GridRef}
+import graft.ops.{Sar2Cube, Utm}
+import org.apache.spark.sql.functions._
+
+class Sar2CubeSpec extends SparkSpec {
+
+  test("Column-expression UTM forward matches the driver-side Scala version") {
+    import spark.implicits._
+    val pts = Seq((11.35, 46.5), (11.0, 46.0), (11.9, 46.9))
+    val df = pts.toDF("lon", "lat")
+    val (e, n) = Sar2Cube.utmFromLonLatCols(col("lon"), col("lat"), 32632)
+    val got = df.select(e.as("e"), n.as("n")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    pts.zip(got).foreach { case ((lon, lat), (ge, gn)) =>
+      val (we, wn) = Utm.fromLonLat(lon, lat, 32632)
+      ge shouldBe we +- 1e-6
+      gn shouldBe wn +- 1e-6
+    }
+  }
+
+  test("geocode regrids data bands using grid_lon/grid_lat bands") {
+    import spark.implicits._
+    // radar-geometry cube: 2 pixels with known lon/lat, one data band
+    val t = ts("2024-01-01 00:00:00")
+    val rows = Seq(
+      // (time, band, y, x, value) — y/x are radar grid indices here
+      (t, "grid_lon", 0.0, 0.0, 11.350), (t, "grid_lat", 0.0, 0.0, 46.500),
+      (t, "grid_lon", 0.0, 1.0, 11.351), (t, "grid_lat", 0.0, 1.0, 46.500),
+      (t, "VV", 0.0, 0.0, 5.0), (t, "VV", 0.0, 1.0, 7.0))
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
+    val r = Sar2Cube.geocode(c, targetEpsg = 32632, resolution = 10.0)
+    // ~77 m apart in easting at this latitude → distinct 10 m cells
+    r.df.count() shouldBe 2
+    r.df.select(Dim.Band).distinct().head().getString(0) shouldBe "VV"
+    r.meta.crs shouldBe Some("EPSG:32632")
+    rowSet(r.df.select(Cube.ValueCol)).map(_.head) shouldBe Set(5.0, 7.0)
+  }
+
+  test("filterBboxByLonLatBands keeps pixels whose lon/lat data fall inside") {
+    import spark.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    val rows = Seq(
+      (t, "grid_lon", 0.0, 0.0, 11.0), (t, "grid_lat", 0.0, 0.0, 46.0),
+      (t, "grid_lon", 0.0, 1.0, 12.5), (t, "grid_lat", 0.0, 1.0, 46.0),
+      (t, "VV", 0.0, 0.0, 5.0), (t, "VV", 0.0, 1.0, 7.0))
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"), CubeMeta())
+    val r = Sar2Cube.filterBboxByLonLatBands(c, west = 10.5, south = 45.5,
+      east = 11.5, north = 46.5)
+    r.df.where(col(Dim.Band) === "VV").count() shouldBe 1
+    r.df.where(col(Dim.Band) === "VV").head().getDouble(4) shouldBe 5.0
+  }
+
+  test("radar_mask emits 3 mask bands over the DEM grid") {
+    import spark.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    // small DEM ramp + LIA band
+    val dem = for { y <- 0 to 3; x <- 0 to 3 }
+      yield (t, "DEM", y.toDouble, x.toDouble, 100.0 + 50.0 * x)
+    val lia = for { y <- 0 to 3; x <- 0 to 3 }
+      yield (t, "LIA", y.toDouble, x.toDouble, 35.0)
+    val c = Cube((dem ++ lia).toDF("time", "band", "y", "x", "value"),
+      CubeMeta(grid = Some(GridRef(0, 0, 1, 1)), bandOrder = Seq("DEM", "LIA")))
+    val r = Sar2Cube.radarMask(c, foreshorteningTh = 0.1, layoverTh = 1.0,
+      orbitDirection = "DSC")
+    r.df.select(Dim.Band).distinct().collect().map(_.getString(0)).toSet shouldBe
+      Set("1", "2", "3")
+    // masks are 0/1 valued
+    r.df.select(Cube.ValueCol).distinct().collect().map(_.getDouble(0)).toSet
+      .subsetOf(Set(0.0, 1.0)) shouldBe true
+  }
+}

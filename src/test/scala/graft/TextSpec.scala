@@ -1,0 +1,94 @@
+package graft
+
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish regex") {
+    val df = Seq("Hello, world! How are you?").toDF("text")
+    val r = df.select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(col("text")).as("bpe")).head()
+    r.getInt(0) shouldBe 5
+    r.getInt(1) shouldBe 8 // Hello , world ! How are you ?
+  }
+
+  test("langId picks the language with most marker tokens") {
+    val df = Seq(
+      ("1", "the cat and the dog of the house with hats"),
+      ("2", "der Hund und die Katze mit der Maus"),
+      ("3", "xyzzy plugh")).toDF("id", "text")
+    val r = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    r("1") shouldBe "en"
+    r("2") shouldBe "de"
+    r("3") shouldBe null
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val df = Seq("a b c b c").toDF("text")
+    val r = df.select(TextAnalysis.shingles(col("text"), 2).as("s"))
+      .head().getSeq[String](0).toSet
+    r shouldBe Set("a b", "b c", "c b")
+  }
+
+  test("jaccard of shingle sets") {
+    val df = Seq(("a b c", "b c d")).toDF("t1", "t2")
+    val r = df.select(Dedup.jaccard(
+      TextAnalysis.shingles(col("t1"), 1),
+      TextAnalysis.shingles(col("t2"), 1)).as("j")).head().getDouble(0)
+    r shouldBe 0.5 +- 1e-12 // {b,c} / {a,b,c,d}
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exact(df, "text", "doc_id")
+      .collect().map(row => row.getLong(1) -> row.getLong(2)).toMap
+    r shouldBe Map(1L -> 2L, 3L -> 1L) // keep_id → n_copies
+  }
+
+  test("minhash LSH finds near-duplicate pairs and exact-verifies jaccard") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "text", "doc_id", shingleN = 3, k = 32,
+      bands = 16, threshold = 0.5).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+    pairs.head.getDouble(2) should be > 0.8
+  }
+
+  test("simhash: identical → distance 0; near-dup close; unrelated far") {
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = base + " extra"
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, other))
+      .toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L)
+    java.lang.Long.bitCount(h(1L) ^ h(3L)) should be <= 8
+    java.lang.Long.bitCount(h(1L) ^ h(4L)) should be > 10
+  }
+
+  test("fingerprint is deterministic and separates different content") {
+    val df = Seq(("A b  C", "a b c", "a b d")).toDF("t1", "t2", "t3")
+    val r = df.select(
+      TextAnalysis.fingerprint(col("t1")),
+      TextAnalysis.fingerprint(col("t2")),
+      TextAnalysis.fingerprint(col("t3"))).head()
+    r.getLong(0) shouldBe r.getLong(1) // case/space-normalized
+    r.getLong(0) should not be r.getLong(2)
+  }
+
+  test("quality score components produce quarter scores in [0,1]") {
+    val good = (1 to 60).map(i => "the quick brown fox and").mkString(" ")
+    val df = Seq(good, "x").toDF("text")
+    val r = df.select(TextAnalysis.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    r(0) shouldBe 1.0
+    r(1) should be <= 0.5
+  }
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run Verify's parquet dumps
+against the DuckDB oracle SQL and compare (columns sorted by name, rows
+sorted, exact values). Usage:
+    python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes for compare: timestamps -> ns, categorials -> str
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        na_position="last")
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            results[name] = "EMPTY-DIR"
+            continue
+        got = norm(con.sql(f"SELECT * FROM '{d}/*.parquet'").df())
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            want = norm(con.sql(oracle[name]).df())
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR {e}"
+            continue
+        if list(got.columns) != list(want.columns):
+            results[name] = f"COLS got={list(got.columns)} want={list(want.columns)}"
+            continue
+        if len(got) != len(want):
+            results[name] = f"ROWS got={len(got)} want={len(want)}"
+            continue
+        bad = []
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if g.dtype.kind == "f" or w.dtype.kind == "f":
+                g = g.astype(float); w = w.astype(float)
+                eq = (g.values == w.values) | (g.isna().values & w.isna().values)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}[{i}]: {g.iloc[i]!r} != {w.iloc[i]!r} "
+                               f"(maxdiff={np.nanmax(np.abs(g.values - w.values))})")
+            else:
+                eq = (g.astype(str).values == w.astype(str).values)
+                if not eq.all():
+                    i = int(np.argmin(eq))
+                    bad.append(f"{c}[{i}]: {g.iloc[i]!r} != {w.iloc[i]!r}")
+        results[name] = "OK rows=%d" % len(got) if not bad else "VALUES " + "; ".join(bad[:3])
+    npass = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in results.items():
+        print(("PASS " if v.startswith("OK") else "FAIL ") + k + ": " + v)
+    print(f"== {npass}/{len(results)} PASS")
+    return 0 if npass == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
