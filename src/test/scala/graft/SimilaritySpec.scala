@@ -1,0 +1,82 @@
+package graft
+
+import graft.text.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  lazy val tiny = Seq(
+    (0L, vec(1, 0, 0, 0)), (1L, vec(0.9, 0.1, 0, 0)),
+    (2L, vec(0, 1, 0, 0)), (3L, vec(0, 0.9, 0.1, 0)),
+    (4L, vec(0, 0, 1, 0))).toDF("vec_id", "embedding")
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((vec(1, 2, 3), vec(1, 2, 3), vec(3, -1.5, 0)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).head()
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+    r.getDouble(1) shouldBe 0.0 +- 1e-12
+  }
+
+  test("brute-force top-k returns nearest neighbors in rank order") {
+    val r = Similarity.topKBruteForce(tiny, tiny.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+    val got = r.orderBy("rank").collect()
+      .map(row => (row.getInt(1), row.getLong(2)))
+    got shouldBe Array((1, 1L), (2, 2L)) // 1 is closest to 0, then 2 (tie-broken)
+  }
+
+  test("LSH ANN achieves high recall@3 vs brute force on clustered vectors") {
+    // 3 clusters of 20 vectors each around orthogonal-ish axes
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      c <- 0 until 3; i <- 0 until 20
+    } yield {
+      val base = Array.fill(16)(0.0); base(c * 5) = 1.0
+      (c * 100L + i, base.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id").isin(0L, 100L, 200L))
+    val exact = Similarity.topKBruteForce(df, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.topKLsh(df, queries, "vec_id", "embedding", 3,
+      nPlanes = 16, bitsPerBand = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    recall should be >= 0.8
+  }
+
+  test("IVF ANN: probing all centroids equals brute force") {
+    val all = Similarity.topKIvf(tiny, tiny.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, nCentroids = 4, nProbe = 4)
+      .orderBy("rank").collect().map(r => r.getLong(2))
+    all shouldBe Array(1L, 2L)
+  }
+
+  test("IVF ANN with nProbe=1 returns neighbors from the probed list only") {
+    val r = Similarity.topKIvf(tiny, tiny.where(col("vec_id") === 0),
+      "vec_id", "embedding", k = 4, nCentroids = 2, nProbe = 1)
+    // all results come from one coarse list; rank is still cosine-ordered
+    val ranks = r.orderBy("rank").collect().map(_.getInt(1))
+    ranks shouldBe (1 to ranks.length).toArray
+  }
+
+  test("cosine near-dup pairs: exact and LSH-blocked agree on strong dups") {
+    val dup = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0.999, 0.001, 0, 0)),
+      (2L, vec(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(dup, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact shouldBe Set((0L, 1L))
+    val lsh = Similarity.cosineNearDupPairsLsh(dup, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh shouldBe Set((0L, 1L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def feed(rows: Seq[(Timestamp, String, Double, Double, Double)],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      queryName: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
+    val df = build(stream.toDF()
+      .toDF("time", "band", "y", "x", "value"))
+    val q = df.writeStream.format("memory").queryName(queryName)
+      .outputMode("append").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // advance watermark far enough to close all windows, then flush
+    stream.addData(Seq((ts("2030-01-01 00:00:00"), "zz", 0.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  test("streaming aggregate_temporal_period emits closed daily windows") {
+    val rows = Seq(
+      (ts("2024-01-01 01:00:00"), "click", 0.0, 0.0, 10.0),
+      (ts("2024-01-01 23:00:00"), "click", 0.0, 0.0, 30.0),
+      (ts("2024-01-02 02:00:00"), "click", 0.0, 0.0, 7.0))
+    val out = feed(rows,
+      df => StreamingOps.aggregateTemporalPeriodStream(df, "day", "max"),
+      "daily_max")
+    val m = out.where(col("band") === "click").collect()
+      .map(r => r.getTimestamp(0).toString.take(10) -> r.getDouble(4)).toMap
+    m("2024-01-01") shouldBe 30.0
+    m("2024-01-02") shouldBe 7.0
+  }
+
+  test("streaming labels match batch periodBucket for the same input") {
+    val rows = Seq(
+      (ts("2024-03-15 12:00:00"), "b", 0.0, 0.0, 1.0),
+      (ts("2024-03-15 18:00:00"), "b", 0.0, 0.0, 5.0))
+    val out = feed(rows,
+      df => StreamingOps.aggregateTemporalPeriodStream(df, "day", "sum"),
+      "daily_sum")
+    val streamed = out.where(col("band") === "b").head()
+    val batch = graft.ops.Reducers.aggregateTemporalPeriod(
+      cubeOf(("2024-03-15", "b", 0.0, 0.0, 6.0)), "day", "sum")
+    streamed.getTimestamp(0) shouldBe batch.df.head().getTimestamp(0)
+    streamed.getDouble(4) shouldBe 6.0
+  }
+
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.dedupExactStream(
+      stream.toDF().toDF("etime", "text"), "text", "etime")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    stream.addData(Seq(
+      (ts("2024-01-01 00:00:00"), "same"),
+      (ts("2024-01-01 00:01:00"), "same"),
+      (ts("2024-01-01 00:02:00"), "other")))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("dedup").select("text").collect()
+      .map(_.getString(0)).sorted shouldBe Array("other", "same")
+  }
+}

@@ -56,7 +56,7 @@ class TextSpec extends SparkSpec {
     val other = (100 to 140).map(i => s"word$i").mkString(" ")
     val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
     val pairs = Dedup.minhashLsh(df, "text", "doc_id", shingleN = 3, k = 32,
-      bands = 16, threshold = 0.5).collect()
+      bands = 8, threshold = 0.5).collect()
     pairs.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
     pairs.head.getDouble(2) should be > 0.8
   }
