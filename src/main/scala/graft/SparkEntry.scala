@@ -312,6 +312,31 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
     }),
+    // --- process-graph compiler end-to-end (§3.1 query path) -------------
+    "q_graph_pipeline" -> ((s, dir) => {
+      // events cube → parquet collection → openEO graph (scan with band
+      // projection + exclusive-end temporal extent, then daily max)
+      import graft.compile.GraphCompiler
+      import graft.ops.Scan
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_coll_$slug"
+      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
+      val catalog = Map("events" -> Scan.CollectionSpec(tmp,
+        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
+        grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
+      val graph = """{
+        "load": {"process_id": "load_collection", "arguments": {
+          "id": "events", "bands": ["click", "view"],
+          "temporal_extent": ["2024-01-05", "2024-01-25"]}},
+        "agg": {"process_id": "aggregate_temporal_period", "arguments": {
+          "data": {"from_node": "load"}, "period": "day",
+          "reducer": {"process_graph": {
+            "m": {"process_id": "max",
+                  "arguments": {"data": {"from_parameter": "data"}},
+                  "result": true}}}}, "result": true}}"""
+      new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
+        .asInstanceOf[graft.cube.Cube].df
+    }),
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -532,6 +557,14 @@ object SparkEntry {
          SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 9) AS cos
          FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
          WHERE dot / (na.nrm * nb.nrm) >= 0.4""",
+    "q_graph_pipeline" -> cq(
+      // load_collection's temporal extent is EXCLUSIVE-end via -1 ms
+      // (reference scan contract, load_odc_collection.py:78-79)
+      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
+         FROM cube WHERE band IN ('click','view')
+           AND time >= TIMESTAMP '2024-01-05'
+           AND time <= TIMESTAMP '2024-01-25' - INTERVAL 1 MILLISECOND
+         GROUP BY 1, 2, 3, 4"""),
   )
 
   /** DuckDB mirror of TextAnalysis.langId: replace-based marker counting,

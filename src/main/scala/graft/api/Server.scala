@@ -1,0 +1,158 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.compile.GraphCompiler
+import graft.cube.Cube
+import graft.ops.{Scan, Sinks}
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+/** HTTP facade mirroring the reference's openEO backend surface
+  * (odc_backend.py):
+  *
+  *   POST   /graph          — run a process graph, return result path
+  *   GET    /collections    — list collections (STAC-ish)
+  *   GET    /collections/x  — describe one collection
+  *   DELETE /stop_job?id=   — cancel a running job
+  *
+  * Reference → Spark mappings:
+  *  - result cache: md5 of the graph string → artifact path
+  *    (odc_backend.py:62-85); here an in-memory + on-disk map.
+  *  - cancellation: the reference kills the worker PROCESS via the jobs
+  *    CSV (odc_backend.py:105-120, workable only because gunicorn runs
+  *    max_requests=1); here jobs run in one shared SparkSession tagged
+  *    with a job group, and DELETE cancels the group —
+  *    `sparkContext.cancelJobGroup` — no process kill needed.
+  *  - concurrency: the reference serializes via 3 single-thread workers;
+  *    here a thread pool shares the session (Spark schedules fairly).
+  */
+final class Server(spark: SparkSession, catalog: Catalog,
+    resultRoot: String, port: Int = 0) {
+
+  private val cache = new ConcurrentHashMap[String, String]()
+  private val running = new ConcurrentHashMap[String, Boolean]()
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(4))
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Server = {
+    server.createContext("/graph", (ex: HttpExchange) => handle(ex) {
+      case "POST" =>
+        val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val jobId = md5(body)
+        // whole-query result cache (odc_backend.py:62-85)
+        Option(cache.get(jobId)) match {
+          case Some(path) => (200, s"""{"output":"$path","cached":true}""")
+          case None =>
+            running.put(jobId, true)
+            spark.sparkContext.setJobGroup(jobId,
+              s"graft job $jobId", interruptOnCancel = true)
+            try {
+              val compiler = new GraphCompiler(spark, catalog.specs,
+                s"$resultRoot/$jobId")
+              val result = compiler.compile(body)
+              val path = result match {
+                case p: String => p // save_result already wrote
+                case c: Cube => Sinks.saveResult(c, "PARQUET",
+                  s"$resultRoot/$jobId")
+                case other => Sinks.saveResult(other, "JSON",
+                  s"$resultRoot/$jobId")
+              }
+              cache.put(jobId, path)
+              (200, s"""{"output":"$path","cached":false}""")
+            } finally {
+              spark.sparkContext.clearJobGroup()
+              running.remove(jobId)
+            }
+        }
+    })
+    server.createContext("/collections", (ex: HttpExchange) => handle(ex) {
+      case "GET" =>
+        val path = ex.getRequestURI.getPath.stripPrefix("/collections")
+          .stripPrefix("/")
+        if (path.isEmpty) (200, catalog.listJson(spark))
+        else catalog.describeJson(spark, path)
+          .map((200, _)).getOrElse((404, s"""{"error":"unknown collection"}"""))
+    })
+    server.createContext("/stop_job", (ex: HttpExchange) => handle(ex) {
+      case "DELETE" =>
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val id = q.split('&').map(_.split('=')).collectFirst {
+          case Array("id", v) => v }
+        id match {
+          case Some(jobId) if running.containsKey(jobId) =>
+            spark.sparkContext.cancelJobGroup(jobId)
+            (200, s"""{"stopped":"$jobId"}""")
+          case Some(jobId) => (404, s"""{"error":"no running job $jobId"}""")
+          case None => (400, """{"error":"missing id"}""")
+        }
+    })
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange)(
+      f: PartialFunction[String, (Int, String)]): Unit = {
+    val (code, body) =
+      try f.applyOrElse(ex.getRequestMethod,
+        (_: String) => (405, """{"error":"method not allowed"}"""))
+      catch { case e: Exception =>
+        (500, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+      }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def md5(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+}
+
+/** Collection catalog over the parquet store — the reference scrapes a
+  * datacube-explorer + dataset YAMLs to synthesize STAC collections
+  * (odc_backend.py:163-313); here the parquet footer IS the metadata
+  * source: extents come from column min/max (one small agg per describe,
+  * cached), bands from the distinct band labels, CRS/grid from the
+  * registered spec. */
+final class Catalog(val specs: Map[String, Scan.CollectionSpec]) {
+  private val described = new ConcurrentHashMap[String, String]()
+
+  def listJson(spark: SparkSession): String =
+    specs.keys.toSeq.sorted
+      .map(id => s"""{"id":"$id"}""")
+      .mkString("""{"collections":[""", ",", "]}")
+
+  def describeJson(spark: SparkSession, id: String): Option[String] =
+    specs.get(id).map { spec =>
+      described.computeIfAbsent(id, _ => {
+        import org.apache.spark.sql.functions._
+        val df = spark.read.parquet(spec.path)
+        val r = df.agg(
+          min("time"), max("time"), min("x"), max("x"),
+          min("y"), max("y")).head()
+        val bands =
+          if (spec.bandOrder.nonEmpty) spec.bandOrder
+          else df.select("band").distinct().collect().map(_.getString(0)).sorted.toSeq
+        val bandsJson = bands.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s"""{"id":"$id","crs":"${spec.crs.getOrElse("")}",
+           |"cube:dimensions":{
+           |"t":{"type":"temporal","extent":["${r.get(0)}","${r.get(1)}"]},
+           |"x":{"type":"spatial","extent":[${r.get(2)},${r.get(3)}]},
+           |"y":{"type":"spatial","extent":[${r.get(4)},${r.get(5)}]},
+           |"bands":{"type":"bands","values":$bandsJson}}}""".stripMargin
+      })
+    }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.api.{Catalog, Server}
+import graft.cube.GridRef
+import graft.ops.Scan
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+class ServerSpec extends SparkSpec {
+
+  lazy val collectionDir: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("api-coll").toString
+    val rows = for { d <- 1 to 2; b <- Seq("B04", "B08"); y <- 0 to 1; x <- 0 to 1 }
+      yield (ts(f"2022-06-0$d 00:00:00"), b, y.toDouble, x.toDouble, d * 100.0 + y + x)
+    rows.toDF("time", "band", "y", "x", "value")
+      .write.mode("overwrite").parquet(s"$dir/c")
+    dir
+  }
+
+  lazy val server: Server = {
+    val catalog = new Catalog(Map("c1" -> Scan.CollectionSpec(
+      s"$collectionDir/c", crs = Some("EPSG:32632"),
+      bandOrder = Seq("B04", "B08"), grid = Some(GridRef(0, 0, 1, 1)))))
+    new Server(spark, catalog,
+      java.nio.file.Files.createTempDirectory("api-res").toString).start()
+  }
+
+  def http(method: String, path: String, body: String = ""): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}$path"))
+      .method(method,
+        if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+        else HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  test("GET /collections lists registered collections") {
+    val (code, body) = http("GET", "/collections")
+    code shouldBe 200
+    body should include(""""id":"c1"""")
+  }
+
+  test("GET /collections/<id> synthesizes cube:dimensions from the store") {
+    val (code, body) = http("GET", "/collections/c1")
+    code shouldBe 200
+    body should include("\"bands\":{\"type\":\"bands\",\"values\":[\"B04\",\"B08\"]}")
+    body should include("2022-06-01")
+    val (code404, _) = http("GET", "/collections/nope")
+    code404 shouldBe 404
+  }
+
+  test("POST /graph executes a process graph and caches by md5") {
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
+      "max": {"process_id": "reduce_dimension", "arguments": {
+        "data": {"from_node": "load"}, "dimension": "t",
+        "reducer": {"process_graph": {
+          "m": {"process_id": "max",
+                "arguments": {"data": {"from_parameter": "data"}},
+                "result": true}}}}, "result": true}}"""
+    val (code, body) = http("POST", "/graph", graph)
+    code shouldBe 200
+    body should include(""""cached":false""")
+    val out = body.split("\"output\":\"")(1).split("\"")(0)
+    spark.read.parquet(out).count() shouldBe 8 // 2 bands × 2×2 pixels
+    // second POST of the same graph hits the result cache
+    val (_, body2) = http("POST", "/graph", graph)
+    body2 should include(""""cached":true""")
+  }
+
+  test("POST /graph with a bad graph returns a JSON error") {
+    val (code, body) = http("POST", "/graph",
+      """{"load": {"process_id": "load_collection",
+         "arguments": {"id": "unknown_coll"}, "result": true}}""")
+    code shouldBe 500
+    body should include("unknown collection")
+  }
+
+  test("DELETE /stop_job on an unknown job is a 404") {
+    val (code, _) = http("DELETE", "/stop_job?id=deadbeef")
+    code shouldBe 404
+  }
+}
