@@ -23,13 +23,11 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: array of k minima of seeded xxhash64 over shingles.
-    * `sh` must be a materialized shingle COLUMN (not an inline expression):
-    * it is referenced k times and Catalyst does not CSE across the k
-    * array slots — an inline shingle expression would tokenize k times. */
+  /** MinHash signature: k-lane minima over the shingle array — native
+    * one-pass expression (one xxhash64 per shingle + k affine
+    * permutations; see graft.functions.TextHashExprs.MinHashSig). */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+    graft.functions.TextHashExprs.minhashSig(sh, k)
 
   /** LSH band key rows: (band_id, band_hash) pairs for blocking. k must be
     * divisible into `bands` of r = k/bands rows. */
@@ -119,17 +117,9 @@ object Dedup {
     val tokens = filter(
       transform(idx, i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))),
       s => s =!= "")
-    val acc = aggregate(tokens,
-      array_repeat(lit(0), 64),
-      (vec, t) => {
-        val h = xxhash64(t)
-        zip_with(vec, sequence(lit(0), lit(63)),
-          (v, i) => v +
-            when(pmod(call_function("shiftright", h, i), lit(2)) === 1, 1).otherwise(-1))
-      })
-    aggregate(zip_with(acc, sequence(lit(0), lit(63)),
-      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (s, bit) => s.bitwiseOR(bit))
+    // sign-aggregation runs in the native one-pass expression (the HOF
+    // fold costs 64 interpreted lambda calls per token)
+    graft.functions.TextHashExprs.simhash64(tokens)
   }
 
   /** Hamming distance of two 64-bit simhashes. */

@@ -29,8 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-to-right double dot product (codegen HOF). */
+  /** Deterministic left-to-right double dot product. Numeric-array inputs
+    * take the native codegen [[graft.functions.DotProduct]] expression;
+    * anything else falls back to the (interpreted) HOF fold with identical
+    * IEEE semantics. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(a, b)
+
+  /** HOF formulation — kept as the semantic reference for [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -13,6 +13,19 @@ class SimilaritySpec extends SparkSpec {
     (2L, vec(0, 1, 0, 0)), (3L, vec(0, 0.9, 0.1, 0)),
     (4L, vec(0, 0, 1, 0))).toDF("vec_id", "embedding")
 
+  test("native codegen dot product is bit-identical to the HOF fold") {
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextGaussian().toFloat),
+      Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1),
+      "native and HOF dot must agree bit-for-bit"))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((vec(1, 2, 3), vec(1, 2, 3), vec(3, -1.5, 0)))
       .toDF("a", "b", "c")
