@@ -107,6 +107,108 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Shared one-pass tokenize→shingle→hash walk: whitespace-split the
+    * (caller-lowered/trimmed) text, slide an n-token window, xxhash64 each
+    * joined shingle (seed 42). Mirrors TextAnalysis.shingles semantics:
+    * < n tokens yields one short shingle; empty shingles are skipped.
+    * No intermediate arrays — the HOF pipeline (split → sequence →
+    * transform(concat_ws(slice)) → filter) allocates four arrays per row
+    * and an interpreted lambda call per shingle. */
+  private def foreachShingleHash(s: UTF8String, n: Int)(consume: Long => Unit): Unit = {
+    val toks = s.toString.split("\\s+")
+    if (toks.length == 0) return
+    val last = math.max(toks.length - n, 0)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      if (sb.length > 0) {
+        consume(XxHash64Function.hash(
+          UTF8String.fromString(sb.toString), StringType, 42L))
+      }
+      i += 1
+    }
+  }
+
+  private def checkString(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$name needs string, got ${t.simpleString}")
+    }
+
+  /** Text → k-lane MinHash signature in one pass (no shingle array).
+    * MinHash is duplicate-insensitive, so skipping array_distinct is
+    * semantics-preserving. */
+  case class MinHashText(child: Expression, n: Int, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_text"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    @transient private lazy val (as, bs) = {
+      val rnd = new java.util.Random(42L) // same lanes as MinHashSig
+      (Array.fill(k)(rnd.nextLong() | 1L), Array.fill(k)(rnd.nextLong()))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val mins = Array.fill(k)(Long.MaxValue)
+      foreachShingleHash(input.asInstanceOf[UTF8String], n) { h =>
+        var j = 0
+        while (j < k) {
+          val p = as(j) * h + bs(j)
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Text → 64-bit SimHash over word n-gram features (with multiplicity),
+    * one pass. */
+  case class SimHashText(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash_text"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val counters = new Array[Int](64)
+      foreachShingleHash(input.asInstanceOf[UTF8String], n) { h =>
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L; var b = 0
+      while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
+
   private def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val sim = FunctionIdentifier("graft_simhash64")
@@ -128,6 +230,21 @@ object TextHashExprs {
           MinHashSig(cs.head, k)
         })
     }
+    val mht = FunctionIdentifier("graft_minhash_text")
+    if (!registry.functionExists(mht)) {
+      registry.registerFunction(mht,
+        new ExpressionInfo(classOf[MinHashText].getName, "graft_minhash_text"),
+        (cs: Seq[Expression]) => MinHashText(cs.head,
+          intLit(cs(1), "graft_minhash_text n"),
+          intLit(cs(2), "graft_minhash_text k")))
+    }
+    val sht = FunctionIdentifier("graft_simhash_text")
+    if (!registry.functionExists(sht)) {
+      registry.registerFunction(sht,
+        new ExpressionInfo(classOf[SimHashText].getName, "graft_simhash_text"),
+        (cs: Seq[Expression]) => SimHashText(cs.head,
+          intLit(cs(1), "graft_simhash_text n")))
+    }
   }
 
   def simhash64(tokens: Column): Column = {
@@ -139,5 +256,20 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_minhash_sig", shingles,
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass text→MinHash signature (caller lowers/trims the text). */
+  def minhashText(text: Column, n: Int, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_minhash_text", text,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass text→SimHash over word n-grams (caller lowers/trims). */
+  def simhashText(text: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_simhash_text", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.cube.{Cube, CubeMeta, Dim, GridRef}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cube alignment operators — the reference's joins-in-disguise
@@ -58,22 +59,24 @@ object Joins {
     * from the two distinct-time sets and broadcast-joined back — one small
     * shuffle-free pass over the source. */
   def resampleCubeTemporal(source: Cube, target: Cube): Cube = {
-    val spark = source.df.sparkSession
-    import spark.implicits._
-    val srcTimes = source.df.select(Dim.Time).distinct()
-      .as[java.sql.Timestamp].collect().sortBy(_.getTime)
-    val tgtTimes = target.df.select(Dim.Time).distinct()
-      .as[java.sql.Timestamp].collect().sortBy(_.getTime)
-    require(srcTimes.nonEmpty && tgtTimes.nonEmpty, "empty time axis")
-    // nearest source time for each target time (ties → earlier source,
-    // matching argmin over ascending order)
-    val mapping = tgtTimes.map { t =>
-      val best = srcTimes.minBy(s => math.abs(s.getTime - t.getTime))
-      (best, t)
-    }
-    val mapDf = broadcast(mapping.toSeq.toDF("_src_time", Dim.Time))
+    // The time axes are tiny relative to the cube (thousands vs billions
+    // of rows at 100 TB), so the target→source mapping is a cross join of
+    // the two DISTINCT-time sets with a rank-1 window — all inside the lazy
+    // plan (no driver collect: the plan stays one job and the upstream
+    // lineage is computed once), then broadcast-joined back to the source.
+    val srcTimes = source.df.select(col(Dim.Time).as("_src_time")).distinct()
+    val tgtTimes = target.df.select(col(Dim.Time).as("_tgt_time")).distinct()
+    // nearest source time per target time; ties → earlier source, matching
+    // argmin over the ascending time order
+    val dist = abs(unix_micros(col("_tgt_time")) - unix_micros(col("_src_time")))
+    val w = Window.partitionBy(col("_tgt_time")).orderBy(dist, col("_src_time"))
+    val mapDf = broadcast(tgtTimes.crossJoin(srcTimes)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("_src_time"), col("_tgt_time")))
     val relabeled = source.df.withColumnRenamed(Dim.Time, "_src_time")
       .join(mapDf, "_src_time")
+      .withColumnRenamed("_tgt_time", Dim.Time)
       .drop("_src_time")
     Cube(relabeled, source.meta)
   }

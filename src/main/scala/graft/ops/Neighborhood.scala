@@ -33,15 +33,22 @@ object Neighborhood {
       (row, j) <- kernel.zipWithIndex
       (w, i) <- row.zipWithIndex if w != 0.0
     } yield struct(lit(j - ky0).as("dy"), lit(i - kx0).as("dx"), lit(w).as("w"))
-    // extent for border remapping: one tiny agg, computed once
-    val Seq(minX, maxX, minY, maxY) = extentIdx(c)
-    def remap(idx: Column, lo: Long, hi: Long): Column = border match {
-      case "replicate" => greatest(lit(lo), least(lit(hi), idx))
+    // extent for border remapping: a broadcast one-row aggregate joined
+    // into the plan — NOT a driver-side collect, so the whole operator is
+    // one lazy plan with a single scan of the cube lineage (a collect here
+    // would run the upstream pipeline twice and serialize two jobs)
+    val extent = broadcast(c.df.agg(
+      min(g.xIdx(col(Dim.X))).as("_minx"), max(g.xIdx(col(Dim.X))).as("_maxx"),
+      min(g.yIdx(col(Dim.Y))).as("_miny"), max(g.yIdx(col(Dim.Y))).as("_maxy")))
+    val minX = col("_minx"); val maxX = col("_maxx")
+    val minY = col("_miny"); val maxY = col("_maxy")
+    def remap(idx: Column, lo: Column, hi: Column): Column = border match {
+      case "replicate" => greatest(lo, least(hi, idx))
       case "reflect" => // abcd -> dcba|abcd|dcba  (scipy 'reflect')
         reflectIdx(idx, lo, hi, mirror = false)
       case "mirror" => // abcd -> dcb|abcd|cba   (scipy 'mirror')
         reflectIdx(idx, lo, hi, mirror = true)
-      case "wrap" => lit(lo) + pmod(idx - lit(lo), lit(hi - lo + 1))
+      case "wrap" => lo + pmod(idx - lo, hi - lo + 1)
       case _ => idx // constant mode: keep index; missing cells get cval
     }
     val filled = c.df.withColumn(Cube.ValueCol,
@@ -50,9 +57,11 @@ object Neighborhood {
     val others = c.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
     val tap = explode(array(taps: _*)).as("_tap")
     val scattered = filled
+      .crossJoin(extent)
       .withColumn("_ix", g.xIdx(col(Dim.X)))
       .withColumn("_iy", g.yIdx(col(Dim.Y)))
-      .select(others ++ Seq(col("_ix"), col("_iy"), col(Cube.ValueCol), tap): _*)
+      .select(others ++ Seq(col("_ix"), col("_iy"), col(Cube.ValueCol), tap,
+        minX, maxX, minY, maxY): _*)
       .withColumn("_txr", col("_ix") + col("_tap.dx"))
       .withColumn("_tyr", col("_iy") + col("_tap.dy"))
       // border remap happens on the TARGET index as seen from the source
@@ -91,19 +100,11 @@ object Neighborhood {
 
   /** reflect/mirror index folding for a bounded extent; valid while |over|
     * <= extent (always true for kernels smaller than the raster). */
-  private def reflectIdx(idx: Column, lo: Long, hi: Long, mirror: Boolean): Column = {
+  private def reflectIdx(idx: Column, lo: Column, hi: Column, mirror: Boolean): Column = {
     val m = if (mirror) 0 else 1
-    val lower = lit(2 * lo - m) - idx  // reflect below lo
-    val upper = lit(2 * hi + m) - idx  // reflect above hi
+    val lower = (lo * 2 - m) - idx  // reflect below lo
+    val upper = (hi * 2 + m) - idx  // reflect above hi
     when(idx < lo, lower).when(idx > hi, upper).otherwise(idx)
-  }
-
-  private def extentIdx(c: Cube): Seq[Long] = {
-    val g = c.meta.requireGrid
-    val r = c.df.agg(
-      min(g.xIdx(col(Dim.X))), max(g.xIdx(col(Dim.X))),
-      min(g.yIdx(col(Dim.Y))), max(g.yIdx(col(Dim.Y)))).head()
-    Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
   }
 
   /** `array_interpolate_linear` — linear gap-fill of nulls along an ordered

@@ -97,10 +97,15 @@ object Reducers {
     if (boundary == "trim") {
       // block is complete iff all size*size indices exist in-extent; with a
       // dense grid that's: block start + size - 1 still within max index.
-      // Max indices derived lazily from data (one tiny agg, driver-side).
-      val Array(maxX, maxY) = dfMaxIdx(c)
-      df = df.where(
-        (col("_bx") + 1) * sizeX - 1 <= maxX && (col("_by") + 1) * sizeY - 1 <= maxY)
+      // Max indices come from a broadcast one-row agg joined into the plan
+      // (no driver collect → single lazy job, upstream computed once).
+      val ext = broadcast(c.df.agg(
+        max(g.xIdx(col(Dim.X))).as("_maxix"),
+        max(g.yIdx(col(Dim.Y))).as("_maxiy")))
+      df = df.crossJoin(ext).where(
+        (col("_bx") + 1) * sizeX - 1 <= col("_maxix") &&
+          (col("_by") + 1) * sizeY - 1 <= col("_maxiy"))
+        .drop("_maxix", "_maxiy")
     }
     val out = df.groupBy(others :+ col("_bx") :+ col("_by"): _*)
       .agg(reducer(name)(col(Cube.ValueCol)).as(Cube.ValueCol))
@@ -109,12 +114,6 @@ object Reducers {
       .drop("_bx", "_by")
     val newGrid = g.copy(dx = g.dx * sizeX, dy = g.dy * sizeY)
     Cube(out, c.meta.copy(grid = Some(newGrid)))
-  }
-
-  private def dfMaxIdx(c: Cube): Array[Long] = {
-    val g = c.meta.requireGrid
-    val r = c.df.agg(max(g.xIdx(col(Dim.X))), max(g.yIdx(col(Dim.Y)))).head()
-    Array(r.getLong(0), r.getLong(1))
   }
 
   /** `aggregate_spatial` — zonal statistics over GeoJSON features

@@ -121,8 +121,11 @@ object Sar2Cube {
       orbitDirection: String): Cube = {
     val g = c.meta.requireGrid
     val dem = c.df.where(col(Dim.Band) === "DEM").drop(Dim.Band)
-    val liaMean = c.df.where(col(Dim.Band) === "LIA")
-      .agg(avg(col(Cube.ValueCol))).head().getDouble(0)
+    // scene-mean LIA as a broadcast one-row agg joined into the plan — no
+    // driver collect, so the operator stays a single lazy job
+    val liaDf = broadcast(c.df.where(col(Dim.Band) === "LIA")
+      .agg(avg(col(Cube.ValueCol)).as("_lia")))
+    val liaMean = col("_lia")
     val heading = math.toRadians(if (orbitDirection == "DSC") 12.5 else -12.5)
     val dx = g.dx; val dy = g.dy
     val dxP = dx * math.tan(heading); val dyP = dy * math.tan(heading)
@@ -145,6 +148,7 @@ object Sar2Cube {
       .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
       .pivot("_tag", Seq("nw", "ne", "sw", "se"))
       .agg(first(col(Cube.ValueCol)))
+      .crossJoin(liaDf)
     val nw = col("nw").cast("double"); val ne = col("ne").cast("double")
     val sw = col("sw").cast("double"); val se = col("se").cast("double")
     // reference's range slope (openeo_odc_driver.py:1469-1471):
@@ -158,7 +162,7 @@ object Sar2Cube {
     val lay = when(f > 0 && f > liaMean, f / liaMean).otherwise(0.0)
     val layMask = when(lay > layoverTh, 1.0).otherwise(0.0)
     val foreMask = when(fore > foreshorteningTh, 1.0).otherwise(0.0)
-    val shadowMask = when(f < 0 && abs(f) > (90 - liaMean), 1.0).otherwise(0.0)
+    val shadowMask = when(f < 0 && abs(f) > (lit(90.0) - liaMean), 1.0).otherwise(0.0)
     val base = corners
       .withColumn(Dim.X, g.xCoord(col("_tx")))
       .withColumn(Dim.Y, g.yCoord(col("_ty")))

