@@ -137,10 +137,17 @@ final class GraphCompiler(
       case "apply_kernel" =>
         val kernel = resolve(n.arguments("kernel"), r).asInstanceOf[Seq[Any]]
           .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double]))
+        // numeric border is openEO shorthand for constant-fill with that
+        // value (openeo_odc_driver.py:1405-1415)
+        val (borderMode, cval) = n.arguments.get("border").map(resolve(_, r)) match {
+          case Some(d: Double) => ("constant", d)
+          case Some(s: String) => (s, 0.0)
+          case _               => ("reflect", 0.0)
+        }
         Neighborhood.applyKernel(cubeArg(n, "data", r), kernel,
           factor = optD(n, "factor", r).getOrElse(1.0),
-          border = optS(n, "border", r).getOrElse("reflect"),
-          cval = optD(n, "border", r).getOrElse(0.0),
+          border = borderMode,
+          cval = cval,
           replaceInvalid = optD(n, "replace_invalid", r).getOrElse(0.0))
 
       // ---- aggregations (A3-A8) ----

@@ -114,26 +114,57 @@ object TextHashExprs {
     * No intermediate arrays — the HOF pipeline (split → sequence →
     * transform(concat_ws(slice)) → filter) allocates four arrays per row
     * and an interpreted lambda call per shingle. */
+  /** Java-regex `\s` class over raw UTF-8 bytes: the six ASCII whitespace
+    * bytes. Multi-byte UTF-8 sequences all have the high bit set, so they
+    * can never alias these — byte-level splitting is exactly equivalent to
+    * `String.split("\\s+")` on trimmed input (no leading-empty token). */
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
   private def foreachShingleHash(s: UTF8String, n: Int)(consume: Long => Unit): Unit = {
-    val toks = s.toString.split("\\s+")
-    if (toks.length == 0) return
-    val last = math.max(toks.length - n, 0)
-    val sb = new java.lang.StringBuilder(64)
+    // tokenize directly over the UTF-8 bytes — no String materialization,
+    // no per-row regex, no token-array allocation beyond two int spans
+    val bytes = s.getBytes
+    val len = bytes.length
+    var starts = new Array[Int](16); var ends = new Array[Int](16)
+    var nTok = 0
     var i = 0
-    while (i <= last) {
-      sb.setLength(0)
-      var j = i
-      val end = math.min(i + n, toks.length)
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        val st = i
+        while (i < len && !isWs(bytes(i))) i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = st; ends(nTok) = i; nTok += 1
+      }
+    }
+    if (nTok == 0) return
+    val last = math.max(nTok - n, 0)
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w <= last) {
+      val end = math.min(w + n, nTok)
+      var need = 0
+      var j = w
+      while (j < end) { need += ends(j) - starts(j) + 1; j += 1 }
+      if (buf.length < need) buf = new Array[Byte](Integer.highestOneBit(need) * 2)
+      var pos = 0
+      j = w
       while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
+        if (j > w) { buf(pos) = ' '; pos += 1 }
+        val l = ends(j) - starts(j)
+        System.arraycopy(bytes, starts(j), buf, pos, l)
+        pos += l
         j += 1
       }
-      if (sb.length > 0) {
+      if (pos > 0) {
         consume(XxHash64Function.hash(
-          UTF8String.fromString(sb.toString), StringType, 42L))
+          UTF8String.fromBytes(buf, 0, pos), StringType, 42L))
       }
-      i += 1
+      w += 1
     }
   }
 

@@ -58,6 +58,10 @@ object Joins {
     * rows at 100 TB), so the target→source mapping is computed driver-side
     * from the two distinct-time sets and broadcast-joined back — one small
     * shuffle-free pass over the source. */
+  /** Note: an empty source or target time axis yields an empty result (the
+    * mapping table is empty, so the join drops every row) — empty-in /
+    * empty-out by design; a driver-side emptiness check would force an
+    * extra job on the 100 TB lineage just to raise earlier. */
   def resampleCubeTemporal(source: Cube, target: Cube): Cube = {
     // The time axes are tiny relative to the cube (thousands vs billions
     // of rows at 100 TB), so the target→source mapping is a cross join of

@@ -125,7 +125,11 @@ object Sar2Cube {
     // driver collect, so the operator stays a single lazy job
     val liaDf = broadcast(c.df.where(col(Dim.Band) === "LIA")
       .agg(avg(col(Cube.ValueCol)).as("_lia")))
-    val liaMean = col("_lia")
+    // a missing/empty LIA band yields a null mean — fail loudly in the plan
+    // instead of silently emitting all-zero masks (every when() below would
+    // fall through to otherwise(0.0))
+    val liaMean = coalesce(col("_lia"),
+      raise_error(lit("radar_mask: LIA band missing or empty")).cast("double"))
     val heading = math.toRadians(if (orbitDirection == "DSC") 12.5 else -12.5)
     val dx = g.dx; val dy = g.dy
     val dxP = dx * math.tan(heading); val dyP = dy * math.tan(heading)

@@ -164,6 +164,24 @@ class GraphCompilerSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 24
   }
 
+  test("apply_kernel numeric border means constant-fill with that cval") {
+    // openEO shorthand: "border": 100 ≡ mode=constant, cval=100
+    // (openeo_odc_driver.py:1405-1415)
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "k": {"process_id": "apply_kernel", "arguments": {
+        "data": {"from_node": "load"},
+        "kernel": [[1,1,1],[1,1,1],[1,1,1]],
+        "border": 100}, "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    // corner (0,0) of the 2x2 grid: 4 in-grid taps + 5 border taps * 100
+    // B04 day 1 values: (0,0)=410 (0,1)=411 (1,0)=411 (1,1)=412 → 1644
+    val v = c.df.where(col("band") === "B04" &&
+      col("y") === 0.0 && col("x") === 0.0)
+      .orderBy("time").head().getDouble(4)
+    v shouldBe (1644.0 + 5 * 100.0) +- 1e-9
+  }
+
   test("aggregate_temporal_period via graph uses the named reducer callback") {
     val g = """{
       "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
