@@ -70,6 +70,12 @@ object SparkEntry {
   private def dmean(v: Column): Column = dsum(v) / count(v)
   private val dmeanSql = (v: String) => s"${dsumSql(v)} / COUNT($v)"
 
+  /** Correctly-rounded decimal→double for the oracle: split the exact
+    * integer at 2^26 (hi exact ≤2^53, hi·2^26 exact, + lo rounds once). */
+  private def splitCastSql(x: String): String =
+    s"(CAST(CAST($x AS HUGEINT) // 67108864 AS DOUBLE) * 67108864.0" +
+      s" + CAST(CAST($x AS HUGEINT) % 67108864 AS DOUBLE))"
+
   // ------------------------------------------------------------------ entry
 
   /** Flagship: the reference's golden NDVI+median query shape
@@ -340,10 +346,36 @@ object SparkEntry {
       Sar2Cube.filterBboxByLonLatBands(sarCube(c), west = 11.0005,
         south = 45.0005, east = 11.0025, north = 45.0305).df),
     // --- curve fitting (A9, A10) ------------------------------------------
-    "q_fit_curve" -> onCube(c =>
-      // per-pixel LM least squares (custom Aggregator) — the optimizer
-      // isn't SQL-expressible → rows-only check (one row per group)
-      CurveFit.fitCurve(c, ScalarExpr.linear, minSamples = 12)),
+    "q_fit_curve" -> onCube { c =>
+      // closed-form linear least squares with exact decimal sums so the
+      // DuckDB oracle hash-matches bit-for-bit; the LM optimizer path
+      // (CurveFit.fitCurve) is pinned equal to this closed form in
+      // FunctionsSpec. Zero-mask + <12-sample → zero params like the
+      // reference (openeo_odc_driver.py:1532-1543).
+      val tx = unix_timestamp(col(Dim.Time)) // floor seconds, long
+      val v = col(Cube.ValueCol)
+      val m = v =!= 0.0 && !isnan(v)
+      val txd = tx.cast("decimal(18,0)")
+      // 2-decimal values ×100 → all four sums are exact INTEGER decimals;
+      // Spark's decimal→double cast is correctly rounded, and the oracle
+      // reproduces the same rounding with a hi/lo split cast (DuckDB's
+      // native wide-decimal→double cast can be off by one ulp)
+      val v100 = (v.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+      val agg = c.df.groupBy(Dim.Band, Dim.Y, Dim.X).agg(
+        count(when(m, lit(1))).cast("double").as("_n"),
+        sum(when(m, txd)).cast("double").as("_sx"),
+        (sum(when(m, v100)).cast("double") / 100.0).as("_sy"),
+        (sum(when(m, txd * v100)).cast("double") / 100.0).as("_sxy"),
+        sum(when(m, txd * txd)).cast("double").as("_sxx"))
+      val denom = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+      val degenerate = col("_n") < 12 || denom === 0.0
+      val a1 = when(degenerate, 0.0)
+        .otherwise((col("_n") * col("_sxy") - col("_sx") * col("_sy")) / denom)
+      val a0 = when(degenerate, 0.0)
+        .otherwise((col("_sy") - a1 * col("_sx")) / col("_n"))
+      agg.select(col(Dim.Band), col(Dim.Y), col(Dim.X),
+        a0.as("a0"), a1.as("a1"))
+    },
     "q_predict_curve" -> onCube { c =>
       // model evaluation path with deterministic params (a0 = exact decimal
       // mean, a1 = 1e-6): a0 + a1·unix_seconds, oracle-matched
@@ -727,6 +759,44 @@ object SparkEntry {
              AND (45.0 + y * 0.001 + x * 0.00001) BETWEEN 45.0005 AND 45.0305)
          SELECT f.time, f.band, f.y, f.x, f.value
          FROM fullc f JOIN keep USING (y, x)"""),
+    "q_fit_curve" -> cq(
+      // hi/lo split cast: DuckDB's wide-decimal→double cast can be off by
+      // one ulp; splitting the exact integer at 2^26 and recombining in
+      // double reproduces Java's correctly-rounded BigDecimal.doubleValue
+      s""", s0 AS (
+           SELECT band, y, x,
+             COUNT(CASE WHEN value != 0 AND NOT isnan(value) THEN 1 END) AS n,
+             SUM(CASE WHEN value != 0 AND NOT isnan(value)
+                      THEN epoch_us(time) // 1000000 END) AS sxr,
+             SUM(CASE WHEN value != 0 AND NOT isnan(value)
+                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+                 END) AS sy100,
+             SUM(CASE WHEN value != 0 AND NOT isnan(value)
+                      THEN CAST(epoch_us(time) // 1000000 AS DECIMAL(19,0))
+                           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
+                 END) AS sxy100,
+             SUM(CASE WHEN value != 0 AND NOT isnan(value)
+                      THEN CAST(epoch_us(time) // 1000000 AS DECIMAL(19,0))
+                           * CAST(epoch_us(time) // 1000000 AS DECIMAL(19,0))
+                 END) AS sxxr
+           FROM cube GROUP BY 1, 2, 3),
+         s AS (
+           SELECT band, y, x, CAST(n AS DOUBLE) AS n,
+             ${splitCastSql("sxr")} AS sx,
+             ${splitCastSql("sy100")} / 100.0 AS sy,
+             ${splitCastSql("sxy100")} / 100.0 AS sxy,
+             ${splitCastSql("sxxr")} AS sxx
+           FROM s0),
+         f AS (
+           SELECT band, y, x, n, sx, sy,
+             (n < 12 OR (n * sxx - sx * sx) = 0) AS deg,
+             CASE WHEN n < 12 OR (n * sxx - sx * sx) = 0 THEN 0.0
+                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS a1
+           FROM s)
+         SELECT band, y, x,
+           CASE WHEN deg THEN 0.0 ELSE (sy - a1 * sx) / n END AS a0,
+           a1
+         FROM f"""),
     "q_predict_curve" -> cq(
       s"""SELECT c.time, c.band, c.y, c.x,
            p.a0 + 0.000001 * CAST(epoch_us(c.time) // 1000000 AS DOUBLE) AS value

@@ -90,6 +90,34 @@ object CurveFit {
       .agg(agg(x, col(Cube.ValueCol).cast("double")).as("params"))
   }
 
+  /** Closed-form linear least squares over the time axis — the fast path
+    * for the linear model `a0 + a1·x`. One aggregation pass with O(1)
+    * per-group state (five running sums) instead of buffering the whole
+    * series for LM, so map-side partial aggregation applies and per-group
+    * memory is constant at any scale. Same zero-mask and min-sample
+    * semantics as [[fitCurve]] (openeo_odc_driver.py:1532-1543);
+    * FunctionsSpec pins LM == closed form. */
+  def fitCurveLinear(c: Cube, minSamples: Int = 12): DataFrame = {
+    require(c.has(Dim.Time), "fit_curve needs a time dimension")
+    val keep = c.dimsExcept(Dim.Time).map(col)
+    val tx = unix_timestamp(col(Dim.Time)).cast("double")
+    val v = col(Cube.ValueCol).cast("double")
+    val m = v =!= 0.0 && !isnan(v) // zero-mask like the reference
+    val agg = c.df.groupBy(keep: _*).agg(
+      count(when(m, lit(1))).cast("double").as("_n"),
+      sum(when(m, tx)).as("_sx"),
+      sum(when(m, v)).as("_sy"),
+      sum(when(m, tx * v)).as("_sxy"),
+      sum(when(m, tx * tx)).as("_sxx"))
+    val denom = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val degenerate = col("_n") < minSamples || denom === 0.0
+    val a1 = when(degenerate, 0.0)
+      .otherwise((col("_n") * col("_sxy") - col("_sx") * col("_sy")) / denom)
+    val a0 = when(degenerate, 0.0)
+      .otherwise((col("_sy") - a1 * col("_sx")) / col("_n"))
+    agg.select(keep :+ array(a0, a1).as("params"): _*)
+  }
+
   /** predict_curve: evaluate the model at the cube's timestamps using the
     * fitted params (join on the non-time dims; params side is small after
     * reduction → broadcast-eligible). */

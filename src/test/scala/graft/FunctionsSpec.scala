@@ -42,6 +42,34 @@ class FunctionsSpec extends SparkSpec {
     p shouldBe Seq(0.0, 0.0)
   }
 
+  test("fit_curve LM agrees with the closed-form linear least squares") {
+    import spark.implicits._
+    // noisy linear series per group so LM actually optimizes (sin noise
+    // keeps the residual nonzero); two pixel groups
+    val rows = for { g <- 0 to 1; i <- 1 to 20 } yield
+      (new java.sql.Timestamp(i * 86400000L), g.toDouble, 0.0,
+        5.0 + g + 0.5 * (i * 86400.0) + math.sin(i.toDouble) * 3.0)
+    val c = Cube(rows.toDF("time", "y", "x", "value"))
+    val lm = CurveFit.fitCurve(c, ScalarExpr.linear, minSamples = 12)
+      .collect().map(r => r.getDouble(0) -> r.getSeq[Double](2)).toMap
+    val cf = CurveFit.fitCurveLinear(c, minSamples = 12)
+      .collect().map(r => r.getDouble(0) -> r.getSeq[Double](2)).toMap
+    for (g <- Seq(0.0, 1.0)) {
+      lm(g)(0) shouldBe cf(g)(0) +- 1e-3
+      lm(g)(1) shouldBe cf(g)(1) +- 1e-9
+    }
+  }
+
+  test("fit_curve closed form yields zero params below the sample threshold") {
+    import spark.implicits._
+    val rows = (1 to 5).map { i =>
+      (new java.sql.Timestamp(i * 86400000L), 0.0, 0.0, 1.0 + i)
+    }
+    val c = Cube(rows.toDF("time", "y", "x", "value"))
+    val fitted = CurveFit.fitCurveLinear(c)
+    fitted.head().getSeq[Double](2) shouldBe Seq(0.0, 0.0)
+  }
+
   test("predict_curve evaluates the fitted model at the cube timestamps") {
     import spark.implicits._
     val rows = (1 to 20).map { i =>
