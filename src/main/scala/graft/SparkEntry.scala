@@ -294,6 +294,16 @@ object SparkEntry {
       val tgt = Reducers.aggregateTemporalPeriod(c, "week", "max")
       Joins.resampleCubeTemporal(src, tgt).df
     },
+    "q_resample_spatial" -> onCube { c =>
+      // compiler-folded resample_spatial (R4): origin-preserving regrid of
+      // the scan grid to resolution 2 with the default nearest method — the
+      // same Joins.resampleCubeSpatialNearest call GraphCompiler's fold
+      // emits (the fold itself is pinned by GraphCompilerSpec)
+      val uniq = Cube(
+        c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
+          .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
+      Joins.resampleCubeSpatialNearest(uniq, GridRef(0.0, 0.0, 2.0, 2.0)).df
+    },
     "q_resample_spatial_bilinear" -> onCube { c =>
       // 4-neighbor weighted regrid (J3 bilinear; weighted double sums are
       // order-dependent → rows-only check)
@@ -652,6 +662,25 @@ object SparkEntry {
          SELECT time, band, value, xx AS x, yy AS y FROM (
            SELECT time, band, value,
              0.25 + tx * 2.0 AS xx, 0.25 + ty * 2.0 AS yy,
+             row_number() OVER (PARTITION BY time, band, tx, ty
+                                ORDER BY d2, y, x) AS rn
+           FROM binned) WHERE rn = 1"""),
+    "q_resample_spatial" -> (cubeCte.stripSuffix(")") + "), " +
+      """uniq AS (
+           SELECT time, band, y, x, MAX(value) AS value
+           FROM cube GROUP BY 1, 2, 3, 4),
+         binned AS (
+           SELECT time, band, value, y, x,
+             CAST(round(x / 2.0, 0) AS BIGINT) AS tx,
+             CAST(round(y / 2.0, 0) AS BIGINT) AS ty,
+             (x - CAST(round(x / 2.0, 0) AS BIGINT) * 2.0)
+               * (x - CAST(round(x / 2.0, 0) AS BIGINT) * 2.0)
+             + (y - CAST(round(y / 2.0, 0) AS BIGINT) * 2.0)
+               * (y - CAST(round(y / 2.0, 0) AS BIGINT) * 2.0) AS d2
+           FROM uniq)
+         SELECT time, band, value, xx AS x, yy AS y FROM (
+           SELECT time, band, value,
+             CAST(tx * 2.0 AS DOUBLE) AS xx, CAST(ty * 2.0 AS DOUBLE) AS yy,
              row_number() OVER (PARTITION BY time, band, tx, ty
                                 ORDER BY d2, y, x) AS rn
            FROM binned) WHERE rn = 1"""),

@@ -347,18 +347,9 @@ final class GraphCompiler(
         case FromNode(dep) => reachesScan(g, dep, n.id)
         case _ => false
       })
-    val spec = resample match {
-      case Some(rn) =>
-        val res = rn.arguments.get("resolution") match {
-          case Some(LitArg(v)) if v.isNumber => Some(v.asDouble)
-          case _ => None
-        }
-        res.filter(_ > 0).map(rr => spec0.copy(grid =
-          spec0.grid.map(gr => gr.copy(dx = rr, dy = rr)))).getOrElse(spec0)
-      case None => spec0
-    }
     val bands = n.arguments.get("bands").map(resolve(_, results)
       .asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+    val spec = spec0
     val temporal = n.arguments.get("temporal_extent")
       .map(extentPair(_, results))
     val (bbox, polygon) = n.arguments.get("spatial_extent") match {
@@ -369,7 +360,52 @@ final class GraphCompiler(
           v.get("east").asDouble, v.get("north").asDouble)), None)
       case _ => (None, None)
     }
-    Scan.loadCollection(spark, spec, bands, temporal, bbox, polygon = polygon)
+    val scanned = Scan.loadCollection(spark, spec, bands, temporal, bbox,
+      polygon = polygon)
+    // the fold must REGRID THE DATA, not just rewrite grid metadata — the
+    // reference's ODC load really resamples (load_odc_collection.py:128-173)
+    resample.map(applyResampleFold(scanned, _, results)).getOrElse(scanned)
+  }
+
+  /** Execute the folded resample_spatial on the scanned cube: scale the
+    * scan grid to the requested resolution and regrid with the requested
+    * method (near→nearest like the reference, openeo_odc_driver.py:346-349).
+    */
+  private def applyResampleFold(c: Cube, rn: Node,
+      r: collection.Map[String, Any]): Cube = {
+    val res: Option[(Double, Double)] =
+      rn.arguments.get("resolution").map(resolve(_, r)) match {
+        case Some(d: Double) if d > 0 => Some((d, d))
+        case Some(xs: Seq[_]) =>
+          xs.map { case d: Double => d } match {
+            case Seq(rx, ry) if rx > 0 && ry > 0 => Some((rx, ry))
+            case _ => None
+          }
+        case _ => None
+      }
+    rn.arguments.get("projection").map(resolve(_, r)).foreach { p =>
+      val tgt = p match {
+        case d: Double => s"EPSG:${d.toInt}"
+        case s: String if s.forall(_.isDigit) => s"EPSG:$s"
+        case s: String => s
+      }
+      if (!c.meta.crs.forall(_ == tgt))
+        throw new IllegalArgumentException(
+          "resample_spatial: projection change " +
+            s"${c.meta.crs.getOrElse("?")} -> $tgt not supported yet")
+    }
+    res match {
+      case Some((rx, ry)) =>
+        val g0 = c.meta.requireGrid
+        val tg = g0.copy(dx = rx, dy = ry)
+        optS(rn, "method", r).getOrElse("near") match {
+          case "near" | "nearest" => Joins.resampleCubeSpatialNearest(c, tg)
+          case "bilinear"         => Joins.resampleCubeSpatialBilinear(c, tg)
+          case other => throw new IllegalArgumentException(
+            s"resample_spatial: unsupported method '$other'")
+        }
+      case None => c
+    }
   }
 
   /** Does following `data` edges from `from` reach node `scanId`? */

@@ -164,6 +164,40 @@ class GraphCompilerSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 24
   }
 
+  test("resample_spatial fold regrids the data, not just the metadata") {
+    // collection grid is 1×1 m; resample to 2 m → coordinates land on the
+    // coarse grid and the cube's grid step changes
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "rs": {"process_id": "resample_spatial", "arguments": {
+        "data": {"from_node": "load"}, "resolution": 2}, "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    val grid = c.meta.grid.get
+    grid.dx shouldBe 2.0
+    grid.dy shouldBe 2.0
+    // source x ∈ {0,1}: x=0 → cell 0 (coord 0), x=1 → cell 1 (coord 2)
+    c.df.select("x").distinct().collect().map(_.getDouble(0)).sorted shouldBe
+      Array(0.0, 2.0)
+    // nearest regrid keeps the source values (unique bin per cell here)
+    c.df.count() shouldBe 24
+  }
+
+  test("resample_spatial bilinear fold averages into the coarse grid") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "rs": {"process_id": "resample_spatial", "arguments": {
+        "data": {"from_node": "load"}, "resolution": 2, "method": "bilinear"},
+        "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    c.meta.grid.get.dx shouldBe 2.0
+    // target cell (0,0) at coords (0,0): weights (1-|dx/1|)... the source
+    // points (0,0),(0,1),(1,0),(1,1) have |offset| 0/1/1/√2 in SOURCE cells
+    // → only the coincident point has weight → value preserved there
+    val v = c.df.where(col("band") === "B04" && col("y") === 0.0 &&
+      col("x") === 0.0).orderBy("time").select("value").head().getDouble(0)
+    v shouldBe 410.0 +- 1e-9
+  }
+
   test("apply_kernel numeric border means constant-fill with that cval") {
     // openEO shorthand: "border": 100 ≡ mode=constant, cval=100
     // (openeo_odc_driver.py:1405-1415)
