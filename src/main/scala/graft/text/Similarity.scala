@@ -46,6 +46,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Shared ranked-output tail: bounded top-k aggregate under
+    * groupBy(query_id) — map-side combine reduces each task's slice to
+    * <= k rows per query BEFORE the shuffle (see [[graft.functions.TopKAgg]]);
+    * posexplode rebuilds the (rank, neighbor, cos) rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col("neighbor_id"), col("cos")).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_s")))
+      .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+        col("_s.id").as("neighbor_id"), round(col("_s.cos"), 9).as("cos"))
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries (small) are broadcast against the corpus. */
   def topKBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -61,12 +73,7 @@ object Similarity {
       if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
     val scored = joined.withColumn("cos",
       dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 9).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Seeded deterministic Gaussian hyperplanes for sign-LSH. */
@@ -113,12 +120,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.withColumn("cos",
       dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 9).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic coarse centroids: the embeddings of the `nCentroids`
@@ -136,22 +138,32 @@ object Similarity {
       .select(col("centroid_id"), col(vecCol).as("_centroid"))
   }
 
-  /** IVF assignment: nearest centroid per corpus vector (cross join with
-    * the broadcast centroid table + min_by on squared distance — one wide
-    * projection, no shuffle of the corpus). */
+  /** IVF assignment: nearest centroid per corpus vector. The centroid
+    * table is tiny by construction, so it is collected once and unrolled
+    * into ONE argmin projection over literal centroid vectors — zero
+    * shuffle and zero row amplification (the previous formulation
+    * crossJoined x nCentroids and re-shuffled the whole corpus through a
+    * groupBy just to pick a per-row argmin). d2 uses the expansion
+    * |v|^2 - 2 v.c + |c|^2 so each term is one native codegen dot product;
+    * array_min over (d2, centroid_id) structs is the deterministic argmin
+    * (lexicographic: min distance, ties to the lowest centroid id). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col(vecCol), col("_centroid"),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("_d2", d2)
-      .groupBy(col(idCol))
-      .agg(min_by(col("centroid_id"), struct(col("_d2"), col("centroid_id")))
-        .as("centroid_id"),
-        first(col(vecCol)).as(vecCol))
+    val cents: Array[(Long, Array[Double])] = centroids.collect().map { r =>
+      val cid = r.getLong(r.fieldIndex("centroid_id"))
+      val vec = r.getSeq[Number](r.fieldIndex("_centroid"))
+        .map(_.doubleValue()).toArray
+      (cid, vec)
+    }
+    val vNorm2 = norm2(col(vecCol))
+    val entries = cents.map { case (cid, cvec) =>
+      val cLit = array(cvec.map(lit).toSeq: _*)
+      val cN2 = cvec.foldLeft(0.0)((acc, x) => acc + x * x) // driver-side
+      struct((vNorm2 - lit(2.0) * dot(col(vecCol), cLit) + lit(cN2)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    corpus.select(col(idCol), col(vecCol),
+      array_min(array(entries.toSeq: _*)).getField("cid").as("centroid_id"))
   }
 
   /** ANN top-k via IVF: each query probes its `nProbe` nearest centroid
@@ -186,12 +198,7 @@ object Similarity {
     val scored = cands.withColumn("cos",
       dot(col("_qv"), col("_cv")) /
         (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv")))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 9).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs with

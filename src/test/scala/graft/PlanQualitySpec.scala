@@ -91,6 +91,37 @@ class PlanQualitySpec extends SparkSpec {
     plan.toLowerCase should include("partial_max")
   }
 
+  test("brute-force top-k: corpus is never shuffled before partial aggregation") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat, 1f))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val df = graft.text.Similarity.topKBruteForce(
+      corpus, queries, "vec_id", "embedding", k = 5)
+    val plan = planString(df)
+    // queries broadcast; the corpus flows scan → score → PARTIAL top-k
+    // aggregate; the only hash exchange carries ≤ k rows per (task, query)
+    plan should include("BroadcastNestedLoopJoin")
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    val beforeAgg = plan.substring(plan.indexOf("ObjectHashAggregate"))
+    // the partial aggregate sits below the exchange (no corpus shuffle)
+    beforeAgg should include("Exchange hashpartitioning")
+  }
+
+  test("IVF assignment is one projection — no join, no shuffle, no explode") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i =>
+      (i, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
+    val cents = graft.text.Similarity.sampleCentroids(
+      corpus, "vec_id", "embedding", nCentroids = 4)
+    val assigned = graft.text.Similarity.ivfAssign(
+      corpus, cents, "vec_id", "embedding")
+    val plan = planString(assigned)
+    plan should not include "Join"
+    plan should not include "Exchange"
+    plan should not include "Generate" // no explode amplification
+  }
+
   test("zonal stats compiles to pure expressions — no UDF, no extra shuffle") {
     val c = Scan.loadCollection(spark, spec)
     val df = graft.ops.Reducers.aggregateSpatial(c,
