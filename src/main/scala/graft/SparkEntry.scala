@@ -108,14 +108,20 @@ object SparkEntry {
   private def sarCube(c: Cube): Cube = {
     val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
     val data = Filters.filterBands(daily, Seq("view")).df
-    val lon = data.withColumn(Dim.Band, lit("grid_lon"))
-      .withColumn(Cube.ValueCol,
-        lit(11.0) + col(Dim.X) * 0.001 + col(Dim.Y) * 0.00001)
-    val lat = data.withColumn(Dim.Band, lit("grid_lat"))
-      .withColumn(Cube.ValueCol,
-        lit(45.0) + col(Dim.Y) * 0.001 + col(Dim.X) * 0.00001)
-    Cube(data.unionByName(lon).unionByName(lat),
-      c.meta.copy(bandOrder = Seq("view", "grid_lon", "grid_lat")))
+    // ONE pass: each daily row explodes into its (view, grid_lon, grid_lat)
+    // triplet. The lon/lat bands are pure functions of the pixel coords, so
+    // a 3-way union (which re-ran the scan + day-max shuffle per branch)
+    // is three times the work for the same rows.
+    val lonV = lit(11.0) + col(Dim.X) * 0.001 + col(Dim.Y) * 0.00001
+    val latV = lit(45.0) + col(Dim.Y) * 0.001 + col(Dim.X) * 0.00001
+    val exploded = data.select(col(Dim.Time), col(Dim.Y), col(Dim.X),
+      explode(array(
+        struct(lit("view").as("band"), col(Cube.ValueCol).as("value")),
+        struct(lit("grid_lon").as("band"), lonV.as("value")),
+        struct(lit("grid_lat").as("band"), latV.as("value")))).as("_e"))
+      .select(col(Dim.Time), col("_e.band").as(Dim.Band), col(Dim.Y),
+        col(Dim.X), col("_e.value").as(Cube.ValueCol))
+    Cube(exploded, c.meta.copy(bandOrder = Seq("view", "grid_lon", "grid_lat")))
   }
 
   // radar_mask oracle constants — computed with the SAME JVM ops the

@@ -234,6 +234,33 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Text → DISTINCT shingle-hash set in one pass — the exact-Jaccard
+    * verify primitive: intersection/union counts over the hash sets equal
+    * the counts over distinct shingle strings (modulo 2⁻⁶⁴ collisions),
+    * without materializing token or string arrays. First-seen order is
+    * kept so the output is deterministic. */
+  case class ShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      foreachShingleHash(input.asInstanceOf[UTF8String], n) { h =>
+        seen.add(h); ()
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -269,6 +296,13 @@ object TextHashExprs {
           intLit(cs(1), "graft_minhash_text n"),
           intLit(cs(2), "graft_minhash_text k")))
     }
+    val shh = FunctionIdentifier("graft_shingle_hashes")
+    if (!registry.functionExists(shh)) {
+      registry.registerFunction(shh,
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (cs: Seq[Expression]) => ShingleHashes(cs.head,
+          intLit(cs(1), "graft_shingle_hashes n")))
+    }
     val sht = FunctionIdentifier("graft_simhash_text")
     if (!registry.functionExists(sht)) {
       registry.registerFunction(sht,
@@ -295,6 +329,13 @@ object TextHashExprs {
     call_function("graft_minhash_text", text,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass text→distinct-shingle-hash array (caller lowers/trims). */
+  def shingleHashes(text: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_shingle_hashes", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 
   /** One-pass text→SimHash over word n-grams (caller lowers/trims). */

@@ -64,35 +64,51 @@ object Dedup {
     // persist the narrow band-key table: both self-join sides read it, so
     // the text-hashing pass runs once (24 bytes/doc/band in memory — at
     // 1B docs × 8 bands that's ~200 GB cluster-wide, well inside executor
-    // storage for the cluster sizes this targets; spill-safe either way)
+    // storage for the cluster sizes this targets; spill-safe either way).
+    // count() EAGERLY materializes the cache: a lazy persist lets the two
+    // self-join map stages race and compute the minhash pass twice.
     val banded = withSig
       .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
       .persist()
+    banded.count()
     val a = banded.as("a"); val b = banded.as("b")
     // candidate pairs are tiny relative to the corpus by design (the
-    // banding S-curve); persist so the three consumers below (two shingle
-    // joins + the id semi-join) don't re-run the band join pipeline
+    // banding S-curve); persist + eager count so the three consumers below
+    // (the id semi-join + the pair join) don't re-run the band join
     val cands = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist()
-    // exact-Jaccard verify needs real shingle sets — but only for documents
-    // that appear in a candidate pair, so semi-join BEFORE shingling: at
-    // corpus scale this shingles a few thousand docs, not a few billion
+    cands.count()
+    // exact-Jaccard verify needs shingle sets — but only for documents in a
+    // candidate pair, so semi-join BEFORE shingling: at corpus scale this
+    // shingles a few thousand docs, not a few billion. The sets are
+    // DISTINCT SHINGLE HASHES from the fused one-pass expression —
+    // identical intersection/union counts to string shingles (mod 2⁻⁶⁴
+    // collisions) without re-tokenizing through the interpreted HOF chain.
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     val sh = df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), TextAnalysis.shingles(col("_text"), shingleN).as("sh"))
-    cands
+      .select(col("id"), graft.functions.TextHashExprs
+        .shingleHashes(lower(trim(col("_text"))), shingleN).as("sh"))
+    val result = cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      // the verified pair list is small by construction; checkpointing it
+      // locally lets the two caches above be RELEASED deterministically —
+      // in a long-lived session (HTTP API) lazy persists would otherwise
+      // accumulate forever
+      .localCheckpoint(true)
+    banded.unpersist(false)
+    cands.unpersist(false)
+    result
   }
 
   /** Exact Jaccard of two shingle arrays. */
