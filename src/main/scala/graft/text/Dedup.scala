@@ -152,21 +152,46 @@ object Dedup {
   /** Hamming distance of two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 4×16-bit bands (any equal band →
-    * candidate), verify Hamming <= maxDist. */
+  /** SimHash near-dup pairs with EXACT recall for Hamming <= maxDist.
+    * Multi-index band-PAIR blocking: the 64-bit hash splits into 8 bands
+    * of 8 bits; candidates share the concatenation of any 2 of the 8
+    * bands (C(8,2) = 28 16-bit pair keys per doc). d flipped bits dirty
+    * at most d bands, leaving >= 8−d clean — for d <= 6 at least two, so
+    * every qualifying pair shares at least one pair key. (The previous
+    * 4×16 single-band blocking only guaranteed d <= 3 while defaulting
+    * maxDist = 6: distance-4..6 pairs with adversarial bit spread were
+    * silently missed.)
+    *
+    * Scale note: 28 × 24-byte rows per doc enter the self-join; the
+    * guarantee ties key width to 64/8×2 = 16 bits, so candidate volume
+    * grows as n²/2¹⁶ per pair key — the inherent multi-index trade-off
+    * between guaranteed distance and bucket selectivity. For looser
+    * recall at bigger corpora, drop maxDist and widen the bands. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 6): DataFrame = {
-    val withH = df.select(col(idCol).as("id"), simhash(col(textCol)).as("h"))
-    val banded = withH.select(col("id"), col("h"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("band"),
-          (shiftright(col("h"), i * 16).bitwiseAND(lit(0xffffL))).as("bh"))): _*)).as("b"))
-      .select(col("id"), col("h"), col("b.band"), col("b.bh"))
+      maxDist: Int = 6): DataFrame =
+    simhashPairsFromHashes(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
+      "h", "id", maxDist)
+
+  /** Blocking + verify over precomputed 64-bit hashes (see
+    * [[simhashPairs]]; split out so recall is testable on planted bits). */
+  def simhashPairsFromHashes(withH: DataFrame, hashCol: String,
+      idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 6,
+      s"simhashPairs guarantees recall only to Hamming 6, got maxDist=$maxDist")
+    val h = col(hashCol)
+    val pairKeys = for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+      struct(lit(i * 8 + j).as("band"),
+        (shiftright(h, i * 8).bitwiseAND(lit(0xffL)) * 256 +
+          shiftright(h, j * 8).bitwiseAND(lit(0xffL))).as("bh"))
+    val banded = withH.select(col(idCol).as("id"), h.as("_h"),
+      explode(array(pairKeys: _*)).as("b"))
+      .select(col("id"), col("_h"), col("b.band"), col("b.bh"))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.h"), col("b.h")).as("dist"))
+        hamming64(col("a._h"), col("b._h")).as("dist"))
       .dropDuplicates("id_a", "id_b")
       .where(col("dist") <= maxDist)
   }

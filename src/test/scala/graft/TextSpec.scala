@@ -61,6 +61,24 @@ class TextSpec extends SparkSpec {
     pairs.head.getDouble(2) should be > 0.8
   }
 
+  test("simhash blocking finds every planted pair at Hamming ≤ 6 (exact recall)") {
+    // adversarial spread: d flipped bits land in d DIFFERENT 8-bit bands —
+    // the worst case for band blocking (the old 4×16 single-band scheme
+    // silently missed every such pair with d ≥ 4)
+    val base = 0x0123456789abcdefL
+    val rows = scala.collection.mutable.Buffer((0L, base))
+    val expected = (1 to 6).map { d =>
+      var h = base
+      (0 until d).foreach(b => h ^= (1L << (b * 8 + (b % 8))))
+      rows += ((d.toLong, h))
+      (0L, d.toLong)
+    }
+    val df = rows.toSeq.toDF("id", "h")
+    val got = Dedup.simhashPairsFromHashes(df, "h", "id", maxDist = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    expected.foreach(p => got should contain(p))
+  }
+
   test("simhash: identical → distance 0; near-dup close; unrelated far") {
     val base = (1 to 60).map(i => s"token$i").mkString(" ")
     val nearDup = base + " extra"
