@@ -70,6 +70,17 @@ object SparkEntry {
   private def dmean(v: Column): Column = dsum(v) / count(v)
   private val dmeanSql = (v: String) => s"${dsumSql(v)} / COUNT($v)"
 
+  /** Sign-LSH hyperplanes as SQL VALUES rows (p, i, coef): the same seeded
+    * constants Similarity.topKLsh uses (16 planes × dim 64, seed 42),
+    * embedded as shortest-roundtrip double literals like the radar-mask
+    * trig constants. */
+  private lazy val lshPlanesValues: String = {
+    val planes = graft.text.Similarity.hyperplanes(16, 64, 42L)
+    planes.zipWithIndex.flatMap { case (p, pi) =>
+      p.zipWithIndex.map { case (cf, i) => s"($pi,${i + 1},$cf)" }
+    }.mkString(", ")
+  }
+
   /** Correctly-rounded decimal→double for the oracle: split the exact
     * integer at 2^26 (hi exact ≤2^53, hi·2^26 exact, + lo rounds once). */
   private def splitCastSql(x: String): String =
@@ -311,12 +322,14 @@ object SparkEntry {
       Joins.resampleCubeSpatialNearest(uniq, GridRef(0.0, 0.0, 2.0, 2.0)).df
     },
     "q_resample_spatial_bilinear" -> onCube { c =>
-      // 4-neighbor weighted regrid (J3 bilinear; weighted double sums are
-      // order-dependent → rows-only check)
+      // 4-neighbor weighted regrid (J3 bilinear). The 2:1 grid ratio with
+      // quarter-cell offsets makes every weight a multiple of 1/16, so the
+      // exact-decimal accumulation path is hash-matched by the oracle.
       val uniq = Cube(
         c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
           .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
-      Joins.resampleCubeSpatialBilinear(uniq, GridRef(0.25, 0.25, 2.0, 2.0)).df
+      Joins.resampleCubeSpatialBilinear(uniq, GridRef(0.25, 0.25, 2.0, 2.0),
+        exactScale = Some(16L)).df
     },
     // --- neighborhood ops (W1, W2) ---------------------------------------
     "q_apply_kernel" -> onCube { c =>
@@ -465,16 +478,24 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     }),
     "q_ann_topk_lsh" -> ((s, dir) => {
-      // sign-LSH banding ANN (hyperplane-seeded; rows-only check)
+      // sign-LSH banding ANN; the seeded hyperplanes are embedded in the
+      // oracle SQL as literals, so this is hash-matched end to end
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.topKLsh(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
     }),
     "q_ann_topk_ivf" -> ((s, dir) => {
-      // IVF coarse-quantizer ANN (rows-only check)
+      // IVF coarse-quantizer ANN. The harness passes the 16 lowest-id
+      // vectors as centroids (SQL-expressible, unlike the library default
+      // xxhash sample) so the oracle can replicate assignment + probing.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
       Similarity.topKIvf(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+        centroidsOverride = Some(cents))
     }),
     "q_dedup_embedding" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -690,6 +711,33 @@ object SparkEntry {
              row_number() OVER (PARTITION BY time, band, tx, ty
                                 ORDER BY d2, y, x) AS rn
            FROM binned) WHERE rn = 1"""),
+    "q_resample_spatial_bilinear" -> cq(
+      // mirrors the scatter construction of resampleCubeSpatialBilinear:
+      // candidate target cells txLo..txLo+2 per source cell, bilinear
+      // weights, exact-decimal accumulation (weights are multiples of 1/16
+      // for this grid pair, so w·16 is an exact integer on both engines)
+      """, uniq AS (
+           SELECT time, band, y, x, MAX(value) AS value
+           FROM cube GROUP BY 1, 2, 3, 4),
+         cand AS (
+           SELECT time, band, value, y, x,
+             CAST(floor((x - 1.0 - 0.25) / 2.0) AS BIGINT) + kx.k AS tx,
+             CAST(floor((y - 1.0 - 0.25) / 2.0) AS BIGINT) + ky.k AS ty
+           FROM uniq, (VALUES (0), (1), (2)) kx(k),
+                      (VALUES (0), (1), (2)) ky(k)),
+         w AS (
+           SELECT time, band, value, tx, ty,
+             greatest(0.0, 1.0 - abs(((0.25 + CAST(tx AS DOUBLE) * 2.0) - x) / 1.0))
+             * greatest(0.0, 1.0 - abs(((0.25 + CAST(ty AS DOUBLE) * 2.0) - y) / 1.0))
+               AS wgt
+           FROM cand)
+         SELECT time, band,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))
+                    * CAST(wgt * 16.0 AS DECIMAL(10,0))) AS DOUBLE)
+           / CAST(SUM(CAST(wgt * 16.0 AS DECIMAL(10,0))) AS DOUBLE) AS value,
+           0.25 + CAST(tx AS DOUBLE) * 2.0 AS x,
+           0.25 + CAST(ty AS DOUBLE) * 2.0 AS y
+         FROM w WHERE wgt > 0 GROUP BY time, band, tx, ty"""),
     "q_resample_cube_temporal" -> cq(
       """SELECT m.tt AS time, src.band, src.y, src.x, src.value
          FROM (SELECT date_trunc('day', time) AS t, band, y, x,
@@ -888,6 +936,83 @@ object SparkEntry {
                  SUM(q.v * c.v ORDER BY q.i) AS dot
                FROM el q JOIN el c ON q.i = c.i
                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN n nq ON nq.vec_id = query_id
+                      JOIN n nc ON nc.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 5""",
+    "q_ann_topk_lsh" ->
+      // sign bits from the embedded hyperplane literals; 4-bit band keys;
+      // candidates share a (band, key); exact cosine re-rank like q_ann_topk
+      s"""WITH planes(p, i, coef) AS (VALUES $lshPlanesValues),
+         el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         bits AS (SELECT e.vec_id, pl.p,
+             CASE WHEN SUM(pl.coef * e.v ORDER BY e.i) > 0
+                  THEN 1 ELSE 0 END AS bit
+           FROM el e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2),
+         keys AS (SELECT vec_id, p // 4 AS band,
+             SUM(bit * (1 << (p % 4))) AS key FROM bits GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
+           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT cd.query_id, cd.neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
+                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+               GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN n nq ON nq.vec_id = query_id
+                      JOIN n nc ON nc.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 5""",
+    "q_ann_topk_ivf" ->
+      // lowest-id centroids; assignment argmin via the same
+      // |v|² − 2·v·c + |c|² expansion; queries probe 4 nearest lists
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         probes AS (SELECT query_id, centroid_id FROM (
+             SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 4),
+         cand AS (SELECT p.query_id, a.neighbor_id
+           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.neighbor_id),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT cd.query_id, cd.neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
+                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+               GROUP BY 1, 2),
          s AS (SELECT query_id, neighbor_id,
                  dot / (nq.nrm * nc.nrm) AS cos,
                  row_number() OVER (PARTITION BY query_id

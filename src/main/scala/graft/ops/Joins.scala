@@ -117,7 +117,16 @@ object Joins {
     * whose interpolation stencil it participates in, with the bilinear
     * weight; groupBy target cell sums weights. Equivalent to gather-side
     * bilinear when grids are axis-aligned. */
-  def resampleCubeSpatialBilinear(source: Cube, targetGrid: GridRef): Cube = {
+  def resampleCubeSpatialBilinear(source: Cube, targetGrid: GridRef): Cube =
+    resampleCubeSpatialBilinear(source, targetGrid, None)
+
+  /** @param exactScale when the grid ratio makes every bilinear weight an
+    *   exact multiple of 1/exactScale (e.g. 16 for a 2:1 regrid with
+    *   quarter-cell offsets), accumulate `value·(w·scale)` in exact
+    *   decimals instead of doubles — the weighted mean becomes independent
+    *   of aggregation order, so an external oracle can hash-match it. */
+  def resampleCubeSpatialBilinear(source: Cube, targetGrid: GridRef,
+      exactScale: Option[Long]): Cube = {
     val src = source.meta.requireGrid
     val g = targetGrid
     // fractional source index of each target cell center:
@@ -142,9 +151,19 @@ object Joins {
     val wx = greatest(lit(0.0), lit(1.0) - abs(fx))
     val wy = greatest(lit(0.0), lit(1.0) - abs(fy))
     val w = wx * wy
+    val weightedMean = exactScale match {
+      case Some(sc) =>
+        // w·sc is integer-valued by precondition; value·(w·sc) is an exact
+        // decimal → the sums are order-independent, and the final division
+        // of two correctly-rounded doubles is one IEEE op
+        val wi = (w * sc.toDouble).cast("decimal(10,0)")
+        sum(col(Cube.ValueCol).cast("decimal(18,2)") * wi).cast("double") /
+          sum(wi).cast("double")
+      case None => sum(col(Cube.ValueCol) * w) / sum(w)
+    }
     val out = exploded.where(w > 0)
       .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
-      .agg((sum(col(Cube.ValueCol) * w) / sum(w)).as(Cube.ValueCol))
+      .agg(weightedMean.as(Cube.ValueCol))
       .withColumn(Dim.X, g.xCoord(col("_tx")))
       .withColumn(Dim.Y, g.yCoord(col("_ty")))
       .drop("_tx", "_ty")

@@ -172,9 +172,10 @@ object Similarity {
     * nProbe/nCentroids of the corpus. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
-    val centroids = broadcast(
-      sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
+      seed: Long = 42L, excludeSelf: Boolean = true,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val centroids = broadcast(centroidsOverride.getOrElse(
+      sampleCentroids(corpus, idCol, vecCol, nCentroids, seed)))
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
       .withColumnRenamed(vecCol, "_cv")
