@@ -102,8 +102,13 @@ final class Server(spark: SparkSession, catalog: Catalog,
     val (code, body) =
       try f.applyOrElse(ex.getRequestMethod,
         (_: String) => (405, """{"error":"method not allowed"}"""))
-      catch { case e: Exception =>
-        (500, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+      catch {
+        // openEO error identities surface as the spec's {code, message}
+        // shape with 400 (openeo_error_messages.py parity), not a bare 500
+        case e: graft.OpenEoError =>
+          (400, s"""{"code":${jsonStr(e.code)},"message":${jsonStr(e.msg)}}""")
+        case e: Exception =>
+          (500, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
       }
     val bytes = body.getBytes(UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -267,9 +267,13 @@ final class GraphCompiler(
     // reference quirk: divide by literal zero is a compile-time error
     // (DivisionByZero, openeo_odc_driver.py:436-437)
     if (n.processId == "divide") resolved.get("y") match {
-      case Some(0.0) => throw new ArithmeticException("DivisionByZero")
+      case Some(0.0) => throw graft.OpenEoError.DivisionByZero
       case _ =>
     }
+    // MultiplicandMissing (openeo_odc_driver.py:414)
+    if (n.processId == "multiply" &&
+        (!resolved.contains("x") || !resolved.contains("y")))
+      throw graft.OpenEoError.MultiplicandMissing
     var joined: DataFrame = null
     var dims: Seq[String] = Nil
     val valCols = scala.collection.mutable.Map[String, Column]()
@@ -317,7 +321,7 @@ final class GraphCompiler(
       case "subtract" => d("x") - d("y")
       case "multiply" => d("x") * d("y")
       case "divide" =>
-        if (d("y") == 0.0) throw new ArithmeticException("DivisionByZero")
+        if (d("y") == 0.0) throw graft.OpenEoError.DivisionByZero
         d("x") / d("y")
       case "sqrt" => math.sqrt(d("x"))
       case "absolute" => math.abs(d("x"))

@@ -51,7 +51,7 @@ object Filters {
       north: Double, bboxEpsg: Int = 4326): Cube = {
     val cubeEpsg = c.meta.crs.flatMap(crsEpsg).getOrElse(bboxEpsg)
     val corners = Seq((west, south), (east, south), (east, north), (west, north))
-    val proj = Utm.transformRing(corners, bboxEpsg, cubeEpsg)
+    val proj = Crs.transformRing(corners, bboxEpsg, cubeEpsg)
     val (xmin, ymin, xmax, ymax) = Geo.bboxOf(proj)
     c.withDF(c.df.where(
       c.df(Dim.X).between(xmin, xmax) && c.df(Dim.Y).between(ymin, ymax)))
@@ -65,7 +65,7 @@ object Filters {
     * rasterizes instead). Rows outside are dropped (semi-join semantics). */
   def filterSpatial(c: Cube, rings: Seq[Geo.Ring], ringsEpsg: Int = 4326): Cube = {
     val cubeEpsg = c.meta.crs.flatMap(crsEpsg).getOrElse(ringsEpsg)
-    val proj = rings.map(Utm.transformRing(_, ringsEpsg, cubeEpsg))
+    val proj = rings.map(Crs.transformRing(_, ringsEpsg, cubeEpsg))
     // cheap bbox pre-filter first so parquet row-group stats can skip,
     // then the exact point-in-polygon test
     val boxes = proj.map(Geo.bboxOf)

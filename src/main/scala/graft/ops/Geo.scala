@@ -130,3 +130,98 @@ object Utm {
     else transformRing(transformRing(ring, fromEpsg, 4326), 4326, toEpsg)
   }
 }
+
+/** ETRS89-extended / LAEA Europe (EPSG:3035) — the Lambert Azimuthal
+  * Equal-Area projection on GRS80, the standard EU-wide EO grid the
+  * reference handles through pyproj (openeo_odc_driver.py:1036-1078).
+  * Ellipsoidal forward/inverse from the public Snyder series (USGS PP
+  * 1395, pp. 187-190: authalic-latitude formulation); accuracy well under
+  * a meter — ample for bbox/polygon vertices.
+  */
+object Laea {
+  private val a = 6378137.0               // GRS80
+  private val f = 1.0 / 298.257222101
+  private val e2 = f * (2 - f)
+  private val e = math.sqrt(e2)
+  // EPSG:3035 definition
+  private val lat0 = math.toRadians(52.0)
+  private val lon0 = math.toRadians(10.0)
+  private val fe = 4321000.0
+  private val fn = 3210000.0
+
+  private def q(phi: Double): Double = {
+    val s = math.sin(phi)
+    (1 - e2) * (s / (1 - e2 * s * s) -
+      (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+  }
+  private val qp = q(math.Pi / 2)
+  private val q1 = q(lat0)
+  private val beta1 = math.asin(q1 / qp)
+  private val rq = a * math.sqrt(qp / 2)
+  private val m1 = math.cos(lat0) / math.sqrt(1 - e2 * math.sin(lat0) * math.sin(lat0))
+  private val d = a * m1 / (rq * math.cos(beta1))
+
+  /** lon/lat (deg, EPSG:4326) → (easting, northing) EPSG:3035. */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+    val beta = math.asin(q(phi) / qp)
+    val b = rq * math.sqrt(2 / (1 + math.sin(beta1) * math.sin(beta) +
+      math.cos(beta1) * math.cos(beta) * math.cos(lam - lon0)))
+    val x = fe + b * d * math.cos(beta) * math.sin(lam - lon0)
+    val y = fn + (b / d) * (math.cos(beta1) * math.sin(beta) -
+      math.sin(beta1) * math.cos(beta) * math.cos(lam - lon0))
+    (x, y)
+  }
+
+  /** (easting, northing) EPSG:3035 → lon/lat (deg). */
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val dx = (x - fe) / d; val dy = d * (y - fn)
+    val rho = math.sqrt(dx * dx + dy * dy)
+    if (rho == 0.0) return (math.toDegrees(lon0), math.toDegrees(lat0))
+    val ce = 2 * math.asin(rho / (2 * rq))
+    val qv = qp * (math.cos(ce) * math.sin(beta1) +
+      dy * math.sin(ce) * math.cos(beta1) / rho)
+    val lam = lon0 + math.atan2(dx * math.sin(ce),
+      rho * math.cos(beta1) * math.cos(ce) -
+        dy * math.sin(beta1) * math.sin(ce))
+    // iterate the inverse authalic series (Snyder 3-16); converges in ~3
+    var phi = math.asin(math.max(-1.0, math.min(1.0, qv / 2)))
+    var i = 0
+    while (i < 6) {
+      val s = math.sin(phi)
+      val om = 1 - e2 * s * s
+      phi += (om * om / (2 * math.cos(phi))) *
+        (qv / (1 - e2) - s / om +
+          (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+}
+
+/** CRS dispatch for driver-side vertex transforms: EPSG:4326, UTM
+  * (326xx/327xx), and LAEA Europe (3035). Anything else raises the typed
+  * openEO error the reference surfaces through pyproj failures. */
+object Crs {
+  def supported(epsg: Int): Boolean =
+    epsg == 4326 || epsg == 3035 ||
+      (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
+
+  private def toWgs(p: (Double, Double), epsg: Int): (Double, Double) = epsg match {
+    case 4326 => p
+    case 3035 => Laea.toLonLat(p._1, p._2)
+    case utm if Crs.supported(utm) => Utm.toLonLat(p._1, p._2, utm)
+    case other => throw graft.OpenEoError.crsNotSupported(other)
+  }
+  private def fromWgs(p: (Double, Double), epsg: Int): (Double, Double) = epsg match {
+    case 4326 => p
+    case 3035 => Laea.fromLonLat(p._1, p._2)
+    case utm if Crs.supported(utm) => Utm.fromLonLat(p._1, p._2, utm)
+    case other => throw graft.OpenEoError.crsNotSupported(other)
+  }
+
+  /** Transform a ring between any two supported CRSs (via 4326). */
+  def transformRing(ring: Geo.Ring, fromEpsg: Int, toEpsg: Int): Geo.Ring =
+    if (fromEpsg == toEpsg) ring
+    else ring.map(p => fromWgs(toWgs(p, fromEpsg), toEpsg))
+}

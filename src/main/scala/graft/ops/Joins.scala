@@ -30,6 +30,16 @@ object Joins {
     val bandsDisjoint = a.has(Dim.Band) && b.has(Dim.Band) &&
       a.meta.bandOrder.nonEmpty && b.meta.bandOrder.nonEmpty &&
       a.meta.bandOrder.intersect(b.meta.bandOrder).isEmpty
+    // partially common band sets: the reference raises rather than guess a
+    // semantics (openeo_odc_driver.py:1195-1198); falling through to the
+    // outer-join path would silently resolve bands that should concat
+    if (a.has(Dim.Band) && b.has(Dim.Band) &&
+        a.meta.bandOrder.nonEmpty && b.meta.bandOrder.nonEmpty && {
+          val common = a.meta.bandOrder.intersect(b.meta.bandOrder)
+          common.nonEmpty && (common != a.meta.bandOrder.distinct ||
+            common != b.meta.bandOrder.distinct)
+        })
+      throw graft.OpenEoError.BandsPartiallyCommon
     val mergedMeta = a.meta.copy(
       bandOrder = (a.meta.bandOrder ++ b.meta.bandOrder).distinct)
     if (assumeDisjoint || bandsDisjoint) {

@@ -12,8 +12,7 @@ object Labels {
   def renameBandLabels(c: Cube, target: Seq[String],
       source: Seq[String] = Nil): Cube = {
     val src = if (source.nonEmpty) source else c.meta.bandOrder
-    require(src.length == target.length,
-      "rename_labels: LabelMismatch (reference openeo_error_messages)")
+    if (src.length != target.length) throw graft.OpenEoError.LabelMismatch
     val mapping = src.zip(target)
     val expr = mapping.foldRight(col(Dim.Band)) { case ((s, t), acc) =>
       when(col(Dim.Band) === s, lit(t)).otherwise(acc)
@@ -32,7 +31,7 @@ object Labels {
     import spark.implicits._
     val times = c.df.select(Dim.Time).distinct()
       .as[java.sql.Timestamp].collect().sortBy(_.getTime)
-    require(times.length == target.length, "rename_labels: LabelMismatch")
+    if (times.length != target.length) throw graft.OpenEoError.LabelMismatch
     val mapDf = broadcast(
       times.toSeq.zip(target).toDF(Dim.Time, "_new_time"))
     Cube(c.df.join(mapDf, Dim.Time).drop(Dim.Time)

@@ -125,7 +125,7 @@ object Reducers {
   def aggregateSpatial(c: Cube, features: Seq[Geo.Ring], name: String,
       featuresEpsg: Int = 4326, targetDimension: String = "result"): DataFrame = {
     val cubeEpsg = c.meta.crs.flatMap(Filters.crsEpsg).getOrElse(featuresEpsg)
-    val proj = features.map(Utm.transformRing(_, featuresEpsg, cubeEpsg))
+    val proj = features.map(Crs.transformRing(_, featuresEpsg, cubeEpsg))
     val fid = Geo.featureId(col(Dim.X), col(Dim.Y), proj)
     val others = c.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
     c.df.withColumn(targetDimension, fid)
@@ -141,8 +141,10 @@ object Reducers {
     * posexplode — the openEO target_dimension. */
   def quantiles(c: Cube, dimension: String, probabilities: Seq[Double] = Nil,
       q: Option[Int] = None): Cube = {
-    require(probabilities.isEmpty != q.isEmpty,
-      "exactly one of probabilities | q (reference: QuantilesParameterConflict/Missing)")
+    if (probabilities.isEmpty && q.isEmpty)
+      throw graft.OpenEoError.QuantilesParameterMissing
+    if (probabilities.nonEmpty && q.nonEmpty)
+      throw graft.OpenEoError.QuantilesParameterConflict
     val probs = if (probabilities.nonEmpty) probabilities
       else (1 until q.get).map(i => i.toDouble / q.get)
     val d = Dim.canonical(dimension)

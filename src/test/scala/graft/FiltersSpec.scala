@@ -1,10 +1,42 @@
 package graft
 
 import graft.cube.{Cube, Dim}
-import graft.ops.{Filters, Geo, Utm}
+import graft.ops.{Filters, Geo, Laea, Utm}
 import org.apache.spark.sql.functions._
 
 class FiltersSpec extends SparkSpec {
+
+  test("LAEA (EPSG:3035): false origin is exact; transforms roundtrip") {
+    val (x0, y0) = Laea.fromLonLat(10.0, 52.0)
+    x0 shouldBe 4321000.0 +- 1e-6
+    y0 shouldBe 3210000.0 +- 1e-6
+    for ((lo, la) <- Seq((11.3, 46.5), (-9.1, 38.7), (24.9, 60.2))) {
+      val (x, y) = Laea.fromLonLat(lo, la)
+      val (lo2, la2) = Laea.toLonLat(x, y)
+      lo2 shouldBe lo +- 1e-9
+      la2 shouldBe la +- 1e-9
+    }
+  }
+
+  test("filter_bbox on an EPSG:3035 cube reprojects the 4326 bbox (LAEA)") {
+    val (x1, y1) = Laea.fromLonLat(11.30, 46.50) // inside the bbox below
+    val (x2, y2) = Laea.fromLonLat(11.60, 46.80) // outside
+    val c0 = cubeOf(
+      ("2024-01-01", "B04", y1, x1, 1.0),
+      ("2024-01-01", "B04", y2, x2, 2.0))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:3035")))
+    val r = Filters.filterBbox(c, west = 11.2, south = 46.4,
+      east = 11.4, north = 46.6)
+    r.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
+  }
+
+  test("filter_bbox on an unsupported CRS raises the typed openEO error") {
+    val c0 = cubeOf(("2024-01-01", "B04", 0, 0, 1.0))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:2154")))
+    val e = the[graft.OpenEoError] thrownBy
+      Filters.filterBbox(c, 0, 0, 1, 1)
+    e.code shouldBe "CrsNotSupported"
+  }
 
   def base: graft.cube.Cube = cubeOf(
     ("2024-01-01", "B04", 0, 0, 1.0), ("2024-01-01", "B08", 0, 0, 2.0),

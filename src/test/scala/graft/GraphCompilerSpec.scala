@@ -126,7 +126,17 @@ class GraphCompilerSpec extends SparkSpec {
       "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
       "d": {"process_id": "divide",
             "arguments": {"x": {"from_node": "load"}, "y": 0}, "result": true}}"""
-    an[ArithmeticException] should be thrownBy compiler.compile(g)
+    val e = the[graft.OpenEoError] thrownBy compiler.compile(g)
+    e.code shouldBe "DivisionByZero"
+  }
+
+  test("multiply with a missing operand raises MultiplicandMissing") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "m": {"process_id": "multiply",
+            "arguments": {"x": {"from_node": "load"}}, "result": true}}"""
+    val e = the[graft.OpenEoError] thrownBy compiler.compile(g)
+    e.code shouldBe "MultiplicandMissing"
   }
 
   test("merge_cubes with overlap resolver subgraph") {

@@ -23,6 +23,16 @@ class JoinsSpec extends SparkSpec {
     m shouldBe Map("2024-01-01" -> 1.0, "2024-01-02" -> 2.0, "2024-01-03" -> 3.0)
   }
 
+  test("merge_cubes partially common bands raises the typed openEO error") {
+    // reference: openeo_odc_driver.py:1195-1198 raises instead of guessing
+    val a = cubeOf(("2024-01-01", "B04", 0, 0, 1.0),
+      ("2024-01-01", "B08", 0, 0, 2.0))
+    val b = cubeOf(("2024-01-01", "B08", 0, 0, 3.0),
+      ("2024-01-01", "B11", 0, 0, 4.0))
+    val e = the[graft.OpenEoError] thrownBy Joins.mergeCubes(a, b)
+    e.code shouldBe "BandsPartiallyCommon"
+  }
+
   test("merge_cubes custom overlap resolver receives (cube1, cube2) columns") {
     val a = cubeOf(("2024-01-01", "B", 0, 0, 10.0))
     val b = cubeOf(("2024-01-01", "B", 0, 0, 4.0))

@@ -78,8 +78,12 @@ class ReducersSpec extends SparkSpec {
     val byIdx = r.df.collect().map(row =>
       row.getAs[Int]("quantile_idx") -> row.getAs[Double](Cube.ValueCol)).toMap
     byIdx shouldBe Map(0 -> 2.75, 1 -> 4.5, 2 -> 6.25)
-    an[IllegalArgumentException] should be thrownBy
-      Reducers.quantiles(c, "time", Seq(0.5), Some(2)) // conflict
+    val conflict = the[graft.OpenEoError] thrownBy
+      Reducers.quantiles(c, "time", Seq(0.5), Some(2))
+    conflict.code shouldBe "QuantilesParameterConflict"
+    val missing = the[graft.OpenEoError] thrownBy
+      Reducers.quantiles(c, "time")
+    missing.code shouldBe "QuantilesParameterMissing"
   }
 
   test("anomaly = cube − monthly climatology, exact") {
