@@ -28,7 +28,7 @@ object Sinks {
       case c: Cube => fmt match {
         case "PNG"    => writePng(c, s"$outDir/result.png", options)
         case "GTIFF"  => writeGTiff(c, s"$outDir/result.tif")
-        case "JSON"   => writeJson(c.df, s"$outDir/result.json")
+        case "JSON"   => writeJsonCube(c, s"$outDir/result.json")
         case "NETCDF" | "PARQUET" =>
           // canonical distributed sink; optional dtype cast like the
           // reference's options.dtype (openeo_odc_driver.py:1731-1732)
@@ -131,87 +131,191 @@ object Sinks {
     path
   }
 
-  /** Minimal single-band-per-page float32 GeoTIFF (uncompressed, one strip
-    * per image) with ModelPixelScale/ModelTiepoint georeferencing — the
-    * subset of the format the reference emits through rasterio
-    * (openeo_odc_driver.py:1679-1724). Multi-band cubes raise for now
-    * (reference raises on 4-D; our single-page writer covers the reduced
-    * 2-D case the golden query produces). */
+  /** Float32 GeoTIFF, single- or multi-band (band-sequential planes,
+    * PlanarConfiguration=2, one strip per band) with ModelPixelScale/
+    * ModelTiepoint georeferencing, GDAL nodata, and per-band min/max
+    * statistics — the surface the reference emits through rasterio + GDAL
+    * (openeo_odc_driver.py:1679-1724, stats + nodata at 1712-1724). */
   def writeGTiff(c: Cube, path: String): String = {
     val (grids, xs, ys) = collectRaster(c, Nil)
-    require(grids.size == 1,
-      s"GTiff sink supports a single band, got ${grids.keys}")
-    val g = grids.values.head
+    val bandNames: Seq[String] =
+      if (c.has(Dim.Band) && c.meta.bandOrder.nonEmpty)
+        c.meta.bandOrder.filter(grids.contains)
+      else grids.keys.toSeq.sorted
+    val nB = bandNames.length
+    require(nB >= 1, "GTiff sink needs at least one band")
     val h = ys.length; val w = xs.length
     val dx = if (xs.length > 1) xs(1) - xs.head else 1.0
     val dy = if (ys.length > 1) ys.head - ys(1) else 1.0
     // pixel-is-area: tiepoint at the outer corner of the top-left cell
     val originX = xs.head - dx / 2; val originY = ys.head + dy / 2
-    val data = ByteBuffer.allocate(w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
-    for (row <- g; v <- row) data.putFloat(v.toFloat)
-    // --- TIFF structure: header, pixel data, then IFD ---
-    val dataOffset = 8
-    val ifdOffset = dataOffset + w * h * 4
-    case class Entry(tag: Int, typ: Int, count: Int, value: Long)
-    var extraOffset = ifdOffset + 2 + 15 * 12 + 4
-    val extras = scala.collection.mutable.ArrayBuffer[(Long, Array[Byte])]()
-    def extra(bytes: Array[Byte]): Long = {
-      val off = extraOffset; extras += ((off, bytes)); extraOffset += bytes.length
-      off
-    }
-    def doubles(vs: Double*): Long = {
-      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putDouble); extra(b.array())
-    }
-    def shorts(vs: Int*): Long = {
+    val plane = w * h * 4
+    val data = ByteBuffer.allocate(nB * plane).order(ByteOrder.LITTLE_ENDIAN)
+    for (b <- bandNames; row <- grids(b); v <- row) data.putFloat(v.toFloat)
+
+    // --- TIFF: header, band planes, IFD, out-of-line payloads ---
+    val T_ASCII = 2; val T_SHORT = 3; val T_LONG = 4; val T_DOUBLE = 12
+    def shorts(vs: Seq[Int]): Array[Byte] = {
       val b = ByteBuffer.allocate(vs.length * 2).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(v => b.putShort(v.toShort)); extra(b.array())
+      vs.foreach(v => b.putShort(v.toShort)); b.array()
     }
+    def longs(vs: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(v => b.putInt(v.toInt)); b.array()
+    }
+    def doubles(vs: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+    def ascii(s: String): Array[Byte] = (s + "\u0000").getBytes("US-ASCII")
+    case class Entry(tag: Int, typ: Int, count: Int, payload: Array[Byte])
+
+    val dataOffset = 8L
+    val ifdOffset = dataOffset + nB * plane
     val epsg = c.meta.crs.flatMap(Filters.crsEpsg).getOrElse(4326)
-    val geoKeys = Seq( // GeoKeyDirectory: version, rev, minor, nKeys, then keys
+    val geoKeys = Seq(
       1, 1, 0, 3,
       1024, 0, 1, 1,      // GTModelType = projected(1)
       1025, 0, 1, 1,      // RasterPixelIsArea
       3072, 0, 1, epsg)   // ProjectedCSType
-    val entries = Seq(
-      Entry(256, 3, 1, w),                         // ImageWidth
-      Entry(257, 3, 1, h),                         // ImageLength
-      Entry(258, 3, 1, 32),                        // BitsPerSample
-      Entry(259, 3, 1, 1),                         // Compression: none
-      Entry(262, 3, 1, 1),                         // Photometric: minIsBlack
-      Entry(273, 4, 1, dataOffset),                // StripOffsets
-      Entry(277, 3, 1, 1),                         // SamplesPerPixel
-      Entry(278, 3, 1, h),                         // RowsPerStrip
-      Entry(279, 4, 1, w * h * 4),                 // StripByteCounts
-      Entry(339, 3, 1, 3),                         // SampleFormat: IEEE float
-      Entry(33550, 12, 3, doubles(dx, dy, 0.0)),   // ModelPixelScale
-      Entry(33922, 12, 6,                          // ModelTiepoint
-        doubles(0, 0, 0, originX, originY, 0)),
-      Entry(34735, 3, geoKeys.length, shorts(geoKeys: _*)), // GeoKeyDirectory
-      Entry(284, 3, 1, 1),                         // PlanarConfig
-      Entry(338, 3, 0, 0)                          // placeholder keeps count=15
-    ).sortBy(_.tag)
+    // per-band statistics over finite values, like the reference's GDAL
+    // stats step; nodata is NaN for float rasters
+    val statsXml = {
+      val items = bandNames.zipWithIndex.flatMap { case (b, i) =>
+        val finite = grids(b).flatten.filter(v => !v.isNaN && !v.isInfinite)
+        if (finite.isEmpty) Nil
+        else Seq(
+          s"""<Item name="STATISTICS_MINIMUM" sample="$i">${finite.min}</Item>""",
+          s"""<Item name="STATISTICS_MAXIMUM" sample="$i">${finite.max}</Item>""",
+          s"""<Item name="DESCRIPTION" sample="$i" role="description">$b</Item>""")
+      }
+      items.mkString("<GDALMetadata>\n", "\n", "\n</GDALMetadata>")
+    }
+    val stripOffsets = (0 until nB).map(i => dataOffset + i.toLong * plane)
+    val entries = (Seq(
+      Entry(256, T_SHORT, 1, shorts(Seq(w))),
+      Entry(257, T_SHORT, 1, shorts(Seq(h))),
+      Entry(258, T_SHORT, nB, shorts(Seq.fill(nB)(32))),
+      Entry(259, T_SHORT, 1, shorts(Seq(1))),          // no compression
+      Entry(262, T_SHORT, 1, shorts(Seq(1))),          // minIsBlack
+      Entry(273, T_LONG, nB, longs(stripOffsets)),
+      Entry(277, T_SHORT, 1, shorts(Seq(nB))),
+      Entry(278, T_SHORT, 1, shorts(Seq(h))),
+      Entry(279, T_LONG, nB, longs(Seq.fill(nB)(plane.toLong))),
+      Entry(284, T_SHORT, 1, shorts(Seq(if (nB == 1) 1 else 2))), // planar
+      Entry(339, T_SHORT, nB, shorts(Seq.fill(nB)(3))), // IEEE float
+      Entry(33550, T_DOUBLE, 3, doubles(Seq(dx, dy, 0.0))),
+      Entry(33922, T_DOUBLE, 6, doubles(Seq(0, 0, 0, originX, originY, 0))),
+      Entry(34735, T_SHORT, geoKeys.length, shorts(geoKeys)),
+      Entry(42112, T_ASCII, statsXml.length + 1, ascii(statsXml)),
+      Entry(42113, T_ASCII, 4, ascii("nan"))           // GDAL nodata
+    ) ++ (if (nB > 1)
+      Seq(Entry(338, T_SHORT, nB - 1, shorts(Seq.fill(nB - 1)(0)))) // extra samples
+    else Nil)).sortBy(_.tag)
+
+    var extraOffset = ifdOffset + 2 + entries.length * 12 + 4
     val out = new DataOutputStream(new FileOutputStream(path))
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    def le32(v: Long): Unit = { var i = 0; while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def le32(v: Long): Unit = {
+      var i = 0; while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
     out.write('I'); out.write('I'); le16(42); le32(ifdOffset)
     out.write(data.array())
     le16(entries.length)
+    val deferred = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
     entries.foreach { e =>
       le16(e.tag); le16(e.typ); le32(e.count)
-      e.typ match {
-        case 3 if e.count <= 2 => le16(e.value.toInt); le16(0)
-        case _ => le32(e.value)
+      if (e.payload.length <= 4) {
+        out.write(e.payload)
+        var pad = 4 - e.payload.length
+        while (pad > 0) { out.write(0); pad -= 1 }
+      } else {
+        le32(extraOffset)
+        deferred += e.payload
+        extraOffset += e.payload.length
       }
     }
     le32(0) // next IFD
-    extras.sortBy(_._1).foreach { case (_, bytes) => out.write(bytes) }
+    deferred.foreach(out.write)
     out.close()
     path
   }
 
-  /** Label-keyed JSON rendition (openeo_odc_driver.py:1783-1827): rows as
-    * an array of objects keyed by dimension labels. */
+  /** Label-keyed JSON rendition mirroring the reference's dict layouts
+    * (openeo_odc_driver.py:1783-1827): 0-D → {"band": [[v]]} or
+    * {"0": [[v]]}; 1-D → {label: {band: [v]}} or {label: [[v]]};
+    * >=2-D → an xarray-to_dict-shaped {dims, coords, data} object. */
+  def writeJsonCube(c: Cube, path: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val hasBand = c.has(Dim.Band)
+    val others = c.dims.filterNot(_ == Dim.Band) // label dims, cube order
+    val rows = c.df.collect()
+    def valueOf(r: Row): Double = r.getAs[Any](Cube.ValueCol) match {
+      case null => Double.NaN
+      case d: Double => d; case f: Float => f.toDouble
+      case b: Boolean => if (b) 1.0 else 0.0
+      case n: Number => n.doubleValue()
+    }
+    def labelOf(r: Row, dim: String): String = String.valueOf(r.getAs[Any](dim))
+    def bandOf(r: Row): String =
+      if (hasBand) r.getAs[String](Dim.Band) else "0"
+
+    others.length match {
+      case 0 =>
+        // single cell per band (reference n_dims==0 branch)
+        rows.foreach { r =>
+          root.putArray(bandOf(r)).addArray().add(valueOf(r))
+        }
+      case 1 =>
+        val dim = others.head
+        val byLabel = rows.groupBy(labelOf(_, dim)).toSeq.sortBy(_._1)
+        byLabel.foreach { case (label, rs) =>
+          if (hasBand) {
+            val o = root.putObject(label)
+            rs.sortBy(bandOf).foreach(r => o.putArray(bandOf(r)).add(valueOf(r)))
+          } else {
+            root.putArray(label).addArray().add(valueOf(rs.head))
+          }
+        }
+      case _ =>
+        // xarray .to_dict() shape: dims, coords, nested data
+        val dims = (if (hasBand) Seq(Dim.Band) else Nil) ++ others
+        val dimsArr = root.putArray("dims"); dims.foreach(dimsArr.add)
+        val labels: Map[String, Seq[String]] = dims.map { d =>
+          d -> rows.map(labelOf(_, d)).distinct.sorted.toSeq
+        }.toMap
+        val coords = root.putObject("coords")
+        dims.foreach { d =>
+          val o = coords.putObject(d)
+          o.putArray("dims").add(d)
+          val arr = o.putArray("data"); labels(d).foreach(arr.add)
+        }
+        val index = rows.map(r =>
+          dims.map(labelOf(r, _)) -> valueOf(r)).toMap
+        def nest(parent: com.fasterxml.jackson.databind.node.ArrayNode,
+            prefix: Seq[String], rest: Seq[String]): Unit = rest match {
+          case Seq(last) => labels(last).foreach { l =>
+            index.get(prefix :+ l) match {
+              case Some(v) => parent.add(v)
+              case None    => parent.addNull()
+            }
+          }
+          case d +: tail => labels(d).foreach { l =>
+            nest(parent.addArray(), prefix :+ l, tail)
+          }
+          case _ =>
+        }
+        nest(root.putArray("data"), Nil, dims)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      mapper.writeValueAsString(root))
+    path
+  }
+
+  /** Plain row-array JSON for tabular results (zonal stats / fit params —
+    * the reference's GeoDataFrame path writes GeoJSON features instead;
+    * our tabular layout keeps the same per-row records). */
   def writeJson(df: DataFrame, path: String): String = {
     val json = df.toJSON.collect().mkString("[", ",", "]")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
