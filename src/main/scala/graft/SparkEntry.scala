@@ -375,6 +375,12 @@ object SparkEntry {
       Sar2Cube.filterBboxByLonLatBands(sarCube(c), west = 11.0005,
         south = 45.0005, east = 11.0025, north = 45.0305).df),
     // --- curve fitting (A9, A10) ------------------------------------------
+    "q_run_udf" -> onCube { c =>
+      // run_udf execution slot: element-wise R source compiled to a
+      // Column expression (compile.UdfCompiler) — stays in codegen
+      c.mapValue(v => graft.compile.UdfCompiler.compile(
+        "function(x, context) { sqrt(x) * 2 + 1 }", v)).df
+    },
     "q_fit_curve" -> onCube { c =>
       // closed-form linear least squares with exact decimal sums so the
       // DuckDB oracle hash-matches bit-for-bit; the LM optimizer path
@@ -842,6 +848,8 @@ object SparkEntry {
              AND (45.0 + y * 0.001 + x * 0.00001) BETWEEN 45.0005 AND 45.0305)
          SELECT f.time, f.band, f.y, f.x, f.value
          FROM fullc f JOIN keep USING (y, x)"""),
+    "q_run_udf" -> cq(
+      "SELECT time, band, y, x, sqrt(value) * 2 + 1 AS value FROM cube"),
     "q_fit_curve" -> cq(
       // hi/lo split cast: DuckDB's wide-decimal→double cast can be off by
       // one ulp; splitting the exact integer at 2^26 and recombining in

@@ -129,6 +129,16 @@ final class GraphCompiler(
       case "apply" =>
         val c = cubeArg(n, "data", r)
         c.mapValue(v => compileScalar(subGraph(n, "process"), Map("x" -> v)))
+      case "run_udf" =>
+        // element-wise UDF source compiled to a Column expression — see
+        // UdfCompiler (the reference ships chunks to an R pool instead,
+        // openeo_odc_driver.py:282-339)
+        val src = n.arguments.get("udf") match {
+          case Some(LitArg(v)) if v.isTextual => v.asText
+          case other => throw new IllegalArgumentException(s"run_udf udf: $other")
+        }
+        val c = cubeArg(n, "data", r)
+        c.mapValue(v => UdfCompiler.compile(src, v))
       case "apply_dimension" =>
         val c = cubeArg(n, "data", r)
         val dim = Dim.canonical(optS(n, "dimension", r).getOrElse("time"))
@@ -509,7 +519,14 @@ final class GraphCompiler(
   /** One element-wise process → Column (shared by apply / overlap resolver
     * / band-expression compilation / top-level apply-position ops). */
   private def scalarOp(n: Node, arg: Arg => Column): Column =
-    scalarOpByName(n.processId,
+    if (n.processId == "run_udf") {
+      // run_udf inside a callback: compile the source over the bound value
+      val src = n.arguments.get("udf") match {
+        case Some(LitArg(v)) if v.isTextual => v.asText
+        case other => throw new IllegalArgumentException(s"run_udf udf: $other")
+      }
+      UdfCompiler.compile(src, arg(n.arguments("data")))
+    } else scalarOpByName(n.processId,
       name => arg(n.arguments(name)),
       name => n.arguments.get(name).map(arg),
       n.arguments.get("data") match {

@@ -174,6 +174,21 @@ class GraphCompilerSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 24
   }
 
+  test("run_udf with element-wise R source executes via the expression compiler") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "udf": {"process_id": "run_udf", "arguments": {
+        "data": {"from_node": "load"},
+        "udf": "function(x, context) { x * 2 + 1 }",
+        "runtime": "R"}, "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    val base = compiler.compile(
+      """{"load": {"process_id": "load_collection",
+         "arguments": {"id": "s2_l2a"}, "result": true}}""").asInstanceOf[Cube]
+    val want = base.df.agg(sum(col("value") * 2 + 1)).head().getDouble(0)
+    c.df.agg(sum("value")).head().getDouble(0) shouldBe want +- 1e-9
+  }
+
   test("resample_spatial fold regrids the data, not just the metadata") {
     // collection grid is 1×1 m; resample to 2 m → coordinates land on the
     // coarse grid and the cube's grid step changes

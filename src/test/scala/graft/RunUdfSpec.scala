@@ -5,6 +5,47 @@ import graft.ops.RunUdf.TilePoint
 import org.apache.spark.sql.functions._
 
 class RunUdfSpec extends SparkSpec {
+  import graft.compile.UdfCompiler
+
+  test("UdfCompiler compiles R and Python lambda forms to expressions") {
+    import spark.implicits._
+    val df = Seq(2.0, 5.0).toDF("v")
+    def eval(src: String): Seq[Double] =
+      df.select(UdfCompiler.compile(src, col("v")).as("r"))
+        .collect().map(_.getDouble(0)).toSeq
+    eval("function(x, context) { x * 2 + 1 }") shouldBe Seq(5.0, 11.0)
+    eval("function(x) return(x ^ 2)") shouldBe Seq(4.0, 25.0)
+    eval("lambda x: x ** 2 - 1") shouldBe Seq(3.0, 24.0)
+    eval("\\(x) sqrt(x) * sqrt(x)").zip(Seq(2.0, 5.0)).foreach {
+      case (got, want) => got shouldBe want +- 1e-12
+    }
+    eval("log(exp(x))").zip(Seq(2.0, 5.0)).foreach {
+      case (got, want) => got shouldBe want +- 1e-12
+    }
+    eval("pmax(x, 3)") shouldBe Seq(3.0, 5.0)
+    eval("x %% 3") shouldBe Seq(2.0, 2.0)
+  }
+
+  test("UdfCompiler operator precedence and unary minus match R") {
+    import spark.implicits._
+    val df = Seq(4.0).toDF("v")
+    def eval(src: String): Double =
+      df.select(UdfCompiler.compile(src, col("v")).as("r")).head().getDouble(0)
+    eval("2 + 3 * x") shouldBe 14.0
+    eval("(2 + 3) * x") shouldBe 20.0
+    eval("-x ^ 2 + 1") shouldBe -15.0 // ^ binds tighter than unary minus in R
+    eval("2 ^ 3 ^ 2") shouldBe 512.0  // right-assoc
+  }
+
+  test("UdfCompiler rejects non-expression source with a parse error") {
+    an[UdfCompiler.UdfParseError] should be thrownBy
+      UdfCompiler.compile("function(x) { for (i in 1:10) x <- x + i; x }",
+        lit(0.0))
+    an[UdfCompiler.UdfParseError] should be thrownBy
+      UdfCompiler.compile("library(stars); read_stars(x)", lit(0.0))
+    UdfCompiler.supported("x + 1") shouldBe true
+    UdfCompiler.supported("install.packages('evil')") shouldBe false
+  }
 
   test("runOnTiles sees whole (time, band) slices and can transform them") {
     val c = cubeOf(
