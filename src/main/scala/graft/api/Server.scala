@@ -152,11 +152,23 @@ final class Catalog(val specs: Map[String, Scan.CollectionSpec]) {
           if (spec.bandOrder.nonEmpty) spec.bandOrder
           else df.select("band").distinct().collect().map(_.getString(0)).sorted.toSeq
         val bandsJson = bands.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s"""{"id":"$id","crs":"${spec.crs.getOrElse("")}",
+        // reference layout (odc_backend.py:184-309): datacube extension,
+        // DATE/X/Y/bands dimension names (config.py:41-44), axis +
+        // reference_system on the spatial dims, top-level extent object
+        val epsg = spec.crs.flatMap(graft.ops.Filters.crsEpsg).getOrElse(4326)
+        val (t0, t1) = (r.get(0), r.get(1))
+        val (x0, x1, y0, y1) = (r.get(2), r.get(3), r.get(4), r.get(5))
+        s"""{"id":"$id","stac_version":"1.0.0",
+           |"stac_extensions":["datacube"],
+           |"license":"CC-BY-4.0",
+           |"crs":"${spec.crs.getOrElse("")}",
+           |"extent":{
+           |"spatial":{"bbox":[[$x0,$y0,$x1,$y1]]},
+           |"temporal":{"interval":[["$t0","$t1"]]}},
            |"cube:dimensions":{
-           |"t":{"type":"temporal","extent":["${r.get(0)}","${r.get(1)}"]},
-           |"x":{"type":"spatial","extent":[${r.get(2)},${r.get(3)}]},
-           |"y":{"type":"spatial","extent":[${r.get(4)},${r.get(5)}]},
+           |"DATE":{"type":"temporal","extent":["$t0","$t1"]},
+           |"X":{"type":"spatial","axis":"x","extent":[$x0,$x1],"reference_system":$epsg},
+           |"Y":{"type":"spatial","axis":"y","extent":[$y0,$y1],"reference_system":$epsg},
            |"bands":{"type":"bands","values":$bandsJson}}}""".stripMargin
       })
     }

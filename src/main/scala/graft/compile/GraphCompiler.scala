@@ -397,28 +397,47 @@ final class GraphCompiler(
           }
         case _ => None
       }
-    rn.arguments.get("projection").map(resolve(_, r)).foreach { p =>
-      val tgt = p match {
-        case d: Double => s"EPSG:${d.toInt}"
-        case s: String if s.forall(_.isDigit) => s"EPSG:$s"
-        case s: String => s
+    val projTo: Option[Int] = rn.arguments.get("projection").map(resolve(_, r))
+      .map {
+        case d: Double => d.toInt
+        case s: String if s.forall(_.isDigit) => s.toInt
+        case s: String => Filters.crsEpsg(s).getOrElse(
+          throw new IllegalArgumentException(s"resample_spatial projection: $s"))
       }
-      if (!c.meta.crs.forall(_ == tgt))
-        throw new IllegalArgumentException(
-          "resample_spatial: projection change " +
-            s"${c.meta.crs.getOrElse("?")} -> $tgt not supported yet")
-    }
+    val srcEpsg = c.meta.crs.flatMap(Filters.crsEpsg)
+    val method = optS(rn, "method", r).getOrElse("near")
+    val crsChange = projTo.exists(p => !srcEpsg.contains(p))
+    val reprojected =
+      if (!crsChange) c
+      else {
+        // warp like the reference's load-time reproject
+        // (load_odc_collection.py:128-173): transform every cell coordinate
+        // (codegen expression, no shuffle), then regrid below. The regrid
+        // is mandatory — reprojected points are irregular.
+        if (res.isEmpty) throw new IllegalArgumentException(
+          "resample_spatial: a projection change requires a resolution")
+        if (method != "near" && method != "nearest")
+          throw new IllegalArgumentException(
+            s"resample_spatial: method '$method' unsupported for CRS change")
+        Joins.reprojectCube(c, srcEpsg.getOrElse(
+          throw new IllegalArgumentException(
+            "resample_spatial: source cube has no CRS")), projTo.get)
+      }
     res match {
       case Some((rx, ry)) =>
-        val g0 = c.meta.requireGrid
-        val tg = g0.copy(dx = rx, dy = ry)
-        optS(rn, "method", r).getOrElse("near") match {
-          case "near" | "nearest" => Joins.resampleCubeSpatialNearest(c, tg)
-          case "bilinear"         => Joins.resampleCubeSpatialBilinear(c, tg)
+        // grid origin: keep the scan grid's origin for a pure resolution
+        // change; a CRS change snaps to the res-aligned origin (the
+        // reference's geobox alignment, sar2cube/utils.py:18-54)
+        val tg =
+          if (crsChange) graft.cube.GridRef(0.0, 0.0, rx, ry)
+          else c.meta.requireGrid.copy(dx = rx, dy = ry)
+        method match {
+          case "near" | "nearest" => Joins.resampleCubeSpatialNearest(reprojected, tg)
+          case "bilinear"         => Joins.resampleCubeSpatialBilinear(reprojected, tg)
           case other => throw new IllegalArgumentException(
             s"resample_spatial: unsupported method '$other'")
         }
-      case None => c
+      case None => reprojected
     }
   }
 

@@ -207,6 +207,12 @@ object Crs {
     epsg == 4326 || epsg == 3035 ||
       (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
 
+  /** Point transform between supported CRSs (via 4326). */
+  def transformPoint(x: Double, y: Double, fromEpsg: Int,
+      toEpsg: Int): (Double, Double) =
+    if (fromEpsg == toEpsg) (x, y)
+    else fromWgs(toWgs((x, y), fromEpsg), toEpsg)
+
   private def toWgs(p: (Double, Double), epsg: Int): (Double, Double) = epsg match {
     case 4326 => p
     case 3035 => Laea.toLonLat(p._1, p._2)

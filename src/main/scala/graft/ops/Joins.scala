@@ -95,6 +95,22 @@ object Joins {
     Cube(relabeled, source.meta)
   }
 
+  /** Reproject a cube's x/y coordinates into another CRS — one codegen
+    * projection over the native [[graft.functions.GeoExprs.ReprojectPoint]]
+    * expression, no shuffle. The result is an IRREGULAR point set in the
+    * target CRS; follow with a regrid (resampleCubeSpatial*) to get back
+    * onto a regular grid, exactly like the reference's warp-at-load
+    * (load_odc_collection.py:128-173). */
+  def reprojectCube(c: Cube, fromEpsg: Int, toEpsg: Int): Cube = {
+    val p = graft.functions.GeoExprs.reproject(
+      col(Dim.X), col(Dim.Y), fromEpsg, toEpsg)
+    Cube(c.df.withColumn("_p", p)
+      .withColumn(Dim.X, col("_p.x"))
+      .withColumn(Dim.Y, col("_p.y"))
+      .drop("_p"),
+      c.meta.copy(crs = Some(s"EPSG:$toEpsg"), grid = None))
+  }
+
   /** `resample_cube_spatial` nearest — regrid source onto target's grid
     * (openeo_odc_driver.py:342-358, method near→nearest). Each source cell
     * is binned to the nearest target cell index; among sources landing in

@@ -223,6 +223,31 @@ class GraphCompilerSpec extends SparkSpec {
     v shouldBe 410.0 +- 1e-9
   }
 
+  test("resample_spatial with a projection change warps then regrids") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "rs": {"process_id": "resample_spatial", "arguments": {
+        "data": {"from_node": "load"}, "projection": 4326,
+        "resolution": 0.1}, "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    c.meta.crs shouldBe Some("EPSG:4326")
+    c.meta.grid.get.dx shouldBe 0.1
+    // the fixture's 2x2 UTM32 metre coords collapse into one 0.1 deg cell
+    // near the zone's far west edge — regrid keeps rows, coords in degrees
+    c.df.count() should be > 0L
+    val x = c.df.select("x").head().getDouble(0)
+    x should (be >= -180.0 and be <= 180.0)
+  }
+
+  test("resample_spatial projection change without resolution is rejected") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "rs": {"process_id": "resample_spatial", "arguments": {
+        "data": {"from_node": "load"}, "projection": 4326},
+        "result": true}}"""
+    an[IllegalArgumentException] should be thrownBy compiler.compile(g)
+  }
+
   test("apply_kernel numeric border means constant-fill with that cval") {
     // openEO shorthand: "border": 100 ≡ mode=constant, cval=100
     // (openeo_odc_driver.py:1405-1415)

@@ -41,6 +41,26 @@ class JoinsSpec extends SparkSpec {
     r.df.head().getDouble(4) shouldBe 6.0
   }
 
+  test("reprojectCube transforms coordinates with the native expression") {
+    // build a cube whose x/y are the UTM32N coords of two known lon/lat
+    // points; reprojecting to 4326 must recover the lon/lat (within the
+    // Snyder series' accuracy)
+    val pts = Seq((11.3, 46.5), (11.6, 46.8))
+    val utm = pts.map { case (lo, la) => graft.ops.Utm.fromLonLat(lo, la, 32632) }
+    val c0 = cubeOf(
+      ("2024-01-01", "B", utm(0)._2, utm(0)._1, 1.0),
+      ("2024-01-01", "B", utm(1)._2, utm(1)._1, 2.0))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:32632")))
+    val r = Joins.reprojectCube(c, 32632, 4326)
+    r.meta.crs shouldBe Some("EPSG:4326")
+    val got = r.df.orderBy("value").collect()
+      .map(row => (row.getAs[Double](Dim.X), row.getAs[Double](Dim.Y)))
+    got.zip(pts).foreach { case ((lo, la), (wlo, wla)) =>
+      lo shouldBe wlo +- 1e-6
+      la shouldBe wla +- 1e-6
+    }
+  }
+
   test("resample_cube_temporal: nearest as-of relabel onto the target axis") {
     val src = cubeOf(
       ("2024-01-01", "B", 0, 0, 1.0), ("2024-01-10", "B", 0, 0, 10.0))

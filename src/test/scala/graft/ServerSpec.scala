@@ -49,6 +49,13 @@ class ServerSpec extends SparkSpec {
     code shouldBe 200
     body should include("\"bands\":{\"type\":\"bands\",\"values\":[\"B04\",\"B08\"]}")
     body should include("2022-06-01")
+    // reference STAC layout: datacube extension, DATE/X/Y dimension names,
+    // axis + reference_system on spatial dims, top-level extent object
+    body should include(""""stac_extensions":["datacube"]""")
+    body should include(""""DATE":{"type":"temporal"""")
+    body should include(""""axis":"x"""")
+    body should include(""""reference_system":32632""")
+    body should include(""""spatial":{"bbox":[[""")
     val (code404, _) = http("GET", "/collections/nope")
     code404 shouldBe 404
   }
