@@ -477,6 +477,15 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.simhashPairs(d, "text", "doc_id", maxDist = 6)
     }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // blocked pairwise n-gram Jaccard (the non-LSH dedup variant):
+      // blocking on (lang, source) bounds the pair space per group
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", Seq("lang", "source"),
+          shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     // --- similarity search over embeddings ------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -934,6 +943,21 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""",
     "q_ann_topk" ->
       // ordered-aggregate dot product matches Spark's left-to-right
       // `aggregate` fold bit-for-bit (see Similarity scaladoc)

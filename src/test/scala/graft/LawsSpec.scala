@@ -1,0 +1,156 @@
+package graft
+
+import graft.cube.{Cube, Dim}
+import graft.ops.{Filters, Joins, Laea, Utm}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property-based algebraic laws over randomly generated cubes/inputs
+  * (SURVEY.md §5 item 4). Deterministic: every Gen is sampled from a fixed
+  * seed so failures reproduce. */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
+    val p = Gen.Parameters.default
+    Iterator.iterate(rng.Seed(seed))(_.next)
+      .map(s => g.apply(p, s)).flatten.take(n).toSeq
+  }
+
+  private val cellGen: Gen[(Int, String, Int, Int, Double)] = for {
+    day  <- Gen.choose(1, 9)
+    band <- Gen.oneOf("B04", "B08")
+    y    <- Gen.choose(0, 3)
+    x    <- Gen.choose(0, 3)
+    v    <- Gen.choose(1.0, 1000.0)
+  } yield (day, band, y, x, v)
+
+  private def randomCube(seed: Long, n: Int = 40): Cube = {
+    val cells = sample(cellGen, n, seed)
+      .groupBy(c => (c._1, c._2, c._3, c._4)).map(_._2.head).toSeq // unique keys
+    cubeOf(cells.map { case (d, b, y, x, v) =>
+      (f"2024-01-0$d", b, y.toDouble, x.toDouble, v) }: _*)
+  }
+
+  test("law: normalized_difference of positive bands lies in [-1, 1]") {
+    for (seed <- 1L to 5L) {
+      val wide = randomCube(seed).wide
+      val nd = wide.where(col("B04").isNotNull && col("B08").isNotNull)
+        .select(((col("B08") - col("B04")) / (col("B08") + col("B04"))).as("nd"))
+        .collect().map(_.getDouble(0))
+      nd.foreach { v => v should (be >= -1.0 and be <= 1.0) }
+    }
+  }
+
+  test("law: mask is idempotent (mask∘mask = mask)") {
+    for (seed <- 1L to 3L) {
+      val c = randomCube(seed)
+      val m = Cube(
+        c.df.where(col(Dim.Band) === "B04")
+          .withColumn(Cube.ValueCol,
+            when(col(Cube.ValueCol) > 500.0, 1.0).otherwise(0.0)),
+        c.meta.copy(bandOrder = Seq("B04")))
+      val once = Filters.mask(c, m)
+      val twice = Filters.mask(once, m)
+      rowSet(twice.df) shouldBe rowSet(once.df)
+    }
+  }
+
+  test("law: merge_cubes with disjoint bands concatenates exactly") {
+    for (seed <- 1L to 3L) {
+      val a0 = randomCube(seed)
+      val a = Cube(a0.df.where(col(Dim.Band) === "B04"),
+        a0.meta.copy(bandOrder = Seq("B04")))
+      val b = Cube(
+        a0.df.where(col(Dim.Band) === "B08")
+          .withColumn(Dim.Band, lit("B11")),
+        a0.meta.copy(bandOrder = Seq("B11")))
+      val r = Joins.mergeCubes(a, b)
+      r.df.count() shouldBe a.df.count() + b.df.count()
+      r.meta.bandOrder shouldBe Seq("B04", "B11")
+    }
+  }
+
+  test("law: nearest regrid onto the cube's own grid is the identity") {
+    for (seed <- 1L to 3L) {
+      val c = randomCube(seed)
+      val r = Joins.resampleCubeSpatialNearest(c, c.meta.requireGrid)
+      rowSet(r.df.select("time", "band", "y", "x", "value")) shouldBe
+        rowSet(c.df.select("time", "band", "y", "x", "value"))
+    }
+  }
+
+  test("law: per-group min <= mean <= max reducers") {
+    for (seed <- 1L to 3L) {
+      val c = randomCube(seed)
+      val mins = graft.ops.Reducers.reduceDimension(c, "time", "min").df
+        .withColumnRenamed("value", "lo")
+      val means = graft.ops.Reducers.reduceDimension(c, "time", "mean").df
+        .withColumnRenamed("value", "mid")
+      val maxs = graft.ops.Reducers.reduceDimension(c, "time", "max").df
+        .withColumnRenamed("value", "hi")
+      val joined = mins.join(means, Seq("band", "y", "x"))
+        .join(maxs, Seq("band", "y", "x"))
+      joined.where(col("lo") > col("mid") + 1e-9 ||
+        col("mid") > col("hi") + 1e-9).count() shouldBe 0
+    }
+  }
+
+  test("law: TopKAgg equals the window-rank formulation on random scores") {
+    val pairGen = for {
+      q <- Gen.choose(0L, 3L)
+      n <- Gen.choose(0L, 200L)
+      v <- Gen.frequency( // forced ties at 0.25/0.5 exercise id tiebreaks
+        3 -> Gen.choose(-1.0, 1.0), 1 -> Gen.oneOf(0.25, 0.5))
+    } yield (q, n, v)
+    for (seed <- 1L to 3L) {
+      val rows = sample(pairGen, 300, seed)
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (q, id)
+      val df = rows.toDF("query_id", "neighbor_id", "cos")
+      val agg = df.groupBy("query_id")
+        .agg(graft.functions.TopKAgg.topK(5)(col("neighbor_id"), col("cos")).as("t"))
+        .select(col("query_id"), posexplode(col("t")).as(Seq("p", "s")))
+        .select(col("query_id"), (col("p") + 1).as("rank"),
+          col("s.id").as("neighbor_id"), col("s.cos").as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      val win = df.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "cos")
+      rowSet(agg) shouldBe rowSet(win)
+    }
+  }
+
+  test("law: jaccard is symmetric, bounded, and 1 on identical sets") {
+    val arrGen = Gen.listOfN(8, Gen.choose(1L, 12L))
+    val pairs = sample(Gen.zip(arrGen, arrGen), 25)
+    val df = pairs.map { case (a, b) => (a, b) }.toDF("a", "b")
+    val r = df.select(
+      graft.text.Dedup.jaccard(col("a"), col("b")).as("ab"),
+      graft.text.Dedup.jaccard(col("b"), col("a")).as("ba"),
+      graft.text.Dedup.jaccard(col("a"), col("a")).as("aa"))
+      .collect()
+    r.foreach { row =>
+      row.getDouble(0) shouldBe row.getDouble(1) +- 1e-12
+      row.getDouble(0) should (be >= 0.0 and be <= 1.0)
+      row.getDouble(2) shouldBe 1.0
+    }
+  }
+
+  test("law: UTM and LAEA roundtrip over the projection's valid domain") {
+    val utmPt = Gen.zip(Gen.choose(6.5, 11.5), Gen.choose(-75.0, 80.0))
+    sample(utmPt, 40).foreach { case (lon, lat) =>
+      val (x, y) = Utm.fromLonLat(lon, lat, 32632)
+      val (lo2, la2) = Utm.toLonLat(x, y, 32632)
+      lo2 shouldBe lon +- 1e-7
+      la2 shouldBe lat +- 1e-7
+    }
+    val laeaPt = Gen.zip(Gen.choose(-10.0, 30.0), Gen.choose(35.0, 70.0))
+    sample(laeaPt, 40).foreach { case (lon, lat) =>
+      val (x, y) = Laea.fromLonLat(lon, lat)
+      val (lo2, la2) = Laea.toLonLat(x, y)
+      lo2 shouldBe lon +- 1e-8
+      la2 shouldBe lat +- 1e-8
+    }
+  }
+}
