@@ -375,6 +375,26 @@ object SparkEntry {
       Sar2Cube.filterBboxByLonLatBands(sarCube(c), west = 11.0005,
         south = 45.0005, east = 11.0025, north = 45.0305).df),
     // --- curve fitting (A9, A10) ------------------------------------------
+    "q_apply_not" -> onCube(c =>
+      // M5 logical negation on a comparison cube
+      c.df.withColumn("flag", !(col(Cube.ValueCol) > 100.0))
+        .drop(Cube.ValueCol)),
+    "q_apply_if" -> onCube(c =>
+      // M13 `if` as a true branch (when/otherwise) — documented divergence
+      // from the reference's NaN-propagating arithmetic encoding
+      c.mapValue(v => when(v > 100.0, v * 2).otherwise(v / 2)).df),
+    "q_scan_adjust" -> ((s, dir) => {
+      // S2 scan-time nodata→null + value*scale+offset, through the real
+      // Scan.loadCollection path over a parquet rendition of the cube
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_adj_$slug"
+      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
+      Scan.loadCollection(s, Scan.CollectionSpec(tmp,
+        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
+        grid = Some(GridRef(0, 0, 1, 1)),
+        adjust = Map("click" ->
+          Scan.BandAdjust(nodata = Some(50.0), scale = 0.01, offset = 10.0)))).df
+    }),
     "q_run_udf" -> onCube { c =>
       // run_udf execution slot: element-wise R source compiled to a
       // Column expression (compile.UdfCompiler) — stays in codegen
@@ -857,6 +877,19 @@ object SparkEntry {
              AND (45.0 + y * 0.001 + x * 0.00001) BETWEEN 45.0005 AND 45.0305)
          SELECT f.time, f.band, f.y, f.x, f.value
          FROM fullc f JOIN keep USING (y, x)"""),
+    "q_apply_not" -> cq(
+      "SELECT time, band, y, x, NOT (value > 100) AS flag FROM cube"),
+    "q_apply_if" -> cq(
+      """SELECT time, band, y, x,
+           CASE WHEN value > 100 THEN value * 2 ELSE value / 2 END AS value
+         FROM cube"""),
+    "q_scan_adjust" -> cq(
+      """SELECT time, band, y, x,
+           CASE WHEN band = 'click'
+                THEN (CASE WHEN value = 50.0 THEN NULL ELSE value END)
+                     * 0.01 + 10.0
+                ELSE value END AS value
+         FROM cube"""),
     "q_run_udf" -> cq(
       "SELECT time, band, y, x, sqrt(value) * 2 + 1 AS value FROM cube"),
     "q_fit_curve" -> cq(
