@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.cube.{Cube, CubeMeta, Dim}
 import graft.ops.Reducers
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming forms of the cube aggregations.
@@ -54,6 +54,71 @@ object StreamingOps {
     df.withColumn("content_hash", sha2(col(textCol), 256))
       .withWatermark(timeCol, delay)
       .dropDuplicates("content_hash")
+
+  /** One closed activity session per (band, y, x) key. */
+  final case class Session(band: String, y: Double, x: Double,
+      start: java.sql.Timestamp, end: java.sql.Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Internal open-session state (public: encoder codegen must reach it). */
+  final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization — the custom-keyed-state surface
+    * (`flatMapGroupsWithState` + event-time timeout). A session is a run
+    * of events on one (band, y, x) key with inter-event gaps below
+    * `gapMs`; it closes when a larger gap arrives in-stream or when the
+    * watermark passes last+gap (timeout), so state is bounded by the
+    * number of OPEN sessions only. The shuffle key matches the batch
+    * pixel key, so a 1000-executor cluster partitions identically. */
+  def sessionizeStream(df: DataFrame, gapMs: Long,
+      delay: String = "1 hour"): Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the watermarked event-time column must survive projection for the
+    // event-time timeout to bind; millis derive from it inside the lambda
+    val keyed = df.withWatermark(Dim.Time, delay)
+      .select(col(Dim.Band), col(Dim.Y), col(Dim.X), col(Dim.Time),
+        col(Cube.ValueCol).cast("double"))
+      .as[(String, Double, Double, java.sql.Timestamp, Double)]
+    keyed.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Double, Double),
+         events0: Iterator[(String, Double, Double, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          val events = events0.map(e => (e._1, e._2, e._3, e._4.getTime, e._5))
+          def close(s: SessionState): Session = Session(key._1, key._2, key._3,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = events.toSeq.sortBy(_._4)
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e._4 - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, e._4, s.n + 1, s.total + e._5))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some(SessionState(e._4, e._4, 1, e._5))
+                case None =>
+                  cur = Some(SessionState(e._4, e._4, 1, e._5))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Streaming quality-gate filter: pure per-row expressions pass through
     * unchanged in streaming mode (no state) — language ID + quality score

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
     streamed.getDouble(4) shouldBe 6.0
   }
 
+  test("streaming sessionization closes sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
+    val out = StreamingOps.sessionizeStream(
+      stream.toDF().toDF("time", "band", "y", "x", "value"),
+      gapMs = 10 * 60 * 1000L, delay = "30 minutes")
+    val q = out.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    stream.addData(Seq(
+      // pixel (0,0): two events 5 min apart (one session), then a 1-hour
+      // gap starts a second session within the same batch
+      (ts("2024-01-01 00:00:00"), "click", 0.0, 0.0, 1.0),
+      (ts("2024-01-01 00:05:00"), "click", 0.0, 0.0, 2.0),
+      (ts("2024-01-01 01:05:00"), "click", 0.0, 0.0, 5.0)))
+    q.processAllAvailable()
+    // advance the watermark past the open session's timeout
+    stream.addData(Seq((ts("2024-01-01 09:00:00"), "zz", 9.0, 9.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions")
+      .where(col("band") === "click").orderBy("start").collect()
+    sessions.length shouldBe 2
+    sessions(0).getAs[Long]("n_events") shouldBe 2
+    sessions(0).getAs[Double]("sum_value") shouldBe 3.0
+    sessions(0).getAs[Timestamp]("end").toString should startWith("2024-01-01 00:05")
+    sessions(1).getAs[Long]("n_events") shouldBe 1
+    sessions(1).getAs[Double]("sum_value") shouldBe 5.0
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
