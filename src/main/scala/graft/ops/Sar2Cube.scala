@@ -56,7 +56,8 @@ object Sar2Cube {
     * its linear-interpolation validity mask approximated by the bounded
     * cell bin). */
   def geocode(c: Cube, targetEpsg: Int, resolution: Double,
-      lonBand: String = "grid_lon", latBand: String = "grid_lat"): Cube = {
+      lonBand: String = "grid_lon", latBand: String = "grid_lat",
+      fillGaps: Boolean = true): Cube = {
     require(c.has(Dim.Band), "geocode needs band dimension with grid_lon/grid_lat")
     // pivot ONLY the two geometry bands; keep data bands long. Join on the
     // radar-geometry pixel key (y, x) — both sides come from the same scan,
@@ -78,11 +79,46 @@ object Sar2Cube {
     val cellCy = (ty.cast("double") + 0.5) * resolution
     val d2 = (easting - cellCx) * (easting - cellCx) +
       (northing - cellCy) * (northing - cellCy)
-    val others = c.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
-    val out = joined
+    val otherNames = c.dims.filterNot(d => d == Dim.X || d == Dim.Y)
+    val others = otherNames.map(col)
+    val binned = joined
       .withColumn("_tx", tx).withColumn("_ty", ty).withColumn("_d2", d2)
       .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
       .agg(min_by(col(Cube.ValueCol), col("_d2")).as(Cube.ValueCol))
+    // Gap fill: the reference's Delaunay interpolation produces a value
+    // for every target cell inside the radar footprint even where the
+    // radar sampling is locally sparser than the target grid
+    // (sar2cube/geocode.py:38-106, with a linear-interp validity mask
+    // dropping extrapolated cells). Nearest-bin leaves pinholes there.
+    // One stencil pass over the BINNED grid (target-sized, much smaller
+    // than the input) fills cells with >= 4 populated 8-neighbors (at
+    // least half the neighborhood — a cell just OUTSIDE a straight data
+    // edge has exactly 3) using an inverse-distance weighted mean;
+    // cells outside the footprint stay empty — the validity-mask
+    // analogue.
+    val keyNames = otherNames ++ Seq("_tx", "_ty")
+    val full = if (!fillGaps) binned else {
+      val offsets = for {
+        oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0
+      } yield (ox, oy, 1.0 / math.hypot(ox, oy))
+      val scattered = binned.select(
+        others ++ Seq(col("_tx"), col("_ty"), col(Cube.ValueCol),
+          explode(array(offsets.map { case (ox, oy, w) =>
+            struct(lit(ox).as("ox"), lit(oy).as("oy"), lit(w).as("w"))
+          }: _*)).as("_o")): _*)
+        .select(others ++ Seq(
+          (col("_tx") + col("_o.ox")).as("_tx"),
+          (col("_ty") + col("_o.oy")).as("_ty"),
+          col(Cube.ValueCol), col("_o.w")): _*)
+      val holes = scattered
+        .groupBy(keyNames.map(col): _*)
+        .agg((sum(col(Cube.ValueCol) * col("w")) / sum(col("w")))
+          .as(Cube.ValueCol), count(lit(1)).as("_support"))
+        .where(col("_support") >= 4).drop("_support")
+        .join(binned.select(keyNames.map(col): _*), keyNames, "left_anti")
+      binned.unionByName(holes)
+    }
+    val out = full
       .withColumn(Dim.X, (col("_tx").cast("double") + 0.5) * resolution)
       .withColumn(Dim.Y, (col("_ty").cast("double") + 0.5) * resolution)
       .drop("_tx", "_ty")

@@ -39,6 +39,36 @@ class Sar2CubeSpec extends SparkSpec {
     rowSet(r.df.select(Cube.ValueCol)).map(_.head) shouldBe Set(5.0, 7.0)
   }
 
+  test("geocode fills interior pinholes but not cells outside the footprint") {
+    import spark.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    // 8 radar samples landing exactly on the centers of a 3×3 ring of
+    // 10 m cells (center cell left empty). Delaunay-quality output must
+    // interpolate the center; cells outside the ring must stay empty.
+    val (bx, by) = graft.ops.Utm.fromLonLat(11.35, 46.5, 32632)
+    val cx0 = math.floor(bx / 10.0); val cy0 = math.floor(by / 10.0)
+    val ring = for {
+      oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0
+    } yield (ox, oy)
+    val rows = ring.zipWithIndex.flatMap { case ((ox, oy), i) =>
+      val (lon, lat) = graft.ops.Utm.toLonLat(
+        (cx0 + ox + 0.5) * 10.0, (cy0 + oy + 0.5) * 10.0, 32632)
+      Seq((t, "grid_lon", 0.0, i.toDouble, lon),
+        (t, "grid_lat", 0.0, i.toDouble, lat),
+        (t, "VV", 0.0, i.toDouble, 10.0 + i))
+    }
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
+    val r = Sar2Cube.geocode(c, targetEpsg = 32632, resolution = 10.0)
+    r.df.count() shouldBe 9 // 8 ring samples + interpolated center
+    val center = r.df.where(
+      col(Dim.X) === (cx0 + 0.5) * 10.0 && col(Dim.Y) === (cy0 + 0.5) * 10.0)
+      .select(Cube.ValueCol).head().getDouble(0)
+    center should (be >= 10.0 and be <= 17.0) // IDW mean of the ring
+    // with fillGaps off the hole stays
+    Sar2Cube.geocode(c, 32632, 10.0, fillGaps = false).df.count() shouldBe 8
+  }
+
   test("filterBboxByLonLatBands keeps pixels whose lon/lat data fall inside") {
     import spark.implicits._
     val t = ts("2024-01-01 00:00:00")
