@@ -410,18 +410,24 @@ object SparkEntry {
       val tx = unix_timestamp(col(Dim.Time)) // floor seconds, long
       val v = col(Cube.ValueCol)
       val m = v =!= 0.0 && !isnan(v)
-      val txd = tx.cast("decimal(18,0)")
-      // 2-decimal values ×100 → all four sums are exact INTEGER decimals;
-      // Spark's decimal→double cast is correctly rounded, and the oracle
-      // reproduces the same rounding with a hi/lo split cast (DuckDB's
-      // native wide-decimal→double cast can be off by one ulp)
-      val v100 = (v.cast("decimal(18,2)") * 100).cast("decimal(18,0)")
+      // 2-decimal values ×100 → all four sums are exact INTEGERS. The
+      // per-row products stay in LONG arithmetic (tx² ≤ 3.3e18 and
+      // tx·v100 ≤ ~2e15 both fit; exact for epochs through 2066) and only
+      // the SUM accumulates in decimal — same exact values as an
+      // all-decimal pipeline without per-row BigDecimal multiplies.
+      // Spark's decimal→double cast is correctly rounded; the oracle
+      // reproduces that rounding with a hi/lo split cast (DuckDB's native
+      // wide-decimal→double cast can be off by one ulp).
+      val v100 = (v.cast("decimal(18,2)") * 100).cast("long")
       val agg = c.df.groupBy(Dim.Band, Dim.Y, Dim.X).agg(
         count(when(m, lit(1))).cast("double").as("_n"),
-        sum(when(m, txd)).cast("double").as("_sx"),
-        (sum(when(m, v100)).cast("double") / 100.0).as("_sy"),
-        (sum(when(m, txd * v100)).cast("double") / 100.0).as("_sxy"),
-        sum(when(m, txd * txd)).cast("double").as("_sxx"))
+        sum(when(m, tx.cast("decimal(18,0)"))).cast("double").as("_sx"),
+        (sum(when(m, v100.cast("decimal(18,0)"))).cast("double") / 100.0)
+          .as("_sy"),
+        (sum(when(m, (tx * v100).cast("decimal(38,0)"))).cast("double")
+          / 100.0).as("_sxy"),
+        sum(when(m, (tx * tx).cast("decimal(38,0)"))).cast("double")
+          .as("_sxx"))
       val denom = col("_n") * col("_sxx") - col("_sx") * col("_sx")
       val degenerate = col("_n") < 12 || denom === 0.0
       val a1 = when(degenerate, 0.0)

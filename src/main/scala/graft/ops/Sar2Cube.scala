@@ -98,9 +98,15 @@ object Sar2Cube {
     // analogue.
     val keyNames = otherNames ++ Seq("_tx", "_ty")
     val full = if (!fillGaps) binned else {
-      val offsets = for {
+      // single pass: every binned cell scatters to its 8 neighbors AND to
+      // itself (offset 0,0 marked w=0). One groupBy then resolves each
+      // cell: a self row wins outright (binned cells are unique per key);
+      // otherwise >= 4 neighbor supporters produce the IDW mean. The
+      // binned lineage is consumed exactly ONCE — no anti-join, no
+      // recompute of the pivot/TM/bin pipeline per consumer.
+      val offsets = (0, 0, 0.0) +: (for {
         oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0
-      } yield (ox, oy, 1.0 / math.hypot(ox, oy))
+      } yield (ox, oy, 1.0 / math.hypot(ox, oy)))
       val scattered = binned.select(
         others ++ Seq(col("_tx"), col("_ty"), col(Cube.ValueCol),
           explode(array(offsets.map { case (ox, oy, w) =>
@@ -109,14 +115,19 @@ object Sar2Cube {
         .select(others ++ Seq(
           (col("_tx") + col("_o.ox")).as("_tx"),
           (col("_ty") + col("_o.oy")).as("_ty"),
-          col(Cube.ValueCol), col("_o.w")): _*)
-      val holes = scattered
+          col(Cube.ValueCol), col("_o.w"),
+          (col("_o.ox") === 0 && col("_o.oy") === 0).as("_self")): _*)
+      scattered
         .groupBy(keyNames.map(col): _*)
-        .agg((sum(col(Cube.ValueCol) * col("w")) / sum(col("w")))
-          .as(Cube.ValueCol), count(lit(1)).as("_support"))
-        .where(col("_support") >= 4).drop("_support")
-        .join(binned.select(keyNames.map(col): _*), keyNames, "left_anti")
-      binned.unionByName(holes)
+        .agg(
+          max(when(col("_self"), col(Cube.ValueCol))).as("_own"),
+          (sum(when(!col("_self"), col(Cube.ValueCol) * col("w")))
+            / sum(when(!col("_self"), col("w")))).as("_idw"),
+          count(when(!col("_self"), lit(1))).as("_support"))
+        .withColumn(Cube.ValueCol, coalesce(col("_own"),
+          when(col("_support") >= 4, col("_idw"))))
+        .where(col(Cube.ValueCol).isNotNull)
+        .drop("_own", "_idw", "_support")
     }
     val out = full
       .withColumn(Dim.X, (col("_tx").cast("double") + 0.5) * resolution)

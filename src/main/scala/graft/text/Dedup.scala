@@ -119,16 +119,27 @@ object Dedup {
   }
 
   /** Pairwise n-gram Jaccard within blocking groups (`blockCols`) — the
-    * non-LSH variant for moderate group sizes. */
+    * non-LSH variant for moderate group sizes.
+    *
+    * Shingle sets are DISTINCT SHINGLE HASHES from the fused one-pass
+    * expression (identical intersection/union counts to string shingles
+    * mod 2⁻⁶⁴ collisions): long-array intersection beats string-array
+    * intersection several-fold per pair. A size-ratio prefilter prunes
+    * pairs before the intersection: J(a,b) ≥ t requires
+    * |a| ≥ t·|b| and |b| ≥ t·|a|. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val withSh = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
-        TextAnalysis.shingles(col(textCol), shingleN).as("sh")): _*)
+        graft.functions.TextHashExprs
+          .shingleHashes(lower(trim(col(textCol))), shingleN).as("sh")): _*)
+      .withColumn("_n", size(col("sh")))
     val a = withSh.as("a"); val b = withSh.as("b")
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.id") < col("b.id")
+      .reduce(_ && _) && col("a.id") < col("b.id") &&
+      col("a._n").cast("double") >= lit(threshold) * col("b._n") &&
+      col("b._n").cast("double") >= lit(threshold) * col("a._n")
     a.join(b, joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
