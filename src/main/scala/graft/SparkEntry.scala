@@ -542,6 +542,21 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
     }),
+    "q_multimodal_features" -> ((s, dir) => {
+      // multimodal plumbing at scale: binary payload column (utf-8 bytes
+      // of the docs as a stand-in blob), mapPartitions decode + feature
+      // extraction, features exploded to scalar rows (rows-only check —
+      // the fake codec is not oracle-expressible)
+      import graft.multimodal.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bin = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.featureExtract(Multimodal.decodeMeta(bin, "payload"),
+          "payload", dim = 8)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
     // --- process-graph compiler end-to-end (§3.1 query path) -------------
     "q_graph_pipeline" -> ((s, dir) => {
       // events cube → parquet collection → openEO graph (scan with band

@@ -122,6 +122,31 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Generate" // no explode amplification
   }
 
+  test("run_udf source compiles into the codegen projection — no ScalaUDF") {
+    val c = Scan.loadCollection(spark, spec)
+    val applied = c.mapValue(v => graft.compile.UdfCompiler.compile(
+      "function(x, context) { sqrt(x) * 2 + 1 }", v))
+    val plan = planString(applied.df)
+    plan should not include "ScalaUDF"
+    plan should not include "BatchEvalPython"
+    plan should include("*(1) Project") // fused into the scan's stage
+    plan should not include "Exchange"
+  }
+
+  test("geocode consumes the binned lineage once (single scan, one gap-fill agg)") {
+    import spark.implicits._
+    val t = new java.sql.Timestamp(0L)
+    val rows = Seq(
+      (t, "grid_lon", 0.0, 0.0, 11.35), (t, "grid_lat", 0.0, 0.0, 46.5),
+      (t, "VV", 0.0, 0.0, 5.0))
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
+    val plan = planString(graft.ops.Sar2Cube.geocode(c, 32632, 10.0).df)
+    // the pivot+TM+bin pipeline must appear once — the gap-fill pass works
+    // on the binned output, not on re-reads of the input
+    plan.split("Generate explode").length - 1 shouldBe 1
+  }
+
   test("zonal stats compiles to pure expressions — no UDF, no extra shuffle") {
     val c = Scan.loadCollection(spark, spec)
     val df = graft.ops.Reducers.aggregateSpatial(c,
