@@ -542,6 +542,11 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
     }),
+    "q_sessionize" -> onCube(c =>
+      // gap-based sessionization, batch form (StreamingSpec pins batch ==
+      // flatMapGroupsWithState streaming on the same input)
+      graft.streaming.StreamingOps.sessionizeBatch(c.df,
+        gapMs = 30 * 60 * 1000L)),
     "q_multimodal_features" -> ((s, dir) => {
       // multimodal plumbing at scale: binary payload column (utf-8 bytes
       // of the docs as a stand-in blob), mapPartitions decode + feature
@@ -997,6 +1002,25 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_sessionize" -> cq(
+      """, lagd AS (
+           SELECT band, y, x, time, value,
+             CASE WHEN lag(time) OVER (PARTITION BY band, y, x
+                                       ORDER BY time) IS NULL
+                   OR epoch_us(time) - epoch_us(lag(time) OVER (
+                        PARTITION BY band, y, x ORDER BY time))
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM cube),
+         sess AS (
+           SELECT band, y, x, time, value,
+             SUM(ns) OVER (PARTITION BY band, y, x ORDER BY time
+                           ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagd)
+         SELECT band, y, x, MIN(time) AS start, MAX(time) AS "end",
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY band, y, x, sid"""),
     "q_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang, source,
              list_filter(list_distinct(list_transform(

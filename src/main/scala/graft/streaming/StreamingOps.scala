@@ -120,6 +120,28 @@ object StreamingOps {
       }
   }
 
+  /** Batch counterpart of [[sessionizeStream]]: gap-based session
+    * assignment via a per-key ordered window (lag → new-session flag →
+    * running sum = session ordinal), then one aggregation per session.
+    * Window partitions are per-pixel time series — short by construction —
+    * so no skewed global sort. StreamingSpec pins batch == streaming on
+    * the same input. */
+  def sessionizeBatch(df: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = Seq(Dim.Band, Dim.Y, Dim.X).filter(df.columns.contains)
+    val w = Window.partitionBy(dims.map(col): _*).orderBy(col(Dim.Time))
+    val tMs = expr(s"unix_millis(${Dim.Time})")
+    val newSess = when(lag(tMs, 1).over(w).isNull ||
+      tMs - lag(tMs, 1).over(w) > gapMs, 1L).otherwise(0L)
+    df.withColumn("_sess", sum(newSess).over(w))
+      .groupBy((dims :+ "_sess").map(col): _*)
+      .agg(min(col(Dim.Time)).as("start"), max(col(Dim.Time)).as("end"),
+        count(lit(1)).as("n_events"),
+        sum(col(Cube.ValueCol).cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .drop("_sess")
+  }
+
   /** Streaming quality-gate filter: pure per-row expressions pass through
     * unchanged in streaming mode (no state) — language ID + quality score
     * as one select. */

@@ -83,6 +83,36 @@ class StreamingSpec extends SparkSpec {
     sessions(1).getAs[Double]("sum_value") shouldBe 5.0
   }
 
+  test("batch sessionization matches the streaming sessions on closed data") {
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), "click", 0.0, 0.0, 1.0),
+      (ts("2024-01-01 00:05:00"), "click", 0.0, 0.0, 2.0),
+      (ts("2024-01-01 01:05:00"), "click", 0.0, 0.0, 5.0),
+      (ts("2024-01-01 00:00:00"), "view", 1.0, 2.0, 4.0))
+    val gap = 10 * 60 * 1000L
+    // streaming (all sessions closed by the flush row)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
+    val q = StreamingOps.sessionizeStream(
+      stream.toDF().toDF("time", "band", "y", "x", "value"), gap,
+      delay = "30 minutes").toDF()
+      .writeStream.format("memory").queryName("sess_cmp")
+      .outputMode("append").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    stream.addData(Seq((ts("2024-01-02 00:00:00"), "zz", 9.0, 9.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_cmp")
+      .where(col("band") =!= "zz")
+      .select("band", "y", "x", "start", "end", "n_events", "sum_value")
+    // batch over the same rows
+    val batch = StreamingOps.sessionizeBatch(
+      rows.toDF("time", "band", "y", "x", "value"), gap)
+      .select("band", "y", "x", "start", "end", "n_events", "sum_value")
+    rowSet(batch) shouldBe rowSet(streamed)
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
