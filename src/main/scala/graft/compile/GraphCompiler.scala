@@ -178,7 +178,7 @@ final class GraphCompiler(
         Reducers.climatologicalNormal(cubeArg(n, "data", r))
       case "anomaly" =>
         val normals = resolve(n.arguments("normals"), r) match {
-          case df: DataFrame => df
+          case ds: org.apache.spark.sql.Dataset[_] => ds.toDF()
           case c: Cube => c.df
           case other => throw new IllegalArgumentException(s"anomaly normals: $other")
         }
@@ -225,7 +225,7 @@ final class GraphCompiler(
           compileModel(subGraph(n, "function")))
       case "predict_curve" =>
         val params = resolve(n.arguments("parameters"), r) match {
-          case df: DataFrame => df
+          case ds: org.apache.spark.sql.Dataset[_] => ds.toDF()
           case other => throw new IllegalArgumentException(s"predict_curve parameters: $other")
         }
         CurveFit.predictCurve(cubeArg(n, "data", r), params,

@@ -40,7 +40,8 @@ object Sinks {
           s"$outDir/result.parquet"
         case other => throw new IllegalArgumentException(s"format: $other")
       }
-      case df: DataFrame =>  // zonal stats / fit params path
+      case ds: org.apache.spark.sql.Dataset[_] =>  // zonal stats / fit params
+        val df = ds.toDF()
         fmt match {
           case "JSON" => writeJson(df, s"$outDir/result.json")
           case _ =>

@@ -137,6 +137,55 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: UdfCompiler parses random expression trees to equal plans") {
+    sealed trait E
+    case object X extends E
+    final case class Num(v: Double) extends E
+    final case class Bin(op: String, l: E, r: E) extends E
+    final case class Fn(name: String, a: E) extends E
+    def genE(depth: Int): Gen[E] =
+      if (depth == 0) Gen.oneOf(Gen.const(X), Gen.choose(-5.0, 5.0).map(Num.apply))
+      else Gen.frequency(
+        2 -> Gen.const(X),
+        1 -> Gen.choose(-5.0, 5.0).map(Num.apply),
+        3 -> (for {
+          op <- Gen.oneOf("+", "-", "*")
+          l <- genE(depth - 1); r <- genE(depth - 1)
+        } yield Bin(op, l, r)),
+        2 -> (for {
+          f <- Gen.oneOf("abs", "sin", "cos")
+          a <- genE(depth - 1)
+        } yield Fn(f, a)))
+    def render(e: E): String = e match {
+      case X => "x"
+      case Num(v) => if (v < 0) s"($v)" else v.toString
+      case Bin(op, l, r) => s"(${render(l)} $op ${render(r)})"
+      case Fn(f, a) => s"$f(${render(a)})"
+    }
+    def direct(e: E, x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      e match {
+        case X => x
+        case Num(v) => lit(v)
+        case Bin("+", l, r) => direct(l, x) + direct(r, x)
+        case Bin("-", l, r) => direct(l, x) - direct(r, x)
+        case Bin(_, l, r) => direct(l, x) * direct(r, x)
+        case Fn("abs", a) => abs(direct(a, x))
+        case Fn("sin", a) => sin(direct(a, x))
+        case Fn(_, a) => cos(direct(a, x))
+      }
+    val df = Seq(-2.5, 0.0, 1.75, 9.0).toDF("v")
+    sample(genE(3), 30).foreach { e =>
+      val src = s"function(x, context) { ${render(e)} }"
+      val got = df.select(
+        graft.compile.UdfCompiler.compile(src, col("v")).as("a"),
+        direct(e, col("v")).as("b")).collect()
+      got.foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+          s"mismatch for '$src'")
+      }
+    }
+  }
+
   test("law: UTM and LAEA roundtrip over the projection's valid domain") {
     val utmPt = Gen.zip(Gen.choose(6.5, 11.5), Gen.choose(-75.0, 80.0))
     sample(utmPt, 40).foreach { case (lon, lat) =>
