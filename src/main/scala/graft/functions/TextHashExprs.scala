@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
@@ -261,6 +261,48 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Exact Jaccard of two long arrays in one pass — no intermediate
+    * intersect/union arrays (array_intersect + array_union build and then
+    * immediately discard two result arrays per pair; at corpus scale the
+    * pair space makes that the dominant allocation). Inputs may contain
+    * duplicates; counts are over distinct elements like
+    * array_intersect/array_union. Empty union → 0.0. */
+  case class JaccardLongSets(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaccard"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_jaccard needs (array<long>, array<long>), got ($l, $r)")
+      }
+
+    override def nullSafeEval(av: Any, bv: Any): Any = {
+      val a = tokensOf(av); val b = tokensOf(bv)
+      val setA = new java.util.HashSet[java.lang.Long](a.numElements() * 2)
+      var i = 0
+      while (i < a.numElements()) { setA.add(a.getLong(i)); i += 1 }
+      val seenB = new java.util.HashSet[java.lang.Long](b.numElements() * 2)
+      var inter = 0; var onlyB = 0
+      i = 0
+      while (i < b.numElements()) {
+        val v = b.getLong(i)
+        if (seenB.add(v)) {
+          if (setA.contains(v)) inter += 1 else onlyB += 1
+        }
+        i += 1
+      }
+      val union = setA.size + onlyB
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -296,6 +338,12 @@ object TextHashExprs {
           intLit(cs(1), "graft_minhash_text n"),
           intLit(cs(2), "graft_minhash_text k")))
     }
+    val jac = FunctionIdentifier("graft_jaccard")
+    if (!registry.functionExists(jac)) {
+      registry.registerFunction(jac,
+        new ExpressionInfo(classOf[JaccardLongSets].getName, "graft_jaccard"),
+        (cs: Seq[Expression]) => JaccardLongSets(cs(0), cs(1)))
+    }
     val shh = FunctionIdentifier("graft_shingle_hashes")
     if (!registry.functionExists(shh)) {
       registry.registerFunction(shh,
@@ -329,6 +377,12 @@ object TextHashExprs {
     call_function("graft_minhash_text", text,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** One-pass exact Jaccard over two array<long> columns. */
+  def jaccardLong(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jaccard", a, b)
   }
 
   /** One-pass text→distinct-shingle-hash array (caller lowers/trims). */

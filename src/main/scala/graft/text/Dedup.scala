@@ -98,7 +98,7 @@ object Dedup {
     val result = cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardLong(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       // the verified pair list is small by construction; checkpointing it
@@ -111,12 +111,19 @@ object Dedup {
     result
   }
 
-  /** Exact Jaccard of two shingle arrays. */
+  /** Exact Jaccard of two shingle arrays (HOF formulation — the semantic
+    * reference for [[jaccardLong]]; identical distinct-count semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
   }
+
+  /** One-pass native Jaccard for long (hash) arrays — no intermediate
+    * intersect/union arrays per pair; the hot-path form for the verify
+    * stages. */
+  def jaccardLong(a: Column, b: Column): Column =
+    graft.functions.TextHashExprs.jaccardLong(a, b)
 
   /** Pairwise n-gram Jaccard within blocking groups (`blockCols`) — the
     * non-LSH variant for moderate group sizes.
@@ -142,7 +149,7 @@ object Dedup {
       col("b._n").cast("double") >= lit(threshold) * col("a._n")
     a.join(b, joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        jaccardLong(col("a.sh"), col("b.sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
