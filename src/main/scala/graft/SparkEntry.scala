@@ -278,6 +278,12 @@ object SparkEntry {
     "q_rename_labels" -> onCube(c =>
       Labels.renameBandLabels(c, target = Seq("c", "e", "p", "s", "v"),
         source = Seq("click", "error", "purchase", "signup", "view")).df),
+    "q_rename_time_labels" -> onCube { c =>
+      // R1 time path: positional relabel of the 30 daily time labels
+      // (driver-side distinct + broadcast mapping join)
+      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
+      Labels.renameTimeLabels(daily, (1 to 30).map(i => f"d$i%02d")).df
+    },
     "q_add_dimension" -> onCube { c =>
       val reduced = Reducers.reduceDimension(c, "bands", "max")
       Labels.addDimension(reduced, "all_max").df
@@ -719,6 +725,15 @@ object SparkEntry {
                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
                      WHEN 'view' THEN 'v' ELSE band END AS band,
            y, x, value FROM cube"""),
+    "q_rename_time_labels" -> cq(
+      """, d AS (SELECT date_trunc('day', time) AS t, band, y, x,
+             MAX(value) AS value
+           FROM cube GROUP BY 1, 2, 3, 4),
+         r AS (SELECT t, 'd' || lpad(CAST(
+                 dense_rank() OVER (ORDER BY t) AS VARCHAR), 2, '0') AS nt
+               FROM (SELECT DISTINCT t FROM d))
+         SELECT d.band, d.y, d.x, d.value, r.nt AS time
+         FROM d JOIN r USING (t)"""),
     "q_add_dimension" -> cq(
       """SELECT time, y, x, MAX(value) AS value, 'all_max' AS band
          FROM cube GROUP BY 1, 2, 3"""),
