@@ -174,6 +174,20 @@ class GraphCompilerSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 24
   }
 
+  test("load_collection spatial_extent honors its crs field") {
+    // bbox given in the cube's own CRS (EPSG:32632) must pass through
+    // untransformed: keeps only the (0,0) pixel
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {
+        "id": "s2_l2a",
+        "spatial_extent": {"west": -0.5, "south": -0.5,
+                           "east": 0.5, "north": 0.5, "crs": 32632}},
+        "result": true}}"""
+    val c = compiler.compile(g).asInstanceOf[Cube]
+    c.df.count() shouldBe 6 // 2 bands × 3 days × 1 pixel
+    c.df.select("x").distinct().head().getDouble(0) shouldBe 0.0
+  }
+
   test("run_udf with element-wise R source executes via the expression compiler") {
     val g = """{
       "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
