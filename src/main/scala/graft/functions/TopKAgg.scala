@@ -23,8 +23,13 @@ final case class ScoredNeighbor(id: Long, cos: Double)
 final class TopKAgg(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
 
-  private def beats(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
+  private def beats(a: ScoredNeighbor, b: ScoredNeighbor): Boolean = {
+    // Double.compare semantics (NaN greatest, NaN == NaN) — identical to
+    // Spark SQL's ORDER BY, so zero-norm vectors (NaN cosine) rank the
+    // same as under the window formulation
+    val c = java.lang.Double.compare(a.cos, b.cos)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   def zero: Seq[ScoredNeighbor] = Vector.empty
 

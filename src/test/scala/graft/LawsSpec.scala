@@ -100,8 +100,10 @@ class LawsSpec extends SparkSpec {
     val pairGen = for {
       q <- Gen.choose(0L, 3L)
       n <- Gen.choose(0L, 200L)
-      v <- Gen.frequency( // forced ties at 0.25/0.5 exercise id tiebreaks
-        3 -> Gen.choose(-1.0, 1.0), 1 -> Gen.oneOf(0.25, 0.5))
+      v <- Gen.frequency( // ties at 0.25/0.5 exercise id tiebreaks; NaN
+        // exercises the Double.compare (NaN greatest) ordering parity
+        6 -> Gen.choose(-1.0, 1.0), 2 -> Gen.oneOf(0.25, 0.5),
+        1 -> Gen.const(Double.NaN))
     } yield (q, n, v)
     for (seed <- 1L to 3L) {
       val rows = sample(pairGen, 300, seed)
@@ -117,7 +119,10 @@ class LawsSpec extends SparkSpec {
       val win = df.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", "cos")
-      rowSet(agg) shouldBe rowSet(win)
+      // NaN != NaN breaks Scala row equality; sentinel-replace for compare
+      def norm(d: org.apache.spark.sql.DataFrame) =
+        rowSet(d.withColumn("cos", nanvl(col("cos"), lit(-999.0))))
+      norm(agg) shouldBe norm(win)
     }
   }
 
