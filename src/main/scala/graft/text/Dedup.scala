@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *    band buckets → candidate pairs only within equal buckets (the
   *    band-join prunes the O(n²) pair space) → exact Jaccard verify on the
   *    candidates only.
-  *  - SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
-  *    16-bit bands (Hamming-style blocking) verified by popcount distance.
+  *  - SimHash: 64-bit sign-aggregated token hashes; candidates share any
+  *    2 of 8 8-bit bands (exact recall to Hamming 6), verified by popcount
+  *    distance.
   *  - n-gram Jaccard: the verify primitive, exposed standalone.
   */
 object Dedup {

@@ -9,19 +9,21 @@ import org.apache.spark.sql.functions._
   *
   *  - brute-force cosine top-k: the exact baseline. Queries are broadcast
   *    (they're the small side); the corpus streams through one codegen'd
-  *    projection — no shuffle of the corpus at all, so at 100 TB it is one
-  *    scan + a per-query top-k heap (partial `row_number` after a
-  *    repartition-free window over query id only).
+  *    scoring projection into a PARTIAL bounded top-k aggregate
+  *    ([[graft.functions.TopKAgg]]) — each task reduces its slice to ≤ k
+  *    rows per query before the only shuffle, so at 100 TB it is one scan
+  *    plus a shuffle of nPartitions × nQueries × k tiny rows.
   *  - sign-LSH (random hyperplanes): banded bit-signature blocking like
   *    MinHash — candidates share a band bucket; exact cosine re-rank on
   *    candidates only. Corpus signatures are map-side literals (the
-  *    hyperplanes are seeded constants), so the only shuffle is the
+  *    hyperplanes are seeded constants), so the only added shuffle is the
   *    bucket join, whose left side is |corpus| × bands short rows.
-  *  - IVF (inverted-file): coarse centroids (seeded deterministic sample),
-  *    corpus assigned to nearest centroid once (one cross-join with a
-  *    broadcast centroid table + min_by), queries probe the nProbe nearest
-  *    lists. The 100 TB path: assignment is written bucketed by centroid,
-  *    so a query touches nProbe/nCentroids of the data.
+  *  - IVF (inverted-file): coarse centroids (seeded deterministic sample
+  *    or caller-provided), corpus assigned to its nearest centroid in ONE
+  *    argmin projection over literal centroid vectors (zero shuffle, zero
+  *    amplification); queries probe the nProbe nearest lists. The 100 TB
+  *    path: assignment is written bucketed by centroid, so a query
+  *    touches nProbe/nCentroids of the data.
   *
   * All dot products fold left-to-right in double precision via the
   * `aggregate` HOF, which matches DuckDB's `SUM(x ORDER BY i)` ordered
