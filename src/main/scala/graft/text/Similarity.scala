@@ -168,6 +168,17 @@ object Similarity {
       array_min(array(entries.toSeq: _*)).getField("cid").as("centroid_id"))
   }
 
+  /** Persist an IVF assignment bucketed (and sorted) by centroid — the
+    * corpus-scale serving path: a probe query filters on its nProbe
+    * centroid ids and the scan reads ONLY those buckets
+    * (SelectedBucketsCount in the plan), i.e. nProbe/nCentroids of the
+    * data, with no shuffle to re-cluster. */
+  def writeIvfIndex(assigned: DataFrame, table: String,
+      nBuckets: Int = 16): Unit =
+    assigned.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(table)
+
   /** ANN top-k via IVF: each query probes its `nProbe` nearest centroid
     * lists, exact cosine within the probed lists. The assignment can be
     * persisted (bucketed by centroid_id) so repeated queries only scan

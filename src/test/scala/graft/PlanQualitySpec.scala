@@ -147,6 +147,28 @@ class PlanQualitySpec extends SparkSpec {
     plan.split("Generate explode").length - 1 shouldBe 1
   }
 
+  test("IVF index probes read only the matching buckets") {
+    import spark.implicits._
+    val corpus = (0L until 64L).map(i =>
+      (i, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
+    val cents = graft.text.Similarity.sampleCentroids(
+      corpus, "vec_id", "embedding", nCentroids = 4)
+    val assigned = graft.text.Similarity.ivfAssign(
+      corpus, cents, "vec_id", "embedding")
+    graft.text.Similarity.writeIvfIndex(assigned, "ivf_probe_test", nBuckets = 8)
+    // autoBucketedScan turns bucketed reads off when it sees no join/agg;
+    // force it on so the filter's bucket pruning is visible in the plan
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = spark.table("ivf_probe_test").where(col("centroid_id") === 2L)
+      val plan = planString(probe)
+      plan should include("SelectedBucketsCount: 1 out of 8")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS ivf_probe_test")
+    }
+  }
+
   test("zonal stats compiles to pure expressions — no UDF, no extra shuffle") {
     val c = Scan.loadCollection(spark, spec)
     val df = graft.ops.Reducers.aggregateSpatial(c,
