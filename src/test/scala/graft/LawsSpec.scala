@@ -191,6 +191,25 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: native hashed-shingle jaccard equals the HOF string-shingle jaccard") {
+    val word = Gen.oneOf("the", "cat", "sat", "on", "a", "mat", "dog",
+      "ran", "fast", "x1", "über", "日本")
+    val doc = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val pairs = sample(Gen.zip(doc, doc), 40)
+    val df = pairs.toDF("a", "b")
+    val r = df.select(
+      graft.text.Dedup.jaccardLong(
+        graft.functions.TextHashExprs.shingleHashes(lower(trim(col("a"))), 3),
+        graft.functions.TextHashExprs.shingleHashes(lower(trim(col("b"))), 3))
+        .as("native"),
+      graft.text.Dedup.jaccard(
+        graft.text.TextAnalysis.shingles(col("a"), 3),
+        graft.text.TextAnalysis.shingles(col("b"), 3)).as("hof"))
+      .collect()
+    r.foreach(row => row.getDouble(0) shouldBe row.getDouble(1) +- 1e-12)
+  }
+
   test("law: UTM and LAEA roundtrip over the projection's valid domain") {
     val utmPt = Gen.zip(Gen.choose(6.5, 11.5), Gen.choose(-75.0, 80.0))
     sample(utmPt, 40).foreach { case (lon, lat) =>

@@ -58,6 +58,24 @@ class SinksSpec extends SparkSpec {
     Cube(df, CubeMeta(crs = Some("EPSG:32632"), bandOrder = Seq("A", "B")))
   }
 
+  test("PNG sink maps red/green/blue options onto the chosen bands") {
+    val df = Seq(
+      ("R", 0.0, 0.0, 0.0), ("R", 0.0, 1.0, 10.0),
+      ("G", 0.0, 0.0, 10.0), ("G", 0.0, 1.0, 0.0),
+      ("B", 0.0, 0.0, 0.0), ("B", 0.0, 1.0, 0.0))
+      .toDF("band", "y", "x", "value")
+    val c = Cube(df, CubeMeta(bandOrder = Seq("R", "G", "B")))
+    val opts = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"red":"R","green":"G","blue":"B"}""")
+    val dir = java.nio.file.Files.createTempDirectory("pngrgb").toString
+    val img = ImageIO.read(new java.io.File(
+      Sinks.writePng(c, s"$dir/rgb.png", Some(opts))))
+    // x=1: red channel maxed; x=0: green channel maxed
+    (img.getRGB(1, 0) >> 16 & 0xff) shouldBe 255
+    (img.getRGB(0, 0) >> 8 & 0xff) shouldBe 255
+    (img.getRGB(1, 0) >> 8 & 0xff) shouldBe 0
+  }
+
   test("GTiff sink round-trips a 2-band planar raster with stats + nodata") {
     val dir = java.nio.file.Files.createTempDirectory("tif2").toString
     val path = Sinks.writeGTiff(twoBandRaster, s"$dir/r2.tif")
