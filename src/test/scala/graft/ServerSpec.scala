@@ -79,6 +79,35 @@ class ServerSpec extends SparkSpec {
     body2 should include(""""cached":true""")
   }
 
+  test("POST /graph runs run_udf + folded resample_spatial end to end") {
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
+      "rs": {"process_id": "resample_spatial", "arguments": {
+        "data": {"from_node": "load"}, "resolution": 2}},
+      "udf": {"process_id": "run_udf", "arguments": {
+        "data": {"from_node": "rs"},
+        "udf": "function(x, context) { x * 2 + 1 }",
+        "runtime": "R"}, "result": true}}"""
+    val (code, body) = http("POST", "/graph", graph)
+    code shouldBe 200
+    val out = body.split("\"output\":\"")(1).split("\"")(0)
+    val df = spark.read.parquet(out)
+    // 2 m regrid of the 2×2 grid keeps 4 cells per band/time
+    df.select("x").distinct().count() shouldBe 2
+    df.agg(org.apache.spark.sql.functions.min("value")).head().getDouble(0) should be > 1.0
+  }
+
+  test("POST /graph with a typed openEO error returns the spec shape") {
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
+      "d": {"process_id": "divide", "arguments": {
+        "x": {"from_node": "load"}, "y": 0}, "result": true}}"""
+    val (code, body) = http("POST", "/graph", graph)
+    code shouldBe 400
+    body should include(""""code":"DivisionByZero"""")
+    body should include(""""message":"Division by zero""")
+  }
+
   test("POST /graph with a bad graph returns a JSON error") {
     val (code, body) = http("POST", "/graph",
       """{"load": {"process_id": "load_collection",
