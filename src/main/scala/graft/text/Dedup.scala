@@ -134,7 +134,14 @@ object Dedup {
     * mod 2⁻⁶⁴ collisions): long-array intersection beats string-array
     * intersection several-fold per pair. A size-ratio prefilter prunes
     * pairs before the intersection: J(a,b) ≥ t requires
-    * |a| ≥ t·|b| and |b| ≥ t·|a|. */
+    * |a| ≥ t·|b| and |b| ≥ t·|a|.
+    *
+    * Skew: block sizes are rarely uniform (one language typically
+    * dominates a corpus); the block self-join relies on AQE skew-join
+    * splitting (on by default in Spark 4) to subdivide oversized blocks
+    * at runtime. The pair space is still O(Σ blockᵢ²) — for corpora where
+    * the largest block itself is huge, use [[minhashLsh]], whose banding
+    * bounds candidates independently of block structure. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
