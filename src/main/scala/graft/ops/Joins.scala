@@ -35,9 +35,12 @@ object Joins {
     // outer-join path would silently resolve bands that should concat
     if (a.has(Dim.Band) && b.has(Dim.Band) &&
         a.meta.bandOrder.nonEmpty && b.meta.bandOrder.nonEmpty && {
-          val common = a.meta.bandOrder.intersect(b.meta.bandOrder)
-          common.nonEmpty && (common != a.meta.bandOrder.distinct ||
-            common != b.meta.bandOrder.distinct)
+          // set comparison: identical band sets listed in different orders
+          // (e.g. [B04,B08] vs [B08,B04]) must take the resolver path, not
+          // throw
+          val common = a.meta.bandOrder.toSet intersect b.meta.bandOrder.toSet
+          common.nonEmpty && (common != a.meta.bandOrder.toSet ||
+            common != b.meta.bandOrder.toSet)
         })
       throw graft.OpenEoError.BandsPartiallyCommon
     val mergedMeta = a.meta.copy(

@@ -283,8 +283,15 @@ object Sinks {
         // xarray .to_dict() shape: dims, coords, nested data
         val dims = (if (hasBand) Seq(Dim.Band) else Nil) ++ others
         val dimsArr = root.putArray("dims"); dims.foreach(dimsArr.add)
+        // numeric-aware label order: xarray .to_dict() emits coords in
+        // numeric axis order, so "10.0" must sort after "2.0"
+        val labelOrd: Ordering[String] = (a, b) =>
+          (a.toDoubleOption, b.toDoubleOption) match {
+            case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+            case _                  => a.compareTo(b)
+          }
         val labels: Map[String, Seq[String]] = dims.map { d =>
-          d -> rows.map(labelOf(_, d)).distinct.sorted.toSeq
+          d -> rows.map(labelOf(_, d)).distinct.sorted(labelOrd).toSeq
         }.toMap
         val coords = root.putObject("coords")
         dims.foreach { d =>

@@ -113,7 +113,11 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // flatMapGroupsWithState still delivers events older than the
+              // watermark; an unguarded s.last+gapMs could then be <= the
+              // current watermark, which Spark rejects and the query dies.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.iterator
           }

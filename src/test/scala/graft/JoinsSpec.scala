@@ -33,6 +33,19 @@ class JoinsSpec extends SparkSpec {
     e.code shouldBe "BandsPartiallyCommon"
   }
 
+  test("merge_cubes identical band sets in different order take the resolver path") {
+    // band ORDER is presentation metadata; [B04,B08] vs [B08,B04] is the
+    // same band set and must resolve, not raise BandsPartiallyCommon
+    val a0 = cubeOf(("2024-01-01", "B04", 0, 0, 1.0),
+      ("2024-01-01", "B08", 0, 0, 2.0))
+    val b0 = cubeOf(("2024-01-02", "B08", 0, 0, 3.0),
+      ("2024-01-02", "B04", 0, 0, 4.0))
+    val a = Cube(a0.df, a0.meta.copy(bandOrder = Seq("B04", "B08")))
+    val b = Cube(b0.df, b0.meta.copy(bandOrder = Seq("B08", "B04")))
+    val r = Joins.mergeCubes(a, b)
+    r.df.count() shouldBe 4
+  }
+
   test("merge_cubes custom overlap resolver receives (cube1, cube2) columns") {
     val a = cubeOf(("2024-01-01", "B", 0, 0, 10.0))
     val b = cubeOf(("2024-01-01", "B", 0, 0, 4.0))

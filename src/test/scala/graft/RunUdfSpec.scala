@@ -47,6 +47,17 @@ class RunUdfSpec extends SparkSpec {
     UdfCompiler.supported("install.packages('evil')") shouldBe false
   }
 
+  test("UdfCompiler keeps malformed number literals inside the typed error") {
+    // '1.2.3' / trailing '2e' must raise UdfParseError (→ typed 400), not
+    // escape as a raw NumberFormatException (→ 500)
+    an[UdfCompiler.UdfParseError] should be thrownBy
+      UdfCompiler.compile("x + 1.2.3", lit(0.0))
+    an[UdfCompiler.UdfParseError] should be thrownBy
+      UdfCompiler.compile("x * 2e", lit(0.0))
+    UdfCompiler.supported("x + 1.2.3") shouldBe false
+    UdfCompiler.supported("2e + x") shouldBe false
+  }
+
   test("runOnTiles sees whole (time, band) slices and can transform them") {
     val c = cubeOf(
       ("2024-01-01", "A", 0, 0, 1.0), ("2024-01-01", "A", 0, 1, 3.0),
