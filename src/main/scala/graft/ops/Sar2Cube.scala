@@ -59,20 +59,23 @@ object Sar2Cube {
       lonBand: String = "grid_lon", latBand: String = "grid_lat",
       fillGaps: Boolean = true): Cube = {
     require(c.has(Dim.Band), "geocode needs band dimension with grid_lon/grid_lat")
-    // pivot ONLY the two geometry bands; keep data bands long. Join on the
-    // radar-geometry pixel key (y, x) — both sides come from the same scan,
-    // so this is a self-join Catalyst can plan with the narrow geometry
-    // side broadcast if small, or shuffle-hash on (y, x).
+    // Gather each pixel's lon/lat onto its data rows with ONE window pass
+    // over the pixel key (y, x): the geometry bands and the data bands
+    // shuffle together once, instead of the previous pivot (shuffle) +
+    // self-join (second shuffle) — both keyed on the same (y, x).
     val geoKeys = c.dims.filter(d => d == Dim.Y || d == Dim.X)
-    val geom = c.df
-      .where(col(Dim.Band).isin(lonBand, latBand))
-      .groupBy(geoKeys.map(col): _*)
-      .pivot(Dim.Band, Seq(lonBand, latBand))
-      .agg(first(col(Cube.ValueCol)))
-    val data = c.df.where(!col(Dim.Band).isin(lonBand, latBand))
-    val joined = data.join(geom, geoKeys)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(geoKeys.map(col): _*)
+    val lonV = max(when(col(Dim.Band) === lonBand,
+      col(Cube.ValueCol).cast("double"))).over(w)
+    val latV = max(when(col(Dim.Band) === latBand,
+      col(Cube.ValueCol).cast("double"))).over(w)
+    val joined = c.df
+      .withColumn("_lon", lonV).withColumn("_lat", latV)
+      .where(!col(Dim.Band).isin(lonBand, latBand) &&
+        col("_lon").isNotNull && col("_lat").isNotNull)
     val (easting, northing) =
-      utmFromLonLatCols(col(lonBand).cast("double"), col(latBand).cast("double"), targetEpsg)
+      utmFromLonLatCols(col("_lon"), col("_lat"), targetEpsg)
     val tx = floor(easting / resolution).cast("long")
     val ty = floor(northing / resolution).cast("long")
     val cellCx = (tx.cast("double") + 0.5) * resolution
@@ -81,53 +84,85 @@ object Sar2Cube {
       (northing - cellCy) * (northing - cellCy)
     val otherNames = c.dims.filterNot(d => d == Dim.X || d == Dim.Y)
     val others = otherNames.map(col)
+    val keyNames = otherNames ++ Seq("_tx", "_ty")
     val binned = joined
       .withColumn("_tx", tx).withColumn("_ty", ty).withColumn("_d2", d2)
       .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
       .agg(min_by(col(Cube.ValueCol), col("_d2")).as(Cube.ValueCol))
+      .select(keyNames.map(col) :+ col(Cube.ValueCol): _*)
     // Gap fill: the reference's Delaunay interpolation produces a value
     // for every target cell inside the radar footprint even where the
     // radar sampling is locally sparser than the target grid
     // (sar2cube/geocode.py:38-106, with a linear-interp validity mask
-    // dropping extrapolated cells). Nearest-bin leaves pinholes there.
-    // One stencil pass over the BINNED grid (target-sized, much smaller
-    // than the input) fills cells with >= 4 populated 8-neighbors (at
-    // least half the neighborhood — a cell just OUTSIDE a straight data
-    // edge has exactly 3) using an inverse-distance weighted mean;
-    // cells outside the footprint stay empty — the validity-mask
-    // analogue.
-    val keyNames = otherNames ++ Seq("_tx", "_ty")
+    // dropping extrapolated cells). Nearest-bin leaves pinholes there: a
+    // cell with >= 4 populated 8-neighbors (at least half the
+    // neighborhood — a cell just OUTSIDE a straight data edge has exactly
+    // 3) is interior and gets an inverse-distance weighted mean; cells
+    // outside the footprint stay empty — the validity-mask analogue.
+    //
+    // Gap keys are found WITHOUT scattering the data rows x9 through a
+    // shuffle (the round-2 cost, paid even by gap-free inputs): a cheap
+    // geometric prune over the DISTINCT (tx, ty) cell set names candidate
+    // cells, the candidate x slice key universe is anti-joined against the
+    // binned keys to find per-slice holes (narrow keys, ~|binned| rows),
+    // and only those few holes pull neighbor values — via a broadcast
+    // stencil join, so the binned data never re-shuffles.
     val full = if (!fillGaps) binned else {
-      // single pass: every binned cell scatters to its 8 neighbors AND to
-      // itself (offset 0,0 marked w=0). One groupBy then resolves each
-      // cell: a self row wins outright (binned cells are unique per key);
-      // otherwise >= 4 neighbor supporters produce the IDW mean. The
-      // binned lineage is consumed exactly ONCE — no anti-join, no
-      // recompute of the pivot/TM/bin pipeline per consumer.
-      val offsets = (0, 0, 0.0) +: (for {
+      // binned is read several times below — checkpoint it eagerly so the
+      // window/TM/bin pipeline runs once and downstream consumers scan the
+      // materialized target-grid-sized result; blocks are freed by the
+      // ContextCleaner when the query's references drop (no named cache
+      // left behind).
+      val binnedC = binned.localCheckpoint(true)
+      val nbrOffsets = for {
         oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0
-      } yield (ox, oy, 1.0 / math.hypot(ox, oy)))
-      val scattered = binned.select(
-        others ++ Seq(col("_tx"), col("_ty"), col(Cube.ValueCol),
-          explode(array(offsets.map { case (ox, oy, w) =>
-            struct(lit(ox).as("ox"), lit(oy).as("oy"), lit(w).as("w"))
-          }: _*)).as("_o")): _*)
+      } yield (ox, oy, 1.0 / math.hypot(ox, oy))
+      val offArr = array(nbrOffsets.map { case (ox, oy, wt) =>
+        struct(lit(ox).as("ox"), lit(oy).as("oy"), lit(wt).as("w"))
+      }: _*)
+      // geometric candidate cells: >= 4 of the 8 neighbors populated in
+      // SOME slice. A superset prune — a slice-level hole needs >= 4
+      // same-slice neighbors, which implies >= 4 geometric ones; actual
+      // per-slice support is re-checked in the fill aggregation.
+      val cells = binnedC.select(col("_tx"), col("_ty")).distinct()
+      val candCells = cells
+        .select(explode(offArr).as("_o"), col("_tx"), col("_ty"))
+        .select((col("_tx") + col("_o.ox")).as("_tx"),
+          (col("_ty") + col("_o.oy")).as("_ty"))
+        .groupBy(col("_tx"), col("_ty"))
+        .agg(count(lit(1)).as("_support"))
+        .where(col("_support") >= 4)
+        .select(col("_tx"), col("_ty"))
+      // per-slice holes: candidate cells absent from that (band, time)
+      // slice — matching the round-2 per-slice scatter semantics exactly
+      // (presence can differ per slice on sparse cubes). Narrow keys only;
+      // the anti-join shuffles ~|binned| keys, not 9x the data.
+      val slices = binnedC.select(others: _*).distinct()
+      val gapKeys = candCells.crossJoin(slices)
+        .join(binnedC.select(keyNames.map(col): _*), keyNames, "left_anti")
+      // (gap key <- source cell, weight) stencil, keyed by the SOURCE cell
+      // so the big binned side joins without moving. Holes are interior
+      // pinholes — small by construction — hence the broadcast; if a use
+      // case ever produces footprint-scale gaps (target grid much finer
+      // than the radar sampling), drop the broadcast hint and let the
+      // persisted binned side shuffle instead.
+      val gapNbrs = broadcast(gapKeys
+        .select(others ++ Seq(explode(offArr).as("_o"), col("_tx"), col("_ty")): _*)
         .select(others ++ Seq(
           (col("_tx") + col("_o.ox")).as("_tx"),
           (col("_ty") + col("_o.oy")).as("_ty"),
-          col(Cube.ValueCol), col("_o.w"),
-          (col("_o.ox") === 0 && col("_o.oy") === 0).as("_self")): _*)
-      scattered
-        .groupBy(keyNames.map(col): _*)
-        .agg(
-          max(when(col("_self"), col(Cube.ValueCol))).as("_own"),
-          (sum(when(!col("_self"), col(Cube.ValueCol) * col("w")))
-            / sum(when(!col("_self"), col("w")))).as("_idw"),
-          count(when(!col("_self"), lit(1))).as("_support"))
-        .withColumn(Cube.ValueCol, coalesce(col("_own"),
-          when(col("_support") >= 4, col("_idw"))))
-        .where(col(Cube.ValueCol).isNotNull)
-        .drop("_own", "_idw", "_support")
+          col("_tx").as("_gtx"), col("_ty").as("_gty"),
+          col("_o.w").as("_w")): _*))
+      // per-slice IDW over the neighbors actually populated in that slice,
+      // with the >= 4 support re-check
+      val filled = binnedC.join(gapNbrs, keyNames)
+        .groupBy(others :+ col("_gtx") :+ col("_gty"): _*)
+        .agg((sum(col(Cube.ValueCol) * col("_w")) / sum(col("_w")))
+          .as(Cube.ValueCol), count(lit(1)).as("_support"))
+        .where(col("_support") >= 4)
+        .withColumnRenamed("_gtx", "_tx").withColumnRenamed("_gty", "_ty")
+        .select(keyNames.map(col) :+ col(Cube.ValueCol): _*)
+      binnedC.unionByName(filled)
     }
     val out = full
       .withColumn(Dim.X, (col("_tx").cast("double") + 0.5) * resolution)

@@ -142,9 +142,15 @@ class PlanQualitySpec extends SparkSpec {
     val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
       CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
     val plan = planString(graft.ops.Sar2Cube.geocode(c, 32632, 10.0).df)
-    // the pivot+TM+bin pipeline must appear once — the gap-fill pass works
-    // on the binned output, not on re-reads of the input
-    plan.split("Generate explode").length - 1 shouldBe 1
+    // the window/TM/bin pipeline runs ONCE inside the eager checkpoint;
+    // the gap-fill consumers (cell set, fill join, union) all scan the
+    // materialized binned RDD — no recompute of the input lineage
+    plan should not include "Window"          // gather not re-run downstream
+    // five checkpoint readers: cell set, slice set, anti-join, fill join,
+    // union — all narrow scans of the materialized bin, zero recompute
+    plan.split("Scan ExistingRDD").length - 1 shouldBe 5
+    // the fill stencil joins broadcast-side — the binned grid never moves
+    plan should include("BroadcastHashJoin")
   }
 
   test("IVF index probes read only the matching buckets") {
