@@ -418,22 +418,37 @@ object SparkEntry {
       val m = v =!= 0.0 && !isnan(v)
       // 2-decimal values ×100 → all four sums are exact INTEGERS. The
       // per-row products stay in LONG arithmetic (tx² ≤ 3.3e18 and
-      // tx·v100 ≤ ~2e15 both fit; exact for epochs through 2066) and only
-      // the SUM accumulates in decimal — same exact values as an
-      // all-decimal pipeline without per-row BigDecimal multiplies.
-      // Spark's decimal→double cast is correctly rounded; the oracle
-      // reproduces that rounding with a hi/lo split cast (DuckDB's native
-      // wide-decimal→double cast can be off by one ulp).
+      // tx·v100 ≤ ~2e15 both fit; exact for epochs through 2066). The
+      // SUMS of those products overflow 64 bits, but instead of paying a
+      // per-row decimal(38) BigDecimal accumulation (the round-2 6× bench
+      // hit), each product is split into two long lanes by 2^30
+      // (arithmetic shift + mask — exact for negatives too) summed as
+      // plain codegen'd longs, and recombined in decimal once per GROUP.
+      // The recombined integers are identical, and decimal→double /
+      // long→double casts are correctly rounded, so the final doubles —
+      // and the oracle hash — are unchanged. (The oracle reproduces the
+      // rounding with a hi/lo split cast; DuckDB's native wide-decimal→
+      // double cast can be off by one ulp.) Lane-sum bounds: hi ≤ 3.1e9,
+      // lo < 2^30 per row — overflow needs > ~10^9 samples per pixel
+      // series, and ANSI mode would fail loudly there.
       val v100 = (v.cast("decimal(18,2)") * 100).cast("long")
+      val pXX = tx * tx
+      val pXY = tx * v100
+      def laneHi(p: Column): Column = shiftright(p, 30)
+      def laneLo(p: Column): Column = p.bitwiseAND(lit((1L << 30) - 1))
+      def recombine(h: Column, l: Column): Column =
+        (h.cast("decimal(38,0)") * lit(1L << 30) + l).cast("double")
       val agg = c.df.groupBy(Dim.Band, Dim.Y, Dim.X).agg(
         count(when(m, lit(1))).cast("double").as("_n"),
-        sum(when(m, tx.cast("decimal(18,0)"))).cast("double").as("_sx"),
-        (sum(when(m, v100.cast("decimal(18,0)"))).cast("double") / 100.0)
-          .as("_sy"),
-        (sum(when(m, (tx * v100).cast("decimal(38,0)"))).cast("double")
-          / 100.0).as("_sxy"),
-        sum(when(m, (tx * tx).cast("decimal(38,0)"))).cast("double")
-          .as("_sxx"))
+        sum(when(m, tx)).cast("double").as("_sx"),
+        (sum(when(m, v100)).cast("double") / 100.0).as("_sy"),
+        sum(when(m, laneHi(pXY))).as("_sxy_hi"),
+        sum(when(m, laneLo(pXY))).as("_sxy_lo"),
+        sum(when(m, laneHi(pXX))).as("_sxx_hi"),
+        sum(when(m, laneLo(pXX))).as("_sxx_lo"))
+        .withColumn("_sxy",
+          recombine(col("_sxy_hi"), col("_sxy_lo")) / 100.0)
+        .withColumn("_sxx", recombine(col("_sxx_hi"), col("_sxx_lo")))
       val denom = col("_n") * col("_sxx") - col("_sx") * col("_sx")
       val degenerate = col("_n") < 12 || denom === 0.0
       val a1 = when(degenerate, 0.0)
