@@ -213,12 +213,31 @@ object Dedup {
     val banded = withH.select(col(idCol).as("id"), h.as("_h"),
       explode(array(pairKeys: _*)).as("b"))
       .select(col("id"), col("_h"), col("b.band"), col("b.bh"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+    // Pay-as-you-go blocking: a singleton bucket cannot produce a pair, so
+    // one narrow window pass counts bucket occupancy and the quadratic
+    // self-join sees ONLY multiply-occupied buckets. A corpus with no
+    // near-dups pays a 28n-key aggregation (map-side combine, 24-byte
+    // rows) instead of shuffling 28n rows into both sides of a self-join —
+    // the round-2 always-on price of the exact-recall guarantee. Recall is
+    // untouched: dropped rows are in buckets no other doc occupies.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val live = banded.withColumn("_bn", count(lit(1)).over(w))
+      .where(col("_bn") > 1).drop("_bn")
+      .persist()
+    live.count() // eager: both join sides read the (small) survivor set
+    val a = live.as("a"); val b = live.as("b")
+    val out = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a._h"), col("b._h")).as("dist"))
       .dropDuplicates("id_a", "id_b")
       .where(col("dist") <= maxDist)
+      // small by construction — checkpoint so the survivor cache can be
+      // released deterministically (long-lived sessions)
+      .localCheckpoint(true)
+    live.unpersist(false)
+    out
   }
 }
