@@ -1032,6 +1032,48 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_multimodal_features" ->
+      // the GRFT stub codec is deterministic over the UTF-8 payload bytes:
+      // width = 1 + len % 64, pixels = first width bytes, mean_px = byte
+      // mean, features = 8 block-pooled byte means / 255 cast through
+      // FLOAT. All expressible over hex(encode(text)) byte extraction.
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 64) AS width,
+                  LEAST(1 + (len % 64), len) AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.i,
+                  CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
+                       AS INTEGER) AS b
+           FROM p, generate_series(0, 63) AS g(i)
+           WHERE g.i < p.px_len
+         ), m AS (
+           SELECT p.doc_id, p.width, p.px_len,
+                  COALESCE(ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6), 0.0)
+                    AS mean_px
+           FROM p LEFT JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.width, p.px_len
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 8) AS block, p.px_len
+           FROM p, generate_series(0, 7) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.i >= f.feat_idx * f.block
+            AND b.i < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, m.width, m.mean_px, fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
     "q_sessionize" -> cq(
       """, lagd AS (
            SELECT band, y, x, time, value,
