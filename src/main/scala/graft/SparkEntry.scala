@@ -407,6 +407,17 @@ object SparkEntry {
       c.mapValue(v => graft.compile.UdfCompiler.compile(
         "function(x, context) { sqrt(x) * 2 + 1 }", v)).df
     },
+    "q_run_udf_dimension" -> onCube { c =>
+      // apply_dimension-position run_udf (series→series): running max
+      // along time per pixel minus the current value. cummax uses a RANGE
+      // frame, so duplicate time labels aggregate together and the result
+      // is deterministic — comparison-only arithmetic keeps it hash-exact.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(Dim.Band), col(Dim.Y), col(Dim.X))
+        .orderBy(col(Dim.Time))
+      c.mapValue(v => graft.compile.UdfCompiler.compileSeries(
+        "function(x, context) { cummax(x) - x }", v, w)).df
+    },
     "q_fit_curve" -> onCube { c =>
       // closed-form linear least squares with exact decimal sums so the
       // DuckDB oracle hash-matches bit-for-bit; the LM optimizer path
@@ -948,6 +959,13 @@ object SparkEntry {
          FROM cube"""),
     "q_run_udf" -> cq(
       "SELECT time, band, y, x, sqrt(value) * 2 + 1 AS value FROM cube"),
+    "q_run_udf_dimension" -> cq(
+      // SQL's default frame with ORDER BY is RANGE UNBOUNDED
+      // PRECEDING..CURRENT ROW — exactly the cummax range frame
+      """SELECT time, band, y, x,
+           MAX(value) OVER (PARTITION BY band, y, x ORDER BY time)
+             - value AS value
+         FROM cube"""),
     "q_fit_curve" -> cq(
       // hi/lo split cast: DuckDB's wide-decimal→double cast can be off by
       // one ulp; splitting the exact integer at 2^26 and recombining in

@@ -505,6 +505,19 @@ final class GraphCompiler(
     val result = cb.resultNode
     result.processId match {
       case "array_interpolate_linear" => Neighborhood.interpolateLinear(c, dim)
+      case "run_udf" =>
+        // apply_dimension-position run_udf: series→series source (cummax,
+        // lag, rollmean, …) compiled over a per-group ordered window along
+        // `dim` — the reference ships the series to an R pool instead
+        // (openeo_odc_driver.py:282-339); here it stays a window projection
+        val src = result.arguments.get("udf") match {
+          case Some(LitArg(v)) if v.isTextual => v.asText
+          case other => throw new IllegalArgumentException(s"run_udf udf: $other")
+        }
+        val otherDims = c.dims.filterNot(_ == dim)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(otherDims.map(col): _*).orderBy(col(dim))
+        c.mapValue(v => UdfCompiler.compileSeries(src, v, w))
       case "quantiles" =>
         val probs = result.arguments.get("probabilities")
           .map(flattenDoubles).getOrElse(Nil)

@@ -1,6 +1,7 @@
 package graft.compile
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** `run_udf` source → Catalyst expression compiler.
@@ -27,12 +28,39 @@ object UdfCompiler {
 
   /** Compile UDF source to a Column over the value column `x`. */
   def compile(source: String, x: Column): Column =
-    new Parser(strip(source)).parseAll(x)
+    new Parser(strip(source), None).parseAll(x)
+
+  /** Compile a series→series UDF over an ordered per-group window — the
+    * `apply_dimension`-position run_udf shape (array in → array out along
+    * one dimension, openeo_odc_driver.py:282-339). Same grammar as
+    * [[compile]] plus series functions bound to `w`:
+    *
+    *  - `cummax/cummin/cumsum(e)` — running reduction over a RANGE frame
+    *    (ties on the order key are included together, so results are
+    *    deterministic and match the SQL default frame);
+    *  - `lag/lead(e[, n])` — row offsets (literal integer n, default 1);
+    *  - `rollmean(e, k)` — centered moving mean, odd literal k; edge rows
+    *    average the available window (zoo::rollmean pads NA instead —
+    *    divergence documented here).
+    *
+    * Series calls cannot nest inside each other (`cummax(lag(x))` is a
+    * window-in-window Spark rejects at analysis); composing them
+    * element-wise (`cummax(x) - lag(x)`) is fine. */
+  def compileSeries(source: String, x: Column, w: WindowSpec): Column =
+    new Parser(strip(source), Some(w)).parseAll(x)
 
   /** Can this source be compiled? (used for eager validation) */
   def supported(source: String): Boolean =
     try { compile(source, lit(0.0)); true }
     catch { case _: UdfParseError => false }
+
+  /** [[supported]] for the series grammar. */
+  def supportedSeries(source: String): Boolean =
+    try {
+      compileSeries(source, lit(0.0),
+        Window.partitionBy(lit(0)).orderBy(lit(0)))
+      true
+    } catch { case _: UdfParseError => false }
 
   /** Strip function headers/braces/return down to the body expression. */
   private[compile] def strip(src0: String): String = {
@@ -72,7 +100,34 @@ object UdfCompiler {
     "pmax" -> ((a: Column, b: Column) => greatest(a, b)),
     "max" -> ((a: Column, b: Column) => greatest(a, b)))
 
-  private final class Parser(s: String) {
+  /** Series functions over the apply_dimension window (None = not one). */
+  private def seriesCall(name: String, args: Seq[Column], raw: Seq[String],
+      w: WindowSpec): Option[Column] = {
+    def intArg(t: String): Int = t.trim.toIntOption.getOrElse(
+      throw UdfParseError(s"'$name' needs a literal integer, got '${t.trim}'"))
+    // RANGE frame: ties on the order key aggregate together → results are
+    // deterministic even with duplicate labels (and match SQL's default
+    // frame with ORDER BY)
+    val range = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    (name, args.length) match {
+      case ("cummax", 1) => Some(max(args(0)).over(range))
+      case ("cummin", 1) => Some(min(args(0)).over(range))
+      case ("cumsum", 1) => Some(sum(args(0)).over(range))
+      case ("lag", 1)    => Some(lag(args(0), 1).over(w))
+      case ("lag", 2)    => Some(lag(args(0), intArg(raw(1))).over(w))
+      case ("lead", 1)   => Some(lead(args(0), 1).over(w))
+      case ("lead", 2)   => Some(lead(args(0), intArg(raw(1))).over(w))
+      case ("rollmean", 2) =>
+        val k = intArg(raw(1))
+        if (k < 1 || k % 2 == 0)
+          throw UdfParseError(s"rollmean width must be odd positive, got $k")
+        val h = (k - 1) / 2
+        Some(avg(args(0)).over(w.rowsBetween(-h, h)))
+      case _ => None
+    }
+  }
+
+  private final class Parser(s: String, wOpt: Option[WindowSpec]) {
     private var i = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def peek: Char = if (i < s.length) s(i) else '\u0000'
@@ -154,16 +209,24 @@ object UdfCompiler {
           ws()
           if (peek == '(') {
             i += 1
-            val args = scala.collection.mutable.ArrayBuffer(expr(x))
+            // raw arg spans kept so series functions can demand literal
+            // integer parameters (lag offset, rollmean width)
+            val args = scala.collection.mutable.ArrayBuffer.empty[Column]
+            val raw = scala.collection.mutable.ArrayBuffer.empty[String]
+            var st2 = i; args += expr(x); raw += s.substring(st2, i)
             ws()
-            while (peek == ',') { i += 1; args += expr(x); ws() }
-            eat(')')
-            (args.length, fn1.get(name), fn2.get(name)) match {
-              case (1, Some(f), _) => f(args(0))
-              case (2, _, Some(f)) => f(args(0), args(1))
-              case _ => throw UdfParseError(
-                s"unknown function '$name'/${args.length}")
+            while (peek == ',') {
+              i += 1; st2 = i; args += expr(x); raw += s.substring(st2, i)
+              ws()
             }
+            eat(')')
+            wOpt.flatMap(seriesCall(name, args.toSeq, raw.toSeq, _))
+              .getOrElse((args.length, fn1.get(name), fn2.get(name)) match {
+                case (1, Some(f), _) => f(args(0))
+                case (2, _, Some(f)) => f(args(0), args(1))
+                case _ => throw UdfParseError(
+                  s"unknown function '$name'/${args.length}")
+              })
           } else if (name == "x" || name == "data" || name == "value") x
           else if (name == "pi") lit(math.Pi)
           else throw UdfParseError(s"unknown identifier '$name'")

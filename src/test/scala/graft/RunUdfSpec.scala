@@ -58,6 +58,87 @@ class RunUdfSpec extends SparkSpec {
     UdfCompiler.supported("2e + x") shouldBe false
   }
 
+  test("compileSeries: cummax/cumsum/lag/rollmean over an ordered window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", 1, 3.0), ("a", 2, 1.0), ("a", 3, 5.0), ("a", 4, 2.0),
+      ("b", 1, 10.0)).toDF("k", "t", "v")
+    val w = Window.partitionBy("k").orderBy("t")
+    def eval(src: String): Map[(String, Int), Double] =
+      df.select(col("k"), col("t"),
+          UdfCompiler.compileSeries(src, col("v"), w).as("r"))
+        .collect().collect { case r if !r.isNullAt(2) =>
+          (r.getString(0), r.getInt(1)) -> r.getDouble(2)
+        }.toMap
+    val cm = eval("function(x, context) { cummax(x) }")
+    cm(("a", 1)) shouldBe 3.0; cm(("a", 2)) shouldBe 3.0
+    cm(("a", 3)) shouldBe 5.0; cm(("a", 4)) shouldBe 5.0
+    cm(("b", 1)) shouldBe 10.0 // windows are per group
+    val cs = eval("cumsum(x)")
+    cs(("a", 4)) shouldBe 11.0
+    val lagged = eval("x - lag(x, 1)") // null lag → null → NaN on getDouble
+    lagged(("a", 2)) shouldBe -2.0
+    val rm = eval("rollmean(x, 3)")
+    rm(("a", 2)) shouldBe 3.0 +- 1e-12      // (3+1+5)/3
+    rm(("a", 1)) shouldBe 2.0 +- 1e-12      // edge: partial window (3+1)/2
+    // series functions mix with the element-wise grammar
+    val mixed = eval("cummax(x) - x * 2")
+    mixed(("a", 2)) shouldBe 1.0
+  }
+
+  test("compileSeries: ties on the order key aggregate together (range frame)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1, 1.0), (1, 9.0), (2, 2.0)).toDF("t", "v")
+    val w = Window.partitionBy(lit(1)).orderBy("t")
+    val r = df.select(col("t"),
+        UdfCompiler.compileSeries("cummax(x)", col("v"), w).as("r"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    // both t=1 rows see max over BOTH tied rows — deterministic
+    r.filter(_._1 == 1).map(_._2).toSet shouldBe Set(9.0)
+    r.filter(_._1 == 2).map(_._2).toSet shouldBe Set(9.0)
+  }
+
+  test("compileSeries rejects bad series source with the typed error") {
+    an[UdfCompiler.UdfParseError] should be thrownBy
+      UdfCompiler.compileSeries("rollmean(x, 4)", lit(0.0), // even width
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy(lit(1)))
+    an[UdfCompiler.UdfParseError] should be thrownBy
+      UdfCompiler.compileSeries("lag(x, x)", lit(0.0), // non-literal offset
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1)).orderBy(lit(1)))
+    // series names stay unknown in the element-wise grammar
+    UdfCompiler.supported("cummax(x)") shouldBe false
+    UdfCompiler.supportedSeries("cummax(x)") shouldBe true
+  }
+
+  test("apply_dimension + run_udf compiles through the graph compiler") {
+    import graft.compile.GraphCompiler
+    import graft.cube.Cube
+    import graft.ops.Scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-udfdim").toString
+    cubeOf(
+      ("2024-01-01", "A", 0, 0, 3.0), ("2024-01-02", "A", 0, 0, 1.0),
+      ("2024-01-03", "A", 0, 0, 5.0))
+      .df.write.mode("overwrite").parquet(s"$dir/c")
+    val catalog = Map("c" -> Scan.CollectionSpec(s"$dir/c",
+      bandOrder = Seq("A")))
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
+      "ad": {"process_id": "apply_dimension", "arguments": {
+        "data": {"from_node": "load"}, "dimension": "t",
+        "process": {"process_graph": {
+          "u": {"process_id": "run_udf", "arguments": {
+            "data": {"from_parameter": "data"},
+            "udf": "function(x, context) { cummax(x) }",
+            "runtime": "R"}, "result": true}}}},
+        "result": true}
+    }"""
+    val out = new GraphCompiler(spark, catalog, dir)
+      .compile(graph).asInstanceOf[Cube]
+    val got = out.df.orderBy("time").collect().map(_.getAs[Double]("value"))
+    got.toSeq shouldBe Seq(3.0, 3.0, 5.0)
+  }
+
   test("runOnTiles sees whole (time, band) slices and can transform them") {
     val c = cubeOf(
       ("2024-01-01", "A", 0, 0, 1.0), ("2024-01-01", "A", 0, 1, 3.0),
