@@ -15,48 +15,75 @@ import org.apache.spark.sql.functions.udaf
   * aggregation: each task reduces its slice to ≤ k rows per query before
   * the shuffle, so only nPartitions × nQueries × k tiny rows ever move.
   *
+  * The buffer is a pair of PRIMITIVE arrays (ids, cosines) rather than a
+  * `Seq[ScoredNeighbor]`: the round-2 buffer round-tripped a struct object
+  * per element through the ExpressionEncoder on every update; primitive
+  * arrays serialize as two bulk UnsafeArrayData copies and the common-case
+  * update (candidate worse than the current k-th) allocates nothing.
+  *
   * Ordering matches the window formulation exactly — ties on the cosine
   * break by ascending id — so results are deterministic and identical.
   */
 final case class ScoredNeighbor(id: Long, cos: Double)
 
 final class TopKAgg(k: Int)
-    extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+    extends Aggregator[ScoredNeighbor, (Array[Long], Array[Double]),
+      Seq[ScoredNeighbor]] {
 
-  private def beats(a: ScoredNeighbor, b: ScoredNeighbor): Boolean = {
-    // Double.compare semantics (NaN greatest, NaN == NaN) — identical to
-    // Spark SQL's ORDER BY, so zero-norm vectors (NaN cosine) rank the
-    // same as under the window formulation
-    val c = java.lang.Double.compare(a.cos, b.cos)
-    c > 0 || (c == 0 && a.id < b.id)
+  // Double.compare semantics (NaN greatest, NaN == NaN) — identical to
+  // Spark SQL's ORDER BY, so zero-norm vectors (NaN cosine) rank the
+  // same as under the window formulation
+  private def beats(id1: Long, c1: Double, id2: Long, c2: Double): Boolean = {
+    val c = java.lang.Double.compare(c1, c2)
+    c > 0 || (c == 0 && id1 < id2)
   }
 
-  def zero: Seq[ScoredNeighbor] = Vector.empty
+  def zero: (Array[Long], Array[Double]) =
+    (Array.emptyLongArray, Array.emptyDoubleArray)
 
   // buffer invariant: sorted best-first, length <= k
-  def reduce(b: Seq[ScoredNeighbor], s: ScoredNeighbor): Seq[ScoredNeighbor] = {
-    if (b.length >= k && !beats(s, b.last)) b // common case: O(1) reject
+  def reduce(b: (Array[Long], Array[Double]),
+      s: ScoredNeighbor): (Array[Long], Array[Double]) = {
+    val (ids, cs) = b
+    val n = ids.length
+    if (n >= k && !beats(s.id, s.cos, ids(n - 1), cs(n - 1))) b // O(1) reject
     else {
-      val (better, worse) = b.span(beats(_, s))
-      (better :+ s) ++ worse.take(k - better.length - 1)
+      var p = 0
+      while (p < n && beats(ids(p), cs(p), s.id, s.cos)) p += 1
+      val m = math.min(k, n + 1)
+      val nid = new Array[Long](m); val ncs = new Array[Double](m)
+      System.arraycopy(ids, 0, nid, 0, p)
+      System.arraycopy(cs, 0, ncs, 0, p)
+      nid(p) = s.id; ncs(p) = s.cos
+      val tail = m - p - 1
+      if (tail > 0) {
+        System.arraycopy(ids, p, nid, p + 1, tail)
+        System.arraycopy(cs, p, ncs, p + 1, tail)
+      }
+      (nid, ncs)
     }
   }
 
-  def merge(a: Seq[ScoredNeighbor], b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = {
-    val out = Vector.newBuilder[ScoredNeighbor]
+  def merge(a: (Array[Long], Array[Double]),
+      b: (Array[Long], Array[Double])): (Array[Long], Array[Double]) = {
+    val (ai, ac) = a; val (bi, bc) = b
+    val m = math.min(k, ai.length + bi.length)
+    val oi = new Array[Long](m); val oc = new Array[Double](m)
     var i = 0; var j = 0
-    while (i + j < k && (i < a.length || j < b.length)) {
-      if (j >= b.length || (i < a.length && beats(a(i), b(j)))) {
-        out += a(i); i += 1
-      } else { out += b(j); j += 1 }
+    while (i + j < m) {
+      if (j >= bi.length ||
+          (i < ai.length && beats(ai(i), ac(i), bi(j), bc(j)))) {
+        oi(i + j) = ai(i); oc(i + j) = ac(i); i += 1
+      } else { oi(i + j) = bi(j); oc(i + j) = bc(j); j += 1 }
     }
-    out.result()
+    (oi, oc)
   }
 
-  def finish(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = b
+  def finish(b: (Array[Long], Array[Double])): Seq[ScoredNeighbor] =
+    b._1.indices.map(i => ScoredNeighbor(b._1(i), b._2(i)))
 
-  def bufferEncoder: Encoder[Seq[ScoredNeighbor]] =
-    ExpressionEncoder[Seq[ScoredNeighbor]]()
+  def bufferEncoder: Encoder[(Array[Long], Array[Double])] =
+    ExpressionEncoder[(Array[Long], Array[Double])]()
   def outputEncoder: Encoder[Seq[ScoredNeighbor]] =
     ExpressionEncoder[Seq[ScoredNeighbor]]()
 }
