@@ -199,12 +199,36 @@ object Laea {
   }
 }
 
+/** Web-Mercator (EPSG:3857) — the spherical Mercator used by slippy-map
+  * tiles; the most commonly requested CRS after 4326/UTM. Public formulas
+  * (Snyder PP 1395, p. 41, spherical case with R = WGS84 semi-major):
+  * the projection is DEFINED on the sphere — using geodetic latitude on
+  * R = a is exact 3857, not an approximation. */
+object WebMercator {
+  private val R = 6378137.0
+  val Limit = 85.051128779806604 // atan(sinh(pi)) — the square world edge
+
+  /** lon/lat (deg, EPSG:4326) → (x, y) EPSG:3857. */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    require(math.abs(lat) <= Limit,
+      s"EPSG:3857 undefined beyond ±$Limit°, got $lat")
+    (R * math.toRadians(lon),
+      R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+  }
+
+  /** (x, y) EPSG:3857 → lon/lat (deg). */
+  def toLonLat(x: Double, y: Double): (Double, Double) =
+    (math.toDegrees(x / R),
+      math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
+}
+
 /** CRS dispatch for driver-side vertex transforms: EPSG:4326, UTM
-  * (326xx/327xx), and LAEA Europe (3035). Anything else raises the typed
-  * openEO error the reference surfaces through pyproj failures. */
+  * (326xx/327xx), LAEA Europe (3035), and Web-Mercator (3857). Anything
+  * else raises the typed openEO error the reference surfaces through
+  * pyproj failures. */
 object Crs {
   def supported(epsg: Int): Boolean =
-    epsg == 4326 || epsg == 3035 ||
+    epsg == 4326 || epsg == 3035 || epsg == 3857 ||
       (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
 
   /** Point transform between supported CRSs (via 4326). */
@@ -216,12 +240,14 @@ object Crs {
   private def toWgs(p: (Double, Double), epsg: Int): (Double, Double) = epsg match {
     case 4326 => p
     case 3035 => Laea.toLonLat(p._1, p._2)
+    case 3857 => WebMercator.toLonLat(p._1, p._2)
     case utm if Crs.supported(utm) => Utm.toLonLat(p._1, p._2, utm)
     case other => throw graft.OpenEoError.crsNotSupported(other)
   }
   private def fromWgs(p: (Double, Double), epsg: Int): (Double, Double) = epsg match {
     case 4326 => p
     case 3035 => Laea.fromLonLat(p._1, p._2)
+    case 3857 => WebMercator.fromLonLat(p._1, p._2)
     case utm if Crs.supported(utm) => Utm.fromLonLat(p._1, p._2, utm)
     case other => throw graft.OpenEoError.crsNotSupported(other)
   }

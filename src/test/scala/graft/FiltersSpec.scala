@@ -30,6 +30,36 @@ class FiltersSpec extends SparkSpec {
     r.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
   }
 
+  test("Web-Mercator (EPSG:3857): known point is exact; transforms roundtrip") {
+    import graft.ops.WebMercator
+    // canonical check: lon 180° maps to pi*R
+    val (xe, _) = WebMercator.fromLonLat(180.0, 0.0)
+    xe shouldBe 20037508.342789244 +- 1e-6
+    val (_, ye) = WebMercator.fromLonLat(0.0, WebMercator.Limit)
+    ye shouldBe 20037508.342789244 +- 1e-5 // square world: top edge == right edge
+    for ((lo, la) <- Seq((11.3, 46.5), (-122.4, 37.8), (151.2, -33.9))) {
+      val (x, y) = WebMercator.fromLonLat(lo, la)
+      val (lo2, la2) = WebMercator.toLonLat(x, y)
+      lo2 shouldBe lo +- 1e-9
+      la2 shouldBe la +- 1e-9
+    }
+    an[IllegalArgumentException] should be thrownBy
+      WebMercator.fromLonLat(0.0, 89.0) // beyond the square world edge
+  }
+
+  test("filter_bbox on an EPSG:3857 cube reprojects the 4326 bbox") {
+    import graft.ops.WebMercator
+    val (x1, y1) = WebMercator.fromLonLat(11.30, 46.50) // inside the bbox
+    val (x2, y2) = WebMercator.fromLonLat(11.60, 46.80) // outside
+    val c0 = cubeOf(
+      ("2024-01-01", "B04", y1, x1, 1.0),
+      ("2024-01-01", "B04", y2, x2, 2.0))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:3857")))
+    val r = Filters.filterBbox(c, west = 11.2, south = 46.4,
+      east = 11.4, north = 46.6)
+    r.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
+  }
+
   test("filter_bbox on an unsupported CRS raises the typed openEO error") {
     val c0 = cubeOf(("2024-01-01", "B04", 0, 0, 1.0))
     val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:2154")))
