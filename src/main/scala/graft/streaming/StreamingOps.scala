@@ -102,11 +102,21 @@ object StreamingOps {
             var cur = state.getOption
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e._4 - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, e._4, s.n + 1, s.total + e._5))
-                case Some(s) =>
+                // late events (event-time before the open session's end but
+                // above the watermark) merge by extending EITHER end —
+                // min/max, never regressing s.last backwards
+                case Some(s) if e._4 >= s.start - gapMs && e._4 <= s.last + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, e._4),
+                    math.max(s.last, e._4), s.n + 1, s.total + e._5))
+                case Some(s) if e._4 > s.last + gapMs =>
                   closed += close(s)
                   cur = Some(SessionState(e._4, e._4, 1, e._5))
+                case Some(_) =>
+                  // disjoint EARLIER stray (e < start - gap): its own
+                  // session, closed immediately — single-interval state
+                  // cannot hold two open sessions, and anything that could
+                  // still merge with it is even further below the watermark
+                  closed += close(SessionState(e._4, e._4, 1, e._5))
                 case None =>
                   cur = Some(SessionState(e._4, e._4, 1, e._5))
               }
