@@ -137,6 +137,12 @@ final class GraphCompiler(
           case Some(LitArg(v)) if v.isTextual => v.asText
           case other => throw new IllegalArgumentException(s"run_udf udf: $other")
         }
+        // context keys chunk_size / num_jobs / vectorized
+        // (openeo_odc_driver.py:304-316): validated for type errors so
+        // reference graphs run unchanged, but advisory here — they steer
+        // the reference's joblib chunking, which Catalyst's partitioning
+        // supersedes (a chunked re-shuffle would only slow the plan down)
+        n.arguments.get("context").foreach(validateRunUdfContext)
         val c = cubeArg(n, "data", r)
         c.mapValue(v => UdfCompiler.compile(src, v))
       case "apply_dimension" =>
@@ -457,6 +463,29 @@ final class GraphCompiler(
       }
       case None => false
     })
+
+  /** Validate the run_udf `context` object: chunk_size / num_jobs must be
+    * positive integers, vectorized a boolean (openeo_odc_driver.py:304-316
+    * reads these with Python truthiness; we fail loudly on type junk so a
+    * typo'd graph doesn't silently differ from the reference). Unknown
+    * keys pass through, as in the reference. */
+  private def validateRunUdfContext(a: Arg): Unit = a match {
+    case LitArg(v) if v.isObject =>
+      def checkPosInt(key: String): Unit = {
+        val f = v.get(key)
+        if (f != null && (!f.canConvertToInt || f.asInt <= 0))
+          throw new IllegalArgumentException(
+            s"run_udf context.$key must be a positive integer, got $f")
+      }
+      checkPosInt("chunk_size"); checkPosInt("num_jobs")
+      val vec = v.get("vectorized")
+      if (vec != null && !vec.isBoolean)
+        throw new IllegalArgumentException(
+          s"run_udf context.vectorized must be a boolean, got $vec")
+    case LitArg(v) if v.isNull =>
+    case other => throw new IllegalArgumentException(
+      s"run_udf context must be an object, got $other")
+  }
 
   // ------------------------------------------------------ callback compilation
 

@@ -69,9 +69,16 @@ object Utm {
   private val k0 = 0.9996
 
   def epsgToZone(epsg: Int): (Int, Boolean) = {
-    require((epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760),
+    require((epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
+      || (epsg >= 25828 && epsg <= 25838),
       s"not a UTM EPSG code: $epsg")
-    if (epsg <= 32660) (epsg - 32600, true) else (epsg - 32700, false)
+    // 258xx = ETRS89 / UTM (GRS80): the GRS80 and WGS84 ellipsoids share
+    // the semi-major axis and differ in flattening by <1e-9 (sub-mm on the
+    // ground) — far below the Snyder series' own ~1e-2 m truncation, so
+    // the WGS84 constants serve both
+    if (epsg >= 32701 && epsg <= 32760) (epsg - 32700, false)
+    else if (epsg >= 32601) (epsg - 32600, true)
+    else (epsg - 25800, true)
   }
 
   /** lon/lat (deg, EPSG:4326) → (easting, northing) in the given UTM EPSG. */
@@ -222,14 +229,70 @@ object WebMercator {
       math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2))
 }
 
+/** RGF93 / Lambert-93 (EPSG:2154) — France's national CRS: Lambert
+  * Conformal Conic, two standard parallels, on GRS80. Public Snyder
+  * formulas (USGS PP 1395, pp. 107-109, ellipsoidal 2SP); RGF93 is
+  * ETRS89-aligned, so no datum shift vs WGS84 at bbox accuracy. */
+object Lambert93 {
+  private val a = 6378137.0               // GRS80
+  private val f = 1.0 / 298.257222101
+  private val e2 = f * (2 - f)
+  private val e = math.sqrt(e2)
+  // EPSG:2154 definition
+  private val lat0 = math.toRadians(46.5)
+  private val lon0 = math.toRadians(3.0)
+  private val lat1 = math.toRadians(49.0)
+  private val lat2 = math.toRadians(44.0)
+  private val fe = 700000.0
+  private val fn = 6600000.0
+
+  private def m(phi: Double): Double =
+    math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+  private def t(phi: Double): Double =
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+
+  private val n = math.log(m(lat1) / m(lat2)) / math.log(t(lat1) / t(lat2))
+  private val bigF = m(lat1) / (n * math.pow(t(lat1), n))
+  private val rho0 = a * bigF * math.pow(t(lat0), n)
+
+  /** lon/lat (deg, EPSG:4326) → (easting, northing) EPSG:2154. */
+  def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+    val rho = a * bigF * math.pow(t(phi), n)
+    val theta = n * (lam - lon0)
+    (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+  }
+
+  /** (easting, northing) EPSG:2154 → lon/lat (deg). */
+  def toLonLat(x: Double, y: Double): (Double, Double) = {
+    val dx = x - fe; val dy = rho0 - (y - fn)
+    val rho = math.signum(n) * math.sqrt(dx * dx + dy * dy)
+    val tp = math.pow(rho / (a * bigF), 1 / n)
+    val theta = math.atan2(dx, dy)
+    val lam = theta / n + lon0
+    // iterate Snyder 7-9; converges in a handful of rounds
+    var phi = math.Pi / 2 - 2 * math.atan(tp)
+    var i = 0
+    while (i < 8) {
+      val es = e * math.sin(phi)
+      phi = math.Pi / 2 -
+        2 * math.atan(tp * math.pow((1 - es) / (1 + es), e / 2))
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+}
+
 /** CRS dispatch for driver-side vertex transforms: EPSG:4326, UTM
-  * (326xx/327xx), LAEA Europe (3035), and Web-Mercator (3857). Anything
-  * else raises the typed openEO error the reference surfaces through
-  * pyproj failures. */
+  * (WGS84 326xx/327xx and ETRS89 258xx), LAEA Europe (3035), Web-Mercator
+  * (3857), and Lambert-93 (2154). Anything else raises the typed openEO
+  * error the reference surfaces through pyproj failures. */
 object Crs {
   def supported(epsg: Int): Boolean =
-    epsg == 4326 || epsg == 3035 || epsg == 3857 ||
-      (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760)
+    epsg == 4326 || epsg == 3035 || epsg == 3857 || epsg == 2154 ||
+      (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760) ||
+      (epsg >= 25828 && epsg <= 25838)
 
   /** Point transform between supported CRSs (via 4326). */
   def transformPoint(x: Double, y: Double, fromEpsg: Int,
@@ -241,6 +304,7 @@ object Crs {
     case 4326 => p
     case 3035 => Laea.toLonLat(p._1, p._2)
     case 3857 => WebMercator.toLonLat(p._1, p._2)
+    case 2154 => Lambert93.toLonLat(p._1, p._2)
     case utm if Crs.supported(utm) => Utm.toLonLat(p._1, p._2, utm)
     case other => throw graft.OpenEoError.crsNotSupported(other)
   }
@@ -248,6 +312,7 @@ object Crs {
     case 4326 => p
     case 3035 => Laea.fromLonLat(p._1, p._2)
     case 3857 => WebMercator.fromLonLat(p._1, p._2)
+    case 2154 => Lambert93.fromLonLat(p._1, p._2)
     case utm if Crs.supported(utm) => Utm.fromLonLat(p._1, p._2, utm)
     case other => throw graft.OpenEoError.crsNotSupported(other)
   }

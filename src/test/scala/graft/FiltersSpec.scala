@@ -60,9 +60,63 @@ class FiltersSpec extends SparkSpec {
     r.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
   }
 
-  test("filter_bbox on an unsupported CRS raises the typed openEO error") {
-    val c0 = cubeOf(("2024-01-01", "B04", 0, 0, 1.0))
+  test("Lambert-93 (EPSG:2154): projection origin is exact; transforms roundtrip") {
+    import graft.ops.Lambert93
+    // the false origin sits at (lon0, lat0) = (3°E, 46.5°N) by definition
+    val (x0, y0) = Lambert93.fromLonLat(3.0, 46.5)
+    x0 shouldBe 700000.0 +- 1e-6
+    y0 shouldBe 6600000.0 +- 1e-6
+    for ((lo, la) <- Seq((2.35, 48.86), (-1.55, 47.22), (5.37, 43.30))) {
+      val (x, y) = Lambert93.fromLonLat(lo, la)
+      val (lo2, la2) = Lambert93.toLonLat(x, y)
+      lo2 shouldBe lo +- 1e-9
+      la2 shouldBe la +- 1e-9
+    }
+    // formula-independent invariant: a 2SP conformal conic has scale
+    // EXACTLY 1 along both standard parallels (44° and 49°). Compare a
+    // projected east-west step against the geometric parallel-circle arc
+    // (radius a·cosφ/√(1−e²sin²φ) — plain ellipsoid geometry, no shared
+    // code with the projection constants under test).
+    val aa = 6378137.0; val ee2 = 1.0 / 298.257222101 * (2 - 1.0 / 298.257222101)
+    for (latSP <- Seq(44.0, 49.0)) {
+      val phi = math.toRadians(latSP)
+      val (xA, yA) = Lambert93.fromLonLat(3.0, latSP)
+      val (xB, yB) = Lambert93.fromLonLat(3.001, latSP)
+      val projected = math.hypot(xB - xA, yB - yA)
+      val arc = aa * math.cos(phi) /
+        math.sqrt(1 - ee2 * math.sin(phi) * math.sin(phi)) *
+        math.toRadians(0.001)
+      projected / arc shouldBe 1.0 +- 1e-7
+    }
+  }
+
+  test("ETRS89 UTM (EPSG:25832) transforms agree with WGS84 UTM zone 32") {
+    // same zone, ellipsoids differ sub-mm — the dispatch must accept 258xx
+    val (e1, n1) = Utm.fromLonLat(11.3, 46.5, 25832)
+    val (e2, n2) = Utm.fromLonLat(11.3, 46.5, 32632)
+    e1 shouldBe e2 +- 1e-6
+    n1 shouldBe n2 +- 1e-6
+    graft.ops.Crs.supported(25832) shouldBe true
+  }
+
+  test("filter_bbox on an EPSG:2154 cube reprojects the 4326 bbox") {
+    import graft.ops.Lambert93
+    val (x1, y1) = Lambert93.fromLonLat(2.35, 48.86) // inside (Paris)
+    val (x2, y2) = Lambert93.fromLonLat(5.37, 43.30) // outside (Marseille)
+    val c0 = cubeOf(
+      ("2024-01-01", "B04", y1, x1, 1.0),
+      ("2024-01-01", "B04", y2, x2, 2.0))
     val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:2154")))
+    val r = Filters.filterBbox(c, west = 2.0, south = 48.5,
+      east = 2.7, north = 49.1)
+    r.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
+  }
+
+  test("filter_bbox on an unsupported CRS raises the typed openEO error") {
+    // 27700 (British National Grid) needs an OSGB36 datum shift — honestly
+    // out of the supported set
+    val c0 = cubeOf(("2024-01-01", "B04", 0, 0, 1.0))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:27700")))
     val e = the[graft.OpenEoError] thrownBy
       Filters.filterBbox(c, 0, 0, 1, 1)
     e.code shouldBe "CrsNotSupported"
