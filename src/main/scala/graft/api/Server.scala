@@ -145,19 +145,45 @@ final class Catalog(val specs: Map[String, Scan.CollectionSpec]) {
       described.computeIfAbsent(id, _ => {
         import org.apache.spark.sql.functions._
         val df = spark.read.parquet(spec.path)
+        // one pass for extents AND the temporal cadence: the minimum
+        // positive gap between consecutive distinct labels (tiny distinct
+        // set — the time axis, not the cube)
         val r = df.agg(
           min("time"), max("time"), min("x"), max("x"),
           min("y"), max("y")).head()
+        val stepSec: Option[Long] = {
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("time"))
+          df.select(col("time")).distinct()
+            .withColumn("_gap", unix_timestamp(col("time")) -
+              unix_timestamp(lag(col("time"), 1).over(w)))
+            .where(col("_gap") > 0)
+            .agg(min("_gap")).head() match {
+              case row if row.isNullAt(0) => None
+              case row => Some(row.getLong(0))
+            }
+        }
+        // ISO-8601 duration for the datacube extension's `step`
+        val stepIso = stepSec.map { s =>
+          if (s % 86400 == 0) s"P${s / 86400}D"
+          else if (s % 3600 == 0) s"PT${s / 3600}H"
+          else s"PT${s}S"
+        }
         val bands =
           if (spec.bandOrder.nonEmpty) spec.bandOrder
           else df.select("band").distinct().collect().map(_.getString(0)).sorted.toSeq
         val bandsJson = bands.map("\"" + _ + "\"").mkString("[", ",", "]")
         // reference layout (odc_backend.py:184-309): datacube extension,
         // DATE/X/Y/bands dimension names (config.py:41-44), axis +
-        // reference_system on the spatial dims, top-level extent object
+        // reference_system on the spatial dims, top-level extent object.
+        // Richer than the reference where the store knows more: spatial
+        // `step` from the registered grid resolution, temporal `step`
+        // from the label cadence.
         val epsg = spec.crs.flatMap(graft.ops.Filters.crsEpsg).getOrElse(4326)
         val (t0, t1) = (r.get(0), r.get(1))
         val (x0, x1, y0, y1) = (r.get(2), r.get(3), r.get(4), r.get(5))
+        val xStep = spec.grid.map(g => s""","step":${g.dx}""").getOrElse("")
+        val yStep = spec.grid.map(g => s""","step":${g.dy}""").getOrElse("")
+        val tStep = stepIso.map(s => s""","step":"$s"""").getOrElse("")
         s"""{"id":"$id","stac_version":"1.0.0",
            |"stac_extensions":["datacube"],
            |"license":"CC-BY-4.0",
@@ -166,9 +192,9 @@ final class Catalog(val specs: Map[String, Scan.CollectionSpec]) {
            |"spatial":{"bbox":[[$x0,$y0,$x1,$y1]]},
            |"temporal":{"interval":[["$t0","$t1"]]}},
            |"cube:dimensions":{
-           |"DATE":{"type":"temporal","extent":["$t0","$t1"]},
-           |"X":{"type":"spatial","axis":"x","extent":[$x0,$x1],"reference_system":$epsg},
-           |"Y":{"type":"spatial","axis":"y","extent":[$y0,$y1],"reference_system":$epsg},
+           |"DATE":{"type":"temporal","extent":["$t0","$t1"]$tStep},
+           |"X":{"type":"spatial","axis":"x","extent":[$x0,$x1],"reference_system":$epsg$xStep},
+           |"Y":{"type":"spatial","axis":"y","extent":[$y0,$y1],"reference_system":$epsg$yStep},
            |"bands":{"type":"bands","values":$bandsJson}}}""".stripMargin
       })
     }

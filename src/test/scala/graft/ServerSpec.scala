@@ -56,6 +56,10 @@ class ServerSpec extends SparkSpec {
     body should include(""""axis":"x"""")
     body should include(""""reference_system":32632""")
     body should include(""""spatial":{"bbox":[[""")
+    // step synthesis: spatial step from the registered grid, temporal
+    // step from the daily label cadence as an ISO-8601 duration
+    body should include(""""step":"P1D"""")
+    body should include(""""axis":"x","extent":[0.0,1.0],"reference_system":32632,"step":1.0""")
     val (code404, _) = http("GET", "/collections/nope")
     code404 shouldBe 404
   }
