@@ -22,6 +22,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      // per-query isolation (untimed): caches persisted by a previous
+      // query and not yet swept by the ContextCleaner otherwise bleed GC
+      // pressure into unrelated queries (the round-2 filter-tier noise)
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column —
       // count() alone would let Catalyst prune the projections away and

@@ -579,6 +579,20 @@ object SparkEntry {
       // flatMapGroupsWithState streaming on the same input)
       graft.streaming.StreamingOps.sessionizeBatch(c.df,
         gapMs = 30 * 60 * 1000L)),
+    "q_sample_fraction" -> ((s, dir) => {
+      // deterministic Bernoulli sample: pure filter on a portable LCG
+      // hash — reproducible across engines/partitionings, no shuffle
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.sampleFraction(d, "doc_id", 0.25)
+        .select("doc_id", "lang", "n_chars")
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // exact-20-per-language sample via the bounded top-k aggregate
+      // (map-side combine to <= n ids per stratum before the shuffle)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.sampleStratified(d, Seq("lang"), "doc_id", 20)
+        .select("doc_id", "lang", "n_chars")
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // multimodal plumbing at scale: binary payload column (utf-8 bytes
       // of the docs as a stand-in blob), mapPartitions decode + feature
@@ -1050,6 +1064,22 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_sample_fraction" ->
+      // identical LCG arithmetic: ((id % 2^31) * A + C) % 2^31 < f * 2^31
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+               < 536870912""",
+    "q_sample_stratified" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
+           FROM documents
+         ), r AS (
+           SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+           FROM h
+         )
+         SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""",
     "q_multimodal_features" ->
       // the GRFT stub codec is deterministic over the UTF-8 payload bytes:
       // width = 1 + len % 64, pixels = first width bytes, mean_px = byte

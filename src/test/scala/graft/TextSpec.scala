@@ -109,4 +109,47 @@ class TextSpec extends SparkSpec {
     r(0) shouldBe 1.0
     r(1) should be <= 0.5
   }
+
+  test("sampleFraction is deterministic, partition-stable, and shuffle-free") {
+    import graft.text.Sampling
+    val df = spark.range(10000).toDF("doc_id")
+    val s1 = Sampling.sampleFraction(df, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    // same ids again, and the same ids under a different partitioning —
+    // rand()-based sampling guarantees neither
+    Sampling.sampleFraction(df, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet shouldBe s1
+    Sampling.sampleFraction(df.repartition(7), "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet shouldBe s1
+    // LCG is uniform enough for a ±10% band at n=10k
+    s1.size.toDouble shouldBe 2500.0 +- 250.0
+    // a pure filter: no exchange in the plan
+    Sampling.sampleFraction(df, "doc_id", 0.25)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+    Sampling.sampleFraction(df, "doc_id", 0.0).count() shouldBe 0
+    Sampling.sampleFraction(df, "doc_id", 1.0).count() shouldBe 10000
+  }
+
+  test("sampleStratified keeps exactly n per stratum, smallest hash first") {
+    import graft.text.Sampling
+    val df = spark.range(1000).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val out = Sampling.sampleStratified(df, Seq("lang"), "doc_id", 10)
+    out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("en" -> 10L, "de" -> 10L)
+    // the selection is the n smallest portable hashes per stratum —
+    // cross-check against an independent window formulation
+    val want = df.withColumn("hv", Sampling.portableHash(col("doc_id")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("hv"), col("doc_id"))))
+      .where(col("rn") <= 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe want
+    // a stratum smaller than n keeps all its rows
+    val tiny = df.where(col("doc_id") < 3)
+    Sampling.sampleStratified(tiny, Seq("lang"), "doc_id", 10)
+      .count() shouldBe 3
+  }
 }
