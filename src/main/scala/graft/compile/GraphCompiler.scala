@@ -464,11 +464,13 @@ final class GraphCompiler(
       case None => false
     })
 
-  /** Validate the run_udf `context` object: chunk_size / num_jobs must be
-    * positive integers, vectorized a boolean (openeo_odc_driver.py:304-316
-    * reads these with Python truthiness; we fail loudly on type junk so a
-    * typo'd graph doesn't silently differ from the reference). Unknown
-    * keys pass through, as in the reference. */
+  /** Validate the run_udf `context` WHEN it is a literal object:
+    * chunk_size / num_jobs must be positive integers, vectorized a boolean
+    * (openeo_odc_driver.py:304-316 reads these with Python truthiness; we
+    * fail loudly on type junk so a typo'd graph doesn't silently differ
+    * from the reference). Everything else — the openEO `{"from_parameter":
+    * "context"}` pass-through idiom, scalars, null — is spec-type `Any`
+    * and passes untouched, exactly as before context handling existed. */
   private def validateRunUdfContext(a: Arg): Unit = a match {
     case LitArg(v) if v.isObject =>
       def checkPosInt(key: String): Unit = {
@@ -482,9 +484,7 @@ final class GraphCompiler(
       if (vec != null && !vec.isBoolean)
         throw new IllegalArgumentException(
           s"run_udf context.vectorized must be a boolean, got $vec")
-    case LitArg(v) if v.isNull =>
-    case other => throw new IllegalArgumentException(
-      s"run_udf context must be an object, got $other")
+    case _ => // Any per the openEO spec — from_parameter, scalar, null
   }
 
   // ------------------------------------------------------ callback compilation

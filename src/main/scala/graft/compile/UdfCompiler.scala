@@ -43,9 +43,17 @@ object UdfCompiler {
     *    average the available window (zoo::rollmean pads NA instead —
     *    divergence documented here).
     *
-    * Series calls cannot nest inside each other (`cummax(lag(x))` is a
-    * window-in-window Spark rejects at analysis); composing them
-    * element-wise (`cummax(x) - lag(x)`) is fine. */
+    * Series calls cannot nest inside each other — `cummax(lag(x))` raises
+    * UdfParseError at parse time (it would be a window-in-window Spark
+    * rejects only at analysis, escaping the typed-error contract);
+    * composing them element-wise (`cummax(x) - lag(x)`) is fine.
+    *
+    * Determinism: the cum* family is tie-safe (RANGE frames). lag/lead/
+    * rollmean are ROW-based by definition — with duplicate labels on the
+    * order dimension their result depends on the arbitrary intra-tie
+    * order, same as R applied to an arbitrarily-ordered series; callers
+    * needing hash-exact output must have unique labels along `dim`
+    * (true for all canonical cubes here). */
   def compileSeries(source: String, x: Column, w: WindowSpec): Column =
     new Parser(strip(source), Some(w)).parseAll(x)
 
@@ -127,8 +135,12 @@ object UdfCompiler {
     }
   }
 
+  private val seriesNames =
+    Set("cummax", "cummin", "cumsum", "lag", "lead", "rollmean")
+
   private final class Parser(s: String, wOpt: Option[WindowSpec]) {
     private var i = 0
+    private var seriesDepth = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def peek: Char = if (i < s.length) s(i) else '\u0000'
     private def eat(c: Char): Unit = {
@@ -209,6 +221,13 @@ object UdfCompiler {
           ws()
           if (peek == '(') {
             i += 1
+            // nested series calls would be window-in-window — reject at
+            // parse time so the failure stays a typed UdfParseError, not
+            // a Spark AnalysisException after acceptance
+            val isSeries = wOpt.isDefined && seriesNames(name)
+            if (isSeries && seriesDepth > 0) throw UdfParseError(
+              s"series function '$name' cannot nest inside another series function")
+            if (isSeries) seriesDepth += 1
             // raw arg spans kept so series functions can demand literal
             // integer parameters (lag offset, rollmean width)
             val args = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -220,6 +239,7 @@ object UdfCompiler {
               ws()
             }
             eat(')')
+            if (isSeries) seriesDepth -= 1
             wOpt.flatMap(seriesCall(name, args.toSeq, raw.toSeq, _))
               .getOrElse((args.length, fn1.get(name), fn2.get(name)) match {
                 case (1, Some(f), _) => f(args(0))

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions.udaf
   * the shuffle, so only nPartitions × nQueries × k tiny rows ever move.
   *
   * The buffer is a pair of PRIMITIVE arrays (ids, cosines) rather than a
-  * `Seq[ScoredNeighbor]`: the round-2 buffer round-tripped a struct object
-  * per element through the ExpressionEncoder on every update; primitive
-  * arrays serialize as two bulk UnsafeArrayData copies and the common-case
-  * update (candidate worse than the current k-th) allocates nothing.
+  * `Seq[ScoredNeighbor]`. Measured honestly (TopKBench, BENCH_NOTES.md):
+  * udaf aggregators run under ObjectAggregationIterator, which keeps the
+  * buffer as a JVM object BETWEEN updates and only encodes it at the
+  * partial→final shuffle — so the two buffer types benchmark the same at
+  * moderate scale. The primitive form is kept because what does cross the
+  * shuffle serializes as two bulk UnsafeArrayData copies instead of a
+  * struct object per element, and the common-case update (candidate worse
+  * than the current k-th) allocates nothing.
   *
   * Ordering matches the window formulation exactly — ties on the cosine
   * break by ascending id — so results are deterministic and identical.

@@ -215,12 +215,14 @@ object WebMercator {
   private val R = 6378137.0
   val Limit = 85.051128779806604 // atan(sinh(pi)) — the square world edge
 
-  /** lon/lat (deg, EPSG:4326) → (x, y) EPSG:3857. */
+  /** lon/lat (deg, EPSG:4326) → (x, y) EPSG:3857. Latitudes beyond the
+    * square-world edge CLAMP to ±Limit (the universal Web-Mercator
+    * convention — a whole-world bbox with north=90 must map to the top
+    * edge, not crash). */
   def fromLonLat(lon: Double, lat: Double): (Double, Double) = {
-    require(math.abs(lat) <= Limit,
-      s"EPSG:3857 undefined beyond ±$Limit°, got $lat")
+    val cl = math.max(-Limit, math.min(Limit, lat))
     (R * math.toRadians(lon),
-      R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2)))
+      R * math.log(math.tan(math.Pi / 4 + math.toRadians(cl) / 2)))
   }
 
   /** (x, y) EPSG:3857 → lon/lat (deg). */

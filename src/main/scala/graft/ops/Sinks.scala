@@ -284,12 +284,17 @@ object Sinks {
         val dims = (if (hasBand) Seq(Dim.Band) else Nil) ++ others
         val dimsArr = root.putArray("dims"); dims.foreach(dimsArr.add)
         // numeric-aware label order: xarray .to_dict() emits coords in
-        // numeric axis order, so "10.0" must sort after "2.0"
-        val labelOrd: Ordering[String] = (a, b) =>
-          (a.toDoubleOption, b.toDoubleOption) match {
-            case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-            case _                  => a.compareTo(b)
+        // numeric axis order, so "10.0" must sort after "2.0". Keyed as
+        // (isNonNumeric, numericValue, string) — a TOTAL order even when
+        // a dimension mixes numeric and non-numeric labels ("9", "8A"),
+        // where a pairwise numeric-else-lexical comparator is
+        // non-transitive and can make sorting throw
+        val labelOrd: Ordering[String] = Ordering.by { s: String =>
+          s.toDoubleOption match {
+            case Some(d) => (0, d, s)
+            case None    => (1, 0.0, s)
           }
+        }
         val labels: Map[String, Seq[String]] = dims.map { d =>
           d -> rows.map(labelOf(_, d)).distinct.sorted(labelOrd).toSeq
         }.toMap

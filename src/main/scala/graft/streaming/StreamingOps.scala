@@ -97,30 +97,33 @@ object StreamingOps {
             state.remove()
             out.iterator
           } else {
-            val sorted = events.toSeq.sortBy(_._4)
-            val closed = scala.collection.mutable.ArrayBuffer[Session]()
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                // late events (event-time before the open session's end but
-                // above the watermark) merge by extending EITHER end —
-                // min/max, never regressing s.last backwards
-                case Some(s) if e._4 >= s.start - gapMs && e._4 <= s.last + gapMs =>
-                  cur = Some(SessionState(math.min(s.start, e._4),
-                    math.max(s.last, e._4), s.n + 1, s.total + e._5))
-                case Some(s) if e._4 > s.last + gapMs =>
-                  closed += close(s)
-                  cur = Some(SessionState(e._4, e._4, 1, e._5))
-                case Some(_) =>
-                  // disjoint EARLIER stray (e < start - gap): its own
-                  // session, closed immediately — single-interval state
-                  // cannot hold two open sessions, and anything that could
-                  // still merge with it is even further below the watermark
-                  closed += close(SessionState(e._4, e._4, 1, e._5))
-                case None =>
-                  cur = Some(SessionState(e._4, e._4, 1, e._5))
+            // batch-local interval merge: the open state (an interval) and
+            // every batch event sort together by start time, then fold with
+            // the gap rule — so late events above the watermark merge with
+            // EACH OTHER and can bridge into the open session exactly as
+            // the batch formulation would (event-by-event folding against
+            // single state closed strays prematurely: two late events 2min
+            // apart became two singleton sessions, and a stray below
+            // start-gap could be emitted even though a later event in the
+            // same batch bridged the gap)
+            val items: Seq[SessionState] =
+              (state.getOption.toSeq ++
+                events.map(e => SessionState(e._4, e._4, 1, e._5)))
+                .sortBy(s => (s.start, s.last))
+            val merged = scala.collection.mutable.ArrayBuffer[SessionState]()
+            items.foreach { it =>
+              merged.lastOption match {
+                case Some(prev) if it.start <= prev.last + gapMs =>
+                  merged(merged.length - 1) = SessionState(prev.start,
+                    math.max(prev.last, it.last),
+                    prev.n + it.n, prev.total + it.total)
+                case _ => merged += it
               }
             }
+            // all but the newest session are separated by > gap from
+            // everything that follows — close them; the newest stays open
+            val closed = merged.dropRight(1).map(close)
+            val cur = merged.lastOption
             cur.foreach { s =>
               state.update(s)
               // flatMapGroupsWithState still delivers events older than the

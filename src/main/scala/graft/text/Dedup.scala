@@ -214,16 +214,20 @@ object Dedup {
       explode(array(pairKeys: _*)).as("b"))
       .select(col("id"), col("_h"), col("b.band"), col("b.bh"))
     // Pay-as-you-go blocking: a singleton bucket cannot produce a pair, so
-    // one narrow window pass counts bucket occupancy and the quadratic
-    // self-join sees ONLY multiply-occupied buckets. A corpus with no
-    // near-dups pays a 28n-key aggregation (map-side combine, 24-byte
-    // rows) instead of shuffling 28n rows into both sides of a self-join —
-    // the round-2 always-on price of the exact-recall guarantee. Recall is
+    // the quadratic self-join sees ONLY multiply-occupied buckets. Bucket
+    // occupancy comes from a TRUE partial aggregation — groupBy(band, bh)
+    // map-side-combines to distinct keys before its (tiny) shuffle, and
+    // the multi-occupied key set broadcast-semi-joins the banded rows, so
+    // the 28n banded rows themselves never cross the network on a clean
+    // corpus (a window count would exchange all of them into per-bucket
+    // partitions first). Hot-key sets big enough to break the broadcast
+    // mean the corpus is near-dup-dense — there the join is unavoidable
+    // anyway: drop the broadcast hint and let it shuffle. Recall is
     // untouched: dropped rows are in buckets no other doc occupies.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh"))
-    val live = banded.withColumn("_bn", count(lit(1)).over(w))
-      .where(col("_bn") > 1).drop("_bn")
+    val hot = broadcast(banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bn")).where(col("_bn") > 1)
+      .select(col("band"), col("bh")))
+    val live = banded.join(hot, Seq("band", "bh"), "left_semi")
       .persist()
     live.count() // eager: both join sides read the (small) survivor set
     val a = live.as("a"); val b = live.as("b")

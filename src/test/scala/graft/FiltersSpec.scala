@@ -43,8 +43,13 @@ class FiltersSpec extends SparkSpec {
       lo2 shouldBe lo +- 1e-9
       la2 shouldBe la +- 1e-9
     }
-    an[IllegalArgumentException] should be thrownBy
-      WebMercator.fromLonLat(0.0, 89.0) // beyond the square world edge
+    // beyond the square-world edge latitudes CLAMP (the universal
+    // Web-Mercator convention): a whole-world bbox must map to the top
+    // edge, not crash
+    WebMercator.fromLonLat(0.0, 90.0)._2 shouldBe
+      WebMercator.fromLonLat(0.0, WebMercator.Limit)._2
+    WebMercator.fromLonLat(0.0, -90.0)._2 shouldBe
+      WebMercator.fromLonLat(0.0, -WebMercator.Limit)._2
   }
 
   test("filter_bbox on an EPSG:3857 cube reprojects the 4326 bbox") {

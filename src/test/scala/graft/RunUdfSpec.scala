@@ -109,6 +109,11 @@ class RunUdfSpec extends SparkSpec {
     // series names stay unknown in the element-wise grammar
     UdfCompiler.supported("cummax(x)") shouldBe false
     UdfCompiler.supportedSeries("cummax(x)") shouldBe true
+    // nested series = window-in-window: typed error at PARSE time, not a
+    // Spark AnalysisException after the graph was accepted
+    UdfCompiler.supportedSeries("cummax(cumsum(x))") shouldBe false
+    UdfCompiler.supportedSeries("cummax(lag(x, 1))") shouldBe false
+    UdfCompiler.supportedSeries("cummax(sqrt(x)) - lag(x, 1)") shouldBe true
   }
 
   test("apply_dimension + run_udf compiles through the graph compiler") {

@@ -145,6 +145,64 @@ class StreamingSpec extends SparkSpec {
     rowSet(reordered) shouldBe rowSet(inOrder) // on-time == late-reordered
   }
 
+  test("multiple late strays in one batch merge with each other, not as singletons") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10 * 60 * 1000L
+    val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
+    val q = StreamingOps.sessionizeStream(
+      stream.toDF().toDF("time", "band", "y", "x", "value"), gap,
+      delay = "2 hours").toDF()
+      .writeStream.format("memory").queryName("sess_strays")
+      .outputMode("append").start()
+    // open a session at 01:40 (watermark stays 2h behind)
+    stream.addData(Seq((ts("2024-01-01 01:40:00"), "click", 0.0, 0.0, 1.0)))
+    q.processAllAvailable()
+    // two late events 2 min apart, both above the watermark, both more
+    // than a gap below the open session's start: they form ONE earlier
+    // session together — not two singletons
+    stream.addData(Seq(
+      (ts("2024-01-01 00:50:00"), "click", 0.0, 0.0, 2.0),
+      (ts("2024-01-01 00:52:00"), "click", 0.0, 0.0, 3.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((ts("2024-01-01 12:00:00"), "zz", 9.0, 9.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_strays")
+      .where(col("band") === "click").orderBy("start").collect()
+    sessions.length shouldBe 2
+    sessions(0).getAs[Long]("n_events") shouldBe 2   // the merged strays
+    sessions(0).getAs[Double]("sum_value") shouldBe 5.0
+    sessions(1).getAs[Long]("n_events") shouldBe 1
+  }
+
+  test("a late event can bridge an earlier stray into the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10 * 60 * 1000L
+    val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
+    val q = StreamingOps.sessionizeStream(
+      stream.toDF().toDF("time", "band", "y", "x", "value"), gap,
+      delay = "2 hours").toDF()
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    stream.addData(Seq((ts("2024-01-01 01:40:00"), "click", 0.0, 0.0, 1.0)))
+    q.processAllAvailable()
+    // 01:25 is > gap below the open start (01:40), but 01:33 bridges:
+    // 01:25—01:33 (8min) and 01:33—01:40 (7min) chain into ONE session
+    stream.addData(Seq(
+      (ts("2024-01-01 01:25:00"), "click", 0.0, 0.0, 2.0),
+      (ts("2024-01-01 01:33:00"), "click", 0.0, 0.0, 4.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((ts("2024-01-01 12:00:00"), "zz", 9.0, 9.0, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_bridge")
+      .where(col("band") === "click").collect()
+    sessions.length shouldBe 1
+    sessions(0).getAs[Long]("n_events") shouldBe 3
+    sessions(0).getAs[Double]("sum_value") shouldBe 7.0
+    sessions(0).getAs[Timestamp]("start").toString should startWith("2024-01-01 01:25")
+  }
+
   test("an event below the watermark does not kill the query (timeout clamp)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
