@@ -593,6 +593,15 @@ object SparkEntry {
       graft.text.Sampling.sampleStratified(d, Seq("lang"), "doc_id", 20)
         .select("doc_id", "lang", "n_chars")
     }),
+    "q_pack_budget" -> ((s, dir) => {
+      // deterministic pack planning: 16 KiB char-budget packs per
+      // language over a reproducible (hash, id) order — all-integer
+      // arithmetic, so the assignment is engine-exact
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Packing.packByBudget(d, Seq("lang"), "doc_id",
+          "n_chars", 16384L)
+        .select("doc_id", "lang", "n_chars", "pack_id")
+    }),
     "q_multimodal_features" -> ((s, dir) => {
       // multimodal plumbing at scale: binary payload column (utf-8 bytes
       // of the docs as a stand-in blob), mapPartitions decode + feature
@@ -1080,6 +1089,19 @@ object SparkEntry {
            FROM h
          )
          SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""",
+    "q_pack_budget" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
+           FROM documents
+         ), c AS (
+           SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h
+         )
+         SELECT doc_id, lang, n_chars, (cum - n_chars) // 16384 AS pack_id
+         FROM c""",
     "q_multimodal_features" ->
       // the GRFT stub codec is deterministic over the UTF-8 payload bytes:
       // width = 1 + len % 64, pixels = first width bytes, mean_px = byte
