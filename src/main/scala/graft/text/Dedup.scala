@@ -73,7 +73,16 @@ object Dedup {
       .select(col("id"), col("b.band"), col("b.bh"))
       .persist()
     banded.count()
-    val a = banded.as("a"); val b = banded.as("b")
+    // same pay-as-you-go prune as simhash: only multiply-occupied buckets
+    // can produce candidate pairs, and the occupancy set comes from a true
+    // partial aggregation over the persisted band table — on a mostly
+    // unique corpus the self-join shuffles a survivor sliver, not all 8n
+    // band rows (broadcast caveat as in simhashPairsFromHashes)
+    val hot = broadcast(banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("_bn")).where(col("_bn") > 1)
+      .select(col("band"), col("bh")))
+    val live = banded.join(hot, Seq("band", "bh"), "left_semi")
+    val a = live.as("a"); val b = live.as("b")
     // candidate pairs are tiny relative to the corpus by design (the
     // banding S-curve); persist + eager count so the three consumers below
     // (the id semi-join + the pair join) don't re-run the band join
