@@ -337,6 +337,17 @@ object SparkEntry {
       Joins.resampleCubeSpatialBilinear(uniq, GridRef(0.25, 0.25, 2.0, 2.0),
         exactScale = Some(16L)).df
     },
+    "q_resample_spatial_cubic" -> onCube { c =>
+      // 16-neighbor Catmull-Rom regrid (J3 cubic). Same 2:1 quarter-offset
+      // grid pair: the per-axis kernel weights at t ∈ {±.25,±.75,±1.25,
+      // ±1.75} are multiples of 1/128, so the product scale 16384 makes
+      // the decimal accumulation exact and hash-matched.
+      val uniq = Cube(
+        c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
+          .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
+      Joins.resampleCubeSpatialCubic(uniq, GridRef(0.25, 0.25, 2.0, 2.0),
+        exactScale = Some(16384L)).df
+    },
     // --- neighborhood ops (W1, W2) ---------------------------------------
     "q_apply_kernel" -> onCube { c =>
       // 3×3 binomial convolution, replicate border. floor() makes values
@@ -863,6 +874,46 @@ object SparkEntry {
            0.25 + CAST(tx AS DOUBLE) * 2.0 AS x,
            0.25 + CAST(ty AS DOUBLE) * 2.0 AS y
          FROM w WHERE wgt > 0 GROUP BY time, band, tx, ty"""),
+    "q_resample_spatial_cubic" -> cq(
+      // mirrors resampleCubeSpatialCubic's scatter + the EXACT Horner
+      // order of the Catmull-Rom kernel, so the double weights agree
+      // bit-for-bit; weight·16384 is an exact integer for this grid pair
+      """, uniq AS (
+           SELECT time, band, y, x, MAX(value) AS value
+           FROM cube GROUP BY 1, 2, 3, 4),
+         cand AS (
+           SELECT time, band, value, y, x,
+             CAST(floor((x - 2.0 - 0.25) / 2.0) AS BIGINT) + kx.k AS tx,
+             CAST(floor((y - 2.0 - 0.25) / 2.0) AS BIGINT) + ky.k AS ty
+           FROM uniq, (VALUES (0), (1), (2), (3)) kx(k),
+                      (VALUES (0), (1), (2), (3)) ky(k)),
+         f AS (
+           SELECT time, band, value, tx, ty,
+             abs(((0.25 + CAST(tx AS DOUBLE) * 2.0) - x) / 1.0) AS ax,
+             abs(((0.25 + CAST(ty AS DOUBLE) * 2.0) - y) / 1.0) AS ay
+           FROM cand),
+         w AS (
+           SELECT time, band, value, tx, ty,
+             (CASE WHEN ax <= 1.0 THEN (1.5 * ax - 2.5) * ax * ax + 1.0
+                   WHEN ax < 2.0 THEN ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0
+                   ELSE 0.0 END)
+             * (CASE WHEN ay <= 1.0 THEN (1.5 * ay - 2.5) * ay * ay + 1.0
+                     WHEN ay < 2.0 THEN ((-0.5 * ay + 2.5) * ay - 4.0) * ay + 2.0
+                     ELSE 0.0 END) AS wgt,
+             ax, ay
+           FROM f),
+         agg AS (
+           SELECT time, band, tx, ty,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(wgt * 16384.0 AS DECIMAL(12,0))) AS DOUBLE)
+             / nullif(CAST(SUM(CAST(wgt * 16384.0 AS DECIMAL(12,0))) AS DOUBLE),
+                      0.0) AS value
+           FROM w WHERE ax < 2.0 AND ay < 2.0
+           GROUP BY time, band, tx, ty)
+         SELECT time, band, value,
+           0.25 + CAST(tx AS DOUBLE) * 2.0 AS x,
+           0.25 + CAST(ty AS DOUBLE) * 2.0 AS y
+         FROM agg WHERE value IS NOT NULL"""),
     "q_resample_cube_temporal" -> cq(
       """SELECT m.tt AS time, src.band, src.y, src.x, src.value
          FROM (SELECT date_trunc('day', time) AS t, band, y, x,

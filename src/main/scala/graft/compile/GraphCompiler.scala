@@ -201,8 +201,17 @@ final class GraphCompiler(
         Joins.resampleCubeTemporal(cubeArg(n, "data", r), cubeArg(n, "target", r))
       case "resample_cube_spatial" =>
         val target = cubeArg(n, "target", r)
-        Joins.resampleCubeSpatialNearest(cubeArg(n, "data", r),
-          target.meta.requireGrid)
+        val data = cubeArg(n, "data", r)
+        optS(n, "method", r).getOrElse("near") match {
+          case "near" | "nearest" =>
+            Joins.resampleCubeSpatialNearest(data, target.meta.requireGrid)
+          case "bilinear" =>
+            Joins.resampleCubeSpatialBilinear(data, target.meta.requireGrid)
+          case "cubic" =>
+            Joins.resampleCubeSpatialCubic(data, target.meta.requireGrid)
+          case other => throw new IllegalArgumentException(
+            s"resample_cube_spatial: unsupported method '$other'")
+        }
 
       // ---- labels (R1, R2) ----
       case "rename_labels" =>
@@ -447,6 +456,7 @@ final class GraphCompiler(
         method match {
           case "near" | "nearest" => Joins.resampleCubeSpatialNearest(reprojected, tg)
           case "bilinear"         => Joins.resampleCubeSpatialBilinear(reprojected, tg)
+          case "cubic"            => Joins.resampleCubeSpatialCubic(reprojected, tg)
           case other => throw new IllegalArgumentException(
             s"resample_spatial: unsupported method '$other'")
         }

@@ -198,4 +198,63 @@ object Joins {
       .drop("_tx", "_ty")
     Cube(out, source.meta.copy(grid = Some(g)))
   }
+
+  /** Catmull-Rom cubic kernel (a = -0.5, the GDAL/OpenCV "cubic"
+    * default), Horner form — the SQL oracle mirrors the exact same
+    * operation order so the double weights agree bit-for-bit. */
+  private def cubicK(t: Column): Column = {
+    val a = abs(t)
+    when(a <= 1.0, (lit(1.5) * a - lit(2.5)) * a * a + lit(1.0))
+      .when(a < 2.0, ((lit(-0.5) * a + lit(2.5)) * a - lit(4.0)) * a + lit(2.0))
+      .otherwise(lit(0.0))
+  }
+
+  /** `resample_cube_spatial` cubic — 16-neighbor Catmull-Rom regrid (the
+    * reference forwards method='cubic' to odc/rioxarray reprojection,
+    * openeo_odc_driver.py:346-358). Same scatter shape as bilinear with a
+    * ±2-cell reach and SIGNED kernel lobes; weights sum to 1 on full 4×4
+    * support (partition-of-unity), so normalisation only re-scales edge
+    * cells with partial support.
+    *
+    * @param exactScale as in bilinear: when the grid ratio makes every
+    *   per-axis kernel weight an exact multiple of 1/sqrt(exactScale)
+    *   (128 per axis → 16384 for the 2:1 quarter-offset pair), decimal
+    *   accumulation makes the weighted mean order-independent and
+    *   oracle-hashable. */
+  def resampleCubeSpatialCubic(source: Cube, targetGrid: GridRef,
+      exactScale: Option[Long] = None): Cube = {
+    val src = source.meta.requireGrid
+    val g = targetGrid
+    val ratioX = g.dx / src.dx; val ratioY = g.dy / src.dy
+    // candidate target cells within the kernel's ±2-source-cell reach
+    val nCandX = math.ceil(4.0 / ratioX).toInt + 1
+    val nCandY = math.ceil(4.0 / ratioY).toInt + 1
+    val txLo = floor((col(Dim.X) - lit(2 * src.dx) - lit(g.x0)) / lit(g.dx)).cast("long")
+    val tyLo = floor((col(Dim.Y) - lit(2 * src.dy) - lit(g.y0)) / lit(g.dy)).cast("long")
+    val others = source.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
+    val exploded = source.df
+      .withColumn("_tx", explode(sequence(txLo, txLo + lit(nCandX))))
+      .withColumn("_ty", explode(sequence(tyLo, tyLo + lit(nCandY))))
+    val fx = (g.xCoord(col("_tx")) - col(Dim.X)) / lit(src.dx)
+    val fy = (g.yCoord(col("_ty")) - col(Dim.Y)) / lit(src.dy)
+    val w = cubicK(fx) * cubicK(fy)
+    val weightedMean = exactScale match {
+      case Some(sc) =>
+        val wi = (w * sc.toDouble).cast("decimal(12,0)")
+        val num = sum(col(Cube.ValueCol).cast("decimal(18,2)") * wi).cast("double")
+        val den = sum(wi).cast("double")
+        num / when(den =!= 0.0, den) // null (dropped) on zero net weight
+      case None =>
+        val den = sum(w)
+        sum(col(Cube.ValueCol) * w) / when(den =!= 0.0, den)
+    }
+    val out = exploded.where(abs(fx) < 2 && abs(fy) < 2)
+      .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
+      .agg(weightedMean.as(Cube.ValueCol))
+      .where(col(Cube.ValueCol).isNotNull)
+      .withColumn(Dim.X, g.xCoord(col("_tx")))
+      .withColumn(Dim.Y, g.yCoord(col("_ty")))
+      .drop("_tx", "_ty")
+    Cube(out, source.meta.copy(grid = Some(g)))
+  }
 }

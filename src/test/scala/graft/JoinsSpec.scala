@@ -99,6 +99,25 @@ class JoinsSpec extends SparkSpec {
     m shouldBe Map(0.25 -> 1.0, 2.25 -> 3.0)
   }
 
+  test("resample_cube_spatial cubic: identity on-grid, true Catmull-Rom value off-grid") {
+    // K(0)=1, K(±1)=K(±2)=0 → same-grid regrid reproduces samples exactly
+    val c = cubeOf(
+      ("2024-01-01", "B", 0, 0, 0.0), ("2024-01-01", "B", 0, 1, 1.0),
+      ("2024-01-01", "B", 0, 2, 8.0), ("2024-01-01", "B", 0, 3, 27.0))
+    val ident = Joins.resampleCubeSpatialCubic(c, GridRef(0.0, 0.0, 1.0, 1.0))
+    ident.df.collect().map(r =>
+      r.getAs[Double](Dim.X) -> r.getAs[Double](Cube.ValueCol)).toMap
+      .view.filterKeys(x => x >= 0 && x <= 3).toMap shouldBe
+      Map(0.0 -> 0.0, 1.0 -> 1.0, 2.0 -> 8.0, 3.0 -> 27.0)
+    // target center midway between samples 1 and 2: full 4-point stencil
+    // weights [-1/16, 9/16, 9/16, -1/16] → for v = x³ the Catmull-Rom
+    // value at x=1.5 is (9·1 + 9·8 - 27)/16 = 3.375 — the cubic x³
+    // evaluated exactly (order-3 reproduction on this symmetric stencil)
+    val half = Joins.resampleCubeSpatialCubic(c, GridRef(1.5, 0.0, 10.0, 10.0))
+    val v = half.df.where(col(Dim.X) === 1.5).head().getAs[Double](Cube.ValueCol)
+    v shouldBe 3.375 +- 1e-12
+  }
+
   test("resample_cube_spatial bilinear: same-grid regrid is identity; midpoint averages") {
     val c = cubeOf(
       ("2024-01-01", "B", 0, 0, 1.0), ("2024-01-01", "B", 0, 1, 3.0))
