@@ -47,7 +47,16 @@ object Scan {
       val from = Filters.parseTime(t0)
       val to = new java.sql.Timestamp(Filters.parseTime(t1).getTime - 1)
       df = df.where(col(Dim.Time) >= lit(from) && col(Dim.Time) <= lit(to))
+      // date-partitioned store (Sinks.writeCubeStore): mirror the extent
+      // onto the partition column so Catalyst PRUNES day directories —
+      // predicates on `time` alone cannot, since partition pruning needs
+      // the partition column itself
+      if (df.columns.contains("p_date"))
+        df = df.where(col("p_date").between(
+          to_date(lit(from)), to_date(lit(to))))
     }
+    // the partition column duplicates time — drop it from the cube schema
+    if (df.columns.contains("p_date")) df = df.drop("p_date")
     var cube = Cube(df, meta)
     bbox.foreach { case (w, s, e, n) =>
       cube = Filters.filterBbox(cube, w, s, e, n, bboxEpsg)

@@ -20,6 +20,18 @@ import javax.imageio.ImageIO
   */
 object Sinks {
 
+  /** Write a cube as a DATE-PARTITIONED parquet store — the 100 TB ingest
+    * layout: one `p_date=YYYY-MM-DD/` directory per day, so a temporal
+    * filter at load time becomes partition PRUNING (directories never
+    * listed) on top of row-group skipping. [[Scan.loadCollection]]
+    * recognises the `p_date` column and derives the partition predicate
+    * from the temporal extent automatically. */
+  def writeCubeStore(c: Cube, path: String): String = {
+    c.df.withColumn("p_date", to_date(col(Dim.Time)))
+      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    path
+  }
+
   def saveResult(value: Any, format: String, outDir: String,
       options: Option[JsonNode] = None): String = {
     new java.io.File(outDir).mkdirs()

@@ -210,6 +210,41 @@ class LawsSpec extends SparkSpec {
     r.foreach(row => row.getDouble(0) shouldBe row.getDouble(1) +- 1e-12)
   }
 
+  test("law: sampleFraction is nested — a smaller fraction is a subset of a larger") {
+    import graft.text.Sampling
+    val ids = sample(Gen.choose(0L, 1000000L), 300, 7L).distinct
+    val df = ids.toDF("doc_id")
+    val keep = Seq(0.05, 0.2, 0.5, 0.9).map { f =>
+      f -> Sampling.sampleFraction(df, "doc_id", f)
+        .collect().map(_.getLong(0)).toSet
+    }
+    keep.sliding(2).foreach { case Seq((f1, s1), (f2, s2)) =>
+      withClue(s"fraction $f1 ⊆ $f2: ") { s1.subsetOf(s2) shouldBe true }
+    }
+  }
+
+  test("law: packByBudget partitions each stratum — weights and rows preserved, pack ids dense") {
+    import graft.text.Packing
+    val rows = sample(for {
+      id <- Gen.choose(0L, 100000L)
+      lang <- Gen.oneOf("en", "de", "fr")
+      w <- Gen.choose(1L, 900L)
+    } yield (id, lang, w), 200, 11L)
+      .groupBy(_._1).map(_._2.head).toSeq // unique ids
+    val df = rows.toDF("doc_id", "lang", "w")
+    val out = Packing.packByBudget(df, Seq("lang"), "doc_id", "w", 1000L)
+    out.count() shouldBe rows.length // packing assigns, never drops
+    out.agg(sum("w")).head().getLong(0) shouldBe rows.map(_._3).sum
+    // pack ordinals are dense from 0 per stratum (contiguous fill)
+    out.groupBy("lang").agg(
+        min("pack_id").as("lo"), max("pack_id").as("hi"),
+        countDistinct("pack_id").as("n"))
+      .collect().foreach { r =>
+        r.getAs[Long]("lo") shouldBe 0
+        r.getAs[Long]("n") shouldBe r.getAs[Long]("hi") + 1
+      }
+  }
+
   test("law: UTM and LAEA roundtrip over the projection's valid domain") {
     val utmPt = Gen.zip(Gen.choose(6.5, 11.5), Gen.choose(-75.0, 80.0))
     sample(utmPt, 40).foreach { case (lon, lat) =>

@@ -133,6 +133,31 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("date-partitioned store: temporal extent prunes day partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-part").toString
+    val rows = for { d <- 1 to 9; y <- 0 to 1; x <- 0 to 1 }
+      yield (ts(f"2022-06-0$d 00:00:00"), "B04", y.toDouble, x.toDouble, d * 1.0)
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("B04")))
+    graft.ops.Sinks.writeCubeStore(c, s"$dir/store")
+    val partSpec = Scan.CollectionSpec(s"$dir/store", bandOrder = Seq("B04"))
+    val loaded = Scan.loadCollection(spark, partSpec,
+      temporalExtent = Some(("2022-06-03", "2022-06-05")))
+    // [start, end): days 3 and 4 only — 2 of 9 day directories
+    loaded.df.count() shouldBe 8
+    loaded.df.columns should not contain "p_date"
+    val plan = planString(loaded.df)
+    plan should include("PartitionFilters")
+    plan should include("p_date")
+    // the scan's partition count proves directories were pruned, not
+    // just row-groups skipped
+    val scanned = loaded.df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    scanned shouldBe 2
+  }
+
   test("geocode consumes the binned lineage once (single scan, one gap-fill agg)") {
     import spark.implicits._
     val t = new java.sql.Timestamp(0L)
