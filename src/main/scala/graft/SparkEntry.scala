@@ -402,10 +402,12 @@ object SparkEntry {
       c.mapValue(v => when(v > 100.0, v * 2).otherwise(v / 2)).df),
     "q_scan_adjust" -> ((s, dir) => {
       // S2 scan-time nodata→null + value*scale+offset, through the real
-      // Scan.loadCollection path over a parquet rendition of the cube
+      // Scan.loadCollection path over a DATE-PARTITIONED store rendition
+      // (exercises writeCubeStore partition discovery + p_date handling
+      // inside the correctness gate)
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_adj_$slug"
-      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
+      graft.ops.Sinks.writeCubeStore(eventsCube(s, dir), tmp)
       Scan.loadCollection(s, Scan.CollectionSpec(tmp,
         bandOrder = Seq("click", "error", "purchase", "signup", "view"),
         grid = Some(GridRef(0, 0, 1, 1)),
@@ -870,7 +872,9 @@ object SparkEntry {
          SELECT time, band,
            CAST(SUM(CAST(value AS DECIMAL(18,2))
                     * CAST(wgt * 16.0 AS DECIMAL(10,0))) AS DOUBLE)
-           / CAST(SUM(CAST(wgt * 16.0 AS DECIMAL(10,0))) AS DOUBLE) AS value,
+           / CAST(SUM(CASE WHEN value IS NOT NULL
+                      THEN CAST(wgt * 16.0 AS DECIMAL(10,0)) END) AS DOUBLE)
+             AS value,
            0.25 + CAST(tx AS DOUBLE) * 2.0 AS x,
            0.25 + CAST(ty AS DOUBLE) * 2.0 AS y
          FROM w WHERE wgt > 0 GROUP BY time, band, tx, ty"""),
@@ -906,8 +910,9 @@ object SparkEntry {
            SELECT time, band, tx, ty,
              CAST(SUM(CAST(value AS DECIMAL(18,2))
                       * CAST(wgt * 16384.0 AS DECIMAL(12,0))) AS DOUBLE)
-             / nullif(CAST(SUM(CAST(wgt * 16384.0 AS DECIMAL(12,0))) AS DOUBLE),
-                      0.0) AS value
+             / nullif(CAST(SUM(CASE WHEN value IS NOT NULL
+                        THEN CAST(wgt * 16384.0 AS DECIMAL(12,0)) END)
+                      AS DOUBLE), 0.0) AS value
            FROM w WHERE ax < 2.0 AND ay < 2.0
            GROUP BY time, band, tx, ty)
          SELECT time, band, value,
@@ -1151,7 +1156,9 @@ object SparkEntry {
                ROWS UNBOUNDED PRECEDING) AS cum
            FROM h
          )
-         SELECT doc_id, lang, n_chars, (cum - n_chars) // 16384 AS pack_id
+         SELECT doc_id, lang, n_chars,
+           DENSE_RANK() OVER (PARTITION BY lang
+             ORDER BY (cum - n_chars) // 16384) - 1 AS pack_id
          FROM c""",
     "q_multimodal_features" ->
       // the GRFT stub codec is deterministic over the UTF-8 payload bytes:

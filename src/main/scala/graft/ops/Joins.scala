@@ -180,6 +180,11 @@ object Joins {
     val wx = greatest(lit(0.0), lit(1.0) - abs(fx))
     val wy = greatest(lit(0.0), lit(1.0) - abs(fy))
     val w = wx * wy
+    // null (nodata) neighbors are excluded from BOTH sums — the kernel
+    // renormalizes over valid samples like odc/rioxarray reprojection;
+    // counting their weight in the denominator alone would bias the
+    // result toward zero
+    val valid = col(Cube.ValueCol).isNotNull
     val weightedMean = exactScale match {
       case Some(sc) =>
         // w·sc is integer-valued by precondition; value·(w·sc) is an exact
@@ -187,8 +192,9 @@ object Joins {
         // of two correctly-rounded doubles is one IEEE op
         val wi = (w * sc.toDouble).cast("decimal(10,0)")
         sum(col(Cube.ValueCol).cast("decimal(18,2)") * wi).cast("double") /
-          sum(wi).cast("double")
-      case None => sum(col(Cube.ValueCol) * w) / sum(w)
+          sum(when(valid, wi)).cast("double")
+      case None =>
+        sum(col(Cube.ValueCol) * w) / sum(when(valid, w))
     }
     val out = exploded.where(w > 0)
       .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
@@ -238,14 +244,17 @@ object Joins {
     val fx = (g.xCoord(col("_tx")) - col(Dim.X)) / lit(src.dx)
     val fy = (g.yCoord(col("_ty")) - col(Dim.Y)) / lit(src.dy)
     val w = cubicK(fx) * cubicK(fy)
+    // null (nodata) neighbors renormalize out of the kernel, as in
+    // bilinear above
+    val valid = col(Cube.ValueCol).isNotNull
     val weightedMean = exactScale match {
       case Some(sc) =>
         val wi = (w * sc.toDouble).cast("decimal(12,0)")
         val num = sum(col(Cube.ValueCol).cast("decimal(18,2)") * wi).cast("double")
-        val den = sum(wi).cast("double")
+        val den = sum(when(valid, wi)).cast("double")
         num / when(den =!= 0.0, den) // null (dropped) on zero net weight
       case None =>
-        val den = sum(w)
+        val den = sum(when(valid, w))
         sum(col(Cube.ValueCol) * w) / when(den =!= 0.0, den)
     }
     val out = exploded.where(abs(fx) < 2 && abs(fy) < 2)

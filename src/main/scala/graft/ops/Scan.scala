@@ -30,6 +30,14 @@ object Scan {
       grid: Option[GridRef] = None,
       adjust: Map[String, BandAdjust] = Map.empty)
 
+  /** Is `path` a store [[Sinks.writeCubeStore]] wrote (marker present)? */
+  private def isGraftDateStore(spark: SparkSession, path: String): Boolean =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(path, Sinks.MarkerFile))
+    } catch { case _: Exception => false }
+
   def loadCollection(spark: SparkSession, spec: CollectionSpec,
       bands: Seq[String] = Nil,
       temporalExtent: Option[(String, String)] = None,
@@ -49,11 +57,18 @@ object Scan {
       df = df.where(col(Dim.Time) >= lit(from) && col(Dim.Time) <= lit(to))
       // date-partitioned store (Sinks.writeCubeStore): mirror the extent
       // onto the partition column so Catalyst PRUNES day directories —
-      // predicates on `time` alone cannot, since partition pruning needs
-      // the partition column itself
-      if (df.columns.contains("p_date"))
+      // predicates on the time column alone cannot, since partition
+      // pruning needs the partition column itself. Guards: (a) only for
+      // stores carrying the writeCubeStore marker — an external
+      // collection's own p_date column (e.g. an ingest date) must not be
+      // row-filtered by event-time; (b) bounds widened by one day on each
+      // side so a reader session timezone differing from the writer's
+      // cannot misalign the date boundary and silently drop rows (the
+      // exact time predicate above stays authoritative — pruning only
+      // needs to be a superset).
+      if (df.columns.contains("p_date") && isGraftDateStore(spark, spec.path))
         df = df.where(col("p_date").between(
-          to_date(lit(from)), to_date(lit(to))))
+          date_sub(to_date(lit(from)), 1), date_add(to_date(lit(to)), 1)))
     }
     // the partition column duplicates time — drop it from the cube schema
     if (df.columns.contains("p_date")) df = df.drop("p_date")

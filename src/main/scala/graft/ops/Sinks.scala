@@ -27,10 +27,21 @@ object Sinks {
     * recognises the `p_date` column and derives the partition predicate
     * from the temporal extent automatically. */
   def writeCubeStore(c: Cube, path: String): String = {
+    require(c.has(Dim.Time),
+      "writeCubeStore requires a time dimension (p_date derives from it)")
     c.df.withColumn("p_date", to_date(col(Dim.Time)))
       .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    // marker telling Scan.loadCollection that p_date really is
+    // to_date(time) here — an external collection with its own p_date
+    // column (e.g. an ingest date) must NOT be pruned by event-time
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), c.df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true).close()
     path
   }
+
+  /** Marker written by [[writeCubeStore]]; checked by Scan before pruning. */
+  val MarkerFile = "_GRAFT_DATE_PARTITIONED"
 
   def saveResult(value: Any, format: String, outDir: String,
       options: Option[JsonNode] = None): String = {

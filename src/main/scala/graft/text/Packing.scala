@@ -28,17 +28,30 @@ object Packing {
 
   /** Append `pack_id`: the fixed-budget pack ordinal of each row within
     * its stratum. `weightCol` must be a non-negative integer column
-    * (token or char counts). */
+    * (token or char counts) — a null or negative weight fails the job
+    * loudly rather than silently corrupting the running sum. Ordinals
+    * are DENSE from 0 per stratum even when a single oversized document
+    * jumps the cumulative sum past several budget multiples (a shard
+    * consumer enumerating 0..max must never hit an empty pack). */
   def packByBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
       weightCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
+    val wv = col(weightCol).cast("long")
+    val guarded = when(wv.isNull || wv < 0,
+      raise_error(concat(
+        lit(s"packByBudget: $weightCol must be non-negative, got "),
+        col(weightCol).cast("string"))).cast("long"))
+      .otherwise(wv)
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(Sampling.portableHash(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = sum(col(weightCol).cast("long")).over(w)
+    val cum = sum(guarded).over(w)
     // integer division (SQL `div` → IntegralDivide): double division +
-    // floor would lose exactness once cumulative weights pass 2^53
-    df.withColumn("pack_id",
-      call_function("div", cum - col(weightCol), lit(budget)))
+    // floor would lose exactness once cumulative weights pass 2^53.
+    // dense_rank over the raw boundary ordinal closes the gaps an
+    // oversized document would leave.
+    val raw = call_function("div", cum - guarded, lit(budget))
+    val dw = Window.partitionBy(strataCols.map(col): _*).orderBy(raw)
+    df.withColumn("pack_id", (dense_rank().over(dw) - 1).cast("long"))
   }
 }

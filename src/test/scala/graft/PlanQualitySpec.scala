@@ -144,18 +144,29 @@ class PlanQualitySpec extends SparkSpec {
     val partSpec = Scan.CollectionSpec(s"$dir/store", bandOrder = Seq("B04"))
     val loaded = Scan.loadCollection(spark, partSpec,
       temporalExtent = Some(("2022-06-03", "2022-06-05")))
-    // [start, end): days 3 and 4 only — 2 of 9 day directories
+    // [start, end): days 3 and 4 only — the exact time predicate governs
     loaded.df.count() shouldBe 8
     loaded.df.columns should not contain "p_date"
     val plan = planString(loaded.df)
     plan should include("PartitionFilters")
     plan should include("p_date")
-    // the scan's partition count proves directories were pruned, not
-    // just row-groups skipped
+    // the scan's partition count proves directories were pruned, not just
+    // row-groups skipped: pruning bounds widen ±1 day for timezone safety
+    // → days 2-5 listed, 4 of 9 directories
     val scanned = loaded.df.queryExecution.executedPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.selectedPartitions.partitionCount }.sum
-    scanned shouldBe 2
+    scanned shouldBe 4
+    // a store WITHOUT the writeCubeStore marker must not be event-time
+    // pruned on its own p_date column (it may mean something else)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$dir/store"), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/store",
+      graft.ops.Sinks.MarkerFile), false)
+    val unmarked = Scan.loadCollection(spark, partSpec,
+      temporalExtent = Some(("2022-06-03", "2022-06-05")))
+    unmarked.df.count() shouldBe 8 // still correct, via the time predicate
+    planString(unmarked.df) should include("PartitionFilters: []")
   }
 
   test("geocode consumes the binned lineage once (single scan, one gap-fill agg)") {

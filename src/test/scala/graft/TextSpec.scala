@@ -186,4 +186,23 @@ class TextSpec extends SparkSpec {
     out.select("doc_id", "pack_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe again
   }
+
+  test("packByBudget: oversized docs keep ordinals dense; bad weights fail loudly") {
+    import graft.text.Packing
+    // one 5x-budget doc among unit-weight docs: the raw boundary ordinal
+    // would skip several pack numbers — dense_rank must close the gaps
+    val df = spark.range(20).toDF("doc_id")
+      .withColumn("lang", lit("en"))
+      .withColumn("w", when(col("doc_id") === 7, 5000L).otherwise(400L))
+    val packs = Packing.packByBudget(df, Seq("lang"), "doc_id", "w", 1000L)
+      .select("pack_id").distinct().collect().map(_.getLong(0)).sorted
+    packs.head shouldBe 0
+    packs shouldBe (0L until packs.length).toArray // dense, no holes
+    // negative weight → loud failure, not silent divergence
+    val bad = spark.range(3).toDF("doc_id")
+      .withColumn("lang", lit("en"))
+      .withColumn("w", when(col("doc_id") === 1, -5L).otherwise(10L))
+    an[Exception] should be thrownBy
+      Packing.packByBudget(bad, Seq("lang"), "doc_id", "w", 1000L).collect()
+  }
 }
