@@ -606,6 +606,15 @@ object SparkEntry {
       graft.text.Sampling.sampleStratified(d, Seq("lang"), "doc_id", 20)
         .select("doc_id", "lang", "n_chars")
     }),
+    "q_split_grouped" -> ((s, dir) => {
+      // leakage-safe 80/10/10 split: all docs of one (source, lang) group
+      // land in the same split — md5-based, engine-reproducible
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.assignSplit(
+          d.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
+          "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "grp", "split")
+    }),
     "q_pack_budget" -> ((s, dir) => {
       // deterministic pack planning: 16 KiB char-budget packs per
       // language over a reproducible (hash, id) order — all-integer
@@ -1145,6 +1154,22 @@ object SparkEntry {
            FROM h
          )
          SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""",
+    "q_split_grouped" ->
+      // bucket bounds = floor(cumWeight/total * 2^32) over md5's first
+      // 8 hex chars — identical literals to Sampling.assignSplit
+      """WITH g AS (
+           SELECT doc_id, concat_ws('|', source, lang) AS grp
+           FROM documents
+         ), h AS (
+           SELECT doc_id, grp,
+             CAST(('0x' || substr(md5(grp), 1, 8)) AS BIGINT) AS hv
+           FROM g
+         )
+         SELECT doc_id, grp,
+           CASE WHEN hv < 3435973836 THEN 'train'
+                WHEN hv < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h""",
     "q_pack_budget" ->
       """WITH h AS (
            SELECT doc_id, lang, n_chars,

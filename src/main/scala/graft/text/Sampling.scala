@@ -33,6 +33,36 @@ object Sampling {
     df.where(portableHash(col(idCol)) < lit((fraction * M).toLong))
   }
 
+  /** Leakage-safe dataset split: every row of a GROUP (same `groupCol`
+    * value — a URL domain, a near-dup cluster id, an author) lands in the
+    * same split, so correlated documents cannot straddle train/validation.
+    * The split comes from the portable hash of the group key mapped onto
+    * cumulative weight buckets — deterministic, engine-reproducible, and
+    * a pure projection (no shuffle; the group key is hashed in place).
+    *
+    * `weights` are (name, weight) pairs; buckets partition [0, M) in the
+    * given order by weight/total. */
+  def assignSplit(df: DataFrame, groupCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"split weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    // group key → [0, 2^32) via the first 8 hex chars of md5: md5 is
+    // byte-identical everywhere (unlike xxhash64), so an external engine
+    // reproduces the exact assignment
+    val H = 4294967296L // 2^32
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .map(c => (c / total * H).toLong)
+    val h = conv(substring(md5(col(groupCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val expr = weights.zipWithIndex.foldRight(
+      lit(weights.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), i), acc) =>
+        when(h < bounds(i + 1), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Exact-n-per-stratum sample: the n ids with the smallest portable
     * hash in each stratum (ties break by ascending id).
     *

@@ -46,6 +46,22 @@ class JoinsSpec extends SparkSpec {
     r.df.count() shouldBe 4
   }
 
+  test("merge_cubes mixed dims (t,band,y,x vs band,y,x): static side joins every slice") {
+    // reference case openeo_odc_driver.py:1266-1289 — a time-less cube
+    // (e.g. a DEM layer) merges against every time slice via the shared
+    // (band, y, x) keys
+    val temporal = cubeOf(
+      ("2024-01-01", "B", 0, 0, 10.0), ("2024-01-02", "B", 0, 0, 20.0))
+    val static0 = cubeOf(("2024-01-01", "B", 0, 0, 5.0))
+    val static = Cube(static0.df.drop(Dim.Time), static0.meta)
+    val r = Joins.mergeCubes(temporal, static,
+      resolver = Some((x, y) => x - y))
+    val m = r.df.collect().map(row =>
+      row.getAs[java.sql.Timestamp](Dim.Time).toString.take(10) ->
+        row.getAs[Double](Cube.ValueCol)).toMap
+    m shouldBe Map("2024-01-01" -> 5.0, "2024-01-02" -> 15.0)
+  }
+
   test("merge_cubes custom overlap resolver receives (cube1, cube2) columns") {
     val a = cubeOf(("2024-01-01", "B", 0, 0, 10.0))
     val b = cubeOf(("2024-01-01", "B", 0, 0, 4.0))

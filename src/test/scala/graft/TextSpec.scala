@@ -187,6 +187,31 @@ class TextSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe again
   }
 
+  test("assignSplit: whole groups land in one split, proportions near weights") {
+    import graft.text.Sampling
+    val df = spark.range(20000).toDF("doc_id")
+      .withColumn("domain", concat(lit("site"), (col("doc_id") % 500).cast("string")))
+    val out = Sampling.assignSplit(df, "domain",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // leakage control: every domain maps to exactly one split
+    out.groupBy("domain").agg(countDistinct("split").as("n"))
+      .agg(max("n")).head().getLong(0) shouldBe 1
+    // proportions approximate the weights (500 groups, +-10% absolute)
+    val frac = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 20000).toMap
+    frac("train") shouldBe 0.8 +- 0.1
+    (frac("val") + frac("test")) shouldBe 0.2 +- 0.1
+    // deterministic under repartitioning
+    val again = Sampling.assignSplit(df.repartition(7), "domain",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap shouldBe again
+    // a pure projection: no shuffle
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("packByBudget: oversized docs keep ordinals dense; bad weights fail loudly") {
     import graft.text.Packing
     // one 5x-budget doc among unit-weight docs: the raw boundary ordinal
