@@ -543,8 +543,9 @@ object SparkEntry {
         bands = 8, threshold = 0.7)
     }),
     "q_dedup_simhash" -> ((s, dir) => {
-      // banded-simhash blocking (xxhash64-based — not oracle-expressible;
-      // rows-only check)
+      // banded-simhash blocking over PORTABLE FNV-1a bigram hashes; the
+      // blocking has exact recall to Hamming 6, so the oracle's all-pairs
+      // formulation produces the identical pair set
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.simhashPairs(d, "text", "doc_id", maxDist = 6)
     }),
@@ -1246,6 +1247,59 @@ object SparkEntry {
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM sess GROUP BY band, y, x, sid"""),
+    "q_dedup_simhash" ->
+      // full portable replay of the FNV-1a simhash: per-bigram FNV via a
+      // HUGEINT byte fold, 64 sign-aggregated bit lanes, then ALL-PAIRS
+      // Hamming <= 6 — identical to the banded blocking output because
+      // the 28-pair-key multi-index has exact recall to Hamming 6
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             unnest(list_filter(
+               list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                 i -> array_to_string(t[i:i+1], ' ')),
+               x -> x <> '')) AS g
+           FROM tok
+         ), fv AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616
+             ) AS fh
+           FROM sh
+         ), sfv AS (
+           SELECT doc_id,
+             CAST(fh - CASE WHEN fh >= 9223372036854775808
+                  THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sfh
+           FROM fv
+         ), bits AS (
+           SELECT doc_id, b.b,
+             SUM(CASE WHEN ((sfh >> CAST(b.b AS INTEGER)) & 1) = 1
+                 THEN 1 ELSE -1 END) AS cnt
+           FROM sfv, generate_series(0, 63) AS b(b)
+           GROUP BY doc_id, b.b
+         ), hashes0 AS (
+           SELECT doc_id,
+             CAST(SUM(CASE WHEN b = 63 THEN -9223372036854775808
+                  ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END)
+               AS BIGINT) AS h
+           FROM bits WHERE cnt > 0 GROUP BY doc_id
+         ), hashes AS (
+           SELECT d.doc_id, COALESCE(h0.h, 0) AS h
+           FROM documents d LEFT JOIN hashes0 h0 ON h0.doc_id = d.doc_id
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.h, b.h)) AS dist
+         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h, b.h)) <= 6""",
     "q_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang, source,
              list_filter(list_distinct(list_transform(

@@ -121,7 +121,20 @@ object TextHashExprs {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  private def foreachShingleHash(s: UTF8String, n: Int)(consume: Long => Unit): Unit = {
+  /** FNV-1a 64 over a byte span — the PORTABLE per-shingle hash: plain
+    * xor/multiply modular arithmetic any engine can replay (the DuckDB
+    * oracle folds the same constants over hex-extracted bytes), unlike
+    * xxhash64 whose avalanche steps SQL cannot express. Java long
+    * multiplication wraps mod 2^64, which is exactly FNV's modulus. */
+  private def fnv1a64(buf: Array[Byte], len: Int): Long = {
+    var h = -3750763034362895579L // 0xcbf29ce484222325
+    var p = 0
+    while (p < len) { h ^= (buf(p) & 0xffL); h *= 1099511628211L; p += 1 }
+    h
+  }
+
+  private def foreachShingleHash(s: UTF8String, n: Int,
+      fnv: Boolean = false)(consume: Long => Unit): Unit = {
     // tokenize directly over the UTF-8 bytes — no String materialization,
     // no per-row regex, no token-array allocation beyond two int spans
     val bytes = s.getBytes
@@ -161,7 +174,8 @@ object TextHashExprs {
         j += 1
       }
       if (pos > 0) {
-        consume(XxHash64Function.hash(
+        if (fnv) consume(fnv1a64(buf, pos))
+        else consume(XxHash64Function.hash(
           UTF8String.fromBytes(buf, 0, pos), StringType, 42L))
       }
       w += 1
@@ -208,8 +222,11 @@ object TextHashExprs {
   }
 
   /** Text → 64-bit SimHash over word n-gram features (with multiplicity),
-    * one pass. */
-  case class SimHashText(child: Expression, n: Int)
+    * one pass. `portable` switches the per-shingle hash from xxhash64 to
+    * FNV-1a, whose assignment an external SQL engine can replay exactly
+    * (the q_dedup_simhash oracle does). */
+  case class SimHashText(child: Expression, n: Int,
+      portable: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash_text"
@@ -218,7 +235,7 @@ object TextHashExprs {
 
     override def nullSafeEval(input: Any): Any = {
       val counters = new Array[Int](64)
-      foreachShingleHash(input.asInstanceOf[UTF8String], n) { h =>
+      foreachShingleHash(input.asInstanceOf[UTF8String], n, portable) { h =>
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
@@ -356,7 +373,9 @@ object TextHashExprs {
       registry.registerFunction(sht,
         new ExpressionInfo(classOf[SimHashText].getName, "graft_simhash_text"),
         (cs: Seq[Expression]) => SimHashText(cs.head,
-          intLit(cs(1), "graft_simhash_text n")))
+          intLit(cs(1), "graft_simhash_text n"),
+          portable = cs.length > 2 &&
+            intLit(cs(2), "graft_simhash_text portable") != 0))
     }
   }
 
@@ -393,9 +412,10 @@ object TextHashExprs {
   }
 
   /** One-pass text→SimHash over word n-grams (caller lowers/trims). */
-  def simhashText(text: Column, n: Int): Column = {
+  def simhashText(text: Column, n: Int, portable: Boolean = false): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_simhash_text", text,
-      org.apache.spark.sql.functions.lit(n))
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(if (portable) 1 else 0))
   }
 }

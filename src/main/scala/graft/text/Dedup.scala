@@ -181,8 +181,11 @@ object Dedup {
     // fused tokenize→bigram→sign-aggregate native expression: one pass,
     // no token arrays (the HOF slice/concat pipeline was the bench
     // bottleneck at 5k docs; at 100 TB it's pure map-side either way but
-    // 6× cheaper fused)
-    graft.functions.TextHashExprs.simhashText(lower(trim(text)), shingleN)
+    // 6× cheaper fused). portable = FNV-1a per bigram, so an external
+    // engine (the DuckDB oracle) reproduces the exact hashes — xxhash64's
+    // avalanche steps are not SQL-expressible.
+    graft.functions.TextHashExprs.simhashText(lower(trim(text)), shingleN,
+      portable = true)
 
   /** Hamming distance of two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
