@@ -530,6 +530,20 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: all map-side HOF/codegen exprs
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.repetitionSignals(d, "text", "doc_id")
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: eval set = every 37th document; flag
+      // corpus documents sharing any 5-gram shingle with the eval set
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.decontaminate(
+        d.where(col("doc_id") % 37 =!= 0),
+        d.where(col("doc_id") % 37 === 0),
+        "text", "doc_id", shingleN = 5)
+    }),
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.exact(d, "text", "doc_id")
@@ -1121,6 +1135,64 @@ object SparkEntry {
       langIdSql,
     "q_text_quality" ->
       qualitySql,
+    "q_text_repetition" ->
+      // max frequency of an n-gram == longest equal-run in the sorted gram
+      // array (the Spark side); here computed relationally via group counts
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         base AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             round(CAST(len(list_distinct(t)) AS DOUBLE)
+                   / greatest(len(t), 1), 6) AS distinct_token_ratio
+           FROM tok),
+         u AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+           FROM tok),
+         runs AS (SELECT doc_id, max(c) AS max_token_run FROM (
+             SELECT doc_id, count(*) AS c FROM (
+               SELECT doc_id, w,
+                 i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+               FROM u) GROUP BY doc_id, w, grp) GROUP BY doc_id),
+         bg AS (SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS g
+           FROM tok WHERE len(t) >= 2),
+         bgf AS (SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+           FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+           GROUP BY doc_id),
+         tg AS (SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS g
+           FROM tok WHERE len(t) >= 3),
+         tgf AS (SELECT doc_id,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_trigram_frac
+           FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+           GROUP BY doc_id)
+         SELECT b.doc_id, b.n_tokens, b.distinct_token_ratio,
+           r.max_token_run,
+           coalesce(bgf.top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(tgf.top_trigram_frac, 0.0) AS top_trigram_frac
+         FROM base b JOIN runs r USING (doc_id)
+         LEFT JOIN bgf USING (doc_id) LEFT JOIN tgf USING (doc_id)""",
+    "q_decontaminate" ->
+      // string-level replay of the hashed-shingle overlap count: distinct
+      // 5-gram shingles per document (one clipped shingle when < 5 tokens,
+      // mirroring graft_shingle_hashes) joined against the eval gram set
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' '))), x -> x <> '') AS s
+           FROM tok),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+         ds AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0),
+         hits AS (SELECT ds.doc_id, count(*) AS n_hits
+           FROM ds JOIN ev USING (g) GROUP BY ds.doc_id)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) >= 1 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 37 <> 0""",
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies

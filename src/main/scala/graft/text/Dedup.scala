@@ -121,6 +121,41 @@ object Dedup {
     result
   }
 
+  /** Benchmark decontamination: flag corpus documents that share word
+    * n-gram shingles with an evaluation set — the standard guard against
+    * test-set leakage into training data (the GPT-3/C4 style n-gram
+    * overlap check).
+    *
+    * Returns one row per corpus document: (id, n_hits, contaminated),
+    * where n_hits = |distinct shingles of the document ∩ distinct shingles
+    * of the eval set| and contaminated = n_hits >= minHits.
+    *
+    * 100 TB shape: the eval side is small by definition (benchmarks are
+    * KB..MB, the corpus is TB), so its distinct shingle-hash set is
+    * BROADCAST and the corpus-side explode + join + per-doc count runs
+    * entirely map-side — the only shuffle is the partial-aggregated
+    * (id, count) stream, and only for documents with >= 1 hit. The final
+    * annotation join broadcasts that hit table back over the corpus ids;
+    * if a corpus were so contaminated the hit set outgrows a broadcast,
+    * drop that hint and let it shuffle — the answer set itself is huge
+    * then and the shuffle is inherent. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 5, minHits: Long = 1L): DataFrame = {
+    def grams(c: Column) = graft.functions.TextHashExprs
+      .shingleHashes(lower(trim(c)), shingleN)
+    val evalGrams = evalDocs
+      .select(explode(grams(col(textCol))).as("g")).distinct()
+    val hits = docs
+      .select(col(idCol), explode(grams(col(textCol))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(broadcast(hits), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** Exact Jaccard of two shingle arrays (HOF formulation — the semantic
     * reference for [[jaccardLong]]; identical distinct-count semantics). */
   def jaccard(a: Column, b: Column): Column = {

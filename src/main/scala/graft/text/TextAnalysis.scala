@@ -88,4 +88,61 @@ object TextAnalysis {
       transform(idx, i => concat_ws(" ", slice(tokens, i + 1, lit(n)))),
       s => s =!= ""))
   }
+
+  /** Length of the longest run of consecutive equal elements in `arr`
+    * (0 for an empty array). Single aggregate() fold — map-side, no
+    * shuffle, no per-element allocation beyond the 3-field state struct. */
+  def maxRunLength(arr: Column): Column =
+    aggregate(arr,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, t) => {
+        val nrun = when(t === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), nrun.as("run"),
+          greatest(acc.getField("best"), nrun).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Non-distinct word n-grams of the token array (empty array when fewer
+    * than n tokens). */
+  def tokenNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", slice(tokens, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram (0 when no n-grams). Computed map-side: sort the n-gram array,
+    * then the max frequency is the longest equal-run — one sort + one fold
+    * per document, no (doc, gram) shuffle. */
+  def topNgramFrac(tokens: Column, n: Int): Column = {
+    val grams = tokenNgrams(tokens, n)
+    when(size(grams) > 0,
+      maxRunLength(sort_array(grams)).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style repetition signals, all per-document and map-side:
+    *  - n_tokens: whitespace token count
+    *  - distinct_token_ratio: |distinct tokens| / |tokens|
+    *  - max_token_run: longest run of the same token repeated consecutively
+    *  - top_bigram_frac / top_trigram_frac: share of bigram/trigram
+    *    occurrences held by the most frequent one
+    * Template-generated and boilerplate text scores high on the top-n-gram
+    * fractions and low on the distinct ratio; natural text is the reverse.
+    * 100 TB shape: pure codegen/HOF projection — no shuffle, no UDF; the
+    * per-document sort is O(L log L) in document tokens only. */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokens = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol),
+      size(tokens).as("n_tokens"),
+      round(size(array_distinct(tokens)).cast("double") /
+        greatest(size(tokens), lit(1)).cast("double"), 6)
+        .as("distinct_token_ratio"),
+      maxRunLength(tokens).as("max_token_run"),
+      round(topNgramFrac(tokens, 2), 6).as("top_bigram_frac"),
+      round(topNgramFrac(tokens, 3), 6).as("top_trigram_frac"))
+  }
 }

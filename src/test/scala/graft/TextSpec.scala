@@ -230,4 +230,53 @@ class TextSpec extends SparkSpec {
     an[Exception] should be thrownBy
       Packing.packByBudget(bad, Seq("lang"), "doc_id", "w", 1000L).collect()
   }
+
+  test("repetitionSignals: hand-computed metrics on a repetitive doc") {
+    // tokens: a b a b a b c  → 7 tokens, 3 distinct
+    // bigrams (6): "a b"×3, "b a"×2, "b c"×1 → top 3/6
+    // trigrams (5): "a b a"×2, "b a b"×2, "a b c"×1 → top 2/5
+    // runs: all runs length 1
+    val df = Seq((1L, "a b a b a b c"), (2L, "x x x x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    r1.getInt(1) shouldBe 7
+    r1.getDouble(2) shouldBe (3.0 / 7) +- 1e-6
+    r1.getLong(3) shouldBe 1L
+    r1.getDouble(4) shouldBe 0.5 +- 1e-9          // 3/6
+    r1.getDouble(5) shouldBe 0.4 +- 1e-9          // 2/5
+    // doc 2: tokens x x x x y → run of 4; bigrams: "x x"×3, "x y"×1 → 3/4
+    val r2 = out(2L)
+    r2.getLong(3) shouldBe 4L
+    r2.getDouble(4) shouldBe 0.75 +- 1e-9
+    // degenerate: single token → no bigrams, frac 0, run 1
+    val one = TextAnalysis.repetitionSignals(
+      Seq((9L, "solo")).toDF("doc_id", "text"), "text", "doc_id").head()
+    one.getInt(1) shouldBe 1
+    one.getLong(3) shouldBe 1L
+    one.getDouble(4) shouldBe 0.0
+    one.getDouble(5) shouldBe 0.0
+    // 100 TB shape: pure projection, no shuffle
+    TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
+  test("decontaminate flags docs sharing eval n-grams, counts distinct overlaps") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // contains "the quick brown fox jumps" and 4 more shifted 5-grams
+      (1L, "intro the quick brown fox jumps over the lazy dog outro"),
+      (2L, "completely unrelated content with different words entirely here"),
+      // shares exactly one 5-gram window
+      (3L, "the quick brown fox jumps elsewhere to other places now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, evalDocs, "text", "doc_id",
+      shingleN = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // eval 5-grams: 5 windows; doc1 contains all 5 of them
+    out(1L) shouldBe ((5L, true))
+    out(2L) shouldBe ((0L, false))
+    out(3L) shouldBe ((1L, true))
+  }
 }
