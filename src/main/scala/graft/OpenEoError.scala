@@ -45,8 +45,9 @@ object OpenEoError {
   val BandsPartiallyCommon: OpenEoError = OpenEoError("BandsPartiallyCommon",
     "merge_cubes between cubes with partially common band sets is not supported.")
 
-  /** CRS outside the supported set (UTM zones incl. ETRS89 258xx,
-    * EPSG:4326, EPSG:3035, EPSG:3857, EPSG:2154). */
+  /** CRS outside the supported set (UTM zones incl. ETRS89 258xx and
+    * NAD83 269xx, EPSG:4326/3035/3857/2154, the graft.ops.Proj registry,
+    * and +proj-string definitions). */
   def crsNotSupported(epsg: Int): OpenEoError = OpenEoError("CrsNotSupported",
     s"EPSG:$epsg is not a supported coordinate reference system.")
 }

@@ -105,10 +105,16 @@ final class GraphCompiler(
           case LitArg(v) => v
           case other => throw new IllegalArgumentException(s"filter_bbox extent: $other")
         }
-        Filters.filterBbox(cubeArg(n, "data", r),
+        // crs may be a numeric EPSG code, an "EPSG:NNNN" string, or a full
+        // proj-string — the reference hands all three to pyproj
+        val bboxCrs = Option(e.get("crs")).map { c =>
+          if (c.isNumber) graft.ops.EpsgRef(c.asInt)
+          else graft.ops.CrsRef.parse(c.asText)
+        }.getOrElse(graft.ops.EpsgRef(4326))
+        Filters.filterBboxRef(cubeArg(n, "data", r),
           west = e.get("west").asDouble, south = e.get("south").asDouble,
           east = e.get("east").asDouble, north = e.get("north").asDouble,
-          bboxEpsg = Option(e.get("crs")).map(_.asInt).getOrElse(4326))
+          bboxCrs = bboxCrs)
       case "filter_spatial" =>
         Filters.filterSpatial(cubeArg(n, "data", r),
           geoJsonRings(n.arguments("geometries")))

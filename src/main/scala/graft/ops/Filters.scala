@@ -48,10 +48,19 @@ object Filters {
     * [[Utm]]), then plain range predicates that Catalyst turns into
     * row-group skipping on x/y. */
   def filterBbox(c: Cube, west: Double, south: Double, east: Double,
-      north: Double, bboxEpsg: Int = 4326): Cube = {
-    val cubeEpsg = c.meta.crs.flatMap(crsEpsg).getOrElse(bboxEpsg)
+      north: Double, bboxEpsg: Int = 4326): Cube =
+    filterBboxRef(c, west, south, east, north, EpsgRef(bboxEpsg))
+
+  /** [[filterBbox]] over a general [[CrsRef]] — accepts bbox corners given
+    * in a proj-string-defined CRS (e.g. a national grid with a datum
+    * shift), not just a registered EPSG code. */
+  def filterBboxRef(c: Cube, west: Double, south: Double, east: Double,
+      north: Double, bboxCrs: CrsRef): Cube = {
+    val cubeEpsg = c.meta.crs.flatMap(crsEpsg)
+      .orElse(bboxCrs match { case EpsgRef(e) => Some(e); case _ => None })
+      .getOrElse(4326)
     val corners = Seq((west, south), (east, south), (east, north), (west, north))
-    val proj = Crs.transformRing(corners, bboxEpsg, cubeEpsg)
+    val proj = Crs.transformRingFrom(corners, bboxCrs, cubeEpsg)
     val (xmin, ymin, xmax, ymax) = Geo.bboxOf(proj)
     c.withDF(c.df.where(
       c.df(Dim.X).between(xmin, xmax) && c.df(Dim.Y).between(ymin, ymax)))

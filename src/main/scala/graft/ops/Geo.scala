@@ -288,13 +288,19 @@ object Lambert93 {
 
 /** CRS dispatch for driver-side vertex transforms: EPSG:4326, UTM
   * (WGS84 326xx/327xx and ETRS89 258xx), LAEA Europe (3035), Web-Mercator
-  * (3857), and Lambert-93 (2154). Anything else raises the typed openEO
-  * error the reference surfaces through pyproj failures. */
+  * (3857), Lambert-93 (2154) as pinned fast paths, plus every code in the
+  * parameterized [[Proj]] registry (27700, 2193, 3034, 3978, 31370,
+  * 31467, NAD83 UTM 269xx — TM/LCC/LAEA with optional Helmert datum
+  * shift). Anything else raises the typed openEO error the reference
+  * surfaces through pyproj failures. */
 object Crs {
-  def supported(epsg: Int): Boolean =
+  private def legacy(epsg: Int): Boolean =
     epsg == 4326 || epsg == 3035 || epsg == 3857 || epsg == 2154 ||
       (epsg >= 32601 && epsg <= 32660) || (epsg >= 32701 && epsg <= 32760) ||
       (epsg >= 25828 && epsg <= 25838)
+
+  def supported(epsg: Int): Boolean =
+    legacy(epsg) || Proj.forEpsg(epsg).isDefined
 
   /** Point transform between supported CRSs (via 4326). */
   def transformPoint(x: Double, y: Double, fromEpsg: Int,
@@ -307,20 +313,55 @@ object Crs {
     case 3035 => Laea.toLonLat(p._1, p._2)
     case 3857 => WebMercator.toLonLat(p._1, p._2)
     case 2154 => Lambert93.toLonLat(p._1, p._2)
-    case utm if Crs.supported(utm) => Utm.toLonLat(p._1, p._2, utm)
-    case other => throw graft.OpenEoError.crsNotSupported(other)
+    case utm if legacy(utm) => Utm.toLonLat(p._1, p._2, utm)
+    case other => Proj.forEpsg(other) match {
+      case Some(pd) => pd.toLonLat(p._1, p._2)
+      case None => throw graft.OpenEoError.crsNotSupported(other)
+    }
   }
   private def fromWgs(p: (Double, Double), epsg: Int): (Double, Double) = epsg match {
     case 4326 => p
     case 3035 => Laea.fromLonLat(p._1, p._2)
     case 3857 => WebMercator.fromLonLat(p._1, p._2)
     case 2154 => Lambert93.fromLonLat(p._1, p._2)
-    case utm if Crs.supported(utm) => Utm.fromLonLat(p._1, p._2, utm)
-    case other => throw graft.OpenEoError.crsNotSupported(other)
+    case utm if legacy(utm) => Utm.fromLonLat(p._1, p._2, utm)
+    case other => Proj.forEpsg(other) match {
+      case Some(pd) => pd.fromLonLat(p._1, p._2)
+      case None => throw graft.OpenEoError.crsNotSupported(other)
+    }
   }
 
   /** Transform a ring between any two supported CRSs (via 4326). */
   def transformRing(ring: Geo.Ring, fromEpsg: Int, toEpsg: Int): Geo.Ring =
     if (fromEpsg == toEpsg) ring
     else ring.map(p => fromWgs(toWgs(p, fromEpsg), toEpsg))
+
+  /** Transform a ring from any [[CrsRef]] (EPSG code or proj-string
+    * definition) into a registered EPSG CRS. */
+  def transformRingFrom(ring: Geo.Ring, from: CrsRef, toEpsg: Int): Geo.Ring =
+    from match {
+      case EpsgRef(e) => transformRing(ring, e, toEpsg)
+      case DefRef(pd) =>
+        transformRing(ring.map(p => pd.toLonLat(p._1, p._2)), 4326, toEpsg)
+    }
+}
+
+/** A CRS reference as openEO requests carry it: a numeric EPSG code, an
+  * "EPSG:NNNN" string, or a full proj-string ("+proj=tmerc +lat_0=49 …").
+  * The reference hands all three to pyproj (openeo_odc_driver.py:1036-1078);
+  * here strings parse to either the EPSG dispatch or a [[ProjDef]]. */
+sealed trait CrsRef
+final case class EpsgRef(epsg: Int) extends CrsRef
+final case class DefRef(pd: ProjDef) extends CrsRef
+
+object CrsRef {
+  def parse(s: String): CrsRef = {
+    val t = s.trim
+    if (t.startsWith("+")) DefRef(Proj.parse(t))
+    else t.toUpperCase.stripPrefix("EPSG:").toIntOption match {
+      case Some(e) => EpsgRef(e)
+      case None => throw graft.OpenEoError("CrsNotSupported",
+        s"cannot parse CRS reference: $s")
+    }
+  }
 }

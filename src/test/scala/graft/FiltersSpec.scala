@@ -118,10 +118,10 @@ class FiltersSpec extends SparkSpec {
   }
 
   test("filter_bbox on an unsupported CRS raises the typed openEO error") {
-    // 27700 (British National Grid) needs an OSGB36 datum shift — honestly
-    // out of the supported set
+    // 27700 moved into the supported set in round 3 (Proj registry with
+    // OSGB36 Helmert shift); 99999 is not a real EPSG code
     val c0 = cubeOf(("2024-01-01", "B04", 0, 0, 1.0))
-    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:27700")))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:99999")))
     val e = the[graft.OpenEoError] thrownBy
       Filters.filterBbox(c, 0, 0, 1, 1)
     e.code shouldBe "CrsNotSupported"
