@@ -431,6 +431,17 @@ object SparkEntry {
       c.mapValue(v => graft.compile.UdfCompiler.compileSeries(
         "function(x, context) { cummax(x) - x }", v, w)).df
     },
+    "q_run_udf_reduce" -> onCube { c =>
+      // reduce_dimension-position run_udf (series→scalar): the UDF source
+      // compiles to ONE aggregate expression — partial+final groupBy, no
+      // R bridge. Selection-based aggregates (quantile/min) keep the
+      // result hash-exact across engines (sum/mean would be order-
+      // dependent in doubles).
+      Reducers.reduceDimensionExpr(c, "time",
+        graft.compile.UdfCompiler.compileReduce(
+          "function(x, context) { quantile(x, 0.9) - min(x) }",
+          col(Cube.ValueCol)).cast("double")).df
+    },
     "q_fit_curve" -> onCube { c =>
       // closed-form linear least squares with exact decimal sums so the
       // DuckDB oracle hash-matches bit-for-bit; the LM optimizer path
@@ -1069,6 +1080,12 @@ object SparkEntry {
            MAX(value) OVER (PARTITION BY band, y, x ORDER BY time)
              - value AS value
          FROM cube"""),
+    "q_run_udf_reduce" -> cq(
+      // quantile_cont is the same type-7 interpolation as Spark's exact
+      // percentile (proven by the green q_quantiles) — hash-exact
+      """SELECT band, y, x,
+           quantile_cont(value, 0.9) - min(value) AS value
+         FROM cube GROUP BY band, y, x"""),
     "q_fit_curve" -> cq(
       // hi/lo split cast: DuckDB's wide-decimal→double cast can be off by
       // one ulp; splitting the exact integer at 2^26 and recombining in

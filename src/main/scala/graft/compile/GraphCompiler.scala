@@ -528,6 +528,17 @@ final class GraphCompiler(
     val result = cb.resultNode
     if (named.contains(result.processId) && cb.nodes.size == 1)
       Reducers.reduceDimension(c, dim, result.processId)
+    else if (result.processId == "run_udf") {
+      // reduce_dimension-position run_udf: series→scalar source compiled
+      // to an aggregate expression (sqrt(mean(x^2)), quantile(x, .9), …)
+      // — one partial+final groupBy, no R bridge
+      val src = result.arguments.get("udf") match {
+        case Some(LitArg(v)) if v.isTextual => v.asText
+        case other => throw new IllegalArgumentException(s"run_udf udf: $other")
+      }
+      Reducers.reduceDimensionExpr(c, dim,
+        UdfCompiler.compileReduce(src, col(Cube.ValueCol)).cast("double"))
+    }
     else if (dim == Dim.Band) {
       // expression over band columns: compile against the wide view
       val wide = c.wide

@@ -57,6 +57,24 @@ object UdfCompiler {
   def compileSeries(source: String, x: Column, w: WindowSpec): Column =
     new Parser(strip(source), Some(w)).parseAll(x)
 
+  /** Compile a series→scalar UDF for the `reduce_dimension` position: the
+    * same grammar with AGGREGATE functions — `sum/mean/max/min/median/sd/
+    * var/prod/length(e)`, `quantile(e, p)` (literal p) — composable with
+    * element-wise math on either side (`sqrt(mean(x^2))` is RMS,
+    * `mean(x^2) - mean(x)^2` a population variance). Two rules keep the
+    * result a valid one-pass aggregation:
+    *
+    *  - the series variable may only appear INSIDE an aggregate call (a
+    *    bare `x` has no scalar meaning in reduce position);
+    *  - aggregates cannot nest (`mean(max(x))` is meaningless over one
+    *    dimension and Spark would reject it only at analysis time).
+    *
+    * Both violations, like everything else here, raise the typed
+    * [[UdfParseError]] at parse time. R naming: `sd`/`var` are the
+    * sample statistics, matching R's. */
+  def compileReduce(source: String, x: Column): Column =
+    new Parser(strip(source), None, reduceMode = true).parseAll(x)
+
   /** Can this source be compiled? (used for eager validation) */
   def supported(source: String): Boolean =
     try { compile(source, lit(0.0)); true }
@@ -69,6 +87,11 @@ object UdfCompiler {
         Window.partitionBy(lit(0)).orderBy(lit(0)))
       true
     } catch { case _: UdfParseError => false }
+
+  /** [[supported]] for the reduce grammar. */
+  def supportedReduce(source: String): Boolean =
+    try { compileReduce(source, lit(0.0)); true }
+    catch { case _: UdfParseError => false }
 
   /** Strip function headers/braces/return down to the body expression. */
   private[compile] def strip(src0: String): String = {
@@ -138,9 +161,44 @@ object UdfCompiler {
   private val seriesNames =
     Set("cummax", "cummin", "cumsum", "lag", "lead", "rollmean")
 
-  private final class Parser(s: String, wOpt: Option[WindowSpec]) {
+  private val aggNames =
+    Set("sum", "mean", "max", "min", "median", "sd", "var", "prod",
+      "length", "n", "quantile")
+
+  /** Reduce-position aggregate call → aggregate Column. */
+  private def aggCall(name: String, args: Seq[Column],
+      raw: Seq[String]): Column = {
+    def dblArg(t: String): Double = t.trim.toDoubleOption.getOrElse(
+      throw UdfParseError(s"'$name' needs a literal number, got '${t.trim}'"))
+    (name, args.length) match {
+      case ("sum", 1)    => sum(args(0))
+      case ("mean", 1)   => avg(args(0))
+      case ("max", 1)    => max(args(0))
+      case ("min", 1)    => min(args(0))
+      // R's min/max over multiple args reduce over ALL of them:
+      // min(x, 2) == min of the series and the scalar 2
+      case ("max", 2)    => max(greatest(args(0), args(1)))
+      case ("min", 2)    => min(least(args(0), args(1)))
+      case ("median", 1) => percentile(args(0), lit(0.5))
+      case ("sd", 1)     => stddev_samp(args(0))
+      case ("var", 1)    => var_samp(args(0))
+      case ("prod", 1)   => graft.functions.ProductAgg.product(args(0))
+      case ("length", 1) | ("n", 1) => count(args(0))
+      case ("quantile", 2) =>
+        val p = dblArg(raw(1))
+        if (p < 0 || p > 1)
+          throw UdfParseError(s"quantile probability must be in [0,1], got $p")
+        percentile(args(0), lit(p))
+      case _ => throw UdfParseError(s"unknown aggregate '$name'/${args.length}")
+    }
+  }
+
+  private final class Parser(s: String, wOpt: Option[WindowSpec],
+      reduceMode: Boolean = false) {
     private var i = 0
     private var seriesDepth = 0
+    private var aggDepth = 0
+    private var aggCount = 0
     private def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
     private def peek: Char = if (i < s.length) s(i) else '\u0000'
     private def eat(c: Char): Unit = {
@@ -152,6 +210,8 @@ object UdfCompiler {
     def parseAll(x: Column): Column = {
       val e = expr(x); ws()
       if (i < s.length) throw UdfParseError(s"trailing input '${s.substring(i)}'")
+      if (reduceMode && aggCount == 0) throw UdfParseError(
+        "reduce-position UDF must contain an aggregate (sum/mean/median/...)")
       e
     }
 
@@ -228,6 +288,14 @@ object UdfCompiler {
             if (isSeries && seriesDepth > 0) throw UdfParseError(
               s"series function '$name' cannot nest inside another series function")
             if (isSeries) seriesDepth += 1
+            // reduce position: min/max/sum/… are aggregates with R
+            // semantics (min(x, 2) reduces over the series AND the
+            // scalar). Nested aggregates are rejected the same way nested
+            // series calls are.
+            val isAggName = reduceMode && aggNames(name)
+            if (isAggName && aggDepth > 0) throw UdfParseError(
+              s"aggregate '$name' cannot nest inside another aggregate")
+            if (isAggName) aggDepth += 1
             // raw arg spans kept so series functions can demand literal
             // integer parameters (lag offset, rollmean width)
             val args = scala.collection.mutable.ArrayBuffer.empty[Column]
@@ -240,14 +308,20 @@ object UdfCompiler {
             }
             eat(')')
             if (isSeries) seriesDepth -= 1
-            wOpt.flatMap(seriesCall(name, args.toSeq, raw.toSeq, _))
+            if (isAggName) aggDepth -= 1
+            if (isAggName) { aggCount += 1; aggCall(name, args.toSeq, raw.toSeq) }
+            else wOpt.flatMap(seriesCall(name, args.toSeq, raw.toSeq, _))
               .getOrElse((args.length, fn1.get(name), fn2.get(name)) match {
                 case (1, Some(f), _) => f(args(0))
                 case (2, _, Some(f)) => f(args(0), args(1))
                 case _ => throw UdfParseError(
                   s"unknown function '$name'/${args.length}")
               })
-          } else if (name == "x" || name == "data" || name == "value") x
+          } else if (name == "x" || name == "data" || name == "value") {
+            if (reduceMode && aggDepth == 0) throw UdfParseError(
+              s"'$name' outside an aggregate has no scalar meaning in reduce position")
+            x
+          }
           else if (name == "pi") lit(math.Pi)
           else throw UdfParseError(s"unknown identifier '$name'")
         case other => throw UdfParseError(s"unexpected character '$other'")

@@ -144,6 +144,75 @@ class RunUdfSpec extends SparkSpec {
     got.toSeq shouldBe Seq(3.0, 3.0, 5.0)
   }
 
+  test("compileReduce: aggregates compose with element-wise math") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 30.0)).toDF("g", "v")
+    def eval(src: String): Map[String, Double] =
+      df.groupBy("g")
+        .agg(UdfCompiler.compileReduce(src, col("v")).cast("double").as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    eval("function(x, context) { mean(x) }") shouldBe Map("a" -> 2.5, "b" -> 20.0)
+    // RMS: aggregate of an element-wise transform, then scalar math on top
+    val rms = eval("sqrt(mean(x^2))")
+    rms("a") shouldBe math.sqrt(30.0 / 4) +- 1e-12
+    // scalar combination of two aggregates
+    eval("max(x) - min(x)") shouldBe Map("a" -> 3.0, "b" -> 20.0)
+    // R semantics: min over the series AND a scalar
+    eval("min(x, 2)") shouldBe Map("a" -> 1.0, "b" -> 2.0)
+    eval("median(x)") shouldBe Map("a" -> 2.5, "b" -> 20.0)
+    eval("quantile(x, 0.25)") shouldBe Map("a" -> 1.75, "b" -> 15.0)
+    eval("length(x)") shouldBe Map("a" -> 4.0, "b" -> 2.0)
+    eval("prod(x)") shouldBe Map("a" -> 24.0, "b" -> 300.0)
+    val sd = eval("sd(x)")
+    sd("b") shouldBe math.sqrt(200.0) +- 1e-9 // sample sd like R
+  }
+
+  test("compileReduce rejects invalid reduce sources with the typed error") {
+    def bad(src: String): Unit =
+      an[UdfCompiler.UdfParseError] should be thrownBy
+        UdfCompiler.compileReduce(src, lit(0.0))
+    bad("x + 1")                 // bare series variable, no aggregate
+    bad("mean(x) + x")           // series variable outside the aggregate
+    bad("mean(max(x))")          // nested aggregates
+    bad("42")                    // no aggregate at all
+    bad("quantile(x, 1.5)")      // probability out of range
+    bad("quantile(x, x)")        // non-literal probability
+    bad("frobnicate(x)")         // unknown function
+    UdfCompiler.supportedReduce("sqrt(mean(x^2))") shouldBe true
+    UdfCompiler.supportedReduce("cummax(x)") shouldBe false // series-only fn
+  }
+
+  test("reduce_dimension + run_udf compiles through the graph compiler") {
+    import graft.compile.GraphCompiler
+    import graft.cube.Cube
+    import graft.ops.Scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-udfred").toString
+    cubeOf(
+      ("2024-01-01", "A", 0, 0, 3.0), ("2024-01-02", "A", 0, 0, 1.0),
+      ("2024-01-03", "A", 0, 0, 5.0),
+      ("2024-01-01", "A", 1, 1, 2.0), ("2024-01-02", "A", 1, 1, 8.0))
+      .df.write.mode("overwrite").parquet(s"$dir/c")
+    val catalog = Map("c" -> Scan.CollectionSpec(s"$dir/c",
+      bandOrder = Seq("A")))
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
+      "rd": {"process_id": "reduce_dimension", "arguments": {
+        "data": {"from_node": "load"}, "dimension": "t",
+        "reducer": {"process_graph": {
+          "u": {"process_id": "run_udf", "arguments": {
+            "data": {"from_parameter": "data"},
+            "udf": "function(x, context) { max(x) - min(x) }",
+            "runtime": "R"}, "result": true}}}},
+        "result": true}
+    }"""
+    val out = new GraphCompiler(spark, catalog, dir)
+      .compile(graph).asInstanceOf[Cube]
+    out.has(graft.cube.Dim.Time) shouldBe false
+    val got = out.df.orderBy("y").collect().map(_.getAs[Double]("value"))
+    got.toSeq shouldBe Seq(4.0, 6.0)
+  }
+
   test("runOnTiles sees whole (time, band) slices and can transform them") {
     val c = cubeOf(
       ("2024-01-01", "A", 0, 0, 1.0), ("2024-01-01", "A", 0, 1, 3.0),
