@@ -56,12 +56,18 @@ case class DotProduct(left: Expression, right: Expression)
       else s"$arr.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      // nullSafeCodeGen has already DECLARED ev.value — re-declaring it
+      // here is a Janino "Redefinition of local variable" compile error
+      // that silently dropped the whole stage to interpreted eval;
+      // accumulate in a fresh local and assign
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value} = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ${getter(left, a, i)} * ${getter(right, b, i)};
+         |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
          |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

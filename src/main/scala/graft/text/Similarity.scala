@@ -157,15 +157,106 @@ object Similarity {
         .map(_.doubleValue()).toArray
       (cid, vec)
     }
-    val vNorm2 = norm2(col(vecCol))
+    corpus.select(col(idCol), col(vecCol),
+      argminCentroid(col(vecCol), cents).as("centroid_id"))
+  }
+
+  /** Literal-centroid argmin expression (shared by [[ivfAssign]] and the
+    * k-means trainer): |v|² − 2 v·c + |c|² per centroid, array_min over
+    * (d2, cid) structs — deterministic, ties to the lowest centroid id. */
+  private def argminCentroid(v: Column,
+      cents: Array[(Long, Array[Double])]): Column = {
+    val vNorm2 = norm2(v)
     val entries = cents.map { case (cid, cvec) =>
       val cLit = array(cvec.map(lit).toSeq: _*)
       val cN2 = cvec.foldLeft(0.0)((acc, x) => acc + x * x) // driver-side
-      struct((vNorm2 - lit(2.0) * dot(col(vecCol), cLit) + lit(cN2)).as("d2"),
+      struct((vNorm2 - lit(2.0) * dot(v, cLit) + lit(cN2)).as("d2"),
         lit(cid).as("cid"))
     }
-    corpus.select(col(idCol), col(vecCol),
-      array_min(array(entries.toSeq: _*)).getField("cid").as("centroid_id"))
+    array_min(array(entries.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** Lloyd's k-means refinement of the IVF coarse centroids — the quality
+    * step real IVF indexes train with (seeded-sample init, `iters` rounds).
+    *
+    * 100 TB shape per round: the assignment is the same map-side
+    * literal-argmin projection as [[ivfAssign]] (zero shuffle, zero row
+    * amplification); the update is ONE shuffle of per-partition
+    * (centroid, dim) partial sums — posexplode amplifies rows ×dim but
+    * hash aggregation collapses them to k×dim per task before the
+    * exchange, and only k×dim (sum, count) rows reach the driver to form
+    * the next round's literals. Empty clusters keep their previous
+    * centroid (the standard Lloyd's fallback). Deterministic: seeded
+    * init, argmin ties to lowest id, and per-component decimal(28,10)
+    * sums so partial-aggregation order cannot flip a low bit of a mean. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5, seed: Long = 42L,
+      initSample: Int = 4096): DataFrame = {
+    val spark = corpus.sparkSession
+    // Init = farthest-first traversal (Gonzalez) over a bounded
+    // deterministic sample: hash-sampled seeds alone can land two seeds in
+    // one cluster and leave another empty — and an empty cluster never
+    // recovers under plain Lloyd's. Farthest-first guarantees one seed per
+    // well-separated region, deterministically (no RNG, ties by scan
+    // order). The sample is a TakeOrderedAndProject (distributed top-N by
+    // hash), bounded driver memory; FAISS-style IVF training uses the
+    // same sample-then-train shape.
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(math.max(initSample, nCentroids))
+      .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    require(sample.length >= nCentroids,
+      s"corpus has ${sample.length} rows < nCentroids=$nCentroids")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    while (chosen.length < nCentroids) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = math.min(minD(i), d2(sample(i), chosen.last))
+        minD(i) = d
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      chosen += sample(best)
+    }
+    var cents: Array[(Long, Array[Double])] =
+      chosen.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toArray
+    var round = 0
+    while (round < iters) {
+      val updated = corpus
+        .select(argminCentroid(col(vecCol), cents).as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v").cast("decimal(28,10)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, old) =>
+        updated.get(cid) match {
+          case Some(rows) =>
+            val vec = old.clone()
+            var n = 0L
+            rows.foreach { r =>
+              n = r.getLong(3)
+              vec(r.getInt(1)) =
+                (r.getDecimal(2).doubleValue() / n)
+            }
+            (cid, if (n == 0) old else vec)
+          case None => (cid, old) // empty cluster keeps its centroid
+        }
+      }
+      round += 1
+    }
+    import spark.implicits._
+    cents.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+      .toDF("centroid_id", "_centroid")
   }
 
   /** Persist an IVF assignment bucketed (and sorted) by centroid — the
@@ -186,9 +277,12 @@ object Similarity {
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       seed: Long = 42L, excludeSelf: Boolean = true,
-      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+      centroidsOverride: Option[DataFrame] = None,
+      trainIters: Int = 0): DataFrame = {
     val centroids = broadcast(centroidsOverride.getOrElse(
-      sampleCentroids(corpus, idCol, vecCol, nCentroids, seed)))
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed)))
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
       .withColumnRenamed(vecCol, "_cv")

@@ -92,4 +92,44 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     lsh shouldBe Set((0L, 1L))
   }
+
+  test("k-means refinement converges to the true cluster means") {
+    // three tight, well-separated clusters in 4-D; sampled init will pick
+    // arbitrary members — Lloyd's rounds must move centroids to the means
+    def cluster(base: Array[Double], n: Int, off: Double) =
+      (0 until n).map(i => base.zipWithIndex.map { case (v, j) =>
+        (v + (if (j == i % 4) off else 0.0)).toFloat }.toSeq)
+    val a = cluster(Array(10.0, 0, 0, 0), 8, 0.2)
+    val b = cluster(Array(0.0, 10, 0, 0), 8, 0.2)
+    val c = cluster(Array(0.0, 0, 10, 0), 8, 0.2)
+    val df = (a ++ b ++ c).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      nCentroids = 3, iters = 8)
+      .collect().map(_.getSeq[Double](1).toArray)
+    // every true cluster mean has a trained centroid within 0.3
+    for (mean <- Seq(Array(10.05, 0.05, 0.05, 0.05),
+        Array(0.05, 10.05, 0.05, 0.05), Array(0.05, 0.05, 10.05, 0.05))) {
+      val best = trained.map(t =>
+        math.sqrt(t.zip(mean).map { case (x, y) => (x - y) * (x - y) }.sum)).min
+      best should be < 0.3
+    }
+    // deterministic under repartitioning (decimal component sums)
+    val again = Similarity.kmeansCentroids(df.repartition(7), "vec_id",
+      "embedding", nCentroids = 3, iters = 8)
+      .collect().map(_.getSeq[Double](1).toSeq).toSet
+    trained.map(_.toSeq).toSet shouldBe again
+  }
+
+  test("k-means refinement does not hurt IVF recall; trained full-probe equals brute force") {
+    // with nProbe == nCentroids the probed set is the whole corpus, so the
+    // trained index must reproduce brute force exactly — same guarantee as
+    // the sampled-centroid path
+    val bf = Similarity.topKBruteForce(tiny, tiny, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.topKIvf(tiny, tiny, "vec_id", "embedding", 3,
+      nCentroids = 2, nProbe = 2, trainIters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    ivf shouldBe bf
+  }
 }
