@@ -221,4 +221,39 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "ScalaUDF"
     plan.split("Exchange").length - 1 should be <= 2 // agg exchange (+AQE read)
   }
+
+  test("decontaminate: eval grams broadcast; corpus side never hash-shuffles full rows") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i body tokens alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val evalDocs = docs.where(col("doc_id") % 50 === 0)
+    val out = graft.text.Dedup.decontaminate(
+      docs.where(col("doc_id") % 50 =!= 0), evalDocs, "text", "doc_id")
+    val plan = planString(out)
+    // both joins broadcast (eval gram set; per-doc hit counts): the only
+    // hash exchanges are the EVAL-side distinct (small by definition) and
+    // the partial-aggregated (id, count) stream — corpus rows never
+    // hash-partition
+    plan.split("BroadcastHashJoin").length - 1 shouldBe 2
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 2
+    // the hit-count aggregation is partial+final (map-side combine)
+    plan should include("partial_count")
+  }
+
+  test("repetition signals and reduce-position run_udf stay one-pass") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"a b a c token$i"))
+      .toDF("doc_id", "text")
+    val rep = graft.text.TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+    planString(rep) should not include "Exchange"
+    // reduce-position UDF = partial+final aggregate, one exchange
+    val c = Scan.loadCollection(spark, spec)
+    val red = graft.ops.Reducers.reduceDimensionExpr(c, "time",
+      graft.compile.UdfCompiler.compileReduce("max(x) - min(x)",
+        col(graft.cube.Cube.ValueCol)).cast("double"))
+    val plan = planString(red.df)
+    plan should not include "ScalaUDF"
+    plan should include("partial_max")
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+  }
 }
