@@ -555,6 +555,29 @@ object SparkEntry {
         d.where(col("doc_id") % 37 === 0),
         "text", "doc_id", shingleN = 5)
     }),
+    "q_curation_pipeline" -> ((s, dir) => {
+      // the end-to-end training-data curation DAG in ONE job: quality +
+      // repetition filters (map-side) → exact dedup (one digest shuffle)
+      // → leakage-safe grouped split (map-side md5) → per-split token
+      // stats (partial+final agg). Every stage is the oracled operator.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val tokens = split(lower(trim(col("text"))), "\\s+")
+      val filtered = d
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("rep", round(TextAnalysis.topNgramFrac(tokens, 2), 6))
+        .where(col("quality") >= 0.75 && col("rep") <= 0.2)
+      val keepIds = filtered
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val deduped = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+      val split8 = graft.text.Sampling.assignSplit(
+        deduped.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
+        "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      split8.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(col("text")).cast("long"))
+            .as("n_tokens"))
+    }),
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       Dedup.exact(d, "text", "doc_id")
@@ -1210,6 +1233,8 @@ object SparkEntry {
            coalesce(h.n_hits, 0) >= 1 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 37 <> 0""",
+    "q_curation_pipeline" ->
+      curationSql,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
@@ -1542,12 +1567,14 @@ object SparkEntry {
   /** DuckDB mirror of TextAnalysis.qualityScore, component by component
     * (identical doubles in, IEEE-identical arithmetic, exact quarter
     * scores out). */
-  private def qualitySql: String = {
+  /** Quality-score CTE chain ending in `q(doc_id, quality)` — shared by
+    * the q_text_quality oracle and the curation-pipeline oracle. */
+  private def qualityCtes: String = {
     def cnt(expr: String, needle: String): String =
       s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS INT)"
     val punct = Seq(".", ",", "!", "?", ";", ":").map(cnt("text", _)).mkString(" + ")
     val stop = Seq(" the ", " a ", " and ", " of ", " to ").map(cnt("p", _)).mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
           SELECT doc_id, text, ' ' || text || ' ' AS p,
             CAST(length(text) AS DOUBLE) AS nchars,
             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nwords
@@ -1557,14 +1584,52 @@ object SparkEntry {
             nchars / GREATEST(nwords, 1.0) AS mwl,
             CAST($punct AS DOUBLE) / GREATEST(nwords, 1.0) AS punct_ratio,
             CAST($stop AS DOUBLE) / GREATEST(nwords, 1.0) AS stop_ratio
-          FROM t)
-        SELECT doc_id, round((
-            (CASE WHEN nwords >= 50 AND nwords <= 100000 THEN 1.0
-                  WHEN nwords >= 10 THEN 0.5 ELSE 0.0 END)
-          + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END)
-          + (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)
-          + (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
-          AS quality
-        FROM c"""
+          FROM t),
+        q AS (
+          SELECT doc_id, round((
+              (CASE WHEN nwords >= 50 AND nwords <= 100000 THEN 1.0
+                    WHEN nwords >= 10 THEN 0.5 ELSE 0.0 END)
+            + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN stop_ratio > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 4)
+            AS quality
+          FROM c)"""
   }
+
+  private def qualitySql: String =
+    s"WITH $qualityCtes SELECT doc_id, quality FROM q"
+
+  /** The curation-pipeline oracle: each stage is the identical formula the
+    * standalone oracled queries use (quality, top-bigram repetition,
+    * sha256 dedup, md5-bucket grouped split, whitespace token count). */
+  private def curationSql: String =
+    s"""WITH $qualityCtes,
+        tok AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\\s+') AS tk
+          FROM documents),
+        bg AS (SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(tk) - 1, 0) + 1),
+              i -> array_to_string(tk[i:i+1], ' '))) AS gg
+          FROM tok WHERE len(tk) >= 2),
+        bgf AS (SELECT doc_id,
+            round(CAST(max(c2) AS DOUBLE) / sum(c2), 6) AS rep
+          FROM (SELECT doc_id, gg, count(*) AS c2 FROM bg GROUP BY doc_id, gg)
+          GROUP BY doc_id),
+        filt AS (SELECT d.doc_id, d.text, d.lang, d.source
+          FROM documents d JOIN q USING (doc_id) LEFT JOIN bgf USING (doc_id)
+          WHERE q.quality >= 0.75 AND coalesce(bgf.rep, 0.0) <= 0.2),
+        keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY sha256(text)),
+        ded AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
+        spl AS (SELECT lang, text,
+            CASE WHEN hv < 3435973836 THEN 'train'
+                 WHEN hv < 3865470566 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT lang, text,
+              CAST(('0x' || substr(md5(concat_ws('|', source, lang)), 1, 8))
+                AS BIGINT) AS hv
+            FROM ded))
+        SELECT split, lang, count(*) AS n_docs,
+          CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+            AS n_tokens
+        FROM spl GROUP BY split, lang"""
 }
