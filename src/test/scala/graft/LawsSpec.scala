@@ -261,4 +261,38 @@ class LawsSpec extends SparkSpec {
       la2 shouldBe lat +- 1e-8
     }
   }
+
+  private val docGen: Gen[String] = for {
+    n  <- Gen.choose(1, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield ws.mkString(" ")
+
+  test("law: repetition signals are bounded and self-consistent") {
+    val docs = sample(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    graft.text.TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+      .collect().foreach { r =>
+        val n = r.getInt(1)
+        val ratio = r.getDouble(2); val run = r.getLong(3)
+        val bg = r.getDouble(4); val tg = r.getDouble(5)
+        assert(n >= 1)
+        assert(ratio > 0.0 && ratio <= 1.0)
+        assert(run >= 1 && run <= n)
+        // a token run of length r contributes r-1 equal bigrams
+        if (n >= 2) assert(bg > 0.0 && bg <= 1.0) else assert(bg == 0.0)
+        if (n >= 3) assert(tg > 0.0 && tg <= 1.0) else assert(tg == 0.0)
+        // all-equal tokens → maximal repetition on every signal
+        if (ratio == 1.0 / n) { assert(run == n); if (n >= 2) assert(bg == 1.0) }
+      }
+  }
+
+  test("law: decontaminating a corpus against itself flags every document") {
+    val docs = sample(docGen, 40).distinct.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = graft.text.Dedup.decontaminate(docs, docs, "text", "doc_id",
+      shingleN = 3)
+    // every doc shares all its shingles with the eval set (itself)
+    out.where(!col("contaminated")).count() shouldBe 0
+    out.where(col("n_hits") < 1).count() shouldBe 0
+  }
 }
