@@ -561,10 +561,13 @@ object SparkEntry {
       // → leakage-safe grouped split (map-side md5) → per-split token
       // stats (partial+final agg). Every stage is the oracled operator.
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val tokens = split(lower(trim(col("text"))), "\\s+")
+      val st = graft.functions.TextHashExprs
+        .repetitionStats(lower(trim(col("text"))))
       val filtered = d
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("rep", round(TextAnalysis.topNgramFrac(tokens, 2), 6))
+        .withColumn("rep", round(when(st.getField("n2") > 0,
+          st.getField("top2").cast("double") /
+            st.getField("n2").cast("double")).otherwise(0.0), 6))
         .where(col("quality") >= 0.75 && col("rep") <= 0.2)
       val keepIds = filtered
         .groupBy(sha2(col("text"), 256).as("h"))

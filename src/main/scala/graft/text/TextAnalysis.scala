@@ -132,17 +132,28 @@ object TextAnalysis {
     *    occurrences held by the most frequent one
     * Template-generated and boilerplate text scores high on the top-n-gram
     * fractions and low on the distinct ratio; natural text is the reverse.
-    * 100 TB shape: pure codegen/HOF projection — no shuffle, no UDF; the
-    * per-document sort is O(L log L) in document tokens only. */
+    * 100 TB shape: ONE native pass per document
+    * ([[graft.functions.TextHashExprs.RepetitionStats]] — byte-level
+    * tokenizer, hashed n-grams, long sorts), no shuffle, no UDF. The HOF
+    * formulation ([[maxRunLength]]/[[topNgramFrac]]) is kept as the
+    * semantic reference — it re-evaluated the tokenizer per reference and
+    * sorted n-gram STRINGS through interpreted lambdas, a 40× constant
+    * factor on the sf0.1 bench. */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokens = split(lower(trim(col(textCol))), "\\s+")
-    df.select(col(idCol),
-      size(tokens).as("n_tokens"),
-      round(size(array_distinct(tokens)).cast("double") /
-        greatest(size(tokens), lit(1)).cast("double"), 6)
-        .as("distinct_token_ratio"),
-      maxRunLength(tokens).as("max_token_run"),
-      round(topNgramFrac(tokens, 2), 6).as("top_bigram_frac"),
-      round(topNgramFrac(tokens, 3), 6).as("top_trigram_frac"))
+    val st = graft.functions.TextHashExprs
+      .repetitionStats(lower(trim(col(textCol))))
+    df.select(col(idCol), st.as("_st"))
+      .select(col(idCol),
+        col("_st.n_tokens").as("n_tokens"),
+        round(col("_st.n_distinct").cast("double") /
+          greatest(col("_st.n_tokens"), lit(1)).cast("double"), 6)
+          .as("distinct_token_ratio"),
+        col("_st.max_run").as("max_token_run"),
+        round(when(col("_st.n2") > 0,
+          col("_st.top2").cast("double") / col("_st.n2").cast("double"))
+          .otherwise(0.0), 6).as("top_bigram_frac"),
+        round(when(col("_st.n3") > 0,
+          col("_st.top3").cast("double") / col("_st.n3").cast("double"))
+          .otherwise(0.0), 6).as("top_trigram_frac"))
   }
 }

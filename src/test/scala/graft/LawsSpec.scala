@@ -286,6 +286,24 @@ class LawsSpec extends SparkSpec {
       }
   }
 
+  test("law: native repetition stats equal the HOF string formulation") {
+    import graft.text.TextAnalysis
+    val docs = sample(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sz = org.apache.spark.sql.functions.size _ // ScalaTest also has `size`
+    val tokens = split(lower(trim(col("text"))), "\\s+")
+    val hof = docs.select(col("doc_id"),
+      sz(tokens).as("n_tokens"),
+      round(sz(array_distinct(tokens)).cast("double") /
+        greatest(sz(tokens), lit(1)).cast("double"), 6)
+        .as("distinct_token_ratio"),
+      TextAnalysis.maxRunLength(tokens).as("max_token_run"),
+      round(TextAnalysis.topNgramFrac(tokens, 2), 6).as("top_bigram_frac"),
+      round(TextAnalysis.topNgramFrac(tokens, 3), 6).as("top_trigram_frac"))
+    val native = TextAnalysis.repetitionSignals(docs, "text", "doc_id")
+    rowSet(native) shouldBe rowSet(hof)
+  }
+
   test("law: decontaminating a corpus against itself flags every document") {
     val docs = sample(docGen, 40).distinct.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
