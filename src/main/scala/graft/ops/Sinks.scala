@@ -60,6 +60,10 @@ object Sinks {
             c.df.withColumn(Cube.ValueCol, col(Cube.ValueCol).cast(t)))
             .getOrElse(c.df)
           df.write.mode("overwrite").parquet(s"$outDir/result.parquet")
+          // a client asking for NETCDF also gets a real .nc rendition
+          // (NetCDF-3 classic); collect-to-driver like the reference's
+          // to_netcdf materialization (openeo_odc_driver.py:1726-1781)
+          if (fmt == "NETCDF") writeNetcdf(c, s"$outDir/result.nc")
           s"$outDir/result.parquet"
         case other => throw new IllegalArgumentException(s"format: $other")
       }
@@ -77,6 +81,153 @@ object Sinks {
           String.valueOf(scalar))
         p
     }
+  }
+
+  /** Write the cube as a NetCDF-3 **classic** (CDF-1) file — the public
+    * binary format every NetCDF reader (xarray/scipy/netCDF4/ncdump)
+    * accepts. The reference's general 4-D sink is xarray `to_netcdf`
+    * (openeo_odc_driver.py:1726-1781); parquet remains OUR canonical
+    * distributed form, this is the client-facing rendition.
+    *
+    * Layout: dims in (time, band, y, x) order as present; coordinate
+    * variables `time` (double, seconds since epoch), `band` (char matrix
+    * over a `band_strlen` dim), `y`/`x` (double, y DESCENDING north-up
+    * like the GTiff path); data variable `value` (float, NaN fill,
+    * `_FillValue` attribute). All integers big-endian, every section
+    * padded to 4 bytes, per the public CDF-1 spec. An independent
+    * pure-Python parser (`tools/nc3check.py`) cross-validates the writer
+    * against a second implementation of the spec. */
+  def writeNetcdf(c: Cube, path: String): String = {
+    val hasTime = c.has(Dim.Time); val hasBand = c.has(Dim.Band)
+    val rows = c.df.collect()
+    val times: Seq[java.sql.Timestamp] =
+      if (hasTime) rows.map(_.getAs[java.sql.Timestamp](Dim.Time))
+        .distinct.sortBy(_.getTime).toSeq
+      else Nil
+    val bands: Seq[String] =
+      if (!hasBand) Nil
+      else if (c.meta.bandOrder.nonEmpty) c.meta.bandOrder
+      else rows.map(_.getAs[String](Dim.Band)).distinct.sorted.toSeq
+    val ys = rows.map(_.getAs[Double](Dim.Y)).distinct.sorted.reverse.toSeq
+    val xs = rows.map(_.getAs[Double](Dim.X)).distinct.sorted.toSeq
+    require(rows.nonEmpty, "writeNetcdf needs a non-empty cube")
+    val ti = times.zipWithIndex.toMap; val bi = bands.zipWithIndex.toMap
+    val yi = ys.zipWithIndex.toMap; val xi = xs.zipWithIndex.toMap
+    val nT = if (hasTime) times.length else 1
+    val nB = math.max(bands.length, 1)
+    val data = Array.fill(nT * nB * ys.length * xs.length)(Float.NaN)
+    def flat(t: Int, b: Int, y: Int, x: Int): Int =
+      ((t * nB + b) * ys.length + y) * xs.length + x
+    rows.foreach { r =>
+      val t = if (hasTime) ti(r.getAs[java.sql.Timestamp](Dim.Time)) else 0
+      val b = if (hasBand) bi(r.getAs[String](Dim.Band)) else 0
+      val v = r.getAs[Any](Cube.ValueCol) match {
+        case f: Float => f; case d: Double => d.toFloat
+        case i: Int => i.toFloat; case l: Long => l.toFloat
+        case b1: Boolean => if (b1) 1f else 0f
+        case null => Float.NaN
+      }
+      data(flat(t, b, yi(r.getAs[Double](Dim.Y)), xi(r.getAs[Double](Dim.X)))) = v
+    }
+
+    // ---- CDF-1 serialization ------------------------------------------
+    val NcDimension = 0x0A; val NcVariable = 0x0B; val NcAttribute = 0x0C
+    val NcChar = 2; val NcFloat = 5; val NcDouble = 6
+    final case class NcDim(name: String, len: Int)
+    final case class NcVar(name: String, dimIds: Seq[Int], ncType: Int,
+      atts: Seq[(String, Either[String, Array[Float]])], dataLen: Int)
+
+    val bandStrlen = if (hasBand) math.max(bands.map(_.length).max, 1) else 0
+    val dims = scala.collection.mutable.ArrayBuffer.empty[NcDim]
+    def addDim(d: NcDim): Int = { dims += d; dims.length - 1 }
+    val tDim = if (hasTime) addDim(NcDim("time", times.length)) else -1
+    val bDim = if (hasBand) addDim(NcDim("band", bands.length)) else -1
+    val sDim = if (hasBand) addDim(NcDim("band_strlen", bandStrlen)) else -1
+    val yDim = addDim(NcDim("y", ys.length))
+    val xDim = addDim(NcDim("x", xs.length))
+
+    def tSize(t: Int): Int = t match { case NcChar => 1; case NcFloat => 4; case _ => 8 }
+    def pad4(n: Int): Int = (n + 3) & ~3
+    val vars = scala.collection.mutable.ArrayBuffer.empty[NcVar]
+    if (hasTime) vars += NcVar("time", Seq(tDim), NcDouble,
+      Seq("units" -> Left("seconds since 1970-01-01 00:00:00")), times.length * 8)
+    if (hasBand) vars += NcVar("band", Seq(bDim, sDim), NcChar, Nil,
+      bands.length * bandStrlen)
+    vars += NcVar("y", Seq(yDim), NcDouble, Nil, ys.length * 8)
+    vars += NcVar("x", Seq(xDim), NcDouble, Nil, xs.length * 8)
+    val valueDims = (if (hasTime) Seq(tDim) else Nil) ++
+      (if (hasBand) Seq(bDim) else Nil) ++ Seq(yDim, xDim)
+    vars += NcVar("value", valueDims, NcFloat,
+      Seq("_FillValue" -> Right(Array(Float.NaN))), data.length * 4)
+
+    val globalAtts: Seq[(String, Either[String, Array[Float]])] =
+      c.meta.crs.map(crs => "crs" -> (Left(crs): Either[String, Array[Float]])).toSeq
+
+    def serialize(begins: Map[String, Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new DataOutputStream(bos) // DataOutputStream is big-endian
+      def pad(n: Int): Unit = (0 until (pad4(n) - n)).foreach(_ => o.writeByte(0))
+      def str(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); o.writeInt(b.length); o.write(b); pad(b.length)
+      }
+      def atts(as: Seq[(String, Either[String, Array[Float]])]): Unit =
+        if (as.isEmpty) { o.writeInt(0); o.writeInt(0) }
+        else {
+          o.writeInt(NcAttribute); o.writeInt(as.length)
+          as.foreach {
+            case (n, Left(sv)) =>
+              str(n); o.writeInt(NcChar)
+              val b = sv.getBytes("UTF-8")
+              o.writeInt(b.length); o.write(b); pad(b.length)
+            case (n, Right(fs)) =>
+              str(n); o.writeInt(NcFloat); o.writeInt(fs.length)
+              fs.foreach(o.writeFloat); pad(fs.length * 4)
+          }
+        }
+      o.writeBytes("CDF"); o.writeByte(1) // magic, CDF-1
+      o.writeInt(0)                       // numrecs (no record dimension)
+      o.writeInt(NcDimension); o.writeInt(dims.length)
+      dims.foreach { d => str(d.name); o.writeInt(d.len) }
+      atts(globalAtts)
+      o.writeInt(NcVariable); o.writeInt(vars.length)
+      vars.foreach { v =>
+        str(v.name); o.writeInt(v.dimIds.length); v.dimIds.foreach(o.writeInt)
+        atts(v.atts); o.writeInt(v.ncType); o.writeInt(pad4(v.dataLen))
+        o.writeInt(begins.getOrElse(v.name, 0))
+      }
+      o.flush(); bos.toByteArray
+    }
+
+    // begin offsets are 4-byte ints in CDF-1, so the header length is the
+    // same with placeholder zeros — serialize once to size it, then again
+    // with the real offsets
+    val headerLen = serialize(Map.empty).length
+    var off = headerLen
+    val begins = vars.map { v =>
+      val b = v.name -> off; off += pad4(v.dataLen); b
+    }.toMap
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      out.write(serialize(begins))
+      def padTo(n: Int): Unit = (0 until (pad4(n) - n)).foreach(_ => out.writeByte(0))
+      vars.foreach { v =>
+        v.name match {
+          case "time" => times.foreach(t => out.writeDouble(t.getTime / 1000.0))
+          case "band" =>
+            bands.foreach { b =>
+              val bytes = b.getBytes("UTF-8")
+              out.write(bytes)
+              (bytes.length until bandStrlen).foreach(_ => out.writeByte(0))
+            }
+          case "y" => ys.foreach(out.writeDouble)
+          case "x" => xs.foreach(out.writeDouble)
+          case "value" => data.foreach(out.writeFloat)
+        }
+        padTo(v.dataLen)
+      }
+    } finally out.close()
+    path
   }
 
   /** Collect a (time-less) raster into a dense row-major grid.

@@ -151,4 +151,88 @@ class SinksSpec extends SparkSpec {
     txt should startWith("[")
     txt should include(""""value":3.0""")
   }
+
+  test("NetCDF-3 sink writes a spec-conformant CDF-1 file (independent parse)") {
+    // 4-D cube: 2 times × 2 bands × 2 y × 2 x with one missing cell
+    val df = Seq(
+      ("2024-01-01", "B04", 0.0, 0.0, 1.0), ("2024-01-01", "B04", 0.0, 1.0, 2.0),
+      ("2024-01-01", "B04", 1.0, 0.0, 3.0), ("2024-01-01", "B04", 1.0, 1.0, 4.0),
+      ("2024-01-01", "B08", 0.0, 0.0, 5.0), ("2024-01-01", "B08", 1.0, 1.0, 6.0),
+      ("2024-01-02", "B04", 0.0, 0.0, 7.0), ("2024-01-02", "B08", 1.0, 0.0, 8.0))
+      .toDF("ts", "band", "y", "x", "value")
+      .select(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts")).as("time"),
+        org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("y"),
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("value"))
+    val c = Cube(df, CubeMeta(crs = Some("EPSG:32632"),
+      bandOrder = Seq("B04", "B08")))
+    val dir = java.nio.file.Files.createTempDirectory("nc").toString
+    val path = Sinks.writeNetcdf(c, s"$dir/r.nc")
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val buf = java.nio.ByteBuffer.wrap(b) // big-endian by default
+    // magic + version
+    new String(b.take(3), "US-ASCII") shouldBe "CDF"
+    b(3) shouldBe 1.toByte
+    buf.position(4); buf.getInt() shouldBe 0 // numrecs
+    // dim list: tag, count, then (name, len) pairs
+    buf.getInt() shouldBe 0x0A
+    val ndims = buf.getInt()
+    ndims shouldBe 5
+    def name(): String = {
+      val n = buf.getInt(); val s = new Array[Byte](n); buf.get(s)
+      buf.position(buf.position() + ((4 - n % 4) % 4))
+      new String(s, "UTF-8")
+    }
+    val dims = (0 until ndims).map(_ => (name(), buf.getInt()))
+    dims shouldBe Seq(("time", 2), ("band", 2), ("band_strlen", 3),
+      ("y", 2), ("x", 2))
+    // global atts: crs
+    buf.getInt() shouldBe 0x0C
+    buf.getInt() shouldBe 1
+    name() shouldBe "crs"
+    buf.getInt() shouldBe 2 // NC_CHAR
+    val crsLen = buf.getInt()
+    val crsB = new Array[Byte](crsLen); buf.get(crsB)
+    new String(crsB, "UTF-8") shouldBe "EPSG:32632"
+    buf.position(buf.position() + ((4 - crsLen % 4) % 4))
+    // var list
+    buf.getInt() shouldBe 0x0B
+    val nvars = buf.getInt()
+    nvars shouldBe 5
+    var valueBegin = -1; var valueVsize = -1
+    var yBegin = -1
+    (0 until nvars).foreach { _ =>
+      val vn = name()
+      val nd = buf.getInt()
+      (0 until nd).foreach(_ => buf.getInt())
+      // atts
+      val tag = buf.getInt(); val natt = buf.getInt()
+      if (tag == 0x0C) (0 until natt).foreach { _ =>
+        name(); val t = buf.getInt(); val nel = buf.getInt()
+        val sz = t match { case 2 => 1; case 5 => 4; case _ => 8 }
+        val raw = nel * sz
+        buf.position(buf.position() + raw + ((4 - raw % 4) % 4))
+      }
+      val _ = buf.getInt() // nc_type
+      val vsize = buf.getInt(); val begin = buf.getInt()
+      if (vn == "value") { valueBegin = begin; valueVsize = vsize }
+      if (vn == "y") yBegin = begin
+    }
+    // y coordinate is north-up (descending)
+    buf.position(yBegin)
+    buf.getDouble() shouldBe 1.0
+    buf.getDouble() shouldBe 0.0
+    // value data: 16 floats; (t0, B04) block row-major with y desc:
+    // y=1 row first → (3,4), then y=0 → (1,2)
+    valueVsize shouldBe 16 * 4
+    buf.position(valueBegin)
+    val vals = (0 until 16).map(_ => buf.getFloat())
+    vals.take(4) shouldBe Seq(3f, 4f, 1f, 2f)
+    // missing cells are NaN: (t0, B08) block has 2 gaps
+    vals.slice(4, 8).count(_.isNaN) shouldBe 2
+    // file ends exactly at the last var's padded data
+    valueBegin + valueVsize shouldBe b.length
+  }
 }
