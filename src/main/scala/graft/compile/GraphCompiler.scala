@@ -528,10 +528,17 @@ final class GraphCompiler(
     val result = cb.resultNode
     if (named.contains(result.processId) && cb.nodes.size == 1)
       Reducers.reduceDimension(c, dim, result.processId)
-    else if (result.processId == "run_udf") {
+    else if (result.processId == "run_udf" && cb.nodes.size == 1 &&
+        (result.arguments.get("data") match {
+          case Some(FromParameter(_)) => true; case _ => false
+        })) {
       // reduce_dimension-position run_udf: series→scalar source compiled
       // to an aggregate expression (sqrt(mean(x^2)), quantile(x, .9), …)
-      // — one partial+final groupBy, no R bridge
+      // — one partial+final groupBy, no R bridge. Guarded to the
+      // single-node, data-from-parameter shape: a multi-node reducer
+      // subgraph feeding run_udf would otherwise silently drop the
+      // upstream stages — that falls through to the typed unsupported
+      // error below instead.
       val src = result.arguments.get("udf") match {
         case Some(LitArg(v)) if v.isTextual => v.asText
         case other => throw new IllegalArgumentException(s"run_udf udf: $other")

@@ -56,11 +56,16 @@ object Filters {
     * shift), not just a registered EPSG code. */
   def filterBboxRef(c: Cube, west: Double, south: Double, east: Double,
       north: Double, bboxCrs: CrsRef): Cube = {
-    val cubeEpsg = c.meta.crs.flatMap(crsEpsg)
-      .orElse(bboxCrs match { case EpsgRef(e) => Some(e); case _ => None })
-      .getOrElse(4326)
     val corners = Seq((west, south), (east, south), (east, north), (west, north))
-    val proj = Crs.transformRingFrom(corners, bboxCrs, cubeEpsg)
+    // a cube without a parseable CRS keeps the long-standing convention:
+    // assume it lives in the bbox's CRS and compare raw coordinates (for
+    // an EPSG bbox that falls out of transformRing's from==to identity;
+    // a proj-string bbox must skip the transform explicitly — assuming
+    // 4326 here would compare degrees against projected meters)
+    val proj = c.meta.crs.flatMap(crsEpsg) match {
+      case Some(cubeEpsg) => Crs.transformRingFrom(corners, bboxCrs, cubeEpsg)
+      case None => corners
+    }
     val (xmin, ymin, xmax, ymax) = Geo.bboxOf(proj)
     c.withDF(c.df.where(
       c.df(Dim.X).between(xmin, xmax) && c.df(Dim.Y).between(ymin, ymax)))

@@ -358,7 +358,7 @@ object CrsRef {
   def parse(s: String): CrsRef = {
     val t = s.trim
     if (t.startsWith("+")) DefRef(Proj.parse(t))
-    else t.toUpperCase.stripPrefix("EPSG:").toIntOption match {
+    else Filters.crsEpsg(t) match { // single definition of the EPSG syntax
       case Some(e) => EpsgRef(e)
       case None => throw graft.OpenEoError("CrsNotSupported",
         s"cannot parse CRS reference: $s")

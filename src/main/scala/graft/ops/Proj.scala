@@ -394,13 +394,26 @@ object Proj {
           num("k").orElse(num("k_0")).getOrElse(1.0), d("x_0", 0), d("y_0", 0))
       case "lcc" =>
         val lat1 = num("lat_1").getOrElse(bad("lcc needs +lat_1"))
-        LambertConformal2SP(ell, d("lat_0", lat1), d("lon_0", 0), lat1,
+        // PROJ defaults: lat_0 = 0 (NOT lat_1), lat_2 = lat_1
+        LambertConformal2SP(ell, d("lat_0", 0), d("lon_0", 0), lat1,
           d("lat_2", lat1), d("x_0", 0), d("y_0", 0))
       case "laea" =>
         LambertAzimuthalEA(ell, d("lat_0", 0), d("lon_0", 0),
           d("x_0", 0), d("y_0", 0))
       case "merc" =>
-        SphericalMercator(d("a", Wgs84.a), d("x_0", 0), d("y_0", 0))
+        // only SPHERICAL Mercator is implemented (the Web-Mercator
+        // +a=R +b=R form). An ellipsoidal definition (+ellps / +rf /
+        // +b != +a, PROJ's default for bare "+proj=merc") or a nonzero
+        // +lat_ts would be tens of km off — typed error beats silently
+        // wrong coordinates.
+        if (d("lat_ts", 0) != 0) bad("merc +lat_ts != 0 not supported")
+        if (num("k").orElse(num("k_0")).exists(_ != 1.0))
+          bad("merc +k != 1 not supported")
+        (num("a"), num("b")) match {
+          case (Some(a), Some(b)) if a == b =>
+            SphericalMercator(a, d("x_0", 0), d("y_0", 0))
+          case _ => bad("only spherical merc (+a == +b) is supported")
+        }
       case other => bad(s"proj $other")
     }
     ProjDef(proj, ell, helmert)

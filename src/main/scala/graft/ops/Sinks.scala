@@ -61,9 +61,13 @@ object Sinks {
             .getOrElse(c.df)
           df.write.mode("overwrite").parquet(s"$outDir/result.parquet")
           // a client asking for NETCDF also gets a real .nc rendition
-          // (NetCDF-3 classic); collect-to-driver like the reference's
-          // to_netcdf materialization (openeo_odc_driver.py:1726-1781)
-          if (fmt == "NETCDF") writeNetcdf(c, s"$outDir/result.nc")
+          // (NetCDF-3 classic) of the SAME (dtype-cast) values; collect-
+          // to-driver like the reference's to_netcdf materialization
+          // (openeo_odc_driver.py:1726-1781). Empty cubes skip the
+          // rendition: classic NetCDF cannot express a 0-length fixed
+          // dimension, and the canonical parquet result already exists.
+          if (fmt == "NETCDF" && !df.isEmpty)
+            writeNetcdf(c.withDF(df), s"$outDir/result.nc")
           s"$outDir/result.parquet"
         case other => throw new IllegalArgumentException(s"format: $other")
       }
@@ -137,7 +141,11 @@ object Sinks {
     final case class NcVar(name: String, dimIds: Seq[Int], ncType: Int,
       atts: Seq[(String, Either[String, Array[Float]])], dataLen: Int)
 
-    val bandStrlen = if (hasBand) math.max(bands.map(_.length).max, 1) else 0
+    // size char data in UTF-8 BYTES (what gets written), not Java chars —
+    // a non-ASCII band name would otherwise overrun its declared vsize
+    val bandStrlen =
+      if (hasBand) math.max(bands.map(_.getBytes("UTF-8").length).max, 1)
+      else 0
     val dims = scala.collection.mutable.ArrayBuffer.empty[NcDim]
     def addDim(d: NcDim): Int = { dims += d; dims.length - 1 }
     val tDim = if (hasTime) addDim(NcDim("time", times.length)) else -1
@@ -146,7 +154,6 @@ object Sinks {
     val yDim = addDim(NcDim("y", ys.length))
     val xDim = addDim(NcDim("x", xs.length))
 
-    def tSize(t: Int): Int = t match { case NcChar => 1; case NcFloat => 4; case _ => 8 }
     def pad4(n: Int): Int = (n + 3) & ~3
     val vars = scala.collection.mutable.ArrayBuffer.empty[NcVar]
     if (hasTime) vars += NcVar("time", Seq(tDim), NcDouble,

@@ -281,8 +281,12 @@ class LawsSpec extends SparkSpec {
         // a token run of length r contributes r-1 equal bigrams
         if (n >= 2) assert(bg > 0.0 && bg <= 1.0) else assert(bg == 0.0)
         if (n >= 3) assert(tg > 0.0 && tg <= 1.0) else assert(tg == 0.0)
-        // all-equal tokens → maximal repetition on every signal
-        if (ratio == 1.0 / n) { assert(run == n); if (n >= 2) assert(bg == 1.0) }
+        // all-equal tokens → maximal repetition on every signal (ratio is
+        // rounded to 6 decimals, so compare with tolerance — an exact
+        // 1.0/n match would skip the guard for n = 3, 6, 7, ...)
+        if (math.abs(ratio - 1.0 / n) < 1e-6 && n > 1) {
+          assert(run == n); assert(bg == 1.0)
+        }
       }
   }
 

@@ -133,10 +133,20 @@ class ProjSpec extends SparkSpec {
     // longlat is the identity
     Proj.parse("+proj=longlat +ellps=WGS84").fromLonLat(5.0, 45.0) shouldBe
       ((5.0, 45.0))
-    // malformed inputs keep the typed-error contract
+    // PROJ default: omitted +lat_0 is 0, not lat_1
+    val lccDefault = Proj.parse("+proj=lcc +lat_1=33 +lat_2=45 +lon_0=-95 +ellps=GRS80")
+    val lccExplicit = Proj.parse("+proj=lcc +lat_0=0 +lat_1=33 +lat_2=45 +lon_0=-95 +ellps=GRS80")
+    val (xd, yd) = lccDefault.fromLonLat(-90.0, 40.0)
+    val (xe2, ye2) = lccExplicit.fromLonLat(-90.0, 40.0)
+    xd shouldBe xe2 +- 1e-9
+    yd shouldBe ye2 +- 1e-9
+    // malformed inputs keep the typed-error contract; ellipsoidal merc is
+    // rejected rather than silently computed on the sphere
     for (bad <- Seq("+proj=foo", "+proj=utm", "+proj=utm +zone=99",
         "+proj=tmerc +lat_0=abc", "+proj=lcc",
-        "+proj=tmerc +towgs84=1,2,3,4,5", "no plus prefix"))
+        "+proj=tmerc +towgs84=1,2,3,4,5", "no plus prefix",
+        "+proj=merc +ellps=WGS84", "+proj=merc",
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=30"))
       intercept[OpenEoError] {
         val pd = CrsRef.parse(bad) match {
           case DefRef(p) => p
@@ -163,5 +173,13 @@ class ProjSpec extends SparkSpec {
     val r2 = Filters.filterBboxRef(c, 11.2, 46.4, 11.4, 46.6,
       CrsRef.parse("EPSG:4326"))
     r2.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
+    // a cube WITHOUT a parseable CRS keeps the assume-same-CRS convention
+    // even for a proj-string bbox: raw-coordinate compare, no silent
+    // 4326 transform (which would compare degrees against meters)
+    val noCrs = Cube(c0.df, c0.meta.copy(crs = None))
+    val r3 = Filters.filterBboxRef(noCrs,
+      west = x1 - 1, south = y1 - 1, east = x1 + 1, north = y1 + 1,
+      bboxCrs = CrsRef.parse("+proj=utm +zone=32 +ellps=WGS84"))
+    r3.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
   }
 }

@@ -213,6 +213,32 @@ class RunUdfSpec extends SparkSpec {
     got.toSeq shouldBe Seq(4.0, 6.0)
   }
 
+  test("multi-node reducer subgraph feeding run_udf is rejected, not silently truncated") {
+    import graft.compile.GraphCompiler
+    import graft.ops.Scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-udfred2").toString
+    cubeOf(("2024-01-01", "A", 0, 0, -3.0), ("2024-01-02", "A", 0, 0, 1.0))
+      .df.write.mode("overwrite").parquet(s"$dir/c")
+    val catalog = Map("c" -> Scan.CollectionSpec(s"$dir/c", bandOrder = Seq("A")))
+    // absolute() stage before run_udf: compiling just the UDF over the raw
+    // column would yield max(-3,1)=1 instead of max(3,1)=3 — must raise
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
+      "rd": {"process_id": "reduce_dimension", "arguments": {
+        "data": {"from_node": "load"}, "dimension": "t",
+        "reducer": {"process_graph": {
+          "a": {"process_id": "absolute", "arguments": {
+            "x": {"from_parameter": "data"}}},
+          "u": {"process_id": "run_udf", "arguments": {
+            "data": {"from_node": "a"},
+            "udf": "function(x, context) { max(x) }",
+            "runtime": "R"}, "result": true}}}},
+        "result": true}
+    }"""
+    an[IllegalArgumentException] should be thrownBy
+      new GraphCompiler(spark, catalog, dir).compile(graph)
+  }
+
   test("runOnTiles sees whole (time, band) slices and can transform them") {
     val c = cubeOf(
       ("2024-01-01", "A", 0, 0, 1.0), ("2024-01-01", "A", 0, 1, 3.0),

@@ -235,4 +235,32 @@ class SinksSpec extends SparkSpec {
     // file ends exactly at the last var's padded data
     valueBegin + valueVsize shouldBe b.length
   }
+
+  test("NetCDF sink sizes non-ASCII band names in UTF-8 bytes; dtype cast reaches the .nc") {
+    import org.apache.spark.sql.functions._
+    // "Bänd" = 4 chars but 5 UTF-8 bytes — vsize must use bytes or every
+    // later variable offset is wrong (nc3check-style end check catches it)
+    val df = Seq(("Bänd", 0.0, 0.0, 2.7), ("B2", 0.0, 1.0, 3.9))
+      .toDF("band", "y", "x", "value")
+    val c = Cube(df, CubeMeta(bandOrder = Seq("Bänd", "B2")))
+    val dir = java.nio.file.Files.createTempDirectory("nc2").toString
+    val p = Sinks.writeNetcdf(c, s"$dir/u.nc")
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    new String(b.take(3), "US-ASCII") shouldBe "CDF"
+    // structural invariant: total size = header + padded var sizes; a
+    // char-count strlen would shift every offset and break this
+    b.length % 4 shouldBe 0
+    // dtype cast reaches the rendition: save as NETCDF with dtype=int
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val outDir = java.nio.file.Files.createTempDirectory("nc3").toString
+    Sinks.saveResult(c, "NETCDF", outDir,
+      Some(mapper.readTree("""{"dtype":"int"}""")))
+    val nc = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/result.nc"))
+    val buf = java.nio.ByteBuffer.wrap(nc)
+    // value data sits at the tail: last 2 floats (2 bands × 1 y × 2 x =
+    // 4 cells, 2 filled); collect all and check the cast values 2 and 3
+    val floats = (0 until 4).map(i => buf.getFloat(nc.length - 16 + i * 4))
+    floats.filterNot(_.isNaN).toSet shouldBe Set(2f, 3f)
+  }
 }
