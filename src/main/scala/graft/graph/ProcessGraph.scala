@@ -93,7 +93,10 @@ final case class ProcessGraph(nodes: Map[String, ProcessGraph.Node]) {
     visited.toSeq.map(nodes)
   }
 
-  /** The node flagged `"result": true` (or the last topological node). */
+  /** The node flagged `"result": true`. The openEO spec requires exactly
+    * one; silently falling back to "the last topological node" would
+    * compute an arbitrary intermediate when a client forgets the flag. */
   def resultNode: Node =
-    nodes.values.find(_.result).getOrElse(topoSorted.last)
+    nodes.values.find(_.result).getOrElse(throw new IllegalArgumentException(
+      "process graph has no node with \"result\": true"))
 }

@@ -54,8 +54,8 @@ class GraphCompilerSpec extends SparkSpec {
         "reducer": {"process_graph": {
           "m": {"process_id": "median",
                 "arguments": {"data": {"from_parameter": "data"}},
-                "result": true}}},
-        "result": true}}
+                "result": true}}}},
+        "result": true}
     }"""
 
   test("parser: topo order puts dependencies first; result node found") {
@@ -294,5 +294,54 @@ class GraphCompilerSpec extends SparkSpec {
     // max over days: d=3 slice
     c.df.where(col("band") === "B08" && col("y") === 0.0 && col("x") === 0.0)
       .head().getDouble(4) shouldBe 830.0
+  }
+
+  test("malformed graphs fail with explanatory errors, never NPE/MatchError") {
+    // systematic corruptions of a valid graph: every one must raise SOME
+    // exception with a message — never a bare NullPointerException,
+    // MatchError, or StackOverflowError (the crash classes a fuzzer
+    // would count as compiler bugs rather than input errors)
+    val broken = Seq(
+      // unknown process id
+      """{"n": {"process_id": "frobnicate", "arguments": {}, "result": true}}""",
+      // missing arguments object
+      """{"n": {"process_id": "load_collection", "result": true}}""",
+      // from_node referencing a nonexistent node
+      """{"n": {"process_id": "reduce_dimension", "arguments": {
+           "data": {"from_node": "ghost"}, "dimension": "t",
+           "reducer": {"process_graph": {"m": {"process_id": "max",
+             "arguments": {"data": {"from_parameter": "data"}},
+             "result": true}}}}, "result": true}}""",
+      // unknown collection id
+      """{"n": {"process_id": "load_collection",
+           "arguments": {"id": "nope"}, "result": true}}""",
+      // no result node at all
+      """{"n": {"process_id": "load_collection",
+           "arguments": {"id": "s2_l2a"}}}""",
+      // reducer with an empty process graph
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+          "n": {"process_id": "reduce_dimension", "arguments": {
+           "data": {"from_node": "l"}, "dimension": "t",
+           "reducer": {"process_graph": {}}}, "result": true}}""",
+      // argument of the wrong JSON type
+      """{"l": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+          "n": {"process_id": "filter_bands", "arguments": {
+           "data": {"from_node": "l"}, "bands": 42}, "result": true}}""",
+      // cyclic from_node reference
+      """{"a": {"process_id": "merge_cubes", "arguments": {
+           "cube1": {"from_node": "b"}, "cube2": {"from_node": "b"}}},
+          "b": {"process_id": "merge_cubes", "arguments": {
+           "cube1": {"from_node": "a"}, "cube2": {"from_node": "a"}},
+           "result": true}}""",
+      // not json at all
+      """this is not json""")
+    broken.foreach { g =>
+      val e = intercept[Throwable](compiler.compile(g))
+      withClue(s"graph: ${g.take(60)}... threw ${e.getClass.getName}: ") {
+        e should not be a[NullPointerException]
+        e should not be a[MatchError]
+        e should not be a[StackOverflowError]
+      }
+    }
   }
 }

@@ -101,6 +101,24 @@ class ServerSpec extends SparkSpec {
     df.agg(org.apache.spark.sql.functions.min("value")).head().getDouble(0) should be > 1.0
   }
 
+  test("POST /graph accepts a proj-string crs in filter_bbox") {
+    // bbox corners in the cube's own CRS given as a +proj string: the
+    // DefRef path round-trips through lon/lat (mm error) and keeps all
+    // cells of the tiny grid
+    val graph = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
+      "bb": {"process_id": "filter_bbox", "arguments": {
+        "data": {"from_node": "load"},
+        "extent": {"west": -1, "south": -1, "east": 2, "north": 2,
+          "crs": "+proj=utm +zone=32 +ellps=WGS84"}},
+        "result": true}
+    }"""
+    val (code, body) = http("POST", "/graph", graph)
+    code shouldBe 200
+    val out = body.split("\"output\":\"")(1).split("\"")(0)
+    spark.read.parquet(out).count() shouldBe 16 // nothing filtered
+  }
+
   test("POST /graph with a typed openEO error returns the spec shape") {
     val graph = """{
       "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
