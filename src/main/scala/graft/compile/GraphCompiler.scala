@@ -388,22 +388,22 @@ final class GraphCompiler(
     val temporal = n.arguments.get("temporal_extent")
       .map(extentPair(_, results))
     // spatial_extent carries its own CRS (default 4326) like the reference
-    // scan (openeo_odc_driver.py:128-221, load_odc_collection.py:86-100)
-    def extentEpsg(v: JsonNode): Int = Option(v.get("crs")).map { c =>
-      if (c.isNumber) c.asInt
-      else Filters.crsEpsg(c.asText).getOrElse(
-        throw new IllegalArgumentException(s"spatial_extent crs: ${c.asText}"))
-    }.getOrElse(4326)
-    val (bbox, polygon, extEpsg) = n.arguments.get("spatial_extent") match {
+    // scan (openeo_odc_driver.py:128-221, load_odc_collection.py:86-100);
+    // numeric EPSG, "EPSG:NNNN", and full proj-strings all resolve
+    def extentCrs(v: JsonNode): graft.ops.CrsRef = Option(v.get("crs")).map { c =>
+      if (c.isNumber) graft.ops.EpsgRef(c.asInt)
+      else graft.ops.CrsRef.parse(c.asText)
+    }.getOrElse(graft.ops.EpsgRef(4326))
+    val (bbox, polygon, extRef) = n.arguments.get("spatial_extent") match {
       case Some(LitArg(v)) if v.has("coordinates") =>
-        (None, Some(coordinatesRings(v.get("coordinates"))), extentEpsg(v))
+        (None, Some(coordinatesRings(v.get("coordinates"))), extentCrs(v))
       case Some(LitArg(v)) if v.has("west") =>
         (Some((v.get("west").asDouble, v.get("south").asDouble,
-          v.get("east").asDouble, v.get("north").asDouble)), None, extentEpsg(v))
-      case _ => (None, None, 4326)
+          v.get("east").asDouble, v.get("north").asDouble)), None, extentCrs(v))
+      case _ => (None, None, graft.ops.EpsgRef(4326))
     }
     val scanned = Scan.loadCollection(spark, spec, bands, temporal, bbox,
-      bboxEpsg = extEpsg, polygon = polygon, polygonEpsg = extEpsg)
+      polygon = polygon, extentCrs = Some(extRef))
     // the fold must REGRID THE DATA, not just rewrite grid metadata — the
     // reference's ODC load really resamples (load_odc_collection.py:128-173)
     resample.map(applyResampleFold(scanned, _, results)).getOrElse(scanned)

@@ -77,9 +77,17 @@ object Filters {
   /** `filter_spatial` — clip to polygon(s): reproject vertices driver-side,
     * then a codegen point-in-polygon predicate (openeo_odc_driver.py:686-707
     * rasterizes instead). Rows outside are dropped (semi-join semantics). */
-  def filterSpatial(c: Cube, rings: Seq[Geo.Ring], ringsEpsg: Int = 4326): Cube = {
-    val cubeEpsg = c.meta.crs.flatMap(crsEpsg).getOrElse(ringsEpsg)
-    val proj = rings.map(Crs.transformRing(_, ringsEpsg, cubeEpsg))
+  def filterSpatial(c: Cube, rings: Seq[Geo.Ring], ringsEpsg: Int = 4326): Cube =
+    filterSpatialRef(c, rings, EpsgRef(ringsEpsg))
+
+  /** [[filterSpatial]] over a general [[CrsRef]] (same CRS conventions as
+    * [[filterBboxRef]]). */
+  def filterSpatialRef(c: Cube, rings: Seq[Geo.Ring], ringsCrs: CrsRef): Cube = {
+    val proj = c.meta.crs.flatMap(crsEpsg) match {
+      case Some(cubeEpsg) =>
+        rings.map(Crs.transformRingFrom(_, ringsCrs, cubeEpsg))
+      case None => rings // CRS-less cube: assume it lives in the rings' CRS
+    }
     // cheap bbox pre-filter first so parquet row-group stats can skip,
     // then the exact point-in-polygon test
     val boxes = proj.map(Geo.bboxOf)

@@ -44,7 +44,10 @@ object Scan {
       bbox: Option[(Double, Double, Double, Double)] = None, // w, s, e, n
       bboxEpsg: Int = 4326,
       polygon: Option[Seq[Geo.Ring]] = None,
-      polygonEpsg: Int = 4326): Cube = {
+      polygonEpsg: Int = 4326,
+      // general CRS reference for the spatial extent (proj-string capable);
+      // overrides bboxEpsg/polygonEpsg when set
+      extentCrs: Option[CrsRef] = None): Cube = {
     var df = spark.read.parquet(spec.path)
     val meta = CubeMeta(crs = spec.crs, grid = spec.grid,
       bandOrder = if (bands.nonEmpty) bands else spec.bandOrder)
@@ -74,11 +77,13 @@ object Scan {
     if (df.columns.contains("p_date")) df = df.drop("p_date")
     var cube = Cube(df, meta)
     bbox.foreach { case (w, s, e, n) =>
-      cube = Filters.filterBbox(cube, w, s, e, n, bboxEpsg)
+      cube = Filters.filterBboxRef(cube, w, s, e, n,
+        extentCrs.getOrElse(EpsgRef(bboxEpsg)))
     }
     polygon.foreach { rings =>
       // bbox pre-filter + exact point-in-polygon, like rasterize+mask
-      cube = Filters.filterSpatial(cube, rings, polygonEpsg)
+      cube = Filters.filterSpatialRef(cube, rings,
+        extentCrs.getOrElse(EpsgRef(polygonEpsg)))
     }
     // per-band nodata→null, then value*scale+offset (scan-level projection)
     if (spec.adjust.nonEmpty) {

@@ -186,6 +186,17 @@ class GraphCompilerSpec extends SparkSpec {
     val c = compiler.compile(g).asInstanceOf[Cube]
     c.df.count() shouldBe 6 // 2 bands × 3 days × 1 pixel
     c.df.select("x").distinct().head().getDouble(0) shouldBe 0.0
+    // the same extent as a +proj STRING resolves through the parser (the
+    // DefRef path round-trips via lon/lat: mm error, same pixel)
+    val gp = """{
+      "load": {"process_id": "load_collection", "arguments": {
+        "id": "s2_l2a",
+        "spatial_extent": {"west": -0.5, "south": -0.5,
+                           "east": 0.5, "north": 0.5,
+                           "crs": "+proj=utm +zone=32 +ellps=WGS84"}},
+        "result": true}}"""
+    val cp = compiler.compile(gp).asInstanceOf[Cube]
+    cp.df.count() shouldBe 6
   }
 
   test("run_udf with element-wise R source executes via the expression compiler") {
