@@ -169,4 +169,22 @@ object StreamingOps {
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .where(col("quality") >= minQuality)
   }
+
+  /** Streaming curation gate: the quality + top-bigram-repetition filters
+    * of the batch curation pipeline as a STATELESS streaming stage — the
+    * exact same expressions, so stream output == batch output on the same
+    * rows (pinned in StreamingSpec). The stateful stages downstream
+    * (dedup, sessionization) compose via [[dedupExactStream]] etc. */
+  def curationGateStream(df: DataFrame, textCol: String,
+      minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
+    import graft.text.TextAnalysis
+    val st = graft.functions.TextHashExprs
+      .repetitionStats(lower(trim(col(textCol))))
+    df.withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("top_bigram_frac", round(when(st.getField("n2") > 0,
+        st.getField("top2").cast("double") /
+          st.getField("n2").cast("double")).otherwise(0.0), 6))
+      .where(col("quality") >= minQuality &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
+  }
 }

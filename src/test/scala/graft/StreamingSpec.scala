@@ -229,6 +229,38 @@ class StreamingSpec extends SparkSpec {
     spark.table("sess_stale").where(col("y") === 5.0).count() shouldBe 0
   }
 
+  test("streaming curation gate equals the batch filter on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog and runs on through the quiet field to rest " * 2,
+      "spam spam spam spam spam spam spam spam spam spam spam spam",
+      "a b",
+      ("the cat and the dog of the house with many fine friends sat " * 3))
+    val stream = MemoryStream[(Timestamp, String)]
+    val out = StreamingOps.curationGateStream(
+      stream.toDF().toDF("etime", "text"), "text",
+      minQuality = 0.5, maxTopBigramFrac = 0.5)
+    val q = out.writeStream.format("memory").queryName("curation")
+      .outputMode("append").start()
+    stream.addData(docs.zipWithIndex.map { case (t, i) =>
+      (ts(f"2024-01-01 00:0$i:00"), t) })
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curation").select("text", "quality",
+      "top_bigram_frac").collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    import spark.implicits._
+    val batch = StreamingOps.curationGateStream(
+      docs.toDF("text").withColumn("etime", lit(ts("2024-01-01 00:00:00"))),
+      "text", 0.5, 0.5)
+      .select("text", "quality", "top_bigram_frac").collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    streamed shouldBe batch
+    // the gate actually filters: the all-spam doc is repetition-rejected
+    streamed.map(_._1).exists(_.startsWith("spam")) shouldBe false
+    streamed should not be empty
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
