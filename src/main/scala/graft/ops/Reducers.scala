@@ -152,7 +152,7 @@ object Reducers {
     val agged = c.df.groupBy(keep.map(col): _*)
       .agg(percentile(col(Cube.ValueCol), array(probs.map(lit): _*)).as("_qs"))
     val out = agged.select(
-      agged.columns.filter(_ != "_qs").map(col) :+ posexplode(col("_qs")): _*)
+      agged.columns.filter(_ != "_qs").toIndexedSeq.map(col) :+ posexplode(col("_qs")): _*)
       .withColumnRenamed("pos", "quantile_idx")
       .withColumnRenamed("col", Cube.ValueCol)
     Cube(out, c.meta)

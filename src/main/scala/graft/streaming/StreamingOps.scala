@@ -130,7 +130,7 @@ object StreamingOps {
               // watermark; an unguarded s.last+gapMs could then be <= the
               // current watermark, which Spark rejects and the query dies.
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
