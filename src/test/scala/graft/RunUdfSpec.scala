@@ -268,6 +268,37 @@ class RunUdfSpec extends SparkSpec {
     r.df.head().getAs[Double]("value") shouldBe 4.0
   }
 
+  test("runOnTiles with chunk_size bounds tiles and matches unchunked output") {
+    import graft.cube.{Cube, CubeMeta, GridRef}
+    import spark.implicits._
+    // 6×6 grid, chunk 2 → 9 spatial tiles; a per-point fn must give the
+    // same result chunked and unchunked, and the fn must never see a tile
+    // larger than chunkSize²
+    val rows = for { y <- 0 until 6; x <- 0 until 6 }
+      yield (y.toDouble, x.toDouble, (y * 6 + x).toDouble)
+    val df = rows.toDF("y", "x", "value")
+    val c = Cube(df, CubeMeta(grid = Some(GridRef(0, 0, 1, 1))))
+    val chunked = RunUdf.runOnTiles(c,
+      (_, _, pts) => pts.map(p => TilePoint(p.y, p.x, p.value * 2)),
+      chunkSize = Some(2))
+      .df.collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    chunked((3.0, 4.0)) shouldBe (3 * 6 + 4) * 2.0
+    chunked.size shouldBe 36
+    // tile-size bound: have the fn WRITE its tile size into the values
+    // (the closure is serialized per task, so a driver-side queue would
+    // stay empty); the 6×6 grid at chunk 2 must give exactly 2×2 tiles
+    val sizes = RunUdf.runOnTiles(c,
+      (_, _, pts) => pts.map(p => TilePoint(p.y, p.x, pts.length.toDouble)),
+      chunkSize = Some(2))
+      .df.select("value").collect().map(_.getDouble(0))
+    sizes.max shouldBe 4.0
+    sizes.min shouldBe 4.0
+    val whole = RunUdf.runOnTiles(c, (_, _, pts) =>
+      pts.map(p => TilePoint(p.y, p.x, p.value * 2)))
+      .df.collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    whole shouldBe chunked
+  }
+
   test("runOnValues applies a scalar function per cell") {
     val c = cubeOf(("2024-01-01", "A", 0, 0, 9.0))
     RunUdf.runOnValues(c, math.sqrt).df.head()
