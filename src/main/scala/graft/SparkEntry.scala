@@ -609,6 +609,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // transitive closure of the near-dup pair list: alternating
+      // large-star/small-star connected components (O(log n) rounds of
+      // edge-list shuffles, no driver-side graph state); cluster label =
+      // component minimum doc_id
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("cluster"))
+    }),
+    "q_dedup_corpus" -> ((s, dir) => {
+      // the materialization a pipeline actually ships: keep the minimum
+      // doc per duplicate cluster + every singleton; the cluster label
+      // table is tiny next to the corpus, so the join back is broadcast
+      // and the corpus itself never shuffles
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      Dedup.dedupCorpus(d, pairs, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     // --- similarity search over embeddings ------------------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1432,6 +1454,52 @@ object SparkEntry {
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""",
+    "q_dedup_clusters" ->
+      // same pair CTE as q_ngram_jaccard, then the transitive closure as
+      // a recursive CTE (set-semantics UNION terminates); cluster =
+      // minimum reachable id, matching the large/small-star fixpoint
+      """WITH RECURSIVE sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         e AS (SELECT id_a AS u, id_b AS v FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach(u, v) AS (SELECT u, v FROM e
+               UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+                     WHERE e.v <> r.u)
+         SELECT u AS doc_id, least(u, min(v)) AS cluster
+         FROM reach GROUP BY u""",
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         e AS (SELECT id_a AS u, id_b AS v FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach(u, v) AS (SELECT u, v FROM e
+               UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+                     WHERE e.v <> r.u),
+         lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+         WHERE lbl.cluster IS NULL OR lbl.cluster = d.doc_id""",
     "q_ann_topk" ->
       // ordered-aggregate dot product matches Spark's left-to-right
       // `aggregate` fold bit-for-bit (see Similarity scaladoc)

@@ -317,4 +317,45 @@ class LawsSpec extends SparkSpec {
     out.where(!col("contaminated")).count() shouldBe 0
     out.where(col("n_hits") < 1).count() shouldBe 0
   }
+
+  test("law: connectedComponents equals union-find on random pair graphs") {
+    // brute-force referee: driver-side union-find over the same edges
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+        var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val edgeGen = for {
+      a <- Gen.choose(0, 39); b <- Gen.choose(0, 39) if a != b
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong)
+    for (seed <- Seq(1L, 7L, 23L)) {
+      val edges = sample(edgeGen, 30, seed).distinct
+      val expectedAll = unionFind(40, edges)
+      val inPairs = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = expectedAll.filter { case (k, _) => inPairs(k) }
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe expected
+    }
+    // adversarial diameter: a path graph must still collapse to one root
+    val path = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val labels = graft.text.Dedup.connectedComponents(path, "id_a", "id_b")
+    labels.select("cluster").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    labels.count() shouldBe 30
+  }
+
+  test("law: dedupCorpus keeps exactly one doc per cluster plus singletons") {
+    val docs = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {0,1,2}, {5,6}; singletons elsewhere
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.text.Dedup.dedupCorpus(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe ((0L until 20L).toSet -- Set(1L, 2L, 6L))
+  }
 }
