@@ -657,6 +657,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         centroidsOverride = Some(cents))
     }),
+    "q_ann_topk_pq" -> ((s, dir) => {
+      // product-quantization ADC ANN: corpus → m=4 codes + one norm per
+      // vector (nearest subspace centroid, literal-argmin projection);
+      // query scores = LUT sums. Codebook from the 16 lowest-id rows so
+      // the oracle can derive the identical centroids in SQL.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.topKPq(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 4, ksub = 16)
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
@@ -1595,6 +1604,59 @@ object SparkEntry {
                       JOIN n nc ON nc.vec_id = neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM s WHERE rank <= 5""",
+    "q_ann_topk_pq" ->
+      // PQ-ADC: centroids = subvector slices of the 16 lowest-id rows
+      // (s = subspace 0-3, j = dim within subspace); code assignment by
+      // the same |v|² − 2·v·c + |c|² expansion as Spark's argmin with
+      // ties to the lowest code; approximate cos = LUT sum over s /
+      // (|q| · reconstructed |v̂|) — every sum ordered to match Spark's
+      // left-to-right folds bit-for-bit
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         sel AS (SELECT vec_id, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, v
+                 FROM el),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT c, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, cv FROM
+             (SELECT c, CAST(unnest(embedding) AS DOUBLE) AS cv,
+                generate_subscripts(embedding, 1) AS i FROM cents)),
+         cn2 AS (SELECT c, s, SUM(cv*cv ORDER BY j) AS nc2
+                 FROM cel GROUP BY 1, 2),
+         vn2 AS (SELECT vec_id, s, SUM(v*v ORDER BY j) AS n2v
+                 FROM sel GROUP BY 1, 2),
+         vdot AS (SELECT e.vec_id, ce.c, ce.s,
+               SUM(e.v * ce.cv ORDER BY e.j) AS dvc
+             FROM sel e JOIN cel ce ON ce.s = e.s AND ce.j = e.j
+             GROUP BY 1, 2, 3),
+         dist AS (SELECT d.vec_id, d.s, d.c,
+               ((v.n2v - (2.0 * d.dvc)) + c2.nc2) AS d2
+             FROM vdot d JOIN vn2 v ON v.vec_id = d.vec_id AND v.s = d.s
+                  JOIN cn2 c2 ON c2.c = d.c AND c2.s = d.s),
+         codes AS (SELECT vec_id, s, c FROM (
+               SELECT vec_id, s, c, row_number() OVER (
+                 PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM dist)
+             WHERE rn = 1),
+         rrn AS (SELECT cd.vec_id, sqrt(SUM(c2.nc2 ORDER BY cd.s)) AS rn
+                 FROM codes cd JOIN cn2 c2 ON c2.c = cd.c AND c2.s = cd.s
+                 GROUP BY 1),
+         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el
+                WHERE vec_id < 10 GROUP BY 1),
+         qlut AS (SELECT q.vec_id AS query_id, ce.c, ce.s,
+               SUM(q.v * ce.cv ORDER BY q.j) AS qdot
+             FROM sel q JOIN cel ce ON ce.s = q.s AND ce.j = q.j
+             WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         approx AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+               SUM(l.qdot ORDER BY cd.s) AS adot
+             FROM codes cd JOIN qlut l ON l.c = cd.c AND l.s = cd.s
+             WHERE l.query_id <> cd.vec_id GROUP BY 1, 2),
+         sc AS (SELECT a.query_id, a.neighbor_id,
+               a.adot / (q.nrm * r.rn) AS cos,
+               row_number() OVER (PARTITION BY a.query_id
+                 ORDER BY a.adot / (q.nrm * r.rn) DESC, a.neighbor_id) AS rank
+             FROM approx a JOIN qn q ON q.vec_id = a.query_id
+                  JOIN rrn r ON r.vec_id = a.neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM sc WHERE rank <= 5""",
     "q_dedup_embedding" ->
       """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),

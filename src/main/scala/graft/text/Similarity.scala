@@ -324,6 +324,110 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
 
+  // --- Product quantization (PQ / ADC) --------------------------------
+
+  /** Per-subspace PQ codebook: `cents(s)` lists (code, centroid
+    * subvector) for subspace `s`, codes dense 0..ksub-1; every subvector
+    * has length `dsub`. */
+  final case class PqCodebook(dsub: Int,
+      cents: Array[Array[(Long, Array[Double])]]) {
+    def m: Int = cents.length
+  }
+
+  /** Deterministic, SQL-derivable codebook: subspace centroids are the
+    * subvector slices of the `ksub` lowest-id corpus rows (the oracle's
+    * formulation — real deployments train with [[pqTrain]]). */
+  def pqCodebookFromRows(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): PqCodebook = {
+    val rows = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(ksub).collect()
+    val vecs = rows.map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    val d = vecs.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    PqCodebook(dsub, Array.tabulate(m) { s =>
+      vecs.zipWithIndex.map { case (v, c) =>
+        (c.toLong, v.slice(s * dsub, (s + 1) * dsub)) }
+    })
+  }
+
+  /** Train per-subspace codebooks with the distributed Lloyd's trainer
+    * ([[kmeansCentroids]] over each subvector slice — m small k-means
+    * problems instead of one d-dimensional one; that factorization is
+    * the whole point of PQ). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      ksub: Int, iters: Int = 5, seed: Long = 42L): PqCodebook = {
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    PqCodebook(dsub, Array.tabulate(m) { s =>
+      kmeansCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), s * dsub + 1, dsub).as("_sub")),
+        idCol, "_sub", ksub, iters, seed)
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Number](1).map(_.doubleValue()).toArray))
+        .sortBy(_._1)
+    })
+  }
+
+  /** ANN top-k via product quantization with asymmetric distance
+    * computation (ADC, Jégou et al. 2011): corpus vectors are encoded as
+    * m codes (nearest subspace centroid per m-way split of the vector);
+    * a query scores a candidate by summing its per-subspace lookup-table
+    * entries. Ranking score = approximate cosine
+    * `q·v̂ / (|q|·|v̂|)` where `v̂` is the PQ reconstruction.
+    *
+    * The 100 TB story: the scored corpus representation is m codes plus
+    * one norm (~20 bytes at m=4) instead of 4·d vector bytes (256 B at
+    * d=64) — the candidate scan shrinks ~12× and per-candidate cost is m
+    * table lookups instead of d multiplies; the encode is one
+    * literal-argmin projection per subspace (zero shuffle, exactly
+    * [[ivfAssign]]'s shape), and the top-k tail is the same bounded
+    * partial aggregate as brute force. Compose with IVF probing
+    * ([[topKIvf]]) for a full IVF-PQ index.
+    *
+    * Determinism: code assignment uses the |v|²−2v·c+|c|² expansion with
+    * left-to-right folds and ties to the lowest code; the ADC sum folds
+    * subspaces in order — every double is reproducible by the DuckDB
+    * oracle's ordered aggregates. */
+  def topKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ksub: Int = 16,
+      codebookOverride: Option[PqCodebook] = None, trainIters: Int = 0,
+      seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    val cb = codebookOverride.getOrElse(
+      if (trainIters > 0) pqTrain(corpus, idCol, vecCol, m, ksub,
+        trainIters, seed)
+      else pqCodebookFromRows(corpus, idCol, vecCol, m, ksub))
+    def sub(v: Column, s: Int): Column = slice(v, s * cb.dsub + 1, cb.dsub)
+    // encode: per-subspace literal argmin — m codegen projections, no join
+    val codeCols = (0 until cb.m).map(s =>
+      argminCentroid(sub(col(vecCol), s), cb.cents(s)).as(s"_c$s"))
+    val enc = corpus.select(col(idCol).as("neighbor_id") +: codeCols: _*)
+    // reconstructed |v̂|: centroid-norm table lookup per chosen code
+    def cn2Lit(s: Int): Column = array(cb.cents(s).map { case (_, cv) =>
+      lit(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toIndexedSeq: _*)
+    val rn2 = (0 until cb.m).map(s =>
+      element_at(cn2Lit(s), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
+    val encN = enc.withColumn("_rn", sqrt(rn2))
+    // query LUTs: per-subspace dot with every centroid (m × ksub doubles
+    // per query — computed once, broadcast)
+    def lutLit(s: Int): Column = array(cb.cents(s).map { case (_, cv) =>
+      dot(sub(col("_qv"), s), array(cv.map(lit).toIndexedSeq: _*))
+    }.toIndexedSeq: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(Seq(col("query_id"), sqrt(norm2(col("_qv"))).as("_qn")) ++
+        (0 until cb.m).map(s => lutLit(s).as(s"_lut$s")): _*))
+    val joined = encN.join(q,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val adot = (0 until cb.m).map(s =>
+      element_at(col(s"_lut$s"), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
+    val scored = joined.withColumn("cos", adot / (col("_qn") * col("_rn")))
+    rankTopK(scored, k)
+  }
+
   /** Near-dup pairs via sign-LSH blocking + exact verify — the scale path:
     * the pair space shrinks from O(n²) to pairs sharing a band bucket. */
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,

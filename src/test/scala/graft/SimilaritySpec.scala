@@ -132,4 +132,54 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     ivf shouldBe bf
   }
+
+  test("PQ with every vector its own centroid reproduces brute force exactly") {
+    // m=1, ksub=|corpus|: each vector's nearest "subspace centroid" is
+    // itself, so the reconstruction is exact and ADC == exact cosine —
+    // ranks AND rounded cos values must match brute force bit-for-bit
+    val bf = Similarity.topKBruteForce(tiny, tiny, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val pq = Similarity.topKPq(tiny, tiny, "vec_id", "embedding", 3,
+      m = 1, ksub = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    pq shouldBe bf
+  }
+
+  test("PQ ADC retrieves neighbors from the query's own cluster") {
+    // PQ's guarantee is coarse: quantization error (~codebook cell size)
+    // exceeds the within-cluster noise, so exact rank order inside a
+    // cluster is not preserved — but every retrieved neighbor must come
+    // from the query's cluster, whose centroids are far apart
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      c <- 0 until 4; i <- 0 until 20
+    } yield {
+      val base = Array.fill(16)(0.0); base(c * 4) = 1.0
+      (c * 100L + i, base.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+    // trained codebook: m=4 subspaces of 4 dims, 8 codes each
+    val ann = Similarity.topKPq(df, queries, "vec_id", "embedding", 3,
+      m = 4, ksub = 8, trainIters = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ann should have size 12 // 4 queries × k=3
+    ann.foreach { case (q, n) => n / 100 shouldBe q / 100 }
+  }
+
+  test("PQ encode/score is deterministic under repartitioning") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.topKPq(d, q, "vec_id", "embedding", 5, m = 4, ksub = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    run(df) shouldBe run(df.repartition(7))
+  }
 }
