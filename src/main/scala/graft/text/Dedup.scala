@@ -333,7 +333,8 @@ object Dedup {
     // edges kept SYMMETRIC between rounds: both stars group by u and need
     // every node's full neighborhood visible under its own key
     var edges = sym0.localCheckpoint(true)
-    var converged = false
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
     var it = 0
     while (!converged && it < maxIter) {
       // large-star: m = min over N(u) ∪ {u}; larger neighbors re-link
@@ -351,13 +352,15 @@ object Dedup {
         .where(col("u") =!= col("v")).distinct()
       val next = small.union(small.select(col("v").as("u"), col("u").as("v")))
         .distinct().localCheckpoint(true)
-      // exact convergence test: the symmetric edge set is unchanged.
-      // Two anti-join counts on the (small) edge list — no checksum
-      // probabilism. At convergence edges form a star forest keyed by
-      // each component's minimum.
-      val grew = next.join(edges, Seq("u", "v"), "left_anti").limit(1).count()
-      val shrank = edges.join(next, Seq("u", "v"), "left_anti").limit(1).count()
-      converged = grew == 0 && shrank == 0
+      // exact convergence test: the symmetric edge set is unchanged —
+      // equal cardinality plus an empty one-sided anti-join implies set
+      // equality (no checksum probabilism, one count + one anti-join per
+      // round on the small checkpointed list). At convergence edges form
+      // a star forest keyed by each component's minimum.
+      val cnt = next.count()
+      converged = cnt == prevCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0L
+      prevCount = cnt
       edges = next
       it += 1
     }

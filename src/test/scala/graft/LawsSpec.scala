@@ -357,5 +357,8 @@ class LawsSpec extends SparkSpec {
     val kept = graft.text.Dedup.dedupCorpus(docs, pairs, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     kept shouldBe ((0L until 20L).toSet -- Set(1L, 2L, 6L))
+    // no pairs → the corpus passes through untouched
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    graft.text.Dedup.dedupCorpus(docs, none, "doc_id").count() shouldBe 20
   }
 }

@@ -256,4 +256,40 @@ class PlanQualitySpec extends SparkSpec {
     plan should include("partial_max")
     plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
   }
+
+  test("PQ encode is one projection; scoring join broadcasts the query LUTs") {
+    import spark.implicits._
+    val corpus = (0L until 64L).map(i =>
+      (i, Array.fill(8)((i % 5).toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 2)
+    val df = graft.text.Similarity.topKPq(corpus, queries,
+      "vec_id", "embedding", k = 3, m = 2, ksub = 4)
+    val plan = planString(df)
+    // corpus side: scan → m argmin projections → join → partial top-k;
+    // the only hash exchange is the ≤ k-rows-per-query aggregate shuffle
+    plan should include("BroadcastNestedLoopJoin")
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    // below the partial aggregate (the corpus side) there is no explode
+    // amplification and no shuffle — the only Generate is rankTopK's
+    // k-rows-per-query posexplode ABOVE the aggregate
+    val corpusSide = plan.substring(plan.indexOf("partial_topkagg"))
+    corpusSide should not include "Generate"
+    corpusSide should not include "Exchange hashpartitioning"
+  }
+
+  test("dedupCorpus broadcasts the cluster-label table; corpus never shuffles") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.text.Dedup.dedupCorpus(docs, pairs, "doc_id")
+    val plan = planString(kept)
+    plan should include("BroadcastHashJoin")
+    // exactly one hash exchange — the tiny label groupBy — and it sits
+    // INSIDE the broadcast side; the docs side itself never shuffles
+    // (the CC iteration's shuffles happened on the checkpointed edge
+    // list, outside this plan)
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    plan.indexOf("Exchange hashpartitioning") should be >
+      plan.indexOf("BroadcastExchange")
+  }
 }
