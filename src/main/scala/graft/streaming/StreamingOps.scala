@@ -170,6 +170,80 @@ object StreamingOps {
       .where(col("quality") >= minQuality)
   }
 
+  /** One streaming near-dup match: `id_a < id_b`, Hamming distance of the
+    * two 64-bit simhashes. A pair can surface from several buckets —
+    * consumers `dropDuplicates("id_a","id_b")` per sink batch. */
+  final case class DupMatch(id_a: Long, id_b: Long, dist: Int)
+
+  /** Per-bucket dedup state: ids + simhashes seen in this bucket (public:
+    * encoder codegen must reach it). */
+  final case class BucketState(ids: List[Long], hashes: List[Long])
+
+  /** Streaming NEAR-dup gate: the simhash band-pair blocking of
+    * [[graft.text.Dedup.simhashPairs]] as a stateful stream stage. Each
+    * incoming doc hashes once (pure codegen expression), explodes to its
+    * 28 pair-key buckets, and `flatMapGroupsWithState` keyed by bucket
+    * compares it against every prior doc in that bucket by popcount —
+    * emitting a [[DupMatch]] the moment the later duplicate arrives.
+    *
+    * Recall is EXACT to Hamming ≤ `maxDist` (≤ 6) and identical to the
+    * batch self-join: both modes derive candidates from the same
+    * [[graft.text.Dedup.simhashPairKeys]] expression, and every
+    * qualifying pair shares at least one bucket, so the streamed match
+    * set equals the batch pair set on the same input regardless of how
+    * the docs split across micro-batches (pinned in StreamingSpec).
+    *
+    * Scale/state note: state is 16 bytes × 28 buckets per doc kept
+    * FOREVER (near-dup detection is against all history by definition).
+    * At 1 B docs that is ~450 GB across the cluster's state stores —
+    * workable with RocksDB state; bound it for bounded-horizon dedup by
+    * composing with a TTL (`GroupStateTimeout.ProcessingTimeTimeout`) or
+    * periodic batch re-baselining. The shuffle key is the bucket — the
+    * same key as the batch band-join, so cluster partitioning matches. */
+  def dedupStreamSimhash(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 6): Dataset[DupMatch] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxDist <= 6,
+      s"simhash blocking guarantees recall only to Hamming 6, got $maxDist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = graft.text.Dedup.simhash(col(textCol))
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"), h.as("h"))
+      .select(col("id"), col("h"),
+        explode(graft.text.Dedup.simhashPairKeys(col("h"))).as("b"))
+      .select(col("id"), col("h"), col("b.band"), col("b.bh"))
+      .as[(Long, Long, Int, Long)]
+    keyed.groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), docs0: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[BucketState]) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          // ascending id within the batch: when both ends of a pair land
+          // in one micro-batch the smaller id is "prior", so the emitted
+          // (min, max) orientation is deterministic under any batch split
+          val batch = docs0.toSeq.sortBy(_._1)
+          var ids = st.ids; var hs = st.hashes
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
+          batch.foreach { case (id, hv, _, _) =>
+            var is = ids; var ss = hs
+            while (is.nonEmpty) {
+              val pid = is.head; val ph = ss.head
+              if (pid != id) {
+                val d = java.lang.Long.bitCount(ph ^ hv)
+                if (d <= maxDist)
+                  out += DupMatch(math.min(pid, id), math.max(pid, id), d)
+              }
+              is = is.tail; ss = ss.tail
+            }
+            ids = id :: ids; hs = hv :: hs
+          }
+          state.update(BucketState(ids, hs))
+          out.iterator
+      }
+  }
+
   /** Streaming curation gate: the quality + top-bigram-repetition filters
     * of the batch curation pipeline as a STATELESS streaming stage — the
     * exact same expressions, so stream output == batch output on the same

@@ -246,6 +246,16 @@ object Dedup {
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("h")),
       "h", "id", maxDist)
 
+  /** The C(8,2)=28 band-PAIR blocking keys of a 64-bit simhash (see
+    * [[simhashPairs]] for the recall guarantee): array of (band, bh)
+    * structs. Shared by the batch self-join and the streaming gate —
+    * identical keys means identical candidate recall in both modes. */
+  def simhashPairKeys(h: Column): Column =
+    array((for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+      struct(lit(i * 8 + j).as("band"),
+        (shiftright(h, i * 8).bitwiseAND(lit(0xffL)) * 256 +
+          shiftright(h, j * 8).bitwiseAND(lit(0xffL))).as("bh"))): _*)
+
   /** Blocking + verify over precomputed 64-bit hashes (see
     * [[simhashPairs]]; split out so recall is testable on planted bits). */
   def simhashPairsFromHashes(withH: DataFrame, hashCol: String,
@@ -253,12 +263,8 @@ object Dedup {
     require(maxDist <= 6,
       s"simhashPairs guarantees recall only to Hamming 6, got maxDist=$maxDist")
     val h = col(hashCol)
-    val pairKeys = for { i <- 0 until 8; j <- (i + 1) until 8 } yield
-      struct(lit(i * 8 + j).as("band"),
-        (shiftright(h, i * 8).bitwiseAND(lit(0xffL)) * 256 +
-          shiftright(h, j * 8).bitwiseAND(lit(0xffL))).as("bh"))
     val banded = withH.select(col(idCol).as("id"), h.as("_h"),
-      explode(array(pairKeys: _*)).as("b"))
+      explode(simhashPairKeys(h)).as("b"))
       .select(col("id"), col("_h"), col("b.band"), col("b.bh"))
     // Pay-as-you-go blocking: a singleton bucket cannot produce a pair, so
     // the quadratic self-join sees ONLY multiply-occupied buckets. Bucket

@@ -277,4 +277,41 @@ class StreamingSpec extends SparkSpec {
     spark.table("dedup").select("text").collect()
       .map(_.getString(0)).sorted shouldBe Array("other", "same")
   }
+
+  test("streaming simhash near-dup gate equals the batch pair set under any batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus with planted near-dups: template docs + one-word edits
+    // (simhash distance small), plus unrelated docs
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> base,
+      1L -> base.replace("today", "tonight"),       // near-dup of 0
+      2L -> base,                                   // exact dup of 0
+      3L -> "completely different content about spark structured streaming state stores",
+      4L -> "completely different content about spark structured streaming state stores okay",
+      5L -> "unrelated short text with nothing in common whatsoever here",
+      6L -> "numbers one two three four five six seven eight nine ten eleven twelve",
+      7L -> "numbers one two three four five six seven eight nine ten eleven thirteen")
+    val batchPairs = graft.text.Dedup.simhashPairs(
+      docs.toDF("doc_id", "text"), "text", "doc_id", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    batchPairs should not be empty // the plant worked
+    def run(name: String, batches: Seq[Seq[(Long, String)]]): Set[(Long, Long, Int)] = {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupStreamSimhash(
+        stream.toDF().toDF("doc_id", "text"), "text", "doc_id").toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).dropDuplicates("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    // one batch, several batches, and a shuffled split must all equal batch
+    run("dup_one", Seq(docs)) shouldBe batchPairs
+    run("dup_split", Seq(docs.take(3), docs.slice(3, 6), docs.drop(6))) shouldBe batchPairs
+    val shuffled = scala.util.Random.javaRandomToRandom(
+      new java.util.Random(5)).shuffle(docs)
+    run("dup_shuffled", Seq(shuffled.take(4), shuffled.drop(4))) shouldBe batchPairs
+  }
 }
