@@ -328,9 +328,18 @@ object Dedup {
     * Returns (node, cluster) for every node that appears in a pair;
     * cluster = the component's minimum node id (the star center the
     * algorithm converges to). Singleton docs never enter the edge list —
-    * callers treat absence as "own cluster" ([[dedupCorpus]]). */
+    * callers treat absence as "own cluster" ([[dedupCorpus]]).
+    *
+    * Size-adaptive: below `smallThreshold` edges the graph is solved with
+    * driver-side union-find in one collect — a dup-pair list that small
+    * is a deliberate materialization point (like the reference's own
+    * driver-side steps), and a multi-round distributed iteration over it
+    * would be pure scheduling overhead. Above the threshold the
+    * star iteration runs; both paths produce identical labels (pinned in
+    * LawsSpec). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, smallThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
     val sym0 = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .union(pairs.select(col(bCol).cast("long").as("u"),
@@ -340,6 +349,28 @@ object Dedup {
     // every node's full neighborhood visible under its own key
     var edges = sym0.localCheckpoint(true)
     var prevCount = edges.count()
+    if (prevCount <= smallThreshold) {
+      // driver union-find with path halving; labels = component minimum
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // halve
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keysIterator.map(n => (n, find(n))).toSeq
+      import spark.implicits._
+      return labels.toDF("node", "cluster")
+    }
     var converged = prevCount == 0L
     var it = 0
     while (!converged && it < maxIter) {

@@ -338,14 +338,23 @@ class LawsSpec extends SparkSpec {
       val inPairs = edges.flatMap(e => Seq(e._1, e._2)).toSet
       val expected = expectedAll.filter { case (k, _) => inPairs(k) }
       val pairs = edges.toDF("id_a", "id_b")
-      val got = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // both paths — driver union-find (default threshold) and the
+      // distributed star iteration (threshold 0) — must agree with the
+      // referee exactly
+      val fast = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got shouldBe expected
+      val dist = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b",
+          smallThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      fast shouldBe expected
+      dist shouldBe expected
     }
     // adversarial diameter: a path graph must still collapse to one root
+    // through the distributed iteration (log-round star contraction)
     val path = (0L until 30L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
-    val labels = graft.text.Dedup.connectedComponents(path, "id_a", "id_b")
+    val labels = graft.text.Dedup.connectedComponents(path, "id_a", "id_b",
+      smallThreshold = 0L)
     labels.select("cluster").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
     labels.count() shouldBe 30
   }

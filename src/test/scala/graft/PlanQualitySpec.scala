@@ -284,12 +284,10 @@ class PlanQualitySpec extends SparkSpec {
     val kept = graft.text.Dedup.dedupCorpus(docs, pairs, "doc_id")
     val plan = planString(kept)
     plan should include("BroadcastHashJoin")
-    // exactly one hash exchange — the tiny label groupBy — and it sits
-    // INSIDE the broadcast side; the docs side itself never shuffles
-    // (the CC iteration's shuffles happened on the checkpointed edge
-    // list, outside this plan)
-    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
-    plan.indexOf("Exchange hashpartitioning") should be >
-      plan.indexOf("BroadcastExchange")
+    // the corpus never shuffles: the cluster labels arrive as a local
+    // table (small-graph fast path) under a broadcast exchange, so the
+    // final plan has NO hash exchange at all (the CC iteration's
+    // shuffles, if any, happen on the checkpointed edge list upstream)
+    plan should not include "Exchange hashpartitioning"
   }
 }
