@@ -401,10 +401,14 @@ object Similarity {
         trainIters, seed)
       else pqCodebookFromRows(corpus, idCol, vecCol, m, ksub))
     def sub(v: Column, s: Int): Column = slice(v, s * cb.dsub + 1, cb.dsub)
-    // encode: per-subspace literal argmin — m codegen projections, no join
+    // encode: slice each subvector ONCE (a first projection), then the
+    // per-subspace literal argmin — hoisting the slices keeps the codegen
+    // tree at m slice nodes instead of m × ksub
+    val sliced = corpus.select(col(idCol).as("neighbor_id") +:
+      (0 until cb.m).map(s => sub(col(vecCol), s).as(s"_sub$s")): _*)
     val codeCols = (0 until cb.m).map(s =>
-      argminCentroid(sub(col(vecCol), s), cb.cents(s)).as(s"_c$s"))
-    val enc = corpus.select(col(idCol).as("neighbor_id") +: codeCols: _*)
+      argminCentroid(col(s"_sub$s"), cb.cents(s)).as(s"_c$s"))
+    val enc = sliced.select(col("neighbor_id") +: codeCols: _*)
     // reconstructed |v̂|: centroid-norm table lookup per chosen code
     def cn2Lit(s: Int): Column = array(cb.cents(s).map { case (_, cv) =>
       lit(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toIndexedSeq: _*)
@@ -412,12 +416,15 @@ object Similarity {
       element_at(cn2Lit(s), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
     val encN = enc.withColumn("_rn", sqrt(rn2))
     // query LUTs: per-subspace dot with every centroid (m × ksub doubles
-    // per query — computed once, broadcast)
+    // per query — computed once, broadcast); subvector slices hoisted as
+    // on the corpus side
     def lutLit(s: Int): Column = array(cb.cents(s).map { case (_, cv) =>
-      dot(sub(col("_qv"), s), array(cv.map(lit).toIndexedSeq: _*))
+      dot(col(s"_qsub$s"), array(cv.map(lit).toIndexedSeq: _*))
     }.toIndexedSeq: _*)
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(Seq(col("query_id"), col("_qv")) ++
+        (0 until cb.m).map(s => sub(col("_qv"), s).as(s"_qsub$s")): _*)
       .select(Seq(col("query_id"), sqrt(norm2(col("_qv"))).as("_qn")) ++
         (0 until cb.m).map(s => lutLit(s).as(s"_lut$s")): _*))
     val joined = encN.join(q,
