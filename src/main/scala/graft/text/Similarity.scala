@@ -435,6 +435,112 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Full IVF-PQ (the FAISS IVFPQ layout): coarse IVF assignment, PQ on
+    * the RESIDUAL `v − coarse(v)`, query probes its `nProbe` nearest
+    * coarse lists and scores candidates by ADC over the residual codes:
+    *
+    *   dot(q, v̂)  = q·c  +  Σ_s lut_s[code_s]          (lut = q_s · cent)
+    *   |v̂|²       = |c|² + 2·Σ_s cross_s[cid][code_s] + Σ_s |cent|²
+    *
+    * where `cross` (coarse-subvector · codebook-centroid) is a driver-side
+    * constant table of m × nCentroids × ksub doubles. Residual encoding is
+    * what makes PQ accurate at scale: residuals are centered near zero, so
+    * ksub codes cover them far more densely than the raw vectors.
+    *
+    * 100 TB shape: assignment + encode are literal-expression projections
+    * (zero shuffle); candidates = nProbe/nCentroids of the corpus read as
+    * m codes + cid per vector (combine with [[writeIvfIndex]] bucketing so
+    * the scan prunes to the probed lists); the top-k tail is the bounded
+    * partial aggregate. Verified by law, not oracle: the residual
+    * summation order differs from the flat dot, so cos values agree only
+    * to ~1 ulp — SimilaritySpec pins exact-reconstruction == brute force
+    * on neighbor ranks with 1e-9 cos tolerance. */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, ksub: Int = 16, trainIters: Int = 0, seed: Long = 42L,
+      excludeSelf: Boolean = true,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOverride.getOrElse(
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
+    val cents: Array[(Long, Array[Double])] = centroids.collect().map { r =>
+      (r.getLong(r.fieldIndex("centroid_id")),
+        r.getSeq[Number](r.fieldIndex("_centroid")).map(_.doubleValue()).toArray)
+    }.sortBy(_._1)
+    val d = cents.head._2.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val centsLit = array(cents.map { case (_, cv) =>
+      array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
+    // residual frame: cid + (v − c) per corpus row — one projection
+    val resid = corpus.select(col(idCol), col(vecCol),
+        argminCentroid(col(vecCol), cents).as("_cid"))
+      .withColumn("_res", zip_with(col(vecCol),
+        element_at(centsLit, col("_cid").cast("int") + 1),
+        (x, c) => x.cast("double") - c))
+    // residual codebook: trained per subspace, or the ksub lowest-id
+    // residuals (deterministic; ksub == |corpus| → exact reconstruction)
+    val cb =
+      if (trainIters > 0) pqTrain(resid, idCol, "_res", m, ksub, trainIters, seed)
+      else pqCodebookFromRows(resid, idCol, "_res", m, ksub)
+    // encode residual subvectors (slices hoisted as in topKPq)
+    val sliced = resid.select(col(idCol).as("neighbor_id") +: col("_cid") +:
+      (0 until m).map(s => slice(col("_res"), s * dsub + 1, dsub).as(s"_sub$s")): _*)
+    val codeCols = (0 until m).map(s =>
+      argminCentroid(col(s"_sub$s"), cb.cents(s)).as(s"_c$s"))
+    val enc = sliced.select(col("neighbor_id") +: col("_cid") +: codeCols: _*)
+    // driver-side constant tables
+    val coarseN2 = cents.map { case (_, cv) =>
+      cv.foldLeft(0.0)((a, x) => a + x * x) }
+    def subDot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(off + i) * b(i); i += 1 }
+      acc
+    }
+    val coarseN2Lit = array(coarseN2.map(lit).toIndexedSeq: _*)
+    def crossLit(s: Int): Column = array(cents.map { case (_, cv) =>
+      array(cb.cents(s).map { case (_, sub) =>
+        lit(subDot(cv, s * dsub, sub)) }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    def cn2Lit(s: Int): Column = array(cb.cents(s).map { case (_, sub) =>
+      lit(sub.foldLeft(0.0)((a, x) => a + x * x)) }.toIndexedSeq: _*)
+    val rn2 = element_at(coarseN2Lit, col("_cid").cast("int") + 1) +
+      (0 until m).map(s => lit(2.0) *
+        element_at(element_at(crossLit(s), col("_cid").cast("int") + 1),
+          col(s"_c$s").cast("int") + 1)).reduce(_ + _) +
+      (0 until m).map(s =>
+        element_at(cn2Lit(s), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
+    val encN = enc.withColumn("_rn", sqrt(rn2))
+    // probes: query → nProbe nearest coarse lists, carrying q·c and LUTs
+    val qd2 = aggregate(
+      zip_with(col("_qv"), col("_centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    def lutLit(s: Int): Column = array(cb.cents(s).map { case (_, sub) =>
+      dot(slice(col("_qv"), s * dsub + 1, dsub),
+        array(sub.map(lit).toIndexedSeq: _*)) }.toIndexedSeq: _*)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("_qd2"), col("centroid_id"))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_qd2", qd2)
+      .withColumn("_pr", row_number().over(wq))
+      .where(col("_pr") <= nProbe)
+      .select(Seq(col("query_id"), col("centroid_id").as("_cid"),
+        sqrt(norm2(col("_qv"))).as("_qn"),
+        dot(col("_qv"), col("_centroid")).as("_qc")) ++
+        (0 until m).map(s => lutLit(s).as(s"_lut$s")): _*))
+    val cands = encN.join(probes, Seq("_cid"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val adot = col("_qc") + (0 until m).map(s =>
+      element_at(col(s"_lut$s"), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
+    val scored = cands.withColumn("cos", adot / (col("_qn") * col("_rn")))
+    rankTopK(scored, k)
+  }
+
   /** Near-dup pairs via sign-LSH blocking + exact verify — the scale path:
     * the pair space shrinks from O(n²) to pairs sharing a band bucket. */
   def cosineNearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,

@@ -170,6 +170,46 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { case (q, n) => n / 100 shouldBe q / 100 }
   }
 
+  test("IVF-PQ with exact reconstruction equals brute force (full probe, full codebook)") {
+    // residual codebook = every residual (ksub == |corpus|) → exact
+    // reconstruction; nProbe == nCentroids → all lists probed. Ranks must
+    // match brute force; cos only to ~1 ulp (the residual split changes
+    // the dot's summation order), hence the 1e-9 tolerance.
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 12).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    val bf = Similarity.topKBruteForce(df, q, "vec_id", "embedding", 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val ivfpq = Similarity.topKIvfPq(df, q, "vec_id", "embedding", 4,
+      nCentroids = 3, nProbe = 3, m = 2, ksub = 12)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    ivfpq.keySet shouldBe bf.keySet
+    ivfpq.foreach { case (k2, (nid, cos)) =>
+      nid shouldBe bf(k2)._1
+      cos shouldBe bf(k2)._2 +- 1e-9
+    }
+  }
+
+  test("IVF-PQ retrieves neighbors from the query's own cluster") {
+    val rnd = new scala.util.Random(19)
+    val rows = for {
+      c <- 0 until 4; i <- 0 until 20
+    } yield {
+      val base = Array.fill(16)(0.0); base(c * 4) = 1.0
+      (c * 100L + i, base.map(v => (v + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id").isin(0L, 100L, 200L, 300L))
+    val ann = Similarity.topKIvfPq(df, queries, "vec_id", "embedding", 3,
+      nCentroids = 4, nProbe = 2, m = 4, ksub = 8, trainIters = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    ann should have size 12
+    ann.foreach { case (qid, n) => n / 100 shouldBe qid / 100 }
+  }
+
   test("PQ encode/score is deterministic under repartitioning") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 60).map(i =>
