@@ -558,8 +558,10 @@ object SparkEntry {
     "q_curation_pipeline" -> ((s, dir) => {
       // the end-to-end training-data curation DAG in ONE job: quality +
       // repetition filters (map-side) → exact dedup (one digest shuffle)
-      // → leakage-safe grouped split (map-side md5) → per-split token
-      // stats (partial+final agg). Every stage is the oracled operator.
+      // → NEAR-dup cluster-canonical dedup (pair blocking → connected
+      // components → keep the cluster minimum) → leakage-safe grouped
+      // split (map-side md5) → per-split token stats (partial+final
+      // agg). Every stage is the oracled operator.
       val d = s.read.parquet(s"$dir/documents.parquet")
       val st = graft.functions.TextHashExprs
         .repetitionStats(lower(trim(col("text"))))
@@ -573,8 +575,11 @@ object SparkEntry {
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val deduped = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+      val pairs = Dedup.ngramJaccardPairs(deduped, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      val canonical = Dedup.dedupCorpus(deduped, pairs, "doc_id")
       val split8 = graft.text.Sampling.assignSplit(
-        deduped.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
+        canonical.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
         "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       split8.groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1736,7 +1741,7 @@ object SparkEntry {
     * standalone oracled queries use (quality, top-bigram repetition,
     * sha256 dedup, md5-bucket grouped split, whitespace token count). */
   private def curationSql: String =
-    s"""WITH $qualityCtes,
+    s"""WITH RECURSIVE $qualityCtes,
         tok AS (SELECT doc_id,
             string_split_regex(lower(trim(text)), '\\s+') AS tk
           FROM documents),
@@ -1753,6 +1758,25 @@ object SparkEntry {
           WHERE q.quality >= 0.75 AND coalesce(bgf.rep, 0.0) <= 0.2),
         keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY sha256(text)),
         ded AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
+        shd AS (SELECT doc_id, lang, source,
+            list_filter(list_distinct(list_transform(
+              range(1, greatest(len(tk) - 2, 1) + 1),
+              i -> array_to_string(tk[i:i+2], ' '))), x -> x <> '') AS s3
+          FROM ded JOIN tok USING (doc_id)),
+        prc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shd a JOIN shd b
+            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.s3, b.s3))) >= 0.5),
+        ec AS (SELECT id_a AS u, id_b AS v FROM prc
+               UNION SELECT id_b, id_a FROM prc),
+        reachc(u, v) AS (SELECT u, v FROM ec
+               UNION SELECT r.u, e.v FROM reachc r JOIN ec e ON r.v = e.u
+                     WHERE e.v <> r.u),
+        lblc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reachc GROUP BY u),
+        ded2 AS (SELECT d.* FROM ded d LEFT JOIN lblc USING (doc_id)
+                 WHERE lblc.cluster IS NULL OR lblc.cluster = d.doc_id),
         spl AS (SELECT lang, text,
             CASE WHEN hv < 3435973836 THEN 'train'
                  WHEN hv < 3865470566 THEN 'val'
@@ -1760,7 +1784,7 @@ object SparkEntry {
           FROM (SELECT lang, text,
               CAST(('0x' || substr(md5(concat_ws('|', source, lang)), 1, 8))
                 AS BIGINT) AS hv
-            FROM ded))
+            FROM ded2))
         SELECT split, lang, count(*) AS n_docs,
           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
             AS n_tokens
