@@ -556,12 +556,14 @@ object SparkEntry {
         "text", "doc_id", shingleN = 5)
     }),
     "q_curation_pipeline" -> ((s, dir) => {
-      // the end-to-end training-data curation DAG in ONE job: quality +
-      // repetition filters (map-side) → exact dedup (one digest shuffle)
-      // → NEAR-dup cluster-canonical dedup (pair blocking → connected
-      // components → keep the cluster minimum) → leakage-safe grouped
-      // split (map-side md5) → per-split token stats (partial+final
-      // agg). Every stage is the oracled operator.
+      // the end-to-end training-data curation DAG: quality + repetition
+      // filters (map-side) → exact dedup (one digest shuffle) → NEAR-dup
+      // cluster-canonical dedup (pair blocking → connected components →
+      // keep the cluster minimum; the CC step eagerly materializes the
+      // tiny pair graph, so this is one lazy DAG plus that bounded
+      // materialization point) → leakage-safe grouped split (map-side
+      // md5) → per-split token stats (partial+final agg). Every stage is
+      // the oracled operator.
       val d = s.read.parquet(s"$dir/documents.parquet")
       val st = graft.functions.TextHashExprs
         .repetitionStats(lower(trim(col("text"))))

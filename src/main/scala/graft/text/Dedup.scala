@@ -367,7 +367,10 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val labels = parent.keysIterator.map(n => (n, find(n))).toSeq
+      // materialize keys BEFORE mapping: find() path-halves (mutates the
+      // map) and mutating a mutable.HashMap during its own iteration is
+      // unspecified
+      val labels = parent.keys.toArray.map(n => (n, find(n))).toSeq
       import spark.implicits._
       return labels.toDF("node", "cluster")
     }
@@ -387,6 +390,11 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM2.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v")).distinct()
+      // superseded rounds' checkpoint blocks are released by the
+      // ContextCleaner once `edges` is reassigned and the old reference
+      // drops (the same release discipline as the geocode checkpoint —
+      // localCheckpoint blocks are not CacheManager entries, so an
+      // explicit unpersist has nothing to detach)
       val next = small.union(small.select(col("v").as("u"), col("u").as("v")))
         .distinct().localCheckpoint(true)
       // exact convergence test: the symmetric edge set is unchanged —

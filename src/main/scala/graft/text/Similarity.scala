@@ -286,20 +286,8 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .withColumnRenamed(idCol, "neighbor_id")
       .withColumnRenamed(vecCol, "_cv")
-    // query → its nProbe nearest centroids
-    val qd2 = aggregate(
-      zip_with(col("_qv"), col("_centroid"),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("_qd2"), col("centroid_id"))
-    val probes = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .crossJoin(centroids)
-      .withColumn("_qd2", qd2)
-      .withColumn("_pr", row_number().over(wq))
-      .where(col("_pr") <= nProbe)
+    val probes = broadcast(probeCentroids(queries, centroids, idCol, vecCol,
+        nProbe)
       .select(col("query_id"), col("_qv"), col("centroid_id")))
     val cands = assigned.join(probes, Seq("centroid_id"))
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
@@ -308,6 +296,33 @@ object Similarity {
         (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv")))))
     rankTopK(scored, k)
   }
+
+  /** query → its `nProbe` nearest coarse centroids (shared by
+    * [[topKIvf]] and [[topKIvfPq]] — one implementation so tie-breaking
+    * and casts cannot diverge). Returns one row per (query, probed
+    * centroid): (query_id, _qv, centroid_id, _centroid). */
+  private def probeCentroids(queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val qd2 = aggregate(
+      zip_with(col("_qv"), col("_centroid"),
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("_qd2"), col("centroid_id"))
+    queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_qd2", qd2)
+      .withColumn("_pr", row_number().over(wq))
+      .where(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("centroid_id"), col("_centroid"))
+  }
+
+  /** Per-code squared-norm literal table of one subspace codebook. */
+  private def centsN2Lit(cents: Array[(Long, Array[Double])]): Column =
+    array(cents.map { case (_, cv) =>
+      lit(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toIndexedSeq: _*)
 
   /** Embedding-cosine near-duplicate pairs, exact: all (a < b) pairs with
     * cosine >= threshold. Quadratic — the oracle-checkable baseline. */
@@ -410,8 +425,7 @@ object Similarity {
       argminCentroid(col(s"_sub$s"), cb.cents(s)).as(s"_c$s"))
     val enc = sliced.select(col("neighbor_id") +: codeCols: _*)
     // reconstructed |v̂|: centroid-norm table lookup per chosen code
-    def cn2Lit(s: Int): Column = array(cb.cents(s).map { case (_, cv) =>
-      lit(cv.foldLeft(0.0)((a, x) => a + x * x)) }.toIndexedSeq: _*)
+    def cn2Lit(s: Int): Column = centsN2Lit(cb.cents(s))
     val rn2 = (0 until cb.m).map(s =>
       element_at(cn2Lit(s), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
     val encN = enc.withColumn("_rn", sqrt(rn2))
@@ -468,9 +482,25 @@ object Similarity {
       (r.getLong(r.fieldIndex("centroid_id")),
         r.getSeq[Number](r.fieldIndex("_centroid")).map(_.doubleValue()).toArray)
     }.sortBy(_._1)
+    // the literal tables below index POSITIONALLY by centroid_id — a
+    // sparse or non-zero-based override would silently fetch wrong
+    // centroids, so fail loudly instead
+    require(cents.iterator.map(_._1).zipWithIndex.forall {
+        case (cid, i) => cid == i.toLong },
+      s"topKIvfPq needs dense 0-based centroid_ids, got ${
+        cents.map(_._1).mkString(",")}")
     val d = cents.head._2.length
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
+    // rebuild the (tiny) centroid table locally so the probe stage reads
+    // driver memory instead of re-executing the centroid scan per query
+    // batch
+    val spark = corpus.sparkSession
+    val centroidsLocal = {
+      import spark.implicits._
+      cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("centroid_id", "_centroid")
+    }
     val centsLit = array(cents.map { case (_, cv) =>
       array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
     // residual frame: cid + (v − c) per corpus row — one projection
@@ -480,10 +510,37 @@ object Similarity {
         element_at(centsLit, col("_cid").cast("int") + 1),
         (x, c) => x.cast("double") - c))
     // residual codebook: trained per subspace, or the ksub lowest-id
-    // residuals (deterministic; ksub == |corpus| → exact reconstruction)
+    // residuals (deterministic; ksub == |corpus| → exact reconstruction).
+    // The from-rows path computes the ksub residuals DRIVER-side from the
+    // cheap TakeOrdered of raw rows — running pqCodebookFromRows on
+    // `resid` would evaluate the argmin + subtraction projection over the
+    // whole corpus just to discard all but ksub rows. The arithmetic
+    // mirrors argminCentroid term for term ((|v|² − 2v·c) + |c|², ties to
+    // the lowest code, left-to-right folds) so the codes are identical.
     val cb =
       if (trainIters > 0) pqTrain(resid, idCol, "_res", m, ksub, trainIters, seed)
-      else pqCodebookFromRows(resid, idCol, "_res", m, ksub)
+      else {
+        val raw = corpus.select(col(idCol), col(vecCol))
+          .orderBy(col(idCol)).limit(ksub).collect()
+          .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+        val residuals = raw.map { v =>
+          val vn2 = v.foldLeft(0.0)((a, x) => a + x * x)
+          var best = 0; var bestD2 = Double.PositiveInfinity
+          cents.foreach { case (cid, cv) =>
+            var dotvc = 0.0; var i = 0
+            while (i < v.length) { dotvc += v(i) * cv(i); i += 1 }
+            val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+            val d2 = (vn2 - 2.0 * dotvc) + cn2
+            if (d2 < bestD2) { bestD2 = d2; best = cid.toInt }
+          }
+          val cv = cents(best)._2
+          Array.tabulate(v.length)(i => v(i) - cv(i))
+        }
+        PqCodebook(dsub, Array.tabulate(m) { s =>
+          residuals.zipWithIndex.map { case (rv, c) =>
+            (c.toLong, rv.slice(s * dsub, (s + 1) * dsub)) }
+        })
+      }
     // encode residual subvectors (slices hoisted as in topKPq)
     val sliced = resid.select(col(idCol).as("neighbor_id") +: col("_cid") +:
       (0 until m).map(s => slice(col("_res"), s * dsub + 1, dsub).as(s"_sub$s")): _*)
@@ -503,8 +560,7 @@ object Similarity {
       array(cb.cents(s).map { case (_, sub) =>
         lit(subDot(cv, s * dsub, sub)) }.toIndexedSeq: _*)
     }.toIndexedSeq: _*)
-    def cn2Lit(s: Int): Column = array(cb.cents(s).map { case (_, sub) =>
-      lit(sub.foldLeft(0.0)((a, x) => a + x * x)) }.toIndexedSeq: _*)
+    def cn2Lit(s: Int): Column = centsN2Lit(cb.cents(s))
     val rn2 = element_at(coarseN2Lit, col("_cid").cast("int") + 1) +
       (0 until m).map(s => lit(2.0) *
         element_at(element_at(crossLit(s), col("_cid").cast("int") + 1),
@@ -513,22 +569,11 @@ object Similarity {
         element_at(cn2Lit(s), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
     val encN = enc.withColumn("_rn", sqrt(rn2))
     // probes: query → nProbe nearest coarse lists, carrying q·c and LUTs
-    val qd2 = aggregate(
-      zip_with(col("_qv"), col("_centroid"),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
     def lutLit(s: Int): Column = array(cb.cents(s).map { case (_, sub) =>
       dot(slice(col("_qv"), s * dsub + 1, dsub),
         array(sub.map(lit).toIndexedSeq: _*)) }.toIndexedSeq: _*)
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("_qd2"), col("centroid_id"))
-    val probes = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_qd2", qd2)
-      .withColumn("_pr", row_number().over(wq))
-      .where(col("_pr") <= nProbe)
+    val probes = broadcast(
+      probeCentroids(queries, centroidsLocal, idCol, vecCol, nProbe)
       .select(Seq(col("query_id"), col("centroid_id").as("_cid"),
         sqrt(norm2(col("_qv"))).as("_qn"),
         dot(col("_qv"), col("_centroid")).as("_qc")) ++
