@@ -729,6 +729,20 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_multimodal_ann" -> ((s, dir) => {
+      // multimodal → similarity composition: stub-decode the binary
+      // payloads, block-pool to 8-dim feature vectors (mapPartitions),
+      // then exact cosine top-k over the features — the decode→embed→
+      // search pipeline shape with every stage deterministic
+      import graft.multimodal.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bin = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val feats = Multimodal.featureExtract(
+          Multimodal.decodeMeta(bin, "payload"), "payload", dim = 8)
+        .select(col("doc_id"), col("features"))
+      Similarity.topKBruteForce(feats, feats.where(col("doc_id") < 5),
+        "doc_id", "features", k = 3)
+    }),
     // --- process-graph compiler end-to-end (§3.1 query path) -------------
     "q_graph_pipeline" -> ((s, dir) => {
       // events cube → parquet collection → openEO graph (scan with band
@@ -1383,6 +1397,53 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_ann" ->
+      // same stub-decode feature CTEs, UNROUNDED float-exact values, then
+      // the brute-force cosine pattern (ordered sums = Spark's fold)
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents
+         ), p AS (
+           SELECT doc_id, h, len, LEAST(1 + (len % 64), len) AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.i,
+                  CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
+                       AS INTEGER) AS b
+           FROM p, generate_series(0, 63) AS g(i)
+           WHERE g.i < p.px_len
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 8) AS block, p.px_len
+           FROM p, generate_series(0, 7) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.i >= f.feat_idx * f.block
+            AND b.i < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         ), el AS (
+           SELECT doc_id, feat_idx AS i,
+                  CASE WHEN n = 0 THEN 0.0
+                       ELSE CAST(CAST(s::DOUBLE / n / 255.0 AS FLOAT)
+                            AS DOUBLE) END AS v
+           FROM fv
+         ), n2 AS (SELECT doc_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
+                   FROM el GROUP BY 1),
+         dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM el q JOIN el c ON q.i = c.i
+               WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id GROUP BY 1, 2),
+         sc AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM dots JOIN n2 nq ON nq.doc_id = query_id
+                      JOIN n2 nc ON nc.doc_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM sc WHERE rank <= 3""",
     "q_sessionize" -> cq(
       """, lagd AS (
            SELECT band, y, x, time, value,
