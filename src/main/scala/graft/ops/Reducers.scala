@@ -158,6 +158,34 @@ object Reducers {
     Cube(out, c.meta)
   }
 
+  /** Approximate [[quantiles]] via `approx_percentile` (Greenwald-Khanna
+    * sketch): identical output shape, rank error bounded by
+    * 1/`accuracy`. The 100 TB escape hatch — the exact `percentile`
+    * aggregate buffers every value of a group, fine for per-pixel
+    * series but not for continent-scale zonal groups; the sketch is
+    * constant-memory per group and merges map-side. LawsSpec pins the
+    * sketch within rank-error tolerance of the exact quantiles. */
+  def quantilesApprox(c: Cube, dimension: String,
+      probabilities: Seq[Double] = Nil, q: Option[Int] = None,
+      accuracy: Int = 10000): Cube = {
+    if (probabilities.isEmpty && q.isEmpty)
+      throw graft.OpenEoError.QuantilesParameterMissing
+    if (probabilities.nonEmpty && q.nonEmpty)
+      throw graft.OpenEoError.QuantilesParameterConflict
+    val probs = if (probabilities.nonEmpty) probabilities
+      else (1 until q.get).map(i => i.toDouble / q.get)
+    val d = Dim.canonical(dimension)
+    val keep = c.dimsExcept(d)
+    val agged = c.df.groupBy(keep.map(col): _*)
+      .agg(approx_percentile(col(Cube.ValueCol),
+        array(probs.map(lit): _*), lit(accuracy)).as("_qs"))
+    val out = agged.select(
+      agged.columns.filter(_ != "_qs").toIndexedSeq.map(col) :+ posexplode(col("_qs")): _*)
+      .withColumnRenamed("pos", "quantile_idx")
+      .withColumnRenamed("col", Cube.ValueCol)
+    Cube(out, c.meta)
+  }
+
   /** `climatological_normal` — monthly climatology: mean over all years per
     * calendar month (openeo_odc_driver.py:1354-1373; only 'monthly'
     * supported there). Returns a cube keyed by `month` int column in place

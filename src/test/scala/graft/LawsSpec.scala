@@ -318,6 +318,46 @@ class LawsSpec extends SparkSpec {
     out.where(col("n_hits") < 1).count() shouldBe 0
   }
 
+  test("law: approximate quantiles track exact quantiles within rank tolerance") {
+    // at accuracy=10000 on a ~40-cell cube the GK sketch is lossless in
+    // practice, but assert the contractual bound, not bit equality:
+    // every approx quantile must lie between the exact quantiles one
+    // rank-tolerance step away
+    val c = randomCube(31L, 60)
+    val probs = Seq(0.25, 0.5, 0.75)
+    def collectQ(cc: graft.cube.Cube): Map[(String, Int), Double] =
+      cc.df.collect().map { r =>
+        ((r.getAs[String](Dim.Band) + "|" + r.getAs[Double](Dim.Y) +
+          "|" + r.getAs[Double](Dim.X)),
+          r.getAs[Int]("quantile_idx")) -> r.getAs[Double](Cube.ValueCol)
+      }.toMap
+    // reduce over time: group = per-pixel series
+    val exact = collectQ(graft.ops.Reducers.quantiles(c, "time", probs))
+    val approx = collectQ(graft.ops.Reducers.quantilesApprox(c, "time", probs))
+    approx.keySet shouldBe exact.keySet
+    // contractual bound: approx_percentile returns an ORDER STATISTIC
+    // whose rank is within n/accuracy of the target (at accuracy=10000
+    // and tiny groups, exactly the bracketing statistic), while the
+    // exact aggregate INTERPOLATES — so assert each approx value lies
+    // between the two order statistics bracketing p·(n−1)
+    val groupVals: Map[String, Array[Double]] = c.df.collect()
+      .groupBy(r => r.getAs[String](Dim.Band) + "|" +
+        r.getAs[Double](Dim.Y) + "|" + r.getAs[Double](Dim.X))
+      .map { case (g, rs) =>
+        g -> rs.map(_.getAs[Double](Cube.ValueCol)).sorted }
+    approx.foreach { case ((g, qi), v) =>
+      val vals = groupVals(g)
+      val pos = probs(qi) * (vals.length - 1)
+      val lo = vals(math.floor(pos).toInt)
+      val hi = vals(math.ceil(pos).toInt)
+      v should be >= lo - 1e-9
+      v should be <= hi + 1e-9
+      // interpolated exact quantile lies in the same bracket
+      exact((g, qi)) should be >= lo - 1e-9
+      exact((g, qi)) should be <= hi + 1e-9
+    }
+  }
+
   test("law: connectedComponents equals union-find on random pair graphs") {
     // brute-force referee: driver-side union-find over the same edges
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
