@@ -86,4 +86,19 @@ object Sampling {
         explode(col("_nn.id")).as(idCol): _*)
     df.join(broadcast(picked), strataCols :+ idCol, "left_semi")
   }
+
+  /** The curated-corpus shipping artifact: write the document set
+    * hive-partitioned by the given columns (conventionally
+    * `split, lang`), so downstream training jobs reading one split (or
+    * one language) scan ONLY those directories — partition pruning shows
+    * up in the plan as a reduced `PartitionFilters`/partition count, no
+    * data skipped at row level. The text-side mirror of the cube store's
+    * date partitioning (`Sinks.writeCubeStore`). */
+  def writeCorpusStore(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("split", "lang")): String = {
+    val missing = partitionCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing partition columns: $missing")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    path
+  }
 }

@@ -277,6 +277,25 @@ class PlanQualitySpec extends SparkSpec {
     corpusSide should not include "Exchange hashpartitioning"
   }
 
+  test("corpus store: reading one split scans only that partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus-store").toString
+    val docs = (0L until 40L).map(i =>
+      (i, s"text $i", if (i % 10 == 0) "val" else "train",
+        if (i % 2 == 0) "en" else "de")).toDF("doc_id", "text", "split", "lang")
+    graft.text.Sampling.writeCorpusStore(docs, s"$dir/c")
+    val read = spark.read.parquet(s"$dir/c")
+      .where(col("split") === "train" && col("lang") === "en")
+    val plan = planString(read)
+    // both predicates land in PartitionFilters (directory pruning), not
+    // as data filters the scan must evaluate row by row
+    plan should include("PartitionFilters")
+    val pf = plan.substring(plan.indexOf("PartitionFilters"))
+    pf.substring(0, pf.indexOf("]")) should include("split")
+    pf.substring(0, pf.indexOf("]")) should include("lang")
+    read.count() shouldBe 16 // en ∩ train: 20 evens minus the 4 val ids
+  }
+
   test("dedupCorpus broadcasts the cluster-label table; corpus never shuffles") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
