@@ -399,6 +399,38 @@ class LawsSpec extends SparkSpec {
     labels.count() shouldBe 30
   }
 
+  test("law: distributed CC converges on a mixed 5k-edge topology") {
+    // non-toy shape through the star iteration (smallThreshold = 0):
+    // 10 cliques of 20, one 500-node path (worst-case diameter), one
+    // 1000-leaf star, plus random cross-component noise edges inside a
+    // disjoint id range per structure — verified against union-find
+    val cliques = for {
+      c <- 0 until 10; a <- 0 until 20; b <- (a + 1) until 20
+    } yield ((c * 100 + a).toLong, (c * 100 + b).toLong)
+    val path = (10000L until 10500L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (1L to 1000L).map(i => (20000L, 20000L + i))
+    val rnd = new scala.util.Random(41)
+    val noise = Seq.fill(2000) {
+      val base = rnd.nextInt(10) * 100
+      ((base + rnd.nextInt(20)).toLong, (base + rnd.nextInt(20)).toLong)
+    }.filter { case (a, b) => a != b }
+    val edges = (cliques ++ path ++ star ++ noise).distinct
+    // driver referee over a compacted id space
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = ids.zipWithIndex.toMap
+    val parent = Array.tabulate(ids.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(idx(a)), find(idx(b)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = ids.map(n => n -> ids(find(idx(n)))).toMap
+    val got = graft.text.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"), "id_a", "id_b", smallThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("law: dedupCorpus keeps exactly one doc per cluster plus singletons") {
     val docs = (0L until 20L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters {0,1,2}, {5,6}; singletons elsewhere
