@@ -320,6 +320,45 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Jaccard over SORTED-distinct long arrays: a single linear merge —
+    * no per-pair HashSet allocation (the [[JaccardLongSets]] cost that
+    * dominates blocked self-join verify stages: 10⁵-10⁶ pairs each
+    * building two hash sets). Callers sort each side ONCE per row
+    * (`sort_array`) before the join; inputs MUST be ascending and
+    * duplicate-free or the count is wrong — [[graft.text.Dedup]] feeds
+    * it `sort_array(shingleHashes(...))`, which is distinct by
+    * construction. Identical values to the set formulation (LawsSpec). */
+  case class JaccardSortedDistinct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaccard_sorted"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_jaccard_sorted needs (array<long>, array<long>), got ($l, $r)")
+      }
+
+    override def nullSafeEval(av: Any, bv: Any): Any = {
+      val a = tokensOf(av); val b = tokensOf(bv)
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = na + nb - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** One-pass repetition statistics over the (caller-lowered/trimmed)
     * text: tokenize the UTF-8 bytes, FNV-hash each token, and derive
     *
@@ -467,6 +506,13 @@ object TextHashExprs {
         new ExpressionInfo(classOf[JaccardLongSets].getName, "graft_jaccard"),
         (cs: Seq[Expression]) => JaccardLongSets(cs(0), cs(1)))
     }
+    val jas = FunctionIdentifier("graft_jaccard_sorted")
+    if (!registry.functionExists(jas)) {
+      registry.registerFunction(jas,
+        new ExpressionInfo(classOf[JaccardSortedDistinct].getName,
+          "graft_jaccard_sorted"),
+        (cs: Seq[Expression]) => JaccardSortedDistinct(cs(0), cs(1)))
+    }
     val shh = FunctionIdentifier("graft_shingle_hashes")
     if (!registry.functionExists(shh)) {
       registry.registerFunction(shh,
@@ -515,6 +561,12 @@ object TextHashExprs {
   def jaccardLong(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jaccard", a, b)
+  }
+
+  /** [[jaccardLong]] for pre-sorted distinct arrays (linear merge). */
+  def jaccardLongSorted(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_jaccard_sorted", a, b)
   }
 
   /** One-pass text→distinct-shingle-hash array (caller lowers/trims). */

@@ -189,10 +189,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // shingle arrays SORTED once per row: the per-pair verify is then a
+    // linear merge (JaccardSortedDistinct) instead of two HashSet builds
+    // — the verify stage dominates blocked self-joins at 10⁵+ pairs
     val withSh = df.select(
       (blockCols.map(col) :+ col(idCol).as("id") :+
-        graft.functions.TextHashExprs
-          .shingleHashes(lower(trim(col(textCol))), shingleN).as("sh")): _*)
+        sort_array(graft.functions.TextHashExprs
+          .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh")): _*)
       .withColumn("_n", size(col("sh")))
     val a = withSh.as("a"); val b = withSh.as("b")
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
@@ -201,7 +204,8 @@ object Dedup {
       col("b._n").cast("double") >= lit(threshold) * col("a._n")
     a.join(b, joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccardLong(col("a.sh"), col("b.sh")).as("jaccard"))
+        graft.functions.TextHashExprs.jaccardLongSorted(
+          col("a.sh"), col("b.sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -318,6 +318,21 @@ class LawsSpec extends SparkSpec {
     out.where(col("n_hits") < 1).count() shouldBe 0
   }
 
+  test("law: sorted-merge jaccard equals the hash-set jaccard on random arrays") {
+    val arrGen = for {
+      n <- Gen.choose(0, 30)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield xs
+    val pairs = sample(Gen.zip(arrGen, arrGen), 60, 11L)
+      .map { case (a, b) => (a.distinct, b.distinct) }
+    val df = pairs.toDF("a", "b")
+    val r = df.select(
+      graft.functions.TextHashExprs.jaccardLong(col("a"), col("b")).as("set"),
+      graft.functions.TextHashExprs.jaccardLongSorted(
+        sort_array(col("a")), sort_array(col("b"))).as("merge")).collect()
+    r.foreach(row => row.getDouble(1) shouldBe row.getDouble(0))
+  }
+
   test("law: approximate quantiles track exact quantiles within rank tolerance") {
     // at accuracy=10000 on a ~40-cell cube the GK sketch is lossless in
     // practice, but assert the contractual bound, not bit equality:
