@@ -103,12 +103,13 @@ object Dedup {
       .union(cands.select(col("id_b").as("id"))).distinct()
     val sh = df.select(col(idCol).as("id"), col(textCol).as("_text"))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), graft.functions.TextHashExprs
-        .shingleHashes(lower(trim(col("_text"))), shingleN).as("sh"))
+      .select(col("id"), sort_array(graft.functions.TextHashExprs
+        .shingleHashes(lower(trim(col("_text"))), shingleN)).as("sh"))
     val result = cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccardLong(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", graft.functions.TextHashExprs
+        .jaccardLongSorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       // the verified pair list is small by construction; checkpointing it
