@@ -576,7 +576,13 @@ object SparkEntry {
       val keepIds = filtered
         .groupBy(sha2(col("text"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // fan-out point: the exact-deduped set feeds BOTH sides of the
+      // near-dup self-join, the corpus join, and the split — checkpoint
+      // it eagerly so the filter + digest-dedup chain runs once, not
+      // once per consumer (a real pipeline materializes the curated
+      // intermediate here too; blocks are freed by the ContextCleaner)
       val deduped = filtered.join(keepIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val pairs = Dedup.ngramJaccardPairs(deduped, "text", "doc_id",
         Seq("lang", "source"), shingleN = 3, threshold = 0.5)
       val canonical = Dedup.dedupCorpus(deduped, pairs, "doc_id")
