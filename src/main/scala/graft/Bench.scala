@@ -19,6 +19,27 @@ object Bench {
     }
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // steady-state measurement: run EVERY query once against the smallest
+    // scale factor first (untimed) so whole-stage-codegen compilation and
+    // JIT of each plan shape happen outside the timed loop — first
+    // execution of a heavy plan otherwise costs 2-4× its steady state
+    // (ProfileCuration in BENCH_NOTES: 10 s cold vs 2.7 s warm), charged
+    // to whichever query hits the shape first. Opt out with
+    // SPARK_GRAFT_NO_WARMUP=1.
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p => Some(new java.io.File(p, "sf0.001"))
+        .filter(d => d.isDirectory && d.toString != sfDir).map(_.toString)
+    }
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) warmDir.foreach { wd =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (_, fn) =>
+          try fn(spark, wd).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
+        }
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
