@@ -735,6 +735,17 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_text_normalize" -> ((s, dir) => {
+      // normalization rules exercised on synthetically-noised input
+      // (tabs, BEL, newlines, runs of spaces appended to each doc) —
+      // the corpus itself is clean, so noise injection is what makes
+      // this a real test of the control-char + collapse rules
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        TextAnalysis.normalizeText(
+          concat(col("text"), lit("\t  mixed \u0007 tail\n\n"))).as("norm"))
+        .withColumn("n_norm", length(col("norm")))
+    }),
     "q_multimodal_ann" -> ((s, dir) => {
       // multimodal → similarity composition: stub-decode the binary
       // payloads, block-pool to 8-dim feature vectors (mapPartitions),
@@ -1403,6 +1414,19 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_text_normalize" ->
+      // same noise suffix via chr(); 'g' flag = replace ALL (Spark's
+      // regexp_replace default)
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             text || chr(9) || '  mixed ' || chr(7) || ' tail'
+                  || chr(10) || chr(10),
+             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+           length(trim(regexp_replace(regexp_replace(
+             text || chr(9) || '  mixed ' || chr(7) || ' tail'
+                  || chr(10) || chr(10),
+             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
+         FROM documents""",
     "q_multimodal_ann" ->
       // same stub-decode feature CTEs, UNROUNDED float-exact values, then
       // the brute-force cosine pattern (ordered sums = Spark's fold)

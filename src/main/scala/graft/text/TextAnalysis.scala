@@ -40,6 +40,15 @@ object TextAnalysis {
   }
 
   /** Whitespace token count. */
+  /** Curation text normalization: ASCII control characters (incl. DEL)
+    * become spaces, whitespace runs collapse to one space, ends trimmed.
+    * Deliberately ASCII-level only — no Unicode case/width tailoring —
+    * so any engine replays the rules byte-identically (the oracle does).
+    * Pure codegen regexp chain, map-side. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " +", " "))
+
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))
 

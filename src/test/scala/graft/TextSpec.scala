@@ -231,6 +231,20 @@ class TextSpec extends SparkSpec {
       Packing.packByBudget(bad, Seq("lang"), "doc_id", "w", 1000L).collect()
   }
 
+  test("normalizeText: control chars to spaces, runs collapsed, trimmed") {
+    val df = Seq(
+      "  hello\tworld  ",
+      "a\u0000b\u0007c",
+      "tabs\t\tand\n\nnewlines",
+      "   ",
+      "clean").toDF("t")
+    val got = df.select(
+      graft.text.TextAnalysis.normalizeText(col("t"))).collect()
+      .map(_.getString(0))
+    got shouldBe Array(
+      "hello world", "a b c", "tabs and newlines", "", "clean")
+  }
+
   test("repetitionSignals: hand-computed metrics on a repetitive doc") {
     // tokens: a b a b a b c  → 7 tokens, 3 distinct
     // bigrams (6): "a b"×3, "b a"×2, "b c"×1 → top 3/6
