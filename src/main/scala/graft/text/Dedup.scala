@@ -157,6 +157,41 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Bloom sketch of an eval set's distinct shingle hashes, collected to
+    * the driver. Benchmarks are KB..MB, so the sketch is small by
+    * definition: 10 bits/gram ≈ 1% FP — size `numBits` accordingly. */
+  def evalGramBloom(evalDocs: DataFrame, textCol: String,
+      shingleN: Int = 5, estimatedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): Array[Byte] = {
+    val grams = evalDocs.select(explode(graft.functions.TextHashExprs
+      .shingleHashes(lower(trim(col(textCol))), shingleN)).as("g"))
+      .distinct()
+    grams.agg(graft.functions.BloomExprs
+      .bloomAgg(col("g"), estimatedItems, numBits)).head().getAs[Array[Byte]](0)
+  }
+
+  /** [[decontaminate]] through a Bloom gate: the eval sketch embeds as a
+    * binary LITERAL and each doc counts its shingle hits with one codegen
+    * HOF filter — no explode, no join, no shuffle, and therefore
+    * STREAMING-safe as a stateless projection (StreamingSpec pins
+    * stream == batch). Bloom guarantees: zero false negatives (every
+    * truly contaminated doc is flagged); false positives at the sketch's
+    * FP rate — route flagged docs through the exact [[decontaminate]]
+    * when the final decision needs certainty. At 100 TB this is the
+    * curation-gate shape: the corpus side is a map-only scan, and the
+    * sketch (MBs) rides inside the task binary once. */
+  def decontaminateBloom(docs: DataFrame, bloom: Array[Byte],
+      textCol: String, idCol: String, shingleN: Int = 5,
+      minHits: Long = 1L): DataFrame = {
+    val hits = size(filter(
+      graft.functions.TextHashExprs
+        .shingleHashes(lower(trim(col(textCol))), shingleN),
+      h => graft.functions.BloomExprs.mightContain(lit(bloom), h)))
+      .cast("long")
+    docs.select(col(idCol), hits.as("n_hits"),
+      (hits >= minHits).as("contaminated"))
+  }
+
   /** Exact Jaccard of two shingle arrays (HOF formulation — the semantic
     * reference for [[jaccardLong]]; identical distinct-count semantics). */
   def jaccard(a: Column, b: Column): Column = {

@@ -373,6 +373,29 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("law: bloom decontamination never misses a truly contaminated doc") {
+    val docs = sample(docGen, 40).distinct.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // eval set = half the corpus → those docs are contaminated by
+    // construction; bloom has no false negatives, so every exact flag
+    // must also be a bloom flag (n_hits >= exact n_hits never needed —
+    // membership is what matters)
+    val eval = docs.where(col("doc_id") < 20)
+    val bloom = graft.text.Dedup.evalGramBloom(eval, "text", shingleN = 3,
+      estimatedItems = 1L << 12, numBits = 1L << 16)
+    val exact = graft.text.Dedup.decontaminate(docs, eval, "text", "doc_id",
+        shingleN = 3)
+      .where(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = graft.text.Dedup.decontaminateBloom(docs, bloom,
+        "text", "doc_id", shingleN = 3)
+      .where(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    exact.subsetOf(flagged) shouldBe true // zero false negatives
+    // at 16 bits/gram on this tiny set, FPs are observationally absent
+    (flagged -- exact) shouldBe Set.empty
+  }
+
   test("law: connectedComponents equals union-find on random pair graphs") {
     // brute-force referee: driver-side union-find over the same edges
     def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {

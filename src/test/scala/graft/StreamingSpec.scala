@@ -278,6 +278,35 @@ class StreamingSpec extends SparkSpec {
       .map(_.getString(0)).sorted shouldBe Array("other", "same")
   }
 
+  test("bloom decontamination gate: stream output equals batch (stateless projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs today",
+      2L -> "sphinx of black quartz judge my vow said nobody",
+      3L -> "completely unrelated words that overlap with no eval text")
+    val eval = Seq(10L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val bloom = graft.text.Dedup.evalGramBloom(eval, "text", shingleN = 3,
+      estimatedItems = 1L << 10, numBits = 1L << 14)
+    val batch = graft.text.Dedup.decontaminateBloom(
+        docs.toDF("doc_id", "text"), bloom, "text", "doc_id", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.text.Dedup.decontaminateBloom(
+        stream.toDF().toDF("doc_id", "text"), bloom, "text", "doc_id",
+        shingleN = 3)
+      .writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("append").start()
+    stream.addData(docs.take(2)); q.processAllAvailable()
+    stream.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bloom_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    streamed shouldBe batch
+    batch.exists { case (id, _, c) => id == 0L && c } shouldBe true // the plant
+  }
+
   test("streaming simhash near-dup gate equals the batch pair set under any batch split") {
     implicit val sqlCtx = spark.sqlContext
     // corpus with planted near-dups: template docs + one-word edits
