@@ -735,6 +735,14 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_shuffle_order" -> ((s, dir) => {
+      // deterministic global training order: LCG-hash rank, engine-
+      // portable (same arithmetic as q_sample_fraction), dense ordinal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.shuffleDeterministic(d, "doc_id",
+          withOrdinal = true)
+        .select("ord", "doc_id", "lang")
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // normalization rules exercised on synthetically-noised input
       // (tabs, BEL, newlines, runs of spaces appended to each doc) —
@@ -1414,6 +1422,12 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_shuffle_order" ->
+      """SELECT row_number() OVER (
+             ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                      % 2147483648, doc_id) - 1 AS ord,
+           doc_id, lang
+         FROM documents""",
     "q_text_normalize" ->
       // same noise suffix via chr(); 'g' flag = replace ALL (Spark's
       // regexp_replace default)

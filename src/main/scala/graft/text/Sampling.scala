@@ -87,6 +87,24 @@ object Sampling {
     df.join(broadcast(picked), strataCols :+ idCol, "left_semi")
   }
 
+  /** Deterministic global shuffle — the training-order step: rows rank
+    * by portable LCG hash (ties by id), giving every engine and every
+    * run the identical pseudorandom order without an RNG. At cluster
+    * scale `orderBy` plans a range-partitioned sort (sampled bounds, no
+    * single-partition funnel); downstream pack/batch steps consume the
+    * order directly. `ord` is a dense 0-based position — materialize it
+    * only when the consumer needs explicit positions (the window forces
+    * all data through ONE partition; prefer the sorted frame itself at
+    * scale, or zipWithIndex-style per-partition offsets). */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      withOrdinal: Boolean = false): DataFrame = {
+    val sorted = df.orderBy(portableHash(col(idCol)), col(idCol))
+    if (!withOrdinal) sorted
+    else sorted.withColumn("ord", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(portableHash(col(idCol)), col(idCol))).cast("long") - 1)
+  }
+
   /** The curated-corpus shipping artifact: write the document set
     * hive-partitioned by the given columns (conventionally
     * `split, lang`), so downstream training jobs reading one split (or
