@@ -26,10 +26,12 @@ object Bench {
     // (ProfileCuration in BENCH_NOTES: 10 s cold vs 2.7 s warm), charged
     // to whichever query hits the shape first. Opt out with
     // SPARK_GRAFT_NO_WARMUP=1.
-    val warmDir = new java.io.File(sfDir).getParentFile match {
+    val warmDir = new java.io.File(sfDir).getCanonicalFile.getParentFile match {
       case null => None
-      case p => Some(new java.io.File(p, "sf0.001"))
-        .filter(d => d.isDirectory && d.toString != sfDir).map(_.toString)
+      case p => Some(new java.io.File(p, "sf0.001").getCanonicalFile)
+        .filter(d => d.isDirectory &&
+          d != new java.io.File(sfDir).getCanonicalFile)
+        .map(_.toString)
     }
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) warmDir.foreach { wd =>
       SparkEntry.queries.toSeq.sortBy(_._1)

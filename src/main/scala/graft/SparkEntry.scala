@@ -762,8 +762,9 @@ object SparkEntry {
       import graft.multimodal.Multimodal
       val d = s.read.parquet(s"$dir/documents.parquet")
       val bin = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val feats = Multimodal.featureExtract(
-          Multimodal.decodeMeta(bin, "payload"), "payload", dim = 8)
+      // featureExtract decodes internally — no decodeMeta pre-pass, its
+      // (meta, mean_px) outputs would be dead columns decoded twice
+      val feats = Multimodal.featureExtract(bin, "payload", dim = 8)
         .select(col("doc_id"), col("features"))
       Similarity.topKBruteForce(feats, feats.where(col("doc_id") < 5),
         "doc_id", "features", k = 3)

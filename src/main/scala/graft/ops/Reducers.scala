@@ -140,7 +140,16 @@ object Reducers {
     * The quantile ordinal materializes as a new `band` label q0..qn via
     * posexplode — the openEO target_dimension. */
   def quantiles(c: Cube, dimension: String, probabilities: Seq[Double] = Nil,
-      q: Option[Int] = None): Cube = {
+      q: Option[Int] = None): Cube =
+    quantilesWith(c, dimension, probabilities, q)(
+      probs => percentile(col(Cube.ValueCol), array(probs.map(lit): _*)))
+
+  /** Shared validation + probability derivation + posexplode tail for the
+    * exact and approximate quantile variants — one implementation so the
+    * openEO parameter rules and output shape cannot diverge. */
+  private def quantilesWith(c: Cube, dimension: String,
+      probabilities: Seq[Double], q: Option[Int])(
+      agg: Seq[Double] => Column): Cube = {
     if (probabilities.isEmpty && q.isEmpty)
       throw graft.OpenEoError.QuantilesParameterMissing
     if (probabilities.nonEmpty && q.nonEmpty)
@@ -149,8 +158,7 @@ object Reducers {
       else (1 until q.get).map(i => i.toDouble / q.get)
     val d = Dim.canonical(dimension)
     val keep = c.dimsExcept(d)
-    val agged = c.df.groupBy(keep.map(col): _*)
-      .agg(percentile(col(Cube.ValueCol), array(probs.map(lit): _*)).as("_qs"))
+    val agged = c.df.groupBy(keep.map(col): _*).agg(agg(probs).as("_qs"))
     val out = agged.select(
       agged.columns.filter(_ != "_qs").toIndexedSeq.map(col) :+ posexplode(col("_qs")): _*)
       .withColumnRenamed("pos", "quantile_idx")
@@ -167,24 +175,10 @@ object Reducers {
     * sketch within rank-error tolerance of the exact quantiles. */
   def quantilesApprox(c: Cube, dimension: String,
       probabilities: Seq[Double] = Nil, q: Option[Int] = None,
-      accuracy: Int = 10000): Cube = {
-    if (probabilities.isEmpty && q.isEmpty)
-      throw graft.OpenEoError.QuantilesParameterMissing
-    if (probabilities.nonEmpty && q.nonEmpty)
-      throw graft.OpenEoError.QuantilesParameterConflict
-    val probs = if (probabilities.nonEmpty) probabilities
-      else (1 until q.get).map(i => i.toDouble / q.get)
-    val d = Dim.canonical(dimension)
-    val keep = c.dimsExcept(d)
-    val agged = c.df.groupBy(keep.map(col): _*)
-      .agg(approx_percentile(col(Cube.ValueCol),
-        array(probs.map(lit): _*), lit(accuracy)).as("_qs"))
-    val out = agged.select(
-      agged.columns.filter(_ != "_qs").toIndexedSeq.map(col) :+ posexplode(col("_qs")): _*)
-      .withColumnRenamed("pos", "quantile_idx")
-      .withColumnRenamed("col", Cube.ValueCol)
-    Cube(out, c.meta)
-  }
+      accuracy: Int = 10000): Cube =
+    quantilesWith(c, dimension, probabilities, q)(
+      probs => approx_percentile(col(Cube.ValueCol),
+        array(probs.map(lit): _*), lit(accuracy)))
 
   /** `climatological_normal` — monthly climatology: mean over all years per
     * calendar month (openeo_odc_driver.py:1354-1373; only 'monthly'

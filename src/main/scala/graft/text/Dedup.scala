@@ -166,8 +166,15 @@ object Dedup {
     val grams = evalDocs.select(explode(graft.functions.TextHashExprs
       .shingleHashes(lower(trim(col(textCol))), shingleN)).as("g"))
       .distinct()
-    grams.agg(graft.functions.BloomExprs
+    val bytes = grams.agg(graft.functions.BloomExprs
       .bloomAgg(col("g"), estimatedItems, numBits)).head().getAs[Array[Byte]](0)
+    // the aggregate over ZERO rows is null — failing here beats a null
+    // literal downstream, where every probe would evaluate to null and
+    // the gate would silently pass the whole corpus (breaking the
+    // zero-false-negative contract)
+    require(bytes != null,
+      "evalGramBloom: eval set produced no shingles (empty or all-null text)")
+    bytes
   }
 
   /** [[decontaminate]] through a Bloom gate: the eval sketch embeds as a

@@ -97,13 +97,15 @@ object Sampling {
     * all data through ONE partition; prefer the sorted frame itself at
     * scale, or zipWithIndex-style per-partition offsets). */
   def shuffleDeterministic(df: DataFrame, idCol: String,
-      withOrdinal: Boolean = false): DataFrame = {
-    val sorted = df.orderBy(portableHash(col(idCol)), col(idCol))
-    if (!withOrdinal) sorted
-    else sorted.withColumn("ord", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(portableHash(col(idCol)), col(idCol))).cast("long") - 1)
-  }
+      withOrdinal: Boolean = false): DataFrame =
+    if (!withOrdinal) df.orderBy(portableHash(col(idCol)), col(idCol))
+    else
+      // the ranking window imposes the global order itself (and funnels
+      // into one partition); a pre-orderBy would be a second full sort
+      // whose ordering the window exchange then discards
+      df.withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(portableHash(col(idCol)), col(idCol))).cast("long") - 1)
 
   /** The curated-corpus shipping artifact: write the document set
     * hive-partitioned by the given columns (conventionally

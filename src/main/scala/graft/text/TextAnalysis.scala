@@ -39,7 +39,6 @@ object TextAnalysis {
     }
   }
 
-  /** Whitespace token count. */
   /** Curation text normalization: ASCII control characters (incl. DEL)
     * become spaces, whitespace runs collapse to one space, ends trimmed.
     * Deliberately ASCII-level only — no Unicode case/width tailoring —
@@ -49,6 +48,7 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " +", " "))
 
+  /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))
 

@@ -47,6 +47,12 @@ object ProfileCuration {
     }
     t("TOTAL first")(runOnce("first"))
     t("TOTAL second")(runOnce("second"))
+    // drift guard: the stage breakdown above re-implements
+    // q_curation_pipeline; timing the REAL benched query too makes a
+    // divergence visible (totals should track the 'second' run)
+    t("REAL q_curation_pipeline")(
+      SparkEntry.queries("q_curation_pipeline")(spark, dir)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
