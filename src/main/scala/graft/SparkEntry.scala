@@ -735,6 +735,15 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_dedup_corpus_best" -> ((s, dir) => {
+      // representative selection: keep the LONGEST doc per near-dup
+      // cluster (ties to lowest id) instead of the minimum id
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      Dedup.dedupCorpusBest(d, pairs, "doc_id", "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
     "q_shuffle_order" -> ((s, dir) => {
       // deterministic global training order: LCG-hash rank, engine-
       // portable (same arithmetic as q_sample_fraction), dense ordinal
@@ -1423,6 +1432,37 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_dedup_corpus_best" ->
+      // same closure CTEs as q_dedup_corpus; winner = max n_chars per
+      // cluster, ties to lowest doc_id
+      """WITH RECURSIVE sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         e AS (SELECT id_a AS u, id_b AS v FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach(u, v) AS (SELECT u, v FROM e
+               UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+                     WHERE e.v <> r.u),
+         lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
+                 FROM reach GROUP BY u),
+         win AS (SELECT doc_id FROM (
+             SELECT d.doc_id, row_number() OVER (
+               PARTITION BY lbl.cluster
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id) WHERE rn = 1)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
+         WHERE lbl.cluster IS NULL
+            OR d.doc_id IN (SELECT doc_id FROM win)""",
     "q_shuffle_order" ->
       """SELECT row_number() OVER (
              ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)

@@ -481,4 +481,31 @@ object Dedup {
       .where(col("cluster").isNull || col("cluster") === col(idCol))
       .drop("cluster")
   }
+
+  /** [[dedupCorpus]] keeping the BEST document per cluster instead of the
+    * minimum id: per cluster the doc maximizing `scoreCol` (ties to the
+    * lowest id) survives — the representative-selection heuristic real
+    * pipelines use (longest doc, highest quality score, freshest crawl).
+    *
+    * Scale shape: the winner per cluster is ONE `max_by` aggregation over
+    * the (tiny) clustered slice — clustered doc ids semi-select from the
+    * broadcast label table first, so the aggregation input is
+    * |docs-in-clusters| rows, never the corpus; singletons stream through
+    * the same broadcast left join as [[dedupCorpus]]. Deterministic:
+    * `max_by` on a (score, −id) struct makes ties id-stable. */
+  def dedupCorpusBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    val joined = docs.join(broadcast(labels), Seq(idCol), "left")
+    val winners = joined.where(col("cluster").isNotNull)
+      .groupBy(col("cluster"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), -col(idCol))).as(idCol))
+      .select(idCol)
+    joined.where(col("cluster").isNull)
+      .drop("cluster")
+      .unionByName(docs.join(broadcast(winners), Seq(idCol), "left_semi"))
+  }
 }

@@ -480,4 +480,16 @@ class LawsSpec extends SparkSpec {
     val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     graft.text.Dedup.dedupCorpus(docs, none, "doc_id").count() shouldBe 20
   }
+
+  test("law: dedupCorpusBest keeps the max-score doc per cluster, ties to lowest id") {
+    val docs = Seq(
+      (0L, 5L), (1L, 9L), (2L, 9L), // cluster {0,1,2}: 1 and 2 tie on score
+      (5L, 3L), (6L, 7L),           // cluster {5,6}: 6 wins
+      (8L, 1L))                     // singleton
+      .toDF("doc_id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.text.Dedup.dedupCorpusBest(docs, pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(1L, 6L, 8L)
+  }
 }
