@@ -735,6 +735,15 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_interleave" -> ((s, dir) => {
+      // dataset mixing: web-like (en) kept at 80%, code-like (the rest)
+      // at 25%, tagged with provenance, in deterministic hash order
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.interleaveSources(Seq(
+          (d.where(col("lang") === "en"), 0.8, "web"),
+          (d.where(col("lang") =!= "en"), 0.25, "code")), "doc_id")
+        .select("doc_id", "lang", "mix_source")
+    }),
     "q_dedup_corpus_best" -> ((s, dir) => {
       // representative selection: keep the LONGEST doc per near-dup
       // cluster (ties to lowest id) instead of the minimum id
@@ -1432,6 +1441,16 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_interleave" ->
+      // identical LCG thinning per source (0.8·2³¹ and 0.25·2³¹ bounds)
+      """WITH h AS (SELECT doc_id, lang,
+             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
+           FROM documents)
+         SELECT doc_id, lang, 'web' AS mix_source FROM h
+         WHERE lang = 'en' AND hv < 1717986918
+         UNION ALL
+         SELECT doc_id, lang, 'code' AS mix_source FROM h
+         WHERE lang <> 'en' AND hv < 536870912""",
     "q_dedup_corpus_best" ->
       // same closure CTEs as q_dedup_corpus; winner = max n_chars per
       // cluster, ties to lowest doc_id

@@ -107,6 +107,28 @@ object Sampling {
         org.apache.spark.sql.expressions.Window
           .orderBy(portableHash(col(idCol)), col(idCol))).cast("long") - 1)
 
+  /** Deterministic weighted mixture of sources — the dataset-mixing step
+    * of a training pipeline ("70% web, 30% code"): each source thins by
+    * its rate via the portable-hash Bernoulli filter (so the mix is
+    * reproducible row-for-row on any engine), a `mix_source` tag records
+    * provenance, and the union interleaves in deterministic pseudorandom
+    * order via the same hash. Rates are KEEP probabilities per source —
+    * callers derive them from target token ratios upstream.
+    *
+    * Scale shape: thinning is a pushdown-friendly filter per source,
+    * the union is metadata-only, and the interleave order materializes
+    * only where a consumer sorts ([[shuffleDeterministic]] semantics
+    * apply). */
+  def interleaveSources(sources: Seq[(DataFrame, Double, String)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty, "interleaveSources needs at least one source")
+    val tagged = sources.map { case (df, rate, tag) =>
+      sampleFraction(df, idCol, rate)
+        .withColumn("mix_source", lit(tag))
+    }
+    tagged.reduce(_ unionByName _)
+  }
+
   /** The curated-corpus shipping artifact: write the document set
     * hive-partitioned by the given columns (conventionally
     * `split, lang`), so downstream training jobs reading one split (or
