@@ -735,6 +735,11 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_chunk_tokens" -> ((s, dir) => {
+      // context-length chunking: 32-token chunks, remainder in the last
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Packing.chunkByTokens(d, "text", "doc_id", maxTokens = 32)
+    }),
     "q_interleave" -> ((s, dir) => {
       // dataset mixing: web-like (en) kept at 80%, code-like (the rest)
       // at 25%, tagged with provenance, in deterministic hash order
@@ -1441,6 +1446,19 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_chunk_tokens" ->
+      // 1-based inclusive list slice == Spark's slice(start, length)
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS t FROM documents),
+         ch AS (SELECT doc_id, t, len(t) AS n,
+             unnest(generate_series(0,
+               CAST(ceil(len(t) / 32.0) AS BIGINT) - 1)) AS chunk_idx
+           FROM tk)
+         SELECT doc_id, chunk_idx,
+           array_to_string(t[chunk_idx*32 + 1 : chunk_idx*32 + 32], ' ')
+             AS chunk_text,
+           LEAST(32, n - chunk_idx*32) AS n_tokens
+         FROM ch""",
     "q_interleave" ->
       // identical LCG thinning per source (0.8·2³¹ and 0.25·2³¹ bounds)
       """WITH h AS (SELECT doc_id, lang,

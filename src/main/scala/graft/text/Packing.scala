@@ -54,4 +54,28 @@ object Packing {
     val dw = Window.partitionBy(strataCols.map(col): _*).orderBy(raw)
     df.withColumn("pack_id", (dense_rank().over(dw) - 1).cast("long"))
   }
+
+  /** Context-length chunking: split each document into consecutive
+    * `maxTokens`-token chunks (whitespace tokens — `tokenCountWs`
+    * semantics), one output row per chunk with a dense 0-based
+    * `chunk_idx`, the chunk text, and its token count. The final chunk
+    * carries the remainder. A pure map-side explode — amplification is
+    * exactly the output size (Σ ceil(nᵢ/maxTokens) rows), no shuffle;
+    * compose with [[packByBudget]] for the chunk→pack step. */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val nChunks = ceil(n.cast("double") / maxTokens).cast("int")
+    df.select(col(idCol), toks.as("_t"), n.as("_n"), nChunks.as("_nc"))
+      .select(col(idCol), col("_t"), col("_n"),
+        posexplode(sequence(lit(0), col("_nc") - 1)).as(Seq("_p", "chunk_idx")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("_t"),
+          col("chunk_idx") * maxTokens + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens),
+          col("_n") - col("chunk_idx") * maxTokens).cast("long").as("n_tokens"))
+  }
 }
