@@ -296,6 +296,27 @@ class PlanQualitySpec extends SparkSpec {
     read.count() shouldBe 16 // en ∩ train: 20 evens minus the 4 val ids
   }
 
+  test("chunkByTokens is a pure map-side explode — no shuffle") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, Seq.fill(70)(s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val plan = planString(
+      graft.text.Packing.chunkByTokens(docs, "text", "doc_id", 32))
+    plan should not include "Exchange"
+    plan should include("Generate") // the explode IS the operator
+  }
+
+  test("interleaveSources: per-source thinning is a filter, no shuffle, no join") {
+    import spark.implicits._
+    val a = (0L until 50L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val b = (50L until 100L).map(i => (i, "de")).toDF("doc_id", "lang")
+    val mixed = graft.text.Sampling.interleaveSources(
+      Seq((a, 0.5, "web"), (b, 0.25, "code")), "doc_id")
+    val plan = planString(mixed)
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
   test("dedupCorpus broadcasts the cluster-label table; corpus never shuffles") {
     import spark.implicits._
     val docs = (0L until 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
