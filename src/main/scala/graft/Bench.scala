@@ -15,7 +15,8 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up q1_agg failed: ${e.getMessage}") }
     }
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -36,9 +37,12 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) warmDir.foreach { wd =>
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
-        .foreach { case (_, fn) =>
+        .foreach { case (n, fn) =>
+          // NonFatal only: an OOM or similar fatal error must propagate,
+          // not be silently swallowed into a mystery slow/failed bench
           try fn(spark, wd).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}") }
         }
       spark.sharedState.cacheManager.clearCache()
     }
@@ -59,14 +63,25 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) per-query precision keeps the JSON line ~40% shorter
+    // than full-double formatting — rounds 2 and 3 both lost the head of
+    // the one long line to the driver's bounded tail capture
+    def r3(v: Double): String = // locale-independent (no comma decimals)
+      (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // total appears FIRST (head capture) and LAST (tail capture): round 2's
-    // artifact was truncated at the head of the line, losing the leading
-    // total + first two per-query values — the trailing duplicate keeps the
-    // total recoverable from either end of a cut line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":$total}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${r3(total)}}"""
+    // lossless copy on disk for audit (BENCH_NOTES quotes the DRIVER run
+    // as the number of record; this file records this session's run)
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
+    // printed TWICE: a bounded tail capture that cuts into line 1 still
+    // holds all of line 2; a head capture holds all of line 1
+    println(line)
+    println(line)
     spark.stop()
   }
 }
