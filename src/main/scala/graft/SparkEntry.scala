@@ -384,7 +384,12 @@ object SparkEntry {
     },
     "q_geocode" -> onCube { c =>
       // regrid via per-pixel lon/lat data bands → 100 m UTM cells (D1).
-      // Transverse-Mercator trig isn't bit-portable → rows-only check.
+      // Full hash oracle: JVM vs libm trig differ by ≤2 ulp on this
+      // domain (measured, tools/ experiment r4) but every DERIVED
+      // discrete decision — floor(easting/100) cell assignment and the
+      // min_by winner (min multi-sample d2 margin 177 m² vs ~1e-8 m²
+      // trig noise) — is identical, and the emitted values (data values,
+      // cell centers, ordered-fold IDW) are exact in both engines.
       Sar2Cube.geocode(sarCube(c), targetEpsg = 32632, resolution = 100.0).df
     },
     "q_sar_bbox_lonlat" -> onCube(c =>
@@ -679,6 +684,22 @@ object SparkEntry {
       Similarity.topKPq(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, m = 4, ksub = 16)
     }),
+    "q_ann_topk_ivfpq" -> ((s, dir) => {
+      // full IVF-PQ (residual ADC): coarse centroids = the 16 lowest-id
+      // vectors (as q_ann_topk_ivf), residual codebook from the 16
+      // lowest-id rows (as q_ann_topk_pq) — every constant table is
+      // SQL-derivable, and every sum folds left-to-right, so the oracle
+      // reproduces the residual formulation itself bit-for-bit (the ~1 ulp
+      // divergence is only vs the FLAT dot, which this oracle never takes)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      Similarity.topKIvfPq(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+        m = 4, ksub = 16, centroidsOverride = Some(cents))
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
@@ -688,6 +709,35 @@ object SparkEntry {
       // flatMapGroupsWithState streaming on the same input)
       graft.streaming.StreamingOps.sessionizeBatch(c.df,
         gapMs = 30 * 60 * 1000L)),
+    "q_stream_curation_gate" -> ((s, dir) => {
+      // REAL incremental execution inside the correctness gate: the
+      // curation-gate expressions run through a MemoryStream in 4
+      // micro-batches into an in-memory append sink, and the collected
+      // sink is the query result. The gate is stateless, so stream
+      // output == batch output under ANY batch split — which is exactly
+      // what the batch-formulated oracle verifies (StreamingSpec pins
+      // the same law for the stateful ops). The driver-side collect is
+      // harness-only fixture feeding (≤ a few k docs at sf0.01); a
+      // production stream reads kafka/files through the same projection.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val sink = "q_stream_curation_gate_sink"
+      val q = graft.streaming.StreamingOps.curationGateStream(
+          ms.toDF.toDF("doc_id", "text"), "text",
+          minQuality = 0.75, maxTopBigramFrac = 0.2)
+        .select(col("doc_id"), col("quality"), col("top_bigram_frac"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
     "q_sample_fraction" -> ((s, dir) => {
       // deterministic Bernoulli sample: pure filter on a portable LCG
       // hash — reproducible across engines/partitionings, no shuffle
@@ -1171,6 +1221,7 @@ object SparkEntry {
              ELSE (CASE WHEN fv < 0 AND abs(fv) > 50.0 THEN 1.0 ELSE 0.0 END)
            END AS value
          FROM m CROSS JOIN (VALUES ('1'),('2'),('3')) b(band)"""),
+    "q_geocode" -> geocodeSql,
     "q_sar_bbox_lonlat" -> (cubeCte + """,
          d AS (SELECT date_trunc('day', time) AS time, band, y, x,
                  MAX(value) AS value
@@ -1339,6 +1390,28 @@ object SparkEntry {
          WHERE d.doc_id % 37 <> 0""",
     "q_curation_pipeline" ->
       curationSql,
+    "q_stream_curation_gate" ->
+      // the BATCH formulation of the gate — identical quality + top-bigram
+      // expressions as q_text_quality / q_text_repetition; the streamed
+      // result must equal it under any micro-batch split
+      s"""WITH $qualityCtes,
+          tok AS (SELECT doc_id,
+              string_split_regex(lower(trim(text)), '\\s+') AS tk
+            FROM documents),
+          bg AS (SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(tk) - 1, 0) + 1),
+                i -> array_to_string(tk[i:i+1], ' '))) AS gg
+            FROM tok WHERE len(tk) >= 2),
+          bgf AS (SELECT doc_id,
+              round(CAST(max(c2) AS DOUBLE) / sum(c2), 6) AS rep
+            FROM (SELECT doc_id, gg, count(*) AS c2 FROM bg
+                  GROUP BY doc_id, gg)
+            GROUP BY doc_id)
+          SELECT d.doc_id, q.quality,
+            coalesce(bgf.rep, 0.0) AS top_bigram_frac
+          FROM documents d JOIN q USING (doc_id)
+          LEFT JOIN bgf USING (doc_id)
+          WHERE q.quality >= 0.75 AND coalesce(bgf.rep, 0.0) <= 0.2""",
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
@@ -1847,6 +1920,101 @@ object SparkEntry {
                   JOIN rrn r ON r.vec_id = a.neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM sc WHERE rank <= 5""",
+    "q_ann_topk_ivfpq" ->
+      // full IVF-PQ residual ADC. Stage mirror of Similarity.topKIvfPq:
+      // coarse assign (argmin of (|v|²−2v·c)+|c|², ties lowest cid) →
+      // residual v−c → residual codebook = residuals of the 16 lowest-id
+      // rows → per-subspace codes (same argmin over residual subvectors) →
+      // reconstructed |v̂|² = (|c|² + Σs 2·(c_s·cb)) + Σs |cb|² →
+      // adot = q·c + Σs lut_s[code] → cos = adot/(|q|·|v̂|). Every SUM is
+      // ORDER BY'd to match Spark's left-to-right folds bit-for-bit.
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT cid, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         ccn2 AS (SELECT cid, SUM(cv*cv ORDER BY i) AS nc2 FROM cel GROUP BY 1),
+         vn2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.cid, SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ((n2.n2v - (2.0 * v.dvc)) + c2.nc2), v.cid) AS rn
+             FROM vdot v JOIN vn2 n2 ON n2.vec_id = v.vec_id
+                  JOIN ccn2 c2 ON c2.cid = v.cid) WHERE rn = 1),
+         rel AS (SELECT e.vec_id, a.cid, (e.i-1)//16 AS s,
+             e.i - ((e.i-1)//16)*16 AS j, e.v - c.cv AS r
+           FROM el e JOIN assign a ON a.vec_id = e.vec_id
+                JOIN cel c ON c.cid = a.cid AND c.i = e.i),
+         cbrows AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+         cbel AS (SELECT cb.c, r.s, r.j, r.r AS bv
+           FROM cbrows cb JOIN rel r ON r.vec_id = cb.vec_id),
+         cbn2 AS (SELECT c, s, SUM(bv*bv ORDER BY j) AS nb2
+                  FROM cbel GROUP BY 1, 2),
+         rn2v AS (SELECT vec_id, s, SUM(r*r ORDER BY j) AS n2r
+                  FROM rel GROUP BY 1, 2),
+         rdot AS (SELECT rs.vec_id, cb.c, cb.s,
+             SUM(rs.r * cb.bv ORDER BY rs.j) AS drc
+           FROM rel rs JOIN cbel cb ON cb.s = rs.s AND cb.j = rs.j
+           GROUP BY 1, 2, 3),
+         codes AS (SELECT vec_id, s, c FROM (
+             SELECT d.vec_id, d.s, d.c, row_number() OVER (
+                 PARTITION BY d.vec_id, d.s
+                 ORDER BY ((v.n2r - (2.0 * d.drc)) + b.nb2), d.c) AS rn
+             FROM rdot d JOIN rn2v v ON v.vec_id = d.vec_id AND v.s = d.s
+                  JOIN cbn2 b ON b.c = d.c AND b.s = d.s) WHERE rn = 1),
+         csel AS (SELECT cid, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, cv
+                  FROM cel),
+         crx AS (SELECT cs.cid, cb.c, cb.s,
+             SUM(cs.cv * cb.bv ORDER BY cs.j) AS x
+           FROM csel cs JOIN cbel cb ON cb.s = cs.s AND cb.j = cs.j
+           GROUP BY 1, 2, 3),
+         rrn AS (SELECT cd.vec_id,
+             sqrt((c2.nc2 + SUM(2.0 * x.x ORDER BY cd.s))
+                  + SUM(b.nb2 ORDER BY cd.s)) AS rn
+           FROM codes cd JOIN assign a ON a.vec_id = cd.vec_id
+                JOIN ccn2 c2 ON c2.cid = a.cid
+                JOIN crx x ON x.cid = a.cid AND x.c = cd.c AND x.s = cd.s
+                JOIN cbn2 b ON b.c = cd.c AND b.s = cd.s
+           GROUP BY cd.vec_id, c2.nc2),
+         qd AS (SELECT e.vec_id AS query_id, c.cid,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         probes AS (SELECT query_id, cid FROM (
+             SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, cid) AS pr FROM qd) WHERE pr <= 4),
+         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el
+                WHERE vec_id < 10 GROUP BY 1),
+         qc AS (SELECT e.vec_id AS query_id, c.cid,
+             SUM(e.v * c.cv ORDER BY e.i) AS qcd
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         qlut AS (SELECT q.vec_id AS query_id, cb.c, cb.s,
+             SUM(q.v * cb.bv ORDER BY q.j) AS qdot
+           FROM (SELECT vec_id, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, v
+                 FROM el WHERE vec_id < 10) q
+           JOIN cbel cb ON cb.s = q.s AND cb.j = q.j GROUP BY 1, 2, 3),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cid
+           FROM assign a JOIN probes p ON p.cid = a.cid
+           WHERE p.query_id <> a.vec_id),
+         approx AS (SELECT cd.query_id, cd.neighbor_id,
+             q.qcd + SUM(l.qdot ORDER BY c.s) AS adot
+           FROM cand cd JOIN codes c ON c.vec_id = cd.neighbor_id
+                JOIN qlut l ON l.query_id = cd.query_id
+                     AND l.c = c.c AND l.s = c.s
+                JOIN qc q ON q.query_id = cd.query_id AND q.cid = cd.cid
+           GROUP BY cd.query_id, cd.neighbor_id, q.qcd),
+         sc AS (SELECT a.query_id, a.neighbor_id,
+             a.adot / (qn.nrm * r.rn) AS cos,
+             row_number() OVER (PARTITION BY a.query_id
+                 ORDER BY a.adot / (qn.nrm * r.rn) DESC, a.neighbor_id) AS rank
+           FROM approx a JOIN qn ON qn.vec_id = a.query_id
+                JOIN rrn r ON r.vec_id = a.neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM sc WHERE rank <= 5""",
     "q_dedup_embedding" ->
       """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
@@ -1921,6 +2089,76 @@ object SparkEntry {
 
   private def qualitySql: String =
     s"WITH $qualityCtes SELECT doc_id, quality FROM q"
+
+  /** DuckDB mirror of Sar2Cube.geocode over the SAR fixture: the Snyder
+    * TM forward with Spark's folded constants embedded as exact literals,
+    * floor-binning, deterministic (d2, y, x) argmin, the geometric
+    * candidate prune, and the ordered-fold IDW gap fill. libm-vs-JVM trig
+    * noise (≤2 ulp) never flips a derived decision on this domain —
+    * measured, not assumed (see q_geocode's comment). */
+  private def geocodeSql: String = {
+    val c = graft.ops.Sar2Cube.tmConstants(32632)
+    val offs = graft.ops.Sar2Cube.stencilOffsets
+      .map { case (oi, ox, oy, w) => s"($oi,$ox,$oy,${w})" }.mkString(", ")
+    cubeCte + s""",
+       d AS (SELECT date_trunc('day', time) AS time, y, x, MAX(value) AS value
+             FROM cube WHERE band = 'view' GROUP BY 1, 2, 3),
+       pe AS (SELECT time, y, x, value,
+           radians(45.0 + y*0.001 + x*0.00001) AS phi,
+           radians(11.0 + x*0.001 + y*0.00001) AS lam FROM d),
+       t1 AS (SELECT *, sin(phi) AS sinp, cos(phi) AS cosp, tan(phi) AS tanp
+              FROM pe),
+       t2 AS (SELECT *,
+           ${c("aa")}/sqrt(1.0 - ${c("e2")}*sinp*sinp) AS nn,
+           tanp*tanp AS t,
+           ${c("ep2")}*cosp*cosp AS cc,
+           (lam - ${c("lam0")})*cosp AS a,
+           ${c("aa")}*(${c("m1")}*phi - ${c("m2")}*sin(phi*2)
+             + ${c("m3")}*sin(phi*4) - ${c("m4")}*sin(phi*6)) AS mm
+         FROM t1),
+       t3 AS (SELECT *,
+           ${c("k0")}*nn*(a + (1.0-t+cc)*(a*a*a)/6
+             + (5.0-t*18+t*t+cc*72-${c("c58")})*(a*a*a*a*a)/120)
+             + 500000.0 AS e,
+           ${c("k0")}*(mm + nn*tanp*(a*a/2 + (5.0-t+cc*9+cc*cc*4)*(a*a*a*a)/24
+             + (61.0-t*58+t*t+cc*600-${c("c330")})*(a*a*a*a*a*a)/720)) AS n
+         FROM t2),
+       b0 AS (SELECT time, y, x, value, e, n,
+           CAST(floor(e/100.0) AS BIGINT) AS tx,
+           CAST(floor(n/100.0) AS BIGINT) AS ty FROM t3),
+       b1 AS (SELECT *,
+           (e - (CAST(tx AS DOUBLE)+0.5)*100.0)*(e - (CAST(tx AS DOUBLE)+0.5)*100.0)
+           + (n - (CAST(ty AS DOUBLE)+0.5)*100.0)*(n - (CAST(ty AS DOUBLE)+0.5)*100.0)
+             AS d2 FROM b0),
+       binned AS (SELECT time, tx, ty, value FROM (
+           SELECT time, tx, ty, value, row_number() OVER (
+               PARTITION BY time, tx, ty ORDER BY d2, y, x) AS rn
+           FROM b1) WHERE rn = 1),
+       offs AS (SELECT oi, ox, oy, CAST(w AS DOUBLE) AS w
+                FROM (VALUES $offs) v(oi, ox, oy, w)),
+       cells AS (SELECT DISTINCT tx, ty FROM binned),
+       cand AS (SELECT tx, ty FROM (
+           SELECT c2.tx + o.ox AS tx, c2.ty + o.oy AS ty
+           FROM cells c2 CROSS JOIN offs o)
+         GROUP BY tx, ty HAVING COUNT(*) >= 4),
+       slices AS (SELECT DISTINCT time FROM binned),
+       gaps AS (SELECT s.time, c2.tx, c2.ty
+         FROM cand c2 CROSS JOIN slices s
+         WHERE NOT EXISTS (SELECT 1 FROM binned b
+           WHERE b.time = s.time AND b.tx = c2.tx AND b.ty = c2.ty)),
+       filled AS (SELECT g.time, g.tx, g.ty,
+           SUM(b.value * o.w ORDER BY o.oi) / SUM(o.w ORDER BY o.oi) AS value
+         FROM gaps g CROSS JOIN offs o
+         JOIN binned b ON b.time = g.time
+           AND b.tx = g.tx + o.ox AND b.ty = g.ty + o.oy
+         GROUP BY g.time, g.tx, g.ty HAVING COUNT(*) >= 4),
+       outp AS (SELECT time, tx, ty, value FROM binned
+                UNION ALL SELECT time, tx, ty, value FROM filled)
+       SELECT time, 'view' AS band,
+         (CAST(ty AS DOUBLE)+0.5)*100.0 AS y,
+         (CAST(tx AS DOUBLE)+0.5)*100.0 AS x, value
+       FROM outp"""
+  }
 
   /** The curation-pipeline oracle: each stage is the identical formula the
     * standalone oracled queries use (quality, top-bigram repetition,
