@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object Sar2Cube {
 
+  /** Gap-fill stencil: the 8 neighbor offsets with a fixed ordinal `oi`
+    * (fold order for the deterministic IDW sum) and IDW weight
+    * 1/hypot(ox,oy). Shared with the geocode oracle SQL, which embeds
+    * these exact doubles as literals. */
+  val stencilOffsets: Seq[(Int, Int, Int, Double)] = {
+    val offs = for { oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0 }
+      yield (ox, oy, 1.0 / math.hypot(ox, oy))
+    offs.zipWithIndex.map { case ((ox, oy, w), oi) => (oi, ox, oy, w) }
+  }
+
+  /** The folded constants of [[utmFromLonLatCols]] for one EPSG, as the
+    * exact doubles Spark's literals hold — the geocode oracle SQL embeds
+    * their shortest-roundtrip strings so both engines start from identical
+    * constants (the same trick as the radar-mask oracle). */
+  def tmConstants(epsg: Int): Map[String, Double] = {
+    val aa = 6378137.0; val ff = 1.0 / 298.257223563
+    val e2 = ff * (2 - ff); val ep2 = e2 / (1 - e2)
+    val (zone, _) = Utm.epsgToZone(epsg)
+    Map(
+      "aa" -> aa, "e2" -> e2, "ep2" -> ep2, "k0" -> 0.9996,
+      "lam0" -> math.toRadians(zone * 6 - 183),
+      "m1" -> (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256),
+      "m2" -> (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024),
+      "m3" -> (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024),
+      "m4" -> (35 * e2 * e2 * e2 / 3072),
+      "c58" -> 58 * ep2, "c330" -> 330 * ep2)
+  }
+
   /** Snyder Transverse-Mercator forward as Column expressions. Mirrors
     * [[Utm.fromLonLat]] term for term. */
   def utmFromLonLatCols(lonDeg: Column, latDeg: Column, epsg: Int): (Column, Column) = {
@@ -85,10 +113,14 @@ object Sar2Cube {
     val otherNames = c.dims.filterNot(d => d == Dim.X || d == Dim.Y)
     val others = otherNames.map(col)
     val keyNames = otherNames ++ Seq("_tx", "_ty")
+    // argmin tie-break: (d2, src_y, src_x) — two radar samples exactly
+    // equidistant from the cell center (symmetric geometries produce them)
+    // would otherwise flip winners between runs/partitionings
     val binned = joined
       .withColumn("_tx", tx).withColumn("_ty", ty).withColumn("_d2", d2)
       .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
-      .agg(min_by(col(Cube.ValueCol), col("_d2")).as(Cube.ValueCol))
+      .agg(min_by(col(Cube.ValueCol),
+        struct(col("_d2"), col(Dim.Y), col(Dim.X))).as(Cube.ValueCol))
       .select(keyNames.map(col) :+ col(Cube.ValueCol): _*)
     // Gap fill: the reference's Delaunay interpolation produces a value
     // for every target cell inside the radar footprint even where the
@@ -114,11 +146,10 @@ object Sar2Cube {
       // ContextCleaner when the query's references drop (no named cache
       // left behind).
       val binnedC = binned.localCheckpoint(true)
-      val nbrOffsets = for {
-        oy <- -1 to 1; ox <- -1 to 1 if ox != 0 || oy != 0
-      } yield (ox, oy, 1.0 / math.hypot(ox, oy))
-      val offArr = array(nbrOffsets.map { case (ox, oy, wt) =>
-        struct(lit(ox).as("ox"), lit(oy).as("oy"), lit(wt).as("w"))
+      val nbrOffsets = Sar2Cube.stencilOffsets
+      val offArr = array(nbrOffsets.map { case (oi, ox, oy, wt) =>
+        struct(lit(oi).as("oi"), lit(ox).as("ox"), lit(oy).as("oy"),
+          lit(wt).as("w"))
       }: _*)
       // geometric candidate cells: >= 4 of the 8 neighbors populated in
       // SOME slice. A superset prune — a slice-level hole needs >= 4
@@ -152,14 +183,21 @@ object Sar2Cube {
           (col("_tx") + col("_o.ox")).as("_tx"),
           (col("_ty") + col("_o.oy")).as("_ty"),
           col("_tx").as("_gtx"), col("_ty").as("_gty"),
-          col("_o.w").as("_w")): _*))
+          col("_o.oi").as("_oi"), col("_o.w").as("_w")): _*))
       // per-slice IDW over the neighbors actually populated in that slice,
-      // with the >= 4 support re-check
+      // with the >= 4 support re-check. The ≤8 (weight, value) terms are
+      // folded in STENCIL-OFFSET ORDER (sorted collect + left fold), not
+      // partial-aggregation order — the sum is deterministic across
+      // partitionings and reproducible by an ordered-SUM oracle.
       val filled = binnedC.join(gapNbrs, keyNames)
         .groupBy(others :+ col("_gtx") :+ col("_gty"): _*)
-        .agg((sum(col(Cube.ValueCol) * col("_w")) / sum(col("_w")))
-          .as(Cube.ValueCol), count(lit(1)).as("_support"))
-        .where(col("_support") >= 4)
+        .agg(sort_array(collect_list(struct(col("_oi").as("oi"),
+          (col(Cube.ValueCol) * col("_w")).as("pv"),
+          col("_w").as("w")))).as("_ps"))
+        .withColumn(Cube.ValueCol,
+          aggregate(col("_ps"), lit(0.0), (acc, s) => acc + s.getField("pv")) /
+            aggregate(col("_ps"), lit(0.0), (acc, s) => acc + s.getField("w")))
+        .where(size(col("_ps")) >= 4)
         .withColumnRenamed("_gtx", "_tx").withColumnRenamed("_gty", "_ty")
         .select(keyNames.map(col) :+ col(Cube.ValueCol): _*)
       binnedC.unionByName(filled)
