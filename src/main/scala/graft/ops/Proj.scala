@@ -251,6 +251,119 @@ final case class LambertAzimuthalEA(ell: Ellipsoid, lat0Deg: Double,
   }
 }
 
+/** Ellipsoidal Polar Stereographic (Snyder pp. 160-162; EPSG methods
+  * 9810/9829). `latTsDeg` is the SIGNED standard parallel (variant B —
+  * EPSG:3031 is −71, EPSG:3413 is +70); ±90 selects variant A with scale
+  * `k0` at the pole. The south aspect computes the north formulas on
+  * (−φ, −(λ−λ0)) with outputs negated (Snyder 21-41's sign reversal). */
+final case class PolarStereographic(ell: Ellipsoid, latTsDeg: Double,
+    lon0Deg: Double, k0: Double, fe: Double, fn: Double) extends Projection {
+  import ell.{a, e2, e}
+  require(latTsDeg != 0.0,
+    "polar stereographic needs a signed lat_ts (or ±90 for variant A)")
+  private val sgn = if (latTsDeg < 0) -1.0 else 1.0
+  private val lon0 = math.toRadians(lon0Deg)
+
+  private def tOf(phi: Double): Double =
+    math.tan(math.Pi / 4 - phi / 2) *
+      math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e / 2)
+  private def mOf(phi: Double): Double =
+    math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+
+  /** ρ = rhoFactor · t(φ'): a·m_c/t_c at a true-scale parallel (variant
+    * B), 2·a·k0/√((1+e)^(1+e)·(1−e)^(1−e)) at the pole (variant A). */
+  private val rhoFactor = {
+    val absTs = math.toRadians(math.abs(latTsDeg))
+    if (math.abs(latTsDeg) == 90.0)
+      2.0 * a * k0 / math.sqrt(
+        math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+    else a * mOf(absTs) / tOf(absTs)
+  }
+
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi = math.toRadians(sgn * latDeg)
+    val dlam = sgn * (math.toRadians(lonDeg) - lon0)
+    val rho = rhoFactor * tOf(phi)
+    (fe + sgn * rho * math.sin(dlam), fn + sgn * (-rho * math.cos(dlam)))
+  }
+
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val xn = sgn * (x - fe); val yn = sgn * (y - fn)
+    val rho = math.sqrt(xn * xn + yn * yn)
+    val t = rho / rhoFactor
+    val lamN = sgn * lon0 + math.atan2(xn, -yn)
+    var phi = math.Pi / 2 - 2 * math.atan(t)
+    var i = 0
+    while (i < 8) {
+      val es = e * math.sin(phi)
+      phi = math.Pi / 2 -
+        2 * math.atan(t * math.pow((1 - es) / (1 + es), e / 2))
+      i += 1
+    }
+    // wrap to (-180, 180]: the +-(lam - lon0) composition can leave the
+    // result a full turn off near the antimeridian
+    val lamDeg = math.toDegrees(sgn * lamN)
+    val wrapped = lamDeg - 360.0 * math.floor((lamDeg + 180.0) / 360.0)
+    (if (wrapped == -180.0) 180.0 else wrapped, math.toDegrees(sgn * phi))
+  }
+}
+
+/** Ellipsoidal Albers Equal-Area Conic, two standard parallels (Snyder
+  * pp. 101-102) — CONUS Albers (5070), Australian Albers (3577), the
+  * standard continental-mosaic CRS family of OpenDataCube deployments. */
+final case class AlbersEqualArea(ell: Ellipsoid, lat0Deg: Double,
+    lon0Deg: Double, lat1Deg: Double, lat2Deg: Double, fe: Double,
+    fn: Double) extends Projection {
+  import ell.{a, e2, e}
+  private val lon0 = math.toRadians(lon0Deg)
+
+  private def q(phi: Double): Double = {
+    val s = math.sin(phi)
+    (1 - e2) * (s / (1 - e2 * s * s) -
+      (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+  }
+  private def mOf(phi: Double): Double =
+    math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+
+  private val lat1 = math.toRadians(lat1Deg)
+  private val lat2 = math.toRadians(lat2Deg)
+  private val m1 = mOf(lat1); private val m2 = mOf(lat2)
+  private val q1 = q(lat1); private val q2 = q(lat2)
+  private val n =
+    if (lat1 == lat2) math.sin(lat1) else (m1 * m1 - m2 * m2) / (q2 - q1)
+  private val bigC = m1 * m1 + n * q1
+  private val rho0 = a * math.sqrt(bigC - n * q(math.toRadians(lat0Deg))) / n
+
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val rho = a * math.sqrt(bigC - n * q(phi)) / n
+    val theta = n * (math.toRadians(lonDeg) - lon0)
+    (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+  }
+
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val dx = x - fe; val dy = rho0 - (y - fn)
+    val rho = math.sqrt(dx * dx + dy * dy)
+    // for n < 0 (south-parallel cones) both ρ and θ flip sign (Snyder
+    // 14-11 note): atan2 of negated operands
+    val s = if (n >= 0) 1.0 else -1.0
+    val theta = math.atan2(s * dx, s * dy)
+    val qv = (bigC - (rho * s) * (rho * s) * n * n / (a * a)) / n
+    val lam = lon0 + theta / n
+    var phi = math.asin(math.max(-1.0, math.min(1.0, qv / 2)))
+    var i = 0
+    while (i < 8) {
+      val si = math.sin(phi)
+      val om = 1 - e2 * si * si
+      phi += (om * om / (2 * math.cos(phi))) *
+        (qv / (1 - e2) - si / om +
+          (1 / (2 * e)) * math.log((1 - e * si) / (1 + e * si)))
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+}
+
 /** Spherical Mercator with free radius/offsets (Web-Mercator is R=a(WGS84),
   * zero offsets). Latitudes clamp at the square-world edge like 3857. */
 final case class SphericalMercator(r: Double, fe: Double, fn: Double)
@@ -336,6 +449,23 @@ object Proj {
       TransverseMercator(Grs80, 0.0, (z - 26900) * 6 - 183, 0.9996,
         500000.0, 0.0),
       Grs80, None))
+    // WGS84 / Antarctic Polar Stereographic (polar EO staple)
+    case 3031 => Some(ProjDef(
+      PolarStereographic(Wgs84, -71.0, 0.0, 1.0, 0.0, 0.0), Wgs84, None))
+    // WGS84 / NSIDC Sea Ice Polar Stereographic North
+    case 3413 => Some(ProjDef(
+      PolarStereographic(Wgs84, 70.0, -45.0, 1.0, 0.0, 0.0), Wgs84, None))
+    // WGS84 / NSIDC Sea Ice Polar Stereographic South
+    case 3976 => Some(ProjDef(
+      PolarStereographic(Wgs84, -70.0, 0.0, 1.0, 0.0, 0.0), Wgs84, None))
+    // NAD83 / Conus Albers (NAD83≈WGS84 at bbox accuracy)
+    case 5070 => Some(ProjDef(
+      AlbersEqualArea(Grs80, 23.0, -96.0, 29.5, 45.5, 0.0, 0.0),
+      Grs80, None))
+    // GDA94 / Australian Albers — the OpenDataCube-Australia grid
+    case 3577 => Some(ProjDef(
+      AlbersEqualArea(Grs80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
+      Grs80, None))
     case _ => None
   }
 
@@ -400,6 +530,20 @@ object Proj {
       case "laea" =>
         LambertAzimuthalEA(ell, d("lat_0", 0), d("lon_0", 0),
           d("x_0", 0), d("y_0", 0))
+      case "stere" =>
+        // polar aspect only (lat_0=±90); oblique stereographic is a
+        // different EPSG method (9809) — typed error, not wrong numbers
+        val lat0 = d("lat_0", 0)
+        if (math.abs(lat0) != 90.0) bad("only polar stereographic (+lat_0=±90)")
+        val ts = num("lat_ts").getOrElse(lat0)
+        if (ts == 0.0 || math.signum(ts) != math.signum(lat0))
+          bad(s"+lat_ts=$ts must sit on the +lat_0=$lat0 pole's side")
+        PolarStereographic(ell, ts, d("lon_0", 0),
+          num("k").orElse(num("k_0")).getOrElse(1.0), d("x_0", 0), d("y_0", 0))
+      case "aea" =>
+        val lat1 = num("lat_1").getOrElse(bad("aea needs +lat_1"))
+        AlbersEqualArea(ell, d("lat_0", 0), d("lon_0", 0), lat1,
+          d("lat_2", lat1), d("x_0", 0), d("y_0", 0))
       case "merc" =>
         // only SPHERICAL Mercator is implemented (the Web-Mercator
         // +a=R +b=R form). An ellipsoidal definition (+ellps / +rf /

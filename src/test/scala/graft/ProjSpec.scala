@@ -156,6 +156,138 @@ class ProjSpec extends SparkSpec {
       }.code shouldBe "CrsNotSupported"
   }
 
+  test("polar stereographic: Snyder worked example + pole + true scale") {
+    // Snyder PP 1395 numerical example (pp. 314-315): ellipsoidal polar
+    // stereographic, SOUTH aspect, International 1924 ellipsoid,
+    // phi_c = -71, lam_0 = -100; point phi = -75, lam = 150 ->
+    // x = -1540033.6, y = -560526.4
+    val ps = PolarStereographic(Ellipsoid.Intl1924, -71.0, -100.0,
+      1.0, 0.0, 0.0)
+    val (x, y) = ps.forward(150.0, -75.0)
+    x shouldBe -1540033.6 +- 0.5
+    y shouldBe -560526.4 +- 0.5
+    val (lo, la) = ps.inverse(x, y)
+    lo shouldBe 150.0 +- 1e-8
+    la shouldBe -75.0 +- 1e-8
+    // the pole projects to the grid origin in both aspects
+    Proj.forEpsg(3031).get.fromLonLat(77.0, -90.0)._1 shouldBe 0.0 +- 1e-6
+    Proj.forEpsg(3031).get.fromLonLat(77.0, -90.0)._2 shouldBe 0.0 +- 1e-6
+    Proj.forEpsg(3413).get.fromLonLat(13.0, 90.0)._1 shouldBe 0.0 +- 1e-6
+    // scale factor k = rho * sqrt(1 - e^2 sin^2 phi) / (a cos phi) must be
+    // exactly 1 on the standard parallel (the defining property of
+    // variant B) — EPSG:3031 at lat -71
+    val e3031 = Ellipsoid.Wgs84
+    val (x71, y71) = Proj.forEpsg(3031).get.fromLonLat(33.0, -71.0)
+    val rho = math.hypot(x71, y71)
+    val s71 = math.sin(math.toRadians(-71.0))
+    val k = rho * math.sqrt(1 - e3031.e2 * s71 * s71) /
+      (e3031.a * math.cos(math.toRadians(-71.0)))
+    k shouldBe 1.0 +- 1e-9
+  }
+
+  test("albers: Snyder worked example + equal-area invariant") {
+    // Snyder PP 1395 numerical example (pp. 291-292): ellipsoidal Albers,
+    // Clarke 1866, lat0 = 23, lon0 = -96, lat1 = 29.5, lat2 = 45.5;
+    // point phi = 35, lam = -75 -> x = 1885472.7, y = 1535925.0
+    val aea = AlbersEqualArea(Ellipsoid.Clarke1866, 23.0, -96.0,
+      29.5, 45.5, 0.0, 0.0)
+    val (x, y) = aea.forward(-75.0, 35.0)
+    x shouldBe 1885472.7 +- 0.5
+    y shouldBe 1535925.0 +- 0.5
+    val (lo, la) = aea.inverse(x, y)
+    lo shouldBe -75.0 +- 1e-8
+    la shouldBe 35.0 +- 1e-8
+    // equal-area law: the projected Jacobian determinant equals the
+    // ellipsoidal area element M*N*cos(phi) everywhere, not just at the
+    // standard parallels — checked numerically at an off-parallel point
+    val ell = Ellipsoid.Grs80
+    val conus = Proj.forEpsg(5070).get
+    val (lam0, phi0) = (-105.0, 39.5)
+    val dDeg = 1e-4
+    val (x0, y0) = conus.fromLonLat(lam0, phi0)
+    val (xl, yl) = conus.fromLonLat(lam0 + dDeg, phi0)
+    val (xp, yp) = conus.fromLonLat(lam0, phi0 + dDeg)
+    val jac = math.abs((xl - x0) * (yp - y0) - (xp - x0) * (yl - y0))
+    val phiR = math.toRadians(phi0)
+    val w2 = 1 - ell.e2 * math.sin(phiR) * math.sin(phiR)
+    val bigM = ell.a * (1 - ell.e2) / math.pow(w2, 1.5)
+    val bigN = ell.a / math.sqrt(w2)
+    val cell = bigM * bigN * math.cos(phiR) * math.pow(math.toRadians(dDeg), 2)
+    jac / cell shouldBe 1.0 +- 1e-6
+  }
+
+  test("polar/albers registry codes roundtrip and reach Crs dispatch") {
+    val domains = Map(
+      3031 -> Seq((0.0, -75.0), (166.67, -77.85), (-68.1, -67.6)),
+      3413 -> Seq((-45.0, 75.0), (-156.8, 71.3), (15.6, 78.2)),
+      3976 -> Seq((0.0, -75.0), (110.5, -66.3)),
+      5070 -> Seq((-75.0, 35.0), (-122.3, 47.6), (-96.0, 23.0)),
+      3577 -> Seq((132.0, -25.0), (115.9, -31.9), (153.0, -27.5)))
+    for ((epsg, pts) <- domains; (lo, la) <- pts) {
+      val pd = Proj.forEpsg(epsg).get
+      val (x, y) = pd.fromLonLat(lo, la)
+      val (lo2, la2) = pd.toLonLat(x, y)
+      lo2 shouldBe lo +- 1e-7
+      la2 shouldBe la +- 1e-7
+      Crs.supported(epsg) shouldBe true
+    }
+    // cross-dispatch: 4326 -> 3031 -> 4326 through the Crs entry point
+    val (px, py) = Crs.transformPoint(45.0, -80.0, 4326, 3031)
+    val (blo, bla) = Crs.transformPoint(px, py, 3031, 4326)
+    blo shouldBe 45.0 +- 1e-7
+    bla shouldBe -80.0 +- 1e-7
+  }
+
+  test("proj-string parser: stere/aea match registry; oblique -> typed error") {
+    val st = Proj.parse("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +ellps=WGS84")
+    val reg = Proj.forEpsg(3031).get
+    val (xa, ya) = st.fromLonLat(120.0, -74.0)
+    val (xb, yb) = reg.fromLonLat(120.0, -74.0)
+    xa shouldBe xb +- 1e-6
+    ya shouldBe yb +- 1e-6
+    val ab = Proj.parse("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 " +
+      "+lat_2=45.5 +ellps=GRS80")
+    val reg5070 = Proj.forEpsg(5070).get
+    val (xc, yc) = ab.fromLonLat(-100.0, 40.0)
+    val (xd, yd) = reg5070.fromLonLat(-100.0, 40.0)
+    xc shouldBe xd +- 1e-6
+    yc shouldBe yd +- 1e-6
+    // north-pole variant A (k0 at the pole) parses too
+    val va = Proj.parse("+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +ellps=WGS84")
+    val (_, yv) = va.fromLonLat(0.0, 80.0)
+    yv should be < 0.0 // south of the pole on the grid
+    for (bad <- Seq("+proj=stere +lat_0=52 +lon_0=5", // oblique (9809)
+        "+proj=stere +lat_0=90 +lat_ts=-71", // parallel on wrong pole
+        "+proj=aea +lat_0=23"))
+      intercept[OpenEoError](Proj.parse(bad))
+        .code shouldBe "CrsNotSupported"
+  }
+
+  test("filter_bbox accepts polar and albers bboxes") {
+    import graft.cube.Cube
+    // cube in EPSG:3031 meters around (0, -75): inside vs far point
+    val (xi, yi) = Crs.transformPoint(0.0, -75.0, 4326, 3031)
+    val (xo, yo) = Crs.transformPoint(20.0, -70.0, 4326, 3031)
+    val c0 = cubeOf(
+      ("2024-01-01", "B04", yi, xi, 1.0),
+      ("2024-01-01", "B04", yo, xo, 2.0))
+    val c = Cube(c0.df, c0.meta.copy(crs = Some("EPSG:3031")))
+    val r = Filters.filterBboxRef(c, west = -1.0, south = -75.5,
+      east = 1.0, north = -74.5, bboxCrs = CrsRef.parse("EPSG:4326"))
+    r.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(1.0)
+    // albers: CONUS cube, bbox in geographic degrees
+    val (ax, ay) = Crs.transformPoint(-105.0, 39.7, 4326, 5070)
+    val (bx, by) = Crs.transformPoint(-80.0, 25.8, 4326, 5070)
+    val c1 = cubeOf(
+      ("2024-01-01", "B04", ay, ax, 3.0),
+      ("2024-01-01", "B04", by, bx, 4.0))
+    val cc = Cube(c1.df, c1.meta.copy(crs = Some("EPSG:5070")))
+    val r2 = Filters.filterBboxRef(cc, west = -106.0, south = 39.0,
+      east = -104.0, north = 40.5, bboxCrs = CrsRef.parse("EPSG:4326"))
+    r2.df.select("value").collect().map(_.getDouble(0)).toSeq shouldBe Seq(3.0)
+  }
+
   test("filter_bbox accepts a proj-string crs for the bbox") {
     import org.apache.spark.sql.functions._
     val (x1, y1) = Utm.fromLonLat(11.30, 46.50, 32632) // inside
