@@ -46,9 +46,21 @@ object BloomExprs {
       lit(estimatedItems), lit(numBits))
   }
 
-  /** Membership probe; `bloom` must be a constant (binary literal). */
+  /** Membership probe; `bloom` must be a constant (binary literal). A
+    * non-constant sketch is rejected HERE with a typed graft error —
+    * Spark's own check only fires at analysis time, far from the call
+    * site and with an opaque message. */
   def mightContain(bloom: Column, value: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
+    // node-class check (internal.Literal is private[sql] to Scala but the
+    // node accessor itself is public API)
+    val constant =
+      bloom.node.getClass.getName == "org.apache.spark.sql.internal.Literal"
+    if (!constant)
+      throw graft.OpenEoError("BloomNotConstant",
+        "mightContain needs a constant bloom sketch: collect the " +
+          "aggregated sketch bytes and pass lit(bytes) (see " +
+          "Dedup.decontaminateBloom)")
     call_function("graft_might_contain", bloom, value)
   }
 }

@@ -175,9 +175,9 @@ object StreamingOps {
     * consumers `dropDuplicates("id_a","id_b")` per sink batch. */
   final case class DupMatch(id_a: Long, id_b: Long, dist: Int)
 
-  /** Per-bucket dedup state: ids + simhashes seen in this bucket (public:
-    * encoder codegen must reach it). */
-  final case class BucketState(ids: List[Long], hashes: List[Long])
+  /** Per-bucket dedup state: ids + simhashes seen in this bucket, as flat
+    * primitive arrays (public: encoder codegen must reach it). */
+  final case class BucketState(ids: Array[Long], hashes: Array[Long])
 
   /** Streaming NEAR-dup gate: the simhash band-pair blocking of
     * [[graft.text.Dedup.simhashPairs]] as a stateful stream stage. Each
@@ -201,7 +201,7 @@ object StreamingOps {
     * periodic batch re-baselining. The shuffle key is the bucket — the
     * same key as the batch band-join, so cluster partitioning matches. */
   def dedupStreamSimhash(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 6): Dataset[DupMatch] = {
+      maxDist: Int = 6, maxBucketSize: Int = Int.MaxValue): Dataset[DupMatch] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(maxDist <= 6,
       s"simhash blocking guarantees recall only to Hamming 6, got $maxDist")
@@ -219,27 +219,43 @@ object StreamingOps {
         GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), docs0: Iterator[(Long, Long, Int, Long)],
          state: GroupState[BucketState]) =>
-          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val st = state.getOption.getOrElse(
+            BucketState(Array.emptyLongArray, Array.emptyLongArray))
           // ascending id within the batch: when both ends of a pair land
           // in one micro-batch the smaller id is "prior", so the emitted
           // (min, max) orientation is deterministic under any batch split
           val batch = docs0.toSeq.sortBy(_._1)
-          var ids = st.ids; var hs = st.hashes
+          // flat arrays grown once per batch: the prior List state was
+          // re-scanned via boxed cons cells, and a re-ingested id both
+          // duplicated state and re-emitted its pairs (ADVICE r3) — now a
+          // known id is skipped entirely (no growth, no re-emission)
+          var ids = java.util.Arrays.copyOf(st.ids,
+            st.ids.length + batch.length)
+          var hs = java.util.Arrays.copyOf(st.hashes,
+            st.hashes.length + batch.length)
+          var n = st.ids.length
           val out = scala.collection.mutable.ArrayBuffer.empty[DupMatch]
           batch.foreach { case (id, hv, _, _) =>
-            var is = ids; var ss = hs
-            while (is.nonEmpty) {
-              val pid = is.head; val ph = ss.head
-              if (pid != id) {
-                val d = java.lang.Long.bitCount(ph ^ hv)
+            var isDup = false
+            var i = 0
+            while (i < n && !isDup) { if (ids(i) == id) isDup = true; i += 1 }
+            if (!isDup) {
+              i = 0
+              while (i < n) {
+                val d = java.lang.Long.bitCount(hs(i) ^ hv)
                 if (d <= maxDist)
-                  out += DupMatch(math.min(pid, id), math.max(pid, id), d)
+                  out += DupMatch(math.min(ids(i), id), math.max(ids(i), id), d)
+                i += 1
               }
-              is = is.tail; ss = ss.tail
+              // maxBucketSize bounds worst-case hot-bucket state; beyond
+              // it new members still match against the bucket's history
+              // but are not remembered (documented degradation — bound it
+              // only for bounded-horizon dedup)
+              if (n < maxBucketSize) { ids(n) = id; hs(n) = hv; n += 1 }
             }
-            ids = id :: ids; hs = hv :: hs
           }
-          state.update(BucketState(ids, hs))
+          state.update(BucketState(java.util.Arrays.copyOf(ids, n),
+            java.util.Arrays.copyOf(hs, n)))
           out.iterator
       }
   }

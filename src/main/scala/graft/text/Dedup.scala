@@ -397,29 +397,37 @@ object Dedup {
     var edges = sym0.localCheckpoint(true)
     var prevCount = edges.count()
     if (prevCount <= smallThreshold) {
-      // driver union-find with path halving; labels = component minimum
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // driver union-find with path halving; labels = component minimum.
+      // Parent pointers live in a primitive open-addressing map — at the
+      // 2^20-edge threshold a boxed mutable.HashMap costs hundreds of MB
+      // of driver heap (ADVICE r3); this is two flat long arrays
+      // (~64 MB worst case at the threshold).
+      val es = edges.collect()
+      val parent = new LongLongMap(2 * es.length)
       def find(x0: Long): Long = {
         var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x)
-          parent(x) = parent.getOrElse(p, p) // halve
-          x = parent(x)
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent.put(x, gp) // halve
+          x = gp
+          p = parent.getOrElse(x, x)
         }
         x
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      es.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        if (!parent.contains(a)) parent.put(a, a)
+        if (!parent.contains(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
       }
-      // materialize keys BEFORE mapping: find() path-halves (mutates the
-      // map) and mutating a mutable.HashMap during its own iteration is
-      // unspecified
-      val labels = parent.keys.toArray.map(n => (n, find(n))).toSeq
+      // flat-array key iteration is safe while find() rewrites VALUES —
+      // path halving never adds or removes keys
+      val labels = Seq.newBuilder[(Long, Long)]
+      parent.foreachKey(n => labels += ((n, find(n))))
       import spark.implicits._
-      return labels.toDF("node", "cluster")
+      return labels.result().toDF("node", "cluster")
     }
     var converged = prevCount == 0L
     var it = 0
@@ -507,5 +515,37 @@ object Dedup {
     joined.where(col("cluster").isNull)
       .drop("cluster")
       .unionByName(docs.join(broadcast(winners), Seq(idCol), "left_semi"))
+  }
+}
+
+/** Minimal primitive long→long map for the driver union-find fast path:
+  * open addressing, linear probing, power-of-two capacity sized for a
+  * ≤ 0.5 load factor, `Long.MinValue` as the empty-slot sentinel (never a
+  * document id in practice — rejected at put). No resize: capacity is
+  * fixed from the known maximum entry count (2 nodes per edge). */
+private[text] final class LongLongMap(expectedEntries: Int) {
+  private val cap = java.lang.Integer.highestOneBit(
+    math.max(16, expectedEntries * 2) - 1) << 1
+  private val mask = cap - 1
+  private val ks = Array.fill(cap)(Long.MinValue)
+  private val vs = new Array[Long](cap)
+
+  private def slot(k: Long): Int = {
+    // Stafford-style multiply mix, folded to the table width
+    var i = java.lang.Long.hashCode(k * -7046029254386353131L) & mask
+    while (ks(i) != Long.MinValue && ks(i) != k) i = (i + 1) & mask
+    i
+  }
+  def put(k: Long, v: Long): Unit = {
+    require(k != Long.MinValue, "Long.MinValue is the empty-slot sentinel")
+    val i = slot(k); ks(i) = k; vs(i) = v
+  }
+  def getOrElse(k: Long, dflt: Long): Long = {
+    val i = slot(k); if (ks(i) == k) vs(i) else dflt
+  }
+  def contains(k: Long): Boolean = ks(slot(k)) == k
+  def foreachKey(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < cap) { if (ks(i) != Long.MinValue) f(ks(i)); i += 1 }
   }
 }

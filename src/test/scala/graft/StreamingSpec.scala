@@ -342,5 +342,24 @@ class StreamingSpec extends SparkSpec {
     val shuffled = scala.util.Random.javaRandomToRandom(
       new java.util.Random(5)).shuffle(docs)
     run("dup_shuffled", Seq(shuffled.take(4), shuffled.drop(4))) shouldBe batchPairs
+    // re-ingesting the whole corpus must be a no-op: known ids neither
+    // grow bucket state nor re-emit their pairs (ADVICE r3 guard) — the
+    // APPEND-mode sink would keep duplicate rows, so equality with the
+    // batch set proves nothing was re-emitted
+    run("dup_reingest", Seq(docs, docs)) shouldBe batchPairs
+    val reemitted = spark.table("dup_reingest").collect()
+    reemitted.length shouldBe spark.table("dup_one").collect().length
+  }
+
+  test("mightContain rejects a non-constant bloom column with a typed error") {
+    import org.apache.spark.sql.functions._
+    val err = intercept[OpenEoError] {
+      graft.functions.BloomExprs.mightContain(col("some_column"),
+        xxhash64(lit("x")))
+    }
+    err.code shouldBe "BloomNotConstant"
+    // the literal path still builds (analysis-time contract unchanged)
+    graft.functions.BloomExprs.mightContain(lit(Array[Byte](1, 2, 3)),
+      xxhash64(lit("x")))
   }
 }
