@@ -816,6 +816,15 @@ object SparkEntry {
           withOrdinal = true)
         .select("ord", "doc_id", "lang")
     }),
+    "q_shuffle_order_scalable" -> ((s, dir) => {
+      // the SAME training order through the distributed ordinal path
+      // (range sort + per-partition offsets, no one-partition window) —
+      // the 100 TB formulation, verified against the identical oracle
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.shuffleDeterministicOrdinals(
+          d.select("doc_id", "lang"), "doc_id")
+        .select("ord", "doc_id", "lang")
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // normalization rules exercised on synthetically-noised input
       // (tabs, BEL, newlines, runs of spaces appended to each doc) —
@@ -826,6 +835,42 @@ object SparkEntry {
         TextAnalysis.normalizeText(
           concat(col("text"), lit("\t  mixed \u0007 tail\n\n"))).as("norm"))
         .withColumn("n_norm", length(col("norm")))
+    }),
+    "q_text_gopher" -> ((s, dir) => {
+      // full Gopher rule set over synthetically-structured text (the
+      // corpus is single-line, so bullet/ellipsis lines are injected
+      // deterministically — same pattern as q_text_normalize's noise)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val structured = d.withColumn("text2",
+        concat(regexp_replace(col("text"), " table ", "\n• table "),
+          lit("\nto be continued...")))
+      TextAnalysis.gopherRules(structured, "text2", "doc_id")
+    }),
+    "q_text_pii" -> ((s, dir) => {
+      // PII redaction over deterministically-injected email/IP/phone —
+      // counts + redacted text, RE2-portable patterns so the oracle runs
+      // the very same regexes
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val withPii = d.withColumn("text2", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555 "),
+        (col("doc_id") % 9000 + 1000).cast("string")))
+      TextAnalysis.redactPii(withPii, "text2", "doc_id")
+    }),
+    "q_dedup_paragraph" -> ((s, dir) => {
+      // cross-document paragraph dedup: each doc gets a second paragraph
+      // SHARED across its doc_id%50 class (broadcast of 50 seed rows), so
+      // ~10 copies of each shared paragraph exist; the stage must keep
+      // exactly the first (doc, pos) occurrence and cut the rest
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val seed = d.where(col("doc_id") < 50)
+        .select(col("doc_id").as("sid"),
+          substring(col("text"), 1, 100).as("shared"))
+      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("shared")).as("text2"))
+      Dedup.dedupParagraphs(docs2, "text2", "doc_id")
     }),
     "q_multimodal_ann" -> ((s, dir) => {
       // multimodal → similarity composition: stub-decode the binary
@@ -1369,6 +1414,86 @@ object SparkEntry {
            coalesce(tgf.top_trigram_frac, 0.0) AS top_trigram_frac
          FROM base b JOIN runs r USING (doc_id)
          LEFT JOIN bgf USING (doc_id) LEFT JOIN tgf USING (doc_id)""",
+    "q_text_gopher" -> {
+      def cnt(expr: String, needle: String): String =
+        s"CAST((length($expr) - length(replace($expr, '$needle', '')))" +
+          s" / ${needle.length} AS INT)"
+      """WITH s AS (SELECT doc_id,
+             regexp_replace(text, ' table ', chr(10) || '• table ', 'g')
+               || chr(10) || 'to be continued...' AS t2
+           FROM documents),
+         tk AS (SELECT doc_id, t2,
+             string_split_regex(trim(t2), '\s+') AS t,
+             string_split(t2, chr(10)) AS l
+           FROM s),
+         m AS (SELECT doc_id,
+             CAST(len(t) AS INT) AS n_words,
+             round(CAST(list_sum(list_transform(t, x -> length(x)))
+                 AS DOUBLE) / greatest(len(t), 1), 6) AS mean_word_len,
+             round(CAST(""" + cnt("t2", "#") + " + " + cnt("t2", "...") +
+        " + " + cnt("t2", "…") +
+      """ AS DOUBLE) / greatest(len(t), 1), 6) AS symbol_word_ratio,
+             round(CAST(len(list_filter(t,
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / greatest(len(t), 1), 6) AS frac_alpha_words,
+             CAST(len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s2 -> list_contains(t, s2))) AS INT) AS n_stops_present,
+             round(CAST(len(list_filter(l, x ->
+                 starts_with(trim(x), '• ') OR starts_with(trim(x), '- ')
+                 OR starts_with(trim(x), '* '))) AS DOUBLE)
+               / greatest(len(l), 1), 6) AS frac_bullet_lines,
+             round(CAST(len(list_filter(l, x ->
+                 ends_with(trim(x), '...') OR ends_with(trim(x), '…')))
+                 AS DOUBLE)
+               / greatest(len(l), 1), 6) AS frac_ellipsis_lines
+           FROM tk)
+         SELECT *, (n_words >= 50 AND n_words <= 100000
+             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND symbol_word_ratio <= 0.1 AND frac_alpha_words >= 0.8
+             AND n_stops_present >= 2
+             AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3)
+           AS gopher_pass
+         FROM m"""
+    },
+    "q_text_pii" -> {
+      val Seq(em, ip, ph) = graft.text.TextAnalysis.piiPatterns.map(_._2)
+      s"""WITH p AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com or 10.0.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 '
+               || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t2
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t2, '$em')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '$ph')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(t2,
+             '$em', '<EMAIL>', 'g'),
+             '$ip', '<IP>', 'g'),
+             '$ph', '<PHONE>', 'g') AS redacted
+         FROM p"""
+    },
+    "q_dedup_paragraph" ->
+      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
+           FROM documents WHERE doc_id < 50),
+         d2 AS (SELECT d.doc_id,
+             concat_ws(chr(10) || chr(10), d.text, s.shared) AS t2
+           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
+         p0 AS (SELECT doc_id,
+             unnest(string_split(t2, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(t2, chr(10) || chr(10)), 1)
+               AS pos
+           FROM d2),
+         p AS (SELECT * FROM p0 WHERE para <> ''),
+         w AS (SELECT doc_id, pos, para, row_number() OVER (
+             PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn FROM p)
+         SELECT doc_id, count(*) AS n_paras,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+             chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+         FROM w GROUP BY doc_id""",
     "q_decontaminate" ->
       // string-level replay of the hashed-shingle overlap count: distinct
       // 5-gram shingles per document (one clipped shingle when < 5 tokens,
@@ -1574,6 +1699,14 @@ object SparkEntry {
          WHERE lbl.cluster IS NULL
             OR d.doc_id IN (SELECT doc_id FROM win)""",
     "q_shuffle_order" ->
+      """SELECT row_number() OVER (
+             ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
+                      % 2147483648, doc_id) - 1 AS ord,
+           doc_id, lang
+         FROM documents""",
+    "q_shuffle_order_scalable" ->
+      // same total order, same ordinals — the distributed path must be
+      // indistinguishable from the window formulation
       """SELECT row_number() OVER (
              ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
                       % 2147483648, doc_id) - 1 AS ord,

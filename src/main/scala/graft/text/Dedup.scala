@@ -516,6 +516,43 @@ object Dedup {
       .drop("cluster")
       .unionByName(docs.join(broadcast(winners), Seq(idCol), "left_semi"))
   }
+
+  /** Cross-document PARAGRAPH dedup (the RefinedWeb/CCNet sub-document
+    * stage): a paragraph duplicated across the corpus survives only at
+    * its first occurrence in (doc_id, position) order; every other copy
+    * is cut, and each document is reassembled from its kept paragraphs.
+    *
+    * Returns (idCol, n_paras, n_kept, clean_text). Empty paragraphs
+    * (split artifacts) are dropped before counting.
+    *
+    * 100 TB shape: explode to narrow (id, pos, md5) rows, ONE shuffle on
+    * the 16-byte digest for the first-occurrence window, ONE shuffle on
+    * the doc id to reassemble — no join anywhere. A pathological
+    * paragraph duplicated millions of times makes one hot digest
+    * partition; if that bites, pre-aggregate winners with
+    * groupBy(digest).agg(min(struct(id, pos))) (partial-aggregatable)
+    * and broadcast-join them back instead of the window. */
+  def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_digest").orderBy(col(idCol), col("_pos"))
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_pos", "_para")))
+      .where(col("_para") =!= "")
+      .withColumn("_digest", md5(col("_para").cast("binary")))
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("_pos"),
+          when(col("_keep"), col("_para")).as("_p")))).as("_ps"))
+      .withColumn("clean_text", array_join(
+        transform(filter(col("_ps"), s => s.getField("_p").isNotNull),
+          s => s.getField("_p")), sep))
+      .drop("_ps")
+  }
 }
 
 /** Minimal primitive long→long map for the driver union-find fast path:

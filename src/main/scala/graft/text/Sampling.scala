@@ -93,9 +93,10 @@ object Sampling {
     * scale `orderBy` plans a range-partitioned sort (sampled bounds, no
     * single-partition funnel); downstream pack/batch steps consume the
     * order directly. `ord` is a dense 0-based position — materialize it
-    * only when the consumer needs explicit positions (the window forces
-    * all data through ONE partition; prefer the sorted frame itself at
-    * scale, or zipWithIndex-style per-partition offsets). */
+    * only when the consumer needs explicit positions, and at scale use
+    * [[shuffleDeterministicOrdinals]] (per-partition offsets, stays
+    * distributed); this window form funnels through ONE partition and
+    * is kept for small frames and as the semantic reference. */
   def shuffleDeterministic(df: DataFrame, idCol: String,
       withOrdinal: Boolean = false): DataFrame =
     if (!withOrdinal) df.orderBy(portableHash(col(idCol)), col(idCol))
@@ -106,6 +107,28 @@ object Sampling {
       df.withColumn("ord", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(portableHash(col(idCol)), col(idCol))).cast("long") - 1)
+
+  /** [[shuffleDeterministic]] with the ordinal materialized AT SCALE: the
+    * range-partitioned sort stays distributed and dense 0-based positions
+    * come from per-partition offsets (zipWithIndex), not a one-partition
+    * ranking window. Identical output to the window formulation (same
+    * total (hash, id) order → same ordinals, regardless of where the
+    * range sampler places partition boundaries; pinned in LawsSpec).
+    *
+    * Cost trade documented at the caveat site this closes: one extra
+    * count job (zipWithIndex's offset pass) and one serialization
+    * boundary out of Tungsten for the zip itself. Prefer the plain
+    * sorted frame when the consumer doesn't need explicit positions. */
+  def shuffleDeterministicOrdinals(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(portableHash(col(idCol)), col(idCol))
+    val withOrd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(withOrd, sorted.schema.add(
+      org.apache.spark.sql.types.StructField("ord",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
 
   /** Deterministic weighted mixture of sources — the dataset-mixing step
     * of a training pipeline ("70% web, 30% code"): each source thins by

@@ -165,4 +165,83 @@ object TextAnalysis {
           col("_st.top3").cast("double") / col("_st.n3").cast("double"))
           .otherwise(0.0), 6).as("top_trigram_frac"))
   }
+
+  /** The Gopher stopword set for the "contains at least 2 of" rule
+    * (Rae et al. 2021, table A1). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full non-repetition Gopher quality rule set (Rae et al. 2021
+    * §A.1.1; repetition rules live in [[repetitionSignals]]): word count
+    * band, mean word length band, symbol-to-word ratio (# and ellipsis),
+    * alphabetic-word fraction, stopword presence, and the line-shape
+    * rules (bullet-start / ellipsis-end fractions). All pure Column
+    * expressions over one split — map-side, codegen, engine-portable
+    * (every ratio rounds to 6 so the oracle compares exactly):
+    *  - n_words, mean_word_len (word chars only, not whitespace)
+    *  - symbol_word_ratio: ('#' + '...' + '…' occurrences) / n_words
+    *  - frac_alpha_words: words containing at least one [A-Za-z]
+    *  - n_stops_present: how many of the 8 Gopher stopwords occur
+    *  - frac_bullet_lines / frac_ellipsis_lines over '\n' lines
+    *  - gopher_pass: the conjunction with the published thresholds
+    *    (50 ≤ words ≤ 100k, 3 ≤ mean ≤ 10, symbols ≤ 0.1, alpha ≥ 0.8,
+    *    stops ≥ 2, bullets ≤ 0.9, ellipsis-ends ≤ 0.3). */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = split(trim(text), "\\s+")
+    val nWords = size(words)
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = round(sumLen.cast("double") /
+      greatest(nWords, lit(1)).cast("double"), 6)
+    val symbols = (countOccurrences(text, "#") +
+      countOccurrences(text, "...") + countOccurrences(text, "…"))
+      .cast("double")
+    val symbolRatio = round(symbols / greatest(nWords, lit(1)).cast("double"), 6)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val fracAlpha = round(alphaWords.cast("double") /
+      greatest(nWords, lit(1)).cast("double"), 6)
+    val stopsPresent = size(filter(
+      array(gopherStops.map(lit): _*), s => array_contains(words, s)))
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      trim(l).startsWith("• ") || trim(l).startsWith("- ") ||
+        trim(l).startsWith("* ")))
+    val ellipsisLines = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val fracBullet = round(bulletLines.cast("double") / nLines, 6)
+    val fracEllipsis = round(ellipsisLines.cast("double") / nLines, 6)
+    df.select(col(idCol), nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_word_ratio"), fracAlpha.as("frac_alpha_words"),
+      stopsPresent.as("n_stops_present"), fracBullet.as("frac_bullet_lines"),
+      fracEllipsis.as("frac_ellipsis_lines"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 && fracAlpha >= 0.8 &&
+        stopsPresent >= 2 &&
+        fracBullet <= 0.9 && fracEllipsis <= 0.3).as("gopher_pass"))
+  }
+
+  /** PII redaction patterns, applied in order: (kind, RE2-compatible
+    * regex, replacement). RE2-compatible means the DuckDB oracle (and any
+    * RE2-based engine) evaluates the very same pattern — no lookarounds,
+    * no backreferences. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d[\\d ]{6,}\\d", "<PHONE>"))
+
+  /** PII scrub (the pre-training redaction stage): counts per category
+    * plus the redacted text, emails → IPs → phones so earlier
+    * replacements cannot create later matches. Pure regexp projection —
+    * map-side, no shuffle, streaming-safe. */
+  def redactPii(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (kind, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).as(s"n_${kind}s")
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
 }

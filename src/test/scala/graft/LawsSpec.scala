@@ -492,4 +492,19 @@ class LawsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     kept shouldBe Set(1L, 6L, 8L)
   }
+
+  test("law: distributed ordinal shuffle equals the window formulation on any partitioning") {
+    val df = spark.range(0, 3000).toDF("doc_id")
+    val want = graft.text.Sampling
+      .shuffleDeterministic(df, "doc_id", withOrdinal = true)
+      .select("ord", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.text.Sampling
+        .shuffleDeterministicOrdinals(df.repartition(parts), "doc_id")
+        .select("ord", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      got shouldBe want
+    }
+  }
 }

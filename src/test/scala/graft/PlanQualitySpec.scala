@@ -330,4 +330,33 @@ class PlanQualitySpec extends SparkSpec {
     // shuffles, if any, happen on the checkpointed edge list upstream)
     plan should not include "Exchange hashpartitioning"
   }
+
+  test("gopherRules and redactPii are single projections — no shuffle, no UDF") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"some text $i with the and of"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+        graft.text.TextAnalysis.gopherRules(docs, "text", "doc_id"),
+        graft.text.TextAnalysis.redactPii(docs, "text", "doc_id"))) {
+      val plan = planString(df)
+      plan should not include "Exchange"
+      plan should not include "BatchEvalPython"
+      plan should not include "ScalaUDF"
+    }
+  }
+
+  test("dedupParagraphs: two narrow shuffles (digest window + doc regroup), no join") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i =>
+      (i, s"para a$i\n\nshared common paragraph\n\npara b$i"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Dedup.dedupParagraphs(docs, "text", "doc_id")
+    val plan = planString(out)
+    plan should not include "Join"
+    // exactly two hash exchanges: one keyed on the paragraph digest for
+    // the first-occurrence window, one on the doc id for reassembly —
+    // both over narrow exploded rows, never the full documents
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    plan should include("Window")
+  }
 }

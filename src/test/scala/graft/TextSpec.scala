@@ -293,4 +293,56 @@ class TextSpec extends SparkSpec {
     out(2L) shouldBe ((0L, false))
     out(3L) shouldBe ((1L, true))
   }
+
+  test("gopherRules computes the full rule set on crafted text") {
+    // 6 words (mean len (3+3+2+3+4+3)/6 = 3.0), one of 3 lines is a
+    // bullet, one ends with an ellipsis, stops {the, to, and} present
+    val txt = "the cat is big\n• to and\nok..."
+    val out = TextAnalysis.gopherRules(
+      Seq((1L, txt)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    out.getAs[Int]("n_words") shouldBe 8
+    // words: the,cat,is,big,•,to,and,ok... -> lengths 3+3+2+3+1+2+3+5=22
+    out.getAs[Double]("mean_word_len") shouldBe 2.75
+    out.getAs[Int]("n_stops_present") shouldBe 3
+    out.getAs[Double]("frac_bullet_lines") shouldBe (1.0 / 3 +- 1e-6)
+    out.getAs[Double]("frac_ellipsis_lines") shouldBe (1.0 / 3 +- 1e-6)
+    out.getAs[Boolean]("gopher_pass") shouldBe false // < 50 words
+    // a long well-formed doc passes
+    val good = (("the be to of and that have with good text " * 10).trim)
+    val out2 = TextAnalysis.gopherRules(
+      Seq((2L, good)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    out2.getAs[Boolean]("gopher_pass") shouldBe true
+  }
+
+  test("redactPii counts and redacts emails, IPs, phones in order") {
+    val txt = "mail a.b+c@test.org then ping 192.168.0.1 or call +1 555 0199 ok"
+    val out = TextAnalysis.redactPii(
+      Seq((1L, txt)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    out.getAs[Int]("n_emails") shouldBe 1
+    out.getAs[Int]("n_ips") shouldBe 1
+    out.getAs[Int]("n_phones") shouldBe 1
+    out.getAs[String]("redacted") shouldBe
+      "mail <EMAIL> then ping <IP> or call <PHONE> ok"
+    // no false positives on clean text
+    val clean = TextAnalysis.redactPii(
+      Seq((2L, "no personal data here at all")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()(0)
+    clean.getAs[Int]("n_emails") + clean.getAs[Int]("n_ips") +
+      clean.getAs[Int]("n_phones") shouldBe 0
+    clean.getAs[String]("redacted") shouldBe "no personal data here at all"
+  }
+
+  test("dedupParagraphs keeps only the first (doc, pos) occurrence") {
+    val docs = Seq(
+      (1L, "shared para\n\nunique one"),
+      (2L, "unique two\n\nshared para"),   // 'shared para' cut here
+      (3L, "shared para\n\nshared para")   // both copies cut (doc 1 wins)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((2L, 2L, "shared para\n\nunique one"))
+    out(2L) shouldBe ((2L, 1L, "unique two"))
+    out(3L) shouldBe ((2L, 0L, ""))
+  }
 }
