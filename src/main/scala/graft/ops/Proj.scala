@@ -308,6 +308,72 @@ final case class PolarStereographic(ell: Ellipsoid, latTsDeg: Double,
   }
 }
 
+/** Oblique ("double") Stereographic, EPSG method 9809: conformal sphere
+  * at the origin then spherical stereographic — the Netherlands RD New
+  * (EPSG:28992) projection, PROJ's `+proj=sterea`. Formulas from the
+  * published EPSG Guidance Note 7-2. NOT the same as Snyder's oblique
+  * stereographic (PROJ `+proj=stere` oblique), which projects the
+  * ellipsoid directly. */
+final case class ObliqueStereographic(ell: Ellipsoid, lat0Deg: Double,
+    lon0Deg: Double, k0: Double, fe: Double, fn: Double) extends Projection {
+  import ell.{a, e2, e}
+  private val lat0 = math.toRadians(lat0Deg)
+  private val lam0 = math.toRadians(lon0Deg)
+  private val s0 = math.sin(lat0)
+  private val rho0 = a * (1 - e2) / math.pow(1 - e2 * s0 * s0, 1.5)
+  private val nu0 = a / math.sqrt(1 - e2 * s0 * s0)
+  private val bigR = math.sqrt(rho0 * nu0)
+  private val n = math.sqrt(1 + e2 * math.pow(math.cos(lat0), 4) / (1 - e2))
+  private val w1 = math.pow(
+    (1 + s0) / (1 - s0) * math.pow((1 - e * s0) / (1 + e * s0), e), n)
+  private val chi0a = math.asin((w1 - 1) / (w1 + 1))
+  private val c = (n + s0) * (1 - math.sin(chi0a)) /
+    ((n - s0) * (1 + math.sin(chi0a)))
+  private val w2 = c * w1
+  private val chi0 = math.asin((w2 - 1) / (w2 + 1))
+
+  def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+    val bigL = n * (lam - lam0) + lam0
+    val sp = math.sin(phi)
+    val w = c * math.pow(
+      (1 + sp) / (1 - sp) * math.pow((1 - e * sp) / (1 + e * sp), e), n)
+    val chi = math.asin((w - 1) / (w + 1))
+    val dl = bigL - lam0
+    val b = 1 + math.sin(chi) * math.sin(chi0) +
+      math.cos(chi) * math.cos(chi0) * math.cos(dl)
+    (fe + 2 * bigR * k0 * math.cos(chi) * math.sin(dl) / b,
+      fn + 2 * bigR * k0 * (math.sin(chi) * math.cos(chi0) -
+        math.cos(chi) * math.sin(chi0) * math.cos(dl)) / b)
+  }
+
+  def inverse(x: Double, y: Double): (Double, Double) = {
+    val de = x - fe; val dn = y - fn
+    val g = 2 * bigR * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+    val h = 4 * bigR * k0 * math.tan(chi0) + g
+    val i = math.atan2(de, h + dn)
+    val j = math.atan2(de, g - dn) - i
+    val chi = chi0 + 2 * math.atan((dn - de * math.tan(j / 2)) /
+      (2 * bigR * k0))
+    val bigL = j + 2 * i + lam0
+    val lam = (bigL - lam0) / n + lam0
+    // conformal → geodetic latitude: invert the isometric latitude by
+    // Newton steps (EPSG GN7-2 reverse formulas)
+    val psi = 0.5 * math.log(
+      (1 + math.sin(chi)) / (c * (1 - math.sin(chi)))) / n
+    var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+    var it = 0
+    while (it < 8) {
+      val sp = math.sin(phi)
+      val psiI = math.log(math.tan(phi / 2 + math.Pi / 4) *
+        math.pow((1 - e * sp) / (1 + e * sp), e / 2))
+      phi = phi - (psiI - psi) * math.cos(phi) * (1 - e2 * sp * sp) / (1 - e2)
+      it += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+}
+
 /** Ellipsoidal Albers Equal-Area Conic, two standard parallels (Snyder
   * pp. 101-102) — CONUS Albers (5070), Australian Albers (3577), the
   * standard continental-mosaic CRS family of OpenDataCube deployments. */
@@ -466,6 +532,15 @@ object Proj {
     case 3577 => Some(ProjDef(
       AlbersEqualArea(Grs80, 0.0, 132.0, -18.0, -36.0, 0.0, 0.0),
       Grs80, None))
+    // Amersfoort / RD New (Bessel 1841 + Helmert, EPSG tfm 15934-family
+    // parameters; double stereographic per EPSG method 9809)
+    case 28992 => Some(ProjDef(
+      ObliqueStereographic(Bessel1841,
+        52.0 + 9.0 / 60 + 22.178 / 3600, 5.0 + 23.0 / 60 + 15.5 / 3600,
+        0.9999079, 155000.0, 463000.0),
+      Bessel1841,
+      Some(Helmert(565.417, 50.3319, 465.552,
+        -0.398957, 0.343988, -1.8774, 4.0725))))
     case _ => None
   }
 
@@ -530,11 +605,18 @@ object Proj {
       case "laea" =>
         LambertAzimuthalEA(ell, d("lat_0", 0), d("lon_0", 0),
           d("x_0", 0), d("y_0", 0))
+      case "sterea" =>
+        // double stereographic (EPSG 9809) — any origin
+        ObliqueStereographic(ell, d("lat_0", 0), d("lon_0", 0),
+          num("k").orElse(num("k_0")).getOrElse(1.0), d("x_0", 0), d("y_0", 0))
       case "stere" =>
-        // polar aspect only (lat_0=±90); oblique stereographic is a
-        // different EPSG method (9809) — typed error, not wrong numbers
+        // polar aspect only (lat_0=±90); PROJ's oblique `stere` projects
+        // the ellipsoid directly (a different method from sterea/9809) —
+        // typed error, not wrong numbers
         val lat0 = d("lat_0", 0)
-        if (math.abs(lat0) != 90.0) bad("only polar stereographic (+lat_0=±90)")
+        if (math.abs(lat0) != 90.0)
+          bad("only polar stereographic (+lat_0=±90); for the double " +
+            "stereographic use +proj=sterea")
         val ts = num("lat_ts").getOrElse(lat0)
         if (ts == 0.0 || math.signum(ts) != math.signum(lat0))
           bad(s"+lat_ts=$ts must sit on the +lat_0=$lat0 pole's side")

@@ -264,6 +264,40 @@ class ProjSpec extends SparkSpec {
         .code shouldBe "CrsNotSupported"
   }
 
+  test("oblique (double) stereographic: EPSG worked example for RD New") {
+    // EPSG Guidance Note 7-2, method 9809 example — Amersfoort / RD New:
+    // Bessel 1841, lat0 52°09'22.178"N, lon0 5°23'15.500"E, k0 0.9999079,
+    // FE 155000, FN 463000; point 53°N 6°E (Amersfoort geodetic) ->
+    // E 196105.283, N 557057.739
+    val rd = ObliqueStereographic(Ellipsoid.Bessel1841,
+      52.0 + 9.0 / 60 + 22.178 / 3600, 5.0 + 23.0 / 60 + 15.5 / 3600,
+      0.9999079, 155000.0, 463000.0)
+    val (x, y) = rd.forward(6.0, 53.0)
+    x shouldBe 196105.283 +- 0.01
+    y shouldBe 557057.739 +- 0.01
+    val (lo, la) = rd.inverse(x, y)
+    lo shouldBe 6.0 +- 1e-9
+    la shouldBe 53.0 +- 1e-9
+    // registry code dispatches incl. the Amersfoort datum shift: the
+    // WGS84 result must land ~100 m from the no-shift projection
+    val pd = Proj.forEpsg(28992).get
+    val (xs, ys) = pd.fromLonLat(5.387, 52.156)
+    val (xn, yn) = rd.forward(5.387, 52.156)
+    val dist = math.hypot(xs - xn, ys - yn)
+    dist should be > 30.0
+    dist should be < 300.0
+    val (lo2, la2) = pd.toLonLat(xs, ys)
+    lo2 shouldBe 5.387 +- 1e-6
+    la2 shouldBe 52.156 +- 1e-6
+    // +proj=sterea parses to the same projection
+    val ps = Proj.parse("+proj=sterea +lat_0=52.15616055555555 " +
+      "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 " +
+      "+ellps=bessel")
+    val (xp, yp) = ps.fromLonLat(6.0, 53.0)
+    xp shouldBe x +- 0.5 // lat0/lon0 decimal rounding in the proj string
+    yp shouldBe y +- 0.5
+  }
+
   test("filter_bbox accepts polar and albers bboxes") {
     import graft.cube.Cube
     // cube in EPSG:3031 meters around (0, -75): inside vs far point
