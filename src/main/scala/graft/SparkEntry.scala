@@ -709,6 +709,45 @@ object SparkEntry {
       // flatMapGroupsWithState streaming on the same input)
       graft.streaming.StreamingOps.sessionizeBatch(c.df,
         gapMs = 30 * 60 * 1000L)),
+    "q_stream_sessionize" -> ((s, dir) => {
+      // STATEFUL streaming correctness row: gap sessionization through a
+      // real MemoryStream run — flatMapGroupsWithState with event-time
+      // timeout, 4 time-ordered micro-batches, then a far-future
+      // watermark sentinel so every open session times out and flushes.
+      // Oracle = the batch formulation (q_sessionize's SQL) with
+      // round(sum, 2): session boundaries and counts are exactly equal;
+      // the payload sum accumulates in stream order (plain doubles) vs
+      // the oracle's decimal sum, and both are multiples of 0.01 whose
+      // ~1e-12 representation noise rounds away at 2 decimals.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = eventsCube(s, dir).df
+        .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
+          col(Cube.ValueCol))
+        .as[(java.sql.Timestamp, String, Double, Double, Double)]
+        .collect().sortBy(_._1.getTime)
+      val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
+      val sink = "q_stream_sessionize_sink"
+      val q = graft.streaming.StreamingOps.sessionizeStream(
+          ms.toDF.toDF("time", "band", "y", "x", "value"),
+          gapMs = 30 * 60 * 1000L)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.length + 3) / 4)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+        val flushTs = new java.sql.Timestamp(
+          rows.last._1.getTime + 365L * 24 * 3600 * 1000)
+        ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("band") =!= "_wm")
+        .select(col("band"), col("y"), col("x"), col("start"), col("end"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+    }),
     "q_stream_curation_gate" -> ((s, dir) => {
       // REAL incremental execution inside the correctness gate: the
       // curation-gate expressions run through a MemoryStream in 4
@@ -1790,6 +1829,28 @@ object SparkEntry {
          SELECT band, y, x, MIN(time) AS start, MAX(time) AS "end",
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY band, y, x, sid"""),
+    "q_stream_sessionize" -> cq(
+      // the batch formulation again, sum rounded to 2 (see the query's
+      // comment on stream-order double accumulation)
+      """, lagd AS (
+           SELECT band, y, x, time, value,
+             CASE WHEN lag(time) OVER (PARTITION BY band, y, x
+                                       ORDER BY time) IS NULL
+                   OR epoch_us(time) - epoch_us(lag(time) OVER (
+                        PARTITION BY band, y, x ORDER BY time))
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM cube),
+         sess AS (
+           SELECT band, y, x, time, value,
+             SUM(ns) OVER (PARTITION BY band, y, x ORDER BY time
+                           ROWS UNBOUNDED PRECEDING) AS sid
+           FROM lagd)
+         SELECT band, y, x, MIN(time) AS start, MAX(time) AS "end",
+           COUNT(*) AS n_events,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
          FROM sess GROUP BY band, y, x, sid"""),
     "q_dedup_simhash" ->
       // full portable replay of the FNV-1a simhash: per-bigram FNV via a

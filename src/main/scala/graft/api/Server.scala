@@ -131,8 +131,17 @@ final class Server(spark: SparkSession, catalog: Catalog,
   * (odc_backend.py:163-313); here the parquet footer IS the metadata
   * source: extents come from column min/max (one small agg per describe,
   * cached), bands from the distinct band labels, CRS/grid from the
-  * registered spec. */
-final class Catalog(val specs: Map[String, Scan.CollectionSpec]) {
+  * registered spec.
+  *
+  * `supplementary` mirrors the reference's per-collection supplementary
+  * metadata file (odc_backend.py:197-243): a JSON object per collection
+  * id whose whitelisted keys (title, description, keywords, providers,
+  * version, deprecated, license, sci:citation, links, the summaries
+  * subset, a temporal-extent override, and a bands-values override)
+  * merge over the synthesized document — same whitelist, same
+  * scientific-extension switch. */
+final class Catalog(val specs: Map[String, Scan.CollectionSpec],
+    val supplementary: Map[String, String] = Map.empty) {
   private val described = new ConcurrentHashMap[String, String]()
 
   def listJson(spark: SparkSession): String =
@@ -196,6 +205,56 @@ final class Catalog(val specs: Map[String, Scan.CollectionSpec]) {
            |"X":{"type":"spatial","axis":"x","extent":[$x0,$x1],"reference_system":$epsg$xStep},
            |"Y":{"type":"spatial","axis":"y","extent":[$y0,$y1],"reference_system":$epsg$yStep},
            |"bands":{"type":"bands","values":$bandsJson}}}""".stripMargin
-      })
+      }) match {
+        case base => supplementary.get(id) match {
+          case None => base
+          case Some(supp) => Catalog.mergeSupplementary(base, supp)
+        }
+      }
     }
+}
+
+object Catalog {
+  /** Merge a supplementary-metadata JSON object over a synthesized STAC
+    * collection, with the reference's exact key whitelist
+    * (odc_backend.py:197-243). Unknown keys are dropped — supplementary
+    * files must not be able to overwrite synthesized extents or
+    * dimensions wholesale. Jackson comes from Spark's own classpath. */
+  private[api] def mergeSupplementary(baseJson: String,
+      suppJson: String): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val m = new ObjectMapper()
+    val base = m.readTree(baseJson).asInstanceOf[ObjectNode]
+    val supp = m.readTree(suppJson)
+    for (k <- Seq("title", "description", "keywords", "providers",
+        "version", "deprecated", "license", "sci:citation", "links"))
+      if (supp.has(k)) base.set[ObjectNode](k, supp.get(k))
+    // a citation upgrades the extension list exactly like the reference
+    if (supp.has("sci:citation"))
+      base.set[ObjectNode]("stac_extensions",
+        m.readTree("""["datacube","scientific"]"""))
+    if (supp.has("extent") && supp.get("extent").has("temporal"))
+      base.get("extent").asInstanceOf[ObjectNode]
+        .set[ObjectNode]("temporal", supp.get("extent").get("temporal"))
+    if (supp.has("summaries")) {
+      val out = m.createObjectNode()
+      for (k <- Seq("rows", "columns", "gsd", "constellation", "platform",
+          "instruments", "eo:cloud cover"))
+        if (supp.get("summaries").has(k))
+          out.set[ObjectNode](k, supp.get("summaries").get(k))
+      base.set[ObjectNode]("summaries", out)
+    }
+    if (supp.has("cube:dimensions") &&
+        supp.get("cube:dimensions").has("bands") &&
+        supp.get("cube:dimensions").get("bands").has("values")) {
+      val bands = m.createObjectNode()
+      bands.put("type", "bands")
+      bands.set[ObjectNode]("values",
+        supp.get("cube:dimensions").get("bands").get("values"))
+      base.get("cube:dimensions").asInstanceOf[ObjectNode]
+        .set[ObjectNode]("bands", bands)
+    }
+    m.writeValueAsString(base)
+  }
 }

@@ -60,9 +60,23 @@ object StreamingOps {
       start: java.sql.Timestamp, end: java.sql.Timestamp,
       n_events: Long, sum_value: Double)
 
-  /** Internal open-session state (public: encoder codegen must reach it). */
+  /** Internal open-session state; `start`/`last` are event-time
+    * MICROSECONDS — `Timestamp.getTime` millis would silently truncate
+    * sub-millisecond event times and shift session boundaries (public:
+    * encoder codegen must reach it). */
   final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
+
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val ms = Math.floorDiv(us, 1000L)
+    val t = new java.sql.Timestamp(ms)
+    t.setNanos((Math.floorMod(ms, 1000L) * 1000000L +
+      Math.floorMod(us, 1000L) * 1000L).toInt)
+    t
+  }
 
   /** Gap-based sessionization — the custom-keyed-state surface
     * (`flatMapGroupsWithState` + event-time timeout). A session is a run
@@ -88,10 +102,11 @@ object StreamingOps {
         (key: (String, Double, Double),
          events0: Iterator[(String, Double, Double, java.sql.Timestamp, Double)],
          state: GroupState[SessionState]) =>
-          val events = events0.map(e => (e._1, e._2, e._3, e._4.getTime, e._5))
+          val events = events0.map(e =>
+            (e._1, e._2, e._3, tsToMicros(e._4), e._5))
+          val gapUs = gapMs * 1000L
           def close(s: SessionState): Session = Session(key._1, key._2, key._3,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
-            s.n, s.total)
+            microsToTs(s.start), microsToTs(s.last), s.n, s.total)
           if (state.hasTimedOut) {
             val out = state.getOption.map(close).toSeq
             state.remove()
@@ -113,7 +128,7 @@ object StreamingOps {
             val merged = scala.collection.mutable.ArrayBuffer[SessionState]()
             items.foreach { it =>
               merged.lastOption match {
-                case Some(prev) if it.start <= prev.last + gapMs =>
+                case Some(prev) if it.start <= prev.last + gapUs =>
                   merged(merged.length - 1) = SessionState(prev.start,
                     math.max(prev.last, it.last),
                     prev.n + it.n, prev.total + it.total)
@@ -127,10 +142,12 @@ object StreamingOps {
             cur.foreach { s =>
               state.update(s)
               // flatMapGroupsWithState still delivers events older than the
-              // watermark; an unguarded s.last+gapMs could then be <= the
+              // watermark; an unguarded timeout could then be <= the
               // current watermark, which Spark rejects and the query dies.
+              // Timeout is in MILLIS — round the micros gap boundary up.
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(Math.floorDiv(s.last + gapUs, 1000L) + 1L,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
@@ -147,9 +164,12 @@ object StreamingOps {
     import org.apache.spark.sql.expressions.Window
     val dims = Seq(Dim.Band, Dim.Y, Dim.X).filter(df.columns.contains)
     val w = Window.partitionBy(dims.map(col): _*).orderBy(col(Dim.Time))
-    val tMs = expr(s"unix_millis(${Dim.Time})")
-    val newSess = when(lag(tMs, 1).over(w).isNull ||
-      tMs - lag(tMs, 1).over(w) > gapMs, 1L).otherwise(0L)
+    // MICROsecond gap test: unix_millis truncation could disagree with
+    // the streaming path (and the epoch_us oracle) for an inter-event
+    // gap within 1 ms of the boundary
+    val tUs = expr(s"unix_micros(${Dim.Time})")
+    val newSess = when(lag(tUs, 1).over(w).isNull ||
+      tUs - lag(tUs, 1).over(w) > gapMs * 1000L, 1L).otherwise(0L)
     df.withColumn("_sess", sum(newSess).over(w))
       .groupBy((dims :+ "_sess").map(col): _*)
       .agg(min(col(Dim.Time)).as("start"), max(col(Dim.Time)).as("end"),

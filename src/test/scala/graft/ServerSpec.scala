@@ -64,6 +64,38 @@ class ServerSpec extends SparkSpec {
     code404 shouldBe 404
   }
 
+  test("supplementary metadata merges with the reference's whitelist") {
+    val supp = """{
+      "title": "Test Cube", "license": "MIT",
+      "sci:citation": "Someone et al. 2024",
+      "hacker_key": "must not pass through",
+      "extent": {"temporal": {"interval": [["2000-01-01", null]]}},
+      "summaries": {"gsd": [10], "platform": ["unit-test"],
+                    "unlisted": "dropped"},
+      "cube:dimensions": {"bands": {"values": ["B04", "B08", "SCL"]}}
+    }"""
+    val catalog = new Catalog(Map("c2" -> Scan.CollectionSpec(
+      s"$collectionDir/c", crs = Some("EPSG:32632"),
+      bandOrder = Seq("B04", "B08"), grid = Some(GridRef(0, 0, 1, 1)))),
+      supplementary = Map("c2" -> supp))
+    val body = catalog.describeJson(spark, "c2").get
+    body should include(""""title":"Test Cube"""")
+    body should include(""""license":"MIT"""")
+    // citation flips the extension list exactly like odc_backend.py
+    body should include(""""stac_extensions":["datacube","scientific"]""")
+    // temporal override lands inside the synthesized extent object
+    body should include(""""interval":[["2000-01-01",null]]""")
+    // summaries whitelist: listed keys pass, unlisted are dropped
+    body should include(""""gsd":[10]""")
+    body should include(""""platform":["unit-test"]""")
+    body should not include "unlisted"
+    body should not include "hacker_key"
+    // bands-values override replaces the synthesized band list
+    body should include(""""values":["B04","B08","SCL"]""")
+    // synthesized dimensions survive the merge
+    body should include(""""axis":"x"""")
+  }
+
   test("POST /graph executes a process graph and caches by md5") {
     val graph = """{
       "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
