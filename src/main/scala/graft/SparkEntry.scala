@@ -3,7 +3,7 @@ package graft
 import graft.cube.{Cube, CubeMeta, Dim, GridRef}
 import graft.functions.{CurveFit, ScalarExpr}
 import graft.ops._
-import graft.text.{Dedup, Similarity, TextAnalysis}
+import graft.text.{Classifier, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -875,6 +875,37 @@ object SparkEntry {
           concat(col("text"), lit("\t  mixed \u0007 tail\n\n"))).as("norm"))
         .withColumn("n_norm", length(col("norm")))
     }),
+    "q_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style perplexity filter: train the corpus bigram LM, score
+      // every doc by average negative log-likelihood under it. Training
+      // + scoring both replayed by the oracle; per-bigram log terms are
+      // long-quantized at 1e-9 so the per-doc sum is engine-exact.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val lm = graft.text.LanguageModel.trainBigramLm(d, "text")
+      graft.text.LanguageModel.scoreBigramLm(d, lm, "text", "doc_id")
+    }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // trainable quality scorer: 3 rounds of distributed full-batch
+      // logistic GD (rational link, long-quantized gradients — see
+      // Classifier's scaladoc) on two cheap features, label = lang==en;
+      // then score the corpus. The oracle replays the entire training
+      // trajectory as unrolled SQL and must land on the same weights.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val words = size(split(trim(col("text")), "\\s+")).cast("double")
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val stops = Seq(" the ", " and ", " of ", " with ")
+        .map(TextAnalysis.countOccurrences(padded, _)).reduce(_ + _)
+        .cast("double")
+      val feats = d.select(col("doc_id"),
+        (length(col("text")).cast("double") /
+          greatest(words, lit(1.0))).as("f_mwl"),
+        (stops / greatest(words, lit(1.0))).as("f_stop"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogistic(feats, Seq("f_mwl", "f_stop"), "y",
+        iters = 3, lr = 0.1)
+      Classifier.score(feats, Seq("f_mwl", "f_stop"), w)
+        .select(col("doc_id"), col("y"), col("score"))
+    }),
     "q_text_gopher" -> ((s, dir) => {
       // full Gopher rule set over synthetically-structured text (the
       // corpus is single-line, so bullet/ellipsis lines are injected
@@ -1453,6 +1484,78 @@ object SparkEntry {
            coalesce(tgf.top_trigram_frac, 0.0) AS top_trigram_frac
          FROM base b JOIN runs r USING (doc_id)
          LEFT JOIN bgf USING (doc_id) LEFT JOIN tgf USING (doc_id)""",
+    "q_lm_perplexity" -> {
+      val backoff = math.log(1e-9) // same literal the Spark side embeds
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM tok WHERE len(t) >= 2),
+         cnt AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
+         uni AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                 FROM cnt GROUP BY 1),
+         lm AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cnt c JOIN uni u ON u.w1 = string_split(c.gram, ' ')[1]),
+         terms AS (SELECT b.doc_id,
+             CAST(round(coalesce(lm.logp, $backoff) * 1000000000.0, 0)
+               AS BIGINT) AS q
+           FROM bg b LEFT JOIN lm ON lm.gram = b.gram)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+             / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
+         FROM terms GROUP BY doc_id"""
+    },
+    "q_quality_classifier" -> {
+      // unrolled replay of 3 GD iterations. Per iteration i:
+      //   z = (wb + w1*f_mwl) + w2*f_stop       (Spark's fold order)
+      //   sg = 0.5 + z/(2*(1+|z|))              (rational link)
+      //   g_j = SUM(CAST(round(x_j*(sg-y)*1e6, 0) AS BIGINT))  (exact)
+      //   w_j' = w_j - (0.1 * (CAST(g_j AS DOUBLE)/1e6)) / n
+      def cntq(expr: String, needle: String): String =
+        s"CAST((length($expr) - length(replace($expr, '$needle', '')))" +
+          s" / ${needle.length} AS INT)"
+      val stopSum = Seq(" the ", " and ", " of ", " with ")
+        .map(cntq("p", _)).mkString(" + ")
+      def iter(zi: Int): String = {
+        val w = s"w$zi"
+        s"""z$zi AS (SELECT f.*, ((w.wb + w.w1*f.f_mwl) + w.w2*f.f_stop) AS z
+             FROM f, $w w),
+           s$zi AS (SELECT *, 0.5 + z/(2.0*(1.0+abs(z))) AS sg FROM z$zi),
+           g$zi AS (SELECT
+               SUM(CAST(round(1.0*(sg-y)*1000000.0, 0) AS BIGINT)) AS gb,
+               SUM(CAST(round(f_mwl*(sg-y)*1000000.0, 0) AS BIGINT)) AS g1,
+               SUM(CAST(round(f_stop*(sg-y)*1000000.0, 0) AS BIGINT)) AS g2
+             FROM s$zi),
+           w${zi + 1} AS (SELECT
+               w.wb - (0.1 * (CAST(g.gb AS DOUBLE)/1000000.0)) / n.n AS wb,
+               w.w1 - (0.1 * (CAST(g.g1 AS DOUBLE)/1000000.0)) / n.n AS w1,
+               w.w2 - (0.1 * (CAST(g.g2 AS DOUBLE)/1000000.0)) / n.n AS w2
+             FROM $w w, g$zi g, n)"""
+      }
+      s"""WITH f AS (SELECT doc_id,
+             CAST(length(text) AS DOUBLE)
+               / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                   AS DOUBLE), 1.0) AS f_mwl,
+             CAST($stopSum AS DOUBLE)
+               / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                   AS DOUBLE), 1.0) AS f_stop,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM (SELECT doc_id, text, lang, ' ' || text || ' ' AS p
+                 FROM documents)),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+         w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2),
+         ${iter(0)},
+         ${iter(1)},
+         ${iter(2)}
+         SELECT f.doc_id, f.y,
+           round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
+         FROM (SELECT f.doc_id, f.y,
+             ((w.wb + w.w1*f.f_mwl) + w.w2*f.f_stop) AS z
+           FROM f, w3 w) f"""
+    },
     "q_text_gopher" -> {
       def cnt(expr: String, needle: String): String =
         s"CAST((length($expr) - length(replace($expr, '$needle', '')))" +

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable document-quality classifier — the "fastText-style quality
+  * scorer" stage of LLM curation pipelines (train a tiny linear model on
+  * cheap per-doc features against a labeled slice, score the whole
+  * corpus). Logistic-regression-shaped, built for the 100 TB regime AND
+  * for engine-exact reproducibility:
+  *
+  *  - **Distributed batch gradient descent**: each iteration is ONE
+  *    map-side projection (link + residual + per-feature terms) feeding a
+  *    partial+final aggregation; only k gradient sums reach the driver,
+  *    which updates the weight vector and embeds it as literals for the
+  *    next round — the same shape as [[Similarity.kmeansCentroids]].
+  *  - **Order-independent, engine-exact arithmetic**: gradient terms are
+  *    quantized at 1e-6 and summed as LONGS — an exact integer sum is
+  *    independent of partial-aggregation order AND converts to double
+  *    identically in every engine (decimal sums are order-free too, but
+  *    decimal→double conversion is correctly-rounded in the JVM and not
+  *    necessarily elsewhere — last-ulp divergence would compound over
+  *    iterations). The 1e-6 gradient quantization is part of the model
+  *    definition, deterministic, and far below the gradient noise any
+  *    batch GD step cares about. Training is therefore bit-reproducible
+  *    and replayable by the DuckDB oracle as unrolled SQL.
+  *  - **Rational link, not exp**: sigma(z) = 0.5 + z / (2 * (1 + |z|))
+  *    (the "fast sigmoid"). Plain +,*,/,abs are IEEE-identical across
+  *    engines while `exp` differs in last ulps — with exp the decimal
+  *    cast could round differently on the two sides and diverge the
+  *    whole training trajectory. Same monotone S-shape, range (0,1),
+  *    sigma(0)=0.5; for a ranking/filter score the calibration
+  *    difference is irrelevant.
+  */
+object Classifier {
+
+  /** sigma(z) = 0.5 + z / (2(1+|z|)) — monotone, (0,1), IEEE-portable. */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Linear predictor w·x as a fixed-order left fold: bias first, then
+    * featureCols in the given order (the oracle mirrors the order). */
+  def predictor(weights: Array[Double], featureCols: Seq[String]): Column = {
+    require(weights.length == featureCols.length + 1,
+      s"${weights.length} weights for ${featureCols.length} features + bias")
+    featureCols.zipWithIndex.foldLeft(lit(weights(0)): Column) {
+      case (acc, (f, i)) => acc + lit(weights(i + 1)) * col(f).cast("double")
+    }
+  }
+
+  /** Train logistic weights (bias +: features) with `iters` rounds of
+    * full-batch gradient descent at rate `lr`, starting from zeros.
+    * `labelCol` must be 0/1. Returns the weight vector; compose with
+    * [[score]]. Deterministic on any partitioning (exact long sums).
+    *
+    * Executes `iters + 1` jobs over `df` (count + one aggregation per
+    * round) — at corpus scale persist/checkpoint the feature frame first
+    * so the feature projection isn't recomputed per round; the training
+    * slice of a quality classifier is normally a bounded labeled sample
+    * anyway, with [[score]] applied to the full corpus once. */
+  def trainLogistic(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, iters: Int = 3, lr: Double = 0.1): Array[Double] = {
+    val k = featureCols.length + 1
+    var w = Array.fill(k)(0.0)
+    val n = df.count().toDouble
+    var it = 0
+    while (it < iters) {
+      val resid = fastSigmoid(predictor(w, featureCols)) -
+        col(labelCol).cast("double")
+      // gradient_j = sum_i x_ij * resid_i; bias has x_i0 = 1. Terms
+      // round at 1e-6 into longs: the sum is exact, order-free, and
+      // converts to double identically in any engine.
+      val gradCols = (lit(1.0) +: featureCols.map(col(_).cast("double")))
+        .zipWithIndex.map { case (x, j) =>
+          sum(round(x * resid * lit(1000000.0), 0).cast("long")).as(s"g$j")
+        }
+      val row = df.agg(gradCols.head, gradCols.tail: _*).head()
+      w = Array.tabulate(k) { j =>
+        val g = row.getLong(j) / 1000000.0
+        w(j) - lr * g / n
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Score a corpus with trained weights: `score` in (0,1), rounded to 9
+    * like the ANN cosine outputs (the value is already engine-exact —
+    * the rounding just fixes the presentation). */
+  def score(df: DataFrame, featureCols: Seq[String],
+      weights: Array[Double]): DataFrame =
+    df.withColumn("score",
+      round(fastSigmoid(predictor(weights, featureCols)), 9))
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram language-model scoring — the CCNet/KenLM-style
+  * "perplexity filter" stage of web-corpus curation: train token-bigram
+  * statistics over a (reference) corpus, then score every document by
+  * its average negative log-likelihood under that model; documents far
+  * from the reference distribution (gibberish, boilerplate, wrong
+  * language) score high and get filtered or bucketed.
+  *
+  * 100 TB shape: training is one hash aggregation on the exploded bigram
+  * stream (map-side partial counts; the LM table is Zipf-shaped — far
+  * smaller than the corpus), plus a second aggregation for the
+  * first-token marginals. Scoring is an explode + one shuffle hash join
+  * against the LM keyed by the gram, then a per-doc aggregation —
+  * `minCount` pruning keeps the LM table join-sized (the standard KenLM
+  * pruning knob).
+  *
+  * Engine-exactness: each bigram's log-probability contribution is
+  * quantized at 1e-9 into a LONG before the per-doc sum (exact integer
+  * arithmetic — partial-agg order cannot flip a bit, and the JVM-vs-libm
+  * `ln` last-ulp difference sits 7 orders of magnitude below the
+  * quantum), and the final average rounds to 6. The DuckDB oracle
+  * replays training AND scoring from the same corpus.
+  */
+object LanguageModel {
+
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Non-distinct token bigrams of a text column ("w1 w2" strings). */
+  def bigrams(text: Column): Column = TextAnalysis.tokenNgrams(toks(text), 2)
+
+  /** Train the bigram table: (gram, c12, c1, logp) with
+    * logp = ln(c12 / c1), where c1 is the first-token occurrence count
+    * as a bigram head. `minCount` drops rare grams BEFORE the marginal
+    * is computed is wrong — marginals must count everything — so
+    * pruning applies only to the emitted rows. */
+  def trainBigramLm(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .select(explode(bigrams(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c12"))
+    val marginals = counts
+      .groupBy(split(col("gram"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    counts
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(marginals, "w1")
+      .where(col("c12") >= minCount)
+      .select(col("gram"), col("c12"), col("c1"),
+        log(col("c12").cast("double") / col("c1").cast("double")).as("logp"))
+  }
+
+  /** Score each document: `n_bigrams` and `avg_nll` (average negative
+    * log-likelihood, rounded to 6). Unseen bigrams contribute
+    * `backoffLogp` (default ln 1e-9 — a flat out-of-vocabulary floor).
+    * Documents with fewer than 2 tokens produce no row. */
+  def scoreBigramLm(docs: DataFrame, lm: DataFrame, textCol: String,
+      idCol: String,
+      backoffLogp: Double = math.log(1e-9)): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(bigrams(col(textCol))).as("gram"))
+    val joined = exploded.join(lm.select(col("gram"), col("logp")),
+      Seq("gram"), "left")
+    val term = coalesce(col("logp"), lit(backoffLogp))
+    joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(term * lit(1000000000.0), 0).cast("long")).as("_q"))
+      .withColumn("avg_nll", round(
+        -((col("_q").cast("double") / lit(1000000000.0)) /
+          col("n_bigrams").cast("double")), 6))
+      .drop("_q")
+  }
+}

@@ -345,6 +345,21 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("LM scoring joins the Zipf-sized gram table, never crosses the corpus") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"alpha beta gamma delta w$i")).toDF("doc_id", "text")
+    val lm = graft.text.LanguageModel.trainBigramLm(docs, "text")
+    val plan = planString(
+      graft.text.LanguageModel.scoreBigramLm(docs, lm, "text", "doc_id"))
+    // the doc side reaches the join as narrow exploded (id, gram) rows
+    // through a hash/sort-merge join on the gram key — no cartesian, no
+    // full-text columns crossing the exchange
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Generate") // the bigram explode
+  }
+
   test("dedupParagraphs: two narrow shuffles (digest window + doc regroup), no join") {
     import spark.implicits._
     val docs = (0L until 20L).map(i =>

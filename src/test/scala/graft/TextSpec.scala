@@ -1,6 +1,6 @@
 package graft
 
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Classifier, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextSpec extends SparkSpec {
@@ -330,6 +330,63 @@ class TextSpec extends SparkSpec {
     clean.getAs[Int]("n_emails") + clean.getAs[Int]("n_ips") +
       clean.getAs[Int]("n_phones") shouldBe 0
     clean.getAs[String]("redacted") shouldBe "no personal data here at all"
+  }
+
+  test("logistic classifier learns separation and trains deterministically") {
+    // two separable populations in one feature: y=1 docs have many en
+    // stopwords per word, y=0 docs almost none
+    val rows = (0L until 200L).map { i =>
+      val en = i % 2 == 0
+      val stopRatio = if (en) 0.3 + (i % 7) * 0.01 else 0.02 + (i % 7) * 0.005
+      (i, 5.0 + (i % 5) * 0.1, stopRatio, if (en) 1.0 else 0.0)
+    }
+    val df = rows.toDF("doc_id", "f_mwl", "f_stop", "y")
+    val w = Classifier.trainLogistic(df, Seq("f_mwl", "f_stop"), "y",
+      iters = 5, lr = 0.5)
+    val scored = Classifier.score(df, Seq("f_mwl", "f_stop"), w)
+      .groupBy("y").agg(avg("score").as("m")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    scored(1.0) should be > scored(0.0) // learned the right direction
+    w(2) should be > 0.0                // stopword weight is positive
+    // bit-identical weights on any input partitioning (long-sum gradients)
+    for (parts <- Seq(1, 7, 32)) {
+      Classifier.trainLogistic(df.repartition(parts),
+        Seq("f_mwl", "f_stop"), "y", iters = 5, lr = 0.5).toSeq shouldBe w.toSeq
+    }
+  }
+
+  test("bigram LM: in-distribution text scores lower nll than novel text") {
+    val ref = "the cat sat on the mat " * 20
+    val docs = Seq(
+      (1L, ref.trim),                         // the training distribution
+      (2L, "the cat sat on the mat again"),   // mostly seen bigrams
+      (3L, "zeta xylo qwerty vortex plumb")   // all-unseen → backoff floor
+    ).toDF("doc_id", "text")
+    val lm = graft.text.LanguageModel.trainBigramLm(docs, "text")
+    // conditional probabilities: P(cat|the)=0.5 (the→cat / the→mat)
+    val pCat = lm.where(col("gram") === "the cat").select("logp")
+      .head().getDouble(0)
+    math.exp(pCat) shouldBe 0.5 +- 1e-9
+    val scored = graft.text.LanguageModel
+      .scoreBigramLm(docs, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs 1-3 are all IN the training corpus: the template doc scores
+    // best, the one-word edit a bit worse, the singleton-gram doc is
+    // perfectly predicted (every gram has P=1 under its own statistics)
+    scored(1L) should be < scored(2L)
+    scored(3L) shouldBe 0.0
+    // a HELD-OUT gibberish doc is pure backoff
+    val held = Seq((9L, "totally novel words never seen anywhere before"))
+      .toDF("doc_id", "text")
+    val heldScore = graft.text.LanguageModel
+      .scoreBigramLm(held, lm, "text", "doc_id")
+      .head().getDouble(2)
+    heldScore shouldBe -math.log(1e-9) +- 1e-5
+    // minCount pruning drops singleton grams from the emitted table
+    val pruned = graft.text.LanguageModel.trainBigramLm(docs, "text",
+      minCount = 5L)
+    pruned.where(col("gram") === "zeta xylo").count() shouldBe 0
+    pruned.where(col("gram") === "the cat").count() shouldBe 1
   }
 
   test("dedupParagraphs keeps only the first (doc, pos) occurrence") {
