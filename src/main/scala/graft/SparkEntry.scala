@@ -875,6 +875,53 @@ object SparkEntry {
           concat(col("text"), lit("\t  mixed \u0007 tail\n\n"))).as("norm"))
         .withColumn("n_norm", length(col("norm")))
     }),
+    "q_curation_pipeline_v2" -> ((s, dir) => {
+      // round-4 composition DAG — the sub-document-hygiene pipeline:
+      // inject (email + cross-doc shared paragraph, as the standalone
+      // queries do) → PII redaction → Gopher-lite gate (length +
+      // stopword presence) → cross-doc paragraph dedup → LM perplexity
+      // gate (train on the cleaned corpus, drop high-NLL docs) →
+      // per-language stats. Every stage is the oracled operator.
+      import graft.text.LanguageModel
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val seed = d.where(col("doc_id") < 50)
+        .select(col("doc_id").as("sid"),
+          substring(col("text"), 1, 100).as("shared"))
+      val docs = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
+        .select(col("doc_id"), col("lang"),
+          concat_ws("\n\n",
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com")),
+            col("shared")).as("text2"))
+      val redacted = TextAnalysis.piiPatterns.foldLeft(col("text2")) {
+        case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+      }
+      val stage1 = docs.withColumn("rtext", redacted)
+      val words = split(trim(col("rtext")), "\\s+")
+      val stopsPresent = size(filter(
+        array(TextAnalysis.gopherStops.map(lit): _*),
+        w => array_contains(words, w)))
+      // this corpus's vocabulary carries only 'the' from the Gopher stop
+      // set — presence >= 1 keeps the gate meaningful without zeroing it
+      val gated = stage1.where(size(words) >= 50 && stopsPresent >= 1)
+      // fan-out point: `cleaned` feeds LM training, LM scoring, and the
+      // final stats — checkpoint it eagerly so the inject→redact→gate→
+      // paragraph-dedup chain runs once, not three times (same pattern
+      // as v1's deduped checkpoint)
+      val cleaned = Dedup.dedupParagraphs(
+          gated.select(col("doc_id"), col("rtext")), "rtext", "doc_id")
+        .join(gated.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(true)
+      val lm = LanguageModel.trainBigramLm(cleaned, "clean_text")
+      val keep = LanguageModel
+        .scoreBigramLm(cleaned, lm, "clean_text", "doc_id")
+        .where(col("avg_nll") <= 3.4).select("doc_id")
+      cleaned.join(keep, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(col("clean_text")).cast("long"))
+            .as("n_tokens"))
+    }),
     "q_lm_perplexity" -> ((s, dir) => {
       // CCNet-style perplexity filter: train the corpus bigram LM, score
       // every doc by average negative log-likelihood under it. Training
@@ -1484,6 +1531,68 @@ object SparkEntry {
            coalesce(tgf.top_trigram_frac, 0.0) AS top_trigram_frac
          FROM base b JOIN runs r USING (doc_id)
          LEFT JOIN bgf USING (doc_id) LEFT JOIN tgf USING (doc_id)""",
+    "q_curation_pipeline_v2" -> {
+      val Seq(em, ip, ph) = graft.text.TextAnalysis.piiPatterns.map(_._2)
+      val backoff = math.log(1e-9)
+      s"""WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
+             FROM documents WHERE doc_id < 50),
+         d0 AS (SELECT d.doc_id, d.lang,
+             (d.text || ' contact user' || CAST(d.doc_id AS VARCHAR)
+               || '@example.com') || chr(10) || chr(10) || s.shared AS text2
+           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
+         d1 AS (SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(text2,
+               '$em', '<EMAIL>', 'g'),
+               '$ip', '<IP>', 'g'),
+               '$ph', '<PHONE>', 'g') AS rtext
+           FROM d0),
+         d2 AS (SELECT doc_id, lang, rtext,
+             string_split_regex(trim(rtext), '\\s+') AS t FROM d1),
+         gated AS (SELECT doc_id, lang, rtext FROM d2
+           WHERE len(t) >= 50 AND len(list_filter(
+             ['the','be','to','of','and','that','have','with'],
+             w -> list_contains(t, w))) >= 1),
+         p0 AS (SELECT doc_id,
+             unnest(string_split(rtext, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(rtext, chr(10) || chr(10)), 1)
+               AS pos
+           FROM gated),
+         p1 AS (SELECT * FROM p0 WHERE para <> ''),
+         pw AS (SELECT doc_id, pos, para, row_number() OVER (
+             PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn FROM p1),
+         cleaned AS (SELECT w.doc_id, g.lang,
+             coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+               chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+           FROM pw w JOIN gated g ON g.doc_id = w.doc_id
+           GROUP BY w.doc_id, g.lang),
+         tokc AS (SELECT doc_id, lang, clean_text,
+             string_split_regex(lower(trim(clean_text)), '\\s+') AS t
+           FROM cleaned),
+         bg AS (SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM tokc WHERE len(t) >= 2),
+         cnt AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
+         uni AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                 FROM cnt GROUP BY 1),
+         lm AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cnt c JOIN uni u ON u.w1 = string_split(c.gram, ' ')[1]),
+         terms AS (SELECT b.doc_id,
+             CAST(round(coalesce(lm.logp, $backoff) * 1000000000.0, 0)
+               AS BIGINT) AS q
+           FROM bg b LEFT JOIN lm ON lm.gram = b.gram),
+         nll AS (SELECT doc_id,
+             round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+               / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
+           FROM terms GROUP BY doc_id),
+         kept AS (SELECT doc_id FROM nll WHERE avg_nll <= 3.4)
+         SELECT c.lang, count(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(c.clean_text), '\\s+')))
+             AS BIGINT) AS n_tokens
+         FROM cleaned c JOIN kept k ON k.doc_id = c.doc_id
+         GROUP BY c.lang"""
+    },
     "q_lm_perplexity" -> {
       val backoff = math.log(1e-9) // same literal the Spark side embeds
       s"""WITH tok AS (SELECT doc_id,
