@@ -975,6 +975,20 @@ object SparkEntry {
         (col("doc_id") % 9000 + 1000).cast("string")))
       TextAnalysis.redactPii(withPii, "text2", "doc_id")
     }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // duplicated 8-token-span detection over the shared-paragraph
+      // construction (each doc_id%50 class shares a 100-char span → real
+      // cross-doc duplicated windows); the per-doc duplicated fraction
+      // is the Lee-et-al substring-dedup signal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val seed = d.where(col("doc_id") < 50)
+        .select(col("doc_id").as("sid"),
+          substring(col("text"), 1, 100).as("shared"))
+      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), col("shared")).as("text2"))
+      Dedup.duplicatedSpans(docs2, "text2", "doc_id", n = 8)
+    }),
     "q_dedup_paragraph" -> ((s, dir) => {
       // cross-document paragraph dedup: each doc gets a second paragraph
       // SHARED across its doc_id%50 class (broadcast of 50 seed rows), so
@@ -1725,6 +1739,30 @@ object SparkEntry {
              '$ph', '<PHONE>', 'g') AS redacted
          FROM p"""
     },
+    "q_dedup_spans" ->
+      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
+           FROM documents WHERE doc_id < 50),
+         d2 AS (SELECT d.doc_id,
+             concat_ws(' ', d.text, s.shared) AS t2
+           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
+         tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(t2)), '\s+') AS t FROM d2),
+         wins AS (SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(t[i:i+7], ' '))) AS w
+           FROM tok WHERE len(t) >= 8),
+         cnt AS (SELECT w, count(*) AS c FROM wins GROUP BY 1),
+         tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
+         dupc AS (SELECT doc_id, count(*) AS n_dup
+           FROM wins JOIN cnt USING (w) WHERE c > 1 GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(tot.n_windows, 0) AS n_windows,
+           coalesce(dupc.n_dup, 0) AS n_dup,
+           round(CAST(coalesce(dupc.n_dup, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(tot.n_windows, 0), 1) AS DOUBLE), 6)
+             AS dup_frac
+         FROM (SELECT DISTINCT doc_id FROM d2) d
+         LEFT JOIN tot USING (doc_id) LEFT JOIN dupc USING (doc_id)""",
     "q_dedup_paragraph" ->
       """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
            FROM documents WHERE doc_id < 50),

@@ -517,6 +517,52 @@ object Dedup {
       .unionByName(docs.join(broadcast(winners), Seq(idCol), "left_semi"))
   }
 
+  /** Duplicated-span detection — the exact-substring dedup SIGNAL of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): for each document, how many of its `n`-token windows
+    * occur at least twice in the corpus, and the duplicated fraction.
+    * Consumers drop or trim high-fraction docs (full span SURGERY needs
+    * the suffix-array machinery of the paper; the per-doc signal is what
+    * batch curation pipelines act on).
+    *
+    * `n` must be a power of two: windows build by LOG-DOUBLING — k
+    * zip_with passes over shifted array slices (2, 4, …, n) instead of
+    * one interpreted slice+join per position (the round-3/4 HOF lesson;
+    * ~4× at sf0.1). Trailing windows short of `n` tokens become null via
+    * zip_with's padding and are filtered.
+    *
+    * 100 TB shape: one shuffle keyed on the window string for the
+    * occurrence count, a semi-keyed join back, and two doc-keyed
+    * aggregations — all narrow rows. At extreme scale key the count on
+    * xxhash64(window) (collisions only inflate the signal, never lose a
+    * duplicate) and frequency-prune the count table like the LM. */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2 && (n & (n - 1)) == 0, s"window size $n must be 2^k")
+    val t = split(lower(trim(col(textCol))), "\\s+")
+    def dbl(arr: Column, width: Int): Column =
+      zip_with(arr,
+        slice(arr, lit(width + 1), greatest(size(arr) - width, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    var win = t; var w = 1
+    while (w < n) { win = dbl(win, w); w *= 2 }
+    val wins = docs.select(col(idCol),
+      explode(filter(win, x => x.isNotNull)).as("_w"))
+    val cnt = wins.groupBy("_w").agg(count(lit(1)).as("_c"))
+    val tot = wins.groupBy(idCol).agg(count(lit(1)).as("_nw"))
+    val dup = wins.join(cnt.where(col("_c") > 1).select("_w"),
+        Seq("_w"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("_nd"))
+    docs.select(col(idCol))
+      .join(tot, Seq(idCol), "left").join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_nw"), lit(0L)).as("n_windows"),
+        coalesce(col("_nd"), lit(0L)).as("n_dup"),
+        round(coalesce(col("_nd"), lit(0L)).cast("double") /
+          greatest(coalesce(col("_nw"), lit(0L)), lit(1L)).cast("double"),
+          6).as("dup_frac"))
+  }
+
   /** Cross-document PARAGRAPH dedup (the RefinedWeb/CCNet sub-document
     * stage): a paragraph duplicated across the corpus survives only at
     * its first occurrence in (doc_id, position) order; every other copy

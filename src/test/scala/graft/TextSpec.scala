@@ -389,6 +389,31 @@ class TextSpec extends SparkSpec {
     pruned.where(col("gram") === "the cat").count() shouldBe 1
   }
 
+  test("duplicatedSpans flags cross-doc and within-doc repeated windows") {
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"$span alpha beta"),       // shares the span with doc 2
+      (2L, s"prefix word $span"),
+      (3L, "totally unique words that repeat nowhere else at all here"),
+      (4L, s"$span and then $span")    // internal duplication counts too
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.duplicatedSpans(docs, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: windows = 3 (10 tokens), the pure span window is duplicated
+    out(1L)._1 shouldBe 3
+    out(1L)._2 should be >= 1L
+    out(2L)._2 should be >= 1L
+    out(3L) shouldBe ((3L, 0L))
+    out(4L)._2 should be >= 2L // both copies of the span window flagged
+    // a doc shorter than the window emits zero windows
+    val tiny = graft.text.Dedup.duplicatedSpans(
+      Seq((9L, "too short")).toDF("doc_id", "text"), "text", "doc_id")
+      .head()
+    tiny.getLong(1) shouldBe 0L
+    tiny.getDouble(3) shouldBe 0.0
+  }
+
   test("dedupParagraphs keeps only the first (doc, pos) occurrence") {
     val docs = Seq(
       (1L, "shared para\n\nunique one"),
