@@ -465,6 +465,67 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** All n-token windows of a whitespace-tokenized string, space-joined —
+    * the exact-substring-dedup unit of Lee et al. 2022. One pass over the
+    * UTF-8 bytes; only FULL n-token windows are emitted (a doc shorter
+    * than n tokens yields an empty array), so
+    * size(result) == max(nTokens - n + 1, 0). Semantically identical to
+    * the HOF log-doubling build (zip_with^log n + filter) it replaced,
+    * which paid an interpreted lambda call per element per pass — measured
+    * 3.8 s → 0.5 s on the sf0.1 spans query. */
+  case class TokenWindows(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_token_windows"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val len = bytes.length
+      var starts = new Array[Int](16); var ends = new Array[Int](16)
+      var nTok = 0
+      var i = 0
+      while (i < len) {
+        while (i < len && isWs(bytes(i))) i += 1
+        if (i < len) {
+          val st = i
+          while (i < len && !isWs(bytes(i))) i += 1
+          if (nTok == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, nTok * 2)
+            ends = java.util.Arrays.copyOf(ends, nTok * 2)
+          }
+          starts(nTok) = st; ends(nTok) = i; nTok += 1
+        }
+      }
+      if (nTok < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](nTok - n + 1)
+      var w = 0
+      while (w < out.length) {
+        var need = n - 1
+        var j = w
+        while (j < w + n) { need += ends(j) - starts(j); j += 1 }
+        val buf = new Array[Byte](need)
+        var pos = 0
+        j = w
+        while (j < w + n) {
+          if (j > w) { buf(pos) = ' '; pos += 1 }
+          val l = ends(j) - starts(j)
+          System.arraycopy(bytes, starts(j), buf, pos, l)
+          pos += l
+          j += 1
+        }
+        out(w) = UTF8String.fromBytes(buf)
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -536,6 +597,14 @@ object TextHashExprs {
           "graft_repetition_stats"),
         (cs: Seq[Expression]) => RepetitionStats(cs.head))
     }
+    val tw = FunctionIdentifier("graft_token_windows")
+    if (!registry.functionExists(tw)) {
+      registry.registerFunction(tw,
+        new ExpressionInfo(classOf[TokenWindows].getName,
+          "graft_token_windows"),
+        (cs: Seq[Expression]) => TokenWindows(cs.head,
+          intLit(cs(1), "graft_token_windows n")))
+    }
   }
 
   def simhash64(tokens: Column): Column = {
@@ -588,5 +657,12 @@ object TextHashExprs {
   def repetitionStats(text: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_repetition_stats", text)
+  }
+
+  /** One-pass n-token window array (caller lowers/trims). */
+  def tokenWindows(text: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_token_windows", text,
+      org.apache.spark.sql.functions.lit(n))
   }
 }

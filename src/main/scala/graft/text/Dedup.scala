@@ -525,36 +525,33 @@ object Dedup {
     * the suffix-array machinery of the paper; the per-doc signal is what
     * batch curation pipelines act on).
     *
-    * `n` must be a power of two: windows build by LOG-DOUBLING — k
-    * zip_with passes over shifted array slices (2, 4, …, n) instead of
-    * one interpreted slice+join per position (the round-3/4 HOF lesson;
-    * ~4× at sf0.1). Trailing windows short of `n` tokens become null via
-    * zip_with's padding and are filtered.
+    * Windows build in ONE native pass over the UTF-8 bytes
+    * (TextHashExprs.TokenWindows) — the original HOF log-doubling build
+    * (zip_with^log n + filter) paid an interpreted lambda call per
+    * element per pass and dominated the query (3.8 s of a 4.7 s total at
+    * sf0.1; the round-3/4 HOF lesson again).
     *
-    * 100 TB shape: one shuffle keyed on the window string for the
-    * occurrence count, a semi-keyed join back, and two doc-keyed
-    * aggregations — all narrow rows. At extreme scale key the count on
-    * xxhash64(window) (collisions only inflate the signal, never lose a
-    * duplicate) and frequency-prune the count table like the LM. */
+    * 100 TB shape: the exploded (id, window) rows are evaluated ONCE and
+    * make exactly two shuffles — one keyed on the window string to attach
+    * each window's corpus occurrence count (a count-over-partition
+    * window, no join back), one doc-keyed aggregation folding both the
+    * window total and the duplicated total in a single pass. At extreme
+    * scale key on xxhash64(window) (collisions only inflate the signal,
+    * never lose a duplicate) and frequency-prune like the LM. */
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
-    require(n >= 2 && (n & (n - 1)) == 0, s"window size $n must be 2^k")
-    val t = split(lower(trim(col(textCol))), "\\s+")
-    def dbl(arr: Column, width: Int): Column =
-      zip_with(arr,
-        slice(arr, lit(width + 1), greatest(size(arr) - width, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    var win = t; var w = 1
-    while (w < n) { win = dbl(win, w); w *= 2 }
+    require(n >= 2, s"window size $n must be >= 2")
     val wins = docs.select(col(idCol),
-      explode(filter(win, x => x.isNotNull)).as("_w"))
-    val cnt = wins.groupBy("_w").agg(count(lit(1)).as("_c"))
-    val tot = wins.groupBy(idCol).agg(count(lit(1)).as("_nw"))
-    val dup = wins.join(cnt.where(col("_c") > 1).select("_w"),
-        Seq("_w"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("_nd"))
+      explode(graft.functions.TextHashExprs
+        .tokenWindows(lower(trim(col(textCol))), n)).as("_w"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("_w")
+    val perDoc = wins
+      .withColumn("_c", count(lit(1)).over(cw))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_nw"),
+        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("_nd"))
     docs.select(col(idCol))
-      .join(tot, Seq(idCol), "left").join(dup, Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_nw"), lit(0L)).as("n_windows"),
         coalesce(col("_nd"), lit(0L)).as("n_dup"),
