@@ -704,6 +704,51 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
     }),
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup semantic dedup: coarse clusters = the 16 lowest-id
+      // vectors (the SQL-derivable centroid convention of q_ann_topk_ivf,
+      // so the oracle replays assignment + witness pairs bit-for-bit);
+      // tau matches q_dedup_embedding's threshold
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      Similarity.semDedup(e, "vec_id", "embedding", nClusters = 16,
+        tau = 0.4, centroidsOverride = Some(cents))
+    }),
+    "q_bm25" -> ((s, dir) => {
+      // BM25 keyword retrieval over the corpus (Lucene idf form); scores
+      // are 1e-9-long-quantized per (doc, term) so DuckDB reproduces the
+      // per-doc sums exactly
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Search.bm25(d, "text", "doc_id",
+        Seq("spark", "merge", "window"))
+    }),
+    "q_top_ngrams" -> ((s, dir) => {
+      // corpus-wide boilerplate detector: 20 most frequent 3-grams,
+      // count ties broken by gram so the cut is deterministic
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Search.topNgrams(d, "text", n = 3, k = 20)
+    }),
+    "q_cap_domain" -> ((s, dir) => {
+      // corpus balancing: keep at most 3 docs per (lang, source) cell,
+      // preferring the longest, ties to the lowest doc_id
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.capPerGroup(d.select("doc_id", "lang", "source",
+        "n_chars"), Seq("lang", "source"), col("n_chars"), "doc_id", 3)
+    }),
+    "q_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: target LM = the English slice, base LM =
+      // the whole corpus; docs that look English-like score high. Both
+      // trainings and the scoring are replayed by the oracle.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val lmT = graft.text.LanguageModel
+        .trainBigramLm(d.where(col("lang") === "en"), "text")
+      val lmB = graft.text.LanguageModel.trainBigramLm(d, "text")
+      graft.text.LanguageModel
+        .importanceWeights(d, lmT, lmB, "text", "doc_id")
+    }),
     "q_sessionize" -> onCube(c =>
       // gap-based sessionization, batch form (StreamingSpec pins batch ==
       // flatMapGroupsWithState streaming on the same input)
@@ -2470,6 +2515,122 @@ object SparkEntry {
          SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 9) AS cos
          FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
          WHERE dot / (na.nrm * nb.nrm) >= 0.4""",
+    "q_semdedup" ->
+      // same lowest-id coarse centroids + |v|² − 2·v·c + |c|² argmin as
+      // q_ann_topk_ivf; within-cluster witness pairs (earlier id, cosine
+      // >= tau) mark the dropped side
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id, centroid_id AS cluster FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         nrm AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
+                 FROM el GROUP BY 1),
+         pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+           FROM assigned a JOIN assigned b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         pd AS (SELECT p.ida, p.idb, SUM(ea.v * eb.v ORDER BY ea.i) AS dot
+           FROM pairs p JOIN el ea ON ea.vec_id = p.ida
+                JOIN el eb ON eb.vec_id = p.idb AND eb.i = ea.i
+           GROUP BY 1, 2),
+         dropped AS (SELECT DISTINCT pd.idb AS vec_id
+           FROM pd JOIN nrm na ON na.vec_id = pd.ida
+                JOIN nrm nb ON nb.vec_id = pd.idb
+           WHERE pd.dot / (na.nrm * nb.nrm) >= 0.4)
+         SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
+         FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+    "q_bm25" -> {
+      val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(t)) AS BIGINT) AS sdl FROM tok),
+         hits AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+             unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+           FROM hits WHERE w IN ('spark', 'merge', 'window')
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         idf AS (SELECT w,
+             ln((CAST(st.n - dfq.df AS DOUBLE) + 0.5)
+               / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) AS idf
+           FROM dfq, st),
+         q AS (SELECT tf.doc_id, tf.tf,
+             CAST(round(idf.idf * ((CAST(tf.tf AS DOUBLE) * $kp1)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ($oneMinusB + 0.75
+                 * (tf.dl / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+               * 1000000000.0, 0) AS BIGINT) AS q
+           FROM tf JOIN idf ON idf.w = tf.w, st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(SUM(tf) AS BIGINT) AS n_hits,
+           round(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS score
+         FROM q GROUP BY 1"""
+    },
+    "q_top_ngrams" ->
+      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         wins AS (SELECT unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS gram
+           FROM tok WHERE len(t) >= 3)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM wins GROUP BY 1
+         ORDER BY n_occurrences DESC, gram LIMIT 20""",
+    "q_cap_domain" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 3""",
+    "q_dsir_weights" -> {
+      val backoff = math.log(1e-9)
+      s"""WITH tok AS (SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, lang, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM tok WHERE len(t) >= 2),
+         cntb AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
+         unib AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                  FROM cntb GROUP BY 1),
+         lmb AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cntb c JOIN unib u ON u.w1 = string_split(c.gram, ' ')[1]),
+         cntt AS (SELECT gram, count(*) AS c12 FROM bg
+                  WHERE lang = 'en' GROUP BY 1),
+         unit AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                  FROM cntt GROUP BY 1),
+         lmt AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cntt c JOIN unit u ON u.w1 = string_split(c.gram, ' ')[1]),
+         terms AS (SELECT b.doc_id,
+             CAST(round((coalesce(t.logp, $backoff)
+               - coalesce(bs.logp, $backoff)) * 1000000000.0, 0)
+               AS BIGINT) AS q
+           FROM bg b LEFT JOIN lmt t ON t.gram = b.gram
+                LEFT JOIN lmb bs ON bs.gram = b.gram)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+             / CAST(count(*) AS DOUBLE), 6) AS log_ratio
+         FROM terms GROUP BY doc_id"""
+    },
     "q_graph_pipeline" -> cq(
       // load_collection's temporal extent is EXCLUSIVE-end via -1 ms
       // (reference scan contract, load_odc_collection.py:78-79)

@@ -91,4 +91,42 @@ object LanguageModel {
           col("n_bigrams").cast("double")), 6))
       .drop("_q")
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the average log-ratio of a TARGET-domain n-gram LM to the BASE
+    * (raw-corpus) LM — documents that look like the target distribution
+    * score high and are up-sampled into the training mixture.
+    *
+    * `log_ratio = (1/n) Σ_bigrams (logp_target − logp_base)`, unseen
+    * grams on either side backing off to `backoffLogp`. Feed the output
+    * to [[Sampling.sampleFraction]]-style gating or rank-and-take.
+    *
+    * 100 TB shape: identical to [[scoreBigramLm]] — one corpus explode,
+    * two hash joins against Zipf-sized LM tables (broadcast when the
+    * target LM is small, as it usually is), one per-doc aggregation. The
+    * per-gram log-ratio is quantized at 1e-9 into a LONG before the sum
+    * (order-free integer arithmetic; ln ulp noise far below the
+    * quantum). */
+  def importanceWeights(docs: DataFrame, lmTarget: DataFrame,
+      lmBase: DataFrame, textCol: String, idCol: String,
+      backoffLogp: Double = math.log(1e-9)): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(bigrams(col(textCol))).as("gram"))
+    val joined = exploded
+      .join(lmTarget.select(col("gram"), col("logp").as("_lt")),
+        Seq("gram"), "left")
+      .join(lmBase.select(col("gram"), col("logp").as("_lb")),
+        Seq("gram"), "left")
+    val term = coalesce(col("_lt"), lit(backoffLogp)) -
+      coalesce(col("_lb"), lit(backoffLogp))
+    joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(term * lit(1000000000.0), 0).cast("long")).as("_q"))
+      .withColumn("log_ratio", round(
+        (col("_q").cast("double") / lit(1000000000.0)) /
+          col("n_bigrams").cast("double"), 6))
+      .drop("_q")
+  }
 }

@@ -152,6 +152,29 @@ object Sampling {
     tagged.reduce(_ unionByName _)
   }
 
+  /** Per-group cap — the corpus-balancing step (cap each domain /
+    * source / language at `k` documents so one crawl host cannot dominate
+    * the mixture): keep the `k` highest-`scoreCol` rows per group, ties
+    * broken by ascending id so the cut is deterministic under any
+    * partitioning.
+    *
+    * 100 TB shape: ONE shuffle on the group key; the rank is a plain
+    * row_number window (sort within each group's partition). A
+    * pathologically hot group (one domain with billions of rows) makes
+    * one hot partition — for that regime pre-prune with a per-partition
+    * top-k partial aggregate (TopKAgg, as the ANN path does) before the
+    * window; the rule's semantics are unchanged. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
+      idCol: String, k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "capPerGroup needs at least one group col")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(scoreCol.desc, col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** The curated-corpus shipping artifact: write the document set
     * hive-partitioned by the given columns (conventionally
     * `split, lang`), so downstream training jobs reading one split (or

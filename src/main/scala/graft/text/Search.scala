@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column, Row}
+import org.apache.spark.sql.functions._
+
+/** Keyword-retrieval primitives over the corpus — the "find the documents
+  * about X" query surface a curation pipeline needs for eval-set mining,
+  * targeted inspection, and boilerplate hunting.
+  *
+  * Engine-exactness follows the LM pattern: every per-(doc, term) score
+  * contribution is quantized at 1e-9 into a LONG before the per-doc sum
+  * (integer addition is order-free, so partial aggregation cannot flip a
+  * bit; the JVM-vs-libm `ln` last-ulp difference sits far below the
+  * quantum), and the final score rounds to 6.
+  */
+object Search {
+
+  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** BM25 (Robertson et al.) scores for a literal query-term set: one row
+    * per document matching >= 1 term — (id, n_terms, n_hits, score) with
+    * n_terms = distinct query terms present, n_hits = total term
+    * instances.
+    *
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1)   (Lucene's non-negative form)
+    * tf-sat = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * 100 TB shape: the corpus-stats pass is one exact long aggregation
+    * (count + Σdl) collapsed to driver literals; the hit stream explodes
+    * tokens but FILTERS to the query-term set map-side, so only matches
+    * reach the (doc, term) shuffle; document frequencies are <= |terms|
+    * rows (collected, embedded as a literal map — no join). Two corpus
+    * scans total, zero wide joins. */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val t = toks(col(textCol))
+    val Row(nDocs: Long, sumDl: Long) = docs
+      .agg(count(lit(1)), sum(size(t).cast("long"))).head
+    require(nDocs > 0, "bm25 needs a non-empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val hits = docs
+      .select(col(idCol), size(t).cast("double").as("_dl"),
+        explode(t).as("_t"))
+      .where(col("_t").isin(terms: _*))
+    val tf = hits.groupBy(col(idCol), col("_dl"), col("_t"))
+      .agg(count(lit(1)).as("_tf"))
+    val dfMap: Map[String, Long] = tf.groupBy("_t")
+      .agg(count(lit(1)).as("_df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idfOf(df: Long): Double =
+      math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    val present = terms.filter(dfMap.contains)
+    if (present.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("n_terms"),
+          lit(0L).as("n_hits"), lit(0.0).as("score")).limit(0)
+    val idfLit = map(present.flatMap(tm =>
+      Seq(lit(tm), lit(idfOf(dfMap(tm))))): _*)
+    val tfc = col("_tf").cast("double")
+    val contrib = element_at(idfLit, col("_t")) *
+      ((tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("_dl") / lit(avgdl)))))
+    tf
+      .withColumn("_q", round(contrib * lit(1000000000.0), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("_tf")).as("n_hits"),
+        sum(col("_q")).as("_qs"))
+      .withColumn("score", round(
+        col("_qs").cast("double") / lit(1000000000.0), 6))
+      .drop("_qs")
+  }
+
+  /** Corpus-wide most-frequent n-token windows — the boilerplate detector
+    * (headers, cookie banners, license blurbs surface immediately).
+    * Returns the `k` most frequent n-grams as (gram, n_occurrences),
+    * count ties broken by gram ascending so the cut is deterministic.
+    *
+    * 100 TB shape: windows come from the one-pass native TokenWindows
+    * expression; the count is a partial-aggregated hash shuffle on the
+    * gram; the top-k is TakeOrderedAndProject — per-partition heaps of k
+    * rows, never a global sort. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int,
+      k: Int): DataFrame =
+    docs.select(explode(graft.functions.TextHashExprs
+        .tokenWindows(lower(trim(col(textCol))), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+}

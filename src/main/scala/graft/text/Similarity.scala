@@ -609,4 +609,52 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication at corpus
+    * scale — coarse-cluster the embeddings, then within each cluster drop
+    * every vector that has an earlier-id WITNESS above `tau` cosine.
+    * (The paper keeps one representative per semantic-duplicate group;
+    * the earlier-id witness rule is its deterministic single-pass
+    * formulation — exactly one survivor per chain under any
+    * partitioning.) Returns (idCol, cluster, kept).
+    *
+    * 100 TB shape: assignment is the literal-argmin projection of
+    * [[ivfAssign]] (zero shuffle); the pair search shuffles narrow
+    * (cluster, id, vec, norm) rows once on the cluster id and is
+    * quadratic ONLY within a cluster — `nClusters` throttles the blowup
+    * (the paper runs ~100k clusters at web scale, keeping clusters at
+    * ~10k rows). A pathologically hot cluster re-clusters its members
+    * with a second-level codebook (same operator, filtered input). The
+    * dropped-id set is small by construction (it IS the duplicate mass),
+    * so the final annotation join broadcasts. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, tau: Double = 0.95, trainIters: Int = 0,
+      seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val centroids = broadcast(centroidsOverride.getOrElse(
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nClusters, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nClusters, seed)))
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        col("centroid_id").as("cluster"))
+      .withColumn("_n", sqrt(norm2(col("_v"))))
+    val a = assigned.select(col("cluster"), col("_id").as("_ida"),
+      col("_v").as("_va"), col("_n").as("_na"))
+    val b = assigned.select(col("cluster"), col("_id").as("_idb"),
+      col("_v").as("_vb"), col("_n").as("_nb"))
+    // the witness pair join: same-cluster, earlier id, cosine >= tau.
+    // localCheckpoint makes the small dropped set concrete so the final
+    // join's broadcast estimate is exact (and the self-join never re-runs)
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("_ida") < col("_idb") &&
+        dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")) >= tau)
+      .select(col("_idb").as("_id")).distinct()
+      .withColumn("_dropped", lit(true))
+      .localCheckpoint(true)
+    assigned.select(col("_id"), col("cluster"))
+      .join(broadcast(dropped), Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cluster"),
+        col("_dropped").isNull.as("kept"))
+  }
 }

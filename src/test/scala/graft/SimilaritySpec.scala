@@ -222,4 +222,31 @@ class SimilaritySpec extends SparkSpec {
           r.getDouble(3))).toSet
     run(df) shouldBe run(df.repartition(7))
   }
+
+  test("semDedup drops later-id witnesses within a cluster only") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),  // cluster 0, kept (earliest)
+      (2L, Array(2.0f, 0.0f)),  // cos=1 with v1 -> dropped
+      (3L, Array(0.0f, 1.0f)),  // cluster 1, kept
+      (4L, Array(0.0f, 3.0f)),  // cos=1 with v3 -> dropped
+      (5L, Array(-1.0f, 0.1f))  // cluster 1 or 0 but anti-parallel: kept
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "_centroid")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        tau = 0.95, centroidsOverride = Some(cents))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    out(1L) shouldBe ((0L, true))
+    out(2L) shouldBe ((0L, false))
+    out(3L) shouldBe ((1L, true))
+    out(4L) shouldBe ((1L, false))
+    out(5L)._2 shouldBe true // negative cosine never witnesses
+    // deterministic under repartitioning
+    val again = Similarity.semDedup(df.repartition(5), "vec_id",
+        "embedding", tau = 0.95, centroidsOverride = Some(cents))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    again shouldBe out
+  }
 }

@@ -427,4 +427,71 @@ class TextSpec extends SparkSpec {
     out(2L) shouldBe ((2L, 1L, "unique two"))
     out(3L) shouldBe ((2L, 0L, ""))
   }
+
+  test("bm25 ranks higher-tf docs above lower, skips non-matching docs") {
+    val docs = Seq(
+      (1L, "spark spark query"),
+      (2L, "spark table"),
+      (3L, "other words here")).toDF("doc_id", "text")
+    val out = graft.text.Search.bm25(docs, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L)._1 shouldBe 1L // one distinct term matched
+    out(1L)._2 shouldBe 2L // two instances
+    out(2L)._2 shouldBe 1L
+    out(1L)._3 should be > out(2L)._3 // tf saturation still ranks 2 > 1
+    out(2L)._3 should be > 0.0
+    // idf spot check: df=2, N=3 -> idf = ln(1.6); doc 2 contribution =
+    // idf * (1*2.2) / (1 + 1.2*(0.25 + 0.75*(2/(8/3.0))))
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val expected2 = idf * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * (2.0 / (8.0 / 3.0))))
+    out(2L)._3 shouldBe (expected2 +- 1e-6)
+  }
+
+  test("bm25 multi-term: per-term contributions sum; absent terms ignored") {
+    val docs = Seq(
+      (1L, "spark merge"),
+      (2L, "spark spark")).toDF("doc_id", "text")
+    val out = graft.text.Search
+      .bm25(docs, "text", "doc_id", Seq("spark", "merge", "notthere"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(1L) shouldBe ((2L, 2L)) // two distinct terms, one hit each
+    out(2L) shouldBe ((1L, 2L)) // one term, two hits
+  }
+
+  test("topNgrams counts full windows with deterministic tie-break") {
+    val docs = Seq("a b c a b c", "z z z").toDF("text")
+    val out = graft.text.Search.topNgrams(docs, "text", n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.head shouldBe (("a b c", 2L))
+    // remaining count-1 grams surface in gram-ascending order
+    out(1) shouldBe (("b c a", 1L))
+    out(2) shouldBe (("c a b", 1L))
+  }
+
+  test("capPerGroup keeps top-k per group, ties to lowest id") {
+    val df = Seq(
+      (1L, "g1", 10L), (2L, "g1", 30L), (3L, "g1", 30L), (4L, "g1", 20L),
+      (5L, "g2", 5L)).toDF("id", "g", "score")
+    val kept = graft.text.Sampling
+      .capPerGroup(df, Seq("g"), col("score"), "id", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(2L, 3L, 5L) // 30-tie keeps ids 2 and 3; g2 under cap
+  }
+
+  test("importanceWeights scores target-like docs high, off-target low") {
+    val docs = Seq(
+      (1L, "a b", "en"), (2L, "a c", "zh")).toDF("doc_id", "text", "lang")
+    val lmT = graft.text.LanguageModel
+      .trainBigramLm(docs.where(col("lang") === "en"), "text")
+    val lmB = graft.text.LanguageModel.trainBigramLm(docs, "text")
+    val out = graft.text.LanguageModel
+      .importanceWeights(docs, lmT, lmB, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc1: logp_t("a b")=ln(1)=0, logp_b=ln(1/2) -> ratio = ln 2
+    out(1L) shouldBe (math.log(2.0) +- 1e-6)
+    // doc2: unseen in target -> backoff ln(1e-9) - ln(1/2)
+    out(2L) shouldBe ((math.log(1e-9) - math.log(0.5)) +- 1e-6)
+  }
 }
