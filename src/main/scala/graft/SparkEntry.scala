@@ -738,6 +738,22 @@ object SparkEntry {
       graft.text.Sampling.capPerGroup(d.select("doc_id", "lang", "source",
         "n_chars"), Seq("lang", "source"), col("n_chars"), "doc_id", 3)
     }),
+    "q_hashed_classifier" -> ((s, dir) => {
+      // distributed SPARSE logistic over hashed bag-of-tokens features
+      // (hashing trick, dim=64): the weight table is a DataFrame keyed
+      // by bucket — never a driver array — so the feature space can be
+      // millions wide at corpus scale. The oracle replays both GD
+      // iterations, including the FNV-1a bucket fold, as unrolled SQL
+      // and must land on identical scores.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      Classifier.scoreHashed(labels, feats, w, "doc_id")
+        .select(col("doc_id"), col("y"), col("score"))
+    }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights: target LM = the English slice, base LM =
       // the whole corpus; docs that look English-like score high. Both
@@ -2598,6 +2614,60 @@ object SparkEntry {
              row_number() OVER (PARTITION BY lang, source
                ORDER BY n_chars DESC, doc_id) AS rn
            FROM documents) WHERE rn <= 3""",
+    "q_hashed_classifier" ->
+      // unrolled replay of 2 sparse-GD iterations: FNV-1a HUGEINT byte
+      // fold -> bucket = fh % 64; iter 1 has all-zero weights so sg=0.5;
+      // predictor terms quantize at 1e-9, gradient terms at 1e-6 (the
+      // trainer's exact arithmetic)
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         fv AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM tk),
+         f AS (SELECT doc_id, CAST(fh % 64 AS BIGINT) AS bucket,
+             CAST(count(*) AS DOUBLE) AS x FROM fv GROUP BY 1, 2),
+         y AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM y),
+         g1 AS (SELECT bucket,
+             SUM(CAST(round(f.x * (0.5 - y.y) * 1000000.0, 0) AS BIGINT)) AS g
+           FROM f JOIN y USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT bucket,
+             0.0 - (0.1 * (CAST(g AS DOUBLE)/1000000.0)) / n.n AS w
+           FROM g1, n),
+         z2 AS (SELECT f.doc_id,
+             CAST(SUM(CAST(round(coalesce(w1.w, 0.0) * f.x * 1000000000.0,
+               0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS z
+           FROM f LEFT JOIN w1 USING (bucket) GROUP BY 1),
+         zc2 AS (SELECT y.doc_id, y.y, coalesce(z2.z, 0.0) AS z
+           FROM y LEFT JOIN z2 USING (doc_id)),
+         s2 AS (SELECT doc_id, y, 0.5 + z/(2.0*(1.0+abs(z))) AS sg
+           FROM zc2),
+         g2 AS (SELECT f.bucket,
+             SUM(CAST(round(f.x * (s2.sg - s2.y) * 1000000.0, 0) AS BIGINT)) AS g
+           FROM f JOIN s2 USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT g2.bucket,
+             coalesce(w1.w, 0.0)
+               - (0.1 * (CAST(g2.g AS DOUBLE)/1000000.0)) / n.n AS w
+           FROM g2 LEFT JOIN w1 USING (bucket), n),
+         z3 AS (SELECT f.doc_id,
+             CAST(SUM(CAST(round(coalesce(w2.w, 0.0) * f.x * 1000000000.0,
+               0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS z
+           FROM f LEFT JOIN w2 USING (bucket) GROUP BY 1),
+         zc3 AS (SELECT y.doc_id, y.y, coalesce(z3.z, 0.0) AS z
+           FROM y LEFT JOIN z3 USING (doc_id))
+         SELECT doc_id, y, round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
+         FROM zc3""",
     "q_dsir_weights" -> {
       val backoff = math.log(1e-9)
       s"""WITH tok AS (SELECT doc_id, lang,

@@ -526,6 +526,27 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Hashing-trick feature bucket: unsigned FNV-1a 64 of the token's
+    * UTF-8 bytes, mod `dim` — the PORTABLE feature hash (the DuckDB
+    * oracle replays the same byte fold as a HUGEINT reduce, and unsigned
+    * mod is plain `%` there). Returns 0..dim-1 as long. */
+  case class FnvBucket(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dim > 0, s"dim must be positive, got $dim")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fnv_bucket"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      java.lang.Long.remainderUnsigned(fnv1a64(bytes, bytes.length), dim)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -605,6 +626,13 @@ object TextHashExprs {
         (cs: Seq[Expression]) => TokenWindows(cs.head,
           intLit(cs(1), "graft_token_windows n")))
     }
+    val fb = FunctionIdentifier("graft_fnv_bucket")
+    if (!registry.functionExists(fb)) {
+      registry.registerFunction(fb,
+        new ExpressionInfo(classOf[FnvBucket].getName, "graft_fnv_bucket"),
+        (cs: Seq[Expression]) => FnvBucket(cs.head,
+          intLit(cs(1), "graft_fnv_bucket dim")))
+    }
   }
 
   def simhash64(tokens: Column): Column = {
@@ -664,5 +692,12 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_token_windows", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Portable hashing-trick bucket (unsigned FNV-1a mod dim). */
+  def fnvBucket(token: Column, dim: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_fnv_bucket", token,
+      org.apache.spark.sql.functions.lit(dim))
   }
 }

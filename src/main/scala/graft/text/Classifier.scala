@@ -91,4 +91,100 @@ object Classifier {
       weights: Array[Double]): DataFrame =
     df.withColumn("score",
       round(fastSigmoid(predictor(weights, featureCols)), 9))
+
+  // --- hashing-trick sparse variant -----------------------------------
+
+  /** Hashed bag-of-tokens features (the fastText/Vowpal hashing trick):
+    * one row per (doc, bucket) with `x` = token count in that bucket,
+    * bucket = unsigned FNV-1a(token) mod `dim`. Empty tokens are dropped
+    * (matching the simhash tokenizer contract). `dim` bounds the feature
+    * space — and with it the weight table — regardless of vocabulary
+    * size, which is what makes the sparse trainer corpus-scale. */
+  def hashedFeatures(docs: DataFrame, textCol: String, idCol: String,
+      dim: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_g"))
+      .where(col("_g") =!= "")
+      .select(col(idCol),
+        graft.functions.TextHashExprs.fnvBucket(col("_g"), dim).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("x"))
+
+  /** Sparse logistic regression over hashed features — the variant where
+    * the WEIGHTS THEMSELVES are distributed: the weight table is a
+    * DataFrame keyed by bucket and is never collected to the driver, so
+    * the feature dimension can be millions (the dense
+    * [[trainLogistic]]'s driver-side `Array[Double]` caps out long
+    * before that).
+    *
+    * Per iteration: the linear predictor is one hash join of the feature
+    * rows against the weight table plus a doc-keyed aggregation; the
+    * gradient is one bucket-keyed aggregation; the update is a
+    * bucket-keyed left join (gradients cover every active bucket, so
+    * absent prior weights coalesce to 0). `localCheckpoint` after each
+    * round truncates the lineage — without it round t's plan replays
+    * rounds 1..t-1.
+    *
+    * Engine-exactness mirrors [[trainLogistic]]: per-term predictor
+    * contributions quantize at 1e-9, gradient terms at 1e-6, both into
+    * LONGS (order-free integer sums), and the rational link keeps the
+    * trajectory IEEE-portable — the oracle replays whole iterations as
+    * unrolled SQL with the FNV bucket fold. Returns (bucket, w). */
+  def trainLogisticHashed(feats: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String, iters: Int = 2,
+      lr: Double = 0.1): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val n = labels.count().toDouble
+    val f = feats.select(col(idCol).as("_id"), col("bucket"),
+      col("x").cast("double").as("_x")).localCheckpoint(true)
+    val y = labels.select(col(idCol).as("_id"),
+      col(labelCol).cast("double").as("_y"))
+    var weights = Seq.empty[(Long, Double)].toDF("bucket", "w")
+    var it = 0
+    while (it < iters) {
+      val z = f.join(weights, Seq("bucket"), "left")
+        .groupBy(col("_id"))
+        .agg(sum(round(coalesce(col("w"), lit(0.0)) * col("_x") *
+          lit(1000000000.0), 0).cast("long")).as("_zq"))
+        .select(col("_id"),
+          (col("_zq").cast("double") / lit(1000000000.0)).as("_z"))
+      val sg = y.join(z, Seq("_id"), "left")
+        .select(col("_id"), col("_y"),
+          fastSigmoid(coalesce(col("_z"), lit(0.0))).as("_sg"))
+      val grad = f.join(sg, Seq("_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(round(col("_x") * (col("_sg") - col("_y")) *
+          lit(1000000.0), 0).cast("long")).as("_g"))
+      weights = grad.join(weights, Seq("bucket"), "left")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0.0)) -
+            lit(lr) * (col("_g").cast("double") / lit(1000000.0)) / lit(n))
+            .as("w"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    weights
+  }
+
+  /** Score every row of `docs` under a hashed-feature weight table:
+    * adds `score` = rational-link sigma of the (quantized) linear
+    * predictor, rounded to 9; docs with no feature rows score
+    * sigma(0) = 0.5. One feature-side join + doc aggregation + one
+    * broadcast-friendly join back — the corpus itself never shuffles. */
+  def scoreHashed(docs: DataFrame, feats: DataFrame, weights: DataFrame,
+      idCol: String): DataFrame = {
+    val z = feats.select(col(idCol).as("_id"), col("bucket"),
+        col("x").cast("double").as("_x"))
+      .join(weights, Seq("bucket"), "left")
+      .groupBy(col("_id"))
+      .agg(sum(round(coalesce(col("w"), lit(0.0)) * col("_x") *
+        lit(1000000000.0), 0).cast("long")).as("_zq"))
+      .select(col("_id").as(idCol),
+        (col("_zq").cast("double") / lit(1000000000.0)).as("_z"))
+    docs.join(z, Seq(idCol), "left")
+      .withColumn("score",
+        round(fastSigmoid(coalesce(col("_z"), lit(0.0))), 9))
+      .drop("_z")
+  }
 }

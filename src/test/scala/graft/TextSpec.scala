@@ -480,6 +480,33 @@ class TextSpec extends SparkSpec {
     kept shouldBe Set(2L, 3L, 5L) // 30-tie keeps ids 2 and 3; g2 under cap
   }
 
+  test("hashed sparse logistic separates classes; deterministic on any " +
+      "partitioning") {
+    val docs = Seq(
+      (1L, "good good good stuff", 1.0), (2L, "good good quality", 1.0),
+      (3L, "bad bad bad junk", 0.0), (4L, "bad junk junk", 0.0)
+    ).toDF("doc_id", "text", "y")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 32)
+      val w = Classifier.trainLogisticHashed(feats,
+        d.select("doc_id", "y"), "doc_id", "y", iters = 4, lr = 0.5)
+      Classifier.scoreHashed(d.select("doc_id", "y"), feats, w, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    }
+    val s = run(docs)
+    // positives above negatives after 4 rounds
+    Seq(1L, 2L).map(s) .min should be > Seq(3L, 4L).map(s).max
+    run(docs.repartition(7)) shouldBe s
+    // a doc with no tokens scores sigma(0) = 0.5
+    val empty = Seq((9L, "", 0.0)).toDF("doc_id", "text", "y")
+    val w0 = Classifier.trainLogisticHashed(
+      Classifier.hashedFeatures(docs, "text", "doc_id", 32),
+      docs.select("doc_id", "y"), "doc_id", "y", iters = 1)
+    Classifier.scoreHashed(empty.select("doc_id", "y"),
+        Classifier.hashedFeatures(empty, "text", "doc_id", 32), w0, "doc_id")
+      .head().getDouble(2) shouldBe 0.5
+  }
+
   test("importanceWeights scores target-like docs high, off-target low") {
     val docs = Seq(
       (1L, "a b", "en"), (2L, "a c", "zh")).toDF("doc_id", "text", "lang")
