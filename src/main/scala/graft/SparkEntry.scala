@@ -759,11 +759,17 @@ object SparkEntry {
       // the whole corpus; docs that look English-like score high. Both
       // trainings and the scoring are replayed by the oracle.
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // ONE corpus bigram explode feeds the target LM (filtered), the
+      // base LM, and the scorer — checkpointed so the three consumers
+      // share the pass instead of re-exploding
+      val grams = d.select(col("doc_id"), col("lang"),
+          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
+        .localCheckpoint(true)
       val lmT = graft.text.LanguageModel
-        .trainBigramLm(d.where(col("lang") === "en"), "text")
-      val lmB = graft.text.LanguageModel.trainBigramLm(d, "text")
+        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
+      val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
       graft.text.LanguageModel
-        .importanceWeights(d, lmT, lmB, "text", "doc_id")
+        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
     }),
     "q_sessionize" -> onCube(c =>
       // gap-based sessionization, batch form (StreamingSpec pins batch ==
@@ -973,9 +979,13 @@ object SparkEntry {
           gated.select(col("doc_id"), col("rtext")), "rtext", "doc_id")
         .join(gated.select("doc_id", "lang"), "doc_id")
         .localCheckpoint(true)
-      val lm = LanguageModel.trainBigramLm(cleaned, "clean_text")
+      // train + score share ONE bigram explode of the cleaned corpus
+      val grams = cleaned.select(col("doc_id"),
+          explode(LanguageModel.bigrams(col("clean_text"))).as("gram"))
+        .localCheckpoint(true)
+      val lm = LanguageModel.trainBigramLmFromGrams(grams)
       val keep = LanguageModel
-        .scoreBigramLm(cleaned, lm, "clean_text", "doc_id")
+        .scoreBigramLmFromGrams(grams, lm, "doc_id")
         .where(col("avg_nll") <= 3.4).select("doc_id")
       cleaned.join(keep, "doc_id")
         .groupBy("lang")
@@ -989,8 +999,11 @@ object SparkEntry {
       // + scoring both replayed by the oracle; per-bigram log terms are
       // long-quantized at 1e-9 so the per-doc sum is engine-exact.
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val lm = graft.text.LanguageModel.trainBigramLm(d, "text")
-      graft.text.LanguageModel.scoreBigramLm(d, lm, "text", "doc_id")
+      val grams = d.select(col("doc_id"),
+          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
+        .localCheckpoint(true)
+      val lm = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
+      graft.text.LanguageModel.scoreBigramLmFromGrams(grams, lm, "doc_id")
     }),
     "q_quality_classifier" -> ((s, dir) => {
       // trainable quality scorer: 3 rounds of distributed full-batch

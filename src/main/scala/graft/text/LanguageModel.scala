@@ -48,9 +48,18 @@ object LanguageModel {
     * is computed is wrong — marginals must count everything — so
     * pruning applies only to the emitted rows. */
   def trainBigramLm(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    trainBigramLmFromGrams(
+      docs.select(explode(bigrams(col(textCol))).as("gram")), minCount)
+
+  /** [[trainBigramLm]] from a PRE-EXPLODED gram stream (any frame with a
+    * `gram` column, one row per bigram instance). The corpus explode is
+    * the expensive pass — when one pipeline trains several LMs and then
+    * scores against them (perplexity filter, DSIR), explode ONCE,
+    * checkpoint, and feed every consumer from the same stream. */
+  def trainBigramLmFromGrams(grams: DataFrame,
       minCount: Long = 1L): DataFrame = {
-    val counts = docs
-      .select(explode(bigrams(col(textCol))).as("gram"))
+    val counts = grams.select(col("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c12"))
     val marginals = counts
       .groupBy(split(col("gram"), " ").getItem(0).as("w1"))
@@ -76,11 +85,17 @@ object LanguageModel {
     * Documents with fewer than 2 tokens produce no row. */
   def scoreBigramLm(docs: DataFrame, lm: DataFrame, textCol: String,
       idCol: String,
+      backoffLogp: Double = math.log(1e-9)): DataFrame =
+    scoreBigramLmFromGrams(docs.select(col(idCol),
+      explode(bigrams(col(textCol))).as("gram")), lm, idCol, backoffLogp)
+
+  /** [[scoreBigramLm]] from a pre-exploded (idCol, gram) stream — see
+    * [[trainBigramLmFromGrams]]. */
+  def scoreBigramLmFromGrams(grams: DataFrame, lm: DataFrame,
+      idCol: String,
       backoffLogp: Double = math.log(1e-9)): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(bigrams(col(textCol))).as("gram"))
-    val joined = exploded.join(lm.select(col("gram"), col("logp")),
-      Seq("gram"), "left")
+    val joined = grams.select(col(idCol), col("gram"))
+      .join(lm.select(col("gram"), col("logp")), Seq("gram"), "left")
     val term = coalesce(col("logp"), lit(backoffLogp))
     joined
       .groupBy(col(idCol))
@@ -110,10 +125,18 @@ object LanguageModel {
     * quantum). */
   def importanceWeights(docs: DataFrame, lmTarget: DataFrame,
       lmBase: DataFrame, textCol: String, idCol: String,
+      backoffLogp: Double = math.log(1e-9)): DataFrame =
+    importanceWeightsFromGrams(docs.select(col(idCol),
+        explode(bigrams(col(textCol))).as("gram")),
+      lmTarget, lmBase, idCol, backoffLogp)
+
+  /** [[importanceWeights]] from a pre-exploded (idCol, gram) stream —
+    * the DSIR pipeline shape: ONE corpus explode feeds the target LM
+    * (filtered), the base LM, and this scorer. */
+  def importanceWeightsFromGrams(grams: DataFrame, lmTarget: DataFrame,
+      lmBase: DataFrame, idCol: String,
       backoffLogp: Double = math.log(1e-9)): DataFrame = {
-    val exploded = docs.select(col(idCol),
-      explode(bigrams(col(textCol))).as("gram"))
-    val joined = exploded
+    val joined = grams.select(col(idCol), col("gram"))
       .join(lmTarget.select(col("gram"), col("logp").as("_lt")),
         Seq("gram"), "left")
       .join(lmBase.select(col("gram"), col("logp").as("_lb")),
