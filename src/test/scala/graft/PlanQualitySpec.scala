@@ -374,4 +374,59 @@ class PlanQualitySpec extends SparkSpec {
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
     plan should include("Window")
   }
+
+  test("bm25: term filter runs map-side before the only two shuffles") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"spark and other words w$i spark")).toDF("doc_id", "text")
+    val plan = planString(
+      graft.text.Search.bm25(docs, "text", "doc_id", Seq("spark", "merge")))
+    // idf arrives as a literal map, df as driver literals — no join
+    // anywhere; the exploded token stream filters to the term set before
+    // the (doc, term) aggregation exchange, and the per-doc rollup adds
+    // the second
+    plan should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
+    val gen = plan.indexOf("Generate explode")
+    val filt = plan.indexOf("_t#")
+    gen should be >= 0
+    withClue(plan) { plan should include("IN (spark,merge)") }
+  }
+
+  test("topNgrams is TakeOrdered — per-partition heaps, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"a b c d e f w$i"))
+      .toDF("doc_id", "text")
+    val plan = planString(graft.text.Search.topNgrams(docs, "text", 3, 5))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Sort ["
+  }
+
+  test("capPerGroup: one shuffle on the group key feeding the rank window") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i => (i, s"g${i % 4}", i * 2))
+      .toDF("id", "g", "score")
+    val plan = planString(graft.text.Sampling.capPerGroup(
+      df, Seq("g"), col("score"), "id", 3))
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("Window")
+    plan should not include "Join"
+  }
+
+  test("semDedup: dropped set broadcasts back; corpus side never shuffles") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i =>
+      (i, Array(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "_centroid")
+    val plan = planString(graft.text.Similarity.semDedup(
+      df, "vec_id", "embedding", tau = 0.999,
+      centroidsOverride = Some(cents)))
+    // assignment is a literal-argmin projection and the dropped ids are
+    // a checkpointed local table under a broadcast exchange — the final
+    // annotated corpus has NO hash exchange at all
+    plan should include("BroadcastHashJoin")
+    plan should not include "Exchange hashpartitioning"
+  }
 }
