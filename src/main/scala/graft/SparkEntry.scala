@@ -796,6 +796,14 @@ object SparkEntry {
         .collect().sortBy(_._1.getTime)
       val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
       val sink = "q_stream_sessionize_sink"
+      // state-store sizing: each micro-batch spawns one state task per
+      // shuffle partition; with 5 batches and the session default (32)
+      // that is 160 state tasks for a keyed-state cardinality of a few
+      // thousand — 8 partitions carry it with a fraction of the task
+      // overhead (output is partition-count independent; StreamingSpec
+      // pins determinism). Restored after the run.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val q = graft.streaming.StreamingOps.sessionizeStream(
           ms.toDF.toDF("time", "band", "y", "x", "value"),
           gapMs = 30 * 60 * 1000L)
@@ -810,7 +818,10 @@ object SparkEntry {
           rows.last._1.getTime + 365L * 24 * 3600 * 1000)
         ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sink).where(col("band") =!= "_wm")
         .select(col("band"), col("y"), col("x"), col("start"), col("end"),
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
