@@ -349,6 +349,15 @@ object SparkEntry {
         exactScale = Some(16384L)).df
     },
     // --- neighborhood ops (W1, W2) ---------------------------------------
+    "q_focal_median" -> onCube { c =>
+      // focal 3×3 median (apply_neighborhood with an order-statistic
+      // reducer) over the daily-max click slice; the window SHRINKS at
+      // borders and interior holes, and output cells are exactly the
+      // input cells (self-tap rule — no fabricated values)
+      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
+      val click = Filters.filterBands(daily, Seq("click"))
+      Neighborhood.focalStats(click, radius = 1, stat = "median").df
+    },
     "q_apply_kernel" -> onCube { c =>
       // 3×3 binomial convolution, replicate border. floor() makes values
       // integer-valued and the kernel weights are powers of two, so every
@@ -1404,6 +1413,21 @@ object SparkEntry {
                CROSS JOIN (SELECT DISTINCT date_trunc('day', time) AS t
                            FROM cube WHERE day(time) % 3 = 0) st) m
            ON src.t = m.ts2 AND m.rn = 1"""),
+    "q_focal_median" -> (cubeCte + """,
+         d AS (SELECT date_trunc('day', time) AS time, band, y, x,
+                 MAX(value) AS value
+               FROM cube WHERE band = 'click' GROUP BY 1, 2, 3, 4),
+         taps(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                                 (1,-1),(1,0),(1,1)),
+         sc AS (SELECT d.time, d.band,
+                  CAST(round(d.y, 0) AS BIGINT) + taps.dy AS ty,
+                  CAST(round(d.x, 0) AS BIGINT) + taps.dx AS tx,
+                  d.value AS v,
+                  CASE WHEN taps.dy = 0 AND taps.dx = 0 THEN 1 ELSE 0 END AS self
+                FROM d CROSS JOIN taps)
+         SELECT time, band, CAST(ty AS DOUBLE) AS y, CAST(tx AS DOUBLE) AS x,
+           quantile_cont(v, 0.5) AS value
+         FROM sc GROUP BY time, band, ty, tx HAVING MAX(self) = 1"""),
     "q_apply_kernel" -> (cubeCte + """,
          d AS (SELECT date_trunc('day', time) AS time, band, y, x,
                  CAST(floor(MAX(value)) AS DOUBLE) AS value

@@ -98,6 +98,52 @@ object Neighborhood {
     c.withDF(res)
   }
 
+  /** Focal (neighborhood) statistics — `apply_neighborhood` with an
+    * order-statistic or moment reducer: for each cell, `stat` (any
+    * [[Reducers.reducer]] name — median/min/max/mean/sd/…) of the
+    * (2·radius+1)² window centered on it, per time/band slice. The
+    * window SHRINKS at borders and interior holes (absent neighbors
+    * simply don't contribute — the xarray rolling(...,
+    * min_periods=1) convention); output cells are exactly the input
+    * cells (a hole never fabricates a value).
+    *
+    * Same scatter+aggregate shape as [[applyKernel]]: each cell
+    * scatters its value to the window's offset targets (map-side
+    * generator over a literal tap array, ×(2r+1)² narrow-row
+    * amplification), then ONE shuffle groups by target cell. The
+    * output-cells-only rule costs no join: the dy=dx=0 self-tap marks
+    * groups whose center exists, and the aggregate keeps only those. */
+  def focalStats(c: Cube, radius: Int, stat: String = "median"): Cube = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val g = c.meta.requireGrid
+    val taps = for { dy <- -radius to radius; dx <- -radius to radius }
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))
+    val others = c.dims.filterNot(d => d == Dim.X || d == Dim.Y).map(col)
+    val tap = explode(array(taps: _*)).as("_tap")
+    val scattered = c.df
+      .withColumn("_ix", g.xIdx(col(Dim.X)))
+      .withColumn("_iy", g.yIdx(col(Dim.Y)))
+      .select(others ++ Seq(col("_ix"), col("_iy"),
+        col(Cube.ValueCol), tap): _*)
+      .select(others ++ Seq(
+        (col("_ix") + col("_tap.dx")).as("_tx"),
+        (col("_iy") + col("_tap.dy")).as("_ty"),
+        col(Cube.ValueCol),
+        (col("_tap.dx") === 0 && col("_tap.dy") === 0)
+          .cast("int").as("_self")): _*)
+    val out = scattered
+      .groupBy(others :+ col("_tx") :+ col("_ty"): _*)
+      .agg(Reducers.reducer(stat)(col(Cube.ValueCol).cast("double"))
+          .as("_stat"),
+        max(col("_self")).as("_ctr"))
+      .where(col("_ctr") === 1)
+      .withColumn(Dim.X, g.xCoord(col("_tx")))
+      .withColumn(Dim.Y, g.yCoord(col("_ty")))
+      .withColumn(Cube.ValueCol, col("_stat"))
+      .drop("_tx", "_ty", "_stat", "_ctr")
+    c.withDF(out)
+  }
+
   /** reflect/mirror index folding for a bounded extent; valid while |over|
     * <= extent (always true for kernels smaller than the raster). */
   private def reflectIdx(idx: Column, lo: Column, hi: Column, mirror: Boolean): Column = {

@@ -75,4 +75,28 @@ class NeighborhoodSpec extends SparkSpec {
     r(1).getDouble(r(1).fieldIndex("_next")) shouldBe 3.0
     r(0).isNullAt(r(0).fieldIndex("_prev")) shouldBe true
   }
+
+  test("focalStats median: full window interior, shrunk window at corners") {
+    val r = Neighborhood.focalStats(grid3x3, radius = 1, stat = "median")
+    valueAt(r.df, 1, 1) shouldBe 5.0 // median of 1..9
+    valueAt(r.df, 0, 0) shouldBe 3.0 // corner window {1,2,4,5} -> (2+4)/2
+    r.df.count() shouldBe 9 // output cells == input cells, no halo
+  }
+
+  test("focalStats min/max honor the shrunk border window too") {
+    val mn = Neighborhood.focalStats(grid3x3, 1, "min")
+    val mx = Neighborhood.focalStats(grid3x3, 1, "max")
+    valueAt(mn.df, 2, 2) shouldBe 5.0 // {5,6,8,9} min
+    valueAt(mx.df, 0, 1) shouldBe 6.0 // {1,2,3,4,5,6} max
+  }
+
+  test("focalStats never fabricates a value at an interior hole") {
+    val holed = grid3x3.withDF(grid3x3.df
+      .where(!(col(Dim.Y) === 1 && col(Dim.X) === 1)))
+    val r = Neighborhood.focalStats(holed, 1, "max")
+    r.df.count() shouldBe 8
+    r.df.where(col(Dim.Y) === 1 && col(Dim.X) === 1).count() shouldBe 0
+    // neighbors aggregate without the missing center: max{1..9}\{5} at (0,0)-window
+    valueAt(r.df, 0, 0) shouldBe 4.0 // {1,2,4} without the 5
+  }
 }
