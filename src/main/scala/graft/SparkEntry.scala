@@ -1083,6 +1083,20 @@ object SparkEntry {
           concat_ws(" ", col("text"), col("shared")).as("text2"))
       Dedup.duplicatedSpans(docs2, "text2", "doc_id", n = 8)
     }),
+    "q_dedup_spans_cut" -> ((s, dir) => {
+      // exact-substring dedup SURGERY over the same shared-span
+      // construction as q_dedup_spans: duplicated 8-token windows are
+      // cut, first (doc, pos) occurrence kept, documents rebuilt from
+      // their surviving tokens
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val seed = d.where(col("doc_id") < 50)
+        .select(col("doc_id").as("sid"),
+          substring(col("text"), 1, 100).as("shared"))
+      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), col("shared")).as("text2"))
+      Dedup.removeDuplicatedSpans(docs2, "text2", "doc_id", n = 8)
+    }),
     "q_dedup_paragraph" -> ((s, dir) => {
       // cross-document paragraph dedup: each doc gets a second paragraph
       // SHARED across its doc_id%50 class (broadcast of 50 seed rows), so
@@ -1872,6 +1886,47 @@ object SparkEntry {
              AS dup_frac
          FROM (SELECT DISTINCT doc_id FROM d2) d
          LEFT JOIN tot USING (doc_id) LEFT JOIN dupc USING (doc_id)""",
+    "q_dedup_spans_cut" ->
+      // surgery replay: windows carry their start position; every
+      // non-first occurrence of a duplicated window covers its 8 token
+      // positions; docs rebuild from uncovered tokens in position order
+      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
+           FROM documents WHERE doc_id < 50),
+         d2 AS (SELECT d.doc_id,
+             concat_ws(' ', d.text, s.shared) AS t2
+           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
+         tl AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(t2)), '\s+'),
+               x -> x <> '') AS t
+           FROM d2),
+         toks AS (SELECT doc_id, unnest(t) AS tk,
+             generate_subscripts(t, 1) - 1 AS pos FROM tl),
+         wins AS (SELECT doc_id, u.p AS pos, u.w AS w FROM (
+             SELECT doc_id, unnest(list_transform(
+                 range(1, greatest(len(t) - 7, 0) + 1),
+                 i -> struct_pack(p := i - 1,
+                   w := array_to_string(t[i:i+7], ' ')))) AS u
+             FROM tl)),
+         wc AS (SELECT *, count(*) OVER (PARTITION BY w) AS c,
+             row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+           FROM wins),
+         cov AS (SELECT DISTINCT wc.doc_id, wc.pos + k.k AS pos
+           FROM wc CROSS JOIN range(0, 8) AS k(k) WHERE c > 1 AND rn > 1),
+         m AS (SELECT t.doc_id, t.pos, t.tk, (c.pos IS NOT NULL) AS cov
+           FROM toks t LEFT JOIN cov c
+             ON c.doc_id = t.doc_id AND c.pos = t.pos),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             coalesce(array_to_string(list_transform(
+               list_sort(list(struct_pack(p := pos, tk := tk))
+                 FILTER (WHERE NOT cov)),
+               s -> s.tk), ' '), '') AS clean_text
+           FROM m GROUP BY 1)
+         SELECT d2.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_removed, 0) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+         FROM d2 LEFT JOIN agg a USING (doc_id)""",
     "q_dedup_paragraph" ->
       """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
            FROM documents WHERE doc_id < 50),

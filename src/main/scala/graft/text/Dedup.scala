@@ -560,6 +560,61 @@ object Dedup {
           6).as("dup_frac"))
   }
 
+  /** Exact-substring dedup SURGERY (the acting half of
+    * [[duplicatedSpans]], after Lee et al. 2022): every corpus-duplicated
+    * `n`-token window is CUT from the text — except its first occurrence
+    * in (doc_id, position) order, which survives (the paper keeps one
+    * copy of each duplicated span). A token is removed when any
+    * non-keeper occurrence of a duplicated window covers it; documents
+    * are rebuilt from their surviving tokens (single-space joined —
+    * whitespace canonicalization is inherent to token surgery).
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text).
+    *
+    * 100 TB shape: four narrow shuffles — the window-keyed
+    * count+first-occurrence window (rank and occurrence count in ONE
+    * exchange), a (doc, pos) dedup of covered positions (duplicated
+    * windows only — the duplicate MASS, small on a clean corpus), the
+    * coverage join, and the per-doc rebuild. Document text crosses a
+    * shuffle only as single tokens on the rebuild. */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 8): DataFrame = {
+    require(n >= 2, s"window size $n must be >= 2")
+    val lt = lower(trim(col(textCol)))
+    val toks = docs.select(col(idCol),
+        posexplode(split(lt, "\\s+")).as(Seq("_pos", "_tk")))
+      .where(col("_tk") =!= "")
+    val wins = docs.select(col(idCol),
+      posexplode(graft.functions.TextHashExprs.tokenWindows(lt, n))
+        .as(Seq("_pos", "_w")))
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy("_w")
+    val ow = pw.orderBy(col(idCol), col("_pos"))
+    val covered = wins
+      .withColumn("_c", count(lit(1)).over(pw))
+      .withColumn("_rn", row_number().over(ow))
+      .where(col("_c") > 1 && col("_rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("_pos"), col("_pos") + lit(n - 1))).as("_pos"))
+      .dropDuplicates(idCol, "_pos")
+      .withColumn("_cov", lit(1))
+    val rebuilt = toks
+      .join(covered, Seq(idCol, "_pos"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          filter(array_sort(collect_list(struct(col("_pos"),
+            col("_tk").as("_t"), col("_cov").isNotNull.as("_x")))),
+            s => !s.getField("_x")),
+          s => s.getField("_t")), " ").as("clean_text"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-document PARAGRAPH dedup (the RefinedWeb/CCNet sub-document
     * stage): a paragraph duplicated across the corpus survives only at
     * its first occurrence in (doc_id, position) order; every other copy

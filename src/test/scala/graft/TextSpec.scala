@@ -414,6 +414,24 @@ class TextSpec extends SparkSpec {
     tiny.getDouble(3) shouldBe 0.0
   }
 
+  test("removeDuplicatedSpans cuts every copy but the first occurrence") {
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"$span alpha beta"),        // first occurrence -> kept intact
+      (2L, s"prefix word $span"),       // its copy of the span is cut
+      (3L, "totally unique words that repeat nowhere else at all here"),
+      (4L, s"$span and then $span")     // both internal copies cut
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup
+      .removeDuplicatedSpans(docs, "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((10L, 0L, s"$span alpha beta"))
+    out(2L) shouldBe ((10L, 8L, "prefix word"))
+    out(3L)._2 shouldBe 0L
+    out(4L) shouldBe ((18L, 16L, "and then"))
+  }
+
   test("dedupParagraphs keeps only the first (doc, pos) occurrence") {
     val docs = Seq(
       (1L, "shared para\n\nunique one"),
