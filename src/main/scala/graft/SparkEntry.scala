@@ -990,11 +990,14 @@ object SparkEntry {
         w => array_contains(words, w)))
       // this corpus's vocabulary carries only 'the' from the Gopher stop
       // set — presence >= 1 keeps the gate meaningful without zeroing it
+      // first fan-out: `gated` feeds BOTH the paragraph-dedup input and
+      // the lang join below — checkpoint before fanning out or the
+      // triple-regex redaction chain runs twice over the corpus
       val gated = stage1.where(size(words) >= 50 && stopsPresent >= 1)
-      // fan-out point: `cleaned` feeds LM training, LM scoring, and the
-      // final stats — checkpoint it eagerly so the inject→redact→gate→
-      // paragraph-dedup chain runs once, not three times (same pattern
-      // as v1's deduped checkpoint)
+        .select(col("doc_id"), col("lang"), col("rtext"))
+        .localCheckpoint(true)
+      // second fan-out: `cleaned` feeds LM training, LM scoring, and the
+      // final stats (same pattern as v1's deduped checkpoint)
       val cleaned = Dedup.dedupParagraphs(
           gated.select(col("doc_id"), col("rtext")), "rtext", "doc_id")
         .join(gated.select("doc_id", "lang"), "doc_id")
