@@ -136,6 +136,7 @@ object Classifier {
     val spark = feats.sparkSession
     import spark.implicits._
     val n = labels.count().toDouble
+    require(n > 0, "trainLogisticHashed needs a non-empty label set")
     val f = feats.select(col(idCol).as("_id"), col("bucket"),
       col("x").cast("double").as("_x")).localCheckpoint(true)
     val y = labels.select(col(idCol).as("_id"),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Column, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Keyword-retrieval primitives over the corpus — the "find the documents
@@ -35,9 +35,12 @@ object Search {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val t = toks(col(textCol))
-    val Row(nDocs: Long, sumDl: Long) = docs
-      .agg(count(lit(1)), sum(size(t).cast("long"))).head
+    val stats = docs
+      .agg(count(lit(1)).as("_n"), sum(size(t).cast("long")).as("_sdl"))
+      .head()
+    val nDocs = stats.getLong(0)
     require(nDocs > 0, "bm25 needs a non-empty corpus")
+    val sumDl = stats.getLong(1)
     val avgdl = sumDl.toDouble / nDocs.toDouble
     val hits = docs
       .select(col(idCol), size(t).cast("double").as("_dl"),
@@ -52,9 +55,11 @@ object Search {
       math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
     val present = terms.filter(dfMap.contains)
     if (present.isEmpty)
-      return docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as(idCol), lit(0L).as("n_terms"),
-          lit(0L).as("n_hits"), lit(0.0).as("score")).limit(0)
+      // schema-stable empty result: derive from tf so idCol keeps the
+      // corpus id type instead of a hardcoded long
+      return tf.where(lit(false))
+        .select(col(idCol), lit(0L).as("n_terms"),
+          lit(0L).as("n_hits"), lit(0.0).as("score"))
     val idfLit = map(present.flatMap(tm =>
       Seq(lit(tm), lit(idfOf(dfMap(tm))))): _*)
     val tfc = col("_tf").cast("double")

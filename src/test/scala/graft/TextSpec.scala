@@ -478,6 +478,15 @@ class TextSpec extends SparkSpec {
     out(2L) shouldBe ((1L, 2L)) // one term, two hits
   }
 
+  test("bm25 with no matching term returns an empty schema-stable frame") {
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val out = graft.text.Search.bm25(docs, "text", "doc_id", Seq("zzz"))
+    out.count() shouldBe 0
+    out.schema.map(f => f.name -> f.dataType.simpleString) shouldBe Seq(
+      "doc_id" -> "bigint", "n_terms" -> "bigint",
+      "n_hits" -> "bigint", "score" -> "double")
+  }
+
   test("topNgrams counts full windows with deterministic tie-break") {
     val docs = Seq("a b c a b c", "z z z").toDF("text")
     val out = graft.text.Search.topNgrams(docs, "text", n = 3, k = 3)
