@@ -1114,6 +1114,30 @@ object SparkEntry {
           concat_ws("\n\n", col("text"), col("shared")).as("text2"))
       Dedup.dedupParagraphs(docs2, "text2", "doc_id")
     }),
+    "q_multimodal_video" -> ((s, dir) => {
+      // VIDEO pipeline shape end to end: synthesize 3-frame GRFT
+      // containers (constant header + first 24 text bytes as 4×2×1
+      // frames), frame-sample every 2nd frame (mapPartitions explode →
+      // frames 0 and 2), per-frame block-pooled features, temporal
+      // mean-pool to one embedding per video. Every stage deterministic
+      // byte math — the oracle replays it from hex-extracted text bytes.
+      import graft.multimodal.Multimodal
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val header = java.nio.ByteBuffer.allocate(20)
+        .put("GRFT".getBytes("ASCII")).putInt(4).putInt(2).putInt(1)
+        .putInt(3).array()
+      val bin = d
+        .where(octet_length(encode(col("text"), "UTF-8")) >= 24)
+        .select(col("doc_id"), concat(lit(header),
+          substring(encode(col("text"), "UTF-8"), 1, 24)).as("payload"))
+      val frames = Multimodal.frameSample(bin, "payload", everyN = 2)
+      val feats = Multimodal.featureExtract(frames, "payload", dim = 4)
+        .select(col("doc_id"), col("frame_idx"), col("features"))
+      Multimodal.poolFrameFeatures(feats, "doc_id")
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val"), 6))
+    }),
     "q_multimodal_ann" -> ((s, dir) => {
       // multimodal → similarity composition: stub-decode the binary
       // payloads, block-pool to 8-dim feature vectors (mapPartitions),
@@ -2100,6 +2124,22 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_video" ->
+      // frames 0 and 2 of the 3-frame 4×2×1 container are text bytes
+      // [f*8, f*8+8); dim-4 block pooling means byte pairs; temporal
+      // pool averages the two frames — all from hex-extracted bytes
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents
+           WHERE octet_length(encode(text)) >= 24),
+         fr(f) AS (VALUES (0), (2)),
+         g AS (SELECT doc_id, fr.f, gs.k,
+             CAST(CAST((
+               CAST(('0x' || substr(h, (fr.f*8 + gs.k*2)*2 + 1, 2)) AS INTEGER)
+               + CAST(('0x' || substr(h, (fr.f*8 + gs.k*2 + 1)*2 + 1, 2))
+                   AS INTEGER)) AS DOUBLE) / 2 / 255.0 AS FLOAT) AS fv
+           FROM d, fr, generate_series(0, 3) AS gs(k))
+         SELECT doc_id, k AS feat_idx,
+           round(avg(CAST(fv AS DOUBLE)), 6) AS feat_val
+         FROM g GROUP BY 1, 2""",
     "q_chunk_tokens" ->
       // 1-based inclusive list slice == Spark's slice(start, length)
       """WITH tk AS (SELECT doc_id,

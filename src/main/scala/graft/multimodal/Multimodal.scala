@@ -169,6 +169,23 @@ object Multimodal {
     }(enc)
   }
 
+  /** Temporal mean-pool — the video-embedding step: frame-level feature
+    * vectors (one row per sampled frame) collapse to ONE vector per id,
+    * each dimension the mean over frames. Two narrow shuffles:
+    * (id, dim)-keyed partial-aggregated means, then the per-id array
+    * rebuild. The double mean is exact for the oracled 2-frame sampling;
+    * at high frame counts partial-agg order can wiggle the last ulp —
+    * switch the avg to a decimal(28,10) sum like the k-means trainer if
+    * an engine-exact hash matters there. */
+  def poolFrameFeatures(df: DataFrame, idCol: String,
+      featCol: String = "features"): DataFrame =
+    df.select(col(idCol), posexplode(col(featCol)).as(Seq("_fi", "_fv")))
+      .groupBy(col(idCol), col("_fi"))
+      .agg(avg(col("_fv").cast("double")).as("_m"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("_fi"), col("_m")))),
+        s => s.getField("_m")).as(featCol))
+
   /** Size-aware repartition: binary payloads skew partition bytes, so
     * partition count derives from total payload size, not row count. */
   def repartitionBySize(df: DataFrame, binCol: String,

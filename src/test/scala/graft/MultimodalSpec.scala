@@ -67,4 +67,21 @@ class MultimodalSpec extends SparkSpec {
     r.rdd.getNumPartitions should be >= 2
     r.count() shouldBe 3
   }
+
+  test("poolFrameFeatures mean-pools per-frame vectors into one embedding") {
+    // 2-frame 2×1 video: frame 0 bytes (10, 30), frame 1 bytes (50, 70)
+    val v = FakeCodec.encode(Decoded("grft", 2, 1, 1, 2,
+      Array[Byte](10, 30, 50, 70)))
+    val frames = Multimodal.frameSample(
+      Seq((7L, v)).toDF("id", "payload"), "payload", everyN = 1)
+    frames.count() shouldBe 2
+    val feats = Multimodal.featureExtract(frames, "payload", dim = 2)
+      .select(col("id"), col("features"))
+    val pooled = Multimodal.poolFrameFeatures(feats, "id")
+      .select(col("id"), col("features")).head()
+    val fs = pooled.getSeq[Double](1)
+    // dim 0: mean(10/255, 50/255); dim 1: mean(30/255, 70/255)
+    fs(0) shouldBe ((10.0 / 255 + 50.0 / 255) / 2 +- 1e-6)
+    fs(1) shouldBe ((30.0 / 255 + 70.0 / 255) / 2 +- 1e-6)
+  }
 }
