@@ -1028,6 +1028,34 @@ object SparkEntry {
       val lm = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
       graft.text.LanguageModel.scoreBigramLmFromGrams(grams, lm, "doc_id")
     }),
+    "q_stream_lm_score" -> ((s, dir) => {
+      // stream-SERVING LM scoring: the bigram LM trains batch-side, is
+      // broadcast, and documents arriving through a real MemoryStream
+      // (3 micro-batches) are scored by the stateless map-side scorer —
+      // append mode with zero stateful machinery, the model-serving
+      // pattern. The scorer is bit-identical to the join formulation,
+      // so the oracle is the same batch LM replay as q_lm_perplexity.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val lm = graft.text.LanguageModel.trainBigramLm(d, "text")
+      val rows = d.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val ms = MemoryStream[(Long, String)]
+      val sink = "q_stream_lm_score_sink"
+      val q = graft.text.LanguageModel
+        .scoreBigramLmBroadcast(ms.toDF.toDF("doc_id", "text"), lm,
+          "text", "doc_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // trainable quality scorer: 3 rounds of distributed full-batch
       // logistic GD (rational link, long-quantized gradients — see
@@ -1183,6 +1211,35 @@ object SparkEntry {
   // -------------------------------------------------------------- oracle SQL
 
   private def cq(sql: String): String = s"$cubeCte $sql"
+
+  /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
+    * (broadcast map-side formulation): both are bit-identical per-doc
+    * scores, so one oracle verifies both. backoff literal matches the
+    * Spark side's `math.log(1e-9)`. */
+  private val lmPerplexitySql: String = {
+    val backoff = math.log(1e-9)
+    s"""WITH tok AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+       bg AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 1, 0) + 1),
+             i -> array_to_string(t[i:i+1], ' '))) AS gram
+         FROM tok WHERE len(t) >= 2),
+       cnt AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
+       uni AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+               FROM cnt GROUP BY 1),
+       lm AS (SELECT c.gram,
+           ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+         FROM cnt c JOIN uni u ON u.w1 = string_split(c.gram, ' ')[1]),
+       terms AS (SELECT b.doc_id,
+           CAST(round(coalesce(lm.logp, $backoff) * 1000000000.0, 0)
+             AS BIGINT) AS q
+         FROM bg b LEFT JOIN lm ON lm.gram = b.gram)
+       SELECT doc_id, count(*) AS n_bigrams,
+         round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+           / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
+       FROM terms GROUP BY doc_id"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_load_collection" -> cq(
@@ -1757,30 +1814,11 @@ object SparkEntry {
          FROM cleaned c JOIN kept k ON k.doc_id = c.doc_id
          GROUP BY c.lang"""
     },
-    "q_lm_perplexity" -> {
-      val backoff = math.log(1e-9) // same literal the Spark side embeds
-      s"""WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM documents),
-         bg AS (SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(t) - 1, 0) + 1),
-               i -> array_to_string(t[i:i+1], ' '))) AS gram
-           FROM tok WHERE len(t) >= 2),
-         cnt AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
-         uni AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
-                 FROM cnt GROUP BY 1),
-         lm AS (SELECT c.gram,
-             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
-           FROM cnt c JOIN uni u ON u.w1 = string_split(c.gram, ' ')[1]),
-         terms AS (SELECT b.doc_id,
-             CAST(round(coalesce(lm.logp, $backoff) * 1000000000.0, 0)
-               AS BIGINT) AS q
-           FROM bg b LEFT JOIN lm ON lm.gram = b.gram)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
-             / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
-         FROM terms GROUP BY doc_id"""
-    },
+    "q_lm_perplexity" -> lmPerplexitySql,
+    // the broadcast map-side scorer is bit-identical to the join
+    // formulation and stateless (stream-order invariant), so the
+    // streaming row shares the batch oracle verbatim
+    "q_stream_lm_score" -> lmPerplexitySql,
     "q_quality_classifier" -> {
       // unrolled replay of 3 GD iterations. Per iteration i:
       //   z = (wb + w1*f_mwl) + w2*f_stop       (Spark's fold order)

@@ -107,6 +107,79 @@ object LanguageModel {
       .drop("_q")
   }
 
+  /** Map-side LM scoring — the SERVING shape: the (pruned, Zipf-sized)
+    * LM is collected once and broadcast, and scoring becomes a pure
+    * STATELESS projection: no explode, no join, no per-doc aggregation.
+    * That is what makes it legal under Structured Streaming in append
+    * mode (the join formulation's groupBy would need stateful machinery)
+    * and cheaper in batch whenever the LM fits executor memory — the
+    * common case after minCount pruning.
+    *
+    * Bit-identical to [[scoreBigramLm]]: identical tokenization
+    * (UTF8String trim/lower + the same regex split), identical HALF_UP
+    * 1e-9 quantization (java BigDecimal mirrors Spark's Round), and the
+    * per-doc sum is exact integer arithmetic either way. Documents with
+    * fewer than 2 tokens produce no row. */
+  def scoreBigramLmBroadcast(docs: DataFrame, lm: DataFrame,
+      textCol: String, idCol: String,
+      backoffLogp: Double = math.log(1e-9)): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    val lmMap: Map[String, Double] = lm.select(col("gram"), col("logp"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bc = spark.sparkContext.broadcast(lmMap)
+    val backoffQ = quantHalfUp(backoffLogp * 1e9)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val txtIdx = docs.schema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(docs.schema.fields(idIdx),
+      StructField("n_bigrams", LongType, nullable = false),
+      StructField("avg_nll", DoubleType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    docs.mapPartitions { rows =>
+      val m = bc.value
+      rows.flatMap { row =>
+        val raw = row.getString(txtIdx)
+        if (raw == null) Iterator.empty
+        else {
+          // exactly Spark's lower(trim(text)): UTF8String trim strips
+          // only the space character (Java String.trim would also strip
+          // control bytes — a real divergence on tab/newline edges)
+          val toks = org.apache.spark.unsafe.types.UTF8String
+            .fromString(raw).trim().toLowerCase.toString.split("\\s+", -1)
+          if (toks.length < 2) Iterator.empty
+          else {
+            var q = 0L
+            var i = 0
+            while (i < toks.length - 1) {
+              val g = toks(i) + " " + toks(i + 1)
+              q += (m.get(g) match {
+                case Some(lp) => quantHalfUp(lp * 1e9)
+                case None => backoffQ
+              })
+              i += 1
+            }
+            val n = (toks.length - 1).toLong
+            val nll = round6(-((q.toDouble / 1e9) / n.toDouble))
+            Iterator.single(Row(row.get(idIdx), n, nll))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Spark `round(x, 0)` semantics (BigDecimal HALF_UP via valueOf) as a
+    * long — `math.round` would differ on negative .5 boundaries. */
+  private def quantHalfUp(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Spark `round(x, 6)` semantics. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * the average log-ratio of a TARGET-domain n-gram LM to the BASE

@@ -534,6 +534,22 @@ class TextSpec extends SparkSpec {
       .head().getDouble(2) shouldBe 0.5
   }
 
+  test("broadcast LM scorer is bit-identical to the join formulation") {
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a b x"), (3L, "solo"), (4L, ""),
+      (5L, "\tb c \n"), // tab/newline edges: Spark trim strips spaces only
+      (6L, "c c c c c c")).toDF("doc_id", "text")
+    val lm = graft.text.LanguageModel.trainBigramLm(docs, "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val join = key(graft.text.LanguageModel
+      .scoreBigramLm(docs, lm, "text", "doc_id"))
+    val bcast = key(graft.text.LanguageModel
+      .scoreBigramLmBroadcast(docs, lm, "text", "doc_id"))
+    bcast shouldBe join
+    join.map(_._1) shouldBe Set(1L, 2L, 5L, 6L) // <2-token docs emit no row
+  }
+
   test("importanceWeights scores target-like docs high, off-target low") {
     val docs = Seq(
       (1L, "a b", "en"), (2L, "a c", "zh")).toDF("doc_id", "text", "lang")
