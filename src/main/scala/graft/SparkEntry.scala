@@ -709,6 +709,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         m = 4, ksub = 16, centroidsOverride = Some(cents))
     }),
+    "q_ann_topk_int8" -> ((s, dir) => {
+      // int8 scalar-quantized serving tier: corpus stored as one float
+      // scale + dim int8 codes (4× smaller), queries full-precision,
+      // cosine over the reconstructed vectors — quantization round-trip
+      // replayed exactly by the oracle
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.topKInt8(e, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
@@ -2704,6 +2713,33 @@ object SparkEntry {
                 JOIN rrn r ON r.vec_id = a.neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM sc WHERE rank <= 5""",
+    "q_ann_topk_int8" ->
+      // per-vector scale = max|v|/127; codes = HALF_UP(v/scale);
+      // reconstructed rv = code*scale; cosine = full-precision query ·
+      // reconstructed corpus, all sums ordered to match Spark's folds
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         sc AS (SELECT vec_id, MAX(abs(v)) / 127.0 AS s FROM el GROUP BY 1),
+         rc AS (SELECT e.vec_id, e.i,
+             (CASE WHEN sc.s = 0.0 THEN 0.0
+                   ELSE round(e.v / sc.s, 0) END) * sc.s AS rv
+           FROM el e JOIN sc ON sc.vec_id = e.vec_id),
+         cn AS (SELECT vec_id, sqrt(SUM(rv*rv ORDER BY i)) AS nrm
+                FROM rc GROUP BY 1),
+         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
+                FROM el WHERE vec_id < 10 GROUP BY 1),
+         d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(q.v * c.rv ORDER BY q.i) AS dot
+               FROM el q JOIN rc c ON c.i = q.i AND q.vec_id <> c.vec_id
+               WHERE q.vec_id < 10 GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (qn.nrm * cn.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (qn.nrm * cn.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN qn ON qn.vec_id = query_id
+                    JOIN cn ON cn.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 5""",
     "q_dedup_embedding" ->
       """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),

@@ -610,6 +610,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the STORAGE tier of
+    * a vector index (FAISS SQ8 / Lucene int8 HNSW convention): each
+    * vector stores one float scale = max|v|/127 plus `dim` int8 codes,
+    * a 4× shrink that is usually recall-lossless for cosine. Codes are
+    * HALF_UP rounds of v/scale (scale 0 → all-zero codes), so
+    * quantization is a pure projection — deterministic, engine-exact,
+    * no data movement. Returns (idCol, scale, codes array<tinyint>
+    * ... here int for portability). */
+  def quantizeInt8(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val absmax = array_max(transform(v, x => abs(x.cast("double"))))
+    df.select(col(idCol), (absmax / lit(127.0)).as("scale"), v.as("_v"))
+      .select(col(idCol), col("scale"),
+        transform(col("_v"), x => when(col("scale") === lit(0.0), lit(0.0))
+          .otherwise(round(x.cast("double") / col("scale"), 0))
+          .cast("int")).as("codes"))
+  }
+
+  /** Dequantized vector column from (scale, codes). */
+  def dequantizeInt8(scale: Column, codes: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
+
+  /** Exact cosine top-k over the QUANTIZED corpus: queries stay
+    * full-precision, corpus vectors reconstruct as code·scale — the
+    * serving shape when the index holds int8 codes. Same output schema
+    * and ranking convention as [[topKBruteForce]]; cosine is computed on
+    * the reconstructed vectors, so results are deterministic and the
+    * oracle replays the round-trip exactly. */
+  def topKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val quant = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        dequantizeInt8(col("scale"), col("codes")).as("_cv"))
+      .select(col("neighbor_id"), col("_cv"),
+        sqrt(norm2(col("_cv"))).as("_cn"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), sqrt(norm2(col(vecCol))).as("_qn")))
+    val joined = quant.join(q,
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val scored = joined.withColumn("cos",
+      dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+    rankTopK(scored, k)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication at corpus
     * scale — coarse-cluster the embeddings, then within each cluster drop
     * every vector that has an earlier-id WITNESS above `tau` cosine.

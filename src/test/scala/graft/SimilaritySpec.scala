@@ -223,6 +223,41 @@ class SimilaritySpec extends SparkSpec {
     run(df) shouldBe run(df.repartition(7))
   }
 
+  test("int8 quantization: bounded error, zero-vector safe, high recall") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (99L, Array.fill(16)(0.0f))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Int](2).toArray)).toList
+    q.foreach { case (id, scale, codes) =>
+      codes.foreach(c => math.abs(c) should be <= 127)
+      if (id == 99L) { scale shouldBe 0.0; codes.sum shouldBe 0 }
+    }
+    // round-trip error per component bounded by scale/2
+    val src = rows.toMap
+    q.filter(_._1 != 99L).foreach { case (id, scale, codes) =>
+      codes.zip(src(id)).foreach { case (c, v) =>
+        math.abs(c * scale - v) should be <= (scale / 2 + 1e-12) }
+    }
+    // int8 ranking matches full precision on well-separated data
+    val sep = (0L until 30L).map { i =>
+      val base = Array.fill(8)(0.0f); base((i % 3).toInt) = 1.0f
+      (i, base.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.topKBruteForce(sep, sep.where(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val int8 = Similarity.topKInt8(sep, sep.where(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (full intersect int8).size should be >= 13 // >= 85% recall
+  }
+
   test("semDedup drops later-id witnesses within a cluster only") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)),  // cluster 0, kept (earliest)
