@@ -1037,6 +1037,39 @@ object SparkEntry {
       val lm = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
       graft.text.LanguageModel.scoreBigramLmFromGrams(grams, lm, "doc_id")
     }),
+    "q_curation_pipeline_v3" -> ((s, dir) => {
+      // round-4 model-based SELECTION DAG: sparse hashed-classifier
+      // quality gate (trained in-pipeline) → DSIR target-domain
+      // weighting (both LMs trained on the GATED corpus) → per-domain
+      // cap → per-language stats. Every stage is the oracled operator;
+      // the oracle replays the full trajectory including both trainings.
+      import graft.text.{LanguageModel, Sampling}
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      val gate1 = Classifier.scoreHashed(labels, feats, w, "doc_id")
+        .where(col("score") >= 0.5).select("doc_id")
+      // fan-out: kept1 feeds the gram explode AND the final joins
+      val kept1 = d.join(gate1, "doc_id").localCheckpoint(true)
+      val grams = kept1.select(col("doc_id"), col("lang"),
+          explode(LanguageModel.bigrams(col("text"))).as("gram"))
+        .localCheckpoint(true)
+      val lmT = LanguageModel
+        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
+      val lmB = LanguageModel.trainBigramLmFromGrams(grams)
+      val gate2 = LanguageModel
+        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+        .where(col("log_ratio") >= -8.0).select("doc_id")
+      val capped = Sampling.capPerGroup(
+        kept1.join(gate2, "doc_id")
+          .select("doc_id", "lang", "source", "n_chars"),
+        Seq("lang", "source"), col("n_chars"), "doc_id", 5)
+      capped.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
     "q_stream_lm_score" -> ((s, dir) => {
       // stream-SERVING LM scoring: the bigram LM trains batch-side, is
       // broadcast, and documents arriving through a real MemoryStream
@@ -1220,6 +1253,58 @@ object SparkEntry {
   // -------------------------------------------------------------- oracle SQL
 
   private def cq(sql: String): String = s"$cubeCte $sql"
+
+  /** The hashed-classifier GD replay CTE chain (FNV bucket fold, 2
+    * unrolled sparse-GD iterations), ending at `zc3(doc_id, y, z)` —
+    * shared by q_hashed_classifier and the v3 pipeline oracle. */
+  private val hashedGdCtes: String =
+    """tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '') AS t
+           FROM documents),
+         tk AS (SELECT doc_id, unnest(t) AS g FROM tok),
+         fv AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM tk),
+         f AS (SELECT doc_id, CAST(fh % 64 AS BIGINT) AS bucket,
+             CAST(count(*) AS DOUBLE) AS x FROM fv GROUP BY 1, 2),
+         y AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           FROM documents),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM y),
+         g1 AS (SELECT bucket,
+             SUM(CAST(round(f.x * (0.5 - y.y) * 1000000.0, 0) AS BIGINT)) AS g
+           FROM f JOIN y USING (doc_id) GROUP BY 1),
+         w1 AS (SELECT bucket,
+             0.0 - (0.1 * (CAST(g AS DOUBLE)/1000000.0)) / n.n AS w
+           FROM g1, n),
+         z2 AS (SELECT f.doc_id,
+             CAST(SUM(CAST(round(coalesce(w1.w, 0.0) * f.x * 1000000000.0,
+               0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS z
+           FROM f LEFT JOIN w1 USING (bucket) GROUP BY 1),
+         zc2 AS (SELECT y.doc_id, y.y, coalesce(z2.z, 0.0) AS z
+           FROM y LEFT JOIN z2 USING (doc_id)),
+         s2 AS (SELECT doc_id, y, 0.5 + z/(2.0*(1.0+abs(z))) AS sg
+           FROM zc2),
+         g2 AS (SELECT f.bucket,
+             SUM(CAST(round(f.x * (s2.sg - s2.y) * 1000000.0, 0) AS BIGINT)) AS g
+           FROM f JOIN s2 USING (doc_id) GROUP BY 1),
+         w2 AS (SELECT g2.bucket,
+             coalesce(w1.w, 0.0)
+               - (0.1 * (CAST(g2.g AS DOUBLE)/1000000.0)) / n.n AS w
+           FROM g2 LEFT JOIN w1 USING (bucket), n),
+         z3 AS (SELECT f.doc_id,
+             CAST(SUM(CAST(round(coalesce(w2.w, 0.0) * f.x * 1000000000.0,
+               0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS z
+           FROM f LEFT JOIN w2 USING (bucket) GROUP BY 1),
+         zc3 AS (SELECT y.doc_id, y.y, coalesce(z3.z, 0.0) AS z
+           FROM y LEFT JOIN z3 USING (doc_id))"""
 
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
@@ -2839,55 +2924,57 @@ object SparkEntry {
       // fold -> bucket = fh % 64; iter 1 has all-zero weights so sg=0.5;
       // predictor terms quantize at 1e-9, gradient terms at 1e-6 (the
       // trainer's exact arithmetic)
-      """WITH tok AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\s+'),
-               x -> x <> '') AS t
-           FROM documents),
-         tk AS (SELECT doc_id, unnest(t) AS g FROM tok),
-         fv AS (SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(0, octet_length(encode(g))),
-                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
-                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
-               (acc, byte) -> (xor(acc, byte) * 1099511628211)
-                 % 18446744073709551616) AS fh
-           FROM tk),
-         f AS (SELECT doc_id, CAST(fh % 64 AS BIGINT) AS bucket,
-             CAST(count(*) AS DOUBLE) AS x FROM fv GROUP BY 1, 2),
-         y AS (SELECT doc_id,
-             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-           FROM documents),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM y),
-         g1 AS (SELECT bucket,
-             SUM(CAST(round(f.x * (0.5 - y.y) * 1000000.0, 0) AS BIGINT)) AS g
-           FROM f JOIN y USING (doc_id) GROUP BY 1),
-         w1 AS (SELECT bucket,
-             0.0 - (0.1 * (CAST(g AS DOUBLE)/1000000.0)) / n.n AS w
-           FROM g1, n),
-         z2 AS (SELECT f.doc_id,
-             CAST(SUM(CAST(round(coalesce(w1.w, 0.0) * f.x * 1000000000.0,
-               0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS z
-           FROM f LEFT JOIN w1 USING (bucket) GROUP BY 1),
-         zc2 AS (SELECT y.doc_id, y.y, coalesce(z2.z, 0.0) AS z
-           FROM y LEFT JOIN z2 USING (doc_id)),
-         s2 AS (SELECT doc_id, y, 0.5 + z/(2.0*(1.0+abs(z))) AS sg
-           FROM zc2),
-         g2 AS (SELECT f.bucket,
-             SUM(CAST(round(f.x * (s2.sg - s2.y) * 1000000.0, 0) AS BIGINT)) AS g
-           FROM f JOIN s2 USING (doc_id) GROUP BY 1),
-         w2 AS (SELECT g2.bucket,
-             coalesce(w1.w, 0.0)
-               - (0.1 * (CAST(g2.g AS DOUBLE)/1000000.0)) / n.n AS w
-           FROM g2 LEFT JOIN w1 USING (bucket), n),
-         z3 AS (SELECT f.doc_id,
-             CAST(SUM(CAST(round(coalesce(w2.w, 0.0) * f.x * 1000000000.0,
-               0) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS z
-           FROM f LEFT JOIN w2 USING (bucket) GROUP BY 1),
-         zc3 AS (SELECT y.doc_id, y.y, coalesce(z3.z, 0.0) AS z
-           FROM y LEFT JOIN z3 USING (doc_id))
+      s"""WITH $hashedGdCtes
          SELECT doc_id, y, round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
          FROM zc3""",
+    "q_curation_pipeline_v3" -> {
+      val backoff = math.log(1e-9)
+      s"""WITH $hashedGdCtes,
+         scored AS (SELECT doc_id,
+             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
+         kept1 AS (SELECT d.* FROM documents d
+           JOIN scored sc ON sc.doc_id = d.doc_id AND sc.score >= 0.5),
+         tok2 AS (SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM kept1),
+         bg2 AS (SELECT doc_id, lang, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM tok2 WHERE len(t) >= 2),
+         cntb AS (SELECT gram, count(*) AS c12 FROM bg2 GROUP BY 1),
+         unib AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                  FROM cntb GROUP BY 1),
+         lmb AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cntb c JOIN unib u ON u.w1 = string_split(c.gram, ' ')[1]),
+         cntt AS (SELECT gram, count(*) AS c12 FROM bg2
+                  WHERE lang = 'en' GROUP BY 1),
+         unit AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                  FROM cntt GROUP BY 1),
+         lmt AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cntt c JOIN unit u ON u.w1 = string_split(c.gram, ' ')[1]),
+         terms AS (SELECT b.doc_id,
+             CAST(round((coalesce(t.logp, $backoff)
+               - coalesce(bs.logp, $backoff)) * 1000000000.0, 0)
+               AS BIGINT) AS q
+           FROM bg2 b LEFT JOIN lmt t ON t.gram = b.gram
+                LEFT JOIN lmb bs ON bs.gram = b.gram),
+         wts AS (SELECT doc_id,
+             round((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+               / CAST(count(*) AS DOUBLE), 6) AS log_ratio
+           FROM terms GROUP BY 1),
+         capped AS (SELECT doc_id, lang, source, n_chars FROM (
+             SELECT k.doc_id, k.lang, k.source, k.n_chars,
+               row_number() OVER (PARTITION BY k.lang, k.source
+                 ORDER BY k.n_chars DESC, k.doc_id) AS rn
+             FROM kept1 k JOIN wts
+               ON wts.doc_id = k.doc_id AND wts.log_ratio >= -8.0)
+           WHERE rn <= 5)
+         SELECT lang, count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM capped GROUP BY 1"""
+    },
     "q_dsir_weights" -> {
       val backoff = math.log(1e-9)
       s"""WITH tok AS (SELECT doc_id, lang,
