@@ -1156,6 +1156,20 @@ object SparkEntry {
           concat_ws(" ", col("text"), col("shared")).as("text2"))
       Dedup.duplicatedSpans(docs2, "text2", "doc_id", n = 8)
     }),
+    "q_dedup_cdc" -> ((s, dir) => {
+      // content-defined chunking dedup: docs share a 300-char span at
+      // DIFFERENT offsets (appended after varying-length text), and the
+      // content-defined boundaries still align its interior chunks —
+      // the insertion-robustness fixed windows lack
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val seed = d.where(col("doc_id") < 50)
+        .select(col("doc_id").as("sid"),
+          substring(col("text"), 1, 300).as("shared"))
+      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("text"), col("shared")).as("text2"))
+      Dedup.cdcChunkStats(docs2, "text2", "doc_id", avgTokens = 8)
+    }),
     "q_dedup_spans_cut" -> ((s, dir) => {
       // exact-substring dedup SURGERY over the same shared-span
       // construction as q_dedup_spans: duplicated 8-token windows are
@@ -2045,6 +2059,54 @@ object SparkEntry {
              AS dup_frac
          FROM (SELECT DISTINCT doc_id FROM d2) d
          LEFT JOIN tot USING (doc_id) LEFT JOIN dupc USING (doc_id)""",
+    "q_dedup_cdc" ->
+      // CDC replay: per-token FNV HUGEINT fold, boundary when fh % 8 = 0,
+      // chunk = running boundary sum, chunk digest occurrence counts
+      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 300) AS shared
+           FROM documents WHERE doc_id < 50),
+         d2 AS (SELECT d.doc_id,
+             concat_ws(' ', d.text, s.shared) AS t2
+           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
+         tl AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(t2)), '\s+'),
+               x -> x <> '') AS t
+           FROM d2),
+         toks AS (SELECT doc_id, unnest(t) AS tk,
+             generate_subscripts(t, 1) - 1 AS pos FROM tl),
+         fb AS (SELECT doc_id, pos, tk,
+             CASE WHEN list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(tk))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(tk)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) % 8 = 0
+             THEN 1 ELSE 0 END AS b
+           FROM toks),
+         ch AS (SELECT doc_id, pos, tk,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM fb),
+         chunks AS (SELECT doc_id, c,
+             md5(array_to_string(list_transform(
+               list_sort(list(struct_pack(p := pos, t := tk))),
+               s -> s.t), ' ')) AS dg
+           FROM ch GROUP BY doc_id, c),
+         wc AS (SELECT doc_id,
+             count(*) OVER (PARTITION BY dg) AS n
+           FROM chunks),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_chunks
+           FROM wc GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(pd.n_chunks, 0) AS n_chunks,
+           coalesce(pd.n_dup_chunks, 0) AS n_dup_chunks,
+           round(CAST(coalesce(pd.n_dup_chunks, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(pd.n_chunks, 0), 1) AS DOUBLE), 6)
+             AS dup_frac
+         FROM (SELECT DISTINCT doc_id FROM d2) d
+         LEFT JOIN pd USING (doc_id)""",
     "q_dedup_spans_cut" ->
       // surgery replay: windows carry their start position; every
       // non-first occurrence of a duplicated window covers its 8 token

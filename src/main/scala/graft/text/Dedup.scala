@@ -615,6 +615,56 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Content-defined chunking dedup signal — the storage-dedup angle
+    * (LBFS/restic-style CDC, lifted to tokens): a token STARTS a new
+    * chunk when its FNV hash lands in bucket 0 of `avgTokens`, so chunk
+    * boundaries depend only on content, never on position. A span
+    * shared by two documents therefore produces IDENTICAL interior
+    * chunks even when its offset differs (insertions shift fixed
+    * windows but not CDC boundaries). Returns per doc:
+    * (idCol, n_chunks, n_dup_chunks, dup_frac) where a chunk is
+    * duplicated when its md5 occurs >= 2 times corpus-wide.
+    *
+    * 100 TB shape: four narrow shuffles — the per-doc running-boundary
+    * window (id-keyed), the chunk assembly groupBy, the digest-keyed
+    * occurrence window (16-byte keys), and the per-doc rollup. Chunk
+    * text crosses the shuffle once, as chunks. */
+  def cdcChunkStats(docs: DataFrame, textCol: String, idCol: String,
+      avgTokens: Int = 8): DataFrame = {
+    require(avgTokens >= 2, s"avgTokens must be >= 2, got $avgTokens")
+    val toks = docs.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("_pos", "_tk")))
+      .where(col("_tk") =!= "")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("_pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val withChunk = toks
+      .withColumn("_b", when(graft.functions.TextHashExprs
+        .fnvBucket(col("_tk"), avgTokens) === 0, 1L).otherwise(0L))
+      .withColumn("_c", sum(col("_b")).over(wDoc))
+    val chunks = withChunk
+      .groupBy(col(idCol), col("_c"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), col("_tk").as("_t")))),
+        s => s.getField("_t")), " ").cast("binary")).as("_digest"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy("_digest")
+    val perDoc = chunks
+      .withColumn("_n", count(lit(1)).over(wd))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        round(coalesce(col("n_dup_chunks"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_chunks"), lit(0L)), lit(1L))
+            .cast("double"), 6).as("dup_frac"))
+  }
+
   /** Cross-document PARAGRAPH dedup (the RefinedWeb/CCNet sub-document
     * stage): a paragraph duplicated across the corpus survives only at
     * its first occurrence in (doc_id, position) order; every other copy

@@ -414,6 +414,33 @@ class TextSpec extends SparkSpec {
     tiny.getDouble(3) shouldBe 0.0
   }
 
+  test("cdcChunkStats aligns shared spans at different offsets") {
+    val tail = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $tail"),
+      (2L, s"beta gamma delta epsilon $tail"), // same span, shifted by 3
+      (3L, "completely distinct words only here nothing shared")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup
+      .cdcChunkStats(docs, "text", "doc_id", avgTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // content-defined boundaries make the shared tail's chunks identical
+    // in both docs despite different offsets — fixed windows would too,
+    // but CDC dedups at CHUNK granularity (bounded index, not n_tokens
+    // windows); the unique doc shares nothing
+    out(1L)._2 should be >= 1L
+    out(2L)._2 should be >= 1L
+    out(3L)._2 shouldBe 0L
+    out(1L)._1 should be >= 2L // the tail contains interior boundaries
+    // deterministic under repartitioning
+    val again = graft.text.Dedup
+      .cdcChunkStats(docs.repartition(5), "text", "doc_id", avgTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    again shouldBe out
+  }
+
   test("removeDuplicatedSpans cuts every copy but the first occurrence") {
     val span = "one two three four five six seven eight" // exactly 8 tokens
     val docs = Seq(
