@@ -413,6 +413,44 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("int8 quantization is a pure projection — no shuffle, no join") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i =>
+      (i, Array.fill(8)((i * 0.1).toFloat))).toDF("vec_id", "embedding")
+    val plan = planString(
+      graft.text.Similarity.quantizeInt8(df, "vec_id", "embedding"))
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
+
+  test("broadcast LM scorer plans with zero exchanges (stateless projection)") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"alpha beta w$i"))
+      .toDF("doc_id", "text")
+    val lm = graft.text.LanguageModel.trainBigramLm(docs, "text")
+    val plan = planString(graft.text.LanguageModel
+      .scoreBigramLmBroadcast(docs, lm, "text", "doc_id"))
+    // the model rides in a broadcast variable, not a join: the scored
+    // stream is scan -> mapPartitions -> serialize, nothing else
+    plan should not include "Exchange"
+    plan should not include "Join"
+    plan should include("MapPartitions")
+  }
+
+  test("cdcChunkStats: id/chunk/digest-keyed narrow shuffles only, no join " +
+      "before the final annotation") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"some words w$i again more"))
+      .toDF("doc_id", "text")
+    val plan = planString(
+      graft.text.Dedup.cdcChunkStats(docs, "text", "doc_id"))
+    // 4 hash exchanges: doc window, chunk groupBy, digest window, doc
+    // rollup — plus the final left join back to the id list
+    "Exchange hashpartitioning".r.findAllIn(plan).size should be <= 5
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("semDedup: dropped set broadcasts back; corpus side never shuffles") {
     import spark.implicits._
     val df = (0L until 30L).map(i =>
