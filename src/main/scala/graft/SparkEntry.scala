@@ -960,6 +960,12 @@ object SparkEntry {
           d.select("doc_id", "lang"), "doc_id")
         .select("ord", "doc_id", "lang")
     }),
+    "q_corpus_report" -> ((s, dir) => {
+      // the dataset-card statistics pass: per (lang, source) totals,
+      // exact token percentiles, mean tokens, char envelope
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.corpusReport(d, "text", Seq("lang", "source"))
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // normalization rules exercised on synthetically-noised input
       // (tabs, BEL, newlines, runs of spaces appended to each doc) —
@@ -1817,6 +1823,22 @@ object SparkEntry {
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
            CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe
          FROM documents""",
+    "q_corpus_report" ->
+      """WITH t AS (SELECT lang, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS tk,
+             CAST(length(text) AS BIGINT) AS len
+           FROM documents),
+         g AS (SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(tk AS BIGINT)) AS BIGINT) AS n_tokens,
+             quantile_cont(tk, 0.5) AS p50_tokens,
+             quantile_cont(tk, 0.9) AS p90_tokens,
+             quantile_cont(tk, 0.99) AS p99_tokens,
+             MIN(len) AS min_chars, MAX(len) AS max_chars
+           FROM t GROUP BY 1, 2)
+         SELECT *, round(CAST(n_tokens AS DOUBLE)
+           / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
+         FROM g""",
     "q_text_langid" ->
       langIdSql,
     "q_text_quality" ->

@@ -244,4 +244,32 @@ object TextAnalysis {
     }
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
+
+  /** Corpus datasheet — the "dataset card" statistics pass: per group
+    * (conventionally lang × source), document and token totals, exact
+    * token-count percentiles (p50/p90/p99), mean tokens per doc, and the
+    * char-length envelope. ONE partial-aggregated shuffle on the group
+    * key; every number is engine-exact (integer sums, sort-based
+    * percentile, and the mean derives from the exact totals).
+    *
+    * At extreme group cardinality swap the exact percentile for the
+    * GK sketch ([[graft.ops.Reducers]] `quantilesApprox`) — same
+    * escape hatch as zonal stats. */
+  def corpusReport(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport needs at least one group col")
+    val toks = tokenCountWs(col(textCol)).cast("double")
+    df.select(groupCols.map(col) :+ toks.as("_tk") :+
+        length(col(textCol)).cast("long").as("_len"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tk").cast("long")).as("n_tokens"),
+        percentile(col("_tk"), lit(0.5)).as("p50_tokens"),
+        percentile(col("_tk"), lit(0.9)).as("p90_tokens"),
+        percentile(col("_tk"), lit(0.99)).as("p99_tokens"),
+        min(col("_len")).as("min_chars"),
+        max(col("_len")).as("max_chars"))
+      .withColumn("mean_tokens", round(
+        col("n_tokens").cast("double") / col("n_docs").cast("double"), 6))
+  }
 }

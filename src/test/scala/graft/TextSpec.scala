@@ -414,6 +414,24 @@ class TextSpec extends SparkSpec {
     tiny.getDouble(3) shouldBe 0.0
   }
 
+  test("corpusReport: exact totals, percentiles, mean per group") {
+    val docs = Seq(
+      ("en", "s1", "a b c"), ("en", "s1", "a b c d e"),
+      ("en", "s1", "a"), ("de", "s2", "x y")
+    ).toDF("lang", "source", "text")
+    val r = graft.text.TextAnalysis
+      .corpusReport(docs, "text", Seq("lang", "source"))
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    val en = r(("en", "s1"))
+    en.getLong(2) shouldBe 3L        // n_docs
+    en.getLong(3) shouldBe 9L        // n_tokens = 3 + 5 + 1
+    en.getDouble(4) shouldBe 3.0     // p50
+    en.getLong(7) shouldBe 1L        // min_chars ("a")
+    en.getLong(8) shouldBe 9L        // max_chars
+    en.getDouble(9) shouldBe 3.0     // mean_tokens
+    r(("de", "s2")).getLong(2) shouldBe 1L
+  }
+
   test("cdcChunkStats aligns shared spans at different offsets") {
     val tail = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
