@@ -507,4 +507,32 @@ class LawsSpec extends SparkSpec {
       got shouldBe want
     }
   }
+
+  test("law: span surgery collapses the duplicated-window mass it measures") {
+    import spark.implicits._
+    // seeded synthetic corpus: 40 docs, every doc_id%8 class shares a
+    // 20-token span inside otherwise-unique filler
+    val rnd = new scala.util.Random(11)
+    val shared = (0 until 8).map(c =>
+      (0 until 20).map(_ => s"s${c}w${rnd.nextInt(50)}").mkString(" "))
+    val docs = (0L until 40L).map { i =>
+      val filler = (0 until 15).map(_ => s"u${i}t${rnd.nextInt(1000)}")
+        .mkString(" ")
+      (i, s"$filler ${shared((i % 8).toInt)}")
+    }.toDF("doc_id", "text")
+    def dupMass(d: org.apache.spark.sql.DataFrame, tc: String): Long =
+      graft.text.Dedup.duplicatedSpans(d, tc, "doc_id", n = 8)
+        .agg(sum("n_dup")).head().getLong(0)
+    val before = dupMass(docs, "text")
+    before should be >= 40L // 5 docs per class × duplicated windows
+    val cut = graft.text.Dedup
+      .removeDuplicatedSpans(docs, "text", "doc_id", n = 8)
+    val after = dupMass(cut, "clean_text")
+    // the kept-first copies are no longer duplicated; only accidental
+    // adjacencies created by the cuts can remain, and on this corpus
+    // the filler tokens are unique per doc, so the signal drops to zero
+    after shouldBe 0L
+    // and the surgery removed tokens only from the 4 non-first copies
+    cut.agg(sum("n_removed")).head().getLong(0) should be >= 4 * 8L
+  }
 }
