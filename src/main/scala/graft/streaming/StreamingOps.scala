@@ -285,6 +285,20 @@ object StreamingOps {
     * exact same expressions, so stream output == batch output on the same
     * rows (pinned in StreamingSpec). The stateful stages downstream
     * (dedup, sessionization) compose via [[dedupExactStream]] etc. */
+  /** Streaming n-gram frequency counts — the INCREMENTAL boilerplate
+    * monitor: the same one-pass TokenWindows explode as
+    * [[graft.text.Search.topNgrams]] feeding a streaming groupBy(gram)
+    * count. Run with complete/update output; the state store holds one
+    * long per distinct gram (Zipf-bounded like the LM table), and after
+    * any prefix of the stream the counts equal the batch counts over the
+    * rows ingested so far (pinned in StreamingSpec), so `ORDER BY count
+    * DESC LIMIT k` over the sink is the live top-k. */
+  def ngramCountsStream(df: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    df.select(explode(graft.functions.TextHashExprs
+        .tokenWindows(lower(trim(col(textCol))), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

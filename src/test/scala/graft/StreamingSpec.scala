@@ -362,4 +362,29 @@ class StreamingSpec extends SparkSpec {
     graft.functions.BloomExprs.mightContain(lit(Array[Byte](1, 2, 3)),
       xxhash64(lit("x")))
   }
+
+  test("streaming n-gram counts equal batch counts after any prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq("a b c a b c", "b c a b", "z z z z", "a b c")
+    val stream = MemoryStream[String]
+    val q = StreamingOps
+      .ngramCountsStream(stream.toDF().toDF("text"), "text", n = 2)
+      .writeStream.format("memory").queryName("ngrams")
+      .outputMode("complete").start()
+    try {
+      // feed in two batches; after EACH prefix the state equals batch
+      for (half <- Seq(docs.take(2), docs.drop(2))) {
+        stream.addData(half)
+        q.processAllAvailable()
+        val ingested = if (half == docs.take(2)) docs.take(2) else docs
+        val streamed = spark.table("ngrams").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val batch = graft.text.Search
+          .topNgrams(ingested.toDF("text"), "text", n = 2, k = 1000)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        streamed shouldBe batch
+      }
+    } finally q.stop()
+  }
 }
