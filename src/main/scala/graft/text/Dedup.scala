@@ -581,9 +581,13 @@ object Dedup {
       idCol: String, n: Int = 8): DataFrame = {
     require(n >= 2, s"window size $n must be >= 2")
     val lt = lower(trim(col(textCol)))
+    // filter empties BEFORE posexplode: window start positions index the
+    // byte-tokenizer's token stream (which never emits empties), so a
+    // leading tab/newline — where split() yields one empty first token —
+    // must not shift every position by one
     val toks = docs.select(col(idCol),
-        posexplode(split(lt, "\\s+")).as(Seq("_pos", "_tk")))
-      .where(col("_tk") =!= "")
+      posexplode(filter(split(lt, "\\s+"), x => x =!= ""))
+        .as(Seq("_pos", "_tk")))
     val wins = docs.select(col(idCol),
       posexplode(graft.functions.TextHashExprs.tokenWindows(lt, n))
         .as(Seq("_pos", "_w")))
@@ -632,10 +636,11 @@ object Dedup {
   def cdcChunkStats(docs: DataFrame, textCol: String, idCol: String,
       avgTokens: Int = 8): DataFrame = {
     require(avgTokens >= 2, s"avgTokens must be >= 2, got $avgTokens")
+    // empties filtered BEFORE posexplode (same edge as
+    // removeDuplicatedSpans: a leading tab must not shift positions)
     val toks = docs.select(col(idCol),
-        posexplode(split(lower(trim(col(textCol))), "\\s+"))
-          .as(Seq("_pos", "_tk")))
-      .where(col("_tk") =!= "")
+      posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => x =!= "")).as(Seq("_pos", "_tk")))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("_pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

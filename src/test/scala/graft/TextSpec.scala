@@ -475,6 +475,14 @@ class TextSpec extends SparkSpec {
     out(2L) shouldBe ((10L, 8L, "prefix word"))
     out(3L)._2 shouldBe 0L
     out(4L) shouldBe ((18L, 16L, "and then"))
+    // a leading tab (split's empty-first-token edge) must not shift the
+    // coverage positions off the window indices
+    val tabbed = graft.text.Dedup.removeDuplicatedSpans(Seq(
+        (1L, s"$span alpha beta"),
+        (2L, s"\t$span gamma")).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    tabbed(2L) shouldBe ((8L, "gamma")) // the whole span cut, exactly
   }
 
   test("dedupParagraphs keeps only the first (doc, pos) occurrence") {
