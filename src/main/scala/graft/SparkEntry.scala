@@ -620,6 +620,20 @@ object SparkEntry {
       Dedup.minhashLsh(d, "text", "doc_id", shingleN = 3, k = 32,
         bands = 8, threshold = 0.7)
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // the ingestion gate: near-dups between an incoming shard (docs
+      // >= 400 plus 25 planted one-token-appended copies of kept docs)
+      // and the kept reference corpus (docs < 400). Planted copies sit
+      // at J ~= 0.99, so cross-side LSH recall is certain and the output
+      // equals the all-pairs oracle
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ref = d.where(col("doc_id") < 400).select("doc_id", "text")
+      val inc = d.where(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(d.where(col("doc_id") < 25)
+          .select((col("doc_id") + lit(10000L)).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
+      Dedup.minhashLshIncremental(ref, inc, "text", "doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // banded-simhash blocking over PORTABLE FNV-1a bigram hashes; the
       // blocking has exact recall to Hamming 6, so the oracle's all-pairs
@@ -965,6 +979,24 @@ object SparkEntry {
       // exact token percentiles, mean tokens, char envelope
       val d = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.corpusReport(d, "text", Seq("lang", "source"))
+    }),
+    "q_hll_distinct" -> ((s, dir) => {
+      // fixed-memory vocabulary estimate per language: portable 2048-
+      // register HLL over whitespace tokens — the only shuffle carries
+      // <= |langs| x 2048 register rows no matter the corpus size; the
+      // oracle replays hash, registers and the exact-integer harmonic
+      // sum in SQL
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sketches.hllDistinctTokens(d, "text", Seq("lang"))
+    }),
+    "q_temperature_mix" -> ((s, dir) => {
+      // mT5-style alpha-temperature source mixing (alpha=0.5, target 200
+      // docs): per-source rates from one tiny count aggregation, keep
+      // decided by the portable LCG hash — the sample is a pure filter
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sampling.temperatureSample(d, "source", "doc_id",
+          alpha = 0.5, target = 200L)
+        .select("doc_id", "source", "lang")
     }),
     "q_text_normalize" -> ((s, dir) => {
       // normalization rules exercised on synthetically-noised input
@@ -2251,6 +2283,31 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_dedup_incremental" ->
+      // cross-side all-pairs exact Jaccard between the reconstructed
+      // incoming shard and the reference corpus — LSH recall at the
+      // planted J~=0.99 is certain, so candidates+verify equals this
+      """WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         incd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+                  UNION ALL
+                  SELECT doc_id + 10000, text || ' x' FROM documents
+                  WHERE doc_id < 25),
+         shr AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM refd)),
+         shi AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 1) + 1),
+             i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM incd))
+         SELECT i.doc_id AS inc_id, r.doc_id AS ref_id,
+           round(CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(i.s, r.s))), 6) AS jaccard
+         FROM shi i JOIN shr r
+           ON CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(i.s, r.s))) >= 0.7""",
     "q_sample_fraction" ->
       // identical LCG arithmetic: ((id % 2^31) * A + C) % 2^31 < f * 2^31
       """SELECT doc_id, lang, n_chars FROM documents
@@ -2267,6 +2324,22 @@ object SparkEntry {
            FROM h
          )
          SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""",
+    "q_temperature_mix" ->
+      // same trajectory as Sampling.temperatureSample: per-source counts,
+      // n^0.5 weights, name-ordered normalizing sum (mirrors the Scala
+      // left fold), floor to the integer LCG threshold, pure filter
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n, POW(n, 0.5) AS w FROM c),
+         t AS (SELECT SUM(w ORDER BY source) AS norm FROM w),
+         r AS (SELECT source,
+             CAST(FLOOR(LEAST(1.0, 200.0 * (w / t.norm) / n)
+                  * 2147483648.0) AS BIGINT) AS thr
+           FROM w, t)
+         SELECT d.doc_id, d.source, d.lang
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+               < r.thr""",
     "q_split_grouped" ->
       // bucket bounds = floor(cumWeight/total * 2^32) over md5's first
       // 8 hex chars — identical literals to Sampling.assignSplit
@@ -2437,6 +2510,65 @@ object SparkEntry {
                   || chr(10) || chr(10),
              '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
          FROM documents""",
+    "q_hll_distinct" -> {
+      // full HLL replay: FNV-1a HUGEINT byte fold -> murmur3 fmix64
+      // finalizer (xor-shift 33 = // 2^33; each 64-bit wrapping multiply
+      // splits into 32-bit halves so no product exceeds int128) ->
+      // LOW-11-bit register + trailing-zero rank of the remaining 53
+      // bits (ctz via bit_count((w & -w) - 1), capped at 51, the
+      // exact-long-sum contract) -> per-register max -> integer harmonic
+      // denominator -> estimate with linear-counting branch. The
+      // numerator constant is the IDENTICAL driver-computed double.
+      val numer = graft.text.Sketches.hllNumer(11)
+      s"""WITH tok AS (SELECT lang,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS g
+           FROM documents),
+         fh AS (SELECT lang,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM tok),
+         x1 AS (SELECT lang, xor(fh, fh // 8589934592) AS a FROM fh),
+         x2 AS (SELECT lang,
+             ((a % 4294967296) * 18397679294719823053
+              + ((a // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS b
+           FROM x1),
+         x3 AS (SELECT lang, xor(b, b // 8589934592) AS c FROM x2),
+         x4 AS (SELECT lang,
+             ((c % 4294967296) * 14181476777654086739
+              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS d
+           FROM x3),
+         x5 AS (SELECT lang, xor(d, d // 8589934592) AS hm FROM x4),
+         parts AS (SELECT lang,
+             CAST(hm % 2048 AS BIGINT) AS reg,
+             CAST(hm // 2048 AS BIGINT) AS w
+           FROM x5),
+         rk AS (SELECT lang, reg,
+             LEAST(bit_count((w & -w) - 1) + 1, 51) AS rank
+           FROM parts),
+         mr AS (SELECT lang, reg, MAX(rank) AS mr, count(*) AS n
+           FROM rk GROUP BY 1, 2),
+         ag AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_values,
+             count(*) AS n_registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - mr)) AS BIGINT) AS s
+           FROM mr GROUP BY 1)
+         SELECT lang, n_values, n_registers,
+           round(CASE WHEN CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) <= 5120.0 AND n_registers < 2048
+             THEN 2048.0 * ln(2048.0 / (2048.0 - CAST(n_registers AS DOUBLE)))
+             ELSE CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) END, 6) AS est_distinct
+         FROM ag"""
+    },
     "q_multimodal_ann" ->
       // same stub-decode feature CTEs, UNROUNDED float-exact values, then
       // the brute-force cosine pattern (ordered sums = Spark's fold)

@@ -547,6 +547,63 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** murmur3's 64-bit finalizer: full-avalanche mix, engine-replayable
+    * (an external engine without 64-bit wrapping multiply splits each
+    * product into 32-bit halves mod 2^64 — see the q_hll_distinct
+    * oracle). Raw FNV-1a is NOT distribution-quality for sketches: its
+    * final multiply carries a last-byte change only up to bit ~47 (the
+    * prime's top bit is 2^40), and even the low bits are measurably
+    * sub-Poisson on regular key sets (sequential "tokN" tokens give
+    * register occupancy 1960 vs the 1870 a uniform hash expects, and
+    * +13..19% cardinality estimates). fmix64 restores uniformity at the
+    * cost of two multiplies. */
+  private def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** HyperLogLog register parts of a token: struct(reg, rank) where
+    * `reg` = low `p` bits of fmix64(FNV-1a 64) and `rank` =
+    * trailing-zero count of the remaining 64-p bits plus one, CAPPED AT
+    * 51 (Flajolet's low-bits formulation over a finalized hash — see
+    * [[fmix64]] for why finalization is required).
+    *
+    * The 51 cap is part of the sketch definition, not an optimization:
+    * it lets the register merge sum 2^(51-rank) terms as exact LONGS
+    * (every term is an integer in [1, 2^50]), which makes the
+    * harmonic-mean denominator independent of partial-aggregation order
+    * and identical across engines. A rank > 51 occurs with probability
+    * 2^-51 per value and its truncation biases the estimate far below
+    * the sketch's own 1.04/sqrt(m) standard error. FNV keeps the whole
+    * path replayable by an external engine (same HUGEINT byte fold as
+    * [[FnvBucket]]; ctz = bit_count((w & -w) - 1)). */
+  case class HllParts(child: Expression, p: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
+    override def dataType: DataType = StructType(Seq(
+      StructField("reg", LongType, nullable = false),
+      StructField("rank", IntegerType, nullable = false)))
+    override def prettyName: String = "graft_hll_parts"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val h = fmix64(fnv1a64(bytes, bytes.length))
+      val reg = h & ((1L << p) - 1)
+      val w = h >>> p
+      // w == 0 -> ntz = 64 -> capped to 51, no special case needed
+      val rank = math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, 51)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](reg, rank))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -633,6 +690,13 @@ object TextHashExprs {
         (cs: Seq[Expression]) => FnvBucket(cs.head,
           intLit(cs(1), "graft_fnv_bucket dim")))
     }
+    val hp = FunctionIdentifier("graft_hll_parts")
+    if (!registry.functionExists(hp)) {
+      registry.registerFunction(hp,
+        new ExpressionInfo(classOf[HllParts].getName, "graft_hll_parts"),
+        (cs: Seq[Expression]) => HllParts(cs.head,
+          intLit(cs(1), "graft_hll_parts p")))
+    }
   }
 
   def simhash64(tokens: Column): Column = {
@@ -699,5 +763,13 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_fnv_bucket", token,
       org.apache.spark.sql.functions.lit(dim))
+  }
+
+  /** HLL register parts struct(reg, rank) of a string value (see
+    * [[HllParts]] for the rank-cap contract). */
+  def hllParts(value: Column, p: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_hll_parts", value,
+      org.apache.spark.sql.functions.lit(p))
   }
 }

@@ -122,6 +122,64 @@ object Dedup {
     result
   }
 
+  /** Incremental MinHash-LSH dedup: near-dup pairs between an INCOMING
+    * shard and an already-kept REFERENCE corpus — the production
+    * ingestion gate ("does this new crawl batch duplicate anything we
+    * already kept?"). Returns (inc_id, ref_id, jaccard) for every
+    * verified cross-side pair with exact shingle Jaccard >= threshold;
+    * anti-join the incoming shard on `inc_id` to admit only novel
+    * documents.
+    *
+    * Scale shape mirrors [[minhashLsh]] with the self-join replaced by a
+    * cross-side join: both sides reduce to (id, band, hash) rows — 24
+    * bytes per document per band regardless of document size — and only
+    * band keys that occur on BOTH sides produce join output, so a novel
+    * shard shuffles nothing but its band table. The incoming side is
+    * normally orders of magnitude smaller than the corpus; in steady
+    * state the reference band table is computed ONCE and persisted as a
+    * bucketed store keyed by (band, bh) (write via
+    * [[Sampling.writeCorpusStore]]-style bucketing), so per-shard cost is
+    * independent of corpus size except for the colliding buckets. Exact
+    * verification shingles only documents that appear in a candidate
+    * pair, same as the self-join path. */
+  def minhashLshIncremental(ref: DataFrame, inc: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    def bandRows(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextHashExprs
+          .minhashText(lower(trim(col(textCol))), shingleN, k).as("sig"))
+      .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    val rb = bandRows(ref).persist()
+    val ib = bandRows(inc).persist()
+    rb.count(); ib.count()
+    val cands = ib.as("i").join(rb.as("r"),
+        col("i.band") === col("r.band") && col("i.bh") === col("r.bh"))
+      .select(col("i.id").as("inc_id"), col("r.id").as("ref_id"))
+      .dropDuplicates("inc_id", "ref_id")
+      .persist()
+    cands.count()
+    def shingled(df: DataFrame, ids: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(textCol).as("_t"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), sort_array(graft.functions.TextHashExprs
+        .shingleHashes(lower(trim(col("_t"))), shingleN)).as("sh"))
+    val shI = shingled(inc, cands.select(col("inc_id").as("id")).distinct())
+      .withColumnRenamed("id", "inc_id").withColumnRenamed("sh", "sh_i")
+    val shR = shingled(ref, cands.select(col("ref_id").as("id")).distinct())
+      .withColumnRenamed("id", "ref_id").withColumnRenamed("sh", "sh_r")
+    val result = cands
+      .join(shI, "inc_id").join(shR, "ref_id")
+      .withColumn("jaccard", graft.functions.TextHashExprs
+        .jaccardLongSorted(col("sh_i"), col("sh_r")))
+      .where(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("ref_id"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    rb.unpersist(false); ib.unpersist(false); cands.unpersist(false)
+    result
+  }
+
   /** Benchmark decontamination: flag corpus documents that share word
     * n-gram shingles with an evaluation set — the standard guard against
     * test-set leakage into training data (the GPT-3/C4 style n-gram

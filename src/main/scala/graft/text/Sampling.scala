@@ -175,6 +175,52 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Temperature-based source mixing (the mT5/XLM-R alpha-sampling rule):
+    * source s with n_s documents is kept at rate
+    * p_s = min(1, target * (n_s^alpha / sum_t n_t^alpha) / n_s), so
+    * alpha = 1 preserves natural proportions, alpha -> 0 flattens toward
+    * uniform-per-source, and intermediate alpha up-samples the tail
+    * without starving the head — then rows keep deterministically via the
+    * portable LCG hash (same comparison as [[sampleFraction]]).
+    *
+    * 100 TB shape: the per-source count aggregation reduces to
+    * |sources| rows (map-side combine; sources are domains/datasets —
+    * thousands at most), rates become literals in a when-chain, and the
+    * sample itself is a PURE FILTER: no shuffle, pushdown-friendly,
+    * repartition-stable. Engine-exactness: the per-source keep threshold
+    * floor(p_s * 2^31) is integer on both sides; n^alpha and the
+    * name-ordered normalizing sum are IEEE double ops whose <=2-ulp
+    * engine noise sits ~9 orders below a threshold unit, so the floor
+    * agrees across engines except on exact-boundary measure-zero cases.
+    *
+    * `target` is the expected TOTAL kept-document count. Sources whose
+    * p_s clips at 1 keep everything (the remaining mass is NOT
+    * redistributed — matching the published formulation, where rates are
+    * computed once from the weight vector, not iterated). */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, target: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha not in (0,1]")
+    require(target > 0, s"target $target must be positive")
+    // bounded driver-side collect: one row per source (the weight vector
+    // of the published rule is itself per-source, so this is inherent)
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val weights = counts.map { case (g, n) => (g, math.pow(n.toDouble, alpha), n) }
+    // left-to-right fold in source-name order; the oracle mirrors it as
+    // an ordered SUM so the last-ulp rounding trajectory is identical
+    val norm = weights.foldLeft(0.0) { case (acc, (_, w, _)) => acc + w }
+    val thresholds = weights.map { case (g, w, n) =>
+      val p = math.min(1.0, target.toDouble * (w / norm) / n.toDouble)
+      (g, (p * 2147483648.0).toLong) // floor (p >= 0)
+    }
+    val thrCol = thresholds.foldRight(lit(0L): Column) {
+      case ((g, t), acc) => when(col(sourceCol) === lit(g), lit(t)).otherwise(acc)
+    }
+    df.where(portableHash(col(idCol)) < thrCol)
+  }
+
   /** The curated-corpus shipping artifact: write the document set
     * hive-partitioned by the given columns (conventionally
     * `split, lang`), so downstream training jobs reading one split (or

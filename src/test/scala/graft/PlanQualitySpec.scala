@@ -467,4 +467,28 @@ class PlanQualitySpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "Exchange hashpartitioning"
   }
+
+  test("temperatureSample output is a pure filter — no join, no shuffle") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 90) "web" else "books"))
+      .toDF("doc_id", "source")
+    val plan = planString(graft.text.Sampling
+      .temperatureSample(df, "source", "doc_id", 0.5, 50L))
+    // rates become literals in a when-chain after the bounded count
+    // aggregation; the sample itself never joins or shuffles
+    plan should not include "Join"
+    plan should not include "Exchange"
+  }
+
+  test("hllDistinct shuffles only register rows: two partial+final aggs") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => ("g", s"tok$i")).toDF("g", "v")
+    val plan = planString(graft.text.Sketches
+      .hllDistinct(df, col("v"), Seq("g")))
+    // (group, register) max then group estimate — the only exchanges are
+    // the two hash aggregations, both map-side combined; value rows
+    // never cross a shuffle un-reduced
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 2
+    plan should include("partial_max")
+  }
 }

@@ -617,4 +617,81 @@ class TextSpec extends SparkSpec {
     // doc2: unseen in target -> backoff ln(1e-9) - ln(1/2)
     out(2L) shouldBe ((math.log(1e-9) - math.log(0.5)) +- 1e-6)
   }
+
+  test("hllDistinct: estimate within sketch error; partition-invariant") {
+    val rows = (0 until 5000).map(i => ("big", s"tok$i")) ++
+      (0 until 300).map(i => ("small", s"tok$i")) ++
+      (0 until 30000).map(i => ("huge", s"tok$i")) // raw-branch regime
+    val df = rows.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.text.Sketches
+      .hllDistinct(d, col("v"), Seq("g"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val est = run(df)
+    est("big")._1 shouldBe 5000L // exact n_values
+    est("small")._1 shouldBe 300L
+    // 2048 registers -> sigma ~= 2.3%; assert ~4 sigma
+    math.abs(est("big")._3 - 5000.0) / 5000.0 should be < 0.10
+    math.abs(est("small")._3 - 300.0) / 300.0 should be < 0.10
+    math.abs(est("huge")._3 - 30000.0) / 30000.0 should be < 0.10
+    // register max/sum are order-free: any partitioning, identical bits
+    run(df.repartition(13)) shouldBe est
+  }
+
+  test("hllDistinctTokens matches hllDistinct over the token explode " +
+      "and ignores duplicate occurrences") {
+    val df = Seq(("a", "x y x  y z"), ("a", "z x"), ("b", "q")).toDF("lang", "text")
+    val out = graft.text.Sketches.hllDistinctTokens(df, "text", Seq("lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    out("a")._1 shouldBe 7L // total token occurrences
+    // 3 distinct tokens: at this cardinality HLL-with-linear-counting is
+    // exact to well within rounding
+    out("a")._2 shouldBe (3.0 +- 0.1)
+    out("b")._2 shouldBe (1.0 +- 0.05)
+  }
+
+  test("temperatureSample: clipped head keeps all, rates deterministic " +
+      "and repartition-stable") {
+    val rows = (0L until 1000L).map(i => (i, "web")) ++
+      (1000L until 1010L).map(i => (i, "books"))
+    val df = rows.toDF("doc_id", "source")
+    // alpha=0.5: w_web=sqrt(1000)~31.6, w_books=sqrt(10)~3.16; target 100
+    // -> p_books = min(1, 100*0.0909/10) = 0.909.., p_web ~= 0.0909
+    val out = graft.text.Sampling
+      .temperatureSample(df, "source", "doc_id", 0.5, 100L)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ~91 web + ~9 books; LCG realization noise is a few percent
+    bySource("web").toDouble shouldBe (91.0 +- 25.0)
+    bySource.getOrElse("books", 0L).toDouble shouldBe (9.0 +- 6.0)
+    // tiny-source clip: target larger than the corpus keeps everything
+    val all = graft.text.Sampling
+      .temperatureSample(df, "source", "doc_id", 0.5, 100000L)
+    all.count() shouldBe 1010L
+    // deterministic under repartition
+    val a = out.collect().map(_.getLong(0)).sorted
+    val b = graft.text.Sampling
+      .temperatureSample(df.repartition(7), "source", "doc_id", 0.5, 100L)
+      .collect().map(_.getLong(0)).sorted
+    b shouldBe a
+  }
+
+  test("minhashLshIncremental finds cross-side near-dups only") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight while stars shine"
+    val ref = Seq((1L, base), (2L, "completely different reference text " +
+      "about cooking pasta with tomato sauce and fresh basil leaves today"))
+      .toDF("doc_id", "text")
+    val inc = Seq((10L, base + " x"), // near-copy of ref 1
+      (11L, "unrelated incoming document discussing quantum computing " +
+        "hardware and error correction codes at length with many words"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshIncremental(ref, inc, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.length shouldBe 1
+    out.head._1 shouldBe 10L
+    out.head._2 shouldBe 1L
+    out.head._3 should be > 0.85
+  }
 }
