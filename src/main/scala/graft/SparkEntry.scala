@@ -980,6 +980,15 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.corpusReport(d, "text", Seq("lang", "source"))
     }),
+    "q_cms_freq" -> ((s, dir) => {
+      // fixed-memory token-frequency estimation: 4x1024 count-min sketch
+      // over corpus tokens, probed for five present tokens and one
+      // absent — all-integer arithmetic, engine-exact with no rounding;
+      // sketch state is d*w cells no matter the vocabulary
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Sketches.cmsFrequencyTokens(d, "text",
+        Seq("join", "hash", "filter", "scan", "the", "qzxv"))
+    }),
     "q_hll_distinct" -> ((s, dir) => {
       // fixed-memory vocabulary estimate per language: portable 2048-
       // register HLL over whitespace tokens — the only shuffle carries
@@ -2510,6 +2519,55 @@ object SparkEntry {
                   || chr(10) || chr(10),
              '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
          FROM documents""",
+    "q_cms_freq" ->
+      // count-min replay: corpus tokens and probe literals hash through
+      // ONE shared FNV + golden-ratio-xor + fmix64 chain (split 32-bit
+      // multiplies as in q_hll_distinct), sketch = per-(depth, bucket)
+      // counts, estimate = min over depths — all-integer, exact
+      """WITH ks AS (SELECT * FROM (VALUES
+             (0, CAST(0 AS HUGEINT)),
+             (1, CAST(11400714819323198485 AS HUGEINT)),
+             (2, CAST(4354685564936845354 AS HUGEINT)),
+             (3, CAST(15755400384260043839 AS HUGEINT))) AS t(j, k)),
+         probes AS (SELECT * FROM (VALUES ('join'),('hash'),('filter'),
+             ('scan'),('the'),('qzxv')) AS p(token)),
+         alltok AS (SELECT 'c' AS src, g AS tok FROM
+             (SELECT unnest(list_filter(string_split_regex(
+                lower(trim(text)), '\s+'), x -> x <> '')) AS g
+              FROM documents)
+           UNION ALL SELECT 'p', token FROM probes),
+         fh AS (SELECT src, tok,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(tok))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(tok)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM alltok),
+         jx AS (SELECT src, tok, ks.j, xor(fh.fh, ks.k) AS a FROM fh, ks),
+         x1 AS (SELECT src, tok, j, xor(a, a // 8589934592) AS a2 FROM jx),
+         x2 AS (SELECT src, tok, j,
+             ((a2 % 4294967296) * 18397679294719823053
+              + ((a2 // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS b
+           FROM x1),
+         x3 AS (SELECT src, tok, j, xor(b, b // 8589934592) AS c FROM x2),
+         x4 AS (SELECT src, tok, j,
+             ((c % 4294967296) * 14181476777654086739
+              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS dd
+           FROM x3),
+         bk AS (SELECT src, tok, j,
+             CAST(xor(dd, dd // 8589934592) % 1024 AS BIGINT) AS bucket
+           FROM x4),
+         sketch AS (SELECT j, bucket, count(*) AS cnt
+           FROM bk WHERE src = 'c' GROUP BY 1, 2),
+         pb AS (SELECT tok AS token, j, bucket FROM bk WHERE src = 'p')
+         SELECT pb.token,
+           CAST(MIN(coalesce(sketch.cnt, 0)) AS BIGINT) AS est_count
+         FROM pb LEFT JOIN sketch USING (j, bucket)
+         GROUP BY 1""",
     "q_hll_distinct" -> {
       // full HLL replay: FNV-1a HUGEINT byte fold -> murmur3 fmix64
       // finalizer (xor-shift 33 = // 2^33; each 64-bit wrapping multiply

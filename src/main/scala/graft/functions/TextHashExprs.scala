@@ -604,6 +604,38 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Count-min-sketch bucket row of a token: array of `d` bucket indices
+    * in [0, w), one per sketch depth. Depth j's bucket is
+    * fmix64(fnv1a64(token) XOR j*GOLDEN) mod w — the golden-ratio
+    * multiples give d independent-enough finalizer streams from ONE byte
+    * fold, and every piece (fold, xor, fmix64, unsigned mod) is
+    * replayable in an external engine (see the q_cms_freq oracle). */
+  case class CmsBuckets(child: Expression, d: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(d >= 1 && d <= 8, s"cms depth d must be in [1,8], got $d")
+    require(w >= 2, s"cms width w must be >= 2, got $w")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_cms_buckets"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val h = fnv1a64(bytes, bytes.length)
+      val out = new Array[Long](d)
+      var j = 0
+      while (j < d) {
+        out(j) = java.lang.Long.remainderUnsigned(
+          fmix64(h ^ (j * 0x9e3779b97f4a7c15L)), w)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   private def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
@@ -697,6 +729,14 @@ object TextHashExprs {
         (cs: Seq[Expression]) => HllParts(cs.head,
           intLit(cs(1), "graft_hll_parts p")))
     }
+    val cb = FunctionIdentifier("graft_cms_buckets")
+    if (!registry.functionExists(cb)) {
+      registry.registerFunction(cb,
+        new ExpressionInfo(classOf[CmsBuckets].getName, "graft_cms_buckets"),
+        (cs: Seq[Expression]) => CmsBuckets(cs.head,
+          intLit(cs(1), "graft_cms_buckets d"),
+          intLit(cs(2), "graft_cms_buckets w")))
+    }
   }
 
   def simhash64(tokens: Column): Column = {
@@ -771,5 +811,13 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_hll_parts", value,
       org.apache.spark.sql.functions.lit(p))
+  }
+
+  /** Count-min bucket indices (length-d array) of a string value. */
+  def cmsBuckets(value: Column, d: Int, w: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_cms_buckets", value,
+      org.apache.spark.sql.functions.lit(d),
+      org.apache.spark.sql.functions.lit(w))
   }
 }

@@ -95,4 +95,45 @@ object Sketches {
       .where(col("_tok") =!= "")
     hllDistinct(toks, col("_tok"), groupCols, p)
   }
+
+  /** Count-min sketch of a value stream: one row per (depth, bucket)
+    * with the bucket's total occurrence count. d*w cells bound the state
+    * regardless of vocabulary size — the fixed-memory complement to an
+    * exact `groupBy(value).count()`, whose shuffle grows with the
+    * vocabulary (Cormode & Muthukrishnan 2005).
+    *
+    * Scale shape: the d-bucket array is ONE native expression per value,
+    * posexplode fans out d (not |vocab|) rows per value, and the count
+    * aggregation combines map-side — the only shuffle carries at most
+    * d*w cells per task. */
+  def cmsSketch(df: DataFrame, value: Column, d: Int = 4,
+      w: Int = 1024): DataFrame =
+    df.select(posexplode(graft.functions.TextHashExprs
+        .cmsBuckets(value, d, w)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for `probes` from a [[cmsSketch]] of the
+    * whitespace tokens of `textCol`: est = min over depths of the
+    * probe's bucket count — an upper bound on the true count (never
+    * under), within eps*N with the standard (d,w) guarantees. Returns
+    * (token, est_count); ALL-INTEGER arithmetic, so the estimate is
+    * engine-exact with no rounding contract at all. The probe side is a
+    * handful of literals: its bucket rows broadcast-join the sketch. */
+  def cmsFrequencyTokens(df: DataFrame, textCol: String,
+      probes: Seq[String], d: Int = 4, w: Int = 1024): DataFrame = {
+    require(probes.nonEmpty, "cmsFrequencyTokens needs at least one probe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
+    val sketch = cmsSketch(toks, col("_tok"), d, w)
+    val probeBuckets = probes.toDF("token")
+      .select(col("token"), posexplode(graft.functions.TextHashExprs
+        .cmsBuckets(col("token"), d, w)).as(Seq("j", "bucket")))
+    probeBuckets.join(sketch, Seq("j", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

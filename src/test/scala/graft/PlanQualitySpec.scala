@@ -491,4 +491,19 @@ class PlanQualitySpec extends SparkSpec {
     plan.split("Exchange hashpartitioning").length - 1 shouldBe 2
     plan should include("partial_max")
   }
+
+  test("cmsFrequencyTokens: sketch aggregates map-side; probe join " +
+      "broadcasts") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, s"alpha beta tok$i"))
+      .toDF("doc_id", "text")
+    val plan = planString(graft.text.Sketches
+      .cmsFrequencyTokens(docs, "text", Seq("alpha", "beta")))
+    // the d*w-bounded sketch is the only corpus-scale aggregation; the
+    // tiny probe-bucket table joins it broadcast, and the final min is
+    // over |probes| x d rows
+    plan should include("BroadcastHashJoin")
+    plan should include("partial_count")
+    plan.split("Exchange hashpartitioning").length - 1 should be <= 2
+  }
 }

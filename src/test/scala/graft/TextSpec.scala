@@ -677,6 +677,23 @@ class TextSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("cmsFrequencyTokens: exact on a collision-free universe, zero " +
+      "for absent probes, partition-invariant") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.text.Sketches
+      .cmsFrequencyTokens(d, "text", Seq("a", "b", "c", "zz"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = run(docs)
+    // 4 distinct tokens in 4x1024 buckets: collision-free here (fixed by
+    // the hash, so this assertion is deterministic), making the CMS
+    // upper bound exact
+    est("a") shouldBe 4L
+    est("b") shouldBe 3L
+    est("c") shouldBe 1L
+    est("zz") shouldBe 0L
+    run(docs.repartition(5)) shouldBe est
+  }
+
   test("minhashLshIncremental finds cross-side near-dups only") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "runs far away into the deep dark forest tonight while stars shine"
