@@ -702,4 +702,38 @@ object Similarity {
       .select(col("_id").as(idCol), col("cluster"),
         col("_dropped").isNull.as("kept"))
   }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions —
+    * the cheap distance-preserving shrink applied before ANN indexing or
+    * pairwise dedup when the source embedding is wide (Achlioptas 2003:
+    * a dense +-1 sign matrix preserves pairwise distances in
+    * expectation with the same JL guarantee as Gaussian entries).
+    *
+    * Deterministic and engine-portable by construction: sign(k, j)
+    * comes from the repo's portable LCG hash of k*inDim + j — the same
+    * constants [[Sampling.portableHash]] uses — so an external engine
+    * regenerates the matrix from two integers, and each output
+    * coordinate is the native left-to-right [[dot]] against a literal
+    * sign row, scaled once by the driver-computed 1/sqrt(outDim)
+    * double (both replayed exactly by the oracle's ordered SUM).
+    *
+    * Scale shape: a PURE PROJECTION — no shuffle, no join, no state;
+    * the sign rows ride into every task as plan literals (outDim x
+    * inDim doubles, KBs). Returns (id, k, y) long-form rows. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    require(inDim > 0 && outDim > 0 && outDim <= inDim,
+      s"need 0 < outDim <= inDim, got $inDim -> $outDim")
+    val M = 2147483648L; val A = 1103515245L; val C = 12345L
+    def sign(idx: Long): Double =
+      if (((idx % M) * A + C) % M < M / 2) 1.0 else -1.0
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val ys = (0 until outDim).map { k =>
+      val signs = Array.tabulate(inDim)(j => sign(k.toLong * inDim + j))
+      (dot(col(vecCol), lit(signs)) * lit(scale)).as(s"_y$k")
+    }
+    df.select(col(idCol) +: ys: _*)
+      .select(col(idCol), posexplode(
+        array((0 until outDim).map(k => col(s"_y$k")): _*)).as(Seq("k", "y")))
+  }
 }

@@ -506,4 +506,14 @@ class PlanQualitySpec extends SparkSpec {
     plan should include("partial_count")
     plan.split("Exchange hashpartitioning").length - 1 should be <= 2
   }
+
+  test("randomProject is a pure projection — no shuffle, no join") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, Array.fill(64)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = planString(graft.text.Similarity
+      .randomProject(df, "vec_id", "embedding", 64, 16))
+    plan should not include "Exchange"
+    plan should not include "Join"
+  }
 }

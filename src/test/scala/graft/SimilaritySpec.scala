@@ -284,4 +284,29 @@ class SimilaritySpec extends SparkSpec {
       .toMap
     again shouldBe out
   }
+
+  test("randomProject: shape, norm preservation in expectation, " +
+      "partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 50L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.text.Similarity
+      .randomProject(d, "vec_id", "embedding", inDim = 64, outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val out = run(df)
+    out.size shouldBe 50 * 16
+    // JL with +-1 signs preserves norms in expectation: the MEAN ratio
+    // of projected to original squared norm over 50 gaussian vectors
+    // concentrates near 1 (deterministic — the matrix is fixed by hash)
+    val orig = df.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(v => v.toDouble * v).sum).toMap
+    val ratios = (0L until 50L).map { i =>
+      val p = (0 until 16).map(k => out((i, k))).map(y => y * y).sum
+      p / orig(i)
+    }
+    (ratios.sum / 50) shouldBe (1.0 +- 0.2)
+    run(df.repartition(7)) shouldBe out
+  }
 }

@@ -113,6 +113,30 @@ class StreamingSpec extends SparkSpec {
     rowSet(batch) shouldBe rowSet(streamed)
   }
 
+  test("sessionization output is independent of the micro-batch split") {
+    val rows = (0 until 40).map { i =>
+      (ts(f"2024-01-01 ${i / 4}%02d:${(i % 4) * 7}%02d:00"),
+        "click", (i % 3).toDouble, 0.0, i.toDouble)
+    }
+    val flush = (ts("2024-02-01 00:00:00"), "zz", 9.0, 9.0, 0.0)
+    def run(nBatches: Int, name: String) = {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Timestamp, String, Double, Double, Double)]
+      val q = StreamingOps.sessionizeStream(
+        stream.toDF().toDF("time", "band", "y", "x", "value"),
+        gapMs = 10 * 60 * 1000L, delay = "30 minutes").toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+        .foreach { b => stream.addData(b); q.processAllAvailable() }
+      stream.addData(Seq(flush)); q.processAllAvailable()
+      q.stop()
+      rowSet(spark.table(name).where(col("band") =!= "zz")
+        .select("band", "y", "x", "start", "end", "n_events", "sum_value"))
+    }
+    run(3, "sess_split3") shouldBe run(5, "sess_split5")
+  }
+
   test("late events merge into the correct open session before watermark expiry") {
     implicit val sqlCtx = spark.sqlContext
     val gap = 10 * 60 * 1000L
