@@ -906,6 +906,35 @@ object SparkEntry {
       } finally q.stop()
       s.table(sink)
     }),
+    "q_stream_hll" -> ((s, dir) => {
+      // the live distinct-count monitor executed through a REAL
+      // update-state micro-batch run: documents stream in 3 batches,
+      // tokens explode stream-side, the bounded register table lands in
+      // a complete-mode sink, and the estimate over the sink is the
+      // result — equal to the batch sketch by the per-register-max merge
+      // law (StreamingSpec pins every prefix), so q_hll_distinct's
+      // oracle replay verifies this execution too
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("text"))
+        .as[(String, String)].collect().sortBy(_._2)
+      val ms = MemoryStream[(String, String)]
+      val sink = "q_stream_hll_sink"
+      val toks = ms.toDF.toDF("lang", "text")
+        .select(col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("_tok"))
+        .where(col("_tok") =!= "")
+      val q = graft.streaming.StreamingOps
+        .distinctRegistersStream(toks, col("_tok"), Seq("lang"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      graft.text.Sketches.hllEstimate(s.table(sink), Seq("lang"))
+    }),
     "q_sample_fraction" -> ((s, dir) => {
       // deterministic Bernoulli sample: pure filter on a portable LCG
       // hash — reproducible across engines/partitionings, no shuffle
@@ -1393,6 +1422,67 @@ object SparkEntry {
            FROM f LEFT JOIN w2 USING (bucket) GROUP BY 1),
          zc3 AS (SELECT y.doc_id, y.y, coalesce(z3.z, 0.0) AS z
            FROM y LEFT JOIN z3 USING (doc_id))"""
+
+  /** Full HLL replay: FNV-1a HUGEINT byte fold -> murmur3 fmix64
+    * finalizer (xor-shift 33 = // 2^33; each 64-bit wrapping multiply
+    * splits into 32-bit halves so no product exceeds int128) ->
+    * LOW-11-bit register + trailing-zero rank of the remaining 53
+    * bits (ctz via bit_count((w & -w) - 1), capped at 51, the
+    * exact-long-sum contract) -> per-register max -> integer harmonic
+    * denominator -> estimate with linear-counting branch. The
+    * numerator constant is the IDENTICAL driver-computed double.
+    * Verifies q_hll_distinct AND q_stream_hll. */
+  private val hllDistinctSql: String = {
+      val numer = graft.text.Sketches.hllNumer(11)
+      s"""WITH tok AS (SELECT lang,
+             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               x -> x <> '')) AS g
+           FROM documents),
+         fh AS (SELECT lang,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM tok),
+         x1 AS (SELECT lang, xor(fh, fh // 8589934592) AS a FROM fh),
+         x2 AS (SELECT lang,
+             ((a % 4294967296) * 18397679294719823053
+              + ((a // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS b
+           FROM x1),
+         x3 AS (SELECT lang, xor(b, b // 8589934592) AS c FROM x2),
+         x4 AS (SELECT lang,
+             ((c % 4294967296) * 14181476777654086739
+              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS d
+           FROM x3),
+         x5 AS (SELECT lang, xor(d, d // 8589934592) AS hm FROM x4),
+         parts AS (SELECT lang,
+             CAST(hm % 2048 AS BIGINT) AS reg,
+             CAST(hm // 2048 AS BIGINT) AS w
+           FROM x5),
+         rk AS (SELECT lang, reg,
+             LEAST(bit_count((w & -w) - 1) + 1, 51) AS rank
+           FROM parts),
+         mr AS (SELECT lang, reg, MAX(rank) AS mr, count(*) AS n
+           FROM rk GROUP BY 1, 2),
+         ag AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_values,
+             count(*) AS n_registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - mr)) AS BIGINT) AS s
+           FROM mr GROUP BY 1)
+         SELECT lang, n_values, n_registers,
+           round(CASE WHEN CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) <= 5120.0 AND n_registers < 2048
+             THEN 2048.0 * ln(2048.0 / (2048.0 - CAST(n_registers AS DOUBLE)))
+             ELSE CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) END, 6) AS est_distinct
+         FROM ag"""
+  }
 
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
@@ -2595,65 +2685,11 @@ object SparkEntry {
            CAST(MIN(coalesce(sketch.cnt, 0)) AS BIGINT) AS est_count
          FROM pb LEFT JOIN sketch USING (j, bucket)
          GROUP BY 1""",
-    "q_hll_distinct" -> {
-      // full HLL replay: FNV-1a HUGEINT byte fold -> murmur3 fmix64
-      // finalizer (xor-shift 33 = // 2^33; each 64-bit wrapping multiply
-      // splits into 32-bit halves so no product exceeds int128) ->
-      // LOW-11-bit register + trailing-zero rank of the remaining 53
-      // bits (ctz via bit_count((w & -w) - 1), capped at 51, the
-      // exact-long-sum contract) -> per-register max -> integer harmonic
-      // denominator -> estimate with linear-counting branch. The
-      // numerator constant is the IDENTICAL driver-computed double.
-      val numer = graft.text.Sketches.hllNumer(11)
-      s"""WITH tok AS (SELECT lang,
-             unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-               x -> x <> '')) AS g
-           FROM documents),
-         fh AS (SELECT lang,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(0, octet_length(encode(g))),
-                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
-                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
-               (acc, byte) -> (xor(acc, byte) * 1099511628211)
-                 % 18446744073709551616) AS fh
-           FROM tok),
-         x1 AS (SELECT lang, xor(fh, fh // 8589934592) AS a FROM fh),
-         x2 AS (SELECT lang,
-             ((a % 4294967296) * 18397679294719823053
-              + ((a // 4294967296) * 18397679294719823053 % 4294967296)
-                * 4294967296) % 18446744073709551616 AS b
-           FROM x1),
-         x3 AS (SELECT lang, xor(b, b // 8589934592) AS c FROM x2),
-         x4 AS (SELECT lang,
-             ((c % 4294967296) * 14181476777654086739
-              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
-                * 4294967296) % 18446744073709551616 AS d
-           FROM x3),
-         x5 AS (SELECT lang, xor(d, d // 8589934592) AS hm FROM x4),
-         parts AS (SELECT lang,
-             CAST(hm % 2048 AS BIGINT) AS reg,
-             CAST(hm // 2048 AS BIGINT) AS w
-           FROM x5),
-         rk AS (SELECT lang, reg,
-             LEAST(bit_count((w & -w) - 1) + 1, 51) AS rank
-           FROM parts),
-         mr AS (SELECT lang, reg, MAX(rank) AS mr, count(*) AS n
-           FROM rk GROUP BY 1, 2),
-         ag AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_values,
-             count(*) AS n_registers,
-             CAST(SUM(CAST(1 AS BIGINT) << (51 - mr)) AS BIGINT) AS s
-           FROM mr GROUP BY 1)
-         SELECT lang, n_values, n_registers,
-           round(CASE WHEN CAST($numer AS DOUBLE) /
-                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
-                        AS DOUBLE) <= 5120.0 AND n_registers < 2048
-             THEN 2048.0 * ln(2048.0 / (2048.0 - CAST(n_registers AS DOUBLE)))
-             ELSE CAST($numer AS DOUBLE) /
-                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
-                        AS DOUBLE) END, 6) AS est_distinct
-         FROM ag"""
-    },
+    "q_hll_distinct" -> hllDistinctSql,
+    // the streamed register table collapses to the identical estimate
+    // (per-register max is batching-insensitive), so the batch replay
+    // verifies the streaming execution too
+    "q_stream_hll" -> hllDistinctSql,
     "q_multimodal_ann" ->
       // same stub-decode feature CTEs, UNROUNDED float-exact values, then
       // the brute-force cosine pattern (ordered sums = Spark's fold)

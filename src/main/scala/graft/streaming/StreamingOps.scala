@@ -299,6 +299,20 @@ object StreamingOps {
         .tokenWindows(lower(trim(col(textCol))), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
 
+  /** Live distinct-count monitor: the HLL register table maintained
+    * incrementally over a stream — an update-mode stateful groupBy max
+    * whose state is AT MOST |groups| x 2^p rows no matter how many
+    * values arrive (the unbounded-state concern of a streaming
+    * count(distinct) is exactly what the sketch removes). The sink holds
+    * the register table; estimates come from
+    * [[graft.text.Sketches.hllEstimate]] over the sink — after any
+    * stream prefix they equal the batch [[graft.text.Sketches.hllDistinct]]
+    * over the rows ingested so far (pinned in StreamingSpec), because
+    * per-register max is order- and batching-insensitive. */
+  def distinctRegistersStream(df: DataFrame, value: Column,
+      groupCols: Seq[String], p: Int = 11): DataFrame =
+    graft.text.Sketches.hllRegisters(df, value, groupCols, p)
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

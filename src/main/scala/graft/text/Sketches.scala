@@ -38,25 +38,60 @@ object Sketches {
     * largest precision whose worst-case harmonic denominator
     * (m-V)*2^51 + sum(2^(51-rank)) still fits a signed long. */
   def hllDistinct(df: DataFrame, value: Column, groupCols: Seq[String],
+      p: Int = 11): DataFrame =
+    hllEstimate(hllRegisters(df, value, groupCols, p), groupCols, p)
+
+  /** The sketch's MERGEABLE form: one row per (group, register) with the
+    * register's max rank and the exact value count. This is what a 100 TB
+    * deployment materializes per shard/partition/day — register tables
+    * union and re-max ([[hllMergeRegisters]]) without touching the data
+    * again, and the SAME aggregation runs incrementally on a stream
+    * (update-mode groupBy max — see `StreamingOps.distinctRegistersStream`).
+    */
+  def hllRegisters(df: DataFrame, value: Column, groupCols: Seq[String],
+      p: Int = 11): DataFrame = {
+    require(p >= 4 && p <= 11,
+      s"p must be in [4,11] (long-exact denominator bound), got $p")
+    val gcols = groupCols.map(col)
+    df.select(gcols :+
+        graft.functions.TextHashExprs.hllParts(value, p).as("_hp"): _*)
+      .select(gcols :+ col("_hp.reg").as("reg") :+
+        col("_hp.rank").as("rank"): _*)
+      .groupBy(gcols :+ col("reg"): _*)
+      .agg(max(col("rank")).as("max_rank"), count(lit(1)).as("n_values"))
+  }
+
+  /** Merge per-shard register tables (same p): union, re-max the ranks,
+    * re-sum the value counts. max is associative/commutative/idempotent,
+    * so shards may overlap in time or be replayed — the merged sketch
+    * equals the one-pass sketch over the union BIT-EXACTLY (law-tested),
+    * which is the property that lets 100 TB distinct counts come from
+    * unioning a few KB per shard. */
+  def hllMergeRegisters(shards: Seq[DataFrame],
+      groupCols: Seq[String]): DataFrame = {
+    require(shards.nonEmpty, "hllMergeRegisters needs at least one shard")
+    val gcols = groupCols.map(col)
+    shards.reduce(_.unionByName(_))
+      .groupBy(gcols :+ col("reg"): _*)
+      .agg(max(col("max_rank")).as("max_rank"),
+        sum(col("n_values")).as("n_values"))
+  }
+
+  /** Collapse a register table ([[hllRegisters]] /
+    * [[hllMergeRegisters]]) to per-group estimates. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
       p: Int = 11): DataFrame = {
     require(p >= 4 && p <= 11,
       s"p must be in [4,11] (long-exact denominator bound), got $p")
     val m = 1L << p
     val numer = hllNumer(p)
     val gcols = groupCols.map(col)
-    val regs = df
-      .select(gcols :+
-        graft.functions.TextHashExprs.hllParts(value, p).as("_hp"): _*)
-      .select(gcols :+ col("_hp.reg").as("_reg") :+
-        col("_hp.rank").as("_rank"): _*)
-      .groupBy(gcols :+ col("_reg"): _*)
-      .agg(max(col("_rank")).as("_mr"), count(lit(1)).as("_n"))
     val agg = regs
       .groupBy(gcols: _*)
-      .agg(sum(col("_n")).as("n_values"),
+      .agg(sum(col("n_values")).as("n_values"),
         count(lit(1)).as("n_registers"),
         sum(call_function("shiftleft", lit(1L),
-          lit(51) - col("_mr"))).as("_s"))
+          lit(51) - col("max_rank"))).as("_s"))
     // denominator in 2^-51 units: empty registers contribute 2^0 each
     val denom = (lit(m) - col("n_registers")) * lit(1L << 51) + col("_s")
     val raw = lit(numer) / denom.cast("double")

@@ -387,6 +387,29 @@ class StreamingSpec extends SparkSpec {
       xxhash64(lit("x")))
   }
 
+  test("streaming HLL registers: estimate after each prefix equals the " +
+      "batch sketch over rows ingested so far") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 900).map(i => ("g", s"tok${(i * 7) % 500}"))
+    val stream = MemoryStream[(String, String)]
+    val q = StreamingOps.distinctRegistersStream(
+        stream.toDF().toDF("g", "v"), col("v"), Seq("g"))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try rows.grouped(300).zipWithIndex.foreach { case (b, i) =>
+      stream.addData(b); q.processAllAvailable()
+      val streamed = graft.text.Sketches.hllEstimate(
+        spark.table("hll_regs"), Seq("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val prefix = rows.take((i + 1) * 300).toDF("g", "v")
+      val batch = graft.text.Sketches.hllDistinct(prefix, col("v"), Seq("g"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("streaming n-gram counts equal batch counts after any prefix") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

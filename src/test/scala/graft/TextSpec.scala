@@ -677,6 +677,35 @@ class TextSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("hll shard merge: union of per-shard register tables estimates " +
+      "bit-exactly like the one-pass sketch (with overlap)") {
+    val rows = (0 until 4000).map(i => ("g", s"tok${i % 1500}"))
+    val df = rows.toDF("g", "v")
+    val whole = graft.text.Sketches.hllDistinct(df, col("v"), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // disjoint shards: everything (occurrence counts included) must
+    // equal the one-pass sketch bit-for-bit
+    def regsOf(rs: Seq[(String, String)]) = graft.text.Sketches
+      .hllRegisters(rs.toDF("g", "v"), col("v"), Seq("g"))
+    val shards = Seq(rows.slice(0, 1600), rows.slice(1600, 2900),
+      rows.slice(2900, 4000)).map(regsOf)
+    val merged = graft.text.Sketches.hllEstimate(
+      graft.text.Sketches.hllMergeRegisters(shards, Seq("g")), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    merged shouldBe whole
+    // OVERLAPPING shards (replayed slice): max is idempotent, so the
+    // registers — and with them n_registers and the estimate — are
+    // unchanged; only the exact occurrence count double-counts
+    val overlapped = graft.text.Sketches.hllEstimate(
+      graft.text.Sketches.hllMergeRegisters(
+        shards :+ regsOf(rows.slice(1000, 2000)), Seq("g")), Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+      .toSet
+    overlapped shouldBe whole.map(t => (t._1, t._3, t._4))
+  }
+
   test("cmsFrequencyTokens: exact on a collision-free universe, zero " +
       "for absent probes, partition-invariant") {
     val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
