@@ -781,6 +781,23 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       graft.text.Search.topNgrams(d, "text", n = 3, k = 20)
     }),
+    "q_bpe_train" -> ((s, dir) => {
+      // distributed BPE vocabulary training: the corpus collapses ONCE
+      // to the weighted word table, then every merge iteration runs on
+      // the vocab only. The 12-merge table IS the model; the oracle
+      // replays the whole trajectory as generated unrolled SQL
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Bpe.trainMergesDf(d, "text", bpeMergeCount)
+    }),
+    "q_bpe_apply" -> ((s, dir) => {
+      // tokenize under the learned merges (trained in-query) and count
+      // subword tokens — apply is a map-side fold of literal replaces
+      // over the word table
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.text.Bpe
+        .trainMerges(d, "text", bpeMergeCount).map(_._2)
+      graft.text.Bpe.applyMerges(d, "text", merges)
+    }),
     "q_cap_domain" -> ((s, dir) => {
       // corpus balancing: keep at most 3 docs per (lang, source) cell,
       // preferring the longest, ties to the lowest doc_id
@@ -1422,6 +1439,36 @@ object SparkEntry {
            FROM f LEFT JOIN w2 USING (bucket) GROUP BY 1),
          zc3 AS (SELECT y.doc_id, y.y, coalesce(z3.z, 0.0) AS z
            FROM y LEFT JOIN z3 USING (doc_id))"""
+
+  /** Merge count for the BPE queries — shared by the Spark side and the
+    * generated oracle unroll. */
+  private val bpeMergeCount = 12
+
+  /** The BPE trajectory as generated unrolled SQL: step t derives pair
+    * counts from the step t-1 segmentations, picks argmax
+    * (count DESC, pair ASC), and applies the literal space-delimited
+    * replace — the same left-to-right non-overlapping semantics as the
+    * Spark/JVM side. Ends at w$bpeMergeCount (final segmentations) with
+    * b1..bN holding the chosen merges. */
+  private val bpeCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+               '\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY 1),
+         w0 AS (SELECT w, wc,
+             ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seg FROM words)"""
+    for (t <- 1 to bpeMergeCount) sb ++= s""",
+         p$t AS (SELECT pr, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS pr, wc
+             FROM (SELECT string_split(trim(seg), ' ') AS tk, wc
+                   FROM w${t - 1})) GROUP BY 1),
+         b$t AS (SELECT pr, cnt FROM p$t ORDER BY cnt DESC, pr LIMIT 1),
+         w$t AS (SELECT w, wc, replace(seg, ' ' || b$t.pr || ' ',
+             ' ' || replace(b$t.pr, ' ', '') || ' ') AS seg
+           FROM w${t - 1}, b$t)"""
+    sb.toString
+  }
 
   /** Full HLL replay: FNV-1a HUGEINT byte fold -> murmur3 fmix64
     * finalizer (xor-shift 33 = // 2^33; each 64-bit wrapping multiply
@@ -2685,6 +2732,15 @@ object SparkEntry {
            CAST(MIN(coalesce(sketch.cnt, 0)) AS BIGINT) AS est_count
          FROM pb LEFT JOIN sketch USING (j, bucket)
          GROUP BY 1""",
+    "q_bpe_train" -> (s"WITH $bpeCtes " +
+      (1 to bpeMergeCount).map(t =>
+        s"SELECT $t AS merge_rank, pr AS pair, cnt AS pair_count FROM b$t")
+        .mkString(" UNION ALL ")),
+    "q_bpe_apply" ->
+      s"""WITH $bpeCtes SELECT token,
+           CAST(SUM(wc) AS BIGINT) AS n_occurrences
+         FROM (SELECT unnest(string_split(trim(seg), ' ')) AS token, wc
+               FROM w$bpeMergeCount) GROUP BY 1""",
     "q_hll_distinct" -> hllDistinctSql,
     // the streamed register table collapses to the identical estimate
     // (per-register max is batching-insensitive), so the batch replay

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training and application (Sennrich et
+  * al. 2016), distributed the way the algorithm actually scales: the
+  * corpus collapses ONCE to the Zipf-bounded (word, count) table — one
+  * shuffle over the data, after which every merge iteration runs on the
+  * word table only, never re-reading the corpus. 100 TB of text becomes
+  * a few-million-row weighted vocabulary before the first merge.
+  *
+  * Representation: a word's segmentation is a SPACE-DELIMITED string
+  * (` h e l l o `, padded), because applying merge (a, b) is then
+  * exactly `replace(seg, ' a b ', ' ab ')` — the left-to-right
+  * non-overlapping literal replace that Spark, the JVM, and DuckDB all
+  * implement identically, which is what makes the whole T-step training
+  * trajectory hash-replayable by the oracle as unrolled SQL. Merges are
+  * word-internal (word-boundary splitting already happened); the
+  * classic end-of-word marker is omitted — it matters for
+  * detokenization, not for the merge dynamics.
+  *
+  * Determinism: pair counts are exact integer sums; the winning pair is
+  * argmax by (count DESC, pair ASC) — a total order, so the learned
+  * merge sequence is unique and engine-independent.
+  */
+object Bpe {
+
+  /** The weighted vocabulary: one row per distinct whitespace token with
+    * its corpus occurrence count (the repo-wide tokenizer contract). */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  private def initSeg: Column =
+    concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+
+  private def mergeOnce(seg: Column, pair: String): Column =
+    replace(seg, lit(" " + pair + " "),
+      lit(" " + pair.replace(" ", "") + " "))
+
+  /** Learn `nMerges` merges. Returns them in order as
+    * (merge_rank, pair, pair_count) — the merge TABLE is the model.
+    *
+    * Each iteration is one aggregation job over the word table (pair
+    * windows x word weight, partial+final sum) plus a driver-side
+    * argmax of ONE row; the lazily-layered replace chain re-derives
+    * segmentations from the checkpointed vocabulary, so per-iteration
+    * cost is O(vocab * merges-so-far) — all far below corpus scale. A
+    * production 30k-merge run would checkpoint the segmentation column
+    * every few hundred merges; the dynamics are unchanged. */
+  def trainMerges(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(Int, String, Long)] = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val words = wordTable(df, textCol).localCheckpoint(true)
+    var seg = initSeg
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var t = 1
+    var exhausted = false
+    while (t <= nMerges && !exhausted) {
+      val top = words
+        .select(explode(graft.functions.TextHashExprs
+          .tokenWindows(trim(seg), 2)).as("pr"), col("wc"))
+        .groupBy("pr").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pr"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        out += ((t, pair, top.head.getLong(1)))
+        seg = mergeOnce(seg, pair)
+        t += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[trainMerges]] as a DataFrame (merge_rank, pair, pair_count). */
+  def trainMergesDf(df: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    trainMerges(df, textCol, nMerges)
+      .toDF("merge_rank", "pair", "pair_count")
+  }
+
+  /** Tokenize the corpus under a learned merge sequence and count the
+    * resulting subword tokens: the fold of literal replaces runs
+    * map-side over the word table, so applying a tokenizer to 100 TB is
+    * again one corpus collapse + vocab-sized work. Returns
+    * (token, n_occurrences). */
+  def applyMerges(df: DataFrame, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val words = wordTable(df, textCol)
+    val segFinal = merges.foldLeft(initSeg)(mergeOnce)
+    words.select(explode(split(trim(segFinal), " ")).as("token"),
+        col("wc"))
+      .groupBy("token").agg(sum(col("wc")).as("n_occurrences"))
+  }
+}

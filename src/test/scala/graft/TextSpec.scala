@@ -723,6 +723,25 @@ class TextSpec extends SparkSpec {
     run(docs.repartition(5)) shouldBe est
   }
 
+  test("bpe trainMerges: counts, greedy left-to-right apply, and the " +
+      "(count desc, pair asc) tie-break") {
+    // vocab: aaab x2, aab x1. Step 1 pairs: 'a a' = 2*2+1 = 5 (two
+    // overlapping windows inside aaab), 'a b' = 2+1 = 3 -> merge 'a a'.
+    // Step 2: 'aa a' = 2 (aaab-> ' aa a b '), 'a b' = 2, 'aa b' = 1 ->
+    // tie 2/2 broken lexicographically: 'a b' < 'aa a' (space < 'a').
+    val docs = Seq((1L, "aaab aab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = graft.text.Bpe.trainMerges(docs, "text", 2)
+    merges shouldBe Seq((1, "a a", 5L), (2, "a b", 2L))
+    // apply: aaab -> ' a a a b ' -> ' aa a b ' -> ' aa ab '; aab -> ' aa b '
+    val toks = graft.text.Bpe
+      .applyMerges(docs, "text", merges.map(_._2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks shouldBe Map("aa" -> 3L, "ab" -> 2L, "b" -> 1L)
+    // deterministic on any partitioning (exact integer counts + total
+    // argmax order)
+    graft.text.Bpe.trainMerges(docs.repartition(5), "text", 2) shouldBe merges
+  }
+
   test("minhashLshIncremental finds cross-side near-dups only") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "runs far away into the deep dark forest tonight while stars shine"
