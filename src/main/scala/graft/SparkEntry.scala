@@ -659,6 +659,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_dedup_containment" -> ((s, dir) => {
+      // asymmetric overlap: 30 interior excerpts (substr 50..249 of docs
+      // 0..29, planted as new ids) are FOUND as contained-in-original at
+      // containment ~1.0 — exactly the pairs Jaccard's union denominator
+      // hides; natural near-dup pairs qualify too, and the oracle
+      // replays both directions
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val aug = d.select("doc_id", "lang", "source", "text")
+        .unionByName(d.where(col("doc_id") < 30)
+          .select((col("doc_id") + lit(20000L)).as("doc_id"),
+            col("lang"), col("source"),
+            substring(col("text"), 50, 200).as("text")))
+      Dedup.containmentPairs(aug, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.8)
+    }),
     "q_dedup_clusters" -> ((s, dir) => {
       // transitive closure of the near-dup pair list: alternating
       // large-star/small-star connected components (O(log n) rounds of
@@ -2456,6 +2471,32 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_dedup_containment" ->
+      // blocked all-pairs directed containment over the augmented corpus
+      // (same shingle formulation as q_dedup_minhash); orientation by
+      // CASE on the two ratios, ties keep the lower id contained
+      """WITH aug AS (SELECT doc_id, lang, source, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000, lang, source, substr(text, 50, 200)
+           FROM documents WHERE doc_id < 30),
+         sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM aug)),
+         pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS ca,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS cb
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id)
+         SELECT CASE WHEN ca >= cb THEN ida ELSE idb END AS contained_id,
+           CASE WHEN ca >= cb THEN idb ELSE ida END AS container_id,
+           round(GREATEST(ca, cb), 6) AS containment
+         FROM pr
+         WHERE round(GREATEST(ca, cb), 6) >= 0.8""",
     "q_dedup_incremental" ->
       // cross-side all-pairs exact Jaccard between the reconstructed
       // incoming shard and the reference corpus — LSH recall at the

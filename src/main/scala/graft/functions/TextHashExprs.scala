@@ -359,6 +359,41 @@ object TextHashExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Intersection SIZE of two pre-sorted distinct long arrays (the same
+    * linear merge as [[JaccardSortedDistinct]], returning the raw count)
+    * — the building block for ASYMMETRIC overlap measures like
+    * containment |A∩B|/|A|, which Jaccard's symmetric union denominator
+    * hides when the sets differ greatly in size. */
+  case class IntersectCountSorted(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_intersect_sorted"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_intersect_sorted needs (array<long>, array<long>), got ($l, $r)")
+      }
+
+    override def nullSafeEval(av: Any, bv: Any): Any = {
+      val a = tokensOf(av); val b = tokensOf(bv)
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var inter = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** One-pass repetition statistics over the (caller-lowered/trimmed)
     * text: tokenize the UTF-8 bytes, FNV-hash each token, and derive
     *
@@ -684,6 +719,13 @@ object TextHashExprs {
           "graft_jaccard_sorted"),
         (cs: Seq[Expression]) => JaccardSortedDistinct(cs(0), cs(1)))
     }
+    val ics = FunctionIdentifier("graft_intersect_sorted")
+    if (!registry.functionExists(ics)) {
+      registry.registerFunction(ics,
+        new ExpressionInfo(classOf[IntersectCountSorted].getName,
+          "graft_intersect_sorted"),
+        (cs: Seq[Expression]) => IntersectCountSorted(cs(0), cs(1)))
+    }
     val shh = FunctionIdentifier("graft_shingle_hashes")
     if (!registry.functionExists(shh)) {
       registry.registerFunction(shh,
@@ -768,6 +810,12 @@ object TextHashExprs {
   def jaccardLongSorted(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_jaccard_sorted", a, b)
+  }
+
+  /** Intersection size of pre-sorted distinct long arrays. */
+  def intersectCountSorted(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_intersect_sorted", a, b)
   }
 
   /** One-pass text→distinct-shingle-hash array (caller lowers/trims). */

@@ -310,6 +310,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC near-dup detection: directed containment pairs within
+    * blocks. containment(contained, container) = |A∩B| / |A| — the
+    * fraction of the SMALLER overlap side's shingles found in the other
+    * document. Jaccard divides by the union, so a short document quoted
+    * verbatim inside a long one scores near zero and survives dedup;
+    * containment scores it 1.0. Emits one directed row per qualifying
+    * pair: (contained_id, container_id, containment), the contained side
+    * being the one with higher containment (ties -> the LOWER id is
+    * "contained", so the orientation is deterministic).
+    *
+    * Same scale shape as [[ngramJaccardPairs]] — blocked self-join,
+    * sorted-merge intersection counts — minus the size-ratio prefilter
+    * (asymmetry is the point: a 100-token doc against a 10k-token doc is
+    * exactly the pair Jaccard prunes and containment must keep). At
+    * corpus scale feed it the same LSH/banding prefilter as the Jaccard
+    * path if block cardinalities are large. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val withSh = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id") :+
+        sort_array(graft.functions.TextHashExprs
+          .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh")): _*)
+      .withColumn("_n", size(col("sh")))
+    val a = withSh.as("a"); val b = withSh.as("b")
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    val inter = graft.functions.TextHashExprs
+      .intersectCountSorted(col("a.sh"), col("b.sh"))
+    val ca = inter.cast("double") / col("a._n") // a contained in b
+    val cb = inter.cast("double") / col("b._n") // b contained in a
+    a.join(b, joinCond)
+      .select(
+        when(ca >= cb, col("a.id")).otherwise(col("b.id")).as("contained_id"),
+        when(ca >= cb, col("b.id")).otherwise(col("a.id")).as("container_id"),
+        round(greatest(ca, cb), 6).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** 64-bit SimHash of the token stream: per-token xxhash64, sum of ±1 per
     * bit, sign → bit. Pure HOF fold, map-side only.
     *

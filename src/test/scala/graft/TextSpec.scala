@@ -723,6 +723,27 @@ class TextSpec extends SparkSpec {
     run(docs.repartition(5)) shouldBe est
   }
 
+  test("containmentPairs finds a quoted excerpt Jaccard misses, with " +
+      "deterministic direction") {
+    val long = (1 to 80).map(i => s"w$i").mkString(" ")
+    val excerpt = (21 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "g", long), (2L, "g", excerpt),
+      (3L, "g", "totally different tokens here nine ten eleven twelve"))
+      .toDF("doc_id", "blk", "text")
+    val out = Dedup.containmentPairs(docs, "text", "doc_id", Seq("blk"),
+        shingleN = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.length shouldBe 1
+    out.head._1 shouldBe 2L // the excerpt is the contained side
+    out.head._2 shouldBe 1L
+    out.head._3 shouldBe 1.0 // every excerpt shingle is in the original
+    // the same pair under symmetric Jaccard: 8 shared shingles / 78
+    // union ~= 0.1 — invisible at any usable threshold
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", Seq("blk"),
+      shingleN = 3, threshold = 0.08).collect()
+    j.foreach(r => r.getDouble(2) should be < 0.15)
+  }
+
   test("bpe trainMerges: counts, greedy left-to-right apply, and the " +
       "(count desc, pair asc) tie-break") {
     // vocab: aaab x2, aab x1. Step 1 pairs: 'a a' = 2*2+1 = 5 (two
