@@ -659,6 +659,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_boilerplate_strip" -> ((s, dir) => {
+      // C4 rule: a footer injected into every third doc (>= 3 distinct
+      // docs) is stripped from ALL of them; each doc's unique tail
+      // paragraph survives. Only repeated paragraphs reach the
+      // broadcast anti-join side
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val aug = d.select(col("doc_id"),
+        concat(col("text"), lit("\n\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter for daily updates"))
+            .otherwise(concat(lit("unique tail "),
+              col("doc_id").cast("string")))).as("text"))
+      Dedup.stripBoilerplate(aug, "text", "doc_id", minDocs = 3L)
+    }),
     "q_dedup_containment" -> ((s, dir) => {
       // asymmetric overlap: 30 interior excerpts (substr 50..249 of docs
       // 0..29, planted as new ids) are FOUND as contained-in-original at
@@ -2471,6 +2485,29 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_boilerplate_strip" ->
+      // same injection, paragraph split on the literal blank-line
+      // separator, digest breadth via count(DISTINCT doc_id), ordered
+      // reassembly
+      """WITH aug AS (SELECT doc_id,
+             text || chr(10) || chr(10) ||
+               CASE WHEN doc_id % 3 = 0
+                 THEN 'subscribe to our newsletter for daily updates'
+                 ELSE 'unique tail ' || doc_id END AS t2
+           FROM documents),
+         p0 AS (SELECT doc_id,
+             string_split(t2, chr(10) || chr(10)) AS ps FROM aug),
+         p AS (SELECT doc_id, unnest(ps) AS para,
+             generate_subscripts(ps, 1) - 1 AS pos FROM p0),
+         pf AS (SELECT * FROM p WHERE para <> ''),
+         b AS (SELECT md5(para) AS dg FROM pf
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+         k AS (SELECT doc_id, pos, para FROM pf
+           WHERE md5(para) NOT IN (SELECT dg FROM b))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras_kept,
+           array_to_string(list(para ORDER BY pos), chr(10) || chr(10))
+             AS clean_text
+         FROM k GROUP BY 1""",
     "q_dedup_containment" ->
       // blocked all-pairs directed containment over the augmented corpus
       // (same shingle formulation as q_dedup_minhash); orientation by

@@ -782,6 +782,42 @@ object Dedup {
     * partition; if that bites, pre-aggregate winners with
     * groupBy(digest).agg(min(struct(id, pos))) (partial-aggregatable)
     * and broadcast-join them back instead of the window. */
+  /** C4-style boilerplate removal (Raffel et al. 2020): drop every
+    * paragraph whose content appears in at least `minDocs` DISTINCT
+    * documents — navigation chrome, cookie banners, footers — and
+    * reassemble the survivors in order. Differs from
+    * [[dedupParagraphs]] (first-occurrence-wins): boilerplate removal
+    * keeps NO copy, and the trigger is cross-document breadth, not mere
+    * repetition.
+    *
+    * Scale shape: paragraphs collapse to (digest, distinct-doc count)
+    * via a partial+final aggregate; only digests crossing the threshold
+    * survive the filter, and THAT table is boilerplate-sized (the whole
+    * point is that few distinct paragraphs recur across many docs), so
+    * it broadcast-anti-joins the paragraph stream map-side. Documents
+    * made ENTIRELY of boilerplate disappear from the output (C4 drops
+    * them too). */
+  def stripBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+      minDocs: Long = 3L, sep: String = "\n\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_pos", "_para")))
+      .where(col("_para") =!= "")
+      .withColumn("_digest", md5(col("_para").cast("binary")))
+    val boiler = paras.groupBy(col("_digest"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs).select("_digest")
+    paras.join(broadcast(boiler), Seq("_digest"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_sort(collect_list(struct(col("_pos"), col("_para"))))
+          .as("_ps"))
+      .withColumn("clean_text", array_join(
+        transform(col("_ps"), s => s.getField("_para")), sep))
+      .drop("_ps")
+  }
+
   def dedupParagraphs(docs: DataFrame, textCol: String, idCol: String,
       sep: String = "\n\n"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

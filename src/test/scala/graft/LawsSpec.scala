@@ -535,4 +535,83 @@ class LawsSpec extends SparkSpec {
     // and the surgery removed tokens only from the 4 non-first copies
     cut.agg(sum("n_removed")).head().getLong(0) should be >= 4 * 8L
   }
+
+  private val wordGen: Gen[String] = for {
+    len <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(len, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  test("law: CMS estimate is an upper bound on the true count, exact " +
+      "for most probes at low load (random corpora)") {
+    for (seed <- 1L to 3L) {
+      val words = sample(wordGen, 400, seed)
+      val docs = words.grouped(20).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val exact = words.groupBy(identity).map { case (w, ws) =>
+        w -> ws.size.toLong }
+      val probes = exact.keys.take(12).toSeq
+      val est = graft.text.Sketches
+        .cmsFrequencyTokens(docs, "text", probes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach { w =>
+        est(w) should be >= exact(w) // CMS never undercounts
+        // 400 tokens in 4x1024 cells: collisions are rare — allow a
+        // small overcount, catch gross hash-quality failures
+        est(w) should be <= exact(w) + 5
+      }
+    }
+  }
+
+  test("law: HLL estimate tracks true cardinality within 4 sigma on " +
+      "random corpora across the LC/raw crossover") {
+    for ((nWords, seed) <- Seq((200, 11L), (3000, 12L), (9000, 13L))) {
+      val values = sample(Gen.choose(0, nWords * 10), nWords, seed)
+        .map(i => s"v$i").distinct
+      val df = values.map(v => ("g", v)).toDF("g", "v")
+      val est = graft.text.Sketches.hllDistinct(df, col("v"), Seq("g"))
+        .head().getDouble(3)
+      val err = math.abs(est - values.size) / values.size.toDouble
+      withClue(s"n=${values.size} est=$est: ") { err should be < 0.10 }
+    }
+  }
+
+  test("law: containment is symmetric-exact at the extremes — subset " +
+      "pairs score 1.0, disjoint pairs never appear") {
+    for (seed <- 21L to 23L) {
+      val words = sample(wordGen, 60, seed).distinct
+      val half = words.take(words.size / 2)
+      val docs = Seq(
+        (1L, "b", words.mkString(" ")),
+        (2L, "b", half.mkString(" ")),
+        (3L, "b", sample(Gen.listOfN(8, Gen.numChar), 8, seed + 99)
+          .map(_.mkString).mkString(" ")))
+        .toDF("doc_id", "blk", "text")
+      val out = graft.text.Dedup.containmentPairs(docs, "text", "doc_id",
+          Seq("blk"), shingleN = 3, threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // the half-doc's shingles are a strict subset (its 3-gram windows
+      // all appear in the full doc's prefix) -> containment exactly 1
+      out.map(t => (t._1, t._2)) should contain((2L, 1L))
+      out.foreach(_._3 shouldBe 1.0)
+    }
+  }
+
+  test("law: BPE apply conserves corpus token mass — subword " +
+      "occurrence-weighted lengths re-concatenate to the original words") {
+    for (seed <- 31L to 32L) {
+      val words = sample(wordGen, 150, seed)
+      val docs = words.grouped(15).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val merges = graft.text.Bpe.trainMerges(docs, "text", 6).map(_._2)
+      val toks = graft.text.Bpe.applyMerges(docs, "text", merges)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // total characters across subword tokens x occurrences equals the
+      // total characters of the corpus words: merges never create or
+      // destroy characters
+      val tokChars = toks.map { case (t, n) => t.length.toLong * n }.sum
+      tokChars shouldBe words.map(_.length.toLong).sum
+    }
+  }
 }

@@ -507,6 +507,37 @@ class PlanQualitySpec extends SparkSpec {
     plan.split("Exchange hashpartitioning").length - 1 should be <= 2
   }
 
+  test("incremental dedup: cross-side join carries band rows; verify " +
+      "shingles only for candidate ids") {
+    import spark.implicits._
+    val mk = (n: Int, off: Long) => (0 until n).map(i =>
+      (off + i, s"document body $i ${"filler token " * 20}"))
+      .toDF("doc_id", "text")
+    val plan = planString(graft.text.Dedup.minhashLshIncremental(
+      mk(40, 0L), mk(10, 1000L), "text", "doc_id"))
+    // the result is a localCheckpoint of the verified pairs — upstream
+    // shapes (band join on 24-byte rows, semi-joined shingle verify)
+    // execute during construction; what remains must be the bounded
+    // checkpointed table, never a corpus-scale recomputation
+    plan should include("Scan ExistingRDD")
+    plan should not include "Exchange"
+  }
+
+  test("stripBoilerplate: breadth table broadcast-anti-joins; paragraph " +
+      "stream never hash-shuffles for the join") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"body $i\n\nshared footer")).toDF("doc_id", "text")
+    val plan = planString(graft.text.Dedup.stripBoilerplate(
+      docs, "text", "doc_id", minDocs = 3L))
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    // exchanges: the digest-breadth aggregate (partial+final x2 for the
+    // distinct) and the per-doc reassembly — the anti-join itself adds
+    // none
+    plan should not include "SortMergeJoin"
+  }
+
   test("randomProject is a pure projection — no shuffle, no join") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, Array.fill(64)(i.toFloat)))

@@ -723,6 +723,26 @@ class TextSpec extends SparkSpec {
     run(docs.repartition(5)) shouldBe est
   }
 
+  test("stripBoilerplate: breadth >= minDocs strips ALL copies; " +
+      "2-doc repeats survive; all-boilerplate docs vanish") {
+    val footer = "subscribe now"
+    val docs = Seq(
+      (1L, s"alpha body\n\n$footer"),
+      (2L, s"beta body\n\n$footer\n\ntwice para"),
+      (3L, s"gamma body\n\n$footer"),
+      (4L, "delta body\n\ntwice para"),
+      (5L, footer)) // entirely boilerplate -> dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(docs, "text", "doc_id", minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out(1L) shouldBe ((1L, "alpha body"))
+    // the 2-doc "twice para" is below breadth threshold -> kept
+    out(2L) shouldBe ((2L, "beta body\n\ntwice para"))
+    out(4L) shouldBe ((2L, "delta body\n\ntwice para"))
+  }
+
   test("containmentPairs finds a quoted excerpt Jaccard misses, with " +
       "deterministic direction") {
     val long = (1 to 80).map(i => s"w$i").mkString(" ")
