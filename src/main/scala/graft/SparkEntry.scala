@@ -842,7 +842,12 @@ object SparkEntry {
       // iterations, including the FNV-1a bucket fold, as unrolled SQL
       // and must land on identical scores.
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // one checkpoint, two consumers: the trainer AND the scorer read
+      // the feature frame — without it the corpus-wide tokenize +
+      // explode + count aggregation runs twice (same fan-out rule as
+      // the curation DAGs)
       val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
       val labels = d.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
@@ -1194,7 +1199,10 @@ object SparkEntry {
       // the oracle replays the full trajectory including both trainings.
       import graft.text.{LanguageModel, Sampling}
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // checkpoint before the trainer/scorer fan-out (see
+      // q_hashed_classifier)
       val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
       val labels = d.select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
       val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",

@@ -154,7 +154,16 @@ object Dedup {
     val rb = bandRows(ref).persist()
     val ib = bandRows(inc).persist()
     rb.count(); ib.count()
-    val cands = ib.as("i").join(rb.as("r"),
+    // cross-side prune: only band keys the INCOMING shard actually
+    // carries can match, and the shard is orders of magnitude smaller
+    // than the corpus — broadcast its distinct key set and semi-join the
+    // reference band table BEFORE the join, so the corpus side shuffles
+    // only colliding keys instead of all 8n band rows. (For a shard too
+    // large to broadcast, drop the hint and let both band tables
+    // hash-partition — the join itself is unchanged.)
+    val incKeys = broadcast(ib.select(col("band"), col("bh")).distinct())
+    val rbLive = rb.join(incKeys, Seq("band", "bh"), "left_semi")
+    val cands = ib.as("i").join(rbLive.as("r"),
         col("i.band") === col("r.band") && col("i.bh") === col("r.bh"))
       .select(col("i.id").as("inc_id"), col("r.id").as("ref_id"))
       .dropDuplicates("inc_id", "ref_id")

@@ -53,7 +53,10 @@ object Sketches {
     require(p >= 4 && p <= 11,
       s"p must be in [4,11] (long-exact denominator bound), got $p")
     val gcols = groupCols.map(col)
-    df.select(gcols :+
+    // null values carry no cardinality information; without the guard a
+    // null would materialize as a phantom null register in every group
+    df.where(value.isNotNull)
+      .select(gcols :+
         graft.functions.TextHashExprs.hllParts(value, p).as("_hp"): _*)
       .select(gcols :+ col("_hp.reg").as("reg") :+
         col("_hp.rank").as("rank"): _*)

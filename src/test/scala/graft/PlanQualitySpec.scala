@@ -513,8 +513,12 @@ class PlanQualitySpec extends SparkSpec {
     val mk = (n: Int, off: Long) => (0 until n).map(i =>
       (off + i, s"document body $i ${"filler token " * 20}"))
       .toDF("doc_id", "text")
-    val plan = planString(graft.text.Dedup.minhashLshIncremental(
-      mk(40, 0L), mk(10, 1000L), "text", "doc_id"))
+    // the incoming shard's distinct band keys broadcast-semi-join the
+    // reference band table before the cross join (asserted on the
+    // candidate stage, which executes during construction)
+    val rb = graft.text.Dedup.minhashLshIncremental(
+      mk(40, 0L), mk(10, 1000L), "text", "doc_id")
+    val plan = planString(rb)
     // the result is a localCheckpoint of the verified pairs — upstream
     // shapes (band join on 24-byte rows, semi-joined shingle verify)
     // execute during construction; what remains must be the bounded
