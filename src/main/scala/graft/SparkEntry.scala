@@ -855,6 +855,21 @@ object SparkEntry {
       Classifier.scoreHashed(labels, feats, w, "doc_id")
         .select(col("doc_id"), col("y"), col("score"))
     }),
+    "q_classifier_auc" -> ((s, dir) => {
+      // model evaluation inside the pipeline: exact tie-aware
+      // Mann-Whitney AUC of the trained hashed classifier against its
+      // lang==en labels — 2x-scaled integer average ranks, one final
+      // division; the oracle replays training AND the rank arithmetic
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
+      Classifier.aucScore(scored, "score", "y")
+    }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights: target LM = the English slice, base LM =
       // the whole corpus; docs that look English-like score high. Both
@@ -3420,6 +3435,26 @@ object SparkEntry {
       s"""WITH $hashedGdCtes
          SELECT doc_id, y, round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
          FROM zc3""",
+    "q_classifier_auc" ->
+      // the GD replay's scores feed the tie-aware rank formulation:
+      // 2*avgRank = 2*cumBefore + n + 1 per score group (integer), so
+      // the oracle's sums are exact up to the one division
+      s"""WITH $hashedGdCtes,
+         sc AS (SELECT doc_id, y,
+             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
+         g AS (SELECT score AS s, count(*) AS n,
+             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p
+           FROM sc GROUP BY 1),
+         r AS (SELECT s, n, p,
+             COALESCE(SUM(n) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM g)
+         SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n - p) AS BIGINT) AS n_neg,
+           round(CAST(SUM(p * (2*cum + n + 1))
+                      - SUM(p) * (SUM(p) + 1) AS DOUBLE)
+                 / (2.0 * SUM(p) * SUM(n - p)), 9) AS auc
+         FROM r""",
     "q_curation_pipeline_v3" -> {
       val backoff = math.log(1e-9)
       s"""WITH $hashedGdCtes,

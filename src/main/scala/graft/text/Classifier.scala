@@ -84,6 +84,42 @@ object Classifier {
     w
   }
 
+  /** Exact tie-aware Mann-Whitney AUC of a scored, labeled frame — model
+    * evaluation as a pipeline operator (every trained gate needs its AUC
+    * before it filters a corpus). AUC = (sum of positives' average ranks
+    * - P(P+1)/2) / (P*N) under the ascending-score ordering, ties
+    * receiving the average rank of their score group.
+    *
+    * Engine-exact by integer scaling: a tie group's average rank is a
+    * half-integer, so 2*avgRank = first+last = 2*cumBefore + n + 1 is an
+    * INTEGER — all sums run in longs and only the single final division
+    * touches floating point (exact while P * sum(rank2) < 2^63, i.e.
+    * eval sets to ~10^9 rows; model evaluation runs on labeled samples,
+    * not the raw corpus). Scale shape: rows collapse to one row per
+    * DISTINCT score (bounded for a quantized-predictor scorer), and the
+    * rank window orders that bounded table only. Returns one row:
+    * (n_pos, n_neg, auc rounded to 9). */
+  def aucScore(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(labelCol).cast("long")).as("_p"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("_cum",
+        coalesce(sum(col("_n")).over(w), lit(0L)))
+      .withColumn("_rank2",
+        lit(2L) * col("_cum") + col("_n") + lit(1L))
+    ranked.agg(
+        sum(col("_p") * col("_rank2")).as("_sr2"),
+        sum(col("_p")).as("n_pos"),
+        sum(col("_n") - col("_p")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("_sr2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 9).as("auc"))
+  }
+
   /** Score a corpus with trained weights: `score` in (0,1), rounded to 9
     * like the ANN cosine outputs (the value is already engine-exact —
     * the rounding just fixes the presentation). */

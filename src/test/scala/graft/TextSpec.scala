@@ -677,6 +677,23 @@ class TextSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("aucScore: tie-aware Mann-Whitney AUC, hand-checked, " +
+      "partition-invariant") {
+    // asc order: 0.2(n) | tie {0.6(n), 0.6(p)} avg rank 2.5 | 0.8(p)
+    // pairwise: 3 wins + 1 tie (0.5) over 4 pairs -> AUC 0.875
+    val scored = Seq((0.8, 1.0), (0.6, 1.0), (0.6, 0.0), (0.2, 0.0))
+      .toDF("score", "y")
+    def run(d: org.apache.spark.sql.DataFrame) = Classifier
+      .aucScore(d, "score", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .head
+    run(scored) shouldBe ((2L, 2L, 0.875))
+    run(scored.repartition(3)) shouldBe ((2L, 2L, 0.875))
+    // perfect separation
+    val sep = Seq((0.9, 1.0), (0.8, 1.0), (0.3, 0.0)).toDF("score", "y")
+    run(sep)._3 shouldBe 1.0
+  }
+
   test("hll shard merge: union of per-shard register tables estimates " +
       "bit-exactly like the one-pass sketch (with overlap)") {
     val rows = (0 until 4000).map(i => ("g", s"tok${i % 1500}"))
