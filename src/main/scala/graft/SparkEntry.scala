@@ -659,6 +659,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_split_leakage" -> ((s, dir) => {
+      // the leakage audit proves the property the grouped split exists
+      // for: near-dup pairs live within (lang, source) blocks, the
+      // grouped split keeps each block whole -> zero cross-split pairs;
+      // the naive per-doc hash split demonstrably leaks on the same
+      // pair list
+      import graft.text.Sampling
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b").localCheckpoint(true)
+      val grouped = Sampling.assignSplit(
+          d.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
+          "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+      val h = Sampling.portableHash(col("doc_id"))
+      val naive = d.select(col("doc_id"),
+        when(h < lit(1717986918L), "train")
+          .when(h < lit(1932735283L), "val")
+          .otherwise("test").as("split"))
+      Sampling.splitLeakage(pairs, "id_a", "id_b", grouped,
+          "doc_id", "split")
+        .select(lit("grouped").as("mode"), col("n_pairs"), col("n_cross"))
+        .unionByName(Sampling
+          .splitLeakage(pairs, "id_a", "id_b", naive, "doc_id", "split")
+          .select(lit("naive").as("mode"), col("n_pairs"), col("n_cross")))
+    }),
     "q_boilerplate_strip" -> ((s, dir) => {
       // C4 rule: a footer injected into every third doc (>= 3 distinct
       // docs) is stripped from ALL of them; each doc's unique tail
@@ -2508,6 +2535,50 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_split_leakage" ->
+      // the q_ngram_jaccard pair formulation, joined against BOTH split
+      // rules: grouped md5-bucket (q_split_grouped's literals) and the
+      // naive per-doc LCG thresholds floor(0.8*2^31)/floor(0.9*2^31)
+      """WITH sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         grouped AS (SELECT doc_id,
+             CASE WHEN hv < 3435973836 THEN 'train'
+                  WHEN hv < 3865470566 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5(concat_ws('|', source, lang)), 1, 8))
+                    AS BIGINT) AS hv
+             FROM documents)),
+         naive AS (SELECT doc_id,
+             CASE WHEN hv < 1717986918 THEN 'train'
+                  WHEN hv < 1932735283 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+               ((doc_id % 2147483648) * 1103515245 + 12345)
+                 % 2147483648 AS hv
+             FROM documents))
+         SELECT 'grouped' AS mode, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ga.split <> gb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross
+         FROM pairs JOIN grouped ga ON ga.doc_id = pairs.id_a
+           JOIN grouped gb ON gb.doc_id = pairs.id_b
+         UNION ALL
+         SELECT 'naive', CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END)
+                AS BIGINT)
+         FROM pairs JOIN naive na ON na.doc_id = pairs.id_a
+           JOIN naive nb ON nb.doc_id = pairs.id_b""",
     "q_boilerplate_strip" ->
       // same injection, paragraph split on the literal blank-line
       // separator, digest breadth via count(DISTINCT doc_id), ordered

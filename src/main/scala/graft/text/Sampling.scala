@@ -221,6 +221,27 @@ object Sampling {
     df.where(portableHash(col(idCol)) < thrCol)
   }
 
+  /** Split-leakage audit: given a near-dup pair list and a split
+    * assignment, count the pairs whose two sides landed in DIFFERENT
+    * splits — the number a leakage-safe split must drive to zero
+    * (correlated documents straddling train/eval inflate benchmark
+    * scores). Returns one row: (n_pairs, n_cross).
+    *
+    * Scale shape: two broadcast-friendly joins of the (small, verified)
+    * pair list against the (id, split) projection — the corpus never
+    * shuffles; split tables at corpus scale are a pure projection of the
+    * hash rules anyway ([[assignSplit]]). */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+      splits: DataFrame, idCol: String, splitCol: String): DataFrame = {
+    val sa = splits.select(col(idCol).as(aCol), col(splitCol).as("_sa"))
+    val sb = splits.select(col(idCol).as(bCol), col(splitCol).as("_sb"))
+    pairs.select(aCol, bCol)
+      .join(sa, aCol).join(sb, bCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L))
+          .as("n_cross"))
+  }
+
   /** The curated-corpus shipping artifact: write the document set
     * hive-partitioned by the given columns (conventionally
     * `split, lang`), so downstream training jobs reading one split (or

@@ -677,6 +677,17 @@ class TextSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("splitLeakage counts cross-split pairs only") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
+      (4L, "train")).toDF("doc_id", "split")
+    val r = graft.text.Sampling
+      .splitLeakage(pairs, "id_a", "id_b", splits, "doc_id", "split")
+      .head()
+    r.getLong(0) shouldBe 2L
+    r.getLong(1) shouldBe 1L
+  }
+
   test("aucScore: tie-aware Mann-Whitney AUC, hand-checked, " +
       "partition-invariant") {
     // asc order: 0.2(n) | tie {0.6(n), 0.6(p)} avg rank 2.5 | 0.8(p)
