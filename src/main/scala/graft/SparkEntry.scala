@@ -897,6 +897,20 @@ object SparkEntry {
       val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
       Classifier.aucScore(scored, "score", "y")
     }),
+    "q_classifier_pr" -> ((s, dir) => {
+      // the gate's operating-point table: exact confusion counts +
+      // precision/recall at five thresholds, one map-side fan-out pass
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
+      Classifier.prAtThresholds(scored, "score", "y",
+        Seq(0.3, 0.45, 0.5, 0.55, 0.7))
+    }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights: target LM = the English slice, base LM =
       // the whole corpus; docs that look English-like score high. Both
@@ -3506,6 +3520,28 @@ object SparkEntry {
       s"""WITH $hashedGdCtes
          SELECT doc_id, y, round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
          FROM zc3""",
+    "q_classifier_pr" ->
+      // same GD-replay scores, unnested over the threshold literals;
+      // counts are exact, ratios guarded NULL when undefined
+      s"""WITH $hashedGdCtes,
+         sc AS (SELECT doc_id, y,
+             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
+         th AS (SELECT CAST(unnest([0.3, 0.45, 0.5, 0.55, 0.7]) AS DOUBLE)
+             AS threshold),
+         cf AS (SELECT th.threshold,
+             CAST(SUM(CASE WHEN sc.score >= th.threshold AND sc.y = 1.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN sc.score >= th.threshold AND sc.y = 0.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN sc.score < th.threshold AND sc.y = 1.0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM sc, th GROUP BY 1)
+         SELECT threshold, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+             THEN round(CAST(tp AS DOUBLE) / (tp + fp), 9) END AS precision,
+           CASE WHEN tp + fn > 0
+             THEN round(CAST(tp AS DOUBLE) / (tp + fn), 9) END AS recall
+         FROM cf""",
     "q_classifier_auc" ->
       // the GD replay's scores feed the tie-aware rank formulation:
       // 2*avgRank = 2*cumBefore + n + 1 per score group (integer), so

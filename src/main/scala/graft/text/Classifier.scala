@@ -120,6 +120,33 @@ object Classifier {
           (lit(2.0) * col("n_pos") * col("n_neg")), 9).as("auc"))
   }
 
+  /** Operating-point table for a scored, labeled frame: per threshold,
+    * the exact confusion counts and precision/recall — how a trained
+    * gate's cutoff is actually chosen. One pass: each row fans out to
+    * |thresholds| (threshold, counts) contributions that combine
+    * map-side; all counts are exact longs, the two ratios are single
+    * divisions rounded to 9 (precision is NULL when nothing is
+    * predicted positive — both engines agree on the NULL). */
+  def prAtThresholds(scored: DataFrame, scoreCol: String,
+      labelCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "prAtThresholds needs thresholds")
+    val y = col(labelCol).cast("long")
+    val pred = col(scoreCol) >= col("threshold")
+    scored.select(col(scoreCol), y.as("_y"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(pred && col("_y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && col("_y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && col("_y") === 1L, 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0L,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 9))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 9))
+          .as("recall"))
+  }
+
   /** Score a corpus with trained weights: `score` in (0,1), rounded to 9
     * like the ANN cosine outputs (the value is already engine-exact —
     * the rounding just fixes the presentation). */

@@ -677,6 +677,21 @@ class TextSpec extends SparkSpec {
     b shouldBe a
   }
 
+  test("prAtThresholds: exact confusion counts; precision NULL when " +
+      "nothing predicted positive") {
+    val scored = Seq((0.9, 1.0), (0.6, 0.0), (0.4, 1.0), (0.1, 0.0))
+      .toDF("score", "y")
+    val out = Classifier
+      .prAtThresholds(scored, "score", "y", Seq(0.5, 0.95))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    // t=0.5: predicted {0.9, 0.6} -> tp=1 fp=1 fn=1; p=0.5 r=0.5
+    out(0.5) shouldBe ((1L, 1L, 1L, Some(0.5), Some(0.5)))
+    // t=0.95: nothing predicted -> precision NULL, recall 0
+    out(0.95) shouldBe ((0L, 0L, 2L, None, Some(0.0)))
+  }
+
   test("splitLeakage counts cross-split pairs only") {
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
