@@ -897,6 +897,31 @@ object SparkEntry {
       val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
       Classifier.aucScore(scored, "score", "y")
     }),
+    "q_corpus_rollup" -> ((s, dir) => {
+      // dataset-card slices at every granularity in ONE aggregation:
+      // ROLLUP (lang, source) gives per-cell, per-lang and grand-total
+      // rows from a single partial+final grouping-sets pass
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          sum(TextAnalysis.tokenCountWs(col("text")).cast("long"))
+            .as("n_tokens"))
+    }),
+    "q_classifier_auc_by_source" -> ((s, dir) => {
+      // per-source gate quality: the rank window partitions by source,
+      // so each source ranks its own bounded score table (no global
+      // funnel); sources lacking both classes report NULL auc
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
+      val labels = d.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
+      Classifier.aucScoreBy(scored, "score", "y", Seq("source"))
+    }),
     "q_classifier_pr" -> ((s, dir) => {
       // the gate's operating-point table: exact confusion counts +
       // precision/recall at five thresholds, one map-side fan-out pass
@@ -3520,6 +3545,34 @@ object SparkEntry {
       s"""WITH $hashedGdCtes
          SELECT doc_id, y, round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
          FROM zc3""",
+    "q_corpus_rollup" ->
+      // GROUP BY ROLLUP mirrors Spark's rollup null-filled subtotals
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY ROLLUP(lang, source)""",
+    "q_classifier_auc_by_source" ->
+      // per-source rank windows over the GD-replay scores; groups
+      // lacking both classes yield NULL
+      s"""WITH $hashedGdCtes,
+         sc AS (SELECT z.doc_id, z.y, d.source,
+             round(0.5 + z.z/(2.0*(1.0+abs(z.z))), 9) AS score
+           FROM zc3 z JOIN documents d ON d.doc_id = z.doc_id),
+         g AS (SELECT source, score AS s, count(*) AS n,
+             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p
+           FROM sc GROUP BY 1, 2),
+         r AS (SELECT source, s, n, p,
+             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM g)
+         SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n - p) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(p) > 0 AND SUM(n - p) > 0
+             THEN round(CAST(SUM(p * (2*cum + n + 1))
+                        - SUM(p) * (SUM(p) + 1) AS DOUBLE)
+                   / (2.0 * SUM(p) * SUM(n - p)), 9) END AS auc
+         FROM r GROUP BY 1""",
     "q_classifier_pr" ->
       // same GD-replay scores, unnested over the threshold literals;
       // counts are exact, ratios guarded NULL when undefined

@@ -100,24 +100,36 @@ object Classifier {
     * rank window orders that bounded table only. Returns one row:
     * (n_pos, n_neg, auc rounded to 9). */
   def aucScore(scored: DataFrame, scoreCol: String,
-      labelCol: String): DataFrame = {
-    val g = scored.groupBy(col(scoreCol).as("_s"))
+      labelCol: String): DataFrame =
+    aucScoreBy(scored, scoreCol, labelCol, Seq.empty)
+
+  /** [[aucScore]] per group — per-source / per-domain gate quality in
+    * one pass. The rank window partitions by group, so each group ranks
+    * its own bounded distinct-score table independently (no global
+    * funnel). Groups lacking both classes get a NULL auc (their counts
+    * still report). */
+  def aucScoreBy(scored: DataFrame, scoreCol: String, labelCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val g = scored.groupBy(gcols :+ col(scoreCol).as("_s"): _*)
       .agg(count(lit(1)).as("_n"),
         sum(col(labelCol).cast("long")).as("_p"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("_s"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val ranked = g.withColumn("_cum",
         coalesce(sum(col("_n")).over(w), lit(0L)))
       .withColumn("_rank2",
         lit(2L) * col("_cum") + col("_n") + lit(1L))
-    ranked.agg(
-        sum(col("_p") * col("_rank2")).as("_sr2"),
-        sum(col("_p")).as("n_pos"),
-        sum(col("_n") - col("_p")).as("n_neg"))
-      .select(col("n_pos"), col("n_neg"),
+    val agg = ranked.groupBy(gcols: _*).agg(
+      sum(col("_p") * col("_rank2")).as("_sr2"),
+      sum(col("_p")).as("n_pos"),
+      sum(col("_n") - col("_p")).as("n_neg"))
+    agg.select(gcols :+ col("n_pos") :+ col("n_neg") :+
+      when(col("n_pos") > 0L && col("n_neg") > 0L,
         round((col("_sr2") - col("n_pos") * (col("n_pos") + lit(1L)))
             .cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 9).as("auc"))
+          (lit(2.0) * col("n_pos") * col("n_neg")), 9)).as("auc"): _*)
   }
 
   /** Operating-point table for a scored, labeled frame: per threshold,

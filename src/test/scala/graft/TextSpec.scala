@@ -692,6 +692,19 @@ class TextSpec extends SparkSpec {
     out(0.95) shouldBe ((0L, 0L, 2L, None, Some(0.0)))
   }
 
+  test("aucScoreBy: per-group ranks are independent; one-class groups " +
+      "yield NULL auc") {
+    val scored = Seq(
+      ("a", 0.8, 1.0), ("a", 0.6, 1.0), ("a", 0.6, 0.0), ("a", 0.2, 0.0),
+      ("b", 0.9, 1.0), ("b", 0.1, 1.0)) // group b: positives only
+      .toDF("g", "score", "y")
+    val out = Classifier.aucScoreBy(scored, "score", "y", Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    out("a") shouldBe ((2L, 2L, Some(0.875))) // same hand-check as global
+    out("b") shouldBe ((2L, 0L, None))
+  }
+
   test("splitLeakage counts cross-split pairs only") {
     val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
     val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"),
