@@ -202,9 +202,13 @@ object Sampling {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha not in (0,1]")
     require(target > 0, s"target $target must be positive")
     // bounded driver-side collect: one row per source (the weight vector
-    // of the published rule is itself per-source, so this is inherent)
+    // of the published rule is itself per-source, so this is inherent).
+    // Null sources get no rate and therefore never pass the keep filter
+    // (the when-chain falls through to threshold 0) — skip them here or
+    // the weight normalization would count mass no row can ever claim.
     val counts = df.groupBy(col(sourceCol)).count()
       .collect()
+      .filter(!_.isNullAt(0))
       .map(r => (r.get(0).toString, r.getLong(1)))
       .sortBy(_._1)
     val weights = counts.map { case (g, n) => (g, math.pow(n.toDouble, alpha), n) }

@@ -157,7 +157,11 @@ object Sketches {
     * under), within eps*N with the standard (d,w) guarantees. Returns
     * (token, est_count); ALL-INTEGER arithmetic, so the estimate is
     * engine-exact with no rounding contract at all. The probe side is a
-    * handful of literals: its bucket rows broadcast-join the sketch. */
+    * handful of literals: its bucket rows broadcast-join the sketch.
+    * Probes must already be in the token stream's normal form
+    * (lowercase — the stream is lowered before hashing); an
+    * un-normalized probe silently estimates the frequency of a token
+    * that cannot occur. */
   def cmsFrequencyTokens(df: DataFrame, textCol: String,
       probes: Seq[String], d: Int = 4, w: Int = 1024): DataFrame = {
     require(probes.nonEmpty, "cmsFrequencyTokens needs at least one probe")
