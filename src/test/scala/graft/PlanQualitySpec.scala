@@ -542,6 +542,33 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("evaluation tier: PR fan-out and grouped AUC never join the " +
+      "corpus; rollup is one grouping-sets aggregate") {
+    import spark.implicits._
+    val scored = (0L until 200L).map(i =>
+      ("s" + (i % 4), i / 200.0, (i % 2).toDouble))
+      .toDF("source", "score", "y")
+    // PR table: explode fan-out + ONE partial+final aggregation
+    val pr = planString(graft.text.Classifier.prAtThresholds(
+      scored, "score", "y", Seq(0.25, 0.5, 0.75)))
+    pr should not include "Join"
+    pr should include("partial_")
+    pr.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    // grouped AUC: two aggs + a group-partitioned window, no join
+    val auc = planString(graft.text.Classifier.aucScoreBy(
+      scored, "score", "y", Seq("source")))
+    auc should not include "Join"
+    auc should include("Window")
+    // rollup: grouping sets expand into ONE aggregate pass
+    val docs = (0L until 50L).map(i =>
+      (i, "l" + (i % 3), "s" + (i % 2), 10L, "a b c")).toDF(
+      "doc_id", "lang", "source", "n_chars", "text")
+    val ru = planString(docs.rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs")))
+    ru should include("Expand")
+    ru.split("Exchange hashpartitioning").length - 1 shouldBe 1
+  }
+
   test("randomProject is a pure projection — no shuffle, no join") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, Array.fill(64)(i.toFloat)))
