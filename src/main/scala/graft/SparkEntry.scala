@@ -2329,7 +2329,9 @@ object SparkEntry {
                || chr(10) || 'to be continued...' AS t2
            FROM documents),
          tk AS (SELECT doc_id, t2,
-             string_split_regex(trim(t2), '\s+') AS t,
+             CASE WHEN NOT regexp_matches(t2, '\S')
+               THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(t2), '\s+') END AS t,
              string_split(t2, chr(10)) AS l
            FROM s),
          m AS (SELECT doc_id,
@@ -2344,7 +2346,8 @@ object SparkEntry {
                / greatest(len(t), 1), 6) AS frac_alpha_words,
              CAST(len(list_filter(
                  ['the','be','to','of','and','that','have','with'],
-                 s2 -> list_contains(t, s2))) AS INT) AS n_stops_present,
+                 s2 -> list_contains(list_transform(t, x -> lower(x)),
+                   s2))) AS INT) AS n_stops_present,
              round(CAST(len(list_filter(l, x ->
                  starts_with(trim(x), '• ') OR starts_with(trim(x), '- ')
                  OR starts_with(trim(x), '* '))) AS DOUBLE)

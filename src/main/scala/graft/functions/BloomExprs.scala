@@ -52,10 +52,28 @@ object BloomExprs {
     * site and with an opaque message. */
   def mightContain(bloom: Column, value: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
-    // node-class check (internal.Literal is private[sql] to Scala but the
-    // node accessor itself is public API)
-    val constant =
-      bloom.node.getClass.getName == "org.apache.spark.sql.internal.Literal"
+    // structural check: analyze the column against a one-row relation and
+    // ask the resolved Catalyst expression for foldability — accepts
+    // lit(bytes) and anything Spark would constant-fold over it
+    // (cast/alias), survives internal package renames, and rejects
+    // attribute references (they fail resolution against the dummy
+    // relation or resolve non-foldable). Driver-side, one tiny analyzer
+    // pass, on a path called once per probe construction.
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val constant = session match {
+      case Some(s) => scala.util.Try {
+        s.range(1).select(bloom.as("b"))
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed.expressions.collectFirst {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child.foldable
+          }.getOrElse(false)
+      }.getOrElse(false)
+      // no session yet (column built before any Spark work): accept a
+      // raw literal node; wrapped constants need the analyzer to judge
+      case None => bloom.node.getClass.getSimpleName == "Literal"
+    }
     if (!constant)
       throw graft.OpenEoError("BloomNotConstant",
         "mightContain needs a constant bloom sketch: collect the " +

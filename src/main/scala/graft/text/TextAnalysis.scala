@@ -188,7 +188,12 @@ object TextAnalysis {
     *    stops ≥ 2, bullets ≤ 0.9, ellipsis-ends ≤ 0.3). */
   def gopherRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val text = col(textCol)
-    val words = split(trim(text), "\\s+")
+    // split of an empty string yields [""] (one phantom word); guard on
+    // "contains any non-whitespace" (trim strips only spaces, so a
+    // length-after-trim test would miss "\n") so empty/whitespace-only
+    // docs report n_words = 0, not 1
+    val words = when(!text.rlike("\\S"),
+      array().cast("array<string>")).otherwise(split(trim(text), "\\s+"))
     val nWords = size(words)
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
     val meanLen = round(sumLen.cast("double") /
@@ -200,8 +205,10 @@ object TextAnalysis {
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val fracAlpha = round(alphaWords.cast("double") /
       greatest(nWords, lit(1)).cast("double"), 6)
+    // case-insensitive per Rae et al. (sentence-initial 'The'/'And' count)
+    val lowWords = transform(words, w => lower(w))
     val stopsPresent = size(filter(
-      array(gopherStops.map(lit): _*), s => array_contains(words, s)))
+      array(gopherStops.map(lit): _*), s => array_contains(lowWords, s)))
     val lines = split(text, "\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
     val bulletLines = size(filter(lines, l =>

@@ -385,6 +385,15 @@ class StreamingSpec extends SparkSpec {
     // the literal path still builds (analysis-time contract unchanged)
     graft.functions.BloomExprs.mightContain(lit(Array[Byte](1, 2, 3)),
       xxhash64(lit("x")))
+    // structural, not name-based: a constant-foldable wrapper over a
+    // literal (alias, cast) is accepted too — Spark would fold it.
+    // Touch the shared session first: judging wrapped constants needs
+    // the analyzer (raw literals are accepted even session-less).
+    spark.range(1).count()
+    graft.functions.BloomExprs.mightContain(
+      lit(Array[Byte](1, 2, 3)).as("sketch"), xxhash64(lit("x")))
+    graft.functions.BloomExprs.mightContain(
+      lit("AQID").cast("binary"), xxhash64(lit("x")))
   }
 
   test("streaming HLL registers: estimate after each prefix equals the " +

@@ -312,6 +312,17 @@ class TextSpec extends SparkSpec {
     val out2 = TextAnalysis.gopherRules(
       Seq((2L, good)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
     out2.getAs[Boolean]("gopher_pass") shouldBe true
+    // stopword presence is case-insensitive (sentence-initial 'The'/'And'
+    // count toward n_stops_present, per Rae et al.)
+    val cased = TextAnalysis.gopherRules(
+      Seq((3L, "The cat And dog THAT ran")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()(0)
+    cased.getAs[Int]("n_stops_present") shouldBe 3 // the, and, that
+    // empty / whitespace-only text reports zero words, not one phantom
+    val empty = TextAnalysis.gopherRules(
+      Seq((4L, ""), (5L, "   \n  ")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()
+    empty.foreach(_.getAs[Int]("n_words") shouldBe 0)
   }
 
   test("redactPii counts and redacts emails, IPs, phones in order") {
