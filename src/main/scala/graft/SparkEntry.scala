@@ -1114,6 +1114,62 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_multimodal_real" -> ((s, dir) => {
+      // REAL image bytes end-to-end: each doc's UTF-8 bytes tile a w×h
+      // RGB image (w = 1+len%7, h = 1+len%5, pixel j = byte j%len), which
+      // is written as a genuine bottom-up row-padded 24-bpp BMP and
+      // parsed back through BmpCodec — a BGR-swap, row-order or padding
+      // decode bug shifts every stat. The oracle replays the generative
+      // pixel math from the hex of the text bytes (never parsing BMP).
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bmp = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 1)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val len = tb.length
+          val w = 1 + len % 7; val h = 1 + len % 5
+          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
+          (id, Multimodal.BmpCodec.encode(
+            Multimodal.Decoded("bmp", w, h, 3, 1, px)))
+        }.toDF("doc_id", "payload")
+      Multimodal.featureExtract(
+          Multimodal.decodeMeta(bmp, "payload", Multimodal.BmpCodec),
+          "payload", dim = 6, codec = Multimodal.BmpCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
+    "q_multimodal_wav" -> ((s, dir) => {
+      // REAL audio bytes: doc bytes (truncated to an even count) are the
+      // 8-bit sample plane of a stereo 16-bit PCM WAV (sample =
+      // (b-128)<<8), written and re-parsed by WavCodec — the RIFF chunk
+      // walk and little-endian sample decode map back to exactly the
+      // source bytes, which the oracle reads directly from hex(text).
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val wav = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 2)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val n = tb.length - (tb.length % 2)
+          (id, Multimodal.WavCodec.encode(
+            Multimodal.Decoded("wav", n / 2, 1, 2, 1, tb.take(n))))
+        }.toDF("doc_id", "payload")
+      Multimodal.featureExtract(
+          Multimodal.decodeMeta(wav, "payload", Multimodal.WavCodec),
+          "payload", dim = 4, codec = Multimodal.WavCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("frames_per_ch"),
+          col("meta.channels").as("channels"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
     "q_chunk_tokens" -> ((s, dir) => {
       // context-length chunking: 32-token chunks, remainder in the last
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2796,6 +2852,90 @@ object SparkEntry {
            GROUP BY f.doc_id, f.feat_idx
          )
          SELECT m.doc_id, m.width, m.mean_px, fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_real" ->
+      // the BMP round-trip is generative: pixel j = text byte (j % len),
+      // w = 1+len%7, h = 1+len%5 — the oracle computes the stats straight
+      // from those bytes; a decode bug on the Spark side (BGR order,
+      // bottom-up rows, row padding) would desynchronize the hash
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE octet_length(encode(text)) >= 1
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 7) AS width,
+                  1 + (len % 5) AS height,
+                  (1 + (len % 7)) * (1 + (len % 5)) * 3 AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.j,
+                  CAST(('0x' || substr(p.h,
+                    CAST((g.j % p.len) * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
+           FROM p, generate_series(0, 104) AS g(j)
+           WHERE g.j < p.px_len
+         ), m AS (
+           SELECT p.doc_id, p.width, p.height,
+                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
+           FROM p JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.width, p.height
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 6) AS block, p.px_len
+           FROM p, generate_series(0, 5) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.j >= f.feat_idx * f.block
+            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, 'bmp' AS format, m.width, m.height, m.mean_px,
+                fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_wav" ->
+      // WAV round-trip maps sample i back to text byte i exactly
+      // ((((b-128)<<8) >> 8) + 128 = b), so the oracle reads the even
+      // prefix of the text bytes; frames_per_ch = floor(len/2) at 2 ch
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE octet_length(encode(text)) >= 2
+         ), p AS (
+           SELECT doc_id, h, len, len - (len % 2) AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.j,
+                  CAST(('0x' || substr(p.h,
+                    CAST(g.j * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
+           FROM p, generate_series(0, 4095) AS g(j)
+           WHERE g.j < p.px_len
+         ), m AS (
+           SELECT p.doc_id, p.px_len // 2 AS frames_per_ch,
+                  p.px_len,
+                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
+           FROM p JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.px_len
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 4) AS block, p.px_len
+           FROM p, generate_series(0, 3) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.j >= f.feat_idx * f.block
+            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, 'wav' AS format, m.frames_per_ch,
+                2 AS channels, m.mean_px, fv.feat_idx,
                 CASE WHEN fv.n = 0 THEN 0.0
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val

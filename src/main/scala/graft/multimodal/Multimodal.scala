@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * `mapInPandas`, one codec instantiation per partition, streaming through
   * rows without collecting.
   *
-  * Codec reality: this container has no image/audio libraries, so the
-  * byte-level decoders are STUBS behind [[Codec]] — a deterministic fake
-  * format ("GRFT") carries real metadata in a parsed header, and pixel
-  * payloads are synthesized from the bytes. The Spark-side plumbing —
-  * schema, batch iteration, partition sizing, output shapes — is real and
-  * is what a production codec would drop into.
+  * Codecs behind the [[Codec]] seam: [[BmpCodec]] (uncompressed 24-bit
+  * BI_RGB Windows BMP — real byte format, pure JVM) and [[WavCodec]]
+  * (RIFF/WAVE 16-bit PCM — real byte format, pure JVM) decode actual
+  * container bytes; [[FakeCodec]] remains as the deterministic synthetic
+  * "GRFT" container for formats this container has no library for
+  * (JPEG/PNG/MP3 need native or large-JVM codecs). The Spark-side
+  * plumbing — schema, batch iteration, partition sizing, output shapes —
+  * is codec-agnostic.
   */
 object Multimodal {
 
@@ -65,6 +67,188 @@ object Multimodal {
         val w = 1 + math.floorMod(payload.length, 64)
         Decoded("unknown", w, 1, 1, 1, payload.take(w))
       }
+  }
+
+  /** REAL pure-JVM image codec: uncompressed 24-bit BI_RGB Windows BMP
+    * (BITMAPINFOHEADER). Handles the three byte-layout traps a naive
+    * reader gets wrong — rows stored bottom-up (positive height) or
+    * top-down (negative height), per-pixel BGR order, and 4-byte row
+    * padding — and normalizes to the seam's row-major top-down RGB
+    * `Decoded`. Unsupported variants (palette/16/32-bpp, RLE, core
+    * header) raise a typed error rather than mis-decoding. */
+  object BmpCodec extends Codec {
+    private def u16(a: Array[Byte], o: Int): Int =
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8)
+    private def i32(a: Array[Byte], o: Int): Int =
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) |
+        ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24)
+    private def putU16(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = v.toByte; a(o + 1) = (v >>> 8).toByte
+    }
+    private def putI32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = v.toByte; a(o + 1) = (v >>> 8).toByte
+      a(o + 2) = (v >>> 16).toByte; a(o + 3) = (v >>> 24).toByte
+    }
+    private def bad(why: String): Nothing =
+      throw graft.OpenEoError("CodecError", s"BmpCodec: $why")
+
+    /** Writes canonical bottom-up 24-bpp BI_RGB. `Decoded` must carry
+      * channels=3, nFrames=1, pixels row-major top-down RGB. */
+    def encode(d: Decoded): Array[Byte] = {
+      if (d.channels != 3 || d.nFrames != 1)
+        bad(s"encode needs channels=3, nFrames=1 (got ${d.channels}/${d.nFrames})")
+      if (d.pixels.length != d.width * d.height * 3)
+        bad(s"pixel buffer ${d.pixels.length} != ${d.width}x${d.height}x3")
+      val rowSize = ((d.width * 3 + 3) / 4) * 4
+      val imageSize = rowSize * d.height
+      val out = Array.ofDim[Byte](54 + imageSize) // padding pre-zeroed
+      out(0) = 'B'; out(1) = 'M'
+      putI32(out, 2, 54 + imageSize); putI32(out, 10, 54)
+      putI32(out, 14, 40); putI32(out, 18, d.width); putI32(out, 22, d.height)
+      putU16(out, 26, 1); putU16(out, 28, 24)
+      putI32(out, 34, imageSize)
+      putI32(out, 38, 2835); putI32(out, 42, 2835) // 72 dpi in px/metre
+      var y = 0
+      while (y < d.height) {
+        val fileRow = d.height - 1 - y // bottom-up
+        var x = 0
+        while (x < d.width) {
+          val src = (y * d.width + x) * 3
+          val dst = 54 + fileRow * rowSize + x * 3
+          out(dst) = d.pixels(src + 2)     // B
+          out(dst + 1) = d.pixels(src + 1) // G
+          out(dst + 2) = d.pixels(src)     // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
+        bad("not a BMP (missing 'BM' magic or truncated header)")
+      val dataOffset = i32(payload, 10)
+      val dibSize = i32(payload, 14)
+      if (dibSize < 40) bad(s"unsupported DIB header size $dibSize (BITMAPCOREHEADER?)")
+      val width = i32(payload, 18)
+      val rawHeight = i32(payload, 22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      val bpp = u16(payload, 28)
+      val compression = i32(payload, 30)
+      if (bpp != 24) bad(s"unsupported bit depth $bpp (only 24-bpp BI_RGB)")
+      if (compression != 0) bad(s"unsupported compression $compression (only BI_RGB)")
+      if (width <= 0 || height == 0) bad(s"bad dimensions ${width}x$rawHeight")
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      if (payload.length < dataOffset + rowSize * height)
+        bad(s"truncated pixel data: need ${dataOffset + rowSize * height}, have ${payload.length}")
+      val px = Array.ofDim[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val fileRow = if (topDown) y else height - 1 - y
+        var x = 0
+        while (x < width) {
+          val src = dataOffset + fileRow * rowSize + x * 3
+          val dst = (y * width + x) * 3
+          px(dst) = payload(src + 2)     // R
+          px(dst + 1) = payload(src + 1) // G
+          px(dst + 2) = payload(src)     // B
+          x += 1
+        }
+        y += 1
+      }
+      Decoded("bmp", width, height, 3, 1, px)
+    }
+  }
+
+  /** REAL pure-JVM audio codec: RIFF/WAVE, 16-bit little-endian PCM.
+    * Walks the chunk list (skipping LIST/fact/etc., as real files carry
+    * them), requires format tag 1 (PCM) at 16 bits, and maps each sample
+    * to the seam's byte plane as its high byte offset by 128 —
+    * `encode(decode(wav))` is lossy in the low byte by construction, but
+    * `decode(encode(d))` round-trips `Decoded` exactly, which is the
+    * contract the pipeline math needs. width = frames (samples per
+    * channel), height = 1, interleaved channel order preserved. */
+  object WavCodec extends Codec {
+    val SampleRate = 16000
+    private def u16(a: Array[Byte], o: Int): Int =
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8)
+    private def i32(a: Array[Byte], o: Int): Int =
+      (a(o) & 0xff) | ((a(o + 1) & 0xff) << 8) |
+        ((a(o + 2) & 0xff) << 16) | ((a(o + 3) & 0xff) << 24)
+    private def bad(why: String): Nothing =
+      throw graft.OpenEoError("CodecError", s"WavCodec: $why")
+
+    def encode(d: Decoded): Array[Byte] = {
+      if (d.height != 1 || d.nFrames != 1)
+        bad(s"encode needs height=1, nFrames=1 (got ${d.height}/${d.nFrames})")
+      if (d.pixels.length != d.width * d.channels)
+        bad(s"sample buffer ${d.pixels.length} != ${d.width}x${d.channels}")
+      val nSamples = d.pixels.length
+      val dataSize = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("ASCII"))
+      bb.put("fmt ".getBytes("ASCII")).putInt(16)
+        .putShort(1).putShort(d.channels.toShort).putInt(SampleRate)
+        .putInt(SampleRate * d.channels * 2)         // byte rate
+        .putShort((d.channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("ASCII")).putInt(dataSize)
+      var i = 0
+      while (i < nSamples) {
+        bb.putShort((((d.pixels(i) & 0xff) - 128) << 8).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      if (payload.length < 44 ||
+          !(payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+            payload(3) == 'F') ||
+          !(payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' &&
+            payload(11) == 'E'))
+        bad("not a RIFF/WAVE file")
+      var off = 12
+      var channels = -1
+      var samples: Array[Byte] = null
+      while (off + 8 <= payload.length && (channels < 0 || samples == null)) {
+        val id = new String(payload, off, 4, "ASCII")
+        val size = i32(payload, off + 4)
+        if (size < 0 || off + 8 + size > payload.length)
+          bad(s"chunk '$id' overruns file (size $size at offset $off)")
+        id match {
+          case "fmt " =>
+            if (size < 16) bad(s"fmt chunk too small ($size)")
+            val tag = u16(payload, off + 8)
+            val bits = u16(payload, off + 22)
+            if (tag != 1) bad(s"unsupported format tag $tag (only PCM)")
+            if (bits != 16) bad(s"unsupported bit depth $bits (only 16)")
+            channels = u16(payload, off + 10)
+            if (channels < 1) bad(s"bad channel count $channels")
+          case "data" =>
+            if (channels < 0) bad("data chunk before fmt chunk")
+            val n = size / 2
+            samples = Array.ofDim[Byte](n)
+            var i = 0
+            while (i < n) {
+              val s = (payload(off + 8 + i * 2) & 0xff) |
+                (payload(off + 9 + i * 2) << 8) // sign-extends high byte
+              samples(i) = ((s >> 8) + 128).toByte
+              i += 1
+            }
+          case _ => () // LIST, fact, cue, bext… — skip
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
+      if (channels < 0) bad("no fmt chunk found")
+      if (samples == null) bad("no data chunk found")
+      if (samples.length % channels != 0)
+        bad(s"sample count ${samples.length} not divisible by $channels channels")
+      Decoded("wav", samples.length / channels, 1, channels, 1, samples)
+    }
   }
 
   // ---------------------------------------------------------------- plumbing

@@ -84,4 +84,121 @@ class MultimodalSpec extends SparkSpec {
     fs(0) shouldBe ((10.0 / 255 + 50.0 / 255) / 2 +- 1e-6)
     fs(1) shouldBe ((30.0 / 255 + 70.0 / 255) / 2 +- 1e-6)
   }
+
+  // ------------------------------------------------------------ real codecs
+
+  import Multimodal.{BmpCodec, WavCodec}
+
+  test("BmpCodec decodes a hand-assembled real 2x2 24-bpp BMP byte-exactly") {
+    // Hand-built fixture (NOT via encode): 2×2, bottom-up, rows padded to
+    // 8 bytes (2 px × 3 B = 6 + 2 pad). Image: top row [red, green],
+    // bottom row [blue, white]. File row 0 = image bottom row.
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val header =
+      Array[Byte]('B', 'M') ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    header.length shouldBe 54
+    // file row 0 (image BOTTOM): blue(0,0,255), white(255,255,255);
+    // file row 1 (image TOP): red(255,0,0), green(0,255,0); BGR + 2 pad
+    val data = Array[Byte](
+      -1, 0, 0,  -1, -1, -1,  0, 0,          // B,G,R: blue px, white px, pad
+      0, 0, -1,  0, -1, 0,    0, 0)          // red px, green px, pad
+    val bmp = header ++ data
+    val d = BmpCodec.decode(bmp)
+    (d.format, d.width, d.height, d.channels, d.nFrames) shouldBe
+      (("bmp", 2, 2, 3, 1))
+    // top-down row-major RGB: red, green, blue, white
+    d.pixels shouldBe Array[Byte](-1, 0, 0,  0, -1, 0,  0, 0, -1,  -1, -1, -1)
+  }
+
+  test("BmpCodec encode/decode round-trips odd widths (row padding) exactly") {
+    for (w <- 1 to 5; h <- Seq(1, 3)) {
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val d = Multimodal.Decoded("bmp", w, h, 3, 1, px)
+      val back = BmpCodec.decode(BmpCodec.encode(d))
+      (back.width, back.height) shouldBe ((w, h))
+      back.pixels shouldBe px
+    }
+  }
+
+  test("BmpCodec handles top-down BMPs (negative height) identically") {
+    val px = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 7).toByte)
+    val bottomUp = BmpCodec.encode(Multimodal.Decoded("bmp", 3, 2, 3, 1, px))
+    // flip to top-down: height := -2, pixel rows reordered to top-first
+    val topDown = bottomUp.clone()
+    topDown(22) = (-2).toByte; topDown(23) = -1; topDown(24) = -1; topDown(25) = -1
+    val rowSize = ((3 * 3 + 3) / 4) * 4
+    System.arraycopy(bottomUp, 54 + rowSize, topDown, 54, rowSize)
+    System.arraycopy(bottomUp, 54, topDown, 54 + rowSize, rowSize)
+    BmpCodec.decode(topDown).pixels shouldBe px
+  }
+
+  test("BmpCodec raises typed CodecError on unsupported variants") {
+    val px = Array.ofDim[Byte](12)
+    val good = BmpCodec.encode(Multimodal.Decoded("bmp", 2, 2, 3, 1, px))
+    val badBpp = good.clone(); badBpp(28) = 32
+    val e1 = intercept[graft.OpenEoError](BmpCodec.decode(badBpp))
+    e1.code shouldBe "CodecError"
+    val badComp = good.clone(); badComp(30) = 1 // BI_RLE8
+    intercept[graft.OpenEoError](BmpCodec.decode(badComp))
+    intercept[graft.OpenEoError](BmpCodec.decode("nope".getBytes("ASCII")))
+  }
+
+  test("WavCodec decodes a hand-assembled PCM16 WAV, skipping LIST chunks") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // samples (stereo, 2 frames): 0, -32768, 32512, 256
+    val samples = Seq(0, -32768, 32512, 256)
+    val data = samples.flatMap(s => le16(s & 0xffff)).toArray
+    val list = "LIST".getBytes("ASCII") ++ le32(4) ++ "INFO".getBytes("ASCII")
+    val fmt = "fmt ".getBytes("ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(8000 * 4) ++ le16(4) ++ le16(16)
+    val dataCh = "data".getBytes("ASCII") ++ le32(data.length) ++ data
+    val body = list ++ fmt ++ dataCh
+    val wav = "RIFF".getBytes("ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("ASCII") ++ body
+    val d = WavCodec.decode(wav)
+    (d.format, d.width, d.height, d.channels) shouldBe (("wav", 2, 1, 2))
+    // byte plane = (sample >> 8) + 128
+    d.pixels shouldBe Array[Byte](
+      (0 + 128).toByte, (-128 + 128).toByte, (127 + 128).toByte, (1 + 128).toByte)
+  }
+
+  test("WavCodec decode(encode(d)) round-trips the byte plane exactly") {
+    for (ch <- Seq(1, 2); n <- Seq(1, 7)) {
+      val px = Array.tabulate[Byte](n * ch)(i => ((i * 53 + 3) % 256).toByte)
+      val d = Multimodal.Decoded("wav", n, 1, ch, 1, px)
+      val back = WavCodec.decode(WavCodec.encode(d))
+      (back.width, back.channels) shouldBe ((n, ch))
+      back.pixels shouldBe px
+    }
+  }
+
+  test("WavCodec raises typed CodecError on non-PCM and truncated input") {
+    val good = WavCodec.encode(Multimodal.Decoded("wav", 4, 1, 1, 1,
+      Array[Byte](1, 2, 3, 4)))
+    val badTag = good.clone(); badTag(20) = 3 // IEEE float
+    intercept[graft.OpenEoError](WavCodec.decode(badTag)).code shouldBe "CodecError"
+    val badBits = good.clone(); badBits(34) = 8
+    intercept[graft.OpenEoError](WavCodec.decode(badBits))
+    intercept[graft.OpenEoError](WavCodec.decode(good.take(20)))
+  }
+
+  test("decodeMeta + featureExtract run the real BMP codec through the seam") {
+    val px = Array.tabulate[Byte](5 * 2 * 3)(i => (i * 3).toByte)
+    val payload = BmpCodec.encode(Multimodal.Decoded("bmp", 5, 2, 3, 1, px))
+    val df2 = Seq((1L, payload)).toDF("id", "payload")
+    val meta = Multimodal.decodeMeta(df2, "payload", BmpCodec)
+    val m = meta.select("meta.format", "meta.width", "meta.height", "mean_px")
+      .head()
+    (m.getString(0), m.getInt(1), m.getInt(2)) shouldBe (("bmp", 5, 2))
+    m.getDouble(3) shouldBe (px.map(b => (b & 0xff).toDouble).sum / px.length)
+    val feats = Multimodal.featureExtract(df2, "payload", dim = 4,
+      codec = BmpCodec).select("features").head().getSeq[Float](0)
+    feats.length shouldBe 4
+  }
 }
