@@ -580,7 +580,14 @@ final class GraphCompiler(
         val otherDims = c.dims.filterNot(_ == dim)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(otherDims.map(col): _*).orderBy(col(dim))
-        c.mapValue(v => UdfCompiler.compileSeries(src, v, w))
+        // ROW-frame spec with a deterministic value tiebreak: duplicate
+        // labels along `dim` (rename_labels with ordinals) would otherwise
+        // make lag/lead/rollmean depend on arbitrary intra-tie order
+        c.mapValue { v =>
+          val wRows = org.apache.spark.sql.expressions.Window
+            .partitionBy(otherDims.map(col): _*).orderBy(col(dim), v)
+          UdfCompiler.compileSeries(src, v, w, wRows)
+        }
       case "quantiles" =>
         val probs = result.arguments.get("probabilities")
           .map(flattenDoubles).getOrElse(Nil)

@@ -48,14 +48,25 @@ object UdfCompiler {
     * rejects only at analysis, escaping the typed-error contract);
     * composing them element-wise (`cummax(x) - lag(x)`) is fine.
     *
-    * Determinism: the cum* family is tie-safe (RANGE frames). lag/lead/
-    * rollmean are ROW-based by definition — with duplicate labels on the
-    * order dimension their result depends on the arbitrary intra-tie
-    * order, same as R applied to an arbitrarily-ordered series; callers
-    * needing hash-exact output must have unique labels along `dim`
-    * (true for all canonical cubes here). */
+    * Determinism: the cum* family is tie-safe (RANGE frames: ties on the
+    * order key aggregate together). lag/lead/rollmean are ROW-based by
+    * definition, so with duplicate labels on the order dimension
+    * (possible after `rename_labels` with ordinal labels,
+    * openeo_odc_driver.py:1118-1121) a bare ROW frame would depend on the
+    * arbitrary intra-tie order. Callers pass `wRows` — the same window
+    * with a deterministic secondary sort key (the value column) — and the
+    * ROW-frame functions run over THAT spec: within a label tie rows are
+    * processed in value order, so the result is a pure function of the
+    * row multiset. With unique labels the tiebreak never engages and the
+    * two specs are interchangeable. */
+  def compileSeries(source: String, x: Column, w: WindowSpec,
+      wRows: WindowSpec): Column =
+    new Parser(strip(source), Some(w), wRowsOpt = Some(wRows)).parseAll(x)
+
+  /** [[compileSeries]] with no separate ROW-frame spec — only safe when
+    * labels along the order dimension are unique. */
   def compileSeries(source: String, x: Column, w: WindowSpec): Column =
-    new Parser(strip(source), Some(w)).parseAll(x)
+    new Parser(strip(source), Some(w), wRowsOpt = Some(w)).parseAll(x)
 
   /** Compile a series→scalar UDF for the `reduce_dimension` position: the
     * same grammar with AGGREGATE functions — `sum/mean/max/min/median/sd/
@@ -131,9 +142,12 @@ object UdfCompiler {
     "pmax" -> ((a: Column, b: Column) => greatest(a, b)),
     "max" -> ((a: Column, b: Column) => greatest(a, b)))
 
-  /** Series functions over the apply_dimension window (None = not one). */
+  /** Series functions over the apply_dimension window (None = not one).
+    * `w` orders by the dimension label alone (RANGE frames — label ties
+    * aggregate together); `wRows` carries the deterministic secondary
+    * sort key for the ROW-frame functions (see [[compileSeries]]). */
   private def seriesCall(name: String, args: Seq[Column], raw: Seq[String],
-      w: WindowSpec): Option[Column] = {
+      w: WindowSpec, wRows: WindowSpec): Option[Column] = {
     def intArg(t: String): Int = t.trim.toIntOption.getOrElse(
       throw UdfParseError(s"'$name' needs a literal integer, got '${t.trim}'"))
     // RANGE frame: ties on the order key aggregate together → results are
@@ -144,16 +158,16 @@ object UdfCompiler {
       case ("cummax", 1) => Some(max(args(0)).over(range))
       case ("cummin", 1) => Some(min(args(0)).over(range))
       case ("cumsum", 1) => Some(sum(args(0)).over(range))
-      case ("lag", 1)    => Some(lag(args(0), 1).over(w))
-      case ("lag", 2)    => Some(lag(args(0), intArg(raw(1))).over(w))
-      case ("lead", 1)   => Some(lead(args(0), 1).over(w))
-      case ("lead", 2)   => Some(lead(args(0), intArg(raw(1))).over(w))
+      case ("lag", 1)    => Some(lag(args(0), 1).over(wRows))
+      case ("lag", 2)    => Some(lag(args(0), intArg(raw(1))).over(wRows))
+      case ("lead", 1)   => Some(lead(args(0), 1).over(wRows))
+      case ("lead", 2)   => Some(lead(args(0), intArg(raw(1))).over(wRows))
       case ("rollmean", 2) =>
         val k = intArg(raw(1))
         if (k < 1 || k % 2 == 0)
           throw UdfParseError(s"rollmean width must be odd positive, got $k")
         val h = (k - 1) / 2
-        Some(avg(args(0)).over(w.rowsBetween(-h, h)))
+        Some(avg(args(0)).over(wRows.rowsBetween(-h, h)))
       case _ => None
     }
   }
@@ -194,7 +208,8 @@ object UdfCompiler {
   }
 
   private final class Parser(s: String, wOpt: Option[WindowSpec],
-      reduceMode: Boolean = false) {
+      reduceMode: Boolean = false,
+      wRowsOpt: Option[WindowSpec] = None) {
     private var i = 0
     private var seriesDepth = 0
     private var aggDepth = 0
@@ -310,7 +325,8 @@ object UdfCompiler {
             if (isSeries) seriesDepth -= 1
             if (isAggName) aggDepth -= 1
             if (isAggName) { aggCount += 1; aggCall(name, args.toSeq, raw.toSeq) }
-            else wOpt.flatMap(seriesCall(name, args.toSeq, raw.toSeq, _))
+            else wOpt.flatMap(w =>
+              seriesCall(name, args.toSeq, raw.toSeq, w, wRowsOpt.getOrElse(w)))
               .getOrElse((args.length, fn1.get(name), fn2.get(name)) match {
                 case (1, Some(f), _) => f(args(0))
                 case (2, _, Some(f)) => f(args(0), args(1))

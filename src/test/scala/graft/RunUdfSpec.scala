@@ -99,6 +99,39 @@ class RunUdfSpec extends SparkSpec {
     r.filter(_._1 == 2).map(_._2).toSet shouldBe Set(9.0)
   }
 
+  test("compileSeries ROW-frame functions are deterministic under " +
+      "duplicate order labels (value tiebreak)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate t=1 / t=2 labels — the rename_labels-with-ordinals shape
+    // (openeo_odc_driver.py:1118-1121). A bare ROW frame would see an
+    // arbitrary intra-tie order; the wRows spec orders ties by the value
+    // itself, so lag/lead/rollmean are pure functions of the row multiset.
+    val rows = Seq((1, 9.0), (1, 1.0), (2, 5.0), (2, 4.0), (3, 7.0))
+    val w = Window.partitionBy(lit(1)).orderBy("t")
+    val wRows = Window.partitionBy(lit(1)).orderBy(col("t"), col("v"))
+    def run(src: String, parts: Int): Seq[(Int, Double, Option[Double])] =
+      rows.toDF("t", "v").repartition(parts)
+        .select(col("t"), col("v"),
+          UdfCompiler.compileSeries(src, col("v"), w, wRows).as("r"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(x => (x._1, x._2)).toSeq
+    // tie-sorted series order: (1,1) (1,9) (2,4) (2,5) (3,7)
+    val lagExp = Seq((1, 1.0, None), (1, 9.0, Some(1.0)),
+      (2, 4.0, Some(9.0)), (2, 5.0, Some(4.0)), (3, 7.0, Some(5.0)))
+    run("lag(x, 1)", 1) shouldBe lagExp
+    run("lag(x, 1)", 7) shouldBe lagExp // stable under any partitioning
+    val rmExp = Seq((1, 1.0, Some(5.0)), (1, 9.0, Some(14.0 / 3)),
+      (2, 4.0, Some(6.0)), (2, 5.0, Some(16.0 / 3)), (3, 7.0, Some(6.0)))
+    run("rollmean(x, 3)", 1) shouldBe rmExp
+    run("rollmean(x, 3)", 5) shouldBe rmExp
+    // cum* keeps RANGE tie semantics (ties aggregate together) — the
+    // tiebreak spec must NOT leak into the range-frame family
+    val cm = run("cummax(x)", 3)
+    cm.filter(_._1 == 1).flatMap(_._3).toSet shouldBe Set(9.0)
+  }
+
   test("compileSeries rejects bad series source with the typed error") {
     an[UdfCompiler.UdfParseError] should be thrownBy
       UdfCompiler.compileSeries("rollmean(x, 4)", lit(0.0), // even width
