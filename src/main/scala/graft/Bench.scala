@@ -101,8 +101,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"qv_order":"sorted_names","qv":$qvArr,"sf":"$sfDir","total_sec":${r3(total)}}"""
     }
-    val shortLine = Iterator.iterate(40)(_ - 5).map(compact)
-      .find(_.length <= budget).getOrElse(compact(0))
+    val shortLine = Iterator.iterate(40)(_ - 5).takeWhile(_ >= 0)
+      .map(compact).find(_.length <= budget).getOrElse(compact(0))
     println(shortLine)
     spark.stop()
   }

@@ -1153,7 +1153,10 @@ object SparkEntry {
       import s.implicits._
       val d = s.read.parquet(s"$dir/documents.parquet")
       val wav = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 2)
+        // upper bound mirrors the oracle's generate_series(0, 4095): both
+        // sides skip docs over 4096 bytes so a bigger SF can't desync them
+        .where(octet_length(col("tb")) >= 2 &&
+          octet_length(col("tb")) <= 4096)
         .as[(Long, Array[Byte])]
         .map { case (id, tb) =>
           val n = tb.length - (tb.length % 2)
@@ -2907,6 +2910,7 @@ object SparkEntry {
            SELECT doc_id, hex(encode(text)) AS h,
                   octet_length(encode(text)) AS len
            FROM documents WHERE octet_length(encode(text)) >= 2
+             AND octet_length(encode(text)) <= 4096
          ), p AS (
            SELECT doc_id, h, len, len - (len % 2) AS px_len
            FROM d

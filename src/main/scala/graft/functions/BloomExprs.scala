@@ -62,17 +62,26 @@ object BloomExprs {
     val session = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
     val constant = session match {
-      case Some(s) => scala.util.Try {
-        s.range(1).select(bloom.as("b"))
-          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-          .queryExecution.analyzed.expressions.collectFirst {
-            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-              a.child.foldable
-          }.getOrElse(false)
-      }.getOrElse(false)
+      case Some(s) =>
+        // only AnalysisException means "not a constant" (attribute refs
+        // fail resolution against the dummy relation); any other failure
+        // is environmental and must surface, not masquerade as
+        // BloomNotConstant with a misleading message
+        try {
+          s.range(1).select(bloom.as("b"))
+            .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+            .queryExecution.analyzed.expressions.collectFirst {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+                a.child.foldable
+            }.getOrElse(false)
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => false
+        }
       // no session yet (column built before any Spark work): accept a
       // raw literal node; wrapped constants need the analyzer to judge
-      case None => bloom.node.getClass.getSimpleName == "Literal"
+      case None =>
+        bloom.node.getClass.getName ==
+          "org.apache.spark.sql.internal.Literal"
     }
     if (!constant)
       throw graft.OpenEoError("BloomNotConstant",

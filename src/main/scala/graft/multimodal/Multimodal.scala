@@ -139,10 +139,16 @@ object Multimodal {
       val compression = i32(payload, 30)
       if (bpp != 24) bad(s"unsupported bit depth $bpp (only 24-bpp BI_RGB)")
       if (compression != 0) bad(s"unsupported compression $compression (only BI_RGB)")
-      if (width <= 0 || height == 0) bad(s"bad dimensions ${width}x$rawHeight")
-      val rowSize = ((width * 3 + 3) / 4) * 4
-      if (payload.length < dataOffset + rowSize * height)
-        bad(s"truncated pixel data: need ${dataOffset + rowSize * height}, have ${payload.length}")
+      if (width <= 0 || height <= 0) bad(s"bad dimensions ${width}x$rawHeight")
+      if (dataOffset < 54 || dataOffset > payload.length)
+        bad(s"data offset $dataOffset outside [54, ${payload.length}]")
+      // header fields are untrusted: do the size math in Long so a
+      // hostile width (~2^30) can't overflow into a passing bounds check
+      val rowSizeL = ((width.toLong * 3 + 3) / 4) * 4
+      val needL = dataOffset.toLong + rowSizeL * height
+      if (needL > payload.length)
+        bad(s"truncated pixel data: need $needL, have ${payload.length}")
+      val rowSize = rowSizeL.toInt
       val px = Array.ofDim[Byte](width * height * 3)
       var y = 0
       while (y < height) {

@@ -119,13 +119,33 @@ object LanguageModel {
     * (UTF8String trim/lower + the same regex split), identical HALF_UP
     * 1e-9 quantization (java BigDecimal mirrors Spark's Round), and the
     * per-doc sum is exact integer arithmetic either way. Documents with
-    * fewer than 2 tokens produce no row. */
+    * fewer than 2 tokens produce no row.
+    *
+    * The collect is GUARDED: an LM over `maxLmRows` grams (a minCount=1
+    * model over a web corpus can exceed driver memory) never reaches the
+    * driver — batch callers fall back to the bit-identical
+    * [[scoreBigramLm]] join formulation automatically; streaming callers
+    * (where the join's per-doc groupBy is not append-legal) get a typed
+    * error telling them to prune the LM. The count is cheap: the LM is
+    * already localCheckpointed by [[trainBigramLmFromGrams]]. */
   def scoreBigramLmBroadcast(docs: DataFrame, lm: DataFrame,
       textCol: String, idCol: String,
-      backoffLogp: Double = math.log(1e-9)): DataFrame = {
+      backoffLogp: Double = math.log(1e-9),
+      maxLmRows: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = docs.sparkSession
+    val lmRows = lm.count()
+    if (lmRows > maxLmRows) {
+      if (docs.isStreaming)
+        throw graft.OpenEoError("LmTooLargeToBroadcast",
+          s"bigram LM has $lmRows rows > maxLmRows=$maxLmRows; the " +
+            "streaming scorer must broadcast — raise minCount when " +
+            "training (trainBigramLm) to prune the LM, or raise " +
+            "maxLmRows if the executors have the memory")
+      else
+        return scoreBigramLm(docs, lm, textCol, idCol, backoffLogp)
+    }
     val lmMap: Map[String, Double] = lm.select(col("gram"), col("logp"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bc = spark.sparkContext.broadcast(lmMap)

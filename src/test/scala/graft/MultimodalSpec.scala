@@ -147,6 +147,28 @@ class MultimodalSpec extends SparkSpec {
     intercept[graft.OpenEoError](BmpCodec.decode("nope".getBytes("ASCII")))
   }
 
+  test("BmpCodec raises typed CodecError on hostile header fields") {
+    def le32At(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = v.toByte; a(o + 1) = (v >> 8).toByte
+      a(o + 2) = (v >> 16).toByte; a(o + 3) = (v >> 24).toByte
+    }
+    val px = Array.ofDim[Byte](12)
+    val good = BmpCodec.encode(Multimodal.Decoded("bmp", 2, 2, 3, 1, px))
+    // width ~2^30: Int math would overflow width*3 into a small/negative
+    // rowSize, slip past the truncation check, and blow up as
+    // NegativeArraySize/ArrayIndexOutOfBounds — must be a typed error
+    val hugeW = good.clone(); le32At(hugeW, 18, 1 << 30)
+    intercept[graft.OpenEoError](BmpCodec.decode(hugeW)).code shouldBe "CodecError"
+    // height = Int.MinValue: math.abs stays negative
+    val minH = good.clone(); le32At(minH, 22, Int.MinValue)
+    intercept[graft.OpenEoError](BmpCodec.decode(minH)).code shouldBe "CodecError"
+    // dataOffset out of range, both directions
+    val negOff = good.clone(); le32At(negOff, 10, -8)
+    intercept[graft.OpenEoError](BmpCodec.decode(negOff)).code shouldBe "CodecError"
+    val farOff = good.clone(); le32At(farOff, 10, good.length + 1)
+    intercept[graft.OpenEoError](BmpCodec.decode(farOff)).code shouldBe "CodecError"
+  }
+
   test("WavCodec decodes a hand-assembled PCM16 WAV, skipping LIST chunks") {
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
       (v >> 16).toByte, (v >> 24).toByte)

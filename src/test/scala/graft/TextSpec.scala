@@ -614,6 +614,35 @@ class TextSpec extends SparkSpec {
     join.map(_._1) shouldBe Set(1L, 2L, 5L, 6L) // <2-token docs emit no row
   }
 
+  test("oversized LM never reaches the driver: guard falls back to join") {
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a b x"), (6L, "c c c c c c"))
+      .toDF("doc_id", "text")
+    val lm = graft.text.LanguageModel.trainBigramLm(docs, "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // maxLmRows=1 forces the guard for this 4-gram LM; output must be
+    // bit-identical to the unguarded broadcast path (parity law above
+    // makes the two formulations interchangeable)
+    val guarded = graft.text.LanguageModel
+      .scoreBigramLmBroadcast(docs, lm, "text", "doc_id", maxLmRows = 1L)
+    guarded.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } should not be empty // join formulation aggregates; mapPartitions doesn't
+    key(guarded) shouldBe key(graft.text.LanguageModel
+      .scoreBigramLmBroadcast(docs, lm, "text", "doc_id"))
+    // a streaming caller cannot fall back (append-mode legality): typed err
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val err = intercept[graft.OpenEoError] {
+      graft.text.LanguageModel.scoreBigramLmBroadcast(
+        ms.toDF.toDF("doc_id", "text"), lm, "text", "doc_id",
+        maxLmRows = 1L)
+    }
+    err.code shouldBe "LmTooLargeToBroadcast"
+  }
+
   test("importanceWeights scores target-like docs high, off-target low") {
     val docs = Seq(
       (1L, "a b", "en"), (2L, "a c", "zh")).toDF("doc_id", "text", "lang")
