@@ -26,14 +26,23 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- cube view
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType; read the raw nanos as long and truncate to micros —
-    * exactly what DuckDB does when it casts TIMESTAMP_NS to its µs
-    * TIMESTAMP, so both engines see identical time values. */
+  /** events.parquet has shipped as either TIMESTAMP(NANOS) (earlier
+    * fixture generations — Spark 4 refuses to map it to TimestampType,
+    * so read the raw nanos as long and truncate to micros, exactly
+    * DuckDB's TIMESTAMP_NS → µs cast) or plain TIMESTAMP(MICROS)
+    * (current fixtures — arrives as TIMESTAMP_NTZ; a cast to the
+    * session-UTC TimestampType keeps wall-clock values identical on
+    * both engines). Dispatch on the actual footer schema so both
+    * generations read to the same µs cube time axis. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** The events table as a datacube (see class doc). */
@@ -578,44 +587,48 @@ object SparkEntry {
       // materialization point) → leakage-safe grouped split (map-side
       // md5) → per-split token stats (partial+final agg). Every stage is
       // the oracled operator.
+      // stages live in graft.text.Curation — ONE definition shared with
+      // the process-graph surface, so q_graph_curation compiles a JSON
+      // graph to this identical plan (checkpoint placement included)
+      import graft.text.Curation
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val st = graft.functions.TextHashExprs
-        .repetitionStats(lower(trim(col("text"))))
-      // materialize the gate survivors once: the quality/repetition
-      // columns drive the filter, and Catalyst pushes the deterministic
-      // filter below the projection — evaluating both one-pass text
-      // expressions twice (Filter + Project); `filtered` also feeds two
-      // consumers (digest table + semi-join). One narrow checkpoint of
-      // the survivor slice runs the expressions exactly once (same
-      // double-eval mechanism measured on the v2 regex chain).
-      val filtered = d
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("rep", round(when(st.getField("n2") > 0,
-          st.getField("top2").cast("double") /
-            st.getField("n2").cast("double")).otherwise(0.0), 6))
-        .where(col("quality") >= 0.75 && col("rep") <= 0.2)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
-        .localCheckpoint(true)
-      val keepIds = filtered
-        .groupBy(sha2(col("text"), 256).as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-      // fan-out point: the exact-deduped set feeds BOTH sides of the
-      // near-dup self-join, the corpus join, and the split — checkpoint
-      // it eagerly so the digest-dedup chain runs once, not once per
-      // consumer (a real pipeline materializes the curated intermediate
-      // here too; blocks are freed by the ContextCleaner)
-      val deduped = filtered.join(keepIds, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      val pairs = Dedup.ngramJaccardPairs(deduped, "text", "doc_id",
+      val filtered = Curation.qualityGate(d, 0.75, 0.2)
+      val deduped = Curation.dedupExactKeepMin(filtered)
+      val canonical = Curation.nearDupCanonical(deduped,
         Seq("lang", "source"), shingleN = 3, threshold = 0.5)
-      val canonical = Dedup.dedupCorpus(deduped, pairs, "doc_id")
-      val split8 = graft.text.Sampling.assignSplit(
-        canonical.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
-        "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      split8.groupBy(col("split"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWs(col("text")).cast("long"))
-            .as("n_tokens"))
+      val split8 = Curation.groupedSplit(canonical,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Curation.tokenStats(split8, Seq("split", "lang"))
+    }),
+    "q_graph_curation" -> ((s, dir) => {
+      // the SAME curation DAG driven through the reference's one query
+      // language — the openEO JSON process graph. Each node compiles to
+      // the shared graft.text.Curation stage, so this produces the
+      // identical plan (checkpoints included) and the identical result
+      // hash as q_curation_pipeline; the oracle is shared verbatim.
+      import graft.compile.GraphCompiler
+      val graph = """{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "documents"}},
+        "gate": {"process_id": "text_quality_gate", "arguments": {
+          "data": {"from_node": "load"},
+          "min_quality": 0.75, "max_repetition": 0.2}},
+        "exact": {"process_id": "dedup_exact",
+                  "arguments": {"data": {"from_node": "gate"}}},
+        "near": {"process_id": "dedup_near", "arguments": {
+          "data": {"from_node": "exact"},
+          "blocking": ["lang", "source"],
+          "shingle_n": 3, "threshold": 0.5}},
+        "split": {"process_id": "split_grouped", "arguments": {
+          "data": {"from_node": "near"},
+          "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}}},
+        "stats": {"process_id": "token_stats", "arguments": {
+          "data": {"from_node": "split"}, "by": ["split", "lang"]},
+          "result": true}}"""
+      new GraphCompiler(s, Map.empty,
+          s"${System.getProperty("java.io.tmpdir")}/graft_curation_res",
+          tables = Map("documents" -> s"$dir/documents.parquet"))
+        .compile(graph).asInstanceOf[DataFrame]
     }),
     "q_dedup_exact" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1395,6 +1408,46 @@ object SparkEntry {
       } finally q.stop()
       s.table(sink)
     }),
+    "q_stream_neardup" -> ((s, dir) => {
+      // STATEFUL streaming near-dup gate through a REAL MemoryStream
+      // run: documents arrive in 3 micro-batches, each hashes once
+      // (codegen simhash), explodes to its 28 band-pair buckets, and
+      // flatMapGroupsWithState keyed by bucket emits a pair the moment
+      // the later duplicate arrives. The streamed match set equals the
+      // batch self-join pair set under ANY batch split (both modes
+      // derive candidates from the same simhashPairKeys expression;
+      // StreamingSpec pins split-independence and re-ingestion safety),
+      // so the oracle is q_dedup_simhash's all-pairs replay verbatim.
+      // A pair sharing several buckets emits once per bucket — the
+      // dropDuplicates collapse mirrors the batch blocking's own.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val sink = "q_stream_neardup_sink"
+      // state-store sizing as q_stream_sessionize: 4 partitions carry a
+      // few-thousand-bucket keyed state with a fraction of the 32x task
+      // + commit-log overhead (output pinned partition-count independent)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.dedupStreamSimhash(
+          ms.toDF.toDF("doc_id", "text"), "text", "doc_id", maxDist = 6)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).dropDuplicates("id_a", "id_b")
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // trainable quality scorer: 3 rounds of distributed full-batch
       // logistic GD (rational link, long-quantized gradients — see
@@ -1707,6 +1760,65 @@ object SparkEntry {
                         AS DOUBLE) END, 6) AS est_distinct
          FROM ag"""
   }
+
+  /** Shared by q_dedup_simhash (batch banded blocking) and
+    * q_stream_neardup (stateful streaming gate): both modes derive
+    * candidates from the same simhashPairKeys expression with exact
+    * recall to Hamming 6, so the streamed match set equals the batch
+    * pair set and one all-pairs replay verifies both.
+    * Full portable replay of the FNV-1a simhash: per-bigram FNV via a
+    * HUGEINT byte fold, 64 sign-aggregated bit lanes, then ALL-PAIRS
+    * Hamming <= 6 — identical to the banded blocking output because
+    * the 28-pair-key multi-index has exact recall to Hamming 6. */
+  private val simhashPairsSql: String =
+    """WITH tok AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '') AS t
+         FROM documents
+       ), sh AS (
+         SELECT doc_id,
+           unnest(list_filter(
+             list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+               i -> array_to_string(t[i:i+1], ' ')),
+             x -> x <> '')) AS g
+         FROM tok
+       ), fv AS (
+         SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(range(0, octet_length(encode(g))),
+                 i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                      CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+             (acc, byte) -> (xor(acc, byte) * 1099511628211)
+               % 18446744073709551616
+           ) AS fh
+         FROM sh
+       ), sfv AS (
+         SELECT doc_id,
+           CAST(fh - CASE WHEN fh >= 9223372036854775808
+                THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sfh
+         FROM fv
+       ), bits AS (
+         SELECT doc_id, b.b,
+           SUM(CASE WHEN ((sfh >> CAST(b.b AS INTEGER)) & 1) = 1
+               THEN 1 ELSE -1 END) AS cnt
+         FROM sfv, generate_series(0, 63) AS b(b)
+         GROUP BY doc_id, b.b
+       ), hashes0 AS (
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN b = 63 THEN -9223372036854775808
+                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END)
+             AS BIGINT) AS h
+         FROM bits WHERE cnt > 0 GROUP BY doc_id
+       ), hashes AS (
+         SELECT d.doc_id, COALESCE(h0.h, 0) AS h
+         FROM documents d LEFT JOIN hashes0 h0 ON h0.doc_id = d.doc_id
+       )
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.h, b.h)) AS dist
+       FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.h, b.h)) <= 6"""
 
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
@@ -2596,6 +2708,10 @@ object SparkEntry {
          WHERE d.doc_id % 37 <> 0""",
     "q_curation_pipeline" ->
       curationSql,
+    // the JSON-graph formulation compiles to the identical plan (shared
+    // Curation stage definitions), so it shares the oracle verbatim
+    "q_graph_curation" ->
+      curationSql,
     "q_stream_curation_gate" ->
       // the BATCH formulation of the gate — identical quality + top-bigram
       // expressions as q_text_quality / q_text_repetition; the streamed
@@ -3192,59 +3308,10 @@ object SparkEntry {
            round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS sum_value
          FROM sess GROUP BY band, y, x, sid"""),
-    "q_dedup_simhash" ->
-      // full portable replay of the FNV-1a simhash: per-bigram FNV via a
-      // HUGEINT byte fold, 64 sign-aggregated bit lanes, then ALL-PAIRS
-      // Hamming <= 6 — identical to the banded blocking output because
-      // the 28-pair-key multi-index has exact recall to Hamming 6
-      """WITH tok AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(text)), '\s+'),
-               x -> x <> '') AS t
-           FROM documents
-         ), sh AS (
-           SELECT doc_id,
-             unnest(list_filter(
-               list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-                 i -> array_to_string(t[i:i+1], ' ')),
-               x -> x <> '')) AS g
-           FROM tok
-         ), fv AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(0, octet_length(encode(g))),
-                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
-                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
-               (acc, byte) -> (xor(acc, byte) * 1099511628211)
-                 % 18446744073709551616
-             ) AS fh
-           FROM sh
-         ), sfv AS (
-           SELECT doc_id,
-             CAST(fh - CASE WHEN fh >= 9223372036854775808
-                  THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sfh
-           FROM fv
-         ), bits AS (
-           SELECT doc_id, b.b,
-             SUM(CASE WHEN ((sfh >> CAST(b.b AS INTEGER)) & 1) = 1
-                 THEN 1 ELSE -1 END) AS cnt
-           FROM sfv, generate_series(0, 63) AS b(b)
-           GROUP BY doc_id, b.b
-         ), hashes0 AS (
-           SELECT doc_id,
-             CAST(SUM(CASE WHEN b = 63 THEN -9223372036854775808
-                  ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END)
-               AS BIGINT) AS h
-           FROM bits WHERE cnt > 0 GROUP BY doc_id
-         ), hashes AS (
-           SELECT d.doc_id, COALESCE(h0.h, 0) AS h
-           FROM documents d LEFT JOIN hashes0 h0 ON h0.doc_id = d.doc_id
-         )
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.h, b.h)) AS dist
-         FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.h, b.h)) <= 6""",
+    "q_dedup_simhash" -> simhashPairsSql,
+    // the streamed gate emits the identical pair set under any
+    // micro-batch split (StreamingSpec law) -> shares the batch oracle
+    "q_stream_neardup" -> simhashPairsSql,
     "q_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang, source,
              list_filter(list_distinct(list_transform(

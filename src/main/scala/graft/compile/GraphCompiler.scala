@@ -32,7 +32,8 @@ import scala.jdk.CollectionConverters._
 final class GraphCompiler(
     spark: SparkSession,
     catalog: Map[String, Scan.CollectionSpec],
-    resultRoot: String = "/tmp/graft-results") {
+    resultRoot: String = "/tmp/graft-results",
+    tables: Map[String, String] = Map.empty) {
 
   def compile(json: String): Any = run(ProcessGraph.parse(json))
 
@@ -70,6 +71,32 @@ final class GraphCompiler(
       case other => throw new IllegalArgumentException(
         s"${n.processId}.$name: expected cube, got $other")
     }
+
+  private def dfArg(n: Node, name: String,
+      results: collection.Map[String, Any]): DataFrame =
+    resolve(n.arguments(name), results) match {
+      case df: DataFrame => df
+      case c: Cube => c.df
+      case other => throw new IllegalArgumentException(
+        s"${n.processId}.$name: expected table, got $other")
+    }
+
+  private def strSeq(n: Node, name: String,
+      results: collection.Map[String, Any],
+      default: Seq[String]): Seq[String] =
+    n.arguments.get(name).map(resolve(_, results)).collect {
+      case xs: Seq[_] => xs.map(_.toString)
+    }.getOrElse(default)
+
+  /** openEO-style fractions object ({"train": 0.8, ...}) in DOCUMENT
+    * order — split bounds are cumulative, so order is semantic. */
+  private def fractionsArg(n: Node): Seq[(String, Double)] =
+    n.arguments.get("fractions").collect {
+      case LitArg(v) if v.isObject =>
+        v.properties().asScala.toSeq.map { e =>
+          e.getKey -> e.getValue.asDouble()
+        }
+    }.getOrElse(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
 
   private def optD(n: Node, name: String, results: collection.Map[String, Any]): Option[Double] =
     n.arguments.get(name).map(resolve(_, results)).collect { case d: Double => d }
@@ -262,6 +289,59 @@ final class GraphCompiler(
           foreshorteningTh = optD(n, "foreshortening_th", r).getOrElse(0.0),
           layoverTh = optD(n, "layover_th", r).getOrElse(0.0),
           orbitDirection = optS(n, "orbit_direction", r).getOrElse("ASC"))
+
+      // ---- table processes: the LLM-curation tier through the graph
+      // surface. The reference's one query language is this JSON graph;
+      // these processes drive graft.text's curation operators over plain
+      // tables (documents shape: doc_id, lang, source, text), compiling
+      // to the IDENTICAL plans as the Scala API — the stage bodies are
+      // the shared graft.text.Curation definitions. ----
+      case "load_table" =>
+        val id = optS(n, "id", r).getOrElse(throw graft.OpenEoError(
+          "TableIdMissing", "load_table needs an 'id' argument"))
+        val path = tables.getOrElse(id, throw graft.OpenEoError(
+          "TableNotFound",
+          s"table '$id' not in this compiler's table catalog " +
+            s"(${tables.keys.toSeq.sorted.mkString(", ")})"))
+        spark.read.parquet(path)
+      case "text_quality_gate" =>
+        graft.text.Curation.qualityGate(dfArg(n, "data", r),
+          minQuality = optD(n, "min_quality", r).getOrElse(0.75),
+          maxRepetition = optD(n, "max_repetition", r).getOrElse(0.2))
+      case "dedup_exact" =>
+        graft.text.Curation.dedupExactKeepMin(dfArg(n, "data", r))
+      case "dedup_near" =>
+        graft.text.Curation.nearDupCanonical(dfArg(n, "data", r),
+          blocking = strSeq(n, "blocking", r,
+            default = Seq("lang", "source")),
+          shingleN = optD(n, "shingle_n", r).getOrElse(3.0).toInt,
+          threshold = optD(n, "threshold", r).getOrElse(0.5))
+      case "lm_score" =>
+        // corpus bigram-LM perplexity scoring (q_lm_perplexity's exact
+        // formulation: one gram explode feeds training AND scoring)
+        val d = dfArg(n, "data", r)
+        val grams = d.select(col("doc_id"),
+            explode(graft.text.LanguageModel.bigrams(col("text")))
+              .as("gram"))
+          .localCheckpoint(true)
+        val lm = graft.text.LanguageModel.trainBigramLmFromGrams(grams,
+          minCount = optD(n, "min_count", r).getOrElse(1.0).toLong)
+        val scored = graft.text.LanguageModel
+          .scoreBigramLmFromGrams(grams, lm, "doc_id")
+        // optional gate: keep docs under the nll ceiling, joined back to
+        // the full document shape for downstream stages
+        optD(n, "max_avg_nll", r) match {
+          case Some(ceil) => d.join(
+            scored.where(col("avg_nll") <= ceil).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          case None => scored
+        }
+      case "split_grouped" =>
+        graft.text.Curation.groupedSplit(dfArg(n, "data", r),
+          fractions = fractionsArg(n))
+      case "token_stats" =>
+        graft.text.Curation.tokenStats(dfArg(n, "data", r),
+          by = strSeq(n, "by", r, default = Seq("split", "lang")))
 
       // ---- sinks (S5-S8) ----
       case "save_result" =>

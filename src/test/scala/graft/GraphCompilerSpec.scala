@@ -355,4 +355,103 @@ class GraphCompilerSpec extends SparkSpec {
       }
     }
   }
+
+  test("curation DAG through the graph surface equals the Scala API") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    // corpus with a planted exact dup (1,2) and a planted near-dup (3,4)
+    // in one (lang, source) block, plus low-quality junk the gate drops
+    val docs = Seq(
+      (1L, "en", "web", "the quick brown fox jumps over the lazy dog " +
+        "near the river bank today and every day thereafter without fail"),
+      (2L, "en", "web", "the quick brown fox jumps over the lazy dog " +
+        "near the river bank today and every day thereafter without fail"),
+      (3L, "en", "web", "spark structured streaming keeps bounded state " +
+        "in partitioned stores and emits results per micro batch window"),
+      (4L, "en", "web", "spark structured streaming keeps bounded state " +
+        "in partitioned stores and emits results per micro batch windows"),
+      (5L, "de", "news", "viele verschiedene woerter bilden hier einen " +
+        "ganz normalen deutschen beispielsatz mit ausreichend laenge"),
+      (6L, "en", "web", "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa " +
+        "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"))
+      .toDF("doc_id", "lang", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val graph = """{
+      "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+      "gate": {"process_id": "text_quality_gate", "arguments": {
+        "data": {"from_node": "load"},
+        "min_quality": 0.5, "max_repetition": 0.2}},
+      "exact": {"process_id": "dedup_exact",
+                "arguments": {"data": {"from_node": "gate"}}},
+      "near": {"process_id": "dedup_near", "arguments": {
+        "data": {"from_node": "exact"},
+        "blocking": ["lang", "source"], "shingle_n": 3, "threshold": 0.5}},
+      "split": {"process_id": "split_grouped", "arguments": {
+        "data": {"from_node": "near"},
+        "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}}},
+      "stats": {"process_id": "token_stats", "arguments": {
+        "data": {"from_node": "split"}, "by": ["split", "lang"]},
+        "result": true}}"""
+    val viaGraph = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-cres").toString,
+        tables = Map("documents" -> s"$dir/documents.parquet"))
+      .compile(graph)
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    // the Scala-API composition of the SAME shared stages
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val c = graft.text.Curation
+    val viaScala = c.tokenStats(
+        c.groupedSplit(
+          c.nearDupCanonical(
+            c.dedupExactKeepMin(c.qualityGate(d, 0.5, 0.2)),
+            Seq("lang", "source"), shingleN = 3, threshold = 0.5),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        Seq("split", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    viaGraph shouldBe viaScala
+    viaGraph should not be empty
+    // the planted dups collapsed: total surviving docs < gate survivors
+    val totalDocs = viaGraph.toSeq.map(_._3).sum
+    totalDocs should be < 5L // 6 docs - junk - exact dup - near dup
+  }
+
+  test("lm_score process scores and optionally gates through the graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
+    val docs = Seq(
+      (1L, "en", "web", "alpha beta alpha beta alpha beta"),
+      (2L, "en", "web", "alpha beta alpha beta gamma delta"),
+      (3L, "en", "web", "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "lang", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def comp = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-cres2").toString,
+      tables = Map("documents" -> s"$dir/documents.parquet"))
+    val scored = comp.compile("""{
+        "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "lm": {"process_id": "lm_score", "arguments": {
+          "data": {"from_node": "load"}, "min_count": 2}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    scored.columns should contain allOf ("doc_id", "n_bigrams", "avg_nll")
+    val byId = scored.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    byId.keySet shouldBe Set(1L, 2L, 3L)
+    // the repetitive in-model doc scores lower nll than the one full of
+    // rare continuations
+    byId(1L) should be < byId(3L)
+    // gated form keeps the document shape and drops high-nll docs
+    val gated = comp.compile("""{
+        "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "lm": {"process_id": "lm_score", "arguments": {
+          "data": {"from_node": "load"}, "min_count": 2,
+          "max_avg_nll": 2.0}},
+        "stats": {"process_id": "token_stats", "arguments": {
+          "data": {"from_node": "lm"}, "by": ["lang"]}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    gated.length shouldBe 1
+    gated.head.getLong(1) should be < 3L // at least doc 3 gated out
+  }
 }
