@@ -47,13 +47,20 @@ object Bpe {
     * windows x word weight, partial+final sum) plus a driver-side
     * argmax of ONE row; the lazily-layered replace chain re-derives
     * segmentations from the checkpointed vocabulary, so per-iteration
-    * cost is O(vocab * merges-so-far) — all far below corpus scale. A
-    * production 30k-merge run would checkpoint the segmentation column
-    * every few hundred merges; the dynamics are unchanged. */
+    * cost is O(vocab * chain-depth). Every `checkpointEvery` merges the
+    * segmentation COLUMN is materialized (a vocab-sized localCheckpoint)
+    * and the replace chain restarts from it, bounding both the chain
+    * depth and the expression-tree size for a production 30k-merge run
+    * — the trajectory is bit-identical (each replace is a pure function
+    * of the segmentation string, so layering over a materialized prefix
+    * equals layering over the original chain; law-tested in TextSpec).
+    * The default never triggers for short oracle-scale trainings. */
   def trainMerges(df: DataFrame, textCol: String,
-      nMerges: Int): Seq[(Int, String, Long)] = {
+      nMerges: Int, checkpointEvery: Int = 256): Seq[(Int, String, Long)] = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
-    val words = wordTable(df, textCol).localCheckpoint(true)
+    require(checkpointEvery > 0,
+      s"checkpointEvery must be positive: $checkpointEvery")
+    var words = wordTable(df, textCol).localCheckpoint(true)
     var seg = initSeg
     val out = Seq.newBuilder[(Int, String, Long)]
     var t = 1
@@ -70,6 +77,11 @@ object Bpe {
         val pair = top.head.getString(0)
         out += ((t, pair, top.head.getLong(1)))
         seg = mergeOnce(seg, pair)
+        if (t % checkpointEvery == 0) {
+          words = words.select(seg.as("_seg"), col("wc"))
+            .localCheckpoint(true)
+          seg = col("_seg")
+        }
         t += 1
       }
     }

@@ -158,19 +158,37 @@ object Sampling {
     * broken by ascending id so the cut is deterministic under any
     * partitioning.
     *
-    * 100 TB shape: ONE shuffle on the group key; the rank is a plain
-    * row_number window (sort within each group's partition). A
-    * pathologically hot group (one domain with billions of rows) makes
-    * one hot partition — for that regime pre-prune with a per-partition
-    * top-k partial aggregate (TopKAgg, as the ANN path does) before the
-    * window; the rule's semantics are unchanged. */
+    * 100 TB shape: the bounded [[graft.functions.TopKAgg]] pre-prune
+    * (promoted from an r4 comment to code) computes each group's
+    * surviving id set with MAP-SIDE partials — every task reduces its
+    * slice to ≤ k candidates per group before the only full-width
+    * shuffle, so a pathologically hot group (one domain with billions
+    * of rows) costs nPartitions × k tiny (id, score) rows instead of a
+    * billion-row single-partition sort. The row_number window then
+    * ranks only the ≤ |groups|·k semi-join survivors, and its result
+    * is bit-identical to the unpruned formulation: TopKAgg's
+    * comparator IS the window's ORDER BY (score desc, ties id asc,
+    * Double.compare NaN semantics), so the pruned set contains exactly
+    * the rows the window would keep (duplicate ids re-rank identically
+    * among themselves). The broadcast of the picked set follows
+    * [[sampleStratified]]; for |groups|·k beyond broadcast range drop
+    * the hint and the semi-join shuffles narrow (group, id) rows only.
+    *
+    * `idCol` must be integral (it rides TopKAgg's long lane) and
+    * `scoreCol` numeric — the same contract as the ANN path. */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
       idCol: String, k: Int): DataFrame = {
     require(groupCols.nonEmpty, "capPerGroup needs at least one group col")
+    val picked = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col(idCol), scoreCol.cast("double")).as("_nn"))
+      .select(groupCols.map(col) :+ explode(col("_nn.id")).as(idCol): _*)
+    val pruned = df.join(broadcast(picked), groupCols :+ idCol, "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(scoreCol.desc, col(idCol))
-    df.withColumn("_rn", row_number().over(w))
+    pruned.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
       .drop("_rn")
   }

@@ -402,15 +402,21 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Sort ["
   }
 
-  test("capPerGroup: one shuffle on the group key feeding the rank window") {
+  test("capPerGroup: bounded TopKAgg pre-prune before the rank window") {
     import spark.implicits._
     val df = (0L until 40L).map(i => (i, s"g${i % 4}", i * 2))
       .toDF("id", "g", "score")
     val plan = planString(graft.text.Sampling.capPerGroup(
       df, Seq("g"), col("score"), "id", 3))
-    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    // the picked set comes from a PARTIAL (map-side) top-k aggregate —
+    // a hot group contributes ≤ k rows per task to its only shuffle
+    plan.toLowerCase should include("partial_topkagg")
+    // survivors semi-join via broadcast: full rows never shuffle wide
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftSemi")
+    // the rank window still runs (duplicate-id exactness) but only over
+    // the ≤ |groups|·k pruned rows
     plan should include("Window")
-    plan should not include "Join"
   }
 
   test("int8 quantization is a pure projection — no shuffle, no join") {

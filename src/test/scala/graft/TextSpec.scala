@@ -571,6 +571,43 @@ class TextSpec extends SparkSpec {
     kept shouldBe Set(2L, 3L, 5L) // 30-tie keeps ids 2 and 3; g2 under cap
   }
 
+  test("capPerGroup pre-prune law: a group holding ~all rows matches the " +
+      "plain window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // one pathologically hot group (the regime the TopKAgg pre-prune
+    // exists for) + score ties spanning the cut, across 8 partitions so
+    // map-side partials genuinely merge
+    val rows = (0L until 500L).map(i => (i, "hot", (i % 7).toDouble)) ++
+      Seq((900L, "cold", 1.0), (901L, "cold", 1.0), (902L, "cold", 2.0))
+    val df = rows.toDF("id", "g", "score").repartition(8)
+    val got = graft.text.Sampling
+      .capPerGroup(df, Seq("g"), col("score"), "id", 5)
+      .select("id", "g", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val ref = df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= 5).drop("_rn")
+      .select("id", "g", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    got shouldBe ref
+    got.count(_._2 == "hot") shouldBe 5
+    got.count(_._2 == "cold") shouldBe 3
+  }
+
+  test("BPE segmentation checkpointing law: checkpointed == unchunked") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new lower"),
+      (3L, "wide wider widest low newer"),
+      (4L, "low lower new newest wide")).toDF("doc_id", "text")
+    val plain = graft.text.Bpe.trainMerges(docs, "text", 9)
+    // checkpoint every 2 merges: the replace chain restarts from a
+    // materialized segmentation column 4 times inside the trajectory
+    val chunked = graft.text.Bpe.trainMerges(docs, "text", 9,
+      checkpointEvery = 2)
+    chunked shouldBe plain
+  }
+
   test("hashed sparse logistic separates classes; deterministic on any " +
       "partitioning") {
     val docs = Seq(
