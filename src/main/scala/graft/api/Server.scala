@@ -181,6 +181,25 @@ final class Catalog(val specs: Map[String, Scan.CollectionSpec],
           if (spec.bandOrder.nonEmpty) spec.bandOrder
           else df.select("band").distinct().collect().map(_.getString(0)).sorted.toSeq
         val bandsJson = bands.map("\"" + _ + "\"").mkString("[", ",", "]")
+        // per-band nodata/scale/offset synthesized from the registered
+        // CollectionSpec.adjust — the openEO client reads these to undo
+        // packing (the reference keeps them in dataset YAMLs it only
+        // half-surfaces, odc_backend.py:243-309; the spec IS our store's
+        // metadata, so surface it as eo:bands summaries). Only present
+        // when the collection declares adjusts; a supplementary-file
+        // `summaries` object still overrides wholesale (same precedence
+        // as the reference's metadata merge).
+        val summariesJson =
+          if (spec.adjust.isEmpty) ""
+          else {
+            val eoBands = bands.map { b =>
+              val a = spec.adjust.getOrElse(b, graft.ops.Scan.BandAdjust())
+              val nd = a.nodata.map(v => s""","nodata":$v""").getOrElse("")
+              s"""{"name":"$b","scale":${a.scale},"offset":${a.offset}$nd}"""
+            }.mkString("[", ",", "]")
+            s""",
+               |"summaries":{"eo:bands":$eoBands}""".stripMargin
+          }
         // reference layout (odc_backend.py:184-309): datacube extension,
         // DATE/X/Y/bands dimension names (config.py:41-44), axis +
         // reference_system on the spatial dims, top-level extent object.
@@ -204,7 +223,7 @@ final class Catalog(val specs: Map[String, Scan.CollectionSpec],
            |"DATE":{"type":"temporal","extent":["$t0","$t1"]$tStep},
            |"X":{"type":"spatial","axis":"x","extent":[$x0,$x1],"reference_system":$epsg$xStep},
            |"Y":{"type":"spatial","axis":"y","extent":[$y0,$y1],"reference_system":$epsg$yStep},
-           |"bands":{"type":"bands","values":$bandsJson}}}""".stripMargin
+           |"bands":{"type":"bands","values":$bandsJson}}$summariesJson}""".stripMargin
       }) match {
         case base => supplementary.get(id) match {
           case None => base

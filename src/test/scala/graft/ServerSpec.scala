@@ -96,6 +96,32 @@ class ServerSpec extends SparkSpec {
     body should include(""""axis":"x"""")
   }
 
+  test("per-band nodata/scale/offset synthesize from CollectionSpec.adjust") {
+    val catalog = new Catalog(Map("c3" -> Scan.CollectionSpec(
+      s"$collectionDir/c", crs = Some("EPSG:32632"),
+      bandOrder = Seq("B04", "B08"), grid = Some(GridRef(0, 0, 1, 1)),
+      adjust = Map(
+        "B04" -> Scan.BandAdjust(nodata = Some(0.0),
+          scale = 0.0001, offset = -0.1),
+        // B08 deliberately unregistered: defaults synthesize
+      ))))
+    val body = catalog.describeJson(spark, "c3").get
+    // openEO-client shape: summaries.eo:bands, one entry per band in
+    // band order, adjusted fields on registered bands, identity
+    // defaults (scale 1, offset 0, no nodata) on the rest
+    body should include(""""summaries":{"eo:bands":[""")
+    body should include(
+      """{"name":"B04","scale":1.0E-4,"offset":-0.1,"nodata":0.0}""")
+    body should include("""{"name":"B08","scale":1.0,"offset":0.0}""")
+    // the whole document must stay parseable JSON
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    // a collection without adjusts emits no summaries block
+    val plain = new Catalog(Map("c4" -> Scan.CollectionSpec(
+      s"$collectionDir/c", crs = Some("EPSG:32632"),
+      bandOrder = Seq("B04", "B08"), grid = Some(GridRef(0, 0, 1, 1)))))
+    plain.describeJson(spark, "c4").get should not include "summaries"
+  }
+
   test("POST /graph executes a process graph and caches by md5") {
     val graph = """{
       "load": {"process_id": "load_collection", "arguments": {"id": "c1"}},
