@@ -638,18 +638,22 @@ object Dedup {
     * sf0.1; the round-3/4 HOF lesson again).
     *
     * 100 TB shape: the exploded (id, window) rows are evaluated ONCE and
-    * make exactly two shuffles — one keyed on the window string to attach
+    * make exactly two shuffles — one keyed on xxhash64(window) to attach
     * each window's corpus occurrence count (a count-over-partition
-    * window, no join back), one doc-keyed aggregation folding both the
-    * window total and the duplicated total in a single pass. At extreme
-    * scale key on xxhash64(window) (collisions only inflate the signal,
-    * never lose a duplicate) and frequency-prune like the LM. */
+    * window, no join back; the 8-byte hash replaces the n-token string
+    * BEFORE the exchange, so window text never crosses the network — a
+    * 64-bit collision can only INFLATE the duplicate signal, never lose
+    * a duplicate, and at corpus cardinalities the probability is
+    * ~n²/2⁶⁵), one doc-keyed aggregation folding both the window total
+    * and the duplicated total in a single pass. At extreme scale also
+    * frequency-prune like the LM. */
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 2, s"window size $n must be >= 2")
     val wins = docs.select(col(idCol),
       explode(graft.functions.TextHashExprs
-        .tokenWindows(lower(trim(col(textCol))), n)).as("_w"))
+        .tokenWindows(lower(trim(col(textCol))), n)).as("_wt"))
+      .select(col(idCol), xxhash64(col("_wt")).as("_w"))
     val cw = org.apache.spark.sql.expressions.Window.partitionBy("_w")
     val perDoc = wins
       .withColumn("_c", count(lit(1)).over(cw))
@@ -679,10 +683,14 @@ object Dedup {
     *
     * 100 TB shape: four narrow shuffles — the window-keyed
     * count+first-occurrence window (rank and occurrence count in ONE
-    * exchange), a (doc, pos) dedup of covered positions (duplicated
-    * windows only — the duplicate MASS, small on a clean corpus), the
-    * coverage join, and the per-doc rebuild. Document text crosses a
-    * shuffle only as single tokens on the rebuild. */
+    * exchange, keyed on xxhash64(window) so the n-token strings are
+    * replaced by 8-byte keys before the exchange; a 64-bit collision
+    * can only cut MORE text — same first-occurrence-survives rule on
+    * the merged class — never resurrect a duplicate, ~n²/2⁶⁵), a
+    * (doc, pos) dedup of covered positions (duplicated windows only —
+    * the duplicate MASS, small on a clean corpus), the coverage join,
+    * and the per-doc rebuild. Document text crosses a shuffle only as
+    * single tokens on the rebuild. */
   def removeDuplicatedSpans(docs: DataFrame, textCol: String,
       idCol: String, n: Int = 8): DataFrame = {
     require(n >= 2, s"window size $n must be >= 2")
@@ -696,7 +704,8 @@ object Dedup {
         .as(Seq("_pos", "_tk")))
     val wins = docs.select(col(idCol),
       posexplode(graft.functions.TextHashExprs.tokenWindows(lt, n))
-        .as(Seq("_pos", "_w")))
+        .as(Seq("_pos", "_wt")))
+      .select(col(idCol), col("_pos"), xxhash64(col("_wt")).as("_w"))
     val pw = org.apache.spark.sql.expressions.Window.partitionBy("_w")
     val ow = pw.orderBy(col(idCol), col("_pos"))
     val covered = wins
