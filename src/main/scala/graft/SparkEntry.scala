@@ -1259,6 +1259,23 @@ object SparkEntry {
           alpha = 0.5, target = 200L)
         .select("doc_id", "source", "lang")
     }),
+    "q_unimax_mix" -> ((s, dir) => {
+      // UniMax water-filling budget allocation (Chung et al. 2023) over
+      // a deliberately skewed source tiering (the fixture's natural
+      // sources are uniform): two synthetic head/mid tiers plus the
+      // natural tail sources. At sf0.01 the ~20 tail sources fit their
+      // equal share and are kept WHOLE while head and mid split the
+      // leftover equally — the fairness property temperature mixing
+      // lacks; the oracle replays the integer cutoff and shared share.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val skewed = d.withColumn("mix_src",
+        when(col("doc_id") < 300, "head")
+          .when(col("doc_id") < 450, "mid")
+          .otherwise(col("source")))
+      graft.text.Sampling.unimaxSample(skewed, "mix_src", "doc_id",
+          budget = 120L)
+        .select("doc_id", "mix_src", "lang")
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // normalization rules exercised on synthetically-noised input
       // (tabs, BEL, newlines, runs of spaces appended to each doc) —
@@ -2886,6 +2903,40 @@ object SparkEntry {
            FROM h
          )
          SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""",
+    "q_unimax_mix" ->
+      // same trajectory as Sampling.unimaxSample: ascending (n, source)
+      // order, INTEGER full-prefix cutoff n*(k-i) <= remaining (a prefix
+      // property — once one source is partial, every larger one is),
+      // then one shared IEEE share for the suffix and the portable LCG
+      // keep filter (identical op order to the Scala side)
+      """WITH dd AS (SELECT doc_id, lang,
+             CASE WHEN doc_id < 300 THEN 'head'
+                  WHEN doc_id < 450 THEN 'mid'
+                  ELSE source END AS mix_src
+           FROM documents),
+         c AS (SELECT mix_src, count(*) AS n FROM dd GROUP BY 1),
+         o AS (SELECT mix_src, n,
+             row_number() OVER (ORDER BY n, mix_src) - 1 AS i,
+             (SELECT count(*) FROM c) AS k,
+             COALESCE(SUM(n) OVER (ORDER BY n, mix_src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM c),
+         f AS (SELECT *,
+             CASE WHEN n * (k - i) <= 120 - pre THEN 1 ELSE 0 END AS isf
+           FROM o),
+         s AS (SELECT COALESCE(SUM(CASE WHEN isf = 1 THEN n END), 0) AS full_n,
+                      COALESCE(SUM(isf), 0) AS cut, MAX(k) AS k FROM f),
+         r AS (SELECT f.mix_src,
+             CASE WHEN f.isf = 1 THEN 2147483648
+                  ELSE CAST(FLOOR(LEAST(1.0,
+                    (CAST(120 - s.full_n AS DOUBLE) / (s.k - s.cut))
+                      / CAST(f.n AS DOUBLE)) * 2147483648.0) AS BIGINT)
+                  END AS thr
+           FROM f, s)
+         SELECT dd.doc_id, dd.mix_src, dd.lang
+         FROM dd JOIN r ON dd.mix_src = r.mix_src
+         WHERE ((dd.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+               < r.thr""",
     "q_temperature_mix" ->
       // same trajectory as Sampling.temperatureSample: per-source counts,
       // n^0.5 weights, name-ordered normalizing sum (mirrors the Scala

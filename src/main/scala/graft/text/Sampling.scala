@@ -243,6 +243,61 @@ object Sampling {
     df.where(portableHash(col(idCol)) < thrCol)
   }
 
+  /** UniMax budget allocation (Chung et al. 2023): spend a total
+    * document budget over sources by WATER-FILLING — every source gets
+    * an equal share of the remaining budget unless its whole corpus is
+    * smaller than that share, in which case it is kept in full and the
+    * leftover redistributes over the larger sources. Unlike temperature
+    * mixing there is no free α: small sources are never starved and the
+    * head never repeats, which is the published argument for UniMax
+    * over α-sampling at large budgets (1-epoch cap formulation — the
+    * batch sampler expresses no up-sampling).
+    *
+    * Determinism/engine-exactness: the full-vs-partial cutoff uses the
+    * INTEGER test `n·(k−i) ≤ remaining` over sources sorted ascending
+    * by (count, name) — a prefix property (proved in the water-filling
+    * literature: once one source is partial every larger one is too),
+    * so allocations are `n` for the prefix and one shared IEEE-double
+    * share for the suffix. Rows keep via the portable LCG threshold
+    * floor(share/n · 2³¹), the same filter contract as
+    * [[temperatureSample]] (and the same measure-zero boundary caveat).
+    *
+    * 100 TB shape: identical to [[temperatureSample]] — one |sources|-row
+    * count aggregation to the driver, rates become literals in a
+    * when-chain, and the sample itself is a PURE FILTER (no shuffle,
+    * pushdown-friendly, repartition-stable). Null sources never match
+    * the chain and are dropped. */
+  def unimaxSample(df: DataFrame, sourceCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy { case (g, n) => (n, g) }
+    require(counts.nonEmpty, "unimaxSample needs at least one non-null source")
+    val k = counts.length
+    var remaining = budget
+    var cut = 0
+    while (cut < k && counts(cut)._2 * (k - cut) <= remaining) {
+      remaining -= counts(cut)._2
+      cut += 1
+    }
+    // every suffix source gets the SAME share (see prefix property)
+    val sStar = if (cut < k) remaining.toDouble / (k - cut) else 0.0
+    val thresholds = counts.zipWithIndex.map { case ((g, n), i) =>
+      val thr =
+        if (i < cut) 2147483648L // p = 1: keep the whole source
+        else (math.min(1.0, sStar / n.toDouble) * 2147483648.0).toLong
+      (g, thr)
+    }
+    val thrCol = thresholds.foldRight(lit(0L): Column) {
+      case ((g, t), acc) =>
+        when(col(sourceCol) === lit(g), lit(t)).otherwise(acc)
+    }
+    df.where(portableHash(col(idCol)) < thrCol)
+  }
+
   /** Split-leakage audit: given a near-dup pair list and a split
     * assignment, count the pairs whose two sides landed in DIFFERENT
     * splits — the number a leakage-safe split must drive to zero

@@ -594,6 +594,35 @@ class TextSpec extends SparkSpec {
     got.count(_._2 == "cold") shouldBe 3
   }
 
+  test("unimaxSample water-fills: small sources whole, big ones equal share") {
+    // sources: a=4 docs, b=6, c=40, d=40; budget 30
+    // ascending (a,b,c,d): a full (4*4=16<=30), b full (6*3=18<=26),
+    // suffix share = 20/2 = 10 -> p_c = p_d = 0.25
+    val rows = (0L until 4L).map(i => (i, "a")) ++
+      (10L until 16L).map(i => (i, "b")) ++
+      (100L until 140L).map(i => (i, "c")) ++
+      (200L until 240L).map(i => (i, "d"))
+    val df = rows.toDF("id", "src").repartition(7)
+    val kept = graft.text.Sampling.unimaxSample(df, "src", "id", budget = 30L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    bySrc("a") shouldBe 4 // kept whole
+    bySrc("b") shouldBe 6 // kept whole
+    // partial sources keep ~p=0.25 of rows via the LCG filter (exact
+    // membership is hash-determined; the shares must at least be equal
+    // in expectation and far below the full corpus)
+    bySrc.getOrElse("c", 0) should be < 40
+    bySrc.getOrElse("d", 0) should be < 40
+    // deterministic under any partitioning
+    val kept2 = graft.text.Sampling
+      .unimaxSample(df.repartition(2), "src", "id", budget = 30L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept2.toSet shouldBe kept.toSet
+    // a budget covering the whole corpus keeps every row
+    graft.text.Sampling.unimaxSample(df, "src", "id", budget = 1000L)
+      .count() shouldBe 90L
+  }
+
   test("BPE segmentation checkpointing law: checkpointed == unchunked") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
