@@ -342,6 +342,75 @@ final class GraphCompiler(
       case "token_stats" =>
         graft.text.Curation.tokenStats(dfArg(n, "data", r),
           by = strSeq(n, "by", r, default = Seq("split", "lang")))
+      case "pii_redact" =>
+        // in-place text redaction keeping the document shape; the output
+        // MATERIALIZES (narrow checkpoint) because any downstream gate's
+        // deterministic filter would otherwise be pushed below this
+        // projection and re-evaluate the regex chain twice — the v2
+        // curation DAG's measured double-eval lesson (BENCH_NOTES r4)
+        val d = dfArg(n, "data", r)
+        val tc = optS(n, "text_column", r).getOrElse("text")
+        val redacted = graft.text.TextAnalysis.piiPatterns
+          .foldLeft(col(tc)) { case (acc, (_, pat, repl)) =>
+            regexp_replace(acc, pat, repl) }
+        d.withColumn(tc, redacted).localCheckpoint(true)
+      case "gopher_gate" =>
+        // the v2 DAG's Gopher-lite gate: word-count floor + stopword
+        // presence (cheap one-pass expressions — a plain filter)
+        val d = dfArg(n, "data", r)
+        val tc = optS(n, "text_column", r).getOrElse("text")
+        val words = split(trim(col(tc)), "\\s+")
+        val stopsPresent = size(filter(
+          array(graft.text.TextAnalysis.gopherStops.map(lit): _*),
+          w => array_contains(words, w)))
+        d.where(size(words) >= optD(n, "min_words", r).getOrElse(50.0).toInt
+          && stopsPresent >= optD(n, "min_stopwords", r).getOrElse(1.0).toInt)
+      case "dedup_paragraph" =>
+        // cross-doc paragraph dedup, document shape preserved (text
+        // replaced by clean_text, other columns rejoined by id)
+        val d = dfArg(n, "data", r)
+        val tc = optS(n, "text_column", r).getOrElse("text")
+        val idc = optS(n, "id_column", r).getOrElse("doc_id")
+        val cleaned = graft.text.Dedup.dedupParagraphs(
+          d.select(col(idc), col(tc)), tc, idc)
+        d.drop(tc).join(
+          cleaned.select(col(idc), col("clean_text").as(tc)), idc)
+      case "dedup_minhash" =>
+        graft.text.Dedup.minhashLsh(dfArg(n, "data", r),
+          optS(n, "text_column", r).getOrElse("text"),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          shingleN = optD(n, "shingle_n", r).getOrElse(3.0).toInt,
+          k = optD(n, "k", r).getOrElse(32.0).toInt,
+          bands = optD(n, "bands", r).getOrElse(8.0).toInt,
+          threshold = optD(n, "threshold", r).getOrElse(0.7))
+      case "decontaminate" =>
+        graft.text.Dedup.decontaminate(dfArg(n, "data", r),
+          dfArg(n, "eval", r),
+          optS(n, "text_column", r).getOrElse("text"),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          shingleN = optD(n, "shingle_n", r).getOrElse(5.0).toInt)
+      case "sample_temperature" =>
+        graft.text.Sampling.temperatureSample(dfArg(n, "data", r),
+          optS(n, "source_column", r).getOrElse("source"),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          alpha = optD(n, "alpha", r).getOrElse(0.5),
+          target = optD(n, "target", r).map(_.toLong).getOrElse(
+            throw graft.OpenEoError("ArgumentMissing",
+              "sample_temperature needs a 'target' document count")))
+      case "sample_unimax" =>
+        graft.text.Sampling.unimaxSample(dfArg(n, "data", r),
+          optS(n, "source_column", r).getOrElse("source"),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          budget = optD(n, "budget", r).map(_.toLong).getOrElse(
+            throw graft.OpenEoError("ArgumentMissing",
+              "sample_unimax needs a 'budget' document count")))
+      case "cap_per_group" =>
+        val d = dfArg(n, "data", r)
+        graft.text.Sampling.capPerGroup(d,
+          strSeq(n, "group_columns", r, default = Seq("lang", "source")),
+          col(optS(n, "score_column", r).getOrElse("n_chars")),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          k = optD(n, "k", r).getOrElse(3.0).toInt)
 
       // ---- sinks (S5-S8) ----
       case "save_result" =>

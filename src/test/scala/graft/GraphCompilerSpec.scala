@@ -418,6 +418,95 @@ class GraphCompilerSpec extends SparkSpec {
     totalDocs should be < 5L // 6 docs - junk - exact dup - near dup
   }
 
+  test("hygiene processes pii_redact→gopher_gate→dedup_paragraph equal the Scala ops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs3").toString
+    val para = "this shared boilerplate paragraph appears in every document"
+    val docs = Seq(
+      (1L, "en", "web", s"the quick brown fox writes to alice@example.com " +
+        s"about the river bank meeting agenda\n\n$para"),
+      (2L, "en", "web", s"the slow green turtle reads the daily news with " +
+        s"interest every single morning\n\n$para"),
+      (3L, "en", "web", "too short")) // gated out by the word floor
+      .toDF("doc_id", "lang", "source", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val graph = """{
+      "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+      "pii": {"process_id": "pii_redact",
+              "arguments": {"data": {"from_node": "load"}}},
+      "gop": {"process_id": "gopher_gate", "arguments": {
+        "data": {"from_node": "pii"}, "min_words": 10}},
+      "par": {"process_id": "dedup_paragraph",
+              "arguments": {"data": {"from_node": "gop"}}, "result": true}}"""
+    val viaGraph = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-cres3").toString,
+        tables = Map("documents" -> s"$dir/documents.parquet"))
+      .compile(graph).asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    viaGraph.keySet shouldBe Set(1L, 2L) // doc 3 gated
+    // the email redacted, the duplicated paragraph survives only in the
+    // earliest doc
+    viaGraph(1L) should include("<EMAIL>")
+    viaGraph(1L) should include(para)
+    viaGraph(2L) should not include para
+    // equality with the Scala composition of the same operators
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val redacted = graft.text.TextAnalysis.piiPatterns
+      .foldLeft(col("text")) { case (acc, (_, pat, repl)) =>
+        regexp_replace(acc, pat, repl) }
+    val st = d.withColumn("text", redacted).localCheckpoint(true)
+    val F = org.apache.spark.sql.functions
+    val words = split(trim(col("text")), "\\s+")
+    val stops = F.size(F.filter(
+      array(graft.text.TextAnalysis.gopherStops.map(lit): _*),
+      w => array_contains(words, w)))
+    val gated = st.where(F.size(words) >= lit(10) && stops >= lit(1))
+    val viaScala = gated.drop("text").join(
+        graft.text.Dedup.dedupParagraphs(
+          gated.select(col("doc_id"), col("text")), "text", "doc_id")
+          .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    viaGraph shouldBe viaScala
+  }
+
+  test("sampler and cap processes drive through the graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs4").toString
+    val docs = (0L until 200L).map(i =>
+        (i, if (i < 160) "big" else s"tail${i % 4}", "en",
+          s"document number $i with some words", (i % 37 + 10).toInt))
+      .toDF("doc_id", "source", "lang", "text", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def comp = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-cres4").toString,
+      tables = Map("documents" -> s"$dir/documents.parquet"))
+    val viaGraph = comp.compile("""{
+        "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "mix": {"process_id": "sample_unimax", "arguments": {
+          "data": {"from_node": "load"}, "budget": 60}},
+        "cap": {"process_id": "cap_per_group", "arguments": {
+          "data": {"from_node": "mix"}, "group_columns": ["source"],
+          "score_column": "n_chars", "k": 5}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val viaScala = graft.text.Sampling.capPerGroup(
+        graft.text.Sampling.unimaxSample(d, "source", "doc_id", 60L),
+        Seq("source"), col("n_chars"), "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    viaGraph shouldBe viaScala
+    viaGraph should not be empty
+    // a missing budget raises the typed error
+    val err = intercept[graft.OpenEoError](comp.compile("""{
+        "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "mix": {"process_id": "sample_unimax",
+                "arguments": {"data": {"from_node": "load"}},
+                "result": true}}"""))
+    err.code shouldBe "ArgumentMissing"
+  }
+
   test("lm_score process scores and optionally gates through the graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
