@@ -1465,6 +1465,37 @@ object SparkEntry {
       }
       s.table(sink).dropDuplicates("id_a", "id_b")
     }),
+    "q_stream_decontaminate" -> ((s, dir) => {
+      // EXACT stateless decontamination through a REAL MemoryStream run:
+      // the eval suite (every 37th doc) collapses once to its distinct
+      // shingle-hash LITERAL (bounded — benchmarks are small by
+      // definition), and corpus docs streaming in 3 micro-batches count
+      // their contamination in a pure projection (array_intersect
+      // against the literal). Stateless → stream == batch under any
+      // split, so the oracle is q_decontaminate's string-level replay
+      // verbatim.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val evalHashes = d.where(col("doc_id") % 37 === 0)
+        .select(explode(graft.functions.TextHashExprs.shingleHashes(
+          lower(trim(col("text"))), 5)).as("g"))
+        .distinct().as[Long].collect().sorted
+      val docs = d.where(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val sink = "q_stream_decontaminate_sink"
+      val q = graft.streaming.StreamingOps.decontaminateStream(
+          ms.toDF.toDF("doc_id", "text"), evalHashes, "text", "doc_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // trainable quality scorer: 3 rounds of distributed full-batch
       // logistic GD (rational link, long-quantized gradients — see
@@ -1836,6 +1867,30 @@ object SparkEntry {
          bit_count(xor(a.h, b.h)) AS dist
        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
        WHERE bit_count(xor(a.h, b.h)) <= 6"""
+
+  /** Shared by q_decontaminate (batch broadcast join) and
+    * q_stream_decontaminate (stateless literal-intersect projection):
+    * both count each corpus doc's distinct shingles present in the
+    * eval-suite gram set, so one string-level replay verifies both.
+    * Distinct 5-gram shingles per document (one clipped shingle when
+    * < 5 tokens, mirroring graft_shingle_hashes) joined against the
+    * eval gram set. */
+  private val decontaminateSql: String =
+    """WITH tok AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+             range(1, greatest(len(t) - 4, 1) + 1),
+             i -> array_to_string(t[i:i+4], ' '))), x -> x <> '') AS s
+         FROM tok),
+       ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+       ds AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0),
+       hits AS (SELECT ds.doc_id, count(*) AS n_hits
+         FROM ds JOIN ev USING (g) GROUP BY ds.doc_id)
+       SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+         coalesce(h.n_hits, 0) >= 1 AS contaminated
+       FROM documents d LEFT JOIN hits h USING (doc_id)
+       WHERE d.doc_id % 37 <> 0"""
 
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
@@ -2704,25 +2759,10 @@ object SparkEntry {
            coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
              chr(10) || chr(10) ORDER BY pos), '') AS clean_text
          FROM w GROUP BY doc_id""",
-    "q_decontaminate" ->
-      // string-level replay of the hashed-shingle overlap count: distinct
-      // 5-gram shingles per document (one clipped shingle when < 5 tokens,
-      // mirroring graft_shingle_hashes) joined against the eval gram set
-      """WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 4, 1) + 1),
-               i -> array_to_string(t[i:i+4], ' '))), x -> x <> '') AS s
-           FROM tok),
-         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
-         ds AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0),
-         hits AS (SELECT ds.doc_id, count(*) AS n_hits
-           FROM ds JOIN ev USING (g) GROUP BY ds.doc_id)
-         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
-           coalesce(h.n_hits, 0) >= 1 AS contaminated
-         FROM documents d LEFT JOIN hits h USING (doc_id)
-         WHERE d.doc_id % 37 <> 0""",
+    "q_decontaminate" -> decontaminateSql,
+    // the streamed gate is a stateless projection -> equal to the batch
+    // formulation under any micro-batch split; oracle shared verbatim
+    "q_stream_decontaminate" -> decontaminateSql,
     "q_curation_pipeline" ->
       curationSql,
     // the JSON-graph formulation compiles to the identical plan (shared

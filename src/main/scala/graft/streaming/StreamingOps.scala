@@ -313,6 +313,34 @@ object StreamingOps {
       groupCols: Seq[String], p: Int = 11): DataFrame =
     graft.text.Sketches.hllRegisters(df, value, groupCols, p)
 
+  /** Streaming benchmark-decontamination gate — EXACT, stateless, and
+    * append-legal: the eval suite's distinct shingle hashes ship as a
+    * LITERAL array (benchmarks are small by definition — the same
+    * bounded-side argument as [[graft.text.Dedup.decontaminate]]'s
+    * broadcast), and each arriving document's contamination count is a
+    * pure projection `size(array_intersect(doc_hashes, eval_hashes))`.
+    * No state store, no watermark, no join machinery — the serving
+    * shape of the Bloom variant ([[graft.functions.BloomExprs]]) but
+    * with zero false POSITIVES too, because the full hash set replaces
+    * the sketch. Identical hashes to the batch operator (both sides use
+    * TextHashExprs.shingleHashes, distinct within doc), so streamed
+    * output equals the batch formulation row-for-row under any
+    * micro-batch split.
+    *
+    * 100 TB shape: the literal array is |eval-suite grams| longs (a few
+    * MB for real benchmarks); per-doc cost is one sorted-probe HOF over
+    * the doc's own shingles. For eval suites too big to inline, fall
+    * back to the Bloom prefilter + batch exact verify. */
+  def decontaminateStream(df: DataFrame, evalHashes: Array[Long],
+      textCol: String, idCol: String, shingleN: Int = 5): DataFrame = {
+    val docHashes = graft.functions.TextHashExprs
+      .shingleHashes(lower(trim(col(textCol))), shingleN)
+    df.select(col(idCol),
+        size(array_intersect(docHashes,
+          typedLit(evalHashes.toSeq))).cast("long").as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= 1L)
+  }
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

@@ -331,6 +331,40 @@ class StreamingSpec extends SparkSpec {
     batch.exists { case (id, _, c) => id == 0L && c } shouldBe true // the plant
   }
 
+  test("exact decontamination gate: stream equals the batch operator under any split") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "pack my box with five dozen liquor jugs today",
+      2L -> "sphinx of black quartz judge my vow said nobody",
+      3L -> "completely unrelated words that overlap with no eval text")
+    val eval = Seq(10L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val batch = graft.text.Dedup.decontaminate(
+        docs.toDF("doc_id", "text"), eval, "text", "doc_id", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val evalHashes = eval.select(explode(graft.functions.TextHashExprs
+        .shingleHashes(lower(trim(col("text"))), 3)).as("g"))
+      .distinct().as[Long].collect().sorted
+    def run(name: String, batches: Seq[Seq[(Long, String)]]) = {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.decontaminateStream(
+          stream.toDF().toDF("doc_id", "text"), evalHashes, "text",
+          "doc_id", shingleN = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    }
+    run("dec_one", Seq(docs)) shouldBe batch
+    run("dec_split", Seq(docs.take(1), docs.slice(1, 3), docs.drop(3))) shouldBe batch
+    // the planted overlap is exact — no Bloom false positives here
+    batch.exists { case (id, _, c) => id == 0L && c } shouldBe true
+    batch.exists { case (id, _, c) => id == 3L && !c } shouldBe true
+  }
+
   test("streaming simhash near-dup gate equals the batch pair set under any batch split") {
     implicit val sqlCtx = spark.sqlContext
     // corpus with planted near-dups: template docs + one-word edits
