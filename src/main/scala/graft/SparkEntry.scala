@@ -949,6 +949,21 @@ object SparkEntry {
       Classifier.prAtThresholds(scored, "score", "y",
         Seq(0.3, 0.45, 0.5, 0.55, 0.7))
     }),
+    "q_classifier_calibration" -> ((s, dir) => {
+      // the gate's reliability diagram: decile bins over the trained
+      // scores, exact counts + quantized mean score vs empirical
+      // positive rate — ONE aggregation to 10 rows; the oracle replays
+      // training, scoring, and the binning arithmetic
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
+      Classifier.calibrationBins(scored, "score", "y", nBins = 10)
+    }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights: target LM = the English slice, base LM =
       // the whole corpus; docs that look English-like score high. Both
@@ -3900,6 +3915,22 @@ object SparkEntry {
            CASE WHEN tp + fn > 0
              THEN round(CAST(tp AS DOUBLE) / (tp + fn), 9) END AS recall
          FROM cf""",
+    "q_classifier_calibration" ->
+      // same GD-replay scores, decile-binned: floor of the identical
+      // IEEE product, integer counts, 1e-6-long-quantized score sums
+      s"""WITH $hashedGdCtes,
+         sc AS (SELECT doc_id, y,
+             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
+         b AS (SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
+             y, score FROM sc)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+           round((CAST(SUM(CAST(round(score * 1000000.0, 0) AS BIGINT))
+                  AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6)
+             AS mean_score,
+           round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS frac_pos
+         FROM b GROUP BY 1""",
     "q_classifier_auc" ->
       // the GD replay's scores feed the tie-aware rank formulation:
       // 2*avgRank = 2*cumBefore + n + 1 per score group (integer), so

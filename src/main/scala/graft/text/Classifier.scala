@@ -159,6 +159,37 @@ object Classifier {
           .as("recall"))
   }
 
+  /** Reliability-diagram (calibration) bins: scores bucket into `nBins`
+    * equal-width bins; per bin, exact counts, the 1e-6-long-quantized
+    * mean score, and the empirical positive rate — the calibration
+    * audit a trained gate ships with (a probability-calibrated gate
+    * lets a pipeline pick thresholds by expected precision instead of
+    * guesswork; mean_score far from frac_pos in a bin = miscalibrated).
+    *
+    * Engine-exactness: the bin index is floor(score·nBins) clamped to
+    * the top bin (scores are already 9-decimal-rounded doubles, so both
+    * engines floor the identical IEEE product); count/positive sums are
+    * integers and the mean derives from a 1e-6 long-quantized sum — the
+    * same order-free trick as the GD gradients.
+    *
+    * 100 TB shape: ONE partial+final aggregation collapsing the corpus
+    * to nBins rows; map-side combine does the heavy lifting. */
+  def calibrationBins(scored: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1))
+      .cast("long")
+    scored.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(round(col(scoreCol) * lit(1000000.0), 0).cast("long")).as("_sq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round((col("_sq").cast("double") / lit(1000000.0)) /
+          col("n").cast("double"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"))
+  }
+
   /** Score a corpus with trained weights: `score` in (0,1), rounded to 9
     * like the ANN cosine outputs (the value is already engine-exact —
     * the rounding just fixes the presentation). */

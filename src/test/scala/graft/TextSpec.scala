@@ -594,6 +594,21 @@ class TextSpec extends SparkSpec {
     got.count(_._2 == "cold") shouldBe 3
   }
 
+  test("calibrationBins buckets scores with exact counts and clamped top bin") {
+    val scored = Seq(
+      (1L, 0.05, 0.0), (2L, 0.08, 0.0),  // bin 0: 2 rows, 0 pos
+      (3L, 0.55, 1.0), (4L, 0.58, 0.0),  // bin 5: 2 rows, 1 pos
+      (5L, 1.0, 1.0)                     // score 1.0 clamps into bin 9
+    ).toDF("doc_id", "score", "y")
+    val bins = Classifier.calibrationBins(scored, "score", "y", nBins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    bins.keySet shouldBe Set(0L, 5L, 9L)
+    bins(0L) shouldBe ((2L, 0L, 0.065, 0.0))
+    bins(5L) shouldBe ((2L, 1L, 0.565, 0.5))
+    bins(9L) shouldBe ((1L, 1L, 1.0, 1.0))
+  }
+
   test("unimaxSample water-fills: small sources whole, big ones equal share") {
     // sources: a=4 docs, b=6, c=40, d=40; budget 30
     // ascending (a,b,c,d): a full (4*4=16<=30), b full (6*3=18<=26),
