@@ -867,6 +867,15 @@ object SparkEntry {
         .trainMerges(d, "text", bpeMergeCount).map(_._2)
       graft.text.Bpe.applyMerges(d, "text", merges)
     }),
+    "q_bpe_fertility" -> ((s, dir) => {
+      // tokenizer-quality audit: occurrence-weighted subwords-per-word
+      // by language under the learned merges — the oracle replays the
+      // full training trajectory AND the per-language weighted ratio
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.text.Bpe
+        .trainMerges(d, "text", bpeMergeCount).map(_._2)
+      graft.text.Bpe.fertilityByGroup(d, "text", "lang", merges)
+    }),
     "q_cap_domain" -> ((s, dir) => {
       // corpus balancing: keep at most 3 docs per (lang, source) cell,
       // preferring the longest, ties to the lowest doc_id
@@ -3321,6 +3330,25 @@ object SparkEntry {
            CAST(SUM(wc) AS BIGINT) AS n_occurrences
          FROM (SELECT unnest(string_split(trim(seg), ' ')) AS token, wc
                FROM w$bpeMergeCount) GROUP BY 1""",
+    "q_bpe_fertility" ->
+      // the full trajectory replay again, then the per-language
+      // occurrence-weighted subwords-per-word ratio: (lang, word)
+      // counts join the vocab's final segmentation lengths
+      s"""WITH $bpeCtes,
+         lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS lwc FROM (
+             SELECT lang, unnest(list_filter(string_split_regex(
+               lower(trim(text)), '\\s+'), x -> x <> '')) AS w
+             FROM documents) GROUP BY 1, 2),
+         sub AS (SELECT w, CAST(len(string_split(trim(seg), ' '))
+               AS BIGINT) AS n_sub
+           FROM w$bpeMergeCount)
+         SELECT lang,
+           CAST(SUM(lwc) AS BIGINT) AS n_words,
+           CAST(SUM(lwc * n_sub) AS BIGINT) AS n_subwords,
+           round(CAST(SUM(lwc * n_sub) AS DOUBLE)
+                 / CAST(SUM(lwc) AS DOUBLE), 6) AS fertility
+         FROM lw JOIN sub USING (w)
+         GROUP BY 1""",
     "q_hll_distinct" -> hllDistinctSql,
     // the streamed register table collapses to the identical estimate
     // (per-register max is batching-insensitive), so the batch replay

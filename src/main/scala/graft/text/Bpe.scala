@@ -97,6 +97,37 @@ object Bpe {
       .toDF("merge_rank", "pair", "pair_count")
   }
 
+  /** Tokenizer FERTILITY by group (conventionally language): the
+    * occurrence-weighted subwords-per-word ratio under a learned merge
+    * sequence — the standard tokenizer-quality audit (a vocabulary
+    * trained on English-heavy data shows high fertility on the
+    * languages it underserves; multilingual pipelines track this per
+    * language before committing to a vocab).
+    *
+    * 100 TB shape: two corpus collapses — the (group, word) count table
+    * and the distinct-word vocabulary — then the segmentation fold runs
+    * on the VOCAB only and joins back by word (vocab-sized side), and
+    * the final aggregation is |groups| rows. Integer counts; the one
+    * division is rounded at 6 like the datasheet means. */
+  def fertilityByGroup(df: DataFrame, textCol: String, groupCol: String,
+      merges: Seq[String]): DataFrame = {
+    val perGroup = df.select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("lwc"))
+    val segFinal = merges.foldLeft(initSeg)(mergeOnce)
+    val subCounts = wordTable(df, textCol)
+      .select(col("w"),
+        size(split(trim(segFinal), " ")).cast("long").as("n_sub"))
+    perGroup.join(subCounts, "w")
+      .groupBy(col(groupCol))
+      .agg(sum(col("lwc")).as("n_words"),
+        sum(col("lwc") * col("n_sub")).as("n_subwords"))
+      .select(col(groupCol), col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"))
+  }
+
   /** Tokenize the corpus under a learned merge sequence and count the
     * resulting subword tokens: the fold of literal replaces runs
     * map-side over the word table, so applying a tokenizer to 100 TB is

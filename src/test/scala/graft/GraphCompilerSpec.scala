@@ -418,6 +418,28 @@ class GraphCompilerSpec extends SparkSpec {
     totalDocs should be < 5L // 6 docs - junk - exact dup - near dup
   }
 
+  test("table processes raise typed errors on unknown tables and bad wiring") {
+    val comp = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-cres0").toString,
+      tables = Map("documents" -> "/nonexistent/never-read.parquet"))
+    // unknown table id: typed TableNotFound naming the catalog
+    val e1 = intercept[graft.OpenEoError](comp.compile("""{
+      "load": {"process_id": "load_table", "arguments": {"id": "nope"},
+               "result": true}}"""))
+    e1.code shouldBe "TableNotFound"
+    e1.msg should include("documents")
+    // missing id argument
+    val e2 = intercept[graft.OpenEoError](comp.compile("""{
+      "load": {"process_id": "load_table", "arguments": {}, "result": true}}"""))
+    e2.code shouldBe "TableIdMissing"
+    // a table process fed a cube (wrong input type) must explain, not NPE
+    val e3 = intercept[Throwable](comp.compile("""{
+      "gate": {"process_id": "text_quality_gate",
+               "arguments": {"data": 42}, "result": true}}"""))
+    e3 should not be a[NullPointerException]
+    e3 should not be a[MatchError]
+  }
+
   test("hygiene processes pii_redact→gopher_gate→dedup_paragraph equal the Scala ops") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docs3").toString

@@ -486,6 +486,31 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("unimaxSample output is a pure filter — no join, no shuffle") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 90) "web" else "books"))
+      .toDF("doc_id", "source")
+    val plan = planString(graft.text.Sampling
+      .unimaxSample(df, "source", "doc_id", budget = 40L))
+    // water-filled rates become literals in a when-chain after the
+    // bounded count aggregation; the sample never joins or shuffles
+    plan should not include "Join"
+    plan should not include "Exchange"
+  }
+
+  test("exact decontamination stream gate is a stateless projection") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, s"w$i common words here"))
+      .toDF("doc_id", "text")
+    val plan = planString(graft.streaming.StreamingOps
+      .decontaminateStream(docs, Array(1L, 2L, 3L), "text", "doc_id"))
+    // the eval hash set is a literal array probed per row: no exchange,
+    // no join, no aggregation — what makes it append-legal streaming
+    plan should not include "Join"
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+  }
+
   test("hllDistinct shuffles only register rows: two partial+final aggs") {
     import spark.implicits._
     val df = (0L until 500L).map(i => ("g", s"tok$i")).toDF("g", "v")

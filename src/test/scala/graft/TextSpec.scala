@@ -638,6 +638,26 @@ class TextSpec extends SparkSpec {
       .count() shouldBe 90L
   }
 
+  test("fertilityByGroup: weighted subwords-per-word, merges reduce it") {
+    val docs = Seq(
+      (1L, "en", "ab ab abc"),
+      (2L, "de", "ab abc abc abc")).toDF("doc_id", "lang", "text")
+    // zero merges: every word splits to characters, so fertility is the
+    // occurrence-weighted mean word length
+    val f0 = graft.text.Bpe.fertilityByGroup(docs, "text", "lang", Nil)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    f0("en") shouldBe ((3L, 7L, 2.333333)) // 2+2+3 chars over 3 words
+    f0("de") shouldBe ((4L, 11L, 2.75))
+    // after the one obvious merge ("a b" dominates) fertility drops
+    val merges = graft.text.Bpe.trainMerges(docs, "text", 1).map(_._2)
+    merges shouldBe Seq("a b")
+    val f1 = graft.text.Bpe.fertilityByGroup(docs, "text", "lang", merges)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    f1("en") shouldBe 1.333333 // ab->1, ab->1, abc->2
+    f1("de") shouldBe 1.75
+  }
+
   test("BPE segmentation checkpointing law: checkpointed == unchunked") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
