@@ -1489,6 +1489,97 @@ object SparkEntry {
       }
       s.table(sink).dropDuplicates("id_a", "id_b")
     }),
+    "q_stream_agg_period" -> ((s, dir) => {
+      // watermarked tumbling-window aggregation through a REAL append-
+      // mode MemoryStream run: the events cube streams in 3 time-ordered
+      // micro-batches, day windows close as the watermark passes, and a
+      // far-future sentinel flushes the last open windows (the
+      // sessionize pattern). Labels are window starts == date_trunc
+      // day, so the batch oracle verifies the streamed execution.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rows = eventsCube(s, dir).df
+        .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
+          col(Cube.ValueCol))
+        .as[(java.sql.Timestamp, String, Double, Double, Double)]
+        .collect().sortBy(_._1.getTime)
+      val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
+      val sink = "q_stream_agg_period_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.aggregateTemporalPeriodStream(
+          ms.toDF.toDF("time", "band", "y", "x", "value"), "day", "max")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+        val flushTs = new java.sql.Timestamp(
+          rows.last._1.getTime + 365L * 24 * 3600 * 1000)
+        ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).where(col("band") =!= "_wm")
+    }),
+    "q_stream_dedup_exact" -> ((s, dir) => {
+      // streaming exact dedup through a REAL run: dropDuplicates on the
+      // content digest with event-time state. Which COPY of a duplicate
+      // survives depends on intra-batch race, so the row emits the
+      // digest alone — exactly one row per distinct content, any order,
+      // which the batch distinct-digest oracle verifies.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val base = new java.sql.Timestamp(1700000000000L).getTime
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+        .map { case (id, t) => (new java.sql.Timestamp(base + id), t) }
+      val ms = MemoryStream[(java.sql.Timestamp, String)]
+      val sink = "q_stream_dedup_exact_sink"
+      val q = graft.streaming.StreamingOps.dedupExactStream(
+          ms.toDF.toDF("ts", "text"), "text", "ts")
+        .select(col("content_hash"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+    "q_stream_ngram_monitor" -> ((s, dir) => {
+      // the incremental n-gram frequency monitor through a REAL
+      // update-state run: documents stream in 3 batches, trigram counts
+      // accumulate in the stateful aggregation, and the complete-mode
+      // sink after the last batch equals the batch count table (counts
+      // are order- and batching-insensitive).
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val sink = "q_stream_ngram_monitor_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.ngramCountsStream(
+          ms.toDF.toDF("doc_id", "text"), "text", 3)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink)
+    }),
     "q_stream_decontaminate" -> ((s, dir) => {
       // EXACT stateless decontamination through a REAL MemoryStream run:
       // the eval suite (every 37th doc) collapses once to its distinct
@@ -2025,6 +2116,27 @@ object SparkEntry {
     "q_agg_period_day_max" -> cq(
       """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
          FROM cube GROUP BY 1, 2, 3, 4"""),
+    // the streamed day-window aggregation closes every window via the
+    // watermark sentinel, so its rows equal the batch day buckets
+    "q_stream_agg_period" -> cq(
+      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
+         FROM cube GROUP BY 1, 2, 3, 4"""),
+    // which copy of a duplicate survives the streamed dropDuplicates is
+    // an intra-batch race, so the row carries digests only: exactly one
+    // per distinct content
+    "q_stream_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash FROM documents GROUP BY 1""",
+    // the stateful count table after the final batch equals the batch
+    // trigram counts (order/batching-insensitive integer sums)
+    "q_stream_ngram_monitor" ->
+      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         wins AS (SELECT unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS gram
+           FROM tok WHERE len(t) >= 3)
+         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM wins GROUP BY 1""",
     "q_agg_period_week_sum" -> cq(
       s"""SELECT date_trunc('week', time) AS time, band, y, x,
            ${dsumSql("value")} AS value
