@@ -1300,6 +1300,22 @@ object SparkEntry {
           budget = 120L)
         .select("doc_id", "mix_src", "lang")
     }),
+    "q_unimax_epochs" -> ((s, dir) => {
+      // the data-constrained regime: UniMax with an epoch cap of 3 —
+      // small tail sources UP-SAMPLE (all 3 epochs), the big tiers get
+      // fractional sub-epoch allocations; rows multiply map-side via
+      // explode(sequence), no shuffle. The oracle replays the capacity
+      // water-filling, the per-source whole/fractional copy counts, and
+      // the lateral row multiplication.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val skewed = d.withColumn("mix_src",
+        when(col("doc_id") < 300, "head")
+          .when(col("doc_id") < 450, "mid")
+          .otherwise(col("source")))
+        .select("doc_id", "mix_src", "lang")
+      graft.text.Sampling.unimaxSampleEpochs(skewed, "mix_src", "doc_id",
+        budget = 400L, maxEpochs = 3L)
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // normalization rules exercised on synthetically-noised input
       // (tabs, BEL, newlines, runs of spaces appended to each doc) —
@@ -3113,6 +3129,47 @@ object SparkEntry {
          FROM dd JOIN r ON dd.mix_src = r.mix_src
          WHERE ((dd.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
                < r.thr""",
+    "q_unimax_epochs" ->
+      // capacity (n*E) water-filling with the same integer prefix test,
+      // then per-source whole copies + the LCG fractional-copy
+      // threshold, and lateral generate_series row multiplication —
+      // identical IEEE op order to the Scala side throughout
+      """WITH dd AS (SELECT doc_id, lang,
+             CASE WHEN doc_id < 300 THEN 'head'
+                  WHEN doc_id < 450 THEN 'mid'
+                  ELSE source END AS mix_src
+           FROM documents),
+         c AS (SELECT mix_src, count(*) AS n FROM dd GROUP BY 1),
+         o AS (SELECT mix_src, n, n * 3 AS cap,
+             row_number() OVER (ORDER BY n * 3, mix_src) - 1 AS i,
+             (SELECT count(*) FROM c) AS k,
+             COALESCE(SUM(n * 3) OVER (ORDER BY n * 3, mix_src
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM c),
+         f AS (SELECT *,
+             CASE WHEN cap * (k - i) <= 400 - pre THEN 1 ELSE 0 END AS isf
+           FROM o),
+         s AS (SELECT COALESCE(SUM(CASE WHEN isf = 1 THEN cap END), 0)
+                 AS full_cap,
+               COALESCE(SUM(isf), 0) AS cut, MAX(k) AS k FROM f),
+         r AS (SELECT f.mix_src, f.isf,
+             (CAST(400 - s.full_cap AS DOUBLE) / (s.k - s.cut))
+               / CAST(f.n AS DOUBLE) AS ep
+           FROM f, s),
+         rr AS (SELECT mix_src,
+             CASE WHEN isf = 1 THEN CAST(3 AS BIGINT)
+                  ELSE CAST(FLOOR(ep) AS BIGINT) END AS whole,
+             CASE WHEN isf = 1 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(FLOOR((ep - FLOOR(ep)) * 2147483648.0)
+                       AS BIGINT) END AS thr
+           FROM r),
+         cp AS (SELECT dd.doc_id, dd.mix_src, dd.lang,
+             rr.whole + CASE WHEN ((dd.doc_id % 2147483648) * 1103515245
+                  + 12345) % 2147483648 < rr.thr THEN 1 ELSE 0 END AS copies
+           FROM dd JOIN rr ON dd.mix_src = rr.mix_src)
+         SELECT doc_id, mix_src, lang,
+           CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
+         FROM cp WHERE copies > 0""",
     "q_temperature_mix" ->
       // same trajectory as Sampling.temperatureSample: per-source counts,
       // n^0.5 weights, name-ordered normalizing sum (mirrors the Scala

@@ -298,6 +298,65 @@ object Sampling {
     df.where(portableHash(col(idCol)) < thrCol)
   }
 
+  /** [[unimaxSample]] with an EPOCH cap — the data-constrained regime
+    * (UniMax as published, Chung et al. 2023 §3; cf. Muennighoff et al.
+    * 2023 on repeating data): a source may be seen up to `maxEpochs`
+    * times, so its capacity is n·E rows and small sources UP-SAMPLE
+    * (repeat) toward their equal share instead of merely being kept
+    * whole. Water-filling runs over capacities (ascending (n·E, name),
+    * same integer prefix test); a full source emits all E epochs, a
+    * partial one emits floor(epochs) whole copies plus a deterministic
+    * LCG-thresholded fraction of an extra copy. Output rows carry an
+    * `epoch` column (1-based copy index) — training-order shuffling
+    * downstream spreads the copies.
+    *
+    * 100 TB shape: per-source copy counts and thresholds are literals
+    * (one bounded count aggregation); the up-sampling itself is a
+    * map-side `explode(sequence(...))` — row multiplication with NO
+    * shuffle, pushdown-friendly below, repartition-stable. */
+  def unimaxSampleEpochs(df: DataFrame, sourceCol: String, idCol: String,
+      budget: Long, maxEpochs: Long): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(maxEpochs >= 1, s"maxEpochs $maxEpochs must be >= 1")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect()
+      .filter(!_.isNullAt(0))
+      .map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy { case (g, n) => (n * maxEpochs, g) }
+    require(counts.nonEmpty,
+      "unimaxSampleEpochs needs at least one non-null source")
+    val k = counts.length
+    var remaining = budget
+    var cut = 0
+    while (cut < k && counts(cut)._2 * maxEpochs * (k - cut) <= remaining) {
+      remaining -= counts(cut)._2 * maxEpochs
+      cut += 1
+    }
+    val sStar = if (cut < k) remaining.toDouble / (k - cut) else 0.0
+    // per source: whole copies + LCG threshold for the fractional copy
+    val alloc = counts.zipWithIndex.map { case ((g, n), i) =>
+      if (i < cut) (g, maxEpochs, 0L) // full: E copies, no fraction
+      else {
+        val epochs = sStar / n.toDouble
+        val whole = math.floor(epochs).toLong
+        val thr = ((epochs - whole) * 2147483648.0).toLong
+        (g, whole, thr)
+      }
+    }
+    val wholeCol = alloc.foldRight(lit(0L): Column) { case ((g, w, _), acc) =>
+      when(col(sourceCol) === lit(g), lit(w)).otherwise(acc)
+    }
+    val thrCol = alloc.foldRight(lit(0L): Column) { case ((g, _, t), acc) =>
+      when(col(sourceCol) === lit(g), lit(t)).otherwise(acc)
+    }
+    val copies = wholeCol +
+      when(portableHash(col(idCol)) < thrCol, 1L).otherwise(0L)
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0L)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1L), col("_copies"))).as("epoch"): _*)
+  }
+
   /** Split-leakage audit: given a near-dup pair list and a split
     * assignment, count the pairs whose two sides landed in DIFFERENT
     * splits — the number a leakage-safe split must drive to zero

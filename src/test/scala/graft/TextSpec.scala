@@ -658,6 +658,31 @@ class TextSpec extends SparkSpec {
     f1("de") shouldBe 1.75
   }
 
+  test("unimaxSampleEpochs up-samples small sources within the epoch cap") {
+    // a=4 docs (capacity 12), b=40 (capacity 120); budget 32, E=3:
+    // a is full (12*2=24<=32) -> all 3 epochs; b gets 20/40 = 0.5 epochs
+    // -> zero whole copies + LCG-thresholded fractional copy
+    val rows = (0L until 4L).map(i => (i, "a")) ++
+      (100L until 140L).map(i => (i, "b"))
+    val df = rows.toDF("id", "src").repartition(5)
+    val out = graft.text.Sampling
+      .unimaxSampleEpochs(df, "src", "id", budget = 32L, maxEpochs = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val aEpochs = out.filter(_._2 == "a").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted.toSeq).toMap
+    aEpochs.keySet shouldBe Set(0L, 1L, 2L, 3L)
+    aEpochs.values.foreach(_ shouldBe Seq(1L, 2L, 3L)) // three full epochs
+    val bRows = out.filter(_._2 == "b")
+    bRows.foreach(_._3 shouldBe 1L) // fractional: at most one copy
+    bRows.length should be < 40
+    bRows.length should be > 5 // ~half by the LCG threshold
+    // deterministic under any partitioning
+    val out2 = graft.text.Sampling
+      .unimaxSampleEpochs(df.repartition(2), "src", "id", 32L, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out2.toSet shouldBe out.toSet
+  }
+
   test("BPE segmentation checkpointing law: checkpointed == unchunked") {
     val docs = Seq(
       (1L, "low lower lowest low low"),
