@@ -672,6 +672,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_dedup_sensitivity" -> ((s, dir) => {
+      // threshold-sensitivity report: bucket the blocked-pair Jaccard
+      // distribution at 0.1 width from a 0.3 floor and report per-bin
+      // and at-or-above pair counts — the "how aggressive should the
+      // dedup threshold be" audit. The histogram is ≤ 10 rows, so the
+      // unpartitioned cumulative window is trivially bounded.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.3)
+      val binned = pairs
+        .select(floor(round(col("jaccard"), 6) * 10).cast("long").as("bin10"))
+        .groupBy("bin10").agg(count(lit(1)).as("n_pairs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin10").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      binned.select(
+        round(col("bin10").cast("double") / 10.0, 1).as("bin_lo"),
+        col("n_pairs"),
+        sum(col("n_pairs")).over(w).as("n_pairs_at_or_above"))
+    }),
     "q_split_leakage" -> ((s, dir) => {
       // the leakage audit proves the property the grouped split exists
       // for: near-dup pairs live within (lang, source) blocks, the
@@ -2961,6 +2982,32 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
+    "q_dedup_sensitivity" ->
+      // the q_ngram_jaccard pair formulation at a 0.3 floor, rounded
+      // Jaccard bucketed at 0.1, cumulative from the top bin down
+      """WITH sh AS (SELECT doc_id, lang, source,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents)),
+         pairs AS (SELECT
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
+         b AS (SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bin10,
+             CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs GROUP BY 1)
+         SELECT round(CAST(bin10 AS DOUBLE) / 10.0, 1) AS bin_lo, n_pairs,
+           CAST(SUM(n_pairs) OVER (ORDER BY bin10 DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_pairs_at_or_above
+         FROM b""",
     "q_split_leakage" ->
       // the q_ngram_jaccard pair formulation, joined against BOTH split
       // rules: grouped md5-bucket (q_split_grouped's literals) and the

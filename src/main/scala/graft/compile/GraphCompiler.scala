@@ -398,12 +398,19 @@ final class GraphCompiler(
             throw graft.OpenEoError("ArgumentMissing",
               "sample_temperature needs a 'target' document count")))
       case "sample_unimax" =>
-        graft.text.Sampling.unimaxSample(dfArg(n, "data", r),
-          optS(n, "source_column", r).getOrElse("source"),
-          optS(n, "id_column", r).getOrElse("doc_id"),
-          budget = optD(n, "budget", r).map(_.toLong).getOrElse(
-            throw graft.OpenEoError("ArgumentMissing",
-              "sample_unimax needs a 'budget' document count")))
+        val budget = optD(n, "budget", r).map(_.toLong).getOrElse(
+          throw graft.OpenEoError("ArgumentMissing",
+            "sample_unimax needs a 'budget' document count"))
+        val src = optS(n, "source_column", r).getOrElse("source")
+        val idc = optS(n, "id_column", r).getOrElse("doc_id")
+        optD(n, "max_epochs", r).map(_.toLong) match {
+          // epoch-capped variant: up-samples small sources (adds an
+          // `epoch` column); without the cap, the 1-epoch pure filter
+          case Some(e) => graft.text.Sampling.unimaxSampleEpochs(
+            dfArg(n, "data", r), src, idc, budget, e)
+          case None => graft.text.Sampling.unimaxSample(
+            dfArg(n, "data", r), src, idc, budget)
+        }
       case "cap_per_group" =>
         val d = dfArg(n, "data", r)
         graft.text.Sampling.capPerGroup(d,
