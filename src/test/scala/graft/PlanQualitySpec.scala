@@ -511,6 +511,35 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Aggregate"
   }
 
+  test("calibrationBins is one partial+final aggregation to nBins rows") {
+    import spark.implicits._
+    val scored = (0L until 200L).map(i =>
+      (i, (i % 100) / 100.0, (i % 2).toDouble)).toDF("id", "score", "y")
+    val plan = planString(graft.text.Classifier
+      .calibrationBins(scored, "score", "y", 10))
+    // map-side combine collapses the corpus before its only exchange
+    plan.toLowerCase should include("partial_count")
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
+  test("fertilityByGroup: two corpus collapses joined vocab-sized, no corpus join") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"alpha beta w$i gamma"))
+      .toDF("doc_id", "lang", "text")
+    val plan = planString(graft.text.Bpe
+      .fertilityByGroup(docs, "text", "lang", Seq("a l", "b e")))
+    // both sides of the join are already aggregated (vocab-sized) —
+    // the corpus itself never joins; counts are partial+final
+    plan.toLowerCase should include("partial_count")
+    val joinIdx = plan.indexOf("Join")
+    joinIdx should be >= 0
+    // at least one aggregate sits BELOW the join on each side: the join
+    // inputs are the (group, word) and (word) count tables, not scans
+    plan.substring(joinIdx).split("\n").count(_.contains("HashAggregate")) should be >= 2
+  }
+
   test("hllDistinct shuffles only register rows: two partial+final aggs") {
     import spark.implicits._
     val df = (0L until 500L).map(i => ("g", s"tok$i")).toDF("g", "v")
