@@ -1617,6 +1617,34 @@ object SparkEntry {
       }
       s.table(sink)
     }),
+    "q_stream_dedup_incremental" -> ((s, dir) => {
+      // the production INGESTION gate as a stream: the same planted
+      // shard as q_dedup_incremental arrives in 3 micro-batches and
+      // gates against the static kept corpus via stream-static band +
+      // shingle joins (append-legal, zero state). Multi-band pairs
+      // emit once per band — collapsed at the sink; the batch
+      // cross-side oracle verifies the match set verbatim.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ref = d.where(col("doc_id") < 400).select("doc_id", "text")
+      val incRows = d.where(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(d.where(col("doc_id") < 25)
+          .select((col("doc_id") + lit(10000L)).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val sink = "q_stream_dedup_incremental_sink"
+      val q = graft.streaming.StreamingOps.dedupStreamMinhashIncremental(
+          ms.toDF.toDF("doc_id", "text"), ref, "text", "doc_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try incRows.grouped(math.max(1, (incRows.length + 2) / 3)).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).dropDuplicates("inc_id", "ref_id")
+    }),
     "q_stream_decontaminate" -> ((s, dir) => {
       // EXACT stateless decontamination through a REAL MemoryStream run:
       // the eval suite (every 37th doc) collapses once to its distinct
@@ -2043,6 +2071,34 @@ object SparkEntry {
          coalesce(h.n_hits, 0) >= 1 AS contaminated
        FROM documents d LEFT JOIN hits h USING (doc_id)
        WHERE d.doc_id % 37 <> 0"""
+
+  /** Shared by q_dedup_incremental (batch cross-side gate) and
+    * q_stream_dedup_incremental (stream-static join form): identical
+    * minhash/band recall both ways, so one cross-side all-pairs exact
+    * Jaccard replay verifies both. LSH recall at the planted J~=0.99
+    * is certain, so candidates+verify equals the all-pairs set. */
+  private val dedupIncrementalSql: String =
+    """WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       incd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+                UNION ALL
+                SELECT doc_id + 10000, text || ' x' FROM documents
+                WHERE doc_id < 25),
+       shr AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+               FROM refd)),
+       shi AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+               FROM incd))
+       SELECT i.doc_id AS inc_id, r.doc_id AS ref_id,
+         round(CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(i.s, r.s))), 6) AS jaccard
+       FROM shi i JOIN shr r
+         ON CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(i.s, r.s))) >= 0.7"""
 
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
@@ -3101,31 +3157,10 @@ object SparkEntry {
            round(GREATEST(ca, cb), 6) AS containment
          FROM pr
          WHERE round(GREATEST(ca, cb), 6) >= 0.8""",
-    "q_dedup_incremental" ->
-      // cross-side all-pairs exact Jaccard between the reconstructed
-      // incoming shard and the reference corpus — LSH recall at the
-      // planted J~=0.99 is certain, so candidates+verify equals this
-      """WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-         incd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
-                  UNION ALL
-                  SELECT doc_id + 10000, text || ' x' FROM documents
-                  WHERE doc_id < 25),
-         shr AS (SELECT doc_id, list_filter(list_distinct(list_transform(
-             range(1, greatest(len(t) - 2, 1) + 1),
-             i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM refd)),
-         shi AS (SELECT doc_id, list_filter(list_distinct(list_transform(
-             range(1, greatest(len(t) - 2, 1) + 1),
-             i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM incd))
-         SELECT i.doc_id AS inc_id, r.doc_id AS ref_id,
-           round(CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(i.s, r.s))), 6) AS jaccard
-         FROM shi i JOIN shr r
-           ON CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
-              / len(list_distinct(list_concat(i.s, r.s))) >= 0.7""",
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    // the streamed gate is stream-static joins + a verify projection ->
+    // equal to the batch incremental set under any micro-batch split
+    "q_stream_dedup_incremental" -> dedupIncrementalSql,
     "q_sample_fraction" ->
       // identical LCG arithmetic: ((id % 2^31) * A + C) % 2^31 < f * 2^31
       """SELECT doc_id, lang, n_chars FROM documents

@@ -313,6 +313,62 @@ object StreamingOps {
       groupCols: Seq[String], p: Int = 11): DataFrame =
     graft.text.Sketches.hllRegisters(df, value, groupCols, p)
 
+  /** Streaming INGESTION near-dup gate: incoming documents stream
+    * against the KEPT reference corpus — the production shape of
+    * [[graft.text.Dedup.minhashLshIncremental]] (a Kafka-fed shard
+    * gated before it joins the corpus). The stream side minhashes and
+    * explodes to its band rows (stateless projections, the per-doc
+    * shingle array computed once and carried through), then TWO
+    * stream-static inner joins — the reference band table on (band, bh)
+    * and the reference shingle table on ref_id — and the exact Jaccard
+    * verify as a final projection. No state store, no watermark: every
+    * operator is append-legal, so a matching pair emits in the
+    * micro-batch its incoming side arrives.
+    *
+    * Recall is identical to the batch incremental gate (same
+    * minhash/band keys both sides), and the verified output SET equals
+    * it under any micro-batch split; a pair sharing several bands emits
+    * once per band — collapse with dropDuplicates at the sink (the
+    * batch path's own dropDuplicates is stateful and append-illegal).
+    *
+    * 100 TB shape: the reference band and shingle tables are the
+    * bucketed corpus store ([[graft.text.Dedup.minhashLshIncremental]]
+    * scaladoc); Spark plans the static side's scan once per micro-batch
+    * with partition pruning on the bucketed keys, and only colliding
+    * candidates reach the shingle join. */
+  def dedupStreamMinhashIncremental(inc: DataFrame, ref: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    import graft.functions.TextHashExprs
+    val refBands = ref
+      .select(col(idCol).as("ref_id"),
+        TextHashExprs.minhashText(lower(trim(col(textCol))), shingleN, k)
+          .as("sig"))
+      .select(col("ref_id"),
+        explode(graft.text.Dedup.lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("ref_id"), col("b.band"), col("b.bh"))
+    val refShingles = ref.select(col(idCol).as("ref_id"),
+      sort_array(TextHashExprs
+        .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh_r"))
+    val incBands = inc
+      .select(col(idCol).as("inc_id"),
+        TextHashExprs.minhashText(lower(trim(col(textCol))), shingleN, k)
+          .as("sig"),
+        sort_array(TextHashExprs
+          .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh_i"))
+      .select(col("inc_id"), col("sh_i"),
+        explode(graft.text.Dedup.lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("inc_id"), col("sh_i"), col("b.band"), col("b.bh"))
+    incBands
+      .join(refBands, Seq("band", "bh"))
+      .join(refShingles, Seq("ref_id"))
+      .withColumn("jaccard",
+        TextHashExprs.jaccardLongSorted(col("sh_i"), col("sh_r")))
+      .where(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("ref_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Streaming benchmark-decontamination gate — EXACT, stateless, and
     * append-legal: the eval suite's distinct shingle hashes ship as a
     * LITERAL array (benchmarks are small by definition — the same

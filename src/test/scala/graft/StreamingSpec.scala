@@ -331,6 +331,38 @@ class StreamingSpec extends SparkSpec {
     batch.exists { case (id, _, c) => id == 0L && c } shouldBe true // the plant
   }
 
+  test("streaming ingestion gate equals the batch incremental set under any split") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river today"
+    val ref = Seq(
+      0L -> base,
+      1L -> "completely different reference content about state stores and windows",
+      2L -> "unrelated reference text with nothing shared whatsoever here now")
+      .toDF("doc_id", "text")
+    val incDocs: Seq[(Long, String)] = Seq(
+      10L -> (base + " x"),            // near-dup of ref 0
+      11L -> "brand new incoming document with fresh content entirely",
+      12L -> "completely different reference content about state stores and window")
+    val batch = graft.text.Dedup.minhashLshIncremental(
+        ref, incDocs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    batch should not be empty // the plant matched
+    def run(name: String, batches: Seq[Seq[(Long, String)]]) = {
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps.dedupStreamMinhashIncremental(
+          stream.toDF().toDF("doc_id", "text"), ref, "text", "doc_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).dropDuplicates("inc_id", "ref_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    run("inc_one", Seq(incDocs)) shouldBe batch
+    run("inc_split", Seq(incDocs.take(1), incDocs.slice(1, 2),
+      incDocs.drop(2))) shouldBe batch
+  }
+
   test("exact decontamination gate: stream equals the batch operator under any split") {
     implicit val sqlCtx = spark.sqlContext
     val docs: Seq[(Long, String)] = Seq(
