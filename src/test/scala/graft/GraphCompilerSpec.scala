@@ -527,6 +527,22 @@ class GraphCompilerSpec extends SparkSpec {
                 "arguments": {"data": {"from_node": "load"}},
                 "result": true}}"""))
     err.code shouldBe "ArgumentMissing"
+    // max_epochs dispatches to the up-sampling variant (epoch column)
+    val withEpochs = comp.compile("""{
+        "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "mix": {"process_id": "sample_unimax", "arguments": {
+          "data": {"from_node": "load"}, "budget": 300, "max_epochs": 3},
+          "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    withEpochs.columns should contain("epoch")
+    val viaScalaEpochs = graft.text.Sampling
+      .unimaxSampleEpochs(d, "source", "doc_id", 300L, 3L)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    withEpochs.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe viaScalaEpochs
+    // the tail sources (40 docs over 4 names) up-sample under the cap
+    viaScalaEpochs.map(_._2).max should be > 1L
   }
 
   test("lm_score process scores and optionally gates through the graph") {
