@@ -545,6 +545,33 @@ class GraphCompilerSpec extends SparkSpec {
     viaScalaEpochs.map(_._2).max should be > 1L
   }
 
+  test("decontaminate process wires two table inputs through the graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs5").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "totally original corpus content with no overlap at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+    Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/evalset.parquet")
+    val out = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-cres5").toString,
+        tables = Map(
+          "corpus" -> s"$dir/corpus.parquet",
+          "evalset" -> s"$dir/evalset.parquet"))
+      .compile("""{
+        "c": {"process_id": "load_table", "arguments": {"id": "corpus"}},
+        "e": {"process_id": "load_table", "arguments": {"id": "evalset"}},
+        "dec": {"process_id": "decontaminate", "arguments": {
+          "data": {"from_node": "c"}, "eval": {"from_node": "e"},
+          "shingle_n": 3}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    out shouldBe Map(1L -> true, 2L -> false) // the plant flags, the rest pass
+  }
+
   test("lm_score process scores and optionally gates through the graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
