@@ -1321,6 +1321,27 @@ object SparkEntry {
           budget = 120L)
         .select("doc_id", "mix_src", "lang")
     }),
+    "q_graph_mix" -> ((s, dir) => {
+      // a second graph-surface composition: UniMax budget mixing →
+      // per-(lang, source) cap → per-language stats, driven end-to-end
+      // by JSON; the oracle replays water-filling, the TopKAgg-pruned
+      // cap (bit-identical to the rank window), and the token stats.
+      import graft.compile.GraphCompiler
+      val graph = """{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "documents"}},
+        "mix": {"process_id": "sample_unimax", "arguments": {
+          "data": {"from_node": "load"}, "budget": 120}},
+        "cap": {"process_id": "cap_per_group", "arguments": {
+          "data": {"from_node": "mix"}, "group_columns": ["lang", "source"],
+          "score_column": "n_chars", "k": 3}},
+        "stats": {"process_id": "token_stats", "arguments": {
+          "data": {"from_node": "cap"}, "by": ["lang"]}, "result": true}}"""
+      new GraphCompiler(s, Map.empty,
+          s"${System.getProperty("java.io.tmpdir")}/graft_mix_res",
+          tables = Map("documents" -> s"$dir/documents.parquet"))
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
     "q_unimax_epochs" -> ((s, dir) => {
       // the data-constrained regime: UniMax with an epoch cap of 3 —
       // small tail sources UP-SAMPLE (all 3 epochs), the big tiers get
@@ -3211,6 +3232,40 @@ object SparkEntry {
          FROM dd JOIN r ON dd.mix_src = r.mix_src
          WHERE ((dd.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
                < r.thr""",
+    "q_graph_mix" ->
+      // unimax water-filling (natural sources, uniform at this fixture
+      // so all-partial), the cap rank window, and the token stats —
+      // the same closed forms as q_unimax_mix / q_cap_domain composed
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         o AS (SELECT source, n,
+             row_number() OVER (ORDER BY n, source) - 1 AS i,
+             (SELECT count(*) FROM c) AS k,
+             COALESCE(SUM(n) OVER (ORDER BY n, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM c),
+         f AS (SELECT *,
+             CASE WHEN n * (k - i) <= 120 - pre THEN 1 ELSE 0 END AS isf
+           FROM o),
+         s AS (SELECT COALESCE(SUM(CASE WHEN isf = 1 THEN n END), 0) AS full_n,
+                      COALESCE(SUM(isf), 0) AS cut, MAX(k) AS k FROM f),
+         r AS (SELECT f.source,
+             CASE WHEN f.isf = 1 THEN 2147483648
+                  ELSE CAST(FLOOR(LEAST(1.0,
+                    (CAST(120 - s.full_n AS DOUBLE) / (s.k - s.cut))
+                      / CAST(f.n AS DOUBLE)) * 2147483648.0) AS BIGINT)
+                  END AS thr
+           FROM f, s),
+         kept AS (SELECT d.* FROM documents d JOIN r ON d.source = r.source
+           WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
+                 < r.thr),
+         capped AS (SELECT * FROM (
+             SELECT kept.*, row_number() OVER (PARTITION BY lang, source
+                 ORDER BY n_chars DESC, doc_id) AS rn FROM kept)
+           WHERE rn <= 3)
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens
+         FROM capped GROUP BY lang""",
     "q_unimax_epochs" ->
       // capacity (n*E) water-filling with the same integer prefix test,
       // then per-source whole copies + the LCG fractional-copy
