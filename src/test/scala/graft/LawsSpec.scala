@@ -614,4 +614,49 @@ class LawsSpec extends SparkSpec {
       tokChars shouldBe words.map(_.length.toLong).sum
     }
   }
+
+  private val mixRowGen: Gen[(Long, String)] = for {
+    id  <- Gen.choose(0L, 5000L)
+    src <- Gen.frequency(6 -> Gen.const("head"),
+      3 -> Gen.oneOf("mid1", "mid2"),
+      1 -> Gen.oneOf("t1", "t2", "t3", "t4"))
+  } yield (id, src)
+
+  test("law: unimax kept sets are NESTED in the budget — water-filled " +
+      "rates are monotone, so a bigger budget only adds rows") {
+    for (seed <- 41L to 43L) {
+      val rows = sample(mixRowGen, 300, seed)
+        .groupBy(_._1).map(_._2.head).toSeq // unique ids
+      val df = rows.toDF("id", "src")
+      val budgets = Seq(20L, 60L, 150L, rows.size.toLong + 10)
+      val kept = budgets.map { b =>
+        graft.text.Sampling.unimaxSample(df, "src", "id", b)
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
+      kept.sliding(2).foreach { case Seq(small, big) =>
+        small.subsetOf(big) shouldBe true
+      }
+      kept.last.size shouldBe rows.size // covering budget keeps all
+    }
+  }
+
+  test("law: unimax epoch copies are contiguous from 1 and capped at E") {
+    for (seed <- 44L to 45L) {
+      val rows = sample(mixRowGen, 250, seed)
+        .groupBy(_._1).map(_._2.head).toSeq
+      val df = rows.toDF("id", "src")
+      val out = graft.text.Sampling
+        .unimaxSampleEpochs(df, "src", "id", budget = 180L, maxEpochs = 3L)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+      byId.values.foreach { es =>
+        es.head shouldBe 1L                   // copies start at epoch 1
+        es shouldBe (1L to es.last)           // contiguous
+        es.last should be <= 3L               // capped at E
+      }
+      // realized volume tracks the budget (LCG sampling noise in the
+      // partial sources only — the allocation itself is exact)
+      out.length.toDouble shouldBe 180.0 +- 54.0
+    }
+  }
 }
