@@ -1011,6 +1011,24 @@ object SparkEntry {
       graft.text.LanguageModel
         .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
     }),
+    "q_dsir_select" -> ((s, dir) => {
+      // the acting half of DSIR: keep the top-50 documents by
+      // importance weight, ties to the lowest id. orderBy+limit plans
+      // as TakeOrderedAndProject — bounded per-partition heaps merged
+      // on the driver, never a global sort (the same scale shape as
+      // top-n-grams); the oracle is the weight replay ordered+limited.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val grams = d.select(col("doc_id"), col("lang"),
+          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
+        .localCheckpoint(true)
+      val lmT = graft.text.LanguageModel
+        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
+      val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
+      graft.text.LanguageModel
+        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+        .orderBy(col("log_ratio").desc, col("doc_id"))
+        .limit(50)
+    }),
     "q_sessionize" -> onCube(c =>
       // gap-based sessionization, batch form (StreamingSpec pins batch ==
       // flatMapGroupsWithState streaming on the same input)
@@ -2120,6 +2138,44 @@ object SparkEntry {
        FROM shi i JOIN shr r
          ON CAST(len(list_intersect(i.s, r.s)) AS DOUBLE)
             / len(list_distinct(list_concat(i.s, r.s))) >= 0.7"""
+
+  /** Shared by q_dsir_weights (the weight table) and q_dsir_select
+    * (its acting half — the top-N selection): both LM trainings and the
+    * scoring replay once; the selection oracle wraps this with the same
+    * (log_ratio DESC, doc_id) order and limit. */
+  private val dsirSql: String = {
+      val backoff = math.log(1e-9)
+      s"""WITH tok AS (SELECT doc_id, lang,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, lang, unnest(list_transform(
+               range(1, greatest(len(t) - 1, 0) + 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM tok WHERE len(t) >= 2),
+         cntb AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
+         unib AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                  FROM cntb GROUP BY 1),
+         lmb AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cntb c JOIN unib u ON u.w1 = string_split(c.gram, ' ')[1]),
+         cntt AS (SELECT gram, count(*) AS c12 FROM bg
+                  WHERE lang = 'en' GROUP BY 1),
+         unit AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
+                  FROM cntt GROUP BY 1),
+         lmt AS (SELECT c.gram,
+             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
+           FROM cntt c JOIN unit u ON u.w1 = string_split(c.gram, ' ')[1]),
+         terms AS (SELECT b.doc_id,
+             CAST(round((coalesce(t.logp, $backoff)
+               - coalesce(bs.logp, $backoff)) * 1000000000.0, 0)
+               AS BIGINT) AS q
+           FROM bg b LEFT JOIN lmt t ON t.gram = b.gram
+                LEFT JOIN lmb bs ON bs.gram = b.gram)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+             / CAST(count(*) AS DOUBLE), 6) AS log_ratio
+         FROM terms GROUP BY doc_id"""
+    }
 
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
@@ -4333,39 +4389,12 @@ object SparkEntry {
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          FROM capped GROUP BY 1"""
     },
-    "q_dsir_weights" -> {
-      val backoff = math.log(1e-9)
-      s"""WITH tok AS (SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM documents),
-         bg AS (SELECT doc_id, lang, unnest(list_transform(
-               range(1, greatest(len(t) - 1, 0) + 1),
-               i -> array_to_string(t[i:i+1], ' '))) AS gram
-           FROM tok WHERE len(t) >= 2),
-         cntb AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
-         unib AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
-                  FROM cntb GROUP BY 1),
-         lmb AS (SELECT c.gram,
-             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
-           FROM cntb c JOIN unib u ON u.w1 = string_split(c.gram, ' ')[1]),
-         cntt AS (SELECT gram, count(*) AS c12 FROM bg
-                  WHERE lang = 'en' GROUP BY 1),
-         unit AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
-                  FROM cntt GROUP BY 1),
-         lmt AS (SELECT c.gram,
-             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
-           FROM cntt c JOIN unit u ON u.w1 = string_split(c.gram, ' ')[1]),
-         terms AS (SELECT b.doc_id,
-             CAST(round((coalesce(t.logp, $backoff)
-               - coalesce(bs.logp, $backoff)) * 1000000000.0, 0)
-               AS BIGINT) AS q
-           FROM bg b LEFT JOIN lmt t ON t.gram = b.gram
-                LEFT JOIN lmb bs ON bs.gram = b.gram)
-         SELECT doc_id, count(*) AS n_bigrams,
-           round((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
-             / CAST(count(*) AS DOUBLE), 6) AS log_ratio
-         FROM terms GROUP BY doc_id"""
-    },
+    "q_dsir_weights" -> dsirSql,
+    // the selection is the same replay ordered and limited — ties at the
+    // boundary break by ascending doc_id on both sides
+    "q_dsir_select" ->
+      s"""SELECT doc_id, n_bigrams, log_ratio FROM ($dsirSql)
+         ORDER BY log_ratio DESC, doc_id LIMIT 50""",
     "q_graph_pipeline" -> cq(
       // load_collection's temporal extent is EXCLUSIVE-end via -1 ms
       // (reference scan contract, load_odc_collection.py:78-79)

@@ -511,6 +511,23 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Aggregate"
   }
 
+  test("DSIR top-N selection plans as TakeOrderedAndProject, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"alpha beta w$i gamma delta"))
+      .toDF("doc_id", "lang", "text")
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
+    val lmT = graft.text.LanguageModel
+      .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
+    val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
+    val plan = planString(graft.text.LanguageModel
+      .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+      .orderBy(col("log_ratio").desc, col("doc_id")).limit(10))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Sort ["
+  }
+
   test("calibrationBins is one partial+final aggregation to nBins rows") {
     import spark.implicits._
     val scored = (0L until 200L).map(i =>
