@@ -12,13 +12,13 @@ import org.apache.spark.sql.types._
   * rows without collecting.
   *
   * Codecs behind the [[Codec]] seam: [[BmpCodec]] (uncompressed 24-bit
-  * BI_RGB Windows BMP — real byte format, pure JVM) and [[WavCodec]]
-  * (RIFF/WAVE 16-bit PCM — real byte format, pure JVM) decode actual
-  * container bytes; [[FakeCodec]] remains as the deterministic synthetic
-  * "GRFT" container for formats this container has no library for
-  * (JPEG/PNG/MP3 need native or large-JVM codecs). The Spark-side
-  * plumbing — schema, batch iteration, partition sizing, output shapes —
-  * is codec-agnostic.
+  * BI_RGB Windows BMP), [[PngCodec]] (8-bit truecolor PNG — zlib via the
+  * JDK's Inflater/Deflater, all five scanline filters) and [[WavCodec]]
+  * (RIFF/WAVE 16-bit PCM) decode actual container bytes, pure JVM;
+  * [[FakeCodec]] remains as the deterministic synthetic "GRFT" container
+  * for formats this environment has no library for (JPEG/MP3 need native
+  * codecs). The Spark-side plumbing — schema, batch iteration, partition
+  * sizing, output shapes — is codec-agnostic.
   */
 object Multimodal {
 
@@ -165,6 +165,194 @@ object Multimodal {
         y += 1
       }
       Decoded("bmp", width, height, 3, 1, px)
+    }
+  }
+
+  /** REAL pure-JVM image codec: PNG, 8-bit truecolor (color type 2),
+    * non-interlaced — the subset an encoder of RGB training images
+    * actually emits (PNG spec, RFC 2083 / W3C PNG 2nd ed.). zlib is the
+    * JDK's `java.util.zip.Inflater`/`Deflater`; no native libraries.
+    *
+    * The hard part of PNG is scanline filtering: each row is predicted
+    * from its left/up/up-left neighbors under one of five filter types
+    * (None/Sub/Up/Average/Paeth) BEFORE deflate. [[encode]] deliberately
+    * cycles the filter type per row (`y % 5`) so every reconstruction
+    * path is exercised by any multi-row round-trip, and [[decode]]
+    * implements all five, byte-exact mod-256 arithmetic with the Paeth
+    * tie-break order (left, up, up-left) from the spec. Chunk CRCs are
+    * verified on read; header fields are untrusted, so all size math is
+    * Long-checked before allocation (the BmpCodec overflow lesson). */
+  object PngCodec extends Codec {
+    private val Sig: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    private def bad(why: String): Nothing =
+      throw graft.OpenEoError("CodecError", s"PngCodec: $why")
+    private def i32be(a: Array[Byte], o: Int): Int =
+      ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+        ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+    private def putI32be(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v >>> 24).toByte; a(o + 1) = (v >>> 16).toByte
+      a(o + 2) = (v >>> 8).toByte; a(o + 3) = v.toByte
+    }
+    private def crc(typ: Array[Byte], data: Array[Byte], len: Int): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(typ); c.update(data, 0, len)
+      c.getValue.toInt
+    }
+    private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+        data: Array[Byte], len: Int = -1): Unit = {
+      val n = if (len < 0) data.length else len
+      val hdr = Array.ofDim[Byte](4); putI32be(hdr, 0, n)
+      out.write(hdr)
+      val t = typ.getBytes("ASCII"); out.write(t)
+      out.write(data, 0, n)
+      val tail = Array.ofDim[Byte](4); putI32be(tail, 0, crc(t, data, n))
+      out.write(tail)
+    }
+    /** a = left, b = up, c = up-left; spec §6.6 tie-break order. */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Writes 8-bit RGB (color type 2), filter type cycling `y % 5`.
+      * `Decoded` must carry channels=3, nFrames=1, pixels row-major
+      * top-down RGB. */
+    def encode(d: Decoded): Array[Byte] = {
+      if (d.channels != 3 || d.nFrames != 1)
+        bad(s"encode needs channels=3, nFrames=1 (got ${d.channels}/${d.nFrames})")
+      if (d.pixels.length != d.width * d.height * 3)
+        bad(s"pixel buffer ${d.pixels.length} != ${d.width}x${d.height}x3")
+      val stride = d.width * 3
+      val raw = Array.ofDim[Byte]((stride + 1) * d.height)
+      var y = 0
+      while (y < d.height) {
+        val ft = y % 5
+        val ro = y * (stride + 1)
+        raw(ro) = ft.toByte
+        var i = 0
+        while (i < stride) {
+          val x = d.pixels(y * stride + i) & 0xff
+          val a = if (i >= 3) d.pixels(y * stride + i - 3) & 0xff else 0
+          val b = if (y > 0) d.pixels((y - 1) * stride + i) & 0xff else 0
+          val c = if (y > 0 && i >= 3) d.pixels((y - 1) * stride + i - 3) & 0xff else 0
+          val filt = ft match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - ((a + b) >> 1)
+            case 4 => x - paeth(a, b, c)
+          }
+          raw(ro + 1 + i) = filt.toByte
+          i += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      defl.setInput(raw); defl.finish()
+      val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val tmp = Array.ofDim[Byte](8192)
+      while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream(zBuf.size() + 64)
+      out.write(Sig)
+      val ihdr = Array.ofDim[Byte](13)
+      putI32be(ihdr, 0, d.width); putI32be(ihdr, 4, d.height)
+      ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+      chunk(out, "IHDR", ihdr)
+      chunk(out, "IDAT", zBuf.toByteArray)
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      if (payload.length < 8 + 25 || !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(payload, 0, 8), Sig))
+        bad("not a PNG (bad signature or truncated)")
+      var off = 8
+      var width = -1; var height = -1
+      var sawEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (off + 12 <= payload.length && !sawEnd) {
+        val len = i32be(payload, off)
+        if (len < 0 || off.toLong + 12 + len > payload.length)
+          bad(s"chunk length $len at offset $off overruns file")
+        val typ = new String(payload, off + 4, 4, "ASCII")
+        val stored = i32be(payload, off + 8 + len)
+        val actual = {
+          val c = new java.util.zip.CRC32
+          c.update(payload, off + 4, 4 + len); c.getValue.toInt
+        }
+        if (stored != actual) bad(s"CRC mismatch in $typ chunk")
+        typ match {
+          case "IHDR" =>
+            if (len != 13) bad(s"IHDR length $len != 13")
+            width = i32be(payload, off + 8); height = i32be(payload, off + 12)
+            val bitDepth = payload(off + 16) & 0xff
+            val colorType = payload(off + 17) & 0xff
+            val interlace = payload(off + 20) & 0xff
+            if (bitDepth != 8) bad(s"unsupported bit depth $bitDepth (only 8)")
+            if (colorType != 2) bad(s"unsupported color type $colorType (only truecolor)")
+            if (interlace != 0) bad(s"unsupported interlace $interlace (only none)")
+            if (width <= 0 || height <= 0) bad(s"bad dimensions ${width}x$height")
+            // untrusted header: bound the decode buffer in Long BEFORE
+            // allocating (3 bytes/px + 1 filter byte/row)
+            if ((width.toLong * 3 + 1) * height > Int.MaxValue - 8)
+              bad(s"image ${width}x$height too large to decode")
+          case "IDAT" =>
+            if (width < 0) bad("IDAT before IHDR")
+            idat.write(payload, off + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // tEXt, pHYs, gAMA… ancillary chunks — skip
+        }
+        off += 12 + len
+      }
+      if (width < 0) bad("no IHDR chunk found")
+      if (!sawEnd) bad("no IEND chunk found")
+      if (idat.size() == 0) bad("no IDAT data found")
+      val stride = width * 3
+      val raw = Array.ofDim[Byte]((stride + 1) * height)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !infl.finished()) {
+          val n = infl.inflate(raw, got, raw.length - got)
+          if (n == 0 && infl.needsInput()) bad("truncated IDAT stream")
+          got += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          bad(s"corrupt zlib stream: ${e.getMessage}")
+      } finally infl.end()
+      if (got != raw.length)
+        bad(s"inflated ${got} bytes, expected ${raw.length}")
+      val px = Array.ofDim[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val ft = raw(y * (stride + 1)) & 0xff
+        if (ft > 4) bad(s"bad filter type $ft on row $y")
+        val ro = y * (stride + 1) + 1
+        var i = 0
+        while (i < stride) {
+          val f = raw(ro + i) & 0xff
+          val a = if (i >= 3) px(y * stride + i - 3) & 0xff else 0
+          val b = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+          val c = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xff else 0
+          val recon = ft match {
+            case 0 => f
+            case 1 => f + a
+            case 2 => f + b
+            case 3 => f + ((a + b) >> 1)
+            case 4 => f + paeth(a, b, c)
+          }
+          px(y * stride + i) = recon.toByte
+          i += 1
+        }
+        y += 1
+      }
+      Decoded("png", width, height, 3, 1, px)
     }
   }
 

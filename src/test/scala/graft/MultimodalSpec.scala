@@ -223,4 +223,95 @@ class MultimodalSpec extends SparkSpec {
       codec = BmpCodec).select("features").head().getSeq[Float](0)
     feats.length shouldBe 4
   }
+
+  import Multimodal.PngCodec
+
+  test("PngCodec decodes a hand-assembled PNG with stored deflate blocks") {
+    // Independent fixture, NOT via encode: 2×1 RGB [red, blue], filter 0,
+    // zlib built by hand with a stored (BTYPE=00) deflate block.
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("ASCII")
+      val c = new java.util.zip.CRC32; c.update(t); c.update(data)
+      be32(data.length) ++ t ++ data ++ be32(c.getValue.toInt)
+    }
+    val raw = Array[Byte](0, -1, 0, 0, 0, 0, -1) // filter 0, red px, blue px
+    val adler = { val a = new java.util.zip.Adler32; a.update(raw); a.getValue }
+    val zlib = Array[Byte](0x78, 0x01, 0x01, // CMF/FLG, final stored block
+      raw.length.toByte, 0, (~raw.length & 0xff).toByte, -1) ++ raw ++
+      be32(adler.toInt)
+    val ihdr = be32(2) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 0)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++
+      chunk("IEND", Array.emptyByteArray)
+    val d = PngCodec.decode(png)
+    (d.format, d.width, d.height, d.channels) shouldBe (("png", 2, 1, 3))
+    d.pixels shouldBe Array[Byte](-1, 0, 0, 0, 0, -1)
+  }
+
+  test("PngCodec round-trips exactly through all five scanline filters") {
+    // h >= 5 cycles filter types 0..4 (encode filters row y with y % 5);
+    // w = 1 stresses the "no left neighbor" edge of Sub/Average/Paeth
+    for (w <- Seq(1, 2, 5); h <- Seq(1, 5, 7)) {
+      val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 97 + 13) % 256).toByte)
+      val d = Multimodal.Decoded("png", w, h, 3, 1, px)
+      val back = PngCodec.decode(PngCodec.encode(d))
+      (back.width, back.height, back.channels) shouldBe ((w, h, 3))
+      back.pixels shouldBe px
+    }
+  }
+
+  test("PngCodec skips ancillary chunks and verifies CRCs") {
+    val px = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 11).toByte)
+    val good = PngCodec.encode(Multimodal.Decoded("png", 2, 2, 3, 1, px))
+    // splice a tEXt chunk between IHDR and IDAT — decode must skip it
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val data = "k v".getBytes("ASCII")
+    val t = "tEXt".getBytes("ASCII")
+    val c = new java.util.zip.CRC32; c.update(t); c.update(data)
+    val text = be32(data.length) ++ t ++ data ++ be32(c.getValue.toInt)
+    val ihdrEnd = 8 + 12 + 13
+    val spliced = good.take(ihdrEnd) ++ text ++ good.drop(ihdrEnd)
+    PngCodec.decode(spliced).pixels shouldBe px
+    // flip one IDAT byte: CRC check must catch it as a typed error
+    val corrupt = good.clone(); corrupt(ihdrEnd + 12) = (corrupt(ihdrEnd + 12) ^ 0x40).toByte
+    intercept[graft.OpenEoError](PngCodec.decode(corrupt)).code shouldBe "CodecError"
+  }
+
+  test("PngCodec raises typed CodecError on unsupported and hostile input") {
+    val px = Array.ofDim[Byte](12)
+    val good = PngCodec.encode(Multimodal.Decoded("png", 2, 2, 3, 1, px))
+    def withIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
+      val a = good.clone(); mut(a)
+      // re-seal the IHDR CRC so the mutation reaches the field checks
+      val c = new java.util.zip.CRC32; c.update(a, 12, 4 + 13)
+      val crc = c.getValue.toInt
+      a(29) = (crc >>> 24).toByte; a(30) = (crc >>> 16).toByte
+      a(31) = (crc >>> 8).toByte; a(32) = crc.toByte
+      a
+    }
+    // grayscale color type
+    intercept[graft.OpenEoError](
+      PngCodec.decode(withIhdr(_(25) = 0))).code shouldBe "CodecError"
+    // 16-bit depth
+    intercept[graft.OpenEoError](PngCodec.decode(withIhdr(_(24) = 16)))
+    // hostile width ~2^30: Long-checked before allocation
+    intercept[graft.OpenEoError](PngCodec.decode(withIhdr { a =>
+      a(16) = 0x40; a(17) = 0; a(18) = 0; a(19) = 0
+    })).code shouldBe "CodecError"
+    // Adler/len mismatch: truncated IDAT (drop IEND + half of IDAT)
+    intercept[graft.OpenEoError](PngCodec.decode("bogus".getBytes("ASCII")))
+  }
+
+  test("decodeMeta + featureExtract run the real PNG codec through the seam") {
+    val px = Array.tabulate[Byte](4 * 6 * 3)(i => (i * 5).toByte)
+    val payload = PngCodec.encode(Multimodal.Decoded("png", 4, 6, 3, 1, px))
+    val df2 = Seq((1L, payload)).toDF("id", "payload")
+    val m = Multimodal.decodeMeta(df2, "payload", PngCodec)
+      .select("meta.format", "meta.width", "meta.height", "mean_px").head()
+    (m.getString(0), m.getInt(1), m.getInt(2)) shouldBe (("png", 4, 6))
+    m.getDouble(3) shouldBe (px.map(b => (b & 0xff).toDouble).sum / px.length)
+  }
 }
