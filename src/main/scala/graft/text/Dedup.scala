@@ -319,6 +319,64 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** GLOBAL exact-Jaccard pair join via PREFIX FILTERING — the scale path
+    * when no blocking key exists (or one block dominates): candidates are
+    * generated from shingle-hash prefixes instead of a block self-join,
+    * so the pair space is bounded by token co-occurrence, not O(block²).
+    *
+    * The prefix-filter principle (Chaudhuri/Ganti/Kaushik ICDE 2006 §3,
+    * Bayardo WWW 2007, Xiao et al. WWW 2008 "PPJoin"): order every
+    * shingle set by one global total order (here: ascending hash value)
+    * and keep each set's first `|x| - ceil(t·|x|) + 1` elements as its
+    * prefix; any pair with J ≥ t must share at least one PREFIX element
+    * on both sides, so the prefix⋈prefix equi-join has perfect recall —
+    * the candidate set provably contains every qualifying pair. (If all
+    * of A∩B sat past A's prefix, the overlap would be ≤ ceil(t·|A|)-1 <
+    * t·|A| ≤ |A∩B| — a contradiction; symmetrically for B.)
+    *
+    * Plan shape at 100 TB: one narrow shuffle keyed by the 8-byte prefix
+    * hash (documents never cross it — only (hash, id, n) triples), a
+    * distinct over candidate id pairs, then two id-keyed joins back to
+    * the shingle table for the sorted-merge verify. A frequency-ascending
+    * global order (rarest shingle first) would shrink prefixes of common
+    * tokens further — one extra df-count pass; the hash order used here
+    * is the zero-extra-pass variant and already removes the O(block²)
+    * cliff. Stop-shingle pruning (drop hashes whose df exceeds a cap)
+    * is the documented skew hatch for pathological corpora where one
+    * boilerplate shingle lands in most prefixes. */
+  def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+        sort_array(graft.functions.TextHashExprs
+          .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh"))
+      .withColumn("_n", size(col("sh")))
+      .where(col("_n") > 0)
+    // prefix length p = n - ceil(t·n) + 1 (sets sorted by the global
+    // hash order, so slice(1, p) IS the canonical prefix)
+    val pref = withSh.select(col("id"), col("_n"),
+      explode(slice(col("sh"), lit(1),
+        (col("_n") - ceil(lit(threshold) * col("_n")).cast("int") + 1)
+          .cast("int"))).as("tok"))
+    val cand = pref.as("pa").join(pref.as("pb"),
+        col("pa.tok") === col("pb.tok") && col("pa.id") < col("pb.id") &&
+        // size-ratio filter applied AT candidate time: J ≥ t needs
+        // t·|b| ≤ |a| (a the smaller side) — prunes before the distinct
+        col("pa._n").cast("double") >= lit(threshold) * col("pb._n") &&
+        col("pb._n").cast("double") >= lit(threshold) * col("pa._n"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+      .distinct()
+    cand
+      .join(withSh.select(col("id"), col("sh").as("sh_a")),
+        col("id_a") === col("id"))
+      .drop("id")
+      .join(withSh.select(col("id"), col("sh").as("sh_b")),
+        col("id_b") === col("id"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextHashExprs.jaccardLongSorted(
+          col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** ASYMMETRIC near-dup detection: directed containment pairs within
     * blocks. containment(contained, container) = |A∩B| / |A| — the
     * fraction of the SMALLER overlap side's shingles found in the other

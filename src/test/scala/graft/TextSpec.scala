@@ -986,6 +986,35 @@ class TextSpec extends SparkSpec {
     j.foreach(r => r.getDouble(2) should be < 0.15)
   }
 
+  test("ngramJaccardPairsPrefix: identical pair set to all-pairs, and " +
+      "finds cross-block pairs the blocked join cannot") {
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int) = (0 until n).map(_ => s"t${rnd.nextInt(30)}").mkString(" ")
+    val base = (0L until 30L).map(i => (i, if (i % 2 == 0) "a" else "b", doc(25)))
+    // exact dup pair ACROSS blocks + a near-dup (one-token edit) pair
+    val crossDup = Seq((100L, "a", base(3)._3), (101L, "b", base(3)._3))
+    val near = Seq((102L, "a", base(5)._3 + " tailtok"))
+    val docs = (base ++ crossDup ++ near).toDF("doc_id", "blk", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id",
+      shingleN = 3, threshold = 0.5).collect().map(key).toSet
+    // ground truth: the blocked join with a constant block = all pairs
+    val truth = Dedup.ngramJaccardPairs(
+      docs.withColumn("one", org.apache.spark.sql.functions.lit(1)),
+      "text", "doc_id", Seq("one"), shingleN = 3, threshold = 0.5)
+      .collect().map(key).toSet
+    prefix shouldBe truth
+    // doc 3 lives in block "b"; its dup 100 in block "a" — cross-block
+    prefix.map(p => (p._1, p._2)) should contain ((3L, 100L))
+    // the (lang-style) blocked variant is blind to the cross-block pair
+    val blocked = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("blk"), shingleN = 3, threshold = 0.5)
+      .collect().map(key).toSet
+    blocked.map(p => (p._1, p._2)) should not contain ((3L, 100L))
+    blocked subsetOf prefix shouldBe true
+  }
+
   test("bpe trainMerges: counts, greedy left-to-right apply, and the " +
       "(count desc, pair asc) tie-break") {
     // vocab: aaab x2, aab x1. Step 1 pairs: 'a a' = 2*2+1 = 5 (two
