@@ -341,6 +341,64 @@ object Similarity {
 
   // --- Product quantization (PQ / ADC) --------------------------------
 
+  /** D4-style diversification (Tirumala et al. 2023, "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification"): after
+    * near-dup removal, the most PROTOTYPICAL documents of each semantic
+    * cluster — highest cosine to their cluster centroid — are the
+    * redundant "template mass"; dropping the top `dropFrac` per cluster
+    * keeps the diverse tail that adds training signal.
+    *
+    * Plan shape: assignment and the proto score are ONE map-side literal
+    * projection (the [[ivfAssign]] argmin plus a k-branch when-chain of
+    * codegen dot products — zero shuffle, zero row amplification); the
+    * per-cluster rank is one cluster-keyed exchange. The proto rank key
+    * is 1e-9 long-quantized so partial-order ties cannot differ across
+    * engines. At corpora where one cluster holds ~everything, replace the
+    * rank window with a per-cluster count + GK quantile threshold and a
+    * pure filter (the capPerGroup hatch); exact per-cluster rank is the
+    * oracle-portable form.
+    *
+    * Output: (id, cluster, proto, kept) — `kept` = survives the drop. */
+  def diversifyPrototypes(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, dropFrac: Double = 0.25, trainIters: Int = 0,
+      seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val centroidsDf = centroidsOverride.getOrElse(
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nClusters, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nClusters, seed))
+    val cents: Array[(Long, Array[Double])] = centroidsDf.collect().map { r =>
+      val cid = r.getLong(r.fieldIndex("centroid_id"))
+      val vec = r.getSeq[Number](r.fieldIndex("_centroid"))
+        .map(_.doubleValue()).toArray
+      (cid, vec)
+    }
+    val assigned = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("cluster", argminCentroid(col("_v"), cents))
+    // cosine to the ASSIGNED centroid as a literal when-chain: |c| is a
+    // driver-side left-to-right fold, same addition order as the oracle's
+    // ordered SQL sum, so the double is bit-identical
+    val proto = cents.foldLeft(lit(Double.NaN)) { case (acc, (cid, cvec)) =>
+      val cLit = array(cvec.toIndexedSeq.map(lit): _*)
+      val cNorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+      val denom = sqrt(norm2(col("_v"))) * lit(cNorm)
+      when(col("cluster") === cid,
+        when(denom === 0.0, 0.0).otherwise(dot(col("_v"), cLit) / denom))
+        .otherwise(acc)
+    }
+    val scored = assigned.withColumn("proto", proto)
+      .withColumn("_pq", round(col("proto") * lit(1e9), 0).cast("long"))
+    val byCluster = Window.partitionBy(col("cluster"))
+    val rn = row_number().over(
+      byCluster.orderBy(col("_pq").desc, col("_id").asc))
+    val cnt = count(lit(1)).over(byCluster)
+    scored
+      .select(col("_id").as(idCol), col("cluster"),
+        round(col("proto"), 6).as("proto"),
+        (rn > ceil(lit(dropFrac) * cnt)).as("kept"))
+  }
+
   /** Per-subspace PQ codebook: `cents(s)` lists (code, centroid
     * subvector) for subspace `s`, codes dense 0..ksub-1; every subvector
     * has length `dsub`. */

@@ -285,6 +285,41 @@ class SimilaritySpec extends SparkSpec {
     again shouldBe out
   }
 
+  test("diversifyPrototypes drops exactly the most prototypical fraction " +
+      "per cluster, deterministically") {
+    // cluster 0: four vectors at decreasing alignment with e1; cluster 1:
+    // two vectors near e2. dropFrac=0.5 -> ceil(2) dropped in cluster 0,
+    // ceil(1) in cluster 1 — always the HIGHEST-cosine rows.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos=1.000 -> rank 1, dropped
+      (2L, Array(1.0f, 0.1f)),   // cos~0.995 -> rank 2, dropped
+      (3L, Array(1.0f, 0.5f)),   // cos~0.894 -> rank 3, kept
+      (4L, Array(1.0f, 0.9f)),   // cos~0.743 -> rank 4, kept
+      (5L, Array(0.0f, 1.0f)),   // cluster 1 cos=1 -> dropped
+      (6L, Array(0.3f, 1.0f))    // cluster 1 cos~0.958 -> kept
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "_centroid")
+    val out = Similarity.diversifyPrototypes(df, "vec_id", "embedding",
+        dropFrac = 0.5, centroidsOverride = Some(cents))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    out(1L)._3 shouldBe false
+    out(2L)._3 shouldBe false
+    out(3L)._3 shouldBe true
+    out(4L)._3 shouldBe true
+    out(5L) shouldBe ((1L, 1.0, false))
+    out(6L)._1 shouldBe 1L
+    out(6L)._3 shouldBe true
+    out(1L)._2 shouldBe 1.0 // exactly aligned
+    // deterministic under repartitioning
+    val again = Similarity.diversifyPrototypes(df.repartition(5), "vec_id",
+        "embedding", dropFrac = 0.5, centroidsOverride = Some(cents))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    again shouldBe out
+  }
+
   test("randomProject: shape, norm preservation in expectation, " +
       "partition-invariant") {
     val rnd = new scala.util.Random(7)
