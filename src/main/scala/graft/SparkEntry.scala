@@ -672,6 +672,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
+    "q_simjoin_prefix" -> ((s, dir) => {
+      // GLOBAL exact-Jaccard similarity join with NO blocking key: the
+      // prefix-filter candidate join (PPJoin family) bounds the pair
+      // space by shingle co-occurrence instead of O(block²) — the shape
+      // that survives when one block holds most of the corpus. Perfect
+      // recall by the prefix-filter theorem, so the oracle is the plain
+      // all-pairs formulation.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramJaccardPairsPrefix(d, "text", "doc_id",
+          shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+    }),
     "q_dedup_sensitivity" -> ((s, dir) => {
       // threshold-sensitivity report: bucket the blocked-pair Jaccard
       // distribution at 0.1 width from a 0.3 floor and report per-bin
@@ -856,6 +869,20 @@ object SparkEntry {
           col("embedding").as("_centroid"))
       Similarity.semDedup(e, "vec_id", "embedding", nClusters = 16,
         tau = 0.4, centroidsOverride = Some(cents))
+    }),
+    "q_d4_diversify" -> ((s, dir) => {
+      // D4-style diversification: per-cluster prototypicality rank
+      // (cosine to own centroid, 1e-9-quantized key), top 25% most
+      // prototypical dropped. Same SQL-derivable lowest-id centroid
+      // convention as q_semdedup so the oracle replays assignment,
+      // proto score, and rank bit-for-bit.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      Similarity.diversifyPrototypes(e, "vec_id", "embedding",
+        nClusters = 16, dropFrac = 0.25, centroidsOverride = Some(cents))
     }),
     "q_bm25" -> ((s, dir) => {
       // BM25 keyword retrieval over the corpus (Lucene idf form); scores
@@ -1245,6 +1272,36 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.width").as("frames_per_ch"),
           col("meta.channels").as("channels"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
+    "q_multimodal_png" -> ((s, dir) => {
+      // REAL compressed image bytes end-to-end: each doc's UTF-8 bytes
+      // tile a w×h RGB image (w = 1+len%6, h = 1+len%4, pixel j = byte
+      // j%len), written as a genuine zlib-deflated PNG whose scanline
+      // filter cycles y%5 (all five filter types on the wire) and parsed
+      // back through PngCodec — Inflater, chunk CRCs, and all five
+      // filter reconstructions sit on the hash path. The oracle replays
+      // the generative pixel math from hex(text), never parsing PNG.
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val png = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 1)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val len = tb.length
+          val w = 1 + len % 6; val h = 1 + len % 4
+          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
+          (id, Multimodal.PngCodec.encode(
+            Multimodal.Decoded("png", w, h, 3, 1, px)))
+        }.toDF("doc_id", "payload")
+      Multimodal.featureExtract(
+          Multimodal.decodeMeta(png, "payload", Multimodal.PngCodec),
+          "payload", dim = 5, codec = Multimodal.PngCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
           round(col("mean_px"), 6).as("mean_px"),
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
@@ -3495,6 +3552,49 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_png" ->
+      // the PNG round-trip is generative and LOSSLESS (deflate+filters
+      // reconstruct exactly): pixel j = text byte (j % len), w = 1+len%6,
+      // h = 1+len%4 — the oracle computes the stats straight from those
+      // bytes; a filter-reconstruction or inflate bug shifts every stat
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE octet_length(encode(text)) >= 1
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 6) AS width,
+                  1 + (len % 4) AS height,
+                  (1 + (len % 6)) * (1 + (len % 4)) * 3 AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.j,
+                  CAST(('0x' || substr(p.h,
+                    CAST((g.j % p.len) * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
+           FROM p, generate_series(0, 71) AS g(j)
+           WHERE g.j < p.px_len
+         ), m AS (
+           SELECT p.doc_id, p.width, p.height,
+                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
+           FROM p JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.width, p.height
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 5) AS block, p.px_len
+           FROM p, generate_series(0, 4) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.j >= f.feat_idx * f.block
+            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, 'png' AS format, m.width, m.height, m.mean_px,
+                fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
     "q_multimodal_wav" ->
       // WAV round-trip maps sample i back to text byte i exactly
       // ((((b-128)<<8) >> 8) + 128 = b), so the oracle reads the even
@@ -3808,6 +3908,22 @@ object SparkEntry {
     // the streamed gate emits the identical pair set under any
     // micro-batch split (StreamingSpec law) -> shares the batch oracle
     "q_stream_neardup" -> simhashPairsSql,
+    "q_simjoin_prefix" ->
+      // prefix filtering has perfect recall, so the oracle is the plain
+      // GLOBAL all-pairs join (no block keys) — identical output set
+      """WITH sh AS (SELECT doc_id,
+             list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM documents))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""",
     "q_ngram_jaccard" ->
       """WITH sh AS (SELECT doc_id, lang, source,
              list_filter(list_distinct(list_transform(
@@ -4203,6 +4319,42 @@ object SparkEntry {
            WHERE pd.dot / (na.nrm * nb.nrm) >= 0.4)
          SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
          FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+    "q_d4_diversify" ->
+      // assignment CTEs shared with q_semdedup; proto = ordered-sum
+      // cosine to the assigned centroid; rank key 1e-9 long-quantized
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id, v.dvc,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id, centroid_id AS cluster, dvc FROM (
+             SELECT vec_id, centroid_id, dvc,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         scored AS (SELECT a.vec_id, a.cluster,
+             a.dvc / (sqrt(n2.n2v) * sqrt(cn2.nc2)) AS proto
+           FROM assigned a JOIN n2 ON n2.vec_id = a.vec_id
+                JOIN cn2 ON cn2.centroid_id = a.cluster),
+         ranked AS (SELECT vec_id, cluster, proto,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY CAST(round(proto * 1000000000.0, 0) AS BIGINT) DESC,
+                        vec_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS cnt
+           FROM scored)
+         SELECT vec_id, cluster, round(proto, 6) AS proto,
+                (rn > CEIL(0.25 * cnt)) AS kept
+         FROM ranked""",
     "q_bm25" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       s"""WITH tok AS (SELECT doc_id,

@@ -604,6 +604,22 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("prefix similarity join: equi-join candidate space, never a " +
+      "cartesian or nested-loop pair blow-up") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"some document body $i ${"shared filler tokens " * 10}"))
+      .toDF("doc_id", "text")
+    val plan = planString(graft.text.Dedup.ngramJaccardPairsPrefix(
+      docs, "text", "doc_id"))
+    // the candidate join is keyed on the 8-byte prefix-shingle hash —
+    // a pure equi-join; any nested-loop form means the prefix filter
+    // degenerated to all-pairs
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("tok")
+  }
+
   test("stripBoilerplate: breadth table broadcast-anti-joins; paragraph " +
       "stream never hash-shuffles for the join") {
     import spark.implicits._
@@ -644,6 +660,22 @@ class PlanQualitySpec extends SparkSpec {
       .agg(count(lit(1)).as("n_docs")))
     ru should include("Expand")
     ru.split("Exchange hashpartitioning").length - 1 shouldBe 1
+  }
+
+  test("diversifyPrototypes: literal-centroid projection + ONE " +
+      "cluster-keyed window exchange, no join") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "_centroid")
+    val plan = planString(graft.text.Similarity.diversifyPrototypes(
+      df, "vec_id", "embedding", centroidsOverride = Some(cents)))
+    // assignment + proto are literal codegen expressions over the scan;
+    // the only exchange is the cluster partition for the rank window
+    plan.split("Exchange").length - 1 shouldBe 1
+    plan should not include "Join"
+    plan should include("Window")
   }
 
   test("randomProject is a pure projection — no shuffle, no join") {
