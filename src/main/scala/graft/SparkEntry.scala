@@ -870,6 +870,29 @@ object SparkEntry {
       Similarity.semDedup(e, "vec_id", "embedding", nClusters = 16,
         tau = 0.4, centroidsOverride = Some(cents))
     }),
+    "q_pca_gram" -> ((s, dir) => {
+      // the corpus-scale half of PCA: one-pass second-moment (Gram)
+      // matrix via a bounded upper-triangle Aggregator — partial
+      // aggregation reduces each task to ONE 2080-long row before the
+      // single exchange; 1e-6 long-quantized products make the integer
+      // sum exact under any partitioning
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.text.Pca.gramMatrix(e, "embedding", dim = 64)
+    }),
+    "q_pca_project" -> ((s, dir) => {
+      // full PCA: Gram pass -> driver power-iteration eigensolve (top-2,
+      // 8 fixed iterations, deflation) -> literal-matrix projection. The
+      // oracle replays the ENTIRE pipeline — quantized Gram, every
+      // iteration's ordered matrix-vector product and normalize, the
+      // Rayleigh quotient, the deflation, and the projection — so the
+      // eigensolve itself is hash-verified, not just the serving path.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.text.Pca.pcaProject(e, "vec_id", "embedding", dim = 64,
+          k = 2, iters = 8)
+        .select(col("vec_id"),
+          posexplode(col("pc")).as(Seq("comp_idx", "pc_val")))
+        .withColumn("pc_val", round(col("pc_val"), 6))
+    }),
     "q_d4_diversify" -> ((s, dir) => {
       // D4-style diversification: per-cluster prototypicality rank
       // (cosine to own centroid, 1e-9-quantized key), top 25% most
@@ -4319,6 +4342,55 @@ object SparkEntry {
            WHERE pd.dot / (na.nrm * nb.nrm) >= 0.4)
          SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
          FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
+    "q_pca_gram" ->
+      // quantized-product integer sums are order-free, so the plain SQL
+      // group-by reproduces the Aggregator's merge exactly
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings)
+         SELECT a.i AS i, b.i AS j,
+           SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
+         FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+         GROUP BY 1, 2""",
+    "q_pca_project" -> {
+      // programmatic oracle: the 8 power iterations per component are
+      // generated as CTE chains; every sum is ORDER BY-ed to match the
+      // driver's left-to-right loops bit-for-bit
+      def iters(c: Int, gsrc: String): String = (1 to 8).map { t =>
+        s"""u${c}_$t AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS u
+              FROM $gsrc g JOIN w${c}_${t - 1} w ON w.i = g.j GROUP BY g.i),
+            n${c}_$t AS MATERIALIZED (SELECT sqrt(SUM(u * u ORDER BY i)) AS nrm
+              FROM u${c}_$t),
+            w${c}_$t AS MATERIALIZED (SELECT i, u / (SELECT nrm FROM n${c}_$t) AS w
+              FROM u${c}_$t)"""
+      }.mkString(",\n")
+      s"""WITH el AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+         tri AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+             SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
+           FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+           GROUP BY 1, 2),
+         g AS MATERIALIZED (SELECT i, j, gq::DOUBLE / 1000000.0 AS a FROM tri
+               UNION ALL
+               SELECT j, i, gq::DOUBLE / 1000000.0 FROM tri WHERE i <> j),
+         w0_0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(0, 64) AS r(i)),
+         ${iters(0, "g")},
+         s0 AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS s
+           FROM g JOIN w0_8 w ON w.i = g.j GROUP BY g.i),
+         lam0 AS MATERIALIZED (SELECT SUM(w.w * s.s ORDER BY w.i) AS lam
+           FROM w0_8 w JOIN s0 s ON s.i = w.i),
+         g1 AS MATERIALIZED (SELECT g.i, g.j,
+             g.a - (SELECT lam FROM lam0) * wa.w * wb.w AS a
+           FROM g JOIN w0_8 wa ON wa.i = g.i JOIN w0_8 wb ON wb.i = g.j),
+         w1_0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(0, 64) AS r(i)),
+         ${iters(1, "g1")},
+         proj0 AS MATERIALIZED (SELECT el.vec_id, SUM(el.v * w.w ORDER BY el.i) AS p
+           FROM el JOIN w0_8 w ON w.i = el.i GROUP BY 1),
+         proj1 AS MATERIALIZED (SELECT el.vec_id, SUM(el.v * w.w ORDER BY el.i) AS p
+           FROM el JOIN w1_8 w ON w.i = el.i GROUP BY 1)
+         SELECT vec_id, 0 AS comp_idx, round(p, 6) AS pc_val FROM proj0
+         UNION ALL
+         SELECT vec_id, 1 AS comp_idx, round(p, 6) AS pc_val FROM proj1"""
+    },
     "q_d4_diversify" ->
       // assignment CTEs shared with q_semdedup; proto = ordered-sum
       // cosine to the assigned centroid; rank key 1e-9 long-quantized

@@ -678,6 +678,22 @@ class PlanQualitySpec extends SparkSpec {
     plan should include("Window")
   }
 
+  test("PCA: gram pass partial-aggregates to one bounded row per task; " +
+      "projection is a pure literal map") {
+    import spark.implicits._
+    val df = (0L until 40L).map(i =>
+      (i, Array(i.toFloat, (i % 5).toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val gramPlan = planString(graft.text.Pca.gramMatrix(df, "embedding", 3))
+    // the Aggregator must run with a partial (map-side) phase so only
+    // nPartitions single-row buffers cross the exchange
+    gramPlan should include("partial_gramagg")
+    gramPlan should not include "Join"
+    val projPlan = planString(graft.text.Pca.project(df, "vec_id",
+      "embedding", Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))))
+    projPlan should not include "Exchange"
+    projPlan should not include "Join"
+  }
+
   test("randomProject is a pure projection — no shuffle, no join") {
     import spark.implicits._
     val df = (0L until 20L).map(i => (i, Array.fill(64)(i.toFloat)))
