@@ -1440,6 +1440,22 @@ object SparkEntry {
           tables = Map("documents" -> s"$dir/documents.parquet"))
         .compile(graph).asInstanceOf[DataFrame]
     }),
+    "q_graph_diversify" -> ((s, dir) => {
+      // the embedding tier through the openEO JSON graph surface:
+      // load_table(embeddings) → diversify_prototypes, compiling to the
+      // identical plan as q_d4_diversify (shared oracle)
+      import graft.compile.GraphCompiler
+      val graph = """{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "embeddings"}},
+        "div": {"process_id": "diversify_prototypes", "arguments": {
+          "data": {"from_node": "load"}, "n_clusters": 16,
+          "drop_frac": 0.25}, "result": true}}"""
+      new GraphCompiler(s, Map.empty,
+          s"${System.getProperty("java.io.tmpdir")}/graft_div_res",
+          tables = Map("embeddings" -> s"$dir/embeddings.parquet"))
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
     "q_unimax_epochs" -> ((s, dir) => {
       // the data-constrained regime: UniMax with an epoch cap of 3 —
       // small tail sources UP-SAMPLE (all 3 epochs), the big tiers get
@@ -2117,6 +2133,43 @@ object SparkEntry {
     * HUGEINT byte fold, 64 sign-aggregated bit lanes, then ALL-PAIRS
     * Hamming <= 6 — identical to the banded blocking output because
     * the 28-pair-key multi-index has exact recall to Hamming 6. */
+  private val d4DiversifySql: String =
+    // assignment CTEs shared with q_semdedup; proto = ordered-sum
+    // cosine to the assigned centroid; rank key 1e-9 long-quantized
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id, v.dvc,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id, centroid_id AS cluster, dvc FROM (
+             SELECT vec_id, centroid_id, dvc,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         scored AS (SELECT a.vec_id, a.cluster,
+             a.dvc / (sqrt(n2.n2v) * sqrt(cn2.nc2)) AS proto
+           FROM assigned a JOIN n2 ON n2.vec_id = a.vec_id
+                JOIN cn2 ON cn2.centroid_id = a.cluster),
+         ranked AS (SELECT vec_id, cluster, proto,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY CAST(round(proto * 1000000000.0, 0) AS BIGINT) DESC,
+                        vec_id) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS cnt
+           FROM scored)
+         SELECT vec_id, cluster, round(proto, 6) AS proto,
+                (rn > CEIL(0.25 * cnt)) AS kept
+         FROM ranked"""
+
   private val simhashPairsSql: String =
     """WITH tok AS (
          SELECT doc_id,
@@ -4391,43 +4444,11 @@ object SparkEntry {
          UNION ALL
          SELECT vec_id, 1 AS comp_idx, round(p, 6) AS pc_val FROM proj1"""
     },
-    "q_d4_diversify" ->
-      // assignment CTEs shared with q_semdedup; proto = ordered-sum
-      // cosine to the assigned centroid; rank key 1e-9 long-quantized
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
-             generate_subscripts(embedding, 1) AS i FROM cents),
-         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
-                 FROM cel GROUP BY 1),
-         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
-         vdot AS (SELECT e.vec_id, c.centroid_id,
-             SUM(e.v * c.cv ORDER BY e.i) AS dvc
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         dist AS (SELECT v.vec_id, v.centroid_id, v.dvc,
-             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
-           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
-                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
-         assigned AS (SELECT vec_id, centroid_id AS cluster, dvc FROM (
-             SELECT vec_id, centroid_id, dvc,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
-         scored AS (SELECT a.vec_id, a.cluster,
-             a.dvc / (sqrt(n2.n2v) * sqrt(cn2.nc2)) AS proto
-           FROM assigned a JOIN n2 ON n2.vec_id = a.vec_id
-                JOIN cn2 ON cn2.centroid_id = a.cluster),
-         ranked AS (SELECT vec_id, cluster, proto,
-             row_number() OVER (PARTITION BY cluster
-               ORDER BY CAST(round(proto * 1000000000.0, 0) AS BIGINT) DESC,
-                        vec_id) AS rn,
-             count(*) OVER (PARTITION BY cluster) AS cnt
-           FROM scored)
-         SELECT vec_id, cluster, round(proto, 6) AS proto,
-                (rn > CEIL(0.25 * cnt)) AS kept
-         FROM ranked""",
-    "q_bm25" -> {
+    "q_d4_diversify" -> d4DiversifySql,
+    // the graph-compiled diversify pins the same lowest-id centroid
+    // convention, so it shares the batch oracle verbatim
+    "q_graph_diversify" -> d4DiversifySql,
+        "q_bm25" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       s"""WITH tok AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\\s+') AS t

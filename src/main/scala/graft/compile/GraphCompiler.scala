@@ -418,6 +418,37 @@ final class GraphCompiler(
           col(optS(n, "score_column", r).getOrElse("n_chars")),
           optS(n, "id_column", r).getOrElse("doc_id"),
           k = optD(n, "k", r).getOrElse(3.0).toInt)
+      case "dedup_prefix" =>
+        // global (blockless) exact-Jaccard pair join via prefix filtering
+        graft.text.Dedup.ngramJaccardPairsPrefix(dfArg(n, "data", r),
+          optS(n, "text_column", r).getOrElse("text"),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          shingleN = optD(n, "shingle_n", r).getOrElse(3.0).toInt,
+          threshold = optD(n, "threshold", r).getOrElse(0.5))
+      case "diversify_prototypes" =>
+        // D4-style per-cluster prototypicality drop over an embedding
+        // table; the graph surface pins the SQL-derivable lowest-id
+        // centroid convention (the seeded-hash sample and k-means
+        // trained centroids stay available through the Scala API)
+        val d = dfArg(n, "data", r)
+        val idc = optS(n, "id_column", r).getOrElse("vec_id")
+        val vc = optS(n, "vector_column", r).getOrElse("embedding")
+        val k = optD(n, "n_clusters", r).getOrElse(16.0).toInt
+        val w = org.apache.spark.sql.expressions.Window.orderBy(idc)
+        val cents = d.orderBy(idc).limit(k).select(
+          (row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col(vc).as("_centroid"))
+        graft.text.Similarity.diversifyPrototypes(d, idc, vc,
+          nClusters = k,
+          dropFrac = optD(n, "drop_frac", r).getOrElse(0.25),
+          centroidsOverride = Some(cents))
+      case "pca_project" =>
+        graft.text.Pca.pcaProject(dfArg(n, "data", r),
+          optS(n, "id_column", r).getOrElse("vec_id"),
+          optS(n, "vector_column", r).getOrElse("embedding"),
+          dim = optD(n, "dim", r).getOrElse(64.0).toInt,
+          k = optD(n, "k", r).getOrElse(2.0).toInt,
+          iters = optD(n, "iterations", r).getOrElse(8.0).toInt)
 
       // ---- sinks (S5-S8) ----
       case "save_result" =>

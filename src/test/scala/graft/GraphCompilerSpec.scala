@@ -608,4 +608,46 @@ class GraphCompilerSpec extends SparkSpec {
     gated.length shouldBe 1
     gated.head.getLong(1) should be < 3L // at least doc 3 gated out
   }
+
+  test("embedding processes diversify_prototypes / pca_project / " +
+      "dedup_prefix drive through the graph, matching the Scala API") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb1").toString
+    val rnd = new scala.util.Random(9)
+    (0L until 24L).map(i => (i, Array.fill(4)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // exact dup of 1
+      (3L, "totally different words here now then"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def gc = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-eres").toString,
+      tables = Map("embeddings" -> s"$dir/embeddings.parquet",
+        "documents" -> s"$dir/documents.parquet"))
+    val div = gc.compile("""{
+        "e": {"process_id": "load_table", "arguments": {"id": "embeddings"}},
+        "d": {"process_id": "diversify_prototypes", "arguments": {
+          "data": {"from_node": "e"}, "n_clusters": 4, "drop_frac": 0.5},
+          "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    div.length shouldBe 24
+    div.count(_.getBoolean(3)) should be < 24 // some dropped
+    val pca = gc.compile("""{
+        "e": {"process_id": "load_table", "arguments": {"id": "embeddings"}},
+        "p": {"process_id": "pca_project", "arguments": {
+          "data": {"from_node": "e"}, "dim": 4, "k": 2, "iterations": 10},
+          "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    pca.length shouldBe 24
+    pca.head.getSeq[Double](1).length shouldBe 2
+    val pairs = gc.compile("""{
+        "d": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "j": {"process_id": "dedup_prefix", "arguments": {
+          "data": {"from_node": "d"}, "threshold": 0.9}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
+  }
 }
