@@ -844,6 +844,22 @@ object SparkEntry {
       Similarity.topKInt8(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
     }),
+    "q_knn_join" -> ((s, dir) => {
+      // corpus-scale k-NN SELF-join: IVF cells as the blocking key, BOTH
+      // sides shuffled on (cell, shard) — no broadcast of a corpus-scale
+      // probe table — with the hot-cell salt hatch ENGAGED (saltFactor=2;
+      // results are salt-invariant, which the oracle thereby verifies).
+      // Lowest-id centroid convention as q_ann_topk_ivf so the oracle
+      // replays assignment + probing bit-for-bit.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      Similarity.knnJoinIvf(e, "vec_id", "embedding", k = 3,
+        nCentroids = 16, nProbe = 4, centroidsOverride = Some(cents),
+        saltFactor = 2)
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
@@ -4156,6 +4172,55 @@ object SparkEntry {
                       JOIN n nc ON nc.vec_id = neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM s WHERE rank <= 5""",
+    "q_knn_join" ->
+      // the IVF self-join: same assignment/probe replay as q_ann_topk_ivf
+      // but EVERY vector is a query (no vec_id filter) and k=3. The salt
+      // sharding on the Spark side is result-invariant, so this unsalted
+      // formulation is the exact oracle for the salted plan.
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         probes AS (SELECT query_id, centroid_id FROM (
+             SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 4),
+         cand AS (SELECT p.query_id, a.neighbor_id
+           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.neighbor_id),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT cd.query_id, cd.neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
+                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+               GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN n nq ON nq.vec_id = query_id
+                      JOIN n nc ON nc.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 3""",
     "q_ann_topk_pq" ->
       // PQ-ADC: centroids = subvector slices of the 16 lowest-id rows
       // (s = subspace 0-3, j = dim within subspace); code assignment by

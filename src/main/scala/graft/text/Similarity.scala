@@ -297,6 +297,58 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN SELF-join: every corpus vector gets its k nearest neighbors,
+    * IVF-blocked. This is NOT [[topKIvf]] with `queries = corpus`: there
+    * the probe side is `broadcast()` (queries are assumed small), which
+    * at corpus scale would ship the whole table to every executor. Here
+    * BOTH sides are corpus-scale, so the candidate join is a plain
+    * shuffled equi-join on `centroid_id` — each cell's members meet each
+    * cell's probers inside one shuffle partition, and the bounded
+    * [[graft.functions.TopKAgg]] partial aggregate collapses candidates
+    * to ≤ k rows per query before the final exchange.
+    *
+    * Scale calibration: cells should number ~√N (so each holds ~√N rows
+    * and per-cell candidate work stays ~N^1.5 / nCells ≈ N); with
+    * 16 test centroids the math is identical, just denser. Skew is a
+    * real failure mode when one cell captures a dense cluster, so the
+    * hot-cell hatch is CODE, not a comment: `saltFactor = s` splits every
+    * cell into s shards — members keep one deterministic shard
+    * (xxhash64(id) mod s), probers fan out to all s — which divides the
+    * largest cell's quadratic block by s at the cost of replicating only
+    * the PROBE rows (id + vector), never the member lists. Results are
+    * identical for any s ≥ 1: each (query, member) pair still meets
+    * exactly once, in the member's shard.
+    *
+    * No reference counterpart (`/root/reference/openeo_odc_driver/` is
+    * EO-only); this is the all-pairs companion of the ANN serving tier
+    * (SemDeDup/D4 feed on exactly this join). */
+  def knnJoinIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None,
+      trainIters: Int = 0, saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    val centroids = broadcast(centroidsOverride.getOrElse(
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed)))
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed(vecCol, "_cv")
+      .withColumn("_shard",
+        pmod(xxhash64(col("neighbor_id")), lit(saltFactor.toLong)))
+    // probe side: corpus-scale, deliberately NOT broadcast — fans out to
+    // every shard of each probed cell
+    val probes = probeCentroids(corpus, centroids, idCol, vecCol, nProbe)
+      .select(col("query_id"), col("_qv"), col("centroid_id"),
+        explode(sequence(lit(0L), lit(saltFactor.toLong - 1))).as("_shard"))
+    val cands = assigned.join(probes, Seq("centroid_id", "_shard"))
+      .where(col("query_id") =!= col("neighbor_id"))
+    val scored = cands.withColumn("cos",
+      dot(col("_qv"), col("_cv")) /
+        (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv")))))
+    rankTopK(scored, k)
+  }
+
   /** query → its `nProbe` nearest coarse centroids (shared by
     * [[topKIvf]] and [[topKIvfPq]] — one implementation so tie-breaking
     * and casts cannot diverge). Returns one row per (query, probed

@@ -122,6 +122,30 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Generate" // no explode amplification
   }
 
+  test("knnJoinIvf candidate join is a shuffled equi-join on (cell, shard) — " +
+      "no corpus-scale broadcast, no cartesian blow-up") {
+    import spark.implicits._
+    val corpus = (0L until 80L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat))).toDF("vec_id", "embedding")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill SIZE-based broadcast: only explicit hints (the 16-row
+      // centroid table) may broadcast, so the candidate join must appear
+      // in its scale form — a shuffled equi-join keyed on cell AND shard
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val knn = graft.text.Similarity.knnJoinIvf(corpus, "vec_id",
+        "embedding", k = 2, nCentroids = 4, nProbe = 2, saltFactor = 2)
+      val plan = planString(knn)
+      plan should not include "CartesianProduct"
+      // the candidate join shuffles both sides on (centroid_id, _shard)
+      plan should include("hashpartitioning(centroid_id")
+      plan should include("_shard")
+      // bounded top-k: partial ObjectHashAggregate below the final
+      // exchange, so each task ships <= k candidates per query
+      plan should include("ObjectHashAggregate")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("run_udf source compiles into the codegen projection — no ScalaUDF") {
     val c = Scan.loadCollection(spark, spec)
     val applied = c.mapValue(v => graft.compile.UdfCompiler.compile(

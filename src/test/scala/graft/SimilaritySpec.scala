@@ -133,6 +133,27 @@ class SimilaritySpec extends SparkSpec {
     ivf shouldBe bf
   }
 
+  test("knnJoinIvf with full probing equals the brute-force self-join") {
+    // nProbe == nCentroids → every cell probed → must match exact kNN
+    val bf = Similarity.topKBruteForce(tiny, tiny, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val knn = Similarity.knnJoinIvf(tiny, "vec_id", "embedding", k = 2,
+      nCentroids = 2, nProbe = 2, trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    knn shouldBe bf
+  }
+
+  test("knnJoinIvf is salt-invariant: saltFactor 1 and 3 agree bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    def run(s: Int) = Similarity.knnJoinIvf(df, "vec_id", "embedding",
+        k = 3, nCentroids = 4, nProbe = 2, saltFactor = s)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    run(1) shouldBe run(3)
+  }
+
   test("PQ with every vector its own centroid reproduces brute force exactly") {
     // m=1, ksub=|corpus|: each vector's nearest "subspace centroid" is
     // itself, so the reconstruction is exact and ADC == exact cosine —
