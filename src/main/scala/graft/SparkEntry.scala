@@ -909,6 +909,18 @@ object SparkEntry {
           posexplode(col("pc")).as(Seq("comp_idx", "pc_val")))
         .withColumn("pc_val", round(col("pc_val"), 6))
     }),
+    "q_pca_whiten" -> ((s, dir) => {
+      // PCA whitening: q_pca_project's literal projection with each
+      // score divided by its replayed √λ — unit second moment per
+      // retained direction. The oracle extends the full eigensolve
+      // replay with the λ₁ Rayleigh CTE and divides the same doubles.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.text.Pca.pcaWhitenProject(e, "vec_id", "embedding", dim = 64,
+          k = 2, iters = 8)
+        .select(col("vec_id"),
+          posexplode(col("wpc")).as(Seq("comp_idx", "wpc_val")))
+        .withColumn("wpc_val", round(col("wpc_val"), 6))
+    }),
     "q_d4_diversify" -> ((s, dir) => {
       // D4-style diversification: per-cluster prototypicality rank
       // (cosine to own centroid, 1e-9-quantized key), top 25% most
@@ -1572,6 +1584,16 @@ object SparkEntry {
         .localCheckpoint(true)
       val lm = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
       graft.text.LanguageModel.scoreBigramLmFromGrams(grams, lm, "doc_id")
+    }),
+    "q_lm_backoff" -> ((s, dir) => {
+      // stupid-backoff trigram LM (Brants 2007): trigram→bigram→unigram
+      // count chain with α=0.4 per backoff level, OOV floor α²/N. Three
+      // Zipf-sized tables, three left hash joins of one exploded trigram
+      // stream, 1e-9 long-quantized terms — training AND the full
+      // backoff cascade replayed by the oracle.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val lm = graft.text.LanguageModel.trainBackoffLm(d, "text")
+      graft.text.LanguageModel.scoreBackoffLm(d, lm, "text", "doc_id")
     }),
     "q_curation_pipeline_v3" -> ((s, dir) => {
       // round-4 model-based SELECTION DAG: sparse hashed-classifier
@@ -2326,6 +2348,59 @@ object SparkEntry {
          FROM terms GROUP BY doc_id"""
     }
 
+  /** Shared PCA oracle: the 8 power iterations per component are
+    * generated as CTE chains; every sum is ORDER BY-ed to match the
+    * driver's left-to-right loops bit-for-bit. `whiten = true` extends
+    * the replay with the λ₁ Rayleigh CTE and divides each projection by
+    * its replayed √λ (q_pca_whiten); `false` emits the raw projections
+    * (q_pca_project). */
+  private def pcaReplaySql(whiten: Boolean): String = {
+    def iters(c: Int, gsrc: String): String = (1 to 8).map { t =>
+      s"""u${c}_$t AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS u
+            FROM $gsrc g JOIN w${c}_${t - 1} w ON w.i = g.j GROUP BY g.i),
+          n${c}_$t AS MATERIALIZED (SELECT sqrt(SUM(u * u ORDER BY i)) AS nrm
+            FROM u${c}_$t),
+          w${c}_$t AS MATERIALIZED (SELECT i, u / (SELECT nrm FROM n${c}_$t) AS w
+            FROM u${c}_$t)"""
+    }.mkString(",\n")
+    val (p0, p1, colName) =
+      if (whiten)
+        ("p / sqrt((SELECT lam FROM lam0))",
+          "p / sqrt((SELECT lam FROM lam1))", "wpc_val")
+      else ("p", "p", "pc_val")
+    s"""WITH el AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+           generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
+       tri AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+           SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
+         FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+         GROUP BY 1, 2),
+       g AS MATERIALIZED (SELECT i, j, gq::DOUBLE / 1000000.0 AS a FROM tri
+             UNION ALL
+             SELECT j, i, gq::DOUBLE / 1000000.0 FROM tri WHERE i <> j),
+       w0_0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(0, 64) AS r(i)),
+       ${iters(0, "g")},
+       s0 AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS s
+         FROM g JOIN w0_8 w ON w.i = g.j GROUP BY g.i),
+       lam0 AS MATERIALIZED (SELECT SUM(w.w * s.s ORDER BY w.i) AS lam
+         FROM w0_8 w JOIN s0 s ON s.i = w.i),
+       g1 AS MATERIALIZED (SELECT g.i, g.j,
+           g.a - (SELECT lam FROM lam0) * wa.w * wb.w AS a
+         FROM g JOIN w0_8 wa ON wa.i = g.i JOIN w0_8 wb ON wb.i = g.j),
+       w1_0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(0, 64) AS r(i)),
+       ${iters(1, "g1")},
+       s1 AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS s
+         FROM g1 g JOIN w1_8 w ON w.i = g.j GROUP BY g.i),
+       lam1 AS MATERIALIZED (SELECT SUM(w.w * s.s ORDER BY w.i) AS lam
+         FROM w1_8 w JOIN s1 s ON s.i = w.i),
+       proj0 AS MATERIALIZED (SELECT el.vec_id, SUM(el.v * w.w ORDER BY el.i) AS p
+         FROM el JOIN w0_8 w ON w.i = el.i GROUP BY 1),
+       proj1 AS MATERIALIZED (SELECT el.vec_id, SUM(el.v * w.w ORDER BY el.i) AS p
+         FROM el JOIN w1_8 w ON w.i = el.i GROUP BY 1)
+       SELECT vec_id, 0 AS comp_idx, round($p0, 6) AS $colName FROM proj0
+       UNION ALL
+       SELECT vec_id, 1 AS comp_idx, round($p1, 6) AS $colName FROM proj1"""
+  }
+
   /** Shared by q_lm_perplexity (join formulation) and q_stream_lm_score
     * (broadcast map-side formulation): both are bit-identical per-doc
     * scores, so one oracle verifies both. backoff literal matches the
@@ -2966,6 +3041,53 @@ object SparkEntry {
          GROUP BY c.lang"""
     },
     "q_lm_perplexity" -> lmPerplexitySql,
+    "q_lm_backoff" -> {
+      // stupid-backoff cascade replay: raw stream counts at every level
+      // (the model's defining simplification), denominators re-derived
+      // from the same unpruned tables the Spark trainer attaches
+      val lnA = math.log(0.4)
+      val ln2A = 2 * math.log(0.4)
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         unic AS (SELECT w, count(*) AS c FROM
+             (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+         nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM unic),
+         bgc AS (SELECT gram, count(*) AS c FROM
+             (SELECT unnest(list_transform(
+                 range(1, greatest(len(t) - 1, 0) + 1),
+                 i -> array_to_string(t[i:i+1], ' '))) AS gram
+              FROM tok WHERE len(t) >= 2) GROUP BY 1),
+         tg AS (SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> array_to_string(t[i:i+2], ' '))) AS g3
+           FROM tok WHERE len(t) >= 3),
+         tgc AS (SELECT g3 AS gram, count(*) AS c123 FROM tg GROUP BY 1),
+         tri AS (SELECT t.gram, t.c123, b.c AS c12
+           FROM tgc t JOIN bgc b
+             ON b.gram = array_to_string(string_split(t.gram, ' ')[1:2], ' ')),
+         bi AS (SELECT b.gram, b.c AS c23, u.c AS c2
+           FROM bgc b JOIN unic u ON u.w = string_split(b.gram, ' ')[1]),
+         terms AS (SELECT s.doc_id,
+             CAST(round(CASE
+               WHEN tri.c123 IS NOT NULL
+                 THEN ln(CAST(tri.c123 AS DOUBLE) / CAST(tri.c12 AS DOUBLE))
+               WHEN bi.c23 IS NOT NULL
+                 THEN $lnA + ln(CAST(bi.c23 AS DOUBLE) / CAST(bi.c2 AS DOUBLE))
+               WHEN u2.c IS NOT NULL
+                 THEN $ln2A + ln(CAST(u2.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
+               ELSE $ln2A + ln(1.0 / CAST(nt.n AS DOUBLE))
+             END * 1000000000.0, 0) AS BIGINT) AS q
+           FROM tg s
+           LEFT JOIN tri ON tri.gram = s.g3
+           LEFT JOIN bi ON bi.gram
+             = array_to_string(string_split(s.g3, ' ')[2:3], ' ')
+           LEFT JOIN unic u2 ON u2.w = string_split(s.g3, ' ')[3], nt)
+         SELECT doc_id, count(*) AS n_trigrams,
+           round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
+             / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
+         FROM terms GROUP BY doc_id"""
+    },
     // the broadcast map-side scorer is bit-identical to the join
     // formulation and stateless (stream-order invariant), so the
     // streaming row shares the batch oracle verbatim
@@ -4469,46 +4591,8 @@ object SparkEntry {
            SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
          FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
          GROUP BY 1, 2""",
-    "q_pca_project" -> {
-      // programmatic oracle: the 8 power iterations per component are
-      // generated as CTE chains; every sum is ORDER BY-ed to match the
-      // driver's left-to-right loops bit-for-bit
-      def iters(c: Int, gsrc: String): String = (1 to 8).map { t =>
-        s"""u${c}_$t AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS u
-              FROM $gsrc g JOIN w${c}_${t - 1} w ON w.i = g.j GROUP BY g.i),
-            n${c}_$t AS MATERIALIZED (SELECT sqrt(SUM(u * u ORDER BY i)) AS nrm
-              FROM u${c}_$t),
-            w${c}_$t AS MATERIALIZED (SELECT i, u / (SELECT nrm FROM n${c}_$t) AS w
-              FROM u${c}_$t)"""
-      }.mkString(",\n")
-      s"""WITH el AS MATERIALIZED (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings),
-         tri AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
-             SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
-           FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
-           GROUP BY 1, 2),
-         g AS MATERIALIZED (SELECT i, j, gq::DOUBLE / 1000000.0 AS a FROM tri
-               UNION ALL
-               SELECT j, i, gq::DOUBLE / 1000000.0 FROM tri WHERE i <> j),
-         w0_0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(0, 64) AS r(i)),
-         ${iters(0, "g")},
-         s0 AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS s
-           FROM g JOIN w0_8 w ON w.i = g.j GROUP BY g.i),
-         lam0 AS MATERIALIZED (SELECT SUM(w.w * s.s ORDER BY w.i) AS lam
-           FROM w0_8 w JOIN s0 s ON s.i = w.i),
-         g1 AS MATERIALIZED (SELECT g.i, g.j,
-             g.a - (SELECT lam FROM lam0) * wa.w * wb.w AS a
-           FROM g JOIN w0_8 wa ON wa.i = g.i JOIN w0_8 wb ON wb.i = g.j),
-         w1_0 AS MATERIALIZED (SELECT i, 1.0 / sqrt(64.0) AS w FROM range(0, 64) AS r(i)),
-         ${iters(1, "g1")},
-         proj0 AS MATERIALIZED (SELECT el.vec_id, SUM(el.v * w.w ORDER BY el.i) AS p
-           FROM el JOIN w0_8 w ON w.i = el.i GROUP BY 1),
-         proj1 AS MATERIALIZED (SELECT el.vec_id, SUM(el.v * w.w ORDER BY el.i) AS p
-           FROM el JOIN w1_8 w ON w.i = el.i GROUP BY 1)
-         SELECT vec_id, 0 AS comp_idx, round(p, 6) AS pc_val FROM proj0
-         UNION ALL
-         SELECT vec_id, 1 AS comp_idx, round(p, 6) AS pc_val FROM proj1"""
-    },
+    "q_pca_project" -> pcaReplaySql(whiten = false),
+    "q_pca_whiten" -> pcaReplaySql(whiten = true),
     "q_d4_diversify" -> d4DiversifySql,
     // the graph-compiled diversify pins the same lowest-id centroid
     // convention, so it shares the batch oracle verbatim

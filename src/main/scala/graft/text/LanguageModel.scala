@@ -245,4 +245,118 @@ object LanguageModel {
           col("n_bigrams").cast("double"), 6))
       .drop("_q")
   }
+
+  /** Non-distinct token trigrams ("w1 w2 w3" strings) — two nested
+    * zip_with passes over three array slices (same single-pass shape as
+    * [[bigrams]]). */
+  def trigrams(text: Column): Column = {
+    val t = toks(text)
+    val n = size(t)
+    when(n >= 3,
+      zip_with(
+        zip_with(slice(t, lit(1), n - 2), slice(t, lit(2), n - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(t, lit(3), n - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stupid-backoff trigram model (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): three Zipf-bounded count tables +
+    * the corpus token total. Each numerator row CARRIES its denominator
+    * (c123 with c12, c23 with c2) so scoring needs no extra joins and
+    * `minCount` pruning of emitted rows can never orphan a numerator
+    * from its (unpruned) denominator. */
+  final case class BackoffLm(tri: DataFrame, bi: DataFrame, uni: DataFrame,
+      nTokens: Long)
+
+  /** Train the three stupid-backoff tables in three hash aggregations
+    * over ONE tokenized pass. The bigram table doubles as the trigram
+    * denominator source (raw stream counts everywhere — stupid backoff's
+    * defining simplification: scores are not normalized probabilities,
+    * so no continuation-count bookkeeping).
+    *
+    * 100 TB shape: the explodes are the corpus-scale passes (map-side
+    * partial counts collapse each to Zipf-sized tables before their one
+    * exchange); the denominator attachments are table-vs-table joins on
+    * the gram prefix, never corpus-scale. `nTokens` is the only driver
+    * scalar. */
+  def trainBackoffLm(docs: DataFrame, textCol: String,
+      minCount: Long = 1L): BackoffLm = {
+    val t = toks(col(textCol))
+    val tokens = docs.select(explode(t).as("w"))
+    val uniCnt = tokens.groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTokens = uniCnt.agg(sum(col("c"))).head().getLong(0)
+    val biCnt = docs.select(explode(bigrams(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val triCnt = docs.select(explode(trigrams(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c"))
+    // attach denominators: trigram "w1 w2 w3" / bigram "w1 w2";
+    // bigram "w2 w3" / unigram "w2"
+    val tri = triCnt
+      .withColumn("_p", concat(split(col("gram"), " ").getItem(0), lit(" "),
+        split(col("gram"), " ").getItem(1)))
+      .join(biCnt.select(col("gram").as("_p"), col("c").as("cden")), "_p")
+      .where(col("c") >= minCount)
+      .select(col("gram"), col("c").as("c123"), col("cden").as("c12"))
+      .localCheckpoint(true)
+    val bi = biCnt
+      .withColumn("_w1", split(col("gram"), " ").getItem(0))
+      .join(uniCnt.select(col("w").as("_w1"), col("c").as("cden")), "_w1")
+      .where(col("c") >= minCount)
+      .select(col("gram"), col("c").as("c23"), col("cden").as("c2"))
+      .localCheckpoint(true)
+    val uni = uniCnt.where(col("c") >= minCount)
+      .select(col("w"), col("c").as("c3"))
+      .localCheckpoint(true)
+    BackoffLm(tri, bi, uni, nTokens)
+  }
+
+  /** Score each document by average negative log stupid-backoff score
+    * over its trigram positions:
+    *
+    *   S(w3|w1 w2) = c123/c12            if the trigram is in the model
+    *               = α · c23/c2          else if the bigram (w2 w3) is
+    *               = α² · c3/N           else if the unigram w3 is
+    *               = α² · 1/N            else (OOV pseudo-count 1)
+    *
+    * Documents with fewer than 3 tokens produce no row. Three left hash
+    * joins of the exploded trigram stream against the Zipf-sized tables
+    * (the scale shape of [[scoreBigramLm]], ×3), per-term 1e-9 long
+    * quantization, one per-doc aggregation. */
+  def scoreBackoffLm(docs: DataFrame, lm: BackoffLm, textCol: String,
+      idCol: String, alpha: Double = 0.4): DataFrame = {
+    val lnA = math.log(alpha)
+    val stream = docs.select(col(idCol),
+      explode(trigrams(col(textCol))).as("g3"))
+    val parts = split(col("g3"), " ")
+    val keyed = stream
+      .withColumn("g2", concat(parts.getItem(1), lit(" "), parts.getItem(2)))
+      .withColumn("w", parts.getItem(2))
+    val joined = keyed
+      .join(lm.tri.select(col("gram").as("g3"), col("c123"), col("c12")),
+        Seq("g3"), "left")
+      .join(lm.bi.select(col("gram").as("g2"), col("c23"), col("c2")),
+        Seq("g2"), "left")
+      .join(lm.uni.select(col("w"), col("c3")), Seq("w"), "left")
+    val n = lit(lm.nTokens.toDouble)
+    val term =
+      when(col("c123").isNotNull,
+        log(col("c123").cast("double") / col("c12").cast("double")))
+      .when(col("c23").isNotNull,
+        lit(lnA) + log(col("c23").cast("double") / col("c2").cast("double")))
+      .when(col("c3").isNotNull,
+        lit(2 * lnA) + log(col("c3").cast("double") / n))
+      .otherwise(lit(2 * lnA) + log(lit(1.0) / n))
+    joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(round(term * lit(1000000000.0), 0).cast("long")).as("_q"))
+      .withColumn("avg_nll", round(
+        -((col("_q").cast("double") / lit(1000000000.0)) /
+          col("n_trigrams").cast("double")), 6))
+      .drop("_q")
+  }
 }

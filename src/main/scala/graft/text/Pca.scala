@@ -175,4 +175,25 @@ object Pca {
     val eig = powerEigen(gram, k, iters)
     project(df, idCol, vecCol, eig.map(_._2))
   }
+
+  /** PCA-WHITENED projection: each component score divided by √λ so all
+    * retained directions carry unit second moment — the standard
+    * preconditioning before cosine/Euclidean comparisons when leading
+    * components would otherwise dominate (and the first half of ZCA; the
+    * rotate-back is a k×k literal matmul on top of this if basis
+    * alignment matters). The divide happens AFTER the dot-product fold
+    * (score/√λ, not dot(v, w/√λ)) so the fold itself stays bit-identical
+    * to [[pcaProject]] and the oracle's replayed λ divides the same
+    * double. Still a pure map-side literal projection — zero shuffle
+    * beyond the one Gram exchange. */
+  def pcaWhitenProject(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int = 2, iters: Int = 8): DataFrame = {
+    val gram = collectGram(gramMatrix(df, vecCol, dim), dim)
+    val eig = powerEigen(gram, k, iters)
+    val pcs = eig.map { case (lam, w) =>
+      Similarity.dot(col(vecCol), array(w.toIndexedSeq.map(lit): _*)) /
+        lit(math.sqrt(lam))
+    }
+    df.select(col(idCol), array(pcs: _*).as("wpc"))
+  }
 }

@@ -85,4 +85,27 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     again shouldBe out
   }
+
+  test("pcaWhitenProject: unit second moment per component, = project/√λ") {
+    val rnd = new scala.util.Random(9)
+    val dim = 6
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val gram = Pca.collectGram(Pca.gramMatrix(df, "embedding", dim), dim)
+    val eig = Pca.powerEigen(gram, 2, 40)
+    val plain = Pca.pcaProject(df, "vec_id", "embedding", dim, 2, 40)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val white = Pca.pcaWhitenProject(df, "vec_id", "embedding", dim, 2, 40)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // definitional identity: whitened = plain / sqrt(lambda)
+    for ((id, ws) <- white; c <- 0 until 2)
+      ws(c) shouldBe (plain(id)(c) / math.sqrt(eig(c)._1) +- 1e-12)
+    // whitening law: Σ_rows score² = wᵀ X'X w / λ ≈ 1 for a converged
+    // eigenvector (Gram is uncentered and unnormalized, so the second
+    // moment over the CORPUS, not per row, is what normalizes to 1)
+    for (c <- 0 until 2) {
+      val ss = white.values.map(v => v(c) * v(c)).sum
+      ss shouldBe (1.0 +- 1e-3)
+    }
+  }
 }

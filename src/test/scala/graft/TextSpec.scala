@@ -400,6 +400,44 @@ class TextSpec extends SparkSpec {
     pruned.where(col("gram") === "the cat").count() shouldBe 1
   }
 
+  test("stupid-backoff trigram LM cascades trigram → bigram → unigram → OOV") {
+    import graft.text.LanguageModel
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val lm = LanguageModel.trainBackoffLm(docs, "text")
+    lm.nTokens shouldBe 12L
+    // trigram "the cat sat" seen once, its context bigram "the cat" once
+    val t = lm.tri.where(col("gram") === "the cat sat").head()
+    t.getLong(t.fieldIndex("c123")) shouldBe 1L
+    t.getLong(t.fieldIndex("c12")) shouldBe 1L
+    val scored = LanguageModel.scoreBackoffLm(docs, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // every trigram of doc 1 is in the model with P=1 except
+    // "on the mat|rug" (context "on the" has two continuations):
+    // avg_nll = -(ln1+ln1+ln(1/1)+ln(1/2))/4 over 4 trigram positions
+    scored(1L)._1 shouldBe 4L
+    scored(1L)._2 shouldBe (math.log(2.0) / 4) +- 1e-6
+    // a doc of seen UNIGRAMS but unseen trigrams/bigrams lands exactly
+    // on the α²·c/N level
+    val uniOnly = Seq((9L, "mat rug dog")).toDF("doc_id", "text")
+    val s9 = LanguageModel.scoreBackoffLm(uniOnly, lm, "text", "doc_id")
+      .head().getDouble(2)
+    s9 shouldBe -(2 * math.log(0.4) + math.log(1.0 / 12)) +- 1e-6
+    // full-OOV doc: the α²/N floor
+    val oov = Seq((10L, "zeta xylo qwerty")).toDF("doc_id", "text")
+    val s10 = LanguageModel.scoreBackoffLm(oov, lm, "text", "doc_id")
+      .head().getDouble(2)
+    s10 shouldBe -(2 * math.log(0.4) + math.log(1.0 / 12)) +- 1e-6
+    // backoff ORDER: seen trigrams beat bigram-backoff beats the floor
+    val bi = Seq((11L, "cat sat on"))   // seen trigram in doc 1
+      .toDF("doc_id", "text")
+    val s11 = LanguageModel.scoreBackoffLm(bi, lm, "text", "doc_id")
+      .head().getDouble(2)
+    s11 should be < s9
+  }
+
   test("duplicatedSpans flags cross-doc and within-doc repeated windows") {
     val span = "one two three four five six seven eight" // exactly 8 tokens
     val docs = Seq(
