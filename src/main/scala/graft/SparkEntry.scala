@@ -1595,6 +1595,24 @@ object SparkEntry {
       val lm = graft.text.LanguageModel.trainBackoffLm(d, "text")
       graft.text.LanguageModel.scoreBackoffLm(d, lm, "text", "doc_id")
     }),
+    "q_sql_surface" -> ((s, dir) => {
+      // the pure-SQL front door: GraftExtensions registers every native
+      // graft_* expression in the session FunctionRegistry (the same
+      // payloads spark.sql.extensions=graft.GraftExtensions injects at
+      // session build), and the query is driven ENTIRELY through SQL
+      // text — no Column API. Resolves to the identical codegen
+      // expressions, which the oracle's FNV-1a/ordered-sum replays prove.
+      graft.GraftExtensions.registerAll(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("documents_sql")
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .createOrReplaceTempView("embeddings_sql")
+      s.sql("""SELECT d.doc_id,
+                 graft_fnv_bucket(lower(trim(d.text)), 64) AS bucket,
+                 round(graft_dot(e.embedding, e.embedding), 6) AS self_dot
+               FROM documents_sql d
+               JOIN embeddings_sql e ON e.vec_id = d.doc_id""")
+    }),
     "q_curation_pipeline_v3" -> ((s, dir) => {
       // round-4 model-based SELECTION DAG: sparse hashed-classifier
       // quality gate (trained in-pipeline) → DSIR target-domain
@@ -4591,6 +4609,29 @@ object SparkEntry {
            SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
          FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
          GROUP BY 1, 2""",
+    "q_sql_surface" ->
+      // FNV-1a over the whole lowered text (HUGEINT byte fold mod 2^64,
+      // as the hashed-classifier oracle) + the ordered self-dot
+      """WITH fb AS (SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(
+                   range(0, octet_length(encode(lower(trim(text))))),
+                   i -> CAST(CAST(('0x' || substr(
+                        hex(encode(lower(trim(text)))),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) % 64 AS BIGINT) AS bucket
+           FROM documents),
+         sd AS (SELECT vec_id,
+             SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS s
+           FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings)
+           GROUP BY 1)
+         SELECT d.doc_id, fb.bucket, round(sd.s, 6) AS self_dot
+         FROM documents d
+         JOIN fb ON fb.doc_id = d.doc_id
+         JOIN sd ON sd.vec_id = d.doc_id""",
     "q_pca_project" -> pcaReplaySql(whiten = false),
     "q_pca_whiten" -> pcaReplaySql(whiten = true),
     "q_d4_diversify" -> d4DiversifySql,

@@ -19,23 +19,25 @@ import org.apache.spark.sql.functions._
   * no join, no shuffle). */
 object BloomExprs {
 
+  /** injectFunction payloads — see [[graft.GraftExtensions]]. */
+  val injectables: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (cs: Seq[Expression]) =>
+        new BloomFilterAggregate(cs(0), cs(1), cs(2))
+          .toAggregateExpression()),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (cs: Seq[Expression]) => BloomFilterMightContain(cs(0), cs(1))))
+
   private def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val agg = FunctionIdentifier("graft_bloom_agg")
-    if (!registry.functionExists(agg)) {
-      registry.registerFunction(agg,
-        new ExpressionInfo(classOf[BloomFilterAggregate].getName,
-          "graft_bloom_agg"),
-        (cs: Seq[Expression]) =>
-          new BloomFilterAggregate(cs(0), cs(1), cs(2))
-            .toAggregateExpression())
-    }
-    val mc = FunctionIdentifier("graft_might_contain")
-    if (!registry.functionExists(mc)) {
-      registry.registerFunction(mc,
-        new ExpressionInfo(classOf[BloomFilterMightContain].getName,
-          "graft_might_contain"),
-        (cs: Seq[Expression]) => BloomFilterMightContain(cs(0), cs(1)))
+    injectables.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
     }
   }
 

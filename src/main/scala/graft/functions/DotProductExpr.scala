@@ -80,19 +80,25 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   private val name = "graft_dot"
 
+  /** injectFunction payloads — see [[graft.GraftExtensions]]. */
+  val injectables: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotProduct].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"$name takes 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+
   /** Idempotently register `graft_dot` in the session's function registry
-    * (the `SparkSessionExtensions.injectFunction` payload, callable
-    * directly for library use). */
+    * (callable directly for library use; [[graft.GraftExtensions]] is the
+    * session-build path). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(name)
-    if (!registry.functionExists(ident))
-      registry.registerFunction(ident,
-        new ExpressionInfo(classOf[DotProduct].getName, name),
-        (children: Seq[Expression]) => {
-          require(children.length == 2, s"$name takes 2 arguments")
-          DotProduct(children.head, children(1))
-        })
+    injectables.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
   }
 
   /** Codegen dot product column; registers the function on first use. */

@@ -51,15 +51,20 @@ object GeoExprs {
       s"$what must be an int literal, got $other")
   }
 
+  /** injectFunction payloads — see [[graft.GraftExtensions]]. */
+  val injectables: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_reproject"),
+      new ExpressionInfo(classOf[ReprojectPoint].getName, "graft_reproject"),
+      (cs: Seq[Expression]) => ReprojectPoint(cs(0), cs(1),
+        intLit(cs(2), "graft_reproject fromEpsg"),
+        intLit(cs(3), "graft_reproject toEpsg"))))
+
   private def register(spark: SparkSession): Unit = {
-    val id = FunctionIdentifier("graft_reproject")
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id,
-        new ExpressionInfo(classOf[ReprojectPoint].getName, "graft_reproject"),
-        (cs: Seq[Expression]) => ReprojectPoint(cs(0), cs(1),
-          intLit(cs(2), "graft_reproject fromEpsg"),
-          intLit(cs(3), "graft_reproject toEpsg")))
+    injectables.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
     }
   }
 

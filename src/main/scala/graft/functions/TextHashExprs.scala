@@ -677,107 +677,53 @@ object TextHashExprs {
       s"$what must be an int literal, got $other")
   }
 
+  /** (identifier, info, builder) triples — the
+    * `SparkSessionExtensions.injectFunction` payloads. Shared by the
+    * lazy per-session [[register]] and by [[graft.GraftExtensions]]
+    * (`spark.sql.extensions=graft.GraftExtensions` registers every
+    * graft_* function at session build, the cluster-deployment path). */
+  val injectables: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    def entry(name: String, cls: Class[_])(
+        b: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), b)
+    Seq(
+      entry("graft_simhash64", classOf[SimHash64])(cs => SimHash64(cs.head)),
+      entry("graft_minhash_sig", classOf[MinHashSig])(cs =>
+        MinHashSig(cs.head, intLit(cs(1), "graft_minhash_sig k"))),
+      entry("graft_minhash_text", classOf[MinHashText])(cs =>
+        MinHashText(cs.head, intLit(cs(1), "graft_minhash_text n"),
+          intLit(cs(2), "graft_minhash_text k"))),
+      entry("graft_jaccard", classOf[JaccardLongSets])(cs =>
+        JaccardLongSets(cs(0), cs(1))),
+      entry("graft_jaccard_sorted", classOf[JaccardSortedDistinct])(cs =>
+        JaccardSortedDistinct(cs(0), cs(1))),
+      entry("graft_intersect_sorted", classOf[IntersectCountSorted])(cs =>
+        IntersectCountSorted(cs(0), cs(1))),
+      entry("graft_shingle_hashes", classOf[ShingleHashes])(cs =>
+        ShingleHashes(cs.head, intLit(cs(1), "graft_shingle_hashes n"))),
+      entry("graft_simhash_text", classOf[SimHashText])(cs =>
+        SimHashText(cs.head, intLit(cs(1), "graft_simhash_text n"),
+          portable = cs.length > 2 &&
+            intLit(cs(2), "graft_simhash_text portable") != 0)),
+      entry("graft_repetition_stats", classOf[RepetitionStats])(cs =>
+        RepetitionStats(cs.head)),
+      entry("graft_token_windows", classOf[TokenWindows])(cs =>
+        TokenWindows(cs.head, intLit(cs(1), "graft_token_windows n"))),
+      entry("graft_fnv_bucket", classOf[FnvBucket])(cs =>
+        FnvBucket(cs.head, intLit(cs(1), "graft_fnv_bucket dim"))),
+      entry("graft_hll_parts", classOf[HllParts])(cs =>
+        HllParts(cs.head, intLit(cs(1), "graft_hll_parts p"))),
+      entry("graft_cms_buckets", classOf[CmsBuckets])(cs =>
+        CmsBuckets(cs.head, intLit(cs(1), "graft_cms_buckets d"),
+          intLit(cs(2), "graft_cms_buckets w"))))
+  }
+
   private def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val sim = FunctionIdentifier("graft_simhash64")
-    if (!registry.functionExists(sim)) {
-      registry.registerFunction(sim,
-        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-        (cs: Seq[Expression]) => SimHash64(cs.head))
-    }
-    val mh = FunctionIdentifier("graft_minhash_sig")
-    if (!registry.functionExists(mh)) {
-      registry.registerFunction(mh,
-        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-        (cs: Seq[Expression]) => {
-          val k = cs(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-            case other => throw new IllegalArgumentException(
-              s"graft_minhash_sig k must be an int literal, got $other")
-          }
-          MinHashSig(cs.head, k)
-        })
-    }
-    val mht = FunctionIdentifier("graft_minhash_text")
-    if (!registry.functionExists(mht)) {
-      registry.registerFunction(mht,
-        new ExpressionInfo(classOf[MinHashText].getName, "graft_minhash_text"),
-        (cs: Seq[Expression]) => MinHashText(cs.head,
-          intLit(cs(1), "graft_minhash_text n"),
-          intLit(cs(2), "graft_minhash_text k")))
-    }
-    val jac = FunctionIdentifier("graft_jaccard")
-    if (!registry.functionExists(jac)) {
-      registry.registerFunction(jac,
-        new ExpressionInfo(classOf[JaccardLongSets].getName, "graft_jaccard"),
-        (cs: Seq[Expression]) => JaccardLongSets(cs(0), cs(1)))
-    }
-    val jas = FunctionIdentifier("graft_jaccard_sorted")
-    if (!registry.functionExists(jas)) {
-      registry.registerFunction(jas,
-        new ExpressionInfo(classOf[JaccardSortedDistinct].getName,
-          "graft_jaccard_sorted"),
-        (cs: Seq[Expression]) => JaccardSortedDistinct(cs(0), cs(1)))
-    }
-    val ics = FunctionIdentifier("graft_intersect_sorted")
-    if (!registry.functionExists(ics)) {
-      registry.registerFunction(ics,
-        new ExpressionInfo(classOf[IntersectCountSorted].getName,
-          "graft_intersect_sorted"),
-        (cs: Seq[Expression]) => IntersectCountSorted(cs(0), cs(1)))
-    }
-    val shh = FunctionIdentifier("graft_shingle_hashes")
-    if (!registry.functionExists(shh)) {
-      registry.registerFunction(shh,
-        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
-        (cs: Seq[Expression]) => ShingleHashes(cs.head,
-          intLit(cs(1), "graft_shingle_hashes n")))
-    }
-    val sht = FunctionIdentifier("graft_simhash_text")
-    if (!registry.functionExists(sht)) {
-      registry.registerFunction(sht,
-        new ExpressionInfo(classOf[SimHashText].getName, "graft_simhash_text"),
-        (cs: Seq[Expression]) => SimHashText(cs.head,
-          intLit(cs(1), "graft_simhash_text n"),
-          portable = cs.length > 2 &&
-            intLit(cs(2), "graft_simhash_text portable") != 0))
-    }
-    val rep = FunctionIdentifier("graft_repetition_stats")
-    if (!registry.functionExists(rep)) {
-      registry.registerFunction(rep,
-        new ExpressionInfo(classOf[RepetitionStats].getName,
-          "graft_repetition_stats"),
-        (cs: Seq[Expression]) => RepetitionStats(cs.head))
-    }
-    val tw = FunctionIdentifier("graft_token_windows")
-    if (!registry.functionExists(tw)) {
-      registry.registerFunction(tw,
-        new ExpressionInfo(classOf[TokenWindows].getName,
-          "graft_token_windows"),
-        (cs: Seq[Expression]) => TokenWindows(cs.head,
-          intLit(cs(1), "graft_token_windows n")))
-    }
-    val fb = FunctionIdentifier("graft_fnv_bucket")
-    if (!registry.functionExists(fb)) {
-      registry.registerFunction(fb,
-        new ExpressionInfo(classOf[FnvBucket].getName, "graft_fnv_bucket"),
-        (cs: Seq[Expression]) => FnvBucket(cs.head,
-          intLit(cs(1), "graft_fnv_bucket dim")))
-    }
-    val hp = FunctionIdentifier("graft_hll_parts")
-    if (!registry.functionExists(hp)) {
-      registry.registerFunction(hp,
-        new ExpressionInfo(classOf[HllParts].getName, "graft_hll_parts"),
-        (cs: Seq[Expression]) => HllParts(cs.head,
-          intLit(cs(1), "graft_hll_parts p")))
-    }
-    val cb = FunctionIdentifier("graft_cms_buckets")
-    if (!registry.functionExists(cb)) {
-      registry.registerFunction(cb,
-        new ExpressionInfo(classOf[CmsBuckets].getName, "graft_cms_buckets"),
-        (cs: Seq[Expression]) => CmsBuckets(cs.head,
-          intLit(cs(1), "graft_cms_buckets d"),
-          intLit(cs(2), "graft_cms_buckets w")))
+    injectables.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
     }
   }
 
