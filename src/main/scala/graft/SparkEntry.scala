@@ -1297,6 +1297,33 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_multimodal_resize" -> ((s, dir) => {
+      // resize over REAL bytes: the generative BMP of q_multimodal_real
+      // is nearest-neighbor downsampled to 2×2 (sy = ⌊y·h/2⌋ capped,
+      // sx = ⌊x·w/2⌋ capped), re-encoded as BMP, and decoded again for
+      // stats — TWO full codec round-trips plus the index math, all
+      // replayed by the oracle from the source text bytes.
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bmp = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 1)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val len = tb.length
+          val w = 1 + len % 7; val h = 1 + len % 5
+          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
+          (id, Multimodal.BmpCodec.encode(
+            Multimodal.Decoded("bmp", w, h, 3, 1, px)))
+        }.toDF("doc_id", "payload")
+      Multimodal.decodeMeta(
+          Multimodal.resize(bmp, "payload", newW = 2, newH = 2,
+            codec = Multimodal.BmpCodec),
+          "payload", Multimodal.BmpCodec)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          round(col("mean_px"), 6).as("mean_px"))
+    }),
     "q_multimodal_wav" -> ((s, dir) => {
       // REAL audio bytes: doc bytes (truncated to an even count) are the
       // 8-bit sample plane of a stereo 16-bit PCM WAV (sample =
@@ -3784,6 +3811,33 @@ object SparkEntry {
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_resize" ->
+      // nearest-neighbor 2×2 replay: source pixel (⌊y·h/2⌋ capped,
+      // ⌊x·w/2⌋ capped, ch), byte = text byte (index % len); the Spark
+      // side additionally round-trips the resized image through a second
+      // BMP encode/decode, which is lossless and so invisible here
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE octet_length(encode(text)) >= 1
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 7) AS w, 1 + (len % 5) AS hh
+           FROM d
+         ), o AS (
+           SELECT p.doc_id, p.h, p.len,
+                  (LEAST(p.hh - 1, (gy.y * p.hh) // 2) * p.w
+                   + LEAST(p.w - 1, (gx.x * p.w) // 2)) * 3 + gc.ch AS j
+           FROM p, generate_series(0, 1) AS gy(y),
+                generate_series(0, 1) AS gx(x),
+                generate_series(0, 2) AS gc(ch)
+         ), b AS (
+           SELECT doc_id, CAST(('0x' || substr(h,
+                    CAST((j % len) * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
+           FROM o
+         )
+         SELECT doc_id, 2 AS width, 2 AS height,
+                ROUND(SUM(b)::DOUBLE / COUNT(b), 6) AS mean_px
+         FROM b GROUP BY doc_id""",
     "q_multimodal_png" ->
       // the PNG round-trip is generative and LOSSLESS (deflate+filters
       // reconstruct exactly): pixel j = text byte (j % len), w = 1+len%6,
