@@ -1089,6 +1089,34 @@ object SparkEntry {
       graft.text.LanguageModel
         .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
     }),
+    "q_contamination_report" -> ((s, dir) => {
+      // benchmark-card contamination number: fraction of the eval
+      // split's distinct 5-gram shingles present anywhere in train. The
+      // corpus side only passes a broadcast semi-join — it never
+      // shuffles its grams.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.contaminationReport(
+        d.where(col("doc_id") % 37 =!= 0),
+        d.where(col("doc_id") % 37 === 0),
+        "text", shingleN = 5)
+    }),
+    "q_dsir_resample" -> ((s, dir) => {
+      // the RESAMPLING half of DSIR: importance weights → per-doc keep
+      // probability min(1, exp(log_ratio)) decided by the portable id
+      // hash — a pure filter over the weight table, nested-by-weight,
+      // replayed exactly by the oracle (weights 1e-6-quantized first).
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val grams = d.select(col("doc_id"), col("lang"),
+          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
+        .localCheckpoint(true)
+      val lmT = graft.text.LanguageModel
+        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
+      val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
+      val w = graft.text.LanguageModel
+        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+        .select(col("doc_id"), round(exp(col("log_ratio")), 6).as("w"))
+      graft.text.Sampling.sampleByWeight(w, "doc_id", col("w"))
+    }),
     "q_dsir_select" -> ((s, dir) => {
       // the acting half of DSIR: keep the top-50 documents by
       // importance weight, ties to the lowest id. orderBy+limit plans
@@ -4884,6 +4912,34 @@ object SparkEntry {
     "q_dsir_select" ->
       s"""SELECT doc_id, n_bigrams, log_ratio FROM ($dsirSql)
          ORDER BY log_ratio DESC, doc_id LIMIT 50""",
+    "q_dsir_resample" ->
+      // weight = round(exp(log_ratio), 6); keep iff LCG hash < w·2^31
+      s"""SELECT doc_id, w FROM (
+           SELECT doc_id, round(exp(log_ratio), 6) AS w,
+             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hsh
+           FROM ($dsirSql))
+         WHERE CAST(hsh AS DOUBLE) < least(w, 1.0) * 2147483648.0""",
+    "q_contamination_report" ->
+      // distinct-shingle convention of decontaminateSql; the string
+      // grams here and the 64-bit hashes on the Spark side have
+      // identical membership (no collisions at this scale)
+      """WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> array_to_string(t[i:i+4], ' '))), x -> x <> '') AS s
+           FROM tok),
+         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
+         tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0),
+         hit AS (SELECT CAST(count(*) AS BIGINT) AS n_contaminated
+                 FROM ev WHERE g IN (SELECT g FROM tr))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_grams,
+                hit.n_contaminated,
+                round(CAST(hit.n_contaminated AS DOUBLE)
+                  / (SELECT CAST(count(*) AS DOUBLE) FROM ev), 6)
+                  AS frac_contaminated
+         FROM hit""",
     "q_graph_pipeline" -> cq(
       // load_collection's temporal extent is EXCLUSIVE-end via -1 ms
       // (reference scan contract, load_odc_collection.py:78-79)

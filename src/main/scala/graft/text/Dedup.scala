@@ -224,6 +224,36 @@ object Dedup {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Corpus-level contamination REPORT — the aggregate companion of
+    * [[decontaminate]] (which flags documents): what fraction of the
+    * eval set's DISTINCT shingles appears anywhere in the training
+    * corpus. One output row: (n_eval_grams, n_contaminated,
+    * frac_contaminated) — the number a benchmark card quotes.
+    *
+    * 100 TB shape: the eval set is benchmark-sized, so its distinct gram
+    * table broadcasts; the corpus-scale side is ONE gram stream passed
+    * through that broadcast semi-join, and only the ≤|eval| surviving
+    * grams reach the distinct + count. The corpus never shuffles its
+    * grams. */
+  def contaminationReport(train: DataFrame, evalDocs: DataFrame,
+      textCol: String, shingleN: Int = 5): DataFrame = {
+    def grams(c: Column) = graft.functions.TextHashExprs
+      .shingleHashes(lower(trim(c)), shingleN)
+    // reused twice (denominator count + hit semi-join) — materialize
+    val evalGrams = evalDocs
+      .select(explode(grams(col(textCol))).as("g")).distinct()
+      .localCheckpoint(true)
+    val hitGrams = train
+      .select(explode(grams(col(textCol))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .distinct()
+    evalGrams.agg(count(lit(1)).as("n_eval_grams"))
+      .crossJoin(hitGrams.agg(count(lit(1)).as("n_contaminated")))
+      .select(col("n_eval_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") /
+          col("n_eval_grams").cast("double"), 6).as("frac_contaminated"))
+  }
+
   /** Bloom sketch of an eval set's distinct shingle hashes, collected to
     * the driver. Benchmarks are KB..MB, so the sketch is small by
     * definition: 10 bits/gram ≈ 1% FP — size `numBits` accordingly. */

@@ -33,6 +33,19 @@ object Sampling {
     df.where(portableHash(col(idCol)) < lit((fraction * M).toLong))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample — the resampling half of
+    * importance-weighted selection (DSIR, Xie et al. 2023): keep each row
+    * with probability min(1, weight), decided by the portable id hash
+    * (hash(id) < w·M). Like [[sampleFraction]] it is a PURE FILTER — no
+    * shuffle, stable under repartitioning, and the kept sets are NESTED
+    * as weights grow (hash(id) is fixed, only the threshold moves).
+    * For engine-exact replays pass a 1e-6-quantized weight (e.g.
+    * `round(exp(log_ratio), 6)`): both engines then multiply identical
+    * doubles against the same integer hash. */
+  def sampleByWeight(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.where(portableHash(col(idCol)) <
+      least(weight, lit(1.0)).cast("double") * lit(M.toDouble))
+
   /** Leakage-safe dataset split: every row of a GROUP (same `groupCol`
     * value — a URL domain, a near-dup cluster id, an author) lands in the
     * same split, so correlated documents cannot straddle train/validation.

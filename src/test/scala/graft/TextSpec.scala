@@ -400,6 +400,44 @@ class TextSpec extends SparkSpec {
     pruned.where(col("gram") === "the cat").count() shouldBe 1
   }
 
+  test("contaminationReport counts eval shingles found in train") {
+    val span = "alpha beta gamma delta epsilon" // one 5-gram
+    val train = Seq(
+      (1L, s"$span and more words follow here"),
+      (2L, "entirely different training content with nothing shared"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, span),                               // 1 gram, contaminated
+      (101L, "unique held out evaluation sentence present nowhere"))
+      .toDF("doc_id", "text")
+    val r = graft.text.Dedup.contaminationReport(train, eval, "text")
+      .head()
+    // eval grams: 1 (doc 100) + 3 (doc 101, 7 tokens → 3 shingles)
+    r.getLong(0) shouldBe 4L
+    r.getLong(1) shouldBe 1L
+    r.getDouble(2) shouldBe 0.25 +- 1e-9
+  }
+
+  test("sampleByWeight: w=0 drops all, w>=1 keeps all, kept sets nest") {
+    import graft.text.Sampling
+    val df = (0L until 400L).map(i => (i, i.toDouble / 400.0))
+      .toDF("doc_id", "w")
+    Sampling.sampleByWeight(df, "doc_id", lit(0.0)).count() shouldBe 0L
+    Sampling.sampleByWeight(df, "doc_id", lit(1.0)).count() shouldBe 400L
+    Sampling.sampleByWeight(df, "doc_id", lit(5.0)).count() shouldBe 400L
+    def kept(w: Double) = Sampling.sampleByWeight(df, "doc_id", lit(w))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k3 = kept(0.3); val k6 = kept(0.6)
+    k3.subsetOf(k6) shouldBe true
+    // roughly proportional (LCG uniformity at this n)
+    k3.size.toDouble shouldBe (120.0 +- 40.0)
+    // per-row weight column engages row-by-row (higher-w rows survive
+    // their own threshold more often)
+    val perRow = Sampling.sampleByWeight(df, "doc_id", col("w")).count()
+    perRow should be > 0L
+    perRow should be < 400L
+  }
+
   test("stupid-backoff trigram LM cascades trigram → bigram → unigram → OOV") {
     import graft.text.LanguageModel
     val docs = Seq(
