@@ -1539,6 +1539,22 @@ object SparkEntry {
           tables = Map("embeddings" -> s"$dir/embeddings.parquet"))
         .compile(graph).asInstanceOf[DataFrame]
     }),
+    "q_graph_knn" -> ((s, dir) => {
+      // the k-NN self-join through the openEO JSON graph surface:
+      // load_table(embeddings) → knn_join (salted), compiling to the
+      // identical plan as q_knn_join (shared oracle)
+      import graft.compile.GraphCompiler
+      val graph = """{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "embeddings"}},
+        "knn": {"process_id": "knn_join", "arguments": {
+          "data": {"from_node": "load"}, "k": 3, "n_centroids": 16,
+          "n_probe": 4, "salt_factor": 2}, "result": true}}"""
+      new GraphCompiler(s, Map.empty,
+          s"${System.getProperty("java.io.tmpdir")}/graft_knn_res",
+          tables = Map("embeddings" -> s"$dir/embeddings.parquet"))
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
     "q_unimax_epochs" -> ((s, dir) => {
       // the data-constrained regime: UniMax with an epoch cap of 3 —
       // small tail sources UP-SAMPLE (all 3 epochs), the big tiers get
@@ -2338,6 +2354,58 @@ object SparkEntry {
     * Distinct 5-gram shingles per document (one clipped shingle when
     * < 5 tokens, mirroring graft_shingle_hashes) joined against the
     * eval gram set. */
+  /** Shared by q_knn_join and q_graph_knn (the JSON-graph formulation
+    * compiles to the identical salted IVF self-join plan): the same
+    * assignment/probe replay as q_ann_topk_ivf but EVERY vector is a
+    * query (no vec_id filter) and k=3. The salt sharding on the Spark
+    * side is result-invariant, so this unsalted formulation is the exact
+    * oracle for the salted plan. */
+  private val knnJoinSql: String =
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         probes AS (SELECT query_id, centroid_id FROM (
+             SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 4),
+         cand AS (SELECT p.query_id, a.neighbor_id
+           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.neighbor_id),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT cd.query_id, cd.neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
+                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+               GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN n nq ON nq.vec_id = query_id
+                      JOIN n nc ON nc.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 3"""
+
   private val decontaminateSql: String =
     """WITH tok AS (SELECT doc_id,
            string_split_regex(lower(trim(text)), '\s+') AS t
@@ -4394,55 +4462,8 @@ object SparkEntry {
                       JOIN n nc ON nc.vec_id = neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM s WHERE rank <= 5""",
-    "q_knn_join" ->
-      // the IVF self-join: same assignment/probe replay as q_ann_topk_ivf
-      // but EVERY vector is a query (no vec_id filter) and k=3. The salt
-      // sharding on the Spark side is result-invariant, so this unsalted
-      // formulation is the exact oracle for the salted plan.
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
-             generate_subscripts(embedding, 1) AS i FROM cents),
-         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
-                 FROM cel GROUP BY 1),
-         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
-         vdot AS (SELECT e.vec_id, c.centroid_id,
-             SUM(e.v * c.cv ORDER BY e.i) AS dvc
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         dist AS (SELECT v.vec_id, v.centroid_id,
-             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
-           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
-                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
-         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-             SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
-         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
-             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         probes AS (SELECT query_id, centroid_id FROM (
-             SELECT query_id, centroid_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 4),
-         cand AS (SELECT p.query_id, a.neighbor_id
-           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
-           WHERE p.query_id <> a.neighbor_id),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
-         d AS (SELECT cd.query_id, cd.neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
-                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
-               GROUP BY 1, 2),
-         s AS (SELECT query_id, neighbor_id,
-                 dot / (nq.nrm * nc.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-               FROM d JOIN n nq ON nq.vec_id = query_id
-                      JOIN n nc ON nc.vec_id = neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM s WHERE rank <= 3""",
+    "q_knn_join" -> knnJoinSql,
+    "q_graph_knn" -> knnJoinSql,
     "q_ann_topk_pq" ->
       // PQ-ADC: centroids = subvector slices of the 16 lowest-id rows
       // (s = subspace 0-3, j = dim within subspace); code assignment by

@@ -449,6 +449,40 @@ final class GraphCompiler(
           dim = optD(n, "dim", r).getOrElse(64.0).toInt,
           k = optD(n, "k", r).getOrElse(2.0).toInt,
           iters = optD(n, "iterations", r).getOrElse(8.0).toInt)
+      case "pca_whiten" =>
+        graft.text.Pca.pcaWhitenProject(dfArg(n, "data", r),
+          optS(n, "id_column", r).getOrElse("vec_id"),
+          optS(n, "vector_column", r).getOrElse("embedding"),
+          dim = optD(n, "dim", r).getOrElse(64.0).toInt,
+          k = optD(n, "k", r).getOrElse(2.0).toInt,
+          iters = optD(n, "iterations", r).getOrElse(8.0).toInt)
+      case "knn_join" =>
+        // IVF-blocked k-NN SELF-join; the graph surface pins the
+        // SQL-derivable lowest-id centroid convention (as
+        // diversify_prototypes); salt_factor engages the hot-cell shards
+        val d = dfArg(n, "data", r)
+        val idc = optS(n, "id_column", r).getOrElse("vec_id")
+        val vc = optS(n, "vector_column", r).getOrElse("embedding")
+        val nc = optD(n, "n_centroids", r).getOrElse(16.0).toInt
+        val w = org.apache.spark.sql.expressions.Window.orderBy(idc)
+        val cents = d.orderBy(idc).limit(nc).select(
+          (row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col(vc).as("_centroid"))
+        graft.text.Similarity.knnJoinIvf(d, idc, vc,
+          k = optD(n, "k", r).getOrElse(3.0).toInt,
+          nCentroids = nc,
+          nProbe = optD(n, "n_probe", r).getOrElse(4.0).toInt,
+          centroidsOverride = Some(cents),
+          saltFactor = optD(n, "salt_factor", r).getOrElse(1.0).toInt)
+      case "contamination_report" =>
+        graft.text.Dedup.contaminationReport(dfArg(n, "data", r),
+          dfArg(n, "eval", r),
+          optS(n, "text_column", r).getOrElse("text"),
+          shingleN = optD(n, "shingle_n", r).getOrElse(5.0).toInt)
+      case "sample_by_weight" =>
+        graft.text.Sampling.sampleByWeight(dfArg(n, "data", r),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          col(optS(n, "weight_column", r).getOrElse("w")))
 
       // ---- sinks (S5-S8) ----
       case "save_result" =>

@@ -650,4 +650,70 @@ class GraphCompilerSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
     pairs.map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 2L))
   }
+
+  test("knn_join / pca_whiten / sample_by_weight / contamination_report " +
+      "drive through the graph, matching the Scala API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb2").toString
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 24L).map(i => (i, Array.fill(4)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon eta"),
+        (3L, "totally different words here now then"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def gc = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-eres2").toString,
+      tables = Map("embeddings" -> s"$dir/embeddings.parquet",
+        "documents" -> s"$dir/documents.parquet"))
+    // knn_join ≡ Scala knnJoinIvf under the same lowest-id centroids
+    val knn = gc.compile("""{
+        "e": {"process_id": "load_table", "arguments": {"id": "embeddings"}},
+        "k": {"process_id": "knn_join", "arguments": {
+          "data": {"from_node": "e"}, "k": 2, "n_centroids": 4,
+          "n_probe": 4, "salt_factor": 2}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bf = graft.text.Similarity.topKBruteForce(emb, emb,
+        "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    knn shouldBe bf // nProbe == nCentroids → exact
+    val wh = gc.compile("""{
+        "e": {"process_id": "load_table", "arguments": {"id": "embeddings"}},
+        "w": {"process_id": "pca_whiten", "arguments": {
+          "data": {"from_node": "e"}, "dim": 4, "k": 2, "iterations": 30},
+          "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].collect()
+    wh.length shouldBe 24
+    val ss = wh.map(_.getSeq[Double](1).head).map(x => x * x).sum
+    ss shouldBe (1.0 +- 1e-3)
+    // sample_by_weight over a table carrying its weight column
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("w", when(col("doc_id") === 3L, 0.0).otherwise(1.0))
+      .write.mode("overwrite").parquet(s"$dir/weighted.parquet")
+    val gcw = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-eres3").toString,
+      tables = Map("weighted" -> s"$dir/weighted.parquet"))
+    val sampled = gcw.compile("""{
+        "d": {"process_id": "load_table", "arguments": {"id": "weighted"}},
+        "s": {"process_id": "sample_by_weight", "arguments": {
+          "data": {"from_node": "d"}, "id_column": "doc_id",
+          "weight_column": "w"}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    sampled shouldBe Set(1L, 2L) // w=1 kept, w=0 dropped
+    val rep = gc.compile("""{
+        "t": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "e": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "r": {"process_id": "contamination_report", "arguments": {
+          "data": {"from_node": "t"}, "eval": {"from_node": "e"},
+          "shingle_n": 5}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame].head()
+    // eval == train → full contamination
+    rep.getLong(0) shouldBe rep.getLong(1)
+    rep.getDouble(2) shouldBe 1.0 +- 1e-9
+  }
 }
