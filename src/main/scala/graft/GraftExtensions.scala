@@ -41,7 +41,8 @@ object GraftExtensions {
     functions.TextHashExprs.injectables ++
       functions.BloomExprs.injectables ++
       functions.GeoExprs.injectables ++
-      functions.DotProduct.injectables
+      functions.DotProduct.injectables ++
+      functions.ZOrder.injectables
 
   /** Register everything on a LIVE session (the extensions path only
     * applies at session build). Idempotent. */

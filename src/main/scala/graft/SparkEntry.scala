@@ -2102,6 +2102,113 @@ object SparkEntry {
       new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
         .asInstanceOf[graft.cube.Cube].df
     }),
+    // --- temporal table joins + storage layout (round 6) -----------------
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time attribution: each view event picks up the most
+      // recent at-or-before click by the same user — the union-sort-
+      // window as-of join (ONE exchange over both sides, no per-key
+      // pair blow-up; see TableJoins scaladoc)
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.TableJoins.asofJoin(views, clicks, Seq("user_id"),
+          "ts", "cts", Seq("click_ts", "click_value"))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    }),
+    "q_asof_tolerance" -> ((s, dir) => {
+      // strict (< not <=) + bounded-staleness variant: a click older
+      // than 2 h no longer explains the view
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.TableJoins.asofJoin(views, clicks, Seq("user_id"),
+          "ts", "cts", Seq("click_ts", "click_value"), strict = true,
+          toleranceMicros = Some(2L * 3600 * 1000000))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // interval containment via the binning trick: error events vs
+      // "busy hours" (hours with >= 8 click/view events). The inequality
+      // join runs as an EQUI-join on the hour bin — each (point,
+      // interval) pair meets in exactly one bin, no cartesian product
+      val ev = readEvents(s, dir)
+      val busy = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .where(col("n_events") >= 8)
+        .withColumn("window_end",
+          col("window_start") + expr("INTERVAL 1 HOUR")
+            - expr("INTERVAL 1 MICROSECOND"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.TableJoins.rangeJoin(errors, busy, "ts",
+          "window_start", "window_end",
+          binMicros = 3600L * 1000000)
+        .select("event_id", "user_id", "ts", "window_start", "n_events")
+    }),
+    "q_graph_asof" -> ((s, dir) => {
+      // the as-of join driven through the openEO JSON graph surface:
+      // load_table x2 + asof_join compile to the IDENTICAL plan as
+      // q_asof_join's Scala call; the oracle is shared verbatim. The
+      // two sides are staged through readEvents first so the graph path
+      // inherits the ts-encoding dispatch (driver-owned fixture quirk)
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_asof_$slug"
+      val ev = readEvents(s, dir)
+      ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/views")
+      ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+        .write.mode("overwrite").parquet(s"$tmp/clicks")
+      val graph = """{
+        "v": {"process_id": "load_table", "arguments": {"id": "views"}},
+        "c": {"process_id": "load_table", "arguments": {"id": "clicks"}},
+        "j": {"process_id": "asof_join", "arguments": {
+          "left": {"from_node": "v"}, "right": {"from_node": "c"},
+          "keys": ["user_id"], "left_ts": "ts", "right_ts": "cts",
+          "payload": ["click_ts", "click_value"]}, "result": true}}"""
+      new GraphCompiler(s, Map.empty, tmp + "_res",
+          tables = Map("views" -> s"$tmp/views", "clicks" -> s"$tmp/clicks"))
+        .compile(graph).asInstanceOf[DataFrame]
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // skew-safe join: purchase events against a per-user signup
+      // profile with salt factor 4 — row-identical to the plain join
+      // (the oracle IS the plain join), but a hot user's rows spread
+      // over 4 tasks instead of one straggler
+      val ev = readEvents(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val profile = ev.where(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_signups"), min(col("ts")).as("first_signup"))
+      graft.ops.TableJoins.saltedJoin(purchases, profile,
+          Seq("user_id"), saltFactor = 4)
+        .select("event_id", "user_id", "value", "n_signups", "first_signup")
+    }),
+    "q_zorder" -> ((s, dir) => {
+      // Morton keys for multi-dim data skipping: (user_id, value)
+      // quantized to 10 bits each and bit-interleaved by the native
+      // codegen ZValue expression. The key itself is the oracle-checked
+      // output; clusterByZ (range-partition + sort by it) is the layout
+      // side, pinned in TableJoinsSpec's span test
+      import graft.functions.ZOrder
+      readEvents(s, dir).select(
+        col("event_id"),
+        ZOrder.zvalue(10,
+          ZOrder.quantize(col("user_id"), 0.0, 256.0, 10),
+          ZOrder.quantize(col("value"), 0.0, 512.0, 10)).as("zval"))
+    }),
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -4969,6 +5076,112 @@ object SparkEntry {
            AND time >= TIMESTAMP '2024-01-05'
            AND time <= TIMESTAMP '2024-01-25' - INTERVAL 1 MILLISECOND
          GROUP BY 1, 2, 3, 4"""),
+    // --- temporal table joins + storage layout (round 6) -----------------
+    // as-of oracle = the SAME union-sort-window formulation in ANSI SQL:
+    // right side deduped to (key, ts, max(value)) first (the struct-max
+    // tie rule), side 0/1 ordering encodes inclusive-vs-strict at equal
+    // timestamps
+    "q_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
+               WHERE event_type = 'click' GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, ts, 1 AS side, event_id,
+                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
+           UNION ALL
+           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
+                  cts, cv FROM c),
+         s AS (SELECT *,
+             last_value(cts IGNORE NULLS) OVER w AS click_ts,
+             last_value(cv IGNORE NULLS) OVER w AS click_value
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts, click_ts, click_value
+         FROM s WHERE side = 1""",
+    "q_graph_asof" ->
+      // shared verbatim with q_asof_join: the JSON graph compiles to the
+      // identical plan
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
+               WHERE event_type = 'click' GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, ts, 1 AS side, event_id,
+                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
+           UNION ALL
+           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
+                  cts, cv FROM c),
+         s AS (SELECT *,
+             last_value(cts IGNORE NULLS) OVER w AS click_ts,
+             last_value(cv IGNORE NULLS) OVER w AS click_value
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts, click_ts, click_value
+         FROM s WHERE side = 1""",
+    "q_asof_tolerance" ->
+      // strict: the left row sorts BEFORE same-timestamp right rows
+      // (side 0 vs 1), so an equal-ts click is not yet visible to the
+      // running last_value; tolerance: matches staler than 2 h null out
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
+               WHERE event_type = 'click' GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, ts, 0 AS side, event_id,
+                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
+           UNION ALL
+           SELECT user_id, cts AS ts, 1 AS side, NULL::BIGINT AS event_id,
+                  cts, cv FROM c),
+         s AS (SELECT *,
+             last_value(cts IGNORE NULLS) OVER w AS mts,
+             last_value(cv IGNORE NULLS) OVER w AS mv
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts,
+           CASE WHEN mts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(mts) <= 7200000000
+             THEN mts END AS click_ts,
+           CASE WHEN mts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(mts) <= 7200000000
+             THEN mv END AS click_value
+         FROM s WHERE side = 0""",
+    "q_range_join" ->
+      // the bins are implementation detail; the oracle states the
+      // declarative inequality-join semantics directly
+      """WITH busy AS (SELECT date_trunc('hour', ts) AS window_start,
+                CAST(count(*) AS BIGINT) AS n_events
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1 HAVING count(*) >= 8),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, p.ts, b.window_start, b.n_events
+         FROM p JOIN busy b ON p.ts >= b.window_start
+           AND p.ts <= b.window_start + INTERVAL 1 HOUR
+                        - INTERVAL 1 MICROSECOND""",
+    "q_salted_join" ->
+      // the salt is implementation detail; semantics = the plain join
+      """WITH prof AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_signups,
+              min(ts) AS first_signup
+            FROM events WHERE event_type = 'signup' GROUP BY 1)
+         SELECT p.event_id, p.user_id, p.value, prof.n_signups,
+                prof.first_signup
+         FROM events p JOIN prof USING (user_id)
+         WHERE p.event_type = 'purchase'""",
+    "q_zorder" ->
+      // bit-for-bit replay of quantize (same IEEE op order: subtract,
+      // divide, multiply, floor, clamp) + the LSB-first interleave
+      """SELECT event_id, CAST(list_sum(list_transform(range(0, 10), b ->
+             (((uq >> b) & 1) << (2*b)) + (((vq >> b) & 1) << (2*b + 1))))
+           AS BIGINT) AS zval
+         FROM (SELECT event_id,
+            CAST(least(greatest(
+              floor((CAST(user_id AS DOUBLE) - 0.0) / 256.0 * 1024.0),
+              0.0), 1023.0) AS BIGINT) AS uq,
+            CAST(least(greatest(
+              floor((value - 0.0) / 512.0 * 1024.0),
+              0.0), 1023.0) AS BIGINT) AS vq
+          FROM events)""",
   )
 
   /** DuckDB mirror of TextAnalysis.langId: replace-based marker counting,

@@ -484,6 +484,39 @@ final class GraphCompiler(
           optS(n, "id_column", r).getOrElse("doc_id"),
           col(optS(n, "weight_column", r).getOrElse("w")))
 
+      // ---- temporal table joins + storage layout (round 6) ----
+      case "asof_join" =>
+        graft.ops.TableJoins.asofJoin(
+          dfArg(n, "left", r), dfArg(n, "right", r),
+          strSeq(n, "keys", r, Seq("user_id")),
+          optS(n, "left_ts", r).getOrElse("ts"),
+          optS(n, "right_ts", r).getOrElse("ts"),
+          strSeq(n, "payload", r, Nil),
+          strict = n.arguments.get("strict").map(resolve(_, r)).contains(true),
+          toleranceMicros = optD(n, "tolerance_us", r).map(_.toLong),
+          forward = n.arguments.get("forward").map(resolve(_, r)).contains(true))
+      case "range_join" =>
+        graft.ops.TableJoins.rangeJoin(
+          dfArg(n, "points", r), dfArg(n, "intervals", r),
+          optS(n, "point_ts", r).getOrElse("ts"),
+          optS(n, "start", r).getOrElse("window_start"),
+          optS(n, "end", r).getOrElse("window_end"),
+          strSeq(n, "keys", r, Nil),
+          optD(n, "bin_us", r).map(_.toLong).getOrElse(3600L * 1000000L))
+      case "zorder_key" =>
+        // dims: [[column, min, max], ...] — quantize each onto the
+        // 2^bits grid and interleave into the Morton key column
+        val d = dfArg(n, "data", r)
+        val bits = optD(n, "bits", r).getOrElse(10.0).toInt
+        val dims = resolve(n.arguments("dims"), r)
+          .asInstanceOf[Seq[Any]].map { case s: Seq[_] =>
+            (s(0).toString, s(1).asInstanceOf[Double],
+              s(2).asInstanceOf[Double])
+          }
+        d.withColumn(optS(n, "key_column", r).getOrElse("zval"),
+          graft.functions.ZOrder.zvalue(bits, dims.map { case (c, lo, hi) =>
+            graft.functions.ZOrder.quantize(col(c), lo, hi, bits) }: _*))
+
       // ---- sinks (S5-S8) ----
       case "save_result" =>
         val value = resolve(n.arguments("data"), r)

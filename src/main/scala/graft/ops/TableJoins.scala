@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General-purpose temporal table joins the built-in operator set lacks:
+  * as-of (point-in-time) joins and interval/range joins. The reference's
+  * only temporal alignment is the cube-level nearest-time relabel
+  * (openeo_odc_driver.py:360-380 → [[Joins.resampleCubeTemporal]]); these
+  * are the event-table generalizations a training-data / analytics
+  * pipeline needs (feature attribution, session attribution, window
+  * containment) expressed in the scalable shapes.
+  *
+  * == Why not join-then-filter-then-argmax ==
+  * The naive as-of formulation — equi-join on key, filter `r.ts <= l.ts`,
+  * window-argmax per left row — materializes |L_k| x |R_k| intermediate
+  * rows per key before the filter prunes them: quadratic in the per-key
+  * row count, a scale cliff at 100 TB (a key with 1e6 left and 1e6 right
+  * rows explodes to 1e12 pairs). The union-sort-window shape below is
+  * linear: both sides shuffle ONCE (together, as one exchange on the
+  * key), sort by (ts, side), and a running `last(payload, ignoreNulls)`
+  * carries the most recent right payload forward onto each left row.
+  * Cost: one exchange + one sort over |L| + |R| rows, no intermediate
+  * blow-up, no driver traffic.
+  *
+  * == Skew ==
+  * A pathologically hot key serializes its |L_k| + |R_k| rows into one
+  * sort task. The escape hatch (not needed at bench scale, documented
+  * for 100 TB): range-split the hot key's timeline into chunks, run the
+  * window per chunk, and carry each chunk's closing payload into the
+  * next chunk's head via a second tiny pass over the per-chunk closers —
+  * the standard segmented-scan decomposition of a running aggregate.
+  */
+object TableJoins {
+
+  /** As-of join: attach to each left row the payload of the most recent
+    * right row with the same key and `right.ts <= left.ts` (backward; the
+    * default) or the earliest with `right.ts >= left.ts` (forward).
+    *
+    * @param left       point table; all its columns pass through
+    * @param right      lookup table
+    * @param keys       equality keys present on both sides
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param payload    right columns to attach (must not collide with
+    *                   left's column names)
+    * @param strict     exclude right rows at exactly `left.ts`
+    * @param toleranceMicros if set, matches farther than this from the
+    *                   left timestamp yield null payloads (the pandas
+    *                   `merge_asof(tolerance=)` semantics)
+    * @param forward    direction: false = backward (default), true =
+    *                   forward
+    *
+    * Determinism: multiple right rows on the same (key, ts) are resolved
+    * to the greatest payload tuple (struct-max), so the result is
+    * independent of partitioning and input order — the property every
+    * oracle row in this repo needs and pandas' merge_asof (which keeps
+    * whichever row came last in input order) lacks.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      strict: Boolean = false, toleranceMicros: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one equality key")
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val collide = payload.toSet intersect left.columns.toSet
+    require(collide.isEmpty, s"payload collides with left columns: $collide")
+
+    // one row per (key, ts) on the right: struct-max over (payload) makes
+    // same-timestamp ties deterministic before the scan ever sees them
+    val rightDedup = right
+      .groupBy((keys.map(col) :+ col(rightTs).as("_ats")): _*)
+      .agg(max(struct(payload.map(col): _*)).as("_ap"))
+
+    val leftCols = left.columns.toSeq
+    // union schema: left columns + (_ats, _ap, _side). Right rows carry
+    // null left columns; left rows carry a null payload.
+    val lTagged = left
+      .withColumn("_ats", col(leftTs))
+      .withColumn("_ap", lit(null).cast(rightDedup.schema("_ap").dataType))
+      .withColumn("_side", lit(if (strict) 0 else 1))
+    val rTagged = rightDedup
+      .select(keys.map(col) :+ col("_ats") :+ col("_ap"): _*)
+      .withColumn("_side", lit(if (strict) 1 else 0))
+    val unioned = lTagged.select(
+        (keys.map(col) :+ col("_ats") :+ col("_ap") :+ col("_side")) ++
+          leftCols.filterNot(keys.contains).map(c =>
+            col(c).as(s"_l_$c")): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+
+    // ONE exchange: partition by key, order by time (negated for the
+    // forward direction so "most recent before" becomes "first after"),
+    // side ordering encodes strict vs inclusive at equal timestamps
+    val tsu = unix_micros(col("_ats"))
+    val ord = if (forward) -tsu else tsu
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord.asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = unioned
+      .withColumn("_match", last(col("_ap"), ignoreNulls = true).over(w))
+      .withColumn("_match_ts",
+        last(when(col("_ap").isNotNull, col("_ats")), ignoreNulls = true)
+          .over(w))
+      .where(col("_side") === lit(if (strict) 0 else 1))
+
+    val withinTol = toleranceMicros match {
+      case Some(tol) =>
+        val gap =
+          if (forward) unix_micros(col("_match_ts")) - unix_micros(col("_ats"))
+          else unix_micros(col("_ats")) - unix_micros(col("_match_ts"))
+        col("_match_ts").isNotNull && gap <= tol
+      case None => col("_match_ts").isNotNull
+    }
+    val gated = scanned.withColumn("_m2",
+      when(withinTol, col("_match")))
+    val out = keys.map(col) ++
+      leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+      payload.map(p => col("_m2").getField(p).as(p))
+    gated.select(out: _*)
+  }
+
+  /** Skew-safe equi-join: the LEFT side has hot keys (a handful of keys
+    * holding a large share of rows) and the right side is too big to
+    * broadcast, so the plain shuffle join serializes each hot key into
+    * one straggler task. Salting spreads it: every left row gains a
+    * deterministic pseudo-uniform salt in `[0, saltFactor)` derived from
+    * hashing the whole row, the right side replicates each row
+    * `saltFactor` times (one per salt value), and the join runs on
+    * (keys, salt) — a hot key's rows now land on `saltFactor` tasks.
+    * Result is row-identical to the unsalted join (law-tested): each
+    * left row joins exactly the right rows of its key, once.
+    *
+    * Cost: the right side shuffles `saltFactor` times its size — use
+    * ONLY when the left side's skew dominates (the 100 TB calculus:
+    * right-side inflation is linear and spread evenly; a hot-key
+    * straggler is a wall-clock cliff). Spark's AQE skew-join
+    * (`spark.sql.adaptive.skewJoin.enabled`) handles the SORT-MERGE
+    * case at runtime and should be preferred when it applies; this
+    * operator is the explicit, plan-stable form that also covers the
+    * hash-join path and engines/pipelines where AQE is off.
+    *
+    * Supported join types: `inner` and `left` (semantics preserved
+    * because each left row appears exactly once, with one salt).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    require(keys.nonEmpty, "saltedJoin needs equality keys")
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor))
+        .cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    l.join(r, keys :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** Interval (range) join: pair each point row with every interval row
+    * whose `[startCol, endCol]` contains `pointTs`, matching on optional
+    * equality `keys` first. Inclusive on both endpoints.
+    *
+    * == The binning trick ==
+    * Spark executes a raw inequality join as BroadcastNestedLoopJoin
+    * (fine only when one side broadcasts) or a cartesian product — a
+    * non-starter when both sides are large. Quantizing time into
+    * `binMicros`-wide bins turns it into an EQUI-join: each interval
+    * explodes into the bins it overlaps (bounded by interval-length /
+    * binMicros + 1 rows), each point maps to exactly one bin, the join
+    * runs hash/sort-merge on (keys, bin), and the exact predicate
+    * re-filters. Each (point, interval) pair meets in EXACTLY one bin —
+    * the point's — so no dedup pass is needed. Choose `binMicros` near
+    * the typical interval length: explode factor stays O(1) and the
+    * equi-join stays selective.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointTs: String,
+      startCol: String, endCol: String, keys: Seq[String] = Nil,
+      binMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    val ptBin = (unix_micros(col(pointTs)) / binMicros).cast("long")
+    val binsCovered = sequence(
+      (unix_micros(col(startCol)) / binMicros).cast("long"),
+      (unix_micros(col(endCol)) / binMicros).cast("long"))
+    val p = points.withColumn("_bin", ptBin)
+    val iv = intervals.withColumn("_bin", explode(binsCovered))
+    val joinKeys = keys :+ "_bin"
+    p.join(iv, joinKeys)
+      .where(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("_bin")
+  }
+}

@@ -716,4 +716,53 @@ class GraphCompilerSpec extends SparkSpec {
     rep.getLong(0) shouldBe rep.getLong(1)
     rep.getDouble(2) shouldBe 1.0 +- 1e-9
   }
+
+  test("asof_join / range_join / zorder_key processes equal the Scala API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graph-tj").toString
+    Seq((1L, "u1", t("2024-01-01 10:00:00")), (2L, "u2", t("2024-01-01 11:00:00")))
+      .toDF("id", "user", "ts").write.mode("overwrite").parquet(s"$dir/l")
+    Seq(("u1", t("2024-01-01 09:00:00"), 7.0), ("u2", t("2024-01-01 12:00:00"), 9.0))
+      .toDF("user", "rts", "rv").write.mode("overwrite").parquet(s"$dir/r")
+    val tables = Map("l" -> s"$dir/l", "r" -> s"$dir/r")
+    def compile(graph: String) =
+      new graft.compile.GraphCompiler(spark, Map.empty, s"$dir/res",
+        tables = tables).compile(graph)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+
+    val asof = compile("""{
+      "l": {"process_id": "load_table", "arguments": {"id": "l"}},
+      "r": {"process_id": "load_table", "arguments": {"id": "r"}},
+      "j": {"process_id": "asof_join", "arguments": {
+        "left": {"from_node": "l"}, "right": {"from_node": "r"},
+        "keys": ["user"], "left_ts": "ts", "right_ts": "rts",
+        "payload": ["rv"]}, "result": true}}""")
+    val asofApi = graft.ops.TableJoins.asofJoin(
+      spark.read.parquet(s"$dir/l"), spark.read.parquet(s"$dir/r"),
+      Seq("user"), "ts", "rts", Seq("rv"))
+    rowSet(asof) shouldBe rowSet(asofApi)
+
+    val rj = compile("""{
+      "p": {"process_id": "load_table", "arguments": {"id": "l"}},
+      "i": {"process_id": "load_table", "arguments": {"id": "r"}},
+      "j": {"process_id": "range_join", "arguments": {
+        "points": {"from_node": "p"}, "intervals": {"from_node": "i"},
+        "point_ts": "ts", "start": "rts", "end": "rts",
+        "bin_us": 60000000}, "result": true}}""")
+    rj.count() shouldBe 0 // degenerate instant intervals match nothing here
+
+    val z = compile("""{
+      "d": {"process_id": "load_table", "arguments": {"id": "l"}},
+      "z": {"process_id": "zorder_key", "arguments": {
+        "data": {"from_node": "d"}, "bits": 4,
+        "dims": [["id", 0.0, 16.0], ["id", 0.0, 16.0]]},
+        "result": true}}""")
+    val zApi = spark.read.parquet(s"$dir/l").withColumn("zval",
+      graft.functions.ZOrder.zvalue(4,
+        graft.functions.ZOrder.quantize(col("id"), 0.0, 16.0, 4),
+        graft.functions.ZOrder.quantize(col("id"), 0.0, 16.0, 4)))
+    rowSet(z) shouldBe rowSet(zApi)
+  }
 }

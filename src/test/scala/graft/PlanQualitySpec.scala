@@ -727,4 +727,51 @@ class PlanQualitySpec extends SparkSpec {
     plan should not include "Exchange"
     plan should not include "Join"
   }
+
+  test("asofJoin is ONE exchange over the union — no join node, no " +
+      "per-key pair blow-up") {
+    import spark.implicits._
+    val l = (1 to 50).map(i => (i.toLong, s"u${i % 5}",
+      new java.sql.Timestamp(i * 60000L))).toDF("id", "user", "ts")
+    val r = (1 to 50).map(i => (s"u${i % 5}",
+      new java.sql.Timestamp(i * 45000L), i.toDouble)).toDF("user", "rts", "rv")
+    val plan = planString(graft.ops.TableJoins.asofJoin(
+      l, r, Seq("user"), "ts", "rts", Seq("rv")))
+    // the naive formulation would show a SortMergeJoin/BroadcastHashJoin
+    // + a second window pass; the union-window shape has NO join operator
+    plan should not include "Join"
+    // exactly one hash-partitioning exchange on the key feeds the window
+    // (the right side's dedup agg reuses the same partitioning upstream)
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 2
+    plan should include("Window")
+  }
+
+  test("rangeJoin plans as an equi-join on the bin key — never " +
+      "BroadcastNestedLoop / Cartesian") {
+    import spark.implicits._
+    val p = (1 to 100).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 60000L))).toDF("pid", "pts")
+    val iv = (1 to 30).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 120000L),
+      new java.sql.Timestamp(i * 120000L + 600000L))).toDF("iid", "lo", "hi")
+    // defeat auto-broadcast so the assertion is about the JOIN KEY shape,
+    // not the small fixture size
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = planString(graft.ops.TableJoins.rangeJoin(
+        p, iv, "pts", "lo", "hi", binMicros = 600L * 1000000))
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      plan should include("SortMergeJoin")
+      plan should include("_bin")
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
