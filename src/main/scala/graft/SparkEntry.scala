@@ -2196,6 +2196,74 @@ object SparkEntry {
           Seq("user_id"), saltFactor = 4)
         .select("event_id", "user_id", "value", "n_signups", "first_signup")
     }),
+    "q_funnel" -> ((s, dir) => {
+      // ordered-funnel conversion (signup → click → purchase per user):
+      // greedy first-match stage times, null-propagating once a stage
+      // is unreached; one reused key partitioning across stages
+      graft.ops.Funnel.funnel(readEvents(s, dir), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+    }),
+    "q_compaction_plan" -> ((s, dir) => {
+      // output-file compaction planning over a file listing (documents
+      // stand in: doc_id=path, text bytes=size) — deterministic
+      // first-fit-decreasing-flavored bin assignment, pure integer math
+      val files = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("bytes"))
+      graft.ops.Compaction.compactionPlan(files, "doc_id", "bytes", 4096L)
+    }),
+    "q_hll_join" -> ((s, dir) => {
+      // join-cardinality planning without running the join: HLL key
+      // sketches of view-users vs purchase-users, overlap by register
+      // merge + inclusion-exclusion — KB of state at any corpus size
+      val ev = readEvents(s, dir)
+      graft.text.Sketches.hllKeyOverlap(
+        ev.where(col("event_type") === "view"), col("user_id"),
+        ev.where(col("event_type") === "purchase"), col("user_id"))
+    }),
+    "q_stream_join" -> ((s, dir) => {
+      // STREAM-STREAM correctness row: watermarked two-stream inner
+      // join (views x clicks per user within ±30 min) through a real
+      // two-MemoryStream micro-batch run. Inner-join matches emit as
+      // they form; the generous watermark keeps every in-band pair
+      // (state eviction is the production knob, pinned in
+      // StreamingSpec). Oracle = the declarative batch inequality join.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val msC = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val joined = graft.streaming.StreamingOps.joinStreamsWithin(
+        msV.toDF.toDF("event_id", "user_id", "ts"),
+        msC.toDF.toDF("user_id", "cts", "click_value"),
+        Seq("user_id"), "ts", "cts",
+        bandMs = 30L * 60 * 1000, watermarkMs = 30L * 24 * 3600 * 1000)
+      val sink = "q_stream_join_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val vb = views.grouped(math.max(1, views.length / 3 + 1)).toSeq
+        val cb = clicks.grouped(math.max(1, clicks.length / 3 + 1)).toSeq
+        (0 until math.max(vb.length, cb.length)).foreach { i =>
+          if (i < vb.length) msV.addData(vb(i))
+          if (i < cb.length) msC.addData(cb(i))
+          q.processAllAvailable()
+        }
+      } finally {
+        q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink)
+        .select("event_id", "user_id", "ts", "cts", "click_value")
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton keys for multi-dim data skipping: (user_id, value)
       // quantized to 10 bits each and bit-interleaved by the native
@@ -2356,6 +2424,78 @@ object SparkEntry {
                    CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
                         AS DOUBLE) END, 6) AS est_distinct
          FROM ag"""
+  }
+
+  /** q_hll_join replay: the SAME fmix64+register chain as
+    * hllDistinctSql, grouped by sketch side (left / right / union —
+    * union re-hashes the concatenated key stream, which by register-max
+    * idempotence equals the merged sketch bit-exactly), then the
+    * inclusion-exclusion pivot. */
+  private val hllOverlapSql: String = {
+    val numer = graft.text.Sketches.hllNumer(11)
+    s"""WITH src AS (
+           SELECT 'left' AS side, CAST(user_id AS VARCHAR) AS g
+           FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT 'right' AS side, CAST(user_id AS VARCHAR) AS g
+           FROM events WHERE event_type = 'purchase'),
+         tok AS (SELECT side, g FROM src
+           UNION ALL SELECT 'union' AS side, g FROM src),
+         fh AS (SELECT side,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM tok),
+         x1 AS (SELECT side, xor(fh, fh // 8589934592) AS a FROM fh),
+         x2 AS (SELECT side,
+             ((a % 4294967296) * 18397679294719823053
+              + ((a // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS b
+           FROM x1),
+         x3 AS (SELECT side, xor(b, b // 8589934592) AS c FROM x2),
+         x4 AS (SELECT side,
+             ((c % 4294967296) * 14181476777654086739
+              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS d
+           FROM x3),
+         x5 AS (SELECT side, xor(d, d // 8589934592) AS hm FROM x4),
+         parts AS (SELECT side,
+             CAST(hm % 2048 AS BIGINT) AS reg,
+             CAST(hm // 2048 AS BIGINT) AS w
+           FROM x5),
+         rk AS (SELECT side, reg,
+             LEAST(bit_count((w & -w) - 1) + 1, 51) AS rank
+           FROM parts),
+         mr AS (SELECT side, reg, MAX(rank) AS mr FROM rk GROUP BY 1, 2),
+         ag AS (SELECT side, count(*) AS n_registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - mr)) AS BIGINT) AS s
+           FROM mr GROUP BY 1),
+         est AS (SELECT side,
+           round(CASE WHEN CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) <= 5120.0 AND n_registers < 2048
+             THEN 2048.0 * ln(2048.0 / (2048.0 - CAST(n_registers AS DOUBLE)))
+             ELSE CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) END, 6) AS est_distinct
+           FROM ag),
+         piv AS (SELECT
+             max(CASE WHEN side = 'left' THEN est_distinct END)
+               AS est_left_keys,
+             max(CASE WHEN side = 'right' THEN est_distinct END)
+               AS est_right_keys,
+             max(CASE WHEN side = 'union' THEN est_distinct END)
+               AS est_union_keys
+           FROM est)
+         SELECT est_left_keys, est_right_keys, est_union_keys,
+           round(greatest(0.0,
+             est_left_keys + est_right_keys - est_union_keys), 6)
+             AS est_common_keys
+         FROM piv"""
   }
 
   /** Shared by q_dedup_simhash (batch banded blocking) and
@@ -5168,6 +5308,47 @@ object SparkEntry {
                 prof.first_signup
          FROM events p JOIN prof USING (user_id)
          WHERE p.event_type = 'purchase'""",
+    "q_funnel" ->
+      // greedy first-match per stage; CASE-over-null propagates an
+      // unreached stage exactly like the Spark when()
+      """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT s0.user_id, s0.signup_ts,
+              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
+            FROM s0 LEFT JOIN events e
+              ON e.user_id = s0.user_id AND e.event_type = 'click'
+            GROUP BY 1, 2),
+         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
+              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+            GROUP BY 1, 2, 3)
+         SELECT user_id, signup_ts, click_ts, purchase_ts,
+                purchase_ts IS NOT NULL AS converted
+         FROM s2""",
+    "q_compaction_plan" ->
+      // same deterministic (bytes DESC, doc_id) order, running sum,
+      // pure integer floor-division bin rule
+      """WITH f AS (SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+            FROM documents),
+         c AS (SELECT doc_id, bytes,
+              SUM(bytes) OVER (ORDER BY bytes DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM f)
+         SELECT doc_id, bytes, (cum - bytes) // 4096 AS bin FROM c""",
+    "q_hll_join" -> hllOverlapSql,
+    "q_stream_join" ->
+      // declarative batch twin of the watermarked stream-stream join:
+      // every in-band (view, click) pair per user, inclusive bounds
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, value AS click_value FROM events
+               WHERE event_type = 'click')
+         SELECT v.event_id, v.user_id, v.ts, c.cts, c.click_value
+         FROM v JOIN c USING (user_id)
+         WHERE c.cts >= v.ts - INTERVAL 30 MINUTE
+           AND c.cts <= v.ts + INTERVAL 30 MINUTE""",
     "q_zorder" ->
       // bit-for-bit replay of quantize (same IEEE op order: subtract,
       // divide, multiply, floor, clamp) + the LSB-first interleave

@@ -503,6 +503,30 @@ final class GraphCompiler(
           optS(n, "end", r).getOrElse("window_end"),
           strSeq(n, "keys", r, Nil),
           optD(n, "bin_us", r).map(_.toLong).getOrElse(3600L * 1000000L))
+      case "salted_join" =>
+        graft.ops.TableJoins.saltedJoin(
+          dfArg(n, "left", r), dfArg(n, "right", r),
+          strSeq(n, "keys", r, Seq("user_id")),
+          optD(n, "salt_factor", r).getOrElse(4.0).toInt,
+          optS(n, "join_type", r).getOrElse("inner"))
+      case "funnel" =>
+        graft.ops.Funnel.funnel(dfArg(n, "data", r),
+          optS(n, "key", r).getOrElse("user_id"),
+          optS(n, "ts", r).getOrElse("ts"),
+          optS(n, "stage", r).getOrElse("event_type"),
+          strSeq(n, "stages", r, Nil))
+      case "hll_key_overlap" =>
+        graft.text.Sketches.hllKeyOverlap(
+          dfArg(n, "left", r),
+          col(optS(n, "left_key", r).getOrElse("user_id")),
+          dfArg(n, "right", r),
+          col(optS(n, "right_key", r).getOrElse("user_id")),
+          optD(n, "p", r).getOrElse(11.0).toInt)
+      case "compaction_plan" =>
+        graft.ops.Compaction.compactionPlan(dfArg(n, "files", r),
+          optS(n, "path_column", r).getOrElse("path"),
+          optS(n, "bytes_column", r).getOrElse("bytes"),
+          optD(n, "target_bytes", r).getOrElse(134217728.0).toLong)
       case "zorder_key" =>
         // dims: [[column, min, max], ...] — quantize each onto the
         // 2^bits grid and interleave into the Morton key column

@@ -120,6 +120,95 @@ object TableJoins {
     gated.select(out: _*)
   }
 
+  /** The as-of join's HOT-KEY escape hatch, promoted to code: a key
+    * whose |L_k| + |R_k| rows would serialize into one sort task is
+    * instead split into time-contiguous SEGMENTS of `segmentMicros`, the
+    * running-last window runs per (key, segment) — parallel across
+    * segments — and each segment inherits the latest payload any EARLIER
+    * segment closed with, via a tiny per-segment carry table (one row
+    * per non-empty segment) scanned with a second cumulative window.
+    * This is the standard segmented-scan decomposition of a running
+    * aggregate; output is row-identical to [[asofJoin]] (law-tested).
+    *
+    * Tolerance needs the matched timestamp, which the carry must also
+    * transport; to keep the carry one struct the payload travels as
+    * (match_ts, payload) and the gate re-derives. Backward direction
+    * only (the forward mirror is symmetric; compose with a negated
+    * timestamp column if needed). */
+  def asofJoinSegmented(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      payload: Seq[String], segmentMicros: Long,
+      strict: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(segmentMicros > 0, "segmentMicros must be positive")
+    require(keys.nonEmpty, "asofJoinSegmented needs at least one key")
+    require(payload.nonEmpty, "asofJoinSegmented needs payload columns")
+    val collide = payload.toSet intersect left.columns.toSet
+    require(collide.isEmpty, s"payload collides with left columns: $collide")
+
+    val rightDedup = right
+      .groupBy((keys.map(col) :+ col(rightTs).as("_ats")): _*)
+      .agg(max(struct(payload.map(col): _*)).as("_ap"))
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("_ats", col(leftTs))
+      .withColumn("_ap", lit(null).cast(rightDedup.schema("_ap").dataType))
+      .withColumn("_side", lit(if (strict) 0 else 1))
+    val rTagged = rightDedup
+      .select(keys.map(col) :+ col("_ats") :+ col("_ap"): _*)
+      .withColumn("_side", lit(if (strict) 1 else 0))
+    val unioned = lTagged.select(
+        (keys.map(col) :+ col("_ats") :+ col("_ap") :+ col("_side")) ++
+          leftCols.filterNot(keys.contains).map(c =>
+            col(c).as(s"_l_$c")): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_seg", (unix_micros(col("_ats")) / segmentMicros)
+        .cast("long"))
+
+    // intra-segment running last — partitioned by (key, seg): a hot
+    // key's timeline spreads over its segments instead of one task
+    val segKeys = keys.map(col) :+ col("_seg")
+    val wIn = Window.partitionBy(segKeys: _*)
+      .orderBy(unix_micros(col("_ats")).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = unioned
+      .withColumn("_m", last(
+        when(col("_ap").isNotNull, struct(col("_ats").as("mts"),
+          col("_ap").as("mp"))), ignoreNulls = true).over(wIn))
+
+    // per-segment closers: ONE row per (key, non-empty segment) — the
+    // latest right payload the segment ends with. Strictly-before carry:
+    // each segment needs the latest closer from segments < its own.
+    val closers = marked
+      .groupBy(segKeys: _*)
+      .agg(max_by(col("_m"), struct(unix_micros(col("_ats")),
+        col("_side"))).as("_closer"))
+    val wCarry = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_seg").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = closers
+      .withColumn("_carry", last(col("_closer"), ignoreNulls = true)
+        .over(wCarry))
+      .select(segKeys :+ col("_carry"): _*)
+
+    val gatedMatch = coalesce(col("_m"), col("_carry"))
+    val withinTol = toleranceMicros match {
+      case Some(tol) =>
+        gatedMatch.isNotNull &&
+          unix_micros(col("_ats")) -
+            unix_micros(gatedMatch.getField("mts")) <= tol
+      case None => gatedMatch.isNotNull
+    }
+    val out = keys.map(col) ++
+      leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+      payload.map(p =>
+        when(withinTol, gatedMatch.getField("mp").getField(p)).as(p))
+    marked
+      .join(carry, keys :+ "_seg")
+      .where(col("_side") === lit(if (strict) 0 else 1))
+      .select(out: _*)
+  }
+
   /** Skew-safe equi-join: the LEFT side has hot keys (a handful of keys
     * holding a large share of rows) and the right side is too big to
     * broadcast, so the plain shuffle join serializes each hot key into

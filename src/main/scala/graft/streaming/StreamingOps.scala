@@ -397,6 +397,38 @@ object StreamingOps {
       .withColumn("contaminated", col("n_hits") >= 1L)
   }
 
+  /** STREAM-STREAM inner join within a time band: pair left and right
+    * rows sharing `keys` whose timestamps lie within `bandMs` of each
+    * other (`|leftTs − rightTs| <= bandMs`, inclusive). Both sides are
+    * watermarked with `watermarkMs` lateness; Spark's stream-stream join
+    * then bounds EACH side's buffered state to watermark + band — the
+    * two knobs that make an unbounded two-stream correlation run in
+    * fixed memory (the click/view attribution shape Kafka-fed pipelines
+    * need; batch twin: [[graft.ops.TableJoins.rangeJoin]] with the band
+    * as the interval).
+    *
+    * Matches emit as they form (inner-join append semantics) — no
+    * sentinel flush needed; the watermark governs state EVICTION and
+    * late-data drops, not emission. Rows later than the watermark may
+    * silently miss partners (the documented streaming trade: set
+    * `watermarkMs` to the pipeline's real out-of-orderness bound;
+    * StreamingSpec pins batch-split invariance under in-watermark
+    * arrival). */
+  def joinStreamsWithin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], leftTs: String, rightTs: String,
+      bandMs: Long, watermarkMs: Long): DataFrame = {
+    require(keys.nonEmpty, "joinStreamsWithin needs equality keys")
+    require(bandMs >= 0, "bandMs must be >= 0")
+    val l = left.withWatermark(leftTs, s"$watermarkMs milliseconds")
+    val r = right.withWatermark(rightTs, s"$watermarkMs milliseconds")
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val band = keyCond &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $bandMs MILLISECONDS") &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bandMs MILLISECONDS")
+    // drop the right side's duplicate key columns from the output
+    keys.foldLeft(l.join(r, band, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

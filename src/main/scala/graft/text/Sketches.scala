@@ -134,6 +134,47 @@ object Sketches {
     hllDistinct(toks, col("_tok"), groupCols, p)
   }
 
+  /** Join-cardinality planning WITHOUT running the join: HLL estimates
+    * of the two sides' distinct key sets and — via the sketches'
+    * mergeability + inclusion-exclusion — of their overlap. One row:
+    * `est_left_keys`, `est_right_keys`, `est_union_keys`,
+    * `est_common_keys` (= l + r − union, floored at 0). This is the
+    * ~KB-state answer to "is this join selective? which side is
+    * broadcastable after the semi-join?" that would otherwise cost two
+    * full distinct aggregations and a shuffle join.
+    *
+    * Scale shape: each side collapses to ≤ 2^p register rows map-side;
+    * the union sketch is a REGISTER merge (max per register), never a
+    * second pass over the data. All estimate math inherits
+    * [[hllEstimate]]'s exact-integer register arithmetic, so an external
+    * oracle replays it bit-for-bit. Keys hash through their canonical
+    * string form — engine-portable, and equal keys agree across sides
+    * regardless of physical type width. */
+  def hllKeyOverlap(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, p: Int = 11): DataFrame = {
+    val l = left.select(leftKey.cast("string").as("k"))
+      .withColumn("side", lit("left"))
+    val r = right.select(rightKey.cast("string").as("k"))
+      .withColumn("side", lit("right"))
+    val regsL = hllRegisters(l, col("k"), Seq("side"), p)
+    val regsR = hllRegisters(r, col("k"), Seq("side"), p)
+    val regsU = hllMergeRegisters(Seq(
+      regsL.withColumn("side", lit("union")),
+      regsR.withColumn("side", lit("union"))), Seq("side"))
+    val est = hllEstimate(
+      regsL.unionByName(regsR).unionByName(regsU), Seq("side"), p)
+    def pick(s: String) =
+      max(when(col("side") === s, col("est_distinct")))
+    est.agg(
+        pick("left").as("est_left_keys"),
+        pick("right").as("est_right_keys"),
+        pick("union").as("est_union_keys"))
+      .withColumn("est_common_keys",
+        round(greatest(lit(0.0),
+          col("est_left_keys") + col("est_right_keys")
+            - col("est_union_keys")), 6))
+  }
+
   /** Count-min sketch of a value stream: one row per (depth, bucket)
     * with the bucket's total occurrence count. d*w cells bound the state
     * regardless of vocabulary size — the fixed-memory complement to an

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Compaction
+import graft.text.Sketches
+
+class CompactionSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compactionPlan never splits a file; bins are dense and bounded by " +
+      "target + max member") {
+    val rnd = new scala.util.Random(5)
+    val files = (1 to 300).map(i => (s"f$i%03d", 100L + rnd.nextInt(3000)))
+      .toDF("path", "bytes")
+    val target = 8192L
+    val plan = Compaction.compactionPlan(files, "path", "bytes", target)
+    plan.count() shouldBe 300 // one row per file — no splits
+    val perBin = plan.groupBy("bin")
+      .agg(sum("bytes").as("total"), max("bytes").as("mx"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // dense ids 0..N
+    perBin.map(_._1).toSeq shouldBe perBin.indices.map(_.toLong)
+    // payload bound: a bin holds < target + its largest member
+    val maxFile = 100L + 3000L
+    all(perBin.map(_._2)) should be < (target + maxFile)
+    // all bins except the last reach at least target − one global-max
+    // member (the previous bin's last file may overflow into this bin's
+    // byte window by up to its own length)
+    perBin.dropRight(1).foreach { case (_, total, _) =>
+      total should be >= (target - maxFile)
+    }
+  }
+
+  test("compactionPlan is partitioning-deterministic") {
+    val files = (1 to 100).map(i => (s"p$i", (i * 37 % 900 + 10).toLong))
+      .toDF("path", "bytes")
+    val a = Compaction.compactionPlan(files.repartition(7), "path", "bytes", 2048)
+      .as[(String, Long, Long)].collect().toSet
+    val b = Compaction.compactionPlan(files.coalesce(1), "path", "bytes", 2048)
+      .as[(String, Long, Long)].collect().toSet
+    a shouldBe b
+  }
+
+  test("hllKeyOverlap: disjoint keys → ~zero common; identical keys → " +
+      "common ≈ either side; union == merged registers") {
+    val a = (0L until 500L).map(i => Tuple1(i)).toDF("k")
+    val b = (500L until 1000L).map(i => Tuple1(i)).toDF("k")
+    val disjoint = Sketches.hllKeyOverlap(a, col("k"), b, col("k"))
+      .as[(Double, Double, Double, Double)].head()
+    // each side ~500 (±3σ at 2.3% error), intersection near zero
+    disjoint._1 shouldBe 500.0 +- 40.0
+    disjoint._2 shouldBe 500.0 +- 40.0
+    disjoint._3 shouldBe 1000.0 +- 75.0
+    disjoint._4 should be < 60.0
+    val same = Sketches.hllKeyOverlap(a, col("k"), a, col("k"))
+      .as[(Double, Double, Double, Double)].head()
+    same._1 shouldBe same._3 // union of identical sets == either sketch
+    same._4 shouldBe same._1 // intersection estimate == the set itself
+  }
+
+  test("hllKeyOverlap union estimate equals hllDistinct over the " +
+      "concatenated key stream (merge == re-sketch, bit-exact)") {
+    val a = (0L until 300L).map(i => Tuple1(i)).toDF("k")
+    val b = (150L until 450L).map(i => Tuple1(i)).toDF("k")
+    val overlap = Sketches.hllKeyOverlap(a, col("k"), b, col("k"))
+      .select("est_union_keys").as[Double].head()
+    val resketch = Sketches.hllDistinct(
+      a.union(b).select(col("k").cast("string").as("k")), col("k"), Nil)
+      .select("est_distinct").as[Double].head()
+    overlap shouldBe resketch
+  }
+
+  test("joinStreamsWithin == the batch band join under any micro-batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val views = (1 to 40).map(i => (i.toLong, (i % 4).toLong, t(i * 7 % 120)))
+    val clicks = (1 to 40).map(i => ((i % 4).toLong, t(i * 11 % 120), i.toDouble))
+    val batch = {
+      val v = views.toDF("event_id", "user_id", "ts")
+      val c = clicks.toDF("user_id", "cts", "click_value")
+      v.join(c, Seq("user_id"))
+        .where(col("cts") >= col("ts") - expr("INTERVAL 15 MINUTES") &&
+          col("cts") <= col("ts") + expr("INTERVAL 15 MINUTES"))
+        .select("event_id", "user_id", "ts", "cts", "click_value")
+        .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+        .collect().toSet
+    }
+    for (nSplits <- Seq(1, 3)) {
+      val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val msC = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val out = graft.streaming.StreamingOps.joinStreamsWithin(
+        msV.toDF.toDF("event_id", "user_id", "ts"),
+        msC.toDF.toDF("user_id", "cts", "click_value"),
+        Seq("user_id"), "ts", "cts",
+        bandMs = 15L * 60 * 1000, watermarkMs = 365L * 24 * 3600 * 1000)
+      val sink = s"ssj_$nSplits"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val vb = views.grouped(views.length / nSplits + 1).toSeq
+        val cb = clicks.grouped(clicks.length / nSplits + 1).toSeq
+        (0 until math.max(vb.length, cb.length)).foreach { i =>
+          if (i < vb.length) msV.addData(vb(i))
+          if (i < cb.length) msC.addData(cb(i))
+          q.processAllAvailable()
+        }
+        spark.table(sink)
+          .select("event_id", "user_id", "ts", "cts", "click_value")
+          .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Double)]
+          .collect().toSet shouldBe batch
+      } finally q.stop()
+    }
+  }
+}

@@ -135,6 +135,82 @@ class TableJoinsSpec extends SparkSpec {
     TableJoins.rangeJoin(pts, ivs, "pts", "lo", "hi").count() shouldBe 2
   }
 
+  test("asofJoinSegmented == asofJoin for every (strict, tolerance, segment " +
+      "width) combination — the hot-key hatch changes nothing") {
+    val rnd = new scala.util.Random(99)
+    val l = (1 to 400).map(i =>
+      (i.toLong, s"u${rnd.nextInt(3)}",
+        t(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("id", "user", "ts")
+    val r = (1 to 250).map(_ =>
+      (s"u${rnd.nextInt(3)}",
+        t(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(1000).toDouble))
+      .toDF("user", "rts", "rv")
+    for {
+      strict <- Seq(false, true)
+      tol <- Seq(None, Some(90L * 60 * 1000000))
+      segMin <- Seq(13L, 60L, 100000L) // incl. one-segment degenerate
+    } {
+      val plain = TableJoins.asofJoin(l, r, Seq("user"), "ts", "rts",
+          Seq("rv"), strict = strict, toleranceMicros = tol)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      val seg = TableJoins.asofJoinSegmented(l, r, Seq("user"), "ts", "rts",
+          Seq("rv"), segmentMicros = segMin * 60 * 1000000,
+          strict = strict, toleranceMicros = tol)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      withClue(s"strict=$strict tol=$tol segMin=$segMin: ") {
+        seg shouldBe plain
+      }
+    }
+  }
+
+  test("asofJoinSegmented windows partition on (key, segment) — the hot " +
+      "key's sort is split") {
+    val l = (1 to 50).map(i => (i.toLong, "hot",
+      new java.sql.Timestamp(i * 3600L * 1000))).toDF("id", "user", "ts")
+    val r = (1 to 50).map(i => ("hot",
+      new java.sql.Timestamp(i * 2700L * 1000), i.toDouble))
+      .toDF("user", "rts", "rv")
+    val plan = TableJoins.asofJoinSegmented(l, r, Seq("user"), "ts", "rts",
+        Seq("rv"), segmentMicros = 6L * 3600 * 1000000)
+      .queryExecution.executedPlan.toString
+    plan should include("_seg")
+    plan should include("hashpartitioning(user")
+  }
+
+  test("funnel: greedy stage ordering, null propagation, strictly-after " +
+      "semantics") {
+    val ev = Seq(
+      // u1 converts: signup 09, click 10, purchase 11
+      (1L, "signup", t("2024-01-01 09:00:00")),
+      (1L, "click", t("2024-01-01 08:00:00")), // before signup — ignored
+      (1L, "click", t("2024-01-01 10:00:00")),
+      (1L, "purchase", t("2024-01-01 11:00:00")),
+      // u2: clicks but never signs up → not in the funnel at all
+      (2L, "click", t("2024-01-01 10:00:00")),
+      // u3: signup then purchase WITHOUT click → purchase null
+      (3L, "signup", t("2024-01-01 09:00:00")),
+      (3L, "purchase", t("2024-01-01 10:00:00")),
+      // u4: purchase equal to click ts — strictly-after excludes it
+      (4L, "signup", t("2024-01-01 09:00:00")),
+      (4L, "click", t("2024-01-01 10:00:00")),
+      (4L, "purchase", t("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.ops.Funnel.funnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"))
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    out.keySet shouldBe Set(1L, 3L, 4L)
+    out(1L)._5 shouldBe true
+    out(1L)._3 shouldBe Some(t("2024-01-01 10:00:00"))
+    out(3L)._3 shouldBe None
+    out(3L)._4 shouldBe None // no click → purchase can't count
+    out(3L)._5 shouldBe false
+    out(4L)._4 shouldBe None // equal ts is not strictly after
+  }
+
   test("saltedJoin is row-identical to the plain join (inner and left) on skewed data") {
     val rnd = new scala.util.Random(3)
     // 80% of left rows on one hot key
