@@ -79,6 +79,19 @@ object SparkEntry {
   private def dmean(v: Column): Column = dsum(v) / count(v)
   private val dmeanSql = (v: String) => s"${dsumSql(v)} / COUNT($v)"
 
+  /** Exact TPC-H revenue sum: price and discount are 2-decimal by
+    * construction, so decimal(18,2) casts are lossless, the product is
+    * an exact 4-decimal, the sum is order-free, and the final
+    * decimal→double cast rounds once identically in both engines. */
+  private def drevenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") -
+        col("l_discount").cast("decimal(18,2)"))).cast("double")
+  private val drevenueSql: String =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) " +
+      "AS DOUBLE)"
+
   /** Sign-LSH hyperplanes as SQL VALUES rows (p, i, coef): the same seeded
     * constants Similarity.topKLsh uses (16 planes × dim 64, seed 42),
     * embedded as shortest-roundtrip double literals like the radar-mask
@@ -548,6 +561,68 @@ object SparkEntry {
         .join(broadcast(n), cst("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+    }),
+    "q_tpch_q3" -> ((s, dir) => {
+      // classic shipping-priority shape: two big-side SMJs + one
+      // broadcast dim, selective pushed filters on all three scans,
+      // deterministic top-10 as TakeOrderedAndProject (revenue DESC,
+      // orderkey tie-break) — never a global sort
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(drevenue.as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_tpch_q5" -> ((s, dir) => {
+      // local-supplier-volume shape: the full 6-table join tree —
+      // lineitem ⋈ orders ⋈ customer ⋈ supplier (incl. the
+      // c_nationkey = s_nationkey locality condition) with the
+      // region→nation dim chain broadcast
+      val r = s.read.parquet(s"$dir/region.parquet")
+        .where(col("r_name") === "ASIA")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "q_bucketed_join" -> ((s, dir) => {
+      // co-located bucketed join: both sides written bucketBy(user_id)
+      // once, every subsequent join on the key elides BOTH exchanges
+      // (plan-pinned in PlanQualitySpec). Result == the plain join,
+      // which IS the oracle.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = readEvents(s, dir)
+      graft.ops.Bucketed.writeBucketed(
+        ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value")),
+        s"graft_bkt_purchases_$slug", Seq("user_id"), 8)
+      graft.ops.Bucketed.writeBucketed(
+        ev.where(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_views")),
+        s"graft_bkt_views_$slug", Seq("user_id"), 8)
+      graft.ops.Bucketed.bucketedJoin(s,
+          s"graft_bkt_purchases_$slug", s"graft_bkt_views_$slug",
+          Seq("user_id"))
+        .select("event_id", "user_id", "value", "n_views")
     }),
     // --- text analysis ---------------------------------------------------
     "q_text_tokens" -> ((s, dir) => {
@@ -5308,6 +5383,36 @@ object SparkEntry {
                 prof.first_signup
          FROM events p JOIN prof USING (user_id)
          WHERE p.event_type = 'purchase'""",
+    "q_tpch_q3" -> s"""
+         SELECT l_orderkey, o_orderdate, o_orderpriority,
+                $drevenueSql AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" -> s"""
+         SELECT n_name, $drevenueSql AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
+    "q_bucketed_join" ->
+      // bucketing is physical layout; semantics = the plain join
+      """WITH nv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
+            FROM events WHERE event_type = 'view' GROUP BY 1)
+         SELECT e.event_id, e.user_id, e.value, nv.n_views
+         FROM events e JOIN nv USING (user_id)
+         WHERE e.event_type = 'purchase'""",
     "q_funnel" ->
       // greedy first-match per stage; CASE-over-null propagates an
       // unreached stage exactly like the Spark when()

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (co-located) storage for shuffle-free joins — the 100 TB
+  * fact⋈fact answer. Two tables written with the SAME bucket count and
+  * keys place every join key in the same bucket index on both sides;
+  * a subsequent equi-join on those keys sort-merges bucket-by-bucket
+  * with NO exchange on either side (plan-pinned: zero Exchange nodes
+  * under the join), and with `sortBy` the per-bucket sort is already on
+  * disk. The shuffle is paid ONCE at write time and amortized over
+  * every subsequent join/aggregation on the key — exactly the
+  * pre-partitioning trade a nightly 100 TB fact table wants.
+  *
+  * Bucketing metadata lives in the session catalog (`saveAsTable`), the
+  * same mechanism [[graft.text.Similarity.writeIvfIndex]] uses for
+  * probe-pruned ANN serving. */
+object Bucketed {
+
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      nBuckets: Int): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs bucket keys")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables on their bucket keys — resolves
+    * through the catalog so Spark sees the bucket specs and elides both
+    * exchanges. */
+  def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
+      keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(tableA).join(spark.table(tableB), keys, joinType)
+}

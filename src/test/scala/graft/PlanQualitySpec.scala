@@ -766,6 +766,51 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("bucketed co-located join elides BOTH exchanges (shuffle paid once " +
+      "at write time)") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => (i.toLong % 40, i.toLong)).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong % 40, i.toDouble)).toDF("k", "vb")
+    graft.ops.Bucketed.writeBucketed(a, "pq_bkt_a", Seq("k"), 4)
+    graft.ops.Bucketed.writeBucketed(b, "pq_bkt_b", Seq("k"), 4)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = graft.ops.Bucketed.bucketedJoin(spark, "pq_bkt_a", "pq_bkt_b",
+        Seq("k"))
+      val plan = planString(j)
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+      // and the result is the plain join
+      j.count() shouldBe 200L * 100 / 40
+    }
+  }
+
+  test("tpch q3 shape: top-10 runs as TakeOrderedAndProject; the customer " +
+      "dim broadcasts; filters reach all three scans") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_tpch_q3")(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+    plan should not include "GlobalSort"
+    plan.split("PushedFilters: \\[[^\\]]*(GreaterThan|LessThan|EqualTo)")
+      .length - 1 should be >= 3
+  }
+
+  test("funnel reuses one key partitioning across stages — no " +
+      "per-stage reshuffle of the accumulator") {
+    import spark.implicits._
+    val ev = (1 to 300).map(i => (i.toLong % 20,
+      Seq("signup", "click", "purchase")(i % 3),
+      new java.sql.Timestamp(i * 60000L))).toDF("user_id", "event_type", "ts")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = planString(graft.ops.Funnel.funnel(ev, "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase")))
+      // 3 stage aggregations each need the stage's events partitioned on
+      // the key (3 exchanges); the accumulator side must NOT re-exchange
+      // between stages: ≤ 4 total, not 6+
+      plan.split("Exchange hashpartitioning").length - 1 should be <= 4
+    }
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
