@@ -1457,6 +1457,29 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_audio_features" -> ((s, dir) => {
+      // audio ANALYSIS over real WAV bytes: the q_multimodal_wav
+      // container round-trip, then per-32-sample-frame RMS energy +
+      // zero-crossing rate — integer-exact frame sums, one sqrt + one
+      // division of IEEE steps, replayed from hex(text) by the oracle
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val wav = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 2 &&
+          octet_length(col("tb")) <= 4096)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val n = tb.length - (tb.length % 2)
+          (id, Multimodal.WavCodec.encode(
+            Multimodal.Decoded("wav", n / 2, 1, 2, 1, tb.take(n))))
+        }.toDF("doc_id", "payload")
+      Multimodal.audioFrameFeatures(wav, "payload", frameLen = 32,
+          codec = Multimodal.WavCodec)
+        .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+          round(col("energy"), 6).as("energy"),
+          round(col("zcr"), 6).as("zcr"))
+    }),
     "q_multimodal_png" -> ((s, dir) => {
       // REAL compressed image bytes end-to-end: each doc's UTF-8 bytes
       // tile a w×h RGB image (w = 1+len%6, h = 1+len%4, pixel j = byte
@@ -2337,6 +2360,55 @@ object SparkEntry {
         q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table(sink)
+        .select("event_id", "user_id", "ts", "cts", "click_value")
+    }),
+    "q_stream_join_outer" -> ((s, dir) => {
+      // LEFT-OUTER stream-stream correctness row — the watermark-proof
+      // semantics: an unmatched view can only emit (null click columns)
+      // once the watermark proves no click can still land in its ±30 min
+      // band. Batches feed time-ordered with a 2 h watermark; a
+      // far-future sentinel on BOTH streams flushes every pending
+      // unmatched row. Oracle = the declarative batch LEFT band join.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      val maxTs = math.max(views.last._3.getTime, clicks.last._2.getTime)
+      val sentinelTs = new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000)
+      val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val msC = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val joined = graft.streaming.StreamingOps.joinStreamsWithin(
+        msV.toDF.toDF("event_id", "user_id", "ts"),
+        msC.toDF.toDF("user_id", "cts", "click_value"),
+        Seq("user_id"), "ts", "cts",
+        bandMs = 30L * 60 * 1000, watermarkMs = 2L * 3600 * 1000,
+        joinType = "left_outer")
+      val sink = "q_stream_join_outer_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val vb = views.grouped(math.max(1, views.length / 3 + 1)).toSeq
+        val cb = clicks.grouped(math.max(1, clicks.length / 3 + 1)).toSeq
+        (0 until math.max(vb.length, cb.length)).foreach { i =>
+          if (i < vb.length) msV.addData(vb(i))
+          if (i < cb.length) msC.addData(cb(i))
+          q.processAllAvailable()
+        }
+        msV.addData(Seq((-1L, -1L, sentinelTs)))
+        msC.addData(Seq((-1L, sentinelTs, 0.0)))
+        q.processAllAvailable()
+      } finally {
+        q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).where(col("event_id") =!= -1L)
         .select("event_id", "user_id", "ts", "cts", "click_value")
     }),
     "q_zorder" -> ((s, dir) => {
@@ -5383,6 +5455,33 @@ object SparkEntry {
                 prof.first_signup
          FROM events p JOIN prof USING (user_id)
          WHERE p.event_type = 'purchase'""",
+    "q_audio_features" ->
+      // WavCodec's sample plane maps back to exactly the source bytes
+      // (the q_multimodal_wav contract), so frames replay from
+      // hex(text): v = byte − 128, 32-sample windows, integer-exact
+      // squared sums and lag-based crossing counts
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+              octet_length(encode(text)) AS len
+            FROM documents
+            WHERE octet_length(encode(text)) >= 2
+              AND octet_length(encode(text)) <= 4096),
+         p AS (SELECT doc_id, h, len - (len % 2) AS n FROM d),
+         bytes AS (SELECT p.doc_id, g.i,
+              CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
+                   AS INTEGER) - 128 AS v
+            FROM p, generate_series(0, 4095) AS g(i)
+            WHERE g.i < p.n),
+         fr AS (SELECT doc_id, i // 32 AS frame_idx, i, v,
+              CASE WHEN i % 32 > 0 AND ((v < 0) !=
+                  (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0))
+                THEN 1 ELSE 0 END AS x
+            FROM bytes)
+         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           round(sqrt(CAST(SUM(v*v) AS DOUBLE) / count(*)), 6) AS energy,
+           round(CASE WHEN count(*) <= 1 THEN 0.0
+             ELSE CAST(SUM(x) AS DOUBLE) / (count(*) - 1) END, 6) AS zcr
+         FROM fr GROUP BY 1, 2""",
     "q_tpch_q3" -> s"""
          SELECT l_orderkey, o_orderdate, o_orderpriority,
                 $drevenueSql AS revenue
@@ -5453,6 +5552,17 @@ object SparkEntry {
          SELECT v.event_id, v.user_id, v.ts, c.cts, c.click_value
          FROM v JOIN c USING (user_id)
          WHERE c.cts >= v.ts - INTERVAL 30 MINUTE
+           AND c.cts <= v.ts + INTERVAL 30 MINUTE""",
+    "q_stream_join_outer" ->
+      // LEFT band join: matched pairs (same as q_stream_join) plus every
+      // unmatched view once with null click columns
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, value AS click_value FROM events
+               WHERE event_type = 'click')
+         SELECT v.event_id, v.user_id, v.ts, c.cts, c.click_value
+         FROM v LEFT JOIN c ON c.user_id = v.user_id
+           AND c.cts >= v.ts - INTERVAL 30 MINUTE
            AND c.cts <= v.ts + INTERVAL 30 MINUTE""",
     "q_zorder" ->
       // bit-for-bit replay of quantize (same IEEE op order: subtract,

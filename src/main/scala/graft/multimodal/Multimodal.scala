@@ -547,6 +547,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-frame AUDIO features over the decoded sample plane: RMS energy
+    * and zero-crossing rate in fixed windows of `frameLen` samples (the
+    * interleaved stream; the trailing partial frame is kept). Sample
+    * values are the seam's byte plane re-centred to signed −128..127
+    * (the WavCodec high-byte convention). Each frame's squared-sum and
+    * crossing count are EXACT integers; the only IEEE steps are one
+    * division + sqrt (RMS) and one division (ZCR), so an external
+    * oracle replays the math bit-for-bit. A zero sample counts as
+    * non-negative for crossing purposes (`v<0` vs `v>=0` flip), the
+    * convention that needs no three-way sign case.
+    *
+    * Output: one row per (row, frame_idx) with n_samples, energy, zcr.
+    * Same mapPartitions codec seam as [[featureExtract]] — constant
+    * memory, codec instantiated per partition, no driver involvement. */
+  def audioFrameFeatures(df: DataFrame, binCol: String, frameLen: Int,
+      codec: Codec = FakeCodec): DataFrame = {
+    require(frameLen >= 1, "frameLen must be >= 1")
+    val idx = df.schema.fieldIndex(binCol)
+    val schema = StructType(df.schema.fields :+
+      StructField("frame_idx", IntegerType) :+
+      StructField("n_samples", IntegerType) :+
+      StructField("energy", DoubleType) :+
+      StructField("zcr", DoubleType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val d = codec.decode(row.getAs[Array[Byte]](idx))
+        val n = d.pixels.length
+        val nFramesOut = (n + frameLen - 1) / frameLen
+        (0 until nFramesOut).iterator.map { f =>
+          val lo = f * frameLen
+          val hi = math.min(lo + frameLen, n)
+          var ss = 0L
+          var crossings = 0L
+          var i = lo
+          var prevNeg = false
+          while (i < hi) {
+            val v = (d.pixels(i) & 0xff) - 128
+            ss += v.toLong * v
+            val neg = v < 0
+            if (i > lo && (neg != prevNeg)) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          val cnt = hi - lo
+          val energy = math.sqrt(ss.toDouble / cnt)
+          val zcr =
+            if (cnt <= 1) 0.0 else crossings.toDouble / (cnt - 1)
+          Row.fromSeq(row.toSeq :+ f :+ cnt :+ energy :+ zcr)
+        }
+      }
+    }(enc)
+  }
+
   /** Temporal mean-pool — the video-embedding step: frame-level feature
     * vectors (one row per sampled frame) collapse to ONE vector per id,
     * each dimension the mean over frames. Two narrow shuffles:

@@ -414,19 +414,31 @@ object StreamingOps {
     * `watermarkMs` to the pipeline's real out-of-orderness bound;
     * StreamingSpec pins batch-split invariance under in-watermark
     * arrival). */
+  /** @param joinType `inner` (default) or `left_outer`. Left-outer adds
+    *   the genuinely streaming-hard semantics: an unmatched left row can
+    *   only emit (with null right columns) once the WATERMARK proves no
+    *   future right row can still land in its band — i.e. unmatched
+    *   results trail the watermark, matched results emit eagerly. The
+    *   harness therefore closes the run with a far-future sentinel on
+    *   both streams so every pending unmatched row flushes
+    *   deterministically. */
   def joinStreamsWithin(left: DataFrame, right: DataFrame,
       keys: Seq[String], leftTs: String, rightTs: String,
-      bandMs: Long, watermarkMs: Long): DataFrame = {
+      bandMs: Long, watermarkMs: Long,
+      joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "joinStreamsWithin needs equality keys")
     require(bandMs >= 0, "bandMs must be >= 0")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"joinStreamsWithin supports inner/left_outer, got $joinType")
     val l = left.withWatermark(leftTs, s"$watermarkMs milliseconds")
     val r = right.withWatermark(rightTs, s"$watermarkMs milliseconds")
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
     val band = keyCond &&
       r(rightTs) >= l(leftTs) - expr(s"INTERVAL $bandMs MILLISECONDS") &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $bandMs MILLISECONDS")
-    // drop the right side's duplicate key columns from the output
-    keys.foldLeft(l.join(r, band, "inner"))((df, k) => df.drop(r(k)))
+    // drop the right side's duplicate key columns from the output (null
+    // on unmatched outer rows anyway; the left copy is authoritative)
+    keys.foldLeft(l.join(r, band, joinType))((df, k) => df.drop(r(k)))
   }
 
   def curationGateStream(df: DataFrame, textCol: String,

@@ -314,4 +314,38 @@ class MultimodalSpec extends SparkSpec {
     (m.getString(0), m.getInt(1), m.getInt(2)) shouldBe (("png", 4, 6))
     m.getDouble(3) shouldBe (px.map(b => (b & 0xff).toDouble).sum / px.length)
   }
+
+  test("audioFrameFeatures: worked example — alternating square wave") {
+    // 8 samples alternating +100/−100 (bytes 228 / 28): RMS = 100,
+    // ZCR = 7/7 = 1.0 in one 8-sample frame; then a 4-sample silent
+    // tail (byte 128 → v=0): energy 0, zcr 0
+    val plane = (Array.fill(4)(Seq(228, 28)).flatten ++ Seq(128, 128, 128, 128))
+      .map(_.toByte).toArray
+    val wav = Multimodal.WavCodec.encode(
+      Multimodal.Decoded("wav", plane.length, 1, 1, 1, plane))
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val out = Multimodal.audioFrameFeatures(df, "payload", frameLen = 8,
+        codec = Multimodal.WavCodec)
+      .select("frame_idx", "n_samples", "energy", "zcr")
+      .as[(Int, Int, Double, Double)].collect().sortBy(_._1)
+    out.length shouldBe 2
+    out(0) shouldBe ((0, 8, 100.0, 1.0))
+    out(1) shouldBe ((1, 4, 0.0, 0.0))
+  }
+
+  test("audioFrameFeatures: trailing partial frame and single-sample zcr=0") {
+    val plane = Array[Byte](200.toByte, 50, 130.toByte) // v = 72, −78, 2
+    val wav = Multimodal.WavCodec.encode(
+      Multimodal.Decoded("wav", 3, 1, 1, 1, plane))
+    val df = Seq((1L, wav)).toDF("id", "payload")
+    val out = Multimodal.audioFrameFeatures(df, "payload", frameLen = 2,
+        codec = Multimodal.WavCodec)
+      .select("frame_idx", "n_samples", "energy", "zcr")
+      .as[(Int, Int, Double, Double)].collect().sortBy(_._1)
+    out.length shouldBe 2
+    out(0)._2 shouldBe 2
+    out(0)._3 shouldBe math.sqrt((72.0 * 72 + 78.0 * 78) / 2)
+    out(0)._4 shouldBe 1.0 // 72 → −78 is one flip over one transition
+    out(1) shouldBe ((1, 1, 2.0, 0.0)) // single sample: energy |v|, zcr 0
+  }
 }
