@@ -25,8 +25,11 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * openeo_odc_driver.py` process dispatch): one table of named
   * operations, multiple front doors. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionInjections.foreach(ext.injectFunction)
+    // optimizer rules: declarative band joins plan as binned equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+  }
 }
 
 object GraftExtensions {

@@ -2250,6 +2250,30 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_band_join_rule" -> ((s, dir) => {
+      // the SAME busy-hours containment as q_range_join, but written as
+      // the raw DECLARATIVE inequality join a SQL user would type — the
+      // injected BandJoinRule optimizer rule rewrites it to the binned
+      // equi-join (BandJoinRuleSpec pins the plan); oracle shared
+      // verbatim with q_range_join
+      import graft.plans.BandJoinRule
+      if (!s.experimental.extraOptimizations.exists(_ eq BandJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ BandJoinRule
+      val ev = readEvents(s, dir)
+      val busy = ev.where(col("event_type").isin("click", "view"))
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .where(col("n_events") >= 8)
+        .withColumn("window_end",
+          col("window_start") + expr("INTERVAL 1 HOUR")
+            - expr("INTERVAL 1 MICROSECOND"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      errors.join(busy,
+          col("ts") >= col("window_start") && col("ts") <= col("window_end"))
+        .select("event_id", "user_id", "ts", "window_start", "n_events")
+    }),
     "q_graph_asof" -> ((s, dir) => {
       // the as-of join driven through the openEO JSON graph surface:
       // load_table x2 + asof_join compile to the IDENTICAL plan as
@@ -5436,6 +5460,19 @@ object SparkEntry {
     "q_range_join" ->
       // the bins are implementation detail; the oracle states the
       // declarative inequality-join semantics directly
+      """WITH busy AS (SELECT date_trunc('hour', ts) AS window_start,
+                CAST(count(*) AS BIGINT) AS n_events
+           FROM events WHERE event_type IN ('click', 'view')
+           GROUP BY 1 HAVING count(*) >= 8),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error')
+         SELECT p.event_id, p.user_id, p.ts, b.window_start, b.n_events
+         FROM p JOIN busy b ON p.ts >= b.window_start
+           AND p.ts <= b.window_start + INTERVAL 1 HOUR
+                        - INTERVAL 1 MICROSECOND""",
+    "q_band_join_rule" ->
+      // shared verbatim with q_range_join: the optimizer rule is pure
+      // plan surgery, semantics unchanged
       """WITH busy AS (SELECT date_trunc('hour', ts) AS window_start,
                 CAST(count(*) AS BIGINT) AS n_events
            FROM events WHERE event_type IN ('click', 'view')
