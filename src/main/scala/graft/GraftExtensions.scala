@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functionInjections.foreach(ext.injectFunction)
     // optimizer rules: declarative band joins plan as binned equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+    // planner strategies: the custom as-of join physical operator
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -2250,6 +2250,21 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_asof_native" -> ((s, dir) => {
+      // the SAME point-in-time attribution as q_asof_join, through the
+      // custom LogicalPlan → Strategy → AsofJoinExec physical merge
+      // (one O(1)-state pass, no window machinery) — oracle shared
+      // verbatim; TableJoinsSpec pins plan + law-equality to asofJoin
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.ops.TableJoins.asofJoinNative(views, clicks, Seq("user_id"),
+          "ts", "cts", Seq("click_ts", "click_value"))
+        .select("event_id", "user_id", "ts", "click_ts", "click_value")
+    }),
     "q_band_join_rule" -> ((s, dir) => {
       // the SAME busy-hours containment as q_range_join, but written as
       // the raw DECLARATIVE inequality join a SQL user would type — the
@@ -5393,6 +5408,26 @@ object SparkEntry {
     // tie rule), side 0/1 ordering encodes inclusive-vs-strict at equal
     // timestamps
     "q_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
+               WHERE event_type = 'click' GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, ts, 1 AS side, event_id,
+                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
+           UNION ALL
+           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
+                  cts, cv FROM c),
+         s AS (SELECT *,
+             last_value(cts IGNORE NULLS) OVER w AS click_ts,
+             last_value(cv IGNORE NULLS) OVER w AS click_value
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts, click_ts, click_value
+         FROM s WHERE side = 1""",
+    "q_asof_native" ->
+      // shared verbatim with q_asof_join: the custom physical operator
+      // is semantics-identical by the TableJoinsSpec law
       """WITH v AS (SELECT event_id, user_id, ts FROM events
               WHERE event_type = 'view'),
          c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events

@@ -21,6 +21,15 @@ object Bucketed {
       nBuckets: Int): Unit = {
     require(keys.nonEmpty, "writeBucketed needs bucket keys")
     require(nBuckets >= 1, "nBuckets must be >= 1")
+    val spark = df.sparkSession
+    // a previous SESSION's managed-table directory survives the session
+    // while its catalog entry does not — CREATE then fails with
+    // LOCATION_ALREADY_EXISTS even in overwrite mode. Drop both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

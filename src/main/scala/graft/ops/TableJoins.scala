@@ -120,6 +120,48 @@ object TableJoins {
     gated.select(out: _*)
   }
 
+  /** The as-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]]): same semantics as [[asofJoin]]
+    * (law-tested), executed as one streaming merge over co-partitioned,
+    * co-sorted children with O(1) per-partition state — no union row
+    * widening, no window machinery. Registers
+    * [[graft.plans.AsofJoinStrategy]] on the live session idempotently
+    * (sessions built with [[graft.GraftExtensions]] already have it). */
+  def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      strict: Boolean = false,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoinNative needs at least one key")
+    require(payload.nonEmpty, "asofJoinNative needs payload columns")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .exists(_ eq graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    // fresh exprIds on the right: self-joins (both sides filtered from
+    // one source) would otherwise carry duplicate attribute ids across
+    // the children, which the analyzer only disambiguates for built-in
+    // Join nodes
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rAnalyzed.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+      rAnalyzed)
+    val rOut = rPlan.projectList.map(_.toAttribute)
+    def la(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left column '$n' not found"))
+    def ra(n: String) = rOut.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"right column '$n' not found"))
+    val out = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.AsofJoinPlan(lPlan, rPlan,
+        keys.map(la), keys.map(ra), la(leftTs), ra(rightTs),
+        payload.map(ra), strict, toleranceMicros))
+    // column order contract shared with asofJoin: keys, left rest, payload
+    val ordered = keys ++ left.columns.filterNot(keys.contains) ++ payload
+    out.select(ordered.map(col): _*)
+  }
+
   /** The as-of join's HOT-KEY escape hatch, promoted to code: a key
     * whose |L_k| + |R_k| rows would serialize into one sort task is
     * instead split into time-contiguous SEGMENTS of `segmentMicros`, the

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway this library needs: constructing a
+  * DataFrame from a custom [[LogicalPlan]] node
+  * (`classic.Dataset.ofRows`) — required to surface a library-defined
+  * logical operator ([[graft.plans.AsofJoinPlan]]) through the public
+  * Dataset API. Isolated in this package-bridge file so every other
+  * source stays on public Spark API; the standard technique Spark
+  * ecosystem extensions use for exactly this purpose. */
+object Bridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

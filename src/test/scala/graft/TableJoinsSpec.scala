@@ -165,6 +165,52 @@ class TableJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinNative (custom SparkPlan) == asofJoin across strict × " +
+      "tolerance, including a same-source self-join") {
+    val rnd = new scala.util.Random(17)
+    val base = (1 to 500).map(i =>
+      (i.toLong, s"u${rnd.nextInt(4)}",
+        t(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        rnd.nextInt(500).toDouble, if (i % 2 == 0) "view" else "click"))
+      .toDF("id", "user", "ts", "v", "typ")
+    val l = base.where(col("typ") === "view").select("id", "user", "ts")
+    val r = base.where(col("typ") === "click")
+      .select(col("user"), col("ts").as("rts"), col("v").as("rv"))
+    for {
+      strict <- Seq(false, true)
+      tol <- Seq(None, Some(45L * 60 * 1000000))
+    } {
+      val window = TableJoins.asofJoin(l, r, Seq("user"), "ts", "rts",
+          Seq("rv"), strict = strict, toleranceMicros = tol)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      val native = TableJoins.asofJoinNative(l, r, Seq("user"), "ts", "rts",
+          Seq("rv"), strict = strict, toleranceMicros = tol)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      withClue(s"strict=$strict tol=$tol: ") { native shouldBe window }
+    }
+  }
+
+  test("asofJoinNative plans as the custom AsofJoinExec merge (no window, " +
+      "no join node) and output schema matches asofJoin") {
+    val l = leftDf
+    val r = rightDf
+    val df = TableJoins.asofJoinNative(l, r, Seq("user"), "ts", "rts",
+      Seq("rv"))
+    df.columns.toSeq shouldBe
+      TableJoins.asofJoin(l, r, Seq("user"), "ts", "rts", Seq("rv"))
+        .columns.toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("AsofJoin")
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    // same-ts duplicate rights resolve to struct-max, like asofJoin
+    val dup = r.union(Seq(("u1", t("2024-01-01 09:30:00"), 5.0))
+      .toDF("user", "rts", "rv"))
+    TableJoins.asofJoinNative(l, dup, Seq("user"), "ts", "rts", Seq("rv"))
+      .select("id", "rv").as[(Long, Option[Double])].collect()
+      .toMap.apply(1L) shouldBe Some(10.0)
+  }
+
   test("asofJoinSegmented windows partition on (key, segment) — the hot " +
       "key's sort is split") {
     val l = (1 to 50).map(i => (i.toLong, "hot",
