@@ -2250,6 +2250,43 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_table_profile" -> ((s, dir) => {
+      // per-column dataset profile of events (ts excluded: engines
+      // disagree on timestamp→string trailing-zero trimming, and the
+      // whole column profiles through its string form). Two passes:
+      // one hash agg for exact null/min/max, one stacked HLL pass for
+      // distinct estimates.
+      graft.ops.TableProfile.profile(readEvents(s, dir),
+        Seq("event_id", "user_id", "event_type", "value"))
+    }),
+    "q_attribution_pipeline" -> ((s, dir) => {
+      // round-6 composition DAG: as-of click attribution over views →
+      // per-user attributed-view rollup → joined with the ordered
+      // funnel — one oracle SQL replays the whole trajectory. Shapes:
+      // the asof is the one-exchange union-window; the funnel reuses
+      // one key partitioning; the final join is key-aligned.
+      val ev = readEvents(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"),
+          col("value").as("click_value"))
+      val attributed = graft.ops.TableJoins.asofJoin(views, clicks,
+        Seq("user_id"), "ts", "cts", Seq("click_value"))
+      val perUser = attributed.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_views"),
+        count(col("click_value")).as("n_attributed"),
+        dsum(coalesce(col("click_value"), lit(0.0)))
+          .as("sum_attributed_value"))
+      val fun = graft.ops.Funnel.funnel(ev, "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+      fun.join(perUser, Seq("user_id"), "left")
+        .select(col("user_id"), col("converted"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+          coalesce(col("sum_attributed_value"), lit(0.0))
+            .as("sum_attributed_value"))
+    }),
     "q_asof_native" -> ((s, dir) => {
       // the SAME point-in-time attribution as q_asof_join, through the
       // custom LogicalPlan → Strategy → AsofJoinExec physical merge
@@ -2610,6 +2647,56 @@ object SparkEntry {
                    CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
                         AS DOUBLE) END, 6) AS est_distinct
          FROM ag"""
+  }
+
+  /** The shared fmix64+HLL-register replay chain, parameterized by a
+    * `tok(side, g)` CTE the caller provides: emits `fh .. est` where
+    * `est(side, est_distinct)`. Third consumer (after documents-tokens
+    * and join-overlap): the table profiler. */
+  private def hllEstChainSql: String = {
+    val numer = graft.text.Sketches.hllNumer(11)
+    s"""fh AS (SELECT side,
+             list_reduce(
+               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(0, octet_length(encode(g))),
+                   i -> CAST(CAST(('0x' || substr(hex(encode(g)),
+                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
+               (acc, byte) -> (xor(acc, byte) * 1099511628211)
+                 % 18446744073709551616) AS fh
+           FROM tok),
+         x1 AS (SELECT side, xor(fh, fh // 8589934592) AS a FROM fh),
+         x2 AS (SELECT side,
+             ((a % 4294967296) * 18397679294719823053
+              + ((a // 4294967296) * 18397679294719823053 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS b
+           FROM x1),
+         x3 AS (SELECT side, xor(b, b // 8589934592) AS c FROM x2),
+         x4 AS (SELECT side,
+             ((c % 4294967296) * 14181476777654086739
+              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
+                * 4294967296) % 18446744073709551616 AS d
+           FROM x3),
+         x5 AS (SELECT side, xor(d, d // 8589934592) AS hm FROM x4),
+         parts AS (SELECT side,
+             CAST(hm % 2048 AS BIGINT) AS reg,
+             CAST(hm // 2048 AS BIGINT) AS w
+           FROM x5),
+         rk AS (SELECT side, reg,
+             LEAST(bit_count((w & -w) - 1) + 1, 51) AS rank
+           FROM parts),
+         mr AS (SELECT side, reg, MAX(rank) AS mr FROM rk GROUP BY 1, 2),
+         ag AS (SELECT side, count(*) AS n_registers,
+             CAST(SUM(CAST(1 AS BIGINT) << (51 - mr)) AS BIGINT) AS s
+           FROM mr GROUP BY 1),
+         est AS (SELECT side,
+           round(CASE WHEN CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) <= 5120.0 AND n_registers < 2048
+             THEN 2048.0 * ln(2048.0 / (2048.0 - CAST(n_registers AS DOUBLE)))
+             ELSE CAST($numer AS DOUBLE) /
+                   CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
+                        AS DOUBLE) END, 6) AS est_distinct
+           FROM ag)"""
   }
 
   /** q_hll_join replay: the SAME fmix64+register chain as
@@ -5425,6 +5512,80 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_table_profile" -> s"""
+         WITH src AS (
+           SELECT 'event_id' AS side, CAST(event_id AS VARCHAR) AS g
+             FROM events
+           UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+           UNION ALL SELECT 'event_type', event_type FROM events
+           UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events),
+         tok AS (SELECT side, g FROM src WHERE g IS NOT NULL),
+         $hllEstChainSql,
+         ex AS (
+           SELECT 'event_id' AS "column",
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(event_id) AS BIGINT) AS n_values,
+             CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+             CAST(min(event_id) AS VARCHAR) AS "min",
+             CAST(max(event_id) AS VARCHAR) AS "max" FROM events
+           UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT),
+             CAST(count(user_id) AS BIGINT),
+             CAST(count(*) - count(user_id) AS BIGINT),
+             CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+             FROM events
+           UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT),
+             CAST(count(event_type) AS BIGINT),
+             CAST(count(*) - count(event_type) AS BIGINT),
+             min(event_type), max(event_type) FROM events
+           UNION ALL SELECT 'value', CAST(count(*) AS BIGINT),
+             CAST(count(value) AS BIGINT),
+             CAST(count(*) - count(value) AS BIGINT),
+             CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+             FROM events)
+         SELECT ex."column", ex.n_rows, ex.n_values, ex.n_nulls,
+                ex."min", ex."max",
+                coalesce(est.est_distinct, 0.0) AS est_distinct
+         FROM ex LEFT JOIN est ON est.side = ex."column"""",
+    "q_attribution_pipeline" ->
+      // full-trajectory replay: union-window as-of attribution →
+      // per-user rollup (decimal sum) → ordered funnel → left join
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
+               WHERE event_type = 'click' GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, ts, 1 AS side, event_id,
+                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
+           UNION ALL
+           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
+                  cts, cv FROM c),
+         s AS (SELECT *,
+             last_value(cv IGNORE NULLS) OVER w AS click_value
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         att AS (SELECT user_id, click_value FROM s WHERE side = 1),
+         pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
+              CAST(count(click_value) AS BIGINT) AS n_attributed,
+              CAST(SUM(CAST(coalesce(click_value, 0.0) AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_attributed_value
+            FROM att GROUP BY 1),
+         s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT s0.user_id, s0.signup_ts,
+              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
+            FROM s0 LEFT JOIN events e
+              ON e.user_id = s0.user_id AND e.event_type = 'click'
+            GROUP BY 1, 2),
+         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
+              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+            GROUP BY 1, 2, 3)
+         SELECT f.user_id, f.purchase_ts IS NOT NULL AS converted,
+           coalesce(pu.n_views, 0) AS n_views,
+           coalesce(pu.n_attributed, 0) AS n_attributed,
+           coalesce(pu.sum_attributed_value, 0.0) AS sum_attributed_value
+         FROM s2 f LEFT JOIN pu USING (user_id)""",
     "q_asof_native" ->
       // shared verbatim with q_asof_join: the custom physical operator
       // is semantics-identical by the TableJoinsSpec law
