@@ -2250,6 +2250,36 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_pivot" -> ((s, dir) => {
+      // relational pivot surface: per-user event-type contingency table
+      // (explicit value list → no extra distinct pass; map-side partial
+      // counts). na.fill(0) so absent cells are 0 like the conditional-
+      // count oracle
+      readEvents(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+    "q_resample_ffill" -> ((s, dir) => {
+      // regular-grid resampling with forward fill: each user's sparse
+      // purchase series lands on a daily grid via a backward as-of join
+      // (grid side = explode(sequence) per user — no driver loop).
+      // Composes sequence/explode with the union-window asof.
+      val ev = readEvents(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("value").as("last_purchase"))
+      val grid = purchases.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("pts"))).as("d0"),
+          date_trunc("day", max(col("pts"))).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("grid_ts"))
+      graft.ops.TableJoins.asofJoin(grid, purchases, Seq("user_id"),
+          "grid_ts", "pts", Seq("last_purchase"))
+        .select("user_id", "grid_ts", "last_purchase")
+    }),
     "q_table_profile" -> ((s, dir) => {
       // per-column dataset profile of events (ts excluded: engines
       // disagree on timestamp→string trailing-zero trimming, and the
@@ -5512,6 +5542,36 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_pivot" ->
+      """SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY 1""",
+    "q_resample_ffill" ->
+      // per-user daily grid via generate_series, then the union-window
+      // asof replay (right deduped per (user, ts) to max value)
+      """WITH p AS (SELECT user_id, ts AS pts, max(value) AS pv FROM events
+              WHERE event_type = 'purchase' GROUP BY 1, 2),
+         span AS (SELECT user_id, date_trunc('day', min(pts)) AS d0,
+              date_trunc('day', max(pts)) AS d1
+            FROM p GROUP BY 1),
+         grid AS (SELECT s.user_id, g.gts AS grid_ts
+            FROM span s, LATERAL (SELECT unnest(generate_series(
+              s.d0, s.d1, INTERVAL 1 DAY)) AS gts) g),
+         u AS (
+           SELECT user_id, grid_ts AS ts, 1 AS side, grid_ts,
+                  NULL::DOUBLE AS pv FROM grid
+           UNION ALL
+           SELECT user_id, pts AS ts, 0 AS side, NULL::TIMESTAMP AS grid_ts,
+                  pv FROM p),
+         sc AS (SELECT *,
+             last_value(pv IGNORE NULLS) OVER w AS last_purchase
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, grid_ts, last_purchase FROM sc WHERE side = 1""",
     "q_table_profile" -> s"""
          WITH src AS (
            SELECT 'event_id' AS side, CAST(event_id AS VARCHAR) AS g

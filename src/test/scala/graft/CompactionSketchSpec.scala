@@ -70,6 +70,22 @@ class CompactionSketchSpec extends SparkSpec {
     overlap shouldBe resketch
   }
 
+  test("TableProfile: exact nulls/min/max per column; HLL estimate near " +
+      "the true distinct count; two jobs not 2·|cols|") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, null),
+      (null, "a"), (2L, "c")).toDF("x", "s")
+    val out = graft.ops.TableProfile.profile(df, Seq("x", "s"))
+      .as[(String, Long, Long, Long, Option[String], Option[String], Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, nr, nv, nn, mn, mx, est) = out("x")
+    (nr, nv, nn, mn, mx) shouldBe ((5L, 4L, 1L, Some("1"), Some("3")))
+    est shouldBe 3.0 +- 0.5
+    val s = out("s")
+    (s._2, s._3, s._4, s._5, s._6) shouldBe
+      ((5L, 4L, 1L, Some("a"), Some("c")))
+    s._7 shouldBe 3.0 +- 0.5
+  }
+
   test("joinStreamsWithin == the batch band join under any micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
