@@ -2250,6 +2250,17 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_sample_weighted_k" -> ((s, dir) => {
+      // exact-50 weighted draw without replacement over documents,
+      // weight ∝ byte length (1e-6-quantized) — the Efraimidis-Spirakis
+      // key is a pure projection, the draw a TakeOrderedAndProject
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("wt",
+          round(octet_length(encode(col("text"), "UTF-8")).cast("double")
+            / 1000.0, 6) + 0.001)
+      graft.text.Sampling.sampleWeightedK(d, "doc_id", col("wt"), 50)
+        .select(col("doc_id"), col("wt"))
+    }),
     "q_pivot" -> ((s, dir) => {
       // relational pivot surface: per-user event-type contingency table
       // (explicit value list → no extra distinct pass; map-side partial
@@ -2455,8 +2466,11 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        val vb = views.grouped(math.max(1, views.length / 3 + 1)).toSeq
-        val cb = clicks.grouped(math.max(1, clicks.length / 3 + 1)).toSeq
+        // 2 feeding rounds: each extra round costs a full state-store
+        // commit cycle over both sides' buffered rows (BENCH_NOTES r6:
+        // 3 rounds measured ~30% slower with identical output)
+        val vb = views.grouped(math.max(1, views.length / 2 + 1)).toSeq
+        val cb = clicks.grouped(math.max(1, clicks.length / 2 + 1)).toSeq
         (0 until math.max(vb.length, cb.length)).foreach { i =>
           if (i < vb.length) msV.addData(vb(i))
           if (i < cb.length) msC.addData(cb(i))
@@ -2501,8 +2515,11 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        val vb = views.grouped(math.max(1, views.length / 3 + 1)).toSeq
-        val cb = clicks.grouped(math.max(1, clicks.length / 3 + 1)).toSeq
+        // 2 feeding rounds: each extra round costs a full state-store
+        // commit cycle over both sides' buffered rows (BENCH_NOTES r6:
+        // 3 rounds measured ~30% slower with identical output)
+        val vb = views.grouped(math.max(1, views.length / 2 + 1)).toSeq
+        val cb = clicks.grouped(math.max(1, clicks.length / 2 + 1)).toSeq
         (0 until math.max(vb.length, cb.length)).foreach { i =>
           if (i < vb.length) msV.addData(vb(i))
           if (i < cb.length) msC.addData(cb(i))
@@ -5542,6 +5559,18 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_sample_weighted_k" ->
+      // same LCG hash → u ∈ (0,1) → ln(u)/w key, top-50 with id
+      // tie-break
+      """WITH w AS (SELECT doc_id,
+              round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 6)
+                + 0.001 AS wt
+            FROM documents),
+         k AS (SELECT doc_id, wt,
+              ln(CAST((((doc_id % 2147483648) * 1103515245 + 12345)
+                   % 2147483648) + 1 AS DOUBLE) / 2147483649.0) / wt AS key
+            FROM w)
+         SELECT doc_id, wt FROM k ORDER BY key DESC, doc_id LIMIT 50""",
     "q_pivot" ->
       """SELECT user_id,
            CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,

@@ -483,6 +483,11 @@ final class GraphCompiler(
         graft.text.Sampling.sampleByWeight(dfArg(n, "data", r),
           optS(n, "id_column", r).getOrElse("doc_id"),
           col(optS(n, "weight_column", r).getOrElse("w")))
+      case "sample_weighted_k" =>
+        graft.text.Sampling.sampleWeightedK(dfArg(n, "data", r),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          col(optS(n, "weight_column", r).getOrElse("w")),
+          optD(n, "k", r).getOrElse(100.0).toInt)
 
       // ---- temporal table joins + storage layout (round 6) ----
       case "asof_join" =>

@@ -46,6 +46,26 @@ object Sampling {
     df.where(portableHash(col(idCol)) <
       least(weight, lit(1.0)).cast("double") * lit(M.toDouble))
 
+  /** Exact-k WEIGHTED sample without replacement (Efraimidis-Spirakis
+    * 2006): each row draws `key = ln(u) / w` with `u ∈ (0,1)` derived
+    * from the portable id hash, and the k LARGEST keys win — equivalent
+    * to maximizing u^(1/w), so inclusion probability scales with weight,
+    * no row repeats, and the whole draw is a deterministic function of
+    * (id, weight) any engine reproduces. Plans as TakeOrderedAndProject
+    * (bounded per-partition heaps, never a global sort). Ties break to
+    * the lowest id. Pass 1e-6-quantized weights for engine-exact
+    * replays, as with [[sampleByWeight]]. */
+  def sampleWeightedK(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (portableHash(col(idCol)) + lit(1L)).cast("double") /
+      lit((M + 1).toDouble)
+    df.withColumn("_es_key", log(u) / weight)
+      .orderBy(col("_es_key").desc, col(idCol))
+      .limit(k)
+      .drop("_es_key")
+  }
+
   /** Leakage-safe dataset split: every row of a GROUP (same `groupCol`
     * value — a URL domain, a near-dup cluster id, an author) lands in the
     * same split, so correlated documents cannot straddle train/validation.

@@ -86,6 +86,25 @@ class CompactionSketchSpec extends SparkSpec {
     s._7 shouldBe 3.0 +- 0.5
   }
 
+  test("sampleWeightedK: exact k, deterministic under repartitioning, " +
+      "kept sets nested in k, weight bias holds") {
+    import graft.text.Sampling
+    val df = (1L to 2000L).map(i =>
+      (i, if (i % 10 == 0) 8.0 else 0.25)).toDF("id", "w")
+    val k200 = Sampling.sampleWeightedK(df, "id", col("w"), 200)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    k200.size shouldBe 200
+    val again = Sampling.sampleWeightedK(df.repartition(13), "id",
+      col("w"), 200).as[(Long, Double)].collect().map(_._1).toSet
+    again shouldBe k200
+    val k100 = Sampling.sampleWeightedK(df, "id", col("w"), 100)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    k100.subsetOf(k200) shouldBe true
+    // 10% of rows carry 32× the weight — they should dominate the draw
+    val heavy = k200.count(_ % 10 == 0)
+    heavy should be > 120
+  }
+
   test("joinStreamsWithin == the batch band join under any micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
