@@ -2250,6 +2250,39 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_scd2_intervals" -> ((s, dir) => {
+      // SCD2 history build: each user's purchase values become
+      // [valid_from, valid_to) rows, null-terminated current row —
+      // one window over one key exchange
+      val ev = readEvents(s, dir)
+      val changes = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("value")) // dedupe any same-ts changes
+      graft.ops.TableJoins.validityIntervals(changes,
+          Seq("user_id"), "ts")
+        .select("user_id", "valid_from", "valid_to", "value", "is_current")
+    }),
+    "q_csv_source" -> ((s, dir) => {
+      // source-format breadth: events round-trip through CSV with an
+      // explicit schema (timestamps as epoch micros — CSV has no
+      // timestamp type) and through JSON Lines, then the two reads
+      // must agree row-for-row; oracle = the original projection
+      val ev = readEvents(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$slug"
+      ev.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      ev.write.mode("overwrite").json(s"$tmp/json")
+      val schema = "event_id LONG, user_id LONG, event_type STRING, " +
+        "ts_us LONG, value DOUBLE"
+      val fromCsv = s.read.schema(schema).option("header", "true")
+        .csv(s"$tmp/csv")
+      val fromJson = s.read.schema(schema).json(s"$tmp/json")
+      // inner join on the full row: any divergence drops rows and the
+      // oracle's row count catches it
+      fromCsv.join(fromJson,
+        Seq("event_id", "user_id", "event_type", "ts_us", "value"))
+    }),
     "q_sample_weighted_k" -> ((s, dir) => {
       // exact-50 weighted draw without replacement over documents,
       // weight ∝ byte length (1e-6-quantized) — the Efraimidis-Spirakis
@@ -5559,6 +5592,20 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_scd2_intervals" ->
+      """WITH ch AS (SELECT user_id, ts, max(value) AS value FROM events
+              WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT user_id, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           value,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             AS is_current
+         FROM ch""",
+    "q_csv_source" ->
+      // both format round-trips must reproduce this projection exactly
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                value
+         FROM events""",
     "q_sample_weighted_k" ->
       // same LCG hash → u ∈ (0,1) → ln(u)/w key, top-50 with id
       // tie-break

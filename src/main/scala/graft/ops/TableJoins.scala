@@ -288,6 +288,24 @@ object TableJoins {
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** SCD2-style validity intervals: turn a per-key CHANGE LOG (one row
+    * per key per change timestamp) into history rows
+    * `[valid_from, valid_to)` — `valid_to` = the key's next change, null
+    * for the current row. One window over one exchange on the key; the
+    * standard slowly-changing-dimension materialization every warehouse
+    * needs before an as-of or range join against history. Duplicate
+    * (key, ts) change rows should be pre-deduped by the caller (they
+    * would create zero-width intervals). */
+  def validityIntervals(changes: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keys.nonEmpty, "validityIntervals needs at least one key")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Interval (range) join: pair each point row with every interval row
     * whose `[startCol, endCol]` contains `pointTs`, matching on optional
     * equality `keys` first. Inclusive on both endpoints.
