@@ -2250,6 +2250,18 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_spatial_join" -> ((s, dir) => {
+      // 2-D binning trick: events scattered to pseudo-coordinates join
+      // three literal triangles via broadcast cell candidates + exact
+      // codegen ray-cast — one row per (point, containing polygon)
+      val px = col("value") % lit(20.0)
+      val py = (col("value") * lit(7.0)) % lit(20.0)
+      val pts = readEvents(s, dir)
+        .select(col("event_id"), px.as("px"), py.as("py"))
+      graft.ops.Geo.spatialJoin(pts, col("px"), col("py"),
+          spatialJoinPolys, cellSize = 4.0)
+        .select("event_id", "px", "py", "poly_id")
+    }),
     "q_scd2_intervals" -> ((s, dir) => {
       // SCD2 history build: each user's purchase values become
       // [valid_from, valid_to) rows, null-terminated current row —
@@ -2727,6 +2739,30 @@ object SparkEntry {
                    CAST((2048 - n_registers) * (CAST(1 AS BIGINT) << 51) + s
                         AS DOUBLE) END, 6) AS est_distinct
          FROM ag"""
+  }
+
+  /** q_spatial_join's literal polygon set (shared by query and oracle). */
+  private val spatialJoinPolys: Seq[(Int, graft.ops.Geo.Ring)] = Seq(
+    1 -> Seq((2.0, 2.0), (12.0, 3.0), (6.0, 14.0)),
+    2 -> Seq((8.0, 1.0), (19.0, 6.0), (11.0, 12.0)),
+    3 -> Seq((0.0, 10.0), (9.0, 19.0), (1.0, 18.0)))
+
+  /** DuckDB replay of [[graft.ops.Geo.pointInRing]]: same crossing
+    * predicate, slope pre-divided to one double literal (shortest
+    * round-trip repr parses back exactly). */
+  private def rayCastSql(px: String, py: String,
+      ring: graft.ops.Geo.Ring): String = {
+    val n = ring.length
+    val terms = (0 until n).map { i =>
+      val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % n)
+      if (y1 == y2) "0"
+      else {
+        val slope = (x2 - x1) / (y2 - y1)
+        s"(CASE WHEN (($y1 > $py) != ($y2 > $py)) " +
+          s"AND $px < $x1 + ($py - $y1) * $slope THEN 1 ELSE 0 END)"
+      }
+    }
+    s"((${terms.mkString(" + ")}) % 2) = 1"
   }
 
   /** The shared fmix64+HLL-register replay chain, parameterized by a
@@ -5592,6 +5628,15 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_spatial_join" -> {
+      val polyUnions = spatialJoinPolys.map { case (pid, ring) =>
+        s"""SELECT event_id, px, py, $pid AS poly_id FROM p
+            WHERE ${rayCastSql("px", "py", ring)}"""
+      }.mkString("\n UNION ALL \n")
+      s"""WITH p AS (SELECT event_id, value % 20.0 AS px,
+              (value * 7.0) % 20.0 AS py FROM events)
+          $polyUnions"""
+    },
     "q_scd2_intervals" ->
       """WITH ch AS (SELECT user_id, ts, max(value) AS value FROM events
               WHERE event_type = 'purchase' GROUP BY 1, 2)

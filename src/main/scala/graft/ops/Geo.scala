@@ -51,6 +51,46 @@ object Geo {
 
   def bboxOf(ring: Ring): (Double, Double, Double, Double) =
     (ring.map(_._1).min, ring.map(_._2).min, ring.map(_._1).max, ring.map(_._2).max)
+
+  /** Point-in-polygon JOIN against a polygon SET — the 2-D analog of
+    * [[graft.ops.TableJoins.rangeJoin]]'s binning trick: every polygon
+    * registers the grid cells its bbox covers (driver-side — the
+    * polygon set is compile-time literal, like every spatial filter in
+    * this engine), points map to their one cell, a BROADCAST equi-join
+    * on the cell proposes candidates, and the exact unrolled ray-cast
+    * ([[pointInRing]], whole-stage codegen) decides. Each (point,
+    * polygon) pair meets in exactly one cell — the point's — so no
+    * dedup. Output: point rows + `poly_id`, one row per containing
+    * polygon. Choose `cellSize` near the typical polygon diameter:
+    * candidate factor stays O(1). */
+  def spatialJoin(points: org.apache.spark.sql.DataFrame,
+      px: Column, py: Column, polys: Seq[(Int, Ring)],
+      cellSize: Double): org.apache.spark.sql.DataFrame = {
+    require(polys.nonEmpty, "spatialJoin needs at least one polygon")
+    require(cellSize > 0, "cellSize must be positive")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cells = polys.flatMap { case (pid, ring) =>
+      val (x0, y0, x1, y1) = bboxOf(ring)
+      for {
+        cx <- math.floor(x0 / cellSize).toLong to
+          math.floor(x1 / cellSize).toLong
+        cy <- math.floor(y0 / cellSize).toLong to
+          math.floor(y1 / cellSize).toLong
+      } yield (cx, cy, pid)
+    }
+    val cellDf = org.apache.spark.sql.functions.broadcast(
+      cells.toDF("_cx", "_cy", "poly_id"))
+    val exact = polys.map { case (pid, ring) =>
+      col("poly_id") === lit(pid) && pointInRing(px, py, ring)
+    }.reduce(_ || _)
+    points
+      .withColumn("_cx", floor(px / lit(cellSize)).cast("long"))
+      .withColumn("_cy", floor(py / lit(cellSize)).cast("long"))
+      .join(cellDf, Seq("_cx", "_cy"))
+      .where(exact)
+      .drop("_cx", "_cy")
+  }
 }
 
 /** Minimal Transverse-Mercator (UTM) <-> geographic conversion, pure Scala,

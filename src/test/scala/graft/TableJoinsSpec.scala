@@ -257,6 +257,27 @@ class TableJoinsSpec extends SparkSpec {
     out(4L)._4 shouldBe None // equal ts is not strictly after
   }
 
+  test("spatialJoin == unbinned point-in-polygon filter, across cell sizes") {
+    import graft.ops.Geo
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 1000).map(i =>
+      (i.toLong, rnd.nextDouble() * 20, rnd.nextDouble() * 20))
+      .toDF("id", "px", "py")
+    val polys: Seq[(Int, Geo.Ring)] = Seq(
+      1 -> Seq((2.0, 2.0), (12.0, 3.0), (6.0, 14.0)),
+      2 -> Seq((8.0, 1.0), (19.0, 6.0), (11.0, 12.0)))
+    val naive = polys.flatMap { case (pid, ring) =>
+      pts.where(Geo.pointInRing(col("px"), col("py"), ring))
+        .select("id").as[Long].collect().map(_ -> pid)
+    }.toSet
+    for (cell <- Seq(1.0, 4.0, 25.0)) {
+      val got = Geo.spatialJoin(pts, col("px"), col("py"), polys, cell)
+        .select("id", "poly_id").as[(Long, Int)].collect()
+      got.length shouldBe got.toSet.size // exactly-once
+      got.toSet shouldBe naive
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join (inner and left) on skewed data") {
     val rnd = new scala.util.Random(3)
     // 80% of left rows on one hot key
