@@ -2250,6 +2250,50 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_running_total" -> ((s, dir) => {
+      // per-user running purchase total over time — decimal cumulative
+      // sum in an ordered window (ties on ts aggregate together via the
+      // RANGE frame, so the result is order-deterministic)
+      val ev = readEvents(s, dir).where(col("event_type") === "purchase")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      ev.select(col("event_id"), col("user_id"), col("ts"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+    }),
+    "q_skew_report" -> ((s, dir) => {
+      // partition-key skew observability: per-key row share + the
+      // cumulative share of the top keys — the "is this key hot enough
+      // to salt" report, one aggregation + one tiny window over |keys|
+      val ev = readEvents(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val counts = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = counts.agg(sum(col("n_rows"))).head().getLong(0)
+      val w = Window.orderBy(col("n_rows").desc, col("user_id"))
+      counts
+        .withColumn("share",
+          round(col("n_rows").cast("double") / lit(tot.toDouble), 6))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_share",
+          round(sum(col("n_rows")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double") / lit(tot.toDouble), 6))
+        .where(col("rank") <= 20)
+    }),
+    "q_agg_incremental" -> ((s, dir) => {
+      // incremental view maintenance: three ts-range shards fold
+      // through the (count, decimal-sum) state monoid — equal to the
+      // one-shot aggregate by the monoid law (also law-tested with
+      // shard permutations)
+      val ev = readEvents(s, dir)
+      val shards = Seq(
+        ev.where(dayofmonth(col("ts")) <= 10),
+        ev.where(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
+        ev.where(dayofmonth(col("ts")) > 20))
+      graft.ops.Incremental.incrementalAgg(shards,
+        Seq("user_id", "event_type"), "value")
+    }),
     "q_spatial_join" -> ((s, dir) => {
       // 2-D binning trick: events scattered to pseudo-coordinates join
       // three literal triangles via broadcast cell candidates + exact
@@ -5628,6 +5672,34 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_running_total" ->
+      // DuckDB's ORDER BY default frame is the same RANGE frame, so
+      // same-ts ties aggregate together identically
+      """SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE)
+             AS running_total
+         FROM events WHERE event_type = 'purchase'""",
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS tot FROM c),
+         r AS (SELECT user_id, n_rows,
+             round(CAST(n_rows AS DOUBLE) / (SELECT tot FROM t), 6) AS share,
+             CAST(row_number() OVER (ORDER BY n_rows DESC, user_id)
+               AS INTEGER) AS rank,
+             round(CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / (SELECT tot FROM t), 6) AS cum_share
+           FROM c)
+         SELECT * FROM r WHERE rank <= 20""",
+    "q_agg_incremental" ->
+      // monoid law: the shard fold equals the one-shot aggregate
+      """SELECT user_id, event_type, CAST(count(value) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(value) AS DOUBLE) AS mean_value
+         FROM events GROUP BY 1, 2""",
     "q_spatial_join" -> {
       val polyUnions = spatialJoinPolys.map { case (pid, ring) =>
         s"""SELECT event_id, px, py, $pid AS poly_id FROM p

@@ -105,6 +105,25 @@ class CompactionSketchSpec extends SparkSpec {
     heavy should be > 120
   }
 
+  test("incrementalAgg: any shard permutation and granularity equals the " +
+      "one-shot aggregate") {
+    import graft.ops.Incremental
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 600).map(i =>
+      (s"k${rnd.nextInt(7)}", (rnd.nextInt(10000) / 100.0)))
+    val full = rows.toDF("k", "v")
+    val oneShot = Incremental.incrementalAgg(Seq(full), Seq("k"), "v")
+      .as[(String, Long, Double, Double)].collect().toSet
+    val shards3 = rows.grouped(200).map(_.toDF("k", "v")).toSeq
+    val shards6 = rows.grouped(100).map(_.toDF("k", "v")).toSeq
+    Incremental.incrementalAgg(shards3, Seq("k"), "v")
+      .as[(String, Long, Double, Double)].collect().toSet shouldBe oneShot
+    Incremental.incrementalAgg(shards3.reverse, Seq("k"), "v")
+      .as[(String, Long, Double, Double)].collect().toSet shouldBe oneShot
+    Incremental.incrementalAgg(shards6, Seq("k"), "v")
+      .as[(String, Long, Double, Double)].collect().toSet shouldBe oneShot
+  }
+
   test("joinStreamsWithin == the batch band join under any micro-batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
