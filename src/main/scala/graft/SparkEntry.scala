@@ -1400,6 +1400,32 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_image_augment" -> ((s, dir) => {
+      // augmentation over REAL bytes: generative BMP → horizontal flip
+      // → 2×2 center crop, THREE codec round-trips, then the
+      // position-weighted checksum (catches pixel permutations a mean
+      // cannot) — all index arithmetic replayed by the oracle from
+      // hex(text)
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val bmp = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 1)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val len = tb.length
+          val w = 1 + len % 7; val h = 1 + len % 5
+          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
+          (id, Multimodal.BmpCodec.encode(
+            Multimodal.Decoded("bmp", w, h, 3, 1, px)))
+        }.toDF("doc_id", "payload")
+      Multimodal.pixelChecksum(
+          Multimodal.centerCrop(
+            Multimodal.hflip(bmp, "payload", Multimodal.BmpCodec),
+            "payload", 2, 2, Multimodal.BmpCodec),
+          "payload", Multimodal.BmpCodec)
+        .select("doc_id", "n_px", "wsum")
+    }),
     "q_multimodal_resize" -> ((s, dir) => {
       // resize over REAL bytes: the generative BMP of q_multimodal_real
       // is nearest-neighbor downsampled to 2×2 (sy = ⌊y·h/2⌋ capped,
@@ -5672,6 +5698,30 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, click_ts, click_value
          FROM s WHERE side = 1""",
+    "q_image_augment" ->
+      // flip-then-crop index replay: out position p maps to source
+      // pixel ((y0+y)·w + (w−1−(x0+x)))·3 + c, byte fetched from
+      // hex(text) at (idx mod len); checksum Σ p·byte exact-integer
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+              octet_length(encode(text)) AS len
+            FROM documents WHERE octet_length(encode(text)) >= 1),
+         dims AS (SELECT doc_id, hx, len,
+              1 + len % 7 AS w, 1 + len % 5 AS h FROM d),
+         dims2 AS (SELECT *, least(w, 2) AS w2, least(h, 2) AS h2,
+              (w - least(w, 2)) // 2 AS x0, (h - least(h, 2)) // 2 AS y0
+            FROM dims),
+         pos AS (SELECT doc_id, hx, len, w, w2, h2, x0, y0, g.p
+            FROM dims2, generate_series(0, 11) AS g(p)
+            WHERE g.p < w2 * h2 * 3),
+         b AS (SELECT doc_id, p, w2, h2,
+             CAST(('0x' || substr(hx,
+               CAST((((y0 + p // (w2*3)) * w
+                      + (w - 1 - (x0 + (p % (w2*3)) // 3))) * 3 + p % 3)
+                    % len * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS byte
+           FROM pos)
+         SELECT doc_id, CAST(max(w2 * h2 * 3) AS INTEGER) AS n_px,
+                CAST(SUM(p * byte) AS BIGINT) AS wsum
+         FROM b GROUP BY 1""",
     "q_running_total" ->
       // DuckDB's ORDER BY default frame is the same RANGE frame, so
       // same-ts ties aggregate together identically

@@ -547,6 +547,95 @@ object Multimodal {
     }(enc)
   }
 
+  /** Horizontal flip — the canonical deterministic augmentation: pixel
+    * (y, x, c) ← (y, width−1−x, c), re-encoded through the codec. Same
+    * constant-memory mapPartitions seam as [[resize]]. */
+  def hflip(df: DataFrame, binCol: String,
+      codec: Codec = FakeCodec): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val d = codec.decode(row.getAs[Array[Byte]](idx))
+        val out = Array.ofDim[Byte](d.pixels.length)
+        val ch = d.channels
+        var y = 0
+        while (y < d.height) {
+          var x = 0
+          while (x < d.width) {
+            var c = 0
+            while (c < ch) {
+              out((y * d.width + x) * ch + c) =
+                d.pixels((y * d.width + (d.width - 1 - x)) * ch + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(row.toSeq.updated(idx, codec.encode(d.copy(pixels = out))))
+      }
+    }(enc)
+  }
+
+  /** Center crop to (min(width, cw), min(height, ch)) — offsets floor
+    * ((dim − crop) / 2), the torchvision CenterCrop convention. */
+  def centerCrop(df: DataFrame, binCol: String, cw: Int, chh: Int,
+      codec: Codec = FakeCodec): DataFrame = {
+    require(cw >= 1 && chh >= 1, "crop dims must be >= 1")
+    val idx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val d = codec.decode(row.getAs[Array[Byte]](idx))
+        val w2 = math.min(d.width, cw); val h2 = math.min(d.height, chh)
+        val x0 = (d.width - w2) / 2; val y0 = (d.height - h2) / 2
+        val ch = d.channels
+        val out = Array.ofDim[Byte](w2 * h2 * ch)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            var c = 0
+            while (c < ch) {
+              out((y * w2 + x) * ch + c) =
+                d.pixels(((y0 + y) * d.width + (x0 + x)) * ch + c)
+              c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(row.toSeq.updated(idx,
+          codec.encode(d.copy(width = w2, height = h2, pixels = out))))
+      }
+    }(enc)
+  }
+
+  /** Position-weighted plane checksum `Σ j·byte(j)` (+ plane length) —
+    * detects any pixel PERMUTATION a plain mean would miss; the test/
+    * oracle companion of the augmentation ops. Exact integer. */
+  def pixelChecksum(df: DataFrame, binCol: String,
+      codec: Codec = FakeCodec): DataFrame = {
+    val idx = df.schema.fieldIndex(binCol)
+    val schema = StructType(df.schema.fields :+
+      StructField("n_px", IntegerType) :+ StructField("wsum", LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val d = codec.decode(row.getAs[Array[Byte]](idx))
+        var s = 0L; var j = 0
+        while (j < d.pixels.length) {
+          s += j.toLong * (d.pixels(j) & 0xff); j += 1
+        }
+        Row.fromSeq(row.toSeq :+ d.pixels.length :+ s)
+      }
+    }(enc)
+  }
+
   /** Per-frame AUDIO features over the decoded sample plane: RMS energy
     * and zero-crossing rate in fixed windows of `frameLen` samples (the
     * interleaved stream; the trailing partial frame is kept). Sample

@@ -717,6 +717,66 @@ class GraphCompilerSpec extends SparkSpec {
     rep.getDouble(2) shouldBe 1.0 +- 1e-9
   }
 
+  test("funnel / salted_join / hll_key_overlap / compaction_plan / " +
+      "sample_weighted_k processes equal the Scala API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graph-r6b").toString
+    Seq((1L, "signup", t("2024-01-01 09:00:00"), 2.0),
+      (1L, "click", t("2024-01-01 10:00:00"), 3.0),
+      (1L, "purchase", t("2024-01-01 11:00:00"), 4.0),
+      (2L, "signup", t("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "event_type", "ts", "w")
+      .write.mode("overwrite").parquet(s"$dir/ev")
+    val tables = Map("ev" -> s"$dir/ev")
+    def compile(graph: String) =
+      new graft.compile.GraphCompiler(spark, Map.empty, s"$dir/res",
+        tables = tables).compile(graph)
+        .asInstanceOf[org.apache.spark.sql.DataFrame]
+    def ev = spark.read.parquet(s"$dir/ev")
+
+    val fun = compile("""{
+      "d": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "f": {"process_id": "funnel", "arguments": {
+        "data": {"from_node": "d"}, "key": "user_id", "ts": "ts",
+        "stage": "event_type", "stages": ["signup", "click", "purchase"]},
+        "result": true}}""")
+    rowSet(fun) shouldBe rowSet(graft.ops.Funnel.funnel(ev, "user_id",
+      "ts", "event_type", Seq("signup", "click", "purchase")))
+
+    val sj = compile("""{
+      "l": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "r": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "j": {"process_id": "salted_join", "arguments": {
+        "left": {"from_node": "l"}, "right": {"from_node": "r"},
+        "keys": ["user_id"], "salt_factor": 2}, "result": true}}""")
+    sj.count() shouldBe ev.join(ev, Seq("user_id")).count()
+
+    val hll = compile("""{
+      "l": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "r": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "o": {"process_id": "hll_key_overlap", "arguments": {
+        "left": {"from_node": "l"}, "right": {"from_node": "r"},
+        "left_key": "user_id", "right_key": "user_id"}, "result": true}}""")
+    val h = hll.head()
+    h.getDouble(0) shouldBe h.getDouble(3) // identical sets: common == side
+
+    val cp = compile("""{
+      "d": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "p": {"process_id": "compaction_plan", "arguments": {
+        "files": {"from_node": "d"}, "path_column": "event_type",
+        "bytes_column": "user_id", "target_bytes": 3}, "result": true}}""")
+    cp.count() shouldBe 4
+
+    val wk = compile("""{
+      "d": {"process_id": "load_table", "arguments": {"id": "ev"}},
+      "s": {"process_id": "sample_weighted_k", "arguments": {
+        "data": {"from_node": "d"}, "id_column": "user_id",
+        "weight_column": "w", "k": 2}, "result": true}}""")
+    wk.count() shouldBe 2
+  }
+
   test("asof_join / range_join / zorder_key processes equal the Scala API") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

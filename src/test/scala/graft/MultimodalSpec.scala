@@ -315,6 +315,29 @@ class MultimodalSpec extends SparkSpec {
     m.getDouble(3) shouldBe (px.map(b => (b & 0xff).toDouble).sum / px.length)
   }
 
+  test("hflip / centerCrop / pixelChecksum: worked example on a 3×2 RGB plane") {
+    // plane rows: (A B C / D E F) as per-pixel gray triples 1..6
+    val px = Array[Byte](1,1,1, 2,2,2, 3,3,3, 4,4,4, 5,5,5, 6,6,6)
+    val bmp = Multimodal.BmpCodec.encode(
+      Multimodal.Decoded("bmp", 3, 2, 3, 1, px))
+    val df = Seq((1L, bmp)).toDF("id", "payload")
+    // flip: rows become (C B A / F E D)
+    val flipped = Multimodal.hflip(df, "payload", Multimodal.BmpCodec)
+    val fpx = Multimodal.BmpCodec.decode(
+      flipped.select("payload").as[Array[Byte]].head()).pixels
+    fpx.toSeq shouldBe Seq[Byte](3,3,3, 2,2,2, 1,1,1, 6,6,6, 5,5,5, 4,4,4)
+    // center crop 2×2 of the flipped plane: x0=0 (3−2)/2=0, rows (C B / F E)
+    val cropped = Multimodal.centerCrop(flipped, "payload", 2, 2,
+      Multimodal.BmpCodec)
+    val cpx = Multimodal.BmpCodec.decode(
+      cropped.select("payload").as[Array[Byte]].head()).pixels
+    cpx.toSeq shouldBe Seq[Byte](3,3,3, 2,2,2, 6,6,6, 5,5,5)
+    val ck = Multimodal.pixelChecksum(cropped, "payload",
+      Multimodal.BmpCodec).select("n_px", "wsum").as[(Int, Long)].head()
+    ck._1 shouldBe 12
+    ck._2 shouldBe cpx.zipWithIndex.map { case (b, j) => j.toLong * (b & 0xff) }.sum
+  }
+
   test("audioFrameFeatures: worked example — alternating square wave") {
     // 8 samples alternating +100/−100 (bytes 228 / 28): RMS = 100,
     // ZCR = 7/7 = 1.0 in one 8-sample frame; then a 4-sample silent
