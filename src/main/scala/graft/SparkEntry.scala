@@ -2276,6 +2276,45 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_graph_funnel" -> ((s, dir) => {
+      // the funnel driven through the openEO JSON graph: load_table →
+      // funnel compiles to the identical plan as q_funnel's Scala call;
+      // oracle shared verbatim. Events staged through readEvents for
+      // the ts-encoding dispatch, as q_graph_asof
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fun_$slug"
+      readEvents(s, dir).select("user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(s"$tmp/ev")
+      val graph = """{
+        "d": {"process_id": "load_table", "arguments": {"id": "ev"}},
+        "f": {"process_id": "funnel", "arguments": {
+          "data": {"from_node": "d"}, "key": "user_id", "ts": "ts",
+          "stage": "event_type",
+          "stages": ["signup", "click", "purchase"]}, "result": true}}"""
+      new GraphCompiler(s, Map.empty, tmp + "_res",
+          tables = Map("ev" -> s"$tmp/ev"))
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
+    "q_tpch_q10" -> ((s, dir) => {
+      // returned-item reporting shape: 4-way join (lineitem ⋈ orders ⋈
+      // customer + broadcast nation), quarter-window filter, top-20
+      // customers by lost revenue as TakeOrderedAndProject
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "q_running_total" -> ((s, dir) => {
       // per-user running purchase total over time — decimal cumulative
       // sum in an ordered window (ties on ts aggregate together via the
@@ -6018,6 +6057,34 @@ object SparkEntry {
            round(CASE WHEN count(*) <= 1 THEN 0.0
              ELSE CAST(SUM(x) AS DOUBLE) / (count(*) - 1) END, 6) AS zcr
          FROM fr GROUP BY 1, 2""",
+    "q_graph_funnel" ->
+      // shared verbatim with q_funnel
+      """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT s0.user_id, s0.signup_ts,
+              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
+            FROM s0 LEFT JOIN events e
+              ON e.user_id = s0.user_id AND e.event_type = 'click'
+            GROUP BY 1, 2),
+         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
+              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+            GROUP BY 1, 2, 3)
+         SELECT user_id, signup_ts, click_ts, purchase_ts,
+                purchase_ts IS NOT NULL AS converted
+         FROM s2""",
+    "q_tpch_q10" -> s"""
+         SELECT c_custkey, c_name, n_name, $drevenueSql AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_tpch_q3" -> s"""
          SELECT l_orderkey, o_orderdate, o_orderpriority,
                 $drevenueSql AS revenue
