@@ -2276,6 +2276,42 @@ object SparkEntry {
           binMicros = 3600L * 1000000)
         .select("event_id", "user_id", "ts", "window_start", "n_events")
     }),
+    "q_stream_funnel" -> ((s, dir) => {
+      // STATEFUL streaming funnel: the 3-slot per-user state machine
+      // through a real MemoryStream run — greedy stage commits per
+      // event-time-ordered batch, event-time-timeout flush via the
+      // far-future sentinel (Spark's no-data batch fires the timeouts).
+      // Oracle = the batch funnel formulation, shared verbatim.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val evs = readEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = graft.streaming.StreamingOps.funnelStream(
+        ms.toDF.toDF("user_id", "event_type", "ts"),
+        Seq("signup", "click", "purchase"), delay = "2 hours")
+      val sink = "q_stream_funnel_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+        val sentinelTs = new java.sql.Timestamp(
+          evs.last._3.getTime + 365L * 24 * 3600 * 1000)
+        ms.addData(Seq((-1L, "signup", sentinelTs)))
+        q.processAllAvailable()
+      } finally {
+        q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).where(col("user_id") >= 0)
+        .select("user_id", "signup_ts", "click_ts", "purchase_ts",
+          "converted")
+    }),
     "q_graph_funnel" -> ((s, dir) => {
       // the funnel driven through the openEO JSON graph: load_table →
       // funnel compiles to the identical plan as q_funnel's Scala call;
@@ -6057,6 +6093,24 @@ object SparkEntry {
            round(CASE WHEN count(*) <= 1 THEN 0.0
              ELSE CAST(SUM(x) AS DOUBLE) / (count(*) - 1) END, 6) AS zcr
          FROM fr GROUP BY 1, 2""",
+    "q_stream_funnel" ->
+      // shared verbatim with q_funnel: the streamed state machine equals
+      // the batch greedy rule under event-time-ordered arrival
+      """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
+              WHERE event_type = 'signup' GROUP BY 1),
+         s1 AS (SELECT s0.user_id, s0.signup_ts,
+              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
+            FROM s0 LEFT JOIN events e
+              ON e.user_id = s0.user_id AND e.event_type = 'click'
+            GROUP BY 1, 2),
+         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
+              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
+            FROM s1 LEFT JOIN events e
+              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+            GROUP BY 1, 2, 3)
+         SELECT user_id, signup_ts, click_ts, purchase_ts,
+                purchase_ts IS NOT NULL AS converted
+         FROM s2""",
     "q_graph_funnel" ->
       // shared verbatim with q_funnel
       """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events

@@ -441,6 +441,81 @@ object StreamingOps {
     keys.foldLeft(l.join(r, band, joinType))((df, k) => df.drop(r(k)))
   }
 
+  /** Per-key streaming FUNNEL — the stateful twin of
+    * [[graft.ops.Funnel.funnel]]: a 3-slot per-user state machine
+    * (signup/click/purchase micros, −1 unset) folds each batch's events
+    * in event-time order under the greedy strictly-after rule, and the
+    * completed row flushes on event-time TIMEOUT once the watermark
+    * passes (the sessionize pattern). State is three longs per user —
+    * bounded at any stream length.
+    *
+    * Exactness contract: the greedy rule's cross-stage dependency means
+    * an event arriving AFTER a later-timestamped event of the previous
+    * stage has already committed cannot retroactively lower it without
+    * unbounded state; results equal the batch funnel whenever events
+    * arrive in event-time order across batches (the harness feeds
+    * sorted; production = the watermark's disorder bound, as with the
+    * outer stream-stream join). */
+  case class FunnelState(s: Long, c: Long, p: Long)
+  case class FunnelRow(user_id: Long, signup_ts: java.sql.Timestamp,
+      click_ts: Option[java.sql.Timestamp],
+      purchase_ts: Option[java.sql.Timestamp], converted: Boolean)
+
+  /** @param flushQuietMs a user's row flushes once the watermark has
+    *   advanced this far past the batch that last touched their state —
+    *   the "no activity for a month → the funnel outcome is final" rule.
+    *   Too small and rows flush (finally, correctly for their data so
+    *   far, but possibly before a later stage event) mid-stream; the
+    *   harness uses a margin larger than the data's span so exactly the
+    *   sentinel flushes everything. */
+  def funnelStream(df: DataFrame, stages: Seq[String],
+      delay: String = "1 hour",
+      flushQuietMs: Long = 30L * 24 * 3600 * 1000): Dataset[FunnelRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.length == 3, "funnelStream models a 3-stage funnel")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events0: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          def row(st: FunnelState): Option[FunnelRow] =
+            if (st.s < 0) None // never entered the funnel (batch: no s0 row)
+            else Some(FunnelRow(user, microsToTs(st.s),
+              if (st.c >= 0) Some(microsToTs(st.c)) else None,
+              if (st.p >= 0) Some(microsToTs(st.p)) else None,
+              st.p >= 0))
+          if (state.hasTimedOut) {
+            val out = state.getOption.flatMap(row).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            var maxTsMs = 0L
+            events0.toSeq.sortBy(e => tsToMicros(e._3)).foreach { e =>
+              val t = tsToMicros(e._3)
+              maxTsMs = math.max(maxTsMs, Math.floorDiv(t, 1000L))
+              if (e._2 == stages(0) && st.s < 0) st = st.copy(s = t)
+              else if (e._2 == stages(1) && st.s >= 0 && st.c < 0 &&
+                t > st.s) st = st.copy(c = t)
+              else if (e._2 == stages(2) && st.c >= 0 && st.p < 0 &&
+                t > st.c) st = st.copy(p = t)
+            }
+            state.update(st)
+            // quiet period anchors on EVENT time, not the watermark: in
+            // the first batch the watermark is still 0 (epoch), and
+            // 0 + quiet is 1970 — an immediate spurious flush
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + flushQuietMs)
+            Iterator.empty
+          }
+      }
+  }
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

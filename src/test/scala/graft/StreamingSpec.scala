@@ -509,4 +509,43 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("funnelStream == batch funnel under any event-time-ordered batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val rnd = new scala.util.Random(41)
+    val evs = (1 to 200).map { i =>
+      val stage = Seq("signup", "click", "purchase", "view")(rnd.nextInt(4))
+      ((i % 12).toLong, stage, t(i))
+    }.sortBy(_._3.getTime)
+    val batch = graft.ops.Funnel.funnel(
+        evs.toDF("user_id", "event_type", "ts"), "user_id", "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean)].collect().toSet
+    for (nSplits <- Seq(1, 4)) {
+      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val out = StreamingOps.funnelStream(
+        ms.toDF.toDF("user_id", "event_type", "ts"),
+        Seq("signup", "click", "purchase"), delay = "10 minutes",
+        flushQuietMs = 24L * 3600 * 1000)
+      val sink = s"funnel_law_$nSplits"
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        evs.grouped(evs.length / nSplits + 1).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+        ms.addData(Seq((-1L, "signup",
+          new java.sql.Timestamp(t(200).getTime + 30L * 24 * 3600 * 1000))))
+        q.processAllAvailable()
+        spark.table(sink).where(col("user_id") >= 0)
+          .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp],
+            Option[java.sql.Timestamp], Boolean)]
+          .collect().toSet shouldBe batch
+      } finally q.stop()
+    }
+  }
 }
