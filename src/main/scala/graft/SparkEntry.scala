@@ -467,6 +467,43 @@ object SparkEntry {
       c.mapValue(v => graft.compile.UdfCompiler.compileSeries(
         "function(x, context) { cummax(x) - x }", v, w)).df
     },
+    "q_run_udf_external" -> ((s, dir) => {
+      // the external-UDF escape hatch END-TO-END through the openEO graph
+      // surface: run_udf with `runtime: "java"` carries OPAQUE Java
+      // source (an EMA — a per-series recurrence the expression grammar
+      // cannot express), compiled per executor JVM by janino and run per
+      // (band, y, x) series through the chunked shuffle seam with
+      // context.chunk_size honored (the reference's joblib chunk slot,
+      // openeo_odc_driver.py:282-339). α = 0.25 is exactly representable
+      // in binary, so the Java loop and the DuckDB list_reduce replay
+      // produce bit-identical doubles.
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_extudf_$slug"
+      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
+      val catalog = Map("events" -> Scan.CollectionSpec(tmp,
+        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
+        grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
+      val udfSrc = "double[] out = new double[values.length]; " +
+        "double ema = 0.0; " +
+        "for (int i = 0; i < values.length; i++) { " +
+        "ema = (i == 0) ? values[i] : 0.25 * values[i] + 0.75 * ema; " +
+        "out[i] = ema; } return out;"
+      val graph = s"""{
+        "load": {"process_id": "load_collection",
+                 "arguments": {"id": "events"}},
+        "udf": {"process_id": "apply_dimension", "arguments": {
+          "data": {"from_node": "load"}, "dimension": "t",
+          "process": {"process_graph": {
+            "u": {"process_id": "run_udf", "arguments": {
+              "data": {"from_parameter": "data"},
+              "udf": "$udfSrc",
+              "runtime": "java",
+              "context": {"chunk_size": 8}},
+              "result": true}}}}, "result": true}}"""
+      new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
+        .asInstanceOf[graft.cube.Cube].df
+    }),
     "q_run_udf_reduce" -> onCube { c =>
       // reduce_dimension-position run_udf (series→scalar): the UDF source
       // compiles to ONE aggregate expression — partial+final groupBy, no
@@ -543,6 +580,21 @@ object SparkEntry {
       val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
       daily.df.write.mode("overwrite").parquet(s"$base/job1")
       Scan.loadResult(s, base, "job1").df
+    }),
+    "q_load_result_netcdf" -> ((s, dir) => {
+      // write → read BYTE fidelity of the NetCDF sink, end-to-end: the
+      // daily-max cube leaves through our own CDF-1 writer
+      // (Sinks.writeNetcdf) and re-enters through the independent CDF-1
+      // parser (Scan.loadResultNetcdf) — the reference's job-chaining
+      // loop (openeo_odc_driver.py:1598-1609). The oracle replays the
+      // store projection with the writer's value quantization (float32),
+      // so every surviving cell is hash-verified through the binary
+      // format, not just counted.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nc = s"${System.getProperty("java.io.tmpdir")}/graft_lrnc_$slug.nc"
+      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
+      graft.ops.Sinks.writeNetcdf(daily, nc)
+      Scan.loadResultNetcdf(s, nc).df
     }),
     // --- relational spine (classic agg/join over lineitem, judge smoke) --
     "q1_agg" -> ((s, dir) => {
@@ -3773,6 +3825,23 @@ object SparkEntry {
            MAX(value) OVER (PARTITION BY band, y, x ORDER BY time)
              - value AS value
          FROM cube"""),
+    "q_run_udf_external" -> cq(
+      // full replay of the Java EMA recurrence: per-series ordered list
+      // fold (list_reduce starts with the first element — exactly
+      // ema[0] = x[0]) evaluated at every prefix; (time, value) ordering
+      // matches the executor's deterministic series sort. α = 0.25 /
+      // 0.75 are exact binary, so the folds agree bit-for-bit. (cq
+      // already opens the WITH — continue the CTE chain with a comma.)
+      """, s AS (
+           SELECT band, y, x,
+             list(time ORDER BY time, value) AS ts,
+             list(value ORDER BY time, value) AS vs
+           FROM cube GROUP BY 1, 2, 3)
+         SELECT unnest(ts) AS time, band, y, x,
+           unnest(list_transform(range(1, len(vs) + 1),
+             i -> list_reduce(vs[1:i],
+                    (acc, v) -> 0.25 * v + 0.75 * acc))) AS value
+         FROM s"""),
     "q_run_udf_reduce" -> cq(
       // quantile_cont is the same type-7 interpolation as Spark's exact
       // percentile (proven by the green q_quantiles) — hash-exact
@@ -3826,6 +3895,12 @@ object SparkEntry {
            ON p.band = c.band AND p.y = c.y AND p.x = c.x"""),
     "q_load_result" -> cq(
       """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
+         FROM cube GROUP BY 1, 2, 3, 4"""),
+    "q_load_result_netcdf" -> cq(
+      // CAST AS FLOAT mirrors the writer's float32 data plane — the
+      // reader returns exactly what the file stores
+      """SELECT date_trunc('day', time) AS time, band, y, x,
+           CAST(MAX(value) AS FLOAT) AS value
          FROM cube GROUP BY 1, 2, 3, 4"""),
     "q1_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
@@ -5486,11 +5561,17 @@ object SparkEntry {
          FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
     "q_pca_gram" ->
       // quantized-product integer sums are order-free, so the plain SQL
-      // group-by reproduces the Aggregator's merge exactly
+      // group-by reproduces the Aggregator's merge exactly. The outer
+      // CAST matters: DuckDB SUM(BIGINT) widens to HUGEINT, which
+      // pandas materializes as float64 and a dtype-sensitive compare
+      // rejects — force BIGINT (and INTEGER subscripts to match
+      // Spark's int i/j) so dtypes agree bit-for-bit.
       """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) - 1 AS i FROM embeddings)
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
+           FROM embeddings)
          SELECT a.i AS i, b.i AS j,
-           SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT)) AS gq
+           CAST(SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS gq
          FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
          GROUP BY 1, 2""",
     "q_sql_surface" ->
@@ -6197,7 +6278,8 @@ object SparkEntry {
               SUM(bytes) OVER (ORDER BY bytes DESC, doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM f)
-         SELECT doc_id, bytes, (cum - bytes) // 4096 AS bin FROM c""",
+         SELECT doc_id, bytes,
+                CAST((cum - bytes) // 4096 AS BIGINT) AS bin FROM c""",
     "q_hll_join" -> hllOverlapSql,
     "q_stream_join" ->
       // declarative batch twin of the watermarked stream-stream join:

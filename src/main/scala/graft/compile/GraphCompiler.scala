@@ -860,6 +860,27 @@ final class GraphCompiler(
           case Some(LitArg(v)) if v.isTextual => v.asText
           case other => throw new IllegalArgumentException(s"run_udf udf: $other")
         }
+        // `runtime: "java"` (openEO run_udf's runtime argument) selects
+        // the EXTERNAL escape hatch: opaque Java source compiled per
+        // executor JVM by janino and run per series through the chunked
+        // mapPartitions-style seam, `context.chunk_size` honored as the
+        // shuffle granularity (the reference's joblib chunk,
+        // openeo_odc_driver.py:304-316). The expression grammar below
+        // stays the default — it runs inside whole-stage codegen, which
+        // an opaque method never can.
+        val runtime = result.arguments.get("runtime").collect {
+          case LitArg(v) if v.isTextual => v.asText.toLowerCase
+        }
+        if (runtime.exists(rt => rt == "java" || rt == "jvm")) {
+          result.arguments.get("context").foreach(validateRunUdfContext)
+          val chunkSize = result.arguments.get("context").collect {
+            case LitArg(v) if v.isObject && v.has("chunk_size") =>
+              v.get("chunk_size").asInt
+          }.getOrElse(512)
+          if (dim != Dim.Time) throw new IllegalArgumentException(
+            s"run_udf(runtime=java) supports dimension 'time', got $dim")
+          return graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize)
+        }
         val otherDims = c.dims.filterNot(_ == dim)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(otherDims.map(col): _*).orderBy(col(dim))

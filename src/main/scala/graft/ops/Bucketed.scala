@@ -22,14 +22,25 @@ object Bucketed {
     require(keys.nonEmpty, "writeBucketed needs bucket keys")
     require(nBuckets >= 1, "nBuckets must be >= 1")
     val spark = df.sparkSession
-    // a previous SESSION's managed-table directory survives the session
-    // while its catalog entry does not — CREATE then fails with
-    // LOCATION_ALREADY_EXISTS even in overwrite mode. Drop both.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    // DROP a live catalog entry first — Spark itself deletes the data
+    // directory of a MANAGED table on drop, using the table's REAL
+    // location from the catalog (which a database-qualified name or a
+    // custom LOCATION makes different from warehouse/<name>; an
+    // EXTERNAL table's directory belongs to the user and is left alone).
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
+    // a previous SESSION's managed-table directory can survive while its
+    // catalog entry does not — CREATE then fails LOCATION_ALREADY_EXISTS
+    // even in overwrite mode. Only for that orphan case reconstruct the
+    // default path, and only for an UNQUALIFIED name inside the warehouse
+    // dir: reconstructing for `db.tbl` would point at the wrong directory
+    // and the recursive delete could destroy an unrelated dataset.
+    if (ident.database.isEmpty) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

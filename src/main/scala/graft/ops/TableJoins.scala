@@ -57,6 +57,14 @@ object TableJoins {
     * independent of partitioning and input order — the property every
     * oracle row in this repo needs and pandas' merge_asof (which keeps
     * whichever row came last in input order) lacks.
+    *
+    * Null keys follow SQL equi-join semantics: a key with ANY null
+    * component never matches. Null-keyed right rows are ignored;
+    * null-keyed left rows pass through with null payloads (pandas'
+    * merge_asof rejects null keys outright — a LEFT join has no such
+    * option, so SQL's null-never-equals-null is the contract here,
+    * identical across [[asofJoin]], [[asofJoinNative]], and
+    * [[asofJoinSegmented]]; law-tested in TableJoinsSpec).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
@@ -68,8 +76,12 @@ object TableJoins {
     require(collide.isEmpty, s"payload collides with left columns: $collide")
 
     // one row per (key, ts) on the right: struct-max over (payload) makes
-    // same-timestamp ties deterministic before the scan ever sees them
+    // same-timestamp ties deterministic before the scan ever sees them.
+    // Null-keyed right rows are dropped FIRST (SQL equi-join semantics:
+    // null never matches); a null-keyed left row then lands in a window
+    // partition containing no right rows and scans to a null payload.
     val rightDedup = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy((keys.map(col) :+ col(rightTs).as("_ats")): _*)
       .agg(max(struct(payload.map(col): _*)).as("_ap"))
 
@@ -189,6 +201,7 @@ object TableJoins {
     require(collide.isEmpty, s"payload collides with left columns: $collide")
 
     val rightDedup = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
       .groupBy((keys.map(col) :+ col(rightTs).as("_ats")): _*)
       .agg(max(struct(payload.map(col): _*)).as("_ap"))
     val leftCols = left.columns.toSeq
@@ -245,8 +258,20 @@ object TableJoins {
       leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
       payload.map(p =>
         when(withinTol, gatedMatch.getField("mp").getField(p)).as(p))
+    // NULL-SAFE key equality: this is an internal self-join stitching each
+    // (key, segment) group back to its own carry row, where a null key is
+    // a legitimate group identity (a null-keyed LEFT row must survive to
+    // emit its null payload — SQL null-never-matches applies to the
+    // left-vs-right match, enforced upstream by the right-side filter,
+    // not to this bookkeeping join). <=> keys still hash-partition, so
+    // the join stays a shuffled equi-join.
+    val carryR = carry.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ck$i") } ++
+        Seq(col("_seg").as("_cseg"), col("_carry")): _*)
+    val cond = keys.zipWithIndex.map { case (k, i) => col(k) <=> col(s"_ck$i") }
+      .reduce(_ && _) && col("_seg") === col("_cseg")
     marked
-      .join(carry, keys :+ "_seg")
+      .join(carryR, cond)
       .where(col("_side") === lit(if (strict) 0 else 1))
       .select(out: _*)
   }

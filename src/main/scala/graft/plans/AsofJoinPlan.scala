@@ -29,6 +29,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * REQUIRING the right child sorted on (keys, ts, payload…): the last
   * row the merge retains at any eligible timestamp IS the payload
   * maximum. Tolerance nulls out stale matches. Backward direction.
+  *
+  * Null keys follow SQL equi-join semantics: a key with any null
+  * component never matches (null-keyed right rows are consumed but
+  * never retained; null-keyed left rows emit null payloads) — the same
+  * contract as `asofJoin`, diverging from a naive natural-ordering
+  * merge where NULL == NULL would pair null-keyed rows.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
@@ -133,13 +139,19 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           })
           if (eligible) {
             val r = bufR.next()
-            lastKey = rKeyGen(r).copy()
-            lastTs = rTsGen(r).getLong(0)
-            lastPayload = pGen(r).copy()
-            haveLast = true
+            val rKey = rKeyGen(r)
+            // SQL equi-join semantics: a null (any component) key never
+            // matches — consume but never retain null-keyed right rows
+            if (!rKey.anyNull) {
+              lastKey = rKey.copy()
+              lastTs = rTsGen(r).getLong(0)
+              lastPayload = pGen(r).copy()
+              haveLast = true
+            }
           } else advance = false
         }
-        val matched = haveLast && keyOrd.compare(lastKey, lKey) == 0 &&
+        val matched = haveLast && !lKey.anyNull &&
+          keyOrd.compare(lastKey, lKey) == 0 &&
           tol.forall(t => lTs - lastTs <= t)
         resultProj(joined(lRow, if (matched) lastPayload else nullPayload))
       }

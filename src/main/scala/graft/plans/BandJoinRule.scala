@@ -35,6 +35,34 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * `injectOptimizerRule`; a LIVE session can opt in with
   * `spark.experimental.extraOptimizations ++= Seq(BandJoinRule)`.
   *
+  * Two guards keep the session-wide rewrite from regressing plans it
+  * shouldn't touch:
+  *
+  *   - '''tiny bounds side''': when broadcasting is enabled
+  *     (`autoBroadcastJoinThreshold` >= 0) and the bounds side's
+  *     size estimate is under `spark.graft.bandJoin.broadcastSkipBytes`
+  *     (default 64 KB, additionally capped by the broadcast threshold
+  *     itself), the join is left alone — Spark's
+  *     BroadcastNestedLoopJoin over a handful of interval rows beats
+  *     paying the explode + shuffle. The default is deliberately far
+  *     below the 10 MB broadcast threshold: BNL is compute-quadratic
+  *     (every point row probes every bounds row), so "fits in a
+  *     broadcast" does not mean "cheap" once the bounds side reaches
+  *     thousands of rows; raise the conf to widen the skip if probing
+  *     is known-cheap.
+  *   - '''explode bound''': each bounds row expands into
+  *     `(bin(HI) - bin(LO) + 1)` rows, unbounded by anything in the
+  *     query — an interval spanning months at the default 1-hour bin
+  *     inflates ~10^3x. `spark.graft.bandJoin.maxBins` (default 10000)
+  *     bounds the factor with a RUNTIME check compiled into the
+  *     sequence bound: a row whose interval covers more bins fails
+  *     loudly (raise_error naming both knobs) instead of silently
+  *     materializing an unbounded explode. Loud-fail is the right
+  *     default for an optimizer rewrite: the fix (raise `binMicros`,
+  *     which shrinks bins-per-interval proportionally) changes no
+  *     semantics, and the alternative — silently keeping the quadratic
+  *     nested loop — is the cliff this rule exists to remove.
+  *
   * Scope guards (all must hold, else the join is left untouched):
   * inner join; every cross-side conjunct is one of the two band bounds
   * (>=/>, <=/<, either operand order); both bounds constrain the SAME
@@ -45,6 +73,14 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val BinConfKey = "spark.graft.bandJoin.binMicros"
   private val DefaultBinMicros = 3600L * 1000000L
+  private val MaxBinsConfKey = "spark.graft.bandJoin.maxBins"
+  private val DefaultMaxBins = 10000L
+  private val SkipBytesConfKey = "spark.graft.bandJoin.broadcastSkipBytes"
+  private val DefaultSkipBytes = 65536L
+
+  private def confLong(key: String, dflt: Long): Long =
+    try conf.getConfString(key, dflt.toString).toLong
+    catch { case _: Exception => dflt }
 
   /** (point, bound, pointOnLeft) for a `point >= bound`-shaped conjunct
     * (lower) — callers pass the comparison already oriented. */
@@ -95,26 +131,49 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           if crossSides(pHi, hi, left, right).contains(ptOnLeft)
         } yield (pLo, lo, hi, ptOnLeft)).nextOption()
 
+      // tiny-bounds skip: Spark will broadcast the bounds side and
+      // nested-loop it — cheaper than explode + shuffle at this size
+      def tinyBounds(boundsPlan: LogicalPlan): Boolean = {
+        val bcThreshold = conf.autoBroadcastJoinThreshold
+        val skipBytes = math.min(
+          confLong(SkipBytesConfKey, DefaultSkipBytes),
+          if (bcThreshold >= 0) bcThreshold else Long.MaxValue)
+        bcThreshold >= 0 && boundsPlan.stats.sizeInBytes <= skipBytes
+      }
+
       band match {
         case None => j
+        case Some((_, _, _, ptOnLeft))
+            if tinyBounds(if (ptOnLeft) right else left) => j
         case Some((pt, lo, hi, ptOnLeft)) =>
-          val w = try conf.getConfString(BinConfKey,
-              DefaultBinMicros.toString).toLong
-            catch { case _: Exception => DefaultBinMicros }
+          val (ptPlan, boundsPlan) =
+            if (ptOnLeft) (left, right) else (right, left)
+          val w = confLong(BinConfKey, DefaultBinMicros)
+          val maxBins = confLong(MaxBinsConfKey, DefaultMaxBins)
           def bin(e: Expression): Expression =
             Floor(Divide(Cast(UnixMicros(e), DoubleType),
               Literal(w.toDouble)))
           val ptAlias = Alias(bin(pt), "_graft_band_bin")()
           val binAttr = AttributeReference("_graft_band_bin_g", LongType,
             nullable = false)()
-          val (ptPlan, boundsPlan) =
-            if (ptOnLeft) (left, right) else (right, left)
           val newPtPlan = Project(ptPlan.output :+ ptAlias, ptPlan)
+          // explode bound compiled into the sequence's upper end: a row
+          // spanning more than maxBins bins raises instead of silently
+          // inflating the join input by an unbounded factor
+          val binLo = bin(lo)
+          val binHi = bin(hi)
+          val guardedHi = If(
+            LessThan(Subtract(binHi, binLo), Literal(maxBins)),
+            binHi,
+            Cast(RaiseError(Literal(
+              s"graft band-join rewrite: interval spans >= $maxBins bins " +
+                s"of $w micros; raise $BinConfKey or $MaxBinsConfKey")),
+              LongType))
           val gen = Generate(
             // Sequence is TimeZoneAwareExpression — an unset timeZoneId
             // leaves the rewritten plan UNRESOLVED and the optimizer's
             // plan-validation rejects the rule's output
-            Explode(Sequence(bin(lo), bin(hi), None,
+            Explode(Sequence(binLo, guardedHi, None,
               Some(conf.sessionLocalTimeZone))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(binAttr), child = boundsPlan)

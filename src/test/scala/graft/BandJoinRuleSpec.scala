@@ -7,11 +7,19 @@ class BandJoinRuleSpec extends SparkSpec {
   import spark.implicits._
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
 
+  // broadcast disabled by default in these tests: the fixtures are tiny
+  // LocalRelations, which the tiny-bounds guard would (correctly) leave
+  // to BroadcastNestedLoopJoin — the guard has its own test below
   private def withRule[A](f: => A): A = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BandJoinRule
-    try f finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ eq BandJoinRule)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq BandJoinRule)
+    }
   }
 
   private def pts = (1 to 200).map(i => (i.toLong,
@@ -28,20 +36,70 @@ class BandJoinRuleSpec extends SparkSpec {
         col("pts") >= col("lo") && col("pts") <= col("hi"))
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     withRule {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = pts.join(ivs,
+        col("pts") >= col("lo") && col("pts") <= col("hi"))
+      val plan = j.queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      plan should include("SortMergeJoin")
+      plan should include("_graft_band_bin")
+      j.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe expected
+      // output schema restored — helper bin columns are projected away
+      j.columns.toSeq shouldBe Seq("pid", "pts", "iid", "lo", "hi")
+    }
+  }
+
+  test("tiny-bounds guard: a broadcastable bounds side is left to " +
+      "BroadcastNestedLoopJoin, larger ones still rewrite") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRule
+    try {
+      // default 10 MB broadcast threshold is live: a 40-row LocalRelation
+      // bounds side sits far under broadcastSkipBytes → untouched
+      val j = pts.join(ivs,
+        col("pts") >= col("lo") && col("pts") <= col("hi"))
+      j.queryExecution.optimizedPlan.toString should
+        not include "_graft_band_bin"
+      j.queryExecution.executedPlan.toString should
+        include("BroadcastNestedLoopJoin")
+      // shrinking the skip budget to zero re-enables the rewrite
+      spark.conf.set("spark.graft.bandJoin.broadcastSkipBytes", "0")
       try {
-        val j = pts.join(ivs,
+        val j2 = pts.join(ivs,
           col("pts") >= col("lo") && col("pts") <= col("hi"))
-        val plan = j.queryExecution.executedPlan.toString
-        plan should not include "BroadcastNestedLoopJoin"
-        plan should not include "CartesianProduct"
-        plan should include("SortMergeJoin")
-        plan should include("_graft_band_bin")
-        j.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe expected
-        // output schema restored — helper bin columns are projected away
-        j.columns.toSeq shouldBe Seq("pid", "pts", "iid", "lo", "hi")
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-        "10485760b")
+        j2.queryExecution.optimizedPlan.toString should
+          include("_graft_band_bin")
+      } finally spark.conf.unset("spark.graft.bandJoin.broadcastSkipBytes")
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq BandJoinRule)
+  }
+
+  test("maxBins guard: an interval spanning more bins than the cap " +
+      "fails loudly instead of exploding unbounded") {
+    withRule {
+      spark.conf.set("spark.graft.bandJoin.maxBins", "3")
+      try {
+        // 1h30m intervals at 1h bins span 2-3 bins → under the cap of 3?
+        // no: span counts bins covered = bin(hi)-bin(lo)+1 <= 3 is ok;
+        // use a 1-DAY interval to exceed it
+        val wide = Seq((1L, t("2024-01-01 00:00:00"),
+          t("2024-01-02 23:00:00"))).toDF("iid", "lo", "hi")
+        val j = pts.join(wide,
+          col("pts") >= col("lo") && col("pts") <= col("hi"))
+        val e = intercept[Exception] { j.count() }
+        // raise_error may surface wrapped in SparkException layers
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+        msgs should include("graft band-join rewrite")
+        // under the cap the same query runs (and stays rewritten)
+        spark.conf.set("spark.graft.bandJoin.maxBins", "100")
+        val ok = pts.join(wide,
+          col("pts") >= col("lo") && col("pts") <= col("hi"))
+        ok.queryExecution.optimizedPlan.toString should
+          include("_graft_band_bin")
+        ok.count() shouldBe pts.where(col("pts") >= t("2024-01-01 00:00:00")
+          && col("pts") <= t("2024-01-02 23:00:00")).count()
+      } finally spark.conf.unset("spark.graft.bandJoin.maxBins")
     }
   }
 

@@ -784,6 +784,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed with a database-qualified name never touches the " +
+      "warehouse path its unqualified reconstruction would point at") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bdb")
+    try {
+      // an unrelated dataset whose directory happens to match the naive
+      // warehouse.dir + name.toLowerCase reconstruction of `db.tbl`
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val decoy = new org.apache.hadoop.fs.Path(wh, "graft_bdb.pq_bkt_q")
+      val fs = decoy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(decoy)
+      val sentinel = new org.apache.hadoop.fs.Path(decoy, "sentinel")
+      fs.create(sentinel).close()
+      val df = (1 to 50).map(i => (i.toLong % 10, i.toLong)).toDF("k", "v")
+      graft.ops.Bucketed.writeBucketed(df, "graft_bdb.pq_bkt_q", Seq("k"), 2)
+      // rewrite over a LIVE qualified table resolves through the catalog
+      graft.ops.Bucketed.writeBucketed(df, "graft_bdb.pq_bkt_q", Seq("k"), 2)
+      spark.table("graft_bdb.pq_bkt_q").count() shouldBe 50
+      fs.exists(sentinel) shouldBe true
+      fs.delete(decoy, true)
+    } finally spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
+  }
+
   test("tpch q3 shape: top-10 runs as TakeOrderedAndProject; the customer " +
       "dim broadcasts; filters reach all three scans") {
     val dir = "/root/testdata/sf0.001"

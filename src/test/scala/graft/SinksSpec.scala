@@ -152,6 +152,39 @@ class SinksSpec extends SparkSpec {
     txt should include(""""value":3.0""")
   }
 
+  test("NetCDF write → read round-trip: loadResultNetcdf returns exactly " +
+      "the written cells (float32), NaN fill cells dropped") {
+    val df = Seq(
+      ("2024-01-01", "B04", 0.0, 0.0, 1.25), ("2024-01-01", "B04", 0.0, 1.0, 2.5),
+      ("2024-01-01", "B08", 1.0, 1.0, 6.75), ("2024-01-02", "B04", 0.0, 0.0, 7.125),
+      ("2024-01-02", "B08", 1.0, 0.0, 8.0))
+      .toDF("ts", "band", "y", "x", "value")
+      .select(org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts")).as("time"),
+        org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("y"),
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("value"))
+    val c = Cube(df, CubeMeta(crs = Some("EPSG:32632"),
+      bandOrder = Seq("B04", "B08")))
+    val dir = java.nio.file.Files.createTempDirectory("ncrt").toString
+    val path = Sinks.writeNetcdf(c, s"$dir/rt.nc")
+    val back = graft.ops.Scan.loadResultNetcdf(spark, path)
+    back.meta.bandOrder shouldBe Seq("B04", "B08")
+    val got = back.df
+      .select("time", "band", "y", "x", "value")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getFloat(4)))
+      .toSet
+    got shouldBe Set(
+      ("2024-01-01 00:00:00.0", "B04", 0.0, 0.0, 1.25f),
+      ("2024-01-01 00:00:00.0", "B04", 0.0, 1.0, 2.5f),
+      ("2024-01-01 00:00:00.0", "B08", 1.0, 1.0, 6.75f),
+      ("2024-01-02 00:00:00.0", "B04", 0.0, 0.0, 7.125f),
+      ("2024-01-02 00:00:00.0", "B08", 1.0, 0.0, 8.0f))
+  }
+
   test("NetCDF-3 sink writes a spec-conformant CDF-1 file (independent parse)") {
     // 4-D cube: 2 times × 2 bands × 2 y × 2 x with one missing cell
     val df = Seq(

@@ -190,6 +190,29 @@ class TableJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asof null keys never match (SQL equi-join semantics) — " +
+      "identical across window, native, and segmented variants") {
+    // right has a BETTER (later) match under the null key than u1's own;
+    // NULL == NULL matching would attach rv=99.0 to left id=2
+    val l = Seq(
+      (1L, Some("u1"), t("2024-01-01 10:00:00")),
+      (2L, None: Option[String], t("2024-01-01 10:00:00")))
+      .toDF("id", "user", "ts")
+    val r = Seq(
+      (Some("u1"), t("2024-01-01 09:00:00"), 10.0),
+      (None: Option[String], t("2024-01-01 09:30:00"), 99.0))
+      .toDF("user", "rts", "rv")
+    val expected = Map(1L -> Some(10.0), 2L -> None)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "rv").as[(Long, Option[Double])].collect().toMap
+    res(TableJoins.asofJoin(l, r, Seq("user"), "ts", "rts",
+      Seq("rv"))) shouldBe expected
+    res(TableJoins.asofJoinNative(l, r, Seq("user"), "ts", "rts",
+      Seq("rv"))) shouldBe expected
+    res(TableJoins.asofJoinSegmented(l, r, Seq("user"), "ts", "rts",
+      Seq("rv"), segmentMicros = 15L * 60 * 1000000)) shouldBe expected
+  }
+
   test("asofJoinNative plans as the custom AsofJoinExec merge (no window, " +
       "no join node) and output schema matches asofJoin") {
     val l = leftDf
