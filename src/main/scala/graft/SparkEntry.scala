@@ -596,6 +596,50 @@ object SparkEntry {
       graft.ops.Sinks.writeNetcdf(daily, nc)
       Scan.loadResultNetcdf(s, nc).df
     }),
+    "q_sink_png" -> ((s, dir) => {
+      // S5 PNG sink hash-verified END-TO-END: the time-reduced cube
+      // leaves through writePng (red/green/blue band options, per-band
+      // linear stretch to 0..255 — openeo_odc_driver.py:1616-1677) and
+      // the file's actual pixel plane re-enters through PngCodec's
+      // independent decoder (inflate + unfilter). The oracle replays the
+      // stretch arithmetic per channel, so every byte in the image is
+      // checked, not just its existence.
+      val reduced = Reducers.reduceDimension(eventsCube(s, dir), Dim.Time, "max")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_png_$slug.png"
+      val opts = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        """{"red":"click","green":"view","blue":"purchase"}""")
+      graft.ops.Sinks.writePng(reduced, path, Some(opts))
+      val dec = graft.multimodal.Multimodal.PngCodec.decode(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      require(dec.channels == 3, s"PNG decoded ${dec.channels} channels")
+      import s.implicits._
+      (for { row <- 0 until dec.height; colI <- 0 until dec.width } yield {
+        val o = (row * dec.width + colI) * 3
+        (row, colI, dec.pixels(o) & 0xff, dec.pixels(o + 1) & 0xff,
+          dec.pixels(o + 2) & 0xff)
+      }).toDF("row", "col", "r", "g", "b")
+    }),
+    "q_sink_gtiff" -> ((s, dir) => {
+      // S6 GTiff sink hash-verified END-TO-END: float32 band-sequential
+      // planes + GDAL metadata leave through writeGTiff
+      // (openeo_odc_driver.py:1679-1724) and re-enter through the
+      // independent readGTiff TIFF parser; NaN cells (grid positions
+      // with no data) are dropped on read-back, so the surviving rows
+      // are exactly the reduced cube quantized to float32 — which IS
+      // the oracle.
+      val reduced = Reducers.reduceDimension(eventsCube(s, dir), Dim.Time, "max")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gt_$slug.tif"
+      graft.ops.Sinks.writeGTiff(reduced, path)
+      val (names, planes) = graft.ops.Sinks.readGTiff(path)
+      import s.implicits._
+      (for {
+        b <- planes.indices; row <- planes(b).indices
+        colI <- planes(b)(row).indices
+        v = planes(b)(row)(colI) if !v.isNaN
+      } yield (names(b), row, colI, v)).toDF("band", "row", "col", "value")
+    }),
     // --- relational spine (classic agg/join over lineitem, judge smoke) --
     "q1_agg" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
@@ -3902,6 +3946,42 @@ object SparkEntry {
       """SELECT date_trunc('day', time) AS time, band, y, x,
            CAST(MAX(value) AS FLOAT) AS value
          FROM cube GROUP BY 1, 2, 3, 4"""),
+    "q_sink_png" -> cq(
+      // replay of writePng's per-channel linear stretch: per-band
+      // lo/span over present values, FLOOR(x + 0.5) is literally Java's
+      // math.round on a non-negative double, missing grid cells render 0
+      """, m AS (SELECT band, y, x, MAX(value) AS v FROM cube GROUP BY 1, 2, 3),
+         ys AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y DESC) - 1
+                  AS INTEGER) AS row FROM (SELECT DISTINCT y FROM m)),
+         xs AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC) - 1
+                  AS INTEGER) AS col FROM (SELECT DISTINCT x FROM m)),
+         st AS (SELECT band, MIN(v) AS lo,
+                  CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v)
+                       ELSE 1.0 END AS span
+                FROM m GROUP BY 1),
+         px AS (SELECT ys.row, xs.col, bs.band,
+                  COALESCE(CAST(FLOOR((m.v - st.lo) / st.span * 255.0 + 0.5)
+                    AS INTEGER), 0) AS ch
+                FROM ys CROSS JOIN xs
+                CROSS JOIN (VALUES ('click'), ('view'), ('purchase')) bs(band)
+                LEFT JOIN m ON m.band = bs.band AND m.y = ys.y AND m.x = xs.x
+                LEFT JOIN st ON st.band = bs.band)
+         SELECT row, col,
+           MAX(CASE WHEN band = 'click' THEN ch END) AS r,
+           MAX(CASE WHEN band = 'view' THEN ch END) AS g,
+           MAX(CASE WHEN band = 'purchase' THEN ch END) AS b
+         FROM px GROUP BY 1, 2"""),
+    "q_sink_gtiff" -> cq(
+      // the float32 quantization (CAST AS FLOAT) is the only transform
+      // the GTiff plane applies to the reduced values; grid indices are
+      // the writer's row-major top-down (y DESC) layout
+      """, m AS (SELECT band, y, x, MAX(value) AS v FROM cube GROUP BY 1, 2, 3),
+         ys AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y DESC) - 1
+                  AS INTEGER) AS row FROM (SELECT DISTINCT y FROM m)),
+         xs AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC) - 1
+                  AS INTEGER) AS col FROM (SELECT DISTINCT x FROM m))
+         SELECT m.band, ys.row, xs.col, CAST(m.v AS FLOAT) AS value
+         FROM m JOIN ys ON ys.y = m.y JOIN xs ON xs.x = m.x"""),
     "q1_agg" ->
       s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
            ${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n

@@ -423,6 +423,73 @@ object Sinks {
     path
   }
 
+  /** Minimal TIFF reader — the verification half of [[writeGTiff]]:
+    * parses a little-endian classic TIFF (header, one IFD, inline or
+    * out-of-line tag payloads), requires uncompressed IEEE-float32
+    * samples, and returns the band planes row-major top-down plus the
+    * per-sample DESCRIPTION names from the GDAL metadata tag (band
+    * index as string when absent). Handles both our layouts:
+    * PlanarConfiguration=2 with one strip per band (multi-band) and
+    * planar=1 single-strip (single-band). Driver-side by design — a
+    * GeoTIFF, like the NetCDF rendition, is the client-facing artifact
+    * of an already-collected raster. */
+  def readGTiff(path: String): (Seq[String], Array[Array[Array[Float]]]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 8 && bytes(0) == 'I' && bytes(1) == 'I' &&
+      bb.getShort(2) == 42, s"$path: not a little-endian classic TIFF")
+    val ifdOffset = bb.getInt(4)
+    val nEntries = bb.getShort(ifdOffset) & 0xffff
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8
+      case o => throw new IllegalArgumentException(s"TIFF type $o")
+    }
+    val tags: Map[Int, (Int, Int, Array[Byte])] = (0 until nEntries).map { i =>
+      val off = ifdOffset + 2 + i * 12
+      val tag = bb.getShort(off) & 0xffff
+      val typ = bb.getShort(off + 2) & 0xffff
+      val count = bb.getInt(off + 4)
+      val size = count * typeSize(typ)
+      val payload =
+        if (size <= 4) java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
+        else {
+          val p = bb.getInt(off + 8)
+          java.util.Arrays.copyOfRange(bytes, p, p + size)
+        }
+      tag -> (typ, count, payload)
+    }.toMap
+    def ints(tag: Int): Seq[Int] = tags.get(tag).map { case (typ, count, p) =>
+      val pb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until count).map(i => typ match {
+        case 3 => pb.getShort(i * 2) & 0xffff
+        case 4 => pb.getInt(i * 4)
+        case o => throw new IllegalArgumentException(s"tag $tag type $o")
+      })
+    }.getOrElse(Nil)
+    val w = ints(256).head; val h = ints(257).head
+    val nB = ints(277).headOption.getOrElse(1)
+    require(ints(339).forall(_ == 3) && ints(258).forall(_ == 32),
+      s"$path: expected float32 samples")
+    require(ints(259).forall(_ == 1), s"$path: expected no compression")
+    val strips = ints(273)
+    val planes = Array.tabulate(nB) { b =>
+      // planar=2: strip b IS band b's plane; planar=1 single-band: one
+      // interleaved strip (identical layout when nB == 1)
+      val base = if (strips.length == nB) strips(b) else strips.head
+      val pb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      Array.tabulate(h, w)((row, colI) =>
+        pb.getFloat(base + (row * w + colI) * 4))
+    }
+    val names = tags.get(42112).map { case (_, _, p) =>
+      val xml = new String(p, "US-ASCII")
+      val re = """<Item name="DESCRIPTION" sample="(\d+)"[^>]*>([^<]*)</Item>""".r
+      val found = re.findAllMatchIn(xml)
+        .map(m => m.group(1).toInt -> m.group(2)).toMap
+      (0 until nB).map(i => found.getOrElse(i, i.toString))
+    }.getOrElse((0 until nB).map(_.toString))
+    (names, planes)
+  }
+
   /** Label-keyed JSON rendition mirroring the reference's dict layouts
     * (openeo_odc_driver.py:1783-1827): 0-D → {"band": [[v]]} or
     * {"0": [[v]]}; 1-D → {label: {band: [v]}} or {label: [[v]]};

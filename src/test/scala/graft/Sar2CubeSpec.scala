@@ -69,6 +69,94 @@ class Sar2CubeSpec extends SparkSpec {
     Sar2Cube.geocode(c, 32632, 10.0, fillGaps = false).df.count() shouldBe 8
   }
 
+  test("geocode(method=linear) == nearest-bin on a smooth dense field " +
+      "(every cell center sampled)") {
+    import spark.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    val (bx, by) = graft.ops.Utm.fromLonLat(11.35, 46.5, 32632)
+    val cx0 = math.floor(bx / 10.0); val cy0 = math.floor(by / 10.0)
+    val rows = (for { oy <- 0 until 5; ox <- 0 until 5 } yield {
+      val i = oy * 5 + ox
+      val (lon, lat) = graft.ops.Utm.toLonLat(
+        (cx0 + ox + 0.5) * 10.0, (cy0 + oy + 0.5) * 10.0, 32632)
+      Seq((t, "grid_lon", 0.0, i.toDouble, lon),
+        (t, "grid_lat", 0.0, i.toDouble, lat),
+        (t, "VV", 0.0, i.toDouble, math.sin(ox * 0.3) + oy * 0.1))
+    }).flatten
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
+    def keyVals(cube: graft.cube.Cube) = cube.df
+      .select(Dim.Y, Dim.X, Cube.ValueCol).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    val near = keyVals(Sar2Cube.geocode(c, 32632, 10.0, fillGaps = false))
+    val lin = keyVals(Sar2Cube.geocode(c, 32632, 10.0, method = "linear"))
+    near.size shouldBe 25
+    lin shouldBe near
+  }
+
+  test("geocode(method=linear): validity mask is the sample hull — " +
+      "interior holes take the NEAREST value (not IDW), exterior stays empty") {
+    import spark.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    val (bx, by) = graft.ops.Utm.fromLonLat(11.35, 46.5, 32632)
+    val cx0 = math.floor(bx / 10.0); val cy0 = math.floor(by / 10.0)
+    val centerX = (cx0 + 0.5) * 10.0; val centerY = (cy0 + 0.5) * 10.0
+    // ring at ±14 m (1.4 cells) with margin ≫ UTM round-trip noise, so
+    // the hull STRICTLY contains exactly the 3×3 block of cell centers;
+    // one extra sample 11 m north is the unique nearest to the center
+    val ring = Seq((1.4, 0.0, 10.0), (-1.4, 0.0, 11.0), (0.0, -1.4, 12.0),
+      (1.4, 1.4, 13.0), (1.4, -1.4, 14.0), (-1.4, 1.4, 15.0),
+      (-1.4, -1.4, 16.0), (0.0, 1.1, 99.0))
+    val rows = ring.zipWithIndex.flatMap { case ((ox, oy, v), i) =>
+      val (lon, lat) = graft.ops.Utm.toLonLat(
+        centerX + ox * 10.0, centerY + oy * 10.0, 32632)
+      Seq((t, "grid_lon", 0.0, i.toDouble, lon),
+        (t, "grid_lat", 0.0, i.toDouble, lat),
+        (t, "VV", 0.0, i.toDouble, v))
+    }
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
+    val r = Sar2Cube.geocode(c, 32632, 10.0, method = "linear")
+    // exactly the 3×3 centers lie inside the hull (the ±2-cell centers
+    // at ±20 m are outside the ±14 m hull): exterior masked
+    r.df.count() shouldBe 9
+    val center = r.df.where(
+      col(Dim.X) === centerX && col(Dim.Y) === centerY)
+      .select(Cube.ValueCol).head().getDouble(0)
+    center shouldBe 99.0 // nearest sample, NOT an IDW mean — pinned divergence
+    // the default path IDW-fills the same hole with a weighted mean
+    val idw = Sar2Cube.geocode(c, 32632, 10.0).df.where(
+      col(Dim.X) === centerX && col(Dim.Y) === centerY)
+      .select(Cube.ValueCol).head().getDouble(0)
+    idw should not be 99.0
+  }
+
+  test("geocode(method=linear) is tile-layout invariant on dense fields " +
+      "(halo replication correct across tile borders)") {
+    import spark.implicits._
+    val t = ts("2024-01-01 00:00:00")
+    val (bx, by) = graft.ops.Utm.fromLonLat(11.35, 46.5, 32632)
+    val cx0 = math.floor(bx / 10.0); val cy0 = math.floor(by / 10.0)
+    val rows = (for { oy <- 0 until 12; ox <- 0 until 12 } yield {
+      val i = oy * 12 + ox
+      val (lon, lat) = graft.ops.Utm.toLonLat(
+        (cx0 + ox + 0.5) * 10.0, (cy0 + oy + 0.5) * 10.0, 32632)
+      Seq((t, "grid_lon", 0.0, i.toDouble, lon),
+        (t, "grid_lat", 0.0, i.toDouble, lat),
+        (t, "VV", 0.0, i.toDouble, i * 0.25))
+    }).flatten
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("grid_lon", "grid_lat", "VV")))
+    def keyVals(tileCells: Int) = Sar2Cube.geocodeLinear(
+        c, 32632, 10.0, tileCells = tileCells)
+      .df.select(Dim.Y, Dim.X, Cube.ValueCol).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getDouble(2))).toMap
+    val big = keyVals(64)
+    big.size shouldBe 144
+    keyVals(9) shouldBe big
+    keyVals(16) shouldBe big
+  }
+
   test("filterBboxByLonLatBands keeps pixels whose lon/lat data fall inside") {
     import spark.implicits._
     val t = ts("2024-01-01 00:00:00")
