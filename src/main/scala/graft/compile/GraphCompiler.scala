@@ -283,7 +283,10 @@ final class GraphCompiler(
       case "geocode" =>
         Sar2Cube.geocode(cubeArg(n, "data", r),
           targetEpsg = optD(n, "crs", r).map(_.toInt).getOrElse(32632),
-          resolution = optD(n, "resolution", r).getOrElse(10.0))
+          resolution = optD(n, "resolution", r).getOrElse(10.0),
+          // "near" (default) = bin-argmin + IDW pinhole fill; "linear" =
+          // the reference's Delaunay tier (hull-masked nearest)
+          method = optS(n, "method", r).getOrElse("near"))
       case "radar_mask" =>
         Sar2Cube.radarMask(cubeArg(n, "data", r),
           foreshorteningTh = optD(n, "foreshortening_th", r).getOrElse(0.0),

@@ -807,6 +807,44 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
   }
 
+  test("tpch q1 shape: shipdate filter pushed to the scan; partial+final " +
+      "hash aggregate (map-side combine before the only exchange)") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_tpch_q1")(spark, dir))
+    plan should include("PushedFilters")
+    plan should include("LessThanOrEqual(l_shipdate")
+    plan.toLowerCase should include("partial_sum")
+    // one exchange total: scan → partial agg → shuffle(6 keys) → final
+    plan.split("Exchange").length - 1 shouldBe 1
+  }
+
+  test("tpch q6 shape: all three predicates reach the scan; single-row " +
+      "global aggregate with partial sums") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_tpch_q6")(spark, dir))
+    plan should include("GreaterThanOrEqual(l_shipdate")
+    plan should include("LessThan(l_shipdate")
+    plan should include("GreaterThanOrEqual(l_discount")
+    plan should include("LessThan(l_quantity")
+    plan.toLowerCase should include("partial_sum")
+  }
+
+  test("tpch q4/q18/q22 shapes: EXISTS/HAVING-IN/NOT-EXISTS run as " +
+      "semi/anti joins — no row inflation, no distinct pass, no cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val q4 = planString(SparkEntry.queries("q_tpch_q4")(spark, dir))
+    q4 should include("LeftSemi")
+    q4 should not include "CartesianProduct"
+    val q18 = planString(SparkEntry.queries("q_tpch_q18")(spark, dir))
+    q18 should include("LeftSemi")
+    q18.toLowerCase should include("partial_sum") // HAVING agg map-side combined
+    val q22 = planString(SparkEntry.queries("q_tpch_q22")(spark, dir))
+    q22 should include("LeftAnti")
+    q22 should not include "CartesianProduct"
+  }
+
   test("tpch q3 shape: top-10 runs as TakeOrderedAndProject; the customer " +
       "dim broadcasts; filters reach all three scans") {
     val dir = "/root/testdata/sf0.001"
@@ -831,6 +869,44 @@ class PlanQualitySpec extends SparkSpec {
       // the key (3 exchanges); the accumulator side must NOT re-exchange
       // between stages: ≤ 4 total, not 6+
       plan.split("Exchange hashpartitioning").length - 1 should be <= 4
+    }
+  }
+
+  test("saltedJoin under real 90%-hot skew (sf0.1): hot-key rows spread " +
+      "across >= saltFactor tasks with bounded per-task share") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val ev = SparkEntry.readEvents(spark, dir)
+    // 90% of rows share one key — the straggler shape AQE's skew join
+    // handles for SMJ and saltedJoin handles plan-stably
+    val l = ev.select(
+      when(pmod(col("event_id"), lit(10)) < 9, lit("hot"))
+        .otherwise(concat(lit("k"), col("user_id"))).as("key"),
+      col("event_id"), col("value"))
+    val r = l.select("key").distinct().withColumn("w", lit(1.0))
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "256") {
+      val saltFactor = 8
+      def hotSpread(df: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+        df.where(col("key") === "hot")
+          .withColumn("pid", spark_partition_id())
+          .groupBy("pid").count()
+          .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      // the unsalted join concentrates every hot row in ONE task
+      hotSpread(l.join(r, Seq("key"))).size shouldBe 1
+      // the salted join's (keys, salt) exchange spreads them: the hot key
+      // owns saltFactor (key, salt) combos, hashed over 256 partitions
+      // so combo collisions are unlikely; every combo must land in its
+      // own task and no task may hold more than 2/saltFactor of the
+      // hot rows
+      val salted = hotSpread(
+        graft.ops.TableJoins.saltedJoin(l, r, Seq("key"), saltFactor))
+      salted.size should be >= saltFactor
+      val total = salted.values.sum
+      total shouldBe hotSpread(l.join(r, Seq("key"))).values.sum
+      salted.values.max.toDouble / total should be <= (2.0 / saltFactor)
     }
   }
 
