@@ -674,6 +674,89 @@ object SparkEntry {
         v = planes(b)(row)(colI) if !v.isNaN
       } yield (names(b), row, colI, v)).toDF("band", "row", "col", "value")
     }),
+    "q_netcdf_source" -> ((s, dir) => {
+      // the DataSource V2 read path (format("graft-netcdf")): the same
+      // CDF-1 bytes q_load_result_netcdf parses on the driver, read as a
+      // FIRST-CLASS source — one input partition per (time, band) plane,
+      // the band filter pruning partitions at planning time
+      // (NetcdfSourceSpec pins the counts), columns pruned to the scan.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val nc = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_$slug.nc"
+      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
+      graft.ops.Sinks.writeNetcdf(daily, nc)
+      s.read.format("graft-netcdf").load(nc)
+        .where(col("band").isin("click", "view"))
+        .select("time", "band", "y", "x", "value")
+    }),
+    "q_sink_json" -> ((s, dir) => {
+      // S8 JSON sink hash-verified END-TO-END: the daily-max cube leaves
+      // through writeJsonCube's xarray-.to_dict() shape (dims / coords /
+      // nested data with nulls for absent cells —
+      // openeo_odc_driver.py:1783-1827) and is parsed BACK from the
+      // file: labels re-typed, null cells dropped. Jackson serializes
+      // doubles shortest-roundtrip, so the recovered values are
+      // bit-identical and the store projection IS the oracle.
+      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_$slug.json"
+      graft.ops.Sinks.writeJsonCube(daily, path)
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val dims = (0 until root.get("dims").size())
+        .map(root.get("dims").get(_).asText())
+      val labels = dims.map(d => {
+        val arr = root.get("coords").get(d).get("data")
+        (0 until arr.size()).map(arr.get(_).asText())
+      })
+      require(dims == Seq(Dim.Band, Dim.Time, Dim.Y, Dim.X),
+        s"unexpected dims $dims")
+      val rows = for {
+        bi <- labels(0).indices; ti <- labels(1).indices
+        yi <- labels(2).indices; xi <- labels(3).indices
+        node = root.get("data").get(bi).get(ti).get(yi).get(xi)
+        if !node.isNull
+      } yield (java.sql.Timestamp.valueOf(labels(1)(ti)), labels(0)(bi),
+        labels(2)(yi).toDouble, labels(3)(xi).toDouble, node.asDouble())
+      import s.implicits._
+      rows.toDF(Dim.Time, Dim.Band, Dim.Y, Dim.X, Cube.ValueCol)
+    }),
+    "q_stac_describe" -> ((s, dir) => {
+      // S9 STAC catalog hash-verified: the /collections/<id> description
+      // is synthesized from the STORE (extent aggregates, band list,
+      // per-band eo:bands summaries from the registered adjusts —
+      // odc_backend.py:184-309) — here the same JSON the HTTP handler
+      // serves is built via Catalog.describeJson, parsed back, and its
+      // data-derived fields re-emitted per band for the SQL oracle to
+      // recompute from the same parquet.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stac_$slug"
+      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
+      val spec = Scan.CollectionSpec(tmp, crs = Some("EPSG:32632"),
+        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
+        grid = Some(graft.cube.GridRef(0, 0, 1, 1)),
+        adjust = Map("click" ->
+          Scan.BandAdjust(nodata = Some(50.0), scale = 0.01, offset = 10.0)))
+      val catalog = new graft.api.Catalog(Map("events" -> spec))
+      val json = catalog.describeJson(s, "events").get
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val cd = root.get("cube:dimensions")
+      val t = cd.get("DATE").get("extent")
+      val xs = cd.get("X").get("extent"); val ys = cd.get("Y").get("extent")
+      val bands = cd.get("bands").get("values")
+      val eoBands = root.get("summaries").get("eo:bands")
+      import s.implicits._
+      (0 until bands.size()).map { i =>
+        val b = eoBands.get(i)
+        (root.get("id").asText(), bands.get(i).asText(),
+          java.sql.Timestamp.valueOf(t.get(0).asText()),
+          java.sql.Timestamp.valueOf(t.get(1).asText()),
+          xs.get(0).asDouble(), xs.get(1).asDouble(),
+          ys.get(0).asDouble(), ys.get(1).asDouble(),
+          b.get("scale").asDouble(), b.get("offset").asDouble(),
+          if (b.has("nodata")) Some(b.get("nodata").asDouble()) else None)
+      }.toDF("id", "band", "t0", "t1", "x0", "x1", "y0", "y1",
+        "scale", "offset", "nodata")
+    }),
     // --- relational spine (classic agg/join over lineitem, judge smoke) --
     "q1_agg" -> ((s, dir) => {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
@@ -4076,6 +4159,32 @@ object SparkEntry {
       """SELECT date_trunc('day', time) AS time, band, y, x,
            CAST(MAX(value) AS FLOAT) AS value
          FROM cube GROUP BY 1, 2, 3, 4"""),
+    "q_netcdf_source" -> cq(
+      // plane-pruned V2 read == band-filtered store projection, float32
+      """SELECT date_trunc('day', time) AS time, band, y, x,
+           CAST(MAX(value) AS FLOAT) AS value
+         FROM cube WHERE band IN ('click', 'view')
+         GROUP BY 1, 2, 3, 4"""),
+    "q_sink_json" -> cq(
+      // the JSON round-trip recovers exactly the store projection —
+      // shortest-roundtrip double serialization is lossless
+      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
+         FROM cube GROUP BY 1, 2, 3, 4"""),
+    "q_stac_describe" -> cq(
+      // STAC description replay: extent aggregates over the same store,
+      // per-band summaries from the registered adjust constants
+      """, ext AS (SELECT min(time) AS t0, max(time) AS t1,
+              min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
+            FROM cube)
+         SELECT 'events' AS id, b.band, ext.t0, ext.t1,
+                ext.x0, ext.x1, ext.y0, ext.y1,
+                b.scale, b."offset", b.nodata
+         FROM ext CROSS JOIN (VALUES
+           ('click', 0.01, 10.0, 50.0),
+           ('error', 1.0, 0.0, NULL),
+           ('purchase', 1.0, 0.0, NULL),
+           ('signup', 1.0, 0.0, NULL),
+           ('view', 1.0, 0.0, NULL)) b(band, scale, "offset", nodata)"""),
     "q_sink_png" -> cq(
       // replay of writePng's per-channel linear stretch: per-band
       // lo/span over present values, FLOOR(x + 0.5) is literally Java's

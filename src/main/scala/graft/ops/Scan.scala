@@ -121,78 +121,20 @@ object Scan {
     * own dense grid. */
   def loadResultNetcdf(spark: SparkSession, path: String): Cube = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val b = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
-    require(b.get() == 'C' && b.get() == 'D' && b.get() == 'F',
-      s"$path: not a NetCDF classic file")
-    val version = b.get()
-    require(version == 1, s"$path: CDF-$version unsupported (CDF-1 only)")
-    b.getInt() // numrecs (no record vars in our layout)
-    def readName(): String = {
-      val n = b.getInt()
-      val s = new Array[Byte](n); b.get(s)
-      b.position(b.position() + ((4 - n % 4) % 4)) // 4-byte padding
-      new String(s, "UTF-8")
-    }
-    def typeSize(t: Int): Int = t match {
-      case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8
-      case other => throw new IllegalArgumentException(s"nc_type $other")
-    }
-    // tagged list header: (tag, n) with (0, 0) for ABSENT
-    def listCount(expectTag: Int): Int = {
-      val tag = b.getInt(); val n = b.getInt()
-      require(tag == expectTag || (tag == 0 && n == 0),
-        s"$path: bad list tag $tag (want $expectTag)")
-      n
-    }
-    val dims = (0 until listCount(0x0A)).map(_ => (readName(), b.getInt()))
-    def skipAtts(): Unit = (0 until listCount(0x0C)).foreach { _ =>
-      readName()
-      val t = b.getInt(); val n = b.getInt()
-      val len = n * typeSize(t)
-      b.position(b.position() + len + ((4 - len % 4) % 4))
-    }
-    skipAtts() // global
-    final case class V(name: String, dimIds: Seq[Int], ncType: Int,
-      vsize: Int, begin: Int)
-    val vars = (0 until listCount(0x0B)).map { _ =>
-      val name = readName()
-      val dimIds = (0 until b.getInt()).map(_ => b.getInt())
-      skipAtts()
-      V(name, dimIds, b.getInt(), b.getInt(), b.getInt())
-    }
-    val byName = vars.map(v => v.name -> v).toMap
-    def doubles(v: V): Array[Double] = {
-      require(v.ncType == 6, s"${v.name}: expected NC_DOUBLE")
-      val n = v.dimIds.map(dims(_)._2).product
-      val bb = java.nio.ByteBuffer.wrap(bytes, v.begin, n * 8)
-      Array.fill(n)(bb.getDouble())
-    }
-    val times = byName.get("time").map(doubles)
-    val ys = doubles(byName("y"))
-    val xs = doubles(byName("x"))
-    val bands = byName.get("band").map { v =>
-      require(v.ncType == 2 && v.dimIds.length == 2,
-        "band: expected NC_CHAR matrix")
-      val n = dims(v.dimIds.head)._2; val strlen = dims(v.dimIds(1))._2
-      (0 until n).map { i =>
-        val raw = new String(bytes, v.begin + i * strlen, strlen, "UTF-8")
-        raw.takeWhile(_ != '\u0000') // writer zero-pads
-      }
-    }
-    val value = byName("value")
-    require(value.ncType == 5, "value: expected NC_FLOAT")
-    val nT = times.map(_.length).getOrElse(1)
-    val nB = bands.map(_.length).getOrElse(1)
-    require(value.dimIds.map(dims(_)._2).product == nT * nB * ys.length * xs.length,
+    val m = graft.sources.Netcdf.readMeta(path, bytes)
+    val times = m.times; val bands = m.bands
+    val ys = m.ys; val xs = m.xs
+    require(m.value.ncType == 5, "value: expected NC_FLOAT")
+    require(m.value.dimIds.map(m.dims(_)._2).product ==
+      m.nT * m.nB * ys.length * xs.length,
       s"$path: value dims disagree with coordinates")
     // absolute ByteBuffer indices ignore a wrap() offset — index from the
     // file start instead
     val vb = java.nio.ByteBuffer.wrap(bytes)
     val rows = for {
-      t <- 0 until nT; band <- 0 until nB
+      t <- 0 until m.nT; band <- 0 until m.nB
       y <- ys.indices; x <- xs.indices
-      v = vb.getFloat(value.begin +
-        (((t * nB + band) * ys.length + y) * xs.length + x) * 4)
+      v = vb.getFloat(m.cellOffset(t, band, y, x))
       if !v.isNaN // the writer's fill value for absent cells
     } yield org.apache.spark.sql.Row.fromSeq(
       times.map(ts => new java.sql.Timestamp((ts(t) * 1000.0).round)).toSeq ++

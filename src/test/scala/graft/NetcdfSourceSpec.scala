@@ -1,0 +1,81 @@
+package graft
+
+import graft.cube.{Cube, CubeMeta}
+import graft.ops.Sinks
+import org.apache.spark.sql.functions._
+
+class NetcdfSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("ncsrc").toString
+    // two job outputs: 2 times × 2 bands × 2×2 grid each, one NaN hole
+    def cube(dayOffset: Int) = {
+      val rows = for {
+        t <- 1 to 2; b <- Seq("B04", "B08"); y <- 0 to 1; x <- 0 to 1
+        if !(t == 1 && b == "B04" && y == 0 && x == 1) // absent cell
+      } yield (ts(f"2024-01-0${t + dayOffset}%d 00:00:00"), b,
+        y.toDouble, x.toDouble, (t * 100 + y * 10 + x).toDouble + dayOffset)
+      Cube(rows.toDF("time", "band", "y", "x", "value"),
+        CubeMeta(bandOrder = Seq("B04", "B08")))
+    }
+    Sinks.writeNetcdf(cube(0), s"$d/a.nc")
+    Sinks.writeNetcdf(cube(2), s"$d/b.nc")
+    d
+  }
+
+  test("graft-netcdf reads a directory of .nc files with one partition " +
+      "per (file, time, band) plane") {
+    val df = spark.read.format("graft-netcdf").load(dir)
+    df.columns.toSeq shouldBe Seq("time", "band", "y", "x", "value")
+    // 2 files × 2 times × 2 bands = 8 planes
+    df.rdd.getNumPartitions shouldBe 8
+    df.count() shouldBe 2 * (16 - 1) // one NaN hole per file
+    // values round-trip (float32)
+    df.where(col("band") === "B08" && col("y") === 1.0 && col("x") === 0.0 &&
+        col("time") === ts("2024-01-01 00:00:00"))
+      .select("value").head().getFloat(0) shouldBe 110.0f
+  }
+
+  test("band and time filters prune input partitions at planning time") {
+    val df = spark.read.format("graft-netcdf").load(dir)
+    val band = df.where(col("band") === "B04")
+    band.rdd.getNumPartitions shouldBe 4 // half the planes gone
+    band.select("band").distinct().collect().map(_.getString(0)).toSeq shouldBe
+      Seq("B04")
+    val time = df.where(col("time") >= ts("2024-01-03 00:00:00"))
+    time.rdd.getNumPartitions shouldBe 4 // only file b's times survive
+    val both = df.where(col("band") === "B08" &&
+      col("time") === ts("2024-01-02 00:00:00"))
+    both.rdd.getNumPartitions shouldBe 1
+    both.count() shouldBe 4
+    // y/x predicates are NOT plane constants — they stay with Spark and
+    // never prune planes (row-level filtering still applies)
+    val yf = df.where(col("y") === 0.0)
+    yf.rdd.getNumPartitions shouldBe 8
+    // per file: 2 bands × 2 times × 2 x-cells = 8, minus its y=0 hole
+    yf.count() shouldBe 2 * (8 - 1)
+  }
+
+  test("column pruning reaches the reader: value-only scan skips " +
+      "band/time materialization and aggregates correctly") {
+    val df = spark.read.format("graft-netcdf").load(dir)
+    val scan = df.select("value")
+    scan.queryExecution.executedPlan.toString should include("value")
+    // sum over both files: full grid sums minus the two holes (101, 103)
+    val expect = (for {
+      off <- Seq(0, 2); t <- 1 to 2; y <- 0 to 1; x <- 0 to 1; _ <- 1 to 2
+    } yield (t * 100 + y * 10 + x).toDouble + off).sum - (101.0 + 103.0)
+    scan.agg(sum("value")).head().getDouble(0) shouldBe expect
+  }
+
+  test("matches loadResultNetcdf row-for-row on a single file") {
+    val viaSource = spark.read.format("graft-netcdf").load(s"$dir/a.nc")
+      .select("time", "band", "y", "x", "value")
+      .collect().map(_.toSeq).toSet
+    val viaDriver = graft.ops.Scan.loadResultNetcdf(spark, s"$dir/a.nc")
+      .df.select("time", "band", "y", "x", "value")
+      .collect().map(_.toSeq).toSet
+    viaSource shouldBe viaDriver
+  }
+}
