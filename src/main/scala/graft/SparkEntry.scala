@@ -688,6 +688,35 @@ object SparkEntry {
         .where(col("band").isin("click", "view"))
         .select("time", "band", "y", "x", "value")
     }),
+    "q_stream_netcdf" -> ((s, dir) => {
+      // the V2 source's STREAMING face through a REAL micro-batch run:
+      // two job outputs (time-split halves of the daily-max cube) land
+      // in a watched directory one batch apart; the seen-file-set
+      // offset picks each up exactly once and the append sink
+      // accumulates the full store projection — which IS the oracle.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sd = s"${System.getProperty("java.io.tmpdir")}/graft_ncstream_$slug"
+      val dirF = new java.io.File(sd)
+      if (dirF.isDirectory) dirF.listFiles().foreach(_.delete())
+      dirF.mkdirs()
+      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
+      val mid = daily.df.agg(
+        percentile_approx(col(Dim.Time), lit(0.5), lit(100))).head()
+        .getTimestamp(0)
+      graft.ops.Sinks.writeNetcdf(
+        daily.withDF(daily.df.where(col(Dim.Time) <= lit(mid))), s"$sd/h1.nc")
+      val q = s.readStream.format("graft-netcdf").load(sd)
+        .writeStream.format("memory").queryName(s"nc_stream_$slug")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        graft.ops.Sinks.writeNetcdf(
+          daily.withDF(daily.df.where(col(Dim.Time) > lit(mid))), s"$sd/h2.nc")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(s"nc_stream_$slug")
+        .select("time", "band", "y", "x", "value")
+    }),
     "q_sink_json" -> ((s, dir) => {
       // S8 JSON sink hash-verified END-TO-END: the daily-max cube leaves
       // through writeJsonCube's xarray-.to_dict() shape (dims / coords /
@@ -4165,6 +4194,11 @@ object SparkEntry {
            CAST(MAX(value) AS FLOAT) AS value
          FROM cube WHERE band IN ('click', 'view')
          GROUP BY 1, 2, 3, 4"""),
+    "q_stream_netcdf" -> cq(
+      // both halves exactly once == the whole store projection, float32
+      """SELECT date_trunc('day', time) AS time, band, y, x,
+           CAST(MAX(value) AS FLOAT) AS value
+         FROM cube GROUP BY 1, 2, 3, 4"""),
     "q_sink_json" -> cq(
       // the JSON round-trip recovers exactly the store projection —
       // shortest-roundtrip double serialization is lossless

@@ -34,28 +34,33 @@ final class NetcdfTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-netcdf"
 
-  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val p = Option(options.get("path")).getOrElse(
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val raw = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-netcdf: missing path"))
-    val f = new java.io.File(p)
-    if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".nc")).map(_.getPath)
-        .sorted.toSeq
-    else Seq(p)
+    NetcdfTable.schemaOf(Netcdf.readMeta(
+      NetcdfTable.listFiles(raw).headOption.getOrElse(
+        throw new IllegalArgumentException("graft-netcdf: no .nc files"))))
   }
-
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetcdfTable.schemaOf(Netcdf.readMeta(paths(options).headOption.getOrElse(
-      throw new IllegalArgumentException("graft-netcdf: no .nc files"))))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new NetcdfTable(paths(new CaseInsensitiveStringMap(properties)), schema)
+    new NetcdfTable(new CaseInsensitiveStringMap(properties).get("path"),
+      schema)
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 object NetcdfTable {
+  /** Resolve the load path to .nc files — re-evaluated per streaming
+    * micro-batch so newly arrived files are discovered. */
+  def listFiles(rawPath: String): Seq[String] = {
+    val f = new java.io.File(rawPath)
+    if (f.isDirectory)
+      f.listFiles().filter(_.getName.endsWith(".nc")).map(_.getPath)
+        .sorted.toSeq
+    else Seq(rawPath)
+  }
+
   def schemaOf(m: Netcdf.Meta): StructType = StructType(
     m.times.map(_ => StructField("time", TimestampType)).toSeq ++
       m.bands.map(_ => StructField("band", StringType)).toSeq ++ Seq(
@@ -63,17 +68,18 @@ object NetcdfTable {
       StructField("value", FloatType)))
 }
 
-final class NetcdfTable(paths: Seq[String], schema: StructType)
+final class NetcdfTable(rawPath: String, schema: StructType)
     extends Table with SupportsRead {
-  override def name(): String = s"graft-netcdf(${paths.mkString(",")})"
+  override def name(): String = s"graft-netcdf($rawPath)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetcdfScanBuilder(paths, schema)
+    new NetcdfScanBuilder(rawPath, schema)
 }
 
-final class NetcdfScanBuilder(paths: Seq[String], full: StructType)
+final class NetcdfScanBuilder(rawPath: String, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -101,14 +107,17 @@ final class NetcdfScanBuilder(paths: Seq[String], full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NetcdfScan(paths, required, pushed)
+  override def build(): Scan = new NetcdfScan(rawPath, required, pushed)
 }
 
-final class NetcdfScan(paths: Seq[String], required: StructType,
+final class NetcdfScan(rawPath: String, required: StructType,
     pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NetcdfMicroBatchStream(rawPath, required, pushed, this)
   override def description(): String =
     s"graft-netcdf PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -120,12 +129,15 @@ final class NetcdfScan(paths: Seq[String], required: StructType,
       s"graft-netcdf: time literal $other")
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Plane partitions for a file set, after pushed-filter pruning —
+    * shared by the batch path (current listing) and each streaming
+    * micro-batch (that batch's new files). */
+  def planesFor(files: Seq[String]): Array[InputPartition] = {
     val bandEq: Option[Set[String]] = pushed.collectFirst {
       case EqualTo("band", v: String) => Set(v)
       case In("band", vs) => vs.map(_.toString).toSet
     }
-    paths.iterator.flatMap { p =>
+    files.iterator.flatMap { p =>
       val m = Netcdf.readMeta(p)
       for {
         t <- (0 until m.nT).iterator
@@ -144,6 +156,9 @@ final class NetcdfScan(paths: Seq[String], required: StructType,
       } yield NetcdfInputPartition(p, t, b): InputPartition
     }.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planesFor(NetcdfTable.listFiles(rawPath))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NetcdfReaderFactory(required)
@@ -204,4 +219,58 @@ final class NetcdfPartitionReader(part: NetcdfInputPartition,
     InternalRow.fromSeq(emitters.toSeq.map(_(curY, curX, curV)))
 
   override def close(): Unit = ()
+}
+
+/** Streaming offset: the SET of consumed files, JSON-encoded. New `.nc`
+  * files appearing in the directory form the next micro-batch (set
+  * difference) — arrival-order-independent, so a file that sorts before
+  * already-consumed names is still picked up exactly once. Spark's own
+  * FileStreamSource keeps the same kind of seen-files log; at this
+  * source's scale (job outputs, not event streams) the offset stays
+  * small. */
+final case class NetcdfFilesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.sorted.foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+}
+
+object NetcdfFilesOffset {
+  def fromJson(json: String): NetcdfFilesOffset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    NetcdfFilesOffset((0 until node.size()).map(node.get(_).asText()))
+  }
+}
+
+/** Micro-batch stream over a directory of CDF-1 files: each batch is
+  * the newly arrived files' (time, band) planes, pruned by the same
+  * pushed filters as the batch path. */
+final class NetcdfMicroBatchStream(rawPath: String, required: StructType,
+    pushed: Array[Filter], scan: NetcdfScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = NetcdfFilesOffset(Nil)
+
+  override def latestOffset(): Offset =
+    NetcdfFilesOffset(NetcdfTable.listFiles(rawPath))
+
+  override def deserializeOffset(json: String): Offset =
+    NetcdfFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[NetcdfFilesOffset].files.toSet
+    val now = end.asInstanceOf[NetcdfFilesOffset].files
+    scan.planesFor(now.filterNot(seen).sorted)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetcdfReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -69,6 +69,35 @@ class NetcdfSourceSpec extends SparkSpec {
     scan.agg(sum("value")).head().getDouble(0) shouldBe expect
   }
 
+  test("streaming: new .nc files in the directory arrive as micro-batches, " +
+      "exactly once, arrival-order independent") {
+    val sd = java.nio.file.Files.createTempDirectory("ncstream").toString
+    def write(name: String, day: Int): Unit = {
+      val rows = Seq((ts(f"2024-02-0$day%d 00:00:00"), "B04", 0.0, 0.0,
+        day.toDouble))
+      Sinks.writeNetcdf(Cube(rows.toDF("time", "band", "y", "x", "value"),
+        CubeMeta(bandOrder = Seq("B04"))), s"$sd/$name")
+    }
+    write("b.nc", 1) // schema inference needs one file up front
+    val q = spark.readStream.format("graft-netcdf").load(sd)
+      .writeStream.format("memory").queryName("nc_stream_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("nc_stream_sink").count() shouldBe 1
+      // a file that sorts BEFORE the consumed one still arrives (offset
+      // is the seen-file set, not a count)
+      write("a.nc", 2)
+      q.processAllAvailable()
+      spark.table("nc_stream_sink").count() shouldBe 2
+      write("c.nc", 3)
+      q.processAllAvailable()
+      val got = spark.table("nc_stream_sink")
+        .select("value").collect().map(_.getFloat(0)).toSet
+      got shouldBe Set(1.0f, 2.0f, 3.0f)
+    } finally q.stop()
+  }
+
   test("matches loadResultNetcdf row-for-row on a single file") {
     val viaSource = spark.read.format("graft-netcdf").load(s"$dir/a.nc")
       .select("time", "band", "y", "x", "value")
