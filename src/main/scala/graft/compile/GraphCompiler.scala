@@ -880,9 +880,8 @@ final class GraphCompiler(
             case LitArg(v) if v.isObject && v.has("chunk_size") =>
               v.get("chunk_size").asInt
           }.getOrElse(512)
-          if (dim != Dim.Time) throw new IllegalArgumentException(
-            s"run_udf(runtime=java) supports dimension 'time', got $dim")
-          return graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize)
+          return graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize,
+            dim)
         }
         val otherDims = c.dims.filterNot(_ == dim)
         val w = org.apache.spark.sql.expressions.Window

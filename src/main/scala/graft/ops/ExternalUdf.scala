@@ -10,25 +10,30 @@ import org.apache.spark.sql.functions._
   * The reference ships cube chunks to an R worker pool through NetCDF
   * files and reassembles with open_mfdataset
   * (openeo_odc_driver.py:282-339, chunked by `context.chunk_size`,
-  * default 512). The Spark-first equivalent keeps the same architectural
-  * slot — opaque user source, chunked parallel execution — but hosts the
-  * source ON the executors: the UDF is a Java method body compiled
-  * per-JVM by janino (the exact compiler Spark's own codegen uses, so it
-  * adds no dependency), with signature
+  * default 512; the parent's dimension selects the series axis — time
+  * or `variable` i.e. bands, 292-296). The Spark-first equivalent keeps
+  * the same architectural slot — opaque user source, chunked parallel
+  * execution, either series axis — but hosts the source ON the
+  * executors: the UDF is a Java method body compiled per-JVM by janino
+  * (the exact compiler Spark's own codegen uses, so it adds no
+  * dependency), with signature
   *
   * {{{ (long[] times, double[] values) -> double[] }}}
   *
-  * over one time-ordered series. Shipping SOURCE and compiling lazily in
-  * each executor JVM (cached per source text) is what makes this work on
-  * a real cluster: a driver-compiled closure would live in a
-  * driver-local classloader that executors cannot deserialize from.
+  * over one ordered series. Along time, `times` carries the label
+  * micros; along bands it carries the band ORDINALS (0..n-1 in
+  * bandOrder) — the axis a recurrence needs. Shipping SOURCE and
+  * compiling lazily in each executor JVM (cached per source text) is
+  * what makes this work on a real cluster: a driver-compiled closure
+  * would live in a driver-local classloader executors cannot
+  * deserialize from.
   *
   * Chunking mirrors the reference: rows shuffle ONCE keyed by
   * `chunk_size`²-pixel spatial tile (every band and timestamp of a tile
   * reaches the same task, like each joblib worker's chunk), each group
   * sorts in memory — bounded by the tile extent — and the compiled
-  * method runs per (band, y, x) series. Series order is (time, value),
-  * the value tiebreak making duplicate-timestamp series deterministic.
+  * method runs per series. Series order carries a value tiebreak, so
+  * duplicate labels stay deterministic.
   *
   * R source is out of scope in v1 (zero-egress container; rpy2 has no
   * JVM analogue) — this seam is where a worker-pool bridge would plug
@@ -64,18 +69,31 @@ object ExternalUdf {
     * task time. */
   def validate(source: String): Unit = { compiled(source); () }
 
-  /** Apply an external Java series UDF along the time dimension, per
-    * (band?, y, x) series, chunk-parallel. The UDF must return exactly
+  /** Apply an external Java series UDF along `dim` (time or bands), per
+    * remaining-dims series, chunk-parallel. The UDF must return exactly
     * one output per input (apply_dimension contract with unchanged
     * labels); anything else raises [[ExternalUdfError]] at task time. */
   def runSeriesExternal(c: Cube, source: String,
-      chunkSize: Int = 512): Cube = {
+      chunkSize: Int = 512, dim: String = Dim.Time): Cube = {
     require(chunkSize > 0, s"chunk_size must be positive, got $chunkSize")
-    require(c.has(Dim.Time), "external series UDF needs a time dimension")
+    require(dim == Dim.Time || dim == Dim.Band,
+      s"external series UDF supports time|bands, got $dim")
+    require(c.has(dim), s"external series UDF: cube lacks dimension $dim")
     validate(source)
     val hasBand = c.has(Dim.Band)
+    val hasTime = c.has(Dim.Time)
     val spark = c.df.sparkSession
     import spark.implicits._
+    // band ordinals: bandOrder when declared, else sorted distinct (a
+    // tiny axis); the inverse map restores names after the UDF
+    val bandNames: Seq[String] =
+      if (!hasBand) Nil
+      else if (c.meta.bandOrder.nonEmpty) c.meta.bandOrder
+      else c.df.select(Dim.Band).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+    val bandOrd: Map[String, Long] =
+      bandNames.zipWithIndex.map { case (b, i) => b -> i.toLong }.toMap
+    val ordToBand: Map[Long, String] = bandOrd.map(_.swap)
     // spatial chunk key in PIXEL units when the cube carries a grid
     // (reference chunk semantics), raw coordinate units otherwise — the
     // key only steers shuffle granularity, never the result (law-tested)
@@ -84,23 +102,37 @@ object ExternalUdf {
         g.xIdx(col(Dim.X)).cast("double"))
       case None => (col(Dim.Y), col(Dim.X))
     }
+    val bandOrdCol = if (!hasBand) lit(0L) else {
+      val m = typedLit(bandOrd)
+      element_at(m, col(Dim.Band))
+    }
+    // _ord is the series axis (micros or band ordinal); (_ks, _kt) are
+    // the series identity's OTHER labels
+    val (ordCol, ksCol, ktCol) =
+      if (dim == Dim.Time)
+        (unix_micros(col(Dim.Time)),
+          if (hasBand) col(Dim.Band) else lit(""), lit(0L))
+      else
+        (bandOrdCol, lit(""),
+          if (hasTime) unix_micros(col(Dim.Time)) else lit(0L))
     val keyed = c.df.select(
       floor(yIdx / chunkSize).cast("long").as("_cy"),
       floor(xIdx / chunkSize).cast("long").as("_cx"),
-      (if (hasBand) col(Dim.Band) else lit("")).as("_b"),
+      ksCol.as("_ks"), ktCol.cast("long").as("_kt"),
       col(Dim.Y), col(Dim.X),
-      unix_micros(col(Dim.Time)).as("_t"),
+      ordCol.cast("long").as("_ord"),
       col(Cube.ValueCol).cast("double"))
-      .as[(Long, Long, String, Double, Double, Long, Double)]
+      .as[(Long, Long, String, Long, Double, Double, Long, Double)]
     val out = keyed.groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_: (Long, Long),
-          rows: Iterator[(Long, Long, String, Double, Double, Long, Double)]) =>
-        // one chunk in memory (≤ chunkSize² cells × times × bands — the
+          rows: Iterator[(Long, Long, String, Long, Double, Double, Long,
+            Double)]) =>
+        // one chunk in memory (≤ chunkSize² cells × series axis — the
         // reference materializes exactly the same tile per worker)
         val chunk = rows.toArray
         java.util.Arrays.sort(chunk, Ordering.by(
-          (r: (Long, Long, String, Double, Double, Long, Double)) =>
-            (r._3, r._4, r._5, r._6, r._7)))
+          (r: (Long, Long, String, Long, Double, Double, Long, Double)) =>
+            (r._3, r._4, r._5, r._6, r._7, r._8)))
         val se = compiled(source)
         val res = Iterator.unfold(0) { start =>
           if (start >= chunk.length) None
@@ -108,11 +140,12 @@ object ExternalUdf {
             var end = start
             while (end < chunk.length && chunk(end)._3 == chunk(start)._3 &&
               chunk(end)._4 == chunk(start)._4 &&
-              chunk(end)._5 == chunk(start)._5) end += 1
-            val times = Array.tabulate(end - start)(i => chunk(start + i)._6)
-            val values = Array.tabulate(end - start)(i => chunk(start + i)._7)
+              chunk(end)._5 == chunk(start)._5 &&
+              chunk(end)._6 == chunk(start)._6) end += 1
+            val ords = Array.tabulate(end - start)(i => chunk(start + i)._7)
+            val values = Array.tabulate(end - start)(i => chunk(start + i)._8)
             val outVals =
-              try se.evaluate(Array[AnyRef](times, values): _*)
+              try se.evaluate(Array[AnyRef](ords, values): _*)
                 .asInstanceOf[Array[Double]]
               catch { case e: java.lang.reflect.InvocationTargetException =>
                 throw ExternalUdfError(s"UDF threw: ${e.getCause}")
@@ -124,15 +157,25 @@ object ExternalUdf {
                   s"${values.length}")
             val rowsOut = Array.tabulate(end - start)(i =>
               (chunk(start)._3, chunk(start)._4, chunk(start)._5,
-                times(i), outVals(i)))
+                chunk(start)._6, ords(i), outVals(i)))
             Some((rowsOut, end))
           }
         }
         res.flatten
       }
-    val df0 = out.toDF("_b", Dim.Y, Dim.X, "_t", Cube.ValueCol)
-      .withColumn(Dim.Time, timestamp_micros(col("_t")))
-    val withBand = if (hasBand) df0.withColumn(Dim.Band, col("_b")) else df0
-    c.withDF(withBand.select(c.dims.map(col) :+ col(Cube.ValueCol): _*))
+    val df0 = out.toDF("_ks", "_kt", Dim.Y, Dim.X, "_ord", Cube.ValueCol)
+    val restored =
+      if (dim == Dim.Time) {
+        val withTime = df0.withColumn(Dim.Time, timestamp_micros(col("_ord")))
+        if (hasBand) withTime.withColumn(Dim.Band, col("_ks")) else withTime
+      } else {
+        val nameMap = typedLit(ordToBand)
+        val withBand = df0.withColumn(Dim.Band,
+          element_at(nameMap, col("_ord")))
+        if (hasTime) withBand.withColumn(Dim.Time,
+          timestamp_micros(col("_kt")))
+        else withBand
+      }
+    c.withDF(restored.select(c.dims.map(col) :+ col(Cube.ValueCol): _*))
   }
 }

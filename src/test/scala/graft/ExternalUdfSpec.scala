@@ -65,6 +65,30 @@ class ExternalUdfSpec extends SparkSpec {
       include("one value per input")
   }
 
+  test("band-dimension series: ordinals ride the times array, names " +
+      "restore from bandOrder, other labels survive") {
+    import graft.cube.Dim
+    // series along bands per (time, y, x); UDF = cumulative sum, which
+    // depends on band ORDER — bandOrder (B08 before B04) must drive it
+    val c = cubeOf(
+      ("2024-01-01", "B04", 0.0, 0.0, 1.0),
+      ("2024-01-01", "B08", 0.0, 0.0, 10.0),
+      ("2024-01-02", "B04", 0.0, 0.0, 2.0),
+      ("2024-01-02", "B08", 0.0, 0.0, 20.0))
+    val reordered = c.copy(meta = c.meta.copy(bandOrder = Seq("B08", "B04")))
+    val cumsum = "double[] out = new double[values.length]; double s = 0; " +
+      "for (int i = 0; i < values.length; i++) { s += values[i]; out[i] = s; } " +
+      "return out;"
+    val got = ExternalUdf.runSeriesExternal(reordered, cumsum, dim = Dim.Band)
+      .df.select(date_format(col("time"), "yyyy-MM-dd").as("d"),
+        col("band"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    got shouldBe Set(
+      ("2024-01-01", "B08", 10.0), ("2024-01-01", "B04", 11.0),
+      ("2024-01-02", "B08", 20.0), ("2024-01-02", "B04", 22.0))
+  }
+
   test("graph surface: run_udf with runtime java dispatches to the " +
       "external seam through apply_dimension") {
     import graft.compile.GraphCompiler
