@@ -31,16 +31,16 @@ object Bucketed {
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     // a previous SESSION's managed-table directory can survive while its
     // catalog entry does not — CREATE then fails LOCATION_ALREADY_EXISTS
-    // even in overwrite mode. Only for that orphan case reconstruct the
-    // default path, and only for an UNQUALIFIED name inside the warehouse
-    // dir: reconstructing for `db.tbl` would point at the wrong directory
-    // and the recursive delete could destroy an unrelated dataset.
-    if (ident.database.isEmpty) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    // even in overwrite mode. For that orphan case delete the path the
+    // CATALOG would assign this identifier (defaultTablePath resolves
+    // the current database and db-qualified names to their .db
+    // directories), never a hand-reconstructed warehouse/<name> — which
+    // under a non-default current database, or for `db.tbl`, points at a
+    // DIFFERENT table's data.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

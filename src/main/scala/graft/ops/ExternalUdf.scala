@@ -102,10 +102,14 @@ object ExternalUdf {
         g.xIdx(col(Dim.X)).cast("double"))
       case None => (col(Dim.Y), col(Dim.X))
     }
-    val bandOrdCol = if (!hasBand) lit(0L) else {
-      val m = typedLit(bandOrd)
-      element_at(m, col(Dim.Band))
-    }
+    // a data band missing from a declared bandOrder must fail LOUDLY:
+    // element_at's null would otherwise surface as an opaque
+    // null-in-non-nullable-field encoder crash deep in the task
+    val bandOrdCol = if (!hasBand) lit(0L) else coalesce(
+      element_at(typedLit(bandOrd), col(Dim.Band)).cast("long"),
+      raise_error(concat(
+        lit("run_udf(runtime=java): band "), col(Dim.Band),
+        lit(" not in bandOrder"))).cast("long"))
     // _ord is the series axis (micros or band ordinal); (_ks, _kt) are
     // the series identity's OTHER labels
     val (ordCol, ksCol, ktCol) =

@@ -124,20 +124,27 @@ object Scan {
     val m = graft.sources.Netcdf.readMeta(path, bytes)
     val times = m.times; val bands = m.bands
     val ys = m.ys; val xs = m.xs
-    require(m.value.ncType == 5, "value: expected NC_FLOAT")
-    require(m.value.dimIds.map(m.dims(_)._2).product ==
-      m.nT * m.nB * ys.length * xs.length,
-      s"$path: value dims disagree with coordinates")
+    m.requireFloatPlane()
     // absolute ByteBuffer indices ignore a wrap() offset — index from the
     // file start instead
     val vb = java.nio.ByteBuffer.wrap(bytes)
+    // MICROSECOND label precision, same rounding as the V2 source's
+    // Meta.timeMicros — the two read paths must agree row-for-row even
+    // on third-party files with sub-millisecond time coordinates
+    def tsOf(t: Int): java.sql.Timestamp = {
+      val micros = m.timeMicros(t)
+      val stamp = new java.sql.Timestamp(
+        Math.floorDiv(micros, 1000000L) * 1000)
+      stamp.setNanos((Math.floorMod(micros, 1000000L) * 1000).toInt)
+      stamp
+    }
     val rows = for {
       t <- 0 until m.nT; band <- 0 until m.nB
       y <- ys.indices; x <- xs.indices
       v = vb.getFloat(m.cellOffset(t, band, y, x))
       if !v.isNaN // the writer's fill value for absent cells
     } yield org.apache.spark.sql.Row.fromSeq(
-      times.map(ts => new java.sql.Timestamp((ts(t) * 1000.0).round)).toSeq ++
+      times.map(_ => tsOf(t)).toSeq ++
         bands.map(_(band)).toSeq ++ Seq[Any](ys(y), xs(x), v))
     val schema = org.apache.spark.sql.types.StructType(
       times.map(_ => org.apache.spark.sql.types.StructField(Dim.Time,

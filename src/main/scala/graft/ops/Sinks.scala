@@ -213,8 +213,13 @@ object Sinks {
     val begins = vars.map { v =>
       val b = v.name -> off; off += pad4(v.dataLen); b
     }.toMap
+    // ATOMIC publish: write a temp sibling, then move into place — a
+    // watcher (the graft-netcdf STREAMING source lists the directory
+    // between micro-batches) must never observe a half-written file,
+    // which it would consume truncated and mark seen forever
+    val tmpPath = java.nio.file.Paths.get(path + ".tmp~")
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
-      new FileOutputStream(path)))
+      new FileOutputStream(tmpPath.toFile)))
     try {
       out.write(serialize(begins))
       def padTo(n: Int): Unit = (0 until (pad4(n) - n)).foreach(_ => out.writeByte(0))
@@ -234,6 +239,9 @@ object Sinks {
         padTo(v.dataLen)
       }
     } finally out.close()
+    java.nio.file.Files.move(tmpPath, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     path
   }
 

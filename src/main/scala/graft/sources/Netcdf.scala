@@ -28,6 +28,15 @@ object Netcdf {
     def cellOffset(t: Int, b: Int, y: Int, x: Int): Int =
       value.begin + (((t * nB + b) * ys.length + y) * xs.length + x) * 4
     def timeMicros(t: Int): Long = (times.get(t) * 1e6).round
+    /** Guard before any plane read: silently reinterpreting an
+      * NC_DOUBLE value variable (or a record-dim layout) as float32
+      * planes would return garbage, not an error. */
+    def requireFloatPlane(): Unit = {
+      require(value.ncType == 5, s"$path: value: expected NC_FLOAT")
+      require(value.dimIds.map(dims(_)._2).product ==
+        nT * nB * ys.length * xs.length,
+        s"$path: value dims disagree with coordinates")
+    }
   }
 
   def typeSize(t: Int): Int = t match {
@@ -93,4 +102,38 @@ object Netcdf {
   def readMeta(path: String): Meta =
     readMeta(path, java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)))
+
+  /** Parse header + coordinates from a bounded file PREFIX (doubling on
+    * underflow) — the header and coordinate variables precede the data
+    * plane, so metadata never needs the whole file in memory. */
+  def readMetaPrefix(path: String): Meta = {
+    val size = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    var n = math.min(size, 65536L).toInt
+    var result: Option[Meta] = None
+    while (result.isEmpty) {
+      val buf = new Array[Byte](n)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try raf.readFully(buf, 0, n) finally raf.close()
+      try result = Some(readMeta(path, buf))
+      catch {
+        case e @ (_: java.nio.BufferUnderflowException |
+                  _: IndexOutOfBoundsException) =>
+          if (n.toLong >= size) throw e
+          n = math.min(size, n.toLong * 4).toInt
+      }
+    }
+    result.get
+  }
+
+  /** Per-JVM metadata cache keyed by (path, size, mtime) — planning
+    * re-resolves metadata on every batch (and every streaming
+    * micro-batch); the key invalidates on any rewrite. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Meta]()
+
+  def cachedMeta(path: String): Meta = {
+    val f = new java.io.File(path)
+    metaCache.computeIfAbsent((path, f.length, f.lastModified),
+      _ => readMetaPrefix(path))
+  }
 }

@@ -133,12 +133,16 @@ final class NetcdfScan(rawPath: String, required: StructType,
     * shared by the batch path (current listing) and each streaming
     * micro-batch (that batch's new files). */
   def planesFor(files: Seq[String]): Array[InputPartition] = {
-    val bandEq: Option[Set[String]] = pushed.collectFirst {
+    // intersect ALL pushed band predicates: pushFilters accepted every
+    // one of them (none re-evaluated post-scan), so honoring only the
+    // first would silently widen the result
+    val bandEq: Option[Set[String]] = pushed.collect {
       case EqualTo("band", v: String) => Set(v)
       case In("band", vs) => vs.map(_.toString).toSet
-    }
+    }.reduceOption(_ intersect _)
     files.iterator.flatMap { p =>
-      val m = Netcdf.readMeta(p)
+      val m = Netcdf.cachedMeta(p)
+      m.requireFloatPlane() // fail at PLANNING, not mid-task
       for {
         t <- (0 until m.nT).iterator
         if m.times.isEmpty || pushed.forall {
@@ -175,17 +179,25 @@ final class NetcdfReaderFactory(required: StructType)
   }
 }
 
-/** Reads ONE (time, band) plane: iterates its y×x float32 cells
-  * straight out of the mapped bytes, skips NaN fills, and materializes
-  * only the pruned columns. */
+/** Reads ONE (time, band) plane: a bounded header/coordinate prefix
+  * parse (cached per JVM) plus ONE positioned read of exactly the
+  * plane's nY×nX×4 bytes — never the whole file — skipping NaN fills
+  * and materializing only the pruned columns. */
 final class NetcdfPartitionReader(part: NetcdfInputPartition,
     required: StructType) extends PartitionReader[InternalRow] {
 
-  private val bytes = java.nio.file.Files.readAllBytes(
-    java.nio.file.Paths.get(part.path))
-  private val meta = Netcdf.readMeta(part.path, bytes)
-  private val buf = java.nio.ByteBuffer.wrap(bytes)
+  private val meta = Netcdf.cachedMeta(part.path)
+  meta.requireFloatPlane()
   private val nY = meta.ys.length; private val nX = meta.xs.length
+  private val buf = {
+    val plane = new Array[Byte](nY * nX * 4)
+    val raf = new java.io.RandomAccessFile(part.path, "r")
+    try {
+      raf.seek(meta.cellOffset(part.t, part.b, 0, 0).toLong)
+      raf.readFully(plane)
+    } finally raf.close()
+    java.nio.ByteBuffer.wrap(plane)
+  }
   // pruned-column emitters resolved ONCE per partition, not per row
   private val emitters: Array[(Int, Int, Float) => Any] =
     required.fields.map(_.name match {
@@ -208,9 +220,8 @@ final class NetcdfPartitionReader(part: NetcdfInputPartition,
     var found = false
     while (!found && idx + 1 < nY * nX) {
       idx += 1
-      val y = idx / nX; val x = idx % nX
-      val v = buf.getFloat(meta.cellOffset(part.t, part.b, y, x))
-      if (!v.isNaN) { curY = y; curX = x; curV = v; found = true }
+      val v = buf.getFloat(idx * 4) // plane-local offsets
+      if (!v.isNaN) { curY = idx / nX; curX = idx % nX; curV = v; found = true }
     }
     found
   }

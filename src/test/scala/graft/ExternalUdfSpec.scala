@@ -89,6 +89,22 @@ class ExternalUdfSpec extends SparkSpec {
       ("2024-01-02", "B08", 20.0), ("2024-01-02", "B04", 22.0))
   }
 
+  test("a data band missing from a declared bandOrder fails loudly, not " +
+      "with an encoder crash") {
+    import graft.cube.Dim
+    val c = cubeOf(
+      ("2024-01-01", "B04", 0.0, 0.0, 1.0),
+      ("2024-01-01", "B11", 0.0, 0.0, 2.0)) // B11 not in bandOrder below
+    val narrow = c.copy(meta = c.meta.copy(bandOrder = Seq("B04")))
+    val idSrc = "return values;"
+    val e = intercept[Exception] {
+      ExternalUdf.runSeriesExternal(narrow, idSrc, dim = Dim.Band).df.count()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString should
+      include("not in bandOrder")
+  }
+
   test("graph surface: run_udf with runtime java dispatches to the " +
       "external seam through apply_dimension") {
     import graft.compile.GraphCompiler

@@ -98,6 +98,49 @@ class NetcdfSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MULTIPLE pushed band filters intersect — the second predicate " +
+      "is not silently dropped") {
+    val df = spark.read.format("graft-netcdf").load(dir)
+    val both = df.where(col("band").isin("B04", "B08"))
+      .where(col("band").isin("B08"))
+    both.select("band").distinct().collect().map(_.getString(0)).toSeq shouldBe
+      Seq("B08")
+    both.rdd.getNumPartitions shouldBe 4 // only B08 planes survive
+    // contradictory predicates yield empty, not the union
+    df.where(col("band") === "B04").where(col("band") === "B08")
+      .count() shouldBe 0
+  }
+
+  test("requireFloatPlane rejects an NC_DOUBLE value variable instead of " +
+      "reinterpreting its bytes as float32") {
+    val m = graft.sources.Netcdf.readMeta(s"$dir/a.nc")
+    m.requireFloatPlane() // the real file passes
+    val doctored = m.copy(vars = m.vars.updated("value",
+      m.vars("value").copy(ncType = 6)))
+    intercept[IllegalArgumentException] { doctored.requireFloatPlane() }
+  }
+
+  test("driver reader and V2 source agree at MICROSECOND precision on " +
+      "sub-millisecond time coordinates") {
+    // patch a written file's first time coordinate to x.0005 seconds
+    val src = java.nio.file.Paths.get(s"$dir/a.nc")
+    val patched = java.nio.file.Files.createTempDirectory("ncus")
+      .resolve("p.nc")
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    val m = graft.sources.Netcdf.readMeta(s"$dir/a.nc", bytes)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putDouble(m.vars("time").begin, 1700000000.000500)
+    java.nio.file.Files.write(patched, bytes)
+    val viaDriver = graft.ops.Scan.loadResultNetcdf(spark, patched.toString)
+      .df.select(unix_micros(col("time"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val viaSource = spark.read.format("graft-netcdf").load(patched.toString)
+      .select(unix_micros(col("time"))).distinct()
+      .collect().map(_.getLong(0)).toSet
+    viaDriver shouldBe viaSource
+    viaDriver should contain(1700000000000500L)
+  }
+
   test("matches loadResultNetcdf row-for-row on a single file") {
     val viaSource = spark.read.format("graft-netcdf").load(s"$dir/a.nc")
       .select("time", "band", "y", "x", "value")

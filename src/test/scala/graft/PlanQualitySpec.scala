@@ -804,7 +804,23 @@ class PlanQualitySpec extends SparkSpec {
       spark.table("graft_bdb.pq_bkt_q").count() shouldBe 50
       fs.exists(sentinel) shouldBe true
       fs.delete(decoy, true)
-    } finally spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
+      // an UNQUALIFIED write under a non-default CURRENT database must
+      // target graft_bdb's directory, not default's warehouse/<name>
+      val defDecoy = new org.apache.hadoop.fs.Path(wh, "pq_bkt_cur")
+      fs.mkdirs(defDecoy)
+      val defSentinel = new org.apache.hadoop.fs.Path(defDecoy, "sentinel")
+      fs.create(defSentinel).close()
+      spark.catalog.setCurrentDatabase("graft_bdb")
+      try {
+        graft.ops.Bucketed.writeBucketed(df, "pq_bkt_cur", Seq("k"), 2)
+        spark.table("graft_bdb.pq_bkt_cur").count() shouldBe 50
+        fs.exists(defSentinel) shouldBe true
+      } finally spark.catalog.setCurrentDatabase("default")
+      fs.delete(defDecoy, true)
+    } finally {
+      spark.catalog.setCurrentDatabase("default")
+      spark.sql("DROP DATABASE IF EXISTS graft_bdb CASCADE")
+    }
   }
 
   test("tpch q1 shape: shipdate filter pushed to the scan; partial+final " +
