@@ -926,6 +926,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("AQE skew join splits the hot partition at runtime — the preferred " +
+      "path when AQE is on; saltedJoin is the plan-stable fallback") {
+    // the canonical skewed fact⋈fact shape (Spark's own
+    // AdaptiveQueryExecSuite construction): a quarter of each side
+    // collapses onto one key, stored as multi-split parquet so skew
+    // splitting has mapper granularity to work with; sub-KB thresholds
+    // put the test's tiny data in the same regime a TB-scale shuffle
+    // occupies under the 256 MB defaults
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("aqeskew").toString
+    spark.range(0, 1000, 1, 10)
+      .select(when(col("id") < 250, 249).otherwise(col("id")).as("key1"),
+        col("id").as("value1"))
+      .write.mode("overwrite").parquet(s"$base/l")
+    spark.range(0, 1000, 1, 10)
+      .select(when(col("id") < 250, 249).otherwise(col("id")).as("key2"),
+        col("id").as("value2"))
+      .write.mode("overwrite").parquet(s"$base/r")
+    val l = spark.read.parquet(s"$base/l")
+    val r = spark.read.parquet(s"$base/r")
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "800",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "800",
+      "spark.sql.adaptive.coalescePartitions.minPartitionNum" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "100") {
+      val j = l.join(r, col("key1") === col("key2"))
+      // collect() executes THIS df's QueryExecution, finalizing the
+      // adaptive plan (count() would spawn a separate execution)
+      j.collect().length shouldBe 250 * 250 + 750 // hot square + diagonal
+      val plan = j.queryExecution.executedPlan.toString
+      plan should include("isFinalPlan=true")
+      plan should include("skew=true") // the hot partition was SPLIT
+    }
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }
