@@ -117,7 +117,15 @@ final class GraphCompiler(
         // 223-225): execution is a pass-through
         cubeArg(n, "data", r)
       case "load_result" =>
-        Scan.loadResult(spark, resultRoot, optS(n, "id", r).get)
+        // a prior job's artifact: the canonical parquet store by id, or
+        // — when the id names a .nc rendition (the reference reloads
+        // NetCDF, openeo_odc_driver.py:1598-1609) — the V2 source, so
+        // the reload scan gets plane partitioning + pushdown like any
+        // other collection read
+        val id = optS(n, "id", r).get
+        if (id.endsWith(".nc"))
+          Cube(spark.read.format("graft-netcdf").load(s"$resultRoot/$id"))
+        else Scan.loadResult(spark, resultRoot, id)
 
       // ---- filters (F1-F6) ----
       case "filter_temporal" =>

@@ -174,6 +174,25 @@ class GraphCompilerSpec extends SparkSpec {
     spark.read.parquet(path).count() shouldBe 24
   }
 
+  test("load_result of a NETCDF save goes through the V2 source — the " +
+      "job-chaining loop with plane partitioning") {
+    val resDir = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val comp = new GraphCompiler(spark, catalog, resDir)
+    val g1 = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "save": {"process_id": "save_result", "arguments": {
+        "data": {"from_node": "load"}, "format": "NETCDF"}, "result": true}}"""
+    comp.compile(g1) // writes result.parquet + result.nc under resDir
+    val g2 = """{
+      "prev": {"process_id": "load_result",
+               "arguments": {"id": "result.nc"}, "result": true}}"""
+    val c = comp.compile(g2).asInstanceOf[graft.cube.Cube]
+    c.df.count() shouldBe 24
+    // it IS the V2 source: one partition per (time, band) plane
+    c.df.rdd.getNumPartitions should be > 1
+    c.df.queryExecution.executedPlan.toString should include("BatchScan")
+  }
+
   test("load_collection spatial_extent honors its crs field") {
     // bbox given in the cube's own CRS (EPSG:32632) must pass through
     // untransformed: keeps only the (0,0) pixel
