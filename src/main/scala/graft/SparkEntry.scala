@@ -890,6 +890,44 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
     }),
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 (promotion effect): one-month lineitem slice joined to
+      // the part dim (broadcast — plan-pinned), ONE conditional decimal
+      // aggregate pair, one double division at the end. The month filter
+      // reaches the scan; the ratio is computed from two exact decimal
+      // sums cast once each, so both engines divide the same doubles.
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val disc = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", disc)
+            .otherwise(lit(0).cast("decimal(17,4)"))).cast("double") /
+          sum(disc).cast("double")).as("promo_revenue"))
+    }),
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 (discounted revenue, the OR-of-brackets shape): Spark
+      // must still extract the p_partkey = l_partkey equi-key from the
+      // disjunction — an equi hash join with the OR as residual, never a
+      // cartesian (plan-pinned)
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val brackets =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && brackets)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") -
+              col("l_discount").cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+    }),
     "q_tpch_q3" -> ((s, dir) => {
       // classic shipping-priority shape: two big-side SMJs + one
       // broadcast dim, selective pushed filters on all three scans,
@@ -6623,6 +6661,30 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
+    "q_tpch_q14" -> """
+         SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             AS DOUBLE) AS promo_revenue
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1997-09-01'
+           AND l_shipdate < TIMESTAMP '1997-10-01'""",
+    "q_tpch_q19" -> """
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+             AS DOUBLE) AS revenue
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND (
+           (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30))""",
     "q_tpch_q3" -> s"""
          SELECT l_orderkey, o_orderdate, o_orderpriority,
                 $drevenueSql AS revenue

@@ -861,6 +861,18 @@ class PlanQualitySpec extends SparkSpec {
     q22 should not include "CartesianProduct"
   }
 
+  test("tpch q14/q19 shapes: part dim broadcasts; q19's OR-of-brackets " +
+      "still extracts the equi-key (no cartesian)") {
+    val dir = "/root/testdata/sf0.001"
+    val q14 = planString(SparkEntry.queries("q_tpch_q14")(spark, dir))
+    q14 should include("BroadcastHashJoin")
+    q14.toLowerCase should include("partial_sum")
+    val q19 = planString(SparkEntry.queries("q_tpch_q19")(spark, dir))
+    q19 should include("BroadcastHashJoin")
+    q19 should not include "CartesianProduct"
+    q19 should not include "BroadcastNestedLoopJoin"
+  }
+
   test("tpch q3 shape: top-10 runs as TakeOrderedAndProject; the customer " +
       "dim broadcasts; filters reach all three scans") {
     val dir = "/root/testdata/sf0.001"
