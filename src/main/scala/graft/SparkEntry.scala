@@ -674,6 +674,18 @@ object SparkEntry {
         v = planes(b)(row)(colI) if !v.isNaN
       } yield (names(b), row, colI, v)).toDF("band", "row", "col", "value")
     }),
+    "q_aggregate_temporal" -> ((s, dir) => {
+      // openEO-core aggregate_temporal over arbitrary OVERLAPPING
+      // intervals (Jan 10-15 belongs to both) — rows in k intervals
+      // contribute to k groups via the literal-array filter+explode
+      // (never a join, never |intervals|× amplification); labels are
+      // the interval starts. MAX is selection-based, so the DuckDB
+      // inequality-join replay hash-matches bit-for-bit.
+      Reducers.aggregateTemporal(eventsCube(s, dir), Seq(
+        ("2024-01-01", "2024-01-15"),
+        ("2024-01-10", "2024-02-01"),
+        ("2024-02-01", "2024-03-01")), "max").df
+    }),
     "q_netcdf_source" -> ((s, dir) => {
       // the DataSource V2 read path (format("graft-netcdf")): the same
       // CDF-1 bytes q_load_result_netcdf parses on the driver, read as a
@@ -4226,6 +4238,17 @@ object SparkEntry {
       """SELECT date_trunc('day', time) AS time, band, y, x,
            CAST(MAX(value) AS FLOAT) AS value
          FROM cube GROUP BY 1, 2, 3, 4"""),
+    "q_aggregate_temporal" -> cq(
+      // interval-membership replay as an inequality join over the
+      // literal interval table; the overlap makes Jan 10-15 rows count
+      // in BOTH of the first two groups
+      """, iv AS (SELECT * FROM (VALUES
+           (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-15'),
+           (TIMESTAMP '2024-01-10', TIMESTAMP '2024-02-01'),
+           (TIMESTAMP '2024-02-01', TIMESTAMP '2024-03-01')) v(s, e))
+         SELECT iv.s AS time, band, y, x, MAX(value) AS value
+         FROM cube JOIN iv ON cube.time >= iv.s AND cube.time < iv.e
+         GROUP BY 1, 2, 3, 4"""),
     "q_netcdf_source" -> cq(
       // plane-pruned V2 read == band-filtered store projection, float32
       """SELECT date_trunc('day', time) AS time, band, y, x,

@@ -211,6 +211,22 @@ final class GraphCompiler(
       case "aggregate_temporal_period" =>
         Reducers.aggregateTemporalPeriod(cubeArg(n, "data", r),
           optS(n, "period", r).get, callbackReducerName(subGraph(n, "reducer")))
+      case "aggregate_temporal" =>
+        // openEO-core sibling the reference lacks: arbitrary (possibly
+        // overlapping) [start, end) intervals, labels = interval starts
+        val ivs = n.arguments.get("intervals") match {
+          case Some(LitArg(v)) if v.isArray =>
+            (0 until v.size()).map { i =>
+              val p = v.get(i)
+              require(p.isArray && p.size() == 2,
+                "aggregate_temporal: each interval is [start, end]")
+              (p.get(0).asText(), p.get(1).asText())
+            }
+          case other => throw new IllegalArgumentException(
+            s"aggregate_temporal intervals: $other")
+        }
+        Reducers.aggregateTemporal(cubeArg(n, "data", r), ivs,
+          callbackReducerName(subGraph(n, "reducer")))
       case "aggregate_spatial_window" =>
         val Seq(sx, sy) = resolve(n.arguments("size"), r)
           .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toInt)

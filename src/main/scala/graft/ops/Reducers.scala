@@ -81,6 +81,37 @@ object Reducers {
       .agg(reducer(name)(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
   }
 
+  /** openEO `aggregate_temporal` — ARBITRARY (possibly overlapping)
+    * half-open intervals `[start, end)`, an openEO-core process the
+    * reference lacks (it only dispatches `aggregate_temporal_period`,
+    * openeo_odc_driver.py:535-585); a client migrating from another
+    * backend emits it, so the engine carries it as an addition. The new
+    * time label is the interval START (the spec's default labels).
+    *
+    * Shape: the interval list is QUERY-sized (a literal), so membership
+    * is a codegen'd `filter` over a literal struct array followed by an
+    * explode of the MATCHES only — a row in k intervals costs k rows,
+    * never |intervals|, and there is no join (the declarative
+    * time-in-interval join would be the BandJoinRule cliff). One
+    * partial+final aggregate on (label, other dims) follows. */
+  def aggregateTemporal(c: Cube, intervals: Seq[(String, String)],
+      name: String): Cube = {
+    require(intervals.nonEmpty, "aggregate_temporal needs intervals")
+    val ivs = array(intervals.map { case (s, e) =>
+      struct(lit(Filters.parseTime(s)).as("s"),
+        lit(Filters.parseTime(e)).as("e"))
+    }: _*)
+    val matched = c.df.withColumn("_iv", explode(filter(ivs,
+      i => col(Dim.Time) >= i.getField("s") &&
+        col(Dim.Time) < i.getField("e"))))
+    val keys = col("_iv.s") :: c.dimsExcept(Dim.Time).map(col).toList
+    Cube(matched.groupBy(keys: _*)
+      .agg(reducer(name)(col(Cube.ValueCol)).as(Cube.ValueCol))
+      .withColumnRenamed("s", Dim.Time)
+      .select((col(Dim.Time) :: c.dimsExcept(Dim.Time).map(col).toList) :+
+        col(Cube.ValueCol): _*), c.meta)
+  }
+
   /** `aggregate_spatial_window` — tumbling block aggregation over the pixel
     * grid, i.e. xarray `coarsen` (openeo_odc_driver.py:529-533 et al.).
     * Needs dense integer grid indices (CubeMeta.grid). boundary='trim'

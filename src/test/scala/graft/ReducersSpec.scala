@@ -57,6 +57,22 @@ class ReducersSpec extends SparkSpec {
       Reducers.periodBucket("dekad", col(Dim.Time)) // rejected like reference
   }
 
+  test("aggregate_temporal: arbitrary intervals, overlap counts a row in " +
+      "BOTH groups, labels are interval starts, [start, end) half-open") {
+    val c = cubeOf(
+      ("2024-01-05", "B", 0.0, 0.0, 1.0),  // first interval only
+      ("2024-01-12", "B", 0.0, 0.0, 2.0),  // OVERLAP: both intervals
+      ("2024-01-20", "B", 0.0, 0.0, 4.0),  // second only
+      ("2024-02-01", "B", 0.0, 0.0, 8.0))  // end-exclusive: matches none
+    val r = Reducers.aggregateTemporal(c, Seq(
+      ("2024-01-01", "2024-01-15"), ("2024-01-10", "2024-02-01")), "sum")
+    val m = r.df.collect()
+      .map(row => row.getTimestamp(0).toString -> row.getDouble(4)).toMap
+    m shouldBe Map(
+      "2024-01-01 00:00:00.0" -> 3.0, // 1 + 2
+      "2024-01-10 00:00:00.0" -> 6.0) // 2 + 4
+  }
+
   test("aggregate_spatial_window trim drops partial edge blocks; pad keeps them") {
     // 3x3 grid, 2x2 windows: only block (0,0) is complete
     val rows = for { y <- 0 to 2; x <- 0 to 2 }
