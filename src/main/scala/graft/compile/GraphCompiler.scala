@@ -211,6 +211,22 @@ final class GraphCompiler(
       case "aggregate_temporal_period" =>
         Reducers.aggregateTemporalPeriod(cubeArg(n, "data", r),
           optS(n, "period", r).get, callbackReducerName(subGraph(n, "reducer")))
+      case "apply_neighborhood" =>
+        // openEO-core focal window the reference lacks (it only has the
+        // convolution apply_kernel): square window of `size` over the
+        // spatial dims, reduced by the callback's named reducer —
+        // compiled to the focal-stats scatter (one shuffle on the pixel
+        // key, no per-cell loop)
+        val size = n.arguments.get("size").map(a => resolve(a, r)) match {
+          case Some(d: Double) => d.toInt
+          case Some(s2: Seq[_]) => s2.head.asInstanceOf[Double].toInt
+          case other => throw new IllegalArgumentException(
+            s"apply_neighborhood size: $other")
+        }
+        require(size % 2 == 1 && size >= 3,
+          s"apply_neighborhood: size must be odd >= 3, got $size")
+        Neighborhood.focalStats(cubeArg(n, "data", r), radius = size / 2,
+          stat = callbackReducerName(subGraph(n, "process")))
       case "aggregate_temporal" =>
         // openEO-core sibling the reference lacks: arbitrary (possibly
         // overlapping) [start, end) intervals, labels = interval starts

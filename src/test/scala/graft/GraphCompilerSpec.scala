@@ -193,6 +193,26 @@ class GraphCompilerSpec extends SparkSpec {
     c.df.queryExecution.executedPlan.toString should include("BatchScan")
   }
 
+  test("apply_neighborhood compiles to focal stats (square window, " +
+      "named reducer callback)") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "nb": {"process_id": "apply_neighborhood", "arguments": {
+        "data": {"from_node": "load"}, "size": 3,
+        "process": {"process_graph": {
+          "m": {"process_id": "mean",
+                "arguments": {"data": {"from_parameter": "data"}},
+                "result": true}}}}, "result": true}}"""
+    val viaGraph = compiler.compile(g).asInstanceOf[graft.cube.Cube]
+    val direct = graft.ops.Neighborhood.focalStats(
+      graft.ops.Scan.loadCollection(spark, catalog("s2_l2a")),
+      radius = 1, stat = "mean")
+    rowSet(viaGraph.df) shouldBe rowSet(direct.df)
+    // even size rejected with a typed error
+    an[IllegalArgumentException] should be thrownBy compiler.compile(
+      g.replace("\"size\": 3", "\"size\": 4"))
+  }
+
   test("load_collection spatial_extent honors its crs field") {
     // bbox given in the cube's own CRS (EPSG:32632) must pass through
     // untransformed: keeps only the (0,0) pixel
