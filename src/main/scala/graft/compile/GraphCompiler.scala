@@ -219,7 +219,19 @@ final class GraphCompiler(
         // key, no per-cell loop)
         val size = n.arguments.get("size").map(a => resolve(a, r)) match {
           case Some(d: Double) => d.toInt
-          case Some(s2: Seq[_]) => s2.head.asInstanceOf[Double].toInt
+          case Some(s2: Seq[_]) =>
+            // list form: every per-dimension extent must agree — only
+            // square windows compile to the focal scatter; silently
+            // using the first element would compute a WRONG neighborhood
+            val sizes = s2.map {
+              case d: Double => d.toInt
+              case other => throw new IllegalArgumentException(
+                s"apply_neighborhood size element: $other")
+            }
+            require(sizes.nonEmpty && sizes.distinct.length == 1,
+              s"apply_neighborhood: only square windows supported, " +
+                s"got $sizes")
+            sizes.head
           case other => throw new IllegalArgumentException(
             s"apply_neighborhood size: $other")
         }
@@ -229,15 +241,18 @@ final class GraphCompiler(
           stat = callbackReducerName(subGraph(n, "process")))
       case "aggregate_temporal" =>
         // openEO-core sibling the reference lacks: arbitrary (possibly
-        // overlapping) [start, end) intervals, labels = interval starts
-        val ivs = n.arguments.get("intervals") match {
-          case Some(LitArg(v)) if v.isArray =>
-            (0 until v.size()).map { i =>
-              val p = v.get(i)
-              require(p.isArray && p.size() == 2,
-                "aggregate_temporal: each interval is [start, end]")
-              (p.get(0).asText(), p.get(1).asText())
-            }
+        // overlapping) [start, end) intervals, labels = interval starts.
+        // JSON arrays parse to ArrayArg, so go through resolve (NOT a
+        // LitArg match, which can never fire for arrays).
+        val ivs = resolve(n.arguments.getOrElse("intervals",
+          throw new IllegalArgumentException(
+            "aggregate_temporal: missing intervals")), r) match {
+          case xs: Seq[_] => xs.map {
+            case p: Seq[_] if p.length == 2 =>
+              (p.head.toString, p(1).toString)
+            case other => throw new IllegalArgumentException(
+              s"aggregate_temporal: each interval is [start, end], got $other")
+          }
           case other => throw new IllegalArgumentException(
             s"aggregate_temporal intervals: $other")
         }

@@ -97,9 +97,22 @@ object Reducers {
   def aggregateTemporal(c: Cube, intervals: Seq[(String, String)],
       name: String): Cube = {
     require(intervals.nonEmpty, "aggregate_temporal needs intervals")
-    val ivs = array(intervals.map { case (s, e) =>
-      struct(lit(Filters.parseTime(s)).as("s"),
-        lit(Filters.parseTime(e)).as("e"))
+    val parsed = intervals.map { case (s, e) =>
+      (Filters.parseTime(s), Filters.parseTime(e))
+    }
+    // label = interval start, so starts must be distinct (two intervals
+    // sharing a start would silently MERGE into one group and
+    // double-count under sum); inverted intervals are empty by
+    // construction — reject both loudly per the openEO contract
+    parsed.foreach { case (s, e) =>
+      require(s.before(e), s"aggregate_temporal: interval start $s is " +
+        s"not before end $e")
+    }
+    require(parsed.map(_._1).distinct.length == parsed.length,
+      "aggregate_temporal: interval starts are the labels and must be " +
+        "distinct")
+    val ivs = array(parsed.map { case (s, e) =>
+      struct(lit(s).as("s"), lit(e).as("e"))
     }: _*)
     val matched = c.df.withColumn("_iv", explode(filter(ivs,
       i => col(Dim.Time) >= i.getField("s") &&

@@ -193,6 +193,32 @@ class GraphCompilerSpec extends SparkSpec {
     c.df.queryExecution.executedPlan.toString should include("BatchScan")
   }
 
+  test("aggregate_temporal graph dispatch: JSON interval arrays resolve " +
+      "and match the direct call; bad intervals rejected") {
+    val g = """{
+      "load": {"process_id": "load_collection", "arguments": {"id": "s2_l2a"}},
+      "at": {"process_id": "aggregate_temporal", "arguments": {
+        "data": {"from_node": "load"},
+        "intervals": [["2022-06-01", "2022-06-02"],
+                      ["2022-06-02", "2022-06-04"]],
+        "reducer": {"process_graph": {
+          "m": {"process_id": "max",
+                "arguments": {"data": {"from_parameter": "data"}},
+                "result": true}}}}, "result": true}}"""
+    val viaGraph = compiler.compile(g).asInstanceOf[graft.cube.Cube]
+    val direct = graft.ops.Reducers.aggregateTemporal(
+      graft.ops.Scan.loadCollection(spark, catalog("s2_l2a")),
+      Seq(("2022-06-01", "2022-06-02"), ("2022-06-02", "2022-06-04")), "max")
+    rowSet(viaGraph.df) shouldBe rowSet(direct.df)
+    // duplicate starts (the labels) and inverted intervals fail loudly
+    an[IllegalArgumentException] should be thrownBy compiler.compile(
+      g.replace("[\"2022-06-02\", \"2022-06-04\"]",
+        "[\"2022-06-01\", \"2022-06-04\"]"))
+    an[IllegalArgumentException] should be thrownBy compiler.compile(
+      g.replace("[\"2022-06-02\", \"2022-06-04\"]",
+        "[\"2022-06-04\", \"2022-06-02\"]"))
+  }
+
   test("apply_neighborhood compiles to focal stats (square window, " +
       "named reducer callback)") {
     val g = """{
@@ -208,9 +234,14 @@ class GraphCompilerSpec extends SparkSpec {
       graft.ops.Scan.loadCollection(spark, catalog("s2_l2a")),
       radius = 1, stat = "mean")
     rowSet(viaGraph.df) shouldBe rowSet(direct.df)
-    // even size rejected with a typed error
+    // even size rejected; list form allowed only when square
     an[IllegalArgumentException] should be thrownBy compiler.compile(
       g.replace("\"size\": 3", "\"size\": 4"))
+    val squareList = compiler.compile(g.replace("\"size\": 3",
+      "\"size\": [3, 3]")).asInstanceOf[graft.cube.Cube]
+    rowSet(squareList.df) shouldBe rowSet(direct.df)
+    an[IllegalArgumentException] should be thrownBy compiler.compile(
+      g.replace("\"size\": 3", "\"size\": [3, 5]"))
   }
 
   test("load_collection spatial_extent honors its crs field") {
