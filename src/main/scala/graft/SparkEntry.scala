@@ -902,6 +902,36 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
     }),
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping): the 5-way join tree — lineitem ⋈
+      // orders (big SMJ) ⋈ supplier/customer/nation×2 (broadcast dims),
+      // the two-nation disjunction applied AFTER both nation names are
+      // attached, yearly decimal revenue rollup. The date filter pushes
+      // to the lineitem scan.
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"),
+          lit("1997-12-31").cast("timestamp")))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val cst = s.read.parquet(s"$dir/customer.parquet")
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val n1 = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cst), o("o_custkey") === cst("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .where((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(drevenue.as("revenue"))
+    }),
     "q_tpch_q14" -> ((s, dir) => {
       // TPC-H Q14 (promotion effect): one-month lineitem slice joined to
       // the part dim (broadcast — plan-pinned), ONE conditional decimal
@@ -6684,6 +6714,19 @@ object SparkEntry {
                            WHERE o_custkey = c_custkey
                              AND o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1""",
+    "q_tpch_q7" -> s"""
+         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                $drevenueSql AS revenue
+         FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+           AND c_nationkey = n2.n_nationkey
+           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+         GROUP BY 1, 2, 3""",
     "q_tpch_q14" -> """
          SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
              THEN CAST(l_extendedprice AS DECIMAL(12,2)) *

@@ -861,6 +861,17 @@ class PlanQualitySpec extends SparkSpec {
     q22 should not include "CartesianProduct"
   }
 
+  test("tpch q7 shape: one big-side SMJ (lineitem orders), every dim " +
+      "broadcast, shipdate range pushed") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_tpch_q7")(spark, dir))
+    plan.split("BroadcastHashJoin").length - 1 should be >= 4
+    plan should not include "CartesianProduct"
+    plan should include("GreaterThanOrEqual(l_shipdate")
+    plan should include("LessThanOrEqual(l_shipdate")
+  }
+
   test("tpch q14/q19 shapes: part dim broadcasts; q19's OR-of-brackets " +
       "still extracts the equi-key (no cartesian)") {
     val dir = "/root/testdata/sf0.001"
