@@ -177,6 +177,89 @@ final class NetcdfReaderFactory(required: StructType)
     val part = p.asInstanceOf[NetcdfInputPartition]
     new NetcdfPartitionReader(part, required)
   }
+
+  // vectorized path: the scan emits ColumnarBatch, so Spark plans a
+  // ColumnarToRow boundary and whole-stage codegen consumes the vectors
+  // exactly as it does for Parquet — no per-cell InternalRow allocation
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = p.asInstanceOf[NetcdfInputPartition]
+    new NetcdfColumnarReader(part, required)
+  }
+}
+
+/** Columnar plane reader: the plane's non-NaN cells stream into
+  * on-heap column vectors in batches of up to 4096 rows. Per-plane
+  * constants (time micros, band name) fill via putLongs/putByteArray;
+  * coordinates and values are primitive puts — nothing boxes. */
+final class NetcdfColumnarReader(part: NetcdfInputPartition,
+    required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val meta = Netcdf.cachedMeta(part.path)
+  meta.requireFloatPlane()
+  private val nY = meta.ys.length; private val nX = meta.xs.length
+  private val buf = {
+    val plane = new Array[Byte](nY * nX * 4)
+    val raf = new java.io.RandomAccessFile(part.path, "r")
+    try {
+      raf.seek(meta.cellOffset(part.t, part.b, 0, 0).toLong)
+      raf.readFully(plane)
+    } finally raf.close()
+    java.nio.ByteBuffer.wrap(plane)
+  }
+  private val timeMicros: Long =
+    if (meta.times.isDefined) meta.timeMicros(part.t) else 0L
+  private val bandBytes: Array[Byte] =
+    meta.bands.map(_(part.b).getBytes("UTF-8")).getOrElse(Array.emptyByteArray)
+  private val BatchSize = 4096
+
+  private var idx = 0 // next plane cell to inspect
+  private var batch: ColumnarBatch = null
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (idx >= nY * nX) return false
+    val vectors = OnHeapColumnVector.allocateColumns(BatchSize, required)
+    var n = 0
+    while (n < BatchSize && idx < nY * nX) {
+      val v = buf.getFloat(idx * 4)
+      if (!v.isNaN) {
+        val y = idx / nX; val x = idx % nX
+        var c = 0
+        while (c < required.fields.length) {
+          required.fields(c).name match {
+            case "time" => vectors(c).putLong(n, timeMicros)
+            case "band" =>
+              vectors(c).putByteArray(n, bandBytes, 0, bandBytes.length)
+            case "y" => vectors(c).putDouble(n, meta.ys(y))
+            case "x" => vectors(c).putDouble(n, meta.xs(x))
+            case "value" => vectors(c).putFloat(n, v)
+            case other => throw new IllegalArgumentException(
+              s"graft-netcdf: unknown column $other")
+          }
+          c += 1
+        }
+        n += 1
+      }
+      idx += 1
+    }
+    if (n == 0) { vectors.foreach(_.close()); false }
+    else {
+      batch = new ColumnarBatch(
+        vectors.map(v2 => v2: org.apache.spark.sql.vectorized.ColumnVector),
+        n)
+      true
+    }
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = if (batch != null) { batch.close() }
 }
 
 /** Reads ONE (time, band) plane: a bounded header/coordinate prefix

@@ -141,6 +141,15 @@ class NetcdfSourceSpec extends SparkSpec {
     viaDriver should contain(1700000000000500L)
   }
 
+  test("the scan is VECTORIZED: batches feed whole-stage codegen through " +
+      "ColumnarToRow, like parquet") {
+    val df = spark.read.format("graft-netcdf").load(dir)
+    df.queryExecution.executedPlan.toString should include("ColumnarToRow")
+    // values identical through the columnar path (it is the default path)
+    df.agg(sum("value")).head().getDouble(0) shouldBe
+      df.collect().map(_.getFloat(4).toDouble).sum
+  }
+
   test("matches loadResultNetcdf row-for-row on a single file") {
     val viaSource = spark.read.format("graft-netcdf").load(s"$dir/a.nc")
       .select("time", "band", "y", "x", "value")
