@@ -674,6 +674,23 @@ object SparkEntry {
         v = planes(b)(row)(colI) if !v.isNaN
       } yield (names(b), row, colI, v)).toDF("band", "row", "col", "value")
     }),
+    "q_scan_tiled" -> ((s, dir) => {
+      // the 100 TB layout contract's SECOND axis, end-to-end: the store
+      // written with spatial tiles (p_tx/p_ty from the grid, 8 cells),
+      // then a bbox load that PRUNES tile directories (marker-guarded,
+      // ±1-tile widened — PlanQualitySpec pins the pruned partition
+      // count) while the exact x/y predicate stays authoritative. The
+      // oracle is the plain bbox projection — pruning must be invisible
+      // to results.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tiled_$slug"
+      graft.ops.Sinks.writeCubeStore(eventsCube(s, dir), tmp,
+        tileCells = Some(8))
+      Scan.loadCollection(s, Scan.CollectionSpec(tmp,
+          bandOrder = Seq("click", "error", "purchase", "signup", "view"),
+          grid = Some(GridRef(0, 0, 1, 1))),
+        bbox = Some((0.5, 4.5, 2.5, 20.5)), bboxEpsg = 0).df
+    }),
     "q_aggregate_temporal" -> ((s, dir) => {
       // openEO-core aggregate_temporal over arbitrary OVERLAPPING
       // intervals (Jan 10-15 belongs to both) — rows in k intervals
@@ -4268,6 +4285,10 @@ object SparkEntry {
       """SELECT date_trunc('day', time) AS time, band, y, x,
            CAST(MAX(value) AS FLOAT) AS value
          FROM cube GROUP BY 1, 2, 3, 4"""),
+    "q_scan_tiled" -> cq(
+      // pruning is a plan property; the data contract is the plain bbox
+      """SELECT time, band, y, x, value FROM cube
+         WHERE x BETWEEN 0.5 AND 2.5 AND y BETWEEN 4.5 AND 20.5"""),
     "q_aggregate_temporal" -> cq(
       // interval-membership replay as an inequality join over the
       // literal interval table; the overlap makes Jan 10-15 rows count

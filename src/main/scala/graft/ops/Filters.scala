@@ -54,19 +54,29 @@ object Filters {
   /** [[filterBbox]] over a general [[CrsRef]] — accepts bbox corners given
     * in a proj-string-defined CRS (e.g. a national grid with a datum
     * shift), not just a registered EPSG code. */
-  def filterBboxRef(c: Cube, west: Double, south: Double, east: Double,
-      north: Double, bboxCrs: CrsRef): Cube = {
+  /** The bbox corners projected into the cube's own coordinate space —
+    * the bounds [[filterBboxRef]] compares against, also reused by
+    * [[Scan.loadCollection]]'s spatial partition pruning. */
+  def projectBboxToCube(cubeCrs: Option[String], west: Double, south: Double,
+      east: Double, north: Double,
+      bboxCrs: CrsRef): (Double, Double, Double, Double) = {
     val corners = Seq((west, south), (east, south), (east, north), (west, north))
     // a cube without a parseable CRS keeps the long-standing convention:
     // assume it lives in the bbox's CRS and compare raw coordinates (for
     // an EPSG bbox that falls out of transformRing's from==to identity;
     // a proj-string bbox must skip the transform explicitly — assuming
     // 4326 here would compare degrees against projected meters)
-    val proj = c.meta.crs.flatMap(crsEpsg) match {
+    val proj = cubeCrs.flatMap(crsEpsg) match {
       case Some(cubeEpsg) => Crs.transformRingFrom(corners, bboxCrs, cubeEpsg)
       case None => corners
     }
-    val (xmin, ymin, xmax, ymax) = Geo.bboxOf(proj)
+    Geo.bboxOf(proj)
+  }
+
+  def filterBboxRef(c: Cube, west: Double, south: Double, east: Double,
+      north: Double, bboxCrs: CrsRef): Cube = {
+    val (xmin, ymin, xmax, ymax) =
+      projectBboxToCube(c.meta.crs, west, south, east, north, bboxCrs)
     c.withDF(c.df.where(
       c.df(Dim.X).between(xmin, xmax) && c.df(Dim.Y).between(ymin, ymax)))
   }

@@ -38,6 +38,33 @@ object Scan {
       fs.exists(new org.apache.hadoop.fs.Path(path, Sinks.MarkerFile))
     } catch { case _: Exception => false }
 
+  /** Tile layout recorded in a [[Sinks.writeCubeStore]] marker:
+    * (tileCells, x0, y0, dx, dy) — present only for spatially tiled
+    * stores. Any parse failure means "don't prune" (safe superset). */
+  private def tileLayout(spark: SparkSession,
+      path: String): Option[(Int, Double, Double, Double, Double)] =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(path, Sinks.MarkerFile)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        val kv = body.trim.split(";").flatMap(_.split("=") match {
+          case Array(k, v) => Some(k -> v); case _ => None
+        }).toMap
+        for {
+          t <- kv.get("tile").flatMap(_.toIntOption)
+          x0 <- kv.get("x0").flatMap(_.toDoubleOption)
+          y0 <- kv.get("y0").flatMap(_.toDoubleOption)
+          dx <- kv.get("dx").flatMap(_.toDoubleOption)
+          dy <- kv.get("dy").flatMap(_.toDoubleOption)
+        } yield (t, x0, y0, dx, dy)
+      }
+    } catch { case _: Exception => None }
+
   def loadCollection(spark: SparkSession, spec: CollectionSpec,
       bands: Seq[String] = Nil,
       temporalExtent: Option[(String, String)] = None,
@@ -72,6 +99,32 @@ object Scan {
       if (df.columns.contains("p_date") && isGraftDateStore(spark, spec.path))
         df = df.where(col("p_date").between(
           date_sub(to_date(lit(from)), 1), date_add(to_date(lit(to)), 1)))
+    }
+    // SPATIAL partition pruning for tiled stores: map the bbox (already
+    // projectable into cube coordinates — the same driver-side corner
+    // transform the exact row filter uses) onto the marker's write-time
+    // tile mapping, widened by one tile per side so grid rounding can
+    // never drop rows; the exact x/y predicate below stays authoritative
+    // (pruning only needs to be a superset). Non-tiled stores, foreign
+    // p_tx columns (no marker), or unparseable markers skip pruning.
+    if (df.columns.contains("p_tx") && df.columns.contains("p_ty")) {
+      bbox.foreach { case (w, s, e, n) =>
+        tileLayout(spark, spec.path).foreach { case (tc, x0, y0, dx, dy) =>
+          val (xmin, ymin, xmax, ymax) = Filters.projectBboxToCube(
+            spec.crs, w, s, e, n, extentCrs.getOrElse(EpsgRef(bboxEpsg)))
+          def tx(x: Double): Long =
+            math.floor(math.round((x - x0) / dx).toDouble / tc).toLong
+          def ty(y: Double): Long =
+            math.floor(math.round((y - y0) / dy).toDouble / tc).toLong
+          val (txA, txB) = (math.min(tx(xmin), tx(xmax)),
+            math.max(tx(xmin), tx(xmax)))
+          val (tyA, tyB) = (math.min(ty(ymin), ty(ymax)),
+            math.max(ty(ymin), ty(ymax)))
+          df = df.where(col("p_tx").between(txA - 1, txB + 1) &&
+            col("p_ty").between(tyA - 1, tyB + 1))
+        }
+      }
+      df = df.drop("p_tx", "p_ty")
     }
     // the partition column duplicates time — drop it from the cube schema
     if (df.columns.contains("p_date")) df = df.drop("p_date")

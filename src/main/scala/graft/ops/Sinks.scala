@@ -26,21 +26,44 @@ object Sinks {
     * listed) on top of row-group skipping. [[Scan.loadCollection]]
     * recognises the `p_date` column and derives the partition predicate
     * from the temporal extent automatically. */
-  def writeCubeStore(c: Cube, path: String): String = {
+  def writeCubeStore(c: Cube, path: String,
+      tileCells: Option[Int] = None): String = {
     require(c.has(Dim.Time),
       "writeCubeStore requires a time dimension (p_date derives from it)")
-    c.df.withColumn("p_date", to_date(col(Dim.Time)))
-      .write.mode("overwrite").partitionBy("p_date").parquet(path)
+    val base = c.df.withColumn("p_date", to_date(col(Dim.Time)))
+    // optional SPATIAL tiling (the 100 TB layout contract's second axis):
+    // p_tx/p_ty = tileCells-cell tiles in grid units, so a bbox scan
+    // prunes whole tile directories the way the temporal extent prunes
+    // days. The marker records the write-time grid + tile size — the
+    // scan only prunes when it can re-derive the SAME mapping.
+    val (partitioned, partCols, markerBody) = tileCells match {
+      case Some(tc) =>
+        require(tc > 0, s"tileCells must be positive, got $tc")
+        val g = c.meta.requireGrid
+        (base
+          .withColumn("p_tx",
+            floor(g.xIdx(col(Dim.X)).cast("double") / tc).cast("long"))
+          .withColumn("p_ty",
+            floor(g.yIdx(col(Dim.Y)).cast("double") / tc).cast("long")),
+          Seq("p_date", "p_tx", "p_ty"),
+          s"tile=$tc;x0=${g.x0};y0=${g.y0};dx=${g.dx};dy=${g.dy}")
+      case None => (base, Seq("p_date"), "")
+    }
+    partitioned.write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(path)
     // marker telling Scan.loadCollection that p_date really is
     // to_date(time) here — an external collection with its own p_date
     // column (e.g. an ingest date) must NOT be pruned by event-time
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), c.df.sparkSession.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true).close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, MarkerFile), true)
+    try out.write(markerBody.getBytes("UTF-8")) finally out.close()
     path
   }
 
-  /** Marker written by [[writeCubeStore]]; checked by Scan before pruning. */
+  /** Marker written by [[writeCubeStore]]; checked by Scan before pruning.
+    * Empty body = date-only store; `tile=N;x0=..;y0=..;dx=..;dy=..` body
+    * = spatially tiled with that write-time grid. */
   val MarkerFile = "_GRAFT_DATE_PARTITIONED"
 
   def saveResult(value: Any, format: String, outDir: String,

@@ -193,6 +193,51 @@ class PlanQualitySpec extends SparkSpec {
     planString(unmarked.df) should include("PartitionFilters: []")
   }
 
+  test("spatially tiled store: a bbox scan prunes tile directories " +
+      "(and composes with day pruning); results equal the untiled scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-tile").toString
+    // 2 days × 16×16 grid → tiles of 4 cells → 4×4 tile directories/day
+    val rows = for { d <- 1 to 2; y <- 0 until 16; x <- 0 until 16 }
+      yield (ts(f"2022-06-0$d 00:00:00"), "B04", y.toDouble, x.toDouble,
+        (d * 1000 + y * 16 + x).toDouble)
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(bandOrder = Seq("B04"), grid = Some(GridRef(0, 0, 1, 1))))
+    graft.ops.Sinks.writeCubeStore(c, s"$dir/tiled", tileCells = Some(4))
+    graft.ops.Sinks.writeCubeStore(c, s"$dir/flat")
+    val tiledSpec = Scan.CollectionSpec(s"$dir/tiled",
+      bandOrder = Seq("B04"), grid = Some(GridRef(0, 0, 1, 1)))
+    val flatSpec = Scan.CollectionSpec(s"$dir/flat",
+      bandOrder = Seq("B04"), grid = Some(GridRef(0, 0, 1, 1)))
+    // bbox over cells x,y in [5.5, 9.5] (bboxEpsg 0 = raw cube coords)
+    val tiled = Scan.loadCollection(spark, tiledSpec,
+      bbox = Some((5.5, 5.5, 9.5, 9.5)), bboxEpsg = 0)
+    val flat = Scan.loadCollection(spark, flatSpec,
+      bbox = Some((5.5, 5.5, 9.5, 9.5)), bboxEpsg = 0)
+    rowSet(tiled.df) shouldBe rowSet(flat.df)
+    tiled.df.count() shouldBe 2L * 4 * 4 // x,y ∈ {6..9}, both days
+    tiled.df.columns should not contain "p_tx"
+    val plan = planString(tiled.df)
+    plan should include("p_tx")
+    plan should include("p_ty")
+    // tile span: cells 6-9 → tiles 1-2, widened ±1 → tiles 0-3 = ALL in
+    // this tiny grid; use a corner bbox to prove real pruning
+    val corner = Scan.loadCollection(spark, tiledSpec,
+      bbox = Some((0.0, 0.0, 1.0, 1.0)), bboxEpsg = 0)
+    corner.df.count() shouldBe 2L * 2 * 2
+    val scanned = corner.df.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    // tiles (0..1)² of 4² per day × 2 days = 8 directories, not 32
+    scanned shouldBe 8
+    // composes with temporal pruning: one day × 4 tile dirs... day
+    // pruning widens ±1 day, so both days remain but tiles still prune
+    val both = Scan.loadCollection(spark, tiledSpec,
+      temporalExtent = Some(("2022-06-01", "2022-06-02")),
+      bbox = Some((0.0, 0.0, 1.0, 1.0)), bboxEpsg = 0)
+    both.df.count() shouldBe 1L * 2 * 2
+  }
+
   test("geocode consumes the binned lineage once (single scan, one gap-fill agg)") {
     import spark.implicits._
     val t = new java.sql.Timestamp(0L)
