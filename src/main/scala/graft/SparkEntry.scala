@@ -676,7 +676,9 @@ object SparkEntry {
     }),
     "q_scan_tiled" -> ((s, dir) => {
       // the 100 TB layout contract's SECOND axis, end-to-end: the store
-      // written with spatial tiles (p_tx/p_ty from the grid, 8 cells),
+      // written with spatial tiles (p_tx/p_ty from the grid, 64 cells —
+      // directory counts stay tame at any SF; the pruning-count pin
+      // lives in PlanQualitySpec on its own denser fixture),
       // then a bbox load that PRUNES tile directories (marker-guarded,
       // ±1-tile widened — PlanQualitySpec pins the pruned partition
       // count) while the exact x/y predicate stays authoritative. The
@@ -685,7 +687,7 @@ object SparkEntry {
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tiled_$slug"
       graft.ops.Sinks.writeCubeStore(eventsCube(s, dir), tmp,
-        tileCells = Some(8))
+        tileCells = Some(64))
       Scan.loadCollection(s, Scan.CollectionSpec(tmp,
           bandOrder = Seq("click", "error", "purchase", "signup", "view"),
           grid = Some(GridRef(0, 0, 1, 1))),
