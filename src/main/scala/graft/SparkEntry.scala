@@ -538,6 +538,44 @@ object SparkEntry {
       new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
         .asInstanceOf[graft.cube.Cube].df
     }),
+    "q_run_udf_python" -> ((s, dir) => {
+      // run_udf with `runtime: "python"` END-TO-END: opaque Python source
+      // (a peak-hold decay — out[i] = max(x[i], 0.5·out[i-1]), a
+      // per-series recurrence the expression grammar cannot express)
+      // executed by a piped python3 worker per executor thread through
+      // the SAME chunked seam as the Java tier (graft.ops.PythonUdf).
+      // 0.5 is exact binary and max is comparison-only, so the worker's
+      // fold and the DuckDB list_reduce replay agree bit-for-bit across
+      // the decimal-string pipe (shortest-round-trip both ways).
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_pyudf_$slug"
+      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
+      val catalog = Map("events" -> Scan.CollectionSpec(tmp,
+        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
+        grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
+      val udfSrc = "def udf(times, values):\\n" +
+        "    out = []\\n" +
+        "    acc = 0.0\\n" +
+        "    for i, v in enumerate(values):\\n" +
+        "        acc = v if i == 0 else max(v, 0.5 * acc)\\n" +
+        "        out.append(acc)\\n" +
+        "    return out\\n"
+      val graph = s"""{
+        "load": {"process_id": "load_collection",
+                 "arguments": {"id": "events"}},
+        "udf": {"process_id": "apply_dimension", "arguments": {
+          "data": {"from_node": "load"}, "dimension": "t",
+          "process": {"process_graph": {
+            "u": {"process_id": "run_udf", "arguments": {
+              "data": {"from_parameter": "data"},
+              "udf": "$udfSrc",
+              "runtime": "python",
+              "context": {"chunk_size": 8}},
+              "result": true}}}}, "result": true}}"""
+      new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
+        .asInstanceOf[graft.cube.Cube].df
+    }),
     "q_run_udf_reduce" -> onCube { c =>
       // reduce_dimension-position run_udf (series→scalar): the UDF source
       // compiles to ONE aggregate expression — partial+final groupBy, no
@@ -830,8 +868,8 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val cst = s.read.parquet(s"$dir/customer.parquet")
       val n = s.read.parquet(s"$dir/nation.parquet")
-      o.join(broadcast(cst), o("o_custkey") === cst("c_custkey"))
-        .join(broadcast(n), cst("c_nationkey") === n("n_nationkey"))
+      o.join(dimHint(cst), o("o_custkey") === cst("c_custkey"))
+        .join(dimHint(n), cst("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
     }),
@@ -938,11 +976,11 @@ object SparkEntry {
         .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
       val n2 = s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      l.join(dimHint(sup), l("l_suppkey") === sup("s_suppkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(cst), o("o_custkey") === cst("c_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
-        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .join(dimHint(cst), o("o_custkey") === cst("c_custkey"))
+        .join(dimHint(n1), col("s_nationkey") === col("n1_key"))
+        .join(dimHint(n2), col("c_nationkey") === col("n2_key"))
         .where((col("supp_nation") === "NATION_1" &&
             col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" &&
@@ -963,7 +1001,7 @@ object SparkEntry {
       val p = s.read.parquet(s"$dir/part.parquet")
       val disc = col("l_extendedprice").cast("decimal(12,2)") *
         (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(dimHint(p), l("l_partkey") === p("p_partkey"))
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO", disc)
             .otherwise(lit(0).cast("decimal(17,4)"))).cast("double") /
@@ -983,11 +1021,99 @@ object SparkEntry {
           col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
           col("l_quantity").between(20, 30))
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && brackets)
+      l.join(dimHint(p), l("l_partkey") === p("p_partkey") && brackets)
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
             (lit(1).cast("decimal(4,2)") -
               col("l_discount").cast("decimal(4,2)")))
           .cast("double").as("revenue"))
+    }),
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+      // scalar-aggregate subquery (per-part average quantity) decorrelates
+      // to ONE aggregate joined back. Spark-first ordering: the brand
+      // filter semi-restricts lineitem FIRST (broadcast of the tiny
+      // brand-filtered part dim), so the per-part aggregate only touches
+      // qualifying parts' rows — at 100 TB the aggregate input shrinks by
+      // the brand selectivity (~1/25) before any shuffle. Exact decimal
+      // sums; the 0.2× threshold and final /7.0 are single IEEE ops on
+      // identical doubles in both engines.
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_brand") === "Brand#23").select("p_partkey")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
+      val avgs = l.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((lit(0.2) * dmean(col("l_quantity"))).as("qty_thresh"))
+      l.join(avgs, col("l_partkey") === col("a_partkey"))
+        .where(col("l_quantity") < col("qty_thresh"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    }),
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 shape (dominant-supplier discovery — adapted: the
+      // fixture has no partsupp, so the correlated scalar-aggregate
+      // compares a supplier's per-part shipped volume against 30% of
+      // that part's TOTAL volume in the window). Decorrelation: two
+      // aggregates over the SAME filtered scan joined on partkey —
+      // Catalyst reuses the exchange — then IN ≡ LeftSemi into the
+      // supplier dim, nation filter broadcast. No correlated re-scan
+      // per group, which is what the naive translation would do at
+      // 100 TB.
+      val lw = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val perSupplierPart = lw.groupBy("l_suppkey", "l_partkey")
+        .agg(dsum(col("l_quantity")).as("sq"))
+      val perPart = lw.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.3) * dsum(col("l_quantity"))).as("thresh"))
+      val qualifying = perSupplierPart
+        .join(perPart, col("l_partkey") === col("t_partkey"))
+        .where(col("sq") > col("thresh"))
+        .select("l_suppkey")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .where(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+      sup.join(qualifying, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 shape (suppliers who kept orders waiting — adapted:
+      // the fixture has no receipt/commit dates, so "late" is
+      // l_returnflag = 'R'): the HARDEST subquery pattern — EXISTS plus
+      // NOT EXISTS over the SAME self-joined lineitem. Both decorrelate
+      // to one pass each: EXISTS (another supplier on the order) →
+      // LeftSemi with the suppkey inequality riding the join condition;
+      // NOT EXISTS (no OTHER supplier was late) → LeftAnti against the
+      // late-filtered side. Never a per-row re-scan, never a cartesian
+      // (plan-pinned).
+      val l1 = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+      val l2 = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+      val l3 = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderstatus") === "F").select("o_orderkey")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .where(col("n_name") === "NATION_3")
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+      l1.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .join(dimHint(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }),
     "q_tpch_q3" -> ((s, dir) => {
       // classic shipping-priority shape: two big-side SMJs + one
@@ -1001,7 +1127,7 @@ object SparkEntry {
       val l = s.read.parquet(s"$dir/lineitem.parquet")
         .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(dimHint(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(drevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -1015,7 +1141,7 @@ object SparkEntry {
       val r = s.read.parquet(s"$dir/region.parquet")
         .where(col("r_name") === "ASIA")
       val n = s.read.parquet(s"$dir/nation.parquet")
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(dimHint(r), col("n_regionkey") === col("r_regionkey"))
       val c = s.read.parquet(s"$dir/customer.parquet")
       val sup = s.read.parquet(s"$dir/supplier.parquet")
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1026,7 +1152,7 @@ object SparkEntry {
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
     }),
@@ -2772,7 +2898,7 @@ object SparkEntry {
         .where(col("l_returnflag") === "R")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(dimHint(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
@@ -3169,6 +3295,23 @@ object SparkEntry {
   // -------------------------------------------------------------- oracle SQL
 
   private def cq(sql: String): String = s"$cubeCte $sql"
+
+  /** Size-guarded broadcast hint for dimension sides: hint only while
+    * the plan's estimated size fits under autoBroadcastJoinThreshold,
+    * else leave the join strategy to stats/AQE. A HARD broadcast() hint
+    * overrides the threshold, so at 100 TB a "dim" like customer/part
+    * would be forced into an OOM-or-spill broadcast; this degrades to a
+    * shuffle join instead (plan-pinned in PlanQualitySpec). Estimation
+    * is the non-CBO sizeInBytes (filters don't shrink it), so the guard
+    * errs conservative — a dim that MIGHT be large is never forced. */
+  private def dimHint(df: DataFrame): DataFrame = {
+    val threshold =
+      df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold >= 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
 
   /** The hashed-classifier GD replay CTE chain (FNV bucket fold, 2
     * unrolled sparse-GD iterations), ending at `zc3(doc_id, y, z)` —
@@ -4226,6 +4369,21 @@ object SparkEntry {
            unnest(list_transform(range(1, len(vs) + 1),
              i -> list_reduce(vs[1:i],
                     (acc, v) -> 0.25 * v + 0.75 * acc))) AS value
+         FROM s"""),
+    "q_run_udf_python" -> cq(
+      // same prefix-fold replay as the Java tier, for the Python
+      // peak-hold recurrence: acc = max(v, 0.5·acc) started at the first
+      // element. 0.5 is exact binary and greatest() is comparison-only,
+      // so the worker and the fold agree bit-for-bit.
+      """, s AS (
+           SELECT band, y, x,
+             list(time ORDER BY time, value) AS ts,
+             list(value ORDER BY time, value) AS vs
+           FROM cube GROUP BY 1, 2, 3)
+         SELECT unnest(ts) AS time, band, y, x,
+           unnest(list_transform(range(1, len(vs) + 1),
+             i -> list_reduce(vs[1:i],
+                    (acc, v) -> greatest(v, 0.5 * acc)))) AS value
          FROM s"""),
     "q_run_udf_reduce" -> cq(
       // quantile_cont is the same type-7 interpolation as Spark's exact
@@ -6774,6 +6932,44 @@ object SparkEntry {
              AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30))""",
+    "q_tpch_q17" -> s"""
+         SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND l_quantity < (
+             SELECT 0.2 * (${dsumSql("l2.l_quantity")} / COUNT(l2.l_quantity))
+             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q_tpch_q20" -> s"""
+         SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1998-01-01'
+             GROUP BY l_suppkey, l_partkey
+             HAVING ${dsumSql("l_quantity")} > (
+               SELECT 0.3 * ${dsumSql("l2.l_quantity")}
+               FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey
+                 AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+           AND s_nationkey IN (SELECT n_nationkey FROM nation
+                               WHERE n_name IN ('NATION_1', 'NATION_2'))""",
+    "q_tpch_q21" -> """
+         SELECT s_name, COUNT(*) AS numwait
+         FROM supplier, lineitem l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
     "q_tpch_q3" -> s"""
          SELECT l_orderkey, o_orderdate, o_orderpriority,
                 $drevenueSql AS revenue

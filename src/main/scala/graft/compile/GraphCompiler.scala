@@ -929,14 +929,20 @@ final class GraphCompiler(
         val runtime = result.arguments.get("runtime").collect {
           case LitArg(v) if v.isTextual => v.asText.toLowerCase
         }
-        if (runtime.exists(rt => rt == "java" || rt == "jvm")) {
+        // `runtime: "python"` rides the same seam through a piped
+        // python3 worker per executor thread (the reference's actual
+        // external surface is an R/Python pool) — see graft.ops.PythonUdf
+        if (runtime.exists(rt =>
+            rt == "java" || rt == "jvm" || rt == "python" || rt == "python3")) {
           result.arguments.get("context").foreach(validateRunUdfContext)
           val chunkSize = result.arguments.get("context").collect {
             case LitArg(v) if v.isObject && v.has("chunk_size") =>
               v.get("chunk_size").asInt
           }.getOrElse(512)
-          return graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize,
-            dim)
+          return if (runtime.exists(_.startsWith("python")))
+            graft.ops.PythonUdf.runSeriesPython(c, src, chunkSize, dim)
+          else
+            graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize, dim)
         }
         val otherDims = c.dims.filterNot(_ == dim)
         val w = org.apache.spark.sql.expressions.Window

@@ -35,9 +35,21 @@ import org.apache.spark.sql.functions._
   * method runs per series. Series order carries a value tiebreak, so
   * duplicate labels stay deterministic.
   *
-  * R source is out of scope in v1 (zero-egress container; rpy2 has no
-  * JVM analogue) — this seam is where a worker-pool bridge would plug
-  * in, with the same chunked shuffle shape.
+  * '''Trust boundary''': the UDF body is arbitrary user code running
+  * unsandboxed in the executor JVMs — full file/network/System.exit
+  * access, exactly the trust model of the reference (whose R worker
+  * executes the graph's UDF source verbatim,
+  * openeo_odc_driver.py:282-339). Process graphs must therefore come
+  * only from trusted callers. Multi-tenant deployments should disable
+  * the runtime (`spark.graft.udf.external.enabled=false` rejects every
+  * external UDF at graph-compile time with a typed error) or front it
+  * with their own review/allowlist.
+  *
+  * A Python runtime rides the same chunked seam via a piped worker
+  * process per executor (see [[PythonUdf]]); R source remains out of
+  * scope in v1 (no R interpreter in scope) — [[PythonUdf]]'s
+  * line-protocol bridge is where an R worker pool would plug in, with
+  * the same chunked shuffle shape.
   */
 object ExternalUdf {
 
@@ -69,17 +81,51 @@ object ExternalUdf {
     * task time. */
   def validate(source: String): Unit = { compiled(source); () }
 
+  /** Has the deployment disabled the external-UDF escape hatch?
+    * (`spark.graft.udf.external.enabled=false` — the multi-tenant
+    * guard documented in the class scaladoc.) */
+  def requireEnabled(c: Cube, runtime: String): Unit = {
+    val enabled = c.df.sparkSession.conf
+      .get("spark.graft.udf.external.enabled", "true").toBoolean
+    if (!enabled) throw ExternalUdfError(
+      s"external runtime '$runtime' is disabled by " +
+        "spark.graft.udf.external.enabled=false (multi-tenant guard); " +
+        "use the expression grammar, or re-enable for trusted callers")
+  }
+
   /** Apply an external Java series UDF along `dim` (time or bands), per
     * remaining-dims series, chunk-parallel. The UDF must return exactly
     * one output per input (apply_dimension contract with unchanged
     * labels); anything else raises [[ExternalUdfError]] at task time. */
   def runSeriesExternal(c: Cube, source: String,
       chunkSize: Int = 512, dim: String = Dim.Time): Cube = {
+    requireEnabled(c, "java")
+    validate(source)
+    runSeriesWith(c, chunkSize, dim) { batch =>
+      val se = compiled(source)
+      batch.map { case (ords, values) =>
+        try se.evaluate(Array[AnyRef](ords, values): _*)
+          .asInstanceOf[Array[Double]]
+        catch { case e: java.lang.reflect.InvocationTargetException =>
+          throw ExternalUdfError(s"UDF threw: ${e.getCause}")
+        }
+      }
+    }
+  }
+
+  /** The shared chunked seam: shuffle once by `chunk_size`²-pixel tile,
+    * sort each chunk in memory, slice into per-series (ordinals, values)
+    * arrays, and hand ALL series of the chunk to `batchEval` in one call
+    * (so a piped-worker runtime pays one round trip per chunk, not per
+    * series). `batchEval` must return one output array per series, each
+    * the same length as its input. */
+  private[ops] def runSeriesWith(c: Cube, chunkSize: Int, dim: String)(
+      batchEval: Array[(Array[Long], Array[Double])] => Array[Array[Double]])
+      : Cube = {
     require(chunkSize > 0, s"chunk_size must be positive, got $chunkSize")
     require(dim == Dim.Time || dim == Dim.Band,
       s"external series UDF supports time|bands, got $dim")
     require(c.has(dim), s"external series UDF: cube lacks dimension $dim")
-    validate(source)
     val hasBand = c.has(Dim.Band)
     val hasTime = c.has(Dim.Time)
     val spark = c.df.sparkSession
@@ -137,35 +183,41 @@ object ExternalUdf {
         java.util.Arrays.sort(chunk, Ordering.by(
           (r: (Long, Long, String, Long, Double, Double, Long, Double)) =>
             (r._3, r._4, r._5, r._6, r._7, r._8)))
-        val se = compiled(source)
-        val res = Iterator.unfold(0) { start =>
-          if (start >= chunk.length) None
-          else {
-            var end = start
-            while (end < chunk.length && chunk(end)._3 == chunk(start)._3 &&
-              chunk(end)._4 == chunk(start)._4 &&
-              chunk(end)._5 == chunk(start)._5 &&
-              chunk(end)._6 == chunk(start)._6) end += 1
-            val ords = Array.tabulate(end - start)(i => chunk(start + i)._7)
-            val values = Array.tabulate(end - start)(i => chunk(start + i)._8)
-            val outVals =
-              try se.evaluate(Array[AnyRef](ords, values): _*)
-                .asInstanceOf[Array[Double]]
-              catch { case e: java.lang.reflect.InvocationTargetException =>
-                throw ExternalUdfError(s"UDF threw: ${e.getCause}")
-              }
-            if (outVals == null || outVals.length != values.length)
-              throw ExternalUdfError(
-                s"UDF must return one value per input, got " +
-                  s"${Option(outVals).map(_.length).getOrElse(-1)} for " +
-                  s"${values.length}")
-            val rowsOut = Array.tabulate(end - start)(i =>
-              (chunk(start)._3, chunk(start)._4, chunk(start)._5,
-                chunk(start)._6, ords(i), outVals(i)))
-            Some((rowsOut, end))
-          }
+        // slice into series: [start, end) ranges sharing the identity key
+        val starts = scala.collection.mutable.ArrayBuffer[Int]()
+        var i = 0
+        while (i < chunk.length) {
+          starts += i
+          var end = i
+          while (end < chunk.length && chunk(end)._3 == chunk(i)._3 &&
+            chunk(end)._4 == chunk(i)._4 &&
+            chunk(end)._5 == chunk(i)._5 &&
+            chunk(end)._6 == chunk(i)._6) end += 1
+          i = end
         }
-        res.flatten
+        val bounds = (starts :+ chunk.length).toArray
+        val batch = Array.tabulate(starts.length) { s =>
+          val (from, to) = (bounds(s), bounds(s + 1))
+          (Array.tabulate(to - from)(k => chunk(from + k)._7),
+            Array.tabulate(to - from)(k => chunk(from + k)._8))
+        }
+        val outs = batchEval(batch)
+        if (outs == null || outs.length != batch.length)
+          throw ExternalUdfError(
+            s"runtime returned ${Option(outs).map(_.length).getOrElse(-1)} " +
+              s"series for ${batch.length}")
+        Iterator.tabulate(starts.length) { s =>
+          val (from, to) = (bounds(s), bounds(s + 1))
+          val outVals = outs(s)
+          if (outVals == null || outVals.length != to - from)
+            throw ExternalUdfError(
+              s"UDF must return one value per input, got " +
+                s"${Option(outVals).map(_.length).getOrElse(-1)} for " +
+                s"${to - from}")
+          Array.tabulate(to - from)(k =>
+            (chunk(from)._3, chunk(from)._4, chunk(from)._5,
+              chunk(from)._6, chunk(from + k)._7, outVals(k)))
+        }.flatten
       }
     val df0 = out.toDF("_ks", "_kt", Dim.Y, Dim.X, "_ord", Cube.ValueCol)
     val restored =

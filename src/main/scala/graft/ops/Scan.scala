@@ -78,6 +78,11 @@ object Scan {
     var df = spark.read.parquet(spec.path)
     val meta = CubeMeta(crs = spec.crs, grid = spec.grid,
       bandOrder = if (bands.nonEmpty) bands else spec.bandOrder)
+    // one marker probe per load: gates BOTH pruning and the reserved-
+    // column drops below — a foreign collection that happens to carry
+    // p_date/p_tx/p_ty as user data must keep them in the cube schema
+    lazy val graftStore = isGraftDateStore(spark, spec.path)
+    lazy val graftTileLayout = tileLayout(spark, spec.path)
     // band projection (pushed as In filter)
     if (bands.nonEmpty) df = df.where(col(Dim.Band).isin(bands: _*))
     // temporal extent: [start, end) via -1 ms like the reference scan
@@ -96,7 +101,7 @@ object Scan {
       // cannot misalign the date boundary and silently drop rows (the
       // exact time predicate above stays authoritative — pruning only
       // needs to be a superset).
-      if (df.columns.contains("p_date") && isGraftDateStore(spark, spec.path))
+      if (df.columns.contains("p_date") && graftStore)
         df = df.where(col("p_date").between(
           date_sub(to_date(lit(from)), 1), date_add(to_date(lit(to)), 1)))
     }
@@ -107,9 +112,10 @@ object Scan {
     // never drop rows; the exact x/y predicate below stays authoritative
     // (pruning only needs to be a superset). Non-tiled stores, foreign
     // p_tx columns (no marker), or unparseable markers skip pruning.
-    if (df.columns.contains("p_tx") && df.columns.contains("p_ty")) {
+    if (df.columns.contains("p_tx") && df.columns.contains("p_ty") &&
+        graftStore) {
       bbox.foreach { case (w, s, e, n) =>
-        tileLayout(spark, spec.path).foreach { case (tc, x0, y0, dx, dy) =>
+        graftTileLayout.foreach { case (tc, x0, y0, dx, dy) =>
           val (xmin, ymin, xmax, ymax) = Filters.projectBboxToCube(
             spec.crs, w, s, e, n, extentCrs.getOrElse(EpsgRef(bboxEpsg)))
           def tx(x: Double): Long =
@@ -127,7 +133,8 @@ object Scan {
       df = df.drop("p_tx", "p_ty")
     }
     // the partition column duplicates time — drop it from the cube schema
-    if (df.columns.contains("p_date")) df = df.drop("p_date")
+    // (only for our own stores: a foreign p_date is user data)
+    if (df.columns.contains("p_date") && graftStore) df = df.drop("p_date")
     var cube = Cube(df, meta)
     bbox.foreach { case (w, s, e, n) =>
       cube = Filters.filterBboxRef(cube, w, s, e, n,
@@ -194,7 +201,9 @@ object Scan {
     val rows = for {
       t <- 0 until m.nT; band <- 0 until m.nB
       y <- ys.indices; x <- xs.indices
-      v = vb.getFloat(m.cellOffset(t, band, y, x))
+      // .toInt safe here: this driver-side path wrapped the whole file
+      // in one Array[Byte], which is itself Int-bounded
+      v = vb.getFloat(m.cellOffset(t, band, y, x).toInt)
       if !v.isNaN // the writer's fill value for absent cells
     } yield org.apache.spark.sql.Row.fromSeq(
       times.map(_ => tsOf(t)).toSeq ++

@@ -27,9 +27,11 @@ object Sinks {
     * recognises the `p_date` column and derives the partition predicate
     * from the temporal extent automatically. */
   def writeCubeStore(c: Cube, path: String,
-      tileCells: Option[Int] = None): String = {
+      tileCells: Option[Int] = None,
+      filesPerDir: Int = DefaultFilesPerDir): String = {
     require(c.has(Dim.Time),
       "writeCubeStore requires a time dimension (p_date derives from it)")
+    require(filesPerDir > 0, s"filesPerDir must be positive, got $filesPerDir")
     val base = c.df.withColumn("p_date", to_date(col(Dim.Time)))
     // optional SPATIAL tiling (the 100 TB layout contract's second axis):
     // p_tx/p_ty = tileCells-cell tiles in grid units, so a bbox scan
@@ -49,12 +51,16 @@ object Sinks {
           s"tile=$tc;x0=${g.x0};y0=${g.y0};dx=${g.dx};dy=${g.dy}")
       case None => (base, Seq("p_date"), "")
     }
-    // cluster the write by the partition keys: without this every task
-    // opens a file in every directory it touches (tasks × dirs small
-    // files — the classic dynamic-partition-write mistake); with it each
-    // directory is written by one task. The same move a 100 TB nightly
-    // write needs, just visible earlier at bench scale.
-    partitioned.repartition(partCols.map(col): _*)
+    // cluster the write by the partition keys PLUS a bounded intra-
+    // directory salt: clustering alone caps small files (tasks × dirs —
+    // the classic dynamic-partition-write mistake) but serializes each
+    // directory onto ONE task, so a nightly single-day 100 TB ingest
+    // would become one writer. The salt spreads each directory across a
+    // fixed small number of tasks (`filesPerDir`), keeping both
+    // properties: ≤ filesPerDir files per directory, ≥ ~filesPerDir
+    // writer tasks even when partition cardinality < cores.
+    val salt = pmod(hash(col(Dim.Y), col(Dim.X)), lit(filesPerDir))
+    partitioned.repartition((partCols.map(col) :+ salt): _*)
       .write.mode("overwrite")
       .partitionBy(partCols: _*).parquet(path)
     // marker telling Scan.loadCollection that p_date really is
@@ -66,6 +72,12 @@ object Sinks {
     try out.write(markerBody.getBytes("UTF-8")) finally out.close()
     path
   }
+
+  /** Writer tasks (and so parquet files) per partition directory. 4 keeps
+    * directories small-file-free while a low-cardinality write (one
+    * day, few tiles) still fans out; raise for a dedicated nightly
+    * ingest where dirs×filesPerDir should cover the cluster's cores. */
+  val DefaultFilesPerDir = 4
 
   /** Marker written by [[writeCubeStore]]; checked by Scan before pruning.
     * Empty body = date-only store; `tile=N;x0=..;y0=..;dx=..;dy=..` body

@@ -162,8 +162,14 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           // inflating the join input by an unbounded factor
           val binLo = bin(lo)
           val binHi = bin(hi)
+          // null-safe: a NULL lo/hi makes LessThan evaluate to null and
+          // a bare If would take the else branch, firing raise_error on
+          // a row the inner join is about to drop anyway (Sequence(null)
+          // explodes to zero rows — the correct outcome). Let null bounds
+          // fall through to the null Sequence.
           val guardedHi = If(
-            LessThan(Subtract(binHi, binLo), Literal(maxBins)),
+            Or(IsNull(binHi), Or(IsNull(binLo),
+              LessThan(Subtract(binHi, binLo), Literal(maxBins)))),
             binHi,
             Cast(RaiseError(Literal(
               s"graft band-join rewrite: interval spans >= $maxBins bins " +

@@ -24,9 +24,13 @@ object Netcdf {
     def nB: Int = bands.map(_.length).getOrElse(1)
     val value: Var = vars.getOrElse("value",
       throw new IllegalArgumentException(s"$path: no `value` variable"))
-    /** Byte offset of cell (t, b, y, x) in the float32 data plane. */
-    def cellOffset(t: Int, b: Int, y: Int, x: Int): Int =
-      value.begin + (((t * nB + b) * ys.length + y) * xs.length + x) * 4
+    /** Byte offset of cell (t, b, y, x) in the float32 data plane.
+      * Computed in Long: the linear index times 4 can exceed Int range
+      * for a plane approaching the CDF-1 2 GB limit, and an Int overflow
+      * here would seek to a wrong (negative) offset instead of failing. */
+    def cellOffset(t: Int, b: Int, y: Int, x: Int): Long =
+      value.begin.toLong +
+        4L * (((t.toLong * nB + b) * ys.length + y) * xs.length + x)
     def timeMicros(t: Int): Long = (times.get(t) * 1e6).round
     /** Guard before any plane read: silently reinterpreting an
       * NC_DOUBLE value variable (or a record-dim layout) as float32

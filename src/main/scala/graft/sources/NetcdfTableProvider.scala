@@ -29,7 +29,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The openEO surface consumes cubes as long-form rows, which is
   * exactly this table's shape: time?, band?, y, x, value(float) with
-  * NaN fill cells dropped (the writer's absent-cell encoding). */
+  * NaN fill cells dropped (the writer's absent-cell encoding).
+  *
+  * '''Filesystem scope''': listing and reads go through `java.io.File`
+  * / `RandomAccessFile`, so the load path must be a LOCAL or shared
+  * POSIX mount (NFS/Lustre/local disk) visible under the same path on
+  * the driver (planning) and every executor (partition reads). HDFS/S3
+  * URIs are not supported by this source — stage such files to a mount,
+  * or use the parquet cube stores, whose reads go through the Hadoop
+  * FileSystem API. This matches the deployment shape of the reference,
+  * whose job outputs live on a shared result volume. */
 final class NetcdfTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-netcdf"
@@ -52,13 +61,21 @@ final class NetcdfTableProvider extends TableProvider with DataSourceRegister {
 
 object NetcdfTable {
   /** Resolve the load path to .nc files — re-evaluated per streaming
-    * micro-batch so newly arrived files are discovered. */
+    * micro-batch so newly arrived files are discovered.
+    * `listFiles()` returns null for an unreadable or vanished directory
+    * (a race a streaming re-list can hit) — treat that as a typed error,
+    * not an NPE from deep inside planning. */
   def listFiles(rawPath: String): Seq[String] = {
     val f = new java.io.File(rawPath)
     if (f.isDirectory)
-      f.listFiles().filter(_.getName.endsWith(".nc")).map(_.getPath)
+      Option(f.listFiles()).getOrElse(throw new IllegalArgumentException(
+          s"graft-netcdf: cannot list directory $rawPath " +
+            "(unreadable or removed)"))
+        .filter(_.getName.endsWith(".nc")).map(_.getPath)
         .sorted.toSeq
-    else Seq(rawPath)
+    else if (f.isFile) Seq(rawPath)
+    else throw new IllegalArgumentException(
+      s"graft-netcdf: path $rawPath does not exist")
   }
 
   def schemaOf(m: Netcdf.Meta): StructType = StructType(

@@ -940,6 +940,78 @@ class PlanQualitySpec extends SparkSpec {
       .length - 1 should be >= 3
   }
 
+  test("tpch q17/q20 shapes: correlated scalar-aggregate subqueries run " +
+      "as decorrelated aggregates joined back — no per-row re-scan") {
+    val dir = "/root/testdata/sf0.001"
+    val q17 = planString(SparkEntry.queries("q_tpch_q17")(spark, dir))
+    q17.toLowerCase should include("partial_sum")
+    q17 should include("BroadcastHashJoin") // brand-filtered part dim
+    q17 should not include "CartesianProduct"
+    // decorrelated: a CONSTANT number of scans (the filtered lineitem
+    // branch feeds both the per-part aggregate and the probe) — never
+    // one re-scan per part value
+    q17.split("FileScan").length - 1 should be <= 4
+    val q20 = planString(SparkEntry.queries("q_tpch_q20")(spark, dir))
+    q20.split("LeftSemi").length - 1 should be >= 2
+    q20 should not include "CartesianProduct"
+    q20.toLowerCase should include("partial_sum")
+  }
+
+  test("tpch q21 shape: EXISTS + NOT EXISTS over self-joined lineitem = " +
+      "LeftSemi + LeftAnti in one pass each, never cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_tpch_q21")(spark, dir))
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("TakeOrderedAndProject") // top-100, no global sort
+  }
+
+  test("dimHint degrades to a shuffle join (not an error, not a forced " +
+      "broadcast) when the dim exceeds the broadcast threshold") {
+    val dir = "/root/testdata/sf0.001"
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+      // every "dim" is now too large to broadcast: the hard hint would
+      // force an OOM-or-spill plan at 100 TB; the guard must let the
+      // planner fall back to SMJ and the query still run
+      val df = SparkEntry.queries("q_tpch_q7")(spark, dir)
+      val plan = planString(df)
+      plan should not include "BroadcastHashJoin"
+      plan should include("SortMergeJoin")
+      df.count() should be >= 0L
+    }
+  }
+
+  test("writeCubeStore spreads a single-day ingest across ~filesPerDir " +
+      "writer tasks per directory (bounded salt), never one") {
+    import spark.implicits._
+    // ONE day — partition cardinality 1, the shape that serialized pre-salt
+    val rows = for { b <- Seq("B04"); y <- 0 until 40; x <- 0 until 40 }
+      yield (ts("2022-06-01 00:00:00"), b, y.toDouble, x.toDouble, 1.0)
+    val c = Cube(rows.toDF("time", "band", "y", "x", "value"),
+      CubeMeta(grid = Some(GridRef(0, 0, 1, 1))))
+    val dir = java.nio.file.Files.createTempDirectory("salt-store").toString
+    // AQE's size-based coalescing rightly merges this toy shuffle into
+    // one task (partitions are far under the advisory size — at 100 TB
+    // they aren't, and the salt's key-space is what bounds the merge).
+    // Pin the raw key-space spread:
+    withSQLConf("spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      graft.ops.Sinks.writeCubeStore(c, s"$dir/st", filesPerDir = 8)
+    }
+    val dayDir = new java.io.File(s"$dir/st/p_date=2022-06-01")
+    val files = dayDir.listFiles().count(_.getName.endsWith(".parquet"))
+    // one file per writer task touching the dir: ≥ half the requested
+    // spread (hash collisions of 8 salts into 32 reducers can merge a
+    // few), ≤ the bound (small-file cap intact)
+    files should be >= 4
+    files should be <= 8
+    // round-trip: the salt is layout-only, rows unchanged
+    Scan.loadCollection(spark, Scan.CollectionSpec(s"$dir/st",
+      grid = Some(GridRef(0, 0, 1, 1)))).df.count() shouldBe 1600L
+  }
+
   test("funnel reuses one key partitioning across stages — no " +
       "per-stage reshuffle of the accumulator") {
     import spark.implicits._
