@@ -450,10 +450,11 @@ object SparkEntry {
     },
     "q_geocode_linear" -> onCube { c =>
       // the Delaunay fidelity tier (hull-masked nearest) over the same
-      // SAR fixture — rows-only gate row: a convex hull is not
-      // expressible in the DuckDB replay, so fidelity is pinned by the
-      // Sar2CubeSpec law battery (== nearest-bin on dense fields,
-      // nearest-not-IDW divergence, exterior mask, tiling invariance)
+      // SAR fixture. FULL hash oracle since r8: the DuckDB replay
+      // recovers the hull's half-plane constraints as supporting pairs
+      // (see geocodeLinearSql) — bit-exact at sf0.001/sf0.01. The law
+      // battery (== nearest-bin on dense fields, exterior mask, tiling
+      // invariance) stays in Sar2CubeSpec as the scale pins.
       Sar2Cube.geocode(sarCube(c), targetEpsg = 32632, resolution = 100.0,
         method = "linear").df
     },
@@ -4317,6 +4318,7 @@ object SparkEntry {
            END AS value
          FROM m CROSS JOIN (VALUES ('1'),('2'),('3')) b(band)"""),
     "q_geocode" -> geocodeSql,
+    "q_geocode_linear" -> geocodeLinearSql,
     "q_sar_bbox_lonlat" -> (cubeCte + """,
          d AS (SELECT date_trunc('day', time) AS time, band, y, x,
                  MAX(value) AS value
@@ -7129,10 +7131,12 @@ object SparkEntry {
     * candidate prune, and the ordered-fold IDW gap fill. libm-vs-JVM trig
     * noise (≤2 ulp) never flips a derived decision on this domain —
     * measured, not assumed (see q_geocode's comment). */
-  private def geocodeSql: String = {
+  /** Shared geocode-oracle prefix: SAR fixture → day-max samples →
+    * full transverse-Mercator replay, ending at t3(time, y, x, value,
+    * e, n). Used by BOTH the nearest-bin (q_geocode) and hull-masked
+    * linear (q_geocode_linear) oracles. */
+  private def geocodeProjCtes: String = {
     val c = graft.ops.Sar2Cube.tmConstants(32632)
-    val offs = graft.ops.Sar2Cube.stencilOffsets
-      .map { case (oi, ox, oy, w) => s"($oi,$ox,$oy,${w})" }.mkString(", ")
     cubeCte + s""",
        d AS (SELECT date_trunc('day', time) AS time, y, x, MAX(value) AS value
              FROM cube WHERE band = 'view' GROUP BY 1, 2, 3),
@@ -7155,7 +7159,92 @@ object SparkEntry {
              + 500000.0 AS e,
            ${c("k0")}*(mm + nn*tanp*(a*a/2 + (5.0-t+cc*9+cc*cc*4)*(a*a*a*a)/24
              + (61.0-t*58+t*t+cc*600-${c("c330")})*(a*a*a*a*a*a)/720)) AS n
-         FROM t2),
+         FROM t2)"""
+  }
+
+  /** Full DuckDB replay of [[graft.ops.Sar2Cube.geocodeLinear]]'s hull-
+    * masked nearest: the convex hull's half-plane constraints are
+    * recovered as SUPPORTING PAIRS — sample pairs (a,b) with every
+    * sample on/left of the directed line a→b. Hull edges are exactly
+    * such pairs, and extra (near-collinear long-chord) pairs impose the
+    * same half-planes to within the sagitta of the fixture's grid rows
+    * (≤ 1 mm per 200 m — under the operator's resolution×1e-4 edge
+    * tolerance), so membership decisions agree; verified bit-exact at
+    * sf0.001 and sf0.01. The tolerance is length-invariant
+    * (cross < −tol·len ⇔ signed distance < −tol), so sub-chords and
+    * full edges test identically. Halo tile replication (800 m over
+    * 6400 m tiles), degenerate-tile exclusion (<3 distinct points or
+    * all collinear → no supporting pair with a strictly-left witness),
+    * and the (d2, y, x) nearest tie-break mirror the operator exactly. */
+  private def geocodeLinearSql: String = geocodeProjCtes + s""",
+       k1 AS (SELECT time, value, y, x, e, n,
+           unnest(range(CAST(floor((e-800.0)/6400.0) AS BIGINT),
+                        CAST(floor((e+800.0)/6400.0) AS BIGINT) + 1)) AS te
+         FROM t3),
+       k2 AS (SELECT time, value, y, x, e, n, te,
+           unnest(range(CAST(floor((n-800.0)/6400.0) AS BIGINT),
+                        CAST(floor((n+800.0)/6400.0) AS BIGINT) + 1)) AS tn
+         FROM k1),
+       pts AS (SELECT DISTINCT time, te, tn, e, n FROM k2),
+       np_ AS (SELECT time, te, tn, COUNT(*) AS npts FROM pts GROUP BY 1,2,3),
+       prs AS (SELECT a.time, a.te, a.tn, a.e AS ax, a.n AS ay,
+                      b.e AS bx, b.n AS bny
+         FROM pts a JOIN pts b
+           ON a.time = b.time AND a.te = b.te AND a.tn = b.tn
+          AND (a.e <> b.e OR a.n <> b.n)),
+       supp AS (SELECT p.* FROM prs p WHERE NOT EXISTS (
+           SELECT 1 FROM pts s
+           WHERE s.time = p.time AND s.te = p.te AND s.tn = p.tn
+             AND (p.bx - p.ax)*(s.n - p.ay) - (p.bny - p.ay)*(s.e - p.ax) < 0)),
+       good AS (SELECT DISTINCT p.time, p.te, p.tn FROM supp p
+         WHERE EXISTS (SELECT 1 FROM pts s
+           WHERE s.time = p.time AND s.te = p.te AND s.tn = p.tn
+             AND (p.bx - p.ax)*(s.n - p.ay) - (p.bny - p.ay)*(s.e - p.ax) > 0)),
+       tiles AS (SELECT n2.time, n2.te, n2.tn FROM np_ n2 JOIN good g
+           ON n2.time = g.time AND n2.te = g.te AND n2.tn = g.tn
+         WHERE n2.npts >= 3),
+       bb AS (SELECT time, te, tn, MIN(e) AS mnx, MAX(e) AS mxx,
+                     MIN(n) AS mny, MAX(n) AS mxy
+         FROM pts GROUP BY 1,2,3),
+       cells AS (SELECT t.time, t.te, t.tn,
+           unnest(range(GREATEST(t.te*64, CAST(floor(b.mnx/100.0) AS BIGINT)),
+                        LEAST((t.te+1)*64 - 1,
+                              CAST(floor(b.mxx/100.0) AS BIGINT)) + 1)) AS cx
+         FROM tiles t JOIN bb b
+           ON t.time = b.time AND t.te = b.te AND t.tn = b.tn),
+       cells2 AS (SELECT c.time, c.te, c.tn, c.cx,
+           unnest(range(GREATEST(c.tn*64, CAST(floor(b.mny/100.0) AS BIGINT)),
+                        LEAST((c.tn+1)*64 - 1,
+                              CAST(floor(b.mxy/100.0) AS BIGINT)) + 1)) AS cy
+         FROM cells c JOIN bb b
+           ON c.time = b.time AND c.te = b.te AND c.tn = b.tn),
+       inh AS (SELECT c.time, c.te, c.tn, c.cx, c.cy,
+           (CAST(c.cx AS DOUBLE)+0.5)*100.0 AS px,
+           (CAST(c.cy AS DOUBLE)+0.5)*100.0 AS py
+         FROM cells2 c WHERE NOT EXISTS (
+           SELECT 1 FROM supp p
+           WHERE p.time = c.time AND p.te = c.te AND p.tn = c.tn
+             AND (p.bx - p.ax)*((CAST(c.cy AS DOUBLE)+0.5)*100.0 - p.ay)
+               - (p.bny - p.ay)*((CAST(c.cx AS DOUBLE)+0.5)*100.0 - p.ax)
+               < -0.01 * sqrt((p.bx-p.ax)*(p.bx-p.ax)
+                              + (p.bny-p.ay)*(p.bny-p.ay)))),
+       nearest AS (SELECT time, cx, cy, value FROM (
+           SELECT i.time, i.cx, i.cy, s.value, row_number() OVER (
+               PARTITION BY i.time, i.te, i.tn, i.cx, i.cy
+               ORDER BY (s.e - i.px)*(s.e - i.px) + (s.n - i.py)*(s.n - i.py),
+                        s.y, s.x) AS rn
+           FROM inh i JOIN k2 s
+             ON s.time = i.time AND s.te = i.te AND s.tn = i.tn)
+         WHERE rn = 1)
+       SELECT time, 'view' AS band,
+         (CAST(cy AS DOUBLE)+0.5)*100.0 AS y,
+         (CAST(cx AS DOUBLE)+0.5)*100.0 AS x, value
+       FROM nearest"""
+
+  private def geocodeSql: String = {
+    val offs = graft.ops.Sar2Cube.stencilOffsets
+      .map { case (oi, ox, oy, w) => s"($oi,$ox,$oy,${w})" }.mkString(", ")
+    geocodeProjCtes + s""",
        b0 AS (SELECT time, y, x, value, e, n,
            CAST(floor(e/100.0) AS BIGINT) AS tx,
            CAST(floor(n/100.0) AS BIGINT) AS ty FROM t3),
