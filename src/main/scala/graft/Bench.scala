@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Machine-speed calibration: a fixed single-thread integer loop
+    * (~0.4 s nominal) timed before and after the query loop, plus an
+    * all-cores variant (same loop × one thread per core). Bench totals
+    * have swung ±15% across sessions on identical code ("session
+    * pressure", rounds 6-8); emitting cal numbers with every run turns
+    * that from an assumption into a measurement — if cal_pre/cal_post
+    * drift between runs, the machine moved, not the plans. Loop result
+    * is data-dependent so the JIT cannot dead-code it. */
+  private def calOnce(): Double = {
+    val t0 = System.nanoTime()
+    var s = 0L; var i = 0L
+    while (i < 400000000L) { s += i * 31 + (s >>> 7); i += 1 }
+    if (s == 42L) System.err.print("") // defeat DCE; never true in practice
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def calAll(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => calOnce())
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +47,8 @@ object Bench {
     }
     // dev loop: SPARK_GRAFT_ONLY=q_a,q_b times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val nThreads = Runtime.getRuntime.availableProcessors()
+    val calPre1 = calOnce(); val calPreN = calAll(nThreads)
     // steady-state measurement: run EVERY query once against the smallest
     // scale factor first (untimed) so whole-stage-codegen compilation and
     // JIT of each plan shape happen outside the timed loop — first
@@ -70,10 +99,12 @@ object Bench {
       (math.round(v * 1000) / 1000.0).toString
     def r2(v: Double): String =
       (math.round(v * 100) / 100.0).toString
+    val calPost1 = calOnce(); val calPostN = calAll(nThreads)
+    val cal = s"""[${r3(calPre1)},${r3(calPreN)},${r3(calPost1)},${r3(calPostN)}]"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${r3(total)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal":$cal,"sf":"$sfDir","total_sec":${r3(total)}}"""
     // lossless copy on disk for audit (BENCH_NOTES quotes the DRIVER run
     // as the number of record; this file records this session's run).
     // Gitignored: it is a machine-local run artifact, not a committed record.
@@ -99,7 +130,7 @@ object Bench {
       val top = results.sortBy(-_._2).take(topK)
         .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"qv_order":"sorted_names","qv":$qvArr,"sf":"$sfDir","total_sec":${r3(total)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"qv_order":"sorted_names","qv":$qvArr,"cal":$cal,"sf":"$sfDir","total_sec":${r3(total)}}"""
     }
     val shortLine = Iterator.iterate(40)(_ - 5).takeWhile(_ >= 0)
       .map(compact).find(_.length <= budget).getOrElse(compact(0))

@@ -28,10 +28,25 @@ object Sinks {
     * from the temporal extent automatically. */
   def writeCubeStore(c: Cube, path: String,
       tileCells: Option[Int] = None,
-      filesPerDir: Int = DefaultFilesPerDir): String = {
+      filesPerDir: Int = -1): String = {
     require(c.has(Dim.Time),
       "writeCubeStore requires a time dimension (p_date derives from it)")
-    require(filesPerDir > 0, s"filesPerDir must be positive, got $filesPerDir")
+    // resolution order: explicit argument > session conf > layout default.
+    // The layout default is ADAPTIVE: a date-only store has one directory
+    // per day — partition cardinality < cores is the norm, so a nightly
+    // single-day ingest would serialize onto one writer without the salt.
+    // A TILED store multiplies cardinality by its tile grid (hundreds of
+    // directories per day), so write parallelism is already there and the
+    // salt would only multiply file count (measured: +20% scan cost at
+    // gate scale for zero parallelism gain) — default 1, raise via the
+    // knob for a store with few tiles.
+    val layoutDefault = if (tileCells.isDefined) 1 else DefaultFilesPerDir
+    val fpd =
+      if (filesPerDir > 0) filesPerDir
+      else c.df.sparkSession.conf
+        .get("spark.graft.store.filesPerDir", layoutDefault.toString)
+        .toInt
+    require(fpd > 0, s"filesPerDir must be positive, got $fpd")
     val base = c.df.withColumn("p_date", to_date(col(Dim.Time)))
     // optional SPATIAL tiling (the 100 TB layout contract's second axis):
     // p_tx/p_ty = tileCells-cell tiles in grid units, so a bbox scan
@@ -59,7 +74,7 @@ object Sinks {
     // fixed small number of tasks (`filesPerDir`), keeping both
     // properties: ≤ filesPerDir files per directory, ≥ ~filesPerDir
     // writer tasks even when partition cardinality < cores.
-    val salt = pmod(hash(col(Dim.Y), col(Dim.X)), lit(filesPerDir))
+    val salt = pmod(hash(col(Dim.Y), col(Dim.X)), lit(fpd))
     partitioned.repartition((partCols.map(col) :+ salt): _*)
       .write.mode("overwrite")
       .partitionBy(partCols: _*).parquet(path)
@@ -73,10 +88,12 @@ object Sinks {
     path
   }
 
-  /** Writer tasks (and so parquet files) per partition directory. 4 keeps
-    * directories small-file-free while a low-cardinality write (one
-    * day, few tiles) still fans out; raise for a dedicated nightly
-    * ingest where dirs×filesPerDir should cover the cluster's cores. */
+  /** Writer tasks (and so parquet files) per partition directory for
+    * DATE-ONLY stores. 4 keeps directories small-file-free while a
+    * low-cardinality write (one day) still fans out; raise for a
+    * dedicated nightly ingest where dirs×filesPerDir should cover the
+    * cluster's cores. Tiled stores default to 1 — their tile grid
+    * already provides directory cardinality ≫ cores. */
   val DefaultFilesPerDir = 4
 
   /** Marker written by [[writeCubeStore]]; checked by Scan before pruning.
