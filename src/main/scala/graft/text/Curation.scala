@@ -53,14 +53,37 @@ object Curation {
       .localCheckpoint(true)
   }
 
-  /** NEAR-dup cluster-canonical dedup: blocked pairwise n-gram Jaccard →
-    * connected components → keep each cluster's minimum id (the CC step
-    * eagerly materializes the tiny pair graph — the DAG's one bounded
-    * materialization point). */
+  /** NEAR-dup cluster-canonical dedup: blocked exact n-gram Jaccard
+    * pairs → connected components → keep each cluster's minimum id (the
+    * CC step eagerly materializes the tiny pair graph — the DAG's one
+    * bounded materialization point).
+    *
+    * COST-ADAPTIVE pair generation: the blocked self-join is O(Σ block²)
+    * with lang×source a FIXED block count, so it turns quadratic the
+    * moment blocks outgrow a few hundred docs (r8 sf1 smoke: 54× cost at
+    * 10× data); the prefix-filtered generator is bounded by shingle
+    * co-occurrence (4× at 10× data) but pays two extra shuffles that
+    * lose at small blocks. One cheap count aggregate over the already-
+    * checkpointed input picks the generator; both produce the IDENTICAL
+    * pair set (prefix filtering has perfect recall; the verify is the
+    * same sorted-merge Jaccard), so results — and the oracle hash — do
+    * not depend on the choice. `spark.graft.neardup.blockSwitch`
+    * overrides the crossover (docs per largest block). */
   def nearDupCanonical(deduped: DataFrame, blocking: Seq[String],
       shingleN: Int, threshold: Double): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(deduped, "text", "doc_id",
-      blocking, shingleN = shingleN, threshold = threshold)
+    val switchAt = deduped.sparkSession.conf
+      .get("spark.graft.neardup.blockSwitch", "1000").toInt
+    val maxBlock =
+      if (blocking.isEmpty) Long.MaxValue
+      else deduped.groupBy(blocking.map(col): _*)
+        .count().agg(max("count")).collect()(0).getLong(0)
+    val pairs =
+      if (maxBlock <= switchAt)
+        Dedup.ngramJaccardPairs(deduped, "text", "doc_id",
+          blocking, shingleN = shingleN, threshold = threshold)
+      else
+        Dedup.ngramJaccardPairsPrefix(deduped, "text", "doc_id",
+          shingleN = shingleN, threshold = threshold, blockCols = blocking)
     Dedup.dedupCorpus(deduped, pairs, "doc_id")
   }
 

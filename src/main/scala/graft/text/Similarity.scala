@@ -337,11 +337,19 @@ object Similarity {
       .withColumn("_shard",
         pmod(xxhash64(col("neighbor_id")), lit(saltFactor.toLong)))
     // probe side: corpus-scale, deliberately NOT broadcast — fans out to
-    // every shard of each probed cell
+    // every shard of each probed cell. The shuffle_hash hint FORCES the
+    // shuffled equi-join this blocking depends on: left to size
+    // estimates, Spark happily broadcasts a probe side that LOOKS small
+    // and pipelines the whole quadratic per-cell scoring into however
+    // few partitions the corpus SCAN has (measured: 1 task, 4× slower
+    // at the r8 sf1 smoke) — with the shuffle, parallelism is
+    // (cells × shards) across shuffle partitions, independent of input
+    // file layout.
     val probes = probeCentroids(corpus, centroids, idCol, vecCol, nProbe)
       .select(col("query_id"), col("_qv"), col("centroid_id"),
         explode(sequence(lit(0L), lit(saltFactor.toLong - 1))).as("_shard"))
-    val cands = assigned.join(probes, Seq("centroid_id", "_shard"))
+    val cands = assigned.hint("shuffle_hash")
+      .join(probes, Seq("centroid_id", "_shard"))
       .where(col("query_id") =!= col("neighbor_id"))
     val scored = cands.withColumn("cos",
       dot(col("_qv"), col("_cv")) /
@@ -352,23 +360,45 @@ object Similarity {
   /** query → its `nProbe` nearest coarse centroids (shared by
     * [[topKIvf]] and [[topKIvfPq]] — one implementation so tie-breaking
     * and casts cannot diverge). Returns one row per (query, probed
-    * centroid): (query_id, _qv, centroid_id, _centroid). */
+    * centroid): (query_id, _qv, centroid_id, _centroid).
+    *
+    * Same literal-unrolling as [[argminCentroid]], generalized to
+    * top-nProbe: per-centroid d2 via the |v|²−2v·c+|c|² expansion (each
+    * term ONE native codegen dot — the previous formulation crossJoined
+    * ×C and evaluated an INTERPRETED zip_with/aggregate lambda per pair,
+    * then shuffled every (query, centroid) row through a row_number
+    * window: ×10 centroids meant ×10 interpreted work and ×10 shuffle,
+    * the exact anti-scaling the r8 sf1 smoke caught), then one
+    * array_sort over (d2, cid) structs — lexicographic, so ties break
+    * to the lowest centroid id like the window's orderBy did — sliced
+    * to nProbe and exploded. Zero shuffle, zero row amplification
+    * beyond the nProbe fan-out; _centroid reattaches via a broadcast
+    * equi-join on the tiny centroid table. */
   private def probeCentroids(queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame = {
-    val qd2 = aggregate(
-      zip_with(col("_qv"), col("_centroid"),
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("_qd2"), col("centroid_id"))
+    val cents: Array[(Long, Array[Double])] = centroids.collect().map { r =>
+      (r.getLong(r.fieldIndex("centroid_id")),
+        r.getSeq[Number](r.fieldIndex("_centroid"))
+          .map(_.doubleValue()).toArray)
+    }
+    val v = col(vecCol)
+    val vN2 = norm2(v)
+    val entries = cents.map { case (cid, cvec) =>
+      val cLit = array(cvec.map(lit).toIndexedSeq: _*)
+      val cN2 = cvec.foldLeft(0.0)((acc, x) => acc + x * x) // driver-side
+      struct((vN2 - lit(2.0) * dot(v, cLit) + lit(cN2)).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val probed = slice(array_sort(array(entries.toIndexedSeq: _*)), 1,
+      math.min(nProbe, cents.length))
     queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_qd2", qd2)
-      .withColumn("_pr", row_number().over(wq))
-      .where(col("_pr") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("centroid_id"), col("_centroid"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(probed).as("_p"))
+      .withColumn("centroid_id", col("_p").getField("cid"))
+      .drop("_p")
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("query_id"), col("_qv"), col("centroid_id"),
+        col("_centroid"))
   }
 
   /** Per-code squared-norm literal table of one subspace codebook. */

@@ -1091,6 +1091,33 @@ class TextSpec extends SparkSpec {
     blocked subsetOf prefix shouldBe true
   }
 
+  test("ngramJaccardPairsPrefix with blockCols == blocked self-join " +
+      "pair set (the cost-adaptive swap is result-invariant)") {
+    val rnd = new scala.util.Random(11)
+    def doc(n: Int) = (0 until n).map(_ => s"t${rnd.nextInt(30)}").mkString(" ")
+    val base = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", doc(25)))
+    val crossDup = Seq((100L, "a", base(3)._3), (101L, "b", base(3)._3))
+    val docs = (base ++ crossDup).toDF("doc_id", "blk", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))
+    val blocked = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("blk"), shingleN = 3, threshold = 0.5).collect().map(key).toSet
+    val prefixBlocked = Dedup.ngramJaccardPairsPrefix(docs, "text",
+      "doc_id", shingleN = 3, threshold = 0.5, blockCols = Seq("blk"))
+      .collect().map(key).toSet
+    prefixBlocked shouldBe blocked
+    // and nearDupCanonical picks the generators around the switch knob
+    // with identical results either way
+    def canon(switchAt: String) = {
+      spark.conf.set("spark.graft.neardup.blockSwitch", switchAt)
+      try graft.text.Curation.nearDupCanonical(docs, Seq("blk"), 3, 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      finally spark.conf.unset("spark.graft.neardup.blockSwitch")
+    }
+    canon("100000") shouldBe canon("1") // blocked path vs prefix path
+  }
+
   test("bpe trainMerges: counts, greedy left-to-right apply, and the " +
       "(count desc, pair asc) tie-break") {
     // vocab: aaab x2, aab x1. Step 1 pairs: 'a a' = 2*2+1 = 5 (two
