@@ -1572,6 +1572,43 @@ object SparkEntry {
       graft.text.Search.bm25(d, "text", "doc_id",
         Seq("spark", "merge", "window"))
     }),
+    "q_retrieval_eval" -> ((s, dir) => {
+      // ranking-quality metrics over the BM25 run — MRR + DCG@10/nDCG@10
+      // with graded gain = distinct matched terms, "relevant" = ≥2 terms.
+      // Discount literals are driver-computed and shared with the oracle
+      // so no libm-vs-JVM log ulp can leak into the metric; DCG folds run
+      // in rank order on both sides (array fold vs ordered SUM).
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.text.Search.bm25(d, "text", "doc_id",
+        Seq("spark", "merge", "window"))
+      graft.text.Search.rankingMetrics(scored, "doc_id", k = 10,
+        relMinTerms = 2)
+    }),
+    "q_ann_recall" -> ((s, dir) => {
+      // ANN index QUALITY row — recall@5 of the IVF index against the
+      // exact brute-force top-5, per query. nProbe=2 (of 16 cells) so
+      // probing misses are possible and the metric is non-trivial; the
+      // lowest-id centroid convention keeps the oracle able to replay
+      // assignment + probing exactly.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.where(col("vec_id") < 10)
+      val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val approx = Similarity.topKIvf(e, q, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nProbe = 2, centroidsOverride = Some(cents))
+        .select(col("query_id").as("a_qid"),
+          col("neighbor_id").as("a_nid"))
+      exact.join(approx, col("query_id") === col("a_qid") &&
+          col("neighbor_id") === col("a_nid"), "left")
+        .groupBy("query_id")
+        .agg(count(col("a_nid")).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / 5.0)
+    }),
     "q_top_ngrams" -> ((s, dir) => {
       // corpus-wide boilerplate detector: 20 most frequent 3-grams,
       // count ties broken by gram so the cut is deterministic
@@ -6291,6 +6328,132 @@ object SparkEntry {
            round(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS score
          FROM q GROUP BY 1"""
     },
+    "q_retrieval_eval" -> {
+      val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
+      val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex
+        .map { case (d, i) => s"(${i + 1},$d)" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(len(t)) AS BIGINT) AS sdl FROM tok),
+         hits AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+             unnest(t) AS w FROM tok),
+         tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+           FROM hits WHERE w IN ('spark', 'merge', 'window')
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         idf AS (SELECT w,
+             ln((CAST(st.n - dfq.df AS DOUBLE) + 0.5)
+               / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) AS idf
+           FROM dfq, st),
+         q AS (SELECT tf.doc_id, tf.tf,
+             CAST(round(idf.idf * ((CAST(tf.tf AS DOUBLE) * $kp1)
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * ($oneMinusB + 0.75
+                 * (tf.dl / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+               * 1000000000.0, 0) AS BIGINT) AS q
+           FROM tf JOIN idf ON idf.w = tf.w, st),
+         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+             round(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS score
+           FROM q GROUP BY 1),
+         disc(i, d) AS (VALUES $discVals),
+         topk AS (SELECT n_terms, row_number() OVER (
+               ORDER BY score DESC, doc_id) AS rnk
+           FROM scored QUALIFY rnk <= 10),
+         dcg AS (SELECT COALESCE(SUM(CAST(t.n_terms AS DOUBLE) * dc.d
+               ORDER BY t.rnk), 0.0) AS dcg
+           FROM topk t JOIN disc dc ON dc.i = t.rnk),
+         relg AS (SELECT CAST(n_terms AS DOUBLE) AS g FROM scored
+           WHERE n_terms >= 2),
+         ideal AS (SELECT g, row_number() OVER (ORDER BY g DESC) AS rnk
+           FROM relg QUALIFY rnk <= 10),
+         idcg AS (SELECT COALESCE(SUM(i2.g * dc.d ORDER BY i2.rnk), 0.0)
+               AS idcg
+           FROM ideal i2 JOIN disc dc ON dc.i = i2.rnk),
+         nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM scored),
+         nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM relg),
+         best AS (SELECT score AS bs, doc_id AS bd FROM scored
+           WHERE n_terms >= 2 ORDER BY score DESC, doc_id LIMIT 1),
+         fr AS (SELECT CAST(count(*) + 1 AS BIGINT) AS r
+           FROM scored, best
+           WHERE score > bs OR (score = bs AND doc_id < bd))
+         SELECT nm.n_matched, nrel.n_relevant,
+           CASE WHEN nrel.n_relevant = 0 THEN 0 ELSE fr.r END
+             AS first_rel_rank,
+           CASE WHEN nrel.n_relevant = 0 THEN 0.0 ELSE 1.0 / fr.r END
+             AS mrr,
+           dcg.dcg AS dcg, idcg.idcg AS idcg,
+           CASE WHEN nrel.n_relevant = 0 THEN 0.0
+                ELSE dcg.dcg / idcg.idcg END AS ndcg
+         FROM nm, nrel, fr, dcg, idcg"""
+    },
+    "q_ann_recall" ->
+      // exact top-5 (brute chain) LEFT-joined against the IVF top-5 at
+      // nProbe=2 — per-query hit count / recall@5. Both rankings are the
+      // verbatim chains of q_ann_topk / q_ann_topk_ivf (pr bound 2).
+      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
+               FROM el GROUP BY 1),
+         bd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM el q JOIN el c ON q.i = c.i
+               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+         ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+             FROM bd JOIN n nq ON nq.vec_id = query_id
+                  JOIN n nc ON nc.vec_id = neighbor_id)
+           WHERE rank <= 5),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+               AS centroid_id, embedding
+             FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         probes AS (SELECT query_id, centroid_id FROM (
+             SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 2),
+         cand AS (SELECT p.query_id, a.neighbor_id
+           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.neighbor_id),
+         ad AS (SELECT cd.query_id, cd.neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
+                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+               GROUP BY 1, 2),
+         ap AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+             FROM ad JOIN n nq ON nq.vec_id = query_id
+                  JOIN n nc ON nc.vec_id = neighbor_id)
+           WHERE rank <= 5)
+         SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+         FROM ex e LEFT JOIN ap a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY 1""",
     "q_top_ngrams" ->
       """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
            FROM documents),

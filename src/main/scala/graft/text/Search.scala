@@ -92,4 +92,81 @@ object Search {
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
       .limit(k)
+
+  /** The standard rank-quality discount 1/log2(rank+1), precomputed
+    * driver-side so BOTH engines consume identical literals — libm vs
+    * JVM log differ in the last ulp, and a metric must not depend on
+    * which library computed the discount. */
+  def dcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ranking-quality metrics (MRR, DCG@k / nDCG@k) for a scored
+    * retrieval run — the eval row every search/RAG deployment tracks.
+    * Input = [[bm25]]'s output (or any (id, n_terms, score) frame);
+    * ranking = score desc, id asc (scores are 1e-9-quantized, so the
+    * order is engine-exact); graded gain = `n_terms`; "relevant" =
+    * `n_terms >= relMinTerms` (multi-term matches — with the default 2,
+    * single-term hits rank but don't count as relevant, so MRR is
+    * non-trivial).
+    *
+    * One output row: (n_matched, n_relevant, first_rel_rank, mrr,
+    * dcg, idcg, ndcg). first_rel_rank/mrr are 0 when nothing is
+    * relevant.
+    *
+    * Engine-exactness: the DCG folds run in RANK order on both sides
+    * (array fold here, ordered SUM in the replay) over the shared
+    * [[dcgDiscounts]] literals, so every addition sequence is
+    * identical. 100 TB shape: top-k is TakeOrderedAndProject; the
+    * first-relevant rank is computed WITHOUT a global window — the best
+    * relevant row (1-row broadcast) is counted against the rows ranked
+    * above it; the only collected lists are the top-k gains (≤ k) and
+    * the relevant-set gains (bounded by the query's posting lists — a
+    * metrics run is per-query, not per-corpus). */
+  def rankingMetrics(scored: DataFrame, idCol: String, k: Int = 10,
+      relMinTerms: Int = 2): DataFrame = {
+    val discounts = array(dcgDiscounts(k).map(lit): _*)
+    val gain = col("n_terms").cast("double")
+    // top-k by (score desc, id): struct sorts ascending, so negate score
+    val topK = scored
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(struct((-col("score")).as("ns"), col(idCol).as("id"),
+        gain.as("g")).as("r"))
+      .agg(collect_list(col("r")).as("rs"))
+      .select(transform(sort_array(col("rs")), x => x.getField("g"))
+        .as("top_gains"))
+    val rel = scored.where(col("n_terms") >= relMinTerms)
+    // IDCG gains: the k largest relevant gains, descending
+    val idealK = rel.select(gain.as("g"))
+      .orderBy(col("g").desc)
+      .limit(k)
+      .agg(sort_array(collect_list(col("g")), asc = false)
+        .as("ideal_gains"))
+    val counts = scored.agg(count(lit(1)).as("n_matched"))
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    // best relevant row → rank = 1 + |rows ordered strictly above it|
+    val best = rel.orderBy(col("score").desc, col(idCol)).limit(1)
+      .select(col("score").as("_bs"), col(idCol).as("_bid"))
+    val firstRank = scored.crossJoin(broadcast(best))
+      .where(col("score") > col("_bs") ||
+        (col("score") === col("_bs") && col(idCol) < col("_bid")))
+      .agg((count(lit(1)) + 1).as("first_rel_rank"))
+    def fold(gains: Column): Column = aggregate(
+      zip_with(gains, discounts, (g, d) => coalesce(g * d, lit(0.0))),
+      lit(0.0), (acc, x) => acc + x)
+    counts.crossJoin(nRel).crossJoin(topK).crossJoin(idealK)
+      .crossJoin(firstRank.select(
+        coalesce(col("first_rel_rank"), lit(0L)).as("first_rel_rank")))
+      .select(
+        col("n_matched"), col("n_relevant"),
+        when(col("n_relevant") === 0, lit(0L))
+          .otherwise(col("first_rel_rank")).as("first_rel_rank"),
+        when(col("n_relevant") === 0, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank")).as("mrr"),
+        fold(col("top_gains")).as("dcg"),
+        fold(col("ideal_gains")).as("idcg"),
+        when(col("n_relevant") === 0, lit(0.0))
+          .otherwise(fold(col("top_gains")) / fold(col("ideal_gains")))
+          .as("ndcg"))
+  }
 }

@@ -365,4 +365,59 @@ class SimilaritySpec extends SparkSpec {
     (ratios.sum / 50) shouldBe (1.0 +- 0.2)
     run(df.repartition(7)) shouldBe out
   }
+
+  test("ANN recall law: probing every cell recovers the exact top-k " +
+      "(recall 1.0); fewer probes can only lose neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val q = df.where(col("id") < 5)
+    def pairSet(nProbe: Int): Set[(Long, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val cents = df.orderBy("id").limit(8)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("v").as("_centroid"))
+      Similarity.topKIvf(df, q, "id", "v", k = 4, nCentroids = 8,
+          nProbe = nProbe, centroidsOverride = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    }
+    val exact = Similarity.topKBruteForce(df, q, "id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    pairSet(8) shouldBe exact // all cells probed == brute force
+    // recall is MONOTONE in nProbe: an exact-top-k member inside the
+    // candidate set is always inside the reported top-k (it beats every
+    // candidate), and candidate sets nest as probes grow — so hits can
+    // only increase. (Partial probing can SUBSTITUTE other neighbors —
+    // the reported set is not a subset of exact, only its hits are.)
+    val hits = Seq(1, 2, 4, 8).map(p => (pairSet(p) & exact).size)
+    hits shouldBe hits.sorted
+    hits.last shouldBe exact.size
+  }
+
+  test("rankingMetrics: worked example (MRR, DCG@k, nDCG@k)") {
+    import spark.implicits._
+    // ranking by (score desc, id): d3(g2), d1(g1), d2(g3), d4(g1)
+    // relevant (g >= 2): d3 rank 1, d2 rank 3 → MRR = 1
+    val scored = Seq(
+      (1L, 1L, 5.0), (2L, 3L, 3.0), (3L, 2L, 9.0), (4L, 1L, 1.0))
+      .toDF("doc_id", "n_terms", "score")
+    val m = graft.text.Search.rankingMetrics(scored, "doc_id", k = 3,
+      relMinTerms = 2).head()
+    val d = graft.text.Search.dcgDiscounts(3)
+    m.getLong(0) shouldBe 4   // n_matched
+    m.getLong(1) shouldBe 2   // n_relevant
+    m.getLong(2) shouldBe 1   // first_rel_rank (d3 tops the ranking)
+    m.getDouble(3) shouldBe 1.0 // mrr
+    m.getDouble(4) shouldBe (2.0 * d(0) + 1.0 * d(1) + 3.0 * d(2)) // dcg
+    m.getDouble(5) shouldBe (3.0 * d(0) + 2.0 * d(1))              // idcg
+    m.getDouble(6) shouldBe m.getDouble(4) / m.getDouble(5)
+    // no relevant rows → zeros, no division by idcg
+    val none = graft.text.Search.rankingMetrics(scored, "doc_id", k = 3,
+      relMinTerms = 99).head()
+    none.getLong(2) shouldBe 0
+    none.getDouble(3) shouldBe 0.0
+    none.getDouble(6) shouldBe 0.0
+  }
 }
