@@ -158,4 +158,33 @@ class BandJoinRuleSpec extends SparkSpec {
       j.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe expected
     }
   }
+
+  test("NULL interval bounds drop through the rewrite (no spurious " +
+      "maxBins raise_error), even without inferred IsNotNull constraints") {
+    // r7 advice: the maxBins guard's LessThan evaluates to null for a
+    // NULL lo/hi and a bare If would take the raise_error branch —
+    // exactly the rows the inner join is about to drop. With constraint
+    // propagation DISABLED (no inferred IsNotNull filters to save us),
+    // the null-safe guard must let them explode to zero rows.
+    val nullIvs = Seq(
+      (1L, Option(t("2024-01-01 02:00:00")), Option(t("2024-01-01 03:30:00"))),
+      (2L, None, Option(t("2024-01-01 05:00:00"))),
+      (3L, Option(t("2024-01-01 06:00:00")), None))
+      .toDF("iid", "lo", "hi")
+    val saved = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
+      val expected = pts.join(nullIvs,
+          col("pts") >= col("lo") && col("pts") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      expected.map(_._2) shouldBe Set(1L) // null-bound intervals match nothing
+      withRule {
+        val j = pts.join(nullIvs,
+          col("pts") >= col("lo") && col("pts") <= col("hi"))
+        j.queryExecution.optimizedPlan.toString should include("_graft_band_bin")
+        j.select("pid", "iid").as[(Long, Long)].collect().toSet shouldBe expected
+      }
+    } finally
+      spark.conf.set("spark.sql.constraintPropagation.enabled", saved)
+  }
 }
