@@ -1116,6 +1116,213 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 shape (minimum-cost supplier — adapted: the fixture has
+      // no partsupp, so "cost" is the supplier's observed average unit
+      // price dsum(extendedprice)/dsum(quantity) per (supplier, part)).
+      // The correlated MIN subquery decorrelates to a per-part WINDOW
+      // min over the (supplier, part) aggregate — one pass over one
+      // scan set (a join-back formulation would re-scan all five
+      // tables; the window re-shuffles only the tiny aggregate).
+      // Both comparands are the SAME exact-decimal double, so the
+      // equality is engine-portable. Part filter and the region→
+      // nation→supplier chain broadcast; the per-(supplier, part)
+      // aggregate is the only big shuffle.
+      val r = s.read.parquet(s"$dir/region.parquet")
+        .where(col("r_name") === "EUROPE")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+        .join(dimHint(r), col("n_regionkey") === col("r_regionkey"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val ssp = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
+        .join(dimHint(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
+          .as("unit_cost"))
+      val byPart = org.apache.spark.sql.expressions.Window
+        .partitionBy("p_partkey")
+      ssp.withColumn("min_cost", min(col("unit_cost")).over(byPart))
+        .where(col("unit_cost") === col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 shape (national market share): NATION_1's share of
+      // AMERICA-market revenue for ECONOMY parts by order year. The
+      // share is a CONDITIONAL exact-decimal sum over the same rows
+      // divided by the total — numerator and denominator aggregate in
+      // one pass, one IEEE division per year. Semi joins for the pure
+      // filters (part type, customer region) so no payload columns ride
+      // the big join; the supplier nation (the CASE input) broadcasts.
+      val r = s.read.parquet(s"$dir/region.parquet")
+        .where(col("r_name") === "AMERICA")
+      val amNation = s.read.parquet(s"$dir/nation.parquet")
+        .join(dimHint(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")
+      val amCust = s.read.parquet(s"$dir/customer.parquet")
+        .join(dimHint(amNation), col("c_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select("c_custkey")
+      val supN = s.read.parquet(s"$dir/supplier.parquet")
+        .join(dimHint(s.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey").as("sn_nationkey"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_type") === "ECONOMY").select("p_partkey")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val volDec = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(dimHint(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(dimHint(amCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .join(dimHint(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_1", volDec)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(volDec).cast("double")).as("mkt_share"))
+    }),
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 shape (product-type profit — adapted: no partsupp, so
+      // cost is 10% of p_retailprice per unit): profit = exact-decimal
+      // revenue minus the exact-decimal cost, summed per (supplier
+      // nation, order year). All decimal products stay inside
+      // precision-38 (no rounding), so the final decimal→double cast is
+      // the single deterministic step. Part (name-filtered, carrying
+      // retailprice) and supplier-nation dims broadcast; lineitem⋈orders
+      // is the one big join.
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")
+      val supN = s.read.parquet(s"$dir/supplier.parquet")
+        .join(dimHint(s.read.parquet(s"$dir/nation.parquet")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderdate")
+      val amount = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)")) -
+        col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(4,0)") *
+          lit(0.1).cast("decimal(2,1)")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
+        .join(dimHint(supN), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 shape (important stock — adapted: no partsupp, so a
+      // part's "value" is its revenue through NATION_0's suppliers):
+      // the HAVING-against-a-global-scalar pattern. The total aggregates
+      // ONCE over the same semi-filtered scan and broadcasts as a 1-row
+      // cross join — never a per-group re-scan; both comparands are
+      // exact decimal→double, the 0.001 factor one IEEE multiply.
+      val n0 = s.read.parquet(s"$dir/nation.parquet")
+        .where(col("n_name") === "NATION_0")
+      val nsup = s.read.parquet(s"$dir/supplier.parquet")
+        .join(dimHint(n0), col("s_nationkey") === col("n_nationkey"),
+          "left_semi")
+        .select("s_suppkey")
+      val nl = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(dimHint(nsup), col("l_suppkey") === col("s_suppkey"),
+          "left_semi")
+      val vals = nl.groupBy("l_partkey").agg(drevenue.as("part_value"))
+      val total = nl.agg(drevenue.as("total_value"))
+      vals.crossJoin(broadcast(total))
+        .where(col("part_value") > lit(0.001) * col("total_value"))
+        .select("l_partkey", "part_value")
+    }),
+    "q_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 shape (shipping-priority audit — adapted: no
+      // l_shipmode/receiptdate, so groups are l_returnflag over a
+      // shipdate year): one big join + paired conditional counts (the
+      // CASE pair aggregates in one pass, map-side combined).
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_returnflag")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+    }),
+    "q_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+      // join (customers with zero orders must survive with count 0 —
+      // the ON-condition filter stays on the orders side, never WHERE)
+      // + two stacked aggregates. count(o_orderkey) ignores the
+      // null-padded rows exactly like SQL COUNT(col).
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select("o_orderkey", "o_custkey")
+      val counts = s.read.parquet(s"$dir/customer.parquet")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 shape (top supplier): the revenue "view" aggregates
+      // once; the global MAX reduces it to one broadcast row joined
+      // back by double equality (identical exact-decimal operands both
+      // sides). Ties all surface, per the spec.
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(drevenue.as("total_revenue"))
+      val maxr = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(maxr),
+          col("total_revenue") === col("max_revenue"))
+        .join(dimHint(s.read.parquet(s"$dir/supplier.parquet")),
+          col("supplier_no") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    }),
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 shape (supplier count by part attributes — adapted:
+      // the "complaints" exclusion is s_acctbal < 0): NOT IN ≡ LEFT
+      // ANTI against the tiny excluded-supplier set (broadcast — never
+      // the NOT-IN cartesian cliff), then a COUNT DISTINCT per part
+      // attribute triple (Catalyst's two-phase distinct aggregate).
+      val excl = s.read.parquet(s"$dir/supplier.parquet")
+        .where(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("x_suppkey"))
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_brand") =!= "Brand#45" &&
+          col("p_type") =!= "STANDARD" && col("p_size").isin(1, 4, 7))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .join(dimHint(excl), col("l_suppkey") === col("x_suppkey"),
+          "left_anti")
+        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
     "q_tpch_q3" -> ((s, dir) => {
       // classic shipping-priority shape: two big-side SMJs + one
       // broadcast dim, selective pushed filters on all three scans,
@@ -1438,6 +1645,47 @@ object SparkEntry {
       Similarity.topKIvf(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         centroidsOverride = Some(cents))
+    }),
+    "q_ann_index" -> ((s, dir) => {
+      // PERSISTED IVF index, end-to-end: build writes centroids + the
+      // assignment PARTITIONED by centroid_id; serving probes the tiny
+      // centroid table and scans ONLY the probed cell directories
+      // (partition pruning — pinned in PlanQualitySpec). Same params as
+      // q_ann_topk_ivf ⇒ identical results; oracle shared verbatim.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_$slug"
+      Similarity.writeIvfStore(e, "vec_id", "embedding", idx,
+        nCentroids = 16, centroidsOverride = Some(cents))
+      Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+    "q_ann_append" -> ((s, dir) => {
+      // INCREMENTAL index maintenance, end-to-end: build the store from
+      // half the corpus, append the other half in a shard (assignment
+      // against the FROZEN centroids, dynamic-partition append into the
+      // cell directories — no rebuild), then serve. Because per-row
+      // argmin assignment is batch-invariant, the result is identical
+      // to the one-shot build — oracle shared verbatim with
+      // q_ann_topk_ivf/q_ann_index.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfapp_$slug"
+      Similarity.writeIvfStore(e.where(col("vec_id") <= half), "vec_id",
+        "embedding", idx, nCentroids = 16, centroidsOverride = Some(cents))
+      Similarity.appendIvfStore(s, idx, e.where(col("vec_id") > half),
+        "vec_id", "embedding")
+      Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
     }),
     "q_ann_topk_pq" -> ((s, dir) => {
       // product-quantization ADC ANN: corpus → m=4 codes + one norm per
@@ -3776,6 +4024,58 @@ object SparkEntry {
     * Distinct 5-gram shingles per document (one clipped shingle when
     * < 5 tokens, mirroring graft_shingle_hashes) joined against the
     * eval gram set. */
+  /** Shared by q_ann_topk_ivf and q_ann_index (the persisted-index
+    * serving path is result-identical — same probes, same scoring over
+    * losslessly round-tripped vectors): lowest-id centroids; assignment
+    * argmin via the same |v|² − 2·v·c + |c|² expansion; queries probe 4
+    * nearest lists. */
+  private val oracleSqlIvf: String =
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
+                 FROM cel GROUP BY 1),
+         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.centroid_id,
+             SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         dist AS (SELECT v.vec_id, v.centroid_id,
+             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
+           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
+                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
+         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+             SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         probes AS (SELECT query_id, centroid_id FROM (
+             SELECT query_id, centroid_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 4),
+         cand AS (SELECT p.query_id, a.neighbor_id
+           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
+           WHERE p.query_id <> a.neighbor_id),
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
+         d AS (SELECT cd.query_id, cd.neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
+                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
+               GROUP BY 1, 2),
+         s AS (SELECT query_id, neighbor_id,
+                 dot / (nq.nrm * nc.nrm) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+               FROM d JOIN n nq ON nq.vec_id = query_id
+                      JOIN n nc ON nc.vec_id = neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM s WHERE rank <= 5"""
+
   /** Shared by q_knn_join and q_graph_knn (the JSON-graph formulation
     * compiles to the identical salted IVF self-join plan): the same
     * assignment/probe replay as q_ann_topk_ivf but EVERY vector is a
@@ -5967,54 +6267,14 @@ object SparkEntry {
                       JOIN n nc ON nc.vec_id = neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM s WHERE rank <= 5""",
-    "q_ann_topk_ivf" ->
-      // lowest-id centroids; assignment argmin via the same
-      // |v|² − 2·v·c + |c|² expansion; queries probe 4 nearest lists
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
-             generate_subscripts(embedding, 1) AS i FROM cents),
-         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
-                 FROM cel GROUP BY 1),
-         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
-         vdot AS (SELECT e.vec_id, c.centroid_id,
-             SUM(e.v * c.cv ORDER BY e.i) AS dvc
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         dist AS (SELECT v.vec_id, v.centroid_id,
-             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
-           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
-                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
-         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-             SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
-         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
-             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
-           FROM el e JOIN cel c ON c.i = e.i
-           WHERE e.vec_id < 10 GROUP BY 1, 2),
-         probes AS (SELECT query_id, centroid_id FROM (
-             SELECT query_id, centroid_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 4),
-         cand AS (SELECT p.query_id, a.neighbor_id
-           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
-           WHERE p.query_id <> a.neighbor_id),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
-         d AS (SELECT cd.query_id, cd.neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
-                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
-               GROUP BY 1, 2),
-         s AS (SELECT query_id, neighbor_id,
-                 dot / (nq.nrm * nc.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-               FROM d JOIN n nq ON nq.vec_id = query_id
-                      JOIN n nc ON nc.vec_id = neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM s WHERE rank <= 5""",
+    "q_ann_topk_ivf" -> oracleSqlIvf,
+    // the persisted-index serving path is result-identical to the
+    // in-memory IVF (same probes, same scoring over losslessly
+    // round-tripped vectors) — oracle shared verbatim, like q_asof_native
+    "q_ann_index" -> oracleSqlIvf,
+    // incremental build+append serves the identical result — argmin
+    // assignment against frozen centroids is batch-invariant
+    "q_ann_append" -> oracleSqlIvf,
     "q_knn_join" -> knnJoinSql,
     "q_graph_knn" -> knnJoinSql,
     "q_ann_topk_pq" ->
@@ -7168,6 +7428,112 @@ object SparkEntry {
            AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q_tpch_q2" -> s"""
+         WITH ssp AS (
+           SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+                  s.s_acctbal, n.n_name,
+                  ${dsumSql("l_extendedprice")} / ${dsumSql("l_quantity")}
+                    AS unit_cost
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         mn AS (SELECT p_partkey AS m_partkey, MIN(unit_cost) AS min_cost
+                FROM ssp GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         FROM ssp JOIN mn ON p_partkey = m_partkey AND unit_cost = min_cost
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q_tpch_q8" -> """
+         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) -
+                       CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) -
+                     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS mkt_share
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         JOIN region r ON cn.n_regionkey = r.r_regionkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         WHERE r.r_name = 'AMERICA'
+           AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           AND l.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_type = 'ECONOMY')
+         GROUP BY 1""",
+    "q_tpch_q9" -> """
+         SELECT n_name AS nation,
+                CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1 AS DECIMAL(18,2)) -
+                          CAST(l_discount AS DECIMAL(18,2))) -
+                         CAST(p_retailprice AS DECIMAL(18,2)) *
+                         CAST(l_quantity AS DECIMAL(4,0)) *
+                         CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY 1, 2""",
+    "q_tpch_q11" -> s"""
+         WITH nsup AS (SELECT s_suppkey FROM supplier JOIN nation
+             ON s_nationkey = n_nationkey WHERE n_name = 'NATION_0'),
+         nl AS (SELECT * FROM lineitem
+                WHERE l_suppkey IN (SELECT s_suppkey FROM nsup))
+         SELECT l_partkey, $drevenueSql AS part_value
+         FROM nl GROUP BY 1
+         HAVING $drevenueSql >
+           CAST(0.001 AS DOUBLE) * (SELECT $drevenueSql FROM nl)""",
+    "q_tpch_q12" -> """
+         SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
+    "q_tpch_q13" -> """
+         WITH c_orders AS (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY 1)
+         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+         FROM c_orders GROUP BY 1
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q15" -> s"""
+         WITH revenue AS (
+           SELECT l_suppkey AS supplier_no, $drevenueSql AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM revenue JOIN supplier ON supplier_no = s_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "q_tpch_q16" -> """
+         SELECT p_brand, p_type, p_size,
+                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45' AND p_type <> 'STANDARD'
+           AND p_size IN (1, 4, 7)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q_tpch_q3" -> s"""
          SELECT l_orderkey, o_orderdate, o_orderpriority,
                 $drevenueSql AS revenue

@@ -357,6 +357,89 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** PERSISTED IVF store — the build-once-serve-many shape a 100 TB
+    * vector corpus needs: [[writeIvfStore]] pays the full corpus pass
+    * ONCE (centroid selection + assignment) and writes the assignment
+    * PARTITIONED BY `centroid_id`, so a serving query
+    * ([[topKIvfStore]]) reads ONLY its probed cells' directories —
+    * partition pruning turns nProbe/nCentroids into a scan-bytes
+    * fraction, not just a compute fraction. Centroids live beside the
+    * assignment as a tiny parquet table.
+    *
+    * Serving is result-IDENTICAL to [[topKIvf]] with the same
+    * parameters (same probe expressions, same scoring ops over the
+    * losslessly round-tripped float vectors — oracle shared verbatim);
+    * the only difference is WHERE the cells come from. */
+  def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, trainIters: Int = 0,
+      seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None): String = {
+    val centroids = centroidsOverride.getOrElse(
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        col("centroid_id"))
+      .repartition(col("centroid_id")) // one writer set per cell dir
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+    path
+  }
+
+  /** Incremental index MAINTENANCE — the production shape for a vector
+    * corpus that grows daily: a shard of new vectors assigns against
+    * the store's FROZEN centroids and APPENDS into the existing cell
+    * directories (dynamic-partition append — only touched cells gain
+    * files; the existing assignment is never read or rewritten).
+    * Because assignment is a per-row argmin against frozen centroids,
+    * any sequence of appends is row-identical to one [[writeIvfStore]]
+    * over the concatenated corpus with the same centroids (law-tested
+    * in SimilaritySpec). Re-train centroids only on drift — that is
+    * the rebuild case by design, as in FAISS/IVF practice. */
+  def appendIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, shard: DataFrame, idCol: String,
+      vecCol: String): String = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    ivfAssign(shard, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/assigned")
+    path
+  }
+
+  /** Serve top-k from a [[writeIvfStore]] store: probe the (collected,
+    * tiny) centroid table, then scan ONLY the probed `centroid_id=`
+    * directories (the `isin` filter is a partition filter — pinned in
+    * PlanQualitySpec) and score exactly like [[topKIvf]]. */
+  def topKIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = broadcast(
+      probeCentroids(queries, centroids, idCol, vecCol, nProbe)
+        .select(col("query_id"), col("_qv"), col("centroid_id")))
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(s"$path/assigned")
+      // filter the RAW inferred (int) partition column with int
+      // literals so the isin stays a clean partition filter (a cast
+      // around the column can defeat pruning), THEN normalize to long
+      .where(col("centroid_id").isin(probedCells.map(_.toInt): _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val cands = cells.join(probes, Seq("centroid_id"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+             else lit(true))
+    val scored = cands.withColumn("cos",
+      dot(col("_qv"), col("_cv")) /
+        (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv")))))
+    rankTopK(scored, k)
+  }
+
   /** query → its `nProbe` nearest coarse centroids (shared by
     * [[topKIvf]] and [[topKIvfPq]] — one implementation so tie-breaking
     * and casts cannot diverge). Returns one row per (query, probed

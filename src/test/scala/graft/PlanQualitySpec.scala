@@ -968,6 +968,65 @@ class PlanQualitySpec extends SparkSpec {
     plan should include("TakeOrderedAndProject") // top-100, no global sort
   }
 
+  test("tpch q2/q15 shapes: MIN/MAX scalar subqueries decorrelate to one " +
+      "aggregate joined back; q2's top-100 is TakeOrderedAndProject") {
+    val dir = "/root/testdata/sf0.001"
+    val q2 = planString(SparkEntry.queries("q_tpch_q2")(spark, dir))
+    q2 should include("TakeOrderedAndProject")
+    q2 should include("BroadcastHashJoin")
+    q2 should not include "CartesianProduct"
+    // decorrelated as a WINDOW min over the aggregate: ONE scan of each
+    // of the five tables (a join-back formulation re-scans all five)
+    q2.split("FileScan").length - 1 shouldBe 5
+    q2 should include("Window")
+    val q15 = planString(SparkEntry.queries("q_tpch_q15")(spark, dir))
+    q15 should include("BroadcastHashJoin") // 1-row max joined by equality
+    q15 should not include "CartesianProduct"
+    q15.toLowerCase should include("partial_sum")
+  }
+
+  test("tpch q8/q9 shapes: pure filters ride semi joins / broadcast dims, " +
+      "conditional decimal sums aggregate in one pass") {
+    val dir = "/root/testdata/sf0.001"
+    val q8 = planString(SparkEntry.queries("q_tpch_q8")(spark, dir))
+    q8 should include("LeftSemi") // part-type and customer-region filters
+    q8.split("BroadcastHashJoin").length - 1 should be >= 3
+    q8 should not include "CartesianProduct"
+    q8.toLowerCase should include("partial_sum") // num+den in one agg pass
+    val q9 = planString(SparkEntry.queries("q_tpch_q9")(spark, dir))
+    q9.split("BroadcastHashJoin").length - 1 should be >= 2
+    q9 should not include "CartesianProduct"
+    q9.toLowerCase should include("partial_sum")
+  }
+
+  test("tpch q11 shape: the global total is ONE aggregate broadcast as a " +
+      "single row — never a per-group re-scan") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_tpch_q11")(spark, dir))
+    // the keyless 1-row total joins via exactly one broadcast nested
+    // loop (the correct plan for a scalar); the semi-filtered lineitem
+    // scan feeds both the per-part aggregate and the total
+    plan.split("BroadcastNestedLoopJoin").length - 1 shouldBe 1
+    plan should include("LeftSemi")
+    plan.toLowerCase should include("partial_sum")
+    plan should not include "CartesianProduct"
+  }
+
+  test("tpch q12/q13/q16 shapes: conditional-count pair in one pass; LEFT " +
+      "OUTER survives; NOT IN runs as broadcast LeftAnti") {
+    val dir = "/root/testdata/sf0.001"
+    val q12 = planString(SparkEntry.queries("q_tpch_q12")(spark, dir))
+    q12.toLowerCase should include("partial_sum") // both CASE sums map-side
+    q12 should not include "CartesianProduct"
+    val q13 = planString(SparkEntry.queries("q_tpch_q13")(spark, dir))
+    q13 should include("LeftOuter") // zero-order customers survive
+    q13.toLowerCase should include("partial_count")
+    val q16 = planString(SparkEntry.queries("q_tpch_q16")(spark, dir))
+    q16 should include("LeftAnti") // NOT IN, never the null-aware cliff
+    q16 should not include "CartesianProduct"
+    q16 should not include "BroadcastNestedLoopJoin"
+  }
+
   test("dimHint degrades to a shuffle join (not an error, not a forced " +
       "broadcast) when the dim exceeds the broadcast threshold") {
     val dir = "/root/testdata/sf0.001"
@@ -1102,6 +1161,44 @@ class PlanQualitySpec extends SparkSpec {
       plan should include("isFinalPlan=true")
       plan should include("skew=true") // the hot partition was SPLIT
     }
+  }
+
+  test("persisted IVF store: serving scans ONLY the probed centroid " +
+      "directories; results equal the in-memory IVF") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 64L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-store").toString
+    graft.text.Similarity.writeIvfStore(df, "vec_id", "embedding",
+      s"$dir/idx", nCentroids = 8)
+    val queries = df.where(col("vec_id") === 0L)
+    val served = graft.text.Similarity.topKIvfStore(spark, s"$dir/idx",
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+    val mem = graft.text.Similarity.topKIvf(df, queries, "vec_id",
+      "embedding", k = 3, nCentroids = 8, nProbe = 2)
+    rowSet(served) shouldBe rowSet(mem)
+    // the probed-cell isin lands as a PARTITION filter on the assigned
+    // scan — one query × nProbe=2 → exactly 2 of the cell directories
+    // are listed; the full store has more (pruning is real, and at a
+    // corpus scale it makes nProbe/nCentroids a scan-BYTES fraction)
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p.collectLeaves().flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case l => Seq(l)
+    }
+    val scans = leaves(served.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString.contains("assigned") => f }
+    scans should have size 1
+    scans.head.selectedPartitions.partitionCount shouldBe 2
+    val allDirs = spark.read.parquet(s"$dir/idx/assigned")
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    allDirs should be > 2
   }
 
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {

@@ -420,4 +420,37 @@ class SimilaritySpec extends SparkSpec {
     none.getDouble(3) shouldBe 0.0
     none.getDouble(6) shouldBe 0.0
   }
+
+  test("appendIvfStore: incremental appends == one full build with the " +
+      "same centroids; only touched cell directories gain files") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = mk(0 until 40)
+    val shard1 = mk(40 until 52)
+    val shard2 = mk(52 until 64)
+    val incDir = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf-full").toString
+    Similarity.writeIvfStore(base, "vec_id", "embedding", s"$incDir/idx",
+      nCentroids = 8)
+    Similarity.appendIvfStore(spark, s"$incDir/idx", shard1, "vec_id",
+      "embedding")
+    Similarity.appendIvfStore(spark, s"$incDir/idx", shard2, "vec_id",
+      "embedding")
+    // rebuild over the concatenated corpus with the SAME frozen centroids
+    val frozen = spark.read.parquet(s"$incDir/idx/centroids")
+    Similarity.writeIvfStore(base.union(shard1).union(shard2), "vec_id",
+      "embedding", s"$fullDir/idx", centroidsOverride = Some(frozen))
+    val q = base.where(col("vec_id") < 4)
+    val inc = Similarity.topKIvfStore(spark, s"$incDir/idx", q,
+      "vec_id", "embedding", k = 3, nProbe = 3)
+    val full = Similarity.topKIvfStore(spark, s"$fullDir/idx", q,
+      "vec_id", "embedding", k = 3, nProbe = 3)
+    rowSet(inc) shouldBe rowSet(full)
+    // the assignment row sets agree too (append changed nothing else)
+    rowSet(spark.read.parquet(s"$incDir/idx/assigned")) shouldBe
+      rowSet(spark.read.parquet(s"$fullDir/idx/assigned"))
+  }
 }
