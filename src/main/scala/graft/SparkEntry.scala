@@ -2870,6 +2870,49 @@ object SparkEntry {
       } finally q.stop()
       s.table(sink).dropDuplicates("inc_id", "ref_id")
     }),
+    "q_stream_ann" -> ((s, dir) => {
+      // ONLINE retrieval through a REAL 2-micro-batch MemoryStream run:
+      // query vectors stream against the persisted IVF store (frozen
+      // centroids probed in a stateless projection, stream-static join
+      // to the assignment, bounded TopKAgg per query — k entries of
+      // state, never the candidate set). The complete-mode sink's final
+      // table posexplodes (batch) to the ranked rows — identical to the
+      // batch serving path, oracle shared verbatim with q_ann_topk_ivf.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfsrv_$slug"
+      Similarity.writeIvfStore(e, "vec_id", "embedding", idx,
+        nCentroids = 16, centroidsOverride = Some(cents))
+      val qrows = e.where(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, Array[Float])]
+      val sink = "q_stream_ann_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.annServeStream(s, idx,
+          ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try qrows.grouped(5).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink)
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("_pos", "_s")))
+        .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
+          col("_s.id").as("neighbor_id"), round(col("_s.cos"), 9).as("cos"))
+    }),
     "q_stream_decontaminate" -> ((s, dir) => {
       // EXACT stateless decontamination through a REAL MemoryStream run:
       // the eval suite (every 37th doc) collapses once to its distinct
@@ -6275,6 +6318,9 @@ object SparkEntry {
     // incremental build+append serves the identical result — argmin
     // assignment against frozen centroids is batch-invariant
     "q_ann_append" -> oracleSqlIvf,
+    // streaming serving == batch serving: stateless probes + per-query
+    // bounded top-k state; every query completes in its arrival batch
+    "q_stream_ann" -> oracleSqlIvf,
     "q_knn_join" -> knnJoinSql,
     "q_graph_knn" -> knnJoinSql,
     "q_ann_topk_pq" ->

@@ -516,6 +516,32 @@ object StreamingOps {
       }
   }
 
+  /** Streaming ANN serving against a persisted IVF index
+    * ([[graft.text.Similarity.writeIvfStore]]) — the online-retrieval
+    * production shape: query vectors arrive on a stream, probe their
+    * nProbe nearest frozen centroids (a stateless literal-argmin
+    * projection), join stream-static against the store's assignment on
+    * `centroid_id`, score exact cosine, and reduce to the per-query
+    * top-k with the bounded [[graft.functions.TopKAgg]] — state is k
+    * entries per query, never the candidate set. Each query's
+    * candidates all land in its own arrival micro-batch (stream-static
+    * joins never split a row), so the aggregate's final value for a
+    * query is complete as soon as its batch commits — serve with
+    * update mode in production (each query emits once, state can be
+    * dropped downstream); the gate harness uses complete mode and
+    * compares the final table. Results are row-identical to the batch
+    * [[graft.text.Similarity.topKIvfStore]] (same probes, same
+    * scoring, same tie rules — pinned by the shared oracle). */
+  def annServeStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame =
+    graft.text.Similarity.ivfStoreCandidates(spark, indexPath, queries,
+        idCol, vecCol, nProbe, excludeSelf)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k)(
+        col("neighbor_id"), col("cos")).as("topk"))
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

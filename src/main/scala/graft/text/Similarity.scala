@@ -412,33 +412,55 @@ object Similarity {
     path
   }
 
-  /** Serve top-k from a [[writeIvfStore]] store: probe the (collected,
-    * tiny) centroid table, then scan ONLY the probed `centroid_id=`
-    * directories (the `isin` filter is a partition filter — pinned in
-    * PlanQualitySpec) and score exactly like [[topKIvf]]. */
-  def topKIvfStore(spark: org.apache.spark.sql.SparkSession,
+  /** Scored IVF-store candidates (query_id, neighbor_id, cos) — the
+    * shared serving core. For BATCH queries the probed cells are
+    * collected and the assignment scan prunes to exactly those
+    * `centroid_id=` directories (the `isin` is a partition filter —
+    * pinned in PlanQualitySpec). For STREAMING queries the probe set
+    * is unknown at plan time, so the full assignment joins
+    * stream-static on `centroid_id` — the join filters to probed cells
+    * at run time (stream-static joins get no dynamic partition
+    * pruning); the probe projection itself is stateless and
+    * append-legal. */
+  def ivfStoreCandidates(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    val probes = broadcast(
+    val probes =
       probeCentroids(queries, centroids, idCol, vecCol, nProbe)
-        .select(col("query_id"), col("_qv"), col("centroid_id")))
-    val probedCells = probes.select("centroid_id").distinct()
-      .collect().map(_.getLong(0))
-    val cells = spark.read.parquet(s"$path/assigned")
-      // filter the RAW inferred (int) partition column with int
-      // literals so the isin stays a clean partition filter (a cast
-      // around the column can defeat pruning), THEN normalize to long
-      .where(col("centroid_id").isin(probedCells.map(_.toInt): _*))
-      .withColumn("centroid_id", col("centroid_id").cast("long"))
-    val cands = cells.join(probes, Seq("centroid_id"))
+        .select(col("query_id"), col("_qv"), col("centroid_id"))
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val cells = if (queries.isStreaming) {
+      assigned.withColumn("centroid_id", col("centroid_id").cast("long"))
+    } else {
+      val probedCells = broadcast(probes).select("centroid_id").distinct()
+        .collect().map(_.getLong(0))
+      assigned
+        // filter the RAW inferred (int) partition column with int
+        // literals so the isin stays a clean partition filter (a cast
+        // around the column can defeat pruning), THEN normalize to long
+        .where(col("centroid_id").isin(probedCells.map(_.toInt): _*))
+        .withColumn("centroid_id", col("centroid_id").cast("long"))
+    }
+    val joined =
+      if (queries.isStreaming) probes.join(cells, Seq("centroid_id"))
+      else cells.join(broadcast(probes), Seq("centroid_id"))
+    val cands = joined
       .where(if (excludeSelf) col("query_id") =!= col("neighbor_id")
              else lit(true))
-    val scored = cands.withColumn("cos",
-      dot(col("_qv"), col("_cv")) /
-        (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv")))))
-    rankTopK(scored, k)
+    cands.select(col("query_id"), col("neighbor_id"),
+      (dot(col("_qv"), col("_cv")) /
+        (sqrt(norm2(col("_qv"))) * sqrt(norm2(col("_cv"))))).as("cos"))
   }
+
+  /** Serve top-k from a [[writeIvfStore]] store: probe the (collected,
+    * tiny) centroid table, then scan ONLY the probed `centroid_id=`
+    * directories and score exactly like [[topKIvf]]. */
+  def topKIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame =
+    rankTopK(ivfStoreCandidates(spark, path, queries, idCol, vecCol,
+      nProbe, excludeSelf), k)
 
   /** query → its `nProbe` nearest coarse centroids (shared by
     * [[topKIvf]] and [[topKIvfPq]] — one implementation so tie-breaking

@@ -510,6 +510,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annServeStream == batch topKIvfStore under any micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 48L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-serve").toString
+    graft.text.Similarity.writeIvfStore(corpus, "vec_id", "embedding",
+      s"$dir/idx", nCentroids = 6)
+    val queries = corpus.where(col("vec_id") < 6)
+    val batch = graft.text.Similarity.topKIvfStore(spark, s"$dir/idx",
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val qrows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    for (batchSize <- Seq(1, 2, 6)) {
+      val ms = MemoryStream[(Long, Array[Float])]
+      val name = s"ann_serve_$batchSize"
+      val q = StreamingOps.annServeStream(spark, s"$dir/idx",
+          ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          k = 3, nProbe = 2)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try qrows.grouped(batchSize).foreach { b =>
+        ms.addData(b.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .select(col("query_id"), posexplode(col("topk")).as(Seq("p", "s")))
+        .select(col("query_id"), (col("p") + 1).cast("int"),
+          col("s.id"), round(col("s.cos"), 9))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      streamed shouldBe batch
+    }
+  }
+
   test("funnelStream == batch funnel under any event-time-ordered batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
