@@ -2421,6 +2421,38 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       TextAnalysis.corpusReport(d, "text", Seq("lang", "source"))
     }),
+    "q_rollup" -> ((s, dir) => {
+      // OLAP subtotal surface: ROLLUP over (returnflag, linestatus)
+      // with exact decimal sums. Catalyst plans grouping sets as ONE
+      // Expand over the scan + ONE partial+final aggregate (a single
+      // shuffle) — never one scan per grouping set (plan-pinned).
+      // GROUPING() flags distinguish subtotal NULLs from data NULLs.
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          drevenue.as("revenue"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+    }),
+    "q_drift_report" -> ((s, dir) => {
+      // distribution drift between two corpus snapshots (even vs odd
+      // doc ids): KL(new‖old) + total variation over add-0.5-smoothed
+      // unigram distributions on the union vocabulary; contributions
+      // 1e-9-long-quantized so the sums are order-free
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.distributionDrift(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1), "text")
+    }),
+    "q_drift_movers" -> ((s, dir) => {
+      // the actionable half: top-20 tokens by smoothed-probability move
+      // (TakeOrderedAndProject over the joined Zipf-sized count table)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.driftTopMovers(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1), "text", k = 20)
+    }),
     "q_cms_freq" -> ((s, dir) => {
       // fixed-memory token-frequency estimation: 4x1024 count-min sketch
       // over corpus tokens, probed for five present tokens and one
@@ -3678,6 +3710,40 @@ object SparkEntry {
   /** The hashed-classifier GD replay CTE chain (FNV bucket fold, 2
     * unrolled sparse-GD iterations), ending at `zc3(doc_id, y, z)` —
     * shared by q_hashed_classifier and the v3 pipeline oracle. */
+  /** Shared by q_drift_report and q_drift_movers: both snapshots'
+    * unigram count tables, the union-vocab full outer join, totals, and
+    * the per-token 1e-9-quantized KL / TV contributions (op order
+    * mirrors TextAnalysis.distributionDrift exactly). */
+  private val driftCtes: String =
+    """toko AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '')) AS tok
+           FROM documents WHERE doc_id % 2 = 0),
+         tokn AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '')) AS tok
+           FROM documents WHERE doc_id % 2 = 1),
+         co AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_old
+                FROM toko GROUP BY 1),
+         cn AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_new
+                FROM tokn GROUP BY 1),
+         jj AS (SELECT COALESCE(co.tok, cn.tok) AS tok,
+                  COALESCE(c_old, CAST(0 AS BIGINT)) AS c_old,
+                  COALESCE(c_new, CAST(0 AS BIGINT)) AS c_new
+                FROM co FULL OUTER JOIN cn ON co.tok = cn.tok),
+         tot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+                   CAST(SUM(c_new) AS BIGINT) AS n_new,
+                   CAST(COUNT(*) AS BIGINT) AS vocab FROM jj),
+         p AS (SELECT tok, c_old, c_new, n_old, n_new, vocab,
+             CAST(round((c_new + 0.5) / (n_new + 0.5 * vocab) *
+               ln(((c_new + 0.5) / (n_new + 0.5 * vocab)) /
+                  ((c_old + 0.5) / (n_old + 0.5 * vocab)))
+               * 1000000000.0, 0) AS BIGINT) AS klq,
+             CAST(round(abs((c_new + 0.5) / (n_new + 0.5 * vocab) -
+                            (c_old + 0.5) / (n_old + 0.5 * vocab))
+               * 1000000000.0, 0) AS BIGINT) AS tvq
+           FROM jj CROSS JOIN tot)"""
+
   private val hashedGdCtes: String =
     """tok AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -4972,6 +5038,25 @@ object SparkEntry {
          SELECT *, round(CAST(n_tokens AS DOUBLE)
            / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
          FROM g""",
+    "q_rollup" -> s"""
+         SELECT l_returnflag, l_linestatus,
+           ${dsumSql("l_quantity")} AS sum_qty,
+           $drevenueSql AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_drift_report" -> s"""
+         WITH $driftCtes
+         SELECT n_old, n_new, vocab,
+           round(CAST(SUM(klq) AS DOUBLE) / 1000000000.0, 6) AS kl_new_old,
+           round(CAST(SUM(tvq) AS DOUBLE) / 1000000000.0 * 0.5, 6) AS tvd
+         FROM p GROUP BY 1, 2, 3""",
+    "q_drift_movers" -> s"""
+         WITH $driftCtes
+         SELECT tok, c_old, c_new, tvq AS delta_q
+         FROM p ORDER BY delta_q DESC, tok LIMIT 20""",
     "q_text_langid" ->
       langIdSql,
     "q_text_quality" ->

@@ -279,4 +279,80 @@ object TextAnalysis {
       .withColumn("mean_tokens", round(
         col("n_tokens").cast("double") / col("n_docs").cast("double"), 6))
   }
+
+  /** Corpus DRIFT monitor between two snapshots (the "did the
+    * distribution move under me" audit every continuously-ingested
+    * training corpus needs): KL(new‖old) and total-variation distance
+    * over add-α-smoothed unigram distributions. Smoothing is over the
+    * UNION vocabulary, so every token has positive mass on both sides
+    * and the KL is finite.
+    *
+    * Portability: per-token contributions quantize at 1e-9 into LONGs
+    * before the sum (order-free integer addition — the
+    * [[LanguageModel]] recipe), so the result is bit-identical across
+    * partitionings and engines. Probabilities are ratios of exact
+    * integer counts in fixed IEEE op order.
+    *
+    * 100 TB shape: each snapshot collapses to a Zipf-sized count table
+    * (map-side-combined), the tables full-outer-join on token, and the
+    * joined table is localCheckpoint'd (it is the materialization
+    * point — totals AND the final sums both read it; lazy lineage
+    * would re-run both corpus explodes). Nothing holds a vocabulary
+    * in driver memory. Returns ONE row:
+    * (n_old, n_new, vocab, kl_new_old, tvd). */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    def counts(df: DataFrame, cName: String) =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as(cName))
+    val j = counts(oldDf, "c_old")
+      .join(counts(newDf, "c_new"), Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .localCheckpoint(true)
+    val tot = j.agg(sum(col("c_old")).as("n_old"),
+      sum(col("c_new")).as("n_new"), count(lit(1)).as("vocab"))
+    val po = (col("c_old") + lit(alpha)) /
+      (col("n_old") + lit(alpha) * col("vocab"))
+    val pn = (col("c_new") + lit(alpha)) /
+      (col("n_new") + lit(alpha) * col("vocab"))
+    j.crossJoin(broadcast(tot))
+      .select(col("n_old"), col("n_new"), col("vocab"),
+        round(pn * log(pn / po) * lit(1e9), 0).cast("long").as("_klq"),
+        round(abs(pn - po) * lit(1e9), 0).cast("long").as("_tvq"))
+      .groupBy("n_old", "n_new", "vocab")
+      .agg(sum(col("_klq")).as("_kl"), sum(col("_tvq")).as("_tv"))
+      .select(col("n_old"), col("n_new"), col("vocab"),
+        round(col("_kl").cast("double") / lit(1e9), 6).as("kl_new_old"),
+        round(col("_tv").cast("double") / lit(1e9) * lit(0.5), 6).as("tvd"))
+  }
+
+  /** Per-token drift TOP MOVERS — the actionable half of
+    * [[distributionDrift]]: the k tokens whose smoothed probability
+    * moved most (|Δp| desc, token asc — deterministic), with both
+    * sides' counts and the 1e-9-quantized delta. Plans as
+    * TakeOrderedAndProject over the same joined count table — bounded
+    * per-partition heaps, never a global sort. */
+  def driftTopMovers(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      k: Int, alpha: Double = 0.5): DataFrame = {
+    def counts(df: DataFrame, cName: String) =
+      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as(cName))
+    val j = counts(oldDf, "c_old")
+      .join(counts(newDf, "c_new"), Seq("tok"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new"))
+      .localCheckpoint(true)
+    val tot = j.agg(sum(col("c_old")).as("n_old"),
+      sum(col("c_new")).as("n_new"), count(lit(1)).as("vocab"))
+    val po = (col("c_old") + lit(alpha)) /
+      (col("n_old") + lit(alpha) * col("vocab"))
+    val pn = (col("c_new") + lit(alpha)) /
+      (col("n_new") + lit(alpha) * col("vocab"))
+    j.crossJoin(broadcast(tot))
+      .select(col("tok"), col("c_old"), col("c_new"),
+        round(abs(pn - po) * lit(1e9), 0).cast("long").as("delta_q"))
+      .orderBy(col("delta_q").desc, col("tok"))
+      .limit(k)
+  }
 }

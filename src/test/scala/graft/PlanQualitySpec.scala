@@ -1163,6 +1163,24 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("rollup plans as ONE Expand + one partial+final aggregate — " +
+      "never a scan per grouping set") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_rollup")(spark, dir))
+    plan.split("FileScan").length - 1 shouldBe 1
+    plan.split("Expand").length - 1 shouldBe 1
+    plan.toLowerCase should include("partial_sum")
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+  }
+
+  test("drift movers plans as TakeOrderedAndProject over the joined " +
+      "count table — bounded heaps, no global sort") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = planString(SparkEntry.queries("q_drift_movers")(spark, dir))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "GlobalSort"
+  }
+
   test("persisted IVF store: serving scans ONLY the probed centroid " +
       "directories; results equal the in-memory IVF") {
     import spark.implicits._
