@@ -3531,6 +3531,20 @@ object SparkEntry {
           octet_length(encode(col("text"), "UTF-8")).cast("long").as("bytes"))
       graft.ops.Compaction.compactionPlan(files, "doc_id", "bytes", 4096L)
     }),
+    "q_compaction_exec" -> ((s, dir) => {
+      // compaction EXECUTED end-to-end: a deliberately fragmented copy
+      // (32 tiny files) compacts into planned bins — one distributed
+      // job, exactly one output file per bin (law-pinned in spec) —
+      // and the surviving data is the oracle (byte-identical rows)
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val frag = s"${System.getProperty("java.io.tmpdir")}/graft_cmp_$slug"
+      l.repartition(32).write.mode("overwrite").parquet(frag)
+      graft.ops.Compaction.compactDirectory(s, frag, targetBytes = 1L << 20)
+      s.read.parquet(frag)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    }),
     "q_hll_join" -> ((s, dir) => {
       // join-cardinality planning without running the join: HLL key
       // sketches of view-users vs purchase-users, overlap by register
@@ -7713,6 +7727,11 @@ object SparkEntry {
          SELECT user_id, signup_ts, click_ts, purchase_ts,
                 purchase_ts IS NOT NULL AS converted
          FROM s2""",
+    "q_compaction_exec" ->
+      // compaction rewrites files, never rows: the surviving store
+      // projection IS the source projection
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem""",
     "q_compaction_plan" ->
       // same deterministic (bytes DESC, doc_id) order, running sum,
       // pure integer floor-division bin rule

@@ -40,4 +40,75 @@ object Compaction {
         expr(s"CAST((_cum - $bytesCol) DIV $targetBytes AS LONG)"))
       .drop("_cum")
   }
+
+  /** EXECUTE a compaction: rewrite one flat parquet directory's small
+    * files into [[compactionPlan]]'s bins — the maintenance op the plan
+    * exists for.
+    *
+    * Mechanics (ONE distributed job, not a per-bin loop): the listed
+    * files are read as an explicit snapshot, each row maps to its bin
+    * via a literal filename→bin map over `input_file_name()` (the
+    * listing is per-directory metadata, bounded), one shuffle clusters
+    * rows by bin, and `partitionBy("_bin")` writes exactly one file per
+    * bin into a hidden `_`-prefixed temp dir (a bin's rows live in one
+    * task; hash collisions between bins cost parallelism, never file
+    * count). The compacted files then move in as `compact-<bin>-…` and
+    * the listed originals are deleted.
+    *
+    * Crash contract (documented, not transactional): tmp is written
+    * fully before anything moves — a crash before move-in leaves the
+    * store untouched (the `_` dir is invisible to readers); a crash
+    * between move-in and original-deletion leaves BOTH generations
+    * (duplicate rows, distinguishable by the `compact-` prefix) — data
+    * is never lost. Run under a maintenance window / external lock,
+    * like any non-transactional table service. Partitioned stores:
+    * compact each leaf directory (this op is per-directory by design;
+    * the partition columns live in directory names, not files).
+    *
+    * Returns the number of compacted output files (0 = nothing to gain:
+    * ≤1 file, or the plan has no fewer bins than files). */
+  def compactDirectory(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Option(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+    if (listed.length <= 1) return 0L
+    import spark.implicits._
+    val plan = compactionPlan(listed.toSeq.toDF("path", "bytes"),
+        "path", "bytes", targetBytes)
+      .select("path", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nBins = plan.map(_._2).max + 1
+    if (nBins >= listed.length) return 0L
+    val binOf = map(plan.flatMap { case (n, b) =>
+      Seq(lit(n), lit(b)) }.toIndexedSeq: _*)
+    val tmp = new Path(root, "_graft_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(listed.map(f => s"$dir/${f._1}").toIndexedSeq: _*)
+      .withColumn("_bin", element_at(binOf,
+        element_at(split(input_file_name(), "/"), -1)))
+      .repartition(col("_bin"))
+      .write.partitionBy("_bin").parquet(tmp.toString)
+    // move-in BEFORE deleting originals (crash ⇒ duplicates, never loss)
+    var moved = 0L
+    for (b <- 0L until nBins) {
+      val binDir = new Path(tmp, s"_bin=$b")
+      Option(fs.listStatus(binDir)).getOrElse(Array.empty)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .foreach { s =>
+          fs.rename(s.getPath,
+            new Path(root, s"compact-$b-${s.getPath.getName}"))
+          moved += 1
+        }
+    }
+    listed.foreach { case (name, _) =>
+      fs.delete(new Path(root, name), false) }
+    fs.delete(tmp, true)
+    moved
+  }
 }

@@ -41,6 +41,39 @@ class CompactionSketchSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("compactDirectory: one output file per planned bin, rows survive " +
+      "exactly, an already-compact directory is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact-exec").toString
+    val data = (0L until 5000L).map(i => (i, s"payload $i"))
+      .toDF("id", "payload")
+    data.repartition(24).write.parquet(s"$dir/t")
+    def parts() = new java.io.File(s"$dir/t").listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts().length shouldBe 24
+    val before = rowSet(spark.read.parquet(s"$dir/t"))
+    val sizes = parts().map(_.length)
+    // target sized to force a handful of bins out of 24 files
+    val target = sizes.sum / 4
+    val expectedBins = graft.ops.Compaction.compactionPlan(
+      parts().map(f => (f.getName, f.length)).toSeq.toDF("path", "bytes"),
+      "path", "bytes", target)
+      .agg(max(col("bin"))).head().getLong(0) + 1
+    val n = graft.ops.Compaction.compactDirectory(spark, s"$dir/t", target)
+    n shouldBe expectedBins
+    parts().length shouldBe n // exactly one file per bin
+    parts().foreach(_.getName should startWith("compact-"))
+    rowSet(spark.read.parquet(s"$dir/t")) shouldBe before // rows identical
+    // no hidden temp residue; a second pass with a huge target collapses
+    // to one bin, and a third is a no-op
+    new java.io.File(s"$dir/t/_graft_compact_tmp").exists() shouldBe false
+    graft.ops.Compaction.compactDirectory(spark, s"$dir/t",
+      Long.MaxValue) shouldBe 1L
+    graft.ops.Compaction.compactDirectory(spark, s"$dir/t",
+      Long.MaxValue) shouldBe 0L
+    rowSet(spark.read.parquet(s"$dir/t")) shouldBe before
+  }
+
   test("hllKeyOverlap: disjoint keys → ~zero common; identical keys → " +
       "common ≈ either side; union == merged registers") {
     val a = (0L until 500L).map(i => Tuple1(i)).toDF("k")
