@@ -2445,6 +2445,29 @@ object SparkEntry {
         d.where(col("doc_id") % 2 === 0),
         d.where(col("doc_id") % 2 === 1), "text")
     }),
+    "q_graph_drift" -> ((s, dir) => {
+      // the drift audit driven through the JSON graph surface:
+      // load_table ×2 + distribution_drift compile to the identical
+      // plan as q_drift_report's Scala call; oracle shared verbatim
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_drift_$slug"
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/snap_old")
+      d.where(col("doc_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$tmp/snap_new")
+      val graph = """{
+        "o": {"process_id": "load_table", "arguments": {"id": "snap_old"}},
+        "n": {"process_id": "load_table", "arguments": {"id": "snap_new"}},
+        "d": {"process_id": "distribution_drift", "arguments": {
+          "old": {"from_node": "o"}, "new": {"from_node": "n"}},
+          "result": true}}"""
+      new GraphCompiler(s, Map.empty, tmp + "_res",
+          tables = Map("snap_old" -> s"$tmp/snap_old",
+            "snap_new" -> s"$tmp/snap_new"))
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
     "q_drift_movers" -> ((s, dir) => {
       // the actionable half: top-20 tokens by smoothed-probability move
       // (TakeOrderedAndProject over the joined Zipf-sized count table)
@@ -3758,6 +3781,16 @@ object SparkEntry {
                * 1000000000.0, 0) AS BIGINT) AS tvq
            FROM jj CROSS JOIN tot)"""
 
+  /** Shared by q_drift_report and q_graph_drift (the JSON-graph
+    * formulation stages the same even/odd snapshots and compiles to the
+    * identical plan). */
+  private lazy val driftReportSql: String = s"""
+         WITH $driftCtes
+         SELECT n_old, n_new, vocab,
+           round(CAST(SUM(klq) AS DOUBLE) / 1000000000.0, 6) AS kl_new_old,
+           round(CAST(SUM(tvq) AS DOUBLE) / 1000000000.0 * 0.5, 6) AS tvd
+         FROM p GROUP BY 1, 2, 3"""
+
   private val hashedGdCtes: String =
     """tok AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -5061,12 +5094,9 @@ object SparkEntry {
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-    "q_drift_report" -> s"""
-         WITH $driftCtes
-         SELECT n_old, n_new, vocab,
-           round(CAST(SUM(klq) AS DOUBLE) / 1000000000.0, 6) AS kl_new_old,
-           round(CAST(SUM(tvq) AS DOUBLE) / 1000000000.0 * 0.5, 6) AS tvd
-         FROM p GROUP BY 1, 2, 3""",
+    "q_drift_report" -> driftReportSql,
+    // the JSON-graph formulation compiles to the identical plan
+    "q_graph_drift" -> driftReportSql,
     "q_drift_movers" -> s"""
          WITH $driftCtes
          SELECT tok, c_old, c_new, tvq AS delta_q

@@ -447,6 +447,15 @@ final class GraphCompiler(
           optS(n, "text_column", r).getOrElse("text"),
           optS(n, "id_column", r).getOrElse("doc_id"),
           shingleN = optD(n, "shingle_n", r).getOrElse(5.0).toInt)
+      case "distribution_drift" =>
+        graft.text.TextAnalysis.distributionDrift(dfArg(n, "old", r),
+          dfArg(n, "new", r), optS(n, "text_column", r).getOrElse("text"),
+          alpha = optD(n, "alpha", r).getOrElse(0.5))
+      case "drift_top_movers" =>
+        graft.text.TextAnalysis.driftTopMovers(dfArg(n, "old", r),
+          dfArg(n, "new", r), optS(n, "text_column", r).getOrElse("text"),
+          k = optD(n, "k", r).getOrElse(20.0).toInt,
+          alpha = optD(n, "alpha", r).getOrElse(0.5))
       case "sample_temperature" =>
         graft.text.Sampling.temperatureSample(dfArg(n, "data", r),
           optS(n, "source_column", r).getOrElse("source"),

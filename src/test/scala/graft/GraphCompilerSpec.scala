@@ -642,6 +642,38 @@ class GraphCompilerSpec extends SparkSpec {
     out shouldBe Map(1L -> true, 2L -> false) // the plant flags, the rest pass
   }
 
+  test("distribution_drift / drift_top_movers processes equal the Scala API") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val oldSnap = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((3L, "alpha beta beta"), (4L, "epsilon beta"))
+      .toDF("doc_id", "text")
+    oldSnap.write.mode("overwrite").parquet(s"$dir/old.parquet")
+    newSnap.write.mode("overwrite").parquet(s"$dir/new.parquet")
+    def run(g: String) = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-dres").toString,
+        tables = Map("olds" -> s"$dir/old.parquet",
+          "news" -> s"$dir/new.parquet"))
+      .compile(g).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val drift = run("""{
+        "o": {"process_id": "load_table", "arguments": {"id": "olds"}},
+        "n": {"process_id": "load_table", "arguments": {"id": "news"}},
+        "d": {"process_id": "distribution_drift", "arguments": {
+          "old": {"from_node": "o"}, "new": {"from_node": "n"}},
+          "result": true}}""")
+    rowSet(drift) shouldBe rowSet(graft.text.TextAnalysis
+      .distributionDrift(oldSnap, newSnap, "text"))
+    val movers = run("""{
+        "o": {"process_id": "load_table", "arguments": {"id": "olds"}},
+        "n": {"process_id": "load_table", "arguments": {"id": "news"}},
+        "m": {"process_id": "drift_top_movers", "arguments": {
+          "old": {"from_node": "o"}, "new": {"from_node": "n"}, "k": 3},
+          "result": true}}""")
+    rowSet(movers) shouldBe rowSet(graft.text.TextAnalysis
+      .driftTopMovers(oldSnap, newSnap, "text", k = 3))
+  }
+
   test("lm_score process scores and optionally gates through the graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
