@@ -3344,6 +3344,22 @@ object SparkEntry {
           spatialJoinPolys, cellSize = 4.0)
         .select("event_id", "px", "py", "poly_id")
     }),
+    "q_merge_changelog" -> ((s, dir) => {
+      // the lakehouse MERGE shape: a base snapshot (orders — unique
+      // key) + a CDC log (price updates on orderkey%5, deletes on %15,
+      // timestamped by orderdate) produce the next snapshot via ONE
+      // union + struct-max aggregate (one shuffle, O(1) state per
+      // key) — never a full outer join
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val changes = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("change_ts"),
+          when(col("o_orderkey") % 15 === 0, "D").otherwise("U").as("op"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+      graft.ops.TableJoins.applyChangelog(base, changes,
+        Seq("o_orderkey"), "change_ts", "op")
+    }),
     "q_scd2_intervals" -> ((s, dir) => {
       // SCD2 history build: each user's purchase values become
       // [valid_from, valid_to) rows, null-terminated current row —
@@ -7173,6 +7189,22 @@ object SparkEntry {
               (value * 7.0) % 20.0 AS py FROM events)
           $polyUnions"""
     },
+    "q_merge_changelog" ->
+      // per-key winner = lexicographic max over (gen, ts, op, payload)
+      // — the struct-max replayed as a fully-ordered row_number
+      """WITH b AS (SELECT o_orderkey, 0 AS gen,
+              TIMESTAMP '1970-01-01' AS cts, 'I' AS op,
+              o_orderstatus, o_totalprice FROM orders),
+         c AS (SELECT o_orderkey, 1 AS gen, o_orderdate AS cts,
+              CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op,
+              o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 5 = 0),
+         u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+              ORDER BY gen DESC, cts DESC, op DESC,
+                o_orderstatus DESC, o_totalprice DESC) AS rn FROM u)
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM r WHERE rn = 1 AND op <> 'D'""",
     "q_scd2_intervals" ->
       """WITH ch AS (SELECT user_id, ts, max(value) AS value FROM events
               WHERE event_type = 'purchase' GROUP BY 1, 2)

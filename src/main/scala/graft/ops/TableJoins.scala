@@ -331,6 +331,47 @@ object TableJoins {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Apply a CDC CHANGE LOG to a base snapshot — the lakehouse
+    * MERGE/upsert shape (insert + update + delete) that produces the
+    * next snapshot of a continuously-maintained table.
+    *
+    * Executed as ONE aggregation, never a join: base rows union in as
+    * generation 0 (any change outranks them), change rows as
+    * generation 1 ordered by `tsCol`, and the per-key winner is a
+    * single struct-max aggregate over (gen, ts, op, payload…) —
+    * map-side combined, one shuffle on the keys, O(1) state per key in
+    * each task. Winners with op = "D" drop (the delete applies);
+    * everything else emits the winning payload. A MERGE formulated as
+    * base-full-outer-join-changes re-shuffles BOTH sides and breaks
+    * when the log holds several changes per key; the union-aggregate
+    * handles any number of changes per key in the same pass.
+    *
+    * Determinism: among equal (key, ts) changes the struct max resolves
+    * by (op desc, payload desc) — deterministic but arbitrary, same
+    * contract as [[asofJoin]]'s same-timestamp struct-max rule; callers
+    * with meaningful collisions should disambiguate ts. Base must hold
+    * at most one row per key (it is a snapshot).
+    *
+    * `changes` must carry the key columns, `tsCol`, `opCol`
+    * (values "I"/"U"/"D") and the same payload columns as `base`. */
+  def applyChangelog(base: DataFrame, changes: DataFrame,
+      keys: Seq[String], tsCol: String, opCol: String): DataFrame = {
+    require(keys.nonEmpty, "applyChangelog needs at least one key")
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    val epoch = lit("1970-01-01 00:00:00").cast("timestamp")
+    val b = base.select(keys.map(col) ++ Seq(lit(0L).as("_gen"),
+      epoch.as("_ts"), lit("I").as("_op")) ++ payload.map(col): _*)
+    val c = changes.select(keys.map(col) ++ Seq(lit(1L).as("_gen"),
+      col(tsCol).as("_ts"), col(opCol).as("_op")) ++ payload.map(col): _*)
+    val ordered = struct(col("_gen") +: col("_ts") +: col("_op") +:
+      payload.map(col): _*)
+    b.unionByName(c)
+      .groupBy(keys.map(col): _*)
+      .agg(max(ordered).as("_w"))
+      .where(col("_w._op") =!= "D")
+      .select(keys.map(col) ++ payload.map(p => col(s"_w.$p").as(p)): _*)
+  }
+
   /** Interval (range) join: pair each point row with every interval row
     * whose `[startCol, endCol]` contains `pointTs`, matching on optional
     * equality `keys` first. Inclusive on both endpoints.

@@ -391,6 +391,43 @@ class TableJoinsSpec extends SparkSpec {
     spark.sql("SELECT graft_zvalue(3, 5L, 3L) AS z").as[Long].head() shouldBe 27L
   }
 
+  test("applyChangelog: last change per key wins, deletes drop, inserts " +
+      "add, untouched base survives — one aggregate, no join") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "price")
+    val changes = Seq(
+      // two updates to id 1 — the LATER one wins
+      (1L, ts("2024-01-01"), "U", "a", 11.0),
+      (1L, ts("2024-02-01"), "U", "a2", 12.0),
+      // delete id 2; a delete beats the base even at epoch+
+      (2L, ts("2024-01-15"), "D", "b", 0.0),
+      // brand-new key via insert
+      (9L, ts("2024-01-10"), "I", "z", 90.0))
+      .toDF("id", "change_ts", "op", "status", "price")
+    val out = graft.ops.TableJoins.applyChangelog(base, changes,
+      Seq("id"), "change_ts", "op")
+    out.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet shouldBe Set(
+      (1L, "a2", 12.0), // latest update
+      (3L, "c", 30.0),  // untouched base row
+      (9L, "z", 90.0))  // fresh insert
+    // update-then-delete at a later ts: the delete wins
+    val out2 = graft.ops.TableJoins.applyChangelog(base,
+      changes.union(Seq((1L, ts("2024-03-01"), "D", "x", 0.0))
+        .toDF("id", "change_ts", "op", "status", "price")),
+      Seq("id"), "change_ts", "op")
+    out2.select("id").as[Long].collect().toSet shouldBe Set(3L, 9L)
+    // plan shape: no Join node, one hash-partitioned exchange on the key
+    // (count only the final plan — AQE's toString repeats the initial)
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should not include "Join"
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    plan.toLowerCase should include("partial_max")
+  }
+
   test("clusterByZ bounds every dim's span per partition vs single-column sort") {
     val rnd = new scala.util.Random(7)
     val df = (1 to 4096).map(_ => (rnd.nextDouble() * 100, rnd.nextDouble() * 100))
