@@ -3393,6 +3393,19 @@ object SparkEntry {
       fromCsv.join(fromJson,
         Seq("event_id", "user_id", "event_type", "ts_us", "value"))
     }),
+    "q_orc_source" -> ((s, dir) => {
+      // source-format breadth: events round-trip through ORC (columnar,
+      // type-preserving — timestamps survive natively, unlike CSV) and
+      // full-row-join against the parquet read, so any divergence drops
+      // rows and the oracle's count catches it
+      val ev = readEvents(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$slug"
+      ev.write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.orc(s"$tmp/orc").join(ev,
+        Seq("event_id", "user_id", "event_type", "ts_us", "value"))
+    }),
     "q_sample_weighted_k" -> ((s, dir) => {
       // exact-50 weighted draw without replacement over documents,
       // weight ∝ byte length (1e-6-quantized) — the Efraimidis-Spirakis
@@ -7216,6 +7229,11 @@ object SparkEntry {
          FROM ch""",
     "q_csv_source" ->
       // both format round-trips must reproduce this projection exactly
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                value
+         FROM events""",
+    "q_orc_source" ->
+      // the ORC round-trip must reproduce the same projection exactly
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
                 value
          FROM events""",
