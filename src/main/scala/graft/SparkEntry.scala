@@ -2445,6 +2445,13 @@ object SparkEntry {
         d.where(col("doc_id") % 2 === 0),
         d.where(col("doc_id") % 2 === 1), "text")
     }),
+    "q_text_entropy" -> ((s, dir) => {
+      // per-doc character entropy (bits): the randomness quality signal
+      // — low = boilerplate, very high = binary junk; 1e-9-quantized
+      // contributions so the per-doc fold is order-free
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.charEntropy(d, "text", "doc_id")
+    }),
     "q_graph_drift" -> ((s, dir) => {
       // the drift audit driven through the JSON graph surface:
       // load_table ×2 + distribution_drift compile to the identical
@@ -5123,6 +5130,25 @@ object SparkEntry {
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
          FROM lineitem
          GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_text_entropy" ->
+      // same histogram, same (c/n)·ln(c/n) op order, same 1e-9
+      // quantization, same shared ln(2) literal
+      """WITH ch AS (SELECT doc_id, unnest(list_filter(
+             string_split(lower(trim(text)), ''), x -> x <> '')) AS ch
+           FROM documents),
+         cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM ch GROUP BY 1, 2),
+         wn AS (SELECT doc_id, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS n FROM cnt),
+         q AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+             CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+               ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+               1000000000.0, 0) AS BIGINT)) AS BIGINT) AS qs
+           FROM wn GROUP BY 1)
+         SELECT doc_id, n_chars,
+           round((-(CAST(qs AS DOUBLE) / 1000000000.0)) /
+             0.6931471805599453, 6) AS entropy_bits
+         FROM q""",
     "q_drift_report" -> driftReportSql,
     // the JSON-graph formulation compiles to the identical plan
     "q_graph_drift" -> driftReportSql,

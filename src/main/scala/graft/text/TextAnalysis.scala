@@ -280,6 +280,41 @@ object TextAnalysis {
         col("n_tokens").cast("double") / col("n_docs").cast("double"), 6))
   }
 
+  /** Per-document CHARACTER ENTROPY (bits) — the randomness quality
+    * signal (low entropy = boilerplate/repetition, very high entropy =
+    * binary junk or encoded blobs; real prose sits ~3.5-4.5 bits for
+    * English). H = −Σ p_c·log2(p_c) over the lowercased character
+    * histogram.
+    *
+    * Portability: per-character contributions p·ln(p) quantize at 1e-9
+    * into LONGs before the per-doc sum (order-free), and the final
+    * ÷ln 2 uses one shared literal — so results are bit-identical
+    * across partitionings and engines. Shape: one explode to
+    * (doc, char) rows, a count aggregate, a per-doc window total
+    * (alphabet-bounded rows per doc), and the quantized fold — two
+    * exchanges total, all map-side-combinable. */
+  def charEntropy(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+    val p = col("c").cast("double") /
+      sum(col("c")).over(byDoc).cast("double")
+    counts
+      .withColumn("_n", sum(col("c")).over(byDoc))
+      .withColumn("_q", round(p * log(p) * lit(1e9), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("_n")).as("n_chars"), sum(col("_q")).as("_qs"))
+      .select(col(idCol), col("n_chars"),
+        round((-(col("_qs").cast("double") / lit(1e9))) /
+          lit(0.6931471805599453), 6).as("entropy_bits"))
+  }
+
   /** Corpus DRIFT monitor between two snapshots (the "did the
     * distribution move under me" audit every continuously-ingested
     * training corpus needs): KL(new‖old) and total-variation distance

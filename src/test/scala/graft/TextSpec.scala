@@ -1154,4 +1154,17 @@ class TextSpec extends SparkSpec {
     out.head._2 shouldBe 1L
     out.head._3 should be > 0.85
   }
+
+  test("charEntropy: worked examples (0 / 1 / 2 bits) and case folding") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "AaAa"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    out(1L) shouldBe ((4L, 0.0))  // one symbol → zero bits
+    out(2L) shouldBe ((4L, 1.0))  // two equiprobable symbols → 1 bit
+    out(3L) shouldBe ((4L, 2.0))  // four equiprobable symbols → 2 bits
+    out(4L) shouldBe ((4L, 0.0))  // lowercased first: AaAa ≡ aaaa
+  }
 }
