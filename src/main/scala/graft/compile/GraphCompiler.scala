@@ -447,6 +447,16 @@ final class GraphCompiler(
           optS(n, "text_column", r).getOrElse("text"),
           optS(n, "id_column", r).getOrElse("doc_id"),
           shingleN = optD(n, "shingle_n", r).getOrElse(5.0).toInt)
+      case "char_entropy" =>
+        graft.text.TextAnalysis.charEntropy(dfArg(n, "data", r),
+          optS(n, "text_column", r).getOrElse("text"),
+          optS(n, "id_column", r).getOrElse("doc_id"))
+      case "apply_changelog" =>
+        graft.ops.TableJoins.applyChangelog(dfArg(n, "base", r),
+          dfArg(n, "changes", r),
+          keys = strSeq(n, "keys", r, Nil),
+          tsCol = optS(n, "ts_column", r).getOrElse("change_ts"),
+          opCol = optS(n, "op_column", r).getOrElse("op"))
       case "distribution_drift" =>
         graft.text.TextAnalysis.distributionDrift(dfArg(n, "old", r),
           dfArg(n, "new", r), optS(n, "text_column", r).getOrElse("text"),

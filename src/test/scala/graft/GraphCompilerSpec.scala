@@ -674,6 +674,42 @@ class GraphCompilerSpec extends SparkSpec {
       .driftTopMovers(oldSnap, newSnap, "text", k = 3))
   }
 
+  test("char_entropy / apply_changelog processes equal the Scala API") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ce").toString
+    val docs = Seq((1L, "abab"), (2L, "abcd")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    def run(tables: Map[String, String], g: String) =
+      new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-ceres").toString,
+        tables = tables)
+      .compile(g).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val ent = run(Map("docs" -> s"$dir/docs.parquet"), """{
+        "d": {"process_id": "load_table", "arguments": {"id": "docs"}},
+        "e": {"process_id": "char_entropy", "arguments": {
+          "data": {"from_node": "d"}}, "result": true}}""")
+    rowSet(ent) shouldBe rowSet(
+      graft.text.TextAnalysis.charEntropy(docs, "text", "doc_id"))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+    val changes = Seq((1L, ts("2024-01-01"), "U", 11.0),
+        (2L, ts("2024-01-02"), "D", 0.0))
+      .toDF("id", "change_ts", "op", "price")
+    base.write.mode("overwrite").parquet(s"$dir/base.parquet")
+    changes.write.mode("overwrite").parquet(s"$dir/chg.parquet")
+    val merged = run(Map("base" -> s"$dir/base.parquet",
+        "chg" -> s"$dir/chg.parquet"), """{
+        "b": {"process_id": "load_table", "arguments": {"id": "base"}},
+        "c": {"process_id": "load_table", "arguments": {"id": "chg"}},
+        "m": {"process_id": "apply_changelog", "arguments": {
+          "base": {"from_node": "b"}, "changes": {"from_node": "c"},
+          "keys": ["id"]}, "result": true}}""")
+    rowSet(merged) shouldBe rowSet(graft.ops.TableJoins.applyChangelog(
+      base, changes, Seq("id"), "change_ts", "op"))
+    merged.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSet shouldBe Set((1L, 11.0))
+  }
+
   test("lm_score process scores and optionally gates through the graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
