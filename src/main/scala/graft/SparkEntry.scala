@@ -3400,6 +3400,43 @@ object SparkEntry {
       fromCsv.join(fromJson,
         Seq("event_id", "user_id", "event_type", "ts_us", "value"))
     }),
+    "q_schema_evolution" -> ((s, dir) => {
+      // schema EVOLUTION read: generation 1 of a store lacks a column
+      // that generation 2 adds (the normal life of a long-lived corpus
+      // store); mergeSchema unions the footers at planning time and the
+      // old generation's rows surface the new column as NULL — no
+      // rewrite of historical files, the 100 TB contract
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$slug"
+      o.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen1")
+      o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$tmp/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$tmp/gen1", s"$tmp/gen2")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
+    "q_json_extract" -> ((s, dir) => {
+      // the raw-ingest shape (Kafka-style JSON payloads): each event
+      // encodes to a JSON string, then from_json with an explicit
+      // schema re-types the fields — a pure projection chain (no UDF,
+      // stays in codegen). Doubles survive exactly: Jackson writes
+      // shortest-roundtrip decimals and the parser restores the bit
+      // pattern, so the oracle is the original projection.
+      val ev = readEvents(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      val payloads = ev.select(
+        to_json(struct(ev.columns.map(col).toIndexedSeq: _*)).as("payload"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, user_id LONG, event_type STRING, " +
+          "ts_us LONG, value DOUBLE")
+      payloads.select(from_json(col("payload"), schema).as("r"))
+        .select("r.*")
+    }),
     "q_orc_source" -> ((s, dir) => {
       // source-format breadth: events round-trip through ORC (columnar,
       // type-preserving — timestamps survive natively, unlike CSV) and
@@ -7255,6 +7292,17 @@ object SparkEntry {
          FROM ch""",
     "q_csv_source" ->
       // both format round-trips must reproduce this projection exactly
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                value
+         FROM events""",
+    "q_schema_evolution" ->
+      // old-generation rows carry NULL for the late-added column
+      """SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                  AS o_orderpriority
+         FROM orders""",
+    "q_json_extract" ->
+      // encode→parse→extract is lossless; oracle = the projection
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
                 value
          FROM events""",
