@@ -3367,6 +3367,49 @@ object SparkEntry {
       graft.ops.TableJoins.applyChangelog(base, changes,
         Seq("o_orderkey"), "change_ts", "op")
     }),
+    "q_stream_merge" -> ((s, dir) => {
+      // the CDC ingestion stream through a REAL 3-micro-batch run: the
+      // base snapshot rides in as epoch-timestamped "I" changes (batch
+      // 1), the same derived CDC log as q_merge_changelog follows in
+      // two batches, and the per-key struct-max state (ONE struct per
+      // key) converges to the batch snapshot — oracle shared verbatim.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val epoch = java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
+      val baseRows = o.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .collect().map(r => (r.getLong(0), epoch, "I", r.getString(1),
+          r.getDouble(2)))
+      val changeRows = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          when(col("o_orderkey") % 15 === 0, "D").otherwise("U"),
+          col("o_orderstatus"), (col("o_totalprice") + 1000.0))
+        .as[(Long, java.sql.Timestamp, String, String, Double)]
+        .collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, java.sql.Timestamp, String, String,
+        Double)]
+      val sink = "q_stream_merge_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.changelogLatestStream(
+          ms.toDF.toDF("o_orderkey", "change_ts", "op", "o_orderstatus",
+            "o_totalprice"),
+          Seq("o_orderkey"), "change_ts", "op")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        ms.addData(baseRows.toSeq); q.processAllAvailable()
+        changeRows.grouped(math.max(1, (changeRows.length + 1) / 2))
+          .foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).where(col("op") =!= "D")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
     "q_scd2_intervals" -> ((s, dir) => {
       // SCD2 history build: each user's purchase values become
       // [valid_from, valid_to) rows, null-terminated current row —
@@ -3863,6 +3906,27 @@ object SparkEntry {
            round(CAST(SUM(klq) AS DOUBLE) / 1000000000.0, 6) AS kl_new_old,
            round(CAST(SUM(tvq) AS DOUBLE) / 1000000000.0 * 0.5, 6) AS tvd
          FROM p GROUP BY 1, 2, 3"""
+
+  /** Shared by q_merge_changelog (batch union-aggregate) and
+    * q_stream_merge (streaming struct-max state — the base snapshot
+    * rides in as epoch-timestamped "I" changes, so ts ordering
+    * coincides with the batch (gen, ts) ordering): per-key winner =
+    * lexicographic max over (gen, ts, op, payload), replayed as a
+    * fully-ordered row_number. */
+  private val mergeChangelogSql: String =
+    """WITH b AS (SELECT o_orderkey, 0 AS gen,
+              TIMESTAMP '1970-01-01' AS cts, 'I' AS op,
+              o_orderstatus, o_totalprice FROM orders),
+         c AS (SELECT o_orderkey, 1 AS gen, o_orderdate AS cts,
+              CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op,
+              o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 5 = 0),
+         u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+              ORDER BY gen DESC, cts DESC, op DESC,
+                o_orderstatus DESC, o_totalprice DESC) AS rn FROM u)
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM r WHERE rn = 1 AND op <> 'D'"""
 
   private val hashedGdCtes: String =
     """tok AS (SELECT doc_id,
@@ -7265,22 +7329,10 @@ object SparkEntry {
               (value * 7.0) % 20.0 AS py FROM events)
           $polyUnions"""
     },
-    "q_merge_changelog" ->
-      // per-key winner = lexicographic max over (gen, ts, op, payload)
-      // — the struct-max replayed as a fully-ordered row_number
-      """WITH b AS (SELECT o_orderkey, 0 AS gen,
-              TIMESTAMP '1970-01-01' AS cts, 'I' AS op,
-              o_orderstatus, o_totalprice FROM orders),
-         c AS (SELECT o_orderkey, 1 AS gen, o_orderdate AS cts,
-              CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS op,
-              o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
-            FROM orders WHERE o_orderkey % 5 = 0),
-         u AS (SELECT * FROM b UNION ALL SELECT * FROM c),
-         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-              ORDER BY gen DESC, cts DESC, op DESC,
-                o_orderstatus DESC, o_totalprice DESC) AS rn FROM u)
-         SELECT o_orderkey, o_orderstatus, o_totalprice
-         FROM r WHERE rn = 1 AND op <> 'D'""",
+    "q_merge_changelog" -> mergeChangelogSql,
+    // the streaming CDC state converges to the identical snapshot —
+    // base rides in as epoch "I" changes, struct-max is order-free
+    "q_stream_merge" -> mergeChangelogSql,
     "q_scd2_intervals" ->
       """WITH ch AS (SELECT user_id, ts, max(value) AS value FROM events
               WHERE event_type = 'purchase' GROUP BY 1, 2)

@@ -542,6 +542,30 @@ object StreamingOps {
       .agg(graft.functions.TopKAgg.topK(k)(
         col("neighbor_id"), col("cos")).as("topk"))
 
+  /** Streaming CDC upsert state — the ingestion twin of
+    * [[graft.ops.TableJoins.applyChangelog]]: a stream of timestamped
+    * I/U/D change rows reduces to the per-key LATEST via a struct-max
+    * aggregate whose state is ONE struct per key at any stream length
+    * (order-free, so late or re-ordered micro-batches converge to the
+    * same winner). The op flag stays in the output: downstream decides
+    * how to apply deletes (complete mode → filter `op <> 'D'` on the
+    * sink table gives exactly [[graft.ops.TableJoins.applyChangelog]]'s
+    * snapshot when base rows ride in as epoch-timestamped "I" changes;
+    * update mode emits per-key changes and delegates delete handling).
+    * Equal-timestamp collisions resolve by (op, payload) struct order —
+    * the same documented tie rule as the batch operator. */
+  def changelogLatestStream(changes: DataFrame, keys: Seq[String],
+      tsCol: String, opCol: String): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => keys.contains(c) || c == tsCol || c == opCol).toSeq
+    val ordered = struct(col(tsCol).as("_ts") +: col(opCol).as("_op") +:
+      payload.map(col): _*)
+    changes.groupBy(keys.map(col): _*)
+      .agg(max(ordered).as("_w"))
+      .select(keys.map(col) ++ (col("_w._op").as(opCol) +:
+        payload.map(p => col(s"_w.$p").as(p))): _*)
+  }
+
   def curationGateStream(df: DataFrame, textCol: String,
       minQuality: Double, maxTopBigramFrac: Double): DataFrame = {
     import graft.text.TextAnalysis

@@ -548,6 +548,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("changelogLatestStream == batch applyChangelog under any split, " +
+      "including out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val epoch = ts("1970-01-01")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "price")
+    val changeRows = Seq(
+      (1L, ts("2024-01-01"), "U", "a", 11.0),
+      (1L, ts("2024-02-01"), "U", "a2", 12.0),
+      (2L, ts("2024-01-15"), "D", "b", 0.0),
+      (9L, ts("2024-01-10"), "I", "z", 90.0))
+    val changes = changeRows.toDF("id", "change_ts", "op", "status", "price")
+    val expect = rowSet(graft.ops.TableJoins.applyChangelog(base, changes,
+      Seq("id"), "change_ts", "op"))
+    val baseRows = Seq((1L, epoch, "I", "a", 10.0),
+      (2L, epoch, "I", "b", 20.0), (3L, epoch, "I", "c", 30.0))
+    // in-order, reversed (the LATER update to id 1 arrives FIRST), and
+    // single-batch feeds all converge — struct-max state is order-free
+    for (feed <- Seq(changeRows, changeRows.reverse,
+        changeRows ++ List.empty)) {
+      val ms = MemoryStream[(Long, java.sql.Timestamp, String, String,
+        Double)]
+      val name = s"merge_${feed.hashCode.abs}_${feed.length}"
+      val q = StreamingOps.changelogLatestStream(
+          ms.toDF.toDF("id", "change_ts", "op", "status", "price"),
+          Seq("id"), "change_ts", "op")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        ms.addData(baseRows); q.processAllAvailable()
+        feed.grouped(2).foreach { b =>
+          ms.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      rowSet(spark.table(name).where(col("op") =!= "D")
+        .select("id", "status", "price")) shouldBe expect
+    }
+  }
+
   test("funnelStream == batch funnel under any event-time-ordered batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
