@@ -89,9 +89,19 @@ object Compaction {
       Seq(lit(n), lit(b)) }.toIndexedSeq: _*)
     val tmp = new Path(root, "_graft_compact_tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(listed.map(f => s"$dir/${f._1}").toIndexedSeq: _*)
+    val withBin = spark.read
+      .parquet(listed.map(f => s"$dir/${f._1}").toIndexedSeq: _*)
       .withColumn("_bin", element_at(binOf,
         element_at(split(input_file_name(), "/"), -1)))
+    // abort BEFORE any mutation if a row failed to map to its bin (a
+    // filename the literal map does not know — e.g. URI-encoding
+    // surprises): a null bin would otherwise write into the Hive
+    // default-partition dir, which the move loop skips → data loss
+    val unmapped = withBin.where(col("_bin").isNull).count()
+    require(unmapped == 0L,
+      s"compactDirectory: $unmapped rows failed filename→bin mapping; " +
+        "aborting before any file is touched")
+    withBin
       .repartition(col("_bin"))
       .write.partitionBy("_bin").parquet(tmp.toString)
     // move-in BEFORE deleting originals (crash ⇒ duplicates, never loss)
