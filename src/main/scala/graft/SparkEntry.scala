@@ -1492,6 +1492,23 @@ object SparkEntry {
             concat(col("text"), lit(" x")).as("text")))
       Dedup.minhashLshIncremental(ref, inc, "text", "doc_id")
     }),
+    "q_dedup_indexed" -> ((s, dir) => {
+      // the ingestion gate served from a PERSISTED index: the kept
+      // corpus's band + shingle tables are written once
+      // (writeMinhashIndex) and the same shard probes the store — the
+      // corpus text is never re-shingled at serve time. Result is
+      // identical to q_dedup_incremental; oracle shared verbatim.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val ref = d.where(col("doc_id") < 400).select("doc_id", "text")
+      val inc = d.where(col("doc_id") >= 400).select("doc_id", "text")
+        .unionByName(d.where(col("doc_id") < 25)
+          .select((col("doc_id") + lit(10000L)).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_$slug"
+      Dedup.writeMinhashIndex(ref, "text", "doc_id", idx)
+      Dedup.minhashIncrementalIndexed(s, idx, inc, "text", "doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // banded-simhash blocking over PORTABLE FNV-1a bigram hashes; the
       // blocking has exact recall to Hamming 6, so the oracle's all-pairs
@@ -5828,6 +5845,9 @@ object SparkEntry {
          FROM pr
          WHERE round(GREATEST(ca, cb), 6) >= 0.8""",
     "q_dedup_incremental" -> dedupIncrementalSql,
+    // the persisted-index serving path is result-identical (same band
+    // keys, same verify) — oracle shared verbatim, like q_ann_index
+    "q_dedup_indexed" -> dedupIncrementalSql,
     // the streamed gate is stream-static joins + a verify projection ->
     // equal to the batch incremental set under any micro-batch split
     "q_stream_dedup_incremental" -> dedupIncrementalSql,

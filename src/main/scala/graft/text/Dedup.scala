@@ -142,6 +142,87 @@ object Dedup {
     * independent of corpus size except for the colliding buckets. Exact
     * verification shingles only documents that appear in a candidate
     * pair, same as the self-join path. */
+  /** Persisted dedup INDEX over the kept corpus — the build-once side
+    * of [[minhashLshIncremental]], the same move [[graft.text.Similarity.writeIvfStore]]
+    * makes for vectors: pay the corpus shingle+minhash pass ONCE and
+    * write
+    *   - `path/bands`    (band, bh, ref_id)  — the LSH band table,
+    *   - `path/shingles` (ref_id, sh)        — sorted shingle hashes for
+    *     the exact-Jaccard verify,
+    *   - `path/params`   (shingle_n, k, bands) — so serving can never
+    *     silently mismatch the build parameters.
+    * A nightly ingest gate then probes the store instead of
+    * re-shingling the whole corpus per shard. */
+  def writeMinhashIndex(ref: DataFrame, textCol: String, idCol: String,
+      path: String, shingleN: Int = 3, k: Int = 32,
+      bands: Int = 8): String = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    bandRowsOf(ref, textCol, idCol, shingleN, k, bands)
+      .withColumnRenamed("id", "ref_id")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    ref.select(col(idCol).as("ref_id"),
+        sort_array(graft.functions.TextHashExprs
+          .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    path
+  }
+
+  /** Serve the ingestion gate from a [[writeMinhashIndex]] store:
+    * identical result to [[minhashLshIncremental]] with the build's
+    * parameters (oracle shared verbatim) — the shard's band rows are
+    * stateless projections, the stored band table semi-prunes by the
+    * shard's broadcast key set before the candidate join, and only
+    * colliding candidates read the stored shingle table. The corpus
+    * text is never touched at serve time. */
+  def minhashIncrementalIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, inc: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val params = spark.read.parquet(s"$path/params").head()
+    val (shingleN, k, bands) =
+      (params.getInt(0), params.getInt(1), params.getInt(2))
+    val rb = spark.read.parquet(s"$path/bands")
+    val ib = bandRowsOf(inc, textCol, idCol, shingleN, k, bands).persist()
+    ib.count()
+    val incKeys = broadcast(ib.select(col("band"), col("bh")).distinct())
+    val rbLive = rb.join(incKeys, Seq("band", "bh"), "left_semi")
+    val cands = ib.as("i").join(rbLive.as("r"),
+        col("i.band") === col("r.band") && col("i.bh") === col("r.bh"))
+      .select(col("i.id").as("inc_id"), col("r.ref_id"))
+      .dropDuplicates("inc_id", "ref_id")
+      .persist()
+    cands.count()
+    val shI = inc
+      .select(col(idCol).as("inc_id"), col(textCol).as("_t"))
+      .join(cands.select("inc_id").distinct(), Seq("inc_id"), "left_semi")
+      .select(col("inc_id"), sort_array(graft.functions.TextHashExprs
+        .shingleHashes(lower(trim(col("_t"))), shingleN)).as("sh_i"))
+    val shR = spark.read.parquet(s"$path/shingles")
+      .join(cands.select("ref_id").distinct(), Seq("ref_id"), "left_semi")
+      .withColumnRenamed("sh", "sh_r")
+    val result = cands
+      .join(shI, "inc_id").join(shR, "ref_id")
+      .withColumn("jaccard", graft.functions.TextHashExprs
+        .jaccardLongSorted(col("sh_i"), col("sh_r")))
+      .where(col("jaccard") >= threshold)
+      .select(col("inc_id"), col("ref_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    ib.unpersist(false); cands.unpersist(false)
+    result
+  }
+
+  /** Shared band-row projection: (id, band, bh) per document. */
+  private def bandRowsOf(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = df
+    .select(col(idCol).as("id"),
+      graft.functions.TextHashExprs
+        .minhashText(lower(trim(col(textCol))), shingleN, k).as("sig"))
+    .select(col("id"), explode(lshBands(col("sig"), k, bands)).as("b"))
+    .select(col("id"), col("b.band"), col("b.bh"))
+
   def minhashLshIncremental(ref: DataFrame, inc: DataFrame, textCol: String,
       idCol: String, shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {

@@ -1155,6 +1155,28 @@ class TextSpec extends SparkSpec {
     out.head._3 should be > 0.85
   }
 
+  test("minhashIncrementalIndexed == minhashLshIncremental; params come " +
+      "from the store, not the caller") {
+    import spark.implicits._
+    val ref = (0L until 30L).map(i =>
+      (i, s"reference document number $i with some shared words"))
+      .toDF("doc_id", "text")
+    val inc = Seq(
+      (100L, "reference document number 7 with some shared words x"),
+      (101L, "completely unrelated fresh content nothing in common"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh-idx").toString
+    // build with NON-default k so serving must read params from the store
+    graft.text.Dedup.writeMinhashIndex(ref, "text", "doc_id", s"$dir/idx",
+      shingleN = 3, k = 16, bands = 4)
+    val served = graft.text.Dedup.minhashIncrementalIndexed(spark,
+      s"$dir/idx", inc, "text", "doc_id")
+    val direct = graft.text.Dedup.minhashLshIncremental(ref, inc, "text",
+      "doc_id", shingleN = 3, k = 16, bands = 4)
+    rowSet(served) shouldBe rowSet(direct)
+    served.select("inc_id").as[Long].collect().toSet shouldBe Set(100L)
+  }
+
   test("charEntropy: worked examples (0 / 1 / 2 bits) and case folding") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "AaAa"))
