@@ -1837,6 +1837,19 @@ object SparkEntry {
       graft.text.Search.bm25(d, "text", "doc_id",
         Seq("spark", "merge", "window"))
     }),
+    "q_search_indexed" -> ((s, dir) => {
+      // BM25 served from the PERSISTED inverted index: the corpus's
+      // tokenization pass is paid once (writeSearchIndex — postings + df
+      // tables partitioned by term-hash bucket, exact corpus stats), and
+      // the query probes only its terms' bucket directories. Result is
+      // identical to q_bm25; oracle shared verbatim.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchidx_$slug"
+      graft.text.Search.writeSearchIndex(d, "text", "doc_id", idx)
+      graft.text.Search.bm25Indexed(s, idx,
+        Seq("spark", "merge", "window"))
+    }),
     "q_retrieval_eval" -> ((s, dir) => {
       // ranking-quality metrics over the BM25 run — MRR + DCG@10/nDCG@10
       // with graded gain = distinct matched terms, "relevant" = ≥2 terms.
@@ -4460,6 +4473,39 @@ object SparkEntry {
     * minhash/band recall both ways, so one cross-side all-pairs exact
     * Jaccard replay verifies both. LSH recall at the planted J~=0.99
     * is certain, so candidates+verify equals the all-pairs set. */
+  /** BM25 replay (Lucene idf, 1e-9 long-quantized per-(doc, term)
+    * contributions) — shared verbatim by the direct corpus row
+    * (`q_bm25`) and the persisted-inverted-index serving row
+    * (`q_search_indexed`), which are result-identical by construction. */
+  private val bm25Sql: String = {
+    val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
+    s"""WITH tok AS (SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+       st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(len(t)) AS BIGINT) AS sdl FROM tok),
+       hits AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+           unnest(t) AS w FROM tok),
+       tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
+         FROM hits WHERE w IN ('spark', 'merge', 'window')
+         GROUP BY 1, 2, 3),
+       dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       idf AS (SELECT w,
+           ln((CAST(st.n - dfq.df AS DOUBLE) + 0.5)
+             / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) AS idf
+         FROM dfq, st),
+       q AS (SELECT tf.doc_id, tf.tf,
+           CAST(round(idf.idf * ((CAST(tf.tf AS DOUBLE) * $kp1)
+             / (CAST(tf.tf AS DOUBLE) + 1.2 * ($oneMinusB + 0.75
+               * (tf.dl / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
+             * 1000000000.0, 0) AS BIGINT) AS q
+         FROM tf JOIN idf ON idf.w = tf.w, st)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(SUM(tf) AS BIGINT) AS n_hits,
+         round(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS score
+       FROM q GROUP BY 1"""
+  }
+
   private val dedupIncrementalSql: String =
     """WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
        incd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
@@ -6911,34 +6957,11 @@ object SparkEntry {
     // the graph-compiled diversify pins the same lowest-id centroid
     // convention, so it shares the batch oracle verbatim
     "q_graph_diversify" -> d4DiversifySql,
-        "q_bm25" -> {
-      val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
-      s"""WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM documents),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(len(t)) AS BIGINT) AS sdl FROM tok),
-         hits AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-             unnest(t) AS w FROM tok),
-         tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
-           FROM hits WHERE w IN ('spark', 'merge', 'window')
-           GROUP BY 1, 2, 3),
-         dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         idf AS (SELECT w,
-             ln((CAST(st.n - dfq.df AS DOUBLE) + 0.5)
-               / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) AS idf
-           FROM dfq, st),
-         q AS (SELECT tf.doc_id, tf.tf,
-             CAST(round(idf.idf * ((CAST(tf.tf AS DOUBLE) * $kp1)
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * ($oneMinusB + 0.75
-                 * (tf.dl / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
-               * 1000000000.0, 0) AS BIGINT) AS q
-           FROM tf JOIN idf ON idf.w = tf.w, st)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-           CAST(SUM(tf) AS BIGINT) AS n_hits,
-           round(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS score
-         FROM q GROUP BY 1"""
-    },
+        "q_bm25" -> bm25Sql,
+    // served from the persisted inverted index: bucketed-postings probe
+    // + stored stats reproduce the direct scoring bit-exactly, so the
+    // oracle is shared verbatim
+    "q_search_indexed" -> bm25Sql,
     "q_retrieval_eval" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex

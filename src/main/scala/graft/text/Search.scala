@@ -76,6 +76,110 @@ object Search {
       .drop("_qs")
   }
 
+  /** Persisted INVERTED INDEX for [[bm25]] — the search twin of the
+    * persisted IVF vector store and the MinHash dedup index: the corpus
+    * tokenization pass is paid ONCE at build, and serving never touches
+    * the document text.
+    *
+    * Layout under `path`:
+    *   - `postings/` — one row per (doc, term): (idCol, dl, term, tf),
+    *     PARTITIONED BY `p_bucket = pmod(hash(term), nBuckets)` so a
+    *     query's term set prunes to its buckets' DIRECTORIES — like the
+    *     IVF store's probed cells, |query buckets|/nBuckets becomes a
+    *     scan-BYTES fraction, not just a post-scan filter.
+    *   - `df/` — the Zipf-sized (term, df) table, same bucketing.
+    *   - `stats/` — 1 row (n_docs, sum_dl): the exact longs [[bm25]]
+    *     derives its idf/avgdl literals from.
+    *   - `params/` — (n_buckets, id_col) so serving can never silently
+    *     mismatch the build (the MinHash-store contract).
+    *
+    * Write clustering: rows cluster by (bucket, bounded doc-hash salt)
+    * so each bucket directory gets a fixed small file count while the
+    * write spreads over ~nBuckets·4 tasks — the salted `writeCubeStore`
+    * shape, never one-task-per-directory. k1/b are QUERY-time knobs, not
+    * build parameters, so one build serves any scoring calibration. */
+  def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 16): String = {
+    require(nBuckets > 0, "writeSearchIndex needs nBuckets > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = toks(col(textCol))
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(t).cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val postings = docs
+      .select(col(idCol), size(t).cast("double").as("dl"),
+        explode(t).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("p_bucket", pmod(hash(col("term")), lit(nBuckets)))
+    postings
+      .repartition(col("p_bucket"), pmod(hash(col(idCol)), lit(4)))
+      .write.mode("overwrite").partitionBy("p_bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("term"), col("p_bucket"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("p_bucket"))
+      .write.mode("overwrite").partitionBy("p_bucket")
+      .parquet(s"$path/df")
+    Seq((nBuckets, idCol)).toDF("n_buckets", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    path
+  }
+
+  /** Serve BM25 from a [[writeSearchIndex]] store: result identical to
+    * [[bm25]] over the source corpus with the same terms/k1/b (oracle
+    * shared verbatim) — same Lucene idf from the stored exact longs,
+    * same 1e-9 long-quantized per-(doc, term) contributions, so the
+    * integer per-doc sums cannot differ.
+    *
+    * 100 TB shape: query-term buckets are evaluated through Spark's own
+    * murmur3 (a 1-row projection — build and probe can never disagree on
+    * the hash), land as PARTITION filters on both the postings and df
+    * scans, and the df collect is <= |terms| rows. Zero corpus scans at
+    * serve time. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Indexed needs at least one query term")
+    val params = spark.read.parquet(s"$path/params").head()
+    val (nBuckets, idCol) = (params.getInt(0), params.getString(1))
+    val buckets = spark.range(1)
+      .select(array(terms.map(tm =>
+        pmod(hash(lit(tm)), lit(nBuckets))): _*).as("bs"))
+      .head().getSeq[Int](0).distinct
+    val st = spark.read.parquet(s"$path/stats").head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "bm25Indexed needs a non-empty index")
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val probe = col("p_bucket").isin(buckets: _*) &&
+      col("term").isin(terms: _*)
+    val dfMap: Map[String, Long] = spark.read.parquet(s"$path/df")
+      .where(probe).select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tf = spark.read.parquet(s"$path/postings").where(probe)
+    val present = terms.filter(dfMap.contains)
+    if (present.isEmpty)
+      return tf.where(lit(false))
+        .select(col(idCol), lit(0L).as("n_terms"),
+          lit(0L).as("n_hits"), lit(0.0).as("score"))
+    def idfOf(df: Long): Double =
+      math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    val idfLit = map(present.flatMap(tm =>
+      Seq(lit(tm), lit(idfOf(dfMap(tm))))): _*)
+    val tfc = col("tf").cast("double")
+    val contrib = element_at(idfLit, col("term")) *
+      ((tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+    tf
+      .withColumn("_q", round(contrib * lit(1000000000.0), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"),
+        sum(col("_q")).as("_qs"))
+      .withColumn("score", round(
+        col("_qs").cast("double") / lit(1000000000.0), 6))
+      .drop("_qs")
+  }
+
   /** Corpus-wide most-frequent n-token windows — the boilerplate detector
     * (headers, cookie banners, license blurbs surface immediately).
     * Returns the `k` most frequent n-grams as (gram, n_occurrences),

@@ -462,6 +462,41 @@ class PlanQualitySpec extends SparkSpec {
     withClue(plan) { plan should include("IN (spark,merge)") }
   }
 
+  test("persisted search index: the query probes ONLY its terms' bucket " +
+      "directories of the postings store") {
+    import spark.implicits._
+    val vocab = (0 until 64).map(i => s"term$i")
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 80L).map(i =>
+      (i, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("search-prune").toString
+    graft.text.Search.writeSearchIndex(docs, "text", "doc_id",
+      s"$dir/idx", nBuckets = 8)
+    val terms = Seq("term1", "term2")
+    val served = graft.text.Search.bm25Indexed(spark, s"$dir/idx", terms)
+    // expected bucket set, evaluated through the same murmur3 the build
+    // and the probe use
+    val expect = spark.range(1).select(array(terms.map(t =>
+        pmod(hash(lit(t)), lit(8))): _*))
+      .head().getSeq[Int](0).distinct.size
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p.collectLeaves().flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case l => Seq(l)
+    }
+    val scans = leaves(served.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString.contains("postings") => f }
+    scans should have size 1
+    scans.head.selectedPartitions.partitionCount shouldBe expect
+    val allDirs = spark.read.parquet(s"$dir/idx/postings")
+      .select("p_bucket").distinct().count()
+    expect.toLong should be < allDirs // pruning is real, not vacuous
+  }
+
   test("topNgrams is TakeOrdered — per-partition heaps, no global sort") {
     import spark.implicits._
     val docs = (0L until 30L).map(i => (i, s"a b c d e f w$i"))

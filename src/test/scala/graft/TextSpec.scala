@@ -627,6 +627,37 @@ class TextSpec extends SparkSpec {
       "n_hits" -> "bigint", "score" -> "double")
   }
 
+  test("persisted search index: bm25Indexed == direct bm25 bit-exact, " +
+      "non-default params; missing terms degrade identically") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("spark", "merge", "window", "table", "scan", "join",
+      "alpha", "beta", "gamma", "delta")
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("search-idx").toString
+    // non-default bucket count; k1/b are query-time knobs — the SAME
+    // build must serve any calibration
+    graft.text.Search.writeSearchIndex(docs, "text", "doc_id",
+      s"$dir/idx", nBuckets = 5)
+    val terms = Seq("spark", "merge", "window", "notinthecorpus")
+    val direct = graft.text.Search.bm25(docs, "text", "doc_id", terms,
+      k1 = 1.6, b = 0.4)
+    val served = graft.text.Search.bm25Indexed(spark, s"$dir/idx", terms,
+      k1 = 1.6, b = 0.4)
+    served.columns.toSeq shouldBe direct.columns.toSeq
+    served.collect().map(_.toSeq).toSet shouldBe
+      direct.collect().map(_.toSeq).toSet
+    // all-absent query: schema-stable empty on both paths, id type kept
+    val none = graft.text.Search.bm25Indexed(spark, s"$dir/idx",
+      Seq("zzznope"))
+    none.count() shouldBe 0L
+    none.schema.map(f => f.name -> f.dataType.simpleString) shouldBe Seq(
+      "doc_id" -> "bigint", "n_terms" -> "bigint",
+      "n_hits" -> "bigint", "score" -> "double")
+  }
+
   test("topNgrams counts full windows with deterministic tie-break") {
     val docs = Seq("a b c a b c", "z z z").toDF("text")
     val out = graft.text.Search.topNgrams(docs, "text", n = 3, k = 3)
