@@ -1850,6 +1850,24 @@ object SparkEntry {
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
     }),
+    "q_search_append" -> ((s, dir) => {
+      // incremental index maintenance: the corpus arrives as a base
+      // build + two appended shards (disjoint ids); stats/df rows are
+      // append-only segments the serving path aggregates with exact
+      // long sums, so the segmented store is result-identical to the
+      // one-shot build — and to q_bm25. Oracle shared verbatim.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchapp_$slug"
+      graft.text.Search.writeSearchIndex(
+        d.where(col("doc_id") < 300), "text", "doc_id", idx)
+      graft.text.Search.appendSearchIndex(s, idx,
+        d.where(col("doc_id") >= 300 && col("doc_id") < 450), "text")
+      graft.text.Search.appendSearchIndex(s, idx,
+        d.where(col("doc_id") >= 450), "text")
+      graft.text.Search.bm25Indexed(s, idx,
+        Seq("spark", "merge", "window"))
+    }),
     "q_retrieval_eval" -> ((s, dir) => {
       // ranking-quality metrics over the BM25 run — MRR + DCG@10/nDCG@10
       // with graded gain = distinct matched terms, "relevant" = ≥2 terms.
@@ -6962,6 +6980,10 @@ object SparkEntry {
     // + stored stats reproduce the direct scoring bit-exactly, so the
     // oracle is shared verbatim
     "q_search_indexed" -> bm25Sql,
+    // segmented (base + 2 appended shards) store aggregates exact long
+    // stats/df sums -> result-identical to the one-shot build and to
+    // q_bm25; oracle shared verbatim
+    "q_search_append" -> bm25Sql,
     "q_retrieval_eval" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex

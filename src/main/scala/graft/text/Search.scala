@@ -127,6 +127,46 @@ object Search {
     path
   }
 
+  /** Incremental index MAINTENANCE — the production shape for a corpus
+    * that grows daily: a shard of NEW documents (ids disjoint from the
+    * stored corpus — the same contract as any inverted-index segment)
+    * appends into all three tables. Postings append into the term-bucket
+    * directories (dynamic-partition append — only touched buckets gain
+    * files); the df and stats tables are APPEND-ONLY SEGMENT rows that
+    * [[bm25Indexed]] aggregates at serve time (df rows per term stay
+    * <= |segments|, stats rows = |segments| — both Zipf/constant-sized,
+    * nothing is read-modify-written). Because every per-(doc, term)
+    * contribution depends only on the GLOBAL (n_docs, sum_dl, df)
+    * aggregates, any sequence of appends is result-identical to one
+    * [[writeSearchIndex]] over the concatenated corpus (law-tested).
+    * Like the IVF store's frozen centroids, the bucket hash is frozen by
+    * the params table, so segments always agree on directory layout. */
+  def appendSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, shard: DataFrame, textCol: String): String = {
+    val params = spark.read.parquet(s"$path/params").head()
+    val (nBuckets, idCol) = (params.getInt(0), params.getString(1))
+    val t = toks(col(textCol))
+    shard.agg(count(lit(1)).as("n_docs"),
+        sum(size(t).cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    val postings = shard
+      .select(col(idCol), size(t).cast("double").as("dl"),
+        explode(t).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("p_bucket", pmod(hash(col("term")), lit(nBuckets)))
+    postings
+      .repartition(col("p_bucket"), pmod(hash(col(idCol)), lit(4)))
+      .write.mode("append").partitionBy("p_bucket")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("term"), col("p_bucket"))
+      .agg(count(lit(1)).as("df"))
+      .repartition(col("p_bucket"))
+      .write.mode("append").partitionBy("p_bucket")
+      .parquet(s"$path/df")
+    path
+  }
+
   /** Serve BM25 from a [[writeSearchIndex]] store: result identical to
     * [[bm25]] over the source corpus with the same terms/k1/b (oracle
     * shared verbatim) — same Lucene idf from the stored exact longs,
@@ -147,15 +187,18 @@ object Search {
       .select(array(terms.map(tm =>
         pmod(hash(lit(tm)), lit(nBuckets))): _*).as("bs"))
       .head().getSeq[Int](0).distinct
-    val st = spark.read.parquet(s"$path/stats").head()
+    // stats/df rows are append-only SEGMENTS ([[appendSearchIndex]]) —
+    // aggregate them: exact long sums, so segmented == one-shot
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()
     val nDocs = st.getLong(0)
     require(nDocs > 0, "bm25Indexed needs a non-empty index")
     val avgdl = st.getLong(1).toDouble / nDocs.toDouble
     val probe = col("p_bucket").isin(buckets: _*) &&
       col("term").isin(terms: _*)
     val dfMap: Map[String, Long] = spark.read.parquet(s"$path/df")
-      .where(probe).select("term", "df").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .where(probe).groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val tf = spark.read.parquet(s"$path/postings").where(probe)
     val present = terms.filter(dfMap.contains)
     if (present.isEmpty)

@@ -658,6 +658,37 @@ class TextSpec extends SparkSpec {
       "n_hits" -> "bigint", "score" -> "double")
   }
 
+  test("law: appended search-index segments == one-shot build == direct " +
+      "bm25 over the concatenated corpus") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Seq("spark", "merge", "window", "scan", "join", "alpha",
+      "beta", "gamma")
+    def mkDocs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(9))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val base = mkDocs(0 until 30)
+    val s1 = mkDocs(30 until 45)
+    val s2 = mkDocs(45 until 70)
+    val all = base.unionByName(s1).unionByName(s2)
+    val dir = java.nio.file.Files.createTempDirectory("search-app").toString
+    graft.text.Search.writeSearchIndex(base, "text", "doc_id",
+      s"$dir/idx", nBuckets = 4)
+    graft.text.Search.appendSearchIndex(spark, s"$dir/idx", s1, "text")
+    graft.text.Search.appendSearchIndex(spark, s"$dir/idx", s2, "text")
+    val terms = Seq("spark", "merge", "gamma")
+    val served = graft.text.Search.bm25Indexed(spark, s"$dir/idx", terms)
+    val direct = graft.text.Search.bm25(all, "text", "doc_id", terms)
+    served.collect().map(_.toSeq).toSet shouldBe
+      direct.collect().map(_.toSeq).toSet
+    // one-shot rebuild over the concatenated corpus agrees too
+    graft.text.Search.writeSearchIndex(all, "text", "doc_id",
+      s"$dir/idx2", nBuckets = 4)
+    val oneShot = graft.text.Search.bm25Indexed(spark, s"$dir/idx2", terms)
+    served.collect().map(_.toSeq).toSet shouldBe
+      oneShot.collect().map(_.toSeq).toSet
+  }
+
   test("topNgrams counts full windows with deterministic tie-break") {
     val docs = Seq("a b c a b c", "z z z").toDF("text")
     val out = graft.text.Search.topNgrams(docs, "text", n = 3, k = 3)
