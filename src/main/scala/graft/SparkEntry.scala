@@ -1868,6 +1868,42 @@ object SparkEntry {
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
     }),
+    "q_stream_search" -> ((s, dir) => {
+      // ONLINE keyword retrieval through a REAL 2-micro-batch
+      // MemoryStream run: (query_id, terms[]) queries stream against the
+      // persisted inverted index (frozen stats as driver literals,
+      // stream-static joins to the df and postings tables, per-query
+      // aggregation completing in the arrival batch). The gate query's
+      // rows are bit-identical to the batch serving path and to q_bm25 —
+      // oracle shared verbatim; a second, different query rides batch 2
+      // to prove per-query isolation.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchstr_$slug"
+      graft.text.Search.writeSearchIndex(d, "text", "doc_id", idx)
+      val ms = MemoryStream[(Long, Array[String])]
+      val sink = "q_stream_search_sink"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.bm25ServeStream(s, idx,
+          ms.toDF.toDF("query_id", "terms"), "query_id", "terms")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        ms.addData((1L, Array("spark", "merge", "window")))
+        q.processAllAvailable()
+        ms.addData((2L, Array("scan", "table")))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      s.table(sink).where(col("query_id") === 1L)
+        .select(col("doc_id"), col("n_terms"), col("n_hits"), col("score"))
+    }),
     "q_retrieval_eval" -> ((s, dir) => {
       // ranking-quality metrics over the BM25 run — MRR + DCG@10/nDCG@10
       // with graded gain = distinct matched terms, "relevant" = ≥2 terms.
@@ -6984,6 +7020,10 @@ object SparkEntry {
     // stats/df sums -> result-identical to the one-shot build and to
     // q_bm25; oracle shared verbatim
     "q_search_append" -> bm25Sql,
+    // the streamed gate query's scoring is the batch path's exact
+    // arithmetic (frozen stats, quantized integer sums), so the REAL
+    // 2-micro-batch run shares the oracle verbatim
+    "q_stream_search" -> bm25Sql,
     "q_retrieval_eval" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex

@@ -542,6 +542,55 @@ object StreamingOps {
       .agg(graft.functions.TopKAgg.topK(k)(
         col("neighbor_id"), col("cos")).as("topk"))
 
+  /** Online keyword retrieval against a persisted
+    * [[graft.text.Search.writeSearchIndex]] store — the search twin of
+    * [[annServeStream]]: queries stream in as (query_id, terms[]) and
+    * every one completes in its arrival micro-batch. The store is FROZEN
+    * for the stream's lifetime (the IVF-centroid contract): corpus stats
+    * collapse to driver literals at stream start, the segment-aggregated
+    * df table and the postings table are STATIC join sides, and scoring
+    * is [[graft.text.Search.bm25Indexed]]'s exact arithmetic — idf from
+    * the same global longs (computed in-expression over the identical
+    * double sequence), per-(query, doc, term) contributions 1e-9
+    * long-quantized before the per-(query, doc) integer sum, so a
+    * streamed query is bit-identical to the batch serving path under any
+    * micro-batch split (law-tested). `array_distinct` guards duplicate
+    * terms STATELESSLY (no dropDuplicates state). Update mode in
+    * production (each query's rows finalize in its batch); complete in
+    * the memory-sink harness. */
+  def bm25ServeStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, queryIdCol: String,
+      termsCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val idCol = spark.read.parquet(s"$indexPath/params").head().getString(1)
+    val st = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "bm25ServeStream needs a non-empty index")
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val dfAgg = spark.read.parquet(s"$indexPath/df")
+      .groupBy(col("term")).agg(sum(col("df")).as("_df"))
+    val postings = spark.read.parquet(s"$indexPath/postings")
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(col(termsCol))).as("term"))
+    // (nDocs − df + 0.5)/(df + 0.5) + 1 over exact-in-double longs —
+    // the identical operation sequence bm25Indexed runs driver-side
+    val dfc = col("_df").cast("double")
+    val idf = log((lit(nDocs.toDouble) - dfc + lit(0.5)) /
+      (dfc + lit(0.5)) + lit(1.0))
+    val tfc = col("tf").cast("double")
+    val contrib = idf * ((tfc * lit(k1 + 1.0)) /
+      (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl)))))
+    qterms.join(dfAgg, "term").join(postings, "term")
+      .withColumn("_q", round(contrib * lit(1000000000.0), 0).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"),
+        sum(col("_q")).as("_qs"))
+      .withColumn("score", round(
+        col("_qs").cast("double") / lit(1000000000.0), 6))
+      .drop("_qs")
+  }
+
   /** Streaming CDC upsert state — the ingestion twin of
     * [[graft.ops.TableJoins.applyChangelog]]: a stream of timestamped
     * I/U/D change rows reduces to the per-key LATEST via a struct-max

@@ -548,6 +548,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bm25ServeStream == batch bm25Indexed (bit-exact) under any " +
+      "micro-batch split; duplicate terms guarded statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("spark", "merge", "window", "scan", "join", "alpha",
+      "beta", "gamma", "delta", "omega")
+    val docs = (0L until 70L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("search-serve").toString
+    graft.text.Search.writeSearchIndex(docs, "text", "doc_id",
+      s"$dir/idx", nBuckets = 4)
+    // three queries, one with a DUPLICATED term (array_distinct guard)
+    // and one with a term absent from the corpus
+    val qs = Seq(
+      (1L, Array("spark", "merge", "window")),
+      (2L, Array("gamma", "gamma", "scan")),
+      (3L, Array("omega", "notinthecorpus")))
+    val expected = qs.flatMap { case (qid, terms) =>
+      graft.text.Search.bm25Indexed(spark, s"$dir/idx",
+          terms.distinct.toSeq)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3)))
+    }.toSet
+    for (batchSize <- Seq(1, 3)) {
+      val ms = MemoryStream[(Long, Array[String])]
+      val name = s"bm25_serve_$batchSize"
+      val q = StreamingOps.bm25ServeStream(spark, s"$dir/idx",
+          ms.toDF.toDF("query_id", "terms"), "query_id", "terms")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try qs.grouped(batchSize).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .toSet
+      streamed shouldBe expected
+    }
+  }
+
   test("changelogLatestStream == batch applyChangelog under any split, " +
       "including out-of-order arrival") {
     implicit val sqlCtx = spark.sqlContext
