@@ -963,6 +963,19 @@ final class GraphCompiler(
           else
             graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize, dim)
         }
+        // any OTHER named external runtime (the reference also hosts R,
+        // openeo_odc_driver.py:282-339) is a typed error, not a grammar
+        // parse failure: this deployment ships no R interpreter, and a
+        // porting user should read "unsupported runtime", never a
+        // confusing expression-syntax message about their R source
+        runtime.filterNot(rt => rt.isEmpty || rt == "expression")
+          .foreach { rt =>
+            throw graft.OpenEoError("UnsupportedRuntime",
+              s"run_udf runtime '$rt' is not available in this " +
+                "deployment; supported: the typed expression grammar " +
+                "(default), 'java'/'jvm' (janino-compiled), " +
+                "'python'/'python3' (piped worker).")
+          }
         val otherDims = c.dims.filterNot(_ == dim)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(otherDims.map(col): _*).orderBy(col(dim))

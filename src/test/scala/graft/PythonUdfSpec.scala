@@ -159,6 +159,31 @@ class PythonUdfSpec extends SparkSpec {
     b04 shouldBe Seq(4.0, 5.0, 7.75)
   }
 
+  test("graph surface: an unavailable run_udf runtime (R) raises the " +
+      "typed UnsupportedRuntime error, not a grammar parse failure") {
+    import graft.compile.GraphCompiler
+    val dir = java.nio.file.Files.createTempDirectory("rudf").toString
+    fixture.df.write.mode("overwrite").parquet(s"$dir/coll")
+    val catalog = Map("c" -> graft.ops.Scan.CollectionSpec(s"$dir/coll",
+      bandOrder = Seq("B04", "B08"),
+      grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
+    val graph = s"""{
+      "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
+      "u": {"process_id": "apply_dimension", "arguments": {
+        "data": {"from_node": "load"}, "dimension": "t",
+        "process": {"process_graph": {
+          "r": {"process_id": "run_udf", "arguments": {
+            "data": {"from_parameter": "data"},
+            "udf": "function(x) cumsum(x)", "runtime": "R"},
+            "result": true}}}},
+        "result": true}}"""
+    val e = intercept[graft.OpenEoError] {
+      new GraphCompiler(spark, catalog, s"$dir/res").compile(graph)
+    }
+    e.code shouldBe "UnsupportedRuntime"
+    e.getMessage should include("'r' is not available")
+  }
+
   test("band-dimension python series: ordinals ride `times`, names restore") {
     import graft.cube.Dim
     val c = cubeOf(
