@@ -2559,6 +2559,23 @@ object SparkEntry {
             "snap_new" -> s"$tmp/snap_new"))
         .compile(graph).asInstanceOf[DataFrame]
     }),
+    "q_graph_bm25" -> ((s, dir) => {
+      // keyword retrieval driven through the JSON graph surface:
+      // load_table + bm25 compile to the identical plan as q_bm25's
+      // Scala call; oracle shared verbatim
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gbm25_$slug"
+      val graph = """{
+        "d": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "s": {"process_id": "bm25", "arguments": {
+          "data": {"from_node": "d"},
+          "terms": ["spark", "merge", "window"]},
+          "result": true}}"""
+      new GraphCompiler(s, Map.empty, tmp + "_res",
+          tables = Map("documents" -> s"$dir/documents.parquet"))
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
     "q_drift_movers" -> ((s, dir) => {
       // the actionable half: top-20 tokens by smoothed-probability move
       // (TakeOrderedAndProject over the joined Zipf-sized count table)
@@ -7024,6 +7041,9 @@ object SparkEntry {
     // arithmetic (frozen stats, quantized integer sums), so the REAL
     // 2-micro-batch run shares the oracle verbatim
     "q_stream_search" -> bm25Sql,
+    // the graph-compiled bm25 process calls the same Scala operator, so
+    // it shares the oracle verbatim
+    "q_graph_bm25" -> bm25Sql,
     "q_retrieval_eval" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex

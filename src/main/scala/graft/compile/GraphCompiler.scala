@@ -447,6 +447,21 @@ final class GraphCompiler(
           optS(n, "text_column", r).getOrElse("text"),
           optS(n, "id_column", r).getOrElse("doc_id"),
           shingleN = optD(n, "shingle_n", r).getOrElse(5.0).toInt)
+      case "bm25" =>
+        val terms = strSeq(n, "terms", r, Nil)
+        if (terms.isEmpty)
+          throw graft.OpenEoError("ArgumentMissing",
+            "bm25 needs a non-empty 'terms' array")
+        graft.text.Search.bm25(dfArg(n, "data", r),
+          optS(n, "text_column", r).getOrElse("text"),
+          optS(n, "id_column", r).getOrElse("doc_id"), terms,
+          k1 = optD(n, "k1", r).getOrElse(1.2),
+          b = optD(n, "b", r).getOrElse(0.75))
+      case "ranking_metrics" =>
+        graft.text.Search.rankingMetrics(dfArg(n, "data", r),
+          optS(n, "id_column", r).getOrElse("doc_id"),
+          k = optD(n, "k", r).getOrElse(10.0).toInt,
+          relMinTerms = optD(n, "rel_min_terms", r).getOrElse(2.0).toInt)
       case "char_entropy" =>
         graft.text.TextAnalysis.charEntropy(dfArg(n, "data", r),
           optS(n, "text_column", r).getOrElse("text"),

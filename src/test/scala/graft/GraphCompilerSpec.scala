@@ -710,6 +710,44 @@ class GraphCompilerSpec extends SparkSpec {
       .toSet shouldBe Set((1L, 11.0))
   }
 
+  test("bm25 / ranking_metrics processes equal the Scala API; bm25 " +
+      "requires terms") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm").toString
+    val docs = Seq((1L, "spark spark merge"), (2L, "spark table"),
+      (3L, "merge window window"), (4L, "other words"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    def run(g: String) =
+      new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-bmres").toString,
+        tables = Map("docs" -> s"$dir/docs.parquet"))
+      .compile(g).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val scored = run("""{
+        "d": {"process_id": "load_table", "arguments": {"id": "docs"}},
+        "s": {"process_id": "bm25", "arguments": {
+          "data": {"from_node": "d"},
+          "terms": ["spark", "merge", "window"], "k1": 1.6, "b": 0.4},
+          "result": true}}""")
+    rowSet(scored) shouldBe rowSet(graft.text.Search.bm25(
+      docs, "text", "doc_id", Seq("spark", "merge", "window"),
+      k1 = 1.6, b = 0.4))
+    val metrics = run("""{
+        "d": {"process_id": "load_table", "arguments": {"id": "docs"}},
+        "s": {"process_id": "bm25", "arguments": {
+          "data": {"from_node": "d"}, "terms": ["spark", "merge"]}},
+        "m": {"process_id": "ranking_metrics", "arguments": {
+          "data": {"from_node": "s"}, "k": 3}, "result": true}}""")
+    rowSet(metrics) shouldBe rowSet(graft.text.Search.rankingMetrics(
+      graft.text.Search.bm25(docs, "text", "doc_id",
+        Seq("spark", "merge")), "doc_id", k = 3))
+    val e = intercept[graft.OpenEoError] { run("""{
+        "d": {"process_id": "load_table", "arguments": {"id": "docs"}},
+        "s": {"process_id": "bm25", "arguments": {
+          "data": {"from_node": "d"}}, "result": true}}""") }
+    e.code shouldBe "ArgumentMissing"
+  }
+
   test("lm_score process scores and optionally gates through the graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-docs2").toString
