@@ -189,6 +189,23 @@ object SparkEntry {
     if (n.startsWith("q_stream")) (n, withStreamShuffle(f)) else (n, f)
   }
 
+  /** Gate-scale search-index builds: one file per bucket directory and
+    * a small shuffle width — the fixture corpus is tiny, so extra
+    * writer tasks/files are pure commit overhead (the measured fixed
+    * cost dominated the rows' bench time). Production builds keep the
+    * session defaults; results are layout-invariant (law-tested). The
+    * eager build actions inside `body` run under the overrides; the
+    * returned lazy serve plan executes later under session defaults. */
+  private def withSearchBuildConf[T](s: SparkSession)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.graft.search.filesPerDir", "1")
+    if (prevParts.toInt > 8) s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.unset("spark.graft.search.filesPerDir")
+    }
+  }
+
   private def baseQueries: Map[String, Q] = Map(
     // --- scans / filters (S1, F1-F5) ------------------------------------
     "q_load_collection" -> ((s, dir) => {
@@ -1846,7 +1863,9 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchidx_$slug"
-      graft.text.Search.writeSearchIndex(d, "text", "doc_id", idx)
+      withSearchBuildConf(s) {
+        graft.text.Search.writeSearchIndex(d, "text", "doc_id", idx)
+      }
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
     }),
@@ -1859,12 +1878,14 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchapp_$slug"
-      graft.text.Search.writeSearchIndex(
-        d.where(col("doc_id") < 300), "text", "doc_id", idx)
-      graft.text.Search.appendSearchIndex(s, idx,
-        d.where(col("doc_id") >= 300 && col("doc_id") < 450), "text")
-      graft.text.Search.appendSearchIndex(s, idx,
-        d.where(col("doc_id") >= 450), "text")
+      withSearchBuildConf(s) {
+        graft.text.Search.writeSearchIndex(
+          d.where(col("doc_id") < 300), "text", "doc_id", idx)
+        graft.text.Search.appendSearchIndex(s, idx,
+          d.where(col("doc_id") >= 300 && col("doc_id") < 450), "text")
+        graft.text.Search.appendSearchIndex(s, idx,
+          d.where(col("doc_id") >= 450), "text")
+      }
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
     }),
@@ -1883,7 +1904,9 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchstr_$slug"
-      graft.text.Search.writeSearchIndex(d, "text", "doc_id", idx)
+      withSearchBuildConf(s) {
+        graft.text.Search.writeSearchIndex(d, "text", "doc_id", idx)
+      }
       val ms = MemoryStream[(Long, Array[String])]
       val sink = "q_stream_search_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")

@@ -561,6 +561,51 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Per-document term-frequency map over an ALREADY-TOKENIZED array
+    * (caller owns tokenization, so index and oracle tokenize
+    * identically): one hash-map pass per row, first-occurrence key
+    * order. This turns the inverted-index build's (doc, term)
+    * aggregation into a STATELESS projection — at corpus scale the
+    * groupBy(doc, dl, term) formulation shuffles every posting row
+    * (≈ the tokenized corpus) before any reduction, while this explodes
+    * already-reduced (term, tf) pairs and the only remaining exchange
+    * is the bucket-clustered write. */
+  case class TermCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def prettyName: String = "graft_term_counts"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkStringArray(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = tokensOf(input)
+      val n = arr.numElements()
+      val counts = new java.util.LinkedHashMap[UTF8String, Long](
+        Math.max(16, n * 2))
+      var i = 0
+      while (i < n) {
+        val t = arr.getUTF8String(i)
+        // BoxesRunTime unboxes an absent (null) entry to 0L
+        counts.put(t, counts.get(t) + 1L)
+        i += 1
+      }
+      val keys = new Array[Any](counts.size)
+      val vals = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        keys(j) = e.getKey; vals(j) = e.getValue; j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Hashing-trick feature bucket: unsigned FNV-1a 64 of the token's
     * UTF-8 bytes, mod `dim` — the PORTABLE feature hash (the DuckDB
     * oracle replays the same byte fold as a HUGEINT reduce, and unsigned
@@ -712,6 +757,8 @@ object TextHashExprs {
         TokenWindows(cs.head, intLit(cs(1), "graft_token_windows n"))),
       entry("graft_fnv_bucket", classOf[FnvBucket])(cs =>
         FnvBucket(cs.head, intLit(cs(1), "graft_fnv_bucket dim"))),
+      entry("graft_term_counts", classOf[TermCounts])(cs =>
+        TermCounts(cs.head)),
       entry("graft_hll_parts", classOf[HllParts])(cs =>
         HllParts(cs.head, intLit(cs(1), "graft_hll_parts p"))),
       entry("graft_cms_buckets", classOf[CmsBuckets])(cs =>
@@ -790,6 +837,13 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_token_windows", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** Per-row term-frequency map over a token array (one hash-map pass;
+    * the shuffle-free inverted-index build path). */
+  def termCounts(tokens: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_term_counts", tokens)
   }
 
   /** Portable hashing-trick bucket (unsigned FNV-1a mod dim). */

@@ -95,9 +95,43 @@ object Search {
     *
     * Write clustering: rows cluster by (bucket, bounded doc-hash salt)
     * so each bucket directory gets a fixed small file count while the
-    * write spreads over ~nBuckets·4 tasks — the salted `writeCubeStore`
-    * shape, never one-task-per-directory. k1/b are QUERY-time knobs, not
-    * build parameters, so one build serves any scoring calibration. */
+    * write spreads over ~nBuckets·salt tasks — the salted
+    * `writeCubeStore` shape, never one-task-per-directory. The salt is
+    * the `spark.graft.search.filesPerDir` session knob (default 4;
+    * raise it when a 100 TB ingest needs more writer tasks than
+    * buckets, set 1 for small corpora where extra files are pure commit
+    * overhead). k1/b are QUERY-time knobs, not build parameters, so one
+    * build serves any scoring calibration. */
+  /** Shared posting projection: (idCol, dl, term, tf, p_bucket), one row
+    * per (doc, distinct term) — identical rows to
+    * `groupBy(id, dl, term).count` (dl is constant per doc; termCounts
+    * reduces per doc in one native map pass), with NO shuffle. */
+  private def postingRows(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int): DataFrame = {
+    val t = toks(col(textCol))
+    docs
+      .select(col(idCol), size(t).cast("double").as("dl"),
+        explode(graft.functions.TextHashExprs.termCounts(t))
+          .as(Seq("term", "tf")))
+      .withColumn("p_bucket", pmod(hash(col("term")), lit(nBuckets)))
+  }
+
+  /** Bounded intra-bucket write salt (`spark.graft.search.filesPerDir`,
+    * default 4): the number of writer tasks — and files — per bucket
+    * directory. */
+  private def filesPerDir(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.search.filesPerDir")
+      .map(_.toInt).getOrElse(4).max(1)
+
+  /** Cluster postings for a bucket-partitioned write: one task set per
+    * bucket, salted by doc hash when filesPerDir > 1. */
+  private def clusterForWrite(postings: DataFrame, idCol: String,
+      fpd: Int): DataFrame =
+    if (fpd <= 1) postings.repartition(col("p_bucket"))
+    else postings.repartition(col("p_bucket"),
+      pmod(hash(col(idCol)), lit(fpd)))
+
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = 16): String = {
     require(nBuckets > 0, "writeSearchIndex needs nBuckets > 0")
@@ -107,21 +141,22 @@ object Search {
     docs.agg(count(lit(1)).as("n_docs"),
         sum(size(t).cast("long")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    val postings = docs
-      .select(col(idCol), size(t).cast("double").as("dl"),
-        explode(t).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("p_bucket", pmod(hash(col("term")), lit(nBuckets)))
-    postings
-      .repartition(col("p_bucket"), pmod(hash(col(idCol)), lit(4)))
-      .write.mode("overwrite").partitionBy("p_bucket")
-      .parquet(s"$path/postings")
-    postings.groupBy(col("term"), col("p_bucket"))
-      .agg(count(lit(1)).as("df"))
-      .repartition(col("p_bucket"))
-      .write.mode("overwrite").partitionBy("p_bucket")
-      .parquet(s"$path/df")
+    // SHUFFLE-FREE posting generation: the per-doc (term, tf) reduction
+    // happens inside the native termCounts map pass, so the corpus-sized
+    // (doc, term) stream is never exchanged — the only shuffles left are
+    // the bucket-clustered write and the Zipf-sized df rollup. Cached so
+    // the df rollup doesn't re-tokenize.
+    val postings = postingRows(docs, textCol, idCol, nBuckets).persist()
+    try {
+      clusterForWrite(postings, idCol, filesPerDir(spark))
+        .write.mode("overwrite").partitionBy("p_bucket")
+        .parquet(s"$path/postings")
+      postings.groupBy(col("term"), col("p_bucket"))
+        .agg(count(lit(1)).as("df"))
+        .repartition(col("p_bucket"))
+        .write.mode("overwrite").partitionBy("p_bucket")
+        .parquet(s"$path/df")
+    } finally postings.unpersist(false)
     Seq((nBuckets, idCol)).toDF("n_buckets", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     path
@@ -149,21 +184,17 @@ object Search {
     shard.agg(count(lit(1)).as("n_docs"),
         sum(size(t).cast("long")).as("sum_dl"))
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
-    val postings = shard
-      .select(col(idCol), size(t).cast("double").as("dl"),
-        explode(t).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("p_bucket", pmod(hash(col("term")), lit(nBuckets)))
-    postings
-      .repartition(col("p_bucket"), pmod(hash(col(idCol)), lit(4)))
-      .write.mode("append").partitionBy("p_bucket")
-      .parquet(s"$path/postings")
-    postings.groupBy(col("term"), col("p_bucket"))
-      .agg(count(lit(1)).as("df"))
-      .repartition(col("p_bucket"))
-      .write.mode("append").partitionBy("p_bucket")
-      .parquet(s"$path/df")
+    val postings = postingRows(shard, textCol, idCol, nBuckets).persist()
+    try {
+      clusterForWrite(postings, idCol, filesPerDir(spark))
+        .write.mode("append").partitionBy("p_bucket")
+        .parquet(s"$path/postings")
+      postings.groupBy(col("term"), col("p_bucket"))
+        .agg(count(lit(1)).as("df"))
+        .repartition(col("p_bucket"))
+        .write.mode("append").partitionBy("p_bucket")
+        .parquet(s"$path/df")
+    } finally postings.unpersist(false)
     path
   }
 

@@ -689,6 +689,27 @@ class TextSpec extends SparkSpec {
       oneShot.collect().map(_.toSeq).toSet
   }
 
+  test("termCounts: per-row tf map equals the groupBy formulation; " +
+      "empty/null inputs degrade") {
+    val docs = Seq((1L, "a b a a c"), (2L, "b b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val tok = split(lower(trim(col("text"))), "\\s+")
+    val viaMap = docs.select(col("doc_id"),
+        explode(graft.functions.TextHashExprs.termCounts(tok))
+          .as(Seq("term", "tf")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaGroup = docs.select(col("doc_id"), explode(tok).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    viaMap shouldBe viaGroup
+    // empty text tokenizes to [""] under split (one empty token) —
+    // BOTH formulations must agree on that too (doc 3 above); a null
+    // text row drops from both
+    val withNull = Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    withNull.select(explode(graft.functions.TextHashExprs.termCounts(
+      split(lower(trim(col("text"))), "\\s+")))).count() shouldBe 0L
+  }
+
   test("topNgrams counts full windows with deterministic tie-break") {
     val docs = Seq("a b c a b c", "z z z").toDF("text")
     val out = graft.text.Search.topNgrams(docs, "text", n = 3, k = 3)
