@@ -978,18 +978,20 @@ final class GraphCompiler(
           else
             graft.ops.ExternalUdf.runSeriesExternal(c, src, chunkSize, dim)
         }
-        // any OTHER named external runtime (the reference also hosts R,
-        // openeo_odc_driver.py:282-339) is a typed error, not a grammar
-        // parse failure: this deployment ships no R interpreter, and a
+        // `runtime: "R"` IS hosted — by the typed grammar below, which
+        // compiles the reference's R `function(x, context)` subset to
+        // native Column expressions (no interpreter involved). Any OTHER
+        // named runtime is a typed error, not a grammar parse failure: a
         // porting user should read "unsupported runtime", never a
-        // confusing expression-syntax message about their R source
-        runtime.filterNot(rt => rt.isEmpty || rt == "expression")
+        // confusing expression-syntax message about their source.
+        runtime.filterNot(rt =>
+            rt.isEmpty || rt == "expression" || rt == "r")
           .foreach { rt =>
             throw graft.OpenEoError("UnsupportedRuntime",
               s"run_udf runtime '$rt' is not available in this " +
                 "deployment; supported: the typed expression grammar " +
-                "(default), 'java'/'jvm' (janino-compiled), " +
-                "'python'/'python3' (piped worker).")
+                "(default, hosts the R function subset), 'java'/'jvm' " +
+                "(janino-compiled), 'python'/'python3' (piped worker).")
           }
         val otherDims = c.dims.filterNot(_ == dim)
         val w = org.apache.spark.sql.expressions.Window
@@ -997,10 +999,19 @@ final class GraphCompiler(
         // ROW-frame spec with a deterministic value tiebreak: duplicate
         // labels along `dim` (rename_labels with ordinals) would otherwise
         // make lag/lead/rollmean depend on arbitrary intra-tie order
-        c.mapValue { v =>
+        try c.mapValue { v =>
           val wRows = org.apache.spark.sql.expressions.Window
             .partitionBy(otherDims.map(col): _*).orderBy(col(dim), v)
           UdfCompiler.compileSeries(src, v, w, wRows)
+        } catch {
+          // R source beyond the typed subset would need the full R
+          // interpreter the deployment doesn't ship — say so, instead
+          // of leaving only the grammar's syntax complaint
+          case e: UdfCompiler.UdfParseError if runtime.contains("r") =>
+            throw graft.OpenEoError("UnsupportedRuntime",
+              "run_udf runtime 'R' is hosted for the typed function " +
+                s"subset only; this source needs a full R interpreter, " +
+                s"which this deployment does not ship (${e.getMessage})")
         }
       case "quantiles" =>
         val probs = result.arguments.get("probabilities")

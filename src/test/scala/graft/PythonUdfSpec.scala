@@ -159,29 +159,43 @@ class PythonUdfSpec extends SparkSpec {
     b04 shouldBe Seq(4.0, 5.0, 7.75)
   }
 
-  test("graph surface: an unavailable run_udf runtime (R) raises the " +
-      "typed UnsupportedRuntime error, not a grammar parse failure") {
+  test("graph surface: unhosted run_udf runtimes raise the typed " +
+      "UnsupportedRuntime error; R beyond the grammar subset names the " +
+      "missing interpreter") {
     import graft.compile.GraphCompiler
     val dir = java.nio.file.Files.createTempDirectory("rudf").toString
     fixture.df.write.mode("overwrite").parquet(s"$dir/coll")
     val catalog = Map("c" -> graft.ops.Scan.CollectionSpec(s"$dir/coll",
       bandOrder = Seq("B04", "B08"),
       grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
-    val graph = s"""{
+    def graphFor(udf: String, runtime: String) = s"""{
       "load": {"process_id": "load_collection", "arguments": {"id": "c"}},
       "u": {"process_id": "apply_dimension", "arguments": {
         "data": {"from_node": "load"}, "dimension": "t",
         "process": {"process_graph": {
           "r": {"process_id": "run_udf", "arguments": {
             "data": {"from_parameter": "data"},
-            "udf": "function(x) cumsum(x)", "runtime": "R"},
+            "udf": "$udf", "runtime": "$runtime"},
             "result": true}}}},
         "result": true}}"""
+    // a runtime nothing hosts → typed error naming the supported tiers
     val e = intercept[graft.OpenEoError] {
-      new GraphCompiler(spark, catalog, s"$dir/res").compile(graph)
+      new GraphCompiler(spark, catalog, s"$dir/res")
+        .compile(graphFor("function(x) cumsum(x)", "julia"))
     }
     e.code shouldBe "UnsupportedRuntime"
-    e.getMessage should include("'r' is not available")
+    e.getMessage should include("'julia' is not available")
+    // grammar-subset R still compiles natively (the hosted R tier)
+    new GraphCompiler(spark, catalog, s"$dir/res2")
+      .compile(graphFor("function(x) cumsum(x)", "R"))
+    // R beyond the subset → typed error naming the missing interpreter
+    val e2 = intercept[graft.OpenEoError] {
+      new GraphCompiler(spark, catalog, s"$dir/res3")
+        .compile(graphFor(
+          "function(x, context) { lapply(x, mysteryFn) }", "R"))
+    }
+    e2.code shouldBe "UnsupportedRuntime"
+    e2.getMessage should include("full R interpreter")
   }
 
   test("band-dimension python series: ordinals ride `times`, names restore") {
