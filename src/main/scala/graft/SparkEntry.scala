@@ -1871,20 +1871,20 @@ object SparkEntry {
     }),
     "q_search_append" -> ((s, dir) => {
       // incremental index maintenance: the corpus arrives as a base
-      // build + two appended shards (disjoint ids); stats/df rows are
+      // build + an appended shard (disjoint ids); stats/df rows are
       // append-only segments the serving path aggregates with exact
       // long sums, so the segmented store is result-identical to the
-      // one-shot build — and to q_bm25. Oracle shared verbatim.
+      // one-shot build — and to q_bm25. Oracle shared verbatim. (The
+      // TextSpec law covers the multi-append sequence; one append keeps
+      // the gate row's build count down.)
       val d = s.read.parquet(s"$dir/documents.parquet")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchapp_$slug"
       withSearchBuildConf(s) {
         graft.text.Search.writeSearchIndex(
-          d.where(col("doc_id") < 300), "text", "doc_id", idx)
+          d.where(col("doc_id") < 400), "text", "doc_id", idx)
         graft.text.Search.appendSearchIndex(s, idx,
-          d.where(col("doc_id") >= 300 && col("doc_id") < 450), "text")
-        graft.text.Search.appendSearchIndex(s, idx,
-          d.where(col("doc_id") >= 450), "text")
+          d.where(col("doc_id") >= 400), "text")
       }
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
