@@ -689,6 +689,46 @@ class TextSpec extends SparkSpec {
       oneShot.collect().map(_.toSeq).toSet
   }
 
+  test("law: compacting a search index's bucket directories after many " +
+      "appends leaves serving bit-identical and shrinks file counts") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Seq("spark", "merge", "window", "scan", "alpha", "beta")
+    def mkDocs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(7))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("search-compact")
+      .toString
+    spark.conf.set("spark.graft.search.filesPerDir", "1")
+    try {
+      graft.text.Search.writeSearchIndex(mkDocs(0 until 20), "text",
+        "doc_id", s"$dir/idx", nBuckets = 4)
+      (1 to 3).foreach { g =>
+        graft.text.Search.appendSearchIndex(spark, s"$dir/idx",
+          mkDocs(g * 20 until (g + 1) * 20), "text")
+      }
+    } finally spark.conf.unset("spark.graft.search.filesPerDir")
+    val terms = Seq("spark", "merge")
+    val before = graft.text.Search.bm25Indexed(spark, s"$dir/idx", terms)
+      .collect().map(_.toSeq).toSet
+    // each bucket directory accumulated one file per segment — compact
+    // every bucket dir (a flat parquet dir) down to one bin
+    val buckets = new java.io.File(s"$dir/idx/postings").listFiles()
+      .filter(_.getName.startsWith("p_bucket="))
+    buckets should not be empty
+    def files(d: java.io.File) =
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    buckets.foreach { b => files(b) should be > 1 }
+    buckets.foreach { b =>
+      graft.ops.Compaction.compactDirectory(spark, b.toString,
+        targetBytes = 1L << 30)
+    }
+    buckets.foreach { b => files(b) shouldBe 1 }
+    val after = graft.text.Search.bm25Indexed(spark, s"$dir/idx", terms)
+      .collect().map(_.toSeq).toSet
+    after shouldBe before
+  }
+
   test("termCounts: per-row tf map equals the groupBy formulation; " +
       "empty/null inputs degrade") {
     val docs = Seq((1L, "a b a a c"), (2L, "b b"), (3L, ""))
