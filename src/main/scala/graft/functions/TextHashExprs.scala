@@ -585,9 +585,13 @@ object TextHashExprs {
         Math.max(16, n * 2))
       var i = 0
       while (i < n) {
-        val t = arr.getUTF8String(i)
-        // BoxesRunTime unboxes an absent (null) entry to 0L
-        counts.put(t, counts.get(t) + 1L)
+        // null elements are skipped: a map key cannot be null, and the
+        // split()-based tokenizers never produce one
+        if (!arr.isNullAt(i)) {
+          val t = arr.getUTF8String(i)
+          // BoxesRunTime unboxes an absent (null) entry to 0L
+          counts.put(t, counts.get(t) + 1L)
+        }
         i += 1
       }
       val keys = new Array[Any](counts.size)
