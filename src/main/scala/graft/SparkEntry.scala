@@ -1927,6 +1927,14 @@ object SparkEntry {
       s.table(sink).where(col("query_id") === 1L)
         .select(col("doc_id"), col("n_terms"), col("n_hits"), col("score"))
     }),
+    "q_search_topk" -> ((s, dir) => {
+      // the production serving shape: top-20 of the BM25 run by
+      // (score desc, id asc) — TakeOrderedAndProject, never a global
+      // sort (plan-pinned); deterministic tie-break on both sides
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.text.Search.topK(graft.text.Search.bm25(d, "text", "doc_id",
+        Seq("spark", "merge", "window")), "doc_id", k = 20)
+    }),
     "q_retrieval_eval" -> ((s, dir) => {
       // ranking-quality metrics over the BM25 run — MRR + DCG@10/nDCG@10
       // with graded gain = distinct matched terms, "relevant" = ≥2 terms.
@@ -7067,6 +7075,10 @@ object SparkEntry {
     // the graph-compiled bm25 process calls the same Scala operator, so
     // it shares the oracle verbatim
     "q_graph_bm25" -> bm25Sql,
+    // deterministic rank (score desc, id asc) on both sides, so the
+    // LIMIT cut is stable
+    "q_search_topk" ->
+      s"SELECT * FROM ($bm25Sql) ORDER BY score DESC, doc_id LIMIT 20",
     "q_retrieval_eval" -> {
       val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
       val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex

@@ -254,6 +254,16 @@ object Search {
       .drop("_qs")
   }
 
+  /** Top-k retrieval over any scored run ([[bm25]]/[[bm25Indexed]]
+    * output): rank = (score desc, id asc) — the deterministic order
+    * every other ranking surface here uses. Plans as
+    * TakeOrderedAndProject (per-partition heaps of k rows), never a
+    * global sort — the shape a production search endpoint serves. */
+  def topK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "topK needs k > 0")
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+  }
+
   /** Corpus-wide most-frequent n-token windows — the boilerplate detector
     * (headers, cookie banners, license blurbs surface immediately).
     * Returns the `k` most frequent n-grams as (gram, n_occurrences),

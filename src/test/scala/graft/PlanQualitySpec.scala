@@ -497,6 +497,17 @@ class PlanQualitySpec extends SparkSpec {
     expect.toLong should be < allDirs // pruning is real, not vacuous
   }
 
+  test("Search.topK plans as TakeOrderedAndProject, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"spark words w$i")).toDF("doc_id", "text")
+    val plan = planString(graft.text.Search.topK(
+      graft.text.Search.bm25(docs, "text", "doc_id", Seq("spark")),
+      "doc_id", k = 5))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "GlobalSort"
+  }
+
   test("topNgrams is TakeOrdered — per-partition heaps, no global sort") {
     import spark.implicits._
     val docs = (0L until 30L).map(i => (i, s"a b c d e f w$i"))
