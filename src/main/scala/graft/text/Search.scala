@@ -137,15 +137,11 @@ object Search {
     require(nBuckets > 0, "writeSearchIndex needs nBuckets > 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    val t = toks(col(textCol))
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(t).cast("long")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     // SHUFFLE-FREE posting generation: the per-doc (term, tf) reduction
     // happens inside the native termCounts map pass, so the corpus-sized
     // (doc, term) stream is never exchanged — the only shuffles left are
     // the bucket-clustered write and the Zipf-sized df rollup. Cached so
-    // the df rollup doesn't re-tokenize.
+    // the df rollup and stats don't re-tokenize.
     val postings = postingRows(docs, textCol, idCol, nBuckets).persist()
     try {
       clusterForWrite(postings, idCol, filesPerDir(spark))
@@ -156,10 +152,26 @@ object Search {
         .repartition(col("p_bucket"))
         .write.mode("overwrite").partitionBy("p_bucket")
         .parquet(s"$path/df")
+      writeStats(docs, postings, path, overwrite = true)
     } finally postings.unpersist(false)
     Seq((nBuckets, idCol)).toDF("n_buckets", "id_col")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     path
+  }
+
+  /** Corpus stats WITHOUT a second tokenize pass: Σdl ≡ Σtf over the
+    * cached posting rows (a doc with null text yields no postings and
+    * contributes nothing to the token sum — exactly the direct
+    * formulation's null-skipping SUM), and n_docs is a tokenize-free
+    * count (null-text docs DO count, again matching the direct
+    * formulation). */
+  private def writeStats(docs: DataFrame, postings: DataFrame,
+      path: String, overwrite: Boolean): Unit = {
+    val nDocs = docs.count()
+    val mode = if (overwrite) "overwrite" else "append"
+    postings.agg(lit(nDocs).as("n_docs"),
+        sum(col("tf")).as("sum_dl"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
   }
 
   /** Incremental index MAINTENANCE — the production shape for a corpus
@@ -180,10 +192,6 @@ object Search {
       path: String, shard: DataFrame, textCol: String): String = {
     val params = spark.read.parquet(s"$path/params").head()
     val (nBuckets, idCol) = (params.getInt(0), params.getString(1))
-    val t = toks(col(textCol))
-    shard.agg(count(lit(1)).as("n_docs"),
-        sum(size(t).cast("long")).as("sum_dl"))
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
     val postings = postingRows(shard, textCol, idCol, nBuckets).persist()
     try {
       clusterForWrite(postings, idCol, filesPerDir(spark))
@@ -194,6 +202,7 @@ object Search {
         .repartition(col("p_bucket"))
         .write.mode("append").partitionBy("p_bucket")
         .parquet(s"$path/df")
+      writeStats(shard, postings, path, overwrite = false)
     } finally postings.unpersist(false)
     path
   }
