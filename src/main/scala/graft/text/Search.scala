@@ -273,6 +273,50 @@ object Search {
     scored.orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009) of two retrieval
+    * runs — the HYBRID search shape: a lexical run (BM25) and a semantic
+    * run (ANN cosine) over the same corpus merge without any score
+    * calibration, because only RANKS enter the fused score:
+    *
+    *   rrf(d) = 1/(k0 + rank_A(d)) + 1/(k0 + rank_B(d))
+    *
+    * with a per-run depth cut and contribution exactly 0 for a document
+    * absent from a run. Ranks are deterministic — (score desc, id asc)
+    * per query — and the two reciprocal terms are added in fixed run
+    * order, so the double result is bit-reproducible cross-engine.
+    *
+    * 100 TB shape: each run ranks under a window PARTITIONED BY the
+    * query keys (per-query candidate lists are already bounded by the
+    * run's own top-k), the depth cut caps the fusion join at
+    * ≤ 2·depth rows per query, and there is no global sort — the final
+    * presentation cut is the caller's [[topK]] (TakeOrderedAndProject).
+    *
+    * Runs must carry `keyCols ++ (idCol, scoreCol)`. Output:
+    * (keyCols, idCol, rank_a, rank_b, rrf) with null rank for a side
+    * that did not retrieve the document. */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, idCol: String,
+      scoreCol: String, keyCols: Seq[String], k0: Int = 60,
+      depth: Int = 60): DataFrame = {
+    require(keyCols.nonEmpty,
+      "rrfFuse needs the query key columns (use a literal for one query)")
+    require(k0 > 0 && depth > 0, "k0 and depth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def ranked(run: DataFrame, rn: String): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(col(scoreCol).desc, col(idCol))
+      run.select((keyCols :+ idCol).map(col) :+
+          row_number().over(w).cast("long").as(rn): _*)
+        .where(col(rn) <= depth)
+    }
+    val a = ranked(runA, "rank_a")
+    val b = ranked(runB, "rank_b")
+    a.join(b, keyCols :+ idCol, "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0.toDouble) + col("rank_b")), lit(0.0)),
+        9))
+  }
+
   /** Corpus-wide most-frequent n-token windows — the boilerplate detector
     * (headers, cookie banners, license blurbs surface immediately).
     * Returns the `k` most frequent n-grams as (gram, n_occurrences),

@@ -78,6 +78,57 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** MARGIN-based candidate pair mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix bitext-mining scorer, and the general "is this pair
+    * REALLY similar or is one side just a hub" criterion):
+    *
+    *   margin(x, y) = cos(x, y) /
+    *     ( avgTopK_cos(x → tgt)/2 + avgTopK_cos(y → src)/2 )
+    *
+    * A raw cosine threshold over-selects hub vectors whose neighborhood
+    * is uniformly close; dividing by the two local neighborhood
+    * densities normalizes that away — margin > 1 means "closer than
+    * each side's average nearest neighbors".
+    *
+    * Scored pairs = union of the forward (src→tgt) and backward
+    * (tgt→src) top-k lists; both averages come from those same lists.
+    * Determinism: cos is the rounded-9 fold both runs share; per-list
+    * averages sum 1e-9-long-quantized contributions (order-free exact)
+    * with ONE double division, and the margin is one further division —
+    * bit-reproducible cross-engine.
+    *
+    * 100 TB shape: the two top-k runs are the pluggable part — here the
+    * exact broadcast form ([[topKBruteForce]]: a SHARD of new sources
+    * against the target corpus is the production mining batch); swap in
+    * [[topKIvfStore]]/[[knnJoinIvf]] lists at corpus×corpus scale, the
+    * margin algebra is identical. Everything after the lists is
+    * Zipf-small: two per-query averages, a pair union, two broadcast
+    * joins. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, threshold: Double = 0.0): DataFrame = {
+    require(k > 0, "marginMine needs k > 0")
+    val fwd = topKBruteForce(tgt, src, idCol, vecCol, k)
+    val bwd = topKBruteForce(src, tgt, idCol, vecCol, k)
+    def qcos(c: Column): Column = round(c * lit(1e9), 0).cast("long")
+    def avgOf(run: DataFrame, out: String): DataFrame = run
+      .groupBy(col("query_id"))
+      .agg((sum(qcos(col("cos"))).cast("double") /
+        lit(2.0 * k * 1e9)).as(out))
+    val aAvg = avgOf(fwd, "_ha") // half-average: avg/2, the margin form
+    val bAvg = avgOf(bwd, "_hb")
+    val pairs = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cos"))
+      .unionByName(bwd.select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("cos")))
+      .distinct()
+    pairs
+      .join(broadcast(aAvg.withColumnRenamed("query_id", "src_id")), "src_id")
+      .join(broadcast(bAvg.withColumnRenamed("query_id", "tgt_id")), "tgt_id")
+      .withColumn("margin", round(col("cos") / (col("_ha") + col("_hb")), 9))
+      .where(col("margin") >= threshold)
+      .select("src_id", "tgt_id", "cos", "margin")
+  }
+
   /** Seeded deterministic Gaussian hyperplanes for sign-LSH. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -453,4 +453,37 @@ class SimilaritySpec extends SparkSpec {
     rowSet(spark.read.parquet(s"$incDir/idx/assigned")) shouldBe
       rowSet(spark.read.parquet(s"$fullDir/idx/assigned"))
   }
+
+  test("marginMine: exact-match pair tops the margins, hub vectors are " +
+      "normalized down, threshold filters, pairs = union of both lists") {
+    // src 0 == tgt 1 exactly; tgt 3 is a HUB roughly equidistant from
+    // both srcs; src 2 has no exact partner
+    val src = Seq((0L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (1L, vec(1, 0, 0, 0)),        // exact partner of src 0
+      (3L, vec(0.6, 0.6, 0.1, 0)),  // hub: close-ish to both srcs
+      (5L, vec(0.1, 0.8, 0, 0)))    // partner-ish of src 2
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    val byPair = out.map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // the exact pair has cos 1 and the highest margin of src 0's pairs
+    byPair((0L, 1L))._1 shouldBe 1.0 +- 1e-9
+    val m01 = byPair((0L, 1L))._2
+    out.filter(_._1 == 0L).map(_._4).max shouldBe m01
+    // hub normalization: the hub's cos to src 0 is high in absolute
+    // terms but its margin stays below the exact pair's
+    byPair.get((0L, 3L)).foreach(_._2 should be < m01)
+    // every forward pair (k=2 per src, 2 srcs) and backward pair is
+    // present exactly once
+    out.map(t => (t._1, t._2)).distinct.length shouldBe out.length
+    out.length should be >= 4
+    // threshold keeps only pairs at/above it
+    val thr = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 2, threshold = m01)
+    thr.collect().map(_.getDouble(3)).foreach(_ should be >= m01)
+    thr.count() should be >= 1L
+  }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_snap_").toString
+    new java.io.File(d).deleteOnExit(); d
+  }
+
+  private def tbl(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"r$i", i * 2.0)).toDF("id", "name", "v")
+
+  test("append + time travel: every version reproduces its snapshot") {
+    val p = freshDir()
+    val v1 = Snapshots.append(tbl(1 to 10), p)
+    val v2 = Snapshots.append(tbl(11 to 15), p)
+    v1 shouldBe 1L; v2 shouldBe 2L
+    Snapshots.read(spark, p, Some(1L)).select("id")
+      .as[Long].collect().sorted shouldBe (1L to 10L)
+    Snapshots.read(spark, p).select("id")
+      .as[Long].collect().sorted shouldBe (1L to 15L)
+    Snapshots.versions(spark, p).map(t => (t._1, t._2)) shouldBe
+      Seq((1L, "append"), (2L, "append"))
+  }
+
+  test("overwrite replaces latest, old versions stay readable") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.overwrite(tbl(100 to 102), p)
+    Snapshots.read(spark, p).select("id")
+      .as[Long].collect().sorted shouldBe (100L to 102L)
+    Snapshots.read(spark, p, Some(1L)).count() shouldBe 10L
+  }
+
+  test("changes(from, to) reads exactly the added rows") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.append(tbl(11 to 15), p)
+    Snapshots.append(tbl(16 to 18), p)
+    Snapshots.changes(spark, p, 1L, 3L).select("id")
+      .as[Long].collect().sorted shouldBe (11L to 18L)
+    Snapshots.changes(spark, p, 2L, 3L).select("id")
+      .as[Long].collect().sorted shouldBe (16L to 18L)
+  }
+
+  test("read plans exactly the manifest's files — no data-dir listing") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.append(tbl(11 to 15), p)
+    val m1 = Snapshots.latestManifest(spark, p).get
+    // a file parked in data/ but never committed is invisible
+    tbl(900 to 905).write.parquet(s"$p/data/c-orphan")
+    Snapshots.read(spark, p).count() shouldBe 15L
+    val scanned = Snapshots.read(spark, p).inputFiles.toSet
+    scanned.map(f => new java.net.URI(f).getPath) shouldBe
+      m1.files.map(f => s"$p/$f").toSet
+  }
+
+  test("aborted/in-flight claim: readers step down, next commit skips it") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    // a crashed writer's claim: exists but unparseable (zero bytes)
+    val claim = new java.io.File(s"$p/_graft_log/v000000000002.json")
+    claim.createNewFile() shouldBe true
+    Snapshots.read(spark, p).count() shouldBe 5L // latest parseable = v1
+    val v = Snapshots.append(tbl(6 to 8), p) // claim of 2 loses, takes 3
+    v shouldBe 3L
+    Snapshots.read(spark, p).count() shouldBe 8L
+    // history chains v3.parent = 1 across the dead claim
+    Snapshots.latestManifest(spark, p).get.parent shouldBe 1L
+  }
+
+  test("vacuum deletes only unreferenced files; horizon reads raise") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.overwrite(tbl(100 to 102), p)
+    Snapshots.append(tbl(103 to 104), p)
+    val deleted = Snapshots.vacuum(spark, p, keepFromVersion = 2L)
+    deleted should be >= 1L // v1's retired files
+    // retained versions read fine, incl. time travel to v2
+    Snapshots.read(spark, p, Some(2L)).count() shouldBe 3L
+    Snapshots.read(spark, p).count() shouldBe 5L
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, p, Some(1L))
+    }
+    // vacuuming away every committed version is refused
+    intercept[IllegalArgumentException] {
+      Snapshots.vacuum(spark, p, keepFromVersion = 99L)
+    }
+  }
+
+  test("optimize: rows identical, fewer files, old versions intact, " +
+      "changes() skips it; z-order variant bounds per-file spans") {
+    val p = freshDir()
+    // many tiny commits → fragmented current snapshot
+    (0 until 6).foreach(i => Snapshots.append(tbl(i * 10 until i * 10 + 5), p))
+    val before = Snapshots.read(spark, p)
+    val beforeRows = before.orderBy("id").collect().toSeq
+    val beforeFiles = before.inputFiles.length
+    val v = Snapshots.optimize(spark, p, numFiles = 2)
+    v shouldBe 7L
+    val after = Snapshots.read(spark, p)
+    after.orderBy("id").collect().toSeq shouldBe beforeRows
+    after.inputFiles.length shouldBe 2
+    after.inputFiles.length should be < beforeFiles
+    // time travel to the pre-optimize snapshot still works
+    Snapshots.read(spark, p, Some(6L)).count() shouldBe 30L
+    // incremental consumers never re-ingest an optimize: a range that
+    // holds ONLY the optimize commit has no data changes at all
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, p, 6L, 7L)
+    }
+    Snapshots.changes(spark, p, 5L, 7L).count() shouldBe 5L // v6 adds only
+    // z-order optimize: same rows, and per-file id-span is bounded
+    // (ids 0..59 over 2 range-partitioned files → each file < full span)
+    Snapshots.optimize(spark, p, numFiles = 2,
+      zorderBy = Seq(("id", 0.0, 60.0), ("v", 0.0, 120.0)))
+    val z = Snapshots.read(spark, p)
+    z.orderBy("id").collect().toSeq shouldBe beforeRows
+    val spans = z.select(col("id"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2))
+    spans.length shouldBe 2
+    // ids 0..54: an unclustered split could span ~54 per file; the
+    // z-clustered range split must roughly halve it
+    all(spans.map(s => s._2 - s._1)) should be < 40L
+  }
+
+  test("sequential independent writers never lose a commit") {
+    val p = freshDir()
+    val vs = (0 until 4).map(i => Snapshots.append(tbl(i * 10 to i * 10 + 4), p))
+    vs shouldBe Seq(1L, 2L, 3L, 4L)
+    Snapshots.read(spark, p).count() shouldBe 20L
+    // each parent chains to the prior version
+    Snapshots.versions(spark, p).map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
+  }
+
+  test("concurrent racing writers: all commits land, none lost") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 2), p)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Snapshots.append(tbl(1000 + i * 10 to 1000 + i * 10 + 1), p)
+        })
+      }
+      val got = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      got.toSet.size shouldBe 4 // four distinct versions
+      Snapshots.read(spark, p).count() shouldBe (2 + 4 * 2).toLong
+    } finally pool.shutdownNow()
+  }
+}

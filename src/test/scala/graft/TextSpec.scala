@@ -1312,4 +1312,39 @@ class TextSpec extends SparkSpec {
     out(3L) shouldBe ((4L, 2.0))  // four equiprobable symbols → 2 bits
     out(4L) shouldBe ((4L, 0.0))  // lowercased first: AaAa ≡ aaaa
   }
+
+  test("rrfFuse: worked example — ranks, absent-side zero, depth cut, " +
+      "deterministic ties") {
+    import spark.implicits._
+    // run A retrieves docs 1,2,3 (scores 9,8,7); run B retrieves 2,3,4
+    // — doc 3 ties doc 2 in B so the id tie-break orders (2,3)
+    val a = Seq((10L, 1L, 9.0), (10L, 2L, 8.0), (10L, 3L, 7.0))
+      .toDF("qid", "doc_id", "score")
+    val b = Seq((10L, 2L, 5.0), (10L, 3L, 5.0), (10L, 4L, 1.0))
+      .toDF("qid", "doc_id", "score")
+    val fused = graft.text.Search.rrfFuse(a, b, "doc_id", "score",
+      Seq("qid"), k0 = 60, depth = 10)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(2)), Option(r.get(3)), r.getDouble(4))).toMap
+    def r9(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    fused(1L) shouldBe ((Some(1L), None, r9(1.0 / 61)))
+    fused(2L)._1 shouldBe Some(2L)
+    fused(2L)._2 shouldBe Some(1L) // tie with 3 broken by id
+    fused(3L)._2 shouldBe Some(2L)
+    fused(2L)._3 shouldBe r9(1.0 / 62 + 1.0 / 61)
+    fused(4L) shouldBe ((None, Some(3L), r9(1.0 / 63)))
+    // depth cut: depth=2 drops doc 3 from A and doc 4 from B entirely
+    val cut = graft.text.Search.rrfFuse(a, b, "doc_id", "score",
+      Seq("qid"), k0 = 60, depth = 2)
+    cut.where(col("doc_id") === 4L).count() shouldBe 0L
+    cut.where(col("doc_id") === 3L).select("rank_a")
+      .collect().head.isNullAt(0) shouldBe true
+    // per-query isolation: a second query's ranks start at 1
+    val a2 = a.union(Seq((11L, 9L, 1.0)).toDF("qid", "doc_id", "score"))
+    val f2 = graft.text.Search.rrfFuse(a2, b, "doc_id", "score",
+      Seq("qid"), k0 = 60, depth = 10)
+    f2.where(col("qid") === 11L).select("rank_a")
+      .as[Long].collect() shouldBe Array(1L)
+  }
 }
