@@ -206,12 +206,9 @@ object SparkEntry {
     }
   }
 
-  /** Three-commit snapshot store over events for q_timetravel /
-    * q_snapshot_changes: v1 append (event_id%3=0), v2 append (%3=1),
-    * v3 OVERWRITE (%3=2). Rebuilt fresh each run so versions are
-    * always exactly 1/2/3 and the gate stays deterministic. */
-  private def buildSnapshotStore(s: SparkSession, dir: String,
-      tag: String): String = {
+  /** Fresh (deleted-first) snapshot-store path for the lifecycle gate
+    * rows — rebuilt each run so versions stay deterministic. */
+  private def freshSnapshotPath(dir: String, tag: String): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_$slug"
     def del(f: java.io.File): Unit = {
@@ -220,8 +217,22 @@ object SparkEntry {
       f.delete(); ()
     }
     del(new java.io.File(p))
-    val ev = readEvents(s, dir)
+    p
+  }
+
+  private def snapshotEvents(s: SparkSession, dir: String) =
+    readEvents(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** Three-commit snapshot store over events for q_timetravel /
+    * q_snapshot_changes / q_snapshot_optimize: v1 append (event_id%3=0),
+    * v2 append (%3=1), v3 OVERWRITE (%3=2). Rebuilt fresh each run so
+    * versions are always exactly 1/2/3 and the gate stays
+    * deterministic. */
+  private def buildSnapshotStore(s: SparkSession, dir: String,
+      tag: String): String = {
+    val p = freshSnapshotPath(dir, tag)
+    val ev = snapshotEvents(s, dir)
     Snapshots.append(ev.where(col("event_id") % 3 === 0), p)
     Snapshots.append(ev.where(col("event_id") % 3 === 1), p)
     Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p)
@@ -3684,6 +3695,70 @@ object SparkEntry {
       // rescanning the table (pairs with Incremental/appendSearchIndex)
       val p = buildSnapshotStore(s, dir, "ch")
       Snapshots.changes(s, p, fromExclusive = 1L, toInclusive = 3L)
+    }),
+    "q_snapshot_optimize" -> ((s, dir) => {
+      // maintenance OPTIMIZE inside the log: the post-overwrite snapshot
+      // rewrites into 2 Z-ORDER-clustered files (Morton key over
+      // user_id × value) as a NEW version — same rows bit-for-bit, and
+      // later scanWhere calls data-skip on BOTH dims. changes() skips
+      // the commit (spec-pinned) so incremental consumers never
+      // re-ingest a maintenance pass.
+      val p = buildSnapshotStore(s, dir, "opt")
+      Snapshots.optimize(s, p, numFiles = 2,
+        zorderBy = Seq(("user_id", 0.0, 150.0), ("value", 0.0, 500.0)),
+        zBits = 8)
+      Snapshots.read(s, p)
+    }),
+    "q_snapshot_skip" -> ((s, dir) => {
+      // DATA-SKIPPING scan: appends land range-partitioned on event_id,
+      // so each file carries a tight per-file min/max in the manifest;
+      // the key-range read prunes non-overlapping files BEFORE any I/O
+      // and the exact predicate stays on the survivors (plan-pinned in
+      // SnapshotsSpec). At 100 TB this is the manifest-stats answer to
+      // "scan one key band of a petabyte table".
+      val p = freshSnapshotPath(dir, "sk")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 < 2)
+        .repartitionByRange(4, col("event_id")), p)
+      Snapshots.append(ev.where(col("event_id") % 3 === 2)
+        .repartitionByRange(2, col("event_id")), p)
+      Snapshots.scanWhere(s, p,
+        col("event_id") >= 2000L && col("event_id") < 5000L)
+    }),
+    "q_snapshot_merge" -> ((s, dir) => {
+      // copy-on-write UPSERT: updates double the value for existing keys
+      // (event_id%6=0, inside the stored %3∈{0,1} slices) and insert the
+      // %3=2 keys as new rows. Only files whose key-range stats overlap
+      // the update batch rewrite; the rest carry over unmoved
+      // (spec-pinned). Result = full upsert semantics, replayed by the
+      // oracle as one CASE projection over events.
+      val p = freshSnapshotPath(dir, "mg")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0)
+        .repartitionByRange(4, col("event_id")), p)
+      Snapshots.append(ev.where(col("event_id") % 3 === 1)
+        .repartitionByRange(4, col("event_id")), p)
+      val updates = ev
+        .where(col("event_id") % 6 === 0 || col("event_id") % 3 === 2)
+        .withColumn("value", col("value") * 2)
+      Snapshots.merge(s, p, updates, Seq("event_id"))
+      Snapshots.read(s, p)
+    }),
+    "q_snapshot_delete" -> ((s, dir) => {
+      // copy-on-write DELETE: the predicate's event_id bound prunes the
+      // candidate files via manifest stats, one exact pass picks files
+      // actually containing matches, and only those rewrite without
+      // their matching rows — null-predicate rows are KEPT (SQL
+      // semantics, oracled as WHERE NOT(...)).
+      val p = freshSnapshotPath(dir, "dl")
+      val ev = snapshotEvents(s, dir)
+      (0 to 2).foreach { r =>
+        Snapshots.append(ev.where(col("event_id") % 3 === r)
+          .repartitionByRange(4, col("event_id")), p)
+      }
+      Snapshots.delete(s, p,
+        col("event_id") < 2000L && col("event_type") === "click")
+      Snapshots.read(s, p)
     }),
     "q_json_extract" -> ((s, dir) => {
       // the raw-ingest shape (Kafka-style JSON payloads): each event
@@ -7684,6 +7759,28 @@ object SparkEntry {
       // adds of versions 2..3 = the second append + the overwrite's rows
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id % 3 IN (1, 2)""",
+    "q_snapshot_optimize" ->
+      // optimize rewrites layout only: rows = the post-overwrite snapshot
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 3 = 2""",
+    "q_snapshot_skip" ->
+      // file pruning is a conservative superset + exact predicate, so
+      // the result is just the filter
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id >= 2000 AND event_id < 5000""",
+    "q_snapshot_merge" ->
+      // upsert replay: stored keys are %3 in (0,1); updates double value
+      // for %6=0 (existing) and insert %3=2 (new) — together all events,
+      // with value doubled exactly on the update keys
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_id % 6 = 0 OR event_id % 3 = 2
+                     THEN value * 2 ELSE value END AS value
+         FROM events""",
+    "q_snapshot_delete" ->
+      // delete removes predicate-true rows; everything else survives
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE NOT (event_id < 2000 AND event_type = 'click')""",
     "q_json_extract" ->
       // encode→parse→extract is lossless; oracle = the projection
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

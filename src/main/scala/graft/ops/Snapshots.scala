@@ -1,7 +1,11 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Snapshot-versioned parquet table with a transaction LOG — the
   * store-management layer a 100 TB corpus needs on top of raw directory
@@ -25,6 +29,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ADDED in that version range — a downstream incremental job (index
   *     append, aggregate maintenance — see [[Incremental]]) consumes a
   *     day's commits without rescanning the table.
+  *   - DATA SKIPPING. Each commit records per-file column MIN/MAX stats
+  *     (one column-pruned pass over just the new files, Spark ordering
+  *     semantics — see [[scanWhere]]); a filtered scan prunes files
+  *     whose stats cannot satisfy the predicate BEFORE any data I/O,
+  *     and the exact predicate stays on the surviving scan (safe
+  *     superset, the same contract as the tile-pruned cube stores).
+  *   - ROW-LEVEL MERGE/DELETE, copy-on-write. [[merge]] (upsert by key)
+  *     and [[delete]] (predicate) rewrite ONLY the files that contain
+  *     affected rows — stats pre-prune the candidate set, an exact
+  *     match pass picks the touched files, untouched files carry over
+  *     into the new manifest unmoved.
   *
   * Layout under the table root:
   * {{{
@@ -33,9 +48,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * }}}
   *
   * Manifest = complete relative file list (`files`) + this commit's
-  * additions (`adds`) + `op` (append|overwrite) + `parent`. Complete
-  * lists keep read planning O(1) manifest reads; at extreme commit
-  * counts a production format would checkpoint + delta-encode (Delta's
+  * additions (`adds`) + per-file stats + the snapshot schema + `op`
+  * (append|overwrite|optimize|merge|delete) + `parent`. Complete lists
+  * keep read planning O(1) manifest reads; at extreme commit counts a
+  * production format would checkpoint + delta-encode (Delta's
   * `_last_checkpoint`), which changes encoding, not this API.
   *
   * Commit protocol (optimistic concurrency): data files are written
@@ -44,17 +60,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * create-if-absent on HDFS and local filesystems. A lost race throws
   * `FileAlreadyExistsException`; the writer re-reads the new latest,
   * recomputes the merged file list (its data files need no rewrite) and
-  * retries the claim. Readers tolerate an in-flight/aborted claim (zero
-  * or partial bytes) by stepping down to the newest PARSEABLE manifest,
-  * so a crashed writer never wedges the table — its claim file is dead
-  * weight the next vacuum sweeps. S3-style stores without atomic create
-  * need a CAS commit service (the documented Delta-on-S3 model); same
-  * trust scope as the rest of the store tier.
+  * retries the claim. APPEND and OVERWRITE commute with any concurrent
+  * commit and always retry; MERGE, DELETE, and OPTIMIZE read the
+  * snapshot they rewrite, so they carry the expected parent version and
+  * FAIL with `ConcurrentModificationException` if another data change
+  * landed first (Delta's conflict-detection rule). Readers tolerate an
+  * in-flight/aborted claim (zero or partial bytes) by stepping down to
+  * the newest PARSEABLE manifest, so a crashed writer never wedges the
+  * table — its claim file is dead weight the next vacuum sweeps.
+  * S3-style stores without atomic create need a CAS commit service (the
+  * documented Delta-on-S3 model); same trust scope as the rest of the
+  * store tier.
   */
 object Snapshots {
 
+  /** Per-column min/max for one file. `t` is "n" (numeric — longs,
+    * doubles, timestamps as epoch micros, dates as epoch days, all
+    * compared as Double with >2^53 longs widened one ulp outward) or
+    * "s" (string, compared by UTF-8 bytes like Spark). A `None` bound is
+    * unknown/unbounded (e.g. a >64-char string max, where a truncated
+    * prefix would be an INVALID upper bound) and never prunes. */
+  final case class ColStat(t: String, min: Option[String], max: Option[String])
+  final case class FileStats(rows: Long, cols: Map[String, ColStat])
+
   final case class Manifest(version: Long, parent: Long, op: String,
-      files: Seq[String], adds: Seq[String])
+      files: Seq[String], adds: Seq[String],
+      stats: Map[String, FileStats] = Map.empty,
+      schemaJson: Option[String] = None)
 
   private val LogDir = "_graft_log"
   private def manifestName(v: Long): String = f"v$v%012d.json"
@@ -73,6 +105,21 @@ object Snapshots {
     root.put("op", m.op)
     val fl = root.putArray("files"); m.files.foreach(fl.add)
     val ad = root.putArray("adds"); m.adds.foreach(ad.add)
+    m.schemaJson.foreach(root.put("schema", _))
+    if (m.stats.nonEmpty) {
+      val st = root.putObject("stats")
+      m.stats.foreach { case (f, fs) =>
+        val fn = st.putObject(f)
+        fn.put("rows", fs.rows)
+        val cols = fn.putObject("cols")
+        fs.cols.foreach { case (c, cs) =>
+          val cn = cols.putObject(c)
+          cn.put("t", cs.t)
+          cs.min.foreach(cn.put("min", _))
+          cs.max.foreach(cn.put("max", _))
+        }
+      }
+    }
     om.writeValueAsBytes(root)
   }
 
@@ -81,13 +128,39 @@ object Snapshots {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val n = om.readTree(bytes)
       if (n == null || !n.has("version") || !n.has("files")) None
-      else Some(Manifest(
-        n.get("version").asLong(), n.get("parent").asLong(-1L),
-        n.get("op").asText("append"),
-        (0 until n.get("files").size()).map(n.get("files").get(_).asText()),
-        if (n.has("adds"))
-          (0 until n.get("adds").size()).map(n.get("adds").get(_).asText())
-        else Nil))
+      else {
+        val stats: Map[String, FileStats] =
+          if (!n.has("stats")) Map.empty
+          else {
+            val st = n.get("stats")
+            val it = st.fieldNames()
+            val b = Map.newBuilder[String, FileStats]
+            while (it.hasNext) {
+              val f = it.next(); val fn = st.get(f)
+              val cols = Map.newBuilder[String, ColStat]
+              if (fn.has("cols")) {
+                val cit = fn.get("cols").fieldNames()
+                while (cit.hasNext) {
+                  val c = cit.next(); val cn = fn.get("cols").get(c)
+                  cols += c -> ColStat(cn.get("t").asText(),
+                    if (cn.has("min")) Some(cn.get("min").asText()) else None,
+                    if (cn.has("max")) Some(cn.get("max").asText()) else None)
+                }
+              }
+              b += f -> FileStats(fn.get("rows").asLong(0L), cols.result())
+            }
+            b.result()
+          }
+        Some(Manifest(
+          n.get("version").asLong(), n.get("parent").asLong(-1L),
+          n.get("op").asText("append"),
+          (0 until n.get("files").size()).map(n.get("files").get(_).asText()),
+          if (n.has("adds"))
+            (0 until n.get("adds").size()).map(n.get("adds").get(_).asText())
+          else Nil,
+          stats,
+          if (n.has("schema")) Some(n.get("schema").asText()) else None))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def readManifest(fs: FileSystem, root: Path,
@@ -132,6 +205,242 @@ object Snapshots {
       .map(m => (m.version, m.op, m.files.size))
   }
 
+  // -------------------------------------------------------------- file stats
+
+  private def statType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | TimestampType | DateType => true
+    case _ => false
+  }
+
+  private def statExpr(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c)
+    case DateType => datediff(c, to_date(lit("1970-01-01")))
+    case _ => c
+  }
+
+  private val MaxStatString = 64
+
+  /** Longs beyond 2^53 round when compared as Double — widen one ulp
+    * outward so the stored bound stays a conservative superset. */
+  private def renderNum(v: Any, isMin: Boolean): String = {
+    val d = v match {
+      case n: java.math.BigDecimal => n.doubleValue
+      case n: Number =>
+        val l = n.longValue
+        if ((n.isInstanceOf[java.lang.Long] || n.isInstanceOf[Integer]) &&
+            math.abs(l) > (1L << 53)) {
+          val dd = l.toDouble
+          if (isMin) math.nextDown(dd) else math.nextUp(dd)
+        } else n.doubleValue
+      case other => other.toString.toDouble
+    }
+    java.lang.Double.toString(d)
+  }
+
+  /** Per-file min/max + row counts for one commit's files: ONE
+    * column-pruned distributed pass over just the new files (the scan
+    * reads only stat-typed columns), grouped by `input_file_name`. Min/
+    * max use SPARK's comparison semantics (UTF8-byte strings, IEEE
+    * numerics), so pruning decisions later agree exactly with the
+    * `.where` the survivors still run. Production formats harvest the
+    * same bounds from parquet footers for free; the explicit pass keeps
+    * the ordering semantics identical to the query engine's and costs
+    * one read of the commit's delta, not the table. */
+  private def computeStats(spark: SparkSession, root: Path,
+      commitDir: String, schema: StructType): Map[String, FileStats] = {
+    val fields = schema.fields.filter(f => statType(f.dataType)).toSeq
+    val df = spark.read.schema(schema)
+      .parquet(new Path(root, commitDir).toString)
+    val aggs = fields.flatMap { f =>
+      val c = statExpr(col(f.name), f.dataType)
+      Seq(min(c).as(s"__min_${f.name}"), max(c).as(s"__max_${f.name}"))
+    }
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(count(lit(1)).as("__n"), aggs: _*).collect()
+    rows.map { r =>
+      val base = r.getString(0).split('/').last
+      val rel = s"$commitDir/$base"
+      val cols = fields.zipWithIndex.flatMap { case (f, i) =>
+        val lo = r.get(2 + 2 * i); val hi = r.get(3 + 2 * i)
+        if (lo == null || hi == null) None // all-null file column
+        else f.dataType match {
+          case StringType =>
+            val minS = lo.asInstanceOf[String].take(MaxStatString)
+            val maxS = hi.asInstanceOf[String]
+            Some(f.name -> ColStat("s", Some(minS),
+              if (maxS.length > MaxStatString) None else Some(maxS)))
+          case _ =>
+            Some(f.name -> ColStat("n", Some(renderNum(lo, isMin = true)),
+              Some(renderNum(hi, isMin = false))))
+        }
+      }.toMap
+      rel -> FileStats(r.getLong(1), cols)
+    }.toMap
+  }
+
+  // -------------------------------------------------------- predicate bounds
+
+  private sealed trait BVal
+  private final case class BNum(v: Double) extends BVal
+  private final case class BStr(v: String) extends BVal
+  private final case class Bound(col: String, op: String, v: BVal)
+
+  private def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def litVal(l: Literal): Option[BVal] = l.dataType match {
+    case StringType =>
+      Option(l.value).map(v => BStr(v.toString))
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType =>
+      Option(l.value).map(v => BNum(v.asInstanceOf[Number].doubleValue))
+    case _: DecimalType =>
+      Option(l.value).map(v =>
+        BNum(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble))
+    case TimestampType =>
+      Option(l.value).map(v => BNum(v.asInstanceOf[Long].toDouble))
+    case DateType =>
+      Option(l.value).map(v => BNum(v.asInstanceOf[Int].toDouble))
+    case _ => None
+  }
+
+  /** Unwrap monotone numeric/temporal widenings the analyzer inserts
+    * (e.g. int column vs double literal); anything else blocks pruning
+    * on that conjunct. */
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(a: AttributeReference, dt, _, _)
+        if numericish(a.dataType) && numericish(dt) => Some(a.name)
+    case _ => None
+  }
+
+  private def numericish(dt: DataType): Boolean = dt match {
+    case _: NumericType | TimestampType | DateType => true
+    case _ => false
+  }
+
+  private def foldLit(e: Expression): Option[Literal] = e match {
+    case l: Literal => Some(l)
+    case c @ Cast(_: Literal, _, _, _) => Some(Literal(c.eval(null), c.dataType))
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+    case other => other
+  }
+
+  /** Analyze a filter into prunable (col, op, literal) bounds by running
+    * it through the ANALYZER against the snapshot schema — the same
+    * resolution the real scan gets, so implicit casts and column
+    * resolution match exactly. Unrecognized conjuncts prune nothing. */
+  private def analyzeBounds(spark: SparkSession, schema: StructType,
+      filter: Column): Seq[Bound] = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema).where(filter)
+    val cond = probe.queryExecution.analyzed.collectFirst {
+      case f: LFilter => f.condition
+    }.getOrElse(return Nil)
+    conjuncts(cond).flatMap {
+      case EqualTo(a, b) => bound(a, b, "=")
+      case GreaterThan(a, b) => bound(a, b, ">")
+      case GreaterThanOrEqual(a, b) => bound(a, b, ">=")
+      case LessThan(a, b) => bound(a, b, "<")
+      case LessThanOrEqual(a, b) => bound(a, b, "<=")
+      case In(a, vs) if attrOf(a).isDefined &&
+          vs.forall(foldLit(_).isDefined) =>
+        // x IN (v1..vn) survives if ANY value is in range — encode as
+        // one "in" bound carrying min/max of the value list
+        val bvs = vs.flatMap(v => foldLit(v).flatMap(litVal))
+        if (bvs.size != vs.size) Nil
+        else bvs.headOption match {
+          case Some(_: BNum) =>
+            val ds = bvs.collect { case BNum(d) => d }
+            Seq(Bound(attrOf(a).get, ">=", BNum(ds.min)),
+              Bound(attrOf(a).get, "<=", BNum(ds.max)))
+          case Some(_: BStr) =>
+            val ss = bvs.collect { case BStr(s) => s }
+            Seq(Bound(attrOf(a).get, ">=", BStr(ss.min(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))),
+              Bound(attrOf(a).get, "<=", BStr(ss.max(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
+  private def bound(a: Expression, b: Expression, op: String): Seq[Bound] =
+    (attrOf(a), foldLit(b), attrOf(b), foldLit(a)) match {
+      case (Some(c), Some(l), _, _) => litVal(l).map(Bound(c, op, _)).toSeq
+      case (_, _, Some(c), Some(l)) =>
+        litVal(l).map(Bound(c, flip(op), _)).toSeq
+      case _ => Nil
+    }
+
+  /** Can a file with these stats contain a row satisfying the bound?
+    * Unknown stats (missing column, missing side, type mismatch) always
+    * survive — pruning is a conservative superset. */
+  private def survives(cs: ColStat, b: Bound): Boolean = (cs.t, b.v) match {
+    case ("n", BNum(v)) =>
+      val lo = cs.min.map(_.toDouble); val hi = cs.max.map(_.toDouble)
+      b.op match {
+        case "=" => lo.forall(_ <= v) && hi.forall(_ >= v)
+        case ">" => hi.forall(_ > v)
+        case ">=" => hi.forall(_ >= v)
+        case "<" => lo.forall(_ < v)
+        case "<=" => lo.forall(_ <= v)
+        case _ => true
+      }
+    case ("s", BStr(v)) =>
+      val lo = cs.min; val hi = cs.max
+      b.op match {
+        case "=" => lo.forall(cmpUtf8(_, v) <= 0) && hi.forall(cmpUtf8(_, v) >= 0)
+        case ">" => hi.forall(cmpUtf8(_, v) > 0)
+        case ">=" => hi.forall(cmpUtf8(_, v) >= 0)
+        case "<" => lo.forall(cmpUtf8(_, v) < 0)
+        case "<=" => lo.forall(cmpUtf8(_, v) <= 0)
+        case _ => true
+      }
+    case _ => true
+  }
+
+  private def pruneFiles(m: Manifest, bounds: Seq[Bound]): Seq[String] =
+    if (bounds.isEmpty) m.files
+    else m.files.filter { f =>
+      m.stats.get(f) match {
+        case None => true // no stats recorded — never prune blind
+        case Some(fs) => bounds.forall { b =>
+          fs.cols.get(b.col) match {
+            case None => true
+            case Some(cs) => survives(cs, b)
+          }
+        }
+      }
+    }
+
+  private def snapshotSchema(spark: SparkSession, path: String,
+      m: Manifest): StructType = m.schemaJson match {
+    case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
+    case None =>
+      require(m.files.nonEmpty,
+        s"snapshot version ${m.version} at $path lists no files and no schema")
+      spark.read.parquet(new Path(new Path(path), m.files.head).toString)
+        .schema
+  }
+
   // ------------------------------------------------------------------ commits
 
   /** Append `df` as a new version; returns the committed version. */
@@ -146,28 +455,149 @@ object Snapshots {
     * into `numFiles` files — optionally Z-ORDER clustered over
     * `zorderBy` dims via [[graft.functions.ZOrder]]'s codegen Morton
     * key, so every clustered dim's min/max span is bounded per file and
-    * later scans data-skip — committed as a NEW version with
-    * `op = "optimize"`. Readers of prior versions are untouched (their
-    * files only retire at vacuum), a concurrent reader of the log never
-    * sees a half-rewritten table, and [[changes]] SKIPS optimize commits
-    * (same rows, new layout — an incremental consumer must not re-ingest
-    * the whole table because maintenance ran). Quantization steps for
-    * the Z-key: each entry is (column, min, max) on `zBits`-bit grids,
-    * `ZOrder.quantize`'s IEEE-portable mapping. */
+    * later [[scanWhere]] scans data-skip — committed as a NEW version
+    * with `op = "optimize"`. Readers of prior versions are untouched
+    * (their files only retire at vacuum), a concurrent reader of the log
+    * never sees a half-rewritten table, and [[changes]] SKIPS optimize
+    * commits (same rows, new layout — an incremental consumer must not
+    * re-ingest the whole table because maintenance ran). Quantization
+    * steps for the Z-key: each entry is (column, min, max) on
+    * `zBits`-bit grids, `ZOrder.quantize`'s IEEE-portable mapping.
+    * Fails with `ConcurrentModificationException` if another data
+    * change lands first (the rewrite would lose it). */
   def optimize(spark: SparkSession, path: String, numFiles: Int,
       zorderBy: Seq[(String, Double, Double)] = Nil, zBits: Int = 16): Long = {
     require(numFiles > 0, "numFiles must be positive")
-    val cur = read(spark, path)
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val cur = read(spark, path, Some(m.version))
     val rewritten =
       if (zorderBy.isEmpty) cur.repartition(numFiles)
       else graft.functions.ZOrder.clusterByZ(cur, zorderBy, zBits,
         numFiles)
-    commit(rewritten, path, "optimize")
+    commit(rewritten, path, "optimize", expectParent = Some(m.version))
+  }
+
+  /** Copy-on-write UPSERT by key: rows of `updates` replace current rows
+    * with equal `keyCols`; unmatched update rows are inserts. Only the
+    * files that CONTAIN a matched key are rewritten — candidates come
+    * from per-file key-column stats against the updates' key range (the
+    * nightly-batch shape: a day's updates touch a bounded key band, so
+    * a 100 TB table rewrites a sliver), then one exact semi-join pass
+    * over the candidates picks the truly touched files; untouched files
+    * carry into the new manifest unmoved. [[changes]] granularity is
+    * FILE-level: a merge's adds re-emit rows co-located with matches —
+    * pair with [[TableJoins.applyChangelog]] when a consumer needs
+    * row-level deltas. Fails with `ConcurrentModificationException` if
+    * another data change lands between read and claim. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], expectVersion: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "merge", path)
+    val schema = snapshotSchema(spark, path, m)
+    require(keyCols.forall(k => schema.fieldNames.contains(k)),
+      s"key columns ${keyCols.mkString(",")} must exist in the table")
+    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    val root = new Path(path)
+    val touched = touchedFiles(spark, root, m, schema,
+      aligned.select(keyCols.map(col): _*).distinct(), keyCols)
+    val newData =
+      if (touched.isEmpty) aligned
+      else {
+        val touchedRows = spark.read.schema(schema)
+          .parquet(touched.map(f => new Path(root, f).toString): _*)
+        touchedRows.join(aligned.select(keyCols.map(col): _*).distinct(),
+            keyCols, "left_anti")
+          .unionByName(aligned)
+      }
+    commit(newData, path, "merge", removed = touched.toSet,
+      expectParent = Some(m.version))
+  }
+
+  /** Copy-on-write DELETE of rows where `predicate` is TRUE (null keeps
+    * the row, SQL semantics). Stats pre-prune the candidate files, one
+    * exact pass picks the files that actually contain matches, and only
+    * those are rewritten without their matching rows; a file whose every
+    * row matches simply drops from the manifest. Same conflict and
+    * [[changes]]-granularity rules as [[merge]]. */
+  def delete(spark: SparkSession, path: String, predicate: Column,
+      expectVersion: Option[Long] = None): Long = {
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "delete", path)
+    val schema = snapshotSchema(spark, path, m)
+    val root = new Path(path)
+    val bounds = analyzeBounds(spark, schema, predicate)
+    val candidates = pruneFiles(m, bounds)
+    if (candidates.isEmpty) return m.version
+    val withFile = spark.read.schema(schema)
+      .parquet(candidates.map(f => new Path(root, f).toString): _*)
+      .withColumn("__gf", input_file_name())
+    val touched = relativize(
+      withFile.where(predicate).select("__gf").distinct()
+        .collect().map(_.getString(0)).toSeq, candidates)
+    if (touched.isEmpty) return m.version
+    val kept = spark.read.schema(schema)
+      .parquet(touched.map(f => new Path(root, f).toString): _*)
+      .where(not(coalesce(predicate, lit(false))))
+    commit(kept, path, "delete", removed = touched.toSet,
+      expectParent = Some(m.version))
+  }
+
+  /** Transaction pinning (the Delta txn-version idiom): a caller that
+    * planned its rewrite against a version it read earlier passes that
+    * version; a newer data commit fails the rewrite up front instead of
+    * silently merging against state the plan never saw. */
+  private def checkExpected(m: Manifest, expect: Option[Long], op: String,
+      path: String): Unit = expect.foreach { v =>
+    if (m.version != v)
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $path prepared against version $v but found " +
+          s"${m.version} — re-run the $op")
+  }
+
+  /** Files of `m` that contain at least one row whose `keyCols` match a
+    * key in `keys`: stats pre-prune (single-key fast path — the key
+    * range of the update batch), then an exact semi-join pass over the
+    * candidates only. */
+  private def touchedFiles(spark: SparkSession, root: Path, m: Manifest,
+      schema: StructType, keys: DataFrame, keyCols: Seq[String]): Seq[String] = {
+    if (m.files.isEmpty) return Nil
+    val candidates =
+      if (keyCols.size == 1 &&
+          statType(schema(keyCols.head).dataType)) {
+        val k = keyCols.head
+        val mm = keys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+        if (mm.isNullAt(0)) Nil
+        else pruneFiles(m, analyzeBounds(spark, schema,
+          col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1))))
+      } else m.files
+    if (candidates.isEmpty) return Nil
+    val withFile = spark.read.schema(schema)
+      .parquet(candidates.map(f => new Path(root, f).toString): _*)
+      .withColumn("__gf", input_file_name())
+    relativize(
+      withFile.join(keys, keyCols, "left_semi").select("__gf").distinct()
+        .collect().map(_.getString(0)).toSeq, candidates)
+  }
+
+  /** Map `input_file_name` URIs back to manifest-relative paths by their
+    * unique (commit-dir, basename) tail. */
+  private def relativize(uris: Seq[String], rel: Seq[String]): Seq[String] = {
+    val byTail = rel.map(r => r.split('/').takeRight(2).mkString("/") -> r)
+      .toMap
+    uris.flatMap { u =>
+      byTail.get(u.split('/').takeRight(2).mkString("/"))
+    }.distinct.sorted
   }
 
   private def commit(df: DataFrame, path: String, op: String,
+      removed: Set[String] = Set.empty,
+      expectParent: Option[Long] = None,
       maxRetries: Int = 20): Long = {
-    require(op == "append" || op == "overwrite" || op == "optimize",
+    require(Set("append", "overwrite", "optimize", "merge", "delete")(op),
       s"unknown op $op")
     val spark = df.sparkSession
     val fs = fsFor(spark, path); val root = new Path(path)
@@ -180,21 +610,34 @@ object Snapshots {
       .collect { case s if s.isFile && s.getPath.getName.endsWith(".parquet")
         => s"$commitDir/${s.getPath.getName}" }
       .sorted
+    val addStats = computeStats(spark, root, commitDir, df.schema)
+    val schemaJson = df.schema.json
     // 2) claim the next version with an atomic create-if-absent; on a
-    //    lost race, re-read latest and retry (driver-side only).
+    //    lost race, re-read latest and retry (driver-side only) — except
+    //    for snapshot-rewriting ops (merge/delete/optimize), which must
+    //    observe the exact parent they rewrote or fail.
     var attempt = 0
     while (true) {
       val parent = latestManifest(spark, path)
+      expectParent.foreach { exp =>
+        if (parent.map(_.version).getOrElse(0L) != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"$op at $path prepared against version $exp but found " +
+              s"${parent.map(_.version).getOrElse(0L)} — re-run the $op")
+      }
       val claimed = claimedVersions(fs, root)
       val next = math.max(parent.map(_.version).getOrElse(0L),
         if (claimed.isEmpty) 0L else claimed.max) + 1
-      // overwrite AND optimize replace the snapshot's file list; only
-      // append extends it (optimize = same rows, new layout)
-      val files =
-        if (op == "append") parent.map(_.files).getOrElse(Nil) ++ adds
-        else adds
+      // append/merge/delete retain the parent's (surviving) files;
+      // overwrite/optimize replace the file list outright
+      val retained =
+        if (op == "overwrite" || op == "optimize") Nil
+        else parent.map(_.files).getOrElse(Nil).filterNot(removed)
+      val files = retained ++ adds
+      val stats = parent.map(_.stats).getOrElse(Map.empty)
+        .filter { case (f, _) => retained.contains(f) } ++ addStats
       val m = Manifest(next, parent.map(_.version).getOrElse(0L), op,
-        files, adds)
+        files, adds, stats, Some(schemaJson))
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       try {
@@ -234,26 +677,54 @@ object Snapshots {
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
   }
 
-  /** Read a pinned version (default: latest). The scan's file list IS the
-    * manifest — no data-directory listing, stable under concurrent
-    * commits. An empty snapshot needs a schema to make a DataFrame, so
-    * empty manifests raise (callers of time-travel know their v ≥ 1). */
+  /** Read a pinned version (default: latest). The scan's file list IS
+    * the manifest — no data-directory listing, stable under concurrent
+    * commits. An empty snapshot (everything deleted) reads as an empty
+    * DataFrame with the manifest's schema. */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val m = requireManifest(spark, path, version)
-    require(m.files.nonEmpty,
-      s"snapshot version ${m.version} at $path lists no files")
+    if (m.files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        snapshotSchema(spark, path, m))
+    else {
+      val root = new Path(path)
+      spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+    }
+  }
+
+  /** DATA-SKIPPING read: prune the manifest's file list by per-file
+    * column stats against `filter`'s analyzable conjuncts (=, <, <=, >,
+    * >=, IN over columns vs literals — resolved through the real
+    * analyzer, so implicit casts match the scan's), then run the FULL
+    * filter on the survivors — pruning is a conservative superset, the
+    * predicate stays authoritative (the same two-tier contract as the
+    * tile-pruned cube scans). Files or columns without stats never
+    * prune. On a 100 TB table a selective key-range scan plans in
+    * milliseconds and touches only the matching z-span of files. */
+  def scanWhere(spark: SparkSession, path: String, filter: Column,
+      version: Option[Long] = None): DataFrame = {
+    val m = requireManifest(spark, path, version)
+    val schema = snapshotSchema(spark, path, m)
+    val keep = pruneFiles(m, analyzeBounds(spark, schema, filter))
     val root = new Path(path)
-    spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(keep.map(f => new Path(root, f).toString): _*)
+    base.where(filter)
   }
 
   /** Rows ADDED in versions (fromExclusive, toInclusive] — the
-    * incremental-consumption read. Overwrite commits contribute their
-    * adds too (their retirements are a delete signal this append-level
-    * CDC does not carry; pair with [[TableJoins.applyChangelog]] for
-    * row-level merge semantics). OPTIMIZE commits are SKIPPED: their
-    * adds are the whole table in a new layout, and an incremental
-    * consumer must not re-ingest everything because maintenance ran. */
+    * incremental-consumption read. Overwrite/merge/delete commits
+    * contribute their adds too (file-level CDC: a merge/delete re-emits
+    * rows co-located with the touched rows, and retirements are a
+    * delete signal this append-level feed does not carry; pair with
+    * [[TableJoins.applyChangelog]] for row-level merge semantics).
+    * OPTIMIZE commits are SKIPPED: their adds are the whole table in a
+    * new layout, and an incremental consumer must not re-ingest
+    * everything because maintenance ran. */
   def changes(spark: SparkSession, path: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")

@@ -140,6 +140,129 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.versions(spark, p).map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
   }
 
+  test("scanWhere: stats prune files, result == full filter, superset " +
+      "laws (strings, unknown stats, non-analyzable conjuncts)") {
+    val p = freshDir()
+    // three appends with disjoint id ranges → per-file id stats disjoint
+    Snapshots.append(tbl(1 to 100).repartition(1), p)
+    Snapshots.append(tbl(101 to 200).repartition(1), p)
+    Snapshots.append(tbl(201 to 300).repartition(1), p)
+    val full = Snapshots.read(spark, p)
+    val allFiles = full.inputFiles.length
+    allFiles shouldBe 3
+    // numeric range: only the middle file survives
+    val f = col("id") >= 150L && col("id") <= 160L
+    val scan = Snapshots.scanWhere(spark, p, f)
+    scan.inputFiles.length shouldBe 1
+    rowSet(scan) shouldBe rowSet(full.where(f))
+    // equality on a string column prunes by UTF8 min/max
+    val sf = col("name") === "r250"
+    val sscan = Snapshots.scanWhere(spark, p, sf)
+    sscan.inputFiles.length should be < allFiles
+    rowSet(sscan) shouldBe rowSet(full.where(sf))
+    // a non-analyzable conjunct (modulo) prunes nothing on its own but
+    // the analyzable one still does; result stays exact
+    val mixed = (col("id") % 7 === 0) && col("id") < 100L
+    val mscan = Snapshots.scanWhere(spark, p, mixed)
+    mscan.inputFiles.length shouldBe 1
+    rowSet(mscan) shouldBe rowSet(full.where(mixed))
+    // a filter that no file can satisfy reads ZERO files, empty result
+    val none = Snapshots.scanWhere(spark, p, col("id") > 9999L)
+    none.inputFiles.length shouldBe 0
+    none.count() shouldBe 0L
+    none.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v")
+  }
+
+  test("merge: upsert semantics, untouched files carry over unmoved, " +
+      "pure-insert path, conflict detection") {
+    import spark.implicits._
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 100).repartition(1), p)
+    Snapshots.append(tbl(101 to 200).repartition(1), p)
+    val before = Snapshots.latestManifest(spark, p).get
+    // updates touch only the FIRST file's key range + insert new keys
+    val updates = Seq((5L, "UPD", -5.0), (7L, "UPD", -7.0),
+      (999L, "NEW", 0.0)).toDF("id", "name", "v")
+    val v = Snapshots.merge(spark, p, updates, Seq("id"))
+    v shouldBe 3L
+    val after = Snapshots.latestManifest(spark, p).get
+    // the second file (ids 101-200, stats-disjoint from the update key
+    // range) is retained verbatim — copy-on-write touched one file
+    val retained = after.files.toSet.intersect(before.files.toSet)
+    retained.size shouldBe 1
+    val out = Snapshots.read(spark, p)
+    out.count() shouldBe 201L
+    out.where(col("id") === 5L).select("name")
+      .as[String].head() shouldBe "UPD"
+    out.where(col("id") === 999L).count() shouldBe 1L
+    out.where(col("id") === 6L).select("name")
+      .as[String].head() shouldBe "r6" // co-located non-matched row kept
+    // pure insert: no key overlaps → zero files rewritten
+    val v2 = Snapshots.merge(spark, p,
+      Seq((5000L, "INS", 1.0)).toDF("id", "name", "v"), Seq("id"))
+    Snapshots.latestManifest(spark, p).get.files.toSet
+      .intersect(after.files.toSet).size shouldBe after.files.size
+    Snapshots.read(spark, p).count() shouldBe 202L
+  }
+
+  test("merge/delete conflict: a rewrite prepared against a stale " +
+      "version fails instead of dropping the interleaved commit") {
+    import spark.implicits._
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    val prepared = Snapshots.latestManifest(spark, p).get.version
+    Snapshots.append(tbl(11 to 12), p) // interleaved commit
+    val t = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.merge(spark, p,
+        Seq((1L, "X", 0.0)).toDF("id", "name", "v"), Seq("id"),
+        expectVersion = Some(prepared))
+    }
+    t.getMessage should include("re-run")
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.delete(spark, p, col("id") === 1L,
+        expectVersion = Some(prepared))
+    }
+    // nothing was lost: both data commits are intact
+    Snapshots.read(spark, p).count() shouldBe 12L
+  }
+
+  test("delete: predicate rows gone, stats prune candidates, whole-file " +
+      "delete drops the file, no-match delete is a no-op version") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 100).repartition(1), p)
+    Snapshots.append(tbl(101 to 200).repartition(1), p)
+    Snapshots.append(tbl(201 to 300).repartition(1), p)
+    // delete a slice inside file 2 only
+    val v = Snapshots.delete(spark, p,
+      col("id") >= 150L && col("id") < 160L)
+    v shouldBe 4L
+    val m = Snapshots.latestManifest(spark, p).get
+    m.op shouldBe "delete"
+    val out = Snapshots.read(spark, p)
+    out.count() shouldBe 290L
+    out.where(col("id") === 155L).count() shouldBe 0L
+    out.where(col("id") === 160L).count() shouldBe 1L
+    // files 1 and 3 carried over unmoved (their stats excluded them)
+    Snapshots.versions(spark, p).last._3 shouldBe 3
+    // whole-file delete: every row of file 1 matches → file drops, the
+    // rewrite adds nothing but an empty part (or nothing)
+    Snapshots.delete(spark, p, col("id") <= 100L)
+    Snapshots.read(spark, p).count() shouldBe 190L
+    // no-match delete returns the current version without a commit
+    val cur = Snapshots.latestManifest(spark, p).get.version
+    Snapshots.delete(spark, p, col("id") > 100000L) shouldBe cur
+    Snapshots.latestManifest(spark, p).get.version shouldBe cur
+  }
+
+  test("delete to empty table: read yields empty DF with schema") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    Snapshots.delete(spark, p, col("id") >= 0L)
+    val out = Snapshots.read(spark, p)
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v")
+    out.count() shouldBe 0L
+  }
+
   test("concurrent racing writers: all commits land, none lost") {
     val p = freshDir()
     Snapshots.append(tbl(1 to 2), p)
