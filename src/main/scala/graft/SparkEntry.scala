@@ -3744,6 +3744,48 @@ object SparkEntry {
       Snapshots.merge(s, p, updates, Seq("event_id"))
       Snapshots.read(s, p)
     }),
+    "q_stream_snapshot" -> ((s, dir) => {
+      // STREAMING face of the log (format("graft-snapshot")): offsets
+      // are committed VERSION numbers, each micro-batch reads exactly
+      // the files the versions in (start, end] ADDED — three real
+      // micro-batches here, with an OPTIMIZE between them that must NOT
+      // re-emit (if it did, the %3∈{0,1} rows would double and the hash
+      // would break). This is the forever-running incremental consumer
+      // of a 100 TB table that keeps committing.
+      val p = freshSnapshotPath(dir, "st")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0), p)
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sink = s"snap_stream_$slug"
+      val q = s.readStream.format("graft-snapshot").load(p)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        Snapshots.append(ev.where(col("event_id") % 3 === 1), p)
+        q.processAllAvailable()
+        Snapshots.optimize(s, p, numFiles = 1)
+        q.processAllAvailable()
+        Snapshots.append(ev.where(col("event_id") % 3 === 2), p)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink)
+    }),
+    "q_snapshot_source" -> ((s, dir) => {
+      // BATCH face of the V2 source: versionAsOf time travel + pushed
+      // filters pruning file partitions by manifest stats at planning
+      // time (filters stay residual — pruning is a superset; pinned in
+      // SnapshotSourceSpec). v1 holds the %3<2 slices range-partitioned
+      // on event_id, so the key-band read plans a strict subset of the
+      // files even though v2 overwrote the table afterwards.
+      val p = freshSnapshotPath(dir, "src")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 < 2)
+        .repartitionByRange(4, col("event_id")), p)
+      Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p)
+      s.read.format("graft-snapshot").option("versionAsOf", "1").load(p)
+        .where(col("event_id") >= 1000L && col("event_id") < 6000L)
+    }),
     "q_snapshot_delete" -> ((s, dir) => {
       // copy-on-write DELETE: the predicate's event_id bound prunes the
       // candidate files via manifest stats, one exact pass picks files
@@ -7776,6 +7818,15 @@ object SparkEntry {
                 CASE WHEN event_id % 6 = 0 OR event_id % 3 = 2
                      THEN value * 2 ELSE value END AS value
          FROM events""",
+    "q_stream_snapshot" ->
+      // three appended slices, exactly once each; the optimize commit
+      // between them contributes nothing
+      """SELECT event_id, user_id, event_type, value FROM events""",
+    "q_snapshot_source" ->
+      // v1 = the %3<2 slices; the pushed range stays residual-exact
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id % 3 < 2 AND event_id >= 1000 AND event_id < 6000""",
     "q_snapshot_delete" ->
       // delete removes predicate-true rows; everything else survives
       """SELECT event_id, user_id, event_type, value

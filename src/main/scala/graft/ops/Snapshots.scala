@@ -417,6 +417,64 @@ object Snapshots {
     case _ => true
   }
 
+  // ---- V2-source seam: manifest access + pruning over sources.Filter ----
+
+  private[graft] def manifestAt(spark: SparkSession, path: String,
+      v: Long): Option[Manifest] =
+    readManifest(fsFor(spark, path), new Path(path), v)
+
+  private[graft] def latestVersion(spark: SparkSession, path: String): Long =
+    latestManifest(spark, path).map(_.version).getOrElse(0L)
+
+  /** File pruning from DataSource V2 pushed filters — used by
+    * [[graft.sources.SnapshotTableProvider]] at PLANNING time. Pruning
+    * is a conservative superset, so the caller must keep every filter
+    * as a residual (Spark re-evaluates them on the surviving rows). */
+  private[graft] def pruneByFilters(m: Manifest,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] =
+    pruneFiles(m, filters.toSeq.flatMap(boundsFromFilter))
+
+  private def bvalOf(v: Any): Option[BVal] = v match {
+    case null => None
+    case s: String => Some(BStr(s))
+    case t: java.sql.Timestamp =>
+      Some(BNum((t.getTime * 1000 + (t.getNanos / 1000) % 1000).toDouble))
+    case i: java.time.Instant =>
+      Some(BNum((i.getEpochSecond * 1000000L + i.getNano / 1000).toDouble))
+    case d: java.sql.Date => Some(BNum(d.toLocalDate.toEpochDay.toDouble))
+    case d: java.time.LocalDate => Some(BNum(d.toEpochDay.toDouble))
+    case n: Number => Some(BNum(n.doubleValue))
+    case _ => None
+  }
+
+  private def boundsFromFilter(
+      f: org.apache.spark.sql.sources.Filter): Seq[Bound] = {
+    import org.apache.spark.sql.{sources => sf}
+    f match {
+      case sf.EqualTo(c, v) => bvalOf(v).map(Bound(c, "=", _)).toSeq
+      case sf.GreaterThan(c, v) => bvalOf(v).map(Bound(c, ">", _)).toSeq
+      case sf.GreaterThanOrEqual(c, v) =>
+        bvalOf(v).map(Bound(c, ">=", _)).toSeq
+      case sf.LessThan(c, v) => bvalOf(v).map(Bound(c, "<", _)).toSeq
+      case sf.LessThanOrEqual(c, v) => bvalOf(v).map(Bound(c, "<=", _)).toSeq
+      case sf.In(c, vs) if vs.nonEmpty =>
+        val bs = vs.toSeq.flatMap(bvalOf)
+        if (bs.size != vs.length) Nil
+        else bs.head match {
+          case _: BNum =>
+            val ds = bs.collect { case BNum(d) => d }
+            Seq(Bound(c, ">=", BNum(ds.min)), Bound(c, "<=", BNum(ds.max)))
+          case _: BStr =>
+            val ord = Ordering.fromLessThan[String](cmpUtf8(_, _) < 0)
+            val ss = bs.collect { case BStr(s) => s }
+            Seq(Bound(c, ">=", BStr(ss.min(ord))),
+              Bound(c, "<=", BStr(ss.max(ord))))
+        }
+      case sf.And(l, r) => boundsFromFilter(l) ++ boundsFromFilter(r)
+      case _ => Nil
+    }
+  }
+
   private def pruneFiles(m: Manifest, bounds: Seq[Bound]): Seq[String] =
     if (bounds.isEmpty) m.files
     else m.files.filter { f =>

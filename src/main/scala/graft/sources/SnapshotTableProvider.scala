@@ -1,0 +1,331 @@
+package graft.sources
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 face of the [[graft.ops.Snapshots]] transaction-log
+  * store — `format("graft-snapshot")`:
+  *
+  *  - '''batch''': `spark.read.format("graft-snapshot")
+  *    .option("versionAsOf", v).load(path)` — the scan's file list IS
+  *    the pinned manifest (no directory listing), and pushed filters
+  *    prune files by the manifest's per-file column stats at PLANNING
+  *    time. Pruning is a conservative superset, so every filter stays
+  *    RESIDUAL (Spark re-evaluates on the survivors) — pushedFilters
+  *    advertises what pruned, never what was consumed.
+  *  - '''streaming''': `spark.readStream.format("graft-snapshot")
+  *    .load(path)` tails the LOG — offsets are committed VERSION
+  *    numbers, each micro-batch reads exactly the files ADDED by the
+  *    versions in (start, end], and OPTIMIZE commits are skipped (same
+  *    rows, new layout — a consumer must not re-ingest the table
+  *    because maintenance ran). Deterministic replay from the log gives
+  *    exactly-once; `option("startingVersion", v)` begins at commit v
+  *    (default 1). This is the incremental-consumption face a
+  *    downstream index/aggregate maintenance job runs forever against
+  *    a 100 TB table that keeps committing.
+  *
+  * The partition reader decodes parquet through parquet-mr's public
+  * Group API (projection pushed via `parquet.read.schema`, one file per
+  * partition) — fine for the streaming deltas it serves; the heavy
+  * BATCH path of choice remains [[Snapshots.read]]/[[Snapshots.scanWhere]],
+  * which plan Spark's native vectorized parquet scan over the same
+  * manifest. Files written before a schema-evolving commit read their
+  * missing columns as null. Supported leaf types: integral, float,
+  * double, boolean, string, timestamp (INT64 millis/micros/nanos and
+  * INT96), date. */
+final class SnapshotTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-snapshot: missing path"))
+    val spark = SparkSession.active
+    val m = Option(options.get("versionAsOf")) match {
+      case Some(v) => Snapshots.manifestAt(spark, path, v.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snapshot: version $v does not exist at $path"))
+      case None => Snapshots.latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snapshot: no committed snapshot at $path"))
+    }
+    val schema = m.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-snapshot: manifest ${m.version} at $path predates schema " +
+          "tracking — rewrite it with a current commit"))
+    schema.fields.foreach { f =>
+      if (!SnapshotGroupReader.supported(f.dataType))
+        throw new IllegalArgumentException(
+          s"graft-snapshot: column ${f.name} has type ${f.dataType} — " +
+            "unsupported in the streaming reader; read this table with " +
+            "Snapshots.read instead")
+    }
+    schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SnapshotTable(opts.get("path"), schema,
+      Option(opts.get("versionAsOf")).map(_.toLong),
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L))
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class SnapshotTable(path: String, tschema: StructType,
+    versionAsOf: Option[Long], startingVersion: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snapshot($path)"
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion)
+}
+
+final class SnapshotScanBuilder(path: String, full: StructType,
+    versionAsOf: Option[Long], startingVersion: Long)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  /** Keep EVERY filter residual (stats pruning is a superset, never a
+    * substitute for evaluation); remember them all for planning-time
+    * file pruning. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new SnapshotScan(path, required, pushed, versionAsOf, startingVersion)
+}
+
+final case class SnapshotInputPartition(absPath: String)
+    extends InputPartition
+
+final class SnapshotScan(path: String, required: StructType,
+    pushed: Array[Filter], versionAsOf: Option[Long], startingVersion: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(path, required, startingVersion)
+  override def description(): String =
+    s"graft-snapshot StatsPrunedBy: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val m = versionAsOf match {
+      case Some(v) => Snapshots.manifestAt(spark, path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snapshot: version $v does not exist at $path"))
+      case None => Snapshots.latestManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snapshot: no committed snapshot at $path"))
+    }
+    Snapshots.pruneByFilters(m, pushed)
+      .map(f => SnapshotInputPartition(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(path), f).toString)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+}
+
+final class SnapshotReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SnapshotGroupReader(
+      p.asInstanceOf[SnapshotInputPartition].absPath, required)
+}
+
+object SnapshotGroupReader {
+  private[sources] def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | BooleanType | StringType | TimestampType |
+         DateType => true
+    case _ => false
+  }
+
+  /** INT96 timestamp: 8 LE bytes nanos-of-day + 4 LE bytes Julian day. */
+  private[sources] def int96Micros(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = buf.getLong
+    val julianDay = buf.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+}
+
+/** Reads ONE manifest file through parquet-mr's Group API with a pushed
+  * column projection; emits only the pruned schema. A column absent
+  * from the file (written before a schema-evolving commit) emits
+  * null. */
+final class SnapshotGroupReader(absPath: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(absPath)
+
+  private val fileSchema: MessageType = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+  }
+
+  private val present: Array[Boolean] =
+    required.fields.map(f => fileSchema.containsField(f.name))
+
+  // projection: the file's own types for exactly the requested fields
+  // that exist in it; a zero-field projection (count(*) over a file
+  // lacking every requested column) keeps one narrow carrier column so
+  // parquet-mr still iterates the row count
+  private val projFields = required.fields.zip(present)
+    .collect { case (f, true) =>
+      fileSchema.getType(fileSchema.getFieldIndex(f.name)) }
+  private val proj = new MessageType(fileSchema.getName,
+    (if (projFields.nonEmpty) projFields.toSeq
+     else Seq(fileSchema.getFields.get(0))): _*)
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      proj.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+      .build()
+  }
+
+  /** Per-field extractors resolved once: (group) => Catalyst value. */
+  private val emitters: Array[Group => Any] =
+    required.fields.zip(present).map {
+      case (_, false) => (_: Group) => null
+      case (f, true) =>
+        val idx = proj.getFieldIndex(f.name)
+        val ptype = proj.getType(idx).asPrimitiveType()
+        val get: Group => Any = f.dataType match {
+          case ByteType => g => g.getInteger(idx, 0).toByte
+          case ShortType => g => g.getInteger(idx, 0).toShort
+          case IntegerType => g => g.getInteger(idx, 0)
+          case LongType => g => g.getLong(idx, 0)
+          case FloatType => g => g.getFloat(idx, 0)
+          case DoubleType => g => g.getDouble(idx, 0)
+          case BooleanType => g => g.getBoolean(idx, 0)
+          case StringType =>
+            g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case DateType => g => g.getInteger(idx, 0)
+          case TimestampType =>
+            ptype.getPrimitiveTypeName match {
+              case PrimitiveType.PrimitiveTypeName.INT96 =>
+                g => SnapshotGroupReader.int96Micros(
+                  g.getInt96(idx, 0).getBytes)
+              case _ =>
+                val unit = Option(ptype.getLogicalTypeAnnotation).collect {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit
+                }
+                unit match {
+                  case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+                    g => g.getLong(idx, 0) * 1000L
+                  case Some(LogicalTypeAnnotation.TimeUnit.NANOS) =>
+                    g => g.getLong(idx, 0) / 1000L
+                  case _ => g => g.getLong(idx, 0) // micros (default)
+                }
+            }
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot: unsupported column type $other")
+        }
+        (g: Group) =>
+          if (g.getFieldRepetitionCount(idx) == 0) null else get(g)
+    }
+
+  private var cur: Group = _
+
+  override def next(): Boolean = {
+    cur = reader.read()
+    cur != null
+  }
+
+  override def get(): InternalRow =
+    InternalRow.fromSeq(emitters.toSeq.map(_(cur)))
+
+  override def close(): Unit = reader.close()
+}
+
+/** Streaming offset: the newest CONSUMED committed version. */
+final case class SnapshotVersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch stream tailing the transaction log: each batch is the
+  * files ADDED by versions in (start, end], skipping optimize commits.
+  * Replay is deterministic from the log → exactly-once under retries
+  * and restarts. */
+final class SnapshotMicroBatchStream(path: String, required: StructType,
+    startingVersion: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset =
+    SnapshotVersionOffset(math.max(0L, startingVersion - 1))
+
+  override def latestOffset(): Offset =
+    SnapshotVersionOffset(math.max(
+      Snapshots.latestVersion(SparkSession.active, path),
+      startingVersion - 1))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotVersionOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val s = start.asInstanceOf[SnapshotVersionOffset].version
+    val e = end.asInstanceOf[SnapshotVersionOffset].version
+    val root = new org.apache.hadoop.fs.Path(path)
+    (s + 1 to e).flatMap { v =>
+      // a dead claim (unparseable manifest) carries no data — skip it
+      Snapshots.manifestAt(spark, path, v) match {
+        case Some(m) if m.op != "optimize" => m.adds
+        case _ => Nil
+      }
+    }.map(f => SnapshotInputPartition(
+      new org.apache.hadoop.fs.Path(root, f).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.functions._
+
+class SnapshotSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_snapsrc_").toString
+    new java.io.File(d).deleteOnExit(); d
+  }
+
+  private def tbl(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"r$i", i * 2.0)).toDF("id", "name", "v")
+
+  test("batch read == Snapshots.read, versionAsOf time travel, column " +
+      "pruning emits only requested fields") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 50), p)
+    Snapshots.overwrite(tbl(100 to 120), p)
+    val latest = spark.read.format("graft-snapshot").load(p)
+    rowSet(latest) shouldBe rowSet(Snapshots.read(spark, p))
+    val v1 = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "1").load(p)
+    rowSet(v1) shouldBe rowSet(Snapshots.read(spark, p, Some(1L)))
+    // column pruning: a single-column projection round-trips
+    v1.select("id").as[Long].collect().sorted shouldBe (1L to 50L)
+    latest.count() shouldBe 21L
+  }
+
+  test("planning prunes files by manifest stats; filters stay residual " +
+      "so results are exact") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 100).repartition(1), p)
+    Snapshots.append(tbl(101 to 200).repartition(1), p)
+    Snapshots.append(tbl(201 to 300).repartition(1), p)
+    val df = spark.read.format("graft-snapshot").load(p)
+    df.rdd.getNumPartitions shouldBe 3
+    val filtered = df.where(col("id") >= 150L && col("id") <= 160L)
+    // physical pin: the key-range scan plans ONE file partition
+    filtered.rdd.getNumPartitions shouldBe 1
+    filtered.select("id").as[Long].collect().sorted shouldBe (150L to 160L)
+    // residual correctness: a predicate the stats cannot refine still
+    // evaluates exactly on the survivors
+    val mixed = df.where((col("id") % 7 === 0) && col("id") < 100L)
+    mixed.rdd.getNumPartitions shouldBe 1
+    mixed.select("id").as[Long].collect().sorted shouldBe
+      (1L to 99L).filter(_ % 7 == 0)
+  }
+
+  test("schema evolution: files written before a column existed read " +
+      "it as null") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    Snapshots.append(
+      (6 to 8).map(i => (i.toLong, s"r$i", i * 2.0, s"extra$i"))
+        .toDF("id", "name", "v", "tag"), p)
+    val df = spark.read.format("graft-snapshot").load(p)
+    df.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v", "tag")
+    df.where(col("id") <= 5L).select("tag").collect()
+      .foreach(_.isNullAt(0) shouldBe true)
+    df.where(col("id") === 7L).select("tag")
+      .as[String].head() shouldBe "extra7"
+  }
+
+  test("timestamp and date columns round-trip through the Group reader") {
+    val p = freshDir()
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456"),
+        java.sql.Date.valueOf("2024-03-01")),
+      (2L, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        java.sql.Date.valueOf("1969-12-31")))
+      .toDF("id", "ts", "d")
+    Snapshots.append(df, p)
+    val back = spark.read.format("graft-snapshot").load(p)
+    rowSet(back) shouldBe rowSet(Snapshots.read(spark, p))
+  }
+
+  test("streaming: version offsets tail the log exactly-once, optimize " +
+      "commits are skipped, startingVersion honored") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.append(tbl(11 to 20), p)
+    val q = spark.readStream.format("graft-snapshot").load(p)
+      .writeStream.format("memory").queryName("snap_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table("snap_stream").count() shouldBe 20L
+      // maintenance must not re-emit
+      Snapshots.optimize(spark, p, numFiles = 1)
+      q.processAllAvailable()
+      spark.table("snap_stream").count() shouldBe 20L
+      // a new append lands as its own delta
+      Snapshots.append(tbl(21 to 25), p)
+      q.processAllAvailable()
+      spark.table("snap_stream").select("id").as[Long].collect().sorted shouldBe
+        (1L to 25L)
+    } finally q.stop()
+    // startingVersion: consume only from v2 onward
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "2").load(p)
+      .writeStream.format("memory").queryName("snap_stream2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      spark.table("snap_stream2").select("id").as[Long].collect().sorted shouldBe
+        (11L to 25L)
+    } finally q2.stop()
+  }
+
+  test("unsupported column types get a typed error at load, not a " +
+      "mid-task crash") {
+    val p = freshDir()
+    Snapshots.append(
+      Seq((1L, Array(1.0, 2.0))).toDF("id", "vec"), p)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").load(p)
+    }
+    e.getMessage should include("unsupported")
+    e.getMessage should include("Snapshots.read")
+  }
+}
