@@ -3744,6 +3744,52 @@ object SparkEntry {
       Snapshots.merge(s, p, updates, Seq("event_id"))
       Snapshots.read(s, p)
     }),
+    "q_snapshot_update" -> ((s, dir) => {
+      // copy-on-write UPDATE: SET value = value*10 where the predicate
+      // hits; the event_id bound stats-prunes candidate files, only
+      // files containing matches rewrite, non-matching co-located rows
+      // pass through bit-identical (spec-pinned carry-over).
+      val p = freshSnapshotPath(dir, "up")
+      val ev = snapshotEvents(s, dir)
+      (0 to 2).foreach { r =>
+        Snapshots.append(ev.where(col("event_id") % 3 === r)
+          .repartitionByRange(4, col("event_id")), p)
+      }
+      Snapshots.update(s, p,
+        col("event_id") < 3000L && col("event_type") === "view",
+        Map("value" -> (col("value") * 10)))
+      Snapshots.read(s, p)
+    }),
+    "q_snapshot_sink" -> ((s, dir) => {
+      // EXACTLY-ONCE streaming SINK: two real micro-batches land as
+      // atomic snapshot commits through foreachBatch(streamAppend),
+      // then batch 0 is deliberately REPLAYED (the crash-retry shape) —
+      // the manifest's per-app txn high-water mark makes it a no-op.
+      // Without the guard the first batch's rows would double and the
+      // hash would break.
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      val p = freshSnapshotPath(dir, "snk")
+      val ev = snapshotEvents(s, dir)
+      val rows = ev.as[(Long, Long, String, Double)].collect()
+      val (b0, b1) = rows.partition(_._1 % 3 < 2)
+      val ms = MemoryStream[(Long, Long, String, Double)]
+      val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
+        .writeStream
+        .foreachBatch(Snapshots.streamAppend(p, "gate-sink"))
+        .start()
+      try {
+        ms.addData(b0.toIndexedSeq)
+        q.processAllAvailable()
+        ms.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      Snapshots.appendIdempotent( // crash-replay of batch 0
+        b0.toIndexedSeq.toDF("event_id", "user_id", "event_type", "value"),
+        p, "gate-sink", 0L)
+      Snapshots.read(s, p)
+    }),
     "q_stream_snapshot" -> ((s, dir) => {
       // STREAMING face of the log (format("graft-snapshot")): offsets
       // are committed VERSION numbers, each micro-batch reads exactly
@@ -7818,6 +7864,15 @@ object SparkEntry {
                 CASE WHEN event_id % 6 = 0 OR event_id % 3 = 2
                      THEN value * 2 ELSE value END AS value
          FROM events""",
+    "q_snapshot_update" ->
+      // update replay: SET hits only predicate-true rows
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_id < 3000 AND event_type = 'view'
+                     THEN value * 10 ELSE value END AS value
+         FROM events""",
+    "q_snapshot_sink" ->
+      // two batches exactly once, the replayed batch contributes nothing
+      """SELECT event_id, user_id, event_type, value FROM events""",
     "q_stream_snapshot" ->
       // three appended slices, exactly once each; the optimize commit
       // between them contributes nothing

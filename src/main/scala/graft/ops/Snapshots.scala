@@ -86,7 +86,8 @@ object Snapshots {
   final case class Manifest(version: Long, parent: Long, op: String,
       files: Seq[String], adds: Seq[String],
       stats: Map[String, FileStats] = Map.empty,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      txns: Map[String, Long] = Map.empty)
 
   private val LogDir = "_graft_log"
   private def manifestName(v: Long): String = f"v$v%012d.json"
@@ -106,6 +107,10 @@ object Snapshots {
     val fl = root.putArray("files"); m.files.foreach(fl.add)
     val ad = root.putArray("adds"); m.adds.foreach(ad.add)
     m.schemaJson.foreach(root.put("schema", _))
+    if (m.txns.nonEmpty) {
+      val tx = root.putObject("txns")
+      m.txns.foreach { case (app, id) => tx.put(app, id) }
+    }
     if (m.stats.nonEmpty) {
       val st = root.putObject("stats")
       m.stats.foreach { case (f, fs) =>
@@ -159,7 +164,16 @@ object Snapshots {
             (0 until n.get("adds").size()).map(n.get("adds").get(_).asText())
           else Nil,
           stats,
-          if (n.has("schema")) Some(n.get("schema").asText()) else None))
+          if (n.has("schema")) Some(n.get("schema").asText()) else None,
+          if (!n.has("txns")) Map.empty
+          else {
+            val tx = n.get("txns"); val it = tx.fieldNames()
+            val b = Map.newBuilder[String, Long]
+            while (it.hasNext) {
+              val app = it.next(); b += app -> tx.get(app).asLong()
+            }
+            b.result()
+          }))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -509,6 +523,40 @@ object Snapshots {
   def overwrite(df: DataFrame, path: String): Long =
     commit(df, path, "overwrite")
 
+  /** IDEMPOTENT append (the Delta txnAppId/txnVersion idiom): every
+    * manifest carries the latest committed `txnId` per `appId`, and a
+    * replay with `txnId` ≤ that is a NO-OP returning the current
+    * version — re-checked under each claim attempt, so even a racing
+    * duplicate cannot double-commit. This is what makes
+    * [[streamAppend]] an EXACTLY-ONCE streaming sink: Structured
+    * Streaming re-runs a foreachBatch after a crash with the SAME
+    * batchId, and the replayed write deduplicates here instead of
+    * appending twice. */
+  def appendIdempotent(df: DataFrame, path: String, appId: String,
+      txnId: Long): Long = {
+    require(appId.nonEmpty, "appendIdempotent needs an application id")
+    // fast path: skip the (distributed) data write for a known replay;
+    // the in-loop guard stays authoritative under races
+    latestManifest(df.sparkSession, path) match {
+      case Some(m) if m.txns.get(appId).exists(_ >= txnId) => m.version
+      case _ => commit(df, path, "append", txn = Some((appId, txnId)))
+    }
+  }
+
+  /** foreachBatch-shaped exactly-once streaming SINK:
+    * {{{
+    *   stream.writeStream
+    *     .foreachBatch(Snapshots.streamAppend(path, "my-job"))
+    *     .start()
+    * }}}
+    * Each micro-batch lands as one atomic snapshot commit keyed by its
+    * batchId; crash-replays of a committed batch are no-ops. Downstream
+    * consumers tail the same table with `format("graft-snapshot")` —
+    * log-to-log pipelines with exactly-once on both ends. */
+  def streamAppend(path: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { appendIdempotent(df, path, appId, batchId); () }
+
   /** Maintenance OPTIMIZE, inside the log: rewrite the current snapshot
     * into `numFiles` files — optionally Z-ORDER clustered over
     * `zorderBy` dims via [[graft.functions.ZOrder]]'s codegen Morton
@@ -604,6 +652,46 @@ object Snapshots {
       expectParent = Some(m.version))
   }
 
+  /** Copy-on-write UPDATE: rows where `predicate` is TRUE get each
+    * `set` column replaced by its expression (evaluated against the
+    * row — `col("value") * 10` works); all other rows and columns pass
+    * through untouched. File handling is [[delete]]'s: stats pre-prune
+    * candidates, one exact pass picks files actually containing
+    * matches, only those rewrite, and the rest of the manifest carries
+    * over unmoved. Same conflict rules. */
+  def update(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column], expectVersion: Option[Long] = None): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val m = latestManifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "update", path)
+    val schema = snapshotSchema(spark, path, m)
+    require(set.keys.forall(schema.fieldNames.contains),
+      s"SET columns ${set.keys.mkString(",")} must exist in the table")
+    val root = new Path(path)
+    val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
+    if (candidates.isEmpty) return m.version
+    val withFile = spark.read.schema(schema)
+      .parquet(candidates.map(f => new Path(root, f).toString): _*)
+      .withColumn("__gf", input_file_name())
+    val touched = relativize(
+      withFile.where(predicate).select("__gf").distinct()
+        .collect().map(_.getString(0)).toSeq, candidates)
+    if (touched.isEmpty) return m.version
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = spark.read.schema(schema)
+      .parquet(touched.map(f => new Path(root, f).toString): _*)
+      .select(schema.fieldNames.toSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c))
+            .cast(schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    commit(rewritten, path, "update", removed = touched.toSet,
+      expectParent = Some(m.version))
+  }
+
   /** Transaction pinning (the Delta txn-version idiom): a caller that
     * planned its rewrite against a version it read earlier passes that
     * version; a newer data commit fails the rewrite up front instead of
@@ -654,9 +742,10 @@ object Snapshots {
   private def commit(df: DataFrame, path: String, op: String,
       removed: Set[String] = Set.empty,
       expectParent: Option[Long] = None,
+      txn: Option[(String, Long)] = None,
       maxRetries: Int = 20): Long = {
-    require(Set("append", "overwrite", "optimize", "merge", "delete")(op),
-      s"unknown op $op")
+    require(Set("append", "overwrite", "optimize", "merge", "delete",
+      "update")(op), s"unknown op $op")
     val spark = df.sparkSession
     val fs = fsFor(spark, path); val root = new Path(path)
     // 1) data files land in an uncommitted per-commit directory: the
@@ -683,6 +772,14 @@ object Snapshots {
             s"$op at $path prepared against version $exp but found " +
               s"${parent.map(_.version).getOrElse(0L)} — re-run the $op")
       }
+      // idempotent-txn guard, re-checked under every claim attempt: a
+      // replayed (appId, txnId) that already committed becomes a no-op
+      // even if the duplicate raced us here (its data directory is
+      // unreferenced dead weight the next vacuum sweeps)
+      txn.foreach { case (app, id) =>
+        if (parent.exists(_.txns.get(app).exists(_ >= id)))
+          return parent.map(_.version).getOrElse(0L)
+      }
       val claimed = claimedVersions(fs, root)
       val next = math.max(parent.map(_.version).getOrElse(0L),
         if (claimed.isEmpty) 0L else claimed.max) + 1
@@ -695,7 +792,8 @@ object Snapshots {
       val stats = parent.map(_.stats).getOrElse(Map.empty)
         .filter { case (f, _) => retained.contains(f) } ++ addStats
       val m = Manifest(next, parent.map(_.version).getOrElse(0L), op,
-        files, adds, stats, Some(schemaJson))
+        files, adds, stats, Some(schemaJson),
+        parent.map(_.txns).getOrElse(Map.empty) ++ txn)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       try {

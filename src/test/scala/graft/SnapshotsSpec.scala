@@ -254,6 +254,79 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.latestManifest(spark, p).get.version shouldBe cur
   }
 
+  test("update: SET expressions hit only predicate rows, untouched " +
+      "files carry over, no-match update is a no-op") {
+    import spark.implicits._
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 100).repartition(1), p)
+    Snapshots.append(tbl(101 to 200).repartition(1), p)
+    val before = Snapshots.latestManifest(spark, p).get
+    val v = Snapshots.update(spark, p, col("id") >= 10L && col("id") < 20L,
+      Map("v" -> (col("v") * 10.0), "name" -> upper(col("name"))))
+    v shouldBe 3L
+    val out = Snapshots.read(spark, p)
+    out.count() shouldBe 200L
+    out.where(col("id") === 15L).select("v", "name")
+      .as[(Double, String)].head() shouldBe ((300.0, "R15"))
+    out.where(col("id") === 25L).select("v", "name")
+      .as[(Double, String)].head() shouldBe ((50.0, "r25"))
+    // file 2 (ids 101-200) carried over unmoved — stats excluded it
+    Snapshots.latestManifest(spark, p).get.files.toSet
+      .intersect(before.files.toSet).size shouldBe 1
+    // no-match: same version back, no commit
+    Snapshots.update(spark, p, col("id") > 99999L,
+      Map("v" -> lit(0.0))) shouldBe 3L
+    Snapshots.latestManifest(spark, p).get.version shouldBe 3L
+  }
+
+  test("appendIdempotent: a replayed (app, txnId) is a no-op; higher " +
+      "ids commit; apps are independent") {
+    val p = freshDir()
+    Snapshots.appendIdempotent(tbl(1 to 10), p, "jobA", 0L) shouldBe 1L
+    // exact replay (crash-retry of batch 0) → no-op, version unchanged
+    Snapshots.appendIdempotent(tbl(1 to 10), p, "jobA", 0L) shouldBe 1L
+    Snapshots.read(spark, p).count() shouldBe 10L
+    // stale replay below the high-water mark is also a no-op
+    Snapshots.appendIdempotent(tbl(11 to 15), p, "jobA", 1L) shouldBe 2L
+    Snapshots.appendIdempotent(tbl(99 to 99), p, "jobA", 0L) shouldBe 2L
+    Snapshots.read(spark, p).count() shouldBe 15L
+    // a different app has its own txn line
+    Snapshots.appendIdempotent(tbl(21 to 22), p, "jobB", 0L) shouldBe 3L
+    Snapshots.read(spark, p).count() shouldBe 17L
+    // plain commits interleave without disturbing txn high-water marks
+    Snapshots.append(tbl(31 to 32), p)
+    Snapshots.appendIdempotent(tbl(98 to 98), p, "jobA", 1L) shouldBe 4L
+    Snapshots.read(spark, p).count() shouldBe 19L
+  }
+
+  test("streamAppend: exactly-once foreachBatch sink feeding a " +
+      "graft-snapshot streaming read — log-to-log pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = freshDir()
+    val ms = MemoryStream[(Long, String, Double)]
+    val q = ms.toDF().toDF("id", "name", "v")
+      .writeStream
+      .foreachBatch(Snapshots.streamAppend(p, "sink-spec"))
+      .start()
+    try {
+      ms.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      ms.addData((3L, "c", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    Snapshots.read(spark, p).count() shouldBe 3L
+    // simulate the crash-replay of the FIRST batch: same app, batchId 0
+    import spark.implicits._
+    Snapshots.appendIdempotent(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"),
+      p, "sink-spec", 0L)
+    Snapshots.read(spark, p).count() shouldBe 3L // still exactly once
+    // versions are real snapshot commits: time travel works on the sink
+    Snapshots.read(spark, p, Some(1L)).count() shouldBe 2L
+  }
+
   test("delete to empty table: read yields empty DF with schema") {
     val p = freshDir()
     Snapshots.append(tbl(1 to 5), p)
