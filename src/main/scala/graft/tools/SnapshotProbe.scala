@@ -1,0 +1,100 @@
+package graft.tools
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-smoke for the snapshot-store tier: times ingest, a fixed-width
+  * stats-pruned key-band scan, merge/delete/update of a fixed-size
+  * batch, and optimize at 1× (sf0.1 events) and a synthetic 10×, to pin
+  * which costs scale with TABLE size and which with BATCH size. The
+  * design claim under test: scanWhere and the copy-on-write rewrites
+  * are BATCH-proportional (file pruning bounds them), only optimize is
+  * table-proportional. Run:
+  * {{{ sbt "runMain graft.tools.SnapshotProbe [sfDir]" }}}
+  */
+object SnapshotProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def rmrf(p: String): Unit = {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .foreach(del)
+        f.delete(); ()
+      }
+      del(new java.io.File(p))
+    }
+
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val n1 = ev.count()
+
+    /** 10×: nine shifted copies + the original — same distribution,
+      * disjoint key ranges, so file stats stay as selective as 1×. */
+    def scale10(df: DataFrame): DataFrame =
+      (0 until 10).map(i => df.select(
+        (col("event_id") + lit(i * 10L * n1)).as("event_id"),
+        col("user_id"), col("event_type"), col("value")))
+        .reduce(_ unionByName _)
+
+    def probe(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_$tag"
+      rmrf(p)
+      // ingest: 8 range-clustered appends (the nightly-commit shape)
+      val ingest = time {
+        (0 until 8).foreach { i =>
+          Snapshots.append(data.where(col("event_id") % 8 === i)
+            .repartitionByRange(8, col("event_id")), p)
+        }
+      }
+      // fixed-width key band: stats should prune to O(band) files
+      val lo = n / 2
+      val band = time {
+        Snapshots.scanWhere(spark, p,
+          col("event_id") >= lo && col("event_id") < lo + 1000L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val bandFiles = Snapshots.scanWhere(spark, p,
+        col("event_id") >= lo && col("event_id") < lo + 1000L)
+        .inputFiles.length
+      val totFiles = Snapshots.read(spark, p).inputFiles.length
+      // fixed-size update batch (1000 keys in one band)
+      val updates = data.where(col("event_id") >= lo &&
+          col("event_id") < lo + 1000L)
+        .withColumn("value", col("value") * 2)
+      val mergeT = time(Snapshots.merge(spark, p, updates, Seq("event_id")))
+      val updT = time(Snapshots.update(spark, p,
+        col("event_id") >= lo && col("event_id") < lo + 500L,
+        Map("value" -> (col("value") + 1))))
+      val delT = time(Snapshots.delete(spark, p,
+        col("event_id") >= lo && col("event_id") < lo + 250L))
+      // optimize IS table-proportional — the one full rewrite
+      val optT = time(Snapshots.optimize(spark, p, numFiles = 16))
+      println(f"[snapprobe] $tag n=$n files=$totFiles band_files=$bandFiles " +
+        f"ingest=$ingest%.2f band_scan=$band%.2f merge=$mergeT%.2f " +
+        f"update=$updT%.2f delete=$delT%.2f optimize=$optT%.2f")
+      rmrf(p)
+    }
+
+    // JIT/codegen warm-up at tiny scale, uncounted
+    probe("warm",
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value")), 1000L)
+    probe("x1", ev, n1)
+    probe("x10", scale10(ev), n1 * 10)
+    spark.stop()
+  }
+}
