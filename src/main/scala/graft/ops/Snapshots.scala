@@ -43,16 +43,24 @@ import org.apache.spark.sql.types._
   *
   * Layout under the table root:
   * {{{
-  *   _graft_log/v000000000001.json   one manifest per committed version
-  *   data/c-<uuid>/part-*.parquet    one data directory per commit
+  *   _graft_log/v000000000001.json            one DELTA manifest per commit
+  *   _graft_log/v000000000010.checkpoint.json derived full snapshot, every
+  *                                            CheckpointInterval versions
+  *   data/c-<uuid>/part-*.parquet             one data directory per commit
   * }}}
   *
-  * Manifest = complete relative file list (`files`) + this commit's
-  * additions (`adds`) + per-file stats + the snapshot schema + `op`
-  * (append|overwrite|optimize|merge|delete) + `parent`. Complete lists
-  * keep read planning O(1) manifest reads; at extreme commit counts a
-  * production format would checkpoint + delta-encode (Delta's
-  * `_last_checkpoint`), which changes encoding, not this API.
+  * Manifests are DELTAS (this commit's `adds`, `removes`, per-ADD
+  * stats, schema, txn marks, `op`, `parent`), so commit METADATA is
+  * O(change) — a single-file append to a million-file table writes a
+  * few hundred bytes of log, not a million-entry listing. Reads resolve
+  * the full snapshot by folding from the newest CHECKPOINT at-or-below
+  * the pinned version (Delta's log-compaction shape): the fold is
+  * bounded by the checkpoint interval, so planning stays O(interval)
+  * small log reads no matter how many commits the table has seen.
+  * Checkpoints are DERIVED, deterministic files — any writer may
+  * (re)create one, deleting one only lengthens the next fold, and
+  * vacuum materializes one at the horizon before retiring the manifests
+  * a retained version's chain would otherwise need.
   *
   * Commit protocol (optimistic concurrency): data files are written
   * UNDER AN UNCOMMITTED directory first, then the writer claims version
@@ -83,37 +91,52 @@ object Snapshots {
   final case class ColStat(t: String, min: Option[String], max: Option[String])
   final case class FileStats(rows: Long, cols: Map[String, ColStat])
 
+  /** One log record. Manifests are DELTAS: `adds`/`removes` against the
+    * parent (append-family ops), or a whole-snapshot replacement
+    * (overwrite/optimize — `adds` IS the new file list, nothing else
+    * survives), so commit metadata is O(change), never O(table). A
+    * manifest that carries `files` (pre-delta format, or a log whose
+    * writer chose to inline) is self-checkpointing. `stats` covers the
+    * `adds` only. */
   final case class Manifest(version: Long, parent: Long, op: String,
-      files: Seq[String], adds: Seq[String],
+      adds: Seq[String], removes: Seq[String] = Nil,
+      files: Option[Seq[String]] = None,
       stats: Map[String, FileStats] = Map.empty,
       schemaJson: Option[String] = None,
       txns: Map[String, Long] = Map.empty)
 
+  /** A RESOLVED snapshot: the complete file list + stats at a version,
+    * folded from the newest checkpoint at-or-below it plus the delta
+    * manifests after. This is what reads plan from. */
+  final case class Snapshot(version: Long, op: String,
+      files: Seq[String], stats: Map[String, FileStats],
+      schemaJson: Option[String], txns: Map[String, Long])
+
   private val LogDir = "_graft_log"
+  /** Write a full checkpoint every this many versions: resolution folds
+    * at most this many delta manifests, commit metadata stays O(change),
+    * and the periodic checkpoint is O(table) paid 1/interval of the
+    * time (Delta's log-compaction ratio). Checkpoint files are DERIVED,
+    * deterministic data — any writer may (re)create one, losing one is
+    * only a fold-length regression. */
+  private val CheckpointInterval = 10L
   private def manifestName(v: Long): String = f"v$v%012d.json"
+  private def checkpointName(v: Long): String = f"v$v%012d.checkpoint.json"
+  private val ManifestRe = """v(\d{12})\.json""".r
+  private val CheckpointRe = """v(\d{12})\.checkpoint\.json""".r
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // -------------------------------------------------------------- manifest IO
 
-  /** Tiny driver-side JSON; jackson-databind ships in Spark's jars. */
-  private def renderManifest(m: Manifest): Array[Byte] = {
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = om.createObjectNode()
-    root.put("version", m.version)
-    root.put("parent", m.parent)
-    root.put("op", m.op)
-    val fl = root.putArray("files"); m.files.foreach(fl.add)
-    val ad = root.putArray("adds"); m.adds.foreach(ad.add)
-    m.schemaJson.foreach(root.put("schema", _))
-    if (m.txns.nonEmpty) {
-      val tx = root.putObject("txns")
-      m.txns.foreach { case (app, id) => tx.put(app, id) }
-    }
-    if (m.stats.nonEmpty) {
+  private type JNode = com.fasterxml.jackson.databind.JsonNode
+  private type JObj = com.fasterxml.jackson.databind.node.ObjectNode
+
+  private def putStats(root: JObj, stats: Map[String, FileStats]): Unit =
+    if (stats.nonEmpty) {
       val st = root.putObject("stats")
-      m.stats.foreach { case (f, fs) =>
+      stats.foreach { case (f, fs) =>
         val fn = st.putObject(f)
         fn.put("rows", fs.rows)
         val cols = fn.putObject("cols")
@@ -125,6 +148,65 @@ object Snapshots {
         }
       }
     }
+
+  private def getStats(n: JNode): Map[String, FileStats] =
+    if (!n.has("stats")) Map.empty
+    else {
+      val st = n.get("stats")
+      val it = st.fieldNames()
+      val b = Map.newBuilder[String, FileStats]
+      while (it.hasNext) {
+        val f = it.next(); val fn = st.get(f)
+        val cols = Map.newBuilder[String, ColStat]
+        if (fn.has("cols")) {
+          val cit = fn.get("cols").fieldNames()
+          while (cit.hasNext) {
+            val c = cit.next(); val cn = fn.get("cols").get(c)
+            cols += c -> ColStat(cn.get("t").asText(),
+              if (cn.has("min")) Some(cn.get("min").asText()) else None,
+              if (cn.has("max")) Some(cn.get("max").asText()) else None)
+          }
+        }
+        b += f -> FileStats(fn.get("rows").asLong(0L), cols.result())
+      }
+      b.result()
+    }
+
+  private def getStrings(n: JNode, field: String): Seq[String] =
+    if (!n.has(field)) Nil
+    else (0 until n.get(field).size()).map(n.get(field).get(_).asText())
+
+  private def getTxns(n: JNode): Map[String, Long] =
+    if (!n.has("txns")) Map.empty
+    else {
+      val tx = n.get("txns"); val it = tx.fieldNames()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val app = it.next(); b += app -> tx.get(app).asLong()
+      }
+      b.result()
+    }
+
+  /** Tiny driver-side JSON; jackson-databind ships in Spark's jars. */
+  private def renderManifest(m: Manifest): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", m.version)
+    root.put("parent", m.parent)
+    root.put("op", m.op)
+    val ad = root.putArray("adds"); m.adds.foreach(ad.add)
+    if (m.removes.nonEmpty) {
+      val rm = root.putArray("removes"); m.removes.foreach(rm.add)
+    }
+    m.files.foreach { fl =>
+      val f = root.putArray("files"); fl.foreach(f.add)
+    }
+    m.schemaJson.foreach(root.put("schema", _))
+    if (m.txns.nonEmpty) {
+      val tx = root.putObject("txns")
+      m.txns.foreach { case (app, id) => tx.put(app, id) }
+    }
+    putStats(root, m.stats)
     om.writeValueAsBytes(root)
   }
 
@@ -132,49 +214,44 @@ object Snapshots {
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val n = om.readTree(bytes)
+      if (n == null || !n.has("version") ||
+          !(n.has("adds") || n.has("files"))) None
+      else Some(Manifest(
+        n.get("version").asLong(), n.get("parent").asLong(-1L),
+        n.get("op").asText("append"),
+        getStrings(n, "adds"),
+        getStrings(n, "removes"),
+        if (n.has("files")) Some(getStrings(n, "files")) else None,
+        getStats(n),
+        if (n.has("schema")) Some(n.get("schema").asText()) else None,
+        getTxns(n)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def renderCheckpoint(s: Snapshot): Array[Byte] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("version", s.version)
+    root.put("op", s.op)
+    val fl = root.putArray("files"); s.files.foreach(fl.add)
+    s.schemaJson.foreach(root.put("schema", _))
+    if (s.txns.nonEmpty) {
+      val tx = root.putObject("txns")
+      s.txns.foreach { case (app, id) => tx.put(app, id) }
+    }
+    putStats(root, s.stats)
+    om.writeValueAsBytes(root)
+  }
+
+  private def parseCheckpoint(bytes: Array[Byte]): Option[Snapshot] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = om.readTree(bytes)
       if (n == null || !n.has("version") || !n.has("files")) None
-      else {
-        val stats: Map[String, FileStats] =
-          if (!n.has("stats")) Map.empty
-          else {
-            val st = n.get("stats")
-            val it = st.fieldNames()
-            val b = Map.newBuilder[String, FileStats]
-            while (it.hasNext) {
-              val f = it.next(); val fn = st.get(f)
-              val cols = Map.newBuilder[String, ColStat]
-              if (fn.has("cols")) {
-                val cit = fn.get("cols").fieldNames()
-                while (cit.hasNext) {
-                  val c = cit.next(); val cn = fn.get("cols").get(c)
-                  cols += c -> ColStat(cn.get("t").asText(),
-                    if (cn.has("min")) Some(cn.get("min").asText()) else None,
-                    if (cn.has("max")) Some(cn.get("max").asText()) else None)
-                }
-              }
-              b += f -> FileStats(fn.get("rows").asLong(0L), cols.result())
-            }
-            b.result()
-          }
-        Some(Manifest(
-          n.get("version").asLong(), n.get("parent").asLong(-1L),
-          n.get("op").asText("append"),
-          (0 until n.get("files").size()).map(n.get("files").get(_).asText()),
-          if (n.has("adds"))
-            (0 until n.get("adds").size()).map(n.get("adds").get(_).asText())
-          else Nil,
-          stats,
-          if (n.has("schema")) Some(n.get("schema").asText()) else None,
-          if (!n.has("txns")) Map.empty
-          else {
-            val tx = n.get("txns"); val it = tx.fieldNames()
-            val b = Map.newBuilder[String, Long]
-            while (it.hasNext) {
-              val app = it.next(); b += app -> tx.get(app).asLong()
-            }
-            b.result()
-          }))
-      }
+      else Some(Snapshot(
+        n.get("version").asLong(), n.get("op").asText("append"),
+        getStrings(n, "files"), getStats(n),
+        if (n.has("schema")) Some(n.get("schema").asText()) else None,
+        getTxns(n)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def readManifest(fs: FileSystem, root: Path,
@@ -193,15 +270,34 @@ object Snapshots {
     }
   }
 
-  /** All claimed version numbers in the log, committed or not. */
-  private def claimedVersions(fs: FileSystem, root: Path): Seq[Long] = {
+  private def listLog(fs: FileSystem, root: Path): Seq[String] = {
     val log = new Path(root, LogDir)
     if (!fs.exists(log)) Nil
     else Option(fs.listStatus(log)).getOrElse(Array.empty).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json") }
-      .flatMap(s => scala.util.Try(s.toLong).toOption)
+  }
+
+  /** All claimed version numbers in the log, committed or not. */
+  private def claimedVersions(fs: FileSystem, root: Path): Seq[Long] =
+    listLog(fs, root).collect { case ManifestRe(v) => v.toLong }
+
+  private def checkpointVersions(fs: FileSystem, root: Path): Seq[Long] =
+    listLog(fs, root).collect { case CheckpointRe(v) => v.toLong }
+
+  private def readCheckpoint(fs: FileSystem, root: Path,
+      v: Long): Option[Snapshot] = {
+    val p = new Path(new Path(root, LogDir), checkpointName(v))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        parseCheckpoint(out.toByteArray)
+      } finally in.close()
+    }
   }
 
   /** Newest PARSEABLE manifest — skips in-flight/aborted claims. */
@@ -211,12 +307,74 @@ object Snapshots {
       .flatMap(v => readManifest(fs, root, v)).take(1).toSeq.headOption
   }
 
-  /** Committed (version, op, fileCount) history, oldest first. */
+  /** Resolve the complete snapshot at `v`: start from the newest
+    * checkpoint at-or-below `v` (or empty), fold the delta manifests
+    * after it. Fold length is bounded by the checkpoint interval, so a
+    * read plans from O(interval) small log reads no matter how many
+    * commits the table has seen. */
+  private def resolveSnapshot(fs: FileSystem, root: Path,
+      v: Long): Option[Snapshot] = {
+    readCheckpoint(fs, root, v).foreach(s => return Some(s))
+    val m = readManifest(fs, root, v).getOrElse(return None)
+    m.files match {
+      case Some(full) => // self-checkpointing manifest (pre-delta logs)
+        Some(Snapshot(v, m.op, full, m.stats, m.schemaJson, m.txns))
+      case None if m.op == "overwrite" || m.op == "optimize" =>
+        // whole-snapshot replacement: the delta IS the snapshot
+        Some(Snapshot(v, m.op, m.adds, m.stats, m.schemaJson, m.txns))
+      case None =>
+        val base: Snapshot =
+          readCheckpoint(fs, root, m.parent)
+            .orElse(if (m.parent <= 0) Some(Snapshot(0L, "append", Nil,
+              Map.empty, None, Map.empty))
+            else resolveSnapshot(fs, root, m.parent))
+            .getOrElse(throw new IllegalStateException(
+              s"snapshot log at $root is missing version ${m.parent} " +
+                s"needed to resolve $v (vacuumed past a live chain?)"))
+        val rm = m.removes.toSet
+        Some(Snapshot(v, m.op,
+          base.files.filterNot(rm) ++ m.adds,
+          (base.stats -- rm) ++ m.stats,
+          m.schemaJson.orElse(base.schemaJson), m.txns))
+    }
+  }
+
+  /** Write the derived checkpoint for a resolved snapshot — content is
+    * deterministic, so overwriting is always safe and losing one only
+    * lengthens the next fold. */
+  private def writeCheckpoint(fs: FileSystem, root: Path,
+      s: Snapshot): Unit = {
+    val p = new Path(new Path(root, LogDir), checkpointName(s.version))
+    val out = fs.create(p, true)
+    try out.write(renderCheckpoint(s)) finally out.close()
+  }
+
+  /** The resolved snapshot at a pinned version (None = latest). */
+  def snapshotAt(spark: SparkSession, path: String,
+      version: Option[Long] = None): Option[Snapshot] = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    version match {
+      case Some(v) => resolveSnapshot(fs, root, v)
+      case None => claimedVersions(fs, root).sorted.reverse.iterator
+        .flatMap(v => resolveSnapshot(fs, root, v)).take(1).toSeq.headOption
+    }
+  }
+
+  /** Committed (version, op, fileCount) history, oldest first — one
+    * forward fold over the whole log (a diagnostic listing, not a read
+    * path). */
   def versions(spark: SparkSession, path: String): Seq[(Long, String, Int)] = {
     val fs = fsFor(spark, path); val root = new Path(path)
+    var cur: Seq[String] = Nil
     claimedVersions(fs, root).sorted
       .flatMap(v => readManifest(fs, root, v))
-      .map(m => (m.version, m.op, m.files.size))
+      .map { m =>
+        cur = m.files.getOrElse {
+          if (m.op == "overwrite" || m.op == "optimize") m.adds
+          else cur.filterNot(m.removes.toSet) ++ m.adds
+        }
+        (m.version, m.op, cur.size)
+      }
   }
 
   // -------------------------------------------------------------- file stats
@@ -444,9 +602,9 @@ object Snapshots {
     * [[graft.sources.SnapshotTableProvider]] at PLANNING time. Pruning
     * is a conservative superset, so the caller must keep every filter
     * as a residual (Spark re-evaluates them on the surviving rows). */
-  private[graft] def pruneByFilters(m: Manifest,
+  private[graft] def pruneByFilters(snap: Snapshot,
       filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] =
-    pruneFiles(m, filters.toSeq.flatMap(boundsFromFilter))
+    pruneFiles(snap, filters.toSeq.flatMap(boundsFromFilter))
 
   private def bvalOf(v: Any): Option[BVal] = v match {
     case null => None
@@ -489,7 +647,7 @@ object Snapshots {
     }
   }
 
-  private def pruneFiles(m: Manifest, bounds: Seq[Bound]): Seq[String] =
+  private def pruneFiles(m: Snapshot, bounds: Seq[Bound]): Seq[String] =
     if (bounds.isEmpty) m.files
     else m.files.filter { f =>
       m.stats.get(f) match {
@@ -504,7 +662,7 @@ object Snapshots {
     }
 
   private def snapshotSchema(spark: SparkSession, path: String,
-      m: Manifest): StructType = m.schemaJson match {
+      m: Snapshot): StructType = m.schemaJson match {
     case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
     case None =>
       require(m.files.nonEmpty,
@@ -574,7 +732,7 @@ object Snapshots {
   def optimize(spark: SparkSession, path: String, numFiles: Int,
       zorderBy: Seq[(String, Double, Double)] = Nil, zBits: Int = 16): Long = {
     require(numFiles > 0, "numFiles must be positive")
-    val m = latestManifest(spark, path).getOrElse(
+    val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val cur = read(spark, path, Some(m.version))
     val rewritten =
@@ -599,7 +757,7 @@ object Snapshots {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], expectVersion: Option[Long] = None): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val m = latestManifest(spark, path).getOrElse(
+    val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     checkExpected(m, expectVersion, "merge", path)
     val schema = snapshotSchema(spark, path, m)
@@ -630,7 +788,7 @@ object Snapshots {
     * [[changes]]-granularity rules as [[merge]]. */
   def delete(spark: SparkSession, path: String, predicate: Column,
       expectVersion: Option[Long] = None): Long = {
-    val m = latestManifest(spark, path).getOrElse(
+    val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     checkExpected(m, expectVersion, "delete", path)
     val schema = snapshotSchema(spark, path, m)
@@ -662,7 +820,7 @@ object Snapshots {
   def update(spark: SparkSession, path: String, predicate: Column,
       set: Map[String, Column], expectVersion: Option[Long] = None): Long = {
     require(set.nonEmpty, "update needs at least one SET column")
-    val m = latestManifest(spark, path).getOrElse(
+    val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     checkExpected(m, expectVersion, "update", path)
     val schema = snapshotSchema(spark, path, m)
@@ -696,7 +854,7 @@ object Snapshots {
     * planned its rewrite against a version it read earlier passes that
     * version; a newer data commit fails the rewrite up front instead of
     * silently merging against state the plan never saw. */
-  private def checkExpected(m: Manifest, expect: Option[Long], op: String,
+  private def checkExpected(m: Snapshot, expect: Option[Long], op: String,
       path: String): Unit = expect.foreach { v =>
     if (m.version != v)
       throw new java.util.ConcurrentModificationException(
@@ -708,7 +866,7 @@ object Snapshots {
     * key in `keys`: stats pre-prune (single-key fast path — the key
     * range of the update batch), then an exact semi-join pass over the
     * candidates only. */
-  private def touchedFiles(spark: SparkSession, root: Path, m: Manifest,
+  private def touchedFiles(spark: SparkSession, root: Path, m: Snapshot,
       schema: StructType, keys: DataFrame, keyCols: Seq[String]): Seq[String] = {
     if (m.files.isEmpty) return Nil
     val candidates =
@@ -765,35 +923,33 @@ object Snapshots {
     //    observe the exact parent they rewrote or fail.
     var attempt = 0
     while (true) {
-      val parent = latestManifest(spark, path)
+      val parentM = latestManifest(spark, path)
+      val parentV = parentM.map(_.version).getOrElse(0L)
       expectParent.foreach { exp =>
-        if (parent.map(_.version).getOrElse(0L) != exp)
+        if (parentV != exp)
           throw new java.util.ConcurrentModificationException(
             s"$op at $path prepared against version $exp but found " +
-              s"${parent.map(_.version).getOrElse(0L)} — re-run the $op")
+              s"$parentV — re-run the $op")
       }
       // idempotent-txn guard, re-checked under every claim attempt: a
       // replayed (appId, txnId) that already committed becomes a no-op
       // even if the duplicate raced us here (its data directory is
       // unreferenced dead weight the next vacuum sweeps)
       txn.foreach { case (app, id) =>
-        if (parent.exists(_.txns.get(app).exists(_ >= id)))
-          return parent.map(_.version).getOrElse(0L)
+        if (parentM.exists(_.txns.get(app).exists(_ >= id)))
+          return parentV
       }
       val claimed = claimedVersions(fs, root)
-      val next = math.max(parent.map(_.version).getOrElse(0L),
+      val next = math.max(parentV,
         if (claimed.isEmpty) 0L else claimed.max) + 1
-      // append/merge/delete retain the parent's (surviving) files;
-      // overwrite/optimize replace the file list outright
-      val retained =
+      // the manifest is a DELTA: adds + explicit removes (merge/delete/
+      // update) — overwrite/optimize replace the snapshot outright, so
+      // their delta IS the new file list and carries no removes
+      val m = Manifest(next, parentV, op, adds,
         if (op == "overwrite" || op == "optimize") Nil
-        else parent.map(_.files).getOrElse(Nil).filterNot(removed)
-      val files = retained ++ adds
-      val stats = parent.map(_.stats).getOrElse(Map.empty)
-        .filter { case (f, _) => retained.contains(f) } ++ addStats
-      val m = Manifest(next, parent.map(_.version).getOrElse(0L), op,
-        files, adds, stats, Some(schemaJson),
-        parent.map(_.txns).getOrElse(Map.empty) ++ txn)
+        else removed.toSeq.sorted,
+        None, addStats, Some(schemaJson),
+        parentM.map(_.txns).getOrElse(Map.empty) ++ txn)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       try {
@@ -809,6 +965,9 @@ object Snapshots {
           case _ => fs.create(dest, false)
         }
         try out.write(renderManifest(m)) finally out.close()
+        // periodic derived checkpoint: bound every future read's fold
+        if (next % CheckpointInterval == 0L)
+          resolveSnapshot(fs, root, next).foreach(writeCheckpoint(fs, root, _))
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -823,15 +982,14 @@ object Snapshots {
 
   // -------------------------------------------------------------------- reads
 
-  private def requireManifest(spark: SparkSession, path: String,
-      version: Option[Long]): Manifest = version match {
-    case Some(v) =>
-      readManifest(fsFor(spark, path), new Path(path), v).getOrElse(
-        throw new IllegalArgumentException(
-          s"snapshot version $v does not exist (or was vacuumed) at $path"))
-    case None => latestManifest(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no committed snapshot at $path"))
-  }
+  private def requireSnapshot(spark: SparkSession, path: String,
+      version: Option[Long]): Snapshot =
+    snapshotAt(spark, path, version).getOrElse(version match {
+      case Some(v) => throw new IllegalArgumentException(
+        s"snapshot version $v does not exist (or was vacuumed) at $path")
+      case None => throw new IllegalArgumentException(
+        s"no committed snapshot at $path")
+    })
 
   /** Read a pinned version (default: latest). The scan's file list IS
     * the manifest — no data-directory listing, stable under concurrent
@@ -839,7 +997,7 @@ object Snapshots {
     * DataFrame with the manifest's schema. */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
-    val m = requireManifest(spark, path, version)
+    val m = requireSnapshot(spark, path, version)
     if (m.files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](),
         snapshotSchema(spark, path, m))
@@ -860,7 +1018,7 @@ object Snapshots {
     * milliseconds and touches only the matching z-span of files. */
   def scanWhere(spark: SparkSession, path: String, filter: Column,
       version: Option[Long] = None): DataFrame = {
-    val m = requireManifest(spark, path, version)
+    val m = requireSnapshot(spark, path, version)
     val schema = snapshotSchema(spark, path, m)
     val keep = pruneFiles(m, analyzeBounds(spark, schema, filter))
     val root = new Path(path)
@@ -910,8 +1068,21 @@ object Snapshots {
     val retained = all.filter(_ >= keepFromVersion)
     require(retained.exists(v => readManifest(fs, root, v).isDefined),
       s"vacuum would retire every committed version at $path")
+    // materialize a checkpoint at every retained version whose delta
+    // chain would otherwise reach BELOW the horizon — after the sweep,
+    // resolution must never need a retired manifest
+    retained.foreach { v =>
+      if (readCheckpoint(fs, root, v).isEmpty)
+        resolveSnapshot(fs, root, v).foreach { s =>
+          val m = readManifest(fs, root, v)
+          val chainsDown = m.exists(mm => mm.files.isEmpty &&
+            mm.op != "overwrite" && mm.op != "optimize" &&
+            mm.parent < keepFromVersion)
+          if (chainsDown) writeCheckpoint(fs, root, s)
+        }
+    }
     val referenced: Set[String] = retained
-      .flatMap(v => readManifest(fs, root, v)).flatMap(_.files).toSet
+      .flatMap(v => resolveSnapshot(fs, root, v)).flatMap(_.files).toSet
     // delete unreferenced data files (listing data/ is the one full
     // listing vacuum pays — it is the op whose JOB is the full sweep)
     var deleted = 0L
@@ -934,6 +1105,8 @@ object Snapshots {
     }
     all.filter(_ < keepFromVersion).foreach { v =>
       fs.delete(new Path(new Path(root, LogDir), manifestName(v)), false) }
+    checkpointVersions(fs, root).filter(_ < keepFromVersion).foreach { v =>
+      fs.delete(new Path(new Path(root, LogDir), checkpointName(v)), false) }
     deleted
   }
 }

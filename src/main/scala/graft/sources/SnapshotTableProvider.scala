@@ -138,14 +138,11 @@ final class SnapshotScan(path: String, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val m = versionAsOf match {
-      case Some(v) => Snapshots.manifestAt(spark, path, v).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-snapshot: version $v does not exist at $path"))
-      case None => Snapshots.latestManifest(spark, path).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-snapshot: no committed snapshot at $path"))
-    }
+    val m = Snapshots.snapshotAt(spark, path, versionAsOf).getOrElse(
+      throw new IllegalArgumentException(versionAsOf match {
+        case Some(v) => s"graft-snapshot: version $v does not exist at $path"
+        case None => s"graft-snapshot: no committed snapshot at $path"
+      }))
     Snapshots.pruneByFilters(m, pushed)
       .map(f => SnapshotInputPartition(
         new org.apache.hadoop.fs.Path(

@@ -51,7 +51,7 @@ class SnapshotsSpec extends SparkSpec {
     val p = freshDir()
     Snapshots.append(tbl(1 to 10), p)
     Snapshots.append(tbl(11 to 15), p)
-    val m1 = Snapshots.latestManifest(spark, p).get
+    val m1 = Snapshots.snapshotAt(spark, p).get
     // a file parked in data/ but never committed is invisible
     tbl(900 to 905).write.parquet(s"$p/data/c-orphan")
     Snapshots.read(spark, p).count() shouldBe 15L
@@ -131,6 +131,48 @@ class SnapshotsSpec extends SparkSpec {
     all(spans.map(s => s._2 - s._1)) should be < 40L
   }
 
+  test("delta log: manifests are O(change), checkpoints bound the fold, " +
+      "losing a checkpoint only lengthens resolution") {
+    val p = freshDir()
+    (1 to 12).foreach(i => Snapshots.append(tbl(i * 10 until i * 10 + 3), p))
+    // the latest manifest carries ONLY its own adds — no full file list
+    val m12 = Snapshots.latestManifest(spark, p).get
+    m12.files shouldBe None
+    m12.adds.size should be <= 4
+    m12.removes shouldBe Nil
+    // a checkpoint landed at the interval boundary
+    new java.io.File(s"$p/_graft_log/v000000000010.checkpoint.json")
+      .isFile shouldBe true
+    // resolution folds checkpoint(10) + deltas 11..12
+    Snapshots.read(spark, p).count() shouldBe 36L
+    Snapshots.read(spark, p, Some(5L)).count() shouldBe 15L
+    // checkpoints are DERIVED: deleting one only lengthens the fold
+    new java.io.File(s"$p/_graft_log/v000000000010.checkpoint.json")
+      .delete() shouldBe true
+    Snapshots.read(spark, p).count() shouldBe 36L
+    Snapshots.read(spark, p, Some(10L)).count() shouldBe 30L
+  }
+
+  test("vacuum past a delta chain: a horizon checkpoint materializes so " +
+      "retained versions stay resolvable after manifests retire") {
+    val p = freshDir()
+    (1 to 7).foreach(i => Snapshots.append(tbl(i * 10 until i * 10 + 3), p))
+    // keepFrom=6: v6/v7 are deltas whose chains reach v1..v5 — vacuum
+    // must write a checkpoint at the boundary before retiring those
+    Snapshots.vacuum(spark, p, keepFromVersion = 6L)
+    Snapshots.read(spark, p, Some(6L)).count() shouldBe 18L
+    Snapshots.read(spark, p).count() shouldBe 21L
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, p, Some(5L))
+    }
+    // data files of retained versions all survive (appends only — every
+    // old file is still referenced by v6/v7)
+    Snapshots.read(spark, p).collect().length shouldBe 21
+    // and a later commit keeps working on the vacuumed log
+    Snapshots.append(tbl(900 to 901), p) shouldBe 8L
+    Snapshots.read(spark, p).count() shouldBe 23L
+  }
+
   test("sequential independent writers never lose a commit") {
     val p = freshDir()
     val vs = (0 until 4).map(i => Snapshots.append(tbl(i * 10 to i * 10 + 4), p))
@@ -179,13 +221,13 @@ class SnapshotsSpec extends SparkSpec {
     val p = freshDir()
     Snapshots.append(tbl(1 to 100).repartition(1), p)
     Snapshots.append(tbl(101 to 200).repartition(1), p)
-    val before = Snapshots.latestManifest(spark, p).get
+    val before = Snapshots.snapshotAt(spark, p).get
     // updates touch only the FIRST file's key range + insert new keys
     val updates = Seq((5L, "UPD", -5.0), (7L, "UPD", -7.0),
       (999L, "NEW", 0.0)).toDF("id", "name", "v")
     val v = Snapshots.merge(spark, p, updates, Seq("id"))
     v shouldBe 3L
-    val after = Snapshots.latestManifest(spark, p).get
+    val after = Snapshots.snapshotAt(spark, p).get
     // the second file (ids 101-200, stats-disjoint from the update key
     // range) is retained verbatim — copy-on-write touched one file
     val retained = after.files.toSet.intersect(before.files.toSet)
@@ -200,7 +242,7 @@ class SnapshotsSpec extends SparkSpec {
     // pure insert: no key overlaps → zero files rewritten
     val v2 = Snapshots.merge(spark, p,
       Seq((5000L, "INS", 1.0)).toDF("id", "name", "v"), Seq("id"))
-    Snapshots.latestManifest(spark, p).get.files.toSet
+    Snapshots.snapshotAt(spark, p).get.files.toSet
       .intersect(after.files.toSet).size shouldBe after.files.size
     Snapshots.read(spark, p).count() shouldBe 202L
   }
@@ -260,7 +302,7 @@ class SnapshotsSpec extends SparkSpec {
     val p = freshDir()
     Snapshots.append(tbl(1 to 100).repartition(1), p)
     Snapshots.append(tbl(101 to 200).repartition(1), p)
-    val before = Snapshots.latestManifest(spark, p).get
+    val before = Snapshots.snapshotAt(spark, p).get
     val v = Snapshots.update(spark, p, col("id") >= 10L && col("id") < 20L,
       Map("v" -> (col("v") * 10.0), "name" -> upper(col("name"))))
     v shouldBe 3L
@@ -271,7 +313,7 @@ class SnapshotsSpec extends SparkSpec {
     out.where(col("id") === 25L).select("v", "name")
       .as[(Double, String)].head() shouldBe ((50.0, "r25"))
     // file 2 (ids 101-200) carried over unmoved — stats excluded it
-    Snapshots.latestManifest(spark, p).get.files.toSet
+    Snapshots.snapshotAt(spark, p).get.files.toSet
       .intersect(before.files.toSet).size shouldBe 1
     // no-match: same version back, no commit
     Snapshots.update(spark, p, col("id") > 99999L,
