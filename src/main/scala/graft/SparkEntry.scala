@@ -206,7 +206,7 @@ object SparkEntry {
     }
   }
 
-  private def deleteRecursively(p: String): Unit = {
+  private[graft] def deleteRecursively(p: String): Unit = {
     def del(f: java.io.File): Unit = {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)

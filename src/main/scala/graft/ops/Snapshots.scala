@@ -395,15 +395,19 @@ object Snapshots {
   /** Longs beyond 2^53 round when compared as Double — widen one ulp
     * outward so the stored bound stays a conservative superset. */
   private def renderNum(v: Any, isMin: Boolean): String = {
+    def widened(d: Double, exact: Boolean): Double =
+      if (exact) d else if (isMin) math.nextDown(d) else math.nextUp(d)
     val d = v match {
-      case n: java.math.BigDecimal => n.doubleValue
+      case n: java.lang.Double => n.doubleValue
+      case n: java.lang.Float => n.doubleValue // float→double is exact
+      case n: java.math.BigDecimal =>
+        val dd = n.doubleValue
+        widened(dd, !dd.isInfinite &&
+          new java.math.BigDecimal(dd).compareTo(n) == 0)
       case n: Number =>
         val l = n.longValue
-        if ((n.isInstanceOf[java.lang.Long] || n.isInstanceOf[Integer]) &&
-            math.abs(l) > (1L << 53)) {
-          val dd = l.toDouble
-          if (isMin) math.nextDown(dd) else math.nextUp(dd)
-        } else n.doubleValue
+        widened(l.toDouble, l.toDouble.toLong == l &&
+          math.abs(l) <= (1L << 53))
       case other => other.toString.toDouble
     }
     java.lang.Double.toString(d)
@@ -485,18 +489,20 @@ object Snapshots {
     case _ => None
   }
 
-  /** Unwrap monotone numeric/temporal widenings the analyzer inserts
-    * (e.g. int column vs double literal); anything else blocks pruning
-    * on that conjunct. */
+  /** Unwrap PURE-NUMERIC widenings the analyzer inserts (e.g. int
+    * column vs double literal) — those keep the stored-stat unit.
+    * Temporal casts (date→timestamp) CHANGE the unit (stats store days,
+    * the cast compares micros), so they must block pruning on that
+    * conjunct rather than compare across units. */
   private def attrOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case Cast(a: AttributeReference, dt, _, _)
-        if numericish(a.dataType) && numericish(dt) => Some(a.name)
+        if pureNumeric(a.dataType) && pureNumeric(dt) => Some(a.name)
     case _ => None
   }
 
-  private def numericish(dt: DataType): Boolean = dt match {
-    case _: NumericType | TimestampType | DateType => true
+  private def pureNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
     case _ => false
   }
 
@@ -567,7 +573,12 @@ object Snapshots {
     * survive — pruning is a conservative superset. */
   private def survives(cs: ColStat, b: Bound): Boolean = (cs.t, b.v) match {
     case ("n", BNum(v)) =>
-      val lo = cs.min.map(_.toDouble); val hi = cs.max.map(_.toDouble)
+      // Spark orders NaN GREATER than any double while Java comparisons
+      // with NaN are all false — a NaN bound (a file containing NaNs)
+      // or a NaN literal must therefore never prune, only widen
+      if (v.isNaN) return true
+      val lo = cs.min.map(_.toDouble).filterNot(_.isNaN)
+      val hi = cs.max.map(_.toDouble).filterNot(_.isNaN)
       b.op match {
         case "=" => lo.forall(_ <= v) && hi.forall(_ >= v)
         case ">" => hi.forall(_ > v)
@@ -952,7 +963,7 @@ object Snapshots {
         parentM.map(_.txns).getOrElse(Map.empty) ++ txn)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
-      try {
+      val claimOk = try {
         // atomic claim: HDFS create(overwrite=false) is atomic; the local
         // FS one is check-then-create, so route local through O_EXCL
         val out: java.io.OutputStream = fs match {
@@ -965,16 +976,27 @@ object Snapshots {
           case _ => fs.create(dest, false)
         }
         try out.write(renderManifest(m)) finally out.close()
-        // periodic derived checkpoint: bound every future read's fold
-        if (next % CheckpointInterval == 0L)
-          resolveSnapshot(fs, root, next).foreach(writeCheckpoint(fs, root, _))
-        return next
+        true
       } catch {
+        // ONLY the manifest claim may retry: a failure after the claim
+        // is durable (e.g. the checkpoint write below) must never
+        // re-commit the same adds as a second version. A failed claim
+        // leaves at worst an unparseable partial file readers step over.
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.io.IOException =>
           attempt += 1
           if (attempt > maxRetries) throw new IllegalStateException(
             s"snapshot commit lost $maxRetries races at $path; giving up")
+          false // lost the race — loop and re-claim
+      }
+      if (claimOk) {
+        // periodic derived checkpoint, OUTSIDE the retry scope: it is
+        // derived data — a failure here loses nothing but fold length
+        if (next % CheckpointInterval == 0L)
+          try resolveSnapshot(fs, root, next)
+            .foreach(writeCheckpoint(fs, root, _))
+          catch { case scala.util.control.NonFatal(_) => () }
+        return next
       }
     }
     -1L // unreachable
@@ -998,12 +1020,16 @@ object Snapshots {
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val m = requireSnapshot(spark, path, version)
+    val schema = snapshotSchema(spark, path, m)
     if (m.files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        snapshotSchema(spark, path, m))
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else {
       val root = new Path(path)
-      spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+      // the MANIFEST's schema is authoritative: without it Spark infers
+      // from one sampled footer, and a schema-evolved column silently
+      // vanishes whenever the sample predates the evolution
+      spark.read.schema(schema)
+        .parquet(m.files.map(f => new Path(root, f).toString): _*)
     }
   }
 
@@ -1043,15 +1069,22 @@ object Snapshots {
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")
     val fs = fsFor(spark, path); val root = new Path(path)
+    var rangeSchema: Option[String] = None
     val adds = (fromExclusive + 1 to toInclusive).flatMap { v =>
       val m = readManifest(fs, root, v).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot version $v does not exist (or was vacuumed) at $path"))
+      rangeSchema = m.schemaJson.orElse(rangeSchema)
       if (m.op == "optimize") Nil else m.adds
     }
     require(adds.nonEmpty,
       s"no data-changing files added in ($fromExclusive, $toInclusive]")
-    spark.read.parquet(adds.map(f => new Path(root, f).toString): _*)
+    // the NEWEST manifest's schema governs the range: files from older
+    // commits surface late columns as null instead of the sampled-footer
+    // lottery (same rule as read())
+    val reader = rangeSchema.map(j => spark.read.schema(
+      DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(spark.read)
+    reader.parquet(adds.map(f => new Path(root, f).toString): _*)
   }
 
   // ------------------------------------------------------------------- vacuum

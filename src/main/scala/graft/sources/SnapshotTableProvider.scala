@@ -76,8 +76,16 @@ final class SnapshotTableProvider extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new SnapshotTable(opts.get("path"), schema,
-      Option(opts.get("versionAsOf")).map(_.toLong),
+    val path = opts.get("path")
+    // pin "latest" ONCE, here: every action on the returned DataFrame
+    // then reads the same version — a concurrent commit between count()
+    // and collect() cannot split one DataFrame across two snapshots.
+    // Streaming ignores the pin (its offsets ARE versions).
+    val pinned = Option(opts.get("versionAsOf")).map(_.toLong).orElse {
+      val v = Snapshots.latestVersion(SparkSession.active, path)
+      if (v > 0) Some(v) else None
+    }
+    new SnapshotTable(path, schema, pinned,
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L))
   }
 

@@ -105,7 +105,11 @@ object Similarity {
     * Zipf-small: two per-query averages, a pair union, two broadcast
     * joins. */
   def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
-      vecCol: String, k: Int, threshold: Double = 0.0): DataFrame = {
+      vecCol: String, k: Int,
+      threshold: Double = Double.NegativeInfinity): DataFrame = {
+    // default −∞ = report EVERY pair from either list with its margin
+    // (negative-cosine pairs included); thresholding is opt-in so the
+    // caller, not a silent default, decides the mining cut
     require(k > 0, "marginMine needs k > 0")
     val fwd = topKBruteForce(tgt, src, idCol, vecCol, k)
     val bwd = topKBruteForce(src, tgt, idCol, vecCol, k)

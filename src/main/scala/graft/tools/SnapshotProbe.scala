@@ -26,15 +26,7 @@ object SnapshotProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def rmrf(p: String): Unit = {
-      def del(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-            .foreach(del)
-        f.delete(); ()
-      }
-      del(new java.io.File(p))
-    }
+    def rmrf(p: String): Unit = graft.SparkEntry.deleteRecursively(p)
 
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), col("user_id"), col("event_type"),

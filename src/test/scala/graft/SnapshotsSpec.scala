@@ -131,6 +131,53 @@ class SnapshotsSpec extends SparkSpec {
     all(spans.map(s => s._2 - s._1)) should be < 40L
   }
 
+  test("pruning safety: date-vs-timestamp casts block pruning, NaN " +
+      "bounds and NaN literals never prune, inexact decimal stats widen") {
+    import java.sql.Date
+    val p = freshDir()
+    Snapshots.append(Seq((1L, Date.valueOf("2024-01-10"), 1.0))
+      .toDF("id", "d", "v").repartition(1), p)
+    Snapshots.append(Seq((2L, Date.valueOf("2024-02-10"), Double.NaN))
+      .toDF("id", "d", "v").repartition(1), p)
+    // date column vs TIMESTAMP literal: the analyzer casts the column
+    // (days → micros unit change) — pruning must NOT fire on that
+    // conjunct, and the result must still be exact
+    val tsLit = org.apache.spark.sql.functions.lit(
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    val scan = Snapshots.scanWhere(spark, p, col("d") > tsLit.cast("date"))
+    scan.select("id").as[Long].collect() shouldBe Array(2L)
+    // the raw timestamp comparison (cast lands on the column) also stays
+    // correct — it reads a superset and filters exactly
+    val scanTs = Snapshots.scanWhere(spark, p,
+      col("d").cast("timestamp") > tsLit)
+    scanTs.select("id").as[Long].collect() shouldBe Array(2L)
+    // a file whose max is NaN must survive > bounds (Spark sorts NaN
+    // greatest: the NaN row MATCHES v > 100)
+    val nan = Snapshots.scanWhere(spark, p, col("v") > 100.0)
+    nan.select("id").as[Long].collect() shouldBe Array(2L)
+    // NaN equality literal: Spark's = matches NaN rows; never prune
+    Snapshots.scanWhere(spark, p, col("v") === Double.NaN)
+      .select("id").as[Long].collect() shouldBe Array(2L)
+  }
+
+  test("read and changes use the manifest schema: evolved columns " +
+      "survive regardless of footer sampling order") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    Snapshots.append(
+      (6 to 8).map(i => (i.toLong, s"r$i", i * 2.0, s"x$i"))
+        .toDF("id", "name", "v", "tag"), p)
+    val out = Snapshots.read(spark, p)
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v", "tag")
+    out.where(col("id") === 2L).select("tag").collect()
+      .head.isNullAt(0) shouldBe true
+    out.where(col("id") === 7L).select("tag")
+      .as[String].head() shouldBe "x7"
+    val ch = Snapshots.changes(spark, p, 0L, 2L)
+    ch.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v", "tag")
+    ch.count() shouldBe 8L
+  }
+
   test("delta log: manifests are O(change), checkpoints bound the fold, " +
       "losing a checkpoint only lengthens resolution") {
     val p = freshDir()
