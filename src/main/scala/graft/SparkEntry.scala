@@ -3743,6 +3743,21 @@ object SparkEntry {
       Snapshots.merge(s, p, updates, Seq("event_id"))
       Snapshots.read(s, p)
     }),
+    "q_snapshot_zskip" -> ((s, dir) => {
+      // the composition the tier exists for: OPTIMIZE rewrites the
+      // table Z-ORDER clustered on (user_id, value), the commit records
+      // per-file stats of the NEW layout, and a selective filter on
+      // user_id — NOT the ingest's event_id clustering — data-skips
+      // via those stats (pruning pinned in SnapshotsSpec; superset +
+      // exact predicate as everywhere)
+      val p = freshSnapshotPath(dir, "zs")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.repartitionByRange(6, col("event_id")), p)
+      Snapshots.optimize(s, p, numFiles = 6,
+        zorderBy = Seq(("user_id", 0.0, 150.0), ("value", 0.0, 500.0)),
+        zBits = 8)
+      Snapshots.scanWhere(s, p, col("user_id") < 25L)
+    }),
     "q_snapshot_update" -> ((s, dir) => {
       // copy-on-write UPDATE: SET value = value*10 where the predicate
       // hits; the event_id bound stats-prunes candidate files, only
@@ -7857,6 +7872,10 @@ object SparkEntry {
                 CASE WHEN event_id % 6 = 0 OR event_id % 3 = 2
                      THEN value * 2 ELSE value END AS value
          FROM events""",
+    "q_snapshot_zskip" ->
+      // layout never changes contents: the z-ordered scan is the filter
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE user_id < 25""",
     "q_snapshot_update" ->
       // update replay: SET hits only predicate-true rows
       """SELECT event_id, user_id, event_type,

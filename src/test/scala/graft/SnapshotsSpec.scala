@@ -129,6 +129,11 @@ class SnapshotsSpec extends SparkSpec {
     // ids 0..54: an unclustered split could span ~54 per file; the
     // z-clustered range split must roughly halve it
     all(spans.map(s => s._2 - s._1)) should be < 40L
+    // and the optimize commit recorded stats for the NEW layout: a
+    // selective filter on the second z dim data-skips to one file
+    val zskip = Snapshots.scanWhere(spark, p, col("v") < 20.0)
+    zskip.inputFiles.length shouldBe 1
+    rowSet(zskip) shouldBe rowSet(z.where(col("v") < 20.0))
   }
 
   test("pruning safety: date-vs-timestamp casts block pruning, NaN " +
