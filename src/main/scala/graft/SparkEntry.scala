@@ -198,11 +198,15 @@ object SparkEntry {
     * returned lazy serve plan executes later under session defaults. */
   private def withSearchBuildConf[T](s: SparkSession)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevFpd = s.conf.getOption("spark.graft.search.filesPerDir")
     s.conf.set("spark.graft.search.filesPerDir", "1")
     if (prevParts.toInt > 8) s.conf.set("spark.sql.shuffle.partitions", "8")
     try body finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.conf.unset("spark.graft.search.filesPerDir")
+      prevFpd match { // RESTORE a user-set knob, don't clobber it
+        case Some(v) => s.conf.set("spark.graft.search.filesPerDir", v)
+        case None => s.conf.unset("spark.graft.search.filesPerDir")
+      }
     }
   }
 

@@ -107,6 +107,51 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** k-lane MinHash from an ALREADY-HASHED shingle array (the
+    * [[ShingleHashes]] output) — the same seeded affine lanes as
+    * [[MinHashSig]]/[[MinHashText]], so a signature derived from a
+    * persisted shingle-hash table is bit-identical to one computed from
+    * the text (law-tested): an index build that stores both tables pays
+    * the corpus tokenize+shingle pass exactly ONCE. */
+  case class MinHashFromHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_from_hashes"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint>, got $other")
+    }
+
+    @transient private lazy val (as, bs) = {
+      val rnd = new java.util.Random(42L) // same lanes as MinHashSig
+      (Array.fill(k)(rnd.nextLong() | 1L), Array.fill(k)(rnd.nextLong()))
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i)
+          var j = 0
+          while (j < k) {
+            val p = as(j) * h + bs(j)
+            if (p < mins(j)) mins(j) = p
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Shared one-pass tokenize→shingle→hash walk: whitespace-split the
     * (caller-lowered/trimmed) text, slide an n-token window, xxhash64 each
     * joined shingle (seed 42). Mirrors TextAnalysis.shingles semantics:
@@ -743,6 +788,9 @@ object TextHashExprs {
       entry("graft_minhash_text", classOf[MinHashText])(cs =>
         MinHashText(cs.head, intLit(cs(1), "graft_minhash_text n"),
           intLit(cs(2), "graft_minhash_text k"))),
+      entry("graft_minhash_from_hashes", classOf[MinHashFromHashes])(cs =>
+        MinHashFromHashes(cs.head,
+          intLit(cs(1), "graft_minhash_from_hashes k"))),
       entry("graft_jaccard", classOf[JaccardLongSets])(cs =>
         JaccardLongSets(cs(0), cs(1))),
       entry("graft_jaccard_sorted", classOf[JaccardSortedDistinct])(cs =>
@@ -794,6 +842,13 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_minhash_text", text,
       org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** MinHash signature from a persisted shingle-hash array. */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_minhash_from_hashes", hashes,
       org.apache.spark.sql.functions.lit(k))
   }
 

@@ -105,17 +105,28 @@ object Compaction {
       .repartition(col("_bin"))
       .write.partitionBy("_bin").parquet(tmp.toString)
     // move-in BEFORE deleting originals (crash ⇒ duplicates, never loss)
+    // — iterate the bin directories partitionBy ACTUALLY wrote (the
+    // plan's bin numbering is not dense: a bytes-desc prefix can skip
+    // bin ids, and an all-empty-part bin writes no directory at all;
+    // listStatus on a missing path THROWS, it never returns null)
     var moved = 0L
-    for (b <- 0L until nBins) {
-      val binDir = new Path(tmp, s"_bin=$b")
-      Option(fs.listStatus(binDir)).getOrElse(Array.empty)
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .foreach { s =>
-          fs.rename(s.getPath,
-            new Path(root, s"compact-$b-${s.getPath.getName}"))
-          moved += 1
-        }
-    }
+    Option(fs.listStatus(tmp)).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("_bin="))
+      .foreach { d =>
+        val b = d.getPath.getName.stripPrefix("_bin=")
+        Option(fs.listStatus(d.getPath)).getOrElse(Array.empty)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .foreach { s =>
+            val dest = new Path(root, s"compact-$b-${s.getPath.getName}")
+            // rename reports failure by RETURNING false on most Hadoop
+            // filesystems — a silently-failed move followed by the
+            // original deletes below would LOSE that bin's rows
+            require(fs.rename(s.getPath, dest),
+              s"compactDirectory: rename ${s.getPath} -> $dest failed; " +
+                "aborting with originals intact (duplicates, never loss)")
+            moved += 1
+          }
+      }
     listed.foreach { case (name, _) =>
       fs.delete(new Path(root, name), false) }
     fs.delete(tmp, true)

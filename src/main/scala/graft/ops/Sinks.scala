@@ -40,6 +40,8 @@ object Sinks {
     // salt would only multiply file count (measured: +20% scan cost at
     // gate scale for zero parallelism gain) — default 1, raise via the
     // knob for a store with few tiles.
+    require(filesPerDir == -1 || filesPerDir > 0,
+      s"filesPerDir must be positive (or -1 = unset), got $filesPerDir")
     val layoutDefault = if (tileCells.isDefined) 1 else DefaultFilesPerDir
     val fpd =
       if (filesPerDir > 0) filesPerDir

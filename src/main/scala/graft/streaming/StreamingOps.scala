@@ -566,6 +566,9 @@ object StreamingOps {
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()
     val nDocs = st.getLong(0)
     require(nDocs > 0, "bm25ServeStream needs a non-empty index")
+    require(!st.isNullAt(1),
+      "bm25ServeStream: index stats carry n_docs > 0 but a NULL token " +
+        "total (a build over all-null text) — rebuild over real text")
     val avgdl = st.getLong(1).toDouble / nDocs.toDouble
     val dfAgg = spark.read.parquet(s"$indexPath/df")
       .groupBy(col("term")).agg(sum(col("df")).as("_df"))

@@ -75,8 +75,14 @@ object Curation {
       .get("spark.graft.neardup.blockSwitch", "1000").toInt
     val maxBlock =
       if (blocking.isEmpty) Long.MaxValue
-      else deduped.groupBy(blocking.map(col): _*)
-        .count().agg(max("count")).collect()(0).getLong(0)
+      else {
+        // max over an EMPTY grouped count is one NULL row — an upstream
+        // gate that filtered every document must yield an empty corpus,
+        // not an NPE here
+        val r = deduped.groupBy(blocking.map(col): _*)
+          .count().agg(max("count")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     val pairs =
       if (maxBlock <= switchAt)
         Dedup.ngramJaccardPairs(deduped, "text", "doc_id",

@@ -158,13 +158,21 @@ object Dedup {
       bands: Int = 8): String = {
     val spark = ref.sparkSession
     import spark.implicits._
-    bandRowsOf(ref, textCol, idCol, shingleN, k, bands)
-      .withColumnRenamed("id", "ref_id")
-      .write.mode("overwrite").parquet(s"$path/bands")
+    // ONE corpus tokenize+shingle pass: the shingle table lands first,
+    // and the band table derives its signatures from the WRITTEN hash
+    // arrays (minhashFromHashes shares MinHashText's affine lanes —
+    // bit-identical signatures, law-tested) instead of re-shingling the
+    // text a second time.
     ref.select(col(idCol).as("ref_id"),
         sort_array(graft.functions.TextHashExprs
           .shingleHashes(lower(trim(col(textCol))), shingleN)).as("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
+    spark.read.parquet(s"$path/shingles")
+      .select(col("ref_id"), graft.functions.TextHashExprs
+        .minhashFromHashes(col("sh"), k).as("sig"))
+      .select(col("ref_id"), explode(lshBands(col("sig"), k, bands)).as("b"))
+      .select(col("ref_id"), col("b.band"), col("b.bh"))
+      .write.mode("overwrite").parquet(s"$path/bands")
     Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     path

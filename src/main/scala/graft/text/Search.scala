@@ -233,6 +233,9 @@ object Search {
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl")).head()
     val nDocs = st.getLong(0)
     require(nDocs > 0, "bm25Indexed needs a non-empty index")
+    require(!st.isNullAt(1),
+      "bm25Indexed: index stats carry n_docs > 0 but a NULL token total " +
+        "(a build over all-null text) — rebuild the index over real text")
     val avgdl = st.getLong(1).toDouble / nDocs.toDouble
     val probe = col("p_bucket").isin(buckets: _*) &&
       col("term").isin(terms: _*)

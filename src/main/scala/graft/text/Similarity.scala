@@ -481,14 +481,21 @@ object Similarity {
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
-    val probes =
+    val probesRaw =
       probeCentroids(queries, centroids, idCol, vecCol, nProbe)
         .select(col("query_id"), col("_qv"), col("centroid_id"))
+    // batch serving consumes the probe set TWICE (collected for the
+    // partition-pruning cell list, then joined) — materialize it once
+    // so a non-trivial queries plan is not re-executed per use; it is
+    // |queries|×nProbe rows, always small. Streaming probes stay lazy
+    // (append-legal stateless projection).
+    val probes =
+      if (queries.isStreaming) probesRaw else probesRaw.localCheckpoint()
     val assigned = spark.read.parquet(s"$path/assigned")
     val cells = if (queries.isStreaming) {
       assigned.withColumn("centroid_id", col("centroid_id").cast("long"))
     } else {
-      val probedCells = broadcast(probes).select("centroid_id").distinct()
+      val probedCells = probes.select("centroid_id").distinct()
         .collect().map(_.getLong(0))
       assigned
         // filter the RAW inferred (int) partition column with int

@@ -335,8 +335,13 @@ object TextAnalysis {
     * would re-run both corpus explodes). Nothing holds a vocabulary
     * in driver memory. Returns ONE row:
     * (n_old, n_new, vocab, kl_new_old, tvd). */
-  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
-      textCol: String, alpha: Double = 0.5): DataFrame = {
+  /** Shared drift core: the joined Zipf-sized count table (materialized
+    * once), its totals, and the add-alpha smoothed probability exprs —
+    * ONE implementation for the report and its top-movers audit, so the
+    * two can never silently diverge. */
+  private def driftJoined(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String, alpha: Double): (DataFrame, DataFrame,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     def counts(df: DataFrame, cName: String) =
       df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
         .where(col("tok") =!= "")
@@ -351,6 +356,12 @@ object TextAnalysis {
       (col("n_old") + lit(alpha) * col("vocab"))
     val pn = (col("c_new") + lit(alpha)) /
       (col("n_new") + lit(alpha) * col("vocab"))
+    (j, tot, po, pn)
+  }
+
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String, alpha: Double = 0.5): DataFrame = {
+    val (j, tot, po, pn) = driftJoined(oldDf, newDf, textCol, alpha)
     j.crossJoin(broadcast(tot))
       .select(col("n_old"), col("n_new"), col("vocab"),
         round(pn * log(pn / po) * lit(1e9), 0).cast("long").as("_klq"),
@@ -370,20 +381,7 @@ object TextAnalysis {
     * per-partition heaps, never a global sort. */
   def driftTopMovers(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       k: Int, alpha: Double = 0.5): DataFrame = {
-    def counts(df: DataFrame, cName: String) =
-      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-        .where(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as(cName))
-    val j = counts(oldDf, "c_old")
-      .join(counts(newDf, "c_new"), Seq("tok"), "full_outer")
-      .na.fill(0L, Seq("c_old", "c_new"))
-      .localCheckpoint(true)
-    val tot = j.agg(sum(col("c_old")).as("n_old"),
-      sum(col("c_new")).as("n_new"), count(lit(1)).as("vocab"))
-    val po = (col("c_old") + lit(alpha)) /
-      (col("n_old") + lit(alpha) * col("vocab"))
-    val pn = (col("c_new") + lit(alpha)) /
-      (col("n_new") + lit(alpha) * col("vocab"))
+    val (j, tot, po, pn) = driftJoined(oldDf, newDf, textCol, alpha)
     j.crossJoin(broadcast(tot))
       .select(col("tok"), col("c_old"), col("c_new"),
         round(abs(pn - po) * lit(1e9), 0).cast("long").as("delta_q"))

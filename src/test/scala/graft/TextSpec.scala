@@ -1300,6 +1300,25 @@ class TextSpec extends SparkSpec {
     served.select("inc_id").as[Long].collect().toSet shouldBe Set(100L)
   }
 
+  test("minhashFromHashes(shingleHashes(t)) == minhashText(t): the " +
+      "single-pass index build derives bit-identical signatures") {
+    import spark.implicits._
+    import graft.functions.TextHashExprs
+    val docs = Seq((1L, "alpha beta gamma delta alpha beta gamma"),
+      (2L, "short"), (3L, "x y"), (4L, "repeated repeated repeated"),
+      (5L, "  padded   whitespace\ttabs and\nnewlines here  "))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      TextHashExprs.minhashText(lower(trim(col("text"))), 3, 16)
+        .as("direct"),
+      TextHashExprs.minhashFromHashes(
+        TextHashExprs.shingleHashes(lower(trim(col("text"))), 3), 16)
+        .as("derived"))
+    both.collect().foreach { r =>
+      r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+    }
+  }
+
   test("charEntropy: worked examples (0 / 1 / 2 bits) and case folding") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"), (4L, "AaAa"))
