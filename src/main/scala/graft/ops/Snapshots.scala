@@ -606,6 +606,17 @@ object Snapshots {
       v: Long): Option[Manifest] =
     readManifest(fsFor(spark, path), new Path(path), v)
 
+  /** Does a claim FILE exist for `v` (parseable or not)? Distinguishes a
+    * dead claim (file present, skip it) from a VACUUMED version (file
+    * absent — a streaming consumer resuming from a pre-vacuum offset
+    * must fail loudly, not silently skip committed data). */
+  private[graft] def claimExists(spark: SparkSession, path: String,
+      v: Long): Boolean = {
+    val root = new Path(path)
+    fsFor(spark, path).exists(
+      new Path(new Path(root, LogDir), manifestName(v)))
+  }
+
   private[graft] def latestVersion(spark: SparkSession, path: String): Long =
     latestManifest(spark, path).map(_.version).getOrElse(0L)
 
@@ -927,7 +938,6 @@ object Snapshots {
         => s"$commitDir/${s.getPath.getName}" }
       .sorted
     val addStats = computeStats(spark, root, commitDir, df.schema)
-    val schemaJson = df.schema.json
     // 2) claim the next version with an atomic create-if-absent; on a
     //    lost race, re-read latest and retry (driver-side only) — except
     //    for snapshot-rewriting ops (merge/delete/optimize), which must
@@ -949,6 +959,28 @@ object Snapshots {
       txn.foreach { case (app, id) =>
         if (parentM.exists(_.txns.get(app).exists(_ >= id)))
           return parentV
+      }
+      // schema ENFORCEMENT + auto-merge for appends (the Delta rule):
+      // a shared column whose TYPE changed is a writer bug — fail typed
+      // before the claim; NEW columns evolve the table schema (the
+      // manifest records the union, old files read them as null).
+      // Replacement/rewrite ops define the schema outright.
+      val schemaJson = parentM.flatMap(_.schemaJson) match {
+        case Some(pj) if op == "append" =>
+          val ps = DataType.fromJson(pj).asInstanceOf[StructType]
+          df.schema.fields.foreach { f =>
+            ps.fields.find(_.name == f.name).foreach { pf =>
+              if (pf.dataType != f.dataType)
+                throw new IllegalArgumentException(
+                  s"append at $path changes column ${f.name} from " +
+                    s"${pf.dataType.simpleString} to " +
+                    s"${f.dataType.simpleString} — cast the batch or " +
+                    "overwrite the table to change types")
+            }
+          }
+          StructType(ps.fields ++ df.schema.fields
+            .filterNot(f => ps.fieldNames.contains(f.name))).json
+        case _ => df.schema.json
       }
       val claimed = claimedVersions(fs, root)
       val next = math.max(parentV,

@@ -318,10 +318,19 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
     val e = end.asInstanceOf[SnapshotVersionOffset].version
     val root = new org.apache.hadoop.fs.Path(path)
     (s + 1 to e).flatMap { v =>
-      // a dead claim (unparseable manifest) carries no data — skip it
       Snapshots.manifestAt(spark, path, v) match {
         case Some(m) if m.op != "optimize" => m.adds
-        case _ => Nil
+        case Some(_) => Nil // optimize: same rows, new layout — skip
+        case None if Snapshots.claimExists(spark, path, v) =>
+          Nil // dead claim (file present, unparseable): published nothing
+        case None =>
+          // the manifest FILE is gone: vacuum retired a version this
+          // stream never consumed — silently skipping would drop its
+          // committed rows from the feed forever
+          throw new IllegalStateException(
+            s"graft-snapshot: version $v at $path was vacuumed before " +
+              "this stream consumed it — reset the checkpoint (or use " +
+              "startingVersion) past the vacuum horizon")
       }
     }.map(f => SnapshotInputPartition(
       new org.apache.hadoop.fs.Path(root, f).toString): InputPartition)

@@ -111,6 +111,32 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming from a pre-vacuum offset fails loudly instead of " +
+      "silently skipping vacuumed commits") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    Snapshots.append(tbl(6 to 9), p)
+    Snapshots.vacuum(spark, p, keepFromVersion = 2L) // v1 retired
+    // default startingVersion=1 points below the horizon → typed failure
+    val q = spark.readStream.format("graft-snapshot").load(p)
+      .writeStream.format("memory").queryName("snap_vac")
+      .outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    err.getMessage should include("vacuumed")
+    // startingVersion at the horizon consumes cleanly
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "2").load(p)
+      .writeStream.format("memory").queryName("snap_vac2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      spark.table("snap_vac2").count() shouldBe 4L
+    } finally q2.stop()
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()

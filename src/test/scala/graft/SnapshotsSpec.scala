@@ -183,6 +183,36 @@ class SnapshotsSpec extends SparkSpec {
     ch.count() shouldBe 8L
   }
 
+  test("append schema enforcement: type changes fail typed, added " +
+      "columns merge into the table-schema union") {
+    import spark.implicits._
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    // type change on a shared column is a writer bug
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(
+        Seq((6, "r6", 12.0)).toDF("id", "name", "v"), p) // id is INT here
+    }
+    e.getMessage should include("changes column id")
+    Snapshots.read(spark, p).count() shouldBe 5L // nothing committed
+    // adding a column evolves: union schema, parent column order first
+    Snapshots.append(
+      Seq((6L, "r6", 12.0, true)).toDF("id", "name", "v", "flag"), p)
+    val out = Snapshots.read(spark, p)
+    out.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v", "flag")
+    out.where(col("id") === 3L).select("flag").collect()
+      .head.isNullAt(0) shouldBe true
+    out.where(col("id") === 6L).select("flag")
+      .as[Boolean].head() shouldBe true
+    // a batch MISSING an existing column appends fine and the union
+    // schema keeps the column (its rows read as null)
+    Snapshots.append(Seq((7L, "r7")).toDF("id", "name"), p)
+    val out2 = Snapshots.read(spark, p)
+    out2.schema.fieldNames.toSeq shouldBe Seq("id", "name", "v", "flag")
+    out2.where(col("id") === 7L).select("v").collect()
+      .head.isNullAt(0) shouldBe true
+  }
+
   test("delta log: manifests are O(change), checkpoints bound the fold, " +
       "losing a checkpoint only lengthens resolution") {
     val p = freshDir()
