@@ -111,6 +111,45 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("batch reads pin 'latest' at load: one DataFrame never straddles " +
+      "two versions across actions") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    val df = spark.read.format("graft-snapshot").load(p)
+    df.count() shouldBe 10L
+    Snapshots.append(tbl(11 to 20), p) // concurrent commit
+    df.count() shouldBe 10L // still the pinned version
+    spark.read.format("graft-snapshot").load(p).count() shouldBe 20L
+  }
+
+  test("log-to-log pipeline: exactly-once sink feeding the streaming " +
+      "source end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = freshDir()
+    val ms = MemoryStream[(Long, String, Double)]
+    val writer = ms.toDF().toDF("id", "name", "v")
+      .writeStream.foreachBatch(Snapshots.streamAppend(p, "l2l"))
+      .start()
+    try {
+      ms.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      writer.processAllAvailable()
+      // downstream tails the same table
+      val reader = spark.readStream.format("graft-snapshot").load(p)
+        .writeStream.format("memory").queryName("l2l_out")
+        .outputMode("append").start()
+      try {
+        reader.processAllAvailable()
+        spark.table("l2l_out").count() shouldBe 2L
+        ms.addData((3L, "c", 3.0))
+        writer.processAllAvailable()
+        reader.processAllAvailable()
+        spark.table("l2l_out").select("id").as[Long].collect().sorted shouldBe
+          Array(1L, 2L, 3L)
+      } finally reader.stop()
+    } finally writer.stop()
+  }
+
   test("streaming from a pre-vacuum offset fails loudly instead of " +
       "silently skipping vacuumed commits") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
