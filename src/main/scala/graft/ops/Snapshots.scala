@@ -63,22 +63,26 @@ import org.apache.spark.sql.types._
   * a retained version's chain would otherwise need.
   *
   * Commit protocol (optimistic concurrency): data files are written
-  * UNDER AN UNCOMMITTED directory first, then the writer claims version
-  * `latest+1` via `FileSystem.create(path, overwrite=false)` — atomic
-  * create-if-absent on HDFS and local filesystems. A lost race throws
-  * `FileAlreadyExistsException`; the writer re-reads the new latest,
-  * recomputes the merged file list (its data files need no rewrite) and
-  * retries the claim. APPEND and OVERWRITE commute with any concurrent
-  * commit and always retry; MERGE, DELETE, and OPTIMIZE read the
-  * snapshot they rewrite, so they carry the expected parent version and
-  * FAIL with `ConcurrentModificationException` if another data change
-  * landed first (Delta's conflict-detection rule). Readers tolerate an
-  * in-flight/aborted claim (zero or partial bytes) by stepping down to
-  * the newest PARSEABLE manifest, so a crashed writer never wedges the
-  * table — its claim file is dead weight the next vacuum sweeps.
-  * S3-style stores without atomic create need a CAS commit service (the
-  * documented Delta-on-S3 model); same trust scope as the rest of the
-  * store tier.
+  * UNDER AN UNCOMMITTED directory first; the manifest is then fully
+  * written to a hidden temp file and PUBLISHED by one atomic
+  * create-if-absent primitive (hard link on local filesystems, where
+  * `link(2)` fails if the destination exists; no-overwrite rename on
+  * HDFS) — so a visible manifest is ALWAYS complete, and a concurrent
+  * writer can never observe (and jump past) a half-written claim,
+  * which would orphan its rows. A lost race re-reads the new latest,
+  * recomputes the delta (its data files need no rewrite) and retries
+  * the publish; a failure BEFORE the publish retries safely because
+  * the claim never became visible. APPEND and OVERWRITE commute with
+  * any concurrent commit and always retry; MERGE, DELETE, UPDATE, and
+  * OPTIMIZE read the snapshot they rewrite, so they carry the expected
+  * parent version and FAIL with `ConcurrentModificationException` if
+  * another data change landed first (Delta's conflict-detection rule).
+  * An unparseable vNNN.json can only mean external corruption: writers
+  * skip past it and readers step down to the newest PARSEABLE
+  * manifest, so a corrupted claim never wedges the table — it is dead
+  * weight the next vacuum sweeps. S3-style stores without atomic
+  * create/link need a CAS commit service (the documented Delta-on-S3
+  * model); same trust scope as the rest of the store tier.
   */
 object Snapshots {
 
@@ -254,9 +258,7 @@ object Snapshots {
         getTxns(n)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def readManifest(fs: FileSystem, root: Path,
-      v: Long): Option[Manifest] = {
-    val p = new Path(new Path(root, LogDir), manifestName(v))
+  private def readLogBytes(fs: FileSystem, p: Path): Option[Array[Byte]] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -265,10 +267,14 @@ object Snapshots {
         val buf = new Array[Byte](8192)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        parseManifest(out.toByteArray)
+        Some(out.toByteArray)
       } finally in.close()
     }
-  }
+
+  private def readManifest(fs: FileSystem, root: Path,
+      v: Long): Option[Manifest] =
+    readLogBytes(fs, new Path(new Path(root, LogDir), manifestName(v)))
+      .flatMap(parseManifest)
 
   private def listLog(fs: FileSystem, root: Path): Seq[String] = {
     val log = new Path(root, LogDir)
@@ -285,20 +291,9 @@ object Snapshots {
     listLog(fs, root).collect { case CheckpointRe(v) => v.toLong }
 
   private def readCheckpoint(fs: FileSystem, root: Path,
-      v: Long): Option[Snapshot] = {
-    val p = new Path(new Path(root, LogDir), checkpointName(v))
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        parseCheckpoint(out.toByteArray)
-      } finally in.close()
-    }
-  }
+      v: Long): Option[Snapshot] =
+    readLogBytes(fs, new Path(new Path(root, LogDir), checkpointName(v)))
+      .flatMap(parseCheckpoint)
 
   /** Newest PARSEABLE manifest — skips in-flight/aborted claims. */
   def latestManifest(spark: SparkSession, path: String): Option[Manifest] = {
@@ -314,29 +309,47 @@ object Snapshots {
     * commits the table has seen. */
   private def resolveSnapshot(fs: FileSystem, root: Path,
       v: Long): Option[Snapshot] = {
-    readCheckpoint(fs, root, v).foreach(s => return Some(s))
-    val m = readManifest(fs, root, v).getOrElse(return None)
-    m.files match {
-      case Some(full) => // self-checkpointing manifest (pre-delta logs)
-        Some(Snapshot(v, m.op, full, m.stats, m.schemaJson, m.txns))
-      case None if m.op == "overwrite" || m.op == "optimize" =>
-        // whole-snapshot replacement: the delta IS the snapshot
-        Some(Snapshot(v, m.op, m.adds, m.stats, m.schemaJson, m.txns))
-      case None =>
-        val base: Snapshot =
-          readCheckpoint(fs, root, m.parent)
-            .orElse(if (m.parent <= 0) Some(Snapshot(0L, "append", Nil,
-              Map.empty, None, Map.empty))
-            else resolveSnapshot(fs, root, m.parent))
-            .getOrElse(throw new IllegalStateException(
-              s"snapshot log at $root is missing version ${m.parent} " +
-                s"needed to resolve $v (vacuumed past a live chain?)"))
-        val rm = m.removes.toSet
-        Some(Snapshot(v, m.op,
-          base.files.filterNot(rm) ++ m.adds,
-          (base.stats -- rm) ++ m.stats,
-          m.schemaJson.orElse(base.schemaJson), m.txns))
+    // ITERATIVE walk (a log whose checkpoint writes kept failing must
+    // degrade to a long fold, not a StackOverflowError): collect the
+    // delta chain down to the nearest base, then fold forward.
+    var chain = List.empty[Manifest]
+    var base: Snapshot = null
+    var cur = v
+    while (base == null) {
+      readCheckpoint(fs, root, cur) match {
+        case Some(s) => base = s
+        case None =>
+          val m = readManifest(fs, root, cur).getOrElse {
+            if (chain.isEmpty) return None // v itself absent/corrupt
+            else throw new IllegalStateException(
+              s"snapshot log at $root is missing version $cur needed " +
+                s"to resolve $v (vacuumed past a live chain?)")
+          }
+          m.files match {
+            case Some(full) => // self-checkpointing (pre-delta logs)
+              base = Snapshot(cur, m.op, full, m.stats, m.schemaJson,
+                m.txns)
+            case None if m.op == "overwrite" || m.op == "optimize" =>
+              // whole-snapshot replacement: the delta IS the snapshot
+              base = Snapshot(cur, m.op, m.adds, m.stats, m.schemaJson,
+                m.txns)
+            case None if m.parent <= 0 =>
+              chain ::= m
+              base = Snapshot(0L, "append", Nil, Map.empty, None,
+                Map.empty)
+            case None =>
+              chain ::= m
+              cur = m.parent
+          }
+      }
     }
+    Some(chain.foldLeft(base) { (acc, m) =>
+      val rm = m.removes.toSet
+      Snapshot(m.version, m.op,
+        acc.files.filterNot(rm) ++ m.adds,
+        (acc.stats -- rm) ++ m.stats,
+        m.schemaJson.orElse(acc.schemaJson), m.txns)
+    })
   }
 
   /** Write the derived checkpoint for a resolved snapshot — content is
@@ -785,7 +798,12 @@ object Snapshots {
     val schema = snapshotSchema(spark, path, m)
     require(keyCols.forall(k => schema.fieldNames.contains(k)),
       s"key columns ${keyCols.mkString(",")} must exist in the table")
-    val aligned = updates.select(schema.fieldNames.map(col).toSeq: _*)
+    // align to the TABLE schema with explicit casts (the same rule as
+    // update's SET): otherwise unionByName's type coercion would let a
+    // mistyped update batch silently rewrite the table schema and brick
+    // the next well-typed append on enforcement
+    val aligned = updates.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     val root = new Path(path)
     val touched = touchedFiles(spark, root, m, schema,
       aligned.select(keyCols.map(col): _*).distinct(), keyCols)
@@ -995,39 +1013,59 @@ object Snapshots {
         parentM.map(_.txns).getOrElse(Map.empty) ++ txn)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
+      // ALL-OR-NOTHING claim: the manifest is fully written to a hidden
+      // temp file first, then PUBLISHED by one atomic create-if-absent
+      // primitive — hard link on local filesystems (link(2) fails if
+      // dest exists), no-overwrite rename on HDFS. A visible manifest is
+      // therefore ALWAYS complete: there is no in-flight-unparseable
+      // state a concurrent writer could jump over (which would orphan
+      // this commit's rows), and a failure anywhere before the publish
+      // retries safely — the claim never became visible, so the retry
+      // cannot double-commit. An unparseable vNNN.json can now only
+      // mean external corruption, which writers skip and readers step
+      // over as before.
+      val tmpClaim = new Path(new Path(root, LogDir),
+        s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       val claimOk = try {
-        // atomic claim: HDFS create(overwrite=false) is atomic; the local
-        // FS one is check-then-create, so route local through O_EXCL
-        val out: java.io.OutputStream = fs match {
+        val out = fs.create(tmpClaim, true)
+        try out.write(renderManifest(m)) finally out.close()
+        val published = fs match {
           case _: org.apache.hadoop.fs.LocalFileSystem |
                _: org.apache.hadoop.fs.RawLocalFileSystem =>
-            java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(dest.toUri.getPath),
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-          case _ => fs.create(dest, false)
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(dest.toUri.getPath),
+                java.nio.file.Paths.get(tmpClaim.toUri.getPath))
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+            }
+          case _ =>
+            // HDFS rename does not overwrite an existing destination
+            !fs.exists(dest) && fs.rename(tmpClaim, dest)
         }
-        try out.write(renderManifest(m)) finally out.close()
-        true
-      } catch {
-        // ONLY the manifest claim may retry: a failure after the claim
-        // is durable (e.g. the checkpoint write below) must never
-        // re-commit the same adds as a second version. A failed claim
-        // leaves at worst an unparseable partial file readers step over.
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException =>
+        if (!published) {
           attempt += 1
           if (attempt > maxRetries) throw new IllegalStateException(
             s"snapshot commit lost $maxRetries races at $path; giving up")
-          false // lost the race — loop and re-claim
-      }
+        }
+        published
+      } finally fs.delete(tmpClaim, false)
       if (claimOk) {
         // periodic derived checkpoint, OUTSIDE the retry scope: it is
         // derived data — a failure here loses nothing but fold length
         if (next % CheckpointInterval == 0L)
           try resolveSnapshot(fs, root, next)
             .foreach(writeCheckpoint(fs, root, _))
-          catch { case scala.util.control.NonFatal(_) => () }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              // derived data — but a SYSTEMATIC failure degrades every
+              // future read's fold length, so say something
+              System.err.println(
+                s"[snapshots] checkpoint write at $path v$next failed " +
+                  s"(${e.getMessage}); reads fold more deltas until one " +
+                  "succeeds")
+          }
         return next
       }
     }

@@ -159,14 +159,29 @@ final class SnapshotScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required)
+    SnapshotReaderFactory.fromSession(required)
 }
 
-final class SnapshotReaderFactory(required: StructType)
+object SnapshotReaderFactory {
+  /** Driver-side capture of the session's effective Hadoop conf — the
+    * executors' readers must see the same credentials/nameservice
+    * settings the planner used (a bare `new Configuration()` on the
+    * executor has none of the spark.hadoop.* overrides). */
+  def fromSession(required: StructType): SnapshotReaderFactory = {
+    val c = SparkSession.active.sessionState.newHadoopConf()
+    val b = Map.newBuilder[String, String]
+    val it = c.iterator()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    new SnapshotReaderFactory(required, b.result())
+  }
+}
+
+final class SnapshotReaderFactory(required: StructType,
+    hadoopConf: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SnapshotGroupReader(
-      p.asInstanceOf[SnapshotInputPartition].absPath, required)
+      p.asInstanceOf[SnapshotInputPartition].absPath, required, hadoopConf)
 }
 
 object SnapshotGroupReader {
@@ -191,7 +206,8 @@ object SnapshotGroupReader {
   * column projection; emits only the pruned schema. A column absent
   * from the file (written before a schema-evolving commit) emits
   * null. */
-final class SnapshotGroupReader(absPath: String, required: StructType)
+final class SnapshotGroupReader(absPath: String, required: StructType,
+    hadoopConf: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -199,7 +215,12 @@ final class SnapshotGroupReader(absPath: String, required: StructType)
   import org.apache.parquet.hadoop.util.HadoopInputFile
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    if (hadoopConf.isEmpty) new org.apache.hadoop.conf.Configuration()
+    else c
+  }
   private val hPath = new org.apache.hadoop.fs.Path(absPath)
 
   private val fileSchema: MessageType = {
@@ -278,8 +299,15 @@ final class SnapshotGroupReader(absPath: String, required: StructType)
     cur != null
   }
 
-  override def get(): InternalRow =
-    InternalRow.fromSeq(emitters.toSeq.map(_(cur)))
+  private val width = required.fields.length
+
+  override def get(): InternalRow = {
+    // one array per row, no Seq wrapper/closure per cell (hot path)
+    val arr = new Array[Any](width)
+    var i = 0
+    while (i < width) { arr(i) = emitters(i)(cur); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+  }
 
   override def close(): Unit = reader.close()
 }
@@ -338,7 +366,7 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required)
+    SnapshotReaderFactory.fromSession(required)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
