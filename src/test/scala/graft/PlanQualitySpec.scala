@@ -1209,14 +1209,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("rollup plans as ONE Expand + one partial+final aggregate — " +
-      "never a scan per grouping set") {
+  test("rollup: ONE fact scan feeds a base pre-aggregate, and Expand " +
+      "multiplies only the tiny aggregate — never the fact stream or " +
+      "a scan per grouping set") {
     val dir = "/root/testdata/sf0.001"
-    val plan = planString(SparkEntry.queries("q_rollup")(spark, dir))
+    val df = SparkEntry.queries("q_rollup")(spark, dir)
+    val plan = planString(df)
     plan.split("FileScan").length - 1 shouldBe 1
     plan.split("Expand").length - 1 shouldBe 1
     plan.toLowerCase should include("partial_sum")
-    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    // two exchanges: the fact pre-aggregate and the rollup of its ~10
+    // rows — the Expand row-multiplication happens ABOVE the first
+    // aggregate (pinned structurally: Expand's subtree contains the
+    // base HashAggregate, so the fact stream is never expanded)
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 2
+    val expand = df.queryExecution.optimizedPlan.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    expand.isDefined shouldBe true
+    // the Expand node's child plan already aggregated the fact table
+    expand.get.child.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined shouldBe true
   }
 
   test("drift movers plans as TakeOrderedAndProject over the joined " +
