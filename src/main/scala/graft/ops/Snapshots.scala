@@ -839,9 +839,9 @@ object Snapshots {
     val withFile = spark.read.schema(schema)
       .parquet(candidates.map(f => new Path(root, f).toString): _*)
       .withColumn("__gf", input_file_name())
-    val touched = relativize(
-      withFile.where(predicate).select("__gf").distinct()
-        .collect().map(_.getString(0)).toSeq, candidates)
+    val touched = collectTouched(
+      withFile.where(predicate).select("__gf").distinct(), candidates,
+      "delete", path)
     if (touched.isEmpty) return m.version
     val kept = spark.read.schema(schema)
       .parquet(touched.map(f => new Path(root, f).toString): _*)
@@ -872,9 +872,9 @@ object Snapshots {
     val withFile = spark.read.schema(schema)
       .parquet(candidates.map(f => new Path(root, f).toString): _*)
       .withColumn("__gf", input_file_name())
-    val touched = relativize(
-      withFile.where(predicate).select("__gf").distinct()
-        .collect().map(_.getString(0)).toSeq, candidates)
+    val touched = collectTouched(
+      withFile.where(predicate).select("__gf").distinct(), candidates,
+      "update", path)
     if (touched.isEmpty) return m.version
     val hit = coalesce(predicate, lit(false))
     val rewritten = spark.read.schema(schema)
@@ -902,6 +902,32 @@ object Snapshots {
           s"${m.version} — re-run the $op")
   }
 
+  /** Copy-on-write planning collects the touched-file path list on the
+    * driver (the standard log-store planning cost — Delta does the
+    * same). A predicate or key batch that touches millions of files
+    * would collect millions of strings and kill the driver with an
+    * unattributed OOM; past this cap
+    * (`spark.graft.snapshot.maxTouchedFiles`, default 100 000 ≈ a few MB
+    * of paths) the plan fails LOUDLY instead, naming the op and the
+    * ways out. */
+  final class TouchedFilesOverflow(op: String, cap: Int, path: String)
+      extends RuntimeException(
+        s"$op at $path matches rows in more than $cap data files — the " +
+        "copy-on-write planner collects touched-file paths on the driver. " +
+        "Tighten the predicate/key batch, OPTIMIZE the table into fewer " +
+        "files, or raise spark.graft.snapshot.maxTouchedFiles.")
+
+  private def collectTouched(distinctFiles: DataFrame,
+      candidates: Seq[String], op: String, path: String): Seq[String] = {
+    val cap = distinctFiles.sparkSession.conf
+      .get("spark.graft.snapshot.maxTouchedFiles", "100000").toInt
+    // limit(cap+1) bounds what crosses to the driver even when the true
+    // count is pathological; one extra row is enough to detect overflow
+    val rows = distinctFiles.limit(cap + 1).collect()
+    if (rows.length > cap) throw new TouchedFilesOverflow(op, cap, path)
+    relativize(rows.map(_.getString(0)).toSeq, candidates)
+  }
+
   /** Files of `m` that contain at least one row whose `keyCols` match a
     * key in `keys`: stats pre-prune (single-key fast path — the key
     * range of the update batch), then an exact semi-join pass over the
@@ -922,9 +948,9 @@ object Snapshots {
     val withFile = spark.read.schema(schema)
       .parquet(candidates.map(f => new Path(root, f).toString): _*)
       .withColumn("__gf", input_file_name())
-    relativize(
-      withFile.join(keys, keyCols, "left_semi").select("__gf").distinct()
-        .collect().map(_.getString(0)).toSeq, candidates)
+    collectTouched(
+      withFile.join(keys, keyCols, "left_semi").select("__gf").distinct(),
+      candidates, "merge", root.toString)
   }
 
   /** Map `input_file_name` URIs back to manifest-relative paths by their
@@ -1159,13 +1185,29 @@ object Snapshots {
 
   // ------------------------------------------------------------------- vacuum
 
+  /** Unreferenced data files younger than this survive [[vacuum]]: a
+    * concurrent writer's commit writes its data files FIRST (step 1) and
+    * publishes the manifest after, so an unreferenced-but-recent file may
+    * be an in-flight commit, and deleting it would let the subsequent
+    * publish commit a manifest pointing at deleted data — silent table
+    * corruption. Delta guards the same race with a modification-time
+    * retention threshold; 24 h bounds any realistic write-to-publish gap
+    * by orders of magnitude. Override per-call (`graceMs = 0` only when
+    * no writer can be live — e.g. tests, or a true single-writer
+    * maintenance window). */
+  val DefaultVacuumGraceMs: Long = 24L * 3600 * 1000
+
   /** Retention sweep: drop manifests with version < keepFromVersion and
     * delete every data file no RETAINED manifest references (aborted
-    * claims too). Time travel to vacuumed versions then raises; retained
-    * reads are untouched. Returns deleted data-file count. Run from a
-    * maintenance window like [[Compaction.compactDirectory]]: a reader
-    * pinned to a version older than the horizon loses its files. */
-  def vacuum(spark: SparkSession, path: String, keepFromVersion: Long): Long = {
+    * claims too) — EXCEPT files modified within `graceMs` of now, which
+    * may belong to an in-flight commit that has written data but not yet
+    * published its manifest (see [[DefaultVacuumGraceMs]]). Time travel
+    * to vacuumed versions then raises; retained reads are untouched.
+    * Returns deleted data-file count. A reader pinned to a version older
+    * than the horizon loses its files, so run from a maintenance window
+    * like [[Compaction.compactDirectory]]. */
+  def vacuum(spark: SparkSession, path: String, keepFromVersion: Long,
+      graceMs: Long = DefaultVacuumGraceMs): Long = {
     val fs = fsFor(spark, path); val root = new Path(path)
     val all = claimedVersions(fs, root).sorted
     val retained = all.filter(_ >= keepFromVersion)
@@ -1189,6 +1231,7 @@ object Snapshots {
     // delete unreferenced data files (listing data/ is the one full
     // listing vacuum pays — it is the op whose JOB is the full sweep)
     var deleted = 0L
+    val horizon = System.currentTimeMillis() - math.max(0L, graceMs)
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir)) {
       Option(fs.listStatus(dataDir)).getOrElse(Array.empty).foreach { cd =>
@@ -1198,7 +1241,8 @@ object Snapshots {
           files.foreach { f =>
             val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
             if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-                !referenced.contains(rel)) {
+                !referenced.contains(rel) &&
+                f.getModificationTime < horizon) {
               fs.delete(f.getPath, false); deleted += 1
             } else kept = true
           }

@@ -156,7 +156,7 @@ class SnapshotSourceSpec extends SparkSpec {
     val p = freshDir()
     Snapshots.append(tbl(1 to 5), p)
     Snapshots.append(tbl(6 to 9), p)
-    Snapshots.vacuum(spark, p, keepFromVersion = 2L) // v1 retired
+    Snapshots.vacuum(spark, p, keepFromVersion = 2L, graceMs = 0L) // v1 retired
     // default startingVersion=1 points below the horizon → typed failure
     val q = spark.readStream.format("graft-snapshot").load(p)
       .writeStream.format("memory").queryName("snap_vac")

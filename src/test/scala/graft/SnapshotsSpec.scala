@@ -79,7 +79,7 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.append(tbl(1 to 10), p)
     Snapshots.overwrite(tbl(100 to 102), p)
     Snapshots.append(tbl(103 to 104), p)
-    val deleted = Snapshots.vacuum(spark, p, keepFromVersion = 2L)
+    val deleted = Snapshots.vacuum(spark, p, keepFromVersion = 2L, graceMs = 0L)
     deleted should be >= 1L // v1's retired files
     // retained versions read fine, incl. time travel to v2
     Snapshots.read(spark, p, Some(2L)).count() shouldBe 3L
@@ -91,6 +91,48 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshots.vacuum(spark, p, keepFromVersion = 99L)
     }
+  }
+
+  test("vacuum grace window: a fresh unreferenced file (an in-flight " +
+      "commit's data, manifest not yet published) survives the default " +
+      "sweep; the publish then commits against intact files") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.overwrite(tbl(100 to 102), p)
+    // simulate commit step 1 of a concurrent writer: data files written
+    // into an uncommitted per-commit directory, manifest NOT published
+    tbl(900 to 905).coalesce(1).write.parquet(s"$p/data/c-inflight")
+    // default grace: everything here is seconds old → NOTHING deletable,
+    // not v1's retired files and especially not the in-flight data
+    Snapshots.vacuum(spark, p, keepFromVersion = 2L) shouldBe 0L
+    new java.io.File(s"$p/data/c-inflight").exists() shouldBe true
+    // grace=0 (single-writer maintenance window): the sweep reclaims both
+    val deleted = Snapshots.vacuum(spark, p, keepFromVersion = 2L,
+      graceMs = 0L)
+    deleted should be >= 2L
+  }
+
+  test("touched-file cap: a CoW op whose predicate spans more files than " +
+      "spark.graft.snapshot.maxTouchedFiles fails loudly, not OOM") {
+    val p = freshDir()
+    // 4 files of one row each → a match-all predicate touches 4 files
+    (1 to 4).foreach(i => Snapshots.append(tbl(i to i), p))
+    spark.conf.set("spark.graft.snapshot.maxTouchedFiles", "2")
+    try {
+      intercept[Snapshots.TouchedFilesOverflow] {
+        Snapshots.delete(spark, p, col("id") >= 1L)
+      }
+      intercept[Snapshots.TouchedFilesOverflow] {
+        Snapshots.update(spark, p, col("id") >= 1L,
+          Map("v" -> (col("v") * 10)))
+      }
+      intercept[Snapshots.TouchedFilesOverflow] {
+        Snapshots.merge(spark, p, tbl(1 to 4), Seq("id"))
+      }
+      // under the cap the same ops plan normally
+      Snapshots.delete(spark, p, col("id") === 1L)
+      Snapshots.read(spark, p).count() shouldBe 3L
+    } finally spark.conf.unset("spark.graft.snapshot.maxTouchedFiles")
   }
 
   test("optimize: rows identical, fewer files, old versions intact, " +
@@ -241,7 +283,7 @@ class SnapshotsSpec extends SparkSpec {
     (1 to 7).foreach(i => Snapshots.append(tbl(i * 10 until i * 10 + 3), p))
     // keepFrom=6: v6/v7 are deltas whose chains reach v1..v5 — vacuum
     // must write a checkpoint at the boundary before retiring those
-    Snapshots.vacuum(spark, p, keepFromVersion = 6L)
+    Snapshots.vacuum(spark, p, keepFromVersion = 6L, graceMs = 0L)
     Snapshots.read(spark, p, Some(6L)).count() shouldBe 18L
     Snapshots.read(spark, p).count() shouldBe 21L
     intercept[IllegalArgumentException] {
