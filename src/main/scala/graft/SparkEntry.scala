@@ -264,6 +264,47 @@ object SparkEntry {
       _ => { build(path); path })
   }
 
+  /** The ONE persisted inverted index per (sf dir, JVM), built as a base
+    * half (doc_id < 400) plus an appended shard — the incremental-
+    * maintenance lifecycle itself. The append≡rebuild law (TextSpec)
+    * makes the segmented store result-identical to a one-shot build, so
+    * q_search_indexed, q_search_append, and q_stream_search ALL serve
+    * from this single artifact: one tokenize+build pass across the three
+    * gate rows instead of the near-duplicate 400-doc rebuild
+    * q_search_append used to pay (r8 advice #1). */
+  private def buildSearchIndex(s: SparkSession, dir: String): String =
+    sharedBuild("searchidx", dir) { p =>
+      deleteRecursively(p) // stale store from a previous JVM
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      withSearchBuildConf(s) {
+        graft.text.Search.writeSearchIndex(
+          d.where(col("doc_id") < 400), "text", "doc_id", p)
+        graft.text.Search.appendSearchIndex(s, p,
+          d.where(col("doc_id") >= 400), "text")
+      }
+    }
+
+  /** The ONE persisted IVF store per (sf dir, JVM): base half + an
+    * appended shard against the FROZEN centroids (per-row argmin
+    * assignment is batch-invariant, so append ≡ one-shot build —
+    * SimilaritySpec law). q_ann_index, q_ann_append, and q_stream_ann
+    * all serve from it; centroids are the 16 lowest-id vectors so the
+    * shared oracle can replay assignment + probing in SQL. */
+  private def buildIvfStore(s: SparkSession, dir: String): String =
+    sharedBuild("ivfidx", dir) { p =>
+      deleteRecursively(p)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      Similarity.writeIvfStore(e.where(col("vec_id") <= half), "vec_id",
+        "embedding", p, nCentroids = 16, centroidsOverride = Some(cents))
+      Similarity.appendIvfStore(s, p, e.where(col("vec_id") > half),
+        "vec_id", "embedding")
+    }
+
   private def baseQueries: Map[String, Q] = Map(
     // --- scans / filters (S1, F1-F5) ------------------------------------
     "q_load_collection" -> ((s, dir) => {
@@ -1757,39 +1798,23 @@ object SparkEntry {
       // centroid table and scans ONLY the probed cell directories
       // (partition pruning — pinned in PlanQualitySpec). Same params as
       // q_ann_topk_ivf ⇒ identical results; oracle shared verbatim.
-      // The build is SHARED with q_stream_ann (build once, serve many).
+      // The build is SHARED with q_ann_append/q_stream_ann (build once,
+      // serve many — see [[buildIvfStore]]).
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      val idx = sharedBuild("ivfidx", dir) { p =>
-        Similarity.writeIvfStore(e, "vec_id", "embedding", p,
-          nCentroids = 16, centroidsOverride = Some(cents))
-      }
+      val idx = buildIvfStore(s, dir)
       Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
     "q_ann_append" -> ((s, dir) => {
-      // INCREMENTAL index maintenance, end-to-end: build the store from
-      // half the corpus, append the other half in a shard (assignment
-      // against the FROZEN centroids, dynamic-partition append into the
-      // cell directories — no rebuild), then serve. Because per-row
-      // argmin assignment is batch-invariant, the result is identical
-      // to the one-shot build — oracle shared verbatim with
+      // INCREMENTAL index maintenance, end-to-end: the shared store IS
+      // a base-half build plus an appended shard (assignment against the
+      // FROZEN centroids, dynamic-partition append into the cell
+      // directories — no rebuild; see [[buildIvfStore]]). Because
+      // per-row argmin assignment is batch-invariant, the result is
+      // identical to the one-shot build — oracle shared verbatim with
       // q_ann_topk_ivf/q_ann_index.
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_ivfapp_$slug"
-      Similarity.writeIvfStore(e.where(col("vec_id") <= half), "vec_id",
-        "embedding", idx, nCentroids = 16, centroidsOverride = Some(cents))
-      Similarity.appendIvfStore(s, idx, e.where(col("vec_id") > half),
-        "vec_id", "embedding")
+      val idx = buildIvfStore(s, dir)
       Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 4)
     }),
@@ -1932,33 +1957,21 @@ object SparkEntry {
       // tables partitioned by term-hash bucket, exact corpus stats), and
       // the query probes only its terms' bucket directories. Result is
       // identical to q_bm25; oracle shared verbatim. The build is
-      // SHARED with q_stream_search (build once, serve many).
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val idx = sharedBuild("searchidx", dir) { p =>
-        withSearchBuildConf(s) {
-          graft.text.Search.writeSearchIndex(d, "text", "doc_id", p)
-        }
-      }
+      // SHARED with q_search_append/q_stream_search (build once, serve
+      // many — see [[buildSearchIndex]]).
+      val idx = buildSearchIndex(s, dir)
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
     }),
     "q_search_append" -> ((s, dir) => {
-      // incremental index maintenance: the corpus arrives as a base
-      // build + an appended shard (disjoint ids); stats/df rows are
-      // append-only segments the serving path aggregates with exact
-      // long sums, so the segmented store is result-identical to the
-      // one-shot build — and to q_bm25. Oracle shared verbatim. (The
-      // TextSpec law covers the multi-append sequence; one append keeps
-      // the gate row's build count down.)
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_searchapp_$slug"
-      withSearchBuildConf(s) {
-        graft.text.Search.writeSearchIndex(
-          d.where(col("doc_id") < 400), "text", "doc_id", idx)
-        graft.text.Search.appendSearchIndex(s, idx,
-          d.where(col("doc_id") >= 400), "text")
-      }
+      // incremental index maintenance: the shared store IS a base build
+      // (doc_id < 400) plus an appended shard (disjoint ids; see
+      // [[buildSearchIndex]]); stats/df rows are append-only segments
+      // the serving path aggregates with exact long sums, so the
+      // segmented store is result-identical to the one-shot build — and
+      // to q_bm25. Oracle shared verbatim. (The TextSpec law covers the
+      // multi-append sequence.)
+      val idx = buildSearchIndex(s, dir)
       graft.text.Search.bm25Indexed(s, idx,
         Seq("spark", "merge", "window"))
     }),
@@ -1974,12 +1987,7 @@ object SparkEntry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val idx = sharedBuild("searchidx", dir) { p =>
-        withSearchBuildConf(s) {
-          graft.text.Search.writeSearchIndex(d, "text", "doc_id", p)
-        }
-      }
+      val idx = buildSearchIndex(s, dir)
       val ms = MemoryStream[(Long, Array[String])]
       val sink = "q_stream_search_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -3177,14 +3185,7 @@ object SparkEntry {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      val idx = sharedBuild("ivfidx", dir) { p =>
-        Similarity.writeIvfStore(e, "vec_id", "embedding", p,
-          nCentroids = 16, centroidsOverride = Some(cents))
-      }
+      val idx = buildIvfStore(s, dir)
       val qrows = e.where(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)

@@ -32,15 +32,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    downstream index/aggregate maintenance job runs forever against
   *    a 100 TB table that keeps committing.
   *
-  * The partition reader decodes parquet through parquet-mr's public
-  * Group API (projection pushed via `parquet.read.schema`, one file per
-  * partition) — fine for the streaming deltas it serves; the heavy
-  * BATCH path of choice remains [[Snapshots.read]]/[[Snapshots.scanWhere]],
-  * which plan Spark's native vectorized parquet scan over the same
-  * manifest. Files written before a schema-evolving commit read their
-  * missing columns as null. Supported leaf types: integral, float,
-  * double, boolean, string, timestamp (INT64 millis/micros/nanos and
-  * INT96), date. */
+  * The partition reader is VECTORIZED: [[SnapshotColumnarReader]]
+  * decodes parquet pages column-at-a-time straight into on-heap column
+  * vectors (projection pushed via `setRequestedSchema`, one file per
+  * partition), so Spark plans a ColumnarToRow boundary and whole-stage
+  * codegen consumes the vectors exactly as it does for its native
+  * parquet scan — no per-row Group materialization, no per-cell boxing
+  * on the hot path. A zero-column projection (count(*) over a file
+  * lacking every requested column) never touches pages at all: row
+  * counts come straight from the footer blocks. The row-based
+  * [[SnapshotGroupReader]] remains as the non-columnar fallback.
+  * Files written before a schema-evolving commit read their missing
+  * columns as null. Supported leaf types: integral, float, double,
+  * boolean, string, timestamp (INT64 millis/micros/nanos and INT96),
+  * date. */
 final class SnapshotTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -182,6 +187,191 @@ final class SnapshotReaderFactory(required: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new SnapshotGroupReader(
       p.asInstanceOf[SnapshotInputPartition].absPath, required, hadoopConf)
+
+  // vectorized path: the scan emits ColumnarBatch, so Spark plans a
+  // ColumnarToRow boundary and whole-stage codegen consumes the vectors
+  // as it does for its native parquet scan (r8 advice #2 — the V2 face
+  // is the catalog-integration path a 100 TB consumer actually uses)
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new SnapshotColumnarReader(
+      p.asInstanceOf[SnapshotInputPartition].absPath, required, hadoopConf)
+}
+
+object SnapshotColumnarReader {
+  // parquet-mr's ColumnReadStoreImpl wants a converter tree, but the
+  // typed getters (getLong/getBinary/...) never route through it — only
+  // writeCurrentValueToConverter would, and we never call that. A
+  // converter WITHOUT dictionary support also keeps page decode eager.
+  private val NoopPrim = new org.apache.parquet.io.api.PrimitiveConverter {}
+  private[sources] val Root: org.apache.parquet.io.api.GroupConverter =
+    new org.apache.parquet.io.api.GroupConverter {
+      override def getConverter(i: Int): org.apache.parquet.io.api.Converter =
+        NoopPrim
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+}
+
+/** Vectorized single-file reader: each row group's pages decode
+  * column-at-a-time into [[OnHeapColumnVector]]s in chunks of up to
+  * 4096 rows. Definition levels drive per-value null bits (our schemas
+  * are flat, so maxDef ∈ {0, 1}); a required column absent from the
+  * file (schema evolution) fills with nulls; a projection matching NO
+  * file column short-circuits to footer block row counts with zero page
+  * reads. Type handling (timestamp units, INT96) matches
+  * [[SnapshotGroupReader]] exactly. */
+final class SnapshotColumnarReader(absPath: String, required: StructType,
+    hadoopConf: Map[String, String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.parquet.column.ColumnReader
+  import org.apache.parquet.column.impl.ColumnReadStoreImpl
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+  import scala.jdk.CollectionConverters._
+
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    if (hadoopConf.isEmpty) new org.apache.hadoop.conf.Configuration()
+    else c
+  }
+  private val reader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(absPath), conf))
+  private val fileMeta = reader.getFooter.getFileMetaData
+  private val fileSchema: MessageType = fileMeta.getSchema
+  private val present: Array[Boolean] =
+    required.fields.map(f => fileSchema.containsField(f.name))
+  private val projFields = required.fields.zip(present)
+    .collect { case (f, true) =>
+      fileSchema.getType(fileSchema.getFieldIndex(f.name)) }
+  private val proj: Option[MessageType] =
+    if (projFields.nonEmpty)
+      Some(new MessageType(fileSchema.getName, projFields.toSeq: _*))
+    else None
+  proj.foreach(reader.setRequestedSchema)
+
+  // zero-projection fast path: row counts from the footer, no page I/O
+  private val blockIter: Iterator[Long] =
+    if (proj.isEmpty)
+      reader.getFooter.getBlocks.asScala.iterator.map(_.getRowCount)
+    else Iterator.empty
+
+  /** Per-present-field page fill loop, resolved once: reads `n` values
+    * off the row group's [[ColumnReader]] into vector slots 0..n-1 with
+    * definition-level null handling. */
+  private val fillers: Array[(ColumnReader, WritableColumnVector, Int) => Unit] =
+    required.fields.zip(present).map {
+      case (_, false) => null
+      case (f, true) =>
+        val idx = proj.get.getFieldIndex(f.name)
+        val maxDef = proj.get.getColumns.get(idx).getMaxDefinitionLevel
+        val ptype = proj.get.getType(idx).asPrimitiveType()
+        val putOne: (ColumnReader, WritableColumnVector, Int) => Unit =
+          f.dataType match {
+            case ByteType => (cr, v, i) => v.putByte(i, cr.getInteger.toByte)
+            case ShortType => (cr, v, i) => v.putShort(i, cr.getInteger.toShort)
+            case IntegerType | DateType => (cr, v, i) => v.putInt(i, cr.getInteger)
+            case LongType => (cr, v, i) => v.putLong(i, cr.getLong)
+            case FloatType => (cr, v, i) => v.putFloat(i, cr.getFloat)
+            case DoubleType => (cr, v, i) => v.putDouble(i, cr.getDouble)
+            case BooleanType => (cr, v, i) => v.putBoolean(i, cr.getBoolean)
+            case StringType => (cr, v, i) => {
+              val b = cr.getBinary.getBytes
+              v.putByteArray(i, b, 0, b.length); ()
+            }
+            case TimestampType => ptype.getPrimitiveTypeName match {
+              case PrimitiveType.PrimitiveTypeName.INT96 =>
+                (cr, v, i) => v.putLong(i,
+                  SnapshotGroupReader.int96Micros(cr.getBinary.getBytes))
+              case _ =>
+                val unit = Option(ptype.getLogicalTypeAnnotation).collect {
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit
+                }
+                unit match {
+                  case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) =>
+                    (cr, v, i) => v.putLong(i, cr.getLong * 1000L)
+                  case Some(LogicalTypeAnnotation.TimeUnit.NANOS) =>
+                    (cr, v, i) => v.putLong(i, cr.getLong / 1000L)
+                  case _ => (cr, v, i) => v.putLong(i, cr.getLong)
+                }
+            }
+            case other => throw new IllegalArgumentException(
+              s"graft-snapshot: unsupported column type $other")
+          }
+        (cr: ColumnReader, v: WritableColumnVector, n: Int) => {
+          var i = 0
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel < maxDef) v.putNull(i)
+            else putOne(cr, v, i)
+            cr.consume()
+            i += 1
+          }
+        }
+    }
+
+  private val BatchSize = 4096
+  private var cols: Array[ColumnReader] = null // per required field; null=absent
+  private var rowsLeft: Long = 0
+  private var batch: ColumnarBatch = null
+
+  private def advanceRowGroup(): Boolean = {
+    val pages = reader.readNextRowGroup()
+    if (pages == null) return false
+    val store = new ColumnReadStoreImpl(pages, SnapshotColumnarReader.Root,
+      proj.get, fileMeta.getCreatedBy)
+    // flat schema: the projection's column descriptors are in field order
+    val descs = proj.get.getColumns
+    cols = required.fields.zip(present).map {
+      case (f, true) => store.getColumnReader(descs.get(proj.get.getFieldIndex(f.name)))
+      case (_, false) => null
+    }
+    rowsLeft = pages.getRowCount
+    true
+  }
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (proj.isEmpty) {
+      while (rowsLeft == 0) {
+        if (!blockIter.hasNext) return false
+        rowsLeft = blockIter.next()
+      }
+      val n = math.min(BatchSize.toLong, rowsLeft).toInt
+      rowsLeft -= n
+      val vecs = OnHeapColumnVector.allocateColumns(n, required)
+      vecs.foreach(_.putNulls(0, n))
+      batch = new ColumnarBatch(vecs.map(v => v: ColumnVector), n)
+      return true
+    }
+    while (rowsLeft == 0) {
+      if (!advanceRowGroup()) return false
+    }
+    val n = math.min(BatchSize.toLong, rowsLeft).toInt
+    rowsLeft -= n
+    val vecs = OnHeapColumnVector.allocateColumns(n, required)
+    var c = 0
+    while (c < vecs.length) {
+      if (cols(c) == null) vecs(c).putNulls(0, n)
+      else fillers(c)(cols(c), vecs(c), n)
+      c += 1
+    }
+    batch = new ColumnarBatch(vecs.map(v => v: ColumnVector), n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (batch != null) { batch.close(); batch = null }
+    reader.close()
+  }
 }
 
 object SnapshotGroupReader {

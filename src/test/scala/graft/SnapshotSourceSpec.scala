@@ -176,6 +176,36 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("vectorized read: the plan crosses a ColumnarToRow boundary and " +
+      "every supported type round-trips, incl. evolved-null columns and " +
+      "the footer-only count(*) fast path") {
+    val p = freshDir()
+    val full = (1 to 9000).map(i => (i.toLong, s"r$i", i * 2.0, i % 3 == 0,
+        java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 06:30:00"),
+        java.sql.Date.valueOf(f"2024-02-${i % 28 + 1}%02d"), i.toFloat))
+      .toDF("id", "name", "v", "flag", "ts", "d", "f")
+    Snapshots.append(full.where(col("id") <= 6000), p)
+    // schema-evolving second commit: old files must read `tag` as null
+    Snapshots.append(
+      (6001 to 9000).map(i => (i.toLong, s"r$i", i * 2.0, i % 3 == 0,
+          java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 06:30:00"),
+          java.sql.Date.valueOf(f"2024-02-${i % 28 + 1}%02d"), i.toFloat,
+          s"t$i"))
+        .toDF("id", "name", "v", "flag", "ts", "d", "f", "tag"), p)
+    val df = spark.read.format("graft-snapshot").load(p)
+    // plan pin: the scan emits ColumnarBatch → ColumnarToRow in the plan
+    df.queryExecution.executedPlan.toString should include("ColumnarToRow")
+    rowSet(df.where(col("id") <= 6000)) shouldBe
+      rowSet(full.where(col("id") <= 6000).withColumn("tag",
+        lit(null).cast("string")))
+    df.where(col("tag").isNull).count() shouldBe 6000L
+    // footer-only path: count(*) prunes every column
+    df.count() shouldBe 9000L
+    // 4096-row batch boundaries don't duplicate or drop rows
+    df.select(sum(col("id"))).head().getLong(0) shouldBe
+      (1L to 9000L).sum
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
