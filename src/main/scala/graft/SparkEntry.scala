@@ -264,6 +264,19 @@ object SparkEntry {
       _ => { build(path); path })
   }
 
+  /** The v1 append (%3<2, range-partitioned) + v2 overwrite (%3=2)
+    * store q_snapshot_source and q_graph_snapshot both time-travel to
+    * v1 — built once per (sf dir, JVM); both consumers read a PINNED
+    * version, so build count can't change either result. */
+  private def buildSrcSnapshotStore(s: SparkSession, dir: String): String =
+    sharedBuild("snapsrc", dir) { p =>
+      deleteRecursively(p)
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 < 2)
+        .repartitionByRange(4, col("event_id")), p)
+      Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p)
+    }
+
   /** The ONE persisted inverted index per (sf dir, JVM), built as a base
     * half (doc_id < 400) plus an appended shard — the incremental-
     * maintenance lifecycle itself. The append≡rebuild law (TextSpec)
@@ -304,6 +317,105 @@ object SparkEntry {
       Similarity.appendIvfStore(s, p, e.where(col("vec_id") > half),
         "vec_id", "embedding")
     }
+
+  /** Full IVF-PQ residual-ADC oracle chain (shared by
+    * q_ann_topk_ivfpq and, as a subquery, q_ann_recall_ivfpq).
+    * full IVF-PQ residual ADC. Stage mirror of Similarity.topKIvfPq:
+    * coarse assign (argmin of (|v|²−2v·c)+|c|², ties lowest cid) →
+    * residual v−c → residual codebook = residuals of the 16 lowest-id
+    * rows → per-subspace codes (same argmin over residual subvectors) →
+    * reconstructed |v̂|² = (|c|² + Σs 2·(c_s·cb)) + Σs |cb|² →
+    * adot = q·c + Σs lut_s[code] → cos = adot/(|q|·|v̂|). Every SUM is
+    * ORDER BY'd to match Spark's left-to-right folds bit-for-bit.
+    */
+  private val ivfPqTopkSql: String =
+    """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         cel AS (SELECT cid, CAST(unnest(embedding) AS DOUBLE) AS cv,
+             generate_subscripts(embedding, 1) AS i FROM cents),
+         ccn2 AS (SELECT cid, SUM(cv*cv ORDER BY i) AS nc2 FROM cel GROUP BY 1),
+         vn2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
+         vdot AS (SELECT e.vec_id, c.cid, SUM(e.v * c.cv ORDER BY e.i) AS dvc
+           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
+         assign AS (SELECT vec_id, cid FROM (
+             SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ((n2.n2v - (2.0 * v.dvc)) + c2.nc2), v.cid) AS rn
+             FROM vdot v JOIN vn2 n2 ON n2.vec_id = v.vec_id
+                  JOIN ccn2 c2 ON c2.cid = v.cid) WHERE rn = 1),
+         rel AS (SELECT e.vec_id, a.cid, (e.i-1)//16 AS s,
+             e.i - ((e.i-1)//16)*16 AS j, e.v - c.cv AS r
+           FROM el e JOIN assign a ON a.vec_id = e.vec_id
+                JOIN cel c ON c.cid = a.cid AND c.i = e.i),
+         cbrows AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+         cbel AS (SELECT cb.c, r.s, r.j, r.r AS bv
+           FROM cbrows cb JOIN rel r ON r.vec_id = cb.vec_id),
+         cbn2 AS (SELECT c, s, SUM(bv*bv ORDER BY j) AS nb2
+                  FROM cbel GROUP BY 1, 2),
+         rn2v AS (SELECT vec_id, s, SUM(r*r ORDER BY j) AS n2r
+                  FROM rel GROUP BY 1, 2),
+         rdot AS (SELECT rs.vec_id, cb.c, cb.s,
+             SUM(rs.r * cb.bv ORDER BY rs.j) AS drc
+           FROM rel rs JOIN cbel cb ON cb.s = rs.s AND cb.j = rs.j
+           GROUP BY 1, 2, 3),
+         codes AS (SELECT vec_id, s, c FROM (
+             SELECT d.vec_id, d.s, d.c, row_number() OVER (
+                 PARTITION BY d.vec_id, d.s
+                 ORDER BY ((v.n2r - (2.0 * d.drc)) + b.nb2), d.c) AS rn
+             FROM rdot d JOIN rn2v v ON v.vec_id = d.vec_id AND v.s = d.s
+                  JOIN cbn2 b ON b.c = d.c AND b.s = d.s) WHERE rn = 1),
+         csel AS (SELECT cid, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, cv
+                  FROM cel),
+         crx AS (SELECT cs.cid, cb.c, cb.s,
+             SUM(cs.cv * cb.bv ORDER BY cs.j) AS x
+           FROM csel cs JOIN cbel cb ON cb.s = cs.s AND cb.j = cs.j
+           GROUP BY 1, 2, 3),
+         rrn AS (SELECT cd.vec_id,
+             sqrt((c2.nc2 + SUM(2.0 * x.x ORDER BY cd.s))
+                  + SUM(b.nb2 ORDER BY cd.s)) AS rn
+           FROM codes cd JOIN assign a ON a.vec_id = cd.vec_id
+                JOIN ccn2 c2 ON c2.cid = a.cid
+                JOIN crx x ON x.cid = a.cid AND x.c = cd.c AND x.s = cd.s
+                JOIN cbn2 b ON b.c = cd.c AND b.s = cd.s
+           GROUP BY cd.vec_id, c2.nc2),
+         qd AS (SELECT e.vec_id AS query_id, c.cid,
+             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         probes AS (SELECT query_id, cid FROM (
+             SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
+                 ORDER BY qd2, cid) AS pr FROM qd) WHERE pr <= 4),
+         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el
+                WHERE vec_id < 10 GROUP BY 1),
+         qc AS (SELECT e.vec_id AS query_id, c.cid,
+             SUM(e.v * c.cv ORDER BY e.i) AS qcd
+           FROM el e JOIN cel c ON c.i = e.i
+           WHERE e.vec_id < 10 GROUP BY 1, 2),
+         qlut AS (SELECT q.vec_id AS query_id, cb.c, cb.s,
+             SUM(q.v * cb.bv ORDER BY q.j) AS qdot
+           FROM (SELECT vec_id, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, v
+                 FROM el WHERE vec_id < 10) q
+           JOIN cbel cb ON cb.s = q.s AND cb.j = q.j GROUP BY 1, 2, 3),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cid
+           FROM assign a JOIN probes p ON p.cid = a.cid
+           WHERE p.query_id <> a.vec_id),
+         approx AS (SELECT cd.query_id, cd.neighbor_id,
+             q.qcd + SUM(l.qdot ORDER BY c.s) AS adot
+           FROM cand cd JOIN codes c ON c.vec_id = cd.neighbor_id
+                JOIN qlut l ON l.query_id = cd.query_id
+                     AND l.c = c.c AND l.s = c.s
+                JOIN qc q ON q.query_id = cd.query_id AND q.cid = cd.cid
+           GROUP BY cd.query_id, cd.neighbor_id, q.qcd),
+         sc AS (SELECT a.query_id, a.neighbor_id,
+             a.adot / (qn.nrm * r.rn) AS cos,
+             row_number() OVER (PARTITION BY a.query_id
+                 ORDER BY a.adot / (qn.nrm * r.rn) DESC, a.neighbor_id) AS rank
+           FROM approx a JOIN qn ON qn.vec_id = a.query_id
+                JOIN rrn r ON r.vec_id = a.neighbor_id)
+         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+         FROM sc WHERE rank <= 5"""
 
   private def baseQueries: Map[String, Q] = Map(
     // --- scans / filters (S1, F1-F5) ------------------------------------
@@ -1842,6 +1954,32 @@ object SparkEntry {
       Similarity.topKIvfPq(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
         m = 4, ksub = 16, centroidsOverride = Some(cents))
+    }),
+    "q_ann_recall_ivfpq" -> ((s, dir) => {
+      // recall@5 of the IVF-PQ residual-ADC tier — the store shape a
+      // 100 TB corpus actually serves — against exact brute force, per
+      // query. Same params as q_ann_topk_ivfpq (nProbe=4, m=4, ksub=16),
+      // so the approx side IS that row's chain verbatim; monotonicity in
+      // nProbe is law-tested in SimilaritySpec.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.where(col("vec_id") < 10)
+      val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val approx = Similarity.topKIvfPq(e, q, "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 4, m = 4, ksub = 16,
+          centroidsOverride = Some(cents))
+        .select(col("query_id").as("a_qid"),
+          col("neighbor_id").as("a_nid"))
+      exact.join(approx, col("query_id") === col("a_qid") &&
+          col("neighbor_id") === col("a_nid"), "left")
+        .groupBy("query_id")
+        .agg(count(col("a_nid")).as("hits"))
+        .withColumn("recall", col("hits").cast("double") / 5.0)
     }),
     "q_ann_topk_int8" -> ((s, dir) => {
       // int8 scalar-quantized serving tier: corpus stored as one float
@@ -3741,6 +3879,21 @@ object SparkEntry {
       Snapshots.scanWhere(s, p,
         col("event_id") >= 2000L && col("event_id") < 5000L)
     }),
+    "q_snapshot_partitioned" -> ((s, dir) => {
+      // PARTITIONED commit (Delta partitionBy-at-commit): the append
+      // writes one file set per event_type with the exact value in the
+      // manifest, so the IN predicate prunes the other types' files
+      // EXACTLY (set membership, not a [min,max] range that would keep
+      // everything sorting between 'click' and 'signup') — the
+      // categorical-predicate story for split/lang/date columns at
+      // 100 TB. Min/max stats skipping still composes on the residual
+      // value predicate. Pruning pinned in SnapshotsSpec.
+      val p = freshSnapshotPath(dir, "pt")
+      Snapshots.append(snapshotEvents(s, dir), p,
+        partitionBy = Seq("event_type"))
+      Snapshots.scanWhere(s, p,
+        col("event_type").isin("click", "signup") && col("value") >= 50.0)
+    }),
     "q_snapshot_merge" -> ((s, dir) => {
       // copy-on-write UPSERT: updates double the value for existing keys
       // (event_id%6=0, inside the stored %3∈{0,1} slices) and insert the
@@ -3850,13 +4003,39 @@ object SparkEntry {
       // SnapshotSourceSpec). v1 holds the %3<2 slices range-partitioned
       // on event_id, so the key-band read plans a strict subset of the
       // files even though v2 overwrote the table afterwards.
-      val p = freshSnapshotPath(dir, "src")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.where(col("event_id") % 3 < 2)
-        .repartitionByRange(4, col("event_id")), p)
-      Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p)
+      val p = buildSrcSnapshotStore(s, dir)
       s.read.format("graft-snapshot").option("versionAsOf", "1").load(p)
         .where(col("event_id") >= 1000L && col("event_id") < 6000L)
+    }),
+    "q_graph_snapshot" -> ((s, dir) => {
+      // the lakehouse tier through the JSON graph surface (the
+      // reference's one query language): load_snapshot pins version 1
+      // and pushes the key band through scanWhere, so the graph path
+      // pays the same stats-pruned planning as the Scala API — process
+      // == API equality pinned in GraphCompilerSpec; oracle shared
+      // verbatim with q_snapshot_source.
+      import graft.compile.GraphCompiler
+      val p = buildSrcSnapshotStore(s, dir)
+      val graph = s"""{
+        "t": {"process_id": "load_snapshot", "arguments": {
+          "path": "$p", "version_as_of": 1,
+          "where": "event_id >= 1000 AND event_id < 6000"},
+          "result": true}}"""
+      new GraphCompiler(s, Map.empty)
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
+    "q_graph_changes" -> ((s, dir) => {
+      // incremental log consumption through the graph surface:
+      // snapshot_changes(1, 3] == Snapshots.changes — oracle shared
+      // verbatim with q_snapshot_changes
+      import graft.compile.GraphCompiler
+      val p = buildSnapshotStore(s, dir)
+      val graph = s"""{
+        "c": {"process_id": "snapshot_changes", "arguments": {
+          "path": "$p", "from_exclusive": 1, "to_inclusive": 3},
+          "result": true}}"""
+      new GraphCompiler(s, Map.empty)
+        .compile(graph).asInstanceOf[DataFrame]
     }),
     "q_snapshot_delete" -> ((s, dir) => {
       // copy-on-write DELETE: the predicate's event_id bound prunes the
@@ -7142,101 +7321,33 @@ object SparkEntry {
                   JOIN rrn r ON r.vec_id = a.neighbor_id)
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM sc WHERE rank <= 5""",
-    "q_ann_topk_ivfpq" ->
-      // full IVF-PQ residual ADC. Stage mirror of Similarity.topKIvfPq:
-      // coarse assign (argmin of (|v|²−2v·c)+|c|², ties lowest cid) →
-      // residual v−c → residual codebook = residuals of the 16 lowest-id
-      // rows → per-subspace codes (same argmin over residual subvectors) →
-      // reconstructed |v̂|² = (|c|² + Σs 2·(c_s·cb)) + Σs |cb|² →
-      // adot = q·c + Σs lut_s[code] → cos = adot/(|q|·|v̂|). Every SUM is
-      // ORDER BY'd to match Spark's left-to-right folds bit-for-bit.
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+    "q_ann_topk_ivfpq" -> ivfPqTopkSql,
+    "q_ann_recall_ivfpq" ->
+      // recall@5 of the IVF-PQ residual-ADC tier against exact brute
+      // force: ex = the exact chain (q_ann_topk's), ap = the ivfpq
+      // chain VERBATIM as a subquery (DuckDB scopes its WITH locally)
+      s"""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT cid, CAST(unnest(embedding) AS DOUBLE) AS cv,
-             generate_subscripts(embedding, 1) AS i FROM cents),
-         ccn2 AS (SELECT cid, SUM(cv*cv ORDER BY i) AS nc2 FROM cel GROUP BY 1),
-         vn2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
-         vdot AS (SELECT e.vec_id, c.cid, SUM(e.v * c.cv ORDER BY e.i) AS dvc
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         assign AS (SELECT vec_id, cid FROM (
-             SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ((n2.n2v - (2.0 * v.dvc)) + c2.nc2), v.cid) AS rn
-             FROM vdot v JOIN vn2 n2 ON n2.vec_id = v.vec_id
-                  JOIN ccn2 c2 ON c2.cid = v.cid) WHERE rn = 1),
-         rel AS (SELECT e.vec_id, a.cid, (e.i-1)//16 AS s,
-             e.i - ((e.i-1)//16)*16 AS j, e.v - c.cv AS r
-           FROM el e JOIN assign a ON a.vec_id = e.vec_id
-                JOIN cel c ON c.cid = a.cid AND c.i = e.i),
-         cbrows AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
-             vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
-         cbel AS (SELECT cb.c, r.s, r.j, r.r AS bv
-           FROM cbrows cb JOIN rel r ON r.vec_id = cb.vec_id),
-         cbn2 AS (SELECT c, s, SUM(bv*bv ORDER BY j) AS nb2
-                  FROM cbel GROUP BY 1, 2),
-         rn2v AS (SELECT vec_id, s, SUM(r*r ORDER BY j) AS n2r
-                  FROM rel GROUP BY 1, 2),
-         rdot AS (SELECT rs.vec_id, cb.c, cb.s,
-             SUM(rs.r * cb.bv ORDER BY rs.j) AS drc
-           FROM rel rs JOIN cbel cb ON cb.s = rs.s AND cb.j = rs.j
-           GROUP BY 1, 2, 3),
-         codes AS (SELECT vec_id, s, c FROM (
-             SELECT d.vec_id, d.s, d.c, row_number() OVER (
-                 PARTITION BY d.vec_id, d.s
-                 ORDER BY ((v.n2r - (2.0 * d.drc)) + b.nb2), d.c) AS rn
-             FROM rdot d JOIN rn2v v ON v.vec_id = d.vec_id AND v.s = d.s
-                  JOIN cbn2 b ON b.c = d.c AND b.s = d.s) WHERE rn = 1),
-         csel AS (SELECT cid, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, cv
-                  FROM cel),
-         crx AS (SELECT cs.cid, cb.c, cb.s,
-             SUM(cs.cv * cb.bv ORDER BY cs.j) AS x
-           FROM csel cs JOIN cbel cb ON cb.s = cs.s AND cb.j = cs.j
-           GROUP BY 1, 2, 3),
-         rrn AS (SELECT cd.vec_id,
-             sqrt((c2.nc2 + SUM(2.0 * x.x ORDER BY cd.s))
-                  + SUM(b.nb2 ORDER BY cd.s)) AS rn
-           FROM codes cd JOIN assign a ON a.vec_id = cd.vec_id
-                JOIN ccn2 c2 ON c2.cid = a.cid
-                JOIN crx x ON x.cid = a.cid AND x.c = cd.c AND x.s = cd.s
-                JOIN cbn2 b ON b.c = cd.c AND b.s = cd.s
-           GROUP BY cd.vec_id, c2.nc2),
-         qd AS (SELECT e.vec_id AS query_id, c.cid,
-             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
-           FROM el e JOIN cel c ON c.i = e.i
-           WHERE e.vec_id < 10 GROUP BY 1, 2),
-         probes AS (SELECT query_id, cid FROM (
-             SELECT query_id, cid, row_number() OVER (PARTITION BY query_id
-                 ORDER BY qd2, cid) AS pr FROM qd) WHERE pr <= 4),
-         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el
-                WHERE vec_id < 10 GROUP BY 1),
-         qc AS (SELECT e.vec_id AS query_id, c.cid,
-             SUM(e.v * c.cv ORDER BY e.i) AS qcd
-           FROM el e JOIN cel c ON c.i = e.i
-           WHERE e.vec_id < 10 GROUP BY 1, 2),
-         qlut AS (SELECT q.vec_id AS query_id, cb.c, cb.s,
-             SUM(q.v * cb.bv ORDER BY q.j) AS qdot
-           FROM (SELECT vec_id, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, v
-                 FROM el WHERE vec_id < 10) q
-           JOIN cbel cb ON cb.s = q.s AND cb.j = q.j GROUP BY 1, 2, 3),
-         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cid
-           FROM assign a JOIN probes p ON p.cid = a.cid
-           WHERE p.query_id <> a.vec_id),
-         approx AS (SELECT cd.query_id, cd.neighbor_id,
-             q.qcd + SUM(l.qdot ORDER BY c.s) AS adot
-           FROM cand cd JOIN codes c ON c.vec_id = cd.neighbor_id
-                JOIN qlut l ON l.query_id = cd.query_id
-                     AND l.c = c.c AND l.s = c.s
-                JOIN qc q ON q.query_id = cd.query_id AND q.cid = cd.cid
-           GROUP BY cd.query_id, cd.neighbor_id, q.qcd),
-         sc AS (SELECT a.query_id, a.neighbor_id,
-             a.adot / (qn.nrm * r.rn) AS cos,
-             row_number() OVER (PARTITION BY a.query_id
-                 ORDER BY a.adot / (qn.nrm * r.rn) DESC, a.neighbor_id) AS rank
-           FROM approx a JOIN qn ON qn.vec_id = a.query_id
-                JOIN rrn r ON r.vec_id = a.neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM sc WHERE rank <= 5""",
+         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
+               FROM el GROUP BY 1),
+         bd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 SUM(q.v * c.v ORDER BY q.i) AS dot
+               FROM el q JOIN el c ON q.i = c.i
+               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+         ex AS (SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id, row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
+             FROM bd JOIN n nq ON nq.vec_id = query_id
+                  JOIN n nc ON nc.vec_id = neighbor_id)
+           WHERE rank <= 5),
+         ap AS (SELECT query_id, neighbor_id FROM ($ivfPqTopkSql))
+         SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
+         FROM ex e LEFT JOIN ap a
+           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         GROUP BY 1""",
     "q_ann_topk_int8" ->
       // per-vector scale = max|v|/127; codes = HALF_UP(v/scale);
       // reconstructed rv = code*scale; cosine = full-precision query ·
@@ -7879,6 +7990,12 @@ object SparkEntry {
       // the result is just the filter
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id >= 2000 AND event_id < 5000""",
+    "q_snapshot_partitioned" ->
+      // partition pruning is exact set membership + residual predicate,
+      // so the result is just the filter
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_type IN ('click', 'signup') AND value >= 50.0""",
     "q_snapshot_merge" ->
       // upsert replay: stored keys are %3 in (0,1); updates double value
       // for %6=0 (existing) and insert %3=2 (new) — together all events,
@@ -7909,6 +8026,16 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE event_id % 3 < 2 AND event_id >= 1000 AND event_id < 6000""",
+    "q_graph_snapshot" ->
+      // q_snapshot_source's oracle verbatim: the graph surface must
+      // reproduce the API read exactly
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id % 3 < 2 AND event_id >= 1000 AND event_id < 6000""",
+    "q_graph_changes" ->
+      // q_snapshot_changes' oracle verbatim
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 3 IN (1, 2)""",
     "q_snapshot_delete" ->
       // delete removes predicate-true rows; everything else survives
       """SELECT event_id, user_id, event_type, value

@@ -362,6 +362,34 @@ final class GraphCompiler(
           s"table '$id' not in this compiler's table catalog " +
             s"(${tables.keys.toSeq.sorted.mkString(", ")})"))
         spark.read.parquet(path)
+      case "load_snapshot" =>
+        // lakehouse tier on the graph surface: a snapshot-table read,
+        // optionally pinned (`version_as_of`) and optionally filtered
+        // (`where`, a SQL boolean expression). The filtered form runs
+        // through [[Snapshots.scanWhere]], so manifest min/max stats AND
+        // exact partition pins prune files at planning time exactly as
+        // the Scala API does — the graph surface pays the same O(log)
+        // planning cost, never a table scan it didn't ask for.
+        val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
+          "SnapshotPathMissing", "load_snapshot needs a 'path' argument"))
+        val ver = optD(n, "version_as_of", r).map(_.toLong)
+        optS(n, "where", r) match {
+          case Some(w) => Snapshots.scanWhere(spark, spath, expr(w), ver)
+          case None => Snapshots.read(spark, spath, ver)
+        }
+      case "snapshot_changes" =>
+        // incremental consumption on the graph surface: exactly the
+        // rows versions (from_exclusive, to_inclusive] added
+        val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
+          "SnapshotPathMissing",
+          "snapshot_changes needs a 'path' argument"))
+        Snapshots.changes(spark, spath,
+          optD(n, "from_exclusive", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotRangeMissing",
+            "snapshot_changes needs 'from_exclusive'")).toLong,
+          optD(n, "to_inclusive", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotRangeMissing",
+            "snapshot_changes needs 'to_inclusive'")).toLong)
       case "text_quality_gate" =>
         graft.text.Curation.qualityGate(dfArg(n, "data", r),
           minQuality = optD(n, "min_quality", r).getOrElse(0.75),

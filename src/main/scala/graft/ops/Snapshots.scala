@@ -93,7 +93,20 @@ object Snapshots {
     * unknown/unbounded (e.g. a >64-char string max, where a truncated
     * prefix would be an INVALID upper bound) and never prunes. */
   final case class ColStat(t: String, min: Option[String], max: Option[String])
-  final case class FileStats(rows: Long, cols: Map[String, ColStat])
+
+  /** Per-file stats. `parts` records EXACT partition values for files
+    * written by a partitioned commit ([[append(df,path,partitionBy)*]]):
+    * every row in the file has column c == parts(c) (path-rendered,
+    * unescaped). Unlike min/max ranges this is set-membership, so
+    * `c = v` / `c IN (...)` predicates prune files exactly — the
+    * min/max-range weakness for high-cardinality categorical columns
+    * (an IN-list collapses to [min,max] and keeps everything in
+    * between) does not apply. A file without a recorded value (written
+    * unpartitioned, rewritten by CoW/optimize, or in the null
+    * partition) never part-prunes — conservative superset, as with all
+    * stats here. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStat],
+      parts: Map[String, String] = Map.empty)
 
   /** One log record. Manifests are DELTAS: `adds`/`removes` against the
     * parent (append-family ops), or a whole-snapshot replacement
@@ -150,6 +163,10 @@ object Snapshots {
           cs.min.foreach(cn.put("min", _))
           cs.max.foreach(cn.put("max", _))
         }
+        if (fs.parts.nonEmpty) {
+          val pn = fn.putObject("parts")
+          fs.parts.foreach { case (c, v) => pn.put(c, v) }
+        }
       }
     }
 
@@ -171,7 +188,15 @@ object Snapshots {
               if (cn.has("max")) Some(cn.get("max").asText()) else None)
           }
         }
-        b += f -> FileStats(fn.get("rows").asLong(0L), cols.result())
+        val parts = Map.newBuilder[String, String]
+        if (fn.has("parts")) {
+          val pit = fn.get("parts").fieldNames()
+          while (pit.hasNext) {
+            val c = pit.next(); parts += c -> fn.get("parts").get(c).asText()
+          }
+        }
+        b += f -> FileStats(fn.get("rows").asLong(0L), cols.result(),
+          parts.result())
       }
       b.result()
     }
@@ -436,10 +461,18 @@ object Snapshots {
     * the ordering semantics identical to the query engine's and costs
     * one read of the commit's delta, not the table. */
   private def computeStats(spark: SparkSession, root: Path,
-      commitDir: String, schema: StructType): Map[String, FileStats] = {
+      adds: Seq[String], schema: StructType): Map[String, FileStats] = {
+    if (adds.isEmpty) return Map.empty
     val fields = schema.fields.filter(f => statType(f.dataType)).toSeq
+    // read the EXPLICIT file list (a partitioned commit dir would
+    // otherwise trigger Spark's partition discovery on the __gp_ dirs).
+    // Key by the last TWO segments: a partitioned commit writes the
+    // SAME basename into each partition directory (same job UUID + task
+    // id), so the bare basename collides across partition dirs.
+    val byTail = adds.map(r =>
+      r.split('/').takeRight(2).mkString("/") -> r).toMap
     val df = spark.read.schema(schema)
-      .parquet(new Path(root, commitDir).toString)
+      .parquet(adds.map(f => new Path(root, f).toString): _*)
     val aggs = fields.flatMap { f =>
       val c = statExpr(col(f.name), f.dataType)
       Seq(min(c).as(s"__min_${f.name}"), max(c).as(s"__max_${f.name}"))
@@ -447,8 +480,12 @@ object Snapshots {
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__n"), aggs: _*).collect()
     rows.map { r =>
-      val base = r.getString(0).split('/').last
-      val rel = s"$commitDir/$base"
+      // input_file_name yields a URI — decode it so escaped partition
+      // values (%XX in the dir name) match the raw listing
+      val fname = r.getString(0)
+      val decoded = try new java.net.URI(fname).getPath
+        catch { case _: java.net.URISyntaxException => fname }
+      val rel = byTail(decoded.split('/').takeRight(2).mkString("/"))
       val cols = fields.zipWithIndex.flatMap { case (f, i) =>
         val lo = r.get(2 + 2 * i); val hi = r.get(3 + 2 * i)
         if (lo == null || hi == null) None // all-null file column
@@ -463,7 +500,7 @@ object Snapshots {
               Some(renderNum(hi, isMin = false))))
         }
       }.toMap
-      rel -> FileStats(r.getLong(1), cols)
+      rel -> FileStats(r.getLong(1), cols, partsFromPath(rel))
     }.toMap
   }
 
@@ -472,7 +509,22 @@ object Snapshots {
   private sealed trait BVal
   private final case class BNum(v: Double) extends BVal
   private final case class BStr(v: String) extends BVal
+  /** Partition set-membership (op "pin"): the file survives iff its
+    * recorded partition value for `col` is in the set (or none is
+    * recorded). Path-rendered comparison, so only literal types whose
+    * `toString` matches Spark's partition-path rendering produce one
+    * (string/integral/boolean — see [[partPinLit]]). */
+  private final case class BSet(vals: Set[String]) extends BVal
   private final case class Bound(col: String, op: String, v: BVal)
+
+  /** Render a literal for partition-pin comparison, or None when the
+    * type's path rendering is not byte-identical to toString (doubles,
+    * timestamps, dates stay range-pruned only). */
+  private def partPinLit(dt: DataType, v: Any): Option[String] = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         BooleanType => Option(v).map(_.toString)
+    case _ => None
+  }
 
   private def cmpUtf8(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -547,7 +599,8 @@ object Snapshots {
       case f: LFilter => f.condition
     }.getOrElse(return Nil)
     conjuncts(cond).flatMap {
-      case EqualTo(a, b) => bound(a, b, "=")
+      case EqualTo(a, b) =>
+        bound(a, b, "=") ++ pinEq(a, b) ++ pinEq(b, a)
       case GreaterThan(a, b) => bound(a, b, ">")
       case GreaterThanOrEqual(a, b) => bound(a, b, ">=")
       case LessThan(a, b) => bound(a, b, "<")
@@ -557,20 +610,47 @@ object Snapshots {
         // x IN (v1..vn) survives if ANY value is in range — encode as
         // one "in" bound carrying min/max of the value list
         val bvs = vs.flatMap(v => foldLit(v).flatMap(litVal))
-        if (bvs.size != vs.size) Nil
-        else bvs.headOption match {
-          case Some(_: BNum) =>
-            val ds = bvs.collect { case BNum(d) => d }
-            Seq(Bound(attrOf(a).get, ">=", BNum(ds.min)),
-              Bound(attrOf(a).get, "<=", BNum(ds.max)))
-          case Some(_: BStr) =>
-            val ss = bvs.collect { case BStr(s) => s }
-            Seq(Bound(attrOf(a).get, ">=", BStr(ss.min(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))),
-              Bound(attrOf(a).get, "<=", BStr(ss.max(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))))
-          case _ => Nil
-        }
+        val range =
+          if (bvs.size != vs.size) Nil
+          else bvs.headOption match {
+            case Some(_: BNum) =>
+              val ds = bvs.collect { case BNum(d) => d }
+              Seq(Bound(attrOf(a).get, ">=", BNum(ds.min)),
+                Bound(attrOf(a).get, "<=", BNum(ds.max)))
+            case Some(_: BStr) =>
+              val ss = bvs.collect { case BStr(s) => s }
+              Seq(Bound(attrOf(a).get, ">=", BStr(ss.min(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))),
+                Bound(attrOf(a).get, "<=", BStr(ss.max(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))))
+            case _ => Nil
+          }
+        range ++ pinIn(a, vs)
       case _ => Nil
     }
+  }
+
+  /** Partition-pin bound for `attr = literal` — only for a BARE
+    * attribute (a cast changes the rendering) and a pin-renderable
+    * literal type. */
+  private def pinEq(a: Expression, b: Expression): Seq[Bound] = a match {
+    case attr: AttributeReference =>
+      foldLit(b).toSeq.flatMap(l =>
+        partPinLit(l.dataType, l.value)
+          .map(v => Bound(attr.name, "pin", BSet(Set(v)))))
+    case _ => Nil
+  }
+
+  /** Partition-pin bound for `attr IN (...)` — ALL values must render,
+    * else no pin (the range bound still applies). */
+  private def pinIn(a: Expression, vs: Seq[Expression]): Seq[Bound] = a match {
+    case attr: AttributeReference =>
+      val lits = vs.flatMap(foldLit)
+      if (lits.size != vs.size) Nil
+      else {
+        val rendered = lits.flatMap(l => partPinLit(l.dataType, l.value))
+        if (rendered.size != lits.size) Nil
+        else Seq(Bound(attr.name, "pin", BSet(rendered.toSet)))
+      }
+    case _ => Nil
   }
 
   private def bound(a: Expression, b: Expression, op: String): Seq[Bound] =
@@ -658,7 +738,8 @@ object Snapshots {
       f: org.apache.spark.sql.sources.Filter): Seq[Bound] = {
     import org.apache.spark.sql.{sources => sf}
     f match {
-      case sf.EqualTo(c, v) => bvalOf(v).map(Bound(c, "=", _)).toSeq
+      case sf.EqualTo(c, v) =>
+        bvalOf(v).map(Bound(c, "=", _)).toSeq ++ pinV2(c, Seq(v))
       case sf.GreaterThan(c, v) => bvalOf(v).map(Bound(c, ">", _)).toSeq
       case sf.GreaterThanOrEqual(c, v) =>
         bvalOf(v).map(Bound(c, ">=", _)).toSeq
@@ -666,20 +747,37 @@ object Snapshots {
       case sf.LessThanOrEqual(c, v) => bvalOf(v).map(Bound(c, "<=", _)).toSeq
       case sf.In(c, vs) if vs.nonEmpty =>
         val bs = vs.toSeq.flatMap(bvalOf)
-        if (bs.size != vs.length) Nil
-        else bs.head match {
-          case _: BNum =>
-            val ds = bs.collect { case BNum(d) => d }
-            Seq(Bound(c, ">=", BNum(ds.min)), Bound(c, "<=", BNum(ds.max)))
-          case _: BStr =>
-            val ord = Ordering.fromLessThan[String](cmpUtf8(_, _) < 0)
-            val ss = bs.collect { case BStr(s) => s }
-            Seq(Bound(c, ">=", BStr(ss.min(ord))),
-              Bound(c, "<=", BStr(ss.max(ord))))
-        }
+        val range =
+          if (bs.size != vs.length) Nil
+          else bs.head match {
+            case _: BNum =>
+              val ds = bs.collect { case BNum(d) => d }
+              Seq(Bound(c, ">=", BNum(ds.min)), Bound(c, "<=", BNum(ds.max)))
+            case _: BStr =>
+              val ord = Ordering.fromLessThan[String](cmpUtf8(_, _) < 0)
+              val ss = bs.collect { case BStr(s) => s }
+              Seq(Bound(c, ">=", BStr(ss.min(ord))),
+                Bound(c, "<=", BStr(ss.max(ord))))
+            case _ => Nil
+          }
+        range ++ pinV2(c, vs.toSeq)
       case sf.And(l, r) => boundsFromFilter(l) ++ boundsFromFilter(r)
       case _ => Nil
     }
+  }
+
+  /** V2-side partition pin: every value must be a type whose toString
+    * matches Spark's partition-path rendering. */
+  private def pinV2(c: String, vs: Seq[Any]): Seq[Bound] = {
+    val rendered = vs.flatMap {
+      case s: String => Some(s)
+      case b: java.lang.Boolean => Some(b.toString)
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) => Some(n.toString)
+      case _ => None
+    }
+    if (rendered.size != vs.size || vs.isEmpty) Nil
+    else Seq(Bound(c, "pin", BSet(rendered.toSet)))
   }
 
   private def pruneFiles(m: Snapshot, bounds: Seq[Bound]): Seq[String] =
@@ -688,9 +786,15 @@ object Snapshots {
       m.stats.get(f) match {
         case None => true // no stats recorded — never prune blind
         case Some(fs) => bounds.forall { b =>
-          fs.cols.get(b.col) match {
-            case None => true
-            case Some(cs) => survives(cs, b)
+          b.v match {
+            // exact partition membership: a recorded value outside the
+            // predicate's accepted set can contain NO matching row; a
+            // file with no recorded value never part-prunes
+            case BSet(vals) => fs.parts.get(b.col).forall(vals.contains)
+            case _ => fs.cols.get(b.col) match {
+              case None => true
+              case Some(cs) => survives(cs, b)
+            }
           }
         }
       }
@@ -711,10 +815,27 @@ object Snapshots {
   /** Append `df` as a new version; returns the committed version. */
   def append(df: DataFrame, path: String): Long = commit(df, path, "append")
 
+  /** PARTITIONED append (the Delta `partitionBy`-at-commit shape): the
+    * batch writes one file set per distinct partition-column tuple
+    * (`data/c-X/__gp_col=val/...`), the manifest records the exact value
+    * per file, and `col = v` / `col IN (...)` predicates in
+    * [[scanWhere]]/the V2 source prune those files EXACTLY — no min/max
+    * range weakness for high-cardinality categorical columns. The
+    * partition columns stay present in the data files, so reads are
+    * unchanged, and min/max stats skipping still composes on top for
+    * the non-partition columns. */
+  def append(df: DataFrame, path: String, partitionBy: Seq[String]): Long =
+    commit(df, path, "append", partitionBy = partitionBy)
+
   /** Replace the table contents with `df` as a new version (prior
     * versions stay time-travel-readable until vacuumed). */
   def overwrite(df: DataFrame, path: String): Long =
     commit(df, path, "overwrite")
+
+  /** Partitioned overwrite — see [[append(df,path,partitionBy)*]]. */
+  def overwrite(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Long =
+    commit(df, path, "overwrite", partitionBy = partitionBy)
 
   /** IDEMPOTENT append (the Delta txnAppId/txnVersion idiom): every
     * manifest carries the latest committed `txnId` per `appId`, and a
@@ -963,25 +1084,86 @@ object Snapshots {
     }.distinct.sorted
   }
 
+  /** Layout prefix for partition directories: the partition column is
+    * DUPLICATED under this alias for `partitionBy` so the data files
+    * keep the original column (Spark's partitioned write consumes the
+    * layout column into the path) — readers of explicit file lists need
+    * no partition-value re-attachment, and the path segment still
+    * carries the exact value for the manifest. */
+  private val PartPrefix = "__gp_"
+
+  /** Inverse of Spark's partition-path escaping (%XX per escaped char);
+    * non-escape text passes through. */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Exact partition values of a file from its `__gp_c=v` path
+    * segments. The null/empty partition (Hive default dir) records
+    * nothing — unknown never prunes. */
+  private def partsFromPath(rel: String): Map[String, String] =
+    rel.split('/').iterator.filter(_.startsWith(PartPrefix)).flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq < PartPrefix.length) None
+      else {
+        val v = seg.substring(eq + 1)
+        if (v == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(seg.substring(PartPrefix.length, eq) -> unescapePath(v))
+      }
+    }.toMap
+
+  /** Relative paths of every parquet file under `commitDir`, one level
+    * of partition directories deep per partition column. */
+  private def listParquet(fs: FileSystem, dir: Path,
+      rel: String): Seq[String] =
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq.flatMap {
+      case s if s.isFile && s.getPath.getName.endsWith(".parquet") =>
+        Seq(s"$rel/${s.getPath.getName}")
+      case s if s.isDirectory =>
+        listParquet(fs, s.getPath, s"$rel/${s.getPath.getName}")
+      case _ => Nil
+    }
+
   private def commit(df: DataFrame, path: String, op: String,
       removed: Set[String] = Set.empty,
       expectParent: Option[Long] = None,
       txn: Option[(String, Long)] = None,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      partitionBy: Seq[String] = Nil): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
       "update")(op), s"unknown op $op")
+    require(partitionBy.forall(df.columns.contains),
+      s"partition columns ${partitionBy.mkString(",")} must exist in the data")
     val spark = df.sparkSession
     val fs = fsFor(spark, path); val root = new Path(path)
     // 1) data files land in an uncommitted per-commit directory: the
     //    DISTRIBUTED part of the commit, paid once even across retries.
     val commitDir = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
-    df.write.parquet(new Path(root, commitDir).toString)
-    val adds = Option(fs.listStatus(new Path(root, commitDir)))
-      .getOrElse(Array.empty).toSeq
-      .collect { case s if s.isFile && s.getPath.getName.endsWith(".parquet")
-        => s"$commitDir/${s.getPath.getName}" }
-      .sorted
-    val addStats = computeStats(spark, root, commitDir, df.schema)
+    if (partitionBy.isEmpty)
+      df.write.parquet(new Path(root, commitDir).toString)
+    else
+      // duplicate each partition column under the layout alias: the
+      // alias is consumed into the directory path, the original stays
+      // IN the data files (see [[PartPrefix]])
+      df.select(df.columns.map(col).toSeq ++
+          partitionBy.map(c => col(c).as(s"$PartPrefix$c")): _*)
+        .write.partitionBy(partitionBy.map(c => s"$PartPrefix$c"): _*)
+        .parquet(new Path(root, commitDir).toString)
+    val adds = listParquet(fs, new Path(root, commitDir), commitDir).sorted
+    val addStats = computeStats(spark, root, adds, df.schema)
     // 2) claim the next version with an atomic create-if-absent; on a
     //    lost race, re-read latest and retry (driver-side only) — except
     //    for snapshot-rewriting ops (merge/delete/optimize), which must

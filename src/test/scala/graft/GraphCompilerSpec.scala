@@ -1001,4 +1001,44 @@ class GraphCompilerSpec extends SparkSpec {
         graft.functions.ZOrder.quantize(col("id"), 0.0, 16.0, 4)))
     rowSet(z) shouldBe rowSet(zApi)
   }
+
+  test("load_snapshot / snapshot_changes processes equal the Scala API, " +
+      "incl. version_as_of and the stats-pruned where form") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graph-snap").toString +
+      "/t"
+    val mk = (r: Range) => r.map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    graft.ops.Snapshots.append(mk(1 to 50), p)
+    graft.ops.Snapshots.append(mk(51 to 80), p)
+    graft.ops.Snapshots.overwrite(mk(100 to 110), p)
+    def compile(graph: String) =
+      new graft.compile.GraphCompiler(spark, Map.empty)
+        .compile(graph).asInstanceOf[org.apache.spark.sql.DataFrame]
+
+    // latest read
+    rowSet(compile(s"""{
+      "t": {"process_id": "load_snapshot", "arguments": {"path": "$p"},
+        "result": true}}""")) shouldBe
+      rowSet(graft.ops.Snapshots.read(spark, p))
+    // time travel + where == scanWhere (stats-pruned planning)
+    rowSet(compile(s"""{
+      "t": {"process_id": "load_snapshot", "arguments": {
+        "path": "$p", "version_as_of": 2, "where": "id >= 40 AND id < 60"},
+        "result": true}}""")) shouldBe
+      rowSet(graft.ops.Snapshots.scanWhere(spark, p,
+        col("id") >= 40L && col("id") < 60L, Some(2L)))
+    // incremental changes
+    rowSet(compile(s"""{
+      "c": {"process_id": "snapshot_changes", "arguments": {
+        "path": "$p", "from_exclusive": 1, "to_inclusive": 2},
+        "result": true}}""")) shouldBe
+      rowSet(graft.ops.Snapshots.changes(spark, p, 1L, 2L))
+    // missing path is a typed error
+    val e = intercept[graft.OpenEoError] {
+      compile("""{
+        "t": {"process_id": "load_snapshot", "arguments": {},
+          "result": true}}""")
+    }
+    e.code shouldBe "SnapshotPathMissing"
+  }
 }

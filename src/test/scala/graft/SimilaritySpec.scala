@@ -396,6 +396,35 @@ class SimilaritySpec extends SparkSpec {
     hits.last shouldBe exact.size
   }
 
+  test("IVF-PQ recall law: with an exact residual codebook, hits vs " +
+      "brute force are monotone in nProbe and full probe reaches " +
+      "recall 1.0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    val q = df.where(col("id") < 4)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val cents = df.orderBy("id").limit(6)
+      .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+        col("v").as("_centroid"))
+    // ksub == |corpus| → every residual is its own codeword → ADC
+    // scoring is exact (±1 ulp), so the IVF monotonicity argument
+    // applies: candidate sets nest as probes grow and an exact-top-k
+    // member among the candidates always wins its slot
+    def pairSet(nProbe: Int): Set[(Long, Long)] =
+      Similarity.topKIvfPq(df, q, "id", "v", k = 4, nCentroids = 6,
+          nProbe = nProbe, m = 2, ksub = 60,
+          centroidsOverride = Some(cents))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = Similarity.topKBruteForce(df, q, "id", "v", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = Seq(1, 2, 4, 6).map(p => (pairSet(p) & exact).size)
+    hits shouldBe hits.sorted
+    hits.last shouldBe exact.size
+  }
+
   test("rankingMetrics: worked example (MRR, DCG@k, nDCG@k)") {
     import spark.implicits._
     // ranking by (score desc, id): d3(g2), d1(g1), d2(g3), d4(g1)

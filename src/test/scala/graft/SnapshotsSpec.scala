@@ -112,6 +112,46 @@ class SnapshotsSpec extends SparkSpec {
     deleted should be >= 2L
   }
 
+  test("partitioned commit: = and IN prune partitions EXACTLY (ranges " +
+      "would keep the middle), stats skipping composes on top, null " +
+      "partition never prunes wrong, reads unchanged") {
+    val p = freshDir()
+    val df = (1 to 300).map(i =>
+        (i.toLong, Seq("test", "train", "val")(i % 3), i * 1.0))
+      .toDF("id", "split", "v")
+    Snapshots.append(df, p, partitionBy = Seq("split"))
+    Snapshots.append(Seq((1000L, null.asInstanceOf[String], 9.0))
+      .toDF("id", "split", "v"), p, partitionBy = Seq("split"))
+    // partition columns stay IN the data files — reads are unchanged
+    Snapshots.read(spark, p).count() shouldBe 301L
+    // IN ('test','val'): sorted range [test..val] contains 'train', so
+    // range stats alone could NOT drop it — exact pin pruning must
+    val sw = Snapshots.scanWhere(spark, p,
+      col("split").isin("test", "val"))
+    sw.count() shouldBe 200L
+    val swFiles = sw.inputFiles.toSet
+    swFiles should not be empty
+    all(swFiles) should not include "__gp_split=train"
+    // the null-partition file survives pruning (conservative), and the
+    // residual filter removes its row — count already proved that
+    // equality plans ONLY that partition's files (+ the null file)
+    val eq = Snapshots.scanWhere(spark, p, col("split") === "val")
+    eq.count() shouldBe 100L
+    all(eq.inputFiles.toSet
+        .filterNot(_.contains("__HIVE_DEFAULT_PARTITION__")))
+      .should(include("__gp_split=val"))
+    // min/max stats still compose on top of the partition pin
+    val both = Snapshots.scanWhere(spark, p,
+      col("split") === "val" && col("id") <= 10L)
+    both.count() shouldBe 3L // ids 2, 5, 8 (i % 3 == 2 → "val")
+    both.inputFiles.length should be < eq.inputFiles.length
+    // V2 source prunes by partition too: fewer planned file-partitions
+    val v2all = spark.read.format("graft-snapshot").load(p)
+    val v2tr = v2all.where(col("split") === "train")
+    v2tr.count() shouldBe 100L
+    v2tr.rdd.getNumPartitions should be < v2all.rdd.getNumPartitions
+  }
+
   test("touched-file cap: a CoW op whose predicate spans more files than " +
       "spark.graft.snapshot.maxTouchedFiles fails loudly, not OOM") {
     val p = freshDir()
