@@ -92,6 +92,79 @@ object SparkEntry {
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) " +
       "AS DOUBLE)"
 
+  /** Derived TPC-H `partsupp`: the fixture ships no partsupp table, so
+    * BOTH engines derive the same one deterministically — four supplier
+    * slots per part spread (p + i·⌊S/4⌋) mod S (distinct per part for
+    * S ≥ 4), availqty and cost from integer congruences. Cost is
+    * integer CENTS surfaced as an exact small decimal, so every
+    * downstream product/sum stays inside precision 38 (Spark) / native
+    * decimal (DuckDB) with zero rounding until the final double cast.
+    * MUST stay formula-identical to [[partsuppSql]]. */
+  private def partsuppDf(s: SparkSession, dir: String): DataFrame = {
+    val S = s.read.parquet(s"$dir/supplier.parquet").count() // dim count
+    val q = math.max(1L, S / 4)
+    s.read.parquet(s"$dir/part.parquet").select(col("p_partkey"))
+      .select(col("p_partkey"),
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("i"))
+      .select(
+        col("p_partkey").cast("long").as("ps_partkey"),
+        ((col("p_partkey") + col("i") * q) % S).cast("long")
+          .as("ps_suppkey"),
+        ((col("p_partkey") * 7 + col("i") * 11) % 9999 + 1).cast("long")
+          .as("ps_availqty"),
+        // cents × an exact 0.01 DECIMAL — never a division: DuckDB's
+        // decimal division returns DOUBLE and would poison every
+        // downstream product/sum with float association
+        (((col("p_partkey") * 13 + col("i") * 97) % 90001 + 10000)
+          .cast("decimal(12,2)") * lit(0.01).cast("decimal(3,2)"))
+          .as("ps_supplycost"))
+  }
+
+  /** DuckDB CTE body mirroring [[partsuppDf]] exactly. */
+  private val partsuppSql: String =
+    """partsupp AS (
+           SELECT p_partkey AS ps_partkey,
+                  (p_partkey + i * (SELECT COUNT(*) // 4 FROM supplier)) %
+                    (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
+                  (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
+                  CAST((p_partkey * 13 + i * 97) % 90001 + 10000
+                    AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(3,2))
+                    AS ps_supplycost
+           FROM part CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i))"""
+
+  /** Derived l_shipmode / l_receiptdate / l_commitdate: deterministic
+    * congruences of (l_orderkey, l_linenumber) and day offsets from
+    * l_shipdate — the canonical Q12/Q21 columns the fixture lacks,
+    * derived identically by both engines (day arithmetic on timestamps
+    * is exact). MUST stay formula-identical to [[lineitemXSql]]. */
+  private def lineitemX(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_shipmode", element_at(
+        array(Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+          .map(lit): _*),
+        ((col("l_orderkey") + col("l_linenumber") * 3) % 7 + 1)
+          .cast("int")))
+      .withColumn("l_receiptdate", expr("timestampadd(DAY, " +
+        "CAST((l_orderkey + l_linenumber * 5) % 30 + 1 AS INT), " +
+        "l_shipdate)"))
+      .withColumn("l_commitdate", expr("timestampadd(DAY, " +
+        "CAST((l_orderkey * 3 + l_linenumber) % 60 - 29 AS INT), " +
+        "l_shipdate)"))
+
+  /** DuckDB CTE body mirroring [[lineitemX]] exactly. */
+  private val lineitemXSql: String =
+    """lx AS (
+           SELECT *,
+             list_extract(
+               ['REG AIR', 'AIR', 'RAIL', 'SHIP', 'TRUCK', 'MAIL', 'FOB'],
+               CAST((l_orderkey + l_linenumber * 3) % 7 + 1 AS INT))
+               AS l_shipmode,
+             l_shipdate + to_days(CAST((l_orderkey + l_linenumber * 5)
+               % 30 + 1 AS INT)) AS l_receiptdate,
+             l_shipdate + to_days(CAST((l_orderkey * 3 + l_linenumber)
+               % 60 - 29 AS INT)) AS l_commitdate
+           FROM lineitem)"""
+
   /** Sign-LSH hyperplanes as SQL VALUES rows (p, i, coef): the same seeded
     * constants Similarity.topKLsh uses (16 planes × dim 64, seed 42),
     * embedded as shortest-roundtrip double literals like the radar-mask
@@ -1277,53 +1350,53 @@ object SparkEntry {
         .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
     }),
     "q_tpch_q20" -> ((s, dir) => {
-      // TPC-H Q20 shape (dominant-supplier discovery — adapted: the
-      // fixture has no partsupp, so the correlated scalar-aggregate
-      // compares a supplier's per-part shipped volume against 30% of
-      // that part's TOTAL volume in the window). Decorrelation: two
-      // aggregates over the SAME filtered scan joined on partkey —
-      // Catalyst reuses the exchange — then IN ≡ LeftSemi into the
-      // supplier dim, nation filter broadcast. No correlated re-scan
-      // per group, which is what the naive translation would do at
-      // 100 TB.
-      val lw = s.read.parquet(s"$dir/lineitem.parquet")
+      // TPC-H Q20 CANONICAL (r9): excess-stock suppliers — PARTSUPP
+      // slots ([[partsuppDf]]) for name-filtered parts whose
+      // ps_availqty exceeds half that (part, supplier)'s shipped volume
+      // in the window. Decorrelation: ONE aggregate over the
+      // window-filtered lineitem joined back on BOTH keys — never a
+      // correlated re-scan per slot — then IN ≡ LeftSemi into the
+      // supplier dim, nation filter broadcast.
+      val pw = s.read.parquet(s"$dir/part.parquet")
+        .where(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val shipped = s.read.parquet(s"$dir/lineitem.parquet")
         .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-      val perSupplierPart = lw.groupBy("l_suppkey", "l_partkey")
-        .agg(dsum(col("l_quantity")).as("sq"))
-      val perPart = lw.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((lit(0.3) * dsum(col("l_quantity"))).as("thresh"))
-      val qualifying = perSupplierPart
-        .join(perPart, col("l_partkey") === col("t_partkey"))
-        .where(col("sq") > col("thresh"))
-        .select("l_suppkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((lit(0.5) * dsum(col("l_quantity"))).as("half_qty"))
+      val qualifying = partsuppDf(s, dir)
+        .join(dimHint(pw), col("ps_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .where(col("ps_availqty").cast("double") > col("half_qty"))
+        .select("ps_suppkey")
       val n = s.read.parquet(s"$dir/nation.parquet")
         .where(col("n_name").isin("NATION_1", "NATION_2"))
       val sup = s.read.parquet(s"$dir/supplier.parquet")
         .join(dimHint(n), col("s_nationkey") === col("n_nationkey"),
           "left_semi")
-      sup.join(qualifying, col("s_suppkey") === col("l_suppkey"),
+      sup.join(qualifying, col("s_suppkey") === col("ps_suppkey"),
           "left_semi")
         .select("s_suppkey", "s_name")
     }),
     "q_tpch_q21" -> ((s, dir) => {
-      // TPC-H Q21 shape (suppliers who kept orders waiting — adapted:
-      // the fixture has no receipt/commit dates, so "late" is
-      // l_returnflag = 'R'): the HARDEST subquery pattern — EXISTS plus
-      // NOT EXISTS over the SAME self-joined lineitem. Both decorrelate
-      // to one pass each: EXISTS (another supplier on the order) →
-      // LeftSemi with the suppkey inequality riding the join condition;
-      // NOT EXISTS (no OTHER supplier was late) → LeftAnti against the
-      // late-filtered side. Never a per-row re-scan, never a cartesian
-      // (plan-pinned).
-      val l1 = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_returnflag") === "R")
+      // TPC-H Q21 CANONICAL (r9): "late" is l_receiptdate >
+      // l_commitdate over the derived date columns ([[lineitemX]]).
+      // The HARDEST subquery pattern — EXISTS plus NOT EXISTS over the
+      // SAME self-joined lineitem. Both decorrelate to one pass each:
+      // EXISTS (another supplier on the order) → LeftSemi with the
+      // suppkey inequality riding the join condition; NOT EXISTS (no
+      // OTHER supplier was late) → LeftAnti against the late-filtered
+      // side. Never a per-row re-scan, never a cartesian (plan-pinned).
+      val late = col("l_receiptdate") > col("l_commitdate")
+      val l1 = lineitemX(s, dir).where(late)
         .select("l_orderkey", "l_suppkey")
       val l2 = s.read.parquet(s"$dir/lineitem.parquet")
         .select(col("l_orderkey").as("l2_orderkey"),
           col("l_suppkey").as("l2_suppkey"))
-      val l3 = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_returnflag") === "R")
+      val l3 = lineitemX(s, dir).where(late)
         .select(col("l_orderkey").as("l3_orderkey"),
           col("l_suppkey").as("l3_suppkey"))
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -1345,17 +1418,14 @@ object SparkEntry {
         .limit(100)
     }),
     "q_tpch_q2" -> ((s, dir) => {
-      // TPC-H Q2 shape (minimum-cost supplier — adapted: the fixture has
-      // no partsupp, so "cost" is the supplier's observed average unit
-      // price dsum(extendedprice)/dsum(quantity) per (supplier, part)).
-      // The correlated MIN subquery decorrelates to a per-part WINDOW
-      // min over the (supplier, part) aggregate — one pass over one
-      // scan set (a join-back formulation would re-scan all five
-      // tables; the window re-shuffles only the tiny aggregate).
-      // Both comparands are the SAME exact-decimal double, so the
-      // equality is engine-portable. Part filter and the region→
-      // nation→supplier chain broadcast; the per-(supplier, part)
-      // aggregate is the only big shuffle.
+      // TPC-H Q2 CANONICAL (r9): minimum-cost EUROPE supplier per
+      // filtered part over PARTSUPP's ps_supplycost ([[partsuppDf]] —
+      // the derived fixture). The correlated MIN subquery decorrelates
+      // to a per-part WINDOW min over the partsupp⋈dims slice — one
+      // pass; the window re-shuffles only the partsupp-sized set, never
+      // the dims, and the region→nation→supplier chain broadcasts.
+      // Costs are exact decimals, so the min equality is
+      // engine-portable.
       val r = s.read.parquet(s"$dir/region.parquet")
         .where(col("r_name") === "EUROPE")
       val n = s.read.parquet(s"$dir/nation.parquet")
@@ -1366,17 +1436,13 @@ object SparkEntry {
       val p = s.read.parquet(s"$dir/part.parquet")
         .where(col("p_size") <= 15 && col("p_type") === "LARGE")
         .select("p_partkey", "p_name")
-      val ssp = s.read.parquet(s"$dir/lineitem.parquet")
-        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
-        .join(dimHint(sup), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
-          col("s_name"), col("s_acctbal"), col("n_name"))
-        .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
-          .as("unit_cost"))
+      val ssp = partsuppDf(s, dir)
+        .join(dimHint(p), col("ps_partkey") === col("p_partkey"))
+        .join(dimHint(sup), col("ps_suppkey") === col("s_suppkey"))
       val byPart = org.apache.spark.sql.expressions.Window
         .partitionBy("p_partkey")
-      ssp.withColumn("min_cost", min(col("unit_cost")).over(byPart))
-        .where(col("unit_cost") === col("min_cost"))
+      ssp.withColumn("min_cost", min(col("ps_supplycost")).over(byPart))
+        .where(col("ps_supplycost") === col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
@@ -1425,72 +1491,85 @@ object SparkEntry {
           sum(volDec).cast("double")).as("mkt_share"))
     }),
     "q_tpch_q9" -> ((s, dir) => {
-      // TPC-H Q9 shape (product-type profit — adapted: no partsupp, so
-      // cost is 10% of p_retailprice per unit): profit = exact-decimal
-      // revenue minus the exact-decimal cost, summed per (supplier
-      // nation, order year). All decimal products stay inside
-      // precision-38 (no rounding), so the final decimal→double cast is
-      // the single deterministic step. Part (name-filtered, carrying
-      // retailprice) and supplier-nation dims broadcast; lineitem⋈orders
-      // is the one big join.
+      // TPC-H Q9 CANONICAL (r9): profit = revenue − ps_supplycost ×
+      // l_quantity with the cost from PARTSUPP ([[partsuppDf]]) joined
+      // on BOTH keys (l_partkey, l_suppkey) — the canonical double-key
+      // join. Decimal precisions stay ≤ 20 so every product/sum is
+      // exact; the final decimal→double cast is the single
+      // deterministic step. Part filter semi-restricts lineitem, the
+      // partsupp/supplier-nation dims broadcast; lineitem⋈orders is the
+      // one big join.
       val p = s.read.parquet(s"$dir/part.parquet")
         .where(col("p_name").contains("widget"))
-        .select("p_partkey", "p_retailprice")
+        .select("p_partkey")
+      val ps = partsuppDf(s, dir)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
       val supN = s.read.parquet(s"$dir/supplier.parquet")
         .join(dimHint(s.read.parquet(s"$dir/nation.parquet")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
       val o = s.read.parquet(s"$dir/orders.parquet")
         .select("o_orderkey", "o_orderdate")
-      val amount = col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") -
-          col("l_discount").cast("decimal(18,2)")) -
-        col("p_retailprice").cast("decimal(18,2)") *
-          col("l_quantity").cast("decimal(4,0)") *
-          lit(0.1).cast("decimal(2,1)")
+      val amount = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)")) -
+        col("ps_supplycost") * col("l_quantity").cast("decimal(4,0)")
       s.read.parquet(s"$dir/lineitem.parquet")
-        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
+        .join(dimHint(p), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .join(dimHint(ps), col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
         .join(dimHint(supN), col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(sum(amount).cast("double").as("sum_profit"))
     }),
     "q_tpch_q11" -> ((s, dir) => {
-      // TPC-H Q11 shape (important stock — adapted: no partsupp, so a
-      // part's "value" is its revenue through NATION_0's suppliers):
-      // the HAVING-against-a-global-scalar pattern. The total aggregates
-      // ONCE over the same semi-filtered scan and broadcasts as a 1-row
-      // cross join — never a per-group re-scan; both comparands are
-      // exact decimal→double, the 0.001 factor one IEEE multiply.
+      // TPC-H Q11 CANONICAL (r9): part value = Σ ps_supplycost ×
+      // ps_availqty over PARTSUPP ([[partsuppDf]]) through NATION_0's
+      // suppliers vs 0.001 × the total — the HAVING-against-a-
+      // global-scalar pattern. Products and sums stay exact decimal
+      // (precision ≤ 27, no rounding); the total aggregates ONCE over
+      // the same semi-filtered set and broadcasts as a 1-row cross
+      // join — never a per-group re-scan; both comparands cast to
+      // double at the end, the 0.001 factor one IEEE multiply.
       val n0 = s.read.parquet(s"$dir/nation.parquet")
         .where(col("n_name") === "NATION_0")
       val nsup = s.read.parquet(s"$dir/supplier.parquet")
         .join(dimHint(n0), col("s_nationkey") === col("n_nationkey"),
           "left_semi")
         .select("s_suppkey")
-      val nl = s.read.parquet(s"$dir/lineitem.parquet")
-        .join(dimHint(nsup), col("l_suppkey") === col("s_suppkey"),
+      val nps = partsuppDf(s, dir)
+        .join(dimHint(nsup), col("ps_suppkey") === col("s_suppkey"),
           "left_semi")
-      val vals = nl.groupBy("l_partkey").agg(drevenue.as("part_value"))
-      val total = nl.agg(drevenue.as("total_value"))
+      def psValue: Column = sum(col("ps_supplycost") *
+        col("ps_availqty").cast("decimal(10,0)")).cast("double")
+      val vals = nps.groupBy("ps_partkey").agg(psValue.as("part_value"))
+      val total = nps.agg(psValue.as("total_value"))
       vals.crossJoin(broadcast(total))
         .where(col("part_value") > lit(0.001) * col("total_value"))
-        .select("l_partkey", "part_value")
+        .select("ps_partkey", "part_value")
     }),
     "q_tpch_q12" -> ((s, dir) => {
-      // TPC-H Q12 shape (shipping-priority audit — adapted: no
-      // l_shipmode/receiptdate, so groups are l_returnflag over a
-      // shipdate year): one big join + paired conditional counts (the
-      // CASE pair aggregates in one pass, map-side combined).
+      // TPC-H Q12 CANONICAL (r9): groups by l_shipmode with the full
+      // late-delivery predicate chain (commit < receipt, ship < commit,
+      // receipt in year) over the derived date/mode columns
+      // ([[lineitemX]] — the fixture ships none, so both engines derive
+      // identical ones). One big join + paired conditional counts (the
+      // CASE pair aggregates in one pass, map-side combined); every
+      // filter is on the lineitem side and pushes below the join.
       val o = s.read.parquet(s"$dir/orders.parquet")
         .select("o_orderkey", "o_orderpriority")
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .select("l_orderkey", "l_returnflag")
+      val l = lineitemX(s, dir)
+        .where(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("l_commitdate") < col("l_receiptdate") &&
+          col("l_shipdate") < col("l_commitdate") &&
+          col("l_receiptdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_receiptdate") < lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_shipmode")
       val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_returnflag")
+        .groupBy("l_shipmode")
         .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
     }),
@@ -1529,11 +1608,13 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
     "q_tpch_q16" -> ((s, dir) => {
-      // TPC-H Q16 shape (supplier count by part attributes — adapted:
-      // the "complaints" exclusion is s_acctbal < 0): NOT IN ≡ LEFT
-      // ANTI against the tiny excluded-supplier set (broadcast — never
-      // the NOT-IN cartesian cliff), then a COUNT DISTINCT per part
-      // attribute triple (Catalyst's two-phase distinct aggregate).
+      // TPC-H Q16 CANONICAL (r9): supplier count per part attribute
+      // triple from PARTSUPP ([[partsuppDf]] — the derived fixture),
+      // not lineitem. NOT IN ≡ LEFT ANTI against the tiny
+      // excluded-supplier set (broadcast — never the NOT-IN cartesian
+      // cliff; the exclusion stays s_acctbal < 0, the fixture has no
+      // s_comment), then COUNT DISTINCT per triple (Catalyst's
+      // two-phase distinct aggregate).
       val excl = s.read.parquet(s"$dir/supplier.parquet")
         .where(col("s_acctbal") < 0)
         .select(col("s_suppkey").as("x_suppkey"))
@@ -1541,13 +1622,12 @@ object SparkEntry {
         .where(col("p_brand") =!= "Brand#45" &&
           col("p_type") =!= "STANDARD" && col("p_size").isin(1, 4, 7))
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .select("l_partkey", "l_suppkey")
-        .join(dimHint(excl), col("l_suppkey") === col("x_suppkey"),
+      partsuppDf(s, dir)
+        .join(dimHint(excl), col("ps_suppkey") === col("x_suppkey"),
           "left_anti")
-        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
+        .join(dimHint(p), col("ps_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     }),
@@ -8437,52 +8517,55 @@ object SparkEntry {
              SELECT 0.2 * (${dsumSql("l2.l_quantity")} / COUNT(l2.l_quantity))
              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
     "q_tpch_q20" -> s"""
+         WITH $partsuppSql
          SELECT s_suppkey, s_name
          FROM supplier
          WHERE s_suppkey IN (
-             SELECT l_suppkey FROM lineitem
-             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-               AND l_shipdate < TIMESTAMP '1998-01-01'
-             GROUP BY l_suppkey, l_partkey
-             HAVING ${dsumSql("l_quantity")} > (
-               SELECT 0.3 * ${dsumSql("l2.l_quantity")}
-               FROM lineitem l2
-               WHERE l2.l_partkey = lineitem.l_partkey
-                 AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
-                 AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
+             SELECT ps_suppkey FROM partsupp
+             WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red%')
+               AND CAST(ps_availqty AS DOUBLE) > (
+                 SELECT 0.5 * ${dsumSql("l_quantity")}
+                 FROM lineitem
+                 WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                   AND l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'))
            AND s_nationkey IN (SELECT n_nationkey FROM nation
                                WHERE n_name IN ('NATION_1', 'NATION_2'))""",
-    "q_tpch_q21" -> """
+    "q_tpch_q21" -> s"""
+         WITH $lineitemXSql
          SELECT s_name, COUNT(*) AS numwait
-         FROM supplier, lineitem l1, orders, nation
+         FROM supplier, lx l1, orders, nation
          WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-           AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND o_orderstatus = 'F'
+           AND l1.l_receiptdate > l1.l_commitdate
            AND EXISTS (SELECT 1 FROM lineitem l2
                        WHERE l2.l_orderkey = l1.l_orderkey
                          AND l2.l_suppkey <> l1.l_suppkey)
-           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           AND NOT EXISTS (SELECT 1 FROM lx l3
                            WHERE l3.l_orderkey = l1.l_orderkey
                              AND l3.l_suppkey <> l1.l_suppkey
-                             AND l3.l_returnflag = 'R')
+                             AND l3.l_receiptdate > l3.l_commitdate)
            AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 100""",
     "q_tpch_q2" -> s"""
-         WITH ssp AS (
+         WITH $partsuppSql,
+         ssp AS (
            SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
-                  s.s_acctbal, n.n_name,
-                  ${dsumSql("l_extendedprice")} / ${dsumSql("l_quantity")}
-                    AS unit_cost
-           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                  s.s_acctbal, n.n_name, ps.ps_supplycost
+           FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
+           JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
            JOIN nation n ON s.s_nationkey = n.n_nationkey
            JOIN region r ON n.n_regionkey = r.r_regionkey
-           WHERE p.p_size <= 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
-           GROUP BY 1, 2, 3, 4, 5, 6),
-         mn AS (SELECT p_partkey AS m_partkey, MIN(unit_cost) AS min_cost
+           WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
+             AND r.r_name = 'EUROPE'),
+         mn AS (SELECT p_partkey AS m_partkey, MIN(ps_supplycost)
+                  AS min_cost
                 FROM ssp GROUP BY 1)
          SELECT s_acctbal, s_name, n_name, p_partkey, p_name
-         FROM ssp JOIN mn ON p_partkey = m_partkey AND unit_cost = min_cost
+         FROM ssp JOIN mn
+           ON p_partkey = m_partkey AND ps_supplycost = min_cost
          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
     "q_tpch_q8" -> """
          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -8508,16 +8591,19 @@ object SparkEntry {
            AND l.l_partkey IN (SELECT p_partkey FROM part
                                WHERE p_type = 'ECONOMY')
          GROUP BY 1""",
-    "q_tpch_q9" -> """
+    "q_tpch_q9" -> s"""
+         WITH $partsuppSql
          SELECT n_name AS nation,
                 CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                         (CAST(1 AS DECIMAL(18,2)) -
-                          CAST(l_discount AS DECIMAL(18,2))) -
-                         CAST(p_retailprice AS DECIMAL(18,2)) *
-                         CAST(l_quantity AS DECIMAL(4,0)) *
-                         CAST(0.1 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         (CAST(1 AS DECIMAL(3,2)) -
+                          CAST(l_discount AS DECIMAL(3,2))) -
+                         ps_supplycost *
+                         CAST(l_quantity AS DECIMAL(4,0)))
+                  AS DOUBLE) AS sum_profit
          FROM lineitem
+         JOIN partsupp ON l_partkey = ps_partkey
+                      AND l_suppkey = ps_suppkey
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
@@ -8525,23 +8611,34 @@ object SparkEntry {
          WHERE p_name LIKE '%widget%'
          GROUP BY 1, 2""",
     "q_tpch_q11" -> s"""
-         WITH nsup AS (SELECT s_suppkey FROM supplier JOIN nation
-             ON s_nationkey = n_nationkey WHERE n_name = 'NATION_0'),
-         nl AS (SELECT * FROM lineitem
-                WHERE l_suppkey IN (SELECT s_suppkey FROM nsup))
-         SELECT l_partkey, $drevenueSql AS part_value
-         FROM nl GROUP BY 1
-         HAVING $drevenueSql >
-           CAST(0.001 AS DOUBLE) * (SELECT $drevenueSql FROM nl)""",
-    "q_tpch_q12" -> """
-         SELECT l_returnflag,
+         WITH $partsuppSql,
+         nps AS (SELECT * FROM partsupp
+                 WHERE ps_suppkey IN (
+                   SELECT s_suppkey FROM supplier JOIN nation
+                     ON s_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_0'))
+         SELECT ps_partkey,
+           CAST(SUM(ps_supplycost * CAST(ps_availqty AS DECIMAL(10,0)))
+             AS DOUBLE) AS part_value
+         FROM nps GROUP BY 1
+         HAVING CAST(SUM(ps_supplycost * CAST(ps_availqty
+             AS DECIMAL(10,0))) AS DOUBLE) >
+           CAST(0.001 AS DOUBLE) *
+             (SELECT CAST(SUM(ps_supplycost * CAST(ps_availqty
+                AS DECIMAL(10,0))) AS DOUBLE) FROM nps)""",
+    "q_tpch_q12" -> s"""
+         WITH $lineitemXSql
+         SELECT l_shipmode,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-           AND l_shipdate < TIMESTAMP '1998-01-01'
+         FROM lx JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipmode IN ('MAIL', 'SHIP')
+           AND l_commitdate < l_receiptdate
+           AND l_shipdate < l_commitdate
+           AND l_receiptdate >= TIMESTAMP '1997-01-01'
+           AND l_receiptdate < TIMESTAMP '1998-01-01'
          GROUP BY 1""",
     "q_tpch_q13" -> """
          WITH c_orders AS (
@@ -8563,14 +8660,15 @@ object SparkEntry {
          FROM revenue JOIN supplier ON supplier_no = s_suppkey
          WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
          ORDER BY s_suppkey""",
-    "q_tpch_q16" -> """
+    "q_tpch_q16" -> s"""
+         WITH $partsuppSql
          SELECT p_brand, p_type, p_size,
-                CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-         FROM lineitem JOIN part ON l_partkey = p_partkey
+                CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         FROM partsupp JOIN part ON ps_partkey = p_partkey
          WHERE p_brand <> 'Brand#45' AND p_type <> 'STANDARD'
            AND p_size IN (1, 4, 7)
-           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                 WHERE s_acctbal < 0)
+           AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
          GROUP BY 1, 2, 3
          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     "q_tpch_q3" -> s"""
