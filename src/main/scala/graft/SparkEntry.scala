@@ -3820,11 +3820,14 @@ object SparkEntry {
         Seq("o_orderkey"), "change_ts", "op")
     }),
     "q_stream_merge" -> ((s, dir) => {
-      // the CDC ingestion stream through a REAL 3-micro-batch run: the
+      // the CDC ingestion stream through a REAL 2-micro-batch run: the
       // base snapshot rides in as epoch-timestamped "I" changes (batch
       // 1), the same derived CDC log as q_merge_changelog follows in
-      // two batches, and the per-key struct-max state (ONE struct per
-      // key) converges to the batch snapshot — oracle shared verbatim.
+      // batch 2, and the per-key struct-max state (ONE struct per key)
+      // converges to the batch snapshot — oracle shared verbatim. (The
+      // any-split invariance law lives in StreamingSpec; each feeding
+      // round is a full state-commit cycle, so the gate row keeps the
+      // minimum that still crosses batches.)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
@@ -3853,8 +3856,7 @@ object SparkEntry {
         .outputMode("complete").start()
       try {
         ms.addData(baseRows.toSeq); q.processAllAvailable()
-        changeRows.grouped(math.max(1, (changeRows.length + 1) / 2))
-          .foreach { b => ms.addData(b.toSeq); q.processAllAvailable() }
+        ms.addData(changeRows.toSeq); q.processAllAvailable()
       } finally {
         q.stop()
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
