@@ -152,13 +152,17 @@ object ZOrder {
     * boundary list computed once and reused across ingest batches —
     * the sampling pass is the only non-linear cost here.
     */
+  /** `prefixCols` (e.g. a snapshot table's partition columns) lead the
+    * range key, so clustering happens WITHIN each prefix group — the
+    * partitioned-table OPTIMIZE shape. */
   def clusterByZ(df: DataFrame, dims: Seq[(String, Double, Double)],
-      bits: Int, numFiles: Int): DataFrame = {
+      bits: Int, numFiles: Int, prefixCols: Seq[String] = Nil): DataFrame = {
     val z = zvalue(bits,
       dims.map { case (c, lo, hi) => quantize(col(c), lo, hi, bits) }: _*)
+    val keys = prefixCols.map(col) :+ col("_z")
     df.withColumn("_z", z)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
       .drop("_z")
   }
 }

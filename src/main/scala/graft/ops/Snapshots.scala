@@ -120,7 +120,8 @@ object Snapshots {
       files: Option[Seq[String]] = None,
       stats: Map[String, FileStats] = Map.empty,
       schemaJson: Option[String] = None,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      partitionBy: Seq[String] = Nil)
 
   /** A RESOLVED snapshot: the complete file list + stats at a version,
     * folded from the newest checkpoint at-or-below it plus the delta
@@ -235,6 +236,9 @@ object Snapshots {
       val tx = root.putObject("txns")
       m.txns.foreach { case (app, id) => tx.put(app, id) }
     }
+    if (m.partitionBy.nonEmpty) {
+      val pb = root.putArray("partitionBy"); m.partitionBy.foreach(pb.add)
+    }
     putStats(root, m.stats)
     om.writeValueAsBytes(root)
   }
@@ -253,7 +257,8 @@ object Snapshots {
         if (n.has("files")) Some(getStrings(n, "files")) else None,
         getStats(n),
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
-        getTxns(n)))
+        getTxns(n),
+        getStrings(n, "partitionBy")))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def renderCheckpoint(s: Snapshot): Array[Byte] = {
@@ -823,7 +828,9 @@ object Snapshots {
     * range weakness for high-cardinality categorical columns. The
     * partition columns stay present in the data files, so reads are
     * unchanged, and min/max stats skipping still composes on top for
-    * the non-partition columns. */
+    * the non-partition columns. partitionBy is TABLE metadata: later
+    * plain appends, CoW rewrites, and optimize all inherit and
+    * preserve it (overwrite with an explicit list redefines it). */
   def append(df: DataFrame, path: String, partitionBy: Seq[String]): Long =
     commit(df, path, "append", partitionBy = partitionBy)
 
@@ -891,10 +898,17 @@ object Snapshots {
     val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val cur = read(spark, path, Some(m.version))
+    // a partitioned table keeps its layout: cluster WITHIN partitions
+    // (the partition columns prefix the range key), so the rewrite
+    // cannot explode into one file per (task × partition value) and the
+    // exact partition pruning survives maintenance
+    val pb = latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
     val rewritten =
-      if (zorderBy.isEmpty) cur.repartition(numFiles)
-      else graft.functions.ZOrder.clusterByZ(cur, zorderBy, zBits,
-        numFiles)
+      if (zorderBy.isEmpty) {
+        if (pb.isEmpty) cur.repartition(numFiles)
+        else cur.repartition(numFiles, pb.map(col): _*)
+      } else graft.functions.ZOrder.clusterByZ(cur, zorderBy, zBits,
+        numFiles, prefixCols = pb)
     commit(rewritten, path, "optimize", expectParent = Some(m.version))
   }
 
@@ -1145,22 +1159,33 @@ object Snapshots {
       partitionBy: Seq[String] = Nil): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
       "update")(op), s"unknown op $op")
-    require(partitionBy.forall(df.columns.contains),
-      s"partition columns ${partitionBy.mkString(",")} must exist in the data")
     val spark = df.sparkSession
+    // partitionBy is TABLE metadata (the Delta rule): an explicit list
+    // (re)defines the layout, every other commit — appends, CoW
+    // rewrites, optimize — INHERITS the parent's, so a partitioned
+    // table never silently loses its exact partition pruning to a
+    // rewrite. Overwrite without a list redefines as unpartitioned.
+    val effParts =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (op == "overwrite") Nil
+      else latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
+    require(effParts.forall(df.columns.contains),
+      s"table at $path is partitioned by ${effParts.mkString(",")} — " +
+        "the batch must carry those columns (overwrite with an explicit " +
+        "partitionBy to change the layout)")
     val fs = fsFor(spark, path); val root = new Path(path)
     // 1) data files land in an uncommitted per-commit directory: the
     //    DISTRIBUTED part of the commit, paid once even across retries.
     val commitDir = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
-    if (partitionBy.isEmpty)
+    if (effParts.isEmpty)
       df.write.parquet(new Path(root, commitDir).toString)
     else
       // duplicate each partition column under the layout alias: the
       // alias is consumed into the directory path, the original stays
       // IN the data files (see [[PartPrefix]])
       df.select(df.columns.map(col).toSeq ++
-          partitionBy.map(c => col(c).as(s"$PartPrefix$c")): _*)
-        .write.partitionBy(partitionBy.map(c => s"$PartPrefix$c"): _*)
+          effParts.map(c => col(c).as(s"$PartPrefix$c")): _*)
+        .write.partitionBy(effParts.map(c => s"$PartPrefix$c"): _*)
         .parquet(new Path(root, commitDir).toString)
     val adds = listParquet(fs, new Path(root, commitDir), commitDir).sorted
     val addStats = computeStats(spark, root, adds, df.schema)
@@ -1218,7 +1243,8 @@ object Snapshots {
         if (op == "overwrite" || op == "optimize") Nil
         else removed.toSeq.sorted,
         None, addStats, Some(schemaJson),
-        parentM.map(_.txns).getOrElse(Map.empty) ++ txn)
+        parentM.map(_.txns).getOrElse(Map.empty) ++ txn,
+        partitionBy = effParts)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       // ALL-OR-NOTHING claim: the manifest is fully written to a hidden

@@ -152,6 +152,43 @@ class SnapshotsSpec extends SparkSpec {
     v2tr.rdd.getNumPartitions should be < v2all.rdd.getNumPartitions
   }
 
+  test("partitionBy is table metadata: plain appends inherit it, CoW " +
+      "rewrites and optimize preserve the layout, exact pruning " +
+      "survives maintenance, missing partition column fails typed") {
+    val p = freshDir()
+    val mk = (r: Range) => r.map(i =>
+        (i.toLong, Seq("test", "train", "val")(i % 3), i * 1.0))
+      .toDF("id", "split", "v")
+    Snapshots.append(mk(1 to 120), p, partitionBy = Seq("split"))
+    Snapshots.append(mk(121 to 240), p) // NO explicit list — inherits
+    def dataFiles() = Snapshots.read(spark, p).inputFiles.toSet
+    all(dataFiles()) should include("__gp_split=")
+    // CoW update rewrites only touched files — still into the layout
+    Snapshots.update(spark, p, col("id") <= 5L,
+      Map("v" -> (col("v") + 1000)))
+    all(dataFiles()) should include("__gp_split=")
+    // optimize preserves the layout (plain and z-order)
+    Snapshots.optimize(spark, p, numFiles = 2)
+    all(dataFiles()) should include("__gp_split=")
+    Snapshots.optimize(spark, p, numFiles = 2,
+      zorderBy = Seq(("id", 0.0, 256.0), ("v", 0.0, 2000.0)), zBits = 8)
+    all(dataFiles()) should include("__gp_split=")
+    // pruning is still EXACT after inherit + rewrite + two optimizes
+    val sw = Snapshots.scanWhere(spark, p,
+      col("split").isin("test", "val"))
+    sw.count() shouldBe 160L
+    all(sw.inputFiles.toSet) should not include "__gp_split=train"
+    // rows fully intact through every rewrite
+    Snapshots.read(spark, p).count() shouldBe 240L
+    Snapshots.read(spark, p).agg(sum(col("v"))).head().getDouble(0) shouldBe
+      ((1 to 240).map(_.toDouble).sum + 5 * 1000.0)
+    // a batch missing the partition column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(Seq((999L, 9.0)).toDF("id", "v"), p)
+    }
+    e.getMessage should include("partitioned by split")
+  }
+
   test("touched-file cap: a CoW op whose predicate spans more files than " +
       "spark.graft.snapshot.maxTouchedFiles fails loudly, not OOM") {
     val p = freshDir()
