@@ -112,10 +112,11 @@ final class SnapshotTable(path: String, tschema: StructType,
 final class SnapshotScanBuilder(path: String, full: StructType,
     versionAsOf: Option[Long], startingVersion: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var pushedCount: Option[Long] = None
 
   /** Keep EVERY filter residual (stats pruning is a superset, never a
     * substitute for evaluation); remember them all for planning-time
@@ -129,16 +130,84 @@ final class SnapshotScanBuilder(path: String, full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SnapshotScan(path, required, pushed, versionAsOf, startingVersion)
+  /** COUNT(*) answered from the LOG: every manifest already carries
+    * exact per-file row counts, so an unfiltered, ungrouped count needs
+    * ZERO data-file reads — the classic log-store trick (Delta answers
+    * the same query from metadata). Only complete pushdown is offered,
+    * and only when every file has recorded stats; anything else —
+    * filters (all of ours stay residual, so Spark won't even ask),
+    * group-bys, other aggregates — falls back to the normal scan. */
+  private def countFromLog(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Long] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    if (agg.aggregateExpressions.length != 1 ||
+        !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return None
+    Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
+      .filter(m => m.files.forall(m.stats.contains))
+      .map(m => m.files.map(f => m.stats(f).rows).sum)
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countFromLog(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    countFromLog(agg) match {
+      case Some(n) => pushedCount = Some(n); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new SnapshotCountScan(path, n)
+    case None =>
+      new SnapshotScan(path, full, required, pushed, versionAsOf,
+        startingVersion)
+  }
+}
+
+/** The metadata-only COUNT(*) scan: one partition, one row, zero file
+  * I/O. */
+final class SnapshotCountScan(path: String, n: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    new StructType().add("count", org.apache.spark.sql.types.LongType,
+      false)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot COUNT(*) from log metadata ($path)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotCountPartition(n))
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotCountReaderFactory
+}
+
+final case class SnapshotCountPartition(n: Long) extends InputPartition
+
+object SnapshotCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val n = p.asInstanceOf[SnapshotCountPartition].n
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n))
+      override def close(): Unit = ()
+    }
 }
 
 final case class SnapshotInputPartition(absPath: String)
     extends InputPartition
 
-final class SnapshotScan(path: String, required: StructType,
-    pushed: Array[Filter], versionAsOf: Option[Long], startingVersion: Long)
-    extends Scan with Batch {
+final class SnapshotScan(path: String, full: StructType,
+    required: StructType, pushed: Array[Filter],
+    versionAsOf: Option[Long], startingVersion: Long)
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -149,6 +218,26 @@ final class SnapshotScan(path: String, required: StructType,
     s"graft-snapshot StatsPrunedBy: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
 
+  // ---- dynamic runtime filtering (DPP for the log store): at
+  // execution time Spark hands over join-key filters (e.g. the IN-set
+  // a broadcasted dim resolved to) and replans this scan's partitions —
+  // the big-fact-join-small-dim shape at 100 TB skips every file whose
+  // stats/partition values the dim's keys cannot hit. Any OUTPUT column
+  // can carry stats, so all are advertised (Spark resolves the
+  // advertised names against the scan output, so pruned-away columns
+  // must not appear); pruning stays a conservative superset and every
+  // filter remains residual, so a filter Spark hands us can only
+  // SHRINK the file list, never change results.
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val m = Snapshots.snapshotAt(spark, path, versionAsOf).getOrElse(
@@ -156,7 +245,7 @@ final class SnapshotScan(path: String, required: StructType,
         case Some(v) => s"graft-snapshot: version $v does not exist at $path"
         case None => s"graft-snapshot: no committed snapshot at $path"
       }))
-    Snapshots.pruneByFilters(m, pushed)
+    Snapshots.pruneByFilters(m, pushed ++ runtimeFilters)
       .map(f => SnapshotInputPartition(
         new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(path), f).toString)

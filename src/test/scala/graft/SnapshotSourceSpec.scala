@@ -206,6 +206,55 @@ class SnapshotSourceSpec extends SparkSpec {
       (1L to 9000L).sum
   }
 
+  test("COUNT(*) pushes down to log metadata: zero file reads, exact " +
+      "at any pinned version; filtered counts fall back to the scan") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 500).repartition(4), p)
+    Snapshots.append(tbl(501 to 800).repartition(2), p)
+    val df = spark.read.format("graft-snapshot").load(p)
+    val counted = df.groupBy().count()
+    counted.queryExecution.executedPlan.toString should
+      include("COUNT(*) from log metadata")
+    counted.head().getLong(0) shouldBe 800L
+    df.count() shouldBe 800L
+    spark.read.format("graft-snapshot").option("versionAsOf", "1")
+      .load(p).count() shouldBe 500L
+    // a filtered count cannot use the metadata row (filters stay
+    // residual) — falls back to the real scan, stays exact
+    val filtered = df.where(col("id") <= 100L).groupBy().count()
+    filtered.queryExecution.executedPlan.toString should
+      not include "COUNT(*) from log metadata"
+    filtered.head().getLong(0) shouldBe 100L
+  }
+
+  test("runtime filtering: a join-key filter handed over at execution " +
+      "replans the scan to fewer file partitions, results exact") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 300).repartitionByRange(6, col("id")), p)
+    // unit-level contract pin (what Spark's DPP calls at runtime)
+    val sb = new graft.sources.SnapshotScanBuilder(p,
+      spark.read.format("graft-snapshot").load(p).schema, None, 1L)
+    val scan = sb.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    scan.filterAttributes().map(_.describe()) should contain("id")
+    val before = scan.asInstanceOf[graft.sources.SnapshotScan]
+      .planInputPartitions().length
+    before shouldBe 6
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 7L))))
+    val after = scan.asInstanceOf[graft.sources.SnapshotScan]
+      .planInputPartitions().length
+    after should be < before
+    // end-to-end: broadcast-dim join stays exact with the filter live
+    import spark.implicits._
+    val dim = Seq((5L, "a"), (7L, "b"), (250L, "c")).toDF("id", "tag")
+    val joined = spark.read.format("graft-snapshot").load(p)
+      .join(broadcast(dim), "id")
+    joined.select("id", "tag").collect().map(r =>
+      (r.getLong(0), r.getString(1))).sorted shouldBe
+      Seq((5L, "a"), (7L, "b"), (250L, "c"))
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
