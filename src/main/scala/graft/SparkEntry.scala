@@ -3961,6 +3961,17 @@ object SparkEntry {
       Snapshots.scanWhere(s, p,
         col("event_id") >= 2000L && col("event_id") < 5000L)
     }),
+    "q_snapshot_count" -> ((s, dir) => {
+      // COUNT(*) answered from LOG METADATA (SupportsPushDownAggregates
+      // on the V2 source): the manifest's exact per-file row counts
+      // make the petabyte-table row-count query a zero-file-read
+      // planning lookup — pinned in SnapshotSourceSpec. Rows = the
+      // post-overwrite snapshot, stable under the optimize commits
+      // q_snapshot_optimize may add (maintenance never changes rows).
+      val p = buildSnapshotStore(s, dir)
+      s.read.format("graft-snapshot").load(p).groupBy().count()
+        .select(col("count").as("n_rows"))
+    }),
     "q_snapshot_partitioned" -> ((s, dir) => {
       // PARTITIONED commit (Delta partitionBy-at-commit): the append
       // writes one file set per event_type with the exact value in the
@@ -8072,6 +8083,10 @@ object SparkEntry {
       // the result is just the filter
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id >= 2000 AND event_id < 5000""",
+    "q_snapshot_count" ->
+      // metadata count == the rows the post-overwrite snapshot holds
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows
+         FROM events WHERE event_id % 3 = 2""",
     "q_snapshot_partitioned" ->
       // partition pruning is exact set membership + residual predicate,
       // so the result is just the filter

@@ -207,7 +207,32 @@ final case class SnapshotInputPartition(absPath: String)
 final class SnapshotScan(path: String, full: StructType,
     required: StructType, pushed: Array[Filter],
     versionAsOf: Option[Long], startingVersion: Long)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  /** Planner statistics from the LOG: row count = exact Σ per-file rows
+    * over the stats-PRUNED file list, size estimated as rows × the
+    * pruned schema's default width. Without this a V2 scan defaults to
+    * "unknown = huge", and a small snapshot dim would never broadcast —
+    * the wrong plan for the fact⋈dim shape this store serves. */
+  override def estimateStatistics(): Statistics = {
+    val snap = Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
+    val rows = snap.flatMap { m =>
+      val keep = Snapshots.pruneByFilters(m, pushed)
+      if (keep.forall(m.stats.contains))
+        Some(keep.map(f => m.stats(f).rows).sum)
+      else None
+    }
+    val width = math.max(1, required.map(_.dataType.defaultSize).sum)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rows.map(r => java.util.OptionalLong.of(r * width))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        rows.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -255,6 +255,20 @@ class SnapshotSourceSpec extends SparkSpec {
       Seq((5L, "a"), (7L, "b"), (250L, "c"))
   }
 
+  test("reported statistics: a small snapshot table auto-broadcasts in " +
+      "a join (no hint) because numRows/sizeInBytes come from the log") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 50), p)
+    import spark.implicits._
+    val big = spark.range(100000).select(col("id"),
+      (col("id") % 50 + 1).as("k"))
+    val joined = big.join(spark.read.format("graft-snapshot").load(p)
+      .select(col("id").as("k"), col("name")), "k")
+    joined.queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin")
+    joined.count() shouldBe 100000L
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
