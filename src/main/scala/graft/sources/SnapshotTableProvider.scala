@@ -91,14 +91,16 @@ final class SnapshotTableProvider extends TableProvider
       if (v > 0) Some(v) else None
     }
     new SnapshotTable(path, schema, pinned,
-      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L))
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 final class SnapshotTable(path: String, tschema: StructType,
-    versionAsOf: Option[Long], startingVersion: Long)
+    versionAsOf: Option[Long], startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tschema
@@ -106,17 +108,31 @@ final class SnapshotTable(path: String, tschema: StructType,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion)
+    new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion,
+      maxVersionsPerTrigger)
 }
 
 final class SnapshotScanBuilder(path: String, full: StructType,
-    versionAsOf: Option[Long], startingVersion: Long)
+    versionAsOf: Option[Long], startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var pushedCount: Option[Long] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT prunes the FILE LIST: any `n` rows satisfy an unfiltered
+    * LIMIT, so planning keeps manifest-order files only until their
+    * exact row counts cover it — `df.limit(10)` on a million-file table
+    * plans one partition. Partial push: Spark keeps its own Limit
+    * above (it only offers the push when no residual filter sits
+    * between, and all our filters stay residual, so the cut can never
+    * hide matching rows). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Keep EVERY filter residual (stats pruning is a superset, never a
     * substitute for evaluation); remember them all for planning-time
@@ -166,7 +182,7 @@ final class SnapshotScanBuilder(path: String, full: StructType,
     case Some(n) => new SnapshotCountScan(path, n)
     case None =>
       new SnapshotScan(path, full, required, pushed, versionAsOf,
-        startingVersion)
+        startingVersion, limit, maxVersionsPerTrigger)
   }
 }
 
@@ -206,7 +222,9 @@ final case class SnapshotInputPartition(absPath: String)
 
 final class SnapshotScan(path: String, full: StructType,
     required: StructType, pushed: Array[Filter],
-    versionAsOf: Option[Long], startingVersion: Long)
+    versionAsOf: Option[Long], startingVersion: Long,
+    limit: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -238,7 +256,8 @@ final class SnapshotScan(path: String, full: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SnapshotMicroBatchStream(path, required, startingVersion)
+    new SnapshotMicroBatchStream(path, required, startingVersion,
+      maxVersionsPerTrigger)
   override def description(): String =
     s"graft-snapshot StatsPrunedBy: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -270,8 +289,19 @@ final class SnapshotScan(path: String, full: StructType,
         case Some(v) => s"graft-snapshot: version $v does not exist at $path"
         case None => s"graft-snapshot: no committed snapshot at $path"
       }))
-    Snapshots.pruneByFilters(m, pushed ++ runtimeFilters)
-      .map(f => SnapshotInputPartition(
+    val pruned = Snapshots.pruneByFilters(m, pushed ++ runtimeFilters)
+    // pushed-LIMIT file cut: only with NO filters anywhere (a residual
+    // filter could need rows from any file) and complete stats
+    val kept = limit match {
+      case Some(n) if pushed.isEmpty && runtimeFilters.isEmpty &&
+          pruned.forall(m.stats.contains) =>
+        var acc = 0L
+        pruned.takeWhile { f =>
+          val need = acc < n; acc += m.stats(f).rows; need
+        }
+      case _ => pruned
+    }
+    kept.map(f => SnapshotInputPartition(
         new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(path), f).toString)
         : InputPartition).toArray
@@ -625,20 +655,45 @@ final case class SnapshotVersionOffset(version: Long)
 /** Micro-batch stream tailing the transaction log: each batch is the
   * files ADDED by versions in (start, end], skipping optimize commits.
   * Replay is deterministic from the log → exactly-once under retries
-  * and restarts. */
+  * and restarts. `option("maxVersionsPerTrigger", n)` is ADMISSION
+  * CONTROL (the maxFilesPerTrigger idiom): a consumer resuming behind a
+  * 10 000-commit backlog catches up in bounded per-trigger batches
+  * instead of planning one giant all-history batch. */
 final class SnapshotMicroBatchStream(path: String, required: StructType,
-    startingVersion: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    "maxVersionsPerTrigger must be positive")
 
   override def initialOffset(): Offset =
     SnapshotVersionOffset(math.max(0L, startingVersion - 1))
 
+  private def committedLatest(): Long = math.max(
+    Snapshots.latestVersion(SparkSession.active, path),
+    startingVersion - 1)
+
   override def latestOffset(): Offset =
-    SnapshotVersionOffset(math.max(
-      Snapshots.latestVersion(SparkSession.active, path),
-      startingVersion - 1))
+    SnapshotVersionOffset(committedLatest())
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
+    val cur = committedLatest()
+    val s = start.asInstanceOf[SnapshotVersionOffset].version
+    SnapshotVersionOffset(maxVersionsPerTrigger match {
+      case Some(n) => math.min(cur, s + n)
+      case None => cur
+    })
+  }
+
+  override def reportLatestOffset(): Offset =
+    SnapshotVersionOffset(committedLatest())
 
   override def deserializeOffset(json: String): Offset =
     SnapshotVersionOffset(json.trim.toLong)

@@ -269,6 +269,48 @@ class SnapshotSourceSpec extends SparkSpec {
     joined.count() shouldBe 100000L
   }
 
+  test("LIMIT pushdown cuts the planned file list by exact row counts; " +
+      "filtered limits keep every file") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 300).repartitionByRange(6, col("id")), p)
+    val schema = spark.read.format("graft-snapshot").load(p).schema
+    def planned(limit: Option[Int], filters: Array[
+        org.apache.spark.sql.sources.Filter] = Array.empty): Int = {
+      val sb = new graft.sources.SnapshotScanBuilder(p, schema, None, 1L)
+      sb.pushFilters(filters)
+      limit.foreach(sb.pushLimit)
+      sb.build().asInstanceOf[graft.sources.SnapshotScan]
+        .planInputPartitions().length
+    }
+    planned(None) shouldBe 6
+    planned(Some(60)) shouldBe 2 // 50-row files: 2 cover 60
+    planned(Some(1)) shouldBe 1
+    planned(Some(10000)) shouldBe 6 // limit past the table keeps all
+    // defensive: with a filter present the cut must NOT engage
+    planned(Some(1), Array(
+      org.apache.spark.sql.sources.GreaterThan("id", 250L))) should be >= 1
+    // end-to-end limit correctness
+    spark.read.format("graft-snapshot").load(p).limit(60)
+      .count() shouldBe 60L
+  }
+
+  test("maxVersionsPerTrigger: a backlogged consumer catches up in " +
+      "bounded per-trigger batches, consuming everything exactly once") {
+    val p = freshDir()
+    (1 to 6).foreach(i => Snapshots.append(tbl(i * 10 until i * 10 + 5), p))
+    val sink = "snap_admission"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", "2").load(p)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(sink).count() shouldBe 30L // 6 commits × 5 rows
+      // 6 versions at 2 per trigger → 3 non-empty batches
+      q.recentProgress.count(_.numInputRows > 0) shouldBe 3
+    } finally q.stop()
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
