@@ -105,8 +105,12 @@ object Snapshots {
     * unpartitioned, rewritten by CoW/optimize, or in the null
     * partition) never part-prunes — conservative superset, as with all
     * stats here. */
+  /** `bytes` is the file's on-disk length (0 = unknown, pre-r9
+    * manifests): real byte sizes feed the V2 planner statistics
+    * (broadcast decisions) and size-targeted OPTIMIZE without a single
+    * filesystem stat at plan time. */
   final case class FileStats(rows: Long, cols: Map[String, ColStat],
-      parts: Map[String, String] = Map.empty)
+      parts: Map[String, String] = Map.empty, bytes: Long = 0L)
 
   /** One log record. Manifests are DELTAS: `adds`/`removes` against the
     * parent (append-family ops), or a whole-snapshot replacement
@@ -168,6 +172,7 @@ object Snapshots {
           val pn = fn.putObject("parts")
           fs.parts.foreach { case (c, v) => pn.put(c, v) }
         }
+        if (fs.bytes > 0) fn.put("bytes", fs.bytes)
       }
     }
 
@@ -197,7 +202,8 @@ object Snapshots {
           }
         }
         b += f -> FileStats(fn.get("rows").asLong(0L), cols.result(),
-          parts.result())
+          parts.result(),
+          if (fn.has("bytes")) fn.get("bytes").asLong(0L) else 0L)
       }
       b.result()
     }
@@ -466,7 +472,8 @@ object Snapshots {
     * the ordering semantics identical to the query engine's and costs
     * one read of the commit's delta, not the table. */
   private def computeStats(spark: SparkSession, root: Path,
-      adds: Seq[String], schema: StructType): Map[String, FileStats] = {
+      adds: Seq[String], schema: StructType,
+      sizes: Map[String, Long] = Map.empty): Map[String, FileStats] = {
     if (adds.isEmpty) return Map.empty
     val fields = schema.fields.filter(f => statType(f.dataType)).toSeq
     // read the EXPLICIT file list (a partitioned commit dir would
@@ -505,7 +512,8 @@ object Snapshots {
               Some(renderNum(hi, isMin = false))))
         }
       }.toMap
-      rel -> FileStats(r.getLong(1), cols, partsFromPath(rel))
+      rel -> FileStats(r.getLong(1), cols, partsFromPath(rel),
+        sizes.getOrElse(rel, 0L))
     }.toMap
   }
 
@@ -912,6 +920,27 @@ object Snapshots {
     commit(rewritten, path, "optimize", expectParent = Some(m.version))
   }
 
+  /** Size-targeted OPTIMIZE (the Delta target-file-size shape): file
+    * count derives from the manifest's recorded byte sizes — no
+    * filesystem stat — as ceil(total / targetFileBytes). Requires the
+    * snapshot's files to carry sizes (any current-writer commit does;
+    * a pre-sizes manifest fails typed rather than guessing). */
+  def optimizeToSize(spark: SparkSession, path: String,
+      targetFileBytes: Long,
+      zorderBy: Seq[(String, Double, Double)] = Nil,
+      zBits: Int = 16): Long = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val known = m.files.flatMap(f => m.stats.get(f).map(_.bytes))
+    require(known.size == m.files.size && known.forall(_ > 0),
+      s"optimizeToSize needs recorded file sizes at $path — rewrite " +
+        "with a current commit (or use optimize(numFiles))")
+    val n = math.max(1L, (known.sum + targetFileBytes - 1) /
+      targetFileBytes).toInt
+    optimize(spark, path, n, zorderBy, zBits)
+  }
+
   /** Copy-on-write UPSERT by key: rows of `updates` replace current rows
     * with equal `keyCols`; unmatched update rows are inserts. Only the
     * files that CONTAIN a matched key are rewritten — candidates come
@@ -1139,13 +1168,15 @@ object Snapshots {
       }
     }.toMap
 
-  /** Relative paths of every parquet file under `commitDir`, one level
-    * of partition directories deep per partition column. */
+  /** (relative path, byte length) of every parquet file under
+    * `commitDir`, one level of partition directories deep per partition
+    * column — lengths come free with the listing the commit already
+    * pays. */
   private def listParquet(fs: FileSystem, dir: Path,
-      rel: String): Seq[String] =
+      rel: String): Seq[(String, Long)] =
     Option(fs.listStatus(dir)).getOrElse(Array.empty).toSeq.flatMap {
       case s if s.isFile && s.getPath.getName.endsWith(".parquet") =>
-        Seq(s"$rel/${s.getPath.getName}")
+        Seq(s"$rel/${s.getPath.getName}" -> s.getLen)
       case s if s.isDirectory =>
         listParquet(fs, s.getPath, s"$rel/${s.getPath.getName}")
       case _ => Nil
@@ -1187,8 +1218,10 @@ object Snapshots {
           effParts.map(c => col(c).as(s"$PartPrefix$c")): _*)
         .write.partitionBy(effParts.map(c => s"$PartPrefix$c"): _*)
         .parquet(new Path(root, commitDir).toString)
-    val adds = listParquet(fs, new Path(root, commitDir), commitDir).sorted
-    val addStats = computeStats(spark, root, adds, df.schema)
+    val listed = listParquet(fs, new Path(root, commitDir), commitDir)
+    val adds = listed.map(_._1).sorted
+    val addStats = computeStats(spark, root, adds, df.schema,
+      listed.toMap)
     // 2) claim the next version with an atomic create-if-absent; on a
     //    lost race, re-read latest and retry (driver-side only) — except
     //    for snapshot-rewriting ops (merge/delete/optimize), which must

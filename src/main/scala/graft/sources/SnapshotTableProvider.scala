@@ -229,25 +229,36 @@ final class SnapshotScan(path: String, full: StructType,
     with SupportsReportStatistics {
 
   /** Planner statistics from the LOG: row count = exact Σ per-file rows
-    * over the stats-PRUNED file list, size estimated as rows × the
-    * pruned schema's default width. Without this a V2 scan defaults to
-    * "unknown = huge", and a small snapshot dim would never broadcast —
-    * the wrong plan for the fact⋈dim shape this store serves. */
+    * over the stats-PRUNED file list; size = the manifest's recorded
+    * byte lengths when every pruned file carries one (scaled to the
+    * projected width fraction), else rows × the pruned schema's default
+    * width. Without this a V2 scan defaults to "unknown = huge", and a
+    * small snapshot dim would never broadcast — the wrong plan for the
+    * fact⋈dim shape this store serves. */
   override def estimateStatistics(): Statistics = {
     val snap = Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
-    val rows = snap.flatMap { m =>
+    val agg = snap.flatMap { m =>
       val keep = Snapshots.pruneByFilters(m, pushed)
       if (keep.forall(m.stats.contains))
-        Some(keep.map(f => m.stats(f).rows).sum)
+        Some((keep.map(f => m.stats(f).rows).sum,
+          keep.map(f => m.stats(f).bytes).sum,
+          keep.forall(f => m.stats(f).bytes > 0)))
       else None
     }
     val width = math.max(1, required.map(_.dataType.defaultSize).sum)
+    val fullWidth = math.max(width, full.map(_.dataType.defaultSize).sum)
     new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        rows.map(r => java.util.OptionalLong.of(r * width))
-          .getOrElse(java.util.OptionalLong.empty())
+      override def sizeInBytes(): java.util.OptionalLong = agg match {
+        case Some((_, bytes, true)) =>
+          // real bytes, scaled by the projection's width share
+          java.util.OptionalLong.of(
+            math.max(1L, bytes * width / fullWidth))
+        case Some((rows, _, false)) =>
+          java.util.OptionalLong.of(rows * width)
+        case None => java.util.OptionalLong.empty()
+      }
       override def numRows(): java.util.OptionalLong =
-        rows.map(java.util.OptionalLong.of)
+        agg.map(a => java.util.OptionalLong.of(a._1))
           .getOrElse(java.util.OptionalLong.empty())
     }
   }

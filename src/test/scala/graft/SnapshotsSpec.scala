@@ -189,6 +189,26 @@ class SnapshotsSpec extends SparkSpec {
     e.getMessage should include("partitioned by split")
   }
 
+  test("file sizes ride the manifest: recorded at commit, and " +
+      "optimizeToSize derives its file count from them with no " +
+      "filesystem stat") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 400).repartition(8), p)
+    val m = Snapshots.snapshotAt(spark, p).get
+    m.files should have size 8
+    all(m.files.map(f => m.stats(f).bytes)) should be > 0L
+    // recorded bytes == actual on-disk lengths
+    m.files.foreach { f =>
+      m.stats(f).bytes shouldBe new java.io.File(s"$p/$f").length()
+    }
+    val total = m.files.map(f => m.stats(f).bytes).sum
+    // target half the table → 2 files
+    Snapshots.optimizeToSize(spark, p, targetFileBytes = (total + 1) / 2)
+    val m2 = Snapshots.snapshotAt(spark, p).get
+    m2.files should have size 2
+    Snapshots.read(spark, p).count() shouldBe 400L
+  }
+
   test("touched-file cap: a CoW op whose predicate spans more files than " +
       "spark.graft.snapshot.maxTouchedFiles fails loudly, not OOM") {
     val p = freshDir()
