@@ -80,6 +80,30 @@ object SnapshotProbe {
       rmrf(p)
     }
 
+    /** Partitioned-commit twin (round 9): the dynamic partitionBy write
+      * + partition-pinned IN scan at 1× and 10×. The claims: ingest is
+      * linear in batch rows (one distributed write, one stats pass),
+      * and the two-of-five-types scan stays proportional to the
+      * SELECTED partitions' bytes, not table size. */
+    def probePart(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_pt_$tag"
+      rmrf(p)
+      val ingest = time {
+        Snapshots.append(data, p, partitionBy = Seq("event_type"))
+      }
+      val scanT = time {
+        Snapshots.scanWhere(spark, p,
+          col("event_type").isin("click", "view"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val selFiles = Snapshots.scanWhere(spark, p,
+        col("event_type").isin("click", "view")).inputFiles.length
+      val totFiles = Snapshots.read(spark, p).inputFiles.length
+      println(f"[snapprobe] part_$tag n=$n files=$totFiles " +
+        f"sel_files=$selFiles ingest=$ingest%.2f part_scan=$scanT%.2f")
+      rmrf(p)
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -87,6 +111,8 @@ object SnapshotProbe {
           col("value")), 1000L)
     probe("x1", ev, n1)
     probe("x10", scale10(ev), n1 * 10)
+    probePart("x1", ev, n1)
+    probePart("x10", scale10(ev), n1 * 10)
     spark.stop()
   }
 }
