@@ -1474,21 +1474,30 @@ object Snapshots {
     var deleted = 0L
     val horizon = System.currentTimeMillis() - math.max(0L, graceMs)
     val dataDir = new Path(root, "data")
+    // RECURSIVE sweep: partitioned commits nest their files one
+    // __gp_col=val level below the commit directory — a single-level
+    // walk would never reclaim them. Returns whether anything survives
+    // under `dir` (an emptied subtree is removed by its caller).
+    def sweep(dir: Path, rel: String): Boolean = {
+      var kept = false
+      Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+        val childRel = s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) {
+          if (sweep(st.getPath, childRel)) kept = true
+          else fs.delete(st.getPath, true)
+        } else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(childRel) &&
+            st.getModificationTime < horizon) {
+          fs.delete(st.getPath, false); deleted += 1
+        } else kept = true
+      }
+      kept
+    }
     if (fs.exists(dataDir)) {
       Option(fs.listStatus(dataDir)).getOrElse(Array.empty).foreach { cd =>
-        if (cd.isDirectory) {
-          val files = Option(fs.listStatus(cd.getPath)).getOrElse(Array.empty)
-          var kept = false
-          files.foreach { f =>
-            val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
-            if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-                !referenced.contains(rel) &&
-                f.getModificationTime < horizon) {
-              fs.delete(f.getPath, false); deleted += 1
-            } else kept = true
-          }
-          if (!kept) fs.delete(cd.getPath, true)
-        }
+        if (cd.isDirectory &&
+            !sweep(cd.getPath, s"data/${cd.getPath.getName}"))
+          fs.delete(cd.getPath, true)
       }
     }
     all.filter(_ < keepFromVersion).foreach { v =>

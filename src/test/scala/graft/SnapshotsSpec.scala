@@ -209,6 +209,22 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.read(spark, p).count() shouldBe 400L
   }
 
+  test("vacuum reclaims PARTITIONED commits' files (one __gp_ level " +
+      "deep) once unreferenced") {
+    val p = freshDir()
+    val mk = (r: Range) => r.map(i =>
+        (i.toLong, Seq("a", "b")(i % 2), i * 1.0)).toDF("id", "split", "v")
+    Snapshots.append(mk(1 to 100), p, partitionBy = Seq("split"))
+    Snapshots.overwrite(mk(200 to 210), p, partitionBy = Seq("split"))
+    val deleted = Snapshots.vacuum(spark, p, keepFromVersion = 2L,
+      graceMs = 0L)
+    deleted should be >= 2L // v1's files, nested under __gp_split dirs
+    Snapshots.read(spark, p).count() shouldBe 11L
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, p, Some(1L))
+    }
+  }
+
   test("touched-file cap: a CoW op whose predicate spans more files than " +
       "spark.graft.snapshot.maxTouchedFiles fails loudly, not OOM") {
     val p = freshDir()
