@@ -124,7 +124,8 @@ object SparkEntry {
   private val partsuppSql: String =
     """partsupp AS (
            SELECT p_partkey AS ps_partkey,
-                  (p_partkey + i * (SELECT COUNT(*) // 4 FROM supplier)) %
+                  (p_partkey + i * (SELECT GREATEST(1, COUNT(*) // 4)
+                                    FROM supplier)) %
                     (SELECT COUNT(*) FROM supplier) AS ps_suppkey,
                   (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
                   CAST((p_partkey * 13 + i * 97) % 90001 + 10000

@@ -472,17 +472,19 @@ object Snapshots {
     * the ordering semantics identical to the query engine's and costs
     * one read of the commit's delta, not the table. */
   private def computeStats(spark: SparkSession, root: Path,
-      adds: Seq[String], schema: StructType,
+      commitDir: String, adds: Seq[String], schema: StructType,
       sizes: Map[String, Long] = Map.empty): Map[String, FileStats] = {
     if (adds.isEmpty) return Map.empty
     val fields = schema.fields.filter(f => statType(f.dataType)).toSeq
     // read the EXPLICIT file list (a partitioned commit dir would
     // otherwise trigger Spark's partition discovery on the __gp_ dirs).
-    // Key by the last TWO segments: a partitioned commit writes the
-    // SAME basename into each partition directory (same job UUID + task
-    // id), so the bare basename collides across partition dirs.
-    val byTail = adds.map(r =>
-      r.split('/').takeRight(2).mkString("/") -> r).toMap
+    // Attribution back from input_file_name anchors on the commit
+    // directory's UUID name — a partitioned commit writes the SAME
+    // basename into every partition directory (same job UUID + task
+    // id), so no fixed segment-count tail is collision-free once the
+    // layout nests (multi-column partitionBy).
+    val marker = s"/$commitDir/"
+    val addSet = adds.toSet
     val df = spark.read.schema(schema)
       .parquet(adds.map(f => new Path(root, f).toString): _*)
     val aggs = fields.flatMap { f =>
@@ -497,7 +499,11 @@ object Snapshots {
       val fname = r.getString(0)
       val decoded = try new java.net.URI(fname).getPath
         catch { case _: java.net.URISyntaxException => fname }
-      val rel = byTail(decoded.split('/').takeRight(2).mkString("/"))
+      val at = decoded.indexOf(marker)
+      require(at >= 0, s"stats pass cannot place $fname under $commitDir")
+      val rel = s"$commitDir/${decoded.substring(at + marker.length)}"
+      require(addSet.contains(rel),
+        s"stats pass resolved unknown file $rel")
       val cols = fields.zipWithIndex.flatMap { case (f, i) =>
         val lo = r.get(2 + 2 * i); val hi = r.get(3 + 2 * i)
         if (lo == null || hi == null) None // all-null file column
@@ -1117,13 +1123,19 @@ object Snapshots {
       candidates, "merge", root.toString)
   }
 
-  /** Map `input_file_name` URIs back to manifest-relative paths by their
-    * unique (commit-dir, basename) tail. */
+  /** Map `input_file_name` URIs back to manifest-relative paths:
+    * URI-DECODE first (escaped partition values reach us %XX-encoded —
+    * the same reason computeStats decodes), bucket candidates by
+    * basename (near-unique: job UUID + task id; collisions only across
+    * one commit's partition dirs), then confirm by full relative-path
+    * suffix so nested multi-column layouts can never mis-attribute. */
   private def relativize(uris: Seq[String], rel: Seq[String]): Seq[String] = {
-    val byTail = rel.map(r => r.split('/').takeRight(2).mkString("/") -> r)
-      .toMap
+    val byBase = rel.groupBy(_.split('/').last)
     uris.flatMap { u =>
-      byTail.get(u.split('/').takeRight(2).mkString("/"))
+      val p = try new java.net.URI(u).getPath
+        catch { case _: java.net.URISyntaxException => u }
+      byBase.getOrElse(p.split('/').last, Nil)
+        .find(r => p.endsWith("/" + r))
     }.distinct.sorted
   }
 
@@ -1220,7 +1232,7 @@ object Snapshots {
         .parquet(new Path(root, commitDir).toString)
     val listed = listParquet(fs, new Path(root, commitDir), commitDir)
     val adds = listed.map(_._1).sorted
-    val addStats = computeStats(spark, root, adds, df.schema,
+    val addStats = computeStats(spark, root, commitDir, adds, df.schema,
       listed.toMap)
     // 2) claim the next version with an atomic create-if-absent; on a
     //    lost race, re-read latest and retry (driver-side only) — except
@@ -1243,6 +1255,20 @@ object Snapshots {
       txn.foreach { case (app, id) =>
         if (parentM.exists(_.txns.get(app).exists(_ >= id)))
           return parentV
+      }
+      // layout-race guard: effParts was INHERITED before the data write;
+      // if a concurrent overwrite redefined the table's partitionBy in
+      // between, publishing the stale layout would silently re-partition
+      // the table the other writer just re-laid-out — fail like any
+      // other snapshot conflict instead (the data dir becomes vacuum
+      // dead weight, same as a lost merge race)
+      if (partitionBy.isEmpty && op != "overwrite") {
+        val parentParts = parentM.map(_.partitionBy).getOrElse(Nil)
+        if (parentParts != effParts)
+          throw new java.util.ConcurrentModificationException(
+            s"$op at $path planned under partitionBy=" +
+              s"[${effParts.mkString(",")}] but the table now has " +
+              s"[${parentParts.mkString(",")}] — re-run the $op")
       }
       // schema ENFORCEMENT + auto-merge for appends (the Delta rule):
       // a shared column whose TYPE changed is a writer bug — fail typed
@@ -1477,13 +1503,18 @@ object Snapshots {
     // RECURSIVE sweep: partitioned commits nest their files one
     // __gp_col=val level below the commit directory — a single-level
     // walk would never reclaim them. Returns whether anything survives
-    // under `dir` (an emptied subtree is removed by its caller).
+    // under `dir`; an emptied subtree is removed by its caller ONLY
+    // when the directory itself is older than the grace horizon (a
+    // fresh directory may be a concurrent commit's write in progress —
+    // _temporary staging, no parquet landed yet — and the grace
+    // window's whole promise is that in-flight commits survive).
     def sweep(dir: Path, rel: String): Boolean = {
       var kept = false
       Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
         val childRel = s"$rel/${st.getPath.getName}"
         if (st.isDirectory) {
-          if (sweep(st.getPath, childRel)) kept = true
+          if (sweep(st.getPath, childRel) ||
+              st.getModificationTime >= horizon) kept = true
           else fs.delete(st.getPath, true)
         } else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
             !referenced.contains(childRel) &&
@@ -1496,7 +1527,8 @@ object Snapshots {
     if (fs.exists(dataDir)) {
       Option(fs.listStatus(dataDir)).getOrElse(Array.empty).foreach { cd =>
         if (cd.isDirectory &&
-            !sweep(cd.getPath, s"data/${cd.getPath.getName}"))
+            !sweep(cd.getPath, s"data/${cd.getPath.getName}") &&
+            cd.getModificationTime < horizon)
           fs.delete(cd.getPath, true)
       }
     }

@@ -153,6 +153,13 @@ final class SnapshotScanBuilder(path: String, full: StructType,
     * and only when every file has recorded stats; anything else —
     * filters (all of ours stay residual, so Spark won't even ask),
     * group-bys, other aggregates — falls back to the normal scan. */
+  // one log resolution per builder: supportCompletePushDown and
+  // pushAggregation both ask, and each fold is checkpoint+delta reads —
+  // object-store round-trips worth paying once (the batch pins its
+  // version at getTable, so the content cannot move under the cache)
+  private lazy val resolved: Option[Snapshots.Snapshot] =
+    Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
+
   private def countFromLog(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Long] = {
@@ -160,7 +167,7 @@ final class SnapshotScanBuilder(path: String, full: StructType,
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     if (agg.aggregateExpressions.length != 1 ||
         !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return None
-    Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
+    resolved
       .filter(m => m.files.forall(m.stats.contains))
       .map(m => m.files.map(f => m.stats(f).rows).sum)
   }
@@ -235,9 +242,16 @@ final class SnapshotScan(path: String, full: StructType,
     * width. Without this a V2 scan defaults to "unknown = huge", and a
     * small snapshot dim would never broadcast — the wrong plan for the
     * fact⋈dim shape this store serves. */
+  // one log resolution per scan, shared by estimateStatistics (which
+  // CBO may call repeatedly) and planInputPartitions — safe because a
+  // batch read pins its version at getTable. @transient: the Scan plans
+  // on the driver; a resolved Snapshot (full stats map) must never ride
+  // a task closure.
+  @transient private lazy val resolved: Option[Snapshots.Snapshot] =
+    Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
+
   override def estimateStatistics(): Statistics = {
-    val snap = Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
-    val agg = snap.flatMap { m =>
+    val agg = resolved.flatMap { m =>
       val keep = Snapshots.pruneByFilters(m, pushed)
       if (keep.forall(m.stats.contains))
         Some((keep.map(f => m.stats(f).rows).sum,
@@ -294,8 +308,7 @@ final class SnapshotScan(path: String, full: StructType,
     runtimeFilters = filters
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val m = Snapshots.snapshotAt(spark, path, versionAsOf).getOrElse(
+    val m = resolved.getOrElse(
       throw new IllegalArgumentException(versionAsOf match {
         case Some(v) => s"graft-snapshot: version $v does not exist at $path"
         case None => s"graft-snapshot: no committed snapshot at $path"

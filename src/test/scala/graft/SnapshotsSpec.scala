@@ -225,6 +225,43 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("multi-column partitionBy + escapable values: stats attribute to " +
+      "the right files, exact pins survive escaping, CoW finds the " +
+      "escaped partition") {
+    val p = freshDir()
+    val df = (1 to 120).map(i => (i.toLong, Seq("us", "eu")(i % 2),
+        Seq("d one", "d:2", "d3")(i % 3), i * 1.0))
+      .toDF("id", "region", "day", "v")
+    Snapshots.append(df, p, partitionBy = Seq("region", "day"))
+    val m = Snapshots.snapshotAt(spark, p).get
+    // every file carries stats and BOTH partition values
+    m.files.toSet shouldBe m.stats.keySet
+    m.files.foreach { f =>
+      m.stats(f).parts.keySet shouldBe Set("region", "day")
+      m.stats(f).rows should be > 0L
+    }
+    // id-range pruning uses correctly-attributed bounds
+    Snapshots.scanWhere(spark, p, col("id") <= 10L).count() shouldBe 10L
+    // exact pin on a space value (URI-encoded in input_file_name)
+    Snapshots.scanWhere(spark, p, col("day") === "d one")
+      .count() shouldBe 40L
+    // exact pin on an escaped value (':' escapes on disk)
+    val pin = Snapshots.scanWhere(spark, p, col("day") === "d:2")
+    pin.count() shouldBe 40L
+    all(pin.inputFiles.toSet) should not include "__gp_day=d3"
+    // CoW delete inside the escaped partition actually removes rows
+    Snapshots.delete(spark, p, col("day") === "d:2" && col("id") <= 50L)
+    Snapshots.read(spark, p).count() shouldBe
+      (120L - (1 to 50).count(_ % 3 == 1))
+    // and merge against the space partition updates, not duplicates
+    Snapshots.merge(spark, p,
+      df.where(col("day") === "d one" && col("id") <= 9L)
+        .withColumn("v", col("v") * 100), Seq("id"))
+    Snapshots.read(spark, p).where(col("id") === 3L)
+      .select("v").head().getDouble(0) shouldBe 300.0
+    Snapshots.read(spark, p).where(col("id") === 3L).count() shouldBe 1L
+  }
+
   test("touched-file cap: a CoW op whose predicate spans more files than " +
       "spark.graft.snapshot.maxTouchedFiles fails loudly, not OOM") {
     val p = freshDir()
