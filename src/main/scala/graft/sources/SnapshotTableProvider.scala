@@ -92,7 +92,8 @@ final class SnapshotTableProvider extends TableProvider
     }
     new SnapshotTable(path, schema, pinned,
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
-      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -100,7 +101,8 @@ final class SnapshotTableProvider extends TableProvider
 
 final class SnapshotTable(path: String, tschema: StructType,
     versionAsOf: Option[Long], startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tschema
@@ -109,12 +111,13 @@ final class SnapshotTable(path: String, tschema: StructType,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger)
 }
 
 final class SnapshotScanBuilder(path: String, full: StructType,
     versionAsOf: Option[Long], startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -189,7 +192,7 @@ final class SnapshotScanBuilder(path: String, full: StructType,
     case Some(n) => new SnapshotCountScan(path, n)
     case None =>
       new SnapshotScan(path, full, required, pushed, versionAsOf,
-        startingVersion, limit, maxVersionsPerTrigger)
+        startingVersion, limit, maxVersionsPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -231,7 +234,8 @@ final class SnapshotScan(path: String, full: StructType,
     required: StructType, pushed: Array[Filter],
     versionAsOf: Option[Long], startingVersion: Long,
     limit: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -282,7 +286,7 @@ final class SnapshotScan(path: String, full: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotMicroBatchStream(path, required, startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"graft-snapshot StatsPrunedBy: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -679,12 +683,17 @@ final case class SnapshotVersionOffset(version: Long)
 /** Micro-batch stream tailing the transaction log: each batch is the
   * files ADDED by versions in (start, end], skipping optimize commits.
   * Replay is deterministic from the log → exactly-once under retries
-  * and restarts. `option("maxVersionsPerTrigger", n)` is ADMISSION
-  * CONTROL (the maxFilesPerTrigger idiom): a consumer resuming behind a
-  * 10 000-commit backlog catches up in bounded per-trigger batches
-  * instead of planning one giant all-history batch. */
+  * and restarts. `option("maxVersionsPerTrigger", n)` and
+  * `option("maxBytesPerTrigger", b)` are ADMISSION CONTROL (the
+  * maxFilesPerTrigger/maxBytesPerTrigger idiom): a consumer resuming
+  * behind a 10 000-commit backlog catches up in bounded per-trigger
+  * batches instead of planning one giant all-history batch — the bytes
+  * form walks the backlog's manifests and admits whole versions until
+  * their recorded add-bytes exceed the budget (always ≥ 1 version so
+  * the stream cannot stall on one oversized commit). */
 final class SnapshotMicroBatchStream(path: String, required: StructType,
-    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None)
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -692,6 +701,8 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
 
   require(maxVersionsPerTrigger.forall(_ > 0),
     "maxVersionsPerTrigger must be positive")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    "maxBytesPerTrigger must be positive")
 
   override def initialOffset(): Offset =
     SnapshotVersionOffset(math.max(0L, startingVersion - 1))
@@ -710,10 +721,30 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
   override def latestOffset(start: Offset, readLimit: ReadLimit): Offset = {
     val cur = committedLatest()
     val s = start.asInstanceOf[SnapshotVersionOffset].version
-    SnapshotVersionOffset(maxVersionsPerTrigger match {
+    val byVersions = maxVersionsPerTrigger match {
       case Some(n) => math.min(cur, s + n)
       case None => cur
-    })
+    }
+    val end = maxBytesPerTrigger match {
+      case Some(budget) =>
+        val spark = SparkSession.active
+        var v = s; var bytes = 0L
+        var stop = false
+        while (!stop && v < byVersions) {
+          val add = Snapshots.manifestAt(spark, path, v + 1)
+            .map(m => if (m.op == "optimize") 0L
+              else m.adds.map(f => m.stats.get(f).map(_.bytes)
+                .getOrElse(0L)).sum)
+            .getOrElse(0L)
+          // always admit at least one version; stop once the budget is
+          // exceeded by the NEXT version's bytes
+          if (v > s && bytes + add > budget) stop = true
+          else { bytes += add; v += 1 }
+        }
+        v
+      case None => byVersions
+    }
+    SnapshotVersionOffset(end)
   }
 
   override def reportLatestOffset(): Offset =

@@ -311,6 +311,24 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger: the bytes budget admits whole versions, " +
+      "at least one per trigger, consuming the backlog exactly once") {
+    val p = freshDir()
+    (1 to 5).foreach(i => Snapshots.append(tbl(i * 10 until i * 10 + 4), p))
+    val sink = "snap_bytes_admission"
+    // a 1-byte budget forces exactly one version per trigger (the
+    // ≥1-version floor), so the 5-commit backlog drains in 5 batches
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxBytesPerTrigger", "1").load(p)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(sink).count() shouldBe 20L
+      q.recentProgress.count(_.numInputRows > 0) shouldBe 5
+    } finally q.stop()
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
