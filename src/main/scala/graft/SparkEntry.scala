@@ -338,6 +338,20 @@ object SparkEntry {
       _ => { build(path); path })
   }
 
+  /** Merge-on-read store for q_snapshot_dv / q_snapshot_dv_source: one
+    * range-clustered append, then ONE deleteMor writing per-file
+    * deletion vectors (no data-file rewrite). Built once per (sf dir,
+    * JVM); both consumers only READ, so build count can't change
+    * either result. */
+  private def buildDvSnapshotStore(s: SparkSession, dir: String): String =
+    sharedBuild("snapdv", dir) { p =>
+      deleteRecursively(p)
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.repartitionByRange(8, col("event_id")), p)
+      Snapshots.deleteMor(s, p,
+        col("event_id") < 3000L && col("event_type") === "view")
+    }
+
   /** The v1 append (%3<2, range-partitioned) + v2 overwrite (%3=2)
     * store q_snapshot_source and q_graph_snapshot both time-travel to
     * v1 — built once per (sf dir, JVM); both consumers read a PINNED
@@ -4143,6 +4157,52 @@ object SparkEntry {
       Snapshots.delete(s, p,
         col("event_id") < 2000L && col("event_type") === "click")
       Snapshots.read(s, p)
+    }),
+    "q_snapshot_dv" -> ((s, dir) => {
+      // MERGE-ON-READ delete (deletion vectors — the Delta DV /
+      // Iceberg v2 position-delete shape): instead of q_snapshot_delete's
+      // copy-on-write rewrite, the matching ROW POSITIONS land as
+      // per-file vectors and the commit is metadata-only — write cost
+      // O(matched rows), so a GDPR point-delete on a 100 TB table never
+      // rewrites terabytes. Reads anti-join the vectors transparently
+      // (hash join on (basename, row_index)); a later OPTIMIZE
+      // materializes them. No-rewrite + exact cardinalities are
+      // spec-pinned (SnapshotDvSpec).
+      val p = buildDvSnapshotStore(s, dir)
+      Snapshots.read(s, p)
+    }),
+    "q_snapshot_dv_source" -> ((s, dir) => {
+      // the SAME vectored table through the V2 catalog face: the scan
+      // plans per-file partitions whose readers load their own vector
+      // partition (dv/__gb=<basename>/) and skip positions with a
+      // sequential two-pointer walk; metadata COUNT(*) stays exact via
+      // the logged per-file cardinalities (spec-pinned). Row-based
+      // until OPTIMIZE materializes — the documented DV read tax.
+      val p = buildDvSnapshotStore(s, dir)
+      s.read.format("graft-snapshot").load(p)
+    }),
+    "q_snapshot_restore" -> ((s, dir) => {
+      // RESTORE to an earlier version as a NEW commit, METADATA-ONLY:
+      // the target's file listing + stats + vectors re-reference inline
+      // (self-checkpointing manifest), no data moves — rolling a 100 TB
+      // table back from a bad load costs one log write. History stays
+      // readable and idempotent-txn marks carry forward (spec-pinned).
+      val p = freshSnapshotPath(dir, "rs")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0), p) // v1
+      Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p) // v2
+      Snapshots.restore(s, p, 1L) // v3: roll the overwrite back
+      Snapshots.read(s, p)
+    }),
+    "q_timetravel_ts" -> ((s, dir) => {
+      // time travel by WALL CLOCK (timestampAsOf): manifests carry
+      // in-commit timestamps forced strictly monotonic across writer
+      // clock skew, so "the table as of 14:00" is a well-defined log
+      // lookup — reads version 2 of the shared store, same rows as
+      // q_timetravel's version pin (oracle shared verbatim).
+      val p = buildSnapshotStore(s, dir)
+      Snapshots.readAsOfTimestamp(s, p,
+        Snapshots.manifestAt(s, p, 2L).get.ts)
     }),
     "q_json_extract" -> ((s, dir) => {
       // the raw-ingest shape (Kafka-style JSON payloads): each event
@@ -8139,6 +8199,26 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE NOT (event_id < 2000 AND event_type = 'click')""",
+    "q_snapshot_dv" ->
+      // merge-on-read ≡ copy-on-write for readers: vectors hide exactly
+      // the predicate-true rows
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE NOT (event_id < 3000 AND event_type = 'view')""",
+    "q_snapshot_dv_source" ->
+      // the V2 face of the same vectored table — same oracle verbatim
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE NOT (event_id < 3000 AND event_type = 'view')""",
+    "q_snapshot_restore" ->
+      // restore to v1 rolls the overwrite back: the %3=0 slice again
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 3 = 0""",
+    "q_timetravel_ts" ->
+      // as-of the v2 commit's timestamp = version 2 = the two appends
+      // (q_timetravel's oracle verbatim)
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 3 IN (0, 1)""",
     "q_json_extract" ->
       // encode→parse→extract is lossless; oracle = the projection
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,

@@ -112,6 +112,21 @@ object Snapshots {
   final case class FileStats(rows: Long, cols: Map[String, ColStat],
       parts: Map[String, String] = Map.empty, bytes: Long = 0L)
 
+  /** Merge-on-read DELETION VECTOR reference for one data file (the
+    * Delta/Iceberg v2 position-delete shape): `path` is the
+    * table-relative parquet dataset holding deleted ROW POSITIONS
+    * (columns `__gfile` = data-file relative path, `__gpos` = 0-based
+    * row index within that file, laid out one `__gb=<basename>`
+    * partition directory per covered file so a single file's positions
+    * read without scanning the whole commit's vector), `n` that file's
+    * deleted-position count — recorded in the LOG so metadata COUNT(*)
+    * and LIMIT planning stay exact without reading any vector. One
+    * delete-dv commit writes ONE dataset covering every file it
+    * touched; a later deleteMor on the same file writes a new
+    * superseding vector carrying the union, so the newest entry per
+    * file is always authoritative and complete. */
+  final case class Dv(path: String, n: Long)
+
   /** One log record. Manifests are DELTAS: `adds`/`removes` against the
     * parent (append-family ops), or a whole-snapshot replacement
     * (overwrite/optimize — `adds` IS the new file list, nothing else
@@ -125,14 +140,17 @@ object Snapshots {
       stats: Map[String, FileStats] = Map.empty,
       schemaJson: Option[String] = None,
       txns: Map[String, Long] = Map.empty,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      dvs: Map[String, Dv] = Map.empty,
+      ts: Long = 0L)
 
   /** A RESOLVED snapshot: the complete file list + stats at a version,
     * folded from the newest checkpoint at-or-below it plus the delta
     * manifests after. This is what reads plan from. */
   final case class Snapshot(version: Long, op: String,
       files: Seq[String], stats: Map[String, FileStats],
-      schemaJson: Option[String], txns: Map[String, Long])
+      schemaJson: Option[String], txns: Map[String, Long],
+      dvs: Map[String, Dv] = Map.empty)
 
   private val LogDir = "_graft_log"
   /** Write a full checkpoint every this many versions: resolution folds
@@ -208,6 +226,27 @@ object Snapshots {
       b.result()
     }
 
+  private def putDvs(root: JObj, dvs: Map[String, Dv]): Unit =
+    if (dvs.nonEmpty) {
+      val dn = root.putObject("dvs")
+      dvs.foreach { case (f, dv) =>
+        val e = dn.putObject(f)
+        e.put("p", dv.path); e.put("n", dv.n)
+      }
+    }
+
+  private def getDvs(n: JNode): Map[String, Dv] =
+    if (!n.has("dvs")) Map.empty
+    else {
+      val dn = n.get("dvs"); val it = dn.fieldNames()
+      val b = Map.newBuilder[String, Dv]
+      while (it.hasNext) {
+        val f = it.next(); val e = dn.get(f)
+        b += f -> Dv(e.get("p").asText(), e.get("n").asLong(0L))
+      }
+      b.result()
+    }
+
   private def getStrings(n: JNode, field: String): Seq[String] =
     if (!n.has(field)) Nil
     else (0 until n.get(field).size()).map(n.get(field).get(_).asText())
@@ -246,6 +285,8 @@ object Snapshots {
       val pb = root.putArray("partitionBy"); m.partitionBy.foreach(pb.add)
     }
     putStats(root, m.stats)
+    putDvs(root, m.dvs)
+    if (m.ts > 0L) root.put("ts", m.ts)
     om.writeValueAsBytes(root)
   }
 
@@ -264,7 +305,9 @@ object Snapshots {
         getStats(n),
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
         getTxns(n),
-        getStrings(n, "partitionBy")))
+        getStrings(n, "partitionBy"),
+        getDvs(n),
+        if (n.has("ts")) n.get("ts").asLong(0L) else 0L))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def renderCheckpoint(s: Snapshot): Array[Byte] = {
@@ -279,6 +322,7 @@ object Snapshots {
       s.txns.foreach { case (app, id) => tx.put(app, id) }
     }
     putStats(root, s.stats)
+    putDvs(root, s.dvs)
     om.writeValueAsBytes(root)
   }
 
@@ -291,7 +335,8 @@ object Snapshots {
         n.get("version").asLong(), n.get("op").asText("append"),
         getStrings(n, "files"), getStats(n),
         if (n.has("schema")) Some(n.get("schema").asText()) else None,
-        getTxns(n)))
+        getTxns(n),
+        getDvs(n)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def readLogBytes(fs: FileSystem, p: Path): Option[Array[Byte]] =
@@ -362,13 +407,14 @@ object Snapshots {
                 s"to resolve $v (vacuumed past a live chain?)")
           }
           m.files match {
-            case Some(full) => // self-checkpointing (pre-delta logs)
+            case Some(full) => // self-checkpointing (pre-delta logs,
+              // and RESTORE commits, which inline the target's listing)
               base = Snapshot(cur, m.op, full, m.stats, m.schemaJson,
-                m.txns)
+                m.txns, m.dvs)
             case None if m.op == "overwrite" || m.op == "optimize" =>
               // whole-snapshot replacement: the delta IS the snapshot
               base = Snapshot(cur, m.op, m.adds, m.stats, m.schemaJson,
-                m.txns)
+                m.txns, m.dvs)
             case None if m.parent <= 0 =>
               chain ::= m
               base = Snapshot(0L, "append", Nil, Map.empty, None,
@@ -381,10 +427,15 @@ object Snapshots {
     }
     Some(chain.foldLeft(base) { (acc, m) =>
       val rm = m.removes.toSet
+      // a removed file's deletion vector retires with it (the CoW
+      // rewrite materialized it); this commit's dv entries SUPERSEDE
+      // the parent's for the files they cover (each new vector carries
+      // the union of old + new positions)
       Snapshot(m.version, m.op,
         acc.files.filterNot(rm) ++ m.adds,
         (acc.stats -- rm) ++ m.stats,
-        m.schemaJson.orElse(acc.schemaJson), m.txns)
+        m.schemaJson.orElse(acc.schemaJson), m.txns,
+        (acc.dvs -- rm) ++ m.dvs)
     })
   }
 
@@ -980,8 +1031,7 @@ object Snapshots {
     val newData =
       if (touched.isEmpty) aligned
       else {
-        val touchedRows = spark.read.schema(schema)
-          .parquet(touched.map(f => new Path(root, f).toString): _*)
+        val touchedRows = readFiles(spark, root, touched, schema, m.dvs)
         touchedRows.join(aligned.select(keyCols.map(col): _*).distinct(),
             keyCols, "left_anti")
           .unionByName(aligned)
@@ -1006,19 +1056,156 @@ object Snapshots {
     val bounds = analyzeBounds(spark, schema, predicate)
     val candidates = pruneFiles(m, bounds)
     if (candidates.isEmpty) return m.version
-    val withFile = spark.read.schema(schema)
-      .parquet(candidates.map(f => new Path(root, f).toString): _*)
-      .withColumn("__gf", input_file_name())
+    // dv-aware passes: a row already merge-on-read-deleted must neither
+    // count a file as touched nor resurrect through the rewrite
+    val withFile = readFiles(spark, root, candidates, schema, m.dvs,
+        keepPos = true)
+      .drop("__gpi").withColumnRenamed("__gap", "__gf")
     val touched = collectTouched(
       withFile.where(predicate).select("__gf").distinct(), candidates,
       "delete", path)
     if (touched.isEmpty) return m.version
-    val kept = spark.read.schema(schema)
-      .parquet(touched.map(f => new Path(root, f).toString): _*)
+    val kept = readFiles(spark, root, touched, schema, m.dvs)
       .where(not(coalesce(predicate, lit(false))))
     commit(kept, path, "delete", removed = touched.toSet,
       expectParent = Some(m.version))
   }
+
+  /** MERGE-ON-READ delete (the Delta deletion-vector / Iceberg v2
+    * position-delete shape): where [[delete]] REWRITES every touched
+    * file (copy-on-write — write cost O(touched files' bytes)), this
+    * writes the matching ROW POSITIONS as per-file deletion vectors and
+    * commits only log metadata — write cost O(matched rows). At 100 TB
+    * that is the difference between a GDPR point-delete finishing in
+    * seconds and rewriting terabytes for a handful of rows. Readers
+    * ([[read]], [[scanWhere]], the V2 source) apply the vectors
+    * transparently; metadata COUNT(*) and LIMIT planning stay EXACT via
+    * the per-file cardinalities recorded in the log; any later CoW
+    * touch of a file — or an [[optimize]] — MATERIALIZES its deletes
+    * and retires the vector. A repeat deleteMor covering a file
+    * SUPERSEDES its vector with the union of old + new positions, so
+    * deletes accumulate and a replay is idempotent. Planning is
+    * [[delete]]'s (stats pre-prune → exact pass over live rows only);
+    * conflict rules are [[merge]]'s. The append-level [[changes]] feed
+    * does NOT carry merge-on-read deletes (the commit adds no files) —
+    * the same file-level-CDC caveat as CoW retirements. */
+  def deleteMor(spark: SparkSession, path: String, predicate: Column,
+      expectVersion: Option[Long] = None): Long = {
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "delete-dv", path)
+    val schema = snapshotSchema(spark, path, m)
+    val root = new Path(path)
+    val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
+    if (candidates.isEmpty) return m.version
+    // live rows only: a position already vector-deleted must not
+    // re-count (readFiles anti-joins the existing vectors away)
+    val matches = readFiles(spark, root, candidates, schema, m.dvs,
+        keepPos = true)
+      .where(predicate).select(col("__gap"), col("__gpi"))
+    val touched = collectTouched(
+      matches.select(col("__gap").as("__gf")).distinct(), candidates,
+      "delete-dv", path)
+    if (touched.isEmpty) return m.version
+    // distributed rel-path attribution: a tiny (basename → relative
+    // path) lookup joined on equi basename + path-suffix residual — the
+    // same disambiguation rule as relativize(), but kept distributed so
+    // positions never collect on the driver
+    import spark.implicits._
+    val relDf = touched.map(f => (f.split('/').last, f))
+      .toDF(DvBaseCol, DvFileCol)
+    val newDel = matches
+      .withColumn("__gab", element_at(split(col("__gap"), "/"), -1))
+      .join(relDf,
+        col("__gab") === relDf(DvBaseCol) &&
+          col("__gap").endsWith(concat(lit("/"), relDf(DvFileCol))))
+      .select(col(DvFileCol), col("__gpi").as(DvPosCol))
+    // prior vectors of the touched files carry forward: the new vector
+    // is authoritative and COMPLETE for every file it covers
+    val touchedSet = touched.toSet
+    val priorDirs = m.dvs.filter { case (f, _) => touchedSet(f) }
+      .values.map(_.path).toSeq.distinct.sorted
+    val allDel =
+      if (priorDirs.isEmpty) newDel
+      else newDel.unionByName(
+        spark.read.parquet(priorDirs.map(d =>
+            new Path(root, d).toString): _*)
+          .where(col(DvFileCol).isin(touched: _*))
+          .select(col(DvFileCol), col(DvPosCol))).distinct()
+    val dvDir = s"dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
+    allDel
+      .withColumn(DvBaseCol, element_at(split(col(DvFileCol), "/"), -1))
+      .write.partitionBy(DvBaseCol)
+      .parquet(new Path(root, dvDir).toString)
+    // exact per-file cardinalities for the log (what keeps metadata
+    // COUNT(*)/LIMIT planning exact); touched is capped, so this
+    // collect is ≤ cap rows
+    val counts = spark.read.parquet(new Path(root, dvDir).toString)
+      .groupBy(DvFileCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dvRefs = touched.map(f =>
+      f -> Dv(dvDir, counts.getOrElse(f, 0L))).toMap
+    commit(readFiles(spark, root, Nil, schema, Map.empty), path,
+      "delete-dv", expectParent = Some(m.version), dvs = dvRefs,
+      writeData = false)
+  }
+
+  /** RESTORE the table to an earlier version as a NEW commit (Delta's
+    * RESTORE): METADATA-ONLY — the target's file listing, stats,
+    * deletion vectors, schema, and partition layout are re-referenced
+    * inline (a self-checkpointing manifest), no data moves or rewrites.
+    * History stays intact: the rolled-away versions remain
+    * time-travel-readable until vacuumed. Idempotent-txn high-water
+    * marks carry FORWARD from the current version — they never roll
+    * back, so a replayed streaming batch stays a no-op after the
+    * restore. Fails typed if the target's files were vacuumed, and
+    * conflicts like any data change if a commit lands concurrently. The
+    * append-level [[changes]] feed does NOT carry a restore (adds are
+    * empty) — downstream incremental consumers must re-sync, the
+    * standard restore caveat. */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val cur = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    if (cur.version == toVersion) return cur.version
+    val target = snapshotAt(spark, path, Some(toVersion)).getOrElse(
+      throw new IllegalArgumentException(s"snapshot version $toVersion " +
+        s"does not exist (or was vacuumed) at $path"))
+    val fs = fsFor(spark, path); val root = new Path(path)
+    // the files must still exist: restoring past a vacuum horizon would
+    // commit a manifest pointing at deleted data
+    target.files.find(f => !fs.exists(new Path(root, f))).foreach { f =>
+      throw new IllegalArgumentException(s"restore to $toVersion at " +
+        s"$path impossible: data file $f was vacuumed")
+    }
+    val schema = snapshotSchema(spark, path, target)
+    val pb = readManifest(fs, root, toVersion).map(_.partitionBy)
+      .getOrElse(Nil)
+    commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
+      path, "restore", expectParent = Some(cur.version),
+      partitionBy = pb, writeData = false, restoreTo = Some(target))
+  }
+
+  /** Latest committed version whose in-commit timestamp is ≤ `tsMillis`
+    * (Delta's timestampAsOf): commit timestamps live in the manifest
+    * and are forced strictly monotonic at commit time (max(now,
+    * parent + 1)), so the lookup stays well-defined across writer clock
+    * skew. Manifests written before timestamps existed carry ts = 0 and
+    * sort before any real time. */
+  def versionAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): Option[Long] = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    claimedVersions(fs, root).sorted.reverse.iterator
+      .flatMap(v => readManifest(fs, root, v))
+      .find(_.ts <= tsMillis).map(_.version)
+  }
+
+  /** Time travel by WALL CLOCK: read the newest version committed at or
+    * before `tsMillis`. */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    read(spark, path, Some(versionAtTimestamp(spark, path, tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $tsMillis at $path"))))
 
   /** Copy-on-write UPDATE: rows where `predicate` is TRUE get each
     * `set` column replaced by its expression (evaluated against the
@@ -1039,16 +1226,15 @@ object Snapshots {
     val root = new Path(path)
     val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
     if (candidates.isEmpty) return m.version
-    val withFile = spark.read.schema(schema)
-      .parquet(candidates.map(f => new Path(root, f).toString): _*)
-      .withColumn("__gf", input_file_name())
+    val withFile = readFiles(spark, root, candidates, schema, m.dvs,
+        keepPos = true)
+      .drop("__gpi").withColumnRenamed("__gap", "__gf")
     val touched = collectTouched(
       withFile.where(predicate).select("__gf").distinct(), candidates,
       "update", path)
     if (touched.isEmpty) return m.version
     val hit = coalesce(predicate, lit(false))
-    val rewritten = spark.read.schema(schema)
-      .parquet(touched.map(f => new Path(root, f).toString): _*)
+    val rewritten = readFiles(spark, root, touched, schema, m.dvs)
       .select(schema.fieldNames.toSeq.map { c =>
         set.get(c) match {
           case Some(e) => when(hit, e).otherwise(col(c))
@@ -1115,9 +1301,9 @@ object Snapshots {
           col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1))))
       } else m.files
     if (candidates.isEmpty) return Nil
-    val withFile = spark.read.schema(schema)
-      .parquet(candidates.map(f => new Path(root, f).toString): _*)
-      .withColumn("__gf", input_file_name())
+    val withFile = readFiles(spark, root, candidates, schema, m.dvs,
+        keepPos = true)
+      .drop("__gpi").withColumnRenamed("__gap", "__gf")
     collectTouched(
       withFile.join(keys, keyCols, "left_semi").select("__gf").distinct(),
       candidates, "merge", root.toString)
@@ -1199,9 +1385,12 @@ object Snapshots {
       expectParent: Option[Long] = None,
       txn: Option[(String, Long)] = None,
       maxRetries: Int = 20,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      dvs: Map[String, Dv] = Map.empty,
+      writeData: Boolean = true,
+      restoreTo: Option[Snapshot] = None): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
-      "update")(op), s"unknown op $op")
+      "update", "delete-dv", "restore")(op), s"unknown op $op")
     val spark = df.sparkSession
     // partitionBy is TABLE metadata (the Delta rule): an explicit list
     // (re)defines the layout, every other commit — appends, CoW
@@ -1210,7 +1399,7 @@ object Snapshots {
     // rewrite. Overwrite without a list redefines as unpartitioned.
     val effParts =
       if (partitionBy.nonEmpty) partitionBy
-      else if (op == "overwrite") Nil
+      else if (op == "overwrite" || op == "restore") Nil
       else latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
     require(effParts.forall(df.columns.contains),
       s"table at $path is partitioned by ${effParts.mkString(",")} — " +
@@ -1219,21 +1408,27 @@ object Snapshots {
     val fs = fsFor(spark, path); val root = new Path(path)
     // 1) data files land in an uncommitted per-commit directory: the
     //    DISTRIBUTED part of the commit, paid once even across retries.
-    val commitDir = s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
-    if (effParts.isEmpty)
-      df.write.parquet(new Path(root, commitDir).toString)
-    else
-      // duplicate each partition column under the layout alias: the
-      // alias is consumed into the directory path, the original stays
-      // IN the data files (see [[PartPrefix]])
-      df.select(df.columns.map(col).toSeq ++
-          effParts.map(c => col(c).as(s"$PartPrefix$c")): _*)
-        .write.partitionBy(effParts.map(c => s"$PartPrefix$c"): _*)
-        .parquet(new Path(root, commitDir).toString)
-    val listed = listParquet(fs, new Path(root, commitDir), commitDir)
-    val adds = listed.map(_._1).sorted
-    val addStats = computeStats(spark, root, commitDir, adds, df.schema,
-      listed.toMap)
+    //    Metadata-only commits (delete-dv, restore) skip it entirely.
+    val (adds: Seq[String], addStats: Map[String, FileStats]) =
+      if (!writeData) (Nil, Map.empty[String, FileStats])
+      else {
+        val commitDir =
+          s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
+        if (effParts.isEmpty)
+          df.write.parquet(new Path(root, commitDir).toString)
+        else
+          // duplicate each partition column under the layout alias: the
+          // alias is consumed into the directory path, the original stays
+          // IN the data files (see [[PartPrefix]])
+          df.select(df.columns.map(col).toSeq ++
+              effParts.map(c => col(c).as(s"$PartPrefix$c")): _*)
+            .write.partitionBy(effParts.map(c => s"$PartPrefix$c"): _*)
+            .parquet(new Path(root, commitDir).toString)
+        val listed = listParquet(fs, new Path(root, commitDir), commitDir)
+        val a = listed.map(_._1).sorted
+        (a, computeStats(spark, root, commitDir, a, df.schema,
+          listed.toMap))
+      }
     // 2) claim the next version with an atomic create-if-absent; on a
     //    lost race, re-read latest and retry (driver-side only) — except
     //    for snapshot-rewriting ops (merge/delete/optimize), which must
@@ -1262,7 +1457,7 @@ object Snapshots {
       // the table the other writer just re-laid-out — fail like any
       // other snapshot conflict instead (the data dir becomes vacuum
       // dead weight, same as a lost merge race)
-      if (partitionBy.isEmpty && op != "overwrite") {
+      if (partitionBy.isEmpty && op != "overwrite" && op != "restore") {
         val parentParts = parentM.map(_.partitionBy).getOrElse(Nil)
         if (parentParts != effParts)
           throw new java.util.ConcurrentModificationException(
@@ -1299,11 +1494,21 @@ object Snapshots {
       // update) — overwrite/optimize replace the snapshot outright, so
       // their delta IS the new file list and carries no removes
       val m = Manifest(next, parentV, op, adds,
-        if (op == "overwrite" || op == "optimize") Nil
+        if (op == "overwrite" || op == "optimize" || op == "restore") Nil
         else removed.toSeq.sorted,
-        None, addStats, Some(schemaJson),
+        // a RESTORE inlines the target's full listing + stats + vectors
+        // (self-checkpointing manifest): metadata-only, no data moves
+        restoreTo.map(_.files),
+        restoreTo.map(_.stats).getOrElse(addStats), Some(schemaJson),
+        // txn high-water marks carry FORWARD even across restore: a
+        // replayed streaming batch must stay a no-op after a rollback
         parentM.map(_.txns).getOrElse(Map.empty) ++ txn,
-        partitionBy = effParts)
+        partitionBy = effParts,
+        dvs = restoreTo.map(_.dvs).getOrElse(dvs),
+        // in-commit timestamps, forced strictly monotonic across writer
+        // clock skew (the Delta ICT rule) — timestampAsOf stays sane
+        ts = math.max(System.currentTimeMillis(),
+          parentM.map(_.ts + 1).getOrElse(1L)))
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       // ALL-OR-NOTHING claim: the manifest is fully written to a hidden
@@ -1376,24 +1581,74 @@ object Snapshots {
         s"no committed snapshot at $path")
     })
 
+  /** Columns of a deletion-vector dataset (see [[Dv]]). `__gb` is the
+    * covered file's basename, the PARTITION column of the dv write, so
+    * one file's positions read from one directory. */
+  private val DvFileCol = "__gfile"
+  private val DvPosCol = "__gpos"
+  private val DvBaseCol = "__gb"
+
+  /** Scan an explicit file list under `root` with the manifest schema,
+    * applying the snapshot's DELETION VECTORS: files covered by a dv
+    * lose their deleted positions via one anti-join on
+    * (file basename, `_metadata.row_index`) — equi keys, so Catalyst
+    * plans a hash join (broadcast when the vectors are small, the usual
+    * case; sort-merge when a mass-delete made them big), with a
+    * path-suffix residual disambiguating basename collisions across one
+    * commit's partition directories. Dv-free scans skip all of it.
+    * `keepPos` retains `__gap` (absolute file path) and `__gpi` (row
+    * position in file) for callers that need position attribution
+    * (CoW planning, [[deleteMor]]). */
+  private def readFiles(spark: SparkSession, root: Path,
+      files: Seq[String], schema: StructType, dvs: Map[String, Dv],
+      keepPos: Boolean = false): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    // the MANIFEST's schema is authoritative: without it Spark infers
+    // from one sampled footer, and a schema-evolved column silently
+    // vanishes whenever the sample predates the evolution
+    val base = spark.read.schema(schema)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
+    val fset = files.toSet
+    val live = dvs.filter { case (f, _) => fset(f) }
+    if (live.isEmpty && !keepPos) return base
+    val data = base.select(col("*"),
+      col("_metadata.file_path").as("__gap"),
+      col("_metadata.row_index").as("__gpi"))
+    val out =
+      if (live.isEmpty) data
+      else {
+        val dirs = live.values.map(_.path).toSeq.distinct.sorted
+        // prune to the scanned files' partition directories (`__gb` is
+        // the dv dataset's partition column — an In filter on it cuts
+        // directories at planning time, no row predicate cost)
+        val bases = live.keys.map(_.split('/').last).toSeq.distinct
+        val del = spark.read
+          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+          .where(col(DvBaseCol).isin(bases: _*))
+          .select(col(DvFileCol), col(DvPosCol), col(DvBaseCol))
+        data.withColumn("__gab",
+            element_at(split(col("__gap"), "/"), -1))
+          .join(del,
+            col("__gab") === del(DvBaseCol) &&
+              col("__gpi") === del(DvPosCol) &&
+              col("__gap").endsWith(concat(lit("/"), del(DvFileCol))),
+            "left_anti")
+          .drop("__gab")
+      }
+    if (keepPos) out else out.drop("__gap", "__gpi")
+  }
+
   /** Read a pinned version (default: latest). The scan's file list IS
     * the manifest — no data-directory listing, stable under concurrent
     * commits. An empty snapshot (everything deleted) reads as an empty
-    * DataFrame with the manifest's schema. */
+    * DataFrame with the manifest's schema. Deletion vectors from
+    * [[deleteMor]] apply transparently. */
   def read(spark: SparkSession, path: String,
       version: Option[Long] = None): DataFrame = {
     val m = requireSnapshot(spark, path, version)
     val schema = snapshotSchema(spark, path, m)
-    if (m.files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else {
-      val root = new Path(path)
-      // the MANIFEST's schema is authoritative: without it Spark infers
-      // from one sampled footer, and a schema-evolved column silently
-      // vanishes whenever the sample predates the evolution
-      spark.read.schema(schema)
-        .parquet(m.files.map(f => new Path(root, f).toString): _*)
-    }
+    readFiles(spark, new Path(path), m.files, schema, m.dvs)
   }
 
   /** DATA-SKIPPING read: prune the manifest's file list by per-file
@@ -1410,13 +1665,7 @@ object Snapshots {
     val m = requireSnapshot(spark, path, version)
     val schema = snapshotSchema(spark, path, m)
     val keep = pruneFiles(m, analyzeBounds(spark, schema, filter))
-    val root = new Path(path)
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(keep.map(f => new Path(root, f).toString): _*)
-    base.where(filter)
+    readFiles(spark, new Path(path), keep, schema, m.dvs).where(filter)
   }
 
   /** Rows ADDED in versions (fromExclusive, toInclusive] — the
@@ -1493,8 +1742,10 @@ object Snapshots {
           if (chainsDown) writeCheckpoint(fs, root, s)
         }
     }
-    val referenced: Set[String] = retained
-      .flatMap(v => resolveSnapshot(fs, root, v)).flatMap(_.files).toSet
+    val snaps = retained.flatMap(v => resolveSnapshot(fs, root, v))
+    val referenced: Set[String] = snaps.flatMap(_.files).toSet
+    val referencedDv: Set[String] =
+      snaps.flatMap(_.dvs.values.map(_.path)).toSet
     // delete unreferenced data files (listing data/ is the one full
     // listing vacuum pays — it is the op whose JOB is the full sweep)
     var deleted = 0L
@@ -1530,6 +1781,20 @@ object Snapshots {
             !sweep(cd.getPath, s"data/${cd.getPath.getName}") &&
             cd.getModificationTime < horizon)
           fs.delete(cd.getPath, true)
+      }
+    }
+    // deletion-vector datasets retire the same way: one dv/d-* dataset
+    // per delete-dv commit, unreferenced once every covering snapshot's
+    // vectors were superseded, materialized by CoW/optimize, or vacuumed
+    // past — same in-flight grace window as data files
+    val dvDir = new Path(root, "dv")
+    if (fs.exists(dvDir)) {
+      Option(fs.listStatus(dvDir)).getOrElse(Array.empty).foreach { d =>
+        if (d.isDirectory &&
+            !referencedDv.contains(s"dv/${d.getPath.getName}") &&
+            d.getModificationTime < horizon) {
+          fs.delete(d.getPath, true); deleted += 1
+        }
       }
     }
     all.filter(_ < keepFromVersion).foreach { v =>

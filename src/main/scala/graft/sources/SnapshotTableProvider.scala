@@ -172,7 +172,11 @@ final class SnapshotScanBuilder(path: String, full: StructType,
         !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return None
     resolved
       .filter(m => m.files.forall(m.stats.contains))
-      .map(m => m.files.map(f => m.stats(f).rows).sum)
+      // deletion vectors subtract exactly: the log records each file's
+      // deleted-position cardinality, so the count stays metadata-only
+      // even on a merge-on-read table
+      .map(m => m.files.map(f => m.stats(f).rows).sum -
+        m.dvs.values.map(_.n).sum)
   }
 
   override def supportCompletePushDown(
@@ -227,7 +231,12 @@ object SnapshotCountReaderFactory extends PartitionReaderFactory {
     }
 }
 
-final case class SnapshotInputPartition(absPath: String)
+/** One data file. `dvDirAbs`/`relPath` are set when the file carries a
+  * merge-on-read deletion vector: the reader loads its positions from
+  * the vector dataset's `__gb=<basename>` partition directory and skips
+  * them during iteration. */
+final case class SnapshotInputPartition(absPath: String,
+    dvDirAbs: String = null, relPath: String = null)
     extends InputPartition
 
 final class SnapshotScan(path: String, full: StructType,
@@ -258,7 +267,11 @@ final class SnapshotScan(path: String, full: StructType,
     val agg = resolved.flatMap { m =>
       val keep = Snapshots.pruneByFilters(m, pushed)
       if (keep.forall(m.stats.contains))
-        Some((keep.map(f => m.stats(f).rows).sum,
+        // rows are LIVE rows: per-file deletion-vector cardinalities
+        // subtract exactly (bytes stay the on-disk size — a safe
+        // over-estimate for broadcast decisions)
+        Some((keep.map(f => m.stats(f).rows -
+            m.dvs.get(f).map(_.n).getOrElse(0L)).sum,
           keep.map(f => m.stats(f).bytes).sum,
           keep.forall(f => m.stats(f).bytes > 0)))
       else None
@@ -319,24 +332,40 @@ final class SnapshotScan(path: String, full: StructType,
       }))
     val pruned = Snapshots.pruneByFilters(m, pushed ++ runtimeFilters)
     // pushed-LIMIT file cut: only with NO filters anywhere (a residual
-    // filter could need rows from any file) and complete stats
+    // filter could need rows from any file) and complete stats. LIVE
+    // rows (minus deletion-vector cardinality) — counting deleted
+    // positions would stop the cut too early and lose rows.
     val kept = limit match {
       case Some(n) if pushed.isEmpty && runtimeFilters.isEmpty &&
           pruned.forall(m.stats.contains) =>
         var acc = 0L
         pruned.takeWhile { f =>
-          val need = acc < n; acc += m.stats(f).rows; need
+          val need = acc < n
+          acc += m.stats(f).rows - m.dvs.get(f).map(_.n).getOrElse(0L)
+          need
         }
       case _ => pruned
     }
-    kept.map(f => SnapshotInputPartition(
-        new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(path), f).toString)
-        : InputPartition).toArray
+    val root = new org.apache.hadoop.fs.Path(path)
+    kept.map { f =>
+      val abs = new org.apache.hadoop.fs.Path(root, f).toString
+      m.dvs.get(f) match {
+        case Some(dv) => SnapshotInputPartition(abs,
+          new org.apache.hadoop.fs.Path(root, dv.path).toString, f)
+        case None => SnapshotInputPartition(abs)
+      }
+    }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory.fromSession(required)
+    // a snapshot with ANY deletion vector reads row-based throughout:
+    // Spark requires every partition of one scan to agree on columnar
+    // vs row mode, and position-skipping inside ColumnarBatch would
+    // need selective vector copies — OPTIMIZE materializes the deletes
+    // and restores the vectorized path (the Delta-ish contract: DV
+    // tables pay a read tax until maintenance compacts them)
+    SnapshotReaderFactory.fromSession(required,
+      columnar = resolved.forall(_.dvs.isEmpty))
 }
 
 object SnapshotReaderFactory {
@@ -344,27 +373,32 @@ object SnapshotReaderFactory {
     * executors' readers must see the same credentials/nameservice
     * settings the planner used (a bare `new Configuration()` on the
     * executor has none of the spark.hadoop.* overrides). */
-  def fromSession(required: StructType): SnapshotReaderFactory = {
+  def fromSession(required: StructType,
+      columnar: Boolean = true): SnapshotReaderFactory = {
     val c = SparkSession.active.sessionState.newHadoopConf()
     val b = Map.newBuilder[String, String]
     val it = c.iterator()
     while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-    new SnapshotReaderFactory(required, b.result())
+    new SnapshotReaderFactory(required, b.result(), columnar)
   }
 }
 
 final class SnapshotReaderFactory(required: StructType,
-    hadoopConf: Map[String, String])
+    hadoopConf: Map[String, String], columnar: Boolean = true)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new SnapshotGroupReader(
-      p.asInstanceOf[SnapshotInputPartition].absPath, required, hadoopConf)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SnapshotInputPartition]
+    new SnapshotGroupReader(sp.absPath, required, hadoopConf,
+      Option(sp.dvDirAbs).map(d => (d, sp.relPath)))
+  }
 
   // vectorized path: the scan emits ColumnarBatch, so Spark plans a
   // ColumnarToRow boundary and whole-stage codegen consumes the vectors
   // as it does for its native parquet scan (r8 advice #2 — the V2 face
-  // is the catalog-integration path a 100 TB consumer actually uses)
-  override def supportColumnarReads(p: InputPartition): Boolean = true
+  // is the catalog-integration path a 100 TB consumer actually uses).
+  // Snapshots with live deletion vectors read row-based (the mode must
+  // be uniform across a scan's partitions — see createReaderFactory).
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
@@ -562,14 +596,61 @@ object SnapshotGroupReader {
     val julianDay = buf.getInt
     (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
   }
+
+  /** Sorted deleted row positions for `relPath`, read from the vector
+    * dataset's `__gb=<basename>` partition directory — one small
+    * directory per covered file, so loading a file's vector never scans
+    * the commit's whole delete set. The `__gfile` equality filter
+    * disambiguates basename collisions (the same rule as the core
+    * reader's path-suffix residual). */
+  private[sources] def loadDvPositions(dvDirAbs: String, relPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val base = relPath.split('/').last
+    val dir = new org.apache.hadoop.fs.Path(dvDirAbs, s"__gb=$base")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Array.emptyLongArray
+    val parts = Option(fs.listStatus(dir)).getOrElse(Array.empty)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    parts.foreach { f =>
+      // fresh conf copy WITHOUT the caller's data-schema projection —
+      // the vector dataset has its own (__gfile, __gpos) schema
+      val dvConf = new org.apache.hadoop.conf.Configuration(conf)
+      dvConf.unset(
+        org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA)
+      val r = ParquetReader.builder(new GroupReadSupport(), f)
+        .withConf(dvConf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount("__gfile") > 0 &&
+              g.getBinary("__gfile", 0).toStringUsingUTF8 == relPath)
+            buf += g.getLong("__gpos", 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    val arr = buf.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
 }
 
 /** Reads ONE manifest file through parquet-mr's Group API with a pushed
   * column projection; emits only the pruned schema. A column absent
   * from the file (written before a schema-evolving commit) emits
-  * null. */
+  * null. `dv` = (vector dataset abs path, this file's rel path) when
+  * the file carries a merge-on-read deletion vector: the sorted
+  * positions load once and a sequential two-pointer walk skips them —
+  * O(1) amortized per row, matching `_metadata.row_index` semantics
+  * because both this reader and the vector writer count rows in file
+  * order. */
 final class SnapshotGroupReader(absPath: String, required: StructType,
-    hadoopConf: Map[String, String] = Map.empty)
+    hadoopConf: Map[String, String] = Map.empty,
+    dv: Option[(String, String)] = None)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -656,9 +737,26 @@ final class SnapshotGroupReader(absPath: String, required: StructType,
 
   private var cur: Group = _
 
+  private val dvPositions: Array[Long] = dv match {
+    case Some((dirAbs, rel)) =>
+      SnapshotGroupReader.loadDvPositions(dirAbs, rel, conf)
+    case None => Array.emptyLongArray
+  }
+  private var rowPos: Long = -1L
+  private var dvIdx: Int = 0
+
   override def next(): Boolean = {
-    cur = reader.read()
-    cur != null
+    while (true) {
+      cur = reader.read()
+      if (cur == null) return false
+      rowPos += 1
+      if (dvPositions.length == 0) return true
+      while (dvIdx < dvPositions.length && dvPositions(dvIdx) < rowPos)
+        dvIdx += 1
+      if (dvIdx >= dvPositions.length || dvPositions(dvIdx) != rowPos)
+        return true
+    }
+    false // unreachable
   }
 
   private val width = required.fields.length

@@ -104,6 +104,32 @@ object SnapshotProbe {
       rmrf(p)
     }
 
+    /** Merge-on-read twin (round 9): deleteMor of a fixed 1000-key band
+      * + the vectored full read at 1× and 10×. The claims: the vector
+      * write is BATCH-proportional (stats pre-prune + positions of the
+      * matched rows only — never a file rewrite), and the reader's
+      * anti-join overhead tracks the VECTOR size, not table size. */
+    def probeDv(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_dv_$tag"
+      rmrf(p)
+      (0 until 8).foreach { i =>
+        Snapshots.append(data.where(col("event_id") % 8 === i)
+          .repartitionByRange(8, col("event_id")), p)
+      }
+      val lo = n / 2
+      val morT = time(Snapshots.deleteMor(spark, p,
+        col("event_id") >= lo && col("event_id") < lo + 1000L))
+      val readT = time {
+        Snapshots.read(spark, p)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val cowRef = time(Snapshots.delete(spark, p,
+        col("event_id") >= lo + 2000L && col("event_id") < lo + 3000L))
+      println(f"[snapprobe] dv_$tag n=$n delete_mor=$morT%.2f " +
+        f"vectored_read=$readT%.2f cow_delete_ref=$cowRef%.2f")
+      rmrf(p)
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -113,6 +139,8 @@ object SnapshotProbe {
     probe("x10", scale10(ev), n1 * 10)
     probePart("x1", ev, n1)
     probePart("x10", scale10(ev), n1 * 10)
+    probeDv("x1", ev, n1)
+    probeDv("x10", scale10(ev), n1 * 10)
     spark.stop()
   }
 }

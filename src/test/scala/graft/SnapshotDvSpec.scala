@@ -1,0 +1,224 @@
+package graft
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read deletion vectors, RESTORE, and timestamp time travel
+  * over the snapshot store. */
+class SnapshotDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dv_").toString
+    new java.io.File(d).deleteOnExit(); d
+  }
+
+  private def tbl(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"t${i % 5}", i * 2.0)).toDF("id", "typ", "v")
+
+  private def dataParquetCount(p: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val d = new java.io.File(s"$p/data")
+    if (d.exists()) walk(d) else 0
+  }
+
+  test("deleteMor removes rows WITHOUT rewriting any data file; the " +
+      "vector and its exact cardinality land in the log; time travel " +
+      "to the pre-delete version is untouched") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100).repartitionByRange(4, col("id")), p)
+    val before = dataParquetCount(p)
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    Snapshots.deleteMor(spark, p, col("id") < 30L && col("typ") === "t1")
+    val m2 = Snapshots.snapshotAt(spark, p).get
+    // ids 1,6,11,16,21,26 → 6 deleted rows
+    Snapshots.read(spark, p).count() shouldBe 94L
+    Snapshots.read(spark, p, Some(1L)).count() shouldBe 100L
+    dataParquetCount(p) shouldBe before // merge-on-read: zero rewrites
+    m2.files.toSet shouldBe m1.files.toSet
+    m2.dvs.values.map(_.n).sum shouldBe 6L
+    Snapshots.read(spark, p).where(col("typ") === "t1")
+      .select("id").as[Long].collect().sorted shouldBe
+      (31L until 100L by 5L).toSeq
+  }
+
+  test("law: deleteMor ≡ copy-on-write delete for the same predicate") {
+    val pMor = freshDir(); val pCow = freshDir()
+    val pred = col("id") % 7 === 0 || col("v") > 150.0
+    Seq(pMor, pCow).foreach(p =>
+      Snapshots.append(tbl(0 until 120)
+        .repartitionByRange(4, col("id")), p))
+    Snapshots.deleteMor(spark, pMor, pred)
+    Snapshots.delete(spark, pCow, pred)
+    val a = Snapshots.read(spark, pMor).orderBy("id").collect()
+    val b = Snapshots.read(spark, pCow).orderBy("id").collect()
+    a should contain theSameElementsInOrderAs b
+  }
+
+  test("vectors ACCUMULATE: a second deleteMor supersedes touched " +
+      "files' vectors with the union, scanWhere applies them, and a " +
+      "replayed predicate is a no-op commit") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 200).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") < 40L && col("typ") === "t1")
+    val v = Snapshots.deleteMor(spark, p, col("id") < 25L)
+    // ids<25 (25 rows) ∪ t1-ids<40 (1,6,...,36 → 8 rows); overlap 5 → 28
+    Snapshots.read(spark, p).count() shouldBe 172L
+    Snapshots.scanWhere(spark, p, col("id") < 50L).count() shouldBe
+      (25L until 50L).count(i => !(i < 40 && i % 5 == 1)) // 25 - 3 = 22
+    // replay: every matching row is already deleted → no new commit
+    Snapshots.deleteMor(spark, p, col("id") < 25L) shouldBe v
+    Snapshots.read(spark, p).count() shouldBe 172L
+  }
+
+  test("copy-on-write on a vectored table: deleted rows never " +
+      "resurrect, and a rewritten file RETIRES its vector") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") < 10L)
+    // CoW update overlapping the vectored band: rows 0..9 must stay gone
+    Snapshots.update(spark, p, col("id") < 30L,
+      Map("v" -> (col("v") + 1000.0)))
+    val rows = Snapshots.read(spark, p)
+    rows.count() shouldBe 90L
+    rows.where(col("id") < 10L).count() shouldBe 0L
+    rows.where(col("id") < 30L).select(min("v")).head().getDouble(0) should
+      be >= 1000.0
+    // the touched files rewrote → their vectors retired from the log
+    val m = Snapshots.snapshotAt(spark, p).get
+    m.dvs shouldBe empty
+    // merge on a vectored table: deleted keys come back only as INSERTS
+    val p2 = freshDir()
+    Snapshots.append(tbl(0 until 50).repartitionByRange(2, col("id")), p2)
+    Snapshots.deleteMor(spark, p2, col("id") === 7L)
+    Snapshots.merge(spark, p2,
+      Seq((7L, "t9", -1.0)).toDF("id", "typ", "v"), Seq("id"))
+    val r7 = Snapshots.read(spark, p2).where(col("id") === 7L).collect()
+    r7.length shouldBe 1
+    r7.head.getString(1) shouldBe "t9"
+  }
+
+  test("OPTIMIZE materializes the vectors: same rows, dvs gone, " +
+      "vacuum then reclaims the superseded vector dataset") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") % 3 === 0L)
+    val live = Snapshots.read(spark, p).orderBy("id").collect()
+    Snapshots.optimize(spark, p, numFiles = 2)
+    val m = Snapshots.snapshotAt(spark, p).get
+    m.dvs shouldBe empty
+    Snapshots.read(spark, p).orderBy("id").collect() should
+      contain theSameElementsInOrderAs live
+    def dvDirs(): Int = {
+      val d = new java.io.File(s"$p/dv")
+      if (d.exists()) d.listFiles().count(_.isDirectory) else 0
+    }
+    dvDirs() shouldBe 1
+    Snapshots.vacuum(spark, p, keepFromVersion = 3L, graceMs = 0L)
+    dvDirs() shouldBe 0 // unreferenced after the horizon passed v2
+    Snapshots.read(spark, p).count() shouldBe live.length.toLong
+  }
+
+  test("vacuum KEEPS vector datasets any retained version references") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 60), p)
+    Snapshots.deleteMor(spark, p, col("id") < 20L)
+    Snapshots.append(tbl(100 until 110), p)
+    Snapshots.vacuum(spark, p, keepFromVersion = 2L, graceMs = 0L)
+    // v2 and v3 both reference the vector — reads stay exact
+    Snapshots.read(spark, p, Some(2L)).count() shouldBe 40L
+    Snapshots.read(spark, p).count() shouldBe 50L
+    new java.io.File(s"$p/dv").listFiles().count(_.isDirectory) shouldBe 1
+  }
+
+  test("deleteMor on a PARTITIONED table: partition-dir file paths " +
+      "attribute exactly, partition pruning composes") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100), p, partitionBy = Seq("typ"))
+    Snapshots.deleteMor(spark, p, col("typ") === "t2" && col("id") < 50L)
+    Snapshots.read(spark, p).count() shouldBe 90L
+    Snapshots.scanWhere(spark, p, col("typ") === "t2")
+      .select("id").as[Long].collect().sorted shouldBe
+      (52L until 100L by 5L).toSeq
+  }
+
+  test("deleting EVERY row of a file merge-on-read keeps the listing " +
+      "but reads exclude it all; metadata counts stay exact") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 40).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") < 10L)
+    val m = Snapshots.snapshotAt(spark, p).get
+    m.files.size shouldBe 4
+    val total = m.files.flatMap(m.stats.get).map(_.rows).sum -
+      m.dvs.values.map(_.n).sum
+    total shouldBe 30L
+    Snapshots.read(spark, p).count() shouldBe 30L
+  }
+
+  test("RESTORE is metadata-only: content equals the target version, " +
+      "no data files move, history stays readable, and txn high-water " +
+      "marks carry forward so a replayed batch stays a no-op") {
+    val p = freshDir()
+    Snapshots.appendIdempotent(tbl(0 until 30), p, "job", 0L)
+    Snapshots.append(tbl(100 until 120), p)
+    Snapshots.deleteMor(spark, p, col("id") >= 110L)
+    val filesBefore = dataParquetCount(p)
+    val vr = Snapshots.restore(spark, p, 1L)
+    vr shouldBe 4L
+    dataParquetCount(p) shouldBe filesBefore
+    Snapshots.read(spark, p).select("id").as[Long].collect().sorted shouldBe
+      (0L until 30L)
+    // rolled-away versions stay time-travel-readable (v3 had the vector)
+    Snapshots.read(spark, p, Some(3L)).count() shouldBe 40L
+    // the replayed exactly-once batch must NOT re-append after restore
+    Snapshots.appendIdempotent(tbl(0 until 30), p, "job", 0L) shouldBe 4L
+    Snapshots.read(spark, p).count() shouldBe 30L
+  }
+
+  test("RESTORE re-references deletion vectors and survives a " +
+      "checkpoint-interval fold; restore to the current version no-ops") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 50), p)
+    Snapshots.deleteMor(spark, p, col("id") < 5L)
+    Snapshots.overwrite(tbl(500 until 510), p)
+    Snapshots.restore(spark, p, 2L) shouldBe 4L
+    Snapshots.read(spark, p).count() shouldBe 45L
+    Snapshots.restore(spark, p, 4L) shouldBe 4L // already there
+    // later appends fold on top of the restored (self-checkpointing) base
+    Snapshots.append(tbl(900 until 905), p)
+    Snapshots.read(spark, p).count() shouldBe 50L
+  }
+
+  test("restore fails typed when the target was vacuumed") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 20), p)
+    Snapshots.overwrite(tbl(100 until 105), p)
+    Snapshots.vacuum(spark, p, keepFromVersion = 2L, graceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, p, 1L)
+    }
+    e.getMessage should include("vacuum")
+  }
+
+  test("timestampAsOf: in-commit timestamps are strictly monotonic and " +
+      "versionAtTimestamp picks the newest commit at-or-before the time") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 10), p)
+    Snapshots.append(tbl(10 until 25), p)
+    Snapshots.overwrite(tbl(100 until 103), p)
+    val ts = (1L to 3L).map(v =>
+      Snapshots.manifestAt(spark, p, v).get.ts)
+    ts shouldBe ts.sorted
+    ts.distinct.size shouldBe 3
+    Snapshots.versionAtTimestamp(spark, p, ts(0)) shouldBe Some(1L)
+    Snapshots.versionAtTimestamp(spark, p, ts(1)) shouldBe Some(2L)
+    Snapshots.versionAtTimestamp(spark, p, ts(2) + 1000L) shouldBe Some(3L)
+    Snapshots.versionAtTimestamp(spark, p, ts(0) - 1L) shouldBe None
+    Snapshots.readAsOfTimestamp(spark, p, ts(1)).count() shouldBe 25L
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOfTimestamp(spark, p, ts(0) - 1L)
+    }
+  }
+}

@@ -329,6 +329,41 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deletion vectors through the V2 face: batch reads apply them " +
+      "row-based (no ColumnarToRow until OPTIMIZE materializes), " +
+      "metadata COUNT(*) stays exact and zero-file-read, versionAsOf " +
+      "pre-delete is untouched") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 400).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") % 4 === 0L)
+    val df = spark.read.format("graft-snapshot").load(p)
+    rowSet(df) shouldBe rowSet(Snapshots.read(spark, p))
+    df.count() shouldBe 300L
+    // a vectored snapshot reads row-based (uniform mode per scan)
+    df.queryExecution.executedPlan.toString should
+      not include "ColumnarToRow"
+    // the count still answers from the log: per-file dv cardinalities
+    // subtract exactly, zero data-file reads
+    val counted = df.groupBy().count()
+    counted.queryExecution.executedPlan.toString should
+      include("COUNT(*) from log metadata")
+    counted.head().getLong(0) shouldBe 300L
+    // pre-delete version: full content, vectorized again
+    val v1 = spark.read.format("graft-snapshot")
+      .option("versionAsOf", "1").load(p)
+    v1.count() shouldBe 400L
+    v1.queryExecution.executedPlan.toString should include("ColumnarToRow")
+    // stats-pruned + vector-filtered scan stays exact
+    df.where(col("id") >= 100L && col("id") < 200L)
+      .select("id").as[Long].collect().sorted shouldBe
+      (100L until 200L).filter(_ % 4 != 0)
+    // OPTIMIZE materializes: vectorized path restored, rows unchanged
+    Snapshots.optimize(spark, p, numFiles = 2)
+    val opt = spark.read.format("graft-snapshot").load(p)
+    opt.count() shouldBe 300L
+    opt.queryExecution.executedPlan.toString should include("ColumnarToRow")
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
