@@ -4181,6 +4181,31 @@ object SparkEntry {
       val p = buildDvSnapshotStore(s, dir)
       s.read.format("graft-snapshot").load(p)
     }),
+    "q_snapshot_dv_feed" -> ((s, dir) => {
+      // the ROW-LEVEL DELETE FEED merge-on-read unlocks: deletedRows(v)
+      // reads version v's vectors (minus the parent's) and joins the
+      // positions back to their rows — downstream index/aggregate
+      // maintenance retires exactly these rows without a table re-sync,
+      // the delete half of row-level CDC that file-level changes()
+      // cannot carry. Shares the dv store; v2 is its delete-dv commit.
+      val p = buildDvSnapshotStore(s, dir)
+      Snapshots.deletedRows(s, p, 2L)
+    }),
+    "q_snapshot_compact" -> ((s, dir) => {
+      // INCREMENTAL compaction (bin-packing, the counterpart to the
+      // whole-table optimize): after small streaming-style commits,
+      // only sub-threshold files rewrite into packed bins — maintenance
+      // cost tracks the STRAGGLERS, never the table; changes()/the
+      // streaming source skip the commit like optimize (spec-pinned).
+      val p = freshSnapshotPath(dir, "cp")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0)
+        .repartition(1), p)
+      Snapshots.append(ev.where(col("event_id") % 3 === 1)
+        .repartition(4), p)
+      Snapshots.compactSmallFiles(s, p, smallBytes = 1L << 30)
+      Snapshots.read(s, p)
+    }),
     "q_snapshot_restore" -> ((s, dir) => {
       // RESTORE to an earlier version as a NEW commit, METADATA-ONLY:
       // the target's file listing + stats + vectors re-reference inline
@@ -8210,6 +8235,15 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE NOT (event_id < 3000 AND event_type = 'view')""",
+    "q_snapshot_dv_feed" ->
+      // the delete feed carries exactly the vectored-away rows
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id < 3000 AND event_type = 'view'""",
+    "q_snapshot_compact" ->
+      // compaction rewrites layout only: rows = the two appends
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 3 IN (0, 1)""",
     "q_snapshot_restore" ->
       // restore to v1 rolls the overwrite back: the %3=0 slice again
       """SELECT event_id, user_id, event_type, value

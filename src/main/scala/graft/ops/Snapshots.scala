@@ -1185,6 +1185,101 @@ object Snapshots {
       partitionBy = pb, writeData = false, restoreTo = Some(target))
   }
 
+  /** Maintenance commits rewrite LAYOUT, not content — incremental
+    * consumers (changes(), the streaming source) skip their adds, or a
+    * routine compaction would re-emit old rows downstream. */
+  private[graft] def isMaintenanceOp(op: String): Boolean =
+    op == "optimize" || op == "compact"
+
+  /** The rows version `v` DELETED merge-on-read — the row-level DELETE
+    * feed that file-level [[changes]] cannot carry (a delete-dv commit
+    * adds no files, and CoW retirements surface only as re-emitted
+    * survivors). For each file the commit's vectors cover, emits
+    * exactly the NEWLY deleted positions (this commit's vector minus
+    * the parent's) joined back to their rows. A downstream consumer
+    * (search-index retirement, aggregate maintenance, GDPR audit trail)
+    * applies deletes incrementally without a table re-sync — the
+    * row-level CDC merge-on-read makes possible. Positions resolve
+    * against the files as they still exist (vectors never rewrite
+    * data), so the feed stays exact until those files are vacuumed. */
+  def deletedRows(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    val m = readManifest(fs, root, version).getOrElse(
+      throw new IllegalArgumentException(s"snapshot version $version " +
+        s"does not exist (or was vacuumed) at $path"))
+    require(m.op == "delete-dv",
+      s"version $version at $path is op '${m.op}', not delete-dv — " +
+        "the row-level delete feed exists for merge-on-read commits")
+    val parent = resolveSnapshot(fs, root, m.parent).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot resolve parent version ${m.parent} at $path"))
+    val schema = snapshotSchema(spark, path, parent)
+    val files = m.dvs.keys.toSeq.sorted
+    val newDirs = m.dvs.values.map(_.path).toSeq.distinct.sorted
+    val newRows = spark.read
+      .parquet(newDirs.map(d => new Path(root, d).toString): _*)
+      .where(col(DvFileCol).isin(files: _*))
+      .select(col(DvFileCol), col(DvPosCol))
+    val oldDirs = parent.dvs.filter { case (f, _) => m.dvs.contains(f) }
+      .values.map(_.path).toSeq.distinct.sorted
+    val fresh =
+      if (oldDirs.isEmpty) newRows
+      else newRows.except(spark.read
+        .parquet(oldDirs.map(d => new Path(root, d).toString): _*)
+        .where(col(DvFileCol).isin(files: _*))
+        .select(col(DvFileCol), col(DvPosCol)))
+    val data = readFiles(spark, root, files, schema, Map.empty,
+        keepPos = true)
+      .withColumn("__gab", element_at(split(col("__gap"), "/"), -1))
+    val del = fresh.select(col(DvFileCol),
+      element_at(split(col(DvFileCol), "/"), -1).as("__gdb"),
+      col(DvPosCol))
+    data.join(del,
+        col("__gab") === del("__gdb") &&
+          col("__gpi") === del(DvPosCol) &&
+          col("__gap").endsWith(concat(lit("/"), del(DvFileCol))),
+        "left_semi")
+      .drop("__gab", "__gap", "__gpi")
+  }
+
+  /** INCREMENTAL compaction — the Delta OPTIMIZE bin-packing shape and
+    * the counterpart to the whole-table [[optimize]]: only files
+    * SMALLER than `smallBytes` rewrite, bin-packed into
+    * ceil(their total bytes / targetFileBytes) files (default target =
+    * `smallBytes`); every other file carries into the new manifest
+    * unmoved. Routine maintenance after N small streaming commits is
+    * therefore BATCH-proportional — a 100 TB table pays for its
+    * stragglers, never a full rewrite. Small files with deletion
+    * vectors materialize their deletes on the way (they rewrite, the
+    * vectors retire). Commits as `op = "compact"`, which incremental
+    * consumers skip like optimize. Returns the current version
+    * unchanged when fewer than two files qualify. Conflict rules are
+    * [[optimize]]'s. */
+  def compactSmallFiles(spark: SparkSession, path: String,
+      smallBytes: Long, targetFileBytes: Long = 0L): Long = {
+    require(smallBytes > 0, "smallBytes must be positive")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val schema = snapshotSchema(spark, path, m)
+    // unknown sizes (pre-r9 manifests) count as small: rewriting them
+    // upgrades the metadata
+    val small = m.files.filter(f =>
+      m.stats.get(f).forall(_.bytes < smallBytes))
+    if (small.size < 2) return m.version
+    val tgt = if (targetFileBytes > 0) targetFileBytes else smallBytes
+    val total = small.map(f => m.stats.get(f).map(_.bytes).getOrElse(0L)).sum
+    val n = math.max(1L, (total + tgt - 1) / tgt).toInt
+    val root = new Path(path)
+    val pb = latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
+    val rows = readFiles(spark, root, small, schema, m.dvs)
+    val packed =
+      if (pb.isEmpty) rows.repartition(n)
+      else rows.repartition(n, pb.map(col): _*)
+    commit(packed, path, "compact", removed = small.toSet,
+      expectParent = Some(m.version))
+  }
+
   /** Latest committed version whose in-commit timestamp is ≤ `tsMillis`
     * (Delta's timestampAsOf): commit timestamps live in the manifest
     * and are forced strictly monotonic at commit time (max(now,
@@ -1390,7 +1485,7 @@ object Snapshots {
       writeData: Boolean = true,
       restoreTo: Option[Snapshot] = None): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
-      "update", "delete-dv", "restore")(op), s"unknown op $op")
+      "update", "delete-dv", "restore", "compact")(op), s"unknown op $op")
     val spark = df.sparkSession
     // partitionBy is TABLE metadata (the Delta rule): an explicit list
     // (re)defines the layout, every other commit — appends, CoW
@@ -1687,7 +1782,7 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"snapshot version $v does not exist (or was vacuumed) at $path"))
       rangeSchema = m.schemaJson.orElse(rangeSchema)
-      if (m.op == "optimize") Nil else m.adds
+      if (isMaintenanceOp(m.op)) Nil else m.adds
     }
     require(adds.nonEmpty,
       s"no data-changing files added in ($fromExclusive, $toInclusive]")

@@ -830,7 +830,7 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
         var stop = false
         while (!stop && v < byVersions) {
           val add = Snapshots.manifestAt(spark, path, v + 1)
-            .map(m => if (m.op == "optimize") 0L
+            .map(m => if (Snapshots.isMaintenanceOp(m.op)) 0L
               else m.adds.map(f => m.stats.get(f).map(_.bytes)
                 .getOrElse(0L)).sum)
             .getOrElse(0L)
@@ -859,8 +859,8 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
     val root = new org.apache.hadoop.fs.Path(path)
     (s + 1 to e).flatMap { v =>
       Snapshots.manifestAt(spark, path, v) match {
-        case Some(m) if m.op != "optimize" => m.adds
-        case Some(_) => Nil // optimize: same rows, new layout — skip
+        case Some(m) if !Snapshots.isMaintenanceOp(m.op) => m.adds
+        case Some(_) => Nil // optimize/compact: same rows, new layout — skip
         case None if Snapshots.claimExists(spark, path, v) =>
           Nil // dead claim (file present, unparseable): published nothing
         case None =>

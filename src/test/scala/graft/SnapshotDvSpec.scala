@@ -202,6 +202,76 @@ class SnapshotDvSpec extends SparkSpec {
     e.getMessage should include("vacuum")
   }
 
+  test("deletedRows: the row-level delete feed emits exactly what each " +
+      "delete-dv commit removed — and only the NEW deletions on an " +
+      "accumulating vector") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") < 20L) // v2
+    Snapshots.deleteMor(spark, p, col("id") < 30L) // v3: 10 new
+    Snapshots.deletedRows(spark, p, 2L)
+      .select("id").as[Long].collect().sorted shouldBe (0L until 20L)
+    Snapshots.deletedRows(spark, p, 3L)
+      .select("id").as[Long].collect().sorted shouldBe (20L until 30L)
+    // the feed composes with changes(): adds feed + delete feed = full
+    // row-level CDC for an append+MOR-delete workload
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.deletedRows(spark, p, 1L)
+    }
+    e.getMessage should include("delete-dv")
+  }
+
+  test("compactSmallFiles: only sub-threshold files bin-pack (batch-" +
+      "proportional maintenance), big files carry over unmoved, " +
+      "content identical, incremental consumers skip the commit, and " +
+      "covered deletion vectors materialize") {
+    val p = freshDir()
+    // one big commit + five tiny straggler commits (the streaming shape)
+    Snapshots.append(tbl(0 until 2000).repartition(1), p)
+    (0 until 5).foreach(i =>
+      Snapshots.append(tbl(3000 + i * 3 until 3000 + i * 3 + 3)
+        .repartition(1), p))
+    val m0 = Snapshots.snapshotAt(spark, p).get
+    m0.files.size shouldBe 6
+    val big = m0.files.maxBy(f => m0.stats(f).bytes)
+    Snapshots.deleteMor(spark, p, col("id") === 3001L) // vector a straggler
+    val before = Snapshots.read(spark, p).orderBy("id").collect()
+    val smallCut = m0.stats(big).bytes // everything strictly below the big file
+    val v = Snapshots.compactSmallFiles(spark, p, smallBytes = smallCut)
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    m1.version shouldBe v
+    m1.files should contain(big) // untouched, not rewritten
+    m1.files.size should be < 6
+    m1.dvs shouldBe empty // the vectored straggler materialized
+    Snapshots.read(spark, p).orderBy("id").collect() should
+      contain theSameElementsInOrderAs before
+    // changes() skips maintenance: only the real commits' rows surface
+    Snapshots.changes(spark, p, 1L, v).select("id")
+      .as[Long].collect().sorted shouldBe (3000L until 3015L)
+    // nothing left to compact → version unchanged, no empty commit
+    Snapshots.compactSmallFiles(spark, p, smallBytes = 10L) shouldBe v
+  }
+
+  test("streaming source skips compact commits (same rows, new layout " +
+      "must not re-emit)") {
+    val p = freshDir()
+    (0 until 4).foreach(i =>
+      Snapshots.append(tbl(i * 5 until i * 5 + 5).repartition(1), p))
+    val sink = "snap_compact_stream"
+    val q = spark.readStream.format("graft-snapshot").load(p)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      spark.table(sink).count() shouldBe 20L
+      Snapshots.compactSmallFiles(spark, p, smallBytes = 1L << 30)
+      Snapshots.append(tbl(100 until 103).repartition(1), p)
+      q.processAllAvailable()
+      // the compact's rewritten 20 rows must NOT re-emit
+      spark.table(sink).count() shouldBe 23L
+    } finally q.stop()
+  }
+
   test("timestampAsOf: in-commit timestamps are strictly monotonic and " +
       "versionAtTimestamp picks the newest commit at-or-before the time") {
     val p = freshDir()
