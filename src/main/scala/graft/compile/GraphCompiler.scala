@@ -372,7 +372,20 @@ final class GraphCompiler(
         // planning cost, never a table scan it didn't ask for.
         val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
           "SnapshotPathMissing", "load_snapshot needs a 'path' argument"))
-        val ver = optD(n, "version_as_of", r).map(_.toLong)
+        // version_as_of pins a version; timestamp_as_of (epoch millis)
+        // resolves one via the strictly monotonic in-commit timestamps —
+        // mutually exclusive like Delta's reader options
+        val verPin = optD(n, "version_as_of", r).map(_.toLong)
+        val tsPin = optD(n, "timestamp_as_of", r).map(_.toLong)
+        if (verPin.isDefined && tsPin.isDefined) throw graft.OpenEoError(
+          "SnapshotPinConflict",
+          "load_snapshot takes version_as_of OR timestamp_as_of, not both")
+        val ver = tsPin match {
+          case Some(ts) => Some(Snapshots.versionAtTimestamp(spark, spath, ts)
+            .getOrElse(throw graft.OpenEoError("SnapshotTimestampTooEarly",
+              s"no commit at or before timestamp $ts at $spath")))
+          case None => verPin
+        }
         optS(n, "where", r) match {
           case Some(w) => Snapshots.scanWhere(spark, spath, expr(w), ver)
           case None => Snapshots.read(spark, spath, ver)

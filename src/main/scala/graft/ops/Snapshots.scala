@@ -142,7 +142,8 @@ object Snapshots {
       txns: Map[String, Long] = Map.empty,
       partitionBy: Seq[String] = Nil,
       dvs: Map[String, Dv] = Map.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      constraints: Map[String, String] = Map.empty)
 
   /** A RESOLVED snapshot: the complete file list + stats at a version,
     * folded from the newest checkpoint at-or-below it plus the delta
@@ -251,6 +252,17 @@ object Snapshots {
     if (!n.has(field)) Nil
     else (0 until n.get(field).size()).map(n.get(field).get(_).asText())
 
+  private def getStringMap(n: JNode, field: String): Map[String, String] =
+    if (!n.has(field)) Map.empty
+    else {
+      val o = n.get(field); val it = o.fieldNames()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val k = it.next(); b += k -> o.get(k).asText()
+      }
+      b.result()
+    }
+
   private def getTxns(n: JNode): Map[String, Long] =
     if (!n.has("txns")) Map.empty
     else {
@@ -287,6 +299,10 @@ object Snapshots {
     putStats(root, m.stats)
     putDvs(root, m.dvs)
     if (m.ts > 0L) root.put("ts", m.ts)
+    if (m.constraints.nonEmpty) {
+      val cn = root.putObject("constraints")
+      m.constraints.foreach { case (k, v) => cn.put(k, v) }
+    }
     om.writeValueAsBytes(root)
   }
 
@@ -307,7 +323,8 @@ object Snapshots {
         getTxns(n),
         getStrings(n, "partitionBy"),
         getDvs(n),
-        if (n.has("ts")) n.get("ts").asLong(0L) else 0L))
+        if (n.has("ts")) n.get("ts").asLong(0L) else 0L,
+        getStringMap(n, "constraints")))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def renderCheckpoint(s: Snapshot): Array[Byte] = {
@@ -1058,9 +1075,8 @@ object Snapshots {
     if (candidates.isEmpty) return m.version
     // dv-aware passes: a row already merge-on-read-deleted must neither
     // count a file as touched nor resurrect through the rewrite
-    val withFile = readFiles(spark, root, candidates, schema, m.dvs,
-        keepPos = true)
-      .drop("__gpi").withColumnRenamed("__gap", "__gf")
+    val withFile = readFilesWithFileCol(spark, root, candidates, schema,
+      m.dvs)
     val touched = collectTouched(
       withFile.where(predicate).select("__gf").distinct(), candidates,
       "delete", path)
@@ -1100,13 +1116,17 @@ object Snapshots {
     if (candidates.isEmpty) return m.version
     // live rows only: a position already vector-deleted must not
     // re-count (readFiles anti-joins the existing vectors away)
-    val matches = readFiles(spark, root, candidates, schema, m.dvs,
+    val touched = collectTouched(
+      readFiles(spark, root, candidates, schema, m.dvs, keepPos = true)
+        .where(predicate).select(col("__gap").as("__gf")).distinct(),
+      candidates, "delete-dv", path)
+    if (touched.isEmpty) return m.version
+    // the position pass re-reads only the TOUCHED files (the same
+    // two-pass shape as CoW delete — the exact pass over candidates
+    // must not run twice on a selective predicate)
+    val matches = readFiles(spark, root, touched, schema, m.dvs,
         keepPos = true)
       .where(predicate).select(col("__gap"), col("__gpi"))
-    val touched = collectTouched(
-      matches.select(col("__gap").as("__gf")).distinct(), candidates,
-      "delete-dv", path)
-    if (touched.isEmpty) return m.version
     // distributed rel-path attribution: a tiny (basename → relative
     // path) lookup joined on equi basename + path-suffix residual — the
     // same disambiguation rule as relativize(), but kept distributed so
@@ -1177,12 +1197,21 @@ object Snapshots {
       throw new IllegalArgumentException(s"restore to $toVersion at " +
         s"$path impossible: data file $f was vacuumed")
     }
+    // the target's deletion-vector datasets too: a dangling dv
+    // reference would crash core reads and resurrect rows on the V2
+    // face — the same vacuum-horizon guard as the data files
+    target.dvs.values.map(_.path).toSeq.distinct
+      .find(d => !fs.exists(new Path(root, d))).foreach { d =>
+        throw new IllegalArgumentException(s"restore to $toVersion at " +
+          s"$path impossible: deletion-vector dataset $d was vacuumed")
+      }
     val schema = snapshotSchema(spark, path, target)
-    val pb = readManifest(fs, root, toVersion).map(_.partitionBy)
-      .getOrElse(Nil)
+    val tm = readManifest(fs, root, toVersion)
     commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
       path, "restore", expectParent = Some(cur.version),
-      partitionBy = pb, writeData = false, restoreTo = Some(target))
+      partitionBy = tm.map(_.partitionBy).getOrElse(Nil),
+      writeData = false, restoreTo = Some(target),
+      setConstraints = Some(tm.map(_.constraints).getOrElse(Map.empty)))
   }
 
   /** Maintenance commits rewrite LAYOUT, not content — incremental
@@ -1321,9 +1350,8 @@ object Snapshots {
     val root = new Path(path)
     val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
     if (candidates.isEmpty) return m.version
-    val withFile = readFiles(spark, root, candidates, schema, m.dvs,
-        keepPos = true)
-      .drop("__gpi").withColumnRenamed("__gap", "__gf")
+    val withFile = readFilesWithFileCol(spark, root, candidates, schema,
+      m.dvs)
     val touched = collectTouched(
       withFile.where(predicate).select("__gf").distinct(), candidates,
       "update", path)
@@ -1361,6 +1389,64 @@ object Snapshots {
     * (`spark.graft.snapshot.maxTouchedFiles`, default 100 000 ≈ a few MB
     * of paths) the plan fails LOUDLY instead, naming the op and the
     * ways out. */
+  /** A data batch broke a table CHECK constraint. Raised BEFORE the
+    * manifest publishes — the written files stay invisible and the next
+    * vacuum sweeps them, so bad data can never become readable. */
+  final class ConstraintViolation(name: String, expr: String, op: String,
+      path: String)
+      extends RuntimeException(
+        s"$op at $path violates CHECK constraint '$name' ($expr) — the " +
+        "batch was rejected before publish; fix the data or drop the " +
+        "constraint")
+
+  /** ADD a CHECK constraint (the Delta invariants/constraints shape):
+    * `exprSql` is a boolean SQL expression EVERY row must satisfy. The
+    * current table is validated first (one narrow read — adding a
+    * constraint the data already breaks fails typed), then a
+    * metadata-only commit records it; every later append / overwrite /
+    * merge / update batch validates BEFORE its manifest publishes, so
+    * a bad batch is rejected atomically (its files stay invisible,
+    * vacuum sweeps them). NOT NULL is the special case
+    * `col IS NOT NULL`. Constraints are table metadata like
+    * partitionBy: inherited by every commit, restored by RESTORE,
+    * removable with [[dropConstraint]]. */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Long = {
+    require(name.nonEmpty, "constraint needs a name")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val cur = latestManifest(spark, path).map(_.constraints)
+      .getOrElse(Map.empty)
+    require(!cur.contains(name),
+      s"constraint '$name' already exists at $path — drop it first")
+    val schema = snapshotSchema(spark, path, m)
+    // the existing rows must satisfy it, or reads and rewrites would
+    // disagree about which data is "valid". SQL CHECK semantics: a
+    // NULL result PASSES (write `col IS NOT NULL` for null rejection)
+    val bad = readFiles(spark, new Path(path), m.files, schema, m.dvs)
+      .where(not(coalesce(expr(exprSql), lit(true)))).limit(1).count()
+    if (bad > 0) throw new ConstraintViolation(name, exprSql,
+      "add-constraint", path)
+    commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
+      path, "metadata", expectParent = Some(m.version), writeData = false,
+      setConstraints = Some(cur + (name -> exprSql)))
+  }
+
+  /** Remove a CHECK constraint (metadata-only commit). */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Long = {
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    val cur = latestManifest(spark, path).map(_.constraints)
+      .getOrElse(Map.empty)
+    require(cur.contains(name),
+      s"no constraint '$name' at $path (have: ${cur.keys.mkString(",")})")
+    val schema = snapshotSchema(spark, path, m)
+    commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
+      path, "metadata", expectParent = Some(m.version), writeData = false,
+      setConstraints = Some(cur - name))
+  }
+
   final class TouchedFilesOverflow(op: String, cap: Int, path: String)
       extends RuntimeException(
         s"$op at $path matches rows in more than $cap data files — the " +
@@ -1396,9 +1482,8 @@ object Snapshots {
           col(k) >= lit(mm.get(0)) && col(k) <= lit(mm.get(1))))
       } else m.files
     if (candidates.isEmpty) return Nil
-    val withFile = readFiles(spark, root, candidates, schema, m.dvs,
-        keepPos = true)
-      .drop("__gpi").withColumnRenamed("__gap", "__gf")
+    val withFile = readFilesWithFileCol(spark, root, candidates, schema,
+      m.dvs)
     collectTouched(
       withFile.join(keys, keyCols, "left_semi").select("__gf").distinct(),
       candidates, "merge", root.toString)
@@ -1483,9 +1568,11 @@ object Snapshots {
       partitionBy: Seq[String] = Nil,
       dvs: Map[String, Dv] = Map.empty,
       writeData: Boolean = true,
-      restoreTo: Option[Snapshot] = None): Long = {
+      restoreTo: Option[Snapshot] = None,
+      setConstraints: Option[Map[String, String]] = None): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
-      "update", "delete-dv", "restore", "compact")(op), s"unknown op $op")
+      "update", "delete-dv", "restore", "compact", "metadata")(op),
+      s"unknown op $op")
     val spark = df.sparkSession
     // partitionBy is TABLE metadata (the Delta rule): an explicit list
     // (re)defines the layout, every other commit — appends, CoW
@@ -1500,6 +1587,11 @@ object Snapshots {
       s"table at $path is partitioned by ${effParts.mkString(",")} — " +
         "the batch must carry those columns (overwrite with an explicit " +
         "partitionBy to change the layout)")
+    // CHECK constraints are table metadata like partitionBy: an
+    // explicit set (add/drop/restore) redefines, everything else
+    // inherits the parent's
+    val effConstraints: Map[String, String] = setConstraints.getOrElse(
+      latestManifest(spark, path).map(_.constraints).getOrElse(Map.empty))
     val fs = fsFor(spark, path); val root = new Path(path)
     // 1) data files land in an uncommitted per-commit directory: the
     //    DISTRIBUTED part of the commit, paid once even across retries.
@@ -1524,6 +1616,21 @@ object Snapshots {
         (a, computeStats(spark, root, commitDir, a, df.schema,
           listed.toMap))
       }
+    // CHECK-constraint validation, AFTER the write and BEFORE any claim
+    // (a violated batch's files stay invisible; vacuum sweeps them) —
+    // only ops that can introduce NEW values validate; layout rewrites
+    // (optimize/compact) and delete survivors carry already-valid rows
+    if (writeData && effConstraints.nonEmpty && adds.nonEmpty &&
+        Set("append", "overwrite", "merge", "update")(op)) {
+      val written = spark.read.schema(df.schema)
+        .parquet(adds.map(f => new Path(root, f).toString): _*)
+      effConstraints.foreach { case (nm, ex) =>
+        // SQL CHECK: only a FALSE result violates; NULL passes
+        if (written.where(not(coalesce(expr(ex), lit(true))))
+            .limit(1).count() > 0)
+          throw new ConstraintViolation(nm, ex, op, path)
+      }
+    }
     // 2) claim the next version with an atomic create-if-absent; on a
     //    lost race, re-read latest and retry (driver-side only) — except
     //    for snapshot-rewriting ops (merge/delete/optimize), which must
@@ -1552,6 +1659,18 @@ object Snapshots {
       // the table the other writer just re-laid-out — fail like any
       // other snapshot conflict instead (the data dir becomes vacuum
       // dead weight, same as a lost merge race)
+      // constraint-race guard: a concurrent add/drop between our
+      // validation pass and this claim would publish data validated
+      // against the WRONG constraint set — conflict like any other
+      // snapshot race
+      if (setConstraints.isEmpty && writeData) {
+        val pc = parentM.map(_.constraints).getOrElse(Map.empty)
+        if (pc != effConstraints)
+          throw new java.util.ConcurrentModificationException(
+            s"$op at $path validated under constraints " +
+              s"[${effConstraints.keys.mkString(",")}] but the table " +
+              s"now has [${pc.keys.mkString(",")}] — re-run the $op")
+      }
       if (partitionBy.isEmpty && op != "overwrite" && op != "restore") {
         val parentParts = parentM.map(_.partitionBy).getOrElse(Nil)
         if (parentParts != effParts)
@@ -1603,7 +1722,8 @@ object Snapshots {
         // in-commit timestamps, forced strictly monotonic across writer
         // clock skew (the Delta ICT rule) — timestampAsOf stays sane
         ts = math.max(System.currentTimeMillis(),
-          parentM.map(_.ts + 1).getOrElse(1L)))
+          parentM.map(_.ts + 1).getOrElse(1L)),
+        constraints = effConstraints)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       // ALL-OR-NOTHING claim: the manifest is fully written to a hidden
@@ -1733,6 +1853,14 @@ object Snapshots {
       }
     if (keepPos) out else out.drop("__gap", "__gpi")
   }
+
+  /** [[readFiles]] keeping only the legacy `__gf` file-attribution
+    * column — the CoW planning shape (exact touched-file passes). */
+  private def readFilesWithFileCol(spark: SparkSession, root: Path,
+      files: Seq[String], schema: StructType,
+      dvs: Map[String, Dv]): DataFrame =
+    readFiles(spark, root, files, schema, dvs, keepPos = true)
+      .drop("__gpi").withColumnRenamed("__gap", "__gf")
 
   /** Read a pinned version (default: latest). The scan's file list IS
     * the manifest — no data-directory listing, stable under concurrent

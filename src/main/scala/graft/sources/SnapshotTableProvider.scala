@@ -610,7 +610,14 @@ object SnapshotGroupReader {
     val base = relPath.split('/').last
     val dir = new org.apache.hadoop.fs.Path(dvDirAbs, s"__gb=$base")
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return Array.emptyLongArray
+    // a dv entry always covers >= 1 position, so a missing partition
+    // directory is CORRUPTION (vacuumed-away vector, partial copy) —
+    // fail loudly like the core face; silently skipping nothing would
+    // resurrect every deleted row
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"graft-snapshot: deletion-vector directory $dir is missing for " +
+        s"$relPath — the vector dataset was removed (vacuum past a " +
+        "referencing version, or a partial table copy)")
     val parts = Option(fs.listStatus(dir)).getOrElse(Array.empty)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath)

@@ -1040,5 +1040,24 @@ class GraphCompilerSpec extends SparkSpec {
           "result": true}}""")
     }
     e.code shouldBe "SnapshotPathMissing"
+
+    // timestamp_as_of == readAsOfTimestamp; conflicts and pre-history
+    // times are typed errors
+    val ts2 = graft.ops.Snapshots.manifestAt(spark, p, 2L).get.ts
+    rowSet(compile(s"""{
+      "t": {"process_id": "load_snapshot", "arguments": {
+        "path": "$p", "timestamp_as_of": $ts2}, "result": true}}""")) shouldBe
+      rowSet(graft.ops.Snapshots.readAsOfTimestamp(spark, p, ts2))
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "t": {"process_id": "load_snapshot", "arguments": {
+          "path": "$p", "version_as_of": 1, "timestamp_as_of": $ts2},
+          "result": true}}""")
+    }.code shouldBe "SnapshotPinConflict"
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "t": {"process_id": "load_snapshot", "arguments": {
+          "path": "$p", "timestamp_as_of": 1}, "result": true}}""")
+    }.code shouldBe "SnapshotTimestampTooEarly"
   }
 }

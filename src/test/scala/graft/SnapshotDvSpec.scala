@@ -44,6 +44,19 @@ class SnapshotDvSpec extends SparkSpec {
       (31L until 100L by 5L).toSeq
   }
 
+  test("plan pin: the vector anti-join extracts its equi keys — a hash " +
+      "join (broadcast here), never a nested loop from the path-suffix " +
+      "residual") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 200).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") < 40L)
+    val plan = Snapshots.read(spark, p)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    (plan should include).regex("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)")
+  }
+
   test("law: deleteMor ≡ copy-on-write delete for the same predicate") {
     val pMor = freshDir(); val pCow = freshDir()
     val pred = col("id") % 7 === 0 || col("v") > 150.0
@@ -270,6 +283,83 @@ class SnapshotDvSpec extends SparkSpec {
       // the compact's rewritten 20 rows must NOT re-emit
       spark.table(sink).count() shouldBe 23L
     } finally q.stop()
+  }
+
+  test("a dangling deletion-vector reference fails LOUDLY everywhere: " +
+      "restore refuses to commit it, and the V2 reader raises instead " +
+      "of silently resurrecting deleted rows") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 50).repartition(1), p)
+    Snapshots.deleteMor(spark, p, col("id") < 10L) // v2, vector d-A
+    Snapshots.deleteMor(spark, p, col("id") < 20L) // v3 supersedes d-A
+    // simulate the vacuum race / partial copy: v2's now-unreferenced
+    // vector dataset disappears while its manifest survives
+    val m2 = Snapshots.snapshotAt(spark, p, Some(2L)).get
+    val d = new java.io.File(s"$p/${m2.dvs.values.head.path}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); () }
+    rm(d)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, p, 2L)
+    }
+    e.getMessage should include("deletion-vector")
+    // the live version (v3, its own vector intact) still reads fine
+    Snapshots.read(spark, p).count() shouldBe 30L
+    // V2 face pinned to the corrupted version: metadata COUNT(*) still
+    // answers from the log (exact, zero file reads — by design), but a
+    // real row read is a typed failure, never silent resurrection
+    spark.read.format("graft-snapshot").option("versionAsOf", "2")
+      .load(p).count() shouldBe 40L
+    val thrown = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("versionAsOf", "2")
+        .load(p).select("id").collect()
+    }
+    thrown.toString + Option(thrown.getCause).mkString should
+      include regex "(?i)(deletion-vector|path does not exist|missing)"
+  }
+
+  test("CHECK constraints: a violating batch is rejected atomically " +
+      "before publish (table unchanged), valid batches pass, SQL null " +
+      "semantics hold, and drop re-admits") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 until 50), p)
+    val vc = Snapshots.addConstraint(spark, p, "pos_v", "v > 0")
+    vc shouldBe 2L
+    // valid append passes and inherits the constraint
+    Snapshots.append(tbl(50 until 60), p) shouldBe 3L
+    // violating append: typed rejection, version AND content unchanged
+    val e = intercept[Snapshots.ConstraintViolation] {
+      Snapshots.append(Seq((999L, "t0", -5.0)).toDF("id", "typ", "v"), p)
+    }
+    e.getMessage should include("pos_v")
+    Snapshots.snapshotAt(spark, p).get.version shouldBe 3L
+    Snapshots.read(spark, p).count() shouldBe 59L
+    // violating UPDATE rejected too (SET can break a constraint)
+    intercept[Snapshots.ConstraintViolation] {
+      Snapshots.update(spark, p, col("id") === 5L,
+        Map("v" -> lit(-1.0)))
+    }
+    Snapshots.read(spark, p).where(col("id") === 5L)
+      .head().getDouble(2) shouldBe 10.0
+    // SQL CHECK null semantics: NULL result passes
+    Snapshots.append(Seq((998L, "t0", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "typ", "v").select(col("id"), col("typ"),
+        col("v").cast("double")), p)
+    // ...so null rejection is the explicit IS NOT NULL constraint
+    intercept[Snapshots.ConstraintViolation] {
+      Snapshots.addConstraint(spark, p, "v_not_null", "v IS NOT NULL")
+    }
+    // adding a constraint the CURRENT data breaks fails typed (above);
+    // drop re-admits the negative batch
+    Snapshots.dropConstraint(spark, p, "pos_v")
+    Snapshots.append(Seq((999L, "t0", -5.0)).toDF("id", "typ", "v"), p)
+    Snapshots.read(spark, p).where(col("v") < 0).count() shouldBe 1L
+    // constraints restore with the version they were part of
+    val vHad = vc + 1 // v3: pos_v active
+    Snapshots.restore(spark, p, vHad)
+    intercept[Snapshots.ConstraintViolation] {
+      Snapshots.append(Seq((997L, "t0", -2.0)).toDF("id", "typ", "v"), p)
+    }
   }
 
   test("timestampAsOf: in-commit timestamps are strictly monotonic and " +
