@@ -4181,6 +4181,21 @@ object SparkEntry {
       val p = buildDvSnapshotStore(s, dir)
       s.read.format("graft-snapshot").load(p)
     }),
+    "q_snapshot_write" -> ((s, dir) => {
+      // the V2 WRITE face: df.write.format("graft-snapshot") routes
+      // every batch through the full commit protocol — atomic manifest
+      // publish, schema enforcement, CHECK constraints, per-file stats
+      // — so catalog-integrated writers get the same guarantees as the
+      // Scala API (V1Write fallback, the JDBC-V2 pattern). Two commits
+      // (create + append), read back through the V2 batch face.
+      val p = freshSnapshotPath(dir, "wr")
+      val ev = snapshotEvents(s, dir)
+      ev.where(col("event_id") % 2 === 0)
+        .write.format("graft-snapshot").mode("append").save(p)
+      ev.where(col("event_id") % 2 === 1)
+        .write.format("graft-snapshot").mode("append").save(p)
+      s.read.format("graft-snapshot").load(p)
+    }),
     "q_snapshot_dv_feed" -> ((s, dir) => {
       // the ROW-LEVEL DELETE FEED merge-on-read unlocks: deletedRows(v)
       // reads version v's vectors (minus the parent's) and joins the
@@ -8235,6 +8250,9 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE NOT (event_id < 3000 AND event_type = 'view')""",
+    "q_snapshot_write" ->
+      // two V2-written commits = the whole events table
+      """SELECT event_id, user_id, event_type, value FROM events""",
     "q_snapshot_dv_feed" ->
       // the delete feed carries exactly the vectored-away rows
       """SELECT event_id, user_id, event_type, value

@@ -96,22 +96,69 @@ final class SnapshotTableProvider extends TableProvider
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
-  override def supportsExternalMetadata(): Boolean = false
+  // TRUE so the WRITE path works on not-yet-created tables: Spark then
+  // hands getTable the DATAFRAME's schema for writes (first commit
+  // bootstraps from it; the insert itself re-enforces against the real
+  // manifest schema inside append/overwrite). Reads without a user
+  // schema still resolve through inferSchema (the manifest).
+  override def supportsExternalMetadata(): Boolean = true
 }
 
 final class SnapshotTable(path: String, tschema: StructType,
     versionAsOf: Option[Long], startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      // BATCH_WRITE is the planner gate; V1_BATCH_WRITE declares the
+      // execution shape (build() returns a V1Write)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion,
       maxVersionsPerTrigger, maxBytesPerTrigger)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(path)
+}
+
+/** WRITE face of the V2 source — `df.write.format("graft-snapshot")
+  * .mode("append"|"overwrite").save(path)` — through Spark's V1Write
+  * fallback (the JDBC-V2 pattern): the whole batch routes into
+  * [[Snapshots.append]]/[[Snapshots.overwrite]], so EVERY commit-
+  * protocol guarantee applies unchanged — atomic manifest publish,
+  * schema enforcement + auto-merge, CHECK-constraint validation,
+  * per-file stats, partitionBy inheritance, optimistic-concurrency
+  * retries. Per-executor DataWriters would re-implement exactly that
+  * protocol for no gain: the data write inside append() is already the
+  * distributed part. */
+final class SnapshotWriteBuilder(path: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              ow: Boolean): Unit = {
+            if (overwrite || ow) Snapshots.overwrite(data, path)
+            else Snapshots.append(data, path)
+            ()
+          }
+        }
+    }
 }
 
 final class SnapshotScanBuilder(path: String, full: StructType,

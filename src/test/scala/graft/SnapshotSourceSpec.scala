@@ -364,6 +364,43 @@ class SnapshotSourceSpec extends SparkSpec {
     opt.queryExecution.executedPlan.toString should include("ColumnarToRow")
   }
 
+  test("V2 WRITE face: df.write.format(graft-snapshot) creates, " +
+      "appends, and overwrites through the full commit protocol — " +
+      "schema enforcement and CHECK constraints included") {
+    val p = freshDir() + "/t"
+    // first write CREATES the table (version 1). V2 writes take
+    // explicit append/overwrite modes (Spark routes the default
+    // ErrorIfExists to the V1 path, which this source does not serve)
+    tbl(1 to 30).write.format("graft-snapshot").mode("append").save(p)
+    Snapshots.read(spark, p).count() shouldBe 30L
+    // append mode = a second atomic commit
+    tbl(31 to 40).write.format("graft-snapshot").mode("append").save(p)
+    rowSet(spark.read.format("graft-snapshot").load(p)) shouldBe
+      rowSet(tbl(1 to 40))
+    // overwrite mode = whole-snapshot replacement, history retained
+    tbl(100 to 105).write.format("graft-snapshot").mode("overwrite").save(p)
+    Snapshots.read(spark, p).count() shouldBe 6L
+    Snapshots.read(spark, p, Some(2L)).count() shouldBe 40L
+    // schema enforcement reaches the V2 writer: a type change fails
+    intercept[Exception] {
+      Seq(("x", "y", 1.0)).toDF("id", "name", "v")
+        .write.format("graft-snapshot").mode("append").save(p)
+    }.getMessage should include("changes column")
+    // CHECK constraints gate V2 writes too
+    Snapshots.addConstraint(spark, p, "pos_id", "id > 0")
+    intercept[Snapshots.ConstraintViolation] {
+      tbl(-5 to -1).write.format("graft-snapshot").mode("append").save(p)
+    }
+    Snapshots.read(spark, p).count() shouldBe 6L
+    // the default mode (ErrorIfExists) gets Spark's own typed
+    // unsupported-save-mode error pointing at append/overwrite — never
+    // a silent wrong write
+    intercept[Exception] {
+      tbl(1 to 3).write.format("graft-snapshot").save(p)
+    }.getMessage.toLowerCase should include("append")
+    Snapshots.read(spark, p).count() shouldBe 6L
+  }
+
   test("unsupported column types get a typed error at load, not a " +
       "mid-task crash") {
     val p = freshDir()
