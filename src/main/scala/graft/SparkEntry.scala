@@ -4196,6 +4196,16 @@ object SparkEntry {
         .write.format("graft-snapshot").mode("append").save(p)
       s.read.format("graft-snapshot").load(p)
     }),
+    "q_snapshot_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY over the shared vectored store: the
+      // operability listing (version, op, adds) a table owner reads
+      // before restore/vacuum decisions — one log walk, zero data I/O.
+      // Timestamps/counts that depend on wall clock stay unprojected;
+      // version/op/n_added are fully deterministic (8-way range
+      // clustering + one metadata-only delete-dv commit).
+      val p = buildDvSnapshotStore(s, dir)
+      Snapshots.history(s, p).select("version", "op", "n_added")
+    }),
     "q_snapshot_dv_feed" -> ((s, dir) => {
       // the ROW-LEVEL DELETE FEED merge-on-read unlocks: deletedRows(v)
       // reads version v's vectors (minus the parent's) and joins the
@@ -8253,6 +8263,13 @@ object SparkEntry {
     "q_snapshot_write" ->
       // two V2-written commits = the whole events table
       """SELECT event_id, user_id, event_type, value FROM events""",
+    "q_snapshot_history" ->
+      // the dv store's log: v1 = 8-file range-clustered append, v2 =
+      // metadata-only merge-on-read delete (no files added)
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 'append', CAST(8 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'delete-dv', CAST(0 AS BIGINT)))
+         AS t(version, op, n_added)""",
     "q_snapshot_dv_feed" ->
       // the delete feed carries exactly the vectored-away rows
       """SELECT event_id, user_id, event_type, value

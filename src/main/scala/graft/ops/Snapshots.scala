@@ -477,21 +477,56 @@ object Snapshots {
     }
   }
 
+  /** Forward fold over every parseable manifest, oldest first: the
+    * manifest plus the IN-FORCE file and vector-covered-file counts at
+    * that version — the one shared walk behind the diagnostic
+    * listings ([[history]], [[versions]]). Mirrors
+    * [[resolveSnapshot]]'s fold rules. */
+  private def logFold(fs: FileSystem, root: Path)
+      : Seq[(Manifest, Int, Int)] = {
+    var files: Seq[String] = Nil
+    var dvFiles: Set[String] = Set.empty
+    claimedVersions(fs, root).sorted
+      .flatMap(v => readManifest(fs, root, v))
+      .map { m =>
+        m.files match {
+          case Some(full) => files = full; dvFiles = m.dvs.keySet
+          case None if m.op == "overwrite" || m.op == "optimize" =>
+            files = m.adds; dvFiles = m.dvs.keySet
+          case None =>
+            val rm = m.removes.toSet
+            files = files.filterNot(rm) ++ m.adds
+            dvFiles = (dvFiles -- rm) ++ m.dvs.keySet
+        }
+        (m, files.size, dvFiles.size)
+      }
+  }
+
+  /** Commit HISTORY as a DataFrame (the Delta DESCRIBE HISTORY shape):
+    * one row per parseable manifest, oldest first — version, op,
+    * in-commit timestamp (millis), files added/removed by the commit,
+    * plus the IN-FORCE state after it (file count, vector-covered file
+    * count, constraint names) so a table owner planning a
+    * restore/vacuum reads live state, not just deltas. One forward log
+    * walk, zero data I/O. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    import spark.implicits._
+    logFold(fs, root).map { case (m, nFiles, nDv) =>
+      (m.version, m.op, m.ts, m.adds.size.toLong,
+        m.removes.size.toLong, nFiles.toLong, nDv.toLong,
+        m.constraints.keys.toSeq.sorted.mkString(","))
+    }.toDF("version", "op", "commit_ts", "n_added", "n_removed",
+      "n_files", "n_dv_files", "constraints")
+  }
+
   /** Committed (version, op, fileCount) history, oldest first — one
     * forward fold over the whole log (a diagnostic listing, not a read
     * path). */
   def versions(spark: SparkSession, path: String): Seq[(Long, String, Int)] = {
     val fs = fsFor(spark, path); val root = new Path(path)
-    var cur: Seq[String] = Nil
-    claimedVersions(fs, root).sorted
-      .flatMap(v => readManifest(fs, root, v))
-      .map { m =>
-        cur = m.files.getOrElse {
-          if (m.op == "overwrite" || m.op == "optimize") m.adds
-          else cur.filterNot(m.removes.toSet) ++ m.adds
-        }
-        (m.version, m.op, cur.size)
-      }
+    logFold(fs, root).map { case (m, nFiles, _) =>
+      (m.version, m.op, nFiles) }
   }
 
   // -------------------------------------------------------------- file stats
@@ -1206,12 +1241,21 @@ object Snapshots {
           s"$path impossible: deletion-vector dataset $d was vacuumed")
       }
     val schema = snapshotSchema(spark, path, target)
-    val tm = readManifest(fs, root, toVersion)
+    // the target MANIFEST (not just a resolvable checkpoint) is
+    // required: partition layout and constraints live there, and
+    // silently restoring without them would strip exact pruning and
+    // enforcement — fail loudly like the vacuumed-file guards above
+    val tm = readManifest(fs, root, toVersion).getOrElse(
+      throw new IllegalArgumentException(s"restore to $toVersion at " +
+        s"$path impossible: its manifest is unparseable, so the " +
+        "partition layout and constraints in force there cannot be " +
+        "recovered — read() the version via its checkpoint and " +
+        "overwrite instead"))
     commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
       path, "restore", expectParent = Some(cur.version),
-      partitionBy = tm.map(_.partitionBy).getOrElse(Nil),
+      partitionBy = tm.partitionBy,
       writeData = false, restoreTo = Some(target),
-      setConstraints = Some(tm.map(_.constraints).getOrElse(Map.empty)))
+      setConstraints = Some(tm.constraints))
   }
 
   /** Maintenance commits rewrite LAYOUT, not content — incremental
@@ -1579,10 +1623,15 @@ object Snapshots {
     // rewrites, optimize — INHERITS the parent's, so a partitioned
     // table never silently loses its exact partition pruning to a
     // rewrite. Overwrite without a list redefines as unpartitioned.
+    // ONE newest-manifest read serves every plan-time inherit below
+    // (layout, constraints, validation schema) — on object stores each
+    // read is a LIST + GET round-trip; the claim loop re-reads under
+    // the race, which stays authoritative
+    val parentAtPlan = latestManifest(spark, path)
     val effParts =
       if (partitionBy.nonEmpty) partitionBy
       else if (op == "overwrite" || op == "restore") Nil
-      else latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
+      else parentAtPlan.map(_.partitionBy).getOrElse(Nil)
     require(effParts.forall(df.columns.contains),
       s"table at $path is partitioned by ${effParts.mkString(",")} — " +
         "the batch must carry those columns (overwrite with an explicit " +
@@ -1591,7 +1640,7 @@ object Snapshots {
     // explicit set (add/drop/restore) redefines, everything else
     // inherits the parent's
     val effConstraints: Map[String, String] = setConstraints.getOrElse(
-      latestManifest(spark, path).map(_.constraints).getOrElse(Map.empty))
+      parentAtPlan.map(_.constraints).getOrElse(Map.empty))
     val fs = fsFor(spark, path); val root = new Path(path)
     // 1) data files land in an uncommitted per-commit directory: the
     //    DISTRIBUTED part of the commit, paid once even across retries.
@@ -1622,13 +1671,46 @@ object Snapshots {
     // (optimize/compact) and delete survivors carry already-valid rows
     if (writeData && effConstraints.nonEmpty && adds.nonEmpty &&
         Set("append", "overwrite", "merge", "update")(op)) {
-      val written = spark.read.schema(df.schema)
+      // resolve against the MERGED table schema, not the batch's: an
+      // evolution append omitting a constrained column reads it as
+      // null, which SQL CHECK semantics PASS — it must not crash
+      // unresolved. A constraint no longer resolvable at all (an
+      // overwrite dropping its column) fails typed, naming it.
+      val valSchema =
+        if (op == "append")
+          parentAtPlan.flatMap(_.schemaJson).map { pj =>
+            val ps = DataType.fromJson(pj).asInstanceOf[StructType]
+            StructType(ps.fields ++ df.schema.fields
+              .filterNot(f => ps.fieldNames.contains(f.name)))
+          }.getOrElse(df.schema)
+        else df.schema
+      val checks = effConstraints.toSeq.sortBy(_._1)
+      checks.foreach { case (nm, ex) =>
+        try {
+          spark.createDataFrame(new java.util.ArrayList[Row](), valSchema)
+            .where(expr(ex)).queryExecution.analyzed
+          ()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"CHECK constraint '$nm' ($ex) at $path cannot be " +
+                s"evaluated against this batch's schema: ${e.getMessage}")
+        }
+      }
+      // ONE combined pass over the written files for all constraints
+      // (k separate jobs would re-read the batch k times)
+      val written = spark.read.schema(valSchema)
         .parquet(adds.map(f => new Path(root, f).toString): _*)
-      effConstraints.foreach { case (nm, ex) =>
+      val flags = checks.zipWithIndex.map { case ((_, ex), i) =>
         // SQL CHECK: only a FALSE result violates; NULL passes
-        if (written.where(not(coalesce(expr(ex), lit(true))))
-            .limit(1).count() > 0)
-          throw new ConstraintViolation(nm, ex, op, path)
+        coalesce(expr(ex), lit(true)).as(s"__gc$i")
+      }
+      val bad = written.select(flags: _*)
+        .where(checks.indices.map(i => !col(s"__gc$i")).reduce(_ || _))
+        .limit(1).collect().headOption
+      bad.foreach { r =>
+        val i = checks.indices.find(i => !r.getBoolean(i)).get
+        throw new ConstraintViolation(checks(i)._1, checks(i)._2, op, path)
       }
     }
     // 2) claim the next version with an atomic create-if-absent; on a

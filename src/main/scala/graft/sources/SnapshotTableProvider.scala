@@ -82,6 +82,20 @@ final class SnapshotTableProvider extends TableProvider
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
+    // the MANIFEST schema is authoritative whenever the table exists:
+    // with supportsExternalMetadata a user-specified READ schema would
+    // otherwise pass through verbatim — a typo'd column silently reads
+    // all-null and the unsupported-type guard is skipped. The passed
+    // schema only bootstraps a WRITE to a not-yet-created table.
+    val tschema =
+      try inferSchema(opts)
+      catch {
+        case e: IllegalArgumentException =>
+          if (schema.nonEmpty && Option(opts.get("versionAsOf")).isEmpty &&
+              Snapshots.latestManifest(SparkSession.active, path).isEmpty)
+            schema
+          else throw e
+      }
     // pin "latest" ONCE, here: every action on the returned DataFrame
     // then reads the same version — a concurrent commit between count()
     // and collect() cannot split one DataFrame across two snapshots.
@@ -90,7 +104,7 @@ final class SnapshotTableProvider extends TableProvider
       val v = Snapshots.latestVersion(SparkSession.active, path)
       if (v > 0) Some(v) else None
     }
-    new SnapshotTable(path, schema, pinned,
+    new SnapshotTable(path, tschema, pinned,
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong))

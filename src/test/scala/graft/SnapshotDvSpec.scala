@@ -318,6 +318,33 @@ class SnapshotDvSpec extends SparkSpec {
       include regex "(?i)(deletion-vector|path does not exist|missing)"
   }
 
+  test("history(): one row per commit, oldest first, with op, adds/" +
+      "removes, IN-FORCE vector coverage, and the constraint names " +
+      "in force") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 40).repartition(2), p)
+    Snapshots.deleteMor(spark, p, col("id") < 5L)
+    Snapshots.addConstraint(spark, p, "pos_v", "v >= 0")
+    Snapshots.optimize(spark, p, numFiles = 1)
+    val h = Snapshots.history(spark, p)
+      .orderBy("version")
+      .select("version", "op", "n_added", "n_dv_files", "constraints")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // n_dv_files is the vectors IN FORCE at each version (a metadata
+    // commit between the delete and the optimize still shows 2), so a
+    // vacuum/restore planner reads live state, not deltas
+    h shouldBe Array(
+      (1L, "append", 2L, 0L, ""),
+      (2L, "delete-dv", 0L, 2L, ""),
+      (3L, "metadata", 0L, 2L, "pos_v"),
+      (4L, "optimize", 1L, 0L, "pos_v"))
+    // timestamps ride along, monotonic
+    val ts = Snapshots.history(spark, p).orderBy("version")
+      .select("commit_ts").as[Long].collect()
+    ts shouldBe ts.sorted
+  }
+
   test("CHECK constraints: a violating batch is rejected atomically " +
       "before publish (table unchanged), valid batches pass, SQL null " +
       "semantics hold, and drop re-admits") {
@@ -360,6 +387,24 @@ class SnapshotDvSpec extends SparkSpec {
     intercept[Snapshots.ConstraintViolation] {
       Snapshots.append(Seq((997L, "t0", -2.0)).toDF("id", "typ", "v"), p)
     }
+  }
+
+  test("a constrained column an evolution append OMITS reads as null " +
+      "— SQL CHECK passes (no unresolved-column crash), and a " +
+      "constraint no batch schema can resolve fails typed") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 until 10), p)
+    Snapshots.addConstraint(spark, p, "pos_v", "v > 0")
+    // the batch omits 'v' entirely: the merged table schema supplies
+    // it as null, which CHECK semantics pass
+    Snapshots.append(Seq((100L, "t9")).toDF("id", "typ"), p)
+    Snapshots.read(spark, p).count() shouldBe 10L
+    // an overwrite DROPPING the constrained column cannot evaluate the
+    // constraint at all — typed error naming it, not an analysis crash
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.overwrite(Seq((1L, "t0")).toDF("id", "typ"), p)
+    }
+    e.getMessage should include("pos_v")
   }
 
   test("timestampAsOf: in-commit timestamps are strictly monotonic and " +

@@ -381,11 +381,14 @@ class SnapshotSourceSpec extends SparkSpec {
     tbl(100 to 105).write.format("graft-snapshot").mode("overwrite").save(p)
     Snapshots.read(spark, p).count() shouldBe 6L
     Snapshots.read(spark, p, Some(2L)).count() shouldBe 40L
-    // schema enforcement reaches the V2 writer: a type change fails
+    // schema enforcement reaches the V2 writer: the table schema is
+    // manifest-authoritative, so Spark's own output resolution rejects
+    // a type change at ANALYSIS time (cannot safely cast), before any
+    // data write
     intercept[Exception] {
       Seq(("x", "y", 1.0)).toDF("id", "name", "v")
         .write.format("graft-snapshot").mode("append").save(p)
-    }.getMessage should include("changes column")
+    }.getMessage.toLowerCase should include("cast")
     // CHECK constraints gate V2 writes too
     Snapshots.addConstraint(spark, p, "pos_id", "id > 0")
     intercept[Snapshots.ConstraintViolation] {
@@ -399,6 +402,11 @@ class SnapshotSourceSpec extends SparkSpec {
       tbl(1 to 3).write.format("graft-snapshot").save(p)
     }.getMessage.toLowerCase should include("append")
     Snapshots.read(spark, p).count() shouldBe 6L
+    // READS stay manifest-authoritative: a user-specified schema with
+    // a typo'd column is ignored, never silently read as all-null
+    val withUserSchema = spark.read.format("graft-snapshot")
+      .schema("id LONG, nmae STRING").load(p)
+    withUserSchema.columns.toSeq shouldBe Seq("id", "name", "v")
   }
 
   test("unsupported column types get a typed error at load, not a " +
