@@ -4196,6 +4196,20 @@ object SparkEntry {
         .write.format("graft-snapshot").mode("append").save(p)
       s.read.format("graft-snapshot").load(p)
     }),
+    "q_snapshot_replace" -> ((s, dir) => {
+      // predicate-scoped OVERWRITE (replaceWhere — the daily backfill
+      // idiom): re-run one region of the table atomically. Stats
+      // pre-prune the touched files, untouched files carry over, and
+      // the batch is contract-checked to live entirely inside the
+      // region (a leaking backfill fails typed — spec-pinned).
+      val p = freshSnapshotPath(dir, "rw")
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.repartitionByRange(8, col("event_id")), p)
+      Snapshots.replaceWhere(s, p, col("event_type") === "click",
+        ev.where(col("event_type") === "click")
+          .withColumn("value", col("value") * 3))
+      Snapshots.read(s, p)
+    }),
     "q_snapshot_history" -> ((s, dir) => {
       // DESCRIBE HISTORY over the shared vectored store: the
       // operability listing (version, op, adds) a table owner reads
@@ -8263,6 +8277,12 @@ object SparkEntry {
     "q_snapshot_write" ->
       // two V2-written commits = the whole events table
       """SELECT event_id, user_id, event_type, value FROM events""",
+    "q_snapshot_replace" ->
+      // backfill replay: click rows tripled, everything else untouched
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_type = 'click' THEN value * 3
+                     ELSE value END AS value
+         FROM events""",
     "q_snapshot_history" ->
       // the dv store's log: v1 = 8-file range-clustered append, v2 =
       // metadata-only merge-on-read delete (no files added)

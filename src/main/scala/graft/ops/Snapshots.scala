@@ -1122,6 +1122,53 @@ object Snapshots {
       expectParent = Some(m.version))
   }
 
+  /** Predicate-scoped OVERWRITE (Delta's `replaceWhere` — the daily
+    * BACKFILL idiom): atomically replace exactly the rows matching
+    * `predicate` with `df`, in ONE commit — the standard "re-run one
+    * day / one split of a 100 TB table" operation. Planning is
+    * [[delete]]'s (stats pre-prune → exact pass picks truly touched
+    * files; untouched files carry over unmoved), so cost tracks the
+    * REPLACED REGION, never the table. Delta's safety contract is
+    * enforced: every row of `df` must itself satisfy `predicate`
+    * (a batch leaking rows outside the replaced region fails typed —
+    * otherwise a backfill could silently corrupt neighboring
+    * partitions). The batch aligns to the table schema with explicit
+    * casts like [[merge]]; CHECK constraints validate; conflicts fail
+    * like any snapshot rewrite. */
+  def replaceWhere(spark: SparkSession, path: String, predicate: Column,
+      df: DataFrame, expectVersion: Option[Long] = None): Long = {
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "replace-where", path)
+    val schema = snapshotSchema(spark, path, m)
+    val aligned = df.select(schema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    // the replaceWhere contract: the batch must live ENTIRELY inside
+    // the replaced region (null predicate = outside, SQL semantics)
+    val leaked = aligned.where(not(coalesce(predicate, lit(false))))
+      .limit(1).count()
+    if (leaked > 0) throw new IllegalArgumentException(
+      s"replaceWhere at $path: the replacement batch contains rows NOT " +
+        s"matching the predicate — they would land outside the " +
+        "replaced region; fix the batch or widen the predicate")
+    val root = new Path(path)
+    val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
+    val withFile = readFilesWithFileCol(spark, root, candidates, schema,
+      m.dvs)
+    val touched =
+      if (candidates.isEmpty) Nil
+      else collectTouched(
+        withFile.where(predicate).select("__gf").distinct(), candidates,
+        "replace-where", path)
+    val kept =
+      if (touched.isEmpty) aligned
+      else readFiles(spark, root, touched, schema, m.dvs)
+        .where(not(coalesce(predicate, lit(false))))
+        .unionByName(aligned)
+    commit(kept, path, "replace-where", removed = touched.toSet,
+      expectParent = Some(m.version))
+  }
+
   /** MERGE-ON-READ delete (the Delta deletion-vector / Iceberg v2
     * position-delete shape): where [[delete]] REWRITES every touched
     * file (copy-on-write — write cost O(touched files' bytes)), this
@@ -1615,8 +1662,8 @@ object Snapshots {
       restoreTo: Option[Snapshot] = None,
       setConstraints: Option[Map[String, String]] = None): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
-      "update", "delete-dv", "restore", "compact", "metadata")(op),
-      s"unknown op $op")
+      "update", "delete-dv", "restore", "compact", "metadata",
+      "replace-where")(op), s"unknown op $op")
     val spark = df.sparkSession
     // partitionBy is TABLE metadata (the Delta rule): an explicit list
     // (re)defines the layout, every other commit — appends, CoW
@@ -1670,7 +1717,8 @@ object Snapshots {
     // only ops that can introduce NEW values validate; layout rewrites
     // (optimize/compact) and delete survivors carry already-valid rows
     if (writeData && effConstraints.nonEmpty && adds.nonEmpty &&
-        Set("append", "overwrite", "merge", "update")(op)) {
+        Set("append", "overwrite", "merge", "update",
+          "replace-where")(op)) {
       // resolve against the MERGED table schema, not the batch's: an
       // evolution append omitting a constrained column reads it as
       // null, which SQL CHECK semantics PASS — it must not crash

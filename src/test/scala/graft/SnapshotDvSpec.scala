@@ -345,6 +345,35 @@ class SnapshotDvSpec extends SparkSpec {
     ts shouldBe ts.sorted
   }
 
+  test("replaceWhere: exactly the predicate region replaces in ONE " +
+      "commit — untouched files carry over, a batch leaking outside " +
+      "the region is rejected typed, and prior vector deletes outside " +
+      "the region survive") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100).repartitionByRange(4, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") === 30L) // outside the region
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    val repl = tbl(0 until 25).where(col("id") % 2 === 0)
+      .withColumn("v", col("v") + 1000.0)
+    Snapshots.replaceWhere(spark, p, col("id") < 25L, repl)
+    val rows = Snapshots.read(spark, p)
+    // 100 - 25 (region out) - 1 (vector delete) + 13 (replacement)
+    rows.count() shouldBe 87L
+    rows.where(col("id") < 25L).count() shouldBe 13L
+    rows.where(col("id") < 25L).select(min("v")).head()
+      .getDouble(0) should be >= 1000.0
+    rows.where(col("id") === 30L).count() shouldBe 0L
+    // files whose range the region never touched carry over unmoved
+    val m2 = Snapshots.snapshotAt(spark, p).get
+    m1.files.toSet.intersect(m2.files.toSet) should not be empty
+    // the contract: a replacement row OUTSIDE the region fails typed
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.replaceWhere(spark, p, col("id") < 25L, tbl(50 until 52))
+    }
+    e.getMessage should include("replaced region")
+    rows.count() shouldBe 87L // rejected batch changed nothing
+  }
+
   test("CHECK constraints: a violating batch is rejected atomically " +
       "before publish (table unchanged), valid batches pass, SQL null " +
       "semantics hold, and drop re-admits") {
