@@ -4196,6 +4196,19 @@ object SparkEntry {
         .write.format("graft-snapshot").mode("append").save(p)
       s.read.format("graft-snapshot").load(p)
     }),
+    "q_graph_dv_feed" -> ((s, dir) => {
+      // the row-level delete feed through the JSON graph surface —
+      // snapshot_deleted_rows(version) == Snapshots.deletedRows; the
+      // reference's one query language speaks the whole lakehouse
+      // tier. Oracle shared verbatim with q_snapshot_dv_feed.
+      import graft.compile.GraphCompiler
+      val p = buildDvSnapshotStore(s, dir)
+      val graph = s"""{
+        "d": {"process_id": "snapshot_deleted_rows", "arguments": {
+          "path": "$p", "version": 2}, "result": true}}"""
+      new GraphCompiler(s, Map.empty)
+        .compile(graph).asInstanceOf[DataFrame]
+    }),
     "q_snapshot_replace" -> ((s, dir) => {
       // predicate-scoped OVERWRITE (replaceWhere — the daily backfill
       // idiom): re-run one region of the table atomically. Stats
@@ -8277,6 +8290,11 @@ object SparkEntry {
     "q_snapshot_write" ->
       // two V2-written commits = the whole events table
       """SELECT event_id, user_id, event_type, value FROM events""",
+    "q_graph_dv_feed" ->
+      // q_snapshot_dv_feed's oracle verbatim (process == API)
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id < 3000 AND event_type = 'view'""",
     "q_snapshot_replace" ->
       // backfill replay: click rows tripled, everything else untouched
       """SELECT event_id, user_id, event_type,

@@ -403,6 +403,17 @@ final class GraphCompiler(
           optD(n, "to_inclusive", r).getOrElse(throw graft.OpenEoError(
             "SnapshotRangeMissing",
             "snapshot_changes needs 'to_inclusive'")).toLong)
+      case "snapshot_deleted_rows" =>
+        // the row-level DELETE feed on the graph surface: exactly the
+        // rows a merge-on-read commit removed — the delete half of
+        // row-level CDC, pairing with snapshot_changes' adds feed
+        val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
+          "SnapshotPathMissing",
+          "snapshot_deleted_rows needs a 'path' argument"))
+        Snapshots.deletedRows(spark, spath,
+          optD(n, "version", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotVersionMissing",
+            "snapshot_deleted_rows needs 'version'")).toLong)
       case "text_quality_gate" =>
         graft.text.Curation.qualityGate(dfArg(n, "data", r),
           minQuality = optD(n, "min_quality", r).getOrElse(0.75),

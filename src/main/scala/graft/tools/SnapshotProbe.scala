@@ -125,8 +125,22 @@ object SnapshotProbe {
       }
       val cowRef = time(Snapshots.delete(spark, p,
         col("event_id") >= lo + 2000L && col("event_id") < lo + 3000L))
+      // replaceWhere of the same-width band: the backfill idiom must be
+      // region-proportional (delete-shaped planning + the batch write)
+      val replT = time(Snapshots.replaceWhere(spark, p,
+        col("event_id") >= lo + 4000L && col("event_id") < lo + 5000L,
+        data.where(col("event_id") >= lo + 4000L &&
+            col("event_id") < lo + 5000L)
+          .withColumn("value", col("value") * 2)))
+      // constraint-validated append of a fixed 1000-row batch: the
+      // validation pass reads ONLY the new files — overhead must be
+      // batch-proportional, independent of table size
+      Snapshots.addConstraint(spark, p, "val_bound", "value IS NOT NULL")
+      val consT = time(Snapshots.append(
+        data.where(col("event_id") < 1000L), p))
       println(f"[snapprobe] dv_$tag n=$n delete_mor=$morT%.2f " +
-        f"vectored_read=$readT%.2f cow_delete_ref=$cowRef%.2f")
+        f"vectored_read=$readT%.2f cow_delete_ref=$cowRef%.2f " +
+        f"replace_where=$replT%.2f constrained_append=$consT%.2f")
       rmrf(p)
     }
 

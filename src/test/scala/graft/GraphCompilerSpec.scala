@@ -1059,5 +1059,18 @@ class GraphCompilerSpec extends SparkSpec {
         "t": {"process_id": "load_snapshot", "arguments": {
           "path": "$p", "timestamp_as_of": 1}, "result": true}}""")
     }.code shouldBe "SnapshotTimestampTooEarly"
+
+    // the row-level delete feed: process == Scala API
+    graft.ops.Snapshots.deleteMor(spark, p, col("id") >= 105L)
+    val dv = graft.ops.Snapshots.versions(spark, p).last._1
+    rowSet(compile(s"""{
+      "d": {"process_id": "snapshot_deleted_rows", "arguments": {
+        "path": "$p", "version": $dv}, "result": true}}""")) shouldBe
+      rowSet(graft.ops.Snapshots.deletedRows(spark, p, dv))
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "d": {"process_id": "snapshot_deleted_rows", "arguments": {
+          "path": "$p"}, "result": true}}""")
+    }.code shouldBe "SnapshotVersionMissing"
   }
 }
