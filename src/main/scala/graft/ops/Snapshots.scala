@@ -1110,11 +1110,8 @@ object Snapshots {
     if (candidates.isEmpty) return m.version
     // dv-aware passes: a row already merge-on-read-deleted must neither
     // count a file as touched nor resurrect through the rewrite
-    val withFile = readFilesWithFileCol(spark, root, candidates, schema,
-      m.dvs)
-    val touched = collectTouched(
-      withFile.where(predicate).select("__gf").distinct(), candidates,
-      "delete", path)
+    val touched = touchedByPredicate(spark, root, m, schema, candidates,
+      predicate, "delete", path)
     if (touched.isEmpty) return m.version
     val kept = readFiles(spark, root, touched, schema, m.dvs)
       .where(not(coalesce(predicate, lit(false))))
@@ -1141,8 +1138,12 @@ object Snapshots {
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     checkExpected(m, expectVersion, "replace-where", path)
     val schema = snapshotSchema(spark, path, m)
+    // MATERIALIZE the batch once: the containment check below and the
+    // commit's write must see the SAME rows — a non-deterministic
+    // batch re-evaluated at write time could otherwise slip rows past
+    // the check (and a deterministic one would pay double evaluation)
     val aligned = df.select(schema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      col(f.name).cast(f.dataType).as(f.name)): _*).localCheckpoint()
     // the replaceWhere contract: the batch must live ENTIRELY inside
     // the replaced region (null predicate = outside, SQL semantics)
     val leaked = aligned.where(not(coalesce(predicate, lit(false))))
@@ -1153,20 +1154,71 @@ object Snapshots {
         "replaced region; fix the batch or widen the predicate")
     val root = new Path(path)
     val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
-    val withFile = readFilesWithFileCol(spark, root, candidates, schema,
-      m.dvs)
-    val touched =
-      if (candidates.isEmpty) Nil
-      else collectTouched(
-        withFile.where(predicate).select("__gf").distinct(), candidates,
-        "replace-where", path)
+    // PARTITION-ALIGNED fast path (the headline daily backfill): when
+    // the predicate is ENTIRELY exact partition pins and a candidate's
+    // recorded values satisfy all of them, every row of that file
+    // matches — it drops METADATA-ONLY, its bytes never read (its
+    // vector retires with it). Sound only via the parts contract
+    // (every row has col == parts(c); the null partition records
+    // nothing) — min/max ranges cannot prove this because they are
+    // blind to nulls.
+    val provenDrop: Set[String] = allPinBounds(spark, schema, predicate)
+      .map { pins =>
+        candidates.filter(f => pins.forall { b =>
+          b.v match {
+            case BSet(vals) => m.stats.get(f)
+              .flatMap(_.parts.get(b.col)).exists(vals.contains)
+            case _ => false
+          }
+        }).toSet
+      }.getOrElse(Set.empty)
+    val rest = candidates.filterNot(provenDrop)
+    val touched = touchedByPredicate(spark, root, m, schema, rest,
+      predicate, "replace-where", path)
     val kept =
       if (touched.isEmpty) aligned
       else readFiles(spark, root, touched, schema, m.dvs)
         .where(not(coalesce(predicate, lit(false))))
         .unionByName(aligned)
-    commit(kept, path, "replace-where", removed = touched.toSet,
+    commit(kept, path, "replace-where",
+      removed = provenDrop ++ touched,
       expectParent = Some(m.version))
+  }
+
+  /** Delete-shaped exact planning, shared by [[delete]] and
+    * [[replaceWhere]]: the files among `candidates` containing at
+    * least one LIVE (vector-aware) predicate-matching row. */
+  private def touchedByPredicate(spark: SparkSession, root: Path,
+      m: Snapshot, schema: StructType, candidates: Seq[String],
+      predicate: Column, op: String, path: String): Seq[String] =
+    if (candidates.isEmpty) Nil
+    else collectTouched(
+      readFilesWithFileCol(spark, root, candidates, schema, m.dvs)
+        .where(predicate).select("__gf").distinct(), candidates, op, path)
+
+  /** The predicate as EXACT partition-pin bounds — Some only when
+    * EVERY conjunct is `attr = lit` / `attr IN (lits)` with a bare
+    * attribute and pin-renderable literals, so satisfying all pins is
+    * a SUFFICIENT condition for a row to match (the full-match proof
+    * [[replaceWhere]]'s metadata-only drop needs). Anything else —
+    * ranges, expressions, unrenderable types — returns None and the
+    * caller takes the exact scanning path. */
+  private def allPinBounds(spark: SparkSession, schema: StructType,
+      filter: Column): Option[Seq[Bound]] = {
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema).where(filter)
+    val cond = probe.queryExecution.analyzed.collectFirst {
+      case f: LFilter => f.condition
+    }.getOrElse(return None)
+    val bounds = conjuncts(cond).map {
+      case EqualTo(a, b) =>
+        val pins = pinEq(a, b) ++ pinEq(b, a)
+        if (pins.size == 1) pins.headOption else None
+      case In(a, vs) => pinIn(a, vs).headOption
+      case _ => None
+    }
+    if (bounds.exists(_.isEmpty)) None
+    else Some(bounds.flatten)
   }
 
   /** MERGE-ON-READ delete (the Delta deletion-vector / Iceberg v2

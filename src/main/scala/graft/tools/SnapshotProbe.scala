@@ -51,8 +51,11 @@ object SnapshotProbe {
             .repartitionByRange(8, col("event_id")), p)
         }
       }
-      // fixed-width key band: stats should prune to O(band) files
-      val lo = n / 2
+      // fixed-width key band INSIDE the dense copy-0 key range: scale10
+      // shifts copies by i*10*n1, leaving 9*n1-wide GAPS — a band at n/2
+      // would fall in a gap at 10x and every row-level op below would
+      // measure a no-op on an empty region
+      val lo = math.min(n, n1) / 2
       val band = time {
         Snapshots.scanWhere(spark, p,
           col("event_id") >= lo && col("event_id") < lo + 1000L)
@@ -116,7 +119,8 @@ object SnapshotProbe {
         Snapshots.append(data.where(col("event_id") % 8 === i)
           .repartitionByRange(8, col("event_id")), p)
       }
-      val lo = n / 2
+      // band inside the dense copy-0 range (see probe's lo comment)
+      val lo = math.min(n, n1) / 2
       val morT = time(Snapshots.deleteMor(spark, p,
         col("event_id") >= lo && col("event_id") < lo + 1000L))
       val readT = time {

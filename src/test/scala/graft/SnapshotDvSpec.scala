@@ -367,11 +367,44 @@ class SnapshotDvSpec extends SparkSpec {
     val m2 = Snapshots.snapshotAt(spark, p).get
     m1.files.toSet.intersect(m2.files.toSet) should not be empty
     // the contract: a replacement row OUTSIDE the region fails typed
+    val vBefore = m2.version
     val e = intercept[IllegalArgumentException] {
       Snapshots.replaceWhere(spark, p, col("id") < 25L, tbl(50 until 52))
     }
     e.getMessage should include("replaced region")
-    rows.count() shouldBe 87L // rejected batch changed nothing
+    // a FRESH read (not the pre-rejection pin): nothing committed
+    Snapshots.snapshotAt(spark, p).get.version shouldBe vBefore
+    Snapshots.read(spark, p).count() shouldBe 87L
+  }
+
+  test("replaceWhere PARTITION-ALIGNED fast path: files whose recorded " +
+      "partition values prove every row matches drop METADATA-ONLY, " +
+      "and CHECK constraints gate the replacement batch") {
+    val p = freshDir()
+    Snapshots.append(tbl(0 until 100), p, partitionBy = Seq("typ"))
+    Snapshots.addConstraint(spark, p, "pos_v", "v >= 0")
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    val t2Files = m1.files.filter(f =>
+      m1.stats(f).parts.get("typ").contains("t2"))
+    t2Files should not be empty
+    // whole-partition backfill: predicate is one exact pin, so the t2
+    // files retire without being read — removed exactly, other
+    // partitions' files carried by identity
+    val repl = tbl(200 until 210).withColumn("typ", lit("t2"))
+    Snapshots.replaceWhere(spark, p, col("typ") === "t2", repl)
+    val m2 = Snapshots.snapshotAt(spark, p).get
+    t2Files.foreach(f => m2.files should not contain f)
+    (m1.files.toSet -- t2Files).subsetOf(m2.files.toSet) shouldBe true
+    val rows = Snapshots.read(spark, p)
+    rows.count() shouldBe (80L + 10L)
+    rows.where(col("typ") === "t2").select("id")
+      .as[Long].collect().sorted shouldBe (200L until 210L)
+    // constraints validate the replacement batch like any data commit
+    intercept[Snapshots.ConstraintViolation] {
+      Snapshots.replaceWhere(spark, p, col("typ") === "t2",
+        Seq((999L, "t2", -1.0)).toDF("id", "typ", "v"))
+    }
+    Snapshots.read(spark, p).count() shouldBe 90L
   }
 
   test("CHECK constraints: a violating batch is rejected atomically " +
