@@ -357,16 +357,23 @@ object Snapshots {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def readLogBytes(fs: FileSystem, p: Path): Option[Array[Byte]] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(out.toByteArray)
-      } finally in.close()
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          Some(out.toByteArray)
+        } finally in.close()
+      }
+    } catch {
+      // exists/open TOCTOU: a concurrent vacuum may retire the file in
+      // between — absent, not an error (readers step down/skip, the
+      // documented contract)
+      case _: java.io.FileNotFoundException => None
     }
 
   private def readManifest(fs: FileSystem, root: Path,
@@ -629,7 +636,30 @@ object Snapshots {
   // -------------------------------------------------------- predicate bounds
 
   private sealed trait BVal
-  private final case class BNum(v: Double) extends BVal
+  /** Numeric predicate literal as a DOUBLE INTERVAL [lo, hi]: the two
+    * differ only when the exact value is not double-representable
+    * (longs past 2^53, high-precision decimals) — the literal-side
+    * twin of renderNum's stored-bound ulp widening. Round-to-nearest
+    * alone could move a literal ACROSS a file's exact bound and prune
+    * a file that contains matching rows. */
+  private final case class BNum(lo: Double, hi: Double) extends BVal
+  private object BNum {
+    def exact(d: Double): BNum = BNum(d, d)
+    /** Enclose an exact decimal value in the tightest double pair. */
+    def enclose(v: java.math.BigDecimal): BNum = {
+      val d = v.doubleValue()
+      if (d.isInfinite)
+        return if (d > 0) BNum(Double.MaxValue, Double.PositiveInfinity)
+        else BNum(Double.NegativeInfinity, Double.MinValue)
+      val c = new java.math.BigDecimal(d).compareTo(v)
+      if (c == 0) BNum(d, d)
+      else if (c < 0) BNum(d, Math.nextUp(d)) // rounded down → widen hi
+      else BNum(Math.nextDown(d), d)
+    }
+    def encloseLong(l: Long): BNum =
+      if (l >= -(1L << 53) && l <= (1L << 53)) exact(l.toDouble)
+      else enclose(java.math.BigDecimal.valueOf(l))
+  }
   private final case class BStr(v: String) extends BVal
   /** Partition set-membership (op "pin"): the file survives iff its
     * recorded partition value for `col` is in the set (or none is
@@ -663,16 +693,18 @@ object Snapshots {
   private def litVal(l: Literal): Option[BVal] = l.dataType match {
     case StringType =>
       Option(l.value).map(v => BStr(v.toString))
-    case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType =>
-      Option(l.value).map(v => BNum(v.asInstanceOf[Number].doubleValue))
+    case ByteType | ShortType | IntegerType | FloatType | DoubleType =>
+      // all exact in double (float widens losslessly)
+      Option(l.value).map(v => BNum.exact(v.asInstanceOf[Number].doubleValue))
+    case LongType =>
+      Option(l.value).map(v => BNum.encloseLong(v.asInstanceOf[Long]))
     case _: DecimalType =>
-      Option(l.value).map(v =>
-        BNum(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble))
+      Option(l.value).map(v => BNum.enclose(
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
     case TimestampType =>
-      Option(l.value).map(v => BNum(v.asInstanceOf[Long].toDouble))
+      Option(l.value).map(v => BNum.encloseLong(v.asInstanceOf[Long]))
     case DateType =>
-      Option(l.value).map(v => BNum(v.asInstanceOf[Int].toDouble))
+      Option(l.value).map(v => BNum.exact(v.asInstanceOf[Int].toDouble))
     case _ => None
   }
 
@@ -713,13 +745,20 @@ object Snapshots {
     * it through the ANALYZER against the snapshot schema — the same
     * resolution the real scan gets, so implicit casts and column
     * resolution match exactly. Unrecognized conjuncts prune nothing. */
+  /** Resolve `filter` through the REAL analyzer against `schema` (so
+    * implicit casts match the scan's) and return the filter condition —
+    * the one probe shared by every predicate-analysis entry point. */
+  private def analyzedCondition(spark: SparkSession, schema: StructType,
+      filter: Column): Option[Expression] =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      .where(filter).queryExecution.analyzed.collectFirst {
+        case f: LFilter => f.condition
+      }
+
   private def analyzeBounds(spark: SparkSession, schema: StructType,
       filter: Column): Seq[Bound] = {
-    val probe = spark.createDataFrame(
-      new java.util.ArrayList[Row](), schema).where(filter)
-    val cond = probe.queryExecution.analyzed.collectFirst {
-      case f: LFilter => f.condition
-    }.getOrElse(return Nil)
+    val cond = analyzedCondition(spark, schema, filter)
+      .getOrElse(return Nil)
     conjuncts(cond).flatMap {
       case EqualTo(a, b) =>
         bound(a, b, "=") ++ pinEq(a, b) ++ pinEq(b, a)
@@ -729,22 +768,10 @@ object Snapshots {
       case LessThanOrEqual(a, b) => bound(a, b, "<=")
       case In(a, vs) if attrOf(a).isDefined &&
           vs.forall(foldLit(_).isDefined) =>
-        // x IN (v1..vn) survives if ANY value is in range — encode as
-        // one "in" bound carrying min/max of the value list
         val bvs = vs.flatMap(v => foldLit(v).flatMap(litVal))
         val range =
           if (bvs.size != vs.size) Nil
-          else bvs.headOption match {
-            case Some(_: BNum) =>
-              val ds = bvs.collect { case BNum(d) => d }
-              Seq(Bound(attrOf(a).get, ">=", BNum(ds.min)),
-                Bound(attrOf(a).get, "<=", BNum(ds.max)))
-            case Some(_: BStr) =>
-              val ss = bvs.collect { case BStr(s) => s }
-              Seq(Bound(attrOf(a).get, ">=", BStr(ss.min(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))),
-                Bound(attrOf(a).get, "<=", BStr(ss.max(Ordering.fromLessThan[String]((x, y) => cmpUtf8(x, y) < 0)))))
-            case _ => Nil
-          }
+          else collapseIn(attrOf(a).get, bvs)
         range ++ pinIn(a, vs)
       case _ => Nil
     }
@@ -787,19 +814,22 @@ object Snapshots {
     * Unknown stats (missing column, missing side, type mismatch) always
     * survive — pruning is a conservative superset. */
   private def survives(cs: ColStat, b: Bound): Boolean = (cs.t, b.v) match {
-    case ("n", BNum(v)) =>
+    case ("n", BNum(vlo, vhi)) =>
       // Spark orders NaN GREATER than any double while Java comparisons
       // with NaN are all false — a NaN bound (a file containing NaNs)
-      // or a NaN literal must therefore never prune, only widen
-      if (v.isNaN) return true
+      // or a NaN literal must therefore never prune, only widen.
+      // The literal interval [vlo, vhi] encloses the EXACT value, so
+      // each comparison uses its conservative end: a file prunes only
+      // when NO value inside the interval could be satisfied.
+      if (vlo.isNaN || vhi.isNaN) return true
       val lo = cs.min.map(_.toDouble).filterNot(_.isNaN)
       val hi = cs.max.map(_.toDouble).filterNot(_.isNaN)
       b.op match {
-        case "=" => lo.forall(_ <= v) && hi.forall(_ >= v)
-        case ">" => hi.forall(_ > v)
-        case ">=" => hi.forall(_ >= v)
-        case "<" => lo.forall(_ < v)
-        case "<=" => lo.forall(_ <= v)
+        case "=" => lo.forall(_ <= vhi) && hi.forall(_ >= vlo)
+        case ">" => hi.forall(_ > vlo)
+        case ">=" => hi.forall(_ >= vlo)
+        case "<" => lo.forall(_ < vhi)
+        case "<=" => lo.forall(_ <= vhi)
         case _ => true
       }
     case ("s", BStr(v)) =>
@@ -843,16 +873,45 @@ object Snapshots {
       filters: Array[org.apache.spark.sql.sources.Filter]): Seq[String] =
     pruneFiles(snap, filters.toSeq.flatMap(boundsFromFilter))
 
+  /** `x IN (v1..vn)` survives if ANY value can be in the file — encode
+    * as one [min, max] range over the value list. ONE implementation
+    * for both the core (Catalyst-literal) and V2 (sources.Filter)
+    * paths so their pruning can never diverge. Mixed or non-comparable
+    * value kinds collapse to nothing (no pruning). */
+  private def collapseIn(c: String, bvs: Seq[BVal]): Seq[Bound] =
+    bvs.headOption match {
+      case Some(_: BNum) =>
+        val ds = bvs.collect { case n: BNum => n }
+        if (ds.size != bvs.size) Nil
+        else {
+          val r = BNum(ds.map(_.lo).min, ds.map(_.hi).max)
+          Seq(Bound(c, ">=", r), Bound(c, "<=", r))
+        }
+      case Some(_: BStr) =>
+        val ord = Ordering.fromLessThan[String](cmpUtf8(_, _) < 0)
+        val ss = bvs.collect { case BStr(s) => s }
+        if (ss.size != bvs.size) Nil
+        else Seq(Bound(c, ">=", BStr(ss.min(ord))),
+          Bound(c, "<=", BStr(ss.max(ord))))
+      case _ => Nil
+    }
+
   private def bvalOf(v: Any): Option[BVal] = v match {
     case null => None
     case s: String => Some(BStr(s))
     case t: java.sql.Timestamp =>
-      Some(BNum((t.getTime * 1000 + (t.getNanos / 1000) % 1000).toDouble))
+      Some(BNum.encloseLong(t.getTime * 1000 + (t.getNanos / 1000) % 1000))
     case i: java.time.Instant =>
-      Some(BNum((i.getEpochSecond * 1000000L + i.getNano / 1000).toDouble))
-    case d: java.sql.Date => Some(BNum(d.toLocalDate.toEpochDay.toDouble))
-    case d: java.time.LocalDate => Some(BNum(d.toEpochDay.toDouble))
-    case n: Number => Some(BNum(n.doubleValue))
+      Some(BNum.encloseLong(i.getEpochSecond * 1000000L + i.getNano / 1000))
+    case d: java.sql.Date =>
+      Some(BNum.exact(d.toLocalDate.toEpochDay.toDouble))
+    case d: java.time.LocalDate => Some(BNum.exact(d.toEpochDay.toDouble))
+    case l: java.lang.Long => Some(BNum.encloseLong(l))
+    case b: java.math.BigDecimal => Some(BNum.enclose(b))
+    case b: scala.math.BigDecimal => Some(BNum.enclose(b.bigDecimal))
+    case b: java.math.BigInteger =>
+      Some(BNum.enclose(new java.math.BigDecimal(b)))
+    case n: Number => Some(BNum.exact(n.doubleValue))
     case _ => None
   }
 
@@ -869,19 +928,7 @@ object Snapshots {
       case sf.LessThanOrEqual(c, v) => bvalOf(v).map(Bound(c, "<=", _)).toSeq
       case sf.In(c, vs) if vs.nonEmpty =>
         val bs = vs.toSeq.flatMap(bvalOf)
-        val range =
-          if (bs.size != vs.length) Nil
-          else bs.head match {
-            case _: BNum =>
-              val ds = bs.collect { case BNum(d) => d }
-              Seq(Bound(c, ">=", BNum(ds.min)), Bound(c, "<=", BNum(ds.max)))
-            case _: BStr =>
-              val ord = Ordering.fromLessThan[String](cmpUtf8(_, _) < 0)
-              val ss = bs.collect { case BStr(s) => s }
-              Seq(Bound(c, ">=", BStr(ss.min(ord))),
-                Bound(c, "<=", BStr(ss.max(ord))))
-            case _ => Nil
-          }
+        val range = if (bs.size != vs.length) Nil else collapseIn(c, bs)
         range ++ pinV2(c, vs.toSeq)
       case sf.And(l, r) => boundsFromFilter(l) ++ boundsFromFilter(r)
       case _ => Nil
@@ -1010,10 +1057,12 @@ object Snapshots {
     * Fails with `ConcurrentModificationException` if another data
     * change lands first (the rewrite would lose it). */
   def optimize(spark: SparkSession, path: String, numFiles: Int,
-      zorderBy: Seq[(String, Double, Double)] = Nil, zBits: Int = 16): Long = {
+      zorderBy: Seq[(String, Double, Double)] = Nil, zBits: Int = 16,
+      expectVersion: Option[Long] = None): Long = {
     require(numFiles > 0, "numFiles must be positive")
     val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "optimize", path)
     val cur = read(spark, path, Some(m.version))
     // a partitioned table keeps its layout: cluster WITHIN partitions
     // (the partition columns prefix the range key), so the rewrite
@@ -1047,7 +1096,11 @@ object Snapshots {
         "with a current commit (or use optimize(numFiles))")
     val n = math.max(1L, (known.sum + targetFileBytes - 1) /
       targetFileBytes).toInt
-    optimize(spark, path, n, zorderBy, zBits)
+    // pin the version the file count was computed FROM: a commit
+    // landing in between would otherwise be silently rewritten into a
+    // count derived from stale byte totals
+    optimize(spark, path, n, zorderBy, zBits,
+      expectVersion = Some(m.version))
   }
 
   /** Copy-on-write UPSERT by key: rows of `updates` replace current rows
@@ -1205,11 +1258,8 @@ object Snapshots {
     * caller takes the exact scanning path. */
   private def allPinBounds(spark: SparkSession, schema: StructType,
       filter: Column): Option[Seq[Bound]] = {
-    val probe = spark.createDataFrame(
-      new java.util.ArrayList[Row](), schema).where(filter)
-    val cond = probe.queryExecution.analyzed.collectFirst {
-      case f: LFilter => f.condition
-    }.getOrElse(return None)
+    val cond = analyzedCondition(spark, schema, filter)
+      .getOrElse(return None)
     val bounds = conjuncts(cond).map {
       case EqualTo(a, b) =>
         val pins = pinEq(a, b) ++ pinEq(b, a)
@@ -1261,18 +1311,17 @@ object Snapshots {
     val matches = readFiles(spark, root, touched, schema, m.dvs,
         keepPos = true)
       .where(predicate).select(col("__gap"), col("__gpi"))
-    // distributed rel-path attribution: a tiny (basename → relative
-    // path) lookup joined on equi basename + path-suffix residual — the
-    // same disambiguation rule as relativize(), but kept distributed so
-    // positions never collect on the driver
-    import spark.implicits._
-    val relDf = touched.map(f => (f.split('/').last, f))
-      .toDF(DvBaseCol, DvFileCol)
+    // distributed rel-path attribution: a tiny URI-rendered lookup
+    // joined on equi basename + path-suffix residual — the same
+    // disambiguation rule as relativize(), kept distributed so
+    // positions never collect on the driver, and spelled in
+    // _metadata.file_path's own URI encoding (escaped partition dirs)
+    val relDf = uriLookup(spark, touched)
     val newDel = matches
       .withColumn("__gab", element_at(split(col("__gap"), "/"), -1))
       .join(relDf,
-        col("__gab") === relDf(DvBaseCol) &&
-          col("__gap").endsWith(concat(lit("/"), relDf(DvFileCol))))
+        col("__gab") === relDf("__gbe") &&
+          col("__gap").endsWith(concat(lit("/"), relDf("__gfe"))))
       .select(col(DvFileCol), col("__gpi").as(DvPosCol))
     // prior vectors of the touched files carry forward: the new vector
     // is authoritative and COMPLETE for every file it covers
@@ -1404,13 +1453,13 @@ object Snapshots {
     val data = readFiles(spark, root, files, schema, Map.empty,
         keepPos = true)
       .withColumn("__gab", element_at(split(col("__gap"), "/"), -1))
-    val del = fresh.select(col(DvFileCol),
-      element_at(split(col(DvFileCol), "/"), -1).as("__gdb"),
-      col(DvPosCol))
+    // URI-rendered join keys — see readFiles' dv anti-join
+    val del = fresh.join(broadcast(uriLookup(spark, files)),
+      Seq(DvFileCol))
     data.join(del,
-        col("__gab") === del("__gdb") &&
+        col("__gab") === del("__gbe") &&
           col("__gpi") === del(DvPosCol) &&
-          col("__gap").endsWith(concat(lit("/"), del(DvFileCol))),
+          col("__gap").endsWith(concat(lit("/"), del("__gfe"))),
         "left_semi")
       .drop("__gab", "__gap", "__gpi")
   }
@@ -1703,6 +1752,19 @@ object Snapshots {
       case _ => Nil
     }
 
+  /** The type with every NESTED nullability flag forced true — the
+    * public-API equivalent of Spark's private asNullable, for
+    * nullability-insensitive type equality. */
+  private def allNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, allNullable(f.dataType), nullable = true,
+        f.metadata)))
+    case a: ArrayType => ArrayType(allNullable(a.elementType), true)
+    case m: MapType =>
+      MapType(allNullable(m.keyType), allNullable(m.valueType), true)
+    case other => other
+  }
+
   private def commit(df: DataFrame, path: String, op: String,
       removed: Set[String] = Set.empty,
       expectParent: Option[Long] = None,
@@ -1819,7 +1881,12 @@ object Snapshots {
     //    observe the exact parent they rewrote or fail.
     var attempt = 0
     while (true) {
-      val parentM = latestManifest(spark, path)
+      // ONE log listing per attempt serves both the parent lookup and
+      // the next-version computation (each listing is an object-store
+      // LIST round-trip; latestManifest would list again)
+      val claimed = claimedVersions(fs, root)
+      val parentM = claimed.sorted.reverse.iterator
+        .flatMap(v => readManifest(fs, root, v)).take(1).toSeq.headOption
       val parentV = parentM.map(_.version).getOrElse(0L)
       expectParent.foreach { exp =>
         if (parentV != exp)
@@ -1871,7 +1938,11 @@ object Snapshots {
           val ps = DataType.fromJson(pj).asInstanceOf[StructType]
           df.schema.fields.foreach { f =>
             ps.fields.find(_.name == f.name).foreach { pf =>
-              if (pf.dataType != f.dataType)
+              // compare with NESTED nullability normalized: a
+              // batch-built struct<a:int NOT NULL> is type-identical to
+              // the table's struct<a:int> (top-level nullability lives
+              // on the StructField and was never compared)
+              if (allNullable(pf.dataType) != allNullable(f.dataType))
                 throw new IllegalArgumentException(
                   s"append at $path changes column ${f.name} from " +
                     s"${pf.dataType.simpleString} to " +
@@ -1883,7 +1954,6 @@ object Snapshots {
             .filterNot(f => ps.fieldNames.contains(f.name))).json
         case _ => df.schema.json
       }
-      val claimed = claimedVersions(fs, root)
       val next = math.max(parentV,
         if (claimed.isEmpty) 0L else claimed.max) + 1
       // the manifest is a DELTA: adds + explicit removes (merge/delete/
@@ -1985,6 +2055,27 @@ object Snapshots {
   private val DvPosCol = "__gpos"
   private val DvBaseCol = "__gb"
 
+  /** URI rendering of a relative path — how `_metadata.file_path`
+    * spells it (java.net.URI path quoting: space → %20, '%' → %25,
+    * '/' kept). An escaped partition directory renders DIFFERENTLY
+    * from the on-disk name the manifest records, so the distributed
+    * joins against the scan's file-path column must ENCODE the
+    * driver-known side (relativize() does the inverse — decode — for
+    * driver-side attribution of collected paths). */
+  private def uriEncodePath(rel: String): String =
+    new java.net.URI(null, null, "/" + rel, null).getRawPath.substring(1)
+
+  /** Tiny driver-side lookup (relative path → its URI rendering and
+    * URI basename) for joining manifest-known files against
+    * `_metadata.file_path`. Bounded by the caller's file list (dv'd /
+    * touched files — manifest-sized, never table rows). */
+  private def uriLookup(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
+    import spark.implicits._
+    files.sorted.map(f => (f, uriEncodePath(f),
+      uriEncodePath(f.split('/').last))).toDF(DvFileCol, "__gfe", "__gbe")
+  }
+
   /** Scan an explicit file list under `root` with the manifest schema,
     * applying the snapshot's DELETION VECTORS: files covered by a dv
     * lose their deleted positions via one anti-join on
@@ -2020,16 +2111,22 @@ object Snapshots {
         // the dv dataset's partition column — an In filter on it cuts
         // directories at planning time, no row predicate cost)
         val bases = live.keys.map(_.split('/').last).toSeq.distinct
+        // join against _metadata.file_path in ITS OWN spelling: the
+        // lookup carries the URI rendering of each covered file, so
+        // escaped partition directories can never silently resurrect
+        // deleted rows through a failed suffix match
         val del = spark.read
           .parquet(dirs.map(d => new Path(root, d).toString): _*)
           .where(col(DvBaseCol).isin(bases: _*))
-          .select(col(DvFileCol), col(DvPosCol), col(DvBaseCol))
+          .select(col(DvFileCol), col(DvPosCol))
+          .join(broadcast(uriLookup(spark, live.keys.toSeq)),
+            Seq(DvFileCol))
         data.withColumn("__gab",
             element_at(split(col("__gap"), "/"), -1))
           .join(del,
-            col("__gab") === del(DvBaseCol) &&
+            col("__gab") === del("__gbe") &&
               col("__gpi") === del(DvPosCol) &&
-              col("__gap").endsWith(concat(lit("/"), del(DvFileCol))),
+              col("__gap").endsWith(concat(lit("/"), del("__gfe"))),
             "left_anti")
           .drop("__gab")
       }
@@ -2172,10 +2269,14 @@ object Snapshots {
           if (sweep(st.getPath, childRel) ||
               st.getModificationTime >= horizon) kept = true
           else fs.delete(st.getPath, true)
-        } else if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-            !referenced.contains(childRel) &&
+        } else if (st.isFile && !referenced.contains(childRel) &&
             st.getModificationTime < horizon) {
-          fs.delete(st.getPath, false); deleted += 1
+          // manifests only ever reference .parquet files, so any
+          // unreferenced OLD file is garbage — including _SUCCESS
+          // markers and crashed writers' _temporary staging, which
+          // would otherwise pin their dead commit directory forever
+          fs.delete(st.getPath, false)
+          if (st.getPath.getName.endsWith(".parquet")) deleted += 1
         } else kept = true
       }
       kept
@@ -2206,6 +2307,15 @@ object Snapshots {
       fs.delete(new Path(new Path(root, LogDir), manifestName(v)), false) }
     checkpointVersions(fs, root).filter(_ < keepFromVersion).foreach { v =>
       fs.delete(new Path(new Path(root, LogDir), checkpointName(v)), false) }
+    // orphaned claim temp files: a JVM killed between create(tmpClaim)
+    // and its finally leaves .tmp-* in the log dir that nothing else
+    // ever deletes — reclaim past the grace horizon
+    Option(fs.listStatus(new Path(root, LogDir))).getOrElse(Array.empty)
+      .foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < horizon)
+          fs.delete(st.getPath, false)
+      }
     deleted
   }
 }

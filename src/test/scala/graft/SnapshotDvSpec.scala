@@ -157,6 +157,61 @@ class SnapshotDvSpec extends SparkSpec {
       (52L until 100L by 5L).toSeq
   }
 
+  test("deletion vectors on partition values that need path escaping " +
+      "and URI encoding (space, '%', '='): delete, read, scan, and the " +
+      "delete feed stay exact — no silent resurrection through a " +
+      "failed path match") {
+    val p = freshDir()
+    val vals = Seq("a b", "x%7y", "k=v")
+    val df = (0 until 60).map(i => (i.toLong, vals(i % 3), i * 2.0))
+      .toDF("id", "typ", "v")
+    Snapshots.append(df, p, partitionBy = Seq("typ"))
+    Snapshots.deleteMor(spark, p, col("id") < 12L)
+    val m = Snapshots.snapshotAt(spark, p).get
+    m.dvs.values.map(_.n).sum shouldBe 12L // positions actually landed
+    Snapshots.read(spark, p).count() shouldBe 48L
+    Snapshots.read(spark, p).where(col("id") < 12L).count() shouldBe 0L
+    Snapshots.scanWhere(spark, p, col("typ") === "a b")
+      .select("id").as[Long].collect().sorted shouldBe
+      (12L until 60L by 3L)
+    Snapshots.deletedRows(spark, p, 2L)
+      .select("id").as[Long].collect().sorted shouldBe (0L until 12L)
+    // V2 face: same vectors through the per-partition position loader
+    spark.read.format("graft-snapshot").load(p).count() shouldBe 48L
+    spark.read.format("graft-snapshot").load(p)
+      .where(col("id") < 12L).count() shouldBe 0L
+  }
+
+  test("pruning survives LOSSY literals: keys past 2^53 and " +
+      "high-precision decimal predicates never prune a file that " +
+      "contains matching rows (literal-side interval widening)") {
+    val p = freshDir()
+    val big = (1L << 53) + 1L // not double-representable
+    Seq((big, "x", 1.0), (big + 2L, "y", 2.0))
+      .toDF("id", "typ", "v").write.format("graft-snapshot")
+      .mode("append").save(p)
+    Snapshots.scanWhere(spark, p, col("id") === big).count() shouldBe 1L
+    Snapshots.scanWhere(spark, p, col("id") > big - 1L).count() shouldBe 2L
+    Snapshots.scanWhere(spark, p, col("id") < big + 1L).count() shouldBe 1L
+    Snapshots.scanWhere(spark, p,
+      col("id").isin(big, big + 2L)).count() shouldBe 2L
+    // decimal columns + high-precision decimal literals: pruning must
+    // agree with the unpruned filter (the conservative-superset law —
+    // a literal rounding toward a stored bound must not flip a strict
+    // comparison and lose a file)
+    val pd = freshDir()
+    Seq((1L, "1.00000000000000000001"), (2L, "2.5"))
+      .toDF("id", "ds")
+      .select(col("id"), col("ds").cast("decimal(38,20)").as("d"))
+      .write.format("graft-snapshot").mode("append").save(pd)
+    val cut = expr("CAST(1.00000000000000000001 AS DECIMAL(38,20))")
+    Seq(col("d") > cut, col("d") >= cut, col("d") < cut, col("d") <= cut,
+      col("d") === cut).foreach { pred =>
+      Snapshots.scanWhere(spark, pd, pred).count() shouldBe
+        Snapshots.read(spark, pd).where(pred).count()
+    }
+  }
+
   test("deleting EVERY row of a file merge-on-read keeps the listing " +
       "but reads exclude it all; metadata counts stay exact") {
     val p = freshDir()
