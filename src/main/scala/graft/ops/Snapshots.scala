@@ -101,10 +101,12 @@ object Snapshots {
     * `c = v` / `c IN (...)` predicates prune files exactly — the
     * min/max-range weakness for high-cardinality categorical columns
     * (an IN-list collapses to [min,max] and keeps everything in
-    * between) does not apply. A file without a recorded value (written
-    * unpartitioned, rewritten by CoW/optimize, or in the null
-    * partition) never part-prunes — conservative superset, as with all
-    * stats here. */
+    * between) does not apply. Because partitionBy is TABLE metadata
+    * inherited by every commit, CoW/optimize rewrites of a partitioned
+    * table DO re-record exact partition values (they write __gp_ dirs
+    * under the inherited layout); only files of an unpartitioned table
+    * and rows in the null partition lack them — those never part-prune,
+    * conservative superset, as with all stats here. */
   /** `bytes` is the file's on-disk length (0 = unknown, pre-r9
     * manifests): real byte sizes feed the V2 planner statistics
     * (broadcast decisions) and size-targeted OPTIMIZE without a single
@@ -865,6 +867,14 @@ object Snapshots {
   private[graft] def latestVersion(spark: SparkSession, path: String): Long =
     latestManifest(spark, path).map(_.version).getOrElse(0L)
 
+  /** The table's current partition layout — TABLE metadata inherited by
+    * every commit; Nil if unpartitioned or not yet created. Used by the
+    * V2 overwrite face so a catalog writer's mode("overwrite") keeps
+    * the layout instead of silently stripping exact partition pruning. */
+  private[graft] def tablePartitionBy(spark: SparkSession,
+      path: String): Seq[String] =
+    latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
+
   /** File pruning from DataSource V2 pushed filters — used by
     * [[graft.sources.SnapshotTableProvider]] at PLANNING time. Pruning
     * is a conservative superset, so the caller must keep every filter
@@ -1114,7 +1124,16 @@ object Snapshots {
     * FILE-level: a merge's adds re-emit rows co-located with matches —
     * pair with [[TableJoins.applyChangelog]] when a consumer needs
     * row-level deltas. Fails with `ConcurrentModificationException` if
-    * another data change lands between read and claim. */
+    * another data change lands between read and claim.
+    *
+    * Source-batch contract (Delta's multiple-match rule): each key may
+    * appear AT MOST ONCE in `updates`, and no key column may be NULL.
+    * Duplicate keys would all survive the rewrite (the table ends up
+    * with duplicate key rows); a NULL key never equi-matches the
+    * left_anti, so the old row would be kept AND the update inserted.
+    * Both silently diverge from upsert semantics, so both are rejected
+    * with a typed [[MergeSourceConflict]] — one O(batch) aggregate over
+    * the updates, never a table scan. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], expectVersion: Option[Long] = None): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
@@ -1130,6 +1149,7 @@ object Snapshots {
     // the next well-typed append on enforcement
     val aligned = updates.select(schema.fields.toSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
+    checkMergeSource(aligned, keyCols, path)
     val root = new Path(path)
     val touched = touchedFiles(spark, root, m, schema,
       aligned.select(keyCols.map(col): _*).distinct(), keyCols)
@@ -1639,6 +1659,40 @@ object Snapshots {
       setConstraints = Some(cur - name))
   }
 
+  /** The updates batch of a [[merge]] violates the upsert contract —
+    * duplicate keys (Delta's "multiple source rows matched" error) or
+    * NULL key columns (which can never equi-match a target row). */
+  final class MergeSourceConflict(msg: String)
+      extends RuntimeException(msg)
+
+  /** One aggregate over the merge source enforcing the contract: no key
+    * appears twice, no key column is NULL. Cost is O(batch) — a
+    * groupBy on the key columns of the UPDATES only, never the table. */
+  private def checkMergeSource(aligned: DataFrame, keyCols: Seq[String],
+      path: String): Unit = {
+    val nullKey = keyCols.map(k => col(k).isNull).reduce(_ || _)
+    val probe = aligned.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__gc"))
+      .agg(max(col("__gc")).as("maxPerKey"),
+        sum(when(nullKey, col("__gc")).otherwise(lit(0L))).as("nullRows"))
+      .head()
+    val maxPerKey = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val nullRows = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+    if (nullRows > 0)
+      throw new MergeSourceConflict(
+        s"merge at $path: $nullRows update row(s) have NULL in a key " +
+        s"column (${keyCols.mkString(",")}). NULL keys never match a " +
+        "target row — the old row would be kept and the update " +
+        "inserted. Filter NULL-key rows out or use append.")
+    if (maxPerKey > 1)
+      throw new MergeSourceConflict(
+        s"merge at $path: a key appears $maxPerKey times in the updates " +
+        "batch — multiple source rows would survive as duplicate table " +
+        "rows. Deduplicate the batch on " +
+        s"(${keyCols.mkString(",")}) first (e.g. keep the latest row " +
+        "per key).")
+  }
+
   final class TouchedFilesOverflow(op: String, cap: Int, path: String)
       extends RuntimeException(
         s"$op at $path matches rows in more than $cap data files — the " +
@@ -1950,8 +2004,26 @@ object Snapshots {
                     "overwrite the table to change types")
             }
           }
-          StructType(ps.fields ++ df.schema.fields
-            .filterNot(f => ps.fieldNames.contains(f.name))).json
+          // nullability WIDENS on evolution (the Delta read rule): a
+          // column one side lacks must merge nullable — old files read
+          // a new column as null, and a batch omitting a parent column
+          // writes null into it. So does a nullable batch column over a
+          // non-nullable table column (no write-side NOT NULL
+          // enforcement here — CHECK constraints are the opt-in gate).
+          // Recording such a column non-nullable would let codegen
+          // elide null checks downstream and NPE on the legitimate
+          // nulls.
+          val merged = ps.fields.map { pf =>
+            df.schema.fields.find(_.name == pf.name) match {
+              case Some(f) if f.nullable && !pf.nullable =>
+                pf.copy(nullable = true)
+              case Some(_) => pf
+              case None => pf.copy(nullable = true)
+            }
+          } ++ df.schema.fields
+            .filterNot(f => ps.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))
+          StructType(merged).json
         case _ => df.schema.json
       }
       val next = math.max(parentV,
@@ -2185,11 +2257,19 @@ object Snapshots {
     val fs = fsFor(spark, path); val root = new Path(path)
     var rangeSchema: Option[String] = None
     val adds = (fromExclusive + 1 to toInclusive).flatMap { v =>
-      val m = readManifest(fs, root, v).getOrElse(
-        throw new IllegalArgumentException(
-          s"snapshot version $v does not exist (or was vacuumed) at $path"))
-      rangeSchema = m.schemaJson.orElse(rangeSchema)
-      if (isMaintenanceOp(m.op)) Nil else m.adds
+      readManifest(fs, root, v) match {
+        case Some(m) =>
+          rangeSchema = m.schemaJson.orElse(rangeSchema)
+          if (isMaintenanceOp(m.op)) Nil else m.adds
+        case None if claimExists(spark, path, v) =>
+          // dead claim (file present, unparseable): the writer published
+          // nothing at this version — skip it, same rule as the
+          // streaming source, so one externally-corrupted claim can't
+          // permanently wedge incremental consumption of the range
+          Nil
+        case None => throw new IllegalArgumentException(
+          s"snapshot version $v does not exist (or was vacuumed) at $path")
+      }
     }
     require(adds.nonEmpty,
       s"no data-changing files added in ($fromExclusive, $toInclusive]")
@@ -2248,6 +2328,11 @@ object Snapshots {
     val referenced: Set[String] = snaps.flatMap(_.files).toSet
     val referencedDv: Set[String] =
       snaps.flatMap(_.dvs.values.map(_.path)).toSet
+    def countParquet(fs: FileSystem, dir: Path): Long =
+      Option(fs.listStatus(dir)).getOrElse(Array.empty).map { st =>
+        if (st.isDirectory) countParquet(fs, st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+      }.sum
     // delete unreferenced data files (listing data/ is the one full
     // listing vacuum pays — it is the op whose JOB is the full sweep)
     var deleted = 0L
@@ -2299,7 +2384,12 @@ object Snapshots {
         if (d.isDirectory &&
             !referencedDv.contains(s"dv/${d.getPath.getName}") &&
             d.getModificationTime < horizon) {
-          fs.delete(d.getPath, true); deleted += 1
+          // count the PARQUET FILES inside the dataset, not the
+          // directory, so the returned metric stays per-file across
+          // both sweep phases (a dv dataset is a partitioned write —
+          // one directory, many files)
+          deleted += countParquet(fs, d.getPath)
+          fs.delete(d.getPath, true)
         }
       }
     }

@@ -51,18 +51,9 @@ final class SnapshotTableProvider extends TableProvider
 
   override def shortName(): String = "graft-snapshot"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("graft-snapshot: missing path"))
-    val spark = SparkSession.active
-    val m = Option(options.get("versionAsOf")) match {
-      case Some(v) => Snapshots.manifestAt(spark, path, v.toLong).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-snapshot: version $v does not exist at $path"))
-      case None => Snapshots.latestManifest(spark, path).getOrElse(
-        throw new IllegalArgumentException(
-          s"graft-snapshot: no committed snapshot at $path"))
-    }
+  /** Manifest → table schema, with the reader-support guard. */
+  private def manifestSchema(m: graft.ops.Snapshots.Manifest,
+      path: String): StructType = {
     val schema = m.schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
       throw new IllegalArgumentException(
@@ -78,37 +69,80 @@ final class SnapshotTableProvider extends TableProvider
     schema
   }
 
+  /** One "latest" resolution shared by inferSchema and getTable. */
+  private def resolveManifest(options: CaseInsensitiveStringMap,
+      path: String): Option[graft.ops.Snapshots.Manifest] = {
+    val spark = SparkSession.active
+    Option(options.get("versionAsOf")) match {
+      case Some(v) => Some(Snapshots.manifestAt(spark, path, v.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-snapshot: version $v does not exist at $path")))
+      case None => Snapshots.latestManifest(spark, path)
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-snapshot: missing path"))
+    val m = resolveManifest(options, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-snapshot: no committed snapshot at $path"))
+    manifestSchema(m, path)
+  }
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
+    // resolve the manifest ONCE and derive BOTH the schema and the
+    // version pin from it: a schema-evolving commit landing between a
+    // "latest schema" lookup and a separate "latest version" lookup
+    // would otherwise pin the new version under the old schema (the
+    // evolved column silently absent). Every action on the returned
+    // DataFrame then reads this one version — a concurrent commit
+    // between count() and collect() cannot split one DataFrame across
+    // two snapshots. Streaming ignores the pin (its offsets ARE
+    // versions).
+    val manifest = resolveManifest(opts, path)
+    val pinned = manifest.map(_.version).filter(_ > 0)
     // the MANIFEST schema is authoritative whenever the table exists:
     // with supportsExternalMetadata a user-specified READ schema would
     // otherwise pass through verbatim — a typo'd column silently reads
     // all-null and the unsupported-type guard is skipped. The passed
-    // schema only bootstraps a WRITE to a not-yet-created table.
-    val tschema =
-      try inferSchema(opts)
-      catch {
-        case e: IllegalArgumentException =>
-          if (schema.nonEmpty && Option(opts.get("versionAsOf")).isEmpty &&
-              Snapshots.latestManifest(SparkSession.active, path).isEmpty)
-            schema
-          else throw e
-      }
-    // pin "latest" ONCE, here: every action on the returned DataFrame
-    // then reads the same version — a concurrent commit between count()
-    // and collect() cannot split one DataFrame across two snapshots.
-    // Streaming ignores the pin (its offsets ARE versions).
-    val pinned = Option(opts.get("versionAsOf")).map(_.toLong).orElse {
-      val v = Snapshots.latestVersion(SparkSession.active, path)
-      if (v > 0) Some(v) else None
+    // schema only bootstraps a WRITE to a not-yet-created table. A
+    // user .schema(...) that DISAGREES with the manifest is not
+    // silently ignored either: the conflict is carried into the table
+    // and thrown at scan-build time (writes still proceed — append/
+    // overwrite re-enforce against the real manifest schema, and the
+    // DataFrame's schema legitimately differs on schema evolution).
+    val tschema = manifest match {
+      case Some(m) => manifestSchema(m, path)
+      case None if schema.nonEmpty => schema
+      case None => throw new IllegalArgumentException(
+        s"graft-snapshot: no committed snapshot at $path")
     }
+    val readConflict =
+      if (manifest.isDefined && schema.nonEmpty &&
+          !sameShape(schema, tschema))
+        Some(s"graft-snapshot: the read schema passed via .schema(...) " +
+          s"does not match the table schema at $path (version " +
+          s"${pinned.getOrElse(0L)}). Passed: ${schema.simpleString}; " +
+          s"table: ${tschema.simpleString}. Drop .schema(...) — the " +
+          "manifest schema is authoritative for reads.")
+      else None
     new SnapshotTable(path, tschema, pinned,
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
-      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
+      readConflict)
   }
+
+  /** Same field names and types in order (nullability and metadata are
+    * not contract — Spark widens them freely on round-trips). */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.length == b.fields.length &&
+      a.fields.zip(b.fields).forall { case (x, y) =>
+        x.name == y.name && x.dataType == y.dataType }
 
   // TRUE so the WRITE path works on not-yet-created tables: Spark then
   // hands getTable the DATAFRAME's schema for writes (first commit
@@ -121,7 +155,8 @@ final class SnapshotTableProvider extends TableProvider
 final class SnapshotTable(path: String, tschema: StructType,
     versionAsOf: Option[Long], startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    readSchemaConflict: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snapshot($path)"
@@ -133,9 +168,15 @@ final class SnapshotTable(path: String, tschema: StructType,
       // execution shape (build() returns a V1Write)
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a user .schema(...) disagreeing with the manifest fails HERE (the
+    // read path) rather than being silently replaced; the write path
+    // never builds a scan, so evolving-schema writes are unaffected
+    readSchemaConflict.foreach(msg =>
+      throw new IllegalArgumentException(msg))
     new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion,
       maxVersionsPerTrigger, maxBytesPerTrigger)
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -167,8 +208,17 @@ final class SnapshotWriteBuilder(path: String)
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
               ow: Boolean): Unit = {
-            if (overwrite || ow) Snapshots.overwrite(data, path)
-            else Snapshots.append(data, path)
+            if (overwrite || ow) {
+              // inherit the parent manifest's partition layout: the core
+              // API's rule is "overwrite redefines the layout", but a V2
+              // catalog writer doing mode("overwrite") has no partitionBy
+              // channel — without inheritance a routine overwrite would
+              // silently strip exact partition pruning from the table
+              // (Delta guards the same case)
+              val parts = Snapshots.tablePartitionBy(
+                data.sparkSession, path)
+              Snapshots.overwrite(data, path, parts)
+            } else Snapshots.append(data, path)
             ()
           }
         }
@@ -565,7 +615,9 @@ final class SnapshotColumnarReader(absPath: String, required: StructType,
                   case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) =>
                     (cr, v, i) => v.putLong(i, cr.getLong * 1000L)
                   case Some(LogicalTypeAnnotation.TimeUnit.NANOS) =>
-                    (cr, v, i) => v.putLong(i, cr.getLong / 1000L)
+                    // floorDiv, not /: pre-epoch nanos must round toward
+                    // -inf to match Spark's native reader on negatives
+                    (cr, v, i) => v.putLong(i, Math.floorDiv(cr.getLong, 1000L))
                   case _ => (cr, v, i) => v.putLong(i, cr.getLong)
                 }
             }
@@ -792,7 +844,8 @@ final class SnapshotGroupReader(absPath: String, required: StructType,
                   case Some(LogicalTypeAnnotation.TimeUnit.MILLIS) =>
                     g => g.getLong(idx, 0) * 1000L
                   case Some(LogicalTypeAnnotation.TimeUnit.NANOS) =>
-                    g => g.getLong(idx, 0) / 1000L
+                    // floorDiv: see the columnar twin — pre-epoch nanos
+                    g => Math.floorDiv(g.getLong(idx, 0), 1000L)
                   case _ => g => g.getLong(idx, 0) // micros (default)
                 }
             }
@@ -897,15 +950,32 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
         var v = s; var bytes = 0L
         var stop = false
         while (!stop && v < byVersions) {
+          // a version whose adds lack recorded byte sizes (pre-bytes
+          // manifest, bytes = 0) costs the WHOLE budget, not zero —
+          // otherwise a backlog of upgraded-table commits admits in
+          // one unbounded batch. Unknown = over-budget = one such
+          // version per trigger.
           val add = Snapshots.manifestAt(spark, path, v + 1)
-            .map(m => if (Snapshots.isMaintenanceOp(m.op)) 0L
-              else m.adds.map(f => m.stats.get(f).map(_.bytes)
-                .getOrElse(0L)).sum)
+            .map { m =>
+              if (Snapshots.isMaintenanceOp(m.op)) 0L
+              else {
+                val sizes = m.adds.map(f =>
+                  m.stats.get(f).map(_.bytes).getOrElse(0L))
+                if (m.adds.nonEmpty && sizes.exists(_ <= 0L)) Long.MaxValue
+                else sizes.sum
+              }
+            }
             .getOrElse(0L)
           // always admit at least one version; stop once the budget is
           // exceeded by the NEXT version's bytes
-          if (v > s && bytes + add > budget) stop = true
-          else { bytes += add; v += 1 }
+          if (v > s && (add == Long.MaxValue || bytes + add > budget))
+            stop = true
+          else {
+            v += 1
+            // an admitted unknown-size version consumed the whole
+            // budget: nothing else rides along in this trigger
+            if (add == Long.MaxValue) stop = true else bytes += add
+          }
         }
         v
       case None => byVersions
