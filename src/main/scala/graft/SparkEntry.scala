@@ -352,6 +352,24 @@ object SparkEntry {
         col("event_id") < 3000L && col("event_type") === "view")
     }
 
+  /** Four-commit store for the row-level CHANGE FEED rows: v1 append
+    * (%3=0), v2 append (%3=1), v3 merge-on-read delete (event_id<3000
+    * views — positions land as vectors, metadata-only commit), v4
+    * OPTIMIZE (materializes the vectors and must contribute NOTHING to
+    * the feed). Built once per (sf dir, JVM); the batch and streaming
+    * CDF consumers read the same fixed history, so build count cannot
+    * change either result. */
+  private def buildCdfSnapshotStore(s: SparkSession, dir: String): String =
+    sharedBuild("snapcdf", dir) { p =>
+      deleteRecursively(p)
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0), p)
+      Snapshots.append(ev.where(col("event_id") % 3 === 1), p)
+      Snapshots.deleteMor(s, p,
+        col("event_id") < 3000L && col("event_type") === "view")
+      Snapshots.optimize(s, p, numFiles = 2)
+    }
+
   /** The v1 append (%3<2, range-partitioned) + v2 overwrite (%3=2)
     * store q_snapshot_source and q_graph_snapshot both time-travel to
     * v1 — built once per (sf dir, JVM); both consumers read a PINNED
@@ -4232,6 +4250,70 @@ object SparkEntry {
       // clustering + one metadata-only delete-dv commit).
       val p = buildDvSnapshotStore(s, dir)
       Snapshots.history(s, p).select("version", "op", "n_added")
+    }),
+    "q_snapshot_sql" -> ((s, dir) => {
+      // the CATALOG face end-to-end by IDENTIFIER — what a
+      // catalog-managed deployment actually runs: register the
+      // TableCatalog plugin, CREATE TABLE via DDL (v1, empty, schema
+      // recorded), two INSERT INTOs through the full commit protocol,
+      // then read back latest ∪ VERSION AS OF 2 in one SQL statement
+      // (SQL time travel routes through loadTable(ident, version)).
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"gsnap_$slug"
+      sharedBuild("sqlcat", dir) { wh =>
+        deleteRecursively(wh)
+        s.conf.set(s"spark.sql.catalog.$cat",
+          "graft.sources.SnapshotCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.events_t (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING, value DOUBLE)")
+        snapshotEvents(s, dir).where(col("event_id") % 2 === 0)
+          .createOrReplaceTempView(s"ev_even_$slug")
+        s.sql(s"INSERT INTO $cat.db.events_t " +
+          s"SELECT * FROM ev_even_$slug")
+        snapshotEvents(s, dir).where(col("event_id") % 2 === 1)
+          .createOrReplaceTempView(s"ev_odd_$slug")
+        s.sql(s"INSERT INTO $cat.db.events_t " +
+          s"SELECT * FROM ev_odd_$slug")
+      }
+      s.sql(s"""SELECT event_id, user_id, event_type, value,
+                       'v2' AS src
+                FROM $cat.db.events_t VERSION AS OF 2
+                UNION ALL
+                SELECT event_id, user_id, event_type, value,
+                       'latest' AS src
+                FROM $cat.db.events_t""")
+    }),
+    "q_snapshot_cdf" -> ((s, dir) => {
+      // the COMBINED row-level CHANGE FEED, batch face (Delta's
+      // readChangeFeed / table_changes shape): every data-changing
+      // commit contributes its added rows as _change_type='insert',
+      // the merge-on-read commit its FRESH vector positions joined back
+      // to rows as 'delete', each stamped _commit_version; the OPTIMIZE
+      // commit contributes nothing — the one feed an incremental
+      // index/aggregate consumer needs, adds AND deletes, no table
+      // re-sync. Streaming==batch equality is law-pinned (LawsSpec).
+      val p = buildCdfSnapshotStore(s, dir)
+      Snapshots.changeFeed(s, p, 0L, 4L)
+    }),
+    "q_stream_cdf" -> ((s, dir) => {
+      // the SAME feed as a real multi-batch STREAM: readChangeFeed on
+      // the V2 source with maxVersionsPerTrigger=1 plans one commit per
+      // micro-batch (4 real batches here — two insert batches, one
+      // row-level delete batch, one EMPTY optimize batch), offsets are
+      // versions, replay deterministic from the log.
+      val p = buildCdfSnapshotStore(s, dir)
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sink = s"snap_cdf_$slug"
+      val q = s.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(p)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
     }),
     "q_snapshot_dv_feed" -> ((s, dir) => {
       // the ROW-LEVEL DELETE FEED merge-on-read unlocks: deletedRows(v)
@@ -8313,6 +8395,47 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE event_id < 3000 AND event_type = 'view'""",
+    "q_snapshot_sql" ->
+      // v2 = the even INSERT only; latest = both inserts
+      """SELECT event_id, user_id, event_type, value, 'v2' AS src
+         FROM events WHERE event_id % 2 = 0
+         UNION ALL
+         SELECT event_id, user_id, event_type, value, 'latest' AS src
+         FROM events""",
+    "q_snapshot_cdf" ->
+      // inserts = the two appended slices (stamped with their commit),
+      // deletes = the dv'd rows among them, optimize contributes nothing
+      """SELECT event_id, user_id, event_type, value,
+                'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'insert', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 3 = 1
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(3 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
+           AND event_type = 'view'""",
+    "q_stream_cdf" ->
+      // q_snapshot_cdf's oracle verbatim: the multi-batch stream must
+      // reproduce the batch feed exactly
+      """SELECT event_id, user_id, event_type, value,
+                'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'insert', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 3 = 1
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(3 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
+           AND event_type = 'view'""",
     "q_snapshot_compact" ->
       // compaction rewrites layout only: rows = the two appends
       """SELECT event_id, user_id, event_type, value

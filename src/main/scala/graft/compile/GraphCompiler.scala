@@ -403,6 +403,21 @@ final class GraphCompiler(
           optD(n, "to_inclusive", r).getOrElse(throw graft.OpenEoError(
             "SnapshotRangeMissing",
             "snapshot_changes needs 'to_inclusive'")).toLong)
+      case "snapshot_change_feed" =>
+        // the COMBINED row-level change feed (the Delta readChangeFeed
+        // shape) on the graph surface: inserts from every add, deletes
+        // from every merge-on-read commit's fresh vector positions,
+        // each row stamped _change_type / _commit_version
+        val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
+          "SnapshotPathMissing",
+          "snapshot_change_feed needs a 'path' argument"))
+        Snapshots.changeFeed(spark, spath,
+          optD(n, "from_exclusive", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotRangeMissing",
+            "snapshot_change_feed needs 'from_exclusive'")).toLong,
+          optD(n, "to_inclusive", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotRangeMissing",
+            "snapshot_change_feed needs 'to_inclusive'")).toLong)
       case "snapshot_deleted_rows" =>
         // the row-level DELETE feed on the graph surface: exactly the
         // rows a merge-on-read commit removed — the delete half of

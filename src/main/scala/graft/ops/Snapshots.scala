@@ -1351,8 +1351,7 @@ object Snapshots {
     val allDel =
       if (priorDirs.isEmpty) newDel
       else newDel.unionByName(
-        spark.read.parquet(priorDirs.map(d =>
-            new Path(root, d).toString): _*)
+        readDvDatasets(spark, root, priorDirs)
           .where(col(DvFileCol).isin(touched: _*))
           .select(col(DvFileCol), col(DvPosCol))).distinct()
     val dvDir = s"dv/d-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -1458,18 +1457,17 @@ object Snapshots {
     val schema = snapshotSchema(spark, path, parent)
     val files = m.dvs.keys.toSeq.sorted
     val newDirs = m.dvs.values.map(_.path).toSeq.distinct.sorted
-    val newRows = spark.read
-      .parquet(newDirs.map(d => new Path(root, d).toString): _*)
+    val newRows = readDvDatasets(spark, root, newDirs)
       .where(col(DvFileCol).isin(files: _*))
       .select(col(DvFileCol), col(DvPosCol))
     val oldDirs = parent.dvs.filter { case (f, _) => m.dvs.contains(f) }
       .values.map(_.path).toSeq.distinct.sorted
     val fresh =
       if (oldDirs.isEmpty) newRows
-      else newRows.except(spark.read
-        .parquet(oldDirs.map(d => new Path(root, d).toString): _*)
-        .where(col(DvFileCol).isin(files: _*))
-        .select(col(DvFileCol), col(DvPosCol)))
+      else newRows.except(
+        readDvDatasets(spark, root, oldDirs)
+          .where(col(DvFileCol).isin(files: _*))
+          .select(col(DvFileCol), col(DvPosCol)))
     val data = readFiles(spark, root, files, schema, Map.empty,
         keepPos = true)
       .withColumn("__gab", element_at(split(col("__gap"), "/"), -1))
@@ -1533,6 +1531,18 @@ object Snapshots {
     claimedVersions(fs, root).sorted.reverse.iterator
       .flatMap(v => readManifest(fs, root, v))
       .find(_.ts <= tsMillis).map(_.version)
+  }
+
+  /** CREATE TABLE: commit version 1 recording `schema` (and
+    * `partitionBy` as table metadata, inherited by every later commit)
+    * with zero data rows — the catalog's create face. Fails if the
+    * table already exists. */
+  def createEmpty(spark: SparkSession, path: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): Long = {
+    require(latestManifest(spark, path).isEmpty,
+      s"table already exists at $path")
+    commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
+      path, "append", partitionBy = partitionBy)
   }
 
   /** Time travel by WALL CLOCK: read the newest version committed at or
@@ -2159,6 +2169,18 @@ object Snapshots {
     * `keepPos` retains `__gap` (absolute file path) and `__gpi` (row
     * position in file) for callers that need position attribution
     * (CoW planning, [[deleteMor]]). */
+  /** Read one or more deletion-vector DATASETS as one DataFrame. Each
+    * dataset root reads SEPARATELY and unions — a single multi-root
+    * spark.read over independently-partitioned datasets trips Spark's
+    * conflicting-directory-structures check, which would brick every
+    * read of a table whose live vectors span two delete-dv commits.
+    * Filters on `__gb` push through the Union into each scan, so the
+    * partition-directory pruning is unchanged. */
+  private def readDvDatasets(spark: SparkSession, root: Path,
+      dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.parquet(new Path(root, d).toString))
+      .reduce(_.unionByName(_))
+
   private def readFiles(spark: SparkSession, root: Path,
       files: Seq[String], schema: StructType, dvs: Map[String, Dv],
       keepPos: Boolean = false): DataFrame = {
@@ -2187,8 +2209,7 @@ object Snapshots {
         // lookup carries the URI rendering of each covered file, so
         // escaped partition directories can never silently resurrect
         // deleted rows through a failed suffix match
-        val del = spark.read
-          .parquet(dirs.map(d => new Path(root, d).toString): _*)
+        val del = readDvDatasets(spark, root, dirs)
           .where(col(DvBaseCol).isin(bases: _*))
           .select(col(DvFileCol), col(DvPosCol))
           .join(broadcast(uriLookup(spark, live.keys.toSeq)),
@@ -2279,6 +2300,61 @@ object Snapshots {
     val reader = rangeSchema.map(j => spark.read.schema(
       DataType.fromJson(j).asInstanceOf[StructType])).getOrElse(spark.read)
     reader.parquet(adds.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Row-level CHANGE FEED over versions (fromExclusive, toInclusive] —
+    * the Delta `readChangeFeed` shape: every data-changing version
+    * contributes its ADDED rows as `_change_type = 'insert'` and every
+    * merge-on-read delete-dv commit its FRESHLY deleted rows (this
+    * commit's positions minus the parent's) as `_change_type =
+    * 'delete'`, each stamped with `_commit_version`. OPTIMIZE/compact
+    * commits are skipped like [[changes]] (same rows, new layout), and
+    * a dead (unparseable-but-present) claim is skipped too. CoW commits
+    * (delete/merge/update/replace-where/overwrite) surface through
+    * their adds at FILE granularity — documented in [[changes]]; the
+    * delete-dv path is the row-exact half. The NEWEST schema in the
+    * range governs: older versions' rows surface late columns as null.
+    * The streaming V2 face (`option("readChangeFeed", "true")`) plans
+    * the same per-version partitions incrementally. */
+  def changeFeed(spark: SparkSession, path: String, fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    require(fromExclusive < toInclusive, "empty version range")
+    val fs = fsFor(spark, path); val root = new Path(path)
+    // governing schema: the newest manifest IN THE RANGE that records one
+    val gov = (fromExclusive + 1 to toInclusive).reverse.iterator
+      .flatMap(v => readManifest(fs, root, v).flatMap(_.schemaJson))
+      .take(1).toSeq.headOption
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"no schema-recording manifest in ($fromExclusive, $toInclusive] " +
+          s"at $path"))
+    def aligned(df: DataFrame, ct: String, v: Long): DataFrame =
+      df.select(gov.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)) ++ Seq(
+        lit(ct).as("_change_type"),
+        lit(v).as("_commit_version")): _*)
+    val pieces = (fromExclusive + 1 to toInclusive).flatMap { v =>
+      readManifest(fs, root, v) match {
+        case Some(m) if isMaintenanceOp(m.op) => Nil
+        case Some(m) if m.op == "delete-dv" =>
+          Seq(aligned(deletedRows(spark, path, v), "delete", v))
+        case Some(m) if m.adds.nonEmpty =>
+          val reader = m.schemaJson.map(j => spark.read.schema(
+              DataType.fromJson(j).asInstanceOf[StructType]))
+            .getOrElse(spark.read)
+          Seq(aligned(
+            reader.parquet(m.adds.map(f => new Path(root, f).toString): _*),
+            "insert", v))
+        case Some(_) => Nil // metadata-only commit (constraints, restore)
+        case None if claimExists(spark, path, v) => Nil // dead claim
+        case None => throw new IllegalArgumentException(
+          s"snapshot version $v does not exist (or was vacuumed) at $path")
+      }
+    }
+    require(pieces.nonEmpty,
+      s"no row-level changes in ($fromExclusive, $toInclusive] at $path")
+    pieces.reduce(_.unionByName(_))
   }
 
   // ------------------------------------------------------------------- vacuum

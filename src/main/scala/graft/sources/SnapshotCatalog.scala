@@ -1,0 +1,198 @@
+package graft.sources
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-surface catalog for the `graft-snapshot` lakehouse store — the
+  * integration a catalog-managed deployment actually uses: register
+  * once (`spark.sql.catalog.graft = graft.sources.SnapshotCatalog`,
+  * `spark.sql.catalog.graft.warehouse = /data/graft`) and the whole
+  * tier drives by IDENTIFIER instead of path:
+  *
+  *   - `spark.table("graft.db.t")` / `SELECT ... FROM graft.db.t`
+  *   - `CREATE TABLE graft.db.t (id BIGINT) PARTITIONED BY (lang)`
+  *   - `INSERT INTO graft.db.t ...` (full commit protocol — atomic
+  *     publish, schema enforcement, CHECK constraints, stats)
+  *   - `SELECT ... FROM graft.db.t VERSION AS OF 3` /
+  *     `TIMESTAMP AS OF ...` (Spark routes both through the
+  *     time-travel loadTable overloads)
+  *
+  * Identifiers map to the filesystem: `graft.db.t` lives at
+  * `<warehouse>/db/t`, a table is any directory holding a `_graft_log`.
+  * There is deliberately NO separate metastore: the transaction log IS
+  * the table metadata (the path-based Delta model), so catalog and
+  * direct-path access can never disagree. */
+final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private val provider = new SnapshotTableProvider
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def fs = new org.apache.hadoop.fs.Path(warehouse)
+    .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  private def isTableDir(p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_graft_log"))
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+    Option(fs.listStatus(dir)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new org.apache.hadoop.fs.Path(pathOf(ident)))
+
+  private def load(ident: Identifier,
+      extra: Map[String, String]): Table = {
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", pathOf(ident))
+    extra.foreach { case (k, v) => props.put(k, v) }
+    try provider.getTable(new StructType(), Array.empty, props)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("no committed snapshot") =>
+        throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, Map.empty)
+
+  /** `VERSION AS OF v` — the SQL face of versionAsOf. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Map("versionAsOf" ->
+      (try version.toLong.toString
+       catch { case _: NumberFormatException =>
+         throw new IllegalArgumentException(
+           s"graft-snapshot versions are numeric; got '$version'") })))
+
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch; the
+    * log's in-commit timestamps are millis. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val v = Snapshots.versionAtTimestamp(SparkSession.active,
+        pathOf(ident), Math.floorDiv(timestamp, 1000L))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestamp at ${pathOf(ident)}"))
+    load(ident, Map("versionAsOf" -> v.toString))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map { t =>
+      t.references() match {
+        case refs if t.name() == "identity" && refs.length == 1 =>
+          refs.head.fieldNames().mkString(".")
+        case _ => throw new UnsupportedOperationException(
+          s"graft-snapshot supports identity partitioning only; got $t")
+      }
+    }
+    Snapshots.createEmpty(SparkSession.active, pathOf(ident), schema,
+      partitionBy)
+    load(ident, Map.empty)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported — evolve the schema by appending " +
+        "(new columns merge nullable) and manage CHECK constraints via " +
+        "Snapshots.addConstraint/dropConstraint")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pathOf(ident))
+    if (!isTableDir(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    val dst = new org.apache.hadoop.fs.Path(pathOf(newIdent))
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(pathOf(oldIdent)), dst))
+      throw new IllegalStateException(
+        s"rename ${pathOf(oldIdent)} -> ${pathOf(newIdent)} failed")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new org.apache.hadoop.fs.Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    Option(fs.listStatus(root)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(
+      catalogName +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(new org.apache.hadoop.fs.Path(
+      (warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) new java.util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      (warehouse +: namespace.toSeq).mkString("/")))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      (warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade &&
+          Option(fs.listStatus(p)).exists(_.nonEmpty))
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(p, true)
+    }
+  }
+}

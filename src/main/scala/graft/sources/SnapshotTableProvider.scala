@@ -87,7 +87,14 @@ final class SnapshotTableProvider extends TableProvider
     val m = resolveManifest(options, path).getOrElse(
       throw new IllegalArgumentException(
         s"graft-snapshot: no committed snapshot at $path"))
-    manifestSchema(m, path)
+    val base = manifestSchema(m, path)
+    // CDF advertises the meta columns here too: Spark round-trips this
+    // result into getTable's schema parameter
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      base.add(SnapshotCdf.ChangeTypeCol, StringType, nullable = false)
+        .add(SnapshotCdf.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -105,6 +112,7 @@ final class SnapshotTableProvider extends TableProvider
     // versions).
     val manifest = resolveManifest(opts, path)
     val pinned = manifest.map(_.version).filter(_ > 0)
+    val cdf = Option(opts.get("readChangeFeed")).exists(_.toBoolean)
     // the MANIFEST schema is authoritative whenever the table exists:
     // with supportsExternalMetadata a user-specified READ schema would
     // otherwise pass through verbatim — a typo'd column silently reads
@@ -115,12 +123,26 @@ final class SnapshotTableProvider extends TableProvider
     // and thrown at scan-build time (writes still proceed — append/
     // overwrite re-enforce against the real manifest schema, and the
     // DataFrame's schema legitimately differs on schema evolution).
-    val tschema = manifest match {
+    val base = manifest match {
       case Some(m) => manifestSchema(m, path)
       case None if schema.nonEmpty => schema
       case None => throw new IllegalArgumentException(
         s"graft-snapshot: no committed snapshot at $path")
     }
+    // the CHANGE-FEED face appends the Delta-CDF meta columns; rows then
+    // carry what changed ('insert' adds / 'delete' = freshly dv-deleted)
+    // and in which commit
+    val tschema =
+      if (!cdf) base
+      else {
+        SnapshotCdf.MetaCols.foreach { c =>
+          require(!base.fieldNames.contains(c),
+            s"graft-snapshot: table at $path already has a column " +
+              s"named $c — cannot read as a change feed") }
+        base.add(SnapshotCdf.ChangeTypeCol, StringType, nullable = false)
+          .add(SnapshotCdf.CommitVersionCol,
+            org.apache.spark.sql.types.LongType, nullable = false)
+      }
     val readConflict =
       if (manifest.isDefined && schema.nonEmpty &&
           !sameShape(schema, tschema))
@@ -134,7 +156,8 @@ final class SnapshotTableProvider extends TableProvider
       Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
-      readConflict)
+      readConflict, cdf,
+      Option(opts.get("endingVersion")).map(_.toLong))
   }
 
   /** Same field names and types in order (nullability and metadata are
@@ -156,7 +179,9 @@ final class SnapshotTable(path: String, tschema: StructType,
     versionAsOf: Option[Long], startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    readSchemaConflict: Option[String] = None)
+    readSchemaConflict: Option[String] = None,
+    cdf: Boolean = false,
+    endingVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-snapshot($path)"
@@ -175,7 +200,7 @@ final class SnapshotTable(path: String, tschema: StructType,
     readSchemaConflict.foreach(msg =>
       throw new IllegalArgumentException(msg))
     new SnapshotScanBuilder(path, tschema, versionAsOf, startingVersion,
-      maxVersionsPerTrigger, maxBytesPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger, cdf, endingVersion)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -228,7 +253,9 @@ final class SnapshotWriteBuilder(path: String)
 final class SnapshotScanBuilder(path: String, full: StructType,
     versionAsOf: Option[Long], startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    cdf: Boolean = false,
+    endingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -245,7 +272,10 @@ final class SnapshotScanBuilder(path: String, full: StructType,
     * above (it only offers the push when no residual filter sits
     * between, and all our filters stay residual, so the cut can never
     * hide matching rows). */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    // a change feed's row set is version-ordered semantics, not "any n
+    // rows" — no file cut
+    if (cdf) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   /** Keep EVERY filter residual (stats pruning is a superset, never a
@@ -278,6 +308,7 @@ final class SnapshotScanBuilder(path: String, full: StructType,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Long] = {
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (cdf) return None // feed cardinality is not the table's
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     if (agg.aggregateExpressions.length != 1 ||
         !agg.aggregateExpressions.head.isInstanceOf[CountStar]) return None
@@ -307,7 +338,8 @@ final class SnapshotScanBuilder(path: String, full: StructType,
     case Some(n) => new SnapshotCountScan(path, n)
     case None =>
       new SnapshotScan(path, full, required, pushed, versionAsOf,
-        startingVersion, limit, maxVersionsPerTrigger, maxBytesPerTrigger)
+        startingVersion, limit, maxVersionsPerTrigger, maxBytesPerTrigger,
+        cdf, endingVersion)
   }
 }
 
@@ -345,17 +377,68 @@ object SnapshotCountReaderFactory extends PartitionReaderFactory {
 /** One data file. `dvDirAbs`/`relPath` are set when the file carries a
   * merge-on-read deletion vector: the reader loads its positions from
   * the vector dataset's `__gb=<basename>` partition directory and skips
-  * them during iteration. */
+  * them during iteration. In CHANGE-FEED mode `changeType` is set:
+  * "insert" partitions read the whole file (a version's add);
+  * "delete" partitions read ONLY the freshly deleted positions —
+  * `dvDirAbs` then holds the commit's vector dataset and `oldDvDirAbs`
+  * the parent's (subtracted, so re-deletes never re-emit). */
 final case class SnapshotInputPartition(absPath: String,
-    dvDirAbs: String = null, relPath: String = null)
+    dvDirAbs: String = null, relPath: String = null,
+    changeType: String = null, commitVersion: Long = -1L,
+    oldDvDirAbs: String = null)
     extends InputPartition
+
+/** Shared CHANGE-FEED planning: one version → its row-level change
+  * partitions. Used identically by the batch scan (a (start, end]
+  * range) and the micro-batch stream (each trigger's admitted range),
+  * so the two faces can never diverge. */
+private[sources] object SnapshotCdf {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val MetaCols: Seq[String] = Seq(ChangeTypeCol, CommitVersionCol)
+
+  def partitionsFor(spark: SparkSession, path: String, v: Long,
+      streaming: Boolean): Seq[SnapshotInputPartition] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    Snapshots.manifestAt(spark, path, v) match {
+      case Some(m) if Snapshots.isMaintenanceOp(m.op) => Nil
+      case Some(m) if m.op == "delete-dv" =>
+        // parent vectors subtract so only FRESH positions emit
+        val parentDvs = Snapshots.snapshotAt(spark, path, Some(m.parent))
+          .map(_.dvs).getOrElse(Map.empty)
+        m.dvs.toSeq.sortBy(_._1).map { case (f, dv) =>
+          SnapshotInputPartition(
+            new org.apache.hadoop.fs.Path(root, f).toString,
+            new org.apache.hadoop.fs.Path(root, dv.path).toString, f,
+            changeType = "delete", commitVersion = v,
+            oldDvDirAbs = parentDvs.get(f).map(d =>
+              new org.apache.hadoop.fs.Path(root, d.path).toString).orNull)
+        }
+      case Some(m) => m.adds.map(f => SnapshotInputPartition(
+        new org.apache.hadoop.fs.Path(root, f).toString, null, f,
+        changeType = "insert", commitVersion = v))
+      case None if Snapshots.claimExists(spark, path, v) =>
+        Nil // dead claim: published nothing
+      case None =>
+        if (streaming) throw new IllegalStateException(
+          s"graft-snapshot: version $v at $path was vacuumed before " +
+            "this stream consumed it — reset the checkpoint (or use " +
+            "startingVersion) past the vacuum horizon")
+        else throw new IllegalArgumentException(
+          s"graft-snapshot: version $v does not exist (or was vacuumed) " +
+            s"at $path")
+    }
+  }
+}
 
 final class SnapshotScan(path: String, full: StructType,
     required: StructType, pushed: Array[Filter],
     versionAsOf: Option[Long], startingVersion: Long,
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    cdf: Boolean = false,
+    endingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -375,6 +458,14 @@ final class SnapshotScan(path: String, full: StructType,
     Snapshots.snapshotAt(SparkSession.active, path, versionAsOf)
 
   override def estimateStatistics(): Statistics = {
+    if (cdf) return new Statistics {
+      // a feed's cardinality is range- not table-shaped; unknown keeps
+      // the planner conservative (no accidental broadcast of a feed)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
     val agg = resolved.flatMap { m =>
       val keep = Snapshots.pruneByFilters(m, pushed)
       if (keep.forall(m.stats.contains))
@@ -410,7 +501,7 @@ final class SnapshotScan(path: String, full: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotMicroBatchStream(path, required, startingVersion,
-      maxVersionsPerTrigger, maxBytesPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger, cdf)
   override def description(): String =
     s"graft-snapshot StatsPrunedBy: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}"
@@ -429,13 +520,26 @@ final class SnapshotScan(path: String, full: StructType,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fieldNames.map(
+    if (cdf) Array.empty // CDF plans per-version, not by stats pruning
+    else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (cdf) {
+      // batch CHANGE FEED over (startingVersion-1, endingVersion]:
+      // the end defaults to the version pinned at getTable, so one
+      // DataFrame's actions all see the same range
+      val spark = SparkSession.active
+      val end = endingVersion
+        .orElse(versionAsOf)
+        .getOrElse(Snapshots.latestVersion(spark, path))
+      return (startingVersion to end).flatMap(v =>
+        SnapshotCdf.partitionsFor(spark, path, v, streaming = false))
+        .map(p => p: InputPartition).toArray
+    }
     val m = resolved.getOrElse(
       throw new IllegalArgumentException(versionAsOf match {
         case Some(v) => s"graft-snapshot: version $v does not exist at $path"
@@ -476,7 +580,8 @@ final class SnapshotScan(path: String, full: StructType,
     // and restores the vectorized path (the Delta-ish contract: DV
     // tables pay a read tax until maintenance compacts them)
     SnapshotReaderFactory.fromSession(required,
-      columnar = resolved.forall(_.dvs.isEmpty))
+      // CDF reads row-based: the meta-column append wraps each row
+      columnar = !cdf && resolved.forall(_.dvs.isEmpty))
 }
 
 object SnapshotReaderFactory {
@@ -499,8 +604,63 @@ final class SnapshotReaderFactory(required: StructType,
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SnapshotInputPartition]
+    if (sp.changeType != null) return cdfReader(sp)
     new SnapshotGroupReader(sp.absPath, required, hadoopConf,
       Option(sp.dvDirAbs).map(d => (d, sp.relPath)))
+  }
+
+  /** CHANGE-FEED reader: the data columns come from the file (insert =
+    * every row of a version's add; delete = only the commit's FRESH
+    * vector positions), the meta columns are per-partition constants
+    * appended around the inner row. */
+  private def cdfReader(sp: SnapshotInputPartition)
+      : PartitionReader[InternalRow] = {
+    val dataFields = required.fields.filterNot(f =>
+      SnapshotCdf.MetaCols.contains(f.name))
+    val dataSchema = StructType(dataFields)
+    val inner = sp.changeType match {
+      case "delete" =>
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        hadoopConf.foreach { case (k, v) => c.set(k, v) }
+        val newPos = SnapshotGroupReader.loadDvPositions(
+          sp.dvDirAbs, sp.relPath, c)
+        val oldPos =
+          if (sp.oldDvDirAbs == null) Array.emptyLongArray
+          else SnapshotGroupReader.loadDvPositions(
+            sp.oldDvDirAbs, sp.relPath, c)
+        val fresh = SnapshotGroupReader.subtractSorted(newPos, oldPos)
+        new SnapshotGroupReader(sp.absPath, dataSchema, hadoopConf,
+          None, emitOnly = fresh)
+      case _ =>
+        new SnapshotGroupReader(sp.absPath, dataSchema, hadoopConf)
+    }
+    // output slot i ← data slot (>=0) or meta constant (-1 type, -2 ver)
+    val slots: Array[Int] = required.fields.map { f =>
+      if (f.name == SnapshotCdf.ChangeTypeCol) -1
+      else if (f.name == SnapshotCdf.CommitVersionCol) -2
+      else dataFields.indexWhere(_.name == f.name)
+    }
+    val types = dataFields.map(_.dataType)
+    val ct = org.apache.spark.unsafe.types.UTF8String
+      .fromString(sp.changeType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val in = inner.get()
+        val arr = new Array[Any](slots.length)
+        var i = 0
+        while (i < slots.length) {
+          arr(i) = slots(i) match {
+            case -1 => ct
+            case -2 => sp.commitVersion
+            case d => if (in.isNullAt(d)) null else in.get(d, types(d))
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+      }
+      override def close(): Unit = inner.close()
+    }
   }
 
   // vectorized path: the scan emits ColumnarBatch, so Spark plans a
@@ -757,6 +917,21 @@ object SnapshotGroupReader {
     java.util.Arrays.sort(arr)
     arr
   }
+
+  /** a \ b over sorted long arrays (merge walk) — the fresh positions a
+    * change-feed delete partition emits. */
+  private[sources] def subtractSorted(a: Array[Long],
+      b: Array[Long]): Array[Long] = {
+    if (b.isEmpty) return a
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    var i = 0; var j = 0
+    while (i < a.length) {
+      while (j < b.length && b(j) < a(i)) j += 1
+      if (j >= b.length || b(j) != a(i)) out += a(i)
+      i += 1
+    }
+    out.result()
+  }
 }
 
 /** Reads ONE manifest file through parquet-mr's Group API with a pushed
@@ -770,7 +945,8 @@ object SnapshotGroupReader {
   * order. */
 final class SnapshotGroupReader(absPath: String, required: StructType,
     hadoopConf: Map[String, String] = Map.empty,
-    dv: Option[(String, String)] = None)
+    dv: Option[(String, String)] = None,
+    emitOnly: Array[Long] = null)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -865,17 +1041,25 @@ final class SnapshotGroupReader(absPath: String, required: StructType,
   }
   private var rowPos: Long = -1L
   private var dvIdx: Int = 0
+  private var emitIdx: Int = 0
 
   override def next(): Boolean = {
     while (true) {
+      // emit-only mode (change-feed deletes): done once the sorted
+      // wanted-position list is exhausted — no tail read
+      if (emitOnly != null && emitIdx >= emitOnly.length) return false
       cur = reader.read()
       if (cur == null) return false
       rowPos += 1
-      if (dvPositions.length == 0) return true
-      while (dvIdx < dvPositions.length && dvPositions(dvIdx) < rowPos)
-        dvIdx += 1
-      if (dvIdx >= dvPositions.length || dvPositions(dvIdx) != rowPos)
-        return true
+      if (emitOnly != null) {
+        if (emitOnly(emitIdx) == rowPos) { emitIdx += 1; return true }
+      } else {
+        if (dvPositions.length == 0) return true
+        while (dvIdx < dvPositions.length && dvPositions(dvIdx) < rowPos)
+          dvIdx += 1
+        if (dvIdx >= dvPositions.length || dvPositions(dvIdx) != rowPos)
+          return true
+      }
     }
     false // unreachable
   }
@@ -912,7 +1096,8 @@ final case class SnapshotVersionOffset(version: Long)
   * the stream cannot stall on one oversized commit). */
 final class SnapshotMicroBatchStream(path: String, required: StructType,
     startingVersion: Long, maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    cdf: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -994,6 +1179,12 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
     val spark = SparkSession.active
     val s = start.asInstanceOf[SnapshotVersionOffset].version
     val e = end.asInstanceOf[SnapshotVersionOffset].version
+    if (cdf)
+      // row-level change feed: same per-version planning as the batch
+      // CDF face (inserts from adds, deletes from fresh dv positions)
+      return (s + 1 to e).flatMap(v =>
+        SnapshotCdf.partitionsFor(spark, path, v, streaming = true))
+        .map(p => p: InputPartition).toArray
     val root = new org.apache.hadoop.fs.Path(path)
     (s + 1 to e).flatMap { v =>
       Snapshots.manifestAt(spark, path, v) match {
@@ -1016,7 +1207,7 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotReaderFactory.fromSession(required)
+    SnapshotReaderFactory.fromSession(required, columnar = !cdf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

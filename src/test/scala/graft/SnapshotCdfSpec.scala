@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Row-level CHANGE FEED laws — batch [[Snapshots.changeFeed]] and the
+  * V2 `readChangeFeed` face (batch + streaming) must agree, deletes
+  * must be FRESH positions only, and maintenance must contribute
+  * nothing. */
+class SnapshotCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+    new java.io.File(d).deleteOnExit(); d
+  }
+
+  private def tbl(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"r$i", i * 2.0)).toDF("id", "name", "v")
+
+  /** v1 append 1..10, v2 append 11..15, v3 deleteMor(id<=3),
+    * v4 deleteMor(id<=5) — overlapping, so v4 must emit ONLY 4,5 —
+    * v5 optimize (skipped). */
+  private def buildStore(): String = {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    Snapshots.append(tbl(11 to 15), p)
+    Snapshots.deleteMor(spark, p, col("id") <= 3L)
+    Snapshots.deleteMor(spark, p, col("id") <= 5L)
+    Snapshots.optimize(spark, p, 1)
+    p
+  }
+
+  private def feedSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+
+  private val expected: Set[(Long, String, Long)] =
+    (1L to 10L).map((_, "insert", 1L)).toSet ++
+      (11L to 15L).map((_, "insert", 2L)).toSet ++
+      (1L to 3L).map((_, "delete", 3L)).toSet ++
+      (4L to 5L).map((_, "delete", 4L)).toSet
+
+  test("batch changeFeed: inserts per commit, FRESH deletes only, " +
+      "optimize skipped") {
+    val p = buildStore()
+    feedSet(Snapshots.changeFeed(spark, p, 0L, 5L)) shouldBe expected
+    // a sub-range carries exactly its versions
+    feedSet(Snapshots.changeFeed(spark, p, 2L, 4L)) shouldBe
+      ((1L to 3L).map((_, "delete", 3L)).toSet ++
+        (4L to 5L).map((_, "delete", 4L)).toSet)
+  }
+
+  test("V2 batch readChangeFeed == changeFeed (same planning)") {
+    val p = buildStore()
+    val v2 = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(p)
+    feedSet(v2) shouldBe expected
+    // data columns ride along with correct values
+    v2.where(col("_change_type") === "delete" &&
+        col("_commit_version") === 4L)
+      .select("name").as[String].collect().sorted shouldBe Seq("r4", "r5")
+    // startingVersion bounds the range
+    feedSet(spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "3")
+      .load(p)) shouldBe expected.filter(_._3 >= 3L)
+    // endingVersion pins the high end
+    feedSet(spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("endingVersion", "2")
+      .load(p)) shouldBe expected.filter(_._3 <= 2L)
+  }
+
+  test("streaming readChangeFeed == batch feed across real micro-batches") {
+    val p = buildStore()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(p)
+      .writeStream.format("memory").queryName("cdf_law")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    feedSet(spark.table("cdf_law")) shouldBe expected
+  }
+
+  test("column pruning: meta-only and partial projections stay correct") {
+    val p = buildStore()
+    val v2 = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(p)
+    v2.select("_change_type").groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap shouldBe
+      Map("insert" -> 15L, "delete" -> 5L)
+    v2.select("id", "_commit_version")
+      .where(col("_commit_version") === 1L)
+      .select("id").as[Long].collect().sorted shouldBe (1L to 10L)
+  }
+
+  test("graph process snapshot_change_feed == API") {
+    val p = buildStore()
+    val graph = s"""{
+      "f": {"process_id": "snapshot_change_feed", "arguments": {
+        "path": "$p", "from_exclusive": 0, "to_inclusive": 5},
+        "result": true}}"""
+    val df = new graft.compile.GraphCompiler(spark, Map.empty)
+      .compile(graph).asInstanceOf[org.apache.spark.sql.DataFrame]
+    feedSet(df) shouldBe expected
+  }
+
+  test("CoW delete surfaces at file granularity (re-emitted survivors), " +
+      "documented contract") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(1), p)
+    Snapshots.delete(spark, p, col("id") <= 2L) // copy-on-write rewrite
+    val feed = Snapshots.changeFeed(spark, p, 0L, 2L)
+    // the CoW commit re-adds the surviving rows as inserts (v2);
+    // no row-level delete is claimed (only dv commits are row-exact)
+    feedSet(feed) shouldBe
+      ((1L to 10L).map((_, "insert", 1L)).toSet ++
+        (3L to 10L).map((_, "insert", 2L)).toSet)
+  }
+
+  test("a table column named _change_type rejects the CDF read (typed)") {
+    val p = freshDir()
+    Snapshots.append(Seq((1L, "x")).toDF("id", "_change_type"), p)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(p).collect()
+    }
+    e.getMessage should include("_change_type")
+  }
+}

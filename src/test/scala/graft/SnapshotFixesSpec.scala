@@ -260,6 +260,28 @@ class SnapshotFixesSpec extends SparkSpec {
     o3.json.trim.toLong shouldBe 3L
   }
 
+  test("reads stay correct when live vectors span MULTIPLE delete-dv " +
+      "datasets (regression: multi-root dv read)") {
+    val p = freshDir()
+    // two files, then two deleteMor commits each touching a DIFFERENT
+    // file: the live snapshot references two independent vector
+    // datasets — one multi-root spark.read over them used to trip
+    // CONFLICTING_DIRECTORY_STRUCTURES and brick every read
+    Snapshots.append(tbl(1 to 50).repartitionByRange(2, col("id")), p)
+    Snapshots.deleteMor(spark, p, col("id") === 3L)
+    Snapshots.deleteMor(spark, p, col("id") === 40L)
+    val m = Snapshots.snapshotAt(spark, p).get
+    m.dvs.values.map(_.path).toSet.size shouldBe 2
+    val expect = (1L to 50L).filterNot(Set(3L, 40L))
+    Snapshots.read(spark, p).select("id")
+      .as[Long].collect().sorted shouldBe expect
+    spark.read.format("graft-snapshot").load(p).select("id")
+      .as[Long].collect().sorted shouldBe expect
+    // CoW on the mixed-dataset table composes too
+    Snapshots.delete(spark, p, col("id") === 10L)
+    Snapshots.read(spark, p).count() shouldBe 47L
+  }
+
   // ------------------------------------------- vacuum dv per-file counting
 
   test("vacuum counts the parquet files inside a reclaimed dv dataset, " +
