@@ -424,6 +424,29 @@ object SparkEntry {
         "vec_id", "embedding")
     }
 
+  /** The ONE PQ-coded persisted IVF store per (sf dir, JVM) — a base
+    * half plus a shard appended against the store's FROZEN centroids +
+    * codebooks (append ≡ rebuild against frozen constants, law-tested
+    * in SimilaritySpec). Centroids and codebook derive exactly as
+    * q_ann_topk_ivfpq's (16 lowest-id rows), so serving shares that
+    * oracle verbatim. The codebook comes from the BASE half, whose 16
+    * lowest-id rows are the full corpus's 16 lowest — identical. */
+  private def buildIvfPqStore(s: SparkSession, dir: String): String =
+    sharedBuild("ivfpqidx", dir) { p =>
+      deleteRecursively(p)
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val cents = e.orderBy("vec_id").limit(16)
+        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
+          col("embedding").as("_centroid"))
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      Similarity.writeIvfPqStore(e.where(col("vec_id") <= half), "vec_id",
+        "embedding", p, nCentroids = 16, m = 4, ksub = 16,
+        centroidsOverride = Some(cents))
+      Similarity.appendIvfPqStore(s, p, e.where(col("vec_id") > half),
+        "vec_id", "embedding")
+    }
+
   /** Full IVF-PQ residual-ADC oracle chain (shared by
     * q_ann_topk_ivfpq and, as a subquery, q_ann_recall_ivfpq).
     * full IVF-PQ residual ADC. Stage mirror of Similarity.topKIvfPq:
@@ -2051,6 +2074,21 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.topKPq(e, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, m = 4, ksub = 16)
+    }),
+    "q_ann_index_pq" -> ((s, dir) => {
+      // PQ-CODED persisted IVF store — what the persisted index holds
+      // at 100 TB: m=4 residual codes + one norm per vector (~20 B vs
+      // 4·d raw bytes), partitioned by coarse cell; serving probes the
+      // collected centroids and scans ONLY the probed `_cid=`
+      // directories (partition pruning pinned in PlanQualitySpec). The
+      // store is a base half plus a shard appended against the FROZEN
+      // centroids + codebooks (append ≡ rebuild, law-tested). Same
+      // deterministic params as q_ann_topk_ivfpq ⇒ identical scores;
+      // oracle shared verbatim.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = buildIvfPqStore(s, dir)
+      Similarity.topKIvfPqStore(s, idx, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
     }),
     "q_ann_topk_ivfpq" -> ((s, dir) => {
       // full IVF-PQ (residual ADC): coarse centroids = the 16 lowest-id
@@ -7635,6 +7673,9 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM sc WHERE rank <= 5""",
     "q_ann_topk_ivfpq" -> ivfPqTopkSql,
+    // the PQ store serves the identical chain from persisted codes —
+    // oracle shared verbatim
+    "q_ann_index_pq" -> ivfPqTopkSql,
     "q_ann_recall_ivfpq" ->
       // recall@5 of the IVF-PQ residual-ADC tier against exact brute
       // force: ex = the exact chain (q_ann_topk's), ap = the ivfpq

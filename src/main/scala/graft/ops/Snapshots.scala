@@ -1367,9 +1367,45 @@ object Snapshots {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val dvRefs = touched.map(f =>
       f -> Dv(dvDir, counts.getOrElse(f, 0L))).toMap
-    commit(readFiles(spark, root, Nil, schema, Map.empty), path,
+    val v = commit(readFiles(spark, root, Nil, schema, Map.empty), path,
       "delete-dv", expectParent = Some(m.version), dvs = dvRefs,
       writeData = false)
+    // auto-materialize pressure valve (the knob bounding the DV read
+    // tax): when a file's accumulated vector coverage exceeds the
+    // configured fraction, rewrite it NOW as a follow-up maintenance
+    // commit — the delete itself stays metadata-only and CDC-complete
+    // (the feed reads v's vectors), and the rewrite is op "compact",
+    // which every incremental consumer already skips. Default 1.0 = off.
+    val frac = spark.conf
+      .get("spark.graft.snapshot.dvMaterializeFraction", "1.0").toDouble
+    if (frac < 1.0) materializeDeletes(spark, path, frac) else v
+  }
+
+  /** Rewrite every file whose LIVE deletion-vector coverage is at least
+    * `minFraction` of its rows, dropping the materialized positions and
+    * retiring those vectors — the targeted maintenance that bounds the
+    * merge-on-read read tax (each covered file pays a per-row anti-join
+    * until its vector materializes). Commits as op "compact": same live
+    * rows, new layout, skipped by changes()/the change feed/streaming.
+    * Cost is proportional to the HOT files, never the table. Returns
+    * the current version unchanged when nothing qualifies. */
+  def materializeDeletes(spark: SparkSession, path: String,
+      minFraction: Double = 0.0): Long = {
+    require(minFraction >= 0.0, "minFraction must be >= 0")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    if (m.dvs.isEmpty) return m.version
+    val hot = m.dvs.keys.toSeq.sorted.filter { f =>
+      m.stats.get(f).exists(s => s.rows > 0 &&
+        m.dvs(f).n.toDouble / s.rows >= minFraction)
+    }
+    if (hot.isEmpty) return m.version
+    val schema = snapshotSchema(spark, path, m)
+    val root = new Path(path)
+    val survivors = readFiles(spark, root, hot, schema,
+      m.dvs.filter { case (f, _) => hot.contains(f) })
+    commit(survivors, path, "compact", removed = hot.toSet,
+      expectParent = Some(m.version))
   }
 
   /** RESTORE the table to an earlier version as a NEW commit (Delta's

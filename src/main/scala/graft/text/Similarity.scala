@@ -785,69 +785,95 @@ object Similarity {
       if (trainIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
       else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
+    val cents = collectCents(centroids, "topKIvfPq")
+    val cb = residualCodebook(corpus, idCol, vecCol, cents, m, ksub,
+      trainIters, seed)
+    adcTopK(encodeResidualPq(corpus, idCol, vecCol, cents, cb),
+      ivfPqProbes(queries, idCol, vecCol, cents, cb, nProbe),
+      cb.m, k, excludeSelf)
+  }
+
+  /** Collected coarse centroids, dense-0-based-checked: the literal
+    * tables in the PQ chain index POSITIONALLY by centroid_id — a
+    * sparse or non-zero-based set would silently fetch wrong centroids,
+    * so fail loudly instead. */
+  private def collectCents(centroids: DataFrame,
+      who: String): Array[(Long, Array[Double])] = {
     val cents: Array[(Long, Array[Double])] = centroids.collect().map { r =>
       (r.getLong(r.fieldIndex("centroid_id")),
         r.getSeq[Number](r.fieldIndex("_centroid")).map(_.doubleValue()).toArray)
     }.sortBy(_._1)
-    // the literal tables below index POSITIONALLY by centroid_id — a
-    // sparse or non-zero-based override would silently fetch wrong
-    // centroids, so fail loudly instead
     require(cents.iterator.map(_._1).zipWithIndex.forall {
         case (cid, i) => cid == i.toLong },
-      s"topKIvfPq needs dense 0-based centroid_ids, got ${
+      s"$who needs dense 0-based centroid_ids, got ${
         cents.map(_._1).mkString(",")}")
+    cents
+  }
+
+  private def centsLit(cents: Array[(Long, Array[Double])]): Column =
+    array(cents.map { case (_, cv) =>
+      array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
+
+  /** Residual frame: _cid + (v − c) per corpus row — one projection. */
+  private def residualFrame(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double])]): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+        argminCentroid(col(vecCol), cents).as("_cid"))
+      .withColumn("_res", zip_with(col(vecCol),
+        element_at(centsLit(cents), col("_cid").cast("int") + 1),
+        (x, c) => x.cast("double") - c))
+
+  /** Residual codebook: trained per subspace, or the ksub lowest-id
+    * residuals (deterministic; ksub == |corpus| → exact reconstruction).
+    * The from-rows path computes the ksub residuals DRIVER-side from the
+    * cheap TakeOrdered of raw rows — running pqCodebookFromRows on the
+    * residual frame would evaluate the argmin + subtraction projection
+    * over the whole corpus just to discard all but ksub rows. The
+    * arithmetic mirrors argminCentroid term for term ((|v|² − 2v·c) +
+    * |c|², ties to the lowest code, left-to-right folds) so the codes
+    * are identical. */
+  private def residualCodebook(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double])], m: Int,
+      ksub: Int, trainIters: Int, seed: Long): PqCodebook = {
     val d = cents.head._2.length
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val dsub = d / m
-    // rebuild the (tiny) centroid table locally so the probe stage reads
-    // driver memory instead of re-executing the centroid scan per query
-    // batch
-    val spark = corpus.sparkSession
-    val centroidsLocal = {
-      import spark.implicits._
-      cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
-        .toDF("centroid_id", "_centroid")
-    }
-    val centsLit = array(cents.map { case (_, cv) =>
-      array(cv.map(lit).toIndexedSeq: _*) }.toIndexedSeq: _*)
-    // residual frame: cid + (v − c) per corpus row — one projection
-    val resid = corpus.select(col(idCol), col(vecCol),
-        argminCentroid(col(vecCol), cents).as("_cid"))
-      .withColumn("_res", zip_with(col(vecCol),
-        element_at(centsLit, col("_cid").cast("int") + 1),
-        (x, c) => x.cast("double") - c))
-    // residual codebook: trained per subspace, or the ksub lowest-id
-    // residuals (deterministic; ksub == |corpus| → exact reconstruction).
-    // The from-rows path computes the ksub residuals DRIVER-side from the
-    // cheap TakeOrdered of raw rows — running pqCodebookFromRows on
-    // `resid` would evaluate the argmin + subtraction projection over the
-    // whole corpus just to discard all but ksub rows. The arithmetic
-    // mirrors argminCentroid term for term ((|v|² − 2v·c) + |c|², ties to
-    // the lowest code, left-to-right folds) so the codes are identical.
-    val cb =
-      if (trainIters > 0) pqTrain(resid, idCol, "_res", m, ksub, trainIters, seed)
-      else {
-        val raw = corpus.select(col(idCol), col(vecCol))
-          .orderBy(col(idCol)).limit(ksub).collect()
-          .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
-        val residuals = raw.map { v =>
-          val vn2 = v.foldLeft(0.0)((a, x) => a + x * x)
-          var best = 0; var bestD2 = Double.PositiveInfinity
-          cents.foreach { case (cid, cv) =>
-            var dotvc = 0.0; var i = 0
-            while (i < v.length) { dotvc += v(i) * cv(i); i += 1 }
-            val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-            val d2 = (vn2 - 2.0 * dotvc) + cn2
-            if (d2 < bestD2) { bestD2 = d2; best = cid.toInt }
-          }
-          val cv = cents(best)._2
-          Array.tabulate(v.length)(i => v(i) - cv(i))
+    if (trainIters > 0)
+      pqTrain(residualFrame(corpus, idCol, vecCol, cents), idCol, "_res",
+        m, ksub, trainIters, seed)
+    else {
+      val raw = corpus.select(col(idCol), col(vecCol))
+        .orderBy(col(idCol)).limit(ksub).collect()
+        .map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+      val residuals = raw.map { v =>
+        val vn2 = v.foldLeft(0.0)((a, x) => a + x * x)
+        var best = 0; var bestD2 = Double.PositiveInfinity
+        cents.foreach { case (cid, cv) =>
+          var dotvc = 0.0; var i = 0
+          while (i < v.length) { dotvc += v(i) * cv(i); i += 1 }
+          val cn2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+          val d2 = (vn2 - 2.0 * dotvc) + cn2
+          if (d2 < bestD2) { bestD2 = d2; best = cid.toInt }
         }
-        PqCodebook(dsub, Array.tabulate(m) { s =>
-          residuals.zipWithIndex.map { case (rv, c) =>
-            (c.toLong, rv.slice(s * dsub, (s + 1) * dsub)) }
-        })
+        val cv = cents(best)._2
+        Array.tabulate(v.length)(i => v(i) - cv(i))
       }
+      PqCodebook(dsub, Array.tabulate(m) { s =>
+        residuals.zipWithIndex.map { case (rv, c) =>
+          (c.toLong, rv.slice(s * dsub, (s + 1) * dsub)) }
+      })
+    }
+  }
+
+  /** Residual-PQ ENCODE — the ~20-byte-per-vector representation the
+    * serving scan reads: (neighbor_id, _cid, m codes, reconstruction
+    * norm `_rn`). Assignment + encode are literal-expression projections
+    * (zero shuffle). */
+  private def encodeResidualPq(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double])],
+      cb: PqCodebook): DataFrame = {
+    val m = cb.m; val dsub = cb.dsub
+    val resid = residualFrame(corpus, idCol, vecCol, cents)
     // encode residual subvectors (slices hoisted as in topKPq)
     val sliced = resid.select(col(idCol).as("neighbor_id") +: col("_cid") +:
       (0 until m).map(s => slice(col("_res"), s * dsub + 1, dsub).as(s"_sub$s")): _*)
@@ -874,23 +900,140 @@ object Similarity {
           col(s"_c$s").cast("int") + 1)).reduce(_ + _) +
       (0 until m).map(s =>
         element_at(cn2Lit(s), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
-    val encN = enc.withColumn("_rn", sqrt(rn2))
-    // probes: query → nProbe nearest coarse lists, carrying q·c and LUTs
+    enc.withColumn("_rn", sqrt(rn2))
+  }
+
+  /** Probe frame: query → its nProbe nearest coarse lists, carrying q·c,
+    * |q|, and the per-subspace ADC lookup tables. */
+  private def ivfPqProbes(queries: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double])],
+      cb: PqCodebook, nProbe: Int): DataFrame = {
+    val m = cb.m; val dsub = cb.dsub
+    // rebuild the (tiny) centroid table locally so the probe stage reads
+    // driver memory instead of re-executing the centroid scan per query
+    // batch
+    val spark = queries.sparkSession
+    val centroidsLocal = {
+      import spark.implicits._
+      cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("centroid_id", "_centroid")
+    }
     def lutLit(s: Int): Column = array(cb.cents(s).map { case (_, sub) =>
       dot(slice(col("_qv"), s * dsub + 1, dsub),
         array(sub.map(lit).toIndexedSeq: _*)) }.toIndexedSeq: _*)
-    val probes = broadcast(
-      probeCentroids(queries, centroidsLocal, idCol, vecCol, nProbe)
+    probeCentroids(queries, centroidsLocal, idCol, vecCol, nProbe)
       .select(Seq(col("query_id"), col("centroid_id").as("_cid"),
         sqrt(norm2(col("_qv"))).as("_qn"),
         dot(col("_qv"), col("_centroid")).as("_qc")) ++
-        (0 until m).map(s => lutLit(s).as(s"_lut$s")): _*))
-    val cands = encN.join(probes, Seq("_cid"))
-      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        (0 until m).map(s => lutLit(s).as(s"_lut$s")): _*)
+  }
+
+  /** ADC join + score + rank — ONE implementation shared by the
+    * in-memory chain ([[topKIvfPq]]) and the persisted store
+    * ([[topKIvfPqStore]]), so their scores can never diverge. */
+  private def adcTopK(encoded: DataFrame, probes: DataFrame, m: Int,
+      k: Int, excludeSelf: Boolean): DataFrame = {
+    val cands = encoded.join(broadcast(probes), Seq("_cid"))
+      .where(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+             else lit(true))
     val adot = col("_qc") + (0 until m).map(s =>
       element_at(col(s"_lut$s"), col(s"_c$s").cast("int") + 1)).reduce(_ + _)
-    val scored = cands.withColumn("cos", adot / (col("_qn") * col("_rn")))
-    rankTopK(scored, k)
+    rankTopK(cands.withColumn("cos", adot / (col("_qn") * col("_rn"))), k)
+  }
+
+  /** PQ-CODED persisted IVF store — what [[writeIvfStore]] should hold
+    * at 100 TB: instead of raw embeddings per cell, the store keeps m
+    * residual codes + one reconstruction norm per vector (~20 B at m=4
+    * vs 4·d raw bytes) PARTITIONED BY coarse cell, plus the tiny
+    * centroid table and the per-subspace codebooks. Serving
+    * ([[topKIvfPqStore]]) probes the collected centroids and scans ONLY
+    * the probed `_cid=` directories — and each directory is already
+    * ~12× smaller than its raw-vector twin. Scores are result-identical
+    * to [[topKIvfPq]] with the same parameters (shared encode/probe/ADC
+    * implementations; doubles round-trip parquet losslessly). */
+  def writeIvfPqStore(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+      trainIters: Int = 0, seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None): String = {
+    val spark = corpus.sparkSession
+    val centroids = centroidsOverride.getOrElse(
+      if (trainIters > 0)
+        kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
+      else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    val cents = collectCents(centroids, "writeIvfPqStore")
+    val cb = residualCodebook(corpus, idCol, vecCol, cents, m, ksub,
+      trainIters, seed)
+    locally {
+      import spark.implicits._
+      cb.cents.zipWithIndex.flatMap { case (subs, s) =>
+        subs.map { case (code, sub) => (s, code, sub.toSeq) } }.toSeq
+        .toDF("s", "code", "sub").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebook")
+    }
+    encodeResidualPq(corpus, idCol, vecCol, cents, cb)
+      .repartition(col("_cid")) // one writer set per cell dir
+      .write.mode("overwrite").partitionBy("_cid")
+      .parquet(s"$path/encoded")
+    path
+  }
+
+  private def readPqStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[(Long, Array[Double])], PqCodebook) = {
+    val cents = collectCents(spark.read.parquet(s"$path/centroids"),
+      "readPqStoreMeta")
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val subs = Array.tabulate(m) { s =>
+      rows.filter(_.getInt(0) == s)
+        .map(r => (r.getLong(1),
+          r.getSeq[Number](2).map(_.doubleValue()).toArray))
+        .sortBy(_._1)
+    }
+    (cents, PqCodebook(subs.head.head._2.length, subs))
+  }
+
+  /** Incremental maintenance of a PQ store: a new shard encodes against
+    * the store's FROZEN centroids and codebooks and appends into the
+    * touched cell directories only. Because both assignment and code
+    * selection are per-row argmins against frozen constants, any
+    * sequence of appends is row-identical to one [[writeIvfPqStore]]
+    * over the concatenated corpus with the same centroids + codebooks
+    * (law-tested). Re-train only on drift — the rebuild case. */
+  def appendIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, shard: DataFrame, idCol: String,
+      vecCol: String): String = {
+    val (cents, cb) = readPqStoreMeta(spark, path)
+    encodeResidualPq(shard, idCol, vecCol, cents, cb)
+      .repartition(col("_cid"))
+      .write.mode("append").partitionBy("_cid")
+      .parquet(s"$path/encoded")
+    path
+  }
+
+  /** Serve top-k from a [[writeIvfPqStore]] store: probe the collected
+    * centroids, scan ONLY the probed `_cid=` partition directories of
+    * the coded table (the isin is a partition filter), ADC-score
+    * exactly like [[topKIvfPq]]. */
+  def topKIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val (cents, cb) = readPqStoreMeta(spark, path)
+    // batch serving consumes the probe set twice (the collected cell
+    // list, then the join) — materialize once, it is |queries|×nProbe
+    // rows
+    val probes = ivfPqProbes(queries, idCol, vecCol, cents, cb, nProbe)
+      .localCheckpoint()
+    val probedCells = probes.select("_cid").distinct()
+      .collect().map(_.getLong(0))
+    val enc = spark.read.parquet(s"$path/encoded")
+      // filter the RAW inferred (int) partition column with int
+      // literals so the isin stays a clean partition filter, THEN
+      // normalize to long (the ivfStoreCandidates rule)
+      .where(col("_cid").isin(probedCells.map(_.toInt): _*))
+      .withColumn("_cid", col("_cid").cast("long"))
+    adcTopK(enc, probes, cb.m, k, excludeSelf)
   }
 
   /** Near-dup pairs via sign-LSH blocking + exact verify — the scale path:

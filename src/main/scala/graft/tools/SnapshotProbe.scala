@@ -148,6 +148,51 @@ object SnapshotProbe {
       rmrf(p)
     }
 
+    /** Accumulated-vector scenario (round 10): 50 deleteMor commits
+      * until vectors cover ~30% of the table's rows across its files —
+      * measure the vectored full-read tax as coverage accumulates, then
+      * materializeDeletes and measure again. The claims: the read tax
+      * tracks VECTOR size (bounded, and reclaimed in full by the
+      * materialization), and the materialization itself is
+      * hot-file-proportional. */
+    def probeDvAccum(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_dva_$tag"
+      rmrf(p)
+      (0 until 8).foreach { i =>
+        Snapshots.append(data.where(col("event_id") % 8 === i)
+          .repartitionByRange(8, col("event_id")), p)
+      }
+      val base = time {
+        Snapshots.read(spark, p)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // 50 commits, each vectoring a disjoint ~0.6% id band → ~30%
+      val step = math.max(1L, n * 6L / 1000L)
+      val morTot = time {
+        (0 until 50).foreach { i =>
+          Snapshots.deleteMor(spark, p,
+            col("event_id") >= i * 2 * step &&
+              col("event_id") < i * 2 * step + step)
+        }
+      }
+      val m = Snapshots.snapshotAt(spark, p).get
+      val covered = m.dvs.values.map(_.n).sum
+      val taxed = time {
+        Snapshots.read(spark, p)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val matT = time(Snapshots.materializeDeletes(spark, p, 0.0))
+      val after = time {
+        Snapshots.read(spark, p)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[snapprobe] dva_$tag n=$n covered=$covered " +
+        f"base_read=$base%.2f mor_50x=$morTot%.2f " +
+        f"taxed_read=$taxed%.2f materialize=$matT%.2f " +
+        f"post_read=$after%.2f")
+      rmrf(p)
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -159,6 +204,8 @@ object SnapshotProbe {
     probePart("x10", scale10(ev), n1 * 10)
     probeDv("x1", ev, n1)
     probeDv("x10", scale10(ev), n1 * 10)
+    probeDvAccum("x1", ev, n1)
+    probeDvAccum("x10", scale10(ev), n1 * 10)
     spark.stop()
   }
 }

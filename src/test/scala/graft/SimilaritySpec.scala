@@ -515,4 +515,68 @@ class SimilaritySpec extends SparkSpec {
     thr.collect().map(_.getDouble(3)).foreach(_ should be >= m01)
     thr.count() should be >= 1L
   }
+
+  test("PQ store laws: serving == in-memory topKIvfPq bit-for-bit, " +
+      "append ≡ rebuild against frozen centroids + codebooks, and the " +
+      "serving scan prunes to the probed cell directories") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 4)
+    def res(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_pqstore_").toString
+    Similarity.writeIvfPqStore(df, "vec_id", "embedding", p,
+      nCentroids = 8, m = 4, ksub = 16)
+    val mem = Similarity.topKIvfPq(df, q, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 3, m = 4, ksub = 16)
+    val store = Similarity.topKIvfPqStore(spark, p, q, "vec_id",
+      "embedding", k = 3, nProbe = 3)
+    res(store) shouldBe res(mem)
+
+    // append ≡ rebuild against the FROZEN centroids + codebooks: build
+    // on the first half with the FULL build's centroids pinned (frozen
+    // constants are the law's premise — a half-corpus sample would pick
+    // different coarse centroids); the codebook derives from the 16
+    // lowest-id rows, which the half shares with the full corpus
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_pqstore2_").toString
+    Similarity.writeIvfPqStore(df.where(col("vec_id") < 40),
+      "vec_id", "embedding", p2, nCentroids = 8, m = 4, ksub = 16,
+      centroidsOverride = Some(spark.read.parquet(s"$p/centroids")))
+    Similarity.appendIvfPqStore(spark, p2,
+      df.where(col("vec_id") >= 40), "vec_id", "embedding")
+    res(Similarity.topKIvfPqStore(spark, p2, q, "vec_id", "embedding",
+      k = 3, nProbe = 3)) shouldBe res(store)
+
+    // partition pruning: the probed-cell isin lands as a PARTITION
+    // filter on the encoded scan — selected cell directories < all
+    // (inputFiles would lie here: it lists pre-pruning)
+    val one = Similarity.topKIvfPqStore(spark, p,
+      df.where(col("vec_id") === 0L), "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    def leaves(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      pl.collectLeaves().flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          leaves(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          leaves(qs.plan)
+        case l => Seq(l)
+      }
+    val scans = leaves(one.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.mkString.contains("encoded") => f }
+    scans should have size 1
+    scans.head.selectedPartitions.partitionCount shouldBe 2
+    val allCells = spark.read.parquet(s"$p/encoded")
+      .queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    allCells should be > 2
+  }
 }

@@ -524,6 +524,69 @@ class SnapshotDvSpec extends SparkSpec {
     e.getMessage should include("pos_v")
   }
 
+  test("materializeDeletes: only files at/above the coverage fraction " +
+      "rewrite, vectors retire, rows bit-identical, feeds skip it") {
+    val p = freshDir()
+    // file A: ids 0..9 (will lose 6/10 = 60%), file B: 10..29 (2/20 = 10%)
+    Snapshots.append(tbl(0 until 10).repartition(1), p)
+    Snapshots.append(tbl(10 until 30).repartition(1), p)
+    Snapshots.deleteMor(spark, p, col("id") < 6L || col("id") === 10L ||
+      col("id") === 11L)
+    val before = Snapshots.read(spark, p).select("id")
+      .as[Long].collect().sorted
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    m1.dvs.size shouldBe 2
+    // threshold 0.5: only file A (60% covered) materializes
+    Snapshots.materializeDeletes(spark, p, 0.5)
+    val m2 = Snapshots.snapshotAt(spark, p).get
+    m2.op shouldBe "compact"
+    m2.dvs.size shouldBe 1 // B's vector survives, A's retired
+    Snapshots.read(spark, p).select("id")
+      .as[Long].collect().sorted shouldBe before
+    // incremental consumers skip the materialization commit
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, p, m1.version, m2.version).collect()
+    }
+    // below every file's coverage → no-op
+    Snapshots.materializeDeletes(spark, p, 0.5) shouldBe m2.version
+    // minFraction 0 sweeps the rest
+    Snapshots.materializeDeletes(spark, p, 0.0)
+    Snapshots.snapshotAt(spark, p).get.dvs shouldBe empty
+    Snapshots.read(spark, p).select("id")
+      .as[Long].collect().sorted shouldBe before
+  }
+
+  test("dvMaterializeFraction auto-trigger: deleteMor materializes hot " +
+      "files in a follow-up compact commit; reads identical to " +
+      "trigger-off; CDC still carries the deletes") {
+    def build(p: String, conf: Option[String]): Unit = {
+      conf.foreach(v =>
+        spark.conf.set("spark.graft.snapshot.dvMaterializeFraction", v))
+      try {
+        Snapshots.append(tbl(0 until 10).repartition(1), p)
+        Snapshots.append(tbl(10 until 30).repartition(1), p)
+        Snapshots.deleteMor(spark, p, col("id") < 6L)
+      } finally conf.foreach(_ => spark.conf
+        .unset("spark.graft.snapshot.dvMaterializeFraction"))
+    }
+    val pOff = freshDir(); build(pOff, None)
+    val pOn = freshDir(); build(pOn, Some("0.5"))
+    // bit-identical reads across the trigger
+    Snapshots.read(spark, pOn).select("id").as[Long].collect().sorted shouldBe
+      Snapshots.read(spark, pOff).select("id").as[Long].collect().sorted
+    // trigger-on: the 60%-covered file rewrote in a compact commit v4
+    Snapshots.versions(spark, pOn).map(_._2) shouldBe
+      Seq("append", "append", "delete-dv", "compact")
+    Snapshots.snapshotAt(spark, pOn).get.dvs shouldBe empty
+    Snapshots.versions(spark, pOff).map(_._2) shouldBe
+      Seq("append", "append", "delete-dv")
+    // the row-level change feed still carries the deletes (v3's vectors
+    // are read BEFORE the materialization, which the feed skips)
+    Snapshots.changeFeed(spark, pOn, 2L, 4L)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted shouldBe (0L until 6L)
+  }
+
   test("timestampAsOf: in-commit timestamps are strictly monotonic and " +
       "versionAtTimestamp picks the newest commit at-or-before the time") {
     val p = freshDir()
