@@ -2393,6 +2393,34 @@ object Snapshots {
     pieces.reduce(_.unionByName(_))
   }
 
+  /** Apply a [[changeFeed]] slice to a KEYED MATERIALIZATION of the
+    * table — the consumer half of row-level CDC: per key, the
+    * newest-commit change wins ('insert' upserts the row, 'delete'
+    * removes it), base rows rank below every feed row. The law this
+    * buys (spec-pinned): for a unique-key table,
+    * `applyChangeFeed(read(v0), changeFeed(v0, v], keys) == read(v)` —
+    * a downstream index/aggregate/mirror stays exact by consuming
+    * O(changes), never re-syncing O(table). One shuffle on the keys;
+    * the winner pick is a max over (commit, change-type) structs, the
+    * same shape as [[TableJoins.applyChangelog]]. */
+  def applyChangeFeed(base: DataFrame, feed: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "applyChangeFeed needs at least one key")
+    val payload = base.columns.filterNot(keys.contains).toSeq
+    val b = base.select(keys.map(col) ++ Seq(lit(0L).as("_v"),
+      lit("insert").as("_ct")) ++ payload.map(col): _*)
+    val c = feed.select(keys.map(col) ++ Seq(
+      col("_commit_version").as("_v"),
+      col("_change_type").as("_ct")) ++ payload.map(col): _*)
+    val ordered = struct(col("_v") +: col("_ct") +:
+      payload.map(col): _*)
+    b.unionByName(c)
+      .groupBy(keys.map(col): _*)
+      .agg(max(ordered).as("_w"))
+      .where(col("_w._ct") =!= "delete")
+      .select(keys.map(col) ++ payload.map(p => col(s"_w.$p").as(p)): _*)
+  }
+
   // ------------------------------------------------------------------- vacuum
 
   /** Unreferenced data files younger than this survive [[vacuum]]: a

@@ -105,6 +105,23 @@ class SnapshotCdfSpec extends SparkSpec {
     feedSet(df) shouldBe expected
   }
 
+  test("applyChangeFeed law: state(v0) + feed(v0, v] == read(v), " +
+      "including a re-insert after a delete") {
+    val p = buildStore() // v1..v5 with overlapping deleteMors + optimize
+    val base = Snapshots.read(spark, p, Some(1L))
+    val out = Snapshots.applyChangeFeed(base,
+      Snapshots.changeFeed(spark, p, 1L, 5L), Seq("id"))
+    rowSet(out) shouldBe rowSet(Snapshots.read(spark, p))
+    out.count() shouldBe 10L // 15 rows − 5 deleted
+    // a key deleted at v4 and re-inserted later must come back (the
+    // newest commit wins per key)
+    Snapshots.append(tbl(3 to 3), p) // v6 re-inserts id 3
+    val out2 = Snapshots.applyChangeFeed(base,
+      Snapshots.changeFeed(spark, p, 1L, 6L), Seq("id"))
+    rowSet(out2) shouldBe rowSet(Snapshots.read(spark, p))
+    out2.where(col("id") === 3L).count() shouldBe 1L
+  }
+
   test("CoW delete surfaces at file granularity (re-emitted survivors), " +
       "documented contract") {
     val p = freshDir()
