@@ -4310,6 +4310,10 @@ object SparkEntry {
           .createOrReplaceTempView(s"ev_odd_$slug")
         s.sql(s"INSERT INTO $cat.db.events_t " +
           s"SELECT * FROM ev_odd_$slug")
+        // SQL DELETE routes through SupportsDelete into the
+        // copy-on-write delete — exact filter translation or refusal
+        s.sql(s"DELETE FROM $cat.db.events_t " +
+          "WHERE event_type = 'click' AND event_id < 2000")
       }
       s.sql(s"""SELECT event_id, user_id, event_type, value,
                        'v2' AS src
@@ -8446,12 +8450,14 @@ object SparkEntry {
          FROM events
          WHERE event_id < 3000 AND event_type = 'view'""",
     "q_snapshot_sql" ->
-      // v2 = the even INSERT only; latest = both inserts
+      // v2 = the even INSERT only; latest = both inserts minus the
+      // SQL-DELETEd slice
       """SELECT event_id, user_id, event_type, value, 'v2' AS src
          FROM events WHERE event_id % 2 = 0
          UNION ALL
          SELECT event_id, user_id, event_type, value, 'latest' AS src
-         FROM events""",
+         FROM events
+         WHERE NOT (event_type = 'click' AND event_id < 2000)""",
     "q_snapshot_cdf" ->
       // inserts = the two appended slices (stamped with their commit),
       // deletes = the dv'd rows among them, optimize contributes nothing

@@ -183,7 +183,8 @@ final class SnapshotTable(path: String, tschema: StructType,
     cdf: Boolean = false,
     endingVersion: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -205,7 +206,59 @@ final class SnapshotTable(path: String, tschema: StructType,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SnapshotWriteBuilder(path)
+    new SnapshotWriteBuilder(path,
+      Option(info.options.get("replaceWhere")))
+
+  /** `DELETE FROM <catalog>.db.t WHERE ...` — the SQL face of the
+    * copy-on-write delete. Spark asks canDeleteWhere first; any filter
+    * this source cannot translate exactly refuses the push (Spark then
+    * raises its standard cannot-translate error instead of silently
+    * deleting the wrong rows). TRUNCATE TABLE arrives as the
+    * always-true filter set. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => SnapshotFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = SparkSession.active
+    val cond = filters.toSeq.flatMap(SnapshotFilters.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshots.delete(spark, path, cond)
+    ()
+  }
+}
+
+/** Exact sources.Filter → Column translation for the SQL DELETE face.
+  * Returns None for anything without a lossless equivalent — the
+  * caller must then REFUSE the operation (a conservative-superset
+  * translation is fine for pruning but catastrophic for a delete). */
+private[sources] object SnapshotFilters {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.Column
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** WRITE face of the V2 source — `df.write.format("graft-snapshot")
@@ -218,7 +271,8 @@ final class SnapshotTable(path: String, tschema: StructType,
   * retries. Per-executor DataWriters would re-implement exactly that
   * protocol for no gain: the data write inside append() is already the
   * distributed part. */
-final class SnapshotWriteBuilder(path: String)
+final class SnapshotWriteBuilder(path: String,
+    replaceWhere: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var overwrite = false
@@ -233,7 +287,19 @@ final class SnapshotWriteBuilder(path: String)
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: org.apache.spark.sql.DataFrame,
               ow: Boolean): Unit = {
-            if (overwrite || ow) {
+            // predicate-scoped overwrite (Delta's write option):
+            // mode("overwrite").option("replaceWhere", p) atomically
+            // replaces exactly the rows matching p — the daily-backfill
+            // idiom through the catalog face, with the same containment
+            // check and partition-aligned fast path as the Scala API
+            if (replaceWhere.isDefined) {
+              if (!(overwrite || ow)) throw new IllegalArgumentException(
+                "graft-snapshot: option(\"replaceWhere\", ...) requires " +
+                  "mode(\"overwrite\")")
+              Snapshots.replaceWhere(data.sparkSession, path,
+                org.apache.spark.sql.functions.expr(replaceWhere.get),
+                data)
+            } else if (overwrite || ow) {
               // inherit the parent manifest's partition layout: the core
               // API's rule is "overwrite redefines the layout", but a V2
               // catalog writer doing mode("overwrite") has no partitionBy

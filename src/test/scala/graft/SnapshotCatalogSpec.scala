@@ -77,6 +77,50 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.tt")
   }
 
+  test("DELETE FROM by identifier: exact filter translation, refusal " +
+      "on untranslatable predicates, TRUNCATE TABLE") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.del (id BIGINT, name STRING)")
+    (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name")
+      .createOrReplaceTempView("dsrc")
+    spark.sql("INSERT INTO gtest.db.del SELECT * FROM dsrc")
+    spark.sql("DELETE FROM gtest.db.del WHERE id <= 5 OR name = 'n20'")
+    spark.table("gtest.db.del").select("id")
+      .as[Long].collect().sorted shouldBe (6L to 19L)
+    // null semantics: WHERE on a null predicate keeps the row
+    spark.sql("DELETE FROM gtest.db.del WHERE name LIKE 'n1%'")
+    spark.table("gtest.db.del").select("id")
+      .as[Long].collect().sorted shouldBe (6L to 9L)
+    spark.sql("TRUNCATE TABLE gtest.db.del")
+    spark.table("gtest.db.del").count() shouldBe 0L
+    // history survives: truncate is one more commit, not an rm -rf
+    Snapshots.read(spark, s"$wh/db/del", Some(2L)).count() shouldBe 20L
+    spark.sql("DROP TABLE gtest.db.del")
+  }
+
+  test("replaceWhere write option: predicate-scoped overwrite through " +
+      "the V2 face; append mode rejects it") {
+    wh
+    val p = s"$wh/db/rw"
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v")
+      .write.format("graft-snapshot").mode("append").save(p)
+    // backfill ids 1..3 with tripled values, atomically, only that region
+    (1L to 3L).map(i => (i, i * 3.0)).toDF("id", "v")
+      .write.format("graft-snapshot").mode("overwrite")
+      .option("replaceWhere", "id <= 3").save(p)
+    val out = Snapshots.read(spark, p).as[(Long, Double)].collect().toMap
+    out(1L) shouldBe 3.0
+    out(3L) shouldBe 9.0
+    out(10L) shouldBe 10.0
+    out.size shouldBe 10
+    val e = intercept[Exception] {
+      (1L to 3L).map(i => (i, 0.0)).toDF("id", "v")
+        .write.format("graft-snapshot").mode("append")
+        .option("replaceWhere", "id <= 3").save(p)
+    }
+    e.getMessage should include("overwrite")
+  }
+
   test("errors are typed: missing table, duplicate create, rename") {
     wh
     // the analyzer surfaces our NoSuchTableException as its own
