@@ -4294,11 +4294,17 @@ object SparkEntry {
       // (SQL time travel routes through loadTable(ident, version)).
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val cat = s"gsnap_$slug"
+      // the catalog registration is SESSION state — set it on every
+      // call (idempotent), never inside the JVM-memoized build block,
+      // or a second session in the same JVM would skip it and fail
+      // CATALOG_NOT_FOUND
+      val whPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_$slug"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
       sharedBuild("sqlcat", dir) { wh =>
         deleteRecursively(wh)
-        s.conf.set(s"spark.sql.catalog.$cat",
-          "graft.sources.SnapshotCatalog")
-        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
         s.sql(s"CREATE TABLE $cat.db.events_t (event_id BIGINT, " +
           "user_id BIGINT, event_type STRING, value DOUBLE)")

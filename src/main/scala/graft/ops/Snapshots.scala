@@ -867,6 +867,17 @@ object Snapshots {
   private[graft] def latestVersion(spark: SparkSession, path: String): Long =
     latestManifest(spark, path).map(_.version).getOrElse(0L)
 
+  /** Oldest version whose manifest still exists — the post-vacuum
+    * horizon. The batch change-feed defaults its range start here, so
+    * the no-options read means "full AVAILABLE history" instead of
+    * permanently failing on version 1 after any vacuum. */
+  private[graft] def oldestAvailableVersion(spark: SparkSession,
+      path: String): Long = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    claimedVersions(fs, root).sorted.iterator
+      .find(v => readManifest(fs, root, v).isDefined).getOrElse(1L)
+  }
+
   /** The table's current partition layout — TABLE metadata inherited by
     * every commit; Nil if unpartitioned or not yet created. Used by the
     * V2 overwrite face so a catalog writer's mode("overwrite") keeps
@@ -1376,9 +1387,18 @@ object Snapshots {
     // commit — the delete itself stays metadata-only and CDC-complete
     // (the feed reads v's vectors), and the rewrite is op "compact",
     // which every incremental consumer already skips. Default 1.0 = off.
+    // The DELETE's version is returned either way (deletedRows(v) must
+    // keep working), and a concurrent-writer conflict in the follow-up
+    // is swallowed: the delete is already durably committed, the
+    // materialization is best-effort maintenance the next deleteMor or
+    // an explicit materializeDeletes retries.
     val frac = spark.conf
       .get("spark.graft.snapshot.dvMaterializeFraction", "1.0").toDouble
-    if (frac < 1.0) materializeDeletes(spark, path, frac) else v
+    if (frac < 1.0) {
+      try materializeDeletes(spark, path, frac)
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    v
   }
 
   /** Rewrite every file whose LIVE deletion-vector coverage is at least
@@ -1396,8 +1416,12 @@ object Snapshots {
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     if (m.dvs.isEmpty) return m.version
     val hot = m.dvs.keys.toSeq.sorted.filter { f =>
-      m.stats.get(f).exists(s => s.rows > 0 &&
-        m.dvs(f).n.toDouble / s.rows >= minFraction)
+      // unknown row counts (pre-stats manifests) count as HOT: the
+      // coverage fraction cannot be computed, and skipping would leave
+      // that file's vector (and its read tax) live forever even at
+      // minFraction = 0 — rewriting is always safe
+      m.stats.get(f).forall(s => s.rows <= 0) ||
+        m.dvs(f).n.toDouble / m.stats(f).rows >= minFraction
     }
     if (hot.isEmpty) return m.version
     val schema = snapshotSchema(spark, path, m)
@@ -2356,10 +2380,20 @@ object Snapshots {
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")
     val fs = fsFor(spark, path); val root = new Path(path)
+    // ONE manifest read per version (an object-store log pays a GET per
+    // read — the gov lookup and the pieces loop must share), dead
+    // claims skipped, vacuumed versions loud
+    val manifests: Seq[(Long, Option[Manifest])] =
+      (fromExclusive + 1 to toInclusive).map { v =>
+        val m = readManifest(fs, root, v)
+        if (m.isEmpty && !claimExists(spark, path, v))
+          throw new IllegalArgumentException(
+            s"snapshot version $v does not exist (or was vacuumed) at $path")
+        v -> m
+      }
     // governing schema: the newest manifest IN THE RANGE that records one
-    val gov = (fromExclusive + 1 to toInclusive).reverse.iterator
-      .flatMap(v => readManifest(fs, root, v).flatMap(_.schemaJson))
-      .take(1).toSeq.headOption
+    val gov = manifests.reverseIterator
+      .flatMap(_._2.flatMap(_.schemaJson)).take(1).toSeq.headOption
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(throw new IllegalArgumentException(
         s"no schema-recording manifest in ($fromExclusive, $toInclusive] " +
@@ -2370,23 +2404,18 @@ object Snapshots {
          else lit(null).cast(f.dataType)).as(f.name)) ++ Seq(
         lit(ct).as("_change_type"),
         lit(v).as("_commit_version")): _*)
-    val pieces = (fromExclusive + 1 to toInclusive).flatMap { v =>
-      readManifest(fs, root, v) match {
-        case Some(m) if isMaintenanceOp(m.op) => Nil
-        case Some(m) if m.op == "delete-dv" =>
-          Seq(aligned(deletedRows(spark, path, v), "delete", v))
-        case Some(m) if m.adds.nonEmpty =>
-          val reader = m.schemaJson.map(j => spark.read.schema(
-              DataType.fromJson(j).asInstanceOf[StructType]))
-            .getOrElse(spark.read)
-          Seq(aligned(
-            reader.parquet(m.adds.map(f => new Path(root, f).toString): _*),
-            "insert", v))
-        case Some(_) => Nil // metadata-only commit (constraints, restore)
-        case None if claimExists(spark, path, v) => Nil // dead claim
-        case None => throw new IllegalArgumentException(
-          s"snapshot version $v does not exist (or was vacuumed) at $path")
-      }
+    val pieces = manifests.flatMap {
+      case (_, Some(m)) if isMaintenanceOp(m.op) => Nil
+      case (v, Some(m)) if m.op == "delete-dv" =>
+        Seq(aligned(deletedRows(spark, path, v), "delete", v))
+      case (v, Some(m)) if m.adds.nonEmpty =>
+        val reader = m.schemaJson.map(j => spark.read.schema(
+            DataType.fromJson(j).asInstanceOf[StructType]))
+          .getOrElse(spark.read)
+        Seq(aligned(
+          reader.parquet(m.adds.map(f => new Path(root, f).toString): _*),
+          "insert", v))
+      case _ => Nil // metadata-only commit or dead claim
     }
     require(pieces.nonEmpty,
       s"no row-level changes in ($fromExclusive, $toInclusive] at $path")
@@ -2406,19 +2435,37 @@ object Snapshots {
   def applyChangeFeed(base: DataFrame, feed: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "applyChangeFeed needs at least one key")
-    val payload = base.columns.filterNot(keys.contains).toSeq
-    val b = base.select(keys.map(col) ++ Seq(lit(0L).as("_v"),
-      lit("insert").as("_ct")) ++ payload.map(col): _*)
+    val metaCols = Set("_change_type", "_commit_version")
+    // payload = the UNION of both sides' data columns: a feed whose
+    // range contains a schema-evolving commit carries columns the v0
+    // base lacks, and dropping them would silently violate the
+    // state+feed == read(v) law — the missing side reads them as null
+    // (exactly what read(v) does for pre-evolution files)
+    val feedData = feed.columns.filterNot(metaCols.contains).toSeq
+    val payload = (base.columns.toSeq ++ feedData).distinct
+      .filterNot(keys.contains)
+    val internal = Seq("__gcf_v", "__gcf_ct", "__gcf_w")
+    require(!(base.columns ++ feed.columns).exists(internal.contains),
+      s"applyChangeFeed reserves columns ${internal.mkString(",")}")
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      (base.schema.fields ++ feed.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+    def aligned(df: DataFrame): Seq[Column] = payload.map(p =>
+      (if (df.columns.contains(p)) col(p)
+       else lit(null).cast(typeOf(p))).as(p))
+    val b = base.select(keys.map(col) ++ Seq(lit(0L).as("__gcf_v"),
+      lit("insert").as("__gcf_ct")) ++ aligned(base): _*)
     val c = feed.select(keys.map(col) ++ Seq(
-      col("_commit_version").as("_v"),
-      col("_change_type").as("_ct")) ++ payload.map(col): _*)
-    val ordered = struct(col("_v") +: col("_ct") +:
+      col("_commit_version").as("__gcf_v"),
+      col("_change_type").as("__gcf_ct")) ++ aligned(feed): _*)
+    val ordered = struct(col("__gcf_v") +: col("__gcf_ct") +:
       payload.map(col): _*)
     b.unionByName(c)
       .groupBy(keys.map(col): _*)
-      .agg(max(ordered).as("_w"))
-      .where(col("_w._ct") =!= "delete")
-      .select(keys.map(col) ++ payload.map(p => col(s"_w.$p").as(p)): _*)
+      .agg(max(ordered).as("__gcf_w"))
+      .where(col("__gcf_w.__gcf_ct") =!= "delete")
+      .select(keys.map(col) ++
+        payload.map(p => col(s"__gcf_w.$p").as(p)): _*)
   }
 
   // ------------------------------------------------------------------- vacuum

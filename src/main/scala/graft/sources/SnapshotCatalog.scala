@@ -43,8 +43,21 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Identifier segments become PATH segments — validate them so a
+    * backticked name carrying '/' or '..' can never escape the
+    * warehouse (dropTable recursively deletes the resolved path; an
+    * escaped one would delete an unrelated table). */
+  private def checkSegment(s: String): String = {
+    require(s.nonEmpty && s != "." && s != ".." &&
+        !s.exists(c => c == '/' || c == '\\' || c == ':'),
+      s"invalid identifier segment '$s' — names must not contain path " +
+        "separators or be relative path tokens")
+    s
+  }
+
   private def pathOf(ident: Identifier): String =
-    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+    (warehouse +: ident.namespace().toSeq.map(checkSegment) :+
+      checkSegment(ident.name())).mkString("/")
 
   private def fs = new org.apache.hadoop.fs.Path(warehouse)
     .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
@@ -56,7 +69,7 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new org.apache.hadoop.fs.Path(
-      (warehouse +: namespace.toSeq).mkString("/"))
+      (warehouse +: namespace.toSeq.map(checkSegment)).mkString("/"))
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       catalogName +: namespace.toSeq)
     Option(fs.listStatus(dir)).getOrElse(Array.empty)
@@ -163,7 +176,7 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || fs.exists(new org.apache.hadoop.fs.Path(
-      (warehouse +: namespace.toSeq).mkString("/")))
+      (warehouse +: namespace.toSeq.map(checkSegment)).mkString("/")))
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : java.util.Map[String, String] =
@@ -173,7 +186,7 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(namespace: Array[String],
       metadata: java.util.Map[String, String]): Unit = {
     fs.mkdirs(new org.apache.hadoop.fs.Path(
-      (warehouse +: namespace.toSeq).mkString("/")))
+      (warehouse +: namespace.toSeq.map(checkSegment)).mkString("/")))
     ()
   }
 
@@ -185,7 +198,7 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val p = new org.apache.hadoop.fs.Path(
-      (warehouse +: namespace.toSeq).mkString("/"))
+      (warehouse +: namespace.toSeq.map(checkSegment)).mkString("/"))
     if (!fs.exists(p)) false
     else {
       if (!cascade &&

@@ -91,9 +91,7 @@ final class SnapshotTableProvider extends TableProvider
     // CDF advertises the meta columns here too: Spark round-trips this
     // result into getTable's schema parameter
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
-      base.add(SnapshotCdf.ChangeTypeCol, StringType, nullable = false)
-        .add(SnapshotCdf.CommitVersionCol,
-          org.apache.spark.sql.types.LongType, nullable = false)
+      SnapshotCdf.withMetaCols(base, path)
     else base
   }
 
@@ -133,16 +131,7 @@ final class SnapshotTableProvider extends TableProvider
     // carry what changed ('insert' adds / 'delete' = freshly dv-deleted)
     // and in which commit
     val tschema =
-      if (!cdf) base
-      else {
-        SnapshotCdf.MetaCols.foreach { c =>
-          require(!base.fieldNames.contains(c),
-            s"graft-snapshot: table at $path already has a column " +
-              s"named $c — cannot read as a change feed") }
-        base.add(SnapshotCdf.ChangeTypeCol, StringType, nullable = false)
-          .add(SnapshotCdf.CommitVersionCol,
-            org.apache.spark.sql.types.LongType, nullable = false)
-      }
+      if (!cdf) base else SnapshotCdf.withMetaCols(base, path)
     val readConflict =
       if (manifest.isDefined && schema.nonEmpty &&
           !sameShape(schema, tschema))
@@ -153,7 +142,7 @@ final class SnapshotTableProvider extends TableProvider
           "manifest schema is authoritative for reads.")
       else None
     new SnapshotTable(path, tschema, pinned,
-      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(1L),
+      Option(opts.get("startingVersion")).map(_.toLong),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
       readConflict, cdf,
@@ -176,7 +165,7 @@ final class SnapshotTableProvider extends TableProvider
 }
 
 final class SnapshotTable(path: String, tschema: StructType,
-    versionAsOf: Option[Long], startingVersion: Long,
+    versionAsOf: Option[Long], startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     readSchemaConflict: Option[String] = None,
@@ -222,8 +211,13 @@ final class SnapshotTable(path: String, tschema: StructType,
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val spark = SparkSession.active
-    val cond = filters.toSeq.flatMap(SnapshotFilters.toColumn)
-      .reduceOption(_ && _)
+    // re-check translatability here, not just in canDeleteWhere: a
+    // silently dropped filter would widen the predicate toward
+    // delete-everything — the one direction a delete must never err
+    val cols = filters.toSeq.map(f => SnapshotFilters.toColumn(f)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft-snapshot: cannot translate delete filter $f exactly")))
+    val cond = cols.reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Snapshots.delete(spark, path, cond)
     ()
@@ -317,7 +311,7 @@ final class SnapshotWriteBuilder(path: String,
 }
 
 final class SnapshotScanBuilder(path: String, full: StructType,
-    versionAsOf: Option[Long], startingVersion: Long,
+    versionAsOf: Option[Long], startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
     cdf: Boolean = false,
@@ -463,6 +457,19 @@ private[sources] object SnapshotCdf {
   val CommitVersionCol = "_commit_version"
   val MetaCols: Seq[String] = Seq(ChangeTypeCol, CommitVersionCol)
 
+  /** ONE place that appends (and collision-guards) the meta columns —
+    * inferSchema and getTable must advertise the identical shape. */
+  def withMetaCols(base: StructType, path: String): StructType = {
+    MetaCols.foreach { c =>
+      require(!base.fieldNames.contains(c),
+        s"graft-snapshot: table at $path already has a column named " +
+          s"$c — cannot read as a change feed") }
+    base.add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = false)
+      .add(CommitVersionCol, org.apache.spark.sql.types.LongType,
+        nullable = false)
+  }
+
   def partitionsFor(spark: SparkSession, path: String, v: Long,
       streaming: Boolean): Seq[SnapshotInputPartition] = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -499,7 +506,7 @@ private[sources] object SnapshotCdf {
 
 final class SnapshotScan(path: String, full: StructType,
     required: StructType, pushed: Array[Filter],
-    versionAsOf: Option[Long], startingVersion: Long,
+    versionAsOf: Option[Long], startingVersion: Option[Long],
     limit: Option[Int] = None,
     maxVersionsPerTrigger: Option[Long] = None,
     maxBytesPerTrigger: Option[Long] = None,
@@ -566,7 +573,8 @@ final class SnapshotScan(path: String, full: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SnapshotMicroBatchStream(path, required, startingVersion,
+    new SnapshotMicroBatchStream(path, required,
+      startingVersion.getOrElse(1L),
       maxVersionsPerTrigger, maxBytesPerTrigger, cdf)
   override def description(): String =
     s"graft-snapshot StatsPrunedBy: [${pushed.mkString(", ")}], " +
@@ -595,14 +603,20 @@ final class SnapshotScan(path: String, full: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (cdf) {
-      // batch CHANGE FEED over (startingVersion-1, endingVersion]:
-      // the end defaults to the version pinned at getTable, so one
-      // DataFrame's actions all see the same range
+      // batch CHANGE FEED over [start, endingVersion]: the end defaults
+      // to the version pinned at getTable, so one DataFrame's actions
+      // all see the same range; the start defaults to the oldest
+      // still-available version — "full AVAILABLE history" — so the
+      // no-options read keeps working after a vacuum retired early
+      // manifests (an EXPLICIT startingVersion below the horizon still
+      // fails loudly, as it names versions whose changes are gone)
       val spark = SparkSession.active
+      val start = startingVersion.getOrElse(
+        Snapshots.oldestAvailableVersion(spark, path))
       val end = endingVersion
         .orElse(versionAsOf)
         .getOrElse(Snapshots.latestVersion(spark, path))
-      return (startingVersion to end).flatMap(v =>
+      return (start to end).flatMap(v =>
         SnapshotCdf.partitionsFor(spark, path, v, streaming = false))
         .map(p => p: InputPartition).toArray
     }

@@ -137,4 +137,16 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.catalog.tableExists("gtest.db.dup2") shouldBe true
     spark.sql("DROP TABLE gtest.db.dup2")
   }
+
+  test("identifiers cannot escape the warehouse: path-separator and " +
+      "dot-dot segments are rejected before any filesystem action") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE gtest.db.`../../escape`")
+    }
+    e.getMessage should include("invalid identifier segment")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.db.`a/b` (id BIGINT)")
+    }.getMessage should include("invalid identifier segment")
+  }
 }

@@ -122,6 +122,61 @@ class SnapshotCdfSpec extends SparkSpec {
     out2.where(col("id") === 3L).count() shouldBe 1L
   }
 
+  test("applyChangeFeed carries schema-evolved columns: state law holds " +
+      "when a commit in the range widened the schema") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    Snapshots.append(tbl(6 to 8).withColumn("lang", lit("en")), p)
+    val out = Snapshots.applyChangeFeed(
+      Snapshots.read(spark, p, Some(1L)),
+      Snapshots.changeFeed(spark, p, 1L, 2L), Seq("id"))
+    out.columns should contain("lang")
+    rowSet(out) shouldBe rowSet(Snapshots.read(spark, p))
+    out.where(col("lang").isNull).count() shouldBe 5L
+    // reserved internal names are rejected loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.applyChangeFeed(
+        Snapshots.read(spark, p, Some(1L)).withColumn("__gcf_v", lit(1)),
+        Snapshots.changeFeed(spark, p, 1L, 2L), Seq("id"))
+    }
+  }
+
+  test("batch readChangeFeed without startingVersion still works after " +
+      "vacuum retired early versions (defaults to the horizon)") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 5), p)
+    Snapshots.overwrite(tbl(6 to 9), p)
+    Snapshots.append(tbl(10 to 12), p)
+    Snapshots.vacuum(spark, p, keepFromVersion = 2L, graceMs = 0L)
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(p)
+    feedSet(feed) shouldBe
+      ((6L to 9L).map((_, "insert", 2L)).toSet ++
+        (10L to 12L).map((_, "insert", 3L)).toSet)
+    // an EXPLICIT start below the horizon names vacuumed changes: loud
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(p).collect()
+    }
+  }
+
+  test("deleteMor with the auto-materialize trigger returns the DELETE " +
+      "commit's version, so deletedRows(v) keeps working") {
+    val p = freshDir()
+    spark.conf.set("spark.graft.snapshot.dvMaterializeFraction", "0.3")
+    try {
+      Snapshots.append(tbl(1 to 10).repartition(1), p)
+      val v = Snapshots.deleteMor(spark, p, col("id") <= 6L)
+      Snapshots.manifestAt(spark, p, v).get.op shouldBe "delete-dv"
+      Snapshots.deletedRows(spark, p, v).select("id")
+        .as[Long].collect().sorted shouldBe (1L to 6L)
+      // the follow-up compact landed after it
+      Snapshots.latestVersion(spark, p) shouldBe (v + 1)
+    } finally spark.conf
+      .unset("spark.graft.snapshot.dvMaterializeFraction")
+  }
+
   test("CoW delete surfaces at file granularity (re-emitted survivors), " +
       "documented contract") {
     val p = freshDir()

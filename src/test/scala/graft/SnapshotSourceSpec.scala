@@ -233,7 +233,7 @@ class SnapshotSourceSpec extends SparkSpec {
     Snapshots.append(tbl(1 to 300).repartitionByRange(6, col("id")), p)
     // unit-level contract pin (what Spark's DPP calls at runtime)
     val sb = new graft.sources.SnapshotScanBuilder(p,
-      spark.read.format("graft-snapshot").load(p).schema, None, 1L)
+      spark.read.format("graft-snapshot").load(p).schema, None, None)
     val scan = sb.build()
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
     scan.filterAttributes().map(_.describe()) should contain("id")
@@ -276,7 +276,7 @@ class SnapshotSourceSpec extends SparkSpec {
     val schema = spark.read.format("graft-snapshot").load(p).schema
     def planned(limit: Option[Int], filters: Array[
         org.apache.spark.sql.sources.Filter] = Array.empty): Int = {
-      val sb = new graft.sources.SnapshotScanBuilder(p, schema, None, 1L)
+      val sb = new graft.sources.SnapshotScanBuilder(p, schema, None, None)
       sb.pushFilters(filters)
       limit.foreach(sb.pushLimit)
       sb.build().asInstanceOf[graft.sources.SnapshotScan]
