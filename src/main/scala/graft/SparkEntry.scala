@@ -4354,6 +4354,31 @@ object SparkEntry {
         Snapshots.changeFeed(s, p, 1L, 3L),
         Seq("event_id"))
     }),
+    "q_stream_cdf_mirror" -> ((s, dir) => {
+      // the FULL production loop: source table → readChangeFeed stream
+      // → exactly-once foreachBatch mirror. Each micro-batch (one
+      // commit here) folds inserts + row-level deletes into the mirror
+      // via applyChangeFeed and lands as one idempotent overwrite
+      // commit — after the run the mirror equals the source's latest
+      // content without ever re-reading the source table. Oracle =
+      // q_cdf_apply's (same final content).
+      val p = buildCdfSnapshotStore(s, dir)
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val mirror = freshSnapshotPath(dir, "mi")
+      val q = s.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(p)
+        .writeStream
+        .option("checkpointLocation",
+          s"${System.getProperty("java.io.tmpdir")}/graft_mi_ck_${slug}_" +
+            System.nanoTime())
+        .foreachBatch(Snapshots.streamMirror(mirror, s"mi_$slug",
+          Seq("event_id")))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Snapshots.read(s, mirror)
+    }),
     "q_stream_cdf" -> ((s, dir) => {
       // the SAME feed as a real multi-batch STREAM: readChangeFeed on
       // the V2 source with maxVersionsPerTrigger=1 plans one commit per
@@ -8483,6 +8508,13 @@ object SparkEntry {
            AND event_type = 'view'""",
     "q_cdf_apply" ->
       // seeded state + applied feed == the table's latest content
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id % 3 IN (0, 1)
+           AND NOT (event_id < 3000 AND event_type = 'view')""",
+    "q_stream_cdf_mirror" ->
+      // the mirror ends exactly at the source's latest content —
+      // q_cdf_apply's oracle verbatim
       """SELECT event_id, user_id, event_type, value
          FROM events
          WHERE event_id % 3 IN (0, 1)

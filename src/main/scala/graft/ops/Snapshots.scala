@@ -1063,6 +1063,52 @@ object Snapshots {
       appId: String): (DataFrame, Long) => Unit =
     (df, batchId) => { appendIdempotent(df, path, appId, batchId); () }
 
+  /** IDEMPOTENT overwrite — [[appendIdempotent]]'s twin for sinks whose
+    * batch output REPLACES derived state rather than appending to it:
+    * a replay with `txnId` ≤ the recorded high-water mark is a no-op
+    * returning the current version. */
+  def overwriteIdempotent(df: DataFrame, path: String, appId: String,
+      txnId: Long): Long = {
+    require(appId.nonEmpty, "overwriteIdempotent needs an application id")
+    latestManifest(df.sparkSession, path) match {
+      case Some(m) if m.txns.get(appId).exists(_ >= txnId) => m.version
+      case _ => commit(df, path, "overwrite", txn = Some((appId, txnId)))
+    }
+  }
+
+  /** foreachBatch-shaped exactly-once CDC MIRROR sink — the full
+    * production loop a derived table runs forever:
+    * {{{
+    *   spark.readStream.format("graft-snapshot")
+    *     .option("readChangeFeed", "true").load(src)
+    *     .writeStream
+    *     .foreachBatch(Snapshots.streamMirror(mirror, "my-job", keys))
+    *     .start()
+    * }}}
+    * Each micro-batch folds its inserts and row-level deletes into the
+    * mirror's CURRENT content via [[applyChangeFeed]] (newest commit
+    * wins per key) and lands as ONE idempotent overwrite commit keyed
+    * by batchId — a crash-replayed batch recomputes against the
+    * already-updated mirror but its commit deduplicates on the txn
+    * mark, so the mirror tracks the source exactly-once. Cost per sync
+    * is one key-shuffle over mirror+changes — O(state + batch), never
+    * a source re-read. The first batch bootstraps the mirror from the
+    * feed's own data columns. */
+  def streamMirror(mirrorPath: String, appId: String,
+      keys: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val dataCols = batch.columns
+        .filterNot(Set("_change_type", "_commit_version").contains).toSeq
+      val base = latestManifest(spark, mirrorPath) match {
+        case Some(_) => read(spark, mirrorPath)
+        case None => batch.select(dataCols.map(col): _*).limit(0)
+      }
+      overwriteIdempotent(applyChangeFeed(base, batch, keys),
+        mirrorPath, appId, batchId)
+      ()
+    }
+
   /** Maintenance OPTIMIZE, inside the log: rewrite the current snapshot
     * into `numFiles` files — optionally Z-ORDER clustered over
     * `zorderBy` dims via [[graft.functions.ZOrder]]'s codegen Morton

@@ -177,6 +177,45 @@ class SnapshotCdfSpec extends SparkSpec {
       .unset("spark.graft.snapshot.dvMaterializeFraction")
   }
 
+  test("streamMirror: the mirror tracks the source across real " +
+      "micro-batches, and a crash-replayed batch is a no-op") {
+    val p = buildStore()
+    val mirror = freshDir() + "/m"
+    val ck = freshDir() + "/ck"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(p)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(Snapshots.streamMirror(mirror, "mirror_law",
+        Seq("id")))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    rowSet(Snapshots.read(spark, mirror)) shouldBe
+      rowSet(Snapshots.read(spark, p))
+    // crash replay: re-invoking the sink with an ALREADY-COMMITTED
+    // batchId must not move the mirror (exactly-once on the txn mark)
+    val vBefore = Snapshots.latestVersion(spark, mirror)
+    val replayBatch = Snapshots.changeFeed(spark, p, 0L, 1L)
+    Snapshots.streamMirror(mirror, "mirror_law", Seq("id"))(
+      replayBatch, 0L)
+    Snapshots.latestVersion(spark, mirror) shouldBe vBefore
+    rowSet(Snapshots.read(spark, mirror)) shouldBe
+      rowSet(Snapshots.read(spark, p))
+    // the source keeps committing: one more batch round keeps tracking
+    Snapshots.append(tbl(100 to 105), p)
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .load(p)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(Snapshots.streamMirror(mirror, "mirror_law",
+        Seq("id")))
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    rowSet(Snapshots.read(spark, mirror)) shouldBe
+      rowSet(Snapshots.read(spark, p))
+  }
+
   test("CoW delete surfaces at file granularity (re-emitted survivors), " +
       "documented contract") {
     val p = freshDir()
