@@ -4356,18 +4356,19 @@ object SparkEntry {
     }),
     "q_stream_cdf_mirror" -> ((s, dir) => {
       // the FULL production loop: source table → readChangeFeed stream
-      // → exactly-once foreachBatch mirror. Each micro-batch (one
-      // commit here) folds inserts + row-level deletes into the mirror
-      // via applyChangeFeed and lands as one idempotent overwrite
-      // commit — after the run the mirror equals the source's latest
-      // content without ever re-reading the source table. Oracle =
-      // q_cdf_apply's (same final content).
+      // → exactly-once foreachBatch mirror. The batch folds inserts +
+      // row-level deletes into the mirror via applyChangeFeed and lands
+      // as one idempotent overwrite commit — after the run the mirror
+      // equals the source's latest content without ever re-reading the
+      // source table. Per-version multi-batch pacing and crash-replay
+      // idempotence are law-pinned (SnapshotCdfSpec); the gate row runs
+      // one admission round. Oracle = q_cdf_apply's (same final
+      // content).
       val p = buildCdfSnapshotStore(s, dir)
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val mirror = freshSnapshotPath(dir, "mi")
       val q = s.readStream.format("graft-snapshot")
         .option("readChangeFeed", "true")
-        .option("maxVersionsPerTrigger", "1")
         .load(p)
         .writeStream
         .option("checkpointLocation",
