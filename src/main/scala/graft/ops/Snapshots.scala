@@ -1085,27 +1085,33 @@ object Snapshots {
     *     .foreachBatch(Snapshots.streamMirror(mirror, "my-job", keys))
     *     .start()
     * }}}
-    * Each micro-batch folds its inserts and row-level deletes into the
-    * mirror's CURRENT content via [[applyChangeFeed]] (newest commit
-    * wins per key) and lands as ONE idempotent overwrite commit keyed
-    * by batchId — a crash-replayed batch recomputes against the
-    * already-updated mirror but its commit deduplicates on the txn
-    * mark, so the mirror tracks the source exactly-once. Cost per sync
-    * is one key-shuffle over mirror+changes — O(state + batch), never
-    * a source re-read. The first batch bootstraps the mirror from the
-    * feed's own data columns. */
+    * Each micro-batch lands as ONE idempotent commit keyed by batchId:
+    * the steady state is [[mergeChanges]] — a file-pruned copy-on-write
+    * merge applying the batch's inserts and row-level deletes (newest
+    * commit wins per key), so a sync costs O(touched files + batch),
+    * never the mirror's size and never a source re-read. A
+    * crash-replayed batch deduplicates on the txn mark, so the mirror
+    * tracks the source exactly-once. The first batch bootstraps the
+    * mirror from the feed's own data columns. */
   def streamMirror(mirrorPath: String, appId: String,
       keys: Seq[String]): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       val spark = batch.sparkSession
-      val dataCols = batch.columns
-        .filterNot(Set("_change_type", "_commit_version").contains).toSeq
-      val base = latestManifest(spark, mirrorPath) match {
-        case Some(_) => read(spark, mirrorPath)
-        case None => batch.select(dataCols.map(col): _*).limit(0)
+      latestManifest(spark, mirrorPath) match {
+        case Some(_) =>
+          // steady state: ONE atomic file-pruned CoW commit — cost is
+          // O(touched files + batch), never the mirror's size
+          mergeChanges(spark, mirrorPath, batch, keys,
+            txn = Some((appId, batchId)))
+        case None =>
+          // bootstrap: the first batch folds into an empty base
+          val dataCols = batch.columns.filterNot(
+            Set("_change_type", "_commit_version").contains).toSeq
+          overwriteIdempotent(
+            applyChangeFeed(batch.select(dataCols.map(col): _*).limit(0),
+              batch, keys),
+            mirrorPath, appId, batchId)
       }
-      overwriteIdempotent(applyChangeFeed(base, batch, keys),
-        mirrorPath, appId, batchId)
       ()
     }
 
@@ -1220,6 +1226,78 @@ object Snapshots {
       }
     commit(newData, path, "merge", removed = touched.toSet,
       expectParent = Some(m.version))
+  }
+
+  /** Copy-on-write MERGE of a CHANGE BATCH (the Delta
+    * `MERGE ... WHEN MATCHED [AND _change_type='delete'] THEN DELETE /
+    * UPDATE / INSERT` shape): `changes` carries the table's data
+    * columns plus `_change_type` ('insert' | 'delete') and
+    * `_commit_version` — exactly [[changeFeed]]'s output. Per key the
+    * NEWEST change wins (a delete-then-reinsert batch keeps the row);
+    * winning inserts upsert, winning deletes remove. ONE atomic commit
+    * rewriting only the files that contain a matched key ([[merge]]'s
+    * planning), so a change batch costs O(touched files + batch) — the
+    * sync primitive a 100 TB derived mirror needs, where rewriting the
+    * whole mirror per batch ([[overwrite]]) would be catastrophic.
+    * `txn` carries an idempotence mark: a crash-replayed batch with
+    * `txnId` ≤ the recorded high-water mark no-ops, which is what makes
+    * [[streamMirror]] exactly-once in one commit. NULL keys are
+    * rejected like [[merge]] (duplicates are legal here — the winner
+    * pick resolves them deterministically). */
+  def mergeChanges(spark: SparkSession, path: String, changes: DataFrame,
+      keyCols: Seq[String], txn: Option[(String, Long)] = None,
+      expectVersion: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "mergeChanges needs at least one key column")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "merge", path)
+    // replay fast path (the appendIdempotent rule): skip the planning
+    // and the distributed write for a known-committed batch
+    txn.foreach { case (appId, txnId) =>
+      latestManifest(spark, path).foreach { lm =>
+        if (lm.txns.get(appId).exists(_ >= txnId)) return lm.version } }
+    val schema = snapshotSchema(spark, path, m)
+    require(keyCols.forall(k => schema.fieldNames.contains(k)),
+      s"key columns ${keyCols.mkString(",")} must exist in the table")
+    require(Seq("_change_type", "_commit_version")
+        .forall(changes.columns.contains),
+      "mergeChanges needs _change_type and _commit_version columns " +
+        "(a changeFeed batch)")
+    // winner per key: newest commit, 'insert' beating 'delete' on a
+    // same-commit tie (cannot happen in a well-formed feed; the pick
+    // just stays deterministic) — one aggregation over the BATCH
+    val payload = schema.fieldNames.toSeq.filterNot(keyCols.contains)
+    val alignedChanges = changes.select(
+      keyCols.map(col) ++ Seq(col("_commit_version").as("__gmc_v"),
+        col("_change_type").as("__gmc_ct")) ++
+      payload.map(p =>
+        (if (changes.columns.contains(p)) col(p).cast(schema(p).dataType)
+         else lit(null).cast(schema(p).dataType)).as(p)): _*)
+    val ordered = struct(col("__gmc_v") +: col("__gmc_ct") +:
+      payload.map(col): _*)
+    val winners = alignedChanges
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("__gmc_w"))
+      .select(keyCols.map(col) ++ Seq(col("__gmc_w.__gmc_ct").as("__gmc_ct")) ++
+        payload.map(p => col(s"__gmc_w.$p").as(p)): _*)
+      .localCheckpoint() // consumed three times (guard, plan, rewrite)
+    val nullKey = keyCols.map(k => col(k).isNull).reduce(_ || _)
+    val nullRows = winners.where(nullKey).count()
+    if (nullRows > 0) throw new MergeSourceConflict(
+      s"mergeChanges at $path: $nullRows change row(s) have NULL in a " +
+        s"key column (${keyCols.mkString(",")})")
+    val root = new Path(path)
+    val touched = touchedFiles(spark, root, m, schema,
+      winners.select(keyCols.map(col): _*), keyCols)
+    val upserts = winners.where(col("__gmc_ct") =!= "delete")
+      .select(schema.fieldNames.toSeq.map(col): _*)
+    val newData =
+      if (touched.isEmpty) upserts
+      else readFiles(spark, root, touched, schema, m.dvs)
+        .join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(upserts)
+    commit(newData, path, "merge", removed = touched.toSet,
+      expectParent = Some(m.version), txn = txn)
   }
 
   /** Copy-on-write DELETE of rows where `predicate` is TRUE (null keeps

@@ -193,6 +193,38 @@ object SnapshotProbe {
       rmrf(p)
     }
 
+    /** Change-feed scenario (round 10): 8 appends + one deleteMor, then
+      * the row-level feed read and the mirror fold at 1× and 10×. The
+      * claims: the feed reads exactly the changed files (here the whole
+      * history — worst case ≈ one table read), and the applyChangeFeed
+      * fold is ONE key-shuffle over state+changes — both ~linear in
+      * rows, never super-linear. */
+    def probeCdf(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_cdf_$tag"
+      rmrf(p)
+      (0 until 8).foreach { i =>
+        Snapshots.append(data.where(col("event_id") % 8 === i)
+          .repartitionByRange(4, col("event_id")), p)
+      }
+      val lo = math.min(n, n1) / 2
+      Snapshots.deleteMor(spark, p,
+        col("event_id") >= lo && col("event_id") < lo + 1000L)
+      val latest = Snapshots.latestVersion(spark, p)
+      val feedT = time {
+        Snapshots.changeFeed(spark, p, 0L, latest)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val foldT = time {
+        Snapshots.applyChangeFeed(
+          Snapshots.read(spark, p, Some(1L)),
+          Snapshots.changeFeed(spark, p, 1L, latest), Seq("event_id"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[snapprobe] cdf_$tag n=$n feed_read=$feedT%.2f " +
+        f"mirror_fold=$foldT%.2f")
+      rmrf(p)
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -206,6 +238,8 @@ object SnapshotProbe {
     probeDv("x10", scale10(ev), n1 * 10)
     probeDvAccum("x1", ev, n1)
     probeDvAccum("x10", scale10(ev), n1 * 10)
+    probeCdf("x1", ev, n1)
+    probeCdf("x10", scale10(ev), n1 * 10)
     spark.stop()
   }
 }

@@ -177,6 +177,46 @@ class SnapshotCdfSpec extends SparkSpec {
       .unset("spark.graft.snapshot.dvMaterializeFraction")
   }
 
+  test("mergeChanges: newest change wins per key (delete-then-reinsert " +
+      "survives), untouched files carry over, NULL keys reject, txn " +
+      "marks make replays no-ops") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(1), p)   // file A
+    Snapshots.append(tbl(11 to 20).repartition(1), p)  // file B
+    val mBefore = Snapshots.snapshotAt(spark, p).get
+    // batch touching only file A's keys: delete 1, update 2,
+    // delete-then-reinsert 3 (newest wins → survives with new payload)
+    val batch = Seq(
+      (1L, "x", 0.0, "delete", 7L),
+      (2L, "upd", 99.0, "insert", 7L),
+      (3L, "gone", 0.0, "delete", 7L),
+      (3L, "back", 42.0, "insert", 8L))
+      .toDF("id", "name", "v", "_change_type", "_commit_version")
+    Snapshots.mergeChanges(spark, p, batch, Seq("id"),
+      txn = Some(("mc", 1L)))
+    val m = Snapshots.snapshotAt(spark, p).get
+    // file B untouched: still referenced unmoved
+    mBefore.files.filter(_ => true).intersect(m.files) should
+      contain (mBefore.files(1))
+    val out = Snapshots.read(spark, p)
+    out.count() shouldBe 19L // 20 − deleted id 1
+    out.where(col("id") === 2L).select("v").as[Double].head() shouldBe 99.0
+    out.where(col("id") === 3L).select("name")
+      .as[String].head() shouldBe "back"
+    // replay with the same txn mark: no new commit, same content
+    val vNow = Snapshots.latestVersion(spark, p)
+    Snapshots.mergeChanges(spark, p, batch, Seq("id"),
+      txn = Some(("mc", 1L))) shouldBe vNow
+    Snapshots.latestVersion(spark, p) shouldBe vNow
+    // NULL keys reject typed
+    intercept[Snapshots.MergeSourceConflict] {
+      Snapshots.mergeChanges(spark, p,
+        Seq((Option.empty[Long], "n", 0.0, "insert", 9L))
+          .toDF("id", "name", "v", "_change_type", "_commit_version"),
+        Seq("id"))
+    }
+  }
+
   test("streamMirror: the mirror tracks the source across real " +
       "micro-batches, and a crash-replayed batch is a no-op") {
     val p = buildStore()
