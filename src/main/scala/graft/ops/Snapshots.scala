@@ -1253,9 +1253,11 @@ object Snapshots {
     checkExpected(m, expectVersion, "merge", path)
     // replay fast path (the appendIdempotent rule): skip the planning
     // and the distributed write for a known-committed batch
-    txn.foreach { case (appId, txnId) =>
-      latestManifest(spark, path).foreach { lm =>
-        if (lm.txns.get(appId).exists(_ >= txnId)) return lm.version } }
+    val replayed = txn.flatMap { case (appId, txnId) =>
+      latestManifest(spark, path)
+        .filter(_.txns.get(appId).exists(_ >= txnId)).map(_.version)
+    }
+    if (replayed.isDefined) return replayed.get
     val schema = snapshotSchema(spark, path, m)
     require(keyCols.forall(k => schema.fieldNames.contains(k)),
       s"key columns ${keyCols.mkString(",")} must exist in the table")
