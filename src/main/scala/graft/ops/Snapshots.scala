@@ -1265,6 +1265,8 @@ object Snapshots {
         .forall(changes.columns.contains),
       "mergeChanges needs _change_type and _commit_version columns " +
         "(a changeFeed batch)")
+    require(!schema.fieldNames.exists(_.startsWith("__gmc_")),
+      "mergeChanges reserves the __gmc_ column prefix")
     // winner per key: newest commit, 'insert' beating 'delete' on a
     // same-commit tie (cannot happen in a well-formed feed; the pick
     // just stays deterministic) — one aggregation over the BATCH
