@@ -4360,15 +4360,18 @@ object SparkEntry {
       // row-level deletes into the mirror via applyChangeFeed and lands
       // as one idempotent overwrite commit — after the run the mirror
       // equals the source's latest content without ever re-reading the
-      // source table. Per-version multi-batch pacing and crash-replay
-      // idempotence are law-pinned (SnapshotCdfSpec); the gate row runs
-      // one admission round. Oracle = q_cdf_apply's (same final
-      // content).
+      // source table. Two admission rounds here so BOTH sink paths are
+      // oracle-gated: batch 0 bootstraps (fold into empty), batch 1
+      // exercises the steady-state mergeChanges (atomic file-pruned
+      // CoW apply of the row-level deletes). Crash-replay idempotence
+      // is law-pinned (SnapshotCdfSpec). Oracle = q_cdf_apply's (same
+      // final content).
       val p = buildCdfSnapshotStore(s, dir)
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val mirror = freshSnapshotPath(dir, "mi")
       val q = s.readStream.format("graft-snapshot")
         .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "2")
         .load(p)
         .writeStream
         .option("checkpointLocation",

@@ -1104,7 +1104,14 @@ object Snapshots {
           mergeChanges(spark, mirrorPath, batch, keys,
             txn = Some((appId, batchId)))
         case None =>
-          // bootstrap: the first batch folds into an empty base
+          // bootstrap: the first batch folds into an empty base — with
+          // the SAME NULL-key contract as the steady state, or a
+          // pipeline would bootstrap fine and wedge on its second batch
+          val nullKey = keys.map(k => col(k).isNull).reduce(_ || _)
+          val nullRows = batch.where(nullKey).count()
+          if (nullRows > 0) throw new MergeSourceConflict(
+            s"streamMirror at $mirrorPath: $nullRows change row(s) " +
+              s"have NULL in a key column (${keys.mkString(",")})")
           val dataCols = batch.columns.filterNot(
             Set("_change_type", "_commit_version").contains).toSeq
           overwriteIdempotent(
@@ -1250,14 +1257,17 @@ object Snapshots {
     require(keyCols.nonEmpty, "mergeChanges needs at least one key column")
     val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
-    checkExpected(m, expectVersion, "merge", path)
-    // replay fast path (the appendIdempotent rule): skip the planning
-    // and the distributed write for a known-committed batch
+    // replay fast path FIRST (appendIdempotent's rule, and its order):
+    // a crash-replayed batch must no-op even when the caller also pins
+    // expectVersion — the commit it planned against is already durable,
+    // and checkExpected would otherwise raise a spurious conflict. The
+    // resolved snapshot already carries the txn high-water marks, so
+    // this costs no extra log read on the per-micro-batch hot path.
     val replayed = txn.flatMap { case (appId, txnId) =>
-      latestManifest(spark, path)
-        .filter(_.txns.get(appId).exists(_ >= txnId)).map(_.version)
+      m.txns.get(appId).filter(_ >= txnId).map(_ => m.version)
     }
     if (replayed.isDefined) return replayed.get
+    checkExpected(m, expectVersion, "merge", path)
     val schema = snapshotSchema(spark, path, m)
     require(keyCols.forall(k => schema.fieldNames.contains(k)),
       s"key columns ${keyCols.mkString(",")} must exist in the table")
@@ -1267,16 +1277,33 @@ object Snapshots {
         "(a changeFeed batch)")
     require(!schema.fieldNames.exists(_.startsWith("__gmc_")),
       "mergeChanges reserves the __gmc_ column prefix")
+    // schema EVOLUTION rides the batch (the same widening rule as
+    // append): feed columns the table lacks join the payload with the
+    // feed's own types, old rows read them as null after the commit
+    val metaCols = Set("_change_type", "_commit_version")
+    val feedTypes = changes.schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    val newCols = changes.columns.toSeq
+      .filterNot(c => metaCols.contains(c) ||
+        schema.fieldNames.contains(c))
+    val payload = schema.fieldNames.toSeq.filterNot(keyCols.contains) ++
+      newCols
+    def typeOf(p: String): org.apache.spark.sql.types.DataType =
+      if (schema.fieldNames.contains(p)) schema(p).dataType
+      else feedTypes(p)
+    // keys AND payload align to the table's types (merge's rule:
+    // unionByName coercion must never let a mistyped batch rewrite the
+    // recorded schema and brick later reads)
+    val alignedChanges = changes.select(
+      keyCols.map(k => col(k).cast(schema(k).dataType).as(k)) ++
+      Seq(col("_commit_version").as("__gmc_v"),
+        col("_change_type").as("__gmc_ct")) ++
+      payload.map(p =>
+        (if (changes.columns.contains(p)) col(p).cast(typeOf(p))
+         else lit(null).cast(typeOf(p))).as(p)): _*)
     // winner per key: newest commit, 'insert' beating 'delete' on a
     // same-commit tie (cannot happen in a well-formed feed; the pick
     // just stays deterministic) — one aggregation over the BATCH
-    val payload = schema.fieldNames.toSeq.filterNot(keyCols.contains)
-    val alignedChanges = changes.select(
-      keyCols.map(col) ++ Seq(col("_commit_version").as("__gmc_v"),
-        col("_change_type").as("__gmc_ct")) ++
-      payload.map(p =>
-        (if (changes.columns.contains(p)) col(p).cast(schema(p).dataType)
-         else lit(null).cast(schema(p).dataType)).as(p)): _*)
     val ordered = struct(col("__gmc_v") +: col("__gmc_ct") +:
       payload.map(col): _*)
     val winners = alignedChanges
@@ -1293,13 +1320,22 @@ object Snapshots {
     val root = new Path(path)
     val touched = touchedFiles(spark, root, m, schema,
       winners.select(keyCols.map(col): _*), keyCols)
+    // evolution-added columns must record NULLABLE (untouched files
+    // read them as null — the same widening rule as append-evolution);
+    // the else-less `when` forces nullability at analysis time
+    val outCols = (keyCols ++ payload).map(c =>
+      if (newCols.contains(c)) when(lit(true), col(c)).as(c) else col(c))
     val upserts = winners.where(col("__gmc_ct") =!= "delete")
-      .select(schema.fieldNames.toSeq.map(col): _*)
+      .select(outCols: _*)
     val newData =
       if (touched.isEmpty) upserts
-      else readFiles(spark, root, touched, schema, m.dvs)
-        .join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
-        .unionByName(upserts)
+      else {
+        val survivors0 = readFiles(spark, root, touched, schema, m.dvs)
+          .join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val survivors = newCols.foldLeft(survivors0)((d, c) =>
+          d.withColumn(c, lit(null).cast(typeOf(c))))
+        survivors.select(outCols: _*).unionByName(upserts)
+      }
     commit(newData, path, "merge", removed = touched.toSet,
       expectParent = Some(m.version), txn = txn)
   }

@@ -196,8 +196,7 @@ class SnapshotCdfSpec extends SparkSpec {
       txn = Some(("mc", 1L)))
     val m = Snapshots.snapshotAt(spark, p).get
     // file B untouched: still referenced unmoved
-    mBefore.files.filter(_ => true).intersect(m.files) should
-      contain (mBefore.files(1))
+    m.files should contain (mBefore.files(1))
     val out = Snapshots.read(spark, p)
     out.count() shouldBe 19L // 20 − deleted id 1
     out.where(col("id") === 2L).select("v").as[Double].head() shouldBe 99.0
@@ -215,6 +214,33 @@ class SnapshotCdfSpec extends SparkSpec {
           .toDF("id", "name", "v", "_change_type", "_commit_version"),
         Seq("id"))
     }
+  }
+
+  test("mergeChanges evolves the schema from the batch: new feed " +
+      "columns land NULLABLE (untouched files read null), and a " +
+      "mistyped key batch cannot rewrite the recorded key type") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartitionByRange(2, col("id")), p)
+    // batch carries a NEW column 'lang' and an INT-typed key (table
+    // key is LONG); touches only the low-id file
+    val batch = Seq((2, "upd", 9.0, "en", "insert", 3L),
+        (99, "new", 6.0, "de", "insert", 3L))
+      .toDF("id", "name", "v", "lang", "_change_type", "_commit_version")
+    batch.schema("id").dataType shouldBe
+      org.apache.spark.sql.types.IntegerType
+    Snapshots.mergeChanges(spark, p, batch, Seq("id"))
+    val out = Snapshots.read(spark, p)
+    val sch = out.schema
+    sch("id").dataType shouldBe org.apache.spark.sql.types.LongType
+    sch("lang").nullable shouldBe true
+    out.count() shouldBe 11L
+    out.where(col("id") === 2L).select("lang")
+      .as[String].head() shouldBe "en"
+    // the HIGH-id file carried over untouched and lacks 'lang' on
+    // disk: rows read it as null (the nullable recording is what makes
+    // this safe instead of an NPE)
+    out.where(col("id") === 9L).select("lang")
+      .collect().head.isNullAt(0) shouldBe true
   }
 
   test("streamMirror: the mirror tracks the source across real " +
