@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     // planner strategies: the custom as-of join physical operator
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL row-level DML on snapshot tables: UPDATE / MERGE INTO route
+    // into the CoW commit protocol (the Delta V1-command-fallback
+    // architecture — see graft.plans.SnapshotDmlRule)
+    ext.injectPostHocResolutionRule(s => graft.plans.SnapshotDmlRule(s))
   }
 }
 

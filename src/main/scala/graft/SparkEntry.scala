@@ -370,6 +370,50 @@ object SparkEntry {
         col("event_id") < 3000L && col("event_type") === "view")
     }
 
+  /** CoW-CDC store (r11): v1 PARTITIONED append (event_type layout),
+    * v2 copy-on-write delete (rows leave via the `_change_data`
+    * sidecar), v3 partition-aligned replaceWhere (the 'purchase'
+    * partition drops METADATA-ONLY → the feed synthesizes its rows as
+    * deletes per-file, the `fullRemoves` path; the batch lands as
+    * sidecar inserts). Exercises every CoW feed mechanism in one
+    * store. */
+  private def buildCowCdfStore(s: SparkSession, dir: String): String =
+    sharedBuild("snapcow", dir) { p =>
+      deleteRecursively(p)
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 < 2), p,
+        Seq("event_type"))
+      Snapshots.delete(s, p,
+        col("event_type") === "click" && col("event_id") < 2000L)
+      Snapshots.replaceWhere(s, p, col("event_type") === "purchase",
+        ev.where(col("event_type") === "purchase")
+          .withColumn("value", col("value") + 0.5))
+    }
+
+  /** Keyed-rewrite CDC store (r11): v1 append (event_id%3=0 slice),
+    * v2 ONE mergeChanges batch mixing updates (matched keys → paired
+    * update_preimage/update_postimage), inserts (unmatched keys), and
+    * deletes — the full Delta CDF image shape from the steady-state
+    * mirror primitive. */
+  private def buildCdfImagesStore(s: SparkSession, dir: String): String =
+    sharedBuild("snapimg", dir) { p =>
+      deleteRecursively(p)
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0), p)
+      val upd = ev.where(col("event_id") % 3 === 0 &&
+          col("event_id") % 10 < 2)
+        .withColumn("value", col("value") * 2)
+      val ins = ev.where(col("event_id") % 3 === 2 &&
+        col("event_id") % 10 < 2)
+      val del = ev.where(col("event_id") % 3 === 0 &&
+        col("event_id") % 10 === 5 && col("event_type") === "click")
+      val batch = upd.unionByName(ins)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(del.withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(1L))
+      Snapshots.mergeChanges(s, p, batch, Seq("event_id"))
+    }
+
   /** The v1 append (%3<2, range-partitioned) + v2 overwrite (%3=2)
     * store q_snapshot_source and q_graph_snapshot both time-travel to
     * v1 — built once per (sf dir, JVM); both consumers read a PINNED
@@ -2049,6 +2093,44 @@ object SparkEntry {
       val idx = buildIvfStore(s, dir)
       Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+    "q_ann_retrain" -> ((s, dir) => {
+      // DRIFT → REBUILD → ATOMIC SWAP (r11): the store re-trains from
+      // its own vectors into a new `gen-N` sub-store, published by ONE
+      // atomic marker create — serving resolves the generation once
+      // per query (old or new in full, never a mix; law-pinned in
+      // SimilaritySpec), appends land in the current generation, and
+      // vacuumIvfStore retires the rest from a maintenance window.
+      // Deterministic first-16 centroids here so the rebuild is
+      // result-identical to the one-shot build — oracle shared
+      // verbatim with q_ann_index; the swap mechanics are what this
+      // row gates. The rebuild runs ON the shared ivfidx store (once
+      // per JVM): by the same-centroids identity every other consumer
+      // (q_ann_index/q_ann_append/q_stream_ann) reads the new
+      // generation bit-identically — no second store build.
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = buildIvfStore(s, dir)
+      sharedBuild("ivfre", dir) { _ =>
+        val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+        val cents = e.orderBy("vec_id").limit(16)
+          .select((row_number().over(w) - 1).cast("long")
+            .as("centroid_id"), col("embedding").as("_centroid"))
+        Similarity.rebuildIvfStore(s, idx, nCentroids = 16,
+          centroidsOverride = Some(cents))
+        Similarity.vacuumIvfStore(s, idx)
+        ()
+      }
+      Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+    "q_ann_drift" -> ((s, dir) => {
+      // the RETRAIN TRIGGER: per-cell occupancy + ratio-to-mean over
+      // the store's current generation, projection = the partition
+      // column only (no vector bytes read) — a 100 TB store answers
+      // "has the corpus drifted away from the centroids?" from
+      // metadata-scale work.
+      val idx = buildIvfStore(s, dir)
+      Similarity.ivfStoreSkewReport(s, idx)
     }),
     "q_ann_append" -> ((s, dir) => {
       // INCREMENTAL index maintenance, end-to-end: the shared store IS
@@ -4329,6 +4411,42 @@ object SparkEntry {
                        'latest' AS src
                 FROM $cat.db.events_t""")
     }),
+    "q_snapshot_sql_dml" -> ((s, dir) => {
+      // SQL WRITE PARITY by identifier (r11): UPDATE routes through
+      // the post-hoc-resolution DML bridge into the CoW update commit,
+      // MERGE INTO (canonical upsert) into Snapshots.merge, and ALTER
+      // TABLE ADD COLUMN aliases append-evolution (nullable, old rows
+      // read null) — a catalog-managed deployment never needs the
+      // Scala API for row-level writes. Typed rejections for
+      // non-canonical shapes are spec-pinned (SnapshotCatalogSpec).
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"gdml_$slug"
+      val whPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_dmlcat_$slug"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
+      sharedBuild("dmlcat", dir) { wh =>
+        deleteRecursively(wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING, value DOUBLE)")
+        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
+          .createOrReplaceTempView(s"dml_base_$slug")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM dml_base_$slug")
+        s.sql(s"UPDATE $cat.db.ev SET value = value * 2 " +
+          "WHERE event_type = 'click'")
+        snapshotEvents(s, dir).where(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") + 100)
+          .createOrReplaceTempView(s"dml_src_$slug")
+        s.sql(s"""MERGE INTO $cat.db.ev t USING dml_src_$slug s
+                  ON t.event_id = s.event_id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+        s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN tag STRING")
+      }
+      s.table(s"$cat.db.ev")
+    }),
     "q_snapshot_cdf" -> ((s, dir) => {
       // the COMBINED row-level CHANGE FEED, batch face (Delta's
       // readChangeFeed / table_changes shape): every data-changing
@@ -4339,7 +4457,9 @@ object SparkEntry {
       // deletes, no table re-sync. Maintenance-skip and streaming ==
       // batch equality are law-pinned (SnapshotCdfSpec).
       val p = buildCdfSnapshotStore(s, dir)
-      Snapshots.changeFeed(s, p, 0L, 3L)
+      // _commit_timestamp is wall-clock (real, law-pinned) — dropped
+      // here because the oracle compares deterministic values only
+      Snapshots.changeFeed(s, p, 0L, 3L).drop("_commit_timestamp")
     }),
     "q_cdf_apply" -> ((s, dir) => {
       // the CDC CONSUMER law end-to-end: a keyed materialization seeded
@@ -4399,7 +4519,83 @@ object SparkEntry {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
+      s.table(sink).drop("_commit_timestamp") // wall-clock, see q_snapshot_cdf
+    }),
+    "q_snapshot_cdf_cow" -> ((s, dir) => {
+      // ROW-EXACT change feed for COPY-ON-WRITE commits (r11, closing
+      // the r10 weak finding): a CoW delete() emits exactly its removed
+      // rows as _change_type='delete' from the commit's _change_data
+      // sidecar (survivor rows co-located in the rewrite NEVER
+      // re-emit), and a partition-aligned replaceWhere emits the
+      // dropped partition per-file (fullRemoves synthesis — its bytes
+      // were never read at write time) plus the batch as inserts. The
+      // every-op state+feed==read(v) law is spec-pinned
+      // (SnapshotCdfSpec "THE law").
+      val p = buildCowCdfStore(s, dir)
+      Snapshots.changeFeed(s, p, 0L, 3L).drop("_commit_timestamp")
+    }),
+    "q_cdf_images" -> ((s, dir) => {
+      // UPDATE PRE/POST IMAGES (r11, the full Delta CDF shape): a
+      // mergeChanges batch records matched keys as paired
+      // update_preimage/update_postimage rows (old and new values),
+      // unmatched keys as inserts, delete keys as deletes with their
+      // old row — downstream aggregate maintenance can subtract the
+      // pre-values and add the post-values without re-reading the
+      // table (law-pinned: sum(post)−sum(pre) == Δsum in
+      // SnapshotCdfSpec).
+      val p = buildCdfImagesStore(s, dir)
+      Snapshots.changeFeed(s, p, 1L, 2L).drop("_commit_timestamp")
+    }),
+    "q_graph_cdf" -> ((s, dir) => {
+      // the CDC consumer through the JSON graph surface (the
+      // reference's one query language): load_snapshot pins the v1
+      // seed, snapshot_change_feed produces the slice, and
+      // apply_change_feed folds it — process == API parity pinned in
+      // GraphCompilerSpec; oracle shared verbatim with q_cdf_apply.
+      import graft.compile.GraphCompiler
+      val p = buildCdfSnapshotStore(s, dir)
+      // (1, 2] keeps this parity row CHEAP — the full-range fold with
+      // deletes is q_cdf_apply's job, and the CoW feed law has its own
+      // rows; GraphCompilerSpec pins process==API over a CoW range
+      val graph = s"""{
+        "base": {"process_id": "load_snapshot", "arguments": {
+          "path": "$p", "version_as_of": 1}},
+        "feed": {"process_id": "snapshot_change_feed", "arguments": {
+          "path": "$p", "from_exclusive": 1, "to_inclusive": 2}},
+        "out": {"process_id": "apply_change_feed", "arguments": {
+          "base": {"from_node": "base"}, "feed": {"from_node": "feed"},
+          "keys": ["event_id"]}, "result": true}}"""
+      new GraphCompiler(s, Map.empty).compile(graph)
+        .asInstanceOf[DataFrame]
+    }),
+    "q_stream_cdf_mirror_cow" -> ((s, dir) => {
+      // the r10 divergence scenario, now CONVERGING: the source uses
+      // CoW deletes + a partition-dropping replaceWhere, the mirror is
+      // driven purely by readChangeFeed → streamMirror → mergeChanges,
+      // and ends EQUAL to the source — with no writer-discipline
+      // caveat. A CoW commit without a sidecar fails typed instead
+      // (spec-pinned), so the mirror can never silently drift.
+      val p = buildCowCdfStore(s, dir)
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val mirror = freshSnapshotPath(dir, "mc")
+      // 2 versions/trigger = TWO admission rounds (the budget rule:
+      // both sink paths gated at minimum stream cost): batch 0
+      // bootstraps from v1+v2 (inserts + the CoW delete's sidecar
+      // rows), batch 1 steady-state-mergeChanges v3 (fullRemoves
+      // deletes + the backfill inserts)
+      val q = s.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "2")
+        .load(p)
+        .writeStream
+        .option("checkpointLocation",
+          s"${System.getProperty("java.io.tmpdir")}/graft_mc_ck_${slug}_" +
+            System.nanoTime())
+        .foreachBatch(Snapshots.streamMirror(mirror, s"mc_$slug",
+          Seq("event_id")))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Snapshots.read(s, mirror)
     }),
     "q_snapshot_dv_feed" -> ((s, dir) => {
       // the ROW-LEVEL DELETE FEED merge-on-read unlocks: deletedRows(v)
@@ -5308,7 +5504,10 @@ object SparkEntry {
     * losslessly round-tripped vectors): lowest-id centroids; assignment
     * argmin via the same |v|² − 2·v·c + |c|² expansion; queries probe 4
     * nearest lists. */
-  private val oracleSqlIvf: String =
+  /** The deterministic IVF assignment replay (first-16 centroids by
+    * vec_id, exact argmin) — the shared CTE prefix of every IVF-store
+    * oracle (serving + the drift report). */
+  private val oracleIvfAssignedCte: String =
     """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
@@ -5328,7 +5527,10 @@ object SparkEntry {
          assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
              SELECT vec_id, centroid_id,
                row_number() OVER (PARTITION BY vec_id
-                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
+                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1)"""
+
+  private val oracleSqlIvf: String = oracleIvfAssignedCte +
+    """,
          qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
              SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
            FROM el e JOIN cel c ON c.i = e.i
@@ -7659,6 +7861,18 @@ object SparkEntry {
     // in-memory IVF (same probes, same scoring over losslessly
     // round-tripped vectors) — oracle shared verbatim, like q_asof_native
     "q_ann_index" -> oracleSqlIvf,
+    // rebuild with the same deterministic centroids is result-identical
+    // to the one-shot build (the row gates the swap mechanics)
+    "q_ann_retrain" -> oracleSqlIvf,
+    "q_ann_drift" -> (oracleIvfAssignedCte +
+      """,
+         c AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM assigned GROUP BY 1)
+         SELECT centroid_id, n,
+                n / ((SELECT SUM(n) FROM c) /
+                     CAST((SELECT COUNT(*) FROM c) AS DOUBLE))
+           AS ratio_to_mean
+         FROM c"""),
     // incremental build+append serves the identical result — argmin
     // assignment against frozen centroids is batch-invariant
     "q_ann_append" -> oracleSqlIvf,
@@ -8493,6 +8707,19 @@ object SparkEntry {
          SELECT event_id, user_id, event_type, value, 'latest' AS src
          FROM events
          WHERE NOT (event_type = 'click' AND event_id < 2000)""",
+    "q_snapshot_sql_dml" ->
+      // base = %3=0 slice; UPDATE doubled click values; MERGE upserted
+      // the %5=0 slice at value+100 (matched keys replaced, unmatched
+      // inserted); ADD COLUMN tag reads null everywhere
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_type = 'click' THEN value * 2
+                     ELSE value END AS value,
+                CAST(NULL AS VARCHAR) AS tag
+         FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+         UNION ALL
+         SELECT event_id, user_id, event_type, value + 100,
+                CAST(NULL AS VARCHAR)
+         FROM events WHERE event_id % 5 = 0""",
     "q_snapshot_cdf" ->
       // inserts = the two appended slices (stamped with their commit),
       // deletes = the dv'd rows among them, optimize contributes nothing
@@ -8516,6 +8743,64 @@ object SparkEntry {
          FROM events
          WHERE event_id % 3 IN (0, 1)
            AND NOT (event_id < 3000 AND event_type = 'view')""",
+    "q_snapshot_cdf_cow" ->
+      // v1 partitioned inserts; v2 CoW delete's removed rows ONLY;
+      // v3 replaceWhere = dropped-partition rows as deletes (the
+      // fullRemoves synthesis) + the replacement batch as inserts
+      """SELECT event_id, user_id, event_type, value,
+                'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 3 < 2
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(2 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 < 2 AND event_type = 'click'
+           AND event_id < 2000
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(3 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 < 2 AND event_type = 'purchase'
+         UNION ALL
+         SELECT event_id, user_id, event_type, value + 0.5,
+                'insert', CAST(3 AS BIGINT)
+         FROM events WHERE event_type = 'purchase'""",
+    "q_cdf_images" ->
+      // one mergeChanges commit: matched keys emit BOTH images,
+      // unmatched inserts, delete keys their old row
+      """SELECT event_id, user_id, event_type, value,
+                'update_preimage' AS _change_type,
+                CAST(2 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 3 = 0 AND event_id % 10 < 2
+         UNION ALL
+         SELECT event_id, user_id, event_type, value * 2,
+                'update_postimage', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 3 = 0 AND event_id % 10 < 2
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'insert', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 3 = 2 AND event_id % 10 < 2
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(2 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 = 0 AND event_id % 10 = 5
+           AND event_type = 'click'""",
+    "q_graph_cdf" ->
+      // state(v1) + feed(1,2] == read(v2) = both appended slices
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id % 3 IN (0, 1)""",
+    "q_stream_cdf_mirror_cow" ->
+      // the mirror ends exactly at the CoW source's latest content
+      """SELECT event_id, user_id, event_type, value
+         FROM events
+         WHERE event_id % 3 < 2 AND event_type <> 'purchase'
+           AND NOT (event_type = 'click' AND event_id < 2000)
+         UNION ALL
+         SELECT event_id, user_id, event_type, value + 0.5
+         FROM events WHERE event_type = 'purchase'""",
     "q_stream_cdf_mirror" ->
       // the mirror ends exactly at the source's latest content —
       // q_cdf_apply's oracle verbatim

@@ -429,6 +429,28 @@ final class GraphCompiler(
           optD(n, "version", r).getOrElse(throw graft.OpenEoError(
             "SnapshotVersionMissing",
             "snapshot_deleted_rows needs 'version'")).toLong)
+      case "apply_change_feed" =>
+        // the CDC consumer on the graph surface: keyed state + a
+        // change-feed slice → the table at the slice's end (newest
+        // commit wins per key, preimages informational) — graph ==
+        // API parity with Snapshots.applyChangeFeed
+        val keys = strSeq(n, "keys", r, default = Nil)
+        if (keys.isEmpty) throw graft.OpenEoError("ChangeFeedKeysMissing",
+          "apply_change_feed needs a non-empty 'keys' list")
+        Snapshots.applyChangeFeed(dfArg(n, "base", r),
+          dfArg(n, "feed", r), keys)
+      case "merge_changes" =>
+        // the steady-state mirror primitive on the graph surface: fold
+        // one change batch into the keyed table at 'path' (one atomic
+        // file-pruned CoW commit, newest change wins per key) and
+        // return the table's resulting content
+        val keys = strSeq(n, "keys", r, default = Nil)
+        if (keys.isEmpty) throw graft.OpenEoError("ChangeFeedKeysMissing",
+          "merge_changes needs a non-empty 'keys' list")
+        val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
+          "SnapshotPathMissing", "merge_changes needs a 'path' argument"))
+        Snapshots.mergeChanges(spark, spath, dfArg(n, "changes", r), keys)
+        Snapshots.read(spark, spath)
       case "text_quality_gate" =>
         graft.text.Curation.qualityGate(dfArg(n, "data", r),
           minQuality = optD(n, "min_quality", r).getOrElse(0.75),

@@ -84,7 +84,7 @@ import org.apache.spark.sql.types._
   * create/link need a CAS commit service (the documented Delta-on-S3
   * model); same trust scope as the rest of the store tier.
   */
-object Snapshots {
+object Snapshots extends org.apache.spark.internal.Logging {
 
   /** Per-column min/max for one file. `t` is "n" (numeric — longs,
     * doubles, timestamps as epoch micros, dates as epoch days, all
@@ -145,7 +145,18 @@ object Snapshots {
       partitionBy: Seq[String] = Nil,
       dvs: Map[String, Dv] = Map.empty,
       ts: Long = 0L,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // row-level CDC sidecar (the Delta `_change_data` model): parquet
+      // files under _change_data/ carrying the commit's exact row
+      // changes (data columns + `_change_type`), written BY THE WRITER
+      // where both sides of a CoW rewrite are already in the plan —
+      // the feed then reads O(change) with no diffing. `fullRemoves`
+      // lists removed files whose EVERY live row is a delete
+      // (replaceWhere's metadata-only partition drops): the reader
+      // synthesizes their rows as deletes per-file, so the write-side
+      // fast path never has to read bytes it otherwise wouldn't.
+      cdc: Seq[String] = Nil,
+      fullRemoves: Seq[String] = Nil)
 
   /** A RESOLVED snapshot: the complete file list + stats at a version,
     * folded from the newest checkpoint at-or-below it plus the delta
@@ -305,6 +316,12 @@ object Snapshots {
       val cn = root.putObject("constraints")
       m.constraints.foreach { case (k, v) => cn.put(k, v) }
     }
+    if (m.cdc.nonEmpty) {
+      val cd = root.putArray("cdc"); m.cdc.foreach(cd.add)
+    }
+    if (m.fullRemoves.nonEmpty) {
+      val fr = root.putArray("fullRemoves"); m.fullRemoves.foreach(fr.add)
+    }
     om.writeValueAsBytes(root)
   }
 
@@ -326,7 +343,9 @@ object Snapshots {
         getStrings(n, "partitionBy"),
         getDvs(n),
         if (n.has("ts")) n.get("ts").asLong(0L) else 0L,
-        getStringMap(n, "constraints")))
+        getStringMap(n, "constraints"),
+        getStrings(n, "cdc"),
+        getStrings(n, "fullRemoves")))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def renderCheckpoint(s: Snapshot): Array[Byte] = {
@@ -1113,7 +1132,8 @@ object Snapshots {
             s"streamMirror at $mirrorPath: $nullRows change row(s) " +
               s"have NULL in a key column (${keys.mkString(",")})")
           val dataCols = batch.columns.filterNot(
-            Set("_change_type", "_commit_version").contains).toSeq
+            Set("_change_type", "_commit_version", "_commit_timestamp")
+              .contains).toSeq
           overwriteIdempotent(
             applyChangeFeed(batch.select(dataCols.map(col): _*).limit(0),
               batch, keys),
@@ -1223,16 +1243,35 @@ object Snapshots {
     val root = new Path(path)
     val touched = touchedFiles(spark, root, m, schema,
       aligned.select(keyCols.map(col): _*).distinct(), keyCols)
+    val alignedKeys = aligned.select(keyCols.map(col): _*).distinct()
     val newData =
       if (touched.isEmpty) aligned
       else {
         val touchedRows = readFiles(spark, root, touched, schema, m.dvs)
-        touchedRows.join(aligned.select(keyCols.map(col): _*).distinct(),
-            keyCols, "left_anti")
+        touchedRows.join(alignedKeys, keyCols, "left_anti")
           .unionByName(aligned)
       }
+    // CDC sidecar: the writer knows the key pairing, so matched keys
+    // get BOTH images and unmatched batch rows record as inserts —
+    // O(batch + matched rows), scans confined to the touched sliver
+    val cdc =
+      if (!cdcEnabled(spark)) None
+      else if (touched.isEmpty)
+        Some(aligned.withColumn(ChangeTypeCol, lit("insert")))
+      else {
+        val touchedRows = readFiles(spark, root, touched, schema, m.dvs)
+        val liveKeys = touchedRows
+          .select(keyCols.map(col): _*).distinct()
+        val pre = touchedRows.join(alignedKeys, keyCols, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = aligned.join(liveKeys, keyCols, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = aligned.join(liveKeys, keyCols, "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
     commit(newData, path, "merge", removed = touched.toSet,
-      expectParent = Some(m.version))
+      expectParent = Some(m.version), cdc = cdc)
   }
 
   /** Copy-on-write MERGE of a CHANGE BATCH (the Delta
@@ -1277,10 +1316,18 @@ object Snapshots {
         "(a changeFeed batch)")
     require(!schema.fieldNames.exists(_.startsWith("__gmc_")),
       "mergeChanges reserves the __gmc_ column prefix")
+    // update PREIMAGES are informational (the after-value rides the
+    // postimage): dropped up front, or the per-key winner pick below
+    // would select them over postimages ("update_pre..." sorts ABOVE
+    // "update_post...") and apply the OLD values — the Delta-consumer
+    // rule. _commit_timestamp is feed metadata, never payload.
+    val changesLive =
+      changes.where(col("_change_type") =!= lit("update_preimage"))
     // schema EVOLUTION rides the batch (the same widening rule as
     // append): feed columns the table lacks join the payload with the
     // feed's own types, old rows read them as null after the commit
-    val metaCols = Set("_change_type", "_commit_version")
+    val metaCols =
+      Set("_change_type", "_commit_version", "_commit_timestamp")
     val feedTypes = changes.schema.fields
       .map(f => f.name -> f.dataType).toMap
     val newCols = changes.columns.toSeq
@@ -1294,7 +1341,7 @@ object Snapshots {
     // keys AND payload align to the table's types (merge's rule:
     // unionByName coercion must never let a mistyped batch rewrite the
     // recorded schema and brick later reads)
-    val alignedChanges = changes.select(
+    val alignedChanges = changesLive.select(
       keyCols.map(k => col(k).cast(schema(k).dataType).as(k)) ++
       Seq(col("_commit_version").as("__gmc_v"),
         col("_change_type").as("__gmc_ct")) ++
@@ -1322,8 +1369,14 @@ object Snapshots {
       winners.select(keyCols.map(col): _*), keyCols)
     // evolution-added columns must record NULLABLE (untouched files
     // read them as null — the same widening rule as append-evolution);
-    // the else-less `when` forces nullability at analysis time
-    val outCols = (keyCols ++ payload).map(c =>
+    // the else-less `when` forces nullability at analysis time.
+    // Output columns keep the TABLE's recorded order (new columns
+    // append after, the evolution rule): merge() preserves order via
+    // its aligned select and Delta MERGE does too — a keyCols-first
+    // order would permanently reorder the persisted schema on the
+    // first steady-state mergeChanges commit, silently breaking
+    // positional consumers (SELECT *, by-position INSERT/UNION)
+    val outCols = (schema.fieldNames.toSeq ++ newCols).map(c =>
       if (newCols.contains(c)) when(lit(true), col(c)).as(c) else col(c))
     val upserts = winners.where(col("__gmc_ct") =!= "delete")
       .select(outCols: _*)
@@ -1336,8 +1389,36 @@ object Snapshots {
           d.withColumn(c, lit(null).cast(typeOf(c))))
         survivors.select(outCols: _*).unionByName(upserts)
       }
+    // CDC sidecar: winners are one row per key, so an inner join from
+    // the touched rows yields each replaced/deleted row exactly once —
+    // pre-images in ONE pass (ct decides delete vs update_preimage),
+    // post-images/inserts split the upserts by live-key membership
+    val cdc =
+      if (!cdcEnabled(spark)) None
+      else if (touched.isEmpty)
+        Some(upserts.withColumn(ChangeTypeCol, lit("insert")))
+      else {
+        val touchedRows = readFiles(spark, root, touched, schema, m.dvs)
+        val withNew = newCols.foldLeft(touchedRows)((d, c) =>
+          d.withColumn(c, lit(null).cast(typeOf(c))))
+        val winKeyCt = winners.select(keyCols.map(col) :+
+          col("__gmc_ct").as("__gmc_cdc"): _*)
+        val pre = withNew.join(winKeyCt, keyCols)
+          .withColumn(ChangeTypeCol,
+            when(col("__gmc_cdc") === "delete", lit("delete"))
+              .otherwise(lit("update_preimage")))
+          .select((schema.fieldNames.toSeq ++ newCols).map(col) :+
+            col(ChangeTypeCol): _*)
+        val liveKeys = touchedRows
+          .select(keyCols.map(col): _*).distinct()
+        val post = upserts.join(liveKeys, keyCols, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        val ins = upserts.join(liveKeys, keyCols, "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert"))
+        Some(pre.unionByName(post).unionByName(ins))
+      }
     commit(newData, path, "merge", removed = touched.toSet,
-      expectParent = Some(m.version), txn = txn)
+      expectParent = Some(m.version), txn = txn, cdc = cdc)
   }
 
   /** Copy-on-write DELETE of rows where `predicate` is TRUE (null keeps
@@ -1363,8 +1444,16 @@ object Snapshots {
     if (touched.isEmpty) return m.version
     val kept = readFiles(spark, root, touched, schema, m.dvs)
       .where(not(coalesce(predicate, lit(false))))
+    // CDC sidecar: exactly the rows this commit removes — one more
+    // predicate-filtered pass over the touched SLIVER, O(deleted rows)
+    // of extra bytes, and the feed stays row-exact for any consumer
+    val cdc =
+      if (!cdcEnabled(spark)) None
+      else Some(readFiles(spark, root, touched, schema, m.dvs)
+        .where(coalesce(predicate, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))
     commit(kept, path, "delete", removed = touched.toSet,
-      expectParent = Some(m.version))
+      expectParent = Some(m.version), cdc = cdc)
   }
 
   /** Predicate-scoped OVERWRITE (Delta's `replaceWhere` — the daily
@@ -1428,9 +1517,26 @@ object Snapshots {
       else readFiles(spark, root, touched, schema, m.dvs)
         .where(not(coalesce(predicate, lit(false))))
         .unionByName(aligned)
+    // CDC sidecar: partial-file deletes + the replacement batch as
+    // inserts. provenDrop files are NOT read here — their bytes were
+    // never touched (the metadata-only fast path), so they ride the
+    // manifest as fullRemoves and the feed reader synthesizes their
+    // rows as deletes per-file (files are immutable, so that is exact)
+    val cdc =
+      if (!cdcEnabled(spark)) None
+      else {
+        val ins = aligned.withColumn(ChangeTypeCol, lit("insert"))
+        Some(
+          if (touched.isEmpty) ins
+          else readFiles(spark, root, touched, schema, m.dvs)
+            .where(coalesce(predicate, lit(false)))
+            .withColumn(ChangeTypeCol, lit("delete"))
+            .unionByName(ins))
+      }
     commit(kept, path, "replace-where",
       removed = provenDrop ++ touched,
-      expectParent = Some(m.version))
+      expectParent = Some(m.version), cdc = cdc,
+      fullRemoves = if (cdcEnabled(spark)) provenDrop else Set.empty)
   }
 
   /** Delete-shaped exact planning, shared by [[delete]] and
@@ -1811,8 +1917,29 @@ object Snapshots {
           case None => col(c)
         }
       }: _*)
+    // CDC sidecar with BOTH images (the full Delta CDF shape): update
+    // pairs pre/post by row identity — the predicate selects the same
+    // rows, the SET projection produces their after-values — so
+    // downstream aggregate maintenance can subtract the old and add
+    // the new without re-reading the table
+    val cdc =
+      if (!cdcEnabled(spark)) None
+      else {
+        val hitRows = readFiles(spark, root, touched, schema, m.dvs)
+          .where(hit)
+        val pre = hitRows
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        val post = hitRows.select(schema.fieldNames.toSeq.map { c =>
+            set.get(c) match {
+              case Some(e) => e.cast(schema(c).dataType).as(c)
+              case None => col(c)
+            }
+          }: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))
+        Some(pre.unionByName(post))
+      }
     commit(rewritten, path, "update", removed = touched.toSet,
-      expectParent = Some(m.version))
+      expectParent = Some(m.version), cdc = cdc)
   }
 
   /** Transaction pinning (the Delta txn-version idiom): a caller that
@@ -2053,6 +2180,23 @@ object Snapshots {
     case other => other
   }
 
+  /** Row-level CDC is ON by default: every CoW rewrite persists its
+    * exact row changes as a `_change_data/` sidecar (see [[Manifest]]),
+    * which is what makes [[changeFeed]] and the V2 streaming feed
+    * row-exact for EVERY op — the write amplification is O(changed
+    * rows), and the extra read pass covers only the touched sliver.
+    * Delta ships the same mechanism opt-in (`delta.enableChangeDataFeed`);
+    * here the mirror-convergence law is the default contract, and the
+    * conf is the opt-OUT for write-latency-critical tables whose feed
+    * is only ever consumed in batch (where a read-time diff fallback
+    * keeps exactness). */
+  val CdcEnabledKey = "spark.graft.snapshot.cdc.enabled"
+  private val CdcDir = "_change_data"
+  private[graft] val ChangeTypeCol = "_change_type"
+
+  private[graft] def cdcEnabled(spark: SparkSession): Boolean =
+    spark.conf.get(CdcEnabledKey, "true").toBoolean
+
   private def commit(df: DataFrame, path: String, op: String,
       removed: Set[String] = Set.empty,
       expectParent: Option[Long] = None,
@@ -2062,7 +2206,9 @@ object Snapshots {
       dvs: Map[String, Dv] = Map.empty,
       writeData: Boolean = true,
       restoreTo: Option[Snapshot] = None,
-      setConstraints: Option[Map[String, String]] = None): Long = {
+      setConstraints: Option[Map[String, String]] = None,
+      cdc: Option[DataFrame] = None,
+      fullRemoves: Set[String] = Set.empty): Long = {
     require(Set("append", "overwrite", "optimize", "merge", "delete",
       "update", "delete-dv", "restore", "compact", "metadata",
       "replace-where")(op), s"unknown op $op")
@@ -2114,6 +2260,20 @@ object Snapshots {
         (a, computeStats(spark, root, commitDir, a, df.schema,
           listed.toMap))
       }
+    // 1b) the row-level CDC sidecar lands next to the data, also paid
+    //     once across claim retries: `_commit_version` is never stored
+    //     (it is the manifest's version, unknown until the claim wins) —
+    //     the feed reader stamps it per-partition
+    val cdcFiles: Seq[String] = cdc match {
+      case Some(c) =>
+        require(c.columns.contains(ChangeTypeCol),
+          s"CDC sidecar for $op at $path must carry $ChangeTypeCol")
+        val cdcDir =
+          s"$CdcDir/c-${java.util.UUID.randomUUID().toString.take(12)}"
+        c.write.parquet(new Path(root, cdcDir).toString)
+        listParquet(fs, new Path(root, cdcDir), cdcDir).map(_._1).sorted
+      case None => Nil
+    }
     // CHECK-constraint validation, AFTER the write and BEFORE any claim
     // (a violated batch's files stay invisible; vacuum sweeps them) —
     // only ops that can introduce NEW values validate; layout rewrites
@@ -2281,7 +2441,9 @@ object Snapshots {
         // clock skew (the Delta ICT rule) — timestampAsOf stays sane
         ts = math.max(System.currentTimeMillis(),
           parentM.map(_.ts + 1).getOrElse(1L)),
-        constraints = effConstraints)
+        constraints = effConstraints,
+        cdc = cdcFiles,
+        fullRemoves = fullRemoves.toSeq.sorted)
       val dest = new Path(new Path(root, LogDir), manifestName(next))
       fs.mkdirs(new Path(root, LogDir))
       // ALL-OR-NOTHING claim: the manifest is fully written to a hidden
@@ -2510,7 +2672,16 @@ object Snapshots {
           // dead claim (file present, unparseable): the writer published
           // nothing at this version — skip it, same rule as the
           // streaming source, so one externally-corrupted claim can't
-          // permanently wedge incremental consumption of the range
+          // permanently wedge incremental consumption of the range.
+          // LOUDLY: under the all-or-nothing claim protocol a visible
+          // vNNN.json is always complete, so an unparseable one is
+          // external corruption of committed data — its adds vanish
+          // from this range, and silence would make that data loss
+          // unobservable (r10 advice)
+          logWarning(s"graft-snapshot: skipping unparseable manifest " +
+            s"v$v at $path during incremental read — if this file was " +
+            "externally corrupted (not a dead claim), its changes are " +
+            "missing from the range")
           Nil
         case None => throw new IllegalArgumentException(
           s"snapshot version $v does not exist (or was vacuumed) at $path")
@@ -2526,20 +2697,41 @@ object Snapshots {
     reader.parquet(adds.map(f => new Path(root, f).toString): _*)
   }
 
+  /** Ops whose commits retire files via copy-on-write rewrite. */
+  private[graft] def isCowRemovalOp(op: String): Boolean =
+    op == "delete" || op == "merge" || op == "update" ||
+      op == "replace-where"
+
   /** Row-level CHANGE FEED over versions (fromExclusive, toInclusive] —
-    * the Delta `readChangeFeed` shape: every data-changing version
-    * contributes its ADDED rows as `_change_type = 'insert'` and every
-    * merge-on-read delete-dv commit its FRESHLY deleted rows (this
-    * commit's positions minus the parent's) as `_change_type =
-    * 'delete'`, each stamped with `_commit_version`. OPTIMIZE/compact
-    * commits are skipped like [[changes]] (same rows, new layout), and
-    * a dead (unparseable-but-present) claim is skipped too. CoW commits
-    * (delete/merge/update/replace-where/overwrite) surface through
-    * their adds at FILE granularity — documented in [[changes]]; the
-    * delete-dv path is the row-exact half. The NEWEST schema in the
+    * the Delta `readChangeFeed` shape, ROW-EXACT FOR EVERY OP:
+    *  - appends contribute their added rows as `_change_type='insert'`;
+    *  - merge-on-read delete-dv commits their FRESHLY deleted rows
+    *    (this commit's positions minus the parent's) as `'delete'`;
+    *  - CoW rewrites (delete/update/merge/replace-where) read their
+    *    persisted `_change_data` sidecar (written by the committing op,
+    *    see [[CdcEnabledKey]]) — exact deletes, inserts, AND
+    *    `update_preimage`/`update_postimage` pairs, O(change) with no
+    *    diffing; `fullRemoves` files (replaceWhere's metadata-only
+    *    partition drops) synthesize per-file as deletes;
+    *  - a CoW commit WITHOUT a sidecar (older writer, or CDC disabled)
+    *    falls back to a read-time multiset diff of its removed files
+    *    against its added files — still row-exact (net deletes +
+    *    inserts, no image pairing), at the cost of re-reading the
+    *    touched sliver;
+    *  - overwrite emits every parent row as `'delete'` and every added
+    *    row as `'insert'` (files are immutable, so whole-file
+    *    synthesis is exact — the Delta rule for full replacement);
+    *  - a RESTORE in the range fails typed: a rollback has no
+    *    row-exact incremental representation, consumers must re-sync.
+    * Each row is stamped with `_commit_version` and Delta's
+    * `_commit_timestamp` (the manifest's monotonic in-commit ts; null
+    * for pre-timestamp manifests). OPTIMIZE/compact commits are
+    * skipped like [[changes]] (same rows, new layout), dead
+    * (unparseable-but-present) claims too. The NEWEST schema in the
     * range governs: older versions' rows surface late columns as null.
     * The streaming V2 face (`option("readChangeFeed", "true")`) plans
-    * the same per-version partitions incrementally. */
+    * the same per-version changes incrementally — which is what makes
+    * a [[streamMirror]] mirror converge under ANY writer discipline. */
   def changeFeed(spark: SparkSession, path: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")
@@ -2562,24 +2754,126 @@ object Snapshots {
       .getOrElse(throw new IllegalArgumentException(
         s"no schema-recording manifest in ($fromExclusive, $toInclusive] " +
           s"at $path"))
-    def aligned(df: DataFrame, ct: String, v: Long): DataFrame =
+    def alignData(df: DataFrame): DataFrame =
+      df.select(gov.fields.toSeq.map(f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)): _*)
+    // ONE select: `ct` may be a literal or a column OF `df` (the cdc
+    // sidecar carries _change_type in its files)
+    def stamped(df: DataFrame, ct: Column, v: Long, ts: Long): DataFrame =
       df.select(gov.fields.toSeq.map(f =>
         (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)) ++ Seq(
-        lit(ct).as("_change_type"),
-        lit(v).as("_commit_version")): _*)
+        ct.as("_change_type"),
+        lit(v).as("_commit_version"),
+        (if (ts > 0L) lit(new java.sql.Timestamp(ts))
+         else lit(null).cast(org.apache.spark.sql.types.TimestampType))
+          .as("_commit_timestamp")): _*)
+    def parentView(m: Manifest): Snapshot =
+      if (m.parent <= 0L) Snapshot(0L, "append", Nil, Map.empty, None,
+        Map.empty)
+      else resolveSnapshot(fs, root, m.parent).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot resolve parent version ${m.parent} at $path — " +
+            "vacuumed past the feed range"))
     val pieces = manifests.flatMap {
       case (_, Some(m)) if isMaintenanceOp(m.op) => Nil
       case (v, Some(m)) if m.op == "delete-dv" =>
-        Seq(aligned(deletedRows(spark, path, v), "delete", v))
+        Seq(stamped(deletedRows(spark, path, v), lit("delete"), v, m.ts))
+      case (v, Some(m)) if m.op == "restore" =>
+        throw new IllegalArgumentException(
+          s"change feed range at $path contains a RESTORE at version " +
+            s"$v — a rollback has no row-exact incremental " +
+            "representation; re-sync consumers from read() and resume " +
+            "the feed after it")
+      case (v, Some(m)) if m.cdc.nonEmpty || m.fullRemoves.nonEmpty =>
+        // the writer's persisted sidecar is authoritative: it carries
+        // every insert/delete/update image of the commit — adds are
+        // NOT re-emitted (they contain co-located survivor rows)
+        val cdcPiece =
+          if (m.cdc.isEmpty) Nil
+          else {
+            val reader = m.schemaJson.map { j =>
+              val ds = DataType.fromJson(j).asInstanceOf[StructType]
+              spark.read.schema(ds.add(ChangeTypeCol,
+                org.apache.spark.sql.types.StringType))
+            }.getOrElse(spark.read)
+            val cdcDf = reader.parquet(
+              m.cdc.map(f => new Path(root, f).toString): _*)
+            Seq(stamped(cdcDf, col(ChangeTypeCol), v, m.ts))
+          }
+        val fullPiece =
+          if (m.fullRemoves.isEmpty) Nil
+          else {
+            val p = parentView(m)
+            Seq(stamped(
+              readFiles(spark, root, m.fullRemoves,
+                snapshotSchema(spark, path, p),
+                p.dvs.filter { case (f, _) => m.fullRemoves.contains(f) }),
+              lit("delete"), v, m.ts))
+          }
+        cdcPiece ++ fullPiece
+      case (v, Some(m)) if m.op == "overwrite" =>
+        // parent vacuumed ⇒ the overwrite IS the feed's effective
+        // start: inserts only (the V2 face plans identically)
+        val p0 =
+          if (m.parent <= 0L) None
+          else resolveSnapshot(fs, root, m.parent)
+        val dels = p0.toSeq.filter(_.files.nonEmpty).map(p =>
+          stamped(
+            readFiles(spark, root, p.files,
+              snapshotSchema(spark, path, p), p.dvs),
+            lit("delete"), v, m.ts))
+        val ins =
+          if (m.adds.isEmpty) Nil
+          else {
+            val reader = m.schemaJson.map(j => spark.read.schema(
+                DataType.fromJson(j).asInstanceOf[StructType]))
+              .getOrElse(spark.read)
+            Seq(stamped(reader.parquet(
+                m.adds.map(f => new Path(root, f).toString): _*),
+              lit("insert"), v, m.ts))
+          }
+        dels ++ ins
+      case (v, Some(m)) if isCowRemovalOp(m.op) && m.removes.nonEmpty =>
+        // legacy fallback (no sidecar): net multiset diff of the
+        // removed files (parent's DV-aware view) vs the added files —
+        // unchanged survivor rows cancel, exactly the changed rows
+        // emit. Costs one re-read of the touched sliver; commits
+        // written with CDC enabled never take this path.
+        val p = parentView(m)
+        val oldRows = alignData(readFiles(spark, root, m.removes,
+          snapshotSchema(spark, path, p),
+          p.dvs.filter { case (f, _) => m.removes.contains(f) }))
+        val newRows =
+          if (m.adds.isEmpty)
+            alignData(spark.createDataFrame(
+              new java.util.ArrayList[Row](), gov))
+          else {
+            val reader = m.schemaJson.map(j => spark.read.schema(
+                DataType.fromJson(j).asInstanceOf[StructType]))
+              .getOrElse(spark.read)
+            alignData(reader.parquet(
+              m.adds.map(f => new Path(root, f).toString): _*))
+          }
+        Seq(stamped(oldRows.exceptAll(newRows), lit("delete"), v, m.ts),
+          stamped(newRows.exceptAll(oldRows), lit("insert"), v, m.ts))
       case (v, Some(m)) if m.adds.nonEmpty =>
         val reader = m.schemaJson.map(j => spark.read.schema(
             DataType.fromJson(j).asInstanceOf[StructType]))
           .getOrElse(spark.read)
-        Seq(aligned(
+        Seq(stamped(
           reader.parquet(m.adds.map(f => new Path(root, f).toString): _*),
-          "insert", v))
-      case _ => Nil // metadata-only commit or dead claim
+          lit("insert"), v, m.ts))
+      case (v, None) =>
+        // dead claim — same loud skip as [[changes]]: corruption of a
+        // published manifest must not silently drop its rows
+        logWarning(s"graft-snapshot: skipping unparseable manifest " +
+          s"v$v at $path during change-feed read — if this file was " +
+          "externally corrupted (not a dead claim), its changes are " +
+          "missing from the range")
+        Nil
+      case _ => Nil // metadata-only commit
     }
     require(pieces.nonEmpty,
       s"no row-level changes in ($fromExclusive, $toInclusive] at $path")
@@ -2596,10 +2890,16 @@ object Snapshots {
     * O(changes), never re-syncing O(table). One shuffle on the keys;
     * the winner pick is a max over (commit, change-type) structs, the
     * same shape as [[TableJoins.applyChangelog]]. */
-  def applyChangeFeed(base: DataFrame, feed: DataFrame,
+  def applyChangeFeed(base: DataFrame, feed0: DataFrame,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "applyChangeFeed needs at least one key")
-    val metaCols = Set("_change_type", "_commit_version")
+    // update PREIMAGES are informational — the postimage carries the
+    // after-value. They must drop BEFORE the winner pick: within one
+    // commit "update_preimage" sorts above "update_postimage", so the
+    // max-struct would otherwise apply the OLD values.
+    val feed = feed0.where(col("_change_type") =!= lit("update_preimage"))
+    val metaCols =
+      Set("_change_type", "_commit_version", "_commit_timestamp")
     // payload = the UNION of both sides' data columns: a feed whose
     // range contains a schema-evolving commit carries columns the v0
     // base lacks, and dropping them would silently violate the
@@ -2679,6 +2979,11 @@ object Snapshots {
     val referenced: Set[String] = snaps.flatMap(_.files).toSet
     val referencedDv: Set[String] =
       snaps.flatMap(_.dvs.values.map(_.path)).toSet
+    // CDC sidecar files retire with their manifest: only RETAINED
+    // manifests' sidecars stay referenced (the feed below the horizon
+    // already fails loudly, so nothing can read a swept sidecar)
+    val referencedCdc: Set[String] = retained
+      .flatMap(v => readManifest(fs, root, v)).flatMap(_.cdc).toSet
     def countParquet(fs: FileSystem, dir: Path): Long =
       Option(fs.listStatus(dir)).getOrElse(Array.empty).map { st =>
         if (st.isDirectory) countParquet(fs, st.getPath)
@@ -2697,15 +3002,16 @@ object Snapshots {
     // fresh directory may be a concurrent commit's write in progress —
     // _temporary staging, no parquet landed yet — and the grace
     // window's whole promise is that in-flight commits survive).
-    def sweep(dir: Path, rel: String): Boolean = {
+    def sweep(dir: Path, rel: String,
+        refs: Set[String] = referenced): Boolean = {
       var kept = false
       Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
         val childRel = s"$rel/${st.getPath.getName}"
         if (st.isDirectory) {
-          if (sweep(st.getPath, childRel) ||
+          if (sweep(st.getPath, childRel, refs) ||
               st.getModificationTime >= horizon) kept = true
           else fs.delete(st.getPath, true)
-        } else if (st.isFile && !referenced.contains(childRel) &&
+        } else if (st.isFile && !refs.contains(childRel) &&
             st.getModificationTime < horizon) {
           // manifests only ever reference .parquet files, so any
           // unreferenced OLD file is garbage — including _SUCCESS
@@ -2721,6 +3027,18 @@ object Snapshots {
       Option(fs.listStatus(dataDir)).getOrElse(Array.empty).foreach { cd =>
         if (cd.isDirectory &&
             !sweep(cd.getPath, s"data/${cd.getPath.getName}") &&
+            cd.getModificationTime < horizon)
+          fs.delete(cd.getPath, true)
+      }
+    }
+    // CDC sidecar sweep: same commit-directory layout and in-flight
+    // grace rules as data/
+    val cdcRoot = new Path(root, CdcDir)
+    if (fs.exists(cdcRoot)) {
+      Option(fs.listStatus(cdcRoot)).getOrElse(Array.empty).foreach { cd =>
+        if (cd.isDirectory &&
+            !sweep(cd.getPath, s"$CdcDir/${cd.getPath.getName}",
+              referencedCdc) &&
             cd.getModificationTime < horizon)
           fs.delete(cd.getPath, true)
       }

@@ -1,0 +1,163 @@
+package graft.plans
+
+import graft.ops.Snapshots
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.Bridge
+
+/** SQL row-level DML for the `graft-snapshot` lakehouse — the Delta
+  * "V1 command fallback" architecture: a post-hoc RESOLUTION rule
+  * rewrites analyzed `UPDATE`/`MERGE INTO` plans over a snapshot table
+  * into runnable commands that route through the engine's own
+  * copy-on-write primitives ([[Snapshots.update]]/[[Snapshots.merge]]),
+  * inheriting the full commit protocol — stats-pruned touched-file
+  * planning, CHECK constraints, optimistic concurrency, and the
+  * row-exact `_change_data` CDC sidecar. Registered by
+  * [[graft.GraftExtensions]] (`spark.sql.extensions=graft
+  * .GraftExtensions`), the same front door the native SQL functions
+  * use. `DELETE FROM`/`TRUNCATE` need no rule: they ride the standard
+  * V2 `SupportsDelete` capability on [[SnapshotTable]].
+  *
+  * The rewrite fires only on RESOLVED plans, and the commands execute
+  * at RUN time (never during analysis — `EXPLAIN UPDATE ...` stays
+  * side-effect-free). */
+case class SnapshotDmlRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def snapshotPath(plan: LogicalPlan): Option[String] =
+    plan match {
+      case DataSourceV2Relation(t: SnapshotTable, _, _, _, _, _) =>
+        Some(t.tablePath)
+      case SubqueryAlias(_, child) => snapshotPath(child)
+      case _ => None
+    }
+
+  /** Analyzed target-side expressions carry AttributeReferences bound
+    * to the DML plan's relation; the engine re-issues them against its
+    * OWN scan of the same table, so they must resolve by NAME again
+    * (snapshot schemas are flat — names are unambiguous). */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  /** An assignment list that maps every target column to the
+    * SAME-NAMED source attribute — what `UPDATE SET *` / `INSERT *`
+    * expand to during resolution. */
+  private def isIdentityAssignments(assigns: Seq[Assignment],
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Boolean =
+    assigns.forall { a =>
+      (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference) =>
+          k.name.equalsIgnoreCase(v.name) && sourceOut.contains(v)
+        case _ => false
+      }
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u @ UpdateTable(table, assignments, condition)
+          if u.resolved && snapshotPath(table).isDefined =>
+        val path = snapshotPath(table).get
+        // the command carries SQL TEXT, not expressions: CheckAnalysis
+        // walks every Expression field of a command, and both
+        // unresolved names and another plan's resolved attributes fail
+        // it — the engine re-parses against its own scan at run time
+        val assigns = assignments.map { a =>
+          val name = a.key match {
+            case attr: Attribute => attr.name
+            case other => throw new UnsupportedOperationException(
+              "graft-snapshot UPDATE supports top-level column " +
+                s"assignments only; got $other")
+          }
+          name -> unresolve(a.value).sql
+        }
+        SnapshotUpdateCommand(path,
+          condition.map(c => unresolve(c).sql), assigns)
+
+      case m @ MergeIntoTable(target, source, cond,
+            matched, notMatched, notMatchedBySource, withSchemaEvolution)
+          if m.resolved && snapshotPath(target).isDefined =>
+        val path = snapshotPath(target).get
+        // the canonical UPSERT shape routes to Snapshots.merge; other
+        // action combinations fail typed naming the supported form
+        // (the engine API covers them — mergeChanges takes arbitrary
+        // insert/delete batches). Resolution expands SET * / INSERT *
+        // into identity assignment lists — accept exactly those.
+        val upsertShape = (matched match {
+          case Seq(UpdateStarAction(None)) => true
+          case Seq(UpdateAction(None, assigns, _)) =>
+            isIdentityAssignments(assigns, source.outputSet)
+          case _ => false
+        }) && (notMatched match {
+          case Seq(InsertStarAction(None)) => true
+          case Seq(InsertAction(None, assigns)) =>
+            isIdentityAssignments(assigns, source.outputSet)
+          case _ => false
+        }) && notMatchedBySource.isEmpty && !withSchemaEvolution
+        if (!upsertShape) throw new UnsupportedOperationException(
+          "graft-snapshot MERGE supports the canonical upsert shape " +
+            "only: WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+            "THEN INSERT * — use Snapshots.mergeChanges for " +
+            "arbitrary change batches")
+        val targetOut = target.outputSet
+        val sourceOut = source.outputSet
+        val keys = splitConjuncts(cond).map {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if a.name.equalsIgnoreCase(b.name) &&
+                ((targetOut.contains(a) && sourceOut.contains(b)) ||
+                 (targetOut.contains(b) && sourceOut.contains(a))) =>
+            a.name
+          case other => throw new UnsupportedOperationException(
+            "graft-snapshot MERGE needs an equi-condition on same-named " +
+              s"key columns (t.k = s.k [AND ...]); got $other")
+        }
+        SnapshotMergeCommand(path, source, keys)
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** `UPDATE <snapshot table> SET ... [WHERE ...]` → one copy-on-write
+  * [[Snapshots.update]] commit. Condition and SET values travel as SQL
+  * text (see [[SnapshotDmlRule]]) and re-parse in the session at run
+  * time. */
+case class SnapshotUpdateCommand(path: String,
+    conditionSql: Option[String],
+    assignments: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    val cond = conditionSql
+      .map(org.apache.spark.sql.functions.expr)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshots.update(session, path, cond,
+      assignments.map { case (n, s) =>
+        n -> org.apache.spark.sql.functions.expr(s) }.toMap)
+    Nil
+  }
+}
+
+/** `MERGE INTO <snapshot table> t USING src ON t.k = src.k WHEN
+  * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` → one
+  * copy-on-write [[Snapshots.merge]] upsert commit. The source plan is
+  * executed at run time. */
+case class SnapshotMergeCommand(path: String, source: LogicalPlan,
+    keys: Seq[String]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    Snapshots.merge(session, path, Bridge.ofRows(session, source), keys)
+    Nil
+  }
+}

@@ -132,12 +132,41 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     load(ident, Map.empty)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)` — an alias for the engine's
+    * append-evolution rule: a zero-row commit carrying the widened
+    * schema (new columns record NULLABLE; old files read them as
+    * null, exactly as an evolving append would). Every other change
+    * class keeps the documented rejection: types never mutate in
+    * place, and CHECK constraints have their own API
+    * (Snapshots.addConstraint/dropConstraint). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — evolve the schema by appending " +
-        "(new columns merge nullable) and manage CHECK constraints via " +
-        "Snapshots.addConstraint/dropConstraint")
+      changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.isEmpty || adds.size != changes.size)
+      throw new UnsupportedOperationException(
+        "graft-snapshot ALTER TABLE supports ADD COLUMN(S) only — " +
+          "evolve other shapes by appending (new columns merge " +
+          "nullable) and manage CHECK constraints via " +
+          "Snapshots.addConstraint/dropConstraint")
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    val path = pathOf(ident)
+    val cur = Snapshots.read(spark, path).schema
+    val widened = adds.foldLeft(cur) { (s, a) =>
+      require(a.fieldNames().length == 1,
+        "graft-snapshot ADD COLUMN supports top-level columns only; " +
+          s"got ${a.fieldNames().mkString(".")}")
+      val name = a.fieldNames().head
+      require(!s.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists in ${ident.name()}")
+      s.add(name, a.dataType(), nullable = true)
+    }
+    Snapshots.append(
+      SparkSession.active.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), widened),
+      path)
+    load(ident, Map.empty)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new org.apache.hadoop.fs.Path(pathOf(ident))
@@ -203,8 +232,11 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     else {
       if (!cascade &&
           Option(fs.listStatus(p)).exists(_.nonEmpty))
-        throw new IllegalStateException(
-          s"namespace ${namespace.mkString(".")} is not empty")
+        // the TableCatalog/SupportsNamespaces contract: SQL DROP
+        // NAMESPACE surfaces the typed error, and callers that catch
+        // it (e.g. CASCADE fallbacks) behave correctly
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
       fs.delete(p, true)
     }
   }

@@ -174,6 +174,9 @@ final class SnapshotTable(path: String, tschema: StructType,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  /** The log root — the SQL UPDATE/MERGE analyzer bridge routes
+    * row-level DML against it ([[graft.plans.SnapshotDmlRule]]). */
+  private[graft] def tablePath: String = path
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -442,20 +445,37 @@ object SnapshotCountReaderFactory extends PartitionReaderFactory {
   * "delete" partitions read ONLY the freshly deleted positions —
   * `dvDirAbs` then holds the commit's vector dataset and `oldDvDirAbs`
   * the parent's (subtracted, so re-deletes never re-emit). */
+/** One file's worth of work. `changeType` selects the read mode:
+  *  - null            → plain snapshot read (dvDirAbs positions skip)
+  *  - "insert"        → whole file, stamped insert
+  *  - "delete" + dvDirAbs → dv-diff delete (fresh positions =
+  *                      dvDirAbs minus oldDvDirAbs EMIT)
+  *  - "delete" (no dvDirAbs) → WHOLE-FILE delete synthesis (an
+  *                      overwrite-retired or fullRemoves file; rows in
+  *                      oldDvDirAbs — the parent's vector — skip)
+  *  - "cdc"           → a `_change_data` sidecar file: `_change_type`
+  *                      comes from the FILE, not a constant
+  * `commitTs` is the manifest's in-commit timestamp (0 = pre-ts log,
+  * surfaces as null `_commit_timestamp`). */
 final case class SnapshotInputPartition(absPath: String,
     dvDirAbs: String = null, relPath: String = null,
     changeType: String = null, commitVersion: Long = -1L,
-    oldDvDirAbs: String = null)
+    oldDvDirAbs: String = null, commitTs: Long = 0L)
     extends InputPartition
 
 /** Shared CHANGE-FEED planning: one version → its row-level change
   * partitions. Used identically by the batch scan (a (start, end]
   * range) and the micro-batch stream (each trigger's admitted range),
   * so the two faces can never diverge. */
-private[sources] object SnapshotCdf {
+private[sources] object SnapshotCdf
+    extends org.apache.spark.internal.Logging {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
-  val MetaCols: Seq[String] = Seq(ChangeTypeCol, CommitVersionCol)
+  val CommitTimestampCol = "_commit_timestamp"
+  val MetaCols: Seq[String] =
+    Seq(ChangeTypeCol, CommitVersionCol, CommitTimestampCol)
+
+  private[sources] def warn(msg: String): Unit = logWarning(msg)
 
   /** ONE place that appends (and collision-guards) the meta columns —
     * inferSchema and getTable must advertise the identical shape. */
@@ -468,28 +488,81 @@ private[sources] object SnapshotCdf {
         nullable = false)
       .add(CommitVersionCol, org.apache.spark.sql.types.LongType,
         nullable = false)
+      // nullable: manifests written before in-commit timestamps
+      // existed carry ts = 0 and surface null (Delta's column is
+      // non-null because its log always had timestamps)
+      .add(CommitTimestampCol, org.apache.spark.sql.types.TimestampType,
+        nullable = true)
   }
 
   def partitionsFor(spark: SparkSession, path: String, v: Long,
       streaming: Boolean): Seq[SnapshotInputPartition] = {
     val root = new org.apache.hadoop.fs.Path(path)
+    def abs(f: String): String =
+      new org.apache.hadoop.fs.Path(root, f).toString
+    def parentDvs(parent: Long): Map[String, Snapshots.Dv] =
+      if (parent <= 0L) Map.empty
+      else Snapshots.snapshotAt(spark, path, Some(parent))
+        .map(_.dvs).getOrElse(Map.empty)
     Snapshots.manifestAt(spark, path, v) match {
       case Some(m) if Snapshots.isMaintenanceOp(m.op) => Nil
       case Some(m) if m.op == "delete-dv" =>
         // parent vectors subtract so only FRESH positions emit
-        val parentDvs = Snapshots.snapshotAt(spark, path, Some(m.parent))
-          .map(_.dvs).getOrElse(Map.empty)
+        val pdvs = parentDvs(m.parent)
         m.dvs.toSeq.sortBy(_._1).map { case (f, dv) =>
-          SnapshotInputPartition(
-            new org.apache.hadoop.fs.Path(root, f).toString,
-            new org.apache.hadoop.fs.Path(root, dv.path).toString, f,
+          SnapshotInputPartition(abs(f), abs(dv.path), f,
             changeType = "delete", commitVersion = v,
-            oldDvDirAbs = parentDvs.get(f).map(d =>
-              new org.apache.hadoop.fs.Path(root, d.path).toString).orNull)
+            oldDvDirAbs = pdvs.get(f).map(d => abs(d.path)).orNull,
+            commitTs = m.ts)
         }
+      case Some(m) if m.op == "restore" =>
+        throw new IllegalStateException(
+          s"graft-snapshot: change feed at $path hit a RESTORE at " +
+            s"version $v — a rollback has no row-exact incremental " +
+            "representation; re-sync the consumer from a full read and " +
+            "restart the feed past it")
+      case Some(m) if m.cdc.nonEmpty || m.fullRemoves.nonEmpty =>
+        // the writer's persisted sidecar is authoritative — adds are
+        // NOT emitted (they contain co-located survivor rows)
+        val pdvs =
+          if (m.fullRemoves.isEmpty) Map.empty[String, Snapshots.Dv]
+          else parentDvs(m.parent)
+        m.cdc.map(f => SnapshotInputPartition(abs(f), null, f,
+          changeType = "cdc", commitVersion = v, commitTs = m.ts)) ++
+        m.fullRemoves.map(f => SnapshotInputPartition(abs(f), null, f,
+          changeType = "delete", commitVersion = v,
+          oldDvDirAbs = pdvs.get(f).map(d => abs(d.path)).orNull,
+          commitTs = m.ts))
+      case Some(m) if m.op == "overwrite" =>
+        // full replacement: whole-file synthesis is row-exact (every
+        // parent file fully retired, every add fully fresh)
+        val parent =
+          if (m.parent <= 0L) None
+          else Snapshots.snapshotAt(spark, path, Some(m.parent))
+        val dels = parent.toSeq.flatMap(p => p.files.map { f =>
+          SnapshotInputPartition(abs(f), null, f,
+            changeType = "delete", commitVersion = v,
+            oldDvDirAbs = p.dvs.get(f).map(d => abs(d.path)).orNull,
+            commitTs = m.ts)
+        })
+        dels ++ m.adds.map(f => SnapshotInputPartition(abs(f), null, f,
+          changeType = "insert", commitVersion = v, commitTs = m.ts))
+      case Some(m) if Snapshots.isCowRemovalOp(m.op) &&
+          m.removes.nonEmpty =>
+        // no sidecar (older writer, or CDC disabled at write time):
+        // per-file partitions cannot express the removed-minus-readded
+        // diff, and emitting the adds alone would silently diverge any
+        // downstream mirror — fail typed (batch changeFeed() still
+        // reads such a commit exactly via its read-time diff)
+        throw new IllegalStateException(
+          s"graft-snapshot: change feed at $path hit a copy-on-write " +
+            s"'${m.op}' at version $v with no persisted change data — " +
+            s"written with ${Snapshots.CdcEnabledKey}=false or by an " +
+            "older writer. Use batch changeFeed() for this range, or " +
+            "re-write with CDC enabled")
       case Some(m) => m.adds.map(f => SnapshotInputPartition(
-        new org.apache.hadoop.fs.Path(root, f).toString, null, f,
-        changeType = "insert", commitVersion = v))
+        abs(f), null, f,
+        changeType = "insert", commitVersion = v, commitTs = m.ts))
       case None if Snapshots.claimExists(spark, path, v) =>
         Nil // dead claim: published nothing
       case None =>
@@ -611,8 +684,20 @@ final class SnapshotScan(path: String, full: StructType,
       // manifests (an EXPLICIT startingVersion below the horizon still
       // fails loudly, as it names versions whose changes are gone)
       val spark = SparkSession.active
-      val start = startingVersion.getOrElse(
-        Snapshots.oldestAvailableVersion(spark, path))
+      val start = startingVersion.getOrElse {
+        val oldest = Snapshots.oldestAvailableVersion(spark, path)
+        // a no-options feed after a vacuum is "full AVAILABLE history",
+        // not full history — say so, or a consumer mistakes a
+        // truncated feed for a complete one (r10 advice; Delta goes
+        // further and requires an explicit start)
+        if (oldest > 1L)
+          SnapshotCdf.warn(
+            s"graft-snapshot: readChangeFeed at $path without " +
+              s"startingVersion begins at v$oldest — versions below " +
+              "were vacuumed; pass startingVersion to pin the range " +
+              "explicitly")
+        oldest
+      }
       val end = endingVersion
         .orElse(versionAsOf)
         .getOrElse(Snapshots.latestVersion(spark, path))
@@ -698,8 +783,17 @@ final class SnapshotReaderFactory(required: StructType,
     val dataFields = required.fields.filterNot(f =>
       SnapshotCdf.MetaCols.contains(f.name))
     val dataSchema = StructType(dataFields)
+    // "cdc" partitions read `_change_type` FROM THE FILE (a sidecar
+    // written by the committing CoW op) — appended to the inner
+    // projection after the data columns
+    val isCdcFile = sp.changeType == "cdc"
+    val innerSchema =
+      if (isCdcFile) dataSchema.add(SnapshotCdf.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType)
+      else dataSchema
     val inner = sp.changeType match {
-      case "delete" =>
+      case "delete" if sp.dvDirAbs != null =>
+        // dv-diff delete: EMIT exactly this commit's fresh positions
         val c = new org.apache.hadoop.conf.Configuration(false)
         hadoopConf.foreach { case (k, v) => c.set(k, v) }
         val newPos = SnapshotGroupReader.loadDvPositions(
@@ -709,20 +803,32 @@ final class SnapshotReaderFactory(required: StructType,
           else SnapshotGroupReader.loadDvPositions(
             sp.oldDvDirAbs, sp.relPath, c)
         val fresh = SnapshotGroupReader.subtractSorted(newPos, oldPos)
-        new SnapshotGroupReader(sp.absPath, dataSchema, hadoopConf,
+        new SnapshotGroupReader(sp.absPath, innerSchema, hadoopConf,
           None, emitOnly = fresh)
+      case "delete" =>
+        // whole-file delete synthesis (overwrite-retired / fullRemoves
+        // file): every LIVE row — the parent's vector positions SKIP
+        new SnapshotGroupReader(sp.absPath, innerSchema, hadoopConf,
+          Option(sp.oldDvDirAbs).map(d => (d, sp.relPath)))
       case _ =>
-        new SnapshotGroupReader(sp.absPath, dataSchema, hadoopConf)
+        new SnapshotGroupReader(sp.absPath, innerSchema, hadoopConf)
     }
-    // output slot i ← data slot (>=0) or meta constant (-1 type, -2 ver)
+    // output slot i ← data slot (>=0) or meta constant
+    // (-1 change type, -2 version, -3 timestamp)
     val slots: Array[Int] = required.fields.map { f =>
       if (f.name == SnapshotCdf.ChangeTypeCol) -1
       else if (f.name == SnapshotCdf.CommitVersionCol) -2
+      else if (f.name == SnapshotCdf.CommitTimestampCol) -3
       else dataFields.indexWhere(_.name == f.name)
     }
     val types = dataFields.map(_.dataType)
+    val ctSlot = dataFields.length // file column, cdc partitions only
     val ct = org.apache.spark.unsafe.types.UTF8String
       .fromString(sp.changeType)
+    // TimestampType internal representation: micros since epoch
+    val tsMicros: Any =
+      if (sp.commitTs > 0L) java.lang.Long.valueOf(sp.commitTs * 1000L)
+      else null
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = {
@@ -731,8 +837,12 @@ final class SnapshotReaderFactory(required: StructType,
         var i = 0
         while (i < slots.length) {
           arr(i) = slots(i) match {
-            case -1 => ct
+            case -1 =>
+              if (!isCdcFile) ct
+              else if (in.isNullAt(ctSlot)) null
+              else in.get(ctSlot, org.apache.spark.sql.types.StringType)
             case -2 => sp.commitVersion
+            case -3 => tsMicros
             case d => if (in.isNullAt(d)) null else in.get(d, types(d))
           }
           i += 1

@@ -425,6 +425,163 @@ object Similarity {
     * parameters (same probe expressions, same scoring ops over the
     * losslessly round-tripped float vectors — oracle shared verbatim);
     * the only difference is WHERE the cells come from. */
+  // ----------------------------------------------- generational stores
+
+  /** GENERATIONAL store layout — the drift→retrain path for persisted
+    * ANN stores. A store directory may hold numbered `gen-N/`
+    * sub-stores; the CURRENT generation is the highest N carrying a
+    * `_COMMITTED` marker (created by ONE atomic create-if-absent after
+    * the generation's data is fully written — the snapshot log's claim
+    * primitive in miniature). Every reader resolves the generation
+    * ONCE per operation and reads only within it, which is the
+    * serving-during-swap law: a query sees either the old or the new
+    * index in full, never a mix (spec-pinned). A store without any
+    * committed generation is the legacy FLAT layout (centroids/ +
+    * assigned/ at the root) — fully supported, upgraded by the first
+    * [[rebuildIvfStore]]/[[rebuildIvfPqStore]]. */
+  private val GenRe = """gen-(\d+)""".r
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Nil
+    else Option(fs.listStatus(root)).getOrElse(Array.empty).toSeq
+      .collect { case st if st.isDirectory =>
+        st.getPath.getName match {
+          case GenRe(n) => Some((n.toLong, st.getPath))
+          case _ => None
+        }
+      }.flatten
+  }
+
+  /** The directory serving reads RESOLVE TO: newest COMMITTED
+    * generation, else the store root itself (legacy flat layout). */
+  def currentStoreRoot(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val fs = fsOf(spark, path)
+    genDirs(spark, path)
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")) }
+      .sortBy(-_._1).headOption
+      // rebuild the string from the CALLER's path form (Path.toString
+      // would add a scheme prefix the caller's string may lack)
+      .map { case (n, _) => s"$path/gen-$n" }.getOrElse(path)
+  }
+
+  /** Publish `gen` atomically: the marker is create-if-absent, so two
+    * racing rebuilds of the same generation number fail loudly rather
+    * than tearing each other's data. */
+  private def commitGen(spark: org.apache.spark.sql.SparkSession,
+      gen: String): Unit =
+    fsOf(spark, gen).create(
+      new org.apache.hadoop.fs.Path(gen, "_COMMITTED"), false).close()
+
+  private def nextGenPath(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    val n = genDirs(spark, path).map(_._1).maxOption.getOrElse(0L) + 1
+    s"$path/gen-$n"
+  }
+
+  /** Cell-occupancy DRIFT report over the current generation — the
+    * retrain trigger: per coarse cell, its live row count and the
+    * ratio to the mean cell. A healthy IVF store keeps ratios near 1;
+    * a drifted corpus concentrates in few cells (probes then scan a
+    * growing byte fraction) — when max_ratio crosses the caller's
+    * threshold, [[rebuildIvfStore]]/[[rebuildIvfPqStore]] re-trains and
+    * atomically swaps. Projection: the partition column only — the
+    * report never reads vector bytes. */
+  def ivfStoreSkewReport(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val root = currentStoreRoot(spark, path)
+    val fs = fsOf(spark, root)
+    val (dir, cellCol) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "assigned")))
+        (s"$root/assigned", "centroid_id")
+      else (s"$root/encoded", "_cid")
+    val counts = spark.read.parquet(dir)
+      .groupBy(col(cellCol).cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+    counts.select(col("centroid_id"), col("n"),
+      (col("n") / (sum("n").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()) /
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())))
+        .as("ratio_to_mean"))
+  }
+
+  /** RETRAIN + ATOMIC SWAP for a raw-vector IVF store: re-trains
+    * centroids from the store's own vectors (the store holds them —
+    * no external corpus needed), writes a complete new `gen-N`
+    * sub-store, and publishes it with one atomic marker create.
+    * In-flight readers finish on the generation they resolved;
+    * subsequent reads (and [[appendIvfStore]] shards) land on the new
+    * one. Old generations (and the legacy flat layout) stay on disk
+    * until [[vacuumIvfStore]] — the vacuum-grace idea without the
+    * clock: retiring data a reader may still hold is an explicit
+    * maintenance call, never a side effect of the swap. */
+  def rebuildIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, nCentroids: Int = 16, trainIters: Int = 2,
+      seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None): String = {
+    val root = currentStoreRoot(spark, path)
+    val corpus = spark.read.parquet(s"$root/assigned")
+      .select(col("neighbor_id").as("_rid"), col("_cv").as("_rvec"))
+    val gen = nextGenPath(spark, path)
+    writeIvfStore(corpus, "_rid", "_rvec", gen, nCentroids, trainIters,
+      seed, centroidsOverride)
+    commitGen(spark, gen)
+    gen
+  }
+
+  /** RETRAIN + ATOMIC SWAP for a PQ store: codes are lossy, so the
+    * caller supplies the source corpus (the embeddings table a
+    * production pipeline retains anyway); centroids AND codebooks
+    * re-train, the new generation encodes every vector fresh. */
+  def rebuildIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, m: Int = 4, ksub: Int = 16,
+      trainIters: Int = 2, seed: Long = 42L,
+      centroidsOverride: Option[DataFrame] = None): String = {
+    val gen = nextGenPath(spark, path)
+    writeIvfPqStore(corpus, idCol, vecCol, gen, nCentroids, m, ksub,
+      trainIters, seed, centroidsOverride)
+    commitGen(spark, gen)
+    gen
+  }
+
+  /** Retire everything below the current generation: older `gen-N`
+    * directories, uncommitted (crashed) rebuild attempts, and the
+    * legacy flat layout once a generation superseded it. Returns the
+    * number of directories removed. Call from a maintenance window —
+    * a reader still holding a retired generation loses it (the same
+    * contract as snapshot vacuum). */
+  def vacuumIvfStore(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val fs = fsOf(spark, path)
+    // compare by GENERATION NUMBER, never by path string (scheme
+    // prefixes differ between the caller's form and listStatus's)
+    val curGen = genDirs(spark, path)
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")) }
+      .map(_._1).maxOption
+    if (curGen.isEmpty) return 0 // legacy flat, nothing newer exists
+    var removed = 0
+    genDirs(spark, path).foreach { case (n, p) =>
+      if (n != curGen.get) { fs.delete(p, true); removed += 1 }
+    }
+    Seq("centroids", "assigned", "encoded", "codebook").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(path, d)
+      if (fs.exists(p)) { fs.delete(p, true); removed += 1 }
+    }
+    removed
+  }
+
   def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int = 16, trainIters: Int = 0,
       seed: Long = 42L,
@@ -457,13 +614,16 @@ object Similarity {
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession,
       path: String, shard: DataFrame, idCol: String,
       vecCol: String): String = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    // ONE generation resolution: the shard assigns against the SAME
+    // generation's centroids it appends into
+    val root = currentStoreRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/centroids")
     ivfAssign(shard, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         col("centroid_id"))
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$path/assigned")
+      .parquet(s"$root/assigned")
     path
   }
 
@@ -480,7 +640,10 @@ object Similarity {
   def ivfStoreCandidates(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    // ONE generation resolution per serve: centroids and cells come
+    // from the same generation — the during-swap consistency law
+    val path0 = currentStoreRoot(spark, path)
+    val centroids = spark.read.parquet(s"$path0/centroids")
     val probesRaw =
       probeCentroids(queries, centroids, idCol, vecCol, nProbe)
         .select(col("query_id"), col("_qv"), col("centroid_id"))
@@ -491,7 +654,7 @@ object Similarity {
     // (append-legal stateless projection).
     val probes =
       if (queries.isStreaming) probesRaw else probesRaw.localCheckpoint()
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val assigned = spark.read.parquet(s"$path0/assigned")
     val cells = if (queries.isStreaming) {
       assigned.withColumn("centroid_id", col("centroid_id").cast("long"))
     } else {
@@ -1004,11 +1167,14 @@ object Similarity {
   def appendIvfPqStore(spark: org.apache.spark.sql.SparkSession,
       path: String, shard: DataFrame, idCol: String,
       vecCol: String): String = {
-    val (cents, cb) = readPqStoreMeta(spark, path)
+    // one generation resolution: frozen meta and the appended cells
+    // come from the same generation
+    val root = currentStoreRoot(spark, path)
+    val (cents, cb) = readPqStoreMeta(spark, root)
     encodeResidualPq(shard, idCol, vecCol, cents, cb)
       .repartition(col("_cid"))
       .write.mode("append").partitionBy("_cid")
-      .parquet(s"$path/encoded")
+      .parquet(s"$root/encoded")
     path
   }
 
@@ -1019,7 +1185,9 @@ object Similarity {
   def topKIvfPqStore(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 4, excludeSelf: Boolean = true): DataFrame = {
-    val (cents, cb) = readPqStoreMeta(spark, path)
+    // one generation resolution per serve (the during-swap law)
+    val path0 = currentStoreRoot(spark, path)
+    val (cents, cb) = readPqStoreMeta(spark, path0)
     // batch serving consumes the probe set twice (the collected cell
     // list, then the join) — materialize once, it is |queries|×nProbe
     // rows
@@ -1027,7 +1195,7 @@ object Similarity {
       .localCheckpoint()
     val probedCells = probes.select("_cid").distinct()
       .collect().map(_.getLong(0))
-    val enc = spark.read.parquet(s"$path/encoded")
+    val enc = spark.read.parquet(s"$path0/encoded")
       // filter the RAW inferred (int) partition column with int
       // literals so the isin stays a clean partition filter, THEN
       // normalize to long (the ivfStoreCandidates rule)

@@ -225,6 +225,41 @@ object SnapshotProbe {
       rmrf(p)
     }
 
+    /** Steady-state mirror apply (round 11): the `mergeChanges` commit
+      * itself at 1× and 10× table size with a FIXED-SIZE change batch
+      * (1000 upserts + 250 deletes in the dense band). The claim: the
+      * apply is O(touched files + batch) — stats pre-pruning bounds
+      * the rewrite to the band's files, so the time stays ~flat as the
+      * table grows 10× (and the CDC sidecar, ON by default, adds only
+      * O(batch) bytes). */
+    def probeMergeChanges(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_mc_$tag"
+      rmrf(p)
+      (0 until 8).foreach { i =>
+        Snapshots.append(data.where(col("event_id") % 8 === i)
+          .repartitionByRange(8, col("event_id")), p)
+      }
+      val lo = math.min(n, n1) / 2
+      val batch = data
+        .where(col("event_id") >= lo && col("event_id") < lo + 1000L)
+        .withColumn("value", col("value") * 2)
+        .withColumn("_change_type", lit("insert"))
+        .unionByName(data
+          .where(col("event_id") >= lo + 1000L &&
+            col("event_id") < lo + 1250L)
+          .withColumn("_change_type", lit("delete")))
+        .withColumn("_commit_version", lit(1L))
+      val mcT = time(Snapshots.mergeChanges(spark, p, batch,
+        Seq("event_id")))
+      val m = Snapshots.manifestAt(spark, p,
+        Snapshots.latestVersion(spark, p)).get
+      val totFiles = Snapshots.read(spark, p).inputFiles.length
+      println(f"[snapprobe] mc_$tag n=$n files=$totFiles " +
+        f"touched=${m.removes.size} cdc_files=${m.cdc.size} " +
+        f"apply=$mcT%.2f")
+      rmrf(p)
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -240,6 +275,8 @@ object SnapshotProbe {
     probeDvAccum("x10", scale10(ev), n1 * 10)
     probeCdf("x1", ev, n1)
     probeCdf("x10", scale10(ev), n1 * 10)
+    probeMergeChanges("x1", ev, n1)
+    probeMergeChanges("x10", scale10(ev), n1 * 10)
     spark.stop()
   }
 }

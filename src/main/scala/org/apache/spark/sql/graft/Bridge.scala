@@ -15,4 +15,13 @@ object Bridge {
       plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst [[org.apache.spark.sql.catalyst.expressions.Expression]]
+    * → public [[org.apache.spark.sql.Column]] (`classic.ExpressionUtils
+    * .column`) — needed by the SQL UPDATE/MERGE analyzer bridge, which
+    * receives analyzed expressions and re-issues them against the
+    * engine's own scan. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -1073,4 +1073,58 @@ class GraphCompilerSpec extends SparkSpec {
           "path": "$p"}, "result": true}}""")
     }.code shouldBe "SnapshotVersionMissing"
   }
+
+  test("apply_change_feed / merge_changes processes equal the Scala " +
+      "API, with typed errors for missing keys") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graph-cdc")
+      .toString
+    val p = s"$base/t"
+    val mk = (r: Range) => r.map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+    graft.ops.Snapshots.append(mk(1 to 20), p)
+    graft.ops.Snapshots.delete(spark, p, col("id") <= 3L) // CoW + sidecar
+    graft.ops.Snapshots.append(mk(21 to 25), p)
+    def compile(graph: String) =
+      new graft.compile.GraphCompiler(spark, Map.empty)
+        .compile(graph).asInstanceOf[org.apache.spark.sql.DataFrame]
+    // apply_change_feed: graph == API, over a range with a CoW delete
+    rowSet(compile(s"""{
+      "b": {"process_id": "load_snapshot", "arguments": {
+        "path": "$p", "version_as_of": 1}},
+      "f": {"process_id": "snapshot_change_feed", "arguments": {
+        "path": "$p", "from_exclusive": 1, "to_inclusive": 3}},
+      "o": {"process_id": "apply_change_feed", "arguments": {
+        "base": {"from_node": "b"}, "feed": {"from_node": "f"},
+        "keys": ["id"]}, "result": true}}""")) shouldBe
+      rowSet(graft.ops.Snapshots.read(spark, p))
+    // merge_changes: fold a feed slice into a second table via the
+    // graph, result == the folded table == API state
+    val m = s"$base/m"
+    graft.ops.Snapshots.overwrite(
+      graft.ops.Snapshots.read(spark, p, Some(1L)), m)
+    val out = compile(s"""{
+      "f": {"process_id": "snapshot_change_feed", "arguments": {
+        "path": "$p", "from_exclusive": 1, "to_inclusive": 3}},
+      "o": {"process_id": "merge_changes", "arguments": {
+        "changes": {"from_node": "f"}, "path": "$m",
+        "keys": ["id"]}, "result": true}}""")
+    rowSet(out) shouldBe rowSet(graft.ops.Snapshots.read(spark, p))
+    rowSet(graft.ops.Snapshots.read(spark, m)) shouldBe
+      rowSet(graft.ops.Snapshots.read(spark, p))
+    // typed errors: missing keys on both processes
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "b": {"process_id": "load_snapshot", "arguments": {"path": "$p"}},
+        "o": {"process_id": "apply_change_feed", "arguments": {
+          "base": {"from_node": "b"}, "feed": {"from_node": "b"}},
+          "result": true}}""")
+    }.code shouldBe "ChangeFeedKeysMissing"
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "b": {"process_id": "load_snapshot", "arguments": {"path": "$p"}},
+        "o": {"process_id": "merge_changes", "arguments": {
+          "changes": {"from_node": "b"}, "path": "$m"},
+          "result": true}}""")
+    }.code shouldBe "ChangeFeedKeysMissing"
+  }
 }

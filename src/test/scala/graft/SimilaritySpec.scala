@@ -579,4 +579,100 @@ class SimilaritySpec extends SparkSpec {
         f.selectedPartitions.partitionCount }.sum
     allCells should be > 2
   }
+
+  // --------------------------------------- r11: drift → retrain → swap
+
+  test("rebuildIvfStore: retrain + ATOMIC generation swap — serving " +
+      "resolves one generation (old or new, never a mix), appends land " +
+      "in the current generation, uncommitted gens are invisible, " +
+      "vacuum retires the rest") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val corpus = mk(0 until 60)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-gen").toString
+    val idx = s"$dir/idx"
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", idx,
+      nCentroids = 6)
+    val q = corpus.where(col("vec_id") < 4)
+    def serve() = rowSet(Similarity.topKIvfStore(spark, idx, q,
+      "vec_id", "embedding", k = 3, nProbe = 6))
+    // full-probe serving == brute force, before AND after the retrain
+    val brute = rowSet(Similarity.topKBruteForce(corpus, q,
+      "vec_id", "embedding", k = 3))
+    serve() shouldBe brute
+    // an UNCOMMITTED generation (crashed rebuild) is invisible
+    new java.io.File(s"$idx/gen-99/assigned").mkdirs()
+    Similarity.currentStoreRoot(spark, idx) shouldBe idx
+    serve() shouldBe brute
+    // a reader that resolved the OLD generation keeps a consistent
+    // view across the swap (its files are untouched until vacuum)
+    val oldRoot = Similarity.currentStoreRoot(spark, idx)
+    val gen = Similarity.rebuildIvfStore(spark, idx, nCentroids = 6,
+      trainIters = 2)
+    gen should include("gen-100") // next after the dead gen-99
+    Similarity.currentStoreRoot(spark, idx) shouldBe gen
+    spark.read.parquet(s"$oldRoot/assigned").count() shouldBe 60L
+    // retrained serving still equals brute force at full probe (the
+    // corpus is unchanged — only the partitioning moved)
+    serve() shouldBe brute
+    // appends now land in the CURRENT generation only
+    val before = spark.read.parquet(s"$gen/assigned").count()
+    val shard = mk(60 until 70)
+    Similarity.appendIvfStore(spark, idx, shard, "vec_id", "embedding")
+    spark.read.parquet(s"$gen/assigned").count() shouldBe (before + 10)
+    spark.read.parquet(s"$oldRoot/assigned").count() shouldBe 60L
+    // vacuum retires the legacy flat layout + dead gens, keeps current
+    Similarity.vacuumIvfStore(spark, idx) should be >= 2
+    new java.io.File(s"$idx/assigned").exists() shouldBe false
+    new java.io.File(s"$idx/gen-99").exists() shouldBe false
+    rowSet(Similarity.topKIvfStore(spark, idx, q, "vec_id", "embedding",
+      k = 3, nProbe = 6)) shouldBe rowSet(Similarity.topKBruteForce(
+      corpus.union(shard), q, "vec_id", "embedding", k = 3))
+  }
+
+  test("rebuildIvfPqStore: codes re-encode fresh from the supplied " +
+      "corpus; post-swap serving == a one-shot build with the same " +
+      "params, bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pq-gen").toString
+    val idx = s"$dir/idx"; val ref = s"$dir/ref"
+    Similarity.writeIvfPqStore(corpus, "vec_id", "embedding", idx,
+      nCentroids = 4, m = 4, ksub = 8)
+    Similarity.rebuildIvfPqStore(spark, idx, corpus, "vec_id",
+      "embedding", nCentroids = 6, m = 4, ksub = 8, trainIters = 1)
+    Similarity.writeIvfPqStore(corpus, "vec_id", "embedding", ref,
+      nCentroids = 6, m = 4, ksub = 8, trainIters = 1)
+    val q = corpus.where(col("vec_id") < 4)
+    rowSet(Similarity.topKIvfPqStore(spark, idx, q, "vec_id",
+      "embedding", k = 3, nProbe = 3)) shouldBe
+      rowSet(Similarity.topKIvfPqStore(spark, ref, q, "vec_id",
+        "embedding", k = 3, nProbe = 3))
+  }
+
+  test("ivfStoreSkewReport: counts sum to the corpus, ratios average " +
+      "1, and the report reads the CURRENT generation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-skew").toString
+    val idx = s"$dir/idx"
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", idx,
+      nCentroids = 5)
+    val rep = Similarity.ivfStoreSkewReport(spark, idx).collect()
+    rep.map(_.getLong(1)).sum shouldBe 50L
+    (rep.map(_.getDouble(2)).sum / rep.length) shouldBe 1.0 +- 1e-9
+    // after a rebuild the report follows the swap
+    Similarity.rebuildIvfStore(spark, idx, nCentroids = 5, trainIters = 1)
+    Similarity.ivfStoreSkewReport(spark, idx).collect()
+      .map(_.getLong(1)).sum shouldBe 50L
+  }
 }

@@ -149,4 +149,105 @@ class SnapshotCatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE gtest.db.`a/b` (id BIGINT)")
     }.getMessage should include("invalid identifier segment")
   }
+
+  test("SQL UPDATE by identifier: copy-on-write commit, WHERE scoped, " +
+      "explain side-effect-free, and the CDC sidecar carries images") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.ut (id BIGINT, name STRING, " +
+      "v DOUBLE)")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "v").createOrReplaceTempView("usrc")
+    spark.sql("INSERT INTO gtest.db.ut SELECT * FROM usrc")
+    // EXPLAIN must not execute the command
+    spark.sql("EXPLAIN UPDATE gtest.db.ut SET v = v * 10 WHERE id <= 2")
+      .collect()
+    spark.table("gtest.db.ut").agg(sum("v")).as[Double].head() shouldBe 6.0
+    spark.sql("UPDATE gtest.db.ut SET v = v * 10, name = 'upd' " +
+      "WHERE id <= 2")
+    spark.table("gtest.db.ut").orderBy("id")
+      .as[(Long, String, Double)].collect() shouldBe Array(
+      (1L, "upd", 10.0), (2L, "upd", 20.0), (3L, "c", 3.0))
+    // the commit is a real CoW update with paired CDC images
+    val p = s"$wh/db/ut"
+    val v = Snapshots.latestVersion(spark, p)
+    Snapshots.manifestAt(spark, p, v).get.op shouldBe "update"
+    Snapshots.changeFeed(spark, p, v - 1, v)
+      .groupBy("_change_type").count().as[(String, Long)]
+      .collect().toMap shouldBe
+      Map("update_preimage" -> 2L, "update_postimage" -> 2L)
+    spark.sql("DROP TABLE gtest.db.ut")
+  }
+
+  test("SQL MERGE INTO by identifier: the canonical upsert routes into " +
+      "Snapshots.merge; non-upsert shapes fail typed") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.mt (id BIGINT, name STRING, " +
+      "v DOUBLE)")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("mbase")
+    spark.sql("INSERT INTO gtest.db.mt SELECT * FROM mbase")
+    Seq((2L, "B", 22.0), (9L, "i", 9.0)).toDF("id", "name", "v")
+      .createOrReplaceTempView("msrc")
+    spark.sql("""MERGE INTO gtest.db.mt t USING msrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.table("gtest.db.mt").orderBy("id")
+      .as[(Long, String, Double)].collect() shouldBe Array(
+      (1L, "a", 1.0), (2L, "B", 22.0), (9L, "i", 9.0))
+    Snapshots.manifestAt(spark, s"$wh/db/mt",
+      Snapshots.latestVersion(spark, s"$wh/db/mt")).get.op shouldBe "merge"
+    // a WHEN MATCHED THEN DELETE shape is out of the canonical form:
+    // typed rejection naming the supported shape
+    intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO gtest.db.mt t USING msrc s ON t.id = s.id
+        WHEN MATCHED THEN DELETE""")
+    }.getMessage should include("canonical upsert")
+    // non-equi merge conditions reject typed too
+    intercept[UnsupportedOperationException] {
+      spark.sql("""MERGE INTO gtest.db.mt t USING msrc s ON t.id > s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    }.getMessage should include("equi-condition")
+    spark.sql("DROP TABLE gtest.db.mt")
+  }
+
+  test("ALTER TABLE ADD COLUMN = append-evolution: new column records " +
+      "nullable, old rows read null; other ALTER shapes stay rejected") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.at (id BIGINT)")
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("asrc")
+    spark.sql("INSERT INTO gtest.db.at SELECT * FROM asrc")
+    spark.sql("ALTER TABLE gtest.db.at ADD COLUMN lang STRING")
+    val t = spark.table("gtest.db.at")
+    t.schema.fieldNames shouldBe Array("id", "lang")
+    t.schema("lang").nullable shouldBe true
+    t.where(col("lang").isNull).count() shouldBe 2L
+    // later inserts can carry it
+    Seq((3L, "en")).toDF("id", "lang").createOrReplaceTempView("asrc2")
+    spark.sql("INSERT INTO gtest.db.at SELECT * FROM asrc2")
+    spark.table("gtest.db.at").where(col("lang") === "en")
+      .count() shouldBe 1L
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE gtest.db.at RENAME COLUMN lang TO l2")
+    }.getMessage should include("ADD COLUMN")
+    spark.sql("DROP TABLE gtest.db.at")
+  }
+
+  test("DROP NAMESPACE on a non-empty namespace raises the typed " +
+      "NonEmptyNamespaceException, which Spark surfaces as its " +
+      "SCHEMA_NOT_EMPTY error (the SupportsNamespaces contract)") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.ns1")
+    spark.sql("CREATE TABLE gtest.ns1.t1 (id BIGINT)")
+    // DropNamespaceExec catches the catalog's typed
+    // NonEmptyNamespaceException and rethrows the SQL-standard
+    // SCHEMA_NOT_EMPTY AnalysisException — the r10-advice
+    // IllegalStateException would have surfaced as an UNTYPED error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DROP NAMESPACE gtest.ns1")
+    }
+    e.getCondition should include("SCHEMA_NOT_EMPTY")
+    spark.sql("DROP NAMESPACE gtest.ns1 CASCADE")
+    spark.catalog.tableExists("gtest.ns1.t1") shouldBe false
+  }
 }

@@ -282,17 +282,30 @@ class SnapshotCdfSpec extends SparkSpec {
       rowSet(Snapshots.read(spark, p))
   }
 
-  test("CoW delete surfaces at file granularity (re-emitted survivors), " +
-      "documented contract") {
+  test("CoW delete is ROW-EXACT in the feed: only the deleted rows " +
+      "emit as _change_type='delete', survivors never re-emit") {
     val p = freshDir()
     Snapshots.append(tbl(1 to 10).repartition(1), p)
     Snapshots.delete(spark, p, col("id") <= 2L) // copy-on-write rewrite
     val feed = Snapshots.changeFeed(spark, p, 0L, 2L)
-    // the CoW commit re-adds the surviving rows as inserts (v2);
-    // no row-level delete is claimed (only dv commits are row-exact)
+    // the commit's _change_data sidecar carries exactly the removed
+    // rows — the r10 "file granularity" weakness is gone
     feedSet(feed) shouldBe
       ((1L to 10L).map((_, "insert", 1L)).toSet ++
-        (3L to 10L).map((_, "insert", 2L)).toSet)
+        (1L to 2L).map((_, "delete", 2L)).toSet)
+  }
+
+  test("CoW delete WITHOUT a sidecar (cdc disabled at write time): " +
+      "batch feed falls back to a read-time diff — still row-exact") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(1), p)
+    spark.conf.set(Snapshots.CdcEnabledKey, "false")
+    try Snapshots.delete(spark, p, col("id") <= 2L)
+    finally spark.conf.unset(Snapshots.CdcEnabledKey)
+    val feed = Snapshots.changeFeed(spark, p, 0L, 2L)
+    feedSet(feed) shouldBe
+      ((1L to 10L).map((_, "insert", 1L)).toSet ++
+        (1L to 2L).map((_, "delete", 2L)).toSet)
   }
 
   test("a table column named _change_type rejects the CDF read (typed)") {
@@ -303,5 +316,223 @@ class SnapshotCdfSpec extends SparkSpec {
         .option("readChangeFeed", "true").load(p).collect()
     }
     e.getMessage should include("_change_type")
+  }
+
+  // ------------------------------------------------- r11 row-exact laws
+
+  /** One store exercising EVERY data-changing op family: append, CoW
+    * delete, update, merge, replaceWhere, mergeChanges, deleteMor,
+    * overwrite — plus a maintenance compact that must contribute
+    * nothing. */
+  private def buildEveryOpStore(): String = {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(2), p)            // v1
+    Snapshots.append(tbl(11 to 20).repartition(2), p)           // v2
+    Snapshots.delete(spark, p, col("id") <= 2L)                 // v3 CoW
+    Snapshots.update(spark, p, col("id") === 5L,                // v4 CoW
+      Map("v" -> (col("v") * 100)))
+    Snapshots.merge(spark, p,                                   // v5 CoW
+      tbl(8 to 12).withColumn("name", concat(lit("m"), col("name"))),
+      Seq("id"))
+    Snapshots.replaceWhere(spark, p,                            // v6 CoW
+      col("id") >= 18L, tbl(18 to 22))
+    Snapshots.mergeChanges(spark, p, Seq(                       // v7 CoW
+        (3L, "x", 0.0, "delete", 1L),
+        (30L, "r30", 60.0, "insert", 1L))
+      .toDF("id", "name", "v", "_change_type", "_commit_version"),
+      Seq("id"))
+    Snapshots.deleteMor(spark, p, col("id") === 11L)            // v8 MoR
+    p
+  }
+
+  test("THE law, every op: state(v0) + feed(v0, v] == read(v) for a " +
+      "range containing CoW delete/update/merge/replaceWhere/" +
+      "mergeChanges/deleteMor") {
+    val p = buildEveryOpStore()
+    val vEnd = Snapshots.latestVersion(spark, p)
+    // from every possible seed version, the law must hold
+    for (v0 <- 1L until vEnd) {
+      val out = Snapshots.applyChangeFeed(
+        Snapshots.read(spark, p, Some(v0)),
+        Snapshots.changeFeed(spark, p, v0, vEnd), Seq("id"))
+      withClue(s"seed v$v0: ") {
+        rowSet(out) shouldBe rowSet(Snapshots.read(spark, p))
+      }
+    }
+  }
+
+  test("THE law under overwrite: whole-file synthesis emits parent " +
+      "rows as deletes, adds as inserts") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)              // v1
+    Snapshots.overwrite(tbl(5 to 8), p)            // v2 full replacement
+    Snapshots.append(tbl(30 to 32), p)             // v3
+    val feed = Snapshots.changeFeed(spark, p, 1L, 3L)
+    feedSet(feed) shouldBe
+      ((1L to 10L).map((_, "delete", 2L)).toSet ++
+        (5L to 8L).map((_, "insert", 2L)).toSet ++
+        (30L to 32L).map((_, "insert", 3L)).toSet)
+    val out = Snapshots.applyChangeFeed(
+      Snapshots.read(spark, p, Some(1L)), feed, Seq("id"))
+    rowSet(out) shouldBe rowSet(Snapshots.read(spark, p))
+    // V2 face plans the same synthesis
+    feedSet(spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(p)) shouldBe feedSet(feed)
+  }
+
+  test("update commits carry PAIRED images: update_preimage holds the " +
+      "old values, update_postimage the new, and consumers replay " +
+      "postimages only") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 6), p)
+    Snapshots.update(spark, p, col("id") <= 2L,
+      Map("v" -> (col("v") + 1000), "name" -> lit("upd")))
+    val feed = Snapshots.changeFeed(spark, p, 1L, 2L)
+    feed.select("id", "name", "v", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSet shouldBe Set(
+      (1L, "r1", 2.0, "update_preimage"),
+      (2L, "r2", 4.0, "update_preimage"),
+      (1L, "upd", 1002.0, "update_postimage"),
+      (2L, "upd", 1004.0, "update_postimage"))
+    // aggregate-maintenance shape: sum(post) − sum(pre) == Δ of the sum
+    val delta = feed.groupBy()
+      .agg(sum(when(col("_change_type") === "update_postimage", col("v"))
+        .when(col("_change_type") === "update_preimage", -col("v"))
+        .otherwise(0.0)).as("d")).as[Double].head()
+    val before = Snapshots.read(spark, p, Some(1L))
+      .agg(sum("v")).as[Double].head()
+    val after = Snapshots.read(spark, p).agg(sum("v")).as[Double].head()
+    delta shouldBe (after - before)
+    // the consumer law still holds (preimages are dropped internally)
+    rowSet(Snapshots.applyChangeFeed(Snapshots.read(spark, p, Some(1L)),
+      feed, Seq("id"))) shouldBe rowSet(Snapshots.read(spark, p))
+  }
+
+  test("mergeChanges records images too, and consuming its OWN feed " +
+      "(with pre/post images) through mergeChanges converges") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(1), p)
+    Snapshots.mergeChanges(spark, p, Seq(
+        (2L, "two", 22.0, "insert", 1L),
+        (4L, "x", 0.0, "delete", 1L),
+        (40L, "r40", 80.0, "insert", 1L))
+      .toDF("id", "name", "v", "_change_type", "_commit_version"),
+      Seq("id"))
+    val feed = Snapshots.changeFeed(spark, p, 1L, 2L)
+    feed.select("id", "_change_type").as[(Long, String)]
+      .collect().toSet shouldBe Set(
+      (2L, "update_preimage"), (2L, "update_postimage"),
+      (4L, "delete"), (40L, "insert"))
+    // a second table consuming the feed via mergeChanges ends equal
+    val m2 = freshDir() + "/m2"
+    Snapshots.overwrite(Snapshots.read(spark, p, Some(1L)), m2)
+    Snapshots.mergeChanges(spark, m2, feed, Seq("id"))
+    rowSet(Snapshots.read(spark, m2)) shouldBe
+      rowSet(Snapshots.read(spark, p))
+  }
+
+  test("streamMirror CONVERGES when the source uses CoW deletes — the " +
+      "r10 'silent divergence' weakness is closed") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(2), p)
+    Snapshots.append(tbl(11 to 20).repartition(2), p)
+    Snapshots.delete(spark, p, col("id") % 4 === 0L)   // CoW delete
+    Snapshots.replaceWhere(spark, p,
+      col("id") >= 17L, tbl(17 to 25))                 // CoW backfill
+    val mirror = freshDir() + "/m"
+    val ck = freshDir() + "/ck"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(p)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(Snapshots.streamMirror(mirror, "mirror_cow",
+        Seq("id")))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    rowSet(Snapshots.read(spark, mirror)) shouldBe
+      rowSet(Snapshots.read(spark, p))
+    // keep going: another CoW delete lands, the mirror keeps tracking
+    Snapshots.delete(spark, p, col("id") === 18L)
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .load(p)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch(Snapshots.streamMirror(mirror, "mirror_cow",
+        Seq("id")))
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    rowSet(Snapshots.read(spark, mirror)) shouldBe
+      rowSet(Snapshots.read(spark, p))
+  }
+
+  test("a CoW commit WITHOUT a sidecar fails TYPED on the streaming " +
+      "face (never silent divergence), and a RESTORE fails typed on " +
+      "both faces") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10), p)
+    spark.conf.set(Snapshots.CdcEnabledKey, "false")
+    try Snapshots.delete(spark, p, col("id") <= 2L)
+    finally spark.conf.unset(Snapshots.CdcEnabledKey)
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(p).collect()
+    }
+    e.getMessage should include("no persisted change data")
+    // restore: typed on batch changeFeed AND the V2 face
+    val r = freshDir()
+    Snapshots.append(tbl(1 to 5), r)
+    Snapshots.append(tbl(6 to 8), r)
+    Snapshots.restore(spark, r, 1L)
+    intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, r, 1L, 3L)
+    }.getMessage should include("RESTORE")
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .load(r).collect()
+    }.getMessage should include("RESTORE")
+  }
+
+  test("_commit_timestamp rides the feed (batch AND V2), equals the " +
+      "manifest's monotonic in-commit time") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 3), p)
+    Snapshots.append(tbl(4 to 6), p)
+    val ts = (1L to 2L).map(v =>
+      v -> Snapshots.manifestAt(spark, p, v).get.ts).toMap
+    val batch = Snapshots.changeFeed(spark, p, 0L, 2L)
+      .select(col("_commit_version"), col("_commit_timestamp"))
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    batch shouldBe ts.map { case (v, t) =>
+      (v, new java.sql.Timestamp(t)) }.toSet
+    val v2 = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(p)
+      .select(col("_commit_version"), col("_commit_timestamp"))
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+    v2 shouldBe batch
+  }
+
+  test("vacuum sweeps a retired commit's _change_data sidecar and " +
+      "keeps retained ones") {
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).repartition(1), p)  // v1
+    Snapshots.delete(spark, p, col("id") <= 2L)       // v2: sidecar
+    Snapshots.delete(spark, p, col("id") === 9L)      // v3: sidecar
+    def sidecars(): Set[String] = {
+      val d = new java.io.File(p, "_change_data")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).toSet
+    }
+    sidecars().size shouldBe 2
+    val keptCdc = Snapshots.manifestAt(spark, p, 3L).get.cdc
+    Snapshots.vacuum(spark, p, keepFromVersion = 3L, graceMs = 0L)
+    // v2's sidecar swept, v3's retained — and the retained feed range
+    // still reads exactly
+    sidecars().size shouldBe 1
+    keptCdc.foreach(f => new java.io.File(p, f).exists() shouldBe true)
+    feedSet(Snapshots.changeFeed(spark, p, 2L, 3L)) shouldBe
+      Set((9L, "delete", 3L))
   }
 }
