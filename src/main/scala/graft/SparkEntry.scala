@@ -321,6 +321,37 @@ object SparkEntry {
       Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p)
     }
 
+  /** Two-commit store for the GENERAL MERGE INTO rows: v1 append
+    * (%3=0), v2 one mergeInto with conditional update / conditional
+    * matched delete / conditional insert / NOT-MATCHED-BY-SOURCE
+    * update — every clause family fires. Built once per (sf dir,
+    * JVM); both consumers read pinned state (latest, feed (1,2]). */
+  private def buildMergeIntoStore(s: SparkSession, dir: String): String =
+    sharedBuild("gmi", dir) { p =>
+      deleteRecursively(p)
+      val ev = snapshotEvents(s, dir)
+      Snapshots.append(ev.where(col("event_id") % 3 === 0), p)
+      import Snapshots.{mergeSource => src}
+      Snapshots.mergeInto(s, p,
+        ev.where(col("event_id") % 4 === 0), Seq("event_id"),
+        matched = Seq(
+          Snapshots.WhenMatched(Some(src("event_type") === "click"),
+            Snapshots.MergeUpdate(
+              Map("value" -> (col("value") + src("value"))))),
+          Snapshots.WhenMatched(Some(src("event_type") === "view"),
+            Snapshots.MergeDelete)),
+        notMatched = Seq(
+          Snapshots.WhenNotMatched(Some(src("event_id") < 5000L),
+            Map("event_id" -> src("event_id"),
+              "user_id" -> src("user_id"),
+              "event_type" -> lit("merged"),
+              "value" -> src("value")))),
+        notMatchedBySource = Seq(
+          Snapshots.WhenNotMatchedBySource(
+            Some(col("event_type") === "purchase"),
+            Snapshots.MergeUpdate(Map("value" -> lit(0.0))))))
+    }
+
   /** Build-once-serve-many across gate rows (the production index
     * lifecycle, and the bench shape it deserves): rows that build the
     * IDENTICAL full-corpus artifact — q_search_indexed/q_stream_search
@@ -4446,6 +4477,26 @@ object SparkEntry {
         s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN tag STRING")
       }
       s.table(s"$cat.db.ev")
+    }),
+    "q_merge_into" -> ((s, dir) => {
+      // GENERAL MERGE INTO (r11) — the full SQL shape the canonical
+      // upsert lacks: ordered CONDITIONAL clauses, WHEN MATCHED DELETE,
+      // and WHEN NOT MATCHED BY SOURCE, compiled into ONE copy-on-write
+      // commit (Delta/Iceberg semantics; clause order = first
+      // applicable wins, spec-pinned in SnapshotMergeIntoSpec). Without
+      // NMBS only key-touched files rewrite; here NMBS makes every file
+      // a candidate — the same cost Delta pays, documented.
+      val p = buildMergeIntoStore(s, dir)
+      Snapshots.read(s, p)
+    }),
+    "q_merge_into_cdf" -> ((s, dir) => {
+      // the merge commit's row-exact CDC sidecar: update pre/post
+      // image pairs for BOTH update families (matched click, NMBS
+      // purchase), deletes for the matched-view and nothing else —
+      // a downstream aggregate can subtract old and add new without
+      // re-reading the table
+      val p = buildMergeIntoStore(s, dir)
+      Snapshots.changeFeed(s, p, 1L, 2L).drop("_commit_timestamp")
     }),
     "q_snapshot_cdf" -> ((s, dir) => {
       // the COMBINED row-level CHANGE FEED, batch face (Delta's
@@ -8720,6 +8771,60 @@ object SparkEntry {
          SELECT event_id, user_id, event_type, value + 100,
                 CAST(NULL AS VARCHAR)
          FROM events WHERE event_id % 5 = 0""",
+    "q_merge_into" ->
+      // base = %3=0; matched (%12=0) clicks add s.value (= doubling,
+      // same row), matched views delete, other matched types carry;
+      // target-only (%12<>0) purchases zero out (NMBS update); source
+      // rows unmatched by the target (%4=0, %3<>0) below 5000 insert
+      // as 'merged'
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_id % 12 = 0 AND event_type = 'click'
+                       THEN value * 2
+                     WHEN event_id % 12 <> 0 AND event_type = 'purchase'
+                       THEN 0.0
+                     ELSE value END AS value
+         FROM events
+         WHERE event_id % 3 = 0
+           AND NOT (event_id % 12 = 0 AND event_type = 'view')
+         UNION ALL
+         SELECT event_id, user_id, 'merged', value
+         FROM events
+         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
+           AND event_id < 5000""",
+    "q_merge_into_cdf" ->
+      // the merge commit's exact CDC: pre/post pairs for both update
+      // families, deletes for matched views, inserts for the unmatched
+      // source slice
+      """SELECT event_id, user_id, event_type, value,
+                'update_preimage' AS _change_type,
+                CAST(2 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 12 = 0 AND event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, event_type, value * 2,
+                'update_postimage', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 12 = 0 AND event_type = 'click'
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'update_preimage', CAST(2 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 = 0 AND event_id % 12 <> 0
+           AND event_type = 'purchase'
+         UNION ALL
+         SELECT event_id, user_id, event_type, 0.0,
+                'update_postimage', CAST(2 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 = 0 AND event_id % 12 <> 0
+           AND event_type = 'purchase'
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 12 = 0 AND event_type = 'view'
+         UNION ALL
+         SELECT event_id, user_id, 'merged', value,
+                'insert', CAST(2 AS BIGINT)
+         FROM events
+         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
+           AND event_id < 5000""",
     "q_snapshot_cdf" ->
       // inserts = the two appended slices (stamped with their commit),
       // deletes = the dv'd rows among them, optimize contributes nothing

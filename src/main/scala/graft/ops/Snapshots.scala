@@ -1421,6 +1421,215 @@ object Snapshots extends org.apache.spark.internal.Logging {
       expectParent = Some(m.version), txn = txn, cdc = cdc)
   }
 
+  // ------------------------------------------------ general MERGE INTO
+
+  /** One action of a general MERGE INTO clause (see [[mergeInto]]).
+    * Update/insert assignments map TARGET column names to expressions
+    * over the merge's joined row: target columns by their bare names,
+    * source columns through [[mergeSource]]. */
+  sealed trait MergeAction
+  /** UPDATE SET: unassigned target columns keep their current value. */
+  final case class MergeUpdate(set: Map[String, Column])
+      extends MergeAction
+  /** DELETE the target row. */
+  case object MergeDelete extends MergeAction
+  /** INSERT: unassigned target columns become NULL (SQL MERGE rule). */
+  final case class MergeInsert(values: Map[String, Column])
+      extends MergeAction
+
+  /** Ordered `WHEN MATCHED [AND condition] THEN UPDATE/DELETE`. */
+  final case class WhenMatched(condition: Option[Column],
+      action: MergeAction) {
+    require(!action.isInstanceOf[MergeInsert],
+      "WHEN MATCHED supports UPDATE or DELETE")
+  }
+  /** Ordered `WHEN NOT MATCHED [AND condition] THEN INSERT`. The
+    * condition and values may reference SOURCE columns only (the
+    * target side of an unmatched source row is all-NULL). */
+  final case class WhenNotMatched(condition: Option[Column],
+      values: Map[String, Column])
+  /** Ordered `WHEN NOT MATCHED BY SOURCE [AND condition] THEN
+    * UPDATE/DELETE`. Condition and assignments may reference TARGET
+    * columns only. */
+  final case class WhenNotMatchedBySource(condition: Option[Column],
+      action: MergeAction) {
+    require(!action.isInstanceOf[MergeInsert],
+      "WHEN NOT MATCHED BY SOURCE supports UPDATE or DELETE")
+  }
+
+  /** Name prefix under which [[mergeInto]] exposes SOURCE columns to
+    * clause conditions and assignment expressions. */
+  private[graft] val MergeSrcPrefix = "__gmi_src_"
+
+  /** Reference a SOURCE column inside a [[mergeInto]] clause
+    * condition or assignment (`mergeSource("v")` ≡ the SQL `s.v`). */
+  def mergeSource(name: String): Column = col(MergeSrcPrefix + name)
+
+  /** General copy-on-write MERGE INTO — the full SQL shape
+    * (`MERGE INTO t USING s ON t.k = s.k WHEN MATCHED [AND c] THEN
+    * UPDATE SET ... | DELETE  WHEN NOT MATCHED [AND c] THEN INSERT ...
+    * WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE ... | DELETE`),
+    * the Delta/Iceberg semantics:
+    *
+    *  - target and source match on equality of `keyCols` (a NULL
+    *    target key never matches — SQL equality);
+    *  - per row the FIRST clause (in the given order, within its
+    *    family) whose condition evaluates TRUE applies; a matched /
+    *    not-matched-by-source row with no applicable clause carries
+    *    unchanged, a not-matched source row with no applicable clause
+    *    inserts nothing;
+    *  - source keys must be unique and non-NULL (the same typed
+    *    [[MergeSourceConflict]] as [[merge]] — Delta's
+    *    multiple-match rule, enforced up front with one O(batch)
+    *    aggregate).
+    *
+    * PLANNING: without NOT MATCHED BY SOURCE clauses, only files that
+    * CONTAIN a matched key rewrite ([[merge]]'s stats-pruned
+    * touched-file planning — a 100 TB table rewrites a sliver). NOT
+    * MATCHED BY SOURCE can modify ANY target row, so its presence
+    * makes every live file a rewrite candidate (the same full-scan
+    * cost Delta pays). A merge with ONLY insert actions never
+    * rewrites a file at all: it appends the unmatched source rows.
+    *
+    * The row-exact `_change_data` CDC sidecar records every applied
+    * action (delete rows, insert rows, update pre/post image pairs).
+    * Clause conditions and assignments must be deterministic — they
+    * evaluate once for the rewrite and once for the sidecar.
+    *
+    * `source` should be cheap to recompute or cached: it is read 2-3
+    * times (conflict check, planning, rewrite). Fails with
+    * `ConcurrentModificationException` if another data change lands
+    * between read and claim. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[WhenMatched] = Nil,
+      notMatched: Seq[WhenNotMatched] = Nil,
+      notMatchedBySource: Seq[WhenNotMatchedBySource] = Nil,
+      expectVersion: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
+    require(!source.columns.exists(_.startsWith("__gmi_")),
+      "mergeInto reserves the __gmi_ column prefix in the source")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "mergeInto", path)
+    val schema = snapshotSchema(spark, path, m)
+    require(keyCols.forall(k => schema.fieldNames.contains(k)),
+      s"key columns ${keyCols.mkString(",")} must exist in the table")
+    require(keyCols.forall(k => source.columns.contains(k)),
+      s"key columns ${keyCols.mkString(",")} must exist in the source")
+    val assignedCols = (matched.map(_.action) ++
+      notMatchedBySource.map(_.action)).collect {
+        case MergeUpdate(set) => set.keys
+      }.flatten ++ notMatched.flatMap(_.values.keys)
+    assignedCols.find(c => !schema.fieldNames.contains(c)).foreach(c =>
+      throw new IllegalArgumentException(
+        s"mergeInto assigns unknown target column '$c' at $path — " +
+          "MERGE does not evolve the schema; use append for evolution"))
+    // Delta's multiple-match rule, up front: applied to the KEY
+    // projection of the source (general MERGE sources often carry
+    // extra columns; only key multiplicity matters)
+    checkMergeSource(
+      source.select(keyCols.map(col): _*), keyCols, path)
+    val root = new Path(path)
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val touched =
+      if (notMatchedBySource.nonEmpty) m.files
+      else touchedFiles(spark, root, m, schema, srcKeys, keyCols)
+    // the joined merge row: target columns bare, source columns under
+    // [[MergeSrcPrefix]], one existence marker per side (key columns
+    // alone cannot distinguish "no match" from "matched a NULL")
+    val tgt = readFiles(spark, root, touched, schema, m.dvs)
+      .withColumn("__gmi_t", lit(true))
+    val srcR = source.select(source.columns.toSeq.map(c =>
+      col(c).as(MergeSrcPrefix + c)) :+ lit(true).as("__gmi_s"): _*)
+    val joinCond = keyCols.map(k =>
+      col(k) === col(MergeSrcPrefix + k)).reduce(_ && _)
+    val needSrcOnly = notMatched.nonEmpty
+    val joined = tgt.join(srcR, joinCond,
+      if (needSrcOnly) "full_outer" else "left_outer")
+    val isMatched = col("__gmi_t").isNotNull && col("__gmi_s").isNotNull
+    val isSrcOnly = col("__gmi_t").isNull
+    val isTgtOnly = col("__gmi_s").isNull
+    // first-applicable-clause index per family (-1 = none applies); a
+    // NULL condition is FALSE (SQL WHEN semantics), which `when`'s
+    // three-valued fall-through gives for free
+    def firstIdx(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+        when(c.getOrElse(lit(true)), lit(i)).otherwise(els)
+      }
+    val mIdx = when(isMatched,
+      firstIdx(matched.map(_.condition))).otherwise(lit(-1))
+    val nIdx = when(isSrcOnly,
+      firstIdx(notMatched.map(_.condition))).otherwise(lit(-1))
+    val bIdx = when(isTgtOnly,
+      firstIdx(notMatchedBySource.map(_.condition))).otherwise(lit(-1))
+    def updateCases(fam: Seq[MergeAction], idx: Column,
+        c: String): Seq[(Column, Column)] =
+      fam.zipWithIndex.collect {
+        case (MergeUpdate(set), i) if set.contains(c) =>
+          (idx === i, set(c))
+      }
+    // the rewritten value of target column `c` on the merge row
+    def valueFor(c: String): Column = {
+      val cases =
+        updateCases(matched.map(_.action), mIdx, c) ++
+        updateCases(notMatchedBySource.map(_.action), bIdx, c) ++
+        notMatched.zipWithIndex.map { case (cl, i) =>
+          (nIdx === i, cl.values.getOrElse(c,
+            lit(null).cast(schema(c).dataType)))
+        }
+      cases.foldRight(col(c)) { case ((cond, v), els) =>
+        when(cond, v).otherwise(els)
+      }.cast(schema(c).dataType).as(c)
+    }
+    def deleteIdxs(fam: Seq[MergeAction], idx: Column): Seq[Column] =
+      fam.zipWithIndex.collect {
+        case (MergeDelete, i) => idx === i }
+    val dropped = (deleteIdxs(matched.map(_.action), mIdx) ++
+      deleteIdxs(notMatchedBySource.map(_.action), bIdx))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val keep = when(isSrcOnly, nIdx >= 0).otherwise(!dropped)
+    val outCols = schema.fieldNames.toSeq.map(valueFor)
+    val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
+    val newData =
+      if (insertOnly) joined.where(isSrcOnly && nIdx >= 0)
+        .select(outCols: _*)
+      else joined.where(keep).select(outCols: _*)
+    // CDC sidecar: one classification pass over the SAME joined rows —
+    // update pre/post image pairs, deletes, inserts, exactly the
+    // applied actions (an inapplicable row contributes nothing)
+    def actionIdxs(fam: Seq[MergeAction], idx: Column,
+        kind: Class[_]): Seq[Column] =
+      fam.zipWithIndex.collect {
+        case (a, i) if kind.isInstance(a) => idx === i }
+    val isUpd = (actionIdxs(matched.map(_.action), mIdx,
+        classOf[MergeUpdate]) ++
+      actionIdxs(notMatchedBySource.map(_.action), bIdx,
+        classOf[MergeUpdate])).reduceOption(_ || _).getOrElse(lit(false))
+    val isDel = dropped
+    val isIns = isSrcOnly && nIdx >= 0
+    val cdc =
+      if (!cdcEnabled(spark)) None
+      else {
+        val oldCols = schema.fieldNames.toSeq.map(c =>
+          col(c).cast(schema(c).dataType).as(c))
+        val pre = joined.where(isUpd || isDel)
+          .select(oldCols :+ when(isDel, lit("delete"))
+            .otherwise(lit("update_preimage")).as(ChangeTypeCol): _*)
+        val post = joined.where(isUpd)
+          .select(outCols :+ lit("update_postimage")
+            .as(ChangeTypeCol): _*)
+        val ins = joined.where(isIns)
+          .select(outCols :+ lit("insert").as(ChangeTypeCol): _*)
+        Some(pre.unionByName(post).unionByName(ins))
+      }
+    commit(newData, path, "merge",
+      removed = if (insertOnly) Set.empty else touched.toSet,
+      expectParent = Some(m.version), cdc = cdc)
+  }
+
   /** Copy-on-write DELETE of rows where `predicate` is TRUE (null keeps
     * the row, SQL semantics). Stats pre-prune the candidate files, one
     * exact pass picks the files that actually contain matches, and only

@@ -85,27 +85,9 @@ case class SnapshotDmlRule(session: SparkSession)
             matched, notMatched, notMatchedBySource, withSchemaEvolution)
           if m.resolved && snapshotPath(target).isDefined =>
         val path = snapshotPath(target).get
-        // the canonical UPSERT shape routes to Snapshots.merge; other
-        // action combinations fail typed naming the supported form
-        // (the engine API covers them — mergeChanges takes arbitrary
-        // insert/delete batches). Resolution expands SET * / INSERT *
-        // into identity assignment lists — accept exactly those.
-        val upsertShape = (matched match {
-          case Seq(UpdateStarAction(None)) => true
-          case Seq(UpdateAction(None, assigns, _)) =>
-            isIdentityAssignments(assigns, source.outputSet)
-          case _ => false
-        }) && (notMatched match {
-          case Seq(InsertStarAction(None)) => true
-          case Seq(InsertAction(None, assigns)) =>
-            isIdentityAssignments(assigns, source.outputSet)
-          case _ => false
-        }) && notMatchedBySource.isEmpty && !withSchemaEvolution
-        if (!upsertShape) throw new UnsupportedOperationException(
-          "graft-snapshot MERGE supports the canonical upsert shape " +
-            "only: WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-            "THEN INSERT * — use Snapshots.mergeChanges for " +
-            "arbitrary change batches")
+        if (withSchemaEvolution) throw new UnsupportedOperationException(
+          "graft-snapshot MERGE does not evolve the schema — evolve " +
+            "with ALTER TABLE ADD COLUMN (or append) first")
         val targetOut = target.outputSet
         val sourceOut = source.outputSet
         val keys = splitConjuncts(cond).map {
@@ -118,7 +100,72 @@ case class SnapshotDmlRule(session: SparkSession)
             "graft-snapshot MERGE needs an equi-condition on same-named " +
               s"key columns (t.k = s.k [AND ...]); got $other")
         }
-        SnapshotMergeCommand(path, source, keys)
+        // the canonical unconditional UPSERT routes to the leaner
+        // Snapshots.merge (no outer join — anti-join + union); every
+        // other clause combination compiles to Snapshots.mergeInto
+        val upsertShape = (matched match {
+          case Seq(UpdateStarAction(None)) => true
+          case Seq(UpdateAction(None, assigns, _)) =>
+            isIdentityAssignments(assigns, source.outputSet)
+          case _ => false
+        }) && (notMatched match {
+          case Seq(InsertStarAction(None)) => true
+          case Seq(InsertAction(None, assigns)) =>
+            isIdentityAssignments(assigns, source.outputSet)
+          case _ => false
+        }) && notMatchedBySource.isEmpty
+        if (upsertShape) SnapshotMergeCommand(path, source, keys)
+        else {
+          // clause payloads travel as SQL TEXT (see the UPDATE rule
+          // above): source-side attributes re-spell under the engine's
+          // merge-source prefix, target-side by bare name — exactly the
+          // joined-row namespace Snapshots.mergeInto evaluates in
+          def rw(e: Expression): String = e.transform {
+            case a: AttributeReference if sourceOut.contains(a) =>
+              UnresolvedAttribute.quoted(Snapshots.MergeSrcPrefix + a.name)
+            case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+          }.sql
+          def assignPairs(assigns: Seq[Assignment]): Seq[(String, String)] =
+            assigns.map { a =>
+              val name = a.key match {
+                case attr: Attribute => attr.name
+                case other => throw new UnsupportedOperationException(
+                  "graft-snapshot MERGE supports top-level column " +
+                    s"assignments only; got $other")
+              }
+              name -> rw(a.value)
+            }
+          def starPairs: Seq[(String, String)] =
+            target.output.map(a => a.name ->
+              UnresolvedAttribute
+                .quoted(Snapshots.MergeSrcPrefix + a.name).sql)
+          val matchedSpec = matched.map {
+            case UpdateStarAction(c) => (c.map(rw), Some(starPairs))
+            case UpdateAction(c, assigns, _) =>
+              (c.map(rw), Some(assignPairs(assigns)))
+            case DeleteAction(c) => (c.map(rw), None)
+            case other => throw new UnsupportedOperationException(
+              s"graft-snapshot MERGE: unsupported matched action $other")
+          }
+          val notMatchedSpec = notMatched.map {
+            case InsertStarAction(c) => (c.map(rw), starPairs)
+            case InsertAction(c, assigns) =>
+              (c.map(rw), assignPairs(assigns))
+            case other => throw new UnsupportedOperationException(
+              s"graft-snapshot MERGE: unsupported not-matched action " +
+                s"$other")
+          }
+          val bySourceSpec = notMatchedBySource.map {
+            case UpdateAction(c, assigns, _) =>
+              (c.map(rw), Some(assignPairs(assigns)))
+            case DeleteAction(c) => (c.map(rw), None)
+            case other => throw new UnsupportedOperationException(
+              "graft-snapshot MERGE: unsupported not-matched-by-source " +
+                s"action $other")
+          }
+          SnapshotMergeIntoCommand(path, source, keys, matchedSpec,
+            notMatchedSpec, bySourceSpec)
+        }
     }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -158,6 +205,41 @@ case class SnapshotMergeCommand(path: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     Snapshots.merge(session, path, Bridge.ofRows(session, source), keys)
+    Nil
+  }
+}
+
+/** General `MERGE INTO` over a snapshot table → one copy-on-write
+  * [[Snapshots.mergeInto]] commit. Clause conditions and assignments
+  * travel as SQL text in the joined-row namespace (target columns
+  * bare, source columns under the merge-source prefix — see
+  * [[SnapshotDmlRule]]) and re-parse at run time; an assignment list
+  * of `None` encodes DELETE. */
+case class SnapshotMergeIntoCommand(path: String, source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[(Option[String], Option[Seq[(String, String)]])],
+    notMatched: Seq[(Option[String], Seq[(String, String)])],
+    notMatchedBySource: Seq[(Option[String], Option[Seq[(String, String)]])])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    def action(assigns: Option[Seq[(String, String)]]): Snapshots.MergeAction =
+      assigns match {
+        case Some(as) => Snapshots.MergeUpdate(
+          as.map { case (n, s) => n -> expr(s) }.toMap)
+        case None => Snapshots.MergeDelete
+      }
+    Snapshots.mergeInto(session, path, Bridge.ofRows(session, source),
+      keys,
+      matched = matched.map { case (c, as) =>
+        Snapshots.WhenMatched(c.map(expr), action(as)) },
+      notMatched = notMatched.map { case (c, as) =>
+        Snapshots.WhenNotMatched(c.map(expr),
+          as.map { case (n, s) => n -> expr(s) }.toMap) },
+      notMatchedBySource = notMatchedBySource.map { case (c, as) =>
+        Snapshots.WhenNotMatchedBySource(c.map(expr), action(as)) })
     Nil
   }
 }

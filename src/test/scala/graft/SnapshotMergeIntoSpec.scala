@@ -1,0 +1,246 @@
+package graft
+
+import graft.ops.Snapshots
+import graft.ops.Snapshots.{MergeDelete, MergeUpdate, WhenMatched, WhenNotMatched, WhenNotMatchedBySource, mergeSource => src}
+import org.apache.spark.sql.functions._
+
+/** General MERGE INTO laws — [[Snapshots.mergeInto]] (ordered
+  * conditional WHEN MATCHED UPDATE/DELETE, WHEN NOT MATCHED INSERT,
+  * WHEN NOT MATCHED BY SOURCE) and its SQL face through
+  * [[graft.plans.SnapshotDmlRule]]. */
+class SnapshotMergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_gmi_").toString
+    new java.io.File(d).deleteOnExit(); d
+  }
+
+  /** target: ids 1..8, v = id*10, tag = "t<id>" */
+  private def target(): org.apache.spark.sql.DataFrame =
+    (1 to 8).map(i => (i.toLong, i * 10.0, s"t$i")).toDF("id", "v", "tag")
+
+  /** source: ids 3..10, d = id (3..6 matched, 9..10 unmatched, 7..8
+    * matched but see per-test conditions). */
+  private def source(): org.apache.spark.sql.DataFrame =
+    (3 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "d")
+
+  test("mergeInto: conditional update, conditional delete, " +
+      "conditional insert, NMBS delete — full SQL semantics") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    // matched & d<=4  -> update v = v + 100*d
+    // matched & d=5   -> delete
+    // matched else    -> no clause applies, row carries unchanged
+    // not matched & d>=10 -> insert (id, v=d, tag='new')
+    // not matched else    -> nothing
+    // NMBS & id<=1    -> delete
+    Snapshots.mergeInto(spark, p, source(), Seq("id"),
+      matched = Seq(
+        WhenMatched(Some(src("d") <= 4.0),
+          MergeUpdate(Map("v" -> (col("v") + src("d") * 100.0)))),
+        WhenMatched(Some(src("d") === 5.0), MergeDelete)),
+      notMatched = Seq(
+        WhenNotMatched(Some(src("d") >= 10.0),
+          Map("id" -> src("id"), "v" -> src("d"), "tag" -> lit("new")))),
+      notMatchedBySource = Seq(
+        WhenNotMatchedBySource(Some(col("id") <= 1L), MergeDelete)))
+    val got = Snapshots.read(spark, p)
+      .select("id", "v", "tag").as[(Long, Double, String)]
+      .collect().toSet
+    val expected = Set(
+      // id=1 NMBS-deleted; id=2 NMBS cond false -> kept
+      (2L, 20.0, "t2"),
+      // 3,4 matched & d<=4 -> updated
+      (3L, 330.0, "t3"), (4L, 440.0, "t4"),
+      // 5 matched & d=5 -> deleted; 6,7,8 matched, no clause -> kept
+      (6L, 60.0, "t6"), (7L, 70.0, "t7"), (8L, 80.0, "t8"),
+      // 9 unmatched, cond false -> nothing; 10 -> inserted
+      (10L, 10.0, "new"))
+    got shouldBe expected
+  }
+
+  test("mergeInto: clause ORDER decides — first applicable wins") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    // both clauses apply to every matched row; the FIRST must win
+    Snapshots.mergeInto(spark, p, source().where(col("id") <= 4L),
+      Seq("id"),
+      matched = Seq(
+        WhenMatched(None, MergeUpdate(Map("tag" -> lit("first")))),
+        WhenMatched(None, MergeDelete)))
+    val got = Snapshots.read(spark, p).select("id", "tag")
+      .as[(Long, String)].collect().toMap
+    got(3L) shouldBe "first"
+    got(4L) shouldBe "first"
+    got.size shouldBe 8 // nothing deleted
+  }
+
+  test("mergeInto: unassigned insert columns become NULL; " +
+      "unassigned update columns keep their value") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    Snapshots.mergeInto(spark, p, source(), Seq("id"),
+      matched = Seq(WhenMatched(None,
+        MergeUpdate(Map("v" -> lit(-1.0))))),
+      notMatched = Seq(WhenNotMatched(None,
+        Map("id" -> src("id"), "v" -> src("d")))))
+    val rows = Snapshots.read(spark, p)
+      .select("id", "v", "tag").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.isNullAt(2))).toMap
+    rows(3L) shouldBe ((-1.0, false)) // update kept tag
+    rows(9L) shouldBe ((9.0, true))   // insert: tag unassigned -> NULL
+  }
+
+  test("mergeInto: insert-only merge never rewrites a file " +
+      "(append-shaped commit) and skips matched keys") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    val m0 = Snapshots.snapshotAt(spark, p).get
+    Snapshots.mergeInto(spark, p, source(), Seq("id"),
+      notMatched = Seq(WhenNotMatched(None,
+        Map("id" -> src("id"), "v" -> src("d"), "tag" -> lit("n")))))
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    // every v1 file carries into v2 unmoved — nothing rewritten
+    m0.files.toSet.subsetOf(m1.files.toSet) shouldBe true
+    val got = Snapshots.read(spark, p).select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    got.size shouldBe 10
+    got(3L) shouldBe 30.0 // matched row untouched
+    got(9L) shouldBe 9.0  // unmatched inserted
+  }
+
+  test("mergeInto CDC: changeFeed is row-exact and the mirror law " +
+      "holds (seed at v1 + feed == table at v2)") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    Snapshots.mergeInto(spark, p, source(), Seq("id"),
+      matched = Seq(
+        WhenMatched(Some(src("d") <= 4.0),
+          MergeUpdate(Map("v" -> src("d")))),
+        WhenMatched(Some(src("d") === 5.0), MergeDelete)),
+      notMatched = Seq(WhenNotMatched(None,
+        Map("id" -> src("id"), "v" -> src("d"), "tag" -> lit("n")))),
+      notMatchedBySource = Seq(
+        WhenNotMatchedBySource(Some(col("id") <= 1L), MergeDelete)))
+    val feed = Snapshots.changeFeed(spark, p, 1L, 2L)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    byType("update_preimage") shouldBe 2L  // ids 3,4
+    byType("update_postimage") shouldBe 2L
+    byType("delete") shouldBe 2L           // id 5 (matched), id 1 (NMBS)
+    byType("insert") shouldBe 2L           // ids 9,10
+    // pre-images carry OLD values, post-images NEW
+    feed.where(col("_change_type") === "update_preimage" &&
+        col("id") === 3L).select("v").as[Double].head() shouldBe 30.0
+    feed.where(col("_change_type") === "update_postimage" &&
+        col("id") === 3L).select("v").as[Double].head() shouldBe 3.0
+    // the consumer law: applyChangeFeed(v1 state, feed) == v2 content
+    val mirrored = Snapshots.applyChangeFeed(
+      Snapshots.read(spark, p, Some(1L)), feed, Seq("id"))
+    rowSet(mirrored.select("id", "v", "tag")) shouldBe
+      rowSet(Snapshots.read(spark, p).select("id", "v", "tag"))
+  }
+
+  test("mergeInto: duplicate or NULL source keys fail typed; unknown " +
+      "assigned column fails typed") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    val dup = Seq((3L, 1.0), (3L, 2.0)).toDF("id", "d")
+    intercept[Snapshots.MergeSourceConflict] {
+      Snapshots.mergeInto(spark, p, dup, Seq("id"),
+        matched = Seq(WhenMatched(None, MergeDelete)))
+    }
+    val nullKey = Seq((Option.empty[Long], 1.0)).toDF("id", "d")
+    intercept[Snapshots.MergeSourceConflict] {
+      Snapshots.mergeInto(spark, p, nullKey, Seq("id"),
+        matched = Seq(WhenMatched(None, MergeDelete)))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, p, source(), Seq("id"),
+        matched = Seq(WhenMatched(None,
+          MergeUpdate(Map("nope" -> lit(1))))))
+    }
+  }
+
+  test("SQL MERGE INTO: multi-clause with conditions, DELETE and " +
+      "NOT MATCHED BY SOURCE routes through mergeInto by identifier") {
+    val slug = System.nanoTime().toString
+    val cat = s"gmi_$slug"
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE, tag STRING)")
+    target().createOrReplaceTempView(s"gmi_tgt_$slug")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM gmi_tgt_$slug")
+    source().createOrReplaceTempView(s"gmi_src_$slug")
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING gmi_src_$slug s ON t.id = s.id
+          WHEN MATCHED AND s.d <= 4 THEN UPDATE SET v = t.v + s.d * 100
+          WHEN MATCHED AND s.d = 5 THEN DELETE
+          WHEN NOT MATCHED AND s.d >= 10
+            THEN INSERT (id, v, tag) VALUES (s.id, s.d, 'new')
+          WHEN NOT MATCHED BY SOURCE AND t.id <= 1 THEN DELETE""")
+    val got = spark.table(s"$cat.db.t")
+      .select("id", "v", "tag").as[(Long, Double, String)]
+      .collect().toSet
+    got shouldBe Set(
+      (2L, 20.0, "t2"), (3L, 330.0, "t3"), (4L, 440.0, "t4"),
+      (6L, 60.0, "t6"), (7L, 70.0, "t7"), (8L, 80.0, "t8"),
+      (10L, 10.0, "new"))
+    // EXPLAIN stays side-effect-free (rewrite emits a runnable command,
+    // executed only on run)
+    spark.sql(
+      s"""EXPLAIN MERGE INTO $cat.db.t t USING gmi_src_$slug s
+          ON t.id = s.id
+          WHEN MATCHED THEN DELETE""").collect()
+    spark.table(s"$cat.db.t").count() shouldBe 7L
+  }
+
+  test("SQL MERGE INTO: NMBS UPDATE assignments over target columns") {
+    val slug = System.nanoTime().toString
+    val cat = s"gmib_$slug"
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE, tag STRING)")
+    target().createOrReplaceTempView(s"gmib_tgt_$slug")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM gmib_tgt_$slug")
+    source().where(col("id") <= 5L)
+      .createOrReplaceTempView(s"gmib_src_$slug")
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING gmib_src_$slug s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET tag = 'hit'
+          WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'""")
+    val tags = spark.table(s"$cat.db.t").select("id", "tag")
+      .as[(Long, String)].collect().toMap
+    tags(3L) shouldBe "hit"
+    tags(5L) shouldBe "hit"
+    tags(1L) shouldBe "stale"
+    tags(8L) shouldBe "stale"
+  }
+
+  test("SQL MERGE INTO: schema evolution attempt fails typed") {
+    val slug = System.nanoTime().toString
+    val cat = s"gmie_$slug"
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    (1 to 3).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .createOrReplaceTempView(s"gmie_src_$slug")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM gmie_src_$slug")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.db.t t USING gmie_src_$slug s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET nope = s.v""")
+    }
+    e.getMessage should (include("nope") or include("evolve"))
+  }
+}
