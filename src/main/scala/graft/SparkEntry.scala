@@ -4478,6 +4478,42 @@ object SparkEntry {
       }
       s.table(s"$cat.db.ev")
     }),
+    "q_snapshot_procedures" -> ((s, dir) => {
+      // SQL STORED PROCEDURES (r11, Spark 4 ProcedureCatalog): the
+      // whole maintenance lifecycle as CALL statements — restore rolls
+      // the SQL DELETE back, optimize rewrites the layout, history
+      // pins the exact commit count — so a pure-SQL operator needs no
+      // Scala API for maintenance (the reference exposes maintenance
+      // only through Python). Typed errors, z-order bounds derivation,
+      // vacuum and SHOW PROCEDURES are spec-pinned
+      // (SnapshotProceduresSpec).
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"gproc_$slug"
+      val whPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_proccat_$slug"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
+      sharedBuild("proccat", dir) { wh =>
+        deleteRecursively(wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING, value DOUBLE)")
+        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
+          .createOrReplaceTempView(s"proc_base_$slug")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM proc_base_$slug")
+        s.sql(s"DELETE FROM $cat.db.ev WHERE event_type = 'click'")
+        // v4: CALL restore undoes the delete; v5: CALL optimize
+        // rewrites the layout content-identically
+        s.sql(s"CALL $cat.system.restore(`table` => 'db.ev', " +
+          "version => 2)")
+        s.sql(s"CALL $cat.system.optimize(`table` => 'db.ev', " +
+          "num_files => 2, zorder => 'event_id,user_id')")
+      }
+      val nCommits = s.sql(
+        s"CALL $cat.system.history(`table` => 'db.ev')").count()
+      s.table(s"$cat.db.ev").withColumn("n_commits", lit(nCommits))
+    }),
     "q_merge_into" -> ((s, dir) => {
       // GENERAL MERGE INTO (r11) — the full SQL shape the canonical
       // upsert lacks: ordered CONDITIONAL clauses, WHEN MATCHED DELETE,
@@ -8771,6 +8807,13 @@ object SparkEntry {
          SELECT event_id, user_id, event_type, value + 100,
                 CAST(NULL AS VARCHAR)
          FROM events WHERE event_id % 5 = 0""",
+    "q_snapshot_procedures" ->
+      // CALL restore undid the SQL DELETE, CALL optimize preserved
+      // content; history pins the commit count (create, insert,
+      // delete, restore, optimize)
+      """SELECT event_id, user_id, event_type, value,
+                CAST(5 AS BIGINT) AS n_commits
+         FROM events WHERE event_id % 3 = 0""",
     "q_merge_into" ->
       // base = %3=0; matched (%12=0) clicks add s.value (= doubling,
       // same row), matched views delete, other matched types carry;

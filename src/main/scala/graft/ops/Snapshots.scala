@@ -651,7 +651,24 @@ object Snapshots extends org.apache.spark.internal.Logging {
       }.toMap
       rel -> FileStats(r.getLong(1), cols, partsFromPath(rel),
         sizes.getOrElse(rel, 0L))
-    }.toMap
+    }.toMap ++ {
+      // a ZERO-ROW file contributes no group to the attribution pass
+      // (CREATE TABLE's schema-recording file; empty tasks of a skewed
+      // write) — it still needs a stats entry, or its byte size is
+      // unknown forever (optimizeToSize fails, maxBytesPerTrigger
+      // treats the version as over-budget) and rowCount-based pruning
+      // can't drop it
+      val covered = rows.map { r =>
+        val fname = r.getString(0)
+        val decoded = try new java.net.URI(fname).getPath
+          catch { case _: java.net.URISyntaxException => fname }
+        val at = decoded.indexOf(marker)
+        s"$commitDir/${decoded.substring(at + marker.length)}"
+      }.toSet
+      adds.filterNot(covered).map(f =>
+        f -> FileStats(0L, Map.empty, partsFromPath(f),
+          sizes.getOrElse(f, 0L))).toMap
+    }
   }
 
   // -------------------------------------------------------- predicate bounds

@@ -27,7 +27,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * There is deliberately NO separate metastore: the transaction log IS
   * the table metadata (the path-based Delta model), so catalog and
   * direct-path access can never disagree. */
-final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -240,4 +241,19 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       fs.delete(p, true)
     }
   }
+
+  // --------------------------------------------------------- procedures
+
+  /** SQL maintenance surface: `CALL <cat>.system.optimize/
+    * optimize_to_size/vacuum/restore/history(table => 'db.t', ...)` —
+    * see [[SnapshotProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.load(warehouse, checkSegment, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      SnapshotProcedures.all(warehouse, checkSegment)
+        .map(p => Identifier.of(Array("system"), p.name)).toArray
+    else Array.empty
 }

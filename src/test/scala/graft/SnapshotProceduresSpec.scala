@@ -1,0 +1,127 @@
+package graft
+
+import graft.ops.Snapshots
+import org.apache.spark.sql.functions._
+
+/** SQL stored-procedure surface (`CALL cat.system.proc(...)` on
+  * Spark 4's ProcedureCatalog) — the maintenance lifecycle as plain
+  * SQL: optimize (+ z-order), optimize_to_size, vacuum, restore,
+  * history. */
+class SnapshotProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(): (String, String) = {
+    val slug = System.nanoTime().toString
+    val cat = s"gproc_$slug"
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_proc_").toString
+    new java.io.File(wh).deleteOnExit()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    (cat, wh)
+  }
+
+  private def seed(cat: String, wh: String): String = {
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    val df = (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(8)
+    df.createOrReplaceTempView(s"proc_seed_$cat")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM proc_seed_$cat")
+    s"$wh/db/t"
+  }
+
+  test("CALL system.optimize rewrites into num_files and returns the " +
+      "new version; content identical") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh)
+    val before = spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet
+    // CREATE TABLE is v1 (schema-recording commit), INSERT v2 — the
+    // optimize commit is v3
+    val out = spark.sql(
+      s"CALL $cat.system.optimize(`table` => 'db.t', num_files => 2)")
+      .collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    Snapshots.snapshotAt(spark, p).get.files.size shouldBe 2
+    spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet shouldBe before
+  }
+
+  test("CALL system.optimize with zorder clusters without changing " +
+      "content (bounds derived from the table)") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh)
+    val before = spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet
+    spark.sql(s"CALL $cat.system.optimize(`table` => 'db.t', " +
+      "num_files => 2, zorder => 'id,v')").collect()
+    spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet shouldBe before
+    Snapshots.snapshotAt(spark, p).get.op shouldBe "optimize"
+  }
+
+  test("CALL system.history lists the commit log; restore rolls back " +
+      "as a NEW commit; vacuum sweeps retired files") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh)
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id <= 50")
+    val hist = spark.sql(
+      s"CALL $cat.system.history(`table` => 'db.t')").collect()
+    hist.map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "append"), (2L, "append"), (3L, "delete"))
+    // restore to v2 (the seeded content): a NEW commit v4
+    val rv = spark.sql(
+      s"CALL $cat.system.restore(`table` => 'db.t', version => 2)")
+      .collect().head.getLong(0)
+    rv shouldBe 4L
+    spark.table(s"$cat.db.t").count() shouldBe 100L
+    // vacuum below v4 with zero grace: the delete-rewrite's files and
+    // retired manifests sweep; the restored table still reads
+    val removed = spark.sql(s"CALL $cat.system.vacuum(" +
+      s"`table` => 'db.t', keep_from_version => 4, grace_ms => 0)")
+      .collect().head.getLong(0)
+    removed should be >= 1L
+    spark.table(s"$cat.db.t").count() shouldBe 100L
+  }
+
+  test("CALL system.optimize_to_size derives the file count from " +
+      "recorded sizes") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh)
+    val total = Snapshots.snapshotAt(spark, p).get.stats.values
+      .map(_.bytes).sum
+    spark.sql(s"CALL $cat.system.optimize_to_size(`table` => 'db.t', " +
+      s"target_file_bytes => ${math.max(1L, total / 2)})").collect()
+    val n = Snapshots.snapshotAt(spark, p).get.files.size
+    n should (be >= 2 and be <= 4)
+  }
+
+  test("unknown procedure and namespace fail typed; bad segment " +
+      "cannot escape the warehouse") {
+    val (cat, _) = freshCat()
+    // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.nope(`table` => 'db.t')").collect()
+    }.getMessage should include("nope")
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.sys2.optimize(`table` => 'db.t', " +
+        "num_files => 1)").collect()
+    }
+    seed(cat, spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.history(`table` => '../../etc')")
+        .collect()
+    }
+  }
+
+  test("SHOW PROCEDURES lists the system namespace") {
+    val (cat, _) = freshCat()
+    val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .collect().map(_.toSeq.mkString(" ")).mkString("\n")
+    names should include("optimize")
+    names should include("vacuum")
+    names should include("history")
+  }
+}
