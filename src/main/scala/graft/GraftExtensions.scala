@@ -27,6 +27,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionInjections.foreach(ext.injectFunction)
+    // table-valued functions: SQL CDC consumption without the
+    // option-based reader (the Delta table_changes face)
+    functions.SnapshotTableFunctions.injectables
+      .foreach(ext.injectTableFunction)
     // optimizer rules: declarative band joins plan as binned equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
     // planner strategies: the custom as-of join physical operator
@@ -60,6 +64,12 @@ object GraftExtensions {
     functionInjections.foreach { case (id, info, builder) =>
       if (!registry.functionExists(id))
         registry.registerFunction(id, info, builder)
+    }
+    val tvfRegistry = spark.sessionState.tableFunctionRegistry
+    functions.SnapshotTableFunctions.injectables.foreach {
+      case (id, info, builder) =>
+        if (!tvfRegistry.functionExists(id))
+          tvfRegistry.registerFunction(id, info, builder)
     }
   }
 }

@@ -4478,6 +4478,48 @@ object SparkEntry {
       }
       s.table(s"$cat.db.ev")
     }),
+    "q_sql_table_changes" -> ((s, dir) => {
+      // the Delta table_changes TVF face (r11): pure-SQL CDC over the
+      // same store as q_snapshot_cdf — identical planning, oracle
+      // shared verbatim; identifier resolution + typed errors are
+      // spec-pinned (SnapshotCdfSpec)
+      val p = buildCdfSnapshotStore(s, dir)
+      s.sql(s"SELECT * FROM graft_table_changes('$p', 0, 3)")
+        .drop("_commit_timestamp")
+    }),
+    "q_stream_native_sink" -> ((s, dir) => {
+      // NATIVE streaming sink (r11): writeStream.format("graft-
+      // snapshot").start(path) with NO foreachBatch — the Delta
+      // DeltaSink architecture (V1 StreamSinkProvider behind the V2
+      // table). Two micro-batches land as two idempotent (query id,
+      // batchId)-keyed append commits; the result is the table read
+      // back, so the oracle verifies the streamed content AND the
+      // commit protocol end-to-end. Crash-replay idempotence, Complete
+      // mode, partitionBy layout creation and Update rejection are
+      // spec-pinned (SnapshotSinkSpec).
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val p = freshSnapshotPath(dir, "nsink")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val rows = snapshotEvents(s, dir)
+        .where(col("event_id") % 7 === 0)
+        .as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, Long, String, Double)]
+      val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation",
+          s"${System.getProperty("java.io.tmpdir")}/graft_nsink_ck_" +
+            s"${slug}_" + System.nanoTime())
+        .outputMode("append")
+        .start(p)
+      try {
+        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      Snapshots.read(s, p)
+    }),
     "q_snapshot_procedures" -> ((s, dir) => {
       // SQL STORED PROCEDURES (r11, Spark 4 ProcedureCatalog): the
       // whole maintenance lifecycle as CALL statements — restore rolls
@@ -8807,6 +8849,27 @@ object SparkEntry {
          SELECT event_id, user_id, event_type, value + 100,
                 CAST(NULL AS VARCHAR)
          FROM events WHERE event_id % 5 = 0""",
+    "q_sql_table_changes" ->
+      // q_snapshot_cdf's oracle verbatim (same store, same feed range,
+      // consumed through the SQL TVF face)
+      """SELECT event_id, user_id, event_type, value,
+                'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'insert', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 3 = 1
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(3 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
+           AND event_type = 'view'""",
+    "q_stream_native_sink" ->
+      // the streamed slice, landed by the native sink
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 7 = 0""",
     "q_snapshot_procedures" ->
       // CALL restore undid the SQL DELETE, CALL optimize preserved
       // content; history pins the commit count (create, insert,

@@ -1104,11 +1104,12 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * a replay with `txnId` ≤ the recorded high-water mark is a no-op
     * returning the current version. */
   def overwriteIdempotent(df: DataFrame, path: String, appId: String,
-      txnId: Long): Long = {
+      txnId: Long, partitionBy: Seq[String] = Nil): Long = {
     require(appId.nonEmpty, "overwriteIdempotent needs an application id")
     latestManifest(df.sparkSession, path) match {
       case Some(m) if m.txns.get(appId).exists(_ >= txnId) => m.version
-      case _ => commit(df, path, "overwrite", txn = Some((appId, txnId)))
+      case _ => commit(df, path, "overwrite", txn = Some((appId, txnId)),
+        partitionBy = partitionBy)
     }
   }
 

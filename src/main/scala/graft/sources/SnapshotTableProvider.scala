@@ -47,9 +47,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * boolean, string, timestamp (INT64 millis/micros/nanos and INT96),
   * date. */
 final class SnapshotTableProvider extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** NATIVE streaming sink — `df.writeStream.format("graft-snapshot")
+    * .start(path)`, no foreachBatch needed (the Delta `DeltaSink`
+    * architecture: a V1 `StreamSinkProvider` behind the V2 table,
+    * which is exactly how Delta ships its own streaming write).
+    * Exactly-once by construction: each micro-batch lands as ONE
+    * idempotent commit keyed (streaming query id, batchId) — a
+    * restarted query replays its last batch as a no-op. Append mode
+    * appends; Complete mode overwrites per batch (the aggregation-
+    * result mirror); Update is rejected typed (no key contract on
+    * this face — use foreachBatch + mergeChanges). `partitionBy(...)`
+    * on the writer defines the layout when the sink CREATES the
+    * table, and must match an existing table's layout. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot sink needs a path — .start(path) or " +
+          "option(\"path\", ...)"))
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Update())
+      throw new IllegalArgumentException(
+        "graft-snapshot sink supports Append and Complete output " +
+          "modes — Update has no key contract on this face; use " +
+          "foreachBatch with Snapshots.mergeChanges for keyed upserts")
+    new SnapshotSink(path, partitionColumns,
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
 
   /** Manifest → table schema, with the reader-support guard. */
   private def manifestSchema(m: graft.ops.Snapshots.Manifest,
@@ -311,6 +342,58 @@ final class SnapshotWriteBuilder(path: String,
           }
         }
     }
+}
+
+/** The streaming SINK behind `writeStream.format("graft-snapshot")` —
+  * see [[SnapshotTableProvider.createSink]]. Each `addBatch` re-anchors
+  * the micro-batch plan as a batch DataFrame (the ForeachBatchSink
+  * technique) and lands it as one idempotent commit keyed by
+  * (query id, batchId), so crash-replayed batches are no-ops — the
+  * same exactly-once contract as [[graft.ops.Snapshots.streamAppend]],
+  * without the user writing a foreachBatch. */
+final class SnapshotSink(path: String, partitionColumns: Seq[String],
+    complete: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : Unit = {
+    val spark = data.sparkSession
+    val batchDf = org.apache.spark.sql.graft.Bridge.rebatch(data)
+    // the engine's txn idempotence key: unique per STREAMING QUERY
+    // (the checkpoint's identity), stable across restarts — set by
+    // StreamExecution on the session's local properties
+    val queryId = Option(spark.sparkContext
+      .getLocalProperty("sql.streaming.queryId")).getOrElse(
+      throw new IllegalStateException(
+        "graft-snapshot sink: no streaming query id on this thread — " +
+          "addBatch called outside a streaming query?"))
+    val appId = s"stream-sink:$queryId"
+    val existing = Snapshots.latestManifest(spark, path)
+    existing match {
+      case Some(m) if partitionColumns.nonEmpty &&
+          m.partitionBy != partitionColumns =>
+        throw new IllegalArgumentException(
+          s"graft-snapshot sink: table at $path is partitioned by " +
+            s"(${m.partitionBy.mkString(",")}) but the writer asked " +
+            s"for (${partitionColumns.mkString(",")}) — layout changes " +
+            "need an explicit batch overwrite")
+      case None if partitionColumns.nonEmpty && !complete =>
+        // first batch CREATES the table with the writer's layout;
+        // appends then inherit it (Complete mode passes partitionBy
+        // straight through its per-batch overwrite instead)
+        Snapshots.createEmpty(spark, path, batchDf.schema,
+          partitionColumns)
+      case _ => ()
+    }
+    if (complete)
+      Snapshots.overwriteIdempotent(batchDf, path, appId, batchId,
+        partitionColumns)
+    else
+      Snapshots.appendIdempotent(batchDf, path, appId, batchId)
+  }
+
+  override def toString: String = s"SnapshotSink[$path]"
 }
 
 final class SnapshotScanBuilder(path: String, full: StructType,

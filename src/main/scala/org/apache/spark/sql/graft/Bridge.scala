@@ -24,4 +24,28 @@ object Bridge {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A DataFrame's analyzed logical plan — needed by table-valued
+    * function builders, which must return a [[LogicalPlan]] for the
+    * relation a DataFrame already describes. */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** The Dataset a streaming [[org.apache.spark.sql.execution
+    * .streaming.Sink]] receives in `addBatch` carries the micro-batch
+    * INCREMENTAL plan — re-planning it through a fresh write would
+    * re-execute (or reject) the streaming sources. Re-anchor it as a
+    * plain batch DataFrame over the executed RDD — exactly what
+    * Spark's own ForeachBatchSink does before handing the user their
+    * batch DF. */
+  def rebatch(data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val classic =
+      data.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classic.queryExecution.toRdd, classic, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      classic.sparkSession, node)
+  }
 }

@@ -535,4 +535,37 @@ class SnapshotCdfSpec extends SparkSpec {
     feedSet(Snapshots.changeFeed(spark, p, 2L, 3L)) shouldBe
       Set((9L, "delete", 3L))
   }
+
+  test("graft_table_changes TVF: SQL CDC == changeFeed, by path and " +
+      "by catalog identifier; bad args fail typed") {
+    val p = buildStore()
+    feedSet(spark.sql(
+      s"SELECT * FROM graft_table_changes('$p', 0, 5)")) shouldBe expected
+    feedSet(spark.sql(
+      s"SELECT id, _change_type, _commit_version " +
+        s"FROM graft_table_changes('$p', 2, 4)")) shouldBe
+      ((1L to 3L).map((_, "delete", 3L)).toSet ++
+        (4L to 5L).map((_, "delete", 4L)).toSet)
+    // identifier resolution through a configured catalog warehouse
+    val wh = freshDir()
+    spark.conf.set("spark.sql.catalog.gtvf",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.gtvf.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gtvf.db")
+    spark.sql("CREATE TABLE gtvf.db.t (id BIGINT, v DOUBLE)")
+    import spark.implicits._
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("gtvf_seed")
+    spark.sql("INSERT INTO gtvf.db.t SELECT * FROM gtvf_seed")
+    spark.sql(
+      "SELECT * FROM graft_table_changes('gtvf.db.t', 1, 2)")
+      .select("id", "_change_type").as[(Long, String)]
+      .collect().toSet shouldBe Set((1L, "insert"), (2L, "insert"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_table_changes('nope.db.t', 0, 1)")
+    }.getMessage should include("cannot resolve")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$p', 0)")
+    }
+  }
 }
