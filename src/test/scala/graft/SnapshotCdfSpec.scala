@@ -536,6 +536,38 @@ class SnapshotCdfSpec extends SparkSpec {
       Set((9L, "delete", 3L))
   }
 
+  test("streaming CDF across a schema evolution: a sidecar commit " +
+      "written BEFORE the evolution reads with the evolved schema " +
+      "(late columns null) on both faces") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 6).repartition(1), p)   // v1
+    Snapshots.delete(spark, p, col("id") <= 2L)       // v2: CoW sidecar
+    Snapshots.append((7 to 8).map(i =>
+      (i.toLong, s"r$i", i * 2.0, s"x$i"))
+      .toDF("id", "name", "v", "extra"), p)           // v3: evolution
+    val expectedRows =
+      (1L to 6L).map(i => (i, "insert", 1L, None: Option[String])).toSet ++
+      (1L to 2L).map(i => (i, "delete", 2L, None: Option[String])).toSet ++
+      (7L to 8L).map(i => (i, "insert", 3L, Some(s"x$i"))).toSet
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("_change_type"), col("_commit_version"),
+        col("extra")).as[(Long, String, Long, Option[String])]
+        .collect().toSet
+    shape(Snapshots.changeFeed(spark, p, 0L, 3L)) shouldBe expectedRows
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(p)
+      .writeStream.format("memory").queryName("cdf_evo")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      shape(spark.table("cdf_evo")) shouldBe expectedRows
+    } finally q.stop()
+  }
+
   test("graft_table_changes TVF: SQL CDC == changeFeed, by path and " +
       "by catalog identifier; bad args fail typed") {
     val p = buildStore()

@@ -224,6 +224,87 @@ class SnapshotMergeIntoSpec extends SparkSpec {
     tags(8L) shouldBe "stale"
   }
 
+  test("mergeInto over live deletion vectors: a MoR-deleted row is " +
+      "NOT a match target — the source row inserts; the rewrite " +
+      "keeps the deletion") {
+    val p = freshDir()
+    Snapshots.append(target().repartition(1), p)
+    Snapshots.deleteMor(spark, p, col("id") === 3L) // v2: dv only
+    // source hits the dv-deleted key 3 and the live key 4
+    Snapshots.mergeInto(spark, p,
+      Seq((3L, 300.0), (4L, 400.0)).toDF("id", "d"), Seq("id"),
+      matched = Seq(WhenMatched(None,
+        MergeUpdate(Map("v" -> src("d"))))),
+      notMatched = Seq(WhenNotMatched(None,
+        Map("id" -> src("id"), "v" -> src("d"), "tag" -> lit("resurrect")))))
+    val got = Snapshots.read(spark, p).select("id", "v", "tag")
+      .as[(Long, Double, String)].collect()
+      .map { case (i, v, t) => i -> ((v, t)) }.toMap
+    got(3L) shouldBe ((300.0, "resurrect")) // inserted, not updated
+    got(4L) shouldBe ((400.0, "t4"))        // matched update
+    got.size shouldBe 8 // 8 seed - 1 dv-deleted + 1 insert
+    // CDC agrees: key 3 is an insert, key 4 an update pair
+    val feed = Snapshots.changeFeed(spark, p, 2L, 3L)
+    feed.where(col("id") === 3L).select("_change_type")
+      .as[String].collect().toSet shouldBe Set("insert")
+    feed.where(col("id") === 4L).select("_change_type")
+      .as[String].collect().toSet shouldBe
+      Set("update_preimage", "update_postimage")
+  }
+
+  test("mergeInto with CDC disabled: batch changeFeed falls back to " +
+      "the read-time multiset diff and stays row-exact") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    spark.conf.set(Snapshots.CdcEnabledKey, "false")
+    try {
+      Snapshots.mergeInto(spark, p, source(), Seq("id"),
+        matched = Seq(
+          WhenMatched(Some(src("d") <= 4.0),
+            MergeUpdate(Map("v" -> src("d")))),
+          WhenMatched(Some(src("d") === 5.0), MergeDelete)),
+        notMatched = Seq(WhenNotMatched(None,
+          Map("id" -> src("id"), "v" -> src("d")))))
+      Snapshots.manifestAt(spark, p, 2L).get.cdc shouldBe empty
+      val feed = Snapshots.changeFeed(spark, p, 1L, 2L)
+      // the diff emits NET deletes+inserts (no image pairing)
+      val byKey = feed.select(col("id"), col("_change_type"))
+        .as[(Long, String)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      byKey(3L) shouldBe Seq("delete", "insert") // updated: old out, new in
+      byKey(5L) shouldBe Seq("delete")           // matched delete
+      byKey(9L) shouldBe Seq("insert")           // fresh insert
+      byKey.contains(6L) shouldBe false          // untouched survivor cancels
+      // the consumer law still holds on the diff-shaped feed
+      val mirrored = Snapshots.applyChangeFeed(
+        Snapshots.read(spark, p, Some(1L)), feed, Seq("id"))
+      rowSet(mirrored) shouldBe rowSet(Snapshots.read(spark, p))
+    } finally spark.conf.set(Snapshots.CdcEnabledKey, "true")
+  }
+
+  test("mergeInto on a PARTITIONED table preserves the layout and " +
+      "partition pruning") {
+    val p = freshDir()
+    Snapshots.append(
+      (1 to 8).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd",
+        i * 10.0)).toDF("id", "par", "v"), p, Seq("par"))
+    Snapshots.mergeInto(spark, p,
+      Seq((2L, 999.0), (9L, 90.0)).toDF("id", "d"), Seq("id"),
+      matched = Seq(WhenMatched(None, MergeUpdate(Map("v" -> src("d"))))),
+      notMatched = Seq(WhenNotMatched(None, Map("id" -> src("id"),
+        "par" -> lit("odd"), "v" -> src("d")))),
+      notMatchedBySource = Seq(WhenNotMatchedBySource(
+        Some(col("id") === 7L), MergeDelete)))
+    val m = Snapshots.latestManifest(spark, p).get
+    m.partitionBy shouldBe Seq("par")
+    Snapshots.scanWhere(spark, p, col("par") === "even")
+      .select("id", "v").as[(Long, Double)].collect().toMap shouldBe
+      Map(2L -> 999.0, 4L -> 40.0, 6L -> 60.0, 8L -> 80.0)
+    Snapshots.read(spark, p).where(col("id") === 9L)
+      .select("par").as[String].head() shouldBe "odd"
+    Snapshots.read(spark, p).where(col("id") === 7L).count() shouldBe 0L
+  }
+
   test("SQL MERGE INTO: schema evolution attempt fails typed") {
     val slug = System.nanoTime().toString
     val cat = s"gmie_$slug"
