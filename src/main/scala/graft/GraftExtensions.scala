@@ -53,6 +53,7 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Expression)] =
     functions.TextHashExprs.injectables ++
       functions.BloomExprs.injectables ++
+      functions.BitmapExprs.injectables ++
       functions.GeoExprs.injectables ++
       functions.DotProduct.injectables ++
       functions.ZOrder.injectables

@@ -4478,6 +4478,35 @@ object SparkEntry {
       }
       s.table(s"$cat.db.ev")
     }),
+    "q_bitmap_distinct" -> ((s, dir) => {
+      // EXACT mergeable distinct-count sketches (r11, the ClickHouse
+      // groupBitmap / roaring bitmap_agg family): per (event_type, day)
+      // distinct users via the bitmap aggregate — a
+      // TypedImperativeAggregate whose buffer is one compressed bitmap
+      // per group (array↔bitmap containers per 2^16 chunk), map-side
+      // partial aggregation, canonical bytes. Oracled EXACTLY against
+      // COUNT(DISTINCT) — unlike HLL there is no approximation.
+      import graft.functions.BitmapExprs._
+      readEvents(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(bitmapCount(bitmapAgg(col("user_id"))).as("n_users"))
+    }),
+    "q_bitmap_rollup" -> ((s, dir) => {
+      // the REAGGREGATION law COUNT(DISTINCT) lacks, end-to-end: build
+      // the per-day sketch cube once, then answer the per-type distinct
+      // from the CUBE (bitmap_union_agg over persisted sketches) — the
+      // weekly-active-users query at 100 TB never re-scans raw events.
+      // Oracle recomputes from raw, proving cube == raw.
+      import graft.functions.BitmapExprs._
+      val daily = readEvents(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(bitmapAgg(col("user_id")).as("s"))
+      daily.groupBy("event_type")
+        .agg(bitmapCount(bitmapUnionAgg(col("s"))).as("n_users"),
+          count(lit(1)).as("n_days"))
+    }),
     "q_sql_table_changes" -> ((s, dir) => {
       // the Delta table_changes TVF face (r11): pure-SQL CDC over the
       // same store as q_snapshot_cdf — identical planning, oracle
@@ -8849,6 +8878,18 @@ object SparkEntry {
          SELECT event_id, user_id, event_type, value + 100,
                 CAST(NULL AS VARCHAR)
          FROM events WHERE event_id % 5 = 0""",
+    "q_bitmap_distinct" ->
+      // bitmap sketch counts are exact
+      """SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2""",
+    "q_bitmap_rollup" ->
+      // the sketch-cube rollup equals the raw recompute
+      """SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                  AS n_days
+         FROM events GROUP BY 1""",
     "q_sql_table_changes" ->
       // q_snapshot_cdf's oracle verbatim (same store, same feed range,
       // consumed through the SQL TVF face)
