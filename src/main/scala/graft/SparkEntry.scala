@@ -4507,6 +4507,58 @@ object SparkEntry {
         .agg(bitmapCount(bitmapUnionAgg(col("s"))).as("n_users"),
           count(lit(1)).as("n_days"))
     }),
+    "q_stream_bitmap_cube" -> ((s, dir) => {
+      // INCREMENTAL sketch-cube maintenance, end to end (r11): events
+      // land in a snapshot table in two commits; a streaming read tails
+      // the log and each micro-batch folds ONLY ITS ROWS into the
+      // per-(type, day) bitmap cube — existing sketches OR-merge with
+      // the batch's sketches (bitmaps are an insert monoid), landed as
+      // one idempotent commit per batch. At 100 TB the cube update
+      // costs O(batch + cube), never O(history); the oracle recomputes
+      // the final cube from raw events, proving the incremental fold
+      // exact. Distinct-count maintenance like this is impossible with
+      // plain COUNT(DISTINCT) columns.
+      import graft.functions.BitmapExprs._
+      val src = freshSnapshotPath(dir, "bmsrc")
+      val cube = freshSnapshotPath(dir, "bmcube")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val ev = readEvents(s, dir)
+        .select(col("event_type"), col("ts"), col("user_id"))
+      Snapshots.append(ev.where(col("user_id") % 2 === 0), src)
+      Snapshots.append(ev.where(col("user_id") % 2 === 1), src)
+      val q = s.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .option("checkpointLocation",
+          s"${System.getProperty("java.io.tmpdir")}/graft_bmcube_ck_" +
+            s"${slug}_" + System.nanoTime())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val delta = batch
+            .groupBy(col("event_type"),
+              date_trunc("day", col("ts")).as("day"))
+            .agg(bitmapAgg(col("user_id")).as("s"))
+          val cur = Snapshots.latestManifest(batch.sparkSession, cube)
+            .map(_ => Snapshots.read(batch.sparkSession, cube))
+            .getOrElse(delta.limit(0))
+          val merged = cur.select(col("event_type"), col("day"),
+              col("s").as("_old"))
+            .join(delta.select(col("event_type"), col("day"),
+              col("s").as("_new")), Seq("event_type", "day"),
+              "full_outer")
+            .select(col("event_type"), col("day"),
+              when(col("_old").isNull, col("_new"))
+                .when(col("_new").isNull, col("_old"))
+                .otherwise(bitmapOr(col("_old"), col("_new"))).as("s"))
+          Snapshots.overwriteIdempotent(merged, cube,
+            s"bmcube_$slug", batchId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Snapshots.read(s, cube)
+        .select(col("event_type"), col("day"),
+          bitmapCount(col("s")).as("n_users"))
+    }),
     "q_sql_table_changes" -> ((s, dir) => {
       // the Delta table_changes TVF face (r11): pure-SQL CDC over the
       // same store as q_snapshot_cdf — identical planning, oracle
@@ -8890,6 +8942,11 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
                   AS n_days
          FROM events GROUP BY 1""",
+    "q_stream_bitmap_cube" ->
+      // the incrementally maintained cube equals the raw recompute
+      """SELECT event_type, date_trunc('day', ts) AS day,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2""",
     "q_sql_table_changes" ->
       // q_snapshot_cdf's oracle verbatim (same store, same feed range,
       // consumed through the SQL TVF face)

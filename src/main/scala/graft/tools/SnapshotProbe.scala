@@ -260,6 +260,71 @@ object SnapshotProbe {
       rmrf(p)
     }
 
+    /** General MERGE INTO at scale: a fixed-size source against a
+      * growing table. Claim: WITHOUT NOT-MATCHED-BY-SOURCE the rewrite
+      * is batch-proportional (key-touched files only); the insert-only
+      * shape is append-proportional (zero rewrites). */
+    def probeMergeInto(tag: String, data: DataFrame, n: Long): Unit = {
+      import Snapshots.{mergeSource => ms}
+      val p = s"/tmp/graft_snapprobe_gmi_$tag"
+      rmrf(p)
+      (0 until 8).foreach { i =>
+        Snapshots.append(data.where(col("event_id") % 8 === i)
+          .repartitionByRange(8, col("event_id")), p)
+      }
+      val lo = math.min(n, n1) / 2
+      val srcDf = data
+        .where(col("event_id") >= lo && col("event_id") < lo + 1250L)
+        .select(col("event_id"), (col("value") * 2).as("nv"))
+      val gmiT = time(Snapshots.mergeInto(spark, p, srcDf,
+        Seq("event_id"),
+        matched = Seq(
+          Snapshots.WhenMatched(Some(ms("nv") > 1.0),
+            Snapshots.MergeUpdate(Map("value" -> ms("nv")))),
+          Snapshots.WhenMatched(None, Snapshots.MergeDelete))))
+      val m = Snapshots.manifestAt(spark, p,
+        Snapshots.latestVersion(spark, p)).get
+      // insert-only shape: disjoint keys, no rewrite expected
+      val insSrc = data
+        .where(col("event_id") >= lo && col("event_id") < lo + 1250L)
+        .select((col("event_id") + lit(100L * n1 * 10L)).as("event_id"),
+          col("user_id"), col("event_type"), col("value"))
+      val insT = time(Snapshots.mergeInto(spark, p, insSrc,
+        Seq("event_id"),
+        notMatched = Seq(Snapshots.WhenNotMatched(None,
+          Map("event_id" -> ms("event_id"), "user_id" -> ms("user_id"),
+            "event_type" -> ms("event_type"),
+            "value" -> ms("value"))))))
+      val mi = Snapshots.manifestAt(spark, p,
+        Snapshots.latestVersion(spark, p)).get
+      println(f"[snapprobe] gmi_$tag n=$n touched=${m.removes.size} " +
+        f"merge_into=$gmiT%.2f insert_only=$insT%.2f " +
+        f"ins_rewrites=${mi.removes.size}")
+      rmrf(p)
+    }
+
+    /** Bitmap sketch cube at scale: build the per-(type, day-ish) cube
+      * and roll it up. Claim: build is one shuffle of SKETCHES (not
+      * rows); rollup touches only cube rows. */
+    def probeBitmap(tag: String, data: DataFrame, n: Long): Unit = {
+      import graft.functions.BitmapExprs._
+      val cubeT = time {
+        data.groupBy(col("event_type"), (col("event_id") % 64).as("b"))
+          .agg(bitmapAgg(col("user_id")).as("s"))
+          .write.mode("overwrite")
+          .parquet(s"/tmp/graft_bmprobe_$tag")
+      }
+      val rollT = time {
+        spark.read.parquet(s"/tmp/graft_bmprobe_$tag")
+          .groupBy("event_type")
+          .agg(bitmapCount(bitmapUnionAgg(col("s"))).as("nu"))
+          .collect()
+      }
+      println(f"[snapprobe] bitmap_$tag n=$n cube_build=$cubeT%.2f " +
+        f"rollup=$rollT%.2f")
+      rmrf(s"/tmp/graft_bmprobe_$tag")
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -277,6 +342,10 @@ object SnapshotProbe {
     probeCdf("x10", scale10(ev), n1 * 10)
     probeMergeChanges("x1", ev, n1)
     probeMergeChanges("x10", scale10(ev), n1 * 10)
+    probeMergeInto("x1", ev, n1)
+    probeMergeInto("x10", scale10(ev), n1 * 10)
+    probeBitmap("x1", ev, n1)
+    probeBitmap("x10", scale10(ev), n1 * 10)
     spark.stop()
   }
 }
