@@ -4507,6 +4507,25 @@ object SparkEntry {
         .agg(bitmapCount(bitmapUnionAgg(col("s"))).as("n_users"),
           count(lit(1)).as("n_days"))
     }),
+    "q_bitmap_retention" -> ((s, dir) => {
+      // the RETENTION/CHURN algebra from the sketch cube: day-over-day
+      // retained = |prev ∩ cur| (bitmap_and), churned = |prev − cur|
+      // (bitmap_andnot) — computed entirely on per-day sketches via one
+      // lag window, never re-joining raw events (the self-join the
+      // oracle has to do is exactly the 100 TB cost this avoids)
+      import graft.functions.BitmapExprs._
+      val daily = readEvents(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(bitmapAgg(col("user_id")).as("s"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")
+      daily.withColumn("prev", lag(col("s"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"), col("day"),
+          bitmapCount(bitmapAnd(col("prev"), col("s"))).as("retained"),
+          bitmapCount(bitmapAndNot(col("prev"), col("s"))).as("churned"))
+    }),
     "q_stream_bitmap_cube" -> ((s, dir) => {
       // INCREMENTAL sketch-cube maintenance, end to end (r11): events
       // land in a snapshot table in two commits; a streaming read tails
@@ -4636,6 +4655,47 @@ object SparkEntry {
       val nCommits = s.sql(
         s"CALL $cat.system.history(`table` => 'db.ev')").count()
       s.table(s"$cat.db.ev").withColumn("n_commits", lit(nCommits))
+    }),
+    "q_graph_merge_into" -> ((s, dir) => {
+      // general MERGE INTO through the JSON graph surface — process ==
+      // API parity: the same clause program as q_merge_into, authored
+      // as ordered JSON clause lists with SQL expression strings
+      // (source columns as `source.<col>`, re-spelled by parsing).
+      // Oracle shared verbatim with q_merge_into.
+      import graft.compile.GraphCompiler
+      val p = sharedBuild("gmigraph", dir) { tp =>
+        deleteRecursively(s"${tp}_t") // the stores live at the
+        deleteRecursively(s"${tp}_s") // suffixed paths — clean BOTH
+        val ev = snapshotEvents(s, dir)
+        Snapshots.append(ev.where(col("event_id") % 3 === 0),
+          s"${tp}_t")
+        Snapshots.append(ev.where(col("event_id") % 4 === 0),
+          s"${tp}_s")
+        val graph = s"""{
+          "src": {"process_id": "load_snapshot", "arguments": {
+            "path": "${tp}_s"}},
+          "out": {"process_id": "merge_into", "arguments": {
+            "path": "${tp}_t", "source": {"from_node": "src"},
+            "keys": ["event_id"],
+            "matched": [
+              {"condition": "source.event_type = 'click'",
+               "set": {"value": "value + source.value"}},
+              {"condition": "source.event_type = 'view'",
+               "delete": true}],
+            "not_matched": [
+              {"condition": "source.event_id < 5000",
+               "values": {"event_id": "source.event_id",
+                          "user_id": "source.user_id",
+                          "event_type": "'merged'",
+                          "value": "source.value"}}],
+            "not_matched_by_source": [
+              {"condition": "event_type = 'purchase'",
+               "set": {"value": "CAST(0.0 AS DOUBLE)"}}]},
+            "result": true}}"""
+        new GraphCompiler(s, Map.empty).compile(graph)
+        ()
+      }
+      Snapshots.read(s, s"${p}_t")
     }),
     "q_merge_into" -> ((s, dir) => {
       // GENERAL MERGE INTO (r11) — the full SQL shape the canonical
@@ -8942,6 +9002,37 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
                   AS n_days
          FROM events GROUP BY 1""",
+    "q_bitmap_retention" ->
+      // the sketch-algebra counts equal the raw self-join replay
+      """WITH d AS (SELECT DISTINCT event_type,
+                           date_trunc('day', ts) AS day, user_id
+                    FROM events),
+              seq AS (SELECT event_type, day,
+                             lag(day) OVER (PARTITION BY event_type
+                                            ORDER BY day) AS prev_day
+                      FROM (SELECT DISTINCT event_type, day FROM d)),
+              ret AS (SELECT s.event_type, s.day,
+                             COUNT(DISTINCT b.user_id) AS retained
+                      FROM seq s
+                      JOIN d a ON a.event_type = s.event_type
+                              AND a.day = s.prev_day
+                      JOIN d b ON b.event_type = s.event_type
+                              AND b.day = s.day
+                              AND b.user_id = a.user_id
+                      GROUP BY 1, 2),
+              prevn AS (SELECT s.event_type, s.day,
+                               COUNT(DISTINCT a.user_id) AS prev_users
+                        FROM seq s
+                        JOIN d a ON a.event_type = s.event_type
+                                AND a.day = s.prev_day
+                        GROUP BY 1, 2)
+         SELECT p.event_type, p.day,
+                CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained,
+                CAST(p.prev_users - COALESCE(r.retained, 0) AS BIGINT)
+                  AS churned
+         FROM prevn p
+         LEFT JOIN ret r
+           ON r.event_type = p.event_type AND r.day = p.day""",
     "q_stream_bitmap_cube" ->
       // the incrementally maintained cube equals the raw recompute
       """SELECT event_type, date_trunc('day', ts) AS day,
@@ -8975,6 +9066,23 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value,
                 CAST(5 AS BIGINT) AS n_commits
          FROM events WHERE event_id % 3 = 0""",
+    "q_graph_merge_into" ->
+      // q_merge_into's oracle verbatim (same clause program, authored
+      // through the graph surface)
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_id % 12 = 0 AND event_type = 'click'
+                       THEN value * 2
+                     WHEN event_id % 12 <> 0 AND event_type = 'purchase'
+                       THEN 0.0
+                     ELSE value END AS value
+         FROM events
+         WHERE event_id % 3 = 0
+           AND NOT (event_id % 12 = 0 AND event_type = 'view')
+         UNION ALL
+         SELECT event_id, user_id, 'merged', value
+         FROM events
+         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
+           AND event_id < 5000""",
     "q_merge_into" ->
       // base = %3=0; matched (%12=0) clicks add s.value (= doubling,
       // same row), matched views delete, other matched types carry;

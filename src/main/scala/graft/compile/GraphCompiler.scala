@@ -104,6 +104,23 @@ final class GraphCompiler(
   private def optS(n: Node, name: String, results: collection.Map[String, Any]): Option[String] =
     n.arguments.get(name).map(resolve(_, results)).collect { case s: String => s }
 
+  /** merge_into clause expression: SQL text over the merge's joined
+    * row — target columns bare, source columns as `source.<col>`.
+    * The `source.` qualifier re-spells to [[Snapshots.MergeSrcPrefix]]
+    * on the PARSED tree (an UnresolvedAttribute transform — string
+    * substitution could corrupt literals). */
+  private def mergeClauseExpr(sql: String): org.apache.spark.sql.Column = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val rewritten = parsed.transform {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if ua.nameParts.length == 2 &&
+            ua.nameParts.head.equalsIgnoreCase("source") =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(Snapshots.MergeSrcPrefix + ua.nameParts(1))
+    }
+    org.apache.spark.sql.graft.Bridge.column(rewritten)
+  }
+
   // --------------------------------------------------------------- dispatcher
 
   private def processNode(n: Node, g: ProcessGraph,
@@ -450,6 +467,51 @@ final class GraphCompiler(
         val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
           "SnapshotPathMissing", "merge_changes needs a 'path' argument"))
         Snapshots.mergeChanges(spark, spath, dfArg(n, "changes", r), keys)
+        Snapshots.read(spark, spath)
+      case "merge_into" =>
+        // general MERGE INTO on the graph surface — ordered clause
+        // lists as JSON (condition / set / values as SQL expression
+        // strings; source columns referenced as `source.<col>`, which
+        // re-spells to the engine's merge-source namespace by parsing,
+        // never by string substitution); returns the table's resulting
+        // content. Engine semantics documented at Snapshots.mergeInto.
+        val keys = strSeq(n, "keys", r, default = Nil)
+        if (keys.isEmpty) throw graft.OpenEoError("MergeKeysMissing",
+          "merge_into needs a non-empty 'keys' list")
+        val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
+          "SnapshotPathMissing", "merge_into needs a 'path' argument"))
+        // JSON arrays parse to ArrayArg — resolve, then keep the raw
+        // clause objects (lit2scala passes objects through as JsonNode)
+        def clauseList(name: String): Seq[JsonNode] =
+          n.arguments.get(name).map(resolve(_, r)).collect {
+            case xs: Seq[_] => xs.collect { case j: JsonNode => j }
+          }.getOrElse(Nil)
+        def mcond(c: JsonNode): Option[org.apache.spark.sql.Column] =
+          Option(c.get("condition")).filterNot(_.isNull)
+            .map(x => mergeClauseExpr(x.asText()))
+        def massigns(c: JsonNode, field: String)
+            : Option[Map[String, org.apache.spark.sql.Column]] =
+          Option(c.get(field)).filterNot(_.isNull).map(m =>
+            m.properties().asScala.map(e =>
+              e.getKey -> mergeClauseExpr(e.getValue.asText())).toMap)
+        def isDelete(c: JsonNode): Boolean =
+          Option(c.get("delete")).exists(_.asBoolean(false))
+        def updOrDel(c: JsonNode, proc: String): Snapshots.MergeAction =
+          if (isDelete(c)) Snapshots.MergeDelete
+          else Snapshots.MergeUpdate(massigns(c, "set").getOrElse(
+            throw graft.OpenEoError("MergeClauseInvalid",
+              s"$proc clause needs 'set' assignments or 'delete': true")))
+        Snapshots.mergeInto(spark, spath, dfArg(n, "source", r), keys,
+          matched = clauseList("matched").map(c =>
+            Snapshots.WhenMatched(mcond(c), updOrDel(c, "matched"))),
+          notMatched = clauseList("not_matched").map(c =>
+            Snapshots.WhenNotMatched(mcond(c),
+              massigns(c, "values").getOrElse(throw graft.OpenEoError(
+                "MergeClauseInvalid",
+                "not_matched clause needs 'values' assignments")))),
+          notMatchedBySource = clauseList("not_matched_by_source").map(
+            c => Snapshots.WhenNotMatchedBySource(mcond(c),
+              updOrDel(c, "not_matched_by_source"))))
         Snapshots.read(spark, spath)
       case "text_quality_gate" =>
         graft.text.Curation.qualityGate(dfArg(n, "data", r),

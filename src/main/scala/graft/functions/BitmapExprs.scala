@@ -144,6 +144,81 @@ object BitmapExprs {
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     }
 
+    /** Intersect IN PLACE (this ∩= other). Containers absent on either
+      * side drop; array∩array walks both sorted arrays; mixed forms
+      * probe the array against the bitmap. */
+    def and(other: LongBitmap): Unit = {
+      val it = containers.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        other.containers.get(e.getKey) match {
+          case null => it.remove()
+          case o =>
+            val kept: AnyRef = (e.getValue, o) match {
+              case (a: Array[Char], b: Array[Char]) =>
+                val out = new Array[Char](math.min(a.length, b.length))
+                var i = 0; var j = 0; var n = 0
+                while (i < a.length && j < b.length) {
+                  if (a(i) < b(j)) i += 1
+                  else if (a(i) > b(j)) j += 1
+                  else { out(n) = a(i); n += 1; i += 1; j += 1 }
+                }
+                java.util.Arrays.copyOf(out, n)
+              case (a: Array[Char], w: Array[Long]) =>
+                a.filter(c => (w(c.toInt >>> 6) & (1L << (c.toInt & 63))) != 0)
+              case (w: Array[Long], b: Array[Char]) =>
+                b.filter(c => (w(c.toInt >>> 6) & (1L << (c.toInt & 63))) != 0)
+              case (w: Array[Long], w2: Array[Long]) =>
+                val out = new Array[Long](1024)
+                var i = 0
+                while (i < 1024) { out(i) = w(i) & w2(i); i += 1 }
+                out
+            }
+            val empty = kept match {
+              case a: Array[Char] => a.isEmpty
+              case w: Array[Long] => w.forall(_ == 0L)
+            }
+            if (empty) it.remove() else e.setValue(kept)
+        }
+      }
+    }
+
+    /** Subtract IN PLACE (this −= other). */
+    def andNot(other: LongBitmap): Unit = {
+      val it = containers.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        other.containers.get(e.getKey) match {
+          case null => ()
+          case o =>
+            val kept: AnyRef = (e.getValue, o) match {
+              case (a: Array[Char], b: Array[Char]) =>
+                a.filter(c => java.util.Arrays.binarySearch(b, c) < 0)
+              case (a: Array[Char], w: Array[Long]) =>
+                a.filter(c => (w(c.toInt >>> 6) & (1L << (c.toInt & 63))) == 0)
+              case (w: Array[Long], b: Array[Char]) =>
+                val out = w.clone()
+                var i = 0
+                while (i < b.length) {
+                  val lo = b(i).toInt
+                  out(lo >>> 6) &= ~(1L << (lo & 63)); i += 1
+                }
+                out
+              case (w: Array[Long], w2: Array[Long]) =>
+                val out = new Array[Long](1024)
+                var i = 0
+                while (i < 1024) { out(i) = w(i) & ~w2(i); i += 1 }
+                out
+            }
+            val empty = kept match {
+              case a: Array[Char] => a.isEmpty
+              case w: Array[Long] => w.forall(_ == 0L)
+            }
+            if (empty) it.remove() else e.setValue(kept)
+        }
+      }
+    }
+
     def contains(v: Long): Boolean = {
       val lo = (v & 0xFFFFL).toInt
       containers.get(v >>> 16) match {
@@ -331,6 +406,36 @@ object BitmapExprs {
     override def prettyName: String = "graft_bitmap_or"
   }
 
+  /** `graft_bitmap_and(binary, binary)` → intersection sketch — the
+    * RETENTION face: users(day d) ∩ users(day d+1). */
+  case class BitmapAnd(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = LongBitmap.deserialize(l.asInstanceOf[Array[Byte]])
+      a.and(LongBitmap.deserialize(r.asInstanceOf[Array[Byte]]))
+      a.serialize()
+    }
+    override def prettyName: String = "graft_bitmap_and"
+  }
+
+  /** `graft_bitmap_andnot(binary, binary)` → difference sketch — the
+    * CHURN face: users(day d) − users(day d+1). */
+  case class BitmapAndNot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(l, r)
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val a = LongBitmap.deserialize(l.asInstanceOf[Array[Byte]])
+      a.andNot(LongBitmap.deserialize(r.asInstanceOf[Array[Byte]]))
+      a.serialize()
+    }
+    override def prettyName: String = "graft_bitmap_andnot"
+  }
+
   /** `graft_bitmap_contains(binary, long)` → membership. */
   case class BitmapContains(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -367,7 +472,14 @@ object BitmapExprs {
     (FunctionIdentifier("graft_bitmap_contains"),
       new ExpressionInfo(classOf[BitmapContains].getName,
         "graft_bitmap_contains"),
-      (cs: Seq[Expression]) => BitmapContains(cs(0), cs(1))))
+      (cs: Seq[Expression]) => BitmapContains(cs(0), cs(1))),
+    (FunctionIdentifier("graft_bitmap_and"),
+      new ExpressionInfo(classOf[BitmapAnd].getName, "graft_bitmap_and"),
+      (cs: Seq[Expression]) => BitmapAnd(cs(0), cs(1))),
+    (FunctionIdentifier("graft_bitmap_andnot"),
+      new ExpressionInfo(classOf[BitmapAndNot].getName,
+        "graft_bitmap_andnot"),
+      (cs: Seq[Expression]) => BitmapAndNot(cs(0), cs(1))))
 
   private def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -405,5 +517,17 @@ object BitmapExprs {
   def bitmapContains(sketch: Column, value: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_bitmap_contains", sketch, value)
+  }
+
+  /** Intersection (retention). */
+  def bitmapAnd(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_bitmap_and", a, b)
+  }
+
+  /** Difference (churn). */
+  def bitmapAndNot(a: Column, b: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_bitmap_andnot", a, b)
   }
 }

@@ -92,6 +92,41 @@ class BitmapSpec extends SparkSpec {
          FROM bm_sql""").as[Boolean].head() shouldBe true
   }
 
+  test("and/andNot laws across container forms: set semantics, empty " +
+      "containers drop, results re-canonicalize") {
+    def bm(vals: Seq[Long]): LongBitmap = {
+      val b = new LongBitmap; vals.foreach(b.add); b
+    }
+    val big = (0L until 5000L).toSeq      // bitmap container
+    val small = (4000L until 4100L).toSeq // array container
+    val a1 = bm(big); a1.and(bm(small))
+    a1.cardinality shouldBe 100L
+    small.forall(a1.contains) shouldBe true
+    val a2 = bm(big); a2.andNot(bm(small))
+    a2.cardinality shouldBe 4900L
+    a2.contains(4050L) shouldBe false
+    // disjoint chunks drop entirely; canonical bytes after shrink
+    val a3 = bm(Seq(1L, 100000L)); a3.and(bm(Seq(1L)))
+    a3.cardinality shouldBe 1L
+    java.util.Arrays.equals(a3.serialize(), bm(Seq(1L)).serialize()) shouldBe true
+    // bitmap∩bitmap that shrinks below 4096 serializes like a direct build
+    val b1 = bm(0L until 5000L); b1.and(bm(2500L until 7500L))
+    java.util.Arrays.equals(b1.serialize(),
+      bm(2500L until 5000L).serialize()) shouldBe true
+    // DataFrame face: retained/churned vs exact set ops
+    val d1 = (1 to 300).map(_.toLong); val d2 = (200 to 500).map(_.toLong)
+    val df = Seq((1, d1), (2, d2)).toDF("day", "us")
+      .select(col("day"), explode(col("us")).as("u"))
+    val sk = df.groupBy("day").agg(bitmapAgg(col("u")).as("s"))
+      .orderBy("day").select("s").as[Array[Byte]].collect()
+    spark.range(1).select(
+      bitmapCount(bitmapAnd(lit(sk(0)), lit(sk(1))))).as[Long]
+      .head() shouldBe d1.toSet.intersect(d2.toSet).size.toLong
+    spark.range(1).select(
+      bitmapCount(bitmapAndNot(lit(sk(0)), lit(sk(1))))).as[Long]
+      .head() shouldBe d1.toSet.diff(d2.toSet).size.toLong
+  }
+
   test("nulls skip; empty group yields an empty sketch with count 0") {
     val df = Seq((1, Some(5L)), (1, None), (2, None))
       .toDF("g", "v")

@@ -1127,4 +1127,76 @@ class GraphCompilerSpec extends SparkSpec {
           "result": true}}""")
     }.code shouldBe "ChangeFeedKeysMissing"
   }
+
+  test("merge_into process equals the Scala API; source-qualifier " +
+      "rewrite is parse-based; typed clause errors") {
+    import spark.implicits._
+    def compile(graph: String) = new GraphCompiler(spark, Map.empty,
+      java.nio.file.Files.createTempDirectory("graft-res").toString)
+      .compile(graph)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gmig_").toString
+    def seed(tag: String): (String, String) = {
+      val t = s"$base/t_$tag"; val s2 = s"$base/s_$tag"
+      graft.ops.Snapshots.append(
+        (1 to 8).map(i => (i.toLong, i * 10.0, s"t$i"))
+          .toDF("id", "v", "tag"), t)
+      graft.ops.Snapshots.append(
+        (3 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "d"), s2)
+      (t, s2)
+    }
+    val (t1, s1) = seed("a")
+    // graph face — note the string literal containing "source." which
+    // a textual substitution would corrupt; the parse-based rewrite
+    // leaves it intact
+    compile(s"""{
+      "src": {"process_id": "load_snapshot", "arguments": {"path": "$s1"}},
+      "o": {"process_id": "merge_into", "arguments": {
+        "path": "$t1", "source": {"from_node": "src"}, "keys": ["id"],
+        "matched": [
+          {"condition": "source.d <= 4", "set": {"v": "v + source.d"}},
+          {"condition": "source.d = 5", "delete": true}],
+        "not_matched": [
+          {"condition": "source.d >= 10",
+           "values": {"id": "source.id", "v": "source.d",
+                      "tag": "'source.x'"}}]},
+        "result": true}}""")
+    // API face on an identical pair
+    val (t2, _) = seed("b")
+    import graft.ops.Snapshots.{mergeSource => ms}
+    graft.ops.Snapshots.mergeInto(spark, t2,
+      (3 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "d"),
+      Seq("id"),
+      matched = Seq(
+        graft.ops.Snapshots.WhenMatched(Some(ms("d") <= 4.0),
+          graft.ops.Snapshots.MergeUpdate(
+            Map("v" -> (org.apache.spark.sql.functions.col("v") + ms("d"))))),
+        graft.ops.Snapshots.WhenMatched(Some(ms("d") === 5.0),
+          graft.ops.Snapshots.MergeDelete)),
+      notMatched = Seq(graft.ops.Snapshots.WhenNotMatched(
+        Some(ms("d") >= 10.0),
+        Map("id" -> ms("id"), "v" -> ms("d"),
+          "tag" -> org.apache.spark.sql.functions.lit("source.x")))))
+    rowSet(graft.ops.Snapshots.read(spark, t1)) shouldBe
+      rowSet(graft.ops.Snapshots.read(spark, t2))
+    // the literal survived the rewrite
+    graft.ops.Snapshots.read(spark, t1)
+      .where(org.apache.spark.sql.functions.col("id") === 10L)
+      .select("tag").as[String].head() shouldBe "source.x"
+    // typed errors: no keys; a clause with neither set nor delete
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "src": {"process_id": "load_snapshot", "arguments": {"path": "$s1"}},
+        "o": {"process_id": "merge_into", "arguments": {
+          "path": "$t1", "source": {"from_node": "src"},
+          "matched": [{"delete": true}]}, "result": true}}""")
+    }.code shouldBe "MergeKeysMissing"
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "src": {"process_id": "load_snapshot", "arguments": {"path": "$s1"}},
+        "o": {"process_id": "merge_into", "arguments": {
+          "path": "$t1", "source": {"from_node": "src"}, "keys": ["id"],
+          "matched": [{"condition": "source.d = 1"}]}, "result": true}}""")
+    }.code shouldBe "MergeClauseInvalid"
+  }
 }
