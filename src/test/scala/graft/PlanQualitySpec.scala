@@ -1287,4 +1287,27 @@ class PlanQualitySpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("bitmap aggregation: partial ObjectHashAggregate below ONE hash " +
+      "exchange — sketches cross the shuffle, never row sets") {
+    import spark.implicits._
+    import graft.functions.BitmapExprs._
+    val df = (1 to 1000).map(i => (i % 5, i.toLong % 97)).toDF("g", "u")
+      .groupBy("g").agg(bitmapCount(bitmapAgg(col("u"))).as("n"))
+    val plan = planString(df)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode below the exchange (map-side sketch build)
+    plan should include("ObjectHashAggregate")
+    plan.split("Exchange hashpartitioning").length - 1 shouldBe 1
+    val beforeFinal = plan.substring(plan.indexOf("ObjectHashAggregate"))
+    beforeFinal should include("Exchange hashpartitioning")
+    // the rollup face re-aggregates sketches the same way
+    val daily = (1 to 1000).map(i => (i % 7, i % 3, i.toLong % 53))
+      .toDF("d", "g", "u").groupBy("d", "g")
+      .agg(bitmapAgg(col("u")).as("s"))
+    val roll = planString(daily.groupBy("g")
+      .agg(bitmapCount(bitmapUnionAgg(col("s")))))
+    roll should include("ObjectHashAggregate")
+    roll.toLowerCase should include("partial")
+  }
 }
