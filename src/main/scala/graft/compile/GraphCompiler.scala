@@ -481,11 +481,23 @@ final class GraphCompiler(
         val spath = optS(n, "path", r).getOrElse(throw graft.OpenEoError(
           "SnapshotPathMissing", "merge_into needs a 'path' argument"))
         // JSON arrays parse to ArrayArg — resolve, then keep the raw
-        // clause objects (lit2scala passes objects through as JsonNode)
+        // clause objects (lit2scala passes objects through as JsonNode).
+        // A PRESENT argument that is not an array of objects fails
+        // typed: coercing it to Nil would silently drop the clause
+        // family and commit a wrong table state (e.g. the easy mistake
+        // of sending one clause object instead of a one-element array)
         def clauseList(name: String): Seq[JsonNode] =
-          n.arguments.get(name).map(resolve(_, r)).collect {
-            case xs: Seq[_] => xs.collect { case j: JsonNode => j }
-          }.getOrElse(Nil)
+          n.arguments.get(name) match {
+            case None => Nil
+            case Some(a) => resolve(a, r) match {
+              case xs: Seq[_]
+                  if xs.forall(_.isInstanceOf[JsonNode]) =>
+                xs.map(_.asInstanceOf[JsonNode])
+              case other => throw graft.OpenEoError("MergeClauseInvalid",
+                s"merge_into '$name' must be a JSON array of clause " +
+                  s"objects; got $other")
+            }
+          }
         def mcond(c: JsonNode): Option[org.apache.spark.sql.Column] =
           Option(c.get("condition")).filterNot(_.isNull)
             .map(x => mergeClauseExpr(x.asText()))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 
@@ -42,6 +43,25 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   * as roaring `bitmap_agg` — the reference (openeo_odc_driver) has no
   * distinct-count machinery at all. */
 object BitmapExprs {
+
+  private def checkLongish(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects an integral value column, got $other")
+    }
+
+  private def checkSketch(e: Expression, fn: String,
+      pos: String = "argument"): TypeCheckResult =
+    e.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects a bitmap sketch (binary) $pos, got $other")
+    }
 
   // ------------------------------------------------------ the sketch
 
@@ -347,9 +367,11 @@ object BitmapExprs {
       copy(mutableAggBufferOffset = o)
     override def withNewInputAggBufferOffset(o: Int): BitmapAggregate =
       copy(inputAggBufferOffset = o)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkLongish(child, prettyName)
     override def update(b: LongBitmap, input: InternalRow): LongBitmap = {
       val v = child.eval(input)
-      if (v != null) b.add(v.asInstanceOf[Long])
+      if (v != null) b.add(v.asInstanceOf[Number].longValue())
       b
     }
     override def prettyName: String = "graft_bitmap_agg"
@@ -368,6 +390,8 @@ object BitmapExprs {
       copy(mutableAggBufferOffset = o)
     override def withNewInputAggBufferOffset(o: Int): BitmapUnionAggregate =
       copy(inputAggBufferOffset = o)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkSketch(child, prettyName)
     override def update(b: LongBitmap, input: InternalRow): LongBitmap = {
       val v = child.eval(input)
       if (v != null)
@@ -387,6 +411,8 @@ object BitmapExprs {
     override def dataType: DataType = LongType
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkSketch(child, prettyName)
     override protected def nullSafeEval(input: Any): Any =
       LongBitmap.deserialize(input.asInstanceOf[Array[Byte]]).cardinality
     override def prettyName: String = "graft_bitmap_count"
@@ -403,6 +429,12 @@ object BitmapExprs {
       a.or(LongBitmap.deserialize(r.asInstanceOf[Array[Byte]]))
       a.serialize()
     }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkSketch(left, prettyName, "left argument") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkSketch(right, prettyName, "right argument")
+        case f => f
+      }
     override def prettyName: String = "graft_bitmap_or"
   }
 
@@ -418,6 +450,12 @@ object BitmapExprs {
       a.and(LongBitmap.deserialize(r.asInstanceOf[Array[Byte]]))
       a.serialize()
     }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkSketch(left, prettyName, "left argument") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkSketch(right, prettyName, "right argument")
+        case f => f
+      }
     override def prettyName: String = "graft_bitmap_and"
   }
 
@@ -433,6 +471,12 @@ object BitmapExprs {
       a.andNot(LongBitmap.deserialize(r.asInstanceOf[Array[Byte]]))
       a.serialize()
     }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkSketch(left, prettyName, "left argument") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkSketch(right, prettyName, "right argument")
+        case f => f
+      }
     override def prettyName: String = "graft_bitmap_andnot"
   }
 
@@ -442,9 +486,15 @@ object BitmapExprs {
     override def dataType: DataType = BooleanType
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkSketch(left, prettyName, "left argument") match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          checkLongish(right, prettyName)
+        case f => f
+      }
     override protected def nullSafeEval(l: Any, r: Any): Any =
       LongBitmap.deserialize(l.asInstanceOf[Array[Byte]])
-        .contains(r.asInstanceOf[Long])
+        .contains(r.asInstanceOf[Number].longValue())
     override def prettyName: String = "graft_bitmap_contains"
   }
 

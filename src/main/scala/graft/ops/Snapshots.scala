@@ -624,7 +624,9 @@ object Snapshots extends org.apache.spark.internal.Logging {
     }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__n"), aggs: _*).collect()
-    rows.map { r =>
+    // attribution runs ONCE per row; the zero-row coverage set below
+    // reuses these rel keys rather than re-deriving them
+    val relRows = rows.map { r =>
       // input_file_name yields a URI — decode it so escaped partition
       // values (%XX in the dir name) match the raw listing
       val fname = r.getString(0)
@@ -632,7 +634,9 @@ object Snapshots extends org.apache.spark.internal.Logging {
         catch { case _: java.net.URISyntaxException => fname }
       val at = decoded.indexOf(marker)
       require(at >= 0, s"stats pass cannot place $fname under $commitDir")
-      val rel = s"$commitDir/${decoded.substring(at + marker.length)}"
+      (s"$commitDir/${decoded.substring(at + marker.length)}", r)
+    }
+    relRows.map { case (rel, r) =>
       require(addSet.contains(rel),
         s"stats pass resolved unknown file $rel")
       val cols = fields.zipWithIndex.flatMap { case (f, i) =>
@@ -658,13 +662,7 @@ object Snapshots extends org.apache.spark.internal.Logging {
       // unknown forever (optimizeToSize fails, maxBytesPerTrigger
       // treats the version as over-budget) and rowCount-based pruning
       // can't drop it
-      val covered = rows.map { r =>
-        val fname = r.getString(0)
-        val decoded = try new java.net.URI(fname).getPath
-          catch { case _: java.net.URISyntaxException => fname }
-        val at = decoded.indexOf(marker)
-        s"$commitDir/${decoded.substring(at + marker.length)}"
-      }.toSet
+      val covered = relRows.map(_._1).toSet
       adds.filterNot(covered).map(f =>
         f -> FileStats(0L, Map.empty, partsFromPath(f),
           sizes.getOrElse(f, 0L))).toMap
@@ -1533,6 +1531,12 @@ object Snapshots extends org.apache.spark.internal.Logging {
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     checkExpected(m, expectVersion, "mergeInto", path)
     val schema = snapshotSchema(spark, path, m)
+    // the TABLE side needs the same reservation as the source (and as
+    // mergeChanges' __gmc_ guard on its table schema): a target column
+    // named __gmi_t/__gmi_s would be silently replaced by the join
+    // markers, __gmi_src_* would collide with the renamed source
+    require(!schema.fieldNames.exists(_.startsWith("__gmi_")),
+      "mergeInto reserves the __gmi_ column prefix in the table")
     require(keyCols.forall(k => schema.fieldNames.contains(k)),
       s"key columns ${keyCols.mkString(",")} must exist in the table")
     require(keyCols.forall(k => source.columns.contains(k)),

@@ -112,6 +112,15 @@ private[sources] object SnapshotProcedures {
                 org.apache.spark.sql.functions.max(col(c)).cast("double")))
                 .drop(1)): _*).head()
             zcols.zipWithIndex.map { case (c, i) =>
+              // empty table / all-NULL / non-numeric (string casts to
+              // null) → typed error naming the column, never an NPE
+              // out of Row unboxing — this surface serves pure-SQL
+              // operators
+              if (agg.isNullAt(2 * i) || agg.isNullAt(2 * i + 1))
+                throw new IllegalArgumentException(
+                  s"optimize zorder: column '$c' has no numeric " +
+                    "min/max (empty table, all NULL, or non-numeric " +
+                    "type) — z-order needs numeric bounds")
               (c, agg.getDouble(2 * i), agg.getDouble(2 * i + 1)) }
           }
         val v = Snapshots.optimize(spark, p, in.getInt(1), zorderBy,

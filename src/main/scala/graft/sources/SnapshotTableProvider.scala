@@ -386,10 +386,17 @@ final class SnapshotSink(path: String, partitionColumns: Seq[String],
           partitionColumns)
       case _ => ()
     }
-    if (complete)
+    if (complete) {
+      // a Complete overwrite REDEFINES the layout (the engine's
+      // overwrite rule), so a writer without partitionBy must INHERIT
+      // an existing table's layout rather than silently stripping it —
+      // the same guard the V2 batch overwrite applies
+      val effParts =
+        if (partitionColumns.nonEmpty) partitionColumns
+        else existing.map(_.partitionBy).getOrElse(Nil)
       Snapshots.overwriteIdempotent(batchDf, path, appId, batchId,
-        partitionColumns)
-    else
+        effParts)
+    } else
       Snapshots.appendIdempotent(batchDf, path, appId, batchId)
   }
 

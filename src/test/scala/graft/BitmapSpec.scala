@@ -127,6 +127,36 @@ class BitmapSpec extends SparkSpec {
       .head() shouldBe d1.toSet.diff(d2.toSet).size.toLong
   }
 
+  test("type checks: non-integral values and non-binary sketches fail " +
+      "at ANALYSIS with a typed message; int columns widen") {
+    val df = Seq((1, 2.5, "x")).toDF("i", "d", "s")
+    df.createOrReplaceTempView("bm_types")
+    // ints are accepted (widen to long)
+    spark.sql("SELECT graft_bitmap_count(graft_bitmap_agg(i)) FROM bm_types")
+      .as[Long].head() shouldBe 1L
+    // doubles fail typed at analysis, not ClassCastException on executors
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bitmap_agg(d) FROM bm_types").collect()
+    }
+    e1.getMessage should include("integral")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bitmap_count(s) FROM bm_types").collect()
+    }
+    e2.getMessage should include("sketch")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_bitmap_union_agg(d) FROM bm_types").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_bitmap_or(s, s) FROM bm_types").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_bitmap_contains(graft_bitmap_agg(i), d) " +
+          "FROM bm_types").collect()
+    }
+  }
+
   test("nulls skip; empty group yields an empty sketch with count 0") {
     val df = Seq((1, Some(5L)), (1, None), (2, None))
       .toDF("g", "v")

@@ -1198,5 +1198,14 @@ class GraphCompilerSpec extends SparkSpec {
           "path": "$t1", "source": {"from_node": "src"}, "keys": ["id"],
           "matched": [{"condition": "source.d = 1"}]}, "result": true}}""")
     }.code shouldBe "MergeClauseInvalid"
+    // a clause OBJECT where an ARRAY is expected fails typed — silently
+    // coercing to Nil would drop the whole clause family
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "src": {"process_id": "load_snapshot", "arguments": {"path": "$s1"}},
+        "o": {"process_id": "merge_into", "arguments": {
+          "path": "$t1", "source": {"from_node": "src"}, "keys": ["id"],
+          "matched": {"delete": true}}, "result": true}}""")
+    }.code shouldBe "MergeClauseInvalid"
   }
 }

@@ -179,7 +179,8 @@ class SnapshotCatalogSpec extends SparkSpec {
   }
 
   test("SQL MERGE INTO by identifier: the canonical upsert routes into " +
-      "Snapshots.merge; non-upsert shapes fail typed") {
+      "Snapshots.merge; general shapes route into mergeInto; " +
+      "non-equi conditions fail typed") {
     wh
     spark.sql("CREATE TABLE gtest.db.mt (id BIGINT, name STRING, " +
       "v DOUBLE)")
@@ -196,12 +197,12 @@ class SnapshotCatalogSpec extends SparkSpec {
       (1L, "a", 1.0), (2L, "B", 22.0), (9L, "i", 9.0))
     Snapshots.manifestAt(spark, s"$wh/db/mt",
       Snapshots.latestVersion(spark, s"$wh/db/mt")).get.op shouldBe "merge"
-    // a WHEN MATCHED THEN DELETE shape is out of the canonical form:
-    // typed rejection naming the supported shape
-    intercept[UnsupportedOperationException] {
-      spark.sql("""MERGE INTO gtest.db.mt t USING msrc s ON t.id = s.id
-        WHEN MATCHED THEN DELETE""")
-    }.getMessage should include("canonical upsert")
+    // a WHEN MATCHED THEN DELETE shape routes into the GENERAL
+    // mergeInto (r11) — it executes instead of rejecting
+    spark.sql("""MERGE INTO gtest.db.mt t USING msrc s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    spark.table("gtest.db.mt").select("id").as[Long]
+      .collect().sorted shouldBe Array(1L)
     // non-equi merge conditions reject typed too
     intercept[UnsupportedOperationException] {
       spark.sql("""MERGE INTO gtest.db.mt t USING msrc s ON t.id > s.id

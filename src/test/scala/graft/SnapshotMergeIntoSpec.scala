@@ -161,6 +161,14 @@ class SnapshotMergeIntoSpec extends SparkSpec {
         matched = Seq(WhenMatched(None,
           MergeUpdate(Map("nope" -> lit(1))))))
     }
+    // the reserved prefix is guarded on the TABLE side too — a target
+    // column named __gmi_* would be silently replaced by join markers
+    val p2 = freshDir()
+    Snapshots.append(Seq((1L, 2.0)).toDF("id", "__gmi_t"), p2)
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeInto(spark, p2, Seq((1L, 1.0)).toDF("id", "d"),
+        Seq("id"), matched = Seq(WhenMatched(None, MergeDelete)))
+    }.getMessage should include("__gmi_")
   }
 
   test("SQL MERGE INTO: multi-clause with conditions, DELETE and " +

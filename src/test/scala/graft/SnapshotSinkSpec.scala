@@ -126,6 +126,30 @@ class SnapshotSinkSpec extends SparkSpec {
     err.getMessage should include("layout")
   }
 
+  test("writeStream complete WITHOUT partitionBy inherits an existing " +
+      "table's layout instead of silently stripping it") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = freshDir("cmpin")
+    Snapshots.append(
+      Seq(("en", 1.0), ("de", 2.0)).toDF("lang", "total"), p,
+      Seq("lang"))
+    val ms = MemoryStream[(String, Double)]
+    val q = ms.toDF().toDF("lang", "v")
+      .groupBy("lang").agg(sum("v").as("total"))
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ck("cmpin"))
+      .outputMode("complete")
+      .start(p)
+    try {
+      ms.addData(("en", 5.0), ("fr", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    Snapshots.latestManifest(spark, p).get.partitionBy shouldBe
+      Seq("lang")
+    Snapshots.scanWhere(spark, p, col("lang") === "fr")
+      .select("total").as[Double].head() shouldBe 7.0
+  }
+
   test("writeStream update mode rejects typed") {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val p = freshDir("upd")
