@@ -77,5 +77,17 @@ object SnapshotTableFunctions {
         val df = Snapshots.changeFeed(spark, path,
           longArg(args, 1, fn), longArg(args, 2, fn))
         org.apache.spark.sql.graft.Bridge.planOf(df)
+      }),
+    (FunctionIdentifier("graft_table_history"),
+      new ExpressionInfo("graft.functions.SnapshotTableFunctions",
+        "graft_table_history"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_table_history"
+        require(args.length == 1,
+          s"$fn(target) takes 1 argument; got ${args.length}")
+        val spark = SparkSession.active
+        val df = Snapshots.history(spark,
+          resolveTarget(spark, strArg(args, 0, fn)))
+        org.apache.spark.sql.graft.Bridge.planOf(df)
       }))
 }

@@ -600,4 +600,18 @@ class SnapshotCdfSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_table_changes('$p', 0)")
     }
   }
+
+  test("graft_table_history TVF == Snapshots.history, by path") {
+    val p = buildStore()
+    val viaSql = spark.sql(
+      s"SELECT version, op, n_added FROM graft_table_history('$p')")
+      .as[(Long, String, Long)].collect().toSeq
+    val viaApi = Snapshots.history(spark, p)
+      .select("version", "op", "n_added")
+      .as[(Long, String, Long)].collect().toSeq
+    viaSql shouldBe viaApi
+    viaSql.map(r => (r._1, r._2)) shouldBe Seq(
+      (1L, "append"), (2L, "append"), (3L, "delete-dv"),
+      (4L, "delete-dv"), (5L, "optimize"))
+  }
 }
