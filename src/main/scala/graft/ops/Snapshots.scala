@@ -920,6 +920,12 @@ object Snapshots extends org.apache.spark.internal.Logging {
       path: String): Seq[String] =
     latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
 
+  /** The table's active CHECK constraints (name → predicate SQL) —
+    * surfaced on the V2 Table face. */
+  private[graft] def tableConstraints(spark: SparkSession,
+      path: String): Map[String, String] =
+    latestManifest(spark, path).map(_.constraints).getOrElse(Map.empty)
+
   /** File pruning from DataSource V2 pushed filters — used by
     * [[graft.sources.SnapshotTableProvider]] at PLANNING time. Pruning
     * is a conservative superset, so the caller must keep every filter

@@ -140,16 +140,53 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * class keeps the documented rejection: types never mutate in
     * place, and CHECK constraints have their own API
     * (Snapshots.addConstraint/dropConstraint). */
+  /** SQL catalog capabilities: CHECK constraints ride `ALTER TABLE
+    * ADD/DROP CONSTRAINT` into the engine's own constraint commits. */
+  override def capabilities()
+      : java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val spark0 = SparkSession.active
+    // constraint changes route into the engine's constraint commits
+    // (full validation of EXISTING rows inside addConstraint, typed
+    // violation error) — CHECK only: Unique/PK/FK are informational
+    // in Spark's model and this store enforces what it records
+    val constraintChanges = changes.collect {
+      case a: TableChange.AddConstraint => a
+      case d: TableChange.DropConstraint => d
+    }
+    if (constraintChanges.nonEmpty) {
+      if (constraintChanges.size != changes.size)
+        throw new UnsupportedOperationException(
+          "graft-snapshot ALTER TABLE: mix of constraint and " +
+            "non-constraint changes is not supported in one statement")
+      constraintChanges.foreach {
+        case a: TableChange.AddConstraint => a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Snapshots.addConstraint(spark0, pathOf(ident), c.name(),
+              c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft-snapshot supports CHECK constraints only; got " +
+              s"${other.toDDL}")
+        }
+        case d: TableChange.DropConstraint =>
+          val cur = Snapshots.latestManifest(spark0, pathOf(ident))
+            .map(_.constraints).getOrElse(Map.empty)
+          if (!cur.contains(d.name()) && d.ifExists()) ()
+          else Snapshots.dropConstraint(spark0, pathOf(ident), d.name())
+      }
+      return load(ident, Map.empty)
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.isEmpty || adds.size != changes.size)
       throw new UnsupportedOperationException(
-        "graft-snapshot ALTER TABLE supports ADD COLUMN(S) only — " +
-          "evolve other shapes by appending (new columns merge " +
-          "nullable) and manage CHECK constraints via " +
-          "Snapshots.addConstraint/dropConstraint")
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+        "graft-snapshot ALTER TABLE supports ADD COLUMN(S) and " +
+          "ADD/DROP CONSTRAINT (CHECK) — evolve other shapes by " +
+          "appending (new columns merge nullable)")
     val spark = SparkSession.active
     val path = pathOf(ident)
     val cur = Snapshots.read(spark, path).schema

@@ -208,6 +208,20 @@ final class SnapshotTable(path: String, tschema: StructType,
   /** The log root — the SQL UPDATE/MERGE analyzer bridge routes
     * row-level DML against it ([[graft.plans.SnapshotDmlRule]]). */
   private[graft] def tablePath: String = path
+
+  /** The manifest's CHECK constraints, surfaced on the V2 Table face
+    * (DESCRIBE and catalog tooling read them here). Every recorded
+    * constraint IS enforced — the commit protocol validates each
+    * data-changing write. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    graft.ops.Snapshots.tableConstraints(
+      SparkSession.active, path).toSeq.sortBy(_._1).map {
+      case (name, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(name).predicateSql(sql).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
   override def name(): String = s"graft-snapshot($path)"
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =

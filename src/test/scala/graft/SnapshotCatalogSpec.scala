@@ -234,6 +234,38 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.at")
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT (CHECK) routes into the " +
+      "engine's constraint commits: existing rows validate, violating " +
+      "inserts reject, DESCRIBE sees the constraint") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.ck (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+      .createOrReplaceTempView("cksrc")
+    spark.sql("INSERT INTO gtest.db.ck SELECT * FROM cksrc")
+    spark.sql(
+      "ALTER TABLE gtest.db.ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // the constraint is recorded in the log and on the V2 face
+    graft.ops.Snapshots.tableConstraints(spark, s"$wh/db/ck")
+      .keySet shouldBe Set("v_pos")
+    // a violating INSERT rejects through the commit protocol
+    Seq((3L, -1.0)).toDF("id", "v").createOrReplaceTempView("ckbad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gtest.db.ck SELECT * FROM ckbad")
+    }
+    e.getMessage.toLowerCase should include("constraint")
+    spark.table("gtest.db.ck").count() shouldBe 2L
+    // adding a constraint EXISTING rows violate rejects
+    intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gtest.db.ck ADD CONSTRAINT v_big CHECK (v > 1.5)")
+    }
+    // DROP CONSTRAINT re-opens the gate
+    spark.sql("ALTER TABLE gtest.db.ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO gtest.db.ck SELECT * FROM ckbad")
+    spark.table("gtest.db.ck").count() shouldBe 3L
+    spark.sql("DROP TABLE gtest.db.ck")
+  }
+
   test("DROP NAMESPACE on a non-empty namespace raises the typed " +
       "NonEmptyNamespaceException, which Spark surfaces as its " +
       "SCHEMA_NOT_EMPTY error (the SupportsNamespaces contract)") {
