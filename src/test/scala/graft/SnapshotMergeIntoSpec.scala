@@ -313,6 +313,22 @@ class SnapshotMergeIntoSpec extends SparkSpec {
     Snapshots.read(spark, p).where(col("id") === 7L).count() shouldBe 0L
   }
 
+  test("mergeInto conflict: a merge prepared against a stale version " +
+      "fails typed instead of dropping the interleaved commit") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    val prepared = Snapshots.latestManifest(spark, p).get.version
+    Snapshots.append(
+      Seq((99L, 990.0, "t99")).toDF("id", "v", "tag"), p)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeInto(spark, p, source(), Seq("id"),
+        matched = Seq(WhenMatched(None, MergeDelete)),
+        expectVersion = Some(prepared))
+    }
+    // nothing lost: both commits intact, no merge applied
+    Snapshots.read(spark, p).count() shouldBe 9L
+  }
+
   test("SQL MERGE INTO: schema evolution attempt fails typed") {
     val slug = System.nanoTime().toString
     val cat = s"gmie_$slug"
