@@ -157,6 +157,38 @@ private[sources] object SnapshotProcedures {
       versionOut,
       (spark, in) => Seq(row(Snapshots.restore(spark,
         tablePath(warehouse, checkSegment, in), in.getLong(1))))),
+    new P("detail",
+      "One operational summary row for the table: current version, op, " +
+        "live file/DV counts, recorded bytes and rows (file-level — " +
+        "before deletion-vector subtraction), partition layout, active " +
+        "constraints (Delta's DESCRIBE DETAIL shape).",
+      Array(inParam("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType),
+        StructField("op", StringType),
+        StructField("n_files", LongType),
+        StructField("n_dv_files", LongType),
+        StructField("total_bytes", LongType),
+        StructField("total_rows", LongType),
+        StructField("partition_by", StringType),
+        StructField("constraints", StringType))),
+      (spark, in) => {
+        val p = tablePath(warehouse, checkSegment, in)
+        val snap = Snapshots.snapshotAt(spark, p).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed snapshot at $p"))
+        val parts = Snapshots.tablePartitionBy(spark, p)
+        val cons = Snapshots.tableConstraints(spark, p)
+        val stats = snap.files.flatMap(f => snap.stats.get(f))
+        Seq(row(snap.version,
+          UTF8String.fromString(snap.op),
+          snap.files.size.toLong,
+          snap.dvs.size.toLong,
+          stats.map(_.bytes).sum,
+          stats.map(_.rows).sum,
+          UTF8String.fromString(parts.mkString(",")),
+          UTF8String.fromString(cons.keys.toSeq.sorted.mkString(","))))
+      }),
     new P("history",
       "The table's commit log, oldest first: version, op, commit " +
         "timestamp, files added/removed, live file and DV counts, " +

@@ -98,6 +98,20 @@ class SnapshotProceduresSpec extends SparkSpec {
     n should (be >= 2 and be <= 4)
   }
 
+  test("CALL system.detail returns the operational summary row") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh)
+    spark.sql(s"ALTER TABLE $cat.db.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val r = spark.sql(s"CALL $cat.system.detail(`table` => 'db.t')")
+      .collect().head
+    r.getLong(0) shouldBe 3L             // create, insert, constraint
+    r.getLong(3) shouldBe 0L             // no DVs
+    r.getLong(4) should be > 0L          // recorded bytes
+    r.getLong(5) shouldBe 100L           // recorded rows
+    r.getString(6) shouldBe ""           // unpartitioned
+    r.getString(7) shouldBe "v_pos"
+  }
+
   test("unknown procedure and namespace fail typed; bad segment " +
       "cannot escape the warehouse") {
     val (cat, _) = freshCat()
