@@ -926,6 +926,10 @@ object Snapshots extends org.apache.spark.internal.Logging {
       path: String): Map[String, String] =
     latestManifest(spark, path).map(_.constraints).getOrElse(Map.empty)
 
+  /** The latest manifest, for the procedures' one-read summaries. */
+  private[graft] def tableDetailManifest(spark: SparkSession,
+      path: String): Option[Manifest] = latestManifest(spark, path)
+
   /** File pruning from DataSource V2 pushed filters — used by
     * [[graft.sources.SnapshotTableProvider]] at PLANNING time. Pruning
     * is a conservative superset, so the caller must keep every filter
@@ -2221,7 +2225,7 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * partitionBy: inherited by every commit, restored by RESTORE,
     * removable with [[dropConstraint]]. */
   def addConstraint(spark: SparkSession, path: String, name: String,
-      exprSql: String): Long = {
+      exprSql: String, validate: Boolean = true): Long = {
     require(name.nonEmpty, "constraint needs a name")
     val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
@@ -2232,11 +2236,17 @@ object Snapshots extends org.apache.spark.internal.Logging {
     val schema = snapshotSchema(spark, path, m)
     // the existing rows must satisfy it, or reads and rewrites would
     // disagree about which data is "valid". SQL CHECK semantics: a
-    // NULL result PASSES (write `col IS NOT NULL` for null rejection)
-    val bad = readFiles(spark, new Path(path), m.files, schema, m.dvs)
-      .where(not(coalesce(expr(exprSql), lit(true)))).limit(1).count()
-    if (bad > 0) throw new ConstraintViolation(name, exprSql,
-      "add-constraint", path)
+    // NULL result PASSES (write `col IS NOT NULL` for null rejection).
+    // `validate = false` is for callers that ALREADY scanned (Spark's
+    // AddCheckConstraintExec validates before invoking alterTable —
+    // re-reading every live file would double the cost of one SQL
+    // ADD CONSTRAINT) or that KNOW the table is empty (CREATE TABLE)
+    if (validate) {
+      val bad = readFiles(spark, new Path(path), m.files, schema, m.dvs)
+        .where(not(coalesce(expr(exprSql), lit(true)))).limit(1).count()
+      if (bad > 0) throw new ConstraintViolation(name, exprSql,
+        "add-constraint", path)
+    }
     commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
       path, "metadata", expectParent = Some(m.version), writeData = false,
       setConstraints = Some(cur + (name -> exprSql)))
@@ -2244,13 +2254,19 @@ object Snapshots extends org.apache.spark.internal.Logging {
 
   /** Remove a CHECK constraint (metadata-only commit). */
   def dropConstraint(spark: SparkSession, path: String,
-      name: String): Long = {
+      name: String, ifExists: Boolean = false): Long = {
     val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     val cur = latestManifest(spark, path).map(_.constraints)
       .getOrElse(Map.empty)
-    require(cur.contains(name),
-      s"no constraint '$name' at $path (have: ${cur.keys.mkString(",")})")
+    // `ifExists` decides on the SAME read the drop commits against —
+    // a separate caller-side existence probe would be TOCTOU-racy
+    // (two concurrent IF EXISTS drops: the loser must no-op, not fail)
+    if (!cur.contains(name)) {
+      if (ifExists) return m.version
+      throw new IllegalArgumentException(
+        s"no constraint '$name' at $path (have: ${cur.keys.mkString(",")})")
+    }
     val schema = snapshotSchema(spark, path, m)
     commit(spark.createDataFrame(new java.util.ArrayList[Row](), schema),
       path, "metadata", expectParent = Some(m.version), writeData = false,

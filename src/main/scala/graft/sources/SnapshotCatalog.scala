@@ -133,6 +133,32 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     load(ident, Map.empty)
   }
 
+  /** CREATE TABLE with inline constraints (`CONSTRAINT c CHECK (...)`)
+    * — the `TableInfo` overload Spark routes to when the catalog
+    * advertises `SUPPORT_TABLE_CONSTRAINT`. The DEFAULT implementation
+    * forwards only columns/partitions/properties and silently DROPS
+    * the constraints; this override records them (non-CHECK shapes
+    * reject typed BEFORE the table is created, so a failed statement
+    * leaves nothing behind). Validation is skipped: the table is empty
+    * by construction. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val checks = info.constraints().toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name().toLowerCase(java.util.Locale.ROOT) -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshot supports CHECK constraints only; got " +
+          s"${other.toDDL}")
+    }
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    checks.foreach { case (n, sql) =>
+      Snapshots.addConstraint(SparkSession.active, pathOf(ident), n,
+        sql, validate = false)
+    }
+    if (checks.isEmpty) t else load(ident, Map.empty)
+  }
+
   /** `ALTER TABLE ... ADD COLUMN(S)` — an alias for the engine's
     * append-evolution rule: a zero-row commit carrying the widened
     * schema (new columns record NULLABLE; old files read them as
@@ -167,17 +193,26 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       constraintChanges.foreach {
         case a: TableChange.AddConstraint => a.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            Snapshots.addConstraint(spark0, pathOf(ident), c.name(),
-              c.predicateSql())
+            // SQL identifiers are case-insensitive by default — names
+            // normalize to lowercase so ADD V_Pos / DROP v_pos agree
+            // (the Delta rule). validatedTableVersion is non-null when
+            // Spark's AddCheckConstraintExec already scanned existing
+            // rows — re-validating would read the whole table twice
+            // per ADD CONSTRAINT
+            Snapshots.addConstraint(spark0, pathOf(ident),
+              c.name().toLowerCase(java.util.Locale.ROOT),
+              c.predicateSql(),
+              validate = a.validatedTableVersion() == null)
           case other => throw new UnsupportedOperationException(
             s"graft-snapshot supports CHECK constraints only; got " +
               s"${other.toDDL}")
         }
         case d: TableChange.DropConstraint =>
-          val cur = Snapshots.latestManifest(spark0, pathOf(ident))
-            .map(_.constraints).getOrElse(Map.empty)
-          if (!cur.contains(d.name()) && d.ifExists()) ()
-          else Snapshots.dropConstraint(spark0, pathOf(ident), d.name())
+          // the existence check and the drop must share ONE log read
+          // (concurrent IF EXISTS drops: the loser no-ops, not fails)
+          Snapshots.dropConstraint(spark0, pathOf(ident),
+            d.name().toLowerCase(java.util.Locale.ROOT),
+            ifExists = d.ifExists())
       }
       return load(ident, Map.empty)
     }

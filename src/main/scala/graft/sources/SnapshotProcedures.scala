@@ -174,20 +174,29 @@ private[sources] object SnapshotProcedures {
         StructField("constraints", StringType))),
       (spark, in) => {
         val p = tablePath(warehouse, checkSegment, in)
-        val snap = Snapshots.snapshotAt(spark, p).getOrElse(
+        // ONE manifest read anchors the whole row: version, layout and
+        // constraints come from the same manifest, and the file list
+        // resolves AT that version — a concurrent commit cannot mix
+        // two versions' state into one summary
+        val m = Snapshots.tableDetailManifest(spark, p).getOrElse(
           throw new IllegalArgumentException(
             s"no committed snapshot at $p"))
-        val parts = Snapshots.tablePartitionBy(spark, p)
-        val cons = Snapshots.tableConstraints(spark, p)
+        val snap = Snapshots.snapshotAt(spark, p, Some(m.version)).get
+        // totals report ONLY when every live file has a stats entry
+        // (pre-stats-era commits): summing a covered subset would
+        // silently under-report — the COUNT(*) pushdown refuses the
+        // same way; null says "unknown", never a wrong number
+        val full = snap.files.forall(snap.stats.contains)
         val stats = snap.files.flatMap(f => snap.stats.get(f))
         Seq(row(snap.version,
           UTF8String.fromString(snap.op),
           snap.files.size.toLong,
           snap.dvs.size.toLong,
-          stats.map(_.bytes).sum,
-          stats.map(_.rows).sum,
-          UTF8String.fromString(parts.mkString(",")),
-          UTF8String.fromString(cons.keys.toSeq.sorted.mkString(","))))
+          if (full) stats.map(_.bytes).sum else null,
+          if (full) stats.map(_.rows).sum else null,
+          UTF8String.fromString(m.partitionBy.mkString(",")),
+          UTF8String.fromString(
+            m.constraints.keys.toSeq.sorted.mkString(","))))
       }),
     new P("history",
       "The table's commit log, oldest first: version, op, commit " +

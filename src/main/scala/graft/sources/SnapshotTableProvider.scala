@@ -177,7 +177,11 @@ final class SnapshotTableProvider extends TableProvider
       Option(opts.get("maxVersionsPerTrigger")).map(_.toLong),
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
       readConflict, cdf,
-      Option(opts.get("endingVersion")).map(_.toLong))
+      Option(opts.get("endingVersion")).map(_.toLong),
+      // constraints pin to the SAME manifest as the schema and version
+      // (a versionAsOf table must not surface constraints added later,
+      // and analyzer calls must not re-fold the log)
+      manifest.map(_.constraints).getOrElse(Map.empty))
   }
 
   /** Same field names and types in order (nullability and metadata are
@@ -201,7 +205,8 @@ final class SnapshotTable(path: String, tschema: StructType,
     maxBytesPerTrigger: Option[Long] = None,
     readSchemaConflict: Option[String] = None,
     cdf: Boolean = false,
-    endingVersion: Option[Long] = None)
+    endingVersion: Option[Long] = None,
+    pinnedConstraints: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -209,14 +214,16 @@ final class SnapshotTable(path: String, tschema: StructType,
     * row-level DML against it ([[graft.plans.SnapshotDmlRule]]). */
   private[graft] def tablePath: String = path
 
-  /** The manifest's CHECK constraints, surfaced on the V2 Table face
-    * (DESCRIBE and catalog tooling read them here). Every recorded
-    * constraint IS enforced — the commit protocol validates each
-    * data-changing write. */
+  /** The CHECK constraints of the manifest this table was LOADED from
+    * — pinned like the schema and version, so a versionAsOf table
+    * never surfaces constraints added later, and repeated analyzer
+    * calls never re-fold the log. Every recorded constraint IS
+    * enforced — the commit protocol validates each data-changing
+    * write (and Spark 4.1 additionally enforces these in the write
+    * plan). */
   override def constraints()
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    graft.ops.Snapshots.tableConstraints(
-      SparkSession.active, path).toSeq.sortBy(_._1).map {
+    pinnedConstraints.toSeq.sortBy(_._1).map {
       case (name, sql) =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
           .check(name).predicateSql(sql).build()

@@ -266,6 +266,60 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.ck")
   }
 
+  test("CREATE TABLE with an inline CHECK constraint RECORDS it (the " +
+      "TableInfo overload — the default silently drops constraints); " +
+      "names normalize case-insensitively; IF EXISTS no-ops") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.cki (id BIGINT, v DOUBLE, " +
+      "CONSTRAINT V_Pos CHECK (v > 0))")
+    // recorded (lowercased) and enforced from the first insert
+    graft.ops.Snapshots.tableConstraints(spark, s"$wh/db/cki")
+      .keySet shouldBe Set("v_pos")
+    Seq((1L, -1.0)).toDF("id", "v").createOrReplaceTempView("ckibad")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.db.cki SELECT * FROM ckibad")
+    }
+    spark.table("gtest.db.cki").count() shouldBe 0L
+    // DROP with different case resolves the same constraint
+    spark.sql("ALTER TABLE gtest.db.cki DROP CONSTRAINT v_POS")
+    spark.sql("INSERT INTO gtest.db.cki SELECT * FROM ckibad")
+    spark.table("gtest.db.cki").count() shouldBe 1L
+    // IF EXISTS on an absent constraint is a no-op, not an error
+    spark.sql(
+      "ALTER TABLE gtest.db.cki DROP CONSTRAINT IF EXISTS nope")
+    // non-CHECK inline constraints reject BEFORE creating the table
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.db.cki2 (id BIGINT, " +
+        "CONSTRAINT pk PRIMARY KEY (id))")
+    }
+    spark.catalog.tableExists("gtest.db.cki2") shouldBe false
+    spark.sql("DROP TABLE gtest.db.cki")
+  }
+
+  test("constraints() pins to the LOADED version: a versionAsOf table " +
+      "does not surface constraints added later") {
+    wh
+    spark.sql("CREATE TABLE gtest.db.ckp (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0)).toDF("id", "v").createOrReplaceTempView("ckpsrc")
+    spark.sql("INSERT INTO gtest.db.ckp SELECT * FROM ckpsrc")
+    spark.sql(
+      "ALTER TABLE gtest.db.ckp ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val p = s"$wh/db/ckp"
+    def consOf(versionAsOf: Option[Long]) = {
+      // resolve the table exactly as a read would; its constraints are
+      // what DESCRIBE and the write planner see
+      val provider = new graft.sources.SnapshotTableProvider
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("path", p)
+      versionAsOf.foreach(v => opts.put("versionAsOf", v.toString))
+      provider.getTable(new org.apache.spark.sql.types.StructType,
+        Array.empty, opts).constraints().map(_.name()).toSeq
+    }
+    consOf(Some(2L)) shouldBe Nil          // pre-constraint version
+    consOf(None) shouldBe Seq("v_pos")     // latest
+    spark.sql("DROP TABLE gtest.db.ckp")
+  }
+
   test("DROP NAMESPACE on a non-empty namespace raises the typed " +
       "NonEmptyNamespaceException, which Spark surfaces as its " +
       "SCHEMA_NOT_EMPTY error (the SupportsNamespaces contract)") {

@@ -399,9 +399,11 @@ class SnapshotSourceSpec extends SparkSpec {
     val ce = intercept[Exception] {
       tbl(-5 to -1).write.format("graft-snapshot").mode("append").save(p)
     }
+    // exactly the two expected rejection shapes — anything else (a
+    // resolution error that happens to name the constraint, an NPE)
+    // must FAIL this law, or it stops covering rejection semantics
     assert(ce.isInstanceOf[Snapshots.ConstraintViolation] ||
-      ce.getMessage.toUpperCase.contains("CHECK_CONSTRAINT_VIOLATION") ||
-      ce.getMessage.toLowerCase.contains("pos_id"),
+      ce.getMessage.toUpperCase.contains("CHECK_CONSTRAINT_VIOLATION"),
       s"expected a constraint rejection, got: ${ce.getMessage}")
     Snapshots.read(spark, p).count() shouldBe 6L
     // the default mode (ErrorIfExists) gets Spark's own typed
