@@ -41,7 +41,16 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   *
   * ClickHouse ships this as `groupBitmap`, Databricks/Iceberg vendors
   * as roaring `bitmap_agg` — the reference (openeo_odc_driver) has no
-  * distinct-count machinery at all. */
+  * distinct-count machinery at all.
+  *
+  * CARDINALITY BOUNDARY: a group's bitmap is O(distinct values) memory
+  * (~2 B/member sparse, 8 KiB per dense 65k-chunk — ~1.2 GiB for 10^9
+  * dense members), held as ONE buffer object per group per task. The
+  * exact tier is for groups up to the ~10^8-distinct band (the daily
+  * per-segment cube); beyond it, or when estimates suffice, use the
+  * HLL tier (`ops/Incremental` — `q_hll_distinct`/`q_hll_join`), whose
+  * registers are constant-size per group. The two compose: HLL for
+  * the unbounded firehose, bitmaps for the exact cubes built from it. */
 object BitmapExprs {
 
   private def checkLongish(e: Expression, fn: String): TypeCheckResult =
