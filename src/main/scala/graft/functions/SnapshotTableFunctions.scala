@@ -78,6 +78,20 @@ object SnapshotTableFunctions {
           longArg(args, 1, fn), longArg(args, 2, fn))
         org.apache.spark.sql.graft.Bridge.planOf(df)
       }),
+    (FunctionIdentifier("graft_table_files"),
+      new ExpressionInfo("graft.functions.SnapshotTableFunctions",
+        "graft_table_files"),
+      (args: Seq[Expression]) => {
+        val fn = "graft_table_files"
+        require(args.length == 1 || args.length == 2,
+          s"$fn(target[, version]) takes 1-2 arguments; " +
+            s"got ${args.length}")
+        val spark = SparkSession.active
+        val df = Snapshots.tableFiles(spark,
+          resolveTarget(spark, strArg(args, 0, fn)),
+          if (args.length == 2) Some(longArg(args, 1, fn)) else None)
+        org.apache.spark.sql.graft.Bridge.planOf(df)
+      }),
     (FunctionIdentifier("graft_table_history"),
       new ExpressionInfo("graft.functions.SnapshotTableFunctions",
         "graft_table_history"),

@@ -930,6 +930,28 @@ object Snapshots extends org.apache.spark.internal.Logging {
   private[graft] def tableDetailManifest(spark: SparkSession,
       path: String): Option[Manifest] = latestManifest(spark, path)
 
+  /** FILE-level metadata listing (the Iceberg `files` metadata-table
+    * shape): one row per live data file at the given (or latest)
+    * version — relative path, recorded rows and bytes (null when a
+    * pre-stats-era commit left them unknown), partition values, and
+    * whether a live deletion vector covers the file. Driver-side over
+    * the resolved snapshot (bounded by the manifest, like history). */
+  def tableFiles(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val snap = snapshotAt(spark, path, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at $path" +
+          version.map(v => s" (version $v)").getOrElse("")))
+    import spark.implicits._
+    snap.files.sorted.map { f =>
+      val st = snap.stats.get(f)
+      (f, st.map(_.rows), st.map(_.bytes).filter(_ > 0),
+        st.map(_.parts.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(",")).getOrElse(""),
+        snap.dvs.contains(f))
+    }.toDF("file", "rows", "bytes", "partition_values", "has_dv")
+  }
+
   /** File pruning from DataSource V2 pushed filters — used by
     * [[graft.sources.SnapshotTableProvider]] at PLANNING time. Pruning
     * is a conservative superset, so the caller must keep every filter

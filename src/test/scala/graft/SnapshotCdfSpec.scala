@@ -601,6 +601,27 @@ class SnapshotCdfSpec extends SparkSpec {
     }
   }
 
+  test("graft_table_files TVF: one row per live file with recorded " +
+      "rows/bytes, partition values, DV flag; version pin honored") {
+    import spark.implicits._
+    val p = freshDir()
+    Snapshots.append(tbl(1 to 10).withColumn("par",
+        when(col("id") <= 5L, "a").otherwise("b")),
+      p, Seq("par"))
+    Snapshots.deleteMor(spark, p, col("id") === 2L)
+    val files = spark.sql(
+      s"SELECT * FROM graft_table_files('$p')")
+      .as[(String, Option[Long], Option[Long], String, Boolean)]
+      .collect()
+    files.map(_._2.get).sum shouldBe 10L       // recorded rows
+    files.forall(_._3.exists(_ > 0)) shouldBe true
+    files.map(_._4).toSet shouldBe Set("par=a", "par=b")
+    files.count(_._5) shouldBe 1               // one dv-covered file
+    // version pin: v1 has no DVs
+    spark.sql(s"SELECT * FROM graft_table_files('$p', 1)")
+      .where(col("has_dv")).count() shouldBe 0L
+  }
+
   test("graft_table_history TVF == Snapshots.history, by path") {
     val p = buildStore()
     val viaSql = spark.sql(
