@@ -369,6 +369,72 @@ object SparkEntry {
       _ => { build(path); path })
   }
 
+  /** The DataFrame flavor of [[sharedBuild]] — build-once-serve-many
+    * for EXPENSIVE DETERMINISTIC INTERMEDIATES several gate rows
+    * recompute identically (the trained hashed-classifier score table
+    * serves five rows, the corpus bigram stream / LM / DSIR weight
+    * table four): materialize once per (kind, sf dir, JVM) via an
+    * eager localCheckpoint; every consumer reads pinned blocks. The
+    * held reference keeps the blocks from the ContextCleaner.
+    * Contents are deterministic, so which row pays the build cannot
+    * change any result — the production shape too: a curation
+    * platform trains the gate model once, not once per report. */
+  private val sharedDfs =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedDf(kind: String, dir: String)(
+      build: => DataFrame): DataFrame =
+    sharedDfs.computeIfAbsent(s"$kind:$dir",
+      _ => build.localCheckpoint(true))
+
+  /** The corpus-wide hashed-classifier score table (doc_id, y, score):
+    * hashedFeatures(dim 64) → 2 GD iterations → scoreHashed, the exact
+    * trajectory every classifier row and q_curation_pipeline_v3's gate
+    * replay in their oracles. */
+  private def classifierScoreShared(s: SparkSession,
+      dir: String): DataFrame =
+    sharedDf("clfscore", dir) {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
+        .localCheckpoint(true)
+      val labels = d.select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
+        iters = 2, lr = 0.1)
+      Classifier.scoreHashed(labels, feats, w, "doc_id")
+    }
+
+  /** The corpus bigram stream (doc_id, lang, gram) — the expensive
+    * explode pass behind the LM rows; consumers select the columns
+    * they need (trainers read `gram`, scorers (id, gram)). */
+  private def corpusGramsShared(s: SparkSession, dir: String): DataFrame =
+    sharedDf("cgrams", dir) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
+    }
+
+  /** The full-corpus bigram LM (minCount 1) — q_lm_perplexity's
+    * trainer, q_stream_lm_score's served model and DSIR's base LM are
+    * one table. */
+  private def corpusBigramLmShared(s: SparkSession,
+      dir: String): DataFrame =
+    sharedDf("clm", dir) {
+      graft.text.LanguageModel
+        .trainBigramLmFromGrams(corpusGramsShared(s, dir))
+    }
+
+  /** The DSIR importance-weight table (target = the English slice,
+    * base = the whole corpus) — q_dsir_weights/_resample/_select each
+    * consume the identical table. */
+  private def dsirWeightsShared(s: SparkSession, dir: String): DataFrame =
+    sharedDf("dsirw", dir) {
+      val grams = corpusGramsShared(s, dir)
+      val lmT = graft.text.LanguageModel
+        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
+      graft.text.LanguageModel.importanceWeightsFromGrams(
+        grams, lmT, corpusBigramLmShared(s, dir), "doc_id")
+    }
+
   /** Merge-on-read store for q_snapshot_dv / q_snapshot_dv_source: one
     * range-clustered append, then ONE deleteMor writing per-file
     * deletion vectors (no data-file rewrite). Built once per (sf dir,
@@ -2515,18 +2581,9 @@ object SparkEntry {
       // millions wide at corpus scale. The oracle replays both GD
       // iterations, including the FNV-1a bucket fold, as unrolled SQL
       // and must land on identical scores.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      // one checkpoint, two consumers: the trainer AND the scorer read
-      // the feature frame — without it the corpus-wide tokenize +
-      // explode + count aggregation runs twice (same fan-out rule as
-      // the curation DAGs)
-      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
-        .localCheckpoint(true)
-      val labels = d.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
-        iters = 2, lr = 0.1)
-      Classifier.scoreHashed(labels, feats, w, "doc_id")
+      // trained ONCE per session via [[classifierScoreShared]] (five
+      // rows consume the identical trajectory; the oracle replays it)
+      classifierScoreShared(s, dir)
         .select(col("doc_id"), col("y"), col("score"))
     }),
     "q_classifier_auc" -> ((s, dir) => {
@@ -2534,15 +2591,7 @@ object SparkEntry {
       // Mann-Whitney AUC of the trained hashed classifier against its
       // lang==en labels — 2x-scaled integer average ranks, one final
       // division; the oracle replays training AND the rank arithmetic
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
-        .localCheckpoint(true)
-      val labels = d.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
-        iters = 2, lr = 0.1)
-      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
-      Classifier.aucScore(scored, "score", "y")
+      Classifier.aucScore(classifierScoreShared(s, dir), "score", "y")
     }),
     "q_corpus_rollup" -> ((s, dir) => {
       // dataset-card slices at every granularity in ONE aggregation:
@@ -2560,60 +2609,34 @@ object SparkEntry {
       // so each source ranks its own bounded score table (no global
       // funnel); sources lacking both classes report NULL auc
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
-        .localCheckpoint(true)
-      val labels = d.select(col("doc_id"), col("source"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
-        iters = 2, lr = 0.1)
-      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
+      // the shared score table + a broadcast source lookup — identical
+      // rows to carrying `source` through training
+      val scored = classifierScoreShared(s, dir)
+        .join(broadcast(d.select(col("doc_id"), col("source"))), "doc_id")
       Classifier.aucScoreBy(scored, "score", "y", Seq("source"))
     }),
     "q_classifier_pr" -> ((s, dir) => {
       // the gate's operating-point table: exact confusion counts +
       // precision/recall at five thresholds, one map-side fan-out pass
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
-        .localCheckpoint(true)
-      val labels = d.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
-        iters = 2, lr = 0.1)
-      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
-      Classifier.prAtThresholds(scored, "score", "y",
-        Seq(0.3, 0.45, 0.5, 0.55, 0.7))
+      Classifier.prAtThresholds(classifierScoreShared(s, dir),
+        "score", "y", Seq(0.3, 0.45, 0.5, 0.55, 0.7))
     }),
     "q_classifier_calibration" -> ((s, dir) => {
       // the gate's reliability diagram: decile bins over the trained
       // scores, exact counts + quantized mean score vs empirical
       // positive rate — ONE aggregation to 10 rows; the oracle replays
       // training, scoring, and the binning arithmetic
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
-        .localCheckpoint(true)
-      val labels = d.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
-        iters = 2, lr = 0.1)
-      val scored = Classifier.scoreHashed(labels, feats, w, "doc_id")
-      Classifier.calibrationBins(scored, "score", "y", nBins = 10)
+      Classifier.calibrationBins(classifierScoreShared(s, dir),
+        "score", "y", nBins = 10)
     }),
     "q_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights: target LM = the English slice, base LM =
       // the whole corpus; docs that look English-like score high. Both
       // trainings and the scoring are replayed by the oracle.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      // ONE corpus bigram explode feeds the target LM (filtered), the
-      // base LM, and the scorer — checkpointed so the three consumers
-      // share the pass instead of re-exploding
-      val grams = d.select(col("doc_id"), col("lang"),
-          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
-        .localCheckpoint(true)
-      val lmT = graft.text.LanguageModel
-        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
-      val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
-      graft.text.LanguageModel
-        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+      // the session-shared DSIR weight table (one corpus explode, one
+      // target + one base LM training, one scoring join — serving this
+      // row, _resample and _select)
+      dsirWeightsShared(s, dir)
     }),
     "q_contamination_report" -> ((s, dir) => {
       // benchmark-card contamination number: fraction of the eval
@@ -2631,15 +2654,7 @@ object SparkEntry {
       // probability min(1, exp(log_ratio)) decided by the portable id
       // hash — a pure filter over the weight table, nested-by-weight,
       // replayed exactly by the oracle (weights 1e-6-quantized first).
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val grams = d.select(col("doc_id"), col("lang"),
-          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
-        .localCheckpoint(true)
-      val lmT = graft.text.LanguageModel
-        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
-      val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
-      val w = graft.text.LanguageModel
-        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+      val w = dsirWeightsShared(s, dir)
         .select(col("doc_id"), round(exp(col("log_ratio")), 6).as("w"))
       graft.text.Sampling.sampleByWeight(w, "doc_id", col("w"))
     }),
@@ -2649,15 +2664,7 @@ object SparkEntry {
       // as TakeOrderedAndProject — bounded per-partition heaps merged
       // on the driver, never a global sort (the same scale shape as
       // top-n-grams); the oracle is the weight replay ordered+limited.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val grams = d.select(col("doc_id"), col("lang"),
-          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
-        .localCheckpoint(true)
-      val lmT = graft.text.LanguageModel
-        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
-      val lmB = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
-      graft.text.LanguageModel
-        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
+      dsirWeightsShared(s, dir)
         .orderBy(col("log_ratio").desc, col("doc_id"))
         .limit(50)
     }),
@@ -3313,12 +3320,10 @@ object SparkEntry {
       // every doc by average negative log-likelihood under it. Training
       // + scoring both replayed by the oracle; per-bigram log terms are
       // long-quantized at 1e-9 so the per-doc sum is engine-exact.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val grams = d.select(col("doc_id"),
-          explode(graft.text.LanguageModel.bigrams(col("text"))).as("gram"))
-        .localCheckpoint(true)
-      val lm = graft.text.LanguageModel.trainBigramLmFromGrams(grams)
-      graft.text.LanguageModel.scoreBigramLmFromGrams(grams, lm, "doc_id")
+      // the session-shared gram stream + LM (also q_stream_lm_score's
+      // served model and DSIR's base LM)
+      graft.text.LanguageModel.scoreBigramLmFromGrams(
+        corpusGramsShared(s, dir), corpusBigramLmShared(s, dir), "doc_id")
     }),
     "q_lm_backoff" -> ((s, dir) => {
       // stupid-backoff trigram LM (Brants 2007): trigram→bigram→unigram
@@ -3356,15 +3361,9 @@ object SparkEntry {
       // the oracle replays the full trajectory including both trainings.
       import graft.text.{LanguageModel, Sampling}
       val d = s.read.parquet(s"$dir/documents.parquet")
-      // checkpoint before the trainer/scorer fan-out (see
-      // q_hashed_classifier)
-      val feats = Classifier.hashedFeatures(d, "text", "doc_id", dim = 64)
-        .localCheckpoint(true)
-      val labels = d.select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogisticHashed(feats, labels, "doc_id", "y",
-        iters = 2, lr = 0.1)
-      val gate1 = Classifier.scoreHashed(labels, feats, w, "doc_id")
+      // gate 1 reads the session-shared classifier score table (the
+      // identical training trajectory — see classifierScoreShared)
+      val gate1 = classifierScoreShared(s, dir)
         .where(col("score") >= 0.5).select("doc_id")
       // fan-out: kept1 feeds the gram explode AND the final joins
       val kept1 = d.join(gate1, "doc_id").localCheckpoint(true)
@@ -3395,7 +3394,7 @@ object SparkEntry {
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val lm = graft.text.LanguageModel.trainBigramLm(d, "text")
+      val lm = corpusBigramLmShared(s, dir) // == trainBigramLm(d, "text")
       val rows = d.select(col("doc_id"), col("text"))
         .as[(Long, String)].collect()
       val ms = MemoryStream[(Long, String)]
@@ -4586,6 +4585,56 @@ object SparkEntry {
       val p = buildCdfSnapshotStore(s, dir)
       s.sql(s"SELECT * FROM graft_table_changes('$p', 0, 3)")
         .drop("_commit_timestamp")
+    }),
+    "q_graph_table_changes" -> ((s, dir) => {
+      // the TVF face through the JSON graph surface — process == TVF
+      // parity: the table_changes process resolves the target and
+      // plans the same changeFeed as graft_table_changes; oracle
+      // shared verbatim with q_sql_table_changes
+      import graft.compile.GraphCompiler
+      val p = buildCdfSnapshotStore(s, dir)
+      val graph = s"""{
+        "ch": {"process_id": "table_changes", "arguments": {
+          "target": "$p", "from_version": 0, "to_version": 3},
+          "result": true}}"""
+      new GraphCompiler(s, Map.empty).compile(graph)
+        .asInstanceOf[DataFrame].drop("_commit_timestamp")
+    }),
+    "q_graph_procedures" -> ((s, dir) => {
+      // stored procedures through the JSON graph surface — the
+      // call_procedure process compiles to the session's own CALL
+      // statement, sharing the whole ProcedureCatalog stack (and this
+      // row the q_snapshot_procedures oracle verbatim: same proccat
+      // store, history consumed via the graph)
+      import graft.compile.GraphCompiler
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"gproc_$slug"
+      val whPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_proccat_$slug"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
+      sharedBuild("proccat", dir) { wh =>
+        deleteRecursively(wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
+          "user_id BIGINT, event_type STRING, value DOUBLE)")
+        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
+          .createOrReplaceTempView(s"proc_base_$slug")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM proc_base_$slug")
+        s.sql(s"DELETE FROM $cat.db.ev WHERE event_type = 'click'")
+        s.sql(s"CALL $cat.system.restore(`table` => 'db.ev', " +
+          "version => 2)")
+        s.sql(s"CALL $cat.system.optimize(`table` => 'db.ev', " +
+          "num_files => 2, zorder => 'event_id,user_id')")
+      }
+      val graph = s"""{
+        "hist": {"process_id": "call_procedure", "arguments": {
+          "catalog": "$cat", "procedure": "history",
+          "args": {"table": "db.ev"}}, "result": true}}"""
+      val nCommits = new GraphCompiler(s, Map.empty).compile(graph)
+        .asInstanceOf[DataFrame].count()
+      s.table(s"$cat.db.ev").withColumn("n_commits", lit(nCommits))
     }),
     "q_stream_native_sink" -> ((s, dir) => {
       // NATIVE streaming sink (r11): writeStream.format("graft-
@@ -9055,6 +9104,29 @@ object SparkEntry {
          FROM events
          WHERE event_id % 3 IN (0, 1) AND event_id < 3000
            AND event_type = 'view'""",
+    "q_graph_table_changes" ->
+      // q_sql_table_changes' oracle verbatim (same store, same range,
+      // consumed through the graph-surface table_changes process)
+      """SELECT event_id, user_id, event_type, value,
+                'insert' AS _change_type,
+                CAST(1 AS BIGINT) AS _commit_version
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'insert', CAST(2 AS BIGINT)
+         FROM events WHERE event_id % 3 = 1
+         UNION ALL
+         SELECT event_id, user_id, event_type, value,
+                'delete', CAST(3 AS BIGINT)
+         FROM events
+         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
+           AND event_type = 'view'""",
+    "q_graph_procedures" ->
+      // q_snapshot_procedures' oracle verbatim (same proccat store,
+      // history consumed through the graph-surface call_procedure)
+      """SELECT event_id, user_id, event_type, value,
+                CAST(5 AS BIGINT) AS n_commits
+         FROM events WHERE event_id % 3 = 0""",
     "q_stream_native_sink" ->
       // the streamed slice, landed by the native sink
       """SELECT event_id, user_id, event_type, value

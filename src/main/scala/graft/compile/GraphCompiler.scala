@@ -525,6 +525,72 @@ final class GraphCompiler(
             c => Snapshots.WhenNotMatchedBySource(mcond(c),
               updOrDel(c, "not_matched_by_source"))))
         Snapshots.read(spark, spath)
+      case "table_changes" =>
+        // the TVF face (graft_table_changes) on the graph surface:
+        // unlike snapshot_change_feed's raw path argument, 'target'
+        // also accepts a catalog identifier (cat.db.t) resolved
+        // through the SAME warehouse-conf + segment validation as the
+        // SQL TVF — process == TVF parity, one changeFeed planner
+        val target = optS(n, "target", r).getOrElse(throw graft.OpenEoError(
+          "TableChangesTargetMissing",
+          "table_changes needs a 'target' argument (path or " +
+            "catalog identifier)"))
+        val resolved0 =
+          try graft.functions.SnapshotTableFunctions
+            .resolveTarget(spark, target)
+          catch { case e: IllegalArgumentException =>
+            throw graft.OpenEoError("TableChangesTargetInvalid",
+              e.getMessage) }
+        Snapshots.changeFeed(spark, resolved0,
+          optD(n, "from_version", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotRangeMissing",
+            "table_changes needs 'from_version'")).toLong,
+          optD(n, "to_version", r).getOrElse(throw graft.OpenEoError(
+            "SnapshotRangeMissing",
+            "table_changes needs 'to_version'")).toLong)
+      case "call_procedure" =>
+        // SQL stored procedures on the graph surface: compiles to the
+        // session's own `CALL <catalog>.system.<procedure>(...)`
+        // statement, so the process shares the ENTIRE procedure stack
+        // (ProcedureCatalog load, parameter binding/defaults, typed
+        // errors) with the SQL face. Names are validated to identifier
+        // characters and string values single-quote-escaped — graph
+        // payloads are data, never spliced SQL.
+        val ident = "^[A-Za-z0-9_]+$".r
+        def checkedName(v: String, what: String): String = {
+          if (ident.findFirstIn(v).isEmpty) throw graft.OpenEoError(
+            "ProcedureNameInvalid",
+            s"call_procedure $what '$v' must match [A-Za-z0-9_]+")
+          v
+        }
+        val pcat = checkedName(optS(n, "catalog", r).getOrElse(
+          throw graft.OpenEoError("ProcedureCatalogMissing",
+            "call_procedure needs a 'catalog' argument")), "catalog")
+        val proc = checkedName(optS(n, "procedure", r).getOrElse(
+          throw graft.OpenEoError("ProcedureMissing",
+            "call_procedure needs a 'procedure' argument")), "procedure")
+        val argsSql = n.arguments.get("args") match {
+          case None => ""
+          case Some(a) => resolve(a, r) match {
+            case jn: JsonNode if jn.isObject =>
+              jn.properties().asScala.toSeq.map { e =>
+                val k = checkedName(e.getKey, "argument name")
+                val v = e.getValue
+                val rendered =
+                  if (v.isNumber) v.numberValue().toString
+                  else if (v.isBoolean) v.asBoolean().toString
+                  else if (v.isTextual)
+                    "'" + v.asText().replace("'", "''") + "'"
+                  else throw graft.OpenEoError("ProcedureArgInvalid",
+                    s"call_procedure argument '$k' must be a string, " +
+                      s"number or boolean; got $v")
+                s"`$k` => $rendered"
+              }.mkString(", ")
+            case other => throw graft.OpenEoError("ProcedureArgInvalid",
+              s"call_procedure 'args' must be a JSON object; got $other")
+          }
+        }
+        spark.sql(s"CALL `$pcat`.system.`$proc`($argsSql)")
       case "text_quality_gate" =>
         graft.text.Curation.qualityGate(dfArg(n, "data", r),
           minQuality = optD(n, "min_quality", r).getOrElse(0.75),

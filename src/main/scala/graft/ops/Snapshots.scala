@@ -1544,10 +1544,12 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * Clause conditions and assignments must be deterministic — they
     * evaluate once for the rewrite and once for the sidecar.
     *
-    * `source` should be cheap to recompute or cached: it is read 2-3
-    * times (conflict check, planning, rewrite). Fails with
-    * `ConcurrentModificationException` if another data change lands
-    * between read and claim. */
+    * `source` is MATERIALIZED once up front (localCheckpoint — Delta's
+    * materializeSource): conflict check, planning, rewrite and the CDC
+    * projections all read the same pinned rows, so a non-deterministic
+    * source cannot desynchronize the committed data from its own
+    * sidecar. Fails with `ConcurrentModificationException` if another
+    * data change lands between read and claim. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keyCols: Seq[String],
       matched: Seq[WhenMatched] = Nil,
@@ -1581,22 +1583,52 @@ object Snapshots extends org.apache.spark.internal.Logging {
       throw new IllegalArgumentException(
         s"mergeInto assigns unknown target column '$c' at $path — " +
           "MERGE does not evolve the schema; use append for evolution"))
+    // MATERIALIZE the source once (Delta's materializeSource): it is
+    // read by the conflict check, the touched-file planning, the
+    // rewrite, and each CDC projection — a non-deterministic source
+    // (rand(), un-ordered limit, a current_timestamp subquery) reaching
+    // this surface via SQL MERGE INTO would otherwise commit data whose
+    // matched set differs from its own CDC sidecar. Pinning the rows
+    // also spares a deterministic-but-expensive source 3-5 re-runs.
+    val src = source.localCheckpoint()
     // Delta's multiple-match rule, up front: applied to the KEY
     // projection of the source (general MERGE sources often carry
     // extra columns; only key multiplicity matters)
     checkMergeSource(
-      source.select(keyCols.map(col): _*), keyCols, path)
+      src.select(keyCols.map(col): _*), keyCols, path)
     val root = new Path(path)
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
+    // Rewrite-candidate planning. Without NMBS: exactly the files
+    // containing a matched key. With NMBS, any target row might
+    // change — but when EVERY NMBS clause carries a condition whose
+    // bounds the stats understand (partition pins / min-max ranges
+    // over target columns), a file that cannot contain a row
+    // satisfying ANY clause condition and holds no matched key
+    // provably carries over unchanged. This is the difference between
+    // a 100 TB dimension sync rewriting the whole table (the
+    // documented Delta NMBS cost) and rewriting the touched region.
+    // Per-clause pruning unions conservatively: an unanalyzable
+    // condition (or a condition-less clause) keeps every file.
     val touched =
-      if (notMatchedBySource.nonEmpty) m.files
-      else touchedFiles(spark, root, m, schema, srcKeys, keyCols)
+      if (notMatchedBySource.isEmpty)
+        touchedFiles(spark, root, m, schema, srcKeys, keyCols)
+      else {
+        val byNmbs = notMatchedBySource.flatMap { cl =>
+          cl.condition match {
+            case Some(c) => pruneFiles(m, analyzeBounds(spark, schema, c))
+            case None => m.files
+          }
+        }.distinct
+        if (byNmbs.size == m.files.size) m.files
+        else (touchedFiles(spark, root, m, schema, srcKeys, keyCols)
+          ++ byNmbs).distinct
+      }
     // the joined merge row: target columns bare, source columns under
     // [[MergeSrcPrefix]], one existence marker per side (key columns
     // alone cannot distinguish "no match" from "matched a NULL")
     val tgt = readFiles(spark, root, touched, schema, m.dvs)
       .withColumn("__gmi_t", lit(true))
-    val srcR = source.select(source.columns.toSeq.map(c =>
+    val srcR = src.select(src.columns.toSeq.map(c =>
       col(c).as(MergeSrcPrefix + c)) :+ lit(true).as("__gmi_s"): _*)
     val joinCond = keyCols.map(k =>
       col(k) === col(MergeSrcPrefix + k)).reduce(_ && _)
@@ -2247,7 +2279,8 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * partitionBy: inherited by every commit, restored by RESTORE,
     * removable with [[dropConstraint]]. */
   def addConstraint(spark: SparkSession, path: String, name: String,
-      exprSql: String, validate: Boolean = true): Long = {
+      exprSql: String, validate: Boolean = true,
+      validatedAt: Option[Long] = None): Long = {
     require(name.nonEmpty, "constraint needs a name")
     val m = snapshotAt(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
@@ -2262,8 +2295,17 @@ object Snapshots extends org.apache.spark.internal.Logging {
     // `validate = false` is for callers that ALREADY scanned (Spark's
     // AddCheckConstraintExec validates before invoking alterTable —
     // re-reading every live file would double the cost of one SQL
-    // ADD CONSTRAINT) or that KNOW the table is empty (CREATE TABLE)
-    if (validate) {
+    // ADD CONSTRAINT) or that KNOW the table is empty (CREATE TABLE).
+    // A skip is only honoured while the table still sits at the version
+    // the caller's scan saw (`validatedAt`): a concurrent data commit
+    // landing between Spark's validation scan and this metadata commit
+    // would otherwise record a constraint live rows may violate. A
+    // caller passing validate=false WITHOUT naming the scanned version
+    // asserts emptiness/out-of-band validation and keeps the old
+    // contract.
+    val mustValidate =
+      validate || validatedAt.exists(_ != m.version)
+    if (mustValidate) {
       val bad = readFiles(spark, new Path(path), m.files, schema, m.dvs)
         .where(not(coalesce(expr(exprSql), lit(true)))).limit(1).count()
       if (bad > 0) throw new ConstraintViolation(name, exprSql,
@@ -3010,6 +3052,16 @@ object Snapshots extends org.apache.spark.internal.Logging {
   def changeFeed(spark: SparkSession, path: String, fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     require(fromExclusive < toInclusive, "empty version range")
+    // expiry horizon: change data below it was retired by
+    // expire_changes — same typed failure class as a vacuumed range
+    val hz = cdcHorizon(spark, path)
+    if (fromExclusive + 1 < hz)
+      throw new IllegalArgumentException(
+        s"change feed range ($fromExclusive, $toInclusive] at $path " +
+          s"reaches below the change-data expiry horizon $hz — " +
+          "change data for earlier versions was expired " +
+          "(CALL system.expire_changes); re-sync the consumer and " +
+          s"start the feed at or after fromExclusive=${hz - 1}")
     val fs = fsFor(spark, path); val root = new Path(path)
     // ONE manifest read per version (an object-store log pays a GET per
     // read — the gov lookup and the pieces loop must share), dead
@@ -3231,8 +3283,31 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * than the horizon loses its files, so run from a maintenance window
     * like [[Compaction.compactDirectory]]. */
   def vacuum(spark: SparkSession, path: String, keepFromVersion: Long,
-      graceMs: Long = DefaultVacuumGraceMs): Long = {
+      graceMs: Long = DefaultVacuumGraceMs): Long =
+    vacuumImpl(spark, path, keepFromVersion, graceMs, dryRun = false)._1
+
+  /** What [[vacuum]] WOULD remove, removing nothing (Delta's
+    * `VACUUM ... DRY RUN`): the same referenced-set computation, grace
+    * window and traversal rules, but every delete is recorded instead
+    * of executed — including the manifests/checkpoints that would
+    * retire. Returns root-relative paths. The one divergence from a
+    * real run: no checkpoints are materialized (a dry run must not
+    * write), so a later real vacuum may keep strictly MORE resolvable
+    * history, never less. */
+  def vacuumDryRun(spark: SparkSession, path: String,
+      keepFromVersion: Long,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] =
+    vacuumImpl(spark, path, keepFromVersion, graceMs, dryRun = true)._2
+
+  private def vacuumImpl(spark: SparkSession, path: String,
+      keepFromVersion: Long, graceMs: Long,
+      dryRun: Boolean): (Long, Seq[String]) = {
     val fs = fsFor(spark, path); val root = new Path(path)
+    val planned = scala.collection.mutable.ArrayBuffer[String]()
+    // every removal funnels through here: a dry run records the
+    // root-relative path; a real run deletes
+    def remove(p: Path, rel: String, recursive: Boolean): Unit =
+      if (dryRun) planned += rel else fs.delete(p, recursive)
     val all = claimedVersions(fs, root).sorted
     val retained = all.filter(_ >= keepFromVersion)
     require(retained.exists(v => readManifest(fs, root, v).isDefined),
@@ -3240,7 +3315,7 @@ object Snapshots extends org.apache.spark.internal.Logging {
     // materialize a checkpoint at every retained version whose delta
     // chain would otherwise reach BELOW the horizon — after the sweep,
     // resolution must never need a retired manifest
-    retained.foreach { v =>
+    if (!dryRun) retained.foreach { v =>
       if (readCheckpoint(fs, root, v).isEmpty)
         resolveSnapshot(fs, root, v).foreach { s =>
           val m = readManifest(fs, root, v)
@@ -3285,14 +3360,14 @@ object Snapshots extends org.apache.spark.internal.Logging {
         if (st.isDirectory) {
           if (sweep(st.getPath, childRel, refs) ||
               st.getModificationTime >= horizon) kept = true
-          else fs.delete(st.getPath, true)
+          else remove(st.getPath, childRel, recursive = true)
         } else if (st.isFile && !refs.contains(childRel) &&
             st.getModificationTime < horizon) {
           // manifests only ever reference .parquet files, so any
           // unreferenced OLD file is garbage — including _SUCCESS
           // markers and crashed writers' _temporary staging, which
           // would otherwise pin their dead commit directory forever
-          fs.delete(st.getPath, false)
+          remove(st.getPath, childRel, recursive = false)
           if (st.getPath.getName.endsWith(".parquet")) deleted += 1
         } else kept = true
       }
@@ -3300,10 +3375,10 @@ object Snapshots extends org.apache.spark.internal.Logging {
     }
     if (fs.exists(dataDir)) {
       Option(fs.listStatus(dataDir)).getOrElse(Array.empty).foreach { cd =>
-        if (cd.isDirectory &&
-            !sweep(cd.getPath, s"data/${cd.getPath.getName}") &&
+        val rel = s"data/${cd.getPath.getName}"
+        if (cd.isDirectory && !sweep(cd.getPath, rel) &&
             cd.getModificationTime < horizon)
-          fs.delete(cd.getPath, true)
+          remove(cd.getPath, rel, recursive = true)
       }
     }
     // CDC sidecar sweep: same commit-directory layout and in-flight
@@ -3311,11 +3386,10 @@ object Snapshots extends org.apache.spark.internal.Logging {
     val cdcRoot = new Path(root, CdcDir)
     if (fs.exists(cdcRoot)) {
       Option(fs.listStatus(cdcRoot)).getOrElse(Array.empty).foreach { cd =>
-        if (cd.isDirectory &&
-            !sweep(cd.getPath, s"$CdcDir/${cd.getPath.getName}",
-              referencedCdc) &&
+        val rel = s"$CdcDir/${cd.getPath.getName}"
+        if (cd.isDirectory && !sweep(cd.getPath, rel, referencedCdc) &&
             cd.getModificationTime < horizon)
-          fs.delete(cd.getPath, true)
+          remove(cd.getPath, rel, recursive = true)
       }
     }
     // deletion-vector datasets retire the same way: one dv/d-* dataset
@@ -3333,14 +3407,16 @@ object Snapshots extends org.apache.spark.internal.Logging {
           // both sweep phases (a dv dataset is a partitioned write —
           // one directory, many files)
           deleted += countParquet(fs, d.getPath)
-          fs.delete(d.getPath, true)
+          remove(d.getPath, s"dv/${d.getPath.getName}", recursive = true)
         }
       }
     }
     all.filter(_ < keepFromVersion).foreach { v =>
-      fs.delete(new Path(new Path(root, LogDir), manifestName(v)), false) }
+      remove(new Path(new Path(root, LogDir), manifestName(v)),
+        s"$LogDir/${manifestName(v)}", recursive = false) }
     checkpointVersions(fs, root).filter(_ < keepFromVersion).foreach { v =>
-      fs.delete(new Path(new Path(root, LogDir), checkpointName(v)), false) }
+      remove(new Path(new Path(root, LogDir), checkpointName(v)),
+        s"$LogDir/${checkpointName(v)}", recursive = false) }
     // orphaned claim temp files: a JVM killed between create(tmpClaim)
     // and its finally leaves .tmp-* in the log dir that nothing else
     // ever deletes — reclaim past the grace horizon
@@ -3348,8 +3424,81 @@ object Snapshots extends org.apache.spark.internal.Logging {
       .foreach { st =>
         if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
             st.getModificationTime < horizon)
-          fs.delete(st.getPath, false)
+          remove(st.getPath, s"$LogDir/${st.getPath.getName}",
+            recursive = false)
       }
-    deleted
+    (deleted, planned.toSeq)
+  }
+
+  // ------------------------- CDC sidecar expiry (independent of vacuum)
+
+  private val CdcHorizonFile = "_cdc_horizon"
+
+  /** First version whose row-level change data is still AVAILABLE to
+    * the change feed (1 = never expired). Advanced monotonically by
+    * [[expireChanges]]; persisted as one tiny log-dir file so every
+    * reader (batch feed, streaming feed, TVF) agrees. */
+  def cdcHorizon(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    readLogBytes(fs, new Path(new Path(root, LogDir), CdcHorizonFile))
+      .map(b => new String(b,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      .getOrElse(1L)
+  }
+
+  /** Expire the row-level CDC sidecars of every version BELOW
+    * `keepFromVersion`, independent of manifest vacuum — the Delta
+    * change-data-retention knob. Sidecars are the write-amplification
+    * cost center (every CoW rewrite persists its pre/post images); a
+    * table whose history must stay time-travelable can still cap feed
+    * storage by expiring old change data while keeping every manifest
+    * and data file. After expiry, any feed range touching a version
+    * below the horizon fails with the same typed error a vacuumed
+    * range raises; time travel and table reads are untouched. Returns
+    * the number of sidecar parquet files removed. Monotonic and
+    * idempotent: re-running with an older bound is a no-op. */
+  def expireChanges(spark: SparkSession, path: String,
+      keepFromVersion: Long): Long = {
+    val fs = fsFor(spark, path); val root = new Path(path)
+    val latest = latestVersion(spark, path)
+    require(latest > 0L, s"no committed snapshot at $path")
+    require(keepFromVersion <= latest + 1,
+      s"expire_changes keep_from_version=$keepFromVersion is beyond " +
+        s"the latest version $latest at $path")
+    val cur = cdcHorizon(spark, path)
+    if (keepFromVersion <= cur) return 0L
+    var removed = 0L
+    // the horizon file is written FIRST: readers step down to the
+    // typed below-horizon error before any sidecar byte disappears, so
+    // a feed can never half-read an expiring version. Same
+    // write-to-temp + rename discipline as manifests.
+    val logDir = new Path(root, LogDir)
+    val tmp = new Path(logDir, s".tmp-horizon-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(keepFromVersion.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(logDir, CdcHorizonFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"expire_changes at $path: cannot publish horizon file")
+    (cur until keepFromVersion).foreach { v =>
+      readManifest(fs, root, v).foreach { m =>
+        m.cdc.foreach { f =>
+          if (fs.delete(new Path(root, f), false)) removed += 1
+        }
+        // prune the commit's sidecar directory once no parquet is left
+        // (sidecars are written one directory per commit; _SUCCESS
+        // markers alone must not pin a drained directory forever)
+        m.cdc.headOption.foreach { f =>
+          val dir = new Path(root, f).getParent
+          if (fs.exists(dir) && !fs.listStatus(dir).exists(
+              _.getPath.getName.endsWith(".parquet")))
+            fs.delete(dir, true)
+        }
+      }
+    }
+    removed
   }
 }

@@ -38,13 +38,31 @@ case class SnapshotDmlRule(session: SparkSession)
       case _ => None
     }
 
+  /** Clause payloads travel as SQL TEXT and re-parse with `expr()` at
+    * run time; a subquery (EXISTS/IN/scalar, correlated or not) does
+    * not survive that round-trip — it would surface as a runtime
+    * parse/resolution failure AFTER analysis succeeded. Reject it
+    * typed at analysis time like every other unsupported shape. */
+  private def checkRoundTrips(e: Expression, where: String): Expression = {
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          s"graft-snapshot $where does not support subqueries (got " +
+            s"${s.prettyName}) — pre-compute the subquery into the " +
+            "MERGE source (a join), or into a literal for UPDATE")
+      case _ => ()
+    }
+    e
+  }
+
   /** Analyzed target-side expressions carry AttributeReferences bound
     * to the DML plan's relation; the engine re-issues them against its
     * OWN scan of the same table, so they must resolve by NAME again
     * (snapshot schemas are flat — names are unambiguous). */
-  private def unresolve(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-  }
+  private def unresolve(e: Expression): Expression =
+    checkRoundTrips(e, "UPDATE").transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
 
   /** An assignment list that maps every target column to the
     * SAME-NAMED source attribute — what `UPDATE SET *` / `INSERT *`
@@ -120,11 +138,12 @@ case class SnapshotDmlRule(session: SparkSession)
           // above): source-side attributes re-spell under the engine's
           // merge-source prefix, target-side by bare name — exactly the
           // joined-row namespace Snapshots.mergeInto evaluates in
-          def rw(e: Expression): String = e.transform {
-            case a: AttributeReference if sourceOut.contains(a) =>
-              UnresolvedAttribute.quoted(Snapshots.MergeSrcPrefix + a.name)
-            case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-          }.sql
+          def rw(e: Expression): String =
+            checkRoundTrips(e, "MERGE clause").transform {
+              case a: AttributeReference if sourceOut.contains(a) =>
+                UnresolvedAttribute.quoted(Snapshots.MergeSrcPrefix + a.name)
+              case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+            }.sql
           def assignPairs(assigns: Seq[Assignment]): Seq[(String, String)] =
             assigns.map { a =>
               val name = a.key match {

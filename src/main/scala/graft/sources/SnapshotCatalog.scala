@@ -150,11 +150,28 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         s"graft-snapshot supports CHECK constraints only; got " +
           s"${other.toDDL}")
     }
+    // every reason a constraint commit could fail must be checked
+    // BEFORE the table commit (names colliding after lowercasing was
+    // the one addConstraint-time failure left) — otherwise a failed
+    // CREATE TABLE statement leaves a table behind with a partial
+    // constraint set
+    checks.map(_._1).groupBy(identity).collectFirst {
+      case (n, hits) if hits.size > 1 => throw new IllegalArgumentException(
+        s"CREATE TABLE ${ident.name()}: duplicate constraint name '$n' " +
+          "(names are case-insensitive)")
+    }
     val t = createTable(ident, info.schema(), info.partitions(),
       info.properties())
-    checks.foreach { case (n, sql) =>
+    // belt-and-braces: should a constraint commit still fail (exotic
+    // predicate SQL the engine rejects), roll the CREATE back so the
+    // statement leaves nothing behind
+    try checks.foreach { case (n, sql) =>
       Snapshots.addConstraint(SparkSession.active, pathOf(ident), n,
         sql, validate = false)
+    } catch { case e: Throwable =>
+      try dropTable(ident)
+      catch { case scala.util.control.NonFatal(_) => }
+      throw e
     }
     if (checks.isEmpty) t else load(ident, Map.empty)
   }
@@ -197,12 +214,22 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             // normalize to lowercase so ADD V_Pos / DROP v_pos agree
             // (the Delta rule). validatedTableVersion is non-null when
             // Spark's AddCheckConstraintExec already scanned existing
-            // rows — re-validating would read the whole table twice
-            // per ADD CONSTRAINT
+            // rows (it carries SnapshotTable.version(), the pinned
+            // manifest version that scan read) — re-validating would
+            // read the whole table twice per ADD CONSTRAINT. The skip
+            // is honoured only while the table still sits at that
+            // version: addConstraint compares it against the manifest
+            // the metadata commit anchors on and re-validates if a
+            // concurrent data commit advanced the table (an
+            // unparseable version string also forces re-validation).
+            val vstr = Option(a.validatedTableVersion())
+            val vnum = vstr.flatMap(v =>
+              scala.util.Try(v.toLong).toOption)
             Snapshots.addConstraint(spark0, pathOf(ident),
               c.name().toLowerCase(java.util.Locale.ROOT),
               c.predicateSql(),
-              validate = a.validatedTableVersion() == null)
+              validate = vstr.isEmpty || vnum.isEmpty,
+              validatedAt = vnum)
           case other => throw new UnsupportedOperationException(
             s"graft-snapshot supports CHECK constraints only; got " +
               s"${other.toDDL}")

@@ -148,6 +148,30 @@ private[sources] object SnapshotProcedures {
       (spark, in) => Seq(row(Snapshots.vacuum(spark,
         tablePath(warehouse, checkSegment, in), in.getLong(1),
         in.getLong(2))))),
+    new P("vacuum_dry_run",
+      "List everything vacuum(keep_from_version, grace_ms) WOULD " +
+        "remove — one row per root-relative path — deleting nothing " +
+        "(Delta's VACUUM ... DRY RUN).",
+      Array(inParam("table", StringType),
+        inParam("keep_from_version", LongType),
+        inParamDefault("grace_ms", LongType,
+          Snapshots.DefaultVacuumGraceMs.toString)),
+      StructType(Seq(StructField("path", StringType))),
+      (spark, in) => Snapshots.vacuumDryRun(spark,
+        tablePath(warehouse, checkSegment, in), in.getLong(1),
+        in.getLong(2)).map(p => row(UTF8String.fromString(p)))),
+    new P("expire_changes",
+      "Expire the row-level CDC sidecars of every version below " +
+        "keep_from_version, independent of manifest vacuum (the " +
+        "change-data retention knob — sidecars are the " +
+        "write-amplification cost center). Feeds touching expired " +
+        "versions fail typed; time travel and reads are untouched. " +
+        "Returns the number of sidecar files removed.",
+      Array(inParam("table", StringType),
+        inParam("keep_from_version", LongType)),
+      StructType(Seq(StructField("files_removed", LongType))),
+      (spark, in) => Seq(row(Snapshots.expireChanges(spark,
+        tablePath(warehouse, checkSegment, in), in.getLong(1))))),
     new P("restore",
       "Roll the table back to an earlier version as a NEW commit " +
         "(time travel + every later version stay intact); returns the " +

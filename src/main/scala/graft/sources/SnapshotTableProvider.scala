@@ -230,6 +230,14 @@ final class SnapshotTable(path: String, tschema: StructType,
           : org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
   override def name(): String = s"graft-snapshot($path)"
+  /** The pinned manifest version this table reads (null before the
+    * first commit — the write-bootstrap table). Spark's
+    * AddCheckConstraintExec stamps this into
+    * `TableChange.AddConstraint.validatedTableVersion`, which lets the
+    * catalog skip re-validation ONLY when the table has not advanced
+    * past the version the validation scan actually read. */
+  override def version(): String =
+    versionAsOf.map(_.toString).orNull
   override def schema(): StructType = tschema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -607,7 +615,26 @@ private[sources] object SnapshotCdf
   }
 
   def partitionsFor(spark: SparkSession, path: String, v: Long,
-      streaming: Boolean): Seq[SnapshotInputPartition] = {
+      streaming: Boolean, horizon: Long = -1L)
+      : Seq[SnapshotInputPartition] = {
+    // change-data expiry horizon (CALL system.expire_changes): a
+    // version below it has no readable change representation anymore —
+    // the same typed failure class as a vacuumed version. Callers
+    // planning a RANGE resolve the horizon once and pass it down;
+    // -1 = resolve here (single-version callers).
+    val hz = if (horizon >= 0L) horizon
+             else Snapshots.cdcHorizon(spark, path)
+    if (v < hz) {
+      if (streaming) throw new IllegalStateException(
+        s"graft-snapshot: change data for version $v at $path was " +
+          "expired (CALL system.expire_changes) before this stream " +
+          "consumed it — reset the checkpoint (or use startingVersion) " +
+          s"at or past version $hz")
+      else throw new IllegalArgumentException(
+        s"graft-snapshot: change data for version $v at $path was " +
+          s"expired (CALL system.expire_changes) — start the feed at " +
+          s"or past version $hz")
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     def abs(f: String): String =
       new org.apache.hadoop.fs.Path(root, f).toString
@@ -795,25 +822,27 @@ final class SnapshotScan(path: String, full: StructType,
       // manifests (an EXPLICIT startingVersion below the horizon still
       // fails loudly, as it names versions whose changes are gone)
       val spark = SparkSession.active
+      val hz = Snapshots.cdcHorizon(spark, path)
       val start = startingVersion.getOrElse {
-        val oldest = Snapshots.oldestAvailableVersion(spark, path)
-        // a no-options feed after a vacuum is "full AVAILABLE history",
-        // not full history — say so, or a consumer mistakes a
-        // truncated feed for a complete one (r10 advice; Delta goes
-        // further and requires an explicit start)
+        val oldest = math.max(
+          Snapshots.oldestAvailableVersion(spark, path), hz)
+        // a no-options feed after a vacuum (or change-data expiry) is
+        // "full AVAILABLE history", not full history — say so, or a
+        // consumer mistakes a truncated feed for a complete one (r10
+        // advice; Delta goes further and requires an explicit start)
         if (oldest > 1L)
           SnapshotCdf.warn(
             s"graft-snapshot: readChangeFeed at $path without " +
-              s"startingVersion begins at v$oldest — versions below " +
-              "were vacuumed; pass startingVersion to pin the range " +
-              "explicitly")
+              s"startingVersion begins at v$oldest — earlier change " +
+              "data was vacuumed or expired; pass startingVersion to " +
+              "pin the range explicitly")
         oldest
       }
       val end = endingVersion
         .orElse(versionAsOf)
         .getOrElse(Snapshots.latestVersion(spark, path))
       return (start to end).flatMap(v =>
-        SnapshotCdf.partitionsFor(spark, path, v, streaming = false))
+        SnapshotCdf.partitionsFor(spark, path, v, streaming = false, hz))
         .map(p => p: InputPartition).toArray
     }
     val m = resolved.getOrElse(
@@ -1480,12 +1509,15 @@ final class SnapshotMicroBatchStream(path: String, required: StructType,
     val spark = SparkSession.active
     val s = start.asInstanceOf[SnapshotVersionOffset].version
     val e = end.asInstanceOf[SnapshotVersionOffset].version
-    if (cdf)
+    if (cdf) {
       // row-level change feed: same per-version planning as the batch
-      // CDF face (inserts from adds, deletes from fresh dv positions)
+      // CDF face (inserts from adds, deletes from fresh dv positions);
+      // the expiry horizon resolves ONCE per admitted range
+      val hz = Snapshots.cdcHorizon(spark, path)
       return (s + 1 to e).flatMap(v =>
-        SnapshotCdf.partitionsFor(spark, path, v, streaming = true))
+        SnapshotCdf.partitionsFor(spark, path, v, streaming = true, hz))
         .map(p => p: InputPartition).toArray
+    }
     val root = new org.apache.hadoop.fs.Path(path)
     (s + 1 to e).flatMap { v =>
       Snapshots.manifestAt(spark, path, v) match {

@@ -297,9 +297,26 @@ object SnapshotProbe {
             "value" -> ms("value"))))))
       val mi = Snapshots.manifestAt(spark, p,
         Snapshots.latestVersion(spark, p)).get
+      // NMBS with a STATS-BOUNDED condition (round 12): the dimension-
+      // sync shape — matched band updates, a bounded id-band of
+      // target-only rows ages out. Claim: candidate files = matched
+      // band + NMBS band (stats-pruned), NOT the whole table; time
+      // stays ~flat at 10×.
+      val nmbsT = time(Snapshots.mergeInto(spark, p, srcDf,
+        Seq("event_id"),
+        matched = Seq(Snapshots.WhenMatched(None,
+          Snapshots.MergeUpdate(Map("value" -> ms("nv"))))),
+        notMatchedBySource = Seq(Snapshots.WhenNotMatchedBySource(
+          Some(col("event_id") >= lo + 2000L &&
+            col("event_id") < lo + 3000L),
+          Snapshots.MergeUpdate(Map("value" -> lit(0.0)))))))
+      val mb = Snapshots.manifestAt(spark, p,
+        Snapshots.latestVersion(spark, p)).get
+      val totF = Snapshots.read(spark, p).inputFiles.length
       println(f"[snapprobe] gmi_$tag n=$n touched=${m.removes.size} " +
         f"merge_into=$gmiT%.2f insert_only=$insT%.2f " +
-        f"ins_rewrites=${mi.removes.size}")
+        f"ins_rewrites=${mi.removes.size} nmbs_bounded=$nmbsT%.2f " +
+        f"nmbs_touched=${mb.removes.size} files=$totF")
       rmrf(p)
     }
 

@@ -1208,4 +1208,78 @@ class GraphCompilerSpec extends SparkSpec {
           "matched": {"delete": true}}, "result": true}}""")
     }.code shouldBe "MergeClauseInvalid"
   }
+
+  test("table_changes / call_procedure processes equal the SQL TVF " +
+      "and CALL faces, with typed errors") {
+    import spark.implicits._
+    def compile(graph: String) =
+      new GraphCompiler(spark, Map.empty)
+        .compile(graph).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gtvf_").toString
+    val p = s"$base/t"
+    graft.ops.Snapshots.append(
+      (1 to 20).map(i => (i.toLong, i * 2.0)).toDF("id", "v"), p)
+    graft.ops.Snapshots.delete(spark, p, col("id") <= 3L)
+    // graph == TVF: identical rows (incl. the meta columns)
+    rowSet(compile(s"""{
+      "c": {"process_id": "table_changes", "arguments": {
+        "target": "$p", "from_version": 0, "to_version": 2},
+        "result": true}}""")) shouldBe
+      rowSet(spark.sql(s"SELECT * FROM graft_table_changes('$p', 0, 2)"))
+    // ... and the target accepts catalog identifiers like the TVF
+    val slug = System.nanoTime().toString
+    val cat = s"gtvf_$slug"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", base)
+    rowSet(compile(s"""{
+      "c": {"process_id": "table_changes", "arguments": {
+        "target": "$cat.t", "from_version": 0, "to_version": 1},
+        "result": true}}""")) shouldBe
+      rowSet(spark.sql(s"SELECT * FROM graft_table_changes('$p', 0, 1)"))
+    // call_procedure == CALL: history over a catalog-managed table
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .createOrReplaceTempView(s"gtvf_src_$slug")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM gtvf_src_$slug")
+    rowSet(compile(s"""{
+      "h": {"process_id": "call_procedure", "arguments": {
+        "catalog": "$cat", "procedure": "history",
+        "args": {"table": "db.t"}}, "result": true}}""")) shouldBe
+      rowSet(spark.sql(s"CALL $cat.system.history(`table` => 'db.t')"))
+    // a side-effecting procedure through the graph: optimize commits
+    compile(s"""{
+      "o": {"process_id": "call_procedure", "arguments": {
+        "catalog": "$cat", "procedure": "optimize",
+        "args": {"table": "db.t", "num_files": 1}}, "result": true}}""")
+      .as[Long].head() shouldBe 3L
+    graft.ops.Snapshots.snapshotAt(spark, s"$base/db/t")
+      .get.files.size shouldBe 1
+    // typed errors: missing args, invalid names, unresolvable target
+    intercept[graft.OpenEoError] {
+      compile("""{
+        "c": {"process_id": "table_changes", "arguments": {
+          "from_version": 0, "to_version": 1}, "result": true}}""")
+    }.code shouldBe "TableChangesTargetMissing"
+    intercept[graft.OpenEoError] {
+      compile("""{
+        "c": {"process_id": "table_changes", "arguments": {
+          "target": "lonesegment", "from_version": 0, "to_version": 1},
+          "result": true}}""")
+    }.code shouldBe "TableChangesTargetInvalid"
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "h": {"process_id": "call_procedure", "arguments": {
+          "procedure": "history", "args": {"table": "db.t"}},
+          "result": true}}""")
+    }.code shouldBe "ProcedureCatalogMissing"
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "h": {"process_id": "call_procedure", "arguments": {
+          "catalog": "$cat", "procedure": "hi; DROP",
+          "args": {}}, "result": true}}""")
+    }.code shouldBe "ProcedureNameInvalid"
+  }
 }

@@ -1310,4 +1310,32 @@ class PlanQualitySpec extends SparkSpec {
     roll should include("ObjectHashAggregate")
     roll.toLowerCase should include("partial")
   }
+
+  test("PERSISTED bitmap cube: union-rollup over the V2 snapshot scan " +
+      "keeps partial sketch aggregation below exactly ONE exchange — " +
+      "the 100 TB cube read path never reshuffles raw sketches twice") {
+    import spark.implicits._
+    import graft.functions.BitmapExprs._
+    val p = java.nio.file.Files
+      .createTempDirectory("graft_bmplan_").toString + "/cube"
+    val daily = (1 to 2000).map(i => (i % 7, i % 3, i.toLong % 211))
+      .toDF("d", "g", "u").groupBy("d", "g")
+      .agg(bitmapAgg(col("u")).as("s"))
+    graft.ops.Snapshots.append(daily, p)
+    val cube = spark.read.format("graft-snapshot").load(p)
+    val roll = cube.groupBy("g")
+      .agg(bitmapCount(bitmapUnionAgg(col("s"))).as("n"))
+    val plan = planString(roll)
+    // partial ObjectHashAggregate sits ON the scan; one hash exchange
+    // carries per-group sketches (bytes), never member sets
+    plan should include("ObjectHashAggregate")
+    plan.toLowerCase should include("partial")
+    (plan.split("Exchange").length - 1) shouldBe 1
+    // and the rollup answers EXACTLY what raw recomputation answers
+    val fromCube = roll.as[(Int, Long)].collect().toMap
+    val fromRaw = (1 to 2000).map(i => (i % 3, i.toLong % 211))
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(_._2).distinct.size.toLong }
+    fromCube shouldBe fromRaw
+  }
 }

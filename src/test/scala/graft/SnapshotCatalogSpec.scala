@@ -320,6 +320,58 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gtest.db.ckp")
   }
 
+  test("ADD CONSTRAINT with a STALE validatedTableVersion re-validates " +
+      "instead of trusting the skip: a data commit landing between " +
+      "Spark's validation scan and the constraint commit cannot record " +
+      "a constraint live rows violate") {
+    wh
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    spark.sql("CREATE TABLE gtest.db.ckstale (id BIGINT, v DOUBLE)")
+    Seq((1L, 1.0)).toDF("id", "v").createOrReplaceTempView("cks1")
+    spark.sql("INSERT INTO gtest.db.ckstale SELECT * FROM cks1") // v2
+    Seq((2L, -5.0)).toDF("id", "v").createOrReplaceTempView("cks2")
+    spark.sql("INSERT INTO gtest.db.ckstale SELECT * FROM cks2") // v3
+    val cat = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = Identifier.of(Array("db"), "ckstale")
+    def addAt(validatedAt: String) = cat.alterTable(ident,
+      TableChange.addConstraint(
+        Constraint.check("v_pos").predicateSql("v > 0").build(),
+        validatedAt))
+    // "validated at v2" is STALE (v3 added a violating row after the
+    // scan) — the catalog must re-validate and fail typed, NOT record
+    val e = intercept[Exception] { addAt("2") }
+    e.getMessage.toLowerCase should include("constraint")
+    graft.ops.Snapshots.tableConstraints(spark, s"$wh/db/ckstale")
+      .keySet shouldBe Set.empty
+    // SnapshotTable.version() reports the pinned manifest version —
+    // what Spark stamps into validatedTableVersion after its scan
+    val provider = new graft.sources.SnapshotTableProvider
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", s"$wh/db/ckstale")
+    provider.getTable(new org.apache.spark.sql.types.StructType,
+      Array.empty, opts).version() shouldBe "3"
+    // at the CURRENT version the skip is honoured (valid rows first)
+    spark.sql("DELETE FROM gtest.db.ckstale WHERE v < 0") // v4
+    addAt("4")
+    graft.ops.Snapshots.tableConstraints(spark, s"$wh/db/ckstale")
+      .keySet shouldBe Set("v_pos")
+    spark.sql("DROP TABLE gtest.db.ckstale")
+  }
+
+  test("CREATE TABLE with inline constraint names colliding after " +
+      "lowercasing rejects typed and leaves NO table behind") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gtest.db.ckdup (id BIGINT, v DOUBLE, " +
+        "CONSTRAINT V_Pos CHECK (v > 0), " +
+        "CONSTRAINT v_pos CHECK (v > 1))")
+    }
+    e.getMessage.toLowerCase should include("v_pos")
+    spark.catalog.tableExists("gtest.db.ckdup") shouldBe false
+  }
+
   test("DROP NAMESPACE on a non-empty namespace raises the typed " +
       "NonEmptyNamespaceException, which Spark surfaces as its " +
       "SCHEMA_NOT_EMPTY error (the SupportsNamespaces contract)") {

@@ -348,4 +348,111 @@ class SnapshotMergeIntoSpec extends SparkSpec {
     }
     e.getMessage should (include("nope") or include("evolve"))
   }
+
+  test("NMBS with stats-bounded conditions prunes: files that cannot " +
+      "contain a clause-satisfying row and hold no matched key carry " +
+      "over UNMOVED (no full-table rewrite)") {
+    val p = freshDir()
+    // 4 range-clustered files over id 0..199; stats record id min/max
+    Snapshots.append(
+      (0 until 200).map(i => (i.toLong, i * 1.0, s"t$i"))
+        .toDF("id", "v", "tag").repartitionByRange(4, col("id")), p)
+    val m0 = Snapshots.snapshotAt(spark, p).get
+    m0.files.size shouldBe 4
+    // source matches keys 0..9 (first file); the NMBS clause's
+    // condition binds id >= 150 (last file). Files 2 and 3 (ids
+    // 50..149) can neither match nor satisfy the clause -> must
+    // carry over byte-identical.
+    Snapshots.mergeInto(spark, p,
+      (0 until 10).map(i => (i.toLong, -1.0)).toDF("id", "d"),
+      Seq("id"),
+      matched = Seq(WhenMatched(None, MergeUpdate(Map("v" -> src("d"))))),
+      notMatchedBySource = Seq(WhenNotMatchedBySource(
+        Some(col("id") >= 150L), MergeUpdate(Map("tag" -> lit("aged"))))))
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    val carried = m0.files.toSet.intersect(m1.files.toSet)
+    // at least the two middle files survive unmoved (conservative
+    // stats may keep boundary files as candidates, never fewer)
+    carried.size should be >= 2
+    // ... and correctness is untouched by the pruning
+    val got = Snapshots.read(spark, p).select("id", "v", "tag")
+      .as[(Long, Double, String)].collect()
+    got.length shouldBe 200
+    val byId = got.map(r => r._1 -> r).toMap
+    byId(5L)._2 shouldBe -1.0           // matched update applied
+    byId(100L) shouldBe ((100L, 100.0, "t100")) // untouched middle
+    byId(175L)._3 shouldBe "aged"       // NMBS applied
+    byId(149L)._3 shouldBe "t149"       // below the bound: not aged
+    // an UNCONDITIONAL NMBS clause keeps the documented all-files cost
+    val p2 = freshDir()
+    Snapshots.append(
+      (0 until 40).map(i => (i.toLong, i * 1.0, s"t$i"))
+        .toDF("id", "v", "tag").repartitionByRange(4, col("id")), p2)
+    val n0 = Snapshots.snapshotAt(spark, p2).get
+    Snapshots.mergeInto(spark, p2,
+      Seq((0L, -1.0)).toDF("id", "d"), Seq("id"),
+      matched = Seq(WhenMatched(None, MergeUpdate(Map("v" -> src("d"))))),
+      notMatchedBySource = Seq(WhenNotMatchedBySource(None,
+        MergeUpdate(Map("tag" -> lit("all"))))))
+    val n1 = Snapshots.snapshotAt(spark, p2).get
+    n0.files.toSet.intersect(n1.files.toSet) shouldBe Set.empty
+    Snapshots.read(spark, p2).where(col("tag") === "all")
+      .count() shouldBe 39L
+  }
+
+  test("mergeInto materializes the source ONCE: a non-deterministic " +
+      "source commits data that matches its own CDC sidecar exactly") {
+    val p = freshDir()
+    Snapshots.append(target(), p)
+    // rand()-valued source: without up-front materialization the CDC
+    // projections re-evaluate the source and the sidecar's values
+    // diverge from the committed rows
+    val nd = source().withColumn("d", rand(/*no seed*/) * 1e6)
+    Snapshots.mergeInto(spark, p, nd, Seq("id"),
+      matched = Seq(WhenMatched(None,
+        MergeUpdate(Map("v" -> src("d"))))),
+      notMatched = Seq(WhenNotMatched(None,
+        Map("id" -> src("id"), "v" -> src("d"), "tag" -> lit("n")))))
+    val table = Snapshots.read(spark, p)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    val feed = Snapshots.changeFeed(spark, p, 1L, 2L)
+    val posts = feed
+      .where(col("_change_type").isin("update_postimage", "insert"))
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    // every post-image / insert value in the sidecar IS the table value
+    posts.foreach { case (id, v) => table(id) shouldBe v }
+    posts.keySet shouldBe (3L to 10L).toSet
+  }
+
+  test("SQL MERGE/UPDATE clause payloads with subqueries reject TYPED " +
+      "at analysis time (they cannot round-trip through SQL text)") {
+    val slug = System.nanoTime().toString
+    val cat = s"gmiq_$slug"
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    (1 to 3).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .createOrReplaceTempView(s"gmiq_src_$slug")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM gmiq_src_$slug")
+    // a non-canonical merge shape (clause condition) carrying an IN
+    // subquery — previously a runtime parse failure AFTER analysis
+    val e1 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.db.t t USING gmiq_src_$slug s ON t.id = s.id
+            WHEN MATCHED AND t.id IN (SELECT id FROM gmiq_src_$slug)
+              THEN UPDATE SET v = 0.0""")
+    }
+    e1.getMessage.toLowerCase should include("subquer")
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.db.t SET v = 0.0 " +
+        s"WHERE id IN (SELECT id FROM gmiq_src_$slug WHERE v > 1)")
+    }
+    e2.getMessage.toLowerCase should include("subquer")
+    // the statements changed nothing
+    spark.table(s"$cat.db.t").where(col("v") === 0.0)
+      .count() shouldBe 0L
+  }
 }

@@ -130,6 +130,83 @@ class SnapshotProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.vacuum_dry_run lists what vacuum WOULD remove and " +
+      "deletes NOTHING; the real vacuum then removes exactly the " +
+      "listed parquet files") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh)
+    // v3: a CoW delete retires v2's files; v4: optimize retires v3's
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id <= 10")
+    spark.sql(s"CALL $cat.system.optimize(`table` => 'db.t', " +
+      "num_files => 1)").collect()
+    val before = spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet
+    val listed = spark.sql(s"CALL $cat.system.vacuum_dry_run(" +
+      "`table` => 'db.t', keep_from_version => 4, grace_ms => 0)")
+      .as[String].collect().toSeq
+    val listedParquet = listed.filter(_.endsWith(".parquet"))
+    listedParquet should not be empty
+    listed.exists(_.startsWith("_graft_log/")) shouldBe true // manifests
+    // NOTHING was deleted: full history still resolves
+    Snapshots.read(spark, p, Some(2L)).count() shouldBe 100L
+    spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet shouldBe before
+    listedParquet.foreach { f =>
+      new java.io.File(s"$p/$f").exists() shouldBe true }
+    // the real vacuum removes exactly the dry run's parquet count
+    val removed = spark.sql(s"CALL $cat.system.vacuum(" +
+      "`table` => 'db.t', keep_from_version => 4, grace_ms => 0)")
+      .as[Long].head()
+    removed shouldBe listedParquet.size.toLong
+    listedParquet.foreach { f =>
+      new java.io.File(s"$p/$f").exists() shouldBe false }
+    spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet shouldBe before
+  }
+
+  test("CALL system.expire_changes retires sidecars below the bound: " +
+      "feeds below fail typed, feeds above still serve, reads and " +
+      "time travel untouched, re-expiry is a no-op") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh) // v1 create, v2 insert
+    spark.sql(s"UPDATE $cat.db.t SET v = v + 1 WHERE id <= 5")  // v3
+    spark.sql(s"UPDATE $cat.db.t SET v = v + 10 WHERE id > 95") // v4
+    // pre-expiry: both update commits feed row-exactly
+    Snapshots.changeFeed(spark, p, 2L, 4L)
+      .where(col("_change_type") === "update_postimage")
+      .count() shouldBe 10L
+    val removed = spark.sql(s"CALL $cat.system.expire_changes(" +
+      "`table` => 'db.t', keep_from_version => 4)").as[Long].head()
+    removed should be >= 1L
+    // below the horizon: the typed expiry error, batch AND V2 face
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, p, 2L, 4L)
+    }
+    e1.getMessage should include("expire")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "3").load(p).collect()
+    }
+    e2.getMessage should include("expire")
+    // at/above the horizon the feed still serves (v4's sidecar intact)
+    Snapshots.changeFeed(spark, p, 3L, 4L)
+      .where(col("_change_type") === "update_postimage")
+      .count() shouldBe 5L
+    // the no-options V2 feed clamps its default start to the horizon
+    spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(p)
+      .select("_commit_version").distinct()
+      .as[Long].collect().toSeq shouldBe Seq(4L)
+    // reads and time travel are UNTOUCHED by change-data expiry
+    spark.table(s"$cat.db.t").count() shouldBe 100L
+    Snapshots.read(spark, p, Some(3L)).count() shouldBe 100L
+    // monotonic + idempotent: an older bound is a no-op
+    spark.sql(s"CALL $cat.system.expire_changes(" +
+      "`table` => 'db.t', keep_from_version => 3)")
+      .as[Long].head() shouldBe 0L
+  }
+
   test("SHOW PROCEDURES lists the system namespace") {
     val (cat, _) = freshCat()
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
