@@ -1231,6 +1231,40 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * filesystem stat — as ceil(total / targetFileBytes). Requires the
     * snapshot's files to carry sizes (any current-writer commit does;
     * a pre-sizes manifest fails typed rather than guessing). */
+  /** Predicate-SCOPED optimize (Delta's `OPTIMIZE ... WHERE`, the
+    * routine-maintenance shape for a partitioned 100 TB table): only
+    * files the stats say may hold predicate-matching rows rewrite —
+    * bin-packed into `numFiles` (optionally z-ordered like
+    * [[optimize]]); every other file carries into the new manifest
+    * unmoved. The predicate selects FILES, not rows: content is
+    * preserved exactly (a file straddling the predicate boundary
+    * rewrites in full). Rewritten files materialize their deletion
+    * vectors on the way. Commits as `op = "compact"` (incremental
+    * consumers skip it, like optimize). Returns the current version
+    * unchanged when fewer than two files qualify. */
+  def optimizeWhere(spark: SparkSession, path: String, predicate: Column,
+      numFiles: Int, zorderBy: Seq[(String, Double, Double)] = Nil,
+      zBits: Int = 16, expectVersion: Option[Long] = None): Long = {
+    require(numFiles > 0, "numFiles must be positive")
+    val m = snapshotAt(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $path"))
+    checkExpected(m, expectVersion, "optimize-where", path)
+    val schema = snapshotSchema(spark, path, m)
+    val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
+    if (candidates.size < 2) return m.version
+    val root = new Path(path)
+    val pb = latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
+    val rows = readFiles(spark, root, candidates, schema, m.dvs)
+    val rewritten =
+      if (zorderBy.isEmpty) {
+        if (pb.isEmpty) rows.repartition(numFiles)
+        else rows.repartition(numFiles, pb.map(col): _*)
+      } else graft.functions.ZOrder.clusterByZ(rows, zorderBy, zBits,
+        numFiles, prefixCols = pb)
+    commit(rewritten, path, "compact", removed = candidates.toSet,
+      expectParent = Some(m.version))
+  }
+
   def optimizeToSize(spark: SparkSession, path: String,
       targetFileBytes: Long,
       zorderBy: Seq[(String, Double, Double)] = Nil,

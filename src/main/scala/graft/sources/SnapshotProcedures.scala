@@ -23,6 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.optimize_to_size(`table` => 'db.t',
   *                                    target_file_bytes => 134217728)
   * CALL graft.system.vacuum(`table` => 'db.t', keep_from_version => 3)
+  * CALL graft.system.vacuum_dry_run(`table` => 'db.t',
+  *                                  keep_from_version => 3)
+  * CALL graft.system.expire_changes(`table` => 'db.t',
+  *                                  keep_from_version => 3)
   * CALL graft.system.restore(`table` => 'db.t', version => 2)
   * CALL graft.system.history(`table` => 'db.t')
   * }}}
@@ -88,12 +92,15 @@ private[sources] object SnapshotProcedures {
       checkSegment: String => String): Seq[UnboundProcedure] = Seq(
     new P("optimize",
       "Rewrite the table into num_files files (optionally z-order " +
-        "clustered by the given comma-separated columns) as one " +
+        "clustered by the given comma-separated columns; optionally " +
+        "SCOPED by `where`, a SQL predicate selecting the files to " +
+        "rewrite by their stats — Delta's OPTIMIZE ... WHERE) as one " +
         "maintenance commit; returns the new version.",
       Array(inParam("table", StringType),
         inParam("num_files", IntegerType),
         inParamDefault("zorder", StringType, "''"),
-        inParamDefault("z_bits", IntegerType, "16")),
+        inParamDefault("z_bits", IntegerType, "16"),
+        inParamDefault("where", StringType, "''")),
       versionOut,
       (spark, in) => {
         val p = tablePath(warehouse, checkSegment, in)
@@ -123,8 +130,15 @@ private[sources] object SnapshotProcedures {
                     "type) — z-order needs numeric bounds")
               (c, agg.getDouble(2 * i), agg.getDouble(2 * i + 1)) }
           }
-        val v = Snapshots.optimize(spark, p, in.getInt(1), zorderBy,
-          in.getInt(3))
+        val whereSql = Option(in.getUTF8String(4)).map(_.toString)
+          .getOrElse("").trim
+        val v =
+          if (whereSql.isEmpty)
+            Snapshots.optimize(spark, p, in.getInt(1), zorderBy,
+              in.getInt(3))
+          else Snapshots.optimizeWhere(spark, p,
+            org.apache.spark.sql.functions.expr(whereSql), in.getInt(1),
+            zorderBy, in.getInt(3))
         Seq(row(v))
       }),
     new P("optimize_to_size",

@@ -1088,7 +1088,7 @@ final class SnapshotColumnarReader(absPath: String, required: StructType,
             case FloatType => (cr, v, i) => v.putFloat(i, cr.getFloat)
             case DoubleType => (cr, v, i) => v.putDouble(i, cr.getDouble)
             case BooleanType => (cr, v, i) => v.putBoolean(i, cr.getBoolean)
-            case StringType => (cr, v, i) => {
+            case StringType | BinaryType => (cr, v, i) => {
               val b = cr.getBinary.getBytes
               v.putByteArray(i, b, 0, b.length); ()
             }
@@ -1186,8 +1186,8 @@ final class SnapshotColumnarReader(absPath: String, required: StructType,
 object SnapshotGroupReader {
   private[sources] def supported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
-         DoubleType | BooleanType | StringType | TimestampType |
-         DateType => true
+         DoubleType | BooleanType | StringType | BinaryType |
+         TimestampType | DateType => true
     case _ => false
   }
 
@@ -1335,6 +1335,7 @@ final class SnapshotGroupReader(absPath: String, required: StructType,
           case BooleanType => g => g.getBoolean(idx, 0)
           case StringType =>
             g => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+          case BinaryType => g => g.getBinary(idx, 0).getBytes
           case DateType => g => g.getInteger(idx, 0)
           case TimestampType =>
             ptype.getPrimitiveTypeName match {

@@ -130,6 +130,47 @@ class SnapshotProceduresSpec extends SparkSpec {
     }
   }
 
+  test("optimizeWhere rewrites ONLY stats-matching files (content " +
+      "preserved, others carry unmoved); CALL optimize(where => ...) " +
+      "routes to it") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    val p = s"$wh/db/t"
+    // 4 range-clustered files over id 1..400 (direct append — the
+    // catalog INSERT path may emit extra empty-partition files)
+    Snapshots.append(
+      (1 to 400).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), p)
+    val m0 = Snapshots.snapshotAt(spark, p).get
+    m0.files.size should be >= 4 // AQE may rebalance the range write
+    // the files whose recorded id range sits ENTIRELY below the
+    // predicate — the law: these exact files must carry over unmoved
+    val below = m0.files.filter(f => m0.stats(f).cols.get("id")
+      .exists(_.max.exists(_.toDouble < 150.0))).toSet
+    below should not be empty
+    val before = spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet
+    // scope the rewrite to the top of the key range via SQL CALL
+    spark.sql(s"CALL $cat.system.optimize(`table` => 'db.t', " +
+      "num_files => 1, `where` => 'id >= 150')").collect()
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    m1.op shouldBe "compact"
+    // every provably-below file carried unmoved; the in-bound files
+    // rewrote (the manifest shrank)
+    below.subsetOf(m1.files.toSet) shouldBe true
+    m1.files.size should be < m0.files.size
+    spark.table(s"$cat.db.t").as[(Long, Double)]
+      .collect().toSet shouldBe before
+    // incremental consumers skip the compact commit (a maintenance-
+    // only range is typed-empty, like optimize)
+    intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, p, m0.version, m1.version)
+    }.getMessage should include("no data-changing")
+    // fewer than two candidate files -> version unchanged
+    Snapshots.optimizeWhere(spark, p, col("id") < 0L, 1) shouldBe
+      m1.version
+  }
+
   test("CALL system.vacuum_dry_run lists what vacuum WOULD remove and " +
       "deletes NOTHING; the real vacuum then removes exactly the " +
       "listed parquet files") {

@@ -431,4 +431,34 @@ class SnapshotSourceSpec extends SparkSpec {
     e.getMessage should include("unsupported")
     e.getMessage should include("Snapshots.read")
   }
+
+  test("BINARY columns round-trip through the V2 reader (columnar and " +
+      "row paths) — the persisted sketch-cube read path") {
+    import spark.implicits._
+    val p = freshDir()
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array.emptyByteArray),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, Array.tabulate(5000)(i => (i % 251).toByte))) // multi-page-ish
+    Snapshots.append(rows.toDF("id", "b"), p)
+    val got = spark.read.format("graft-snapshot").load(p)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    got(0)._2.toSeq shouldBe Seq[Byte](1, 2, 3)
+    got(1)._2.length shouldBe 0
+    got(2)._2 shouldBe null
+    got(3)._2.toSeq shouldBe Array.tabulate(5000)(i => (i % 251).toByte).toSeq
+    // a real sketch survives the round-trip and still counts exactly
+    import graft.functions.BitmapExprs._
+    val p2 = freshDir()
+    Snapshots.append(
+      (1 to 500).map(i => (i % 3, i.toLong % 101)).toDF("g", "u")
+        .groupBy("g").agg(bitmapAgg(col("u")).as("s")), p2)
+    spark.read.format("graft-snapshot").load(p2)
+      .select(col("g"), bitmapCount(col("s")).as("n"))
+      .as[(Int, Long)].collect().toMap shouldBe
+      (1 to 500).map(i => (i % 3, i % 101)).groupBy(_._1)
+        .map { case (g, xs) => g -> xs.map(_._2).distinct.size.toLong }
+  }
 }
