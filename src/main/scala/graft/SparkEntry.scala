@@ -423,6 +423,27 @@ object SparkEntry {
         .trainBigramLmFromGrams(corpusGramsShared(s, dir))
     }
 
+  /** The corpus BM25 run for the fixed bench terms — q_bm25 serves it
+    * raw, q_retrieval_eval computes ranking metrics over it,
+    * q_hybrid_search fuses it with the semantic run. */
+  private def bm25RunShared(s: SparkSession, dir: String): DataFrame =
+    sharedDf("bm25run", dir) {
+      graft.text.Search.bm25(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        Seq("spark", "merge", "window"))
+    }
+
+  /** The blocked n-gram-Jaccard near-dup PAIR LIST at the pipeline
+    * threshold (shingle 3, J >= 0.5, (lang, source) blocks) — the
+    * artifact behind q_ngram_jaccard, q_split_leakage,
+    * q_dedup_clusters, q_dedup_corpus and q_dedup_corpus_best. */
+  private def dedupPairsShared(s: SparkSession, dir: String): DataFrame =
+    sharedDf("ndpairs", dir) {
+      Dedup.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+    }
+
   /** The DSIR importance-weight table (target = the English slice,
     * base = the whole corpus) — q_dsir_weights/_resample/_select each
     * consume the identical table. */
@@ -2021,9 +2042,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => {
       // blocked pairwise n-gram Jaccard (the non-LSH dedup variant):
       // blocking on (lang, source) bounds the pair space per group
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.ngramJaccardPairs(d, "text", "doc_id", Seq("lang", "source"),
-          shingleN = 3, threshold = 0.5)
+      dedupPairsShared(s, dir)
         .select(col("id_a"), col("id_b"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -2069,9 +2088,7 @@ object SparkEntry {
       // pair list
       import graft.text.Sampling
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
-        .select("id_a", "id_b").localCheckpoint(true)
+      val pairs = dedupPairsShared(s, dir).select("id_a", "id_b")
       val grouped = Sampling.assignSplit(
           d.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
           "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -2122,9 +2139,7 @@ object SparkEntry {
       // large-star/small-star connected components (O(log n) rounds of
       // edge-list shuffles, no driver-side graph state); cluster label =
       // component minimum doc_id
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      val pairs = dedupPairsShared(s, dir)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("cluster"))
     }),
@@ -2134,8 +2149,7 @@ object SparkEntry {
       // table is tiny next to the corpus, so the join back is broadcast
       // and the corpus itself never shuffles
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      val pairs = dedupPairsShared(s, dir)
       Dedup.dedupCorpus(d, pairs, "doc_id")
         .select("doc_id", "lang", "source", "n_chars")
     }),
@@ -2410,10 +2424,8 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       // BM25 keyword retrieval over the corpus (Lucene idf form); scores
       // are 1e-9-long-quantized per (doc, term) so DuckDB reproduces the
-      // per-doc sums exactly
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Search.bm25(d, "text", "doc_id",
-        Seq("spark", "merge", "window"))
+      // per-doc sums exactly. Session-shared run — see bm25RunShared.
+      bm25RunShared(s, dir)
     }),
     "q_search_indexed" -> ((s, dir) => {
       // BM25 served from the PERSISTED inverted index: the corpus's
@@ -2486,10 +2498,8 @@ object SparkEntry {
       // rank-only fusion needs no cross-run score calibration, and the
       // two reciprocal terms add in fixed order so the fused score is
       // bit-reproducible (oracle replays both runs AND the fusion)
-      val d = s.read.parquet(s"$dir/documents.parquet")
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val lex = graft.text.Search.bm25(d, "text", "doc_id",
-          Seq("spark", "merge", "window"))
+      val lex = bm25RunShared(s, dir)
         .select(lit(7L).as("query_id"), col("doc_id"), col("score"))
       val sem = Similarity.topKBruteForce(e, e.where(col("vec_id") === 7),
           "vec_id", "embedding", k = 20)
@@ -2504,11 +2514,8 @@ object SparkEntry {
       // Discount literals are driver-computed and shared with the oracle
       // so no libm-vs-JVM log ulp can leak into the metric; DCG folds run
       // in rank order on both sides (array fold vs ordered SUM).
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val scored = graft.text.Search.bm25(d, "text", "doc_id",
-        Seq("spark", "merge", "window"))
-      graft.text.Search.rankingMetrics(scored, "doc_id", k = 10,
-        relMinTerms = 2)
+      graft.text.Search.rankingMetrics(bm25RunShared(s, dir), "doc_id",
+        k = 10, relMinTerms = 2)
     }),
     "q_ann_recall" -> ((s, dir) => {
       // ANN index QUALITY row — recall@5 of the IVF index against the
@@ -3012,8 +3019,7 @@ object SparkEntry {
       // representative selection: keep the LONGEST doc per near-dup
       // cluster (ties to lowest id) instead of the minimum id
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
+      val pairs = dedupPairsShared(s, dir)
       Dedup.dedupCorpusBest(d, pairs, "doc_id", "n_chars")
         .select("doc_id", "lang", "source", "n_chars")
     }),

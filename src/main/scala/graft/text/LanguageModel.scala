@@ -34,13 +34,16 @@ object LanguageModel {
     * slice+concat_ws of [[TextAnalysis.tokenNgrams]] (the interpreted
     * per-element slices were the dominant cost of LM training at sf0.1;
     * same output, ~4× cheaper). */
-  def bigrams(text: Column): Column = {
-    val t = toks(text)
+  def bigrams(text: Column): Column = bigramsOf(toks(text))
+
+  /** [[bigrams]] over a PRE-TOKENIZED array column — lets a caller
+    * tokenizing once feed several gram widths from one materialized
+    * pass (the backoff trainer's shape). */
+  def bigramsOf(t: Column): Column =
     when(size(t) >= 2,
       zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Train the bigram table: (gram, c12, c1, logp) with
     * logp = ln(c12 / c1), where c1 is the first-token occurrence count
@@ -249,8 +252,11 @@ object LanguageModel {
   /** Non-distinct token trigrams ("w1 w2 w3" strings) — two nested
     * zip_with passes over three array slices (same single-pass shape as
     * [[bigrams]]). */
-  def trigrams(text: Column): Column = {
-    val t = toks(text)
+  def trigrams(text: Column): Column = trigramsOf(toks(text))
+
+  /** [[trigrams]] over a PRE-TOKENIZED array column (see
+    * [[bigramsOf]]). */
+  def trigramsOf(t: Column): Column = {
     val n = size(t)
     when(n >= 3,
       zip_with(
@@ -283,15 +289,19 @@ object LanguageModel {
     * scalar. */
   def trainBackoffLm(docs: DataFrame, textCol: String,
       minCount: Long = 1L): BackoffLm = {
-    val t = toks(col(textCol))
-    val tokens = docs.select(explode(t).as("w"))
+    // tokenize ONCE: the three count tables each explode the same
+    // token stream — materializing the arrays spares two full
+    // corpus tokenization (trim/lower/regex-split) passes
+    val toksDf = docs.select(toks(col(textCol)).as("_t"))
+      .localCheckpoint(true)
+    val tokens = toksDf.select(explode(col("_t")).as("w"))
     val uniCnt = tokens.groupBy("w").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
     val nTokens = uniCnt.agg(sum(col("c"))).head().getLong(0)
-    val biCnt = docs.select(explode(bigrams(col(textCol))).as("gram"))
+    val biCnt = toksDf.select(explode(bigramsOf(col("_t"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    val triCnt = docs.select(explode(trigrams(col(textCol))).as("gram"))
+    val triCnt = toksDf.select(explode(trigramsOf(col("_t"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c"))
     // attach denominators: trigram "w1 w2 w3" / bigram "w1 w2";
     // bigram "w2 w3" / unigram "w2"
