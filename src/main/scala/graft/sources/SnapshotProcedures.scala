@@ -162,6 +162,19 @@ private[sources] object SnapshotProcedures {
       (spark, in) => Seq(row(Snapshots.vacuum(spark,
         tablePath(warehouse, checkSegment, in), in.getLong(1),
         in.getLong(2))))),
+    new P("compact_small_files",
+      "Incremental bin-packing compaction: only files smaller than " +
+        "small_bytes rewrite (into ceil(total/target_file_bytes) " +
+        "files; target defaults to small_bytes); everything else " +
+        "carries unmoved. Returns the new version (unchanged when " +
+        "fewer than two files qualify).",
+      Array(inParam("table", StringType),
+        inParam("small_bytes", LongType),
+        inParamDefault("target_file_bytes", LongType, "0")),
+      versionOut,
+      (spark, in) => Seq(row(Snapshots.compactSmallFiles(spark,
+        tablePath(warehouse, checkSegment, in), in.getLong(1),
+        in.getLong(2))))),
     new P("vacuum_dry_run",
       "List everything vacuum(keep_from_version, grace_ms) WOULD " +
         "remove — one row per root-relative path — deleting nothing " +

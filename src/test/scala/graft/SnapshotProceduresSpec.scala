@@ -248,6 +248,29 @@ class SnapshotProceduresSpec extends SparkSpec {
       .as[Long].head() shouldBe 0L
   }
 
+  test("CALL system.compact_small_files bin-packs only the stragglers") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    val p = s"$wh/db/t"
+    // one big file + 8 straggler files (the post-streaming shape)
+    Snapshots.append(
+      (1 to 5000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .repartition(1), p)
+    Snapshots.append(
+      (5001 to 5080).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .repartition(8), p)
+    val m0 = Snapshots.snapshotAt(spark, p).get
+    val big = m0.files.maxBy(f => m0.stats(f).bytes)
+    val smallBytes = m0.stats(big).bytes // everything below the big file
+    spark.sql(s"CALL $cat.system.compact_small_files(" +
+      s"`table` => 'db.t', small_bytes => $smallBytes)").collect()
+    val m1 = Snapshots.snapshotAt(spark, p).get
+    m1.op shouldBe "compact"
+    m1.files should contain(big)          // the big file never moved
+    m1.files.size should be < m0.files.size
+    spark.table(s"$cat.db.t").count() shouldBe 5080L
+  }
+
   test("SHOW PROCEDURES lists the system namespace") {
     val (cat, _) = freshCat()
     val names = spark.sql(s"SHOW PROCEDURES IN $cat.system")
