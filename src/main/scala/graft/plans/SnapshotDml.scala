@@ -103,9 +103,15 @@ case class SnapshotDmlRule(session: SparkSession)
             matched, notMatched, notMatchedBySource, withSchemaEvolution)
           if m.resolved && snapshotPath(target).isDefined =>
         val path = snapshotPath(target).get
-        if (withSchemaEvolution) throw new UnsupportedOperationException(
-          "graft-snapshot MERGE does not evolve the schema — evolve " +
-            "with ALTER TABLE ADD COLUMN (or append) first")
+        // `WITH SCHEMA EVOLUTION` needs no handling here: Spark's
+        // ResolveMergeIntoSchemaEvolution already computed the schema
+        // changes, routed them through this catalog's alterTable (the
+        // append-evolution ADD COLUMN commit) and re-resolved the
+        // target relation against the WIDENED table — by the time this
+        // rule fires, the new columns are ordinary target columns.
+        // Evolution is therefore two commits (metadata + the merge),
+        // each atomic; a source column whose TYPE conflicts fails in
+        // alterTable's typed guards.
         val targetOut = target.outputSet
         val sourceOut = source.outputSet
         val keys = splitConjuncts(cond).map {

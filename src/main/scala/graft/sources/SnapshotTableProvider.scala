@@ -245,7 +245,12 @@ final class SnapshotTable(path: String, tschema: StructType,
       // BATCH_WRITE is the planner gate; V1_BATCH_WRITE declares the
       // execution shape (build() returns a V1Write)
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE WITH SCHEMA EVOLUTION: Spark's analyzer computes the
+      // widening TableChanges and routes them through the catalog's
+      // alterTable (this store's append-evolution ADD COLUMN commit),
+      // then re-resolves the merge against the widened table
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a user .schema(...) disagreeing with the manifest fails HERE (the
     // read path) rather than being silently replaced; the write path

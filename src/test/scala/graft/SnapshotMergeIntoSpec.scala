@@ -400,6 +400,60 @@ class SnapshotMergeIntoSpec extends SparkSpec {
       .count() shouldBe 39L
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns widen the " +
+      "table (nullable ADD COLUMN commit + the merge; old rows read " +
+      "null); without the clause the same statement fails typed") {
+    val slug = System.nanoTime().toString
+    val cat = s"gmise_$slug"
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v DOUBLE)")
+    (1 to 4).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .createOrReplaceTempView(s"gmise_base_$slug")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT * FROM gmise_base_$slug")
+    Seq((3L, 30.0, "hot"), (9L, 90.0, "new"))
+      .toDF("id", "v", "tag")
+      .createOrReplaceTempView(s"gmise_src_$slug")
+    // without the clause, star expansion covers TARGET columns only —
+    // the extra source column is IGNORED and the schema does not move
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t USING gmise_src_$slug s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    spark.table(s"$cat.db.t").columns.toSeq shouldBe Seq("id", "v")
+    // WITH SCHEMA EVOLUTION: Spark routes the widening through this
+    // catalog's alterTable (append-evolution), re-resolves, merges
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.t t
+          USING gmise_src_$slug s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    val got = spark.table(s"$cat.db.t")
+      .select("id", "v", "tag").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    got(3L) shouldBe ((30.0, "hot"))  // matched: updated incl. new col
+    got(9L) shouldBe ((90.0, "new"))  // inserted with the new col
+    got(1L) shouldBe ((1.0, null))    // untouched old row reads null
+    got.size shouldBe 5
+    // conditional-clause (general mergeInto) shape evolves too
+    Seq((1L, 100.0, "x", 7L)).toDF("id", "v", "tag", "rank")
+      .createOrReplaceTempView(s"gmise_src2_$slug")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.t t
+          USING gmise_src2_$slug s ON t.id = s.id
+          WHEN MATCHED AND s.v > 50 THEN UPDATE SET rank = s.rank
+          WHEN NOT MATCHED THEN INSERT *""")
+    val r2 = spark.table(s"$cat.db.t").where(col("id") === 1L)
+      .select("rank").collect().head
+    r2.getLong(0) shouldBe 7L
+    spark.table(s"$cat.db.t").where(col("id") === 3L)
+      .select("rank").collect().head.isNullAt(0) shouldBe true
+  }
+
   test("mergeInto materializes the source ONCE: a non-deterministic " +
       "source commits data that matches its own CDC sidecar exactly") {
     val p = freshDir()
