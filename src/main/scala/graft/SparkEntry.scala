@@ -4752,6 +4752,42 @@ object SparkEntry {
       }
       Snapshots.read(s, s"${p}_t")
     }),
+    "q_merge_into_evolve" -> ((s, dir) => {
+      // MERGE WITH SCHEMA EVOLUTION (r12): the source carries a column
+      // the table lacks — Spark computes the widening, routes it
+      // through the catalog's append-evolution ADD COLUMN commit and
+      // re-resolves, so matched rows update INTO the new column,
+      // inserts land with it, and untouched rows read null. Oracle
+      // replays the widened end state from raw events.
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val cat = s"gmev_$slug"
+      val whPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_gmevcat_$slug"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        "graft.sources.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
+      sharedBuild("gmevcat", dir) { wh =>
+        deleteRecursively(wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
+          "user_id BIGINT, value DOUBLE)")
+        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
+          .select("event_id", "user_id", "value")
+          .createOrReplaceTempView(s"gmev_base_$slug")
+        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM gmev_base_$slug")
+        snapshotEvents(s, dir).where(col("event_id") % 4 === 0)
+          .select(col("event_id"), col("user_id"),
+            (col("value") + 1000).as("value"),
+            col("event_type").as("tag"))
+          .createOrReplaceTempView(s"gmev_src_$slug")
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.ev t
+              USING gmev_src_$slug s ON t.event_id = s.event_id
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED AND s.event_id < 5000 THEN INSERT *""")
+      }
+      s.table(s"$cat.db.ev")
+    }),
     "q_merge_into" -> ((s, dir) => {
       // GENERAL MERGE INTO (r11) — the full SQL shape the canonical
       // upsert lacks: ordered CONDITIONAL clauses, WHEN MATCHED DELETE,
@@ -9158,6 +9194,21 @@ object SparkEntry {
            AND NOT (event_id % 12 = 0 AND event_type = 'view')
          UNION ALL
          SELECT event_id, user_id, 'merged', value
+         FROM events
+         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
+           AND event_id < 5000""",
+    "q_merge_into_evolve" ->
+      // the widened end state: base = %3=0 over 3 columns; matched
+      // (%12=0) rows take the source's value+1000 and its event_type
+      // as the NEW `tag` column; unmatched-source rows (%4=0, %3<>0,
+      // <5000) insert with it; untouched rows read tag null
+      """SELECT event_id, user_id,
+                CASE WHEN event_id % 12 = 0 THEN value + 1000
+                     ELSE value END AS value,
+                CASE WHEN event_id % 12 = 0 THEN event_type END AS tag
+         FROM events WHERE event_id % 3 = 0
+         UNION ALL
+         SELECT event_id, user_id, value + 1000, event_type
          FROM events
          WHERE event_id % 4 = 0 AND event_id % 3 <> 0
            AND event_id < 5000""",
