@@ -382,9 +382,20 @@ object SparkEntry {
   private val sharedDfs =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def sharedDf(kind: String, dir: String)(
-      build: => DataFrame): DataFrame =
-    sharedDfs.computeIfAbsent(s"$kind:$dir",
-      _ => build.localCheckpoint(true))
+      build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: builders nest (dsir -> grams + lm -> grams),
+    // and a nested computeIfAbsent on the same map is a CHM contract
+    // violation (IllegalStateException "Recursive update" whenever the
+    // nested key hashes into the outer reservation's bin). get +
+    // putIfAbsent tolerates a racing duplicate build — contents are
+    // deterministic, the loser's checkpoint is just dropped.
+    val key = s"$kind:$dir"
+    val cur = sharedDfs.get(key)
+    if (cur != null) return cur
+    val built = build.localCheckpoint(true)
+    val prev = sharedDfs.putIfAbsent(key, built)
+    if (prev != null) prev else built
+  }
 
   /** The corpus-wide hashed-classifier score table (doc_id, y, score):
     * hashedFeatures(dim 64) → 2 GD iterations → scoreHashed, the exact

@@ -556,9 +556,11 @@ final class GraphCompiler(
         // errors) with the SQL face. Names are validated to identifier
         // characters and string values single-quote-escaped — graph
         // payloads are data, never spliced SQL.
-        val ident = "^[A-Za-z0-9_]+$".r
+        // matches(), not findFirstIn: Java's $ matches BEFORE a final
+        // line terminator, so find() would pass "history\n" through
+        val ident = java.util.regex.Pattern.compile("[A-Za-z0-9_]+")
         def checkedName(v: String, what: String): String = {
-          if (ident.findFirstIn(v).isEmpty) throw graft.OpenEoError(
+          if (!ident.matcher(v).matches()) throw graft.OpenEoError(
             "ProcedureNameInvalid",
             s"call_procedure $what '$v' must match [A-Za-z0-9_]+")
           v
@@ -580,7 +582,13 @@ final class GraphCompiler(
                   if (v.isNumber) v.numberValue().toString
                   else if (v.isBoolean) v.asBoolean().toString
                   else if (v.isTextual)
-                    "'" + v.asText().replace("'", "''") + "'"
+                    // escape backslashes BEFORE quote-doubling: Spark's
+                    // default string literals are backslash-escaped
+                    // (escapedStringLiterals=false), so a value ending
+                    // in \ would otherwise swallow the closing quote —
+                    // the injection the data-not-SQL contract forbids
+                    "'" + v.asText().replace("\\", "\\\\")
+                      .replace("'", "\\'") + "'"
                   else throw graft.OpenEoError("ProcedureArgInvalid",
                     s"call_procedure argument '$k' must be a string, " +
                       s"number or boolean; got $v")

@@ -1250,7 +1250,16 @@ object Snapshots extends org.apache.spark.internal.Logging {
       throw new IllegalArgumentException(s"no committed snapshot at $path"))
     checkExpected(m, expectVersion, "optimize-where", path)
     val schema = snapshotSchema(spark, path, m)
-    val candidates = pruneFiles(m, analyzeBounds(spark, schema, predicate))
+    val bounds = analyzeBounds(spark, schema, predicate)
+    // an unanalyzable predicate (modulo, OR, UDF, ...) would silently
+    // select EVERY file — the full-table rewrite the caller explicitly
+    // tried to scope. Fail typed instead (Delta's OPTIMIZE ... WHERE
+    // rejects non-partition predicates the same way).
+    if (bounds.isEmpty) throw new IllegalArgumentException(
+      s"optimize-where at $path: the predicate has no stats-analyzable " +
+        "bounds (use comparisons/IN over table columns) — it would " +
+        "select every file; use optimize() for a full rewrite")
+    val candidates = pruneFiles(m, bounds)
     if (candidates.size < 2) return m.version
     val root = new Path(path)
     val pb = latestManifest(spark, path).map(_.partitionBy).getOrElse(Nil)
@@ -3365,8 +3374,12 @@ object Snapshots extends org.apache.spark.internal.Logging {
       snaps.flatMap(_.dvs.values.map(_.path)).toSet
     // CDC sidecar files retire with their manifest: only RETAINED
     // manifests' sidecars stay referenced (the feed below the horizon
-    // already fails loudly, so nothing can read a swept sidecar)
-    val referencedCdc: Set[String] = retained
+    // already fails loudly, so nothing can read a swept sidecar) —
+    // and a retained manifest below the EXPIRY horizon no longer pins
+    // its sidecar either (expire_changes retired it; a crashed expiry
+    // run's orphans get reclaimed here)
+    val cdcHz = cdcHorizon(spark, path)
+    val referencedCdc: Set[String] = retained.filter(_ >= cdcHz)
       .flatMap(v => readManifest(fs, root, v)).flatMap(_.cdc).toSet
     def countParquet(fs: FileSystem, dir: Path): Long =
       Option(fs.listStatus(dir)).getOrElse(Array.empty).map { st =>
@@ -3439,8 +3452,20 @@ object Snapshots extends org.apache.spark.internal.Logging {
           // count the PARQUET FILES inside the dataset, not the
           // directory, so the returned metric stays per-file across
           // both sweep phases (a dv dataset is a partitioned write —
-          // one directory, many files)
+          // one directory, many files). The dry run lists those files
+          // too — a directory-only row would under-report vs the real
+          // run's per-file count.
           deleted += countParquet(fs, d.getPath)
+          if (dryRun) {
+            def walk(dir: Path, rel: String): Unit =
+              Option(fs.listStatus(dir)).getOrElse(Array.empty)
+                .foreach { st =>
+                  val r = s"$rel/${st.getPath.getName}"
+                  if (st.isDirectory) walk(st.getPath, r)
+                  else planned += r
+                }
+            walk(d.getPath, s"dv/${d.getPath.getName}")
+          }
           remove(d.getPath, s"dv/${d.getPath.getName}", recursive = true)
         }
       }
@@ -3517,7 +3542,13 @@ object Snapshots extends org.apache.spark.internal.Logging {
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(
         s"expire_changes at $path: cannot publish horizon file")
-    (cur until keepFromVersion).foreach { v =>
+    // sweep from the OLDEST still-manifested version, not the previous
+    // horizon: a run that crashed between publishing its horizon and
+    // finishing its deletes leaves sidecars below `cur` that a
+    // cur-anchored loop would never revisit — re-scanning the (already
+    // bounded) below-horizon range makes every advance reclaim them
+    val sweepFrom = math.min(cur, oldestAvailableVersion(spark, path))
+    (sweepFrom until keepFromVersion).foreach { v =>
       readManifest(fs, root, v).foreach { m =>
         m.cdc.foreach { f =>
           if (fs.delete(new Path(root, f), false)) removed += 1

@@ -164,10 +164,17 @@ final class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       info.properties())
     // belt-and-braces: should a constraint commit still fail (exotic
     // predicate SQL the engine rejects), roll the CREATE back so the
-    // statement leaves nothing behind
-    try checks.foreach { case (n, sql) =>
-      Snapshots.addConstraint(SparkSession.active, pathOf(ident), n,
-        sql, validate = false)
+    // statement leaves nothing behind. validatedAt pins each skip to
+    // the version the previous commit produced — a concurrent append
+    // sneaking between createEmpty and a constraint commit forces
+    // re-validation instead of recording a constraint live rows
+    // violate (the same anchoring alterTable's skip gets).
+    try {
+      var at = 1L // createEmpty committed version 1
+      checks.foreach { case (n, sql) =>
+        at = Snapshots.addConstraint(SparkSession.active, pathOf(ident),
+          n, sql, validate = false, validatedAt = Some(at))
+      }
     } catch { case e: Throwable =>
       try dropTable(ident)
       catch { case scala.util.control.NonFatal(_) => }

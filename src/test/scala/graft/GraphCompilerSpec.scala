@@ -1281,5 +1281,25 @@ class GraphCompilerSpec extends SparkSpec {
           "catalog": "$cat", "procedure": "hi; DROP",
           "args": {}}, "result": true}}""")
     }.code shouldBe "ProcedureNameInvalid"
+    // a trailing newline must not sneak past the anchor ($ matches
+    // BEFORE a final terminator under find(); matches() rejects)
+    intercept[graft.OpenEoError] {
+      compile(s"""{
+        "h": {"process_id": "call_procedure", "arguments": {
+          "catalog": "$cat", "procedure": "history\\n",
+          "args": {}}, "result": true}}""")
+    }.code shouldBe "ProcedureNameInvalid"
+    // a string value ending in a backslash must not swallow its closing
+    // quote (backslash-escaped literals are Spark's default): the WHOLE
+    // value reaches the procedure as one literal and fails ITS typed
+    // segment validation, never a half-parsed CALL statement
+    val eInj = intercept[Exception] {
+      compile(s"""{
+        "h": {"process_id": "call_procedure", "arguments": {
+          "catalog": "$cat", "procedure": "history",
+          "args": {"table": "db\\\\.t', x => 'y"}},
+          "result": true}}""")
+    }
+    eInj.getMessage should include("db\\")
   }
 }

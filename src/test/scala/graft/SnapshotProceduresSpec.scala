@@ -169,6 +169,12 @@ class SnapshotProceduresSpec extends SparkSpec {
     // fewer than two candidate files -> version unchanged
     Snapshots.optimizeWhere(spark, p, col("id") < 0L, 1) shouldBe
       m1.version
+    // an unanalyzable predicate would silently select EVERY file — the
+    // full rewrite the caller tried to scope; it must fail typed
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.optimizeWhere(spark, p, col("id") % 2 === 0L, 1)
+    }
+    e.getMessage should include("stats-analyzable")
   }
 
   test("CALL system.vacuum_dry_run lists what vacuum WOULD remove and " +
@@ -246,6 +252,20 @@ class SnapshotProceduresSpec extends SparkSpec {
     spark.sql(s"CALL $cat.system.expire_changes(" +
       "`table` => 'db.t', keep_from_version => 3)")
       .as[Long].head() shouldBe 0L
+    // crash-orphan reclaim: simulate a run that died after publishing
+    // its horizon but before finishing its deletes by resurrecting an
+    // already-expired sidecar file — the next ADVANCE re-sweeps the
+    // whole below-horizon range and reclaims it
+    val m3 = Snapshots.manifestAt(spark, p, 3L).get
+    m3.cdc should not be empty
+    val orphan = new java.io.File(s"$p/${m3.cdc.head}")
+    orphan.getParentFile.mkdirs()
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // (the advance to 5 also legitimately expires v4's sidecar)
+    spark.sql(s"CALL $cat.system.expire_changes(" +
+      "`table` => 'db.t', keep_from_version => 5)")
+      .as[Long].head() should be >= 2L
+    orphan.exists() shouldBe false
   }
 
   test("CALL system.compact_small_files bin-packs only the stragglers") {
