@@ -513,7 +513,28 @@ final class GraphCompiler(
           else Snapshots.MergeUpdate(massigns(c, "set").getOrElse(
             throw graft.OpenEoError("MergeClauseInvalid",
               s"$proc clause needs 'set' assignments or 'delete': true")))
-        Snapshots.mergeInto(spark, spath, dfArg(n, "source", r), keys,
+        val mergeSrc = dfArg(n, "source", r)
+        // `"schema_evolution": true` — parity with MERGE WITH SCHEMA
+        // EVOLUTION: source-only columns widen the table FIRST as one
+        // append-evolution metadata commit (nullable; old rows read
+        // null), exactly the two-commit shape the SQL face gets from
+        // Spark's analyzer, then the merge proceeds over the widened
+        // schema so clause assignments may target the new columns.
+        val evolve = n.arguments.get("schema_evolution")
+          .map(resolve(_, r)).collect { case b: Boolean => b }
+          .getOrElse(false)
+        if (evolve) {
+          val cur = Snapshots.read(spark, spath).schema
+          val newCols = mergeSrc.schema.fields
+            .filterNot(f => cur.fieldNames.contains(f.name))
+          if (newCols.nonEmpty)
+            Snapshots.append(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(
+                cur.fields ++ newCols.map(_.copy(nullable = true)))),
+              spath)
+        }
+        Snapshots.mergeInto(spark, spath, mergeSrc, keys,
           matched = clauseList("matched").map(c =>
             Snapshots.WhenMatched(mcond(c), updOrDel(c, "matched"))),
           notMatched = clauseList("not_matched").map(c =>

@@ -1209,6 +1209,44 @@ class GraphCompilerSpec extends SparkSpec {
     }.code shouldBe "MergeClauseInvalid"
   }
 
+  test("merge_into with schema_evolution widens the table like MERGE " +
+      "WITH SCHEMA EVOLUTION (nullable ADD + merge; old rows null)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gmiev_").toString
+    val t = s"$base/t"; val s2 = s"$base/s"
+    graft.ops.Snapshots.append(
+      (1 to 4).map(i => (i.toLong, i * 10.0)).toDF("id", "v"), t)
+    graft.ops.Snapshots.append(
+      Seq((3L, 300.0, "hot"), (9L, 900.0, "new"))
+        .toDF("id", "v", "tag"), s2)
+    val out = new GraphCompiler(spark, Map.empty).compile(s"""{
+      "src": {"process_id": "load_snapshot", "arguments": {"path": "$s2"}},
+      "o": {"process_id": "merge_into", "arguments": {
+        "path": "$t", "source": {"from_node": "src"}, "keys": ["id"],
+        "schema_evolution": true,
+        "matched": [{"set": {"v": "source.v", "tag": "source.tag"}}],
+        "not_matched": [{"values": {"id": "source.id",
+          "v": "source.v", "tag": "source.tag"}}]},
+        "result": true}}""").asInstanceOf[org.apache.spark.sql.DataFrame]
+    val got = out.select("id", "v", "tag").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toMap
+    got(3L) shouldBe ((300.0, "hot"))
+    got(9L) shouldBe ((900.0, "new"))
+    got(1L) shouldBe ((10.0, null))
+    got.size shouldBe 5
+    // without the flag, the same graph fails typed (unknown column)
+    intercept[Exception] {
+      new GraphCompiler(spark, Map.empty).compile(s"""{
+        "src": {"process_id": "load_snapshot", "arguments": {"path": "$s2"}},
+        "o": {"process_id": "merge_into", "arguments": {
+          "path": "$t", "source": {"from_node": "src"}, "keys": ["id"],
+          "matched": [{"set": {"nope": "source.tag"}}]},
+          "result": true}}""")
+    }.getMessage should include("nope")
+  }
+
   test("table_changes / call_procedure processes equal the SQL TVF " +
       "and CALL faces, with typed errors") {
     import spark.implicits._
