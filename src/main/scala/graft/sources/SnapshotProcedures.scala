@@ -200,14 +200,27 @@ private[sources] object SnapshotProcedures {
       (spark, in) => Seq(row(Snapshots.expireChanges(spark,
         tablePath(warehouse, checkSegment, in), in.getLong(1))))),
     new P("restore",
-      "Roll the table back to an earlier version as a NEW commit " +
-        "(time travel + every later version stay intact); returns the " +
-        "new version.",
+      "Roll the table back to an earlier state as a NEW commit " +
+        "(time travel + every later version stay intact); target by " +
+        "version OR by timestamp_ms (epoch millis — resolves to the " +
+        "newest commit at or before it, Delta's RESTORE TIMESTAMP AS " +
+        "OF). Returns the new version.",
       Array(inParam("table", StringType),
-        inParam("version", LongType)),
+        inParamDefault("version", LongType, "0"),
+        inParamDefault("timestamp_ms", LongType, "0")),
       versionOut,
-      (spark, in) => Seq(row(Snapshots.restore(spark,
-        tablePath(warehouse, checkSegment, in), in.getLong(1))))),
+      (spark, in) => {
+        val p = tablePath(warehouse, checkSegment, in)
+        val v = in.getLong(1); val ts = in.getLong(2)
+        require((v > 0) ^ (ts > 0),
+          "restore takes exactly one of version / timestamp_ms")
+        val target =
+          if (v > 0) v
+          else Snapshots.versionAtTimestamp(spark, p, ts).getOrElse(
+            throw new IllegalArgumentException(
+              s"no commit at or before timestamp $ts at $p"))
+        Seq(row(Snapshots.restore(spark, p, target)))
+      }),
     new P("detail",
       "One operational summary row for the table: current version, op, " +
         "live file/DV counts, recorded bytes and rows (file-level — " +

@@ -86,6 +86,26 @@ class SnapshotProceduresSpec extends SparkSpec {
     spark.table(s"$cat.db.t").count() shouldBe 100L
   }
 
+  test("CALL system.restore by timestamp_ms resolves the newest commit " +
+      "at or before it; version XOR timestamp enforced") {
+    val (cat, wh) = freshCat()
+    val p = seed(cat, wh) // v1 create, v2 insert
+    val ts2 = Snapshots.history(spark, p)
+      .where(col("version") === 2L).select("commit_ts").as[Long].head()
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id <= 50") // v3
+    spark.sql(s"CALL $cat.system.restore(`table` => 'db.t', " +
+      s"timestamp_ms => $ts2)").as[Long].head() shouldBe 4L
+    spark.table(s"$cat.db.t").count() shouldBe 100L
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.restore(`table` => 'db.t', " +
+        s"version => 2, timestamp_ms => $ts2)").collect()
+    }.getMessage should include("exactly one")
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.restore(`table` => 'db.t')")
+        .collect()
+    }.getMessage should include("exactly one")
+  }
+
   test("CALL system.optimize_to_size derives the file count from " +
       "recorded sizes") {
     val (cat, wh) = freshCat()
