@@ -515,36 +515,53 @@ final class GraphCompiler(
               s"$proc clause needs 'set' assignments or 'delete': true")))
         val mergeSrc = dfArg(n, "source", r)
         // `"schema_evolution": true` — parity with MERGE WITH SCHEMA
-        // EVOLUTION: source-only columns widen the table FIRST as one
+        // EVOLUTION: source-only columns widen the table as one
         // append-evolution metadata commit (nullable; old rows read
         // null), exactly the two-commit shape the SQL face gets from
-        // Spark's analyzer, then the merge proceeds over the widened
-        // schema so clause assignments may target the new columns.
-        val evolve = n.arguments.get("schema_evolution")
-          .map(resolve(_, r)).collect { case b: Boolean => b }
-          .getOrElse(false)
+        // Spark's analyzer. A PRESENT argument that is not a boolean
+        // fails typed (the clauseList rule — coercion could silently
+        // disable evolution and commit a wrong state).
+        val evolve = n.arguments.get("schema_evolution") match {
+          case None => false
+          case Some(a) => resolve(a, r) match {
+            case b: Boolean => b
+            case other => throw graft.OpenEoError("MergeClauseInvalid",
+              s"merge_into 'schema_evolution' must be a boolean; " +
+                s"got $other")
+          }
+        }
+        // parse and validate EVERY clause BEFORE the widening commit —
+        // a malformed clause must leave the table untouched (the
+        // leaves-nothing-behind rule the SQL face gets from analysis
+        // ordering)
+        val mMatched = clauseList("matched").map(c =>
+          Snapshots.WhenMatched(mcond(c), updOrDel(c, "matched")))
+        val mNotMatched = clauseList("not_matched").map(c =>
+          Snapshots.WhenNotMatched(mcond(c),
+            massigns(c, "values").getOrElse(throw graft.OpenEoError(
+              "MergeClauseInvalid",
+              "not_matched clause needs 'values' assignments"))))
+        val mBySource = clauseList("not_matched_by_source").map(
+          c => Snapshots.WhenNotMatchedBySource(mcond(c),
+            updOrDel(c, "not_matched_by_source")))
         if (evolve) {
+          // detection is case-INSENSITIVE (SQL resolution is) — a
+          // case-variant duplicate column would brick every later
+          // read with AMBIGUOUS_REFERENCE. The widening batch carries
+          // the SOURCE schema and lets the ENGINE's append-evolution
+          // compute the union: shared-column type mismatches get its
+          // typed guard instead of silently slipping through.
           val cur = Snapshots.read(spark, spath).schema
-          val newCols = mergeSrc.schema.fields
-            .filterNot(f => cur.fieldNames.contains(f.name))
+          val newCols = mergeSrc.schema.fields.filterNot(f =>
+            cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           if (newCols.nonEmpty)
             Snapshots.append(spark.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
-              org.apache.spark.sql.types.StructType(
-                cur.fields ++ newCols.map(_.copy(nullable = true)))),
-              spath)
+              mergeSrc.schema), spath)
         }
         Snapshots.mergeInto(spark, spath, mergeSrc, keys,
-          matched = clauseList("matched").map(c =>
-            Snapshots.WhenMatched(mcond(c), updOrDel(c, "matched"))),
-          notMatched = clauseList("not_matched").map(c =>
-            Snapshots.WhenNotMatched(mcond(c),
-              massigns(c, "values").getOrElse(throw graft.OpenEoError(
-                "MergeClauseInvalid",
-                "not_matched clause needs 'values' assignments")))),
-          notMatchedBySource = clauseList("not_matched_by_source").map(
-            c => Snapshots.WhenNotMatchedBySource(mcond(c),
-              updOrDel(c, "not_matched_by_source"))))
+          matched = mMatched, notMatched = mNotMatched,
+          notMatchedBySource = mBySource)
         Snapshots.read(spark, spath)
       case "table_changes" =>
         // the TVF face (graft_table_changes) on the graph surface:
@@ -602,14 +619,22 @@ final class GraphCompiler(
                 val rendered =
                   if (v.isNumber) v.numberValue().toString
                   else if (v.isBoolean) v.asBoolean().toString
-                  else if (v.isTextual)
-                    // escape backslashes BEFORE quote-doubling: Spark's
-                    // default string literals are backslash-escaped
-                    // (escapedStringLiterals=false), so a value ending
-                    // in \ would otherwise swallow the closing quote —
-                    // the injection the data-not-SQL contract forbids
-                    "'" + v.asText().replace("\\", "\\\\")
-                      .replace("'", "\\'") + "'"
+                  else if (v.isTextual) {
+                    // escaping must match the SESSION's parser mode:
+                    // default (escapedStringLiterals=false) treats
+                    // backslash as an escape — a value ending in \
+                    // would swallow the closing quote, so double it;
+                    // legacy mode treats backslash literally — doubling
+                    // would corrupt the value. Quote-DOUBLING ('')
+                    // escapes the quote under BOTH modes.
+                    val legacy = spark.conf
+                      .get("spark.sql.parser.escapedStringLiterals",
+                        "false").toBoolean
+                    val raw = v.asText()
+                    val bs = if (legacy) raw
+                             else raw.replace("\\", "\\\\")
+                    "'" + bs.replace("'", "''") + "'"
+                  }
                   else throw graft.OpenEoError("ProcedureArgInvalid",
                     s"call_procedure argument '$k' must be a string, " +
                       s"number or boolean; got $v")

@@ -213,7 +213,8 @@ private[sources] object SnapshotProcedures {
         val p = tablePath(warehouse, checkSegment, in)
         val v = in.getLong(1); val ts = in.getLong(2)
         require((v > 0) ^ (ts > 0),
-          "restore takes exactly one of version / timestamp_ms")
+          "restore takes exactly one of version / timestamp_ms, " +
+            s"and it must be positive (got version=$v, timestamp_ms=$ts)")
         val target =
           if (v > 0) v
           else Snapshots.versionAtTimestamp(spark, p, ts).getOrElse(

@@ -1245,6 +1245,47 @@ class GraphCompilerSpec extends SparkSpec {
           "matched": [{"set": {"nope": "source.tag"}}]},
           "result": true}}""")
     }.getMessage should include("nope")
+    // a MALFORMED clause must leave the table untouched even with
+    // schema_evolution requested: clause validation runs BEFORE the
+    // widening commit (leaves-nothing-behind)
+    val s3 = s"$base/s3"
+    graft.ops.Snapshots.append(
+      Seq((1L, 1.0, 1L)).toDF("id", "v", "extra"), s3)
+    val vBefore = graft.ops.Snapshots.latestVersion(spark, t)
+    intercept[graft.OpenEoError] {
+      new GraphCompiler(spark, Map.empty).compile(s"""{
+        "src": {"process_id": "load_snapshot", "arguments": {"path": "$s3"}},
+        "o": {"process_id": "merge_into", "arguments": {
+          "path": "$t", "source": {"from_node": "src"}, "keys": ["id"],
+          "schema_evolution": true,
+          "matched": [{}]}, "result": true}}""")
+    }.code shouldBe "MergeClauseInvalid"
+    graft.ops.Snapshots.latestVersion(spark, t) shouldBe vBefore
+    graft.ops.Snapshots.read(spark, t).columns should not contain "extra"
+    // a mistyped schema_evolution (string, not boolean) fails typed
+    intercept[graft.OpenEoError] {
+      new GraphCompiler(spark, Map.empty).compile(s"""{
+        "src": {"process_id": "load_snapshot", "arguments": {"path": "$s2"}},
+        "o": {"process_id": "merge_into", "arguments": {
+          "path": "$t", "source": {"from_node": "src"}, "keys": ["id"],
+          "schema_evolution": "true",
+          "matched": [{"set": {"v": "source.v"}}]},
+          "result": true}}""")
+    }.code shouldBe "MergeClauseInvalid"
+    // a case-variant source column is NOT a new column (SQL resolution
+    // is case-insensitive) — the schema must not gain a duplicate
+    val s4 = s"$base/s4"
+    graft.ops.Snapshots.append(
+      Seq((2L, 222.0)).toDF("id", "V"), s4)
+    new GraphCompiler(spark, Map.empty).compile(s"""{
+      "src": {"process_id": "load_snapshot", "arguments": {"path": "$s4"}},
+      "o": {"process_id": "merge_into", "arguments": {
+        "path": "$t", "source": {"from_node": "src"}, "keys": ["id"],
+        "schema_evolution": true,
+        "matched": [{"set": {"v": "source.V"}}]},
+        "result": true}}""")
+    graft.ops.Snapshots.read(spark, t).columns
+      .count(_.equalsIgnoreCase("v")) shouldBe 1
   }
 
   test("table_changes / call_procedure processes equal the SQL TVF " +
