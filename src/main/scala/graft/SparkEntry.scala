@@ -4494,6 +4494,24 @@ object SparkEntry {
       }
       s.table(s"$cat.db.ev")
     }),
+    "q_snapshot_bloom" -> ((s, dir) => {
+      // BLOOM-FILTER FILE SKIPPING (r12, the Delta bloom-index shape):
+      // the store clusters by event_id, so user_id/event_type min-max
+      // spans every file and stats prune NOTHING — the per-file blooms
+      // recorded at commit time file-skip the point lookups instead
+      // (spec-pinned; here the gate proves zero false negatives
+      // end-to-end against the raw-events oracle)
+      val p = sharedBuild("snapbloom", dir) { pp =>
+        deleteRecursively(pp)
+        s.conf.set(Snapshots.BloomColumnsKey, "user_id,event_type")
+        try Snapshots.append(snapshotEvents(s, dir)
+          .repartitionByRange(8, col("event_id")), pp)
+        finally s.conf.unset(Snapshots.BloomColumnsKey)
+      }
+      Snapshots.scanWhere(s, p, col("user_id") === 77L)
+        .unionByName(
+          Snapshots.scanWhere(s, p, col("event_type") === "purchase"))
+    }),
     "q_bitmap_distinct" -> ((s, dir) => {
       // EXACT mergeable distinct-count sketches (r11, the ClickHouse
       // groupBitmap / roaring bitmap_agg family): per (event_type, day)
@@ -9157,6 +9175,13 @@ object SparkEntry {
          FROM events
          WHERE event_id % 3 IN (0, 1) AND event_id < 3000
            AND event_type = 'view'""",
+    "q_snapshot_bloom" ->
+      // the two bloom-served point lookups, replayed from raw events
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE user_id = 77
+         UNION ALL
+         SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_type = 'purchase'""",
     "q_graph_table_changes" ->
       // q_sql_table_changes' oracle verbatim (same store, same range,
       // consumed through the graph-surface table_changes process)

@@ -111,8 +111,17 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * manifests): real byte sizes feed the V2 planner statistics
     * (broadcast decisions) and size-targeted OPTIMIZE without a single
     * filesystem stat at plan time. */
+  /** `blooms`: per-column BLOOM FILTER for equality file-skipping on
+    * columns min/max cannot prune (unsorted high-cardinality keys —
+    * the point-lookup story). Value is `<tag>:<base64>` where tag is
+    * `l` (integral, hashed as LONG) or `s` (string) and the payload is
+    * a [[graft.functions.BitmapExprs.LongBitmap]] over k=2 double-
+    * hashed positions mod 2^16 — compressed, canonical, and mergeable
+    * with the same machinery as the sketch tier. Opt-in per session
+    * via [[BloomColumnsKey]]; ~KBs per (file, column). */
   final case class FileStats(rows: Long, cols: Map[String, ColStat],
-      parts: Map[String, String] = Map.empty, bytes: Long = 0L)
+      parts: Map[String, String] = Map.empty, bytes: Long = 0L,
+      blooms: Map[String, String] = Map.empty)
 
   /** Merge-on-read DELETION VECTOR reference for one data file (the
     * Delta/Iceberg v2 position-delete shape): `path` is the
@@ -205,6 +214,10 @@ object Snapshots extends org.apache.spark.internal.Logging {
           fs.parts.foreach { case (c, v) => pn.put(c, v) }
         }
         if (fs.bytes > 0) fn.put("bytes", fs.bytes)
+        if (fs.blooms.nonEmpty) {
+          val bn = fn.putObject("blooms")
+          fs.blooms.foreach { case (c, v) => bn.put(c, v) }
+        }
       }
     }
 
@@ -233,9 +246,18 @@ object Snapshots extends org.apache.spark.internal.Logging {
             val c = pit.next(); parts += c -> fn.get("parts").get(c).asText()
           }
         }
+        val blooms = Map.newBuilder[String, String]
+        if (fn.has("blooms")) {
+          val bit = fn.get("blooms").fieldNames()
+          while (bit.hasNext) {
+            val c = bit.next()
+            blooms += c -> fn.get("blooms").get(c).asText()
+          }
+        }
         b += f -> FileStats(fn.get("rows").asLong(0L), cols.result(),
           parts.result(),
-          if (fn.has("bytes")) fn.get("bytes").asLong(0L) else 0L)
+          if (fn.has("bytes")) fn.get("bytes").asLong(0L) else 0L,
+          blooms.result())
       }
       b.result()
     }
@@ -622,8 +644,26 @@ object Snapshots extends org.apache.spark.internal.Logging {
       val c = statExpr(col(f.name), f.dataType)
       Seq(min(c).as(s"__min_${f.name}"), max(c).as(s"__max_${f.name}"))
     }
+    // opt-in per-file bloom filters ride the SAME attribution pass —
+    // two extra map-side bitmap aggregates per configured column, no
+    // second read of the batch
+    val bloomCols: Seq[(String, String)] = spark.conf
+      .getOption(BloomColumnsKey)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .flatMap(c => schema.fields.find(_.name == c)
+        .flatMap(f => bloomHashable(f.dataType).map(tag => c -> tag)))
+    val bloomAggs = bloomCols.map { case (name, tag) =>
+      import graft.functions.BitmapExprs.{bitmapAgg, bitmapOr}
+      val base = if (tag == "l") col(name).cast("long") else col(name)
+      val p1 = when(col(name).isNotNull,
+        pmod(xxhash64(base), lit(BloomBits)))
+      val p2 = when(col(name).isNotNull,
+        pmod(xxhash64(base, lit(BloomSalt)), lit(BloomBits)))
+      bitmapOr(bitmapAgg(p1), bitmapAgg(p2)).as(s"__bloom_$name")
+    }
     val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__n"), aggs: _*).collect()
+      .agg(count(lit(1)).as("__n"), aggs ++ bloomAggs: _*).collect()
     // attribution runs ONCE per row; the zero-row coverage set below
     // reuses these rel keys rather than re-deriving them
     val relRows = rows.map { r =>
@@ -653,8 +693,14 @@ object Snapshots extends org.apache.spark.internal.Logging {
               Some(renderNum(hi, isMin = false))))
         }
       }.toMap
+      val blooms = bloomCols.zipWithIndex.flatMap {
+        case ((name, tag), j) =>
+          Option(r.get(2 + 2 * fields.size + j)).map(bytes =>
+            name -> (tag + ":" + java.util.Base64.getEncoder
+              .encodeToString(bytes.asInstanceOf[Array[Byte]])))
+      }.toMap
       rel -> FileStats(r.getLong(1), cols, partsFromPath(rel),
-        sizes.getOrElse(rel, 0L))
+        sizes.getOrElse(rel, 0L), blooms)
     }.toMap ++ {
       // a ZERO-ROW file contributes no group to the attribution pass
       // (CREATE TABLE's schema-recording file; empty tasks of a skewed
@@ -1036,6 +1082,45 @@ object Snapshots extends org.apache.spark.internal.Logging {
     else Seq(Bound(c, "pin", BSet(rendered.toSet)))
   }
 
+  /** Bloom membership for an EQUALITY bound against a file's recorded
+    * filter: false means the file provably holds no row with that
+    * value. Conservative everywhere the exact typed literal cannot be
+    * reconstructed (interval literals, type-tag mismatch, undecodable
+    * payload). */
+  private def bloomSurvives(fs: FileStats, b: Bound): Boolean = {
+    if (b.op != "=") return true
+    fs.blooms.get(b.col) match {
+      case None => true
+      case Some(tagged) =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val sep = tagged.indexOf(':')
+        if (sep <= 0) return true
+        val lit: Option[Literal] = (tagged.substring(0, sep), b.v) match {
+          case ("s", BStr(v)) =>
+            Some(Literal(org.apache.spark.unsafe.types.UTF8String
+              .fromString(v), StringType))
+          case ("l", BNum(lo, hi))
+              // only an EXACT integral literal can test membership —
+              // the interval is a point, whole, and double-exact
+              if lo == hi && lo.isWhole &&
+                math.abs(lo) <= (1L << 53).toDouble =>
+            Some(Literal(lo.toLong, LongType))
+          case _ => None
+        }
+        lit match {
+          case None => true
+          case Some(l) =>
+            try {
+              val bm = graft.functions.BitmapExprs.LongBitmap.deserialize(
+                java.util.Base64.getDecoder
+                  .decode(tagged.substring(sep + 1)))
+              val (p1, p2) = bloomPositions(l)
+              bm.contains(p1) && bm.contains(p2)
+            } catch { case scala.util.control.NonFatal(_) => true }
+        }
+    }
+  }
+
   private def pruneFiles(m: Snapshot, bounds: Seq[Bound]): Seq[String] =
     if (bounds.isEmpty) m.files
     else m.files.filter { f =>
@@ -1047,10 +1132,10 @@ object Snapshots extends org.apache.spark.internal.Logging {
             // predicate's accepted set can contain NO matching row; a
             // file with no recorded value never part-prunes
             case BSet(vals) => fs.parts.get(b.col).forall(vals.contains)
-            case _ => fs.cols.get(b.col) match {
+            case _ => (fs.cols.get(b.col) match {
               case None => true
               case Some(cs) => survives(cs, b)
-            }
+            }) && bloomSurvives(fs, b)
           }
         }
       }
@@ -2551,6 +2636,40 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * is only ever consumed in batch (where a read-time diff fallback
     * keeps exactness). */
   val CdcEnabledKey = "spark.graft.snapshot.cdc.enabled"
+
+  /** Comma-separated column names to record per-file BLOOM FILTERS for
+    * at commit time (the Delta bloom-filter-index shape): equality
+    * predicates on these columns then FILE-SKIP even where min/max
+    * stats are useless (unsorted high-cardinality keys — user ids,
+    * document ids, join keys). Integral and string columns only;
+    * unknown names and other types are ignored. The filter is a
+    * roaring-bitmap over k=2 double-hashed positions mod 2^16 — for a
+    * file with n distinct values the false-positive rate is
+    * ~(2n/65536)^2 (n=5k → ~2%); a false positive only costs a read,
+    * never correctness. */
+  val BloomColumnsKey = "spark.graft.snapshot.bloom.columns"
+  private val BloomBits = 1L << 16
+  private val BloomSalt = 0x9E3779B97F4A7C15L
+
+  private def bloomHashable(dt: DataType): Option[String] = dt match {
+    case LongType | IntegerType | ShortType | ByteType => Some("l")
+    case StringType => Some("s")
+    case _ => None
+  }
+
+  /** The two bloom positions of a literal value — MUST mirror the
+    * write side's `pmod(xxhash64(base[, salt]), 2^16)` exactly
+    * (integrals hash as LONG via the write-side cast). */
+  private def bloomPositions(lit: org.apache.spark.sql.catalyst
+      .expressions.Literal): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def pos(h: Long): Long = ((h % BloomBits) + BloomBits) % BloomBits
+    val h1 = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+    val h2 = XxHash64(Seq(lit, Literal(BloomSalt)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (pos(h1), pos(h2))
+  }
+
   private val CdcDir = "_change_data"
   private[graft] val ChangeTypeCol = "_change_type"
 

@@ -668,4 +668,66 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.read(spark, p).count() shouldBe (2 + 4 * 2).toLong
     } finally pool.shutdownNow()
   }
+
+  test("bloom file-skipping: equality on an UNSORTED high-cardinality " +
+      "column prunes files min/max cannot — no false negatives, range " +
+      "predicates untouched, conf-off commits record nothing") {
+    spark.conf.set(Snapshots.BloomColumnsKey, "uid,name")
+    try {
+      val p = freshDir()
+      // 8 files range-clustered by SEQUENTIAL id; uid/name are
+      // scrambled high-cardinality values — every file's uid min/max
+      // spans ~the whole domain, so stats alone prune nothing
+      val rows = (0 until 4000).map { i =>
+        (i.toLong, (i * 2654435761L) % 100000L,
+          s"n${(i * 48271) % 100000}")
+      }
+      Snapshots.append(rows.toDF("id", "uid", "name")
+        .repartitionByRange(8, col("id")), p)
+      val m = Snapshots.snapshotAt(spark, p).get
+      m.files.size shouldBe 8
+      m.files.foreach(f =>
+        m.stats(f).blooms.keySet shouldBe Set("uid", "name"))
+      // PRESENT value: exact rows back (no false negative possible —
+      // the filter records every present value's positions) and the
+      // scan plans fewer than all files
+      val target = (1234L * 2654435761L) % 100000L
+      val expect = rows.filter(_._2 == target).map(_._1).sorted
+      val hit = Snapshots.scanWhere(spark, p, col("uid") === target)
+      hit.select("id").as[Long].collect().sorted.toSeq shouldBe expect
+      hit.inputFiles.length should be < 8
+      // ABSENT value (outside the domain): every file bloom-prunes
+      val miss = Snapshots.scanWhere(spark, p, col("uid") === 99999999L)
+      miss.inputFiles.length shouldBe 0
+      miss.count() shouldBe 0L
+      // string bloom, both directions
+      val starget = s"n${(777 * 48271) % 100000}"
+      Snapshots.scanWhere(spark, p, col("name") === starget)
+        .count() shouldBe rows.count(_._3 == starget).toLong
+      Snapshots.scanWhere(spark, p, col("name") === "definitely_absent")
+        .inputFiles.length shouldBe 0
+      // non-equality predicates never consult the bloom
+      Snapshots.scanWhere(spark, p, col("uid") >= 0L)
+        .count() shouldBe 4000L
+      // the V2 face shares pruneFiles: pushed EqualTo bloom-prunes too
+      spark.read.format("graft-snapshot").load(p)
+        .where(col("uid") === 99999999L).count() shouldBe 0L
+      spark.read.format("graft-snapshot").load(p)
+        .where(col("uid") === target)
+        .select("id").as[Long].collect().sorted.toSeq shouldBe expect
+      // a CoW rewrite re-records blooms for its rewritten files
+      Snapshots.delete(spark, p, col("id") === 0L)
+      val m2 = Snapshots.snapshotAt(spark, p).get
+      m2.files.foreach(f =>
+        m2.stats(f).blooms.keySet shouldBe Set("uid", "name"))
+      // conf OFF: new commits record no blooms; reads stay correct
+      spark.conf.unset(Snapshots.BloomColumnsKey)
+      val p2 = freshDir()
+      Snapshots.append(rows.take(100).toDF("id", "uid", "name"), p2)
+      val m3 = Snapshots.snapshotAt(spark, p2).get
+      m3.files.foreach(f => m3.stats(f).blooms shouldBe Map.empty)
+      Snapshots.scanWhere(spark, p2, col("uid") === 99999999L)
+        .count() shouldBe 0L
+    } finally spark.conf.unset(Snapshots.BloomColumnsKey)
+  }
 }
