@@ -35,6 +35,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Streaming-tier shared session config (round-12 verdict task 1a):
+      // the 23 short-lived stream rows re-pay state-store checkpoint
+      // retention and background maintenance per query. Retaining 2
+      // batches (not 100) bounds the delta files each commit keeps
+      // alive, and a 10-minute maintenance interval keeps the snapshot
+      // thread from firing inside a <10 s query. Results are unaffected
+      // — both knobs govern checkpoint housekeeping only.
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -105,7 +114,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal":$cal,"sf":"$sfDir","total_sec":${r3(total)}}"""
+    // Cal-normalized total: the all-core calibration loop reads ~0.72 s
+    // on this machine when clean (BENCH_NOTES band, rounds 4-12); under
+    // session pressure it inflates proportionally with the query times.
+    // total × 0.72 / mean(all-core cal) projects the run onto the clean
+    // band so the artifact itself carries the normalization the notes
+    // previously reconstructed by hand. Method documented in BASELINE.md.
+    val calNBar = (calPreN + calPostN) / 2.0
+    val calNorm = if (calNBar > 0) total * 0.72 / calNBar else total
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal":$cal,"sf":"$sfDir","total_sec":${r3(total)},"cal_norm_total_sec":${r3(calNorm)}}"""
     // Lossless full-name record on disk, twice: BENCH_LOCAL.json
     // (gitignored, machine-local scratch) and BENCH_FULL.json (committed —
     // the per-query decomposition of the OFFICIAL run, since the driver
@@ -134,10 +151,18 @@ object Bench {
       val top = results.sortBy(-_._2).take(topK)
         .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"full":"BENCH_FULL.json","cal":$cal,"sf":"$sfDir","total_sec":${r3(total)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"full":"BENCH_FULL.json","cal":$cal,"sf":"$sfDir","total_sec":${r3(total)},"cal_norm_total_sec":${r3(calNorm)}}"""
     }
     val shortLine = Iterator.iterate(48)(_ - 4).takeWhile(_ >= 0)
       .map(compact).find(_.length <= budget).getOrElse(compact(0))
+    // The exact final stdout line, as a bare committed file: the
+    // driver's stdout-tail parser has returned parsed:null two rounds
+    // running, so the line must survive somewhere no log capture or
+    // [info]-prefix quirk can mangle (round-12 verdict task 2b).
+    try {
+      val w = new java.io.PrintWriter("BENCH_LINE.json")
+      try w.println(shortLine) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => }
     // BENCH_r05 stayed parsed:null even though the compact line sat
     // complete inside the 2000-byte window: a greedy first-'{' …
     // last-'}' extraction starts in the TRUNCATED head of the full-name

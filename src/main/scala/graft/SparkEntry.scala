@@ -249,6 +249,17 @@ object SparkEntry {
     * twin. The knob is captured at `start()`, so wrapping the whole
     * query body is sufficient and the production query would simply set
     * its own shuffle partitions. */
+  /** One JVM-wide pre-created checkpoint root (round-12 verdict task
+    * 1a): per-row checkpoint dirs are counter-allocated subdirs, so a
+    * stream row pays one mkdir under an existing parent instead of a
+    * tmpdir allocation + deep mkdirs per run. Fresh per invocation
+    * (the counter), as checkpoints must be. */
+  private lazy val checkpointRoot: String = java.nio.file.Files
+    .createTempDirectory("graft_ck_").toString
+  private val ckCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def freshCheckpoint(tag: String): String =
+    s"$checkpointRoot/${tag}_${ckCounter.incrementAndGet()}"
+
   private def withStreamShuffle(f: Q): Q = (sp, dir) => {
     val prev = sp.conf.get("spark.sql.shuffle.partitions")
     if (prev.toInt <= 4) f(sp, dir)
@@ -3270,6 +3281,45 @@ object SparkEntry {
           concat(col("text"), lit("\t  mixed \u0007 tail\n\n"))).as("norm"))
         .withColumn("n_norm", length(col("norm")))
     }),
+    "q_text_unicode" -> ((s, dir) => {
+      // Unicode normalization tier (round 13): each doc gets a
+      // deterministic multilingual suffix (ligature, fullwidth forms,
+      // enclosed digit, superscript, a combining sequence, Devanagari/
+      // Cyrillic/Greek/CJK/kana/Hangul/Hebrew/Arabic runs, ZWSP, NBSP,
+      // ideographic space, a control char). normalizeUnicode
+      // NFKC-folds + category-strips, scriptCounts profiles the
+      // result. The oracle replays NFKC via replace() over exactly
+      // this character set (the base corpus is ASCII — enforced by the
+      // filter, so the unicode delta is the suffix alone) and the
+      // script counts via RE2 \p{Script} classes, which agree with
+      // Java's Character.UnicodeScript on every character used here.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(!col("text").rlike("[^\\x00-\\x7f]"))
+      val suffix = elt((col("doc_id") % 6 + 1).cast("int"),
+        lit("\ufb01nance \u2460"),
+        lit("\uff26\uff55\uff4c\uff4c x\u00b2"),
+        lit("e\u0301clair \u0928\u092e\u0938\u094d\u0924\u0947"),
+        lit("\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440" +
+          " \u03b1\u03b2\u03b3"),
+        lit("\u4e2d\u6587\u6e2c\u8a66 \u30ab\u30bf\u30ab\u30ca" +
+          " \u3072\u3089\u304c\u306a"),
+        lit("\ud55c\uad6d\uc5b4 \u05e9\u05dc\u05d5\u05dd" +
+          " \u0639\u0631\u0628\u0649\u200bz\u00a0\u3000end\u0007"))
+      val norm = TextAnalysis.normalizeUnicode(
+        concat(col("text"), lit(" "), suffix))
+      val sc = graft.functions.UnicodeExprs.scriptCounts(col("norm_text"))
+      d.select(col("doc_id"), norm.as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          sc.getField("latin").as("n_latin"),
+          sc.getField("cyrillic").as("n_cyrillic"),
+          sc.getField("han").as("n_han"),
+          sc.getField("arabic").as("n_arabic"),
+          sc.getField("devanagari").as("n_devanagari"),
+          sc.getField("hangul").as("n_hangul"),
+          sc.getField("kana").as("n_kana"),
+          sc.getField("greek").as("n_greek"),
+          sc.getField("hebrew").as("n_hebrew"))
+    }),
     "q_curation_pipeline_v2" -> ((s, dir) => {
       // round-4 composition DAG — the sub-document-hygiene pipeline:
       // inject (email + cross-doc shared paragraph, as the standalone
@@ -4582,9 +4632,7 @@ object SparkEntry {
       val q = s.readStream.format("graft-snapshot")
         .option("maxVersionsPerTrigger", "1").load(src)
         .writeStream
-        .option("checkpointLocation",
-          s"${System.getProperty("java.io.tmpdir")}/graft_bmcube_ck_" +
-            s"${slug}_" + System.nanoTime())
+        .option("checkpointLocation", freshCheckpoint("bmcube"))
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val delta = batch
             .groupBy(col("event_type"),
@@ -4692,9 +4740,7 @@ object SparkEntry {
       val ms = MemoryStream[(Long, Long, String, Double)]
       val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
         .writeStream.format("graft-snapshot")
-        .option("checkpointLocation",
-          s"${System.getProperty("java.io.tmpdir")}/graft_nsink_ck_" +
-            s"${slug}_" + System.nanoTime())
+        .option("checkpointLocation", freshCheckpoint("nsink"))
         .outputMode("append")
         .start(p)
       try {
@@ -4884,9 +4930,7 @@ object SparkEntry {
         .option("maxVersionsPerTrigger", "2")
         .load(p)
         .writeStream
-        .option("checkpointLocation",
-          s"${System.getProperty("java.io.tmpdir")}/graft_mi_ck_${slug}_" +
-            System.nanoTime())
+        .option("checkpointLocation", freshCheckpoint("mi"))
         .foreachBatch(Snapshots.streamMirror(mirror, s"mi_$slug",
           Seq("event_id")))
         .start()
@@ -4978,9 +5022,7 @@ object SparkEntry {
         .option("maxVersionsPerTrigger", "2")
         .load(p)
         .writeStream
-        .option("checkpointLocation",
-          s"${System.getProperty("java.io.tmpdir")}/graft_mc_ck_${slug}_" +
-            System.nanoTime())
+        .option("checkpointLocation", freshCheckpoint("mc"))
         .foreachBatch(Snapshots.streamMirror(mirror, s"mc_$slug",
           Seq("event_id")))
         .start()
@@ -7911,6 +7953,52 @@ object SparkEntry {
                   || chr(10) || chr(10),
              '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
          FROM documents""",
+    "q_text_unicode" ->
+      // NFKC replay over the controlled suffix character set: the base
+      // corpus is ASCII (enforced by the filter), so replace() maps
+      // each compatibility char to its NFKC image (ligature fi,
+      // fullwidth Full, circled 1, superscript 2, e+combining-acute ->
+      // e-acute, NBSP/ideographic space -> space, ZWSP removed), then
+      // the same ASCII control+collapse+trim chain as q_text_normalize.
+      // Script counts replay via RE2 \p{Script} classes.
+      """WITH s AS (
+           SELECT doc_id, text || ' ' || CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 0 THEN chr(64257) || 'nance ' || chr(9312)
+             WHEN 1 THEN chr(65318) || chr(65365) || chr(65356)
+                         || chr(65356) || ' x' || chr(178)
+             WHEN 2 THEN 'e' || chr(769) || 'clair नमस्ते'
+             WHEN 3 THEN 'привет мир αβγ'
+             WHEN 4 THEN '中文測試 カタカナ ひらがな'
+             WHEN 5 THEN '한국어 שלום عربى' || chr(8203) || 'z'
+                         || chr(160) || chr(12288) || 'end' || chr(7)
+             END AS raw
+           FROM documents
+           WHERE NOT regexp_matches(text, '[^\x00-\x7f]')
+         ), img AS (
+           SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+             replace(replace(replace(raw,
+               chr(64257), 'fi'), chr(9312), '1'), chr(65318), 'F'),
+               chr(65365), 'u'), chr(65356), 'l'), chr(178), '2'),
+               'e' || chr(769), chr(233)), chr(8203), ''),
+               chr(160), ' '), chr(12288), ' ') AS t
+           FROM s
+         ), n AS (
+           SELECT doc_id, trim(regexp_replace(regexp_replace(t,
+             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+           FROM img
+         )
+         SELECT doc_id, norm_text,
+           CAST(len(regexp_extract_all(norm_text, '\p{Latin}')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(norm_text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(norm_text, '\p{Han}')) AS BIGINT) AS n_han,
+           CAST(len(regexp_extract_all(norm_text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+           CAST(len(regexp_extract_all(norm_text, '\p{Devanagari}')) AS BIGINT) AS n_devanagari,
+           CAST(len(regexp_extract_all(norm_text, '\p{Hangul}')) AS BIGINT) AS n_hangul,
+           CAST(len(regexp_extract_all(norm_text, '[\p{Hiragana}\p{Katakana}]')) AS BIGINT) AS n_kana,
+           CAST(len(regexp_extract_all(norm_text, '\p{Greek}')) AS BIGINT) AS n_greek,
+           CAST(len(regexp_extract_all(norm_text, '\p{Hebrew}')) AS BIGINT) AS n_hebrew
+         FROM n""",
     "q_cms_freq" ->
       // count-min replay: corpus tokens and probe literals hash through
       // ONE shared FNV + golden-ratio-xor + fmix64 chain (split 32-bit

@@ -61,10 +61,14 @@ object Verify {
     val dumped = expected.filter(n =>
       Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
     val missing = (expected -- dumped).toSeq.sorted
-    if (missing.nonEmpty)
-      System.err.println(s"[verify] MISSING dumps (${missing.size}): " +
-        missing.mkString(", "))
     println(s"""{"verify_dumped":${dumped.size},"verify_expected":${expected.size},"oracle_entries":${parsed.size()}}""")
     spark.stop()
+    if (missing.nonEmpty) {
+      // fail LOUDLY for real: a partial surface must exit nonzero so
+      // the driver can never mistake it for a full gate
+      System.err.println(s"[verify] MISSING dumps (${missing.size}): " +
+        missing.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -1102,8 +1102,11 @@ object Snapshots extends org.apache.spark.internal.Logging {
           case ("l", BNum(lo, hi))
               // only an EXACT integral literal can test membership —
               // the interval is a point, whole, and double-exact
+              // STRICTLY below 2^53: at exactly 2^53 the neighbouring
+              // long 2^53+1 widens to the same double, so a file
+              // holding only the neighbour would be falsely skipped
               if lo == hi && lo.isWhole &&
-                math.abs(lo) <= (1L << 53).toDouble =>
+                math.abs(lo) < (1L << 53).toDouble =>
             Some(Literal(lo.toLong, LongType))
           case _ => None
         }
@@ -3465,11 +3468,23 @@ object Snapshots extends org.apache.spark.internal.Logging {
       keepFromVersion: Long, graceMs: Long,
       dryRun: Boolean): (Long, Seq[String]) = {
     val fs = fsFor(spark, path); val root = new Path(path)
-    val planned = scala.collection.mutable.ArrayBuffer[String]()
+    // LinkedHashSet: the sweep may plan a file once per-file and again
+    // via its parent directory's recursive removal — the listing must
+    // stay one row per path
+    val planned = scala.collection.mutable.LinkedHashSet[String]()
     // every removal funnels through here: a dry run records the
-    // root-relative path; a real run deletes
+    // root-relative path UNIFORMLY PER-FILE (a recursive directory
+    // removal is expanded to the files inside it — never a bare
+    // directory row, so the listing has one granularity and the
+    // parquet-suffixed rows match the real run's deleted count
+    // exactly); a real run deletes
     def remove(p: Path, rel: String, recursive: Boolean): Unit =
-      if (dryRun) planned += rel else fs.delete(p, recursive)
+      if (!dryRun) fs.delete(p, recursive)
+      else if (!recursive) planned += rel
+      else Option(fs.listStatus(p)).getOrElse(Array.empty).foreach { st =>
+        remove(st.getPath, s"$rel/${st.getPath.getName}",
+          recursive = st.isDirectory)
+      }
     val all = claimedVersions(fs, root).sorted
     val retained = all.filter(_ >= keepFromVersion)
     require(retained.exists(v => readManifest(fs, root, v).isDefined),
@@ -3575,16 +3590,8 @@ object Snapshots extends org.apache.spark.internal.Logging {
           // too — a directory-only row would under-report vs the real
           // run's per-file count.
           deleted += countParquet(fs, d.getPath)
-          if (dryRun) {
-            def walk(dir: Path, rel: String): Unit =
-              Option(fs.listStatus(dir)).getOrElse(Array.empty)
-                .foreach { st =>
-                  val r = s"$rel/${st.getPath.getName}"
-                  if (st.isDirectory) walk(st.getPath, r)
-                  else planned += r
-                }
-            walk(d.getPath, s"dv/${d.getPath.getName}")
-          }
+          // remove() expands the recursive dataset removal to per-file
+          // dry-run rows itself — no separate walk, no directory row
           remove(d.getPath, s"dv/${d.getPath.getName}", recursive = true)
         }
       }
@@ -3614,14 +3621,26 @@ object Snapshots extends org.apache.spark.internal.Logging {
 
   /** First version whose row-level change data is still AVAILABLE to
     * the change feed (1 = never expired). Advanced monotonically by
-    * [[expireChanges]]; persisted as one tiny log-dir file so every
-    * reader (batch feed, streaming feed, TVF) agrees. */
+    * [[expireChanges]]; persisted as value-suffixed log-dir markers
+    * (`_cdc_horizon.<v>`) so every reader (batch feed, streaming feed,
+    * TVF) agrees. The live horizon is the MAX over all markers present
+    * plus the legacy un-suffixed file: publish is an atomic
+    * create-new-file, so no crash or concurrent read can ever observe
+    * a regressed horizon. */
   def cdcHorizon(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path); val root = new Path(path)
-    readLogBytes(fs, new Path(new Path(root, LogDir), CdcHorizonFile))
-      .map(b => new String(b,
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      .getOrElse(1L)
+    val logDir = new Path(root, LogDir)
+    val suffixed: Seq[Long] =
+      if (!fs.exists(logDir)) Nil
+      else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(CdcHorizonFile + "."))
+        .flatMap(n => scala.util.Try(
+          n.substring(CdcHorizonFile.length + 1).toLong).toOption)
+    val legacy: Option[Long] =
+      readLogBytes(fs, new Path(logDir, CdcHorizonFile))
+        .flatMap(b => scala.util.Try(new String(b,
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption)
+    (suffixed ++ legacy ++ Seq(1L)).max
   }
 
   /** Expire the row-level CDC sidecars of every version BELOW
@@ -3646,21 +3665,28 @@ object Snapshots extends org.apache.spark.internal.Logging {
     val cur = cdcHorizon(spark, path)
     if (keepFromVersion <= cur) return 0L
     var removed = 0L
-    // the horizon file is written FIRST: readers step down to the
-    // typed below-horizon error before any sidecar byte disappears, so
-    // a feed can never half-read an expiring version. Same
-    // write-to-temp + rename discipline as manifests.
+    // the horizon is published FIRST: readers step down to the typed
+    // below-horizon error before any sidecar byte disappears, so a
+    // feed can never half-read an expiring version. Publish is an
+    // atomic create of a NEW value-suffixed marker — never
+    // delete-then-rename — so there is no window (and no crash state)
+    // in which a concurrent reader observes a regressed horizon;
+    // readers take the max over markers, superseded ones are swept
+    // best-effort after the new one is durable.
     val logDir = new Path(root, LogDir)
-    val tmp = new Path(logDir, s".tmp-horizon-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
+    val marker = new Path(logDir, s"$CdcHorizonFile.$keepFromVersion")
+    val out = fs.create(marker, true)
     try out.write(keepFromVersion.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dst = new Path(logDir, CdcHorizonFile)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"expire_changes at $path: cannot publish horizon file")
+    fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      val superseded = n == CdcHorizonFile ||
+        (n.startsWith(CdcHorizonFile + ".") && scala.util.Try(
+          n.substring(CdcHorizonFile.length + 1).toLong)
+          .toOption.exists(_ < keepFromVersion))
+      if (superseded) fs.delete(st.getPath, false)
+    }
     // sweep from the OLDEST still-manifested version, not the previous
     // horizon: a run that crashed between publishing its horizon and
     // finishing its deletes leaves sidecars below `cur` that a

@@ -48,6 +48,19 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), " +", " "))
 
+  /** Unicode-aware normalization (round 13): NFKC fold (ligatures,
+    * fullwidth forms, compatibility digits, NBSP→space, combining
+    * sequences composed), Unicode-category control mapping (Cc/Zl/Zp →
+    * space, Cf removed — zero-width characters are invisible joins),
+    * then the same whitespace collapse + trim tail as
+    * [[normalizeText]]. On pure-ASCII input, bit-identical to
+    * [[normalizeText]] (law-pinned): NFKC is the identity on ASCII and
+    * ASCII has no Cf/Zl/Zp. Map-side projection — one JVM pass per
+    * row, no shuffle. */
+  def normalizeUnicode(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.UnicodeExprs.nfkcFold(text), " +", " "))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

@@ -286,6 +286,21 @@ class SnapshotProceduresSpec extends SparkSpec {
       "`table` => 'db.t', keep_from_version => 5)")
       .as[Long].head() should be >= 2L
     orphan.exists() shouldBe false
+    // horizon publish discipline (r13): the live horizon is a
+    // value-suffixed marker published by atomic create — exactly one
+    // survives an advance, and a stale smaller marker or legacy
+    // un-suffixed file (a crash mid-cleanup, or a pre-r13 writer) can
+    // never regress the max-over-markers read
+    val logDir = new java.io.File(s"$p/_graft_log")
+    logDir.listFiles().map(_.getName)
+      .count(_.startsWith("_cdc_horizon")) shouldBe 1
+    logDir.listFiles().map(_.getName) should contain("_cdc_horizon.5")
+    Snapshots.cdcHorizon(spark, p) shouldBe 5L
+    java.nio.file.Files.write(
+      new java.io.File(logDir, "_cdc_horizon.2").toPath, "2".getBytes)
+    java.nio.file.Files.write(
+      new java.io.File(logDir, "_cdc_horizon").toPath, "3".getBytes)
+    Snapshots.cdcHorizon(spark, p) shouldBe 5L
   }
 
   test("CALL system.compact_small_files bin-packs only the stragglers") {

@@ -245,6 +245,56 @@ class TextSpec extends SparkSpec {
       "hello world", "a b c", "tabs and newlines", "", "clean")
   }
 
+  test("normalizeUnicode: NFKC fold + category strip, and the ASCII " +
+      "law — bit-identical to normalizeText on every ASCII input") {
+    // NFKC cases: ligature, fullwidth, circled digit, superscript,
+    // combining-sequence composition, NBSP/ideographic space → space;
+    // category cases: Cf (ZWSP, soft hyphen) removed, Cc → space
+    val cases = Seq(
+      "\ufb01nance" -> "finance",
+      "\uff26\uff55\uff4c\uff4c" -> "Full",
+      "circled \u2460 and x\u00b2" -> "circled 1 and x2",
+      "e\u0301clair" -> "\u00e9clair",
+      "a\u00a0b\u3000c" -> "a b c",
+      "zero\u200bwidth so\u00adft" -> "zerowidth soft",
+      "ctl\u0007here\n" -> "ctl here",
+      "\u4e2d\u6587 \u043f\u0440\u0438" ->
+        "\u4e2d\u6587 \u043f\u0440\u0438")
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeUnicode(col("t"))).collect()
+      .map(_.getString(0))
+    got shouldBe cases.map(_._2).toArray
+    // the ASCII law: over all-ASCII strings (controls included) the
+    // unicode path is bit-identical to the engine-portable ASCII path
+    val rnd = new scala.util.Random(7)
+    val asciiDocs = (0 until 200).map { _ =>
+      new String((0 until rnd.nextInt(40)).map(_ =>
+        rnd.nextInt(0x80).toChar).toArray)
+    }
+    val both = asciiDocs.toDF("t").select(
+      TextAnalysis.normalizeText(col("t")).as("a"),
+      TextAnalysis.normalizeUnicode(col("t")).as("u")).collect()
+    both.foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
+  test("scriptCounts: per-script character tallies, Common/Inherited " +
+      "counted nowhere") {
+    val r = Seq("ab \u4e2d\u6587\u6e2c \u043f\u0440 \u30ab\u3072 " +
+        "\ud55c \u05e9\u05dc \u0639 \u03b1\u03b2 \u0928\u094d 12!?")
+      .toDF("t")
+      .select(graft.functions.UnicodeExprs.scriptCounts(col("t")).as("s"))
+      .select("s.*").head()
+    r.getLong(0) shouldBe 2L // latin: ab
+    r.getLong(1) shouldBe 2L // cyrillic
+    r.getLong(2) shouldBe 3L // han
+    r.getLong(3) shouldBe 1L // arabic
+    r.getLong(4) shouldBe 2L // devanagari (incl. virama, script Mn)
+    r.getLong(5) shouldBe 1L // hangul
+    r.getLong(6) shouldBe 2L // kana (katakana + hiragana)
+    r.getLong(7) shouldBe 2L // greek
+    r.getLong(8) shouldBe 2L // hebrew
+  }
+
   test("repetitionSignals: hand-computed metrics on a repetitive doc") {
     // tokens: a b a b a b c  → 7 tokens, 3 distinct
     // bigrams (6): "a b"×3, "b a"×2, "b c"×1 → top 3/6
