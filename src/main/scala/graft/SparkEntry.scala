@@ -2858,6 +2858,33 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_graph_multimodal" -> ((s, dir) => {
+      // the multimodal tier through the JSON graph surface (r13):
+      // load_table(documents) → encode_binary → image_decode →
+      // image_features(dim 8) compiles to the exact decodeMeta →
+      // featureExtract pipeline of q_multimodal_features; the final
+      // posexplode/round projection is presentation, applied
+      // identically. Oracle shared verbatim; process == API parity is
+      // also spec-pinned in GraphCompilerSpec.
+      import graft.compile.GraphCompiler
+      val graph = """{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "documents"}},
+        "bin": {"process_id": "encode_binary", "arguments": {
+          "data": {"from_node": "load"}}},
+        "dec": {"process_id": "image_decode", "arguments": {
+          "data": {"from_node": "bin"}}},
+        "feat": {"process_id": "image_features", "arguments": {
+          "data": {"from_node": "dec"}, "dim": 8}, "result": true}}"""
+      new GraphCompiler(s, Map.empty,
+          s"${System.getProperty("java.io.tmpdir")}/graft_mm_res",
+          tables = Map("documents" -> s"$dir/documents.parquet"))
+        .compile(graph).asInstanceOf[DataFrame]
+        .select(col("doc_id"), col("meta.width").as("width"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
     "q_multimodal_real" -> ((s, dir) => {
       // REAL image bytes end-to-end: each doc's UTF-8 bytes tile a w×h
       // RGB image (w = 1+len%7, h = 1+len%5, pixel j = byte j%len), which
@@ -6249,6 +6276,49 @@ object SparkEntry {
     * `duckdb.sql(q).types` over all oracles must contain no
     * HUGEINT/UHUGEINT (the round-7 sweep found zero after fixing
     * q_compaction_plan / q_pca_gram). */
+  private val multimodalFeaturesSql: String =
+      // the GRFT stub codec is deterministic over the UTF-8 payload bytes:
+      // width = 1 + len % 64, pixels = first width bytes, mean_px = byte
+      // mean, features = 8 block-pooled byte means / 255 cast through
+      // FLOAT. All expressible over hex(encode(text)) byte extraction.
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 64) AS width,
+                  LEAST(1 + (len % 64), len) AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.i,
+                  CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
+                       AS INTEGER) AS b
+           FROM p, generate_series(0, 63) AS g(i)
+           WHERE g.i < p.px_len
+         ), m AS (
+           SELECT p.doc_id, p.width, p.px_len,
+                  COALESCE(ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6), 0.0)
+                    AS mean_px
+           FROM p LEFT JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.width, p.px_len
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 8) AS block, p.px_len
+           FROM p, generate_series(0, 7) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.i >= f.feat_idx * f.block
+            AND b.i < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, m.width, m.mean_px, fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q_load_collection" -> cq(
       """SELECT * FROM cube WHERE band IN ('click','view')
@@ -7659,48 +7729,12 @@ object SparkEntry {
            DENSE_RANK() OVER (PARTITION BY lang
              ORDER BY (cum - n_chars) // 16384) - 1 AS pack_id
          FROM c""",
-    "q_multimodal_features" ->
-      // the GRFT stub codec is deterministic over the UTF-8 payload bytes:
-      // width = 1 + len % 64, pixels = first width bytes, mean_px = byte
-      // mean, features = 8 block-pooled byte means / 255 cast through
-      // FLOAT. All expressible over hex(encode(text)) byte extraction.
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents
-         ), p AS (
-           SELECT doc_id, h, len, 1 + (len % 64) AS width,
-                  LEAST(1 + (len % 64), len) AS px_len
-           FROM d
-         ), bytes AS (
-           SELECT p.doc_id, g.i,
-                  CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
-                       AS INTEGER) AS b
-           FROM p, generate_series(0, 63) AS g(i)
-           WHERE g.i < p.px_len
-         ), m AS (
-           SELECT p.doc_id, p.width, p.px_len,
-                  COALESCE(ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6), 0.0)
-                    AS mean_px
-           FROM p LEFT JOIN bytes b ON b.doc_id = p.doc_id
-           GROUP BY p.doc_id, p.width, p.px_len
-         ), f AS (
-           SELECT p.doc_id, g.i AS feat_idx,
-                  GREATEST(1, p.px_len // 8) AS block, p.px_len
-           FROM p, generate_series(0, 7) AS g(i)
-         ), fv AS (
-           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
-           FROM f LEFT JOIN bytes b
-             ON b.doc_id = f.doc_id
-            AND b.i >= f.feat_idx * f.block
-            AND b.i < LEAST((f.feat_idx + 1) * f.block, f.px_len)
-           GROUP BY f.doc_id, f.feat_idx
-         )
-         SELECT m.doc_id, m.width, m.mean_px, fv.feat_idx,
-                CASE WHEN fv.n = 0 THEN 0.0
-                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
-                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
-         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_features" -> multimodalFeaturesSql,
+    "q_graph_multimodal" ->
+      // shared VERBATIM with q_multimodal_features: the graph row
+      // (encode_binary -> image_decode -> image_features) compiles to
+      // the identical pipeline (round-13 graph-surface parity)
+      multimodalFeaturesSql,
     "q_multimodal_real" ->
       // the BMP round-trip is generative: pixel j = text byte (j % len),
       // w = 1+len%7, h = 1+len%5 — the oracle computes the stats straight

@@ -104,6 +104,19 @@ final class GraphCompiler(
   private def optS(n: Node, name: String, results: collection.Map[String, Any]): Option[String] =
     n.arguments.get(name).map(resolve(_, results)).collect { case s: String => s }
 
+  /** Multimodal codec by name — "fake" (deterministic stub), or the
+    * real "bmp"/"png"/"wav" byte codecs. */
+  private def codecArg(n: Node,
+      r: collection.Map[String, Any]): graft.multimodal.Multimodal.Codec =
+    optS(n, "codec", r).getOrElse("fake") match {
+      case "fake" => graft.multimodal.Multimodal.FakeCodec
+      case "bmp" => graft.multimodal.Multimodal.BmpCodec
+      case "png" => graft.multimodal.Multimodal.PngCodec
+      case "wav" => graft.multimodal.Multimodal.WavCodec
+      case other => throw graft.OpenEoError("CodecUnknown",
+        s"unknown multimodal codec '$other' (fake, bmp, png, wav)")
+    }
+
   /** merge_into clause expression: SQL text over the merge's joined
     * row — target columns bare, source columns as `source.<col>`.
     * The `source.` qualifier re-spells to [[Snapshots.MergeSrcPrefix]]
@@ -920,6 +933,37 @@ final class GraphCompiler(
         d.withColumn(optS(n, "key_column", r).getOrElse("zval"),
           graft.functions.ZOrder.zvalue(bits, dims.map { case (c, lo, hi) =>
             graft.functions.ZOrder.quantize(col(c), lo, hi, bits) }: _*))
+
+      // ---- multimodal tier on the graph surface (r13): the decode/
+      // sample/feature seams of multimodal/Multimodal.scala, addressable
+      // from the reference's one query language. Codec is named by
+      // string ("fake" stub, "bmp"/"png"/"wav" real); binary_column
+      // defaults to "payload".
+      case "encode_binary" =>
+        // deterministic stand-in payload: text bytes as the binary
+        // column — the same construction every multimodal gate row uses
+        val d = dfArg(n, "data", r)
+        d.withColumn(optS(n, "output_column", r).getOrElse("payload"),
+          encode(col(optS(n, "text_column", r).getOrElse("text")),
+            optS(n, "charset", r).getOrElse("UTF-8")))
+      case "image_decode" =>
+        graft.multimodal.Multimodal.decodeMeta(dfArg(n, "data", r),
+          optS(n, "binary_column", r).getOrElse("payload"), codecArg(n, r))
+      case "image_features" =>
+        graft.multimodal.Multimodal.featureExtract(dfArg(n, "data", r),
+          optS(n, "binary_column", r).getOrElse("payload"),
+          dim = optD(n, "dim", r).getOrElse(16.0).toInt,
+          codec = codecArg(n, r))
+      case "frame_sample" =>
+        graft.multimodal.Multimodal.frameSample(dfArg(n, "data", r),
+          optS(n, "binary_column", r).getOrElse("payload"),
+          everyN = optD(n, "every_n", r).getOrElse(1.0).toInt,
+          codec = codecArg(n, r))
+      case "audio_features" =>
+        graft.multimodal.Multimodal.audioFrameFeatures(dfArg(n, "data", r),
+          optS(n, "binary_column", r).getOrElse("payload"),
+          frameLen = optD(n, "frame_len", r).getOrElse(256.0).toInt,
+          codec = codecArg(n, r))
 
       // ---- sinks (S5-S8) ----
       case "save_result" =>

@@ -1381,4 +1381,86 @@ class GraphCompilerSpec extends SparkSpec {
     }
     eInj.getMessage should include("db\\")
   }
+
+  test("multimodal processes encode_binary / image_decode / " +
+      "image_features / frame_sample / audio_features equal the " +
+      "Scala API (round-13 graph-surface parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gmm").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "some longer text payload with enough bytes to pool into " +
+        "several feature blocks and audio frames"),
+      (3L, "x")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def compileG(g: String) = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-gmmres").toString,
+        tables = Map("documents" -> s"$dir/documents.parquet"))
+      .compile(g).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val m = graft.multimodal.Multimodal
+    val bin = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+
+    val viaFeat = compileG("""{
+      "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+      "bin": {"process_id": "encode_binary", "arguments": {
+        "data": {"from_node": "load"}}},
+      "dec": {"process_id": "image_decode", "arguments": {
+        "data": {"from_node": "bin"}}},
+      "feat": {"process_id": "image_features", "arguments": {
+        "data": {"from_node": "dec"}, "dim": 4}, "result": true}}""")
+      .select(col("doc_id"), col("meta.width").as("w"), col("mean_px"),
+        col("features"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getSeq[Float](3))).toSet
+    val apiFeat = m.featureExtract(m.decodeMeta(bin, "payload"),
+        "payload", dim = 4)
+      .select(col("doc_id"), col("meta.width").as("w"), col("mean_px"),
+        col("features"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getSeq[Float](3))).toSet
+    viaFeat shouldBe apiFeat
+
+    val viaFrames = compileG("""{
+      "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+      "bin": {"process_id": "encode_binary", "arguments": {
+        "data": {"from_node": "load"}}},
+      "fr": {"process_id": "frame_sample", "arguments": {
+        "data": {"from_node": "bin"}, "every_n": 1}, "result": true}}""")
+      .select(col("doc_id"), col("frame_idx"), md5(col("payload")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    val apiFrames = m.frameSample(bin, "payload", everyN = 1)
+      .select(col("doc_id"), col("frame_idx"), md5(col("payload")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    viaFrames shouldBe apiFrames
+
+    val viaAudio = compileG("""{
+      "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+      "bin": {"process_id": "encode_binary", "arguments": {
+        "data": {"from_node": "load"}}},
+      "au": {"process_id": "audio_features", "arguments": {
+        "data": {"from_node": "bin"}, "frame_len": 8}, "result": true}}""")
+      .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+        col("energy"), col("zcr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val apiAudio = m.audioFrameFeatures(bin, "payload", frameLen = 8)
+      .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+        col("energy"), col("zcr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    viaAudio shouldBe apiAudio
+
+    // unknown codec fails typed
+    intercept[graft.OpenEoError] {
+      compileG("""{
+        "load": {"process_id": "load_table", "arguments": {"id": "documents"}},
+        "bin": {"process_id": "encode_binary", "arguments": {
+          "data": {"from_node": "load"}}},
+        "dec": {"process_id": "image_decode", "arguments": {
+          "data": {"from_node": "bin"}, "codec": "gif"}, "result": true}}""")
+    }.code shouldBe "CodecUnknown"
+  }
 }
