@@ -342,6 +342,99 @@ object SnapshotProbe {
       rmrf(s"/tmp/graft_bmprobe_$tag")
     }
 
+    /** Bloom-skipping probe (round-13 verdict task 4): the store
+      * clusters by event_id with blooms on user_id, so user_id min/max
+      * spans every file and ONLY the blooms can skip. Claims: a point
+      * lookup's files-read tracks the VALUE's occurrence spread (plus
+      * the documented ~(2n/65536)² false-positive tax), not table
+      * size; an absent value plans ZERO files at any scale; and the
+      * Scala scanWhere face and the V2 source face plan the SAME file
+      * count (shared pruneFiles → bloomSurvives). */
+    def probeBloom(tag: String, data: DataFrame, n: Long): Unit = {
+      val p = s"/tmp/graft_snapprobe_bl_$tag"
+      rmrf(p)
+      spark.conf.set(Snapshots.BloomColumnsKey, "user_id")
+      try {
+        (0 until 8).foreach { i =>
+          Snapshots.append(data.where(col("event_id") % 8 === i)
+            .repartitionByRange(8, col("event_id")), p)
+        }
+      } finally spark.conf.unset(Snapshots.BloomColumnsKey)
+      val tot = Snapshots.read(spark, p).inputFiles.length
+      val u = 77L
+      def v2Planned(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Int = {
+        val schema = spark.read.format("graft-snapshot").load(p).schema
+        val sb = new graft.sources.SnapshotScanBuilder(p, schema,
+          None, None)
+        sb.pushFilters(filters)
+        sb.build().asInstanceOf[graft.sources.SnapshotScan]
+          .planInputPartitions().length
+      }
+      val hitScan = Snapshots.scanWhere(spark, p, col("user_id") === u)
+      val hitFiles = hitScan.inputFiles.length
+      val hitV2 = v2Planned(Array(
+        org.apache.spark.sql.sources.EqualTo("user_id", u)))
+      val missFiles = Snapshots.scanWhere(spark, p,
+        col("user_id") === -1L).inputFiles.length
+      val missV2 = v2Planned(Array(
+        org.apache.spark.sql.sources.EqualTo("user_id", -1L)))
+      // no-false-negative check: the skip-scan finds every row
+      val got = hitScan.count()
+      val want = data.where(col("user_id") === u).count()
+      val scanT = time {
+        Snapshots.scanWhere(spark, p, col("user_id") === u)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[snapprobe] bloom_$tag n=$n files=$tot " +
+        f"hit_files=$hitFiles hit_v2=$hitV2 miss_files=$missFiles " +
+        f"miss_v2=$missV2 rows=$got/$want point_scan=$scanT%.2f")
+      rmrf(p)
+    }
+
+    /** Manifest-fold probe at Delta-scale commit counts (round-13
+      * verdict task 6): a 5000-commit log (tiny 1-row appends), then
+      * time latest-version planning, mid-log time travel, and
+      * history(). Claims: planning is checkpoint-interval-bounded
+      * (fold ≤ interval manifests + one log listStatus), so it stays
+      * FLAT as commits grow; only history() is O(commits) — by
+      * definition. Also A/Bs the r13 checkpointInterval knob (100 vs
+      * the default 10) for commit-throughput vs fold-length. */
+    def probeLog(nCommits: Int, interval: Option[Long]): Unit = {
+      val tag = s"${nCommits}_i${interval.getOrElse(10L)}"
+      val p = s"/tmp/graft_snapprobe_log_$tag"
+      rmrf(p)
+      interval.foreach(i =>
+        spark.conf.set(Snapshots.CheckpointIntervalKey, i.toString))
+      try {
+        val one = spark.range(1).selectExpr("id as event_id",
+          "id as user_id", "'probe' as event_type", "1.0 as value")
+          .coalesce(1).cache()
+        one.count()
+        val ingest = time {
+          (0 until nCommits).foreach(_ => Snapshots.append(one, p))
+        }
+        val planLatest = time {
+          Snapshots.read(spark, p).write.format("noop")
+            .mode("overwrite").save()
+        }
+        val planMid = time {
+          Snapshots.read(spark, p, Some(nCommits / 2L))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val histT = time { Snapshots.history(spark, p).count() }
+        one.unpersist()
+        println(f"[snapprobe] log_$tag commits=$nCommits " +
+          f"ingest=$ingest%.1f (${ingest * 1000 / nCommits}%.0f ms/commit) " +
+          f"plan_latest=$planLatest%.2f plan_mid=$planMid%.2f " +
+          f"history=$histT%.2f")
+      } finally {
+        interval.foreach(_ =>
+          spark.conf.unset(Snapshots.CheckpointIntervalKey))
+        rmrf(p)
+      }
+    }
+
     // JIT/codegen warm-up at tiny scale, uncounted
     probe("warm",
       spark.read.parquet("/root/testdata/sf0.001/events.parquet")
@@ -363,6 +456,16 @@ object SnapshotProbe {
     probeMergeInto("x10", scale10(ev), n1 * 10)
     probeBitmap("x1", ev, n1)
     probeBitmap("x10", scale10(ev), n1 * 10)
+    probeBloom("x1", ev, n1)
+    probeBloom("x10", scale10(ev), n1 * 10)
+    // log-scale probes run only when asked (the 5000-commit build is
+    // minutes of wall time): `sbt "runMain graft.tools.SnapshotProbe
+    // <sfDir> log"`
+    if (args.length > 1 && args(1) == "log") {
+      probeLog(500, None) // reference point
+      probeLog(5000, None)
+      probeLog(5000, Some(100L))
+    }
     spark.stop()
   }
 }

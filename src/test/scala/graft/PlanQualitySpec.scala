@@ -1338,4 +1338,15 @@ class PlanQualitySpec extends SparkSpec {
         g -> xs.map(_._2).distinct.size.toLong }
     fromCube shouldBe fromRaw
   }
+
+  test("q_text_unicode is a shuffle-free map-side projection (r13): " +
+      "NFKC fold + script counts add no exchange, and the parquet " +
+      "scan reads only the two consumed columns") {
+    val df = graft.SparkEntry.queries("q_text_unicode")(
+      spark, "/root/testdata/sf0.001")
+    val plan = planString(df)
+    plan should not include "Exchange"
+    // column pruning reaches the scan: only doc_id + text are consumed
+    plan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
 }

@@ -730,4 +730,36 @@ class SnapshotsSpec extends SparkSpec {
         .count() shouldBe 0L
     } finally spark.conf.unset(Snapshots.BloomColumnsKey)
   }
+
+  test("checkpointInterval knob (r13): checkpoints land only at the " +
+      "configured cadence, resolution stays exact at latest and " +
+      "mid-log, and an interval change mid-log is safe") {
+    val p = freshDir()
+    val one = Seq((1L, 2.0)).toDF("id", "v")
+    def ckpts(): Seq[Long] =
+      new java.io.File(s"$p/_graft_log").listFiles()
+        .map(_.getName).toSeq
+        .collect { case s if s.endsWith(".checkpoint.json") =>
+          s.stripPrefix("v").stripSuffix(".checkpoint.json").toLong }
+        .sorted
+    spark.conf.set(Snapshots.CheckpointIntervalKey, "25")
+    try {
+      (1 to 60).foreach(_ => Snapshots.append(one, p))
+      ckpts() shouldBe Seq(25L, 50L)
+      Snapshots.read(spark, p).count() shouldBe 60L
+      Snapshots.read(spark, p, Some(37L)).count() shouldBe 37L
+      Snapshots.history(spark, p).count() shouldBe 60L
+      // interval change mid-log: resolution correctness is unaffected
+      // (checkpoints are derived data; cadence only bounds fold length)
+      spark.conf.set(Snapshots.CheckpointIntervalKey, "10")
+      (1 to 10).foreach(_ => Snapshots.append(one, p))
+      ckpts() shouldBe Seq(25L, 50L, 70L)
+      Snapshots.read(spark, p).count() shouldBe 70L
+      Snapshots.read(spark, p, Some(55L)).count() shouldBe 55L
+      // invalid values fall back to the default rather than failing
+      spark.conf.set(Snapshots.CheckpointIntervalKey, "0")
+      (1 to 10).foreach(_ => Snapshots.append(one, p))
+      ckpts() shouldBe Seq(25L, 50L, 70L, 80L)
+    } finally spark.conf.unset(Snapshots.CheckpointIntervalKey)
+  }
 }
