@@ -663,13 +663,15 @@ object Snapshots extends org.apache.spark.internal.Logging {
       .getOrElse(Nil)
       .flatMap(c => schema.fields.find(_.name == c)
         .flatMap(f => bloomHashable(f.dataType).map(tag => c -> tag)))
+    val bloomBits = bloomBitsOf(spark)
+    val bloomMod = 1L << bloomBits
     val bloomAggs = bloomCols.map { case (name, tag) =>
       import graft.functions.BitmapExprs.{bitmapAgg, bitmapOr}
       val base = if (tag == "l") col(name).cast("long") else col(name)
       val p1 = when(col(name).isNotNull,
-        pmod(xxhash64(base), lit(BloomBits)))
+        pmod(xxhash64(base), lit(bloomMod)))
       val p2 = when(col(name).isNotNull,
-        pmod(xxhash64(base, lit(BloomSalt)), lit(BloomBits)))
+        pmod(xxhash64(base, lit(BloomSalt)), lit(bloomMod)))
       bitmapOr(bitmapAgg(p1), bitmapAgg(p2)).as(s"__bloom_$name")
     }
     val rows = df.groupBy(input_file_name().as("__f"))
@@ -705,9 +707,12 @@ object Snapshots extends org.apache.spark.internal.Logging {
       }.toMap
       val blooms = bloomCols.zipWithIndex.flatMap {
         case ((name, tag), j) =>
+          // tag format `t:<bits>:<b64>` — the writer's modulus rides
+          // with the filter (legacy `t:<b64>` reads as 16)
           Option(r.get(2 + 2 * fields.size + j)).map(bytes =>
-            name -> (tag + ":" + java.util.Base64.getEncoder
-              .encodeToString(bytes.asInstanceOf[Array[Byte]])))
+            name -> (tag + ":" + bloomBits + ":" +
+              java.util.Base64.getEncoder
+                .encodeToString(bytes.asInstanceOf[Array[Byte]])))
       }.toMap
       rel -> FileStats(r.getLong(1), cols, partsFromPath(rel),
         sizes.getOrElse(rel, 0L), blooms)
@@ -1105,6 +1110,14 @@ object Snapshots extends org.apache.spark.internal.Logging {
         import org.apache.spark.sql.catalyst.expressions.Literal
         val sep = tagged.indexOf(':')
         if (sep <= 0) return true
+        // `t:<bits>:<b64>` (r13) or legacy `t:<b64>` (bits = 16)
+        val rest = tagged.substring(sep + 1)
+        val sep2 = rest.indexOf(':')
+        val (bits, b64) =
+          if (sep2 > 0 && rest.substring(0, sep2).forall(_.isDigit))
+            (scala.util.Try(rest.substring(0, sep2).toInt)
+              .getOrElse(BloomBitsDefault), rest.substring(sep2 + 1))
+          else (BloomBitsDefault, rest)
         val lit: Option[Literal] = (tagged.substring(0, sep), b.v) match {
           case ("s", BStr(v)) =>
             Some(Literal(org.apache.spark.unsafe.types.UTF8String
@@ -1125,9 +1138,8 @@ object Snapshots extends org.apache.spark.internal.Logging {
           case Some(l) =>
             try {
               val bm = graft.functions.BitmapExprs.LongBitmap.deserialize(
-                java.util.Base64.getDecoder
-                  .decode(tagged.substring(sep + 1)))
-              val (p1, p2) = bloomPositions(l)
+                java.util.Base64.getDecoder.decode(b64))
+              val (p1, p2) = bloomPositions(l, bits)
               bm.contains(p1) && bm.contains(p2)
             } catch { case scala.util.control.NonFatal(_) => true }
         }
@@ -2661,7 +2673,21 @@ object Snapshots extends org.apache.spark.internal.Logging {
     * ~(2n/65536)^2 (n=5k → ~2%); a false positive only costs a read,
     * never correctness. */
   val BloomColumnsKey = "spark.graft.snapshot.bloom.columns"
-  private val BloomBits = 1L << 16
+  /** log2 of the per-file bloom position universe (default 16, clamped
+    * to [10, 24]), captured at COMMIT time and recorded inside each
+    * filter's tag so readers always test with the writer's modulus.
+    * The r13 10× probe showed the default 2^16 saturating once a file
+    * holds ≳20k distinct values (FP ≈ (1−e^(−2n/m))²) — production
+    * 128 MB files want 2^20–2^24. Cost: the roaring bitmap grows with
+    * the occupied positions, so the knob trades manifest bytes for
+    * skipping power per column. */
+  val BloomBitsKey = "spark.graft.snapshot.bloom.bits"
+  private val BloomBitsDefault = 16
+  private def clampBloomBits(b: Int): Int = math.max(10, math.min(24, b))
+  private def bloomBitsOf(spark: SparkSession): Int =
+    spark.conf.getOption(BloomBitsKey)
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .map(clampBloomBits).getOrElse(BloomBitsDefault)
   private val BloomSalt = 0x9E3779B97F4A7C15L
 
   private def bloomHashable(dt: DataType): Option[String] = dt match {
@@ -2671,12 +2697,15 @@ object Snapshots extends org.apache.spark.internal.Logging {
   }
 
   /** The two bloom positions of a literal value — MUST mirror the
-    * write side's `pmod(xxhash64(base[, salt]), 2^16)` exactly
-    * (integrals hash as LONG via the write-side cast). */
+    * write side's `pmod(xxhash64(base[, salt]), 2^bits)` exactly
+    * (integrals hash as LONG via the write-side cast); `bits` comes
+    * from the filter's own tag, so a table written under any
+    * [[BloomBitsKey]] setting reads correctly forever. */
   private def bloomPositions(lit: org.apache.spark.sql.catalyst
-      .expressions.Literal): (Long, Long) = {
+      .expressions.Literal, bits: Int): (Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    def pos(h: Long): Long = ((h % BloomBits) + BloomBits) % BloomBits
+    val m = 1L << clampBloomBits(bits)
+    def pos(h: Long): Long = ((h % m) + m) % m
     val h1 = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
     val h2 = XxHash64(Seq(lit, Literal(BloomSalt)), 42L)
       .eval(null).asInstanceOf[Long]

@@ -350,16 +350,22 @@ object SnapshotProbe {
       * size; an absent value plans ZERO files at any scale; and the
       * Scala scanWhere face and the V2 source face plan the SAME file
       * count (shared pruneFiles → bloomSurvives). */
-    def probeBloom(tag: String, data: DataFrame, n: Long): Unit = {
+    def probeBloom(tag: String, data: DataFrame, n: Long,
+        bits: Option[Int] = None): Unit = {
       val p = s"/tmp/graft_snapprobe_bl_$tag"
       rmrf(p)
       spark.conf.set(Snapshots.BloomColumnsKey, "user_id")
+      bits.foreach(b =>
+        spark.conf.set(Snapshots.BloomBitsKey, b.toString))
       try {
         (0 until 8).foreach { i =>
           Snapshots.append(data.where(col("event_id") % 8 === i)
             .repartitionByRange(8, col("event_id")), p)
         }
-      } finally spark.conf.unset(Snapshots.BloomColumnsKey)
+      } finally {
+        spark.conf.unset(Snapshots.BloomColumnsKey)
+        bits.foreach(_ => spark.conf.unset(Snapshots.BloomBitsKey))
+      }
       val tot = Snapshots.read(spark, p).inputFiles.length
       val u = 77L
       def v2Planned(filters: Array[org.apache.spark.sql.sources.Filter])
@@ -411,23 +417,32 @@ object SnapshotProbe {
           "id as user_id", "'probe' as event_type", "1.0 as value")
           .coalesce(1).cache()
         one.count()
-        val ingest = time {
-          (0 until nCommits).foreach(_ => Snapshots.append(one, p))
+        val halfT = time {
+          (0 until nCommits / 2).foreach(_ => Snapshots.append(one, p))
         }
-        val planLatest = time {
+        val ingest = halfT + time {
+          (nCommits / 2 until nCommits).foreach(_ =>
+            Snapshots.append(one, p))
+        }
+        // METADATA-ONLY resolution (what "planning" means): fold from
+        // the nearest checkpoint — O(live files + interval), never
+        // O(commits). The data scan over the table's (by construction)
+        // nCommits one-row files is reported separately: that cost is
+        // the table's file count, not the log's length.
+        val planLatest = time { Snapshots.snapshotAt(spark, p).get }
+        val planMid = time {
+          Snapshots.snapshotAt(spark, p, Some(nCommits / 2L)).get }
+        val scanT = time {
           Snapshots.read(spark, p).write.format("noop")
             .mode("overwrite").save()
-        }
-        val planMid = time {
-          Snapshots.read(spark, p, Some(nCommits / 2L))
-            .write.format("noop").mode("overwrite").save()
         }
         val histT = time { Snapshots.history(spark, p).count() }
         one.unpersist()
         println(f"[snapprobe] log_$tag commits=$nCommits " +
-          f"ingest=$ingest%.1f (${ingest * 1000 / nCommits}%.0f ms/commit) " +
-          f"plan_latest=$planLatest%.2f plan_mid=$planMid%.2f " +
-          f"history=$histT%.2f")
+          f"ingest=$ingest%.1f (${ingest * 1000 / nCommits}%.0f ms/commit, " +
+          f"first-half ${halfT * 2000 / nCommits}%.0f) " +
+          f"resolve_latest=$planLatest%.3f resolve_mid=$planMid%.3f " +
+          f"scan=$scanT%.2f history=$histT%.2f")
       } finally {
         interval.foreach(_ =>
           spark.conf.unset(Snapshots.CheckpointIntervalKey))
@@ -435,33 +450,51 @@ object SnapshotProbe {
       }
     }
 
-    // JIT/codegen warm-up at tiny scale, uncounted
-    probe("warm",
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("value")), 1000L)
-    probe("x1", ev, n1)
-    probe("x10", scale10(ev), n1 * 10)
-    probePart("x1", ev, n1)
-    probePart("x10", scale10(ev), n1 * 10)
-    probeDv("x1", ev, n1)
-    probeDv("x10", scale10(ev), n1 * 10)
-    probeDvAccum("x1", ev, n1)
-    probeDvAccum("x10", scale10(ev), n1 * 10)
-    probeCdf("x1", ev, n1)
-    probeCdf("x10", scale10(ev), n1 * 10)
-    probeMergeChanges("x1", ev, n1)
-    probeMergeChanges("x10", scale10(ev), n1 * 10)
-    probeMergeInto("x1", ev, n1)
-    probeMergeInto("x10", scale10(ev), n1 * 10)
-    probeBitmap("x1", ev, n1)
-    probeBitmap("x10", scale10(ev), n1 * 10)
-    probeBloom("x1", ev, n1)
-    probeBloom("x10", scale10(ev), n1 * 10)
+    // probe selection: no extra arg = the standard 1x/10x suite;
+    // "bloom" = bloom probes only; "log" = the (slow) log-scale probes
+    val mode = if (args.length > 1) args(1) else "all"
+    if (mode == "all") {
+      // JIT/codegen warm-up at tiny scale, uncounted
+      probe("warm",
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value")), 1000L)
+      probe("x1", ev, n1)
+      probe("x10", scale10(ev), n1 * 10)
+      probePart("x1", ev, n1)
+      probePart("x10", scale10(ev), n1 * 10)
+      probeDv("x1", ev, n1)
+      probeDv("x10", scale10(ev), n1 * 10)
+      probeDvAccum("x1", ev, n1)
+      probeDvAccum("x10", scale10(ev), n1 * 10)
+      probeCdf("x1", ev, n1)
+      probeCdf("x10", scale10(ev), n1 * 10)
+      probeMergeChanges("x1", ev, n1)
+      probeMergeChanges("x10", scale10(ev), n1 * 10)
+      probeMergeInto("x1", ev, n1)
+      probeMergeInto("x10", scale10(ev), n1 * 10)
+      probeBitmap("x1", ev, n1)
+      probeBitmap("x10", scale10(ev), n1 * 10)
+    }
+    if (mode == "all" || mode == "bloom") {
+      probeBloom("x1", ev, n1)
+      // bloom x10 shifts USER ids too: a real 10x corpus has 10x more
+      // users, each with the same occurrence count — shifting only
+      // event_id would give every user 10x the events and no file could
+      // ever be skipped (that is corpus growth per key, not table growth)
+      val evU10 = (0 until 10).map(i => ev.select(
+        (col("event_id") + lit(i * 10L * n1)).as("event_id"),
+        (col("user_id") + lit(i * 100000000L)).as("user_id"),
+        col("event_type"), col("value"))).reduce(_ unionByName _)
+      // default 2^16 saturates at 10x (~14k distinct users/file ->
+      // ~12% FP); the r13 bits knob at 2^20 restores the skip ratio
+      probeBloom("x10_b16", evU10, n1 * 10)
+      probeBloom("x10_b20", evU10, n1 * 10, bits = Some(20))
+    }
     // log-scale probes run only when asked (the 5000-commit build is
     // minutes of wall time): `sbt "runMain graft.tools.SnapshotProbe
     // <sfDir> log"`
-    if (args.length > 1 && args(1) == "log") {
+    if (mode == "log") {
       probeLog(500, None) // reference point
       probeLog(5000, None)
       probeLog(5000, Some(100L))

@@ -731,6 +731,59 @@ class SnapshotsSpec extends SparkSpec {
     } finally spark.conf.unset(Snapshots.BloomColumnsKey)
   }
 
+  test("bloom bits knob (r13): the writer's modulus rides in the tag, " +
+      "so mixed-width commits read exactly; legacy un-widthed tags " +
+      "read as 2^16") {
+    spark.conf.set(Snapshots.BloomColumnsKey, "uid")
+    try {
+      val p = freshDir()
+      val rows = (0 until 2000).map(i =>
+        (i.toLong, (i * 2654435761L) % 100000L))
+      // commit 1 at 2^12 (clamped small), commit 2 at 2^20: one table,
+      // two widths — each file tests against its own writer's modulus
+      spark.conf.set(Snapshots.BloomBitsKey, "12")
+      Snapshots.append(rows.take(1000).toDF("id", "uid")
+        .repartitionByRange(4, col("id")), p)
+      spark.conf.set(Snapshots.BloomBitsKey, "20")
+      Snapshots.append(rows.drop(1000).toDF("id", "uid")
+        .repartitionByRange(4, col("id")), p)
+      val m = Snapshots.snapshotAt(spark, p).get
+      val widths = m.files.map(f => m.stats(f).blooms("uid").split(':')(1))
+        .toSet
+      widths shouldBe Set("12", "20")
+      // exactness across both widths
+      val target = (77L * 2654435761L) % 100000L
+      Snapshots.scanWhere(spark, p, col("uid") === target)
+        .select("id").as[Long].collect().sorted.toSeq shouldBe
+        rows.filter(_._2 == target).map(_._1).sorted
+      Snapshots.scanWhere(spark, p, col("uid") === 99999999L)
+        .count() shouldBe 0L
+      // legacy tag (no width segment) still reads — as 2^16
+      val legacy = rows.take(1000).toDF("id", "uid")
+      val p2 = freshDir()
+      spark.conf.unset(Snapshots.BloomBitsKey)
+      Snapshots.append(legacy.repartitionByRange(4, col("id")), p2)
+      // simulate a pre-r13 manifest by stripping the width segment
+      val logDir = new java.io.File(s"$p2/_graft_log")
+      val mf = logDir.listFiles().filter(_.getName.endsWith(".json"))
+        .minBy(_.getName)
+      val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val stripped = txt.replaceAll("\"l:16:", "\"l:")
+      stripped should not be txt
+      java.nio.file.Files.write(mf.toPath, stripped.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Snapshots.scanWhere(spark, p2, col("uid") === target)
+        .select("id").as[Long].collect().sorted.toSeq shouldBe
+        rows.take(1000).filter(_._2 == target).map(_._1).sorted
+      Snapshots.scanWhere(spark, p2, col("uid") === 99999999L)
+        .count() shouldBe 0L
+    } finally {
+      spark.conf.unset(Snapshots.BloomColumnsKey)
+      spark.conf.unset(Snapshots.BloomBitsKey)
+    }
+  }
+
   test("checkpointInterval knob (r13): checkpoints land only at the " +
       "configured cadence, resolution stays exact at latest and " +
       "mid-log, and an interval change mid-log is safe") {
