@@ -934,6 +934,24 @@ final class GraphCompiler(
           graft.functions.ZOrder.zvalue(bits, dims.map { case (c, lo, hi) =>
             graft.functions.ZOrder.quantize(col(c), lo, hi, bits) }: _*))
 
+      case "normalize_unicode" =>
+        // the r13 Unicode tier on the graph surface: NFKC + category
+        // fold + collapse/trim in place of the text column
+        val d = dfArg(n, "data", r)
+        val tc = optS(n, "text_column", r).getOrElse("text")
+        d.withColumn(tc,
+          graft.text.TextAnalysis.normalizeUnicode(col(tc)))
+      case "script_counts" =>
+        // per-script character profile appended as flat n_<script>
+        // columns (the API struct, star-expanded for graph consumers)
+        val d = dfArg(n, "data", r)
+        val tc = optS(n, "text_column", r).getOrElse("text")
+        val sc = graft.functions.UnicodeExprs.scriptCounts(col(tc))
+        Seq("latin", "cyrillic", "han", "arabic", "devanagari",
+          "hangul", "kana", "greek", "hebrew")
+          .foldLeft(d)((acc, s) =>
+            acc.withColumn(s"n_$s", sc.getField(s)))
+
       // ---- multimodal tier on the graph surface (r13): the decode/
       // sample/feature seams of multimodal/Multimodal.scala, addressable
       // from the reference's one query language. Codec is named by

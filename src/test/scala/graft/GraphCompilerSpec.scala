@@ -1463,4 +1463,44 @@ class GraphCompilerSpec extends SparkSpec {
           "data": {"from_node": "bin"}, "codec": "gif"}, "result": true}}""")
     }.code shouldBe "CodecUnknown"
   }
+
+  test("normalize_unicode / script_counts processes equal the Scala " +
+      "API (r13 Unicode tier graph parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-guni").toString
+    val docs = Seq(
+      (1L, "\ufb01nance \u2460 and x\u00b2"),
+      (2L, "\u4e2d\u6587 \u043f\u0440\u0438\u0432\u0435\u0442 plain"),
+      (3L, "zero\u200bwidth\u0007ctl  runs")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val viaGraph = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-gunires").toString,
+        tables = Map("documents" -> s"$dir/documents.parquet"))
+      .compile("""{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "documents"}},
+        "norm": {"process_id": "normalize_unicode", "arguments": {
+          "data": {"from_node": "load"}}},
+        "sc": {"process_id": "script_counts", "arguments": {
+          "data": {"from_node": "norm"}}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        graft.text.TextAnalysis.normalizeUnicode(col("text")))
+    val sc = graft.functions.UnicodeExprs.scriptCounts(col("text"))
+    val viaScala = d
+      .withColumn("n_latin", sc.getField("latin"))
+      .withColumn("n_cyrillic", sc.getField("cyrillic"))
+      .withColumn("n_han", sc.getField("han"))
+      .select(col("doc_id"), col("text"), col("n_latin"),
+        col("n_cyrillic"), col("n_han"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    viaGraph.map(t => (t._1, t._2)) shouldBe viaScala.map(t => (t._1, t._2))
+    // graph output column ORDER: n_latin, n_cyrillic, n_han lead the
+    // appended block, so positions 2-4 compare directly
+    viaGraph shouldBe viaScala
+  }
 }
