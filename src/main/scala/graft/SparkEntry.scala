@@ -1937,6 +1937,24 @@ object SparkEntry {
         TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
         TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
     }),
+    "q_text_tokens_unicode" -> ((s, dir) => {
+      // script-aware token counting (r13): a deterministic CJK suffix
+      // (NFKC-identity characters only) makes the ws-vs-script-aware
+      // divergence visible — each Han/kana/Hangul char counts as one
+      // token, the remainder ws-tokenizes. Oracle replays the CJK
+      // class via RE2 \p{Script} and the char tallies via
+      // regexp_extract_all.
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(!col("text").rlike("[^\\x00-\\x7f]"))
+      val suffix = elt((col("doc_id") % 3 + 1).cast("int"),
+        lit(""),
+        lit(" \u4e2d\u6587\u6e2c\u8a66\u7684\u53e5\u5b50"),
+        lit(" \u30ab\u30bf\u30ab\u30ca\ud55c\uad6d\uc5b4 mixed"))
+      val t = concat(col("text"), suffix)
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(t).cast("long").as("n_ws"),
+        TextAnalysis.tokenCountUnicode(t).as("n_tokens"))
+    }),
     "q_text_quality" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -6929,6 +6947,33 @@ object SparkEntry {
            CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
            CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe
          FROM documents""",
+    "q_text_tokens_unicode" ->
+      // script-aware token replay: CJK chars tally via RE2 \p{Script},
+      // the CJK-stripped remainder ws-tokenizes (empty -> 0)
+      """WITH s AS (
+           SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN ''
+             WHEN 1 THEN ' 中文測試的句子'
+             WHEN 2 THEN ' カタカナ한국어 mixed'
+             END AS t
+           FROM documents
+           WHERE NOT regexp_matches(text, '[^\x00-\x7f]')
+         ), r AS (
+           SELECT doc_id, t,
+             trim(regexp_replace(t,
+               '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]',
+               ' ', 'g')) AS rest
+           FROM s
+         )
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT)
+             AS n_ws,
+           CAST(CASE WHEN rest = '' THEN 0
+                ELSE len(regexp_split_to_array(rest, '\s+')) END
+             + len(regexp_extract_all(t,
+                 '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]'))
+             AS BIGINT) AS n_tokens
+         FROM r""",
     "q_corpus_report" ->
       """WITH t AS (SELECT lang, source,
              CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS tk,

@@ -65,6 +65,22 @@ object TextAnalysis {
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Script-aware token count (r13): whitespace tokenization undercounts
+    * unsegmented CJK text by an order of magnitude (a 40-char Chinese
+    * sentence is ONE ws token but ~20-40 subword tokens) — the standard
+    * multilingual heuristic counts each Han/kana/Hangul character as
+    * one token and ws-tokenizes the rest. Pure codegen projection; the
+    * CJK class is RE2-compatible so a DuckDB oracle replays it. */
+  def tokenCountUnicode(text: Column): Column = {
+    val cjkClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
+    val rest = trim(regexp_replace(text, cjkClass, " "))
+    val restTokens = when(rest === "", lit(0))
+      .otherwise(size(split(rest, "\\s+")))
+    val sc = graft.functions.UnicodeExprs.scriptCounts(text)
+    (restTokens.cast("long") + sc.getField("han") +
+      sc.getField("kana") + sc.getField("hangul")).as("n_tokens")
+  }
+
   /** BPE-ish token count: word runs + standalone punctuation marks. The
     * pattern is RE2-compatible (no lookarounds) so the DuckDB oracle can
     * evaluate the very same regex. */

@@ -295,6 +295,24 @@ class TextSpec extends SparkSpec {
     r.getLong(8) shouldBe 2L // hebrew
   }
 
+  test("tokenCountUnicode: CJK chars count as one token each, the " +
+      "rest ws-tokenizes; pure-ASCII equals tokenCountWs") {
+    val rows = Seq(
+      "hello world",                                   // 2
+      "\u4e2d\u6587\u6e2c\u8a66",                      // 4 Han chars
+      "mixed \u30ab\u30ca text",                       // 2 ws + 2 kana
+      "\ud55c\uad6d\uc5b4 words here",                  // 3 Hangul + 2
+      "").toDF("t")
+      .select(graft.text.TextAnalysis.tokenCountUnicode(col("t")))
+      .collect().map(_.getLong(0))
+    rows shouldBe Array(2L, 4L, 4L, 5L, 0L)
+    val ascii = Seq("a b  c", "one", "x y z w").toDF("t")
+    ascii.select(
+        graft.text.TextAnalysis.tokenCountUnicode(col("t")).as("u"),
+        graft.text.TextAnalysis.tokenCountWs(col("t")).cast("long").as("w"))
+      .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   test("repetitionSignals: hand-computed metrics on a repetitive doc") {
     // tokens: a b a b a b c  → 7 tokens, 3 distinct
     // bigrams (6): "a b"×3, "b a"×2, "b c"×1 → top 3/6
