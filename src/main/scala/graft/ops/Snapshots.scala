@@ -1110,14 +1110,23 @@ object Snapshots extends org.apache.spark.internal.Logging {
         import org.apache.spark.sql.catalyst.expressions.Literal
         val sep = tagged.indexOf(':')
         if (sep <= 0) return true
-        // `t:<bits>:<b64>` (r13) or legacy `t:<b64>` (bits = 16)
+        // `t:<bits>:<b64>` (r13) or legacy `t:<b64>` (bits = 16). A
+        // width we cannot parse EXACTLY into the supported range must
+        // fail OPEN (read the file): testing with any substituted
+        // modulus against a filter built mod 2^other can return a
+        // false "absent" and silently drop rows.
         val rest = tagged.substring(sep + 1)
         val sep2 = rest.indexOf(':')
         val (bits, b64) =
-          if (sep2 > 0 && rest.substring(0, sep2).forall(_.isDigit))
-            (scala.util.Try(rest.substring(0, sep2).toInt)
-              .getOrElse(BloomBitsDefault), rest.substring(sep2 + 1))
-          else (BloomBitsDefault, rest)
+          if (sep2 > 0 && rest.substring(0, sep2).forall(_.isDigit)) {
+            val parsed = scala.util.Try(rest.substring(0, sep2).toInt)
+              .toOption
+            parsed match {
+              case Some(b) if b == clampBloomBits(b) =>
+                (b, rest.substring(sep2 + 1))
+              case _ => return true // future/corrupt width: never skip
+            }
+          } else (BloomBitsDefault, rest)
         val lit: Option[Literal] = (tagged.substring(0, sep), b.v) match {
           case ("s", BStr(v)) =>
             Some(Literal(org.apache.spark.unsafe.types.UTF8String
@@ -2704,7 +2713,9 @@ object Snapshots extends org.apache.spark.internal.Logging {
   private def bloomPositions(lit: org.apache.spark.sql.catalyst
       .expressions.Literal, bits: Int): (Long, Long) = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val m = 1L << clampBloomBits(bits)
+    // callers validate bits ∈ [10,24] (unknown widths fail open
+    // upstream); the shift here trusts that contract
+    val m = 1L << bits
     def pos(h: Long): Long = ((h % m) + m) % m
     val h1 = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
     val h2 = XxHash64(Seq(lit, Literal(BloomSalt)), 42L)
@@ -3660,26 +3671,32 @@ object Snapshots extends org.apache.spark.internal.Logging {
 
   /** First version whose row-level change data is still AVAILABLE to
     * the change feed (1 = never expired). Advanced monotonically by
-    * [[expireChanges]]; persisted as value-suffixed log-dir markers
-    * (`_cdc_horizon.<v>`) so every reader (batch feed, streaming feed,
-    * TVF) agrees. The live horizon is the MAX over all markers present
-    * plus the legacy un-suffixed file: publish is an atomic
-    * create-new-file, so no crash or concurrent read can ever observe
-    * a regressed horizon. */
+    * [[expireChanges]]. TWO-TIER persistence: the well-known
+    * `_cdc_horizon` file is the O(1) fast path every reader (batch
+    * feed, streaming micro-batch, TVF) takes — one tiny read, never a
+    * directory listing on the hot path; value-suffixed markers
+    * (`_cdc_horizon.<v>`, atomic create-new-file) are the crash
+    * anchors: if a writer died inside its delete+rename republish
+    * window the fast file is MISSING and readers fall back to the
+    * marker max, so the horizon can never regress to 1. Concurrent
+    * expires are last-writer-wins on the fast file (administrative
+    * op — callers serialize), but the marker max still bounds the
+    * regression to the smaller of the two published values. */
   def cdcHorizon(spark: SparkSession, path: String): Long = {
     val fs = fsFor(spark, path); val root = new Path(path)
     val logDir = new Path(root, LogDir)
-    val suffixed: Seq[Long] =
-      if (!fs.exists(logDir)) Nil
-      else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith(CdcHorizonFile + "."))
-        .flatMap(n => scala.util.Try(
-          n.substring(CdcHorizonFile.length + 1).toLong).toOption)
-    val legacy: Option[Long] =
-      readLogBytes(fs, new Path(logDir, CdcHorizonFile))
-        .flatMap(b => scala.util.Try(new String(b,
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption)
-    (suffixed ++ legacy ++ Seq(1L)).max
+    readLogBytes(fs, new Path(logDir, CdcHorizonFile))
+      .flatMap(b => scala.util.Try(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption)
+      .getOrElse {
+        val markers: Seq[Long] =
+          if (!fs.exists(logDir)) Nil
+          else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(CdcHorizonFile + "."))
+            .flatMap(n => scala.util.Try(
+              n.substring(CdcHorizonFile.length + 1).toLong).toOption)
+        (markers :+ 1L).max
+      }
   }
 
   /** Expire the row-level CDC sidecars of every version BELOW
@@ -3706,24 +3723,37 @@ object Snapshots extends org.apache.spark.internal.Logging {
     var removed = 0L
     // the horizon is published FIRST: readers step down to the typed
     // below-horizon error before any sidecar byte disappears, so a
-    // feed can never half-read an expiring version. Publish is an
-    // atomic create of a NEW value-suffixed marker — never
-    // delete-then-rename — so there is no window (and no crash state)
-    // in which a concurrent reader observes a regressed horizon;
-    // readers take the max over markers, superseded ones are swept
-    // best-effort after the new one is durable.
+    // feed can never half-read an expiring version. Publish order:
+    // (1) atomic CREATE of the value-suffixed crash anchor — from this
+    // instant the horizon survives any crash (readers fall back to
+    // the marker max when the fast file is missing); (2) republish
+    // the O(1) fast file by delete+rename — a reader in that window
+    // hits the marker fallback, never a regressed value; (3) sweep
+    // markers STRICTLY below the new value (the current one stays as
+    // the standing anchor).
     val logDir = new Path(root, LogDir)
     val marker = new Path(logDir, s"$CdcHorizonFile.$keepFromVersion")
-    val out = fs.create(marker, true)
+    val mo = fs.create(marker, true)
+    try mo.write(keepFromVersion.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mo.close()
+    val tmp = new Path(logDir,
+      s".tmp-horizon-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(keepFromVersion.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(logDir, CdcHorizonFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"expire_changes at $path: cannot publish horizon file " +
+          "(the marker anchor is durable; re-run to republish)")
     fs.listStatus(logDir).foreach { st =>
       val n = st.getPath.getName
-      val superseded = n == CdcHorizonFile ||
-        (n.startsWith(CdcHorizonFile + ".") && scala.util.Try(
-          n.substring(CdcHorizonFile.length + 1).toLong)
-          .toOption.exists(_ < keepFromVersion))
+      val superseded = n.startsWith(CdcHorizonFile + ".") &&
+        scala.util.Try(n.substring(CdcHorizonFile.length + 1).toLong)
+          .toOption.exists(_ < keepFromVersion)
       if (superseded) fs.delete(st.getPath, false)
     }
     // sweep from the OLDEST still-manifested version, not the previous

@@ -286,20 +286,21 @@ class SnapshotProceduresSpec extends SparkSpec {
       "`table` => 'db.t', keep_from_version => 5)")
       .as[Long].head() should be >= 2L
     orphan.exists() shouldBe false
-    // horizon publish discipline (r13): the live horizon is a
-    // value-suffixed marker published by atomic create — exactly one
-    // survives an advance, and a stale smaller marker or legacy
-    // un-suffixed file (a crash mid-cleanup, or a pre-r13 writer) can
-    // never regress the max-over-markers read
+    // horizon publish discipline (r13): the O(1) fast file plus the
+    // value-suffixed crash anchor — exactly those two survive an
+    // advance; when the fast file is missing (a writer died inside
+    // its republish window) the marker fallback still serves the
+    // advanced value, and a stale smaller marker never wins the max
     val logDir = new java.io.File(s"$p/_graft_log")
-    logDir.listFiles().map(_.getName)
-      .count(_.startsWith("_cdc_horizon")) shouldBe 1
-    logDir.listFiles().map(_.getName) should contain("_cdc_horizon.5")
+    val names = logDir.listFiles().map(_.getName)
+    names.count(_.startsWith("_cdc_horizon")) shouldBe 2
+    names should contain("_cdc_horizon.5")
+    names should contain("_cdc_horizon")
     Snapshots.cdcHorizon(spark, p) shouldBe 5L
+    new java.io.File(logDir, "_cdc_horizon").delete() shouldBe true
+    Snapshots.cdcHorizon(spark, p) shouldBe 5L // anchor fallback
     java.nio.file.Files.write(
       new java.io.File(logDir, "_cdc_horizon.2").toPath, "2".getBytes)
-    java.nio.file.Files.write(
-      new java.io.File(logDir, "_cdc_horizon").toPath, "3".getBytes)
     Snapshots.cdcHorizon(spark, p) shouldBe 5L
   }
 

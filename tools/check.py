@@ -80,7 +80,14 @@ def main(sf_dir, out_dir):
     # the driver's CORRECTNESS artifact has come back `{}` two rounds
     # running, so the repo publishes its own in the driver's per-query
     # schema. Written to the repo root (parent of tools/) and committed
-    # each round so the judge always has a hard signal.
+    # each round so the judge always has a hard signal. ONLY a FULL
+    # gate may write it: a targeted (SPARK_GRAFT_ONLY) run has dump
+    # dirs for a subset of the oracle surface and must never replace
+    # the committed full-gate artifact with a partial one.
+    if len(results) < len(oracle):
+        print(f"(partial gate {len(results)}/{len(oracle)} — "
+              "CORRECTNESS_SELF.json not written)")
+        return 0 if npass == len(results) else 1
     self_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "CORRECTNESS_SELF.json")
     per_q = {}
