@@ -28,6 +28,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The round-1 baseline query surface: the exact 56 query names behind
+    * BASELINE.md's 148.67 s sf0.1 record (BENCH_r01.json's per-query map).
+    * The 2× bound is evaluated like-for-like on THIS set — the full-surface
+    * total grows with every round's added coverage and is tracked but not
+    * bounded. Emitted per full run as baseline_subset_total_sec /
+    * baseline_subset_ratio so the official artifact certifies the bound
+    * itself (round-13 verdict task 1). */
+  private val Baseline56: Set[String] = Set(
+    "q1_agg", "q_add_dimension", "q_agg_period_day_max",
+    "q_agg_period_season_max", "q_agg_period_week_sum",
+    "q_agg_spatial_window", "q_ann_topk", "q_ann_topk_ivf",
+    "q_ann_topk_lsh", "q_anomaly", "q_apply_compare", "q_apply_kernel",
+    "q_apply_math", "q_apply_scalars", "q_array_element", "q_band_math_nd",
+    "q_climatology", "q_dedup_embedding", "q_dedup_exact",
+    "q_dedup_minhash", "q_dedup_simhash", "q_filter_bands", "q_filter_bbox",
+    "q_filter_spatial", "q_filter_temporal", "q_fit_curve", "q_geocode",
+    "q_graph_pipeline", "q_interp_linear", "q_join_bcast",
+    "q_load_collection", "q_load_result", "q_mask",
+    "q_merge_cubes_resolver", "q_merge_cubes_union", "q_predict_curve",
+    "q_quantiles", "q_radar_mask", "q_reduce_band_max",
+    "q_reduce_time_count", "q_reduce_time_max", "q_reduce_time_mean",
+    "q_reduce_time_median", "q_reduce_time_min", "q_reduce_time_product",
+    "q_reduce_time_sd", "q_reduce_time_sum", "q_rename_labels",
+    "q_resample_cube_spatial", "q_resample_cube_temporal",
+    "q_resample_spatial_bilinear", "q_sar_bbox_lonlat", "q_text_langid",
+    "q_text_quality", "q_text_tokens", "q_zonal_stats")
+  private val BaselineRefSec = 148.67
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -130,7 +158,17 @@ object Bench {
       .filter(v => v > 0).getOrElse(0.72)
     val calNBar = (calPreN + calPostN) / 2.0
     val calNorm = if (calNBar > 0) total * calRef / calNBar else total
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal":$cal,"cal_ref":$calRef,"sf":"$sfDir","total_sec":${r3(total)},"cal_norm_total_sec":${r3(calNorm)}}"""
+    // Like-for-like 2× certification (round-13 verdict task 1): sum the
+    // per-query times of the r1 baseline surface out of this run's own map
+    // — zero extra runtime. Emitted only when ALL 56 ran (a SPARK_GRAFT_ONLY
+    // subset must not publish a partial sum as the baseline total).
+    val baseTimes = results.collect { case (n, v) if Baseline56(n) => v }
+    val baseFields =
+      if (baseTimes.size == Baseline56.size) {
+        val bt = baseTimes.sum
+        s""","baseline_subset_total_sec":${r3(bt)},"baseline_ref_sec":$BaselineRefSec,"baseline_subset_ratio":${r3(bt / BaselineRefSec)}"""
+      } else ""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cal":$cal,"cal_ref":$calRef,"sf":"$sfDir","total_sec":${r3(total)},"cal_norm_total_sec":${r3(calNorm)}$baseFields}"""
     // Lossless full-name record on disk, twice: BENCH_LOCAL.json
     // (gitignored, machine-local scratch) and BENCH_FULL.json (committed —
     // the per-query decomposition of the OFFICIAL run, since the driver
@@ -165,7 +203,7 @@ object Bench {
       val top = results.sortBy(-_._2).take(topK)
         .map { case (k, v) => s"\"" + k + "\":" + r2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"full":"BENCH_FULL.json","cal":$cal,"cal_ref":$calRef,"sf":"$sfDir","total_sec":${r3(total)},"cal_norm_total_sec":${r3(calNorm)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$top,"nq":${results.size},"full":"BENCH_FULL.json","cal":$cal,"cal_ref":$calRef,"sf":"$sfDir","total_sec":${r3(total)},"cal_norm_total_sec":${r3(calNorm)}$baseFields}"""
     }
     val shortLine = Iterator.iterate(48)(_ - 4).takeWhile(_ >= 0)
       .map(compact).find(_.length <= budget).getOrElse(compact(0))

@@ -1963,6 +1963,51 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
     }),
+    "q_text_langid_script" -> ((s, dir) => {
+      // script-majority langid (r14): the r13 scriptCounts signal as a
+      // prior over the stopword heuristic. Mixed-script corpus built
+      // deterministically from the ASCII base — doc_id % 9 picks a
+      // script run (empty for 0, exercising the ASCII fallback path
+      // in-row, which is law-pinned bit-identical to q_text_langid's
+      // labels); a 24-char ASCII head keeps the Latin count live so
+      // the majority test is non-trivial. Counts replay in DuckDB via
+      // RE2 \p{Script} classes (Java spells them \p{IsXxx}; membership
+      // agrees on every character used here).
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .where(!col("text").rlike("[^\\x00-\\x7f]"))
+      val run = elt((col("doc_id") % 9 + 1).cast("int"),
+        lit(""),
+        // ru: привет мир тест (13 Cyrillic)
+        lit("привет мир" +
+          " тест"),
+        // zh: 中文測試×2 (8 Han)
+        lit("中文測試中文測試"),
+        // ja: ひらがなとカタカナ漢字 (9 kana + 2 Han)
+        lit("ひらがなとカタカナ" +
+          "漢字"),
+        // ko: 한국어 테스트 한국어 (9 Hangul)
+        lit("한국어 테스트 한국어"),
+        // el: ελληνικά γλώσσα (14 Greek)
+        lit("ελληνικά" +
+          " γλώσσα"),
+        // he: שלום עולם שלום (12 Hebrew)
+        lit("שלום עולם" +
+          " שלום"),
+        // ar: اللغة العربية (12 Arabic)
+        lit("اللغة العر" +
+          "بية"),
+        // hi: नमस्ते दुनिया (12 Devanagari incl. matras)
+        lit("नमस्ते दुन" +
+          "िया"))
+      val t = when(run === "", col("text"))
+        .otherwise(concat(substring(col("text"), 1, 24), lit(" "),
+          repeat(run, 6)))
+      d.select(col("doc_id"), t.as("_t"))
+        .select(col("doc_id"), col("_t"),
+          graft.functions.UnicodeExprs.scriptCounts(col("_t")).as("_sc"))
+        .select(col("doc_id"),
+          TextAnalysis.langIdScript(col("_t"), col("_sc")).as("lang_pred"))
+    }),
     "q_text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: all map-side HOF/codegen exprs
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -3352,18 +3397,24 @@ object SparkEntry {
           " \u0639\u0631\u0628\u0649\u200bz\u00a0\u3000end\u0007"))
       val norm = TextAnalysis.normalizeUnicode(
         concat(col("text"), lit(" "), suffix))
-      val sc = graft.functions.UnicodeExprs.scriptCounts(col("norm_text"))
+      // project the 9-field ScriptCounts struct ONCE, then pull fields
+      // from the materialized column: interpreted projections get no
+      // subexpression elimination, so 9 inline getField copies would
+      // re-scan the full text 9× per row (round-13 advice)
       d.select(col("doc_id"), norm.as("norm_text"))
         .select(col("doc_id"), col("norm_text"),
-          sc.getField("latin").as("n_latin"),
-          sc.getField("cyrillic").as("n_cyrillic"),
-          sc.getField("han").as("n_han"),
-          sc.getField("arabic").as("n_arabic"),
-          sc.getField("devanagari").as("n_devanagari"),
-          sc.getField("hangul").as("n_hangul"),
-          sc.getField("kana").as("n_kana"),
-          sc.getField("greek").as("n_greek"),
-          sc.getField("hebrew").as("n_hebrew"))
+          graft.functions.UnicodeExprs.scriptCounts(col("norm_text"))
+            .as("_sc"))
+        .select(col("doc_id"), col("norm_text"),
+          col("_sc.latin").as("n_latin"),
+          col("_sc.cyrillic").as("n_cyrillic"),
+          col("_sc.han").as("n_han"),
+          col("_sc.arabic").as("n_arabic"),
+          col("_sc.devanagari").as("n_devanagari"),
+          col("_sc.hangul").as("n_hangul"),
+          col("_sc.kana").as("n_kana"),
+          col("_sc.greek").as("n_greek"),
+          col("_sc.hebrew").as("n_hebrew"))
     }),
     "q_curation_pipeline_v2" -> ((s, dir) => {
       // round-4 composition DAG — the sub-document-hygiene pipeline:
@@ -7027,6 +7078,8 @@ object SparkEntry {
          FROM p ORDER BY delta_q DESC, tok LIMIT 20""",
     "q_text_langid" ->
       langIdSql,
+    "q_text_langid_script" ->
+      langIdScriptSql,
     "q_text_quality" ->
       qualitySql,
     "q_text_repetition" ->
@@ -10241,23 +10294,81 @@ object SparkEntry {
           FROM events)""",
   )
 
-  /** DuckDB mirror of TextAnalysis.langId: replace-based marker counting,
-    * greatest + first-match-in-marker-order argmax. */
-  private def langIdSql: String = {
-    val counts = TextAnalysis.langMarkers.map { case (lang, ms) =>
+  /** Marker-count projections over a padded text column `p`:
+    * `(...) AS s_en, ...` — the DuckDB half of TextAnalysis.langId's
+    * replace-based counting. */
+  private def langMarkerCountsSql: String =
+    TextAnalysis.langMarkers.map { case (lang, ms) =>
       val c = ms.map(m =>
         s"CAST((length(p) - length(replace(p, '$m', ''))) // ${m.length} AS INT)")
         .mkString(" + ")
       s"($c) AS s_$lang"
     }.mkString(", ")
-    val langs = TextAnalysis.langMarkers.map(_._1)
-    val best = s"GREATEST(${langs.map("s_" + _).mkString(", ")})"
-    val cases = langs.map(l =>
+
+  private def langBestSql: String =
+    s"GREATEST(${TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")})"
+
+  /** The stopword-argmax WHEN arms (first-match-in-marker-order). */
+  private def langMarkerWhensSql: String =
+    TextAnalysis.langMarkers.map(_._1).map(l =>
       s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+
+  /** DuckDB mirror of TextAnalysis.langId: replace-based marker counting,
+    * greatest + first-match-in-marker-order argmax. */
+  private def langIdSql: String =
     s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
-        scored AS (SELECT doc_id, $counts FROM padded),
-        withbest AS (SELECT *, $best AS best FROM scored)
-        SELECT doc_id, CASE $cases ELSE NULL END AS lang_pred FROM withbest"""
+        scored AS (SELECT doc_id, $langMarkerCountsSql FROM padded),
+        withbest AS (SELECT *, $langBestSql AS best FROM scored)
+        SELECT doc_id, CASE $langMarkerWhensSql ELSE NULL END AS lang_pred
+        FROM withbest"""
+
+  /** DuckDB mirror of TextAnalysis.langIdScript over the
+    * q_text_langid_script corpus construction: script counts via RE2
+    * `\p{Script}` classes (Java spells the same classes `\p{IsXxx}`;
+    * membership agrees on every character used here), then the
+    * kana-ja rule, the non-Latin argmax prior (same fixed tie order as
+    * `TextAnalysis.scriptLangs`), and the stopword fallback. */
+  private def langIdScriptSql: String = {
+    val runs = Seq(
+      "привет мир тест", "中文測試中文測試",
+      "ひらがなとカタカナ漢字", "한국어 테스트 한국어",
+      "ελληνικά γλώσσα", "שלום עולם שלום",
+      "اللغة العربية", "नमस्ते दुनिया")
+    val runCase = runs.zipWithIndex.map { case (r, i) =>
+      s"WHEN ${i + 1} THEN '$r'"
+    }.mkString(" ")
+    val scriptRe = Seq(
+      "latin" -> "\\p{Latin}", "cyrillic" -> "\\p{Cyrillic}",
+      "han" -> "\\p{Han}", "arabic" -> "\\p{Arabic}",
+      "devanagari" -> "\\p{Devanagari}", "hangul" -> "\\p{Hangul}",
+      "kana" -> "[\\p{Hiragana}\\p{Katakana}]", "greek" -> "\\p{Greek}",
+      "hebrew" -> "\\p{Hebrew}")
+    val counts = scriptRe.map { case (n, re) =>
+      s"len(regexp_extract_all(t, '$re')) AS c_$n"
+    }.mkString(", ")
+    val nlWhens = TextAnalysis.scriptLangs.map { case (s2, l) =>
+      s"WHEN c_$s2 = bestnl THEN '$l'"
+    }.mkString(" ")
+    val bestNl = "GREATEST(" +
+      TextAnalysis.scriptLangs.map("c_" + _._1).mkString(", ") + ")"
+    s"""WITH base AS (SELECT doc_id, text FROM documents
+           WHERE NOT regexp_matches(text, '[^\\x00-\\x7f]')),
+        t AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0 THEN text
+            ELSE substr(text, 1, 24) || ' ' ||
+              repeat(CASE CAST(doc_id % 9 AS INTEGER) $runCase END, 6)
+            END AS t
+          FROM base),
+        sc AS (SELECT doc_id, t, $counts, ' ' || t || ' ' AS p FROM t),
+        scored AS (SELECT *, $langMarkerCountsSql FROM sc),
+        wb AS (SELECT *, $langBestSql AS best, $bestNl AS bestnl
+          FROM scored)
+        SELECT doc_id, CASE
+            WHEN c_kana > 0 AND c_han + c_kana > c_latin THEN 'ja'
+            WHEN bestnl > c_latin AND bestnl > 0 THEN
+              (CASE $nlWhens END)
+            $langMarkerWhensSql
+            ELSE NULL END AS lang_pred
+        FROM wb"""
   }
 
   /** DuckDB mirror of TextAnalysis.qualityScore, component by component

@@ -946,11 +946,26 @@ final class GraphCompiler(
         // columns (the API struct, star-expanded for graph consumers)
         val d = dfArg(n, "data", r)
         val tc = optS(n, "text_column", r).getOrElse("text")
-        val sc = graft.functions.UnicodeExprs.scriptCounts(col(tc))
-        Seq("latin", "cyrillic", "han", "arabic", "devanagari",
-          "hangul", "kana", "greek", "hebrew")
-          .foldLeft(d)((acc, s) =>
-            acc.withColumn(s"n_$s", sc.getField(s)))
+        // evaluate the struct ONCE (interpreted projections get no
+        // subexpression elimination — 9 inline copies would scan the
+        // text 9× per row, round-13 advice), then star-expand
+        val scripts = Seq("latin", "cyrillic", "han", "arabic",
+          "devanagari", "hangul", "kana", "greek", "hebrew")
+        d.withColumn("_sc",
+            graft.functions.UnicodeExprs.scriptCounts(col(tc)))
+          .select(d.columns.map(col) ++
+            scripts.map(s => col(s"_sc.$s").as(s"n_$s")): _*)
+      case "langid" =>
+        // r14: script-majority prior over the stopword heuristic —
+        // graph-surface parity with q_text_langid_script. The struct
+        // is projected once (no-CSE interpreted expression).
+        val d = dfArg(n, "data", r)
+        val tc = optS(n, "text_column", r).getOrElse("text")
+        d.withColumn("_sc",
+            graft.functions.UnicodeExprs.scriptCounts(col(tc)))
+          .withColumn("lang_pred",
+            graft.text.TextAnalysis.langIdScript(col(tc), col("_sc")))
+          .drop("_sc")
 
       // ---- multimodal tier on the graph surface (r13): the decode/
       // sample/feature seams of multimodal/Multimodal.scala, addressable

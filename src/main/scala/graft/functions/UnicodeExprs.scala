@@ -110,6 +110,43 @@ object UnicodeExprs {
       copy(child = c)
   }
 
+  /** Single-pass count of CJK characters (Han + Hiragana + Katakana +
+    * Hangul) — the unsegmented-script class `tokenCountUnicode` charges
+    * one token per character. A dedicated expression because summing 3
+    * fields of [[ScriptCounts]] inline would evaluate the (interpreted,
+    * no-CSE) struct 3× per row (round-13 advice). DuckDB replay: RE2
+    * `[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]` (note RE2 spells
+    * scripts `\p{Han}` where Java spells `\p{IsHan}`). */
+  case class CjkCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_cjk_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs string, got ${t.simpleString}")
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var n = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val sc = try Character.UnicodeScript.of(cp)
+        catch { case _: IllegalArgumentException =>
+          Character.UnicodeScript.UNKNOWN }
+        import Character.UnicodeScript._
+        if (sc == HAN || sc == HIRAGANA || sc == KATAKANA || sc == HANGUL)
+          n += 1L
+        i += Character.charCount(cp)
+      }
+      n
+    }
+    override protected def withNewChildInternal(c: Expression): CjkCount =
+      copy(child = c)
+  }
+
   private def entry(name: String, clazz: Class[_])(
       builder: Seq[Expression] => Expression) = {
     val id = FunctionIdentifier(name)
@@ -120,7 +157,8 @@ object UnicodeExprs {
   private val injectables = Seq(
     entry("graft_nfkc_fold", classOf[NfkcFold])(cs => NfkcFold(cs.head)),
     entry("graft_script_counts", classOf[ScriptCounts])(cs =>
-      ScriptCounts(cs.head)))
+      ScriptCounts(cs.head)),
+    entry("graft_cjk_count", classOf[CjkCount])(cs => CjkCount(cs.head)))
 
   private def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -140,5 +178,11 @@ object UnicodeExprs {
   def scriptCounts(text: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_script_counts", text)
+  }
+
+  /** Single-pass CJK character count (see [[CjkCount]]). */
+  def cjkCount(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_cjk_count", text)
   }
 }

@@ -3733,10 +3733,19 @@ object Snapshots extends org.apache.spark.internal.Logging {
     // the standing anchor).
     val logDir = new Path(root, LogDir)
     val marker = new Path(logDir, s"$CdcHorizonFile.$keepFromVersion")
-    val mo = fs.create(marker, true)
-    try mo.write(keepFromVersion.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally mo.close()
+    // TRUE create-new semantics (matches the "atomic create-new-file"
+    // contract in cdcHorizon's doc): the marker name embeds its value, so
+    // a concurrent creator wrote the identical content — already-exists
+    // is success, not an error (round-13 advice).
+    try {
+      val mo = fs.create(marker, false)
+      try mo.write(keepFromVersion.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mo.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.io.IOException if fs.exists(marker) => ()
+    }
     val tmp = new Path(logDir,
       s".tmp-horizon-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -3744,11 +3753,26 @@ object Snapshots extends org.apache.spark.internal.Logging {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(logDir, CdcHorizonFile)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"expire_changes at $path: cannot publish horizon file " +
-          "(the marker anchor is durable; re-run to republish)")
+    // Regression guard for concurrent expires (round-13 advice): if a
+    // racing expire already published a HIGHER horizon — and may already
+    // have deleted sidecars up to it — republishing ours would step the
+    // fast file back below durable markers and send readers into raw
+    // missing-file territory instead of the typed below-horizon error.
+    // Re-read the fast file at the last instant and keep the max. (Admin
+    // ops are documented callers-serialize; this bounds the damage when
+    // they don't.)
+    val fastNow = readLogBytes(fs, dst).flatMap(b => scala.util.Try(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      .toOption)
+    if (fastNow.exists(_ >= keepFromVersion)) {
+      fs.delete(tmp, false)
+    } else {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(
+          s"expire_changes at $path: cannot publish horizon file " +
+            "(the marker anchor is durable; re-run to republish)")
+    }
     fs.listStatus(logDir).foreach { st =>
       val n = st.getPath.getName
       val superseded = n.startsWith(CdcHorizonFile + ".") &&

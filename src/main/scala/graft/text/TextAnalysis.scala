@@ -39,6 +39,46 @@ object TextAnalysis {
     }
   }
 
+  /** Script→language mapping for the script-majority langid prior, in
+    * fixed tie order (first match wins). Kana is handled separately
+    * (any kana presence is a strong Japanese signal — hiragana carries
+    * Japanese grammar particles — while Han alone reads Chinese). */
+  val scriptLangs: Seq[(String, String)] = Seq(
+    "cyrillic" -> "ru", "han" -> "zh", "arabic" -> "ar",
+    "devanagari" -> "hi", "hangul" -> "ko", "greek" -> "el",
+    "hebrew" -> "he")
+
+  /** Script-majority language ID (round-14: composes the r13
+    * [[graft.functions.UnicodeExprs.ScriptCounts]] signal with the
+    * stopword heuristic). Decision rule, replayable in DuckDB via RE2
+    * `\p{Script}` classes:
+    *
+    *  1. kana present AND han+kana > latin            → "ja"
+    *  2. max non-Latin script count > latin (and > 0) → that script's
+    *     language ([[scriptLangs]], fixed tie order)
+    *  3. otherwise → the Latin-script stopword heuristic [[langId]]
+    *
+    * On pure-ASCII input every script count is 0, so rule 3 always
+    * fires and the labels are BIT-IDENTICAL to [[langId]] (law-pinned).
+    * `sc` must be a MATERIALIZED ScriptCounts struct column (project
+    * `scriptCounts(text).as("_sc")` first): the interpreted struct
+    * expression gets no subexpression elimination, so inline use would
+    * re-scan the text once per field reference. */
+  def langIdScript(text: Column, sc: Column): Column = {
+    val latin = sc.getField("latin")
+    val kana = sc.getField("kana")
+    val han = sc.getField("han")
+    val nonLatin = scriptLangs.map { case (s, _) => sc.getField(s) }
+    val maxNl = nonLatin.reduce((a, b) => greatest(a, b))
+    val argmax = scriptLangs.foldRight(lit(null).cast("string")) {
+      case ((s, l), acc) =>
+        when(sc.getField(s) === maxNl, lit(l)).otherwise(acc)
+    }
+    when(kana > 0 && (han + kana) > latin, lit("ja"))
+      .when(maxNl > latin && maxNl > 0, argmax)
+      .otherwise(langId(text))
+  }
+
   /** Curation text normalization: ASCII control characters (incl. DEL)
     * become spaces, whitespace runs collapse to one space, ends trimmed.
     * Deliberately ASCII-level only — no Unicode case/width tailoring —
@@ -69,16 +109,20 @@ object TextAnalysis {
     * unsegmented CJK text by an order of magnitude (a 40-char Chinese
     * sentence is ONE ws token but ~20-40 subword tokens) — the standard
     * multilingual heuristic counts each Han/kana/Hangul character as
-    * one token and ws-tokenizes the rest. Pure codegen projection; the
-    * CJK class is RE2-compatible so a DuckDB oracle replays it. */
+    * one token and ws-tokenizes the rest. The Spark-side CJK class uses
+    * JAVA regex script syntax (`\p{IsHan}`); RE2/DuckDB spells the same
+    * classes `\p{Han}` — the two engines agree on membership, only the
+    * SPELLING differs, so an oracle edit must translate, not paste
+    * (round-13 advice). The CJK char count itself is a single-pass
+    * native expression (3 inline ScriptCounts getFields would evaluate
+    * the no-CSE interpreted struct 3× per row). */
   def tokenCountUnicode(text: Column): Column = {
     val cjkClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
     val rest = trim(regexp_replace(text, cjkClass, " "))
     val restTokens = when(rest === "", lit(0))
       .otherwise(size(split(rest, "\\s+")))
-    val sc = graft.functions.UnicodeExprs.scriptCounts(text)
-    (restTokens.cast("long") + sc.getField("han") +
-      sc.getField("kana") + sc.getField("hangul")).as("n_tokens")
+    (restTokens.cast("long") +
+      graft.functions.UnicodeExprs.cjkCount(text)).as("n_tokens")
   }
 
   /** BPE-ish token count: word runs + standalone punctuation marks. The

@@ -27,6 +27,46 @@ class TextSpec extends SparkSpec {
     r("3") shouldBe null
   }
 
+  test("langIdScript: script-majority prior, kana-ja rule, and the " +
+      "ASCII law — bit-identical to langId on every ASCII input") {
+    def scripted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("text").as("_t"))
+        .select(col("id"), col("_t"),
+          graft.functions.UnicodeExprs.scriptCounts(col("_t")).as("_sc"))
+        .select(col("id"),
+          TextAnalysis.langIdScript(col("_t"), col("_sc")).as("l"))
+    val df = Seq(
+      ("ru", "ab привет мир"),
+      ("zh", "中文測試的句子"),
+      // kana present and han+kana beats latin -> ja even with han > kana
+      ("ja", "漢字漢字漢字ひら"),
+      ("ko", "한국어 테스트"),
+      ("el", "ελληνικά"),
+      ("he", "שלום עולם"),
+      ("ar", "اللغة"),
+      ("hi", "नमस्ते"),
+      // latin majority with stray cyrillic -> falls to stopword path
+      ("en", "the cat and the dog of the house да")
+    ).toDF("id", "text")
+    val got = scripted(df).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    got.foreach { case (want, g) => g shouldBe want }
+    // the ASCII law: script counts are all zero on ASCII, so labels are
+    // bit-identical to the stopword heuristic (null included)
+    val ascii = Seq(
+      ("1", "the cat and the dog of the house with hats"),
+      ("2", "der Hund und die Katze mit der Maus"),
+      ("3", "el los con por el"),
+      ("4", "xyzzy plugh"),
+      ("5", "")).toDF("id", "text")
+    val a = scripted(ascii).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = ascii.select(col("id"),
+        TextAnalysis.langId(col("text")).as("l")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    a shouldBe b
+  }
+
   test("shingles builds distinct word n-grams") {
     val df = Seq("a b c b c").toDF("text")
     val r = df.select(TextAnalysis.shingles(col("text"), 2).as("s"))

@@ -94,9 +94,18 @@ def main(sf_dir, out_dir):
     for k, v in sorted(results.items()):
         ok = v.startswith("OK")
         no_oracle = v.startswith("NO-ORACLE")
+        if no_oracle:
+            # honest marker (round-13 advice): a rows-only check verified
+            # NOTHING about schema or values — say so instead of counting
+            # it as matching.
+            per_q[k] = {"oracle": False, "rows_match": None,
+                        "schema_match": None, "hash_match": None,
+                        "err": None, "note": v}
+            continue
         per_q[k] = {
-            "rows_match": ok or no_oracle,
-            "schema_match": ok or no_oracle,
+            "oracle": True,
+            "rows_match": ok,
+            "schema_match": ok,
             "hash_match": ok,          # exact-value compare == hash match
             "err": None if ok else v,
         }
