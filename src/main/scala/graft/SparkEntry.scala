@@ -3113,6 +3113,42 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      // REAL baseline JPEG end-to-end (r14): each doc's UTF-8 bytes form
+      // a w×h grayscale tile (w = 1+len%5, h = 1+len%3, tile s = byte
+      // s%len) that is expanded 8× per axis into flat 8×8 blocks — the
+      // construction for which grayscale baseline JPEG with DC quant
+      // step 8 is EXACTLY lossless (all AC coefficients are zero, DC is
+      // a multiple of the step), so Huffman coding, byte stuffing,
+      // dequantization, and the IDCT all sit on the hash path while the
+      // oracle replays decoded-pixel stats from the generative bytes,
+      // never parsing JPEG.
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val jpg = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 1)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val len = tb.length
+          val w = 1 + len % 5; val h = 1 + len % 3
+          val wp = w * 8; val hp = h * 8
+          val px = Array.tabulate[Byte](wp * hp) { j =>
+            val s2 = (j / wp / 8) * w + (j % wp) / 8
+            tb(s2 % len)
+          }
+          (id, Multimodal.JpegCodec.encode(
+            Multimodal.Decoded("jpeg", wp, hp, 1, 1, px)))
+        }.toDF("doc_id", "payload")
+      Multimodal.featureExtract(
+          Multimodal.decodeMeta(jpg, "payload", Multimodal.JpegCodec),
+          "payload", dim = 5, codec = Multimodal.JpegCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
     "q_chunk_tokens" -> ((s, dir) => {
       // context-length chunking: 32-token chunks, remainder in the last
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -7941,6 +7977,53 @@ object SparkEntry {
            GROUP BY f.doc_id, f.feat_idx
          )
          SELECT m.doc_id, 'png' AS format, m.width, m.height, m.mean_px,
+                fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_jpeg" ->
+      // flat-8×8-block grayscale baseline JPEG is LOSSLESS by
+      // construction (DC-only, quant step 8), so decoded pixel j of the
+      // (8w)×(8h) image equals text byte ((j÷(8w)÷8)·w + (j mod 8w)÷8)
+      // mod len — the oracle computes every stat from that index map;
+      // a Huffman/dequant/IDCT bug shifts all of them
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE octet_length(encode(text)) >= 1
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 5) AS w, 1 + (len % 3) AS hh,
+                  (1 + (len % 5)) * 8 AS width,
+                  (1 + (len % 3)) * 8 AS height,
+                  (1 + (len % 5)) * (1 + (len % 3)) * 64 AS px_len
+           FROM d
+         ), bytes AS (
+           SELECT p.doc_id, g.j,
+                  CAST(('0x' || substr(p.h,
+                    CAST((((((g.j // p.width) // 8) * p.w +
+                        (g.j % p.width) // 8) % p.len) * 2 + 1) AS BIGINT),
+                    2)) AS INTEGER) AS b
+           FROM p, generate_series(0, 959) AS g(j)
+           WHERE g.j < p.px_len
+         ), m AS (
+           SELECT p.doc_id, p.width, p.height,
+                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
+           FROM p JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.width, p.height
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 5) AS block, p.px_len
+           FROM p, generate_series(0, 4) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.j >= f.feat_idx * f.block
+            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, 'jpeg' AS format, m.width, m.height, m.mean_px,
                 fv.feat_idx,
                 CASE WHEN fv.n = 0 THEN 0.0
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0

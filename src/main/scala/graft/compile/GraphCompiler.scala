@@ -105,7 +105,7 @@ final class GraphCompiler(
     n.arguments.get(name).map(resolve(_, results)).collect { case s: String => s }
 
   /** Multimodal codec by name — "fake" (deterministic stub), or the
-    * real "bmp"/"png"/"wav" byte codecs. */
+    * real "bmp"/"png"/"wav"/"jpeg" byte codecs. */
   private def codecArg(n: Node,
       r: collection.Map[String, Any]): graft.multimodal.Multimodal.Codec =
     optS(n, "codec", r).getOrElse("fake") match {
@@ -113,6 +113,7 @@ final class GraphCompiler(
       case "bmp" => graft.multimodal.Multimodal.BmpCodec
       case "png" => graft.multimodal.Multimodal.PngCodec
       case "wav" => graft.multimodal.Multimodal.WavCodec
+      case "jpeg" => graft.multimodal.Multimodal.JpegCodec
       case other => throw graft.OpenEoError("CodecUnknown",
         s"unknown multimodal codec '$other' (fake, bmp, png, wav)")
     }

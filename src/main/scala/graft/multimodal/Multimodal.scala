@@ -13,12 +13,14 @@ import org.apache.spark.sql.types._
   *
   * Codecs behind the [[Codec]] seam: [[BmpCodec]] (uncompressed 24-bit
   * BI_RGB Windows BMP), [[PngCodec]] (8-bit truecolor PNG — zlib via the
-  * JDK's Inflater/Deflater, all five scanline filters) and [[WavCodec]]
-  * (RIFF/WAVE 16-bit PCM) decode actual container bytes, pure JVM;
-  * [[FakeCodec]] remains as the deterministic synthetic "GRFT" container
-  * for formats this environment has no library for (JPEG/MP3 need native
-  * codecs). The Spark-side plumbing — schema, batch iteration, partition
-  * sizing, output shapes — is codec-agnostic.
+  * JDK's Inflater/Deflater, all five scanline filters), [[WavCodec]]
+  * (RIFF/WAVE 16-bit PCM) and [[JpegCodec]] (baseline-sequential
+  * grayscale JPEG — Huffman + dequant + IDCT, pure JVM) decode actual
+  * container bytes; [[FakeCodec]] remains as the deterministic synthetic
+  * "GRFT" container for formats this environment has no library for
+  * (color JPEG chroma paths, MP3, video containers). The Spark-side
+  * plumbing — schema, batch iteration, partition sizing, output shapes —
+  * is codec-agnostic.
   */
 object Multimodal {
 
@@ -442,6 +444,431 @@ object Multimodal {
       if (samples.length % channels != 0)
         bad(s"sample count ${samples.length} not divisible by $channels channels")
       Decoded("wav", samples.length / channels, 1, channels, 1, samples)
+    }
+  }
+
+  /** REAL pure-JVM baseline-sequential JPEG codec (ITU-T T.81), grayscale
+    * (1-component) profile — the format real multimodal corpora actually
+    * carry (round-14 verdict task 6).
+    *
+    * Decoder: full marker parse (DQT / SOF0 / DHT / SOS; APPn/COM
+    * skipped), canonical Huffman decode of the interleaved DC-diff + AC
+    * run-length stream with 0xFF00 byte-unstuffing, dequantization
+    * through the zigzag order, naive double-precision IDCT per 8×8
+    * block, level shift + clamp, crop from the padded block grid.
+    * Progressive (SOF2), multi-component, 16-bit tables, and restart
+    * intervals raise a typed CodecError rather than mis-decoding.
+    *
+    * Encoder: general grayscale FDCT + quantization + Annex-K luminance
+    * Huffman tables (the spec's own public example tables), quant table
+    * = DC step 8, AC step 16. LOSSLESS-BY-CONSTRUCTION case, which the
+    * oracle row exploits: an image whose every 8×8 block is CONSTANT has
+    * all-zero AC coefficients (the FDCT of a constant signal) and DC =
+    * 8·(v−128) — an exact multiple of the DC quant step — so
+    * decode(encode(img)) == img EXACTLY, letting a DuckDB oracle replay
+    * decoded-pixel stats from the generative bytes while the whole
+    * Huffman+IDCT path sits on the hash. Determinism: pure JVM double
+    * arithmetic (IEEE-defined since JDK17), no platform codecs. */
+  object JpegCodec extends Codec {
+    private def bad(why: String): Nothing =
+      throw graft.OpenEoError("CodecError", s"JpegCodec: $why")
+
+    /** zigzag index -> natural (row-major) index, T.81 Figure 5. */
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    /** Annex K.3.1 luminance DC table: BITS (codes per length 1..16)
+      * and HUFFVAL (categories). Public example tables from the spec. */
+    private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    /** Annex K.3.2 luminance AC table. */
+    private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    private val AcVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+      0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+      0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+      0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+      0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+      0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+      0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+      0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+      0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+      0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+      0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+      0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+      0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+      0xf9, 0xfa)
+
+    /** Quant table: DC step 8 (exact for the flat-block construction),
+      * AC step 16. */
+    private val Quant: Array[Int] =
+      Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+    private val CosTab: Array[Double] = {
+      val t = new Array[Double](8 * 8)
+      var x = 0
+      while (x < 8) {
+        var u = 0
+        while (u < 8) {
+          t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+          u += 1
+        }
+        x += 1
+      }
+      t
+    }
+    private def cFac(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+    /** Canonical Huffman codes from (BITS, HUFFVAL): per value (code,
+      * length), in the T.81 Annex C generation order. */
+    private def buildCodes(bits: Array[Int],
+        vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      var k = 0
+      val out = scala.collection.mutable.Map[Int, (Int, Int)]()
+      var len = 1
+      while (len <= 16) {
+        var i = 0
+        while (i < bits(len - 1)) {
+          out(vals(k)) = (code, len)
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+        len += 1
+      }
+      out.toMap
+    }
+
+    private lazy val DcEnc = buildCodes(DcBits, DcVals)
+    private lazy val AcEnc = buildCodes(AcBits, AcVals)
+
+    private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0; private var nBits = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >>> i) & 1)
+          nBits += 1
+          if (nBits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00) // byte stuffing
+            acc = 0; nBits = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Unit = if (nBits > 0) { // pad with 1s (spec F.1.2.3)
+        acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+        out.write(acc)
+        if (acc == 0xff) out.write(0x00)
+        acc = 0; nBits = 0
+      }
+    }
+
+    private def category(v: Int): Int = {
+      var a = math.abs(v); var s = 0
+      while (a != 0) { a >>= 1; s += 1 }
+      s
+    }
+
+    def encode(d: Decoded): Array[Byte] = {
+      if (d.channels != 1 || d.nFrames != 1)
+        bad(s"encode needs channels=1, nFrames=1 (got ${d.channels}/${d.nFrames})")
+      if (d.pixels.length != d.width * d.height)
+        bad(s"pixel buffer ${d.pixels.length} != ${d.width}x${d.height}")
+      if (d.width < 1 || d.height < 1 || d.width > 0xffff || d.height > 0xffff)
+        bad(s"dimensions ${d.width}x${d.height} out of JPEG range")
+      val out = new java.io.ByteArrayOutputStream(d.pixels.length / 2 + 256)
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Byte]): Unit = {
+        marker(m)
+        out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+        out.write(body)
+      }
+      marker(0xd8) // SOI
+      seg(0xdb, (Array(0x00) ++ Zigzag.indices.map(z => Quant(z)))
+        .map(_.toByte)) // DQT: Pq=0/Tq=0, entries in zigzag order
+      seg(0xc0, Array(8, d.height >>> 8, d.height & 0xff,
+        d.width >>> 8, d.width & 0xff, 1, 1, 0x11, 0).map(_.toByte)) // SOF0
+      seg(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte)) // DHT DC0
+      seg(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte)) // DHT AC0
+      seg(0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
+      val bw = new BitWriter(out)
+      val bw8 = (d.width + 7) / 8; val bh8 = (d.height + 7) / 8
+      val coef = new Array[Double](64)
+      var prevDc = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          // FDCT of the (edge-replicated) block
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  val sy = math.min(d.height - 1, by * 8 + y)
+                  val sx = math.min(d.width - 1, bx * 8 + x)
+                  s += ((d.pixels(sy * d.width + sx) & 0xff) - 128) *
+                    CosTab(x * 8 + u) * CosTab(y * 8 + v)
+                  x += 1
+                }
+                y += 1
+              }
+              coef(v * 8 + u) = 0.25 * cFac(u) * cFac(v) * s
+              v += 1
+            }
+            u += 1
+          }
+          // quantize in zigzag order, encode DC diff + AC runs
+          val q = new Array[Int](64)
+          var z = 0
+          while (z < 64) {
+            q(z) = math.round(coef(Zigzag(z)) / Quant(z)).toInt
+            z += 1
+          }
+          val diff = q(0) - prevDc; prevDc = q(0)
+          val s0 = category(diff)
+          val (dc, dl) = DcEnc.getOrElse(s0, bad(s"DC category $s0"))
+          bw.put(dc, dl)
+          if (s0 > 0)
+            bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+          var zz = 1
+          var run = 0
+          while (zz < 64) {
+            if (q(zz) == 0) run += 1
+            else {
+              while (run > 15) {
+                val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
+              }
+              val sc = category(q(zz))
+              val (ac, al) = AcEnc.getOrElse((run << 4) | sc,
+                bad(s"AC (run=$run,size=$sc)"))
+              bw.put(ac, al)
+              bw.put(if (q(zz) < 0) q(zz) + (1 << sc) - 1 else q(zz), sc)
+              run = 0
+            }
+            zz += 1
+          }
+          if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) } // EOB
+          bx += 1
+        }
+        by += 1
+      }
+      bw.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** Canonical Huffman decoding tables (T.81 F.2.2.3): MINCODE /
+      * MAXCODE / VALPTR per code length. */
+    private final class HuffDec(bits: Array[Int], vals: Array[Int]) {
+      val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      locally {
+        var code = 0; var k = 0; var l = 1
+        while (l <= 16) {
+          if (bits(l - 1) == 0) maxCode(l) = -1
+          else {
+            valPtr(l) = k; minCode(l) = code
+            code += bits(l - 1); k += bits(l - 1)
+            maxCode(l) = code - 1
+          }
+          code <<= 1
+          l += 1
+        }
+      }
+      def value(len: Int, code: Int): Int =
+        vals(valPtr(len) + code - minCode(len))
+    }
+
+    private final class BitReader(a: Array[Byte], var off: Int) {
+      private var acc = 0; private var nBits = 0
+      def nextBit(): Int = {
+        if (nBits == 0) {
+          if (off >= a.length) bad("entropy stream truncated")
+          var b = a(off) & 0xff; off += 1
+          if (b == 0xff) {
+            if (off >= a.length) bad("entropy stream truncated at 0xFF")
+            val m = a(off) & 0xff
+            if (m == 0x00) off += 1 // stuffed byte
+            else if (m == 0xd9) b = 0xff // EOI next: let padding bits run out
+            else bad(f"unexpected marker 0xFF$m%02x inside entropy data")
+          }
+          acc = b; nBits = 8
+        }
+        nBits -= 1
+        (acc >>> nBits) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+        v
+      }
+      def decodeHuff(h: HuffDec): Int = {
+        var code = nextBit(); var l = 1
+        while (l <= 16) {
+          if (h.maxCode(l) >= 0 && code <= h.maxCode(l)) return h.value(l, code)
+          code = (code << 1) | nextBit(); l += 1
+        }
+        bad("invalid Huffman code")
+      }
+    }
+
+    private def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    def decode(payload: Array[Byte]): Decoded = {
+      if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
+          (payload(1) & 0xff) != 0xd8)
+        bad("not a JPEG (no SOI)")
+      var off = 2
+      val quant = scala.collection.mutable.Map[Int, Array[Int]]()
+      val dcTabs = scala.collection.mutable.Map[Int, HuffDec]()
+      val acTabs = scala.collection.mutable.Map[Int, HuffDec]()
+      var width = -1; var height = -1; var qSel = -1
+      var dcSel = -1; var acSel = -1
+      var scanStart = -1
+      while (scanStart < 0) {
+        if (off + 4 > payload.length) bad("truncated before SOS")
+        if ((payload(off) & 0xff) != 0xff)
+          bad(f"expected marker at $off, got 0x${payload(off) & 0xff}%02x")
+        val m = payload(off + 1) & 0xff
+        off += 2
+        if (m == 0xd8) () // stray SOI
+        else if (m >= 0xd0 && m <= 0xd9) bad(f"unexpected bare marker 0x$m%02x")
+        else {
+          val len = ((payload(off) & 0xff) << 8) | (payload(off + 1) & 0xff)
+          if (len < 2 || off + len > payload.length) bad("segment overruns file")
+          val body = java.util.Arrays.copyOfRange(payload, off + 2, off + len)
+          off += len
+          m match {
+            case 0xdb => // DQT (possibly several tables per segment)
+              var p = 0
+              while (p < body.length) {
+                val pq = (body(p) & 0xf0) >> 4; val tq = body(p) & 0x0f
+                if (pq != 0) bad("16-bit quant tables unsupported")
+                if (p + 65 > body.length) bad("DQT truncated")
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) { t(i) = body(p + 1 + i) & 0xff; i += 1 }
+                quant(tq) = t
+                p += 65
+              }
+            case 0xc0 => // SOF0 baseline
+              if (body.length < 8) bad("SOF0 truncated")
+              if ((body(0) & 0xff) != 8) bad("only 8-bit precision supported")
+              height = ((body(1) & 0xff) << 8) | (body(2) & 0xff)
+              width = ((body(3) & 0xff) << 8) | (body(4) & 0xff)
+              val nc = body(5) & 0xff
+              if (nc != 1) bad(s"only grayscale (1 component) supported, got $nc")
+              if ((body(7) & 0xff) != 0x11) bad("subsampling must be 1x1")
+              qSel = body(8) & 0xff
+            case 0xc2 => bad("progressive JPEG (SOF2) unsupported")
+            case 0xc4 => // DHT (possibly several tables per segment)
+              var p = 0
+              while (p < body.length) {
+                val tc = (body(p) & 0xf0) >> 4; val th = body(p) & 0x0f
+                if (p + 17 > body.length) bad("DHT truncated")
+                val bits = Array.tabulate(16)(i => body(p + 1 + i) & 0xff)
+                val n = bits.sum
+                if (p + 17 + n > body.length) bad("DHT values truncated")
+                val vals = Array.tabulate(n)(i => body(p + 17 + i) & 0xff)
+                val dec = new HuffDec(bits, vals)
+                if (tc == 0) dcTabs(th) = dec else acTabs(th) = dec
+                p += 17 + n
+              }
+            case 0xdd => // DRI
+              val ri = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+              if (ri != 0) bad("restart intervals unsupported")
+            case 0xda => // SOS
+              if (body.length < 4) bad("SOS truncated")
+              if ((body(0) & 0xff) != 1) bad("SOS must cover 1 component")
+              dcSel = (body(2) & 0xf0) >> 4; acSel = body(2) & 0x0f
+              scanStart = off
+            case _ => () // APPn / COM / others: skipped
+          }
+        }
+      }
+      if (width <= 0 || height <= 0) bad("no SOF0 before SOS")
+      val qt = quant.getOrElse(qSel, bad(s"quant table $qSel missing"))
+      val dcT = dcTabs.getOrElse(dcSel, bad(s"DC table $dcSel missing"))
+      val acT = acTabs.getOrElse(acSel, bad(s"AC table $acSel missing"))
+      val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
+      val wh = width.toLong * height
+      if (wh > Int.MaxValue / 2) bad(s"image ${width}x$height too large")
+      val pixels = new Array[Byte](width * height)
+      val br = new BitReader(payload, scanStart)
+      val zz = new Array[Int](64)
+      var prevDc = 0
+      var by = 0
+      while (by < bh8) {
+        var bx = 0
+        while (bx < bw8) {
+          java.util.Arrays.fill(zz, 0)
+          val s0 = br.decodeHuff(dcT)
+          prevDc += extend(br.bits(s0), s0)
+          zz(0) = prevDc * qt(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = br.decodeHuff(acT)
+            val r = rs >> 4; val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else eob = true
+            } else {
+              k += r
+              if (k > 63) bad("AC run overruns block")
+              zz(k) = extend(br.bits(s), s) * qt(k)
+              k += 1
+            }
+          }
+          // dezigzag + IDCT
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var z = 0
+              while (z < 64) {
+                if (zz(z) != 0) {
+                  val nat = Zigzag(z)
+                  val u = nat % 8; val v = nat / 8
+                  s += cFac(u) * cFac(v) * zz(z) *
+                    CosTab(x * 8 + u) * CosTab(y * 8 + v)
+                }
+                z += 1
+              }
+              val px = by * 8 + y; val pxx = bx * 8 + x
+              if (px < height && pxx < width) {
+                val vv = math.round(0.25 * s + 128.0).toInt
+                pixels(px * width + pxx) =
+                  math.max(0, math.min(255, vv)).toByte
+              }
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      Decoded("jpeg", width, height, 1, 1, pixels)
     }
   }
 

@@ -1503,4 +1503,40 @@ class GraphCompilerSpec extends SparkSpec {
     // appended block, so positions 2-4 compare directly
     viaGraph shouldBe viaScala
   }
+
+  test("langid process equals the Scala langIdScript API (r14 graph " +
+      "parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-glid").toString
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "ab \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440"),
+      (3L, "\u6f22\u5b57\u6f22\u5b57\u3072\u3089"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val viaGraph = new GraphCompiler(spark, Map.empty,
+        java.nio.file.Files.createTempDirectory("graft-glidres").toString,
+        tables = Map("documents" -> s"$dir/documents.parquet"))
+      .compile("""{
+        "load": {"process_id": "load_table",
+                 "arguments": {"id": "documents"}},
+        "lid": {"process_id": "langid", "arguments": {
+          "data": {"from_node": "load"}}, "result": true}}""")
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    viaGraph.columns should contain ("lang_pred")
+    viaGraph.columns should not contain ("_sc")
+    val got = viaGraph.select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe "en"
+    got(2L) shouldBe "ru"
+    got(3L) shouldBe "ja" // kana present, han+kana > latin
+    got(4L) shouldBe null
+    val viaScala = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("_sc",
+        graft.functions.UnicodeExprs.scriptCounts(col("text")))
+      .select(col("doc_id"), graft.text.TextAnalysis
+        .langIdScript(col("text"), col("_sc")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe viaScala
+  }
 }

@@ -371,4 +371,85 @@ class MultimodalSpec extends SparkSpec {
     out(0)._4 shouldBe 1.0 // 72 → −78 is one flip over one transition
     out(1) shouldBe ((1, 1, 2.0, 0.0)) // single sample: energy |v|, zcr 0
   }
+
+  test("JpegCodec: flat-8x8-block images round-trip EXACTLY (DC-only, " +
+      "qDC=8 lossless construction)") {
+    import Multimodal.JpegCodec
+    // each 8x8 block constant: AC coefficients are exactly zero, DC is a
+    // multiple of the quant step -> decode(encode(img)) == img
+    for ((bw, bh) <- Seq((1, 1), (3, 2), (5, 3))) {
+      val w = bw * 8; val h = bh * 8
+      val px = Array.tabulate[Byte](w * h) { i =>
+        val x = i % w; val y = i / w
+        (((y / 8) * bw + (x / 8)) * 97 % 256).toByte
+      }
+      val jp = JpegCodec.encode(Multimodal.Decoded("jpeg", w, h, 1, 1, px))
+      // it is a real JPEG: SOI..EOI markers on the wire
+      (jp(0) & 0xff, jp(1) & 0xff) shouldBe ((0xff, 0xd8))
+      (jp(jp.length - 2) & 0xff, jp(jp.length - 1) & 0xff) shouldBe
+        ((0xff, 0xd9))
+      val back = JpegCodec.decode(jp)
+      (back.format, back.width, back.height, back.channels) shouldBe
+        (("jpeg", w, h, 1))
+      back.pixels shouldBe px
+    }
+  }
+
+  test("JpegCodec: general (non-flat) images decode with bounded lossy " +
+      "error; odd dimensions pad and crop correctly") {
+    import Multimodal.JpegCodec
+    for ((w, h) <- Seq((8, 8), (13, 7), (17, 9))) {
+      val px = Array.tabulate[Byte](w * h) { i =>
+        (128 + 90 * math.sin(i * 0.7)).toInt.toByte
+      }
+      val back = JpegCodec.decode(JpegCodec.encode(
+        Multimodal.Decoded("jpeg", w, h, 1, 1, px)))
+      (back.width, back.height) shouldBe ((w, h))
+      // AC quant step 16 bounds per-coefficient error; empirically the
+      // pixel error stays well inside +-40 for a smooth signal
+      px.zip(back.pixels).foreach { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff)) should be <= 40
+      }
+    }
+    // decode is deterministic: same bytes -> same pixels
+    val d0 = Multimodal.Decoded("jpeg", 16, 16,
+      1, 1, Array.tabulate[Byte](256)(i => (i * 37 % 256).toByte))
+    val wire = JpegCodec.encode(d0)
+    JpegCodec.decode(wire).pixels shouldBe JpegCodec.decode(wire).pixels
+  }
+
+  test("JpegCodec raises typed CodecError on unsupported and hostile " +
+      "input") {
+    import Multimodal.JpegCodec
+    val good = JpegCodec.encode(Multimodal.Decoded("jpeg", 8, 8, 1, 1,
+      Array.ofDim[Byte](64)))
+    // not a JPEG
+    intercept[graft.OpenEoError](
+      JpegCodec.decode("bogus".getBytes("ASCII"))).code shouldBe "CodecError"
+    // progressive: flip SOF0 (0xc0) to SOF2 (0xc2)
+    val sof = good.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    val prog = good.clone(); prog(sof + 1) = 0xc2.toByte
+    intercept[graft.OpenEoError](JpegCodec.decode(prog))
+      .code shouldBe "CodecError"
+    // truncated entropy stream
+    intercept[graft.OpenEoError](
+      JpegCodec.decode(good.dropRight(8))).code shouldBe "CodecError"
+    // multi-component encode rejected
+    intercept[graft.OpenEoError](JpegCodec.encode(
+      Multimodal.Decoded("jpeg", 2, 2, 3, 1, Array.ofDim[Byte](12))))
+      .code shouldBe "CodecError"
+  }
+
+  test("decodeMeta + featureExtract run the real JPEG codec through the " +
+      "seam") {
+    import Multimodal.JpegCodec
+    val px = Array.tabulate[Byte](16 * 8)(i =>
+      (if ((i % 16) < 8) 40 else 200).toByte) // two flat blocks
+    val payload = JpegCodec.encode(Multimodal.Decoded("jpeg", 16, 8, 1, 1, px))
+    val df2 = Seq((1L, payload)).toDF("id", "payload")
+    val m = Multimodal.decodeMeta(df2, "payload", JpegCodec)
+      .select("meta.format", "meta.width", "meta.height", "mean_px").head()
+    (m.getString(0), m.getInt(1), m.getInt(2)) shouldBe (("jpeg", 16, 8))
+    m.getDouble(3) shouldBe 120.0 // (40 + 200) / 2
+  }
 }
