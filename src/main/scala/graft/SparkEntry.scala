@@ -70,24 +70,24 @@ object SparkEntry {
   /** Exact sum of a 2-decimal double column, returned as double: decimal
     * aggregation is order-independent, and the final cast is deterministic,
     * so Spark and DuckDB agree bit-for-bit. */
-  private def dsum(v: Column): Column =
+  private[graft] def dsum(v: Column): Column =
     sum(v.cast("decimal(18,2)")).cast("double")
-  private val dsumSql = (v: String) =>
+  private[graft] val dsumSql = (v: String) =>
     s"CAST(SUM(CAST($v AS DECIMAL(18,2))) AS DOUBLE)"
 
   /** Exact mean: identical double operands + one IEEE division. */
-  private def dmean(v: Column): Column = dsum(v) / count(v)
-  private val dmeanSql = (v: String) => s"${dsumSql(v)} / COUNT($v)"
+  private[graft] def dmean(v: Column): Column = dsum(v) / count(v)
+  private[graft] val dmeanSql = (v: String) => s"${dsumSql(v)} / COUNT($v)"
 
   /** Exact TPC-H revenue sum: price and discount are 2-decimal by
     * construction, so decimal(18,2) casts are lossless, the product is
     * an exact 4-decimal, the sum is order-free, and the final
     * decimal→double cast rounds once identically in both engines. */
-  private def drevenue: Column =
+  private[graft] def drevenue: Column =
     sum(col("l_extendedprice").cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") -
         col("l_discount").cast("decimal(18,2)"))).cast("double")
-  private val drevenueSql: String =
+  private[graft] val drevenueSql: String =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) " +
       "AS DOUBLE)"
@@ -100,7 +100,7 @@ object SparkEntry {
     * downstream product/sum stays inside precision 38 (Spark) / native
     * decimal (DuckDB) with zero rounding until the final double cast.
     * MUST stay formula-identical to [[partsuppSql]]. */
-  private def partsuppDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def partsuppDf(s: SparkSession, dir: String): DataFrame = {
     val S = s.read.parquet(s"$dir/supplier.parquet").count() // dim count
     val q = math.max(1L, S / 4)
     s.read.parquet(s"$dir/part.parquet").select(col("p_partkey"))
@@ -121,7 +121,7 @@ object SparkEntry {
   }
 
   /** DuckDB CTE body mirroring [[partsuppDf]] exactly. */
-  private val partsuppSql: String =
+  private[graft] val partsuppSql: String =
     """partsupp AS (
            SELECT p_partkey AS ps_partkey,
                   (p_partkey + i * (SELECT GREATEST(1, COUNT(*) // 4)
@@ -138,7 +138,7 @@ object SparkEntry {
     * l_shipdate — the canonical Q12/Q21 columns the fixture lacks,
     * derived identically by both engines (day arithmetic on timestamps
     * is exact). MUST stay formula-identical to [[lineitemXSql]]. */
-  private def lineitemX(s: SparkSession, dir: String): DataFrame =
+  private[graft] def lineitemX(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
       .withColumn("l_shipmode", element_at(
         array(Seq("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
@@ -153,7 +153,7 @@ object SparkEntry {
         "l_shipdate)"))
 
   /** DuckDB CTE body mirroring [[lineitemX]] exactly. */
-  private val lineitemXSql: String =
+  private[graft] val lineitemXSql: String =
     """lx AS (
            SELECT *,
              list_extract(
@@ -170,7 +170,7 @@ object SparkEntry {
     * constants Similarity.topKLsh uses (16 planes × dim 64, seed 42),
     * embedded as shortest-roundtrip double literals like the radar-mask
     * trig constants. */
-  private lazy val lshPlanesValues: String = {
+  private[graft] lazy val lshPlanesValues: String = {
     val planes = graft.text.Similarity.hyperplanes(16, 64, 42L)
     planes.zipWithIndex.flatMap { case (p, pi) =>
       p.zipWithIndex.map { case (cf, i) => s"($pi,${i + 1},$cf)" }
@@ -179,7 +179,7 @@ object SparkEntry {
 
   /** Correctly-rounded decimal→double for the oracle: split the exact
     * integer at 2^26 (hi exact ≤2^53, hi·2^26 exact, + lo rounds once). */
-  private def splitCastSql(x: String): String =
+  private[graft] def splitCastSql(x: String): String =
     s"(CAST(CAST($x AS HUGEINT) // 67108864 AS DOUBLE) * 67108864.0" +
       s" + CAST(CAST($x AS HUGEINT) % 67108864 AS DOUBLE))"
 
@@ -204,15 +204,15 @@ object SparkEntry {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def onCube(f: Cube => DataFrame): Q =
+  private[graft] def onCube(f: Cube => DataFrame): Q =
     (s, dir) => f(eventsCube(s, dir))
 
-  private val sel: Cube => DataFrame = c => c.df
+  private[graft] val sel: Cube => DataFrame = c => c.df
 
   /** SAR-geometry fixture: daily `view` band plus synthetic per-pixel
     * lon/lat data bands derived from the pixel coordinates (the SAR2Cube
     * radar-geometry layout, load_odc_collection.py:159-173). */
-  private def sarCube(c: Cube): Cube = {
+  private[graft] def sarCube(c: Cube): Cube = {
     val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
     val data = Filters.filterBands(daily, Seq("view")).df
     // ONE pass: each daily row explodes into its (view, grid_lon, grid_lat)
@@ -234,9 +234,9 @@ object SparkEntry {
   // radar_mask oracle constants — computed with the SAME JVM ops the
   // operator uses (Sar2Cube.radarMask with dx=dy=1, heading=+12.5°/DSC),
   // embedded into the SQL as shortest-roundtrip literals
-  private val rmDyP = math.tan(math.toRadians(12.5))
-  private val rmDrg = 2 * math.sqrt(rmDyP * rmDyP + 1.0)
-  private val rmDeg = 180.0 / math.Pi
+  private[graft] val rmDyP = math.tan(math.toRadians(12.5))
+  private[graft] val rmDrg = 2 * math.sqrt(rmDyP * rmDyP + 1.0)
+  private[graft] val rmDeg = 180.0 / math.Pi
 
   /** Streaming harness conf: a MemoryStream micro-batch pays one state
     * -store commit PER STATE PARTITION per batch, so the bench session's
@@ -254,13 +254,13 @@ object SparkEntry {
     * stream row pays one mkdir under an existing parent instead of a
     * tmpdir allocation + deep mkdirs per run. Fresh per invocation
     * (the counter), as checkpoints must be. */
-  private lazy val checkpointRoot: String = java.nio.file.Files
+  private[graft] lazy val checkpointRoot: String = java.nio.file.Files
     .createTempDirectory("graft_ck_").toString
-  private val ckCounter = new java.util.concurrent.atomic.AtomicLong()
-  private def freshCheckpoint(tag: String): String =
+  private[graft] val ckCounter = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def freshCheckpoint(tag: String): String =
     s"$checkpointRoot/${tag}_${ckCounter.incrementAndGet()}"
 
-  private def withStreamShuffle(f: Q): Q = (sp, dir) => {
+  private[graft] def withStreamShuffle(f: Q): Q = (sp, dir) => {
     val prev = sp.conf.get("spark.sql.shuffle.partitions")
     if (prev.toInt <= 4) f(sp, dir)
     else {
@@ -281,7 +281,7 @@ object SparkEntry {
     * session defaults; results are layout-invariant (law-tested). The
     * eager build actions inside `body` run under the overrides; the
     * returned lazy serve plan executes later under session defaults. */
-  private def withSearchBuildConf[T](s: SparkSession)(body: => T): T = {
+  private[graft] def withSearchBuildConf[T](s: SparkSession)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevFpd = s.conf.getOption("spark.graft.search.filesPerDir")
     s.conf.set("spark.graft.search.filesPerDir", "1")
@@ -306,14 +306,14 @@ object SparkEntry {
 
   /** Fresh (deleted-first) snapshot-store path for the lifecycle gate
     * rows — rebuilt each run so versions stay deterministic. */
-  private def freshSnapshotPath(dir: String, tag: String): String = {
+  private[graft] def freshSnapshotPath(dir: String, tag: String): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_snap_${tag}_$slug"
     deleteRecursively(p)
     p
   }
 
-  private def snapshotEvents(s: SparkSession, dir: String) =
+  private[graft] def snapshotEvents(s: SparkSession, dir: String) =
     readEvents(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
 
@@ -323,7 +323,7 @@ object SparkEntry {
     * JVM) via [[sharedBuild]] — the three consumers read pinned
     * versions (v2, (1,3], latest rows), so q_snapshot_optimize's later
     * maintenance commits cannot change any of their results. */
-  private def buildSnapshotStore(s: SparkSession, dir: String): String =
+  private[graft] def buildSnapshotStore(s: SparkSession, dir: String): String =
     sharedBuild("snapbase", dir) { p =>
       deleteRecursively(p) // a stale store from a previous JVM would
       val ev = snapshotEvents(s, dir) // carry extra versions
@@ -337,7 +337,7 @@ object SparkEntry {
     * matched delete / conditional insert / NOT-MATCHED-BY-SOURCE
     * update — every clause family fires. Built once per (sf dir,
     * JVM); both consumers read pinned state (latest, feed (1,2]). */
-  private def buildMergeIntoStore(s: SparkSession, dir: String): String =
+  private[graft] def buildMergeIntoStore(s: SparkSession, dir: String): String =
     sharedBuild("gmi", dir) { p =>
       deleteRecursively(p)
       val ev = snapshotEvents(s, dir)
@@ -370,9 +370,9 @@ object SparkEntry {
     * build it once per (kind, sf dir) per JVM. Contents are
     * deterministic, so which row pays the build cannot change any
     * result. computeIfAbsent guards concurrent callers. */
-  private val sharedBuilds =
+  private[graft] val sharedBuilds =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def sharedBuild(kind: String, dir: String)(
+  private[graft] def sharedBuild(kind: String, dir: String)(
       build: String => Unit): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_$slug"
@@ -390,9 +390,9 @@ object SparkEntry {
     * Contents are deterministic, so which row pays the build cannot
     * change any result — the production shape too: a curation
     * platform trains the gate model once, not once per report. */
-  private val sharedDfs =
+  private[graft] val sharedDfs =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def sharedDf(kind: String, dir: String)(
+  private[graft] def sharedDf(kind: String, dir: String)(
       build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: builders nest (dsir -> grams + lm -> grams),
     // and a nested computeIfAbsent on the same map is a CHM contract
@@ -412,7 +412,7 @@ object SparkEntry {
     * hashedFeatures(dim 64) → 2 GD iterations → scoreHashed, the exact
     * trajectory every classifier row and q_curation_pipeline_v3's gate
     * replay in their oracles. */
-  private def classifierScoreShared(s: SparkSession,
+  private[graft] def classifierScoreShared(s: SparkSession,
       dir: String): DataFrame =
     sharedDf("clfscore", dir) {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -428,7 +428,7 @@ object SparkEntry {
   /** The corpus bigram stream (doc_id, lang, gram) — the expensive
     * explode pass behind the LM rows; consumers select the columns
     * they need (trainers read `gram`, scorers (id, gram)). */
-  private def corpusGramsShared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusGramsShared(s: SparkSession, dir: String): DataFrame =
     sharedDf("cgrams", dir) {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"),
@@ -438,7 +438,7 @@ object SparkEntry {
   /** The full-corpus bigram LM (minCount 1) — q_lm_perplexity's
     * trainer, q_stream_lm_score's served model and DSIR's base LM are
     * one table. */
-  private def corpusBigramLmShared(s: SparkSession,
+  private[graft] def corpusBigramLmShared(s: SparkSession,
       dir: String): DataFrame =
     sharedDf("clm", dir) {
       graft.text.LanguageModel
@@ -448,7 +448,7 @@ object SparkEntry {
   /** The corpus BM25 run for the fixed bench terms — q_bm25 serves it
     * raw, q_retrieval_eval computes ranking metrics over it,
     * q_hybrid_search fuses it with the semantic run. */
-  private def bm25RunShared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bm25RunShared(s: SparkSession, dir: String): DataFrame =
     sharedDf("bm25run", dir) {
       graft.text.Search.bm25(
         s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
@@ -459,7 +459,7 @@ object SparkEntry {
     * threshold (shingle 3, J >= 0.5, (lang, source) blocks) — the
     * artifact behind q_ngram_jaccard, q_split_leakage,
     * q_dedup_clusters, q_dedup_corpus and q_dedup_corpus_best. */
-  private def dedupPairsShared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dedupPairsShared(s: SparkSession, dir: String): DataFrame =
     sharedDf("ndpairs", dir) {
       Dedup.ngramJaccardPairs(
         s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
@@ -469,7 +469,7 @@ object SparkEntry {
   /** The DSIR importance-weight table (target = the English slice,
     * base = the whole corpus) — q_dsir_weights/_resample/_select each
     * consume the identical table. */
-  private def dsirWeightsShared(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dsirWeightsShared(s: SparkSession, dir: String): DataFrame =
     sharedDf("dsirw", dir) {
       val grams = corpusGramsShared(s, dir)
       val lmT = graft.text.LanguageModel
@@ -483,7 +483,7 @@ object SparkEntry {
     * deletion vectors (no data-file rewrite). Built once per (sf dir,
     * JVM); both consumers only READ, so build count can't change
     * either result. */
-  private def buildDvSnapshotStore(s: SparkSession, dir: String): String =
+  private[graft] def buildDvSnapshotStore(s: SparkSession, dir: String): String =
     sharedBuild("snapdv", dir) { p =>
       deleteRecursively(p)
       val ev = snapshotEvents(s, dir)
@@ -500,7 +500,7 @@ object SparkEntry {
     * re-pay the materialization. Built once per (sf dir, JVM); the
     * batch and streaming CDF consumers read the same fixed history, so
     * build count cannot change either result. */
-  private def buildCdfSnapshotStore(s: SparkSession, dir: String): String =
+  private[graft] def buildCdfSnapshotStore(s: SparkSession, dir: String): String =
     sharedBuild("snapcdf", dir) { p =>
       deleteRecursively(p)
       val ev = snapshotEvents(s, dir)
@@ -517,7 +517,7 @@ object SparkEntry {
     * deletes per-file, the `fullRemoves` path; the batch lands as
     * sidecar inserts). Exercises every CoW feed mechanism in one
     * store. */
-  private def buildCowCdfStore(s: SparkSession, dir: String): String =
+  private[graft] def buildCowCdfStore(s: SparkSession, dir: String): String =
     sharedBuild("snapcow", dir) { p =>
       deleteRecursively(p)
       val ev = snapshotEvents(s, dir)
@@ -535,7 +535,7 @@ object SparkEntry {
     * update_preimage/update_postimage), inserts (unmatched keys), and
     * deletes — the full Delta CDF image shape from the steady-state
     * mirror primitive. */
-  private def buildCdfImagesStore(s: SparkSession, dir: String): String =
+  private[graft] def buildCdfImagesStore(s: SparkSession, dir: String): String =
     sharedBuild("snapimg", dir) { p =>
       deleteRecursively(p)
       val ev = snapshotEvents(s, dir)
@@ -558,7 +558,7 @@ object SparkEntry {
     * store q_snapshot_source and q_graph_snapshot both time-travel to
     * v1 — built once per (sf dir, JVM); both consumers read a PINNED
     * version, so build count can't change either result. */
-  private def buildSrcSnapshotStore(s: SparkSession, dir: String): String =
+  private[graft] def buildSrcSnapshotStore(s: SparkSession, dir: String): String =
     sharedBuild("snapsrc", dir) { p =>
       deleteRecursively(p)
       val ev = snapshotEvents(s, dir)
@@ -575,7 +575,7 @@ object SparkEntry {
     * from this single artifact: one tokenize+build pass across the three
     * gate rows instead of the near-duplicate 400-doc rebuild
     * q_search_append used to pay (r8 advice #1). */
-  private def buildSearchIndex(s: SparkSession, dir: String): String =
+  private[graft] def buildSearchIndex(s: SparkSession, dir: String): String =
     sharedBuild("searchidx", dir) { p =>
       deleteRecursively(p) // stale store from a previous JVM
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -593,7 +593,7 @@ object SparkEntry {
     * SimilaritySpec law). q_ann_index, q_ann_append, and q_stream_ann
     * all serve from it; centroids are the 16 lowest-id vectors so the
     * shared oracle can replay assignment + probing in SQL. */
-  private def buildIvfStore(s: SparkSession, dir: String): String =
+  private[graft] def buildIvfStore(s: SparkSession, dir: String): String =
     sharedBuild("ivfidx", dir) { p =>
       deleteRecursively(p)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -615,7 +615,7 @@ object SparkEntry {
     * codebooks ≡ one-shot rebuild) is law-pinned in SimilaritySpec and
     * bench-demonstrated by q_ann_append's raw-IVF twin — the gate row
     * pays ONE build pass. */
-  private def buildIvfPqStore(s: SparkSession, dir: String): String =
+  private[graft] def buildIvfPqStore(s: SparkSession, dir: String): String =
     sharedBuild("ivfpqidx", dir) { p =>
       deleteRecursively(p)
       val e = s.read.parquet(s"$dir/embeddings.parquet")
@@ -638,7 +638,7 @@ object SparkEntry {
     * adot = q·c + Σs lut_s[code] → cos = adot/(|q|·|v̂|). Every SUM is
     * ORDER BY'd to match Spark's left-to-right folds bit-for-bit.
     */
-  private val ivfPqTopkSql: String =
+  private[graft] val ivfPqTopkSql: String =
     """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -727,4867 +727,12 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM sc WHERE rank <= 5"""
 
-  private def baseQueries: Map[String, Q] = Map(
-    // --- scans / filters (S1, F1-F5) ------------------------------------
-    "q_load_collection" -> ((s, dir) => {
-      // scan with band + temporal pushdown, like load_collection
-      val ev = readEvents(s, dir)
-      val c = Cube(ev.select(col("ts").as(Dim.Time), col("event_type").as(Dim.Band),
-        expr("CAST(user_id DIV 4 AS DOUBLE)").as(Dim.Y),
-        expr("CAST(user_id % 4 AS DOUBLE)").as(Dim.X),
-        col("value").as(Cube.ValueCol)))
-      Filters.filterTemporal(
-        Filters.filterBands(c, Seq("click", "view")),
-        "2024-01-05", "2024-01-25").df
-    }),
-    "q_filter_temporal" -> onCube(c =>
-      Filters.filterTemporal(c, "2024-01-10", "2024-01-20").df),
-    "q_filter_bands" -> onCube(c =>
-      Filters.filterBands(c, Seq("click", "purchase")).df),
-    "q_filter_bbox" -> onCube(c =>
-      Filters.filterBbox(c, west = 1.0, south = 0.0, east = 2.0, north = 2.0).df),
-    "q_array_element" -> onCube(c =>
-      Filters.arrayElement(c, Some("purchase"), None).df),
-    "q_filter_spatial" -> onCube(c =>
-      // triangle polygon in cube coordinates (no CRS → no reprojection)
-      Filters.filterSpatial(c,
-        Seq(Seq((0.5, -0.5), (3.5, -0.5), (3.5, 2.5))), ringsEpsg = 4326).df),
-    // --- mask (F6/J4) ---------------------------------------------------
-    "q_mask" -> onCube { c =>
-      val m = Cube(
-        c.df.where(col(Dim.Band) === "error")
-          .withColumn(Cube.ValueCol,
-            when(col(Cube.ValueCol) > 100.0, 1.0).otherwise(0.0)),
-        c.meta.copy(bandOrder = Seq("error")))
-      Filters.mask(c, m, replacement = None).df
-    },
-    // --- reducers (A1, A2) ---------------------------------------------
-    "q_reduce_time_max" -> onCube(c =>
-      Reducers.reduceDimension(c, "time", "max").df),
-    "q_reduce_time_min" -> onCube(c =>
-      Reducers.reduceDimension(c, "time", "min").df),
-    "q_reduce_time_count" -> onCube(c =>
-      Reducers.reduceDimension(c, "time", "count").df),
-    "q_reduce_time_sum" -> onCube(c =>
-      Reducers.reduceDimensionExpr(c, "time", dsum(col(Cube.ValueCol))).df),
-    "q_reduce_time_mean" -> onCube(c =>
-      Reducers.reduceDimensionExpr(c, "time", dmean(col(Cube.ValueCol))).df),
-    "q_reduce_time_sd" -> onCube { c =>
-      // sd via exact decimal sums + IEEE-identical formula (SURVEY §2.4 A1;
-      // stddev_samp itself is order-dependent across engines)
-      val v = col(Cube.ValueCol)
-      val n = count(v).cast("double")
-      val sx = dsum(v)
-      val sxx = sum((v.cast("decimal(18,2)") * v.cast("decimal(18,2)")))
-        .cast("double")
-      val sd = sqrt((sxx - sx * sx / n) / (n - lit(1.0)))
-      Reducers.reduceDimensionExpr(c, "time", sd).df
-    },
-    "q_reduce_band_max" -> onCube(c =>
-      Reducers.reduceDimension(c, "bands", "max").df),
-    "q_reduce_time_median" -> onCube(c =>
-      // exact sort-based percentile (A1) — matches DuckDB quantile_cont
-      Reducers.reduceDimension(c, "time", "median").df),
-    "q_reduce_time_product" -> onCube(c =>
-      // product reducer (A2, custom Aggregator). Values mapped to {1,2} so
-      // the double product is a power of two — exact and order-independent
-      // under any partial/final merge order, hence hash-comparable.
-      Reducers.reduceDimension(
-        c.mapValue(v => when(v > 150.0, 2.0).otherwise(1.0)),
-        "time", "product").df),
-    // --- band math / apply position (M1-M15) ----------------------------
-    "q_band_math_nd" -> onCube { c =>
-      // normalized_difference over the band axis (M10) via wide pivot;
-      // daily max first so the two bands share time labels (raw event
-      // timestamps are ns-unique and would never align)
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      val wide = Filters.filterBands(daily, Seq("click", "purchase")).wide
-      wide.withColumn("nd",
-          (col("click") - col("purchase")) / (col("click") + col("purchase")))
-        .where(col("nd").isNotNull)
-        .select(col(Dim.Time), col(Dim.Y), col(Dim.X), col("nd"))
-    },
-    "q_apply_scalars" -> onCube { c =>
-      // element-wise chain: linear_scale_range-style clamp + affine (M11/M12)
-      val clamped = c.mapValue(v => greatest(lit(50.0), least(lit(250.0), v)))
-      clamped.mapValue(v => (v - 50.0) / 200.0 * 100.0).df
-    },
-    "q_apply_compare" -> onCube(c =>
-      // comparison + logical ops (M2, M6): boolean cube as 0/1
-      c.mapValue(v =>
-        (v > 100.0 && v < 200.0).cast("int").cast("double")).df),
-    "q_apply_math" -> onCube(c =>
-      // math scalar bundle (M3 log-base, M4 ln, M7 sqrt, M8 power,
-      // M9 absolute); round(6) absorbs cross-engine libm ulp differences
-      c.mapValue(v => round(
-        log(v) / log(lit(10.0)) + log(v) + sqrt(v) +
-          pow(v, lit(2.0)) / 10000.0 + abs(v - 100.0), 6)).df),
-    // --- temporal aggregation (A4, A7, A8) ------------------------------
-    "q_agg_period_day_max" -> onCube(c =>
-      Reducers.aggregateTemporalPeriod(c, "day", "max").df),
-    "q_agg_period_week_sum" -> onCube { c =>
-      val bucketed = c.df.withColumn(Dim.Time,
-        Reducers.periodBucket("week", col(Dim.Time)))
-      bucketed.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
-        .agg(dsum(col(Cube.ValueCol)).as(Cube.ValueCol))
-    },
-    "q_agg_period_season_max" -> onCube(c =>
-      Reducers.aggregateTemporalPeriod(c, "season", "max").df),
-    "q_climatology" -> onCube { c =>
-      val others = c.dimsExcept(Dim.Time).map(col)
-      c.df.withColumn("month", month(col(Dim.Time)))
-        .groupBy(others :+ col("month"): _*)
-        .agg(dmean(col(Cube.ValueCol)).as(Cube.ValueCol))
-    },
-    "q_anomaly" -> onCube { c =>
-      val others = c.dimsExcept(Dim.Time).map(col)
-      val normals = c.df.withColumn("month", month(col(Dim.Time)))
-        .groupBy(others :+ col("month"): _*)
-        .agg(dmean(col(Cube.ValueCol)).as(Cube.ValueCol))
-      Reducers.anomaly(c, normals).df
-    },
-    // --- spatial aggregation (A3, A5) -----------------------------------
-    "q_agg_spatial_window" -> onCube(c =>
-      Reducers.aggregateSpatialWindow(c, sizeX = 2, sizeY = 2, name = "max",
-        boundary = "trim").df),
-    "q_zonal_stats" -> onCube(c =>
-      Reducers.aggregateSpatial(c,
-        features = Seq(
-          Seq((-0.5, -0.5), (1.5, -0.5), (1.5, 3.5), (-0.5, 3.5)),
-          Seq((1.5, -0.5), (3.5, -0.5), (3.5, 3.5), (1.5, 3.5))),
-        name = "max")),
-    // --- quantiles (A6) --------------------------------------------------
-    "q_quantiles" -> onCube(c =>
-      Reducers.quantiles(c, "time", q = Some(4)).df),
-    // --- label ops (R1, R2) ----------------------------------------------
-    "q_rename_labels" -> onCube(c =>
-      Labels.renameBandLabels(c, target = Seq("c", "e", "p", "s", "v"),
-        source = Seq("click", "error", "purchase", "signup", "view")).df),
-    "q_rename_time_labels" -> onCube { c =>
-      // R1 time path: positional relabel of the 30 daily time labels
-      // (driver-side distinct + broadcast mapping join)
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      Labels.renameTimeLabels(daily, (1 to 30).map(i => f"d$i%02d")).df
-    },
-    "q_add_dimension" -> onCube { c =>
-      val reduced = Reducers.reduceDimension(c, "bands", "max")
-      Labels.addDimension(reduced, "all_max").df
-    },
-    // --- merge / alignment (J1, J2, J3) ----------------------------------
-    "q_merge_cubes_union" -> onCube { c =>
-      val a = Filters.filterBands(c, Seq("click", "view"))
-      val b = Filters.filterBands(c, Seq("purchase"))
-      Joins.mergeCubes(a, b).df
-    },
-    "q_merge_cubes_resolver" -> onCube { c =>
-      val a = Filters.filterTemporal(c, "2024-01-01", "2024-01-20")
-      val b = Filters.filterTemporal(c, "2024-01-10", "2024-01-31")
-        .mapValue(v => v * 2.0)
-      Joins.mergeCubes(a, b).df  // overlap → coalesce(cube1, cube2)
-    },
-    "q_resample_cube_spatial" -> onCube { c =>
-      // dedup cell keys first so nearest-pick is unique, then regrid 1m→2m
-      val uniq = Cube(
-        c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
-          .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
-      Joins.resampleCubeSpatialNearest(uniq,
-        GridRef(0.25, 0.25, 2.0, 2.0)).df
-    },
-    "q_resample_cube_temporal" -> onCube { c =>
-      // nearest as-of time alignment (J2): sparse daily source (every 3rd
-      // day) relabeled onto the weekly target axis
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      val src = Cube(daily.df.where(dayofmonth(col(Dim.Time)) % 3 === 0),
-        daily.meta)
-      val tgt = Reducers.aggregateTemporalPeriod(c, "week", "max")
-      Joins.resampleCubeTemporal(src, tgt).df
-    },
-    "q_resample_spatial" -> onCube { c =>
-      // compiler-folded resample_spatial (R4): origin-preserving regrid of
-      // the scan grid to resolution 2 with the default nearest method — the
-      // same Joins.resampleCubeSpatialNearest call GraphCompiler's fold
-      // emits (the fold itself is pinned by GraphCompilerSpec)
-      val uniq = Cube(
-        c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
-          .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
-      Joins.resampleCubeSpatialNearest(uniq, GridRef(0.0, 0.0, 2.0, 2.0)).df
-    },
-    "q_resample_spatial_bilinear" -> onCube { c =>
-      // 4-neighbor weighted regrid (J3 bilinear). The 2:1 grid ratio with
-      // quarter-cell offsets makes every weight a multiple of 1/16, so the
-      // exact-decimal accumulation path is hash-matched by the oracle.
-      val uniq = Cube(
-        c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
-          .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
-      Joins.resampleCubeSpatialBilinear(uniq, GridRef(0.25, 0.25, 2.0, 2.0),
-        exactScale = Some(16L)).df
-    },
-    "q_resample_spatial_cubic" -> onCube { c =>
-      // 16-neighbor Catmull-Rom regrid (J3 cubic). Same 2:1 quarter-offset
-      // grid pair: the per-axis kernel weights at t ∈ {±.25,±.75,±1.25,
-      // ±1.75} are multiples of 1/128, so the product scale 16384 makes
-      // the decimal accumulation exact and hash-matched.
-      val uniq = Cube(
-        c.df.groupBy(Dim.Time, Dim.Band, Dim.Y, Dim.X)
-          .agg(max(col(Cube.ValueCol)).as(Cube.ValueCol)), c.meta)
-      Joins.resampleCubeSpatialCubic(uniq, GridRef(0.25, 0.25, 2.0, 2.0),
-        exactScale = Some(16384L)).df
-    },
-    // --- neighborhood ops (W1, W2) ---------------------------------------
-    "q_focal_median" -> onCube { c =>
-      // focal 3×3 median (apply_neighborhood with an order-statistic
-      // reducer) over the daily-max click slice; the window SHRINKS at
-      // borders and interior holes, and output cells are exactly the
-      // input cells (self-tap rule — no fabricated values)
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      val click = Filters.filterBands(daily, Seq("click"))
-      Neighborhood.focalStats(click, radius = 1, stat = "median").df
-    },
-    "q_apply_kernel" -> onCube { c =>
-      // 3×3 binomial convolution, replicate border. floor() makes values
-      // integer-valued and the kernel weights are powers of two, so every
-      // scatter product and partial sum is exact — order-independent.
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      val click = Filters.filterBands(daily, Seq("click"))
-        .mapValue(v => floor(v).cast("double"))
-      Neighborhood.applyKernel(click,
-        Seq(Seq(1, 2, 1), Seq(2, 4, 2), Seq(1, 2, 1)),
-        border = "replicate").df
-    },
-    "q_interp_linear" -> onCube { c =>
-      // linear gap-fill along x (W2): null out a value range, interpolate
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      val gappy = daily.mapValue(v =>
-        when(v >= 100.0 && v <= 300.0, lit(null).cast("double")).otherwise(v))
-      Neighborhood.interpolateLinear(gappy, "x").df
-    },
-    // --- SAR2Cube (F7/D1/D3) ----------------------------------------------
-    "q_radar_mask" -> onCube { c =>
-      // layover/foreshortening/shadow masks (F7): DEM = daily view max,
-      // LIA = constant 40° (so the scene mean is exactly 40.0 both engines)
-      val daily = Reducers.aggregateTemporalPeriod(c, "day", "max")
-      val dem = Filters.filterBands(daily, Seq("view")).df
-        .withColumn(Dim.Band, lit("DEM"))
-      val lia = Filters.filterBands(daily, Seq("click")).df
-        .withColumn(Dim.Band, lit("LIA"))
-        .withColumn(Cube.ValueCol, lit(40.0))
-      val cube = Cube(dem.unionByName(lia),
-        c.meta.copy(bandOrder = Seq("DEM", "LIA")))
-      Sar2Cube.radarMask(cube, foreshorteningTh = 0.4, layoverTh = 1.0,
-        orbitDirection = "DSC").df
-    },
-    "q_geocode" -> onCube { c =>
-      // regrid via per-pixel lon/lat data bands → 100 m UTM cells (D1).
-      // Full hash oracle: JVM vs libm trig differ by ≤2 ulp on this
-      // domain (measured, tools/ experiment r4) but every DERIVED
-      // discrete decision — floor(easting/100) cell assignment and the
-      // min_by winner (min multi-sample d2 margin 177 m² vs ~1e-8 m²
-      // trig noise) — is identical, and the emitted values (data values,
-      // cell centers, ordered-fold IDW) are exact in both engines.
-      Sar2Cube.geocode(sarCube(c), targetEpsg = 32632, resolution = 100.0).df
-    },
-    "q_geocode_linear" -> onCube { c =>
-      // the Delaunay fidelity tier (hull-masked nearest) over the same
-      // SAR fixture. FULL hash oracle since r8: the DuckDB replay
-      // recovers the hull's half-plane constraints as supporting pairs
-      // (see geocodeLinearSql) — bit-exact at sf0.001/sf0.01. The law
-      // battery (== nearest-bin on dense fields, exterior mask, tiling
-      // invariance) stays in Sar2CubeSpec as the scale pins.
-      Sar2Cube.geocode(sarCube(c), targetEpsg = 32632, resolution = 100.0,
-        method = "linear").df
-    },
-    "q_sar_bbox_lonlat" -> onCube(c =>
-      // SAR scan-path bbox over lon/lat DATA bands (D3) — exact comparisons
-      Sar2Cube.filterBboxByLonLatBands(sarCube(c), west = 11.0005,
-        south = 45.0005, east = 11.0025, north = 45.0305).df),
-    // --- curve fitting (A9, A10) ------------------------------------------
-    "q_apply_not" -> onCube(c =>
-      // M5 logical negation on a comparison cube
-      c.df.withColumn("flag", !(col(Cube.ValueCol) > 100.0))
-        .drop(Cube.ValueCol)),
-    "q_apply_if" -> onCube(c =>
-      // M13 `if` as a true branch (when/otherwise) — documented divergence
-      // from the reference's NaN-propagating arithmetic encoding
-      c.mapValue(v => when(v > 100.0, v * 2).otherwise(v / 2)).df),
-    "q_scan_adjust" -> ((s, dir) => {
-      // S2 scan-time nodata→null + value*scale+offset, through the real
-      // Scan.loadCollection path over a DATE-PARTITIONED store rendition
-      // (exercises writeCubeStore partition discovery + p_date handling
-      // inside the correctness gate)
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_adj_$slug"
-      graft.ops.Sinks.writeCubeStore(eventsCube(s, dir), tmp)
-      Scan.loadCollection(s, Scan.CollectionSpec(tmp,
-        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
-        grid = Some(GridRef(0, 0, 1, 1)),
-        adjust = Map("click" ->
-          Scan.BandAdjust(nodata = Some(50.0), scale = 0.01, offset = 10.0)))).df
-    }),
-    "q_run_udf" -> onCube { c =>
-      // run_udf execution slot: element-wise R source compiled to a
-      // Column expression (compile.UdfCompiler) — stays in codegen
-      c.mapValue(v => graft.compile.UdfCompiler.compile(
-        "function(x, context) { sqrt(x) * 2 + 1 }", v)).df
-    },
-    "q_run_udf_dimension" -> onCube { c =>
-      // apply_dimension-position run_udf (series→series): running max
-      // along time per pixel minus the current value. cummax uses a RANGE
-      // frame, so duplicate time labels aggregate together and the result
-      // is deterministic — comparison-only arithmetic keeps it hash-exact.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(Dim.Band), col(Dim.Y), col(Dim.X))
-        .orderBy(col(Dim.Time))
-      c.mapValue(v => graft.compile.UdfCompiler.compileSeries(
-        "function(x, context) { cummax(x) - x }", v, w)).df
-    },
-    "q_run_udf_external" -> ((s, dir) => {
-      // the external-UDF escape hatch END-TO-END through the openEO graph
-      // surface: run_udf with `runtime: "java"` carries OPAQUE Java
-      // source (an EMA — a per-series recurrence the expression grammar
-      // cannot express), compiled per executor JVM by janino and run per
-      // (band, y, x) series through the chunked shuffle seam with
-      // context.chunk_size honored (the reference's joblib chunk slot,
-      // openeo_odc_driver.py:282-339). α = 0.25 is exactly representable
-      // in binary, so the Java loop and the DuckDB list_reduce replay
-      // produce bit-identical doubles.
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_extudf_$slug"
-      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
-      val catalog = Map("events" -> Scan.CollectionSpec(tmp,
-        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
-        grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
-      val udfSrc = "double[] out = new double[values.length]; " +
-        "double ema = 0.0; " +
-        "for (int i = 0; i < values.length; i++) { " +
-        "ema = (i == 0) ? values[i] : 0.25 * values[i] + 0.75 * ema; " +
-        "out[i] = ema; } return out;"
-      val graph = s"""{
-        "load": {"process_id": "load_collection",
-                 "arguments": {"id": "events"}},
-        "udf": {"process_id": "apply_dimension", "arguments": {
-          "data": {"from_node": "load"}, "dimension": "t",
-          "process": {"process_graph": {
-            "u": {"process_id": "run_udf", "arguments": {
-              "data": {"from_parameter": "data"},
-              "udf": "$udfSrc",
-              "runtime": "java",
-              "context": {"chunk_size": 8}},
-              "result": true}}}}, "result": true}}"""
-      new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
-        .asInstanceOf[graft.cube.Cube].df
-    }),
-    "q_run_udf_python" -> ((s, dir) => {
-      // run_udf with `runtime: "python"` END-TO-END: opaque Python source
-      // (a peak-hold decay — out[i] = max(x[i], 0.5·out[i-1]), a
-      // per-series recurrence the expression grammar cannot express)
-      // executed by a piped python3 worker per executor thread through
-      // the SAME chunked seam as the Java tier (graft.ops.PythonUdf).
-      // 0.5 is exact binary and max is comparison-only, so the worker's
-      // fold and the DuckDB list_reduce replay agree bit-for-bit across
-      // the decimal-string pipe (shortest-round-trip both ways).
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_pyudf_$slug"
-      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
-      val catalog = Map("events" -> Scan.CollectionSpec(tmp,
-        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
-        grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
-      val udfSrc = "def udf(times, values):\\n" +
-        "    out = []\\n" +
-        "    acc = 0.0\\n" +
-        "    for i, v in enumerate(values):\\n" +
-        "        acc = v if i == 0 else max(v, 0.5 * acc)\\n" +
-        "        out.append(acc)\\n" +
-        "    return out\\n"
-      val graph = s"""{
-        "load": {"process_id": "load_collection",
-                 "arguments": {"id": "events"}},
-        "udf": {"process_id": "apply_dimension", "arguments": {
-          "data": {"from_node": "load"}, "dimension": "t",
-          "process": {"process_graph": {
-            "u": {"process_id": "run_udf", "arguments": {
-              "data": {"from_parameter": "data"},
-              "udf": "$udfSrc",
-              "runtime": "python",
-              "context": {"chunk_size": 8}},
-              "result": true}}}}, "result": true}}"""
-      new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
-        .asInstanceOf[graft.cube.Cube].df
-    }),
-    "q_run_udf_reduce" -> onCube { c =>
-      // reduce_dimension-position run_udf (series→scalar): the UDF source
-      // compiles to ONE aggregate expression — partial+final groupBy, no
-      // R bridge. Selection-based aggregates (quantile/min) keep the
-      // result hash-exact across engines (sum/mean would be order-
-      // dependent in doubles).
-      Reducers.reduceDimensionExpr(c, "time",
-        graft.compile.UdfCompiler.compileReduce(
-          "function(x, context) { quantile(x, 0.9) - min(x) }",
-          col(Cube.ValueCol)).cast("double")).df
-    },
-    "q_fit_curve" -> onCube { c =>
-      // closed-form linear least squares with exact decimal sums so the
-      // DuckDB oracle hash-matches bit-for-bit; the LM optimizer path
-      // (CurveFit.fitCurve) is pinned equal to this closed form in
-      // FunctionsSpec. Zero-mask + <12-sample → zero params like the
-      // reference (openeo_odc_driver.py:1532-1543).
-      val tx = unix_timestamp(col(Dim.Time)) // floor seconds, long
-      val v = col(Cube.ValueCol)
-      val m = v =!= 0.0 && !isnan(v)
-      // 2-decimal values ×100 → all four sums are exact INTEGERS. The
-      // per-row products stay in LONG arithmetic (tx² ≤ 3.3e18 and
-      // tx·v100 ≤ ~2e15 both fit; exact for epochs through 2066). The
-      // SUMS of those products overflow 64 bits, but instead of paying a
-      // per-row decimal(38) BigDecimal accumulation (the round-2 6× bench
-      // hit), each product is split into two long lanes by 2^30
-      // (arithmetic shift + mask — exact for negatives too) summed as
-      // plain codegen'd longs, and recombined in decimal once per GROUP.
-      // The recombined integers are identical, and decimal→double /
-      // long→double casts are correctly rounded, so the final doubles —
-      // and the oracle hash — are unchanged. (The oracle reproduces the
-      // rounding with a hi/lo split cast; DuckDB's native wide-decimal→
-      // double cast can be off by one ulp.) Lane-sum bounds: hi ≤ 3.1e9,
-      // lo < 2^30 per row — overflow needs > ~10^9 samples per pixel
-      // series, and ANSI mode would fail loudly there.
-      val v100 = (v.cast("decimal(18,2)") * 100).cast("long")
-      val pXX = tx * tx
-      val pXY = tx * v100
-      def laneHi(p: Column): Column = shiftright(p, 30)
-      def laneLo(p: Column): Column = p.bitwiseAND(lit((1L << 30) - 1))
-      def recombine(h: Column, l: Column): Column =
-        (h.cast("decimal(38,0)") * lit(1L << 30) + l).cast("double")
-      val agg = c.df.groupBy(Dim.Band, Dim.Y, Dim.X).agg(
-        count(when(m, lit(1))).cast("double").as("_n"),
-        sum(when(m, tx)).cast("double").as("_sx"),
-        (sum(when(m, v100)).cast("double") / 100.0).as("_sy"),
-        sum(when(m, laneHi(pXY))).as("_sxy_hi"),
-        sum(when(m, laneLo(pXY))).as("_sxy_lo"),
-        sum(when(m, laneHi(pXX))).as("_sxx_hi"),
-        sum(when(m, laneLo(pXX))).as("_sxx_lo"))
-        .withColumn("_sxy",
-          recombine(col("_sxy_hi"), col("_sxy_lo")) / 100.0)
-        .withColumn("_sxx", recombine(col("_sxx_hi"), col("_sxx_lo")))
-      val denom = col("_n") * col("_sxx") - col("_sx") * col("_sx")
-      val degenerate = col("_n") < 12 || denom === 0.0
-      val a1 = when(degenerate, 0.0)
-        .otherwise((col("_n") * col("_sxy") - col("_sx") * col("_sy")) / denom)
-      val a0 = when(degenerate, 0.0)
-        .otherwise((col("_sy") - a1 * col("_sx")) / col("_n"))
-      agg.select(col(Dim.Band), col(Dim.Y), col(Dim.X),
-        a0.as("a0"), a1.as("a1"))
-    },
-    "q_predict_curve" -> onCube { c =>
-      // model evaluation path with deterministic params (a0 = exact decimal
-      // mean, a1 = 1e-6): a0 + a1·unix_seconds, oracle-matched
-      val params = c.df.groupBy(Dim.Band, Dim.Y, Dim.X)
-        .agg(array(dmean(col(Cube.ValueCol)), lit(1e-6)).as("params"))
-      CurveFit.predictCurve(c, params, ScalarExpr.linear).df
-    },
-    // --- result store (S4) -------------------------------------------------
-    "q_load_result" -> ((s, dir) => {
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_results_$slug"
-      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
-      daily.df.write.mode("overwrite").parquet(s"$base/job1")
-      Scan.loadResult(s, base, "job1").df
-    }),
-    "q_load_result_netcdf" -> ((s, dir) => {
-      // write → read BYTE fidelity of the NetCDF sink, end-to-end: the
-      // daily-max cube leaves through our own CDF-1 writer
-      // (Sinks.writeNetcdf) and re-enters through the independent CDF-1
-      // parser (Scan.loadResultNetcdf) — the reference's job-chaining
-      // loop (openeo_odc_driver.py:1598-1609). The oracle replays the
-      // store projection with the writer's value quantization (float32),
-      // so every surviving cell is hash-verified through the binary
-      // format, not just counted.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val nc = s"${System.getProperty("java.io.tmpdir")}/graft_lrnc_$slug.nc"
-      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
-      graft.ops.Sinks.writeNetcdf(daily, nc)
-      Scan.loadResultNetcdf(s, nc).df
-    }),
-    "q_sink_png" -> ((s, dir) => {
-      // S5 PNG sink hash-verified END-TO-END: the time-reduced cube
-      // leaves through writePng (red/green/blue band options, per-band
-      // linear stretch to 0..255 — openeo_odc_driver.py:1616-1677) and
-      // the file's actual pixel plane re-enters through PngCodec's
-      // independent decoder (inflate + unfilter). The oracle replays the
-      // stretch arithmetic per channel, so every byte in the image is
-      // checked, not just its existence.
-      val reduced = Reducers.reduceDimension(eventsCube(s, dir), Dim.Time, "max")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_png_$slug.png"
-      val opts = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-        """{"red":"click","green":"view","blue":"purchase"}""")
-      graft.ops.Sinks.writePng(reduced, path, Some(opts))
-      val dec = graft.multimodal.Multimodal.PngCodec.decode(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
-      require(dec.channels == 3, s"PNG decoded ${dec.channels} channels")
-      import s.implicits._
-      (for { row <- 0 until dec.height; colI <- 0 until dec.width } yield {
-        val o = (row * dec.width + colI) * 3
-        (row, colI, dec.pixels(o) & 0xff, dec.pixels(o + 1) & 0xff,
-          dec.pixels(o + 2) & 0xff)
-      }).toDF("row", "col", "r", "g", "b")
-    }),
-    "q_sink_gtiff" -> ((s, dir) => {
-      // S6 GTiff sink hash-verified END-TO-END: float32 band-sequential
-      // planes + GDAL metadata leave through writeGTiff
-      // (openeo_odc_driver.py:1679-1724) and re-enter through the
-      // independent readGTiff TIFF parser; NaN cells (grid positions
-      // with no data) are dropped on read-back, so the surviving rows
-      // are exactly the reduced cube quantized to float32 — which IS
-      // the oracle.
-      val reduced = Reducers.reduceDimension(eventsCube(s, dir), Dim.Time, "max")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_gt_$slug.tif"
-      graft.ops.Sinks.writeGTiff(reduced, path)
-      val (names, planes) = graft.ops.Sinks.readGTiff(path)
-      import s.implicits._
-      (for {
-        b <- planes.indices; row <- planes(b).indices
-        colI <- planes(b)(row).indices
-        v = planes(b)(row)(colI) if !v.isNaN
-      } yield (names(b), row, colI, v)).toDF("band", "row", "col", "value")
-    }),
-    "q_scan_tiled" -> ((s, dir) => {
-      // the 100 TB layout contract's SECOND axis, end-to-end: the store
-      // written with spatial tiles (p_tx/p_ty from the grid, 64 cells —
-      // directory counts stay tame at any SF; the pruning-count pin
-      // lives in PlanQualitySpec on its own denser fixture),
-      // then a bbox load that PRUNES tile directories (marker-guarded,
-      // ±1-tile widened — PlanQualitySpec pins the pruned partition
-      // count) while the exact x/y predicate stays authoritative. The
-      // oracle is the plain bbox projection — pruning must be invisible
-      // to results.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tiled_$slug"
-      graft.ops.Sinks.writeCubeStore(eventsCube(s, dir), tmp,
-        tileCells = Some(64))
-      Scan.loadCollection(s, Scan.CollectionSpec(tmp,
-          bandOrder = Seq("click", "error", "purchase", "signup", "view"),
-          grid = Some(GridRef(0, 0, 1, 1))),
-        bbox = Some((0.5, 4.5, 2.5, 20.5)), bboxEpsg = 0).df
-    }),
-    "q_aggregate_temporal" -> ((s, dir) => {
-      // openEO-core aggregate_temporal over arbitrary OVERLAPPING
-      // intervals (Jan 10-15 belongs to both) — rows in k intervals
-      // contribute to k groups via the literal-array filter+explode
-      // (never a join, never |intervals|× amplification); labels are
-      // the interval starts. MAX is selection-based, so the DuckDB
-      // inequality-join replay hash-matches bit-for-bit.
-      Reducers.aggregateTemporal(eventsCube(s, dir), Seq(
-        ("2024-01-01", "2024-01-15"),
-        ("2024-01-10", "2024-02-01"),
-        ("2024-02-01", "2024-03-01")), "max").df
-    }),
-    "q_netcdf_source" -> ((s, dir) => {
-      // the DataSource V2 read path (format("graft-netcdf")): the same
-      // CDF-1 bytes q_load_result_netcdf parses on the driver, read as a
-      // FIRST-CLASS source — one input partition per (time, band) plane,
-      // the band filter pruning partitions at planning time
-      // (NetcdfSourceSpec pins the counts), columns pruned to the scan.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val nc = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2_$slug.nc"
-      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
-      graft.ops.Sinks.writeNetcdf(daily, nc)
-      s.read.format("graft-netcdf").load(nc)
-        .where(col("band").isin("click", "view"))
-        .select("time", "band", "y", "x", "value")
-    }),
-    "q_stream_netcdf" -> ((s, dir) => {
-      // the V2 source's STREAMING face through a REAL micro-batch run:
-      // two job outputs (time-split halves of the daily-max cube) land
-      // in a watched directory one batch apart; the seen-file-set
-      // offset picks each up exactly once and the append sink
-      // accumulates the full store projection — which IS the oracle.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val sd = s"${System.getProperty("java.io.tmpdir")}/graft_ncstream_$slug"
-      val dirF = new java.io.File(sd)
-      if (dirF.isDirectory) dirF.listFiles().foreach(_.delete())
-      dirF.mkdirs()
-      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
-      val mid = daily.df.agg(
-        percentile_approx(col(Dim.Time), lit(0.5), lit(100))).head()
-        .getTimestamp(0)
-      graft.ops.Sinks.writeNetcdf(
-        daily.withDF(daily.df.where(col(Dim.Time) <= lit(mid))), s"$sd/h1.nc")
-      val q = s.readStream.format("graft-netcdf").load(sd)
-        .writeStream.format("memory").queryName(s"nc_stream_$slug")
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        graft.ops.Sinks.writeNetcdf(
-          daily.withDF(daily.df.where(col(Dim.Time) > lit(mid))), s"$sd/h2.nc")
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(s"nc_stream_$slug")
-        .select("time", "band", "y", "x", "value")
-    }),
-    "q_sink_json" -> ((s, dir) => {
-      // S8 JSON sink hash-verified END-TO-END: the daily-max cube leaves
-      // through writeJsonCube's xarray-.to_dict() shape (dims / coords /
-      // nested data with nulls for absent cells —
-      // openeo_odc_driver.py:1783-1827) and is parsed BACK from the
-      // file: labels re-typed, null cells dropped. Jackson serializes
-      // doubles shortest-roundtrip, so the recovered values are
-      // bit-identical and the store projection IS the oracle.
-      val daily = Reducers.aggregateTemporalPeriod(eventsCube(s, dir), "day", "max")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_$slug.json"
-      graft.ops.Sinks.writeJsonCube(daily, path)
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
-      val dims = (0 until root.get("dims").size())
-        .map(root.get("dims").get(_).asText())
-      val labels = dims.map(d => {
-        val arr = root.get("coords").get(d).get("data")
-        (0 until arr.size()).map(arr.get(_).asText())
-      })
-      require(dims == Seq(Dim.Band, Dim.Time, Dim.Y, Dim.X),
-        s"unexpected dims $dims")
-      val rows = for {
-        bi <- labels(0).indices; ti <- labels(1).indices
-        yi <- labels(2).indices; xi <- labels(3).indices
-        node = root.get("data").get(bi).get(ti).get(yi).get(xi)
-        if !node.isNull
-      } yield (java.sql.Timestamp.valueOf(labels(1)(ti)), labels(0)(bi),
-        labels(2)(yi).toDouble, labels(3)(xi).toDouble, node.asDouble())
-      import s.implicits._
-      rows.toDF(Dim.Time, Dim.Band, Dim.Y, Dim.X, Cube.ValueCol)
-    }),
-    "q_stac_describe" -> ((s, dir) => {
-      // S9 STAC catalog hash-verified: the /collections/<id> description
-      // is synthesized from the STORE (extent aggregates, band list,
-      // per-band eo:bands summaries from the registered adjusts —
-      // odc_backend.py:184-309) — here the same JSON the HTTP handler
-      // serves is built via Catalog.describeJson, parsed back, and its
-      // data-derived fields re-emitted per band for the SQL oracle to
-      // recompute from the same parquet.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_stac_$slug"
-      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
-      val spec = Scan.CollectionSpec(tmp, crs = Some("EPSG:32632"),
-        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
-        grid = Some(graft.cube.GridRef(0, 0, 1, 1)),
-        adjust = Map("click" ->
-          Scan.BandAdjust(nodata = Some(50.0), scale = 0.01, offset = 10.0)))
-      val catalog = new graft.api.Catalog(Map("events" -> spec))
-      val json = catalog.describeJson(s, "events").get
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      val cd = root.get("cube:dimensions")
-      val t = cd.get("DATE").get("extent")
-      val xs = cd.get("X").get("extent"); val ys = cd.get("Y").get("extent")
-      val bands = cd.get("bands").get("values")
-      val eoBands = root.get("summaries").get("eo:bands")
-      import s.implicits._
-      (0 until bands.size()).map { i =>
-        val b = eoBands.get(i)
-        (root.get("id").asText(), bands.get(i).asText(),
-          java.sql.Timestamp.valueOf(t.get(0).asText()),
-          java.sql.Timestamp.valueOf(t.get(1).asText()),
-          xs.get(0).asDouble(), xs.get(1).asDouble(),
-          ys.get(0).asDouble(), ys.get(1).asDouble(),
-          b.get("scale").asDouble(), b.get("offset").asDouble(),
-          if (b.has("nodata")) Some(b.get("nodata").asDouble()) else None)
-      }.toDF("id", "band", "t0", "t1", "x0", "x1", "y0", "y1",
-        "scale", "offset", "nodata")
-    }),
-    // --- relational spine (classic agg/join over lineitem, judge smoke) --
-    "q1_agg" -> ((s, dir) => {
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-      l.groupBy("l_returnflag")
-        .agg(dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_price"),
-          count(lit(1)).as("n"))
-    }),
-    "q_join_bcast" -> ((s, dir) => {
-      // broadcast dim join: orders ⋈ customer ⋈ nation
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      val cst = s.read.parquet(s"$dir/customer.parquet")
-      val n = s.read.parquet(s"$dir/nation.parquet")
-      o.join(dimHint(cst), o("o_custkey") === cst("c_custkey"))
-        .join(dimHint(n), cst("c_nationkey") === n("n_nationkey"))
-        .groupBy("n_name")
-        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
-    }),
-    "q_tpch_q1" -> ((s, dir) => {
-      // TPC-H Q1, the scan-heavy single-table pricing summary: ONE
-      // parquet scan with the shipdate filter pushed to row groups, one
-      // partial+final hash aggregate on a 6-value group key (map-side
-      // combine reduces each task to 6 rows before the only exchange) —
-      // the 100 TB bread-and-butter plan, pinned in PlanQualitySpec.
-      // Money sums run in decimal: products of 2-decimal inputs are
-      // exact at scale 4/6, and at gate scale the scaled sums stay
-      // below 2^53 so the final decimal→double cast is exact in both
-      // engines (same envelope as q_tpch_q3's drevenue).
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      def d12(c: String) = col(c).cast("decimal(12,2)")
-      def d4(c: String) = col(c).cast("decimal(4,2)")
-      val one = lit(1).cast("decimal(4,2)")
-      l.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(d12("l_extendedprice") * (one - d4("l_discount")))
-            .cast("double").as("sum_disc_price"),
-          sum(d12("l_extendedprice") * (one - d4("l_discount")) *
-              (one + d4("l_tax")))
-            .cast("double").as("sum_charge"),
-          dmean(col("l_quantity")).as("avg_qty"),
-          dmean(col("l_extendedprice")).as("avg_price"),
-          dmean(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-    }),
-    "q_tpch_q6" -> ((s, dir) => {
-      // TPC-H Q6, the forecasting-revenue filter: every predicate
-      // (shipdate range, discount band, quantity cap) reaches the scan
-      // as a pushed filter, then a single global decimal sum — partial
-      // aggregation makes the exchange carry ONE row per task
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
-          col("l_discount").between(0.05, 0.07) &&
-          col("l_quantity") < 24)
-      l.agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          col("l_discount").cast("decimal(4,2)"))
-        .cast("double").as("revenue"))
-    }),
-    "q_tpch_q4" -> ((s, dir) => {
-      // TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join (each
-      // order emitted at most once however many lineitems match — no
-      // row inflation, no distinct pass), with the correlated
-      // l_shipdate > o_orderdate predicate riding the join condition.
-      // Plan pin: LeftSemi + both date filters pushed to the scans.
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-      o.join(l, o("o_orderkey") === l("l_orderkey") &&
-          l("l_shipdate") > o("o_orderdate"), "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("order_count"))
-    }),
-    "q_tpch_q18" -> ((s, dir) => {
-      // TPC-H Q18 shape (large-volume orders): the HAVING subquery is a
-      // pre-aggregated key table SEMI-joined back — the aggregate runs
-      // once, map-side combined, and the probe side never inflates.
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-      val big = l.groupBy("l_orderkey")
-        .agg(dsum(col("l_quantity")).as("sum_qty"))
-        .where(col("sum_qty") > 150)
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      o.join(big.select("l_orderkey"),
-          o("o_orderkey") === col("l_orderkey"), "left_semi")
-        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-    }),
-    "q_tpch_q22" -> ((s, dir) => {
-      // TPC-H Q22 shape (global sales opportunity): NOT EXISTS
-      // decorrelates to a LEFT ANTI join — positive-balance customers
-      // with no RECENT orders (the date predicate keeps the anti-join
-      // non-trivial at every SF), rolled up per segment with exact
-      // decimal balance sums. Plan pin: LeftAnti, never a NOT IN
-      // cartesian; the date filter pushes to the orders scan.
-      val cst = s.read.parquet(s"$dir/customer.parquet")
-        .where(col("c_acctbal") > 0)
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
-      cst.join(o, cst("c_custkey") === o("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
-    }),
-    "q_tpch_q7" -> ((s, dir) => {
-      // TPC-H Q7 (volume shipping): the 5-way join tree — lineitem ⋈
-      // orders (big SMJ) ⋈ supplier/customer/nation×2 (broadcast dims),
-      // the two-nation disjunction applied AFTER both nation names are
-      // attached, yearly decimal revenue rollup. The date filter pushes
-      // to the lineitem scan.
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate").between(
-          lit("1996-01-01").cast("timestamp"),
-          lit("1997-12-31").cast("timestamp")))
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      val cst = s.read.parquet(s"$dir/customer.parquet")
-      val sup = s.read.parquet(s"$dir/supplier.parquet")
-      val n1 = s.read.parquet(s"$dir/nation.parquet")
-        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
-      val n2 = s.read.parquet(s"$dir/nation.parquet")
-        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
-      l.join(dimHint(sup), l("l_suppkey") === sup("s_suppkey"))
-        .join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(dimHint(cst), o("o_custkey") === cst("c_custkey"))
-        .join(dimHint(n1), col("s_nationkey") === col("n1_key"))
-        .join(dimHint(n2), col("c_nationkey") === col("n2_key"))
-        .where((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
-        .agg(drevenue.as("revenue"))
-    }),
-    "q_tpch_q14" -> ((s, dir) => {
-      // TPC-H Q14 (promotion effect): one-month lineitem slice joined to
-      // the part dim (broadcast — plan-pinned), ONE conditional decimal
-      // aggregate pair, one double division at the end. The month filter
-      // reaches the scan; the ratio is computed from two exact decimal
-      // sums cast once each, so both engines divide the same doubles.
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-      val p = s.read.parquet(s"$dir/part.parquet")
-      val disc = col("l_extendedprice").cast("decimal(12,2)") *
-        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
-      l.join(dimHint(p), l("l_partkey") === p("p_partkey"))
-        .agg((lit(100.0) *
-          sum(when(col("p_type") === "PROMO", disc)
-            .otherwise(lit(0).cast("decimal(17,4)"))).cast("double") /
-          sum(disc).cast("double")).as("promo_revenue"))
-    }),
-    "q_tpch_q19" -> ((s, dir) => {
-      // TPC-H Q19 (discounted revenue, the OR-of-brackets shape): Spark
-      // must still extract the p_partkey = l_partkey equi-key from the
-      // disjunction — an equi hash join with the OR as residual, never a
-      // cartesian (plan-pinned)
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-      val p = s.read.parquet(s"$dir/part.parquet")
-      val brackets =
-        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
-          col("l_quantity").between(1, 11)) ||
-        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
-          col("l_quantity").between(10, 20)) ||
-        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
-          col("l_quantity").between(20, 30))
-      l.join(dimHint(p), l("l_partkey") === p("p_partkey") && brackets)
-        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(4,2)") -
-              col("l_discount").cast("decimal(4,2)")))
-          .cast("double").as("revenue"))
-    }),
-    "q_tpch_q17" -> ((s, dir) => {
-      // TPC-H Q17 shape (small-quantity-order revenue): the correlated
-      // scalar-aggregate subquery (per-part average quantity) decorrelates
-      // to ONE aggregate joined back. Spark-first ordering: the brand
-      // filter semi-restricts lineitem FIRST (broadcast of the tiny
-      // brand-filtered part dim), so the per-part aggregate only touches
-      // qualifying parts' rows — at 100 TB the aggregate input shrinks by
-      // the brand selectivity (~1/25) before any shuffle. Exact decimal
-      // sums; the 0.2× threshold and final /7.0 are single IEEE ops on
-      // identical doubles in both engines.
-      val p = s.read.parquet(s"$dir/part.parquet")
-        .where(col("p_brand") === "Brand#23").select("p_partkey")
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .join(dimHint(p), col("l_partkey") === col("p_partkey"))
-      val avgs = l.groupBy(col("l_partkey").as("a_partkey"))
-        .agg((lit(0.2) * dmean(col("l_quantity"))).as("qty_thresh"))
-      l.join(avgs, col("l_partkey") === col("a_partkey"))
-        .where(col("l_quantity") < col("qty_thresh"))
-        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
-    }),
-    "q_tpch_q20" -> ((s, dir) => {
-      // TPC-H Q20 CANONICAL (r9): excess-stock suppliers — PARTSUPP
-      // slots ([[partsuppDf]]) for name-filtered parts whose
-      // ps_availqty exceeds half that (part, supplier)'s shipped volume
-      // in the window. Decorrelation: ONE aggregate over the
-      // window-filtered lineitem joined back on BOTH keys — never a
-      // correlated re-scan per slot — then IN ≡ LeftSemi into the
-      // supplier dim, nation filter broadcast.
-      val pw = s.read.parquet(s"$dir/part.parquet")
-        .where(col("p_name").startsWith("red"))
-        .select("p_partkey")
-      val shipped = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .groupBy("l_partkey", "l_suppkey")
-        .agg((lit(0.5) * dsum(col("l_quantity"))).as("half_qty"))
-      val qualifying = partsuppDf(s, dir)
-        .join(dimHint(pw), col("ps_partkey") === col("p_partkey"),
-          "left_semi")
-        .join(shipped, col("ps_partkey") === col("l_partkey") &&
-          col("ps_suppkey") === col("l_suppkey"))
-        .where(col("ps_availqty").cast("double") > col("half_qty"))
-        .select("ps_suppkey")
-      val n = s.read.parquet(s"$dir/nation.parquet")
-        .where(col("n_name").isin("NATION_1", "NATION_2"))
-      val sup = s.read.parquet(s"$dir/supplier.parquet")
-        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"),
-          "left_semi")
-      sup.join(qualifying, col("s_suppkey") === col("ps_suppkey"),
-          "left_semi")
-        .select("s_suppkey", "s_name")
-    }),
-    "q_tpch_q21" -> ((s, dir) => {
-      // TPC-H Q21 CANONICAL (r9): "late" is l_receiptdate >
-      // l_commitdate over the derived date columns ([[lineitemX]]).
-      // The HARDEST subquery pattern — EXISTS plus NOT EXISTS over the
-      // SAME self-joined lineitem. Both decorrelate to one pass each:
-      // EXISTS (another supplier on the order) → LeftSemi with the
-      // suppkey inequality riding the join condition; NOT EXISTS (no
-      // OTHER supplier was late) → LeftAnti against the late-filtered
-      // side. Never a per-row re-scan, never a cartesian (plan-pinned).
-      val late = col("l_receiptdate") > col("l_commitdate")
-      val l1 = lineitemX(s, dir).where(late)
-        .select("l_orderkey", "l_suppkey")
-      val l2 = s.read.parquet(s"$dir/lineitem.parquet")
-        .select(col("l_orderkey").as("l2_orderkey"),
-          col("l_suppkey").as("l2_suppkey"))
-      val l3 = lineitemX(s, dir).where(late)
-        .select(col("l_orderkey").as("l3_orderkey"),
-          col("l_suppkey").as("l3_suppkey"))
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderstatus") === "F").select("o_orderkey")
-      val n = s.read.parquet(s"$dir/nation.parquet")
-        .where(col("n_name") === "NATION_3")
-      val sup = s.read.parquet(s"$dir/supplier.parquet")
-        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"),
-          "left_semi")
-      l1.join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
-        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
-          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
-        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
-          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
-        .join(dimHint(sup), col("l_suppkey") === col("s_suppkey"))
-        .groupBy("s_name")
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-        .limit(100)
-    }),
-    "q_tpch_q2" -> ((s, dir) => {
-      // TPC-H Q2 CANONICAL (r9): minimum-cost EUROPE supplier per
-      // filtered part over PARTSUPP's ps_supplycost ([[partsuppDf]] —
-      // the derived fixture). The correlated MIN subquery decorrelates
-      // to a per-part WINDOW min over the partsupp⋈dims slice — one
-      // pass; the window re-shuffles only the partsupp-sized set, never
-      // the dims, and the region→nation→supplier chain broadcasts.
-      // Costs are exact decimals, so the min equality is
-      // engine-portable.
-      val r = s.read.parquet(s"$dir/region.parquet")
-        .where(col("r_name") === "EUROPE")
-      val n = s.read.parquet(s"$dir/nation.parquet")
-        .join(dimHint(r), col("n_regionkey") === col("r_regionkey"))
-      val sup = s.read.parquet(s"$dir/supplier.parquet")
-        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val p = s.read.parquet(s"$dir/part.parquet")
-        .where(col("p_size") <= 15 && col("p_type") === "LARGE")
-        .select("p_partkey", "p_name")
-      val ssp = partsuppDf(s, dir)
-        .join(dimHint(p), col("ps_partkey") === col("p_partkey"))
-        .join(dimHint(sup), col("ps_suppkey") === col("s_suppkey"))
-      val byPart = org.apache.spark.sql.expressions.Window
-        .partitionBy("p_partkey")
-      ssp.withColumn("min_cost", min(col("ps_supplycost")).over(byPart))
-        .where(col("ps_supplycost") === col("min_cost"))
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
-        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
-          col("p_partkey"))
-        .limit(100)
-    }),
-    "q_tpch_q8" -> ((s, dir) => {
-      // TPC-H Q8 shape (national market share): NATION_1's share of
-      // AMERICA-market revenue for ECONOMY parts by order year. The
-      // share is a CONDITIONAL exact-decimal sum over the same rows
-      // divided by the total — numerator and denominator aggregate in
-      // one pass, one IEEE division per year. Semi joins for the pure
-      // filters (part type, customer region) so no payload columns ride
-      // the big join; the supplier nation (the CASE input) broadcasts.
-      val r = s.read.parquet(s"$dir/region.parquet")
-        .where(col("r_name") === "AMERICA")
-      val amNation = s.read.parquet(s"$dir/nation.parquet")
-        .join(dimHint(r), col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey")
-      val amCust = s.read.parquet(s"$dir/customer.parquet")
-        .join(dimHint(amNation), col("c_nationkey") === col("n_nationkey"),
-          "left_semi")
-        .select("c_custkey")
-      val supN = s.read.parquet(s"$dir/supplier.parquet")
-        .join(dimHint(s.read.parquet(s"$dir/nation.parquet")
-            .select(col("n_nationkey").as("sn_nationkey"),
-              col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("sn_nationkey"))
-        .select("s_suppkey", "supp_nation")
-      val p = s.read.parquet(s"$dir/part.parquet")
-        .where(col("p_type") === "ECONOMY").select("p_partkey")
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-      val volDec = col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .join(dimHint(p), col("l_partkey") === col("p_partkey"), "left_semi")
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(dimHint(amCust), col("o_custkey") === col("c_custkey"),
-          "left_semi")
-        .join(dimHint(supN), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg((sum(when(col("supp_nation") === "NATION_1", volDec)
-            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
-          sum(volDec).cast("double")).as("mkt_share"))
-    }),
-    "q_tpch_q9" -> ((s, dir) => {
-      // TPC-H Q9 CANONICAL (r9): profit = revenue − ps_supplycost ×
-      // l_quantity with the cost from PARTSUPP ([[partsuppDf]]) joined
-      // on BOTH keys (l_partkey, l_suppkey) — the canonical double-key
-      // join. Decimal precisions stay ≤ 20 so every product/sum is
-      // exact; the final decimal→double cast is the single
-      // deterministic step. Part filter semi-restricts lineitem, the
-      // partsupp/supplier-nation dims broadcast; lineitem⋈orders is the
-      // one big join.
-      val p = s.read.parquet(s"$dir/part.parquet")
-        .where(col("p_name").contains("widget"))
-        .select("p_partkey")
-      val ps = partsuppDf(s, dir)
-        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
-      val supN = s.read.parquet(s"$dir/supplier.parquet")
-        .join(dimHint(s.read.parquet(s"$dir/nation.parquet")),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("nation"))
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_orderdate")
-      val amount = col("l_extendedprice").cast("decimal(12,2)") *
-        (lit(1).cast("decimal(3,2)") -
-          col("l_discount").cast("decimal(3,2)")) -
-        col("ps_supplycost") * col("l_quantity").cast("decimal(4,0)")
-      s.read.parquet(s"$dir/lineitem.parquet")
-        .join(dimHint(p), col("l_partkey") === col("p_partkey"),
-          "left_semi")
-        .join(dimHint(ps), col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
-        .join(dimHint(supN), col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(sum(amount).cast("double").as("sum_profit"))
-    }),
-    "q_tpch_q11" -> ((s, dir) => {
-      // TPC-H Q11 CANONICAL (r9): part value = Σ ps_supplycost ×
-      // ps_availqty over PARTSUPP ([[partsuppDf]]) through NATION_0's
-      // suppliers vs 0.001 × the total — the HAVING-against-a-
-      // global-scalar pattern. Products and sums stay exact decimal
-      // (precision ≤ 27, no rounding); the total aggregates ONCE over
-      // the same semi-filtered set and broadcasts as a 1-row cross
-      // join — never a per-group re-scan; both comparands cast to
-      // double at the end, the 0.001 factor one IEEE multiply.
-      val n0 = s.read.parquet(s"$dir/nation.parquet")
-        .where(col("n_name") === "NATION_0")
-      val nsup = s.read.parquet(s"$dir/supplier.parquet")
-        .join(dimHint(n0), col("s_nationkey") === col("n_nationkey"),
-          "left_semi")
-        .select("s_suppkey")
-      val nps = partsuppDf(s, dir)
-        .join(dimHint(nsup), col("ps_suppkey") === col("s_suppkey"),
-          "left_semi")
-      def psValue: Column = sum(col("ps_supplycost") *
-        col("ps_availqty").cast("decimal(10,0)")).cast("double")
-      val vals = nps.groupBy("ps_partkey").agg(psValue.as("part_value"))
-      val total = nps.agg(psValue.as("total_value"))
-      vals.crossJoin(broadcast(total))
-        .where(col("part_value") > lit(0.001) * col("total_value"))
-        .select("ps_partkey", "part_value")
-    }),
-    "q_tpch_q12" -> ((s, dir) => {
-      // TPC-H Q12 CANONICAL (r9): groups by l_shipmode with the full
-      // late-delivery predicate chain (commit < receipt, ship < commit,
-      // receipt in year) over the derived date/mode columns
-      // ([[lineitemX]] — the fixture ships none, so both engines derive
-      // identical ones). One big join + paired conditional counts (the
-      // CASE pair aggregates in one pass, map-side combined); every
-      // filter is on the lineitem side and pushes below the join.
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .select("o_orderkey", "o_orderpriority")
-      val l = lineitemX(s, dir)
-        .where(col("l_shipmode").isin("MAIL", "SHIP") &&
-          col("l_commitdate") < col("l_receiptdate") &&
-          col("l_shipdate") < col("l_commitdate") &&
-          col("l_receiptdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_receiptdate") < lit("1998-01-01").cast("timestamp"))
-        .select("l_orderkey", "l_shipmode")
-      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_shipmode")
-        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
-    }),
-    "q_tpch_q13" -> ((s, dir) => {
-      // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
-      // join (customers with zero orders must survive with count 0 —
-      // the ON-condition filter stays on the orders side, never WHERE)
-      // + two stacked aggregates. count(o_orderkey) ignores the
-      // null-padded rows exactly like SQL COUNT(col).
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
-        .select("o_orderkey", "o_custkey")
-      val counts = s.read.parquet(s"$dir/customer.parquet")
-        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-      counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-    "q_tpch_q15" -> ((s, dir) => {
-      // TPC-H Q15 shape (top supplier): the revenue "view" aggregates
-      // once; the global MAX reduces it to one broadcast row joined
-      // back by double equality (identical exact-decimal operands both
-      // sides). Ties all surface, per the spec.
-      val rev = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
-        .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(drevenue.as("total_revenue"))
-      val maxr = rev.agg(max(col("total_revenue")).as("max_revenue"))
-      rev.join(broadcast(maxr),
-          col("total_revenue") === col("max_revenue"))
-        .join(dimHint(s.read.parquet(s"$dir/supplier.parquet")),
-          col("supplier_no") === col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
-    }),
-    "q_tpch_q16" -> ((s, dir) => {
-      // TPC-H Q16 CANONICAL (r9): supplier count per part attribute
-      // triple from PARTSUPP ([[partsuppDf]] — the derived fixture),
-      // not lineitem. NOT IN ≡ LEFT ANTI against the tiny
-      // excluded-supplier set (broadcast — never the NOT-IN cartesian
-      // cliff; the exclusion stays s_acctbal < 0, the fixture has no
-      // s_comment), then COUNT DISTINCT per triple (Catalyst's
-      // two-phase distinct aggregate).
-      val excl = s.read.parquet(s"$dir/supplier.parquet")
-        .where(col("s_acctbal") < 0)
-        .select(col("s_suppkey").as("x_suppkey"))
-      val p = s.read.parquet(s"$dir/part.parquet")
-        .where(col("p_brand") =!= "Brand#45" &&
-          col("p_type") =!= "STANDARD" && col("p_size").isin(1, 4, 7))
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-      partsuppDf(s, dir)
-        .join(dimHint(excl), col("ps_suppkey") === col("x_suppkey"),
-          "left_anti")
-        .join(dimHint(p), col("ps_partkey") === col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-          col("p_size"))
-    }),
-    "q_tpch_q3" -> ((s, dir) => {
-      // classic shipping-priority shape: two big-side SMJs + one
-      // broadcast dim, selective pushed filters on all three scans,
-      // deterministic top-10 as TakeOrderedAndProject (revenue DESC,
-      // orderkey tie-break) — never a global sort
-      val c = s.read.parquet(s"$dir/customer.parquet")
-        .where(col("c_mktsegment") === "BUILDING")
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(dimHint(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(drevenue.as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-    "q_tpch_q5" -> ((s, dir) => {
-      // local-supplier-volume shape: the full 6-table join tree —
-      // lineitem ⋈ orders ⋈ customer ⋈ supplier (incl. the
-      // c_nationkey = s_nationkey locality condition) with the
-      // region→nation dim chain broadcast
-      val r = s.read.parquet(s"$dir/region.parquet")
-        .where(col("r_name") === "ASIA")
-      val n = s.read.parquet(s"$dir/nation.parquet")
-        .join(dimHint(r), col("n_regionkey") === col("r_regionkey"))
-      val c = s.read.parquet(s"$dir/customer.parquet")
-      val sup = s.read.parquet(s"$dir/supplier.parquet")
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(dimHint(n), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
-    }),
-    "q_bucketed_join" -> ((s, dir) => {
-      // co-located bucketed join: both sides written bucketBy(user_id)
-      // once, every subsequent join on the key elides BOTH exchanges
-      // (plan-pinned in PlanQualitySpec). Result == the plain join,
-      // which IS the oracle.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val ev = readEvents(s, dir)
-      graft.ops.Bucketed.writeBucketed(
-        ev.where(col("event_type") === "purchase")
-          .select(col("event_id"), col("user_id"), col("value")),
-        s"graft_bkt_purchases_$slug", Seq("user_id"), 8)
-      graft.ops.Bucketed.writeBucketed(
-        ev.where(col("event_type") === "view")
-          .groupBy(col("user_id"))
-          .agg(count(lit(1)).as("n_views")),
-        s"graft_bkt_views_$slug", Seq("user_id"), 8)
-      graft.ops.Bucketed.bucketedJoin(s,
-          s"graft_bkt_purchases_$slug", s"graft_bkt_views_$slug",
-          Seq("user_id"))
-        .select("event_id", "user_id", "value", "n_views")
-    }),
-    // --- text analysis ---------------------------------------------------
-    "q_text_tokens" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
-        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
-    }),
-    "q_text_tokens_unicode" -> ((s, dir) => {
-      // script-aware token counting (r13): a deterministic CJK suffix
-      // (NFKC-identity characters only) makes the ws-vs-script-aware
-      // divergence visible — each Han/kana/Hangul char counts as one
-      // token, the remainder ws-tokenizes. Oracle replays the CJK
-      // class via RE2 \p{Script} and the char tallies via
-      // regexp_extract_all.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .where(!col("text").rlike("[^\\x00-\\x7f]"))
-      val suffix = elt((col("doc_id") % 3 + 1).cast("int"),
-        lit(""),
-        lit(" \u4e2d\u6587\u6e2c\u8a66\u7684\u53e5\u5b50"),
-        lit(" \u30ab\u30bf\u30ab\u30ca\ud55c\uad6d\uc5b4 mixed"))
-      val t = concat(col("text"), suffix)
-      d.select(col("doc_id"),
-        TextAnalysis.tokenCountWs(t).cast("long").as("n_ws"),
-        TextAnalysis.tokenCountUnicode(t).as("n_tokens"))
-    }),
-    "q_text_quality" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
-    }),
-    "q_text_langid" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-    }),
-    "q_text_langid_script" -> ((s, dir) => {
-      // script-majority langid (r14): the r13 scriptCounts signal as a
-      // prior over the stopword heuristic. Mixed-script corpus built
-      // deterministically from the ASCII base — doc_id % 9 picks a
-      // script run (empty for 0, exercising the ASCII fallback path
-      // in-row, which is law-pinned bit-identical to q_text_langid's
-      // labels); a 24-char ASCII head keeps the Latin count live so
-      // the majority test is non-trivial. Counts replay in DuckDB via
-      // RE2 \p{Script} classes (Java spells them \p{IsXxx}; membership
-      // agrees on every character used here).
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .where(!col("text").rlike("[^\\x00-\\x7f]"))
-      val run = elt((col("doc_id") % 9 + 1).cast("int"),
-        lit(""),
-        // ru: привет мир тест (13 Cyrillic)
-        lit("привет мир" +
-          " тест"),
-        // zh: 中文測試×2 (8 Han)
-        lit("中文測試中文測試"),
-        // ja: ひらがなとカタカナ漢字 (9 kana + 2 Han)
-        lit("ひらがなとカタカナ" +
-          "漢字"),
-        // ko: 한국어 테스트 한국어 (9 Hangul)
-        lit("한국어 테스트 한국어"),
-        // el: ελληνικά γλώσσα (14 Greek)
-        lit("ελληνικά" +
-          " γλώσσα"),
-        // he: שלום עולם שלום (12 Hebrew)
-        lit("שלום עולם" +
-          " שלום"),
-        // ar: اللغة العربية (12 Arabic)
-        lit("اللغة العر" +
-          "بية"),
-        // hi: नमस्ते दुनिया (12 Devanagari incl. matras)
-        lit("नमस्ते दुन" +
-          "िया"))
-      val t = when(run === "", col("text"))
-        .otherwise(concat(substring(col("text"), 1, 24), lit(" "),
-          repeat(run, 6)))
-      d.select(col("doc_id"), t.as("_t"))
-        .select(col("doc_id"), col("_t"),
-          graft.functions.UnicodeExprs.scriptCounts(col("_t")).as("_sc"))
-        .select(col("doc_id"),
-          TextAnalysis.langIdScript(col("_t"), col("_sc")).as("lang_pred"))
-    }),
-    "q_text_repetition" -> ((s, dir) => {
-      // Gopher-style repetition signals: all map-side HOF/codegen exprs
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.repetitionSignals(d, "text", "doc_id")
-    }),
-    "q_decontaminate" -> ((s, dir) => {
-      // benchmark decontamination: eval set = every 37th document; flag
-      // corpus documents sharing any 5-gram shingle with the eval set
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.decontaminate(
-        d.where(col("doc_id") % 37 =!= 0),
-        d.where(col("doc_id") % 37 === 0),
-        "text", "doc_id", shingleN = 5)
-    }),
-    "q_curation_pipeline" -> ((s, dir) => {
-      // the end-to-end training-data curation DAG: quality + repetition
-      // filters (map-side) → exact dedup (one digest shuffle) → NEAR-dup
-      // cluster-canonical dedup (pair blocking → connected components →
-      // keep the cluster minimum; the CC step eagerly materializes the
-      // tiny pair graph, so this is one lazy DAG plus that bounded
-      // materialization point) → leakage-safe grouped split (map-side
-      // md5) → per-split token stats (partial+final agg). Every stage is
-      // the oracled operator.
-      // stages live in graft.text.Curation — ONE definition shared with
-      // the process-graph surface, so q_graph_curation compiles a JSON
-      // graph to this identical plan (checkpoint placement included)
-      import graft.text.Curation
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val filtered = Curation.qualityGate(d, 0.75, 0.2)
-      val deduped = Curation.dedupExactKeepMin(filtered)
-      val canonical = Curation.nearDupCanonical(deduped,
-        Seq("lang", "source"), shingleN = 3, threshold = 0.5)
-      val split8 = Curation.groupedSplit(canonical,
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      Curation.tokenStats(split8, Seq("split", "lang"))
-    }),
-    "q_graph_curation" -> ((s, dir) => {
-      // the SAME curation DAG driven through the reference's one query
-      // language — the openEO JSON process graph. Each node compiles to
-      // the shared graft.text.Curation stage, so this produces the
-      // identical plan (checkpoints included) and the identical result
-      // hash as q_curation_pipeline; the oracle is shared verbatim.
-      import graft.compile.GraphCompiler
-      val graph = """{
-        "load": {"process_id": "load_table",
-                 "arguments": {"id": "documents"}},
-        "gate": {"process_id": "text_quality_gate", "arguments": {
-          "data": {"from_node": "load"},
-          "min_quality": 0.75, "max_repetition": 0.2}},
-        "exact": {"process_id": "dedup_exact",
-                  "arguments": {"data": {"from_node": "gate"}}},
-        "near": {"process_id": "dedup_near", "arguments": {
-          "data": {"from_node": "exact"},
-          "blocking": ["lang", "source"],
-          "shingle_n": 3, "threshold": 0.5}},
-        "split": {"process_id": "split_grouped", "arguments": {
-          "data": {"from_node": "near"},
-          "fractions": {"train": 0.8, "val": 0.1, "test": 0.1}}},
-        "stats": {"process_id": "token_stats", "arguments": {
-          "data": {"from_node": "split"}, "by": ["split", "lang"]},
-          "result": true}}"""
-      new GraphCompiler(s, Map.empty,
-          s"${System.getProperty("java.io.tmpdir")}/graft_curation_res",
-          tables = Map("documents" -> s"$dir/documents.parquet"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_dedup_exact" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.exact(d, "text", "doc_id")
-    }),
-    "q_dedup_minhash" -> ((s, dir) => {
-      // MinHash-LSH candidates, exact-Jaccard verified: at threshold 0.7
-      // the planted dups (J≈0.99) are found with certainty, so the output
-      // equals the all-pairs oracle
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.minhashLsh(d, "text", "doc_id", shingleN = 3, k = 32,
-        bands = 8, threshold = 0.7)
-    }),
-    "q_dedup_incremental" -> ((s, dir) => {
-      // the ingestion gate: near-dups between an incoming shard (docs
-      // >= 400 plus 25 planted one-token-appended copies of kept docs)
-      // and the kept reference corpus (docs < 400). Planted copies sit
-      // at J ~= 0.99, so cross-side LSH recall is certain and the output
-      // equals the all-pairs oracle
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val ref = d.where(col("doc_id") < 400).select("doc_id", "text")
-      val inc = d.where(col("doc_id") >= 400).select("doc_id", "text")
-        .unionByName(d.where(col("doc_id") < 25)
-          .select((col("doc_id") + lit(10000L)).as("doc_id"),
-            concat(col("text"), lit(" x")).as("text")))
-      Dedup.minhashLshIncremental(ref, inc, "text", "doc_id")
-    }),
-    "q_dedup_indexed" -> ((s, dir) => {
-      // the ingestion gate served from a PERSISTED index: the kept
-      // corpus's band + shingle tables are written once
-      // (writeMinhashIndex) and the same shard probes the store — the
-      // corpus text is never re-shingled at serve time. Result is
-      // identical to q_dedup_incremental; oracle shared verbatim.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val ref = d.where(col("doc_id") < 400).select("doc_id", "text")
-      val inc = d.where(col("doc_id") >= 400).select("doc_id", "text")
-        .unionByName(d.where(col("doc_id") < 25)
-          .select((col("doc_id") + lit(10000L)).as("doc_id"),
-            concat(col("text"), lit(" x")).as("text")))
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_$slug"
-      Dedup.writeMinhashIndex(ref, "text", "doc_id", idx)
-      Dedup.minhashIncrementalIndexed(s, idx, inc, "text", "doc_id")
-    }),
-    "q_dedup_simhash" -> ((s, dir) => {
-      // banded-simhash blocking over PORTABLE FNV-1a bigram hashes; the
-      // blocking has exact recall to Hamming 6, so the oracle's all-pairs
-      // formulation produces the identical pair set
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.simhashPairs(d, "text", "doc_id", maxDist = 6)
-    }),
-    "q_ngram_jaccard" -> ((s, dir) => {
-      // blocked pairwise n-gram Jaccard (the non-LSH dedup variant):
-      // blocking on (lang, source) bounds the pair space per group
-      dedupPairsShared(s, dir)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard"))
-    }),
-    "q_simjoin_prefix" -> ((s, dir) => {
-      // GLOBAL exact-Jaccard similarity join with NO blocking key: the
-      // prefix-filter candidate join (PPJoin family) bounds the pair
-      // space by shingle co-occurrence instead of O(block²) — the shape
-      // that survives when one block holds most of the corpus. Perfect
-      // recall by the prefix-filter theorem, so the oracle is the plain
-      // all-pairs formulation.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.ngramJaccardPairsPrefix(d, "text", "doc_id",
-          shingleN = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard"))
-    }),
-    "q_dedup_sensitivity" -> ((s, dir) => {
-      // threshold-sensitivity report: bucket the blocked-pair Jaccard
-      // distribution at 0.1 width from a 0.3 floor and report per-bin
-      // and at-or-above pair counts — the "how aggressive should the
-      // dedup threshold be" audit. The histogram is ≤ 10 rows, so the
-      // unpartitioned cumulative window is trivially bounded.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id",
-        Seq("lang", "source"), shingleN = 3, threshold = 0.3)
-      val binned = pairs
-        .select(floor(round(col("jaccard"), 6) * 10).cast("long").as("bin10"))
-        .groupBy("bin10").agg(count(lit(1)).as("n_pairs"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("bin10").desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      binned.select(
-        round(col("bin10").cast("double") / 10.0, 1).as("bin_lo"),
-        col("n_pairs"),
-        sum(col("n_pairs")).over(w).as("n_pairs_at_or_above"))
-    }),
-    "q_split_leakage" -> ((s, dir) => {
-      // the leakage audit proves the property the grouped split exists
-      // for: near-dup pairs live within (lang, source) blocks, the
-      // grouped split keeps each block whole -> zero cross-split pairs;
-      // the naive per-doc hash split demonstrably leaks on the same
-      // pair list
-      import graft.text.Sampling
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = dedupPairsShared(s, dir).select("id_a", "id_b")
-      val grouped = Sampling.assignSplit(
-          d.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
-          "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "split")
-      val h = Sampling.portableHash(col("doc_id"))
-      val naive = d.select(col("doc_id"),
-        when(h < lit(1717986918L), "train")
-          .when(h < lit(1932735283L), "val")
-          .otherwise("test").as("split"))
-      Sampling.splitLeakage(pairs, "id_a", "id_b", grouped,
-          "doc_id", "split")
-        .select(lit("grouped").as("mode"), col("n_pairs"), col("n_cross"))
-        .unionByName(Sampling
-          .splitLeakage(pairs, "id_a", "id_b", naive, "doc_id", "split")
-          .select(lit("naive").as("mode"), col("n_pairs"), col("n_cross")))
-    }),
-    "q_boilerplate_strip" -> ((s, dir) => {
-      // C4 rule: a footer injected into every third doc (>= 3 distinct
-      // docs) is stripped from ALL of them; each doc's unique tail
-      // paragraph survives. Only repeated paragraphs reach the
-      // broadcast anti-join side
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val aug = d.select(col("doc_id"),
-        concat(col("text"), lit("\n\n"),
-          when(col("doc_id") % 3 === 0,
-            lit("subscribe to our newsletter for daily updates"))
-            .otherwise(concat(lit("unique tail "),
-              col("doc_id").cast("string")))).as("text"))
-      Dedup.stripBoilerplate(aug, "text", "doc_id", minDocs = 3L)
-    }),
-    "q_dedup_containment" -> ((s, dir) => {
-      // asymmetric overlap: 30 interior excerpts (substr 50..249 of docs
-      // 0..29, planted as new ids) are FOUND as contained-in-original at
-      // containment ~1.0 — exactly the pairs Jaccard's union denominator
-      // hides; natural near-dup pairs qualify too, and the oracle
-      // replays both directions
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val aug = d.select("doc_id", "lang", "source", "text")
-        .unionByName(d.where(col("doc_id") < 30)
-          .select((col("doc_id") + lit(20000L)).as("doc_id"),
-            col("lang"), col("source"),
-            substring(col("text"), 50, 200).as("text")))
-      Dedup.containmentPairs(aug, "text", "doc_id",
-        Seq("lang", "source"), shingleN = 3, threshold = 0.8)
-    }),
-    "q_dedup_clusters" -> ((s, dir) => {
-      // transitive closure of the near-dup pair list: alternating
-      // large-star/small-star connected components (O(log n) rounds of
-      // edge-list shuffles, no driver-side graph state); cluster label =
-      // component minimum doc_id
-      val pairs = dedupPairsShared(s, dir)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
-        .select(col("node").as("doc_id"), col("cluster"))
-    }),
-    "q_dedup_corpus" -> ((s, dir) => {
-      // the materialization a pipeline actually ships: keep the minimum
-      // doc per duplicate cluster + every singleton; the cluster label
-      // table is tiny next to the corpus, so the join back is broadcast
-      // and the corpus itself never shuffles
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = dedupPairsShared(s, dir)
-      Dedup.dedupCorpus(d, pairs, "doc_id")
-        .select("doc_id", "lang", "source", "n_chars")
-    }),
-    // --- similarity search over embeddings ------------------------------
-    "q_ann_topk" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.topKBruteForce(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
-    }),
-    "q_margin_mine" -> ((s, dir) => {
-      // margin-based pair mining (LASER/CCMatrix): a SHARD of source
-      // vectors (even ids < 100 — the nightly mining batch) scores
-      // against the odd-id corpus; margin = cos over the two sides'
-      // half-averaged top-4 neighborhoods, so hub vectors with
-      // uniformly-close neighborhoods stop over-selecting. All pairs
-      // from either direction's top-4 report with their margins.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.marginMine(
-        e.where(col("vec_id") % 2 === 0 && col("vec_id") < 100),
-        e.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4)
-    }),
-    "q_ann_topk_lsh" -> ((s, dir) => {
-      // sign-LSH banding ANN; the seeded hyperplanes are embedded in the
-      // oracle SQL as literals, so this is hash-matched end to end
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.topKLsh(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
-    }),
-    "q_ann_topk_ivf" -> ((s, dir) => {
-      // IVF coarse-quantizer ANN. The harness passes the 16 lowest-id
-      // vectors as centroids (SQL-expressible, unlike the library default
-      // xxhash sample) so the oracle can replicate assignment + probing.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      Similarity.topKIvf(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
-        centroidsOverride = Some(cents))
-    }),
-    "q_ann_index" -> ((s, dir) => {
-      // PERSISTED IVF index, end-to-end: build writes centroids + the
-      // assignment PARTITIONED by centroid_id; serving probes the tiny
-      // centroid table and scans ONLY the probed cell directories
-      // (partition pruning — pinned in PlanQualitySpec). Same params as
-      // q_ann_topk_ivf ⇒ identical results; oracle shared verbatim.
-      // The build is SHARED with q_ann_append/q_stream_ann (build once,
-      // serve many — see [[buildIvfStore]]).
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = buildIvfStore(s, dir)
-      Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 4)
-    }),
-    "q_ann_retrain" -> ((s, dir) => {
-      // DRIFT → REBUILD → ATOMIC SWAP (r11): the store re-trains from
-      // its own vectors into a new `gen-N` sub-store, published by ONE
-      // atomic marker create — serving resolves the generation once
-      // per query (old or new in full, never a mix; law-pinned in
-      // SimilaritySpec), appends land in the current generation, and
-      // vacuumIvfStore retires the rest from a maintenance window.
-      // Deterministic first-16 centroids here so the rebuild is
-      // result-identical to the one-shot build — oracle shared
-      // verbatim with q_ann_index; the swap mechanics are what this
-      // row gates. The rebuild runs ON the shared ivfidx store (once
-      // per JVM): by the same-centroids identity every other consumer
-      // (q_ann_index/q_ann_append/q_stream_ann) reads the new
-      // generation bit-identically — no second store build.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = buildIvfStore(s, dir)
-      sharedBuild("ivfre", dir) { _ =>
-        val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-        val cents = e.orderBy("vec_id").limit(16)
-          .select((row_number().over(w) - 1).cast("long")
-            .as("centroid_id"), col("embedding").as("_centroid"))
-        Similarity.rebuildIvfStore(s, idx, nCentroids = 16,
-          centroidsOverride = Some(cents))
-        Similarity.vacuumIvfStore(s, idx)
-        ()
-      }
-      Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 4)
-    }),
-    "q_ann_drift" -> ((s, dir) => {
-      // the RETRAIN TRIGGER: per-cell occupancy + ratio-to-mean over
-      // the store's current generation, projection = the partition
-      // column only (no vector bytes read) — a 100 TB store answers
-      // "has the corpus drifted away from the centroids?" from
-      // metadata-scale work.
-      val idx = buildIvfStore(s, dir)
-      Similarity.ivfStoreSkewReport(s, idx)
-    }),
-    "q_ann_append" -> ((s, dir) => {
-      // INCREMENTAL index maintenance, end-to-end: the shared store IS
-      // a base-half build plus an appended shard (assignment against the
-      // FROZEN centroids, dynamic-partition append into the cell
-      // directories — no rebuild; see [[buildIvfStore]]). Because
-      // per-row argmin assignment is batch-invariant, the result is
-      // identical to the one-shot build — oracle shared verbatim with
-      // q_ann_topk_ivf/q_ann_index.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = buildIvfStore(s, dir)
-      Similarity.topKIvfStore(s, idx, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 4)
-    }),
-    "q_ann_topk_pq" -> ((s, dir) => {
-      // product-quantization ADC ANN: corpus → m=4 codes + one norm per
-      // vector (nearest subspace centroid, literal-argmin projection);
-      // query scores = LUT sums. Codebook from the 16 lowest-id rows so
-      // the oracle can derive the identical centroids in SQL.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.topKPq(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, m = 4, ksub = 16)
-    }),
-    "q_ann_index_pq" -> ((s, dir) => {
-      // PQ-CODED persisted IVF store — what the persisted index holds
-      // at 100 TB: m=4 residual codes + one norm per vector (~20 B vs
-      // 4·d raw bytes), partitioned by coarse cell; serving probes the
-      // collected centroids and scans ONLY the probed `_cid=`
-      // directories (partition pruning + append ≡ rebuild against the
-      // frozen centroids/codebooks are law-pinned in SimilaritySpec).
-      // Same deterministic params as q_ann_topk_ivfpq ⇒ identical
-      // scores; oracle shared verbatim.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = buildIvfPqStore(s, dir)
-      Similarity.topKIvfPqStore(s, idx, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nProbe = 4)
-    }),
-    "q_ann_topk_ivfpq" -> ((s, dir) => {
-      // full IVF-PQ (residual ADC): coarse centroids = the 16 lowest-id
-      // vectors (as q_ann_topk_ivf), residual codebook from the 16
-      // lowest-id rows (as q_ann_topk_pq) — every constant table is
-      // SQL-derivable, and every sum folds left-to-right, so the oracle
-      // reproduces the residual formulation itself bit-for-bit (the ~1 ulp
-      // divergence is only vs the FLAT dot, which this oracle never takes)
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      Similarity.topKIvfPq(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
-        m = 4, ksub = 16, centroidsOverride = Some(cents))
-    }),
-    "q_ann_recall_ivfpq" -> ((s, dir) => {
-      // recall@5 of the IVF-PQ residual-ADC tier — the store shape a
-      // 100 TB corpus actually serves — against exact brute force, per
-      // query. Same params as q_ann_topk_ivfpq (nProbe=4, m=4, ksub=16),
-      // so the approx side IS that row's chain verbatim; monotonicity in
-      // nProbe is law-tested in SimilaritySpec.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val q = e.where(col("vec_id") < 10)
-      val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding",
-          k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      val approx = Similarity.topKIvfPq(e, q, "vec_id", "embedding",
-          k = 5, nCentroids = 16, nProbe = 4, m = 4, ksub = 16,
-          centroidsOverride = Some(cents))
-        .select(col("query_id").as("a_qid"),
-          col("neighbor_id").as("a_nid"))
-      exact.join(approx, col("query_id") === col("a_qid") &&
-          col("neighbor_id") === col("a_nid"), "left")
-        .groupBy("query_id")
-        .agg(count(col("a_nid")).as("hits"))
-        .withColumn("recall", col("hits").cast("double") / 5.0)
-    }),
-    "q_ann_topk_int8" -> ((s, dir) => {
-      // int8 scalar-quantized serving tier: corpus stored as one float
-      // scale + dim int8 codes (4× smaller), queries full-precision,
-      // cosine over the reconstructed vectors — quantization round-trip
-      // replayed exactly by the oracle
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.topKInt8(e, e.where(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5)
-    }),
-    "q_knn_join" -> ((s, dir) => {
-      // corpus-scale k-NN SELF-join: IVF cells as the blocking key, BOTH
-      // sides shuffled on (cell, shard) — no broadcast of a corpus-scale
-      // probe table — with the hot-cell salt hatch ENGAGED (saltFactor=2;
-      // results are salt-invariant, which the oracle thereby verifies).
-      // Lowest-id centroid convention as q_ann_topk_ivf so the oracle
-      // replays assignment + probing bit-for-bit.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      Similarity.knnJoinIvf(e, "vec_id", "embedding", k = 3,
-        nCentroids = 16, nProbe = 4, centroidsOverride = Some(cents),
-        saltFactor = 2)
-    }),
-    "q_dedup_embedding" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.4)
-    }),
-    "q_embed_project" -> ((s, dir) => {
-      // JL random projection 64 -> 16: portable LCG sign matrix, native
-      // ordered dots against literal sign rows — a pure projection, no
-      // shuffle; the oracle regenerates the matrix and replays the
-      // ordered sums
-      val d = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.text.Similarity.randomProject(d, "vec_id", "embedding",
-        inDim = 64, outDim = 16)
-    }),
-    "q_semdedup" -> ((s, dir) => {
-      // SemDeDup semantic dedup: coarse clusters = the 16 lowest-id
-      // vectors (the SQL-derivable centroid convention of q_ann_topk_ivf,
-      // so the oracle replays assignment + witness pairs bit-for-bit);
-      // tau matches q_dedup_embedding's threshold
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      Similarity.semDedup(e, "vec_id", "embedding", nClusters = 16,
-        tau = 0.4, centroidsOverride = Some(cents))
-    }),
-    "q_pca_gram" -> ((s, dir) => {
-      // the corpus-scale half of PCA: one-pass second-moment (Gram)
-      // matrix via a bounded upper-triangle Aggregator — partial
-      // aggregation reduces each task to ONE 2080-long row before the
-      // single exchange; 1e-6 long-quantized products make the integer
-      // sum exact under any partitioning
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.text.Pca.gramMatrix(e, "embedding", dim = 64)
-    }),
-    "q_pca_project" -> ((s, dir) => {
-      // full PCA: Gram pass -> driver power-iteration eigensolve (top-2,
-      // 8 fixed iterations, deflation) -> literal-matrix projection. The
-      // oracle replays the ENTIRE pipeline — quantized Gram, every
-      // iteration's ordered matrix-vector product and normalize, the
-      // Rayleigh quotient, the deflation, and the projection — so the
-      // eigensolve itself is hash-verified, not just the serving path.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.text.Pca.pcaProject(e, "vec_id", "embedding", dim = 64,
-          k = 2, iters = 8)
-        .select(col("vec_id"),
-          posexplode(col("pc")).as(Seq("comp_idx", "pc_val")))
-        .withColumn("pc_val", round(col("pc_val"), 6))
-    }),
-    "q_pca_whiten" -> ((s, dir) => {
-      // PCA whitening: q_pca_project's literal projection with each
-      // score divided by its replayed √λ — unit second moment per
-      // retained direction. The oracle extends the full eigensolve
-      // replay with the λ₁ Rayleigh CTE and divides the same doubles.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      graft.text.Pca.pcaWhitenProject(e, "vec_id", "embedding", dim = 64,
-          k = 2, iters = 8)
-        .select(col("vec_id"),
-          posexplode(col("wpc")).as(Seq("comp_idx", "wpc_val")))
-        .withColumn("wpc_val", round(col("wpc_val"), 6))
-    }),
-    "q_d4_diversify" -> ((s, dir) => {
-      // D4-style diversification: per-cluster prototypicality rank
-      // (cosine to own centroid, 1e-9-quantized key), top 25% most
-      // prototypical dropped. Same SQL-derivable lowest-id centroid
-      // convention as q_semdedup so the oracle replays assignment,
-      // proto score, and rank bit-for-bit.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      Similarity.diversifyPrototypes(e, "vec_id", "embedding",
-        nClusters = 16, dropFrac = 0.25, centroidsOverride = Some(cents))
-    }),
-    "q_bm25" -> ((s, dir) => {
-      // BM25 keyword retrieval over the corpus (Lucene idf form); scores
-      // are 1e-9-long-quantized per (doc, term) so DuckDB reproduces the
-      // per-doc sums exactly. Session-shared run — see bm25RunShared.
-      bm25RunShared(s, dir)
-    }),
-    "q_search_indexed" -> ((s, dir) => {
-      // BM25 served from the PERSISTED inverted index: the corpus's
-      // tokenization pass is paid once (writeSearchIndex — postings + df
-      // tables partitioned by term-hash bucket, exact corpus stats), and
-      // the query probes only its terms' bucket directories. Result is
-      // identical to q_bm25; oracle shared verbatim. The build is
-      // SHARED with q_search_append/q_stream_search (build once, serve
-      // many — see [[buildSearchIndex]]).
-      val idx = buildSearchIndex(s, dir)
-      graft.text.Search.bm25Indexed(s, idx,
-        Seq("spark", "merge", "window"))
-    }),
-    "q_search_append" -> ((s, dir) => {
-      // incremental index maintenance: the shared store IS a base build
-      // (doc_id < 400) plus an appended shard (disjoint ids; see
-      // [[buildSearchIndex]]); stats/df rows are append-only segments
-      // the serving path aggregates with exact long sums, so the
-      // segmented store is result-identical to the one-shot build — and
-      // to q_bm25. Oracle shared verbatim. (The TextSpec law covers the
-      // multi-append sequence.)
-      val idx = buildSearchIndex(s, dir)
-      graft.text.Search.bm25Indexed(s, idx,
-        Seq("spark", "merge", "window"))
-    }),
-    "q_stream_search" -> ((s, dir) => {
-      // ONLINE keyword retrieval through a REAL 2-micro-batch
-      // MemoryStream run: (query_id, terms[]) queries stream against the
-      // persisted inverted index (frozen stats as driver literals,
-      // stream-static joins to the df and postings tables, per-query
-      // aggregation completing in the arrival batch). The gate query's
-      // rows are bit-identical to the batch serving path and to q_bm25 —
-      // oracle shared verbatim; a second, different query rides batch 2
-      // to prove per-query isolation.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val idx = buildSearchIndex(s, dir)
-      val ms = MemoryStream[(Long, Array[String])]
-      val sink = "q_stream_search_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.bm25ServeStream(s, idx,
-          ms.toDF.toDF("query_id", "terms"), "query_id", "terms")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        ms.addData((1L, Array("spark", "merge", "window")))
-        q.processAllAvailable()
-        ms.addData((2L, Array("scan", "table")))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink).where(col("query_id") === 1L)
-        .select(col("doc_id"), col("n_terms"), col("n_hits"), col("score"))
-    }),
-    "q_search_topk" -> ((s, dir) => {
-      // the production serving shape: top-20 of the BM25 run by
-      // (score desc, id asc) — TakeOrderedAndProject, never a global
-      // sort (plan-pinned); deterministic tie-break on both sides
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Search.topK(graft.text.Search.bm25(d, "text", "doc_id",
-        Seq("spark", "merge", "window")), "doc_id", k = 20)
-    }),
-    "q_hybrid_search" -> ((s, dir) => {
-      // HYBRID retrieval: the lexical BM25 run and a semantic cosine
-      // run over the same corpus ids merge by RECIPROCAL-RANK FUSION —
-      // rank-only fusion needs no cross-run score calibration, and the
-      // two reciprocal terms add in fixed order so the fused score is
-      // bit-reproducible (oracle replays both runs AND the fusion)
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val lex = bm25RunShared(s, dir)
-        .select(lit(7L).as("query_id"), col("doc_id"), col("score"))
-      val sem = Similarity.topKBruteForce(e, e.where(col("vec_id") === 7),
-          "vec_id", "embedding", k = 20)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("cos").as("score"))
-      graft.text.Search.rrfFuse(lex, sem, "doc_id", "score",
-        Seq("query_id"), k0 = 60, depth = 20)
-    }),
-    "q_retrieval_eval" -> ((s, dir) => {
-      // ranking-quality metrics over the BM25 run — MRR + DCG@10/nDCG@10
-      // with graded gain = distinct matched terms, "relevant" = ≥2 terms.
-      // Discount literals are driver-computed and shared with the oracle
-      // so no libm-vs-JVM log ulp can leak into the metric; DCG folds run
-      // in rank order on both sides (array fold vs ordered SUM).
-      graft.text.Search.rankingMetrics(bm25RunShared(s, dir), "doc_id",
-        k = 10, relMinTerms = 2)
-    }),
-    "q_ann_recall" -> ((s, dir) => {
-      // ANN index QUALITY row — recall@5 of the IVF index against the
-      // exact brute-force top-5, per query. nProbe=2 (of 16 cells) so
-      // probing misses are possible and the metric is non-trivial; the
-      // lowest-id centroid convention keeps the oracle able to replay
-      // assignment + probing exactly.
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val q = e.where(col("vec_id") < 10)
-      val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding",
-          k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val cents = e.orderBy("vec_id").limit(16)
-        .select((row_number().over(w) - 1).cast("long").as("centroid_id"),
-          col("embedding").as("_centroid"))
-      val approx = Similarity.topKIvf(e, q, "vec_id", "embedding", k = 5,
-          nCentroids = 16, nProbe = 2, centroidsOverride = Some(cents))
-        .select(col("query_id").as("a_qid"),
-          col("neighbor_id").as("a_nid"))
-      exact.join(approx, col("query_id") === col("a_qid") &&
-          col("neighbor_id") === col("a_nid"), "left")
-        .groupBy("query_id")
-        .agg(count(col("a_nid")).as("hits"))
-        .withColumn("recall", col("hits").cast("double") / 5.0)
-    }),
-    "q_top_ngrams" -> ((s, dir) => {
-      // corpus-wide boilerplate detector: 20 most frequent 3-grams,
-      // count ties broken by gram so the cut is deterministic
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Search.topNgrams(d, "text", n = 3, k = 20)
-    }),
-    "q_bpe_train" -> ((s, dir) => {
-      // distributed BPE vocabulary training: the corpus collapses ONCE
-      // to the weighted word table, then every merge iteration runs on
-      // the vocab only. The 12-merge table IS the model; the oracle
-      // replays the whole trajectory as generated unrolled SQL
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Bpe.trainMergesDf(d, "text", bpeMergeCount)
-    }),
-    "q_bpe_apply" -> ((s, dir) => {
-      // tokenize under the learned merges (trained in-query) and count
-      // subword tokens — apply is a map-side fold of literal replaces
-      // over the word table
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val merges = graft.text.Bpe
-        .trainMerges(d, "text", bpeMergeCount).map(_._2)
-      graft.text.Bpe.applyMerges(d, "text", merges)
-    }),
-    "q_bpe_fertility" -> ((s, dir) => {
-      // tokenizer-quality audit: occurrence-weighted subwords-per-word
-      // by language under the learned merges — the oracle replays the
-      // full training trajectory AND the per-language weighted ratio
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val merges = graft.text.Bpe
-        .trainMerges(d, "text", bpeMergeCount).map(_._2)
-      graft.text.Bpe.fertilityByGroup(d, "text", "lang", merges)
-    }),
-    "q_cap_domain" -> ((s, dir) => {
-      // corpus balancing: keep at most 3 docs per (lang, source) cell,
-      // preferring the longest, ties to the lowest doc_id
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.capPerGroup(d.select("doc_id", "lang", "source",
-        "n_chars"), Seq("lang", "source"), col("n_chars"), "doc_id", 3)
-    }),
-    "q_hashed_classifier" -> ((s, dir) => {
-      // distributed SPARSE logistic over hashed bag-of-tokens features
-      // (hashing trick, dim=64): the weight table is a DataFrame keyed
-      // by bucket — never a driver array — so the feature space can be
-      // millions wide at corpus scale. The oracle replays both GD
-      // iterations, including the FNV-1a bucket fold, as unrolled SQL
-      // and must land on identical scores.
-      // trained ONCE per session via [[classifierScoreShared]] (five
-      // rows consume the identical trajectory; the oracle replays it)
-      classifierScoreShared(s, dir)
-        .select(col("doc_id"), col("y"), col("score"))
-    }),
-    "q_classifier_auc" -> ((s, dir) => {
-      // model evaluation inside the pipeline: exact tie-aware
-      // Mann-Whitney AUC of the trained hashed classifier against its
-      // lang==en labels — 2x-scaled integer average ranks, one final
-      // division; the oracle replays training AND the rank arithmetic
-      Classifier.aucScore(classifierScoreShared(s, dir), "score", "y")
-    }),
-    "q_corpus_rollup" -> ((s, dir) => {
-      // dataset-card slices at every granularity in ONE aggregation:
-      // ROLLUP (lang, source) gives per-cell, per-lang and grand-total
-      // rows from a single partial+final grouping-sets pass
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.rollup(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("long")).as("sum_chars"),
-          sum(TextAnalysis.tokenCountWs(col("text")).cast("long"))
-            .as("n_tokens"))
-    }),
-    "q_classifier_auc_by_source" -> ((s, dir) => {
-      // per-source gate quality: the rank window partitions by source,
-      // so each source ranks its own bounded score table (no global
-      // funnel); sources lacking both classes report NULL auc
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      // the shared score table + a broadcast source lookup — identical
-      // rows to carrying `source` through training
-      val scored = classifierScoreShared(s, dir)
-        .join(broadcast(d.select(col("doc_id"), col("source"))), "doc_id")
-      Classifier.aucScoreBy(scored, "score", "y", Seq("source"))
-    }),
-    "q_classifier_pr" -> ((s, dir) => {
-      // the gate's operating-point table: exact confusion counts +
-      // precision/recall at five thresholds, one map-side fan-out pass
-      Classifier.prAtThresholds(classifierScoreShared(s, dir),
-        "score", "y", Seq(0.3, 0.45, 0.5, 0.55, 0.7))
-    }),
-    "q_classifier_calibration" -> ((s, dir) => {
-      // the gate's reliability diagram: decile bins over the trained
-      // scores, exact counts + quantized mean score vs empirical
-      // positive rate — ONE aggregation to 10 rows; the oracle replays
-      // training, scoring, and the binning arithmetic
-      Classifier.calibrationBins(classifierScoreShared(s, dir),
-        "score", "y", nBins = 10)
-    }),
-    "q_dsir_weights" -> ((s, dir) => {
-      // DSIR importance weights: target LM = the English slice, base LM =
-      // the whole corpus; docs that look English-like score high. Both
-      // trainings and the scoring are replayed by the oracle.
-      // the session-shared DSIR weight table (one corpus explode, one
-      // target + one base LM training, one scoring join — serving this
-      // row, _resample and _select)
-      dsirWeightsShared(s, dir)
-    }),
-    "q_contamination_report" -> ((s, dir) => {
-      // benchmark-card contamination number: fraction of the eval
-      // split's distinct 5-gram shingles present anywhere in train. The
-      // corpus side only passes a broadcast semi-join — it never
-      // shuffles its grams.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.contaminationReport(
-        d.where(col("doc_id") % 37 =!= 0),
-        d.where(col("doc_id") % 37 === 0),
-        "text", shingleN = 5)
-    }),
-    "q_dsir_resample" -> ((s, dir) => {
-      // the RESAMPLING half of DSIR: importance weights → per-doc keep
-      // probability min(1, exp(log_ratio)) decided by the portable id
-      // hash — a pure filter over the weight table, nested-by-weight,
-      // replayed exactly by the oracle (weights 1e-6-quantized first).
-      val w = dsirWeightsShared(s, dir)
-        .select(col("doc_id"), round(exp(col("log_ratio")), 6).as("w"))
-      graft.text.Sampling.sampleByWeight(w, "doc_id", col("w"))
-    }),
-    "q_dsir_select" -> ((s, dir) => {
-      // the acting half of DSIR: keep the top-50 documents by
-      // importance weight, ties to the lowest id. orderBy+limit plans
-      // as TakeOrderedAndProject — bounded per-partition heaps merged
-      // on the driver, never a global sort (the same scale shape as
-      // top-n-grams); the oracle is the weight replay ordered+limited.
-      dsirWeightsShared(s, dir)
-        .orderBy(col("log_ratio").desc, col("doc_id"))
-        .limit(50)
-    }),
-    "q_sessionize" -> onCube(c =>
-      // gap-based sessionization, batch form (StreamingSpec pins batch ==
-      // flatMapGroupsWithState streaming on the same input)
-      graft.streaming.StreamingOps.sessionizeBatch(c.df,
-        gapMs = 30 * 60 * 1000L)),
-    "q_stream_sessionize" -> ((s, dir) => {
-      // STATEFUL streaming correctness row: gap sessionization through a
-      // real MemoryStream run — flatMapGroupsWithState with event-time
-      // timeout, 4 time-ordered micro-batches, then a far-future
-      // watermark sentinel so every open session times out and flushes.
-      // Oracle = the batch formulation (q_sessionize's SQL) with
-      // round(sum, 2): session boundaries and counts are exactly equal;
-      // the payload sum accumulates in stream order (plain doubles) vs
-      // the oracle's decimal sum, and both are multiples of 0.01 whose
-      // ~1e-12 representation noise rounds away at 2 decimals.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows = eventsCube(s, dir).df
-        .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
-          col(Cube.ValueCol))
-        .as[(java.sql.Timestamp, String, Double, Double, Double)]
-        .collect().sortBy(_._1.getTime)
-      val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
-      val sink = "q_stream_sessionize_sink"
-      // state-store sizing: each micro-batch spawns one state task per
-      // shuffle partition; with the session default (32) and 5 batches
-      // that was 160 state tasks for a keyed-state cardinality of a few
-      // thousand — 4 partitions x 4 batches carry it with a fraction of
-      // the task + commit-log overhead (output is partition-count AND
-      // batch-split independent; StreamingSpec pins both). Restored
-      // after the run.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.sessionizeStream(
-          ms.toDF.toDF("time", "band", "y", "x", "value"),
-          gapMs = 30 * 60 * 1000L)
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
-        }
-        val flushTs = new java.sql.Timestamp(
-          rows.last._1.getTime + 365L * 24 * 3600 * 1000)
-        ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink).where(col("band") =!= "_wm")
-        .select(col("band"), col("y"), col("x"), col("start"), col("end"),
-          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
-    }),
-    "q_stream_curation_gate" -> ((s, dir) => {
-      // REAL incremental execution inside the correctness gate: the
-      // curation-gate expressions run through a MemoryStream in 4
-      // micro-batches into an in-memory append sink, and the collected
-      // sink is the query result. The gate is stateless, so stream
-      // output == batch output under ANY batch split — which is exactly
-      // what the batch-formulated oracle verifies (StreamingSpec pins
-      // the same law for the stateful ops). The driver-side collect is
-      // harness-only fixture feeding (≤ a few k docs at sf0.01); a
-      // production stream reads kafka/files through the same projection.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, String)]
-      val sink = "q_stream_curation_gate_sink"
-      val q = graft.streaming.StreamingOps.curationGateStream(
-          ms.toDF.toDF("doc_id", "text"), "text",
-          minQuality = 0.75, maxTopBigramFrac = 0.2)
-        .select(col("doc_id"), col("quality"), col("top_bigram_frac"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    }),
-    "q_stream_hll" -> ((s, dir) => {
-      // the live distinct-count monitor executed through a REAL
-      // update-state micro-batch run: documents stream in 2 batches,
-      // tokens explode stream-side, the bounded register table lands in
-      // a complete-mode sink, and the estimate over the sink is the
-      // result — equal to the batch sketch by the per-register-max merge
-      // law (StreamingSpec pins every prefix), so q_hll_distinct's
-      // oracle replay verifies this execution too
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("lang"), col("text"))
-        .as[(String, String)].collect().sortBy(_._2)
-      val ms = MemoryStream[(String, String)]
-      val sink = "q_stream_hll_sink"
-      val toks = ms.toDF.toDF("lang", "text")
-        .select(col("lang"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("_tok"))
-        .where(col("_tok") =!= "")
-      val q = graft.streaming.StreamingOps
-        .distinctRegistersStream(toks, col("_tok"), Seq("lang"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
-      graft.text.Sketches.hllEstimate(s.table(sink), Seq("lang"))
-    }),
-    "q_sample_fraction" -> ((s, dir) => {
-      // deterministic Bernoulli sample: pure filter on a portable LCG
-      // hash — reproducible across engines/partitionings, no shuffle
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.sampleFraction(d, "doc_id", 0.25)
-        .select("doc_id", "lang", "n_chars")
-    }),
-    "q_sample_stratified" -> ((s, dir) => {
-      // exact-20-per-language sample via the bounded top-k aggregate
-      // (map-side combine to <= n ids per stratum before the shuffle)
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.sampleStratified(d, Seq("lang"), "doc_id", 20)
-        .select("doc_id", "lang", "n_chars")
-    }),
-    "q_split_grouped" -> ((s, dir) => {
-      // leakage-safe 80/10/10 split: all docs of one (source, lang) group
-      // land in the same split — md5-based, engine-reproducible
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.assignSplit(
-          d.withColumn("grp", concat_ws("|", col("source"), col("lang"))),
-          "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "grp", "split")
-    }),
-    "q_pack_budget" -> ((s, dir) => {
-      // deterministic pack planning: 16 KiB char-budget packs per
-      // language over a reproducible (hash, id) order — all-integer
-      // arithmetic, so the assignment is engine-exact
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Packing.packByBudget(d, Seq("lang"), "doc_id",
-          "n_chars", 16384L)
-        .select("doc_id", "lang", "n_chars", "pack_id")
-    }),
-    "q_multimodal_features" -> ((s, dir) => {
-      // multimodal plumbing at scale: binary payload column (utf-8 bytes
-      // of the docs as a stand-in blob), mapPartitions decode + feature
-      // extraction, features exploded to scalar rows (rows-only check —
-      // the fake codec is not oracle-expressible)
-      import graft.multimodal.Multimodal
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val bin = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.featureExtract(Multimodal.decodeMeta(bin, "payload"),
-          "payload", dim = 8)
-        .select(col("doc_id"), col("meta.width").as("width"),
-          round(col("mean_px"), 6).as("mean_px"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
-    }),
-    "q_graph_multimodal" -> ((s, dir) => {
-      // the multimodal tier through the JSON graph surface (r13):
-      // load_table(documents) → encode_binary → image_decode →
-      // image_features(dim 8) compiles to the exact decodeMeta →
-      // featureExtract pipeline of q_multimodal_features; the final
-      // posexplode/round projection is presentation, applied
-      // identically. Oracle shared verbatim; process == API parity is
-      // also spec-pinned in GraphCompilerSpec.
-      import graft.compile.GraphCompiler
-      val graph = """{
-        "load": {"process_id": "load_table",
-                 "arguments": {"id": "documents"}},
-        "bin": {"process_id": "encode_binary", "arguments": {
-          "data": {"from_node": "load"}}},
-        "dec": {"process_id": "image_decode", "arguments": {
-          "data": {"from_node": "bin"}}},
-        "feat": {"process_id": "image_features", "arguments": {
-          "data": {"from_node": "dec"}, "dim": 8}, "result": true}}"""
-      new GraphCompiler(s, Map.empty,
-          s"${System.getProperty("java.io.tmpdir")}/graft_mm_res",
-          tables = Map("documents" -> s"$dir/documents.parquet"))
-        .compile(graph).asInstanceOf[DataFrame]
-        .select(col("doc_id"), col("meta.width").as("width"),
-          round(col("mean_px"), 6).as("mean_px"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
-    }),
-    "q_multimodal_real" -> ((s, dir) => {
-      // REAL image bytes end-to-end: each doc's UTF-8 bytes tile a w×h
-      // RGB image (w = 1+len%7, h = 1+len%5, pixel j = byte j%len), which
-      // is written as a genuine bottom-up row-padded 24-bpp BMP and
-      // parsed back through BmpCodec — a BGR-swap, row-order or padding
-      // decode bug shifts every stat. The oracle replays the generative
-      // pixel math from the hex of the text bytes (never parsing BMP).
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val bmp = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 1)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val len = tb.length
-          val w = 1 + len % 7; val h = 1 + len % 5
-          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
-          (id, Multimodal.BmpCodec.encode(
-            Multimodal.Decoded("bmp", w, h, 3, 1, px)))
-        }.toDF("doc_id", "payload")
-      Multimodal.featureExtract(
-          Multimodal.decodeMeta(bmp, "payload", Multimodal.BmpCodec),
-          "payload", dim = 6, codec = Multimodal.BmpCodec)
-        .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          round(col("mean_px"), 6).as("mean_px"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
-    }),
-    "q_image_augment" -> ((s, dir) => {
-      // augmentation over REAL bytes: generative BMP → horizontal flip
-      // → 2×2 center crop, THREE codec round-trips, then the
-      // position-weighted checksum (catches pixel permutations a mean
-      // cannot) — all index arithmetic replayed by the oracle from
-      // hex(text)
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val bmp = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 1)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val len = tb.length
-          val w = 1 + len % 7; val h = 1 + len % 5
-          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
-          (id, Multimodal.BmpCodec.encode(
-            Multimodal.Decoded("bmp", w, h, 3, 1, px)))
-        }.toDF("doc_id", "payload")
-      Multimodal.pixelChecksum(
-          Multimodal.centerCrop(
-            Multimodal.hflip(bmp, "payload", Multimodal.BmpCodec),
-            "payload", 2, 2, Multimodal.BmpCodec),
-          "payload", Multimodal.BmpCodec)
-        .select("doc_id", "n_px", "wsum")
-    }),
-    "q_multimodal_resize" -> ((s, dir) => {
-      // resize over REAL bytes: the generative BMP of q_multimodal_real
-      // is nearest-neighbor downsampled to 2×2 (sy = ⌊y·h/2⌋ capped,
-      // sx = ⌊x·w/2⌋ capped), re-encoded as BMP, and decoded again for
-      // stats — TWO full codec round-trips plus the index math, all
-      // replayed by the oracle from the source text bytes.
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val bmp = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 1)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val len = tb.length
-          val w = 1 + len % 7; val h = 1 + len % 5
-          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
-          (id, Multimodal.BmpCodec.encode(
-            Multimodal.Decoded("bmp", w, h, 3, 1, px)))
-        }.toDF("doc_id", "payload")
-      Multimodal.decodeMeta(
-          Multimodal.resize(bmp, "payload", newW = 2, newH = 2,
-            codec = Multimodal.BmpCodec),
-          "payload", Multimodal.BmpCodec)
-        .select(col("doc_id"), col("meta.width").as("width"),
-          col("meta.height").as("height"),
-          round(col("mean_px"), 6).as("mean_px"))
-    }),
-    "q_multimodal_wav" -> ((s, dir) => {
-      // REAL audio bytes: doc bytes (truncated to an even count) are the
-      // 8-bit sample plane of a stereo 16-bit PCM WAV (sample =
-      // (b-128)<<8), written and re-parsed by WavCodec — the RIFF chunk
-      // walk and little-endian sample decode map back to exactly the
-      // source bytes, which the oracle reads directly from hex(text).
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val wav = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        // upper bound mirrors the oracle's generate_series(0, 4095): both
-        // sides skip docs over 4096 bytes so a bigger SF can't desync them
-        .where(octet_length(col("tb")) >= 2 &&
-          octet_length(col("tb")) <= 4096)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val n = tb.length - (tb.length % 2)
-          (id, Multimodal.WavCodec.encode(
-            Multimodal.Decoded("wav", n / 2, 1, 2, 1, tb.take(n))))
-        }.toDF("doc_id", "payload")
-      Multimodal.featureExtract(
-          Multimodal.decodeMeta(wav, "payload", Multimodal.WavCodec),
-          "payload", dim = 4, codec = Multimodal.WavCodec)
-        .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.width").as("frames_per_ch"),
-          col("meta.channels").as("channels"),
-          round(col("mean_px"), 6).as("mean_px"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
-    }),
-    "q_audio_features" -> ((s, dir) => {
-      // audio ANALYSIS over real WAV bytes: the q_multimodal_wav
-      // container round-trip, then per-32-sample-frame RMS energy +
-      // zero-crossing rate — integer-exact frame sums, one sqrt + one
-      // division of IEEE steps, replayed from hex(text) by the oracle
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val wav = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 2 &&
-          octet_length(col("tb")) <= 4096)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val n = tb.length - (tb.length % 2)
-          (id, Multimodal.WavCodec.encode(
-            Multimodal.Decoded("wav", n / 2, 1, 2, 1, tb.take(n))))
-        }.toDF("doc_id", "payload")
-      Multimodal.audioFrameFeatures(wav, "payload", frameLen = 32,
-          codec = Multimodal.WavCodec)
-        .select(col("doc_id"), col("frame_idx"), col("n_samples"),
-          round(col("energy"), 6).as("energy"),
-          round(col("zcr"), 6).as("zcr"))
-    }),
-    "q_multimodal_png" -> ((s, dir) => {
-      // REAL compressed image bytes end-to-end: each doc's UTF-8 bytes
-      // tile a w×h RGB image (w = 1+len%6, h = 1+len%4, pixel j = byte
-      // j%len), written as a genuine zlib-deflated PNG whose scanline
-      // filter cycles y%5 (all five filter types on the wire) and parsed
-      // back through PngCodec — Inflater, chunk CRCs, and all five
-      // filter reconstructions sit on the hash path. The oracle replays
-      // the generative pixel math from hex(text), never parsing PNG.
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val png = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 1)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val len = tb.length
-          val w = 1 + len % 6; val h = 1 + len % 4
-          val px = Array.tabulate[Byte](w * h * 3)(j => tb(j % len))
-          (id, Multimodal.PngCodec.encode(
-            Multimodal.Decoded("png", w, h, 3, 1, px)))
-        }.toDF("doc_id", "payload")
-      Multimodal.featureExtract(
-          Multimodal.decodeMeta(png, "payload", Multimodal.PngCodec),
-          "payload", dim = 5, codec = Multimodal.PngCodec)
-        .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          round(col("mean_px"), 6).as("mean_px"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
-    }),
-    "q_multimodal_jpeg" -> ((s, dir) => {
-      // REAL baseline JPEG end-to-end (r14): each doc's UTF-8 bytes form
-      // a w×h grayscale tile (w = 1+len%5, h = 1+len%3, tile s = byte
-      // s%len) that is expanded 8× per axis into flat 8×8 blocks — the
-      // construction for which grayscale baseline JPEG with DC quant
-      // step 8 is EXACTLY lossless (all AC coefficients are zero, DC is
-      // a multiple of the step), so Huffman coding, byte stuffing,
-      // dequantization, and the IDCT all sit on the hash path while the
-      // oracle replays decoded-pixel stats from the generative bytes,
-      // never parsing JPEG.
-      import graft.multimodal.Multimodal
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val jpg = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
-        .where(octet_length(col("tb")) >= 1)
-        .as[(Long, Array[Byte])]
-        .map { case (id, tb) =>
-          val len = tb.length
-          val w = 1 + len % 5; val h = 1 + len % 3
-          val wp = w * 8; val hp = h * 8
-          val px = Array.tabulate[Byte](wp * hp) { j =>
-            val s2 = (j / wp / 8) * w + (j % wp) / 8
-            tb(s2 % len)
-          }
-          (id, Multimodal.JpegCodec.encode(
-            Multimodal.Decoded("jpeg", wp, hp, 1, 1, px)))
-        }.toDF("doc_id", "payload")
-      Multimodal.featureExtract(
-          Multimodal.decodeMeta(jpg, "payload", Multimodal.JpegCodec),
-          "payload", dim = 5, codec = Multimodal.JpegCodec)
-        .select(col("doc_id"), col("meta.format").as("format"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          round(col("mean_px"), 6).as("mean_px"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
-    }),
-    "q_chunk_tokens" -> ((s, dir) => {
-      // context-length chunking: 32-token chunks, remainder in the last
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Packing.chunkByTokens(d, "text", "doc_id", maxTokens = 32)
-    }),
-    "q_interleave" -> ((s, dir) => {
-      // dataset mixing: web-like (en) kept at 80%, code-like (the rest)
-      // at 25%, tagged with provenance, in deterministic hash order
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.interleaveSources(Seq(
-          (d.where(col("lang") === "en"), 0.8, "web"),
-          (d.where(col("lang") =!= "en"), 0.25, "code")), "doc_id")
-        .select("doc_id", "lang", "mix_source")
-    }),
-    "q_dedup_corpus_best" -> ((s, dir) => {
-      // representative selection: keep the LONGEST doc per near-dup
-      // cluster (ties to lowest id) instead of the minimum id
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val pairs = dedupPairsShared(s, dir)
-      Dedup.dedupCorpusBest(d, pairs, "doc_id", "n_chars")
-        .select("doc_id", "lang", "source", "n_chars")
-    }),
-    "q_shuffle_order" -> ((s, dir) => {
-      // deterministic global training order: LCG-hash rank, engine-
-      // portable (same arithmetic as q_sample_fraction), dense ordinal
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.shuffleDeterministic(d, "doc_id",
-          withOrdinal = true)
-        .select("ord", "doc_id", "lang")
-    }),
-    "q_shuffle_order_scalable" -> ((s, dir) => {
-      // the SAME training order through the distributed ordinal path
-      // (range sort + per-partition offsets, no one-partition window) —
-      // the 100 TB formulation, verified against the identical oracle
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.shuffleDeterministicOrdinals(
-          d.select("doc_id", "lang"), "doc_id")
-        .select("ord", "doc_id", "lang")
-    }),
-    "q_corpus_report" -> ((s, dir) => {
-      // the dataset-card statistics pass: per (lang, source) totals,
-      // exact token percentiles, mean tokens, char envelope
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.corpusReport(d, "text", Seq("lang", "source"))
-    }),
-    "q_rollup" -> ((s, dir) => {
-      // OLAP subtotal surface: ROLLUP over (returnflag, linestatus)
-      // with exact decimal sums. PRE-AGGREGATE to the base grouping
-      // first (one partial+final pass over the fact table), then roll
-      // the ~10-row aggregate up — Expand multiplies 10 rows by the
-      // grouping-set count instead of the whole fact stream (measured
-      // 3.1 → 0.8 s at sf0.1). Decimal addition is exactly associative,
-      // so re-aggregating the decimal partials and casting to double
-      // ONCE at the end is bit-identical to the single-level rollup.
-      // GROUPING() flags distinguish subtotal NULLs from data NULLs.
-      val pre = s.read.parquet(s"$dir/lineitem.parquet")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_q"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") -
-              col("l_discount").cast("decimal(18,2)"))).as("_r"),
-          count(lit(1)).as("_n"))
-      pre.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("_q")).cast("double").as("sum_qty"),
-          sum(col("_r")).cast("double").as("revenue"),
-          sum(col("_n")).as("n_rows"),
-          grouping(col("l_returnflag")).cast("int").as("g_rf"),
-          grouping(col("l_linestatus")).cast("int").as("g_ls"))
-    }),
-    "q_drift_report" -> ((s, dir) => {
-      // distribution drift between two corpus snapshots (even vs odd
-      // doc ids): KL(new‖old) + total variation over add-0.5-smoothed
-      // unigram distributions on the union vocabulary; contributions
-      // 1e-9-long-quantized so the sums are order-free
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.distributionDrift(
-        d.where(col("doc_id") % 2 === 0),
-        d.where(col("doc_id") % 2 === 1), "text")
-    }),
-    "q_text_entropy" -> ((s, dir) => {
-      // per-doc character entropy (bits): the randomness quality signal
-      // — low = boilerplate, very high = binary junk; 1e-9-quantized
-      // contributions so the per-doc fold is order-free
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.charEntropy(d, "text", "doc_id")
-    }),
-    "q_graph_drift" -> ((s, dir) => {
-      // the drift audit driven through the JSON graph surface:
-      // load_table ×2 + distribution_drift compile to the identical
-      // plan as q_drift_report's Scala call; oracle shared verbatim
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_drift_$slug"
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.where(col("doc_id") % 2 === 0)
-        .write.mode("overwrite").parquet(s"$tmp/snap_old")
-      d.where(col("doc_id") % 2 === 1)
-        .write.mode("overwrite").parquet(s"$tmp/snap_new")
-      val graph = """{
-        "o": {"process_id": "load_table", "arguments": {"id": "snap_old"}},
-        "n": {"process_id": "load_table", "arguments": {"id": "snap_new"}},
-        "d": {"process_id": "distribution_drift", "arguments": {
-          "old": {"from_node": "o"}, "new": {"from_node": "n"}},
-          "result": true}}"""
-      new GraphCompiler(s, Map.empty, tmp + "_res",
-          tables = Map("snap_old" -> s"$tmp/snap_old",
-            "snap_new" -> s"$tmp/snap_new"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_graph_bm25" -> ((s, dir) => {
-      // keyword retrieval driven through the JSON graph surface:
-      // load_table + bm25 compile to the identical plan as q_bm25's
-      // Scala call; oracle shared verbatim
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gbm25_$slug"
-      val graph = """{
-        "d": {"process_id": "load_table", "arguments": {"id": "documents"}},
-        "s": {"process_id": "bm25", "arguments": {
-          "data": {"from_node": "d"},
-          "terms": ["spark", "merge", "window"]},
-          "result": true}}"""
-      new GraphCompiler(s, Map.empty, tmp + "_res",
-          tables = Map("documents" -> s"$dir/documents.parquet"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_drift_movers" -> ((s, dir) => {
-      // the actionable half: top-20 tokens by smoothed-probability move
-      // (TakeOrderedAndProject over the joined Zipf-sized count table)
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      TextAnalysis.driftTopMovers(
-        d.where(col("doc_id") % 2 === 0),
-        d.where(col("doc_id") % 2 === 1), "text", k = 20)
-    }),
-    "q_cms_freq" -> ((s, dir) => {
-      // fixed-memory token-frequency estimation: 4x1024 count-min sketch
-      // over corpus tokens, probed for five present tokens and one
-      // absent — all-integer arithmetic, engine-exact with no rounding;
-      // sketch state is d*w cells no matter the vocabulary
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sketches.cmsFrequencyTokens(d, "text",
-        Seq("join", "hash", "filter", "scan", "the", "qzxv"))
-    }),
-    "q_hll_distinct" -> ((s, dir) => {
-      // fixed-memory vocabulary estimate per language: portable 2048-
-      // register HLL over whitespace tokens — the only shuffle carries
-      // <= |langs| x 2048 register rows no matter the corpus size; the
-      // oracle replays hash, registers and the exact-integer harmonic
-      // sum in SQL
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sketches.hllDistinctTokens(d, "text", Seq("lang"))
-    }),
-    "q_temperature_mix" -> ((s, dir) => {
-      // mT5-style alpha-temperature source mixing (alpha=0.5, target 200
-      // docs): per-source rates from one tiny count aggregation, keep
-      // decided by the portable LCG hash — the sample is a pure filter
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      graft.text.Sampling.temperatureSample(d, "source", "doc_id",
-          alpha = 0.5, target = 200L)
-        .select("doc_id", "source", "lang")
-    }),
-    "q_unimax_mix" -> ((s, dir) => {
-      // UniMax water-filling budget allocation (Chung et al. 2023) over
-      // a deliberately skewed source tiering (the fixture's natural
-      // sources are uniform): two synthetic head/mid tiers plus the
-      // natural tail sources. At sf0.01 the ~20 tail sources fit their
-      // equal share and are kept WHOLE while head and mid split the
-      // leftover equally — the fairness property temperature mixing
-      // lacks; the oracle replays the integer cutoff and shared share.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val skewed = d.withColumn("mix_src",
-        when(col("doc_id") < 300, "head")
-          .when(col("doc_id") < 450, "mid")
-          .otherwise(col("source")))
-      graft.text.Sampling.unimaxSample(skewed, "mix_src", "doc_id",
-          budget = 120L)
-        .select("doc_id", "mix_src", "lang")
-    }),
-    "q_graph_mix" -> ((s, dir) => {
-      // a second graph-surface composition: UniMax budget mixing →
-      // per-(lang, source) cap → per-language stats, driven end-to-end
-      // by JSON; the oracle replays water-filling, the TopKAgg-pruned
-      // cap (bit-identical to the rank window), and the token stats.
-      import graft.compile.GraphCompiler
-      val graph = """{
-        "load": {"process_id": "load_table",
-                 "arguments": {"id": "documents"}},
-        "mix": {"process_id": "sample_unimax", "arguments": {
-          "data": {"from_node": "load"}, "budget": 120}},
-        "cap": {"process_id": "cap_per_group", "arguments": {
-          "data": {"from_node": "mix"}, "group_columns": ["lang", "source"],
-          "score_column": "n_chars", "k": 3}},
-        "stats": {"process_id": "token_stats", "arguments": {
-          "data": {"from_node": "cap"}, "by": ["lang"]}, "result": true}}"""
-      new GraphCompiler(s, Map.empty,
-          s"${System.getProperty("java.io.tmpdir")}/graft_mix_res",
-          tables = Map("documents" -> s"$dir/documents.parquet"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_graph_diversify" -> ((s, dir) => {
-      // the embedding tier through the openEO JSON graph surface:
-      // load_table(embeddings) → diversify_prototypes, compiling to the
-      // identical plan as q_d4_diversify (shared oracle)
-      import graft.compile.GraphCompiler
-      val graph = """{
-        "load": {"process_id": "load_table",
-                 "arguments": {"id": "embeddings"}},
-        "div": {"process_id": "diversify_prototypes", "arguments": {
-          "data": {"from_node": "load"}, "n_clusters": 16,
-          "drop_frac": 0.25}, "result": true}}"""
-      new GraphCompiler(s, Map.empty,
-          s"${System.getProperty("java.io.tmpdir")}/graft_div_res",
-          tables = Map("embeddings" -> s"$dir/embeddings.parquet"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_graph_knn" -> ((s, dir) => {
-      // the k-NN self-join through the openEO JSON graph surface:
-      // load_table(embeddings) → knn_join (salted), compiling to the
-      // identical plan as q_knn_join (shared oracle)
-      import graft.compile.GraphCompiler
-      val graph = """{
-        "load": {"process_id": "load_table",
-                 "arguments": {"id": "embeddings"}},
-        "knn": {"process_id": "knn_join", "arguments": {
-          "data": {"from_node": "load"}, "k": 3, "n_centroids": 16,
-          "n_probe": 4, "salt_factor": 2}, "result": true}}"""
-      new GraphCompiler(s, Map.empty,
-          s"${System.getProperty("java.io.tmpdir")}/graft_knn_res",
-          tables = Map("embeddings" -> s"$dir/embeddings.parquet"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_unimax_epochs" -> ((s, dir) => {
-      // the data-constrained regime: UniMax with an epoch cap of 3 —
-      // small tail sources UP-SAMPLE (all 3 epochs), the big tiers get
-      // fractional sub-epoch allocations; rows multiply map-side via
-      // explode(sequence), no shuffle. The oracle replays the capacity
-      // water-filling, the per-source whole/fractional copy counts, and
-      // the lateral row multiplication.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val skewed = d.withColumn("mix_src",
-        when(col("doc_id") < 300, "head")
-          .when(col("doc_id") < 450, "mid")
-          .otherwise(col("source")))
-        .select("doc_id", "mix_src", "lang")
-      graft.text.Sampling.unimaxSampleEpochs(skewed, "mix_src", "doc_id",
-        budget = 400L, maxEpochs = 3L)
-    }),
-    "q_text_normalize" -> ((s, dir) => {
-      // normalization rules exercised on synthetically-noised input
-      // (tabs, BEL, newlines, runs of spaces appended to each doc) —
-      // the corpus itself is clean, so noise injection is what makes
-      // this a real test of the control-char + collapse rules
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"),
-        TextAnalysis.normalizeText(
-          concat(col("text"), lit("\t  mixed \u0007 tail\n\n"))).as("norm"))
-        .withColumn("n_norm", length(col("norm")))
-    }),
-    "q_text_unicode" -> ((s, dir) => {
-      // Unicode normalization tier (round 13): each doc gets a
-      // deterministic multilingual suffix (ligature, fullwidth forms,
-      // enclosed digit, superscript, a combining sequence, Devanagari/
-      // Cyrillic/Greek/CJK/kana/Hangul/Hebrew/Arabic runs, ZWSP, NBSP,
-      // ideographic space, a control char). normalizeUnicode
-      // NFKC-folds + category-strips, scriptCounts profiles the
-      // result. The oracle replays NFKC via replace() over exactly
-      // this character set (the base corpus is ASCII — enforced by the
-      // filter, so the unicode delta is the suffix alone) and the
-      // script counts via RE2 \p{Script} classes, which agree with
-      // Java's Character.UnicodeScript on every character used here.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .where(!col("text").rlike("[^\\x00-\\x7f]"))
-      val suffix = elt((col("doc_id") % 6 + 1).cast("int"),
-        lit("\ufb01nance \u2460"),
-        lit("\uff26\uff55\uff4c\uff4c x\u00b2"),
-        lit("e\u0301clair \u0928\u092e\u0938\u094d\u0924\u0947"),
-        lit("\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440" +
-          " \u03b1\u03b2\u03b3"),
-        lit("\u4e2d\u6587\u6e2c\u8a66 \u30ab\u30bf\u30ab\u30ca" +
-          " \u3072\u3089\u304c\u306a"),
-        lit("\ud55c\uad6d\uc5b4 \u05e9\u05dc\u05d5\u05dd" +
-          " \u0639\u0631\u0628\u0649\u200bz\u00a0\u3000end\u0007"))
-      val norm = TextAnalysis.normalizeUnicode(
-        concat(col("text"), lit(" "), suffix))
-      // project the 9-field ScriptCounts struct ONCE, then pull fields
-      // from the materialized column: interpreted projections get no
-      // subexpression elimination, so 9 inline getField copies would
-      // re-scan the full text 9× per row (round-13 advice)
-      d.select(col("doc_id"), norm.as("norm_text"))
-        .select(col("doc_id"), col("norm_text"),
-          graft.functions.UnicodeExprs.scriptCounts(col("norm_text"))
-            .as("_sc"))
-        .select(col("doc_id"), col("norm_text"),
-          col("_sc.latin").as("n_latin"),
-          col("_sc.cyrillic").as("n_cyrillic"),
-          col("_sc.han").as("n_han"),
-          col("_sc.arabic").as("n_arabic"),
-          col("_sc.devanagari").as("n_devanagari"),
-          col("_sc.hangul").as("n_hangul"),
-          col("_sc.kana").as("n_kana"),
-          col("_sc.greek").as("n_greek"),
-          col("_sc.hebrew").as("n_hebrew"))
-    }),
-    "q_curation_pipeline_v2" -> ((s, dir) => {
-      // round-4 composition DAG — the sub-document-hygiene pipeline:
-      // inject (email + cross-doc shared paragraph, as the standalone
-      // queries do) → PII redaction → Gopher-lite gate (length +
-      // stopword presence) → cross-doc paragraph dedup → LM perplexity
-      // gate (train on the cleaned corpus, drop high-NLL docs) →
-      // per-language stats. Every stage is the oracled operator.
-      import graft.text.LanguageModel
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val seed = d.where(col("doc_id") < 50)
-        .select(col("doc_id").as("sid"),
-          substring(col("text"), 1, 100).as("shared"))
-      val docs = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
-        .select(col("doc_id"), col("lang"),
-          concat_ws("\n\n",
-            concat(col("text"), lit(" contact user"),
-              col("doc_id").cast("string"), lit("@example.com")),
-            col("shared")).as("text2"))
-      val redacted = TextAnalysis.piiPatterns.foldLeft(col("text2")) {
-        case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
-      }
-      // checkpoint the REDACTED projection before the gate, not after:
-      // the gate's word/stopword conditions derive from `rtext`, and
-      // Catalyst pushes a deterministic filter below the projection —
-      // which re-evaluates the triple-regex chain once in the Filter and
-      // once in the Project (measured 3.9 s vs 1.2 s for this stage at
-      // sf0.1). Materializing first runs the regexes exactly once; the
-      // gate then reads checkpointed bytes.
-      val stage1 = docs.withColumn("rtext", redacted)
-        .select(col("doc_id"), col("lang"), col("rtext"))
-        .localCheckpoint(true)
-      val words = split(trim(col("rtext")), "\\s+")
-      val stopsPresent = size(filter(
-        array(TextAnalysis.gopherStops.map(lit): _*),
-        w => array_contains(words, w)))
-      // this corpus's vocabulary carries only 'the' from the Gopher stop
-      // set — presence >= 1 keeps the gate meaningful without zeroing it
-      // second barrier: `gated` feeds BOTH the paragraph-dedup input and
-      // the lang join below; checkpointing the (narrow) survivor slice
-      // spares each consumer the re-run of the gate split
-      val gated = stage1.where(size(words) >= 50 && stopsPresent >= 1)
-        .localCheckpoint(true)
-      // second fan-out: `cleaned` feeds LM training, LM scoring, and the
-      // final stats (same pattern as v1's deduped checkpoint)
-      val cleaned = Dedup.dedupParagraphs(
-          gated.select(col("doc_id"), col("rtext")), "rtext", "doc_id")
-        .join(gated.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint(true)
-      // train + score share ONE bigram explode of the cleaned corpus
-      val grams = cleaned.select(col("doc_id"),
-          explode(LanguageModel.bigrams(col("clean_text"))).as("gram"))
-        .localCheckpoint(true)
-      val lm = LanguageModel.trainBigramLmFromGrams(grams)
-      val keep = LanguageModel
-        .scoreBigramLmFromGrams(grams, lm, "doc_id")
-        .where(col("avg_nll") <= 3.4).select("doc_id")
-      cleaned.join(keep, "doc_id")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.tokenCountWs(col("clean_text")).cast("long"))
-            .as("n_tokens"))
-    }),
-    "q_lm_perplexity" -> ((s, dir) => {
-      // CCNet-style perplexity filter: train the corpus bigram LM, score
-      // every doc by average negative log-likelihood under it. Training
-      // + scoring both replayed by the oracle; per-bigram log terms are
-      // long-quantized at 1e-9 so the per-doc sum is engine-exact.
-      // the session-shared gram stream + LM (also q_stream_lm_score's
-      // served model and DSIR's base LM)
-      graft.text.LanguageModel.scoreBigramLmFromGrams(
-        corpusGramsShared(s, dir), corpusBigramLmShared(s, dir), "doc_id")
-    }),
-    "q_lm_backoff" -> ((s, dir) => {
-      // stupid-backoff trigram LM (Brants 2007): trigram→bigram→unigram
-      // count chain with α=0.4 per backoff level, OOV floor α²/N. Three
-      // Zipf-sized tables, three left hash joins of one exploded trigram
-      // stream, 1e-9 long-quantized terms — training AND the full
-      // backoff cascade replayed by the oracle.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val lm = graft.text.LanguageModel.trainBackoffLm(d, "text")
-      graft.text.LanguageModel.scoreBackoffLm(d, lm, "text", "doc_id")
-    }),
-    "q_sql_surface" -> ((s, dir) => {
-      // the pure-SQL front door: GraftExtensions registers every native
-      // graft_* expression in the session FunctionRegistry (the same
-      // payloads spark.sql.extensions=graft.GraftExtensions injects at
-      // session build), and the query is driven ENTIRELY through SQL
-      // text — no Column API. Resolves to the identical codegen
-      // expressions, which the oracle's FNV-1a/ordered-sum replays prove.
-      graft.GraftExtensions.registerAll(s)
-      s.read.parquet(s"$dir/documents.parquet")
-        .createOrReplaceTempView("documents_sql")
-      s.read.parquet(s"$dir/embeddings.parquet")
-        .createOrReplaceTempView("embeddings_sql")
-      s.sql("""SELECT d.doc_id,
-                 graft_fnv_bucket(lower(trim(d.text)), 64) AS bucket,
-                 round(graft_dot(e.embedding, e.embedding), 6) AS self_dot
-               FROM documents_sql d
-               JOIN embeddings_sql e ON e.vec_id = d.doc_id""")
-    }),
-    "q_curation_pipeline_v3" -> ((s, dir) => {
-      // round-4 model-based SELECTION DAG: sparse hashed-classifier
-      // quality gate (trained in-pipeline) → DSIR target-domain
-      // weighting (both LMs trained on the GATED corpus) → per-domain
-      // cap → per-language stats. Every stage is the oracled operator;
-      // the oracle replays the full trajectory including both trainings.
-      import graft.text.{LanguageModel, Sampling}
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      // gate 1 reads the session-shared classifier score table (the
-      // identical training trajectory — see classifierScoreShared)
-      val gate1 = classifierScoreShared(s, dir)
-        .where(col("score") >= 0.5).select("doc_id")
-      // fan-out: kept1 feeds the gram explode AND the final joins
-      val kept1 = d.join(gate1, "doc_id").localCheckpoint(true)
-      val grams = kept1.select(col("doc_id"), col("lang"),
-          explode(LanguageModel.bigrams(col("text"))).as("gram"))
-        .localCheckpoint(true)
-      val lmT = LanguageModel
-        .trainBigramLmFromGrams(grams.where(col("lang") === "en"))
-      val lmB = LanguageModel.trainBigramLmFromGrams(grams)
-      val gate2 = LanguageModel
-        .importanceWeightsFromGrams(grams, lmT, lmB, "doc_id")
-        .where(col("log_ratio") >= -8.0).select("doc_id")
-      val capped = Sampling.capPerGroup(
-        kept1.join(gate2, "doc_id")
-          .select("doc_id", "lang", "source", "n_chars"),
-        Seq("lang", "source"), col("n_chars"), "doc_id", 5)
-      capped.groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    }),
-    "q_stream_lm_score" -> ((s, dir) => {
-      // stream-SERVING LM scoring: the bigram LM trains batch-side, is
-      // broadcast, and documents arriving through a real MemoryStream
-      // (3 micro-batches) are scored by the stateless map-side scorer —
-      // append mode with zero stateful machinery, the model-serving
-      // pattern. The scorer is bit-identical to the join formulation,
-      // so the oracle is the same batch LM replay as q_lm_perplexity.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val lm = corpusBigramLmShared(s, dir) // == trainBigramLm(d, "text")
-      val rows = d.select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect()
-      val ms = MemoryStream[(Long, String)]
-      val sink = "q_stream_lm_score_sink"
-      val q = graft.text.LanguageModel
-        .scoreBigramLmBroadcast(ms.toDF.toDF("doc_id", "text"), lm,
-          "text", "doc_id")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      s.table(sink)
-    }),
-    "q_stream_neardup" -> ((s, dir) => {
-      // STATEFUL streaming near-dup gate through a REAL MemoryStream
-      // run: documents arrive in 2 micro-batches, each hashes once
-      // (codegen simhash), explodes to its 28 band-pair buckets, and
-      // flatMapGroupsWithState keyed by bucket emits a pair the moment
-      // the later duplicate arrives. The streamed match set equals the
-      // batch self-join pair set under ANY batch split (both modes
-      // derive candidates from the same simhashPairKeys expression;
-      // StreamingSpec pins split-independence and re-ingestion safety),
-      // so the oracle is q_dedup_simhash's all-pairs replay verbatim.
-      // A pair sharing several buckets emits once per bucket — the
-      // dropDuplicates collapse mirrors the batch blocking's own.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, String)]
-      val sink = "q_stream_neardup_sink"
-      // state-store sizing as q_stream_sessionize: 4 partitions carry a
-      // few-thousand-bucket keyed state with a fraction of the 32x task
-      // + commit-log overhead (output pinned partition-count independent)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.dedupStreamSimhash(
-          ms.toDF.toDF("doc_id", "text"), "text", "doc_id", maxDist = 6)
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink).dropDuplicates("id_a", "id_b")
-    }),
-    "q_stream_agg_period" -> ((s, dir) => {
-      // watermarked tumbling-window aggregation through a REAL append-
-      // mode MemoryStream run: the events cube streams in 2 time-ordered
-      // micro-batches, day windows close as the watermark passes, and a
-      // far-future sentinel flushes the last open windows (the
-      // sessionize pattern). Labels are window starts == date_trunc
-      // day, so the batch oracle verifies the streamed execution.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val rows = eventsCube(s, dir).df
-        .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
-          col(Cube.ValueCol))
-        .as[(java.sql.Timestamp, String, Double, Double, Double)]
-        .collect().sortBy(_._1.getTime)
-      val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
-      val sink = "q_stream_agg_period_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.aggregateTemporalPeriodStream(
-          ms.toDF.toDF("time", "band", "y", "x", "value"), "day", "max")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
-        }
-        val flushTs = new java.sql.Timestamp(
-          rows.last._1.getTime + 365L * 24 * 3600 * 1000)
-        ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink).where(col("band") =!= "_wm")
-    }),
-    "q_stream_dedup_exact" -> ((s, dir) => {
-      // streaming exact dedup through a REAL run: dropDuplicates on the
-      // content digest with event-time state. Which COPY of a duplicate
-      // survives depends on intra-batch race, so the row emits the
-      // digest alone — exactly one row per distinct content, any order,
-      // which the batch distinct-digest oracle verifies.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val base = new java.sql.Timestamp(1700000000000L).getTime
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-        .map { case (id, t) => (new java.sql.Timestamp(base + id), t) }
-      val ms = MemoryStream[(java.sql.Timestamp, String)]
-      val sink = "q_stream_dedup_exact_sink"
-      val q = graft.streaming.StreamingOps.dedupExactStream(
-          ms.toDF.toDF("ts", "text"), "text", "ts")
-        .select(col("content_hash"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    }),
-    "q_stream_ngram_monitor" -> ((s, dir) => {
-      // the incremental n-gram frequency monitor through a REAL
-      // update-state run: documents stream in 2 batches, trigram counts
-      // accumulate in the stateful aggregation, and the complete-mode
-      // sink after the last batch equals the batch count table (counts
-      // are order- and batching-insensitive).
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, String)]
-      val sink = "q_stream_ngram_monitor_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.ngramCountsStream(
-          ms.toDF.toDF("doc_id", "text"), "text", 3)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink)
-    }),
-    "q_stream_dedup_incremental" -> ((s, dir) => {
-      // the production INGESTION gate as a stream: the same planted
-      // shard as q_dedup_incremental arrives in 2 micro-batches and
-      // gates against the static kept corpus via stream-static band +
-      // shingle joins (append-legal, zero state). Multi-band pairs
-      // emit once per band — collapsed at the sink; the batch
-      // cross-side oracle verifies the match set verbatim.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val ref = d.where(col("doc_id") < 400).select("doc_id", "text")
-      val incRows = d.where(col("doc_id") >= 400).select("doc_id", "text")
-        .unionByName(d.where(col("doc_id") < 25)
-          .select((col("doc_id") + lit(10000L)).as("doc_id"),
-            concat(col("text"), lit(" x")).as("text")))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, String)]
-      val sink = "q_stream_dedup_incremental_sink"
-      val q = graft.streaming.StreamingOps.dedupStreamMinhashIncremental(
-          ms.toDF.toDF("doc_id", "text"), ref, "text", "doc_id")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try incRows.grouped(math.max(1, (incRows.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink).dropDuplicates("inc_id", "ref_id")
-    }),
-    "q_stream_ann" -> ((s, dir) => {
-      // ONLINE retrieval through a REAL 2-micro-batch MemoryStream run:
-      // query vectors stream against the persisted IVF store (frozen
-      // centroids probed in a stateless projection, stream-static join
-      // to the assignment, bounded TopKAgg per query — k entries of
-      // state, never the candidate set). The complete-mode sink's final
-      // table posexplodes (batch) to the ranked rows — identical to the
-      // batch serving path, oracle shared verbatim with q_ann_topk_ivf.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = buildIvfStore(s, dir)
-      val qrows = e.where(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, Array[Float])]
-      val sink = "q_stream_ann_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.annServeStream(s, idx,
-          ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
-          k = 5, nProbe = 4)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try qrows.grouped(5).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink)
-        .select(col("query_id"), posexplode(col("topk")).as(Seq("_pos", "_s")))
-        .select(col("query_id"), (col("_pos") + 1).cast("int").as("rank"),
-          col("_s.id").as("neighbor_id"), round(col("_s.cos"), 9).as("cos"))
-    }),
-    "q_stream_decontaminate" -> ((s, dir) => {
-      // EXACT stateless decontamination through a REAL MemoryStream run:
-      // the eval suite (every 37th doc) collapses once to its distinct
-      // shingle-hash LITERAL (bounded — benchmarks are small by
-      // definition), and corpus docs streaming in 2 micro-batches count
-      // their contamination in a pure projection (array_intersect
-      // against the literal). Stateless → stream == batch under any
-      // split, so the oracle is q_decontaminate's string-level replay
-      // verbatim.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val evalHashes = d.where(col("doc_id") % 37 === 0)
-        .select(explode(graft.functions.TextHashExprs.shingleHashes(
-          lower(trim(col("text"))), 5)).as("g"))
-        .distinct().as[Long].collect().sorted
-      val docs = d.where(col("doc_id") % 37 =!= 0)
-        .select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, String)]
-      val sink = "q_stream_decontaminate_sink"
-      val q = graft.streaming.StreamingOps.decontaminateStream(
-          ms.toDF.toDF("doc_id", "text"), evalHashes, "text", "doc_id")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    }),
-    "q_quality_classifier" -> ((s, dir) => {
-      // trainable quality scorer: 3 rounds of distributed full-batch
-      // logistic GD (rational link, long-quantized gradients — see
-      // Classifier's scaladoc) on two cheap features, label = lang==en;
-      // then score the corpus. The oracle replays the entire training
-      // trajectory as unrolled SQL and must land on the same weights.
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val words = size(split(trim(col("text")), "\\s+")).cast("double")
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      val stops = Seq(" the ", " and ", " of ", " with ")
-        .map(TextAnalysis.countOccurrences(padded, _)).reduce(_ + _)
-        .cast("double")
-      val feats = d.select(col("doc_id"),
-        (length(col("text")).cast("double") /
-          greatest(words, lit(1.0))).as("f_mwl"),
-        (stops / greatest(words, lit(1.0))).as("f_stop"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-      val w = Classifier.trainLogistic(feats, Seq("f_mwl", "f_stop"), "y",
-        iters = 3, lr = 0.1)
-      Classifier.score(feats, Seq("f_mwl", "f_stop"), w)
-        .select(col("doc_id"), col("y"), col("score"))
-    }),
-    "q_text_gopher" -> ((s, dir) => {
-      // full Gopher rule set over synthetically-structured text (the
-      // corpus is single-line, so bullet/ellipsis lines are injected
-      // deterministically — same pattern as q_text_normalize's noise)
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val structured = d.withColumn("text2",
-        concat(regexp_replace(col("text"), " table ", "\n• table "),
-          lit("\nto be continued...")))
-      TextAnalysis.gopherRules(structured, "text2", "doc_id")
-    }),
-    "q_text_pii" -> ((s, dir) => {
-      // PII redaction over deterministically-injected email/IP/phone —
-      // counts + redacted text, RE2-portable patterns so the oracle runs
-      // the very same regexes
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val withPii = d.withColumn("text2", concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
-        lit(".7 call +1 555 "),
-        (col("doc_id") % 9000 + 1000).cast("string")))
-      TextAnalysis.redactPii(withPii, "text2", "doc_id")
-    }),
-    "q_dedup_spans" -> ((s, dir) => {
-      // duplicated 8-token-span detection over the shared-paragraph
-      // construction (each doc_id%50 class shares a 100-char span → real
-      // cross-doc duplicated windows); the per-doc duplicated fraction
-      // is the Lee-et-al substring-dedup signal
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val seed = d.where(col("doc_id") < 50)
-        .select(col("doc_id").as("sid"),
-          substring(col("text"), 1, 100).as("shared"))
-      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
-        .select(col("doc_id"),
-          concat_ws(" ", col("text"), col("shared")).as("text2"))
-      Dedup.duplicatedSpans(docs2, "text2", "doc_id", n = 8)
-    }),
-    "q_dedup_cdc" -> ((s, dir) => {
-      // content-defined chunking dedup: docs share a 300-char span at
-      // DIFFERENT offsets (appended after varying-length text), and the
-      // content-defined boundaries still align its interior chunks —
-      // the insertion-robustness fixed windows lack
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val seed = d.where(col("doc_id") < 50)
-        .select(col("doc_id").as("sid"),
-          substring(col("text"), 1, 300).as("shared"))
-      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
-        .select(col("doc_id"),
-          concat_ws(" ", col("text"), col("shared")).as("text2"))
-      Dedup.cdcChunkStats(docs2, "text2", "doc_id", avgTokens = 8)
-    }),
-    "q_dedup_spans_cut" -> ((s, dir) => {
-      // exact-substring dedup SURGERY over the same shared-span
-      // construction as q_dedup_spans: duplicated 8-token windows are
-      // cut, first (doc, pos) occurrence kept, documents rebuilt from
-      // their surviving tokens
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val seed = d.where(col("doc_id") < 50)
-        .select(col("doc_id").as("sid"),
-          substring(col("text"), 1, 100).as("shared"))
-      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
-        .select(col("doc_id"),
-          concat_ws(" ", col("text"), col("shared")).as("text2"))
-      Dedup.removeDuplicatedSpans(docs2, "text2", "doc_id", n = 8)
-    }),
-    "q_dedup_paragraph" -> ((s, dir) => {
-      // cross-document paragraph dedup: each doc gets a second paragraph
-      // SHARED across its doc_id%50 class (broadcast of 50 seed rows), so
-      // ~10 copies of each shared paragraph exist; the stage must keep
-      // exactly the first (doc, pos) occurrence and cut the rest
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val seed = d.where(col("doc_id") < 50)
-        .select(col("doc_id").as("sid"),
-          substring(col("text"), 1, 100).as("shared"))
-      val docs2 = d.join(broadcast(seed), col("doc_id") % 50 === col("sid"))
-        .select(col("doc_id"),
-          concat_ws("\n\n", col("text"), col("shared")).as("text2"))
-      Dedup.dedupParagraphs(docs2, "text2", "doc_id")
-    }),
-    "q_multimodal_video" -> ((s, dir) => {
-      // VIDEO pipeline shape end to end: synthesize 3-frame GRFT
-      // containers (constant header + first 24 text bytes as 4×2×1
-      // frames), frame-sample every 2nd frame (mapPartitions explode →
-      // frames 0 and 2), per-frame block-pooled features, temporal
-      // mean-pool to one embedding per video. Every stage deterministic
-      // byte math — the oracle replays it from hex-extracted text bytes.
-      import graft.multimodal.Multimodal
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val header = java.nio.ByteBuffer.allocate(20)
-        .put("GRFT".getBytes("ASCII")).putInt(4).putInt(2).putInt(1)
-        .putInt(3).array()
-      val bin = d
-        .where(octet_length(encode(col("text"), "UTF-8")) >= 24)
-        .select(col("doc_id"), concat(lit(header),
-          substring(encode(col("text"), "UTF-8"), 1, 24)).as("payload"))
-      val frames = Multimodal.frameSample(bin, "payload", everyN = 2)
-      val feats = Multimodal.featureExtract(frames, "payload", dim = 4)
-        .select(col("doc_id"), col("frame_idx"), col("features"))
-      Multimodal.poolFrameFeatures(feats, "doc_id")
-        .select(col("doc_id"),
-          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
-        .withColumn("feat_val", round(col("feat_val"), 6))
-    }),
-    "q_multimodal_ann" -> ((s, dir) => {
-      // multimodal → similarity composition: stub-decode the binary
-      // payloads, block-pool to 8-dim feature vectors (mapPartitions),
-      // then exact cosine top-k over the features — the decode→embed→
-      // search pipeline shape with every stage deterministic
-      import graft.multimodal.Multimodal
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val bin = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      // featureExtract decodes internally — no decodeMeta pre-pass, its
-      // (meta, mean_px) outputs would be dead columns decoded twice
-      val feats = Multimodal.featureExtract(bin, "payload", dim = 8)
-        .select(col("doc_id"), col("features"))
-      Similarity.topKBruteForce(feats, feats.where(col("doc_id") < 5),
-        "doc_id", "features", k = 3)
-    }),
-    // --- process-graph compiler end-to-end (§3.1 query path) -------------
-    "q_graph_pipeline" -> ((s, dir) => {
-      // events cube → parquet collection → openEO graph (scan with band
-      // projection + exclusive-end temporal extent, then daily max)
-      import graft.compile.GraphCompiler
-      import graft.ops.Scan
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_coll_$slug"
-      eventsCube(s, dir).df.write.mode("overwrite").parquet(tmp)
-      val catalog = Map("events" -> Scan.CollectionSpec(tmp,
-        bandOrder = Seq("click", "error", "purchase", "signup", "view"),
-        grid = Some(graft.cube.GridRef(0, 0, 1, 1))))
-      val graph = """{
-        "load": {"process_id": "load_collection", "arguments": {
-          "id": "events", "bands": ["click", "view"],
-          "temporal_extent": ["2024-01-05", "2024-01-25"]}},
-        "agg": {"process_id": "aggregate_temporal_period", "arguments": {
-          "data": {"from_node": "load"}, "period": "day",
-          "reducer": {"process_graph": {
-            "m": {"process_id": "max",
-                  "arguments": {"data": {"from_parameter": "data"}},
-                  "result": true}}}}, "result": true}}"""
-      new GraphCompiler(s, catalog, tmp + "_res").compile(graph)
-        .asInstanceOf[graft.cube.Cube].df
-    }),
-    // --- temporal table joins + storage layout (round 6) -----------------
-    "q_asof_join" -> ((s, dir) => {
-      // point-in-time attribution: each view event picks up the most
-      // recent at-or-before click by the same user — the union-sort-
-      // window as-of join (ONE exchange over both sides, no per-key
-      // pair blow-up; see TableJoins scaladoc)
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"),
-          col("ts").as("click_ts"), col("value").as("click_value"))
-      graft.ops.TableJoins.asofJoin(views, clicks, Seq("user_id"),
-          "ts", "cts", Seq("click_ts", "click_value"))
-        .select("event_id", "user_id", "ts", "click_ts", "click_value")
-    }),
-    "q_asof_tolerance" -> ((s, dir) => {
-      // strict (< not <=) + bounded-staleness variant: a click older
-      // than 2 h no longer explains the view
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"),
-          col("ts").as("click_ts"), col("value").as("click_value"))
-      graft.ops.TableJoins.asofJoin(views, clicks, Seq("user_id"),
-          "ts", "cts", Seq("click_ts", "click_value"), strict = true,
-          toleranceMicros = Some(2L * 3600 * 1000000))
-        .select("event_id", "user_id", "ts", "click_ts", "click_value")
-    }),
-    "q_range_join" -> ((s, dir) => {
-      // interval containment via the binning trick: error events vs
-      // "busy hours" (hours with >= 8 click/view events). The inequality
-      // join runs as an EQUI-join on the hour bin — each (point,
-      // interval) pair meets in exactly one bin, no cartesian product
-      val ev = readEvents(s, dir)
-      val busy = ev.where(col("event_type").isin("click", "view"))
-        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
-        .agg(count(lit(1)).as("n_events"))
-        .where(col("n_events") >= 8)
-        .withColumn("window_end",
-          col("window_start") + expr("INTERVAL 1 HOUR")
-            - expr("INTERVAL 1 MICROSECOND"))
-      val errors = ev.where(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      graft.ops.TableJoins.rangeJoin(errors, busy, "ts",
-          "window_start", "window_end",
-          binMicros = 3600L * 1000000)
-        .select("event_id", "user_id", "ts", "window_start", "n_events")
-    }),
-    "q_stream_funnel" -> ((s, dir) => {
-      // STATEFUL streaming funnel: the 3-slot per-user state machine
-      // through a real MemoryStream run — greedy stage commits per
-      // event-time-ordered batch, event-time-timeout flush via the
-      // far-future sentinel (Spark's no-data batch fires the timeouts).
-      // Oracle = the batch funnel formulation, shared verbatim.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val evs = readEvents(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
-      val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
-      val out = graft.streaming.StreamingOps.funnelStream(
-        ms.toDF.toDF("user_id", "event_type", "ts"),
-        Seq("signup", "click", "purchase"), delay = "2 hours")
-      val sink = "q_stream_funnel_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = out.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
-        }
-        val sentinelTs = new java.sql.Timestamp(
-          evs.last._3.getTime + 365L * 24 * 3600 * 1000)
-        ms.addData(Seq((-1L, "signup", sentinelTs)))
-        q.processAllAvailable()
-      } finally {
-        q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink).where(col("user_id") >= 0)
-        .select("user_id", "signup_ts", "click_ts", "purchase_ts",
-          "converted")
-    }),
-    "q_graph_funnel" -> ((s, dir) => {
-      // the funnel driven through the openEO JSON graph: load_table →
-      // funnel compiles to the identical plan as q_funnel's Scala call;
-      // oracle shared verbatim. Events staged through readEvents for
-      // the ts-encoding dispatch, as q_graph_asof
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fun_$slug"
-      readEvents(s, dir).select("user_id", "event_type", "ts")
-        .write.mode("overwrite").parquet(s"$tmp/ev")
-      val graph = """{
-        "d": {"process_id": "load_table", "arguments": {"id": "ev"}},
-        "f": {"process_id": "funnel", "arguments": {
-          "data": {"from_node": "d"}, "key": "user_id", "ts": "ts",
-          "stage": "event_type",
-          "stages": ["signup", "click", "purchase"]}, "result": true}}"""
-      new GraphCompiler(s, Map.empty, tmp + "_res",
-          tables = Map("ev" -> s"$tmp/ev"))
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_tpch_q10" -> ((s, dir) => {
-      // returned-item reporting shape: 4-way join (lineitem ⋈ orders ⋈
-      // customer + broadcast nation), quarter-window filter, top-20
-      // customers by lost revenue as TakeOrderedAndProject
-      val n = s.read.parquet(s"$dir/nation.parquet")
-      val c = s.read.parquet(s"$dir/customer.parquet")
-      val o = s.read.parquet(s"$dir/orders.parquet")
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .where(col("l_returnflag") === "R")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(dimHint(n), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(drevenue.as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
-        .limit(20)
-    }),
-    "q_running_total" -> ((s, dir) => {
-      // per-user running purchase total over time — decimal cumulative
-      // sum in an ordered window (ties on ts aggregate together via the
-      // RANGE frame, so the result is order-deterministic)
-      val ev = readEvents(s, dir).where(col("event_type") === "purchase")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"))
-      ev.select(col("event_id"), col("user_id"), col("ts"),
-        sum(col("value").cast("decimal(18,2)")).over(w)
-          .cast("double").as("running_total"))
-    }),
-    "q_skew_report" -> ((s, dir) => {
-      // partition-key skew observability: per-key row share + the
-      // cumulative share of the top keys — the "is this key hot enough
-      // to salt" report, one aggregation + one tiny window over |keys|
-      val ev = readEvents(s, dir)
-      import org.apache.spark.sql.expressions.Window
-      val counts = ev.groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_rows"))
-      val tot = counts.agg(sum(col("n_rows"))).head().getLong(0)
-      val w = Window.orderBy(col("n_rows").desc, col("user_id"))
-      counts
-        .withColumn("share",
-          round(col("n_rows").cast("double") / lit(tot.toDouble), 6))
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum_share",
-          round(sum(col("n_rows")).over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("double") / lit(tot.toDouble), 6))
-        .where(col("rank") <= 20)
-    }),
-    "q_agg_incremental" -> ((s, dir) => {
-      // incremental view maintenance: three ts-range shards fold
-      // through the (count, decimal-sum) state monoid — equal to the
-      // one-shot aggregate by the monoid law (also law-tested with
-      // shard permutations)
-      val ev = readEvents(s, dir)
-      val shards = Seq(
-        ev.where(dayofmonth(col("ts")) <= 10),
-        ev.where(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20),
-        ev.where(dayofmonth(col("ts")) > 20))
-      graft.ops.Incremental.incrementalAgg(shards,
-        Seq("user_id", "event_type"), "value")
-    }),
-    "q_spatial_join" -> ((s, dir) => {
-      // 2-D binning trick: events scattered to pseudo-coordinates join
-      // three literal triangles via broadcast cell candidates + exact
-      // codegen ray-cast — one row per (point, containing polygon)
-      val px = col("value") % lit(20.0)
-      val py = (col("value") * lit(7.0)) % lit(20.0)
-      val pts = readEvents(s, dir)
-        .select(col("event_id"), px.as("px"), py.as("py"))
-      graft.ops.Geo.spatialJoin(pts, col("px"), col("py"),
-          spatialJoinPolys, cellSize = 4.0)
-        .select("event_id", "px", "py", "poly_id")
-    }),
-    "q_merge_changelog" -> ((s, dir) => {
-      // the lakehouse MERGE shape: a base snapshot (orders — unique
-      // key) + a CDC log (price updates on orderkey%5, deletes on %15,
-      // timestamped by orderdate) produce the next snapshot via ONE
-      // union + struct-max aggregate (one shuffle, O(1) state per
-      // key) — never a full outer join
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      val base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
-      val changes = o.where(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), col("o_orderdate").as("change_ts"),
-          when(col("o_orderkey") % 15 === 0, "D").otherwise("U").as("op"),
-          col("o_orderstatus"),
-          (col("o_totalprice") + 1000.0).as("o_totalprice"))
-      graft.ops.TableJoins.applyChangelog(base, changes,
-        Seq("o_orderkey"), "change_ts", "op")
-    }),
-    "q_stream_merge" -> ((s, dir) => {
-      // the CDC ingestion stream through a REAL 2-micro-batch run: the
-      // base snapshot rides in as epoch-timestamped "I" changes (batch
-      // 1), the same derived CDC log as q_merge_changelog follows in
-      // batch 2, and the per-key struct-max state (ONE struct per key)
-      // converges to the batch snapshot — oracle shared verbatim. (The
-      // any-split invariance law lives in StreamingSpec; each feeding
-      // round is a full state-commit cycle, so the gate row keeps the
-      // minimum that still crosses batches.)
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      val epoch = java.sql.Timestamp.valueOf("1970-01-01 00:00:00")
-      val baseRows = o.select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"))
-        .collect().map(r => (r.getLong(0), epoch, "I", r.getString(1),
-          r.getDouble(2)))
-      val changeRows = o.where(col("o_orderkey") % 5 === 0)
-        .select(col("o_orderkey"), col("o_orderdate"),
-          when(col("o_orderkey") % 15 === 0, "D").otherwise("U"),
-          col("o_orderstatus"), (col("o_totalprice") + 1000.0))
-        .as[(Long, java.sql.Timestamp, String, String, Double)]
-        .collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, java.sql.Timestamp, String, String,
-        Double)]
-      val sink = "q_stream_merge_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.changelogLatestStream(
-          ms.toDF.toDF("o_orderkey", "change_ts", "op", "o_orderstatus",
-            "o_totalprice"),
-          Seq("o_orderkey"), "change_ts", "op")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        ms.addData(baseRows.toSeq); q.processAllAvailable()
-        ms.addData(changeRows.toSeq); q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(sink).where(col("op") =!= "D")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    }),
-    "q_scd2_intervals" -> ((s, dir) => {
-      // SCD2 history build: each user's purchase values become
-      // [valid_from, valid_to) rows, null-terminated current row —
-      // one window over one key exchange
-      val ev = readEvents(s, dir)
-      val changes = ev.where(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("value")).as("value")) // dedupe any same-ts changes
-      graft.ops.TableJoins.validityIntervals(changes,
-          Seq("user_id"), "ts")
-        .select("user_id", "valid_from", "valid_to", "value", "is_current")
-    }),
-    "q_csv_source" -> ((s, dir) => {
-      // source-format breadth: events round-trip through CSV with an
-      // explicit schema (timestamps as epoch micros — CSV has no
-      // timestamp type) and through JSON Lines, then the two reads
-      // must agree row-for-row; oracle = the original projection
-      val ev = readEvents(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_fmt_$slug"
-      ev.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
-      ev.write.mode("overwrite").json(s"$tmp/json")
-      val schema = "event_id LONG, user_id LONG, event_type STRING, " +
-        "ts_us LONG, value DOUBLE"
-      val fromCsv = s.read.schema(schema).option("header", "true")
-        .csv(s"$tmp/csv")
-      val fromJson = s.read.schema(schema).json(s"$tmp/json")
-      // inner join on the full row: any divergence drops rows and the
-      // oracle's row count catches it
-      fromCsv.join(fromJson,
-        Seq("event_id", "user_id", "event_type", "ts_us", "value"))
-    }),
-    "q_schema_evolution" -> ((s, dir) => {
-      // schema EVOLUTION read: generation 1 of a store lacks a column
-      // that generation 2 adds (the normal life of a long-lived corpus
-      // store); mergeSchema unions the footers at planning time and the
-      // old generation's rows surface the new column as NULL — no
-      // rewrite of historical files, the 100 TB contract
-      val o = s.read.parquet(s"$dir/orders.parquet")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_evo_$slug"
-      o.where(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$tmp/gen1")
-      o.where(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderpriority"))
-        .write.mode("overwrite").parquet(s"$tmp/gen2")
-      s.read.option("mergeSchema", "true")
-        .parquet(s"$tmp/gen1", s"$tmp/gen2")
-        .select("o_orderkey", "o_totalprice", "o_orderpriority")
-    }),
-    "q_timetravel" -> ((s, dir) => {
-      // SNAPSHOT TABLE with a transaction log (ops/Snapshots — the
-      // mini Delta/Iceberg layer): three commits (append, append,
-      // overwrite), then a TIME-TRAVEL read pinned to version 2 — the
-      // pre-overwrite state reproduced exactly even though the latest
-      // snapshot has entirely different contents. Atomic manifest
-      // claims + O(1) file-list read planning are the 100 TB story.
-      val p = buildSnapshotStore(s, dir)
-      Snapshots.read(s, p, version = Some(2L))
-    }),
-    "q_snapshot_changes" -> ((s, dir) => {
-      // INCREMENTAL consumption of the same log: changes(1, 3] reads
-      // only the files ADDED by versions 2 and 3 — a downstream index/
-      // aggregate maintenance job consumes new commits without ever
-      // rescanning the table (pairs with Incremental/appendSearchIndex)
-      val p = buildSnapshotStore(s, dir)
-      Snapshots.changes(s, p, fromExclusive = 1L, toInclusive = 3L)
-    }),
-    "q_snapshot_optimize" -> ((s, dir) => {
-      // maintenance OPTIMIZE inside the log: the post-overwrite snapshot
-      // rewrites into 2 Z-ORDER-clustered files (Morton key over
-      // user_id × value) as a NEW version — same rows bit-for-bit, and
-      // later scanWhere calls data-skip on BOTH dims. changes() skips
-      // the commit (spec-pinned) so incremental consumers never
-      // re-ingest a maintenance pass.
-      val p = buildSnapshotStore(s, dir)
-      Snapshots.optimize(s, p, numFiles = 2,
-        zorderBy = Seq(("user_id", 0.0, 150.0), ("value", 0.0, 500.0)),
-        zBits = 8)
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_skip" -> ((s, dir) => {
-      // DATA-SKIPPING scan: appends land range-partitioned on event_id,
-      // so each file carries a tight per-file min/max in the manifest;
-      // the key-range read prunes non-overlapping files BEFORE any I/O
-      // and the exact predicate stays on the survivors (plan-pinned in
-      // SnapshotsSpec). At 100 TB this is the manifest-stats answer to
-      // "scan one key band of a petabyte table".
-      val p = freshSnapshotPath(dir, "sk")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.repartitionByRange(6, col("event_id")), p)
-      Snapshots.scanWhere(s, p,
-        col("event_id") >= 2000L && col("event_id") < 5000L)
-    }),
-    "q_snapshot_count" -> ((s, dir) => {
-      // COUNT(*) answered from LOG METADATA (SupportsPushDownAggregates
-      // on the V2 source): the manifest's exact per-file row counts
-      // make the petabyte-table row-count query a zero-file-read
-      // planning lookup — pinned in SnapshotSourceSpec. Rows = the
-      // post-overwrite snapshot, stable under the optimize commits
-      // q_snapshot_optimize may add (maintenance never changes rows).
-      val p = buildSnapshotStore(s, dir)
-      s.read.format("graft-snapshot").load(p).groupBy().count()
-        .select(col("count").as("n_rows"))
-    }),
-    "q_snapshot_partitioned" -> ((s, dir) => {
-      // PARTITIONED commit (Delta partitionBy-at-commit): the append
-      // writes one file set per event_type with the exact value in the
-      // manifest, so the IN predicate prunes the other types' files
-      // EXACTLY (set membership, not a [min,max] range that would keep
-      // everything sorting between 'click' and 'signup') — the
-      // categorical-predicate story for split/lang/date columns at
-      // 100 TB. Min/max stats skipping still composes on the residual
-      // value predicate. Pruning pinned in SnapshotsSpec.
-      val p = freshSnapshotPath(dir, "pt")
-      Snapshots.append(snapshotEvents(s, dir), p,
-        partitionBy = Seq("event_type"))
-      Snapshots.scanWhere(s, p,
-        col("event_type").isin("click", "signup") && col("value") >= 50.0)
-    }),
-    "q_snapshot_merge" -> ((s, dir) => {
-      // copy-on-write UPSERT: updates double the value for existing keys
-      // (event_id%6=0, inside the stored %3∈{0,1} slices) and insert the
-      // %3=2 keys as new rows. Only files whose key-range stats overlap
-      // the update batch rewrite; the rest carry over unmoved
-      // (spec-pinned). Result = full upsert semantics, replayed by the
-      // oracle as one CASE projection over events.
-      val p = freshSnapshotPath(dir, "mg")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.where(col("event_id") % 3 < 2)
-        .repartitionByRange(8, col("event_id")), p)
-      val updates = ev
-        .where(col("event_id") % 6 === 0 || col("event_id") % 3 === 2)
-        .withColumn("value", col("value") * 2)
-      Snapshots.merge(s, p, updates, Seq("event_id"))
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_zskip" -> ((s, dir) => {
-      // the composition the tier exists for: OPTIMIZE rewrites the
-      // table Z-ORDER clustered on (user_id, value), the commit records
-      // per-file stats of the NEW layout, and a selective filter on
-      // user_id — NOT the ingest's event_id clustering — data-skips
-      // via those stats (pruning pinned in SnapshotsSpec; superset +
-      // exact predicate as everywhere)
-      val p = freshSnapshotPath(dir, "zs")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.repartitionByRange(6, col("event_id")), p)
-      Snapshots.optimize(s, p, numFiles = 6,
-        zorderBy = Seq(("user_id", 0.0, 150.0), ("value", 0.0, 500.0)),
-        zBits = 8)
-      Snapshots.scanWhere(s, p, col("user_id") < 25L)
-    }),
-    "q_snapshot_update" -> ((s, dir) => {
-      // copy-on-write UPDATE: SET value = value*10 where the predicate
-      // hits; the event_id bound stats-prunes candidate files, only
-      // files containing matches rewrite, non-matching co-located rows
-      // pass through bit-identical (spec-pinned carry-over).
-      val p = freshSnapshotPath(dir, "up")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.repartitionByRange(8, col("event_id")), p)
-      Snapshots.update(s, p,
-        col("event_id") < 3000L && col("event_type") === "view",
-        Map("value" -> (col("value") * 10)))
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_sink" -> ((s, dir) => {
-      // EXACTLY-ONCE streaming SINK: two real micro-batches land as
-      // atomic snapshot commits through foreachBatch(streamAppend),
-      // then batch 0 is deliberately REPLAYED (the crash-retry shape) —
-      // the manifest's per-app txn high-water mark makes it a no-op.
-      // Without the guard the first batch's rows would double and the
-      // hash would break.
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import s.implicits._
-      val p = freshSnapshotPath(dir, "snk")
-      val ev = snapshotEvents(s, dir)
-      val rows = ev.as[(Long, Long, String, Double)].collect()
-      val (b0, b1) = rows.partition(_._1 % 3 < 2)
-      val ms = MemoryStream[(Long, Long, String, Double)]
-      val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
-        .writeStream
-        .foreachBatch(Snapshots.streamAppend(p, "gate-sink"))
-        .start()
-      try {
-        ms.addData(b0.toIndexedSeq)
-        q.processAllAvailable()
-        ms.addData(b1.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
-      Snapshots.appendIdempotent( // crash-replay of batch 0
-        b0.toIndexedSeq.toDF("event_id", "user_id", "event_type", "value"),
-        p, "gate-sink", 0L)
-      Snapshots.read(s, p)
-    }),
-    "q_stream_snapshot" -> ((s, dir) => {
-      // STREAMING face of the log (format("graft-snapshot")): offsets
-      // are committed VERSION numbers, each micro-batch reads exactly
-      // the files the versions in (start, end] ADDED — three real
-      // micro-batches here, with an OPTIMIZE between them that must NOT
-      // re-emit (if it did, the %3∈{0,1} rows would double and the hash
-      // would break). This is the forever-running incremental consumer
-      // of a 100 TB table that keeps committing.
-      val p = freshSnapshotPath(dir, "st")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.where(col("event_id") % 3 === 0), p)
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val sink = s"snap_stream_$slug"
-      val q = s.readStream.format("graft-snapshot").load(p)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        q.processAllAvailable()
-        Snapshots.append(ev.where(col("event_id") % 3 === 1), p)
-        q.processAllAvailable()
-        Snapshots.optimize(s, p, numFiles = 1)
-        q.processAllAvailable()
-        Snapshots.append(ev.where(col("event_id") % 3 === 2), p)
-        q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink)
-    }),
-    "q_snapshot_source" -> ((s, dir) => {
-      // BATCH face of the V2 source: versionAsOf time travel + pushed
-      // filters pruning file partitions by manifest stats at planning
-      // time (filters stay residual — pruning is a superset; pinned in
-      // SnapshotSourceSpec). v1 holds the %3<2 slices range-partitioned
-      // on event_id, so the key-band read plans a strict subset of the
-      // files even though v2 overwrote the table afterwards.
-      val p = buildSrcSnapshotStore(s, dir)
-      s.read.format("graft-snapshot").option("versionAsOf", "1").load(p)
-        .where(col("event_id") >= 1000L && col("event_id") < 6000L)
-    }),
-    "q_graph_snapshot" -> ((s, dir) => {
-      // the lakehouse tier through the JSON graph surface (the
-      // reference's one query language): load_snapshot pins version 1
-      // and pushes the key band through scanWhere, so the graph path
-      // pays the same stats-pruned planning as the Scala API — process
-      // == API equality pinned in GraphCompilerSpec; oracle shared
-      // verbatim with q_snapshot_source.
-      import graft.compile.GraphCompiler
-      val p = buildSrcSnapshotStore(s, dir)
-      val graph = s"""{
-        "t": {"process_id": "load_snapshot", "arguments": {
-          "path": "$p", "version_as_of": 1,
-          "where": "event_id >= 1000 AND event_id < 6000"},
-          "result": true}}"""
-      new GraphCompiler(s, Map.empty)
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_graph_changes" -> ((s, dir) => {
-      // incremental log consumption through the graph surface:
-      // snapshot_changes(1, 3] == Snapshots.changes — oracle shared
-      // verbatim with q_snapshot_changes
-      import graft.compile.GraphCompiler
-      val p = buildSnapshotStore(s, dir)
-      val graph = s"""{
-        "c": {"process_id": "snapshot_changes", "arguments": {
-          "path": "$p", "from_exclusive": 1, "to_inclusive": 3},
-          "result": true}}"""
-      new GraphCompiler(s, Map.empty)
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_snapshot_delete" -> ((s, dir) => {
-      // copy-on-write DELETE: the predicate's event_id bound prunes the
-      // candidate files via manifest stats, one exact pass picks files
-      // actually containing matches, and only those rewrite without
-      // their matching rows — null-predicate rows are KEPT (SQL
-      // semantics, oracled as WHERE NOT(...)).
-      val p = freshSnapshotPath(dir, "dl")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.repartitionByRange(8, col("event_id")), p)
-      Snapshots.delete(s, p,
-        col("event_id") < 2000L && col("event_type") === "click")
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_dv" -> ((s, dir) => {
-      // MERGE-ON-READ delete (deletion vectors — the Delta DV /
-      // Iceberg v2 position-delete shape): instead of q_snapshot_delete's
-      // copy-on-write rewrite, the matching ROW POSITIONS land as
-      // per-file vectors and the commit is metadata-only — write cost
-      // O(matched rows), so a GDPR point-delete on a 100 TB table never
-      // rewrites terabytes. Reads anti-join the vectors transparently
-      // (hash join on (basename, row_index)); a later OPTIMIZE
-      // materializes them. No-rewrite + exact cardinalities are
-      // spec-pinned (SnapshotDvSpec).
-      val p = buildDvSnapshotStore(s, dir)
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_dv_source" -> ((s, dir) => {
-      // the SAME vectored table through the V2 catalog face: the scan
-      // plans per-file partitions whose readers load their own vector
-      // partition (dv/__gb=<basename>/) and skip positions with a
-      // sequential two-pointer walk; metadata COUNT(*) stays exact via
-      // the logged per-file cardinalities (spec-pinned). Row-based
-      // until OPTIMIZE materializes — the documented DV read tax.
-      val p = buildDvSnapshotStore(s, dir)
-      s.read.format("graft-snapshot").load(p)
-    }),
-    "q_snapshot_write" -> ((s, dir) => {
-      // the V2 WRITE face: df.write.format("graft-snapshot") routes
-      // every batch through the full commit protocol — atomic manifest
-      // publish, schema enforcement, CHECK constraints, per-file stats
-      // — so catalog-integrated writers get the same guarantees as the
-      // Scala API (V1Write fallback, the JDBC-V2 pattern). Two commits
-      // (create + append), read back through the V2 batch face.
-      val p = freshSnapshotPath(dir, "wr")
-      val ev = snapshotEvents(s, dir)
-      ev.where(col("event_id") % 2 === 0)
-        .write.format("graft-snapshot").mode("append").save(p)
-      ev.where(col("event_id") % 2 === 1)
-        .write.format("graft-snapshot").mode("append").save(p)
-      s.read.format("graft-snapshot").load(p)
-    }),
-    "q_graph_dv_feed" -> ((s, dir) => {
-      // the row-level delete feed through the JSON graph surface —
-      // snapshot_deleted_rows(version) == Snapshots.deletedRows; the
-      // reference's one query language speaks the whole lakehouse
-      // tier. Oracle shared verbatim with q_snapshot_dv_feed.
-      import graft.compile.GraphCompiler
-      val p = buildDvSnapshotStore(s, dir)
-      val graph = s"""{
-        "d": {"process_id": "snapshot_deleted_rows", "arguments": {
-          "path": "$p", "version": 2}, "result": true}}"""
-      new GraphCompiler(s, Map.empty)
-        .compile(graph).asInstanceOf[DataFrame]
-    }),
-    "q_snapshot_replace" -> ((s, dir) => {
-      // predicate-scoped OVERWRITE (replaceWhere — the daily backfill
-      // idiom): re-run one region of the table atomically. Stats
-      // pre-prune the touched files, untouched files carry over, and
-      // the batch is contract-checked to live entirely inside the
-      // region (a leaking backfill fails typed — spec-pinned).
-      val p = freshSnapshotPath(dir, "rw")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.repartitionByRange(8, col("event_id")), p)
-      Snapshots.replaceWhere(s, p, col("event_type") === "click",
-        ev.where(col("event_type") === "click")
-          .withColumn("value", col("value") * 3))
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_history" -> ((s, dir) => {
-      // DESCRIBE HISTORY over the shared vectored store: the
-      // operability listing (version, op, adds) a table owner reads
-      // before restore/vacuum decisions — one log walk, zero data I/O.
-      // Timestamps/counts that depend on wall clock stay unprojected;
-      // version/op/n_added are fully deterministic (8-way range
-      // clustering + one metadata-only delete-dv commit).
-      val p = buildDvSnapshotStore(s, dir)
-      Snapshots.history(s, p).select("version", "op", "n_added")
-    }),
-    "q_snapshot_sql" -> ((s, dir) => {
-      // the CATALOG face end-to-end by IDENTIFIER — what a
-      // catalog-managed deployment actually runs: register the
-      // TableCatalog plugin, CREATE TABLE via DDL (v1, empty, schema
-      // recorded), two INSERT INTOs through the full commit protocol,
-      // then read back latest ∪ VERSION AS OF 2 in one SQL statement
-      // (SQL time travel routes through loadTable(ident, version)).
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val cat = s"gsnap_$slug"
-      // the catalog registration is SESSION state — set it on every
-      // call (idempotent), never inside the JVM-memoized build block,
-      // or a second session in the same JVM would skip it and fail
-      // CATALOG_NOT_FOUND
-      val whPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_$slug"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        "graft.sources.SnapshotCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
-      sharedBuild("sqlcat", dir) { wh =>
-        deleteRecursively(wh)
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.events_t (event_id BIGINT, " +
-          "user_id BIGINT, event_type STRING, value DOUBLE)")
-        snapshotEvents(s, dir).where(col("event_id") % 2 === 0)
-          .createOrReplaceTempView(s"ev_even_$slug")
-        s.sql(s"INSERT INTO $cat.db.events_t " +
-          s"SELECT * FROM ev_even_$slug")
-        snapshotEvents(s, dir).where(col("event_id") % 2 === 1)
-          .createOrReplaceTempView(s"ev_odd_$slug")
-        s.sql(s"INSERT INTO $cat.db.events_t " +
-          s"SELECT * FROM ev_odd_$slug")
-        // SQL DELETE routes through SupportsDelete into the
-        // copy-on-write delete — exact filter translation or refusal
-        s.sql(s"DELETE FROM $cat.db.events_t " +
-          "WHERE event_type = 'click' AND event_id < 2000")
-      }
-      s.sql(s"""SELECT event_id, user_id, event_type, value,
-                       'v2' AS src
-                FROM $cat.db.events_t VERSION AS OF 2
-                UNION ALL
-                SELECT event_id, user_id, event_type, value,
-                       'latest' AS src
-                FROM $cat.db.events_t""")
-    }),
-    "q_snapshot_sql_dml" -> ((s, dir) => {
-      // SQL WRITE PARITY by identifier (r11): UPDATE routes through
-      // the post-hoc-resolution DML bridge into the CoW update commit,
-      // MERGE INTO (canonical upsert) into Snapshots.merge, and ALTER
-      // TABLE ADD COLUMN aliases append-evolution (nullable, old rows
-      // read null) — a catalog-managed deployment never needs the
-      // Scala API for row-level writes. Typed rejections for
-      // non-canonical shapes are spec-pinned (SnapshotCatalogSpec).
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val cat = s"gdml_$slug"
-      val whPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_dmlcat_$slug"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        "graft.sources.SnapshotCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
-      sharedBuild("dmlcat", dir) { wh =>
-        deleteRecursively(wh)
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
-          "user_id BIGINT, event_type STRING, value DOUBLE)")
-        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
-          .createOrReplaceTempView(s"dml_base_$slug")
-        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM dml_base_$slug")
-        s.sql(s"UPDATE $cat.db.ev SET value = value * 2 " +
-          "WHERE event_type = 'click'")
-        snapshotEvents(s, dir).where(col("event_id") % 5 === 0)
-          .withColumn("value", col("value") + 100)
-          .createOrReplaceTempView(s"dml_src_$slug")
-        s.sql(s"""MERGE INTO $cat.db.ev t USING dml_src_$slug s
-                  ON t.event_id = s.event_id
-                  WHEN MATCHED THEN UPDATE SET *
-                  WHEN NOT MATCHED THEN INSERT *""")
-        s.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN tag STRING")
-      }
-      s.table(s"$cat.db.ev")
-    }),
-    "q_snapshot_bloom" -> ((s, dir) => {
-      // BLOOM-FILTER FILE SKIPPING (r12, the Delta bloom-index shape):
-      // the store clusters by event_id, so user_id/event_type min-max
-      // spans every file and stats prune NOTHING — the per-file blooms
-      // recorded at commit time file-skip the point lookups instead
-      // (spec-pinned; here the gate proves zero false negatives
-      // end-to-end against the raw-events oracle)
-      val p = sharedBuild("snapbloom", dir) { pp =>
-        deleteRecursively(pp)
-        s.conf.set(Snapshots.BloomColumnsKey, "user_id,event_type")
-        try Snapshots.append(snapshotEvents(s, dir)
-          .repartitionByRange(8, col("event_id")), pp)
-        finally s.conf.unset(Snapshots.BloomColumnsKey)
-      }
-      Snapshots.scanWhere(s, p, col("user_id") === 77L)
-        .unionByName(
-          Snapshots.scanWhere(s, p, col("event_type") === "purchase"))
-    }),
-    "q_bitmap_distinct" -> ((s, dir) => {
-      // EXACT mergeable distinct-count sketches (r11, the ClickHouse
-      // groupBitmap / roaring bitmap_agg family): per (event_type, day)
-      // distinct users via the bitmap aggregate — a
-      // TypedImperativeAggregate whose buffer is one compressed bitmap
-      // per group (array↔bitmap containers per 2^16 chunk), map-side
-      // partial aggregation, canonical bytes. Oracled EXACTLY against
-      // COUNT(DISTINCT) — unlike HLL there is no approximation.
-      import graft.functions.BitmapExprs._
-      readEvents(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(bitmapCount(bitmapAgg(col("user_id"))).as("n_users"))
-    }),
-    "q_bitmap_rollup" -> ((s, dir) => {
-      // the REAGGREGATION law COUNT(DISTINCT) lacks, end-to-end: build
-      // the per-day sketch cube once, then answer the per-type distinct
-      // from the CUBE (bitmap_union_agg over persisted sketches) — the
-      // weekly-active-users query at 100 TB never re-scans raw events.
-      // Oracle recomputes from raw, proving cube == raw.
-      import graft.functions.BitmapExprs._
-      val daily = readEvents(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(bitmapAgg(col("user_id")).as("s"))
-      daily.groupBy("event_type")
-        .agg(bitmapCount(bitmapUnionAgg(col("s"))).as("n_users"),
-          count(lit(1)).as("n_days"))
-    }),
-    "q_bitmap_retention" -> ((s, dir) => {
-      // the RETENTION/CHURN algebra from the sketch cube: day-over-day
-      // retained = |prev ∩ cur| (bitmap_and), churned = |prev − cur|
-      // (bitmap_andnot) — computed entirely on per-day sketches via one
-      // lag window, never re-joining raw events (the self-join the
-      // oracle has to do is exactly the 100 TB cost this avoids)
-      import graft.functions.BitmapExprs._
-      val daily = readEvents(s, dir)
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(bitmapAgg(col("user_id")).as("s"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("day")
-      daily.withColumn("prev", lag(col("s"), 1).over(w))
-        .where(col("prev").isNotNull)
-        .select(col("event_type"), col("day"),
-          bitmapCount(bitmapAnd(col("prev"), col("s"))).as("retained"),
-          bitmapCount(bitmapAndNot(col("prev"), col("s"))).as("churned"))
-    }),
-    "q_stream_bitmap_cube" -> ((s, dir) => {
-      // INCREMENTAL sketch-cube maintenance, end to end (r11): events
-      // land in a snapshot table in two commits; a streaming read tails
-      // the log and each micro-batch folds ONLY ITS ROWS into the
-      // per-(type, day) bitmap cube — existing sketches OR-merge with
-      // the batch's sketches (bitmaps are an insert monoid), landed as
-      // one idempotent commit per batch. At 100 TB the cube update
-      // costs O(batch + cube), never O(history); the oracle recomputes
-      // the final cube from raw events, proving the incremental fold
-      // exact. Distinct-count maintenance like this is impossible with
-      // plain COUNT(DISTINCT) columns.
-      import graft.functions.BitmapExprs._
-      val src = freshSnapshotPath(dir, "bmsrc")
-      val cube = freshSnapshotPath(dir, "bmcube")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val ev = readEvents(s, dir)
-        .select(col("event_type"), col("ts"), col("user_id"))
-      Snapshots.append(ev.where(col("user_id") % 2 === 0), src)
-      Snapshots.append(ev.where(col("user_id") % 2 === 1), src)
-      val q = s.readStream.format("graft-snapshot")
-        .option("maxVersionsPerTrigger", "1").load(src)
-        .writeStream
-        .option("checkpointLocation", freshCheckpoint("bmcube"))
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val delta = batch
-            .groupBy(col("event_type"),
-              date_trunc("day", col("ts")).as("day"))
-            .agg(bitmapAgg(col("user_id")).as("s"))
-          val cur = Snapshots.latestManifest(batch.sparkSession, cube)
-            .map(_ => Snapshots.read(batch.sparkSession, cube))
-            .getOrElse(delta.limit(0))
-          val merged = cur.select(col("event_type"), col("day"),
-              col("s").as("_old"))
-            .join(delta.select(col("event_type"), col("day"),
-              col("s").as("_new")), Seq("event_type", "day"),
-              "full_outer")
-            .select(col("event_type"), col("day"),
-              when(col("_old").isNull, col("_new"))
-                .when(col("_new").isNull, col("_old"))
-                .otherwise(bitmapOr(col("_old"), col("_new"))).as("s"))
-          Snapshots.overwriteIdempotent(merged, cube,
-            s"bmcube_$slug", batchId)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      Snapshots.read(s, cube)
-        .select(col("event_type"), col("day"),
-          bitmapCount(col("s")).as("n_users"))
-    }),
-    "q_sql_table_changes" -> ((s, dir) => {
-      // the Delta table_changes TVF face (r11): pure-SQL CDC over the
-      // same store as q_snapshot_cdf — identical planning, oracle
-      // shared verbatim; identifier resolution + typed errors are
-      // spec-pinned (SnapshotCdfSpec)
-      val p = buildCdfSnapshotStore(s, dir)
-      s.sql(s"SELECT * FROM graft_table_changes('$p', 0, 3)")
-        .drop("_commit_timestamp")
-    }),
-    "q_graph_table_changes" -> ((s, dir) => {
-      // the TVF face through the JSON graph surface — process == TVF
-      // parity: the table_changes process resolves the target and
-      // plans the same changeFeed as graft_table_changes; oracle
-      // shared verbatim with q_sql_table_changes
-      import graft.compile.GraphCompiler
-      val p = buildCdfSnapshotStore(s, dir)
-      val graph = s"""{
-        "ch": {"process_id": "table_changes", "arguments": {
-          "target": "$p", "from_version": 0, "to_version": 3},
-          "result": true}}"""
-      new GraphCompiler(s, Map.empty).compile(graph)
-        .asInstanceOf[DataFrame].drop("_commit_timestamp")
-    }),
-    "q_graph_procedures" -> ((s, dir) => {
-      // stored procedures through the JSON graph surface — the
-      // call_procedure process compiles to the session's own CALL
-      // statement, sharing the whole ProcedureCatalog stack (and this
-      // row the q_snapshot_procedures oracle verbatim: same proccat
-      // store, history consumed via the graph)
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val cat = s"gproc_$slug"
-      val whPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_proccat_$slug"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        "graft.sources.SnapshotCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
-      sharedBuild("proccat", dir) { wh =>
-        deleteRecursively(wh)
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
-          "user_id BIGINT, event_type STRING, value DOUBLE)")
-        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
-          .createOrReplaceTempView(s"proc_base_$slug")
-        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM proc_base_$slug")
-        s.sql(s"DELETE FROM $cat.db.ev WHERE event_type = 'click'")
-        s.sql(s"CALL $cat.system.restore(`table` => 'db.ev', " +
-          "version => 2)")
-        s.sql(s"CALL $cat.system.optimize(`table` => 'db.ev', " +
-          "num_files => 2, zorder => 'event_id,user_id')")
-      }
-      val graph = s"""{
-        "hist": {"process_id": "call_procedure", "arguments": {
-          "catalog": "$cat", "procedure": "history",
-          "args": {"table": "db.ev"}}, "result": true}}"""
-      val nCommits = new GraphCompiler(s, Map.empty).compile(graph)
-        .asInstanceOf[DataFrame].count()
-      s.table(s"$cat.db.ev").withColumn("n_commits", lit(nCommits))
-    }),
-    "q_stream_native_sink" -> ((s, dir) => {
-      // NATIVE streaming sink (r11): writeStream.format("graft-
-      // snapshot").start(path) with NO foreachBatch — the Delta
-      // DeltaSink architecture (V1 StreamSinkProvider behind the V2
-      // table). Two micro-batches land as two idempotent (query id,
-      // batchId)-keyed append commits; the result is the table read
-      // back, so the oracle verifies the streamed content AND the
-      // commit protocol end-to-end. Crash-replay idempotence, Complete
-      // mode, partitionBy layout creation and Update rejection are
-      // spec-pinned (SnapshotSinkSpec).
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val p = freshSnapshotPath(dir, "nsink")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val rows = snapshotEvents(s, dir)
-        .where(col("event_id") % 7 === 0)
-        .as[(Long, Long, String, Double)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, Long, String, Double)]
-      val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
-        .writeStream.format("graft-snapshot")
-        .option("checkpointLocation", freshCheckpoint("nsink"))
-        .outputMode("append")
-        .start(p)
-      try {
-        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_procedures" -> ((s, dir) => {
-      // SQL STORED PROCEDURES (r11, Spark 4 ProcedureCatalog): the
-      // whole maintenance lifecycle as CALL statements — restore rolls
-      // the SQL DELETE back, optimize rewrites the layout, history
-      // pins the exact commit count — so a pure-SQL operator needs no
-      // Scala API for maintenance (the reference exposes maintenance
-      // only through Python). Typed errors, z-order bounds derivation,
-      // vacuum and SHOW PROCEDURES are spec-pinned
-      // (SnapshotProceduresSpec).
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val cat = s"gproc_$slug"
-      val whPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_proccat_$slug"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        "graft.sources.SnapshotCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
-      sharedBuild("proccat", dir) { wh =>
-        deleteRecursively(wh)
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
-          "user_id BIGINT, event_type STRING, value DOUBLE)")
-        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
-          .createOrReplaceTempView(s"proc_base_$slug")
-        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM proc_base_$slug")
-        s.sql(s"DELETE FROM $cat.db.ev WHERE event_type = 'click'")
-        // v4: CALL restore undoes the delete; v5: CALL optimize
-        // rewrites the layout content-identically
-        s.sql(s"CALL $cat.system.restore(`table` => 'db.ev', " +
-          "version => 2)")
-        s.sql(s"CALL $cat.system.optimize(`table` => 'db.ev', " +
-          "num_files => 2, zorder => 'event_id,user_id')")
-      }
-      val nCommits = s.sql(
-        s"CALL $cat.system.history(`table` => 'db.ev')").count()
-      s.table(s"$cat.db.ev").withColumn("n_commits", lit(nCommits))
-    }),
-    "q_graph_merge_into" -> ((s, dir) => {
-      // general MERGE INTO through the JSON graph surface — process ==
-      // API parity: the same clause program as q_merge_into, authored
-      // as ordered JSON clause lists with SQL expression strings
-      // (source columns as `source.<col>`, re-spelled by parsing).
-      // Oracle shared verbatim with q_merge_into.
-      import graft.compile.GraphCompiler
-      val p = sharedBuild("gmigraph", dir) { tp =>
-        deleteRecursively(s"${tp}_t") // the stores live at the
-        deleteRecursively(s"${tp}_s") // suffixed paths — clean BOTH
-        val ev = snapshotEvents(s, dir)
-        Snapshots.append(ev.where(col("event_id") % 3 === 0),
-          s"${tp}_t")
-        Snapshots.append(ev.where(col("event_id") % 4 === 0),
-          s"${tp}_s")
-        val graph = s"""{
-          "src": {"process_id": "load_snapshot", "arguments": {
-            "path": "${tp}_s"}},
-          "out": {"process_id": "merge_into", "arguments": {
-            "path": "${tp}_t", "source": {"from_node": "src"},
-            "keys": ["event_id"],
-            "matched": [
-              {"condition": "source.event_type = 'click'",
-               "set": {"value": "value + source.value"}},
-              {"condition": "source.event_type = 'view'",
-               "delete": true}],
-            "not_matched": [
-              {"condition": "source.event_id < 5000",
-               "values": {"event_id": "source.event_id",
-                          "user_id": "source.user_id",
-                          "event_type": "'merged'",
-                          "value": "source.value"}}],
-            "not_matched_by_source": [
-              {"condition": "event_type = 'purchase'",
-               "set": {"value": "CAST(0.0 AS DOUBLE)"}}]},
-            "result": true}}"""
-        new GraphCompiler(s, Map.empty).compile(graph)
-        ()
-      }
-      Snapshots.read(s, s"${p}_t")
-    }),
-    "q_merge_into_evolve" -> ((s, dir) => {
-      // MERGE WITH SCHEMA EVOLUTION (r12): the source carries a column
-      // the table lacks — Spark computes the widening, routes it
-      // through the catalog's append-evolution ADD COLUMN commit and
-      // re-resolves, so matched rows update INTO the new column,
-      // inserts land with it, and untouched rows read null. Oracle
-      // replays the widened end state from raw events.
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val cat = s"gmev_$slug"
-      val whPath =
-        s"${System.getProperty("java.io.tmpdir")}/graft_gmevcat_$slug"
-      s.conf.set(s"spark.sql.catalog.$cat",
-        "graft.sources.SnapshotCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", whPath)
-      sharedBuild("gmevcat", dir) { wh =>
-        deleteRecursively(wh)
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-        s.sql(s"CREATE TABLE $cat.db.ev (event_id BIGINT, " +
-          "user_id BIGINT, value DOUBLE)")
-        snapshotEvents(s, dir).where(col("event_id") % 3 === 0)
-          .select("event_id", "user_id", "value")
-          .createOrReplaceTempView(s"gmev_base_$slug")
-        s.sql(s"INSERT INTO $cat.db.ev SELECT * FROM gmev_base_$slug")
-        snapshotEvents(s, dir).where(col("event_id") % 4 === 0)
-          .select(col("event_id"), col("user_id"),
-            (col("value") + 1000).as("value"),
-            col("event_type").as("tag"))
-          .createOrReplaceTempView(s"gmev_src_$slug")
-        s.sql(
-          s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.ev t
-              USING gmev_src_$slug s ON t.event_id = s.event_id
-              WHEN MATCHED THEN UPDATE SET *
-              WHEN NOT MATCHED AND s.event_id < 5000 THEN INSERT *""")
-      }
-      s.table(s"$cat.db.ev")
-    }),
-    "q_merge_into" -> ((s, dir) => {
-      // GENERAL MERGE INTO (r11) — the full SQL shape the canonical
-      // upsert lacks: ordered CONDITIONAL clauses, WHEN MATCHED DELETE,
-      // and WHEN NOT MATCHED BY SOURCE, compiled into ONE copy-on-write
-      // commit (Delta/Iceberg semantics; clause order = first
-      // applicable wins, spec-pinned in SnapshotMergeIntoSpec). Without
-      // NMBS only key-touched files rewrite; here NMBS makes every file
-      // a candidate — the same cost Delta pays, documented.
-      val p = buildMergeIntoStore(s, dir)
-      Snapshots.read(s, p)
-    }),
-    "q_merge_into_cdf" -> ((s, dir) => {
-      // the merge commit's row-exact CDC sidecar: update pre/post
-      // image pairs for BOTH update families (matched click, NMBS
-      // purchase), deletes for the matched-view and nothing else —
-      // a downstream aggregate can subtract old and add new without
-      // re-reading the table
-      val p = buildMergeIntoStore(s, dir)
-      Snapshots.changeFeed(s, p, 1L, 2L).drop("_commit_timestamp")
-    }),
-    "q_snapshot_cdf" -> ((s, dir) => {
-      // the COMBINED row-level CHANGE FEED, batch face (Delta's
-      // readChangeFeed / table_changes shape): every data-changing
-      // commit contributes its added rows as _change_type='insert',
-      // the merge-on-read commit its FRESH vector positions joined back
-      // to rows as 'delete', each stamped _commit_version — the one
-      // feed an incremental index/aggregate consumer needs, adds AND
-      // deletes, no table re-sync. Maintenance-skip and streaming ==
-      // batch equality are law-pinned (SnapshotCdfSpec).
-      val p = buildCdfSnapshotStore(s, dir)
-      // _commit_timestamp is wall-clock (real, law-pinned) — dropped
-      // here because the oracle compares deterministic values only
-      Snapshots.changeFeed(s, p, 0L, 3L).drop("_commit_timestamp")
-    }),
-    "q_cdf_apply" -> ((s, dir) => {
-      // the CDC CONSUMER law end-to-end: a keyed materialization seeded
-      // at v1 plus the feed (1, 3] equals the table at v3 — a
-      // downstream mirror/index/aggregate pays O(changes) per sync,
-      // never an O(table) re-read (newest commit wins per key, deletes
-      // remove). Oracle = the table's latest content derived from base
-      // events.
-      val p = buildCdfSnapshotStore(s, dir)
-      Snapshots.applyChangeFeed(
-        Snapshots.read(s, p, Some(1L)),
-        Snapshots.changeFeed(s, p, 1L, 3L),
-        Seq("event_id"))
-    }),
-    "q_stream_cdf_mirror" -> ((s, dir) => {
-      // the FULL production loop: source table → readChangeFeed stream
-      // → exactly-once foreachBatch mirror. The batch folds inserts +
-      // row-level deletes into the mirror via applyChangeFeed and lands
-      // as one idempotent overwrite commit — after the run the mirror
-      // equals the source's latest content without ever re-reading the
-      // source table. Two admission rounds here so BOTH sink paths are
-      // oracle-gated: batch 0 bootstraps (fold into empty), batch 1
-      // exercises the steady-state mergeChanges (atomic file-pruned
-      // CoW apply of the row-level deletes). Crash-replay idempotence
-      // is law-pinned (SnapshotCdfSpec). Oracle = q_cdf_apply's (same
-      // final content).
-      val p = buildCdfSnapshotStore(s, dir)
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val mirror = freshSnapshotPath(dir, "mi")
-      val q = s.readStream.format("graft-snapshot")
-        .option("readChangeFeed", "true")
-        .option("maxVersionsPerTrigger", "2")
-        .load(p)
-        .writeStream
-        .option("checkpointLocation", freshCheckpoint("mi"))
-        .foreachBatch(Snapshots.streamMirror(mirror, s"mi_$slug",
-          Seq("event_id")))
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      Snapshots.read(s, mirror)
-    }),
-    "q_stream_cdf" -> ((s, dir) => {
-      // the SAME feed as a real multi-batch STREAM: readChangeFeed on
-      // the V2 source with maxVersionsPerTrigger=1 plans one commit per
-      // micro-batch (3 real batches here — two insert batches, one
-      // row-level delete batch), offsets are versions, replay
-      // deterministic from the log.
-      val p = buildCdfSnapshotStore(s, dir)
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val sink = s"snap_cdf_$slug"
-      val q = s.readStream.format("graft-snapshot")
-        .option("readChangeFeed", "true")
-        .option("maxVersionsPerTrigger", "1")
-        .load(p)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table(sink).drop("_commit_timestamp") // wall-clock, see q_snapshot_cdf
-    }),
-    "q_snapshot_cdf_cow" -> ((s, dir) => {
-      // ROW-EXACT change feed for COPY-ON-WRITE commits (r11, closing
-      // the r10 weak finding): a CoW delete() emits exactly its removed
-      // rows as _change_type='delete' from the commit's _change_data
-      // sidecar (survivor rows co-located in the rewrite NEVER
-      // re-emit), and a partition-aligned replaceWhere emits the
-      // dropped partition per-file (fullRemoves synthesis — its bytes
-      // were never read at write time) plus the batch as inserts. The
-      // every-op state+feed==read(v) law is spec-pinned
-      // (SnapshotCdfSpec "THE law").
-      val p = buildCowCdfStore(s, dir)
-      Snapshots.changeFeed(s, p, 0L, 3L).drop("_commit_timestamp")
-    }),
-    "q_cdf_images" -> ((s, dir) => {
-      // UPDATE PRE/POST IMAGES (r11, the full Delta CDF shape): a
-      // mergeChanges batch records matched keys as paired
-      // update_preimage/update_postimage rows (old and new values),
-      // unmatched keys as inserts, delete keys as deletes with their
-      // old row — downstream aggregate maintenance can subtract the
-      // pre-values and add the post-values without re-reading the
-      // table (law-pinned: sum(post)−sum(pre) == Δsum in
-      // SnapshotCdfSpec).
-      val p = buildCdfImagesStore(s, dir)
-      Snapshots.changeFeed(s, p, 1L, 2L).drop("_commit_timestamp")
-    }),
-    "q_graph_cdf" -> ((s, dir) => {
-      // the CDC consumer through the JSON graph surface (the
-      // reference's one query language): load_snapshot pins the v1
-      // seed, snapshot_change_feed produces the slice, and
-      // apply_change_feed folds it — process == API parity pinned in
-      // GraphCompilerSpec; oracle shared verbatim with q_cdf_apply.
-      import graft.compile.GraphCompiler
-      val p = buildCdfSnapshotStore(s, dir)
-      // (1, 2] keeps this parity row CHEAP — the full-range fold with
-      // deletes is q_cdf_apply's job, and the CoW feed law has its own
-      // rows; GraphCompilerSpec pins process==API over a CoW range
-      val graph = s"""{
-        "base": {"process_id": "load_snapshot", "arguments": {
-          "path": "$p", "version_as_of": 1}},
-        "feed": {"process_id": "snapshot_change_feed", "arguments": {
-          "path": "$p", "from_exclusive": 1, "to_inclusive": 2}},
-        "out": {"process_id": "apply_change_feed", "arguments": {
-          "base": {"from_node": "base"}, "feed": {"from_node": "feed"},
-          "keys": ["event_id"]}, "result": true}}"""
-      new GraphCompiler(s, Map.empty).compile(graph)
-        .asInstanceOf[DataFrame]
-    }),
-    "q_stream_cdf_mirror_cow" -> ((s, dir) => {
-      // the r10 divergence scenario, now CONVERGING: the source uses
-      // CoW deletes + a partition-dropping replaceWhere, the mirror is
-      // driven purely by readChangeFeed → streamMirror → mergeChanges,
-      // and ends EQUAL to the source — with no writer-discipline
-      // caveat. A CoW commit without a sidecar fails typed instead
-      // (spec-pinned), so the mirror can never silently drift.
-      val p = buildCowCdfStore(s, dir)
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val mirror = freshSnapshotPath(dir, "mc")
-      // 2 versions/trigger = TWO admission rounds (the budget rule:
-      // both sink paths gated at minimum stream cost): batch 0
-      // bootstraps from v1+v2 (inserts + the CoW delete's sidecar
-      // rows), batch 1 steady-state-mergeChanges v3 (fullRemoves
-      // deletes + the backfill inserts)
-      val q = s.readStream.format("graft-snapshot")
-        .option("readChangeFeed", "true")
-        .option("maxVersionsPerTrigger", "2")
-        .load(p)
-        .writeStream
-        .option("checkpointLocation", freshCheckpoint("mc"))
-        .foreachBatch(Snapshots.streamMirror(mirror, s"mc_$slug",
-          Seq("event_id")))
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      Snapshots.read(s, mirror)
-    }),
-    "q_snapshot_dv_feed" -> ((s, dir) => {
-      // the ROW-LEVEL DELETE FEED merge-on-read unlocks: deletedRows(v)
-      // reads version v's vectors (minus the parent's) and joins the
-      // positions back to their rows — downstream index/aggregate
-      // maintenance retires exactly these rows without a table re-sync,
-      // the delete half of row-level CDC that file-level changes()
-      // cannot carry. Shares the dv store; v2 is its delete-dv commit.
-      val p = buildDvSnapshotStore(s, dir)
-      Snapshots.deletedRows(s, p, 2L)
-    }),
-    "q_snapshot_compact" -> ((s, dir) => {
-      // INCREMENTAL compaction (bin-packing, the counterpart to the
-      // whole-table optimize): after small streaming-style commits,
-      // only sub-threshold files rewrite into packed bins — maintenance
-      // cost tracks the STRAGGLERS, never the table; changes()/the
-      // streaming source skip the commit like optimize (spec-pinned).
-      val p = freshSnapshotPath(dir, "cp")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.where(col("event_id") % 3 === 0)
-        .repartition(1), p)
-      Snapshots.append(ev.where(col("event_id") % 3 === 1)
-        .repartition(4), p)
-      Snapshots.compactSmallFiles(s, p, smallBytes = 1L << 30)
-      Snapshots.read(s, p)
-    }),
-    "q_snapshot_restore" -> ((s, dir) => {
-      // RESTORE to an earlier version as a NEW commit, METADATA-ONLY:
-      // the target's file listing + stats + vectors re-reference inline
-      // (self-checkpointing manifest), no data moves — rolling a 100 TB
-      // table back from a bad load costs one log write. History stays
-      // readable and idempotent-txn marks carry forward (spec-pinned).
-      val p = freshSnapshotPath(dir, "rs")
-      val ev = snapshotEvents(s, dir)
-      Snapshots.append(ev.where(col("event_id") % 3 === 0), p) // v1
-      Snapshots.overwrite(ev.where(col("event_id") % 3 === 2), p) // v2
-      Snapshots.restore(s, p, 1L) // v3: roll the overwrite back
-      Snapshots.read(s, p)
-    }),
-    "q_timetravel_ts" -> ((s, dir) => {
-      // time travel by WALL CLOCK (timestampAsOf): manifests carry
-      // in-commit timestamps forced strictly monotonic across writer
-      // clock skew, so "the table as of 14:00" is a well-defined log
-      // lookup — reads version 2 of the shared store, same rows as
-      // q_timetravel's version pin (oracle shared verbatim).
-      val p = buildSnapshotStore(s, dir)
-      Snapshots.readAsOfTimestamp(s, p,
-        Snapshots.manifestAt(s, p, 2L).get.ts)
-    }),
-    "q_json_extract" -> ((s, dir) => {
-      // the raw-ingest shape (Kafka-style JSON payloads): each event
-      // encodes to a JSON string, then from_json with an explicit
-      // schema re-types the fields — a pure projection chain (no UDF,
-      // stays in codegen). Doubles survive exactly: Jackson writes
-      // shortest-roundtrip decimals and the parser restores the bit
-      // pattern, so the oracle is the original projection.
-      val ev = readEvents(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      val payloads = ev.select(
-        to_json(struct(ev.columns.map(col).toIndexedSeq: _*)).as("payload"))
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id LONG, user_id LONG, event_type STRING, " +
-          "ts_us LONG, value DOUBLE")
-      payloads.select(from_json(col("payload"), schema).as("r"))
-        .select("r.*")
-    }),
-    "q_orc_source" -> ((s, dir) => {
-      // source-format breadth: events round-trip through ORC (columnar,
-      // type-preserving — timestamps survive natively, unlike CSV) and
-      // full-row-join against the parquet read, so any divergence drops
-      // rows and the oracle's count catches it
-      val ev = readEvents(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$slug"
-      ev.write.mode("overwrite").orc(s"$tmp/orc")
-      s.read.orc(s"$tmp/orc").join(ev,
-        Seq("event_id", "user_id", "event_type", "ts_us", "value"))
-    }),
-    "q_sample_weighted_k" -> ((s, dir) => {
-      // exact-50 weighted draw without replacement over documents,
-      // weight ∝ byte length (1e-6-quantized) — the Efraimidis-Spirakis
-      // key is a pure projection, the draw a TakeOrderedAndProject
-      val d = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("wt",
-          round(octet_length(encode(col("text"), "UTF-8")).cast("double")
-            / 1000.0, 6) + 0.001)
-      graft.text.Sampling.sampleWeightedK(d, "doc_id", col("wt"), 50)
-        .select(col("doc_id"), col("wt"))
-    }),
-    "q_pivot" -> ((s, dir) => {
-      // relational pivot surface: per-user event-type contingency table
-      // (explicit value list → no extra distinct pass; map-side partial
-      // counts). na.fill(0) so absent cells are 0 like the conditional-
-      // count oracle
-      readEvents(s, dir)
-        .groupBy(col("user_id"))
-        .pivot("event_type",
-          Seq("click", "error", "purchase", "signup", "view"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-    }),
-    "q_resample_ffill" -> ((s, dir) => {
-      // regular-grid resampling with forward fill: each user's sparse
-      // purchase series lands on a daily grid via a backward as-of join
-      // (grid side = explode(sequence) per user — no driver loop).
-      // Composes sequence/explode with the union-window asof.
-      val ev = readEvents(s, dir)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("pts"),
-          col("value").as("last_purchase"))
-      val grid = purchases.groupBy(col("user_id"))
-        .agg(date_trunc("day", min(col("pts"))).as("d0"),
-          date_trunc("day", max(col("pts"))).as("d1"))
-        .select(col("user_id"),
-          explode(expr("sequence(d0, d1, INTERVAL 1 DAY)")).as("grid_ts"))
-      graft.ops.TableJoins.asofJoin(grid, purchases, Seq("user_id"),
-          "grid_ts", "pts", Seq("last_purchase"))
-        .select("user_id", "grid_ts", "last_purchase")
-    }),
-    "q_table_profile" -> ((s, dir) => {
-      // per-column dataset profile of events (ts excluded: engines
-      // disagree on timestamp→string trailing-zero trimming, and the
-      // whole column profiles through its string form). Two passes:
-      // one hash agg for exact null/min/max, one stacked HLL pass for
-      // distinct estimates.
-      graft.ops.TableProfile.profile(readEvents(s, dir),
-        Seq("event_id", "user_id", "event_type", "value"))
-    }),
-    "q_attribution_pipeline" -> ((s, dir) => {
-      // round-6 composition DAG: as-of click attribution over views →
-      // per-user attributed-view rollup → joined with the ordered
-      // funnel — one oracle SQL replays the whole trajectory. Shapes:
-      // the asof is the one-exchange union-window; the funnel reuses
-      // one key partitioning; the final join is key-aligned.
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"),
-          col("value").as("click_value"))
-      val attributed = graft.ops.TableJoins.asofJoin(views, clicks,
-        Seq("user_id"), "ts", "cts", Seq("click_value"))
-      val perUser = attributed.groupBy(col("user_id")).agg(
-        count(lit(1)).as("n_views"),
-        count(col("click_value")).as("n_attributed"),
-        dsum(coalesce(col("click_value"), lit(0.0)))
-          .as("sum_attributed_value"))
-      val fun = graft.ops.Funnel.funnel(ev, "user_id", "ts",
-        "event_type", Seq("signup", "click", "purchase"))
-      fun.join(perUser, Seq("user_id"), "left")
-        .select(col("user_id"), col("converted"),
-          coalesce(col("n_views"), lit(0L)).as("n_views"),
-          coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
-          coalesce(col("sum_attributed_value"), lit(0.0))
-            .as("sum_attributed_value"))
-    }),
-    "q_asof_native" -> ((s, dir) => {
-      // the SAME point-in-time attribution as q_asof_join, through the
-      // custom LogicalPlan → Strategy → AsofJoinExec physical merge
-      // (one O(1)-state pass, no window machinery) — oracle shared
-      // verbatim; TableJoinsSpec pins plan + law-equality to asofJoin
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"),
-          col("ts").as("click_ts"), col("value").as("click_value"))
-      graft.ops.TableJoins.asofJoinNative(views, clicks, Seq("user_id"),
-          "ts", "cts", Seq("click_ts", "click_value"))
-        .select("event_id", "user_id", "ts", "click_ts", "click_value")
-    }),
-    "q_band_join_rule" -> ((s, dir) => {
-      // the SAME busy-hours containment as q_range_join, but written as
-      // the raw DECLARATIVE inequality join a SQL user would type — the
-      // injected BandJoinRule optimizer rule rewrites it to the binned
-      // equi-join (BandJoinRuleSpec pins the plan); oracle shared
-      // verbatim with q_range_join
-      import graft.plans.BandJoinRule
-      if (!s.experimental.extraOptimizations.exists(_ eq BandJoinRule))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ BandJoinRule
-      val ev = readEvents(s, dir)
-      val busy = ev.where(col("event_type").isin("click", "view"))
-        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
-        .agg(count(lit(1)).as("n_events"))
-        .where(col("n_events") >= 8)
-        .withColumn("window_end",
-          col("window_start") + expr("INTERVAL 1 HOUR")
-            - expr("INTERVAL 1 MICROSECOND"))
-      val errors = ev.where(col("event_type") === "error")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      errors.join(busy,
-          col("ts") >= col("window_start") && col("ts") <= col("window_end"))
-        .select("event_id", "user_id", "ts", "window_start", "n_events")
-    }),
-    "q_graph_asof" -> ((s, dir) => {
-      // the as-of join driven through the openEO JSON graph surface:
-      // load_table x2 + asof_join compile to the IDENTICAL plan as
-      // q_asof_join's Scala call; the oracle is shared verbatim. The
-      // two sides are staged through readEvents first so the graph path
-      // inherits the ts-encoding dispatch (driver-owned fixture quirk)
-      import graft.compile.GraphCompiler
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_asof_$slug"
-      val ev = readEvents(s, dir)
-      ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .write.mode("overwrite").parquet(s"$tmp/views")
-      ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"),
-          col("ts").as("click_ts"), col("value").as("click_value"))
-        .write.mode("overwrite").parquet(s"$tmp/clicks")
-      val graph = """{
-        "v": {"process_id": "load_table", "arguments": {"id": "views"}},
-        "c": {"process_id": "load_table", "arguments": {"id": "clicks"}},
-        "j": {"process_id": "asof_join", "arguments": {
-          "left": {"from_node": "v"}, "right": {"from_node": "c"},
-          "keys": ["user_id"], "left_ts": "ts", "right_ts": "cts",
-          "payload": ["click_ts", "click_value"]}, "result": true}}"""
-      new GraphCompiler(s, Map.empty, tmp + "_res",
-          tables = Map("views" -> s"$tmp/views", "clicks" -> s"$tmp/clicks"))
-        .compile(graph).asInstanceOf[DataFrame]
-        .select("event_id", "user_id", "ts", "click_ts", "click_value")
-    }),
-    "q_salted_join" -> ((s, dir) => {
-      // skew-safe join: purchase events against a per-user signup
-      // profile with salt factor 4 — row-identical to the plain join
-      // (the oracle IS the plain join), but a hot user's rows spread
-      // over 4 tasks instead of one straggler
-      val ev = readEvents(s, dir)
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("value"))
-      val profile = ev.where(col("event_type") === "signup")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_signups"), min(col("ts")).as("first_signup"))
-      graft.ops.TableJoins.saltedJoin(purchases, profile,
-          Seq("user_id"), saltFactor = 4)
-        .select("event_id", "user_id", "value", "n_signups", "first_signup")
-    }),
-    "q_funnel" -> ((s, dir) => {
-      // ordered-funnel conversion (signup → click → purchase per user):
-      // greedy first-match stage times, null-propagating once a stage
-      // is unreached; one reused key partitioning across stages
-      graft.ops.Funnel.funnel(readEvents(s, dir), "user_id", "ts",
-        "event_type", Seq("signup", "click", "purchase"))
-    }),
-    "q_compaction_plan" -> ((s, dir) => {
-      // output-file compaction planning over a file listing (documents
-      // stand in: doc_id=path, text bytes=size) — deterministic
-      // first-fit-decreasing-flavored bin assignment, pure integer math
-      val files = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
-          octet_length(encode(col("text"), "UTF-8")).cast("long").as("bytes"))
-      graft.ops.Compaction.compactionPlan(files, "doc_id", "bytes", 4096L)
-    }),
-    "q_compaction_exec" -> ((s, dir) => {
-      // compaction EXECUTED end-to-end: a deliberately fragmented copy
-      // (32 tiny files) compacts into planned bins — one distributed
-      // job, exactly one output file per bin (law-pinned in spec) —
-      // and the surviving data is the oracle (byte-identical rows)
-      val l = s.read.parquet(s"$dir/lineitem.parquet")
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val frag = s"${System.getProperty("java.io.tmpdir")}/graft_cmp_$slug"
-      l.repartition(32).write.mode("overwrite").parquet(frag)
-      graft.ops.Compaction.compactDirectory(s, frag, targetBytes = 1L << 20)
-      s.read.parquet(frag)
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-    }),
-    "q_hll_join" -> ((s, dir) => {
-      // join-cardinality planning without running the join: HLL key
-      // sketches of view-users vs purchase-users, overlap by register
-      // merge + inclusion-exclusion — KB of state at any corpus size
-      val ev = readEvents(s, dir)
-      graft.text.Sketches.hllKeyOverlap(
-        ev.where(col("event_type") === "view"), col("user_id"),
-        ev.where(col("event_type") === "purchase"), col("user_id"))
-    }),
-    "q_stream_join" -> ((s, dir) => {
-      // STREAM-STREAM correctness row: watermarked two-stream inner
-      // join (views x clicks per user within ±30 min) through a real
-      // two-MemoryStream micro-batch run. Inner-join matches emit as
-      // they form; the generous watermark keeps every in-band pair
-      // (state eviction is the production knob, pinned in
-      // StreamingSpec). Oracle = the declarative batch inequality join.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
-      val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val msC = MemoryStream[(Long, java.sql.Timestamp, Double)]
-      val joined = graft.streaming.StreamingOps.joinStreamsWithin(
-        msV.toDF.toDF("event_id", "user_id", "ts"),
-        msC.toDF.toDF("user_id", "cts", "click_value"),
-        Seq("user_id"), "ts", "cts",
-        bandMs = 30L * 60 * 1000, watermarkMs = 30L * 24 * 3600 * 1000)
-      val sink = "q_stream_join_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      // watermark-only (no-data) micro-batches are OUTPUT-NEUTRAL for an
-      // inner band join — they exist for outer-join null emission and
-      // idle-stream state cleanup (eviction still runs on data batches).
-      // Each feeding round otherwise pays a full second batch cycle for
-      // zero rows: measured 4.0→2.6 s at sf0.1 (StreamProbe), rows
-      // identical. The outer row below keeps them (its null flush NEEDS
-      // the watermark-only cycle).
-      val prevNoData =
-        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        // 2 feeding rounds: each extra round costs a full state-store
-        // commit cycle over both sides' buffered rows (BENCH_NOTES r6:
-        // 3 rounds measured ~30% slower with identical output)
-        val vb = views.grouped(math.max(1, views.length / 2 + 1)).toSeq
-        val cb = clicks.grouped(math.max(1, clicks.length / 2 + 1)).toSeq
-        (0 until math.max(vb.length, cb.length)).foreach { i =>
-          if (i < vb.length) msV.addData(vb(i))
-          if (i < cb.length) msC.addData(cb(i))
-          q.processAllAvailable()
-        }
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-          prevNoData)
-      }
-      s.table(sink)
-        .select("event_id", "user_id", "ts", "cts", "click_value")
-    }),
-    "q_stream_join_outer" -> ((s, dir) => {
-      // LEFT-OUTER stream-stream correctness row — the watermark-proof
-      // semantics: an unmatched view can only emit (null click columns)
-      // once the watermark proves no click can still land in its ±30 min
-      // band. Batches feed time-ordered with a 2 h watermark; a
-      // far-future sentinel on BOTH streams flushes every pending
-      // unmatched row. Oracle = the declarative batch LEFT band join.
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
-      val maxTs = math.max(views.last._3.getTime, clicks.last._2.getTime)
-      val sentinelTs = new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000)
-      val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
-      val msC = MemoryStream[(Long, java.sql.Timestamp, Double)]
-      val joined = graft.streaming.StreamingOps.joinStreamsWithin(
-        msV.toDF.toDF("event_id", "user_id", "ts"),
-        msC.toDF.toDF("user_id", "cts", "click_value"),
-        Seq("user_id"), "ts", "cts",
-        bandMs = 30L * 60 * 1000, watermarkMs = 2L * 3600 * 1000,
-        joinType = "left_outer")
-      val sink = "q_stream_join_outer_sink"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      // outer joins DO need watermark-driven null emission — but a
-      // watermark-only (no-data) micro-batch is not the only vehicle:
-      // eviction/null-flush also runs at the start of the NEXT data
-      // batch. Feeding a SECOND sentinel round replaces every round's
-      // no-data cycle (2 per round) with one tiny data batch — same
-      // rows (oracle-checked), ~1.5 s less machinery at sf0.1.
-      val prevNoData =
-        s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        // 2 feeding rounds: each extra round costs a full state-store
-        // commit cycle over both sides' buffered rows (BENCH_NOTES r6:
-        // 3 rounds measured ~30% slower with identical output)
-        val vb = views.grouped(math.max(1, views.length / 2 + 1)).toSeq
-        val cb = clicks.grouped(math.max(1, clicks.length / 2 + 1)).toSeq
-        (0 until math.max(vb.length, cb.length)).foreach { i =>
-          if (i < vb.length) msV.addData(vb(i))
-          if (i < cb.length) msC.addData(cb(i))
-          q.processAllAvailable()
-        }
-        // sentinel 1 advances the watermark past every real row;
-        // sentinel 2 is the data batch in which the advanced watermark
-        // actually evicts + null-emits (no no-data cycles to do it)
-        val sentinel2 = new java.sql.Timestamp(
-          sentinelTs.getTime + 365L * 24 * 3600 * 1000)
-        msV.addData(Seq((-1L, -1L, sentinelTs)))
-        msC.addData(Seq((-1L, sentinelTs, 0.0)))
-        q.processAllAvailable()
-        msV.addData(Seq((-1L, -1L, sentinel2)))
-        msC.addData(Seq((-1L, sentinel2, 0.0)))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-          prevNoData)
-      }
-      s.table(sink).where(col("event_id") =!= -1L)
-        .select("event_id", "user_id", "ts", "cts", "click_value")
-    }),
-    "q_zorder" -> ((s, dir) => {
-      // Morton keys for multi-dim data skipping: (user_id, value)
-      // quantized to 10 bits each and bit-interleaved by the native
-      // codegen ZValue expression. The key itself is the oracle-checked
-      // output; clusterByZ (range-partition + sort by it) is the layout
-      // side, pinned in TableJoinsSpec's span test
-      import graft.functions.ZOrder
-      readEvents(s, dir).select(
-        col("event_id"),
-        ZOrder.zvalue(10,
-          ZOrder.quantize(col("user_id"), 0.0, 256.0, 10),
-          ZOrder.quantize(col("value"), 0.0, 512.0, 10)).as("zval"))
-    }),
-  )
+  private[graft] def baseQueries: Map[String, Q] =
+    QueriesCube.q ++ QueriesRelational.q ++ QueriesText.q ++ QueriesLakehouse.q ++ QueriesStream.q
 
   // -------------------------------------------------------------- oracle SQL
 
-  private def cq(sql: String): String = s"$cubeCte $sql"
+  private[graft] def cq(sql: String): String = s"$cubeCte $sql"
 
   /** Size-guarded broadcast hint for dimension sides: hint only while
     * the plan's estimated size fits under autoBroadcastJoinThreshold,
@@ -5597,7 +742,7 @@ object SparkEntry {
     * shuffle join instead (plan-pinned in PlanQualitySpec). Estimation
     * is the non-CBO sizeInBytes (filters don't shrink it), so the guard
     * errs conservative — a dim that MIGHT be large is never forced. */
-  private def dimHint(df: DataFrame): DataFrame = {
+  private[graft] def dimHint(df: DataFrame): DataFrame = {
     val threshold =
       df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold >= 0 &&
@@ -5613,7 +758,7 @@ object SparkEntry {
     * unigram count tables, the union-vocab full outer join, totals, and
     * the per-token 1e-9-quantized KL / TV contributions (op order
     * mirrors TextAnalysis.distributionDrift exactly). */
-  private val driftCtes: String =
+  private[graft] val driftCtes: String =
     """toko AS (SELECT unnest(list_filter(
              string_split_regex(lower(trim(text)), '\s+'),
              x -> x <> '')) AS tok
@@ -5646,7 +791,7 @@ object SparkEntry {
   /** Shared by q_drift_report and q_graph_drift (the JSON-graph
     * formulation stages the same even/odd snapshots and compiles to the
     * identical plan). */
-  private lazy val driftReportSql: String = s"""
+  private[graft] lazy val driftReportSql: String = s"""
          WITH $driftCtes
          SELECT n_old, n_new, vocab,
            round(CAST(SUM(klq) AS DOUBLE) / 1000000000.0, 6) AS kl_new_old,
@@ -5659,7 +804,7 @@ object SparkEntry {
     * coincides with the batch (gen, ts) ordering): per-key winner =
     * lexicographic max over (gen, ts, op, payload), replayed as a
     * fully-ordered row_number. */
-  private val mergeChangelogSql: String =
+  private[graft] val mergeChangelogSql: String =
     """WITH b AS (SELECT o_orderkey, 0 AS gen,
               TIMESTAMP '1970-01-01' AS cts, 'I' AS op,
               o_orderstatus, o_totalprice FROM orders),
@@ -5674,7 +819,7 @@ object SparkEntry {
          SELECT o_orderkey, o_orderstatus, o_totalprice
          FROM r WHERE rn = 1 AND op <> 'D'"""
 
-  private val hashedGdCtes: String =
+  private[graft] val hashedGdCtes: String =
     """tok AS (SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'),
                x -> x <> '') AS t
@@ -5725,7 +870,7 @@ object SparkEntry {
 
   /** Merge count for the BPE queries — shared by the Spark side and the
     * generated oracle unroll. */
-  private val bpeMergeCount = 12
+  private[graft] val bpeMergeCount = 12
 
   /** The BPE trajectory as generated unrolled SQL: step t derives pair
     * counts from the step t-1 segmentations, picks argmax
@@ -5733,7 +878,7 @@ object SparkEntry {
     * replace — the same left-to-right non-overlapping semantics as the
     * Spark/JVM side. Ends at w$bpeMergeCount (final segmentations) with
     * b1..bN holding the chosen merges. */
-  private val bpeCtes: String = {
+  private[graft] val bpeCtes: String = {
     val sb = new StringBuilder
     sb ++= s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
              SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
@@ -5762,7 +907,7 @@ object SparkEntry {
     * denominator -> estimate with linear-counting branch. The
     * numerator constant is the IDENTICAL driver-computed double.
     * Verifies q_hll_distinct AND q_stream_hll. */
-  private val hllDistinctSql: String = {
+  private[graft] val hllDistinctSql: String = {
       val numer = graft.text.Sketches.hllNumer(11)
       s"""WITH tok AS (SELECT lang,
              unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -5815,7 +960,7 @@ object SparkEntry {
   }
 
   /** q_spatial_join's literal polygon set (shared by query and oracle). */
-  private val spatialJoinPolys: Seq[(Int, graft.ops.Geo.Ring)] = Seq(
+  private[graft] val spatialJoinPolys: Seq[(Int, graft.ops.Geo.Ring)] = Seq(
     1 -> Seq((2.0, 2.0), (12.0, 3.0), (6.0, 14.0)),
     2 -> Seq((8.0, 1.0), (19.0, 6.0), (11.0, 12.0)),
     3 -> Seq((0.0, 10.0), (9.0, 19.0), (1.0, 18.0)))
@@ -5823,7 +968,7 @@ object SparkEntry {
   /** DuckDB replay of [[graft.ops.Geo.pointInRing]]: same crossing
     * predicate, slope pre-divided to one double literal (shortest
     * round-trip repr parses back exactly). */
-  private def rayCastSql(px: String, py: String,
+  private[graft] def rayCastSql(px: String, py: String,
       ring: graft.ops.Geo.Ring): String = {
     val n = ring.length
     val terms = (0 until n).map { i =>
@@ -5842,7 +987,7 @@ object SparkEntry {
     * `tok(side, g)` CTE the caller provides: emits `fh .. est` where
     * `est(side, est_distinct)`. Third consumer (after documents-tokens
     * and join-overlap): the table profiler. */
-  private def hllEstChainSql: String = {
+  private[graft] def hllEstChainSql: String = {
     val numer = graft.text.Sketches.hllNumer(11)
     s"""fh AS (SELECT side,
              list_reduce(
@@ -5893,7 +1038,7 @@ object SparkEntry {
     * union re-hashes the concatenated key stream, which by register-max
     * idempotence equals the merged sketch bit-exactly), then the
     * inclusion-exclusion pivot. */
-  private val hllOverlapSql: String = {
+  private[graft] val hllOverlapSql: String = {
     val numer = graft.text.Sketches.hllNumer(11)
     s"""WITH src AS (
            SELECT 'left' AS side, CAST(user_id AS VARCHAR) AS g
@@ -5969,7 +1114,7 @@ object SparkEntry {
     * HUGEINT byte fold, 64 sign-aggregated bit lanes, then ALL-PAIRS
     * Hamming <= 6 — identical to the banded blocking output because
     * the 28-pair-key multi-index has exact recall to Hamming 6. */
-  private val d4DiversifySql: String =
+  private[graft] val d4DiversifySql: String =
     // assignment CTEs shared with q_semdedup; proto = ordered-sum
     // cosine to the assigned centroid; rank key 1e-9 long-quantized
     """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -6006,7 +1151,7 @@ object SparkEntry {
                 (rn > CEIL(0.25 * cnt)) AS kept
          FROM ranked"""
 
-  private val simhashPairsSql: String =
+  private[graft] val simhashPairsSql: String =
     """WITH tok AS (
          SELECT doc_id,
            list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -6071,7 +1216,7 @@ object SparkEntry {
   /** The deterministic IVF assignment replay (first-16 centroids by
     * vec_id, exact argmin) — the shared CTE prefix of every IVF-store
     * oracle (serving + the drift report). */
-  private val oracleIvfAssignedCte: String =
+  private[graft] val oracleIvfAssignedCte: String =
     """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
@@ -6093,7 +1238,7 @@ object SparkEntry {
                row_number() OVER (PARTITION BY vec_id
                  ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1)"""
 
-  private val oracleSqlIvf: String = oracleIvfAssignedCte +
+  private[graft] val oracleSqlIvf: String = oracleIvfAssignedCte +
     """,
          qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
              SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
@@ -6127,7 +1272,7 @@ object SparkEntry {
     * query (no vec_id filter) and k=3. The salt sharding on the Spark
     * side is result-invariant, so this unsalted formulation is the exact
     * oracle for the salted plan. */
-  private val knnJoinSql: String =
+  private[graft] val knnJoinSql: String =
     """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
              generate_subscripts(embedding, 1) AS i FROM embeddings),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
@@ -6173,7 +1318,7 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
          FROM s WHERE rank <= 3"""
 
-  private val decontaminateSql: String =
+  private[graft] val decontaminateSql: String =
     """WITH tok AS (SELECT doc_id,
            string_split_regex(lower(trim(text)), '\s+') AS t
          FROM documents),
@@ -6199,7 +1344,7 @@ object SparkEntry {
     * contributions) — shared verbatim by the direct corpus row
     * (`q_bm25`) and the persisted-inverted-index serving row
     * (`q_search_indexed`), which are result-identical by construction. */
-  private val bm25Sql: String = {
+  private[graft] val bm25Sql: String = {
     val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
     s"""WITH tok AS (SELECT doc_id,
            string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -6228,7 +1373,7 @@ object SparkEntry {
        FROM q GROUP BY 1"""
   }
 
-  private val dedupIncrementalSql: String =
+  private[graft] val dedupIncrementalSql: String =
     """WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
        incd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
                 UNION ALL
@@ -6255,7 +1400,7 @@ object SparkEntry {
     * (its acting half — the top-N selection): both LM trainings and the
     * scoring replay once; the selection oracle wraps this with the same
     * (log_ratio DESC, doc_id) order and limit. */
-  private val dsirSql: String = {
+  private[graft] val dsirSql: String = {
       val backoff = math.log(1e-9)
       s"""WITH tok AS (SELECT doc_id, lang,
              string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -6295,7 +1440,7 @@ object SparkEntry {
     * the replay with the λ₁ Rayleigh CTE and divides each projection by
     * its replayed √λ (q_pca_whiten); `false` emits the raw projections
     * (q_pca_project). */
-  private def pcaReplaySql(whiten: Boolean): String = {
+  private[graft] def pcaReplaySql(whiten: Boolean): String = {
     def iters(c: Int, gsrc: String): String = (1 to 8).map { t =>
       s"""u${c}_$t AS MATERIALIZED (SELECT g.i, SUM(g.a * w.w ORDER BY g.j) AS u
             FROM $gsrc g JOIN w${c}_${t - 1} w ON w.i = g.j GROUP BY g.i),
@@ -6346,7 +1491,7 @@ object SparkEntry {
     * (broadcast map-side formulation): both are bit-identical per-doc
     * scores, so one oracle verifies both. backoff literal matches the
     * Spark side's `math.log(1e-9)`. */
-  private val lmPerplexitySql: String = {
+  private[graft] val lmPerplexitySql: String = {
     val backoff = math.log(1e-9)
     s"""WITH tok AS (SELECT doc_id,
            string_split_regex(lower(trim(text)), '\\s+') AS t
@@ -6381,7 +1526,7 @@ object SparkEntry {
     * `duckdb.sql(q).types` over all oracles must contain no
     * HUGEINT/UHUGEINT (the round-7 sweep found zero after fixing
     * q_compaction_plan / q_pca_gram). */
-  private val multimodalFeaturesSql: String =
+  private[graft] val multimodalFeaturesSql: String =
       // the GRFT stub codec is deterministic over the UTF-8 payload bytes:
       // width = 1 + len % 64, pixels = first width bytes, mean_px = byte
       // mean, features = 8 block-pooled byte means / 255 cast through
@@ -6424,3963 +1569,13 @@ object SparkEntry {
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val
          FROM m JOIN fv ON fv.doc_id = m.doc_id"""
 
-  def oracleSql: Map[String, String] = Map(
-    "q_load_collection" -> cq(
-      """SELECT * FROM cube WHERE band IN ('click','view')
-         AND time >= TIMESTAMP '2024-01-05' AND time <= TIMESTAMP '2024-01-25'"""),
-    "q_filter_temporal" -> cq(
-      """SELECT * FROM cube
-         WHERE time >= TIMESTAMP '2024-01-10' AND time <= TIMESTAMP '2024-01-20'"""),
-    "q_filter_bands" -> cq(
-      "SELECT * FROM cube WHERE band IN ('click','purchase')"),
-    "q_filter_bbox" -> cq(
-      "SELECT * FROM cube WHERE x BETWEEN 1.0 AND 2.0 AND y BETWEEN 0.0 AND 2.0"),
-    "q_array_element" -> cq(
-      "SELECT time, y, x, value FROM cube WHERE band = 'purchase'"),
-    "q_filter_spatial" ->
-      // same triangle, same even-odd ray casting: y-straddle + x < x-at-y,
-      // bbox prefilter mirrors Filters.filterSpatial
-      cq("""SELECT * FROM cube
-            WHERE x BETWEEN 0.5 AND 3.5 AND y BETWEEN -0.5 AND 2.5
-            AND (( (CASE WHEN ((-0.5 > y) != (-0.5 > y)) THEN 0 ELSE 0 END)
-                 + (CASE WHEN ((-0.5 > y) != (2.5 > y)) AND x < 3.5 + (y - (-0.5)) * 0.0 THEN 1 ELSE 0 END)
-                 + (CASE WHEN ((2.5 > y) != (-0.5 > y)) AND x < 3.5 + (y - 2.5) * 1.0 THEN 1 ELSE 0 END)
-                 ) % 2) = 1"""),
-    "q_mask" -> cq(
-      """SELECT c.time, c.band, c.y, c.x,
-           CASE WHEN m.mv IS NOT NULL AND m.mv <> 0.0 THEN NULL ELSE c.value END AS value
-         FROM cube c LEFT JOIN (
-           SELECT time, y, x, MIN(CASE WHEN value > 100.0 THEN 1.0 ELSE 0.0 END) AS mv
-           FROM cube WHERE band = 'error' GROUP BY 1, 2, 3) m
-         USING (time, y, x)"""),
-    "q_reduce_time_max" -> cq(
-      "SELECT band, y, x, MAX(value) AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_min" -> cq(
-      "SELECT band, y, x, MIN(value) AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_count" -> cq(
-      "SELECT band, y, x, COUNT(value) AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_sum" -> cq(
-      s"SELECT band, y, x, ${dsumSql("value")} AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_mean" -> cq(
-      s"SELECT band, y, x, ${dmeanSql("value")} AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_sd" -> cq(
-      s"""SELECT band, y, x,
-           sqrt((CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 - ${dsumSql("value")} * ${dsumSql("value")} / CAST(COUNT(value) AS DOUBLE))
-                / (CAST(COUNT(value) AS DOUBLE) - 1.0)) AS value
-         FROM cube GROUP BY 1, 2, 3"""),
-    "q_reduce_band_max" -> cq(
-      "SELECT time, y, x, MAX(value) AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_median" -> cq(
-      "SELECT band, y, x, quantile_cont(value, 0.5) AS value FROM cube GROUP BY 1, 2, 3"),
-    "q_reduce_time_product" -> cq(
-      """SELECT band, y, x,
-           product(CASE WHEN value > 150.0 THEN 2.0 ELSE 1.0 END) AS value
-         FROM cube GROUP BY 1, 2, 3"""),
-    "q_apply_math" -> cq(
-      """SELECT time, band, y, x,
-           round(ln(value) / ln(10.0) + ln(value) + sqrt(value)
-                 + pow(value, 2.0) / 10000.0 + abs(value - 100.0), 6) AS value
-         FROM cube"""),
-    "q_band_math_nd" -> cq(
-      """SELECT time, y, x, (click - purchase) / (click + purchase) AS nd
-         FROM (SELECT time, y, x,
-                 MIN(CASE WHEN band = 'click' THEN value END) AS click,
-                 MIN(CASE WHEN band = 'purchase' THEN value END) AS purchase
-               FROM (SELECT date_trunc('day', time) AS time, band, y, x,
-                       MAX(value) AS value
-                     FROM cube WHERE band IN ('click','purchase')
-                     GROUP BY 1, 2, 3, 4)
-               GROUP BY 1, 2, 3)
-         WHERE (click - purchase) / (click + purchase) IS NOT NULL"""),
-    "q_apply_scalars" -> cq(
-      """SELECT time, band, y, x,
-           (GREATEST(50.0, LEAST(250.0, value)) - 50.0) / 200.0 * 100.0 AS value
-         FROM cube"""),
-    "q_apply_compare" -> cq(
-      """SELECT time, band, y, x,
-           CAST(CAST(value > 100.0 AND value < 200.0 AS INT) AS DOUBLE) AS value
-         FROM cube"""),
-    "q_agg_period_day_max" -> cq(
-      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    // the streamed day-window aggregation closes every window via the
-    // watermark sentinel, so its rows equal the batch day buckets
-    "q_stream_agg_period" -> cq(
-      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    // which copy of a duplicate survives the streamed dropDuplicates is
-    // an intra-batch race, so the row carries digests only: exactly one
-    // per distinct content
-    "q_stream_dedup_exact" ->
-      """SELECT sha256(text) AS content_hash FROM documents GROUP BY 1""",
-    // the stateful count table after the final batch equals the batch
-    // trigram counts (order/batching-insensitive integer sums)
-    "q_stream_ngram_monitor" ->
-      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         wins AS (SELECT unnest(list_transform(
-               range(1, greatest(len(t) - 2, 0) + 1),
-               i -> array_to_string(t[i:i+2], ' '))) AS gram
-           FROM tok WHERE len(t) >= 3)
-         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
-         FROM wins GROUP BY 1""",
-    "q_agg_period_week_sum" -> cq(
-      s"""SELECT date_trunc('week', time) AS time, band, y, x,
-           ${dsumSql("value")} AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_agg_period_season_max" -> cq(
-      """SELECT date_trunc('quarter', time + INTERVAL 1 MONTH) - INTERVAL 1 MONTH AS time,
-           band, y, x, MAX(value) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_climatology" -> cq(
-      s"""SELECT band, y, x, CAST(month(time) AS INT) AS month,
-           ${dmeanSql("value")} AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_anomaly" -> cq(
-      s"""SELECT c.time, c.band, c.y, c.x, c.value - n.normal AS value
-         FROM cube c JOIN (
-           SELECT band, y, x, CAST(month(time) AS INT) AS month,
-             ${dmeanSql("value")} AS normal
-           FROM cube GROUP BY 1, 2, 3, 4) n
-         ON month(c.time) = n.month AND c.band = n.band
-            AND c.y = n.y AND c.x = n.x"""),
-    "q_agg_spatial_window" -> cq(
-      """SELECT time, band, MAX(value) AS value,
-           CAST(FLOOR(x / 2) * 2 AS DOUBLE) AS x,
-           CAST(FLOOR(y / 2) * 2 AS DOUBLE) AS y
-         FROM cube
-         WHERE (FLOOR(x / 2) + 1) * 2 - 1 <= (SELECT MAX(x) FROM cube)
-           AND (FLOOR(y / 2) + 1) * 2 - 1 <= (SELECT MAX(y) FROM cube)
-         GROUP BY time, band, FLOOR(x / 2), FLOOR(y / 2)"""),
-    "q_zonal_stats" -> cq(
-      """SELECT time, band, CASE WHEN x <= 1.5 THEN 0 ELSE 1 END AS result,
-           MAX(value) AS value
-         FROM cube WHERE x BETWEEN -0.5 AND 3.5 AND y BETWEEN -0.5 AND 3.5
-         GROUP BY 1, 2, 3"""),
-    "q_quantiles" -> cq(
-      """SELECT band, y, x, 0 AS quantile_idx, quantile_cont(value, 0.25) AS value
-         FROM cube GROUP BY 1, 2, 3
-         UNION ALL
-         SELECT band, y, x, 1, quantile_cont(value, 0.5) FROM cube GROUP BY 1, 2, 3
-         UNION ALL
-         SELECT band, y, x, 2, quantile_cont(value, 0.75) FROM cube GROUP BY 1, 2, 3"""),
-    "q_rename_labels" -> cq(
-      """SELECT time,
-           CASE band WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
-                     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
-                     WHEN 'view' THEN 'v' ELSE band END AS band,
-           y, x, value FROM cube"""),
-    "q_rename_time_labels" -> cq(
-      """, d AS (SELECT date_trunc('day', time) AS t, band, y, x,
-             MAX(value) AS value
-           FROM cube GROUP BY 1, 2, 3, 4),
-         r AS (SELECT t, 'd' || lpad(CAST(
-                 dense_rank() OVER (ORDER BY t) AS VARCHAR), 2, '0') AS nt
-               FROM (SELECT DISTINCT t FROM d))
-         SELECT d.band, d.y, d.x, d.value, r.nt AS time
-         FROM d JOIN r USING (t)"""),
-    "q_add_dimension" -> cq(
-      """SELECT time, y, x, MAX(value) AS value, 'all_max' AS band
-         FROM cube GROUP BY 1, 2, 3"""),
-    "q_merge_cubes_union" -> cq(
-      "SELECT * FROM cube WHERE band IN ('click','view','purchase')"),
-    "q_merge_cubes_resolver" -> cq(
-      """SELECT COALESCE(a.time, b.time) AS time, COALESCE(a.band, b.band) AS band,
-           COALESCE(a.y, b.y) AS y, COALESCE(a.x, b.x) AS x,
-           COALESCE(a.value, b.value) AS value
-         FROM (SELECT * FROM cube
-               WHERE time >= TIMESTAMP '2024-01-01' AND time <= TIMESTAMP '2024-01-20') a
-         FULL OUTER JOIN
-              (SELECT time, band, y, x, value * 2.0 AS value FROM cube
-               WHERE time >= TIMESTAMP '2024-01-10' AND time <= TIMESTAMP '2024-01-31') b
-         ON a.time = b.time AND a.band = b.band AND a.y = b.y AND a.x = b.x"""),
-    "q_resample_cube_spatial" -> (cubeCte.stripSuffix(")") + "), " +
-      """uniq AS (
-           SELECT time, band, y, x, MAX(value) AS value
-           FROM cube GROUP BY 1, 2, 3, 4),
-         binned AS (
-           SELECT time, band, value, y, x,
-             CAST(round((x - 0.25) / 2.0, 0) AS BIGINT) AS tx,
-             CAST(round((y - 0.25) / 2.0, 0) AS BIGINT) AS ty,
-             (x - (0.25 + CAST(round((x - 0.25) / 2.0, 0) AS BIGINT) * 2.0))
-               * (x - (0.25 + CAST(round((x - 0.25) / 2.0, 0) AS BIGINT) * 2.0))
-             + (y - (0.25 + CAST(round((y - 0.25) / 2.0, 0) AS BIGINT) * 2.0))
-               * (y - (0.25 + CAST(round((y - 0.25) / 2.0, 0) AS BIGINT) * 2.0)) AS d2
-           FROM uniq)
-         SELECT time, band, value, xx AS x, yy AS y FROM (
-           SELECT time, band, value,
-             0.25 + tx * 2.0 AS xx, 0.25 + ty * 2.0 AS yy,
-             row_number() OVER (PARTITION BY time, band, tx, ty
-                                ORDER BY d2, y, x) AS rn
-           FROM binned) WHERE rn = 1"""),
-    "q_resample_spatial" -> (cubeCte.stripSuffix(")") + "), " +
-      """uniq AS (
-           SELECT time, band, y, x, MAX(value) AS value
-           FROM cube GROUP BY 1, 2, 3, 4),
-         binned AS (
-           SELECT time, band, value, y, x,
-             CAST(round(x / 2.0, 0) AS BIGINT) AS tx,
-             CAST(round(y / 2.0, 0) AS BIGINT) AS ty,
-             (x - CAST(round(x / 2.0, 0) AS BIGINT) * 2.0)
-               * (x - CAST(round(x / 2.0, 0) AS BIGINT) * 2.0)
-             + (y - CAST(round(y / 2.0, 0) AS BIGINT) * 2.0)
-               * (y - CAST(round(y / 2.0, 0) AS BIGINT) * 2.0) AS d2
-           FROM uniq)
-         SELECT time, band, value, xx AS x, yy AS y FROM (
-           SELECT time, band, value,
-             CAST(tx * 2.0 AS DOUBLE) AS xx, CAST(ty * 2.0 AS DOUBLE) AS yy,
-             row_number() OVER (PARTITION BY time, band, tx, ty
-                                ORDER BY d2, y, x) AS rn
-           FROM binned) WHERE rn = 1"""),
-    "q_resample_spatial_bilinear" -> cq(
-      // mirrors the scatter construction of resampleCubeSpatialBilinear:
-      // candidate target cells txLo..txLo+2 per source cell, bilinear
-      // weights, exact-decimal accumulation (weights are multiples of 1/16
-      // for this grid pair, so w·16 is an exact integer on both engines)
-      """, uniq AS (
-           SELECT time, band, y, x, MAX(value) AS value
-           FROM cube GROUP BY 1, 2, 3, 4),
-         cand AS (
-           SELECT time, band, value, y, x,
-             CAST(floor((x - 1.0 - 0.25) / 2.0) AS BIGINT) + kx.k AS tx,
-             CAST(floor((y - 1.0 - 0.25) / 2.0) AS BIGINT) + ky.k AS ty
-           FROM uniq, (VALUES (0), (1), (2)) kx(k),
-                      (VALUES (0), (1), (2)) ky(k)),
-         w AS (
-           SELECT time, band, value, tx, ty,
-             greatest(0.0, 1.0 - abs(((0.25 + CAST(tx AS DOUBLE) * 2.0) - x) / 1.0))
-             * greatest(0.0, 1.0 - abs(((0.25 + CAST(ty AS DOUBLE) * 2.0) - y) / 1.0))
-               AS wgt
-           FROM cand)
-         SELECT time, band,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))
-                    * CAST(wgt * 16.0 AS DECIMAL(10,0))) AS DOUBLE)
-           / CAST(SUM(CASE WHEN value IS NOT NULL
-                      THEN CAST(wgt * 16.0 AS DECIMAL(10,0)) END) AS DOUBLE)
-             AS value,
-           0.25 + CAST(tx AS DOUBLE) * 2.0 AS x,
-           0.25 + CAST(ty AS DOUBLE) * 2.0 AS y
-         FROM w WHERE wgt > 0 GROUP BY time, band, tx, ty"""),
-    "q_resample_spatial_cubic" -> cq(
-      // mirrors resampleCubeSpatialCubic's scatter + the EXACT Horner
-      // order of the Catmull-Rom kernel, so the double weights agree
-      // bit-for-bit; weight·16384 is an exact integer for this grid pair
-      """, uniq AS (
-           SELECT time, band, y, x, MAX(value) AS value
-           FROM cube GROUP BY 1, 2, 3, 4),
-         cand AS (
-           SELECT time, band, value, y, x,
-             CAST(floor((x - 2.0 - 0.25) / 2.0) AS BIGINT) + kx.k AS tx,
-             CAST(floor((y - 2.0 - 0.25) / 2.0) AS BIGINT) + ky.k AS ty
-           FROM uniq, (VALUES (0), (1), (2), (3)) kx(k),
-                      (VALUES (0), (1), (2), (3)) ky(k)),
-         f AS (
-           SELECT time, band, value, tx, ty,
-             abs(((0.25 + CAST(tx AS DOUBLE) * 2.0) - x) / 1.0) AS ax,
-             abs(((0.25 + CAST(ty AS DOUBLE) * 2.0) - y) / 1.0) AS ay
-           FROM cand),
-         w AS (
-           SELECT time, band, value, tx, ty,
-             (CASE WHEN ax <= 1.0 THEN (1.5 * ax - 2.5) * ax * ax + 1.0
-                   WHEN ax < 2.0 THEN ((-0.5 * ax + 2.5) * ax - 4.0) * ax + 2.0
-                   ELSE 0.0 END)
-             * (CASE WHEN ay <= 1.0 THEN (1.5 * ay - 2.5) * ay * ay + 1.0
-                     WHEN ay < 2.0 THEN ((-0.5 * ay + 2.5) * ay - 4.0) * ay + 2.0
-                     ELSE 0.0 END) AS wgt,
-             ax, ay
-           FROM f),
-         agg AS (
-           SELECT time, band, tx, ty,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))
-                      * CAST(wgt * 16384.0 AS DECIMAL(12,0))) AS DOUBLE)
-             / nullif(CAST(SUM(CASE WHEN value IS NOT NULL
-                        THEN CAST(wgt * 16384.0 AS DECIMAL(12,0)) END)
-                      AS DOUBLE), 0.0) AS value
-           FROM w WHERE ax < 2.0 AND ay < 2.0
-           GROUP BY time, band, tx, ty)
-         SELECT time, band, value,
-           0.25 + CAST(tx AS DOUBLE) * 2.0 AS x,
-           0.25 + CAST(ty AS DOUBLE) * 2.0 AS y
-         FROM agg WHERE value IS NOT NULL"""),
-    "q_resample_cube_temporal" -> cq(
-      """SELECT m.tt AS time, src.band, src.y, src.x, src.value
-         FROM (SELECT date_trunc('day', time) AS t, band, y, x,
-                 MAX(value) AS value
-               FROM cube WHERE day(time) % 3 = 0 GROUP BY 1, 2, 3, 4) src
-         JOIN (SELECT tgt.t AS tt, st.t AS ts2,
-                 row_number() OVER (PARTITION BY tgt.t
-                   ORDER BY abs(epoch_us(tgt.t) - epoch_us(st.t)), st.t) AS rn
-               FROM (SELECT DISTINCT date_trunc('week', time) AS t FROM cube) tgt
-               CROSS JOIN (SELECT DISTINCT date_trunc('day', time) AS t
-                           FROM cube WHERE day(time) % 3 = 0) st) m
-           ON src.t = m.ts2 AND m.rn = 1"""),
-    "q_focal_median" -> (cubeCte + """,
-         d AS (SELECT date_trunc('day', time) AS time, band, y, x,
-                 MAX(value) AS value
-               FROM cube WHERE band = 'click' GROUP BY 1, 2, 3, 4),
-         taps(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
-                                 (1,-1),(1,0),(1,1)),
-         sc AS (SELECT d.time, d.band,
-                  CAST(round(d.y, 0) AS BIGINT) + taps.dy AS ty,
-                  CAST(round(d.x, 0) AS BIGINT) + taps.dx AS tx,
-                  d.value AS v,
-                  CASE WHEN taps.dy = 0 AND taps.dx = 0 THEN 1 ELSE 0 END AS self
-                FROM d CROSS JOIN taps)
-         SELECT time, band, CAST(ty AS DOUBLE) AS y, CAST(tx AS DOUBLE) AS x,
-           quantile_cont(v, 0.5) AS value
-         FROM sc GROUP BY time, band, ty, tx HAVING MAX(self) = 1"""),
-    "q_apply_kernel" -> (cubeCte + """,
-         d AS (SELECT date_trunc('day', time) AS time, band, y, x,
-                 CAST(floor(MAX(value)) AS DOUBLE) AS value
-               FROM cube WHERE band = 'click' GROUP BY 1, 2, 3, 4),
-         ext AS (SELECT MIN(CAST(round(x, 0) AS BIGINT)) AS x0,
-                        MAX(CAST(round(x, 0) AS BIGINT)) AS x1,
-                        MIN(CAST(round(y, 0) AS BIGINT)) AS y0,
-                        MAX(CAST(round(y, 0) AS BIGINT)) AS y1 FROM d),
-         taps(dy, dx, w) AS (VALUES (-1,-1,1.0),(-1,0,2.0),(-1,1,1.0),
-                                    ( 0,-1,2.0),( 0,0,4.0),( 0,1,2.0),
-                                    ( 1,-1,1.0),( 1,0,2.0),( 1,1,1.0)),
-         sc AS (SELECT d.time, d.band,
-                  GREATEST(ext.y0, LEAST(ext.y1,
-                    CAST(round(d.y, 0) AS BIGINT) + taps.dy)) AS ty,
-                  GREATEST(ext.x0, LEAST(ext.x1,
-                    CAST(round(d.x, 0) AS BIGINT) + taps.dx)) AS tx,
-                  d.value * taps.w AS c
-                FROM d CROSS JOIN taps CROSS JOIN ext)
-         SELECT time, band, CAST(ty AS DOUBLE) AS y, CAST(tx AS DOUBLE) AS x,
-           SUM(c) * 1.0 AS value
-         FROM sc GROUP BY time, band, ty, tx"""),
-    "q_interp_linear" -> (cubeCte + """,
-         d AS (SELECT date_trunc('day', time) AS time, band, y, x,
-                 CASE WHEN MAX(value) >= 100.0 AND MAX(value) <= 300.0
-                      THEN NULL ELSE MAX(value) END AS value
-               FROM cube GROUP BY 1, 2, 3, 4),
-         w AS (SELECT time, band, y, x, value,
-                 last_value(value IGNORE NULLS) OVER w1 AS pv,
-                 last_value(CASE WHEN value IS NOT NULL THEN x END IGNORE NULLS)
-                   OVER w1 AS pp,
-                 first_value(value IGNORE NULLS) OVER w2 AS nv,
-                 first_value(CASE WHEN value IS NOT NULL THEN x END IGNORE NULLS)
-                   OVER w2 AS np
-               FROM d
-               WINDOW w1 AS (PARTITION BY time, band, y ORDER BY x
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 w2 AS (PARTITION BY time, band, y ORDER BY x
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         SELECT time, band, y, x,
-           CASE WHEN value IS NOT NULL THEN value
-                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
-                  CASE WHEN np = pp THEN pv
-                       ELSE pv + (nv - pv) * ((x - pp) / (np - pp)) END
-                ELSE NULL END AS value
-         FROM w"""),
-    "q_radar_mask" -> (cubeCte + s""",
-         dem AS (SELECT date_trunc('day', time) AS time,
-                   CAST(round(y, 0) AS BIGINT) AS iy,
-                   CAST(round(x, 0) AS BIGINT) AS ix, MAX(value) AS v
-                 FROM cube WHERE band = 'view' GROUP BY 1, 2, 3),
-         tgt AS (SELECT DISTINCT time, ix + sx AS tx, iy + sy AS ty
-                 FROM dem CROSS JOIN (VALUES (1,1),(-1,1),(1,-1),(-1,-1)) s(sx, sy)),
-         cor AS (SELECT t.time, t.tx, t.ty,
-                   nw.v AS nw, ne.v AS ne, sw.v AS sw, se.v AS se
-                 FROM tgt t
-                 LEFT JOIN dem nw ON nw.time = t.time AND nw.ix = t.tx - 1 AND nw.iy = t.ty - 1
-                 LEFT JOIN dem ne ON ne.time = t.time AND ne.ix = t.tx + 1 AND ne.iy = t.ty - 1
-                 LEFT JOIN dem sw ON sw.time = t.time AND sw.ix = t.tx - 1 AND sw.iy = t.ty + 1
-                 LEFT JOIN dem se ON se.time = t.time AND se.ix = t.tx + 1 AND se.iy = t.ty + 1),
-         f AS (SELECT time, tx, ty,
-                 CASE WHEN nw IS NOT NULL AND ne IS NOT NULL
-                       AND sw IS NOT NULL AND se IS NOT NULL
-                      THEN atan(((ne + (se - ne) / 2.0 * ${1.0 + rmDyP})
-                                 - (nw + (sw - nw) / 2.0 * ${1.0 - rmDyP}))
-                                / $rmDrg) * (-1.0) * $rmDeg
-                      ELSE 0.0 END AS fv
-               FROM cor),
-         m AS (SELECT time, tx, ty, fv,
-                 CASE WHEN fv > 0 AND fv < 40.0 THEN fv / 40.0 ELSE 0.0 END AS fore,
-                 CASE WHEN fv > 0 AND fv > 40.0 THEN fv / 40.0 ELSE 0.0 END AS lay
-               FROM f)
-         SELECT time, CAST(ty AS DOUBLE) AS y, CAST(tx AS DOUBLE) AS x, b.band,
-           CASE b.band
-             WHEN '1' THEN (CASE WHEN lay > 1.0 THEN 1.0 ELSE 0.0 END)
-             WHEN '2' THEN (CASE WHEN fore > 0.4 THEN 1.0 ELSE 0.0 END)
-             ELSE (CASE WHEN fv < 0 AND abs(fv) > 50.0 THEN 1.0 ELSE 0.0 END)
-           END AS value
-         FROM m CROSS JOIN (VALUES ('1'),('2'),('3')) b(band)"""),
-    "q_geocode" -> geocodeSql,
-    "q_geocode_linear" -> geocodeLinearSql,
-    "q_sar_bbox_lonlat" -> (cubeCte + """,
-         d AS (SELECT date_trunc('day', time) AS time, band, y, x,
-                 MAX(value) AS value
-               FROM cube WHERE band = 'view' GROUP BY 1, 2, 3, 4),
-         fullc AS (SELECT time, band, y, x, value FROM d
-           UNION ALL SELECT time, 'grid_lon' AS band, y, x,
-             11.0 + x * 0.001 + y * 0.00001 AS value FROM d
-           UNION ALL SELECT time, 'grid_lat' AS band, y, x,
-             45.0 + y * 0.001 + x * 0.00001 AS value FROM d),
-         keep AS (SELECT DISTINCT y, x FROM d
-           WHERE (11.0 + x * 0.001 + y * 0.00001) BETWEEN 11.0005 AND 11.0025
-             AND (45.0 + y * 0.001 + x * 0.00001) BETWEEN 45.0005 AND 45.0305)
-         SELECT f.time, f.band, f.y, f.x, f.value
-         FROM fullc f JOIN keep USING (y, x)"""),
-    "q_apply_not" -> cq(
-      "SELECT time, band, y, x, NOT (value > 100) AS flag FROM cube"),
-    "q_apply_if" -> cq(
-      """SELECT time, band, y, x,
-           CASE WHEN value > 100 THEN value * 2 ELSE value / 2 END AS value
-         FROM cube"""),
-    "q_scan_adjust" -> cq(
-      """SELECT time, band, y, x,
-           CASE WHEN band = 'click'
-                THEN (CASE WHEN value = 50.0 THEN NULL ELSE value END)
-                     * 0.01 + 10.0
-                ELSE value END AS value
-         FROM cube"""),
-    "q_run_udf" -> cq(
-      "SELECT time, band, y, x, sqrt(value) * 2 + 1 AS value FROM cube"),
-    "q_run_udf_dimension" -> cq(
-      // SQL's default frame with ORDER BY is RANGE UNBOUNDED
-      // PRECEDING..CURRENT ROW — exactly the cummax range frame
-      """SELECT time, band, y, x,
-           MAX(value) OVER (PARTITION BY band, y, x ORDER BY time)
-             - value AS value
-         FROM cube"""),
-    "q_run_udf_external" -> cq(
-      // full replay of the Java EMA recurrence: per-series ordered list
-      // fold (list_reduce starts with the first element — exactly
-      // ema[0] = x[0]) evaluated at every prefix; (time, value) ordering
-      // matches the executor's deterministic series sort. α = 0.25 /
-      // 0.75 are exact binary, so the folds agree bit-for-bit. (cq
-      // already opens the WITH — continue the CTE chain with a comma.)
-      """, s AS (
-           SELECT band, y, x,
-             list(time ORDER BY time, value) AS ts,
-             list(value ORDER BY time, value) AS vs
-           FROM cube GROUP BY 1, 2, 3)
-         SELECT unnest(ts) AS time, band, y, x,
-           unnest(list_transform(range(1, len(vs) + 1),
-             i -> list_reduce(vs[1:i],
-                    (acc, v) -> 0.25 * v + 0.75 * acc))) AS value
-         FROM s"""),
-    "q_run_udf_python" -> cq(
-      // same prefix-fold replay as the Java tier, for the Python
-      // peak-hold recurrence: acc = max(v, 0.5·acc) started at the first
-      // element. 0.5 is exact binary and greatest() is comparison-only,
-      // so the worker and the fold agree bit-for-bit.
-      """, s AS (
-           SELECT band, y, x,
-             list(time ORDER BY time, value) AS ts,
-             list(value ORDER BY time, value) AS vs
-           FROM cube GROUP BY 1, 2, 3)
-         SELECT unnest(ts) AS time, band, y, x,
-           unnest(list_transform(range(1, len(vs) + 1),
-             i -> list_reduce(vs[1:i],
-                    (acc, v) -> greatest(v, 0.5 * acc)))) AS value
-         FROM s"""),
-    "q_run_udf_reduce" -> cq(
-      // quantile_cont is the same type-7 interpolation as Spark's exact
-      // percentile (proven by the green q_quantiles) — hash-exact
-      """SELECT band, y, x,
-           quantile_cont(value, 0.9) - min(value) AS value
-         FROM cube GROUP BY band, y, x"""),
-    "q_fit_curve" -> cq(
-      // hi/lo split cast: DuckDB's wide-decimal→double cast can be off by
-      // one ulp; splitting the exact integer at 2^26 and recombining in
-      // double reproduces Java's correctly-rounded BigDecimal.doubleValue
-      s""", s0 AS (
-           SELECT band, y, x,
-             COUNT(CASE WHEN value != 0 AND NOT isnan(value) THEN 1 END) AS n,
-             SUM(CASE WHEN value != 0 AND NOT isnan(value)
-                      THEN epoch_us(time) // 1000000 END) AS sxr,
-             SUM(CASE WHEN value != 0 AND NOT isnan(value)
-                      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
-                 END) AS sy100,
-             SUM(CASE WHEN value != 0 AND NOT isnan(value)
-                      THEN CAST(epoch_us(time) // 1000000 AS DECIMAL(19,0))
-                           * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))
-                 END) AS sxy100,
-             SUM(CASE WHEN value != 0 AND NOT isnan(value)
-                      THEN CAST(epoch_us(time) // 1000000 AS DECIMAL(19,0))
-                           * CAST(epoch_us(time) // 1000000 AS DECIMAL(19,0))
-                 END) AS sxxr
-           FROM cube GROUP BY 1, 2, 3),
-         s AS (
-           SELECT band, y, x, CAST(n AS DOUBLE) AS n,
-             ${splitCastSql("sxr")} AS sx,
-             ${splitCastSql("sy100")} / 100.0 AS sy,
-             ${splitCastSql("sxy100")} / 100.0 AS sxy,
-             ${splitCastSql("sxxr")} AS sxx
-           FROM s0),
-         f AS (
-           SELECT band, y, x, n, sx, sy,
-             (n < 12 OR (n * sxx - sx * sx) = 0) AS deg,
-             CASE WHEN n < 12 OR (n * sxx - sx * sx) = 0 THEN 0.0
-                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS a1
-           FROM s)
-         SELECT band, y, x,
-           CASE WHEN deg THEN 0.0 ELSE (sy - a1 * sx) / n END AS a0,
-           a1
-         FROM f"""),
-    "q_predict_curve" -> cq(
-      s"""SELECT c.time, c.band, c.y, c.x,
-           p.a0 + 0.000001 * CAST(epoch_us(c.time) // 1000000 AS DOUBLE) AS value
-         FROM cube c LEFT JOIN (
-           SELECT band, y, x, ${dmeanSql("value")} AS a0
-           FROM cube GROUP BY 1, 2, 3) p
-           ON p.band = c.band AND p.y = c.y AND p.x = c.x"""),
-    "q_load_result" -> cq(
-      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_load_result_netcdf" -> cq(
-      // CAST AS FLOAT mirrors the writer's float32 data plane — the
-      // reader returns exactly what the file stores
-      """SELECT date_trunc('day', time) AS time, band, y, x,
-           CAST(MAX(value) AS FLOAT) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_scan_tiled" -> cq(
-      // pruning is a plan property; the data contract is the plain bbox
-      """SELECT time, band, y, x, value FROM cube
-         WHERE x BETWEEN 0.5 AND 2.5 AND y BETWEEN 4.5 AND 20.5"""),
-    "q_aggregate_temporal" -> cq(
-      // interval-membership replay as an inequality join over the
-      // literal interval table; the overlap makes Jan 10-15 rows count
-      // in BOTH of the first two groups
-      """, iv AS (SELECT * FROM (VALUES
-           (TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-15'),
-           (TIMESTAMP '2024-01-10', TIMESTAMP '2024-02-01'),
-           (TIMESTAMP '2024-02-01', TIMESTAMP '2024-03-01')) v(s, e))
-         SELECT iv.s AS time, band, y, x, MAX(value) AS value
-         FROM cube JOIN iv ON cube.time >= iv.s AND cube.time < iv.e
-         GROUP BY 1, 2, 3, 4"""),
-    "q_netcdf_source" -> cq(
-      // plane-pruned V2 read == band-filtered store projection, float32
-      """SELECT date_trunc('day', time) AS time, band, y, x,
-           CAST(MAX(value) AS FLOAT) AS value
-         FROM cube WHERE band IN ('click', 'view')
-         GROUP BY 1, 2, 3, 4"""),
-    "q_stream_netcdf" -> cq(
-      // both halves exactly once == the whole store projection, float32
-      """SELECT date_trunc('day', time) AS time, band, y, x,
-           CAST(MAX(value) AS FLOAT) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_sink_json" -> cq(
-      // the JSON round-trip recovers exactly the store projection —
-      // shortest-roundtrip double serialization is lossless
-      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
-         FROM cube GROUP BY 1, 2, 3, 4"""),
-    "q_stac_describe" -> cq(
-      // STAC description replay: extent aggregates over the same store,
-      // per-band summaries from the registered adjust constants
-      """, ext AS (SELECT min(time) AS t0, max(time) AS t1,
-              min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1
-            FROM cube)
-         SELECT 'events' AS id, b.band, ext.t0, ext.t1,
-                ext.x0, ext.x1, ext.y0, ext.y1,
-                b.scale, b."offset", b.nodata
-         FROM ext CROSS JOIN (VALUES
-           ('click', 0.01, 10.0, 50.0),
-           ('error', 1.0, 0.0, NULL),
-           ('purchase', 1.0, 0.0, NULL),
-           ('signup', 1.0, 0.0, NULL),
-           ('view', 1.0, 0.0, NULL)) b(band, scale, "offset", nodata)"""),
-    "q_sink_png" -> cq(
-      // replay of writePng's per-channel linear stretch: per-band
-      // lo/span over present values, FLOOR(x + 0.5) is literally Java's
-      // math.round on a non-negative double, missing grid cells render 0
-      """, m AS (SELECT band, y, x, MAX(value) AS v FROM cube GROUP BY 1, 2, 3),
-         ys AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y DESC) - 1
-                  AS INTEGER) AS row FROM (SELECT DISTINCT y FROM m)),
-         xs AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC) - 1
-                  AS INTEGER) AS col FROM (SELECT DISTINCT x FROM m)),
-         st AS (SELECT band, MIN(v) AS lo,
-                  CASE WHEN MAX(v) > MIN(v) THEN MAX(v) - MIN(v)
-                       ELSE 1.0 END AS span
-                FROM m GROUP BY 1),
-         px AS (SELECT ys.row, xs.col, bs.band,
-                  COALESCE(CAST(FLOOR((m.v - st.lo) / st.span * 255.0 + 0.5)
-                    AS INTEGER), 0) AS ch
-                FROM ys CROSS JOIN xs
-                CROSS JOIN (VALUES ('click'), ('view'), ('purchase')) bs(band)
-                LEFT JOIN m ON m.band = bs.band AND m.y = ys.y AND m.x = xs.x
-                LEFT JOIN st ON st.band = bs.band)
-         SELECT row, col,
-           MAX(CASE WHEN band = 'click' THEN ch END) AS r,
-           MAX(CASE WHEN band = 'view' THEN ch END) AS g,
-           MAX(CASE WHEN band = 'purchase' THEN ch END) AS b
-         FROM px GROUP BY 1, 2"""),
-    "q_sink_gtiff" -> cq(
-      // the float32 quantization (CAST AS FLOAT) is the only transform
-      // the GTiff plane applies to the reduced values; grid indices are
-      // the writer's row-major top-down (y DESC) layout
-      """, m AS (SELECT band, y, x, MAX(value) AS v FROM cube GROUP BY 1, 2, 3),
-         ys AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY y DESC) - 1
-                  AS INTEGER) AS row FROM (SELECT DISTINCT y FROM m)),
-         xs AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC) - 1
-                  AS INTEGER) AS col FROM (SELECT DISTINCT x FROM m))
-         SELECT m.band, ys.row, xs.col, CAST(m.v AS FLOAT) AS value
-         FROM m JOIN ys ON ys.y = m.y JOIN xs ON xs.x = m.x"""),
-    "q1_agg" ->
-      s"""SELECT l_returnflag, ${dsumSql("l_quantity")} AS sum_qty,
-           ${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
-         FROM lineitem GROUP BY 1""",
-    "q_join_bcast" ->
-      s"""SELECT n_name, ${dsumSql("o_totalprice")} AS total, COUNT(*) AS n_orders
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY 1""",
-    "q_text_tokens" ->
-      """SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_ws,
-           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe
-         FROM documents""",
-    "q_text_tokens_unicode" ->
-      // script-aware token replay: CJK chars tally via RE2 \p{Script},
-      // the CJK-stripped remainder ws-tokenizes (empty -> 0)
-      """WITH s AS (
-           SELECT doc_id, text || CASE CAST(doc_id % 3 AS INTEGER)
-             WHEN 0 THEN ''
-             WHEN 1 THEN ' 中文測試的句子'
-             WHEN 2 THEN ' カタカナ한국어 mixed'
-             END AS t
-           FROM documents
-           WHERE NOT regexp_matches(text, '[^\x00-\x7f]')
-         ), r AS (
-           SELECT doc_id, t,
-             trim(regexp_replace(t,
-               '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]',
-               ' ', 'g')) AS rest
-           FROM s
-         )
-         SELECT doc_id,
-           CAST(len(regexp_split_to_array(trim(t), '\s+')) AS BIGINT)
-             AS n_ws,
-           CAST(CASE WHEN rest = '' THEN 0
-                ELSE len(regexp_split_to_array(rest, '\s+')) END
-             + len(regexp_extract_all(t,
-                 '[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]'))
-             AS BIGINT) AS n_tokens
-         FROM r""",
-    "q_corpus_report" ->
-      """WITH t AS (SELECT lang, source,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS tk,
-             CAST(length(text) AS BIGINT) AS len
-           FROM documents),
-         g AS (SELECT lang, source,
-             CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CAST(tk AS BIGINT)) AS BIGINT) AS n_tokens,
-             quantile_cont(tk, 0.5) AS p50_tokens,
-             quantile_cont(tk, 0.9) AS p90_tokens,
-             quantile_cont(tk, 0.99) AS p99_tokens,
-             MIN(len) AS min_chars, MAX(len) AS max_chars
-           FROM t GROUP BY 1, 2)
-         SELECT *, round(CAST(n_tokens AS DOUBLE)
-           / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
-         FROM g""",
-    "q_rollup" -> s"""
-         SELECT l_returnflag, l_linestatus,
-           ${dsumSql("l_quantity")} AS sum_qty,
-           $drevenueSql AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
-           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls
-         FROM lineitem
-         GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
-    "q_text_entropy" ->
-      // same histogram, same (c/n)·ln(c/n) op order, same 1e-9
-      // quantization, same shared ln(2) literal
-      """WITH ch AS (SELECT doc_id, unnest(list_filter(
-             string_split(lower(trim(text)), ''), x -> x <> '')) AS ch
-           FROM documents),
-         cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
-                 FROM ch GROUP BY 1, 2),
-         wn AS (SELECT doc_id, c,
-             SUM(c) OVER (PARTITION BY doc_id) AS n FROM cnt),
-         q AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
-             CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-               ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
-               1000000000.0, 0) AS BIGINT)) AS BIGINT) AS qs
-           FROM wn GROUP BY 1)
-         SELECT doc_id, n_chars,
-           round((-(CAST(qs AS DOUBLE) / 1000000000.0)) /
-             0.6931471805599453, 6) AS entropy_bits
-         FROM q""",
-    "q_drift_report" -> driftReportSql,
-    // the JSON-graph formulation compiles to the identical plan
-    "q_graph_drift" -> driftReportSql,
-    "q_drift_movers" -> s"""
-         WITH $driftCtes
-         SELECT tok, c_old, c_new, tvq AS delta_q
-         FROM p ORDER BY delta_q DESC, tok LIMIT 20""",
-    "q_text_langid" ->
-      langIdSql,
-    "q_text_langid_script" ->
-      langIdScriptSql,
-    "q_text_quality" ->
-      qualitySql,
-    "q_text_repetition" ->
-      // max frequency of an n-gram == longest equal-run in the sorted gram
-      // array (the Spark side); here computed relationally via group counts
-      """WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         base AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
-             round(CAST(len(list_distinct(t)) AS DOUBLE)
-                   / greatest(len(t), 1), 6) AS distinct_token_ratio
-           FROM tok),
-         u AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
-           FROM tok),
-         runs AS (SELECT doc_id, max(c) AS max_token_run FROM (
-             SELECT doc_id, count(*) AS c FROM (
-               SELECT doc_id, w,
-                 i - row_number() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
-               FROM u) GROUP BY doc_id, w, grp) GROUP BY doc_id),
-         bg AS (SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(t) - 1, 0) + 1),
-               i -> array_to_string(t[i:i+1], ' '))) AS g
-           FROM tok WHERE len(t) >= 2),
-         bgf AS (SELECT doc_id,
-             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
-           FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
-           GROUP BY doc_id),
-         tg AS (SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(t) - 2, 0) + 1),
-               i -> array_to_string(t[i:i+2], ' '))) AS g
-           FROM tok WHERE len(t) >= 3),
-         tgf AS (SELECT doc_id,
-             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_trigram_frac
-           FROM (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
-           GROUP BY doc_id)
-         SELECT b.doc_id, b.n_tokens, b.distinct_token_ratio,
-           r.max_token_run,
-           coalesce(bgf.top_bigram_frac, 0.0) AS top_bigram_frac,
-           coalesce(tgf.top_trigram_frac, 0.0) AS top_trigram_frac
-         FROM base b JOIN runs r USING (doc_id)
-         LEFT JOIN bgf USING (doc_id) LEFT JOIN tgf USING (doc_id)""",
-    "q_curation_pipeline_v2" -> {
-      val Seq(em, ip, ph) = graft.text.TextAnalysis.piiPatterns.map(_._2)
-      val backoff = math.log(1e-9)
-      s"""WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
-             FROM documents WHERE doc_id < 50),
-         d0 AS (SELECT d.doc_id, d.lang,
-             (d.text || ' contact user' || CAST(d.doc_id AS VARCHAR)
-               || '@example.com') || chr(10) || chr(10) || s.shared AS text2
-           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
-         d1 AS (SELECT doc_id, lang,
-             regexp_replace(regexp_replace(regexp_replace(text2,
-               '$em', '<EMAIL>', 'g'),
-               '$ip', '<IP>', 'g'),
-               '$ph', '<PHONE>', 'g') AS rtext
-           FROM d0),
-         d2 AS (SELECT doc_id, lang, rtext,
-             string_split_regex(trim(rtext), '\\s+') AS t FROM d1),
-         gated AS (SELECT doc_id, lang, rtext FROM d2
-           WHERE len(t) >= 50 AND len(list_filter(
-             ['the','be','to','of','and','that','have','with'],
-             w -> list_contains(t, w))) >= 1),
-         p0 AS (SELECT doc_id,
-             unnest(string_split(rtext, chr(10) || chr(10))) AS para,
-             generate_subscripts(string_split(rtext, chr(10) || chr(10)), 1)
-               AS pos
-           FROM gated),
-         p1 AS (SELECT * FROM p0 WHERE para <> ''),
-         pw AS (SELECT doc_id, pos, para, row_number() OVER (
-             PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn FROM p1),
-         cleaned AS (SELECT w.doc_id, g.lang,
-             coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
-               chr(10) || chr(10) ORDER BY pos), '') AS clean_text
-           FROM pw w JOIN gated g ON g.doc_id = w.doc_id
-           GROUP BY w.doc_id, g.lang),
-         tokc AS (SELECT doc_id, lang, clean_text,
-             string_split_regex(lower(trim(clean_text)), '\\s+') AS t
-           FROM cleaned),
-         bg AS (SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(t) - 1, 0) + 1),
-               i -> array_to_string(t[i:i+1], ' '))) AS gram
-           FROM tokc WHERE len(t) >= 2),
-         cnt AS (SELECT gram, count(*) AS c12 FROM bg GROUP BY 1),
-         uni AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
-                 FROM cnt GROUP BY 1),
-         lm AS (SELECT c.gram,
-             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
-           FROM cnt c JOIN uni u ON u.w1 = string_split(c.gram, ' ')[1]),
-         terms AS (SELECT b.doc_id,
-             CAST(round(coalesce(lm.logp, $backoff) * 1000000000.0, 0)
-               AS BIGINT) AS q
-           FROM bg b LEFT JOIN lm ON lm.gram = b.gram),
-         nll AS (SELECT doc_id,
-             round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
-               / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
-           FROM terms GROUP BY doc_id),
-         kept AS (SELECT doc_id FROM nll WHERE avg_nll <= 3.4)
-         SELECT c.lang, count(*) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(c.clean_text), '\\s+')))
-             AS BIGINT) AS n_tokens
-         FROM cleaned c JOIN kept k ON k.doc_id = c.doc_id
-         GROUP BY c.lang"""
-    },
-    "q_lm_perplexity" -> lmPerplexitySql,
-    "q_lm_backoff" -> {
-      // stupid-backoff cascade replay: raw stream counts at every level
-      // (the model's defining simplification), denominators re-derived
-      // from the same unpruned tables the Spark trainer attaches
-      val lnA = math.log(0.4)
-      val ln2A = 2 * math.log(0.4)
-      s"""WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM documents),
-         unic AS (SELECT w, count(*) AS c FROM
-             (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
-         nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM unic),
-         bgc AS (SELECT gram, count(*) AS c FROM
-             (SELECT unnest(list_transform(
-                 range(1, greatest(len(t) - 1, 0) + 1),
-                 i -> array_to_string(t[i:i+1], ' '))) AS gram
-              FROM tok WHERE len(t) >= 2) GROUP BY 1),
-         tg AS (SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(t) - 2, 0) + 1),
-               i -> array_to_string(t[i:i+2], ' '))) AS g3
-           FROM tok WHERE len(t) >= 3),
-         tgc AS (SELECT g3 AS gram, count(*) AS c123 FROM tg GROUP BY 1),
-         tri AS (SELECT t.gram, t.c123, b.c AS c12
-           FROM tgc t JOIN bgc b
-             ON b.gram = array_to_string(string_split(t.gram, ' ')[1:2], ' ')),
-         bi AS (SELECT b.gram, b.c AS c23, u.c AS c2
-           FROM bgc b JOIN unic u ON u.w = string_split(b.gram, ' ')[1]),
-         terms AS (SELECT s.doc_id,
-             CAST(round(CASE
-               WHEN tri.c123 IS NOT NULL
-                 THEN ln(CAST(tri.c123 AS DOUBLE) / CAST(tri.c12 AS DOUBLE))
-               WHEN bi.c23 IS NOT NULL
-                 THEN $lnA + ln(CAST(bi.c23 AS DOUBLE) / CAST(bi.c2 AS DOUBLE))
-               WHEN u2.c IS NOT NULL
-                 THEN $ln2A + ln(CAST(u2.c AS DOUBLE) / CAST(nt.n AS DOUBLE))
-               ELSE $ln2A + ln(1.0 / CAST(nt.n AS DOUBLE))
-             END * 1000000000.0, 0) AS BIGINT) AS q
-           FROM tg s
-           LEFT JOIN tri ON tri.gram = s.g3
-           LEFT JOIN bi ON bi.gram
-             = array_to_string(string_split(s.g3, ' ')[2:3], ' ')
-           LEFT JOIN unic u2 ON u2.w = string_split(s.g3, ' ')[3], nt)
-         SELECT doc_id, count(*) AS n_trigrams,
-           round(-((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
-             / CAST(count(*) AS DOUBLE)), 6) AS avg_nll
-         FROM terms GROUP BY doc_id"""
-    },
-    // the broadcast map-side scorer is bit-identical to the join
-    // formulation and stateless (stream-order invariant), so the
-    // streaming row shares the batch oracle verbatim
-    "q_stream_lm_score" -> lmPerplexitySql,
-    "q_quality_classifier" -> {
-      // unrolled replay of 3 GD iterations. Per iteration i:
-      //   z = (wb + w1*f_mwl) + w2*f_stop       (Spark's fold order)
-      //   sg = 0.5 + z/(2*(1+|z|))              (rational link)
-      //   g_j = SUM(CAST(round(x_j*(sg-y)*1e6, 0) AS BIGINT))  (exact)
-      //   w_j' = w_j - (0.1 * (CAST(g_j AS DOUBLE)/1e6)) / n
-      def cntq(expr: String, needle: String): String =
-        s"CAST((length($expr) - length(replace($expr, '$needle', '')))" +
-          s" / ${needle.length} AS INT)"
-      val stopSum = Seq(" the ", " and ", " of ", " with ")
-        .map(cntq("p", _)).mkString(" + ")
-      def iter(zi: Int): String = {
-        val w = s"w$zi"
-        s"""z$zi AS (SELECT f.*, ((w.wb + w.w1*f.f_mwl) + w.w2*f.f_stop) AS z
-             FROM f, $w w),
-           s$zi AS (SELECT *, 0.5 + z/(2.0*(1.0+abs(z))) AS sg FROM z$zi),
-           g$zi AS (SELECT
-               SUM(CAST(round(1.0*(sg-y)*1000000.0, 0) AS BIGINT)) AS gb,
-               SUM(CAST(round(f_mwl*(sg-y)*1000000.0, 0) AS BIGINT)) AS g1,
-               SUM(CAST(round(f_stop*(sg-y)*1000000.0, 0) AS BIGINT)) AS g2
-             FROM s$zi),
-           w${zi + 1} AS (SELECT
-               w.wb - (0.1 * (CAST(g.gb AS DOUBLE)/1000000.0)) / n.n AS wb,
-               w.w1 - (0.1 * (CAST(g.g1 AS DOUBLE)/1000000.0)) / n.n AS w1,
-               w.w2 - (0.1 * (CAST(g.g2 AS DOUBLE)/1000000.0)) / n.n AS w2
-             FROM $w w, g$zi g, n)"""
-      }
-      s"""WITH f AS (SELECT doc_id,
-             CAST(length(text) AS DOUBLE)
-               / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
-                   AS DOUBLE), 1.0) AS f_mwl,
-             CAST($stopSum AS DOUBLE)
-               / greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
-                   AS DOUBLE), 1.0) AS f_stop,
-             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-           FROM (SELECT doc_id, text, lang, ' ' || text || ' ' AS p
-                 FROM documents)),
-         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
-         w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2),
-         ${iter(0)},
-         ${iter(1)},
-         ${iter(2)}
-         SELECT f.doc_id, f.y,
-           round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
-         FROM (SELECT f.doc_id, f.y,
-             ((w.wb + w.w1*f.f_mwl) + w.w2*f.f_stop) AS z
-           FROM f, w3 w) f"""
-    },
-    "q_text_gopher" -> {
-      def cnt(expr: String, needle: String): String =
-        s"CAST((length($expr) - length(replace($expr, '$needle', '')))" +
-          s" / ${needle.length} AS INT)"
-      """WITH s AS (SELECT doc_id,
-             regexp_replace(text, ' table ', chr(10) || '• table ', 'g')
-               || chr(10) || 'to be continued...' AS t2
-           FROM documents),
-         tk AS (SELECT doc_id, t2,
-             CASE WHEN NOT regexp_matches(t2, '\S')
-               THEN CAST([] AS VARCHAR[])
-               ELSE string_split_regex(trim(t2), '\s+') END AS t,
-             string_split(t2, chr(10)) AS l
-           FROM s),
-         m AS (SELECT doc_id,
-             CAST(len(t) AS INT) AS n_words,
-             round(CAST(list_sum(list_transform(t, x -> length(x)))
-                 AS DOUBLE) / greatest(len(t), 1), 6) AS mean_word_len,
-             round(CAST(""" + cnt("t2", "#") + " + " + cnt("t2", "...") +
-        " + " + cnt("t2", "…") +
-      """ AS DOUBLE) / greatest(len(t), 1), 6) AS symbol_word_ratio,
-             round(CAST(len(list_filter(t,
-                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-               / greatest(len(t), 1), 6) AS frac_alpha_words,
-             CAST(len(list_filter(
-                 ['the','be','to','of','and','that','have','with'],
-                 s2 -> list_contains(list_transform(t, x -> lower(x)),
-                   s2))) AS INT) AS n_stops_present,
-             round(CAST(len(list_filter(l, x ->
-                 starts_with(trim(x), '• ') OR starts_with(trim(x), '- ')
-                 OR starts_with(trim(x), '* '))) AS DOUBLE)
-               / greatest(len(l), 1), 6) AS frac_bullet_lines,
-             round(CAST(len(list_filter(l, x ->
-                 ends_with(trim(x), '...') OR ends_with(trim(x), '…')))
-                 AS DOUBLE)
-               / greatest(len(l), 1), 6) AS frac_ellipsis_lines
-           FROM tk)
-         SELECT *, (n_words >= 50 AND n_words <= 100000
-             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-             AND symbol_word_ratio <= 0.1 AND frac_alpha_words >= 0.8
-             AND n_stops_present >= 2
-             AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3)
-           AS gopher_pass
-         FROM m"""
-    },
-    "q_text_pii" -> {
-      val Seq(em, ip, ph) = graft.text.TextAnalysis.piiPatterns.map(_._2)
-      s"""WITH p AS (SELECT doc_id,
-             text || ' contact user' || CAST(doc_id AS VARCHAR)
-               || '@example.com or 10.0.'
-               || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 '
-               || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t2
-           FROM documents)
-         SELECT doc_id,
-           CAST(len(regexp_extract_all(t2, '$em')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
-           CAST(len(regexp_extract_all(t2, '$ph')) AS INT) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(t2,
-             '$em', '<EMAIL>', 'g'),
-             '$ip', '<IP>', 'g'),
-             '$ph', '<PHONE>', 'g') AS redacted
-         FROM p"""
-    },
-    "q_dedup_spans" ->
-      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
-           FROM documents WHERE doc_id < 50),
-         d2 AS (SELECT d.doc_id,
-             concat_ws(' ', d.text, s.shared) AS t2
-           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
-         tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(t2)), '\s+') AS t FROM d2),
-         wins AS (SELECT doc_id, unnest(list_transform(
-               range(1, greatest(len(t) - 7, 0) + 1),
-               i -> array_to_string(t[i:i+7], ' '))) AS w
-           FROM tok WHERE len(t) >= 8),
-         cnt AS (SELECT w, count(*) AS c FROM wins GROUP BY 1),
-         tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY 1),
-         dupc AS (SELECT doc_id, count(*) AS n_dup
-           FROM wins JOIN cnt USING (w) WHERE c > 1 GROUP BY doc_id)
-         SELECT d.doc_id,
-           coalesce(tot.n_windows, 0) AS n_windows,
-           coalesce(dupc.n_dup, 0) AS n_dup,
-           round(CAST(coalesce(dupc.n_dup, 0) AS DOUBLE)
-             / CAST(greatest(coalesce(tot.n_windows, 0), 1) AS DOUBLE), 6)
-             AS dup_frac
-         FROM (SELECT DISTINCT doc_id FROM d2) d
-         LEFT JOIN tot USING (doc_id) LEFT JOIN dupc USING (doc_id)""",
-    "q_dedup_cdc" ->
-      // CDC replay: per-token FNV HUGEINT fold, boundary when fh % 8 = 0,
-      // chunk = running boundary sum, chunk digest occurrence counts
-      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 300) AS shared
-           FROM documents WHERE doc_id < 50),
-         d2 AS (SELECT d.doc_id,
-             concat_ws(' ', d.text, s.shared) AS t2
-           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
-         tl AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(t2)), '\s+'),
-               x -> x <> '') AS t
-           FROM d2),
-         toks AS (SELECT doc_id, unnest(t) AS tk,
-             generate_subscripts(t, 1) - 1 AS pos FROM tl),
-         fb AS (SELECT doc_id, pos, tk,
-             CASE WHEN list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(0, octet_length(encode(tk))),
-                   i -> CAST(CAST(('0x' || substr(hex(encode(tk)),
-                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
-               (acc, byte) -> (xor(acc, byte) * 1099511628211)
-                 % 18446744073709551616) % 8 = 0
-             THEN 1 ELSE 0 END AS b
-           FROM toks),
-         ch AS (SELECT doc_id, pos, tk,
-             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
-           FROM fb),
-         chunks AS (SELECT doc_id, c,
-             md5(array_to_string(list_transform(
-               list_sort(list(struct_pack(p := pos, t := tk))),
-               s -> s.t), ' ')) AS dg
-           FROM ch GROUP BY doc_id, c),
-         wc AS (SELECT doc_id,
-             count(*) OVER (PARTITION BY dg) AS n
-           FROM chunks),
-         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-             CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_chunks
-           FROM wc GROUP BY 1)
-         SELECT d.doc_id,
-           coalesce(pd.n_chunks, 0) AS n_chunks,
-           coalesce(pd.n_dup_chunks, 0) AS n_dup_chunks,
-           round(CAST(coalesce(pd.n_dup_chunks, 0) AS DOUBLE)
-             / CAST(greatest(coalesce(pd.n_chunks, 0), 1) AS DOUBLE), 6)
-             AS dup_frac
-         FROM (SELECT DISTINCT doc_id FROM d2) d
-         LEFT JOIN pd USING (doc_id)""",
-    "q_dedup_spans_cut" ->
-      // surgery replay: windows carry their start position; every
-      // non-first occurrence of a duplicated window covers its 8 token
-      // positions; docs rebuild from uncovered tokens in position order
-      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
-           FROM documents WHERE doc_id < 50),
-         d2 AS (SELECT d.doc_id,
-             concat_ws(' ', d.text, s.shared) AS t2
-           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
-         tl AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(trim(t2)), '\s+'),
-               x -> x <> '') AS t
-           FROM d2),
-         toks AS (SELECT doc_id, unnest(t) AS tk,
-             generate_subscripts(t, 1) - 1 AS pos FROM tl),
-         wins AS (SELECT doc_id, u.p AS pos, u.w AS w FROM (
-             SELECT doc_id, unnest(list_transform(
-                 range(1, greatest(len(t) - 7, 0) + 1),
-                 i -> struct_pack(p := i - 1,
-                   w := array_to_string(t[i:i+7], ' ')))) AS u
-             FROM tl)),
-         wc AS (SELECT *, count(*) OVER (PARTITION BY w) AS c,
-             row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
-           FROM wins),
-         cov AS (SELECT DISTINCT wc.doc_id, wc.pos + k.k AS pos
-           FROM wc CROSS JOIN range(0, 8) AS k(k) WHERE c > 1 AND rn > 1),
-         m AS (SELECT t.doc_id, t.pos, t.tk, (c.pos IS NOT NULL) AS cov
-           FROM toks t LEFT JOIN cov c
-             ON c.doc_id = t.doc_id AND c.pos = t.pos),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_removed,
-             coalesce(array_to_string(list_transform(
-               list_sort(list(struct_pack(p := pos, tk := tk))
-                 FILTER (WHERE NOT cov)),
-               s -> s.tk), ' '), '') AS clean_text
-           FROM m GROUP BY 1)
-         SELECT d2.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-           coalesce(a.n_removed, 0) AS n_removed,
-           coalesce(a.clean_text, '') AS clean_text
-         FROM d2 LEFT JOIN agg a USING (doc_id)""",
-    "q_dedup_paragraph" ->
-      """WITH seedp AS (SELECT doc_id AS sid, substr(text, 1, 100) AS shared
-           FROM documents WHERE doc_id < 50),
-         d2 AS (SELECT d.doc_id,
-             concat_ws(chr(10) || chr(10), d.text, s.shared) AS t2
-           FROM documents d JOIN seedp s ON d.doc_id % 50 = s.sid),
-         p0 AS (SELECT doc_id,
-             unnest(string_split(t2, chr(10) || chr(10))) AS para,
-             generate_subscripts(string_split(t2, chr(10) || chr(10)), 1)
-               AS pos
-           FROM d2),
-         p AS (SELECT * FROM p0 WHERE para <> ''),
-         w AS (SELECT doc_id, pos, para, row_number() OVER (
-             PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn FROM p)
-         SELECT doc_id, count(*) AS n_paras,
-           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
-             chr(10) || chr(10) ORDER BY pos), '') AS clean_text
-         FROM w GROUP BY doc_id""",
-    "q_decontaminate" -> decontaminateSql,
-    // the streamed gate is a stateless projection -> equal to the batch
-    // formulation under any micro-batch split; oracle shared verbatim
-    "q_stream_decontaminate" -> decontaminateSql,
-    "q_curation_pipeline" ->
-      curationSql,
-    // the JSON-graph formulation compiles to the identical plan (shared
-    // Curation stage definitions), so it shares the oracle verbatim
-    "q_graph_curation" ->
-      curationSql,
-    "q_stream_curation_gate" ->
-      // the BATCH formulation of the gate — identical quality + top-bigram
-      // expressions as q_text_quality / q_text_repetition; the streamed
-      // result must equal it under any micro-batch split
-      s"""WITH $qualityCtes,
-          tok AS (SELECT doc_id,
-              string_split_regex(lower(trim(text)), '\\s+') AS tk
-            FROM documents),
-          bg AS (SELECT doc_id, unnest(list_transform(
-                range(1, greatest(len(tk) - 1, 0) + 1),
-                i -> array_to_string(tk[i:i+1], ' '))) AS gg
-            FROM tok WHERE len(tk) >= 2),
-          bgf AS (SELECT doc_id,
-              round(CAST(max(c2) AS DOUBLE) / sum(c2), 6) AS rep
-            FROM (SELECT doc_id, gg, count(*) AS c2 FROM bg
-                  GROUP BY doc_id, gg)
-            GROUP BY doc_id)
-          SELECT d.doc_id, q.quality,
-            coalesce(bgf.rep, 0.0) AS top_bigram_frac
-          FROM documents d JOIN q USING (doc_id)
-          LEFT JOIN bgf USING (doc_id)
-          WHERE q.quality >= 0.75 AND coalesce(bgf.rep, 0.0) <= 0.2""",
-    "q_dedup_exact" ->
-      """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-         FROM documents GROUP BY 1""",
-    "q_dedup_minhash" ->
-      // all-pairs exact Jaccard on 3-gram shingles — LSH recall at J≈0.99
-      // is certain, so the candidate-verified output equals this
-      """WITH sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
-             range(1, greatest(len(t) - 2, 1) + 1),
-             i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.7""",
-    "q_dedup_sensitivity" ->
-      // the q_ngram_jaccard pair formulation at a 0.3 floor, rounded
-      // Jaccard bucketed at 0.1, cumulative from the top bin down
-      """WITH sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents)),
-         pairs AS (SELECT
-             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source
-             AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.3),
-         b AS (SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bin10,
-             CAST(count(*) AS BIGINT) AS n_pairs
-           FROM pairs GROUP BY 1)
-         SELECT round(CAST(bin10 AS DOUBLE) / 10.0, 1) AS bin_lo, n_pairs,
-           CAST(SUM(n_pairs) OVER (ORDER BY bin10 DESC
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS n_pairs_at_or_above
-         FROM b""",
-    "q_split_leakage" ->
-      // the q_ngram_jaccard pair formulation, joined against BOTH split
-      // rules: grouped md5-bucket (q_split_grouped's literals) and the
-      // naive per-doc LCG thresholds floor(0.8*2^31)/floor(0.9*2^31)
-      """WITH sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents)),
-         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source
-             AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-         grouped AS (SELECT doc_id,
-             CASE WHEN hv < 3435973836 THEN 'train'
-                  WHEN hv < 3865470566 THEN 'val'
-                  ELSE 'test' END AS split
-           FROM (SELECT doc_id,
-               CAST(('0x' || substr(md5(concat_ws('|', source, lang)), 1, 8))
-                    AS BIGINT) AS hv
-             FROM documents)),
-         naive AS (SELECT doc_id,
-             CASE WHEN hv < 1717986918 THEN 'train'
-                  WHEN hv < 1932735283 THEN 'val'
-                  ELSE 'test' END AS split
-           FROM (SELECT doc_id,
-               ((doc_id % 2147483648) * 1103515245 + 12345)
-                 % 2147483648 AS hv
-             FROM documents))
-         SELECT 'grouped' AS mode, CAST(count(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN ga.split <> gb.split THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_cross
-         FROM pairs JOIN grouped ga ON ga.doc_id = pairs.id_a
-           JOIN grouped gb ON gb.doc_id = pairs.id_b
-         UNION ALL
-         SELECT 'naive', CAST(count(*) AS BIGINT),
-           CAST(SUM(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END)
-                AS BIGINT)
-         FROM pairs JOIN naive na ON na.doc_id = pairs.id_a
-           JOIN naive nb ON nb.doc_id = pairs.id_b""",
-    "q_boilerplate_strip" ->
-      // same injection, paragraph split on the literal blank-line
-      // separator, digest breadth via count(DISTINCT doc_id), ordered
-      // reassembly
-      """WITH aug AS (SELECT doc_id,
-             text || chr(10) || chr(10) ||
-               CASE WHEN doc_id % 3 = 0
-                 THEN 'subscribe to our newsletter for daily updates'
-                 ELSE 'unique tail ' || doc_id END AS t2
-           FROM documents),
-         p0 AS (SELECT doc_id,
-             string_split(t2, chr(10) || chr(10)) AS ps FROM aug),
-         p AS (SELECT doc_id, unnest(ps) AS para,
-             generate_subscripts(ps, 1) - 1 AS pos FROM p0),
-         pf AS (SELECT * FROM p WHERE para <> ''),
-         b AS (SELECT md5(para) AS dg FROM pf
-           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
-         k AS (SELECT doc_id, pos, para FROM pf
-           WHERE md5(para) NOT IN (SELECT dg FROM b))
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras_kept,
-           array_to_string(list(para ORDER BY pos), chr(10) || chr(10))
-             AS clean_text
-         FROM k GROUP BY 1""",
-    "q_dedup_containment" ->
-      // blocked all-pairs directed containment over the augmented corpus
-      // (same shingle formulation as q_dedup_minhash); orientation by
-      // CASE on the two ratios, ties keep the lower id contained
-      """WITH aug AS (SELECT doc_id, lang, source, text FROM documents
-           UNION ALL
-           SELECT doc_id + 20000, lang, source, substr(text, 50, 200)
-           FROM documents WHERE doc_id < 30),
-         sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM aug)),
-         pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
-             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS ca,
-             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS cb
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source
-             AND a.doc_id < b.doc_id)
-         SELECT CASE WHEN ca >= cb THEN ida ELSE idb END AS contained_id,
-           CASE WHEN ca >= cb THEN idb ELSE ida END AS container_id,
-           round(GREATEST(ca, cb), 6) AS containment
-         FROM pr
-         WHERE round(GREATEST(ca, cb), 6) >= 0.8""",
-    "q_dedup_incremental" -> dedupIncrementalSql,
-    // the persisted-index serving path is result-identical (same band
-    // keys, same verify) — oracle shared verbatim, like q_ann_index
-    "q_dedup_indexed" -> dedupIncrementalSql,
-    // the streamed gate is stream-static joins + a verify projection ->
-    // equal to the batch incremental set under any micro-batch split
-    "q_stream_dedup_incremental" -> dedupIncrementalSql,
-    "q_sample_fraction" ->
-      // identical LCG arithmetic: ((id % 2^31) * A + C) % 2^31 < f * 2^31
-      """SELECT doc_id, lang, n_chars FROM documents
-         WHERE ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
-               < 536870912""",
-    "q_sample_stratified" ->
-      """WITH h AS (
-           SELECT doc_id, lang, n_chars,
-             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
-           FROM documents
-         ), r AS (
-           SELECT doc_id, lang, n_chars,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
-           FROM h
-         )
-         SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""",
-    "q_unimax_mix" ->
-      // same trajectory as Sampling.unimaxSample: ascending (n, source)
-      // order, INTEGER full-prefix cutoff n*(k-i) <= remaining (a prefix
-      // property — once one source is partial, every larger one is),
-      // then one shared IEEE share for the suffix and the portable LCG
-      // keep filter (identical op order to the Scala side)
-      """WITH dd AS (SELECT doc_id, lang,
-             CASE WHEN doc_id < 300 THEN 'head'
-                  WHEN doc_id < 450 THEN 'mid'
-                  ELSE source END AS mix_src
-           FROM documents),
-         c AS (SELECT mix_src, count(*) AS n FROM dd GROUP BY 1),
-         o AS (SELECT mix_src, n,
-             row_number() OVER (ORDER BY n, mix_src) - 1 AS i,
-             (SELECT count(*) FROM c) AS k,
-             COALESCE(SUM(n) OVER (ORDER BY n, mix_src
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-           FROM c),
-         f AS (SELECT *,
-             CASE WHEN n * (k - i) <= 120 - pre THEN 1 ELSE 0 END AS isf
-           FROM o),
-         s AS (SELECT COALESCE(SUM(CASE WHEN isf = 1 THEN n END), 0) AS full_n,
-                      COALESCE(SUM(isf), 0) AS cut, MAX(k) AS k FROM f),
-         r AS (SELECT f.mix_src,
-             CASE WHEN f.isf = 1 THEN 2147483648
-                  ELSE CAST(FLOOR(LEAST(1.0,
-                    (CAST(120 - s.full_n AS DOUBLE) / (s.k - s.cut))
-                      / CAST(f.n AS DOUBLE)) * 2147483648.0) AS BIGINT)
-                  END AS thr
-           FROM f, s)
-         SELECT dd.doc_id, dd.mix_src, dd.lang
-         FROM dd JOIN r ON dd.mix_src = r.mix_src
-         WHERE ((dd.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
-               < r.thr""",
-    "q_graph_mix" ->
-      // unimax water-filling (natural sources, uniform at this fixture
-      // so all-partial), the cap rank window, and the token stats —
-      // the same closed forms as q_unimax_mix / q_cap_domain composed
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-         o AS (SELECT source, n,
-             row_number() OVER (ORDER BY n, source) - 1 AS i,
-             (SELECT count(*) FROM c) AS k,
-             COALESCE(SUM(n) OVER (ORDER BY n, source
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-           FROM c),
-         f AS (SELECT *,
-             CASE WHEN n * (k - i) <= 120 - pre THEN 1 ELSE 0 END AS isf
-           FROM o),
-         s AS (SELECT COALESCE(SUM(CASE WHEN isf = 1 THEN n END), 0) AS full_n,
-                      COALESCE(SUM(isf), 0) AS cut, MAX(k) AS k FROM f),
-         r AS (SELECT f.source,
-             CASE WHEN f.isf = 1 THEN 2147483648
-                  ELSE CAST(FLOOR(LEAST(1.0,
-                    (CAST(120 - s.full_n AS DOUBLE) / (s.k - s.cut))
-                      / CAST(f.n AS DOUBLE)) * 2147483648.0) AS BIGINT)
-                  END AS thr
-           FROM f, s),
-         kept AS (SELECT d.* FROM documents d JOIN r ON d.source = r.source
-           WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
-                 < r.thr),
-         capped AS (SELECT * FROM (
-             SELECT kept.*, row_number() OVER (PARTITION BY lang, source
-                 ORDER BY n_chars DESC, doc_id) AS rn FROM kept)
-           WHERE rn <= 3)
-         SELECT lang, count(*) AS n_docs,
-           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-             AS n_tokens
-         FROM capped GROUP BY lang""",
-    "q_unimax_epochs" ->
-      // capacity (n*E) water-filling with the same integer prefix test,
-      // then per-source whole copies + the LCG fractional-copy
-      // threshold, and lateral generate_series row multiplication —
-      // identical IEEE op order to the Scala side throughout
-      """WITH dd AS (SELECT doc_id, lang,
-             CASE WHEN doc_id < 300 THEN 'head'
-                  WHEN doc_id < 450 THEN 'mid'
-                  ELSE source END AS mix_src
-           FROM documents),
-         c AS (SELECT mix_src, count(*) AS n FROM dd GROUP BY 1),
-         o AS (SELECT mix_src, n, n * 3 AS cap,
-             row_number() OVER (ORDER BY n * 3, mix_src) - 1 AS i,
-             (SELECT count(*) FROM c) AS k,
-             COALESCE(SUM(n * 3) OVER (ORDER BY n * 3, mix_src
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-           FROM c),
-         f AS (SELECT *,
-             CASE WHEN cap * (k - i) <= 400 - pre THEN 1 ELSE 0 END AS isf
-           FROM o),
-         s AS (SELECT COALESCE(SUM(CASE WHEN isf = 1 THEN cap END), 0)
-                 AS full_cap,
-               COALESCE(SUM(isf), 0) AS cut, MAX(k) AS k FROM f),
-         r AS (SELECT f.mix_src, f.isf,
-             (CAST(400 - s.full_cap AS DOUBLE) / (s.k - s.cut))
-               / CAST(f.n AS DOUBLE) AS ep
-           FROM f, s),
-         rr AS (SELECT mix_src,
-             CASE WHEN isf = 1 THEN CAST(3 AS BIGINT)
-                  ELSE CAST(FLOOR(ep) AS BIGINT) END AS whole,
-             CASE WHEN isf = 1 THEN CAST(0 AS BIGINT)
-                  ELSE CAST(FLOOR((ep - FLOOR(ep)) * 2147483648.0)
-                       AS BIGINT) END AS thr
-           FROM r),
-         cp AS (SELECT dd.doc_id, dd.mix_src, dd.lang,
-             rr.whole + CASE WHEN ((dd.doc_id % 2147483648) * 1103515245
-                  + 12345) % 2147483648 < rr.thr THEN 1 ELSE 0 END AS copies
-           FROM dd JOIN rr ON dd.mix_src = rr.mix_src)
-         SELECT doc_id, mix_src, lang,
-           CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
-         FROM cp WHERE copies > 0""",
-    "q_temperature_mix" ->
-      // same trajectory as Sampling.temperatureSample: per-source counts,
-      // n^0.5 weights, name-ordered normalizing sum (mirrors the Scala
-      // left fold), floor to the integer LCG threshold, pure filter
-      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
-           FROM documents GROUP BY 1),
-         w AS (SELECT source, n, POW(n, 0.5) AS w FROM c),
-         t AS (SELECT SUM(w ORDER BY source) AS norm FROM w),
-         r AS (SELECT source,
-             CAST(FLOOR(LEAST(1.0, 200.0 * (w / t.norm) / n)
-                  * 2147483648.0) AS BIGINT) AS thr
-           FROM w, t)
-         SELECT d.doc_id, d.source, d.lang
-         FROM documents d JOIN r ON d.source = r.source
-         WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648
-               < r.thr""",
-    "q_split_grouped" ->
-      // bucket bounds = floor(cumWeight/total * 2^32) over md5's first
-      // 8 hex chars — identical literals to Sampling.assignSplit
-      """WITH g AS (
-           SELECT doc_id, concat_ws('|', source, lang) AS grp
-           FROM documents
-         ), h AS (
-           SELECT doc_id, grp,
-             CAST(('0x' || substr(md5(grp), 1, 8)) AS BIGINT) AS hv
-           FROM g
-         )
-         SELECT doc_id, grp,
-           CASE WHEN hv < 3435973836 THEN 'train'
-                WHEN hv < 3865470566 THEN 'val'
-                ELSE 'test' END AS split
-         FROM h""",
-    "q_pack_budget" ->
-      """WITH h AS (
-           SELECT doc_id, lang, n_chars,
-             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
-           FROM documents
-         ), c AS (
-           SELECT doc_id, lang, n_chars,
-             SUM(n_chars) OVER (PARTITION BY lang ORDER BY hv, doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
-           FROM h
-         )
-         SELECT doc_id, lang, n_chars,
-           DENSE_RANK() OVER (PARTITION BY lang
-             ORDER BY (cum - n_chars) // 16384) - 1 AS pack_id
-         FROM c""",
-    "q_multimodal_features" -> multimodalFeaturesSql,
-    "q_graph_multimodal" ->
-      // shared VERBATIM with q_multimodal_features: the graph row
-      // (encode_binary -> image_decode -> image_features) compiles to
-      // the identical pipeline (round-13 graph-surface parity)
-      multimodalFeaturesSql,
-    "q_multimodal_real" ->
-      // the BMP round-trip is generative: pixel j = text byte (j % len),
-      // w = 1+len%7, h = 1+len%5 — the oracle computes the stats straight
-      // from those bytes; a decode bug on the Spark side (BGR order,
-      // bottom-up rows, row padding) would desynchronize the hash
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE octet_length(encode(text)) >= 1
-         ), p AS (
-           SELECT doc_id, h, len, 1 + (len % 7) AS width,
-                  1 + (len % 5) AS height,
-                  (1 + (len % 7)) * (1 + (len % 5)) * 3 AS px_len
-           FROM d
-         ), bytes AS (
-           SELECT p.doc_id, g.j,
-                  CAST(('0x' || substr(p.h,
-                    CAST((g.j % p.len) * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
-           FROM p, generate_series(0, 104) AS g(j)
-           WHERE g.j < p.px_len
-         ), m AS (
-           SELECT p.doc_id, p.width, p.height,
-                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
-           FROM p JOIN bytes b ON b.doc_id = p.doc_id
-           GROUP BY p.doc_id, p.width, p.height
-         ), f AS (
-           SELECT p.doc_id, g.i AS feat_idx,
-                  GREATEST(1, p.px_len // 6) AS block, p.px_len
-           FROM p, generate_series(0, 5) AS g(i)
-         ), fv AS (
-           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
-           FROM f LEFT JOIN bytes b
-             ON b.doc_id = f.doc_id
-            AND b.j >= f.feat_idx * f.block
-            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
-           GROUP BY f.doc_id, f.feat_idx
-         )
-         SELECT m.doc_id, 'bmp' AS format, m.width, m.height, m.mean_px,
-                fv.feat_idx,
-                CASE WHEN fv.n = 0 THEN 0.0
-                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
-                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
-         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
-    "q_multimodal_resize" ->
-      // nearest-neighbor 2×2 replay: source pixel (⌊y·h/2⌋ capped,
-      // ⌊x·w/2⌋ capped, ch), byte = text byte (index % len); the Spark
-      // side additionally round-trips the resized image through a second
-      // BMP encode/decode, which is lossless and so invisible here
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE octet_length(encode(text)) >= 1
-         ), p AS (
-           SELECT doc_id, h, len, 1 + (len % 7) AS w, 1 + (len % 5) AS hh
-           FROM d
-         ), o AS (
-           SELECT p.doc_id, p.h, p.len,
-                  (LEAST(p.hh - 1, (gy.y * p.hh) // 2) * p.w
-                   + LEAST(p.w - 1, (gx.x * p.w) // 2)) * 3 + gc.ch AS j
-           FROM p, generate_series(0, 1) AS gy(y),
-                generate_series(0, 1) AS gx(x),
-                generate_series(0, 2) AS gc(ch)
-         ), b AS (
-           SELECT doc_id, CAST(('0x' || substr(h,
-                    CAST((j % len) * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
-           FROM o
-         )
-         SELECT doc_id, 2 AS width, 2 AS height,
-                ROUND(SUM(b)::DOUBLE / COUNT(b), 6) AS mean_px
-         FROM b GROUP BY doc_id""",
-    "q_multimodal_png" ->
-      // the PNG round-trip is generative and LOSSLESS (deflate+filters
-      // reconstruct exactly): pixel j = text byte (j % len), w = 1+len%6,
-      // h = 1+len%4 — the oracle computes the stats straight from those
-      // bytes; a filter-reconstruction or inflate bug shifts every stat
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE octet_length(encode(text)) >= 1
-         ), p AS (
-           SELECT doc_id, h, len, 1 + (len % 6) AS width,
-                  1 + (len % 4) AS height,
-                  (1 + (len % 6)) * (1 + (len % 4)) * 3 AS px_len
-           FROM d
-         ), bytes AS (
-           SELECT p.doc_id, g.j,
-                  CAST(('0x' || substr(p.h,
-                    CAST((g.j % p.len) * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
-           FROM p, generate_series(0, 71) AS g(j)
-           WHERE g.j < p.px_len
-         ), m AS (
-           SELECT p.doc_id, p.width, p.height,
-                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
-           FROM p JOIN bytes b ON b.doc_id = p.doc_id
-           GROUP BY p.doc_id, p.width, p.height
-         ), f AS (
-           SELECT p.doc_id, g.i AS feat_idx,
-                  GREATEST(1, p.px_len // 5) AS block, p.px_len
-           FROM p, generate_series(0, 4) AS g(i)
-         ), fv AS (
-           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
-           FROM f LEFT JOIN bytes b
-             ON b.doc_id = f.doc_id
-            AND b.j >= f.feat_idx * f.block
-            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
-           GROUP BY f.doc_id, f.feat_idx
-         )
-         SELECT m.doc_id, 'png' AS format, m.width, m.height, m.mean_px,
-                fv.feat_idx,
-                CASE WHEN fv.n = 0 THEN 0.0
-                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
-                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
-         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
-    "q_multimodal_jpeg" ->
-      // flat-8×8-block grayscale baseline JPEG is LOSSLESS by
-      // construction (DC-only, quant step 8), so decoded pixel j of the
-      // (8w)×(8h) image equals text byte ((j÷(8w)÷8)·w + (j mod 8w)÷8)
-      // mod len — the oracle computes every stat from that index map;
-      // a Huffman/dequant/IDCT bug shifts all of them
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE octet_length(encode(text)) >= 1
-         ), p AS (
-           SELECT doc_id, h, len, 1 + (len % 5) AS w, 1 + (len % 3) AS hh,
-                  (1 + (len % 5)) * 8 AS width,
-                  (1 + (len % 3)) * 8 AS height,
-                  (1 + (len % 5)) * (1 + (len % 3)) * 64 AS px_len
-           FROM d
-         ), bytes AS (
-           SELECT p.doc_id, g.j,
-                  CAST(('0x' || substr(p.h,
-                    CAST((((((g.j // p.width) // 8) * p.w +
-                        (g.j % p.width) // 8) % p.len) * 2 + 1) AS BIGINT),
-                    2)) AS INTEGER) AS b
-           FROM p, generate_series(0, 959) AS g(j)
-           WHERE g.j < p.px_len
-         ), m AS (
-           SELECT p.doc_id, p.width, p.height,
-                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
-           FROM p JOIN bytes b ON b.doc_id = p.doc_id
-           GROUP BY p.doc_id, p.width, p.height
-         ), f AS (
-           SELECT p.doc_id, g.i AS feat_idx,
-                  GREATEST(1, p.px_len // 5) AS block, p.px_len
-           FROM p, generate_series(0, 4) AS g(i)
-         ), fv AS (
-           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
-           FROM f LEFT JOIN bytes b
-             ON b.doc_id = f.doc_id
-            AND b.j >= f.feat_idx * f.block
-            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
-           GROUP BY f.doc_id, f.feat_idx
-         )
-         SELECT m.doc_id, 'jpeg' AS format, m.width, m.height, m.mean_px,
-                fv.feat_idx,
-                CASE WHEN fv.n = 0 THEN 0.0
-                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
-                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
-         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
-    "q_multimodal_wav" ->
-      // WAV round-trip maps sample i back to text byte i exactly
-      // ((((b-128)<<8) >> 8) + 128 = b), so the oracle reads the even
-      // prefix of the text bytes; frames_per_ch = floor(len/2) at 2 ch
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents WHERE octet_length(encode(text)) >= 2
-             AND octet_length(encode(text)) <= 4096
-         ), p AS (
-           SELECT doc_id, h, len, len - (len % 2) AS px_len
-           FROM d
-         ), bytes AS (
-           SELECT p.doc_id, g.j,
-                  CAST(('0x' || substr(p.h,
-                    CAST(g.j * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS b
-           FROM p, generate_series(0, 4095) AS g(j)
-           WHERE g.j < p.px_len
-         ), m AS (
-           SELECT p.doc_id, p.px_len // 2 AS frames_per_ch,
-                  p.px_len,
-                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
-           FROM p JOIN bytes b ON b.doc_id = p.doc_id
-           GROUP BY p.doc_id, p.px_len
-         ), f AS (
-           SELECT p.doc_id, g.i AS feat_idx,
-                  GREATEST(1, p.px_len // 4) AS block, p.px_len
-           FROM p, generate_series(0, 3) AS g(i)
-         ), fv AS (
-           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
-           FROM f LEFT JOIN bytes b
-             ON b.doc_id = f.doc_id
-            AND b.j >= f.feat_idx * f.block
-            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
-           GROUP BY f.doc_id, f.feat_idx
-         )
-         SELECT m.doc_id, 'wav' AS format, m.frames_per_ch,
-                2 AS channels, m.mean_px, fv.feat_idx,
-                CASE WHEN fv.n = 0 THEN 0.0
-                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
-                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
-         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
-    "q_multimodal_video" ->
-      // frames 0 and 2 of the 3-frame 4×2×1 container are text bytes
-      // [f*8, f*8+8); dim-4 block pooling means byte pairs; temporal
-      // pool averages the two frames — all from hex-extracted bytes
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents
-           WHERE octet_length(encode(text)) >= 24),
-         fr(f) AS (VALUES (0), (2)),
-         g AS (SELECT doc_id, fr.f, gs.k,
-             CAST(CAST((
-               CAST(('0x' || substr(h, (fr.f*8 + gs.k*2)*2 + 1, 2)) AS INTEGER)
-               + CAST(('0x' || substr(h, (fr.f*8 + gs.k*2 + 1)*2 + 1, 2))
-                   AS INTEGER)) AS DOUBLE) / 2 / 255.0 AS FLOAT) AS fv
-           FROM d, fr, generate_series(0, 3) AS gs(k))
-         SELECT doc_id, k AS feat_idx,
-           round(avg(CAST(fv AS DOUBLE)), 6) AS feat_val
-         FROM g GROUP BY 1, 2""",
-    "q_chunk_tokens" ->
-      // 1-based inclusive list slice == Spark's slice(start, length)
-      """WITH tk AS (SELECT doc_id,
-             string_split_regex(trim(text), '\s+') AS t FROM documents),
-         ch AS (SELECT doc_id, t, len(t) AS n,
-             unnest(generate_series(0,
-               CAST(ceil(len(t) / 32.0) AS BIGINT) - 1)) AS chunk_idx
-           FROM tk)
-         SELECT doc_id, chunk_idx,
-           array_to_string(t[chunk_idx*32 + 1 : chunk_idx*32 + 32], ' ')
-             AS chunk_text,
-           LEAST(32, n - chunk_idx*32) AS n_tokens
-         FROM ch""",
-    "q_interleave" ->
-      // identical LCG thinning per source (0.8·2³¹ and 0.25·2³¹ bounds)
-      """WITH h AS (SELECT doc_id, lang,
-             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hv
-           FROM documents)
-         SELECT doc_id, lang, 'web' AS mix_source FROM h
-         WHERE lang = 'en' AND hv < 1717986918
-         UNION ALL
-         SELECT doc_id, lang, 'code' AS mix_source FROM h
-         WHERE lang <> 'en' AND hv < 536870912""",
-    "q_dedup_corpus_best" ->
-      // same closure CTEs as q_dedup_corpus; winner = max n_chars per
-      // cluster, ties to lowest doc_id
-      """WITH RECURSIVE sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents)),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-         e AS (SELECT id_a AS u, id_b AS v FROM pr
-               UNION SELECT id_b, id_a FROM pr),
-         reach(u, v) AS (SELECT u, v FROM e
-               UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-                     WHERE e.v <> r.u),
-         lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
-                 FROM reach GROUP BY u),
-         win AS (SELECT doc_id FROM (
-             SELECT d.doc_id, row_number() OVER (
-               PARTITION BY lbl.cluster
-               ORDER BY d.n_chars DESC, d.doc_id) AS rn
-             FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id) WHERE rn = 1)
-         SELECT d.doc_id, d.lang, d.source, d.n_chars
-         FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
-         WHERE lbl.cluster IS NULL
-            OR d.doc_id IN (SELECT doc_id FROM win)""",
-    "q_shuffle_order" ->
-      """SELECT row_number() OVER (
-             ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
-                      % 2147483648, doc_id) - 1 AS ord,
-           doc_id, lang
-         FROM documents""",
-    "q_shuffle_order_scalable" ->
-      // same total order, same ordinals — the distributed path must be
-      // indistinguishable from the window formulation
-      """SELECT row_number() OVER (
-             ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345)
-                      % 2147483648, doc_id) - 1 AS ord,
-           doc_id, lang
-         FROM documents""",
-    "q_text_normalize" ->
-      // same noise suffix via chr(); 'g' flag = replace ALL (Spark's
-      // regexp_replace default)
-      """SELECT doc_id,
-           trim(regexp_replace(regexp_replace(
-             text || chr(9) || '  mixed ' || chr(7) || ' tail'
-                  || chr(10) || chr(10),
-             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
-           length(trim(regexp_replace(regexp_replace(
-             text || chr(9) || '  mixed ' || chr(7) || ' tail'
-                  || chr(10) || chr(10),
-             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS n_norm
-         FROM documents""",
-    "q_text_unicode" ->
-      // NFKC replay over the controlled suffix character set: the base
-      // corpus is ASCII (enforced by the filter), so replace() maps
-      // each compatibility char to its NFKC image (ligature fi,
-      // fullwidth Full, circled 1, superscript 2, e+combining-acute ->
-      // e-acute, NBSP/ideographic space -> space, ZWSP removed), then
-      // the same ASCII control+collapse+trim chain as q_text_normalize.
-      // Script counts replay via RE2 \p{Script} classes.
-      """WITH s AS (
-           SELECT doc_id, text || ' ' || CASE CAST(doc_id % 6 AS INTEGER)
-             WHEN 0 THEN chr(64257) || 'nance ' || chr(9312)
-             WHEN 1 THEN chr(65318) || chr(65365) || chr(65356)
-                         || chr(65356) || ' x' || chr(178)
-             WHEN 2 THEN 'e' || chr(769) || 'clair नमस्ते'
-             WHEN 3 THEN 'привет мир αβγ'
-             WHEN 4 THEN '中文測試 カタカナ ひらがな'
-             WHEN 5 THEN '한국어 שלום عربى' || chr(8203) || 'z'
-                         || chr(160) || chr(12288) || 'end' || chr(7)
-             END AS raw
-           FROM documents
-           WHERE NOT regexp_matches(text, '[^\x00-\x7f]')
-         ), img AS (
-           SELECT doc_id,
-             replace(replace(replace(replace(replace(replace(replace(
-             replace(replace(replace(raw,
-               chr(64257), 'fi'), chr(9312), '1'), chr(65318), 'F'),
-               chr(65365), 'u'), chr(65356), 'l'), chr(178), '2'),
-               'e' || chr(769), chr(233)), chr(8203), ''),
-               chr(160), ' '), chr(12288), ' ') AS t
-           FROM s
-         ), n AS (
-           SELECT doc_id, trim(regexp_replace(regexp_replace(t,
-             '[\x00-\x1f\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
-           FROM img
-         )
-         SELECT doc_id, norm_text,
-           CAST(len(regexp_extract_all(norm_text, '\p{Latin}')) AS BIGINT) AS n_latin,
-           CAST(len(regexp_extract_all(norm_text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
-           CAST(len(regexp_extract_all(norm_text, '\p{Han}')) AS BIGINT) AS n_han,
-           CAST(len(regexp_extract_all(norm_text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
-           CAST(len(regexp_extract_all(norm_text, '\p{Devanagari}')) AS BIGINT) AS n_devanagari,
-           CAST(len(regexp_extract_all(norm_text, '\p{Hangul}')) AS BIGINT) AS n_hangul,
-           CAST(len(regexp_extract_all(norm_text, '[\p{Hiragana}\p{Katakana}]')) AS BIGINT) AS n_kana,
-           CAST(len(regexp_extract_all(norm_text, '\p{Greek}')) AS BIGINT) AS n_greek,
-           CAST(len(regexp_extract_all(norm_text, '\p{Hebrew}')) AS BIGINT) AS n_hebrew
-         FROM n""",
-    "q_cms_freq" ->
-      // count-min replay: corpus tokens and probe literals hash through
-      // ONE shared FNV + golden-ratio-xor + fmix64 chain (split 32-bit
-      // multiplies as in q_hll_distinct), sketch = per-(depth, bucket)
-      // counts, estimate = min over depths — all-integer, exact
-      """WITH ks AS (SELECT * FROM (VALUES
-             (0, CAST(0 AS HUGEINT)),
-             (1, CAST(11400714819323198485 AS HUGEINT)),
-             (2, CAST(4354685564936845354 AS HUGEINT)),
-             (3, CAST(15755400384260043839 AS HUGEINT))) AS t(j, k)),
-         probes AS (SELECT * FROM (VALUES ('join'),('hash'),('filter'),
-             ('scan'),('the'),('qzxv')) AS p(token)),
-         alltok AS (SELECT 'c' AS src, g AS tok FROM
-             (SELECT unnest(list_filter(string_split_regex(
-                lower(trim(text)), '\s+'), x -> x <> '')) AS g
-              FROM documents)
-           UNION ALL SELECT 'p', token FROM probes),
-         fh AS (SELECT src, tok,
-             list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(0, octet_length(encode(tok))),
-                   i -> CAST(CAST(('0x' || substr(hex(encode(tok)),
-                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
-               (acc, byte) -> (xor(acc, byte) * 1099511628211)
-                 % 18446744073709551616) AS fh
-           FROM alltok),
-         jx AS (SELECT src, tok, ks.j, xor(fh.fh, ks.k) AS a FROM fh, ks),
-         x1 AS (SELECT src, tok, j, xor(a, a // 8589934592) AS a2 FROM jx),
-         x2 AS (SELECT src, tok, j,
-             ((a2 % 4294967296) * 18397679294719823053
-              + ((a2 // 4294967296) * 18397679294719823053 % 4294967296)
-                * 4294967296) % 18446744073709551616 AS b
-           FROM x1),
-         x3 AS (SELECT src, tok, j, xor(b, b // 8589934592) AS c FROM x2),
-         x4 AS (SELECT src, tok, j,
-             ((c % 4294967296) * 14181476777654086739
-              + ((c // 4294967296) * 14181476777654086739 % 4294967296)
-                * 4294967296) % 18446744073709551616 AS dd
-           FROM x3),
-         bk AS (SELECT src, tok, j,
-             CAST(xor(dd, dd // 8589934592) % 1024 AS BIGINT) AS bucket
-           FROM x4),
-         sketch AS (SELECT j, bucket, count(*) AS cnt
-           FROM bk WHERE src = 'c' GROUP BY 1, 2),
-         pb AS (SELECT tok AS token, j, bucket FROM bk WHERE src = 'p')
-         SELECT pb.token,
-           CAST(MIN(coalesce(sketch.cnt, 0)) AS BIGINT) AS est_count
-         FROM pb LEFT JOIN sketch USING (j, bucket)
-         GROUP BY 1""",
-    "q_bpe_train" -> (s"WITH $bpeCtes " +
-      (1 to bpeMergeCount).map(t =>
-        s"SELECT $t AS merge_rank, pr AS pair, cnt AS pair_count FROM b$t")
-        .mkString(" UNION ALL ")),
-    "q_bpe_apply" ->
-      s"""WITH $bpeCtes SELECT token,
-           CAST(SUM(wc) AS BIGINT) AS n_occurrences
-         FROM (SELECT unnest(string_split(trim(seg), ' ')) AS token, wc
-               FROM w$bpeMergeCount) GROUP BY 1""",
-    "q_bpe_fertility" ->
-      // the full trajectory replay again, then the per-language
-      // occurrence-weighted subwords-per-word ratio: (lang, word)
-      // counts join the vocab's final segmentation lengths
-      s"""WITH $bpeCtes,
-         lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS lwc FROM (
-             SELECT lang, unnest(list_filter(string_split_regex(
-               lower(trim(text)), '\\s+'), x -> x <> '')) AS w
-             FROM documents) GROUP BY 1, 2),
-         sub AS (SELECT w, CAST(len(string_split(trim(seg), ' '))
-               AS BIGINT) AS n_sub
-           FROM w$bpeMergeCount)
-         SELECT lang,
-           CAST(SUM(lwc) AS BIGINT) AS n_words,
-           CAST(SUM(lwc * n_sub) AS BIGINT) AS n_subwords,
-           round(CAST(SUM(lwc * n_sub) AS DOUBLE)
-                 / CAST(SUM(lwc) AS DOUBLE), 6) AS fertility
-         FROM lw JOIN sub USING (w)
-         GROUP BY 1""",
-    "q_hll_distinct" -> hllDistinctSql,
-    // the streamed register table collapses to the identical estimate
-    // (per-register max is batching-insensitive), so the batch replay
-    // verifies the streaming execution too
-    "q_stream_hll" -> hllDistinctSql,
-    "q_multimodal_ann" ->
-      // same stub-decode feature CTEs, UNROUNDED float-exact values, then
-      // the brute-force cosine pattern (ordered sums = Spark's fold)
-      """WITH d AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-                  octet_length(encode(text)) AS len
-           FROM documents
-         ), p AS (
-           SELECT doc_id, h, len, LEAST(1 + (len % 64), len) AS px_len
-           FROM d
-         ), bytes AS (
-           SELECT p.doc_id, g.i,
-                  CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
-                       AS INTEGER) AS b
-           FROM p, generate_series(0, 63) AS g(i)
-           WHERE g.i < p.px_len
-         ), f AS (
-           SELECT p.doc_id, g.i AS feat_idx,
-                  GREATEST(1, p.px_len // 8) AS block, p.px_len
-           FROM p, generate_series(0, 7) AS g(i)
-         ), fv AS (
-           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
-           FROM f LEFT JOIN bytes b
-             ON b.doc_id = f.doc_id
-            AND b.i >= f.feat_idx * f.block
-            AND b.i < LEAST((f.feat_idx + 1) * f.block, f.px_len)
-           GROUP BY f.doc_id, f.feat_idx
-         ), el AS (
-           SELECT doc_id, feat_idx AS i,
-                  CASE WHEN n = 0 THEN 0.0
-                       ELSE CAST(CAST(s::DOUBLE / n / 255.0 AS FLOAT)
-                            AS DOUBLE) END AS v
-           FROM fv
-         ), n2 AS (SELECT doc_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-                   FROM el GROUP BY 1),
-         dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM el q JOIN el c ON q.i = c.i
-               WHERE q.doc_id < 5 AND q.doc_id <> c.doc_id GROUP BY 1, 2),
-         sc AS (SELECT query_id, neighbor_id,
-                 dot / (nq.nrm * nc.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-               FROM dots JOIN n2 nq ON nq.doc_id = query_id
-                      JOIN n2 nc ON nc.doc_id = neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM sc WHERE rank <= 3""",
-    "q_sessionize" -> cq(
-      """, lagd AS (
-           SELECT band, y, x, time, value,
-             CASE WHEN lag(time) OVER (PARTITION BY band, y, x
-                                       ORDER BY time) IS NULL
-                   OR epoch_us(time) - epoch_us(lag(time) OVER (
-                        PARTITION BY band, y, x ORDER BY time))
-                      > 1800000000
-                  THEN 1 ELSE 0 END AS ns
-           FROM cube),
-         sess AS (
-           SELECT band, y, x, time, value,
-             SUM(ns) OVER (PARTITION BY band, y, x ORDER BY time
-                           ROWS UNBOUNDED PRECEDING) AS sid
-           FROM lagd)
-         SELECT band, y, x, MIN(time) AS start, MAX(time) AS "end",
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM sess GROUP BY band, y, x, sid"""),
-    "q_stream_sessionize" -> cq(
-      // the batch formulation again, sum rounded to 2 (see the query's
-      // comment on stream-order double accumulation)
-      """, lagd AS (
-           SELECT band, y, x, time, value,
-             CASE WHEN lag(time) OVER (PARTITION BY band, y, x
-                                       ORDER BY time) IS NULL
-                   OR epoch_us(time) - epoch_us(lag(time) OVER (
-                        PARTITION BY band, y, x ORDER BY time))
-                      > 1800000000
-                  THEN 1 ELSE 0 END AS ns
-           FROM cube),
-         sess AS (
-           SELECT band, y, x, time, value,
-             SUM(ns) OVER (PARTITION BY band, y, x ORDER BY time
-                           ROWS UNBOUNDED PRECEDING) AS sid
-           FROM lagd)
-         SELECT band, y, x, MIN(time) AS start, MAX(time) AS "end",
-           COUNT(*) AS n_events,
-           round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
-             AS sum_value
-         FROM sess GROUP BY band, y, x, sid"""),
-    "q_dedup_simhash" -> simhashPairsSql,
-    // the streamed gate emits the identical pair set under any
-    // micro-batch split (StreamingSpec law) -> shares the batch oracle
-    "q_stream_neardup" -> simhashPairsSql,
-    "q_simjoin_prefix" ->
-      // prefix filtering has perfect recall, so the oracle is the plain
-      // GLOBAL all-pairs join (no block keys) — identical output set
-      """WITH sh AS (SELECT doc_id,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""",
-    "q_ngram_jaccard" ->
-      """WITH sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-         FROM sh a JOIN sh b
-           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-               / len(list_distinct(list_concat(a.s, b.s))) >= 0.5""",
-    "q_dedup_clusters" ->
-      // same pair CTE as q_ngram_jaccard, then the transitive closure as
-      // a recursive CTE (set-semantics UNION terminates); cluster =
-      // minimum reachable id, matching the large/small-star fixpoint
-      """WITH RECURSIVE sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents)),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-         e AS (SELECT id_a AS u, id_b AS v FROM pr
-               UNION SELECT id_b, id_a FROM pr),
-         reach(u, v) AS (SELECT u, v FROM e
-               UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-                     WHERE e.v <> r.u)
-         SELECT u AS doc_id, least(u, min(v)) AS cluster
-         FROM reach GROUP BY u""",
-    "q_dedup_corpus" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, lang, source,
-             list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS s
-           FROM (SELECT doc_id, lang, source,
-                   string_split_regex(lower(trim(text)), '\s+') AS t
-                 FROM documents)),
-         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b
-             ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
-         e AS (SELECT id_a AS u, id_b AS v FROM pr
-               UNION SELECT id_b, id_a FROM pr),
-         reach(u, v) AS (SELECT u, v FROM e
-               UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
-                     WHERE e.v <> r.u),
-         lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster
-                 FROM reach GROUP BY u)
-         SELECT d.doc_id, d.lang, d.source, d.n_chars
-         FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id
-         WHERE lbl.cluster IS NULL OR lbl.cluster = d.doc_id""",
-    "q_ann_topk" ->
-      // ordered-aggregate dot product matches Spark's left-to-right
-      // `aggregate` fold bit-for-bit (see Similarity scaladoc)
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
-         d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM el q JOIN el c ON q.i = c.i
-               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
-         s AS (SELECT query_id, neighbor_id,
-                 dot / (nq.nrm * nc.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-               FROM d JOIN n nq ON nq.vec_id = query_id
-                      JOIN n nc ON nc.vec_id = neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM s WHERE rank <= 5""",
-    "q_margin_mine" ->
-      // both top-4 lists replayed (raw-cos rank, id tie-break), the two
-      // half-averages from 1e-9-long-quantized rounded cosines, one
-      // division each — then margin = cos / (ha + hb), rounded 9
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-           FROM el GROUP BY 1),
-         d AS (SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
-                 SUM(s.v * t.v ORDER BY s.i) AS dot
-               FROM el s JOIN el t ON s.i = t.i
-               WHERE s.vec_id % 2 = 0 AND s.vec_id < 100
-                 AND t.vec_id % 2 = 1
-               GROUP BY 1, 2),
-         sc AS (SELECT src_id, tgt_id, dot / (ns.nrm * nt.nrm) AS raw
-               FROM d JOIN n ns ON ns.vec_id = src_id
-                      JOIN n nt ON nt.vec_id = tgt_id),
-         fwd AS (SELECT src_id, tgt_id, round(raw, 9) AS cos FROM
-             (SELECT sc.*, row_number() OVER (PARTITION BY src_id
-                ORDER BY raw DESC, tgt_id) AS rk FROM sc)
-           WHERE rk <= 4),
-         bwd AS (SELECT src_id, tgt_id, round(raw, 9) AS cos FROM
-             (SELECT sc.*, row_number() OVER (PARTITION BY tgt_id
-                ORDER BY raw DESC, src_id) AS rk FROM sc)
-           WHERE rk <= 4),
-         ha AS (SELECT src_id, CAST(SUM(CAST(round(cos * 1000000000.0, 0)
-                 AS BIGINT)) AS DOUBLE) / 8000000000.0 AS ha
-           FROM fwd GROUP BY 1),
-         hb AS (SELECT tgt_id, CAST(SUM(CAST(round(cos * 1000000000.0, 0)
-                 AS BIGINT)) AS DOUBLE) / 8000000000.0 AS hb
-           FROM bwd GROUP BY 1),
-         pairs AS (SELECT DISTINCT src_id, tgt_id, cos FROM
-           (SELECT * FROM fwd UNION ALL SELECT * FROM bwd))
-         SELECT p.src_id, p.tgt_id, p.cos,
-                round(p.cos / (ha.ha + hb.hb), 9) AS margin
-         FROM pairs p JOIN ha ON ha.src_id = p.src_id
-                      JOIN hb ON hb.tgt_id = p.tgt_id""",
-    "q_ann_topk_lsh" ->
-      // sign bits from the embedded hyperplane literals; 4-bit band keys;
-      // candidates share a (band, key); exact cosine re-rank like q_ann_topk
-      s"""WITH planes(p, i, coef) AS (VALUES $lshPlanesValues),
-         el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         bits AS (SELECT e.vec_id, pl.p,
-             CASE WHEN SUM(pl.coef * e.v ORDER BY e.i) > 0
-                  THEN 1 ELSE 0 END AS bit
-           FROM el e JOIN planes pl ON pl.i = e.i GROUP BY 1, 2),
-         keys AS (SELECT vec_id, p // 4 AS band,
-             SUM(bit * (1 << (p % 4))) AS key FROM bits GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-           FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
-           WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
-         d AS (SELECT cd.query_id, cd.neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
-                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
-               GROUP BY 1, 2),
-         s AS (SELECT query_id, neighbor_id,
-                 dot / (nq.nrm * nc.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-               FROM d JOIN n nq ON nq.vec_id = query_id
-                      JOIN n nc ON nc.vec_id = neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM s WHERE rank <= 5""",
-    "q_ann_topk_ivf" -> oracleSqlIvf,
-    // the persisted-index serving path is result-identical to the
-    // in-memory IVF (same probes, same scoring over losslessly
-    // round-tripped vectors) — oracle shared verbatim, like q_asof_native
-    "q_ann_index" -> oracleSqlIvf,
-    // rebuild with the same deterministic centroids is result-identical
-    // to the one-shot build (the row gates the swap mechanics)
-    "q_ann_retrain" -> oracleSqlIvf,
-    "q_ann_drift" -> (oracleIvfAssignedCte +
-      """,
-         c AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n
-               FROM assigned GROUP BY 1)
-         SELECT centroid_id, n,
-                n / ((SELECT SUM(n) FROM c) /
-                     CAST((SELECT COUNT(*) FROM c) AS DOUBLE))
-           AS ratio_to_mean
-         FROM c"""),
-    // incremental build+append serves the identical result — argmin
-    // assignment against frozen centroids is batch-invariant
-    "q_ann_append" -> oracleSqlIvf,
-    // streaming serving == batch serving: stateless probes + per-query
-    // bounded top-k state; every query completes in its arrival batch
-    "q_stream_ann" -> oracleSqlIvf,
-    "q_knn_join" -> knnJoinSql,
-    "q_graph_knn" -> knnJoinSql,
-    "q_ann_topk_pq" ->
-      // PQ-ADC: centroids = subvector slices of the 16 lowest-id rows
-      // (s = subspace 0-3, j = dim within subspace); code assignment by
-      // the same |v|² − 2·v·c + |c|² expansion as Spark's argmin with
-      // ties to the lowest code; approximate cos = LUT sum over s /
-      // (|q| · reconstructed |v̂|) — every sum ordered to match Spark's
-      // left-to-right folds bit-for-bit
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         sel AS (SELECT vec_id, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, v
-                 FROM el),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
-             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT c, (i-1)//16 AS s, i - ((i-1)//16)*16 AS j, cv FROM
-             (SELECT c, CAST(unnest(embedding) AS DOUBLE) AS cv,
-                generate_subscripts(embedding, 1) AS i FROM cents)),
-         cn2 AS (SELECT c, s, SUM(cv*cv ORDER BY j) AS nc2
-                 FROM cel GROUP BY 1, 2),
-         vn2 AS (SELECT vec_id, s, SUM(v*v ORDER BY j) AS n2v
-                 FROM sel GROUP BY 1, 2),
-         vdot AS (SELECT e.vec_id, ce.c, ce.s,
-               SUM(e.v * ce.cv ORDER BY e.j) AS dvc
-             FROM sel e JOIN cel ce ON ce.s = e.s AND ce.j = e.j
-             GROUP BY 1, 2, 3),
-         dist AS (SELECT d.vec_id, d.s, d.c,
-               ((v.n2v - (2.0 * d.dvc)) + c2.nc2) AS d2
-             FROM vdot d JOIN vn2 v ON v.vec_id = d.vec_id AND v.s = d.s
-                  JOIN cn2 c2 ON c2.c = d.c AND c2.s = d.s),
-         codes AS (SELECT vec_id, s, c FROM (
-               SELECT vec_id, s, c, row_number() OVER (
-                 PARTITION BY vec_id, s ORDER BY d2, c) AS rn FROM dist)
-             WHERE rn = 1),
-         rrn AS (SELECT cd.vec_id, sqrt(SUM(c2.nc2 ORDER BY cd.s)) AS rn
-                 FROM codes cd JOIN cn2 c2 ON c2.c = cd.c AND c2.s = cd.s
-                 GROUP BY 1),
-         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el
-                WHERE vec_id < 10 GROUP BY 1),
-         qlut AS (SELECT q.vec_id AS query_id, ce.c, ce.s,
-               SUM(q.v * ce.cv ORDER BY q.j) AS qdot
-             FROM sel q JOIN cel ce ON ce.s = q.s AND ce.j = q.j
-             WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
-         approx AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
-               SUM(l.qdot ORDER BY cd.s) AS adot
-             FROM codes cd JOIN qlut l ON l.c = cd.c AND l.s = cd.s
-             WHERE l.query_id <> cd.vec_id GROUP BY 1, 2),
-         sc AS (SELECT a.query_id, a.neighbor_id,
-               a.adot / (q.nrm * r.rn) AS cos,
-               row_number() OVER (PARTITION BY a.query_id
-                 ORDER BY a.adot / (q.nrm * r.rn) DESC, a.neighbor_id) AS rank
-             FROM approx a JOIN qn q ON q.vec_id = a.query_id
-                  JOIN rrn r ON r.vec_id = a.neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM sc WHERE rank <= 5""",
-    "q_ann_topk_ivfpq" -> ivfPqTopkSql,
-    // the PQ store serves the identical chain from persisted codes —
-    // oracle shared verbatim
-    "q_ann_index_pq" -> ivfPqTopkSql,
-    "q_ann_recall_ivfpq" ->
-      // recall@5 of the IVF-PQ residual-ADC tier against exact brute
-      // force: ex = the exact chain (q_ann_topk's), ap = the ivfpq
-      // chain VERBATIM as a subquery (DuckDB scopes its WITH locally)
-      s"""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-               FROM el GROUP BY 1),
-         bd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM el q JOIN el c ON q.i = c.i
-               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
-         ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id, row_number() OVER (
-                 PARTITION BY query_id
-                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-             FROM bd JOIN n nq ON nq.vec_id = query_id
-                  JOIN n nc ON nc.vec_id = neighbor_id)
-           WHERE rank <= 5),
-         ap AS (SELECT query_id, neighbor_id FROM ($ivfPqTopkSql))
-         SELECT e.query_id,
-           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
-           CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
-         FROM ex e LEFT JOIN ap a
-           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         GROUP BY 1""",
-    "q_ann_topk_int8" ->
-      // per-vector scale = max|v|/127; codes = HALF_UP(v/scale);
-      // reconstructed rv = code*scale; cosine = full-precision query ·
-      // reconstructed corpus, all sums ordered to match Spark's folds
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         sc AS (SELECT vec_id, MAX(abs(v)) / 127.0 AS s FROM el GROUP BY 1),
-         rc AS (SELECT e.vec_id, e.i,
-             (CASE WHEN sc.s = 0.0 THEN 0.0
-                   ELSE round(e.v / sc.s, 0) END) * sc.s AS rv
-           FROM el e JOIN sc ON sc.vec_id = e.vec_id),
-         cn AS (SELECT vec_id, sqrt(SUM(rv*rv ORDER BY i)) AS nrm
-                FROM rc GROUP BY 1),
-         qn AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-                FROM el WHERE vec_id < 10 GROUP BY 1),
-         d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(q.v * c.rv ORDER BY q.i) AS dot
-               FROM el q JOIN rc c ON c.i = q.i AND q.vec_id <> c.vec_id
-               WHERE q.vec_id < 10 GROUP BY 1, 2),
-         s AS (SELECT query_id, neighbor_id,
-                 dot / (qn.nrm * cn.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (qn.nrm * cn.nrm) DESC, neighbor_id) AS rank
-               FROM d JOIN qn ON qn.vec_id = query_id
-                    JOIN cn ON cn.vec_id = neighbor_id)
-         SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
-         FROM s WHERE rank <= 5""",
-    "q_dedup_embedding" ->
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm FROM el GROUP BY 1),
-         d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 SUM(a.v * b.v ORDER BY a.i) AS dot
-               FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
-               GROUP BY 1, 2)
-         SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 9) AS cos
-         FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
-         WHERE dot / (na.nrm * nb.nrm) >= 0.4""",
-    "q_embed_project" ->
-      // sign(k,j) from the identical LCG ((k*64+j) % 2^31 * A + C) % 2^31
-      // < 2^30; y = ordered SUM of embedding*sign, scaled by the exact
-      // 1/sqrt(16) = 0.25
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) - 1 AS j FROM embeddings),
-         s AS (SELECT k.k, j.j,
-             CASE WHEN (((k.k*64 + j.j) % 2147483648) * 1103515245 + 12345)
-                  % 2147483648 < 1073741824 THEN 1.0 ELSE -1.0 END AS sgn
-           FROM range(0, 16) AS k(k), range(0, 64) AS j(j))
-         SELECT el.vec_id, CAST(s.k AS INTEGER) AS k,
-           SUM(el.v * s.sgn ORDER BY el.j) * 0.25 AS y
-         FROM el JOIN s ON s.j = el.j
-         GROUP BY el.vec_id, s.k""",
-    "q_semdedup" ->
-      // same lowest-id coarse centroids + |v|² − 2·v·c + |c|² argmin as
-      // q_ann_topk_ivf; within-cluster witness pairs (earlier id, cosine
-      // >= tau) mark the dropped side
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-             embedding FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
-             generate_subscripts(embedding, 1) AS i FROM cents),
-         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
-                 FROM cel GROUP BY 1),
-         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
-         vdot AS (SELECT e.vec_id, c.centroid_id,
-             SUM(e.v * c.cv ORDER BY e.i) AS dvc
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         dist AS (SELECT v.vec_id, v.centroid_id,
-             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
-           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
-                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
-         assigned AS (SELECT vec_id, centroid_id AS cluster FROM (
-             SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
-         nrm AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-                 FROM el GROUP BY 1),
-         pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb
-           FROM assigned a JOIN assigned b
-             ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         pd AS (SELECT p.ida, p.idb, SUM(ea.v * eb.v ORDER BY ea.i) AS dot
-           FROM pairs p JOIN el ea ON ea.vec_id = p.ida
-                JOIN el eb ON eb.vec_id = p.idb AND eb.i = ea.i
-           GROUP BY 1, 2),
-         dropped AS (SELECT DISTINCT pd.idb AS vec_id
-           FROM pd JOIN nrm na ON na.vec_id = pd.ida
-                JOIN nrm nb ON nb.vec_id = pd.idb
-           WHERE pd.dot / (na.nrm * nb.nrm) >= 0.4)
-         SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS kept
-         FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id""",
-    "q_pca_gram" ->
-      // quantized-product integer sums are order-free, so the plain SQL
-      // group-by reproduces the Aggregator's merge exactly. The outer
-      // CAST matters: DuckDB SUM(BIGINT) widens to HUGEINT, which
-      // pandas materializes as float64 and a dtype-sensitive compare
-      // rejects — force BIGINT (and INTEGER subscripts to match
-      // Spark's int i/j) so dtypes agree bit-for-bit.
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS i
-           FROM embeddings)
-         SELECT a.i AS i, b.i AS j,
-           CAST(SUM(CAST(round(a.v * b.v * 1000000.0, 0) AS BIGINT))
-                AS BIGINT) AS gq
-         FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
-         GROUP BY 1, 2""",
-    "q_sql_surface" ->
-      // FNV-1a over the whole lowered text (HUGEINT byte fold mod 2^64,
-      // as the hashed-classifier oracle) + the ordered self-dot
-      """WITH fb AS (SELECT doc_id,
-             CAST(list_reduce(
-               list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(
-                   range(0, octet_length(encode(lower(trim(text))))),
-                   i -> CAST(CAST(('0x' || substr(
-                        hex(encode(lower(trim(text)))),
-                        CAST(i*2+1 AS BIGINT), 2)) AS INTEGER) AS HUGEINT))),
-               (acc, byte) -> (xor(acc, byte) * 1099511628211)
-                 % 18446744073709551616) % 64 AS BIGINT) AS bucket
-           FROM documents),
-         sd AS (SELECT vec_id,
-             SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) ORDER BY i) AS s
-           FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-                   generate_subscripts(embedding, 1) AS i FROM embeddings)
-           GROUP BY 1)
-         SELECT d.doc_id, fb.bucket, round(sd.s, 6) AS self_dot
-         FROM documents d
-         JOIN fb ON fb.doc_id = d.doc_id
-         JOIN sd ON sd.vec_id = d.doc_id""",
-    "q_pca_project" -> pcaReplaySql(whiten = false),
-    "q_pca_whiten" -> pcaReplaySql(whiten = true),
-    "q_d4_diversify" -> d4DiversifySql,
-    // the graph-compiled diversify pins the same lowest-id centroid
-    // convention, so it shares the batch oracle verbatim
-    "q_graph_diversify" -> d4DiversifySql,
-        "q_bm25" -> bm25Sql,
-    // served from the persisted inverted index: bucketed-postings probe
-    // + stored stats reproduce the direct scoring bit-exactly, so the
-    // oracle is shared verbatim
-    "q_search_indexed" -> bm25Sql,
-    // segmented (base + 2 appended shards) store aggregates exact long
-    // stats/df sums -> result-identical to the one-shot build and to
-    // q_bm25; oracle shared verbatim
-    "q_search_append" -> bm25Sql,
-    // the streamed gate query's scoring is the batch path's exact
-    // arithmetic (frozen stats, quantized integer sums), so the REAL
-    // 2-micro-batch run shares the oracle verbatim
-    "q_stream_search" -> bm25Sql,
-    // the graph-compiled bm25 process calls the same Scala operator, so
-    // it shares the oracle verbatim
-    "q_graph_bm25" -> bm25Sql,
-    // deterministic rank (score desc, id asc) on both sides, so the
-    // LIMIT cut is stable
-    "q_search_topk" ->
-      s"SELECT * FROM ($bm25Sql) ORDER BY score DESC, doc_id LIMIT 20",
-    // both runs replayed (BM25 verbatim; cosine like q_ann_topk for
-    // query 7), then the rank windows + fixed-order reciprocal adds
-    "q_hybrid_search" ->
-      s"""WITH lex AS (SELECT doc_id, score FROM ($bm25Sql)),
-         lexr0 AS (SELECT doc_id, row_number() OVER
-             (ORDER BY score DESC, doc_id) AS rank_a FROM lex),
-         lexr AS (SELECT CAST(7 AS BIGINT) AS query_id, doc_id,
-             CAST(rank_a AS BIGINT) AS rank_a
-           FROM lexr0 WHERE rank_a <= 20),
-         el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-           FROM el GROUP BY 1),
-         d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM el q JOIN el c ON q.i = c.i
-               WHERE q.vec_id = 7 AND c.vec_id <> 7 GROUP BY 1, 2),
-         sc AS (SELECT query_id, neighbor_id,
-                 dot / (nq.nrm * nc.nrm) AS cos,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rk
-               FROM d JOIN n nq ON nq.vec_id = query_id
-                      JOIN n nc ON nc.vec_id = neighbor_id),
-         sem AS (SELECT query_id, neighbor_id AS doc_id,
-             round(cos, 9) AS score FROM sc WHERE rk <= 20),
-         semr AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY score DESC, doc_id) AS BIGINT) AS rank_b
-           FROM sem)
-         SELECT COALESCE(l.query_id, s.query_id) AS query_id,
-                COALESCE(l.doc_id, s.doc_id) AS doc_id,
-                l.rank_a, s.rank_b,
-                round(COALESCE(1.0/(60.0 + l.rank_a), 0.0)
-                    + COALESCE(1.0/(60.0 + s.rank_b), 0.0), 9) AS rrf
-         FROM lexr l FULL JOIN semr s
-           ON l.query_id = s.query_id AND l.doc_id = s.doc_id""",
-    "q_retrieval_eval" -> {
-      val kp1 = 1.2 + 1.0; val oneMinusB = 1.0 - 0.75
-      val discVals = graft.text.Search.dcgDiscounts(10).zipWithIndex
-        .map { case (d, i) => s"(${i + 1},$d)" }.mkString(", ")
-      s"""WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM documents),
-         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(len(t)) AS BIGINT) AS sdl FROM tok),
-         hits AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
-             unnest(t) AS w FROM tok),
-         tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf
-           FROM hits WHERE w IN ('spark', 'merge', 'window')
-           GROUP BY 1, 2, 3),
-         dfq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         idf AS (SELECT w,
-             ln((CAST(st.n - dfq.df AS DOUBLE) + 0.5)
-               / (CAST(dfq.df AS DOUBLE) + 0.5) + 1.0) AS idf
-           FROM dfq, st),
-         q AS (SELECT tf.doc_id, tf.tf,
-             CAST(round(idf.idf * ((CAST(tf.tf AS DOUBLE) * $kp1)
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * ($oneMinusB + 0.75
-                 * (tf.dl / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE))))))
-               * 1000000000.0, 0) AS BIGINT) AS q
-           FROM tf JOIN idf ON idf.w = tf.w, st),
-         scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-             round(CAST(SUM(q) AS DOUBLE) / 1000000000.0, 6) AS score
-           FROM q GROUP BY 1),
-         disc(i, d) AS (VALUES $discVals),
-         topk AS (SELECT n_terms, row_number() OVER (
-               ORDER BY score DESC, doc_id) AS rnk
-           FROM scored QUALIFY rnk <= 10),
-         dcg AS (SELECT COALESCE(SUM(CAST(t.n_terms AS DOUBLE) * dc.d
-               ORDER BY t.rnk), 0.0) AS dcg
-           FROM topk t JOIN disc dc ON dc.i = t.rnk),
-         relg AS (SELECT CAST(n_terms AS DOUBLE) AS g FROM scored
-           WHERE n_terms >= 2),
-         ideal AS (SELECT g, row_number() OVER (ORDER BY g DESC) AS rnk
-           FROM relg QUALIFY rnk <= 10),
-         idcg AS (SELECT COALESCE(SUM(i2.g * dc.d ORDER BY i2.rnk), 0.0)
-               AS idcg
-           FROM ideal i2 JOIN disc dc ON dc.i = i2.rnk),
-         nm AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM scored),
-         nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM relg),
-         best AS (SELECT score AS bs, doc_id AS bd FROM scored
-           WHERE n_terms >= 2 ORDER BY score DESC, doc_id LIMIT 1),
-         fr AS (SELECT CAST(count(*) + 1 AS BIGINT) AS r
-           FROM scored, best
-           WHERE score > bs OR (score = bs AND doc_id < bd))
-         SELECT nm.n_matched, nrel.n_relevant,
-           CASE WHEN nrel.n_relevant = 0 THEN 0 ELSE fr.r END
-             AS first_rel_rank,
-           CASE WHEN nrel.n_relevant = 0 THEN 0.0 ELSE 1.0 / fr.r END
-             AS mrr,
-           dcg.dcg AS dcg, idcg.idcg AS idcg,
-           CASE WHEN nrel.n_relevant = 0 THEN 0.0
-                ELSE dcg.dcg / idcg.idcg END AS ndcg
-         FROM nm, nrel, fr, dcg, idcg"""
-    },
-    "q_ann_recall" ->
-      // exact top-5 (brute chain) LEFT-joined against the IVF top-5 at
-      // nProbe=2 — per-query hit count / recall@5. Both rankings are the
-      // verbatim chains of q_ann_topk / q_ann_topk_ivf (pr bound 2).
-      """WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-             generate_subscripts(embedding, 1) AS i FROM embeddings),
-         n AS (SELECT vec_id, sqrt(SUM(v*v ORDER BY i)) AS nrm
-               FROM el GROUP BY 1),
-         bd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM el q JOIN el c ON q.i = c.i
-               WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id GROUP BY 1, 2),
-         ex AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id, row_number() OVER (
-                 PARTITION BY query_id
-                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-             FROM bd JOIN n nq ON nq.vec_id = query_id
-                  JOIN n nc ON nc.vec_id = neighbor_id)
-           WHERE rank <= 5),
-         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-               AS centroid_id, embedding
-             FROM embeddings ORDER BY vec_id LIMIT 16),
-         cel AS (SELECT centroid_id, CAST(unnest(embedding) AS DOUBLE) AS cv,
-             generate_subscripts(embedding, 1) AS i FROM cents),
-         cn2 AS (SELECT centroid_id, SUM(cv*cv ORDER BY i) AS nc2
-                 FROM cel GROUP BY 1),
-         n2 AS (SELECT vec_id, SUM(v*v ORDER BY i) AS n2v FROM el GROUP BY 1),
-         vdot AS (SELECT e.vec_id, c.centroid_id,
-             SUM(e.v * c.cv ORDER BY e.i) AS dvc
-           FROM el e JOIN cel c ON c.i = e.i GROUP BY 1, 2),
-         dist AS (SELECT v.vec_id, v.centroid_id,
-             ((n2.n2v - (2.0 * v.dvc)) + cn2.nc2) AS d2
-           FROM vdot v JOIN n2 ON n2.vec_id = v.vec_id
-                JOIN cn2 ON cn2.centroid_id = v.centroid_id),
-         assigned AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
-             SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY d2, centroid_id) AS rn FROM dist) WHERE rn = 1),
-         qd AS (SELECT e.vec_id AS query_id, c.centroid_id,
-             SUM((e.v - c.cv) * (e.v - c.cv) ORDER BY e.i) AS qd2
-           FROM el e JOIN cel c ON c.i = e.i
-           WHERE e.vec_id < 10 GROUP BY 1, 2),
-         probes AS (SELECT query_id, centroid_id FROM (
-             SELECT query_id, centroid_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY qd2, centroid_id) AS pr FROM qd) WHERE pr <= 2),
-         cand AS (SELECT p.query_id, a.neighbor_id
-           FROM assigned a JOIN probes p ON p.centroid_id = a.centroid_id
-           WHERE p.query_id <> a.neighbor_id),
-         ad AS (SELECT cd.query_id, cd.neighbor_id,
-                 SUM(q.v * c.v ORDER BY q.i) AS dot
-               FROM cand cd JOIN el q ON q.vec_id = cd.query_id
-                    JOIN el c ON c.vec_id = cd.neighbor_id AND c.i = q.i
-               GROUP BY 1, 2),
-         ap AS (SELECT query_id, neighbor_id FROM (
-             SELECT query_id, neighbor_id, row_number() OVER (
-                 PARTITION BY query_id
-                 ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rank
-             FROM ad JOIN n nq ON nq.vec_id = query_id
-                  JOIN n nc ON nc.vec_id = neighbor_id)
-           WHERE rank <= 5)
-         SELECT e.query_id,
-           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
-           CAST(count(a.neighbor_id) AS DOUBLE) / 5.0 AS recall
-         FROM ex e LEFT JOIN ap a
-           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         GROUP BY 1""",
-    "q_top_ngrams" ->
-      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         wins AS (SELECT unnest(list_transform(
-               range(1, greatest(len(t) - 2, 0) + 1),
-               i -> array_to_string(t[i:i+2], ' '))) AS gram
-           FROM tok WHERE len(t) >= 3)
-         SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
-         FROM wins GROUP BY 1
-         ORDER BY n_occurrences DESC, gram LIMIT 20""",
-    "q_cap_domain" ->
-      """SELECT doc_id, lang, source, n_chars FROM (
-           SELECT doc_id, lang, source, n_chars,
-             row_number() OVER (PARTITION BY lang, source
-               ORDER BY n_chars DESC, doc_id) AS rn
-           FROM documents) WHERE rn <= 3""",
-    "q_hashed_classifier" ->
-      // unrolled replay of 2 sparse-GD iterations: FNV-1a HUGEINT byte
-      // fold -> bucket = fh % 64; iter 1 has all-zero weights so sg=0.5;
-      // predictor terms quantize at 1e-9, gradient terms at 1e-6 (the
-      // trainer's exact arithmetic)
-      s"""WITH $hashedGdCtes
-         SELECT doc_id, y, round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score
-         FROM zc3""",
-    "q_corpus_rollup" ->
-      // GROUP BY ROLLUP mirrors Spark's rollup null-filled subtotals
-      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
-             AS n_tokens
-         FROM documents GROUP BY ROLLUP(lang, source)""",
-    "q_classifier_auc_by_source" ->
-      // per-source rank windows over the GD-replay scores; groups
-      // lacking both classes yield NULL
-      s"""WITH $hashedGdCtes,
-         sc AS (SELECT z.doc_id, z.y, d.source,
-             round(0.5 + z.z/(2.0*(1.0+abs(z.z))), 9) AS score
-           FROM zc3 z JOIN documents d ON d.doc_id = z.doc_id),
-         g AS (SELECT source, score AS s, count(*) AS n,
-             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p
-           FROM sc GROUP BY 1, 2),
-         r AS (SELECT source, s, n, p,
-             COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-           FROM g)
-         SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
-           CAST(SUM(n - p) AS BIGINT) AS n_neg,
-           CASE WHEN SUM(p) > 0 AND SUM(n - p) > 0
-             THEN round(CAST(SUM(p * (2*cum + n + 1))
-                        - SUM(p) * (SUM(p) + 1) AS DOUBLE)
-                   / (2.0 * SUM(p) * SUM(n - p)), 9) END AS auc
-         FROM r GROUP BY 1""",
-    "q_classifier_pr" ->
-      // same GD-replay scores, unnested over the threshold literals;
-      // counts are exact, ratios guarded NULL when undefined
-      s"""WITH $hashedGdCtes,
-         sc AS (SELECT doc_id, y,
-             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
-         th AS (SELECT CAST(unnest([0.3, 0.45, 0.5, 0.55, 0.7]) AS DOUBLE)
-             AS threshold),
-         cf AS (SELECT th.threshold,
-             CAST(SUM(CASE WHEN sc.score >= th.threshold AND sc.y = 1.0
-                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-             CAST(SUM(CASE WHEN sc.score >= th.threshold AND sc.y = 0.0
-                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-             CAST(SUM(CASE WHEN sc.score < th.threshold AND sc.y = 1.0
-                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
-           FROM sc, th GROUP BY 1)
-         SELECT threshold, tp, fp, fn,
-           CASE WHEN tp + fp > 0
-             THEN round(CAST(tp AS DOUBLE) / (tp + fp), 9) END AS precision,
-           CASE WHEN tp + fn > 0
-             THEN round(CAST(tp AS DOUBLE) / (tp + fn), 9) END AS recall
-         FROM cf""",
-    "q_classifier_calibration" ->
-      // same GD-replay scores, decile-binned: floor of the identical
-      // IEEE product, integer counts, 1e-6-long-quantized score sums
-      s"""WITH $hashedGdCtes,
-         sc AS (SELECT doc_id, y,
-             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
-         b AS (SELECT CAST(LEAST(FLOOR(score * 10), 9) AS BIGINT) AS bin,
-             y, score FROM sc)
-         SELECT bin, CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-           round((CAST(SUM(CAST(round(score * 1000000.0, 0) AS BIGINT))
-                  AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE), 6)
-             AS mean_score,
-           round(CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE), 6) AS frac_pos
-         FROM b GROUP BY 1""",
-    "q_classifier_auc" ->
-      // the GD replay's scores feed the tie-aware rank formulation:
-      // 2*avgRank = 2*cumBefore + n + 1 per score group (integer), so
-      // the oracle's sums are exact up to the one division
-      s"""WITH $hashedGdCtes,
-         sc AS (SELECT doc_id, y,
-             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
-         g AS (SELECT score AS s, count(*) AS n,
-             CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p
-           FROM sc GROUP BY 1),
-         r AS (SELECT s, n, p,
-             COALESCE(SUM(n) OVER (ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-           FROM g)
-         SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
-           CAST(SUM(n - p) AS BIGINT) AS n_neg,
-           round(CAST(SUM(p * (2*cum + n + 1))
-                      - SUM(p) * (SUM(p) + 1) AS DOUBLE)
-                 / (2.0 * SUM(p) * SUM(n - p)), 9) AS auc
-         FROM r""",
-    "q_curation_pipeline_v3" -> {
-      val backoff = math.log(1e-9)
-      s"""WITH $hashedGdCtes,
-         scored AS (SELECT doc_id,
-             round(0.5 + z/(2.0*(1.0+abs(z))), 9) AS score FROM zc3),
-         kept1 AS (SELECT d.* FROM documents d
-           JOIN scored sc ON sc.doc_id = d.doc_id AND sc.score >= 0.5),
-         tok2 AS (SELECT doc_id, lang,
-             string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM kept1),
-         bg2 AS (SELECT doc_id, lang, unnest(list_transform(
-               range(1, greatest(len(t) - 1, 0) + 1),
-               i -> array_to_string(t[i:i+1], ' '))) AS gram
-           FROM tok2 WHERE len(t) >= 2),
-         cntb AS (SELECT gram, count(*) AS c12 FROM bg2 GROUP BY 1),
-         unib AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
-                  FROM cntb GROUP BY 1),
-         lmb AS (SELECT c.gram,
-             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
-           FROM cntb c JOIN unib u ON u.w1 = string_split(c.gram, ' ')[1]),
-         cntt AS (SELECT gram, count(*) AS c12 FROM bg2
-                  WHERE lang = 'en' GROUP BY 1),
-         unit AS (SELECT string_split(gram, ' ')[1] AS w1, SUM(c12) AS c1
-                  FROM cntt GROUP BY 1),
-         lmt AS (SELECT c.gram,
-             ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) AS logp
-           FROM cntt c JOIN unit u ON u.w1 = string_split(c.gram, ' ')[1]),
-         terms AS (SELECT b.doc_id,
-             CAST(round((coalesce(t.logp, $backoff)
-               - coalesce(bs.logp, $backoff)) * 1000000000.0, 0)
-               AS BIGINT) AS q
-           FROM bg2 b LEFT JOIN lmt t ON t.gram = b.gram
-                LEFT JOIN lmb bs ON bs.gram = b.gram),
-         wts AS (SELECT doc_id,
-             round((CAST(SUM(q) AS DOUBLE) / 1000000000.0)
-               / CAST(count(*) AS DOUBLE), 6) AS log_ratio
-           FROM terms GROUP BY 1),
-         capped AS (SELECT doc_id, lang, source, n_chars FROM (
-             SELECT k.doc_id, k.lang, k.source, k.n_chars,
-               row_number() OVER (PARTITION BY k.lang, k.source
-                 ORDER BY k.n_chars DESC, k.doc_id) AS rn
-             FROM kept1 k JOIN wts
-               ON wts.doc_id = k.doc_id AND wts.log_ratio >= -8.0)
-           WHERE rn <= 5)
-         SELECT lang, count(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM capped GROUP BY 1"""
-    },
-    "q_dsir_weights" -> dsirSql,
-    // the selection is the same replay ordered and limited — ties at the
-    // boundary break by ascending doc_id on both sides
-    "q_dsir_select" ->
-      s"""SELECT doc_id, n_bigrams, log_ratio FROM ($dsirSql)
-         ORDER BY log_ratio DESC, doc_id LIMIT 50""",
-    "q_dsir_resample" ->
-      // weight = round(exp(log_ratio), 6); keep iff LCG hash < w·2^31
-      s"""SELECT doc_id, w FROM (
-           SELECT doc_id, round(exp(log_ratio), 6) AS w,
-             ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS hsh
-           FROM ($dsirSql))
-         WHERE CAST(hsh AS DOUBLE) < least(w, 1.0) * 2147483648.0""",
-    "q_contamination_report" ->
-      // distinct-shingle convention of decontaminateSql; the string
-      // grams here and the 64-bit hashes on the Spark side have
-      // identical membership (no collisions at this scale)
-      """WITH tok AS (SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         sh AS (SELECT doc_id, list_filter(list_distinct(list_transform(
-               range(1, greatest(len(t) - 4, 1) + 1),
-               i -> array_to_string(t[i:i+4], ' '))), x -> x <> '') AS s
-           FROM tok),
-         ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 = 0),
-         tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 37 <> 0),
-         hit AS (SELECT CAST(count(*) AS BIGINT) AS n_contaminated
-                 FROM ev WHERE g IN (SELECT g FROM tr))
-         SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_grams,
-                hit.n_contaminated,
-                round(CAST(hit.n_contaminated AS DOUBLE)
-                  / (SELECT CAST(count(*) AS DOUBLE) FROM ev), 6)
-                  AS frac_contaminated
-         FROM hit""",
-    "q_graph_pipeline" -> cq(
-      // load_collection's temporal extent is EXCLUSIVE-end via -1 ms
-      // (reference scan contract, load_odc_collection.py:78-79)
-      """SELECT date_trunc('day', time) AS time, band, y, x, MAX(value) AS value
-         FROM cube WHERE band IN ('click','view')
-           AND time >= TIMESTAMP '2024-01-05'
-           AND time <= TIMESTAMP '2024-01-25' - INTERVAL 1 MILLISECOND
-         GROUP BY 1, 2, 3, 4"""),
-    // --- temporal table joins + storage layout (round 6) -----------------
-    // as-of oracle = the SAME union-sort-window formulation in ANSI SQL:
-    // right side deduped to (key, ts, max(value)) first (the struct-max
-    // tie rule), side 0/1 ordering encodes inclusive-vs-strict at equal
-    // timestamps
-    "q_asof_join" ->
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
-               WHERE event_type = 'click' GROUP BY 1, 2),
-         u AS (
-           SELECT user_id, ts, 1 AS side, event_id,
-                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
-           UNION ALL
-           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
-                  cts, cv FROM c),
-         s AS (SELECT *,
-             last_value(cts IGNORE NULLS) OVER w AS click_ts,
-             last_value(cv IGNORE NULLS) OVER w AS click_value
-           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id, user_id, ts, click_ts, click_value
-         FROM s WHERE side = 1""",
-    "q_image_augment" ->
-      // flip-then-crop index replay: out position p maps to source
-      // pixel ((y0+y)·w + (w−1−(x0+x)))·3 + c, byte fetched from
-      // hex(text) at (idx mod len); checksum Σ p·byte exact-integer
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
-              octet_length(encode(text)) AS len
-            FROM documents WHERE octet_length(encode(text)) >= 1),
-         dims AS (SELECT doc_id, hx, len,
-              1 + len % 7 AS w, 1 + len % 5 AS h FROM d),
-         dims2 AS (SELECT *, least(w, 2) AS w2, least(h, 2) AS h2,
-              (w - least(w, 2)) // 2 AS x0, (h - least(h, 2)) // 2 AS y0
-            FROM dims),
-         pos AS (SELECT doc_id, hx, len, w, w2, h2, x0, y0, g.p
-            FROM dims2, generate_series(0, 11) AS g(p)
-            WHERE g.p < w2 * h2 * 3),
-         b AS (SELECT doc_id, p, w2, h2,
-             CAST(('0x' || substr(hx,
-               CAST((((y0 + p // (w2*3)) * w
-                      + (w - 1 - (x0 + (p % (w2*3)) // 3))) * 3 + p % 3)
-                    % len * 2 + 1 AS BIGINT), 2)) AS INTEGER) AS byte
-           FROM pos)
-         SELECT doc_id, CAST(max(w2 * h2 * 3) AS INTEGER) AS n_px,
-                CAST(SUM(p * byte) AS BIGINT) AS wsum
-         FROM b GROUP BY 1""",
-    "q_running_total" ->
-      // DuckDB's ORDER BY default frame is the same RANGE frame, so
-      // same-ts ties aggregate together identically
-      """SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2)))
-             OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE)
-             AS running_total
-         FROM events WHERE event_type = 'purchase'""",
-    "q_skew_report" ->
-      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
-            FROM events GROUP BY 1),
-         t AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS tot FROM c),
-         r AS (SELECT user_id, n_rows,
-             round(CAST(n_rows AS DOUBLE) / (SELECT tot FROM t), 6) AS share,
-             CAST(row_number() OVER (ORDER BY n_rows DESC, user_id)
-               AS INTEGER) AS rank,
-             round(CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, user_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DOUBLE) / (SELECT tot FROM t), 6) AS cum_share
-           FROM c)
-         SELECT * FROM r WHERE rank <= 20""",
-    "q_agg_incremental" ->
-      // monoid law: the shard fold equals the one-shot aggregate
-      """SELECT user_id, event_type, CAST(count(value) AS BIGINT) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-             / CAST(count(value) AS DOUBLE) AS mean_value
-         FROM events GROUP BY 1, 2""",
-    "q_spatial_join" -> {
-      val polyUnions = spatialJoinPolys.map { case (pid, ring) =>
-        s"""SELECT event_id, px, py, $pid AS poly_id FROM p
-            WHERE ${rayCastSql("px", "py", ring)}"""
-      }.mkString("\n UNION ALL \n")
-      s"""WITH p AS (SELECT event_id, value % 20.0 AS px,
-              (value * 7.0) % 20.0 AS py FROM events)
-          $polyUnions"""
-    },
-    "q_merge_changelog" -> mergeChangelogSql,
-    // the streaming CDC state converges to the identical snapshot —
-    // base rides in as epoch "I" changes, struct-max is order-free
-    "q_stream_merge" -> mergeChangelogSql,
-    "q_scd2_intervals" ->
-      """WITH ch AS (SELECT user_id, ts, max(value) AS value FROM events
-              WHERE event_type = 'purchase' GROUP BY 1, 2)
-         SELECT user_id, ts AS valid_from,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-           value,
-           lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-             AS is_current
-         FROM ch""",
-    "q_csv_source" ->
-      // both format round-trips must reproduce this projection exactly
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
-                value
-         FROM events""",
-    "q_schema_evolution" ->
-      // old-generation rows carry NULL for the late-added column
-      """SELECT o_orderkey, o_totalprice,
-                CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
-                  AS o_orderpriority
-         FROM orders""",
-    "q_timetravel" ->
-      // version 2 = the two appends, untouched by the later overwrite
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 IN (0, 1)""",
-    "q_snapshot_changes" ->
-      // adds of versions 2..3 = the second append + the overwrite's rows
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 IN (1, 2)""",
-    "q_snapshot_optimize" ->
-      // optimize rewrites layout only: rows = the post-overwrite snapshot
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 = 2""",
-    "q_snapshot_skip" ->
-      // file pruning is a conservative superset + exact predicate, so
-      // the result is just the filter
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id >= 2000 AND event_id < 5000""",
-    "q_snapshot_count" ->
-      // metadata count == the rows the post-overwrite snapshot holds
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows
-         FROM events WHERE event_id % 3 = 2""",
-    "q_snapshot_partitioned" ->
-      // partition pruning is exact set membership + residual predicate,
-      // so the result is just the filter
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_type IN ('click', 'signup') AND value >= 50.0""",
-    "q_snapshot_merge" ->
-      // upsert replay: stored keys are %3 in (0,1); updates double value
-      // for %6=0 (existing) and insert %3=2 (new) — together all events,
-      // with value doubled exactly on the update keys
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_id % 6 = 0 OR event_id % 3 = 2
-                     THEN value * 2 ELSE value END AS value
-         FROM events""",
-    "q_snapshot_zskip" ->
-      // layout never changes contents: the z-ordered scan is the filter
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE user_id < 25""",
-    "q_snapshot_update" ->
-      // update replay: SET hits only predicate-true rows
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_id < 3000 AND event_type = 'view'
-                     THEN value * 10 ELSE value END AS value
-         FROM events""",
-    "q_snapshot_sink" ->
-      // two batches exactly once, the replayed batch contributes nothing
-      """SELECT event_id, user_id, event_type, value FROM events""",
-    "q_stream_snapshot" ->
-      // three appended slices, exactly once each; the optimize commit
-      // between them contributes nothing
-      """SELECT event_id, user_id, event_type, value FROM events""",
-    "q_snapshot_source" ->
-      // v1 = the %3<2 slices; the pushed range stays residual-exact
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id % 3 < 2 AND event_id >= 1000 AND event_id < 6000""",
-    "q_graph_snapshot" ->
-      // q_snapshot_source's oracle verbatim: the graph surface must
-      // reproduce the API read exactly
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id % 3 < 2 AND event_id >= 1000 AND event_id < 6000""",
-    "q_graph_changes" ->
-      // q_snapshot_changes' oracle verbatim
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 IN (1, 2)""",
-    "q_snapshot_delete" ->
-      // delete removes predicate-true rows; everything else survives
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE NOT (event_id < 2000 AND event_type = 'click')""",
-    "q_snapshot_dv" ->
-      // merge-on-read ≡ copy-on-write for readers: vectors hide exactly
-      // the predicate-true rows
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE NOT (event_id < 3000 AND event_type = 'view')""",
-    "q_snapshot_dv_source" ->
-      // the V2 face of the same vectored table — same oracle verbatim
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE NOT (event_id < 3000 AND event_type = 'view')""",
-    "q_snapshot_write" ->
-      // two V2-written commits = the whole events table
-      """SELECT event_id, user_id, event_type, value FROM events""",
-    "q_graph_dv_feed" ->
-      // q_snapshot_dv_feed's oracle verbatim (process == API)
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id < 3000 AND event_type = 'view'""",
-    "q_snapshot_replace" ->
-      // backfill replay: click rows tripled, everything else untouched
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_type = 'click' THEN value * 3
-                     ELSE value END AS value
-         FROM events""",
-    "q_snapshot_history" ->
-      // the dv store's log: v1 = 8-file range-clustered append, v2 =
-      // metadata-only merge-on-read delete (no files added)
-      """SELECT * FROM (VALUES
-           (CAST(1 AS BIGINT), 'append', CAST(8 AS BIGINT)),
-           (CAST(2 AS BIGINT), 'delete-dv', CAST(0 AS BIGINT)))
-         AS t(version, op, n_added)""",
-    "q_snapshot_dv_feed" ->
-      // the delete feed carries exactly the vectored-away rows
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id < 3000 AND event_type = 'view'""",
-    "q_snapshot_sql" ->
-      // v2 = the even INSERT only; latest = both inserts minus the
-      // SQL-DELETEd slice
-      """SELECT event_id, user_id, event_type, value, 'v2' AS src
-         FROM events WHERE event_id % 2 = 0
-         UNION ALL
-         SELECT event_id, user_id, event_type, value, 'latest' AS src
-         FROM events
-         WHERE NOT (event_type = 'click' AND event_id < 2000)""",
-    "q_snapshot_sql_dml" ->
-      // base = %3=0 slice; UPDATE doubled click values; MERGE upserted
-      // the %5=0 slice at value+100 (matched keys replaced, unmatched
-      // inserted); ADD COLUMN tag reads null everywhere
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_type = 'click' THEN value * 2
-                     ELSE value END AS value,
-                CAST(NULL AS VARCHAR) AS tag
-         FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0
-         UNION ALL
-         SELECT event_id, user_id, event_type, value + 100,
-                CAST(NULL AS VARCHAR)
-         FROM events WHERE event_id % 5 = 0""",
-    "q_bitmap_distinct" ->
-      // bitmap sketch counts are exact
-      """SELECT event_type, date_trunc('day', ts) AS day,
-                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM events GROUP BY 1, 2""",
-    "q_bitmap_rollup" ->
-      // the sketch-cube rollup equals the raw recompute
-      """SELECT event_type,
-                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-                CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
-                  AS n_days
-         FROM events GROUP BY 1""",
-    "q_bitmap_retention" ->
-      // the sketch-algebra counts equal the raw self-join replay
-      """WITH d AS (SELECT DISTINCT event_type,
-                           date_trunc('day', ts) AS day, user_id
-                    FROM events),
-              seq AS (SELECT event_type, day,
-                             lag(day) OVER (PARTITION BY event_type
-                                            ORDER BY day) AS prev_day
-                      FROM (SELECT DISTINCT event_type, day FROM d)),
-              ret AS (SELECT s.event_type, s.day,
-                             COUNT(DISTINCT b.user_id) AS retained
-                      FROM seq s
-                      JOIN d a ON a.event_type = s.event_type
-                              AND a.day = s.prev_day
-                      JOIN d b ON b.event_type = s.event_type
-                              AND b.day = s.day
-                              AND b.user_id = a.user_id
-                      GROUP BY 1, 2),
-              prevn AS (SELECT s.event_type, s.day,
-                               COUNT(DISTINCT a.user_id) AS prev_users
-                        FROM seq s
-                        JOIN d a ON a.event_type = s.event_type
-                                AND a.day = s.prev_day
-                        GROUP BY 1, 2)
-         SELECT p.event_type, p.day,
-                CAST(COALESCE(r.retained, 0) AS BIGINT) AS retained,
-                CAST(p.prev_users - COALESCE(r.retained, 0) AS BIGINT)
-                  AS churned
-         FROM prevn p
-         LEFT JOIN ret r
-           ON r.event_type = p.event_type AND r.day = p.day""",
-    "q_stream_bitmap_cube" ->
-      // the incrementally maintained cube equals the raw recompute
-      """SELECT event_type, date_trunc('day', ts) AS day,
-                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM events GROUP BY 1, 2""",
-    "q_sql_table_changes" ->
-      // q_snapshot_cdf's oracle verbatim (same store, same feed range,
-      // consumed through the SQL TVF face)
-      """SELECT event_id, user_id, event_type, value,
-                'insert' AS _change_type,
-                CAST(1 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 3 = 0
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'insert', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 3 = 1
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(3 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
-           AND event_type = 'view'""",
-    "q_snapshot_bloom" ->
-      // the two bloom-served point lookups, replayed from raw events
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE user_id = 77
-         UNION ALL
-         SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_type = 'purchase'""",
-    "q_graph_table_changes" ->
-      // q_sql_table_changes' oracle verbatim (same store, same range,
-      // consumed through the graph-surface table_changes process)
-      """SELECT event_id, user_id, event_type, value,
-                'insert' AS _change_type,
-                CAST(1 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 3 = 0
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'insert', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 3 = 1
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(3 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
-           AND event_type = 'view'""",
-    "q_graph_procedures" ->
-      // q_snapshot_procedures' oracle verbatim (same proccat store,
-      // history consumed through the graph-surface call_procedure)
-      """SELECT event_id, user_id, event_type, value,
-                CAST(5 AS BIGINT) AS n_commits
-         FROM events WHERE event_id % 3 = 0""",
-    "q_stream_native_sink" ->
-      // the streamed slice, landed by the native sink
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 7 = 0""",
-    "q_snapshot_procedures" ->
-      // CALL restore undid the SQL DELETE, CALL optimize preserved
-      // content; history pins the commit count (create, insert,
-      // delete, restore, optimize)
-      """SELECT event_id, user_id, event_type, value,
-                CAST(5 AS BIGINT) AS n_commits
-         FROM events WHERE event_id % 3 = 0""",
-    "q_graph_merge_into" ->
-      // q_merge_into's oracle verbatim (same clause program, authored
-      // through the graph surface)
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_id % 12 = 0 AND event_type = 'click'
-                       THEN value * 2
-                     WHEN event_id % 12 <> 0 AND event_type = 'purchase'
-                       THEN 0.0
-                     ELSE value END AS value
-         FROM events
-         WHERE event_id % 3 = 0
-           AND NOT (event_id % 12 = 0 AND event_type = 'view')
-         UNION ALL
-         SELECT event_id, user_id, 'merged', value
-         FROM events
-         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
-           AND event_id < 5000""",
-    "q_merge_into_evolve" ->
-      // the widened end state: base = %3=0 over 3 columns; matched
-      // (%12=0) rows take the source's value+1000 and its event_type
-      // as the NEW `tag` column; unmatched-source rows (%4=0, %3<>0,
-      // <5000) insert with it; untouched rows read tag null
-      """SELECT event_id, user_id,
-                CASE WHEN event_id % 12 = 0 THEN value + 1000
-                     ELSE value END AS value,
-                CASE WHEN event_id % 12 = 0 THEN event_type END AS tag
-         FROM events WHERE event_id % 3 = 0
-         UNION ALL
-         SELECT event_id, user_id, value + 1000, event_type
-         FROM events
-         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
-           AND event_id < 5000""",
-    "q_merge_into" ->
-      // base = %3=0; matched (%12=0) clicks add s.value (= doubling,
-      // same row), matched views delete, other matched types carry;
-      // target-only (%12<>0) purchases zero out (NMBS update); source
-      // rows unmatched by the target (%4=0, %3<>0) below 5000 insert
-      // as 'merged'
-      """SELECT event_id, user_id, event_type,
-                CASE WHEN event_id % 12 = 0 AND event_type = 'click'
-                       THEN value * 2
-                     WHEN event_id % 12 <> 0 AND event_type = 'purchase'
-                       THEN 0.0
-                     ELSE value END AS value
-         FROM events
-         WHERE event_id % 3 = 0
-           AND NOT (event_id % 12 = 0 AND event_type = 'view')
-         UNION ALL
-         SELECT event_id, user_id, 'merged', value
-         FROM events
-         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
-           AND event_id < 5000""",
-    "q_merge_into_cdf" ->
-      // the merge commit's exact CDC: pre/post pairs for both update
-      // families, deletes for matched views, inserts for the unmatched
-      // source slice
-      """SELECT event_id, user_id, event_type, value,
-                'update_preimage' AS _change_type,
-                CAST(2 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 12 = 0 AND event_type = 'click'
-         UNION ALL
-         SELECT event_id, user_id, event_type, value * 2,
-                'update_postimage', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 12 = 0 AND event_type = 'click'
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'update_preimage', CAST(2 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 = 0 AND event_id % 12 <> 0
-           AND event_type = 'purchase'
-         UNION ALL
-         SELECT event_id, user_id, event_type, 0.0,
-                'update_postimage', CAST(2 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 = 0 AND event_id % 12 <> 0
-           AND event_type = 'purchase'
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 12 = 0 AND event_type = 'view'
-         UNION ALL
-         SELECT event_id, user_id, 'merged', value,
-                'insert', CAST(2 AS BIGINT)
-         FROM events
-         WHERE event_id % 4 = 0 AND event_id % 3 <> 0
-           AND event_id < 5000""",
-    "q_snapshot_cdf" ->
-      // inserts = the two appended slices (stamped with their commit),
-      // deletes = the dv'd rows among them, optimize contributes nothing
-      """SELECT event_id, user_id, event_type, value,
-                'insert' AS _change_type,
-                CAST(1 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 3 = 0
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'insert', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 3 = 1
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(3 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
-           AND event_type = 'view'""",
-    "q_cdf_apply" ->
-      // seeded state + applied feed == the table's latest content
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id % 3 IN (0, 1)
-           AND NOT (event_id < 3000 AND event_type = 'view')""",
-    "q_snapshot_cdf_cow" ->
-      // v1 partitioned inserts; v2 CoW delete's removed rows ONLY;
-      // v3 replaceWhere = dropped-partition rows as deletes (the
-      // fullRemoves synthesis) + the replacement batch as inserts
-      """SELECT event_id, user_id, event_type, value,
-                'insert' AS _change_type,
-                CAST(1 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 3 < 2
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(2 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 < 2 AND event_type = 'click'
-           AND event_id < 2000
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(3 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 < 2 AND event_type = 'purchase'
-         UNION ALL
-         SELECT event_id, user_id, event_type, value + 0.5,
-                'insert', CAST(3 AS BIGINT)
-         FROM events WHERE event_type = 'purchase'""",
-    "q_cdf_images" ->
-      // one mergeChanges commit: matched keys emit BOTH images,
-      // unmatched inserts, delete keys their old row
-      """SELECT event_id, user_id, event_type, value,
-                'update_preimage' AS _change_type,
-                CAST(2 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 3 = 0 AND event_id % 10 < 2
-         UNION ALL
-         SELECT event_id, user_id, event_type, value * 2,
-                'update_postimage', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 3 = 0 AND event_id % 10 < 2
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'insert', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 3 = 2 AND event_id % 10 < 2
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(2 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 = 0 AND event_id % 10 = 5
-           AND event_type = 'click'""",
-    "q_graph_cdf" ->
-      // state(v1) + feed(1,2] == read(v2) = both appended slices
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id % 3 IN (0, 1)""",
-    "q_stream_cdf_mirror_cow" ->
-      // the mirror ends exactly at the CoW source's latest content
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id % 3 < 2 AND event_type <> 'purchase'
-           AND NOT (event_type = 'click' AND event_id < 2000)
-         UNION ALL
-         SELECT event_id, user_id, event_type, value + 0.5
-         FROM events WHERE event_type = 'purchase'""",
-    "q_stream_cdf_mirror" ->
-      // the mirror ends exactly at the source's latest content —
-      // q_cdf_apply's oracle verbatim
-      """SELECT event_id, user_id, event_type, value
-         FROM events
-         WHERE event_id % 3 IN (0, 1)
-           AND NOT (event_id < 3000 AND event_type = 'view')""",
-    "q_stream_cdf" ->
-      // q_snapshot_cdf's oracle verbatim: the multi-batch stream must
-      // reproduce the batch feed exactly
-      """SELECT event_id, user_id, event_type, value,
-                'insert' AS _change_type,
-                CAST(1 AS BIGINT) AS _commit_version
-         FROM events WHERE event_id % 3 = 0
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'insert', CAST(2 AS BIGINT)
-         FROM events WHERE event_id % 3 = 1
-         UNION ALL
-         SELECT event_id, user_id, event_type, value,
-                'delete', CAST(3 AS BIGINT)
-         FROM events
-         WHERE event_id % 3 IN (0, 1) AND event_id < 3000
-           AND event_type = 'view'""",
-    "q_snapshot_compact" ->
-      // compaction rewrites layout only: rows = the two appends
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 IN (0, 1)""",
-    "q_snapshot_restore" ->
-      // restore to v1 rolls the overwrite back: the %3=0 slice again
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 = 0""",
-    "q_timetravel_ts" ->
-      // as-of the v2 commit's timestamp = version 2 = the two appends
-      // (q_timetravel's oracle verbatim)
-      """SELECT event_id, user_id, event_type, value
-         FROM events WHERE event_id % 3 IN (0, 1)""",
-    "q_json_extract" ->
-      // encode→parse→extract is lossless; oracle = the projection
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
-                value
-         FROM events""",
-    "q_orc_source" ->
-      // the ORC round-trip must reproduce the same projection exactly
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
-                value
-         FROM events""",
-    "q_sample_weighted_k" ->
-      // same LCG hash → u ∈ (0,1) → ln(u)/w key, top-50 with id
-      // tie-break
-      """WITH w AS (SELECT doc_id,
-              round(CAST(octet_length(encode(text)) AS DOUBLE) / 1000.0, 6)
-                + 0.001 AS wt
-            FROM documents),
-         k AS (SELECT doc_id, wt,
-              ln(CAST((((doc_id % 2147483648) * 1103515245 + 12345)
-                   % 2147483648) + 1 AS DOUBLE) / 2147483649.0) / wt AS key
-            FROM w)
-         SELECT doc_id, wt FROM k ORDER BY key DESC, doc_id LIMIT 50""",
-    "q_pivot" ->
-      """SELECT user_id,
-           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
-           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
-           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
-           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
-           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
-         FROM events GROUP BY 1""",
-    "q_resample_ffill" ->
-      // per-user daily grid via generate_series, then the union-window
-      // asof replay (right deduped per (user, ts) to max value)
-      """WITH p AS (SELECT user_id, ts AS pts, max(value) AS pv FROM events
-              WHERE event_type = 'purchase' GROUP BY 1, 2),
-         span AS (SELECT user_id, date_trunc('day', min(pts)) AS d0,
-              date_trunc('day', max(pts)) AS d1
-            FROM p GROUP BY 1),
-         grid AS (SELECT s.user_id, g.gts AS grid_ts
-            FROM span s, LATERAL (SELECT unnest(generate_series(
-              s.d0, s.d1, INTERVAL 1 DAY)) AS gts) g),
-         u AS (
-           SELECT user_id, grid_ts AS ts, 1 AS side, grid_ts,
-                  NULL::DOUBLE AS pv FROM grid
-           UNION ALL
-           SELECT user_id, pts AS ts, 0 AS side, NULL::TIMESTAMP AS grid_ts,
-                  pv FROM p),
-         sc AS (SELECT *,
-             last_value(pv IGNORE NULLS) OVER w AS last_purchase
-           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT user_id, grid_ts, last_purchase FROM sc WHERE side = 1""",
-    "q_table_profile" -> s"""
-         WITH src AS (
-           SELECT 'event_id' AS side, CAST(event_id AS VARCHAR) AS g
-             FROM events
-           UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
-           UNION ALL SELECT 'event_type', event_type FROM events
-           UNION ALL SELECT 'value', CAST(value AS VARCHAR) FROM events),
-         tok AS (SELECT side, g FROM src WHERE g IS NOT NULL),
-         $hllEstChainSql,
-         ex AS (
-           SELECT 'event_id' AS "column",
-             CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(count(event_id) AS BIGINT) AS n_values,
-             CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
-             CAST(min(event_id) AS VARCHAR) AS "min",
-             CAST(max(event_id) AS VARCHAR) AS "max" FROM events
-           UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT),
-             CAST(count(user_id) AS BIGINT),
-             CAST(count(*) - count(user_id) AS BIGINT),
-             CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
-             FROM events
-           UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT),
-             CAST(count(event_type) AS BIGINT),
-             CAST(count(*) - count(event_type) AS BIGINT),
-             min(event_type), max(event_type) FROM events
-           UNION ALL SELECT 'value', CAST(count(*) AS BIGINT),
-             CAST(count(value) AS BIGINT),
-             CAST(count(*) - count(value) AS BIGINT),
-             CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
-             FROM events)
-         SELECT ex."column", ex.n_rows, ex.n_values, ex.n_nulls,
-                ex."min", ex."max",
-                coalesce(est.est_distinct, 0.0) AS est_distinct
-         FROM ex LEFT JOIN est ON est.side = ex."column"""",
-    "q_attribution_pipeline" ->
-      // full-trajectory replay: union-window as-of attribution →
-      // per-user rollup (decimal sum) → ordered funnel → left join
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
-               WHERE event_type = 'click' GROUP BY 1, 2),
-         u AS (
-           SELECT user_id, ts, 1 AS side, event_id,
-                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
-           UNION ALL
-           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
-                  cts, cv FROM c),
-         s AS (SELECT *,
-             last_value(cv IGNORE NULLS) OVER w AS click_value
-           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         att AS (SELECT user_id, click_value FROM s WHERE side = 1),
-         pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views,
-              CAST(count(click_value) AS BIGINT) AS n_attributed,
-              CAST(SUM(CAST(coalesce(click_value, 0.0) AS DECIMAL(18,2)))
-                AS DOUBLE) AS sum_attributed_value
-            FROM att GROUP BY 1),
-         s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
-              WHERE event_type = 'signup' GROUP BY 1),
-         s1 AS (SELECT s0.user_id, s0.signup_ts,
-              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
-            FROM s0 LEFT JOIN events e
-              ON e.user_id = s0.user_id AND e.event_type = 'click'
-            GROUP BY 1, 2),
-         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
-              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
-            FROM s1 LEFT JOIN events e
-              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
-            GROUP BY 1, 2, 3)
-         SELECT f.user_id, f.purchase_ts IS NOT NULL AS converted,
-           coalesce(pu.n_views, 0) AS n_views,
-           coalesce(pu.n_attributed, 0) AS n_attributed,
-           coalesce(pu.sum_attributed_value, 0.0) AS sum_attributed_value
-         FROM s2 f LEFT JOIN pu USING (user_id)""",
-    "q_asof_native" ->
-      // shared verbatim with q_asof_join: the custom physical operator
-      // is semantics-identical by the TableJoinsSpec law
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
-               WHERE event_type = 'click' GROUP BY 1, 2),
-         u AS (
-           SELECT user_id, ts, 1 AS side, event_id,
-                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
-           UNION ALL
-           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
-                  cts, cv FROM c),
-         s AS (SELECT *,
-             last_value(cts IGNORE NULLS) OVER w AS click_ts,
-             last_value(cv IGNORE NULLS) OVER w AS click_value
-           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id, user_id, ts, click_ts, click_value
-         FROM s WHERE side = 1""",
-    "q_graph_asof" ->
-      // shared verbatim with q_asof_join: the JSON graph compiles to the
-      // identical plan
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
-               WHERE event_type = 'click' GROUP BY 1, 2),
-         u AS (
-           SELECT user_id, ts, 1 AS side, event_id,
-                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
-           UNION ALL
-           SELECT user_id, cts AS ts, 0 AS side, NULL::BIGINT AS event_id,
-                  cts, cv FROM c),
-         s AS (SELECT *,
-             last_value(cts IGNORE NULLS) OVER w AS click_ts,
-             last_value(cv IGNORE NULLS) OVER w AS click_value
-           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id, user_id, ts, click_ts, click_value
-         FROM s WHERE side = 1""",
-    "q_asof_tolerance" ->
-      // strict: the left row sorts BEFORE same-timestamp right rows
-      // (side 0 vs 1), so an equal-ts click is not yet visible to the
-      // running last_value; tolerance: matches staler than 2 h null out
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, max(value) AS cv FROM events
-               WHERE event_type = 'click' GROUP BY 1, 2),
-         u AS (
-           SELECT user_id, ts, 0 AS side, event_id,
-                  NULL::TIMESTAMP AS cts, NULL::DOUBLE AS cv FROM v
-           UNION ALL
-           SELECT user_id, cts AS ts, 1 AS side, NULL::BIGINT AS event_id,
-                  cts, cv FROM c),
-         s AS (SELECT *,
-             last_value(cts IGNORE NULLS) OVER w AS mts,
-             last_value(cv IGNORE NULLS) OVER w AS mv
-           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id, user_id, ts,
-           CASE WHEN mts IS NOT NULL
-                 AND epoch_us(ts) - epoch_us(mts) <= 7200000000
-             THEN mts END AS click_ts,
-           CASE WHEN mts IS NOT NULL
-                 AND epoch_us(ts) - epoch_us(mts) <= 7200000000
-             THEN mv END AS click_value
-         FROM s WHERE side = 0""",
-    "q_range_join" ->
-      // the bins are implementation detail; the oracle states the
-      // declarative inequality-join semantics directly
-      """WITH busy AS (SELECT date_trunc('hour', ts) AS window_start,
-                CAST(count(*) AS BIGINT) AS n_events
-           FROM events WHERE event_type IN ('click', 'view')
-           GROUP BY 1 HAVING count(*) >= 8),
-         p AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'error')
-         SELECT p.event_id, p.user_id, p.ts, b.window_start, b.n_events
-         FROM p JOIN busy b ON p.ts >= b.window_start
-           AND p.ts <= b.window_start + INTERVAL 1 HOUR
-                        - INTERVAL 1 MICROSECOND""",
-    "q_band_join_rule" ->
-      // shared verbatim with q_range_join: the optimizer rule is pure
-      // plan surgery, semantics unchanged
-      """WITH busy AS (SELECT date_trunc('hour', ts) AS window_start,
-                CAST(count(*) AS BIGINT) AS n_events
-           FROM events WHERE event_type IN ('click', 'view')
-           GROUP BY 1 HAVING count(*) >= 8),
-         p AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'error')
-         SELECT p.event_id, p.user_id, p.ts, b.window_start, b.n_events
-         FROM p JOIN busy b ON p.ts >= b.window_start
-           AND p.ts <= b.window_start + INTERVAL 1 HOUR
-                        - INTERVAL 1 MICROSECOND""",
-    "q_salted_join" ->
-      // the salt is implementation detail; semantics = the plain join
-      """WITH prof AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_signups,
-              min(ts) AS first_signup
-            FROM events WHERE event_type = 'signup' GROUP BY 1)
-         SELECT p.event_id, p.user_id, p.value, prof.n_signups,
-                prof.first_signup
-         FROM events p JOIN prof USING (user_id)
-         WHERE p.event_type = 'purchase'""",
-    "q_audio_features" ->
-      // WavCodec's sample plane maps back to exactly the source bytes
-      // (the q_multimodal_wav contract), so frames replay from
-      // hex(text): v = byte − 128, 32-sample windows, integer-exact
-      // squared sums and lag-based crossing counts
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
-              octet_length(encode(text)) AS len
-            FROM documents
-            WHERE octet_length(encode(text)) >= 2
-              AND octet_length(encode(text)) <= 4096),
-         p AS (SELECT doc_id, h, len - (len % 2) AS n FROM d),
-         bytes AS (SELECT p.doc_id, g.i,
-              CAST(('0x' || substr(p.h, CAST(g.i*2+1 AS BIGINT), 2))
-                   AS INTEGER) - 128 AS v
-            FROM p, generate_series(0, 4095) AS g(i)
-            WHERE g.i < p.n),
-         fr AS (SELECT doc_id, i // 32 AS frame_idx, i, v,
-              CASE WHEN i % 32 > 0 AND ((v < 0) !=
-                  (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0))
-                THEN 1 ELSE 0 END AS x
-            FROM bytes)
-         SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-           CAST(count(*) AS INTEGER) AS n_samples,
-           round(sqrt(CAST(SUM(v*v) AS DOUBLE) / count(*)), 6) AS energy,
-           round(CASE WHEN count(*) <= 1 THEN 0.0
-             ELSE CAST(SUM(x) AS DOUBLE) / (count(*) - 1) END, 6) AS zcr
-         FROM fr GROUP BY 1, 2""",
-    "q_stream_funnel" ->
-      // shared verbatim with q_funnel: the streamed state machine equals
-      // the batch greedy rule under event-time-ordered arrival
-      """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
-              WHERE event_type = 'signup' GROUP BY 1),
-         s1 AS (SELECT s0.user_id, s0.signup_ts,
-              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
-            FROM s0 LEFT JOIN events e
-              ON e.user_id = s0.user_id AND e.event_type = 'click'
-            GROUP BY 1, 2),
-         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
-              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
-            FROM s1 LEFT JOIN events e
-              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
-            GROUP BY 1, 2, 3)
-         SELECT user_id, signup_ts, click_ts, purchase_ts,
-                purchase_ts IS NOT NULL AS converted
-         FROM s2""",
-    "q_graph_funnel" ->
-      // shared verbatim with q_funnel
-      """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
-              WHERE event_type = 'signup' GROUP BY 1),
-         s1 AS (SELECT s0.user_id, s0.signup_ts,
-              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
-            FROM s0 LEFT JOIN events e
-              ON e.user_id = s0.user_id AND e.event_type = 'click'
-            GROUP BY 1, 2),
-         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
-              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
-            FROM s1 LEFT JOIN events e
-              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
-            GROUP BY 1, 2, 3)
-         SELECT user_id, signup_ts, click_ts, purchase_ts,
-                purchase_ts IS NOT NULL AS converted
-         FROM s2""",
-    "q_tpch_q10" -> s"""
-         SELECT c_custkey, c_name, n_name, $drevenueSql AS revenue,
-                CAST(COUNT(*) AS BIGINT) AS n_items
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         WHERE l_returnflag = 'R'
-           AND o_orderdate >= TIMESTAMP '1996-01-01'
-           AND o_orderdate < TIMESTAMP '1996-04-01'
-         GROUP BY 1, 2, 3
-         ORDER BY revenue DESC, c_custkey LIMIT 20""",
-    "q_tpch_q1" -> s"""
-         SELECT l_returnflag, l_linestatus,
-           ${dsumSql("l_quantity")} AS sum_qty,
-           ${dsumSql("l_extendedprice")} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-             AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
-             (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
-             AS DOUBLE) AS sum_charge,
-           ${dmeanSql("l_quantity")} AS avg_qty,
-           ${dmeanSql("l_extendedprice")} AS avg_price,
-           ${dmeanSql("l_discount")} AS avg_disc,
-           COUNT(*) AS count_order
-         FROM lineitem
-         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-         GROUP BY 1, 2""",
-    "q_tpch_q6" -> """
-         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-             CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-           AND l_shipdate < TIMESTAMP '1998-01-01'
-           AND l_discount BETWEEN 0.05 AND 0.07
-           AND l_quantity < 24""",
-    "q_tpch_q4" -> """
-         SELECT o_orderpriority, COUNT(*) AS order_count
-         FROM orders
-         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-           AND o_orderdate < TIMESTAMP '1997-07-01'
-           AND EXISTS (SELECT 1 FROM lineitem
-                       WHERE l_orderkey = o_orderkey
-                         AND l_shipdate > o_orderdate)
-         GROUP BY 1""",
-    "q_tpch_q18" -> s"""
-         SELECT o_orderkey, o_orderdate, o_totalprice
-         FROM orders
-         WHERE o_orderkey IN (
-           SELECT l_orderkey FROM lineitem
-           GROUP BY 1 HAVING ${dsumSql("l_quantity")} > 150)""",
-    "q_tpch_q22" -> s"""
-         SELECT c_mktsegment, COUNT(*) AS n_cust,
-                ${dsumSql("c_acctbal")} AS total_bal
-         FROM customer
-         WHERE c_acctbal > 0
-           AND NOT EXISTS (SELECT 1 FROM orders
-                           WHERE o_custkey = c_custkey
-                             AND o_orderdate >= TIMESTAMP '2000-01-01')
-         GROUP BY 1""",
-    "q_tpch_q7" -> s"""
-         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-                $drevenueSql AS revenue
-         FROM supplier, lineitem, orders, customer, nation n1, nation n2
-         WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-           AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
-           AND c_nationkey = n2.n_nationkey
-           AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-           AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
-                              AND TIMESTAMP '1997-12-31'
-         GROUP BY 1, 2, 3""",
-    "q_tpch_q14" -> """
-         SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-             THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
-                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-             ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                  (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-             AS DOUBLE) AS promo_revenue
-         FROM lineitem, part
-         WHERE l_partkey = p_partkey
-           AND l_shipdate >= TIMESTAMP '1997-09-01'
-           AND l_shipdate < TIMESTAMP '1997-10-01'""",
-    "q_tpch_q19" -> """
-         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-             (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-             AS DOUBLE) AS revenue
-         FROM lineitem, part
-         WHERE p_partkey = l_partkey AND (
-           (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
-             AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
-             AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-             AND l_quantity BETWEEN 20 AND 30))""",
-    "q_tpch_q17" -> s"""
-         SELECT ${dsumSql("l_extendedprice")} / 7.0 AS avg_yearly
-         FROM lineitem, part
-         WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
-           AND l_quantity < (
-             SELECT 0.2 * (${dsumSql("l2.l_quantity")} / COUNT(l2.l_quantity))
-             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
-    "q_tpch_q20" -> s"""
-         WITH $partsuppSql
-         SELECT s_suppkey, s_name
-         FROM supplier
-         WHERE s_suppkey IN (
-             SELECT ps_suppkey FROM partsupp
-             WHERE ps_partkey IN (SELECT p_partkey FROM part
-                                  WHERE p_name LIKE 'red%')
-               AND CAST(ps_availqty AS DOUBLE) > (
-                 SELECT 0.5 * ${dsumSql("l_quantity")}
-                 FROM lineitem
-                 WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-                   AND l_shipdate >= TIMESTAMP '1997-01-01'
-                   AND l_shipdate < TIMESTAMP '1998-01-01'))
-           AND s_nationkey IN (SELECT n_nationkey FROM nation
-                               WHERE n_name IN ('NATION_1', 'NATION_2'))""",
-    "q_tpch_q21" -> s"""
-         WITH $lineitemXSql
-         SELECT s_name, COUNT(*) AS numwait
-         FROM supplier, lx l1, orders, nation
-         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-           AND o_orderstatus = 'F'
-           AND l1.l_receiptdate > l1.l_commitdate
-           AND EXISTS (SELECT 1 FROM lineitem l2
-                       WHERE l2.l_orderkey = l1.l_orderkey
-                         AND l2.l_suppkey <> l1.l_suppkey)
-           AND NOT EXISTS (SELECT 1 FROM lx l3
-                           WHERE l3.l_orderkey = l1.l_orderkey
-                             AND l3.l_suppkey <> l1.l_suppkey
-                             AND l3.l_receiptdate > l3.l_commitdate)
-           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
-         GROUP BY s_name
-         ORDER BY numwait DESC, s_name LIMIT 100""",
-    "q_tpch_q2" -> s"""
-         WITH $partsuppSql,
-         ssp AS (
-           SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
-                  s.s_acctbal, n.n_name, ps.ps_supplycost
-           FROM partsupp ps JOIN part p ON ps.ps_partkey = p.p_partkey
-           JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
-           JOIN nation n ON s.s_nationkey = n.n_nationkey
-           JOIN region r ON n.n_regionkey = r.r_regionkey
-           WHERE p.p_size <= 15 AND p.p_type = 'LARGE'
-             AND r.r_name = 'EUROPE'),
-         mn AS (SELECT p_partkey AS m_partkey, MIN(ps_supplycost)
-                  AS min_cost
-                FROM ssp GROUP BY 1)
-         SELECT s_acctbal, s_name, n_name, p_partkey, p_name
-         FROM ssp JOIN mn
-           ON p_partkey = m_partkey AND ps_supplycost = min_cost
-         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
-    "q_tpch_q8" -> """
-         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
-                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      (CAST(1 AS DECIMAL(18,2)) -
-                       CAST(l_discount AS DECIMAL(18,2)))
-                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(18,2)) -
-                     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             AS mkt_share
-         FROM lineitem l
-         JOIN orders o ON l.l_orderkey = o.o_orderkey
-         JOIN customer c ON o.o_custkey = c.c_custkey
-         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
-         JOIN region r ON cn.n_regionkey = r.r_regionkey
-         JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-         WHERE r.r_name = 'AMERICA'
-           AND o.o_orderdate >= TIMESTAMP '1995-01-01'
-           AND o.o_orderdate < TIMESTAMP '1997-01-01'
-           AND l.l_partkey IN (SELECT p_partkey FROM part
-                               WHERE p_type = 'ECONOMY')
-         GROUP BY 1""",
-    "q_tpch_q9" -> s"""
-         WITH $partsuppSql
-         SELECT n_name AS nation,
-                CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                         (CAST(1 AS DECIMAL(3,2)) -
-                          CAST(l_discount AS DECIMAL(3,2))) -
-                         ps_supplycost *
-                         CAST(l_quantity AS DECIMAL(4,0)))
-                  AS DOUBLE) AS sum_profit
-         FROM lineitem
-         JOIN partsupp ON l_partkey = ps_partkey
-                      AND l_suppkey = ps_suppkey
-         JOIN part ON l_partkey = p_partkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN orders ON l_orderkey = o_orderkey
-         WHERE p_name LIKE '%widget%'
-         GROUP BY 1, 2""",
-    "q_tpch_q11" -> s"""
-         WITH $partsuppSql,
-         nps AS (SELECT * FROM partsupp
-                 WHERE ps_suppkey IN (
-                   SELECT s_suppkey FROM supplier JOIN nation
-                     ON s_nationkey = n_nationkey
-                   WHERE n_name = 'NATION_0'))
-         SELECT ps_partkey,
-           CAST(SUM(ps_supplycost * CAST(ps_availqty AS DECIMAL(10,0)))
-             AS DOUBLE) AS part_value
-         FROM nps GROUP BY 1
-         HAVING CAST(SUM(ps_supplycost * CAST(ps_availqty
-             AS DECIMAL(10,0))) AS DOUBLE) >
-           CAST(0.001 AS DOUBLE) *
-             (SELECT CAST(SUM(ps_supplycost * CAST(ps_availqty
-                AS DECIMAL(10,0))) AS DOUBLE) FROM nps)""",
-    "q_tpch_q12" -> s"""
-         WITH $lineitemXSql
-         SELECT l_shipmode,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-         FROM lx JOIN orders ON l_orderkey = o_orderkey
-         WHERE l_shipmode IN ('MAIL', 'SHIP')
-           AND l_commitdate < l_receiptdate
-           AND l_shipdate < l_commitdate
-           AND l_receiptdate >= TIMESTAMP '1997-01-01'
-           AND l_receiptdate < TIMESTAMP '1998-01-01'
-         GROUP BY 1""",
-    "q_tpch_q13" -> """
-         WITH c_orders AS (
-           SELECT c_custkey, COUNT(o_orderkey) AS c_count
-           FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-             AND o_orderpriority <> '4-NOT SPECIFIED'
-           GROUP BY 1)
-         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-         FROM c_orders GROUP BY 1
-         ORDER BY custdist DESC, c_count DESC""",
-    "q_tpch_q15" -> s"""
-         WITH revenue AS (
-           SELECT l_suppkey AS supplier_no, $drevenueSql AS total_revenue
-           FROM lineitem
-           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-             AND l_shipdate < TIMESTAMP '1997-04-01'
-           GROUP BY 1)
-         SELECT s_suppkey, s_name, total_revenue
-         FROM revenue JOIN supplier ON supplier_no = s_suppkey
-         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-         ORDER BY s_suppkey""",
-    "q_tpch_q16" -> s"""
-         WITH $partsuppSql
-         SELECT p_brand, p_type, p_size,
-                CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
-         FROM partsupp JOIN part ON ps_partkey = p_partkey
-         WHERE p_brand <> 'Brand#45' AND p_type <> 'STANDARD'
-           AND p_size IN (1, 4, 7)
-           AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                  WHERE s_acctbal < 0)
-         GROUP BY 1, 2, 3
-         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
-    "q_tpch_q3" -> s"""
-         SELECT l_orderkey, o_orderdate, o_orderpriority,
-                $drevenueSql AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < TIMESTAMP '1998-01-01'
-           AND l_shipdate > TIMESTAMP '1998-01-01'
-         GROUP BY 1, 2, 3
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
-    "q_tpch_q5" -> s"""
-         SELECT n_name, $drevenueSql AS revenue,
-                CAST(COUNT(*) AS BIGINT) AS n_items
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey
-         JOIN customer ON o_custkey = c_custkey
-                      AND c_nationkey = s_nationkey
-         JOIN nation ON s_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'ASIA'
-           AND o_orderdate >= TIMESTAMP '1996-01-01'
-           AND o_orderdate < TIMESTAMP '1997-01-01'
-         GROUP BY 1""",
-    "q_bucketed_join" ->
-      // bucketing is physical layout; semantics = the plain join
-      """WITH nv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
-            FROM events WHERE event_type = 'view' GROUP BY 1)
-         SELECT e.event_id, e.user_id, e.value, nv.n_views
-         FROM events e JOIN nv USING (user_id)
-         WHERE e.event_type = 'purchase'""",
-    "q_funnel" ->
-      // greedy first-match per stage; CASE-over-null propagates an
-      // unreached stage exactly like the Spark when()
-      """WITH s0 AS (SELECT user_id, min(ts) AS signup_ts FROM events
-              WHERE event_type = 'signup' GROUP BY 1),
-         s1 AS (SELECT s0.user_id, s0.signup_ts,
-              min(CASE WHEN e.ts > s0.signup_ts THEN e.ts END) AS click_ts
-            FROM s0 LEFT JOIN events e
-              ON e.user_id = s0.user_id AND e.event_type = 'click'
-            GROUP BY 1, 2),
-         s2 AS (SELECT s1.user_id, s1.signup_ts, s1.click_ts,
-              min(CASE WHEN e.ts > s1.click_ts THEN e.ts END) AS purchase_ts
-            FROM s1 LEFT JOIN events e
-              ON e.user_id = s1.user_id AND e.event_type = 'purchase'
-            GROUP BY 1, 2, 3)
-         SELECT user_id, signup_ts, click_ts, purchase_ts,
-                purchase_ts IS NOT NULL AS converted
-         FROM s2""",
-    "q_compaction_exec" ->
-      // compaction rewrites files, never rows: the surviving store
-      // projection IS the source projection
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
-         FROM lineitem""",
-    "q_compaction_plan" ->
-      // same deterministic (bytes DESC, doc_id) order, running sum,
-      // pure integer floor-division bin rule
-      """WITH f AS (SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS bytes
-            FROM documents),
-         c AS (SELECT doc_id, bytes,
-              SUM(bytes) OVER (ORDER BY bytes DESC, doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM f)
-         SELECT doc_id, bytes,
-                CAST((cum - bytes) // 4096 AS BIGINT) AS bin FROM c""",
-    "q_hll_join" -> hllOverlapSql,
-    "q_stream_join" ->
-      // declarative batch twin of the watermarked stream-stream join:
-      // every in-band (view, click) pair per user, inclusive bounds
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, value AS click_value FROM events
-               WHERE event_type = 'click')
-         SELECT v.event_id, v.user_id, v.ts, c.cts, c.click_value
-         FROM v JOIN c USING (user_id)
-         WHERE c.cts >= v.ts - INTERVAL 30 MINUTE
-           AND c.cts <= v.ts + INTERVAL 30 MINUTE""",
-    "q_stream_join_outer" ->
-      // LEFT band join: matched pairs (same as q_stream_join) plus every
-      // unmatched view once with null click columns
-      """WITH v AS (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts AS cts, value AS click_value FROM events
-               WHERE event_type = 'click')
-         SELECT v.event_id, v.user_id, v.ts, c.cts, c.click_value
-         FROM v LEFT JOIN c ON c.user_id = v.user_id
-           AND c.cts >= v.ts - INTERVAL 30 MINUTE
-           AND c.cts <= v.ts + INTERVAL 30 MINUTE""",
-    "q_zorder" ->
-      // bit-for-bit replay of quantize (same IEEE op order: subtract,
-      // divide, multiply, floor, clamp) + the LSB-first interleave
-      """SELECT event_id, CAST(list_sum(list_transform(range(0, 10), b ->
-             (((uq >> b) & 1) << (2*b)) + (((vq >> b) & 1) << (2*b + 1))))
-           AS BIGINT) AS zval
-         FROM (SELECT event_id,
-            CAST(least(greatest(
-              floor((CAST(user_id AS DOUBLE) - 0.0) / 256.0 * 1024.0),
-              0.0), 1023.0) AS BIGINT) AS uq,
-            CAST(least(greatest(
-              floor((value - 0.0) / 512.0 * 1024.0),
-              0.0), 1023.0) AS BIGINT) AS vq
-          FROM events)""",
-  )
+  def oracleSql: Map[String, String] =
+    QueriesCube.sql ++ QueriesRelational.sql ++ QueriesText.sql ++ QueriesLakehouse.sql ++ QueriesStream.sql
 
   /** Marker-count projections over a padded text column `p`:
     * `(...) AS s_en, ...` — the DuckDB half of TextAnalysis.langId's
     * replace-based counting. */
-  private def langMarkerCountsSql: String =
+  private[graft] def langMarkerCountsSql: String =
     TextAnalysis.langMarkers.map { case (lang, ms) =>
       val c = ms.map(m =>
         s"CAST((length(p) - length(replace(p, '$m', ''))) // ${m.length} AS INT)")
@@ -10388,17 +1583,17 @@ object SparkEntry {
       s"($c) AS s_$lang"
     }.mkString(", ")
 
-  private def langBestSql: String =
+  private[graft] def langBestSql: String =
     s"GREATEST(${TextAnalysis.langMarkers.map("s_" + _._1).mkString(", ")})"
 
   /** The stopword-argmax WHEN arms (first-match-in-marker-order). */
-  private def langMarkerWhensSql: String =
+  private[graft] def langMarkerWhensSql: String =
     TextAnalysis.langMarkers.map(_._1).map(l =>
       s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
 
   /** DuckDB mirror of TextAnalysis.langId: replace-based marker counting,
     * greatest + first-match-in-marker-order argmax. */
-  private def langIdSql: String =
+  private[graft] def langIdSql: String =
     s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
         scored AS (SELECT doc_id, $langMarkerCountsSql FROM padded),
         withbest AS (SELECT *, $langBestSql AS best FROM scored)
@@ -10411,7 +1606,7 @@ object SparkEntry {
     * membership agrees on every character used here), then the
     * kana-ja rule, the non-Latin argmax prior (same fixed tie order as
     * `TextAnalysis.scriptLangs`), and the stopword fallback. */
-  private def langIdScriptSql: String = {
+  private[graft] def langIdScriptSql: String = {
     val runs = Seq(
       "привет мир тест", "中文測試中文測試",
       "ひらがなとカタカナ漢字", "한국어 테스트 한국어",
@@ -10459,7 +1654,7 @@ object SparkEntry {
     * scores out). */
   /** Quality-score CTE chain ending in `q(doc_id, quality)` — shared by
     * the q_text_quality oracle and the curation-pipeline oracle. */
-  private def qualityCtes: String = {
+  private[graft] def qualityCtes: String = {
     def cnt(expr: String, needle: String): String =
       s"CAST((length($expr) - length(replace($expr, '$needle', ''))) / ${needle.length} AS INT)"
     val punct = Seq(".", ",", "!", "?", ";", ":").map(cnt("text", _)).mkString(" + ")
@@ -10486,7 +1681,7 @@ object SparkEntry {
           FROM c)"""
   }
 
-  private def qualitySql: String =
+  private[graft] def qualitySql: String =
     s"WITH $qualityCtes SELECT doc_id, quality FROM q"
 
   /** DuckDB mirror of Sar2Cube.geocode over the SAR fixture: the Snyder
@@ -10499,7 +1694,7 @@ object SparkEntry {
     * full transverse-Mercator replay, ending at t3(time, y, x, value,
     * e, n). Used by BOTH the nearest-bin (q_geocode) and hull-masked
     * linear (q_geocode_linear) oracles. */
-  private def geocodeProjCtes: String = {
+  private[graft] def geocodeProjCtes: String = {
     val c = graft.ops.Sar2Cube.tmConstants(32632)
     cubeCte + s""",
        d AS (SELECT date_trunc('day', time) AS time, y, x, MAX(value) AS value
@@ -10540,7 +1735,7 @@ object SparkEntry {
     * 6400 m tiles), degenerate-tile exclusion (<3 distinct points or
     * all collinear → no supporting pair with a strictly-left witness),
     * and the (d2, y, x) nearest tie-break mirror the operator exactly. */
-  private def geocodeLinearSql: String = geocodeProjCtes + s""",
+  private[graft] def geocodeLinearSql: String = geocodeProjCtes + s""",
        k1 AS (SELECT time, value, y, x, e, n,
            unnest(range(CAST(floor((e-800.0)/6400.0) AS BIGINT),
                         CAST(floor((e+800.0)/6400.0) AS BIGINT) + 1)) AS te
@@ -10605,7 +1800,7 @@ object SparkEntry {
          (CAST(cx AS DOUBLE)+0.5)*100.0 AS x, value
        FROM nearest"""
 
-  private def geocodeSql: String = {
+  private[graft] def geocodeSql: String = {
     val offs = graft.ops.Sar2Cube.stencilOffsets
       .map { case (oi, ox, oy, w) => s"($oi,$ox,$oy,${w})" }.mkString(", ")
     geocodeProjCtes + s""",
@@ -10649,7 +1844,7 @@ object SparkEntry {
   /** The curation-pipeline oracle: each stage is the identical formula the
     * standalone oracled queries use (quality, top-bigram repetition,
     * sha256 dedup, md5-bucket grouped split, whitespace token count). */
-  private def curationSql: String =
+  private[graft] def curationSql: String =
     s"""WITH RECURSIVE $qualityCtes,
         tok AS (SELECT doc_id,
             string_split_regex(lower(trim(text)), '\\s+') AS tk
