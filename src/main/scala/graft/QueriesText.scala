@@ -1093,6 +1093,43 @@ private[graft] object QueriesText {
           posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
         .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
     }),
+    "q_multimodal_jpeg_color" -> ((s, dir) => {
+      // COLOR baseline JPEG end-to-end (r14): per doc, a wb×hb grid of
+      // flat 8×8 RGB blocks (block s takes channel bytes (3s, 3s+1,
+      // 3s+2) mod len) encoded 4:4:4. Flat blocks make every YCbCr
+      // plane DCT-lossless, so the only transform the decode output
+      // sees is the integer RGB→YCbCr→RGB chain — round-half-up
+      // (floor(x+0.5)), which DuckDB replays literally. Huffman, byte
+      // stuffing, the 3-component MCU interleave, dequant, and IDCT all
+      // sit on the hash path.
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val jpg = d.select(col("doc_id"), encode(col("text"), "UTF-8").as("tb"))
+        .where(octet_length(col("tb")) >= 1)
+        .as[(Long, Array[Byte])]
+        .map { case (id, tb) =>
+          val len = tb.length
+          val wb = 1 + len % 4; val hb = 1 + len % 2
+          val wp = wb * 8; val hp = hb * 8
+          val px = Array.tabulate[Byte](wp * hp * 3) { j =>
+            val i = j / 3; val c = j % 3
+            val blk = (i / wp / 8) * wb + (i % wp) / 8
+            tb((blk * 3 + c) % len)
+          }
+          (id, Multimodal.JpegCodec.encode(
+            Multimodal.Decoded("jpeg", wp, hp, 3, 1, px)))
+        }.toDF("doc_id", "payload")
+      Multimodal.featureExtract(
+          Multimodal.decodeMeta(jpg, "payload", Multimodal.JpegCodec),
+          "payload", dim = 5, codec = Multimodal.JpegCodec)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          round(col("mean_px"), 6).as("mean_px"),
+          posexplode(col("features")).as(Seq("feat_idx", "feat_val")))
+        .withColumn("feat_val", round(col("feat_val").cast("double"), 6))
+    }),
     "q_chunk_tokens" -> ((s, dir) => {
       // context-length chunking: 32-token chunks, remainder in the last
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2632,6 +2669,88 @@ private[graft] object QueriesText {
          )
          SELECT m.doc_id, 'jpeg' AS format, m.width, m.height, m.mean_px,
                 fv.feat_idx,
+                CASE WHEN fv.n = 0 THEN 0.0
+                     ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
+                            AS FLOAT) AS DOUBLE), 6) END AS feat_val
+         FROM m JOIN fv ON fv.doc_id = m.doc_id""",
+    "q_multimodal_jpeg_color" ->
+      // flat-8×8-block COLOR baseline JPEG: per-plane DCT is lossless
+      // (DC-only, quant step 8), so decoded channel c of pixel i equals
+      // the input RGB pushed through the integer JFIF YCbCr round trip.
+      // Both directions round half-up — FLOOR(x+0.5), exactly the
+      // codec's r255 (DuckDB's round() is half-even and would diverge).
+      // Formula term ORDER mirrors the Scala exactly (left-assoc IEEE
+      // double chains), so the replay is bit-exact.
+      """WITH d AS (
+           SELECT doc_id, hex(encode(text)) AS h,
+                  octet_length(encode(text)) AS len
+           FROM documents WHERE octet_length(encode(text)) >= 1
+         ), p AS (
+           SELECT doc_id, h, len, 1 + (len % 4) AS wb, 1 + (len % 2) AS hb,
+                  (1 + (len % 4)) * 8 AS width,
+                  (1 + (len % 2)) * 8 AS height,
+                  (1 + (len % 4)) * (1 + (len % 2)) * 192 AS px_len
+           FROM d
+         ), blk AS (
+           SELECT p.doc_id, g.s AS blk,
+                  CAST(('0x' || substr(p.h,
+                    ((g.s * 3) % p.len) * 2 + 1, 2)) AS INTEGER) AS r0,
+                  CAST(('0x' || substr(p.h,
+                    ((g.s * 3 + 1) % p.len) * 2 + 1, 2)) AS INTEGER) AS g0,
+                  CAST(('0x' || substr(p.h,
+                    ((g.s * 3 + 2) % p.len) * 2 + 1, 2)) AS INTEGER) AS b0
+           FROM p, generate_series(0, 7) AS g(s)
+           WHERE g.s < p.wb * p.hb
+         ), ycc AS (
+           SELECT doc_id, blk,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (0.299 * r0 + 0.587 * g0 + 0.114 * b0) + 0.5)
+               AS INTEGER))) AS y,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (-0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 128.0) + 0.5)
+               AS INTEGER))) AS cb,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 128.0) + 0.5)
+               AS INTEGER))) AS cr
+           FROM blk
+         ), rgb AS (
+           SELECT doc_id, blk,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (y + 1.402 * (cr - 128)) + 0.5) AS INTEGER))) AS r1,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) + 0.5)
+               AS INTEGER))) AS g1,
+             LEAST(255, GREATEST(0, CAST(FLOOR(
+               (y + 1.772 * (cb - 128)) + 0.5) AS INTEGER))) AS b1
+           FROM ycc
+         ), bytes AS (
+           SELECT p.doc_id, g.j,
+                  CASE g.j % 3 WHEN 0 THEN rgb.r1 WHEN 1 THEN rgb.g1
+                       ELSE rgb.b1 END AS b
+           FROM p, generate_series(0, 1535) AS g(j), rgb
+           WHERE g.j < p.px_len
+             AND rgb.doc_id = p.doc_id
+             AND rgb.blk = (((g.j // 3) // p.width) // 8) * p.wb +
+                           ((g.j // 3) % p.width) // 8
+         ), m AS (
+           SELECT p.doc_id, p.width, p.height,
+                  ROUND(SUM(b.b)::DOUBLE / COUNT(b.b), 6) AS mean_px
+           FROM p JOIN bytes b ON b.doc_id = p.doc_id
+           GROUP BY p.doc_id, p.width, p.height
+         ), f AS (
+           SELECT p.doc_id, g.i AS feat_idx,
+                  GREATEST(1, p.px_len // 5) AS block, p.px_len
+           FROM p, generate_series(0, 4) AS g(i)
+         ), fv AS (
+           SELECT f.doc_id, f.feat_idx, COUNT(b.b) AS n, SUM(b.b) AS s
+           FROM f LEFT JOIN bytes b
+             ON b.doc_id = f.doc_id
+            AND b.j >= f.feat_idx * f.block
+            AND b.j < LEAST((f.feat_idx + 1) * f.block, f.px_len)
+           GROUP BY f.doc_id, f.feat_idx
+         )
+         SELECT m.doc_id, 'jpeg' AS format, m.width, m.height,
+                3 AS channels, m.mean_px, fv.feat_idx,
                 CASE WHEN fv.n = 0 THEN 0.0
                      ELSE ROUND(CAST(CAST(fv.s::DOUBLE / fv.n / 255.0
                             AS FLOAT) AS DOUBLE), 6) END AS feat_val

@@ -581,9 +581,213 @@ object Multimodal {
       s
     }
 
+    /** FDCT + quantize + Huffman-encode ONE 8×8 block of level-shifted
+      * samples (row-major, value−128). Returns the new DC predictor.
+      * Shared by the grayscale and color paths so their per-block math
+      * cannot diverge. */
+    private def encodeBlock(bw: BitWriter, blk: Array[Double],
+        prevDc: Int): Int = {
+      val coef = new Array[Double](64)
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              s += blk(y * 8 + x) * CosTab(x * 8 + u) * CosTab(y * 8 + v)
+              x += 1
+            }
+            y += 1
+          }
+          coef(v * 8 + u) = 0.25 * cFac(u) * cFac(v) * s
+          v += 1
+        }
+        u += 1
+      }
+      val q = new Array[Int](64)
+      var z = 0
+      while (z < 64) {
+        q(z) = math.round(coef(Zigzag(z)) / Quant(z)).toInt
+        z += 1
+      }
+      val diff = q(0) - prevDc
+      val s0 = category(diff)
+      val (dc, dl) = DcEnc.getOrElse(s0, bad(s"DC category $s0"))
+      bw.put(dc, dl)
+      if (s0 > 0)
+        bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+      var zz = 1
+      var run = 0
+      while (zz < 64) {
+        if (q(zz) == 0) run += 1
+        else {
+          while (run > 15) {
+            val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
+          }
+          val sc = category(q(zz))
+          val (ac, al) = AcEnc.getOrElse((run << 4) | sc,
+            bad(s"AC (run=$run,size=$sc)"))
+          bw.put(ac, al)
+          bw.put(if (q(zz) < 0) q(zz) + (1 << sc) - 1 else q(zz), sc)
+          run = 0
+        }
+        zz += 1
+      }
+      if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) } // EOB
+      q(0)
+    }
+
+    /** Round-half-up clamped to [0,255] — used on BOTH color-transform
+      * directions because a DuckDB oracle replays it literally as
+      * `FLOOR(x + 0.5)` (DuckDB's round() is half-EVEN; Math.round is
+      * floor(x+0.5) — mixing the two flips exact .5 boundaries). */
+    private def r255(x: Double): Int =
+      math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+
+    /** Common header/MCU-loop skeleton for both color modes. `sub` =
+      * 4:2:0 (Y 2×2, chroma 1×1 over a 16×16 MCU); false = 4:4:4. All
+      * components share the one quant table and the Annex-K luminance
+      * Huffman pair — legal baseline JPEG (every selector may point at
+      * table 0) and half the header machinery. */
+    private def encodeColor(d: Decoded, sub: Boolean): Array[Byte] = {
+      val w = d.width; val h = d.height
+      if (d.pixels.length != w * h * 3)
+        bad(s"pixel buffer ${d.pixels.length} != ${w}x${h}x3")
+      if (w < 1 || h < 1 || w > 0xffff || h > 0xffff)
+        bad(s"dimensions ${w}x$h out of JPEG range")
+      // JFIF RGB→YCbCr planes (integer, round-half-up)
+      val py = new Array[Int](w * h)
+      val pcb = new Array[Int](w * h)
+      val pcr = new Array[Int](w * h)
+      var i = 0
+      while (i < w * h) {
+        val r = d.pixels(3 * i) & 0xff
+        val g = d.pixels(3 * i + 1) & 0xff
+        val b = d.pixels(3 * i + 2) & 0xff
+        py(i) = r255(0.299 * r + 0.587 * g + 0.114 * b)
+        pcb(i) = r255(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+        pcr(i) = r255(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream(d.pixels.length / 4 + 256)
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def seg(m: Int, body: Array[Byte]): Unit = {
+        marker(m)
+        out.write((body.length + 2) >>> 8); out.write((body.length + 2) & 0xff)
+        out.write(body)
+      }
+      marker(0xd8) // SOI
+      seg(0xdb, (Array(0x00) ++ Zigzag.indices.map(z => Quant(z)))
+        .map(_.toByte))
+      val ySamp = if (sub) 0x22 else 0x11
+      seg(0xc0, Array(8, h >>> 8, h & 0xff, w >>> 8, w & 0xff, 3,
+        1, ySamp, 0, 2, 0x11, 0, 3, 0x11, 0).map(_.toByte)) // SOF0 ×3
+      seg(0xc4, (Array(0x00) ++ DcBits ++ DcVals).map(_.toByte))
+      seg(0xc4, (Array(0x10) ++ AcBits ++ AcVals).map(_.toByte))
+      seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
+        .map(_.toByte)) // SOS ×3, all selectors table 0
+      val bw = new BitWriter(out)
+      val blk = new Array[Double](64)
+      // fill an 8×8 block from a full-res plane with edge replication
+      def fill(plane: Array[Int], ox: Int, oy: Int): Unit = {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val sy = math.min(h - 1, oy + y); val sx = math.min(w - 1, ox + x)
+            blk(y * 8 + x) = plane(sy * w + sx) - 128
+            x += 1
+          }
+          y += 1
+        }
+      }
+      // 2×2 box-averaged chroma sample at subsampled coords (4:2:0)
+      def fillSub(plane: Array[Int], ox: Int, oy: Int): Unit = {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0; var n = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val sy = (oy + y) * 2 + dy; val sx = (ox + x) * 2 + dx
+                if (sy < h && sx < w) { s += plane(sy * w + sx); n += 1 }
+                dx += 1
+              }
+              dy += 1
+            }
+            val v = if (n == 0) { // pad region: replicate nearest sample
+              plane(math.min(h - 1, (oy + y) * 2) * w +
+                math.min(w - 1, (ox + x) * 2))
+            } else r255(s.toDouble / n)
+            blk(y * 8 + x) = v - 128
+            x += 1
+          }
+          y += 1
+        }
+      }
+      var dcY = 0; var dcCb = 0; var dcCr = 0
+      if (!sub) {
+        val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+        var by = 0
+        while (by < bh8) {
+          var bx = 0
+          while (bx < bw8) {
+            fill(py, bx * 8, by * 8); dcY = encodeBlock(bw, blk, dcY)
+            fill(pcb, bx * 8, by * 8); dcCb = encodeBlock(bw, blk, dcCb)
+            fill(pcr, bx * 8, by * 8); dcCr = encodeBlock(bw, blk, dcCr)
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        val mx = (w + 15) / 16; val my = (h + 15) / 16
+        var m2 = 0
+        while (m2 < my) {
+          var m1 = 0
+          while (m1 < mx) {
+            // 4 Y blocks, raster order within the MCU (T.81 A.2.3)
+            var byy = 0
+            while (byy < 2) {
+              var bxx = 0
+              while (bxx < 2) {
+                fill(py, m1 * 16 + bxx * 8, m2 * 16 + byy * 8)
+                dcY = encodeBlock(bw, blk, dcY)
+                bxx += 1
+              }
+              byy += 1
+            }
+            fillSub(pcb, m1 * 8, m2 * 8); dcCb = encodeBlock(bw, blk, dcCb)
+            fillSub(pcr, m1 * 8, m2 * 8); dcCr = encodeBlock(bw, blk, dcCr)
+            m1 += 1
+          }
+          m2 += 1
+        }
+      }
+      bw.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    /** 4:2:0 chroma-subsampled color encode — the layout real cameras
+      * emit; see [[encodeColor]]. Lossless for flat 16×16 construction
+      * (every 2×2 chroma box is constant, so subsampling drops nothing). */
+    def encode420(d: Decoded): Array[Byte] =
+      if (d.channels == 3 && d.nFrames == 1) encodeColor(d, sub = true)
+      else bad(s"encode420 needs channels=3, nFrames=1 " +
+        s"(got ${d.channels}/${d.nFrames})")
+
     def encode(d: Decoded): Array[Byte] = {
-      if (d.channels != 1 || d.nFrames != 1)
-        bad(s"encode needs channels=1, nFrames=1 (got ${d.channels}/${d.nFrames})")
+      if (d.nFrames != 1)
+        bad(s"encode needs nFrames=1 (got ${d.nFrames})")
+      if (d.channels == 3) return encodeColor(d, sub = false)
+      if (d.channels != 1)
+        bad(s"encode needs channels=1 or 3 (got ${d.channels})")
       if (d.pixels.length != d.width * d.height)
         bad(s"pixel buffer ${d.pixels.length} != ${d.width}x${d.height}")
       if (d.width < 1 || d.height < 1 || d.width > 0xffff || d.height > 0xffff)
@@ -605,66 +809,24 @@ object Multimodal {
       seg(0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte)) // SOS
       val bw = new BitWriter(out)
       val bw8 = (d.width + 7) / 8; val bh8 = (d.height + 7) / 8
-      val coef = new Array[Double](64)
+      val blk = new Array[Double](64)
       var prevDc = 0
       var by = 0
       while (by < bh8) {
         var bx = 0
         while (bx < bw8) {
-          // FDCT of the (edge-replicated) block
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var s = 0.0
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  val sy = math.min(d.height - 1, by * 8 + y)
-                  val sx = math.min(d.width - 1, bx * 8 + x)
-                  s += ((d.pixels(sy * d.width + sx) & 0xff) - 128) *
-                    CosTab(x * 8 + u) * CosTab(y * 8 + v)
-                  x += 1
-                }
-                y += 1
-              }
-              coef(v * 8 + u) = 0.25 * cFac(u) * cFac(v) * s
-              v += 1
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val sy = math.min(d.height - 1, by * 8 + y)
+              val sx = math.min(d.width - 1, bx * 8 + x)
+              blk(y * 8 + x) = (d.pixels(sy * d.width + sx) & 0xff) - 128
+              x += 1
             }
-            u += 1
+            y += 1
           }
-          // quantize in zigzag order, encode DC diff + AC runs
-          val q = new Array[Int](64)
-          var z = 0
-          while (z < 64) {
-            q(z) = math.round(coef(Zigzag(z)) / Quant(z)).toInt
-            z += 1
-          }
-          val diff = q(0) - prevDc; prevDc = q(0)
-          val s0 = category(diff)
-          val (dc, dl) = DcEnc.getOrElse(s0, bad(s"DC category $s0"))
-          bw.put(dc, dl)
-          if (s0 > 0)
-            bw.put(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
-          var zz = 1
-          var run = 0
-          while (zz < 64) {
-            if (q(zz) == 0) run += 1
-            else {
-              while (run > 15) {
-                val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
-              }
-              val sc = category(q(zz))
-              val (ac, al) = AcEnc.getOrElse((run << 4) | sc,
-                bad(s"AC (run=$run,size=$sc)"))
-              bw.put(ac, al)
-              bw.put(if (q(zz) < 0) q(zz) + (1 << sc) - 1 else q(zz), sc)
-              run = 0
-            }
-            zz += 1
-          }
-          if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) } // EOB
+          prevDc = encodeBlock(bw, blk, prevDc)
           bx += 1
         }
         by += 1
@@ -732,6 +894,53 @@ object Multimodal {
     private def extend(v: Int, s: Int): Int =
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
+    /** Huffman-decode + dequantize + IDCT ONE 8×8 block into `px64`
+      * (clamped [0,255] ints). Returns the component's new DC predictor. */
+    private def decodeBlockPx(br: BitReader, dcT: HuffDec, acT: HuffDec,
+        qt: Array[Int], prevDc: Int, px64: Array[Int]): Int = {
+      val zz = new Array[Int](64)
+      val s0 = br.decodeHuff(dcT)
+      val dc = prevDc + extend(br.bits(s0), s0)
+      zz(0) = dc * qt(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = br.decodeHuff(acT)
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else eob = true
+        } else {
+          k += r
+          if (k > 63) bad("AC run overruns block")
+          zz(k) = extend(br.bits(s), s) * qt(k)
+          k += 1
+        }
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var z = 0
+          while (z < 64) {
+            if (zz(z) != 0) {
+              val nat = Zigzag(z)
+              val u = nat % 8; val v = nat / 8
+              s += cFac(u) * cFac(v) * zz(z) *
+                CosTab(x * 8 + u) * CosTab(y * 8 + v)
+            }
+            z += 1
+          }
+          val vv = math.round(0.25 * s + 128.0).toInt
+          px64(y * 8 + x) = math.max(0, math.min(255, vv))
+          x += 1
+        }
+        y += 1
+      }
+      dc
+    }
+
     def decode(payload: Array[Byte]): Decoded = {
       if (payload.length < 4 || (payload(0) & 0xff) != 0xff ||
           (payload(1) & 0xff) != 0xd8)
@@ -740,8 +949,11 @@ object Multimodal {
       val quant = scala.collection.mutable.Map[Int, Array[Int]]()
       val dcTabs = scala.collection.mutable.Map[Int, HuffDec]()
       val acTabs = scala.collection.mutable.Map[Int, HuffDec]()
-      var width = -1; var height = -1; var qSel = -1
-      var dcSel = -1; var acSel = -1
+      var width = -1; var height = -1
+      // per SOF component: (id, hFac, vFac, quant selector)
+      var comps: Array[(Int, Int, Int, Int)] = null
+      // per scan component (SOF order): (dc selector, ac selector)
+      var scanSel: Array[(Int, Int)] = null
       var scanStart = -1
       while (scanStart < 0) {
         if (off + 4 > payload.length) bad("truncated before SOS")
@@ -769,15 +981,28 @@ object Multimodal {
                 quant(tq) = t
                 p += 65
               }
-            case 0xc0 => // SOF0 baseline
+            case 0xc0 => // SOF0 baseline: 1 (gray) or 3 (YCbCr) components
               if (body.length < 8) bad("SOF0 truncated")
               if ((body(0) & 0xff) != 8) bad("only 8-bit precision supported")
               height = ((body(1) & 0xff) << 8) | (body(2) & 0xff)
               width = ((body(3) & 0xff) << 8) | (body(4) & 0xff)
               val nc = body(5) & 0xff
-              if (nc != 1) bad(s"only grayscale (1 component) supported, got $nc")
-              if ((body(7) & 0xff) != 0x11) bad("subsampling must be 1x1")
-              qSel = body(8) & 0xff
+              if (nc != 1 && nc != 3)
+                bad(s"only 1- or 3-component images supported, got $nc")
+              if (body.length < 6 + nc * 3) bad("SOF0 component list truncated")
+              comps = Array.tabulate(nc) { i =>
+                val cid = body(6 + i * 3) & 0xff
+                val hv = body(7 + i * 3) & 0xff
+                val hF = (hv & 0xf0) >> 4; val vF = hv & 0x0f
+                if (hF < 1 || hF > 2 || vF < 1 || vF > 2)
+                  bad(s"sampling factor ${hF}x$vF unsupported (1..2 only)")
+                (cid, hF, vF, body(8 + i * 3) & 0xff)
+              }
+              if (nc == 1 && (comps(0)._2 != 1 || comps(0)._3 != 1))
+                bad("grayscale subsampling must be 1x1")
+              if (nc == 3 && (comps(1)._2 != 1 || comps(1)._3 != 1 ||
+                  comps(2)._2 != 1 || comps(2)._3 != 1))
+                bad("chroma sampling factors must be 1x1")
             case 0xc2 => bad("progressive JPEG (SOF2) unsupported")
             case 0xc4 => // DHT (possibly several tables per segment)
               var p = 0
@@ -796,79 +1021,117 @@ object Multimodal {
               val ri = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
               if (ri != 0) bad("restart intervals unsupported")
             case 0xda => // SOS
-              if (body.length < 4) bad("SOS truncated")
-              if ((body(0) & 0xff) != 1) bad("SOS must cover 1 component")
-              dcSel = (body(2) & 0xf0) >> 4; acSel = body(2) & 0x0f
+              if (comps == null) bad("SOS before SOF0")
+              if (body.length < 1 + comps.length * 2 + 3) bad("SOS truncated")
+              if ((body(0) & 0xff) != comps.length)
+                bad(s"SOS must cover ${comps.length} component(s)")
+              val byId = Array.tabulate(comps.length)(i =>
+                ((body(1 + i * 2) & 0xff), body(2 + i * 2) & 0xff))
+              scanSel = comps.map { case (cid, _, _, _) =>
+                val e = byId.find(_._1 == cid)
+                  .getOrElse(bad(s"SOS missing component $cid"))
+                ((e._2 & 0xf0) >> 4, e._2 & 0x0f)
+              }
               scanStart = off
             case _ => () // APPn / COM / others: skipped
           }
         }
       }
       if (width <= 0 || height <= 0) bad("no SOF0 before SOS")
-      val qt = quant.getOrElse(qSel, bad(s"quant table $qSel missing"))
-      val dcT = dcTabs.getOrElse(dcSel, bad(s"DC table $dcSel missing"))
-      val acT = acTabs.getOrElse(acSel, bad(s"AC table $acSel missing"))
-      val bw8 = (width + 7) / 8; val bh8 = (height + 7) / 8
-      val wh = width.toLong * height
+      val nc = comps.length
+      val hMax = comps.map(_._2).max; val vMax = comps.map(_._3).max
+      val wh = width.toLong * height * nc
       if (wh > Int.MaxValue / 2) bad(s"image ${width}x$height too large")
-      val pixels = new Array[Byte](width * height)
-      val br = new BitReader(payload, scanStart)
-      val zz = new Array[Int](64)
-      var prevDc = 0
-      var by = 0
-      while (by < bh8) {
-        var bx = 0
-        while (bx < bw8) {
-          java.util.Arrays.fill(zz, 0)
-          val s0 = br.decodeHuff(dcT)
-          prevDc += extend(br.bits(s0), s0)
-          zz(0) = prevDc * qt(0)
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = br.decodeHuff(acT)
-            val r = rs >> 4; val s = rs & 0x0f
-            if (s == 0) {
-              if (r == 15) k += 16 // ZRL
-              else eob = true
-            } else {
-              k += r
-              if (k > 63) bad("AC run overruns block")
-              zz(k) = extend(br.bits(s), s) * qt(k)
-              k += 1
-            }
-          }
-          // dezigzag + IDCT
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var z = 0
-              while (z < 64) {
-                if (zz(z) != 0) {
-                  val nat = Zigzag(z)
-                  val u = nat % 8; val v = nat / 8
-                  s += cFac(u) * cFac(v) * zz(z) *
-                    CosTab(x * 8 + u) * CosTab(y * 8 + v)
-                }
-                z += 1
-              }
-              val px = by * 8 + y; val pxx = bx * 8 + x
-              if (px < height && pxx < width) {
-                val vv = math.round(0.25 * s + 128.0).toInt
-                pixels(px * width + pxx) =
-                  math.max(0, math.min(255, vv)).toByte
-              }
-              x += 1
-            }
-            y += 1
-          }
-          bx += 1
-        }
-        by += 1
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      // per-component decode plane, padded to whole MCUs
+      val planeW = comps.map(c => mcusX * 8 * c._2)
+      val planes = comps.zipWithIndex.map { case (c, i) =>
+        new Array[Int](planeW(i) * mcusY * 8 * c._3)
       }
-      Decoded("jpeg", width, height, 1, 1, pixels)
+      val qts = comps.map(c =>
+        quant.getOrElse(c._4, bad(s"quant table ${c._4} missing")))
+      val dcTs = scanSel.map(s =>
+        dcTabs.getOrElse(s._1, bad(s"DC table ${s._1} missing")))
+      val acTs = scanSel.map(s =>
+        acTabs.getOrElse(s._2, bad(s"AC table ${s._2} missing")))
+      val br = new BitReader(payload, scanStart)
+      val px64 = new Array[Int](64)
+      val dcPred = new Array[Int](nc)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nc) {
+            val hF = comps(ci)._2; val vF = comps(ci)._3
+            var byy = 0
+            while (byy < vF) {
+              var bxx = 0
+              while (bxx < hF) {
+                dcPred(ci) = decodeBlockPx(br, dcTs(ci), acTs(ci), qts(ci),
+                  dcPred(ci), px64)
+                val ox = (mx * hF + bxx) * 8; val oy = (my * vF + byy) * 8
+                val pw = planeW(ci)
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    planes(ci)((oy + y) * pw + ox + x) = px64(y * 8 + x)
+                    x += 1
+                  }
+                  y += 1
+                }
+                bxx += 1
+              }
+              byy += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      if (nc == 1) {
+        val pixels = new Array[Byte](width * height)
+        val pw = planeW(0)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            pixels(y * width + x) = planes(0)(y * pw + x).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Decoded("jpeg", width, height, 1, 1, pixels)
+      } else {
+        // chroma upsample by sample replication (integer coordinate
+        // truncation), then JFIF YCbCr→RGB with round-half-up — the
+        // same r255 the encoder used, so the whole transform chain is
+        // DuckDB-replayable
+        val pixels = new Array[Byte](width * height * 3)
+        val pwY = planeW(0); val pwCb = planeW(1); val pwCr = planeW(2)
+        val hCb = comps(1)._2; val vCb = comps(1)._3
+        val hCr = comps(2)._2; val vCr = comps(2)._3
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val yy = planes(0)(y * pwY + x)
+            val cb = planes(1)((y * vCb / vMax) * pwCb + x * hCb / hMax)
+            val cr = planes(2)((y * vCr / vMax) * pwCr + x * hCr / hMax)
+            val o = (y * width + x) * 3
+            pixels(o) = r255(yy + 1.402 * (cr - 128)).toByte
+            pixels(o + 1) = r255(yy - 0.344136 * (cb - 128) -
+              0.714136 * (cr - 128)).toByte
+            pixels(o + 2) = r255(yy + 1.772 * (cb - 128)).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Decoded("jpeg", width, height, 3, 1, pixels)
+      }
     }
   }
 

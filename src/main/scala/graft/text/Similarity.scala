@@ -212,8 +212,107 @@ object Similarity {
         .map(_.doubleValue()).toArray
       (cid, vec)
     }
+    // The literal-unrolled argmin is ideal at gate-sized C (whole-stage
+    // codegen, native dots) but Janino compilation of the C-struct
+    // expression tree grows superlinearly — measured 122 s compile at
+    // C=141 vs 0.9 s of actual row work (r14, BENCH_NOTES). Past the
+    // cliff, route through the native row-level expression instead
+    // (TwoLevelArgmin degenerates to an exact flat argmin with ONE
+    // group and probes=1 — same strict-< lowest-id tie rule).
+    val assignCol =
+      if (cents.length <= 64)
+        argminCentroid(col(vecCol), cents)
+      else {
+        val sorted = cents.sortBy(_._1)
+        graft.functions.IvfExprs.assign2(col(vecCol),
+          Array((0L, sorted.head._2)), Array(sorted), probes = 1)
+      }
+    corpus.select(col(idCol), col(vecCol), assignCol.as("centroid_id"))
+  }
+
+  /** Deterministic driver-side Lloyd's over the (tiny) CENTROID set:
+    * groups the C coarse centroids into `nGroups` for the two-level
+    * assignment path ([[ivfAssignTwoLevel]]). Pure Scala on ≤ a few
+    * thousand points — never a Spark job. Init = evenly-spaced picks
+    * over the cid-sorted centroids; assignment ties break to the lowest
+    * gid; an emptied group keeps its previous center (the standard
+    * Lloyd's fallback). Returns cid → gid. */
+  def groupCentroids(cents: Array[(Long, Array[Double])], nGroups: Int,
+      iters: Int = 10): Map[Long, Long] = {
+    val sorted = cents.sortBy(_._1)
+    val g = math.max(1, math.min(nGroups, sorted.length))
+    val dim = sorted.head._2.length
+    var centers: Array[Array[Double]] =
+      Array.tabulate(g)(i => sorted(i * sorted.length / g)._2.clone())
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var assign = new Array[Int](sorted.length)
+    var it = 0
+    while (it < iters) {
+      var c = 0
+      while (c < sorted.length) {
+        var best = 0; var bd = Double.PositiveInfinity
+        var j = 0
+        while (j < g) {
+          val d = d2(sorted(c)._2, centers(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        assign(c) = best; c += 1
+      }
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val counts = new Array[Int](g)
+      var c2 = 0
+      while (c2 < sorted.length) {
+        val j = assign(c2); counts(j) += 1
+        var d = 0
+        while (d < dim) { sums(j)(d) += sorted(c2)._2(d); d += 1 }
+        c2 += 1
+      }
+      centers = Array.tabulate(g) { j =>
+        if (counts(j) == 0) centers(j)
+        else { val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(j)(d) / counts(j); d += 1 }
+          m }
+      }
+      it += 1
+    }
+    sorted.indices.map(i => sorted(i)._1 -> assign(i).toLong).toMap
+  }
+
+  /** Two-level IVF assignment (build-side scale path — see
+    * [[graft.functions.IvfExprs.TwoLevelArgmin]]): group centers are the
+    * means of each group's member centroids, recomputed from `mapping`
+    * so any holder of (centroids, mapping) derives bit-identical
+    * structure — that is what makes append ≡ rebuild hold for two-level
+    * stores (the mapping is persisted next to the centroids). Output
+    * schema is identical to [[ivfAssign]]. */
+  def ivfAssignTwoLevel(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, mapping: Map[Long, Long],
+      groupProbes: Int = 2): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = centroids.collect().map { r =>
+      val cid = r.getLong(r.fieldIndex("centroid_id"))
+      val vec = r.getSeq[Number](r.fieldIndex("_centroid"))
+        .map(_.doubleValue()).toArray
+      (cid, vec)
+    }.sortBy(_._1)
+    val dim = cents.head._2.length
+    val byGid = cents.groupBy(c => mapping(c._1)).toArray.sortBy(_._1)
+    val groups = byGid.map { case (gid, members) =>
+      val m = new Array[Double](dim)
+      members.foreach { case (_, v) =>
+        var d = 0; while (d < dim) { m(d) += v(d); d += 1 } }
+      var d = 0; while (d < dim) { m(d) /= members.length; d += 1 }
+      (gid, m)
+    }
+    val children = byGid.map(_._2.sortBy(_._1))
     corpus.select(col(idCol), col(vecCol),
-      argminCentroid(col(vecCol), cents).as("centroid_id"))
+      graft.functions.IvfExprs.assign2(col(vecCol), groups, children,
+        groupProbes).as("centroid_id"))
   }
 
   /** Literal-centroid argmin expression (shared by [[ivfAssign]] and the
@@ -585,14 +684,37 @@ object Similarity {
   def writeIvfStore(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nCentroids: Int = 16, trainIters: Int = 0,
       seed: Long = 42L,
-      centroidsOverride: Option[DataFrame] = None): String = {
+      centroidsOverride: Option[DataFrame] = None,
+      assignGroups: Int = 0, groupProbes: Int = 2): String = {
     val centroids = centroidsOverride.getOrElse(
       if (trainIters > 0)
         kmeansCentroids(corpus, idCol, vecCol, nCentroids, trainIters, seed)
       else sampleCentroids(corpus, idCol, vecCol, nCentroids, seed))
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
-    ivfAssign(corpus, centroids, idCol, vecCol)
+    // assignGroups > 0 → two-level assignment (O(n·2√C) build, see
+    // ivfAssignTwoLevel). The cid→gid mapping is PERSISTED next to the
+    // centroids so appends replay the exact same structure (append ≡
+    // rebuild stays a law, not a hope).
+    val assigned = if (assignGroups > 0) {
+      val spark = corpus.sparkSession
+      val cents = centroids.collect().map { r =>
+        (r.getLong(r.fieldIndex("centroid_id")),
+          r.getSeq[Number](r.fieldIndex("_centroid"))
+            .map(_.doubleValue()).toArray)
+      }
+      val mapping = groupCentroids(cents, assignGroups)
+      import spark.implicits._
+      // probes rides in the file so appends replay the IDENTICAL
+      // assignment function (mapping + probe width = the frozen
+      // hierarchy; either differing would break append ≡ rebuild)
+      mapping.toSeq.sorted.map { case (c, g) => (c, g, groupProbes) }
+        .toDF("centroid_id", "gid", "probes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/groups")
+      ivfAssignTwoLevel(corpus, centroids, idCol, vecCol, mapping,
+        groupProbes)
+    } else ivfAssign(corpus, centroids, idCol, vecCol)
+    assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         col("centroid_id"))
       .repartition(col("centroid_id")) // one writer set per cell dir
@@ -618,7 +740,17 @@ object Similarity {
     // generation's centroids it appends into
     val root = currentStoreRoot(spark, path)
     val centroids = spark.read.parquet(s"$root/centroids")
-    ivfAssign(shard, centroids, idCol, vecCol)
+    // a two-level store persisted its cid→gid mapping — appends MUST
+    // replay it (frozen structure), or append ≢ rebuild at boundaries
+    val assigned =
+      if (fsOf(spark, root).exists(
+          new org.apache.hadoop.fs.Path(s"$root/groups"))) {
+        val rows = spark.read.parquet(s"$root/groups").collect()
+        val mapping = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val probes = rows.head.getInt(2)
+        ivfAssignTwoLevel(shard, centroids, idCol, vecCol, mapping, probes)
+      } else ivfAssign(shard, centroids, idCol, vecCol)
+    assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
         col("centroid_id"))
       .repartition(col("centroid_id"))

@@ -434,10 +434,106 @@ class MultimodalSpec extends SparkSpec {
     // truncated entropy stream
     intercept[graft.OpenEoError](
       JpegCodec.decode(good.dropRight(8))).code shouldBe "CodecError"
-    // multi-component encode rejected
+    // 2-channel encode rejected (1 = gray and 3 = YCbCr are the JPEG
+    // component counts; anything else is a typed error)
     intercept[graft.OpenEoError](JpegCodec.encode(
-      Multimodal.Decoded("jpeg", 2, 2, 3, 1, Array.ofDim[Byte](12))))
+      Multimodal.Decoded("jpeg", 2, 2, 2, 1, Array.ofDim[Byte](8))))
       .code shouldBe "CodecError"
+    // multi-frame encode rejected
+    intercept[graft.OpenEoError](JpegCodec.encode(
+      Multimodal.Decoded("jpeg", 2, 2, 1, 2, Array.ofDim[Byte](8))))
+      .code shouldBe "CodecError"
+  }
+
+  /** Test-side reimplementation of the codec's round-half-up + JFIF
+    * transforms — an independent spelling of the same formulas, so a
+    * codec-side slip cannot self-verify. */
+  private def r255t(x: Double): Int =
+    math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+  private def rgb2ycc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    r255t(0.299 * r + 0.587 * g + 0.114 * b),
+    r255t(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+    r255t(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
+  private def ycc2rgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    r255t(y + 1.402 * (cr - 128)),
+    r255t(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+    r255t(y + 1.772 * (cb - 128)))
+
+  test("JpegCodec color 4:4:4: flat-8x8-block RGB round-trips through " +
+      "the EXACT YCbCr integer chain (DCT lossless per plane)") {
+    import Multimodal.JpegCodec
+    val bw = 3; val bh = 2; val w = bw * 8; val h = bh * 8
+    val px = Array.tabulate[Byte](w * h * 3) { j =>
+      val i = j / 3; val c = j % 3
+      val blk = ((i / w) / 8) * bw + ((i % w) / 8)
+      ((blk * 53 + c * 31 + 17) % 256).toByte
+    }
+    val wire = JpegCodec.encode(Multimodal.Decoded("jpeg", w, h, 3, 1, px))
+    val back = JpegCodec.decode(wire)
+    (back.format, back.width, back.height, back.channels) shouldBe
+      (("jpeg", w, h, 3))
+    // every plane is flat per 8×8 block after RGB→YCbCr (same transform
+    // on identical pixels), so the codec loses NOTHING except the two
+    // integer color transforms — replayed here independently
+    val expect = Array.tabulate[Byte](w * h * 3) { j =>
+      val i = j / 3; val c = j % 3
+      val blk = ((i / w) / 8) * bw + ((i % w) / 8)
+      def in(ch: Int) = (blk * 53 + ch * 31 + 17) % 256
+      val (y, cb, cr) = rgb2ycc(in(0), in(1), in(2))
+      val (r, g, b) = ycc2rgb(y, cb, cr)
+      (c match { case 0 => r; case 1 => g; case _ => b }).toByte
+    }
+    back.pixels shouldBe expect
+  }
+
+  test("JpegCodec color 4:2:0: flat-16x16-block RGB round-trips exactly " +
+      "(constant 2x2 chroma boxes make subsampling lossless)") {
+    import Multimodal.JpegCodec
+    val bw = 2; val bh = 2; val w = bw * 16; val h = bh * 16
+    def in(blk: Int, ch: Int) = (blk * 41 + ch * 29 + 11) % 256
+    val px = Array.tabulate[Byte](w * h * 3) { j =>
+      val i = j / 3; val c = j % 3
+      val blk = ((i / w) / 16) * bw + ((i % w) / 16)
+      in(blk, c).toByte
+    }
+    val wire = JpegCodec.encode420(Multimodal.Decoded("jpeg", w, h, 3, 1, px))
+    // the wire declares 2x2 Y sampling: SOF0 = FF C0 len(2) prec(1)
+    // h(2) w(2) nc(1), then per-component (id, hv, tq) — Y's hv byte
+    // sits at offset 11 from the FF
+    val sof = wire.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    (wire(sof + 9) & 0xff) shouldBe 3 // component count
+    (wire(sof + 11) & 0xff) shouldBe 0x22
+    val back = JpegCodec.decode(wire)
+    (back.width, back.height, back.channels) shouldBe ((w, h, 3))
+    val expect = Array.tabulate[Byte](w * h * 3) { j =>
+      val i = j / 3; val c = j % 3
+      val blk = ((i / w) / 16) * bw + ((i % w) / 16)
+      val (y, cb, cr) = rgb2ycc(in(blk, 0), in(blk, 1), in(blk, 2))
+      val (r, g, b) = ycc2rgb(y, cb, cr)
+      (c match { case 0 => r; case 1 => g; case _ => b }).toByte
+    }
+    back.pixels shouldBe expect
+  }
+
+  test("JpegCodec color: general images decode with bounded error in " +
+      "both modes, odd dimensions pad/crop, decode is deterministic") {
+    import Multimodal.JpegCodec
+    for ((w, h) <- Seq((16, 16), (19, 13))) {
+      val px = Array.tabulate[Byte](w * h * 3) { j =>
+        (128 + 80 * math.sin(j * 0.31)).toInt.toByte
+      }
+      val d = Multimodal.Decoded("jpeg", w, h, 3, 1, px)
+      for (wire <- Seq(JpegCodec.encode(d), JpegCodec.encode420(d))) {
+        val back = JpegCodec.decode(wire)
+        (back.width, back.height, back.channels) shouldBe ((w, h, 3))
+        // color transform (±1) + AC quantization + (4:2:0) chroma
+        // averaging: smooth-signal error stays well inside ±48
+        px.zip(back.pixels).foreach { case (a, b) =>
+          math.abs((a & 0xff) - (b & 0xff)) should be <= 48
+        }
+        JpegCodec.decode(wire).pixels shouldBe back.pixels
+      }
+    }
   }
 
   test("decodeMeta + featureExtract run the real JPEG codec through the " +

@@ -675,4 +675,68 @@ class SimilaritySpec extends SparkSpec {
     Similarity.ivfStoreSkewReport(spark, idx).collect()
       .map(_.getLong(1)).sum shouldBe 50L
   }
+
+  test("two-level IVF assignment: near-total agreement with flat argmin " +
+      "on clustered vectors, deterministic across runs") {
+    import spark.implicits._
+    // 8 well-separated clusters in 16 dims (one-hot axes ±0.1 noise)
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 400).map { i =>
+      val base = Array.fill(16)(0.0); base((i % 8) * 2) = 1.0
+      (i.toLong, base.map(v => (v + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 16)
+      .localCheckpoint()
+    val flat = Similarity.ivfAssign(corpus, cents, "vec_id", "embedding")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centArr = cents.collect().map { r =>
+      (r.getLong(0), r.getSeq[Number](1).map(_.doubleValue()).toArray)
+    }
+    val mapping = Similarity.groupCentroids(centArr, 4)
+    val two = Similarity.ivfAssignTwoLevel(corpus, cents, "vec_id",
+      "embedding", mapping)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the hierarchy only reroutes group-BOUNDARY vectors; on a clustered
+    // corpus that is a thin shell — require >= 95% identical cells
+    val agree = flat.count { case (id, cid) => two(id) == cid }
+    agree.toDouble / flat.size should be >= 0.95
+    // bit-determinism: a second evaluation is identical
+    val again = Similarity.ivfAssignTwoLevel(corpus, cents, "vec_id",
+      "embedding", mapping)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe two
+    // every assigned cell is a real centroid id
+    two.values.toSet.subsetOf(centArr.map(_._1).toSet) shouldBe true
+  }
+
+  test("two-level IVF store: append ≡ rebuild (the persisted cid→gid " +
+      "mapping freezes the hierarchy, so shard appends replay it)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def mk(ids: Range) = ids.map { i =>
+      val base = Array.fill(16)(0.0); base((i % 8) * 2) = 1.0
+      (i.toLong, base.map(v => (v + rnd.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val base = mk(0 until 120)
+    val shard = mk(120 until 160)
+    val incDir = java.nio.file.Files.createTempDirectory("ivf2-inc").toString
+    val fullDir = java.nio.file.Files.createTempDirectory("ivf2-full").toString
+    Similarity.writeIvfStore(base, "vec_id", "embedding", s"$incDir/idx",
+      nCentroids = 12, assignGroups = 3)
+    Similarity.appendIvfStore(spark, s"$incDir/idx", shard, "vec_id",
+      "embedding")
+    val frozen = spark.read.parquet(s"$incDir/idx/centroids")
+    Similarity.writeIvfStore(base.union(shard), "vec_id", "embedding",
+      s"$fullDir/idx", centroidsOverride = Some(frozen), assignGroups = 3)
+    rowSet(spark.read.parquet(s"$incDir/idx/assigned")) shouldBe
+      rowSet(spark.read.parquet(s"$fullDir/idx/assigned"))
+    // serving over the two-level store works unchanged
+    val q = base.where(col("vec_id") < 3)
+    val got = Similarity.topKIvfStore(spark, s"$incDir/idx", q,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    got.count() shouldBe 9L
+  }
 }
