@@ -638,6 +638,150 @@ object Snapshots extends org.apache.spark.internal.Logging {
       commitDir: String, adds: Seq[String], schema: StructType,
       sizes: Map[String, Long] = Map.empty): Map[String, FileStats] = {
     if (adds.isEmpty) return Map.empty
+    // r14 optimization (guide §1.2/§5): a commit used to pay a SECOND
+    // distributed job to read its own files back for min/max/rowcount.
+    // The parquet FOOTERS the write just produced carry the same bounds
+    // — harvest them driver-side (a few ms per file) whenever the
+    // schema's stat columns are footer-faithful, and keep the
+    // distributed pass for the cases where footer semantics diverge
+    // from Spark's (see [[footerStatSafe]]) or when per-file bloom
+    // filters are configured (those need a real value pass). Footer
+    // bounds are Spark-exact for the safe set — validated in
+    // tools/FooterProbe and pinned by SnapshotsSpec's pruning-safety
+    // laws; where parquet omits stats (NaN-containing double chunks,
+    // all-null chunks, >4 KB string bounds) the column is simply
+    // absent, which the pruning layer already treats as unprunable —
+    // a conservative superset, never a wrong result.
+    val bloomConfigured = spark.conf.getOption(BloomColumnsKey)
+      .exists(_.split(',').map(_.trim).exists(_.nonEmpty))
+    if (!bloomConfigured && schema.fields.forall(f =>
+        !statType(f.dataType) || footerStatSafe(f.dataType))) {
+      try return computeStatsFromFooters(spark, root, adds, schema, sizes)
+      catch { case scala.util.control.NonFatal(_) =>
+        // unexpected footer shape (e.g. externally-written INT96
+        // timestamps) — fall through to the distributed pass, which
+        // handles every file Spark can read
+      }
+    }
+    computeStatsDistributed(spark, root, commitDir, adds, schema, sizes)
+  }
+
+  /** Spark-dt → can parquet footer statistics reproduce the Spark
+    * aggregate bounds EXACTLY (same total order, same rendered value)?
+    *   - int8/16/32/64 + date: signed int stats, exact.
+    *   - string: unsigned byte order == UTF8String order.
+    *   - timestamp: exact IF written as INT64 micros (commit writes pin
+    *     `outputTimestampType=TIMESTAMP_MICROS`; INT96 footers have no
+    *     usable stats and trip the fallback).
+    *   - float/double: IEEE order; parquet omits the bounds entirely
+    *     when a chunk saw NaN (conservative), and ±0.0 is normalized to
+    *     0.0 on read to match Spark's aggregate normalization.
+    *   - decimal ≤ 18 digits: int-backed unscaled values, exact.
+    * Everything else (wider decimals, exotic types) keeps the
+    * distributed pass. */
+  private def footerStatSafe(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         StringType | TimestampType | FloatType | DoubleType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
+
+  private def computeStatsFromFooters(spark: SparkSession, root: Path,
+      adds: Seq[String], schema: StructType,
+      sizes: Map[String, Long]): Map[String, FileStats] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sessionState.newHadoopConf()
+    val fields = schema.fields.filter(f => statType(f.dataType)).toSeq
+    adds.map { rel =>
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(root, rel), hconf))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val cols = fields.flatMap { f =>
+          val chunks = blocks.flatMap(_.getColumns.asScala.find(c =>
+            c.getPath.size == 1 && c.getPath.toArray.head == f.name))
+          // the column must be present in every block with usable
+          // stats, else record nothing (conservative)
+          if (chunks.size != blocks.size || chunks.isEmpty) None
+          else {
+            val pt = chunks.head.getPrimitiveType
+            // timestamps are only footer-faithful as INT64 micros
+            f.dataType match {
+              case TimestampType =>
+                val ok = pt.getPrimitiveTypeName == PrimitiveTypeName.INT64 &&
+                  (pt.getLogicalTypeAnnotation match {
+                    case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                    case _ => false
+                  })
+                if (!ok) throw new IllegalStateException(
+                  s"non-micros timestamp footer for ${f.name}: $pt")
+              case _ => ()
+            }
+            val stats = chunks.map(_.getStatistics)
+            if (stats.exists(s => s == null || s.isEmpty)) None
+            else {
+              // merge across row groups with parquet's own typed
+              // comparator (copy first: mergeStatistics mutates)
+              val merged = stats.head.copy()
+              stats.tail.foreach(s => merged.mergeStatistics(
+                s.asInstanceOf[merged.type]))
+              if (!merged.hasNonNullValue) None // all-null column
+              else statFromFooter(f,
+                merged.genericGetMin.asInstanceOf[AnyRef],
+                merged.genericGetMax.asInstanceOf[AnyRef])
+                .map(f.name -> _)
+            }
+          }
+        }.toMap[String, ColStat]
+        rel -> FileStats(rows, cols, partsFromPath(rel),
+          sizes.getOrElse(rel, 0L))
+      } finally rdr.close()
+    }.toMap
+  }
+
+  /** One footer (min, max) → the exact ColStat the distributed pass
+    * would have recorded (same renderNum widening, same string
+    * truncation rule, ±0.0 normalized to Spark's aggregate form). */
+  private def statFromFooter(f: StructField, mn: AnyRef,
+      mx: AnyRef): Option[ColStat] = {
+    def zeroNorm(v: Double): java.lang.Double =
+      if (v == 0.0) 0.0 else v // -0.0 == 0.0; Spark aggregates store +0.0
+    f.dataType match {
+      case StringType =>
+        val minS = new String(
+          mn.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val maxS = new String(
+          mx.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+        Some(ColStat("s", Some(minS.take(MaxStatString)),
+          if (maxS.length > MaxStatString) None else Some(maxS)))
+      case d: DecimalType =>
+        def dec(v: AnyRef) = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(v.asInstanceOf[Number].longValue),
+          d.scale)
+        Some(ColStat("n", Some(renderNum(dec(mn), isMin = true)),
+          Some(renderNum(dec(mx), isMin = false))))
+      case DoubleType | FloatType =>
+        val lo = zeroNorm(mn.asInstanceOf[Number].doubleValue)
+        val hi = zeroNorm(mx.asInstanceOf[Number].doubleValue)
+        Some(ColStat("n", Some(renderNum(lo, isMin = true)),
+          Some(renderNum(hi, isMin = false))))
+      case _ => // int8/16/32/64, date (int32 days), timestamp (int64 µs)
+        Some(ColStat("n", Some(renderNum(mn, isMin = true)),
+          Some(renderNum(mx, isMin = false))))
+    }
+  }
+
+  private def computeStatsDistributed(spark: SparkSession, root: Path,
+      commitDir: String, adds: Seq[String], schema: StructType,
+      sizes: Map[String, Long] = Map.empty): Map[String, FileStats] = {
     val fields = schema.fields.filter(f => statType(f.dataType)).toSeq
     // read the EXPLICIT file list (a partitioned commit dir would
     // otherwise trigger Spark's partition discovery on the __gp_ dirs).
@@ -2777,16 +2921,32 @@ object Snapshots extends org.apache.spark.internal.Logging {
       else {
         val commitDir =
           s"data/c-${java.util.UUID.randomUUID().toString.take(12)}"
-        if (effParts.isEmpty)
-          df.write.parquet(new Path(root, commitDir).toString)
-        else
-          // duplicate each partition column under the layout alias: the
-          // alias is consumed into the directory path, the original stays
-          // IN the data files (see [[PartPrefix]])
-          df.select(df.columns.map(col).toSeq ++
-              effParts.map(c => col(c).as(s"$PartPrefix$c")): _*)
-            .write.partitionBy(effParts.map(c => s"$PartPrefix$c"): _*)
-            .parquet(new Path(root, commitDir).toString)
+        // store-internal data files pin INT64-micros timestamps: Spark's
+        // default INT96 encoding carries NO footer statistics, which
+        // would cost timestamp columns their data-skipping bounds under
+        // the footer-harvest stats path (r14). Values are identical on
+        // read-back (Spark's internal timestamps are micros either way);
+        // only the encoding changes, and only for files this log owns.
+        // Session conf set/restore: prepareWrite reads it driver-side at
+        // job submission, inside this same call.
+        val tsKey = "spark.sql.parquet.outputTimestampType"
+        val prevTs = spark.conf.getOption(tsKey)
+        spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        try {
+          if (effParts.isEmpty)
+            df.write.parquet(new Path(root, commitDir).toString)
+          else
+            // duplicate each partition column under the layout alias: the
+            // alias is consumed into the directory path, the original stays
+            // IN the data files (see [[PartPrefix]])
+            df.select(df.columns.map(col).toSeq ++
+                effParts.map(c => col(c).as(s"$PartPrefix$c")): _*)
+              .write.partitionBy(effParts.map(c => s"$PartPrefix$c"): _*)
+              .parquet(new Path(root, commitDir).toString)
+        } finally prevTs match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
         val listed = listParquet(fs, new Path(root, commitDir), commitDir)
         val a = listed.map(_._1).sorted
         (a, computeStats(spark, root, commitDir, a, df.schema,
