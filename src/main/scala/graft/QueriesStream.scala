@@ -15,6 +15,22 @@ import SparkEntry._
   * Shared helpers stay on SparkEntry as `private[graft]`. */
 private[graft] object QueriesStream {
 
+  /** Run `body` with watermark-only (no-data) micro-batches disabled,
+    * restoring the session default after. Each no-data batch costs a
+    * full state-commit cycle (the r13 floor breakdown: ~0.6–1.7 s per
+    * batch at sf0.1 regardless of row count); rows whose output needs a
+    * watermark-driven flush feed an explicit sentinel batch instead —
+    * one tiny data batch replaces every feeding round's no-data cycle.
+    * The join rows established the pattern (r13); r14 extends it to the
+    * windowed-aggregation / dedup / session / funnel rows, oracle rows
+    * unchanged (each row's oracle is a declarative batch twin). */
+  private def withNoDataOff[A](s: SparkSession)(body: => A): A = {
+    val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(k, "true")
+    s.conf.set(k, "false")
+    try body finally s.conf.set(k, prev)
+  }
+
   def q: Map[String, Q] = Map(
     "q_stream_netcdf" -> ((s, dir) => {
       // the V2 source's STREAMING face through a REAL micro-batch run:
@@ -107,23 +123,34 @@ private[graft] object QueriesStream {
       // after the run.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.sessionizeStream(
-          ms.toDF.toDF("time", "band", "y", "x", "value"),
-          gapMs = 30 * 60 * 1000L)
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
+      // event-time timeouts fire in a batch whose watermark has passed
+      // the session gap; with no-data batches off (a full state cycle
+      // saved per feeding round), sentinel 2 is the batch that runs
+      // under sentinel 1's advanced watermark and flushes every open
+      // session (join_outer pattern). '_wm' sentinels filtered below.
+      withNoDataOff(s) {
+        val q = graft.streaming.StreamingOps.sessionizeStream(
+            ms.toDF.toDF("time", "band", "y", "x", "value"),
+            gapMs = 30 * 60 * 1000L)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
+            ms.addData(b.toSeq); q.processAllAvailable()
+          }
+          val flushTs = new java.sql.Timestamp(
+            rows.last._1.getTime + 365L * 24 * 3600 * 1000)
+          ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
+          q.processAllAvailable()
+          val flushTs2 = new java.sql.Timestamp(
+            flushTs.getTime + 365L * 24 * 3600 * 1000)
+          ms.addData(Seq((flushTs2, "_wm", 0.0, 0.0, 0.0)))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
-        val flushTs = new java.sql.Timestamp(
-          rows.last._1.getTime + 365L * 24 * 3600 * 1000)
-        ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table(sink).where(col("band") =!= "_wm")
         .select(col("band"), col("y"), col("x"), col("start"), col("end"),
@@ -274,21 +301,34 @@ private[graft] object QueriesStream {
       val sink = "q_stream_agg_period_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = graft.streaming.StreamingOps.aggregateTemporalPeriodStream(
-          ms.toDF.toDF("time", "band", "y", "x", "value"), "day", "max")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
+      // append-mode windows emit when the watermark passes the window
+      // end; with no-data batches off (one full state cycle saved per
+      // feeding round) the flush vehicle is a SECOND sentinel batch:
+      // sentinel 1 advances the watermark past every real window,
+      // sentinel 2 is the data batch in which that watermark closes and
+      // emits them (the join_outer pattern). Both sentinels are
+      // band='_wm', filtered below — rows identical, oracle unchanged.
+      withNoDataOff(s) {
+        val q = graft.streaming.StreamingOps.aggregateTemporalPeriodStream(
+            ms.toDF.toDF("time", "band", "y", "x", "value"), "day", "max")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(1, (rows.length + 1) / 2)).foreach { b =>
+            ms.addData(b.toSeq); q.processAllAvailable()
+          }
+          val flushTs = new java.sql.Timestamp(
+            rows.last._1.getTime + 365L * 24 * 3600 * 1000)
+          ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
+          q.processAllAvailable()
+          val flushTs2 = new java.sql.Timestamp(
+            flushTs.getTime + 365L * 24 * 3600 * 1000)
+          ms.addData(Seq((flushTs2, "_wm", 0.0, 0.0, 0.0)))
+          q.processAllAvailable()
+        } finally {
+          q.stop()
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
-        val flushTs = new java.sql.Timestamp(
-          rows.last._1.getTime + 365L * 24 * 3600 * 1000)
-        ms.addData(Seq((flushTs, "_wm", 0.0, 0.0, 0.0)))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table(sink).where(col("band") =!= "_wm")
     }),
@@ -308,14 +348,21 @@ private[graft] object QueriesStream {
         .map { case (id, t) => (new java.sql.Timestamp(base + id), t) }
       val ms = MemoryStream[(java.sql.Timestamp, String)]
       val sink = "q_stream_dedup_exact_sink"
-      val q = graft.streaming.StreamingOps.dedupExactStream(
-          ms.toDF.toDF("ts", "text"), "text", "ts")
-        .select(col("content_hash"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
-        ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      // dropDuplicates emits each first-seen digest IN ITS ARRIVAL
+      // batch; the watermark exists only to evict state. The no-data
+      // batches after each round re-scan and re-commit the full state
+      // for zero output (measured 2 empties × ~1.7 s at sf0.1) — turn
+      // them off; no sentinel needed, nothing ever flushes on watermark.
+      withNoDataOff(s) {
+        val q = graft.streaming.StreamingOps.dedupExactStream(
+            ms.toDF.toDF("ts", "text"), "text", "ts")
+          .select(col("content_hash"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
+          ms.addData(b.toSeq); q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(sink)
     }),
     "q_stream_ngram_monitor" -> ((s, dir) => {
@@ -460,18 +507,29 @@ private[graft] object QueriesStream {
       val sink = "q_stream_funnel_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = out.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { b =>
-          ms.addData(b.toSeq); q.processAllAvailable()
+      // with no-data batches off (each cost a full 4-partition state
+      // rescan here, ~1.4 s), the event-time timeouts fire during the
+      // SECOND sentinel batch, which runs under the watermark sentinel 1
+      // advanced (join_outer pattern). Sentinel users are negative,
+      // filtered below — rows identical, oracle unchanged.
+      withNoDataOff(s) {
+        val q = out.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          evs.grouped(math.max(1, evs.length / 2 + 1)).foreach { b =>
+            ms.addData(b.toSeq); q.processAllAvailable()
+          }
+          val sentinelTs = new java.sql.Timestamp(
+            evs.last._3.getTime + 365L * 24 * 3600 * 1000)
+          ms.addData(Seq((-1L, "signup", sentinelTs)))
+          q.processAllAvailable()
+          val sentinelTs2 = new java.sql.Timestamp(
+            sentinelTs.getTime + 365L * 24 * 3600 * 1000)
+          ms.addData(Seq((-2L, "signup", sentinelTs2)))
+          q.processAllAvailable()
+        } finally {
+          q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
-        val sentinelTs = new java.sql.Timestamp(
-          evs.last._3.getTime + 365L * 24 * 3600 * 1000)
-        ms.addData(Seq((-1L, "signup", sentinelTs)))
-        q.processAllAvailable()
-      } finally {
-        q.stop(); s.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       s.table(sink).where(col("user_id") >= 0)
         .select("user_id", "signup_ts", "click_ts", "purchase_ts",
