@@ -203,7 +203,7 @@ private[graft] object QueriesStream {
       val sink = "q_stream_hll_sink"
       val toks = ms.toDF.toDF("lang", "text")
         .select(col("lang"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("_tok"))
+          explode(graft.functions.TextHashExprs.wsTokens(col("text"))).as("_tok"))
         .where(col("_tok") =!= "")
       val q = graft.streaming.StreamingOps
         .distinctRegistersStream(toks, col("_tok"), Seq("lang"))

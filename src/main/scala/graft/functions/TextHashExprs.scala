@@ -655,6 +655,80 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** `split(s, "\\s+", -1)` as ONE native byte scan (r14): Spark's
+    * StringSplit re-enters `Pattern.compile` and round-trips
+    * UTF8String↔String on EVERY row, and it sits on the hot path of
+    * every tokenizing operator (index build, BM25, BPE, classifier
+    * features, LM grams, quality, sketches). Java's `\s` is the six
+    * ASCII separators `[ \t\n\x0B\f\r]` — single bytes in UTF-8, never
+    * a continuation byte — so the regex split is exactly a separator-run
+    * scan over the raw bytes. Replicates `Pattern.split(input, -1)`
+    * bit-for-bit, including the edge tokens the regex produces: empty
+    * input → [""], a leading separator run → leading "", a trailing
+    * run → trailing "" (limit −1 keeps it). Law-tested against
+    * StringSplit on arbitrary strings (TextSpec). */
+  case class WsSplit(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ws_split"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+
+    override def nullSafeEval(input: Any): Any =
+      TextHashExprs.wsSplitEval(input.asInstanceOf[UTF8String])
+
+    // a REAL doGenCode (not CodegenFallback): the tokenizer feeds
+    // Generate/aggregate pipelines whose whole-stage codegen would
+    // otherwise be abandoned around a fallback expression — measured
+    // +0.5 s per BPE row when this was a fallback (r14)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextHashExprs.wsSplitEval($c)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** Static worker for [[WsSplit]] — called from both interpreted eval
+    * and generated code. Replicates `Pattern.split(s, -1)` for `\s+`:
+    * pieces between separator runs, leading/trailing runs produce empty
+    * pieces, empty input yields [""] . */
+  def wsSplitEval(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0)
+      return new GenericArrayData(Array[Any](UTF8String.fromString("")))
+    var pieces = 1
+    var i = 0
+    while (i < n) {
+      if (isWsByte(bytes(i))) {
+        pieces += 1
+        i += 1
+        while (i < n && isWsByte(bytes(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](pieces)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i < n) {
+      if (isWsByte(bytes(i))) {
+        out(w) = UTF8String.fromBytes(bytes, start, i - start)
+        w += 1
+        i += 1
+        while (i < n && isWsByte(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out(w) = UTF8String.fromBytes(bytes, start, n - start)
+    new GenericArrayData(out)
+  }
+
   /** Hashing-trick feature bucket: unsigned FNV-1a 64 of the token's
     * UTF-8 bytes, mod `dim` — the PORTABLE feature hash (the DuckDB
     * oracle replays the same byte fold as a HUGEINT reduce, and unsigned
@@ -811,6 +885,7 @@ object TextHashExprs {
         FnvBucket(cs.head, intLit(cs(1), "graft_fnv_bucket dim"))),
       entry("graft_term_counts", classOf[TermCounts])(cs =>
         TermCounts(cs.head)),
+      entry("graft_ws_split", classOf[WsSplit])(cs => WsSplit(cs.head)),
       entry("graft_hll_parts", classOf[HllParts])(cs =>
         HllParts(cs.head, intLit(cs(1), "graft_hll_parts p"))),
       entry("graft_cms_buckets", classOf[CmsBuckets])(cs =>
@@ -896,6 +971,17 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_token_windows", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** The repo-wide whitespace tokenizer `split(lower(trim(text)), "\\s+")`
+    * with the split as one native byte scan ([[WsSplit]]) — identical
+    * output, no per-row Pattern.compile. Use for every tokenizing hot
+    * path; oracles keep replaying the regex formulation. */
+  def wsTokens(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ws_split",
+      org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.trim(text)))
   }
 
   /** Per-row term-frequency map over a token array (one hash-map pass;

@@ -29,7 +29,7 @@ object Bpe {
   /** The weighted vocabulary: one row per distinct whitespace token with
     * its corpus occurrence count (the repo-wide tokenizer contract). */
   def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+    df.select(explode(graft.functions.TextHashExprs.wsTokens(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wc"))
 
@@ -112,7 +112,7 @@ object Bpe {
   def fertilityByGroup(df: DataFrame, textCol: String, groupCol: String,
       merges: Seq[String]): DataFrame = {
     val perGroup = df.select(col(groupCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+        explode(graft.functions.TextHashExprs.wsTokens(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("lwc"))
     val segFinal = merges.foldLeft(initSeg)(mergeOnce)

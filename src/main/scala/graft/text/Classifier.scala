@@ -209,7 +209,7 @@ object Classifier {
   def hashedFeatures(docs: DataFrame, textCol: String, idCol: String,
       dim: Int): DataFrame =
     docs.select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_g"))
+        explode(graft.functions.TextHashExprs.wsTokens(col(textCol))).as("_g"))
       .where(col("_g") =!= "")
       .select(col(idCol),
         graft.functions.TextHashExprs.fnvBucket(col("_g"), dim).as("bucket"))

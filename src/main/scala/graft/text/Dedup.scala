@@ -988,7 +988,7 @@ object Dedup {
     // empties filtered BEFORE posexplode (same edge as
     // removeDuplicatedSpans: a leading tab must not shift positions)
     val toks = docs.select(col(idCol),
-      posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+      posexplode(filter(graft.functions.TextHashExprs.wsTokens(col(textCol)),
         x => x =!= "")).as(Seq("_pos", "_tk")))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("_pos")

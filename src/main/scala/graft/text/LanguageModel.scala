@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
-  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+  private def toks(text: Column): Column = graft.functions.TextHashExprs.wsTokens(text)
 
   /** Non-distinct token bigrams of a text column ("w1 w2" strings) — a
     * single zip_with pass over two array slices, not the per-position
@@ -65,7 +65,7 @@ object LanguageModel {
     val counts = grams.select(col("gram"))
       .groupBy("gram").agg(count(lit(1)).as("c12"))
     val marginals = counts
-      .groupBy(split(col("gram"), " ").getItem(0).as("w1"))
+      .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("c1"))
     // the LM table is the pipeline's materialization point: Zipf-bounded
     // (far smaller than the corpus), and every consumer — the scoring
@@ -74,7 +74,7 @@ object LanguageModel {
     // checkpoint, blocks freed by the ContextCleaner (same pattern as
     // the CC pair graph).
     counts
-      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
       .join(marginals, "w1")
       .where(col("c12") >= minCount)
       .select(col("gram"), col("c12"), col("c1"),
@@ -305,15 +305,18 @@ object LanguageModel {
       .groupBy("gram").agg(count(lit(1)).as("c"))
     // attach denominators: trigram "w1 w2 w3" / bigram "w1 w2";
     // bigram "w2 w3" / unigram "w2"
+    // prefix extraction via substring_index: one native byte scan per
+    // row instead of 2-3 regex `split` evaluations (same value for
+    // space-joined gram windows — tokens never contain the separator,
+    // and empty edge tokens round-trip identically; r14, guide §4)
     val tri = triCnt
-      .withColumn("_p", concat(split(col("gram"), " ").getItem(0), lit(" "),
-        split(col("gram"), " ").getItem(1)))
+      .withColumn("_p", substring_index(col("gram"), " ", 2))
       .join(biCnt.select(col("gram").as("_p"), col("c").as("cden")), "_p")
       .where(col("c") >= minCount)
       .select(col("gram"), col("c").as("c123"), col("cden").as("c12"))
       .localCheckpoint(true)
     val bi = biCnt
-      .withColumn("_w1", split(col("gram"), " ").getItem(0))
+      .withColumn("_w1", substring_index(col("gram"), " ", 1))
       .join(uniCnt.select(col("w").as("_w1"), col("c").as("cden")), "_w1")
       .where(col("c") >= minCount)
       .select(col("gram"), col("c").as("c23"), col("cden").as("c2"))
@@ -341,10 +344,12 @@ object LanguageModel {
     val lnA = math.log(alpha)
     val stream = docs.select(col(idCol),
       explode(trigrams(col(textCol))).as("g3"))
-    val parts = split(col("g3"), " ")
+    // suffix keys via substring_index byte scans (was 3 regex `split`
+    // evaluations per trigram row — r14, guide §4): "w2 w3" is the
+    // suffix after the first separator, w3 the suffix after the last
     val keyed = stream
-      .withColumn("g2", concat(parts.getItem(1), lit(" "), parts.getItem(2)))
-      .withColumn("w", parts.getItem(2))
+      .withColumn("g2", substring_index(col("g3"), " ", -2))
+      .withColumn("w", substring_index(col("g3"), " ", -1))
     val joined = keyed
       .join(lm.tri.select(col("gram").as("g3"), col("c123"), col("c12")),
         Seq("g3"), "left")

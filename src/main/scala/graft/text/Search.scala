@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
-  private def toks(text: Column): Column = split(lower(trim(text)), "\\s+")
+  private def toks(text: Column): Column = graft.functions.TextHashExprs.wsTokens(text)
 
   /** BM25 (Robertson et al.) scores for a literal query-term set: one row
     * per document matching >= 1 term — (id, n_terms, n_hits, score) with
@@ -108,10 +108,14 @@ object Search {
     * reduces per doc in one native map pass), with NO shuffle. */
   private def postingRows(docs: DataFrame, textCol: String, idCol: String,
       nBuckets: Int): DataFrame = {
-    val t = toks(col(textCol))
+    // project the token array ONCE: `size` and `termCounts` both consume
+    // it, and a single-select formulation would evaluate the tokenizer
+    // twice per row (CollapseProject keeps the two-step split because
+    // the alias is non-cheap and referenced twice — r14, guide §4/§7.2)
     docs
-      .select(col(idCol), size(t).cast("double").as("dl"),
-        explode(graft.functions.TextHashExprs.termCounts(t))
+      .select(col(idCol), toks(col(textCol)).as("_tk"))
+      .select(col(idCol), size(col("_tk")).cast("double").as("dl"),
+        explode(graft.functions.TextHashExprs.termCounts(col("_tk")))
           .as(Seq("term", "tf")))
       .withColumn("p_bucket", pmod(hash(col("term")), lit(nBuckets)))
   }

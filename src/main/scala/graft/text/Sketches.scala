@@ -129,7 +129,7 @@ object Sketches {
       groupCols: Seq[String], p: Int = 11): DataFrame = {
     val gcols = groupCols.map(col)
     val toks = df.select(gcols :+
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"): _*)
+        explode(graft.functions.TextHashExprs.wsTokens(col(textCol))).as("_tok"): _*)
       .where(col("_tok") =!= "")
     hllDistinct(toks, col("_tok"), groupCols, p)
   }
@@ -209,7 +209,7 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("_tok"))
+        explode(graft.functions.TextHashExprs.wsTokens(col(textCol))).as("_tok"))
       .where(col("_tok") =!= "")
     val sketch = cmsSketch(toks, col("_tok"), d, w)
     val probeBuckets = probes.toDF("token")

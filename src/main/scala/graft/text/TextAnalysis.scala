@@ -156,7 +156,7 @@ object TextAnalysis {
     * lowercased, whitespace-normalized token stream. aggregate() keeps the
     * fold inside the JVM expression engine. */
   def fingerprint(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = graft.functions.TextHashExprs.wsTokens(text)
     aggregate(tokens, lit(0L),
       (acc, t) => pmod(acc * 1000003L + abs(xxhash64(t)) % 1000000007L,
         lit(2147483647L)))
@@ -164,7 +164,7 @@ object TextAnalysis {
 
   /** Word n-gram shingles of size n (for Jaccard / MinHash). */
   def shingles(text: Column, n: Int): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
+    val tokens = graft.functions.TextHashExprs.wsTokens(text)
     val idx = sequence(lit(0), greatest(size(tokens) - n, lit(0)))
     array_distinct(filter(
       transform(idx, i => concat_ws(" ", slice(tokens, i + 1, lit(n)))),
@@ -416,7 +416,7 @@ object TextAnalysis {
       textCol: String, alpha: Double): (DataFrame, DataFrame,
       org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     def counts(df: DataFrame, cName: String) =
-      df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      df.select(explode(graft.functions.TextHashExprs.wsTokens(col(textCol))).as("tok"))
         .where(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as(cName))
     val j = counts(oldDf, "c_old")

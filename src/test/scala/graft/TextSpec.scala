@@ -1474,4 +1474,33 @@ class TextSpec extends SparkSpec {
     f2.where(col("qid") === 11L).select("rank_a")
       .as[Long].collect() shouldBe Array(1L)
   }
+
+  test("WsSplit law: graft_ws_split(lower(trim(s))) is bit-identical to " +
+      "split(lower(trim(s)), \"\\\\s+\") — values, edge tokens, schema") {
+    import graft.functions.TextHashExprs
+    // adversarial corpus: empty, all-separator, leading/trailing runs of
+    // every \s member, multibyte UTF-8, lone surrogates-adjacent chars,
+    // NBSP (NOT a Java \s separator), embedded NULs, long runs
+    val cases = Seq(
+      "", " ", "  ", "\t", "\t\t", "\n\r\f", "a", "a b", "a  b",
+      " a", "a ", "\ta", "a\t", "a\tb\t", "\t\ta\n\nb\r\r",
+      "päö€ Grüße\tMÜNCHEN", "汉字 分词　中文", // U+3000 is not \s
+      "a b", "word nul  ", "x" + (" " * 100) + "y",
+      (1 to 50).map(i => s"tok$i").mkString("\t"), "Mix \t\r\n OF all",
+      "İstanbul ß ẞ", "\r\n", "solo")
+    val df = cases.toDF("text")
+    val regex = split(lower(trim(col("text"))), "\\s+")
+    val native = TextHashExprs.wsTokens(col("text"))
+    val both = df.select(regex.as("r"), native.as("n"))
+    // identical element sequences, row by row
+    both.collect().foreach { row =>
+      val r = row.getSeq[String](0)
+      val n = row.getSeq[String](1)
+      assert(n == r, s"mismatch for ${row}")
+    }
+    // identical schema (array element type + containsNull)
+    val rt = both.schema("r").dataType
+    val nt = both.schema("n").dataType
+    nt shouldBe rt
+  }
 }
