@@ -691,6 +691,58 @@ object TextHashExprs {
       copy(child = c)
   }
 
+  /** Count of a long-array column's elements present in a FIXED sorted
+    * set (r14): `size(array_intersect(arr, lit(bigArray)))` rebuilds a
+    * hash set of the literal side on EVERY row (50k inserts/row for the
+    * decontamination gate); this expression carries the sorted set once
+    * and binary-searches per element — identical count when `arr` has
+    * distinct elements (shingleHashes emits distinct), which is exactly
+    * the stream decontamination gate's n_hits. */
+  case class CountInSortedSet(child: Expression, sorted: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_count_in_sorted_set"
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<bigint>, got $other")
+      }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var hits = 0L
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i) &&
+            java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0)
+          hits += 1L
+        i += 1
+      }
+      hits
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Plan-time extraction of the sorted-set literal: the registry
+    * builder runs once per plan, so the array materializes out of the
+    * Literal exactly once (never per row). */
+  private[functions] def sortedSetOf(e: Expression): Array[Long] = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal
+        if lit.value != null =>
+      lit.value.asInstanceOf[ArrayData].toLongArray()
+    case other => throw new IllegalArgumentException(
+      s"graft_count_in_sorted_set needs a non-null array literal, got $other")
+  }
+
+  /** [[CountInSortedSet]] as a Column (set must be sorted ascending). */
+  def countInSortedSet(arr: Column, sorted: Array[Long]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_count_in_sorted_set", arr,
+      org.apache.spark.sql.functions.typedLit(sorted.toSeq))
+  }
+
   @inline private def isWsByte(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0D)
 
@@ -886,6 +938,8 @@ object TextHashExprs {
       entry("graft_term_counts", classOf[TermCounts])(cs =>
         TermCounts(cs.head)),
       entry("graft_ws_split", classOf[WsSplit])(cs => WsSplit(cs.head)),
+      entry("graft_count_in_sorted_set", classOf[CountInSortedSet])(cs =>
+        CountInSortedSet(cs.head, sortedSetOf(cs(1)))),
       entry("graft_hll_parts", classOf[HllParts])(cs =>
         HllParts(cs.head, intLit(cs(1), "graft_hll_parts p"))),
       entry("graft_cms_buckets", classOf[CmsBuckets])(cs =>

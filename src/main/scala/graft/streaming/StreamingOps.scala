@@ -391,9 +391,17 @@ object StreamingOps {
       textCol: String, idCol: String, shingleN: Int = 5): DataFrame = {
     val docHashes = graft.functions.TextHashExprs
       .shingleHashes(lower(trim(col(textCol))), shingleN)
+    // membership against the eval set via ONE carried sorted array +
+    // binary search per element: the previous
+    // size(array_intersect(docHashes, lit(evalHashes))) rebuilt a hash
+    // set of the full eval side on EVERY row (r14; ~50k inserts/row at
+    // sf0.1 — measured 3.8 s → ~1.6 s for the gate row). Counts are
+    // identical: shingleHashes emits DISTINCT hashes, so the distinct
+    // intersection size equals the per-element membership count.
+    val sortedEval = evalHashes.sorted
     df.select(col(idCol),
-        size(array_intersect(docHashes,
-          typedLit(evalHashes.toSeq))).cast("long").as("n_hits"))
+        graft.functions.TextHashExprs
+          .countInSortedSet(docHashes, sortedEval).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= 1L)
   }
 
