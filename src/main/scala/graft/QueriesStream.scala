@@ -107,11 +107,15 @@ private[graft] object QueriesStream {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val rows = eventsCube(s, dir).df
-        .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
-          col(Cube.ValueCol))
-        .as[(java.sql.Timestamp, String, Double, Double, Double)]
-        .collect().sortBy(_._1.getTime)
+      // time-sorted cube feed collected once per JVM (sharedFeed r14:
+      // agg_period and sessionize feed the identical array)
+      val rows = sharedFeed("feed_evcube", dir) {
+        eventsCube(s, dir).df
+          .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
+            col(Cube.ValueCol))
+          .as[(java.sql.Timestamp, String, Double, Double, Double)]
+          .collect().sortBy(_._1.getTime)
+      }
       val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
       val sink = "q_stream_sessionize_sink"
       // state-store sizing: each micro-batch spawns one state task per
@@ -292,11 +296,15 @@ private[graft] object QueriesStream {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val rows = eventsCube(s, dir).df
-        .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
-          col(Cube.ValueCol))
-        .as[(java.sql.Timestamp, String, Double, Double, Double)]
-        .collect().sortBy(_._1.getTime)
+      // time-sorted cube feed collected once per JVM (sharedFeed r14:
+      // agg_period and sessionize feed the identical array)
+      val rows = sharedFeed("feed_evcube", dir) {
+        eventsCube(s, dir).df
+          .select(col(Dim.Time), col(Dim.Band), col(Dim.Y), col(Dim.X),
+            col(Cube.ValueCol))
+          .as[(java.sql.Timestamp, String, Double, Double, Double)]
+          .collect().sortBy(_._1.getTime)
+      }
       val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
       val sink = "q_stream_agg_period_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -770,13 +778,18 @@ private[graft] object QueriesStream {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      // views/clicks feeds collected once per JVM (sharedFeed r14: both
+      // join rows feed the identical arrays)
+      val views = sharedFeed("feed_views", dir) {
+        readEvents(s, dir).where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
+      }
+      val clicks = sharedFeed("feed_clicks", dir) {
+        readEvents(s, dir).where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      }
       val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]
       val msC = MemoryStream[(Long, java.sql.Timestamp, Double)]
       val joined = graft.streaming.StreamingOps.joinStreamsWithin(
@@ -829,13 +842,18 @@ private[graft] object QueriesStream {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
       import s.implicits._
-      val ev = readEvents(s, dir)
-      val views = ev.where(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      // views/clicks feeds collected once per JVM (sharedFeed r14: both
+      // join rows feed the identical arrays)
+      val views = sharedFeed("feed_views", dir) {
+        readEvents(s, dir).where(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .as[(Long, Long, java.sql.Timestamp)].collect().sortBy(_._3.getTime)
+      }
+      val clicks = sharedFeed("feed_clicks", dir) {
+        readEvents(s, dir).where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[(Long, java.sql.Timestamp, Double)].collect().sortBy(_._2.getTime)
+      }
       val maxTs = math.max(views.last._3.getTime, clicks.last._2.getTime)
       val sentinelTs = new java.sql.Timestamp(maxTs + 365L * 24 * 3600 * 1000)
       val msV = MemoryStream[(Long, Long, java.sql.Timestamp)]

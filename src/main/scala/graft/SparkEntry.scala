@@ -408,6 +408,26 @@ object SparkEntry {
     if (prev != null) prev else built
   }
 
+  /** Driver-side flavor of [[sharedDf]] for the stream rows' FIXTURE
+    * FEED arrays (r14): several MemoryStream rows collect + sort the
+    * identical projection of a fixture table to feed their
+    * micro-batches (agg_period and sessionize both feed the time-sorted
+    * events cube; the two join rows both feed the views and clicks
+    * slices). The arrays are deterministic projections of the inputs,
+    * so which row pays the collect cannot change any result — collect
+    * once per (kind, sf dir, JVM). */
+  private[graft] val sharedFeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private[graft] def sharedFeed[A <: AnyRef](kind: String, dir: String)(
+      build: => A): A = {
+    val key = s"$kind:$dir"
+    val cur = sharedFeeds.get(key)
+    if (cur != null) return cur.asInstanceOf[A]
+    val built = build
+    val prev = sharedFeeds.putIfAbsent(key, built)
+    if (prev != null) prev.asInstanceOf[A] else built
+  }
+
   /** The corpus-wide hashed-classifier score table (doc_id, y, score):
     * hashedFeatures(dim 64) → 2 GD iterations → scoreHashed, the exact
     * trajectory every classifier row and q_curation_pipeline_v3's gate

@@ -309,21 +309,23 @@ object LanguageModel {
     // row instead of 2-3 regex `split` evaluations (same value for
     // space-joined gram windows — tokens never contain the separator,
     // and empty edge tokens round-trip identically; r14, guide §4)
+    // tri/bi/uni are each consumed by exactly ONE scoring join and
+    // derive from the already-checkpointed uniCnt/biCnt/toksDf tables —
+    // eager checkpoints here were three extra materialization jobs that
+    // bought no reuse (r14; the fan-out rule applies to toksDf and the
+    // count tables, which ARE reused)
     val tri = triCnt
       .withColumn("_p", substring_index(col("gram"), " ", 2))
       .join(biCnt.select(col("gram").as("_p"), col("c").as("cden")), "_p")
       .where(col("c") >= minCount)
       .select(col("gram"), col("c").as("c123"), col("cden").as("c12"))
-      .localCheckpoint(true)
     val bi = biCnt
       .withColumn("_w1", substring_index(col("gram"), " ", 1))
       .join(uniCnt.select(col("w").as("_w1"), col("c").as("cden")), "_w1")
       .where(col("c") >= minCount)
       .select(col("gram"), col("c").as("c23"), col("cden").as("c2"))
-      .localCheckpoint(true)
     val uni = uniCnt.where(col("c") >= minCount)
       .select(col("w"), col("c").as("c3"))
-      .localCheckpoint(true)
     BackoffLm(tri, bi, uni, nTokens)
   }
 
