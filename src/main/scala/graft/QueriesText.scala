@@ -1572,8 +1572,8 @@ private[graft] object QueriesText {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val words = size(split(trim(col("text")), "\\s+")).cast("double")
       val padded = concat(lit(" "), col("text"), lit(" "))
-      val stops = Seq(" the ", " and ", " of ", " with ")
-        .map(TextAnalysis.countOccurrences(padded, _)).reduce(_ + _)
+      val stops = graft.functions.TextHashExprs.countAnyOf(padded,
+          Seq(" the ", " and ", " of ", " with "))
         .cast("double")
       val feats = d.select(col("doc_id"),
         (length(col("text")).cast("double") /

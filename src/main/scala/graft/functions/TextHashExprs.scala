@@ -728,6 +728,17 @@ object TextHashExprs {
   /** Plan-time extraction of the sorted-set literal: the registry
     * builder runs once per plan, so the array materializes out of the
     * Literal exactly once (never per row). */
+  /** Plan-time extraction of a string-array literal (needle sets). */
+  private[functions] def stringSeqOf(e: Expression): Seq[UTF8String] =
+    e match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.value != null =>
+        val a = lit.value.asInstanceOf[ArrayData]
+        (0 until a.numElements()).map(a.getUTF8String)
+      case other => throw new IllegalArgumentException(
+        s"graft_count_any_of needs a non-null string-array literal, got $other")
+    }
+
   private[functions] def sortedSetOf(e: Expression): Array[Long] = e match {
     case lit: org.apache.spark.sql.catalyst.expressions.Literal
         if lit.value != null =>
@@ -741,6 +752,66 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_count_in_sorted_set", arr,
       org.apache.spark.sql.functions.typedLit(sorted.toSeq))
+  }
+
+  /** Summed non-overlapping occurrence count of a FIXED needle set in
+    * one expression (r14): the `length(s) - length(replace(s, p, ""))`
+    * formulation allocates a rewritten copy of the text per needle per
+    * row (11 needles for the quality score, ~30 for langid). Each
+    * needle is counted with the same left-to-right NON-OVERLAPPING rule
+    * `replace` uses (advance past a match), so the sum is bit-identical
+    * to the sum of per-needle replace counts; oracles keep replaying
+    * the replace formulation. */
+  case class CountAnyOf(child: Expression, needles: Seq[UTF8String])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_count_any_of"
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkString(child, prettyName)
+    @transient private lazy val needleArr = needles.toArray
+    override def nullSafeEval(input: Any): Any =
+      TextHashExprs.countAnyOfEval(
+        input.asInstanceOf[UTF8String], needleArr)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("graftNeedles", needleArr,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextHashExprs.countAnyOfEval($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Static worker for [[CountAnyOf]]. */
+  def countAnyOfEval(s: UTF8String,
+      needles: Array[UTF8String]): Long = {
+    var total = 0L
+    var j = 0
+    while (j < needles.length) {
+      val nd = needles(j)
+      val step = nd.numChars()
+      if (step > 0) {
+        var from = 0
+        var at = s.indexOf(nd, from)
+        while (at >= 0) {
+          total += 1L
+          from = at + step
+          at = s.indexOf(nd, from)
+        }
+      }
+      j += 1
+    }
+    total
+  }
+
+  /** [[CountAnyOf]] as a Column over a fixed needle list. */
+  def countAnyOf(text: Column, needles: Seq[String]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_count_any_of", text,
+      org.apache.spark.sql.functions.typedLit(needles))
   }
 
   @inline private def isWsByte(b: Byte): Boolean =
@@ -940,6 +1011,8 @@ object TextHashExprs {
       entry("graft_ws_split", classOf[WsSplit])(cs => WsSplit(cs.head)),
       entry("graft_count_in_sorted_set", classOf[CountInSortedSet])(cs =>
         CountInSortedSet(cs.head, sortedSetOf(cs(1)))),
+      entry("graft_count_any_of", classOf[CountAnyOf])(cs =>
+        CountAnyOf(cs.head, stringSeqOf(cs(1)))),
       entry("graft_hll_parts", classOf[HllParts])(cs =>
         HllParts(cs.head, intLit(cs(1), "graft_hll_parts p"))),
       entry("graft_cms_buckets", classOf[CmsBuckets])(cs =>

@@ -30,8 +30,10 @@ object TextAnalysis {
   /** Language-ID: argmax of marker-token counts; null if no marker hits. */
   def langId(text: Column): Column = {
     val padded = concat(lit(" "), text, lit(" "))
+    // one scan-per-language expression instead of one replace-rewrite
+    // per MARKER (r14, graft_count_any_of — same non-overlapping counts)
     val scores = langMarkers.map { case (lang, ms) =>
-      (lang, ms.map(countOccurrences(padded, _)).reduce(_ + _))
+      (lang, graft.functions.TextHashExprs.countAnyOf(padded, ms))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit(null).cast("string")) { case ((lang, s), acc) =>
@@ -138,11 +140,12 @@ object TextAnalysis {
     val words = split(trim(text), "\\s+")
     val nWords = size(words).cast("double")
     val meanWordLen = nChars / greatest(nWords, lit(1.0))
-    val punct = Seq(".", ",", "!", "?", ";", ":").map(p =>
-      countOccurrences(text, p)).reduce(_ + _).cast("double")
+    val punct = graft.functions.TextHashExprs
+      .countAnyOf(text, Seq(".", ",", "!", "?", ";", ":")).cast("double")
     val punctRatio = punct / greatest(nWords, lit(1.0))
-    val stop = Seq(" the ", " a ", " and ", " of ", " to ").map(s =>
-      countOccurrences(concat(lit(" "), text, lit(" ")), s)).reduce(_ + _).cast("double")
+    val stop = graft.functions.TextHashExprs.countAnyOf(
+      concat(lit(" "), text, lit(" ")),
+      Seq(" the ", " a ", " and ", " of ", " to ")).cast("double")
     val stopRatio = stop / greatest(nWords, lit(1.0))
     val lenScore = when(nWords >= 50 && nWords <= 100000, 1.0)
       .when(nWords >= 10, 0.5).otherwise(0.0)
@@ -271,9 +274,8 @@ object TextAnalysis {
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
     val meanLen = round(sumLen.cast("double") /
       greatest(nWords, lit(1)).cast("double"), 6)
-    val symbols = (countOccurrences(text, "#") +
-      countOccurrences(text, "...") + countOccurrences(text, "…"))
-      .cast("double")
+    val symbols = graft.functions.TextHashExprs
+      .countAnyOf(text, Seq("#", "...", "…")).cast("double")
     val symbolRatio = round(symbols / greatest(nWords, lit(1)).cast("double"), 6)
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val fracAlpha = round(alphaWords.cast("double") /
