@@ -72,6 +72,17 @@ object Bench {
       // — both knobs govern checkpoint housekeeping only.
       .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+      // generated-class cache sized to the query surface (r14): the
+      // default 100 entries cannot hold a 300-query surface's codegen
+      // units, so the warm-up loop's compiled classes were evicted
+      // before the timed loop reused them — 4769 Janino compilations
+      // INSIDE the timed loop (measured via CodegenMetrics; ~10-40 ms
+      // each), 501 with the larger cache. Static conf, set at session
+      // build; memory is bounded by distinct plan shapes (metaspace,
+      // a few KB per class). Not a local[32] artifact: any long-lived
+      // JVM serving a many-plan workload wants the cache to hold its
+      // working set.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -113,6 +124,16 @@ object Bench {
         }
       spark.sharedState.cacheManager.clearCache()
     }
+    // diagnostic (stderr only): how much of the TIMED loop goes to
+    // Janino codegen compilation — the generated-class cache is a
+    // static conf (default 100 entries) and a 300-query surface can
+    // evict warm-up's classes before the timed loop reuses them (r14)
+    def codegenCompileMs(): (Long, Long) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getValues.sum)
+    }
+    val cgPre = codegenCompileMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -137,6 +158,9 @@ object Bench {
       (math.round(v * 1000) / 1000.0).toString
     def r2(v: Double): String =
       (math.round(v * 100) / 100.0).toString
+    val cgPost = codegenCompileMs()
+    System.err.println(s"[bench] codegen compiles in timed loop: " +
+      s"${cgPost._1 - cgPre._1} (${cgPost._2 - cgPre._2} ms histogram sum)")
     val calPost1 = calOnce(); val calPostN = calAll(nThreads)
     val cal = s"""[${r3(calPre1)},${r3(calPreN)},${r3(calPost1)},${r3(calPostN)}]"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized to the 300-query surface (r14; see
+      // Bench.scala — default 100 entries thrashes and re-pays Janino
+      // compilation per query)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
