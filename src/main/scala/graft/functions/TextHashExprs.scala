@@ -22,6 +22,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashExprs {
 
+  /** Real doGenCode for the per-row native expressions (r14):
+    * CodegenFallback routes evaluation through `expr.eval(INPUT_ROW)`,
+    * which forces the surrounding stage to materialize the input row
+    * and evaluates the CHILD subtree interpreted — breaking the
+    * whole-stage pipeline around Generate/aggregate consumers
+    * (measured +0.5 s per BPE row when WsSplit was a fallback). This
+    * trait instead codegens the child normally and calls the
+    * expression instance's row-level worker through a plan reference —
+    * the per-row loop itself is unchanged. Only for expressions whose
+    * nullSafeEval never returns null. */
+  private[functions] trait RefCodegen extends UnaryExpression {
+    /** public bridge — generated Java cannot call the protected
+      * nullSafeEval */
+    def evalOne(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      // binary name: the trait nests in the TextHashExprs OBJECT, so
+      // the Janino-visible interface is TextHashExprs$RefCodegen
+      val ref = ctx.addReferenceObj("graftExpr", this,
+        "graft.functions.TextHashExprs$RefCodegen")
+      val boxed = org.apache.spark.sql.catalyst.expressions.codegen
+        .CodeGenerator.boxedType(dataType)
+      defineCodeGen(ctx, ev, c => s"(($boxed) $ref.evalOne($c))")
+    }
+  }
+
   private def tokensOf(a: Any): ArrayData = a.asInstanceOf[ArrayData]
 
   private def checkStringArray(e: Expression, name: String): TypeCheckResult =
@@ -34,7 +62,7 @@ object TextHashExprs {
   /** 64-bit SimHash of a token array: per-token xxhash64 (seed 42, matching
     * the built-in xxhash64()), ±1 per bit lane, sign → bit. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash64"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -71,7 +99,7 @@ object TextHashExprs {
     * a fixed-seed PRNG) — the standard one-pass construction; k× cheaper
     * than k independent string hashes with identical banding behavior. */
   case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_sig"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -114,7 +142,7 @@ object TextHashExprs {
     * the text (law-tested): an index build that stores both tables pays
     * the corpus tokenize+shingle pass exactly ONCE. */
   case class MinHashFromHashes(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_from_hashes"
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -238,7 +266,7 @@ object TextHashExprs {
     * MinHash is duplicate-insensitive, so skipping array_distinct is
     * semantics-preserving. */
   case class MinHashText(child: Expression, n: Int, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_minhash_text"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -272,7 +300,7 @@ object TextHashExprs {
     * (the q_dedup_simhash oracle does). */
   case class SimHashText(child: Expression, n: Int,
       portable: Boolean = false)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_simhash_text"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -302,7 +330,7 @@ object TextHashExprs {
     * without materializing token or string arrays. First-seen order is
     * kept so the output is deterministic. */
   case class ShingleHashes(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_shingle_hashes"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -455,7 +483,7 @@ object TextHashExprs {
     * token: n=1, distinct=1, run=1, no n-grams).
     */
   case class RepetitionStats(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = StructType(Seq(
       StructField("n_tokens", IntegerType, nullable = false),
       StructField("n_distinct", IntegerType, nullable = false),
@@ -554,7 +582,7 @@ object TextHashExprs {
     * which paid an interpreted lambda call per element per pass — measured
     * 3.8 s → 0.5 s on the sf0.1 spans query. */
   case class TokenWindows(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "graft_token_windows"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -616,7 +644,7 @@ object TextHashExprs {
     * already-reduced (term, tf) pairs and the only remaining exchange
     * is the bucket-clustered write. */
   case class TermCounts(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType =
       MapType(StringType, LongType, valueContainsNull = false)
     override def prettyName: String = "graft_term_counts"
@@ -699,7 +727,7 @@ object TextHashExprs {
     * distinct elements (shingleHashes emits distinct), which is exactly
     * the stream decontamination gate's n_hits. */
   case class CountInSortedSet(child: Expression, sorted: Array[Long])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_count_in_sorted_set"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -857,7 +885,7 @@ object TextHashExprs {
     * oracle replays the same byte fold as a HUGEINT reduce, and unsigned
     * mod is plain `%` there). Returns 0..dim-1 as long. */
   case class FnvBucket(child: Expression, dim: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     require(dim > 0, s"dim must be positive, got $dim")
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_fnv_bucket"
@@ -906,7 +934,7 @@ object TextHashExprs {
     * path replayable by an external engine (same HUGEINT byte fold as
     * [[FnvBucket]]; ctz = bit_count((w & -w) - 1)). */
   case class HllParts(child: Expression, p: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     require(p >= 4 && p <= 16, s"hll precision p must be in [4,16], got $p")
     override def dataType: DataType = StructType(Seq(
       StructField("reg", LongType, nullable = false),
@@ -937,7 +965,7 @@ object TextHashExprs {
     * fold, and every piece (fold, xor, fmix64, unsigned mod) is
     * replayable in an external engine (see the q_cms_freq oracle). */
   case class CmsBuckets(child: Expression, d: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     require(d >= 1 && d <= 8, s"cms depth d must be in [1,8], got $d")
     require(w >= 2, s"cms width w must be >= 2, got $w")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
