@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNDECORATED instead of wrapping
+// every line as "[info] ...": the driver parses the bench's one-line JSON
+// out of the captured stdout tail, and sbt's [info] prefix has made that
+// parse fail every round since r11 (BENCH_r{11..14}.json: parsed:null).
+// With StdoutOutput the forked process inherits sbt's stdout, so the
+// final JSON line reaches the log byte-identical to what Bench printed.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

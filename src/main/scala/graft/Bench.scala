@@ -59,31 +59,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engine confs (codegen-class cache sized to the query surface,
+    // streaming checkpoint housekeeping, graft_* extensions) come from
+    // the shared GraftSession builder — the same set every engine
+    // session gets, see GraftSession.tuned's scaladoc. Identical conf
+    // values to r14's bench session; only the ownership moved.
+    val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // Streaming-tier shared session config (round-12 verdict task 1a):
-      // the 23 short-lived stream rows re-pay state-store checkpoint
-      // retention and background maintenance per query. Retaining 2
-      // batches (not 100) bounds the delta files each commit keeps
-      // alive, and a 10-minute maintenance interval keeps the snapshot
-      // thread from firing inside a <10 s query. Results are unaffected
-      // — both knobs govern checkpoint housekeeping only.
-      .config("spark.sql.streaming.minBatchesToRetain", "2")
-      .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
-      // generated-class cache sized to the query surface (r14): the
-      // default 100 entries cannot hold a 300-query surface's codegen
-      // units, so the warm-up loop's compiled classes were evicted
-      // before the timed loop reused them — 4769 Janino compilations
-      // INSIDE the timed loop (measured via CodegenMetrics; ~10-40 ms
-      // each), 501 with the larger cache. Static conf, set at session
-      // build; memory is bounded by distinct plan shapes (metaspace,
-      // a few KB per class). Not a local[32] artifact: any long-lived
-      // JVM serving a many-plan workload wants the cache to hold its
-      // working set.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/scan warm-up outside the timed loop (alphabetically-first
@@ -159,8 +143,11 @@ object Bench {
     def r2(v: Double): String =
       (math.round(v * 100) / 100.0).toString
     val cgPost = codegenCompileMs()
+    // the count delta is exact; the ms figure sums a SAMPLED reservoir
+    // snapshot (Codahale histogram), so it undercounts once compilations
+    // exceed the reservoir size — label it as the lower bound it is
     System.err.println(s"[bench] codegen compiles in timed loop: " +
-      s"${cgPost._1 - cgPre._1} (${cgPost._2 - cgPre._2} ms histogram sum)")
+      s"${cgPost._1 - cgPre._1} (>= ${cgPost._2 - cgPre._2} ms, sampled)")
     val calPost1 = calOnce(); val calPostN = calAll(nThreads)
     val cal = s"""[${r3(calPre1)},${r3(calPreN)},${r3(calPost1)},${r3(calPostN)}]"""
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -250,6 +237,11 @@ object Bench {
     // "[success] Total time" line, both brace-free).
     println("=" * 2000)
     println(shortLine)
+    // a copy on stderr: if any stdout capture layer decorates or
+    // truncates lines (sbt's [info] prefix broke the driver's line-based
+    // parse for four rounds before run/outputStrategy := StdoutOutput),
+    // the stderr stream still carries the bare object
+    System.err.println(shortLine)
     spark.stop()
   }
 }

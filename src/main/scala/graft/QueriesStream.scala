@@ -77,7 +77,7 @@ private[graft] object QueriesStream {
       val ms = MemoryStream[(Long, Array[String])]
       val sink = "q_stream_search_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q = graft.streaming.StreamingOps.bm25ServeStream(s, idx,
           ms.toDF.toDF("query_id", "terms"), "query_id", "terms")
         .writeStream.format("memory").queryName(sink)
@@ -126,7 +126,7 @@ private[graft] object QueriesStream {
       // batch-split independent; StreamingSpec pins both). Restored
       // after the run.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       // event-time timeouts fire in a batch whose watermark has passed
       // the session gap; with no-data batches off (a full state cycle
       // saved per feeding round), sentinel 2 is the batch that runs
@@ -209,13 +209,21 @@ private[graft] object QueriesStream {
         .select(col("lang"),
           explode(graft.functions.TextHashExprs.wsTokens(col("text"))).as("_tok"))
         .where(col("_tok") =!= "")
+      // state-store sizing like the other stateful rows (r15 — this row
+      // previously ran the session default, 32 state tasks per batch for
+      // a (lang, reg) state of a few thousand rows)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q = graft.streaming.StreamingOps
         .distinctRegistersStream(toks, col("_tok"), Seq("lang"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try docs.grouped(math.max(1, (docs.length + 1) / 2)).foreach { b =>
         ms.addData(b.toSeq); q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       graft.text.Sketches.hllEstimate(s.table(sink), Seq("lang"))
     }),
     "q_stream_lm_score" -> ((s, dir) => {
@@ -270,7 +278,7 @@ private[graft] object QueriesStream {
       // few-thousand-bucket keyed state with a fraction of the 32x task
       // + commit-log overhead (output pinned partition-count independent)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q = graft.streaming.StreamingOps.dedupStreamSimhash(
           ms.toDF.toDF("doc_id", "text"), "text", "doc_id", maxDist = 6)
         .toDF()
@@ -308,7 +316,7 @@ private[graft] object QueriesStream {
       val ms = MemoryStream[(java.sql.Timestamp, String, Double, Double, Double)]
       val sink = "q_stream_agg_period_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       // append-mode windows emit when the watermark passes the window
       // end; with no-data batches off (one full state cycle saved per
       // feeding round) the flush vehicle is a SECOND sentinel batch:
@@ -388,7 +396,7 @@ private[graft] object QueriesStream {
       val ms = MemoryStream[(Long, String)]
       val sink = "q_stream_ngram_monitor_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q = graft.streaming.StreamingOps.ngramCountsStream(
           ms.toDF.toDF("doc_id", "text"), "text", 3)
         .writeStream.format("memory").queryName(sink)
@@ -448,7 +456,7 @@ private[graft] object QueriesStream {
       val ms = MemoryStream[(Long, Array[Float])]
       val sink = "q_stream_ann_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q = graft.streaming.StreamingOps.annServeStream(s, idx,
           ms.toDF.toDF("vec_id", "embedding"), "vec_id", "embedding",
           k = 5, nProbe = 4)
@@ -514,7 +522,7 @@ private[graft] object QueriesStream {
         Seq("signup", "click", "purchase"), delay = "2 hours")
       val sink = "q_stream_funnel_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       // with no-data batches off (each cost a full 4-partition state
       // rescan here, ~1.4 s), the event-time timeouts fire during the
       // SECOND sentinel batch, which runs under the watermark sentinel 1
@@ -571,7 +579,7 @@ private[graft] object QueriesStream {
         Double)]
       val sink = "q_stream_merge_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       val q = graft.streaming.StreamingOps.changelogLatestStream(
           ms.toDF.toDF("o_orderkey", "change_ts", "op", "o_orderstatus",
             "o_totalprice"),
@@ -799,7 +807,7 @@ private[graft] object QueriesStream {
         bandMs = 30L * 60 * 1000, watermarkMs = 30L * 24 * 3600 * 1000)
       val sink = "q_stream_join_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       // watermark-only (no-data) micro-batches are OUTPUT-NEUTRAL for an
       // inner band join — they exist for outer-join null emission and
       // idle-stream state cleanup (eviction still runs on data batches).
@@ -866,7 +874,7 @@ private[graft] object QueriesStream {
         joinType = "left_outer")
       val sink = "q_stream_join_outer_sink"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       // outer joins DO need watermark-driven null emission — but a
       // watermark-only (no-data) micro-batch is not the only vehicle:
       // eviction/null-flush also runs at the start of the NEXT data

@@ -1464,7 +1464,7 @@ private[graft] object QueriesText {
       val stage1 = docs.withColumn("rtext", redacted)
         .select(col("doc_id"), col("lang"), col("rtext"))
         .localCheckpoint(true)
-      val words = split(trim(col("rtext")), "\\s+")
+      val words = graft.functions.TextHashExprs.wsSplit(trim(col("rtext")))
       val stopsPresent = size(filter(
         array(TextAnalysis.gopherStops.map(lit): _*),
         w => array_contains(words, w)))
@@ -1570,7 +1570,8 @@ private[graft] object QueriesText {
       // then score the corpus. The oracle replays the entire training
       // trajectory as unrolled SQL and must land on the same weights.
       val d = s.read.parquet(s"$dir/documents.parquet")
-      val words = size(split(trim(col("text")), "\\s+")).cast("double")
+      val words = size(graft.functions.TextHashExprs
+        .wsSplit(trim(col("text")))).cast("double")
       val padded = concat(lit(" "), col("text"), lit(" "))
       val stops = graft.functions.TextHashExprs.countAnyOf(padded,
           Seq(" the ", " and ", " of ", " with "))

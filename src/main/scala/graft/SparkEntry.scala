@@ -428,6 +428,28 @@ object SparkEntry {
     if (prev != null) prev.asInstanceOf[A] else built
   }
 
+  /** State-partition count for the short-lived stateful stream rows:
+    * each micro-batch spawns one state task per shuffle partition, so
+    * partition count × batch count is the state-machinery floor (r13/r14
+    * breakdowns). 4 carries the few-thousand-key states here with a
+    * fraction of the session default's task + commit-log overhead;
+    * output is partition-count independent (StreamingSpec pins it).
+    * Env-overridable so the r15 sweep (2/4/8) measures, not guesses —
+    * production sizes this to state volume, not a constant. */
+  private[graft] val streamStateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4")
+
+  /** Invalidate the per-JVM shared fixture caches ([[sharedDf]] /
+    * [[sharedFeed]]). The caches key on (kind, sf dir) and the fixture
+    * parquets under an sf dir are deterministic and never rewritten
+    * within a bench/verify JVM — but any harness that DOES regenerate
+    * fixtures in-process must call this first or the stream rows would
+    * silently feed stale arrays (r14 advice). */
+  private[graft] def invalidateShared(): Unit = {
+    sharedDfs.clear()
+    sharedFeeds.clear()
+  }
+
   /** The corpus-wide hashed-classifier score table (doc_id, y, score):
     * hashedFeatures(dim 64) → 2 GD iterations → scoreHashed, the exact
     * trajectory every classifier row and q_curation_pipeline_v3's gate

@@ -7,16 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engine confs from the shared GraftSession builder (r15): codegen
+    // cache sized to the surface, streaming housekeeping, extensions
+    val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // generated-class cache sized to the 300-query surface (r14; see
-      // Bench.scala — default 100 entries thrashes and re-pays Janino
-      // compilation per query)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -714,7 +714,7 @@ final class GraphCompiler(
         // presence (cheap one-pass expressions — a plain filter)
         val d = dfArg(n, "data", r)
         val tc = optS(n, "text_column", r).getOrElse("text")
-        val words = split(trim(col(tc)), "\\s+")
+        val words = graft.functions.TextHashExprs.wsSplit(trim(col(tc)))
         val stopsPresent = size(filter(
           array(graft.text.TextAnalysis.gopherStops.map(lit): _*),
           w => array_contains(words, w)))

@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
@@ -414,9 +413,11 @@ object BitmapExprs {
 
   /** `graft_bitmap_count(binary)` → exact distinct count. Scalar over
     * PRE-AGGREGATED sketch rows (group cardinality, not row
-    * cardinality), so CodegenFallback costs nothing measurable. */
+    * cardinality); RefCodegen keeps the surrounding stage's whole-stage
+    * pipeline intact (r15 — a fallback here forced the consumer project
+    * out of codegen even though the call itself is cheap). */
   case class BitmapCount(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = LongType
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -429,7 +430,7 @@ object BitmapExprs {
 
   /** `graft_bitmap_or(binary, binary)` → merged sketch. */
   case class BitmapOr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = BinaryType
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
@@ -450,7 +451,7 @@ object BitmapExprs {
   /** `graft_bitmap_and(binary, binary)` → intersection sketch — the
     * RETENTION face: users(day d) ∩ users(day d+1). */
   case class BitmapAnd(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = BinaryType
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
@@ -471,7 +472,7 @@ object BitmapExprs {
   /** `graft_bitmap_andnot(binary, binary)` → difference sketch — the
     * CHURN face: users(day d) − users(day d+1). */
   case class BitmapAndNot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = BinaryType
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)
@@ -491,7 +492,7 @@ object BitmapExprs {
 
   /** `graft_bitmap_contains(binary, long)` → membership. */
   case class BitmapContains(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = BooleanType
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): Expression = copy(l, r)

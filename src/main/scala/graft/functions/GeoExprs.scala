@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{
   BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -22,7 +21,7 @@ object GeoExprs {
 
   case class ReprojectPoint(left: Expression, right: Expression,
       fromEpsg: Int, toEpsg: Int)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = StructType(Seq(
       StructField("x", DoubleType, nullable = false),
       StructField("y", DoubleType, nullable = false)))

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{array, call_function, lit}
 import org.apache.spark.sql.types._
@@ -30,8 +29,9 @@ object IvfExprs {
     * `tools/AnnScaleProbe`; agreement law in SimilaritySpec).
     *
     * ONE virtual call per row with a tight primitive loop inside
-    * (CodegenFallback at row granularity, like the text-hash
-    * expressions — irrelevant at |dims|×√C work per call). All argmins
+    * (RefCodegen since r15: the row loop dominates, but a fallback
+    * forced the whole serving projection out of whole-stage codegen
+    * and interpreted the child subtree). All argmins
     * are deterministic: groups/children are scanned in ascending id
     * order with strict `<`, so ties break to the lowest id.
     *
@@ -43,7 +43,7 @@ object IvfExprs {
       groups: Array[(Long, Array[Double])],
       cells: Array[Array[(Long, Array[Double])]],
       probes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
 
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_ivf_assign2"

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -22,33 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashExprs {
 
-  /** Real doGenCode for the per-row native expressions (r14):
-    * CodegenFallback routes evaluation through `expr.eval(INPUT_ROW)`,
-    * which forces the surrounding stage to materialize the input row
-    * and evaluates the CHILD subtree interpreted — breaking the
-    * whole-stage pipeline around Generate/aggregate consumers
-    * (measured +0.5 s per BPE row when WsSplit was a fallback). This
-    * trait instead codegens the child normally and calls the
-    * expression instance's row-level worker through a plan reference —
-    * the per-row loop itself is unchanged. Only for expressions whose
-    * nullSafeEval never returns null. */
-  private[functions] trait RefCodegen extends UnaryExpression {
-    /** public bridge — generated Java cannot call the protected
-      * nullSafeEval */
-    def evalOne(v: Any): Any = nullSafeEval(v)
-    override protected def doGenCode(
-        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-      // binary name: the trait nests in the TextHashExprs OBJECT, so
-      // the Janino-visible interface is TextHashExprs$RefCodegen
-      val ref = ctx.addReferenceObj("graftExpr", this,
-        "graft.functions.TextHashExprs$RefCodegen")
-      val boxed = org.apache.spark.sql.catalyst.expressions.codegen
-        .CodeGenerator.boxedType(dataType)
-      defineCodeGen(ctx, ev, c => s"(($boxed) $ref.evalOne($c))")
-    }
-  }
+  // Real doGenCode for the per-row native expressions: the shared
+  // [[graft.functions.RefCodegen]]/[[graft.functions.RefCodegen2]]
+  // traits (hoisted top-level in r15 so every expression family —
+  // unicode, bitmap, ivf, geo — shares them).
 
   private def tokensOf(a: Any): ArrayData = a.asInstanceOf[ArrayData]
 
@@ -358,7 +334,7 @@ object TextHashExprs {
     * duplicates; counts are over distinct elements like
     * array_intersect/array_union. Empty union → 0.0. */
   case class JaccardLongSets(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_jaccard"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -402,7 +378,7 @@ object TextHashExprs {
     * it `sort_array(shingleHashes(...))`, which is distinct by
     * construction. Identical values to the set formulation (LawsSpec). */
   case class JaccardSortedDistinct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_jaccard_sorted"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -438,7 +414,7 @@ object TextHashExprs {
     * containment |A∩B|/|A|, which Jaccard's symmetric union denominator
     * hides when the sets differ greatly in size. */
   case class IntersectCountSorted(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with RefCodegen2 {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_intersect_sorted"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -749,6 +725,18 @@ object TextHashExprs {
       }
       hits
     }
+    // Array fields compare by REFERENCE under the case-class equals, so
+    // two structurally identical instances would never be semanticEqual —
+    // canonicalization and common-subexpression elimination would miss
+    // and each occurrence would carry its own 50k-element copy (r14
+    // advice). Compare the set by content.
+    override def equals(o: Any): Boolean = o match {
+      case c: CountInSortedSet =>
+        c.child == child && java.util.Arrays.equals(c.sorted, sorted)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + java.util.Arrays.hashCode(sorted)
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -1126,6 +1114,15 @@ object TextHashExprs {
     SparkSession.getActiveSession.foreach(register)
     call_function("graft_token_windows", text,
       org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** [[WsSplit]] over an arbitrary column — `split(text, "\\s+", -1)` as
+    * one native byte scan, NO lower/trim wrapper (the r14 win stopped at
+    * the lower(trim(…)) pattern; nine call sites kept the regex because
+    * only the wrapper differed — r15 closes them with this form). */
+  def wsSplit(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function("graft_ws_split", text)
   }
 
   /** The repo-wide whitespace tokenizer `split(lower(trim(text)), "\\s+")`

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions.call_function
@@ -49,7 +48,7 @@ object UnicodeExprs {
   }
 
   case class NfkcFold(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = StringType
     override def prettyName: String = "graft_nfkc_fold"
     override def checkInputDataTypes(): TypeCheckResult =
@@ -82,7 +81,7 @@ object UnicodeExprs {
   }
 
   case class ScriptCounts(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = StructType(
       scriptFields.map(f => StructField(f, LongType, nullable = false)))
     override def prettyName: String = "graft_script_counts"
@@ -118,7 +117,7 @@ object UnicodeExprs {
     * `[\p{Han}\p{Hiragana}\p{Katakana}\p{Hangul}]` (note RE2 spells
     * scripts `\p{Han}` where Java spells `\p{IsHan}`). */
   case class CjkCount(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with RefCodegen {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_cjk_count"
     override def checkInputDataTypes(): TypeCheckResult =

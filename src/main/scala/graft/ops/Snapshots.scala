@@ -654,7 +654,19 @@ object Snapshots extends org.apache.spark.internal.Logging {
     // a conservative superset, never a wrong result.
     val bloomConfigured = spark.conf.getOption(BloomColumnsKey)
       .exists(_.split(',').map(_.trim).exists(_.nonEmpty))
-    if (!bloomConfigured && schema.fields.forall(f =>
+    // LEGACY datetime rebase writes Julian-rebased INT64-micros/INT32-day
+    // values, so footer min/max live in rebased storage space while the
+    // read-back values (and pruning comparisons) are proleptic Gregorian
+    // — divergent for pre-1582/1900 values. Only harvest footers for
+    // date/timestamp columns under CORRECTED/EXCEPTION (the default),
+    // mirroring the bloom/INT96 guards (r14 advice).
+    val rebaseSafe = !schema.fields.exists(f =>
+        f.dataType == TimestampType || f.dataType == DateType) || {
+      val m = spark.conf.get(
+        "spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION")
+      m.equalsIgnoreCase("EXCEPTION") || m.equalsIgnoreCase("CORRECTED")
+    }
+    if (!bloomConfigured && rebaseSafe && schema.fields.forall(f =>
         !statType(f.dataType) || footerStatSafe(f.dataType))) {
       try return computeStatsFromFooters(spark, root, adds, schema, sizes)
       catch { case scala.util.control.NonFatal(_) =>
@@ -2928,7 +2940,14 @@ object Snapshots extends org.apache.spark.internal.Logging {
         // read-back (Spark's internal timestamps are micros either way);
         // only the encoding changes, and only for files this log owns.
         // Session conf set/restore: prepareWrite reads it driver-side at
-        // job submission, inside this same call.
+        // job submission, inside this same call. SINGLE-WRITER
+        // assumption (r14 advice): a concurrent write on the same
+        // SparkSession from another thread could observe the temporary
+        // MICROS setting (harmless — values identical) or race the
+        // restore; commits on one log are serialized by the commit
+        // protocol, and if an embedder ever runs concurrent commits on
+        // one session and a file lands INT96 anyway, the footer-harvest
+        // path's typed INT96 fallback keeps stats correct.
         val tsKey = "spark.sql.parquet.outputTimestampType"
         val prevTs = spark.conf.getOption(tsKey)
         spark.conf.set(tsKey, "TIMESTAMP_MICROS")

@@ -934,7 +934,8 @@ object Dedup {
     // leading tab/newline — where split() yields one empty first token —
     // must not shift every position by one
     val toks = docs.select(col(idCol),
-      posexplode(filter(split(lt, "\\s+"), x => x =!= ""))
+      posexplode(filter(graft.functions.TextHashExprs.wsSplit(lt),
+        x => x =!= ""))
         .as(Seq("_pos", "_tk")))
     val wins = docs.select(col(idCol),
       posexplode(graft.functions.TextHashExprs.tokenWindows(lt, n))

@@ -65,7 +65,7 @@ object Packing {
   def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = graft.functions.TextHashExprs.wsSplit(trim(col(textCol)))
     val n = size(toks)
     val nChunks = ceil(n.cast("double") / maxTokens).cast("int")
     df.select(col(idCol), toks.as("_t"), n.as("_n"), nChunks.as("_nc"))

@@ -103,9 +103,10 @@ object TextAnalysis {
     trim(regexp_replace(
       graft.functions.UnicodeExprs.nfkcFold(text), " +", " "))
 
-  /** Whitespace token count. */
+  /** Whitespace token count (native byte-scan split, r15 — the regex
+    * form re-entered Pattern.compile per row). */
   def tokenCountWs(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    size(graft.functions.TextHashExprs.wsSplit(trim(text)))
 
   /** Script-aware token count (r13): whitespace tokenization undercounts
     * unsegmented CJK text by an order of magnitude (a 40-char Chinese
@@ -122,7 +123,7 @@ object TextAnalysis {
     val cjkClass = "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]"
     val rest = trim(regexp_replace(text, cjkClass, " "))
     val restTokens = when(rest === "", lit(0))
-      .otherwise(size(split(rest, "\\s+")))
+      .otherwise(size(graft.functions.TextHashExprs.wsSplit(rest)))
     (restTokens.cast("long") +
       graft.functions.UnicodeExprs.cjkCount(text)).as("n_tokens")
   }
@@ -137,7 +138,7 @@ object TextAnalysis {
     * stopword ratio (the classic C4/Gopher-style cheap filters). */
   def qualityScore(text: Column): Column = {
     val nChars = length(text).cast("double")
-    val words = split(trim(text), "\\s+")
+    val words = graft.functions.TextHashExprs.wsSplit(trim(text))
     val nWords = size(words).cast("double")
     val meanWordLen = nChars / greatest(nWords, lit(1.0))
     val punct = graft.functions.TextHashExprs
@@ -269,7 +270,8 @@ object TextAnalysis {
     // length-after-trim test would miss "\n") so empty/whitespace-only
     // docs report n_words = 0, not 1
     val words = when(!text.rlike("\\S"),
-      array().cast("array<string>")).otherwise(split(trim(text), "\\s+"))
+      array().cast("array<string>"))
+      .otherwise(graft.functions.TextHashExprs.wsSplit(trim(text)))
     val nWords = size(words)
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
     val meanLen = round(sumLen.cast("double") /
